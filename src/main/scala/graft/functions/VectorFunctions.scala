@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float>` embedding columns, built entirely from
+  * Spark higher-order functions (`zip_with`/`aggregate`/`transform`) so the
+  * whole computation stays inside whole-stage codegen — no UDF
+  * serialization on the 100 TB hot path.
+  *
+  * Covers pgvector's public operator surface, which the reference uses for
+  * search (`ORDER BY embedding <-> ?::vector` —
+  * PDF-Summarizer/src/main/java/com/yoshio3/SSEOpenAIController.java:315):
+  *   `<->` → [[l2Distance]], `<=>` → [[cosineDistance]],
+  *   `<#>` → [[negInnerProduct]].
+  */
+object VectorFunctions {
+
+  /** Cast to array<double> so accumulation happens in double precision
+    * (matches the DuckDB oracle's `::DOUBLE[]` and avoids float drift). */
+  private def d(a: Column): Column = a.cast("array<double>")
+
+  /** Elementwise dot product: one fused zip+fold, codegen'd. */
+  def innerProduct(a: Column, b: Column): Column =
+    aggregate(zip_with(d(a), d(b), (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** pgvector `<#>` (negative inner product — sorts ascending = most similar first). */
+  def negInnerProduct(a: Column, b: Column): Column = -innerProduct(a, b)
+
+  /** Squared L2 distance (cheaper than [[l2Distance]] when only ordering matters). */
+  def l2DistanceSq(a: Column, b: Column): Column =
+    aggregate(zip_with(d(a), d(b), (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+
+  /** pgvector `<->` (Euclidean distance). */
+  def l2Distance(a: Column, b: Column): Column = sqrt(l2DistanceSq(a, b))
+
+  def norm(a: Column): Column = sqrt(innerProduct(a, a))
+
+  def cosineSimilarity(a: Column, b: Column): Column =
+    innerProduct(a, b) / (norm(a) * norm(b))
+
+  /** pgvector `<=>` (cosine distance = 1 - cosine similarity). */
+  def cosineDistance(a: Column, b: Column): Column =
+    lit(1.0) - cosineSimilarity(a, b)
+
+  /** L2-normalize an embedding, returning array<double>. */
+  def l2Normalize(a: Column): Column =
+    transform(d(a), x => x / norm(a))
+}

@@ -1,0 +1,50 @@
+#!/usr/bin/env python3
+"""Local replay of the driver's correctness gate.
+
+Usage: python3 tools/parity.py [sfdir] [outdir]
+Expects graft.Verify to have written <outdir>/<name>/ parquet dirs and
+<outdir>/oracle_sql.json. Runs each oracle in DuckDB over views named
+after the test tables, sorts columns by name, compares row-by-row.
+"""
+import sys, json, glob, os
+import duckdb
+
+sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for p in glob.glob(f"{sfdir}/*.parquet"):
+    name = os.path.basename(p).removesuffix(".parquet")
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+fails = 0
+for name, sql in sorted(oracle.items()):
+    spark_files = glob.glob(f"{outdir}/{name}/*.parquet")
+    if not spark_files:
+        print(f"[MISS] {name}: no spark output"); fails += 1; continue
+    try:
+        odf = con.execute(sql).fetchdf()
+    except Exception as e:
+        print(f"[ORACLE-ERR] {name}: {str(e)[:200]}"); fails += 1; continue
+    sdf = con.execute(f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')").fetchdf()
+    sdf = sdf[sorted(sdf.columns)]; odf = odf[sorted(odf.columns)]
+    if list(sdf.columns) != list(odf.columns):
+        print(f"[SCHEMA] {name}: spark={list(sdf.columns)} oracle={list(odf.columns)}"); fails += 1; continue
+    if len(sdf) != len(odf):
+        print(f"[ROWS] {name}: spark={len(sdf)} oracle={len(odf)}"); fails += 1; continue
+    # dtype comparison (int64 vs int32 etc.)
+    dt_s, dt_o = [str(t) for t in sdf.dtypes], [str(t) for t in odf.dtypes]
+    if dt_s != dt_o:
+        print(f"[DTYPE] {name}: spark={dt_s} oracle={dt_o} (warn)")
+    neq = (sdf.values != odf.values)
+    if neq.any():
+        import numpy as np
+        idx = list(zip(*np.where(neq)))[:5]
+        print(f"[VALUES] {name}: {neq.sum()} mismatched cells; first: ")
+        for r, c in idx:
+            print(f"    row {r} col {sdf.columns[c]}: spark={sdf.iloc[r, c]!r} oracle={odf.iloc[r, c]!r}")
+        fails += 1; continue
+    print(f"[OK] {name}: {len(sdf)} rows")
+print(f"\n{'ALL GREEN' if fails == 0 else f'{fails} FAILURES'} / {len(oracle)} queries")
+sys.exit(1 if fails else 0)
