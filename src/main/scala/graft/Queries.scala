@@ -21,7 +21,10 @@ object Queries {
   private val canonSql =
     """lower(trim(regexp_replace(replace(text, chr(10), ' '), '\s{2,}', ' ', 'g')))"""
 
-  val defs: Map[String, QueryDef] = Map(
+  def defs: Map[String, QueryDef] =
+    coreDefs ++ QueriesPipeline.defs ++ QueriesAnalytics.defs
+
+  private val coreDefs: Map[String, QueryDef] = Map(
 
     // ── §2.3 analytics ────────────────────────────────────────────────
     "q1_agg" -> QueryDef(

@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Queries.QueryDef
+
+/** SURVEY.md §2.3 — the engine stays a full analytic query engine.
+  * Scale notes: dimension sides of every join are `broadcast()`;
+  * aggregations rely on map-side partial agg; windows partition on
+  * high-cardinality keys (user_id, priority) so no single partition
+  * dominates; every scan projects only needed columns (parquet pruning).
+  */
+object QueriesAnalytics {
+
+  val defs: Map[String, QueryDef] = Map(
+
+    "q3_top_orders" -> QueryDef(
+      (s, d) => {
+        val cust = Tables.customer(s, d).where(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey"))
+        val ord = Tables.orders(s, d)
+          .where(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+        val li = Tables.lineitem(s, d)
+          .where(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("o_orderkey"), col("o_orderdate"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+          .select(col("o_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"), col("revenue"))
+          .orderBy(col("revenue").desc, col("o_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |  AND o_orderdate < TIMESTAMP '1998-01-01'
+             |  AND l_shipdate > TIMESTAMP '1998-01-01'
+             |GROUP BY o_orderkey, o_orderdate
+             |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin)),
+
+    "q5_region_revenue" -> QueryDef(
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+        val nat = Tables.nation(s, d).select(col("n_nationkey"), col("n_regionkey"))
+        val reg = Tables.region(s, d).select(col("r_regionkey"), col("r_name"))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+            countDistinct(col("o_orderkey")).cast("long").as("n_orders"))
+          .orderBy(col("r_name"))
+      },
+      Some("""SELECT r_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             |  count(DISTINCT o_orderkey) AS n_orders
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name ORDER BY r_name""".stripMargin)),
+
+    "q_window_topn" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.orders(s, d)
+          .select(col("o_orderpriority"), col("o_orderkey"),
+            round(col("o_totalprice"), 2).as("o_totalprice"),
+            row_number().over(w).cast("long").as("rn"))
+          .where(col("rn") <= 3)
+          .orderBy(col("o_orderpriority"), col("rn"))
+      },
+      Some("""SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+             |  CAST(rn AS BIGINT) AS rn
+             |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+             |        row_number() OVER (PARTITION BY o_orderpriority
+             |                           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |      FROM orders)
+             |WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin)),
+
+    "q_events_sessionize" -> QueryDef(
+      (s, d) => {
+        // ts arrives as long nanos (nanosAsLong); integer div keeps exactness
+        val sec = expr("ts div 1000000000")
+        val ord = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+        val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("value"), sec.as("sec"))
+          .withColumn("prev", lag(col("sec"), 1).over(ord))
+          .withColumn("new_s",
+            when(col("prev").isNull || col("sec") - col("prev") > 1800, 1L).otherwise(0L))
+          .withColumn("session_id", sum(col("new_s")).over(cum))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(count(lit(1)).cast("long").as("n_events"),
+            min(col("sec")).as("start_sec"), max(col("sec")).as("end_sec"),
+            round(sum(col("value")), 4).as("sum_value"))
+          .orderBy(col("user_id"), col("session_id"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, value,
+             |    CAST(floor(epoch(ts)) AS BIGINT) AS sec
+             |  FROM events),
+             |l AS (SELECT *, lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS prev FROM e),
+             |f AS (SELECT *, CASE WHEN prev IS NULL OR sec - prev > 1800 THEN 1 ELSE 0 END AS new_s FROM l),
+             |g AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY sec, event_id
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM f)
+             |SELECT user_id, session_id, count(*) AS n_events,
+             |  min(sec) AS start_sec, max(sec) AS end_sec, round(sum(value), 4) AS sum_value
+             |FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin)),
+
+    "q_events_hourly" -> QueryDef(
+      (s, d) => Tables.events(s, d)
+        .select(expr("(ts div 1000000000) div 3600 * 3600").as("hour_sec"),
+          col("event_type"), col("value"))
+        .groupBy(col("hour_sec"), col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n"), round(sum(col("value")), 4).as("sum_value"))
+        .orderBy(col("hour_sec"), col("event_type")),
+      Some("""SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_sec,
+             |  event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+             |FROM events GROUP BY 1, 2 ORDER BY hour_sec, event_type""".stripMargin))
+  )
+}

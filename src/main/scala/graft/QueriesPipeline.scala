@@ -1,0 +1,295 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.Queries.QueryDef
+import graft.functions.{LangFunctions, PromptFunctions, TextFunctions, VectorFunctions}
+import graft.operators.{Dedup, Knn}
+import graft.pipeline.{Embedder, PdfPipeline}
+
+/** SURVEY.md §2.1 pipeline + §2.2 dedup/text-analysis query gates.
+  * Chunking parameters are scaled (maxLen=200, lookback=60 vs the
+  * reference's 7500/300) so the test corpus (47–558 chars/doc) actually
+  * exercises multi-chunk splitting; the algorithm is parameter-identical.
+  */
+object QueriesPipeline {
+
+  private val canon =
+    """lower(trim(regexp_replace(replace(text, chr(10), ' '), '\s{2,}', ' ', 'g')))"""
+
+  /** DuckDB replay of TextFunctions.chunkText as a recursive CTE
+    * (validated char-for-char against the reference algorithm). */
+  private def chunkCte(maxLen: Int, lb: Int): String = {
+    val start = maxLen - lb
+    s"""WITH RECURSIVE norm AS (
+       |  SELECT doc_id, regexp_replace(replace(text, chr(10), ' '), '\\s{2,}', ' ', 'g') AS t FROM documents
+       |), ch(doc_id, idx, chunk, rest) AS (
+       |  SELECT doc_id, -1, CAST(NULL AS VARCHAR), t FROM norm
+       |  UNION ALL
+       |  SELECT doc_id, idx+1,
+       |    CASE WHEN length(rest) > $maxLen
+       |      THEN substr(rest, 1, $start + length(regexp_extract(substr(rest, ${start + 2}, $lb), '^(.*[.。;；!！?？])', 1)))
+       |      ELSE rest END,
+       |    CASE WHEN length(rest) > $maxLen
+       |      THEN substr(rest, ${start + 1} + length(regexp_extract(substr(rest, ${start + 2}, $lb), '^(.*[.。;；!！?？])', 1)))
+       |      ELSE NULL END
+       |  FROM ch WHERE rest IS NOT NULL
+       |), chunks AS (SELECT doc_id, idx AS chunk_idx, chunk FROM ch WHERE chunk IS NOT NULL)""".stripMargin
+  }
+
+  /** Status table CTE over chunks (mirrors PdfPipeline.statusTable). */
+  private def statusCte(maxLen: Int, lb: Int): String =
+    chunkCte(maxLen, lb) + s""",
+       |st AS (
+       |  SELECT md5(d.source || '_' || c.doc_id || '.pdf' || '#' || CAST(c.chunk_idx + 1 AS BIGINT)) AS id,
+       |    d.source || '_' || c.doc_id || '.pdf' AS filename,
+       |    CAST(c.chunk_idx + 1 AS BIGINT) AS pagenumber,
+       |    CASE ((c.doc_id * 7 + c.chunk_idx) % 23)
+       |      WHEN 0 THEN 'failed_db_insertion'
+       |      WHEN 1 THEN 'retry_oai_invocation'
+       |      WHEN 2 THEN 'finish_oai_invocation'
+       |      ELSE 'completed' END AS status
+       |  FROM chunks c JOIN documents d USING (doc_id))""".stripMargin
+
+  private def docsChunks(s: org.apache.spark.sql.SparkSession, d: String) =
+    PdfPipeline.chunkRows(Tables.documents(s, d), maxLen = 200, lookback = 60)
+
+  /** MinHash/shingle CTE prefix (mirrors TextFunctions.wordShingles +
+    * Dedup.minhashSignature/bandKeys with numPerm=16, bands=8, r=2). */
+  private val lshCte =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split($canon, ' ') AS w FROM documents
+       |), sh AS (
+       |  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+       |    THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]
+       |    ELSE [array_to_string(w, ' ')] END) AS sh FROM w
+       |), sig AS (
+       |  SELECT doc_id, sh, [list_min([md5(s || '#' || j) for s in sh]) for j in range(0, 16)] AS sig FROM sh
+       |), bands AS (
+       |  SELECT doc_id, CAST(b AS BIGINT) AS band_id, md5(sig[b*2+1] || '|' || sig[b*2+2]) AS band_key
+       |  FROM sig, unnest(range(0, 8)) AS t(b)
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |), ver AS (
+       |  SELECT id1, id2,
+       |    round(len(list_intersect(s1.sh, s2.sh))::DOUBLE
+       |      / (len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh))), 4) AS jaccard
+       |  FROM cand JOIN sh s1 ON s1.doc_id = cand.id1 JOIN sh s2 ON s2.doc_id = cand.id2)""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+
+    "q_ingest_docs" -> QueryDef(
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"),
+          expr("octet_length(text)").cast("long").as("byte_len"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, source, lang, CAST(n_chars AS BIGINT) AS n_chars,
+             |  CAST(strlen(text) AS BIGINT) AS byte_len
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    "q_pdf_pages" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("content"))
+        PdfPipeline.extractPages(docs, pageSize = 200)
+          .select(col("doc_id"), col("page_no"),
+            length(col("page_text")).cast("long").as("page_len"),
+            md5(col("page_text")).as("page_md5"))
+          .orderBy(col("doc_id"), col("page_no"))
+      },
+      Some("""SELECT doc_id, CAST(i + 1 AS BIGINT) AS page_no,
+             |  CAST(length(substr(text, i*200 + 1, 200)) AS BIGINT) AS page_len,
+             |  md5(substr(text, i*200 + 1, 200)) AS page_md5
+             |FROM documents, unnest(range(0, CAST(ceil(length(text) / 200.0) AS INT))) AS t(i)
+             |ORDER BY doc_id, page_no""".stripMargin)),
+
+    "q_chunk_split" -> QueryDef(
+      (s, d) => docsChunks(s, d)
+        .select(col("doc_id"), col("chunk_idx"),
+          length(col("chunk")).cast("long").as("chunk_len"),
+          md5(col("chunk")).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_idx")),
+      Some(chunkCte(200, 60) + """
+             |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+             |  CAST(length(chunk) AS BIGINT) AS chunk_len, md5(chunk) AS chunk_md5
+             |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // Embedding stub: model call not SQL-expressible → rows-only gate;
+    // structural invariants (dim, unit norm) checked in specs.
+    "q_embed_docs" -> QueryDef(
+      (s, d) => {
+        val emb = Embedder.embed(
+          Tables.documents(s, d).select(col("doc_id"), col("text")), textCol = "text")
+        emb.select(col("doc_id"), size(col("embedding")).cast("long").as("dim"),
+            round(VectorFunctions.norm(col("embedding")), 4).as("norm"))
+          .orderBy(col("doc_id"))
+      },
+      None),
+
+    "q_status_lifecycle" -> QueryDef(
+      (s, d) => PdfPipeline.statusTable(docsChunks(s, d))
+        .groupBy(col("status")).agg(count(lit(1)).cast("long").as("n"))
+        .orderBy(col("status")),
+      Some(statusCte(200, 60) + """
+             |SELECT status, count(*) AS n FROM st GROUP BY status ORDER BY status""".stripMargin)),
+
+    "q_status_registered" -> QueryDef(
+      (s, d) => PdfPipeline.registered(PdfPipeline.statusTable(docsChunks(s, d)))
+        .select(col("id"), col("filename"), col("pagenumber"), col("status")),
+      Some(statusCte(200, 60) + """
+             |SELECT id, filename, pagenumber, status FROM st
+             |WHERE status = 'completed' ORDER BY filename, pagenumber""".stripMargin)),
+
+    "q_status_failed" -> QueryDef(
+      (s, d) => PdfPipeline.failed(PdfPipeline.statusTable(docsChunks(s, d)))
+        .select(col("id"), col("filename"), col("pagenumber"), col("status")),
+      Some(statusCte(200, 60) + """
+             |SELECT id, filename, pagenumber, status FROM st
+             |WHERE status != 'completed' ORDER BY filename, pagenumber""".stripMargin)),
+
+    "q_prompt_build" -> QueryDef(
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          PromptFunctions.summaryPrompt(TextFunctions.normalizeText(col("text")),
+            lit("vector search")).as("prompt"))
+        .orderBy(col("doc_id")),
+      Some("SELECT doc_id, '" + "\"\"\" ' || regexp_replace(replace(text, chr(10), ' '), '\\s{2,}', ' ', 'g') || ' \"\"\" ' || chr(10) || chr(10) || '" +
+        "こちらのドキュメントの中から \"vector search\" に関して説明している箇所を抜き出してください。' AS prompt " +
+        "FROM documents ORDER BY doc_id")),
+
+    "q_doc_link" -> QueryDef(
+      (s, d) => PdfPipeline.registered(PdfPipeline.statusTable(docsChunks(s, d)))
+        .select(col("filename"), col("pagenumber"),
+          PromptFunctions.blobPageUrl(lit("documentsearch1"), lit("pdfs"),
+            col("filename"), col("pagenumber")).as("url")),
+      Some(statusCte(200, 60) + """
+             |SELECT filename, pagenumber,
+             |  'https://documentsearch1.blob.core.windows.net/pdfs/' || filename || '#page=' || pagenumber AS url
+             |FROM st WHERE status = 'completed' ORDER BY filename, pagenumber""".stripMargin)),
+
+    // ── dedup / similarity family ────────────────────────────────────
+    "q_shingles" -> QueryDef(
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(TextFunctions.wordShingles(col("text"))).cast("long").as("n_shingles"),
+          md5(concat_ws("|", array_sort(TextFunctions.wordShingles(col("text"))))).as("sh_hash"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH w AS (SELECT doc_id, string_split($canon, ' ') AS w FROM documents),
+              |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+              |  THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]
+              |  ELSE [array_to_string(w, ' ')] END) AS sh FROM w)
+              |SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles,
+              |  md5(array_to_string(list_sort(sh), '|')) AS sh_hash
+              |FROM sh ORDER BY doc_id""".stripMargin)),
+
+    "q_minhash_sig" -> QueryDef(
+      (s, d) => {
+        val sh = TextFunctions.wordShingles(col("text"))
+        val sig = Dedup.minhashSignature(sh, 16)
+        Tables.documents(s, d)
+          .select(col("doc_id"), md5(concat_ws("|", sig: _*)).as("sig_hash"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH w AS (SELECT doc_id, string_split($canon, ' ') AS w FROM documents),
+              |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+              |  THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]
+              |  ELSE [array_to_string(w, ' ')] END) AS sh FROM w)
+              |SELECT doc_id,
+              |  md5(array_to_string([list_min([md5(s || '#' || j) for s in sh]) for j in range(0, 16)], '|')) AS sig_hash
+              |FROM sh ORDER BY doc_id""".stripMargin)),
+
+    "q_dedup_minhash_lsh" -> QueryDef(
+      (s, d) => Dedup.minhashLsh(Tables.documents(s, d), threshold = 0.8)
+        .orderBy(col("id1"), col("id2")),
+      Some(lshCte + """
+             |SELECT id1, id2, jaccard FROM ver WHERE jaccard >= 0.8 ORDER BY id1, id2""".stripMargin)),
+
+    "q_ngram_jaccard" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.jaccardVerify(Dedup.candidatePairs(docs), docs)
+          .where(col("jaccard") >= 0.3)
+          .orderBy(col("id1"), col("id2"))
+      },
+      Some(lshCte + """
+             |SELECT id1, id2, jaccard FROM ver WHERE jaccard >= 0.3 ORDER BY id1, id2""".stripMargin)),
+
+    "q_dedup_embedding" -> QueryDef(
+      (s, d) => Dedup.embeddingNearDup(Tables.embeddings(s, d), threshold = 0.4)
+        .orderBy(col("id1"), col("id2")),
+      Some("""SELECT a.vec_id AS id1, b.vec_id AS id2,
+             |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
+             |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.4
+             |ORDER BY id1, id2""".stripMargin)),
+
+    "q_knn_batch" -> QueryDef(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val q = e.where(col("vec_id") < 8).select(col("vec_id").as("qid"), col("embedding"))
+        Knn.topKBatch(e, q, Knn.L2, k = 3).orderBy(col("qid"), col("rn"))
+      },
+      Some("""WITH q AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < 8),
+             |scored AS (
+             |  SELECT q.qid, e.vec_id,
+             |    round(list_distance(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS dist
+             |  FROM embeddings e CROSS JOIN q),
+             |r AS (SELECT qid, vec_id, dist,
+             |  row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn FROM scored)
+             |SELECT qid, vec_id, dist, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 3
+             |ORDER BY qid, rn""".stripMargin)),
+
+    // ── text analysis ────────────────────────────────────────────────
+    "q_lang_id" -> QueryDef(
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), LangFunctions.langId(col("text")).as("pred_lang"),
+          col("lang"),
+          when(LangFunctions.langId(col("text")) === col("lang"), 1L).otherwise(0L).as("correct"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH h AS (SELECT doc_id, lang,
+              |  len(regexp_extract_all($canon, '\\b(the|and|of|to|in|is|for|with)\\b')) AS en,
+              |  len(regexp_extract_all($canon, '\\b(der|die|das|und|ist|nicht|mit|ein)\\b')) AS de,
+              |  len(regexp_extract_all($canon, '\\b(el|la|los|las|que|es|un|una|para)\\b')) AS es,
+              |  len(regexp_extract_all($canon, '\\b(le|la|les|des|est|un|une|dans|pour)\\b')) AS fr,
+              |  len(regexp_extract_all($canon, '(的|是|在|了|和|有)')) AS zh
+              |FROM documents),
+              |p AS (SELECT doc_id, lang,
+              |  CASE WHEN zh > 0 THEN 'zh'
+              |       WHEN en >= de AND en >= es AND en >= fr THEN 'en'
+              |       WHEN de >= es AND de >= fr THEN 'de'
+              |       WHEN es >= fr THEN 'es'
+              |       ELSE 'fr' END AS pred_lang
+              |FROM h)
+              |SELECT doc_id, pred_lang, lang,
+              |  CAST(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END AS BIGINT) AS correct
+              |FROM p ORDER BY doc_id""".stripMargin)),
+
+    "q_quality_score" -> QueryDef(
+      (s, d) => {
+        val c = col("text")
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            TextFunctions.wsTokenCount(c).cast("long").as("n_words"),
+            round(LangFunctions.punctCount(c).cast("double")
+              / length(TextFunctions.canonicalText(c)), 6).as("punct_ratio"),
+            round(TextFunctions.stopwordHits(c, LangFunctions.EnStop).cast("double")
+              / TextFunctions.wsTokenCount(c), 6).as("stop_ratio"),
+            LangFunctions.qualityScore(c).as("quality"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH f AS (SELECT doc_id,
+              |  len(string_split($canon, ' ')) AS words,
+              |  length($canon) AS chars,
+              |  len(regexp_extract_all($canon, '[.,;:!?。！？；]')) AS punct,
+              |  len(regexp_extract_all($canon, '\\b(the|and|of|to|in|is|for|with)\\b')) AS stop
+              |FROM documents)
+              |SELECT doc_id, CAST(words AS BIGINT) AS n_words,
+              |  round(punct::DOUBLE / chars, 6) AS punct_ratio,
+              |  round(stop::DOUBLE / words, 6) AS stop_ratio,
+              |  round((CASE WHEN words >= 20 AND words <= 1000 THEN 0.4 ELSE 0.0 END)
+              |      + (CASE WHEN stop::DOUBLE / words >= 0.05 THEN 0.3 ELSE 0.0 END)
+              |      + (CASE WHEN punct::DOUBLE / chars <= 0.1 THEN 0.3 ELSE 0.0 END), 1) AS quality
+              |FROM f ORDER BY doc_id""".stripMargin))
+  )
+}

@@ -36,7 +36,9 @@ object TextFunctions {
     val out = ArrayBuffer.empty[String]
     var rest = text
     while (rest.length > maxLen) {
-      val start = maxLen - lookback
+      // clamp: the reference always has lookback < maxLen (300 < 7500);
+      // guard degenerate params instead of indexing below 0
+      val start = math.max(maxLen - lookback, 0)
       var i = maxLen
       while (i > start && !PunctSet(rest.charAt(i))) i -= 1
       var split = if (i > start) i else start

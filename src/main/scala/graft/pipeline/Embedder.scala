@@ -1,0 +1,65 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.util.hashing.MurmurHash3
+
+/** Embedding generation stage — the Spark re-expression of the reference's
+  * per-chunk `client.getEmbeddings("text-embedding-ada-002", …)` call
+  * (BlobUploadDetector/src/main/java/com/yoshio3/Function.java:181-210).
+  *
+  * The model call is STUBBED with a deterministic hashing-trick embedding
+  * (token buckets + L2 normalize). The Spark plumbing is the real thing:
+  * batched `mapPartitions` (one "API request" per `batchSize` texts — the
+  * pattern a live endpoint needs, vs. the reference's one-call-per-chunk
+  * with a sleep), retry hook, no shuffle, output column typed
+  * `array<float>` to match the corpus embedding schema.
+  */
+object Embedder {
+
+  /** Deterministic stand-in for the embedding model: bag-of-tokens hashing
+    * trick into `dim` buckets, L2-normalized. */
+  def embedText(text: String, dim: Int): Array[Float] = {
+    val v = new Array[Float](dim)
+    var i = 0
+    val tokens = text.toLowerCase.split("\\s+")
+    while (i < tokens.length) {
+      val h = MurmurHash3.stringHash(tokens(i))
+      val b = ((h % dim) + dim) % dim
+      v(b) += (if ((h & 1) == 0) 1f else -1f)
+      i += 1
+    }
+    val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+    if (n > 0) v.map(x => (x / n).toFloat) else v
+  }
+
+  /** Simulated model invocation for one batch — swap for a real HTTP call;
+    * retry-with-backoff shape mirrors Function.java:186-208. */
+  def invokeModel(batch: Seq[String], dim: Int, maxRetries: Int = 3): Seq[Array[Float]] = {
+    var attempt = 0
+    while (attempt < maxRetries) {
+      try return batch.map(embedText(_, dim))
+      catch { case _: Exception => attempt += 1 }
+    }
+    batch.map(_ => new Array[Float](dim))
+  }
+
+  /** Append an `embedding array<float>` column. Narrow, batched. */
+  def embed(df: DataFrame, textCol: String = "chunk", dim: Int = 64,
+            batchSize: Int = 32, outCol: String = "embedding"): DataFrame = {
+    val spark = df.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(
+      df.schema.fields :+ org.apache.spark.sql.types.StructField(outCol,
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, false)))
+    val textIdx = df.schema.fieldIndex(textCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        val embs = invokeModel(batch.map(r => Option(r.getString(textIdx)).getOrElse("")), dim)
+        batch.iterator.zip(embs.iterator).map { case (r, e) =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ e.toSeq)
+        }
+      }
+    }(enc)
+  }
+}

@@ -1,0 +1,100 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** The reference's ingest pipeline re-expressed on Spark:
+  * blob binary → per-page text → normalize → chunk → (embed) → store,
+  * with the Cosmos-style status lifecycle derived in the same pass.
+  *
+  * Reference: BlobUploadDetector/src/main/java/com/yoshio3/Function.java
+  * (extractPDFtoTextByPage :90-132, splitText :214-245, status flow
+  * :140-175). PDFBox itself is not in this container, so the page decode
+  * is a clearly-marked deterministic stub — the Spark plumbing (binary
+  * column in, batched mapPartitions, page rows out) is real and is the
+  * part that matters at 100 TB.
+  */
+object PdfPipeline {
+
+  final case class PageRow(doc_id: Long, page_no: Long, page_text: String)
+
+  /** Stub "PDF decode": fixed-width pagination of the UTF-8 text. A real
+    * deployment swaps `decodePages` for a PDFBox call; everything around
+    * it is unchanged. */
+  def decodePages(bytes: Array[Byte], pageSize: Int): Seq[String] = {
+    val text = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+    if (text.isEmpty) Seq.empty else text.grouped(pageSize).toSeq
+  }
+
+  /** Binary documents → page rows. Narrow (mapPartitions, no shuffle);
+    * rows are processed in batches of `batchSize` to mirror the shape a
+    * real decoder/extractor service call wants. */
+  def extractPages(docs: DataFrame, pageSize: Int = 200, batchSize: Int = 16,
+                   idCol: String = "doc_id", contentCol: String = "content"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(contentCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.flatMap { case (id, bytes) =>
+            decodePages(bytes, pageSize).iterator.zipWithIndex.map {
+              case (p, i) => PageRow(id, i + 1L, p)
+            }
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** Normalized text → (chunk_idx, chunk) rows via the reference chunker.
+    * The iterative splitter runs as a UDF on the ingest cold path only. */
+  def chunkRows(docs: DataFrame, maxLen: Int = 7500, lookback: Int = 300,
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val chunker = udf((t: String) => TextFunctions.chunkText(t, maxLen, lookback))
+    docs.select(col(idCol), col("*"))
+      .withColumn("__chunks", chunker(TextFunctions.normalizeText(col(textCol))))
+      .select(col(idCol), col("source"),
+        posexplode(col("__chunks")).as(Seq("chunk_idx", "chunk")))
+      .select(col(idCol), col("source"), col("chunk_idx").cast("long").as("chunk_idx"), col("chunk"))
+  }
+
+  /** Reference status lifecycle values
+    * (models/CosmosDBDocumentStatus.java:1-20). */
+  val Statuses: Seq[String] = Seq("page_separate_finished", "retry_oai_invocation",
+    "finish_oai_invocation", "finish_db_insertion", "failed_db_insertion", "completed")
+
+  /** Cosmos-style status table over chunk rows: one row per (file, page)
+    * with a deterministic simulated lifecycle outcome (the reference
+    * records random-UUID rows whose terminal state depends on live API /
+    * DB outcomes; here the outcome is a pure function of the key so the
+    * oracle can replay it). filename mirrors the reference's blob name,
+    * pagenumber is 1-based (Function.java:135-176).
+    */
+  def statusTable(chunks: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val fileName = concat(col("source"), lit("_"), col(idCol), lit(".pdf"))
+    val page = (col("chunk_idx") + 1).cast("long")
+    val phase = (col(idCol) * 7 + col("chunk_idx")) % 23
+    chunks.select(
+      md5(concat(fileName, lit("#"), page)).as("id"),
+      fileName.as("filename"),
+      page.as("pagenumber"),
+      when(phase === 0, "failed_db_insertion")
+        .when(phase === 1, "retry_oai_invocation")
+        .when(phase === 2, "finish_oai_invocation")
+        .otherwise("completed").as("status"))
+  }
+
+  /** Registered-documents listing — the reference's
+    * `status='COMPLETED' ORDER BY fileName, pageNumber`
+    * (PDF-Summarizer/src/main/java/com/yoshio3/CosmosDBUtil.java:33). */
+  def registered(status: DataFrame): DataFrame =
+    status.where(col("status") === "completed")
+      .orderBy(col("filename"), col("pagenumber"))
+
+  /** Failed-documents listing (CosmosDBUtil.java:35). */
+  def failed(status: DataFrame): DataFrame =
+    status.where(col("status") =!= "completed")
+      .orderBy(col("filename"), col("pagenumber"))
+}

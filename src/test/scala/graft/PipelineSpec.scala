@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Embedder, PdfPipeline}
+
+class PipelineSpec extends SparkSpec {
+
+  private def docs = Tables.documents(spark, sfDir)
+
+  test("page extraction round-trips the document text") {
+    val pages = PdfPipeline.extractPages(
+      docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("content")), pageSize = 200)
+    val joined = pages.groupBy(col("doc_id"))
+      .agg(concat_ws("", collect_list(col("page_text"))).as("rebuilt"))
+      .join(docs, "doc_id")
+      .where(col("rebuilt") =!= col("text"))
+    assert(joined.count() == 0)
+  }
+
+  test("chunk rows cover every document, indices contiguous from 0") {
+    val ch = PdfPipeline.chunkRows(docs, 200, 60)
+    assert(ch.select(countDistinct(col("doc_id"))).head().getLong(0) == 500L)
+    val bad = ch.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), max(col("chunk_idx")).as("mx"), min(col("chunk_idx")).as("mn"))
+      .where(col("mn") =!= 0 || col("mx") =!= col("n") - 1)
+    assert(bad.count() == 0)
+  }
+
+  test("status table: deterministic ids, lifecycle values only, registered+failed partition it") {
+    val st = PdfPipeline.statusTable(PdfPipeline.chunkRows(docs, 200, 60)).cache()
+    val n = st.count()
+    assert(st.select("id").distinct().count() == n)
+    val statuses = st.select("status").distinct().collect().map(_.getString(0)).toSet
+    assert(statuses.subsetOf(PdfPipeline.Statuses.toSet))
+    assert(PdfPipeline.registered(st).count() + PdfPipeline.failed(st).count() == n)
+    st.unpersist()
+  }
+
+  test("embedder: deterministic, unit-norm, dim-stable, batched") {
+    val e1 = Embedder.embedText("the quick brown fox", 64)
+    val e2 = Embedder.embedText("the quick brown fox", 64)
+    assert(e1.toSeq == e2.toSeq)
+    assert(math.abs(e1.map(x => x * x).sum - 1.0) < 1e-5)
+    val emb = Embedder.embed(docs.select(col("doc_id"), col("text")), textCol = "text", dim = 32)
+    val row = emb.select(size(col("embedding"))).distinct().collect()
+    assert(row.map(_.getInt(0)).toSeq == Seq(32))
+  }
+}

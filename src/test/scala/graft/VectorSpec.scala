@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+import graft.operators.Knn
+
+class VectorSpec extends SparkSpec {
+
+  private def one(vecA: Seq[Double], vecB: Seq[Double], f: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column): Double = {
+    import spark.implicits._
+    Seq((vecA, vecB)).toDF("a", "b").select(f(col("a"), col("b")).as("v"))
+      .head().getDouble(0)
+  }
+
+  test("l2 / cosine / inner product agree with hand math") {
+    val a = Seq(1.0, 0.0, 0.0); val b = Seq(0.0, 1.0, 0.0)
+    assert(math.abs(one(a, b, l2Distance) - math.sqrt(2)) < 1e-12)
+    assert(math.abs(one(a, b, cosineDistance) - 1.0) < 1e-12)
+    assert(math.abs(one(a, b, innerProduct) - 0.0) < 1e-12)
+    assert(math.abs(one(a, a, cosineDistance) - 0.0) < 1e-12)
+    assert(math.abs(one(Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0), innerProduct) - 32.0) < 1e-12)
+  }
+
+  test("knn self-query returns itself first at distance 0") {
+    val e = Tables.embeddings(spark, sfDir)
+    val top = Knn.topK(e, e.where(col("vec_id") === 7), Knn.L2, 3).collect()
+    assert(top.head.getLong(0) == 7L)
+    assert(top.head.getDouble(1) == 0.0)
+    assert(top.map(_.getDouble(1)).sliding(2).forall(p => p(0) <= p(1)))
+  }
+
+  test("knn top-k plan uses TakeOrderedAndProject (no global sort)") {
+    val e = Tables.embeddings(spark, sfDir)
+    val plan = Knn.topK(e, e.where(col("vec_id") === 0), Knn.L2, 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
+  test("batch knn returns k rows per query, rank 1 is the query itself") {
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.where(col("vec_id") < 4).select(col("vec_id").as("qid"), col("embedding"))
+    val res = Knn.topKBatch(e, q, Knn.L2, 3).collect()
+    assert(res.length == 12)
+    val firsts = res.filter(_.getLong(3) == 1L)
+    assert(firsts.forall(r => r.getLong(0) == r.getLong(1)))
+  }
+}
