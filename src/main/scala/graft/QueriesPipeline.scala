@@ -184,13 +184,11 @@ object QueriesPipeline {
               |FROM sh ORDER BY doc_id""".stripMargin)),
 
     "q_minhash_sig" -> QueryDef(
-      (s, d) => {
-        val sh = TextFunctions.wordShingles(col("text"))
-        val sig = Dedup.minhashSignature(sh, 16)
-        Tables.documents(s, d)
-          .select(col("doc_id"), md5(concat_ws("|", sig: _*)).as("sig_hash"))
-          .orderBy(col("doc_id"))
-      },
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.wordShingles(col("text")).as("__sh"))
+        .select(col("doc_id"),
+          md5(array_join(Dedup.minhashSignature(col("__sh"), 16), "|")).as("sig_hash"))
+        .orderBy(col("doc_id")),
       Some(s"""WITH w AS (SELECT doc_id, string_split($canon, ' ') AS w FROM documents),
               |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
               |  THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]

@@ -67,16 +67,11 @@ object TextFunctions {
 
   /** Word n-gram shingles over canonical text (distinct), the unit for
     * Jaccard/MinHash dedup. Short texts (< n words) fall back to a single
-    * whole-text shingle. Computed row-local — no shuffle.
+    * whole-text shingle. Computed row-local (no shuffle) by a native
+    * expression — see WordShinglesExpr for why not HOFs.
     */
-  def wordShingles(c: Column, n: Int = 3): Column = {
-    val words = split(canonicalText(c), " ")
-    array_distinct(
-      when(size(words) >= n,
-        transform(sequence(lit(0), size(words) - n),
-          i => concat_ws(" ", (0 until n).map(j => element_at(words, i + j + 1)): _*)))
-        .otherwise(array(concat_ws(" ", words))))
-  }
+  def wordShingles(c: Column, n: Int = 3): Column =
+    ShingleExpressions.wordShingles(canonicalText(c), n)
 
   /** English-ish stopword hit count (language-ID / quality features).
     * Formula is replicated verbatim in the oracle SQL. */

@@ -16,34 +16,30 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Cast to array<double> so accumulation happens in double precision
-    * (matches the DuckDB oracle's `::DOUBLE[]` and avoids float drift). */
-  private def d(a: Column): Column = a.cast("array<double>")
-
-  /** Elementwise dot product: one fused zip+fold, codegen'd. */
-  def innerProduct(a: Column, b: Column): Column =
-    aggregate(zip_with(d(a), d(b), (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Elementwise dot product: fused single-pass codegen kernel. */
+  def innerProduct(a: Column, b: Column): Column = VectorExpressions.vecDot(a, b)
 
   /** pgvector `<#>` (negative inner product — sorts ascending = most similar first). */
   def negInnerProduct(a: Column, b: Column): Column = -innerProduct(a, b)
 
   /** Squared L2 distance (cheaper than [[l2Distance]] when only ordering matters). */
-  def l2DistanceSq(a: Column, b: Column): Column =
-    aggregate(zip_with(d(a), d(b), (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+  def l2DistanceSq(a: Column, b: Column): Column = VectorExpressions.vecL2Sq(a, b)
 
   /** pgvector `<->` (Euclidean distance). */
   def l2Distance(a: Column, b: Column): Column = sqrt(l2DistanceSq(a, b))
 
   def norm(a: Column): Column = sqrt(innerProduct(a, a))
 
-  def cosineSimilarity(a: Column, b: Column): Column =
-    innerProduct(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity — one fused pass computing dot + both norms. */
+  def cosineSimilarity(a: Column, b: Column): Column = VectorExpressions.vecCosineSim(a, b)
 
   /** pgvector `<=>` (cosine distance = 1 - cosine similarity). */
   def cosineDistance(a: Column, b: Column): Column =
     lit(1.0) - cosineSimilarity(a, b)
 
-  /** L2-normalize an embedding, returning array<double>. */
-  def l2Normalize(a: Column): Column =
-    transform(d(a), x => x / norm(a))
+  /** L2-normalize an embedding, returning array<double> (cold path — HOF ok). */
+  def l2Normalize(a: Column): Column = {
+    val dd = a.cast("array<double>")
+    transform(dd, x => x / norm(a))
+  }
 }

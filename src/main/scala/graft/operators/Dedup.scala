@@ -32,42 +32,44 @@ object Dedup {
       .agg(min(col(idCol)).cast("long").as("canonical_id"),
            count(lit(1)).cast("long").as("n_copies"))
 
-  /** Row-local MinHash signature columns for `numPerm` permutations. */
-  def minhashSignature(shingles: Column, numPerm: Int): Seq[Column] =
-    (0 until numPerm).map { j =>
-      array_min(transform(shingles, s => md5(concat(s, lit("#" + j)))))
-    }
+  /** MinHash signature as ONE `array<string>` column — a native
+    * expression with a fused digest loop (see MinHashSigExpr for why the
+    * HOF formulation is the wrong hot path). */
+  def minhashSignature(shingles: Column, numPerm: Int): Column =
+    graft.functions.MinHashExpressions.minhashSig(shingles, numPerm)
 
-  /** (band_id, band_key) pairs for LSH banding: `bands` bands of
-    * `numPerm / bands` signature rows each, keyed by md5 of the
-    * concatenated band slice. */
-  def bandKeys(sig: Seq[Column], bands: Int): Column = {
-    val r = sig.length / bands
-    array((0 until bands).map { b =>
-      struct(lit(b).cast("long").as("band_id"),
-        md5(concat_ws("|", sig.slice(b * r, b * r + r): _*)).as("band_key"))
-    }: _*)
+  /** (band_id, band_key) structs over a signature column: `bands` bands of
+    * `numPerm / bands` signature rows, keyed by md5 of the joined slice. */
+  def bandKeys(sig: Column, numPerm: Int, bands: Int): Column = {
+    val r = numPerm / bands
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      struct(b.cast("long").as("band_id"),
+        md5(array_join(slice(sig, b * r + 1, lit(r)), "|")).as("band_key")))
   }
 
-  /** doc_id → exploded (band_id, band_key) rows. */
+  /** doc_id → exploded (band_id, band_key) rows. Row-local until the
+    * explode; each stage is a small column-referencing projection. */
   def banded(docs: DataFrame, idCol: String, textCol: String,
-             shingleN: Int, numPerm: Int, bands: Int): DataFrame = {
-    val sh = wordShingles(col(textCol), shingleN)
-    docs.select(col(idCol),
-        explode(bandKeys(minhashSignature(sh, numPerm), bands)).as("band"))
+             shingleN: Int, numPerm: Int, bands: Int): DataFrame =
+    docs
+      .select(col(idCol), wordShingles(col(textCol), shingleN).as("__sh"))
+      .select(col(idCol), minhashSignature(col("__sh"), numPerm).as("__sig"))
+      .select(col(idCol), explode(bandKeys(col("__sig"), numPerm, bands)).as("band"))
       .select(col(idCol), col("band.band_id").as("band_id"), col("band.band_key").as("band_key"))
-  }
 
   /** Candidate pairs from LSH banding (distinct, id1 < id2). The self-join
     * shuffles only (id, band_key) rows; `maxBucket` drops degenerate
-    * buckets to bound the quadratic pair fanout. */
+    * buckets (aggregate + join rather than a window — no per-partition
+    * sort, and AQE handles skewed buckets). */
   def candidatePairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                      shingleN: Int = 3, numPerm: Int = 16, bands: Int = 8,
                      maxBucket: Int = 1000): DataFrame = {
     val b = banded(docs, idCol, textCol, shingleN, numPerm, bands)
-    val guarded = b.withColumn("__n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("band_id"), col("band_key"))))
-      .where(col("__n") <= maxBucket).drop("__n")
+    val okBuckets = b.groupBy(col("band_id"), col("band_key"))
+      .agg(count(lit(1)).as("__n"))
+      .where(col("__n") <= maxBucket)
+      .select(col("band_id"), col("band_key"))
+    val guarded = b.join(okBuckets, Seq("band_id", "band_key"))
     val l = guarded.select(col("band_id"), col("band_key"), col(idCol).as("id1"))
     val r = guarded.select(col("band_id"), col("band_key"), col(idCol).as("id2"))
     l.join(r, Seq("band_id", "band_key"))
