@@ -1,0 +1,79 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video travel as opaque
+  * `binary` columns with a typed metadata struct; decode / feature
+  * extraction runs as batched `mapPartitions` (the shape a GPU/codec
+  * worker wants: fixed-size batches, no shuffle, schema known up front).
+  *
+  * The decoders themselves are STUBBED (this container has no image/audio
+  * libs): `decodeStub` derives deterministic pseudo-features from the
+  * bytes. Swapping in a real decoder changes only `decodeStub`'s body —
+  * schema, batching, partitioning are the real, tested plumbing.
+  */
+object BinaryPipeline {
+
+  final case class MediaMeta(media_type: String, declared_bytes: Long)
+
+  /** Attach a metadata struct + content column to raw document rows
+    * (binary = UTF-8 bytes here; a real corpus reads binaryFile /
+    * parquet-binary). */
+  def asMedia(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+              mediaType: String = "application/pdf"): DataFrame =
+    docs.select(col(idCol),
+      encode(col(textCol), "UTF-8").as("content"),
+      struct(lit(mediaType).as("media_type"),
+        expr(s"octet_length($textCol)").cast("long").as("declared_bytes")).as("meta"))
+
+  /** STUB decode: deterministic features from bytes (byte length, digest,
+    * coarse "dimensions" derived from content — stands in for
+    * width/height/duration a real decoder returns). */
+  private def decodeStub(content: Array[Byte]): (Long, String, Long, Long) = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val digest = md.digest(content).map("%02x".format(_)).mkString
+    val w = 64L + (content.length % 1024)
+    val h = 64L + (java.lang.Long.remainderUnsigned(SimpleHash.of(content), 1024))
+    (content.length.toLong, digest, w, h)
+  }
+
+  private object SimpleHash {
+    def of(bytes: Array[Byte]): Long = {
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+      h
+    }
+  }
+
+  /** Batched feature extraction over (id, content, meta) rows.
+    * Output: id, byte_len, content_md5, width, height, media_type. */
+  def extractFeatures(media: DataFrame, idCol: String = "doc_id",
+                      batchSize: Int = 16): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("byte_len", LongType, nullable = false),
+      StructField("content_md5", StringType, nullable = false),
+      StructField("width", LongType, nullable = false),
+      StructField("height", LongType, nullable = false),
+      StructField("media_type", StringType, nullable = true)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val idIdx = media.schema.fieldIndex(idCol)
+    val contentIdx = media.schema.fieldIndex("content")
+    val metaIdx = media.schema.fieldIndex("meta")
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // one "decoder call" per batch — mirrors GPU/codec batch shape
+        batch.iterator.map { r =>
+          val id = r.getLong(idIdx)
+          val content = r.getAs[Array[Byte]](contentIdx)
+          val meta = r.getStruct(metaIdx)
+          val (len, digest, w, h) = decodeStub(content)
+          Row(id, len, digest, w, h, meta.getString(0))
+        }
+      }
+    }(enc)
+  }
+}

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
+import graft.functions.VectorFunctions
+
+/** Approximate nearest neighbor via random-hyperplane (signed random
+  * projection) LSH — the scale path beside brute-force [[Knn]].
+  *
+  * Per table t: bucket(v) = sign-bit string of `nbits` hyperplane dots —
+  * row-local, one native-expression pass. Candidates = (query, corpus)
+  * pairs sharing a bucket in ANY of `tables` tables; exact cosine rerank
+  * picks top-k. The corpus is scanned once to emit (table, bucket) keys;
+  * the only shuffle is the bucket equi-join, whose fanout is bounded by
+  * bucket occupancy (nbits tunes the bucket granularity; AQE splits
+  * skewed buckets).
+  */
+object AnnLsh {
+
+  /** Deterministic hyperplanes: Gaussian via seeded PRNG. */
+  private[operators] def planes(dim: Int, nbits: Int, tables: Int, seed: Long): Array[Array[Array[Double]]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(tables, nbits, dim)(rnd.nextGaussian())
+  }
+
+  /** Native expression: embedding → bucket id for one table's planes. */
+  case class SrpBucketExpr(child: Expression, planes: Array[Array[Double]])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "srp_bucket"
+
+    private lazy val isFloat = child.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val n = v.numElements()
+      var bucket = 0
+      var b = 0
+      while (b < planes.length) {
+        val p = planes(b)
+        var dot = 0.0
+        var i = 0
+        val m = math.min(n, p.length)
+        while (i < m) {
+          dot += (if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)) * p(i)
+          i += 1
+        }
+        if (dot >= 0) bucket |= (1 << b)
+        b += 1
+      }
+      bucket
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def srpBucket(emb: Column, tablePlanes: Array[Array[Double]]): Column =
+    ColumnBridge.column(SrpBucketExpr(ColumnBridge.expression(emb), tablePlanes))
+
+  /** (id, table, bucket) keys for a corpus — one narrow pass. */
+  def bucketKeys(df: DataFrame, idCol: String, embCol: String,
+                 dim: Int, nbits: Int, tables: Int, seed: Long): DataFrame = {
+    val ps = planes(dim, nbits, tables, seed)
+    df.select(col(idCol), col(embCol),
+      explode(array((0 until tables).map { t =>
+        struct(lit(t).as("table_id"), srpBucket(col(embCol), ps(t)).as("bucket"))
+      }: _*)).as("tb"))
+      .select(col(idCol), col(embCol), col("tb.table_id").as("table_id"), col("tb.bucket").as("bucket"))
+  }
+
+  /** Approximate top-k by cosine similarity for each query vector.
+    * Queries are a small frame (broadcast); increase `tables`/decrease
+    * `nbits` for recall, opposite for speed. */
+  def topK(corpus: DataFrame, queries: DataFrame, k: Int,
+           dim: Int = 64, nbits: Int = 8, tables: Int = 4, seed: Long = 42L,
+           idCol: String = "vec_id", embCol: String = "embedding",
+           queryIdCol: String = "qid", scale: Int = 4): DataFrame = {
+    val ck = bucketKeys(corpus, idCol, embCol, dim, nbits, tables, seed)
+    val qk = broadcast(bucketKeys(queries.select(col(queryIdCol).as("__qid"), col(embCol)),
+      "__qid", embCol, dim, nbits, tables, seed)
+      .select(col("__qid"), col(embCol).as("__qemb"), col("table_id"), col("bucket")))
+    val cand = ck.join(qk, Seq("table_id", "bucket"))
+      .select(col("__qid").as(queryIdCol), col(idCol), col(embCol), col("__qemb"))
+      .dropDuplicates(queryIdCol, idCol)
+    val scored = cand.select(col(queryIdCol), col(idCol),
+      round(VectorFunctions.cosineSimilarity(col(embCol), col("__qemb")), scale).as("cos"))
+    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("cos").desc, col(idCol))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col(queryIdCol), col(idCol), col("cos"), col("rn").cast("long").as("rn"))
+  }
+}

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{DataType, LongType}
+import graft.functions.TextFunctions
+
+/** 64-bit SimHash near-duplicate detection.
+  *
+  * Scale design: the signature is row-local (one native expression);
+  * near-dup pair generation uses the pigeonhole banding trick — split the
+  * 64-bit hash into 4 × 16-bit chunks; any pair within Hamming distance 3
+  * must agree on at least one chunk, so an equi-join on (chunk_id,
+  * chunk_value) finds ALL such pairs without an O(n²) comparison, then
+  * `bit_count(xor)` (codegen'd) verifies the true distance.
+  */
+object SimHash {
+
+  /** FNV-1a 64-bit — deterministic, dependency-free token hash. */
+  private[operators] def fnv1a(bytes: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  private[operators] def simhashOf(tokens: Iterator[String]): Long = {
+    val votes = new Array[Int](64)
+    while (tokens.hasNext) {
+      val h = fnv1a(tokens.next().getBytes("UTF-8"))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  /** Native expression: array<string> shingles → 64-bit simhash. */
+  case class SimHashExpr(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "simhash64"
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      simhashOf((0 until n).iterator.map(i => arr.getUTF8String(i).toString))
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def simhash64(shingles: Column): Column =
+    ColumnBridge.column(SimHashExpr(ColumnBridge.expression(shingles)))
+
+  /** doc_id → simhash signature over word shingles. */
+  def signatures(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                 shingleN: Int = 3): DataFrame =
+    docs.select(col(idCol), TextFunctions.wordShingles(col(textCol), shingleN).as("__sh"))
+      .select(col(idCol), simhash64(col("__sh")).as("simhash"))
+
+  /** Near-dup pairs with Hamming distance ≤ maxHamming (≤ 3 guaranteed
+    * complete by 4-chunk pigeonhole; larger thresholds would need more
+    * chunks). */
+  def nearDupPairs(docs: DataFrame, maxHamming: Int = 3,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maxHamming <= 3, "4-chunk banding is only complete for hamming <= 3")
+    val sig = signatures(docs, idCol, textCol)
+    val chunks = sig.select(col(idCol), col("simhash"),
+        explode(array((0 until 4).map { c =>
+          struct(lit(c).as("chunk_id"),
+            shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xffffL)).as("chunk_val"))
+        }: _*)).as("ck"))
+      .select(col(idCol), col("simhash"), col("ck.chunk_id").as("chunk_id"), col("ck.chunk_val").as("chunk_val"))
+    val l = chunks.select(col("chunk_id"), col("chunk_val"), col(idCol).as("id1"), col("simhash").as("h1"))
+    val r = chunks.select(col("chunk_id"), col("chunk_val"), col(idCol).as("id2"), col("simhash").as("h2"))
+    l.join(r, Seq("chunk_id", "chunk_val"))
+      .where(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        bit_count(col("h1").bitwiseXOR(col("h2"))).cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+}

@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.pipeline.{Embedder, PdfPipeline}
+
+/** The reference's blob-trigger ingest (`@BlobTrigger` on `pdfs/{name}` —
+  * BlobUploadDetector/src/main/java/com/yoshio3/Function.java:71-88)
+  * re-expressed as Structured Streaming over a file source: new files
+  * landing in a directory are discovered per micro-batch, run through the
+  * same extract→normalize→chunk→embed pipeline, and appended to the
+  * vector store, with checkpointed exactly-once file tracking (the role
+  * Cosmos DB status rows play in the reference).
+  */
+object DocStream {
+
+  /** Source schema: one row per arriving document file. */
+  val inputSchema = "doc_id long, text string, lang string, source string, n_chars long"
+
+  /** Build the streaming pipeline: directory → chunk rows + embeddings. */
+  def pipeline(spark: SparkSession, inputDir: String,
+               maxLen: Int = 7500, lookback: Int = 300, dim: Int = 64): DataFrame = {
+    val raw = spark.readStream
+      .schema(inputSchema)
+      .option("maxFilesPerTrigger", "16")
+      .parquet(inputDir)
+    val chunks = PdfPipeline.chunkRows(raw, maxLen, lookback)
+    Embedder.embed(chunks, textCol = "chunk", dim = dim)
+      .select(
+        md5(concat(col("source"), lit("_"), col("doc_id"), lit(".pdf"), lit("#"), col("chunk_idx") + 1)).as("id"),
+        col("embedding"),
+        col("chunk").as("origntext"),
+        concat(col("source"), lit("_"), col("doc_id"), lit(".pdf")).as("filename"),
+        (col("chunk_idx") + 1).cast("long").as("pagenumber"))
+  }
+
+  /** Start the ingest stream into a parquet vector store. `availableNow`
+    * processes the backlog then stops (used by specs); production runs
+    * with a processing-time trigger. */
+  def start(spark: SparkSession, inputDir: String, outputDir: String,
+            checkpointDir: String, availableNow: Boolean = false): StreamingQuery = {
+    val writer = pipeline(spark, inputDir).writeStream
+      .format("parquet")
+      .option("path", outputDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+    (if (availableNow) writer.trigger(Trigger.AvailableNow())
+     else writer.trigger(Trigger.ProcessingTime("10 seconds"))).start()
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{AnnLsh, Dedup, Knn, SimHash}
+
+/** Accuracy gates for the approximate operators (no SQL oracle). */
+class ApproxOpsSpec extends SparkSpec {
+
+  test("simhash: identical texts → hamming 0") {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val copy = docs.select((col("doc_id") + 10000).as("doc_id"), col("text"))
+    val pairs = SimHash.nearDupPairs(docs.unionAll(copy), maxHamming = 3)
+    val exactCopies = pairs.where(col("id2") === col("id1") + 10000 && col("hamming") === 0)
+    assert(exactCopies.count() == 500)
+  }
+
+  test("simhash banding is COMPLETE for hamming <= 3 (matches brute force)") {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val banded = SimHash.nearDupPairs(docs, maxHamming = 3)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sig = SimHash.signatures(docs).cache()
+    val brute = sig.select(col("doc_id").as("id1"), col("simhash").as("h1"))
+      .crossJoin(sig.select(col("doc_id").as("id2"), col("simhash").as("h2")))
+      .where(col("id1") < col("id2"))
+      .where(bit_count(col("h1").bitwiseXOR(col("h2"))) <= 3)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    sig.unpersist()
+    assert(banded == brute, s"banded=${banded.size} brute=${brute.size}")
+  }
+
+  test("ann-lsh: recall@10 >= 0.9 vs brute-force cosine (recall-tuned params)") {
+    // uniform-random sphere embeddings are hyperplane-LSH's worst case;
+    // at this corpus size recall needs many tables / few bits
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.where(col("vec_id") < 20).select(col("vec_id").as("qid"), col("embedding"))
+    val approx = AnnLsh.topK(e, q, k = 10, nbits = 4, tables = 16)
+      .select(col("qid"), col("vec_id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Knn.topKBatch(e, q, Knn.Cosine, k = 10)
+      .select(col("qid"), col("vec_id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (approx & exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall=$recall")
+    // and the candidate generation actually prunes vs all pairs
+    assert(approx.size <= exact.size)
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.VectorStore
+import graft.streaming.DocStream
+
+class StoreStreamSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("vector store: bucketed write, read round-trip, pruned point lookup") {
+    val out = tmp("vstore")
+    val docs = Tables.documents(spark, sfDir)
+    val rows = docs.select(
+      md5(concat(col("source"), lit("_"), col("doc_id"))).as("id"),
+      expr("transform(sequence(1, 8), x -> cast(x as float))").as("embedding"),
+      col("text").as("origntext"),
+      concat(col("source"), lit("_"), col("doc_id"), lit(".pdf")).as("filename"),
+      lit(1L).as("pagenumber"))
+    VectorStore.write(rows, out, numBuckets = 8)
+    val back = VectorStore.read(spark, out)
+    assert(back.count() == 500)
+    assert(back.columns.sorted.toSeq == Seq("embedding", "filename", "id", "origntext", "pagenumber"))
+
+    val anyId = rows.select("id").head().getString(0)
+    val hit = VectorStore.lookup(spark, out, anyId, numBuckets = 8)
+    assert(hit.count() == 1)
+    // partition pruning visible in the plan
+    val plan = VectorStore.lookup(spark, out, anyId, numBuckets = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(1500))
+  }
+
+  test("streaming ingest: file-source backlog → chunk+embed → parquet store") {
+    val in = tmp("stream_in"); val out = tmp("stream_out"); val ck = tmp("stream_ck")
+    Tables.documents(spark, sfDir).limit(50)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      .write.mode("overwrite").parquet(in)
+    val q = DocStream.start(spark, in, out, ck, availableNow = true)
+    q.awaitTermination(120000)
+    val res = spark.read.parquet(out)
+    assert(res.count() >= 50)
+    assert(res.columns.sorted.toSeq ==
+      Seq("embedding", "filename", "id", "origntext", "pagenumber"))
+    assert(res.select(size(col("embedding"))).distinct().head().getInt(0) == 64)
+  }
+}
