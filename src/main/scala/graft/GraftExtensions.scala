@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Sqrt}
+import graft.functions.{MinHashSigExpr, VecCosine, VecDot, VecL2Sq, WordShinglesExpr}
+import graft.operators.SimHash.SimHashExpr
+
+/** SQL surface for graft's native expressions — a pgvector user's query
+  * `SELECT … ORDER BY embedding <-> ?::vector LIMIT 5` ports to
+  * `SELECT … ORDER BY vec_l2(embedding, ?) LIMIT 5` in plain Spark SQL.
+  *
+  * Two registration paths:
+  *  - `GraftFunctions.register(spark)` on any live session;
+  *  - `spark.sql.extensions=graft.GraftExtensions` at session build
+  *    (cluster-wide, survives session cloning).
+  */
+object GraftFunctions {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
+  }
+
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "vec_dot" -> (es => VecDot(es(0), es(1))),
+    "vec_ip" -> (es => org.apache.spark.sql.catalyst.expressions.UnaryMinus(VecDot(es(0), es(1)))),
+    "vec_l2sq" -> (es => VecL2Sq(es(0), es(1))),
+    "vec_l2" -> (es => Sqrt(VecL2Sq(es(0), es(1)))),
+    "vec_cosine_sim" -> (es => VecCosine(es(0), es(1))),
+    "vec_cosine_dist" -> (es => org.apache.spark.sql.catalyst.expressions.Subtract(
+      org.apache.spark.sql.catalyst.expressions.Literal(1.0), VecCosine(es(0), es(1)))),
+    "word_shingles" -> (es => WordShinglesExpr(es.head,
+      if (es.length > 1) intLit(es(1), "n") else 3)),
+    "minhash_sig" -> (es => MinHashSigExpr(es.head,
+      if (es.length > 1) intLit(es(1), "numPerm") else 16)),
+    "simhash64" -> (es => SimHashExpr(es.head)))
+
+  /** Register on a live session (temp functions). */
+  def register(spark: SparkSession): Unit = all.foreach { case (name, builder) =>
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "scala_udf")
+  }
+}
+
+/** `spark.sql.extensions`-style injection. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, builder) =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft", null, name), builder))
+    }
+}

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Prints plan-health summary per query: filter pushdown, scan column
+  * pruning, join strategies, codegen coverage. (§7 step 7 tooling.) */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val d = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val interesting = args.drop(1) match {
+      case Array() => Seq("q1_agg", "q3_top_orders", "q5_region_revenue", "q_knn_l2",
+        "q_knn_batch", "q_dedup_minhash_lsh", "q_events_sessionize", "q_status_registered")
+      case rest => rest.toSeq
+    }
+    for (name <- interesting) {
+      val df = Queries.defs(name).run(spark, d)
+      val plan = df.queryExecution.executedPlan.toString
+      val formatted = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      val pushed = "PushedFilters: \\[[^\\]]+\\]".r.findAllIn(formatted)
+        .filterNot(_.contains("[]")).size
+      val scans = "ReadSchema: ([^\\n]+)".r.findAllMatchIn(formatted).map(_.group(1)).toSeq
+      val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+      val smj = "SortMergeJoin".r.findAllIn(plan).size
+      val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+      val wsc = "WholeStageCodegen".r.findAllIn(formatted).size
+      val exch = "Exchange".r.findAllIn(plan).size
+      println(s"== $name: pushedFilters=$pushed bhj=$bhj smj=$smj bnlj=$bnlj codegenSpans=$wsc exchanges=$exch")
+      scans.foreach(sc => println(s"   scan: ${sc.take(140)}"))
+    }
+    spark.stop()
+  }
+}

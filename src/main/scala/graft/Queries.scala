@@ -22,7 +22,7 @@ object Queries {
     """lower(trim(regexp_replace(replace(text, chr(10), ' '), '\s{2,}', ' ', 'g')))"""
 
   def defs: Map[String, QueryDef] =
-    coreDefs ++ QueriesPipeline.defs ++ QueriesAnalytics.defs ++ QueriesExtra.defs
+    coreDefs ++ QueriesPipeline.defs ++ QueriesAnalytics.defs ++ QueriesExtra.defs ++ QueriesAdvanced.defs
 
   private val coreDefs: Map[String, QueryDef] = Map(
 

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.Queries.QueryDef
+import graft.operators.AsOfJoin
+
+/** SURVEY.md §2.3 advanced relational operators: as-of join, rollup,
+  * percentiles, semi/anti joins, and the Cosmos "all documents" listing. */
+object QueriesAdvanced {
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // As-of join: each event matched to the user's most recent order at
+    // event time. Oracle = DuckDB's native ASOF JOIN.
+    "q_asof_join" -> QueryDef(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), expr("ts div 1000000000").as("sec"))
+        val ord = Tables.orders(s, d)
+          // o_orderdate is TIMESTAMP_NTZ; NTZ→LTZ is identity under the UTC session
+          .select(col("o_custkey"),
+            col("o_orderdate").cast("timestamp").cast("long").as("order_sec"), col("o_orderkey"))
+          .groupBy(col("o_custkey"), col("order_sec"))
+          .agg(max(col("o_orderkey")).as("o_orderkey"))
+        AsOfJoin.asOf(ev, ord, "user_id", "o_custkey", "sec", "order_sec")
+          .select(col("event_id"), col("user_id"), col("sec"), col("o_orderkey"),
+            col("order_sec"), (col("sec") - col("order_sec")).as("age_sec"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH o AS (
+             |  SELECT o_custkey, CAST(floor(epoch(o_orderdate)) AS BIGINT) AS order_sec,
+             |         max(o_orderkey) AS o_orderkey
+             |  FROM orders GROUP BY 1, 2),
+             |e AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events)
+             |SELECT e.event_id, e.user_id, e.sec, o.o_orderkey, o.order_sec,
+             |       e.sec - o.order_sec AS age_sec
+             |FROM e ASOF JOIN o ON e.user_id = o.o_custkey AND e.sec >= o.order_sec
+             |ORDER BY event_id""".stripMargin)),
+
+    "q_rollup" -> QueryDef(
+      (s, d) => Tables.orders(s, d)
+        .rollup(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .select(coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+          coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+          col("n"), col("total"))
+        .orderBy(col("priority"), col("status")),
+      Some("""SELECT coalesce(o_orderpriority, '(all)') AS priority,
+             |  coalesce(o_orderstatus, '(all)') AS status,
+             |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+             |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+             |ORDER BY priority, status""".stripMargin)),
+
+    "q_percentiles" -> QueryDef(
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+             |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+             |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+             |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    "q_semi_anti" -> QueryDef(
+      (s, d) => {
+        val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+        val ord = Tables.orders(s, d).select(col("o_custkey"))
+        val withOrders = cust.join(ord, col("c_custkey") === col("o_custkey"), "left_semi")
+          .groupBy(col("c_mktsegment")).agg(count(lit(1)).cast("long").as("with_orders"))
+        val withoutOrders = cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_mktsegment")).agg(count(lit(1)).cast("long").as("without_orders"))
+        withOrders.join(withoutOrders, Seq("c_mktsegment"), "full_outer")
+          .select(col("c_mktsegment"),
+            coalesce(col("with_orders"), lit(0L)).as("with_orders"),
+            coalesce(col("without_orders"), lit(0L)).as("without_orders"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""WITH w AS (
+             |  SELECT c_mktsegment, count(*) AS with_orders FROM customer
+             |  WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |  GROUP BY 1),
+             |wo AS (
+             |  SELECT c_mktsegment, count(*) AS without_orders FROM customer
+             |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |  GROUP BY 1)
+             |SELECT coalesce(w.c_mktsegment, wo.c_mktsegment) AS c_mktsegment,
+             |  coalesce(with_orders, 0) AS with_orders,
+             |  coalesce(without_orders, 0) AS without_orders
+             |FROM w FULL OUTER JOIN wo ON w.c_mktsegment = wo.c_mktsegment
+             |ORDER BY c_mktsegment""".stripMargin))
+  )
+}

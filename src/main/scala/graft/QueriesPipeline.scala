@@ -141,6 +141,16 @@ object QueriesPipeline {
              |SELECT id, filename, pagenumber, status FROM st
              |WHERE status = 'completed' ORDER BY filename, pagenumber""".stripMargin)),
 
+    // Cosmos getAllDocuments (`SELECT * FROM c`,
+    // BlobUploadDetector/src/main/java/com/yoshio3/CosmosDBUtil.java:77-93);
+    // ordered by id here for determinism.
+    "q_status_all" -> QueryDef(
+      (s, d) => PdfPipeline.statusTable(docsChunks(s, d))
+        .select(col("id"), col("filename"), col("pagenumber"), col("status"))
+        .orderBy(col("id")),
+      Some(statusCte(200, 60) + """
+             |SELECT id, filename, pagenumber, status FROM st ORDER BY id""".stripMargin)),
+
     "q_status_failed" -> QueryDef(
       (s, d) => PdfPipeline.failed(PdfPipeline.statusTable(docsChunks(s, d)))
         .select(col("id"), col("filename"), col("pagenumber"), col("status")),

@@ -1,0 +1,31 @@
+package graft
+
+class SqlSurfaceSpec extends SparkSpec {
+
+  test("pgvector-style SQL runs after function registration") {
+    GraftFunctions.register(spark)
+    assert(spark.sql("SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) v")
+      .head().getDouble(0) == 11.0)
+    assert(math.abs(spark.sql(
+      "SELECT vec_cosine_dist(array(1.0D, 0.0D), array(1.0D, 0.0D)) v").head().getDouble(0)) < 1e-12)
+
+    // the reference's serving query, ported verbatim shape
+    spark.read.parquet(s"$sfDir/embeddings.parquet").createOrReplaceTempView("emb_sql")
+    val top = spark.sql("""
+      SELECT e.vec_id
+      FROM emb_sql e CROSS JOIN (SELECT embedding q FROM emb_sql WHERE vec_id = 0)
+      ORDER BY vec_l2(e.embedding, q) LIMIT 5""").collect().map(_.getLong(0))
+    assert(top.head == 0L && top.length == 5)
+
+    assert(spark.sql("SELECT size(word_shingles('a b c d', 3)) n").head().getInt(0) == 2)
+    assert(spark.sql("SELECT size(minhash_sig(word_shingles('a b c d e f', 3), 8)) n")
+      .head().getInt(0) == 8)
+    assert(spark.sql("SELECT simhash64(word_shingles('x y z w', 3)) h").head().getLong(0) ==
+      spark.sql("SELECT simhash64(word_shingles('x y z w', 3)) h").head().getLong(0))
+  }
+
+  test("extensions class injects without error") {
+    val e = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(e) // throws on malformed registration
+  }
+}
