@@ -25,6 +25,16 @@ object QueriesExtra {
       },
       None),
 
+    // HLL++ sketch — engine-specific estimator, so no cross-engine oracle;
+    // relative-error bound is spec-gated (ApproxOpsSpec).
+    "q_approx_distinct" -> QueryDef(
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.02).cast("long").as("approx_users"),
+          count(lit(1)).cast("long").as("n_events"))
+        .orderBy(col("event_type")),
+      None),
+
     "q_multimodal_meta" -> QueryDef(
       (s, d) => BinaryPipeline.extractFeatures(BinaryPipeline.asMedia(Tables.documents(s, d)))
         .select(col("doc_id"), col("byte_len"), col("content_md5"), col("width"), col("media_type"))

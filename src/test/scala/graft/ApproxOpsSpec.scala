@@ -28,6 +28,18 @@ class ApproxOpsSpec extends SparkSpec {
     assert(banded == brute, s"banded=${banded.size} brute=${brute.size}")
   }
 
+  test("approx_count_distinct within 5% of exact") {
+    val ev = Tables.events(spark, sfDir)
+    val cmp = ev.groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).cast("double").as("a"),
+        countDistinct(col("user_id")).cast("double").as("e"))
+      .collect()
+    cmp.foreach { r =>
+      val rel = math.abs(r.getDouble(1) - r.getDouble(2)) / r.getDouble(2)
+      assert(rel <= 0.05, s"${r}: rel error $rel")
+    }
+  }
+
   test("ann-lsh: recall@10 >= 0.9 vs brute-force cosine (recall-tuned params)") {
     // uniform-random sphere embeddings are hyperplane-LSH's worst case;
     // at this corpus size recall needs many tables / few bits

@@ -1,0 +1,50 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.EventStream
+import graft.streaming.EventStream.{Event, SessionSnapshot}
+
+class StreamingAggSpec extends SparkSpec {
+
+  test("watermarked tumbling-window aggregation over a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val q = EventStream.hourlyCounts(events).writeStream
+      .format("memory").queryName("hourly_test").outputMode("complete").start()
+    try {
+      def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+      input.addData((t(10, 5), "click", 1.0), (t(10, 40), "click", 2.0), (t(11, 10), "view", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("hourly_test")
+        .select($"event_type", $"n", $"sum_value").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows == Set(("click", 2L, 3.0), ("view", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("stateful sessionization (mapGroupsWithState) splits on gap across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.sessionize(input.toDS(), gapSec = 100).writeStream
+      .format("memory").queryName("sessions_test").outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(Event(1, 1000, 1.0), Event(1, 1050, 2.0), Event(2, 1000, 5.0))
+      q.processAllAvailable()
+      input.addData(Event(1, 1120, 3.0))   // within gap of 1050+100? 1120-1050=70 → same session
+      q.processAllAvailable()
+      input.addData(Event(1, 5000, 4.0))   // new session
+      q.processAllAvailable()
+      val snaps = spark.table("sessions_test").as[SessionSnapshot].collect()
+      val lastUser1 = snaps.filter(_.user_id == 1).maxBy(_.end_sec)
+      assert(lastUser1.start_sec == 5000 && lastUser1.n_events == 1)
+      val mid = snaps.filter(s => s.user_id == 1 && s.end_sec == 1120)
+      assert(mid.nonEmpty && mid.head.n_events == 3 && mid.head.start_sec == 1000)
+      assert(snaps.exists(s => s.user_id == 2 && s.n_events == 1))
+    } finally q.stop()
+  }
+}
