@@ -44,6 +44,21 @@ object QueriesAnalytics {
              |GROUP BY o_orderkey, o_orderdate
              |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin)),
 
+    // TPC-H Q6 shape: highly selective scan-level filters (pushdown demo)
+    "q6_selective" -> QueryDef(
+      (s, d) => Tables.lineitem(s, d)
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+          && col("l_discount") >= 0.05 && col("l_discount") <= 0.07
+          && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+          count(lit(1)).cast("long").as("n"))
+        .select(col("revenue"), col("n")),
+      Some("""SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, count(*) AS n
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+             |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin)),
+
     "q5_region_revenue" -> QueryDef(
       (s, d) => {
         val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))

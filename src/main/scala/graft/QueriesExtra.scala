@@ -2,8 +2,9 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.Queries.QueryDef
+import graft.functions.{TextFunctions, WinnowExpressions}
 import graft.multimodal.BinaryPipeline
-import graft.operators.{AnnLsh, SimHash}
+import graft.operators.{AnnLsh, IvfIndex, SimHash}
 
 /** SURVEY.md §2.2 approximate operators (rows-only gates — semantics not
   * portable to ANSI SQL; accuracy is spec-gated against exact ground
@@ -24,6 +25,48 @@ object QueriesExtra {
         AnnLsh.topK(e, q, k = 3).orderBy(col("qid"), col("rn"))
       },
       None),
+
+    // IVF ANN (trained coarse quantizer) — approximate, rows-only; recall
+    // is spec-gated (ApproxOpsSpec).
+    "q_ann_ivf" -> QueryDef(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val model = IvfIndex.train(e, k = 16, iters = 3)
+        val q = e.where(col("vec_id") < 4).select(col("vec_id").as("qid"), col("embedding"))
+        IvfIndex.topK(e, q, model, k = 3, nprobe = 4).orderBy(col("qid"), col("rn"))
+      },
+      None),
+
+    // Winnowing (MOSS) fingerprints — native digest expression; oracle
+    // replays the identical pipeline with DuckDB list comprehensions.
+    "q_winnow" -> QueryDef(
+      (s, d) => {
+        val fp = WinnowExpressions.winnowFingerprints(
+          TextFunctions.canonicalText(col("text")), k = 8, w = 4)
+        Tables.documents(s, d)
+          .select(col("doc_id"), fp.as("__fp"))
+          .select(col("doc_id"), size(col("__fp")).cast("long").as("n_fp"),
+            md5(array_join(col("__fp"), "|")).as("fp_hash"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH c AS (SELECT doc_id, lower(trim(regexp_replace(replace(text, chr(10), ' '), '\s{2,}', ' ', 'g'))) AS t FROM documents),
+             |h AS (SELECT doc_id, CASE WHEN length(t) < 8 THEN [md5(t)]
+             |  ELSE [md5(substr(t, i, 8)) for i in range(1, length(t)-8+2)] END AS hs FROM c),
+             |p AS (SELECT doc_id, CASE WHEN len(hs) < 4 THEN [list_min(hs)]
+             |  ELSE [list_min(hs[j:j+3]) for j in range(1, len(hs)-4+2)] END AS picks FROM h)
+             |SELECT doc_id, CAST(len(list_sort(list_distinct(picks))) AS BIGINT) AS n_fp,
+             |  md5(array_to_string(list_sort(list_distinct(picks)), '|')) AS fp_hash
+             |FROM p ORDER BY doc_id""".stripMargin)),
+
+    // Frame sampling over binary media (stride > frame ⇒ keyframe shape).
+    "q_frame_sample" -> QueryDef(
+      (s, d) => BinaryPipeline.frameSample(
+          BinaryPipeline.asMedia(Tables.documents(s, d)), frameLen = 100, stride = 150)
+        .orderBy(col("doc_id"), col("frame_idx")),
+      Some("""SELECT doc_id, CAST(i AS BIGINT) AS frame_idx, CAST(i*150 AS BIGINT) AS byte_offset,
+             |  md5(substr(text, i*150 + 1, 100)) AS frame_md5
+             |FROM documents, unnest(range(0, greatest(1, CAST(ceil(length(text) / 150.0) AS INT)))) AS t(i)
+             |ORDER BY doc_id, frame_idx""".stripMargin)),
 
     // HLL++ sketch — engine-specific estimator, so no cross-engine oracle;
     // relative-error bound is spec-gated (ApproxOpsSpec).

@@ -48,6 +48,37 @@ object BinaryPipeline {
     }
   }
 
+  /** Frame sampling: emit frames of `frameLen` bytes at every `stride`
+    * offset (stride > frameLen ⇒ sparse sampling, the video-keyframe
+    * shape). One row per frame, batched narrow pass — no shuffle. */
+  def frameSample(media: DataFrame, frameLen: Int = 100, stride: Int = 150,
+                  idCol: String = "doc_id", batchSize: Int = 16): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("frame_idx", LongType, nullable = false),
+      StructField("byte_offset", LongType, nullable = false),
+      StructField("frame_md5", StringType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val idIdx = media.schema.fieldIndex(idCol)
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          val id = r.getLong(idIdx)
+          val content = r.getAs[Array[Byte]](contentIdx)
+          val nFrames = math.max(1, math.ceil(content.length.toDouble / stride).toInt)
+          (0 until nFrames).iterator.map { i =>
+            val off = i * stride
+            val len = math.min(frameLen, content.length - off)
+            md.reset(); md.update(content, off, len)
+            Row(id, i.toLong, off.toLong, md.digest().map("%02x".format(_)).mkString)
+          }
+        }
+      }
+    }(enc)
+  }
+
   /** Batched feature extraction over (id, content, meta) rows.
     * Output: id, byte_len, content_md5, width, height, media_type. */
   def extractFeatures(media: DataFrame, idCol: String = "doc_id",

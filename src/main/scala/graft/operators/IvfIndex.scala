@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
+import graft.functions.VectorFunctions
+
+/** IVF (inverted-file) ANN — the second scale path beside [[AnnLsh]]:
+  * a coarse k-means quantizer assigns every vector to its nearest
+  * centroid cell; queries probe only the `nprobe` nearest cells and
+  * rerank exactly.
+  *
+  * Training is deterministic Lloyd's: init = the k lowest-id vectors,
+  * fixed iteration count; each iteration is ONE groupBy over the corpus
+  * (posexplode to (cell, dim) partial means — k×dim rows collected to the
+  * driver, which is tiny). Assignment is a native expression (embedded
+  * centroid matrix, argmin-L2 single pass). At 100 TB the corpus is
+  * scanned once per iteration and once for final assignment; nothing
+  * else moves.
+  */
+object IvfIndex {
+
+  final case class Model(centroids: Array[Array[Double]]) {
+    def k: Int = centroids.length
+  }
+
+  /** Nearest-centroid id (argmin L2). */
+  case class NearestCentroidExpr(child: Expression, centroids: Array[Array[Double]])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "ivf_cell"
+
+    private lazy val isFloat = child.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      var best = -1; var bestD = Double.MaxValue
+      var c = 0
+      while (c < centroids.length) {
+        val ctr = centroids(c)
+        var d = 0.0; var i = 0
+        val m = math.min(v.numElements(), ctr.length)
+        while (i < m) {
+          val x = (if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)) - ctr(i)
+          d += x * x; i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** The `nprobe` nearest centroid ids, nearest first. */
+  case class NearestCentroidsExpr(child: Expression, centroids: Array[Array[Double]], nprobe: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "ivf_cells"
+
+    private lazy val isFloat = child.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val dists = new Array[(Double, Int)](centroids.length)
+      var c = 0
+      while (c < centroids.length) {
+        val ctr = centroids(c)
+        var d = 0.0; var i = 0
+        val m = math.min(v.numElements(), ctr.length)
+        while (i < m) {
+          val x = (if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)) - ctr(i)
+          d += x * x; i += 1
+        }
+        dists(c) = (d, c); c += 1
+      }
+      val top = dists.sortBy(t => (t._1, t._2)).take(math.min(nprobe, centroids.length))
+      new GenericArrayData(top.map(_._2.asInstanceOf[Any]))
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def cellOf(emb: Column, model: Model): Column =
+    ColumnBridge.column(NearestCentroidExpr(ColumnBridge.expression(emb), model.centroids))
+
+  def cellsOf(emb: Column, model: Model, nprobe: Int): Column =
+    ColumnBridge.column(NearestCentroidsExpr(ColumnBridge.expression(emb), model.centroids, nprobe))
+
+  /** Deterministic Lloyd's. `corpus` must fit k lowest-id rows on the
+    * driver for init (k×dim doubles — trivial). */
+  def train(corpus: DataFrame, k: Int, iters: Int = 5,
+            idCol: String = "vec_id", embCol: String = "embedding"): Model = {
+    val dim = corpus.select(size(col(embCol))).head().getInt(0)
+    var centroids: Array[Array[Double]] = corpus
+      .orderBy(col(idCol)).limit(k)
+      .select(col(embCol).cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    var it = 0
+    while (it < iters) {
+      val model = Model(centroids)
+      val means = corpus
+        .select(cellOf(col(embCol), model).as("cell"),
+          posexplode(col(embCol).cast("array<double>")).as(Seq("dim", "v")))
+        .groupBy(col("cell"), col("dim")).agg(avg(col("v")).as("m"))
+        .collect()
+      val next = centroids.map(_.clone())
+      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      centroids = next
+      it += 1
+    }
+    Model(centroids)
+  }
+
+  /** Approximate top-k: probe `nprobe` cells per query, exact rerank. */
+  def topK(corpus: DataFrame, queries: DataFrame, model: Model, k: Int, nprobe: Int,
+           idCol: String = "vec_id", embCol: String = "embedding",
+           queryIdCol: String = "qid", scale: Int = 4): DataFrame = {
+    val assigned = corpus.select(col(idCol), col(embCol), cellOf(col(embCol), model).as("cell"))
+    val probes = broadcast(
+      queries.select(col(queryIdCol), col(embCol).as("__qemb"),
+          explode(cellsOf(col(embCol), model, nprobe)).as("cell")))
+    val scored = assigned.join(probes, Seq("cell"))
+      .select(col(queryIdCol), col(idCol),
+        round(VectorFunctions.cosineSimilarity(col(embCol), col("__qemb")), scale).as("cos"))
+    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("cos").desc, col(idCol))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col(queryIdCol), col(idCol), col("cos"), col("rn").cast("long").as("rn"))
+  }
+}

@@ -28,6 +28,33 @@ class ApproxOpsSpec extends SparkSpec {
     assert(banded == brute, s"banded=${banded.size} brute=${brute.size}")
   }
 
+  test("ivf: recall@10 >= 0.9 vs brute-force cosine with wide probing") {
+    val e = Tables.embeddings(spark, sfDir)
+    val model = graft.operators.IvfIndex.train(e, k = 16, iters = 3)
+    val q = e.where(col("vec_id") < 20).select(col("vec_id").as("qid"), col("embedding"))
+    val approx = graft.operators.IvfIndex.topK(e, q, model, k = 10, nprobe = 12)
+      .select(col("qid"), col("vec_id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = graft.operators.Knn.topKBatch(e, q, graft.operators.Knn.Cosine, k = 10)
+      .select(col("qid"), col("vec_id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (approx & exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall=$recall")
+  }
+
+  test("winnow fingerprints: near-dup docs share most fingerprints, unrelated don't") {
+    import graft.functions.{TextFunctions, WinnowExpressions}
+    val fp = WinnowExpressions.winnowFingerprints(TextFunctions.canonicalText(col("text")), 8, 4)
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), fp.as("fp"))
+    val planted = graft.operators.Dedup.minhashLsh(Tables.documents(spark, sfDir), 0.8)
+      .select("id1", "id2")
+    val overlap = planted
+      .join(docs.select(col("doc_id").as("id1"), col("fp").as("f1")), Seq("id1"))
+      .join(docs.select(col("doc_id").as("id2"), col("fp").as("f2")), Seq("id2"))
+      .select((size(array_intersect(col("f1"), col("f2"))).cast("double") /
+        greatest(size(col("f1")), size(col("f2")))).as("ov"))
+      .collect().map(_.getDouble(0))
+    assert(overlap.nonEmpty && overlap.forall(_ >= 0.5), overlap.mkString(","))
+  }
+
   test("approx_count_distinct within 5% of exact") {
     val ev = Tables.events(spark, sfDir)
     val cmp = ev.groupBy(col("event_type"))
