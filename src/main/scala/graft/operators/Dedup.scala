@@ -57,24 +57,26 @@ object Dedup {
       .select(col(idCol), explode(bandKeys(col("__sig"), numPerm, bands)).as("band"))
       .select(col(idCol), col("band.band_id").as("band_id"), col("band.band_key").as("band_key"))
 
-  /** Candidate pairs from LSH banding (distinct, id1 < id2). The self-join
-    * shuffles only (id, band_key) rows; `maxBucket` drops degenerate
-    * buckets (aggregate + join rather than a window — no per-partition
-    * sort, and AQE handles skewed buckets). */
+  /** Candidate pairs from LSH banding (distinct, id1 < id2). ONE shuffle:
+    * group ids per bucket (map-side partial collect), guard degenerate
+    * buckets by size, expand in-bucket pairs row-locally from the sorted
+    * id array (per-bucket arrays are ≤ maxBucket, so the HOF expansion is
+    * cold), then a final distinct. This replaces the self-join
+    * formulation (3 shuffles) and is skew-safe by construction — a hot
+    * bucket is dropped, not exploded. */
   def candidatePairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                      shingleN: Int = 3, numPerm: Int = 16, bands: Int = 8,
                      maxBucket: Int = 1000): DataFrame = {
     val b = banded(docs, idCol, textCol, shingleN, numPerm, bands)
-    val okBuckets = b.groupBy(col("band_id"), col("band_key"))
-      .agg(count(lit(1)).as("__n"))
-      .where(col("__n") <= maxBucket)
-      .select(col("band_id"), col("band_key"))
-    val guarded = b.join(okBuckets, Seq("band_id", "band_key"))
-    val l = guarded.select(col("band_id"), col("band_key"), col(idCol).as("id1"))
-    val r = guarded.select(col("band_id"), col("band_key"), col(idCol).as("id2"))
-    l.join(r, Seq("band_id", "band_key"))
-      .where(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"))
+    val buckets = b.groupBy(col("band_id"), col("band_key"))
+      .agg(collect_list(col(idCol)).as("__ids"))
+      .where(size(col("__ids")).between(2, maxBucket))
+      .select(array_sort(col("__ids")).as("__ids"))
+    buckets
+      .select(explode(flatten(transform(col("__ids"), (x, i) =>
+        transform(slice(col("__ids"), i + lit(2), size(col("__ids"))), y =>
+          struct(x.as("id1"), y.as("id2")))))).as("p"))
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
       .distinct()
   }
 

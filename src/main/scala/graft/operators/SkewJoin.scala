@@ -1,0 +1,28 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Salted join for skewed keys — the manual fallback when AQE's runtime
+  * skew-split isn't available (e.g. non-AQE plans, or a known-skewed
+  * dimension that must shuffle): the big (skewed) side gets a random salt
+  * in [0, salt), the small side is replicated `salt` ways, and the join
+  * key becomes (key, salt) — a hot key's rows spread over `salt`
+  * reducers instead of one straggler.
+  */
+object SkewJoin {
+
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 salt: Int = 8, joinType: String = "inner"): DataFrame = {
+    require(salt >= 1)
+    // deterministic spread: hash the full row's key + a physical row id
+    val saltedBig = big.withColumn("__salt",
+      pmod(xxhash64(col(key), monotonically_increasing_id()), lit(salt)))
+    val replicatedSmall = small.withColumn("__salt",
+      explode(array((0 until salt).map(lit): _*)))
+    saltedBig.join(replicatedSmall,
+        saltedBig(key) === replicatedSmall(key) && saltedBig("__salt") === replicatedSmall("__salt"),
+        joinType)
+      .drop(replicatedSmall(key)).drop(saltedBig("__salt")).drop(replicatedSmall("__salt"))
+  }
+}
