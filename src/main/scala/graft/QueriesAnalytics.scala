@@ -84,6 +84,41 @@ object QueriesAnalytics {
              |JOIN region ON n_regionkey = r_regionkey
              |GROUP BY r_name ORDER BY r_name""".stripMargin)),
 
+    // TPC-H Q13 shape: customer order-count distribution (outer join + histogram)
+    "q13_cust_dist" -> QueryDef(
+      (s, d) => {
+        val cust = Tables.customer(s, d).select(col("c_custkey"))
+        val ord = Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey"))
+        cust.join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+          .groupBy(col("c_custkey")).agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy(col("c_count")).agg(count(lit(1)).cast("long").as("custdist"))
+          .select(col("c_count").cast("long").as("c_count"), col("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      Some("""SELECT CAST(c_count AS BIGINT) AS c_count, count(*) AS custdist
+             |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+             |      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             |      GROUP BY c_custkey)
+             |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin)),
+
+    // TPC-H Q17 shape: per-group average comparison (decorrelated as a window)
+    "q17_small_qty" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy(col("l_partkey"))
+        Tables.lineitem(s, d)
+          .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+          .withColumn("avg_qty", avg(col("l_quantity")).over(w))
+          .where(col("l_quantity") < lit(0.2) * col("avg_qty"))
+          .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"),
+            count(lit(1)).cast("long").as("n"))
+          .select(col("avg_yearly"), col("n"))
+      },
+      Some("""SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly, count(*) AS n
+             |FROM (SELECT l_extendedprice, l_quantity,
+             |        avg(l_quantity) OVER (PARTITION BY l_partkey) AS avg_qty
+             |      FROM lineitem)
+             |WHERE l_quantity < 0.2 * avg_qty""".stripMargin)),
+
     "q_window_topn" -> QueryDef(
       (s, d) => {
         val w = Window.partitionBy(col("o_orderpriority"))

@@ -115,6 +115,38 @@ object QueriesPipeline {
              |  CAST(length(chunk) AS BIGINT) AS chunk_len, md5(chunk) AS chunk_md5
              |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin)),
 
+    // Oracle-gated embedding: bag-of-tokens hashing trick with md5-derived
+    // buckets/signs (cross-engine reproducible: hex→int via Spark conv /
+    // DuckDB '0x' cast), L2-normalized, sparse (doc_id, bucket, val) rows.
+    // This is the distributed featurizer formulation: explode tokens →
+    // one groupBy — partial aggregation does the heavy lifting.
+    "q_embed_md5" -> QueryDef(
+      (s, d) => {
+        val dim = 16
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(TextFunctions.canonicalText(col("text")), " ")).as("t"))
+          .select(col("doc_id"),
+            expr("cast(conv(substr(md5(t), 1, 8), 16, 10) as bigint)").as("h"))
+        val votes = toks.select(col("doc_id"), (col("h") % dim).as("b"),
+            when((expr(s"h div $dim") % 2) === 0, 1.0).otherwise(-1.0).as("sgn"))
+          .groupBy(col("doc_id"), col("b")).agg(sum(col("sgn")).as("v"))
+        val norms = votes.groupBy(col("doc_id")).agg(sqrt(sum(col("v") * col("v"))).as("n"))
+        votes.join(norms, "doc_id").where(col("n") > 0)
+          .select(col("doc_id"), col("b").cast("long").as("bucket"), round(col("v") / col("n"), 4).as("val"))
+          .orderBy(col("doc_id"), col("bucket"))
+      },
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h
+              |  FROM (SELECT doc_id, unnest(string_split($canon, ' ')) AS t FROM documents)),
+              |votes AS (
+              |  SELECT doc_id, h % 16 AS b,
+              |    sum(CASE WHEN (h // 16) % 2 = 0 THEN 1.0 ELSE -1.0 END) AS v
+              |  FROM toks GROUP BY 1, 2),
+              |norms AS (SELECT doc_id, sqrt(sum(v*v)) AS n FROM votes GROUP BY 1)
+              |SELECT doc_id, CAST(b AS BIGINT) AS bucket, round(v / n, 4) AS val
+              |FROM votes JOIN norms USING (doc_id) WHERE n > 0
+              |ORDER BY doc_id, bucket""".stripMargin)),
+
     // Embedding stub: model call not SQL-expressible → rows-only gate;
     // structural invariants (dim, unit norm) checked in specs.
     "q_embed_docs" -> QueryDef(
