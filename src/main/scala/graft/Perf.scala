@@ -33,6 +33,19 @@ object Perf {
     time("candidatePairs.count")(cand.count())
     time("minhashLsh.count")(Dedup.minhashLsh(docs, 0.8).count())
     time("embNearDup.count")(Dedup.embeddingNearDup(emb, 0.4).count())
+
+    // scale probe: 20x replicated corpus (10k docs, every doc a 20-way
+    // exact-dup cluster → heavy pair load) through the full LSH dedup
+    val big = (0 until 20).map(i =>
+        docs.select((col("doc_id") + i * 100000).as("doc_id"), col("text")))
+      .reduce(_ unionAll _)
+    time("minhashLsh.20x (10k docs)")(Dedup.minhashLsh(big, 0.8).count())
+    time("knn.20x (10k vectors)") {
+      val bigE = (0 until 20).map(i =>
+          emb.select((col("vec_id") + i * 100000).as("vec_id"), col("embedding")))
+        .reduce(_ unionAll _)
+      graft.operators.Knn.topK(bigE, bigE.where(col("vec_id") === 0), graft.operators.Knn.L2, 5).count()
+    }
     spark.stop()
   }
 }
