@@ -32,7 +32,9 @@ object PlanAudit {
       val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
       val wsc = "WholeStageCodegen".r.findAllIn(formatted).size
       val exch = "Exchange".r.findAllIn(plan).size
-      println(s"== $name: pushedFilters=$pushed bhj=$bhj smj=$smj bnlj=$bnlj codegenSpans=$wsc exchanges=$exch")
+      val wgl = "WindowGroupLimit".r.findAllIn(plan).size
+      val topk = "TakeOrderedAndProject".r.findAllIn(plan).size
+      println(s"== $name: pushedFilters=$pushed bhj=$bhj smj=$smj bnlj=$bnlj codegenSpans=$wsc exchanges=$exch windowGroupLimit=$wgl takeOrdered=$topk")
       scans.foreach(sc => println(s"   scan: ${sc.take(140)}"))
     }
     spark.stop()

@@ -147,6 +147,47 @@ object QueriesPipeline {
               |FROM votes JOIN norms USING (doc_id) WHERE n > 0
               |ORDER BY doc_id, bucket""".stripMargin)),
 
+    // CAPSTONE: the reference's entire serving path, end to end and
+    // oracle-replayable — normalize → chunk → embed (md5 featurizer) →
+    // cosine top-5 "most similar chunks to chunk 0". Every stage is the
+    // cross-engine-reproducible variant, so the DuckDB oracle replays
+    // PDF-pipeline + vector search as one SQL pipeline.
+    "q_e2e_search" -> QueryDef(
+      (s, d) => {
+        val chunks = docsChunks(s, d)
+          .select((col("doc_id") * 100 + col("chunk_idx")).as("cid"), col("chunk"))
+        val toks = chunks.select(col("cid"),
+          explode(split(lower(trim(col("chunk"))), " ")).as("tok"))
+        val h = toks.select(col("cid"),
+          expr("cast(conv(substr(md5(tok), 1, 8), 16, 10) as bigint)").as("h"))
+        val v = h.select(col("cid"), (col("h") % 16).as("b"),
+            when((expr("h div 16") % 2) === 0, 1.0).otherwise(-1.0).as("sgn"))
+          .groupBy(col("cid"), col("b")).agg(sum(col("sgn")).as("v"))
+        val n = v.groupBy(col("cid")).agg(sqrt(sum(col("v") * col("v"))).as("n"))
+        val q = v.where(col("cid") === 0).select(col("b"), col("v").as("qv"))
+        val nq = n.where(col("cid") === 0).select(col("n").as("nq"))
+        v.join(broadcast(q), "b")
+          .groupBy(col("cid")).agg(sum(col("v") * col("qv")).as("dot"))
+          .join(n, "cid").crossJoin(broadcast(nq))
+          .where(col("n") > 0)
+          .select(col("cid"), round(col("dot") / (col("n") * col("nq")), 4).as("cos"))
+          .orderBy(col("cos").desc, col("cid")).limit(5)
+      },
+      Some(chunkCte(200, 60) + """,
+             |t AS (SELECT doc_id*100 + chunk_idx AS cid, unnest(string_split(lower(trim(chunk)), ' ')) AS tok FROM chunks),
+             |hh AS (SELECT cid, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM t),
+             |v AS (SELECT cid, h % 16 AS b,
+             |        sum(CASE WHEN (h // 16) % 2 = 0 THEN 1.0 ELSE -1.0 END) AS v
+             |      FROM hh GROUP BY 1, 2),
+             |n AS (SELECT cid, sqrt(sum(v*v)) AS n FROM v GROUP BY 1),
+             |q AS (SELECT b, v AS qv FROM v WHERE cid = 0),
+             |dot AS (SELECT a.cid, sum(a.v * q.qv) AS dot FROM v a JOIN q ON a.b = q.b GROUP BY 1)
+             |SELECT d.cid, round(d.dot / (na.n * nq.n), 4) AS cos
+             |FROM dot d JOIN n na ON na.cid = d.cid
+             |CROSS JOIN (SELECT n FROM n WHERE cid = 0) nq(n)
+             |WHERE na.n > 0
+             |ORDER BY cos DESC, d.cid LIMIT 5""".stripMargin)),
+
     // Embedding stub: model call not SQL-expressible → rows-only gate;
     // structural invariants (dim, unit norm) checked in specs.
     "q_embed_docs" -> QueryDef(
