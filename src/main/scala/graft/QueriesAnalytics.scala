@@ -168,6 +168,45 @@ object QueriesAnalytics {
              |  min(sec) AS start_sec, max(sec) AS end_sec, round(sum(value), 4) AS sum_value
              |FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin)),
 
+    // set operations (INTERSECT / EXCEPT) over derived keysets
+    "q_set_ops" -> QueryDef(
+      (s, d) => {
+        val ord = Tables.orders(s, d).select(col("o_custkey"), year(col("o_orderdate")).as("y"))
+        val a = ord.where(col("y") === 1995).select(col("o_custkey")).distinct()
+        val b = ord.where(col("y") === 1996).select(col("o_custkey")).distinct()
+        a.agg(count(lit(1)).cast("long").as("n95"))
+          .crossJoin(b.agg(count(lit(1)).cast("long").as("n96")))
+          .crossJoin(a.intersect(b).agg(count(lit(1)).cast("long").as("n_both")))
+          .crossJoin(a.except(b).agg(count(lit(1)).cast("long").as("n_only95")))
+      },
+      Some("""WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+             |b AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+             |SELECT (SELECT count(*) FROM a) AS n95,
+             |       (SELECT count(*) FROM b) AS n96,
+             |       (SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b)) AS n_both,
+             |       (SELECT count(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b)) AS n_only95""".stripMargin)),
+
+    // pivot shape: per-user event-type counts as columns (portable
+    // CASE-sum formulation, identical in the oracle)
+    "q_pivot" -> QueryDef(
+      (s, d) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        Tables.events(s, d)
+          .groupBy(col("user_id"))
+          .agg(types.head match { case _ =>
+            sum(when(col("event_type") === types.head, 1L).otherwise(0L)).as(s"n_${types.head}")
+          }, types.tail.map(t =>
+            sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$t")): _*)
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id,
+             |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+             |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+             |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+             |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+             |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     "q_events_hourly" -> QueryDef(
       (s, d) => Tables.events(s, d)
         .select(expr("(ts div 1000000000) div 3600 * 3600").as("hour_sec"),
