@@ -168,6 +168,31 @@ object QueriesAnalytics {
              |  min(sec) AS start_sec, max(sec) AS end_sec, round(sum(value), 4) AS sum_value
              |FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin)),
 
+    // part/supplier dimensions: revenue by brand and supplier nation
+    "q_brand_supplier" -> QueryDef(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+        val part = Tables.part(s, d).select(col("p_partkey"), col("p_brand"))
+        val supp = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+        val nat = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+        li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("p_brand"), col("n_name"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+            count(lit(1)).cast("long").as("n_items"))
+          .orderBy(col("p_brand"), col("n_name"))
+      },
+      Some("""SELECT p_brand, n_name,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             |  count(*) AS n_items
+             |FROM lineitem
+             |JOIN part ON l_partkey = p_partkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |GROUP BY p_brand, n_name ORDER BY p_brand, n_name""".stripMargin)),
+
     // set operations (INTERSECT / EXCEPT) over derived keysets
     "q_set_ops" -> QueryDef(
       (s, d) => {

@@ -24,9 +24,9 @@ object AsOfJoin {
     val lCols = left.columns
     val rCols = right.columns
     val l2 = left.select(col(leftKey).as("__key"), col(leftTime).cast("long").as("__time"),
-      lit(1).as("__tag"), struct(lCols.map(col): _*).as("__l"))
+      lit(1).as("__tag"), struct(lCols.toSeq.map(col): _*).as("__l"))
     val r2 = right.select(col(rightKey).as("__key"), col(rightTime).cast("long").as("__time"),
-      lit(0).as("__tag"), struct(rCols.map(col): _*).as("__r"))
+      lit(0).as("__tag"), struct(rCols.toSeq.map(col): _*).as("__r"))
     val unioned = l2.withColumn("__r", lit(null).cast(r2.schema("__r").dataType))
       .unionByName(r2.withColumn("__l", lit(null).cast(l2.schema("__l").dataType)))
     val w = Window.partitionBy(col("__key"))
@@ -35,7 +35,7 @@ object AsOfJoin {
     unioned
       .withColumn("__last_r", last(col("__r"), ignoreNulls = true).over(w))
       .where(col("__tag") === 1 && col("__last_r").isNotNull)
-      .select((lCols.map(c => col(s"__l.$c").as(c)) ++
-               rCols.map(c => col(s"__last_r.$c").as(c))): _*)
+      .select((lCols.toSeq.map(c => col(s"__l.$c").as(c)) ++
+               rCols.toSeq.map(c => col(s"__last_r.$c").as(c))): _*)
   }
 }
