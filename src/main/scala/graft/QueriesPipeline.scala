@@ -322,6 +322,45 @@ object QueriesPipeline {
              |ORDER BY qid, rn""".stripMargin)),
 
     // ── text analysis ────────────────────────────────────────────────
+    // PII redaction over docs with injected (deterministic) PII so the
+    // patterns actually fire on the synthetic corpus
+    "q_pii_redact" -> QueryDef(
+      (s, d) => {
+        val dirty = concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or call 555-123-4567 see https://example.com/a?b=1 end"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), TextFunctions.redactPii(dirty).as("__r"))
+          .select(col("doc_id"), md5(col("__r")).as("redacted_md5"),
+            size(regexp_extract_all(col("__r"), lit("<(EMAIL|PHONE|URL)>"), lit(0)))
+              .cast("long").as("n_redactions"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH dirty AS (
+             |  SELECT doc_id, text || ' contact user' || doc_id ||
+             |    '@example.com or call 555-123-4567 see https://example.com/a?b=1 end' AS t
+             |  FROM documents),
+             |r AS (SELECT doc_id,
+             |  regexp_replace(regexp_replace(regexp_replace(t,
+             |    'https?://[^ ]+', '<URL>', 'g'),
+             |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+             |    '\b[0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{4}\b', '<PHONE>', 'g') AS rt
+             |  FROM dirty)
+             |SELECT doc_id, md5(rt) AS redacted_md5,
+             |  CAST(len(regexp_extract_all(rt, '<(EMAIL|PHONE|URL)>')) AS BIGINT) AS n_redactions
+             |FROM r ORDER BY doc_id""".stripMargin)),
+
+    // Gopher-style repetition: duplicate word-3gram fraction
+    "q_repetition" -> QueryDef(
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.duplicateShingleRatio(col("text")).as("dup_ratio"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH w AS (SELECT doc_id, string_split($canon, ' ') AS w FROM documents),
+              |sh AS (SELECT doc_id, len(w) AS nw, len(list_distinct(CASE WHEN len(w) >= 3
+              |  THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]
+              |  ELSE [array_to_string(w, ' ')] END)) AS nd FROM w)
+              |SELECT doc_id, round(1.0 - nd::DOUBLE / greatest(nw - 2, 1), 6) AS dup_ratio
+              |FROM sh ORDER BY doc_id""".stripMargin)),
+
     "q_lang_id" -> QueryDef(
       (s, d) => Tables.documents(s, d)
         .select(col("doc_id"), LangFunctions.langId(col("text")).as("pred_lang"),

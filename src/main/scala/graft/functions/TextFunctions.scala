@@ -78,4 +78,23 @@ object TextFunctions {
   def stopwordHits(c: Column, words: Seq[String]): Column =
     size(regexp_extract_all(canonicalText(c),
       lit("\\b(" + words.mkString("|") + ")\\b"), lit(0)))
+
+  /** PII scrubbing (training-data curation): emails, phone numbers, URLs
+    * → typed placeholders. Patterns are RE2/Java-portable (no lookaround)
+    * so the oracle replays them byte-for-byte. */
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val PhoneRe = "\\b[0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{4}\\b"
+  val UrlRe = "https?://[^ ]+"
+
+  def redactPii(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(c,
+      UrlRe, "<URL>"), EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+
+  /** Gopher-style repetition signal: fraction of duplicate word 3-grams
+    * (1 - distinct/total). High values flag boilerplate / looped text. */
+  def duplicateShingleRatio(c: Column, n: Int = 3): Column = {
+    val words = split(canonicalText(c), " ")
+    val total = greatest(size(words) - (n - 1), lit(1)).cast("double")
+    round(lit(1.0) - size(wordShingles(c, n)).cast("double") / total, 6)
+  }
 }
