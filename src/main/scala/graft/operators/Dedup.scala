@@ -102,9 +102,9 @@ object Dedup {
         docs, idCol, textCol, shingleN)
       .where(col("jaccard") >= threshold)
 
-  /** Embedding-cosine near-dup pairs. `exhaustive = true` scores all pairs
-    * (oracle-exact; fine at verification SF). The scale path feeds LSH
-    * candidate buckets (AnnLsh) into the same verify. */
+  /** Embedding-cosine near-dup pairs, exhaustive O(n²) scoring — the
+    * oracle-exact formulation, correct at verification scale and as the
+    * reranker behind [[embeddingNearDupLsh]]. */
   def embeddingNearDup(emb: DataFrame, threshold: Double,
                        idCol: String = "vec_id", embCol: String = "embedding",
                        scale: Int = 4): DataFrame = {
@@ -114,5 +114,37 @@ object Dedup {
       .withColumn("cos", round(VectorFunctions.cosineSimilarity(col("e1"), col("e2")), scale))
       .where(col("cos") >= threshold)
       .select(col("id1"), col("id2"), col("cos"))
+  }
+
+  /** Embedding near-dup at scale: random-hyperplane LSH buckets as the
+    * blocking key (pairs sharing a bucket in ANY table), exact cosine
+    * verify on candidates only. Designed for near-identical duplicates
+    * (cos ≳ 0.95), where bucket-collision probability per table is
+    * (1 - θ/π)^nbits ≈ 1; NOT for weakly-similar pairs — LSH recall
+    * decays fast below ~0.9 cosine (spec documents both regimes). */
+  def embeddingNearDupLsh(emb: DataFrame, threshold: Double,
+                          idCol: String = "vec_id", embCol: String = "embedding",
+                          dim: Int = 64, nbits: Int = 8, tables: Int = 8,
+                          seed: Long = 42L, maxBucket: Int = 10000,
+                          scale: Int = 4): DataFrame = {
+    val keys = AnnLsh.bucketKeys(emb, idCol, embCol, dim, nbits, tables, seed)
+      .select(col("table_id"), col("bucket"), col(idCol), col(embCol))
+    val buckets = keys.groupBy(col("table_id"), col("bucket"))
+      .agg(collect_list(struct(col(idCol).as("id"), col(embCol).as("e"))).as("__rows"))
+      .where(size(col("__rows")).between(2, maxBucket))
+    val pairs = buckets
+      .select(explode(flatten(transform(col("__rows"), (x, i) =>
+        transform(slice(col("__rows"), i + lit(2), size(col("__rows"))), y =>
+          struct(x.getField("id").as("id1"), y.getField("id").as("id2"),
+            x.getField("e").as("e1"), y.getField("e").as("e2")))))).as("p"))
+      .select(least(col("p.id1"), col("p.id2")).as("id1"),
+        greatest(col("p.id1"), col("p.id2")).as("id2"),
+        col("p.e1"), col("p.e2"))
+      .where(col("id1") =!= col("id2"))
+    pairs
+      .withColumn("cos", round(VectorFunctions.cosineSimilarity(col("e1"), col("e2")), scale))
+      .where(col("cos") >= threshold)
+      .select(col("id1"), col("id2"), col("cos"))
+      .dropDuplicates("id1", "id2")
   }
 }

@@ -55,6 +55,25 @@ class ApproxOpsSpec extends SparkSpec {
     assert(overlap.nonEmpty && overlap.forall(_ >= 0.5), overlap.mkString(","))
   }
 
+  test("embedding near-dup LSH finds planted near-identical vectors") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sfDir)
+    // plant near-identical copies (cos ≈ 1) of the first 10 vectors
+    val planted = e.where(col("vec_id") < 10)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        expr("transform(embedding, (x, i) -> cast(x + (case when i = 0 then 0.001f else 0f end) as float))")
+          .as("embedding"))
+    val corpus = e.select(col("vec_id"), col("embedding")).unionAll(planted)
+    val found = Dedup.embeddingNearDupLsh(corpus, threshold = 0.99)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0L until 10L).map(i => (i, i + 100000)).toSet
+    assert(expected.subsetOf(found), s"missing: ${expected -- found}")
+    // and results agree with exhaustive verify on the same threshold
+    val exact = Dedup.embeddingNearDup(corpus, threshold = 0.99)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.subsetOf(exact))
+  }
+
   test("approx_count_distinct within 5% of exact") {
     val ev = Tables.events(spark, sfDir)
     val cmp = ev.groupBy(col("event_type"))
