@@ -193,6 +193,21 @@ object QueriesAnalytics {
              |JOIN nation ON s_nationkey = n_nationkey
              |GROUP BY p_brand, n_name ORDER BY p_brand, n_name""".stripMargin)),
 
+    // semi-structured JSON column extraction (events.props)
+    "q_json_extract" -> QueryDef(
+      (s, d) => Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n"), round(avg(col("k")), 4).as("avg_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type, count(*) AS n,
+             |  round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+             |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+             |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // set operations (INTERSECT / EXCEPT) over derived keysets
     "q_set_ops" -> QueryDef(
       (s, d) => {
