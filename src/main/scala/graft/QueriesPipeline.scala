@@ -296,6 +296,22 @@ object QueriesPipeline {
       Some(lshCte + """
              |SELECT id1, id2, jaccard FROM ver WHERE jaccard >= 0.3 ORDER BY id1, id2""".stripMargin)),
 
+    // apply the dedup: survivors after greedy drop of every pair's
+    // higher id (keep-lowest-id policy)
+    "q_dedup_apply" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val losers = Dedup.minhashLsh(docs, threshold = 0.8)
+          .select(col("id2").as("doc_id")).distinct()
+        docs.join(losers, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some(lshCte + """
+             |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM documents
+             |WHERE doc_id NOT IN (SELECT id2 FROM ver WHERE jaccard >= 0.8)
+             |ORDER BY doc_id""".stripMargin)),
+
     "q_dedup_embedding" -> QueryDef(
       (s, d) => Dedup.embeddingNearDup(Tables.embeddings(s, d), threshold = 0.4)
         .orderBy(col("id1"), col("id2")),
