@@ -44,9 +44,14 @@ object Embedder {
     batch.map(_ => new Array[Float](dim))
   }
 
-  /** Append an `embedding array<float>` column. Narrow, batched. */
+  /** Append an `embedding array<float>` column. Narrow, batched.
+    * `usageTokens` (optional accumulator) tallies whitespace tokens sent
+    * to the "model" — the reference logs prompt-token usage per call
+    * (Function.java:192-194); an accumulator is the distributed
+    * equivalent. */
   def embed(df: DataFrame, textCol: String = "chunk", dim: Int = 64,
-            batchSize: Int = 32, outCol: String = "embedding"): DataFrame = {
+            batchSize: Int = 32, outCol: String = "embedding",
+            usageTokens: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     val spark = df.sparkSession
     val schema = org.apache.spark.sql.types.StructType(
       df.schema.fields :+ org.apache.spark.sql.types.StructField(outCol,
@@ -55,7 +60,10 @@ object Embedder {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
     df.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        val embs = invokeModel(batch.map(r => Option(r.getString(textIdx)).getOrElse("")), dim)
+        val texts = batch.map(r => Option(r.getString(textIdx)).getOrElse(""))
+        usageTokens.foreach(acc =>
+          acc.add(texts.map(t => t.split("\\s+").count(_.nonEmpty).toLong).sum))
+        val embs = invokeModel(texts, dim)
         batch.iterator.zip(embs.iterator).map { case (r, e) =>
           org.apache.spark.sql.Row.fromSeq(r.toSeq :+ e.toSeq)
         }

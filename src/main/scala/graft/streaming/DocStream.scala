@@ -18,12 +18,16 @@ object DocStream {
   /** Source schema: one row per arriving document file. */
   val inputSchema = "doc_id long, text string, lang string, source string, n_chars long"
 
-  /** Build the streaming pipeline: directory → chunk rows + embeddings. */
+  /** Build the streaming pipeline: directory → chunk rows + embeddings.
+    * `globFilter` mirrors the reference's extension gate
+    * (`fileName.endsWith(".pdf")`, Function.java:83) at the source. */
   def pipeline(spark: SparkSession, inputDir: String,
-               maxLen: Int = 7500, lookback: Int = 300, dim: Int = 64): DataFrame = {
+               maxLen: Int = 7500, lookback: Int = 300, dim: Int = 64,
+               globFilter: String = "*.parquet"): DataFrame = {
     val raw = spark.readStream
       .schema(inputSchema)
       .option("maxFilesPerTrigger", "16")
+      .option("pathGlobFilter", globFilter)
       .parquet(inputDir)
     val chunks = PdfPipeline.chunkRows(raw, maxLen, lookback)
     Embedder.embed(chunks, textCol = "chunk", dim = dim)

@@ -31,6 +31,15 @@ object EventStream {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
       .select(col("window.start").as("hour_start"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Stream-static enrichment: a live event stream joined to a static
+    * (broadcastable) dimension — the streaming analogue of the batch
+    * dimension joins. Spark plans this as a broadcast join per
+    * micro-batch; the static side is re-resolved per batch, so slowly
+    * changing dims pick up updates. */
+  def enrich(events: DataFrame, dim: DataFrame, eventKey: String, dimKey: String): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim),
+      events(eventKey) === dim(dimKey), "left_outer")
+
   /** Per-user sessionization with a gap timeout, as a custom stateful
     * operator (`mapGroupsWithState`): events more than `gapSec` apart
     * start a new session; each update emits the current session snapshot

@@ -2,6 +2,7 @@ package graft
 
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.EventStream
 import graft.streaming.EventStream.{Event, SessionSnapshot}
@@ -24,6 +25,31 @@ class StreamingAggSpec extends SparkSpec {
         .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
       assert(rows == Set(("click", 2L, 3.0), ("view", 1L, 3.0)))
     } finally q.stop()
+  }
+
+  test("stream-static enrichment joins a live stream to a broadcast dimension") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Double)]
+    val events = input.toDF().toDF("user_id", "value")
+    val dim = Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_mktsegment"))
+    val q = EventStream.enrich(events, dim, "user_id", "c_custkey").writeStream
+      .format("memory").queryName("enrich_test").outputMode("append").start()
+    try {
+      input.addData((1L, 10.0), (2L, 20.0), (999999L, 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("enrich_test").collect()
+      assert(rows.length == 3)
+      assert(rows.count(_.isNullAt(3)) == 1)   // unmatched key keeps the event
+      assert(rows.filter(_.getLong(0) == 1L).forall(!_.isNullAt(3)))
+    } finally q.stop()
+  }
+
+  test("embedder usage accumulator tallies prompt tokens") {
+    val acc = spark.sparkContext.longAccumulator("graft.embed.tokens")
+    val docs = Tables.documents(spark, sfDir).limit(10).select(col("doc_id"), col("text"))
+    graft.pipeline.Embedder.embed(docs, textCol = "text", usageTokens = Some(acc)).count()
+    assert(acc.value > 0)
   }
 
   test("stateful sessionization (mapGroupsWithState) splits on gap across batches") {
