@@ -46,6 +46,16 @@ object Perf {
         .reduce(_ unionAll _)
       graft.operators.Knn.topK(bigE, bigE.where(col("vec_id") === 0), graft.operators.Knn.L2, 5).count()
     }
+    // throughput probes: replicate via crossJoin(range) — one scan, one
+    // codegen span — then score through the kernel (TakeOrderedAndProject)
+    for (copies <- Seq(200, 2000)) {
+      time(s"knn.${copies}x (${copies / 2}k vectors)") {
+        val bigE = emb.crossJoin(spark.range(copies))
+          .select((col("vec_id") + col("id") * 100000).as("vec_id"), col("embedding"))
+        graft.operators.Knn.topK(bigE, emb.where(col("vec_id") === 0),
+          graft.operators.Knn.L2, 5).count()
+      }
+    }
     spark.stop()
   }
 }

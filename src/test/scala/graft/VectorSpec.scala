@@ -36,6 +36,21 @@ class VectorSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
   }
 
+  test("codegen and interpreted kernel paths agree (two impls, one truth)") {
+    val e = Tables.embeddings(spark, sfDir)
+    def run(): Array[(Long, Double)] =
+      Knn.topK(e, e.where(col("vec_id") === 3), Knn.Cosine, 20)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val withCodegen = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val interpreted = try run() finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    assert(withCodegen.toSeq == interpreted.toSeq)
+  }
+
   test("batch knn returns k rows per query, rank 1 is the query itself") {
     val e = Tables.embeddings(spark, sfDir)
     val q = e.where(col("vec_id") < 4).select(col("vec_id").as("qid"), col("embedding"))
