@@ -126,6 +126,48 @@ object IvfIndex {
     Model(centroids)
   }
 
+  /** Persist an IVF index: corpus assigned to cells, written as parquet
+    * partitioned BY CELL — a probed search then reads only the nprobe/k
+    * fraction of the data via partition pruning (the on-disk analogue of
+    * an inverted file). Centroids ride along as a tiny JSON sidecar. */
+  def writeIndex(corpus: DataFrame, model: Model, path: String,
+                 idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
+    corpus.select(col(idCol), col(embCol), cellOf(col(embCol), model).as("cell"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    val json = model.centroids.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path, "_centroids.json"), json)
+  }
+
+  def readModel(path: String): Model = {
+    val json = java.nio.file.Files.readString(java.nio.file.Paths.get(path, "_centroids.json"))
+    // minimal parser for [[d,d,...],...] written by writeIndex
+    val rows = json.trim.stripPrefix("[").stripSuffix("]").split("\\],\\s*\\[")
+      .map(_.stripPrefix("[").stripSuffix("]"))
+      .map(_.split(",").map(_.trim.toDouble))
+    Model(rows)
+  }
+
+  /** Search a persisted index: only the probed cells' partitions are
+    * scanned (`cell IN (...)` prunes at the file listing). */
+  def searchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                  queries: DataFrame, k: Int, nprobe: Int,
+                  idCol: String = "vec_id", embCol: String = "embedding",
+                  queryIdCol: String = "qid", scale: Int = 4): DataFrame = {
+    val model = readModel(path)
+    val corpus = spark.read.parquet(path)
+    val probes = broadcast(
+      queries.select(col(queryIdCol), col(embCol).as("__qemb"),
+        explode(cellsOf(col(embCol), model, nprobe)).as("cell")))
+    val scored = corpus.join(probes, Seq("cell"))
+      .select(col(queryIdCol), col(idCol),
+        round(VectorFunctions.cosineSimilarity(col(embCol), col("__qemb")), scale).as("cos"))
+    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("cos").desc, col(idCol))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col(queryIdCol), col(idCol), col("cos"), col("rn").cast("long").as("rn"))
+  }
+
   /** Approximate top-k: probe `nprobe` cells per query, exact rerank. */
   def topK(corpus: DataFrame, queries: DataFrame, model: Model, k: Int, nprobe: Int,
            idCol: String = "vec_id", embCol: String = "embedding",

@@ -39,6 +39,16 @@ object DocStream {
         (col("chunk_idx") + 1).cast("long").as("pagenumber"))
   }
 
+  /** Streaming dedup: drop re-uploaded documents across micro-batches by
+    * content fingerprint — `dropDuplicates` on a stream keeps seen keys
+    * in the state store (the role the Cosmos status table plays for
+    * re-processing avoidance in the reference). Pair with a watermark
+    * upstream to bound state in production. */
+  def dedupByFingerprint(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn("__fp", graft.functions.TextFunctions.fingerprint(col(textCol)))
+      .dropDuplicates("__fp")
+      .drop("__fp")
+
   /** Start the ingest stream into a parquet vector store. `availableNow`
     * processes the backlog then stops (used by specs); production runs
     * with a processing-time trigger. */

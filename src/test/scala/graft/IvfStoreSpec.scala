@@ -1,0 +1,50 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.operators.IvfIndex
+
+class IvfStoreSpec extends SparkSpec {
+
+  test("persisted IVF index: partition-pruned search equals in-memory probing") {
+    val path = Files.createTempDirectory("ivf_index").toString
+    val e = Tables.embeddings(spark, sfDir)
+    val model = IvfIndex.train(e, k = 16, iters = 3)
+    IvfIndex.writeIndex(e, model, path)
+
+    // centroid sidecar round-trips
+    val back = IvfIndex.readModel(path)
+    assert(back.centroids.length == 16)
+    assert(back.centroids(0).zip(model.centroids(0)).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+
+    val q = e.where(col("vec_id") < 5).select(col("vec_id").as("qid"), col("embedding"))
+    val fromDisk = IvfIndex.searchIndex(spark, path, q, k = 3, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inMem = IvfIndex.topK(e, q, model, k = 3, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fromDisk == inMem)
+
+    // the probed search prunes partitions (cell IN (...) reaches the scan)
+    val plan = IvfIndex.searchIndex(spark, path, q, k = 3, nprobe = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || plan.contains("dynamicpruning"), plan.take(1500))
+  }
+
+  test("streaming dedup drops re-uploaded docs across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = graft.streaming.DocStream.dedupByFingerprint(docs).writeStream
+      .format("memory").queryName("dedup_stream_test").outputMode("append").start()
+    try {
+      input.addData((1L, "alpha beta"), (2L, "gamma delta"))
+      q.processAllAvailable()
+      input.addData((3L, "alpha beta"), (4L, "epsilon zeta"))  // 3 is a re-upload of 1's content
+      q.processAllAvailable()
+      val texts = spark.table("dedup_stream_test").select("text")
+        .collect().map(_.getString(0)).sorted.toSeq
+      assert(texts == Seq("alpha beta", "epsilon zeta", "gamma delta"))
+    } finally q.stop()
+  }
+}
