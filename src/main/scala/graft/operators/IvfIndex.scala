@@ -129,18 +129,26 @@ object IvfIndex {
   /** Persist an IVF index: corpus assigned to cells, written as parquet
     * partitioned BY CELL — a probed search then reads only the nprobe/k
     * fraction of the data via partition pruning (the on-disk analogue of
-    * an inverted file). Centroids ride along as a tiny JSON sidecar. */
+    * an inverted file). Centroids ride along as a tiny JSON sidecar,
+    * written through the Hadoop filesystem layer so hdfs://s3a://abfss
+    * index paths work the same as local ones. */
   def writeIndex(corpus: DataFrame, model: Model, path: String,
                  idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
     corpus.select(col(idCol), col(embCol), cellOf(col(embCol), model).as("cell"))
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
     val json = model.centroids.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(path, "_centroids.json"), json)
+    val p = new org.apache.hadoop.fs.Path(path, "_centroids.json")
+    val fs = p.getFileSystem(corpus.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
   }
 
-  def readModel(path: String): Model = {
-    val json = java.nio.file.Files.readString(java.nio.file.Paths.get(path, "_centroids.json"))
+  def readModel(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
+    val p = new org.apache.hadoop.fs.Path(path, "_centroids.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val json = try new String(in.readAllBytes(), "UTF-8") finally in.close()
     // minimal parser for [[d,d,...],...] written by writeIndex
     val rows = json.trim.stripPrefix("[").stripSuffix("]").split("\\],\\s*\\[")
       .map(_.stripPrefix("[").stripSuffix("]"))
@@ -148,18 +156,14 @@ object IvfIndex {
     Model(rows)
   }
 
-  /** Search a persisted index: only the probed cells' partitions are
-    * scanned (`cell IN (...)` prunes at the file listing). */
-  def searchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-                  queries: DataFrame, k: Int, nprobe: Int,
-                  idCol: String = "vec_id", embCol: String = "embedding",
-                  queryIdCol: String = "qid", scale: Int = 4): DataFrame = {
-    val model = readModel(path)
-    val corpus = spark.read.parquet(path)
+  /** Shared probe → score → per-query rerank tail of topK/searchIndex. */
+  private def probeAndRerank(assigned: DataFrame, queries: DataFrame, model: Model,
+                             k: Int, nprobe: Int, idCol: String, embCol: String,
+                             queryIdCol: String, scale: Int): DataFrame = {
     val probes = broadcast(
       queries.select(col(queryIdCol), col(embCol).as("__qemb"),
         explode(cellsOf(col(embCol), model, nprobe)).as("cell")))
-    val scored = corpus.join(probes, Seq("cell"))
+    val scored = assigned.join(probes, Seq("cell"))
       .select(col(queryIdCol), col(idCol),
         round(VectorFunctions.cosineSimilarity(col(embCol), col("__qemb")), scale).as("cos"))
     val w = Window.partitionBy(col(queryIdCol)).orderBy(col("cos").desc, col(idCol))
@@ -168,20 +172,28 @@ object IvfIndex {
       .select(col(queryIdCol), col(idCol), col("cos"), col("rn").cast("long").as("rn"))
   }
 
+  /** Search a persisted index. The probed cell set is computed up front
+    * and applied as a STATIC `cell IN (...)` filter — partition pruning
+    * is guaranteed at the file listing, not left to dynamic-pruning
+    * heuristics. (Queries are broadcast-small by contract, so collecting
+    * their ≤ |queries|·nprobe cell ids is driver-trivial.) */
+  def searchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                  queries: DataFrame, k: Int, nprobe: Int,
+                  idCol: String = "vec_id", embCol: String = "embedding",
+                  queryIdCol: String = "qid", scale: Int = 4): DataFrame = {
+    val model = readModel(spark, path)
+    val probedCells = queries
+      .select(explode(cellsOf(col(embCol), model, nprobe)).as("cell"))
+      .distinct().collect().map(_.getInt(0).asInstanceOf[Any])
+    val corpus = spark.read.parquet(path).where(col("cell").isin(probedCells: _*))
+    probeAndRerank(corpus, queries, model, k, nprobe, idCol, embCol, queryIdCol, scale)
+  }
+
   /** Approximate top-k: probe `nprobe` cells per query, exact rerank. */
   def topK(corpus: DataFrame, queries: DataFrame, model: Model, k: Int, nprobe: Int,
            idCol: String = "vec_id", embCol: String = "embedding",
            queryIdCol: String = "qid", scale: Int = 4): DataFrame = {
     val assigned = corpus.select(col(idCol), col(embCol), cellOf(col(embCol), model).as("cell"))
-    val probes = broadcast(
-      queries.select(col(queryIdCol), col(embCol).as("__qemb"),
-          explode(cellsOf(col(embCol), model, nprobe)).as("cell")))
-    val scored = assigned.join(probes, Seq("cell"))
-      .select(col(queryIdCol), col(idCol),
-        round(VectorFunctions.cosineSimilarity(col(embCol), col("__qemb")), scale).as("cos"))
-    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("cos").desc, col(idCol))
-    scored.withColumn("rn", row_number().over(w))
-      .where(col("rn") <= k)
-      .select(col(queryIdCol), col(idCol), col("cos"), col("rn").cast("long").as("rn"))
+    probeAndRerank(assigned, queries, model, k, nprobe, idCol, embCol, queryIdCol, scale)
   }
 }

@@ -42,8 +42,15 @@ object DocStream {
   /** Streaming dedup: drop re-uploaded documents across micro-batches by
     * content fingerprint — `dropDuplicates` on a stream keeps seen keys
     * in the state store (the role the Cosmos status table plays for
-    * re-processing avoidance in the reference). Pair with a watermark
-    * upstream to bound state in production. */
+    * re-processing avoidance in the reference).
+    *
+    * State note: keyed on fingerprint ALONE, state grows with the number
+    * of distinct documents forever — a watermark does NOT evict here
+    * (eviction requires the event-time column in the key set, or
+    * `dropDuplicatesWithinWatermark`). That is the correct semantic for
+    * ingest dedup ("never re-process, ever"); for bounded-window dedup
+    * use `dropDuplicatesWithinWatermark(\"__fp\")` on a watermarked
+    * stream instead. */
   def dedupByFingerprint(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn("__fp", graft.functions.TextFunctions.fingerprint(col(textCol)))
       .dropDuplicates("__fp")

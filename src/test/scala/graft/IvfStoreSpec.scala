@@ -13,7 +13,7 @@ class IvfStoreSpec extends SparkSpec {
     IvfIndex.writeIndex(e, model, path)
 
     // centroid sidecar round-trips
-    val back = IvfIndex.readModel(path)
+    val back = IvfIndex.readModel(spark, path)
     assert(back.centroids.length == 16)
     assert(back.centroids(0).zip(model.centroids(0)).forall { case (a, b) => math.abs(a - b) < 1e-12 })
 
@@ -24,10 +24,13 @@ class IvfStoreSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(fromDisk == inMem)
 
-    // the probed search prunes partitions (cell IN (...) reaches the scan)
+    // the probed search prunes partitions: the scan's PartitionFilters
+    // must be NON-empty (an empty "PartitionFilters: []" would mean a
+    // full index scan)
     val plan = IvfIndex.searchIndex(spark, path, q, k = 3, nprobe = 4)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") || plan.contains("dynamicpruning"), plan.take(1500))
+    val m = "PartitionFilters: \\[([^\\]]*)\\]".r.findFirstMatchIn(plan)
+    assert(m.exists(_.group(1).nonEmpty), plan.take(1500))
   }
 
   test("streaming dedup drops re-uploaded docs across micro-batches") {
