@@ -231,12 +231,11 @@ object QueriesAnalytics {
     "q_pivot" -> QueryDef(
       (s, d) => {
         val types = Seq("click", "error", "purchase", "signup", "view")
+        def countOf(t: String) =
+          sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$t")
         Tables.events(s, d)
           .groupBy(col("user_id"))
-          .agg(types.head match { case _ =>
-            sum(when(col("event_type") === types.head, 1L).otherwise(0L)).as(s"n_${types.head}")
-          }, types.tail.map(t =>
-            sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$t")): _*)
+          .agg(countOf(types.head), types.tail.map(countOf): _*)
           .orderBy(col("user_id"))
       },
       Some("""SELECT user_id,

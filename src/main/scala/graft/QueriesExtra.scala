@@ -59,13 +59,24 @@ object QueriesExtra {
              |FROM p ORDER BY doc_id""".stripMargin)),
 
     // Frame sampling over binary media (stride > frame ⇒ keyframe shape).
+    // frameSample operates on BYTES (the honest media semantic); DuckDB
+    // can't hash blob slices, so the gate feeds ASCII-sanitized content
+    // (bytes == chars) to keep the char-based oracle sound even if the
+    // corpus ever grows multi-byte text.
     "q_frame_sample" -> QueryDef(
-      (s, d) => BinaryPipeline.frameSample(
-          BinaryPipeline.asMedia(Tables.documents(s, d)), frameLen = 100, stride = 150)
-        .orderBy(col("doc_id"), col("frame_idx")),
-      Some("""SELECT doc_id, CAST(i AS BIGINT) AS frame_idx, CAST(i*150 AS BIGINT) AS byte_offset,
-             |  md5(substr(text, i*150 + 1, 100)) AS frame_md5
-             |FROM documents, unnest(range(0, greatest(1, CAST(ceil(length(text) / 150.0) AS INT)))) AS t(i)
+      (s, d) => {
+        val ascii = regexp_replace(col("text"), "[^\\x00-\\x7F]", "?")
+        val media = Tables.documents(s, d)
+          .select(col("doc_id"), encode(ascii, "UTF-8").as("content"),
+            struct(lit("application/pdf").as("media_type"),
+              length(ascii).cast("long").as("declared_bytes")).as("meta"))
+        BinaryPipeline.frameSample(media, frameLen = 100, stride = 150)
+          .orderBy(col("doc_id"), col("frame_idx"))
+      },
+      Some("""WITH a AS (SELECT doc_id, regexp_replace(text, '[^\x00-\x7F]', '?', 'g') AS t FROM documents)
+             |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx, CAST(i*150 AS BIGINT) AS byte_offset,
+             |  md5(substr(t, i*150 + 1, 100)) AS frame_md5
+             |FROM a, unnest(range(0, greatest(1, CAST(ceil(length(t) / 150.0) AS INT)))) AS t2(i)
              |ORDER BY doc_id, frame_idx""".stripMargin)),
 
     // HLL++ sketch — engine-specific estimator, so no cross-engine oracle;

@@ -42,6 +42,21 @@ abstract class VectorKernel extends BinaryExpression {
 
   protected def genGet(arr: String, e: Expression, i: String): String =
     if (elemType(e) == FloatType) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
+
+  /** pgvector raises on mismatched dimensions; silently truncating to the
+    * shorter side would return plausible-but-wrong similarities. */
+  @inline protected final def checkDims(n1: Int, n2: Int): Int = {
+    if (n1 != n2) throw new IllegalArgumentException(
+      s"$prettyName: vector dimensions differ ($n1 vs $n2)")
+    n1
+  }
+
+  protected def genCheckDims(a: String, b: String, n: String): String =
+    s"""int $n = $a.numElements();
+       |if ($n != $b.numElements()) {
+       |  throw new IllegalArgumentException(
+       |    "$prettyName: vector dimensions differ (" + $n + " vs " + $b.numElements() + ")");
+       |}""".stripMargin
 }
 
 /** Dot product (basis of pgvector `<#>`). */
@@ -51,7 +66,7 @@ case class VecDot(left: Expression, right: Expression) extends VectorKernel {
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
     val fx = elemType(left) == FloatType; val fy = elemType(right) == FloatType
-    val n = math.min(x.numElements(), y.numElements())
+    val n = checkDims(x.numElements(), y.numElements())
     var acc = 0.0; var i = 0
     while (i < n) { acc += get(x, fx, i) * get(y, fy, i); i += 1 }
     acc
@@ -61,7 +76,7 @@ case class VecDot(left: Expression, right: Expression) extends VectorKernel {
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n"); val i = ctx.freshName("i"); val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${genCheckDims(a, b, n)}
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $acc += ${genGet(a, left, i)} * ${genGet(b, right, i)};
@@ -81,7 +96,7 @@ case class VecL2Sq(left: Expression, right: Expression) extends VectorKernel {
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
     val fx = elemType(left) == FloatType; val fy = elemType(right) == FloatType
-    val n = math.min(x.numElements(), y.numElements())
+    val n = checkDims(x.numElements(), y.numElements())
     var acc = 0.0; var i = 0
     while (i < n) { val d = get(x, fx, i) - get(y, fy, i); acc += d * d; i += 1 }
     acc
@@ -92,7 +107,7 @@ case class VecL2Sq(left: Expression, right: Expression) extends VectorKernel {
       val n = ctx.freshName("n"); val i = ctx.freshName("i")
       val acc = ctx.freshName("acc"); val d = ctx.freshName("d")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${genCheckDims(a, b, n)}
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $d = ${genGet(a, left, i)} - ${genGet(b, right, i)};
@@ -114,13 +129,14 @@ case class VecCosine(left: Expression, right: Expression) extends VectorKernel {
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
     val fx = elemType(left) == FloatType; val fy = elemType(right) == FloatType
-    val n = math.min(x.numElements(), y.numElements())
+    val n = checkDims(x.numElements(), y.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
       val xv = get(x, fx, i); val yv = get(y, fy, i)
       dot += xv * yv; na += xv * xv; nb += yv * yv; i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -128,15 +144,17 @@ case class VecCosine(left: Expression, right: Expression) extends VectorKernel {
       val n = ctx.freshName("n"); val i = ctx.freshName("i")
       val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
       val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      val den = ctx.freshName("den")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${genCheckDims(a, b, n)}
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $xv = ${genGet(a, left, i)};
          |  double $yv = ${genGet(b, right, i)};
          |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |double $den = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |${ev.value} = ($den == 0.0) ? 0.0 : $dot / $den;
        """.stripMargin
     })
 

@@ -36,10 +36,4 @@ object VectorFunctions {
   /** pgvector `<=>` (cosine distance = 1 - cosine similarity). */
   def cosineDistance(a: Column, b: Column): Column =
     lit(1.0) - cosineSimilarity(a, b)
-
-  /** L2-normalize an embedding, returning array<double> (cold path — HOF ok). */
-  def l2Normalize(a: Column): Column = {
-    val dd = a.cast("array<double>")
-    transform(dd, x => x / norm(a))
-  }
 }

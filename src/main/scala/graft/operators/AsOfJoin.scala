@@ -23,9 +23,18 @@ object AsOfJoin {
            leftTime: String, rightTime: String): DataFrame = {
     val lCols = left.columns
     val rCols = right.columns
-    val l2 = left.select(col(leftKey).as("__key"), col(leftTime).cast("long").as("__time"),
+    // Timestamp inputs must keep sub-second precision — casting them to
+    // long truncates to whole seconds and can match a right row up to 1s
+    // AFTER the left time. Integral inputs stay long (casting 64-bit
+    // nanos to double would lose precision instead).
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val timey = Set[org.apache.spark.sql.types.DataType](TimestampType, TimestampNTZType)
+    val timeType =
+      if (timey.contains(left.schema(leftTime).dataType) ||
+          timey.contains(right.schema(rightTime).dataType)) "double" else "long"
+    val l2 = left.select(col(leftKey).as("__key"), col(leftTime).cast(timeType).as("__time"),
       lit(1).as("__tag"), struct(lCols.toSeq.map(col): _*).as("__l"))
-    val r2 = right.select(col(rightKey).as("__key"), col(rightTime).cast("long").as("__time"),
+    val r2 = right.select(col(rightKey).as("__key"), col(rightTime).cast(timeType).as("__time"),
       lit(0).as("__tag"), struct(rCols.toSeq.map(col): _*).as("__r"))
     val unioned = l2.withColumn("__r", lit(null).cast(r2.schema("__r").dataType))
       .unionByName(r2.withColumn("__l", lit(null).cast(l2.schema("__l").dataType)))

@@ -105,7 +105,6 @@ object IvfIndex {
     * driver for init (k×dim doubles — trivial). */
   def train(corpus: DataFrame, k: Int, iters: Int = 5,
             idCol: String = "vec_id", embCol: String = "embedding"): Model = {
-    val dim = corpus.select(size(col(embCol))).head().getInt(0)
     var centroids: Array[Array[Double]] = corpus
       .orderBy(col(idCol)).limit(k)
       .select(col(embCol).cast("array<double>")).collect()

@@ -12,9 +12,17 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
+  private val SupportedJoins = Set("inner", "left", "left_outer", "leftouter",
+    "left_semi", "leftsemi", "left_anti", "leftanti")
+
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  salt: Int = 8, joinType: String = "inner"): DataFrame = {
     require(salt >= 1)
+    // right/full outer would emit `salt` null-extended copies of every
+    // unmatched (replicated) small row — semantically wrong, so rejected
+    require(SupportedJoins.contains(joinType.toLowerCase.replace("_", "")) ||
+      SupportedJoins.contains(joinType.toLowerCase),
+      s"saltedJoin supports inner/left/left_semi/left_anti, got $joinType")
     // deterministic spread: hash the full row's key + a physical row id
     val saltedBig = big.withColumn("__salt",
       pmod(xxhash64(col(key), monotonically_increasing_id()), lit(salt)))

@@ -48,7 +48,9 @@ object Embedder {
     * `usageTokens` (optional accumulator) tallies whitespace tokens sent
     * to the "model" — the reference logs prompt-token usage per call
     * (Function.java:192-194); an accumulator is the distributed
-    * equivalent. */
+    * equivalent. NOTE: updated inside a transformation, so task retries /
+    * speculative duplicates can over-count — treat as telemetry (an upper
+    * bound), not billing-grade accounting. */
   def embed(df: DataFrame, textCol: String = "chunk", dim: Int = 64,
             batchSize: Int = 32, outCol: String = "embedding",
             usageTokens: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {

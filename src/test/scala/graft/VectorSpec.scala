@@ -21,6 +21,23 @@ class VectorSpec extends SparkSpec {
     assert(math.abs(one(Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0), innerProduct) - 32.0) < 1e-12)
   }
 
+  test("zero vectors get cosine similarity 0 (not NaN), so they never outrank real neighbors") {
+    val z = Seq(0.0, 0.0, 0.0); val v = Seq(1.0, 2.0, 3.0)
+    assert(one(z, v, cosineSimilarity) == 0.0)
+    assert(one(z, z, cosineSimilarity) == 0.0)
+    assert(one(v, z, cosineDistance) == 1.0)
+  }
+
+  test("mismatched dimensions throw (pgvector semantics), not silently truncate") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(innerProduct(col("a"), col("b"))).collect()
+    }
+    def root(t: Throwable): Throwable = if (t.getCause == null) t else root(t.getCause)
+    assert(root(e).getMessage.contains("dimensions differ"), e.getMessage)
+  }
+
   test("knn self-query returns itself first at distance 0") {
     val e = Tables.embeddings(spark, sfDir)
     val top = Knn.topK(e, e.where(col("vec_id") === 7), Knn.L2, 3).collect()
