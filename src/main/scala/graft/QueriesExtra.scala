@@ -26,6 +26,17 @@ object QueriesExtra {
       },
       None),
 
+    // Deterministic hash-bucket sampling — reproducible subsets at any
+    // partitioning; the exact md5-bucket construction replays in DuckDB.
+    "q_sample_hash" -> QueryDef(
+      (s, d) => graft.operators.Sampling
+        .deterministicSample(Tables.documents(s, d), "doc_id", percent = 10)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM documents
+             |WHERE ('0x' || substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 10
+             |ORDER BY doc_id""".stripMargin)),
+
     // IVF ANN (trained coarse quantizer) — approximate, rows-only; recall
     // is spec-gated (ApproxOpsSpec).
     "q_ann_ivf" -> QueryDef(

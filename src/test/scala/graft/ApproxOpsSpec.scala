@@ -74,6 +74,19 @@ class ApproxOpsSpec extends SparkSpec {
     assert(found.subsetOf(exact))
   }
 
+  test("deterministic sampling: split is disjoint+complete and stable under repartitioning") {
+    import graft.operators.Sampling
+    val docs = Tables.documents(spark, sfDir)
+    val (train, test) = Sampling.trainTestSplit(docs, "doc_id", testPercent = 20)
+    assert(train.count() + test.count() == 500)
+    assert(train.join(test, "doc_id").count() == 0)
+    val t1 = test.select("doc_id").collect().map(_.getLong(0)).toSet
+    val (_, test2) = Sampling.trainTestSplit(docs.repartition(13), "doc_id", testPercent = 20)
+    assert(test2.select("doc_id").collect().map(_.getLong(0)).toSet == t1)
+    // rate is approximately right (hash uniformity)
+    assert(math.abs(t1.size - 100) < 40, s"test size ${t1.size}")
+  }
+
   test("approx_count_distinct within 5% of exact") {
     val ev = Tables.events(spark, sfDir)
     val cmp = ev.groupBy(col("event_type"))
