@@ -34,7 +34,10 @@ object GraftFunctions {
       if (es.length > 1) intLit(es(1), "n") else 3)),
     "minhash_sig" -> (es => MinHashSigExpr(es.head,
       if (es.length > 1) intLit(es(1), "numPerm") else 16)),
-    "simhash64" -> (es => SimHashExpr(es.head)))
+    "simhash64" -> (es => SimHashExpr(es.head)),
+    "chunk_text" -> (es => graft.functions.ChunkTextExpr(es.head,
+      if (es.length > 1) intLit(es(1), "maxLen") else 7500,
+      if (es.length > 2) intLit(es(2), "lookback") else 300)))
 
   /** Register on a live session (temp functions). */
   def register(spark: SparkSession): Unit = all.foreach { case (name, builder) =>

@@ -48,17 +48,16 @@ object PdfPipeline {
       .toDF()
   }
 
-  /** Normalized text → (chunk_idx, chunk) rows via the reference chunker.
-    * The iterative splitter runs as a UDF on the ingest cold path only. */
+  /** Normalized text → (chunk_idx, chunk) rows via the reference chunker
+    * (native expression — no ScalaUDF row serialization). */
   def chunkRows(docs: DataFrame, maxLen: Int = 7500, lookback: Int = 300,
-                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val chunker = udf((t: String) => TextFunctions.chunkText(t, maxLen, lookback))
-    docs.select(col(idCol), col("*"))
-      .withColumn("__chunks", chunker(TextFunctions.normalizeText(col(textCol))))
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("__chunks", graft.functions.ChunkExpressions.chunkText(
+        TextFunctions.normalizeText(col(textCol)), maxLen, lookback))
       .select(col(idCol), col("source"),
         posexplode(col("__chunks")).as(Seq("chunk_idx", "chunk")))
       .select(col(idCol), col("source"), col("chunk_idx").cast("long").as("chunk_idx"), col("chunk"))
-  }
 
   /** Reference status lifecycle values
     * (models/CosmosDBDocumentStatus.java:1-20). */

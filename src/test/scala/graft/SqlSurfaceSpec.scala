@@ -22,6 +22,7 @@ class SqlSurfaceSpec extends SparkSpec {
       .head().getInt(0) == 8)
     assert(spark.sql("SELECT simhash64(word_shingles('x y z w', 3)) h").head().getLong(0) ==
       spark.sql("SELECT simhash64(word_shingles('x y z w', 3)) h").head().getLong(0))
+    assert(spark.sql("SELECT size(chunk_text('aaaaaaaa.bbbbbbbb', 10, 4)) n").head().getInt(0) == 2)
   }
 
   test("extensions class injects without error") {
