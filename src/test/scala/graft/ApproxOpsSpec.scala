@@ -110,7 +110,5 @@ class ApproxOpsSpec extends SparkSpec {
       .select(col("qid"), col("vec_id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (approx & exact).size.toDouble / exact.size
     assert(recall >= 0.9, s"recall=$recall")
-    // and the candidate generation actually prunes vs all pairs
-    assert(approx.size <= exact.size)
   }
 }

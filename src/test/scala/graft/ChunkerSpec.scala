@@ -39,6 +39,7 @@ class ChunkerSpec extends SparkSpec {
   test("all but the last chunk respect maxLen") {
     val t = "word. " * 3000
     val chunks = TextFunctions.chunkText(t, 200, 60)
+    assert(chunks.length > 1, "input must actually split")
     assert(chunks.init.forall(_.length <= 200))
   }
 }

@@ -30,6 +30,7 @@ class DedupSpec extends SparkSpec {
 
   test("embedding near-dup is symmetric-free (id1 < id2) and thresholded") {
     val res = Dedup.embeddingNearDup(Tables.embeddings(spark, sfDir), 0.4).collect()
+    assert(res.nonEmpty)
     assert(res.forall(r => r.getLong(0) < r.getLong(1)))
     assert(res.forall(_.getDouble(2) >= 0.4))
   }

@@ -10,8 +10,13 @@ class PipelineSpec extends SparkSpec {
   test("page extraction round-trips the document text") {
     val pages = PdfPipeline.extractPages(
       docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("content")), pageSize = 200)
+    // every document must be covered (inner join below would hide drops)
+    assert(pages.select(countDistinct(col("doc_id"))).head().getLong(0) == 500L)
+    // rebuild in explicit page order — collect_list order is not contractual
     val joined = pages.groupBy(col("doc_id"))
-      .agg(concat_ws("", collect_list(col("page_text"))).as("rebuilt"))
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("page_no"), col("page_text")))),
+        s => s.getField("page_text")), "").as("rebuilt"))
       .join(docs, "doc_id")
       .where(col("rebuilt") =!= col("text"))
     assert(joined.count() == 0)
@@ -29,6 +34,7 @@ class PipelineSpec extends SparkSpec {
   test("status table: deterministic ids, lifecycle values only, registered+failed partition it") {
     val st = PdfPipeline.statusTable(PdfPipeline.chunkRows(docs, 200, 60)).cache()
     val n = st.count()
+    assert(n > 500, s"expected one row per chunk of 500 multi-chunk docs, got $n")
     assert(st.select("id").distinct().count() == n)
     val statuses = st.select("status").distinct().collect().map(_.getString(0)).toSet
     assert(statuses.subsetOf(PdfPipeline.Statuses.toSet))

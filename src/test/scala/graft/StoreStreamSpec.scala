@@ -27,10 +27,12 @@ class StoreStreamSpec extends SparkSpec {
     val anyId = rows.select("id").head().getString(0)
     val hit = VectorStore.lookup(spark, out, anyId, numBuckets = 8)
     assert(hit.count() == 1)
-    // partition pruning visible in the plan
+    // partition pruning visible in the plan: the filter list must be
+    // NON-empty (an empty "PartitionFilters: []" would mean a full scan)
     val plan = VectorStore.lookup(spark, out, anyId, numBuckets = 8)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters"), plan.take(1500))
+    val pf = "PartitionFilters: \\[([^\\]]*)\\]".r.findFirstMatchIn(plan)
+    assert(pf.exists(_.group(1).nonEmpty), plan.take(1500))
   }
 
   test("streaming ingest: file-source backlog → chunk+embed → parquet store") {
@@ -44,6 +46,6 @@ class StoreStreamSpec extends SparkSpec {
     assert(res.count() >= 50)
     assert(res.columns.sorted.toSeq ==
       Seq("embedding", "filename", "id", "origntext", "pagenumber"))
-    assert(res.select(size(col("embedding"))).distinct().head().getInt(0) == 64)
+    assert(res.select(size(col("embedding"))).distinct().collect().map(_.getInt(0)).toSeq == Seq(64))
   }
 }

@@ -2,7 +2,7 @@ package graft
 
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, hour}
 import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.EventStream
 import graft.streaming.EventStream.{Event, SessionSnapshot}
@@ -18,12 +18,15 @@ class StreamingAggSpec extends SparkSpec {
       .format("memory").queryName("hourly_test").outputMode("complete").start()
     try {
       def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
-      input.addData((t(10, 5), "click", 1.0), (t(10, 40), "click", 2.0), (t(11, 10), "view", 3.0))
+      // same event type in two different hours — asserts the WINDOW key,
+      // not just the type grouping
+      input.addData((t(10, 5), "click", 1.0), (t(10, 40), "click", 2.0),
+        (t(11, 10), "click", 4.0), (t(11, 20), "view", 3.0))
       q.processAllAvailable()
       val rows = spark.table("hourly_test")
-        .select($"event_type", $"n", $"sum_value").collect()
-        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
-      assert(rows == Set(("click", 2L, 3.0), ("view", 1L, 3.0)))
+        .select(hour($"hour_start"), $"event_type", $"n", $"sum_value").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(rows == Set((10, "click", 2L, 3.0), (11, "click", 1L, 4.0), (11, "view", 1L, 3.0)))
     } finally q.stop()
   }
 
