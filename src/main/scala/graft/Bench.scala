@@ -6,10 +6,10 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.create(s"local[$cpus]", cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
-    // warm the session (codegen pipeline, parquet footer reads) so
-    // per-query timings reflect steady state, not JVM startup
-    spark.range(100000).selectExpr("md5(cast(id as string)) h")
-      .where("h is not null").count()
+    // warm the session (codegen pipeline, shuffle machinery, parquet
+    // footer reads) so per-query timings reflect steady state
+    spark.range(100000).selectExpr("md5(cast(id as string)) h", "id % 64 b")
+      .groupBy("b").count().count()
     SparkEntry.queries.get("q_ingest_docs").foreach(fn =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () })
     var failed = List.empty[String]
