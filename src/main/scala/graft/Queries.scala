@@ -19,7 +19,7 @@ object Queries {
 
   /** Canonical-text expression, oracle side (mirrors TextFunctions.canonicalText). */
   private val canonSql =
-    """lower(trim(regexp_replace(replace(text, chr(10), ' '), '\s{2,}', ' ', 'g')))"""
+    """lower(trim(regexp_replace(replace(text, chr(10), ' '), '[\s\x0b]{2,}', ' ', 'g')))"""
 
   def defs: Map[String, QueryDef] =
     coreDefs ++ QueriesPipeline.defs ++ QueriesAnalytics.defs ++ QueriesExtra.defs ++ QueriesAdvanced.defs
@@ -89,8 +89,8 @@ object Queries {
           md5(normalizeText(col("text"))).as("norm_md5"))
         .orderBy(col("doc_id")),
       Some("""SELECT doc_id,
-             |  length(regexp_replace(replace(text, chr(10), ' '), '\s{2,}', ' ', 'g')) AS norm_len,
-             |  md5(regexp_replace(replace(text, chr(10), ' '), '\s{2,}', ' ', 'g')) AS norm_md5
+             |  length(regexp_replace(replace(text, chr(10), ' '), '[\s\x0b]{2,}', ' ', 'g')) AS norm_len,
+             |  md5(regexp_replace(replace(text, chr(10), ' '), '[\s\x0b]{2,}', ' ', 'g')) AS norm_md5
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // ── §2.2 exact dedup (corpus ∪ re-crawled copy) ──────────────────

@@ -107,8 +107,10 @@ object QueriesAnalytics {
         val w = Window.partitionBy(col("l_partkey"))
         Tables.lineitem(s, d)
           .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+          // threshold rounded so the filter boundary is not sensitive to
+          // engine-specific double summation order in avg()
           .withColumn("avg_qty", avg(col("l_quantity")).over(w))
-          .where(col("l_quantity") < lit(0.2) * col("avg_qty"))
+          .where(col("l_quantity") < round(lit(0.2) * col("avg_qty"), 6))
           .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"),
             count(lit(1)).cast("long").as("n"))
           .select(col("avg_yearly"), col("n"))
@@ -117,7 +119,7 @@ object QueriesAnalytics {
              |FROM (SELECT l_extendedprice, l_quantity,
              |        avg(l_quantity) OVER (PARTITION BY l_partkey) AS avg_qty
              |      FROM lineitem)
-             |WHERE l_quantity < 0.2 * avg_qty""".stripMargin)),
+             |WHERE l_quantity < round(0.2 * avg_qty, 6)""".stripMargin)),
 
     "q_window_topn" -> QueryDef(
       (s, d) => {
@@ -203,9 +205,9 @@ object QueriesAnalytics {
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
         .orderBy(col("event_type")),
       Some("""SELECT event_type, count(*) AS n,
-             |  round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
-             |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
-             |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+             |  round(avg(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+             |  min(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+             |  max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // set operations (INTERSECT / EXCEPT) over derived keysets

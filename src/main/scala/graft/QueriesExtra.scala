@@ -60,7 +60,7 @@ object QueriesExtra {
             md5(array_join(col("__fp"), "|")).as("fp_hash"))
           .orderBy(col("doc_id"))
       },
-      Some("""WITH c AS (SELECT doc_id, lower(trim(regexp_replace(replace(text, chr(10), ' '), '\s{2,}', ' ', 'g'))) AS t FROM documents),
+      Some("""WITH c AS (SELECT doc_id, lower(trim(regexp_replace(replace(text, chr(10), ' '), '[\s\x0b]{2,}', ' ', 'g'))) AS t FROM documents),
              |h AS (SELECT doc_id, CASE WHEN length(t) < 8 THEN [md5(t)]
              |  ELSE [md5(substr(t, i, 8)) for i in range(1, length(t)-8+2)] END AS hs FROM c),
              |p AS (SELECT doc_id, CASE WHEN len(hs) < 4 THEN [list_min(hs)]

@@ -14,14 +14,14 @@ import graft.pipeline.{Embedder, PdfPipeline}
 object QueriesPipeline {
 
   private val canon =
-    """lower(trim(regexp_replace(replace(text, chr(10), ' '), '\s{2,}', ' ', 'g')))"""
+    """lower(trim(regexp_replace(replace(text, chr(10), ' '), '[\s\x0b]{2,}', ' ', 'g')))"""
 
   /** DuckDB replay of TextFunctions.chunkText as a recursive CTE
     * (validated char-for-char against the reference algorithm). */
   private def chunkCte(maxLen: Int, lb: Int): String = {
     val start = maxLen - lb
     s"""WITH RECURSIVE norm AS (
-       |  SELECT doc_id, regexp_replace(replace(text, chr(10), ' '), '\\s{2,}', ' ', 'g') AS t FROM documents
+       |  SELECT doc_id, regexp_replace(replace(text, chr(10), ' '), '[\\s\\x0b]{2,}', ' ', 'g') AS t FROM documents
        |), ch(doc_id, idx, chunk, rest) AS (
        |  SELECT doc_id, -1, CAST(NULL AS VARCHAR), t FROM norm
        |  UNION ALL
@@ -67,9 +67,14 @@ object QueriesPipeline {
        |), bands AS (
        |  SELECT doc_id, CAST(b AS BIGINT) AS band_id, md5(sig[b*2+1] || '|' || sig[b*2+2]) AS band_key
        |  FROM sig, unnest(range(0, 8)) AS t(b)
+       |), ok AS (
+       |  -- mirrors Dedup.candidatePairs' maxBucket=1000 degenerate-bucket guard
+       |  SELECT band_id, band_key FROM bands GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 1000
        |), cand AS (
        |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-       |  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |  FROM bands a
+       |  JOIN ok USING (band_id, band_key)
+       |  JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
        |), ver AS (
        |  SELECT id1, id2,
        |    round(len(list_intersect(s1.sh, s2.sh))::DOUBLE
@@ -237,7 +242,7 @@ object QueriesPipeline {
           PromptFunctions.summaryPrompt(TextFunctions.normalizeText(col("text")),
             lit("vector search")).as("prompt"))
         .orderBy(col("doc_id")),
-      Some("SELECT doc_id, '" + "\"\"\" ' || regexp_replace(replace(text, chr(10), ' '), '\\s{2,}', ' ', 'g') || ' \"\"\" ' || chr(10) || chr(10) || '" +
+      Some("SELECT doc_id, '" + "\"\"\" ' || regexp_replace(replace(text, chr(10), ' '), '[\\s\\x0b]{2,}', ' ', 'g') || ' \"\"\" ' || chr(10) || chr(10) || '" +
         "こちらのドキュメントの中から \"vector search\" に関して説明している箇所を抜き出してください。' AS prompt " +
         "FROM documents ORDER BY doc_id")),
 
@@ -407,10 +412,12 @@ object QueriesPipeline {
         Tables.documents(s, d)
           .select(col("doc_id"),
             TextFunctions.wsTokenCount(c).cast("long").as("n_words"),
+            // nullif guards: Spark 0/0 → NULL, DuckDB 0/0 → NaN; with a
+            // NULL divisor both engines agree on NULL for empty text
             round(LangFunctions.punctCount(c).cast("double")
-              / length(TextFunctions.canonicalText(c)), 6).as("punct_ratio"),
+              / nullif(length(TextFunctions.canonicalText(c)), lit(0)), 6).as("punct_ratio"),
             round(TextFunctions.stopwordHits(c, LangFunctions.EnStop).cast("double")
-              / TextFunctions.wsTokenCount(c), 6).as("stop_ratio"),
+              / nullif(TextFunctions.wsTokenCount(c), lit(0)), 6).as("stop_ratio"),
             LangFunctions.qualityScore(c).as("quality"))
           .orderBy(col("doc_id"))
       },
@@ -421,8 +428,8 @@ object QueriesPipeline {
               |  len(regexp_extract_all($canon, '\\b(the|and|of|to|in|is|for|with)\\b')) AS stop
               |FROM documents)
               |SELECT doc_id, CAST(words AS BIGINT) AS n_words,
-              |  round(punct::DOUBLE / chars, 6) AS punct_ratio,
-              |  round(stop::DOUBLE / words, 6) AS stop_ratio,
+              |  round(punct::DOUBLE / nullif(chars, 0), 6) AS punct_ratio,
+              |  round(stop::DOUBLE / nullif(words, 0), 6) AS stop_ratio,
               |  round((CASE WHEN words >= 20 AND words <= 1000 THEN 0.4 ELSE 0.0 END)
               |      + (CASE WHEN stop::DOUBLE / words >= 0.05 THEN 0.3 ELSE 0.0 END)
               |      + (CASE WHEN punct::DOUBLE / chars <= 0.1 THEN 0.3 ELSE 0.0 END), 1) AS quality

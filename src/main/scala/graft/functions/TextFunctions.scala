@@ -16,7 +16,7 @@ object TextFunctions {
     * collapse runs of whitespace
     * (BlobUploadDetector/src/main/java/com/yoshio3/Function.java:106-107). */
   def normalizeText(c: Column): Column =
-    regexp_replace(regexp_replace(c, "\n", " "), "\\s{2,}", " ")
+    regexp_replace(regexp_replace(c, "\n", " "), "[\\s\\x0B]{2,}", " ")
 
   /** The reference's chunk-splitting punctuation set (Function.java:248-251). */
   val PunctSet: Set[Char] = Set('.', '。', ';', '；', '!', '！', '?', '？')

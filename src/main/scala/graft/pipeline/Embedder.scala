@@ -22,7 +22,9 @@ object Embedder {
   def embedText(text: String, dim: Int): Array[Float] = {
     val v = new Array[Float](dim)
     var i = 0
-    val tokens = text.toLowerCase.split("\\s+")
+    // Locale.ROOT: default-locale lowercasing (e.g. tr_TR dotless-i)
+    // would make the embedding JVM-locale-dependent
+    val tokens = text.toLowerCase(java.util.Locale.ROOT).split("\\s+")
     while (i < tokens.length) {
       val h = MurmurHash3.stringHash(tokens(i))
       val b = ((h % dim) + dim) % dim
