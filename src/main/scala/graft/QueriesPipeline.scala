@@ -343,6 +343,19 @@ object QueriesPipeline {
              |ORDER BY qid, rn""".stripMargin)),
 
     // ── text analysis ────────────────────────────────────────────────
+    // Vocabulary building: corpus-wide token frequencies (the precursor
+    // to tokenizer training) — explode + one groupBy, map-side combine.
+    "q_vocab" -> QueryDef(
+      (s, d) => Tables.documents(s, d)
+        .select(explode(split(TextFunctions.canonicalText(col("text")), " ")).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).cast("long").as("freq"))
+        .orderBy(col("freq").desc, col("token"))
+        .limit(30),
+      Some(s"""SELECT token, count(*) AS freq
+              |FROM (SELECT unnest(string_split($canon, ' ')) AS token FROM documents)
+              |GROUP BY token ORDER BY freq DESC, token LIMIT 30""".stripMargin)),
+
     // PII redaction over docs with injected (deterministic) PII so the
     // patterns actually fire on the synthetic corpus
     "q_pii_redact" -> QueryDef(
