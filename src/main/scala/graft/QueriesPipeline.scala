@@ -1,10 +1,11 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Queries.QueryDef
 import graft.functions.{LangFunctions, PromptFunctions, TextFunctions, VectorFunctions}
 import graft.operators.{Dedup, Knn}
-import graft.pipeline.{Embedder, PdfPipeline}
+import graft.pipeline.{Embedder, PdfPipeline, Summarizer}
 
 /** SURVEY.md §2.1 pipeline + §2.2 dedup/text-analysis query gates.
   * Chunking parameters are scaled (maxLen=200, lookback=60 vs the
@@ -52,6 +53,87 @@ object QueriesPipeline {
 
   private def docsChunks(s: org.apache.spark.sql.SparkSession, d: String) =
     PdfPipeline.chunkRows(Tables.documents(s, d), maxLen = 200, lookback = 60)
+
+  /** Shared end-to-end search: normalize → chunk → md5-featurizer embed →
+    * cosine top-5 vs chunk cid=0. One map-side-combined shuffle for the
+    * bucket votes; the L2 norm is a window over the ≤16 bucket rows per
+    * chunk (the post-aggregation exchange is ≤16 rows/chunk), and the
+    * query side is broadcast — no second groupBy, no norms join. */
+  private def e2eHits(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val chunks = docsChunks(s, d)
+      .select((col("doc_id") * 100 + col("chunk_idx")).as("cid"), col("chunk"))
+    val toks = chunks.select(col("cid"),
+      explode(split(lower(trim(col("chunk"))), " ")).as("tok"))
+    val h = toks.select(col("cid"),
+      expr("cast(conv(substr(md5(tok), 1, 8), 16, 10) as bigint)").as("h"))
+    val v = h.select(col("cid"), (col("h") % 16).as("b"),
+        when((expr("h div 16") % 2) === 0, 1.0).otherwise(-1.0).as("sgn"))
+      .groupBy(col("cid"), col("b")).agg(sum(col("sgn")).as("v"))
+      .withColumn("n", sqrt(sum(col("v") * col("v")).over(Window.partitionBy(col("cid")))))
+    val q = v.where(col("cid") === 0)
+      .select(col("b"), col("v").as("qv"), col("n").as("nq"))
+    v.join(broadcast(q), "b")
+      .groupBy(col("cid"))
+      .agg(sum(col("v") * col("qv")).as("dot"), max(col("n")).as("n"), max(col("nq")).as("nq"))
+      .where(col("n") > 0)
+      .select(col("cid"), round(col("dot") / (col("n") * col("nq")), 4).as("cos"))
+      .orderBy(col("cos").desc, col("cid")).limit(5)
+  }
+
+  /** The reference's full serve loop, per hit: top-5 search → chunk text +
+    * blob metadata join-back (hits broadcast) → summary prompt →
+    * deterministic extractive summary
+    * (SSEOpenAIController.java:142-198). */
+  private def servedHits(s: org.apache.spark.sql.SparkSession, d: String,
+                         query: String): org.apache.spark.sql.DataFrame = {
+    val chunks = docsChunks(s, d)
+      .select(col("doc_id"), col("source"), col("chunk_idx"),
+        (col("doc_id") * 100 + col("chunk_idx")).as("cid"), col("chunk"))
+    val fileName = concat(col("source"), lit("_"), col("doc_id"), lit(".pdf"))
+    val page = (col("chunk_idx") + 1).cast("long")
+    chunks.join(broadcast(e2eHits(s, d)), "cid")
+      .select(col("cid"), col("cos"),
+        fileName.as("filename"), page.as("pagenumber"),
+        md5(concat(fileName, lit("#"), page)).as("id"),
+        PromptFunctions.blobPageUrl(lit("documentsearch1"), lit("pdfs"), fileName, page).as("url"),
+        md5(PromptFunctions.summaryPrompt(col("chunk"), lit(query))).as("prompt_md5"),
+        Summarizer.extractiveSummary(col("chunk"), query).as("summary"))
+  }
+
+  /** DuckDB replay of the full serve loop (chunk → embed → top-5 → prompt
+    * → KWIC summary), ending in a `served` CTE. */
+  private def serveCte(query: String): String = {
+    val q3 = "\"\"\""
+    chunkCte(200, 60) + s""",
+       |ch2 AS (SELECT doc_id, chunk_idx, doc_id*100 + chunk_idx AS cid, chunk FROM chunks),
+       |t AS (SELECT cid, unnest(string_split(lower(trim(chunk)), ' ')) AS tok FROM ch2),
+       |hh AS (SELECT cid, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM t),
+       |v AS (SELECT cid, h % 16 AS b,
+       |        sum(CASE WHEN (h // 16) % 2 = 0 THEN 1.0 ELSE -1.0 END) AS v
+       |      FROM hh GROUP BY 1, 2),
+       |vn AS (SELECT cid, b, v, sqrt(sum(v*v) OVER (PARTITION BY cid)) AS n FROM v),
+       |q AS (SELECT b, v AS qv, n AS nq FROM vn WHERE cid = 0),
+       |hits AS (
+       |  SELECT a.cid, round(sum(a.v * q.qv) / (max(a.n) * max(q.nq)), 4) AS cos
+       |  FROM vn a JOIN q USING (b) GROUP BY a.cid
+       |  HAVING max(a.n) > 0 ORDER BY cos DESC, a.cid LIMIT 5),
+       |serve AS (
+       |  SELECT h.cid, h.cos, c.chunk,
+       |    d.source || '_' || c.doc_id || '.pdf' AS filename,
+       |    CAST(c.chunk_idx + 1 AS BIGINT) AS pagenumber
+       |  FROM hits h JOIN ch2 c ON c.cid = h.cid JOIN documents d ON d.doc_id = c.doc_id),
+       |served AS (
+       |  SELECT cid, cos, filename, pagenumber,
+       |    md5(filename || '#' || pagenumber) AS id,
+       |    'https://documentsearch1.blob.core.windows.net/pdfs/' || filename || '#page=' || pagenumber AS url,
+       |    md5('$q3 ' || chunk || ' $q3 ' || chr(10) || chr(10) ||
+       |        'こちらのドキュメントの中から "$query" に関して説明している箇所を抜き出してください。') AS prompt_md5,
+       |    -- coalesce: DuckDB array_to_string([]) is NULL, Spark array_join is ''
+       |    substr(coalesce(array_to_string(regexp_extract_all(
+       |      lower(trim(regexp_replace(replace(chunk, chr(10), ' '), '[\\s\\x0b]{2,}', ' ', 'g'))),
+       |      '(\\S+ ){0,4}$query( \\S+){0,4}'), ' ... '), ''), 1, 300) AS summary
+       |  FROM serve)""".stripMargin
+  }
 
   /** MinHash/shingle CTE prefix (mirrors TextFunctions.wordShingles +
     * Dedup.minhashSignature/bandKeys with numPerm=16, bands=8, r=2). */
@@ -124,7 +206,11 @@ object QueriesPipeline {
     // buckets/signs (cross-engine reproducible: hex→int via Spark conv /
     // DuckDB '0x' cast), L2-normalized, sparse (doc_id, bucket, val) rows.
     // This is the distributed featurizer formulation: explode tokens →
-    // one groupBy — partial aggregation does the heavy lifting.
+    // one map-side-combined groupBy carries the heavy lifting; the L2 norm
+    // is a window over the ≤dim bucket rows per doc (the post-shuffle
+    // exchange is ≤dim rows/doc), replacing a second groupBy + join.
+    // Window sums are over INTEGER-valued votes, so the result is
+    // bit-identical to the aggregate formulation.
     "q_embed_md5" -> QueryDef(
       (s, d) => {
         val dim = 16
@@ -135,8 +221,9 @@ object QueriesPipeline {
         val votes = toks.select(col("doc_id"), (col("h") % dim).as("b"),
             when((expr(s"h div $dim") % 2) === 0, 1.0).otherwise(-1.0).as("sgn"))
           .groupBy(col("doc_id"), col("b")).agg(sum(col("sgn")).as("v"))
-        val norms = votes.groupBy(col("doc_id")).agg(sqrt(sum(col("v") * col("v"))).as("n"))
-        votes.join(norms, "doc_id").where(col("n") > 0)
+        votes
+          .withColumn("n", sqrt(sum(col("v") * col("v")).over(Window.partitionBy(col("doc_id")))))
+          .where(col("n") > 0)
           .select(col("doc_id"), col("b").cast("long").as("bucket"), round(col("v") / col("n"), 4).as("val"))
           .orderBy(col("doc_id"), col("bucket"))
       },
@@ -158,26 +245,7 @@ object QueriesPipeline {
     // cross-engine-reproducible variant, so the DuckDB oracle replays
     // PDF-pipeline + vector search as one SQL pipeline.
     "q_e2e_search" -> QueryDef(
-      (s, d) => {
-        val chunks = docsChunks(s, d)
-          .select((col("doc_id") * 100 + col("chunk_idx")).as("cid"), col("chunk"))
-        val toks = chunks.select(col("cid"),
-          explode(split(lower(trim(col("chunk"))), " ")).as("tok"))
-        val h = toks.select(col("cid"),
-          expr("cast(conv(substr(md5(tok), 1, 8), 16, 10) as bigint)").as("h"))
-        val v = h.select(col("cid"), (col("h") % 16).as("b"),
-            when((expr("h div 16") % 2) === 0, 1.0).otherwise(-1.0).as("sgn"))
-          .groupBy(col("cid"), col("b")).agg(sum(col("sgn")).as("v"))
-        val n = v.groupBy(col("cid")).agg(sqrt(sum(col("v") * col("v"))).as("n"))
-        val q = v.where(col("cid") === 0).select(col("b"), col("v").as("qv"))
-        val nq = n.where(col("cid") === 0).select(col("n").as("nq"))
-        v.join(broadcast(q), "b")
-          .groupBy(col("cid")).agg(sum(col("v") * col("qv")).as("dot"))
-          .join(n, "cid").crossJoin(broadcast(nq))
-          .where(col("n") > 0)
-          .select(col("cid"), round(col("dot") / (col("n") * col("nq")), 4).as("cos"))
-          .orderBy(col("cos").desc, col("cid")).limit(5)
-      },
+      (s, d) => e2eHits(s, d).select(col("cid"), col("cos")),
       Some(chunkCte(200, 60) + """,
              |t AS (SELECT doc_id*100 + chunk_idx AS cid, unnest(string_split(lower(trim(chunk)), ' ')) AS tok FROM chunks),
              |hh AS (SELECT cid, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM t),
@@ -192,6 +260,52 @@ object QueriesPipeline {
              |CROSS JOIN (SELECT n FROM n WHERE cid = 0) nq(n)
              |WHERE na.n > 0
              |ORDER BY cos DESC, d.cid LIMIT 5""".stripMargin)),
+
+    // Per-hit LLM summary stage (SSEOpenAIController.java:142-198), chat
+    // model stubbed as a deterministic KWIC extractive summary — exactly
+    // what the reference's prompt asks the model for. Column formulation
+    // (codegen'd regexp); the batched external-call shape is
+    // Summarizer.summarize, proven equivalent in SummarizerSpec.
+    "q_summarize" -> QueryDef(
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          Summarizer.snippetCount(col("text"), "spark").cast("long").as("n_snippets"),
+          Summarizer.extractiveSummary(col("text"), "spark").as("summary"))
+        .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id,
+              |  CAST(len(regexp_extract_all($canon, '(\\S+ ){0,4}spark( \\S+){0,4}')) AS BIGINT) AS n_snippets,
+              |  substr(coalesce(array_to_string(regexp_extract_all($canon, '(\\S+ ){0,4}spark( \\S+){0,4}'), ' ... '), ''), 1, 300) AS summary
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // The COMPLETE serve loop — the reference's last unported stage:
+    // normalize → chunk → embed → cosine top-5 → per-hit blob link +
+    // summary prompt + deterministic summary (the whole
+    // requestOpenAIToGetSummaryAndSendMessageToClient path as one plan).
+    "q_e2e_serve" -> QueryDef(
+      (s, d) => servedHits(s, d, "spark")
+        .orderBy(col("cos").desc, col("cid")),
+      Some(serveCte("spark") + """
+             |SELECT cid, cos, filename, pagenumber, id, url, prompt_md5, summary
+             |FROM served ORDER BY cos DESC, cid""".stripMargin)),
+
+    // The SSE event stream those hits produce: create-area → create-link →
+    // add-message JSON per hit, in the reference's emission order
+    // (SSEOpenAIController.java:188-247 + entities/Create*InHTML.java).
+    "q_serve_events" -> QueryDef(
+      (s, d) => Summarizer.serveEvents(servedHits(s, d, "spark"))
+        .select(col("cid"), col("cos"), col("ev_seq"), col("payload"))
+        .orderBy(col("cos").desc, col("cid"), col("ev_seq")),
+      Some(serveCte("spark") + """
+             |SELECT cid, cos, CAST(0 AS BIGINT) AS ev_seq,
+             |  '{"type":"create","id":"' || id || '"}' AS payload FROM served
+             |UNION ALL
+             |SELECT cid, cos, 1,
+             |  '{"type":"createLink","id":"' || id || '","link":"' || url ||
+             |  '","pageNumber":' || pagenumber || ',"fileName":"' || filename || '"}' FROM served
+             |UNION ALL
+             |SELECT cid, cos, 2,
+             |  '{"type":"addMessage","id":"' || id || '","content":"' || summary || '"}' FROM served
+             |ORDER BY cos DESC, cid, ev_seq""".stripMargin)),
 
     // Embedding stub: model call not SQL-expressible → rows-only gate;
     // structural invariants (dim, unit norm) checked in specs.

@@ -1,0 +1,127 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Per-hit LLM summary stage — the Spark re-expression of the reference's
+  * serving loop: for each KNN hit, build the chat prompt and ask the model
+  * to extract the passages about the user's query, then stream the result
+  * (PDF-Summarizer/src/main/java/com/yoshio3/SSEOpenAIController.java:142-198,
+  * `requestOpenAIToGetSummaryAndSendMessageToClient`).
+  *
+  * The chat-model call is STUBBED deterministically — a KWIC
+  * (keyword-in-context) extractive summary: every occurrence of the query
+  * token with up to `ctx` words of context on each side, joined with
+  * " ... " and truncated to `maxLen` chars. That is exactly the semantics
+  * the reference's prompt asks the model for ("こちらのドキュメントの中から
+  * "%s" に関して説明している箇所を抜き出してください" = extract the passages
+  * about X), made reproducible. The Spark plumbing is real, mirroring
+  * `Embedder`: batched `mapPartitions` (one "chat request" per batch),
+  * retry shape, no shuffle.
+  *
+  * Two formulations, verified equal in `SummarizerSpec`:
+  *  - [[extractiveSummary]] — pure-column (codegen'd regexp), used by the
+  *    oracle-gated queries; replayable in DuckDB byte-for-byte.
+  *  - [[summarize]] — the batched external-call shape a live endpoint
+  *    needs (swap [[invokeChat]] for a real HTTP call).
+  */
+object Summarizer {
+
+  /** Canonical text, Scala-side — must match
+    * `TextFunctions.canonicalText` (lower ∘ trim ∘ normalize) exactly.
+    * Spark's `trim` strips only ' ' (not all ctl chars like Java's
+    * String#trim), hence the explicit dropWhile. */
+  private def canonical(text: String): String = {
+    val norm = text.replaceAll("\n", " ").replaceAll("[\\s\\x0B]{2,}", " ")
+    norm.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+      .toLowerCase(java.util.Locale.ROOT)
+  }
+
+  private def kwicPattern(query: String, ctx: Int): String =
+    s"(\\S+ ){0,$ctx}" + java.util.regex.Pattern.quote(
+      query.toLowerCase(java.util.Locale.ROOT)) + s"( \\S+){0,$ctx}"
+
+  /** Deterministic stand-in for the chat model: KWIC extractive summary
+    * over canonical text. Identical formula to [[extractiveSummary]]. */
+  def summarizeText(docText: String, query: String, ctx: Int = 4, maxLen: Int = 300): String = {
+    val m = java.util.regex.Pattern.compile(kwicPattern(query, ctx))
+      .matcher(canonical(docText))
+    val snippets = Iterator.continually(m).takeWhile(_.find()).map(_.group()).toSeq
+    snippets.mkString(" ... ").take(maxLen)
+  }
+
+  /** Simulated chat-completion invocation for one batch of
+    * (docText, query) — swap for a real HTTP call; retry-with-backoff
+    * shape mirrors the reference's OpenAI error path
+    * (SSEOpenAIController.java:176-181). */
+  def invokeChat(batch: Seq[(String, String)], ctx: Int = 4, maxLen: Int = 300,
+                 maxRetries: Int = 3): Seq[String] = {
+    var attempt = 0
+    while (attempt < maxRetries) {
+      try return batch.map { case (t, q) => summarizeText(t, q, ctx, maxLen) }
+      catch { case _: Exception => attempt += 1 }
+    }
+    batch.map(_ => "")
+  }
+
+  /** Append a `summary` column: batched external-call shape (narrow, no
+    * shuffle; one [[invokeChat]] per `batchSize` rows per partition). */
+  def summarize(df: DataFrame, textCol: String = "text", query: String = "",
+                batchSize: Int = 32, outCol: String = "summary",
+                ctx: Int = 4, maxLen: Int = 300): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(
+      df.schema.fields :+ org.apache.spark.sql.types.StructField(outCol,
+        org.apache.spark.sql.types.StringType))
+    val textIdx = df.schema.fieldIndex(textCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        val texts = batch.map(r => Option(r.getString(textIdx)).getOrElse(""))
+        val sums = invokeChat(texts.map(t => (t, query)), ctx, maxLen)
+        batch.iterator.zip(sums.iterator).map { case (r, s) =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ s)
+        }
+      }
+    }(enc)
+  }
+
+  /** Column-level stub — codegen'd regexp, oracle-replayable in DuckDB as
+    * `substr(array_to_string(regexp_extract_all(canon, kwic), ' ... '), 1, maxLen)`. */
+  def extractiveSummary(docText: Column, query: String, ctx: Int = 4, maxLen: Int = 300): Column =
+    substring(array_join(
+      regexp_extract_all(graft.functions.TextFunctions.canonicalText(docText),
+        lit(kwicPattern(query, ctx)), lit(0)), " ... "), 1, maxLen)
+
+  /** Snippet count (how many query occurrences the summary covers). */
+  def snippetCount(docText: Column, query: String, ctx: Int = 4): Column =
+    size(regexp_extract_all(graft.functions.TextFunctions.canonicalText(docText),
+      lit(kwicPattern(query, ctx)), lit(0)))
+
+  /** The per-hit SSE event sequence the reference emits
+    * (SSEOpenAIController.java:188-247): a `create`-area event, a
+    * `createLink` event, then the summary as an `addMessage` event —
+    * JSON shapes mirroring the reference's Gson records
+    * (entities/CreateAreaInHTML|CreateLinkInHTML|CreateMessageInHTML.java).
+    * Input needs columns: id, url, pagenumber, filename, summary (names
+    * via args). Emits (…, ev_seq, payload) — 3 rows per hit, ordered by
+    * (hit order, ev_seq), exactly the reference's emission order. */
+  def serveEvents(hits: DataFrame, idCol: String = "id", urlCol: String = "url",
+                  pageCol: String = "pagenumber", fileCol: String = "filename",
+                  summaryCol: String = "summary"): DataFrame = {
+    val id = col(idCol)
+    val events = array(
+      struct(lit(0L).as("ev_seq"),
+        concat(lit("{\"type\":\"create\",\"id\":\""), id, lit("\"}")).as("payload")),
+      struct(lit(1L).as("ev_seq"),
+        concat(lit("{\"type\":\"createLink\",\"id\":\""), id,
+          lit("\",\"link\":\""), col(urlCol),
+          lit("\",\"pageNumber\":"), col(pageCol),
+          lit(",\"fileName\":\""), col(fileCol), lit("\"}")).as("payload")),
+      struct(lit(2L).as("ev_seq"),
+        concat(lit("{\"type\":\"addMessage\",\"id\":\""), id,
+          lit("\",\"content\":\""), col(summaryCol), lit("\"}")).as("payload")))
+    hits.select((hits.columns.map(col) :+ explode(events).as("ev")): _*)
+      .select((hits.columns.map(col) :+ col("ev.ev_seq").as("ev_seq") :+
+        col("ev.payload").as("payload")): _*)
+  }
+}

@@ -18,6 +18,9 @@ for p in glob.glob(f"{sfdir}/*.parquet"):
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+if len(sys.argv) > 3:  # optional comma-separated query-name filter
+    keep = set(sys.argv[3].split(","))
+    oracle = {k: v for k, v in oracle.items() if k in keep}
 fails = 0
 for name, sql in sorted(oracle.items()):
     spark_files = glob.glob(f"{outdir}/{name}/*.parquet")
