@@ -11,7 +11,11 @@ object QueriesAdvanced {
   val defs: Map[String, QueryDef] = Map(
 
     // As-of join: each event matched to the user's most recent order at
-    // event time. Oracle = DuckDB's native ASOF JOIN.
+    // event time. Oracle = DuckDB's native ASOF JOIN. Runs the
+    // range-BUCKETED variant (1-week buckets) — the fact-fact scale path
+    // whose merge window partitions by (key, bucket) instead of key, so a
+    // hot user's history can't pin a single partition; equality with the
+    // single-window form is additionally spec-asserted on a skewed corpus.
     "q_asof_join" -> QueryDef(
       (s, d) => {
         val ev = Tables.events(s, d)
@@ -22,7 +26,8 @@ object QueriesAdvanced {
             col("o_orderdate").cast("timestamp").cast("long").as("order_sec"), col("o_orderkey"))
           .groupBy(col("o_custkey"), col("order_sec"))
           .agg(max(col("o_orderkey")).as("o_orderkey"))
-        AsOfJoin.asOf(ev, ord, "user_id", "o_custkey", "sec", "order_sec")
+        AsOfJoin.asOfBucketed(ev, ord, "user_id", "o_custkey", "sec", "order_sec",
+            bucketSec = 7L * 86400)
           .select(col("event_id"), col("user_id"), col("sec"), col("o_orderkey"),
             col("order_sec"), (col("sec") - col("order_sec")).as("age_sec"))
           .orderBy(col("event_id"))

@@ -30,6 +30,21 @@ case class MinHashSigExpr(child: Expression, numPerm: Int)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "minhash_sig"
 
+  /** Analysis-time validation — reachable from the SQL surface
+    * (`minhash_sig(sh, -4)`), where a bad literal must fail the query
+    * plan, not throw NegativeArraySizeException on an executor. */
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (numPerm <= 0)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: numPerm must be positive, got $numPerm")
+    else child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects array<string> shingles, got $t")
+    }
+
   @transient private lazy val md = MessageDigest.getInstance("MD5")
   @transient private lazy val suffixes: Array[Array[Byte]] =
     Array.tabulate(numPerm)(j => ("#" + j).getBytes("UTF-8"))

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.graft.ColumnBridge
@@ -29,9 +29,13 @@ object AnnLsh {
     Array.fill(tables, nbits, dim)(rnd.nextGaussian())
   }
 
-  /** Native expression: embedding → bucket id for one table's planes. */
+  /** Native expression: embedding → bucket id for one table's planes.
+    * Whole-stage-codegen'd (runs once per corpus row); throws on a
+    * vector/plane dimension mismatch — silently truncating to the shorter
+    * side would bucket on half the vector and return plausible-but-wrong
+    * neighbors (same contract as VectorKernel.checkDims). */
   case class SrpBucketExpr(child: Expression, planes: Array[Array[Double]])
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = IntegerType
     override def nullIntolerant: Boolean = true
     override def prettyName: String = "srp_bucket"
@@ -40,18 +44,20 @@ object AnnLsh {
       case ArrayType(FloatType, _) => true
       case _ => false
     }
+    private def dim: Int = planes.headOption.map(_.length).getOrElse(0)
 
     override protected def nullSafeEval(input: Any): Any = {
       val v = input.asInstanceOf[ArrayData]
       val n = v.numElements()
+      if (n != dim) throw new IllegalArgumentException(
+        s"$prettyName: vector dimension $n != hyperplane dimension $dim")
       var bucket = 0
       var b = 0
       while (b < planes.length) {
         val p = planes(b)
         var dot = 0.0
         var i = 0
-        val m = math.min(n, p.length)
-        while (i < m) {
+        while (i < n) {
           dot += (if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)) * p(i)
           i += 1
         }
@@ -60,6 +66,30 @@ object AnnLsh {
       }
       bucket
     }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v => {
+        val p = ctx.addReferenceObj("planes", planes, "double[][]")
+        val n = ctx.freshName("n"); val b = ctx.freshName("b"); val i = ctx.freshName("i")
+        val dot = ctx.freshName("dot"); val bucket = ctx.freshName("bucket")
+        val pl = ctx.freshName("pl")
+        val getElem = if (isFloat) s"(double) $v.getFloat($i)" else s"$v.getDouble($i)"
+        s"""
+           |int $n = $v.numElements();
+           |if ($n != $dim) {
+           |  throw new IllegalArgumentException(
+           |    "$prettyName: vector dimension " + $n + " != hyperplane dimension " + $dim);
+           |}
+           |int $bucket = 0;
+           |for (int $b = 0; $b < $p.length; $b++) {
+           |  double[] $pl = $p[$b];
+           |  double $dot = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) { $dot += $getElem * $pl[$i]; }
+           |  if ($dot >= 0) $bucket |= (1 << $b);
+           |}
+           |${ev.value} = $bucket;
+         """.stripMargin
+      })
 
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
@@ -89,11 +119,16 @@ object AnnLsh {
     val qk = broadcast(bucketKeys(queries.select(col(queryIdCol).as("__qid"), col(embCol)),
       "__qid", embCol, dim, nbits, tables, seed)
       .select(col("__qid"), col(embCol).as("__qemb"), col("table_id"), col("bucket")))
-    val cand = ck.join(qk, Seq("table_id", "bucket"))
-      .select(col("__qid").as(queryIdCol), col(idCol), col(embCol), col("__qemb"))
+    // the dedup shuffle carries (qid, id, corpus emb) only; the query
+    // embedding is re-attached from the broadcast side afterwards so it
+    // doesn't ride through the exchange on every candidate row
+    val cand = ck.join(qk.drop("__qemb"), Seq("table_id", "bucket"))
+      .select(col("__qid").as(queryIdCol), col(idCol), col(embCol))
       .dropDuplicates(queryIdCol, idCol)
-    val scored = cand.select(col(queryIdCol), col(idCol),
-      round(VectorFunctions.cosineSimilarity(col(embCol), col("__qemb")), scale).as("cos"))
+    val qEmb = broadcast(queries.select(col(queryIdCol), col(embCol).as("__qemb")))
+    val scored = cand.join(qEmb, queryIdCol)
+      .select(col(queryIdCol), col(idCol),
+        round(VectorFunctions.cosineSimilarity(col(embCol), col("__qemb")), scale).as("cos"))
     val w = Window.partitionBy(col(queryIdCol)).orderBy(col("cos").desc, col(idCol))
     scored.withColumn("rn", row_number().over(w))
       .where(col("rn") <= k)

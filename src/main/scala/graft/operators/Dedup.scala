@@ -41,6 +41,10 @@ object Dedup {
   /** (band_id, band_key) structs over a signature column: `bands` bands of
     * `numPerm / bands` signature rows, keyed by md5 of the joined slice. */
   def bandKeys(sig: Column, numPerm: Int, bands: Int): Column = {
+    // bands > numPerm would give r = 0: every band_key = md5 of an empty
+    // slice, degenerating LSH to a single all-pairs bucket
+    require(bands >= 1 && numPerm >= bands,
+      s"bandKeys: need 1 <= bands <= numPerm, got bands=$bands numPerm=$numPerm")
     val r = numPerm / bands
     transform(sequence(lit(0), lit(bands - 1)), b =>
       struct(b.cast("long").as("band_id"),

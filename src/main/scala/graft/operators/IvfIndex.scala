@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
@@ -29,9 +29,12 @@ object IvfIndex {
     def k: Int = centroids.length
   }
 
-  /** Nearest-centroid id (argmin L2). */
+  /** Nearest-centroid id (argmin L2). Whole-stage-codegen'd (runs once per
+    * corpus row); throws on a vector/centroid dimension mismatch rather
+    * than silently truncating to the shorter side (which would assign
+    * cells on a prefix of the vector — plausible-but-wrong probing). */
   case class NearestCentroidExpr(child: Expression, centroids: Array[Array[Double]])
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = IntegerType
     override def nullIntolerant: Boolean = true
     override def prettyName: String = "ivf_cell"
@@ -40,16 +43,19 @@ object IvfIndex {
       case ArrayType(FloatType, _) => true
       case _ => false
     }
+    private def dim: Int = centroids.headOption.map(_.length).getOrElse(0)
 
     override protected def nullSafeEval(input: Any): Any = {
       val v = input.asInstanceOf[ArrayData]
+      val n = v.numElements()
+      if (n != dim) throw new IllegalArgumentException(
+        s"$prettyName: vector dimension $n != centroid dimension $dim")
       var best = -1; var bestD = Double.MaxValue
       var c = 0
       while (c < centroids.length) {
         val ctr = centroids(c)
         var d = 0.0; var i = 0
-        val m = math.min(v.numElements(), ctr.length)
-        while (i < m) {
+        while (i < n) {
           val x = (if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)) - ctr(i)
           d += x * x; i += 1
         }
@@ -59,12 +65,41 @@ object IvfIndex {
       best
     }
 
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v => {
+        val cs = ctx.addReferenceObj("centroids", centroids, "double[][]")
+        val n = ctx.freshName("n"); val c = ctx.freshName("c"); val i = ctx.freshName("i")
+        val d = ctx.freshName("d"); val x = ctx.freshName("x")
+        val best = ctx.freshName("best"); val bestD = ctx.freshName("bestD")
+        val ctr = ctx.freshName("ctr")
+        val getElem = if (isFloat) s"(double) $v.getFloat($i)" else s"$v.getDouble($i)"
+        s"""
+           |int $n = $v.numElements();
+           |if ($n != $dim) {
+           |  throw new IllegalArgumentException(
+           |    "$prettyName: vector dimension " + $n + " != centroid dimension " + $dim);
+           |}
+           |int $best = -1; double $bestD = Double.MAX_VALUE;
+           |for (int $c = 0; $c < $cs.length; $c++) {
+           |  double[] $ctr = $cs[$c];
+           |  double $d = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    double $x = $getElem - $ctr[$i];
+           |    $d += $x * $x;
+           |  }
+           |  if ($d < $bestD) { $bestD = $d; $best = $c; }
+           |}
+           |${ev.value} = $best;
+         """.stripMargin
+      })
+
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
-  /** The `nprobe` nearest centroid ids, nearest first. */
+  /** The `nprobe` nearest centroid ids, nearest first (ties → lower id).
+    * Codegen'd like [[NearestCentroidExpr]]; same strict dim check. */
   case class NearestCentroidsExpr(child: Expression, centroids: Array[Array[Double]], nprobe: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
     override def nullIntolerant: Boolean = true
     override def prettyName: String = "ivf_cells"
@@ -73,16 +108,19 @@ object IvfIndex {
       case ArrayType(FloatType, _) => true
       case _ => false
     }
+    private def dim: Int = centroids.headOption.map(_.length).getOrElse(0)
 
     override protected def nullSafeEval(input: Any): Any = {
       val v = input.asInstanceOf[ArrayData]
+      val n = v.numElements()
+      if (n != dim) throw new IllegalArgumentException(
+        s"$prettyName: vector dimension $n != centroid dimension $dim")
       val dists = new Array[(Double, Int)](centroids.length)
       var c = 0
       while (c < centroids.length) {
         val ctr = centroids(c)
         var d = 0.0; var i = 0
-        val m = math.min(v.numElements(), ctr.length)
-        while (i < m) {
+        while (i < n) {
           val x = (if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)) - ctr(i)
           d += x * x; i += 1
         }
@@ -91,6 +129,47 @@ object IvfIndex {
       val top = dists.sortBy(t => (t._1, t._2)).take(math.min(nprobe, centroids.length))
       new GenericArrayData(top.map(_._2.asInstanceOf[Any]))
     }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v => {
+        val cs = ctx.addReferenceObj("centroids", centroids, "double[][]")
+        val n = ctx.freshName("n"); val c = ctx.freshName("c"); val i = ctx.freshName("i")
+        val d = ctx.freshName("d"); val x = ctx.freshName("x")
+        val ds = ctx.freshName("ds"); val used = ctx.freshName("used")
+        val out = ctx.freshName("out"); val m = ctx.freshName("m")
+        val j = ctx.freshName("j"); val best = ctx.freshName("best")
+        val bestD = ctx.freshName("bestD"); val ctr = ctx.freshName("ctr")
+        val getElem = if (isFloat) s"(double) $v.getFloat($i)" else s"$v.getDouble($i)"
+        s"""
+           |int $n = $v.numElements();
+           |if ($n != $dim) {
+           |  throw new IllegalArgumentException(
+           |    "$prettyName: vector dimension " + $n + " != centroid dimension " + $dim);
+           |}
+           |double[] $ds = new double[$cs.length];
+           |for (int $c = 0; $c < $cs.length; $c++) {
+           |  double[] $ctr = $cs[$c];
+           |  double $d = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    double $x = $getElem - $ctr[$i];
+           |    $d += $x * $x;
+           |  }
+           |  $ds[$c] = $d;
+           |}
+           |int $m = java.lang.Math.min($nprobe, $cs.length);
+           |int[] $out = new int[$m];
+           |boolean[] $used = new boolean[$cs.length];
+           |for (int $j = 0; $j < $m; $j++) {
+           |  int $best = -1; double $bestD = Double.MAX_VALUE;
+           |  for (int $c = 0; $c < $cs.length; $c++) {
+           |    if (!$used[$c] && ($best == -1 || $ds[$c] < $bestD)) { $bestD = $ds[$c]; $best = $c; }
+           |  }
+           |  $used[$best] = true;
+           |  $out[$j] = $best;
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         """.stripMargin
+      })
 
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
@@ -101,18 +180,36 @@ object IvfIndex {
   def cellsOf(emb: Column, model: Model, nprobe: Int): Column =
     ColumnBridge.column(NearestCentroidsExpr(ColumnBridge.expression(emb), model.centroids, nprobe))
 
-  /** Deterministic Lloyd's. `corpus` must fit k lowest-id rows on the
-    * driver for init (k×dim doubles — trivial). */
+  /** Deterministic Lloyd's over a deterministic SAMPLE of the corpus —
+    * the standard IVF recipe: the coarse quantizer only needs the density
+    * shape, so training reads `samplePercent`% of rows (md5-bucketed,
+    * reproducible on any engine/partitioning) and each iteration's
+    * posexplode shuffle is over the sample, not the corpus. At 100 TB
+    * with the default 10%, that is a 10× cut on every training pass; the
+    * full corpus is only scanned once, at assignment time.
+    *
+    * Init is hash-spread: the k lowest md5(id) rows — an
+    * order-independent pseudo-random draw (k-lowest-ID picks adjacent,
+    * likely-correlated rows; a spread draw balances cells, which is what
+    * probe pruning lives on). Driver holds k×dim doubles — trivial. */
   def train(corpus: DataFrame, k: Int, iters: Int = 5,
-            idCol: String = "vec_id", embCol: String = "embedding"): Model = {
-    var centroids: Array[Array[Double]] = corpus
-      .orderBy(col(idCol)).limit(k)
+            idCol: String = "vec_id", embCol: String = "embedding",
+            samplePercent: Int = 10): Model = {
+    val sample =
+      if (samplePercent >= 100) corpus
+      else {
+        val s = Sampling.deterministicSample(corpus, idCol, samplePercent, salt = "ivf-train")
+        // degenerate corpora (< k sampled rows) fall back to full data
+        if (s.limit(k).count() < k) corpus else s
+      }
+    var centroids: Array[Array[Double]] = sample
+      .orderBy(md5(col(idCol).cast("string")), col(idCol)).limit(k)
       .select(col(embCol).cast("array<double>")).collect()
       .map(_.getSeq[Double](0).toArray)
     var it = 0
     while (it < iters) {
       val model = Model(centroids)
-      val means = corpus
+      val means = sample
         .select(cellOf(col(embCol), model).as("cell"),
           posexplode(col(embCol).cast("array<double>")).as(Seq("dim", "v")))
         .groupBy(col("cell"), col("dim")).agg(avg(col("v")).as("m"))

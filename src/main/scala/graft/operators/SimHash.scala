@@ -74,9 +74,18 @@ object SimHash {
 
   /** Near-dup pairs with Hamming distance ≤ maxHamming (≤ 3 guaranteed
     * complete by 4-chunk pigeonhole; larger thresholds would need more
-    * chunks). */
+    * chunks).
+    *
+    * Pair generation is the same guarded groupBy-collect shape as
+    * `Dedup.candidatePairs`: ONE shuffle groups (id, simhash) per
+    * (chunk_id, chunk_val) bucket with map-side partial collect, buckets
+    * larger than `maxBucket` are dropped (a hot 16-bit chunk value on a
+    * boilerplate-heavy corpus would otherwise expand quadratically —
+    * exactly the blowup the old chunk-value equi-join allowed), and
+    * in-bucket pairs expand row-locally from the ≤maxBucket array. */
   def nearDupPairs(docs: DataFrame, maxHamming: Int = 3,
-                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                   idCol: String = "doc_id", textCol: String = "text",
+                   maxBucket: Int = 1000): DataFrame = {
     require(maxHamming <= 3, "4-chunk banding is only complete for hamming <= 3")
     val sig = signatures(docs, idCol, textCol)
     val chunks = sig.select(col(idCol), col("simhash"),
@@ -85,12 +94,18 @@ object SimHash {
             shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xffffL)).as("chunk_val"))
         }: _*)).as("ck"))
       .select(col(idCol), col("simhash"), col("ck.chunk_id").as("chunk_id"), col("ck.chunk_val").as("chunk_val"))
-    val l = chunks.select(col("chunk_id"), col("chunk_val"), col(idCol).as("id1"), col("simhash").as("h1"))
-    val r = chunks.select(col("chunk_id"), col("chunk_val"), col(idCol).as("id2"), col("simhash").as("h2"))
-    l.join(r, Seq("chunk_id", "chunk_val"))
-      .where(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"),
-        bit_count(col("h1").bitwiseXOR(col("h2"))).cast("long").as("hamming"))
+    val buckets = chunks
+      .groupBy(col("chunk_id"), col("chunk_val"))
+      .agg(collect_list(struct(col(idCol).as("id"), col("simhash").as("h"))).as("__rows"))
+      .where(size(col("__rows")).between(2, maxBucket))
+      .select(array_sort(col("__rows")).as("__rows"))
+    buckets
+      .select(explode(flatten(transform(col("__rows"), (x, i) =>
+        transform(slice(col("__rows"), i + lit(2), size(col("__rows"))), y =>
+          struct(x.getField("id").as("id1"), y.getField("id").as("id2"),
+            x.getField("h").as("h1"), y.getField("h").as("h2")))))).as("p"))
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"),
+        bit_count(col("p.h1").bitwiseXOR(col("p.h2"))).cast("long").as("hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()
   }

@@ -12,8 +12,9 @@ import org.apache.spark.sql.streaming.GroupState
   * Scale notes: watermark bounds state (late events beyond 2h are
   * dropped); the window agg is a streaming partial-agg with state keyed
   * by (window, event_type); sessionization keys state by user_id —
-  * high-cardinality, so state distributes evenly across executors and
-  * each key's state is O(1) (one open session).
+  * high-cardinality, so state distributes evenly across executors, each
+  * key's state is O(1) (one open session), and idle keys are evicted by
+  * event-time timeout once the watermark passes their session end + gap.
   */
 object EventStream {
 
@@ -43,25 +44,53 @@ object EventStream {
   /** Per-user sessionization with a gap timeout, as a custom stateful
     * operator (`mapGroupsWithState`): events more than `gapSec` apart
     * start a new session; each update emits the current session snapshot
-    * (Update output mode). */
-  def sessionize(events: Dataset[Event], gapSec: Long = 1800)(
+    * (Update output mode).
+    *
+    * State hygiene: a cross-batch late event (e.sec ≤ session end) is
+    * MERGED into the open session without moving its end backwards
+    * (`max(end, e.sec)` — a rewound end would corrupt every subsequent
+    * gap comparison), and per-user state is evicted via an EVENT-TIME
+    * timeout: once the watermark (bounded by `watermarkDelaySec`) passes
+    * session end + gap, the session can no longer be extended, so its
+    * final snapshot is emitted and the key's state is freed instead of
+    * living forever in the state store. (Event-time, not processing-time,
+    * timeouts: a processing-time timeout with the default 0-interval
+    * trigger forces a busy loop of empty micro-batches — the engine must
+    * keep re-running to poll the clock — while event-time timeouts fire
+    * only on watermark movement.) */
+  def sessionize(events: Dataset[Event], gapSec: Long = 1800,
+                 watermarkDelaySec: Long = 7200)(
       implicit enc: org.apache.spark.sql.Encoder[SessionSnapshot],
       stEnc: org.apache.spark.sql.Encoder[SessionState]): Dataset[SessionSnapshot] = {
     import events.sparkSession.implicits._
     events
+      .withColumn("__ts", timestamp_seconds(col("sec")))
+      .withWatermark("__ts", s"$watermarkDelaySec seconds")
+      .as[Event]
       .groupByKey(_.user_id)
-      .mapGroupsWithState[SessionState, SessionSnapshot] {
+      .mapGroupsWithState[SessionState, SessionSnapshot](
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
-          val sorted = batch.toSeq.sortBy(_.sec)
-          var st = state.getOption.getOrElse(SessionState(Long.MinValue, Long.MinValue, 0, 0.0))
-          sorted.foreach { e =>
-            st = if (st.n == 0 || e.sec - st.end > gapSec)
-              SessionState(e.sec, e.sec, 1, e.value)
-            else
-              SessionState(st.start, e.sec, st.n + 1, st.sum + e.value)
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            SessionSnapshot(userId, st.start, st.end, st.n, st.sum)
+          } else {
+            val sorted = batch.toSeq.sortBy(_.sec)
+            var st = state.getOption.getOrElse(SessionState(Long.MinValue, Long.MinValue, 0, 0.0))
+            sorted.foreach { e =>
+              st = if (st.n == 0 || e.sec - st.end > gapSec)
+                SessionState(e.sec, e.sec, 1, e.value)
+              else
+                SessionState(math.min(st.start, e.sec), math.max(st.end, e.sec),
+                  st.n + 1, st.sum + e.value)
+            }
+            state.update(st)
+            // timeout timestamps must stay ahead of the current watermark
+            state.setTimeoutTimestamp(
+              math.max((st.end + gapSec) * 1000, state.getCurrentWatermarkMs + 1))
+            SessionSnapshot(userId, st.start, st.end, st.n, st.sum)
           }
-          state.update(st)
-          SessionSnapshot(userId, st.start, st.end, st.n, st.sum)
       }
   }
 }

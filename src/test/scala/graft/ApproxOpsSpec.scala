@@ -99,6 +99,52 @@ class ApproxOpsSpec extends SparkSpec {
     }
   }
 
+  private def msgs(t: Throwable): String =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+
+  test("srp/ivf expressions throw on dimension mismatch (no silent truncation)") {
+    val e = Tables.embeddings(spark, sfDir)
+    // 32-dim vectors against the default dim=64 planes/centroids: silent
+    // prefix-truncation would return plausible-but-wrong neighbors
+    val short = e.select(col("vec_id"), expr("slice(embedding, 1, 32)").as("embedding"))
+    val q = short.where(col("vec_id") < 2).select(col("vec_id").as("qid"), col("embedding"))
+    val ex1 = intercept[Exception] { AnnLsh.topK(short, q, k = 3).collect() }
+    assert(msgs(ex1).contains("dimension"), msgs(ex1))
+    val model = graft.operators.IvfIndex.Model(Array.fill(4)(Array.fill(64)(0.1)))
+    val ex2 = intercept[Exception] {
+      short.select(graft.operators.IvfIndex.cellOf(col("embedding"), model)).collect()
+    }
+    assert(msgs(ex2).contains("dimension"), msgs(ex2))
+    val ex3 = intercept[Exception] {
+      short.select(graft.operators.IvfIndex.cellsOf(col("embedding"), model, 2)).collect()
+    }
+    assert(msgs(ex3).contains("dimension"), msgs(ex3))
+  }
+
+  test("srp buckets and ivf cells: codegen and interpreted paths agree") {
+    val e = Tables.embeddings(spark, sfDir)
+    val model = graft.operators.IvfIndex.train(e, k = 8, iters = 2)
+    def run(): (Seq[(Long, Int, Int)], Seq[(Long, Int, Seq[Int])]) = {
+      val b = AnnLsh.bucketKeys(e, "vec_id", "embedding", dim = 64, nbits = 8, tables = 2, seed = 42L)
+        .select(col("vec_id"), col("table_id"), col("bucket"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq.sorted
+      val c = e.select(col("vec_id"),
+          graft.operators.IvfIndex.cellOf(col("embedding"), model).as("cell"),
+          graft.operators.IvfIndex.cellsOf(col("embedding"), model, 3).as("cells"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2).toSeq))
+        .toSeq.sortBy(_._1)
+      (b, c)
+    }
+    val withCodegen = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val interpreted = try run() finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    assert(withCodegen == interpreted)
+  }
+
   test("ann-lsh: recall@10 >= 0.9 vs brute-force cosine (recall-tuned params)") {
     // uniform-random sphere embeddings are hyperplane-LSH's worst case;
     // at this corpus size recall needs many tables / few bits

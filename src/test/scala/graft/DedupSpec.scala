@@ -34,4 +34,38 @@ class DedupSpec extends SparkSpec {
     assert(res.forall(r => r.getLong(0) < r.getLong(1)))
     assert(res.forall(_.getDouble(2) >= 0.4))
   }
+
+  test("simhash pair generation drops degenerate hot buckets (maxBucket guard)") {
+    import graft.operators.SimHash
+    val base = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      .where(col("doc_id") < 20)
+    // a boilerplate cluster: 50 identical docs → one 50-row bucket in
+    // every simhash chunk — the case that went quadratic unguarded
+    val hotText = base.where(col("doc_id") === 1).select("text").head().getString(0)
+    val hot = spark.range(50).select((col("id") + 2000).as("doc_id"), lit(hotText).as("text"))
+    val corpus = base.unionAll(hot)
+    def pairs(maxBucket: Int): Set[(Long, Long)] =
+      SimHash.nearDupPairs(corpus, maxBucket = maxBucket)
+        .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val unguarded = pairs(100000)
+    val guarded = pairs(10)
+    val hotPairs = unguarded.filter(p => p._1 >= 2000 && p._2 >= 2000)
+    assert(hotPairs.size >= 50 * 49 / 2, s"expected the full hot clique, got ${hotPairs.size}")
+    // guard drops the degenerate bucket's pairs, output stays bounded
+    assert(guarded.forall(p => p._2 < 2000))
+    // and pairs outside the hot cluster are untouched
+    assert(guarded.filter(_._2 < 2000) == unguarded.filter(_._2 < 2000))
+  }
+
+  test("lsh parameter validation fails fast at plan/analysis time") {
+    intercept[IllegalArgumentException] { Dedup.bandKeys(col("sig"), numPerm = 16, bands = 0) }
+    intercept[IllegalArgumentException] { Dedup.bandKeys(col("sig"), numPerm = 4, bands = 8) }
+    GraftFunctions.register(spark)
+    // negative numPerm through the SQL surface must fail analysis, not
+    // throw NegativeArraySizeException on an executor at eval time
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT minhash_sig(array('a'), -4)").collect()
+    }
+    assert(ex.getMessage.contains("numPerm") || ex.getMessage.contains("positive"), ex.getMessage)
+  }
 }

@@ -76,4 +76,26 @@ class StreamingAggSpec extends SparkSpec {
       assert(snaps.exists(s => s.user_id == 2 && s.n_events == 1))
     } finally q.stop()
   }
+
+  test("sessionize evicts idle state via event-time timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.sessionize(input.toDS(), gapSec = 100, watermarkDelaySec = 10)
+      .writeStream.format("memory").queryName("sessions_evict_test")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(Event(1, 1000, 1.0))
+      q.processAllAvailable()
+      // advancing the watermark past user1's end+gap (1100) evicts its
+      // state: the final snapshot is re-emitted by the timeout path
+      input.addData(Event(2, 5000, 1.0))
+      q.processAllAvailable()
+      def user1Rows = spark.table("sessions_evict_test")
+        .as[SessionSnapshot].collect().count(_.user_id == 1)
+      val deadline = System.currentTimeMillis + 30000
+      while (user1Rows < 2 && System.currentTimeMillis < deadline) Thread.sleep(250)
+      assert(user1Rows == 2)
+    } finally q.stop()
+  }
 }
