@@ -25,7 +25,30 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+
+    // Per-query regression tracking against the committed floor
+    // (BENCH_BASELINE.json, {query: seconds}): a query slower than 1.5×
+    // its floor AND >0.5 s absolute over it is flagged — timer noise on
+    // sub-second queries doesn't trip the gate, real slowdowns do.
+    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BENCH_BASELINE.json")
+    val baseline: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(baselinePath)), "UTF-8")
+        "\"([^\"]+)\"\\s*:\\s*([0-9.eE+-]+)".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Exception => Map.empty }
+    val regressions = results.toSeq.collect {
+      case (n, t) if baseline.get(n).exists(b => t > b * 1.5 && t - b > 0.5) =>
+        n -> BigDecimal(t / baseline(n)).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    }.sortBy(-_._2)
+    regressions.foreach { case (n, x) =>
+      System.err.println(f"[bench] REGRESSION $n: ${x}x over baseline ${baseline(n)}%.2fs")
+    }
+    val regJson = regressions.map { case (n, x) => s"\"" + n + "\":" + x }
+      .mkString("{", ",", "}")
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"regressions":$regJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -8,39 +8,55 @@ import graft.operators.AsOfJoin
   * percentiles, semi/anti joins, and the Cosmos "all documents" listing. */
 object QueriesAdvanced {
 
+  /** events⋈orders as-of shape shared by both gated variants;
+    * bucketSec = 0 → single-window [[AsOfJoin.asOf]]. */
+  private def asofEventsOrders(s: org.apache.spark.sql.SparkSession, d: String,
+                               bucketSec: Long): org.apache.spark.sql.DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), expr("ts div 1000000000").as("sec"))
+    val ord = Tables.orders(s, d)
+      // o_orderdate is TIMESTAMP_NTZ; NTZ→LTZ is identity under the UTC session
+      .select(col("o_custkey"),
+        col("o_orderdate").cast("timestamp").cast("long").as("order_sec"), col("o_orderkey"))
+      .groupBy(col("o_custkey"), col("order_sec"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+    val joined =
+      if (bucketSec > 0)
+        AsOfJoin.asOfBucketed(ev, ord, "user_id", "o_custkey", "sec", "order_sec", bucketSec)
+      else AsOfJoin.asOf(ev, ord, "user_id", "o_custkey", "sec", "order_sec")
+    joined
+      .select(col("event_id"), col("user_id"), col("sec"), col("o_orderkey"),
+        col("order_sec"), (col("sec") - col("order_sec")).as("age_sec"))
+      .orderBy(col("event_id"))
+  }
+
+  private val asofOracle =
+    """WITH o AS (
+      |  SELECT o_custkey, CAST(floor(epoch(o_orderdate)) AS BIGINT) AS order_sec,
+      |         max(o_orderkey) AS o_orderkey
+      |  FROM orders GROUP BY 1, 2),
+      |e AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events)
+      |SELECT e.event_id, e.user_id, e.sec, o.o_orderkey, o.order_sec,
+      |       e.sec - o.order_sec AS age_sec
+      |FROM e ASOF JOIN o ON e.user_id = o.o_custkey AND e.sec >= o.order_sec
+      |ORDER BY event_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
 
     // As-of join: each event matched to the user's most recent order at
-    // event time. Oracle = DuckDB's native ASOF JOIN. Runs the
-    // range-BUCKETED variant (1-week buckets) — the fact-fact scale path
-    // whose merge window partitions by (key, bucket) instead of key, so a
-    // hot user's history can't pin a single partition; equality with the
-    // single-window form is additionally spec-asserted on a skewed corpus.
+    // event time. Oracle = DuckDB's native ASOF JOIN. Two gated variants
+    // sharing one oracle: the single-window tag-union merge (optimal when
+    // keys are well-distributed — one shuffle) and the range-BUCKETED
+    // fact-fact scale path, whose merge window partitions by
+    // (key, time-bucket) so a hot key's history can't pin one partition;
+    // skewed-corpus equality is additionally spec-asserted.
     "q_asof_join" -> QueryDef(
-      (s, d) => {
-        val ev = Tables.events(s, d)
-          .select(col("event_id"), col("user_id"), expr("ts div 1000000000").as("sec"))
-        val ord = Tables.orders(s, d)
-          // o_orderdate is TIMESTAMP_NTZ; NTZ→LTZ is identity under the UTC session
-          .select(col("o_custkey"),
-            col("o_orderdate").cast("timestamp").cast("long").as("order_sec"), col("o_orderkey"))
-          .groupBy(col("o_custkey"), col("order_sec"))
-          .agg(max(col("o_orderkey")).as("o_orderkey"))
-        AsOfJoin.asOfBucketed(ev, ord, "user_id", "o_custkey", "sec", "order_sec",
-            bucketSec = 7L * 86400)
-          .select(col("event_id"), col("user_id"), col("sec"), col("o_orderkey"),
-            col("order_sec"), (col("sec") - col("order_sec")).as("age_sec"))
-          .orderBy(col("event_id"))
-      },
-      Some("""WITH o AS (
-             |  SELECT o_custkey, CAST(floor(epoch(o_orderdate)) AS BIGINT) AS order_sec,
-             |         max(o_orderkey) AS o_orderkey
-             |  FROM orders GROUP BY 1, 2),
-             |e AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events)
-             |SELECT e.event_id, e.user_id, e.sec, o.o_orderkey, o.order_sec,
-             |       e.sec - o.order_sec AS age_sec
-             |FROM e ASOF JOIN o ON e.user_id = o.o_custkey AND e.sec >= o.order_sec
-             |ORDER BY event_id""".stripMargin)),
+      (s, d) => asofEventsOrders(s, d, bucketSec = 0),
+      Some(asofOracle)),
+
+    "q_asof_bucketed" -> QueryDef(
+      (s, d) => asofEventsOrders(s, d, bucketSec = 7L * 86400),
+      Some(asofOracle)),
 
     "q_rollup" -> QueryDef(
       (s, d) => Tables.orders(s, d)

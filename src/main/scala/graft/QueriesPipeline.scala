@@ -319,6 +319,51 @@ object QueriesPipeline {
       },
       None),
 
+    // Status WRITE-BACK composition: one pipeline pass emits the store
+    // rows AND the per-stage transition log (Function.java:135-211's
+    // interleaved updateStatus calls). The oracle replays the injected
+    // outcome function and the full emission order.
+    "q_pipeline_transitions" -> QueryDef(
+      (s, d) => PdfPipeline.runWithStatus(Tables.documents(s, d), maxLen = 200, lookback = 60)
+        ._2.orderBy(col("id"), col("seq")),
+      Some(chunkCte(200, 60) + """,
+             |st0 AS (
+             |  SELECT md5(d.source || '_' || c.doc_id || '.pdf' || '#' || CAST(c.chunk_idx + 1 AS BIGINT)) AS id,
+             |    d.source || '_' || c.doc_id || '.pdf' AS filename,
+             |    CAST(c.chunk_idx + 1 AS BIGINT) AS pagenumber,
+             |    (c.doc_id * 7 + c.chunk_idx) % 23 AS phase
+             |  FROM chunks c JOIN documents d USING (doc_id)),
+             |tr AS (
+             |  SELECT id, filename, pagenumber,
+             |    CASE WHEN phase = 0 THEN ['page_separate_finished','finish_oai_invocation','failed_db_insertion']
+             |         WHEN phase = 1 THEN ['page_separate_finished','retry_oai_invocation','retry_oai_invocation','retry_oai_invocation']
+             |         WHEN phase = 2 THEN ['page_separate_finished','finish_oai_invocation']
+             |         WHEN phase = 3 THEN ['page_separate_finished','retry_oai_invocation','finish_oai_invocation','finish_db_insertion','completed']
+             |         ELSE ['page_separate_finished','finish_oai_invocation','finish_db_insertion','completed'] END AS log
+             |  FROM st0)
+             |SELECT id, filename, pagenumber, CAST(i - 1 AS BIGINT) AS seq, log[i] AS status
+             |FROM tr, unnest(range(1, len(log)+1)) AS s(i)
+             |ORDER BY id, seq""".stripMargin)),
+
+    // The store rows the same pass produced: exactly the chunks whose log
+    // reaches finish_db_insertion (embedding values come from the stubbed
+    // model → identity columns oracle-checked, vector checked in specs).
+    "q_pipeline_store" -> QueryDef(
+      (s, d) => PdfPipeline.runWithStatus(Tables.documents(s, d), maxLen = 200, lookback = 60)
+        ._1.select(col("id"), col("filename"), col("pagenumber"),
+          md5(col("origntext")).as("origntext_md5"))
+        .orderBy(col("id")),
+      Some(chunkCte(200, 60) + """,
+             |st0 AS (
+             |  SELECT md5(d.source || '_' || c.doc_id || '.pdf' || '#' || CAST(c.chunk_idx + 1 AS BIGINT)) AS id,
+             |    d.source || '_' || c.doc_id || '.pdf' AS filename,
+             |    CAST(c.chunk_idx + 1 AS BIGINT) AS pagenumber,
+             |    (c.doc_id * 7 + c.chunk_idx) % 23 AS phase, c.chunk AS chunk
+             |  FROM chunks c JOIN documents d USING (doc_id))
+             |SELECT id, filename, pagenumber, md5(chunk) AS origntext_md5
+             |FROM st0 WHERE phase NOT IN (0, 1, 2)
+             |ORDER BY id""".stripMargin)),
+
     "q_status_lifecycle" -> QueryDef(
       (s, d) => PdfPipeline.statusTable(docsChunks(s, d))
         .groupBy(col("status")).agg(count(lit(1)).cast("long").as("n"))

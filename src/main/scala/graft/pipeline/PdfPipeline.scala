@@ -85,6 +85,62 @@ object PdfPipeline {
         .otherwise("completed").as("status"))
   }
 
+  /** ONE pipeline pass emitting BOTH the vector-store rows and the
+    * per-stage status transition log — the coupling the reference
+    * implements with `cosmosDBUtil.updateStatus(...)` calls interleaved
+    * through `insertDataToPostgreSQL`/`invokeTextEmbedding`
+    * (Function.java:135-211: create(PAGE_SEPARATE_FINISHED) → per-failed-
+    * attempt RETRY_OAI_INVOCATION → FINISH_OAI_INVOCATION → insert →
+    * FINISH_DB_INSERTION | FAILED_DB_INSERTION → COMPLETED).
+    *
+    * Outcomes are injected by the same deterministic phase function
+    * [[statusTable]] uses (a live deployment's outcomes come from the
+    * real API/DB calls; a pure function keeps the log oracle-replayable),
+    * so the invariant `last transition per id == statusTable status`
+    * holds by construction and is spec-asserted. Phase meanings:
+    * 0 = DB insert fails; 1 = embedding fails all retries (stuck in
+    * retry); 2 = stopped after embedding (in-flight); 3 = one retry then
+    * success; else = clean success. Store rows exist exactly for the
+    * chunks whose log reaches finish_db_insertion. (Divergence from the
+    * reference, deliberate: Function.java:176 sets COMPLETED even after
+    * FAILED_DB_INSERTION — the catch block falls through — which would
+    * make every failure invisible to the failed-documents listing; the
+    * log stops at the failure instead.)
+    *
+    * Returns (storeRows, transitions): storeRows matches the
+    * `VectorStore` schema; transitions = (id, filename, pagenumber, seq,
+    * status) in emission order. Both derive from ONE chunk pass — narrow
+    * until the embedder, no second scan of the corpus. */
+  def runWithStatus(docs: DataFrame, maxLen: Int = 7500, lookback: Int = 300,
+                    dim: Int = 64, idCol: String = "doc_id"): (DataFrame, DataFrame) = {
+    val chunks = chunkRows(docs, maxLen, lookback, idCol = idCol)
+    val fileName = concat(col("source"), lit("_"), col(idCol), lit(".pdf"))
+    val page = (col("chunk_idx") + 1).cast("long")
+    val phase = (col(idCol) * 7 + col("chunk_idx")) % 23
+    val base = chunks.select(col(idCol), col("chunk_idx"), col("chunk"),
+      md5(concat(fileName, lit("#"), page)).as("id"),
+      fileName.as("filename"), page.as("pagenumber"), phase.as("__phase"))
+    val Seq(psf, retry, foi, fdb, fail, comp) = Statuses match {
+      case Seq(a, b, c, d, e, f) => Seq(a, b, c, d, e, f)
+    }
+    val log = when(col("__phase") === 0, array(lit(psf), lit(foi), lit(fail)))
+      .when(col("__phase") === 1, array(lit(psf), lit(retry), lit(retry), lit(retry)))
+      .when(col("__phase") === 2, array(lit(psf), lit(foi)))
+      .when(col("__phase") === 3, array(lit(psf), lit(retry), lit(foi), lit(fdb), lit(comp)))
+      .otherwise(array(lit(psf), lit(foi), lit(fdb), lit(comp)))
+    val transitions = base
+      .select(col("id"), col("filename"), col("pagenumber"),
+        posexplode(log).as(Seq("seq", "status")))
+      .select(col("id"), col("filename"), col("pagenumber"),
+        col("seq").cast("long").as("seq"), col("status"))
+    val stored = base.where(!col("__phase").isin(0, 1, 2))
+      .select(col("id"), col("filename"), col("pagenumber"), col("chunk"))
+    val storeRows = Embedder.embed(stored, textCol = "chunk", dim = dim)
+      .select(col("id"), col("embedding"), col("chunk").as("origntext"),
+        col("filename"), col("pagenumber"))
+    (storeRows, transitions)
+  }
+
   /** Registered-documents listing — the reference's
     * `status='COMPLETED' ORDER BY fileName, pageNumber`
     * (PDF-Summarizer/src/main/java/com/yoshio3/CosmosDBUtil.java:33). */

@@ -42,6 +42,29 @@ class PipelineSpec extends SparkSpec {
     st.unpersist()
   }
 
+  test("runWithStatus: transition log terminal == statusTable, store rows == inserted chunks") {
+    val (store, transitions) = PdfPipeline.runWithStatus(docs, maxLen = 200, lookback = 60)
+    val tr = transitions.cache()
+    // coupling invariant: the LAST transition of every chunk's log is
+    // exactly the current-status row statusTable derives
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("id")).orderBy(col("seq").desc)
+    val terminal = tr.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("id"), col("status"))
+    val st = PdfPipeline.statusTable(PdfPipeline.chunkRows(docs, 200, 60))
+      .select(col("id"), col("status"))
+    assert(terminal.exceptAll(st).isEmpty && st.exceptAll(terminal).isEmpty)
+    // every log starts at page_separate_finished
+    assert(tr.where(col("seq") === 0 && col("status") =!= "page_separate_finished").count() == 0)
+    // store rows exist exactly for logs that reached finish_db_insertion
+    val inserted = tr.where(col("status") === "finish_db_insertion")
+      .select(col("id")).distinct()
+    val stored = store.select(col("id")).distinct()
+    assert(stored.exceptAll(inserted).isEmpty && inserted.exceptAll(stored).isEmpty)
+    // store rows carry real embeddings at the configured dim
+    assert(store.select(size(col("embedding"))).distinct().collect().map(_.getInt(0)).toSeq == Seq(64))
+    tr.unpersist()
+  }
+
   test("embedder: deterministic, unit-norm, dim-stable, batched") {
     val e1 = Embedder.embedText("the quick brown fox", 64)
     val e2 = Embedder.embedText("the quick brown fox", 64)
