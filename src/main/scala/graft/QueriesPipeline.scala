@@ -55,28 +55,26 @@ object QueriesPipeline {
     PdfPipeline.chunkRows(Tables.documents(s, d), maxLen = 200, lookback = 60)
 
   /** Shared end-to-end search: normalize → chunk → md5-featurizer embed →
-    * cosine top-5 vs chunk cid=0. One map-side-combined shuffle for the
-    * bucket votes; the L2 norm is a window over the ≤16 bucket rows per
-    * chunk (the post-aggregation exchange is ≤16 rows/chunk), and the
-    * query side is broadcast — no second groupBy, no norms join. */
+    * cosine top-5 vs chunk cid=0. The vote vector is computed ROW-LOCAL
+    * (native digest expression, dense form) and scored with the codegen'd
+    * VecDot kernel against the broadcast 1-row query — the whole search
+    * is a narrow scan into `TakeOrderedAndProject`, ZERO wide shuffles.
+    * Bit-identical to the explode+groupBy oracle formulation because vote
+    * sums and dot products are integer-valued. */
   private def e2eHits(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    import graft.functions.{EmbedExpressions, VectorExpressions}
     val chunks = docsChunks(s, d)
       .select((col("doc_id") * 100 + col("chunk_idx")).as("cid"), col("chunk"))
-    val toks = chunks.select(col("cid"),
-      explode(split(lower(trim(col("chunk"))), " ")).as("tok"))
-    val h = toks.select(col("cid"),
-      expr("cast(conv(substr(md5(tok), 1, 8), 16, 10) as bigint)").as("h"))
-    val v = h.select(col("cid"), (col("h") % 16).as("b"),
-        when((expr("h div 16") % 2) === 0, 1.0).otherwise(-1.0).as("sgn"))
-      .groupBy(col("cid"), col("b")).agg(sum(col("sgn")).as("v"))
-      .withColumn("n", sqrt(sum(col("v") * col("v")).over(Window.partitionBy(col("cid")))))
-    val q = v.where(col("cid") === 0)
-      .select(col("b"), col("v").as("qv"), col("n").as("nq"))
-    v.join(broadcast(q), "b")
-      .groupBy(col("cid"))
-      .agg(sum(col("v") * col("qv")).as("dot"), max(col("n")).as("n"), max(col("nq")).as("nq"))
-      .where(col("n") > 0)
-      .select(col("cid"), round(col("dot") / (col("n") * col("nq")), 4).as("cos"))
+    val scored = chunks
+      .select(col("cid"),
+        EmbedExpressions.md5EmbedVotes(lower(trim(col("chunk"))), 16, dense = true).as("__v"))
+      .withColumn("__n", sqrt(VectorExpressions.vecDot(col("__v"), col("__v"))))
+    val q = scored.where(col("cid") === 0)
+      .select(col("__v").as("__qv"), col("__n").as("__nq"))
+    scored.crossJoin(broadcast(q))
+      .where(col("__n") > 0)
+      .select(col("cid"),
+        round(VectorExpressions.vecDot(col("__v"), col("__qv")) / (col("__n") * col("__nq")), 4).as("cos"))
       .orderBy(col("cos").desc, col("cid")).limit(5)
   }
 
@@ -205,26 +203,23 @@ object QueriesPipeline {
     // Oracle-gated embedding: bag-of-tokens hashing trick with md5-derived
     // buckets/signs (cross-engine reproducible: hex→int via Spark conv /
     // DuckDB '0x' cast), L2-normalized, sparse (doc_id, bucket, val) rows.
-    // This is the distributed featurizer formulation: explode tokens →
-    // one map-side-combined groupBy carries the heavy lifting; the L2 norm
-    // is a window over the ≤dim bucket rows per doc (the post-shuffle
-    // exchange is ≤dim rows/doc), replacing a second groupBy + join.
-    // Window sums are over INTEGER-valued votes, so the result is
-    // bit-identical to the aggregate formulation.
+    // The votes are computed ROW-LOCAL by a native digest expression
+    // (Md5EmbedExpr) — no token explode, no shuffle at all; the DuckDB
+    // oracle replays the explode+groupBy formulation, which is
+    // bit-identical because vote sums are integers. The 16-element HOF
+    // norm runs once per doc over a tiny array (cold).
     "q_embed_md5" -> QueryDef(
       (s, d) => {
-        val dim = 16
-        val toks = Tables.documents(s, d)
-          .select(col("doc_id"), explode(split(TextFunctions.canonicalText(col("text")), " ")).as("t"))
-          .select(col("doc_id"),
-            expr("cast(conv(substr(md5(t), 1, 8), 16, 10) as bigint)").as("h"))
-        val votes = toks.select(col("doc_id"), (col("h") % dim).as("b"),
-            when((expr(s"h div $dim") % 2) === 0, 1.0).otherwise(-1.0).as("sgn"))
-          .groupBy(col("doc_id"), col("b")).agg(sum(col("sgn")).as("v"))
-        votes
-          .withColumn("n", sqrt(sum(col("v") * col("v")).over(Window.partitionBy(col("doc_id")))))
-          .where(col("n") > 0)
-          .select(col("doc_id"), col("b").cast("long").as("bucket"), round(col("v") / col("n"), 4).as("val"))
+        val v = graft.functions.EmbedExpressions.md5EmbedVotes(
+          TextFunctions.canonicalText(col("text")), 16)
+        val n = sqrt(expr(
+          "aggregate(__v, cast(0.0 as double), (acc, x) -> acc + coalesce(x * x, cast(0.0 as double)))"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), v.as("__v"))
+          .select(col("doc_id"), n.as("__n"), posexplode(col("__v")).as(Seq("bucket", "v")))
+          .where(col("v").isNotNull && col("__n") > 0)
+          .select(col("doc_id"), col("bucket").cast("long").as("bucket"),
+            round(col("v") / col("__n"), 4).as("val"))
           .orderBy(col("doc_id"), col("bucket"))
       },
       Some(s"""WITH toks AS (

@@ -53,6 +53,31 @@ class VectorSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
   }
 
+  test("md5-embed votes: matches the SQL explode+groupBy formulation exactly") {
+    import graft.functions.EmbedExpressions
+    import spark.implicits._
+    val df = Seq((1L, "alpha beta alpha gamma"), (2L, ""), (3L, "x")).toDF("id", "t")
+    // sparse expression output, exploded to (id, bucket, v)
+    val viaExpr = df.select(col("id"),
+        posexplode(EmbedExpressions.md5EmbedVotes(col("t"), 16)).as(Seq("b", "v")))
+      .where(col("v").isNotNull)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    // reference formulation: explode tokens, conv(md5), groupBy
+    val viaSql = df.select(col("id"), explode(split(col("t"), " ")).as("tok"))
+      .select(col("id"), expr("cast(conv(substr(md5(tok), 1, 8), 16, 10) as bigint)").as("h"))
+      .select(col("id"), (col("h") % 16).cast("int").as("b"),
+        when((expr("h div 16") % 2) === 0, 1.0).otherwise(-1.0).as("s"))
+      .groupBy("id", "b").agg(sum("s").as("v"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(viaExpr == viaSql)
+    // dense form zero-fills instead of nulling, same touched values
+    val dense = df.select(col("id"),
+        posexplode(EmbedExpressions.md5EmbedVotes(col("t"), 16, dense = true)).as(Seq("b", "v")))
+      .where(col("v") =!= 0.0)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(dense == viaExpr.filter(_._3 != 0.0))
+  }
+
   test("codegen and interpreted kernel paths agree (two impls, one truth)") {
     val e = Tables.embeddings(spark, sfDir)
     def run(): Array[(Long, Double)] =
