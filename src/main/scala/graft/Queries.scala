@@ -22,7 +22,8 @@ object Queries {
     """lower(trim(regexp_replace(replace(text, chr(10), ' '), '[\s\x0b]{2,}', ' ', 'g')))"""
 
   def defs: Map[String, QueryDef] =
-    coreDefs ++ QueriesPipeline.defs ++ QueriesAnalytics.defs ++ QueriesExtra.defs ++ QueriesAdvanced.defs
+    coreDefs ++ QueriesPipeline.defs ++ QueriesAnalytics.defs ++ QueriesExtra.defs ++
+      QueriesAdvanced.defs ++ QueriesSearch.defs
 
   private val coreDefs: Map[String, QueryDef] = Map(
 

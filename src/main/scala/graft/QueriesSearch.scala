@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.Queries.QueryDef
+import graft.functions.{EmbedExpressions, TextFunctions, VectorExpressions}
+import graft.operators.{Dedup, Sampling, TextSearch}
+
+/** Lexical + hybrid retrieval and corpus-hygiene queries: BM25 keyword
+  * search, reciprocal-rank fusion with the vector side (the hybrid
+  * search a production deployment of the reference runs), benchmark
+  * contamination scanning, and BPE merge-pair counting (the inner loop
+  * of tokenizer training). */
+object QueriesSearch {
+
+  private val canon =
+    """lower(trim(regexp_replace(replace(text, chr(10), ' '), '[\s\x0b]{2,}', ' ', 'g')))"""
+
+  private val Terms = Seq("spark", "table", "scan")
+
+  /** BM25 oracle CTE chain ending in `bm (doc_id, score)`. */
+  private val bm25Cte =
+    s"""WITH lens AS (SELECT doc_id, len(string_split($canon,' '))::DOUBLE AS l FROM documents),
+       |stats AS (SELECT count(*)::DOUBLE AS n, avg(l) AS avgdl FROM lens),
+       |hits AS (
+       |  SELECT doc_id, t, count(*)::DOUBLE AS tf
+       |  FROM (SELECT doc_id, unnest(string_split($canon,' ')) AS t FROM documents)
+       |  WHERE t IN ('spark','table','scan') GROUP BY 1,2),
+       |dfreq AS (SELECT t, count(*)::DOUBLE AS df FROM hits GROUP BY 1),
+       |bm AS (
+       |  SELECT h.doc_id, round(sum(ln(1 + (s.n - d.df + 0.5)/(d.df + 0.5)) * (h.tf * 2.2)
+       |    / (h.tf + 1.2*(1 - 0.75 + 0.75*l.l/s.avgdl))), 4) AS score
+       |  FROM hits h JOIN dfreq d USING (t) JOIN lens l USING (doc_id) CROSS JOIN stats s
+       |  GROUP BY h.doc_id)""".stripMargin
+
+  /** Dense md5-featurizer cosine vs the query string, mirroring the
+    * row-local dense-votes semantics (grid left-join zero-fills). */
+  private val cosCte =
+    s""",
+       |grid AS (SELECT doc_id, i AS b FROM documents, unnest(range(0,16)) AS t(i)),
+       |tok AS (SELECT doc_id, ('0x'||substr(md5(t),1,8))::BIGINT AS h
+       |        FROM (SELECT doc_id, unnest(string_split($canon,' ')) AS t FROM documents)),
+       |dv0 AS (SELECT doc_id, h%16 AS b, sum(CASE WHEN (h//16)%2=0 THEN 1.0 ELSE -1.0 END) AS v FROM tok GROUP BY 1,2),
+       |dv AS (SELECT g.doc_id, g.b, coalesce(dv0.v, 0.0) AS v FROM grid g LEFT JOIN dv0 ON dv0.doc_id=g.doc_id AND dv0.b=g.b),
+       |qt AS (SELECT ('0x'||substr(md5(t),1,8))::BIGINT AS h FROM (SELECT unnest(string_split('spark table scan',' ')) AS t)),
+       |qv0 AS (SELECT h%16 AS b, sum(CASE WHEN (h//16)%2=0 THEN 1.0 ELSE -1.0 END) AS v FROM qt GROUP BY 1),
+       |qv AS (SELECT i AS b, coalesce(qv0.v, 0.0) AS v FROM unnest(range(0,16)) AS t(i) LEFT JOIN qv0 ON qv0.b = i),
+       |nq AS (SELECT sqrt(sum(v*v)) AS nq FROM qv),
+       |dn AS (SELECT doc_id, sqrt(sum(v*v)) AS n FROM dv GROUP BY 1),
+       |dt AS (SELECT dv.doc_id, sum(dv.v*qv.v) AS dot FROM dv JOIN qv USING (b) GROUP BY 1),
+       |cos AS (SELECT d.doc_id, round(d.dot/(dn.n*nq.nq),4) AS cos
+       |        FROM dt d JOIN dn USING (doc_id) CROSS JOIN nq WHERE dn.n>0)""".stripMargin
+
+  /** Row-local dense cosine of every doc against the query string —
+    * narrow scan, VecDot kernel, no shuffle. */
+  private def cosineSide(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val qRow = broadcast(s.range(1).select(
+      EmbedExpressions.md5EmbedVotes(lit(Terms.mkString(" ")), 16, dense = true).as("__qv")))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        EmbedExpressions.md5EmbedVotes(TextFunctions.canonicalText(col("text")), 16, dense = true).as("__v"))
+      .withColumn("__n", sqrt(VectorExpressions.vecDot(col("__v"), col("__v"))))
+      .crossJoin(qRow)
+      .withColumn("__nq", sqrt(VectorExpressions.vecDot(col("__qv"), col("__qv"))))
+      .where(col("__n") > 0)
+      .select(col("doc_id"),
+        round(VectorExpressions.vecDot(col("__v"), col("__qv")) / (col("__n") * col("__nq")), 4).as("cos"))
+  }
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // Lexical search: BM25 over the corpus for a fixed term set. Tokens
+    // are pruned to the query terms BEFORE the tf shuffle — nothing
+    // corpus-sized moves (see TextSearch.bm25).
+    "q_bm25" -> QueryDef(
+      (s, d) => TextSearch.bm25(Tables.documents(s, d), Terms)
+        .orderBy(col("score").desc, col("doc_id")).limit(20),
+      Some(bm25Cte + """
+             |SELECT doc_id, score FROM bm ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // Hybrid retrieval: reciprocal-rank fusion of the BM25 list and the
+    // dense-embedding cosine list — the production shape for "vector
+    // search + keyword search" over one corpus.
+    "q_hybrid_rrf" -> QueryDef(
+      (s, d) => TextSearch.rrfFuse(
+          TextSearch.bm25(Tables.documents(s, d), Terms), cosineSide(s, d),
+          "doc_id", "score", "cos")
+        .orderBy(col("rrf").desc, col("doc_id")).limit(10),
+      Some(bm25Cte + cosCte + """,
+             |ra AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)::DOUBLE AS r FROM bm),
+             |rb AS (SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id)::DOUBLE AS r FROM cos)
+             |SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id,
+             |  round(coalesce(1/(60+ra.r),0)+coalesce(1/(60+rb.r),0),6) AS rrf
+             |FROM ra FULL JOIN rb ON ra.doc_id = rb.doc_id
+             |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin)),
+
+    // Benchmark contamination: a deterministic 5% "benchmark" split
+    // scanned against the remaining corpus for shingle-overlap >= 0.5
+    // (catches the near-dup pairs that straddle the split).
+    "q_contamination" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("__b", Sampling.hashBucket(col("doc_id"), "contam", 100))
+        Dedup.crossContamination(
+            docs.where(col("__b") < 5), docs.where(col("__b") >= 5), threshold = 0.5)
+          .orderBy(col("test_id"), col("train_id"))
+      },
+      Some(s"""WITH sh0 AS (
+             |  SELECT doc_id, ('0x' || substr(md5('contam' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b,
+             |    string_split($canon, ' ') AS w FROM documents),
+             |sh AS (SELECT doc_id, b, list_distinct(CASE WHEN len(w) >= 3
+             |    THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]
+             |    ELSE [array_to_string(w, ' ')] END) AS sh FROM sh0),
+             |t AS (SELECT doc_id AS test_id, len(sh)::DOUBLE AS nt, unnest(sh) AS g FROM sh WHERE b < 5),
+             |c AS (SELECT doc_id AS train_id, unnest(sh) AS g FROM sh WHERE b >= 5),
+             |common AS (SELECT g FROM c GROUP BY g HAVING count(*) > 1000),
+             |o AS (
+             |  SELECT test_id, train_id, count(*)::DOUBLE AS hits, max(nt) AS nt
+             |  FROM (SELECT * FROM t WHERE g NOT IN (SELECT g FROM common)) t2
+             |  JOIN (SELECT * FROM c WHERE g NOT IN (SELECT g FROM common)) c2 USING (g)
+             |  GROUP BY 1, 2)
+             |SELECT test_id, train_id, round(hits/nt, 4) AS overlap FROM o
+             |WHERE round(hits/nt, 4) >= 0.5 ORDER BY test_id, train_id""".stripMargin)),
+
+    // One BPE merge iteration: adjacent character-pair counts over the
+    // word-frequency table (the tokenizer-training inner loop). Two
+    // shuffles over shrinking data: corpus tokens -> word freqs (map-side
+    // combined), word pairs -> pair counts (vocabulary-sized).
+    "q_bpe_pairs" -> QueryDef(
+      (s, d) => Tables.documents(s, d)
+        .select(explode(split(TextFunctions.canonicalText(col("text")), " ")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("f"))
+        .where(length(col("w")) >= 2)
+        .select(col("f"), explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("f")).cast("long").as("n"))
+        .orderBy(col("n").desc, col("pair")).limit(30),
+      Some(s"""WITH w AS (SELECT w, count(*)::BIGINT AS f
+             |  FROM (SELECT unnest(string_split($canon, ' ')) AS w FROM documents) GROUP BY 1),
+             |p AS (SELECT f, unnest([substr(w, i, 2) for i in range(1, length(w))]) AS pair
+             |  FROM w WHERE length(w) >= 2)
+             |SELECT pair, sum(f)::BIGINT AS n FROM p GROUP BY pair
+             |ORDER BY n DESC, pair LIMIT 30""".stripMargin))
+  )
+}

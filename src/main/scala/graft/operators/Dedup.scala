@@ -106,6 +106,39 @@ object Dedup {
         docs, idCol, textCol, shingleN)
       .where(col("jaccard") >= threshold)
 
+  /** Benchmark-contamination check: for every document of `testDocs`,
+    * the `trainDocs` documents sharing at least `threshold` of its word
+    * shingles — the pre-training hygiene scan that keeps eval sets out of
+    * the training corpus (run with testDocs = the benchmark, trainDocs =
+    * the corpus).
+    *
+    * Shape: shingles explode on both sides, equi-join on the shingle, one
+    * groupBy per (test, train) pair. Ubiquitous boilerplate shingles are
+    * the skew hazard — any shingle present in more than `dfCap` train
+    * docs is dropped from BOTH sides before the join (it carries no
+    * contamination signal and would fan out quadratically). */
+  def crossContamination(testDocs: DataFrame, trainDocs: DataFrame,
+                         threshold: Double, dfCap: Int = 1000,
+                         idCol: String = "doc_id", textCol: String = "text",
+                         shingleN: Int = 3, scale: Int = 4): DataFrame = {
+    val t = testDocs
+      .select(col(idCol).as("test_id"), wordShingles(col(textCol), shingleN).as("__sh"))
+      .select(col("test_id"), size(col("__sh")).cast("double").as("__nt"),
+        explode(col("__sh")).as("__g"))
+    val c = trainDocs
+      .select(col(idCol).as("train_id"),
+        explode(wordShingles(col(textCol), shingleN)).as("__g"))
+    val common = c.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
+      .where(col("__df") > dfCap).select(col("__g"))
+    t.join(broadcast(common), Seq("__g"), "left_anti")
+      .join(c.join(broadcast(common), Seq("__g"), "left_anti"), "__g")
+      .groupBy(col("test_id"), col("train_id"))
+      .agg(count(lit(1)).cast("double").as("__hits"), first(col("__nt")).as("__nt"))
+      .select(col("test_id"), col("train_id"),
+        round(col("__hits") / col("__nt"), scale).as("overlap"))
+      .where(col("overlap") >= threshold)
+  }
+
   /** Embedding-cosine near-dup pairs, exhaustive O(n²) scoring — the
     * oracle-exact formulation, correct at verification scale and as the
     * reranker behind [[embeddingNearDupLsh]]. */

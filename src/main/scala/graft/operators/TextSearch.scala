@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Lexical search over the document corpus: BM25 scoring and
+  * reciprocal-rank fusion — the keyword complement to [[Knn]]'s vector
+  * search (together they form the hybrid retrieval a production document
+  * search deployment of the reference would run).
+  *
+  * Scale design: tokens are filtered to the query's terms BEFORE any
+  * aggregation, so the tf shuffle carries only query-term hits (a
+  * |terms|-way semi-join against a broadcast literal set, not a corpus
+  * explode-shuffle); document length is row-local (`wsTokenCount`);
+  * N/avgdl are one scalar aggregate; df and the final per-doc score
+  * aggregate over query-term rows only. Nothing corpus-sized moves.
+  */
+object TextSearch {
+
+  /** BM25 scores for `terms` over the corpus; returns one row per
+    * document containing at least one term: (idCol, score). Standard
+    * Robertson/Sparck-Jones parameters k1/b; idf = ln(1 + (N-df+0.5)/(df+0.5)).
+    * Deterministic: score rounded to `scale` so downstream rank ties
+    * break on id. */
+  def bm25(docs: DataFrame, terms: Seq[String],
+           idCol: String = "doc_id", textCol: String = "text",
+           k1: Double = 1.2, b: Double = 0.75, scale: Int = 4): DataFrame = {
+    require(terms.nonEmpty, "bm25: need at least one query term")
+    val lens = docs.select(col(idCol),
+      TextFunctions.wsTokenCount(col(textCol)).cast("double").as("__len"))
+    val stats = lens.agg(count(lit(1)).cast("double").as("__n"),
+      avg(col("__len")).as("__avgdl"))
+    val hits = docs
+      .select(col(idCol),
+        explode(split(TextFunctions.canonicalText(col(textCol)), " ")).as("__t"))
+      .where(col("__t").isin(terms: _*))          // broadcast literal pruning
+      .groupBy(col(idCol), col("__t")).agg(count(lit(1)).cast("double").as("__tf"))
+    val df = hits.groupBy(col("__t")).agg(count(lit(1)).cast("double").as("__df"))
+    hits
+      .join(broadcast(df), "__t")
+      .join(lens, idCol)
+      .crossJoin(broadcast(stats))
+      .select(col(idCol),
+        (log(lit(1.0) + (col("__n") - col("__df") + 0.5) / (col("__df") + 0.5)) *
+          (col("__tf") * (k1 + 1)) /
+          (col("__tf") + (lit(1 - b) + col("__len") * b / col("__avgdl")) * k1)).as("__s"))
+      .groupBy(col(idCol)).agg(round(sum(col("__s")), scale).as("score"))
+  }
+
+  /** Reciprocal-rank fusion of two ranked result lists:
+    * rrf(d) = Σ 1/(k + rank_i(d)), documents appearing in either list
+    * (standard k = 60). Inputs are (idCol, scoreCol) frames; ranks are
+    * dense by (score desc, id) so the fusion is deterministic. */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String,
+              scoreColA: String, scoreColB: String,
+              k: Int = 60, scale: Int = 6): DataFrame = {
+    def ranked(df: DataFrame, scoreCol: String, out: String): DataFrame =
+      df.select(col(idCol), col(scoreCol))
+        .withColumn(out, row_number().over(
+          Window.orderBy(col(scoreCol).desc, col(idCol))).cast("double"))
+        .select(col(idCol), col(out))
+    val ra = ranked(a, scoreColA, "__ra")
+    val rb = ranked(b, scoreColB, "__rb")
+    ra.join(rb, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        round(coalesce(lit(1.0) / (lit(k) + col("__ra")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(k) + col("__rb")), lit(0.0)), scale).as("rrf"))
+  }
+}
