@@ -87,28 +87,36 @@ object QueriesPipeline {
     val chunks = docsChunks(s, d)
       .select(col("doc_id"), col("source"), col("chunk_idx"),
         (col("doc_id") * 100 + col("chunk_idx")).as("cid"), col("chunk"))
-    val fileName = concat(col("source"), lit("_"), col("doc_id"), lit(".pdf"))
-    val page = (col("chunk_idx") + 1).cast("long")
+    // single source of truth for the status/store/serve join key
+    val (fileName, page, chunkId) = PdfPipeline.chunkIdCols()
     chunks.join(broadcast(e2eHits(s, d)), "cid")
       .select(col("cid"), col("cos"),
         fileName.as("filename"), page.as("pagenumber"),
-        md5(concat(fileName, lit("#"), page)).as("id"),
+        chunkId.as("id"),
         PromptFunctions.blobPageUrl(lit("documentsearch1"), lit("pdfs"), fileName, page).as("url"),
         md5(PromptFunctions.summaryPrompt(col("chunk"), lit(query))).as("prompt_md5"),
         Summarizer.extractiveSummary(col("chunk"), query).as("summary"))
   }
 
   /** DuckDB replay of the full serve loop (chunk → embed → top-5 → prompt
-    * → KWIC summary), ending in a `served` CTE. */
+    * → KWIC summary), ending in a `served` CTE. The vote vectors are
+    * DENSE (a zero-filled (cid × 16-bucket) grid), mirroring the
+    * row-local dense-votes Spark side: every chunk with nonzero norm is
+    * scored, including zero-overlap chunks at cos 0 — an inner join on
+    * touched buckets only would drop those candidates and diverge on
+    * corpora where fewer than 5 chunks share a bucket with the query. */
   private def serveCte(query: String): String = {
     val q3 = "\"\"\""
     chunkCte(200, 60) + s""",
        |ch2 AS (SELECT doc_id, chunk_idx, doc_id*100 + chunk_idx AS cid, chunk FROM chunks),
+       |cgrid AS (SELECT cid, i AS b FROM ch2, unnest(range(0, 16)) AS t(i)),
        |t AS (SELECT cid, unnest(string_split(lower(trim(chunk)), ' ')) AS tok FROM ch2),
        |hh AS (SELECT cid, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM t),
-       |v AS (SELECT cid, h % 16 AS b,
+       |v0 AS (SELECT cid, h % 16 AS b,
        |        sum(CASE WHEN (h // 16) % 2 = 0 THEN 1.0 ELSE -1.0 END) AS v
        |      FROM hh GROUP BY 1, 2),
+       |v AS (SELECT g.cid, g.b, coalesce(v0.v, 0.0) AS v
+       |      FROM cgrid g LEFT JOIN v0 ON v0.cid = g.cid AND v0.b = g.b),
        |vn AS (SELECT cid, b, v, sqrt(sum(v*v) OVER (PARTITION BY cid)) AS n FROM v),
        |q AS (SELECT b, v AS qv, n AS nq FROM vn WHERE cid = 0),
        |hits AS (
@@ -239,22 +247,12 @@ object QueriesPipeline {
     // cosine top-5 "most similar chunks to chunk 0". Every stage is the
     // cross-engine-reproducible variant, so the DuckDB oracle replays
     // PDF-pipeline + vector search as one SQL pipeline.
+    // Oracle = the serve CTE's dense-grid `hits` (unreferenced CTEs after
+    // `hits` are never evaluated by DuckDB).
     "q_e2e_search" -> QueryDef(
       (s, d) => e2eHits(s, d).select(col("cid"), col("cos")),
-      Some(chunkCte(200, 60) + """,
-             |t AS (SELECT doc_id*100 + chunk_idx AS cid, unnest(string_split(lower(trim(chunk)), ' ')) AS tok FROM chunks),
-             |hh AS (SELECT cid, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM t),
-             |v AS (SELECT cid, h % 16 AS b,
-             |        sum(CASE WHEN (h // 16) % 2 = 0 THEN 1.0 ELSE -1.0 END) AS v
-             |      FROM hh GROUP BY 1, 2),
-             |n AS (SELECT cid, sqrt(sum(v*v)) AS n FROM v GROUP BY 1),
-             |q AS (SELECT b, v AS qv FROM v WHERE cid = 0),
-             |dot AS (SELECT a.cid, sum(a.v * q.qv) AS dot FROM v a JOIN q ON a.b = q.b GROUP BY 1)
-             |SELECT d.cid, round(d.dot / (na.n * nq.n), 4) AS cos
-             |FROM dot d JOIN n na ON na.cid = d.cid
-             |CROSS JOIN (SELECT n FROM n WHERE cid = 0) nq(n)
-             |WHERE na.n > 0
-             |ORDER BY cos DESC, d.cid LIMIT 5""".stripMargin)),
+      Some(serveCte("spark") + """
+             |SELECT cid, cos FROM hits ORDER BY cos DESC, cid""".stripMargin)),
 
     // Per-hit LLM summary stage (SSEOpenAIController.java:142-198), chat
     // model stubbed as a deterministic KWIC extractive summary — exactly

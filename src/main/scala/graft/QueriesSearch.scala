@@ -86,8 +86,11 @@ object QueriesSearch {
           "doc_id", "score", "cos")
         .orderBy(col("rrf").desc, col("doc_id")).limit(10),
       Some(bm25Cte + cosCte + """,
-             |ra AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)::DOUBLE AS r FROM bm),
-             |rb AS (SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id)::DOUBLE AS r FROM cos)
+             |-- top-1000 truncation mirrors TextSearch.rrfFuse's bounded ranking
+             |ra0 AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)::DOUBLE AS r FROM bm),
+             |rb0 AS (SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id)::DOUBLE AS r FROM cos),
+             |ra AS (SELECT * FROM ra0 WHERE r <= 1000),
+             |rb AS (SELECT * FROM rb0 WHERE r <= 1000)
              |SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id,
              |  round(coalesce(1/(60+ra.r),0)+coalesce(1/(60+rb.r),0),6) AS rrf
              |FROM ra FULL JOIN rb ON ra.doc_id = rb.doc_id

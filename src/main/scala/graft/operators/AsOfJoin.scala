@@ -18,6 +18,43 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
+  private val Reserved = Set("__key", "__time", "__tag", "__bucket", "__l", "__r")
+
+  /** Shared input validation: returns right-side OUTPUT names (suffixed
+    * where they collide with a left column). */
+  private def validated(opName: String, lCols: Array[String], rCols: Array[String],
+                        rightSuffix: String): Array[String] = {
+    val overlap = lCols.toSet.intersect(rCols.toSet)
+    require(overlap.isEmpty || rightSuffix.nonEmpty,
+      s"$opName: left and right share column names ${overlap.mkString(", ")}; " +
+        "pass rightSuffix to disambiguate the right-side outputs")
+    val rOut = rCols.map(c => if (overlap(c)) c + rightSuffix else c)
+    require(lCols.toSet.intersect(rOut.toSet).isEmpty,
+      s"$opName: rightSuffix '$rightSuffix' still collides with left columns " +
+        lCols.toSet.intersect(rOut.toSet).mkString(", "))
+    require((lCols ++ rCols).forall(!Reserved(_)),
+      s"$opName: input columns may not use reserved internal names ${Reserved.mkString(", ")}")
+    rOut
+  }
+
+  /** Timestamp inputs must keep sub-second precision — casting them to
+    * long truncates to whole seconds and can match a right row up to 1s
+    * AFTER the left time. Integral inputs stay long (casting 64-bit
+    * nanos to double would lose precision instead). */
+  private def timeTypeOf(left: DataFrame, right: DataFrame,
+                         leftTime: String, rightTime: String): String = {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val timey = Set[org.apache.spark.sql.types.DataType](TimestampType, TimestampNTZType)
+    if (timey.contains(left.schema(leftTime).dataType) ||
+        timey.contains(right.schema(rightTime).dataType)) "double" else "long"
+  }
+
+  /** Final projection: left columns by name, right columns as `rOut`. */
+  private def project(df: DataFrame, lCols: Array[String], rCols: Array[String],
+                      rOut: Array[String]): DataFrame =
+    df.select((lCols.toSeq.map(c => col(s"__l.$c").as(c)) ++
+               rCols.toSeq.zip(rOut).map { case (c, out) => col(s"__last_r.$c").as(out) }): _*)
+
   /** @param rightSuffix appended to right-side output columns that would
     *         collide with a left-side name (pandas `merge_asof` style,
     *         e.g. both sides having `ts`); with the default empty suffix,
@@ -29,26 +66,8 @@ object AsOfJoin {
            rightSuffix: String = ""): DataFrame = {
     val lCols = left.columns
     val rCols = right.columns
-    val overlap = lCols.toSet.intersect(rCols.toSet)
-    require(overlap.isEmpty || rightSuffix.nonEmpty,
-      s"asOf: left and right share column names ${overlap.mkString(", ")}; " +
-        "pass rightSuffix to disambiguate the right-side outputs")
-    val rOut = rCols.map(c => if (overlap(c)) c + rightSuffix else c)
-    require(lCols.toSet.intersect(rOut.toSet).isEmpty,
-      s"asOf: rightSuffix '$rightSuffix' still collides with left columns " +
-        lCols.toSet.intersect(rOut.toSet).mkString(", "))
-    val reserved = Set("__key", "__time", "__tag", "__l", "__r")
-    require((lCols ++ rCols).forall(!reserved(_)),
-      s"asOf: input columns may not use reserved internal names ${reserved.mkString(", ")}")
-    // Timestamp inputs must keep sub-second precision — casting them to
-    // long truncates to whole seconds and can match a right row up to 1s
-    // AFTER the left time. Integral inputs stay long (casting 64-bit
-    // nanos to double would lose precision instead).
-    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
-    val timey = Set[org.apache.spark.sql.types.DataType](TimestampType, TimestampNTZType)
-    val timeType =
-      if (timey.contains(left.schema(leftTime).dataType) ||
-          timey.contains(right.schema(rightTime).dataType)) "double" else "long"
+    val rOut = validated("asOf", lCols, rCols, rightSuffix)
+    val timeType = timeTypeOf(left, right, leftTime, rightTime)
     val l2 = left.select(col(leftKey).as("__key"), col(leftTime).cast(timeType).as("__time"),
       lit(1).as("__tag"), struct(lCols.toSeq.map(col): _*).as("__l"))
     val r2 = right.select(col(rightKey).as("__key"), col(rightTime).cast(timeType).as("__time"),
@@ -58,11 +77,10 @@ object AsOfJoin {
     val w = Window.partitionBy(col("__key"))
       .orderBy(col("__time"), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    unioned
+    project(unioned
       .withColumn("__last_r", last(col("__r"), ignoreNulls = true).over(w))
-      .where(col("__tag") === 1 && col("__last_r").isNotNull)
-      .select((lCols.toSeq.map(c => col(s"__l.$c").as(c)) ++
-               rCols.toSeq.zip(rOut).map { case (c, out) => col(s"__last_r.$c").as(out) }): _*)
+      .where(col("__tag") === 1 && col("__last_r").isNotNull),
+      lCols, rCols, rOut)
   }
 
   /** Range-bucketed as-of join — the fact-fact SCALE variant of [[asOf]].
@@ -91,23 +109,8 @@ object AsOfJoin {
     require(bucketSec > 0, s"asOfBucketed: bucketSec must be positive, got $bucketSec")
     val lCols = left.columns
     val rCols = right.columns
-    val overlap = lCols.toSet.intersect(rCols.toSet)
-    require(overlap.isEmpty || rightSuffix.nonEmpty,
-      s"asOfBucketed: left and right share column names ${overlap.mkString(", ")}; " +
-        "pass rightSuffix to disambiguate the right-side outputs")
-    val rOut = rCols.map(c => if (overlap(c)) c + rightSuffix else c)
-    require(lCols.toSet.intersect(rOut.toSet).isEmpty,
-      s"asOfBucketed: rightSuffix '$rightSuffix' still collides with left columns " +
-        lCols.toSet.intersect(rOut.toSet).mkString(", "))
-    val reserved = Set("__key", "__time", "__tag", "__bucket", "__l", "__r")
-    require((lCols ++ rCols).forall(!reserved(_)),
-      s"asOfBucketed: input columns may not use reserved internal names ${reserved.mkString(", ")}")
-
-    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
-    val timey = Set[org.apache.spark.sql.types.DataType](TimestampType, TimestampNTZType)
-    val timeType =
-      if (timey.contains(left.schema(leftTime).dataType) ||
-          timey.contains(right.schema(rightTime).dataType)) "double" else "long"
+    val rOut = validated("asOfBucketed", lCols, rCols, rightSuffix)
+    val timeType = timeTypeOf(left, right, leftTime, rightTime)
     def bucketOf(t: Column): Column = floor(t / lit(bucketSec.toDouble)).cast("long")
 
     val l2 = left.select(col(leftKey).as("__key"), col(leftTime).cast(timeType).as("__time"),
@@ -155,10 +158,9 @@ object AsOfJoin {
     val w = Window.partitionBy(col("__key"), col("__bucket"))
       .orderBy(col("__time"), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    unioned
+    project(unioned
       .withColumn("__last_r", last(col("__r"), ignoreNulls = true).over(w))
-      .where(col("__tag") === 1 && col("__last_r").isNotNull)
-      .select((lCols.toSeq.map(c => col(s"__l.$c").as(c)) ++
-               rCols.toSeq.zip(rOut).map { case (c, out) => col(s"__last_r.$c").as(out) }): _*)
+      .where(col("__tag") === 1 && col("__last_r").isNotNull),
+      lCols, rCols, rOut)
   }
 }

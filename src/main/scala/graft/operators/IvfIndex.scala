@@ -195,17 +195,20 @@ object IvfIndex {
   def train(corpus: DataFrame, k: Int, iters: Int = 5,
             idCol: String = "vec_id", embCol: String = "embedding",
             samplePercent: Int = 10): Model = {
-    val sample =
-      if (samplePercent >= 100) corpus
-      else {
-        val s = Sampling.deterministicSample(corpus, idCol, samplePercent, salt = "ivf-train")
-        // degenerate corpora (< k sampled rows) fall back to full data
-        if (s.limit(k).count() < k) corpus else s
-      }
-    var centroids: Array[Array[Double]] = sample
+    def init(df: DataFrame): Array[Array[Double]] = df
       .orderBy(md5(col(idCol).cast("string")), col(idCol)).limit(k)
       .select(col(embCol).cast("array<double>")).collect()
       .map(_.getSeq[Double](0).toArray)
+    var sample =
+      if (samplePercent >= 100) corpus
+      else Sampling.deterministicSample(corpus, idCol, samplePercent, salt = "ivf-train")
+    var centroids = init(sample)
+    // degenerate corpora (< k sampled rows): fall back to full data —
+    // detected from the init collect itself, no extra counting job
+    if (centroids.length < k && (sample ne corpus)) {
+      sample = corpus
+      centroids = init(corpus)
+    }
     var it = 0
     while (it < iters) {
       val model = Model(centroids)

@@ -72,29 +72,47 @@ object SimHash {
     docs.select(col(idCol), TextFunctions.wordShingles(col(textCol), shingleN).as("__sh"))
       .select(col(idCol), simhash64(col("__sh")).as("simhash"))
 
-  /** Near-dup pairs with Hamming distance ≤ maxHamming (≤ 3 guaranteed
-    * complete by 4-chunk pigeonhole; larger thresholds would need more
-    * chunks).
+  /** (id, simhash, chunk_id, chunk_val) — the 4 × 16-bit banding keys. */
+  private def chunkKeys(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    signatures(docs, idCol, textCol).select(col(idCol), col("simhash"),
+        explode(array((0 until 4).map { c =>
+          struct(lit(c).as("chunk_id"),
+            shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xffffL)).as("chunk_val"))
+        }: _*)).as("ck"))
+      .select(col(idCol), col("simhash"),
+        col("ck.chunk_id").as("chunk_id"), col("ck.chunk_val").as("chunk_val"))
+
+  /** The buckets [[nearDupPairs]]'s guard would drop at this `maxBucket`
+    * — (chunk_id, chunk_val, n_docs), largest first. Run alongside
+    * nearDupPairs: a non-empty result means some near-dup cliques were
+    * cut and should be handled by exact dedup or a bigger budget. */
+  def droppedBuckets(docs: DataFrame, maxBucket: Int = 1000,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    chunkKeys(docs, idCol, textCol)
+      .groupBy(col("chunk_id"), col("chunk_val"))
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+      .where(col("n_docs") > maxBucket)
+      .orderBy(col("n_docs").desc, col("chunk_id"), col("chunk_val"))
+
+  /** Near-dup pairs with Hamming distance ≤ maxHamming. The 4-chunk
+    * pigeonhole is complete for hamming ≤ 3 AMONG documents whose chunk
+    * buckets stay within `maxBucket` — buckets larger than that are
+    * dropped wholesale (a hot 16-bit chunk value on a boilerplate-heavy
+    * corpus would otherwise expand quadratically), so a >maxBucket
+    * duplicate clique yields no pairs here by design; run
+    * [[droppedBuckets]] alongside to surface what the guard cut, and
+    * catch giant exact-duplicate cliques with `Dedup.exact` first (its
+    * groupBy collapses them without pair expansion).
     *
     * Pair generation is the same guarded groupBy-collect shape as
     * `Dedup.candidatePairs`: ONE shuffle groups (id, simhash) per
-    * (chunk_id, chunk_val) bucket with map-side partial collect, buckets
-    * larger than `maxBucket` are dropped (a hot 16-bit chunk value on a
-    * boilerplate-heavy corpus would otherwise expand quadratically —
-    * exactly the blowup the old chunk-value equi-join allowed), and
+    * (chunk_id, chunk_val) bucket with map-side partial collect, and
     * in-bucket pairs expand row-locally from the ≤maxBucket array. */
   def nearDupPairs(docs: DataFrame, maxHamming: Int = 3,
                    idCol: String = "doc_id", textCol: String = "text",
                    maxBucket: Int = 1000): DataFrame = {
     require(maxHamming <= 3, "4-chunk banding is only complete for hamming <= 3")
-    val sig = signatures(docs, idCol, textCol)
-    val chunks = sig.select(col(idCol), col("simhash"),
-        explode(array((0 until 4).map { c =>
-          struct(lit(c).as("chunk_id"),
-            shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xffffL)).as("chunk_val"))
-        }: _*)).as("ck"))
-      .select(col(idCol), col("simhash"), col("ck.chunk_id").as("chunk_id"), col("ck.chunk_val").as("chunk_val"))
-    val buckets = chunks
+    val buckets = chunkKeys(docs, idCol, textCol)
       .groupBy(col("chunk_id"), col("chunk_val"))
       .agg(collect_list(struct(col(idCol).as("id"), col("simhash").as("h"))).as("__rows"))
       .where(size(col("__rows")).between(2, maxBucket))

@@ -52,12 +52,23 @@ object TextSearch {
   /** Reciprocal-rank fusion of two ranked result lists:
     * rrf(d) = Σ 1/(k + rank_i(d)), documents appearing in either list
     * (standard k = 60). Inputs are (idCol, scoreCol) frames; ranks are
-    * dense by (score desc, id) so the fusion is deterministic. */
+    * dense by (score desc, id) so the fusion is deterministic.
+    *
+    * Each list is truncated to its top `topN` BEFORE ranking — the
+    * truncation plans as `TakeOrderedAndProject` (per-partition heaps)
+    * and the ranking window then runs over `topN` rows, so no
+    * corpus-sized total order ever lands on one partition. Ranks of
+    * retained docs equal their global ranks (a limit under the same
+    * ordering keeps the prefix); a doc outside a list's top-N simply
+    * contributes nothing from that list, which is the standard top-k
+    * fusion contract — consumers read at most the fused top-(topN/6),
+    * below which a beyond-topN rank cannot alter the order. */
   def rrfFuse(a: DataFrame, b: DataFrame, idCol: String,
               scoreColA: String, scoreColB: String,
-              k: Int = 60, scale: Int = 6): DataFrame = {
+              k: Int = 60, topN: Int = 1000, scale: Int = 6): DataFrame = {
     def ranked(df: DataFrame, scoreCol: String, out: String): DataFrame =
       df.select(col(idCol), col(scoreCol))
+        .orderBy(col(scoreCol).desc, col(idCol)).limit(topN)
         .withColumn(out, row_number().over(
           Window.orderBy(col(scoreCol).desc, col(idCol))).cast("double"))
         .select(col(idCol), col(out))

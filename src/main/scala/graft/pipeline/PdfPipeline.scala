@@ -64,6 +64,17 @@ object PdfPipeline {
   val Statuses: Seq[String] = Seq("page_separate_finished", "retry_oai_invocation",
     "finish_oai_invocation", "finish_db_insertion", "failed_db_insertion", "completed")
 
+  /** Blob-identity columns over chunk rows — THE join key correlating
+    * status rows, store rows, and serve hits (single definition so the
+    * three derivations can never drift): filename mirrors the blob name,
+    * pagenumber is 1-based, id = md5(filename#page). */
+  def chunkIdCols(idCol: String = "doc_id"):
+      (org.apache.spark.sql.Column, org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+    val fileName = concat(col("source"), lit("_"), col(idCol), lit(".pdf"))
+    val page = (col("chunk_idx") + 1).cast("long")
+    (fileName, page, md5(concat(fileName, lit("#"), page)))
+  }
+
   /** Cosmos-style status table over chunk rows: one row per (file, page)
     * with a deterministic simulated lifecycle outcome (the reference
     * records random-UUID rows whose terminal state depends on live API /
@@ -72,11 +83,10 @@ object PdfPipeline {
     * pagenumber is 1-based (Function.java:135-176).
     */
   def statusTable(chunks: DataFrame, idCol: String = "doc_id"): DataFrame = {
-    val fileName = concat(col("source"), lit("_"), col(idCol), lit(".pdf"))
-    val page = (col("chunk_idx") + 1).cast("long")
+    val (fileName, page, id) = chunkIdCols(idCol)
     val phase = (col(idCol) * 7 + col("chunk_idx")) % 23
     chunks.select(
-      md5(concat(fileName, lit("#"), page)).as("id"),
+      id.as("id"),
       fileName.as("filename"),
       page.as("pagenumber"),
       when(phase === 0, "failed_db_insertion")
@@ -114,11 +124,10 @@ object PdfPipeline {
   def runWithStatus(docs: DataFrame, maxLen: Int = 7500, lookback: Int = 300,
                     dim: Int = 64, idCol: String = "doc_id"): (DataFrame, DataFrame) = {
     val chunks = chunkRows(docs, maxLen, lookback, idCol = idCol)
-    val fileName = concat(col("source"), lit("_"), col(idCol), lit(".pdf"))
-    val page = (col("chunk_idx") + 1).cast("long")
+    val (fileName, page, id) = chunkIdCols(idCol)
     val phase = (col(idCol) * 7 + col("chunk_idx")) % 23
     val base = chunks.select(col(idCol), col("chunk_idx"), col("chunk"),
-      md5(concat(fileName, lit("#"), page)).as("id"),
+      id.as("id"),
       fileName.as("filename"), page.as("pagenumber"), phase.as("__phase"))
     val Seq(psf, retry, foi, fdb, fail, comp) = Statuses match {
       case Seq(a, b, c, d, e, f) => Seq(a, b, c, d, e, f)

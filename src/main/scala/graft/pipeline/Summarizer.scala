@@ -47,7 +47,11 @@ object Summarizer {
     val m = java.util.regex.Pattern.compile(kwicPattern(query, ctx))
       .matcher(canonical(docText))
     val snippets = Iterator.continually(m).takeWhile(_.find()).map(_.group()).toSeq
-    snippets.mkString(" ... ").take(maxLen)
+    val joined = snippets.mkString(" ... ")
+    // truncate by CODE POINTS, matching Spark substring / DuckDB substr —
+    // String.take counts UTF-16 units and would cut astral chars short
+    if (joined.codePointCount(0, joined.length) <= maxLen) joined
+    else joined.substring(0, joined.offsetByCodePoints(0, maxLen))
   }
 
   /** Simulated chat-completion invocation for one batch of
