@@ -124,6 +124,68 @@ object QueriesSearch {
              |SELECT test_id, train_id, round(hits/nt, 4) AS overlap FROM o
              |WHERE round(hits/nt, 4) >= 0.5 ORDER BY test_id, train_id""".stripMargin)),
 
+    // Domain-mixture weighting: deterministic per-source sampling rates
+    // (src0 80%, src1 40%, src2 10%, rest full) — one narrow CASE filter,
+    // no join; the training-mix reweighting step at corpus scale.
+    "q_domain_mix" -> QueryDef(
+      (s, d) => Sampling.stratifiedSample(Tables.documents(s, d), "doc_id", "source",
+          Map("src0" -> 80, "src1" -> 40, "src2" -> 10))
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, source FROM documents
+             |WHERE ('0x' || substr(md5('strata' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 <
+             |  CASE source WHEN 'src0' THEN 80 WHEN 'src1' THEN 40 WHEN 'src2' THEN 10 ELSE 100 END
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Quantile-based quality filtering: keep documents at or above the
+    // corpus median quality score (threshold = one scalar aggregate,
+    // broadcast back over a narrow scan).
+    "q_quality_filter" -> QueryDef(
+      (s, d) => {
+        val q = Tables.documents(s, d).select(col("doc_id"),
+          graft.functions.LangFunctions.qualityScore(col("text")).as("quality"))
+        val thr = q.agg(expr("percentile(quality, 0.5)").as("__thr"))
+        q.crossJoin(broadcast(thr)).where(col("quality") >= col("__thr"))
+          .select(col("doc_id"), col("quality"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH f AS (SELECT doc_id,
+             |  len(string_split($canon, ' ')) AS words,
+             |  length($canon) AS chars,
+             |  len(regexp_extract_all($canon, '[.,;:!?。！？；]')) AS punct,
+             |  len(regexp_extract_all($canon, '\\b(the|and|of|to|in|is|for|with)\\b')) AS stop
+             |FROM documents),
+             |q AS (SELECT doc_id,
+             |  round((CASE WHEN words >= 20 AND words <= 1000 THEN 0.4 ELSE 0.0 END)
+             |      + (CASE WHEN stop::DOUBLE / words >= 0.05 THEN 0.3 ELSE 0.0 END)
+             |      + (CASE WHEN punct::DOUBLE / chars <= 0.1 THEN 0.3 ELSE 0.0 END), 1) AS quality
+             |FROM f),
+             |p AS (SELECT quantile_cont(quality, 0.5) AS thr FROM q)
+             |SELECT doc_id, quality FROM q, p WHERE quality >= thr ORDER BY doc_id""".stripMargin)),
+
+    // Vector-store upsert: re-uploaded blobs (the reference's re-run blob
+    // trigger) keep only their newest version per id — rank-1 window that
+    // Catalyst rewrites to WindowGroupLimit.
+    "q_upsert_store" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val v1 = docs.select(col("doc_id").cast("string").as("id"),
+          lit(1L).as("version"), md5(col("text")).as("content_md5"))
+        val v2 = docs.where(col("doc_id") % 7 === 0)
+          .select(col("doc_id").cast("string").as("id"),
+            lit(2L).as("version"), md5(concat(col("text"), lit(" v2"))).as("content_md5"))
+        graft.sources.VectorStore.latestVersion(v1.unionAll(v2))
+          .orderBy(col("id"))
+      },
+      Some("""WITH v AS (
+             |  SELECT CAST(doc_id AS VARCHAR) AS id, 1 AS version, md5(text) AS content_md5 FROM documents
+             |  UNION ALL
+             |  SELECT CAST(doc_id AS VARCHAR), 2, md5(text || ' v2') FROM documents WHERE doc_id % 7 = 0),
+             |r AS (SELECT id, version, content_md5,
+             |        row_number() OVER (PARTITION BY id ORDER BY version DESC) AS rn FROM v)
+             |SELECT id, CAST(version AS BIGINT) AS version, content_md5 FROM r
+             |WHERE rn = 1 ORDER BY id""".stripMargin)),
+
     // One BPE merge iteration: adjacent character-pair counts over the
     // word-frequency table (the tokenizer-training inner loop). Two
     // shuffles over shrinking data: corpus tokens -> word freqs (map-side

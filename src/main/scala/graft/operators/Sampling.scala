@@ -32,4 +32,20 @@ object Sampling {
     val bucket = hashBucket(col(keyCol), salt)
     (df.where(bucket >= testPercent), df.where(bucket < testPercent))
   }
+
+  /** Stratified (per-stratum rate) sampling — the domain-mixture weighting
+    * step of a training-data pipeline: keep ~`rates(stratum)`% of each
+    * stratum (`defaultPercent` for unlisted strata), deterministically by
+    * key. One narrow filter — the rate lookup is a CASE chain, no join —
+    * so re-weighting a 100 TB corpus is a scan. */
+  def stratifiedSample(df: DataFrame, keyCol: String, strataCol: String,
+                       rates: Map[String, Int], defaultPercent: Int = 100,
+                       salt: String = "strata", buckets: Int = 100): DataFrame = {
+    require(rates.values.forall(r => r >= 0 && r <= buckets),
+      s"stratifiedSample: rates must be within [0, $buckets]")
+    val rateCol = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultPercent)) {
+      case (acc, (k, r)) => when(col(strataCol) === k, lit(r)).otherwise(acc)
+    }
+    df.where(hashBucket(col(keyCol), salt, buckets) < rateCol)
+  }
 }

@@ -34,4 +34,19 @@ object VectorStore {
     df.where(col("bucket") === pmod(xxhash64(lit(id)), lit(numBuckets)) && col("id") === id)
       .drop("bucket")
   }
+
+  /** Upsert semantics for re-uploaded blobs: given rows carrying a
+    * monotonically increasing `versionCol` (upload batch number), keep
+    * only the newest row per id — the reference achieves the same by
+    * re-running the blob trigger, which re-INSERTs the replaced pages.
+    * One shuffle on id; Catalyst rewrites the rank-1 filter into
+    * WindowGroupLimit (per-partition bounded heaps before the exchange). */
+  def latestVersion(versions: DataFrame, idCol: String = "id",
+                    versionCol: String = "version"): DataFrame =
+    versions
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(idCol)).orderBy(col(versionCol).desc)))
+      .where(col("__rn") === 1)
+      .drop("__rn")
 }

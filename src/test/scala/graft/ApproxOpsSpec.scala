@@ -87,6 +87,32 @@ class ApproxOpsSpec extends SparkSpec {
     assert(math.abs(t1.size - 100) < 40, s"test size ${t1.size}")
   }
 
+  test("stratified sampling: per-stratum rates honored, stable under repartitioning") {
+    import graft.operators.Sampling
+    val docs = Tables.documents(spark, sfDir)
+    val rates = Map("src0" -> 0, "src1" -> 100)
+    val kept = Sampling.stratifiedSample(docs, "doc_id", "source", rates, defaultPercent = 50)
+    val bySrc = kept.groupBy("source").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(!bySrc.contains("src0"))                     // rate 0 → dropped entirely
+    val src1Total = docs.where(col("source") === "src1").count()
+    assert(bySrc.get("src1").contains(src1Total))       // rate 100 → all kept
+    // deterministic under repartitioning
+    val k1 = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val k2 = Sampling.stratifiedSample(docs.repartition(7), "doc_id", "source", rates,
+      defaultPercent = 50).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(k1 == k2)
+  }
+
+  test("vector-store latestVersion keeps exactly the newest row per id") {
+    import spark.implicits._
+    val rows = Seq(("a", 1L, "x1"), ("a", 3L, "x3"), ("a", 2L, "x2"), ("b", 1L, "y1"))
+      .toDF("id", "version", "payload")
+    val got = graft.sources.VectorStore.latestVersion(rows)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == Set(("a", 3L, "x3"), ("b", 1L, "y1")))
+  }
+
   test("approx_count_distinct within 5% of exact") {
     val ev = Tables.events(spark, sfDir)
     val cmp = ev.groupBy(col("event_type"))
