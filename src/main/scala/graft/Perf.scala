@@ -56,6 +56,42 @@ object Perf {
           graft.operators.Knn.L2, 5).count()
       }
     }
+
+    // round-2 operator scale probes
+    time("md5Embed.20x (10k docs, row-local)") {
+      big.select(graft.functions.EmbedExpressions.md5EmbedVotes(
+        graft.functions.TextFunctions.canonicalText(col("text")), 16)).count()
+    }
+    time("bm25.20x (10k docs)") {
+      graft.operators.TextSearch.bm25(big, Seq("spark", "table", "scan")).count()
+    }
+    time("contamination.20x (500 test x 9.5k train)") {
+      // every test doc has 19 replicas in train → dense hit load
+      val b = big.withColumn("__b",
+        graft.operators.Sampling.hashBucket(col("doc_id"), "contam", 100))
+      Dedup.crossContamination(b.where(col("__b") < 5), b.where(col("__b") >= 5), 0.5).count()
+    }
+    time("asOf.skew (400k left rows, 1 hot key)") {
+      val left = spark.range(400000).select(
+        when(col("id") % 5 =!= 0, 7L).otherwise(col("id") % 97).as("k"),
+        (col("id") * 13 % 1000000).as("t"), col("id").as("lid"))
+      val right = spark.range(500).select(
+        when(col("id") % 3 === 0, 7L).otherwise(col("id") % 97).as("rk"),
+        (col("id") * 2003 % 1000000).as("rt"), col("id").as("rid"))
+        .groupBy("rk", "rt").agg(max("rid").as("rid"))
+      graft.operators.AsOfJoin.asOf(left, right, "k", "rk", "t", "rt").count()
+    }
+    time("asOfBucketed.skew (same, 1000 buckets)") {
+      val left = spark.range(400000).select(
+        when(col("id") % 5 =!= 0, 7L).otherwise(col("id") % 97).as("k"),
+        (col("id") * 13 % 1000000).as("t"), col("id").as("lid"))
+      val right = spark.range(500).select(
+        when(col("id") % 3 === 0, 7L).otherwise(col("id") % 97).as("rk"),
+        (col("id") * 2003 % 1000000).as("rt"), col("id").as("rid"))
+        .groupBy("rk", "rt").agg(max("rid").as("rid"))
+      graft.operators.AsOfJoin.asOfBucketed(left, right, "k", "rk", "t", "rt",
+        bucketSec = 1000).count()
+    }
     spark.stop()
   }
 }
