@@ -186,6 +186,28 @@ object QueriesSearch {
              |SELECT id, CAST(version AS BIGINT) AS version, content_md5 FROM r
              |WHERE rn = 1 ORDER BY id""".stripMargin)),
 
+    // Sequence packing: greedy token-budget fill (capacity 256) within
+    // deterministic 50-doc ranges — the training context-window assembly
+    // step; the oracle replays the per-range greedy scan as a recursive
+    // CTE.
+    "q_pack_sequences" -> QueryDef(
+      (s, d) => graft.operators.Packing
+        .packSequences(Tables.documents(s, d), capacity = 256, rangeSize = 50)
+        .orderBy(col("doc_id")),
+      Some(s"""WITH RECURSIVE toks AS (
+             |  SELECT doc_id, len(string_split($canon, ' '))::BIGINT AS t, doc_id // 50 AS r
+             |  FROM documents),
+             |o AS (SELECT doc_id, t, r, row_number() OVER (PARTITION BY r ORDER BY doc_id) AS rn FROM toks),
+             |rec(r, rn, doc_id, t, fill, pack) AS (
+             |  SELECT r, rn, doc_id, t, t, 0::BIGINT FROM o WHERE rn = 1
+             |  UNION ALL
+             |  SELECT o.r, o.rn, o.doc_id, o.t,
+             |    CASE WHEN rec.fill > 0 AND rec.fill + o.t > 256 THEN o.t ELSE rec.fill + o.t END,
+             |    CASE WHEN rec.fill > 0 AND rec.fill + o.t > 256 THEN rec.pack + 1 ELSE rec.pack END
+             |  FROM rec JOIN o ON o.r = rec.r AND o.rn = rec.rn + 1)
+             |SELECT doc_id, t AS n_tokens, r * 50 + pack AS pack_id
+             |FROM rec ORDER BY doc_id""".stripMargin)),
+
     // One BPE merge iteration: adjacent character-pair counts over the
     // word-frequency table (the tokenizer-training inner loop). Two
     // shuffles over shrinking data: corpus tokens -> word freqs (map-side

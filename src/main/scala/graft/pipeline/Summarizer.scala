@@ -89,6 +89,31 @@ object Summarizer {
     }(enc)
   }
 
+  /** [[summarize]] with a PER-ROW query column (the serving case: each
+    * stream row carries its own user query; a regexp column pattern
+    * can't express that since Spark requires foldable patterns). Same
+    * batched external-call shape. */
+  def summarizeDynamic(df: DataFrame, textCol: String, queryCol: String,
+                       batchSize: Int = 32, outCol: String = "summary",
+                       ctx: Int = 4, maxLen: Int = 300): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(
+      df.schema.fields :+ org.apache.spark.sql.types.StructField(outCol,
+        org.apache.spark.sql.types.StringType))
+    val textIdx = df.schema.fieldIndex(textCol)
+    val queryIdx = df.schema.fieldIndex(queryCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        val pairs = batch.map(r => (Option(r.getString(textIdx)).getOrElse(""),
+          Option(r.getString(queryIdx)).getOrElse("")))
+        val sums = invokeChat(pairs, ctx, maxLen)
+        batch.iterator.zip(sums.iterator).map { case (r, s) =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ s)
+        }
+      }
+    }(enc)
+  }
+
   /** Column-level stub — codegen'd regexp, oracle-replayable in DuckDB as
     * `substr(array_to_string(regexp_extract_all(canon, kwic), ' ... '), 1, maxLen)`. */
   def extractiveSummary(docText: Column, query: String, ctx: Int = 4, maxLen: Int = 300): Column =

@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.functions.{EmbedExpressions, PromptFunctions, VectorExpressions}
+import graft.operators.Knn
+import graft.pipeline.Summarizer
+
+/** The reference's SSE serving loop as a STREAM: user queries arrive
+  * continuously (the `openaiGpt4Sse` POST endpoint,
+  * PDF-Summarizer/src/main/java/com/yoshio3/SSEOpenAIController.java:137-148),
+  * each is embedded, searched against the static chunk corpus, and every
+  * hit emits the create → createLink → addMessage event sequence with a
+  * per-hit summary.
+  *
+  * Implemented as `foreachBatch` + the batch serving plan: per-query
+  * top-k needs a rank window, which no streaming operator computes
+  * incrementally, so each micro-batch runs `Knn.topKBatch` (corpus
+  * static and never shuffled; the scored exchange is (corpus × batch
+  * queries) pre-projected to ids) — the standard
+  * stream-against-static-retrieval pattern. The summary stage uses the
+  * batched per-row-query call shape ([[Summarizer.summarizeDynamic]]),
+  * i.e. exactly what a live chat endpoint would see.
+  */
+object ServeStream {
+
+  /** Corpus side: (cid, chunk, filename, pagenumber, id, url, votes) —
+    * precompute once, reuse across micro-batches. */
+  def corpusIndex(chunks: DataFrame): DataFrame = {
+    val (fileName, page, chunkId) = graft.pipeline.PdfPipeline.chunkIdCols()
+    chunks.select(col("doc_id"), col("source"), col("chunk_idx"), col("chunk"),
+        (col("doc_id") * 100 + col("chunk_idx")).as("cid"))
+      .select(col("cid"), col("chunk"),
+        fileName.as("filename"), page.as("pagenumber"), chunkId.as("id"),
+        PromptFunctions.blobPageUrl(lit("documentsearch1"), lit("pdfs"), fileName, page).as("url"),
+        EmbedExpressions.md5EmbedVotes(lower(trim(col("chunk"))), 16, dense = true).as("votes"))
+  }
+
+  /** Start the serving stream: `queries` is a streaming frame with
+    * (qid: long, text: string); events are appended to `sinkPath` as
+    * parquet — (qid, cid, rn, ev_seq, payload). */
+  def serve(queries: DataFrame, corpus: DataFrame, k: Int,
+            sinkPath: String, checkpoint: String,
+            trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery = {
+    val indexed = corpus.cache()
+    queries.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val q = batch.select(col("qid"), col("text"),
+            EmbedExpressions.md5EmbedVotes(lower(trim(col("text"))), 16, dense = true).as("votes"))
+          val hits = Knn.topKBatch(
+            indexed.select(col("cid"), col("votes")), q,
+            Knn.Cosine, k, idCol = "cid", embCol = "votes")
+          val enriched = hits
+            .join(indexed.drop("votes"), "cid")
+            .join(broadcast(q.select(col("qid"), col("text"))), "qid")
+          val summarized = Summarizer.summarizeDynamic(enriched, "chunk", "text")
+          Summarizer.serveEvents(summarized)
+            .select(col("qid"), col("cid"), col("rn"), col("ev_seq"), col("payload"))
+            .write.mode("append").parquet(sinkPath)
+        }
+      }
+      .start()
+  }
+}
