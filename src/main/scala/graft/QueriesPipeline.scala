@@ -477,6 +477,22 @@ object QueriesPipeline {
     // pairs is exactly 1 and the exhaustive DuckDB oracle stays hash-exact.
     // The 0.9999 threshold admits only those pairs (random 64-d vectors
     // never reach cos 0.9999 naturally).
+    // Near-dup CLUSTERING: min-label-propagation connected components
+    // over the LSH pair graph (id, component=min id of the cluster) —
+    // the canonical-group step after pairwise dedup. Oracle = recursive
+    // transitive closure + min.
+    "q_dedup_components" -> QueryDef(
+      (s, d) => Dedup.components(Dedup.minhashLsh(Tables.documents(s, d), threshold = 0.8))
+        .orderBy(col("id")),
+      Some(lshCte.replaceFirst("^WITH ", "WITH RECURSIVE ") + """,
+             |p AS (SELECT id1, id2 FROM ver WHERE jaccard >= 0.8),
+             |e AS (SELECT id1 AS src, id2 AS dst FROM p UNION SELECT id2, id1 FROM p),
+             |reach(id, label) AS (
+             |  SELECT src, src FROM e
+             |  UNION
+             |  SELECT e.src, reach.label FROM e JOIN reach ON reach.id = e.dst)
+             |SELECT id, min(label) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin)),
+
     "q_dedup_embedding" -> QueryDef(
       (s, d) => {
         val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))

@@ -106,6 +106,53 @@ object Dedup {
         docs, idCol, textCol, shingleN)
       .where(col("jaccard") >= threshold)
 
+  /** Near-dup CLUSTERING: connected components over a pair graph via
+    * iterative min-label propagation — pairwise dedup only says "a~b";
+    * downstream curation needs canonical groups ("keep one per
+    * component"). Every node starts labeled with its own id and adopts
+    * the minimum label in its neighborhood each round; the fixed point
+    * (component-minimum everywhere) is unique, so the result is
+    * deterministic regardless of execution order. Converges in
+    * O(graph diameter) rounds — near-dup clusters are dense (LSH emits
+    * most intra-cluster pairs), so diameters are tiny; each round is two
+    * bounded shuffles over the edge list (label join + min groupBy),
+    * nothing corpus-sized beyond the edges themselves.
+    *
+    * Returns (id, component) for every id appearing in `pairs`;
+    * `component` = min id of the cluster (so component == id marks the
+    * canonical survivor). Throws if not converged within `maxIters` —
+    * a silently unconverged labeling would split clusters. */
+  def components(pairs: DataFrame, maxIters: Int = 10,
+                 id1Col: String = "id1", id2Col: String = "id2"): DataFrame = {
+    val edges = pairs.select(col(id1Col).as("src"), col(id2Col).as("dst"))
+      .unionAll(pairs.select(col(id2Col).as("src"), col(id1Col).as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label")).cache()
+    var it = 0
+    var converged = false
+    while (it < maxIters && !converged) {
+      val nbrMin = edges.join(labels.select(col("id").as("dst"), col("label")), "dst")
+        .groupBy(col("src")).agg(min(col("label")).as("__nbr"))
+      val next = labels.join(nbrMin.select(col("src").as("id"), col("__nbr")), Seq("id"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("__nbr"), col("label"))).as("__next"))
+        .cache()
+      converged = next.where(col("__next") =!= col("label")).isEmpty
+      val prev = labels
+      labels = next.select(col("id"), col("__next").as("label")).cache()
+      prev.unpersist(); next.unpersist()
+      it += 1
+    }
+    edges.unpersist()
+    if (!converged) {
+      labels.unpersist()
+      throw new IllegalStateException(
+        s"components: not converged after $maxIters iterations — raise maxIters")
+    }
+    labels.withColumnRenamed("label", "component")
+  }
+
   /** Benchmark-contamination check: for every document of `testDocs`,
     * the `trainDocs` documents sharing at least `threshold` of its word
     * shingles — the pre-training hygiene scan that keeps eval sets out of

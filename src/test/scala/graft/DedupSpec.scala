@@ -57,6 +57,21 @@ class DedupSpec extends SparkSpec {
     assert(guarded.filter(_._2 < 2000) == unguarded.filter(_._2 < 2000))
   }
 
+  test("components: chains merge transitively, labels are component minima") {
+    import spark.implicits._
+    // two components: a chain 5-3-9 (no direct 5~9 edge) and a pair 7-8
+    val pairs = Seq((3L, 5L), (3L, 9L), (7L, 8L)).toDF("id1", "id2")
+    val got = Dedup.components(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 7L -> 7L, 8L -> 7L))
+    // long path needs multiple propagation rounds; tight maxIters throws
+    val path = (0L until 9L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val full = Dedup.components(path, maxIters = 12)
+      .collect().map(r => r.getLong(1)).distinct
+    assert(full.toSeq == Seq(0L))
+    intercept[IllegalStateException] { Dedup.components(path, maxIters = 2) }
+  }
+
   test("lsh parameter validation fails fast at plan/analysis time") {
     intercept[IllegalArgumentException] { Dedup.bandKeys(col("sig"), numPerm = 16, bands = 0) }
     intercept[IllegalArgumentException] { Dedup.bandKeys(col("sig"), numPerm = 4, bands = 8) }
