@@ -71,25 +71,20 @@ object Perf {
         graft.operators.Sampling.hashBucket(col("doc_id"), "contam", 100))
       Dedup.crossContamination(b.where(col("__b") < 5), b.where(col("__b") >= 5), 0.5).count()
     }
+    // one skew-shape definition for BOTH as-of probes (lazy frames — the
+    // comparison must stay apples-to-apples)
+    val skewLeft = spark.range(400000).select(
+      when(col("id") % 5 =!= 0, 7L).otherwise(col("id") % 97).as("k"),
+      (col("id") * 13 % 1000000).as("t"), col("id").as("lid"))
+    val skewRight = spark.range(500).select(
+      when(col("id") % 3 === 0, 7L).otherwise(col("id") % 97).as("rk"),
+      (col("id") * 2003 % 1000000).as("rt"), col("id").as("rid"))
+      .groupBy("rk", "rt").agg(max("rid").as("rid"))
     time("asOf.skew (400k left rows, 1 hot key)") {
-      val left = spark.range(400000).select(
-        when(col("id") % 5 =!= 0, 7L).otherwise(col("id") % 97).as("k"),
-        (col("id") * 13 % 1000000).as("t"), col("id").as("lid"))
-      val right = spark.range(500).select(
-        when(col("id") % 3 === 0, 7L).otherwise(col("id") % 97).as("rk"),
-        (col("id") * 2003 % 1000000).as("rt"), col("id").as("rid"))
-        .groupBy("rk", "rt").agg(max("rid").as("rid"))
-      graft.operators.AsOfJoin.asOf(left, right, "k", "rk", "t", "rt").count()
+      graft.operators.AsOfJoin.asOf(skewLeft, skewRight, "k", "rk", "t", "rt").count()
     }
     time("asOfBucketed.skew (same, 1000 buckets)") {
-      val left = spark.range(400000).select(
-        when(col("id") % 5 =!= 0, 7L).otherwise(col("id") % 97).as("k"),
-        (col("id") * 13 % 1000000).as("t"), col("id").as("lid"))
-      val right = spark.range(500).select(
-        when(col("id") % 3 === 0, 7L).otherwise(col("id") % 97).as("rk"),
-        (col("id") * 2003 % 1000000).as("rt"), col("id").as("rid"))
-        .groupBy("rk", "rt").agg(max("rid").as("rid"))
-      graft.operators.AsOfJoin.asOfBucketed(left, right, "k", "rk", "t", "rt",
+      graft.operators.AsOfJoin.asOfBucketed(skewLeft, skewRight, "k", "rk", "t", "rt",
         bucketSec = 1000).count()
     }
     spark.stop()

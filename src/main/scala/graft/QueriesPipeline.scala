@@ -64,7 +64,7 @@ object QueriesPipeline {
   private def e2eHits(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     import graft.functions.{EmbedExpressions, VectorExpressions}
     val chunks = docsChunks(s, d)
-      .select((col("doc_id") * 100 + col("chunk_idx")).as("cid"), col("chunk"))
+      .select(PdfPipeline.chunkCid().as("cid"), col("chunk"))
     val scored = chunks
       .select(col("cid"),
         EmbedExpressions.md5EmbedVotes(lower(trim(col("chunk"))), 16, dense = true).as("__v"))
@@ -86,7 +86,7 @@ object QueriesPipeline {
                          query: String): org.apache.spark.sql.DataFrame = {
     val chunks = docsChunks(s, d)
       .select(col("doc_id"), col("source"), col("chunk_idx"),
-        (col("doc_id") * 100 + col("chunk_idx")).as("cid"), col("chunk"))
+        PdfPipeline.chunkCid().as("cid"), col("chunk"))
     // single source of truth for the status/store/serve join key
     val (fileName, page, chunkId) = PdfPipeline.chunkIdCols()
     chunks.join(broadcast(e2eHits(s, d)), "cid")
@@ -108,7 +108,7 @@ object QueriesPipeline {
   private def serveCte(query: String): String = {
     val q3 = "\"\"\""
     chunkCte(200, 60) + s""",
-       |ch2 AS (SELECT doc_id, chunk_idx, doc_id*100 + chunk_idx AS cid, chunk FROM chunks),
+       |ch2 AS (SELECT doc_id, chunk_idx, doc_id*1000000 + chunk_idx AS cid, chunk FROM chunks),
        |cgrid AS (SELECT cid, i AS b FROM ch2, unnest(range(0, 16)) AS t(i)),
        |t AS (SELECT cid, unnest(string_split(lower(trim(chunk)), ' ')) AS tok FROM ch2),
        |hh AS (SELECT cid, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM t),

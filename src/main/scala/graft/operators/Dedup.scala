@@ -122,34 +122,36 @@ object Dedup {
     * `component` = min id of the cluster (so component == id marks the
     * canonical survivor). Throws if not converged within `maxIters` —
     * a silently unconverged labeling would split clusters. */
-  def components(pairs: DataFrame, maxIters: Int = 10,
+  def components(pairs: DataFrame, maxIters: Int = 50,
                  id1Col: String = "id1", id2Col: String = "id2"): DataFrame = {
     val edges = pairs.select(col(id1Col).as("src"), col(id2Col).as("dst"))
       .unionAll(pairs.select(col(id2Col).as("src"), col(id1Col).as("dst")))
       .distinct().cache()
+    // each round is MATERIALIZED with its lineage truncated
+    // (localCheckpoint): labels feeds itself twice per iteration, so
+    // without truncation the logical plan doubles every round —
+    // exponential planning cost long before any data moves. Production
+    // note: localCheckpoint trades fault-tolerance for speed; set a
+    // reliable checkpoint dir and swap to .checkpoint() on clusters where
+    // executor loss mid-algorithm matters.
     var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label")).cache()
+      .select(col("id"), col("id").as("label")).localCheckpoint(true)
     var it = 0
     var converged = false
     while (it < maxIters && !converged) {
       val nbrMin = edges.join(labels.select(col("id").as("dst"), col("label")), "dst")
         .groupBy(col("src")).agg(min(col("label")).as("__nbr"))
-      val next = labels.join(nbrMin.select(col("src").as("id"), col("__nbr")), Seq("id"), "left")
+      val nextFull = labels.join(nbrMin.select(col("src").as("id"), col("__nbr")), Seq("id"), "left")
         .select(col("id"), col("label"),
           least(col("label"), coalesce(col("__nbr"), col("label"))).as("__next"))
-        .cache()
-      converged = next.where(col("__next") =!= col("label")).isEmpty
-      val prev = labels
-      labels = next.select(col("id"), col("__next").as("label")).cache()
-      prev.unpersist(); next.unpersist()
+        .localCheckpoint(true)
+      converged = nextFull.where(col("__next") =!= col("label")).isEmpty
+      labels = nextFull.select(col("id"), col("__next").as("label"))
       it += 1
     }
     edges.unpersist()
-    if (!converged) {
-      labels.unpersist()
-      throw new IllegalStateException(
-        s"components: not converged after $maxIters iterations — raise maxIters")
-    }
+    if (!converged) throw new IllegalStateException(
+      s"components: not converged after $maxIters iterations — raise maxIters")
     labels.withColumnRenamed("label", "component")
   }
 

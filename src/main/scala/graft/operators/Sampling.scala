@@ -41,8 +41,8 @@ object Sampling {
   def stratifiedSample(df: DataFrame, keyCol: String, strataCol: String,
                        rates: Map[String, Int], defaultPercent: Int = 100,
                        salt: String = "strata", buckets: Int = 100): DataFrame = {
-    require(rates.values.forall(r => r >= 0 && r <= buckets),
-      s"stratifiedSample: rates must be within [0, $buckets]")
+    require((rates.values ++ Seq(defaultPercent)).forall(r => r >= 0 && r <= buckets),
+      s"stratifiedSample: rates (incl. defaultPercent) must be within [0, $buckets]")
     val rateCol = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultPercent)) {
       case (acc, (k, r)) => when(col(strataCol) === k, lit(r)).otherwise(acc)
     }

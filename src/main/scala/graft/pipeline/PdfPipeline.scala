@@ -64,6 +64,14 @@ object PdfPipeline {
   val Statuses: Seq[String] = Seq("page_separate_finished", "retry_oai_invocation",
     "finish_oai_invocation", "finish_db_insertion", "failed_db_insertion", "completed")
 
+  /** Synthetic per-chunk key for the serve path: doc_id * ChunkStride +
+    * chunk_idx. Collision-free for documents under ChunkStride chunks
+    * (= a 200 MB document at 200-char chunks) — single definition so the
+    * search, serve, and streaming-serve derivations can never drift. */
+  val ChunkStride = 1000000L
+  def chunkCid(idCol: String = "doc_id"): org.apache.spark.sql.Column =
+    col(idCol) * ChunkStride + col("chunk_idx")
+
   /** Blob-identity columns over chunk rows — THE join key correlating
     * status rows, store rows, and serve hits (single definition so the
     * three derivations can never drift): filename mirrors the blob name,

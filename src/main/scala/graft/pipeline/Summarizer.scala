@@ -69,25 +69,14 @@ object Summarizer {
   }
 
   /** Append a `summary` column: batched external-call shape (narrow, no
-    * shuffle; one [[invokeChat]] per `batchSize` rows per partition). */
+    * shuffle; one [[invokeChat]] per `batchSize` rows per partition).
+    * Delegates to [[summarizeDynamic]] over a literal query column so the
+    * batching skeleton exists exactly once. */
   def summarize(df: DataFrame, textCol: String = "text", query: String = "",
                 batchSize: Int = 32, outCol: String = "summary",
-                ctx: Int = 4, maxLen: Int = 300): DataFrame = {
-    val schema = org.apache.spark.sql.types.StructType(
-      df.schema.fields :+ org.apache.spark.sql.types.StructField(outCol,
-        org.apache.spark.sql.types.StringType))
-    val textIdx = df.schema.fieldIndex(textCol)
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
-    df.mapPartitions { it =>
-      it.grouped(batchSize).flatMap { batch =>
-        val texts = batch.map(r => Option(r.getString(textIdx)).getOrElse(""))
-        val sums = invokeChat(texts.map(t => (t, query)), ctx, maxLen)
-        batch.iterator.zip(sums.iterator).map { case (r, s) =>
-          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ s)
-        }
-      }
-    }(enc)
-  }
+                ctx: Int = 4, maxLen: Int = 300): DataFrame =
+    summarizeDynamic(df.withColumn("__graft_q", lit(query)), textCol, "__graft_q",
+      batchSize, outCol, ctx, maxLen).drop("__graft_q")
 
   /** [[summarize]] with a PER-ROW query column (the serving case: each
     * stream row carries its own user query; a regexp column pattern

@@ -30,7 +30,7 @@ object ServeStream {
   def corpusIndex(chunks: DataFrame): DataFrame = {
     val (fileName, page, chunkId) = graft.pipeline.PdfPipeline.chunkIdCols()
     chunks.select(col("doc_id"), col("source"), col("chunk_idx"), col("chunk"),
-        (col("doc_id") * 100 + col("chunk_idx")).as("cid"))
+        graft.pipeline.PdfPipeline.chunkCid().as("cid"))
       .select(col("cid"), col("chunk"),
         fileName.as("filename"), page.as("pagenumber"), chunkId.as("id"),
         PromptFunctions.blobPageUrl(lit("documentsearch1"), lit("pdfs"), fileName, page).as("url"),
@@ -38,30 +38,44 @@ object ServeStream {
   }
 
   /** Start the serving stream: `queries` is a streaming frame with
-    * (qid: long, text: string); events are appended to `sinkPath` as
-    * parquet — (qid, cid, rn, ev_seq, payload). */
+    * (qid: long, text: string); events land in `sinkPath` as parquet
+    * partitioned by micro-batch — (qid, cid, rn, ev_seq, payload,
+    * batch_id).
+    *
+    * Exactly-once sink: foreachBatch is at-least-once on recovery, so
+    * each batch dynamically OVERWRITES its own `batch_id=` partition —
+    * a replayed batch replaces its previous (possibly partial) output
+    * instead of appending duplicates.
+    *
+    * `corpus` (from [[corpusIndex]]) is scanned once per micro-batch;
+    * the caller owns its lifecycle — `.cache()` it for a long-lived
+    * stream (serve() deliberately does not, so stopping one query can't
+    * leak pinned storage). */
   def serve(queries: DataFrame, corpus: DataFrame, k: Int,
             sinkPath: String, checkpoint: String,
             trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery = {
-    val indexed = corpus.cache()
     queries.writeStream
       .outputMode("append")
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val q = batch.select(col("qid"), col("text"),
             EmbedExpressions.md5EmbedVotes(lower(trim(col("text"))), 16, dense = true).as("votes"))
           val hits = Knn.topKBatch(
-            indexed.select(col("cid"), col("votes")), q,
+            corpus.select(col("cid"), col("votes")), q,
             Knn.Cosine, k, idCol = "cid", embCol = "votes")
           val enriched = hits
-            .join(indexed.drop("votes"), "cid")
+            .join(corpus.drop("votes"), "cid")
             .join(broadcast(q.select(col("qid"), col("text"))), "qid")
           val summarized = Summarizer.summarizeDynamic(enriched, "chunk", "text")
           Summarizer.serveEvents(summarized)
             .select(col("qid"), col("cid"), col("rn"), col("ev_seq"), col("payload"))
-            .write.mode("append").parquet(sinkPath)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(sinkPath)
         }
       }
       .start()

@@ -12,7 +12,7 @@ class ServeStreamSpec extends SparkSpec {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val chunks = PdfPipeline.chunkRows(Tables.documents(spark, sfDir), 200, 60)
-    val corpus = ServeStream.corpusIndex(chunks)
+    val corpus = ServeStream.corpusIndex(chunks).cache()   // caller owns the cache
     val input = MemoryStream[(Long, String)]
     val queries = input.toDF().toDF("qid", "text")
     val sink = Files.createTempDirectory("serve_sink").toString
@@ -36,7 +36,7 @@ class ServeStreamSpec extends SparkSpec {
       q.processAllAvailable()
       assert(spark.read.parquet(sink).count() == 3 * 3 * 3)
       out.unpersist()
-    } finally q.stop()
+    } finally { q.stop(); corpus.unpersist() }
   }
 
   test("dynamic per-row-query summarizer equals the fixed-query stub") {
