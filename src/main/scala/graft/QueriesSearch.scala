@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Queries.QueryDef
 import graft.functions.{EmbedExpressions, TextFunctions, VectorExpressions}
@@ -185,6 +186,38 @@ object QueriesSearch {
              |        row_number() OVER (PARTITION BY id ORDER BY version DESC) AS rn FROM v)
              |SELECT id, CAST(version AS BIGINT) AS version, content_md5 FROM r
              |WHERE rn = 1 ORDER BY id""".stripMargin)),
+
+    // Per-document keyword extraction: top-3 terms by tf·idf. Three
+    // shuffles over shrinking data (map-side-combined tf, vocab-sized
+    // df, doc-partitioned rank with WindowGroupLimit); ranking on the
+    // ROUNDED score so cross-engine rank order is deterministic.
+    "q_tfidf_keywords" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val tf = docs
+          .select(col("doc_id"), explode(split(TextFunctions.canonicalText(col("text")), " ")).as("term"))
+          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).cast("double").as("tf"))
+        val nDocs = docs.agg(count(lit(1)).cast("double").as("__n"))
+        val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("__df"))
+        val scored = tf.join(dfreq, "term").crossJoin(broadcast(nDocs))
+          .select(col("doc_id"), col("term"),
+            round(col("tf") * log(col("__n") / col("__df")), 4).as("score"))
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+        scored.withColumn("rank", row_number().over(w)).where(col("rank") <= 3)
+          .select(col("doc_id"), col("term"), col("score"), col("rank").cast("long").as("rank"))
+          .orderBy(col("doc_id"), col("rank"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, unnest(string_split($canon, ' ')) AS term FROM documents),
+             |tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+             |n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+             |dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+             |scored AS (SELECT doc_id, term, round(tf * ln(n.n / df), 4) AS score
+             |           FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+             |r AS (SELECT doc_id, term, score,
+             |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+             |      FROM scored)
+             |SELECT doc_id, term, score, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 3
+             |ORDER BY doc_id, rank""".stripMargin)),
 
     // Sequence packing: greedy token-budget fill (capacity 256) within
     // deterministic 50-doc ranges — the training context-window assembly
