@@ -16,11 +16,18 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
     val interesting = args.drop(1) match {
       case Array() => Seq("q1_agg", "q3_top_orders", "q5_region_revenue", "q_knn_l2",
-        "q_knn_batch", "q_dedup_minhash_lsh", "q_events_sessionize", "q_status_registered")
+        "q_knn_batch", "q_dedup_minhash_lsh", "q_events_sessionize", "q_status_registered",
+        "q_e2e_search", "q_embed_md5", "q_bm25", "q_hybrid_rrf", "q_dedup_embedding",
+        "q_upsert_store", "q_tfidf_keywords")
       case rest => rest.toSeq
     }
     for (name <- interesting) {
       val df = Queries.defs(name).run(spark, d)
+      // run THIS QueryExecution's physical plan (count()/write() would
+      // plan a different query) so AQE finalizes and the plan string
+      // carries the `*(N)` codegen-stage ids
+      df.queryExecution.executedPlan.execute()
+        .foreachPartition((_: Iterator[_]) => ())
       val plan = df.queryExecution.executedPlan.toString
       val formatted = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
@@ -30,7 +37,9 @@ object PlanAudit {
       val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
       val smj = "SortMergeJoin".r.findAllIn(plan).size
       val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
-      val wsc = "WholeStageCodegen".r.findAllIn(formatted).size
+      // codegen spans = distinct `*(N)` stage ids in the executed plan
+      // (FormattedMode in Spark 4 doesn't print "WholeStageCodegen")
+      val wsc = "\\*\\((\\d+)\\)".r.findAllMatchIn(plan).map(_.group(1)).toSet.size
       val exch = "Exchange".r.findAllIn(plan).size
       val wgl = "WindowGroupLimit".r.findAllIn(plan).size
       val topk = "TakeOrderedAndProject".r.findAllIn(plan).size
