@@ -187,6 +187,36 @@ object QueriesSearch {
              |SELECT id, CAST(version AS BIGINT) AS version, content_md5 FROM r
              |WHERE rn = 1 ORDER BY id""".stripMargin)),
 
+    // Bigram language-model scoring: per-doc mean log-probability under
+    // the corpus's own bigram MLE (avg ln(c(w1,w2)/c(w1·))) — the
+    // perplexity-style quality signal (boilerplate scores high, noisy
+    // text low). Counts are vocab-sized map-side-combined shuffles; the
+    // per-doc score is one groupBy.
+    "q_lm_score" -> QueryDef(
+      (s, d) => {
+        val w = Tables.documents(s, d)
+          .select(col("doc_id"), split(TextFunctions.canonicalText(col("text")), " ").as("w"))
+          .where(size(col("w")) >= 2)
+        val bg = w.select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] as w1, w[i] as w2))")).as("b"))
+          .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).cast("double").as("c12"))
+        val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).cast("double").as("c1"))
+        bg.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+          .groupBy(col("doc_id"))
+          .agg(round(avg(log(col("c12") / col("c1"))), 4).as("avg_logp"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH w AS (SELECT doc_id, string_split($canon, ' ') AS w FROM documents),
+             |bg AS (SELECT doc_id, unnest([{'w1': w[i], 'w2': w[i+1]} for i in range(1, len(w))]) AS b
+             |       FROM w WHERE len(w) >= 2),
+             |b2 AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+             |c12 AS (SELECT w1, w2, count(*)::DOUBLE AS c12 FROM b2 GROUP BY 1, 2),
+             |c1 AS (SELECT w1, count(*)::DOUBLE AS c1 FROM b2 GROUP BY 1)
+             |SELECT doc_id, round(avg(ln(c12/c1)), 4) AS avg_logp
+             |FROM b2 JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // Per-document keyword extraction: top-3 terms by tf·idf. Three
     // shuffles over shrinking data (map-side-combined tf, vocab-sized
     // df, doc-partitioned rank with WindowGroupLimit); ranking on the

@@ -53,6 +53,16 @@ class VectorSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
   }
 
+  test("e2e search plans shuffle-free: narrow scan + broadcast + TakeOrdered") {
+    val df = Queries.defs("q_e2e_search").run(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    // broadcast exchanges are fine; any hash/range repartition would mean
+    // the row-local featurizer regressed to a shuffling formulation
+    assert(!plan.contains("Exchange hashpartitioning") &&
+           !plan.contains("Exchange rangepartitioning"), plan.take(3000))
+  }
+
   test("md5-embed votes: matches the SQL explode+groupBy formulation exactly") {
     import graft.functions.EmbedExpressions
     import spark.implicits._
