@@ -41,6 +41,27 @@ object EventStream {
     events.join(org.apache.spark.sql.functions.broadcast(dim),
       events(eventKey) === dim(dimKey), "left_outer")
 
+  /** Watermarked STREAM-STREAM inner join (attribution shape): each
+    * `left` event matched to the `right` events of the same user that
+    * occur within `maxGapSec` AFTER it. Both sides carry event-time
+    * watermarks, and the time-range predicate bounds the join state on
+    * both sides — Spark evicts buffered rows once the watermark passes
+    * their match window, so state is O(rate × gap), not unbounded.
+    * Input frames need (user_id, ts: timestamp) plus payload columns;
+    * output uses `l_`/`r_` prefixes for ts to keep names unambiguous. */
+  def attributionJoin(left: DataFrame, right: DataFrame,
+                      maxGapSec: Long = 600,
+                      watermarkDelay: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", watermarkDelay).as("l")
+    val r = right.withWatermark("ts", watermarkDelay).as("r")
+    l.join(r,
+      expr(s"""l.user_id = r.user_id AND
+              |r.ts >= l.ts AND r.ts <= l.ts + interval $maxGapSec seconds""".stripMargin))
+      .select((Seq(col("l.user_id").as("user_id")) ++
+        left.columns.filterNot(_ == "user_id").toSeq.map(c => col(s"l.$c").as(s"l_$c")) ++
+        right.columns.filterNot(_ == "user_id").toSeq.map(c => col(s"r.$c").as(s"r_$c"))): _*)
+  }
+
   /** Per-user sessionization with a gap timeout, as a custom stateful
     * operator (`mapGroupsWithState`): events more than `gapSec` apart
     * start a new session; each update emits the current session snapshot

@@ -77,6 +77,34 @@ class StreamingAggSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream attribution join matches within the gap, drops beyond it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val joined = EventStream.attributionJoin(
+      views.toDF().toDF("user_id", "ts"),
+      clicks.toDF().toDF("user_id", "ts"), maxGapSec = 600)
+    val q = joined.writeStream.format("memory")
+      .queryName("attrib_test").outputMode("append").start()
+    try {
+      def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      views.addData((1L, t(0)), (2L, t(0)))
+      clicks.addData((1L, t(5)),   // within 10 min → match
+        (1L, t(20)),               // beyond gap → no match
+        (3L, t(2)))                // other user → no match
+      q.processAllAvailable()
+      val rows = spark.table("attrib_test")
+        .select(col("user_id"), col("l_ts"), col("r_ts")).collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2)))
+      assert(rows.toSeq == Seq((1L, t(0), t(5))))
+      // a later batch can still match an earlier buffered view
+      clicks.addData((2L, t(9)))
+      q.processAllAvailable()
+      assert(spark.table("attrib_test").count() == 2)
+    } finally q.stop()
+  }
+
   test("sessionize evicts idle state via event-time timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
