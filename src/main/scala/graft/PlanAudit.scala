@@ -28,7 +28,9 @@ object PlanAudit {
       // carries the `*(N)` codegen-stage ids
       df.queryExecution.executedPlan.execute()
         .foreachPartition((_: Iterator[_]) => ())
-      val plan = df.queryExecution.executedPlan.toString
+      // executed adaptive plans print BOTH "== Final Plan ==" and
+      // "== Initial Plan ==" sections — count nodes on the final one only
+      val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
       val formatted = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       val pushed = "PushedFilters: \\[[^\\]]+\\]".r.findAllIn(formatted)
