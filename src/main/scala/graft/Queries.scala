@@ -23,7 +23,7 @@ object Queries {
 
   def defs: Map[String, QueryDef] =
     coreDefs ++ QueriesPipeline.defs ++ QueriesAnalytics.defs ++ QueriesExtra.defs ++
-      QueriesAdvanced.defs ++ QueriesSearch.defs
+      QueriesAdvanced.defs ++ QueriesSearch.defs ++ QueriesCuration.defs
 
   private val coreDefs: Map[String, QueryDef] = Map(
 

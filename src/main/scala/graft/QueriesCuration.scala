@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.Queries.QueryDef
+import graft.operators.{BloomJoin, Curation}
+
+/** Corpus-curation + join-pruning query gates (round 3): cross-document
+  * boilerplate detection, per-domain quota caps, the deterministic
+  * training-order shuffle, and Bloom-pruned joins. Every query here has a
+  * DuckDB oracle; the Bloom oracle is the PLAIN join — pruning must be
+  * invisible in the result.
+  */
+object QueriesCuration {
+
+  private val canon =
+    """lower(trim(regexp_replace(replace(text, chr(10), ' '), '[\s\x0b]{2,}', ' ', 'g')))"""
+
+  /** DuckDB replay of wordShingles(text, 2) → per-doc distinct bigram CTE
+    * (same construction as QueriesPipeline's shingle oracles), plus the
+    * rate-threshold boilerplate set (df ≥ ceil(6% of corpus)). */
+  private val ngramCte =
+    s"""WITH w AS (SELECT doc_id, string_split($canon, ' ') AS w FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 2
+       |  THEN [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]
+       |  ELSE [array_to_string(w, ' ')] END) AS sh FROM w),
+       |g AS (SELECT doc_id, unnest(sh) AS ngram FROM sh),
+       |bp AS (SELECT ngram FROM g GROUP BY ngram
+       |  HAVING count(*) >= ceil(0.06 * (SELECT count(*) FROM documents)))""".stripMargin
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // ── cross-document boilerplate: n-gram document frequency ────────
+    "q_boilerplate" -> QueryDef(
+      (s, d) => Curation.boilerplateRatio(Tables.documents(s, d))
+        .orderBy(col("doc_id")),
+      Some(ngramCte + """
+        |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+        |  CAST(count(bp.ngram) AS BIGINT) AS n_boiler,
+        |  round(count(bp.ngram)::DOUBLE / count(*), 4) AS bp_ratio
+        |FROM g LEFT JOIN bp ON g.ngram = bp.ngram
+        |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin)),
+
+    "q_boilerplate_filter" -> QueryDef(
+      (s, d) => Curation.filterBoilerplate(Tables.documents(s, d), maxRatio = 0.4)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+        .orderBy(col("doc_id")),
+      Some(ngramCte + """
+        |, r AS (SELECT g.doc_id, count(bp.ngram)::DOUBLE / count(*) AS ratio
+        |  FROM g LEFT JOIN bp ON g.ngram = bp.ngram GROUP BY g.doc_id)
+        |SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars
+        |FROM documents d JOIN r ON d.doc_id = r.doc_id
+        |WHERE round(r.ratio, 4) <= 0.4 ORDER BY d.doc_id""".stripMargin)),
+
+    // ── per-domain quota cap (crawl-mixture curation) ────────────────
+    "q_domain_cap" -> QueryDef(
+      (s, d) => Curation.capPerGroup(Tables.documents(s, d),
+          groupCol = "source", orderCol = "doc_id", quota = 10)
+        .select(col("source"), col("doc_id"))
+        .orderBy(col("source"), col("doc_id")),
+      Some("""SELECT source, doc_id FROM (
+             |  SELECT source, doc_id,
+             |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+             |  FROM documents) WHERE rn <= 10
+             |ORDER BY source, doc_id""".stripMargin)),
+
+    // ── deterministic global shuffle (training example order) ────────
+    "q_corpus_shuffle" -> QueryDef(
+      (s, d) => Curation.deterministicShuffle(Tables.documents(s, d),
+          keyCol = "doc_id", salt = "epoch0")
+        .select(col("doc_id"), col("shuffle_key")),
+      Some("""SELECT doc_id, md5('epoch0' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+             |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin)),
+
+    // ── Bloom-pruned selective join: revenue of high-value orders ────
+    // Oracle is the PLAIN join — the Bloom pass may only drop rows the
+    // join would drop anyway.
+    "q_bloom_join" -> QueryDef(
+      (s, d) => {
+        val sel = Tables.orders(s, d)
+          .where(col("o_totalprice") > 450000)
+          .select(col("o_orderkey"), col("o_orderpriority"))
+        val items = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("o_orderkey"),
+            (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("__rev"))
+        BloomJoin.prunedJoin(items, sel, "o_orderkey", expectedItems = 1 << 16)
+          .groupBy(col("o_orderpriority"))
+          .agg(round(sum(col("__rev")), 2).as("revenue"),
+               count(lit(1)).cast("long").as("n_items"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             |  count(*) AS n_items
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE o_totalprice > 450000
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+  )
+}

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.BinaryType
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Bloom-filter join pruning — the large×selective-small join idiom at
+  * 100 TB: build a Bloom filter over the small side's join keys
+  * (distributed partial aggregation; only the final filter bytes reach
+  * the driver), then pre-filter the large side with `might_contain`
+  * BEFORE its shuffle. The fact-table rows that can't match never enter
+  * the exchange, which is where the cost lives; the follow-up equi-join
+  * removes the Bloom false positives, so results are exactly the plain
+  * join's.
+  *
+  * This is the same machinery Spark's AQE runtime filters inject
+  * (BloomFilterAggregate / BloomFilterMightContain), exposed as an
+  * explicit operator: explicit beats injected when the small side is an
+  * arbitrary pre-computed DataFrame (dedup survivors, a sampled id list)
+  * that the optimizer's creation-side heuristics would not pick up.
+  */
+object BloomJoin {
+
+  private def xxh(key: Column) =
+    new XxHash64(Seq(ColumnBridge.expression(key)))
+
+  /** Aggregate `df`'s key column into Bloom filter bytes. Distributed:
+    * each partition builds a partial filter, partials OR-merge up the
+    * tree; the driver receives only `numBits/8` bytes. Returns null on an
+    * empty input. */
+  def buildBloom(df: DataFrame, key: Column, expectedItems: Long,
+                 fpp: Double = 0.03): Array[Byte] = {
+    require(expectedItems > 0, s"buildBloom: expectedItems must be > 0, got $expectedItems")
+    val numBits = BloomFilter.optimalNumOfBits(expectedItems, fpp)
+    val agg = new BloomFilterAggregate(xxh(key),
+      Literal(expectedItems), Literal(numBits))
+    val row = df.select(ColumnBridge.column(agg.toAggregateExpression()).as("bf")).head()
+    if (row.isNullAt(0)) null else row.getAs[Array[Byte]](0)
+  }
+
+  /** Predicate: key might be in the serialized Bloom filter (codegen'd —
+    * BloomFilterMightContain has doGenCode). */
+  def mightContain(bloom: Array[Byte], key: Column): Column =
+    ColumnBridge.column(BloomFilterMightContain(Literal(bloom, BinaryType), xxh(key)))
+
+  /** Equi-join `large ⋈ small` on `key`, with the large side Bloom-pruned
+    * before its shuffle. Restricted to join types where dropping
+    * non-matching large rows early is semantics-preserving (inner/semi —
+    * an outer join must keep them). `expectedItems` sizes the filter;
+    * oversizing only costs bits (fpp stays ≤ target), undersizing only
+    * raises fpp (correctness is unaffected — the join verifies). */
+  def prunedJoin(large: DataFrame, small: DataFrame, key: String,
+                 expectedItems: Long, joinType: String = "inner",
+                 fpp: Double = 0.03): DataFrame = {
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(jt == "inner" || jt == "leftsemi",
+      s"prunedJoin: only inner/left_semi preserve semantics under pruning, got $joinType")
+    val bloom = buildBloom(small, col(key), expectedItems, fpp)
+    val pruned =
+      if (bloom == null) large.where(lit(false)) // empty small side: inner/semi result is empty
+      else large.where(mightContain(bloom, col(key)))
+    pruned.join(small, Seq(key), joinType)
+  }
+}

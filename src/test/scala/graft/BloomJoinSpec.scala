@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.BloomJoin
+
+class BloomJoinSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def plainJoin(jt: String) = {
+    val sel = Tables.orders(spark, sfDir)
+      .where(col("o_totalprice") > 400000)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val items = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
+    (items, sel, items.join(sel, Seq("o_orderkey"), jt))
+  }
+
+  test("prunedJoin(inner) returns exactly the plain join's rows") {
+    val (items, sel, plain) = plainJoin("inner")
+    val pruned = BloomJoin.prunedJoin(items, sel, "o_orderkey", expectedItems = 1 << 14)
+    assert(plain.count() > 0)
+    assert(pruned.exceptAll(plain).isEmpty && plain.exceptAll(pruned).isEmpty)
+  }
+
+  test("prunedJoin(left_semi) matches plain left_semi") {
+    val (items, sel, plain) = plainJoin("left_semi")
+    val pruned = BloomJoin.prunedJoin(items, sel, "o_orderkey",
+      expectedItems = 1 << 14, joinType = "left_semi")
+    assert(pruned.exceptAll(plain).isEmpty && plain.exceptAll(pruned).isEmpty)
+  }
+
+  test("bloom pre-filter prunes most non-matching large rows before the join") {
+    val (items, sel, _) = plainJoin("inner")
+    val bloom = BloomJoin.buildBloom(sel, col("o_orderkey"), expectedItems = 1 << 14)
+    val total = items.count()
+    val surviving = items.where(BloomJoin.mightContain(bloom, col("o_orderkey"))).count()
+    val matching = items.join(sel, Seq("o_orderkey"), "left_semi").count()
+    // survivors = true matches + false positives; fpp 3% keeps FP small
+    assert(surviving >= matching)
+    assert(surviving <= matching + (0.1 * total).toLong)
+    assert(surviving < total / 2) // the filter genuinely prunes
+  }
+
+  test("an undersized filter degrades fpp, never correctness") {
+    val (items, sel, plain) = plainJoin("inner")
+    val pruned = BloomJoin.prunedJoin(items, sel, "o_orderkey", expectedItems = 8)
+    assert(pruned.exceptAll(plain).isEmpty && plain.exceptAll(pruned).isEmpty)
+  }
+
+  test("empty small side yields an empty join result") {
+    val (items, sel, _) = plainJoin("inner")
+    val empty = sel.where(lit(false))
+    assert(BloomJoin.buildBloom(empty, col("o_orderkey"), 100) == null)
+    assert(BloomJoin.prunedJoin(items, empty, "o_orderkey", 100).isEmpty)
+  }
+
+  test("outer joins are rejected (pruning would drop kept rows)") {
+    val (items, sel, _) = plainJoin("inner")
+    intercept[IllegalArgumentException] {
+      BloomJoin.prunedJoin(items, sel, "o_orderkey", 100, joinType = "left_outer")
+    }
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Curation
+
+class CurationSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("boilerplateNgrams finds exactly the cross-document repeated bigrams") {
+    // "shared header" appears in 3/5 docs (df rate 0.6); everything else
+    // is unique per doc
+    val docs = Seq(
+      (1L, "shared header alpha beta"),
+      (2L, "shared header gamma delta"),
+      (3L, "shared header epsilon zeta"),
+      (4L, "eta theta iota kappa"),
+      (5L, "lambda mu nu xi")).toDF("doc_id", "text")
+    val bp = Curation.boilerplateNgrams(docs, minDfFrac = 0.5).collect()
+    assert(bp.map(_.getString(0)).toSet == Set("shared header"))
+    assert(bp.head.getLong(1) == 3L)
+  }
+
+  test("boilerplateRatio is hits/total and filterBoilerplate drops heavy docs") {
+    val docs = Seq(
+      (1L, "spam spam spam spam"),       // bigram "spam spam" in 3 docs
+      (2L, "spam spam fresh words"),
+      (3L, "spam spam other tokens"),
+      (4L, "clean unique text here")).toDF("doc_id", "text")
+    val ratios = Curation.boilerplateRatio(docs, minDfFrac = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // doc 1: bigrams (distinct) = {"spam spam"} → ratio 1.0
+    assert(ratios(1L) == 1.0)
+    assert(ratios(4L) == 0.0)
+    val kept = Curation.filterBoilerplate(docs, maxRatio = 0.5, minDfFrac = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(4L) && !kept.contains(1L))
+    assert(kept == ratios.filter(_._2 <= 0.5).keySet)
+  }
+
+  test("capPerGroup keeps the quota lowest-ordered rows per group") {
+    val df = (1L to 100L).map(i => (s"g${i % 3}", i)).toDF("grp", "id")
+    val capped = Curation.capPerGroup(df, "grp", "id", quota = 5)
+    val byGroup = capped.collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(byGroup.values.forall(_.size == 5))
+    // per group, exactly the 5 smallest ids survive
+    val expect = (1L to 100L).groupBy(i => s"g${i % 3}")
+      .view.mapValues(_.sorted.take(5).toSeq).toMap
+    assert(byGroup == expect)
+  }
+
+  test("capPerGroup plans to WindowGroupLimit (pre-shuffle bounded heaps)") {
+    val df = Tables.documents(spark, sfDir)
+    val plan = Curation.capPerGroup(df, "source", "doc_id", 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"))
+  }
+
+  test("deterministicShuffle is stable under repartitioning and salt-distinct") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id")
+    def order(df: org.apache.spark.sql.DataFrame, salt: String): Seq[Long] =
+      Curation.deterministicShuffle(df, "doc_id", salt)
+        .select("doc_id").as[Long].collect().toSeq
+    val a = order(docs, "epoch0")
+    val b = order(docs.repartition(13), "epoch0")
+    assert(a == b)                       // partitioning-independent
+    val c = order(docs, "epoch1")
+    assert(a != c)                       // a new salt is a new permutation
+    assert(a.sorted == c.sorted)         // ... of the same rows
+  }
+}
