@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.Queries.QueryDef
-import graft.operators.{BloomJoin, Curation}
+import graft.operators.{BloomJoin, Bpe, Curation}
 
 /** Corpus-curation + join-pruning query gates (round 3): cross-document
   * boilerplate detection, per-domain quota caps, the deterministic
@@ -93,6 +93,25 @@ object QueriesCuration {
              |  count(*) AS n_items
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |WHERE o_totalprice > 450000
-             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // ── BPE training + tokenization (rows-only; the iterative merge
+    // loop has no SQL replay — BpeSpec pins exact merges against a
+    // Spark-free reference implementation) ───────────────────────────
+    "q_bpe_merges" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        Bpe.trainMerges(Tables.documents(s, d), k = 8).zipWithIndex
+          .map { case ((a, b), i) => (i.toLong, a, b, a + b) }
+          .toDF("rank", "pair_a", "pair_b", "merged")
+          .orderBy(col("rank"))
+      }, None),
+
+    "q_bpe_tokenize" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Bpe.tokenize(docs, Bpe.trainMerges(docs, k = 8))
+          .orderBy(col("doc_id"))
+      }, None)
   )
 }
