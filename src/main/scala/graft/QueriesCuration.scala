@@ -95,6 +95,27 @@ object QueriesCuration {
              |WHERE o_totalprice > 450000
              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
+    // ── Bloom-pruned ANTI join: incremental dedup of a new crawl
+    // against the already-ingested corpus (a deterministic 60% sample
+    // plays the "seen" set). Oracle = plain NOT IN.
+    "q_bloom_anti" -> QueryDef(
+      (s, d) => {
+        import graft.functions.TextFunctions.fingerprint
+        import graft.operators.Sampling
+        val docs = Tables.documents(s, d)
+        val newDocs = docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+        val seen = Sampling.deterministicSample(docs, "doc_id", 60)
+          .select(fingerprint(col("text")).as("fp"))
+        BloomJoin.prunedAntiJoin(newDocs, seen, "fp", expectedItems = 1 << 16)
+          .select(col("doc_id"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH fp AS (SELECT doc_id, md5($canon) AS fp FROM documents),
+              |seen AS (SELECT fp FROM fp
+              |  WHERE ('0x' || substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 60)
+              |SELECT doc_id FROM fp WHERE fp NOT IN (SELECT fp FROM seen)
+              |ORDER BY doc_id""".stripMargin)),
+
     // ── BPE training + tokenization (rows-only; the iterative merge
     // loop has no SQL replay — BpeSpec pins exact merges against a
     // Spark-free reference implementation) ───────────────────────────

@@ -65,4 +65,26 @@ object BloomJoin {
       else large.where(mightContain(bloom, col(key)))
     pruned.join(small, Seq(key), joinType)
   }
+
+  /** Bloom-pruned ANTI join — the incremental-dedup idiom (this crawl's
+    * documents minus the already-ingested corpus). Bloom filters have no
+    * false negatives, so a row whose key the filter does NOT contain is a
+    * DEFINITE keep and never enters the shuffle; only the "might match"
+    * rows (true matches + fpp false positives) reach the real anti-join.
+    * At a typical new-vs-seen overlap the exchange shrinks to a sliver of
+    * the large side. NULL-key rows survive either way, matching plain
+    * anti-join semantics: XxHash64 hashes a NULL key to its seed, so the
+    * row lands in "definite keep" or — if that hash collides into the
+    * filter — in "maybe", where the NULL key matches nothing and the
+    * anti-join keeps it. */
+  def prunedAntiJoin(large: DataFrame, small: DataFrame, key: String,
+                     expectedItems: Long, fpp: Double = 0.03): DataFrame = {
+    val bloom = buildBloom(small, col(key), expectedItems, fpp)
+    if (bloom == null) large // empty small side: everything survives
+    else {
+      val mc = mightContain(bloom, col(key))
+      large.where(!mc)
+        .unionAll(large.where(mc).join(small, Seq(key), "left_anti"))
+    }
+  }
 }

@@ -48,6 +48,22 @@ class BloomJoinSpec extends SparkSpec {
     assert(pruned.exceptAll(plain).isEmpty && plain.exceptAll(pruned).isEmpty)
   }
 
+  test("prunedAntiJoin matches plain left_anti exactly (incl. undersized filter)") {
+    val (items, sel, _) = plainJoin("inner")
+    val plain = items.join(sel, Seq("o_orderkey"), "left_anti")
+    for (expected <- Seq(1L << 14, 8L)) { // well-sized and fpp-degraded
+      val pruned = BloomJoin.prunedAntiJoin(items, sel, "o_orderkey", expected)
+      assert(pruned.exceptAll(plain).isEmpty && plain.exceptAll(pruned).isEmpty)
+    }
+    assert(plain.count() > 0)
+  }
+
+  test("prunedAntiJoin with empty small side keeps every large row") {
+    val (items, sel, _) = plainJoin("inner")
+    val res = BloomJoin.prunedAntiJoin(items, sel.where(lit(false)), "o_orderkey", 100)
+    assert(res.count() == items.count())
+  }
+
   test("empty small side yields an empty join result") {
     val (items, sel, _) = plainJoin("inner")
     val empty = sel.where(lit(false))
