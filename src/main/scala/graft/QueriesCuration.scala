@@ -95,6 +95,35 @@ object QueriesCuration {
              |WHERE o_totalprice > 450000
              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
+    // ── column profiling (corpus QA before/after each transform) ─────
+    "q_profile" -> QueryDef(
+      (s, d) => graft.operators.Profile.profile(
+          Tables.documents(s, d), Seq("lang", "source", "n_chars"))
+        .orderBy(col("column")),
+      Some("""SELECT * FROM (
+             |  SELECT 'lang' AS "column", count(*) AS n_rows,
+             |    count(*) - count(lang) AS n_null, count(DISTINCT lang) AS n_distinct,
+             |    (SELECT CAST(lang AS VARCHAR) FROM documents WHERE lang IS NOT NULL
+             |     GROUP BY lang ORDER BY count(*) DESC, lang DESC LIMIT 1) AS top_value,
+             |    (SELECT count(*) FROM documents WHERE lang IS NOT NULL
+             |     GROUP BY lang ORDER BY count(*) DESC, lang DESC LIMIT 1) AS top_count
+             |  FROM documents
+             |  UNION ALL
+             |  SELECT 'n_chars', count(*), count(*) - count(n_chars), count(DISTINCT n_chars),
+             |    (SELECT CAST(n_chars AS VARCHAR) FROM documents WHERE n_chars IS NOT NULL
+             |     GROUP BY n_chars ORDER BY count(*) DESC, CAST(n_chars AS VARCHAR) DESC LIMIT 1),
+             |    (SELECT count(*) FROM documents WHERE n_chars IS NOT NULL
+             |     GROUP BY n_chars ORDER BY count(*) DESC, CAST(n_chars AS VARCHAR) DESC LIMIT 1)
+             |  FROM documents
+             |  UNION ALL
+             |  SELECT 'source', count(*), count(*) - count(source), count(DISTINCT source),
+             |    (SELECT CAST(source AS VARCHAR) FROM documents WHERE source IS NOT NULL
+             |     GROUP BY source ORDER BY count(*) DESC, source DESC LIMIT 1),
+             |    (SELECT count(*) FROM documents WHERE source IS NOT NULL
+             |     GROUP BY source ORDER BY count(*) DESC, source DESC LIMIT 1)
+             |  FROM documents)
+             |ORDER BY "column"""".stripMargin)),
+
     // ── Bloom-pruned ANTI join: incremental dedup of a new crawl
     // against the already-ingested corpus (a deterministic 60% sample
     // plays the "seen" set). Oracle = plain NOT IN.
