@@ -160,7 +160,11 @@ object QueriesCuration {
     "q_bpe_tokenize" -> QueryDef(
       (s, d) => {
         val docs = Tables.documents(s, d)
-        Bpe.tokenize(docs, Bpe.trainMerges(docs, k = 8))
+        // build the vocabulary ONCE: training and tokenization share it
+        // (localCheckpoint: reused across the k merge jobs + the join)
+        val vocab = Bpe.wordVocab(docs).localCheckpoint(true)
+        val merges = Bpe.trainMergesFromVocab(vocab, k = 8)
+        Bpe.tokenize(docs, merges, vocab = Some(vocab))
           .orderBy(col("doc_id"))
       }, None)
   )

@@ -38,10 +38,14 @@ object Bpe {
   private def initSymbols(word: Column): Column =
     concat(split(word, ""), array(lit(Eow)))
 
-  /** Adjacent symbol pairs of one row's symbol array — row-local. */
+  /** Adjacent symbol pairs of one row's symbol array — row-local. A
+    * fully-merged word (single symbol) has no pairs: sequence(0, -1)
+    * would count DOWN ([0,-1]), so guard explicitly. */
   private def adjacentPairs(syms: Column): Column =
-    transform(sequence(lit(0), size(syms) - 2), i =>
-      struct(element_at(syms, i + 1).as("a"), element_at(syms, i + 2).as("b")))
+    when(size(syms) >= 2,
+      transform(sequence(lit(0), size(syms) - 2), i =>
+        struct(element_at(syms, i + 1).as("a"), element_at(syms, i + 2).as("b"))))
+      .otherwise(array().cast("array<struct<a:string,b:string>>"))
 
   /** One greedy left-to-right merge pass of (a, b) → ab over a symbol
     * array (a fold; matches the reference BPE semantics: an element just
@@ -97,10 +101,12 @@ object Bpe {
 
   /** Tokenize a corpus: per-doc BPE tokens + counts via a BROADCAST join
     * of the merged vocabulary — the expensive merge fold never touches
-    * corpus-sized data. */
+    * corpus-sized data. Pass the `vocab` you already built for training
+    * to avoid paying the corpus-wide vocabulary shuffle twice. */
   def tokenize(docs: DataFrame, merges: Seq[(String, String)],
-               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val vt = vocabTokens(wordVocab(docs, textCol), merges)
+               idCol: String = "doc_id", textCol: String = "text",
+               vocab: Option[DataFrame] = None): DataFrame = {
+    val vt = vocabTokens(vocab.getOrElse(wordVocab(docs, textCol)), merges)
     docs.select(col(idCol), explode(split(canonicalText(col(textCol)), " ")).as("word"))
       .where(length(col("word")) > 0)
       .join(broadcast(vt), Seq("word"))
@@ -108,6 +114,13 @@ object Bpe {
       .agg(sum(size(col("tokens"))).cast("long").as("n_bpe_tokens"),
            count(lit(1)).cast("long").as("n_words"))
   }
+
+  /** UTF-8 byte sequence as a lexicographically comparable key (unsigned). */
+  private def utf8(s: String): Seq[Int] =
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8).toSeq.map(_ & 0xff)
+
+  private implicit val seqIntOrdering: Ordering[Seq[Int]] =
+    Ordering.Implicits.seqOrdering[Seq, Int]
 
   /** Spark-free replay of train + tokenize for spec ground truth. */
   private[graft] def referenceMerges(vocab: Map[String, Long], k: Int): Seq[(String, String)] = {
@@ -122,7 +135,9 @@ object Bpe {
       }.groupMapReduce(_._1)(_._2)(_ + _)
       if (counts.isEmpty) done = true
       else {
-        val ((a, b), _) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        // tie-break on UTF-8 bytes (Spark's binary string order), not JVM
+        // UTF-16 code units — they disagree on supplementary-plane chars
+        val ((a, b), _) = counts.minBy { case ((a, b), c) => (-c, utf8(a), utf8(b)) }
         out += ((a, b))
         state = state.groupMapReduce { case (syms, _) =>
           syms.foldLeft(Vector.empty[String]) { (acc, x) =>

@@ -26,7 +26,7 @@ object Profile {
         .groupBy(col("v"))
         .agg(count(lit(1)).cast("long").as("cnt"))
         .agg(
-          sum(col("cnt")).cast("long").as("n_rows"),
+          coalesce(sum(col("cnt")), lit(0L)).cast("long").as("n_rows"),
           coalesce(sum(when(col("v").isNull, col("cnt"))), lit(0L)).cast("long").as("n_null"),
           count(when(col("v").isNotNull, lit(1))).cast("long").as("n_distinct"),
           max(when(col("v").isNotNull, struct(col("cnt"), col("v")))).as("__top"))

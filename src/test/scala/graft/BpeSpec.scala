@@ -30,6 +30,17 @@ class BpeSpec extends SparkSpec {
     assert(toks == Seq("aa", "a", Bpe.Eow))
   }
 
+  test("training survives words collapsing to a single symbol") {
+    // "ab" merges to one symbol after 2 merges; iteration 3 must see an
+    // empty pair list for it (sequence(0,-1) counts DOWN — regression)
+    val vocab = Seq(("ab", 1L)).toDF("word", "freq")
+    val merges = Bpe.trainMergesFromVocab(vocab, 5)
+    assert(merges == Bpe.referenceMerges(Map("ab" -> 1L), 5))
+    assert(merges.size == 2) // (a,b), (ab,</w>) — then no pairs remain
+    val toks = Bpe.vocabTokens(vocab, merges).collect().head.getSeq[String](1)
+    assert(toks == Seq("ab" + Bpe.Eow))
+  }
+
   test("corpus training is deterministic under repartitioning") {
     val docs = Tables.documents(spark, sfDir)
     val a = Bpe.trainMerges(docs, 5)

@@ -27,6 +27,13 @@ class ProfileSpec extends SparkSpec {
     assert(r.getString(4) == "y" && r.getLong(5) == 2L)
   }
 
+  test("an empty frame profiles to zero counts, not NULLs") {
+    val df = Seq.empty[(String, Int)].toDF("s", "i")
+    val r = Profile.profile(df, Seq("s")).collect().head
+    assert(r.getLong(1) == 0L && r.getLong(2) == 0L && r.getLong(3) == 0L)
+    assert(r.isNullAt(4) && r.isNullAt(5))
+  }
+
   test("an all-null column profiles without NPE") {
     val df = Seq[Option[String]](None, None).toDF("c")
     val r = Profile.profile(df, Seq("c")).collect().head
