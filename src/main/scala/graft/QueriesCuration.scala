@@ -95,6 +95,49 @@ object QueriesCuration {
              |WHERE o_totalprice > 450000
              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
+    // ── capstone: full curation chain + per-stage yield manifest ─────
+    "q_curate_pipeline" -> QueryDef(
+      (s, d) => {
+        val stages = Seq(
+          Curation.Stage("lang_en", df => df.where(col("lang") === "en")),
+          Curation.Stage("length_band", df => df.where(col("n_chars").between(100, 400))),
+          Curation.Stage("boilerplate", df => Curation.filterBoilerplate(df, maxRatio = 0.4)),
+          Curation.Stage("domain_cap", df => Curation.capPerGroup(df, "source", "doc_id", 20)),
+          Curation.Stage("epoch_shuffle", df => Curation.deterministicShuffle(df, "doc_id")))
+        val (_, manifest) = Curation.runPipeline(Tables.documents(s, d), stages)
+        manifest
+          .select(col("stage_idx").cast("long").as("stage_idx"), col("stage"),
+            col("rows_in").cast("long").as("rows_in"),
+            col("rows_out").cast("long").as("rows_out"))
+          .orderBy(col("stage_idx"))
+      },
+      Some(s"""WITH s1 AS (SELECT * FROM documents WHERE lang = 'en'),
+              |s2 AS (SELECT * FROM s1 WHERE n_chars BETWEEN 100 AND 400),
+              |w AS (SELECT doc_id, string_split($canon, ' ') AS w FROM s2),
+              |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 2
+              |  THEN [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]
+              |  ELSE [array_to_string(w, ' ')] END) AS sh FROM w),
+              |g AS (SELECT doc_id, unnest(sh) AS ngram FROM sh),
+              |bp AS (SELECT ngram FROM g GROUP BY ngram
+              |  HAVING count(*) >= ceil(0.06 * (SELECT count(*) FROM s2))),
+              |r AS (SELECT g.doc_id, count(bp.ngram)::DOUBLE / count(*) AS ratio
+              |  FROM g LEFT JOIN bp ON g.ngram = bp.ngram GROUP BY g.doc_id),
+              |s3 AS (SELECT s2.* FROM s2 JOIN r ON s2.doc_id = r.doc_id
+              |  WHERE round(r.ratio, 4) <= 0.4),
+              |s4 AS (SELECT * FROM (SELECT *,
+              |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+              |  FROM s3) WHERE rn <= 20)
+              |SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage,
+              |  CAST(rows_in AS BIGINT) AS rows_in, CAST(rows_out AS BIGINT) AS rows_out
+              |FROM (
+              |  SELECT 0 AS stage_idx, 'lang_en' AS stage,
+              |    (SELECT count(*) FROM documents) AS rows_in, (SELECT count(*) FROM s1) AS rows_out
+              |  UNION ALL SELECT 1, 'length_band', (SELECT count(*) FROM s1), (SELECT count(*) FROM s2)
+              |  UNION ALL SELECT 2, 'boilerplate', (SELECT count(*) FROM s2), (SELECT count(*) FROM s3)
+              |  UNION ALL SELECT 3, 'domain_cap', (SELECT count(*) FROM s3), (SELECT count(*) FROM s4)
+              |  UNION ALL SELECT 4, 'epoch_shuffle', (SELECT count(*) FROM s4), (SELECT count(*) FROM s4))
+              |ORDER BY stage_idx""".stripMargin)),
+
     // ── column profiling (corpus QA before/after each transform) ─────
     "q_profile" -> QueryDef(
       (s, d) => graft.operators.Profile.profile(

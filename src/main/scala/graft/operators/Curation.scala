@@ -102,4 +102,33 @@ object Curation {
                            salt: String = "epoch0"): DataFrame =
     df.withColumn("shuffle_key", shuffleKey(col(keyCol), salt))
       .orderBy(col("shuffle_key"), col(keyCol))
+
+  /** A named curation stage: docs in → surviving docs out. */
+  final case class Stage(name: String, f: DataFrame => DataFrame)
+
+  /** Run a curation chain and report the per-stage YIELD MANIFEST — the
+    * (stage, rows_in, rows_out) accounting every production corpus run
+    * publishes. Returns (final corpus, manifest).
+    *
+    * Each stage boundary is counted, so the chain costs one counting pass
+    * per stage on top of the transforms; intermediates are
+    * localCheckpoint'd both to stop lineage growth across many stages and
+    * so each counted frame is computed once (count + next stage reuse).
+    * The manifest itself is driver-built from those scalar counts. */
+  def runPipeline(docs: DataFrame, stages: Seq[Stage]): (DataFrame, DataFrame) = {
+    require(stages.nonEmpty, "runPipeline: need at least one stage")
+    val spark = docs.sparkSession
+    var cur = docs.localCheckpoint(true)
+    val rows = Seq.newBuilder[(Long, String, Long, Long)]
+    var curCount = cur.count()
+    stages.zipWithIndex.foreach { case (st, i) =>
+      val next = st.f(cur).localCheckpoint(true)
+      val nextCount = next.count()
+      rows += ((i.toLong, st.name, curCount, nextCount))
+      cur = next
+      curCount = nextCount
+    }
+    import spark.implicits._
+    (cur, rows.result().toDF("stage_idx", "stage", "rows_in", "rows_out"))
+  }
 }

@@ -57,6 +57,20 @@ class CurationSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"))
   }
 
+  test("runPipeline manifest chains counts and matches the final corpus") {
+    val docs = Tables.documents(spark, sfDir)
+    val stages = Seq(
+      Curation.Stage("lang_en", df => df.where(col("lang") === "en")),
+      Curation.Stage("cap", df => Curation.capPerGroup(df, "source", "doc_id", 5)))
+    val (out, manifest) = Curation.runPipeline(docs, stages)
+    val m = manifest.orderBy("stage_idx").collect()
+    assert(m.map(_.getString(1)).toSeq == Seq("lang_en", "cap"))
+    assert(m.head.getLong(2) == docs.count())          // rows_in of stage 0
+    assert(m(1).getLong(2) == m.head.getLong(3))       // chained boundaries
+    assert(out.count() == m(1).getLong(3))             // final == last rows_out
+    assert(m.forall(r => r.getLong(3) <= r.getLong(2))) // filters only shrink
+  }
+
   test("deterministicShuffle is stable under repartitioning and salt-distinct") {
     val docs = Tables.documents(spark, sfDir).select("doc_id")
     def order(df: org.apache.spark.sql.DataFrame, salt: String): Seq[Long] =
