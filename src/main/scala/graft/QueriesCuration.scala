@@ -95,6 +95,28 @@ object QueriesCuration {
              |WHERE o_totalprice > 450000
              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
+    // ── Z-order layout key (Morton interleave of range buckets) ──────
+    "q_zorder" -> QueryDef(
+      (s, d) => {
+        import graft.operators.ZOrder
+        val zx = ZOrder.rangeId(col("n_chars"), 0, 1023, 8)
+        val zy = pmod(col("doc_id"), lit(256)).cast("long")
+        Tables.documents(s, d)
+          .select(col("doc_id"), zx.as("zx"), zy.as("zy"),
+            ZOrder.interleave(zx, zy, 8).cast("long").as("zval"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val terms = (0 until 8).map(i =>
+          s"((zx >> $i) & 1) * ${1L << (2 * i)} + ((zy >> $i) & 1) * ${1L << (2 * i + 1)}")
+          .mkString(" + ")
+        s"""WITH z AS (SELECT doc_id,
+           |  least(255, greatest(0, CAST(floor(n_chars * 256 / 1024.0) AS BIGINT))) AS zx,
+           |  doc_id % 256 AS zy FROM documents)
+           |SELECT doc_id, zx, zy, CAST($terms AS BIGINT) AS zval
+           |FROM z ORDER BY doc_id""".stripMargin
+      }),
+
     // ── capstone: full curation chain + per-stage yield manifest ─────
     "q_curate_pipeline" -> QueryDef(
       (s, d) => {
