@@ -37,7 +37,24 @@ object GraftFunctions {
     "simhash64" -> (es => SimHashExpr(es.head)),
     "chunk_text" -> (es => graft.functions.ChunkTextExpr(es.head,
       if (es.length > 1) intLit(es(1), "maxLen") else 7500,
-      if (es.length > 2) intLit(es(2), "lookback") else 300)))
+      if (es.length > 2) intLit(es(2), "lookback") else 300)),
+    "zvalue" -> (es => zvalueExpr(es(0), es(1),
+      if (es.length > 2) intLit(es(2), "bits") else 8)))
+
+  /** Morton z-value as a pure Catalyst tree (mirrors ZOrder.interleave):
+    * `ORDER BY zvalue(x, y, 8)` gives SQL users the two-dimensional
+    * layout sort key. */
+  private def zvalueExpr(x: Expression, y: Expression, bits: Int): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Add, BitwiseAnd, Cast, Literal, Multiply, ShiftRight}
+    import org.apache.spark.sql.types.LongType
+    require(bits >= 1 && bits <= 31, s"zvalue: bits must be in [1, 31], got $bits")
+    val (xl, yl) = (Cast(x, LongType), Cast(y, LongType))
+    (0 until bits).map { i =>
+      Add(
+        Multiply(BitwiseAnd(ShiftRight(xl, Literal(i)), Literal(1L)), Literal(1L << (2 * i))),
+        Multiply(BitwiseAnd(ShiftRight(yl, Literal(i)), Literal(1L)), Literal(1L << (2 * i + 1))))
+    }.reduce[Expression]((a, b) => Add(a, b))
+  }
 
   /** Register on a live session (temp functions). */
   def register(spark: SparkSession): Unit = all.foreach { case (name, builder) =>

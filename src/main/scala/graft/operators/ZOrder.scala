@@ -44,16 +44,32 @@ object ZOrder {
     }.reduce(_ + _)
   }
 
+  /** N-column Morton interleave: bit j of column c lands at position
+    * j·N + c. Total bits (bits × N) must fit a signed long. Two columns
+    * reduce to [[interleave]]. */
+  def interleaveN(cols: Seq[Column], bits: Int): Column = {
+    require(cols.size >= 2, s"interleaveN: need >= 2 columns, got ${cols.size}")
+    require(bits >= 1 && bits * cols.size <= 62,
+      s"interleaveN: bits*cols must fit a long, got $bits x ${cols.size}")
+    val n = cols.size
+    (for { i <- 0 until bits; (c, ci) <- cols.zipWithIndex } yield
+      shiftright(c, i).bitwiseAND(lit(1L)) * lit(1L << (i * n + ci)))
+      .reduce(_ + _)
+  }
+
   /** Lay `df` out along the Z-curve of (xCol, yCol): range-partition into
     * `numPartitions` by the interleaved value and sort within partitions.
     * Writing the result gives files whose min/max footers cover small
     * (x, y) rectangles. */
   def zorder(df: DataFrame, xCol: Column, yCol: Column, bits: Int,
-             numPartitions: Int): DataFrame = {
-    val z = interleave(xCol, yCol, bits).as("__z")
-    df.withColumn("__z", z)
+             numPartitions: Int): DataFrame =
+    zorderN(df, Seq(xCol, yCol), bits, numPartitions)
+
+  /** N-dimensional [[zorder]]. */
+  def zorderN(df: DataFrame, cols: Seq[Column], bits: Int,
+              numPartitions: Int): DataFrame =
+    df.withColumn("__z", interleaveN(cols, bits))
       .repartitionByRange(numPartitions, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
-  }
 }

@@ -23,6 +23,13 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(spark.sql("SELECT simhash64(word_shingles('x y z w', 3)) h").head().getLong(0) ==
       spark.sql("SELECT simhash64(word_shingles('x y z w', 3)) h").head().getLong(0))
     assert(spark.sql("SELECT size(chunk_text('aaaaaaaa.bbbbbbbb', 10, 4)) n").head().getInt(0) == 2)
+
+    // zvalue == the ZOrder.interleave column API, and is usable in ORDER BY
+    import org.apache.spark.sql.functions.{col, lit}
+    val zs = spark.sql("SELECT zvalue(5, 9, 4) z").head().getLong(0)
+    val zc = spark.range(1).select(
+      graft.operators.ZOrder.interleave(lit(5L), lit(9L), 4).as("z")).head().getLong(0)
+    assert(zs == zc)
   }
 
   test("extensions class injects without error") {

@@ -19,6 +19,24 @@ class ZOrderSpec extends SparkSpec {
     pts.foreach { case (x, y) => assert(got((x, y)) == mortonRef(x, y, 4)) }
   }
 
+  test("interleaveN(3 cols) matches the reference encoding and nests dimensions") {
+    def ref3(x: Long, y: Long, z: Long, bits: Int): Long =
+      (0 until bits).map(i =>
+        (((x >> i) & 1L) << (3 * i)) | (((y >> i) & 1L) << (3 * i + 1)) |
+          (((z >> i) & 1L) << (3 * i + 2))).sum
+    val pts = for (x <- 0L to 7L; y <- 0L to 7L; z <- 0L to 7L) yield (x, y, z)
+    val got = pts.toDF("x", "y", "z")
+      .select(col("x"), col("y"), col("z"),
+        ZOrder.interleaveN(Seq(col("x"), col("y"), col("z")), 3).as("m"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    pts.foreach { case (x, y, z) => assert(got((x, y, z)) == ref3(x, y, z, 3)) }
+    // 2-column interleaveN is exactly interleave
+    val two = Seq((5L, 9L)).toDF("x", "y")
+      .select(ZOrder.interleaveN(Seq(col("x"), col("y")), 4).as("a"),
+        ZOrder.interleave(col("x"), col("y"), 4).as("b")).collect().head
+    assert(two.getLong(0) == two.getLong(1))
+  }
+
   test("rangeId buckets linearly and clamps out-of-domain values") {
     val got = Seq(-50L, 0L, 511L, 1023L, 5000L).toDF("v")
       .select(ZOrder.rangeId(col("v"), 0, 1023, 8).as("b"))
