@@ -56,6 +56,32 @@ object DocStream {
       .dropDuplicates("__fp")
       .drop("__fp")
 
+  /** Streaming curation gates — the batch curation chain's stateless
+    * subset, applied per arriving document: language allow-list, length
+    * floor, and boilerplate-ratio filter against a BATCH-DERIVED
+    * vocabulary (refresh `Curation.boilerplateNgrams` offline, hand the
+    * collected set here — it is bounded by construction: at most
+    * total_ngrams / minDf entries, so a driver literal is safe).
+    *
+    * Everything is row-local (no streaming aggregation, no watermark
+    * needed): the ratio is |shingles ∩ vocab| / |shingles| via
+    * array_intersect against the literal array. Matches the batch
+    * `Curation.boilerplateRatio` formula on per-doc-distinct shingles. */
+  def curate(docs: DataFrame, boilerplate: Seq[String], maxRatio: Double,
+             minChars: Int = 0, langs: Set[String] = Set.empty,
+             n: Int = 2, textCol: String = "text"): DataFrame = {
+    import graft.functions.TextFunctions.wordShingles
+    val langGate =
+      if (langs.isEmpty) lit(true) else col("lang").isin(langs.toSeq: _*)
+    val sh = wordShingles(col(textCol), n)
+    val ratio = size(array_intersect(sh, typedlit(boilerplate.sorted))).cast("double") /
+      greatest(size(sh), lit(1))
+    docs
+      .where(langGate)
+      .where(length(col(textCol)) >= minChars)
+      .where(round(ratio, 4) <= maxRatio)
+  }
+
   /** Start the ingest stream into a parquet vector store. `availableNow`
     * processes the backlog then stops (used by specs); production runs
     * with a processing-time trigger. */

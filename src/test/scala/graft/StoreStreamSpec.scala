@@ -35,6 +35,34 @@ class StoreStreamSpec extends SparkSpec {
     assert(pf.exists(_.group(1).nonEmpty), plan.take(1500))
   }
 
+  test("streaming curation gates match their batch execution exactly") {
+    import graft.operators.Curation
+    val in = tmp("curate_in")
+    val docs = Tables.documents(spark, sfDir).limit(100)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+    docs.write.mode("overwrite").parquet(in)
+    // batch-derived boilerplate vocabulary, handed to the stream as a literal
+    import spark.implicits._
+    val vocab = Curation.boilerplateNgrams(docs, minDfFrac = 0.06)
+      .select("ngram").as[String].collect().toSeq
+
+    val stream = spark.readStream.schema(DocStream.inputSchema)
+      .parquet(in)
+    val curated = DocStream.curate(stream, vocab, maxRatio = 0.6,
+      minChars = 100, langs = Set("en", "de"))
+    val q = curated.writeStream.format("memory").queryName("curated_docs")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("curated_docs").select("doc_id").as[Long].collect().toSet
+
+    // micro-batch execution must equal batch execution of the same gates
+    val expect = DocStream.curate(docs, vocab, maxRatio = 0.6,
+      minChars = 100, langs = Set("en", "de")).select("doc_id").as[Long].collect().toSet
+    assert(got == expect)
+    // and the gates are non-vacuous on this corpus
+    assert(got.nonEmpty && got.size < 100)
+  }
+
   test("streaming ingest: file-source backlog → chunk+embed → parquet store") {
     val in = tmp("stream_in"); val out = tmp("stream_out"); val ck = tmp("stream_ck")
     Tables.documents(spark, sfDir).limit(50)
