@@ -95,6 +95,33 @@ object QueriesCuration {
              |WHERE o_totalprice > 450000
              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
+    // ── range join: clicks within each purchase's 1-hour window ──────
+    "q_range_join" -> QueryDef(
+      (s, d) => {
+        import graft.operators.RangeJoin
+        val ev = Tables.events(s, d)
+        val sec = expr("ts div 1000000000") // ts arrives as long nanos
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("value"), sec.as("sec"))
+        val windows = ev.where(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"),
+            sec.as("w_start"), (sec + 3600).as("w_end"))
+        RangeJoin.pointInInterval(clicks, "sec", windows, "w_start", "w_end",
+            bucketWidth = 3600)
+          .groupBy(col("purchase_id"))
+          .agg(count(lit(1)).cast("long").as("n_clicks"),
+            round(sum(col("value")), 4).as("click_value"))
+          .orderBy(col("purchase_id"))
+      },
+      Some("""WITH e AS (SELECT event_id, event_type, value,
+             |    CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+             |c AS (SELECT event_id AS click_id, value, sec FROM e WHERE event_type = 'click'),
+             |p AS (SELECT event_id AS purchase_id, sec AS w_start, sec + 3600 AS w_end
+             |  FROM e WHERE event_type = 'purchase')
+             |SELECT purchase_id, count(*) AS n_clicks, round(sum(c.value), 4) AS click_value
+             |FROM c JOIN p ON c.sec BETWEEN p.w_start AND p.w_end
+             |GROUP BY purchase_id ORDER BY purchase_id""".stripMargin)),
+
     // ── Z-order layout key (Morton interleave of range buckets) ──────
     "q_zorder" -> QueryDef(
       (s, d) => {

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Range (interval) join: points ⋈ intervals on `start <= point <= end`,
+  * optionally alongside equi-keys — the attribution-window / IP-range /
+  * validity-interval workhorse Spark only plans as a broadcast
+  * nested-loop (or worse, a cartesian product) out of the box.
+  *
+  * Algorithm — bucketized equi-join: choose a bucket width `w`; an
+  * interval [s, e] is exploded to every bucket it touches
+  * (⌊s/w⌋ … ⌊e/w⌋), a point belongs to exactly ONE bucket (⌊p/w⌋), and
+  * the join runs as a plain hash equi-join on (equiKeys…, bucket)
+  * followed by the exact containment filter. Each matching pair meets in
+  * exactly one bucket — the point's — so no dedup pass is needed. Cost:
+  * |intervals| × avg-span/w exploded rows + one shuffle, vs the
+  * nested-loop's |P|×|I| comparisons; pick `w` near the typical interval
+  * span so the explosion factor stays small. Intervals wider than
+  * `maxSpanBuckets` buckets fail fast (per-row assert on the interval
+  * side) — the caller should widen `w` rather than silently explode.
+  */
+object RangeJoin {
+
+  private val Reserved = Set("__b", "__span")
+
+  /** Join each point row to every interval row containing it.
+    * `pointCol`/`startCol`/`endCol` are numeric (cast your timestamps to
+    * epoch seconds first); intervals are CLOSED on both ends. Colliding
+    * interval-side column names require `intervalSuffix`. */
+  def pointInInterval(points: DataFrame, pointCol: String,
+                      intervals: DataFrame, startCol: String, endCol: String,
+                      bucketWidth: Long, equiKeys: Seq[String] = Nil,
+                      maxSpanBuckets: Int = 1024,
+                      intervalSuffix: String = ""): DataFrame = {
+    require(bucketWidth > 0, s"pointInInterval: bucketWidth must be > 0, got $bucketWidth")
+    require(maxSpanBuckets >= 1, s"pointInInterval: maxSpanBuckets must be >= 1")
+    val pCols = points.columns.toSet
+    require(pCols.intersect(Reserved).isEmpty && intervals.columns.toSet.intersect(Reserved).isEmpty,
+      s"pointInInterval: inputs may not contain ${Reserved.mkString("/")}")
+    val joinCols = equiKeys :+ "__b"
+    val collide = intervals.columns.filterNot(equiKeys.contains).filter(pCols.contains)
+    require(collide.isEmpty || intervalSuffix.nonEmpty,
+      s"pointInInterval: both sides have ${collide.mkString(", ")}; pass intervalSuffix")
+    val renamed = collide.foldLeft(intervals)((df, c) =>
+      df.withColumnRenamed(c, c + intervalSuffix))
+    val (s, e) = (if (collide.contains(startCol)) startCol + intervalSuffix else startCol,
+      if (collide.contains(endCol)) endCol + intervalSuffix else endCol)
+
+    val iv = renamed
+      .withColumn("__span",
+        (floor(col(e) / bucketWidth) - floor(col(s) / bucketWidth)).cast("long"))
+      // per-row fail-fast: a silent quadratic explosion is worse than an error
+      .where(coalesce(assert_true(col("__span") < maxSpanBuckets,
+        lit(s"pointInInterval: interval spans >= $maxSpanBuckets buckets — widen bucketWidth")),
+        lit(true)))
+      .withColumn("__b", explode(sequence(
+        floor(col(s) / bucketWidth).cast("long"),
+        floor(col(e) / bucketWidth).cast("long"))))
+      .drop("__span")
+    val pt = points.withColumn("__b", floor(col(pointCol) / bucketWidth).cast("long"))
+    pt.join(iv, joinCols, "inner")
+      .where(col(pointCol) >= col(s) && col(pointCol) <= col(e))
+      .drop("__b")
+  }
+}

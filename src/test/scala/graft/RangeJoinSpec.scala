@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.RangeJoin
+
+class RangeJoinSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def fixtures = {
+    val ev = Tables.events(spark, sfDir)
+    val sec = expr("ts div 1000000000")
+    val pts = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("pid"), sec.as("p"))
+    val ivs = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("iid"), sec.as("s"), (sec + 3600).as("e"))
+    (pts, ivs)
+  }
+
+  test("bucketized range join equals the nested-loop join, each pair once") {
+    val (pts, ivs) = fixtures
+    val naive = pts.crossJoin(ivs).where(col("p").between(col("s"), col("e")))
+      .select("pid", "iid")
+    for (w <- Seq(600L, 3600L, 7200L)) { // narrower/equal/wider than the span
+      val got = RangeJoin.pointInInterval(pts, "p", ivs, "s", "e", bucketWidth = w)
+        .select("pid", "iid")
+      assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty,
+        s"bucketWidth=$w")
+    }
+    assert(naive.count() > 0)
+  }
+
+  test("equi-keys scope the range condition per key") {
+    val pts = Seq((1L, 10L, "a"), (2L, 10L, "b")).toDF("pid", "p", "k")
+    val ivs = Seq((100L, 0L, 20L, "a")).toDF("iid", "s", "e", "k")
+    val got = RangeJoin.pointInInterval(pts, "p", ivs, "s", "e",
+      bucketWidth = 16, equiKeys = Seq("k")).select("pid").as[Long].collect().toSeq
+    assert(got == Seq(1L)) // same instant, wrong key → no match
+  }
+
+  test("colliding interval columns need a suffix, and get one") {
+    val pts = Seq((1L, 10L)).toDF("id", "p")
+    val ivs = Seq((9L, 0L, 20L)).toDF("id", "s", "e")
+    intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(pts, "p", ivs, "s", "e", bucketWidth = 8)
+    }
+    val ok = RangeJoin.pointInInterval(pts, "p", ivs, "s", "e", bucketWidth = 8,
+      intervalSuffix = "_iv")
+    assert(ok.columns.contains("id") && ok.columns.contains("id_iv"))
+    assert(ok.count() == 1)
+  }
+
+  test("an interval spanning too many buckets fails fast instead of exploding") {
+    val pts = Seq((1L, 10L)).toDF("pid", "p")
+    val ivs = Seq((100L, 0L, 10000000L)).toDF("iid", "s", "e")
+    val ex = intercept[Exception] {
+      RangeJoin.pointInInterval(pts, "p", ivs, "s", "e",
+        bucketWidth = 10, maxSpanBuckets = 1000).count()
+    }
+    assert(ex.getMessage.contains("widen bucketWidth") ||
+      Option(ex.getCause).exists(_.getMessage.contains("widen bucketWidth")))
+  }
+}
