@@ -122,6 +122,31 @@ object QueriesCuration {
              |FROM c JOIN p ON c.sec BETWEEN p.w_start AND p.w_end
              |GROUP BY purchase_id ORDER BY purchase_id""".stripMargin)),
 
+    // ── interval-overlap join: error windows hitting purchase windows ─
+    "q_interval_overlap" -> QueryDef(
+      (s, d) => {
+        import graft.operators.RangeJoin
+        val ev = Tables.events(s, d)
+        val sec = expr("ts div 1000000000")
+        val pur = ev.where(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), sec.as("ps"), (sec + 3600).as("pe"))
+        val err = ev.where(col("event_type") === "error")
+          .select(col("event_id").as("error_id"), sec.as("es"), (sec + 1800).as("ee"))
+        RangeJoin.intervalOverlap(pur, "ps", "pe", err, "es", "ee", bucketWidth = 3600)
+          .groupBy(col("purchase_id"))
+          .agg(count(lit(1)).cast("long").as("n_errors"))
+          .orderBy(col("purchase_id"))
+      },
+      Some("""WITH e AS (SELECT event_id, event_type,
+             |    CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+             |p AS (SELECT event_id AS purchase_id, sec AS ps, sec + 3600 AS pe
+             |  FROM e WHERE event_type = 'purchase'),
+             |r AS (SELECT event_id AS error_id, sec AS es, sec + 1800 AS ee
+             |  FROM e WHERE event_type = 'error')
+             |SELECT purchase_id, count(*) AS n_errors
+             |FROM p JOIN r ON ps <= ee AND es <= pe
+             |GROUP BY purchase_id ORDER BY purchase_id""".stripMargin)),
+
     // ── Z-order layout key (Morton interleave of range buckets) ──────
     "q_zorder" -> QueryDef(
       (s, d) => {

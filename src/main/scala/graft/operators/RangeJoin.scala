@@ -63,4 +63,45 @@ object RangeJoin {
       .where(col(pointCol) >= col(s) && col(pointCol) <= col(e))
       .drop("__b")
   }
+
+  /** Interval-OVERLAP join: left ⋈ right on `[ls, le] ∩ [rs, re] ≠ ∅`
+    * (closed intervals: overlap iff ls <= re AND rs <= le). Both sides
+    * explode to their buckets; an overlapping pair shares every bucket of
+    * the intersection, so the join would emit it multiple times — the
+    * dedup is FREE instead: keep a pair only in the bucket that contains
+    * max(ls, rs), the intersection's first bucket. One hash equi-join, no
+    * distinct pass, no nested loop. */
+  def intervalOverlap(left: DataFrame, lStart: String, lEnd: String,
+                      right: DataFrame, rStart: String, rEnd: String,
+                      bucketWidth: Long, equiKeys: Seq[String] = Nil,
+                      maxSpanBuckets: Int = 1024,
+                      rightSuffix: String = ""): DataFrame = {
+    require(bucketWidth > 0, s"intervalOverlap: bucketWidth must be > 0, got $bucketWidth")
+    val lCols = left.columns.toSet
+    require(lCols.intersect(Reserved).isEmpty && right.columns.toSet.intersect(Reserved).isEmpty,
+      s"intervalOverlap: inputs may not contain ${Reserved.mkString("/")}")
+    val collide = right.columns.filterNot(equiKeys.contains).filter(lCols.contains)
+    require(collide.isEmpty || rightSuffix.nonEmpty,
+      s"intervalOverlap: both sides have ${collide.mkString(", ")}; pass rightSuffix")
+    val renamed = collide.foldLeft(right)((df, c) => df.withColumnRenamed(c, c + rightSuffix))
+    val (rs, re) = (if (collide.contains(rStart)) rStart + rightSuffix else rStart,
+      if (collide.contains(rEnd)) rEnd + rightSuffix else rEnd)
+
+    def exploded(df: DataFrame, s: String, e: String) = df
+      .withColumn("__span",
+        (floor(col(e) / bucketWidth) - floor(col(s) / bucketWidth)).cast("long"))
+      .where(coalesce(assert_true(col("__span") < maxSpanBuckets,
+        lit(s"intervalOverlap: interval spans >= $maxSpanBuckets buckets — widen bucketWidth")),
+        lit(true)))
+      .withColumn("__b", explode(sequence(
+        floor(col(s) / bucketWidth).cast("long"),
+        floor(col(e) / bucketWidth).cast("long"))))
+      .drop("__span")
+
+    exploded(left, lStart, lEnd)
+      .join(exploded(renamed, rs, re), equiKeys :+ "__b", "inner")
+      .where(col(lStart) <= col(re) && col(rs) <= col(lEnd))
+      .where(col("__b") === floor(greatest(col(lStart), col(rs)) / bucketWidth).cast("long"))
+      .drop("__b")
+  }
 }

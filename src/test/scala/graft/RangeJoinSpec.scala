@@ -50,6 +50,25 @@ class RangeJoinSpec extends SparkSpec {
     assert(ok.count() == 1)
   }
 
+  test("interval-overlap join equals nested-loop overlap, each pair once") {
+    val ev = Tables.events(spark, sfDir)
+    val sec = expr("ts div 1000000000")
+    val a = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("aid"), sec.as("as_"), (sec + 3600).as("ae"))
+    val b = ev.where(col("event_type") === "error")
+      .select(col("event_id").as("bid"), sec.as("bs"), (sec + 1800).as("be"))
+    val naive = a.crossJoin(b)
+      .where(col("as_") <= col("be") && col("bs") <= col("ae"))
+      .select("aid", "bid")
+    for (w <- Seq(900L, 3600L)) {
+      val got = RangeJoin.intervalOverlap(a, "as_", "ae", b, "bs", "be", bucketWidth = w)
+        .select("aid", "bid")
+      assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty,
+        s"bucketWidth=$w")
+    }
+    assert(naive.count() > 0)
+  }
+
   test("an interval spanning too many buckets fails fast instead of exploding") {
     val pts = Seq((1L, 10L)).toDF("pid", "p")
     val ivs = Seq((100L, 0L, 10000000L)).toDF("iid", "s", "e")
