@@ -22,6 +22,22 @@ import org.apache.spark.util.sketch.BloomFilter
   * explicit operator: explicit beats injected when the small side is an
   * arbitrary pre-computed DataFrame (dedup survivors, a sampled id list)
   * that the optimizer's creation-side heuristics would not pick up.
+  *
+  * WHEN TO USE — measured regime boundaries (Perf, local[8]):
+  *  - Broadcastable filter side → use a plain join; Spark broadcasts and
+  *    there is no exchange to prune (measured: plain anti 0.37 s vs
+  *    bloomed 0.72 s on a 500-row side).
+  *  - Shuffle regime on a LOCAL / memory-speed exchange → pruning still
+  *    loses (12M×2M probe: pruned 3.1 s vs plain 1.1 s): 12M random
+  *    probes into a ~2 MB filter are memory-latency bound, while a local
+  *    shuffle moves the same rows at memory bandwidth. The same
+  *    asymmetry is why Spark's own runtime filters gate on estimated
+  *    exchange sizes before injecting.
+  *  - The win case is a NETWORK-bound exchange of wide fact rows against
+  *    a non-broadcastable filter side — bytes-not-moved beat the probe
+  *    cost by the network/memory price ratio (10–100×). That is the
+  *    100 TB deployment target; the local bench can only demonstrate
+  *    semantics, and the oracle gates do exactly that.
   */
 object BloomJoin {
 
