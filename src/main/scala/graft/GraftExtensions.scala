@@ -41,9 +41,14 @@ object GraftFunctions {
     "zvalue" -> (es => zvalueExpr(es(0), es(1),
       if (es.length > 2) intLit(es(2), "bits") else 8)))
 
-  /** Morton z-value as a pure Catalyst tree (mirrors ZOrder.interleave):
-    * `ORDER BY zvalue(x, y, 8)` gives SQL users the two-dimensional
-    * layout sort key. */
+  /** Morton z-value as a pure Catalyst tree (`ORDER BY zvalue(x, y, 8)`).
+    * This necessarily re-states ZOrder.interleave's formula: a
+    * FunctionRegistry builder must return an analyzable Catalyst
+    * Expression, and in Spark 4 a functions-built Column round-tripped
+    * through ColumnBridge yields an unresolved ColumnNodeExpression that
+    * cannot resolve in this context (verified — INTERNAL_ERROR at
+    * codegen). SqlSurfaceSpec pins the two implementations equal over an
+    * exhaustive coordinate grid at several bit widths. */
   private def zvalueExpr(x: Expression, y: Expression, bits: Int): Expression = {
     import org.apache.spark.sql.catalyst.expressions.{Add, BitwiseAnd, Cast, Literal, Multiply, ShiftRight}
     import org.apache.spark.sql.types.LongType

@@ -24,6 +24,26 @@ object RangeJoin {
 
   private val Reserved = Set("__b", "__span")
 
+  /** Explode an interval frame into its buckets. NULL-bounded rows are
+    * dropped first (a NULL bound can never satisfy the containment
+    * predicate — same as the plain join). The span guard fails fast
+    * per-row on intervals that are INVERTED (end < start: sequence()
+    * would count DOWN and silently explode) or wider than
+    * `maxSpanBuckets` buckets. */
+  private def bucketed(opName: String, df: DataFrame, s: String, e: String,
+                       bucketWidth: Long, maxSpanBuckets: Int): DataFrame = df
+    .where(col(s).isNotNull && col(e).isNotNull)
+    .withColumn("__span",
+      (floor(col(e) / bucketWidth) - floor(col(s) / bucketWidth)).cast("long"))
+    .where(coalesce(assert_true(col("__span").between(0, maxSpanBuckets - 1),
+      lit(s"$opName: interval inverted (end < start) or spans >= $maxSpanBuckets " +
+        "buckets — fix the data or widen bucketWidth")),
+      lit(true)))
+    .withColumn("__b", explode(sequence(
+      floor(col(s) / bucketWidth).cast("long"),
+      floor(col(e) / bucketWidth).cast("long"))))
+    .drop("__span")
+
   /** Join each point row to every interval row containing it.
     * `pointCol`/`startCol`/`endCol` are numeric (cast your timestamps to
     * epoch seconds first); intervals are CLOSED on both ends. Colliding
@@ -47,17 +67,7 @@ object RangeJoin {
     val (s, e) = (if (collide.contains(startCol)) startCol + intervalSuffix else startCol,
       if (collide.contains(endCol)) endCol + intervalSuffix else endCol)
 
-    val iv = renamed
-      .withColumn("__span",
-        (floor(col(e) / bucketWidth) - floor(col(s) / bucketWidth)).cast("long"))
-      // per-row fail-fast: a silent quadratic explosion is worse than an error
-      .where(coalesce(assert_true(col("__span") < maxSpanBuckets,
-        lit(s"pointInInterval: interval spans >= $maxSpanBuckets buckets — widen bucketWidth")),
-        lit(true)))
-      .withColumn("__b", explode(sequence(
-        floor(col(s) / bucketWidth).cast("long"),
-        floor(col(e) / bucketWidth).cast("long"))))
-      .drop("__span")
+    val iv = bucketed("pointInInterval", renamed, s, e, bucketWidth, maxSpanBuckets)
     val pt = points.withColumn("__b", floor(col(pointCol) / bucketWidth).cast("long"))
     pt.join(iv, joinCols, "inner")
       .where(col(pointCol) >= col(s) && col(pointCol) <= col(e))
@@ -87,19 +97,9 @@ object RangeJoin {
     val (rs, re) = (if (collide.contains(rStart)) rStart + rightSuffix else rStart,
       if (collide.contains(rEnd)) rEnd + rightSuffix else rEnd)
 
-    def exploded(df: DataFrame, s: String, e: String) = df
-      .withColumn("__span",
-        (floor(col(e) / bucketWidth) - floor(col(s) / bucketWidth)).cast("long"))
-      .where(coalesce(assert_true(col("__span") < maxSpanBuckets,
-        lit(s"intervalOverlap: interval spans >= $maxSpanBuckets buckets — widen bucketWidth")),
-        lit(true)))
-      .withColumn("__b", explode(sequence(
-        floor(col(s) / bucketWidth).cast("long"),
-        floor(col(e) / bucketWidth).cast("long"))))
-      .drop("__span")
-
-    exploded(left, lStart, lEnd)
-      .join(exploded(renamed, rs, re), equiKeys :+ "__b", "inner")
+    bucketed("intervalOverlap", left, lStart, lEnd, bucketWidth, maxSpanBuckets)
+      .join(bucketed("intervalOverlap", renamed, rs, re, bucketWidth, maxSpanBuckets),
+        equiKeys :+ "__b", "inner")
       .where(col(lStart) <= col(re) && col(rs) <= col(lEnd))
       .where(col("__b") === floor(greatest(col(lStart), col(rs)) / bucketWidth).cast("long"))
       .drop("__b")

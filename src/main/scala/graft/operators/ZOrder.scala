@@ -27,9 +27,12 @@ object ZOrder {
     require(bits >= 1 && bits <= 31, s"rangeId: bits must be in [1, 31], got $bits")
     require(maxV > minV, s"rangeId: need maxV > minV, got [$minV, $maxV]")
     val buckets = 1L << bits
-    // Column./ is double division — floor keeps the bucket id integral
-    // and replayable (operands stay well under 2^52, so the double is exact)
-    val scaled = floor((c.cast("long") - minV) * buckets / (maxV - minV + 1.0)).cast("long")
+    // clamp BEFORE scaling (so a far out-of-domain value lands on the
+    // edge bucket instead of overflowing), then scale in double: the
+    // clamped offset is <= the domain span, and long×long could overflow
+    // for wide domains (e.g. nanosecond timestamps × 2^16 buckets)
+    val clamped = least(lit(maxV), greatest(lit(minV), c.cast("long")))
+    val scaled = floor((clamped - minV).cast("double") * buckets / (maxV - minV + 1.0)).cast("long")
     least(lit(buckets - 1), greatest(lit(0L), scaled)).cast("long")
   }
 
@@ -67,9 +70,12 @@ object ZOrder {
 
   /** N-dimensional [[zorder]]. */
   def zorderN(df: DataFrame, cols: Seq[Column], bits: Int,
-              numPartitions: Int): DataFrame =
+              numPartitions: Int): DataFrame = {
+    require(!df.columns.contains("__z"),
+      "zorder: input may not contain a __z column (internal sort key)")
     df.withColumn("__z", interleaveN(cols, bits))
       .repartitionByRange(numPartitions, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
+  }
 }

@@ -69,6 +69,34 @@ class RangeJoinSpec extends SparkSpec {
     assert(naive.count() > 0)
   }
 
+  test("range join plans as a hash join — no nested loop, no cartesian") {
+    val (pts, ivs) = fixtures
+    val plan = RangeJoin.pointInInterval(pts, "p", ivs, "s", "e", bucketWidth = 3600)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      plan.take(1200))
+  }
+
+  test("NULL interval bounds drop the row (plain-join semantics), not the job") {
+    val pts = Seq((1L, 10L)).toDF("pid", "p")
+    val ivs = Seq((100L, Some(0L), Some(20L)), (101L, None, Some(20L)), (102L, Some(0L), None))
+      .toDF("iid", "s", "e")
+    val got = RangeJoin.pointInInterval(pts, "p", ivs, "s", "e", bucketWidth = 8)
+      .select("iid").as[Long].collect().toSeq
+    assert(got == Seq(100L))
+  }
+
+  test("an inverted interval (end < start) fails fast, not silently explodes") {
+    val pts = Seq((1L, 10L)).toDF("pid", "p")
+    val ivs = Seq((100L, 1000000000L, 0L)).toDF("iid", "s", "e")
+    val ex = intercept[Exception] {
+      RangeJoin.pointInInterval(pts, "p", ivs, "s", "e", bucketWidth = 3600).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(ex).exists(_.contains("inverted")))
+  }
+
   test("an interval spanning too many buckets fails fast instead of exploding") {
     val pts = Seq((1L, 10L)).toDF("pid", "p")
     val ivs = Seq((100L, 0L, 10000000L)).toDF("iid", "s", "e")

@@ -24,12 +24,20 @@ class SqlSurfaceSpec extends SparkSpec {
       spark.sql("SELECT simhash64(word_shingles('x y z w', 3)) h").head().getLong(0))
     assert(spark.sql("SELECT size(chunk_text('aaaaaaaa.bbbbbbbb', 10, 4)) n").head().getInt(0) == 2)
 
-    // zvalue == the ZOrder.interleave column API, and is usable in ORDER BY
-    import org.apache.spark.sql.functions.{col, lit}
-    val zs = spark.sql("SELECT zvalue(5, 9, 4) z").head().getLong(0)
-    val zc = spark.range(1).select(
-      graft.operators.ZOrder.interleave(lit(5L), lit(9L), 4).as("z")).head().getLong(0)
-    assert(zs == zc)
+    // zvalue must equal the ZOrder.interleave column API everywhere —
+    // they are separate trees (see zvalueExpr scaladoc), so pin them
+    // equal over a full coordinate grid at several widths
+    import org.apache.spark.sql.functions.col
+    for (bits <- Seq(1, 4, 8)) {
+      val n = 1 << math.min(bits, 5)
+      val grid = spark.range(n.toLong * n).select(
+        (col("id") % n).as("x"), (col("id") / n).as("y"))
+      val diff = grid.select(
+          graft.operators.ZOrder.interleave(col("x"), col("y"), bits).as("a"),
+          org.apache.spark.sql.functions.expr(s"zvalue(x, y, $bits)").as("b"))
+        .where(col("a") =!= col("b")).count()
+      assert(diff == 0, s"zvalue != interleave at bits=$bits")
+    }
   }
 
   test("extensions class injects without error") {
