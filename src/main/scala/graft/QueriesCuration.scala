@@ -71,6 +71,27 @@ object QueriesCuration {
       Some("""SELECT doc_id, md5('epoch0' || CAST(doc_id AS VARCHAR)) AS shuffle_key
              |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin)),
 
+    // ── heavy hitters: vocabulary tokens above a rate threshold ──────
+    // Oracle is the PLAIN group-by-having — the CMS pre-filter may only
+    // drop keys the HAVING would drop anyway (estimates never
+    // undercount). Rate threshold (0.4% of all tokens) keeps the result
+    // the same ~30 Zipf-head words at every SF.
+    "q_heavy_hitters" -> QueryDef(
+      (s, d) => {
+        val tok = Tables.documents(s, d).select(
+          explode(split(graft.functions.TextFunctions.canonicalText(col("text")), " "))
+            .as("word"))
+        operators.HeavyHitters.exactByRate(tok, "word", 0.004)
+          .select(col("word"), col("cnt").cast("long").as("cnt"))
+          .orderBy(col("cnt").desc, col("word"))
+      },
+      Some(s"""WITH tok AS (SELECT unnest(string_split($canon, ' ')) AS word
+              |  FROM documents), t AS (SELECT count(*) AS n FROM tok)
+              |SELECT word, CAST(count(*) AS BIGINT) AS cnt
+              |FROM tok, t GROUP BY word, t.n
+              |HAVING count(*) >= ceil(0.004 * t.n)
+              |ORDER BY cnt DESC, word""".stripMargin)),
+
     // ── Bloom-pruned selective join: revenue of high-value orders ────
     // Oracle is the PLAIN join — the Bloom pass may only drop rows the
     // join would drop anyway.
