@@ -140,6 +140,21 @@ object Perf {
       weigh(bigItems.join(seenSide, Seq("k"), "left_anti"))
     }
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+
+    // heavy hitters: the vocabulary-too-big-to-aggregate regime — 16M
+    // rows over ~8M distinct string keys. The plain plan builds hash-agg
+    // state for every singleton and shuffles the whole vocabulary; the
+    // CMS plan pays two narrow scans but aggregates only the hot slice.
+    val hhDf = spark.range(8000000).select((col("id") % 40).as("k"))
+      .union(spark.range(8000000).select((col("id") + 1000).as("k")))
+      .select(concat(lit("key"), col("k")).as("k"))
+    time("heavyHitters.cms (16M rows, ~8M distinct keys)") {
+      graft.operators.HeavyHitters.exact(hhDf, "k", 100000).count()
+    }
+    time("heavyHitters.plain (same)") {
+      hhDf.groupBy("k").agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") >= 100000).count()
+    }
     spark.stop()
   }
 }
