@@ -71,6 +71,62 @@ object QueriesCuration {
       Some("""SELECT doc_id, md5('epoch0' || CAST(doc_id AS VARCHAR)) AS shuffle_key
              |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin)),
 
+    // ── incremental dedup against the persisted LSH index ────────────
+    // Corpus = documents (indexed once); batch = re-crawled copies
+    // (doc_id%7=0, must match their originals at jaccard 1) + gibberish
+    // novels (doc_id%7=1, must match nothing). Oracle replays the whole
+    // pipeline: banding on both frames, the bucket_key fold, the
+    // index-side hot-bucket guard, and cross-frame exact Jaccard.
+    "q_dedup_incremental" -> QueryDef(
+      (s, d) => {
+        import graft.operators.DedupIndex
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val copies = docs.where(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+        val novels = docs.where(col("doc_id") % 7 === 1)
+          .select((col("doc_id") + 2000000).as("doc_id"),
+            concat(md5(col("doc_id").cast("string")), lit(" "),
+              md5((col("doc_id") + 1).cast("string"))).as("text"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft-q-didx").toString
+        DedupIndex.writeIndex(docs, "q_dedup_idx", s"$tmp/idx")
+        DedupIndex.searchIndex(s, "q_dedup_idx", copies.unionAll(novels), docs, 0.8)
+          .orderBy(col("batch_id"), col("corpus_id"))
+      },
+      Some(s"""WITH batch AS (
+              |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+              |  UNION ALL
+              |  SELECT doc_id + 2000000 AS doc_id,
+              |    md5(CAST(doc_id AS VARCHAR)) || ' ' || md5(CAST(doc_id + 1 AS VARCHAR)) AS text
+              |  FROM documents WHERE doc_id % 7 = 1),
+              |cw AS (SELECT doc_id, string_split($canon, ' ') AS w FROM documents),
+              |csh AS (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+              |  THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]
+              |  ELSE [array_to_string(w, ' ')] END) AS sh FROM cw),
+              |csig AS (SELECT doc_id, sh,
+              |  [list_min([md5(s || '#' || j) for s in sh]) for j in range(0, 16)] AS sig FROM csh),
+              |cbands AS (SELECT doc_id,
+              |  md5(CAST(b AS VARCHAR) || ':' || md5(sig[b*2+1] || '|' || sig[b*2+2])) AS bucket_key
+              |  FROM csig, unnest(range(0, 8)) AS t(b)),
+              |ok AS (SELECT bucket_key FROM cbands GROUP BY 1 HAVING count(*) <= 1000),
+              |bw AS (SELECT doc_id, string_split($canon, ' ') AS w FROM batch),
+              |bsh AS (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+              |  THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]
+              |  ELSE [array_to_string(w, ' ')] END) AS sh FROM bw),
+              |bsig AS (SELECT doc_id, sh,
+              |  [list_min([md5(s || '#' || j) for s in sh]) for j in range(0, 16)] AS sig FROM bsh),
+              |bbands AS (SELECT doc_id,
+              |  md5(CAST(b AS VARCHAR) || ':' || md5(sig[b*2+1] || '|' || sig[b*2+2])) AS bucket_key
+              |  FROM bsig, unnest(range(0, 8)) AS t(b)),
+              |cand AS (SELECT DISTINCT bb.doc_id AS batch_id, cb.doc_id AS corpus_id
+              |  FROM bbands bb JOIN cbands cb USING (bucket_key) JOIN ok USING (bucket_key)),
+              |ver AS (SELECT batch_id, corpus_id,
+              |    round(len(list_intersect(b.sh, c.sh))::DOUBLE
+              |      / (len(b.sh) + len(c.sh) - len(list_intersect(b.sh, c.sh))), 4) AS jaccard
+              |  FROM cand JOIN bsh b ON b.doc_id = cand.batch_id
+              |  JOIN csh c ON c.doc_id = cand.corpus_id)
+              |SELECT batch_id, corpus_id, jaccard FROM ver WHERE jaccard >= 0.8
+              |ORDER BY batch_id, corpus_id""".stripMargin)),
+
     // ── heavy hitters: vocabulary tokens above a rate threshold ──────
     // Oracle is the PLAIN group-by-having — the CMS pre-filter may only
     // drop keys the HAVING would drop anyway (estimates never

@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.wordShingles
+
+/** Persisted MinHash-LSH dedup index — near-dup detection for
+  * INCREMENTAL ingest. [[Dedup.minhashLsh]] dedups a corpus against
+  * itself; production curation ingests a new batch every day and must
+  * answer "which of these documents already exist in the 100 TB
+  * corpus?" without touching the corpus text again. The index persists
+  * what the corpus pass already computed:
+  *
+  *  - rows `(bucket_key, doc_id)` where `bucket_key` folds the LSH
+  *    (band_id, band_key) pair into ONE column: md5 of the corpus
+  *    document's signature slice per band. The expensive part — the
+  *    shingle + md5-signature loop over corpus text — is paid once, at
+  *    index build;
+  *  - written `bucketBy(bucket_key)`: the metastore records the hash
+  *    partitioning, so the candidate join reads the index IN PLACE —
+  *    only the (small) batch shuffles into the bucket layout, the
+  *    corpus-sized side has no exchange (plan-asserted in spec);
+  *  - degenerate buckets (boilerplate bands shared by > `maxBucket`
+  *    docs) are dropped at write, mirroring
+  *    [[Dedup.candidatePairs]]'s quadratic-blowup guard.
+  *
+  * Search computes the batch's bands row-local, equi-joins the index on
+  * `bucket_key`, then verifies candidates with exact word-shingle
+  * Jaccard — corpus text is fetched ONLY for candidate ids (a semi
+  * join), so the whole check is proportional to the batch and its
+  * collision set, never to the corpus.
+  */
+object DedupIndex {
+
+  /** Row-local banding → the single join/bucket column:
+    * `(bucket_key = md5(band_id ':' band_key), <outId>)`. */
+  private def keyed(docs: DataFrame, idCol: String, textCol: String, outId: String,
+                    shingleN: Int, numPerm: Int, bands: Int): DataFrame =
+    Dedup.banded(docs, idCol, textCol, shingleN, numPerm, bands)
+      .select(md5(concat(col("band_id").cast("string"), lit(":"), col("band_key")))
+        .as("bucket_key"), col(idCol).as(outId))
+
+  /** Build and persist the index for `docs` as bucketed table `table` at
+    * `path`. LSH parameters are baked into the index — searches must use
+    * the same (shingleN, numPerm, bands), or band keys cannot match. */
+  def writeIndex(docs: DataFrame, table: String, path: String,
+                 idCol: String = "doc_id", textCol: String = "text",
+                 shingleN: Int = 3, numPerm: Int = 16, bands: Int = 8,
+                 numBuckets: Int = 16, maxBucket: Int = 1000): Unit = {
+    require(numBuckets >= 1, s"writeIndex: numBuckets must be >= 1, got $numBuckets")
+    val k = keyed(docs, idCol, textCol, "doc_id", shingleN, numPerm, bands)
+    val hot = k.groupBy(col("bucket_key"))
+      .agg(count(lit(1)).as("__n")).where(col("__n") > maxBucket)
+      .select(col("bucket_key"))
+    k.join(hot, Seq("bucket_key"), "left_anti")
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, "bucket_key").sortBy("bucket_key")
+      .option("path", path).format("parquet").saveAsTable(table)
+  }
+
+  /** Append a (already-deduped) batch's bands to an existing index. The
+    * hot-bucket guard applies to THIS batch only; cumulative hot buckets
+    * accrete until the next full [[writeIndex]] rebuild — the standard
+    * compaction trade of append-only indexes. */
+  def appendIndex(docs: DataFrame, table: String,
+                  idCol: String = "doc_id", textCol: String = "text",
+                  shingleN: Int = 3, numPerm: Int = 16, bands: Int = 8,
+                  numBuckets: Int = 16, maxBucket: Int = 1000): Unit = {
+    val k = keyed(docs, idCol, textCol, "doc_id", shingleN, numPerm, bands)
+    val hot = k.groupBy(col("bucket_key"))
+      .agg(count(lit(1)).as("__n")).where(col("__n") > maxBucket)
+      .select(col("bucket_key"))
+    k.join(hot, Seq("bucket_key"), "left_anti")
+      .write.mode(SaveMode.Append)
+      .bucketBy(numBuckets, "bucket_key").sortBy("bucket_key")
+      .format("parquet").saveAsTable(table)
+  }
+
+  /** LSH candidate pairs `(batch_id, corpus_id)` of `batch` against the
+    * index — the index side reads in place (no exchange). */
+  def candidates(spark: SparkSession, table: String, batch: DataFrame,
+                 idCol: String = "doc_id", textCol: String = "text",
+                 shingleN: Int = 3, numPerm: Int = 16, bands: Int = 8): DataFrame =
+    keyed(batch, idCol, textCol, "batch_id", shingleN, numPerm, bands)
+      .join(spark.table(table).withColumnRenamed("doc_id", "corpus_id"), Seq("bucket_key"))
+      .select(col("batch_id"), col("corpus_id"))
+      .distinct()
+
+  /** Near-dup matches of `batch` against the indexed corpus:
+    * `(batch_id, corpus_id, jaccard)` with exact word-shingle Jaccard >=
+    * `threshold`. `corpusDocs` supplies text for verification — read
+    * only at the candidate ids. */
+  def searchIndex(spark: SparkSession, table: String, batch: DataFrame,
+                  corpusDocs: DataFrame, threshold: Double,
+                  idCol: String = "doc_id", textCol: String = "text",
+                  shingleN: Int = 3, numPerm: Int = 16, bands: Int = 8,
+                  scale: Int = 4): DataFrame = {
+    val cand = candidates(spark, table, batch, idCol, textCol, shingleN, numPerm, bands)
+    val bSh = batch.select(col(idCol).as("batch_id"),
+      wordShingles(col(textCol), shingleN).as("__sh1"))
+    val cSh = corpusDocs
+      .join(cand.select(col("corpus_id").as(idCol)).distinct(), Seq(idCol), "left_semi")
+      .select(col(idCol).as("corpus_id"), wordShingles(col(textCol), shingleN).as("__sh2"))
+    cand.join(bSh, Seq("batch_id")).join(cSh, Seq("corpus_id"))
+      .withColumn("__inter", size(array_intersect(col("__sh1"), col("__sh2"))).cast("double"))
+      .select(col("batch_id"), col("corpus_id"),
+        round(col("__inter") /
+          (size(col("__sh1")) + size(col("__sh2")) - col("__inter")), scale).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** Batch documents with NO near-dup in the index — the rows an
+    * incremental ingest keeps (and may then [[appendIndex]]). */
+  def novel(spark: SparkSession, table: String, batch: DataFrame,
+            corpusDocs: DataFrame, threshold: Double,
+            idCol: String = "doc_id", textCol: String = "text",
+            shingleN: Int = 3, numPerm: Int = 16, bands: Int = 8): DataFrame =
+    batch.join(
+      searchIndex(spark, table, batch, corpusDocs, threshold,
+          idCol, textCol, shingleN, numPerm, bands)
+        .select(col("batch_id").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+}
