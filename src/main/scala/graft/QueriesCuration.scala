@@ -87,9 +87,13 @@ object QueriesCuration {
           .select((col("doc_id") + 2000000).as("doc_id"),
             concat(md5(col("doc_id").cast("string")), lit(" "),
               md5((col("doc_id") + 1).cast("string"))).as("text"))
-        val tmp = java.nio.file.Files.createTempDirectory("graft-q-didx").toString
-        DedupIndex.writeIndex(docs, "q_dedup_idx", s"$tmp/idx")
-        DedupIndex.searchIndex(s, "q_dedup_idx", copies.unionAll(novels), docs, 0.8)
+        // stable per-SF path + table name: re-runs OVERWRITE in place
+        // (no temp-dir accretion), and different SFs never race on one
+        // metastore table
+        val tag = math.abs(d.hashCode).toString
+        val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_q_didx_$tag"
+        DedupIndex.writeIndex(docs, s"q_dedup_idx_$tag", idxDir)
+        DedupIndex.searchIndex(s, s"q_dedup_idx_$tag", copies.unionAll(novels), docs, 0.8)
           .orderBy(col("batch_id"), col("corpus_id"))
       },
       Some(s"""WITH batch AS (

@@ -40,23 +40,37 @@ object DedupIndex {
       .select(md5(concat(col("band_id").cast("string"), lit(":"), col("band_key")))
         .as("bucket_key"), col(idCol).as(outId))
 
+  /** The shared write body: band once, drop hot buckets with a WINDOW
+    * count (ONE evaluation of the expensive banding pipeline — a
+    * groupBy+anti-join formulation would compute shingles+signatures
+    * twice, once per join branch), bucketed write. */
+  private def writeBands(docs: DataFrame, table: String, mode: SaveMode,
+                         path: Option[String], idCol: String, textCol: String,
+                         shingleN: Int, numPerm: Int, bands: Int,
+                         numBuckets: Int, maxBucket: Int): Unit = {
+    require(numBuckets >= 1, s"writeIndex: numBuckets must be >= 1, got $numBuckets")
+    require(maxBucket >= 1, s"writeIndex: maxBucket must be >= 1, got $maxBucket")
+    val k = keyed(docs, idCol, textCol, "doc_id", shingleN, numPerm, bands)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("bucket_key"))
+    val writer = k
+      .withColumn("__n", count(lit(1)).over(w))
+      .where(col("__n") <= maxBucket)
+      .drop("__n")
+      .write.mode(mode)
+      .bucketBy(numBuckets, "bucket_key").sortBy("bucket_key")
+      .format("parquet")
+    path.fold(writer)(p => writer.option("path", p)).saveAsTable(table)
+  }
+
   /** Build and persist the index for `docs` as bucketed table `table` at
     * `path`. LSH parameters are baked into the index — searches must use
     * the same (shingleN, numPerm, bands), or band keys cannot match. */
   def writeIndex(docs: DataFrame, table: String, path: String,
                  idCol: String = "doc_id", textCol: String = "text",
                  shingleN: Int = 3, numPerm: Int = 16, bands: Int = 8,
-                 numBuckets: Int = 16, maxBucket: Int = 1000): Unit = {
-    require(numBuckets >= 1, s"writeIndex: numBuckets must be >= 1, got $numBuckets")
-    val k = keyed(docs, idCol, textCol, "doc_id", shingleN, numPerm, bands)
-    val hot = k.groupBy(col("bucket_key"))
-      .agg(count(lit(1)).as("__n")).where(col("__n") > maxBucket)
-      .select(col("bucket_key"))
-    k.join(hot, Seq("bucket_key"), "left_anti")
-      .write.mode(SaveMode.Overwrite)
-      .bucketBy(numBuckets, "bucket_key").sortBy("bucket_key")
-      .option("path", path).format("parquet").saveAsTable(table)
-  }
+                 numBuckets: Int = 16, maxBucket: Int = 1000): Unit =
+    writeBands(docs, table, SaveMode.Overwrite, Some(path), idCol, textCol,
+      shingleN, numPerm, bands, numBuckets, maxBucket)
 
   /** Append a (already-deduped) batch's bands to an existing index. The
     * hot-bucket guard applies to THIS batch only; cumulative hot buckets
@@ -65,16 +79,9 @@ object DedupIndex {
   def appendIndex(docs: DataFrame, table: String,
                   idCol: String = "doc_id", textCol: String = "text",
                   shingleN: Int = 3, numPerm: Int = 16, bands: Int = 8,
-                  numBuckets: Int = 16, maxBucket: Int = 1000): Unit = {
-    val k = keyed(docs, idCol, textCol, "doc_id", shingleN, numPerm, bands)
-    val hot = k.groupBy(col("bucket_key"))
-      .agg(count(lit(1)).as("__n")).where(col("__n") > maxBucket)
-      .select(col("bucket_key"))
-    k.join(hot, Seq("bucket_key"), "left_anti")
-      .write.mode(SaveMode.Append)
-      .bucketBy(numBuckets, "bucket_key").sortBy("bucket_key")
-      .format("parquet").saveAsTable(table)
-  }
+                  numBuckets: Int = 16, maxBucket: Int = 1000): Unit =
+    writeBands(docs, table, SaveMode.Append, None, idCol, textCol,
+      shingleN, numPerm, bands, numBuckets, maxBucket)
 
   /** LSH candidate pairs `(batch_id, corpus_id)` of `batch` against the
     * index — the index side reads in place (no exchange). */
@@ -95,7 +102,12 @@ object DedupIndex {
                   idCol: String = "doc_id", textCol: String = "text",
                   shingleN: Int = 3, numPerm: Int = 16, bands: Int = 8,
                   scale: Int = 4): DataFrame = {
+    // materialized once (localCheckpoint, like Dedup.components): the
+    // pair set feeds BOTH the result spine and the corpus semi-join —
+    // left lazy, the banding + index join would run twice. Candidates
+    // are collision-set-sized by design, so the checkpoint is small.
     val cand = candidates(spark, table, batch, idCol, textCol, shingleN, numPerm, bands)
+      .localCheckpoint(true)
     val bSh = batch.select(col(idCol).as("batch_id"),
       wordShingles(col(textCol), shingleN).as("__sh1"))
     val cSh = corpusDocs

@@ -26,18 +26,22 @@ object RangeJoin {
 
   /** Explode an interval frame into its buckets. NULL-bounded rows are
     * dropped first (a NULL bound can never satisfy the containment
-    * predicate — same as the plain join). The span guard fails fast
-    * per-row on intervals that are INVERTED (end < start: sequence()
-    * would count DOWN and silently explode) or wider than
-    * `maxSpanBuckets` buckets. */
+    * predicate — same as the plain join). Per-row fail-fast guards: an
+    * INVERTED interval (end < start — the data-corruption signal; also
+    * what would make sequence() count DOWN) throws on the VALUES, not
+    * the bucket ids, so it fires regardless of bucketWidth; a span of
+    * >= `maxSpanBuckets` buckets throws before it can explode. */
   private def bucketed(opName: String, df: DataFrame, s: String, e: String,
                        bucketWidth: Long, maxSpanBuckets: Int): DataFrame = df
     .where(col(s).isNotNull && col(e).isNotNull)
+    .where(coalesce(assert_true(col(s) <= col(e),
+      lit(s"$opName: interval inverted (end < start) — fix the data")),
+      lit(true)))
     .withColumn("__span",
       (floor(col(e) / bucketWidth) - floor(col(s) / bucketWidth)).cast("long"))
-    .where(coalesce(assert_true(col("__span").between(0, maxSpanBuckets - 1),
-      lit(s"$opName: interval inverted (end < start) or spans >= $maxSpanBuckets " +
-        "buckets — fix the data or widen bucketWidth")),
+    .where(coalesce(assert_true(col("__span") < maxSpanBuckets,
+      lit(s"$opName: interval spans >= $maxSpanBuckets buckets — " +
+        "widen bucketWidth or raise maxSpanBuckets")),
       lit(true)))
     .withColumn("__b", explode(sequence(
       floor(col(s) / bucketWidth).cast("long"),

@@ -72,7 +72,7 @@ object ZOrder {
   def zorderN(df: DataFrame, cols: Seq[Column], bits: Int,
               numPartitions: Int): DataFrame = {
     require(!df.columns.contains("__z"),
-      "zorder: input may not contain a __z column (internal sort key)")
+      "zorderN: input may not contain a __z column (internal sort key)")
     df.withColumn("__z", interleaveN(cols, bits))
       .repartitionByRange(numPartitions, col("__z"))
       .sortWithinPartitions(col("__z"))

@@ -14,10 +14,13 @@ class DedupIndexSpec extends SparkSpec {
     try {
       DedupIndex.writeIndex(corpus, "t_didx", s"$tmp/idx", numBuckets = 4)
       // planted: 5 exact copies (must match their originals at jaccard 1)
-      // + 5 gibberish docs (must match nothing)
-      val copies = corpus.where(col("doc_id") % 100 === 0).limit(5)
-        .select((col("doc_id") + 1000).as("doc_id"), col("text"))
-      val novels = spark.range(5).select((col("id") + 2000).as("doc_id"),
+      // + 5 gibberish docs (must match nothing). Deterministic pick
+      // (ordered limit) and id offsets far beyond any test-corpus size
+      // keep the two batch id spaces disjoint.
+      val copies = corpus.where(col("doc_id") % 100 === 0)
+        .orderBy(col("doc_id")).limit(5)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      val novels = spark.range(5).select((col("id") + 2000000).as("doc_id"),
         concat(md5(col("id").cast("string")), lit(" "),
           md5((col("id") + 99).cast("string"))).as("text"))
       val batch = copies.unionAll(novels).cache()
@@ -25,15 +28,15 @@ class DedupIndexSpec extends SparkSpec {
       val hits = DedupIndex.searchIndex(spark, "t_didx", batch, corpus, 0.8)
         .collect()
       val matchedBatch = hits.map(_.getLong(0)).toSet
-      assert(matchedBatch.forall(_ < 2000), s"gibberish doc matched: $matchedBatch")
+      assert(matchedBatch.forall(_ < 2000000), s"gibberish doc matched: $matchedBatch")
       // every copy matches its own original at jaccard 1.0
-      val selfHits = hits.filter(r => r.getLong(1) == r.getLong(0) - 1000)
+      val selfHits = hits.filter(r => r.getLong(1) == r.getLong(0) - 1000000)
       assert(selfHits.length == 5 && selfHits.forall(_.getDouble(2) == 1.0),
         hits.mkString("; "))
 
       val kept = DedupIndex.novel(spark, "t_didx", batch, corpus, 0.8)
         .select("doc_id").as[Long].collect().toSet
-      assert(kept == Set(2000L, 2001L, 2002L, 2003L, 2004L))
+      assert(kept == (2000000L to 2000004L).toSet)
       batch.unpersist()
     } finally spark.sql("DROP TABLE IF EXISTS t_didx")
   }

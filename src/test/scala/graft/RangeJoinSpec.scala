@@ -87,14 +87,20 @@ class RangeJoinSpec extends SparkSpec {
   }
 
   test("an inverted interval (end < start) fails fast, not silently explodes") {
-    val pts = Seq((1L, 10L)).toDF("pid", "p")
-    val ivs = Seq((100L, 1000000000L, 0L)).toDF("iid", "s", "e")
-    val ex = intercept[Exception] {
-      RangeJoin.pointInInterval(pts, "p", ivs, "s", "e", bucketWidth = 3600).count()
-    }
     def msgs(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
-    assert(msgs(ex).exists(_.contains("inverted")))
+    val pts = Seq((1L, 10L)).toDF("pid", "p")
+    for (iv <- Seq(
+        (100L, 1000000000L, 0L), // inversion spanning many buckets
+        (100L, 100L, 50L))) {    // inversion INSIDE one bucket — must
+                                 // still fire: the guard is on values,
+                                 // not bucket ids
+      val ivs = Seq(iv).toDF("iid", "s", "e")
+      val ex = intercept[Exception] {
+        RangeJoin.pointInInterval(pts, "p", ivs, "s", "e", bucketWidth = 3600).count()
+      }
+      assert(msgs(ex).exists(_.contains("inverted")), s"for $iv: $ex")
+    }
   }
 
   test("an interval spanning too many buckets fails fast instead of exploding") {

@@ -27,11 +27,11 @@ class SqlSurfaceSpec extends SparkSpec {
     // zvalue must equal the ZOrder.interleave column API everywhere —
     // they are separate trees (see zvalueExpr scaladoc), so pin them
     // equal over a full coordinate grid at several widths
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, expr}
     for (bits <- Seq(1, 4, 8)) {
       val n = 1 << math.min(bits, 5)
       val grid = spark.range(n.toLong * n).select(
-        (col("id") % n).as("x"), (col("id") / n).as("y"))
+        (col("id") % n).as("x"), expr(s"id div $n").as("y"))
       val diff = grid.select(
           graft.operators.ZOrder.interleave(col("x"), col("y"), bits).as("a"),
           org.apache.spark.sql.functions.expr(s"zvalue(x, y, $bits)").as("b"))
