@@ -82,6 +82,77 @@ object DocStream {
       .where(round(ratio, 4) <= maxRatio)
   }
 
+  /** Streaming INCREMENTAL dedup against the persisted LSH index
+    * ([[graft.operators.DedupIndex]]): each micro-batch is (1) exact-
+    * deduped within itself by content fingerprint, (2) searched against
+    * the index — near-dups of anything already accepted are dropped,
+    * (3) the novel remainder is written to the corpus and its band keys
+    * appended to the index, so batch N+1 dedups against batch N without
+    * any reprocessing of accepted text.
+    *
+    * Idempotence under foreachBatch's at-least-once contract: the
+    * corpus write is keyed by `batch_id` with dynamic partition
+    * overwrite — a replayed batch REPLACES its own partition, never
+    * duplicates it. The index append is not keyed (bucketBy tables
+    * cannot partition-overwrite); a replay appends duplicate band rows,
+    * which is benign for correctness — candidates are `distinct`ed in
+    * the search — and is reclaimed at the next [[graft.operators
+    * .DedupIndex.writeIndex]] rebuild/compaction.
+    *
+    * Verification text for candidate ids is read back from the corpus
+    * directory itself — the accepted-documents store IS the index's
+    * text side.
+    *
+    * Within-batch NEAR-dups (two similar-but-not-identical docs arriving
+    * in one batch) pass: cross-batch near-dup is this stream's contract;
+    * run the batch LSH pass on the accepted corpus for full closure. */
+  def incrementalDedupBatch(indexTable: String, corpusDir: String,
+                            threshold: Double, numBuckets: Int = 16)
+                           (batch: DataFrame, batchId: Long): Unit = {
+    import graft.operators.DedupIndex
+    val spark = batch.sparkSession
+    val b = dedupByFingerprint(batch)
+    // exclude this batch's OWN partition from the verification corpus: a
+    // replayed batch whose previous attempt partially committed would
+    // otherwise match itself and overwrite its partition with nothing.
+    // (Orphan index rows from such an attempt find no verification text
+    // here and drop out of the candidate join — the replay converges.)
+    val corpus = try spark.read.parquet(corpusDir)
+      .where(col("batch_id") =!= lit(batchId)) catch {
+      case _: org.apache.spark.sql.AnalysisException => b.limit(0) // first batch
+    }
+    val novel = DedupIndex.novel(spark, indexTable, b, corpus, threshold)
+      .localCheckpoint(true) // feeds two sinks; don't run the search twice
+    novel.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(corpusDir)
+    DedupIndex.appendIndex(novel, indexTable, numBuckets = numBuckets)
+  }
+
+  /** Start the incremental-dedup ingest stream: new document files in
+    * `inputDir` → fingerprint dedup → LSH search against `indexTable` →
+    * novel docs land in `corpusDir` (partitioned by batch) and the
+    * index. Call [[graft.operators.DedupIndex.writeIndex]] first (on
+    * the existing corpus, or an empty frame to start cold);
+    * `numBuckets` must match that index's bucket count — appends to a
+    * bucketed table are rejected on a spec mismatch. */
+  def startIncrementalDedup(spark: SparkSession, inputDir: String,
+                            corpusDir: String, checkpointDir: String,
+                            indexTable: String, threshold: Double = 0.8,
+                            numBuckets: Int = 16,
+                            availableNow: Boolean = false): StreamingQuery = {
+    val raw = spark.readStream
+      .schema(inputSchema)
+      .option("maxFilesPerTrigger", "16")
+      .parquet(inputDir)
+    val writer = raw.writeStream
+      .foreachBatch(incrementalDedupBatch(indexTable, corpusDir, threshold, numBuckets) _)
+      .option("checkpointLocation", checkpointDir)
+    (if (availableNow) writer.trigger(Trigger.AvailableNow())
+     else writer.trigger(Trigger.ProcessingTime("10 seconds"))).start()
+  }
+
   /** Start the ingest stream into a parquet vector store. `availableNow`
     * processes the backlog then stops (used by specs); production runs
     * with a processing-time trigger. */
