@@ -131,6 +131,27 @@ object QueriesCuration {
               |SELECT batch_id, corpus_id, jaccard FROM ver WHERE jaccard >= 0.8
               |ORDER BY batch_id, corpus_id""".stripMargin)),
 
+    // ── approximate top-k: one-pass mergeable DataSketches frequent
+    // items (fixed memory, no second scan) — the complement to
+    // q_heavy_hitters when exactness can be traded for a single pass.
+    // Oracle-able HERE because the test vocabulary (31 tokens) is far
+    // below the sketch's tracking capacity, so estimates are exact and
+    // k=5 sits on a strict count boundary at every SF (no tie
+    // ambiguity); production-scale vocabularies make it approximate.
+    "q_topk_sketch" -> QueryDef(
+      (s, d) => {
+        val tok = Tables.documents(s, d).select(
+          explode(split(graft.functions.TextFunctions.canonicalText(col("text")), " "))
+            .as("word"))
+        tok.agg(expr("approx_top_k(word, 5, 1024)").as("tk"))
+          .select(explode(col("tk")).as("e"))
+          .select(col("e.item").as("word"), col("e.count").cast("long").as("cnt"))
+          .orderBy(col("cnt").desc, col("word"))
+      },
+      Some(s"""SELECT word, CAST(count(*) AS BIGINT) AS cnt
+              |FROM (SELECT unnest(string_split($canon, ' ')) AS word FROM documents)
+              |GROUP BY word ORDER BY cnt DESC, word LIMIT 5""".stripMargin)),
+
     // ── heavy hitters: vocabulary tokens above a rate threshold ──────
     // Oracle is the PLAIN group-by-having — the CMS pre-filter may only
     // drop keys the HAVING would drop anyway (estimates never
