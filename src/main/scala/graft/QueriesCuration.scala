@@ -250,6 +250,25 @@ object QueriesCuration {
              |GROUP BY purchase_id ORDER BY purchase_id""".stripMargin)),
 
     // ── Z-order layout key (Morton interleave of range buckets) ──────
+    // ── small-file compaction: spray → compact → identical content ───
+    // The oracle is the plain table: a rewrite that changes ANY row (or
+    // drops/duplicates one in the swap) hash-mismatches. File-count
+    // behavior is CompactionSpec's job.
+    "q_compact" -> QueryDef(
+      (s, d) => {
+        import graft.sources.Compaction
+        val tag = math.abs(d.hashCode).toString
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_q_compact_$tag"
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+        docs.repartition(32).write.mode("overwrite").parquet(dir)
+        Compaction.compact(s, dir, targetBytes = 256L * 1024 * 1024)
+        s.read.parquet(dir)
+          .select(col("doc_id"), col("source"), col("n_chars").cast("long").as("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     "q_zorder" -> QueryDef(
       (s, d) => {
         import graft.operators.ZOrder
