@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions.wordShingles
 
@@ -93,25 +93,60 @@ object DedupIndex {
       .select(col("batch_id"), col("corpus_id"))
       .distinct()
 
+  /** The corpus-partitioning hash used to co-locate verification text
+    * with its candidate pruning: `pmod(xxhash64(id), n)`. The SAME Spark
+    * expression computes the bucket at corpus-write time
+    * ([[graft.streaming.DocStream.incrementalDedupBatch]]) and at
+    * search time (over the collected candidate ids), so the two can
+    * never disagree on hash function or input type. */
+  def idBucket(id: Column, n: Int): Column = pmod(xxhash64(id), lit(n))
+
   /** Near-dup matches of `batch` against the indexed corpus:
     * `(batch_id, corpus_id, jaccard)` with exact word-shingle Jaccard >=
-    * `threshold`. `corpusDocs` supplies text for verification — read
-    * only at the candidate ids. */
+    * `threshold`. `corpusDocs` supplies text for verification.
+    *
+    * The candidate set is bounded by construction (≤ batch rows × bands
+    * × the index's write-time `maxBucket`), so its corpus-id set is
+    * collected and pushed into `corpusDocs` as a STATIC `id IN (...)`
+    * filter — it reaches the parquet scan as a pushed data filter
+    * (row-group min/max pruning), instead of a semi-join that still
+    * SCANS the whole corpus per search. When `idBucketCol = Some((name,
+    * n))` and the corpus is written partitioned by
+    * `name = idBucket(id, n)`, the candidates' bucket set is also
+    * applied as a static partition filter — pruning at the FILE LISTING,
+    * the same guarantee [[IvfIndex.searchIndex]] gets from its `cell IN`
+    * filter. Above `maxPushdownIds` candidates (a degenerate index —
+    * raise `maxBucket` discipline instead) it falls back to the
+    * semi-join, which stays correct at any cardinality. */
   def searchIndex(spark: SparkSession, table: String, batch: DataFrame,
                   corpusDocs: DataFrame, threshold: Double,
                   idCol: String = "doc_id", textCol: String = "text",
                   shingleN: Int = 3, numPerm: Int = 16, bands: Int = 8,
-                  scale: Int = 4): DataFrame = {
+                  scale: Int = 4,
+                  idBucketCol: Option[(String, Int)] = None,
+                  maxPushdownIds: Int = 100000): DataFrame = {
     // materialized once (localCheckpoint, like Dedup.components): the
-    // pair set feeds BOTH the result spine and the corpus semi-join —
+    // pair set feeds BOTH the result spine and the corpus-id pushdown —
     // left lazy, the banding + index join would run twice. Candidates
     // are collision-set-sized by design, so the checkpoint is small.
     val cand = candidates(spark, table, batch, idCol, textCol, shingleN, numPerm, bands)
       .localCheckpoint(true)
+    // one driver fetch covers both prunes: (corpus_id, its bucket)
+    val candIds = cand.select(col("corpus_id")).distinct()
+      .select(col("corpus_id"),
+        idBucketCol.fold(lit(0L))(bc => idBucket(col("corpus_id"), bc._2)))
+      .collect()
+    val verifyDocs =
+      if (candIds.length <= maxPushdownIds) {
+        val bucketPruned = idBucketCol.fold(corpusDocs) { case (name, _) =>
+          corpusDocs.where(col(name).isin(candIds.map(_.get(1)).distinct.toSeq: _*))
+        }
+        bucketPruned.where(col(idCol).isin(candIds.map(_.get(0)).toSeq: _*))
+      } else corpusDocs.join(
+        cand.select(col("corpus_id").as(idCol)).distinct(), Seq(idCol), "left_semi")
     val bSh = batch.select(col(idCol).as("batch_id"),
       wordShingles(col(textCol), shingleN).as("__sh1"))
-    val cSh = corpusDocs
-      .join(cand.select(col("corpus_id").as(idCol)).distinct(), Seq(idCol), "left_semi")
+    val cSh = verifyDocs
       .select(col(idCol).as("corpus_id"), wordShingles(col(textCol), shingleN).as("__sh2"))
     cand.join(bSh, Seq("batch_id")).join(cSh, Seq("corpus_id"))
       .withColumn("__inter", size(array_intersect(col("__sh1"), col("__sh2"))).cast("double"))
@@ -126,10 +161,11 @@ object DedupIndex {
   def novel(spark: SparkSession, table: String, batch: DataFrame,
             corpusDocs: DataFrame, threshold: Double,
             idCol: String = "doc_id", textCol: String = "text",
-            shingleN: Int = 3, numPerm: Int = 16, bands: Int = 8): DataFrame =
+            shingleN: Int = 3, numPerm: Int = 16, bands: Int = 8,
+            idBucketCol: Option[(String, Int)] = None): DataFrame =
     batch.join(
       searchIndex(spark, table, batch, corpusDocs, threshold,
-          idCol, textCol, shingleN, numPerm, bands)
+          idCol, textCol, shingleN, numPerm, bands, idBucketCol = idBucketCol)
         .select(col("batch_id").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
 }

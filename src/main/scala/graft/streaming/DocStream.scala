@@ -101,13 +101,22 @@ object DocStream {
     *
     * Verification text for candidate ids is read back from the corpus
     * directory itself — the accepted-documents store IS the index's
-    * text side.
+    * text side. The corpus is laid out partitioned by `(batch_id,
+    * id_bucket = pmod(xxhash64(doc_id), idBuckets))`, and the search is
+    * told so (`idBucketCol`): each micro-batch's verification read
+    * prunes to the candidate ids' buckets at the FILE LISTING — the
+    * corpus is never full-scanned per trigger, regardless of its size.
+    * (The replayed-batch overwrite stays correct under the nested
+    * layout: the novel set is deterministic given the batch data — see
+    * the replay note above — so a replay rewrites exactly the same
+    * `(batch_id, id_bucket)` partitions.)
     *
     * Within-batch NEAR-dups (two similar-but-not-identical docs arriving
     * in one batch) pass: cross-batch near-dup is this stream's contract;
     * run the batch LSH pass on the accepted corpus for full closure. */
   def incrementalDedupBatch(indexTable: String, corpusDir: String,
-                            threshold: Double, numBuckets: Int = 16)
+                            threshold: Double, numBuckets: Int = 16,
+                            idBuckets: Int = 16)
                            (batch: DataFrame, batchId: Long): Unit = {
     import graft.operators.DedupIndex
     val spark = batch.sparkSession
@@ -119,14 +128,17 @@ object DocStream {
     // here and drop out of the candidate join — the replay converges.)
     val corpus = try spark.read.parquet(corpusDir)
       .where(col("batch_id") =!= lit(batchId)) catch {
-      case _: org.apache.spark.sql.AnalysisException => b.limit(0) // first batch
+      case _: org.apache.spark.sql.AnalysisException => // first batch
+        b.limit(0).withColumn("id_bucket", lit(0L))
     }
-    val novel = DedupIndex.novel(spark, indexTable, b, corpus, threshold)
+    val novel = DedupIndex.novel(spark, indexTable, b, corpus, threshold,
+        idBucketCol = Some(("id_bucket", idBuckets)))
       .localCheckpoint(true) // feeds two sinks; don't run the search twice
     novel.withColumn("batch_id", lit(batchId))
+      .withColumn("id_bucket", DedupIndex.idBucket(col("doc_id"), idBuckets))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id").parquet(corpusDir)
+      .partitionBy("batch_id", "id_bucket").parquet(corpusDir)
     DedupIndex.appendIndex(novel, indexTable, numBuckets = numBuckets)
   }
 
@@ -140,14 +152,15 @@ object DocStream {
   def startIncrementalDedup(spark: SparkSession, inputDir: String,
                             corpusDir: String, checkpointDir: String,
                             indexTable: String, threshold: Double = 0.8,
-                            numBuckets: Int = 16,
+                            numBuckets: Int = 16, idBuckets: Int = 16,
                             availableNow: Boolean = false): StreamingQuery = {
     val raw = spark.readStream
       .schema(inputSchema)
       .option("maxFilesPerTrigger", "16")
       .parquet(inputDir)
     val writer = raw.writeStream
-      .foreachBatch(incrementalDedupBatch(indexTable, corpusDir, threshold, numBuckets) _)
+      .foreachBatch(
+        incrementalDedupBatch(indexTable, corpusDir, threshold, numBuckets, idBuckets) _)
       .option("checkpointLocation", checkpointDir)
     (if (availableNow) writer.trigger(Trigger.AvailableNow())
      else writer.trigger(Trigger.ProcessingTime("10 seconds"))).start()

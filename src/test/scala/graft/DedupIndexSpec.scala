@@ -79,6 +79,40 @@ class DedupIndexSpec extends SparkSpec {
     }
   }
 
+  test("verification read prunes: id-bucket partition filter + doc_id pushdown, no semi-join scan") {
+    val tmp = Files.createTempDirectory("graft-dedup-idx-prune").toString
+    try {
+      DedupIndex.writeIndex(corpus, "t_didx_prune", s"$tmp/idx", numBuckets = 4)
+      // the incremental-ingest corpus layout: partitioned by id hash-bucket
+      corpus.withColumn("id_bucket", DedupIndex.idBucket(col("doc_id"), 8))
+        .write.partitionBy("id_bucket").parquet(s"$tmp/bcorpus")
+      val bucketed = spark.read.parquet(s"$tmp/bcorpus")
+      val batch = corpus.where(col("doc_id") % 100 === 0)
+        .orderBy(col("doc_id")).limit(3)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+
+      val hits = DedupIndex.searchIndex(spark, "t_didx_prune", batch, bucketed, 0.8,
+        idBucketCol = Some(("id_bucket", 8)))
+      // same matches as the unpruned path
+      val got = hits.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val want = DedupIndex.searchIndex(spark, "t_didx_prune", batch, corpus, 0.8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == want, s"got=$got want=$want")
+      // the 3 planted copies all self-match at jaccard 1
+      assert(Seq(0L, 100L, 200L).forall(id => got.contains((id + 1000000, id, 1.0))), got)
+
+      // the corpus verification scan must carry a STATIC id_bucket
+      // partition filter (pruning at file listing) and a pushed In(doc_id)
+      // data filter — and the old full-scan semi-join must be gone
+      val plan = DedupIndex.searchIndex(spark, "t_didx_prune", batch, bucketed, 0.8,
+        idBucketCol = Some(("id_bucket", 8))).queryExecution.executedPlan.toString
+      val pfs = "PartitionFilters: \\[([^\\]]*)\\]".r.findAllMatchIn(plan).map(_.group(1)).toSeq
+      assert(pfs.exists(_.contains("id_bucket")), plan.take(3000))
+      assert("PushedFilters: \\[[^\\]]*In\\(doc_id".r.findFirstIn(plan).nonEmpty, plan.take(3000))
+      assert(!plan.contains("LeftSemi"), plan.take(3000))
+    } finally spark.sql("DROP TABLE IF EXISTS t_didx_prune")
+  }
+
   test("boilerplate buckets above maxBucket are dropped at write") {
     val tmp = Files.createTempDirectory("graft-dedup-idx-hot").toString
     try {

@@ -59,6 +59,22 @@ class DedupStreamSpec extends SparkSpec {
       val indexed = spark.table("t_sdidx").select("doc_id").distinct()
         .as[Long].collect().toSet
       assert(indexed == kept3, s"index holds $indexed, corpus holds $kept3")
+
+      // the foreachBatch corpus is laid out (batch_id, id_bucket) so the
+      // per-trigger verification read prunes at the file listing
+      val batchDirs = new java.io.File(corpus).listFiles
+        .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+      assert(batchDirs.nonEmpty &&
+        batchDirs.forall(_.listFiles.exists(_.getName.startsWith("id_bucket="))),
+        batchDirs.map(_.getName).mkString(", "))
+      // and the exact verification read the batch fn issues carries a
+      // static id_bucket partition filter — never a full corpus scan
+      val probe = Seq(doc(40, a._2)).toDF("doc_id", "text", "lang", "source", "n_chars")
+      val plan = DedupIndex.searchIndex(spark, "t_sdidx", probe,
+          spark.read.parquet(corpus), 0.8, idBucketCol = Some(("id_bucket", 16)))
+        .queryExecution.executedPlan.toString
+      val pfs = "PartitionFilters: \\[([^\\]]*)\\]".r.findAllMatchIn(plan).map(_.group(1)).toSeq
+      assert(pfs.exists(_.contains("id_bucket")), plan.take(3000))
     } finally spark.sql("DROP TABLE IF EXISTS t_sdidx")
   }
 
