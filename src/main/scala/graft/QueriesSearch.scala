@@ -139,14 +139,18 @@ object QueriesSearch {
              |ORDER BY doc_id""".stripMargin)),
 
     // Quantile-based quality filtering: keep documents at or above the
-    // corpus median quality score (threshold = one scalar aggregate,
-    // broadcast back over a narrow scan).
+    // corpus median quality score. The quality score's domain is bounded
+    // by construction (1-decimal rounding → ≤ 11 values), so the exact
+    // continuous median comes from a tiny map-side-combined histogram
+    // (Curation.exactQuantileBounded) — never Spark's exact `percentile`,
+    // whose single aggregation buffer materializes every value.
     "q_quality_filter" -> QueryDef(
       (s, d) => {
+        import graft.operators.Curation
         val q = Tables.documents(s, d).select(col("doc_id"),
           graft.functions.LangFunctions.qualityScore(col("text")).as("quality"))
-        val thr = q.agg(expr("percentile(quality, 0.5)").as("__thr"))
-        q.crossJoin(broadcast(thr)).where(col("quality") >= col("__thr"))
+        val thr = Curation.exactQuantileBounded(q, "quality", 0.5)
+        q.where(col("quality") >= lit(thr))
           .select(col("doc_id"), col("quality"))
           .orderBy(col("doc_id"))
       },
@@ -202,9 +206,14 @@ object QueriesSearch {
           .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
         val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).cast("double").as("c12"))
         val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).cast("double").as("c1"))
-        bg.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+        // join the two VOCAB-sized count tables first (c12 ⋈ c1 is one
+        // bigram-vocabulary-sized exchange), then hit the corpus-sized
+        // bigram stream exactly once — not twice
+        val logp = c12.join(c1, Seq("w1"))
+          .select(col("w1"), col("w2"), log(col("c12") / col("c1")).as("__logp"))
+        bg.join(logp, Seq("w1", "w2"))
           .groupBy(col("doc_id"))
-          .agg(round(avg(log(col("c12") / col("c1"))), 4).as("avg_logp"))
+          .agg(round(avg(col("__logp")), 4).as("avg_logp"))
           .orderBy(col("doc_id"))
       },
       Some(s"""WITH w AS (SELECT doc_id, string_split($canon, ' ') AS w FROM documents),

@@ -103,6 +103,38 @@ object Curation {
     df.withColumn("shuffle_key", shuffleKey(col(keyCol), salt))
       .orderBy(col("shuffle_key"), col(keyCol))
 
+  /** Exact continuous quantile (numpy-linear / SQL `percentile_cont`
+    * semantics: position h = (n−1)·p, interpolated) of a numeric column
+    * whose value DOMAIN is bounded — e.g. a quality score rounded to one
+    * decimal (≤ 11 values) or any score bucketized upstream. The
+    * full-corpus pass is a `groupBy(value).count()` histogram: map-side
+    * partial aggregation, shuffle of ≤ |domain| rows, nothing
+    * data-sized ever sits in one aggregation buffer (Spark's exact
+    * `percentile` materializes EVERY value in a single buffer — a
+    * guaranteed OOM at corpus scale). The interpolation walk runs on the
+    * collected histogram: |domain| rows on the driver, by contract.
+    * For genuinely continuous columns use `approx_percentile` instead —
+    * this helper's exactness comes from the bounded domain. */
+  def exactQuantileBounded(df: DataFrame, valueCol: String, p: Double): Double = {
+    require(p >= 0 && p <= 1, s"exactQuantileBounded: p must be in [0, 1], got $p")
+    val hist = df.groupBy(col(valueCol).cast("double").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+      .orderBy(col("__v"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+    val n = hist.map(_._2).sum
+    require(n > 0, "exactQuantileBounded: empty input")
+    val h = (n - 1) * p
+    val loRank = math.floor(h).toLong // 0-based rank of the lower neighbor
+    def valueAt(rank: Long): Double = {
+      var cum = 0L
+      for ((v, c) <- hist) { cum += c; if (cum > rank) return v }
+      hist.last._1
+    }
+    val lo = valueAt(loRank)
+    val frac = h - loRank
+    if (frac == 0) lo else lo + frac * (valueAt(loRank + 1) - lo)
+  }
+
   /** A named curation stage: docs in → surviving docs out. */
   final case class Stage(name: String, f: DataFrame => DataFrame)
 

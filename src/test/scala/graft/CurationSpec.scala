@@ -83,4 +83,21 @@ class CurationSpec extends SparkSpec {
     assert(a != c)                       // a new salt is a new permutation
     assert(a.sorted == c.sorted)         // ... of the same rows
   }
+
+  test("exactQuantileBounded matches Spark's exact percentile on a bounded domain") {
+    // discrete scores with uneven masses, n even AND odd, interior and
+    // edge quantiles — the interpolation cases percentile_cont hits
+    val vals = Seq(0.0, 0.0, 0.3, 0.3, 0.3, 0.4, 0.7, 0.7, 1.0)
+    for (take <- Seq(vals.length, vals.length - 1); p <- Seq(0.0, 0.25, 0.5, 0.9, 1.0)) {
+      val df = vals.take(take).toDF("v")
+      val got = Curation.exactQuantileBounded(df, "v", p)
+      val want = df.agg(expr(s"percentile(v, $p)")).collect().head.getDouble(0)
+      assert(math.abs(got - want) < 1e-12, s"take=$take p=$p got=$got want=$want")
+    }
+    // the corpus pass is a histogram with map-side partial aggregation,
+    // never a single-buffer exact percentile
+    val plan = vals.toDF("v").groupBy(col("v")).count()
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate") && plan.contains("partial_count"), plan.take(800))
+  }
 }
