@@ -8,19 +8,18 @@ import graft.functions.TextFunctions.canonicalText
   * arXiv:1508.07909) as distributed operators.
   *
   * Scale design — the whole trick is WHERE each stage runs:
-  *  - The merge loop runs over the DISTINCT-WORD VOCABULARY (word, freq),
-  *    not the corpus: one corpus-wide shuffle builds the weighted vocab,
-  *    after which every Lloyd-style iteration shuffles only vocab-sized
-  *    data (≪ corpus; bounded by the Heaps'-law vocabulary curve, not the
-  *    100 TB of text).
-  *  - Each iteration: adjacent symbol pairs are expanded ROW-LOCAL from
-  *    the symbol array, one map-side-combined groupBy sums pair
-  *    frequencies, and only the single argmax pair reaches the driver.
-  *    The merge is then applied row-local (a fold over the symbol array).
-  *  - Iteration state is localCheckpoint'd: the symbols DataFrame feeds
-  *    itself, so without truncation the plan doubles per merge.
-  *  - Tokenizing the corpus afterwards is a broadcast join: the merged
-  *    vocabulary (word → tokens) is small; documents never shuffle.
+  *  - Spark does the CORPUS-sized passes: the weighted word vocabulary
+  *    (one map-side-combined shuffle, [[wordVocab]]) and the final
+  *    corpus tokenization (broadcast join, [[tokenize]] — documents
+  *    never shuffle).
+  *  - The merge loop runs DRIVER-LOCAL over the collected vocabulary
+  *    ([[localMerges]]): the distinct-word vocabulary is bounded by the
+  *    Heaps'-law curve (≪ corpus) and Zipf-truncatable (`minFreq`),
+  *    while a realistic tokenizer needs ~30k merges — an iterative
+  *    cluster loop pays one Spark job PER MERGE, a driver-scheduling
+  *    wall that dominates regardless of data size. Pair counts are
+  *    maintained incrementally (inverted pair → word index + lazy
+  *    max-heap), so each merge costs the affected words, not a recount.
   */
 object Bpe {
 
@@ -38,15 +37,6 @@ object Bpe {
   private def initSymbols(word: Column): Column =
     concat(split(word, ""), array(lit(Eow)))
 
-  /** Adjacent symbol pairs of one row's symbol array — row-local. A
-    * fully-merged word (single symbol) has no pairs: sequence(0, -1)
-    * would count DOWN ([0,-1]), so guard explicitly. */
-  private def adjacentPairs(syms: Column): Column =
-    when(size(syms) >= 2,
-      transform(sequence(lit(0), size(syms) - 2), i =>
-        struct(element_at(syms, i + 1).as("a"), element_at(syms, i + 2).as("b"))))
-      .otherwise(array().cast("array<struct<a:string,b:string>>"))
-
   /** One greedy left-to-right merge pass of (a, b) → ab over a symbol
     * array (a fold; matches the reference BPE semantics: an element just
     * produced by a merge does not re-merge within the same pass). */
@@ -56,39 +46,139 @@ object Bpe {
         concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
         .otherwise(concat(acc, array(x))))
 
-  /** Learn `k` merges from a (word, freq) vocabulary. Ties on pair
-    * frequency break lexicographically, so the merge list is
-    * deterministic on any engine/partitioning. Returns ≤ k merges
-    * (fewer if the vocabulary runs out of adjacent pairs). */
-  def trainMergesFromVocab(vocab: DataFrame, k: Int): Seq[(String, String)] = {
+  /** Learn `k` merges from a (word, freq) vocabulary.
+    *
+    * The vocabulary is COLLECTED and the Sennrich loop runs driver-local
+    * ([[localMerges]]): the distinct-word vocabulary is Heaps'-law
+    * bounded (millions of entries at 100 TB of text, not billions), and
+    * a realistic tokenizer needs ~30k merges — as one Spark job per
+    * merge that is 30k sequential job schedules, a driver-side wall no
+    * amount of data parallelism amortizes. Spark does the corpus-sized
+    * work ([[wordVocab]], one map-side-combined shuffle) and the
+    * corpus-sized tokenization afterwards ([[tokenize]], broadcast
+    * join); the merge loop itself touches only the vocabulary.
+    *
+    * `minFreq` truncates the Zipf tail BEFORE the collect: minFreq = 1
+    * is exact; a larger floor bounds driver memory with a documented
+    * approximation (dropped tail words contribute vanishing pair mass).
+    *
+    * Ties on pair frequency break on UTF-8 bytes (Spark's binary string
+    * order), so the merge list is deterministic on any
+    * engine/partitioning. Returns ≤ k merges (fewer if the vocabulary
+    * runs out of adjacent pairs). */
+  def trainMergesFromVocab(vocab: DataFrame, k: Int, minFreq: Long = 1): Seq[(String, String)] = {
     require(k >= 1, s"trainMergesFromVocab: k must be >= 1, got $k")
-    var syms = vocab.select(col("freq"), initSymbols(col("word")).as("syms"))
-      .localCheckpoint(true)
-    val merges = Seq.newBuilder[(String, String)]
-    var done = false
-    var i = 0
-    while (i < k && !done) {
-      val top = syms
-        .select(col("freq"), explode(adjacentPairs(col("syms"))).as("p"))
-        .groupBy(col("p.a"), col("p.b"))
-        .agg(sum(col("freq")).as("cnt"))
-        .orderBy(desc("cnt"), col("a"), col("b"))
-        .limit(1).collect()
-      if (top.isEmpty) done = true
-      else {
-        val (a, b) = (top(0).getString(0), top(0).getString(1))
-        merges += ((a, b))
-        syms = syms.select(col("freq"), mergeOnce(col("syms"), a, b).as("syms"))
-          .localCheckpoint(true)
-      }
-      i += 1
-    }
-    merges.result()
+    require(minFreq >= 1, s"trainMergesFromVocab: minFreq must be >= 1, got $minFreq")
+    val rows = vocab.where(col("freq") >= minFreq)
+      .select(col("word"), col("freq").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    localMerges(rows, k)
   }
 
   /** Learn `k` merges from a document corpus. */
-  def trainMerges(docs: DataFrame, k: Int, textCol: String = "text"): Seq[(String, String)] =
-    trainMergesFromVocab(wordVocab(docs, textCol), k)
+  def trainMerges(docs: DataFrame, k: Int, textCol: String = "text",
+                  minFreq: Long = 1): Seq[(String, String)] =
+    trainMergesFromVocab(wordVocab(docs, textCol), k, minFreq)
+
+  /** One greedy merge pass over a symbol array — the driver-side twin of
+    * [[mergeOnce]] (same semantics: a symbol just produced by a merge
+    * does not re-merge within the pass). */
+  private def mergePass(s: Array[String], a: String, b: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < s.length) {
+      if (out.nonEmpty && out(out.length - 1) == a && s(i) == b)
+        out(out.length - 1) = a + b
+      else out += s(i)
+      i += 1
+    }
+    out.toArray
+  }
+
+  private def compareUtf8(s: String, t: String): Int =
+    java.util.Arrays.compareUnsigned(
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Max-heap order: highest count first; ties → smallest UTF-8 key. */
+  private val heapOrd: Ordering[(Long, String, String)] =
+    new Ordering[(Long, String, String)] {
+      def compare(x: (Long, String, String), y: (Long, String, String)): Int = {
+        val c = java.lang.Long.compare(x._1, y._1)
+        if (c != 0) c
+        else {
+          val a = compareUtf8(y._2, x._2)
+          if (a != 0) a else compareUtf8(y._3, x._3)
+        }
+      }
+    }
+
+  /** The Sennrich merge loop over a collected vocabulary, with
+    * INCREMENTALLY maintained pair counts: selecting a merge updates
+    * only the words that contain the merged pair (an inverted
+    * pair → word-set index), and the argmax comes from a lazy-deletion
+    * max-heap — every count change pushes a fresh entry, stale entries
+    * are discarded on pop by comparing against the live count. Per
+    * merge: O(Σ affected word lengths + log heap), NOT a full recount —
+    * the shape that makes k ≈ 30k merges feasible. Semantics are pinned
+    * to [[referenceMerges]] (same greedy pass, same UTF-8 tie-break). */
+  private[graft] def localMerges(vocab: Seq[(String, Long)], k: Int): Seq[(String, String)] = {
+    import scala.collection.mutable
+    val words: Array[Array[String]] =
+      vocab.map { case (w, _) => (w.map(_.toString) :+ Eow).toArray }.toArray
+    val freqs: Array[Long] = vocab.map(_._2).toArray
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val occur = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+
+    def retract(i: Int, touched: mutable.Set[(String, String)]): Unit = {
+      val s = words(i); val f = freqs(i); var j = 0
+      while (j < s.length - 1) {
+        val p = (s(j), s(j + 1))
+        val c = counts.getOrElse(p, 0L) - f
+        if (c <= 0) counts.remove(p) else counts(p) = c
+        occur.get(p).foreach(_ -= i)
+        touched += p
+        j += 1
+      }
+    }
+    def insert(i: Int, touched: mutable.Set[(String, String)]): Unit = {
+      val s = words(i); val f = freqs(i); var j = 0
+      while (j < s.length - 1) {
+        val p = (s(j), s(j + 1))
+        counts(p) = counts.getOrElse(p, 0L) + f
+        occur.getOrElseUpdate(p, mutable.Set.empty) += i
+        touched += p
+        j += 1
+      }
+    }
+
+    val init = mutable.Set.empty[(String, String)]
+    words.indices.foreach(insert(_, init))
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)](heapOrd)
+    counts.foreach { case ((a, b), c) => heap.enqueue((c, a, b)) }
+
+    val out = Seq.newBuilder[(String, String)]
+    var produced = 0
+    while (produced < k && heap.nonEmpty) {
+      val (c, a, b) = heap.dequeue()
+      if (counts.getOrElse((a, b), 0L) == c && c > 0) {
+        out += ((a, b))
+        produced += 1
+        val affected = occur.getOrElse((a, b), mutable.Set.empty).toArray
+        val touched = mutable.Set.empty[(String, String)]
+        affected.foreach { i =>
+          retract(i, touched)
+          words(i) = mergePass(words(i), a, b)
+          insert(i, touched)
+        }
+        touched.foreach { p =>
+          val c2 = counts.getOrElse(p, 0L)
+          if (c2 > 0) heap.enqueue((c2, p._1, p._2))
+        }
+      }
+    }
+    out.result()
+  }
 
   /** Tokenization of each distinct word under an ordered merge list —
     * the fold over merges runs on the vocabulary only. */

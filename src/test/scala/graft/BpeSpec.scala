@@ -49,6 +49,20 @@ class BpeSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("realistic k: 1000 merges over the corpus vocabulary in seconds") {
+    val vocabDf = Bpe.wordVocab(Tables.documents(spark, sfDir))
+    val vocab = vocabDf.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val t0 = System.nanoTime()
+    val merges = Bpe.trainMergesFromVocab(vocabDf, 1000)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 30, s"1000 merges took $secs s")
+    // greedy prefix property: the head of a k=1000 run IS the k=200 run —
+    // pin it against the naive Spark-free reference implementation
+    assert(merges.take(200) == Bpe.referenceMerges(vocab, 200))
+    assert(merges.size == 1000 || merges.size == merges.distinct.size,
+      s"ran out at ${merges.size} merges")
+  }
+
   test("tokenize counts BPE tokens per document via the merged vocab") {
     val docs = Seq((1L, "low low lower"), (2L, "newest")).toDF("doc_id", "text")
     val merges = Bpe.trainMergesFromVocab(Bpe.wordVocab(docs), 3)
