@@ -22,23 +22,34 @@ object GraftFunctions {
     case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
   }
 
+  /** Builder wrapper: argument-count errors name the function instead of
+    * surfacing a raw IndexOutOfBoundsException from `es(i)`. */
+  private def arity(name: String, atLeast: Int)(
+      b: Seq[Expression] => Expression): (String, Seq[Expression] => Expression) =
+    name -> { es =>
+      if (es.length < atLeast) throw new IllegalArgumentException(
+        s"$name expects at least $atLeast argument(s), got ${es.length}")
+      b(es)
+    }
+
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "vec_dot" -> (es => VecDot(es(0), es(1))),
-    "vec_ip" -> (es => org.apache.spark.sql.catalyst.expressions.UnaryMinus(VecDot(es(0), es(1)))),
-    "vec_l2sq" -> (es => VecL2Sq(es(0), es(1))),
-    "vec_l2" -> (es => Sqrt(VecL2Sq(es(0), es(1)))),
-    "vec_cosine_sim" -> (es => VecCosine(es(0), es(1))),
-    "vec_cosine_dist" -> (es => org.apache.spark.sql.catalyst.expressions.Subtract(
+    arity("vec_dot", 2)(es => VecDot(es(0), es(1))),
+    arity("vec_ip", 2)(es =>
+      org.apache.spark.sql.catalyst.expressions.UnaryMinus(VecDot(es(0), es(1)))),
+    arity("vec_l2sq", 2)(es => VecL2Sq(es(0), es(1))),
+    arity("vec_l2", 2)(es => Sqrt(VecL2Sq(es(0), es(1)))),
+    arity("vec_cosine_sim", 2)(es => VecCosine(es(0), es(1))),
+    arity("vec_cosine_dist", 2)(es => org.apache.spark.sql.catalyst.expressions.Subtract(
       org.apache.spark.sql.catalyst.expressions.Literal(1.0), VecCosine(es(0), es(1)))),
-    "word_shingles" -> (es => WordShinglesExpr(es.head,
+    arity("word_shingles", 1)(es => WordShinglesExpr(es.head,
       if (es.length > 1) intLit(es(1), "n") else 3)),
-    "minhash_sig" -> (es => MinHashSigExpr(es.head,
+    arity("minhash_sig", 1)(es => MinHashSigExpr(es.head,
       if (es.length > 1) intLit(es(1), "numPerm") else 16)),
-    "simhash64" -> (es => SimHashExpr(es.head)),
-    "chunk_text" -> (es => graft.functions.ChunkTextExpr(es.head,
+    arity("simhash64", 1)(es => SimHashExpr(es.head)),
+    arity("chunk_text", 1)(es => graft.functions.ChunkTextExpr(es.head,
       if (es.length > 1) intLit(es(1), "maxLen") else 7500,
       if (es.length > 2) intLit(es(2), "lookback") else 300)),
-    "zvalue" -> (es => zvalueExpr(es(0), es(1),
+    arity("zvalue", 2)(es => zvalueExpr(es(0), es(1),
       if (es.length > 2) intLit(es(2), "bits") else 8)))
 
   /** Morton z-value as a pure Catalyst tree (`ORDER BY zvalue(x, y, 8)`).

@@ -44,6 +44,20 @@ object BloomJoin {
   private def xxh(key: Column) =
     new XxHash64(Seq(ColumnBridge.expression(key)))
 
+  /** XxHash64 is TYPE-sensitive: hashing an int and a bigint of the same
+    * value gives different bits, so a build/probe type mismatch would
+    * silently prune true matches (the plain join would coerce and
+    * match). Refuse it up front — the caller casts to a common type. */
+  private def requireSameKeyType(large: DataFrame, small: DataFrame,
+                                 key: String, op: String): Unit = {
+    val lt = large.schema(key).dataType
+    val st = small.schema(key).dataType
+    require(lt == st,
+      s"$op: join key '$key' is ${lt.simpleString} on the large side but ${st.simpleString} " +
+        "on the small side — XxHash64 hashes are type-sensitive and the Bloom filter would " +
+        "silently drop true matches; cast both key columns to a common type first")
+  }
+
   /** Aggregate `df`'s key column into Bloom filter bytes. Distributed:
     * each partition builds a partial filter, partials OR-merge up the
     * tree; the driver receives only `numBits/8` bytes. Returns null on an
@@ -51,7 +65,20 @@ object BloomJoin {
   def buildBloom(df: DataFrame, key: Column, expectedItems: Long,
                  fpp: Double = 0.03): Array[Byte] = {
     require(expectedItems > 0, s"buildBloom: expectedItems must be > 0, got $expectedItems")
-    val numBits = BloomFilter.optimalNumOfBits(expectedItems, fpp)
+    // BloomFilterAggregate's analysis check caps its inputs at the
+    // session confs spark.sql.optimizer.runtime.bloomFilter.maxNumItems
+    // (default 4194304) / .maxNumBits (default 67108864). Surface the
+    // items cap as a clear error (exceeding it would fail analysis with
+    // an opaque message); clamp bits — an undersized filter only raises
+    // fpp, never correctness, because the follow-up join verifies.
+    val conf = df.sparkSession.conf
+    val maxItems = conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4194304").toLong
+    val maxBits = conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    require(expectedItems <= maxItems,
+      s"buildBloom: expectedItems=$expectedItems exceeds " +
+        s"spark.sql.optimizer.runtime.bloomFilter.maxNumItems=$maxItems; " +
+        "raise the conf for very large filter sides")
+    val numBits = math.min(BloomFilter.optimalNumOfBits(expectedItems, fpp), maxBits)
     val agg = new BloomFilterAggregate(xxh(key),
       Literal(expectedItems), Literal(numBits))
     val row = df.select(ColumnBridge.column(agg.toAggregateExpression()).as("bf")).head()
@@ -75,6 +102,7 @@ object BloomJoin {
     val jt = joinType.toLowerCase.replace("_", "")
     require(jt == "inner" || jt == "leftsemi",
       s"prunedJoin: only inner/left_semi preserve semantics under pruning, got $joinType")
+    requireSameKeyType(large, small, key, "prunedJoin")
     val bloom = buildBloom(small, col(key), expectedItems, fpp)
     val pruned =
       if (bloom == null) large.where(lit(false)) // empty small side: inner/semi result is empty
@@ -95,6 +123,7 @@ object BloomJoin {
     * anti-join keeps it. */
   def prunedAntiJoin(large: DataFrame, small: DataFrame, key: String,
                      expectedItems: Long, fpp: Double = 0.03): DataFrame = {
+    requireSameKeyType(large, small, key, "prunedAntiJoin")
     val bloom = buildBloom(small, col(key), expectedItems, fpp)
     if (bloom == null) large // empty small side: everything survives
     else {

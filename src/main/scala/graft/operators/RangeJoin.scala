@@ -29,8 +29,10 @@ object RangeJoin {
     * predicate — same as the plain join). Per-row fail-fast guards: an
     * INVERTED interval (end < start — the data-corruption signal; also
     * what would make sequence() count DOWN) throws on the VALUES, not
-    * the bucket ids, so it fires regardless of bucketWidth; a span of
-    * >= `maxSpanBuckets` buckets throws before it can explode. */
+    * the bucket ids, so it fires regardless of bucketWidth; an interval
+    * touching MORE than `maxSpanBuckets` buckets throws before it can
+    * explode (`__span` is bucket_count − 1, so the keep-condition
+    * `__span < maxSpanBuckets` ⇔ bucket_count ≤ maxSpanBuckets). */
   private def bucketed(opName: String, df: DataFrame, s: String, e: String,
                        bucketWidth: Long, maxSpanBuckets: Int): DataFrame = df
     .where(col(s).isNotNull && col(e).isNotNull)
@@ -40,7 +42,7 @@ object RangeJoin {
     .withColumn("__span",
       (floor(col(e) / bucketWidth) - floor(col(s) / bucketWidth)).cast("long"))
     .where(coalesce(assert_true(col("__span") < maxSpanBuckets,
-      lit(s"$opName: interval spans >= $maxSpanBuckets buckets — " +
+      lit(s"$opName: interval spans more than $maxSpanBuckets buckets — " +
         "widen bucketWidth or raise maxSpanBuckets")),
       lit(true)))
     .withColumn("__b", explode(sequence(

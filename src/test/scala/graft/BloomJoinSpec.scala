@@ -77,4 +77,27 @@ class BloomJoinSpec extends SparkSpec {
       BloomJoin.prunedJoin(items, sel, "o_orderkey", 100, joinType = "left_outer")
     }
   }
+
+  test("mismatched key types are rejected (type-sensitive hashes would silently prune)") {
+    // int on one side, bigint on the other: the plain join would coerce
+    // and match, but XxHash64(int 5) != XxHash64(bigint 5)
+    val large = Seq(5L, 6L).toDF("k")
+    val small = Seq(5, 7).toDF("k")
+    val e1 = intercept[IllegalArgumentException] {
+      BloomJoin.prunedJoin(large, small, "k", 10)
+    }
+    assert(e1.getMessage.contains("type-sensitive"), e1.getMessage)
+    intercept[IllegalArgumentException] { BloomJoin.prunedAntiJoin(large, small, "k", 10) }
+    // equal types pass
+    assert(BloomJoin.prunedJoin(large, small.select(col("k").cast("long")), "k", 10)
+      .collect().map(_.getLong(0)).toSeq == Seq(5L))
+  }
+
+  test("expectedItems above the session bloom-filter cap fails with a named conf") {
+    val (items, sel, _) = plainJoin("inner")
+    val e = intercept[IllegalArgumentException] {
+      BloomJoin.prunedJoin(items, sel, "o_orderkey", expectedItems = 1L << 40)
+    }
+    assert(e.getMessage.contains("maxNumItems"), e.getMessage)
+  }
 }

@@ -44,4 +44,16 @@ class SqlSurfaceSpec extends SparkSpec {
     val e = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(e) // throws on malformed registration
   }
+
+  test("wrong arity gives an argument-count error naming the function") {
+    GraftFunctions.register(spark)
+    val err = intercept[Exception] { spark.sql("SELECT zvalue(1)").collect() }
+    // the builder's IllegalArgumentException may be wrapped by the analyzer;
+    // the named-function message must survive to the caller
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(err).exists(m => m != null && m.contains("zvalue") && m.contains("argument")),
+      messages(err).mkString(" | "))
+    intercept[Exception] { spark.sql("SELECT vec_dot(array(1.0))").collect() }
+  }
 }
