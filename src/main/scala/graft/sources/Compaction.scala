@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Small-file compaction — the layout hygiene pass every streaming
   * ingest needs. Micro-batch sinks (foreachBatch parquet appends, file
@@ -12,17 +13,29 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * is what kills the driver's listing phase and the scheduler's task
   * table.
   *
-  * `compact` rewrites a directory to ~`targetBytes` files: read, round-
-  * robin repartition to ceil(bytes/target), write to a staging sibling,
-  * swap via two renames (the window where `dir` is absent is the two
-  * renames — callers that need stronger atomicity should version the
-  * directory name instead). Round-robin DESTROYS any sort/cluster
-  * layout — for z-ordered or range-sorted data re-run the layout
-  * operator ([[graft.operators.ZOrder]]) instead of compacting.
+  * `compact` rewrites a directory to ~`targetBytes` files and swaps it
+  * in via two renames. Three layout modes:
+  *  - default: round-robin repartition to ceil(bytes/target) files —
+  *    fastest, but DESTROYS any sort/cluster layout;
+  *  - `sortBy` non-empty: range-repartition + sort-within-partitions on
+  *    those columns, so compaction COMPOSES with a Z-order / range-sorted
+  *    layout ([[graft.operators.ZOrder]]) instead of undoing it;
+  *  - `partitionBy` non-empty (e.g. the streaming dedup corpus's
+  *    `batch_id=N/id_bucket=M` dirs): the rewrite keeps the partition
+  *    columns and sizes files PER PARTITION via `maxRecordsPerFile`
+  *    (records-per-file = targetBytes / corpus-wide avg record bytes) —
+  *    a skewed partition gets proportionally many target-sized files,
+  *    never one giant or many tiny ones because some OTHER partition
+  *    skewed the global average. Each partition is written by the task
+  *    that owns its hash — parallelism across partitions, bounded file
+  *    sizes within one.
   *
-  * Partitioned layouts (e.g. the streaming dedup corpus's `batch_id=N`
-  * dirs) pass `partitionBy` so the rewrite preserves the partition
-  * columns; sizing is then per-directory-total, not per-partition.
+  * Crash safety: the swap window where `dir` is absent is the two
+  * renames. On entry, a leftover `__compact_retired` dir is RESTORED if
+  * `dir` is missing (a crash between the renames stranded the only copy
+  * there) and deleted only when `dir` exists (post-promote crash — the
+  * retired copy is superseded). Callers needing stronger atomicity
+  * should version the directory name instead.
   */
 object Compaction {
 
@@ -43,22 +56,54 @@ object Compaction {
 
   final case class Report(filesBefore: Long, bytesBefore: Long, filesAfter: Long)
 
-  /** Rewrite `dir` in place to ceil(bytes / targetBytes) files. */
+  /** Rewrite `dir` in place to ~targetBytes-sized files (see object doc
+    * for the three layout modes). `sortBy` and `partitionBy` compose:
+    * partition dirs are kept, rows within each written file are sorted. */
   def compact(spark: SparkSession, dir: String, targetBytes: Long,
-              partitionBy: Seq[String] = Nil): Report = {
+              partitionBy: Seq[String] = Nil, sortBy: Seq[String] = Nil): Report = {
     require(targetBytes >= 1, s"compact: targetBytes must be >= 1, got $targetBytes")
-    val (filesBefore, bytesBefore) = stats(spark, dir)
-    val n = math.max(1L, (bytesBefore + targetBytes - 1) / targetBytes).toInt
-
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = new Path(dir + "__compact_staging")
     val retired = new Path(dir + "__compact_retired")
-    fs.delete(staging, true); fs.delete(retired, true)
+    // recover from a previous crashed swap BEFORE touching anything:
+    // retired + no dir = the data's only copy is the retired dir
+    if (fs.exists(retired)) {
+      if (!fs.exists(p)) {
+        if (!fs.rename(retired, p))
+          throw new java.io.IOException(
+            s"compact: found stranded $retired with $dir missing, and could not restore it")
+      } else fs.delete(retired, true) // dir exists: retired copy is superseded
+    }
+    fs.delete(staging, true)
 
-    val df = spark.read.parquet(dir).repartition(n)
-    val w = df.write.mode("overwrite").format("parquet")
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+    val (filesBefore, bytesBefore) = stats(spark, dir)
+    val base = spark.read.parquet(dir)
+    val n = math.max(1L, (bytesBefore + targetBytes - 1) / targetBytes).toInt
+
+    val (df, perFileRecords) =
+      if (partitionBy.nonEmpty) {
+        // per-partition sizing: bound RECORDS per file from the corpus-wide
+        // average record size, and let each partition produce however many
+        // files its own bytes need
+        val records = math.max(1L, base.count())
+        val recsPerFile = math.max(1L, targetBytes * records / math.max(1L, bytesBefore))
+        val clustered = base.repartition(partitionBy.map(col): _*)
+        val sorted =
+          if (sortBy.nonEmpty)
+            clustered.sortWithinPartitions((partitionBy ++ sortBy).map(col): _*)
+          else clustered
+        (sorted, Some(recsPerFile))
+      } else if (sortBy.nonEmpty) {
+        // sort-preserving: range partitioning keeps files non-overlapping
+        // on the sort key, so a Z-order/range layout survives compaction
+        val cols = sortBy.map(col)
+        (base.repartitionByRange(n, cols: _*).sortWithinPartitions(cols: _*), None)
+      } else (base.repartition(n), None)
+
+    val w0 = df.write.mode("overwrite").format("parquet")
+    val w1 = perFileRecords.fold(w0)(r => w0.option("maxRecordsPerFile", r))
+    (if (partitionBy.nonEmpty) w1.partitionBy(partitionBy: _*) else w1)
       .save(staging.toString)
 
     // swap: dir -> retired, staging -> dir, drop retired. The read above
