@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.functions.{EmbedExpressions, PromptFunctions, VectorExpressions}
-import graft.operators.Knn
+import graft.operators.{IvfIndex, Knn}
 import graft.pipeline.Summarizer
 
 /** The reference's SSE serving loop as a STREAM: user queries arrive
@@ -60,24 +60,73 @@ object ServeStream {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          val q = batch.select(col("qid"), col("text"),
-            EmbedExpressions.md5EmbedVotes(lower(trim(col("text"))), 16, dense = true).as("votes"))
+          val q = embedQueries(batch)
           val hits = Knn.topKBatch(
             corpus.select(col("cid"), col("votes")), q,
             Knn.Cosine, k, idCol = "cid", embCol = "votes")
-          val enriched = hits
-            .join(corpus.drop("votes"), "cid")
-            .join(broadcast(q.select(col("qid"), col("text"))), "qid")
-          val summarized = Summarizer.summarizeDynamic(enriched, "chunk", "text")
-          Summarizer.serveEvents(summarized)
-            .select(col("qid"), col("cid"), col("rn"), col("ev_seq"), col("payload"))
-            .withColumn("batch_id", lit(batchId))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(sinkPath)
+          emitEvents(q, hits, corpus, sinkPath, batchId)
         }
       }
       .start()
+  }
+
+  /** Train + persist the IVF index over a [[corpusIndex]] frame — the
+    * offline half of [[serveFromIndex]]. Rebuild when the corpus grows
+    * enough to unbalance cells (the standard IVF maintenance cadence). */
+  def buildServeIndex(corpus: DataFrame, path: String, cells: Int = 16,
+                      iters: Int = 3, samplePercent: Int = 100): Unit = {
+    val model = IvfIndex.train(corpus, cells, iters,
+      idCol = "cid", embCol = "votes", samplePercent = samplePercent)
+    IvfIndex.writeIndex(corpus, model, path, idCol = "cid", embCol = "votes")
+  }
+
+  /** The serving stream against a PERSISTED IVF index
+    * ([[buildServeIndex]]) instead of an exact per-batch scan: each
+    * micro-batch embeds its queries, probes the `nprobe` nearest cells
+    * (a STATIC `cell IN` partition filter — only the probed fraction of
+    * the index is ever read, so per-trigger cost is sublinear in corpus
+    * size), and exact-reranks within the probed cells. `corpus` (from
+    * [[corpusIndex]]) supplies the chunk text/metadata for the hit ids —
+    * a candidate-bounded join, not a scan driver. The approximation is
+    * IVF's usual recall-for-cost trade; `nprobe = cells` degrades to the
+    * exact result. */
+  def serveFromIndex(queries: DataFrame, corpus: DataFrame, indexPath: String,
+                     k: Int, nprobe: Int, sinkPath: String, checkpoint: String,
+                     trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery = {
+    queries.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val q = embedQueries(batch)
+          val hits = IvfIndex.searchIndex(batch.sparkSession, indexPath, q,
+            k, nprobe, idCol = "cid", embCol = "votes", queryIdCol = "qid")
+          emitEvents(q, hits, corpus, sinkPath, batchId)
+        }
+      }
+      .start()
+  }
+
+  private def embedQueries(batch: DataFrame): DataFrame =
+    batch.select(col("qid"), col("text"),
+      EmbedExpressions.md5EmbedVotes(lower(trim(col("text"))), 16, dense = true).as("votes"))
+
+  /** Shared serve tail: enrich hit ids with chunk metadata, summarize
+    * per hit, emit the create → createLink → addMessage event rows into
+    * the batch's own (idempotently overwritten) sink partition. */
+  private def emitEvents(q: DataFrame, hits: DataFrame, corpus: DataFrame,
+                         sinkPath: String, batchId: Long): Unit = {
+    val enriched = hits
+      .join(corpus.drop("votes"), "cid")
+      .join(broadcast(q.select(col("qid"), col("text"))), "qid")
+    val summarized = Summarizer.summarizeDynamic(enriched, "chunk", "text")
+    Summarizer.serveEvents(summarized)
+      .select(col("qid"), col("cid"), col("rn"), col("ev_seq"), col("payload"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(sinkPath)
   }
 }
