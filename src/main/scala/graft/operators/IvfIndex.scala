@@ -243,6 +243,22 @@ object IvfIndex {
     try out.write(json.getBytes("UTF-8")) finally out.close()
   }
 
+  /** Append new vectors to a persisted index: assign each to its cell
+    * under the EXISTING centroids (read from the sidecar) and append the
+    * rows into the matching `cell=` partitions. Append-only — the caller
+    * dedups ids (same contract as [[DedupIndex.appendIndex]]); searches
+    * see the new vectors immediately. Centroids are NOT retrained, so a
+    * drifting distribution slowly unbalances cells — rebuild with
+    * [[writeIndex]] on the usual IVF maintenance cadence. */
+  def appendIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                  vectors: DataFrame,
+                  idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
+    val model = readModel(spark, path)
+    vectors.select(col(idCol), col(embCol), cellOf(col(embCol), model).as("cell"))
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(path)
+  }
+
   def readModel(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
     val p = new org.apache.hadoop.fs.Path(path, "_centroids.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

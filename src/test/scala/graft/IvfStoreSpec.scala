@@ -33,6 +33,38 @@ class IvfStoreSpec extends SparkSpec {
     assert(m.exists(_.group(1).nonEmpty), plan.take(1500))
   }
 
+  test("appendIndex grows a persisted index; searches see new vectors, pruning survives") {
+    val path = Files.createTempDirectory("ivf_index_app").toString
+    val e = Tables.embeddings(spark, sfDir)
+    val model = IvfIndex.train(e, k = 8, iters = 2)
+    IvfIndex.writeIndex(e.where(col("vec_id") >= 10), model, path)
+
+    // the held-out vectors are invisible, then appended, then found —
+    // self-search puts each at cos 1.0 rank 1
+    val held = e.where(col("vec_id") < 10)
+    val q = held.select(col("vec_id").as("qid"), col("embedding"))
+    val before = IvfIndex.searchIndex(spark, path, q, k = 1, nprobe = 8)
+      .where(col("vec_id") === col("qid"))
+    assert(before.isEmpty)
+    IvfIndex.appendIndex(spark, path, held)
+    val after = IvfIndex.searchIndex(spark, path, q, k = 1, nprobe = 8)
+      .where(col("vec_id") === col("qid")).collect()
+    assert(after.length == held.count() && after.forall(_.getDouble(2) == 1.0),
+      after.mkString("; "))
+
+    // appended rows landed in the cells the model assigns (partition
+    // pruning stays truthful) and the probed search still prunes
+    val assigned = spark.read.parquet(path)
+      .select(col("vec_id"), col("cell"),
+        IvfIndex.cellOf(col("embedding"), model).as("want"))
+      .where(col("cell") =!= col("want"))
+    assert(assigned.isEmpty)
+    val plan = IvfIndex.searchIndex(spark, path, q.limit(2), k = 1, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[([^\\]]*)\\]".r.findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(pf.exists(_.contains("cell")), plan.take(2000))
+  }
+
   test("streaming dedup drops re-uploaded docs across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
