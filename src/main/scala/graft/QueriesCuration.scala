@@ -404,6 +404,66 @@ object QueriesCuration {
         val merges = Bpe.trainMergesFromVocab(vocab, k = 8)
         Bpe.tokenize(docs, merges, vocab = Some(vocab))
           .orderBy(col("doc_id"))
-      }, None)
+      }, None),
+
+    // ── cross-document exact repeated-substring coverage (Lee et al.
+    // 2022) ── planted full-document copies (doc_id % 11) guarantee
+    // duplicated spans at every SF; the oracle replays the k-gram
+    // inventory, the distinct-doc df gate, and the monotone-end span
+    // merge (covered = k + Σ min(k, gap)).
+    "q_dup_spans" -> QueryDef(
+      (s, d) => {
+        import graft.operators.Dedup
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val withCopies = docs.unionAll(docs.where(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+        Dedup.duplicatedSpanCoverage(withCopies, k = 8)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH input AS (
+              |  SELECT doc_id, text FROM documents
+              |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 11 = 0),
+              |w AS (SELECT doc_id, string_split($canon, ' ') AS w FROM input),
+              |g AS (SELECT doc_id, len(w) AS nw,
+              |        unnest([{'pos': i, 'gh': md5(array_to_string(w[i+1:i+8], ' '))}
+              |                for i in range(0, len(w) - 7)]) AS p
+              |      FROM w WHERE len(w) >= 8),
+              |g2 AS (SELECT doc_id, nw, p.pos AS pos, p.gh AS gh FROM g),
+              |hot AS (SELECT gh FROM g2 GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+              |d AS (SELECT doc_id, nw, pos FROM g2 WHERE gh IN (SELECT gh FROM hot)),
+              |c AS (SELECT doc_id, nw, pos,
+              |        lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM d)
+              |SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
+              |  CAST(count(*) AS BIGINT) AS dup_positions,
+              |  CAST(sum(CASE WHEN prev IS NULL THEN 8 ELSE least(8, pos - prev) END) AS BIGINT)
+              |    AS covered_tokens,
+              |  round(CAST(sum(CASE WHEN prev IS NULL THEN 8 ELSE least(8, pos - prev) END)
+              |    AS DOUBLE) / nw, 4) AS dup_ratio
+              |FROM c GROUP BY doc_id, nw ORDER BY doc_id""".stripMargin)),
+
+    // ── SemDeDup-style semantic dedup: cosine pairs blocked by k-means
+    // cell ── oracle-able at threshold 0.9999 because only IDENTICAL
+    // vectors (the planted +100000 copies) reach it, and an identical
+    // pair can never be split across cells (same vector ⇒ same nearest
+    // centroid), so cell blocking is lossless here and the exhaustive
+    // cosine join is a valid oracle. (Same planted-copy scheme as
+    // q_dedup_embedding, which pins the LSH-blocked path.)
+    "q_dedup_semantic" -> QueryDef(
+      (s, d) => {
+        import graft.operators.{Dedup, IvfIndex}
+        val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        val dup = e.unionAll(e.select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+        val model = IvfIndex.train(dup, k = 16, iters = 2)
+        Dedup.semanticNearDup(dup, model, threshold = 0.9999)
+          .orderBy(col("id1"), col("id2"))
+      },
+      Some("""WITH input AS (
+             |  SELECT vec_id, embedding FROM embeddings
+             |  UNION ALL SELECT vec_id + 100000, embedding FROM embeddings)
+             |SELECT a.vec_id AS id1, b.vec_id AS id2,
+             |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
+             |FROM input a JOIN input b ON a.vec_id < b.vec_id
+             |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.9999
+             |ORDER BY id1, id2""".stripMargin))
   )
 }

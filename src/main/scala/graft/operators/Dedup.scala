@@ -218,19 +218,115 @@ object Dedup {
     val buckets = keys.groupBy(col("table_id"), col("bucket"))
       .agg(collect_list(struct(col(idCol).as("id"), col(embCol).as("e"))).as("__rows"))
       .where(size(col("__rows")).between(2, maxBucket))
-    val pairs = buckets
-      .select(explode(flatten(transform(col("__rows"), (x, i) =>
-        transform(slice(col("__rows"), i + lit(2), size(col("__rows"))), y =>
-          struct(x.getField("id").as("id1"), y.getField("id").as("id2"),
-            x.getField("e").as("e1"), y.getField("e").as("e2")))))).as("p"))
-      .select(least(col("p.id1"), col("p.id2")).as("id1"),
-        greatest(col("p.id1"), col("p.id2")).as("id2"),
-        col("p.e1"), col("p.e2"))
-      .where(col("id1") =!= col("id2"))
-    pairs
+    expandPairs(buckets)
       .withColumn("cos", round(VectorFunctions.cosineSimilarity(col("e1"), col("e2")), scale))
       .where(col("cos") >= threshold)
       .select(col("id1"), col("id2"), col("cos"))
       .dropDuplicates("id1", "id2")
   }
+
+  /** Row-local pair expansion of a grouped frame with a `__rows`
+    * array<struct<id, e>> column → (id1 < id2, e1, e2) candidate pairs. */
+  private def expandPairs(buckets: DataFrame): DataFrame = buckets
+    .select(explode(flatten(transform(col("__rows"), (x, i) =>
+      transform(slice(col("__rows"), i + lit(2), size(col("__rows"))), y =>
+        struct(x.getField("id").as("id1"), y.getField("id").as("id2"),
+          x.getField("e").as("e1"), y.getField("e").as("e2")))))).as("p"))
+    .select(least(col("p.id1"), col("p.id2")).as("id1"),
+      greatest(col("p.id1"), col("p.id2")).as("id2"),
+      col("p.e1"), col("p.e2"))
+    .where(col("id1") =!= col("id2"))
+
+  /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
+    * arXiv:2303.09540): score embedding cosine only WITHIN a coarse
+    * k-means cell — the third blocking strategy beside random-hyperplane
+    * LSH ([[embeddingNearDupLsh]]) and exhaustive ([[embeddingNearDup]]).
+    * Cell assignment is one codegen'd pass over the corpus
+    * ([[IvfIndex.cellOf]]); pairs never cross cells, so the candidate
+    * set is Σ|cell|², bounded by `maxCell` (oversized cells are skipped
+    * — raise k in the model, the standard SemDeDup knob). Precision is
+    * exact (pairs are cosine-verified); recall misses only pairs the
+    * quantizer separates — the paper's accepted trade, since semantic
+    * duplicates cluster together by construction. */
+  def semanticNearDup(emb: DataFrame, model: IvfIndex.Model, threshold: Double,
+                      idCol: String = "vec_id", embCol: String = "embedding",
+                      maxCell: Int = 10000, scale: Int = 4): DataFrame = {
+    val cells = emb
+      .select(IvfIndex.cellOf(col(embCol), model).as("__cell"),
+        struct(col(idCol).as("id"), col(embCol).as("e")).as("__r"))
+      .groupBy(col("__cell"))
+      .agg(collect_list(col("__r")).as("__rows"))
+      .where(size(col("__rows")).between(2, maxCell))
+    expandPairs(cells)
+      .withColumn("cos", round(VectorFunctions.cosineSimilarity(col("e1"), col("e2")), scale))
+      .where(col("cos") >= threshold)
+      .select(col("id1"), col("id2"), col("cos"))
+  }
+
+  /** Apply [[semanticNearDup]]: keep one representative (the lowest id)
+    * per duplicate pair — rows never named as a pair's `id2` survive. */
+  def semanticDedup(emb: DataFrame, model: IvfIndex.Model, threshold: Double,
+                    idCol: String = "vec_id", embCol: String = "embedding",
+                    maxCell: Int = 10000): DataFrame =
+    emb.join(
+      semanticNearDup(emb, model, threshold, idCol, embCol, maxCell)
+        .select(col("id2").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+
+  /** Cross-document EXACT repeated-substring coverage — the distributed
+    * rendition of the suffix-array substring dedup of Lee et al. 2022
+    * (arXiv:2107.06499): every word position whose k-gram occurs in at
+    * least `minDocs` DISTINCT documents is "duplicated"; overlapping
+    * duplicated k-grams merge into maximal spans, and each document
+    * reports its span coverage. Returns (id, n_words, dup_positions,
+    * covered_tokens, dup_ratio), docs with no duplicated span omitted.
+    *
+    * Shape: the k-gram inventory is corpus-token-sized but each stage is
+    * the scalable one — gram hashes are row-local (md5 of the slice), the
+    * df count is ONE map-side-combined shuffle on the hash, the
+    * position fetch is a semi-join, and span merging is a per-doc window
+    * over duplicated positions only. With fixed k the span ends are
+    * monotone in start, so merged coverage is `k + Σ min(k, gap)` — no
+    * interval stack needed. */
+  def duplicatedSpanCoverage(docs: DataFrame, k: Int = 8, minDocs: Int = 2,
+                             idCol: String = "doc_id", textCol: String = "text",
+                             scale: Int = 4): DataFrame = {
+    require(k >= 1, s"duplicatedSpanCoverage: k must be >= 1, got $k")
+    require(minDocs >= 2, s"duplicatedSpanCoverage: minDocs must be >= 2, got $minDocs")
+    val grams = docs
+      .select(col(idCol), split(canonicalText(col(textCol)), " ").as("__w"))
+      .where(size(col("__w")) >= k)
+      .select(col(idCol), size(col("__w")).cast("long").as("__nw"),
+        posexplode(transform(sequence(lit(0), size(col("__w")) - k),
+          i => md5(concat_ws(" ", slice(col("__w"), i + 1, lit(k)))))).as(Seq("pos", "gh")))
+    val hot = grams.groupBy(col("gh"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .where(col("__df") >= minDocs)
+      .select(col("gh"))
+    val dup = grams.join(hot, Seq("gh"), "left_semi")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    dup
+      .withColumn("__prev", lag(col("pos"), 1).over(w))
+      .withColumn("__add", when(col("__prev").isNull, lit(k.toLong))
+        .otherwise(least(lit(k.toLong), col("pos") - col("__prev"))))
+      .groupBy(col(idCol))
+      .agg(first(col("__nw")).as("n_words"),
+        count(lit(1)).as("dup_positions"),
+        sum(col("__add")).as("covered_tokens"))
+      .select(col(idCol), col("n_words"), col("dup_positions"), col("covered_tokens"),
+        round(col("covered_tokens").cast("double") / col("n_words"), scale).as("dup_ratio"))
+  }
+
+  /** Drop documents whose duplicated-span coverage exceeds `maxRatio` —
+    * the document-level filter built on [[duplicatedSpanCoverage]] (the
+    * paper also CUTS the spans; dropping the worst offenders is the
+    * conservative variant that never splices text). */
+  def filterDuplicatedSpans(docs: DataFrame, maxRatio: Double, k: Int = 8,
+                            minDocs: Int = 2, idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame =
+    docs.join(
+      duplicatedSpanCoverage(docs, k, minDocs, idCol, textCol)
+        .where(col("dup_ratio") > maxRatio).select(col(idCol)),
+      Seq(idCol), "left_anti")
 }

@@ -83,4 +83,47 @@ class DedupSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("numPerm") || ex.getMessage.contains("positive"), ex.getMessage)
   }
+
+  test("duplicated-span coverage: k-gram df gate, monotone span merge, filter") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"),       // shares 3-gram "a b c" with doc 2
+      (2L, "x a b c y z"),
+      (3L, "p q r s t u"),       // nothing shared
+      (4L, "m n o p2 q2"),       // overlapping shared grams with doc 5:
+      (5L, "m n o p2 q2")        //   pos 0,1,2 merge into ONE span of 5
+    ).toDF("doc_id", "text")
+    val cov = Dedup.duplicatedSpanCoverage(docs, k = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(cov(1L) == (6L, 1L, 3L, 0.5))     // one 3-token span of 6 words
+    assert(cov(2L) == (6L, 1L, 3L, 0.5))
+    assert(!cov.contains(3L))
+    // docs 4/5: grams at pos 0,1,2 all df=2; covered = 3 + 1 + 1 = 5
+    assert(cov(4L) == (5L, 3L, 5L, 1.0))
+    assert(cov(5L) == (5L, 3L, 5L, 1.0))
+    val kept = Dedup.filterDuplicatedSpans(docs, maxRatio = 0.6, k = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L))          // the fully-duplicated pair drops
+  }
+
+  test("semantic near-dup: cell-blocked pairs are verified-exact; identical pairs never lost") {
+    import graft.operators.IvfIndex
+    val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val dup = e.unionAll(e.select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+    val model = IvfIndex.train(dup, k = 8, iters = 2)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sem = pairs(Dedup.semanticNearDup(dup, model, threshold = 0.9999))
+    val exact = pairs(Dedup.embeddingNearDup(dup, threshold = 0.9999))
+    // precision is exact by construction (cosine-verified) and an
+    // identical vector can never land in a different cell than its copy
+    assert(sem.subsetOf(exact) && exact.forall { case (a, b) =>
+      b - a != 100000L || sem.contains((a, b)) }, s"sem=${sem.size} exact=${exact.size}")
+    // dedup keeps exactly one representative per planted pair
+    val kept = Dedup.semanticDedup(dup, model, threshold = 0.9999)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val plantedDropped = sem.map(_._2)
+    assert(kept == dup.select("vec_id").collect().map(_.getLong(0)).toSet -- plantedDropped)
+  }
 }
