@@ -40,6 +40,11 @@ object Perf {
         docs.select((col("doc_id") + i * 100000).as("doc_id"), col("text")))
       .reduce(_ unionAll _)
     time("minhashLsh.20x (10k docs)")(Dedup.minhashLsh(big, 0.8).count())
+    // worst case for span coverage: every doc a 20-way copy, so every
+    // position is duplicated — maximal df-gate survivors + window load
+    time("dupSpans.20x (10k docs, all positions hot)") {
+      Dedup.duplicatedSpanCoverage(big, k = 8).count()
+    }
     time("knn.20x (10k vectors)") {
       val bigE = (0 until 20).map(i =>
           emb.select((col("vec_id") + i * 100000).as("vec_id"), col("embedding")))
