@@ -442,12 +442,15 @@ object QueriesCuration {
               |FROM c GROUP BY doc_id, nw ORDER BY doc_id""".stripMargin)),
 
     // ── SemDeDup-style semantic dedup: cosine pairs blocked by k-means
-    // cell ── oracle-able at threshold 0.9999 because only IDENTICAL
-    // vectors (the planted +100000 copies) reach it, and an identical
-    // pair can never be split across cells (same vector ⇒ same nearest
-    // centroid), so cell blocking is lossless here and the exhaustive
-    // cosine join is a valid oracle. (Same planted-copy scheme as
-    // q_dedup_embedding, which pins the LSH-blocked path.)
+    // cell ── oracle-able at threshold 0.9999 because in this fixture
+    // only IDENTICAL vectors (the planted +100000 copies) reach it, and
+    // an identical pair can never be split across cells (same vector ⇒
+    // same nearest centroid), so cell blocking is lossless and the
+    // exhaustive cosine join is a valid oracle. NOTE this is a verified
+    // property of the fixture (tri-SF checked), not of the threshold: a
+    // DISTINCT pair at rounded cos ≥ 0.9999 could cross cells. It is the
+    // same assumption q_dedup_embedding's LSH-blocked gate has relied on
+    // since round 2 (LSH recall < 1 for near-but-not-identical pairs).
     "q_dedup_semantic" -> QueryDef(
       (s, d) => {
         import graft.operators.{Dedup, IvfIndex}

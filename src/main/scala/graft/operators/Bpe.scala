@@ -113,6 +113,22 @@ object Bpe {
       }
     }
 
+  /** Code-point symbolization — MUST match `initSymbols`' Spark-side
+    * `split(word, "")`, which keeps a supplementary-plane character
+    * (emoji etc.) as ONE symbol. Plain `String#map(_.toString)` would
+    * split it into two lone UTF-16 surrogates, training merges that
+    * tokenization can never apply. */
+  private def codePointSymbols(w: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.result()
+  }
+
   /** The Sennrich merge loop over a collected vocabulary, with
     * INCREMENTALLY maintained pair counts: selecting a merge updates
     * only the words that contain the merged pair (an inverted
@@ -125,7 +141,7 @@ object Bpe {
   private[graft] def localMerges(vocab: Seq[(String, Long)], k: Int): Seq[(String, String)] = {
     import scala.collection.mutable
     val words: Array[Array[String]] =
-      vocab.map { case (w, _) => (w.map(_.toString) :+ Eow).toArray }.toArray
+      vocab.map { case (w, _) => codePointSymbols(w) :+ Eow }.toArray
     val freqs: Array[Long] = vocab.map(_._2).toArray
     val counts = mutable.HashMap.empty[(String, String), Long]
     val occur = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
@@ -215,7 +231,7 @@ object Bpe {
   /** Spark-free replay of train + tokenize for spec ground truth. */
   private[graft] def referenceMerges(vocab: Map[String, Long], k: Int): Seq[(String, String)] = {
     var state: Map[Vector[String], Long] =
-      vocab.groupMapReduce { case (w, _) => w.map(_.toString).toVector :+ Eow }(_._2)(_ + _)
+      vocab.groupMapReduce { case (w, _) => codePointSymbols(w).toVector :+ Eow }(_._2)(_ + _)
     val out = Seq.newBuilder[(String, String)]
     var i = 0
     var done = false

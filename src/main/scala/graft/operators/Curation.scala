@@ -117,7 +117,9 @@ object Curation {
     * this helper's exactness comes from the bounded domain. */
   def exactQuantileBounded(df: DataFrame, valueCol: String, p: Double): Double = {
     require(p >= 0 && p <= 1, s"exactQuantileBounded: p must be in [0, 1], got $p")
-    val hist = df.groupBy(col(valueCol).cast("double").as("__v"))
+    // nulls are ignored, matching percentile/percentile_cont semantics
+    val hist = df.where(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("double").as("__v"))
       .agg(count(lit(1)).as("__c"))
       .orderBy(col("__v"))
       .collect().map(r => (r.getDouble(0), r.getLong(1)))

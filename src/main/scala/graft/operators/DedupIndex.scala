@@ -131,11 +131,14 @@ object DedupIndex {
     // are collision-set-sized by design, so the checkpoint is small.
     val cand = candidates(spark, table, batch, idCol, textCol, shingleN, numPerm, bands)
       .localCheckpoint(true)
-    // one driver fetch covers both prunes: (corpus_id, its bucket)
+    // one driver fetch covers both prunes: (corpus_id, its bucket). The
+    // limit caps what the driver materializes BEFORE the cardinality
+    // check — a degenerate index can produce millions of candidates, and
+    // the fallback must engage without first collecting them all.
     val candIds = cand.select(col("corpus_id")).distinct()
       .select(col("corpus_id"),
         idBucketCol.fold(lit(0L))(bc => idBucket(col("corpus_id"), bc._2)))
-      .collect()
+      .limit(maxPushdownIds + 1).collect()
     val verifyDocs =
       if (candIds.length <= maxPushdownIds) {
         val bucketPruned = idBucketCol.fold(corpusDocs) { case (name, _) =>

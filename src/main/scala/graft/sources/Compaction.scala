@@ -86,8 +86,11 @@ object Compaction {
         // per-partition sizing: bound RECORDS per file from the corpus-wide
         // average record size, and let each partition produce however many
         // files its own bytes need
+        // divide via the average record size — targetBytes * records
+        // would overflow Long at (big directory × big target)
         val records = math.max(1L, base.count())
-        val recsPerFile = math.max(1L, targetBytes * records / math.max(1L, bytesBefore))
+        val avgRecordBytes = math.max(1L, bytesBefore / records)
+        val recsPerFile = math.max(1L, targetBytes / avgRecordBytes)
         val clustered = base.repartition(partitionBy.map(col): _*)
         val sorted =
           if (sortBy.nonEmpty)

@@ -49,6 +49,19 @@ class BpeSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("supplementary-plane chars are single symbols — training matches tokenization") {
+    // an emoji is one code point but two UTF-16 units: training must see
+    // it as ONE symbol, like Spark-side split(word, "") does, or it
+    // learns lone-surrogate merges tokenization can never apply
+    val vocab = Seq(("😀😀", 3L)).toDF("word", "freq") // 😀😀
+    val merges = Bpe.trainMergesFromVocab(vocab, 5)
+    assert(merges == Bpe.referenceMerges(Map("😀😀" -> 3L), 5))
+    // ties at freq 3 break on UTF-8 bytes: "</w>" (0x3c…) < "😀" (0xf0…)
+    assert(merges == Seq(("😀", Bpe.Eow), ("😀", "😀" + Bpe.Eow)), merges)
+    val toks = Bpe.vocabTokens(vocab, merges).collect().head.getSeq[String](1)
+    assert(toks == Seq("😀😀" + Bpe.Eow), toks)
+  }
+
   test("realistic k: 1000 merges over the corpus vocabulary in seconds") {
     val vocabDf = Bpe.wordVocab(Tables.documents(spark, sfDir))
     val vocab = vocabDf.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
