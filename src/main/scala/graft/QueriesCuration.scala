@@ -441,6 +441,40 @@ object QueriesCuration {
               |    AS DOUBLE) / nw, 4) AS dup_ratio
               |FROM c GROUP BY doc_id, nw ORDER BY doc_id""".stripMargin)),
 
+    // ── the span filter applied: survivors of dup_ratio ≤ 0.5 ──────
+    // (planted full copies score 1.0 on both sides of the pair, so the
+    // copies AND their originals drop; partially-overlapping docs stay)
+    "q_filter_dup_spans" -> QueryDef(
+      (s, d) => {
+        import graft.operators.Dedup
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val withCopies = docs.unionAll(docs.where(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+        Dedup.filterDuplicatedSpans(withCopies, maxRatio = 0.5, k = 8)
+          .select(col("doc_id"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH input AS (
+              |  SELECT doc_id, text FROM documents
+              |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 11 = 0),
+              |w AS (SELECT doc_id, string_split($canon, ' ') AS w FROM input),
+              |g AS (SELECT doc_id, len(w) AS nw,
+              |        unnest([{'pos': i, 'gh': md5(array_to_string(w[i+1:i+8], ' '))}
+              |                for i in range(0, len(w) - 7)]) AS p
+              |      FROM w WHERE len(w) >= 8),
+              |g2 AS (SELECT doc_id, nw, p.pos AS pos, p.gh AS gh FROM g),
+              |hot AS (SELECT gh FROM g2 GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+              |d AS (SELECT doc_id, nw, pos FROM g2 WHERE gh IN (SELECT gh FROM hot)),
+              |c AS (SELECT doc_id, nw, pos,
+              |        lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM d),
+              |cov AS (SELECT doc_id,
+              |    round(CAST(sum(CASE WHEN prev IS NULL THEN 8 ELSE least(8, pos - prev) END)
+              |      AS DOUBLE) / nw, 4) AS dup_ratio
+              |  FROM c GROUP BY doc_id, nw)
+              |SELECT doc_id FROM input
+              |WHERE doc_id NOT IN (SELECT doc_id FROM cov WHERE dup_ratio > 0.5)
+              |ORDER BY doc_id""".stripMargin)),
+
     // ── SemDeDup-style semantic dedup: cosine pairs blocked by k-means
     // cell ── oracle-able at threshold 0.9999 because in this fixture
     // only IDENTICAL vectors (the planted +100000 copies) reach it, and

@@ -56,6 +56,22 @@ object DocStream {
       .dropDuplicates("__fp")
       .drop("__fp")
 
+  /** BOUNDED-STATE streaming dedup: drop re-uploads only within the
+    * watermark horizon — the state store holds a fingerprint until the
+    * watermark passes its event time plus `delay`, then evicts it, so
+    * state size follows the arrival rate × horizon instead of growing
+    * with every distinct document forever (the [[dedupByFingerprint]]
+    * trade, inverted). A duplicate arriving after eviction passes — by
+    * contract: this is "collapse re-upload bursts", not "never
+    * re-process"; spec pins both behaviors. */
+  def dedupByFingerprintWithinWatermark(docs: DataFrame, eventTimeCol: String,
+                                        delay: String,
+                                        textCol: String = "text"): DataFrame =
+    docs.withWatermark(eventTimeCol, delay)
+      .withColumn("__fp", graft.functions.TextFunctions.fingerprint(col(textCol)))
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   /** Streaming curation gates — the batch curation chain's stateless
     * subset, applied per arriving document: language allow-list, length
     * floor, and boilerplate-ratio filter against a BATCH-DERIVED

@@ -78,6 +78,31 @@ class DedupStreamSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS t_sdidx")
   }
 
+  test("watermarked dedup: duplicates drop within the horizon, state evicts after it") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, java.sql.Timestamp)]
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    val docs = input.toDF().toDF("doc_id", "text", "ts")
+    val q = DocStream.dedupByFingerprintWithinWatermark(docs, "ts", "10 minutes")
+      .writeStream.format("memory").queryName("wm_dedup_test").outputMode("append").start()
+    try {
+      input.addData((1L, "alpha beta", ts(0)))
+      q.processAllAvailable()
+      input.addData((2L, "alpha beta", ts(1)))    // duplicate inside the horizon
+      q.processAllAvailable()
+      // far-future row advances the watermark past 10:00 + 10min,
+      // evicting the "alpha beta" fingerprint from the state store
+      input.addData((3L, "unrelated gamma", ts(40)))
+      q.processAllAvailable()
+      input.addData((4L, "alpha beta", ts(41)))   // after eviction: passes
+      q.processAllAvailable()
+      val kept = spark.table("wm_dedup_test").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 3L, 4L), s"kept $kept")
+    } finally q.stop()
+  }
+
   test("a replayed batch converges: same partition content, no data loss") {
     val corpus = Files.createTempDirectory("didx_replay_corpus").toString
     val idx = Files.createTempDirectory("didx_replay_idx").toString
