@@ -138,6 +138,23 @@ object QueriesSearch {
              |  CASE source WHEN 'src0' THEN 80 WHEN 'src1' THEN 40 WHEN 'src2' THEN 10 ELSE 100 END
              |ORDER BY doc_id""".stripMargin)),
 
+    // Temperature-flattened mixture: per-domain rates ∝ count^α (α=0.5,
+    // overall target 50%) — rate math replayed exactly in the oracle,
+    // keep decision = the shared md5 basis-point bucket.
+    "q_domain_temperature" -> QueryDef(
+      (s, d) => Sampling.temperatureSample(
+          Tables.documents(s, d).select(col("doc_id"), col("source")),
+          "doc_id", "source", alpha = 0.5, targetFrac = 0.5)
+        .orderBy(col("doc_id")),
+      Some("""WITH c AS (SELECT source, count(*)::DOUBLE AS c FROM documents GROUP BY source),
+             |t AS (SELECT sum(c) AS n, sum(pow(c, 0.5)) AS sw FROM c),
+             |r AS (SELECT source,
+             |  CAST(round(least(1.0, 0.5 * t.n * pow(c.c, 0.5) / (t.sw * c.c)) * 10000) AS BIGINT) AS bp
+             |  FROM c, t)
+             |SELECT d.doc_id, d.source FROM documents d JOIN r USING (source)
+             |WHERE ('0x' || substr(md5('temp' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < bp
+             |ORDER BY doc_id""".stripMargin)),
+
     // Quantile-based quality filtering: keep documents at or above the
     // corpus median quality score. The quality score's domain is bounded
     // by construction (1-decimal rounding → ≤ 11 values), so the exact

@@ -33,6 +33,37 @@ object Sampling {
     (df.where(bucket >= testPercent), df.where(bucket < testPercent))
   }
 
+  /** Temperature-flattened domain mixture — the multi-corpus LM mixing
+    * rule (exponent-smoothed sampling, as in multilingual-LM training):
+    * a domain's weight is count^alpha / Σ count^alpha, so alpha = 1
+    * keeps the natural mixture, alpha = 0 equalizes all domains, and
+    * 0 < alpha < 1 flattens the head without drowning the tail. The
+    * kept fraction overall is ~`targetFrac`; a small domain whose
+    * implied rate exceeds 1 is clamped (oversampling needs replication,
+    * which a filter cannot do — by design).
+    *
+    * Shape: one |domains|-row groupBy broadcast back over a narrow
+    * scan; the keep decision is the same md5 bucket as every sampler
+    * here (basis-point precision), so the subset is deterministic on
+    * any engine/partitioning and oracle-replayable. */
+  def temperatureSample(df: DataFrame, keyCol: String, strataCol: String,
+                        alpha: Double, targetFrac: Double,
+                        salt: String = "temp", buckets: Int = 10000): DataFrame = {
+    require(alpha >= 0 && alpha <= 1, s"temperatureSample: alpha must be in [0, 1], got $alpha")
+    require(targetFrac > 0 && targetFrac <= 1,
+      s"temperatureSample: targetFrac must be in (0, 1], got $targetFrac")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).cast("double").as("__c"))
+    val tot = counts.agg(sum(col("__c")).as("__n"), sum(pow(col("__c"), alpha)).as("__sw"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .select(col(strataCol),
+        round(least(lit(1.0),
+          lit(targetFrac) * col("__n") * pow(col("__c"), alpha) / (col("__sw") * col("__c")))
+          * buckets).cast("long").as("__bp"))
+    df.join(broadcast(rates), Seq(strataCol))
+      .where(hashBucket(col(keyCol), salt, buckets) < col("__bp"))
+      .select(df.columns.map(col): _*)
+  }
+
   /** Stratified (per-stratum rate) sampling — the domain-mixture weighting
     * step of a training-data pipeline: keep ~`rates(stratum)`% of each
     * stratum (`defaultPercent` for unlisted strata), deterministically by

@@ -171,6 +171,32 @@ class ApproxOpsSpec extends SparkSpec {
     assert(withCodegen == interpreted)
   }
 
+  test("temperature sampling: alpha=1 is the natural mixture, alpha=0 equalizes, clamp at 1") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    // 800 / 160 / 40 rows across three domains
+    val df = spark.range(1000).select(col("id").as("doc_id"),
+      when(col("id") < 800, "big").when(col("id") < 960, "mid").otherwise("small").as("dom"))
+    def kept(alpha: Double, frac: Double) =
+      Sampling.temperatureSample(df, "doc_id", "dom", alpha, frac)
+        .groupBy("dom").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // alpha=1: every domain keeps ~frac of itself (weights ∝ counts)
+    val nat = kept(1.0, 0.5)
+    assert(math.abs(nat("big") - 400) < 60 && math.abs(nat("mid") - 80) < 30, nat)
+    // alpha=0: equal weights → each domain targets ~ frac*N/3 ≈ 166 rows;
+    // "small" (40 rows) clamps at rate 1 and keeps everything
+    val eq = kept(0.0, 0.5)
+    assert(eq("small") == 40, eq)
+    assert(math.abs(eq("mid") - 160) <= 20, eq) // rate ≈ 1.04 → clamped ≈ all
+    assert(math.abs(eq("big") - 166) < 50, eq)
+    // determinism: same subset under repartitioning
+    val a = Sampling.temperatureSample(df, "doc_id", "dom", 0.5, 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    val b = Sampling.temperatureSample(df.repartition(13), "doc_id", "dom", 0.5, 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b)
+  }
+
   test("ann-lsh: recall@10 >= 0.9 vs brute-force cosine (recall-tuned params)") {
     // uniform-random sphere embeddings are hyperplane-LSH's worst case;
     // at this corpus size recall needs many tables / few bits
