@@ -493,6 +493,34 @@ object QueriesPipeline {
              |  SELECT e.src, reach.label FROM e JOIN reach ON reach.id = e.dst)
              |SELECT id, min(label) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin)),
 
+    // Leakage-free split: the split key is the near-dup CLUSTER
+    // representative (component min id; unclustered docs represent
+    // themselves), so no cluster straddles train/test. Oracle replays
+    // LSH pairs → recursive components → the md5 hash gate on the
+    // representative.
+    "q_split_leakfree" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"))
+        operators.Sampling.leakFreeSplit(docs,
+            Dedup.minhashLsh(Tables.documents(s, d), threshold = 0.8),
+            testPercent = 20, salt = "leak-split")
+          .orderBy(col("doc_id"))
+      },
+      Some(lshCte.replaceFirst("^WITH ", "WITH RECURSIVE ") + """,
+             |p AS (SELECT id1, id2 FROM ver WHERE jaccard >= 0.8),
+             |e AS (SELECT id1 AS src, id2 AS dst FROM p UNION SELECT id2, id1 FROM p),
+             |reach(id, label) AS (
+             |  SELECT src, src FROM e
+             |  UNION
+             |  SELECT e.src, reach.label FROM e JOIN reach ON reach.id = e.dst),
+             |comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id),
+             |rep AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS rep
+             |        FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+             |SELECT doc_id,
+             |  CASE WHEN ('0x' || substr(md5('leak-split' || CAST(rep AS VARCHAR)), 1, 8))::BIGINT % 100 < 20
+             |       THEN 'test' ELSE 'train' END AS split
+             |FROM rep ORDER BY doc_id""".stripMargin)),
+
     "q_dedup_embedding" -> QueryDef(
       (s, d) => {
         val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))

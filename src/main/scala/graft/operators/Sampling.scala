@@ -33,6 +33,30 @@ object Sampling {
     (df.where(bucket >= testPercent), df.where(bucket < testPercent))
   }
 
+  /** LEAKAGE-FREE train/test split: near-duplicate documents must land
+    * on the same side, or held-out evaluation text leaks into training
+    * through a sibling the dedup pass didn't collapse. The split key is
+    * therefore the duplicate-CLUSTER representative, not the document:
+    * `pairs` (from [[Dedup.minhashLsh]] or any near-dup detector) →
+    * connected components → every member follows its component's min-id
+    * label through the same md5 hash gate; unclustered docs represent
+    * themselves. Adds a `split` column ('train'/'test') — filter, or
+    * feed a writer partitioned by it. Cost on top of the pair pass is
+    * the component propagation (edge-sized rounds) + one broadcast-able
+    * join (components ≤ docs with a near-dup, usually ≪ corpus). */
+  def leakFreeSplit(docs: DataFrame, pairs: DataFrame, testPercent: Int,
+                    idCol: String = "doc_id", salt: String = "leak-split"): DataFrame = {
+    require(testPercent >= 0 && testPercent <= 100,
+      s"leakFreeSplit: testPercent must be in [0, 100], got $testPercent")
+    val comp = Dedup.components(pairs).withColumnRenamed("id", idCol)
+    docs.join(comp, Seq(idCol), "left")
+      .withColumn("__rep", coalesce(col("component"), col(idCol)))
+      .withColumn("split",
+        when(hashBucket(col("__rep"), salt) < testPercent, lit("test"))
+          .otherwise(lit("train")))
+      .drop("component", "__rep")
+  }
+
   /** Temperature-flattened domain mixture — the multi-corpus LM mixing
     * rule (exponent-smoothed sampling, as in multilingual-LM training):
     * a domain's weight is count^alpha / Σ count^alpha, so alpha = 1

@@ -197,6 +197,23 @@ class ApproxOpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("leak-free split: no near-dup cluster straddles train/test") {
+    import graft.operators.{Dedup, Sampling}
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    // plant exact duplicates so clusters exist at spec scale
+    val dup = docs.unionAll(docs.where(col("doc_id") % 9 === 0)
+      .select((col("doc_id") + 50000).as("doc_id"), col("text")))
+    val pairs = Dedup.minhashLsh(dup, threshold = 0.8)
+    val split = Sampling.leakFreeSplit(dup.select(col("doc_id")), pairs, testPercent = 20)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(split.values.toSet == Set("train", "test")) // both sides non-empty
+    // every pair — the leakage hazard — has both ends on the same side
+    pairs.select("id1", "id2").collect().foreach { r =>
+      assert(split(r.getLong(0)) == split(r.getLong(1)),
+        s"pair (${r.getLong(0)}, ${r.getLong(1)}) straddles the split")
+    }
+  }
+
   test("ann-lsh: recall@10 >= 0.9 vs brute-force cosine (recall-tuned params)") {
     // uniform-random sphere embeddings are hyperplane-LSH's worst case;
     // at this corpus size recall needs many tables / few bits
