@@ -475,6 +475,46 @@ object QueriesCuration {
               |WHERE doc_id NOT IN (SELECT doc_id FROM cov WHERE dup_ratio > 0.5)
               |ORDER BY doc_id""".stripMargin)),
 
+    // ── span CUTTING: rebuild text minus the duplicated spans ────────
+    // (the aggressive Lee et al. variant). Oracle replays islands →
+    // interval bounds → the per-word membership filter; output text is
+    // canonicalized on both sides by construction.
+    "q_cut_spans" -> QueryDef(
+      (s, d) => {
+        import graft.operators.Dedup
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val withCopies = docs.unionAll(docs.where(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+        Dedup.cutDuplicatedSpans(withCopies, k = 8)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH input AS (
+              |  SELECT doc_id, text FROM documents
+              |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 11 = 0),
+              |w AS (SELECT doc_id, string_split($canon, ' ') AS wd FROM input),
+              |g AS (SELECT doc_id,
+              |        unnest([{'pos': i, 'gh': md5(array_to_string(wd[i+1:i+8], ' '))}
+              |                for i in range(0, len(wd) - 7)]) AS p
+              |      FROM w WHERE len(wd) >= 8),
+              |g2 AS (SELECT doc_id, p.pos AS pos, p.gh AS gh FROM g),
+              |hot AS (SELECT gh FROM g2 GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+              |d AS (SELECT doc_id, pos FROM g2 WHERE gh IN (SELECT gh FROM hot)),
+              |c AS (SELECT doc_id, pos,
+              |        lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM d),
+              |isl AS (SELECT doc_id, pos,
+              |    sum(CASE WHEN prev IS NULL OR pos > prev + 7 THEN 1 ELSE 0 END)
+              |      OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS isl
+              |  FROM c),
+              |iv AS (SELECT doc_id, isl, min(pos) AS s, max(pos) + 7 AS e
+              |       FROM isl GROUP BY doc_id, isl),
+              |ivs AS (SELECT doc_id, list({'s': s, 'e': e}) AS ivs FROM iv GROUP BY doc_id)
+              |SELECT w.doc_id,
+              |  coalesce(array_to_string([wd[i+1] for i in range(0, len(wd))
+              |    if ivs.ivs IS NULL OR len(list_filter(ivs.ivs, x -> i >= x['s'] AND i <= x['e'])) = 0],
+              |    ' '), '') AS clean_text
+              |FROM w LEFT JOIN ivs USING (doc_id)
+              |ORDER BY doc_id""".stripMargin)),
+
     // ── SemDeDup-style semantic dedup: cosine pairs blocked by k-means
     // cell ── oracle-able at threshold 0.9999 because in this fixture
     // only IDENTICAL vectors (the planted +100000 copies) reach it, and

@@ -325,6 +325,57 @@ object Dedup {
         round(col("covered_tokens").cast("double") / col("n_words"), scale).as("dup_ratio"))
   }
 
+  /** CUT duplicated spans out of the text — the aggressive Lee et al.
+    * variant: every position covered by a cross-document duplicated
+    * k-gram is removed and the remaining words re-joined. Returns
+    * `(id, clean_text)` for EVERY input doc (docs with no duplicated
+    * span pass through re-canonicalized).
+    *
+    * Shape on top of [[duplicatedSpanCoverage]]'s inventory: duplicated
+    * positions → per-doc ISLAND ids (window; a new island starts when
+    * the gap exceeds k, i.e. intervals no longer overlap) → one
+    * (doc, island) groupBy to interval bounds → intervals collected per
+    * doc (bounded: ≤ dup_positions/1, in practice tiny) → a row-local
+    * higher-order-function rebuild (filter word indices not covered).
+    * The rebuild never shuffles the corpus — intervals join back by id. */
+  def cutDuplicatedSpans(docs: DataFrame, k: Int = 8, minDocs: Int = 2,
+                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"cutDuplicatedSpans: k must be >= 1, got $k")
+    require(minDocs >= 2, s"cutDuplicatedSpans: minDocs must be >= 2, got $minDocs")
+    val grams = docs
+      .select(col(idCol), split(canonicalText(col(textCol)), " ").as("__w"))
+      .where(size(col("__w")) >= k)
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), size(col("__w")) - k),
+          i => md5(concat_ws(" ", slice(col("__w"), i + 1, lit(k)))))).as(Seq("pos", "gh")))
+      .localCheckpoint(true) // feeds df count + probe side (see coverage op)
+    val hot = grams.groupBy(col("gh"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .where(col("__df") >= minDocs)
+      .select(col("gh"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    val intervals = grams.join(hot, Seq("gh"), "left_semi")
+      .withColumn("__prev", lag(col("pos"), 1).over(w))
+      // overlap iff pos <= prev + k - 1; a larger gap starts a new island
+      .withColumn("__new", when(col("__prev").isNull
+        .or(col("pos") > col("__prev") + (k - 1)), 1).otherwise(0))
+      .withColumn("__isl", sum(col("__new")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + (k - 1)).as("e"))
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("s"), col("e"))).as("__ivs"))
+    docs
+      .select(col(idCol), split(canonicalText(col(textCol)), " ").as("__w"))
+      .join(intervals, Seq(idCol), "left")
+      .select(col(idCol), expr(
+        """array_join(transform(
+          |  filter(sequence(0, size(__w) - 1),
+          |         i -> __ivs IS NULL OR NOT exists(__ivs, iv -> i >= iv.s AND i <= iv.e)),
+          |  i -> __w[i]), ' ')""".stripMargin).as("clean_text"))
+  }
+
   /** Drop documents whose duplicated-span coverage exceeds `maxRatio` —
     * the document-level filter built on [[duplicatedSpanCoverage]] (the
     * paper also CUTS the spans; dropping the worst offenders is the

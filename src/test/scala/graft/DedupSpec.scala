@@ -107,6 +107,27 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(1L, 2L, 3L))          // the fully-duplicated pair drops
   }
 
+  test("cutDuplicatedSpans removes exactly the covered words, keeps the rest in order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"),       // "a b c" shared with doc 2 → cut [0,2]
+      (2L, "x a b c y z"),       //                           → cut [1,3]
+      (3L, "p q r s t u"),       // untouched
+      (4L, "m n o p2 q2"),       // fully duplicated with doc 5 → cut all
+      (5L, "m n o p2 q2")
+    ).toDF("doc_id", "text")
+    val clean = Dedup.cutDuplicatedSpans(docs, k = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(clean(1L) == "d e f", clean)
+    assert(clean(2L) == "x y z", clean)
+    assert(clean(3L) == "p q r s t u", clean)
+    assert(clean(4L) == "" && clean(5L) == "", clean)
+    // re-running on the cut corpus finds nothing left to cut
+    val again = Dedup.duplicatedSpanCoverage(
+      Dedup.cutDuplicatedSpans(docs, k = 3).withColumnRenamed("clean_text", "text"), k = 3)
+    assert(again.isEmpty)
+  }
+
   test("semantic near-dup: cell-blocked pairs are verified-exact; identical pairs never lost") {
     import graft.operators.IvfIndex
     val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
