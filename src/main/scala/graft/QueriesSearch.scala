@@ -78,6 +78,20 @@ object QueriesSearch {
       Some(bm25Cte + """
              |SELECT doc_id, score FROM bm ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
 
+    // BM25 from the PERSISTED index — same oracle as q_bm25: the index
+    // path must be score-identical, only the read shape changes (query
+    // terms' buckets instead of a corpus pass).
+    "q_bm25_index" -> QueryDef(
+      (s, d) => {
+        val tag = math.abs(d.hashCode).toString
+        val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_q_bm25idx_$tag"
+        TextSearch.writeBm25Index(Tables.documents(s, d), s"q_bm25_idx_$tag", idxDir)
+        TextSearch.bm25FromIndex(s, s"q_bm25_idx_$tag", idxDir, Terms)
+          .orderBy(col("score").desc, col("doc_id")).limit(20)
+      },
+      Some(bm25Cte + """
+             |SELECT doc_id, score FROM bm ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
+
     // Hybrid retrieval: reciprocal-rank fusion of the BM25 list and the
     // dense-embedding cosine list — the production shape for "vector
     // search + keyword search" over one corpus.

@@ -49,6 +49,57 @@ object TextSearch {
       .groupBy(col(idCol)).agg(round(sum(col("__s")), scale).as("score"))
   }
 
+  /** Persist the BM25 index: postings `(doc, term, tf, len)` written
+    * `bucketBy(term)` (doc length DENORMALIZED onto each posting, so
+    * scoring needs no corpus-sized lengths join), plus a 1-row
+    * `(N, avgdl)` stats sidecar. The corpus-token-sized tf shuffle is
+    * paid ONCE here instead of per query; [[bm25FromIndex]] then reads
+    * only the query terms' buckets. Rebuild on corpus change (stats and
+    * df drift slowly — the standard search-index maintenance trade). */
+  def writeBm25Index(docs: DataFrame, table: String, path: String,
+                     idCol: String = "doc_id", textCol: String = "text",
+                     numBuckets: Int = 16): Unit = {
+    require(numBuckets >= 1, s"writeBm25Index: numBuckets must be >= 1, got $numBuckets")
+    val lens = docs.select(col(idCol),
+      TextFunctions.wsTokenCount(col(textCol)).cast("double").as("__len"))
+    lens.agg(count(lit(1)).cast("double").as("__n"), avg(col("__len")).as("__avgdl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    docs
+      .select(col(idCol),
+        explode(split(TextFunctions.canonicalText(col(textCol)), " ")).as("__t"))
+      .groupBy(col(idCol), col("__t")).agg(count(lit(1)).cast("double").as("__tf"))
+      .join(lens, idCol)
+      .write.mode("overwrite")
+      .bucketBy(numBuckets, "__t").sortBy("__t")
+      .format("parquet").option("path", s"$path/postings")
+      .saveAsTable(table)
+  }
+
+  /** BM25 against the PERSISTED index — score-identical to [[bm25]] on
+    * the indexed corpus, but the per-query cost is the query terms'
+    * buckets only: the literal `isin` prunes at the BUCKET level (Spark
+    * bucket pruning on In over the bucketBy column — plan-asserted in
+    * spec), df/score aggregate over those pruned rows, and the stats
+    * sidecar is one tiny broadcast. Nothing corpus-sized is read or
+    * shuffled at query time. */
+  def bm25FromIndex(spark: org.apache.spark.sql.SparkSession, table: String,
+                    path: String, terms: Seq[String],
+                    idCol: String = "doc_id",
+                    k1: Double = 1.2, b: Double = 0.75, scale: Int = 4): DataFrame = {
+    require(terms.nonEmpty, "bm25FromIndex: need at least one query term")
+    val hits = spark.table(table).where(col("__t").isin(terms: _*))
+    val df = hits.groupBy(col("__t")).agg(count(lit(1)).cast("double").as("__df"))
+    val stats = spark.read.parquet(s"$path/stats")
+    hits
+      .join(broadcast(df), "__t")
+      .crossJoin(broadcast(stats))
+      .select(col(idCol),
+        (log(lit(1.0) + (col("__n") - col("__df") + 0.5) / (col("__df") + 0.5)) *
+          (col("__tf") * (k1 + 1)) /
+          (col("__tf") + (lit(1 - b) + col("__len") * b / col("__avgdl")) * k1)).as("__s"))
+      .groupBy(col(idCol)).agg(round(sum(col("__s")), scale).as("score"))
+  }
+
   /** Reciprocal-rank fusion of two ranked result lists:
     * rrf(d) = Σ 1/(k + rank_i(d)), documents appearing in either list
     * (standard k = 60). Inputs are (idCol, scoreCol) frames; ranks are

@@ -43,6 +43,27 @@ class TextSearchSpec extends SparkSpec {
     assert(got(12L) == r6(1.0 / 62))
   }
 
+  test("persisted bm25 index: score-identical to the corpus pass, bucket-pruned reads") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bm25-idx").toString
+    try {
+      val docs = Tables.documents(spark, sfDir)
+      TextSearch.writeBm25Index(docs, "t_bm25_idx", s"$tmp/idx", numBuckets = 4)
+      val terms = Seq("spark", "table", "scan")
+      val fromIndex = TextSearch.bm25FromIndex(spark, "t_bm25_idx", s"$tmp/idx", terms)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+      val direct = TextSearch.bm25(docs, terms)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+      assert(fromIndex == direct, s"index=${fromIndex.size} direct=${direct.size}")
+
+      // the postings scan reads only the query terms' buckets
+      val plan = TextSearch.bm25FromIndex(spark, "t_bm25_idx", s"$tmp/idx", Seq("spark"))
+        .queryExecution.executedPlan.toString
+      val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+      assert(m.exists(x => x.group(1).toInt < x.group(2).toInt),
+        "expected bucket pruning in:\n" + plan.take(2000))
+    } finally spark.sql("DROP TABLE IF EXISTS t_bm25_idx")
+  }
+
   test("contamination finds a planted test/train near-dup and respects the df cap") {
     import spark.implicits._
     val train = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
