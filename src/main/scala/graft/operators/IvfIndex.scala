@@ -259,6 +259,29 @@ object IvfIndex {
       .write.mode("append").partitionBy("cell").parquet(path)
   }
 
+  /** Cell-occupancy stats of a persisted index: `(cell, n, frac)`. The
+    * scan reads only the partition column (row counts from parquet
+    * metadata) — cheap enough to run on every maintenance tick. */
+  def cellStats(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val counts = spark.read.parquet(path).groupBy(col("cell")).count()
+    val total = counts.agg(sum(col("count")).as("__tot"))
+    counts.crossJoin(broadcast(total))
+      .select(col("cell"), col("count").as("n"),
+        round(col("count") / col("__tot"), 6).as("frac"))
+  }
+
+  /** Rebuild heuristic for [[appendIndex]]-grown indexes: true when the
+    * hottest cell holds more than `maxSkew` × the mean — probe cost is
+    * driven by the cells a query lands in, so a skewed quantizer makes
+    * nprobe latency bimodal. (Empty cells are fine: they cost nothing.)
+    * Driver sees k rows; rebuild with [[train]] + [[writeIndex]]. */
+  def needsRebuild(spark: org.apache.spark.sql.SparkSession, path: String,
+                   maxSkew: Double = 4.0): Boolean = {
+    require(maxSkew >= 1, s"needsRebuild: maxSkew must be >= 1, got $maxSkew")
+    val ns = cellStats(spark, path).select(col("n")).collect().map(_.getLong(0))
+    ns.nonEmpty && ns.max.toDouble > maxSkew * (ns.sum.toDouble / ns.length)
+  }
+
   def readModel(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
     val p = new org.apache.hadoop.fs.Path(path, "_centroids.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

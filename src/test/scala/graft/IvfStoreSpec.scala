@@ -65,6 +65,27 @@ class IvfStoreSpec extends SparkSpec {
     assert(pf.exists(_.contains("cell")), plan.take(2000))
   }
 
+  test("cellStats sums to the corpus; skewed appends trip needsRebuild") {
+    val path = Files.createTempDirectory("ivf_index_stats").toString
+    val e = Tables.embeddings(spark, sfDir)
+    val model = IvfIndex.train(e, k = 8, iters = 2)
+    IvfIndex.writeIndex(e, model, path)
+    val stats = IvfIndex.cellStats(spark, path).collect()
+    assert(stats.map(_.getLong(1)).sum == e.count())
+    assert(math.abs(stats.map(_.getDouble(2)).sum - 1.0) < 1e-4)
+    assert(!IvfIndex.needsRebuild(spark, path, maxSkew = 4.0))
+    // pile many copies of ONE vector into its cell — the quantizer is
+    // now stale for the grown corpus and the trigger fires
+    val one = e.orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id"), col("embedding")).collect().head
+    val copies = spark.range(e.count() * 8).select(
+      (col("id") + 1000000).as("vec_id"),
+      org.apache.spark.sql.functions.typedlit(one.getSeq[Float](1)).as("embedding"))
+    IvfIndex.appendIndex(spark, path, copies)
+    // hot cell ≈ 8N + N/8 vs mean 9N/8 → skew ≈ 7.2×
+    assert(IvfIndex.needsRebuild(spark, path, maxSkew = 4.0))
+  }
+
   test("streaming dedup drops re-uploaded docs across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
