@@ -257,6 +257,153 @@ object QueriesAnalytics {
         .orderBy(col("hour_sec"), col("event_type")),
       Some("""SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_sec,
              |  event_type, count(*) AS n, round(sum(value), 4) AS sum_value
-             |FROM events GROUP BY 1, 2 ORDER BY hour_sec, event_type""".stripMargin))
+             |FROM events GROUP BY 1, 2 ORDER BY hour_sec, event_type""".stripMargin)),
+
+    // TPC-H Q4 shape: correlated EXISTS with a non-equi condition — planned
+    // as a left-semi join (equi key + join-time filter), so the fact side
+    // shuffles once and lineitem never materializes per-order groups.
+    "q4_order_priority" -> QueryDef(
+      (s, d) => {
+        val ord = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+        ord.join(li,
+            col("l_orderkey") === col("o_orderkey") &&
+              col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+            "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).cast("long").as("order_count"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS order_count
+             |FROM orders
+             |WHERE EXISTS (SELECT 1 FROM lineitem
+             |              WHERE l_orderkey = o_orderkey
+             |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // TPC-H Q22 shape: scalar subquery (global average) + NOT EXISTS.
+    // The 1-row average broadcasts (no shuffle on the probe side); the
+    // NOT EXISTS is a left-anti join on the order keys.
+    "q22_idle_customers" -> QueryDef(
+      (s, d) => {
+        val cust = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+        val avgBal = cust.where(col("c_acctbal") > 0)
+          .agg(round(avg(col("c_acctbal")), 6).as("avg_bal"))
+        val ord = Tables.orders(s, d)
+          .where(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+        cust.crossJoin(broadcast(avgBal))
+          .where(col("c_acctbal") > col("avg_bal"))
+          .join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).cast("long").as("numcust"),
+            round(sum(col("c_acctbal")), 2).as("totacctbal"))
+          .select(col("c_nationkey").cast("long").as("c_nationkey"),
+            col("numcust"), col("totacctbal"))
+          .orderBy(col("c_nationkey"))
+      },
+      Some("""SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, count(*) AS numcust,
+             |  round(sum(c_acctbal), 2) AS totacctbal
+             |FROM customer
+             |WHERE c_acctbal > (SELECT round(avg(c_acctbal), 6) FROM customer WHERE c_acctbal > 0)
+             |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+             |                  AND o_orderpriority = '1-URGENT')
+             |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
+
+    // CUBE grouping sets: all 4 subtotal combinations in one pass
+    // (Spark expands grouping sets before the single aggregation shuffle).
+    "q_cube" -> QueryDef(
+      (s, d) => Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).cast("long").as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("(all)")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("lstatus"),
+          col("n"), col("sum_qty"))
+        .orderBy(col("rflag"), col("lstatus")),
+      Some("""SELECT coalesce(l_returnflag, '(all)') AS rflag,
+             |  coalesce(l_linestatus, '(all)') AS lstatus,
+             |  count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+             |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+             |ORDER BY rflag, lstatus""".stripMargin)),
+
+    // Time-series gap filling: a dense hourly spine from the observed
+    // min/max (bounded: one 2-value row, sequence() generated driver-free)
+    // left-joined to the sparse hourly aggregate, missing hours as zeros.
+    // At 100 TB the spine stays tiny (hours, not rows) and broadcasts.
+    "q_gapfill" -> QueryDef(
+      (s, d) => {
+        val purchases = Tables.events(s, d)
+          .where(col("event_type") === "purchase")
+          .select(expr("(ts div 1000000000) div 3600 * 3600").as("hour_sec"), col("value"))
+        val hourly = purchases.groupBy(col("hour_sec"))
+          .agg(count(lit(1)).cast("long").as("n"), round(sum(col("value")), 4).as("sum_value"))
+        val bounds = purchases.agg(min(col("hour_sec")).as("mn"), max(col("hour_sec")).as("mx"))
+        val spine = bounds
+          .select(explode(sequence(col("mn"), col("mx"), lit(3600L))).as("hour_sec"))
+        spine.join(hourly, Seq("hour_sec"), "left_outer")
+          .select(col("hour_sec"), coalesce(col("n"), lit(0L)).as("n"),
+            coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+          .orderBy(col("hour_sec"))
+      },
+      Some("""WITH p AS (
+             |  SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_sec, value
+             |  FROM events WHERE event_type = 'purchase'),
+             |hourly AS (
+             |  SELECT hour_sec, count(*) AS n, round(sum(value), 4) AS sum_value
+             |  FROM p GROUP BY hour_sec),
+             |spine AS (
+             |  SELECT unnest(generate_series((SELECT min(hour_sec) FROM p),
+             |                                (SELECT max(hour_sec) FROM p), 3600)) AS hour_sec)
+             |SELECT spine.hour_sec, coalesce(n, 0) AS n, coalesce(sum_value, 0.0) AS sum_value
+             |FROM spine LEFT JOIN hourly ON spine.hour_sec = hourly.hour_sec
+             |ORDER BY spine.hour_sec""".stripMargin)),
+
+    // Ordered funnel (view -> click -> purchase): each stage's entry time
+    // is the earliest event of that type AFTER the previous stage's entry.
+    // Both window layers share the user_id partitioning, so the whole
+    // funnel costs ONE shuffle of events regardless of stage count.
+    "q_funnel" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+        val staged = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), col("ts"))
+          .withColumn("t_view", min(when(col("event_type") === "view", col("ts"))).over(w))
+          .withColumn("t_click",
+            min(when(col("event_type") === "click" && col("ts") > col("t_view"), col("ts"))).over(w))
+          .withColumn("t_purchase",
+            min(when(col("event_type") === "purchase" && col("ts") > col("t_click"), col("ts"))).over(w))
+        staged.groupBy(col("user_id"))
+          .agg(max(col("t_view")).as("t_view"), max(col("t_click")).as("t_click"),
+            max(col("t_purchase")).as("t_purchase"))
+          .agg(count(col("t_view")).cast("long").as("n_view"),
+            count(col("t_click")).cast("long").as("n_click"),
+            count(col("t_purchase")).cast("long").as("n_purchase"))
+          .select(col("n_view"), col("n_click"), col("n_purchase"))
+      },
+      Some("""WITH staged AS (
+             |  SELECT user_id,
+             |    min(CASE WHEN event_type = 'view' THEN ts END)
+             |      OVER (PARTITION BY user_id) AS t_view,
+             |    ts, event_type
+             |  FROM events),
+             |staged2 AS (
+             |  SELECT user_id, t_view,
+             |    min(CASE WHEN event_type = 'click' AND ts > t_view THEN ts END)
+             |      OVER (PARTITION BY user_id) AS t_click,
+             |    ts, event_type
+             |  FROM staged),
+             |staged3 AS (
+             |  SELECT user_id, t_view, t_click,
+             |    min(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END)
+             |      OVER (PARTITION BY user_id) AS t_purchase
+             |  FROM staged2),
+             |per_user AS (
+             |  SELECT user_id, max(t_view) AS t_view, max(t_click) AS t_click,
+             |    max(t_purchase) AS t_purchase
+             |  FROM staged3 GROUP BY user_id)
+             |SELECT count(t_view) AS n_view, count(t_click) AS n_click,
+             |  count(t_purchase) AS n_purchase
+             |FROM per_user""".stripMargin))
   )
 }
