@@ -541,6 +541,29 @@ object QueriesCuration {
              |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
              |FROM input a JOIN input b ON a.vec_id < b.vec_id
              |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.9999
-             |ORDER BY id1, id2""".stripMargin))
+             |ORDER BY id1, id2""".stripMargin)),
+
+    // Fuzzy entity-resolution join: every customer-name pair within
+    // Levenshtein distance 1, via FastSS deletion-neighborhood blocking
+    // (candidate set provably complete for d=1, then levenshtein-verified).
+    // The oracle is the EXHAUSTIVE quadratic join — blocking must be
+    // invisible in the result. Subset by key mod so the oracle's pair
+    // count stays DuckDB-feasible at every SF.
+    "q_fuzzy_join" -> QueryDef(
+      (s, d) => {
+        val cust = Tables.customer(s, d)
+          .where(col("c_custkey") % 10 === 0)
+          .select(col("c_custkey"), col("c_name"))
+        graft.operators.FuzzyJoin.selfJoinDist1(cust, "c_custkey", "c_name")
+          .select(col("a_id"), col("b_id"), col("dist"))
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      Some("""WITH s AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 10 = 0)
+             |SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+             |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+             |FROM s a JOIN s b ON a.c_custkey < b.c_custkey
+             |WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
+             |  AND levenshtein(a.c_name, b.c_name) <= 1
+             |ORDER BY a_id, b_id""".stripMargin))
   )
 }
