@@ -112,6 +112,42 @@ object QueriesAdvanced {
              |  coalesce(with_orders, 0) AS with_orders,
              |  coalesce(without_orders, 0) AS without_orders
              |FROM w FULL OUTER JOIN wo ON w.c_mktsegment = wo.c_mktsegment
-             |ORDER BY c_mktsegment""".stripMargin))
+             |ORDER BY c_mktsegment""".stripMargin)),
+
+    // SCD2 history build: per-user click "state" changelog → versioned
+    // intervals, no-op updates collapsed. Open intervals take a sentinel
+    // valid_to (Long.MaxValue) so the compare has no nullable numerics.
+    "q_scd2_history" -> QueryDef(
+      (s, d) => {
+        val ch = Tables.events(s, d)
+          .where(col("event_type") === "click")
+          // parquet ts is TIMESTAMP(NANOS); DuckDB truncates to micros —
+          // compare in micros on both sides
+          .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts"),
+            floor(col("value") / 20).cast("long").as("state"))
+        graft.operators.Scd2.fromChangelog(ch, "user_id",
+            Seq("ts", "event_id"), Seq("state"))
+          .select(col("user_id"), col("state"), col("valid_from"),
+            coalesce(col("valid_to"), lit(Long.MaxValue)).as("valid_to"),
+            col("is_current").cast("long").as("is_current"))
+          .orderBy(col("user_id"), col("valid_from"))
+      },
+      Some("""WITH ch AS (
+             |  SELECT user_id, event_id, epoch_us(ts) AS ts,
+             |    CAST(floor(value / 20) AS BIGINT) AS state
+             |  FROM events WHERE event_type = 'click'),
+             |marked AS (
+             |  SELECT user_id, ts, state,
+             |    lag(state) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+             |  FROM ch),
+             |runs AS (
+             |  SELECT user_id, state, ts AS valid_from FROM marked
+             |  WHERE prev IS NULL OR prev <> state)
+             |SELECT user_id, state, valid_from,
+             |  coalesce(lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from),
+             |           9223372036854775807) AS valid_to,
+             |  CAST(lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) IS NULL
+             |       AS BIGINT) AS is_current
+             |FROM runs ORDER BY user_id, valid_from""".stripMargin))
   )
 }

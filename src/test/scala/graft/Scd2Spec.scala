@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Scd2
+
+class Scd2Spec extends SparkSpec {
+  import spark.implicits._
+
+  private val changelog = Seq(
+    // key, seq, state — user 1 flips A->B->B->A (the B->B is a no-op)
+    (1L, 10L, "A"), (1L, 20L, "B"), (1L, 30L, "B"), (1L, 40L, "A"),
+    // user 2 never changes
+    (2L, 15L, "X"), (2L, 25L, "X")
+  ).toDF("k", "seq", "state")
+
+  test("no-op updates collapse and intervals abut exactly") {
+    val h = Scd2.fromChangelog(changelog, "k", Seq("seq"), Seq("state"))
+      .orderBy($"k", $"valid_from").collect()
+    val rows = h.map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+      if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))
+    assert(rows.toSeq == Seq(
+      (1L, "A", 10L, 20L, false),
+      (1L, "B", 20L, 40L, false),   // 30 collapsed into the 20-version
+      (1L, "A", 40L, -1L, true),
+      (2L, "X", 15L, -1L, true)))   // 25 collapsed
+  }
+
+  test("asOf returns exactly the version live at the probe time") {
+    val h = Scd2.fromChangelog(changelog, "k", Seq("seq"), Seq("state"))
+    val at35 = Scd2.asOf(h, lit(35L)).select("k", "state").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(at35 == Set((1L, "B"), (2L, "X")))
+    val at9 = Scd2.asOf(h, lit(9L)).count()
+    assert(at9 == 0L) // before any version of key 1; key 2 starts at 15
+  }
+}
