@@ -107,6 +107,28 @@ object QueriesExtra {
       Some("""SELECT doc_id, CAST(strlen(text) AS BIGINT) AS byte_len, md5(text) AS content_md5,
              |  CAST(64 + strlen(text) % 1024 AS BIGINT) AS width,
              |  'application/pdf' AS media_type
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Scalar (uint8) quantization of the embedding corpus. The global
+    // range comes off the data (2-double driver literal); codes are pure
+    // row-local double arithmetic, IEEE-identical in DuckDB, so the gate
+    // is hash-exact. Recall/reconstruction accuracy is spec-gated
+    // (QuantizeSpec).
+    "q_quantize_embed" -> QueryDef(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val (mn, mx) = graft.operators.Quantize.scalarRange(e)
+        graft.operators.Quantize.quantize(e, "embedding", mn, mx)
+          .select(col("vec_id"), col("qvec"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH r AS (
+             |  SELECT CAST(min(list_aggregate(embedding, 'min')) AS DOUBLE) AS mn,
+             |         CAST(max(list_aggregate(embedding, 'max')) AS DOUBLE) AS mx
+             |  FROM embeddings)
+             |SELECT vec_id,
+             |  list_transform(embedding, x -> least(255, greatest(0,
+             |    CAST(floor((CAST(x AS DOUBLE) - mn) / (mx - mn) * 256.0) AS BIGINT)))) AS qvec
+             |FROM embeddings CROSS JOIN r ORDER BY vec_id""".stripMargin))
   )
 }
