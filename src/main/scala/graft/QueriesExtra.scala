@@ -112,23 +112,69 @@ object QueriesExtra {
     // Scalar (uint8) quantization of the embedding corpus. The global
     // range comes off the data (2-double driver literal); codes are pure
     // row-local double arithmetic, IEEE-identical in DuckDB, so the gate
-    // is hash-exact. Recall/reconstruction accuracy is spec-gated
-    // (QuantizeSpec).
+    // is hash-exact. The raw array<bigint> column is projected to
+    // (size, md5-of-joined) — the comparator can't sort/hash nested
+    // arrays (same convention as q_winnow). Recall/reconstruction
+    // accuracy is spec-gated (QuantizeSpec).
     "q_quantize_embed" -> QueryDef(
       (s, d) => {
         val e = Tables.embeddings(s, d)
         val (mn, mx) = graft.operators.Quantize.scalarRange(e)
         graft.operators.Quantize.quantize(e, "embedding", mn, mx)
-          .select(col("vec_id"), col("qvec"))
+          .select(col("vec_id"), size(col("qvec")).cast("long").as("n_codes"),
+            md5(array_join(col("qvec"), "|")).as("code_hash"))
           .orderBy(col("vec_id"))
       },
       Some("""WITH r AS (
              |  SELECT CAST(min(list_aggregate(embedding, 'min')) AS DOUBLE) AS mn,
              |         CAST(max(list_aggregate(embedding, 'max')) AS DOUBLE) AS mx
-             |  FROM embeddings)
-             |SELECT vec_id,
-             |  list_transform(embedding, x -> least(255, greatest(0,
-             |    CAST(floor((CAST(x AS DOUBLE) - mn) / (mx - mn) * 256.0) AS BIGINT)))) AS qvec
-             |FROM embeddings CROSS JOIN r ORDER BY vec_id""".stripMargin))
+             |  FROM embeddings),
+             |q AS (
+             |  SELECT vec_id,
+             |    list_transform(embedding, x -> least(255, greatest(0,
+             |      CAST(floor((CAST(x AS DOUBLE) - mn) / (mx - mn) * 256.0) AS BIGINT)))) AS qvec
+             |  FROM embeddings CROSS JOIN r)
+             |SELECT vec_id, CAST(len(qvec) AS BIGINT) AS n_codes,
+             |  md5(array_to_string(qvec, '|')) AS code_hash
+             |FROM q ORDER BY vec_id""".stripMargin)),
+
+    // Quantized-scan KNN: coarse top-k·c in the integer code domain, then
+    // full-precision rerank of the candidates. Every stage deterministic
+    // (integer qdist / rounded exact dist, id tiebreaks), so DuckDB
+    // replays the whole pipeline — quantize, code-L2, candidate cut,
+    // rerank — hash-exact. Recall vs exact KNN and code-column pruning
+    // are spec-gated (QuantizeSpec).
+    "q_knn_quantized" -> QueryDef(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val (mn, mx) = graft.operators.Quantize.scalarRange(e)
+        val codes = graft.operators.Quantize.quantize(e, "embedding", mn, mx)
+          .select(col("vec_id"), col("qvec"))
+        graft.operators.Quantize.topKQuantized(
+          codes, e, e.where(col("vec_id") === 0), mn, mx, k = 5, overfetch = 4)
+      },
+      Some("""WITH r AS (
+             |  SELECT CAST(min(list_aggregate(embedding, 'min')) AS DOUBLE) AS mn,
+             |         CAST(max(list_aggregate(embedding, 'max')) AS DOUBLE) AS mx
+             |  FROM embeddings),
+             |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+             |codes AS (
+             |  SELECT vec_id, list_transform(embedding, x -> least(255, greatest(0,
+             |    CAST(floor((CAST(x AS DOUBLE) - mn) / (mx - mn) * 256.0) AS BIGINT)))) AS qv
+             |  FROM embeddings CROSS JOIN r),
+             |qc AS (
+             |  SELECT list_transform(qe, x -> least(255, greatest(0,
+             |    CAST(floor((CAST(x AS DOUBLE) - mn) / (mx - mn) * 256.0) AS BIGINT)))) AS qqv
+             |  FROM q CROSS JOIN r),
+             |cand AS (
+             |  SELECT vec_id FROM (
+             |    SELECT c.vec_id,
+             |      list_sum(list_transform(range(1, len(qv) + 1),
+             |        i -> (qv[i] - qqv[i]) * (qv[i] - qqv[i]))) AS qdist
+             |    FROM codes c CROSS JOIN qc)
+             |  ORDER BY qdist, vec_id LIMIT 20)
+             |SELECT e.vec_id, round(list_distance(e.embedding::DOUBLE[], q.qe::DOUBLE[]), 4) AS dist
+             |FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q
+             |ORDER BY dist, vec_id LIMIT 5""".stripMargin))
   )
 }

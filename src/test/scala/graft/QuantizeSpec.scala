@@ -42,4 +42,52 @@ class QuantizeSpec extends SparkSpec {
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.9, s"mean recall $mean over ${queries.size} queries: $recalls")
   }
+
+  test("quantized-scan KNN with rerank keeps recall >= 0.95 vs exact") {
+    val (mn, mx) = Quantize.scalarRange(vecs)
+    val codes = Quantize.quantize(vecs, "embedding", mn, mx)
+      .select(col("vec_id"), col("qvec"))
+    val k = 10
+    val recalls = (0L until 8L).map { qid =>
+      val q = vecs.where(col("vec_id") === qid)
+      val exact = Knn.topK(vecs, q, Knn.L2, k)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val approx = Quantize.topKQuantized(codes, vecs, q, mn, mx, k, overfetch = 4)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      (exact intersect approx).size.toDouble / k
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.95, s"mean recall $mean: $recalls")
+  }
+
+  test("store coarse scan reads only the code column; rerank pushes id IN filter") {
+    val (mn, mx) = Quantize.scalarRange(vecs)
+    val dir = java.nio.file.Files.createTempDirectory("qstore").toString
+    Quantize.writeStore(vecs, dir, mn, mx)
+    val q = vecs.where(col("vec_id") === 0)
+
+    val coarse = Quantize.coarseCandidates(spark.read.parquet(dir), q, mn, mx, n = 40)
+    val coarsePlan = coarse.queryExecution.executedPlan.toString
+    // the corpus-wide scan must NOT deserialize the float column — that's
+    // the whole 4x-IO point of the codec
+    val readSchemas = "ReadSchema: [^\n]*".r.findAllIn(coarsePlan).toList
+    val corpusScans = readSchemas.filter(_.contains("qvec"))
+    assert(corpusScans.nonEmpty, coarsePlan.take(3000))
+    assert(corpusScans.forall(!_.contains("embedding")),
+      s"coarse scan reads float column: $corpusScans")
+
+    val candIds = coarse.collect().map(_.getLong(0))
+    val rerank = Quantize.rerankRead(spark.read.parquet(dir), q, candIds, k = 5)
+    val rerankPlan = rerank.queryExecution.executedPlan.toString
+    assert("PushedFilters: \\[[^\\]]*In\\(vec_id".r.findFirstIn(rerankPlan).nonEmpty,
+      rerankPlan.take(3000))
+
+    // store path end-to-end equals the inline quantized pipeline
+    val viaStore = Quantize.topKStore(spark, dir, q, mn, mx, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    val codes = Quantize.quantize(vecs, "embedding", mn, mx).select(col("vec_id"), col("qvec"))
+    val inline = Quantize.topKQuantized(codes, vecs, q, mn, mx, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    assert(viaStore == inline)
+  }
 }
