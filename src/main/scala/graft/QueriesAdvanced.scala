@@ -136,10 +136,16 @@ object QueriesAdvanced {
              |  SELECT user_id, event_id, epoch_us(ts) AS ts,
              |    CAST(floor(value / 20) AS BIGINT) AS state
              |  FROM events WHERE event_type = 'click'),
+             |dedup AS (
+             |  SELECT user_id, ts, state FROM (
+             |    SELECT user_id, ts, state,
+             |      lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+             |    FROM ch)
+             |  WHERE next_ts IS NULL OR next_ts <> ts),
              |marked AS (
              |  SELECT user_id, ts, state,
-             |    lag(state) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-             |  FROM ch),
+             |    lag(state) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+             |  FROM dedup),
              |runs AS (
              |  SELECT user_id, state, ts AS valid_from FROM marked
              |  WHERE prev IS NULL OR prev <> state)

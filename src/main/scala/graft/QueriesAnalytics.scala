@@ -283,18 +283,23 @@ object QueriesAnalytics {
              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
     // TPC-H Q22 shape: scalar subquery (global average) + NOT EXISTS.
-    // The 1-row average broadcasts (no shuffle on the probe side); the
-    // NOT EXISTS is a left-anti join on the order keys.
+    // The 1-row aggregate broadcasts (no shuffle on the probe side); the
+    // NOT EXISTS is a left-anti join on the order keys. The
+    // above-average test is the division-free bal·cnt > sum form over
+    // DECIMAL(18,2) — decimal sums are order-independent exact, so the
+    // threshold cannot land on a float rounding boundary that differs
+    // between Spark's partial-agg summation order and DuckDB's.
     "q22_idle_customers" -> QueryDef(
       (s, d) => {
         val cust = Tables.customer(s, d)
           .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
-        val avgBal = cust.where(col("c_acctbal") > 0)
-          .agg(round(avg(col("c_acctbal")), 6).as("avg_bal"))
+        val balStats = cust.where(col("c_acctbal") > 0)
+          .agg(sum(col("c_acctbal").cast("decimal(18,2)")).as("sum_bal"),
+            count(lit(1)).as("cnt_bal"))
         val ord = Tables.orders(s, d)
           .where(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
-        cust.crossJoin(broadcast(avgBal))
-          .where(col("c_acctbal") > col("avg_bal"))
+        cust.crossJoin(broadcast(balStats))
+          .where(col("c_acctbal").cast("decimal(18,2)") * col("cnt_bal") > col("sum_bal"))
           .join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
           .groupBy(col("c_nationkey"))
           .agg(count(lit(1)).cast("long").as("numcust"),
@@ -306,7 +311,9 @@ object QueriesAnalytics {
       Some("""SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, count(*) AS numcust,
              |  round(sum(c_acctbal), 2) AS totacctbal
              |FROM customer
-             |WHERE c_acctbal > (SELECT round(avg(c_acctbal), 6) FROM customer WHERE c_acctbal > 0)
+             |WHERE CAST(c_acctbal AS DECIMAL(18,2))
+             |      * (SELECT count(*) FROM customer WHERE c_acctbal > 0)
+             |    > (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer WHERE c_acctbal > 0)
              |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
              |                  AND o_orderpriority = '1-URGENT')
              |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),

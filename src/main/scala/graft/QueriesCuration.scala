@@ -554,7 +554,10 @@ object QueriesCuration {
         val cust = Tables.customer(s, d)
           .where(col("c_custkey") % 10 === 0)
           .select(col("c_custkey"), col("c_name"))
-        graft.operators.FuzzyJoin.selfJoinDist1(cust, "c_custkey", "c_name")
+        // maxBucket surfaced here (not buried in the operator default):
+        // its safe value scales with corpus size — raise with SF.
+        graft.operators.FuzzyJoin.selfJoinDist1(cust, "c_custkey", "c_name",
+            maxBucket = 100000)
           .select(col("a_id"), col("b_id"), col("dist"))
           .orderBy(col("a_id"), col("b_id"))
       },
@@ -564,6 +567,28 @@ object QueriesCuration {
              |FROM s a JOIN s b ON a.c_custkey < b.c_custkey
              |WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
              |  AND levenshtein(a.c_name, b.c_name) <= 1
+             |ORDER BY a_id, b_id""".stripMargin)),
+
+    // Distance-2 fuzzy join — FastSS with two-deletion neighborhoods,
+    // same exhaustive-quadratic oracle discipline (blocking must be
+    // invisible). Tighter key-mod subset: the d<=2 candidate space is
+    // larger and customer names share long common prefixes.
+    "q_fuzzy_join2" -> QueryDef(
+      (s, d) => {
+        val cust = Tables.customer(s, d)
+          .where(col("c_custkey") % 20 === 0)
+          .select(col("c_custkey"), col("c_name"))
+        graft.operators.FuzzyJoin.selfJoinDist2(cust, "c_custkey", "c_name",
+            maxBucket = 100000)
+          .select(col("a_id"), col("b_id"), col("dist"))
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      Some("""WITH s AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 20 = 0)
+             |SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+             |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+             |FROM s a JOIN s b ON a.c_custkey < b.c_custkey
+             |WHERE abs(length(a.c_name) - length(b.c_name)) <= 2
+             |  AND levenshtein(a.c_name, b.c_name) <= 2
              |ORDER BY a_id, b_id""".stripMargin))
   )
 }

@@ -1,81 +1,124 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Edit-distance self-join (fuzzy matching) for entity resolution over
   * short keys — names, titles, codes. Finds every pair of rows whose
-  * strings are within Levenshtein distance 1, without the quadratic
-  * all-pairs comparison.
+  * strings are within Levenshtein distance `maxDist` (1 or 2), without
+  * the quadratic all-pairs comparison.
   *
   * Blocking is the FastSS deletion neighborhood (Bocek et al. 2007):
-  * each string emits itself plus every single-character deletion. Two
-  * strings within edit distance 1 ALWAYS share a variant —
-  * substitution at i: both i-deletions are equal; insertion/deletion:
-  * the longer string's deletion equals the shorter string itself — so
-  * the candidate set is complete. Sharing a variant does NOT imply
-  * distance <= 1 (e.g. "ab"/"ba" share "b" at distance 2), so every
-  * candidate pair is verified with `levenshtein()` before it is
-  * returned. Verification also absolves xxhash64 bucket collisions.
+  * each string emits every variant reachable by up to `maxDist`
+  * character deletions (including itself). Two strings within edit
+  * distance k ALWAYS share a variant in their k-deletion neighborhoods
+  * — substitutions delete both sides' positions, insertions/deletions
+  * delete the longer side's — so the candidate set is complete. Sharing
+  * a variant does NOT imply closeness (e.g. "ab"/"ba" share "b" at
+  * distance 2), so every candidate pair is verified with
+  * `levenshtein()` before it is returned. Verification also absolves
+  * xxhash64 bucket collisions.
   *
-  * Scale design: the only shuffle is the variant-bucket self-join, and
-  * buckets are joined on a fixed-width xxhash64 of the variant (narrow
-  * shuffle keys, strings ride once per side). Amplification is
-  * `length + 1` rows per input row — the reason this operator targets
-  * short key columns, not document bodies (near-dup text belongs to
-  * MinHash-LSH / SimHash in [[Dedup]]). A hot variant bucket (shared
-  * prefix/suffix boilerplate, very short strings) would produce B^2
-  * candidate pairs; `maxBucket` fails fast with a clear message instead
-  * of letting one bucket dominate the stage — same production guard as
-  * `Dedup.banded`, but erroring rather than dropping because dropping
-  * would silently lose true matches.
+  * Scale design: ONE shuffle builds the variant buckets (groupBy on a
+  * fixed-width xxhash64 of the variant — narrow keys, strings ride once
+  * per (row, variant)), and candidate pairs are expanded ROW-LOCALLY
+  * inside each bucket (`Σ|bucket|²` work, the SemDeDup cell pattern —
+  * `Dedup.semanticNearDup`), so the explode/bucket subtree is computed
+  * once, not once per join side. Amplification is the neighborhood
+  * size: `L+1` variants per row at d=1, `O(L²/2)` at d=2 — the reason
+  * this operator targets short key columns, not document bodies
+  * (near-dup text belongs to MinHash-LSH / SimHash in [[Dedup]]).
+  * A hot variant bucket (shared prefix/suffix boilerplate, very short
+  * strings) would produce B² candidate pairs; `maxBucket` fails fast
+  * with a clear message instead of letting one bucket dominate the
+  * stage — same production guard as `Dedup.banded`, but erroring rather
+  * than dropping because dropping would silently lose true matches.
+  * Its safe value scales with data volume: buckets grow with corpus
+  * size, so surface it from the query definition and raise it
+  * proportionally at larger SFs rather than treating 10k as universal.
   */
 object FuzzyJoin {
 
-  /** The deletion neighborhood as one row-local array column:
+  /** Single-deletion neighborhood as one row-local array column:
     * position i in 0..len-1 deletes character i+1; position len keeps
     * the string itself (the 0-deletion variant). */
-  private val neighborhoodSql =
+  private val d1Sql =
     "transform(sequence(0, length(__fz_s)), i -> " +
       "concat(substring(__fz_s, 1, i), substring(__fz_s, i + 2, 2147483646)))"
 
-  /** All pairs (a, b) with a.id < b.id and levenshtein <= 1.
+  /** Two-deletion variants: delete 1-based positions i < j. Guarded for
+    * len < 2 (Spark's `sequence(a, b)` runs DESCENDING when a > b, so an
+    * unguarded range would fabricate variants). */
+  private val d2Sql =
+    "CASE WHEN length(__fz_s) < 2 THEN array() " +
+      "ELSE flatten(transform(sequence(1, length(__fz_s) - 1), i -> " +
+      "transform(sequence(i + 1, length(__fz_s)), j -> " +
+      "concat(substring(__fz_s, 1, i - 1), substring(__fz_s, i + 1, j - i - 1), " +
+      "substring(__fz_s, j + 1, 2147483646))))) END"
+
+  private def neighborhoodSql(maxDist: Int): String = maxDist match {
+    case 1 => s"array_distinct($d1Sql)"
+    case 2 => s"array_distinct(concat($d1Sql, $d2Sql))"
+    case d => throw new IllegalArgumentException(
+      s"FuzzyJoin: maxDist=$d unsupported (1 or 2; larger neighborhoods explode combinatorially)")
+  }
+
+  /** All pairs (a, b) with a.id < b.id and levenshtein <= `maxDist`.
     * Output: `a_id, b_id, a_str, b_str, dist` — exact, ordered by the
     * caller if needed.
     *
     * @param maxBucket fail-fast ceiling on a single variant bucket
-    *                  (candidate pairs per bucket grow quadratically). */
-  def selfJoinDist1(df: DataFrame, idCol: String, strCol: String,
-                    maxBucket: Int = 10000): DataFrame = {
+    *                  (candidate pairs per bucket grow quadratically);
+    *                  scale with corpus size. */
+  def selfJoin(df: DataFrame, idCol: String, strCol: String, maxDist: Int,
+               maxBucket: Int = 10000): DataFrame = {
     val base = df.select(col(idCol).cast("long").as("__fz_id"), col(strCol).as("__fz_s"))
       .where(col("__fz_s").isNotNull)
     val exploded = base
       .select(col("__fz_id"), col("__fz_s"),
-        explode(expr(neighborhoodSql)).as("__fz_v"))
+        explode(expr(neighborhoodSql(maxDist))).as("__fz_v"))
       .select(col("__fz_id"), col("__fz_s"), xxhash64(col("__fz_v")).as("__fz_h"))
-    // bucket-size guard rides the same hash partitioning as the join —
-    // a window count adds a sort, not a second exchange. The guard is
-    // woven INTO the join key (not a side column) so column pruning can
-    // never optimize the check away.
-    val guarded = exploded
-      .withColumn("__fz_n", count(lit(1)).over(Window.partitionBy(col("__fz_h"))))
-      .select(col("__fz_id"), col("__fz_s"),
-        when(col("__fz_n") <= maxBucket, col("__fz_h"))
+    // one shuffle: variants → buckets. The size guard is woven into the
+    // rows column itself (not a side column) so pruning can never
+    // optimize the check away; >= 2 drops the (dominant) singleton mass
+    // before any pair work.
+    val buckets = exploded
+      .groupBy(col("__fz_h"))
+      .agg(collect_list(struct(col("__fz_id").as("id"), col("__fz_s").as("s"))).as("__rows"))
+      .where(size(col("__rows")) >= 2)
+      .select(
+        when(size(col("__rows")) <= maxBucket, col("__rows"))
           .otherwise(raise_error(
             lit(s"FuzzyJoin: variant bucket exceeds maxBucket=$maxBucket" +
               " — raise maxBucket or restrict the key column")))
-          .as("__fz_h"))
-    val a = guarded.select(col("__fz_h"),
-      col("__fz_id").as("a_id"), col("__fz_s").as("a_str"))
-    val b = guarded.select(col("__fz_h"),
-      col("__fz_id").as("b_id"), col("__fz_s").as("b_str"))
-    a.join(b, Seq("__fz_h"))
-      .where(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("a_str"), col("b_str"))
+          .as("__rows"))
+    // row-local i<j expansion within the bucket (bounded by maxBucket²)
+    val pairs = buckets
+      .select(explode(flatten(transform(col("__rows"), (x, i) =>
+        transform(slice(col("__rows"), i + lit(2), size(col("__rows"))), y =>
+          struct(x.getField("id").as("id1"), y.getField("id").as("id2"),
+            x.getField("s").as("s1"), y.getField("s").as("s2")))))).as("p"))
+      .select(when(col("p.id1") < col("p.id2"), col("p"))
+        .otherwise(struct(col("p.id2").as("id1"), col("p.id1").as("id2"),
+          col("p.s2").as("s1"), col("p.s1").as("s2"))).as("p"))
+      .select(col("p.id1").as("a_id"), col("p.id2").as("b_id"),
+        col("p.s1").as("a_str"), col("p.s2").as("b_str"))
+      .where(col("a_id") =!= col("b_id"))
+    pairs
       .distinct()
-      .where(abs(length(col("a_str")) - length(col("b_str"))) <= 1 &&
-        levenshtein(col("a_str"), col("b_str")) <= 1)
+      .where(abs(length(col("a_str")) - length(col("b_str"))) <= maxDist &&
+        levenshtein(col("a_str"), col("b_str")) <= maxDist)
       .withColumn("dist", levenshtein(col("a_str"), col("b_str")).cast("long"))
   }
+
+  /** Distance-1 fuzzy self-join (typo-level entity resolution). */
+  def selfJoinDist1(df: DataFrame, idCol: String, strCol: String,
+                    maxBucket: Int = 10000): DataFrame =
+    selfJoin(df, idCol, strCol, maxDist = 1, maxBucket)
+
+  /** Distance-2 fuzzy self-join — realistic typo distance; the
+    * neighborhood is O(L²/2) variants per row, so keep the key short. */
+  def selfJoinDist2(df: DataFrame, idCol: String, strCol: String,
+                    maxBucket: Int = 10000): DataFrame =
+    selfJoin(df, idCol, strCol, maxDist = 2, maxBucket)
 }

@@ -27,20 +27,33 @@ object Scd2 {
     * unique tiebreaker: exactly-once semantics need a total order);
     * `stateCols` are the tracked attributes. Output: key, stateCols,
     * `valid_from` (first ord col's value), `valid_to` (next version's
-    * valid_from, null while current), `is_current`. */
+    * valid_from, null while current), `is_current`.
+    *
+    * Ties on the timeline column (`ordCols.head`): `valid_from` is that
+    * value, so two surviving changes sharing it would produce zero-width,
+    * ambiguously-ordered intervals. They are resolved BEFORE the run
+    * collapse by keeping only the change that is live at the end of the
+    * instant — the last by the full ord tuple; intermediate states within
+    * one instant were never observable. The dedupe is a `lead` over the
+    * same key-partitioned window as the collapse (not a
+    * (key, instant)-partitioned one), so the build stays one shuffle and
+    * `valid_from` comes out strictly increasing within each key. */
   def fromChangelog(changes: DataFrame, keyCol: String,
                     ordCols: Seq[String], stateCols: Seq[String]): DataFrame = {
     require(ordCols.nonEmpty && stateCols.nonEmpty, "Scd2: ordCols and stateCols required")
     val ord = ordCols.map(col)
     val w = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
     val state = struct(stateCols.map(col): _*)
-    val runs = changes
+    val deduped = changes
+      .withColumn("__next_ord", lead(col(ordCols.head), 1).over(w))
+      .where(col("__next_ord").isNull || col("__next_ord") =!= col(ordCols.head))
+      .drop("__next_ord")
+    val runs = deduped
       .withColumn("__prev_state", lag(state, 1).over(w))
       .where(col("__prev_state").isNull || col("__prev_state") =!= state)
       .withColumn("valid_from", col(ordCols.head))
-    val w2 = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
     runs
-      .withColumn("valid_to", lead(col("valid_from"), 1).over(w2))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
       .withColumn("is_current", col("valid_to").isNull)
       .select(col(keyCol) +: stateCols.map(col) :+
         col("valid_from") :+ col("valid_to") :+ col("is_current"): _*)

@@ -35,6 +35,55 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(blocked.contains((7L, 8L, 1L)))            // unicode-aware
   }
 
+  test("distance-2 blocking equals the exhaustive quadratic join") {
+    val rows = Seq[(Long, String)](
+      1L -> "kitten", 2L -> "sitten",   // 1 sub
+      3L -> "sittin",                   // 2 subs from kitten
+      4L -> "kien",                     // 2 deletions from kitten
+      5L -> "kittenxy",                 // 2 insertions
+      6L -> "ktiten",                   // transposition = dist 2 (in at d2)
+      7L -> "smitten",                  // dist 2 to kitten (sub+ins)
+      8L -> "zzzzzz",                   // far from everything
+      9L -> "a", 10L -> "", 11L -> "ab")
+    val blocked = FuzzyJoin.selfJoinDist2(rows.toDF("id", "s"), "id", "s")
+      .select("a_id", "b_id", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val df = rows.toDF("id", "s")
+    val exhaustive = df.toDF("a_id", "a_s")
+      .crossJoin(df.toDF("b_id", "b_s"))
+      .where($"a_id" < $"b_id" && levenshtein($"a_s", $"b_s") <= 2)
+      .select($"a_id", $"b_id", levenshtein($"a_s", $"b_s").cast("long").as("dist"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(exhaustive.nonEmpty)
+    assert(blocked == exhaustive)
+    assert(blocked.contains((1L, 6L, 2L)))    // transposition now found
+    assert(!blocked.exists(p => p._1 == 8L || p._2 == 8L))
+  }
+
+  test("d=2 neighborhood amplification is bounded by 1 + L + L(L-1)/2") {
+    // the guard that keeps the operator honest about its explode factor:
+    // per-row variants must never exceed the closed-form neighborhood size
+    val rows = Seq[(Long, String)](1L -> "abcdefgh", 2L -> "aaaa", 3L -> "x", 4L -> "")
+    val counts = rows.toDF("id", "s")
+      .select(col("id"), col("s"), expr(
+        """size(array_distinct(concat(
+          |  transform(sequence(0, length(s)), i ->
+          |    concat(substring(s, 1, i), substring(s, i + 2, 2147483646))),
+          |  CASE WHEN length(s) < 2 THEN array() ELSE
+          |    flatten(transform(sequence(1, length(s) - 1), i ->
+          |      transform(sequence(i + 1, length(s)), j ->
+          |        concat(substring(s, 1, i - 1), substring(s, i + 1, j - i - 1),
+          |          substring(s, j + 1, 2147483646))))) END)))""".stripMargin).as("n"))
+      .collect().map(r => (r.getString(1), r.getInt(2)))
+    counts.foreach { case (s, n) =>
+      val L = s.length.toLong
+      assert(n <= 1 + L + L * (L - 1) / 2, s"'$s' emitted $n variants")
+      assert(n >= 1)
+    }
+    // repeated chars dedupe below the bound: "aaaa" has exactly 3 variants
+    assert(counts.toMap.apply("aaaa") == 3) // aaaa, aaa, aa
+  }
+
   test("hot variant bucket fails fast instead of going quadratic") {
     // 60 single-char strings all share the "" deletion variant
     val hot = (1L to 60L).map(i => i -> ("x" + i % 9).take(1))

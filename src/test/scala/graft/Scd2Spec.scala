@@ -25,6 +25,28 @@ class Scd2Spec extends SparkSpec {
       (2L, "X", 15L, -1L, true)))   // 25 collapsed
   }
 
+  test("timeline ties resolve to the last change of the instant, no zero-width intervals") {
+    val ties = Seq(
+      // key, ts, tiebreak, state — two changes at ts=10 (X then Y): only Y
+      // was observable; ts=20 repeats Y (no-op after tie-dedupe)
+      (1L, 10L, 1L, "X"), (1L, 10L, 2L, "Y"), (1L, 20L, 3L, "Y"),
+      // ties that end where they started: A -> (B,A) at ts=30 = still A
+      (2L, 10L, 1L, "A"), (2L, 30L, 2L, "B"), (2L, 30L, 3L, "A")
+    ).toDF("k", "ts", "ev", "state")
+    val h = Scd2.fromChangelog(ties, "k", Seq("ts", "ev"), Seq("state"))
+      .orderBy($"k", $"valid_from").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))
+    assert(h.toSeq == Seq(
+      (1L, "Y", 10L, -1L, true),    // X@10 never observable; 20 collapsed
+      (2L, "A", 10L, -1L, true)))   // B@30 never observable -> pure no-op
+    // strictly increasing valid_from per key == no zero-width intervals
+    h.groupBy(_._1).foreach { case (_, vs) =>
+      val froms = vs.map(_._3).toSeq
+      assert(froms == froms.distinct.sorted)
+    }
+  }
+
   test("asOf returns exactly the version live at the probe time") {
     val h = Scd2.fromChangelog(changelog, "k", Seq("seq"), Seq("state"))
     val at35 = Scd2.asOf(h, lit(35L)).select("k", "state").collect()
