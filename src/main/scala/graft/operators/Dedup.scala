@@ -290,22 +290,25 @@ object Dedup {
     * interval stack needed. */
   def duplicatedSpanCoverage(docs: DataFrame, k: Int = 8, minDocs: Int = 2,
                              idCol: String = "doc_id", textCol: String = "text",
-                             scale: Int = 4): DataFrame = {
+                             scale: Int = 4, materialize: Boolean = true): DataFrame = {
     require(k >= 1, s"duplicatedSpanCoverage: k must be >= 1, got $k")
     require(minDocs >= 2, s"duplicatedSpanCoverage: minDocs must be >= 2, got $minDocs")
-    // materialized once (localCheckpoint, same convention as
-    // DedupIndex.searchIndex): the inventory feeds BOTH the df count and
-    // the semi-join probe side — left lazy, the corpus-token-sized
-    // split+hash pass would run twice. (Trade: the checkpoint stores the
-    // inventory, a few × the text size; drop it if storage-bound and
-    // recompute is cheaper on your cluster.)
-    val grams = docs
+    // The gram inventory feeds BOTH the df count and the semi-join probe
+    // side. `materialize = true` (default) checkpoints it once
+    // (localCheckpoint, same convention as DedupIndex.searchIndex) at the
+    // cost of storing the inventory — a few × the text size.
+    // `materialize = false` keeps the plan lazy: zero storage, but the
+    // corpus-token-sized split+hash pass executes twice (compute-vs-
+    // storage trade; pick per cluster). Results are identical either way
+    // (hash-asserted in DedupSpec) — the flag changes execution, not
+    // semantics.
+    val gramsPlan = docs
       .select(col(idCol), split(canonicalText(col(textCol)), " ").as("__w"))
       .where(size(col("__w")) >= k)
       .select(col(idCol), size(col("__w")).cast("long").as("__nw"),
         posexplode(transform(sequence(lit(0), size(col("__w")) - k),
           i => md5(concat_ws(" ", slice(col("__w"), i + 1, lit(k)))))).as(Seq("pos", "gh")))
-      .localCheckpoint(true)
+    val grams = if (materialize) gramsPlan.localCheckpoint(true) else gramsPlan
     val hot = grams.groupBy(col("gh"))
       .agg(countDistinct(col(idCol)).as("__df"))
       .where(col("__df") >= minDocs)

@@ -64,4 +64,79 @@ object Scd2 {
   def asOf(history: DataFrame, at: Column): DataFrame =
     history.where(col("valid_from") <= at &&
       (col("valid_to").isNull || col("valid_to") > at))
+
+  /** Bucketed history build — the hot-key SCALE variant of
+    * [[fromChangelog]], mirroring `AsOfJoin.asOfBucketed`.
+    *
+    * [[fromChangelog]]'s windows partition by key alone, so one
+    * pathological key's entire changelog serializes into a single task.
+    * Here the timeline column is additionally bucketed into `bucketSize`
+    * ranges and every window partitions by (key, bucket), splitting a hot
+    * key across `span/bucketSize` tasks. Cross-bucket correctness needs
+    * two bounded carries, both computed on per-(key, bucket) SUMMARIES
+    * (one row per non-empty bucket, so their windows are over bucket
+    * counts, not row counts):
+    *
+    *  - carry-IN: each bucket's first change compares against the LAST
+    *    state of the previous non-empty bucket (else a state continuing
+    *    across the boundary would fail to collapse);
+    *  - carry-FORWARD: each bucket's last version takes `valid_to` from
+    *    the FIRST `valid_from` of the next bucket that still has a
+    *    version after collapsing (skipping buckets that collapsed empty).
+    *
+    * Timeline ties never cross buckets (same instant ⇒ same bucket), so
+    * the per-bucket tie-dedupe is exact. Requires a numeric
+    * `ordCols.head` (epoch seconds/micros, sequence number) — same
+    * contract as `asOfBucketed`. Output is row-identical to
+    * [[fromChangelog]] (equality spec on a skewed changelog). */
+  def fromChangelogBucketed(changes: DataFrame, keyCol: String,
+                            ordCols: Seq[String], stateCols: Seq[String],
+                            bucketSize: Long): DataFrame = {
+    require(ordCols.nonEmpty && stateCols.nonEmpty, "Scd2: ordCols and stateCols required")
+    require(bucketSize > 0, s"Scd2: bucketSize must be positive, got $bucketSize")
+    val ord = ordCols.map(col)
+    val state = struct(stateCols.map(col): _*)
+    val base = changes.withColumn("__bucket",
+      floor(col(ordCols.head).cast("double") / lit(bucketSize.toDouble)).cast("long"))
+    val wkb = Window.partitionBy(col(keyCol), col("__bucket")).orderBy(ord: _*)
+
+    // per-bucket tie dedupe (last change of each instant wins; instants
+    // cannot straddle buckets)
+    val deduped = base
+      .withColumn("__next_ord", lead(col(ordCols.head), 1).over(wkb))
+      .where(col("__next_ord").isNull || col("__next_ord") =!= col(ordCols.head))
+      .drop("__next_ord")
+
+    // carry-IN: previous non-empty bucket's final state, via summaries
+    val summaries = deduped.groupBy(col(keyCol), col("__bucket"))
+      .agg(max(struct(ord :+ state.as("__st"): _*)).as("__m"))
+      .select(col(keyCol), col("__bucket"), col("__m.__st").as("__last_state"))
+    val cw = Window.partitionBy(col(keyCol)).orderBy(col("__bucket"))
+    val carries = summaries
+      .withColumn("__carry_state", lag(col("__last_state"), 1).over(cw))
+      .where(col("__carry_state").isNotNull)
+      .select(col(keyCol), col("__bucket"), col("__carry_state"))
+
+    // run collapse; the carry is the virtual previous row for a bucket's
+    // first change
+    val runs = deduped.join(carries, Seq(keyCol, "__bucket"), "left")
+      .withColumn("__prev_state", coalesce(lag(state, 1).over(wkb), col("__carry_state")))
+      .where(col("__prev_state").isNull || col("__prev_state") =!= state)
+      .withColumn("valid_from", col(ordCols.head))
+
+    // carry-FORWARD: the next surviving bucket's first valid_from closes
+    // each bucket's last interval (buckets that collapsed to nothing are
+    // skipped by construction — they are absent from the summaries)
+    val vsum = runs.groupBy(col(keyCol), col("__bucket"))
+      .agg(min(col("valid_from")).as("__first_from"))
+    val nexts = vsum
+      .withColumn("__next_from", lead(col("__first_from"), 1).over(cw))
+      .select(col(keyCol), col("__bucket"), col("__next_from"))
+    runs.join(nexts, Seq(keyCol, "__bucket"), "left")
+      .withColumn("valid_to",
+        coalesce(lead(col("valid_from"), 1).over(wkb), col("__next_from")))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col(keyCol) +: stateCols.map(col) :+
+        col("valid_from") :+ col("valid_to") :+ col("is_current"): _*)
+  }
 }

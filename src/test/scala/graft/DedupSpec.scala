@@ -105,6 +105,22 @@ class DedupSpec extends SparkSpec {
     val kept = Dedup.filterDuplicatedSpans(docs, maxRatio = 0.6, k = 3)
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L, 2L, 3L))          // the fully-duplicated pair drops
+    // materialize=false (recompute the gram inventory instead of
+    // checkpointing it) is an execution choice, not a semantic one
+    val lazyCov = Dedup.duplicatedSpanCoverage(docs, k = 3, materialize = false)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(lazyCov == cov)
+    // real-table hash equality between the two paths
+    val corpus = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    def digest(materialize: Boolean): String =
+      Dedup.duplicatedSpanCoverage(corpus, k = 8, materialize = materialize)
+        .orderBy(col("doc_id"))
+        .select(md5(concat_ws("|", col("doc_id"), col("n_words"),
+          col("dup_positions"), col("covered_tokens"), col("dup_ratio"))).as("h"))
+        .agg(md5(concat_ws("", collect_list(col("h")))).as("all"))
+        .head().getString(0)
+    assert(digest(materialize = true) == digest(materialize = false))
   }
 
   test("cutDuplicatedSpans removes exactly the covered words, keeps the rest in order") {

@@ -47,6 +47,32 @@ class Scd2Spec extends SparkSpec {
     }
   }
 
+  test("bucketed build equals the single-window build on a skewed changelog") {
+    // hot key 1: 400 changes over a wide ord range (split across many
+    // buckets at bucketSize=10), states repeat so runs collapse across
+    // bucket boundaries; plus tie instants and sparse keys
+    val hot = (0 until 400).map(i => (1L, i.toLong * 3, i.toLong, s"S${(i / 7) % 4}"))
+    val ties = Seq((2L, 50L, 1L, "A"), (2L, 50L, 2L, "B"), (2L, 90L, 3L, "B"),
+      (2L, 91L, 4L, "C"))
+    val sparse = Seq((3L, 5L, 1L, "X"), (3L, 500L, 2L, "X"), (3L, 900L, 3L, "Y"))
+    val changelog = (hot ++ ties ++ sparse).toDF("k", "ts", "ev", "state")
+      // shuffle input order: operators must not depend on it
+      .orderBy(hash($"k", $"ts", $"ev"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"k", $"valid_from").collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4))).toSeq
+    val plain = rows(Scd2.fromChangelog(changelog, "k", Seq("ts", "ev"), Seq("state")))
+    val bucketed = rows(Scd2.fromChangelogBucketed(
+      changelog, "k", Seq("ts", "ev"), Seq("state"), bucketSize = 10))
+    assert(plain.nonEmpty && bucketed == plain)
+    // and at a bucket size larger than the whole span (degenerates to one
+    // bucket = the plain path)
+    val oneBucket = rows(Scd2.fromChangelogBucketed(
+      changelog, "k", Seq("ts", "ev"), Seq("state"), bucketSize = 1000000))
+    assert(oneBucket == plain)
+  }
+
   test("asOf returns exactly the version live at the probe time") {
     val h = Scd2.fromChangelog(changelog, "k", Seq("seq"), Seq("state"))
     val at35 = Scd2.asOf(h, lit(35L)).select("k", "state").collect()
