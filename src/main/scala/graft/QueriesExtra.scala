@@ -48,6 +48,22 @@ object QueriesExtra {
       },
       None),
 
+    // IVF-SQ: quantized persisted IVF index — cell partition pruning ×
+    // code-column-only coarse scan × full-precision rerank. Approximate,
+    // rows-only; recall + plan shape are spec-gated (IvfStoreSpec).
+    "q_ann_ivf_sq" -> QueryDef(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val model = IvfIndex.train(e, k = 16, iters = 3)
+        val (mn, mx) = graft.operators.Quantize.scalarRange(e)
+        val dir = java.nio.file.Files.createTempDirectory("ivf_sq_q").toString
+        IvfIndex.writeIndexQuantized(e, model, dir, mn, mx)
+        val q = e.where(col("vec_id") < 4).select(col("vec_id").as("qid"), col("embedding"))
+        IvfIndex.searchIndexQuantized(s, dir, q, k = 3, nprobe = 4)
+          .orderBy(col("qid"), col("rn"))
+      },
+      None),
+
     // Winnowing (MOSS) fingerprints — native digest expression; oracle
     // replays the identical pipeline with DuckDB list comprehensions.
     "q_winnow" -> QueryDef(

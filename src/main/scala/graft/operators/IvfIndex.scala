@@ -237,10 +237,7 @@ object IvfIndex {
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
     val json = model.centroids.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
-    val p = new org.apache.hadoop.fs.Path(path, "_centroids.json")
-    val fs = p.getFileSystem(corpus.sparkSession.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(json.getBytes("UTF-8")) finally out.close()
+    writeSidecar(corpus.sparkSession, path, "_centroids.json", json)
   }
 
   /** Append new vectors to a persisted index: assign each to its cell
@@ -283,10 +280,7 @@ object IvfIndex {
   }
 
   def readModel(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
-    val p = new org.apache.hadoop.fs.Path(path, "_centroids.json")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(p)
-    val json = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    val json = readSidecar(spark, path, "_centroids.json")
     // minimal parser for [[d,d,...],...] written by writeIndex
     val rows = json.trim.stripPrefix("[").stripSuffix("]").split("\\],\\s*\\[")
       .map(_.stripPrefix("[").stripSuffix("]"))
@@ -333,5 +327,96 @@ object IvfIndex {
            queryIdCol: String = "qid", scale: Int = 4): DataFrame = {
     val assigned = corpus.select(col(idCol), col(embCol), cellOf(col(embCol), model).as("cell"))
     probeAndRerank(assigned, queries, model, k, nprobe, idCol, embCol, queryIdCol, scale)
+  }
+
+  /** Persist an IVF-SQ index: [[writeIndex]]'s cell-partitioned layout
+    * PLUS a uint8 code column per vector (faiss IVF-SQ8's on-disk shape).
+    * The two pruning levers compose at search time: partition pruning
+    * reads only the probed `nprobe/k` fraction of the files, and within
+    * them the coarse scoring pass reads only the code column — ¼ the
+    * bytes of the float column. The quantization range rides in a
+    * `_quantize.json` sidecar beside `_centroids.json`. */
+  def writeIndexQuantized(corpus: DataFrame, model: Model, path: String,
+                          mn: Double, mx: Double,
+                          idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
+    corpus.select(col(idCol), col(embCol),
+        Quantize.quantizeExpr(col(embCol), mn, mx).as("qvec"),
+        cellOf(col(embCol), model).as("cell"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    val json = model.centroids.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    writeSidecar(corpus.sparkSession, path, "_centroids.json", json)
+    writeSidecar(corpus.sparkSession, path, "_quantize.json", s"""{"mn":$mn,"mx":$mx}""")
+  }
+
+  /** (mn, mx) range from the `_quantize.json` sidecar. */
+  def readQuantRange(spark: org.apache.spark.sql.SparkSession, path: String): (Double, Double) = {
+    val json = readSidecar(spark, path, "_quantize.json")
+    val m = """"mn"\s*:\s*([-0-9.eE]+).*"mx"\s*:\s*([-0-9.eE]+)""".r.unanchored
+    json match {
+      case m(mn, mx) => (mn.toDouble, mx.toDouble)
+      case _ => throw new IllegalStateException(s"IvfIndex: malformed _quantize.json at $path")
+    }
+  }
+
+  /** Search a quantized index: static `cell IN` partition pruning, then a
+    * CODE-COLUMN-ONLY coarse pass (integer code-L2 per query, top
+    * `k·overfetch` by window), then a full-precision L2 rerank reading
+    * float vectors for the bounded candidate-id set via static `id IN`
+    * parquet pushdown. Output: `(qid, id, dist, rn)`, L2 ascending —
+    * the pgvector `<->` family, like `Quantize.topKStore`, but with the
+    * nprobe/k scan cut stacked on top of the 4× byte cut. */
+  def searchIndexQuantized(spark: org.apache.spark.sql.SparkSession, path: String,
+                           queries: DataFrame, k: Int, nprobe: Int, overfetch: Int = 4,
+                           idCol: String = "vec_id", embCol: String = "embedding",
+                           queryIdCol: String = "qid", scale: Int = 4): DataFrame = {
+    val model = readModel(spark, path)
+    val (mn, mx) = readQuantRange(spark, path)
+    val probedCells = queries
+      .select(explode(cellsOf(col(embCol), model, nprobe)).as("cell"))
+      .distinct().collect().map(_.getInt(0).asInstanceOf[Any])
+    val qSide = broadcast(queries.select(col(queryIdCol),
+      col(embCol).as("__qemb"),
+      Quantize.quantizeExpr(col(embCol), mn, mx).as("__qcodes")))
+    // coarse: probed cells × queries, scored in the integer code domain;
+    // the scan deserializes (id, qvec) only
+    val coarse = spark.read.parquet(path)
+      .where(col("cell").isin(probedCells: _*))
+      .select(col(idCol), col("qvec"))
+      .crossJoin(qSide)
+      .select(col(queryIdCol), col(idCol),
+        Quantize.codeL2Sq(col("qvec"), col("__qcodes")).as("__qdist"))
+    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("__qdist"), col(idCol))
+    val candIds = coarse.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k * overfetch)
+      .select(col(idCol)).distinct()
+      .collect().map(_.getLong(0))
+    // rerank: float column for candidate ids only, exact L2 per query
+    val rerank = spark.read.parquet(path)
+      .where(col("cell").isin(probedCells: _*) && col(idCol).isin(candIds: _*))
+      .select(col(idCol), col(embCol))
+      .crossJoin(qSide)
+      .select(col(queryIdCol), col(idCol),
+        round(VectorFunctions.l2Distance(col(embCol), col("__qemb")), scale).as("dist"))
+    val w2 = Window.partitionBy(col(queryIdCol)).orderBy(col("dist"), col(idCol))
+    rerank.withColumn("rn", row_number().over(w2))
+      .where(col("rn") <= k)
+      .select(col(queryIdCol), col(idCol), col("dist"), col("rn").cast("long").as("rn"))
+  }
+
+  private def writeSidecar(spark: org.apache.spark.sql.SparkSession, path: String,
+                           name: String, content: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, name)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readSidecar(spark: org.apache.spark.sql.SparkSession, path: String,
+                          name: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path, name)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), "UTF-8") finally in.close()
   }
 }

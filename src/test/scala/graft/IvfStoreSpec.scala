@@ -86,6 +86,60 @@ class IvfStoreSpec extends SparkSpec {
     assert(IvfIndex.needsRebuild(spark, path, maxSkew = 4.0))
   }
 
+  test("IVF-SQ index: coarse scan reads codes in probed cells only; recall holds; sidecars round-trip") {
+    import graft.operators.{Knn, Quantize}
+    val path = Files.createTempDirectory("ivf_sq").toString
+    val e = Tables.embeddings(spark, sfDir)
+    val model = IvfIndex.train(e, k = 16, iters = 3)
+    val (mn, mx) = Quantize.scalarRange(e)
+    IvfIndex.writeIndexQuantized(e, model, path, mn, mx)
+
+    // range sidecar round-trips
+    val (rmn, rmx) = IvfIndex.readQuantRange(spark, path)
+    assert(rmn == mn && rmx == mx)
+
+    // recall vs exact L2 KNN with generous probing
+    val k = 10
+    val recalls = (0L until 6L).map { qid =>
+      val exact = Knn.topK(e, e.where(col("vec_id") === qid), Knn.L2, k)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val q1 = e.where(col("vec_id") === qid)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      val approx = IvfIndex.searchIndexQuantized(spark, path, q1, k, nprobe = 12,
+          overfetch = 8)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      (exact intersect approx).size.toDouble / k
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"mean recall $mean: $recalls")
+
+    // full probe (nprobe = all cells, overfetch covering the corpus)
+    // degenerates to EXACT KNN — the index adds pruning, not error
+    val q0 = e.where(col("vec_id") === 0).select(col("vec_id").as("qid"), col("embedding"))
+    val full = IvfIndex.searchIndexQuantized(spark, path, q0, k = 5, nprobe = 16,
+        overfetch = 1000)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toList
+    val exact5 = Knn.topK(e, e.where(col("vec_id") === 0), Knn.L2, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    assert(full == exact5)
+
+    // plan shape of the coarse pass: partition filter on cell AND a read
+    // schema holding qvec but NOT embedding (both pruning levers at once)
+    val qside = broadcast(q0.select(col("qid"),
+      Quantize.quantizeExpr(col("embedding"), mn, mx).as("__qcodes")))
+    val coarse = spark.read.parquet(path)
+      .where(col("cell").isin(0, 1, 2))
+      .select(col("vec_id"), col("qvec"))
+      .crossJoin(qside)
+      .select(col("qid"), col("vec_id"),
+        Quantize.codeL2Sq(col("qvec"), col("__qcodes")).as("qd"))
+    val plan = coarse.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).nonEmpty, plan.take(2000))
+    val schemas = "ReadSchema: [^\n]*".r.findAllIn(plan).toList.filter(_.contains("qvec"))
+    assert(schemas.nonEmpty && schemas.forall(!_.contains("embedding")),
+      s"coarse scan deserializes the float column: $schemas")
+  }
+
   test("streaming dedup drops re-uploaded docs across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
