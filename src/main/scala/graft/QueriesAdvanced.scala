@@ -156,6 +156,52 @@ object QueriesAdvanced {
              |       AS BIGINT) AS is_current
              |FROM runs ORDER BY user_id, valid_from""".stripMargin)),
 
+    // Incremental SCD2 MERGE: build history on the first half of the
+    // changelog (global time split), fold the second half in with
+    // applyChanges — the daily-batch maintenance path. Under a time-split
+    // boundary the fold provably equals the full rebuild, so it shares
+    // the full-history oracle: the gate proves incremental == replay.
+    "q_scd2_apply" -> QueryDef(
+      (s, d) => {
+        val ch = Tables.events(s, d)
+          .where(col("event_type") === "click")
+          .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts"),
+            floor(col("value") / 20).cast("long").as("state"))
+        val r = ch.agg(min(col("ts")), max(col("ts"))).head()
+        val cutoff = (r.getLong(0) + r.getLong(1)) / 2
+        val h1 = graft.operators.Scd2.fromChangelog(
+          ch.where(col("ts") < cutoff), "user_id", Seq("ts", "event_id"), Seq("state"))
+        graft.operators.Scd2.applyChanges(h1, ch.where(col("ts") >= cutoff),
+            "user_id", Seq("ts", "event_id"), Seq("state"))
+          .select(col("user_id"), col("state"), col("valid_from"),
+            coalesce(col("valid_to"), lit(Long.MaxValue)).as("valid_to"),
+            col("is_current").cast("long").as("is_current"))
+          .orderBy(col("user_id"), col("valid_from"))
+      },
+      Some("""WITH ch AS (
+             |  SELECT user_id, event_id, epoch_us(ts) AS ts,
+             |    CAST(floor(value / 20) AS BIGINT) AS state
+             |  FROM events WHERE event_type = 'click'),
+             |dedup AS (
+             |  SELECT user_id, ts, state FROM (
+             |    SELECT user_id, ts, state,
+             |      lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+             |    FROM ch)
+             |  WHERE next_ts IS NULL OR next_ts <> ts),
+             |marked AS (
+             |  SELECT user_id, ts, state,
+             |    lag(state) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+             |  FROM dedup),
+             |runs AS (
+             |  SELECT user_id, state, ts AS valid_from FROM marked
+             |  WHERE prev IS NULL OR prev <> state)
+             |SELECT user_id, state, valid_from,
+             |  coalesce(lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from),
+             |           9223372036854775807) AS valid_to,
+             |  CAST(lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) IS NULL
+             |       AS BIGINT) AS is_current
+             |FROM runs ORDER BY user_id, valid_from""".stripMargin)),
+
     // Hot-key-safe SCD2: same history, built with (key, time-bucket)
     // windows + bounded carries (Scd2.fromChangelogBucketed). Output is
     // row-identical to q_scd2_history, so it shares that oracle — the

@@ -318,6 +318,76 @@ object QueriesAnalytics {
              |                  AND o_orderpriority = '1-URGENT')
              |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
 
+    // TPC-H Q21 shape: suppliers who were the ONLY delayed supplier on a
+    // multi-supplier order (delayed = shipped >90 days after the order
+    // date; the trimmed schema has no commit/receipt dates). The two
+    // correlated EXISTS/NOT-EXISTS decorrelate into ONE per-order
+    // aggregation (nsupp / ndelayed counts) joined back to the delayed
+    // rows — single shuffle on orderkey, then a broadcast-dim group-by.
+    "q21_waiting_suppliers" -> QueryDef(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .join(broadcast(Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_orderdate"))), // dim-sized at test SF; hash join at scale
+            col("l_orderkey") === col("o_orderkey"))
+          .withColumn("__delayed", col("l_shipdate") > date_add(col("o_orderdate"), 90))
+        val perOrder = li.groupBy(col("l_orderkey").as("__ok"))
+          .agg(countDistinct(col("l_suppkey")).as("nsupp"),
+            countDistinct(when(col("__delayed"), col("l_suppkey"))).as("ndelayed"))
+        val waiting = li.where(col("__delayed"))
+          .join(perOrder, col("l_orderkey") === col("__ok"))
+          .where(col("nsupp") > 1 && col("ndelayed") === 1)
+          .select(col("l_suppkey"), col("l_orderkey")).distinct()
+        waiting
+          .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_name"))
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+          .limit(20)
+      },
+      Some("""WITH li AS (
+             |  SELECT l_orderkey, l_suppkey,
+             |    l_shipdate > o_orderdate + INTERVAL 90 DAY AS delayed
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+             |per_order AS (
+             |  SELECT l_orderkey,
+             |    count(DISTINCT l_suppkey) AS nsupp,
+             |    count(DISTINCT CASE WHEN delayed THEN l_suppkey END) AS ndelayed
+             |  FROM li GROUP BY 1),
+             |waiting AS (
+             |  SELECT DISTINCT li.l_suppkey, li.l_orderkey
+             |  FROM li JOIN per_order USING (l_orderkey)
+             |  WHERE li.delayed AND nsupp > 1 AND ndelayed = 1)
+             |SELECT s_name, count(*) AS numwait
+             |FROM waiting JOIN supplier ON l_suppkey = s_suppkey
+             |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin)),
+
+    // Time-RANGE window frame: per-user rolling 1-hour event-value sum —
+    // rangeBetween on the event-time axis (not row counts), the moving-
+    // aggregate shape row-frame windows can't express. Sums in
+    // DECIMAL(18,6): range-frame sums are engine-exact only when the
+    // addition is order-independent.
+    "q_rolling_window" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, d)
+          .where(col("user_id") % 50 === 0)
+          .select(col("event_id"), col("user_id"), expr("ts div 1000").as("tsu"),
+            col("value").cast("decimal(18,6)").as("v"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("tsu"))
+          .rangeBetween(-3600000000L, 0)
+        ev.withColumn("rolling_1h", sum(col("v")).over(w).cast("decimal(28,6)"))
+          .select(col("event_id"), col("user_id"), col("tsu"), col("rolling_1h"))
+          .orderBy(col("user_id"), col("tsu"), col("event_id"))
+      },
+      Some("""SELECT event_id, user_id, epoch_us(ts) AS tsu,
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
+             |    PARTITION BY user_id ORDER BY epoch_us(ts)
+             |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+             |  AS DECIMAL(28,6)) AS rolling_1h
+             |FROM events WHERE user_id % 50 = 0
+             |ORDER BY user_id, tsu, event_id""".stripMargin)),
+
     // CUBE grouping sets: all 4 subtotal combinations in one pass
     // (Spark expands grouping sets before the single aggregation shuffle).
     "q_cube" -> QueryDef(

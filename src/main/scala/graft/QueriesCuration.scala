@@ -589,6 +589,78 @@ object QueriesCuration {
              |FROM s a JOIN s b ON a.c_custkey < b.c_custkey
              |WHERE abs(length(a.c_name) - length(b.c_name)) <= 2
              |  AND levenshtein(a.c_name, b.c_name) <= 2
-             |ORDER BY a_id, b_id""".stripMargin))
+             |ORDER BY a_id, b_id""".stripMargin)),
+
+    // Two-table record linkage: a "dirty feed" subset matched against a
+    // disjoint "reference" subset of customer names at distance <= 2 —
+    // the A-vs-B variant of the fuzzy join, same exhaustive oracle
+    // discipline (blocking invisible, no within-side pairs by shape).
+    "q_fuzzy_link" -> QueryDef(
+      (s, d) => {
+        val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
+        val dirty = cust.where(col("c_custkey") % 20 === 0)
+        val ref = cust.where(col("c_custkey") % 20 === 1)
+        graft.operators.FuzzyJoin.linkJoin(dirty, ref,
+            "c_custkey", "c_name", "c_custkey", "c_name",
+            maxDist = 2, maxBucket = 100000)
+          .select(col("a_id"), col("b_id"), col("dist"))
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      Some("""WITH a AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 20 = 0),
+             |b AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 20 = 1)
+             |SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+             |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+             |FROM a CROSS JOIN b
+             |WHERE abs(length(a.c_name) - length(b.c_name)) <= 2
+             |  AND levenshtein(a.c_name, b.c_name) <= 2
+             |ORDER BY a_id, b_id""".stripMargin)),
+
+    // PageRank (fixed-point integer) over the supplier→part bipartite
+    // graph — link-graph centrality as a curation signal. Every
+    // iteration is exact int64 arithmetic (floor division + exact sums),
+    // so DuckDB replays the full 3-iteration power method hash-exact via
+    // chained CTEs. Parts never link out ⇒ their whole mass is dangling,
+    // exercising the redistribution path on real data.
+    "q_pagerank" -> QueryDef(
+      (s, d) => {
+        val e = Tables.lineitem(s, d).select(col("l_suppkey").cast("long").as("src"),
+          (col("l_partkey") + 1000000L).cast("long").as("dst"))
+        graft.operators.PageRank.ranks(e, iters = 3)
+          .orderBy(col("r").desc, col("node")).limit(100)
+      },
+      Some("""WITH e AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+             |                  CAST(1000000 + l_partkey AS BIGINT) AS dst FROM lineitem),
+             |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+             |p AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+             |o AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+             |r0 AS (SELECT node, (SELECT 1000000000000 // n FROM p) AS r FROM nodes),
+             |i1 AS (
+             |  SELECT nd.node, (SELECT (15 * 1000000000000) // (100 * n) FROM p)
+             |    + (85 * (coalesce(inf.s, 0)
+             |      + (SELECT (SELECT CAST(coalesce(sum(pr.r), 0) AS BIGINT) FROM r0 pr
+             |                 WHERE pr.node NOT IN (SELECT src FROM e)) // n FROM p))) // 100 AS r
+             |  FROM nodes nd LEFT JOIN (
+             |    SELECT e.dst AS node, CAST(sum(pr.r // o.deg) AS BIGINT) AS s
+             |    FROM e JOIN r0 pr ON e.src = pr.node JOIN o ON o.src = e.src GROUP BY 1) inf
+             |    ON nd.node = inf.node),
+             |i2 AS (
+             |  SELECT nd.node, (SELECT (15 * 1000000000000) // (100 * n) FROM p)
+             |    + (85 * (coalesce(inf.s, 0)
+             |      + (SELECT (SELECT CAST(coalesce(sum(pr.r), 0) AS BIGINT) FROM i1 pr
+             |                 WHERE pr.node NOT IN (SELECT src FROM e)) // n FROM p))) // 100 AS r
+             |  FROM nodes nd LEFT JOIN (
+             |    SELECT e.dst AS node, CAST(sum(pr.r // o.deg) AS BIGINT) AS s
+             |    FROM e JOIN i1 pr ON e.src = pr.node JOIN o ON o.src = e.src GROUP BY 1) inf
+             |    ON nd.node = inf.node),
+             |i3 AS (
+             |  SELECT nd.node, (SELECT (15 * 1000000000000) // (100 * n) FROM p)
+             |    + (85 * (coalesce(inf.s, 0)
+             |      + (SELECT (SELECT CAST(coalesce(sum(pr.r), 0) AS BIGINT) FROM i2 pr
+             |                 WHERE pr.node NOT IN (SELECT src FROM e)) // n FROM p))) // 100 AS r
+             |  FROM nodes nd LEFT JOIN (
+             |    SELECT e.dst AS node, CAST(sum(pr.r // o.deg) AS BIGINT) AS s
+             |    FROM e JOIN i2 pr ON e.src = pr.node JOIN o ON o.src = e.src GROUP BY 1) inf
+             |    ON nd.node = inf.node)
+             |SELECT node, r FROM i3 ORDER BY r DESC, node LIMIT 100""".stripMargin))
   )
 }

@@ -64,6 +64,20 @@ object QueriesExtra {
       },
       None),
 
+    // Product quantization + ADC batch search — approximate, rows-only;
+    // ADC identity, determinism, and recall are spec-gated (PqSpec).
+    "q_ann_pq" -> QueryDef(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val model = graft.operators.ProductQuantizer.train(e, m = 16, ksub = 16, iters = 10)
+        val codes = e.select(col("vec_id"),
+          graft.operators.ProductQuantizer.encodeExpr(col("embedding"), model).as("pq_codes"))
+        val q = e.where(col("vec_id") < 4).select(col("vec_id").as("qid"), col("embedding"))
+        graft.operators.ProductQuantizer.topK(codes, e, q, model, k = 3, overfetch = 8)
+          .orderBy(col("qid"), col("rn"))
+      },
+      None),
+
     // Winnowing (MOSS) fingerprints — native digest expression; oracle
     // replays the identical pipeline with DuckDB list comprehensions.
     "q_winnow" -> QueryDef(

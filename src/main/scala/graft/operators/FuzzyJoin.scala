@@ -111,6 +111,54 @@ object FuzzyJoin {
       .withColumn("dist", levenshtein(col("a_str"), col("b_str")).cast("long"))
   }
 
+  /** Record linkage across TWO tables: all (a, b) pairs with
+    * `levenshtein(a.str, b.str) <= maxDist` — the A-vs-B variant of
+    * [[selfJoin]] (match a dirty feed against a clean reference, not a
+    * table against itself). Same FastSS blocking and same single
+    * groupBy-collect shuffle: both sides' variants land in one bucket
+    * frame tagged by side, pairs expand row-locally across the tag split
+    * only (|A-side|·|B-side| per bucket, never within a side).
+    * Output: `a_id, b_id, a_str, b_str, dist`. */
+  def linkJoin(left: DataFrame, right: DataFrame,
+               leftId: String, leftStr: String, rightId: String, rightStr: String,
+               maxDist: Int, maxBucket: Int = 10000): DataFrame = {
+    def sided(df: DataFrame, idCol: String, strCol: String, tag: Int): DataFrame = df
+      .select(col(idCol).cast("long").as("__fz_id"), col(strCol).as("__fz_s"),
+        lit(tag).as("__fz_t"))
+      .where(col("__fz_s").isNotNull)
+      .select(col("__fz_id"), col("__fz_s"), col("__fz_t"),
+        explode(expr(neighborhoodSql(maxDist))).as("__fz_v"))
+      .select(col("__fz_id"), col("__fz_s"), col("__fz_t"),
+        xxhash64(col("__fz_v")).as("__fz_h"))
+    val exploded = sided(left, leftId, leftStr, 0)
+      .unionByName(sided(right, rightId, rightStr, 1))
+    val buckets = exploded
+      .groupBy(col("__fz_h"))
+      .agg(
+        collect_list(when(col("__fz_t") === 0,
+          struct(col("__fz_id").as("id"), col("__fz_s").as("s")))).as("__as"),
+        collect_list(when(col("__fz_t") === 1,
+          struct(col("__fz_id").as("id"), col("__fz_s").as("s")))).as("__bs"))
+      .where(size(col("__as")) >= 1 && size(col("__bs")) >= 1)
+      .select(
+        when(size(col("__as")) + size(col("__bs")) <= maxBucket,
+          struct(col("__as"), col("__bs")))
+          .otherwise(raise_error(
+            lit(s"FuzzyJoin: variant bucket exceeds maxBucket=$maxBucket" +
+              " — raise maxBucket or restrict the key columns")))
+          .as("__ab"))
+    buckets
+      .select(explode(flatten(transform(col("__ab.__as"), x =>
+        transform(col("__ab.__bs"), y =>
+          struct(x.getField("id").as("a_id"), y.getField("id").as("b_id"),
+            x.getField("s").as("a_str"), y.getField("s").as("b_str")))))).as("p"))
+      .select(col("p.a_id"), col("p.b_id"), col("p.a_str"), col("p.b_str"))
+      .distinct()
+      .where(abs(length(col("a_str")) - length(col("b_str"))) <= maxDist &&
+        levenshtein(col("a_str"), col("b_str")) <= maxDist)
+      .withColumn("dist", levenshtein(col("a_str"), col("b_str")).cast("long"))
+  }
+
   /** Distance-1 fuzzy self-join (typo-level entity resolution). */
   def selfJoinDist1(df: DataFrame, idCol: String, strCol: String,
                     maxBucket: Int = 10000): DataFrame =

@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+/** Product quantization (Jégou et al. 2011, "Product Quantization for
+  * Nearest Neighbor Search") — the high-compression complement to the
+  * scalar codec in [[Quantize]]: the vector is split into `m` subspaces
+  * and each subvector is replaced by the id of its nearest codebook
+  * centroid, so a 64-dim float32 vector becomes `m` small integers
+  * (m=8, ksub=16 ⇒ 64× logical compression vs 4× for SQ8). Search uses
+  * ASYMMETRIC DISTANCE (ADC): the query stays full-precision; per query
+  * a tiny m×ksub table of exact subspace distances is computed ONCE and
+  * every corpus vector is scored by `m` table lookups — no float math
+  * on the corpus side at all.
+  *
+  * Scale design mirrors faiss: codebooks are trained DRIVER-LOCALLY on
+  * a deterministic hash-spread sample (same convention as the BPE merge
+  * loop, `Bpe.trainMerges` — the model is km·ksub·dsub doubles, the
+  * sample a few thousand rows; the corpus-sized work never leaves
+  * Spark). Encoding is row-local codegen ([[IvfIndex.NearestCentroidExpr]]
+  * per subspace over `slice`), ADC scoring is a row-local
+  * transform+aggregate over the broadcast per-query table — the only
+  * shuffle in [[topK]] is the per-query top-k window over pre-projected
+  * (qid, id, score) triples, and the decomposition identity
+  * Σⱼ‖qⱼ−cⱼ‖² = ‖q − concat(cⱼ)‖² (spec-pinned) makes ADC exactly the
+  * L2² to the reconstruction — approximation error comes only from
+  * quantization, never from scoring. */
+object ProductQuantizer {
+
+  /** `codebooks(j)(c)` = centroid `c` of subspace `j` (m × ksub × dsub). */
+  final case class Model(codebooks: Array[Array[Array[Double]]]) {
+    def m: Int = codebooks.length
+    def ksub: Int = codebooks.head.length
+    def dsub: Int = codebooks.head.head.length
+    def dim: Int = m * dsub
+    private[operators] def flat: Seq[Double] =
+      codebooks.flatMap(_.flatMap(_.toSeq)).toSeq
+  }
+
+  /** Deterministic driver-local Lloyd's per subspace over a hash-spread
+    * sample (md5-ordered — reproducible on any partitioning). Empty
+    * clusters keep their previous centroid. */
+  def train(corpus: DataFrame, m: Int, ksub: Int, iters: Int = 10,
+            idCol: String = "vec_id", embCol: String = "embedding",
+            sampleSize: Int = 4096): Model = {
+    require(m >= 1 && ksub >= 2, s"ProductQuantizer: bad m=$m ksub=$ksub")
+    val sample = corpus
+      .orderBy(md5(col(idCol).cast("string")), col(idCol)).limit(sampleSize)
+      .select(col(embCol).cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "ProductQuantizer: empty corpus")
+    val dim = sample.head.length
+    require(dim % m == 0, s"ProductQuantizer: dim $dim not divisible by m=$m")
+    require(sample.length >= ksub,
+      s"ProductQuantizer: sample ${sample.length} smaller than ksub=$ksub")
+    val dsub = dim / m
+    val codebooks = Array.tabulate(m) { j =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
+      var centroids = sub.take(ksub).map(_.clone())
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(ksub)(new Array[Double](dsub))
+        val counts = new Array[Long](ksub)
+        sub.foreach { v =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < ksub) {
+            var d = 0.0; var i = 0
+            while (i < dsub) { val x = v(i) - centroids(c)(i); d += x * x; i += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          var i = 0
+          while (i < dsub) { sums(best)(i) += v(i); i += 1 }
+          counts(best) += 1
+        }
+        centroids = Array.tabulate(ksub) { c =>
+          if (counts(c) == 0) centroids(c)
+          else sums(c).map(_ / counts(c))
+        }
+        it += 1
+      }
+      centroids
+    }
+    Model(codebooks)
+  }
+
+  /** `array<int>` of m codes — row-local argmin per subspace, codegen'd
+    * (one [[IvfIndex.NearestCentroidExpr]] over each `slice`). */
+  def encodeExpr(emb: Column, model: Model): Column =
+    array((0 until model.m).map { j =>
+      IvfIndex.cellOf(slice(emb, j * model.dsub + 1, model.dsub),
+        IvfIndex.Model(model.codebooks(j)))
+    }: _*)
+
+  /** Reconstruction: concatenated centroids of the codes. */
+  def decodeExpr(codes: Column, model: Model): Column = {
+    val flat = typedlit(model.flat)
+    val (ksub, dsub) = (model.ksub, model.dsub)
+    flatten(transform(codes, (c, j) =>
+      slice(flat, (j * ksub + c) * dsub + 1, lit(dsub))))
+  }
+
+  /** ADC score = Σⱼ table[j·ksub + codeⱼ]: m lookups per corpus row. */
+  def adcScoreExpr(codes: Column, table: Column, ksub: Int): Column =
+    aggregate(
+      transform(codes, (c, j) => element_at(table, j * ksub + c + 1)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Per-query subspace distance table, flattened to m·ksub doubles:
+    * `table(j·ksub + c)` = ‖qⱼ − codebooks(j)(c)‖². */
+  def queryTable(q: Array[Double], model: Model): Array[Double] = {
+    require(q.length == model.dim,
+      s"ProductQuantizer: query dim ${q.length} != model dim ${model.dim}")
+    val out = new Array[Double](model.m * model.ksub)
+    var j = 0
+    while (j < model.m) {
+      var c = 0
+      while (c < model.ksub) {
+        var d = 0.0; var i = 0
+        while (i < model.dsub) {
+          val x = q(j * model.dsub + i) - model.codebooks(j)(c)(i)
+          d += x * x; i += 1
+        }
+        out(j * model.ksub + c) = d
+        c += 1
+      }
+      j += 1
+    }
+    out
+  }
+
+  /** Batch top-k by ADC over pre-encoded codes, then full-precision L2
+    * rerank of the `k·overfetch` survivors. Queries are driver-collected
+    * by contract (broadcast-small, same as `Knn.topKBatch`); each rides
+    * with its own m·ksub table. The corpus-side coarse pass touches only
+    * (`idCol`, `codeCol`) — at 100 TB that is the whole point: the float
+    * column is read for candidate rows alone. Deterministic: ADC scores
+    * tie-break by id, rerank rounds + tie-breaks like the exact KNNs. */
+  def topK(codes: DataFrame, corpus: DataFrame, queries: DataFrame, model: Model,
+           k: Int, overfetch: Int = 4,
+           idCol: String = "vec_id", codeCol: String = "pq_codes",
+           embCol: String = "embedding", queryIdCol: String = "qid",
+           scale: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val qRows = queries
+      .select(col(queryIdCol).cast("long"), col(embCol).cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), queryTable(r.getSeq[Double](1).toArray, model).toSeq))
+    val qTables = broadcast(qRows.toSeq.toDF(queryIdCol, "__qtab"))
+    val scored = codes.select(col(idCol), col(codeCol))
+      .crossJoin(qTables)
+      .select(col(queryIdCol), col(idCol),
+        adcScoreExpr(col(codeCol), col("__qtab"), model.ksub).as("__adc"))
+    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("__adc"), col(idCol))
+    val cand = scored.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k * overfetch)
+      .select(col(queryIdCol), col(idCol))
+    val qEmb = broadcast(queries.select(col(queryIdCol).cast("long").as(queryIdCol),
+      col(embCol).as("__qemb")))
+    val rerank = corpus.join(broadcast(cand), Seq(idCol))
+      .join(qEmb, Seq(queryIdCol))
+      .select(col(queryIdCol), col(idCol),
+        round(VectorFunctions.l2Distance(col(embCol), col("__qemb")), scale).as("dist"))
+    val w2 = Window.partitionBy(col(queryIdCol)).orderBy(col("dist"), col(idCol))
+    rerank.withColumn("rn", row_number().over(w2))
+      .where(col("rn") <= k)
+      .select(col(queryIdCol), col(idCol), col("dist"), col("rn").cast("long").as("rn"))
+  }
+}

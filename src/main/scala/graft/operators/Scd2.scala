@@ -65,6 +65,51 @@ object Scd2 {
     history.where(col("valid_from") <= at &&
       (col("valid_to").isNull || col("valid_to") > at))
 
+  /** Incremental history maintenance: fold a batch of new changes into an
+    * existing [[fromChangelog]] history WITHOUT replaying the full
+    * changelog — the SCD2 MERGE step a daily pipeline runs.
+    *
+    * Only the keys present in `changes` are rebuilt: their versions are
+    * converted back to changes (a collapsed history is a lossless summary
+    * of the *observable* states), merged with the batch, and re-collapsed;
+    * untouched keys pass through an anti join untouched. At scale the
+    * rebuild windows over |affected history| + |batch| rows, never the
+    * full table, and with key-partitioned history storage the two joins
+    * prune to affected partitions.
+    *
+    * Contract (standard SCD2 append semantics): a key's new changes land
+    * at-or-after its last RAW change. A batch change at the exact instant
+    * of an existing version start wins the instant (the batch is the
+    * later knowledge — `__src` tiebreak, spec-pinned). True late
+    * arrivals — a change BETWEEN two historical raw changes of the same
+    * key — need the raw changelog and a [[fromChangelog]] rebuild: the
+    * collapsed history cannot distinguish `(t1,A),(t2,A)` from `(t1,A)`,
+    * but an interleaved insert `(t1.5,B)` makes the reversion at `t2`
+    * observable again. Under the contract (e.g. any global time-split
+    * batch boundary) the fold is EXACTLY `fromChangelog` of the combined
+    * changelog — that identity is the oracle gate (`q_scd2_apply`). */
+  def applyChanges(history: DataFrame, changes: DataFrame, keyCol: String,
+                   ordCols: Seq[String], stateCols: Seq[String]): DataFrame = {
+    require(ordCols.nonEmpty && stateCols.nonEmpty, "Scd2: ordCols and stateCols required")
+    val affected = changes.select(col(keyCol)).distinct()
+    val untouched = history.join(affected, Seq(keyCol), "left_anti")
+    val oldAsChanges = history.join(affected, Seq(keyCol), "left_semi")
+      .select(col(keyCol) +: stateCols.map(col) :+
+        col("valid_from").as("__ord") :+ lit(0).as("__src"): _*)
+    // batch ties collapse to the last change per instant (full ord tuple)
+    // BEFORE the merge, so the merged stream orders cleanly on
+    // (instant, source)
+    val w = Window.partitionBy(col(keyCol)).orderBy(ordCols.map(col): _*)
+    val newAsChanges = changes
+      .withColumn("__next_ord", lead(col(ordCols.head), 1).over(w))
+      .where(col("__next_ord").isNull || col("__next_ord") =!= col(ordCols.head))
+      .select(col(keyCol) +: stateCols.map(col) :+
+        col(ordCols.head).as("__ord") :+ lit(1).as("__src"): _*)
+    val rebuilt = fromChangelog(oldAsChanges.unionByName(newAsChanges),
+      keyCol, Seq("__ord", "__src"), stateCols)
+    untouched.unionByName(rebuilt)
+  }
+
   /** Bucketed history build — the hot-key SCALE variant of
     * [[fromChangelog]], mirroring `AsOfJoin.asOfBucketed`.
     *

@@ -84,6 +84,26 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(counts.toMap.apply("aaaa") == 3) // aaaa, aaa, aa
   }
 
+  test("two-table linkage equals the exhaustive cross join; no within-side pairs") {
+    val dirty = Seq[(Long, String)](
+      1L -> "kitten", 2L -> "sittin", 3L -> "zzz", 4L -> "mitten").toDF("id", "s")
+    val ref = Seq[(Long, String)](
+      10L -> "kitten", 11L -> "sitten", 12L -> "mittens", 13L -> "qqq").toDF("id", "s")
+    val linked = FuzzyJoin.linkJoin(dirty, ref, "id", "s", "id", "s", maxDist = 2)
+      .select("a_id", "b_id", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exhaustive = dirty.toDF("a_id", "a_s").crossJoin(ref.toDF("b_id", "b_s"))
+      .where(levenshtein($"a_s", $"b_s") <= 2)
+      .select($"a_id", $"b_id", levenshtein($"a_s", $"b_s").cast("long").as("dist"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(exhaustive.nonEmpty)
+    assert(linked == exhaustive)
+    // a-side ids only ever on the left, b-side only on the right
+    assert(linked.forall { case (a, b, _) => a < 10 && b >= 10 })
+    // kitten/mitten (both dirty-side, dist 1) must NOT pair
+    assert(!linked.exists(p => p._1 == 1L && p._2 == 4L))
+  }
+
   test("hot variant bucket fails fast instead of going quadratic") {
     // 60 single-char strings all share the "" deletion variant
     val hot = (1L to 60L).map(i => i -> ("x" + i % 9).take(1))

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Knn, ProductQuantizer => PQ}
+
+class PqSpec extends SparkSpec {
+
+  private lazy val vecs = Tables.embeddings(spark, sfDir)
+  private lazy val model = PQ.train(vecs, m = 16, ksub = 16, iters = 10)
+
+  test("codes are m ints in [0, ksub); training is deterministic") {
+    val codes = vecs.select(PQ.encodeExpr(col("embedding"), model).as("c"))
+    assert(codes.where(size(col("c")) =!= 16).count() == 0)
+    assert(codes.select(explode(col("c")).as("x"))
+      .where(col("x") < 0 || col("x") >= 16).count() == 0)
+    val again = PQ.train(vecs, m = 16, ksub = 16, iters = 10)
+    assert(again.codebooks.flatten.flatten.toSeq == model.codebooks.flatten.flatten.toSeq)
+  }
+
+  test("ADC score equals exact L2² to the reconstruction (decomposition identity)") {
+    val q = vecs.where(col("vec_id") === 3)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
+    val table = typedlit(PQ.queryTable(q, model).toSeq)
+    val checked = vecs.limit(50)
+      .select(col("vec_id"),
+        PQ.adcScoreExpr(PQ.encodeExpr(col("embedding"), model), table, model.ksub).as("adc"),
+        graft.functions.VectorFunctions.l2DistanceSq(
+          PQ.decodeExpr(PQ.encodeExpr(col("embedding"), model), model).cast("array<double>"),
+          typedlit(q.toSeq)).as("direct"))
+      .select(abs(col("adc") - col("direct")).as("err"))
+      .agg(max(col("err"))).head().getDouble(0)
+    assert(checked < 1e-9, s"max |adc - direct| = $checked")
+  }
+
+  test("PQ top-k with rerank keeps recall; covering overfetch degenerates to exact KNN") {
+    val codes = vecs.select(col("vec_id"), PQ.encodeExpr(col("embedding"), model).as("pq_codes"))
+    val k = 10
+    val queries = vecs.where(col("vec_id") < 6)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val approx = PQ.topK(codes, vecs, queries, model, k, overfetch = 8)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val recalls = (0L until 6L).map { qid =>
+      val exact = Knn.topK(vecs, vecs.where(col("vec_id") === qid), Knn.L2, k)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      (exact intersect approx(qid)).size.toDouble / k
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.85, s"mean recall $mean: $recalls")
+
+    // overfetch covering the whole corpus: rerank IS exact KNN
+    val q0 = vecs.where(col("vec_id") === 0).select(col("vec_id").as("qid"), col("embedding"))
+    val full = PQ.topK(codes, vecs, q0, model, k = 5, overfetch = 1000)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toList
+    val exact5 = Knn.topK(vecs, vecs.where(col("vec_id") === 0), Knn.L2, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    assert(full == exact5)
+  }
+}

@@ -73,6 +73,37 @@ class Scd2Spec extends SparkSpec {
     assert(oneBucket == plain)
   }
 
+  test("applyChanges folds a batch into the history == full rebuild of the combined changelog") {
+    val c1 = Seq(
+      (1L, 10L, 1L, "A"), (1L, 20L, 2L, "B"), (1L, 30L, 3L, "B"),  // trailing no-op
+      (2L, 15L, 4L, "X"),                                           // untouched key
+      (3L, 12L, 5L, "P"), (3L, 18L, 6L, "Q")
+    ).toDF("k", "ts", "ev", "state")
+    val c2 = Seq(
+      (1L, 40L, 7L, "A"),                    // state change after the split
+      (3L, 50L, 8L, "Q"), (3L, 60L, 9L, "R"), // no-op then change
+      (4L, 45L, 10L, "N")                     // brand-new key
+    ).toDF("k", "ts", "ev", "state")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"k", $"valid_from").collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4))).toSeq
+    val h1 = Scd2.fromChangelog(c1, "k", Seq("ts", "ev"), Seq("state"))
+    val folded = rows(Scd2.applyChanges(h1, c2, "k", Seq("ts", "ev"), Seq("state")))
+    val full = rows(Scd2.fromChangelog(c1.unionByName(c2), "k", Seq("ts", "ev"), Seq("state")))
+    assert(folded == full)
+    // untouched key 2 passes through current; new key 4 opens current
+    assert(folded.contains((2L, "X", 15L, -1L, true)))
+    assert(folded.contains((4L, "N", 45L, -1L, true)))
+
+    // batch change at the exact instant of an existing version start:
+    // the batch wins the instant (later knowledge)
+    val clash = Seq((1L, 20L, 11L, "Z")).toDF("k", "ts", "ev", "state")
+    val clashed = rows(Scd2.applyChanges(h1, clash, "k", Seq("ts", "ev"), Seq("state")))
+    assert(clashed.contains((1L, "Z", 20L, -1L, true)))
+    assert(!clashed.exists(v => v._1 == 1L && v._2 == "B"))
+  }
+
   test("asOf returns exactly the version live at the probe time") {
     val h = Scd2.fromChangelog(changelog, "k", Seq("seq"), Seq("state"))
     val at35 = Scd2.asOf(h, lit(35L)).select("k", "state").collect()
