@@ -362,6 +362,55 @@ object QueriesCuration {
              |  FROM documents)
              |ORDER BY "column"""".stripMargin)),
 
+    // ── snapshot drift monitor: first vs second time-half of the event
+    // stream, value histogram over [0,100)×20. The drift flag is the
+    // cross-multiplied integer relative test — no division, no floats —
+    // so the report gates hash-exact.
+    "q_drift" -> QueryDef(
+      (s, d) => {
+        val ev = Tables.events(s, d).select(expr("ts div 1000").as("tsu"), col("value"))
+        val r = ev.agg(min(col("tsu")), max(col("tsu"))).head()
+        val cutoff = (r.getLong(0) + r.getLong(1)) / 2
+        graft.operators.Drift.histogramDrift(
+            ev.where(col("tsu") < cutoff), ev.where(col("tsu") >= cutoff),
+            "value", lo = 0, hi = 100, buckets = 20, thresholdPct = 5)
+          .select(col("bucket"), col("n_a"), col("n_b"),
+            col("drifted").cast("long").as("drifted"))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH ev AS (SELECT epoch_us(ts) AS tsu, value FROM events),
+             |p AS (SELECT (min(tsu) + max(tsu)) // 2 AS cutoff FROM ev),
+             |bk AS (SELECT CASE WHEN value < 0 THEN -1
+             |              WHEN value >= 100 THEN 20
+             |              ELSE CAST(floor((CAST(value AS DOUBLE) - 0) / 5.0) AS BIGINT) END AS bucket,
+             |         tsu < (SELECT cutoff FROM p) AS is_a
+             |       FROM ev),
+             |ha AS (SELECT bucket, count(*) AS n_a FROM bk WHERE is_a GROUP BY 1),
+             |hb AS (SELECT bucket, count(*) AS n_b FROM bk WHERE NOT is_a GROUP BY 1),
+             |j AS (SELECT coalesce(ha.bucket, hb.bucket) AS bucket,
+             |        coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+             |      FROM ha FULL OUTER JOIN hb ON ha.bucket = hb.bucket),
+             |t AS (SELECT CAST((SELECT sum(n_a) FROM j) AS BIGINT) AS tot_a,
+             |             CAST((SELECT sum(n_b) FROM j) AS BIGINT) AS tot_b)
+             |SELECT bucket, n_a, n_b,
+             |  CAST(CASE WHEN n_a = 0 THEN n_b > 0
+             |       ELSE 100 * abs(n_a * tot_b - n_b * tot_a) > 5 * n_a * tot_b END
+             |  AS BIGINT) AS drifted
+             |FROM j CROSS JOIN t ORDER BY bucket""".stripMargin)),
+
+    // ── key-skew report before a big join/groupBy: top-10 heaviest
+    // order keys by customer with exact integer basis-point shares.
+    "q_key_skew" -> QueryDef(
+      (s, d) => graft.operators.Profile.keySkew(
+          Tables.orders(s, d), "o_custkey", topN = 10)
+        .select(col("key"), col("n"), col("total"), col("share_bp")),
+      Some("""WITH c AS (SELECT CAST(o_custkey AS VARCHAR) AS key, count(*) AS n
+             |          FROM orders GROUP BY 1),
+             |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+             |SELECT key, n, total, (n * 10000) // total AS share_bp
+             |FROM c CROSS JOIN t
+             |ORDER BY n DESC, key LIMIT 10""".stripMargin)),
+
     // ── Bloom-pruned ANTI join: incremental dedup of a new crawl
     // against the already-ingested corpus (a deterministic 60% sample
     // plays the "seen" set). Oracle = plain NOT IN.

@@ -404,6 +404,25 @@ object IvfIndex {
       .select(col(queryIdCol), col(idCol), col("dist"), col("rn").cast("long").as("rn"))
   }
 
+  /** Append new vectors to a quantized index: cells assigned under the
+    * existing centroids AND codes under the existing range — both read
+    * from the sidecars, so appended rows are scan-compatible with the
+    * original write. A value outside the trained [mn, mx] clamps to the
+    * edge code (the SQ8 contract); heavy drift is the same rebuild
+    * trigger as [[needsRebuild]]. Append-only, caller dedups ids — the
+    * [[appendIndex]] contract. */
+  def appendIndexQuantized(spark: org.apache.spark.sql.SparkSession, path: String,
+                           vectors: DataFrame,
+                           idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
+    val model = readModel(spark, path)
+    val (mn, mx) = readQuantRange(spark, path)
+    vectors.select(col(idCol), col(embCol),
+        Quantize.quantizeExpr(col(embCol), mn, mx).as("qvec"),
+        cellOf(col(embCol), model).as("cell"))
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(path)
+  }
+
   private def writeSidecar(spark: org.apache.spark.sql.SparkSession, path: String,
                            name: String, content: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path, name)

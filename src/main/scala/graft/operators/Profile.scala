@@ -34,4 +34,23 @@ object Profile {
           col("__top.v").as("top_value"), col("__top.cnt").as("top_count"))
     }.reduce(_ unionAll _)
   }
+
+  /** Key-skew report — the shuffle-health diagnostic to run BEFORE a big
+    * join/groupBy on `keyCol`: the `topN` heaviest keys with exact counts
+    * and integer basis-point shares (`n·10000 div total` — no float
+    * division, hash-exact cross-engine). A top key at thousands of basis
+    * points is the signal to reach for `SkewJoin`/salting/AQE skew
+    * handling. One map-side-combined groupBy + a `TakeOrderedAndProject`
+    * over key-cardinality-sized counts; the 1-row total broadcasts. */
+  def keySkew(df: DataFrame, keyCol: String, topN: Int = 10): DataFrame = {
+    require(topN >= 1, s"keySkew: topN must be >= 1, got $topN")
+    val counts = df.groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("key"), col("n"), col("total"),
+        expr("(n * 10000) div total").as("share_bp"))
+      .orderBy(col("n").desc, col("key"))
+      .limit(topN)
+  }
 }

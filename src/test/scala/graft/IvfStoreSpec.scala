@@ -140,6 +140,26 @@ class IvfStoreSpec extends SparkSpec {
       s"coarse scan deserializes the float column: $schemas")
   }
 
+  test("appendIndexQuantized: appended vectors found via the quantized path, codes consistent") {
+    import graft.operators.Quantize
+    val path = Files.createTempDirectory("ivf_sq_app").toString
+    val e = Tables.embeddings(spark, sfDir)
+    val model = IvfIndex.train(e, k = 8, iters = 2)
+    val (mn, mx) = Quantize.scalarRange(e)
+    IvfIndex.writeIndexQuantized(e.where(col("vec_id") >= 10), model, path, mn, mx)
+    val held = e.where(col("vec_id") < 10)
+    IvfIndex.appendIndexQuantized(spark, path, held)
+    // self-search: every appended vector is its own nearest at dist 0
+    val q = held.select(col("vec_id").as("qid"), col("embedding"))
+    val hits = IvfIndex.searchIndexQuantized(spark, path, q, k = 1, nprobe = 8)
+      .where(col("vec_id") === col("qid")).collect()
+    assert(hits.length == held.count() && hits.forall(_.getDouble(2) == 0.0))
+    // appended codes equal a fresh quantization under the sidecar range
+    val bad = spark.read.parquet(path)
+      .where(col("qvec") =!= Quantize.quantizeExpr(col("embedding"), mn, mx))
+    assert(bad.isEmpty)
+  }
+
   test("streaming dedup drops re-uploaded docs across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

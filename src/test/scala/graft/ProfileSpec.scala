@@ -40,4 +40,39 @@ class ProfileSpec extends SparkSpec {
     assert(r.getLong(1) == 2L && r.getLong(2) == 2L && r.getLong(3) == 0L)
     assert(r.isNullAt(4) && r.isNullAt(5))
   }
+
+  test("keySkew surfaces the hot key with exact basis points") {
+    val df = (Seq.fill(60)("hot") ++ Seq.fill(25)("warm") ++ (1 to 15).map(i => s"k$i"))
+      .toDF("k")
+    val top = Profile.keySkew(df, "k", topN = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    assert(top.head == ("hot", 60L, 6000L))   // 60/100 = 6000 bp exactly
+    assert(top(1) == ("warm", 25L, 2500L))
+    assert(top(2)._2 == 1L)                   // singleton tail, key-tiebroken
+    assert(top(2)._1 == "k1")
+  }
+
+  test("histogramDrift: integer relative test flags moved and new buckets only") {
+    import graft.operators.Drift
+    // baseline: uniform 25/25/25/25 over [0,4); snapshot b doubles bucket
+    // 2's share, adds overflow mass, keeps buckets 0/1 at par (scaled 2x)
+    val a = ((0 until 25).map(_ => 0.5) ++ (0 until 25).map(_ => 1.5) ++
+      (0 until 25).map(_ => 2.5) ++ (0 until 25).map(_ => 3.5)).toDF("x")
+    val b = ((0 until 50).map(_ => 0.5) ++ (0 until 50).map(_ => 1.5) ++
+      (0 until 100).map(_ => 2.5) ++ (0 until 50).map(_ => 3.5) ++
+      (0 until 10).map(_ => 99.0)).toDF("x")
+    // shares: bucket 2 goes 25% -> 38.5% (+54% rel); buckets 0/1/3 go
+    // 25% -> 19.2% (-23% rel); overflow bucket appears from nothing
+    val rep = Drift.histogramDrift(a, b, "x", lo = 0, hi = 4, buckets = 4,
+        thresholdPct = 30)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(rep(0L) == (25L, 50L, false))   // -23% rel < 30% threshold
+    assert(rep(1L)._3 == false && rep(3L)._3 == false)
+    assert(rep(2L) == (25L, 100L, true))   // +54% rel share -> drifted
+    assert(rep(4L) == (0L, 10L, true))     // new overflow mass
+    // at a 20% threshold the -23% buckets flip too — exact boundary math
+    val strict = Drift.histogramDrift(a, b, "x", 0, 4, 4, thresholdPct = 20)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(strict(0L) && strict(1L) && strict(3L))
+  }
 }
