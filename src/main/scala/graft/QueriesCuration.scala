@@ -411,6 +411,36 @@ object QueriesCuration {
              |FROM c CROSS JOIN t
              |ORDER BY n DESC, key LIMIT 10""".stripMargin)),
 
+    // ── incremental aggregate (materialized-view) maintenance: fold the
+    // second time-half's summary into the first's — the result must be
+    // IDENTICAL to aggregating the whole table (decimal sums are order-
+    // independent), so the oracle is the direct one-shot aggregation.
+    "q_incr_agg" -> QueryDef(
+      (s, d) => {
+        import graft.operators.IncrementalAgg
+        val ev = Tables.events(s, d)
+          .select(col("event_type"), expr("ts div 1000").as("tsu"), col("value"))
+        val r = ev.agg(min(col("tsu")), max(col("tsu"))).head()
+        val cutoff = (r.getLong(0) + r.getLong(1)) / 2
+        val s1 = IncrementalAgg.summarize(ev.where(col("tsu") < cutoff),
+          Seq("event_type"), "value")
+        val s2 = IncrementalAgg.summarize(ev.where(col("tsu") >= cutoff),
+          Seq("event_type"), "value")
+        IncrementalAgg.withAverage(IncrementalAgg.fold(s1, s2, Seq("event_type")))
+          .select(col("event_type"), col("n"),
+            col("sum_v").cast("decimal(28,6)").as("sum_v"),
+            col("min_v"), col("max_v"), col("avg_v"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS sum_v,
+             |  min(CAST(value AS DECIMAL(18,6))) AS min_v,
+             |  max(CAST(value AS DECIMAL(18,6))) AS max_v,
+             |  CAST(round(sum(CAST(value AS DECIMAL(18,6))) / count(*), 6)
+             |       AS DECIMAL(28,6)) AS avg_v
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+
+    ,
     // ── Bloom-pruned ANTI join: incremental dedup of a new crawl
     // against the already-ingested corpus (a deterministic 60% sample
     // plays the "seen" set). Oracle = plain NOT IN.

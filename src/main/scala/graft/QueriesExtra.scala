@@ -64,6 +64,20 @@ object QueriesExtra {
       },
       None),
 
+    // Large-x-large KNN JOIN: every left vector gets its top-k right
+    // neighbors, neither side broadcast (cell-blocked shuffle join).
+    // Approximate, rows-only; recall + plan are spec-gated (IvfStoreSpec).
+    "q_knn_join" -> QueryDef(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val model = IvfIndex.train(e, k = 16, iters = 3)
+        val left = e.where(col("vec_id") < 8).select(col("vec_id").as("qid"), col("embedding"))
+        val right = e.where(col("vec_id") >= 8)
+        IvfIndex.knnJoin(left, right, model, k = 3, nprobe = 6)
+          .orderBy(col("qid"), col("rn"))
+      },
+      None),
+
     // Product quantization + ADC batch search — approximate, rows-only;
     // ADC identity, determinism, and recall are spec-gated (PqSpec).
     "q_ann_pq" -> QueryDef(

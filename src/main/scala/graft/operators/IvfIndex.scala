@@ -329,6 +329,38 @@ object IvfIndex {
     probeAndRerank(assigned, queries, model, k, nprobe, idCol, embCol, queryIdCol, scale)
   }
 
+  /** Large-×-large approximate KNN JOIN: top-k right-side neighbors for
+    * EVERY left row, where BOTH sides are corpus-sized — the operator
+    * behind cross-corpus dedup and retrieval-pair mining. `Knn.topKBatch`
+    * broadcasts the query side and dies when queries are millions of
+    * rows; here neither side broadcasts: right rows land in their ONE
+    * nearest cell, left rows probe their `nprobe` nearest cells, and the
+    * match is a plain shuffle hash join on the integer cell id, followed
+    * by a per-left-row top-k window. A pair can meet at most once (the
+    * right row's cell is unique), so no dedup pass.
+    *
+    * Cost is Σ_cells |probesₗ(cell)|·|rowsᵣ(cell)| — the IVF-blocked
+    * quadratic, controlled by the quantizer's balance (k cells ⇒ ~N²·
+    * nprobe/k pairs); a skewed quantizer is exactly what
+    * [[needsRebuild]] flags, and AQE's skew-join handles residual hot
+    * cells at runtime. Recall is governed by nprobe like any IVF search
+    * (spec-gated vs the exact join). */
+  def knnJoin(left: DataFrame, right: DataFrame, model: Model, k: Int, nprobe: Int,
+              leftIdCol: String = "qid", rightIdCol: String = "vec_id",
+              embCol: String = "embedding", scale: Int = 4): DataFrame = {
+    val probes = left.select(col(leftIdCol), col(embCol).as("__lemb"),
+      explode(cellsOf(col(embCol), model, nprobe)).as("cell"))
+    val assigned = right.select(col(rightIdCol), col(embCol).as("__remb"),
+      cellOf(col(embCol), model).as("cell"))
+    val scored = probes.join(assigned, Seq("cell"))
+      .select(col(leftIdCol), col(rightIdCol),
+        round(VectorFunctions.cosineSimilarity(col("__lemb"), col("__remb")), scale).as("cos"))
+    val w = Window.partitionBy(col(leftIdCol)).orderBy(col("cos").desc, col(rightIdCol))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col(leftIdCol), col(rightIdCol), col("cos"), col("rn").cast("long").as("rn"))
+  }
+
   /** Persist an IVF-SQ index: [[writeIndex]]'s cell-partitioned layout
     * PLUS a uint8 code column per vector (faiss IVF-SQ8's on-disk shape).
     * The two pruning levers compose at search time: partition pruning

@@ -160,6 +160,33 @@ class IvfStoreSpec extends SparkSpec {
     assert(bad.isEmpty)
   }
 
+  test("knnJoin: large-x-large blocked join keeps recall vs the exact join; no broadcast of either side") {
+    val e = Tables.embeddings(spark, sfDir)
+    val left = e.where(col("vec_id") < 250).select(col("vec_id").as("qid"), col("embedding"))
+    val right = e.where(col("vec_id") >= 250)
+    val model = IvfIndex.train(e, k = 16, iters = 3)
+    val k = 5
+    val approx = IvfIndex.knnJoin(left, right, model, k, nprobe = 10)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    // exact join: brute-force per left row via the batch KNN (queries
+    // broadcast is fine at spec scale)
+    import graft.operators.Knn
+    val exact = Knn.topKBatch(right, left, Knn.Cosine, k)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val recalls = exact.keys.toSeq.map(q => (exact(q) intersect approx.getOrElse(q, Set())).size.toDouble / k)
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"mean recall $mean over ${recalls.size} left rows")
+    // every left row got k results (probing never starves a query)
+    assert(approx.values.forall(_.size == k))
+    // the match is a shuffle hash join on the cell id — neither corpus
+    // side is broadcast (that's the whole point vs topKBatch)
+    val plan = IvfIndex.knnJoin(left, right, model, k, nprobe = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
   test("streaming dedup drops re-uploaded docs across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
