@@ -160,6 +160,38 @@ object Perf {
       hhDf.groupBy("k").agg(count(lit(1)).as("cnt"))
         .where(col("cnt") >= 100000).count()
     }
+
+    // round-5 operator scale probes — quantized-scan KNN vs the float
+    // scan at the same corpus size, the IVF-blocked large-x-large KNN
+    // join, and fixed-point PageRank on a 1M-edge graph
+    import graft.operators.{IvfIndex, PageRank, Quantize}
+    val (qmn, qmx) = Quantize.scalarRange(emb)
+    val bigE200 = emb.crossJoin(spark.range(200))
+      .select((col("vec_id") + col("id") * 100000).as("vec_id"), col("embedding"))
+    val codes200 = bigE200.select(col("vec_id"),
+      Quantize.quantizeExpr(col("embedding"), qmn, qmx).as("qvec"))
+      .localCheckpoint(true) // pre-encoded store: probe the SCAN, not the encode
+    time("knnQuantized.200x (100k vectors, coarse int scan + rerank)") {
+      Quantize.topKQuantized(codes200, bigE200, emb.where(col("vec_id") === 0),
+        qmn, qmx, k = 5).count()
+    }
+    time("knnFloat.200x (same corpus, float scan)") {
+      graft.operators.Knn.topK(bigE200, emb.where(col("vec_id") === 0),
+        graft.operators.Knn.L2, 5).count()
+    }
+    time("knnJoin.10k x 10k (IVF-blocked quadratic)") {
+      val bigE20 = (0 until 20).map(i =>
+          emb.select((col("vec_id") + i * 100000).as("vec_id"), col("embedding")))
+        .reduce(_ unionAll _)
+      val model = IvfIndex.train(bigE20, k = 64, iters = 2)
+      val l = bigE20.select(col("vec_id").as("qid"), col("embedding"))
+      IvfIndex.knnJoin(l, bigE20, model, k = 5, nprobe = 4).count()
+    }
+    time("pagerank.1M edges (50k nodes, 3 iters, fixed-point)") {
+      val eg = spark.range(1000000).select(
+        (col("id") * 31 % 50000).as("src"), (col("id") * 57 % 50000 + 50000).as("dst"))
+      PageRank.ranks(eg, iters = 3).count()
+    }
     spark.stop()
   }
 }

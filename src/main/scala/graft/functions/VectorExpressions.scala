@@ -162,6 +162,72 @@ case class VecCosine(left: Expression, right: Expression) extends VectorKernel {
     copy(left = l, right = r)
 }
 
+/** Integer-lattice squared L2 over quantization-code arrays
+  * (`array<int|bigint>`) — the quantized coarse-scan kernel. Same fused
+  * single-pass shape as [[VecL2Sq]] but pure int64: no float math, no
+  * intermediate array (the `zip_with`+`aggregate` HOF formulation
+  * materializes the zipped array per row — measured 4× slower on a
+  * 100k-vector scan). Exact and engine-independent by construction. */
+case class VecCodeL2Sq(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vec_code_l2sq"
+
+  private def elemType(e: Expression): DataType = e.dataType match {
+    case ArrayType(t, _) => t
+    case t => t
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) | ArrayType(IntegerType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<int|bigint> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+
+  @inline private def get(a: ArrayData, isInt: Boolean, i: Int): Long =
+    if (isInt) a.getInt(i).toLong else a.getLong(i)
+
+  private def genGet(arr: String, e: Expression, i: String): String =
+    if (elemType(e) == IntegerType) s"(long) $arr.getInt($i)" else s"$arr.getLong($i)"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val ix = elemType(left) == IntegerType; val iy = elemType(right) == IntegerType
+    val n = x.numElements()
+    if (n != y.numElements()) throw new IllegalArgumentException(
+      s"$prettyName: code dimensions differ ($n vs ${y.numElements()})")
+    var acc = 0L; var i = 0
+    while (i < n) { val d = get(x, ix, i) - get(y, iy, i); acc += d * d; i += 1 }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc"); val d = ctx.freshName("d")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "$prettyName: code dimensions differ (" + $n + " vs " + $b.numElements() + ")");
+         |}
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $d = ${genGet(a, left, i)} - ${genGet(b, right, i)};
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object VectorExpressions {
   def vecDot(a: Column, b: Column): Column =
     ExpressionUtils.column(VecDot(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
@@ -169,4 +235,6 @@ object VectorExpressions {
     ExpressionUtils.column(VecL2Sq(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
   def vecCosineSim(a: Column, b: Column): Column =
     ExpressionUtils.column(VecCosine(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+  def vecCodeL2Sq(a: Column, b: Column): Column =
+    ExpressionUtils.column(VecCodeL2Sq(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }

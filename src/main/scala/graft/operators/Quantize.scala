@@ -50,12 +50,12 @@ object Quantize {
                outCol: String = "qvec"): DataFrame =
     vecs.withColumn(outCol, quantizeExpr(col(vecCol), mn, mx))
 
-  /** Squared L2 between two code arrays in the integer lattice — pure
-    * int64 `zip_with`/`aggregate` codegen, engine-independent (no float
-    * summation order to diverge on), and monotone in the dequantized L2
-    * (codes differ from dequantized values by a constant affine map). */
+  /** Squared L2 between two code arrays in the integer lattice — a fused
+    * native kernel (`VecCodeL2Sq`), engine-independent (pure int64, no
+    * float summation order to diverge on) and monotone in the dequantized
+    * L2 (codes differ from dequantized values by a constant affine map). */
   def codeL2Sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+    graft.functions.VectorExpressions.vecCodeL2Sq(a, b)
 
   /** KNN with a quantized coarse scan and a full-precision rerank — the
     * consumer that turns the uint8 codec into the 4×-IO lever: the
