@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Sqrt}
-import graft.functions.{MinHashSigExpr, VecCosine, VecDot, VecL2Sq, WordShinglesExpr}
+import graft.functions.{MinHashSigExpr, VecCodeL2Sq, VecCosine, VecDot, VecL2Sq, WordShinglesExpr}
 import graft.operators.SimHash.SimHashExpr
 
 /** SQL surface for graft's native expressions — a pgvector user's query
@@ -39,6 +39,7 @@ object GraftFunctions {
     arity("vec_l2sq", 2)(es => VecL2Sq(es(0), es(1))),
     arity("vec_l2", 2)(es => Sqrt(VecL2Sq(es(0), es(1)))),
     arity("vec_cosine_sim", 2)(es => VecCosine(es(0), es(1))),
+    arity("vec_code_l2sq", 2)(es => VecCodeL2Sq(es(0), es(1))),
     arity("vec_cosine_dist", 2)(es => org.apache.spark.sql.catalyst.expressions.Subtract(
       org.apache.spark.sql.catalyst.expressions.Literal(1.0), VecCosine(es(0), es(1)))),
     arity("word_shingles", 1)(es => WordShinglesExpr(es.head,

@@ -342,16 +342,19 @@ object Dedup {
     * higher-order-function rebuild (filter word indices not covered).
     * The rebuild never shuffles the corpus — intervals join back by id. */
   def cutDuplicatedSpans(docs: DataFrame, k: Int = 8, minDocs: Int = 2,
-                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                         idCol: String = "doc_id", textCol: String = "text",
+                         materialize: Boolean = true): DataFrame = {
     require(k >= 1, s"cutDuplicatedSpans: k must be >= 1, got $k")
     require(minDocs >= 2, s"cutDuplicatedSpans: minDocs must be >= 2, got $minDocs")
-    val grams = docs
+    val gramsPlan = docs
       .select(col(idCol), split(canonicalText(col(textCol)), " ").as("__w"))
       .where(size(col("__w")) >= k)
       .select(col(idCol),
         posexplode(transform(sequence(lit(0), size(col("__w")) - k),
           i => md5(concat_ws(" ", slice(col("__w"), i + 1, lit(k)))))).as(Seq("pos", "gh")))
-      .localCheckpoint(true) // feeds df count + probe side (see coverage op)
+    // feeds df count + probe side; same storage-vs-recompute trade as
+    // duplicatedSpanCoverage's materialize flag
+    val grams = if (materialize) gramsPlan.localCheckpoint(true) else gramsPlan
     val hot = grams.groupBy(col("gh"))
       .agg(countDistinct(col(idCol)).as("__df"))
       .where(col("__df") >= minDocs)

@@ -23,6 +23,9 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(spark.sql("SELECT simhash64(word_shingles('x y z w', 3)) h").head().getLong(0) ==
       spark.sql("SELECT simhash64(word_shingles('x y z w', 3)) h").head().getLong(0))
     assert(spark.sql("SELECT size(chunk_text('aaaaaaaa.bbbbbbbb', 10, 4)) n").head().getInt(0) == 2)
+    // quantized coarse-scan kernel: (3-1)^2 + (0-4)^2 = 20, exact int64
+    assert(spark.sql("SELECT vec_code_l2sq(array(3L, 0L), array(1L, 4L)) v")
+      .head().getLong(0) == 20L)
 
     // zvalue must equal the ZOrder.interleave column API everywhere —
     // they are separate trees (see zvalueExpr scaladoc), so pin them
