@@ -78,6 +78,24 @@ object QueriesExtra {
       },
       None),
 
+    // IVF-PQ: coarse cells + product codes over residuals, per-(query,
+    // cell) ADC tables, full-precision rerank. Approximate, rows-only;
+    // recall/identity/exact-degeneration are spec-gated (PqSpec).
+    "q_ann_ivfpq" -> QueryDef(
+      (s, d) => {
+        import graft.operators.{ProductQuantizer => PQ}
+        val e = Tables.embeddings(s, d)
+        val ivf = IvfIndex.train(e, k = 8, iters = 2)
+        val pq = PQ.trainResidual(e, ivf, m = 16, ksub = 16, iters = 10)
+        val cellCol = IvfIndex.cellOf(col("embedding"), ivf)
+        val codes = e.select(col("vec_id"), cellCol.as("cell"),
+          PQ.encodeExpr(PQ.residualExpr(col("embedding"), cellCol, ivf), pq).as("pq_codes"))
+        val q = e.where(col("vec_id") < 4).select(col("vec_id").as("qid"), col("embedding"))
+        PQ.topKIvf(codes, e, q, ivf, pq, k = 3, nprobe = 4, overfetch = 8)
+          .orderBy(col("qid"), col("rn"))
+      },
+      None),
+
     // Product quantization + ADC batch search — approximate, rows-only;
     // ADC identity, determinism, and recall are spec-gated (PqSpec).
     "q_ann_pq" -> QueryDef(

@@ -133,6 +133,81 @@ object ProductQuantizer {
     out
   }
 
+  /** Residual of each vector against its IVF cell centroid —
+    * `x − centroid(cell(x))` — the input space of IVF-PQ: residuals
+    * concentrate near the origin, so the SAME codebook budget quantizes
+    * them with far less error than raw vectors. Row-local (`zip_with`
+    * against the broadcast centroid matrix; centroid picked by
+    * `element_at` on the precomputed cell id). */
+  def residualExpr(emb: Column, cell: Column, ivf: IvfIndex.Model): Column = {
+    val ctrs = typedlit(ivf.centroids.map(_.toSeq).toSeq)
+    zip_with(emb.cast("array<double>"), element_at(ctrs, cell + 1), (x, c) => x - c)
+  }
+
+  /** Train PQ codebooks on IVF residuals (faiss IVFPQ's training step):
+    * assign the sample to cells, subtract centroids, train on what's
+    * left. */
+  def trainResidual(corpus: DataFrame, ivf: IvfIndex.Model, m: Int, ksub: Int,
+                    iters: Int = 10, idCol: String = "vec_id",
+                    embCol: String = "embedding", sampleSize: Int = 4096): Model = {
+    val resid = corpus.select(col(idCol),
+      residualExpr(col(embCol), IvfIndex.cellOf(col(embCol), ivf), ivf).as("__resid"))
+    train(resid, m, ksub, iters, idCol, "__resid", sampleSize)
+  }
+
+  /** IVF-PQ top-k: probe `nprobe` cells per query; inside each probed
+    * cell score rows by ADC against a PER-(query, cell) table built from
+    * the RESIDUAL query `q − centroid(cell)` (‖q−(c+recon)‖² =
+    * ‖(q−c)−recon‖², so the decomposition identity carries over to
+    * residual space); rerank the `k·overfetch` survivors at full
+    * precision. `codes` carries (idCol, cell, codeCol) — the persisted
+    * IVFPQ layout; query-side tables are |queries|·nprobe·m·ksub doubles,
+    * driver-built and broadcast (queries broadcast-small by contract).
+    * The corpus-side coarse pass is a hash join on the integer cell id +
+    * m table lookups per row — no float math, no broadcast of either
+    * corpus side. */
+  def topKIvf(codes: DataFrame, corpus: DataFrame, queries: DataFrame,
+              ivf: IvfIndex.Model, pq: Model, k: Int, nprobe: Int, overfetch: Int = 4,
+              idCol: String = "vec_id", codeCol: String = "pq_codes",
+              embCol: String = "embedding", queryIdCol: String = "qid",
+              scale: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val qRows = queries
+      .select(col(queryIdCol).cast("long"),
+        col(embCol).cast("array<double>"),
+        IvfIndex.cellsOf(col(embCol), ivf, nprobe))
+      .collect()
+      .flatMap { r =>
+        val qid = r.getLong(0)
+        val q = r.getSeq[Double](1).toArray
+        r.getSeq[Int](2).map { cell =>
+          val ctr = ivf.centroids(cell)
+          val resid = Array.tabulate(q.length)(i => q(i) - ctr(i))
+          (qid, cell, queryTable(resid, pq).toSeq)
+        }
+      }
+    val qTables = broadcast(qRows.toSeq.toDF(queryIdCol, "cell", "__qtab"))
+    val scored = codes.select(col(idCol), col("cell"), col(codeCol))
+      .join(qTables, Seq("cell"))
+      .select(col(queryIdCol), col(idCol),
+        adcScoreExpr(col(codeCol), col("__qtab"), pq.ksub).as("__adc"))
+    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("__adc"), col(idCol))
+    val cand = scored.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k * overfetch)
+      .select(col(queryIdCol), col(idCol))
+    val qEmb = broadcast(queries.select(col(queryIdCol).cast("long").as(queryIdCol),
+      col(embCol).as("__qemb")))
+    val rerank = corpus.join(broadcast(cand), Seq(idCol))
+      .join(qEmb, Seq(queryIdCol))
+      .select(col(queryIdCol), col(idCol),
+        round(VectorFunctions.l2Distance(col(embCol), col("__qemb")), scale).as("dist"))
+    val w2 = Window.partitionBy(col(queryIdCol)).orderBy(col("dist"), col(idCol))
+    rerank.withColumn("rn", row_number().over(w2))
+      .where(col("rn") <= k)
+      .select(col(queryIdCol), col(idCol), col("dist"), col("rn").cast("long").as("rn"))
+  }
+
   /** Batch top-k by ADC over pre-encoded codes, then full-precision L2
     * rerank of the `k·overfetch` survivors. Queries are driver-collected
     * by contract (broadcast-small, same as `Knn.topKBatch`); each rides
