@@ -139,6 +139,26 @@ object QueriesSearch {
              |SELECT test_id, train_id, round(hits/nt, 4) AS overlap FROM o
              |WHERE round(hits/nt, 4) >= 0.5 ORDER BY test_id, train_id""".stripMargin)),
 
+    // Semantic contamination (exact variant): test items that leaked
+    // into the train corpus sit at high cosine even when paraphrased
+    // past the n-gram scan above. Test = first 50 vectors, train = the
+    // full corpus, so the planted leaks are the self-pairs at cos 1.0
+    // plus any true near-neighbors. The IVF-blocked scale path is
+    // spec-gated against this exact output (DedupSpec).
+    "q_contamination_semantic" -> QueryDef(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        Dedup.semanticContamination(
+            e.where(col("vec_id") < 50), e, threshold = 0.9)
+          .orderBy(col("test_id"), col("train_id"))
+      },
+      Some("""SELECT t.vec_id AS test_id, c.vec_id AS train_id,
+             |  round(list_cosine_similarity(t.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS cos
+             |FROM (SELECT * FROM embeddings WHERE vec_id < 50) t
+             |CROSS JOIN embeddings c
+             |WHERE round(list_cosine_similarity(t.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) >= 0.9
+             |ORDER BY test_id, train_id""".stripMargin)),
+
     // Domain-mixture weighting: deterministic per-source sampling rates
     // (src0 80%, src1 40%, src2 10%, rest full) — one narrow CASE filter,
     // no join; the training-mix reweighting step at corpus scale.

@@ -237,6 +237,42 @@ object Dedup {
       col("p.e1"), col("p.e2"))
     .where(col("id1") =!= col("id2"))
 
+  /** Embedding-space test-set contamination — the SEMANTIC complement to
+    * [[crossContamination]]'s n-gram overlap: a test item leaked into
+    * the training corpus as a paraphrase shares few shingles but sits at
+    * high cosine. Exact variant: every (test, train) pair at
+    * `cos >= threshold`, test side broadcast (test sets are small by
+    * nature; the train corpus is scanned once, scored row-locally,
+    * never shuffled). For corpus-×-corpus scale use
+    * [[semanticContaminationBlocked]]. */
+  def semanticContamination(testEmb: DataFrame, trainEmb: DataFrame, threshold: Double,
+                            idCol: String = "vec_id", embCol: String = "embedding",
+                            scale: Int = 4): DataFrame = {
+    val t = broadcast(testEmb.select(col(idCol).as("test_id"), col(embCol).as("__temb")))
+    trainEmb.select(col(idCol).as("train_id"), col(embCol).as("__cemb"))
+      .crossJoin(t)
+      .select(col("test_id"), col("train_id"),
+        round(VectorFunctions.cosineSimilarity(col("__temb"), col("__cemb")), scale).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
+  /** IVF-cell-blocked semantic contamination for corpus-sized test sets:
+    * [[IvfIndex.knnJoin]] (neither side broadcast) + threshold filter.
+    * Approximate — recall governed by nprobe; spec-gated vs the exact
+    * variant. */
+  def semanticContaminationBlocked(testEmb: DataFrame, trainEmb: DataFrame,
+                                   model: IvfIndex.Model, threshold: Double,
+                                   k: Int = 5, nprobe: Int = 4,
+                                   idCol: String = "vec_id", embCol: String = "embedding",
+                                   scale: Int = 4): DataFrame =
+    IvfIndex.knnJoin(
+        testEmb.select(col(idCol).as("test_id"), col(embCol)),
+        trainEmb.select(col(idCol).as("train_id"), col(embCol)),
+        model, k, nprobe, leftIdCol = "test_id", rightIdCol = "train_id",
+        embCol = embCol, scale = scale)
+      .where(col("cos") >= threshold)
+      .select(col("test_id"), col("train_id"), col("cos"))
+
   /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
     * arXiv:2303.09540): score embedding cosine only WITHIN a coarse
     * k-means cell — the third blocking strategy beside random-hyperplane

@@ -144,6 +144,23 @@ class DedupSpec extends SparkSpec {
     assert(again.isEmpty)
   }
 
+  test("semantic contamination: blocked variant finds the planted leaks the exact scan reports") {
+    import graft.operators.IvfIndex
+    val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val test = e.where(col("vec_id") < 30)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("test_id", "train_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Dedup.semanticContamination(test, e, threshold = 0.9999))
+    // the planted leaks: every test vector is itself in train
+    assert((0L until 30L).map(i => (i, i)).toSet.subsetOf(exact))
+    val model = IvfIndex.train(e, k = 8, iters = 2)
+    val blocked = pairs(Dedup.semanticContaminationBlocked(test, e, model,
+      threshold = 0.9999, k = 3, nprobe = 8))
+    // full probing: identical pairs can never be lost (a vector's own
+    // cell is always its nearest), and precision is exact by construction
+    assert(blocked == exact, s"missing=${exact -- blocked} extra=${blocked -- exact}")
+  }
+
   test("semantic near-dup: cell-blocked pairs are verified-exact; identical pairs never lost") {
     import graft.operators.IvfIndex
     val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
