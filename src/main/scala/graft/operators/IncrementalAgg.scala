@@ -54,4 +54,30 @@ object IncrementalAgg {
   def withAverage(summary: DataFrame, scale: Int = 6): DataFrame =
     summary.withColumn("avg_v",
       round(col("sum_v") / col("n"), scale).cast(s"decimal(28,$scale)"))
+
+  /** Streaming materialized view, exactly-once: each micro-batch writes
+    * ITS OWN summary under `batch_id=N` with dynamic partition overwrite
+    * (a crash-replayed batch overwrites itself — `fold`ing into a single
+    * mutable summary would double-count on replay, which is why the
+    * store is per-batch), and [[readView]] folds the batch summaries at
+    * read time. The fold input is batches × group cardinality — summary-
+    * sized, not data-sized — and associativity (spec-pinned) makes the
+    * read-time fold equal the one-shot aggregation of everything
+    * ingested. */
+  def viewBatch(viewDir: String, keys: Seq[String], valueCol: String)(
+      batch: DataFrame, batchId: Long): Unit =
+    summarize(batch, keys, valueCol)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(viewDir)
+
+  /** Current state of a [[viewBatch]]-maintained view. */
+  def readView(spark: org.apache.spark.sql.SparkSession, viewDir: String,
+               keys: Seq[String]): DataFrame = {
+    val batches = spark.read.parquet(viewDir)
+    batches.groupBy(keys.map(col): _*)
+      .agg(sum(col("n")).as("n"), sum(col("sum_v")).as("sum_v"),
+        min(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"))
+  }
 }

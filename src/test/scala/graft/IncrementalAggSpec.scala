@@ -25,6 +25,29 @@ class IncrementalAggSpec extends SparkSpec {
     assert(rows(IncrementalAgg.fold(s1, empty, keys)) == rows(s1)) // identity
   }
 
+  test("streaming materialized view: per-batch summaries fold to the one-shot truth; replay converges") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("mview").toString
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Double)]
+    val q = input.toDF().toDF("k", "v").writeStream
+      .foreachBatch(IncrementalAgg.viewBatch(dir, keys, "v") _)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("mview_ckpt").toString)
+      .start()
+    try {
+      input.addData(("a", 1.5), ("b", 2.0)); q.processAllAvailable()
+      input.addData(("a", 3.25), ("c", -4.0)); q.processAllAvailable()
+      val view = rows(IncrementalAgg.readView(spark, dir, keys))
+      val truth = rows(IncrementalAgg.summarize(
+        Seq(("a", 1.5), ("b", 2.0), ("a", 3.25), ("c", -4.0)).toDF("k", "v"), keys, "v"))
+      assert(view == truth)
+      // crash replay: re-running a committed batch overwrites, not doubles
+      IncrementalAgg.viewBatch(dir, keys, "v")(
+        Seq(("a", 3.25), ("c", -4.0)).toDF("k", "v"), 1L)
+      assert(rows(IncrementalAgg.readView(spark, dir, keys)) == truth)
+    } finally q.stop()
+  }
+
   test("hierarchical merge (partials of partials) stays exact on real data") {
     val ev = Tables.events(spark, sfDir)
       .select(col("event_type").as("k"), col("value").as("v"))
