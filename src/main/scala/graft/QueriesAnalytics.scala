@@ -388,6 +388,64 @@ object QueriesAnalytics {
              |FROM events WHERE user_id % 50 = 0
              |ORDER BY user_id, tsu, event_id""".stripMargin)),
 
+    // TPC-H Q18 shape: large-volume orders via a HAVING-subquery
+    // (sum(l_quantity) > 250 per order) — decorrelates to one lineitem
+    // aggregation reused as both the filter and the reported sum.
+    "q18_large_orders" -> QueryDef(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val big = li.groupBy(col("l_orderkey"))
+          .agg(sum(col("l_quantity")).cast("long").as("total_qty"))
+          .where(col("total_qty") > 250)
+        big.join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            col("o_orderdate").cast("string").as("o_orderdate"),
+            round(col("o_totalprice"), 2).as("o_totalprice"), col("total_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(100)
+      },
+      Some("""SELECT c_name, c_custkey, o_orderkey,
+             |  CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+             |  round(o_totalprice, 2) AS o_totalprice, total_qty
+             |FROM (SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty
+             |      FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 250) big
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)),
+
+    // TPC-H Q19 shape: disjunctive OR-of-ANDs predicate across the
+    // part dim and the fact row (brand × size-range × quantity-range).
+    // The p_brand IN superset conjunct is pushable to both scans even
+    // though the full disjunction is join-dependent — the plan keeps the
+    // join a broadcast hash join with the residual OR as its condition.
+    "q19_disjunctive" -> QueryDef(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val p = broadcast(Tables.part(s, d)
+          .where(col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")))
+        li.join(p, col("l_partkey") === col("p_partkey"))
+          .where(
+            (col("p_brand") === "Brand#12" && col("p_size").between(1, 5)
+              && col("l_quantity").between(1, 11)) ||
+            (col("p_brand") === "Brand#23" && col("p_size").between(1, 10)
+              && col("l_quantity").between(10, 20)) ||
+            (col("p_brand") === "Brand#34" && col("p_size").between(1, 15)
+              && col("l_quantity").between(20, 30)))
+          .agg(coalesce(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2),
+            lit(0.0)).as("revenue"),
+            count(lit(1)).as("n_rows"))
+      },
+      Some("""SELECT coalesce(round(sum(l_extendedprice * (1 - l_discount)), 2), 0.0) AS revenue,
+             |  count(*) AS n_rows
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+             |       AND l_quantity BETWEEN 1 AND 11)
+             |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+             |       AND l_quantity BETWEEN 10 AND 20)
+             |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+             |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin)),
+
     // CUBE grouping sets: all 4 subtotal combinations in one pass
     // (Spark expands grouping sets before the single aggregation shuffle).
     "q_cube" -> QueryDef(
