@@ -79,11 +79,14 @@ object GraftFunctions {
   }
 }
 
-/** `spark.sql.extensions`-style injection. */
+/** `spark.sql.extensions`-style injection: the SQL function surface plus
+  * graft's optimizer rules (levenshtein length pre-filter). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, builder) =>
       e.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft", null, name), builder))
     }
+    e.injectOptimizerRule(_ => graft.plans.LevenshteinPrefilterRule)
+  }
 }
