@@ -259,6 +259,33 @@ object QueriesAnalytics {
              |  event_type, count(*) AS n, round(sum(value), 4) AS sum_value
              |FROM events GROUP BY 1, 2 ORDER BY hour_sec, event_type""".stripMargin)),
 
+    // HOPPING (sliding) windows in batch: 1h windows every 30min — each
+    // event lands in exactly 2 overlapping windows via a row-local
+    // 2-element sequence explode (windowLen/slide instances; Spark's
+    // streaming `window()` does the same expansion). Counts in
+    // overlapping windows double-count by design. DECIMAL sums keep the
+    // per-window aggregate engine-exact.
+    "q_events_hopping" -> QueryDef(
+      (s, d) => Tables.events(s, d)
+        .select(expr("ts div 1000000000").as("sec"),
+          col("value").cast("decimal(18,6)").as("v"))
+        .select(explode(expr(
+          "sequence((sec div 1800) * 1800 - 1800, (sec div 1800) * 1800, 1800)"))
+          .as("win_start"), col("v"))
+        .where(col("win_start") >= 0)
+        .groupBy(col("win_start"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("v")).cast("decimal(28,6)").as("sum_value"))
+        .orderBy(col("win_start")),
+      Some("""WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             |                  CAST(value AS DECIMAL(18,6)) AS v FROM events),
+             |w AS (SELECT unnest([ (sec // 1800) * 1800 - 1800,
+             |                      (sec // 1800) * 1800 ]) AS win_start, v FROM e)
+             |SELECT win_start, count(*) AS n,
+             |  CAST(sum(v) AS DECIMAL(28,6)) AS sum_value
+             |FROM w WHERE win_start >= 0
+             |GROUP BY 1 ORDER BY win_start""".stripMargin)),
+
     // TPC-H Q4 shape: correlated EXISTS with a non-equi condition — planned
     // as a left-semi join (equi key + join-time filter), so the fact side
     // shuffles once and lineitem never materializes per-order groups.

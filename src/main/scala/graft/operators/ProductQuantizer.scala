@@ -133,6 +133,33 @@ object ProductQuantizer {
     out
   }
 
+  /** Persist codebooks as a JSON sidecar (`_pq.json`, nested
+    * m×ksub×dsub arrays) next to an encoded-codes table — the same
+    * operational contract as `IvfIndex.writeIndex`'s `_centroids.json`:
+    * a search job on another cluster reads the model back without
+    * retraining. */
+  def writeModel(spark: org.apache.spark.sql.SparkSession, path: String, model: Model): Unit = {
+    val json = model.codebooks.map(_.map(_.mkString("[", ",", "]"))
+      .mkString("[", ",", "]")).mkString("[", ",", "]")
+    val p = new org.apache.hadoop.fs.Path(path, "_pq.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+
+  def readModel(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
+    val p = new org.apache.hadoop.fs.Path(path, "_pq.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val json = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    // minimal parser for the [[[d,…],…],…] writeModel emits
+    val subspaces = json.trim.stripPrefix("[").stripSuffix("]").split("\\]\\],\\s*\\[\\[")
+    Model(subspaces.map { sub =>
+      sub.stripPrefix("[[").stripSuffix("]]").split("\\],\\s*\\[")
+        .map(_.split(",").map(_.trim.toDouble))
+    })
+  }
+
   /** Residual of each vector against its IVF cell centroid —
     * `x − centroid(cell(x))` — the input space of IVF-PQ: residuals
     * concentrate near the origin, so the SAME codebook budget quantizes

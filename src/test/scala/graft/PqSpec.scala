@@ -17,6 +17,14 @@ class PqSpec extends SparkSpec {
     assert(again.codebooks.flatten.flatten.toSeq == model.codebooks.flatten.flatten.toSeq)
   }
 
+  test("model sidecar round-trips bit-exact") {
+    val dir = java.nio.file.Files.createTempDirectory("pq_model").toString
+    PQ.writeModel(spark, dir, model)
+    val back = PQ.readModel(spark, dir)
+    assert(back.m == model.m && back.ksub == model.ksub && back.dsub == model.dsub)
+    assert(back.codebooks.flatten.flatten.toSeq == model.codebooks.flatten.flatten.toSeq)
+  }
+
   test("ADC score equals exact L2² to the reconstruction (decomposition identity)") {
     val q = vecs.where(col("vec_id") === 3)
       .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
