@@ -398,6 +398,27 @@ object QueriesCuration {
              |  AS BIGINT) AS drifted
              |FROM j CROSS JOIN t ORDER BY bucket""".stripMargin)),
 
+    // ── exact outlier scan: events beyond 1.5σ of their event_type mean,
+    // flag computed in cross-multiplied fixed-point integers (no float
+    // mean/variance/sqrt) — DECIMAL(38) on Spark, HUGEINT in DuckDB,
+    // bit-identical either way.
+    "q_anomaly" -> QueryDef(
+      (s, d) => graft.operators.Drift.anomalies(
+          Tables.events(s, d), "event_type", "value", kNum = 3, kDen = 2)
+        .where(col("anomalous"))
+        .select(col("event_id"), col("event_type"), round(col("value"), 4).as("value"))
+        .orderBy(col("event_id")),
+      Some("""WITH e AS (SELECT event_id, event_type, value,
+             |             CAST(floor(value * 1000000) AS HUGEINT) AS x6 FROM events),
+             |m AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+             |        CAST(sum(x6) AS HUGEINT) AS s,
+             |        CAST(sum(x6 * x6) AS HUGEINT) AS ss
+             |      FROM e GROUP BY 1)
+             |SELECT event_id, event_type, round(value, 4) AS value
+             |FROM e JOIN m USING (event_type)
+             |WHERE 4 * (x6 * n - s) * (x6 * n - s) > 9 * (n * ss - s * s)
+             |ORDER BY event_id""".stripMargin)),
+
     // ── key-skew report before a big join/groupBy: top-10 heaviest
     // order keys by customer with exact integer basis-point shares.
     "q_key_skew" -> QueryDef(

@@ -41,6 +41,35 @@ object Drift {
     df.select(bucketExpr(col(colName), lo, hi, buckets).as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
 
+  /** Per-group outlier flags with an EXACT deviation test: row x of
+    * group g is anomalous when `|x − μ_g| > (kNum/kDen)·σ_g`, evaluated
+    * cross-multiplied in fixed-point integers —
+    * `kDen²·(x·n − Σx)² > kNum²·(n·Σx² − (Σx)²)` — so there is no float
+    * mean, no float variance, no sqrt, and the flag replays hash-exact
+    * in any engine. Values are scaled by 10⁶ and floored (both engines
+    * floor the same IEEE product identically); the squares live in
+    * DECIMAL(38,0) (Spark) / HUGEINT (DuckDB), exact to 10³⁸.
+    *
+    * Scale shape: one map-side-combined groupBy builds the per-group
+    * (n, Σx, Σx²) moments — group-cardinality-sized — broadcast back
+    * over the corpus for a row-local flag; the corpus shuffles never. */
+  def anomalies(df: DataFrame, groupCol: String, valueCol: String,
+                kNum: Int = 3, kDen: Int = 1): DataFrame = {
+    require(kNum >= 1 && kDen >= 1, s"Drift: bad sigma ratio $kNum/$kDen")
+    val x6 = floor(col(valueCol).cast("double") * 1e6).cast("decimal(38,0)")
+    val scaled = df.withColumn("__x6", x6)
+    val moments = scaled.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("__n"),
+        sum(col("__x6")).as("__s"),
+        sum(col("__x6") * col("__x6")).as("__ss"))
+    scaled.join(broadcast(moments), Seq(groupCol))
+      .withColumn("anomalous",
+        lit(kDen.toLong * kDen) * (col("__x6") * col("__n") - col("__s"))
+          * (col("__x6") * col("__n") - col("__s"))
+          > lit(kNum.toLong * kNum) * (col("__n") * col("__ss") - col("__s") * col("__s")))
+      .drop("__x6", "__n", "__s", "__ss")
+  }
+
   /** Per-bucket drift report between snapshots `a` (baseline) and `b`:
     * `(bucket, n_a, n_b, drifted)`, every bucket present in either side.
     * `drifted` is the exact cross-multiplied relative test above. */

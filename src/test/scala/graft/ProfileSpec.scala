@@ -52,6 +52,25 @@ class ProfileSpec extends SparkSpec {
     assert(top(2)._1 == "k1")
   }
 
+  test("anomalies: planted outliers flagged, inliers not, exactly at the sigma boundary") {
+    import graft.operators.Drift
+    // group g: 100 values at 10.0 plus one at 1000.0 — the plant is the
+    // only row beyond 3 sigma (a single extreme point dominates sigma,
+    // but its OWN deviation is ~sqrt(n) sigma >> 3)
+    val df = ((1 to 100).map(_ => ("g", 10.0)) :+ ("g", 1000.0)).toDF("k", "v")
+    val flagged = Drift.anomalies(df, "k", "v")
+      .where($"anomalous").select($"v").collect().map(_.getDouble(0)).toSeq
+    assert(flagged == Seq(1000.0))
+    // uniform group: nothing beyond 3 sigma
+    val uni = (1 to 100).map(i => ("u", i.toDouble)).toDF("k", "v")
+    assert(Drift.anomalies(uni, "k", "v").where($"anomalous").count() == 0)
+    // but at 1.5 sigma (kNum=3, kDen=2) the uniform tails flag — the
+    // exact boundary: |x-50.5| > 1.5*sigma(=28.866*1.5=43.3) -> x<=7, x>=94
+    val tails = Drift.anomalies(uni, "k", "v", kNum = 3, kDen = 2)
+      .where($"anomalous").select($"v").collect().map(_.getDouble(0)).toSet
+    assert(tails == ((1 to 7) ++ (94 to 100)).map(_.toDouble).toSet, tails.toSeq.sorted)
+  }
+
   test("histogramDrift: integer relative test flags moved and new buckets only") {
     import graft.operators.Drift
     // baseline: uniform 25/25/25/25 over [0,4); snapshot b doubles bucket
