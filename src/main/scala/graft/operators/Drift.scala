@@ -75,9 +75,19 @@ object Drift {
     * `drifted` is the exact cross-multiplied relative test above. */
   def histogramDrift(a: DataFrame, b: DataFrame, colName: String,
                      lo: Double, hi: Double, buckets: Int,
-                     thresholdPct: Int = 20): DataFrame = {
+                     thresholdPct: Int = 20): DataFrame =
+    histogramDriftVs(histogram(a, colName, lo, hi, buckets),
+      b, colName, lo, hi, buckets, thresholdPct)
+
+  /** [[histogramDrift]] against a PRE-COMPUTED baseline histogram
+    * (`(bucket, n)` as [[histogram]] emits) — the shape a streaming gate
+    * needs: the baseline is built once and reused per micro-batch
+    * instead of rescanning the reference corpus on every trigger. */
+  def histogramDriftVs(baseline: DataFrame, b: DataFrame, colName: String,
+                       lo: Double, hi: Double, buckets: Int,
+                       thresholdPct: Int = 20): DataFrame = {
     require(thresholdPct >= 1, s"Drift: thresholdPct must be >= 1, got $thresholdPct")
-    val ha = histogram(a, colName, lo, hi, buckets).withColumnRenamed("n", "n_a")
+    val ha = baseline.withColumnRenamed("n", "n_a")
     val hb = histogram(b, colName, lo, hi, buckets).withColumnRenamed("n", "n_b")
     val na = ha.agg(sum(col("n_a")).as("tot_a"))
     val nb = hb.agg(sum(col("n_b")).as("tot_b"))

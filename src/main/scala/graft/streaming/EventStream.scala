@@ -114,4 +114,30 @@ object EventStream {
           }
       }
   }
+
+  /** Streaming data-quality gate: per micro-batch, compare the batch's
+    * value histogram against a FIXED baseline (driver-collected once —
+    * k+2 longs, broadcast implicitly as literals) and write the
+    * per-bucket drift report under `batch_id=N` with dynamic overwrite —
+    * replays converge, and the report table doubles as a drift
+    * time-series. The circuit-breaker read (`anyDrift`) is
+    * batches×buckets-sized. Baseline totals never rescan the reference
+    * corpus: the whole per-trigger cost is one map-side-combined
+    * histogram over the batch. */
+  def driftGateBatch(baselineHist: Array[(Long, Long)], reportDir: String,
+                     colName: String, lo: Double, hi: Double, buckets: Int,
+                     thresholdPct: Int = 20)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val base = baselineHist.toSeq.toDF("bucket", "n")
+    graft.operators.Drift.histogramDriftVs(base, batch, colName, lo, hi, buckets,
+        thresholdPct)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(reportDir)
+  }
+
+  /** True when any batch in the report has a drifted bucket. */
+  def anyDrift(spark: org.apache.spark.sql.SparkSession, reportDir: String): Boolean =
+    spark.read.parquet(reportDir).where(col("drifted")).limit(1).count() > 0
 }

@@ -126,4 +126,33 @@ class StreamingAggSpec extends SparkSpec {
       assert(user1Rows == 2)
     } finally q.stop()
   }
+
+  test("streaming drift gate: in-distribution batches pass, a shifted batch trips the breaker") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val reportDir = java.nio.file.Files.createTempDirectory("drift_report").toString
+    // baseline: uniform over [0, 100) in 10 buckets
+    val baseline = graft.operators.Drift.histogram(
+      (0 until 1000).map(i => (i % 100).toDouble).toDF("value"), "value", 0, 100, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val input = MemoryStream[Double]
+    val q = input.toDF().toDF("value").writeStream
+      .foreachBatch(EventStream.driftGateBatch(baseline, reportDir, "value", 0, 100, 10) _)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("drift_ckpt").toString)
+      .start()
+    try {
+      input.addData((0 until 200).map(i => (i % 100).toDouble): _*)   // in-distribution
+      q.processAllAvailable()
+      assert(!EventStream.anyDrift(spark, reportDir))
+      input.addData((0 until 200).map(_ => 7.0): _*)                  // mass collapses to one bucket
+      q.processAllAvailable()
+      assert(EventStream.anyDrift(spark, reportDir))
+    } finally q.stop()
+    // replay convergence: re-running batch 0 leaves the report unchanged
+    val before = spark.read.parquet(reportDir).count()
+    EventStream.driftGateBatch(baseline, reportDir, "value", 0, 100, 10)(
+      (0 until 200).map(i => (i % 100).toDouble).toDF("value"), 0L)
+    assert(spark.read.parquet(reportDir).count() == before)
+  }
 }
