@@ -74,4 +74,34 @@ object Embedder {
       }
     }(enc)
   }
+
+  /** Sum-pool chunk embeddings to parent-document vectors — the
+    * chunk→document aggregation a doc-level retrieval index needs on top
+    * of the reference's per-chunk store. Exploded form: one
+    * map-side-combined groupBy on (doc, dim); sums run in DECIMAL so the
+    * pool is order-independent exact (sum-pool ∝ mean-pool at fixed
+    * chunk count; L2 normalization downstream cancels the factor
+    * anyway, and a float mean would not hash-gate cross-engine). */
+  def poolToDocuments(chunks: DataFrame, docCol: String,
+                      embCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    chunks
+      .select(col(docCol), posexplode(col(embCol)).as(Seq("dim", "__v")))
+      .groupBy(col(docCol), col("dim"))
+      // round the DOUBLE value before decimal-izing: float→decimal cast
+      // paths differ between engines at 1 ulp (shortest-repr vs widened),
+      // while round(double, 6) is the same half-up on the same double
+      .agg(sum(round(col("__v").cast("double"), 6).cast("decimal(18,6)")).as("pooled"))
+  }
+
+  /** [[poolToDocuments]] re-assembled to one vector row per document
+    * (`array<double>`, dim-ordered). */
+  def pooledVectors(chunks: DataFrame, docCol: String,
+                    embCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    poolToDocuments(chunks, docCol, embCol)
+      .groupBy(col(docCol))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("pooled")))),
+        x => x.getField("pooled").cast("double")).as(embCol))
+  }
 }

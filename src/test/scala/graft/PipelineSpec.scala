@@ -74,4 +74,19 @@ class PipelineSpec extends SparkSpec {
     val row = emb.select(size(col("embedding"))).distinct().collect()
     assert(row.map(_.getInt(0)).toSeq == Seq(32))
   }
+
+  test("pooled document vectors are dim-ordered elementwise sums of their chunks") {
+    import org.apache.spark.sql.functions._
+    val chunks = Tables.embeddings(spark, sfDir)
+      .select(expr("vec_id div 10").as("doc_id"), col("vec_id"), col("embedding"))
+    val pooled = graft.pipeline.Embedder.pooledVectors(chunks, "doc_id")
+      .where(col("doc_id") === 0)
+      .select("embedding").head().getSeq[Double](0)
+    val manual: Seq[Seq[Double]] = chunks.where(col("doc_id") === 0)
+      .select(col("embedding").cast("array<decimal(18,6)>")).collect().toSeq
+      .map(_.getSeq[java.math.BigDecimal](0).toSeq.map(_.doubleValue))
+    val expect = manual.transpose.map(_.sum)
+    assert(pooled.length == expect.length)
+    pooled.zip(expect).foreach { case (a, b) => assert(math.abs(a - b) < 1e-6, s"$a vs $b") }
+  }
 }
