@@ -162,6 +162,28 @@ object QueriesExtra {
         .orderBy(col("event_type")),
       None),
 
+    // Overlapping audio-window segmentation (hop < segLen): per-segment
+    // md5 + stub energy (= sum of byte values; the ASCII projection makes
+    // byte == code point so DuckDB replays it with ord()).
+    "q_audio_segments" -> QueryDef(
+      (s, d) => {
+        val ascii = regexp_replace(col("text"), "[^\\x00-\\x7F]", "?")
+        val media = Tables.documents(s, d)
+          .select(col("doc_id"), encode(ascii, "UTF-8").as("content"),
+            struct(lit("audio/wav").as("media_type"),
+              length(ascii).cast("long").as("declared_bytes")).as("meta"))
+        BinaryPipeline.segmentAudio(media, segLen = 200, hop = 100)
+          .orderBy(col("doc_id"), col("seg_idx"))
+      },
+      Some("""WITH a AS (SELECT doc_id, regexp_replace(text, '[^\x00-\x7F]', '?', 'g') AS t FROM documents)
+             |SELECT doc_id, CAST(i AS BIGINT) AS seg_idx, CAST(i*100 AS BIGINT) AS byte_offset,
+             |  CAST(length(substr(t, i*100 + 1, 200)) AS BIGINT) AS seg_len,
+             |  CAST(coalesce(list_sum(list_transform(range(1, length(substr(t, i*100 + 1, 200)) + 1),
+             |    j -> ord(substr(substr(t, i*100 + 1, 200), j, 1)))), 0) AS BIGINT) AS energy,
+             |  md5(substr(t, i*100 + 1, 200)) AS seg_md5
+             |FROM a, unnest(range(0, greatest(1, CAST(ceil(length(t) / 100.0) AS INT)))) AS t2(i)
+             |ORDER BY doc_id, seg_idx""".stripMargin)),
+
     "q_multimodal_meta" -> QueryDef(
       (s, d) => BinaryPipeline.extractFeatures(BinaryPipeline.asMedia(Tables.documents(s, d)))
         .select(col("doc_id"), col("byte_len"), col("content_md5"), col("width"), col("media_type"))

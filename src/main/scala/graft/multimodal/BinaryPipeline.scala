@@ -79,6 +79,48 @@ object BinaryPipeline {
     }(enc)
   }
 
+  /** Audio-style segmentation: OVERLAPPING windows of `segLen` bytes
+    * every `hop` bytes (hop < segLen ⇒ each byte lands in segLen/hop
+    * windows — the STFT/feature-window shape, vs [[frameSample]]'s
+    * sparse keyframes) plus a per-segment stub feature (`energy` = sum
+    * of unsigned byte values — stands in for RMS loudness; a real codec
+    * replaces the loop body only). Same batched narrow `mapPartitions`
+    * contract: no shuffle, schema up front. */
+  def segmentAudio(media: DataFrame, segLen: Int = 200, hop: Int = 100,
+                   idCol: String = "doc_id", batchSize: Int = 16): DataFrame = {
+    require(segLen >= 1 && hop >= 1 && hop <= segLen,
+      s"segmentAudio: need 1 <= hop <= segLen, got hop=$hop segLen=$segLen")
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("seg_idx", LongType, nullable = false),
+      StructField("byte_offset", LongType, nullable = false),
+      StructField("seg_len", LongType, nullable = false),
+      StructField("energy", LongType, nullable = false),
+      StructField("seg_md5", StringType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val idIdx = media.schema.fieldIndex(idCol)
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          val id = r.getLong(idIdx)
+          val content = r.getAs[Array[Byte]](contentIdx)
+          val nSegs = math.max(1, math.ceil(content.length.toDouble / hop).toInt)
+          (0 until nSegs).iterator.map { i =>
+            val off = i * hop
+            val len = math.max(0, math.min(segLen, content.length - off))
+            var e = 0L; var j = off
+            while (j < off + len) { e += content(j) & 0xff; j += 1 }
+            md.reset(); md.update(content, off, len)
+            Row(id, i.toLong, off.toLong, len.toLong, e,
+              md.digest().map("%02x".format(_)).mkString)
+          }
+        }
+      }
+    }(enc)
+  }
+
   /** Batched feature extraction over (id, content, meta) rows.
     * Output: id, byte_len, content_md5, width, height, media_type. */
   def extractFeatures(media: DataFrame, idCol: String = "doc_id",
