@@ -275,14 +275,14 @@ object QueriesAnalytics {
         .where(col("win_start") >= 0)
         .groupBy(col("win_start"))
         .agg(count(lit(1)).cast("long").as("n"),
-          sum(col("v")).cast("decimal(28,6)").as("sum_value"))
+          round(sum(col("v")), 4).cast("double").as("sum_value"))
         .orderBy(col("win_start")),
       Some("""WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS sec,
              |                  CAST(value AS DECIMAL(18,6)) AS v FROM events),
              |w AS (SELECT unnest([ (sec // 1800) * 1800 - 1800,
              |                      (sec // 1800) * 1800 ]) AS win_start, v FROM e)
              |SELECT win_start, count(*) AS n,
-             |  CAST(sum(v) AS DECIMAL(28,6)) AS sum_value
+             |  CAST(round(sum(v), 4) AS DOUBLE) AS sum_value
              |FROM w WHERE win_start >= 0
              |GROUP BY 1 ORDER BY win_start""".stripMargin)),
 
@@ -403,15 +403,16 @@ object QueriesAnalytics {
             col("value").cast("decimal(18,6)").as("v"))
         val w = Window.partitionBy(col("user_id")).orderBy(col("tsu"))
           .rangeBetween(-3600000000L, 0)
-        ev.withColumn("rolling_1h", sum(col("v")).over(w).cast("decimal(28,6)"))
+        ev.withColumn("rolling_1h",
+            round(sum(col("v")).over(w), 4).cast("double"))
           .select(col("event_id"), col("user_id"), col("tsu"), col("rolling_1h"))
           .orderBy(col("user_id"), col("tsu"), col("event_id"))
       },
       Some("""SELECT event_id, user_id, epoch_us(ts) AS tsu,
-             |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
+             |  CAST(round(sum(CAST(value AS DECIMAL(18,6))) OVER (
              |    PARTITION BY user_id ORDER BY epoch_us(ts)
              |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
-             |  AS DECIMAL(28,6)) AS rolling_1h
+             |  , 4) AS DOUBLE) AS rolling_1h
              |FROM events WHERE user_id % 50 = 0
              |ORDER BY user_id, tsu, event_id""".stripMargin)),
 

@@ -436,6 +436,9 @@ object QueriesCuration {
     // second time-half's summary into the first's — the result must be
     // IDENTICAL to aggregating the whole table (decimal sums are order-
     // independent), so the oracle is the direct one-shot aggregation.
+    // Decimal arithmetic stays INTERNAL; the final projection is a
+    // rounded DOUBLE per gate convention (DECIMAL output columns
+    // serialize differently across engines in the driver hasher).
     "q_incr_agg" -> QueryDef(
       (s, d) => {
         import graft.operators.IncrementalAgg
@@ -449,16 +452,18 @@ object QueriesCuration {
           Seq("event_type"), "value")
         IncrementalAgg.withAverage(IncrementalAgg.fold(s1, s2, Seq("event_type")))
           .select(col("event_type"), col("n"),
-            col("sum_v").cast("decimal(28,6)").as("sum_v"),
-            col("min_v"), col("max_v"), col("avg_v"))
+            round(col("sum_v"), 4).cast("double").as("sum_v"),
+            round(col("min_v"), 4).cast("double").as("min_v"),
+            round(col("max_v"), 4).cast("double").as("max_v"),
+            round(col("avg_v"), 4).cast("double").as("avg_v"))
           .orderBy(col("event_type"))
       },
       Some("""SELECT event_type, count(*) AS n,
-             |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS sum_v,
-             |  min(CAST(value AS DECIMAL(18,6))) AS min_v,
-             |  max(CAST(value AS DECIMAL(18,6))) AS max_v,
-             |  CAST(round(sum(CAST(value AS DECIMAL(18,6))) / count(*), 6)
-             |       AS DECIMAL(28,6)) AS avg_v
+             |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_v,
+             |  CAST(round(min(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS min_v,
+             |  CAST(round(max(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS max_v,
+             |  CAST(round(CAST(round(sum(CAST(value AS DECIMAL(18,6))) / count(*), 6)
+             |       AS DECIMAL(28,6)), 4) AS DOUBLE) AS avg_v
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
 
     ,

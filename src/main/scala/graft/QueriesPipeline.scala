@@ -217,19 +217,24 @@ object QueriesPipeline {
     // bit-identical because vote sums are integers. The 16-element HOF
     // norm runs once per doc over a tiny array (cold).
     // Chunk→document pooling: 10 consecutive vectors play a document's
-    // chunks; elementwise DECIMAL sum-pool is order-independent exact,
-    // so the pooled matrix hash-gates. The re-assembled vector form is
-    // spec-gated (PipelineSpec).
+    // chunks; elementwise DECIMAL sum-pool is order-independent exact.
+    // The FINAL projection is a rounded DOUBLE (not DECIMAL): the sum
+    // stays decimal internally for order-independence, but DECIMAL
+    // output columns serialize differently across engines in the driver
+    // hasher.  The round runs IN DECIMAL SPACE (exact, half-away ties
+    // identical on both engines) and only then casts to DOUBLE —
+    // rounding after the cast is tie-unstable at the 5th digit.
+    // The re-assembled vector form is spec-gated (PipelineSpec).
     "q_pool_embeddings" -> QueryDef(
       (s, d) => graft.pipeline.Embedder.poolToDocuments(
           Tables.embeddings(s, d).select(expr("vec_id div 10").as("doc_id"),
             col("embedding")), "doc_id")
         .select(col("doc_id"), col("dim").cast("long").as("dim"),
-          col("pooled").cast("decimal(28,6)").as("pooled"))
+          round(col("pooled"), 4).cast("double").as("pooled"))
         .orderBy(col("doc_id"), col("dim")),
       Some("""SELECT vec_id // 10 AS doc_id,
              |  CAST(dim - 1 AS BIGINT) AS dim,
-             |  CAST(sum(CAST(round(CAST(v AS DOUBLE), 6) AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS pooled
+             |  CAST(round(sum(CAST(round(CAST(v AS DOUBLE), 6) AS DECIMAL(18,6))), 4) AS DOUBLE) AS pooled
              |FROM (SELECT vec_id, unnest(embedding) AS v,
              |        generate_subscripts(embedding, 1) AS dim FROM embeddings)
              |GROUP BY 1, 2 ORDER BY doc_id, dim""".stripMargin)),

@@ -40,13 +40,34 @@ for name, sql in sorted(oracle.items()):
     dt_s, dt_o = [str(t) for t in sdf.dtypes], [str(t) for t in odf.dtypes]
     if dt_s != dt_o:
         print(f"[DTYPE] {name}: spark={dt_s} oracle={dt_o} (warn)")
-    neq = (sdf.values != odf.values)
+    # Serialized-form comparison, mirroring the driver's hasher: the
+    # driver hashes a string serialization of each cell, under which
+    # Decimal('1.5') != Decimal('1.500000') even though pandas value
+    # equality says they're equal.  Scale/serialization mismatches in
+    # DECIMAL output columns MUST fail here, or local green doesn't
+    # predict driver green (the round-5 false "tri-SF green").
+    import numpy as np, decimal, math
+    def canon(v):
+        if isinstance(v, (np.ndarray, list, tuple)):
+            return "[" + ",".join(canon(x) for x in v) + "]"
+        if isinstance(v, decimal.Decimal):
+            return "dec:" + str(v)
+        if isinstance(v, (float, np.floating)):
+            f = float(v)
+            return "nan" if math.isnan(f) else repr(f)
+        if isinstance(v, (int, np.integer)):
+            return str(int(v))
+        if v is None:
+            return "null"
+        return str(v)
+    ser_s = np.array([[canon(v) for v in row] for row in sdf.itertuples(index=False)])
+    ser_o = np.array([[canon(v) for v in row] for row in odf.itertuples(index=False)])
+    neq = ser_s != ser_o
     if neq.any():
-        import numpy as np
         idx = list(zip(*np.where(neq)))[:5]
-        print(f"[VALUES] {name}: {neq.sum()} mismatched cells; first: ")
+        print(f"[VALUES] {name}: {neq.sum()} mismatched cells (serialized); first: ")
         for r, c in idx:
-            print(f"    row {r} col {sdf.columns[c]}: spark={sdf.iloc[r, c]!r} oracle={odf.iloc[r, c]!r}")
+            print(f"    row {r} col {sdf.columns[c]}: spark={ser_s[r, c]!r} oracle={ser_o[r, c]!r}")
         fails += 1; continue
     print(f"[OK] {name}: {len(sdf)} rows")
 print(f"\n{'ALL GREEN' if fails == 0 else f'{fails} FAILURES'} / {len(oracle)} queries")
