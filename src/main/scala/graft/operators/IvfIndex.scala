@@ -397,11 +397,22 @@ object IvfIndex {
     * float vectors for the bounded candidate-id set via static `id IN`
     * parquet pushdown. Output: `(qid, id, dist, rn)`, L2 ascending —
     * the pgvector `<->` family, like `Quantize.topKStore`, but with the
-    * nprobe/k scan cut stacked on top of the 4× byte cut. */
+    * nprobe/k scan cut stacked on top of the 4× byte cut.
+    *
+    * The candidate-id set is `|queries|·k·overfetch` — bounded for the
+    * serve contract (small query batches), but unbounded if someone
+    * points this at a corpus-sized query frame. So the driver never
+    * materializes more than `maxPushdownIds+1` ids (a `limit` probe,
+    * the [[DedupIndex.searchIndex]] guard): at or under the cap the ids
+    * push into the rerank read as a static `id IN` parquet filter
+    * (row-group pruning); above it the rerank falls back to a semi join
+    * against the distributed candidate frame — correct at any
+    * cardinality, and AQE still broadcasts it when it turns out small. */
   def searchIndexQuantized(spark: org.apache.spark.sql.SparkSession, path: String,
                            queries: DataFrame, k: Int, nprobe: Int, overfetch: Int = 4,
                            idCol: String = "vec_id", embCol: String = "embedding",
-                           queryIdCol: String = "qid", scale: Int = 4): DataFrame = {
+                           queryIdCol: String = "qid", scale: Int = 4,
+                           maxPushdownIds: Int = 100000): DataFrame = {
     val model = readModel(spark, path)
     val (mn, mx) = readQuantRange(spark, path)
     val probedCells = queries
@@ -419,13 +430,24 @@ object IvfIndex {
       .select(col(queryIdCol), col(idCol),
         Quantize.codeL2Sq(col("qvec"), col("__qcodes")).as("__qdist"))
     val w = Window.partitionBy(col(queryIdCol)).orderBy(col("__qdist"), col(idCol))
-    val candIds = coarse.withColumn("__rn", row_number().over(w))
+    // materialized once (localCheckpoint): the candidate frame feeds both
+    // the bounded driver probe and, on fallback, the semi join — left
+    // lazy, the coarse scan would run twice.
+    val candFrame = coarse.withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= k * overfetch)
       .select(col(idCol)).distinct()
-      .collect().map(_.getLong(0))
+      .localCheckpoint(true)
+    // bounded probe BEFORE the cardinality decision — the driver never
+    // holds more than maxPushdownIds+1 ids even for a huge query frame
+    val probe = candFrame.limit(maxPushdownIds + 1).collect()
+    val rerankBase = spark.read.parquet(path)
+      .where(col("cell").isin(probedCells: _*))
+    val rerankDocs =
+      if (probe.length <= maxPushdownIds)
+        rerankBase.where(col(idCol).isin(probe.map(_.getLong(0)).toSeq: _*))
+      else rerankBase.join(candFrame, Seq(idCol), "left_semi")
     // rerank: float column for candidate ids only, exact L2 per query
-    val rerank = spark.read.parquet(path)
-      .where(col("cell").isin(probedCells: _*) && col(idCol).isin(candIds: _*))
+    val rerank = rerankDocs
       .select(col(idCol), col(embCol))
       .crossJoin(qSide)
       .select(col(queryIdCol), col(idCol),

@@ -69,11 +69,18 @@ object Quantize {
     * `TakeOrderedAndProject`. Both stages deterministic (integer qdist
     * and rounded exact dist, each tie-broken by id), so the whole
     * pipeline replays bit-for-bit in the DuckDB oracle.
+    *
+    * CONTRACT: `query` must hold exactly ONE row (same as [[Knn.topK]]) —
+    * the global orderBy/limit merges candidates across query rows, so a
+    * multi-row frame would return one mixed top-k instead of per-query
+    * results (enforced; for batches use [[Knn.topKBatch]] or
+    * `IvfIndex.knnJoin`, which rank per query id with a window).
     */
   def topKQuantized(codes: DataFrame, corpus: DataFrame, query: DataFrame,
                     mn: Double, mx: Double, k: Int, overfetch: Int = 4,
                     idCol: String = "vec_id", codeCol: String = "qvec",
                     embCol: String = "embedding", scale: Int = 4): DataFrame = {
+    requireSingleQuery(query, "topKQuantized")
     val qc = broadcast(query.select(quantizeExpr(col(embCol), mn, mx).as("__q_codes")))
     val cand = codes.crossJoin(qc)
       .select(col(idCol), codeL2Sq(col(codeCol), col("__q_codes")).as("qdist"))
@@ -106,21 +113,38 @@ object Quantize {
     * as a pushed filter and prunes row groups: on a 1000-executor store
     * the second pass touches only the stripes holding candidates
     * (pattern: DedupIndex candidate-id pushdown, judged scale-correct
-    * r4). */
+    * r4).
+    *
+    * CONTRACT: `query` must hold exactly ONE row (enforced) — see
+    * [[topKQuantized]]. */
   def topKStore(spark: SparkSession, path: String, query: DataFrame,
                 mn: Double, mx: Double, k: Int, overfetch: Int = 4,
                 idCol: String = "vec_id", codeCol: String = "qvec",
                 embCol: String = "embedding", scale: Int = 4): DataFrame = {
+    requireSingleQuery(query, "topKStore")
     val candIds = coarseCandidates(spark.read.parquet(path), query, mn, mx,
       k * overfetch, idCol, codeCol, embCol)
       .collect().map(_.getLong(0))
     rerankRead(spark.read.parquet(path), query, candIds, k, idCol, embCol, scale)
   }
 
+  /** The 1-row query-frame contract shared by the single-query top-k
+    * entry points: a multi-row frame would silently merge all queries
+    * into one global top-k. The check is a `limit(2)` count — bounded
+    * work regardless of the frame behind it. */
+  private def requireSingleQuery(query: DataFrame, who: String): Unit = {
+    val n = query.limit(2).count()
+    require(n == 1,
+      s"Quantize.$who: query frame must hold exactly 1 row (got ${if (n > 1) ">1" else "0"}); " +
+        "use Knn.topKBatch or IvfIndex.knnJoin for multi-query batches")
+  }
+
   /** Coarse pass over a quantized store: integer code-L2 scored narrow
     * scan → `TakeOrderedAndProject`. Projects (`idCol`, `codeCol`) only,
     * so the parquet read schema excludes the float column entirely
-    * (plan-asserted in QuantizeSpec). */
+    * (plan-asserted in QuantizeSpec). CONTRACT (not enforced here —
+    * callers [[topKQuantized]]/[[topKStore]] enforce it): 1-row query
+    * frame. */
   def coarseCandidates(store: DataFrame, query: DataFrame, mn: Double, mx: Double,
                        n: Int, idCol: String = "vec_id", codeCol: String = "qvec",
                        embCol: String = "embedding"): DataFrame = {

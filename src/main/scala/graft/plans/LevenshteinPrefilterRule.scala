@@ -26,10 +26,16 @@ import org.apache.spark.sql.types.IntegerType
   * idempotent across optimizer batches. */
 object LevenshteinPrefilterRule extends Rule[LogicalPlan] {
 
+  // Only rewrite when both operands are deterministic: the guard
+  // duplicates a and b, so a non-deterministic operand would be
+  // evaluated twice per row with possibly different values — the
+  // standard precondition for expression-duplicating optimizer rules.
   private def boundOf(e: Expression): Option[(Expression, Expression, Expression)] = e match {
-    case LessThanOrEqual(l @ Levenshtein(a, b, _), d) if d.foldable =>
+    case LessThanOrEqual(l @ Levenshtein(a, b, _), d)
+        if d.foldable && a.deterministic && b.deterministic =>
       Some((a, b, d))
-    case LessThan(l @ Levenshtein(a, b, _), d) if d.foldable =>
+    case LessThan(l @ Levenshtein(a, b, _), d)
+        if d.foldable && a.deterministic && b.deterministic =>
       Some((a, b, d))
     case _ => None
   }

@@ -140,6 +140,29 @@ class IvfStoreSpec extends SparkSpec {
       s"coarse scan deserializes the float column: $schemas")
   }
 
+  test("searchIndexQuantized: semi-join fallback above maxPushdownIds gives identical results") {
+    import graft.operators.Quantize
+    val path = Files.createTempDirectory("ivf_sq_guard").toString
+    val e = Tables.embeddings(spark, sfDir)
+    val model = IvfIndex.train(e, k = 8, iters = 2)
+    val (mn, mx) = Quantize.scalarRange(e)
+    IvfIndex.writeIndexQuantized(e, model, path, mn, mx)
+    val q = e.where(col("vec_id") < 4).select(col("vec_id").as("qid"), col("embedding"))
+    val key = (df: org.apache.spark.sql.DataFrame) => df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val pushdown = IvfIndex.searchIndexQuantized(spark, path, q, k = 3, nprobe = 8)
+    // cap of 1 forces the fallback (4 queries × k·overfetch candidates ≫ 1)
+    val fallback = IvfIndex.searchIndexQuantized(spark, path, q, k = 3, nprobe = 8,
+      maxPushdownIds = 1)
+    assert(key(pushdown) == key(fallback))
+    // the fallback path reranks through a semi JOIN (the driver never
+    // materialized the full id set); the pushdown path must not
+    val planFb = fallback.queryExecution.executedPlan.toString
+    val planPd = pushdown.queryExecution.executedPlan.toString
+    assert(planFb.contains("LeftSemi"), planFb.take(2000))
+    assert(!planPd.contains("LeftSemi"), planPd.take(2000))
+  }
+
   test("appendIndexQuantized: appended vectors found via the quantized path, codes consistent") {
     import graft.operators.Quantize
     val path = Files.createTempDirectory("ivf_sq_app").toString
