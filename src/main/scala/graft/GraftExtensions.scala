@@ -80,7 +80,8 @@ object GraftFunctions {
 }
 
 /** `spark.sql.extensions`-style injection: the SQL function surface plus
-  * graft's optimizer rules (levenshtein length pre-filter). */
+  * graft's optimizer rules (levenshtein length pre-filter; IVF ANN
+  * index-scan rewrite for `ORDER BY vec_l2(...) LIMIT k`). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, builder) =>
@@ -88,5 +89,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft", null, name), builder))
     }
     e.injectOptimizerRule(_ => graft.plans.LevenshteinPrefilterRule)
+    e.injectOptimizerRule(_ => graft.plans.IvfScanRewriteRule)
   }
 }

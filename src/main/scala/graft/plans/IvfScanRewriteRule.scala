@@ -1,0 +1,232 @@
+package graft.plans
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.LeftSemi
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions.{col, typedlit}
+import org.apache.spark.sql.types._
+
+import graft.functions.{VecL2Sq, VectorExpressions}
+import graft.operators.IvfIndex
+
+/** Optimizer rule: `ORDER BY vec_l2(embedding, <literal vector>) LIMIT k`
+  * over a persisted IVF store becomes the index plan automatically —
+  * the way pgvector's planner turns `ORDER BY embedding <-> ? LIMIT 5`
+  * (reference `SSEOpenAIController.java:315`) into an index scan, so a
+  * SQL user gets the coarse+rerank pipeline without calling
+  * [[IvfIndex.searchIndex]] by hand.
+  *
+  * Matched shape (after analysis): `Limit(k, Sort(vec_l2|vec_l2sq(emb,
+  * lit) ASC [, tiebreaks], relation-subtree))`, where `emb` is a column
+  * of exactly one parquet `LogicalRelation` whose root path carries the
+  * `_centroids.json` sidecar written by [[IvfIndex.writeIndex]] /
+  * `writeIndexQuantized`.
+  *
+  * Rewrite, in plan space (no jobs run at optimization time — probed
+  * cells come from driver-local math on the sidecar centroids):
+  *
+  *  1. `Filter(cell IN probedCells)` planted directly above the store
+  *     relation — the physical scan turns it into PartitionFilters
+  *     (file-listing pruning, the inverted-file read).
+  *  2. If the store is quantized (`_quantize.json` + `qvec` column): a
+  *     LEFT SEMI join against a coarse top-`k·overfetch` subplan that
+  *     scores probed cells in the INTEGER code domain reading only
+  *     (id, qvec) — the 4×-fewer-bytes coarse pass. The user's own
+  *     Sort/Limit over the surviving candidates IS the full-precision
+  *     rerank, so results keep the user's exact-L2 semantics over the
+  *     probed cells.
+  *
+  * Approximation contract: identical to pgvector's IVF index — results
+  * are exact within the probed cells; recall vs a full scan is governed
+  * by `spark.graft.ann.nprobe`. Setting nprobe ≥ the store's cell count
+  * (and overfetch to cover the corpus) degenerates to the exact answer,
+  * spec-pinned in IvfRewriteSpec.
+  *
+  * Session confs: `spark.graft.ann.rewrite` (default true),
+  * `spark.graft.ann.nprobe` (8), `spark.graft.ann.overfetch` (4),
+  * `spark.graft.ann.idCol` (vec_id), `spark.graft.ann.maxK` (10000 —
+  * a larger LIMIT is analytics, not a serve lookup; left alone).
+  */
+object IvfScanRewriteRule extends Rule[LogicalPlan] {
+
+  /** (model, quantRange) per store path — sidecars are immutable per
+    * write; a rebuild writes new sidecars and should be re-read, so the
+    * cache keys on (path, centroids-file length+mtime fingerprint). */
+  private val cache = TrieMap.empty[String, (IvfIndex.Model, Option[(Double, Double)])]
+
+  private def conf(key: String, default: String): String =
+    org.apache.spark.sql.internal.SQLConf.get.getConfString(key, default)
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (conf("spark.graft.ann.rewrite", "true") != "true") return plan
+    plan.transformDown {
+      case lim @ GlobalLimit(IntegerLiteral(k),
+          ll @ LocalLimit(_, srt @ Sort(SortOrder(key, Ascending, _, _) +: _, true, child, _)))
+          if k <= conf("spark.graft.ann.maxK", "10000").toInt =>
+        rewriteChild(key, child, k).map { newChild =>
+          lim.copy(child = ll.copy(child = srt.copy(child = newChild)))
+        }.getOrElse(lim)
+    }
+  }
+
+  /** The rewritten Sort child, or None when the pattern doesn't apply. */
+  private def rewriteChild(sortKey: Expression, child: LogicalPlan, k: Int): Option[LogicalPlan] = {
+    val distExpr = resolveThroughProjects(sortKey, child)
+    val args = distExpr match {
+      case Sqrt(VecL2Sq(a, b)) => Some((a, b))
+      case VecL2Sq(a, b) => Some((a, b))
+      case _ => None
+    }
+    for {
+      (a, b) <- args
+      (embAttr, qvec) <- vectorArgs(a, b)
+      (relation, fsRelation) <- storeRelationOf(child, embAttr)
+      cellAttr <- relation.output.find(at =>
+        at.name == "cell" && at.dataType == IntegerType)
+      if !alreadyRewritten(child)
+      path = fsRelation.location.rootPaths.head.toString
+      (model, quantRange) <- loadSidecars(relation, path)
+      if model.centroids.nonEmpty && model.centroids.head.length == qvec.length
+    } yield {
+      val nprobe = conf("spark.graft.ann.nprobe", "8").toInt
+      val overfetch = conf("spark.graft.ann.overfetch", "4").toInt
+      val cells = probedCells(model, qvec, nprobe)
+      val idCol = conf("spark.graft.ann.idCol", "vec_id")
+      val idAttrOpt = relation.output.find(_.name == idCol)
+      // Column-prune the store leg ourselves: this rule may run in a
+      // late batch (experimental.extraOptimizations) with no ColumnPruning
+      // pass after it, and without a Project the physical scan would read
+      // every store column (qvec included) on the rerank side.
+      val usedAbove = AttributeSet(child.collect {
+        case n if !(n eq relation) => n.expressions
+      }.flatten.flatMap(_.references))
+      val keep = AttributeSet(child.output) ++ usedAbove ++ distExpr.references ++
+        AttributeSet(idAttrOpt.toSeq)
+      val projList = relation.output.filter(keep.contains)
+      val pruned = Project(projList,
+        Filter(In(cellAttr, cells.map(Literal(_))), relation))
+      val withCoarse = for {
+        (mn, mx) <- quantRange
+        idAttr <- idAttrOpt
+        if relation.output.exists(_.name == "qvec")
+      } yield {
+        val right = coarsePlan(path, qvec, mn, mx, cells, k * overfetch, idCol)
+        Join(pruned, right, LeftSemi,
+          Some(EqualTo(idAttr, right.output.head)), JoinHint.NONE)
+      }
+      val sub: LogicalPlan = withCoarse.getOrElse(pruned)
+      child.transformUp { case r: LogicalRelation if r eq relation => sub }
+    }
+  }
+
+  /** Follow an attribute through Project aliases down to the expression
+    * that defines it (the `SELECT vec_l2(...) AS dist ... ORDER BY dist`
+    * shape); non-attributes pass through. */
+  private def resolveThroughProjects(e: Expression, plan: LogicalPlan): Expression = e match {
+    case ar: AttributeReference =>
+      val defn = plan.collect {
+        case p: Project => p.projectList.collectFirst {
+          case al: Alias if al.exprId == ar.exprId => al.child
+        }
+      }.flatten.headOption
+      defn.map(resolveThroughProjects(_, plan)).getOrElse(ar)
+    case other => other
+  }
+
+  /** Split vec_l2's arguments into (embedding attribute, literal query
+    * vector as doubles); either argument order. */
+  private def vectorArgs(a: Expression, b: Expression): Option[(AttributeReference, Array[Double])] =
+    (a, b) match {
+      case (at: AttributeReference, q) => literalVector(q).map((at, _))
+      case (q, at: AttributeReference) => literalVector(q).map((at, _))
+      case _ => None
+    }
+
+  private def literalVector(e: Expression): Option[Array[Double]] = e.dataType match {
+    case ArrayType(et, _) if (et == DoubleType || et == FloatType) && e.foldable =>
+      Option(e.eval(null)).map { v =>
+        val ad = v.asInstanceOf[ArrayData]
+        Array.tabulate(ad.numElements()) { i =>
+          if (et == FloatType) ad.getFloat(i).toDouble else ad.getDouble(i)
+        }
+      }
+    case _ => None
+  }
+
+  /** The unique parquet relation owning the embedding attribute. */
+  private def storeRelationOf(plan: LogicalPlan,
+      embAttr: AttributeReference): Option[(LogicalRelation, HadoopFsRelation)] =
+    plan.collect {
+      case r @ LogicalRelation(fs: HadoopFsRelation, _, _, _, _)
+          if r.output.exists(_.exprId == embAttr.exprId) => (r, fs)
+    } match {
+      case Seq(one) => Some(one)
+      case _ => None
+    }
+
+  /** Idempotence: the subtree already carries a cell-membership filter
+    * (ours from a previous fixed-point iteration — or the user's own, in
+    * which case rewriting would double-prune). */
+  private def alreadyRewritten(plan: LogicalPlan): Boolean = plan.exists {
+    case Filter(cond, _) => cond.exists {
+      case In(at: AttributeReference, _) => at.name == "cell"
+      case InSet(at: AttributeReference, _) => at.name == "cell"
+      case _ => false
+    }
+    case _: Join => true // a semi-joined store was already index-planned
+    case _ => false
+  }
+
+  private def loadSidecars(relation: LogicalRelation,
+      path: String): Option[(IvfIndex.Model, Option[(Double, Double)])] = {
+    val spark = SparkSession.active
+    val p = new org.apache.hadoop.fs.Path(path, "_centroids.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val stamp = { val s = fs.getFileStatus(p); s"$path@${s.getLen}:${s.getModificationTime}" }
+    Some(cache.getOrElseUpdate(stamp, {
+      val model = IvfIndex.readModel(spark, path)
+      val range =
+        if (fs.exists(new org.apache.hadoop.fs.Path(path, "_quantize.json")))
+          Some(IvfIndex.readQuantRange(spark, path))
+        else None
+      (model, range)
+    }))
+  }
+
+  /** nprobe nearest centroid cells to the query — driver-local math on
+    * the (k × dim) sidecar matrix, ties to the lower cell id. */
+  private def probedCells(model: IvfIndex.Model, q: Array[Double], nprobe: Int): Seq[Int] =
+    model.centroids.zipWithIndex.map { case (c, i) =>
+      var d = 0.0; var j = 0
+      while (j < q.length) { val x = q(j) - c(j); d += x * x; j += 1 }
+      (d, i)
+    }.sortBy(identity).take(math.max(1, nprobe)).map(_._2).toSeq
+
+  /** Coarse candidate subplan: probed cells scored in the integer code
+    * domain, reading only (id, qvec) — built with the DataFrame API over
+    * a FRESH read of the store (fresh exprIds; it is the join's right
+    * side) and spliced in as its analyzed plan. Mirrors
+    * [[graft.operators.Quantize.quantizeExpr]]'s floor-then-clamp codes. */
+  private def coarsePlan(path: String, q: Array[Double], mn: Double, mx: Double,
+      cells: Seq[Int], n: Int, idCol: String): LogicalPlan = {
+    val spark = SparkSession.active
+    val qcodes: Seq[Long] = q.toSeq.map(x =>
+      math.min(255L, math.max(0L, math.floor((x - mn) / (mx - mn) * 256.0).toLong)))
+    val store = spark.read.parquet(path)
+    val coarse = store
+      .where(col("cell").isin(cells: _*))
+      .select(col(idCol),
+        VectorExpressions.vecCodeL2Sq(col("qvec"), typedlit(qcodes)).as("__qdist"))
+      .orderBy(col("__qdist"), col(idCol))
+      .limit(n)
+      .select(col(idCol))
+    coarse.queryExecution.analyzed
+  }
+}

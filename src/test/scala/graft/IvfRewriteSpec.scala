@@ -1,0 +1,133 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+import graft.operators.{IvfIndex, Knn, Quantize}
+import graft.plans.IvfScanRewriteRule
+
+/** The pgvector-planner parity spec: a plain `ORDER BY vec_l2(emb, q)
+  * LIMIT k` over a persisted IVF store gets the index plan from
+  * [[IvfScanRewriteRule]] — cell partition filter, code-column coarse
+  * semi-join on quantized stores, user Sort/Limit as the exact rerank. */
+class IvfRewriteSpec extends SparkSpec {
+
+  private def withRule[T](body: => T): T = {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ IvfScanRewriteRule
+    try body finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ eq IvfScanRewriteRule)
+    }
+  }
+
+  private def conf[T](pairs: (String, String)*)(body: => T): T = {
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally pairs.foreach { case (k, _) => spark.conf.unset(k) }
+  }
+
+  private lazy val e = Tables.embeddings(spark, sfDir)
+  private lazy val model = IvfIndex.train(e, k = 8, iters = 2)
+  private lazy val queryVec: Seq[Double] = e.where(col("vec_id") === 7)
+    .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+
+  private lazy val quantStore: String = {
+    val path = Files.createTempDirectory("ivf_rw_q").toString
+    val (mn, mx) = Quantize.scalarRange(e)
+    IvfIndex.writeIndexQuantized(e, model, path, mn, mx)
+    path
+  }
+  private lazy val plainStore: String = {
+    val path = Files.createTempDirectory("ivf_rw_p").toString
+    IvfIndex.writeIndex(e, model, path)
+    path
+  }
+
+  private def annQuery(store: String, k: Int): DataFrame =
+    spark.read.parquet(store)
+      .select(col("vec_id"),
+        VectorFunctions.l2Distance(col("embedding"), typedlit(queryVec)).as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(k)
+
+  test("quantized store: rewritten plan carries cell partition filter + code-column semi join") {
+    withRule {
+      val q = annQuery(quantStore, 5)
+      val optimized = q.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("LeftSemi"), optimized.take(2000))
+      assert(optimized.contains("vec_code_l2sq"), optimized.take(2000))
+      val physical = q.queryExecution.executedPlan.toString
+      // the store scan prunes partitions on cell
+      assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(physical).nonEmpty,
+        physical.take(3000))
+      // the coarse branch reads codes, never the float column
+      val coarseScans = "ReadSchema: [^\n]*".r.findAllIn(physical).toList
+        .filter(_.contains("qvec"))
+      assert(coarseScans.nonEmpty && coarseScans.forall(!_.contains("embedding")),
+        coarseScans.mkString("\n"))
+      // and it returns plausible neighbors: the query vector itself first
+      val rows = q.collect()
+      assert(rows.length == 5 && rows.head.getLong(0) == 7L && rows.head.getDouble(1) == 0.0)
+    }
+  }
+
+  test("plain store: rewrite prunes to probed cells, no semi join") {
+    withRule {
+      val q = annQuery(plainStore, 5)
+      val optimized = q.queryExecution.optimizedPlan.toString
+      assert(!optimized.contains("LeftSemi"), optimized.take(2000))
+      val physical = q.queryExecution.executedPlan.toString
+      assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(physical).nonEmpty,
+        physical.take(3000))
+      assert(q.collect().head.getLong(0) == 7L)
+    }
+  }
+
+  test("full probe + covering overfetch = hash-identical to the exact un-rewritten scan") {
+    val exact = annQuery(quantStore, 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toList
+    val rewritten = withRule {
+      conf("spark.graft.ann.nprobe" -> "8",
+           "spark.graft.ann.overfetch" -> "100000") {
+        annQuery(quantStore, 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+      }
+    }
+    assert(rewritten == exact)
+  }
+
+  test("recall at partial probe; SQL surface matches DataFrame surface") {
+    GraftFunctions.register(spark)
+    withRule {
+      spark.read.parquet(quantStore).createOrReplaceTempView("ivf_store_v")
+      // SQL literal arrays of decimals don't typecheck against the
+      // vector kernels — the SQL contract is an ARRAY<DOUBLE> query
+      val lit = queryVec.mkString("CAST(array(", ", ", ") AS ARRAY<DOUBLE>)")
+      val sql = spark.sql(
+        s"SELECT vec_id, vec_l2(embedding, $lit) AS dist FROM ivf_store_v " +
+          "ORDER BY dist, vec_id LIMIT 10")
+      assert(sql.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+      val got = sql.collect().map(_.getLong(0)).toSet
+      val exactIds = Knn.topK(e, e.where(col("vec_id") === 7), Knn.L2, 10)
+        .collect().map(_.getLong(0)).toSet
+      val recall = (got intersect exactIds).size.toDouble / 10
+      assert(recall >= 0.9, s"recall $recall (got=$got exact=$exactIds)")
+    }
+  }
+
+  test("rewrite leaves non-store sorts and disabled sessions untouched") {
+    withRule {
+      // ordinary parquet table (no sidecar): untouched
+      val lineitem = Tables.lineitem(spark, sfDir)
+        .orderBy(col("l_extendedprice")).limit(3)
+      assert(!lineitem.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+      // kill switch
+      conf("spark.graft.ann.rewrite" -> "false") {
+        val q = annQuery(quantStore, 5)
+        val plan = q.queryExecution.executedPlan.toString
+        assert(!q.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+        assert("PartitionFilters: \\[\\]".r.findFirstIn(plan).nonEmpty, plan.take(2000))
+      }
+    }
+  }
+}
