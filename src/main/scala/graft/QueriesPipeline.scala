@@ -323,6 +323,32 @@ object QueriesPipeline {
              |  '{"type":"addMessage","id":"' || id || '","content":"' || summary || '"}' FROM served
              |ORDER BY cos DESC, cid, ev_seq""".stripMargin)),
 
+    // Token-delta SSE replay: each hit's summary re-emitted as fixed
+    // 16-codepoint addMessage deltas (spaces masked
+    // <SPECIAL_WHITE_SPACE>, the reference's client-side marker) in the
+    // reference emission order, closed by a complete event carrying the
+    // lossless concatenation. Pure-column ⇒ full DuckDB replay.
+    "q_serve_deltas" -> QueryDef(
+      (s, d) => Summarizer.serveEventsDelta(servedHits(s, d, "spark"))
+        .select(col("cid"), col("cos"), col("ev_seq"), col("payload"))
+        .orderBy(col("cos").desc, col("cid"), col("ev_seq")),
+      Some(serveCte("spark") + """
+             |SELECT cid, cos, CAST(0 AS BIGINT) AS ev_seq,
+             |  '{"type":"create","id":"' || id || '"}' AS payload FROM served
+             |UNION ALL
+             |SELECT cid, cos, 1,
+             |  '{"type":"createLink","id":"' || id || '","link":"' || url ||
+             |  '","pageNumber":' || pagenumber || ',"fileName":"' || filename || '"}' FROM served
+             |UNION ALL
+             |SELECT cid, cos, 2 + i,
+             |  '{"type":"addMessage","id":"' || id || '","content":"' ||
+             |  replace(substr(summary, CAST(i * 16 + 1 AS INT), 16), ' ', '<SPECIAL_WHITE_SPACE>') || '"}'
+             |FROM served, unnest(range(0, CAST(ceil(length(summary) / 16.0) AS BIGINT))) AS t(i)
+             |UNION ALL
+             |SELECT cid, cos, 2 + CAST(ceil(length(summary) / 16.0) AS BIGINT),
+             |  '{"type":"complete","id":"' || id || '","content":"' || summary || '"}' FROM served
+             |ORDER BY cos DESC, cid, ev_seq""".stripMargin)),
+
     // Embedding stub: model call not SQL-expressible → rows-only gate;
     // structural invariants (dim, unit norm) checked in specs.
     "q_embed_docs" -> QueryDef(

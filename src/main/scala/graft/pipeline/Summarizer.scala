@@ -142,4 +142,57 @@ object Summarizer {
       .select((hits.columns.map(col) :+ col("ev.ev_seq").as("ev_seq") :+
         col("ev.payload").as("payload")): _*)
   }
+
+  /** TOKEN-DELTA variant of [[serveEvents]] — the reference forwards each
+    * chat-completion delta to the client as its own `addMessage` event,
+    * spaces masked as `<SPECIAL_WHITE_SPACE>`
+    * (SSEOpenAIController.java:157-187 subscribe →
+    * `sendChatCompletionMessages` :221-247). With the deterministic
+    * KWIC summary standing in for the model, the "deltas" are fixed
+    * `chunkLen`-codepoint slices of the summary — same emission order:
+    *
+    *   ev_seq 0              create        (doOnSubscribe, :169-172)
+    *   ev_seq 1              createLink    (doOnSubscribe)
+    *   ev_seq 2 … 2+n-1      addMessage    one per delta chunk
+    *   ev_seq 2+n            complete      full concatenation
+    *
+    * The trailing `complete` event is graft's addition (the reference's
+    * stream just terminates, :182-184): it carries the unmasked
+    * concatenation so a consumer — and the oracle gate — can verify the
+    * deltas reassemble losslessly. Everything is pure-column
+    * (substring/replace/sequence), so the whole emission replays in
+    * DuckDB byte-for-byte. */
+  def serveEventsDelta(hits: DataFrame, idCol: String = "id", urlCol: String = "url",
+                       pageCol: String = "pagenumber", fileCol: String = "filename",
+                       summaryCol: String = "summary", chunkLen: Int = 16): DataFrame = {
+    require(chunkLen >= 1, s"serveEventsDelta: chunkLen must be >= 1, got $chunkLen")
+    val id = col(idCol)
+    val nChunks = ceil(length(col(summaryCol)).cast("double") / lit(chunkLen)).cast("long")
+    val head = array(
+      struct(lit(0L).as("ev_seq"),
+        concat(lit("{\"type\":\"create\",\"id\":\""), id, lit("\"}")).as("payload")),
+      struct(lit(1L).as("ev_seq"),
+        concat(lit("{\"type\":\"createLink\",\"id\":\""), id,
+          lit("\",\"link\":\""), col(urlCol),
+          lit("\",\"pageNumber\":"), col(pageCol),
+          lit(",\"fileName\":\""), col(fileCol), lit("\"}")).as("payload")))
+    // sequence(0, n-1) is DESCENDING for n = 0 — guard the empty summary
+    val deltas = when(nChunks > 0,
+      transform(sequence(lit(0L), nChunks - 1), j =>
+        struct((j + 2L).as("ev_seq"),
+          concat(lit("{\"type\":\"addMessage\",\"id\":\""), id, lit("\",\"content\":\""),
+            regexp_replace(
+              col(summaryCol).substr((j * chunkLen + 1).cast("int"), lit(chunkLen)),
+              lit(" "), lit("<SPECIAL_WHITE_SPACE>")),
+            lit("\"}")).as("payload"))))
+      .otherwise(array().cast("array<struct<ev_seq:bigint,payload:string>>"))
+    val fin = array(
+      struct((nChunks + 2L).as("ev_seq"),
+        concat(lit("{\"type\":\"complete\",\"id\":\""), id,
+          lit("\",\"content\":\""), col(summaryCol), lit("\"}")).as("payload")))
+    hits.select((hits.columns.map(col) :+
+        explode(concat(head, deltas, fin)).as("ev")): _*)
+      .select((hits.columns.map(col) :+ col("ev.ev_seq").as("ev_seq") :+
+        col("ev.payload").as("payload")): _*)
+  }
 }

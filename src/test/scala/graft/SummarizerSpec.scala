@@ -51,4 +51,34 @@ class SummarizerSpec extends SparkSpec {
     assert(rows(2) == """{"type":"addMessage","id":"id1","content":"sum one"}""")
     assert(rows(5) == """{"type":"addMessage","id":"id2","content":""}""")
   }
+
+  test("serveEventsDelta: reference emission order; masked deltas reassemble the summary") {
+    import spark.implicits._
+    val sum = "alpha beta gamma delta epsilon zeta eta theta" // 45 chars
+    val hits = Seq(
+      ("id1", "https://x/f.pdf#page=2", 2L, "f.pdf", sum),
+      ("id2", "https://x/g.pdf#page=5", 5L, "g.pdf", "") // empty stream
+    ).toDF("id", "url", "pagenumber", "filename", "summary")
+    val ev = Summarizer.serveEventsDelta(hits, chunkLen = 10)
+      .orderBy(col("id"), col("ev_seq"))
+    val byId = ev.select(col("id"), col("ev_seq"), col("payload")).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.sortBy(_.getLong(1)).map(_.getString(2)))
+
+    val e1 = byId("id1")
+    // create, createLink, ceil(45/10)=5 deltas, complete
+    assert(e1.length == 2 + 5 + 1, e1.mkString("\n"))
+    assert(e1(0) == """{"type":"create","id":"id1"}""")
+    assert(e1(1).startsWith("""{"type":"createLink","id":"id1","""))
+    val deltaRe = """\{"type":"addMessage","id":"id1","content":"(.*)"\}""".r
+    val deltas = e1.slice(2, 7).map { case deltaRe(c) => c }
+    // every delta is space-masked; unmasking + concatenating = summary
+    assert(deltas.forall(!_.contains(" ")))
+    assert(deltas.map(_.replace("<SPECIAL_WHITE_SPACE>", " ")).mkString == sum)
+    assert(e1(7) == s"""{"type":"complete","id":"id1","content":"$sum"}""")
+
+    // empty summary: no addMessage deltas, just create/createLink/complete
+    val e2 = byId("id2")
+    assert(e2.length == 3, e2.mkString("\n"))
+    assert(e2(2) == """{"type":"complete","id":"id2","content":""}""")
+  }
 }
