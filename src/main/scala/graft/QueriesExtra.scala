@@ -26,6 +26,20 @@ object QueriesExtra {
       },
       None),
 
+    // HNSW serve-tier graph search: deterministic driver-built graph,
+    // broadcast once, beam search per query row on executors. Rows-only
+    // gate (graph traversal isn't SQL-expressible); recall/structure/
+    // round-trip invariants are spec-gated (HnswSpec).
+    "q_ann_hnsw" -> QueryDef(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val index = graft.operators.Hnsw.build(e, m = 16, efConstruction = 64)
+        val q = e.where(col("vec_id") < 4).select(col("vec_id").as("qid"), col("embedding"))
+        graft.operators.Hnsw.topKBatch(s, index, q, k = 3)
+          .orderBy(col("qid"), col("rn"))
+      },
+      None),
+
     // Deterministic hash-bucket sampling — reproducible subsets at any
     // partitioning; the exact md5-bucket construction replays in DuckDB.
     "q_sample_hash" -> QueryDef(

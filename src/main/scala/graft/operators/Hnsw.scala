@@ -1,0 +1,272 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** HNSW (Malkov & Yashunin 2016) for the bounded SERVE tier — pgvector's
+  * modern default index, re-scoped for a distributed engine.
+  *
+  * Design position (SURVEY §5.4): a navigable-small-world graph is a
+  * pointer-chasing structure; beam search makes O(ef·M) RANDOM accesses
+  * to neighbor lists and vectors, which Spark cannot express as a scan —
+  * shuffling per hop would turn one query into dozens of stages. So
+  * graft deliberately splits the ANN surface:
+  *
+  *  - corpus scale (100 TB): the IVF family ([[IvfIndex]] / IVF-SQ /
+  *    IVF-PQ) — pruned parquet SCANS, partition-pruning-friendly,
+  *    append-able, no random access anywhere;
+  *  - serve tier (the bounded hot set a query front-end actually probes:
+  *    ≤ a few million vectors — centroids, cached corpus, per-tenant
+  *    slices): HNSW with the graph BROADCAST to executors, queries
+  *    distributed, each row's beam search running memory-local exactly
+  *    as a single-node HNSW would.
+  *
+  * Everything is deterministic: levels come from a salted md5 of the
+  * vector id (not RNG), insertion order is ascending id, and ties break
+  * by id — the same build on any cluster yields the same graph, so specs
+  * can pin structure, and replays converge.
+  *
+  * The build itself is driver-local over a collected, CAPPED vector set
+  * (`maxNodes`, fail-fast) — the honest contract for a graph index: at
+  * n beyond the cap, use the IVF family, or shard HNSW per tenant.
+  */
+object Hnsw {
+
+  /** Immutable built graph. `layers(l)` maps node idx → neighbor idxs at
+    * layer l (l = 0 is the dense base layer). Serializable — ships to
+    * executors as ONE broadcast value. */
+  final case class Index(m: Int, efConstruction: Int, entryPoint: Int, topLevel: Int,
+                         ids: Array[Long], vecs: Array[Array[Double]],
+                         layers: Array[Array[Array[Int]]]) {
+    def size: Int = ids.length
+    def dim: Int = if (vecs.isEmpty) 0 else vecs(0).length
+  }
+
+  private def l2sq(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0; var i = 0
+    while (i < a.length) { val x = a(i) - b(i); d += x * x; i += 1 }
+    d
+  }
+
+  /** Deterministic level for a vector id: the geometric distribution
+    * HNSW wants (P(level ≥ l) = (1/mult)^l), driven by a salted md5
+    * uniform instead of an RNG — same id ⇒ same level on any build. */
+  private[graft] def levelOf(id: Long, mult: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(s"hnsw-level:$id".getBytes("UTF-8"))
+    // 53 bits → uniform in (0, 1]; the +1 avoids ln(0)
+    var bits = 0L
+    var i = 0
+    while (i < 7) { bits = (bits << 8) | (h(i) & 0xffL); i += 1 }
+    val u = ((bits >>> 3) + 1).toDouble / (1L << 53).toDouble
+    (-math.log(u) / math.log(mult.toDouble)).toInt
+  }
+
+  /** Greedy descent at one layer from `entry` toward `q`, returning the
+    * `ef` closest found — algorithm 2 of the paper, with a visited set
+    * and a bounded result heap; ties break by node idx. */
+  private def searchLayer(vecs: Array[Array[Double]], neighbors: Int => Array[Int],
+                          q: Array[Double], entry: Int, ef: Int): mutable.PriorityQueue[(Double, Int)] = {
+    val visited = new java.util.BitSet(vecs.length)
+    // candidates: nearest first; results: farthest first (bounded to ef)
+    val cand = mutable.PriorityQueue.empty[(Double, Int)](
+      Ordering.by[(Double, Int), (Double, Int)](t => (-t._1, -t._2)))
+    val res = mutable.PriorityQueue.empty[(Double, Int)](
+      Ordering.by[(Double, Int), (Double, Int)](t => (t._1, t._2)))
+    val d0 = l2sq(q, vecs(entry))
+    cand.enqueue((d0, entry)); res.enqueue((d0, entry)); visited.set(entry)
+    while (cand.nonEmpty) {
+      val (dc, c) = cand.dequeue()
+      if (dc > res.head._1 && res.size >= ef) return res
+      val ns = neighbors(c)
+      var i = 0
+      while (i < ns.length) {
+        val n = ns(i)
+        if (!visited.get(n)) {
+          visited.set(n)
+          val dn = l2sq(q, vecs(n))
+          if (res.size < ef || dn < res.head._1 ||
+              (dn == res.head._1 && n < res.head._2)) {
+            cand.enqueue((dn, n)); res.enqueue((dn, n))
+            if (res.size > ef) res.dequeue()
+          }
+        }
+        i += 1
+      }
+    }
+    res
+  }
+
+  /** Simple neighbor selection (closest-m of the candidate set — the
+    * paper's SELECT-NEIGHBORS-SIMPLE; deterministic by (dist, idx)). */
+  private def selectNeighbors(cands: Seq[(Double, Int)], m: Int): Array[Int] =
+    cands.sortBy(t => (t._1, t._2)).take(m).map(_._2).toArray
+
+  /** Driver-local deterministic build over `(idCol, embCol)` rows.
+    * Collects the vectors — bounded by `maxNodes` (fail-fast with the
+    * IVF pointer, not a silent OOM). */
+  def build(vectors: DataFrame, m: Int = 16, efConstruction: Int = 64,
+            idCol: String = "vec_id", embCol: String = "embedding",
+            maxNodes: Int = 2000000): Index = {
+    val rows = vectors
+      .select(col(idCol).cast("long"), col(embCol).cast("array<double>"))
+      .orderBy(col(idCol))
+      .limit(maxNodes + 1)
+      .collect()
+    require(rows.length <= maxNodes,
+      s"Hnsw.build: corpus exceeds maxNodes=$maxNodes — a graph index is the " +
+        "bounded-serve-tier tool; use IvfIndex for corpus-scale ANN")
+    val ids = rows.map(_.getLong(0))
+    val vecs = rows.map(_.getSeq[Double](1).toArray)
+    val n = ids.length
+    require(n > 0, "Hnsw.build: empty corpus")
+
+    val levels = ids.map(levelOf(_, m))
+    val topLevel = levels.max
+    // adjacency under construction: layer → node → buffer
+    val adj = Array.fill(topLevel + 1)(Array.fill(n)(mutable.ArrayBuffer.empty[Int]))
+    val maxDeg = Array.tabulate(topLevel + 1)(l => if (l == 0) 2 * m else m)
+
+    def prune(l: Int, node: Int): Unit = {
+      val buf = adj(l)(node)
+      if (buf.length > maxDeg(l)) {
+        val kept = selectNeighbors(
+          buf.map(o => (l2sq(vecs(node), vecs(o)), o)).toSeq, maxDeg(l))
+        buf.clear(); buf ++= kept
+      }
+    }
+
+    var entry = 0
+    var entryLevel = levels(0)
+    var i = 1
+    while (i < n) {
+      val lvl = levels(i)
+      var ep = entry
+      // zoom down from the top through layers above the node's level
+      var l = entryLevel
+      while (l > lvl) {
+        val r = searchLayer(vecs, adj(l)(_).toArray, vecs(i), ep, 1)
+        ep = r.toSeq.minBy(t => (t._1, t._2))._2
+        l -= 1
+      }
+      // connect on each layer from min(lvl, entryLevel) down to 0
+      l = math.min(lvl, entryLevel)
+      while (l >= 0) {
+        val found = searchLayer(vecs, adj(l)(_).toArray, vecs(i), ep, efConstruction)
+        val cands = found.toSeq
+        val sel = selectNeighbors(cands, maxDeg(l))
+        sel.foreach { o =>
+          adj(l)(i) += o
+          adj(l)(o) += i
+          prune(l, o)
+        }
+        ep = cands.minBy(t => (t._1, t._2))._2
+        l -= 1
+      }
+      if (lvl > entryLevel) { entry = i; entryLevel = lvl }
+      i += 1
+    }
+    Index(m, efConstruction, entry, entryLevel, ids, vecs,
+      adj.map(_.map(_.toArray)))
+  }
+
+  /** Single-query beam search (driver- or executor-local): descend
+    * greedily from the top layer, then ef-beam the base layer; exact
+    * rerank is unnecessary — distances here are already exact. */
+  def searchIndex(index: Index, q: Array[Double], k: Int, ef: Int = 64): Seq[(Long, Double)] = {
+    var ep = index.entryPoint
+    var l = index.topLevel
+    while (l > 0) {
+      val r = searchLayer(index.vecs, index.layers(l)(_), q, ep, 1)
+      ep = r.toSeq.minBy(t => (t._1, t._2))._2
+      l -= 1
+    }
+    val res = searchLayer(index.vecs, index.layers(0)(_), q, ep, math.max(ef, k))
+    res.toSeq.sortBy(t => (t._1, t._2)).take(k)
+      .map { case (d, idx) => (index.ids(idx), math.sqrt(d)) }
+  }
+
+  /** Distributed batch search: ONE broadcast of the graph, queries
+    * partitioned across executors, each row's beam search memory-local.
+    * Output `(qid, vec_id, dist, rn)` matches [[Knn.topKBatch]] /
+    * `IvfIndex.searchIndex`. */
+  def topKBatch(spark: SparkSession, index: Index, queries: DataFrame, k: Int,
+                ef: Int = 64, queryIdCol: String = "qid",
+                embCol: String = "embedding", scale: Int = 4): DataFrame = {
+    val bc = spark.sparkContext.broadcast(index)
+    val qidIdx = queries.schema.fieldIndex(queryIdCol)
+    val prepared = queries.withColumn(embCol, col(embCol).cast("array<double>"))
+    val embIdx = prepared.schema.fieldIndex(embCol)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(queryIdCol, org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("dist", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("rn", org.apache.spark.sql.types.LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    prepared.mapPartitions { it =>
+      val idx = bc.value
+      it.flatMap { r =>
+        val qid = r.getLong(qidIdx)
+        val q = r.getSeq[Double](embIdx).toArray
+        searchIndex(idx, q, k, ef).zipWithIndex.map { case ((id, d), rank) =>
+          org.apache.spark.sql.Row(qid,
+            id, BigDecimal(d).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble,
+            (rank + 1).toLong)
+        }
+      }
+    }(enc)
+  }
+
+  /** Persist the graph as parquet (one row per node: id, vector, per-layer
+    * neighbor ID lists) + a meta sidecar — readable by any engine, and
+    * [[readIndex]] rebuilds the in-memory form for serving. */
+  def writeIndex(spark: SparkSession, index: Index, path: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val rows = (0 until index.size).map { i =>
+      val perLayer = index.layers.map(layer =>
+        if (i < layer.length) layer(i).map(o => index.ids(o)).toSeq else Seq.empty[Long])
+      org.apache.spark.sql.Row(index.ids(i), index.vecs(i).toSeq, perLayer.toSeq)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("vec",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)),
+      org.apache.spark.sql.types.StructField("layers",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)))))
+    spark.createDataFrame(rows.asJava, schema)
+      .repartition(1).write.mode("overwrite").parquet(path)
+    val meta = s"""{"m":${index.m},"efConstruction":${index.efConstruction},""" +
+      s""""entryId":${index.ids(index.entryPoint)},"topLevel":${index.topLevel}}"""
+    val p = new org.apache.hadoop.fs.Path(path, "_hnsw.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(meta.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Rebuild the in-memory graph from [[writeIndex]] output. */
+  def readIndex(spark: SparkSession, path: String): Index = {
+    val p = new org.apache.hadoop.fs.Path(path, "_hnsw.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val meta = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val re = """"m":(\d+).*"efConstruction":(\d+).*"entryId":(\d+).*"topLevel":(\d+)""".r.unanchored
+    val (m, efc, entryId, topLevel) = meta match {
+      case re(a, b, c, d) => (a.toInt, b.toInt, c.toLong, d.toInt)
+      case _ => throw new IllegalStateException(s"Hnsw: malformed _hnsw.json at $path")
+    }
+    val rows = spark.read.parquet(path).orderBy(col("id")).collect()
+    val ids = rows.map(_.getLong(0))
+    val pos = ids.zipWithIndex.toMap
+    val vecs = rows.map(_.getSeq[Double](1).toArray)
+    val layers = Array.tabulate(topLevel + 1) { l =>
+      rows.map { r =>
+        val perLayer = r.getSeq[Seq[Long]](2)
+        if (l < perLayer.length) perLayer(l).map(pos).toArray else Array.empty[Int]
+      }
+    }
+    Index(m, efc, pos(entryId), topLevel, ids, vecs, layers)
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.operators.{Hnsw, Knn}
+
+class HnswSpec extends SparkSpec {
+
+  private lazy val e = Tables.embeddings(spark, sfDir)
+  private lazy val index = Hnsw.build(e, m = 16, efConstruction = 64)
+
+  test("deterministic levels: geometric-ish decay, stable across builds") {
+    val counts = (0 to 3).map(l => (0L until 1000L).count(Hnsw.levelOf(_, 16) >= l))
+    assert(counts(0) == 1000)
+    // P(level >= 1) = 1/16: expect ~62 of 1000, generous band
+    assert(counts(1) > 20 && counts(1) < 150, counts)
+    assert(counts(2) <= counts(1) && counts(3) <= counts(2))
+    val again = Hnsw.build(e, m = 16, efConstruction = 64)
+    assert(again.entryPoint == index.entryPoint && again.topLevel == index.topLevel)
+    assert(again.layers(0).zip(index.layers(0)).forall { case (a, b) => a.sameElements(b) })
+  }
+
+  test("recall >= 0.9 vs exact KNN; self-search hits itself at dist 0") {
+    val k = 10
+    val recalls = (0L until 8L).map { qid =>
+      val exact = Knn.topK(e, e.where(col("vec_id") === qid), Knn.L2, k)
+        .collect().map(_.getLong(0)).toSet
+      val q = e.where(col("vec_id") === qid)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
+      val approx = Hnsw.searchIndex(index, q, k, ef = 64).map(_._1).toSet
+      (exact intersect approx).size.toDouble / k
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"mean recall $mean: $recalls")
+    val q0 = e.where(col("vec_id") === 3)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
+    val top = Hnsw.searchIndex(index, q0, 1).head
+    assert(top._1 == 3L && top._2 == 0.0)
+  }
+
+  test("broadcast batch search: distributed results match driver-side searches") {
+    val queries = e.where(col("vec_id") < 6)
+      .select(col("vec_id").as("qid"), col("embedding"))
+      .repartition(3)
+    val batch = Hnsw.topKBatch(spark, index, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(1))).toSet
+    val driver = (0L until 6L).flatMap { qid =>
+      val q = e.where(col("vec_id") === qid)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
+      Hnsw.searchIndex(index, q, 5, ef = 64).zipWithIndex.map { case ((id, _), rank) =>
+        (qid, (rank + 1).toLong, id)
+      }
+    }.toSet
+    assert(batch == driver)
+  }
+
+  test("persisted graph round-trips; searches identical from disk") {
+    val path = Files.createTempDirectory("hnsw_idx").toString
+    Hnsw.writeIndex(spark, index, path)
+    val back = Hnsw.readIndex(spark, path)
+    assert(back.size == index.size && back.topLevel == index.topLevel)
+    assert(back.ids(back.entryPoint) == index.ids(index.entryPoint))
+    val q = e.where(col("vec_id") === 1)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
+    assert(Hnsw.searchIndex(back, q, 10) == Hnsw.searchIndex(index, q, 10))
+  }
+
+  test("maxNodes cap fails fast with the IVF pointer") {
+    val err = intercept[IllegalArgumentException] {
+      Hnsw.build(e, maxNodes = 10)
+    }
+    assert(err.getMessage.contains("IvfIndex"))
+  }
+}
