@@ -79,6 +79,69 @@ object VectorStream {
      else writer.trigger(Trigger.ProcessingTime("10 seconds"))).start()
   }
 
+  /** foreachBatch body for STREAMING SEMANTIC DEDUP — SemDeDup in the
+    * ingest stream: a micro-batch is first deduped against ITSELF
+    * (cell-blocked cosine pairs under the store's own sidecar quantizer,
+    * [[graft.operators.Dedup.semanticDedup]]), then against the STORE
+    * (each batch vector probes its `nprobe` nearest cells; store rows in
+    * those cells are cosine-checked against the BROADCAST batch — the
+    * corpus never shuffles and never leaves its partitions), and only
+    * semantic novelties are appended. Batch N+1 therefore dedups against
+    * batch N's survivors.
+    *
+    * Replay convergence (same recipe as `DocStream.incrementalDedupBatch`):
+    * the store read EXCLUDES this batch's own `batch_id` partition — a
+    * crash-replayed batch would otherwise match its own partial commit
+    * and append nothing — and the write is dynamic partition overwrite
+    * keyed by batch_id, so the replay overwrites itself. Identical
+    * vectors can never split across cells (same argument as batch
+    * SemDeDup), so exact duplicates are always caught; near-dups the
+    * quantizer separates beyond nprobe cells are the accepted recall
+    * trade. */
+  def semanticDedupBatch(indexPath: String, threshold: Double, nprobe: Int = 4,
+                         maxCell: Int = 10000, scale: Int = 4)
+                        (batch: DataFrame, batchId: Long): Unit = {
+    import graft.functions.VectorFunctions
+    val spark = batch.sparkSession
+    val model = IvfIndex.readModel(spark, indexPath)
+    val (mn, mx) = IvfIndex.readQuantRange(spark, indexPath)
+    val b = graft.operators.Dedup.semanticDedup(batch, model, threshold, maxCell = maxCell)
+    val store =
+      try Some(spark.read.parquet(indexPath)
+        .where(col("batch_id") =!= lit(batchId))
+        .select(col("vec_id").as("__sid"), col("embedding").as("__semb"), col("cell")))
+      catch { case _: org.apache.spark.sql.AnalysisException => None } // cold store
+    val survivors = store.fold(b) { s =>
+      val probes = b.select(col("vec_id"), col("embedding"),
+        explode(IvfIndex.cellsOf(col("embedding"), model, nprobe)).as("cell"))
+      val dups = s.join(broadcast(probes), Seq("cell"))
+        .where(round(VectorFunctions.cosineSimilarity(col("__semb"), col("embedding")),
+          scale) >= threshold)
+        .select(col("vec_id")).distinct()
+      b.join(dups, Seq("vec_id"), "left_anti")
+    }
+    writeBatch(survivors, model, indexPath, mn, mx, batchId)
+  }
+
+  /** Start the semantic-dedup ingest stream over a store created by
+    * [[initQuantizedStore]]: new embedding files in `inputDir` →
+    * within-batch SemDeDup → cell-probed cosine check against the store
+    * → novelties appended (searchable immediately, and the dedup corpus
+    * for every later batch). */
+  def startSemanticDedup(spark: SparkSession, inputDir: String, indexPath: String,
+                         checkpointDir: String, threshold: Double,
+                         nprobe: Int = 4, availableNow: Boolean = false): StreamingQuery = {
+    val raw = spark.readStream
+      .schema(inputSchema)
+      .option("maxFilesPerTrigger", "16")
+      .parquet(inputDir)
+    val writer = raw.writeStream
+      .foreachBatch(semanticDedupBatch(indexPath, threshold, nprobe) _)
+      .option("checkpointLocation", checkpointDir)
+    (if (availableNow) writer.trigger(Trigger.AvailableNow())
+     else writer.trigger(Trigger.ProcessingTime("10 seconds"))).start()
+  }
+
   private def writeSidecarVia(spark: SparkSession, path: String, name: String,
                               content: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path, name)

@@ -43,4 +43,52 @@ class VectorStreamSpec extends SparkSpec {
     assert(afterOnce == before + 50)
     assert(afterTwice == afterOnce, "replayed batch must overwrite, not append")
   }
+
+  test("streaming semantic dedup: copies dropped, novelties kept, batch N+1 dedups against N, replay converges") {
+    val e = Tables.embeddings(spark, sfDir)
+    val model = IvfIndex.train(e, k = 8, iters = 2)
+    val (mn, mx) = Quantize.scalarRange(e)
+    val store = Files.createTempDirectory("vsem_store").toString
+
+    // corpus = vectors 100+; held-out 0..99 are the novelties
+    VectorStream.initQuantizedStore(e.where(col("vec_id") >= 100), model, store, mn, mx)
+    val base = spark.read.parquet(store).count()
+
+    // batch 0: 10 EXACT COPIES of corpus vectors under fresh ids (+10000)
+    // and 10 genuinely novel vectors — only the novelties may survive
+    val copies = e.where(col("vec_id").between(100, 109))
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    val novel0 = e.where(col("vec_id") < 10).select(col("vec_id"), col("embedding"))
+    VectorStream.semanticDedupBatch(store, threshold = 0.999)(copies.union(novel0), 0L)
+    val after0 = spark.read.parquet(store)
+    assert(after0.count() == base + 10)
+    assert(after0.where(col("vec_id") >= 10000).isEmpty, "exact copies must be dropped")
+    assert(after0.where(col("vec_id") < 10).count() == 10)
+
+    // batch 1: a copy of a batch-0 SURVIVOR (+20000) and one more novelty
+    // — the copy dedups against the PREVIOUS batch's append
+    val copyOfSurvivor = e.where(col("vec_id") === 5)
+      .select((col("vec_id") + 20000).as("vec_id"), col("embedding"))
+    val novel1 = e.where(col("vec_id") === 50).select(col("vec_id"), col("embedding"))
+    VectorStream.semanticDedupBatch(store, threshold = 0.999)(copyOfSurvivor.union(novel1), 1L)
+    val after1 = spark.read.parquet(store)
+    assert(after1.count() == base + 11)
+    assert(after1.where(col("vec_id") === 20005L).isEmpty)
+    assert(after1.where(col("vec_id") === 50L).count() == 1)
+
+    // replay batch 1: excludes its own partition from the dedup corpus,
+    // overwrites itself — store unchanged
+    VectorStream.semanticDedupBatch(store, threshold = 0.999)(copyOfSurvivor.union(novel1), 1L)
+    assert(spark.read.parquet(store).count() == base + 11)
+
+    // within-batch dedup: two ids with the SAME embedding in one batch →
+    // only the lower id survives
+    val v = e.where(col("vec_id") === 60).select(col("embedding")).head().getSeq[Float](0)
+    import spark.implicits._
+    val twin = Seq((600L, v), (601L, v)).toDF("vec_id", "embedding")
+    VectorStream.semanticDedupBatch(store, threshold = 0.999)(twin, 2L)
+    val after2 = spark.read.parquet(store)
+    assert(after2.where(col("vec_id") === 600L).count() == 1)
+    assert(after2.where(col("vec_id") === 601L).isEmpty)
+  }
 }
