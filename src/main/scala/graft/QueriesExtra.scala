@@ -26,6 +26,25 @@ object QueriesExtra {
       },
       None),
 
+    // Cosine-metric IVF (pgvector vector_cosine_ops analogue): store
+    // holds normalized vectors + a _metric.json sidecar; queries probe
+    // by L2 on the unit sphere (order-equivalent), rerank reports
+    // cosine distance. Rows-only gate; full-probe == exact cosine KNN
+    // and the metric mixing guard are spec-gated (IvfStoreSpec).
+    "q_ann_ivf_cos" -> QueryDef(
+      (s, d) => {
+        import graft.functions.VectorFunctions
+        val e = Tables.embeddings(s, d)
+        val en = e.withColumn("embedding", VectorFunctions.l2Normalize(col("embedding")))
+        val model = graft.operators.IvfIndex.train(en, k = 16, iters = 2)
+        val dir = java.nio.file.Files.createTempDirectory("ivf_cos_q").toString
+        graft.operators.IvfIndex.writeIndexCosine(e, model, dir)
+        val q = e.where(col("vec_id") < 4).select(col("vec_id").as("qid"), col("embedding"))
+        graft.operators.IvfIndex.searchIndexCosine(s, dir, q, k = 3, nprobe = 12)
+          .orderBy(col("qid"), col("rn"))
+      },
+      None),
+
     // HNSW serve-tier graph search: deterministic driver-built graph,
     // broadcast once, beam search per query row on executors. Rows-only
     // gate (graph traversal isn't SQL-expressible); recall/structure/

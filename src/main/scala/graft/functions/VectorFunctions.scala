@@ -36,4 +36,16 @@ object VectorFunctions {
   /** pgvector `<=>` (cosine distance = 1 - cosine similarity). */
   def cosineDistance(a: Column, b: Column): Column =
     lit(1.0) - cosineSimilarity(a, b)
+
+  /** L2-normalize a vector column (unit sphere; the zero vector maps to
+    * itself rather than NaN). On the unit sphere cosine and L2 order
+    * identically (‖â−b̂‖² = 2·(1−cos)), which is what lets the L2-trained
+    * IVF machinery serve cosine workloads over normalized stores —
+    * pgvector's `vector_cosine_ops` analogue. The norm subtree appears
+    * once per element; codegen's subexpression elimination hoists it. */
+  def l2Normalize(a: Column): Column = {
+    val n = norm(a)
+    when(n > 0, transform(a, x => x.cast("double") / n))
+      .otherwise(transform(a, x => lit(0.0)))
+  }
 }

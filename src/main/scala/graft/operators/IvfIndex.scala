@@ -458,6 +458,59 @@ object IvfIndex {
       .select(col(queryIdCol), col(idCol), col("dist"), col("rn").cast("long").as("rn"))
   }
 
+  /** Persist a COSINE-metric IVF index — pgvector's `vector_cosine_ops`
+    * analogue: vectors are L2-NORMALIZED at write (cosine is
+    * scale-invariant, so nothing is lost), cells are assigned under a
+    * `model` trained on the NORMALIZED corpus (caller trains with
+    * `train(corpus.withColumn(emb, l2Normalize(emb)))` — enforced only
+    * by contract, like every model/store pairing here), and the
+    * `_metric.json` sidecar records the opclass so searches — and the
+    * `IvfScanRewriteRule` planner path — refuse to mix metrics. On the
+    * unit sphere ‖â−b̂‖² = 2·(1−cos), so L2 cell probing preserves
+    * cosine order exactly. */
+  def writeIndexCosine(corpus: DataFrame, model: Model, path: String,
+                       idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
+    writeIndex(
+      corpus.withColumn(embCol, VectorFunctions.l2Normalize(col(embCol))),
+      model, path, idCol, embCol)
+    writeSidecar(corpus.sparkSession, path, "_metric.json", """{"metric":"cosine"}""")
+  }
+
+  /** The store's distance opclass: `"cosine"` when `_metric.json` says
+    * so, `"l2"` otherwise (the default for every store written before
+    * the sidecar existed). */
+  def readMetric(spark: org.apache.spark.sql.SparkSession, path: String): String =
+    try {
+      val json = readSidecar(spark, path, "_metric.json")
+      if (json.contains("cosine")) "cosine" else "l2"
+    } catch { case _: Exception => "l2" }
+
+  /** Search a [[writeIndexCosine]] store: queries are normalized, cells
+    * probed by L2 (order-equivalent on the unit sphere), and the rerank
+    * reports COSINE DISTANCE (pgvector `<=>`), ascending, ties by id —
+    * output `(qid, id, dist, rn)` like [[searchIndex]]. */
+  def searchIndexCosine(spark: org.apache.spark.sql.SparkSession, path: String,
+                        queries: DataFrame, k: Int, nprobe: Int,
+                        idCol: String = "vec_id", embCol: String = "embedding",
+                        queryIdCol: String = "qid", scale: Int = 4): DataFrame = {
+    require(readMetric(spark, path) == "cosine",
+      s"searchIndexCosine: $path is not a cosine-metric index (write with writeIndexCosine)")
+    val model = readModel(spark, path)
+    val qn = queries.withColumn(embCol, VectorFunctions.l2Normalize(col(embCol)))
+    val probedCells = qn
+      .select(explode(cellsOf(col(embCol), model, nprobe)).as("cell"))
+      .distinct().collect().map(_.getInt(0).asInstanceOf[Any])
+    val corpus = spark.read.parquet(path).where(col("cell").isin(probedCells: _*))
+    val qSide = broadcast(qn.select(col(queryIdCol), col(embCol).as("__qemb")))
+    val scored = corpus.crossJoin(qSide)
+      .select(col(queryIdCol), col(idCol),
+        round(VectorFunctions.cosineDistance(col(embCol), col("__qemb")), scale).as("dist"))
+    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("dist"), col(idCol))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col(queryIdCol), col(idCol), col("dist"), col("rn").cast("long").as("rn"))
+  }
+
   /** Append new vectors to a quantized index: cells assigned under the
     * existing centroids AND codes under the existing range — both read
     * from the sidecars, so appended rows are scan-compatible with the

@@ -12,7 +12,7 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
 import org.apache.spark.sql.functions.{col, typedlit}
 import org.apache.spark.sql.types._
 
-import graft.functions.{VecL2Sq, VectorExpressions}
+import graft.functions.{VecCosine, VecL2Sq, VectorExpressions}
 import graft.operators.IvfIndex
 
 /** Optimizer rule: `ORDER BY vec_l2(embedding, <literal vector>) LIMIT k`
@@ -55,10 +55,10 @@ import graft.operators.IvfIndex
   */
 object IvfScanRewriteRule extends Rule[LogicalPlan] {
 
-  /** (model, quantRange) per store path — sidecars are immutable per
-    * write; a rebuild writes new sidecars and should be re-read, so the
-    * cache keys on (path, centroids-file length+mtime fingerprint). */
-  private val cache = TrieMap.empty[String, (IvfIndex.Model, Option[(Double, Double)])]
+  /** (model, quantRange, metric) per store path — sidecars are immutable
+    * per write; a rebuild writes new sidecars and should be re-read, so
+    * the cache keys on (path, centroids-file length+mtime fingerprint). */
+  private val cache = TrieMap.empty[String, (IvfIndex.Model, Option[(Double, Double)], String)]
 
   private def conf(key: String, default: String): String =
     org.apache.spark.sql.internal.SQLConf.get.getConfString(key, default)
@@ -78,20 +78,31 @@ object IvfScanRewriteRule extends Rule[LogicalPlan] {
   /** The rewritten Sort child, or None when the pattern doesn't apply. */
   private def rewriteChild(sortKey: Expression, child: LogicalPlan, k: Int): Option[LogicalPlan] = {
     val distExpr = resolveThroughProjects(sortKey, child)
+    // (left arg, right arg, metric this sort key ranks by)
     val args = distExpr match {
-      case Sqrt(VecL2Sq(a, b)) => Some((a, b))
-      case VecL2Sq(a, b) => Some((a, b))
+      case Sqrt(VecL2Sq(a, b)) => Some((a, b, "l2"))
+      case VecL2Sq(a, b) => Some((a, b, "l2"))
+      // vec_cosine_dist builds 1.0 - vec_cosine_sim (pgvector <=>)
+      case Subtract(Literal(one, DoubleType), VecCosine(a, b), _) if one == 1.0 =>
+        Some((a, b, "cosine"))
       case _ => None
     }
     for {
-      (a, b) <- args
-      (embAttr, qvec) <- vectorArgs(a, b)
+      (a, b, metric) <- args
+      (embAttr, rawQvec) <- vectorArgs(a, b)
       (relation, fsRelation) <- storeRelationOf(child, embAttr)
       cellAttr <- relation.output.find(at =>
         at.name == "cell" && at.dataType == IntegerType)
       if !alreadyRewritten(child)
       path = fsRelation.location.rootPaths.head.toString
-      (model, quantRange) <- loadSidecars(relation, path)
+      (model, quantRange, storeMetric) <- loadSidecars(relation, path)
+      // a cosine sort only prunes soundly on a cosine (normalized) store
+      // and vice versa — mixed metrics fall through to the exact scan
+      if storeMetric == metric
+      // cosine probing runs on the normalized query (cells live on the
+      // unit sphere; cosine itself is scale-invariant so the user's
+      // rerank semantics are untouched)
+      qvec = if (metric == "cosine") normalize(rawQvec) else rawQvec
       if model.centroids.nonEmpty && model.centroids.head.length == qvec.length
     } yield {
       val nprobe = conf("spark.graft.ann.nprobe", "8").toInt
@@ -114,7 +125,9 @@ object IvfScanRewriteRule extends Rule[LogicalPlan] {
       val withCoarse = for {
         (mn, mx) <- quantRange
         idAttr <- idAttrOpt
-        if relation.output.exists(_.name == "qvec")
+        // quantized coarse codes are L2-domain; cosine stores get cell
+        // pruning only
+        if metric == "l2" && relation.output.exists(_.name == "qvec")
       } yield {
         val right = coarsePlan(path, qvec, mn, mx, cells, k * overfetch, idCol)
         Join(pruned, right, LeftSemi,
@@ -184,7 +197,7 @@ object IvfScanRewriteRule extends Rule[LogicalPlan] {
   }
 
   private def loadSidecars(relation: LogicalRelation,
-      path: String): Option[(IvfIndex.Model, Option[(Double, Double)])] = {
+      path: String): Option[(IvfIndex.Model, Option[(Double, Double)], String)] = {
     val spark = SparkSession.active
     val p = new org.apache.hadoop.fs.Path(path, "_centroids.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -196,8 +209,15 @@ object IvfScanRewriteRule extends Rule[LogicalPlan] {
         if (fs.exists(new org.apache.hadoop.fs.Path(path, "_quantize.json")))
           Some(IvfIndex.readQuantRange(spark, path))
         else None
-      (model, range)
+      (model, range, IvfIndex.readMetric(spark, path))
     }))
+  }
+
+  private def normalize(v: Array[Double]): Array[Double] = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    val n = math.sqrt(s)
+    if (n == 0.0) v else v.map(_ / n)
   }
 
   /** nprobe nearest centroid cells to the query — driver-local math on

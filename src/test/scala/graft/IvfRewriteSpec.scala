@@ -115,6 +115,45 @@ class IvfRewriteSpec extends SparkSpec {
     }
   }
 
+  test("cosine sort over a cosine store rewrites; over an L2 store it does not (metric guard)") {
+    val cosStore = Files.createTempDirectory("ivf_rw_cos").toString
+    val en = e.withColumn("embedding", VectorFunctions.l2Normalize(col("embedding")))
+    val cosModel = graft.operators.IvfIndex.train(en, k = 8, iters = 2)
+    graft.operators.IvfIndex.writeIndexCosine(e, cosModel, cosStore)
+
+    def cosQuery(store: String) = spark.read.parquet(store)
+      .select(col("vec_id"),
+        VectorFunctions.cosineDistance(col("embedding"), typedlit(queryVec)).as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(5)
+
+    val exact = cosQuery(cosStore).collect().map(_.getLong(0)).toList
+    withRule {
+      val q = cosQuery(cosStore)
+      val physical = q.queryExecution.executedPlan.toString
+      assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(physical).nonEmpty,
+        physical.take(3000))
+      // unnormalized literal, normalized store: self-hit still first —
+      // cosine is scale-invariant, and generous probing finds the rest
+      val got = cosQuery(cosStore).collect().map(_.getLong(0)).toList
+      assert(got.head == 7L)
+      assert((exact.toSet intersect got.toSet).size >= 4, s"exact=$exact got=$got")
+
+      // metric guard: a cosine sort over the L2-metric quantized store
+      // must NOT rewrite (cell geometry is unnormalized there)
+      val wrong = spark.read.parquet(quantStore)
+        .select(col("vec_id"),
+          VectorFunctions.cosineDistance(col("embedding"), typedlit(queryVec)).as("dist"))
+        .orderBy(col("dist"), col("vec_id")).limit(5)
+      val plan = wrong.queryExecution.executedPlan.toString
+      assert("PartitionFilters: \\[\\]".r.findFirstIn(plan).nonEmpty, plan.take(2000))
+      // and the L2 sort over the cosine store must not rewrite either
+      val wrong2 = annQuery(cosStore, 5)
+      val plan2 = wrong2.queryExecution.executedPlan.toString
+      assert("PartitionFilters: \\[\\]".r.findFirstIn(plan2).nonEmpty, plan2.take(2000))
+    }
+  }
+
   test("rewrite leaves non-store sorts and disabled sessions untouched") {
     withRule {
       // ordinary parquet table (no sidecar): untouched

@@ -183,6 +183,45 @@ class IvfStoreSpec extends SparkSpec {
     assert(bad.isEmpty)
   }
 
+  test("cosine-metric index: full probe equals exact cosine KNN; metric sidecar guards mixing") {
+    import graft.functions.VectorFunctions
+    import graft.operators.Knn
+    val path = Files.createTempDirectory("ivf_cos").toString
+    val e = Tables.embeddings(spark, sfDir)
+    val en = e.withColumn("embedding", VectorFunctions.l2Normalize(col("embedding")))
+    val model = IvfIndex.train(en, k = 16, iters = 3)
+    IvfIndex.writeIndexCosine(e, model, path)
+    assert(IvfIndex.readMetric(spark, path) == "cosine")
+
+    // full probe = exact cosine KNN (same ids, same rounded distances)
+    val q = e.where(col("vec_id") === 7).select(col("vec_id").as("qid"), col("embedding"))
+    val full = IvfIndex.searchIndexCosine(spark, path, q, k = 10, nprobe = 16)
+      .orderBy(col("rn")).collect().map(r => (r.getLong(1), r.getDouble(2))).toList
+    val exact = Knn.topK(e, e.where(col("vec_id") === 7), Knn.Cosine, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    assert(full == exact, s"full=$full exact=$exact")
+
+    // partial probe keeps recall
+    val k = 10
+    val recalls = (0L until 6L).map { qid =>
+      val ex = Knn.topK(e, e.where(col("vec_id") === qid), Knn.Cosine, k)
+        .collect().map(_.getLong(0)).toSet
+      val q1 = e.where(col("vec_id") === qid).select(col("vec_id").as("qid"), col("embedding"))
+      val ap = IvfIndex.searchIndexCosine(spark, path, q1, k, nprobe = 12)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      (ex intersect ap).size.toDouble / k
+    }
+    assert(recalls.sum / recalls.size >= 0.9, recalls)
+
+    // an L2 store refuses cosine search
+    val l2path = Files.createTempDirectory("ivf_l2m").toString
+    IvfIndex.writeIndex(e, model, l2path)
+    val err = intercept[IllegalArgumentException] {
+      IvfIndex.searchIndexCosine(spark, l2path, q, k = 3, nprobe = 4)
+    }
+    assert(err.getMessage.contains("cosine"))
+  }
+
   test("knnJoin: large-x-large blocked join keeps recall vs the exact join; no broadcast of either side") {
     val e = Tables.embeddings(spark, sfDir)
     val left = e.where(col("vec_id") < 250).select(col("vec_id").as("qid"), col("embedding"))
