@@ -192,6 +192,29 @@ object Perf {
         (col("id") * 31 % 50000).as("src"), (col("id") * 57 % 50000 + 50000).as("dst"))
       PageRank.ranks(eg, iters = 3).count()
     }
+
+    // IvfScanRewriteRule probe: the SAME user query — plain ORDER BY
+    // vec_l2 LIMIT 5 over a quantized IVF store — exact vs index-planned.
+    // 100k-vector store, 64 cells; the rewrite reads ~nprobe/64 of the
+    // partitions and only the (id, qvec) columns on the coarse side.
+    {
+      val dir = java.nio.file.Files.createTempDirectory("perf_ivf_rw").toString
+      val model = IvfIndex.train(bigE200, k = 64, iters = 2, samplePercent = 2)
+      IvfIndex.writeIndexQuantized(bigE200, model, dir, qmn, qmx)
+      val qv = emb.where(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+      def userQuery = spark.read.parquet(dir)
+        .select(col("vec_id"),
+          graft.functions.VectorFunctions.l2Distance(col("embedding"), typedlit(qv)).as("dist"))
+        .orderBy(col("dist"), col("vec_id")).limit(5)
+      time("annSql.exact (100k-vector store, full scan)")(userQuery.count())
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.IvfScanRewriteRule
+      try time("annSql.rewritten (same query, index plan)")(userQuery.count())
+      finally spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_ eq graft.plans.IvfScanRewriteRule)
+    }
     spark.stop()
   }
 }

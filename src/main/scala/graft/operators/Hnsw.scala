@@ -67,9 +67,9 @@ object Hnsw {
   /** Greedy descent at one layer from `entry` toward `q`, returning the
     * `ef` closest found — algorithm 2 of the paper, with a visited set
     * and a bounded result heap; ties break by node idx. */
-  private def searchLayer(vecs: Array[Array[Double]], neighbors: Int => Array[Int],
+  private def searchLayer(vecs: Int => Array[Double], neighbors: Int => Array[Int],
                           q: Array[Double], entry: Int, ef: Int): mutable.PriorityQueue[(Double, Int)] = {
-    val visited = new java.util.BitSet(vecs.length)
+    val visited = new java.util.BitSet()
     // candidates: nearest first; results: farthest first (bounded to ef)
     val cand = mutable.PriorityQueue.empty[(Double, Int)](
       Ordering.by[(Double, Int), (Double, Int)](t => (-t._1, -t._2)))
@@ -104,33 +104,26 @@ object Hnsw {
   private def selectNeighbors(cands: Seq[(Double, Int)], m: Int): Array[Int] =
     cands.sortBy(t => (t._1, t._2)).take(m).map(_._2).toArray
 
-  /** Driver-local deterministic build over `(idCol, embCol)` rows.
-    * Collects the vectors — bounded by `maxNodes` (fail-fast with the
-    * IVF pointer, not a silent OOM). */
-  def build(vectors: DataFrame, m: Int = 16, efConstruction: Int = 64,
-            idCol: String = "vec_id", embCol: String = "embedding",
-            maxNodes: Int = 2000000): Index = {
-    val rows = vectors
-      .select(col(idCol).cast("long"), col(embCol).cast("array<double>"))
-      .orderBy(col(idCol))
-      .limit(maxNodes + 1)
-      .collect()
-    require(rows.length <= maxNodes,
-      s"Hnsw.build: corpus exceeds maxNodes=$maxNodes — a graph index is the " +
-        "bounded-serve-tier tool; use IvfIndex for corpus-scale ANN")
-    val ids = rows.map(_.getLong(0))
-    val vecs = rows.map(_.getSeq[Double](1).toArray)
-    val n = ids.length
-    require(n > 0, "Hnsw.build: empty corpus")
+  /** Mutable graph under construction — shared by [[build]] (fresh) and
+    * [[append]] (seeded from an existing [[Index]]). Insertion is the
+    * paper's algorithm 1; neighbor-list prune keeps degree ≤ 2m at the
+    * base layer, ≤ m above. */
+  private final class GraphBuilder(val m: Int, val efC: Int) {
+    val ids = mutable.ArrayBuffer.empty[Long]
+    val vecs = mutable.ArrayBuffer.empty[Array[Double]]
+    // layer → node → neighbor buffer (every layer sized to node count)
+    val layers = mutable.ArrayBuffer.empty[mutable.ArrayBuffer[mutable.ArrayBuffer[Int]]]
+    var entry: Int = -1
+    var entryLevel: Int = -1
 
-    val levels = ids.map(levelOf(_, m))
-    val topLevel = levels.max
-    // adjacency under construction: layer → node → buffer
-    val adj = Array.fill(topLevel + 1)(Array.fill(n)(mutable.ArrayBuffer.empty[Int]))
-    val maxDeg = Array.tabulate(topLevel + 1)(l => if (l == 0) 2 * m else m)
+    private def maxDeg(l: Int): Int = if (l == 0) 2 * m else m
 
-    def prune(l: Int, node: Int): Unit = {
-      val buf = adj(l)(node)
+    private def ensureLayer(l: Int): Unit =
+      while (layers.length <= l)
+        layers += mutable.ArrayBuffer.fill(ids.length)(mutable.ArrayBuffer.empty[Int])
+
+    private def prune(l: Int, node: Int): Unit = {
+      val buf = layers(l)(node)
       if (buf.length > maxDeg(l)) {
         val kept = selectNeighbors(
           buf.map(o => (l2sq(vecs(node), vecs(o)), o)).toSeq, maxDeg(l))
@@ -138,38 +131,97 @@ object Hnsw {
       }
     }
 
-    var entry = 0
-    var entryLevel = levels(0)
-    var i = 1
-    while (i < n) {
-      val lvl = levels(i)
+    def addNode(id: Long, v: Array[Double]): Unit = {
+      val i = ids.length
+      ids += id; vecs += v
+      layers.foreach(_ += mutable.ArrayBuffer.empty[Int])
+      val lvl = levelOf(id, m)
+      ensureLayer(math.max(lvl, 0))
+      if (entry < 0) { entry = i; entryLevel = lvl; return }
       var ep = entry
-      // zoom down from the top through layers above the node's level
       var l = entryLevel
       while (l > lvl) {
-        val r = searchLayer(vecs, adj(l)(_).toArray, vecs(i), ep, 1)
+        val r = searchLayer(vecs(_), layers(l)(_).toArray, v, ep, 1)
         ep = r.toSeq.minBy(t => (t._1, t._2))._2
         l -= 1
       }
-      // connect on each layer from min(lvl, entryLevel) down to 0
       l = math.min(lvl, entryLevel)
       while (l >= 0) {
-        val found = searchLayer(vecs, adj(l)(_).toArray, vecs(i), ep, efConstruction)
+        val found = searchLayer(vecs(_), layers(l)(_).toArray, v, ep, efC)
         val cands = found.toSeq
         val sel = selectNeighbors(cands, maxDeg(l))
         sel.foreach { o =>
-          adj(l)(i) += o
-          adj(l)(o) += i
+          layers(l)(i) += o
+          layers(l)(o) += i
           prune(l, o)
         }
         ep = cands.minBy(t => (t._1, t._2))._2
         l -= 1
       }
       if (lvl > entryLevel) { entry = i; entryLevel = lvl }
-      i += 1
     }
-    Index(m, efConstruction, entry, entryLevel, ids, vecs,
-      adj.map(_.map(_.toArray)))
+
+    def freeze(): Index = Index(m, efC, entry, entryLevel, ids.toArray, vecs.toArray,
+      layers.map(layer => layer.map(_.toArray).toArray).toArray)
+  }
+
+  private def seededBuilder(index: Index): GraphBuilder = {
+    val b = new GraphBuilder(index.m, index.efConstruction)
+    b.ids ++= index.ids
+    b.vecs ++= index.vecs
+    index.layers.foreach { layer =>
+      b.layers += layer.map(ns => mutable.ArrayBuffer(ns.toSeq: _*))
+        .to(mutable.ArrayBuffer)
+    }
+    b.entry = index.entryPoint
+    b.entryLevel = index.topLevel
+    b
+  }
+
+  private def collectBounded(vectors: DataFrame, idCol: String, embCol: String,
+                             limit: Int, who: String): Array[(Long, Array[Double])] = {
+    val rows = vectors
+      .select(col(idCol).cast("long"), col(embCol).cast("array<double>"))
+      .orderBy(col(idCol))
+      .limit(limit + 1)
+      .collect()
+    require(rows.length <= limit,
+      s"Hnsw.$who: corpus exceeds maxNodes=$limit — a graph index is the " +
+        "bounded-serve-tier tool; use IvfIndex for corpus-scale ANN")
+    rows.map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+  }
+
+  /** Driver-local deterministic build over `(idCol, embCol)` rows.
+    * Collects the vectors — bounded by `maxNodes` (fail-fast with the
+    * IVF pointer, not a silent OOM). */
+  def build(vectors: DataFrame, m: Int = 16, efConstruction: Int = 64,
+            idCol: String = "vec_id", embCol: String = "embedding",
+            maxNodes: Int = 2000000): Index = {
+    val rows = collectBounded(vectors, idCol, embCol, maxNodes, "build")
+    require(rows.nonEmpty, "Hnsw.build: empty corpus")
+    val b = new GraphBuilder(m, efConstruction)
+    rows.foreach { case (id, v) => b.addNode(id, v) }
+    b.freeze()
+  }
+
+  /** INCREMENTAL append — HNSW's insert is already incremental, so new
+    * vectors just run the same insertion (ascending id, deterministic
+    * levels) against the existing graph; bidirectional linking +
+    * degree prune ARE the neighbor repair. The grown graph is not
+    * byte-identical to a fresh build over the union (insertion order
+    * differs — the accepted contract of every online HNSW), but search
+    * semantics and recall hold, spec-pinned. Caller dedups ids (the
+    * [[IvfIndex.appendIndex]] contract); `maxNodes` bounds the TOTAL. */
+  def append(index: Index, vectors: DataFrame,
+             idCol: String = "vec_id", embCol: String = "embedding",
+             maxNodes: Int = 2000000): Index = {
+    val room = maxNodes - index.size
+    require(room > 0,
+      s"Hnsw.append: index already at maxNodes=$maxNodes — use IvfIndex for corpus-scale ANN")
+    val rows = collectBounded(vectors, idCol, embCol, room, "append")
+    val b = seededBuilder(index)
+    rows.foreach { case (id, v) => b.addNode(id, v) }
+    b.freeze()
   }
 
   /** Single-query beam search (driver- or executor-local): descend
@@ -179,11 +231,11 @@ object Hnsw {
     var ep = index.entryPoint
     var l = index.topLevel
     while (l > 0) {
-      val r = searchLayer(index.vecs, index.layers(l)(_), q, ep, 1)
+      val r = searchLayer(index.vecs(_), index.layers(l)(_), q, ep, 1)
       ep = r.toSeq.minBy(t => (t._1, t._2))._2
       l -= 1
     }
-    val res = searchLayer(index.vecs, index.layers(0)(_), q, ep, math.max(ef, k))
+    val res = searchLayer(index.vecs(_), index.layers(0)(_), q, ep, math.max(ef, k))
     res.toSeq.sortBy(t => (t._1, t._2)).take(k)
       .map { case (d, idx) => (index.ids(idx), math.sqrt(d)) }
   }

@@ -65,6 +65,36 @@ class HnswSpec extends SparkSpec {
     assert(Hnsw.searchIndex(back, q, 10) == Hnsw.searchIndex(index, q, 10))
   }
 
+  test("append: new vectors searchable, old recall holds, cap bounds the total") {
+    val base = Hnsw.build(e.where(col("vec_id") >= 100), m = 16, efConstruction = 64)
+    val held = e.where(col("vec_id") < 100)
+    val grown = Hnsw.append(base, held)
+    assert(grown.size == index.size)
+    // appended vectors find themselves at dist 0
+    (0L until 10L).foreach { qid =>
+      val q = e.where(col("vec_id") === qid)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
+      val top = Hnsw.searchIndex(grown, q, 1).head
+      assert(top._1 == qid && top._2 == 0.0, s"qid=$qid got $top")
+    }
+    // recall on the grown graph stays >= 0.9 (queries from both halves)
+    val k = 10
+    val recalls = Seq(3L, 7L, 150L, 200L, 250L, 300L).map { qid =>
+      val exact = Knn.topK(e, e.where(col("vec_id") === qid), Knn.L2, k)
+        .collect().map(_.getLong(0)).toSet
+      val q = e.where(col("vec_id") === qid)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
+      val approx = Hnsw.searchIndex(grown, q, k, ef = 64).map(_._1).toSet
+      (exact intersect approx).size.toDouble / k
+    }
+    assert(recalls.sum / recalls.size >= 0.9, recalls)
+    // total cap: appending beyond maxNodes fails fast
+    val err = intercept[IllegalArgumentException] {
+      Hnsw.append(base, held, maxNodes = base.size + 10)
+    }
+    assert(err.getMessage.contains("IvfIndex"))
+  }
+
   test("maxNodes cap fails fast with the IVF pointer") {
     val err = intercept[IllegalArgumentException] {
       Hnsw.build(e, maxNodes = 10)
