@@ -115,6 +115,23 @@ class IvfRewriteSpec extends SparkSpec {
     }
   }
 
+  test("parameterized SQL (the ?::vector idiom) still gets the index plan") {
+    GraftFunctions.register(spark)
+    withRule {
+      spark.read.parquet(quantStore).createOrReplaceTempView("ivf_store_p")
+      // pgvector's `ORDER BY embedding <-> ? LIMIT 5` maps to a named
+      // parameter — substituted as a literal before optimization, so the
+      // rewrite fires exactly as with an inline literal
+      val sql = spark.sql(
+        "SELECT vec_id, vec_l2(embedding, :q) AS dist FROM ivf_store_p " +
+          "ORDER BY dist, vec_id LIMIT 5",
+        Map("q" -> queryVec.toArray))
+      assert(sql.queryExecution.optimizedPlan.toString.contains("LeftSemi"),
+        sql.queryExecution.optimizedPlan.toString.take(1500))
+      assert(sql.collect().head.getLong(0) == 7L)
+    }
+  }
+
   test("cosine sort over a cosine store rewrites; over an L2 store it does not (metric guard)") {
     val cosStore = Files.createTempDirectory("ivf_rw_cos").toString
     val en = e.withColumn("embedding", VectorFunctions.l2Normalize(col("embedding")))
