@@ -45,6 +45,22 @@ object QueriesExtra {
       },
       None),
 
+    // Inner-product IVF search (pgvector vector_ip_ops / <#>): cells
+    // probed by L2 (the faiss IVF-IP recipe), rerank by negative IP.
+    // Rows-only gate; full-probe == exact IP KNN and the cosine-store
+    // guard are spec-gated (IvfStoreSpec).
+    "q_ann_ivf_ip" -> QueryDef(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val model = graft.operators.IvfIndex.train(e, k = 16, iters = 2)
+        val dir = java.nio.file.Files.createTempDirectory("ivf_ip_q").toString
+        graft.operators.IvfIndex.writeIndex(e, model, dir)
+        val q = e.where(col("vec_id") < 4).select(col("vec_id").as("qid"), col("embedding"))
+        graft.operators.IvfIndex.searchIndexIp(s, dir, q, k = 3, nprobe = 12)
+          .orderBy(col("qid"), col("rn"))
+      },
+      None),
+
     // HNSW serve-tier graph search: deterministic driver-built graph,
     // broadcast once, beam search per query row on executors. Rows-only
     // gate (graph traversal isn't SQL-expressible); recall/structure/

@@ -511,6 +511,38 @@ object IvfIndex {
       .select(col(queryIdCol), col(idCol), col("dist"), col("rn").cast("long").as("rn"))
   }
 
+  /** INNER-PRODUCT search over an L2-metric index — pgvector's
+    * `vector_ip_ops` analogue (`<#>` = negative inner product,
+    * ascending). Cells are probed by L2 to the query (the faiss
+    * IVF-with-METRIC_INNER_PRODUCT recipe: the coarse quantizer keeps
+    * its L2 geometry); the rerank scores -⟨corpus, q⟩. MIPS recall under
+    * L2 probing is the known weak spot of every IVF-IP index — a
+    * high-IP vector with a large norm can sit in a far cell — so the
+    * recall knob is `nprobe`, and full probe degenerates to the exact
+    * answer (spec-pinned). On a cosine store the vectors are normalized,
+    * where IP ordering equals cosine — use [[searchIndexCosine]]. */
+  def searchIndexIp(spark: org.apache.spark.sql.SparkSession, path: String,
+                    queries: DataFrame, k: Int, nprobe: Int,
+                    idCol: String = "vec_id", embCol: String = "embedding",
+                    queryIdCol: String = "qid", scale: Int = 4): DataFrame = {
+    require(readMetric(spark, path) == "l2",
+      s"searchIndexIp: $path is a cosine-metric (normalized) index — IP ordering " +
+        "equals cosine there; use searchIndexCosine")
+    val model = readModel(spark, path)
+    val probedCells = queries
+      .select(explode(cellsOf(col(embCol), model, nprobe)).as("cell"))
+      .distinct().collect().map(_.getInt(0).asInstanceOf[Any])
+    val corpus = spark.read.parquet(path).where(col("cell").isin(probedCells: _*))
+    val qSide = broadcast(queries.select(col(queryIdCol), col(embCol).as("__qemb")))
+    val scored = corpus.crossJoin(qSide)
+      .select(col(queryIdCol), col(idCol),
+        round(VectorFunctions.negInnerProduct(col(embCol), col("__qemb")), scale).as("dist"))
+    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("dist"), col(idCol))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col(queryIdCol), col(idCol), col("dist"), col("rn").cast("long").as("rn"))
+  }
+
   /** Append new vectors to a quantized index: cells assigned under the
     * existing centroids AND codes under the existing range — both read
     * from the sidecars, so appended rows are scan-compatible with the

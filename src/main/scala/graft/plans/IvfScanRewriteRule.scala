@@ -12,7 +12,7 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
 import org.apache.spark.sql.functions.{col, typedlit}
 import org.apache.spark.sql.types._
 
-import graft.functions.{VecCosine, VecL2Sq, VectorExpressions}
+import graft.functions.{VecCosine, VecDot, VecL2Sq, VectorExpressions}
 import graft.operators.IvfIndex
 
 /** Optimizer rule: `ORDER BY vec_l2(embedding, <literal vector>) LIMIT k`
@@ -85,6 +85,8 @@ object IvfScanRewriteRule extends Rule[LogicalPlan] {
       // vec_cosine_dist builds 1.0 - vec_cosine_sim (pgvector <=>)
       case Subtract(Literal(one, DoubleType), VecCosine(a, b), _) if one == 1.0 =>
         Some((a, b, "cosine"))
+      // vec_ip builds -vec_dot (pgvector <#>, ascending = best IP first)
+      case UnaryMinus(VecDot(a, b), _) => Some((a, b, "ip"))
       case _ => None
     }
     for {
@@ -97,8 +99,10 @@ object IvfScanRewriteRule extends Rule[LogicalPlan] {
       path = fsRelation.location.rootPaths.head.toString
       (model, quantRange, storeMetric) <- loadSidecars(relation, path)
       // a cosine sort only prunes soundly on a cosine (normalized) store
-      // and vice versa — mixed metrics fall through to the exact scan
-      if storeMetric == metric
+      // and vice versa; an IP sort probes an L2 store's cells (the faiss
+      // IVF-IP recipe — recall governed by nprobe, like pgvector
+      // vector_ip_ops). Other mixes fall through to the exact scan.
+      if storeMetric == metric || (metric == "ip" && storeMetric == "l2")
       // cosine probing runs on the normalized query (cells live on the
       // unit sphere; cosine itself is scale-invariant so the user's
       // rerank semantics are untouched)
@@ -125,8 +129,9 @@ object IvfScanRewriteRule extends Rule[LogicalPlan] {
       val withCoarse = for {
         (mn, mx) <- quantRange
         idAttr <- idAttrOpt
-        // quantized coarse codes are L2-domain; cosine stores get cell
-        // pruning only
+        // quantized coarse codes order by L2 only — a code-L2 top-n
+        // would mis-rank cosine/IP candidates, so those get cell
+        // pruning without the coarse semi-join
         if metric == "l2" && relation.output.exists(_.name == "qvec")
       } yield {
         val right = coarsePlan(path, qvec, mn, mx, cells, k * overfetch, idCol)

@@ -171,6 +171,30 @@ class IvfRewriteSpec extends SparkSpec {
     }
   }
 
+  test("vec_ip sort over an L2 store prunes cells (no code-L2 coarse join); full probe exact") {
+    def ipQuery(k: Int) = spark.read.parquet(quantStore)
+      .select(col("vec_id"),
+        VectorFunctions.negInnerProduct(col("embedding"), typedlit(queryVec)).as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(k)
+    val exact = ipQuery(10).collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    withRule {
+      val q = ipQuery(10)
+      val optimized = q.queryExecution.optimizedPlan.toString
+      // cell pruning fires; the code-L2 coarse semi-join must NOT (it
+      // would mis-rank IP candidates)
+      assert(!optimized.contains("LeftSemi"), optimized.take(1500))
+      val physical = q.queryExecution.executedPlan.toString
+      assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(physical).nonEmpty,
+        physical.take(3000))
+      // full probe degenerates to the exact answer
+      conf("spark.graft.ann.nprobe" -> "16") {
+        val got = ipQuery(10).collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+        assert(got == exact)
+      }
+    }
+  }
+
   test("rewrite leaves non-store sorts and disabled sessions untouched") {
     withRule {
       // ordinary parquet table (no sidecar): untouched

@@ -222,6 +222,32 @@ class IvfStoreSpec extends SparkSpec {
     assert(err.getMessage.contains("cosine"))
   }
 
+  test("inner-product search: full probe equals exact IP KNN; cosine store refuses") {
+    import graft.functions.VectorFunctions
+    import graft.operators.Knn
+    val path = Files.createTempDirectory("ivf_ip").toString
+    val e = Tables.embeddings(spark, sfDir)
+    val model = IvfIndex.train(e, k = 16, iters = 3)
+    IvfIndex.writeIndex(e, model, path)
+
+    val q = e.where(col("vec_id") === 7).select(col("vec_id").as("qid"), col("embedding"))
+    val full = IvfIndex.searchIndexIp(spark, path, q, k = 10, nprobe = 16)
+      .orderBy(col("rn")).collect().map(r => (r.getLong(1), r.getDouble(2))).toList
+    val exact = Knn.topK(e, e.where(col("vec_id") === 7), Knn.InnerProduct, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    assert(full == exact, s"full=$full exact=$exact")
+
+    // a cosine (normalized) store refuses IP search — IP ordering there
+    // IS cosine; the error message must say so
+    val cosPath = Files.createTempDirectory("ivf_ip_cos").toString
+    val en = e.withColumn("embedding", VectorFunctions.l2Normalize(col("embedding")))
+    IvfIndex.writeIndexCosine(e, IvfIndex.train(en, k = 8, iters = 1), cosPath)
+    val err = intercept[IllegalArgumentException] {
+      IvfIndex.searchIndexIp(spark, cosPath, q, k = 3, nprobe = 4)
+    }
+    assert(err.getMessage.contains("searchIndexCosine"))
+  }
+
   test("knnJoin: large-x-large blocked join keeps recall vs the exact join; no broadcast of either side") {
     val e = Tables.embeddings(spark, sfDir)
     val left = e.where(col("vec_id") < 250).select(col("vec_id").as("qid"), col("embedding"))
