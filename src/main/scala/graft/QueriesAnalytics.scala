@@ -84,6 +84,248 @@ object QueriesAnalytics {
              |JOIN region ON n_regionkey = r_regionkey
              |GROUP BY r_name ORDER BY r_name""".stripMargin)),
 
+    // TPC-H Q7 shape: cross-nation trade volume, both directions of one
+    // nation pair, by ship year — the two-role nation join (supplier's
+    // nation and customer's nation are separate dimension lookups).
+    "q7_nation_volume" -> QueryDef(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+            && col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+          .select(col("l_orderkey"), col("l_suppkey"),
+            year(col("l_shipdate")).cast("long").as("l_year"),
+            (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume"))
+        val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        val n1 = Tables.nation(s, d).select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+        val n2 = Tables.nation(s, d).select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+          .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+          .where((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2")
+            || (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+          .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+          .agg(round(sum(col("volume")), 2).as("revenue"))
+          .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      },
+      Some("""SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+             |FROM (
+             |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             |    CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             |    l_extendedprice * (1 - l_discount) AS volume
+             |  FROM lineitem
+             |  JOIN orders ON l_orderkey = o_orderkey
+             |  JOIN supplier ON l_suppkey = s_suppkey
+             |  JOIN customer ON o_custkey = c_custkey
+             |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+             |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+             |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+             |    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+             |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')))
+             |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
+    // TPC-H Q8 shape: one nation's market share inside a consuming
+    // region for one product type, by order year (CASE-ratio over a
+    // 6-way star join).
+    "q8_market_share" -> QueryDef(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+            (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume"))
+        val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        li.join(broadcast(Tables.part(s, d).where(col("p_type") === "ECONOMY")
+            .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, d).select(col("n_nationkey").as("c_nk"),
+            col("n_regionkey"))), col("c_nationkey") === col("c_nk"))
+          .join(broadcast(Tables.region(s, d).where(col("r_name") === "ASIA")
+            .select(col("r_regionkey"))), col("n_regionkey") === col("r_regionkey"))
+          .join(broadcast(Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables.nation(s, d).select(col("n_nationkey").as("s_nk"),
+            col("n_name").as("supp_nation"))), col("s_nationkey") === col("s_nk"))
+          .groupBy(col("o_year"))
+          .agg(round(
+            sum(when(col("supp_nation") === "NATION_3", col("volume")).otherwise(lit(0.0)))
+              / sum(col("volume")), 4).as("mkt_share"))
+          .orderBy(col("o_year"))
+      },
+      Some("""SELECT o_year,
+             |  round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+             |        / sum(volume), 4) AS mkt_share
+             |FROM (
+             |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             |    l_extendedprice * (1 - l_discount) AS volume, n2.n_name AS supp_nation
+             |  FROM lineitem
+             |  JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+             |  JOIN orders ON l_orderkey = o_orderkey
+             |  JOIN customer ON o_custkey = c_custkey
+             |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+             |  JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+             |  JOIN supplier ON l_suppkey = s_suppkey
+             |  JOIN nation n2 ON s_nationkey = n2.n_nationkey)
+             |GROUP BY o_year ORDER BY o_year""".stripMargin)),
+
+    // TPC-H Q9 shape (sans partsupp — the synthetic schema has no
+    // supplycost): per supplier-nation per order-year profit over a
+    // p_name substring filter.
+    "q9_profit" -> QueryDef(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+            (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("amount"))
+        li.join(broadcast(Tables.part(s, d).where(col("p_name").contains("red"))
+            .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+          .join(Tables.orders(s, d).select(col("o_orderkey"),
+            year(col("o_orderdate")).cast("long").as("o_year")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"), col("o_year"))
+          .agg(round(sum(col("amount")), 2).as("sum_profit"))
+          .orderBy(col("n_name"), col("o_year").desc)
+      },
+      Some("""SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_profit
+             |FROM lineitem
+             |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |GROUP BY 1, 2 ORDER BY n_name, o_year DESC""".stripMargin)),
+
+    // TPC-H Q10 shape: top-20 customers by returned-item revenue in one
+    // quarter (join + group + TakeOrdered).
+    "q10_returned" -> QueryDef(
+      (s, d) => {
+        val ord = Tables.orders(s, d)
+          .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+            && col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+          .select(col("o_orderkey"), col("o_custkey"))
+        val li = Tables.lineitem(s, d).where(col("l_returnflag") === "R")
+          .select(col("l_orderkey"),
+            (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume"))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.customer(s, d)
+            .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_nationkey"))),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), round(col("c_acctbal"), 2).as("c_acctbal"),
+            col("n_name"))
+          // round-then-decimal per row: the sum (and the rank order it
+          // feeds) is order-independent exact, where a double sum rounds
+          // across a cent boundary differently per engine
+          .agg(sum(round(col("volume").cast("double"), 4).cast("decimal(18,4)")).as("__rev"))
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"),
+            round(col("__rev"), 2).cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some("""SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal, n_name,
+             |  CAST(round(sum(CAST(round(CAST(l_extendedprice * (1 - l_discount) AS DOUBLE), 4)
+             |    AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |WHERE l_returnflag = 'R'
+             |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+             |GROUP BY 1, 2, 3, 4
+             |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)),
+
+    // TPC-H Q12 shape (sans shipmode — synthetic schema): late-shipment
+    // CASE aggregation — orders shipped >60 days after order date,
+    // split by priority class.
+    "q12_late_shipments" -> QueryDef(
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+        val ord = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .select(
+            when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+              lit("late")).otherwise(lit("ontime")).as("ship_class"),
+            col("o_orderpriority"))
+          .groupBy(col("ship_class"))
+          .agg(
+            sum(when(col("o_orderpriority") === "1-URGENT"
+              || col("o_orderpriority") === "2-HIGH", 1L).otherwise(0L)).as("high_line_count"),
+            sum(when(col("o_orderpriority") =!= "1-URGENT"
+              && col("o_orderpriority") =!= "2-HIGH", 1L).otherwise(0L)).as("low_line_count"))
+          .orderBy(col("ship_class"))
+      },
+      Some("""SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+             |         THEN 'late' ELSE 'ontime' END AS ship_class,
+             |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY 1 ORDER BY ship_class""".stripMargin)),
+
+    // TPC-H Q14 shape: promo revenue ratio for one ship month
+    // (conditional ratio over a part join).
+    "q14_promo" -> QueryDef(
+      (s, d) => Tables.lineitem(s, d)
+        .where(col("l_shipdate") >= lit("1996-03-01").cast("timestamp")
+          && col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .join(broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .agg(round(
+          sum(when(col("p_type") === "PROMO",
+            col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(lit(0.0)))
+            * lit(100.0)
+            / sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("promo_revenue"))
+        .select(col("promo_revenue")),
+      Some("""SELECT round(
+             |  100.0 * sum(CASE WHEN p_type = 'PROMO'
+             |                   THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             |  / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin)),
+
+    // TPC-H Q15 shape: top supplier(s) by quarter revenue — the
+    // max-of-aggregate pattern. Per-row amounts are rounded THEN cast to
+    // DECIMAL so the per-supplier sums (and the max, and the equality
+    // against it) are order-independent exact on both engines; the
+    // reported revenue is the usual rounded DOUBLE.
+    "q15_top_supplier" -> QueryDef(
+      (s, d) => {
+        val rev = Tables.lineitem(s, d)
+          .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+            && col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+          .groupBy(col("l_suppkey"))
+          .agg(sum(round((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("double"), 4)
+            .cast("decimal(18,4)")).as("total_rev"))
+        val top = rev.agg(max(col("total_rev")).as("max_rev"))
+        rev.crossJoin(broadcast(top))
+          .where(col("total_rev") === col("max_rev"))
+          .join(broadcast(Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"),
+            round(col("total_rev").cast("double"), 2).as("total_revenue"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""WITH rev AS (
+             |  SELECT l_suppkey,
+             |    sum(CAST(round(CAST(l_extendedprice * (1 - l_discount) AS DOUBLE), 4)
+             |        AS DECIMAL(18,4))) AS total_rev
+             |  FROM lineitem
+             |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+             |  GROUP BY l_suppkey)
+             |SELECT s_suppkey, s_name, round(CAST(total_rev AS DOUBLE), 2) AS total_revenue
+             |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+             |WHERE total_rev = (SELECT max(total_rev) FROM rev)
+             |ORDER BY s_suppkey""".stripMargin)),
+
     // TPC-H Q13 shape: customer order-count distribution (outer join + histogram)
     "q13_cust_dist" -> QueryDef(
       (s, d) => {
