@@ -309,6 +309,56 @@ object Dedup {
         .select(col("id2").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
 
+  /** SemDeDup representative-selection policies (Abbas et al. 2023 §4.1:
+    * which member of a near-dup cluster survives — the paper measures
+    * keeping the example FARTHEST from its cluster centroid slightly
+    * ahead of nearest/random).
+    *  - `min_id`: lowest id (the greedy pair rule — [[semanticDedup]]'s
+    *    default, kept for determinism-first pipelines);
+    *  - `farthest`: lowest cosine to the cell centroid (the paper's
+    *    winner — keeps the least-typical exemplar);
+    *  - `nearest`: highest cosine to the cell centroid.
+    * Pairs become proper CLUSTERS via [[components]] (min-label
+    * propagation), so a chain a~b~c keeps exactly one representative
+    * even when a and c never pair directly. Centroid lookup is a
+    * k×dim broadcast; cos-to-centroid is row-local; the winner per
+    * cluster is one group-cardinality window. Ties break by id —
+    * deterministic on any engine/partitioning. */
+  def semanticDedupBy(emb: DataFrame, model: IvfIndex.Model, threshold: Double,
+                      keep: String,
+                      idCol: String = "vec_id", embCol: String = "embedding",
+                      maxCell: Int = 10000, scale: Int = 6): DataFrame = {
+    require(Set("min_id", "farthest", "nearest").contains(keep),
+      s"semanticDedupBy: keep must be min_id|farthest|nearest, got '$keep'")
+    if (keep == "min_id") return semanticDedup(emb, model, threshold, idCol, embCol, maxCell)
+    import org.apache.spark.sql.expressions.Window
+    val pairs = semanticNearDup(emb, model, threshold, idCol, embCol, maxCell)
+    val comp = components(pairs) // (id, component)
+    val spark = emb.sparkSession
+    val centroids = spark.createDataFrame(
+      model.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq)
+      .toDF("__cell", "__centroid")
+    val scored = emb
+      .join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left_outer")
+      .withColumn("__cell", IvfIndex.cellOf(col(embCol), model))
+      .join(broadcast(centroids), Seq("__cell"))
+      .withColumn("__cos", round(
+        VectorFunctions.cosineSimilarity(col(embCol), col("__centroid")), scale))
+    val w = Window.partitionBy(col("component")).orderBy(
+      if (keep == "farthest") col("__cos").asc else col("__cos").desc,
+      col(idCol).asc)
+    // split frames: un-clustered rows pass through untouched — putting
+    // them through the window would funnel the whole corpus into one
+    // NULL partition (a single-task sort at scale)
+    val winners = scored.where(col("component").isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(emb.columns.map(col): _*)
+    scored.where(col("component").isNull)
+      .select(emb.columns.map(col): _*)
+      .unionByName(winners)
+  }
+
   /** Cross-document EXACT repeated-substring coverage — the distributed
     * rendition of the suffix-array substring dedup of Lee et al. 2022
     * (arXiv:2107.06499): every word position whose k-gram occurs in at

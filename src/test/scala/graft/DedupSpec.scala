@@ -180,4 +180,73 @@ class DedupSpec extends SparkSpec {
     val plantedDropped = sem.map(_._2)
     assert(kept == dup.select("vec_id").collect().map(_.getLong(0)).toSet -- plantedDropped)
   }
+
+  test("SemDeDup keep policies: one survivor per cluster; farthest/nearest match a driver replay") {
+    import graft.operators.IvfIndex
+    import graft.functions.VectorFunctions
+    val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    // every vector duplicated twice → each cluster is a triple
+    // {v, v+100k, v+200k} of identical embeddings
+    val dup = e.unionAll(e.select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+      .unionAll(e.select((col("vec_id") + 200000).as("vec_id"), col("embedding")))
+    val model = IvfIndex.train(dup, k = 8, iters = 2)
+    val n = e.count()
+
+    val byId = Dedup.semanticDedupBy(dup, model, 0.9999, keep = "min_id")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val far = Dedup.semanticDedupBy(dup, model, 0.9999, keep = "farthest")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val near = Dedup.semanticDedupBy(dup, model, 0.9999, keep = "nearest")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // every policy keeps exactly one representative per triple
+    assert(byId.size == n && far.size == n && near.size == n,
+      s"n=$n byId=${byId.size} far=${far.size} near=${near.size}")
+    // min_id keeps the original ids
+    assert(byId == e.collect().map(_.getLong(0)).toSet)
+    // identical embeddings ⇒ identical cos-to-centroid ⇒ the (cos, id)
+    // tie-break selects the lowest id for BOTH directional policies
+    assert(far == byId && near == byId)
+    // bad policy fails fast
+    intercept[IllegalArgumentException] {
+      Dedup.semanticDedupBy(dup, model, 0.9, keep = "random")
+    }
+
+    // directional policies actually differ when cluster members are NOT
+    // equidistant from the centroid: nudge each duplicate's direction
+    val dn = e.unionAll(e.select((col("vec_id") + 100000).as("vec_id"),
+      expr("transform(embedding, (x, i) -> CAST(x * 0.98 + IF(i = 0, 0.12, 0.0) AS FLOAT))")
+        .as("embedding")))
+    val model2 = IvfIndex.train(dn, k = 8, iters = 2)
+    val pairs2 = Dedup.semanticNearDup(dn, model2, 0.98)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs2.nonEmpty)
+    val far2 = Dedup.semanticDedupBy(dn, model2, 0.98, keep = "farthest")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val near2 = Dedup.semanticDedupBy(dn, model2, 0.98, keep = "nearest")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(far2.size == near2.size)
+    // driver replay of one clustered pair: expected winner by cos to the
+    // member's own cell centroid (round 6, id tie-break)
+    val (a, b) = pairs2.head
+    val vecs = dn.where(col("vec_id").isin(a, b))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cosToCentroid(id: Long): Double = {
+      val v = vecs(id)
+      val c = model2.centroids(
+        (0 until model2.k).minBy(ci => {
+          val ctr = model2.centroids(ci)
+          v.zip(ctr).map { case (x, y) => (x - y) * (x - y) }.sum
+        }))
+      val dot = v.zip(c).map { case (x, y) => x * y }.sum
+      val norm = math.sqrt(v.map(x => x * x).sum) * math.sqrt(c.map(x => x * x).sum)
+      BigDecimal(dot / norm).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val (ca, cb) = (cosToCentroid(a), cosToCentroid(b))
+    val expectFar = if (ca < cb || (ca == cb && a < b)) a else b
+    val expectNear = if (ca > cb || (ca == cb && a < b)) a else b
+    assert(far2.contains(expectFar) && !far2.contains(if (expectFar == a) b else a),
+      s"pair=($a,$b) cos=($ca,$cb)")
+    assert(near2.contains(expectNear) && !near2.contains(if (expectNear == a) b else a))
+  }
 }
