@@ -26,6 +26,52 @@ object QueriesExtra {
       },
       None),
 
+    // Data-quality gate over the TPC-H slice: row-local checks in ONE
+    // aggregation pass + key-uniqueness + referential integrity, each
+    // one report row — the dbt-test/Deequ shape. The range check is
+    // chosen to FAIL on the data (l_discount runs past 0.05) so the
+    // violation path is exercised, not just zeros.
+    "q_quality_checks" -> QueryDef(
+      (s, d) => {
+        import graft.operators.Quality
+        val li = Tables.lineitem(s, d)
+        val ord = Tables.orders(s, d)
+        Quality.report(Seq(
+          Quality.rowChecks(li, Seq(
+            Quality.notNull("l_orderkey"),
+            Quality.inRange("l_discount", 0.0, 0.05),
+            Quality.accepted("l_returnflag", Seq("A", "N", "R")))),
+          Quality.unique(ord, Seq("o_orderkey")),
+          Quality.referential(li, "l_orderkey", ord, "o_orderkey")))
+          .select(col("check").as("check_name"), col("total"),
+            col("violations"), col("pass"))
+      },
+      Some("""SELECT check_name, total, violations, violations = 0 AS pass FROM (
+             |  SELECT 'not_null(l_orderkey)' AS check_name, count(*) AS total,
+             |    CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations
+             |  FROM lineitem
+             |  UNION ALL
+             |  SELECT 'range(l_discount,0.0,0.05)', count(*),
+             |    CAST(sum(CASE WHEN NOT coalesce(l_discount >= 0.0 AND l_discount <= 0.05, false)
+             |             THEN 1 ELSE 0 END) AS BIGINT)
+             |  FROM lineitem
+             |  UNION ALL
+             |  SELECT 'accepted(l_returnflag)', count(*),
+             |    CAST(sum(CASE WHEN NOT coalesce(l_returnflag IN ('A', 'N', 'R'), false)
+             |             THEN 1 ELSE 0 END) AS BIGINT)
+             |  FROM lineitem
+             |  UNION ALL
+             |  SELECT 'unique(o_orderkey)', CAST(sum(n) AS BIGINT),
+             |    CAST(sum(n - 1) AS BIGINT)
+             |  FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey)
+             |  UNION ALL
+             |  SELECT 'referential(l_orderkey->o_orderkey)',
+             |    (SELECT count(*) FROM lineitem),
+             |    (SELECT count(*) FROM lineitem
+             |     WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+             |)
+             |ORDER BY check_name""".stripMargin)),
+
     // Cosine-metric IVF (pgvector vector_cosine_ops analogue): store
     // holds normalized vectors + a _metric.json sidecar; queries probe
     // by L2 on the unit sphere (order-equivalent), rerank reports
