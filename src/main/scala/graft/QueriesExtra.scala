@@ -121,6 +121,68 @@ object QueriesExtra {
       },
       None),
 
+    // DBSCAN density clustering (round-7 candidate): cell-blocked
+    // eps-pair generation at FULL probe (the exhaustive/oracle setting,
+    // spec-pinned equal to all-pairs), degree-based core marking,
+    // min-label components over core-core edges, deterministic border
+    // assignment (min core-neighbor cluster), noise = -1. The oracle
+    // replays the whole pipeline exactly — eps compares on the
+    // 4dp-rounded cosine distance on both engines.
+    "q_dbscan" -> QueryDef(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val model = IvfIndex.train(e, k = 8, iters = 2)
+        graft.operators.Clustering.dbscan(e, eps = 0.65, minPts = 3, model, nprobe = 8)
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH RECURSIVE p AS (
+             |  SELECT a.vec_id AS id1, b.vec_id AS id2
+             |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             |  WHERE round(1 - list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) <= 0.65),
+             |sym AS (SELECT id1 AS a, id2 AS b FROM p UNION ALL SELECT id2, id1 FROM p),
+             |cores AS (SELECT a AS id FROM (SELECT a, count(*) + 1 AS n FROM sym GROUP BY a) WHERE n >= 3),
+             |ce AS (SELECT id1, id2 FROM p
+             |  WHERE id1 IN (SELECT id FROM cores) AND id2 IN (SELECT id FROM cores)),
+             |e AS (SELECT id1 AS src, id2 AS dst FROM ce UNION SELECT id2, id1 FROM ce),
+             |reach(id, label) AS (
+             |  SELECT src, src FROM e
+             |  UNION
+             |  SELECT e.src, reach.label FROM e JOIN reach ON reach.id = e.dst),
+             |comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id),
+             |core_clusters AS (
+             |  SELECT c.id, coalesce(comp.component, c.id) AS cluster
+             |  FROM cores c LEFT JOIN comp ON comp.id = c.id),
+             |border AS (
+             |  SELECT s.a AS id, min(cc.cluster) AS cluster
+             |  FROM sym s JOIN core_clusters cc ON cc.id = s.b
+             |  WHERE s.a NOT IN (SELECT id FROM cores)
+             |  GROUP BY s.a)
+             |SELECT emb.vec_id,
+             |  CAST(coalesce(cc.cluster, bo.cluster, -1) AS BIGINT) AS cluster,
+             |  CASE WHEN cc.id IS NOT NULL THEN 'core'
+             |       WHEN bo.id IS NOT NULL THEN 'border'
+             |       ELSE 'noise' END AS role
+             |FROM embeddings emb
+             |LEFT JOIN core_clusters cc ON cc.id = emb.vec_id
+             |LEFT JOIN border bo ON bo.id = emb.vec_id
+             |ORDER BY emb.vec_id""".stripMargin)),
+
+    // Sharded HNSW: per-shard graphs built ON EXECUTORS (the scale path
+    // past the driver build cap), scatter-gather search with a per-query
+    // top-k merge over exact distances. Rows-only gate; recall, exact
+    // degeneration at shard-covering ef, determinism, and the per-shard
+    // cap are spec-gated (HnswSpec).
+    "q_ann_hnsw_sharded" -> QueryDef(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val dir = java.nio.file.Files.createTempDirectory("hnsw_sh_q").toString
+        graft.operators.Hnsw.writeIndexSharded(e, numShards = 4, dir)
+        val q = e.where(col("vec_id") < 4).select(col("vec_id").as("qid"), col("embedding"))
+        graft.operators.Hnsw.searchIndexSharded(s, dir, q, k = 3)
+          .orderBy(col("qid"), col("rn"))
+      },
+      None),
+
     // Deterministic hash-bucket sampling — reproducible subsets at any
     // partitioning; the exact md5-bucket construction replays in DuckDB.
     "q_sample_hash" -> QueryDef(
@@ -187,6 +249,25 @@ object QueriesExtra {
           PQ.encodeExpr(PQ.residualExpr(col("embedding"), cellCol, ivf), pq).as("pq_codes"))
         val q = e.where(col("vec_id") < 4).select(col("vec_id").as("qid"), col("embedding"))
         PQ.topKIvf(codes, e, q, ivf, pq, k = 3, nprobe = 4, overfetch = 8)
+          .orderBy(col("qid"), col("rn"))
+      },
+      None),
+
+    // PERSISTED IVF-PQ index (faiss IVFPQ's on-disk shape): cell
+    // partition pruning × m-int ADC coarse scan × full-precision rerank
+    // with the id-pushdown/semi-join guard. Approximate, rows-only;
+    // recall, exact degeneration, and the guard invariant are spec-gated
+    // (PqSpec), the planner path in IvfRewriteSpec.
+    "q_ann_ivfpq_idx" -> QueryDef(
+      (s, d) => {
+        import graft.operators.{ProductQuantizer => PQ}
+        val e = Tables.embeddings(s, d)
+        val ivf = IvfIndex.train(e, k = 8, iters = 2)
+        val pq = PQ.trainResidual(e, ivf, m = 16, ksub = 16, iters = 10)
+        val dir = java.nio.file.Files.createTempDirectory("ivfpq_idx_q").toString
+        IvfIndex.writeIndexPq(e, ivf, pq, dir)
+        val q = e.where(col("vec_id") < 4).select(col("vec_id").as("qid"), col("embedding"))
+        IvfIndex.searchIndexPq(s, dir, q, k = 3, nprobe = 4, overfetch = 8)
           .orderBy(col("qid"), col("rn"))
       },
       None),

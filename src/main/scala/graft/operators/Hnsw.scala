@@ -271,6 +271,117 @@ object Hnsw {
     }(enc)
   }
 
+  private def serializeIndex(idx: Index): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(baos)
+    try oos.writeObject(idx) finally oos.close()
+    baos.toByteArray
+  }
+
+  private def deserializeIndex(bytes: Array[Byte]): Index = {
+    val ois = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(bytes))
+    try ois.readObject().asInstanceOf[Index] finally ois.close()
+  }
+
+  /** DISTRIBUTED sharded build — the scale path past [[build]]'s driver
+    * cap: vectors are split into `numShards` deterministic shards
+    * (`id % numShards`), each shard's graph is built ON AN EXECUTOR by
+    * the same deterministic insertion (`GraphBuilder` — ascending id,
+    * salted-md5 levels), and each finished graph is persisted as one
+    * serialized row of a parquet table + a meta sidecar. This is the
+    * per-segment-graph design of every distributed HNSW deployment
+    * (Lucene/Vespa/Milvus): total capacity = numShards × per-shard cap
+    * with build parallelism = numShards, at the cost of searching every
+    * shard — the scatter-gather in [[searchIndexSharded]].
+    *
+    * Deterministic end-to-end: shard assignment is arithmetic on the id,
+    * within-shard insertion is ascending id, so the same corpus yields
+    * byte-identical shard graphs on any cluster/partitioning.
+    * `maxNodesPerShard` keeps the honest fail-fast contract per shard. */
+  def writeIndexSharded(vectors: DataFrame, numShards: Int, path: String,
+                        m: Int = 16, efConstruction: Int = 64,
+                        idCol: String = "vec_id", embCol: String = "embedding",
+                        maxNodesPerShard: Int = 2000000): Unit = {
+    require(numShards >= 1, s"Hnsw.writeIndexSharded: numShards must be >= 1, got $numShards")
+    val spark = vectors.sparkSession
+    // key by shard, one partition per shard (HashPartitioner sends
+    // nonnegative key s to partition s for s < numShards)
+    val keyed = vectors
+      .select(col(idCol).cast("long"), col(embCol).cast("array<double>"))
+      .rdd
+      .map { r =>
+        val id = r.getLong(0)
+        ((id % numShards).toInt, (id, r.getSeq[Double](1).toArray))
+      }
+      .partitionBy(new org.apache.spark.HashPartitioner(numShards))
+    val shardRows = keyed.mapPartitionsWithIndex { (shard, it) =>
+      val items = it.map(_._2).toArray.sortInPlaceBy(_._1)
+      if (items.isEmpty) Iterator.empty
+      else {
+        if (items.length > maxNodesPerShard) throw new IllegalArgumentException(
+          s"Hnsw.writeIndexSharded: shard $shard holds ${items.length} > " +
+            s"maxNodesPerShard=$maxNodesPerShard — raise numShards, or use IvfIndex " +
+            "for corpus-scale ANN")
+        val b = new GraphBuilder(m, efConstruction)
+        items.foreach { case (id, v) => b.addNode(id, v) }
+        Iterator(org.apache.spark.sql.Row(shard, items.length.toLong,
+          serializeIndex(b.freeze())))
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("shard", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("graph", org.apache.spark.sql.types.BinaryType)))
+    spark.createDataFrame(shardRows, schema)
+      .write.mode("overwrite").parquet(path)
+    val meta = s"""{"numShards":$numShards,"m":$m,"efConstruction":$efConstruction}"""
+    val p = new org.apache.hadoop.fs.Path(path, "_hnsw_sharded.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(meta.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Scatter-gather search over a [[writeIndexSharded]] store: queries
+    * (broadcast-small by the serve contract) are broadcast ONCE; each
+    * shard row deserializes its graph in one task and beam-searches every
+    * query memory-locally; the global answer is a per-query top-k window
+    * over the per-shard candidates. Distances are EXACT (beam search
+    * reranks nothing), so the merge loses nothing: with per-shard ef
+    * covering the shard, the union of per-shard top-k CONTAINS the global
+    * exact top-k and the result degenerates to exact KNN (spec-pinned).
+    * Output `(qid, vec_id, dist, rn)` like [[topKBatch]]. */
+  def searchIndexSharded(spark: SparkSession, path: String, queries: DataFrame,
+                         k: Int, ef: Int = 64, queryIdCol: String = "qid",
+                         embCol: String = "embedding", scale: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qArr = queries
+      .select(col(queryIdCol).cast("long"), col(embCol).cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val bcQ = spark.sparkContext.broadcast(qArr)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(queryIdCol, org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("dist", org.apache.spark.sql.types.DoubleType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val perShard = spark.read.parquet(path).select(col("graph"))
+      .mapPartitions { it =>
+        it.flatMap { row =>
+          val idx = deserializeIndex(row.getAs[Array[Byte]](0))
+          bcQ.value.iterator.flatMap { case (qid, q) =>
+            searchIndex(idx, q, k, ef).map { case (id, d) =>
+              org.apache.spark.sql.Row(qid, id,
+                BigDecimal(d).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble)
+            }
+          }
+        }
+      }(enc)
+    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("dist"), col("vec_id"))
+    perShard.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col(queryIdCol), col("vec_id"), col("dist"), col("rn").cast("long").as("rn"))
+  }
+
   /** Persist the graph as parquet (one row per node: id, vector, per-layer
     * neighbor ID lists) + a meta sidecar — readable by any engine, and
     * [[readIndex]] rebuilds the in-memory form for serving. */

@@ -562,6 +562,97 @@ object IvfIndex {
       .write.mode("append").partitionBy("cell").parquet(path)
   }
 
+  /** Persist an IVF-PQ index — faiss IVFPQ's on-disk shape: the
+    * cell-partitioned layout of [[writeIndex]] PLUS an m-int product-code
+    * column over per-cell RESIDUALS (`x − centroid(cell(x))`, see
+    * [[ProductQuantizer.residualExpr]]). Two sidecars ride along:
+    * `_centroids.json` (the coarse quantizer) and `_pq.json` (the
+    * codebooks), so a search job — or the `IvfScanRewriteRule` planner
+    * path — reconstructs both models without retraining. Train `pq` with
+    * [[ProductQuantizer.trainResidual]] against the SAME `model`. */
+  def writeIndexPq(corpus: DataFrame, model: Model, pq: ProductQuantizer.Model,
+                   path: String,
+                   idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
+    corpus
+      .select(col(idCol), col(embCol), cellOf(col(embCol), model).as("cell"))
+      .select(col(idCol), col(embCol), col("cell"),
+        ProductQuantizer.encodeExpr(
+          ProductQuantizer.residualExpr(col(embCol), col("cell"), model), pq).as("pq_codes"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    val json = model.centroids.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    writeSidecar(corpus.sparkSession, path, "_centroids.json", json)
+    ProductQuantizer.writeModel(corpus.sparkSession, path, pq)
+  }
+
+  /** Search a [[writeIndexPq]] store: static `cell IN` partition pruning,
+    * then an ADC coarse pass reading only (id, pq_codes) — each probed
+    * row is scored by `m` table lookups against the per-(query, cell)
+    * RESIDUAL distance table (‖q−(c+recon)‖² = ‖(q−c)−recon‖², so the
+    * ADC decomposition identity carries over; tables are
+    * |queries|·nprobe·m·ksub doubles, driver-built, broadcast) — then a
+    * full-precision L2 rerank of the `k·overfetch` survivors. The
+    * candidate-id read carries the [[DedupIndex.searchIndex]] guard:
+    * static `id IN` pushdown up to `maxPushdownIds`, left-semi join
+    * fallback above it — correct at any query-frame cardinality. Output
+    * `(qid, id, dist, rn)` like [[searchIndexQuantized]]. */
+  def searchIndexPq(spark: org.apache.spark.sql.SparkSession, path: String,
+                    queries: DataFrame, k: Int, nprobe: Int, overfetch: Int = 4,
+                    idCol: String = "vec_id", embCol: String = "embedding",
+                    queryIdCol: String = "qid", scale: Int = 4,
+                    maxPushdownIds: Int = 100000): DataFrame = {
+    import spark.implicits._
+    val model = readModel(spark, path)
+    val pq = ProductQuantizer.readModel(spark, path)
+    // per-(query, cell) residual ADC tables — driver-local math on the
+    // sidecar models over the broadcast-small query batch
+    val qRows = queries
+      .select(col(queryIdCol).cast("long"), col(embCol).cast("array<double>"),
+        cellsOf(col(embCol), model, nprobe))
+      .collect()
+      .flatMap { r =>
+        val qid = r.getLong(0)
+        val q = r.getSeq[Double](1).toArray
+        r.getSeq[Int](2).map { cell =>
+          val ctr = model.centroids(cell)
+          val resid = Array.tabulate(q.length)(i => q(i) - ctr(i))
+          (qid, cell, ProductQuantizer.queryTable(resid, pq).toSeq)
+        }
+      }
+    val probedCells = qRows.map(_._2).distinct.map(_.asInstanceOf[Any])
+    val qTables = broadcast(qRows.toSeq.toDF(queryIdCol, "cell", "__qtab"))
+    // coarse: probed partitions only, (id, pq_codes) deserialized — the
+    // float column is never read here
+    val coarse = spark.read.parquet(path)
+      .where(col("cell").isin(probedCells: _*))
+      .select(col(idCol), col("cell"), col("pq_codes"))
+      .join(qTables, Seq("cell"))
+      .select(col(queryIdCol), col(idCol),
+        ProductQuantizer.adcScoreExpr(col("pq_codes"), col("__qtab"), pq.ksub).as("__adc"))
+    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("__adc"), col(idCol))
+    val candFrame = coarse.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k * overfetch)
+      .select(col(idCol)).distinct()
+      .localCheckpoint(true)
+    val probe = candFrame.limit(maxPushdownIds + 1).collect()
+    val rerankBase = spark.read.parquet(path)
+      .where(col("cell").isin(probedCells: _*))
+    val rerankDocs =
+      if (probe.length <= maxPushdownIds)
+        rerankBase.where(col(idCol).isin(probe.map(_.getLong(0)).toSeq: _*))
+      else rerankBase.join(candFrame, Seq(idCol), "left_semi")
+    val qSide = broadcast(queries.select(col(queryIdCol), col(embCol).as("__qemb")))
+    val rerank = rerankDocs
+      .select(col(idCol), col(embCol))
+      .crossJoin(qSide)
+      .select(col(queryIdCol), col(idCol),
+        round(VectorFunctions.l2Distance(col(embCol), col("__qemb")), scale).as("dist"))
+    val w2 = Window.partitionBy(col(queryIdCol)).orderBy(col("dist"), col(idCol))
+    rerank.withColumn("rn", row_number().over(w2))
+      .where(col("rn") <= k)
+      .select(col(queryIdCol), col(idCol), col("dist"), col("rn").cast("long").as("rn"))
+  }
+
   private def writeSidecar(spark: org.apache.spark.sql.SparkSession, path: String,
                            name: String, content: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path, name)

@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions.{col, typedlit}
 import org.apache.spark.sql.types._
 
 import graft.functions.{VecCosine, VecDot, VecL2Sq, VectorExpressions}
-import graft.operators.IvfIndex
+import graft.operators.{IvfIndex, ProductQuantizer}
 
 /** Optimizer rule: `ORDER BY vec_l2(embedding, <literal vector>) LIMIT k`
   * over a persisted IVF store becomes the index plan automatically —
@@ -55,10 +55,19 @@ import graft.operators.IvfIndex
   */
 object IvfScanRewriteRule extends Rule[LogicalPlan] {
 
-  /** (model, quantRange, metric) per store path — sidecars are immutable
-    * per write; a rebuild writes new sidecars and should be re-read, so
-    * the cache keys on (path, centroids-file length+mtime fingerprint). */
-  private val cache = TrieMap.empty[String, (IvfIndex.Model, Option[(Double, Double)], String)]
+  /** Sidecar bundle of one store path. `quant` = SQ8 range, `pq` = product
+    * codebooks — a store carries at most one of the two in practice, and
+    * the PQ coarse stage wins when both are present (fewer bytes, residual
+    * precision). */
+  private final case class Sidecars(model: IvfIndex.Model,
+                                    quant: Option[(Double, Double)],
+                                    pq: Option[ProductQuantizer.Model],
+                                    metric: String)
+
+  /** Sidecars per store path — immutable per write; a rebuild writes new
+    * sidecars and should be re-read, so the cache keys on (path,
+    * centroids-file length+mtime fingerprint). */
+  private val cache = TrieMap.empty[String, Sidecars]
 
   private def conf(key: String, default: String): String =
     org.apache.spark.sql.internal.SQLConf.get.getConfString(key, default)
@@ -97,7 +106,7 @@ object IvfScanRewriteRule extends Rule[LogicalPlan] {
         at.name == "cell" && at.dataType == IntegerType)
       if !alreadyRewritten(child)
       path = fsRelation.location.rootPaths.head.toString
-      (model, quantRange, storeMetric) <- loadSidecars(relation, path)
+      Sidecars(model, quantRange, pqModel, storeMetric) <- loadSidecars(relation, path)
       // a cosine sort only prunes soundly on a cosine (normalized) store
       // and vice versa; an IP sort probes an L2 store's cells (the faiss
       // IVF-IP recipe — recall governed by nprobe, like pgvector
@@ -126,19 +135,31 @@ object IvfScanRewriteRule extends Rule[LogicalPlan] {
       val projList = relation.output.filter(keep.contains)
       val pruned = Project(projList,
         Filter(In(cellAttr, cells.map(Literal(_))), relation))
-      val withCoarse = for {
+      // coarse stages order candidates by (approximate) L2 only — they
+      // would mis-rank cosine/IP candidates, so those metrics get cell
+      // pruning without a coarse semi-join. PQ/ADC beats SQ8 when both
+      // sidecars exist: m table lookups per row over an m-byte column
+      // instead of dim integer subtractions over a dim-byte column.
+      val pqCoarse = for {
+        pqm <- pqModel
+        idAttr <- idAttrOpt
+        if metric == "l2" && pqm.dim == qvec.length &&
+          relation.output.exists(_.name == "pq_codes")
+      } yield {
+        val right = coarsePlanPq(path, qvec, model, pqm, cells, k * overfetch, idCol)
+        Join(pruned, right, LeftSemi,
+          Some(EqualTo(idAttr, right.output.head)), JoinHint.NONE)
+      }
+      val sqCoarse = for {
         (mn, mx) <- quantRange
         idAttr <- idAttrOpt
-        // quantized coarse codes order by L2 only — a code-L2 top-n
-        // would mis-rank cosine/IP candidates, so those get cell
-        // pruning without the coarse semi-join
         if metric == "l2" && relation.output.exists(_.name == "qvec")
       } yield {
         val right = coarsePlan(path, qvec, mn, mx, cells, k * overfetch, idCol)
         Join(pruned, right, LeftSemi,
           Some(EqualTo(idAttr, right.output.head)), JoinHint.NONE)
       }
-      val sub: LogicalPlan = withCoarse.getOrElse(pruned)
+      val sub: LogicalPlan = pqCoarse.orElse(sqCoarse).getOrElse(pruned)
       child.transformUp { case r: LogicalRelation if r eq relation => sub }
     }
   }
@@ -201,8 +222,7 @@ object IvfScanRewriteRule extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  private def loadSidecars(relation: LogicalRelation,
-      path: String): Option[(IvfIndex.Model, Option[(Double, Double)], String)] = {
+  private def loadSidecars(relation: LogicalRelation, path: String): Option[Sidecars] = {
     val spark = SparkSession.active
     val p = new org.apache.hadoop.fs.Path(path, "_centroids.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -214,7 +234,11 @@ object IvfScanRewriteRule extends Rule[LogicalPlan] {
         if (fs.exists(new org.apache.hadoop.fs.Path(path, "_quantize.json")))
           Some(IvfIndex.readQuantRange(spark, path))
         else None
-      (model, range, IvfIndex.readMetric(spark, path))
+      val pq =
+        if (fs.exists(new org.apache.hadoop.fs.Path(path, "_pq.json")))
+          Some(ProductQuantizer.readModel(spark, path))
+        else None
+      Sidecars(model, range, pq, IvfIndex.readMetric(spark, path))
     }))
   }
 
@@ -249,6 +273,33 @@ object IvfScanRewriteRule extends Rule[LogicalPlan] {
       .where(col("cell").isin(cells: _*))
       .select(col(idCol),
         VectorExpressions.vecCodeL2Sq(col("qvec"), typedlit(qcodes)).as("__qdist"))
+      .orderBy(col("__qdist"), col(idCol))
+      .limit(n)
+      .select(col(idCol))
+    coarse.queryExecution.analyzed
+  }
+
+  /** PQ/ADC coarse candidate subplan — the round-7 stage: per probed cell
+    * a RESIDUAL distance table (‖(q − centroid_cell) − recon‖² decomposes
+    * exactly like plain ADC) is computed driver-locally and planted as ONE
+    * map literal keyed by cell id (nprobe·m·ksub doubles — plan-space
+    * tiny); each corpus row is then scored by m `element_at` lookups over
+    * only (id, cell, pq_codes) — the float column is never deserialized
+    * on the coarse side. Mirrors [[IvfIndex.searchIndexPq]]'s scoring. */
+  private def coarsePlanPq(path: String, q: Array[Double], ivf: IvfIndex.Model,
+      pq: ProductQuantizer.Model, cells: Seq[Int], n: Int, idCol: String): LogicalPlan = {
+    val spark = SparkSession.active
+    val tables: Map[Int, Seq[Double]] = cells.map { cell =>
+      val ctr = ivf.centroids(cell)
+      val resid = Array.tabulate(q.length)(i => q(i) - ctr(i))
+      cell -> ProductQuantizer.queryTable(resid, pq).toSeq
+    }.toMap
+    val store = spark.read.parquet(path)
+    val tab = org.apache.spark.sql.functions.element_at(typedlit(tables), col("cell"))
+    val coarse = store
+      .where(col("cell").isin(cells: _*))
+      .select(col(idCol),
+        ProductQuantizer.adcScoreExpr(col("pq_codes"), tab, pq.ksub).as("__qdist"))
       .orderBy(col("__qdist"), col(idCol))
       .limit(n)
       .select(col(idCol))

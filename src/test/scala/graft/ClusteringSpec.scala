@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+import graft.operators.{Clustering, IvfIndex}
+
+/** DBSCAN semantics (Ester et al. 1996) pinned on a handcrafted pair
+  * graph, plus the blocked-pair-generation contracts: full probe is
+  * EXHAUSTIVE (== all-pairs), partial probe keeps recall, and the whole
+  * labeling is deterministic. */
+class ClusteringSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val e = Tables.embeddings(spark, sfDir)
+
+  test("handcrafted graph: core/border/noise roles and deterministic border assignment") {
+    // two 4-cliques, never density-bridged; minPts = 4 (count includes
+    // self, so core needs >= 3 neighbors):
+    //   cluster A: {1,2,3,4} complete -> all core
+    //   cluster B: {10,11,12,13} complete -> all core
+    //   border of BOTH: 5 touches core 1 (A) and core 10 (B); degree 2
+    //     (+self = 3 < 4) keeps it non-core, so it never merges A and B
+    //   border: 6 touches core 2 only
+    //   noise: 20-21 (degree 1 each, neither adjacent to a core)
+    //   isolated: 30 (no pairs at all)
+    val points = Seq(1L, 2L, 3L, 4L, 5L, 6L, 10L, 11L, 12L, 13L, 20L, 21L, 30L).toDF("vec_id")
+    val pairs = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (10L, 13L), (11L, 12L), (11L, 13L), (12L, 13L),
+      (1L, 5L), (5L, 10L), (2L, 6L), (20L, 21L))
+      .toDF("id1", "id2").withColumn("d", lit(0.1))
+    val got = Clustering.dbscanFromPairs(points, pairs, minPts = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    (1L to 4L).foreach(id => assert(got(id) == (1L, "core"), s"$id: ${got(id)}"))
+    (10L to 13L).foreach(id => assert(got(id) == (10L, "core"), s"$id: ${got(id)}"))
+    // 5 is adjacent to cores in clusters 1 and 10: deterministic min
+    assert(got(5L) == (1L, "border"))
+    assert(got(6L) == (1L, "border"))
+    assert(got(20L) == (-1L, "noise") && got(21L) == (-1L, "noise"))
+    assert(got(30L) == (-1L, "noise"))
+  }
+
+  test("isolated core (all neighbors non-core) forms its own singleton cluster") {
+    // star: 100 touches 4 leaves (degree 4 + self >= 5 -> core at
+    // minPts 5); each leaf has degree 1 -> border of cluster 100
+    val points = Seq(100L, 101L, 102L, 103L, 104L).toDF("vec_id")
+    val pairs = Seq((100L, 101L), (100L, 102L), (100L, 103L), (100L, 104L))
+      .toDF("id1", "id2").withColumn("d", lit(0.1))
+    val got = Clustering.dbscanFromPairs(points, pairs, minPts = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(got(100L) == (100L, "core"))
+    (101L to 104L).foreach(id => assert(got(id) == (100L, "border"), s"$id: ${got(id)}"))
+  }
+
+  test("full probe pair generation is exhaustive (== all-pairs) and partial probe keeps recall") {
+    val model = IvfIndex.train(e, k = 8, iters = 2)
+    val exhaustive = e.select(col("vec_id").as("id1"), col("embedding").as("e1"))
+      .crossJoin(e.select(col("vec_id").as("id2"), col("embedding").as("e2")))
+      .where(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        round(lit(1.0) - VectorFunctions.cosineSimilarity(col("e1"), col("e2")), 4).as("d"))
+      .where(col("d") <= 0.65)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Clustering.epsNeighbors(e, eps = 0.65, model, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == exhaustive, s"full=${full.size} exhaustive=${exhaustive.size}")
+
+    val partial = Clustering.epsNeighbors(e, eps = 0.65, model, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(partial.subsetOf(exhaustive))
+    val recall = partial.size.toDouble / exhaustive.size.max(1)
+    assert(recall >= 0.6, s"partial-probe recall $recall")
+  }
+
+  test("end-to-end dbscan on embeddings: deterministic, labels consistent with roles") {
+    val model = IvfIndex.train(e, k = 8, iters = 2)
+    val once = Clustering.dbscan(e, eps = 0.65, minPts = 3, model, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val again = Clustering.dbscan(e, eps = 0.65, minPts = 3, model, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(once == again)
+    assert(once.size == e.count())
+    // noise <=> cluster -1; core/border always labeled
+    assert(once.forall { case (_, c, role) => (role == "noise") == (c == -1L) })
+    // every cluster label is the id of one of its own cores
+    val coreIds = once.collect { case (id, _, "core") => id }
+    val labels = once.collect { case (_, c, role) if role != "noise" => c }
+    assert(labels.forall(coreIds.contains), "cluster label must be a member core id")
+  }
+}

@@ -95,6 +95,57 @@ class HnswSpec extends SparkSpec {
     assert(err.getMessage.contains("IvfIndex"))
   }
 
+  test("sharded build: executor-built per-shard graphs; scatter-gather recall; shard-covering ef degenerates to exact") {
+    val path = Files.createTempDirectory("hnsw_sharded").toString
+    Hnsw.writeIndexSharded(e, numShards = 4, path, m = 16, efConstruction = 64)
+    val store = spark.read.parquet(path)
+    assert(store.count() == 4)
+    val total = store.agg(sum(col("n"))).head().getLong(0)
+    assert(total == e.count())
+
+    val queries = e.where(col("vec_id") < 6)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val k = 10
+    val approx = Hnsw.searchIndexSharded(spark, path, queries, k, ef = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val recalls = (0L until 6L).map { qid =>
+      val exact = Knn.topK(e, e.where(col("vec_id") === qid), Knn.L2, k)
+        .collect().map(_.getLong(0)).toSet
+      (exact intersect approx(qid)).size.toDouble / k
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"mean recall $mean: $recalls")
+
+    // per-shard exact beam (ef = corpus ≥ shard size): union of per-shard
+    // top-k ⊇ global top-k, so the merged answer IS exact KNN — ids and
+    // (rounded) distances
+    val n = e.count().toInt
+    val q3 = e.where(col("vec_id") === 3).select(col("vec_id").as("qid"), col("embedding"))
+    val full = Hnsw.searchIndexSharded(spark, path, q3, k = 5, ef = n)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toList
+    val exact5 = Knn.topK(e, e.where(col("vec_id") === 3), Knn.L2, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    assert(full == exact5)
+
+    // deterministic: a second build yields identical search results
+    val path2 = Files.createTempDirectory("hnsw_sharded2").toString
+    Hnsw.writeIndexSharded(e, numShards = 4, path2, m = 16, efConstruction = 64)
+    val again = Hnsw.searchIndexSharded(spark, path2, queries, k, ef = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val first = Hnsw.searchIndexSharded(spark, path, queries, k, ef = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(again == first)
+
+    // per-shard cap fails fast with the scale pointer
+    val err = intercept[org.apache.spark.SparkException] {
+      Hnsw.writeIndexSharded(e, numShards = 2,
+        Files.createTempDirectory("hnsw_sharded_cap").toString, maxNodesPerShard = 10)
+    }
+    assert(err.getMessage.contains("maxNodesPerShard") ||
+      Option(err.getCause).exists(_.getMessage.contains("maxNodesPerShard")))
+  }
+
   test("maxNodes cap fails fast with the IVF pointer") {
     val err = intercept[IllegalArgumentException] {
       Hnsw.build(e, maxNodes = 10)

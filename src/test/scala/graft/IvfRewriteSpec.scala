@@ -72,6 +72,47 @@ class IvfRewriteSpec extends SparkSpec {
     }
   }
 
+  private lazy val pqStore: String = {
+    val path = Files.createTempDirectory("ivf_rw_pq").toString
+    val pq = graft.operators.ProductQuantizer.trainResidual(e, model, m = 16, ksub = 16)
+    IvfIndex.writeIndexPq(e, model, pq, path)
+    path
+  }
+
+  test("IVF-PQ store: coarse stage is ADC over pq_codes (round-7 per-query tables in plan space)") {
+    withRule {
+      val q = annQuery(pqStore, 5)
+      val optimized = q.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("LeftSemi"), optimized.take(2000))
+      // ADC scoring = element_at lookups over the planted table map —
+      // never the SQ code-L2 kernel
+      assert(optimized.contains("element_at"), optimized.take(2000))
+      assert(!optimized.contains("vec_code_l2sq"), optimized.take(2000))
+      val physical = q.queryExecution.executedPlan.toString
+      assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(physical).nonEmpty,
+        physical.take(3000))
+      // the coarse branch reads the m-int code column, never the floats
+      val coarseScans = "ReadSchema: [^\n]*".r.findAllIn(physical).toList
+        .filter(_.contains("pq_codes"))
+      assert(coarseScans.nonEmpty && coarseScans.forall(!_.contains("embedding")),
+        physical.take(3000))
+      val rows = q.collect()
+      assert(rows.length == 5 && rows.head.getLong(0) == 7L && rows.head.getDouble(1) == 0.0)
+    }
+  }
+
+  test("IVF-PQ store: full probe + covering overfetch = hash-identical to the exact scan") {
+    val exact = annQuery(pqStore, 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toList
+    val rewritten = withRule {
+      conf("spark.graft.ann.nprobe" -> "8",
+           "spark.graft.ann.overfetch" -> "100000") {
+        annQuery(pqStore, 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+      }
+    }
+    assert(rewritten == exact)
+  }
+
   test("plain store: rewrite prunes to probed cells, no semi join") {
     withRule {
       val q = annQuery(plainStore, 5)

@@ -95,6 +95,51 @@ class PqSpec extends SparkSpec {
     assert(checked.max < 1e-9, s"max |adc - direct| = ${checked.max}")
   }
 
+  test("persisted IVF-PQ store: search keeps recall, full probe + covering overfetch exact, pushdown guard invariant") {
+    import graft.operators.IvfIndex
+    val ivf = IvfIndex.train(vecs, k = 8, iters = 2)
+    val pq = PQ.trainResidual(vecs, ivf, m = 16, ksub = 16, iters = 10)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_store").toString
+    IvfIndex.writeIndexPq(vecs, ivf, pq, dir)
+
+    // sidecars round-trip: both models reconstruct from the store path
+    assert(IvfIndex.readModel(spark, dir).centroids.flatten.toSeq ==
+      ivf.centroids.flatten.toSeq)
+    assert(PQ.readModel(spark, dir).codebooks.flatten.flatten.toSeq ==
+      pq.codebooks.flatten.flatten.toSeq)
+
+    val k = 10
+    val queries = vecs.where(col("vec_id") < 6)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val approx = IvfIndex.searchIndexPq(spark, dir, queries, k, nprobe = 6, overfetch = 8)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val recalls = (0L until 6L).map { qid =>
+      val exact = Knn.topK(vecs, vecs.where(col("vec_id") === qid), Knn.L2, k)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      (exact intersect approx(qid)).size.toDouble / k
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.85, s"mean recall $mean: $recalls")
+
+    // full probe + corpus-covering overfetch degenerates to exact KNN
+    val q0 = vecs.where(col("vec_id") === 0).select(col("vec_id").as("qid"), col("embedding"))
+    val full = IvfIndex.searchIndexPq(spark, dir, q0, k = 5, nprobe = 8, overfetch = 1000)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toList
+    val exact5 = Knn.topK(vecs, vecs.where(col("vec_id") === 0), Knn.L2, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    assert(full == exact5)
+
+    // the DedupIndex guard: forcing the semi-join fallback (cap = 1)
+    // returns exactly what the static id-IN pushdown path returns
+    val pushed = IvfIndex.searchIndexPq(spark, dir, queries, k, nprobe = 6, overfetch = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    val fellBack = IvfIndex.searchIndexPq(spark, dir, queries, k, nprobe = 6, overfetch = 8,
+        maxPushdownIds = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    assert(fellBack == pushed)
+  }
+
   test("PQ top-k with rerank keeps recall; covering overfetch degenerates to exact KNN") {
     val codes = vecs.select(col("vec_id"), PQ.encodeExpr(col("embedding"), model).as("pq_codes"))
     val k = 10
