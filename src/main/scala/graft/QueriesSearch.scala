@@ -332,6 +332,62 @@ object QueriesSearch {
              |FROM rec ORDER BY doc_id""".stripMargin)),
 
     // One BPE merge iteration: adjacent character-pair counts over the
+    // Hashing-trick TF featurization (HashingVectorizer): whitespace
+    // tokens of the canonical text bucketed by the engine-independent
+    // salted md5 (the q_sample_hash idiom), value = term frequency;
+    // sparse (indices ASC, values) pairs projected to (size, md5) for
+    // the comparator, which can't hash nested arrays (q_winnow
+    // convention). Zero-token docs drop out on both engines.
+    "q_hashing_tf" -> QueryDef(
+      (s, d) => {
+        import graft.operators.SparseKnn
+        SparseKnn.hashingTf(Tables.documents(s, d), dim = 1024)
+          .select(col("doc_id"), size(col("indices")).cast("long").as("n_terms"),
+            md5(concat_ws("#", array_join(col("indices"), "|"),
+              array_join(expr("transform(values, v -> cast(v as bigint))"), "|"))).as("sv_hash"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, unnest(string_split($canon, ' ')) AS tok FROM documents),
+             |tf AS (SELECT doc_id, ('0x' || substr(md5('graft-tf' || tok), 1, 8))::BIGINT % 1024 AS b,
+             |         count(*) AS tf
+             |       FROM tok WHERE tok <> '' GROUP BY 1, 2),
+             |sv AS (SELECT doc_id, list(b ORDER BY b) AS idx, list(tf ORDER BY b) AS vals
+             |       FROM tf GROUP BY doc_id)
+             |SELECT doc_id, CAST(len(idx) AS BIGINT) AS n_terms,
+             |  md5(array_to_string(idx, '|') || '#' || array_to_string(vals, '|')) AS sv_hash
+             |FROM sv ORDER BY doc_id""".stripMargin)),
+
+    // Sparse-cosine KNN (pgvector sparsevec parity) over hashed-TF
+    // vectors via posting-list intersection — zero-overlap pairs never
+    // materialize (the sparse-retrieval scale asymmetry; plan-gated in
+    // SparseKnnSpec). Dot products are integer-valued sums, so the
+    // oracle replays the whole pipeline hash-exact.
+    "q_knn_sparse" -> QueryDef(
+      (s, d) => {
+        import graft.operators.SparseKnn
+        val sv = SparseKnn.hashingTf(Tables.documents(s, d), dim = 1024)
+        val q = sv.where(col("doc_id") < 4)
+          .select(col("doc_id").as("qid"), col("indices"), col("values"))
+        SparseKnn.topK(sv, q, k = 5).orderBy(col("qid"), col("rn"))
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, unnest(string_split($canon, ' ')) AS tok FROM documents),
+             |tf AS (SELECT doc_id, ('0x' || substr(md5('graft-tf' || tok), 1, 8))::BIGINT % 1024 AS b,
+             |         count(*)::DOUBLE AS v
+             |       FROM tok WHERE tok <> '' GROUP BY 1, 2),
+             |norm AS (SELECT doc_id, sqrt(sum(v*v)) AS n FROM tf GROUP BY doc_id),
+             |q AS (SELECT doc_id AS qid, b, v FROM tf WHERE doc_id < 4),
+             |qn AS (SELECT qid, sqrt(sum(v*v)) AS n FROM q GROUP BY qid),
+             |dots AS (SELECT q.qid, p.doc_id, sum(p.v * q.v) AS dot
+             |         FROM tf p JOIN q ON p.b = q.b GROUP BY 1, 2),
+             |scored AS (SELECT d.qid, d.doc_id, round(d.dot / (n1.n * n2.n), 4) AS cos
+             |           FROM dots d JOIN norm n1 ON n1.doc_id = d.doc_id
+             |           JOIN qn n2 ON n2.qid = d.qid),
+             |ranked AS (SELECT qid, doc_id, cos,
+             |             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, doc_id) AS rn
+             |           FROM scored)
+             |SELECT qid, doc_id, cos, CAST(rn AS BIGINT) AS rn
+             |FROM ranked WHERE rn <= 5 ORDER BY qid, rn""".stripMargin)),
+
     // word-frequency table (the tokenizer-training inner loop). Two
     // shuffles over shrinking data: corpus tokens -> word freqs (map-side
     // combined), word pairs -> pair counts (vocabulary-sized).

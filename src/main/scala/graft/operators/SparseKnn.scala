@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Sparse-vector retrieval — pgvector `sparsevec` parity, re-scoped for
+  * a distributed engine. pgvector 0.7 added the sparse opclasses for
+  * learned sparse embeddings (SPLADE-style) and classic TF features;
+  * graft carries the same surface as (indices ASC, values) array pairs:
+  *
+  *  - row-local kernels [[sparseDot]]/[[sparseCosine]]/[[sparseL2Sq]]
+  *    (pgvector `<#>`/`<=>`/`<->` over sparsevec), built from map-lookup
+  *    HOFs — the scalar surface for filters and reranks;
+  *  - the SCALE path [[topK]]: a sparse dot product is a posting-list
+  *    intersection, so the corpus side explodes once into (term, value)
+  *    postings — the inverted index, the exact shape [[TextSearch]]'s
+  *    BM25 already proved out — queries broadcast their terms, partial
+  *    products meet in ONE groupBy, and zero-overlap (doc, query) pairs
+  *    NEVER materialize (a dense KNN scores every pair; sparse scoring
+  *    touches only docs sharing a term — that asymmetry is the entire
+  *    point of sparse retrieval at 100 TB);
+  *  - [[hashingTf]] featurization (the hashing trick / HashingVectorizer):
+  *    whitespace tokens of the canonical text land in `dim` buckets via
+  *    the engine-independent salted-md5 of [[Sampling.hashBucket]], value
+  *    = term frequency — so corpus featurization is replayable in the
+  *    DuckDB oracle and stable under any partitioning.
+  *
+  * Deterministic throughout: sorted indices, cosine rounded to `scale`
+  * before ranking, (score, id) tie-breaks.
+  */
+object SparseKnn {
+
+  /** Hashing-trick TF sparse vectors: one row per input doc that has at
+    * least one token — `(idCol, indices ASC array<long>, values
+    * array<double>)` with value = term frequency of the bucket. */
+  def hashingTf(docs: DataFrame, dim: Int = 1024, idCol: String = "doc_id",
+                textCol: String = "text", salt: String = "graft-tf"): DataFrame =
+    docs
+      .select(col(idCol),
+        explode(split(TextFunctions.canonicalText(col(textCol)), " ")).as("__tok"))
+      .where(col("__tok") =!= "")
+      .select(col(idCol), Sampling.hashBucket(col("__tok"), salt, dim).as("__b"))
+      .groupBy(col(idCol), col("__b")).agg(count(lit(1)).cast("double").as("__tf"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("__b"), col("__tf")))).as("__sv"))
+      .select(col(idCol),
+        transform(col("__sv"), s => s.getField("__b")).as("indices"),
+        transform(col("__sv"), s => s.getField("__tf")).as("values"))
+
+  /** Row-local sparse dot product: build a map from one side, probe it
+    * with the other's indices — missing terms contribute 0. */
+  def sparseDot(aIdx: Column, aVal: Column, bIdx: Column, bVal: Column): Column = {
+    val m = map_from_arrays(aIdx, aVal)
+    aggregate(
+      zip_with(bIdx, bVal, (i, v) => coalesce(element_at(m, i), lit(0.0)) * v),
+      lit(0.0), (acc, x) => acc + x)
+  }
+
+  /** L2 norm of a sparse value array. */
+  def sparseNorm(values: Column): Column =
+    sqrt(aggregate(values, lit(0.0), (acc, x) => acc + x * x))
+
+  /** Sparse cosine SIMILARITY (zero-norm sides yield null — filter or
+    * coalesce at the call site, same contract as a SQL division). */
+  def sparseCosine(aIdx: Column, aVal: Column, bIdx: Column, bVal: Column): Column =
+    sparseDot(aIdx, aVal, bIdx, bVal) /
+      nullif(sparseNorm(aVal) * sparseNorm(bVal), lit(0.0))
+
+  /** Sparse squared L2 distance: ‖a‖² + ‖b‖² − 2⟨a,b⟩. */
+  def sparseL2Sq(aIdx: Column, aVal: Column, bIdx: Column, bVal: Column): Column =
+    aggregate(aVal, lit(0.0), (acc, x) => acc + x * x) +
+      aggregate(bVal, lit(0.0), (acc, x) => acc + x * x) -
+      lit(2.0) * sparseDot(aIdx, aVal, bIdx, bVal)
+
+  /** Batch sparse-cosine top-k via posting-list intersection. Corpus and
+    * queries both carry `(indices, values)`; queries are broadcast-small
+    * by contract (the [[Knn.topKBatch]] convention). Output
+    * `(queryIdCol, idCol, cos, rn)`, cosine DESC, ties by id. */
+  def topK(corpus: DataFrame, queries: DataFrame, k: Int,
+           idCol: String = "doc_id", queryIdCol: String = "qid",
+           scale: Int = 4): DataFrame = {
+    val cPost = corpus
+      .select(col(idCol), sparseNorm(col("values")).as("__cn"),
+        explode(arrays_zip(col("indices"), col("values"))).as("__p"))
+      .select(col(idCol), col("__cn"),
+        col("__p.indices").as("__t"), col("__p.values").as("__cv"))
+    val qPost = broadcast(queries
+      .select(col(queryIdCol), sparseNorm(col("values")).as("__qn"),
+        explode(arrays_zip(col("indices"), col("values"))).as("__q"))
+      .select(col(queryIdCol), col("__qn"),
+        col("__q.indices").as("__t"), col("__q.values").as("__qv")))
+    val scored = cPost.join(qPost, Seq("__t"))
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(round(sum(col("__cv") * col("__qv")) / (first(col("__cn")) * first(col("__qn"))),
+        scale).as("cos"))
+    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("cos").desc, col(idCol))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col(queryIdCol), col(idCol), col("cos"), col("rn").cast("long").as("rn"))
+  }
+}

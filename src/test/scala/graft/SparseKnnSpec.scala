@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+import graft.operators.SparseKnn
+
+/** Sparse-vector surface (pgvector sparsevec parity): row-local kernels
+  * pinned against their dense equivalents on densified vectors, the
+  * posting-list top-k pinned against a brute-force replay, and the
+  * inverted-index plan shape (no cartesian pairing) asserted. */
+class SparseKnnSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sfDir)
+  private lazy val sv = SparseKnn.hashingTf(docs, dim = 256).cache()
+
+  private def densify(idx: Seq[Long], vals: Seq[Double], dim: Int): Seq[Double] = {
+    val a = Array.fill(dim)(0.0)
+    idx.zip(vals).foreach { case (i, v) => a(i.toInt) = v }
+    a.toSeq
+  }
+
+  test("hashingTf: sorted indices, tf sums equal token counts, deterministic") {
+    val rows = sv.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val idx = r.getSeq[Long](1)
+      assert(idx == idx.sorted, s"doc ${r.get(0)}: unsorted indices")
+      assert(idx.distinct.size == idx.size)
+    }
+    // Σ values per doc == whitespace token count of the canonical text
+    val fromSv = sv.select(col("doc_id"),
+      aggregate(col("values"), lit(0.0), (a, x) => a + x).cast("long").as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fromText = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.wsTokenCount(col("text")).cast("long").as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    fromSv.foreach { case (id, n) => assert(n == fromText(id), s"doc $id: $n != ${fromText(id)}") }
+    val again = SparseKnn.hashingTf(docs, dim = 256).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getSeq[Double](2))).toSet
+    val first = sv.collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getSeq[Double](2))).toSet
+    assert(again == first)
+  }
+
+  test("sparse kernels equal dense kernels on densified vectors") {
+    val dim = 8
+    val a = (Seq(1L, 3L, 6L), Seq(2.0, -1.5, 4.0))
+    val b = (Seq(0L, 3L, 6L, 7L), Seq(1.0, 5.0, 0.5, -2.0))
+    val df = Seq((a._1, a._2, b._1, b._2)).toDF("ai", "av", "bi", "bv")
+      .withColumn("da", typedlit(densify(a._1, a._2, dim)))
+      .withColumn("db", typedlit(densify(b._1, b._2, dim)))
+    val r = df.select(
+      SparseKnn.sparseDot(col("ai"), col("av"), col("bi"), col("bv")).as("sdot"),
+      VectorFunctions.innerProduct(col("da"), col("db")).as("ddot"),
+      SparseKnn.sparseCosine(col("ai"), col("av"), col("bi"), col("bv")).as("scos"),
+      VectorFunctions.cosineSimilarity(col("da"), col("db")).as("dcos"),
+      SparseKnn.sparseL2Sq(col("ai"), col("av"), col("bi"), col("bv")).as("sl2"),
+      VectorFunctions.l2DistanceSq(col("da"), col("db")).as("dl2")).head()
+    assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12)
+    assert(math.abs(r.getDouble(2) - r.getDouble(3)) < 1e-12)
+    assert(math.abs(r.getDouble(4) - r.getDouble(5)) < 1e-12)
+    // zero-norm side -> null cosine, not NaN/divide-by-zero
+    val z = Seq((Seq.empty[Long], Seq.empty[Double], b._1, b._2)).toDF("ai", "av", "bi", "bv")
+      .select(SparseKnn.sparseCosine(col("ai"), col("av"), col("bi"), col("bv"))).head()
+    assert(z.isNullAt(0))
+  }
+
+  test("posting-list topK equals brute-force sparse cosine; no cartesian pairing in the plan") {
+    val q = sv.where(col("doc_id") < 3)
+      .select(col("doc_id").as("qid"), col("indices"), col("values"))
+    val topk = SparseKnn.topK(sv, q, k = 5)
+    val plan = topk.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    val got = topk.collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(1))).toSet
+
+    val brute = sv.select(col("doc_id"), col("indices").as("ci"), col("values").as("cv"))
+      .crossJoin(q.select(col("qid"), col("indices").as("qi"), col("values").as("qv")))
+      .select(col("qid"), col("doc_id"),
+        round(SparseKnn.sparseCosine(col("ci"), col("cv"), col("qi"), col("qv")), 4).as("cos"))
+      .where(col("cos").isNotNull && col("cos") > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("doc_id"))
+    val bruteTop = brute.withColumn("rn", row_number().over(w)).where(col("rn") <= 5)
+      .collect().map(r => (r.getLong(0), r.getInt(3).toLong, r.getLong(1))).toSet
+    assert(got == bruteTop, s"got=$got\nbrute=$bruteTop")
+    // self-similarity ranks first at cos 1.0
+    val self = topk.where(col("rn") === 1).collect()
+    self.foreach(r => assert(r.getLong(1) == r.getLong(0) && r.getDouble(2) == 1.0))
+  }
+}
