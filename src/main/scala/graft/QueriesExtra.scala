@@ -167,6 +167,55 @@ object QueriesExtra {
              |LEFT JOIN border bo ON bo.id = emb.vec_id
              |ORDER BY emb.vec_id""".stripMargin)),
 
+    // Cluster-aware subsampling: DBSCAN labels feed the per-group quota
+    // cap — at most `quota` docs per density cluster, picked by the
+    // salted-md5 shuffle key (content-independent, engine-replayable),
+    // noise carved out. The composition every cluster-balanced training
+    // mix runs: dedup-by-density, then cap the giants.
+    "q_cluster_sample" -> QueryDef(
+      (s, d) => {
+        import graft.operators.{Clustering, Curation}
+        val e = Tables.embeddings(s, d)
+        val model = IvfIndex.train(e, k = 8, iters = 2)
+        val labeled = Clustering.dbscan(e, eps = 0.65, minPts = 3, model, nprobe = 8)
+          .where(col("role") =!= "noise")
+          .withColumn("__sk", Curation.shuffleKey(col("vec_id"), "cluster-sample"))
+        Curation.capPerGroup(labeled, "cluster", "__sk", quota = 5)
+          .select(col("vec_id"), col("cluster"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH RECURSIVE p AS (
+             |  SELECT a.vec_id AS id1, b.vec_id AS id2
+             |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             |  WHERE round(1 - list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) <= 0.65),
+             |sym AS (SELECT id1 AS a, id2 AS b FROM p UNION ALL SELECT id2, id1 FROM p),
+             |cores AS (SELECT a AS id FROM (SELECT a, count(*) + 1 AS n FROM sym GROUP BY a) WHERE n >= 3),
+             |ce AS (SELECT id1, id2 FROM p
+             |  WHERE id1 IN (SELECT id FROM cores) AND id2 IN (SELECT id FROM cores)),
+             |e AS (SELECT id1 AS src, id2 AS dst FROM ce UNION SELECT id2, id1 FROM ce),
+             |reach(id, label) AS (
+             |  SELECT src, src FROM e
+             |  UNION
+             |  SELECT e.src, reach.label FROM e JOIN reach ON reach.id = e.dst),
+             |comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id),
+             |core_clusters AS (
+             |  SELECT c.id, coalesce(comp.component, c.id) AS cluster
+             |  FROM cores c LEFT JOIN comp ON comp.id = c.id),
+             |border AS (
+             |  SELECT s.a AS id, min(cc.cluster) AS cluster
+             |  FROM sym s JOIN core_clusters cc ON cc.id = s.b
+             |  WHERE s.a NOT IN (SELECT id FROM cores)
+             |  GROUP BY s.a),
+             |labeled AS (
+             |  SELECT id, cluster FROM core_clusters
+             |  UNION ALL SELECT id, cluster FROM border),
+             |ranked AS (
+             |  SELECT id, cluster, row_number() OVER (PARTITION BY cluster
+             |    ORDER BY md5('cluster-sample' || CAST(id AS VARCHAR))) AS rn
+             |  FROM labeled)
+             |SELECT id AS vec_id, CAST(cluster AS BIGINT) AS cluster
+             |FROM ranked WHERE rn <= 5 ORDER BY vec_id""".stripMargin)),
+
     // Sharded HNSW: per-shard graphs built ON EXECUTORS (the scale path
     // past the driver build cap), scatter-gather search with a per-query
     // top-k merge over exact distances. Rows-only gate; recall, exact
