@@ -38,9 +38,12 @@ import graft.functions.VectorFunctions
 object Clustering {
 
   /** Eps-neighbor pairs `(id1 < id2, d)` in rounded cosine distance,
-    * cell-blocked by `model`. Both orientations are probed (a pair meets
-    * when EITHER endpoint probes the other's cell) and canonicalized, so
-    * partial-probe recall is the union of the two chances. */
+    * cell-blocked by `model`. At partial probe BOTH orientations are
+    * probed (a pair meets when EITHER endpoint probes the other's cell)
+    * and canonicalized, so recall is the union of the two chances. At
+    * FULL probe (`nprobe >= model.k`) every pair meets from either
+    * side, so only the `pid < aid` orientation is scored — half the
+    * distance kernels for the identical exhaustive answer. */
   def epsNeighbors(emb: DataFrame, eps: Double, model: IvfIndex.Model, nprobe: Int,
                    idCol: String = "vec_id", embCol: String = "embedding",
                    scale: Int = 4): DataFrame = {
@@ -48,8 +51,11 @@ object Clustering {
       explode(IvfIndex.cellsOf(col(embCol), model, nprobe)).as("cell"))
     val assigned = emb.select(col(idCol).as("__aid"), col(embCol).as("__ae"),
       IvfIndex.cellOf(col(embCol), model).as("cell"))
-    probes.join(assigned, Seq("cell"))
-      .where(col("__pid") =!= col("__aid"))
+    val met = probes.join(assigned, Seq("cell"))
+    val oriented =
+      if (nprobe >= model.k) met.where(col("__pid") < col("__aid"))
+      else met.where(col("__pid") =!= col("__aid"))
+    oriented
       .select(least(col("__pid"), col("__aid")).as("id1"),
         greatest(col("__pid"), col("__aid")).as("id2"),
         round(lit(1.0) - VectorFunctions.cosineSimilarity(col("__pe"), col("__ae")), scale)
@@ -67,15 +73,22 @@ object Clustering {
     * `cluster = -1` for noise. */
   def dbscanFromPairs(points: DataFrame, pairs: DataFrame, minPts: Int,
                       idCol: String = "vec_id"): DataFrame = {
-    val sym = pairs.select(col("id1").as("a"), col("id2").as("b"))
-      .unionAll(pairs.select(col("id2").as("a"), col("id1").as("b")))
+    // Three consumers read the pair list (degrees, core-core edges,
+    // border assignment); without materialization the pair GENERATION —
+    // the corpus-sized scored scan — would run three times. The list
+    // itself is eps-bounded (output-sized), so an eager localCheckpoint
+    // is cheap and truncates the re-execution (the Dedup.components
+    // convention; swap to .checkpoint() where executor loss matters).
+    val p = pairs.localCheckpoint(true)
+    val sym = p.select(col("id1").as("a"), col("id2").as("b"))
+      .unionAll(p.select(col("id2").as("a"), col("id1").as("b")))
     val cores = sym.groupBy(col("a"))
       .agg((count(lit(1)) + 1).as("__n"))
       .where(col("__n") >= minPts)
       .select(col("a").as("id"))
     // density-connectivity: components over core-core edges; an isolated
     // core (eps-neighbors are all non-core) is its own cluster
-    val coreEdges = pairs
+    val coreEdges = p
       .join(cores.select(col("id").as("id1")), Seq("id1"), "left_semi")
       .join(cores.select(col("id").as("id2")), Seq("id2"), "left_semi")
       .select(col("id1"), col("id2"))
