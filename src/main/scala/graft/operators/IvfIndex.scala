@@ -653,6 +653,27 @@ object IvfIndex {
       .select(col(queryIdCol), col(idCol), col("dist"), col("rn").cast("long").as("rn"))
   }
 
+  /** Append new vectors to an IVF-PQ index: cells assigned under the
+    * existing centroids AND residual codes under the existing codebooks —
+    * both read from the sidecars, so appended rows are scan-compatible
+    * with the original write (the [[appendIndexQuantized]] contract:
+    * append-only, caller dedups ids, heavy drift is a [[needsRebuild]]
+    * rebuild trigger — retrain BOTH models, the codebooks quantize
+    * residuals of the centroids they were trained against). */
+  def appendIndexPq(spark: org.apache.spark.sql.SparkSession, path: String,
+                    vectors: DataFrame,
+                    idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
+    val model = readModel(spark, path)
+    val pq = ProductQuantizer.readModel(spark, path)
+    vectors
+      .select(col(idCol), col(embCol), cellOf(col(embCol), model).as("cell"))
+      .select(col(idCol), col(embCol), col("cell"),
+        ProductQuantizer.encodeExpr(
+          ProductQuantizer.residualExpr(col(embCol), col("cell"), model), pq).as("pq_codes"))
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(path)
+  }
+
   private def writeSidecar(spark: org.apache.spark.sql.SparkSession, path: String,
                            name: String, content: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path, name)

@@ -138,6 +138,28 @@ class PqSpec extends SparkSpec {
         maxPushdownIds = 1)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
     assert(fellBack == pushed)
+
+    // append: new vectors get cells + residual codes under the SIDECAR
+    // models, are immediately searchable, and their stored codes match a
+    // fresh encode against the original models
+    val shifted = vecs.select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+    IvfIndex.appendIndexPq(spark, dir, shifted)
+    val q0b = vecs.where(col("vec_id") === 0)
+      .select((col("vec_id") + 100000).as("qid"), col("embedding"))
+    // the appended copy ties its original at dist 0; ids break the tie,
+    // so the top-2 is exactly {0, 100000} both at 0.0
+    val hits = IvfIndex.searchIndexPq(spark, dir, q0b, k = 2, nprobe = 8, overfetch = 8)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toList
+    assert(hits == List((0L, 0.0), (100000L, 0.0)), s"appended self-hit: $hits")
+    val cellCol2 = IvfIndex.cellOf(col("embedding"), ivf)
+    val expect = shifted.select(col("vec_id"),
+        PQ.encodeExpr(PQ.residualExpr(col("embedding"), cellCol2, ivf), pq).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val stored = spark.read.parquet(dir).where(col("vec_id") >= 100000)
+      .select(col("vec_id"), col("pq_codes")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(stored.size == expect.size)
+    stored.foreach { case (id, codes) => assert(codes == expect(id), s"codes differ for $id") }
   }
 
   test("PQ top-k with rerank keeps recall; covering overfetch degenerates to exact KNN") {
