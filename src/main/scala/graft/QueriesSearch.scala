@@ -388,6 +388,41 @@ object QueriesSearch {
              |SELECT qid, doc_id, cos, CAST(rn AS BIGINT) AS rn
              |FROM ranked WHERE rn <= 5 ORDER BY qid, rn""".stripMargin)),
 
+    // TF-IDF-weighted sparse KNN: the same posting-list intersection as
+    // q_knn_sparse over hashingTfIdf vectors (tf · smooth-idf, weights
+    // rounded at build so both engines featurize identically). Rare
+    // shared terms now dominate the ranking — the retrieval behavior a
+    // raw-TF cosine can't express.
+    "q_knn_tfidf" -> QueryDef(
+      (s, d) => {
+        import graft.operators.SparseKnn
+        val sv = SparseKnn.hashingTfIdf(Tables.documents(s, d), dim = 1024)
+        val q = sv.where(col("doc_id") < 4)
+          .select(col("doc_id").as("qid"), col("indices"), col("values"))
+        SparseKnn.topK(sv, q, k = 5).orderBy(col("qid"), col("rn"))
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, unnest(string_split($canon, ' ')) AS tok FROM documents),
+             |tf AS (SELECT doc_id, ('0x' || substr(md5('graft-tf' || tok), 1, 8))::BIGINT % 1024 AS b,
+             |         count(*)::DOUBLE AS tf
+             |       FROM tok WHERE tok <> '' GROUP BY 1, 2),
+             |dfreq AS (SELECT b, count(*)::DOUBLE AS df FROM tf GROUP BY b),
+             |n AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM tf),
+             |w AS (SELECT doc_id, b, round(tf * (ln((n.n + 1.0) / (d.df + 1.0)) + 1.0), 6) AS v
+             |      FROM tf JOIN dfreq d USING (b) CROSS JOIN n),
+             |norm AS (SELECT doc_id, sqrt(sum(v*v)) AS nn FROM w GROUP BY doc_id),
+             |q AS (SELECT doc_id AS qid, b, v FROM w WHERE doc_id < 4),
+             |qn AS (SELECT qid, sqrt(sum(v*v)) AS nn FROM q GROUP BY qid),
+             |dots AS (SELECT q.qid, p.doc_id, sum(p.v * q.v) AS dot
+             |         FROM w p JOIN q ON p.b = q.b GROUP BY 1, 2),
+             |scored AS (SELECT d.qid, d.doc_id, round(d.dot / (n1.nn * n2.nn), 4) AS cos
+             |           FROM dots d JOIN norm n1 ON n1.doc_id = d.doc_id
+             |           JOIN qn n2 ON n2.qid = d.qid),
+             |ranked AS (SELECT qid, doc_id, cos,
+             |             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, doc_id) AS rn
+             |           FROM scored)
+             |SELECT qid, doc_id, cos, CAST(rn AS BIGINT) AS rn
+             |FROM ranked WHERE rn <= 5 ORDER BY qid, rn""".stripMargin)),
+
     // word-frequency table (the tokenizer-training inner loop). Two
     // shuffles over shrinking data: corpus tokens -> word freqs (map-side
     // combined), word pairs -> pair counts (vocabulary-sized).

@@ -49,6 +49,37 @@ object SparseKnn {
         transform(col("__sv"), s => s.getField("__b")).as("indices"),
         transform(col("__sv"), s => s.getField("__tf")).as("values"))
 
+  /** TF-IDF-weighted hashed sparse vectors: [[hashingTf]]'s buckets with
+    * value = tf · (ln((N+1)/(df+1)) + 1) — sklearn's smooth idf, strictly
+    * positive. N counts docs with ≥1 token and df counts docs containing
+    * the bucket, both computed in the same pass (one bucket-sized groupBy
+    * + one 1-row broadcast — nothing corpus-sized moves beyond the tf
+    * stage itself). Weights round to `scale` so the featurization is
+    * engine-replayable like the tf variant. */
+  def hashingTfIdf(docs: DataFrame, dim: Int = 1024, idCol: String = "doc_id",
+                   textCol: String = "text", salt: String = "graft-tf",
+                   scale: Int = 6): DataFrame = {
+    val tf = docs
+      .select(col(idCol),
+        explode(split(TextFunctions.canonicalText(col(textCol)), " ")).as("__tok"))
+      .where(col("__tok") =!= "")
+      .select(col(idCol), Sampling.hashBucket(col("__tok"), salt, dim).as("__b"))
+      .groupBy(col(idCol), col("__b")).agg(count(lit(1)).cast("double").as("__tf"))
+    val dfreq = tf.groupBy(col("__b")).agg(count(lit(1)).cast("double").as("__df"))
+    val nRow = tf.select(col(idCol)).distinct()
+      .agg(count(lit(1)).cast("double").as("__n"))
+    tf.join(dfreq, Seq("__b"))
+      .crossJoin(broadcast(nRow))
+      .select(col(idCol), col("__b"),
+        round(col("__tf") * (log((col("__n") + 1.0) / (col("__df") + 1.0)) + 1.0), scale)
+          .as("__w"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("__b"), col("__w")))).as("__sv"))
+      .select(col(idCol),
+        transform(col("__sv"), s => s.getField("__b")).as("indices"),
+        transform(col("__sv"), s => s.getField("__w")).as("values"))
+  }
+
   /** Row-local sparse dot product: build a map from one side, probe it
     * with the other's indices — missing terms contribute 0. */
   def sparseDot(aIdx: Column, aVal: Column, bIdx: Column, bVal: Column): Column = {

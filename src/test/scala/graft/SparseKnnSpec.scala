@@ -66,6 +66,25 @@ class SparseKnnSpec extends SparkSpec {
     assert(z.isNullAt(0))
   }
 
+  test("hashingTfIdf weights equal a driver-side tf·idf replay") {
+    val sv = SparseKnn.hashingTfIdf(docs, dim = 256)
+    // driver replay from the tf vectors: df per bucket, N, smooth idf
+    val tfRows = SparseKnn.hashingTf(docs, dim = 256).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).zip(r.getSeq[Double](2))))
+    val n = tfRows.length.toDouble
+    val df = tfRows.flatMap(_._2.map(_._1)).groupBy(identity).view.mapValues(_.length.toDouble)
+    val expect = tfRows.map { case (id, terms) =>
+      id -> terms.map { case (b, tf) =>
+        b -> BigDecimal(tf * (math.log((n + 1.0) / (df(b) + 1.0)) + 1.0))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.toMap
+    }.toMap
+    val got = sv.collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).zip(r.getSeq[Double](2)).toMap)).toMap
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (id, m) => assert(m == expect(id), s"doc $id weights differ") }
+  }
+
   test("posting-list topK equals brute-force sparse cosine; no cartesian pairing in the plan") {
     val q = sv.where(col("doc_id") < 3)
       .select(col("doc_id").as("qid"), col("indices"), col("values"))
