@@ -51,7 +51,29 @@ object GraftFunctions {
       if (es.length > 1) intLit(es(1), "maxLen") else 7500,
       if (es.length > 2) intLit(es(2), "lookback") else 300)),
     arity("zvalue", 2)(es => zvalueExpr(es(0), es(1),
-      if (es.length > 2) intLit(es(2), "bits") else 8)))
+      if (es.length > 2) intLit(es(2), "bits") else 8)),
+    // pgvector sparsevec surface: (indices ASC, values) array pairs.
+    // Argument duplication below (self-dots for norms) is safe — the
+    // arguments are user-written column references/literals evaluated
+    // under whole-stage codegen's subexpression elimination.
+    arity("sparse_dot", 4)(es =>
+      graft.functions.SparseDotExpr(es(0), es(1), es(2), es(3))),
+    arity("sparse_cosine_sim", 4)(es => {
+      import org.apache.spark.sql.catalyst.expressions._
+      val dot = graft.functions.SparseDotExpr(es(0), es(1), es(2), es(3))
+      val denom = Multiply(
+        Sqrt(graft.functions.SparseDotExpr(es(0), es(1), es(0), es(1))),
+        Sqrt(graft.functions.SparseDotExpr(es(2), es(3), es(2), es(3))))
+      If(EqualTo(denom, Literal(0.0)),
+        Literal(null, org.apache.spark.sql.types.DoubleType), Divide(dot, denom))
+    }),
+    arity("sparse_l2sq", 4)(es => {
+      import org.apache.spark.sql.catalyst.expressions._
+      Subtract(
+        Add(graft.functions.SparseDotExpr(es(0), es(1), es(0), es(1)),
+          graft.functions.SparseDotExpr(es(2), es(3), es(2), es(3))),
+        Multiply(Literal(2.0), graft.functions.SparseDotExpr(es(0), es(1), es(2), es(3))))
+    }))
 
   /** Morton z-value as a pure Catalyst tree (`ORDER BY zvalue(x, y, 8)`).
     * This necessarily re-states ZOrder.interleave's formula: a

@@ -80,29 +80,28 @@ object SparseKnn {
         transform(col("__sv"), s => s.getField("__w")).as("values"))
   }
 
-  /** Row-local sparse dot product: build a map from one side, probe it
-    * with the other's indices — missing terms contribute 0. */
-  def sparseDot(aIdx: Column, aVal: Column, bIdx: Column, bVal: Column): Column = {
-    val m = map_from_arrays(aIdx, aVal)
-    aggregate(
-      zip_with(bIdx, bVal, (i, v) => coalesce(element_at(m, i), lit(0.0)) * v),
-      lit(0.0), (acc, x) => acc + x)
-  }
+  /** Row-local sparse dot product — the native codegen'd kernel
+    * ([[graft.functions.SparseDotExpr]]): a two-pointer merge over the
+    * SORTED index arrays, zero allocation, whole-stage-codegen'd (the
+    * HOF formulation builds a map per row and interprets lambdas per
+    * element — CodegenFallback). Indices must be ascending, the
+    * [[hashingTf]] output shape and pgvector's sparsevec invariant. */
+  def sparseDot(aIdx: Column, aVal: Column, bIdx: Column, bVal: Column): Column =
+    graft.functions.SparseExpressions.sparseDot(aIdx, aVal, bIdx, bVal)
 
-  /** L2 norm of a sparse value array. */
-  def sparseNorm(values: Column): Column =
-    sqrt(aggregate(values, lit(0.0), (acc, x) => acc + x * x))
+  /** L2 norm of a sparse vector: √⟨a,a⟩ (self-dot matches every index). */
+  def sparseNorm(idx: Column, values: Column): Column =
+    sqrt(sparseDot(idx, values, idx, values))
 
   /** Sparse cosine SIMILARITY (zero-norm sides yield null — filter or
     * coalesce at the call site, same contract as a SQL division). */
   def sparseCosine(aIdx: Column, aVal: Column, bIdx: Column, bVal: Column): Column =
     sparseDot(aIdx, aVal, bIdx, bVal) /
-      nullif(sparseNorm(aVal) * sparseNorm(bVal), lit(0.0))
+      nullif(sparseNorm(aIdx, aVal) * sparseNorm(bIdx, bVal), lit(0.0))
 
   /** Sparse squared L2 distance: ‖a‖² + ‖b‖² − 2⟨a,b⟩. */
   def sparseL2Sq(aIdx: Column, aVal: Column, bIdx: Column, bVal: Column): Column =
-    aggregate(aVal, lit(0.0), (acc, x) => acc + x * x) +
-      aggregate(bVal, lit(0.0), (acc, x) => acc + x * x) -
+    sparseDot(aIdx, aVal, aIdx, aVal) + sparseDot(bIdx, bVal, bIdx, bVal) -
       lit(2.0) * sparseDot(aIdx, aVal, bIdx, bVal)
 
   /** Batch sparse-cosine top-k via posting-list intersection. Corpus and
@@ -113,12 +112,12 @@ object SparseKnn {
            idCol: String = "doc_id", queryIdCol: String = "qid",
            scale: Int = 4): DataFrame = {
     val cPost = corpus
-      .select(col(idCol), sparseNorm(col("values")).as("__cn"),
+      .select(col(idCol), sparseNorm(col("indices"), col("values")).as("__cn"),
         explode(arrays_zip(col("indices"), col("values"))).as("__p"))
       .select(col(idCol), col("__cn"),
         col("__p.indices").as("__t"), col("__p.values").as("__cv"))
     val qPost = broadcast(queries
-      .select(col(queryIdCol), sparseNorm(col("values")).as("__qn"),
+      .select(col(queryIdCol), sparseNorm(col("indices"), col("values")).as("__qn"),
         explode(arrays_zip(col("indices"), col("values"))).as("__q"))
       .select(col(queryIdCol), col("__qn"),
         col("__q.indices").as("__t"), col("__q.values").as("__qv")))

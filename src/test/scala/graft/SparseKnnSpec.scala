@@ -85,6 +85,38 @@ class SparseKnnSpec extends SparkSpec {
     got.foreach { case (id, m) => assert(m == expect(id), s"doc $id weights differ") }
   }
 
+  test("SQL surface: sparse_dot / sparse_cosine_sim / sparse_l2sq match the column API") {
+    GraftFunctions.register(spark)
+    sv.createOrReplaceTempView("sv_sql_v")
+    val sql = spark.sql(
+      """SELECT a.doc_id AS i, b.doc_id AS j,
+        |  sparse_dot(a.indices, a.values, b.indices, b.values) AS d,
+        |  sparse_cosine_sim(a.indices, a.values, b.indices, b.values) AS c,
+        |  sparse_l2sq(a.indices, a.values, b.indices, b.values) AS l
+        |FROM sv_sql_v a JOIN sv_sql_v b ON a.doc_id < b.doc_id
+        |WHERE a.doc_id < 5 AND b.doc_id < 5
+        |ORDER BY i, j""".stripMargin)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val api = sv.where(col("doc_id") < 5)
+      .select(col("doc_id").as("i"), col("indices").as("ai"), col("values").as("av"))
+      .join(sv.where(col("doc_id") < 5)
+        .select(col("doc_id").as("j"), col("indices").as("bi"), col("values").as("bv")))
+      .where(col("i") < col("j"))
+      .select(col("i"), col("j"),
+        SparseKnn.sparseDot(col("ai"), col("av"), col("bi"), col("bv")).as("d"),
+        SparseKnn.sparseCosine(col("ai"), col("av"), col("bi"), col("bv")).as("c"),
+        SparseKnn.sparseL2Sq(col("ai"), col("av"), col("bi"), col("bv")).as("l"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(sql.keySet == api.keySet && sql.nonEmpty)
+    sql.foreach { case (k, (d, c, l)) =>
+      val (d2, c2, l2) = api(k)
+      assert(math.abs(d - d2) < 1e-9 && math.abs(c - c2) < 1e-9 && math.abs(l - l2) < 1e-9,
+        s"$k: sql=($d,$c,$l) api=($d2,$c2,$l2)")
+    }
+  }
+
   test("posting-list topK equals brute-force sparse cosine; no cartesian pairing in the plan") {
     val q = sv.where(col("doc_id") < 3)
       .select(col("doc_id").as("qid"), col("indices"), col("values"))
