@@ -18,7 +18,9 @@ object PlanAudit {
       case Array() => Seq("q1_agg", "q3_top_orders", "q5_region_revenue", "q_knn_l2",
         "q_knn_batch", "q_dedup_minhash_lsh", "q_events_sessionize", "q_status_registered",
         "q_e2e_search", "q_embed_md5", "q_bm25", "q_hybrid_rrf", "q_dedup_embedding",
-        "q_upsert_store", "q_tfidf_keywords")
+        "q_upsert_store", "q_tfidf_keywords",
+        "q_knn_sparse", "q_knn_sparse_idx", "q_dbscan", "q_ann_ivfpq_idx",
+        "q_ann_hnsw_sharded")
       case rest => rest.toSeq
     }
     for (name <- interesting) {

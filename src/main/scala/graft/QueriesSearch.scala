@@ -388,6 +388,40 @@ object QueriesSearch {
              |SELECT qid, doc_id, cos, CAST(rn AS BIGINT) AS rn
              |FROM ranked WHERE rn <= 5 ORDER BY qid, rn""".stripMargin)),
 
+    // Sparse KNN against the PERSISTED postings index: score-identical
+    // to q_knn_sparse (same oracle), but the corpus-token shuffle is
+    // paid at build and the query reads only its terms' buckets via
+    // bucket pruning (plan-asserted in SparseKnnSpec).
+    "q_knn_sparse_idx" -> QueryDef(
+      (s, d) => {
+        import graft.operators.SparseKnn
+        val tag = math.abs(d.hashCode).toString
+        val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_q_spidx_$tag"
+        val sv = SparseKnn.hashingTf(Tables.documents(s, d), dim = 1024)
+        SparseKnn.writeIndex(sv, s"q_sp_idx_$tag", idxDir)
+        val q = sv.where(col("doc_id") < 4)
+          .select(col("doc_id").as("qid"), col("indices"), col("values"))
+        SparseKnn.topKFromIndex(s, s"q_sp_idx_$tag", q, k = 5)
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, unnest(string_split($canon, ' ')) AS tok FROM documents),
+             |tf AS (SELECT doc_id, ('0x' || substr(md5('graft-tf' || tok), 1, 8))::BIGINT % 1024 AS b,
+             |         count(*)::DOUBLE AS v
+             |       FROM tok WHERE tok <> '' GROUP BY 1, 2),
+             |norm AS (SELECT doc_id, sqrt(sum(v*v)) AS n FROM tf GROUP BY doc_id),
+             |q AS (SELECT doc_id AS qid, b, v FROM tf WHERE doc_id < 4),
+             |qn AS (SELECT qid, sqrt(sum(v*v)) AS n FROM q GROUP BY qid),
+             |dots AS (SELECT q.qid, p.doc_id, sum(p.v * q.v) AS dot
+             |         FROM tf p JOIN q ON p.b = q.b GROUP BY 1, 2),
+             |scored AS (SELECT d.qid, d.doc_id, round(d.dot / (n1.n * n2.n), 4) AS cos
+             |           FROM dots d JOIN norm n1 ON n1.doc_id = d.doc_id
+             |           JOIN qn n2 ON n2.qid = d.qid),
+             |ranked AS (SELECT qid, doc_id, cos,
+             |             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, doc_id) AS rn
+             |           FROM scored)
+             |SELECT qid, doc_id, cos, CAST(rn AS BIGINT) AS rn
+             |FROM ranked WHERE rn <= 5 ORDER BY qid, rn""".stripMargin)),
+
     // TF-IDF-weighted sparse KNN: the same posting-list intersection as
     // q_knn_sparse over hashingTfIdf vectors (tf · smooth-idf, weights
     // rounded at build so both engines featurize identically). Rare

@@ -104,6 +104,52 @@ object SparseKnn {
     sparseDot(aIdx, aVal, aIdx, aVal) + sparseDot(bIdx, bVal, bIdx, bVal) -
       lit(2.0) * sparseDot(aIdx, aVal, bIdx, bVal)
 
+  /** Persist a sparse postings index — the [[TextSearch.writeBm25Index]]
+    * shape generalized past BM25 to ARBITRARY sparse vectors (TF,
+    * TF-IDF, SPLADE-style learned weights): the corpus explodes ONCE
+    * into (term, id, value, doc-norm) postings written `bucketBy(term)`,
+    * so the corpus-token-sized shuffle is paid at build and every query
+    * after reads only its terms' buckets via bucket pruning. Rebuild on
+    * corpus change, like any search index. */
+  def writeIndex(sv: DataFrame, table: String, path: String,
+                 idCol: String = "doc_id", numBuckets: Int = 16): Unit = {
+    require(numBuckets >= 1, s"SparseKnn.writeIndex: numBuckets must be >= 1, got $numBuckets")
+    sv.select(col(idCol), sparseNorm(col("indices"), col("values")).as("__n"),
+        explode(arrays_zip(col("indices"), col("values"))).as("__p"))
+      .select(col(idCol), col("__n"), col("__p.indices").as("__t"), col("__p.values").as("__v"))
+      .write.mode("overwrite")
+      .bucketBy(numBuckets, "__t").sortBy("__t")
+      .format("parquet").option("path", s"$path/postings")
+      .saveAsTable(table)
+  }
+
+  /** Sparse-cosine top-k against the PERSISTED postings — score-identical
+    * to [[topK]] on the indexed corpus; per-query cost = the query
+    * terms' buckets only (literal `isin` over the bucketBy column →
+    * bucket pruning, plan-asserted in spec). Query terms are collected
+    * to the driver — broadcast-small by the serve contract. */
+  def topKFromIndex(spark: org.apache.spark.sql.SparkSession, table: String,
+                    queries: DataFrame, k: Int, idCol: String = "doc_id",
+                    queryIdCol: String = "qid", scale: Int = 4): DataFrame = {
+    val terms = queries.select(explode(col("indices")).as("__t"))
+      .distinct().collect().map(_.get(0))
+    require(terms.nonEmpty, "topKFromIndex: queries carry no terms")
+    val hits = spark.table(table).where(col("__t").isin(terms: _*))
+    val qPost = broadcast(queries
+      .select(col(queryIdCol), sparseNorm(col("indices"), col("values")).as("__qn"),
+        explode(arrays_zip(col("indices"), col("values"))).as("__q"))
+      .select(col(queryIdCol), col("__qn"),
+        col("__q.indices").as("__t"), col("__q.values").as("__qv")))
+    val scored = hits.join(qPost, Seq("__t"))
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(round(sum(col("__v") * col("__qv")) / (first(col("__n")) * first(col("__qn"))),
+        scale).as("cos"))
+    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("cos").desc, col(idCol))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col(queryIdCol), col(idCol), col("cos"), col("rn").cast("long").as("rn"))
+  }
+
   /** Batch sparse-cosine top-k via posting-list intersection. Corpus and
     * queries both carry `(indices, values)`; queries are broadcast-small
     * by contract (the [[Knn.topKBatch]] convention). Output

@@ -117,6 +117,29 @@ class SparseKnnSpec extends SparkSpec {
     }
   }
 
+  test("persisted postings index: score-identical to topK, bucket-pruned reads") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sp-idx").toString
+    try {
+      SparseKnn.writeIndex(sv, "t_sp_idx", s"$tmp/idx", numBuckets = 4)
+      val q = sv.where(col("doc_id") < 3)
+        .select(col("doc_id").as("qid"), col("indices"), col("values"))
+      val fromIndex = SparseKnn.topKFromIndex(spark, "t_sp_idx", q, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+      val direct = SparseKnn.topK(sv, q, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+      assert(fromIndex == direct)
+      // a single-TERM query reads only that term's bucket (a whole doc's
+      // vector touches most buckets at numBuckets = 4 — the pruning win
+      // scales with term selectivity, exactly like the BM25 index)
+      val q1 = Seq((99L, Seq(5L), Seq(1.0))).toDF("qid", "indices", "values")
+      val plan = SparseKnn.topKFromIndex(spark, "t_sp_idx", q1, k = 5)
+        .queryExecution.executedPlan.toString
+      val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+      assert(m.exists(x => x.group(1).toInt < x.group(2).toInt),
+        "expected bucket pruning in:\n" + plan.take(2000))
+    } finally spark.sql("DROP TABLE IF EXISTS t_sp_idx")
+  }
+
   test("posting-list topK equals brute-force sparse cosine; no cartesian pairing in the plan") {
     val q = sv.where(col("doc_id") < 3)
       .select(col("doc_id").as("qid"), col("indices"), col("values"))
