@@ -18,7 +18,16 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt.max(1)
     // SPARK_GRAFT_BENCH_ONLY=q_a,q_b → time just those (floor measurement
     // for newly added queries without a full sweep)
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // fail fast on a typo'd name: an empty run would otherwise masquerade
+    // as a valid floor measurement
+    only.foreach { ns =>
+      val unknown = ns -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names not in SparkEntry.queries: " +
+          unknown.toSeq.sorted.mkString(", "))
+    }
     val selected = only.fold(SparkEntry.queries)(ns => SparkEntry.queries.filter(kv => ns(kv._1)))
     val results = selected.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>

@@ -32,6 +32,17 @@ object GraftFunctions {
       b(es)
     }
 
+  /** Guard for builders that duplicate their argument subtrees: each
+    * copy must evaluate identically, so nondeterministic arguments
+    * (rand(), uuid(), …) are rejected at analysis time. */
+  private def requireDeterministic(name: String, es: Seq[Expression]): Unit =
+    es.find(e => e.resolved && !e.deterministic).foreach { e =>
+      throw new IllegalArgumentException(
+        s"$name duplicates its arguments internally (self-dot norms) and requires " +
+          s"deterministic inputs; got nondeterministic argument: $e — " +
+          "materialize the value in a prior projection instead")
+    }
+
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     arity("vec_dot", 2)(es => VecDot(es(0), es(1))),
     arity("vec_ip", 2)(es =>
@@ -53,13 +64,16 @@ object GraftFunctions {
     arity("zvalue", 2)(es => zvalueExpr(es(0), es(1),
       if (es.length > 2) intLit(es(2), "bits") else 8)),
     // pgvector sparsevec surface: (indices ASC, values) array pairs.
-    // Argument duplication below (self-dots for norms) is safe — the
-    // arguments are user-written column references/literals evaluated
-    // under whole-stage codegen's subexpression elimination.
+    // sparse_cosine_sim/sparse_l2sq duplicate their arguments (self-dots
+    // for norms), which is only sound when each duplicated subtree
+    // evaluates to the same value every time — so nondeterministic
+    // arguments are rejected at analysis (codegen subexpression
+    // elimination is best-effort, not a semantic guarantee).
     arity("sparse_dot", 4)(es =>
       graft.functions.SparseDotExpr(es(0), es(1), es(2), es(3))),
     arity("sparse_cosine_sim", 4)(es => {
       import org.apache.spark.sql.catalyst.expressions._
+      requireDeterministic("sparse_cosine_sim", es)
       val dot = graft.functions.SparseDotExpr(es(0), es(1), es(2), es(3))
       val denom = Multiply(
         Sqrt(graft.functions.SparseDotExpr(es(0), es(1), es(0), es(1))),
@@ -69,6 +83,7 @@ object GraftFunctions {
     }),
     arity("sparse_l2sq", 4)(es => {
       import org.apache.spark.sql.catalyst.expressions._
+      requireDeterministic("sparse_l2sq", es)
       Subtract(
         Add(graft.functions.SparseDotExpr(es(0), es(1), es(0), es(1)),
           graft.functions.SparseDotExpr(es(2), es(3), es(2), es(3))),

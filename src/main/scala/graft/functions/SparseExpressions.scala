@@ -20,7 +20,12 @@ import org.apache.spark.sql.types._
   * output shape, and pgvector's own sparsevec storage invariant) —
   * unsorted input silently underestimates the dot, exactly as pgvector
   * documents for malformed sparsevec. Indices: `array<int|bigint>`;
-  * values: `array<float|double>`; math in double.
+  * values: `array<float|double>`; math in double. Array ELEMENTS must
+  * be non-null: when the static schema already guarantees that
+  * (`containsNull=false`, the hashingTf producer shape) the kernel is
+  * the bare two-pointer loop; when it cannot (parquet read-back marks
+  * elements nullable) the arrays are validated per-row and a null
+  * element raises rather than silently scoring as 0/garbage.
   */
 case class SparseDotExpr(first: Expression, second: Expression,
                          third: Expression, fourth: Expression)
@@ -50,6 +55,21 @@ case class SparseDotExpr(first: Expression, second: Expression,
         s"${first.dataType}/${second.dataType}/${third.dataType}/${fourth.dataType}")
   }
 
+  // containsNull=false on every input → skip per-row element validation
+  private lazy val needsNullCheck: Boolean =
+    children.exists(_.dataType.asInstanceOf[ArrayType].containsNull)
+
+  private def requireNoNullElements(a: ArrayData, role: String): Unit = {
+    var i = 0
+    val n = a.numElements()
+    while (i < n) {
+      if (a.isNullAt(i)) throw new IllegalArgumentException(
+        s"$prettyName: null element at position $i of the $role array — " +
+          "sparse vectors must have non-null indices/values (the hashingTf contract)")
+      i += 1
+    }
+  }
+
   @inline private def idx(a: ArrayData, isInt: Boolean, i: Int): Long =
     if (isInt) a.getInt(i).toLong else a.getLong(i)
   @inline private def value(a: ArrayData, isFloat: Boolean, i: Int): Double =
@@ -62,6 +82,10 @@ case class SparseDotExpr(first: Expression, second: Expression,
     val bInt = idxType(third) == IntegerType
     val aF = second.dataType.asInstanceOf[ArrayType].elementType == FloatType
     val bF = fourth.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    if (needsNullCheck) {
+      requireNoNullElements(aIdx, "first-indices"); requireNoNullElements(aVal, "first-values")
+      requireNoNullElements(bIdx, "second-indices"); requireNoNullElements(bVal, "second-values")
+    }
     val (na, nb) = (aIdx.numElements(), bIdx.numElements())
     var dot = 0.0
     var i = 0; var j = 0
@@ -88,7 +112,21 @@ case class SparseDotExpr(first: Expression, second: Expression,
       val i = ctx.freshName("i"); val j = ctx.freshName("j")
       val x = ctx.freshName("x"); val y = ctx.freshName("y")
       val dot = ctx.freshName("dot")
+      val nullChecks = if (!needsNullCheck) "" else {
+        val k = ctx.freshName("k")
+        Seq(ai -> "first-indices", av -> "first-values",
+            bi -> "second-indices", bv -> "second-values").map { case (arr, role) =>
+          s"""
+             |for (int $k = 0; $k < $arr.numElements(); $k++) {
+             |  if ($arr.isNullAt($k)) throw new IllegalArgumentException(
+             |    "sparse_dot: null element at position " + $k + " of the $role array — " +
+             |    "sparse vectors must have non-null indices/values (the hashingTf contract)");
+             |}
+           """.stripMargin
+        }.mkString("\n")
+      }
       s"""
+         |$nullChecks
          |int $na = $ai.numElements();
          |int $nb = $bi.numElements();
          |double $dot = 0.0;

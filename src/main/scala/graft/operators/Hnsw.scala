@@ -285,7 +285,7 @@ object Hnsw {
 
   /** DISTRIBUTED sharded build — the scale path past [[build]]'s driver
     * cap: vectors are split into `numShards` deterministic shards
-    * (`id % numShards`), each shard's graph is built ON AN EXECUTOR by
+    * (`floorMod(id, numShards)`), each shard's graph is built ON AN EXECUTOR by
     * the same deterministic insertion (`GraphBuilder` — ascending id,
     * salted-md5 levels), and each finished graph is persisted as one
     * serialized row of a parquet table + a meta sidecar. This is the
@@ -305,13 +305,15 @@ object Hnsw {
     require(numShards >= 1, s"Hnsw.writeIndexSharded: numShards must be >= 1, got $numShards")
     val spark = vectors.sparkSession
     // key by shard, one partition per shard (HashPartitioner sends
-    // nonnegative key s to partition s for s < numShards)
+    // nonnegative key s to partition s for s < numShards; floorMod keeps
+    // the shard key in [0, numShards) for negative ids too, so the
+    // documented shard = floorMod(id, numShards) mapping holds)
     val keyed = vectors
       .select(col(idCol).cast("long"), col(embCol).cast("array<double>"))
       .rdd
       .map { r =>
         val id = r.getLong(0)
-        ((id % numShards).toInt, (id, r.getSeq[Double](1).toArray))
+        (java.lang.Math.floorMod(id, numShards.toLong).toInt, (id, r.getSeq[Double](1).toArray))
       }
       .partitionBy(new org.apache.spark.HashPartitioner(numShards))
     val shardRows = keyed.mapPartitionsWithIndex { (shard, it) =>

@@ -146,6 +146,27 @@ class HnswSpec extends SparkSpec {
       Option(err.getCause).exists(_.getMessage.contains("maxNodesPerShard")))
   }
 
+  test("sharded build: negative ids land in floorMod shards and stay searchable") {
+    val path = Files.createTempDirectory("hnsw_neg").toString
+    // shift every id negative: id - 10^6 ∈ [-10^6, …)
+    val neg = e.withColumn("vec_id", col("vec_id") - lit(1000000L))
+    Hnsw.writeIndexSharded(neg, numShards = 4, path, m = 16, efConstruction = 64)
+    val store = spark.read.parquet(path)
+    val shards = store.select("shard").collect().map(_.getInt(0)).toSet
+    assert(shards.forall(s => s >= 0 && s < 4), s"shard ids out of range: $shards")
+    assert(shards.size == 4, s"negative ids collapsed into ${shards.size} shards: $shards")
+    assert(store.agg(sum(col("n"))).head().getLong(0) == e.count())
+    // shard-covering ef still degenerates to exact KNN on the shifted ids
+    val q3 = neg.where(col("vec_id") === (3L - 1000000L))
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val n = e.count().toInt
+    val full = Hnsw.searchIndexSharded(spark, path, q3, k = 5, ef = n)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toList
+    val exact5 = Knn.topK(neg, neg.where(col("vec_id") === (3L - 1000000L)), Knn.L2, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    assert(full == exact5)
+  }
+
   test("maxNodes cap fails fast with the IVF pointer") {
     val err = intercept[IllegalArgumentException] {
       Hnsw.build(e, maxNodes = 10)

@@ -48,6 +48,41 @@ class SqlSurfaceSpec extends SparkSpec {
     new GraftExtensions().apply(e) // throws on malformed registration
   }
 
+  test("sparse_dot rejects null array elements instead of scoring them as 0") {
+    GraftFunctions.register(spark)
+    // literal array(1, NULL) types as containsNull=true → validation path
+    val err = intercept[Exception] {
+      spark.sql("""SELECT sparse_dot(array(1, cast(NULL as int)), array(1.0D, 2.0D),
+                                     array(1, 2), array(3.0D, 4.0D)) v""").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(err).exists(m => m != null && m.contains("null element")),
+      messages(err).mkString(" | "))
+    // non-null containsNull=true arrays still evaluate (parquet read-back shape)
+    assert(spark.sql("""SELECT sparse_dot(array(1, 2), array(1.0D, 2.0D),
+                                          array(2, 3), array(3.0D, 4.0D)) v""")
+      .head().getDouble(0) == 6.0)
+  }
+
+  test("sparse_cosine_sim / sparse_l2sq reject nondeterministic arguments") {
+    GraftFunctions.register(spark)
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    for (fn <- Seq("sparse_cosine_sim", "sparse_l2sq")) {
+      val err = intercept[Exception] {
+        spark.sql(s"""SELECT $fn(array(1, 2), array(rand(), 1.0D),
+                                 array(1, 2), array(1.0D, 1.0D)) v""").collect()
+      }
+      assert(messages(err).exists(m => m != null && m.contains("deterministic")),
+        s"$fn: " + messages(err).mkString(" | "))
+    }
+    // deterministic inputs unaffected
+    assert(math.abs(spark.sql("""SELECT sparse_cosine_sim(array(1, 2), array(1.0D, 0.0D),
+                                  array(1, 2), array(1.0D, 0.0D)) v""").head().getDouble(0)
+      - 1.0) < 1e-12)
+  }
+
   test("wrong arity gives an argument-count error naming the function") {
     GraftFunctions.register(spark)
     val err = intercept[Exception] { spark.sql("SELECT zvalue(1)").collect() }
