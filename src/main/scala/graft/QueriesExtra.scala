@@ -11,6 +11,21 @@ import graft.operators.{AnnLsh, IvfIndex, SimHash}
   * truth) + multimodal metadata (oracle-gated). */
 object QueriesExtra {
 
+  /** Shared oracle for the L2 exact-degeneration gates: brute-force
+    * per-query KNN with the engine-wide 4dp-rounded distance and
+    * (dist, vec_id) tie-break — the `ORDER BY embedding <-> ? LIMIT k`
+    * shape of pgvector (SSEOpenAIController.java:315-316), batched. */
+  private val annExactL2Sql: String =
+    """WITH q AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < 4),
+      |scored AS (
+      |  SELECT q.qid, e.vec_id,
+      |    round(list_distance(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS dist
+      |  FROM embeddings e CROSS JOIN q),
+      |ranked AS (SELECT qid, vec_id, dist,
+      |    row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn
+      |  FROM scored)
+      |SELECT qid, vec_id, dist, rn FROM ranked WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
 
     "q_dedup_simhash" -> QueryDef(
@@ -231,6 +246,128 @@ object QueriesExtra {
           .orderBy(col("qid"), col("rn"))
       },
       None),
+
+    // ── ANN EXACT-DEGENERATION ORACLE GATES ──────────────────────────
+    // Each index family run at FULL probe (every cell) with a
+    // corpus-covering overfetch/beam must return EXACTLY the brute-force
+    // KNN answer — the index adds pruning, never error. The specs pin
+    // these identities Spark-vs-Spark; these entries put the DuckDB hash
+    // signal on the whole index READ path itself (sidecar parsing, cell
+    // partition pruning, coarse scan, bounded rerank pushdown), where a
+    // silent off-by-one would otherwise only surface as a recall dip.
+
+    // In-memory IVF at full probe == exact cosine top-k.
+    "q_ann_ivf_exact" -> QueryDef(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val model = IvfIndex.train(e, k = 16, iters = 3)
+        val q = e.where(col("vec_id") < 4).select(col("vec_id").as("qid"), col("embedding"))
+        IvfIndex.topK(e, q, model, k = 5, nprobe = 16).orderBy(col("qid"), col("rn"))
+      },
+      Some("""WITH q AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < 4),
+             |scored AS (
+             |  SELECT q.qid, e.vec_id,
+             |    round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS cos
+             |  FROM embeddings e CROSS JOIN q),
+             |ranked AS (SELECT qid, vec_id, cos,
+             |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+             |  FROM scored)
+             |SELECT qid, vec_id, cos, rn FROM ranked WHERE rn <= 5 ORDER BY qid, rn""".stripMargin)),
+
+    // Persisted IVF-SQ index: full probe + covering overfetch == exact
+    // L2 top-k THROUGH the quantized coarse scan and rerank pushdown.
+    "q_ann_ivf_sq_exact" -> QueryDef(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val n = e.count().toInt
+        val model = IvfIndex.train(e, k = 16, iters = 3)
+        val (mn, mx) = graft.operators.Quantize.scalarRange(e)
+        val dir = java.nio.file.Files.createTempDirectory("ivf_sq_exact_q").toString
+        IvfIndex.writeIndexQuantized(e, model, dir, mn, mx)
+        val q = e.where(col("vec_id") < 4).select(col("vec_id").as("qid"), col("embedding"))
+        IvfIndex.searchIndexQuantized(s, dir, q, k = 5, nprobe = 16, overfetch = n)
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some(annExactL2Sql)),
+
+    // Persisted IVF-PQ index: full probe + covering overfetch == exact
+    // L2 top-k THROUGH the residual ADC coarse scan and rerank pushdown.
+    "q_ann_ivfpq_exact" -> QueryDef(
+      (s, d) => {
+        import graft.operators.{ProductQuantizer => PQ}
+        val e = Tables.embeddings(s, d)
+        val n = e.count().toInt
+        val ivf = IvfIndex.train(e, k = 8, iters = 2)
+        val pq = PQ.trainResidual(e, ivf, m = 16, ksub = 16, iters = 10)
+        val dir = java.nio.file.Files.createTempDirectory("ivfpq_exact_q").toString
+        IvfIndex.writeIndexPq(e, ivf, pq, dir)
+        val q = e.where(col("vec_id") < 4).select(col("vec_id").as("qid"), col("embedding"))
+        IvfIndex.searchIndexPq(s, dir, q, k = 5, nprobe = 8, overfetch = n)
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some(annExactL2Sql)),
+
+    // Sharded HNSW: shard-covering beam (ef = corpus) == exact L2 top-k
+    // through the executor-built graphs and the scatter-gather merge.
+    "q_ann_hnsw_exact" -> QueryDef(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val n = e.count().toInt
+        val dir = java.nio.file.Files.createTempDirectory("hnsw_exact_q").toString
+        graft.operators.Hnsw.writeIndexSharded(e, numShards = 4, dir)
+        val q = e.where(col("vec_id") < 4).select(col("vec_id").as("qid"), col("embedding"))
+        graft.operators.Hnsw.searchIndexSharded(s, dir, q, k = 5, ef = n)
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some(annExactL2Sql)),
+
+    // Cosine-metric store (vectors L2-normalized at write): full probe ==
+    // exact cosine-distance top-k; cosine is scale-invariant, so the
+    // oracle scores the RAW vectors.
+    "q_ann_ivf_cos_exact" -> QueryDef(
+      (s, d) => {
+        import graft.functions.VectorFunctions
+        val e = Tables.embeddings(s, d)
+        val en = e.withColumn("embedding", VectorFunctions.l2Normalize(col("embedding")))
+        val model = IvfIndex.train(en, k = 16, iters = 2)
+        val dir = java.nio.file.Files.createTempDirectory("ivf_cos_exact_q").toString
+        IvfIndex.writeIndexCosine(e, model, dir)
+        val q = e.where(col("vec_id") < 4).select(col("vec_id").as("qid"), col("embedding"))
+        IvfIndex.searchIndexCosine(s, dir, q, k = 5, nprobe = 16)
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some("""WITH q AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < 4),
+             |scored AS (
+             |  SELECT q.qid, e.vec_id,
+             |    round(1 - list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS dist
+             |  FROM embeddings e CROSS JOIN q),
+             |ranked AS (SELECT qid, vec_id, dist,
+             |    row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn
+             |  FROM scored)
+             |SELECT qid, vec_id, dist, rn FROM ranked WHERE rn <= 5 ORDER BY qid, rn""".stripMargin)),
+
+    // Inner-product search on an L2 store: full probe == exact MIPS
+    // (ascending −⟨corpus, q⟩) — the nprobe-recall caveat vanishes when
+    // every cell is probed.
+    "q_ann_ivf_ip_exact" -> QueryDef(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val model = IvfIndex.train(e, k = 16, iters = 2)
+        val dir = java.nio.file.Files.createTempDirectory("ivf_ip_exact_q").toString
+        IvfIndex.writeIndex(e, model, dir)
+        val q = e.where(col("vec_id") < 4).select(col("vec_id").as("qid"), col("embedding"))
+        IvfIndex.searchIndexIp(s, dir, q, k = 5, nprobe = 16)
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some("""WITH q AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < 4),
+             |scored AS (
+             |  SELECT q.qid, e.vec_id,
+             |    round(-list_inner_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS dist
+             |  FROM embeddings e CROSS JOIN q),
+             |ranked AS (SELECT qid, vec_id, dist,
+             |    row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn
+             |  FROM scored)
+             |SELECT qid, vec_id, dist, rn FROM ranked WHERE rn <= 5 ORDER BY qid, rn""".stripMargin)),
 
     // Deterministic hash-bucket sampling — reproducible subsets at any
     // partitioning; the exact md5-bucket construction replays in DuckDB.
