@@ -197,6 +197,28 @@ object QueriesPipeline {
              |FROM documents, unnest(range(0, CAST(ceil(length(text) / 200.0) AS INT))) AS t(i)
              |ORDER BY doc_id, page_no""".stripMargin)),
 
+    // Real-PDF round trip (round 7): each document is rendered to an
+    // ACTUAL PDF in-engine (classic xref, Flate-compressed content
+    // streams, one page per 200 chars) and decoded back through the full
+    // parser — object scan, page tree, FlateDecode, BT/ET text ops — so
+    // the oracle hash gates the real extraction path on real PDF bytes,
+    // not the pagination stub. Oracle = the same page derivation straight
+    // from the text column: extraction must be lossless.
+    "q_pdf_decode" -> QueryDef(
+      (s, d) => {
+        val pdfs = PdfPipeline.synthesizePdfs(Tables.documents(s, d), pageSize = 200)
+        PdfPipeline.extractPagesPdf(pdfs)
+          .select(col("doc_id"), col("page_no"),
+            length(col("page_text")).cast("long").as("page_len"),
+            md5(col("page_text")).as("page_md5"))
+          .orderBy(col("doc_id"), col("page_no"))
+      },
+      Some("""SELECT doc_id, CAST(i + 1 AS BIGINT) AS page_no,
+             |  CAST(length(substr(text, i*200 + 1, 200)) AS BIGINT) AS page_len,
+             |  md5(substr(text, i*200 + 1, 200)) AS page_md5
+             |FROM documents, unnest(range(0, CAST(ceil(length(text) / 200.0) AS INT))) AS t(i)
+             |ORDER BY doc_id, page_no""".stripMargin)),
+
     "q_chunk_split" -> QueryDef(
       (s, d) => docsChunks(s, d)
         .select(col("doc_id"), col("chunk_idx"),

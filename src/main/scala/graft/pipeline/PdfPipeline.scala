@@ -48,6 +48,49 @@ object PdfPipeline {
       .toDF()
   }
 
+  /** REAL PDF decode path (round 7, closing the PDFBox gap): binary PDF
+    * documents → one row per page via [[PdfCodec.extractText]] — the
+    * reference's extractPDFtoTextByPage (Function.java:90-132)
+    * re-expressed without the library dependency. Same narrow
+    * mapPartitions shape as [[extractPages]]: per-row bounded work, no
+    * shuffle, no driver involvement — the property that matters when the
+    * binary column is 100 TB of blobs. */
+  def extractPagesPdf(docs: DataFrame, batchSize: Int = 16,
+                      idCol: String = "doc_id", contentCol: String = "content"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(contentCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.flatMap { case (id, bytes) =>
+            PdfCodec.extractText(bytes).iterator.zipWithIndex.map {
+              case (p, i) => PageRow(id, i + 1L, p)
+            }
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** Synthesize a REAL per-document PDF (classic xref, Flate-compressed
+    * content streams, one page per `pageSize` chars) from a text column —
+    * the in-engine blob generator that lets the decode path be exercised,
+    * and oracle-gated, end-to-end on actual PDF bytes inside the offline
+    * sandbox. Narrow, like the decode side. */
+  def synthesizePdfs(docs: DataFrame, pageSize: Int = 200, compress: Boolean = true,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val pages = if (text.isEmpty) Seq.empty[String] else text.grouped(pageSize).toSeq
+        (id, PdfCodec.encodePdf(pages, compress))
+      }
+      .toDF(idCol, "content")
+  }
+
   /** Normalized text → (chunk_idx, chunk) rows via the reference chunker
     * (native expression — no ScalaUDF row serialization). */
   def chunkRows(docs: DataFrame, maxLen: Int = 7500, lookback: Int = 300,
