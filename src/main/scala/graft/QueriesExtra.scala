@@ -247,6 +247,21 @@ object QueriesExtra {
       },
       None),
 
+    // PRODUCTION-path DBSCAN: partial probe (nprobe=2 of k=8 cells) —
+    // the configuration a 100 TB run would use, benched under its own
+    // committed floor so the production path's cost is tracked, not just
+    // the full-probe oracle-parity path above. Rows-only by design
+    // (partial-probe recall is not SQL-expressible); the planted-cluster
+    // recall floor is spec-pinned in ClusteringSpec.
+    "q_dbscan_probed" -> QueryDef(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val model = IvfIndex.train(e, k = 8, iters = 2)
+        graft.operators.Clustering.dbscan(e, eps = 0.65, minPts = 3, model, nprobe = 2)
+          .orderBy(col("vec_id"))
+      },
+      None),
+
     // ── ANN EXACT-DEGENERATION ORACLE GATES ──────────────────────────
     // Each index family run at FULL probe (every cell) with a
     // corpus-covering overfetch/beam must return EXACTLY the brute-force

@@ -115,12 +115,23 @@ object Curation {
     * collected histogram: |domain| rows on the driver, by contract.
     * For genuinely continuous columns use `approx_percentile` instead —
     * this helper's exactness comes from the bounded domain. */
-  def exactQuantileBounded(df: DataFrame, valueCol: String, p: Double): Double = {
+  def exactQuantileBounded(df: DataFrame, valueCol: String, p: Double,
+                           maxDomain: Int = 100000): Double = {
     require(p >= 0 && p <= 1, s"exactQuantileBounded: p must be in [0, 1], got $p")
     // nulls are ignored, matching percentile/percentile_cont semantics
-    val hist = df.where(col(valueCol).isNotNull)
+    val grouped = df.where(col(valueCol).isNotNull)
       .groupBy(col(valueCol).cast("double").as("__v"))
       .agg(count(lit(1)).as("__c"))
+    // fail fast on a genuinely continuous column: the bounded-domain
+    // contract used to live only in this doc comment, so a caller who
+    // missed it silently collected a data-sized histogram onto the
+    // driver. The limit probe bounds the check itself — the driver never
+    // holds more than maxDomain+1 rows even when the contract is broken.
+    require(grouped.limit(maxDomain + 1).count() <= maxDomain,
+      s"exactQuantileBounded: '$valueCol' has more than $maxDomain distinct values — " +
+        "this helper's exactness contract requires a bounded domain (bucketize the " +
+        "column upstream, raise maxDomain, or use approx_percentile)")
+    val hist = grouped
       .orderBy(col("__v"))
       .collect().map(r => (r.getDouble(0), r.getLong(1)))
     val n = hist.map(_._2).sum

@@ -73,6 +73,56 @@ class ClusteringSpec extends SparkSpec {
     assert(recall >= 0.6, s"partial-probe recall $recall")
   }
 
+  test("partial-probe dbscan recovers planted clusters (production-path recall floor)") {
+    import spark.implicits._
+    // Three tight planted clusters along orthogonal axes (within-cluster
+    // cosine distance ≲ 0.01, cross-cluster ≈ 1.0) + isolated noise
+    // points along pairwise-distant diagonals — all deterministic.
+    val dim = 8
+    def unit(axis: Int, jitterAxis: Int, jitter: Double): Seq[Double] = {
+      val v = Array.fill(dim)(0.0)
+      v(axis) = 1.0
+      v(jitterAxis) = jitter
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n).toSeq
+    }
+    val clustered = for {
+      c <- 0 until 3
+      j <- 0 until 20
+    } yield (c.toLong * 100 + j, unit(c, 3 + (j % 4), 0.05 * ((j % 5) + 1) / 5.0), c)
+    val noise = (0 until 8).map { i =>
+      val v = Array.fill(dim)(0.0)
+      // distinct axis pairs → pairwise cosine between noise points ≤ 0.5,
+      // cosine to any cluster ≈ 0.707 → all beyond eps
+      v(i % 4) = 1.0; v(4 + (i + i / 4) % 4) = 1.0
+      val n = math.sqrt(2.0)
+      (1000L + i, v.map(_ / n).toSeq, -1)
+    }
+    val pts = (clustered ++ noise).toDF("vec_id", "embedding", "planted")
+    val emb = pts.select(col("vec_id"), col("embedding"))
+    val model = IvfIndex.train(emb, k = 8, iters = 3)
+    val got = Clustering.dbscan(emb, eps = 0.1, minPts = 3, model, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val label = got.map(r => r._1 -> r._2).toMap
+    // noise stays noise: no planted-noise point may join a cluster
+    noise.foreach { case (id, _, _) => assert(label(id) == -1L, s"noise $id clustered") }
+    // co-membership recall over planted within-cluster pairs ≥ 0.9
+    val byCluster = clustered.groupBy(_._3).values.toSeq
+    val pairs = byCluster.flatMap(g => for {
+      a <- g; b <- g if a._1 < b._1
+    } yield (a._1, b._1))
+    val kept = pairs.count { case (a, b) => label(a) != -1L && label(a) == label(b) }
+    val recall = kept.toDouble / pairs.size
+    assert(recall >= 0.9, s"planted co-membership recall $recall")
+    // no planted cross-cluster pair may merge (the clusters are ~orthogonal)
+    val crossMerged = (for {
+      g1 <- byCluster; g2 <- byCluster if g1.head._3 < g2.head._3
+      a <- g1.map(_._1); b <- g2.map(_._1)
+      if label(a) != -1L && label(a) == label(b)
+    } yield 1).size
+    assert(crossMerged == 0, s"$crossMerged cross-cluster pairs merged")
+  }
+
   test("end-to-end dbscan on embeddings: deterministic, labels consistent with roles") {
     val model = IvfIndex.train(e, k = 8, iters = 2)
     val once = Clustering.dbscan(e, eps = 0.65, minPts = 3, model, nprobe = 8)

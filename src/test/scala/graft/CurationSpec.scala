@@ -100,4 +100,18 @@ class CurationSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("HashAggregate") && plan.contains("partial_count"), plan.take(800))
   }
+
+  test("exactQuantileBounded fails fast on an unbounded (continuous) domain") {
+    // 1000 distinct values against maxDomain=100: the broken-contract
+    // case must raise with actionable guidance, not collect the full
+    // histogram onto the driver
+    val df = spark.range(1000).select((col("id") / 7.0).as("v"))
+    val e = intercept[IllegalArgumentException](
+      Curation.exactQuantileBounded(df, "v", 0.5, maxDomain = 100))
+    assert(e.getMessage.contains("distinct values"))
+    assert(e.getMessage.contains("approx_percentile"))
+    // same frame succeeds when the cap admits the domain
+    val ok = Curation.exactQuantileBounded(df, "v", 0.0, maxDomain = 1000)
+    assert(ok == 0.0)
+  }
 }
