@@ -267,6 +267,63 @@ object IvfIndex {
         round(col("count") / col("__tot"), 6).as("frac"))
   }
 
+  /** Per-cell FILE stats of a persisted index: `(cell, files, bytes)`,
+    * from one recursive filesystem listing (no data read — same cost
+    * class as [[cellStats]], runnable on every maintenance tick). Every
+    * [[appendIndex]]/[[appendIndexQuantized]]/[[appendIndexPq]] batch
+    * adds at least one file per touched cell dir, so after N streaming
+    * batches a cell holds O(N) files — and at 100 TB the file LISTING,
+    * not the bytes, is what kills scheduling. This is the trigger side;
+    * [[compactIndex]] is the fix. */
+  def fileStats(spark: org.apache.spark.sql.SparkSession,
+                path: String): Seq[(Int, Long, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val acc = scala.collection.mutable.Map.empty[Int, (Long, Long)]
+    val it = fs.listFiles(p, true)
+    val cellRe = """cell=(\d+)""".r
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) {
+        cellRe.findFirstMatchIn(f.getPath.toString).foreach { m =>
+          val cell = m.group(1).toInt
+          val (c, b) = acc.getOrElse(cell, (0L, 0L))
+          acc(cell) = (c + 1, b + f.getLen)
+        }
+      }
+    }
+    acc.toSeq.map { case (cell, (c, b)) => (cell, c, b) }.sortBy(_._1)
+  }
+
+  /** Compaction trigger: true when any cell dir holds more than
+    * `maxFilesPerCell` data files. Pure listing, driver sees k rows. */
+  def needsCompaction(spark: org.apache.spark.sql.SparkSession, path: String,
+                      maxFilesPerCell: Int = 16): Boolean = {
+    require(maxFilesPerCell >= 1,
+      s"needsCompaction: maxFilesPerCell must be >= 1, got $maxFilesPerCell")
+    fileStats(spark, path).exists(_._2 > maxFilesPerCell)
+  }
+
+  /** Rewrite an append-sprayed index store to ~targetBytes files per
+    * cell, preserving the cell partitioning (searches keep their static
+    * `cell IN` file pruning) and every sidecar the store carries
+    * (`_centroids.json`, and `_quantize.json` / `_pq.json` /
+    * `_metric.json` where present — works unchanged for flat, SQ8, PQ,
+    * and cosine stores). Search results are byte-identical before and
+    * after (spec-pinned): compaction moves rows between files, never
+    * changes them. Run when [[needsCompaction]] fires — typically after
+    * N streaming [[appendIndex]]-family batches. */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                   targetBytes: Long = 128L * 1024 * 1024): graft.sources.Compaction.Report = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sidecars = Seq("_centroids.json", "_quantize.json", "_pq.json", "_metric.json")
+      .filter(n => fs.exists(new org.apache.hadoop.fs.Path(p, n)))
+    graft.sources.Compaction.compact(spark, path, targetBytes,
+      partitionBy = Seq("cell"), preserveFiles = sidecars)
+  }
+
   /** Rebuild heuristic for [[appendIndex]]-grown indexes: true when the
     * hottest cell holds more than `maxSkew` × the mean — probe cost is
     * driven by the cells a query lands in, so a skewed quantizer makes

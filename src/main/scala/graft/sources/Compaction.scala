@@ -58,9 +58,15 @@ object Compaction {
 
   /** Rewrite `dir` in place to ~targetBytes-sized files (see object doc
     * for the three layout modes). `sortBy` and `partitionBy` compose:
-    * partition dirs are kept, rows within each written file are sorted. */
+    * partition dirs are kept, rows within each written file are sorted.
+    * `preserveFiles` names top-level NON-data files (index sidecars like
+    * `_centroids.json` — underscore-prefixed, so the parquet read
+    * ignores them) copied into the rewrite BEFORE the swap: the
+    * directory is never, at any crash point, a data dir missing its
+    * sidecars. */
   def compact(spark: SparkSession, dir: String, targetBytes: Long,
-              partitionBy: Seq[String] = Nil, sortBy: Seq[String] = Nil): Report = {
+              partitionBy: Seq[String] = Nil, sortBy: Seq[String] = Nil,
+              preserveFiles: Seq[String] = Nil): Report = {
     require(targetBytes >= 1, s"compact: targetBytes must be >= 1, got $targetBytes")
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -108,6 +114,15 @@ object Compaction {
     val w1 = perFileRecords.fold(w0)(r => w0.option("maxRecordsPerFile", r))
     (if (partitionBy.nonEmpty) w1.partitionBy(partitionBy: _*) else w1)
       .save(staging.toString)
+
+    preserveFiles.foreach { name =>
+      val src = new Path(p, name)
+      require(fs.exists(src), s"compact: preserveFiles entry '$name' not found in $dir")
+      val in = fs.open(src)
+      val content = try in.readAllBytes() finally in.close()
+      val out = fs.create(new Path(staging, name), true)
+      try out.write(content) finally out.close()
+    }
 
     // swap: dir -> retired, staging -> dir, drop retired. The read above
     // is fully materialized by the staging write, so retiring the source

@@ -86,6 +86,46 @@ class IvfStoreSpec extends SparkSpec {
     assert(IvfIndex.needsRebuild(spark, path, maxSkew = 4.0))
   }
 
+  test("compactIndex: append-sprayed store rewritten to few files; search identical; sidecars survive") {
+    import graft.operators.Quantize
+    val path = Files.createTempDirectory("ivf_index_compact").toString
+    val e = Tables.embeddings(spark, sfDir)
+    val model = IvfIndex.train(e, k = 8, iters = 2)
+    val (mn, mx) = Quantize.scalarRange(e)
+    // quantized store: TWO sidecars must survive the rewrite
+    IvfIndex.writeIndexQuantized(e.where(col("vec_id") % 4 === 0), model, path, mn, mx)
+    // spray files: one append batch per residue class, several files each
+    for (r <- 1 to 3)
+      IvfIndex.appendIndexQuantized(spark, path,
+        e.where(col("vec_id") % 4 === r).repartition(4))
+    val statsBefore = IvfIndex.fileStats(spark, path)
+    assert(statsBefore.map(_._2).sum > 8, s"expected a sprayed store: $statsBefore")
+    assert(IvfIndex.needsCompaction(spark, path, maxFilesPerCell = 3))
+
+    val q = e.where(col("vec_id") < 5).select(col("vec_id").as("qid"), col("embedding"))
+    val before = IvfIndex.searchIndexQuantized(spark, path, q, k = 5, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+
+    val report = IvfIndex.compactIndex(spark, path)
+    val statsAfter = IvfIndex.fileStats(spark, path)
+    assert(report.filesAfter < report.filesBefore,
+      s"before=${report.filesBefore} after=${report.filesAfter}")
+    assert(statsAfter.forall(_._2 <= 1), s"one target-sized file per cell: $statsAfter")
+    assert(!IvfIndex.needsCompaction(spark, path, maxFilesPerCell = 3))
+    // corpus, results, and BOTH sidecars are intact
+    assert(spark.read.parquet(path).count() == e.count())
+    val after = IvfIndex.searchIndexQuantized(spark, path, q, k = 5, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(after == before)
+    assert(IvfIndex.readModel(spark, path).centroids.length == model.centroids.length)
+    assert(IvfIndex.readQuantRange(spark, path) == ((mn, mx)))
+    // partition pruning still static after the rewrite
+    val plan = IvfIndex.searchIndexQuantized(spark, path, q.limit(1), k = 1, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[([^\\]]*)\\]".r.findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(pf.exists(_.contains("cell")), plan.take(2000))
+  }
+
   test("IVF-SQ index: coarse scan reads codes in probed cells only; recall holds; sidecars round-trip") {
     import graft.operators.{Knn, Quantize}
     val path = Files.createTempDirectory("ivf_sq").toString
