@@ -457,6 +457,51 @@ object QueriesSearch {
              |SELECT qid, doc_id, cos, CAST(rn AS BIGINT) AS rn
              |FROM ranked WHERE rn <= 5 ORDER BY qid, rn""".stripMargin)),
 
+    // SPLADE-style learned sparse retrieval: log-saturated ln(1+tf)
+    // term weights + deterministic term EXPANSION (each token fires 2
+    // extra decayed vocab buckets — the replayable stand-in for the MLM
+    // expansion model) + max-pooling per bucket, served from the
+    // PERSISTED postings index so the expansion-inflated corpus pays
+    // its shuffle once at build. Docs now match queries sharing no
+    // surface term; the oracle replays featurization + intersection.
+    "q_knn_splade" -> QueryDef(
+      (s, d) => {
+        import graft.operators.SparseKnn
+        val tag = math.abs(d.hashCode).toString
+        val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_q_splidx_$tag"
+        val sv = SparseKnn.spladeExpand(Tables.documents(s, d), dim = 1024)
+        SparseKnn.writeIndex(sv, s"q_splade_idx_$tag", idxDir)
+        // splade featurization is row-local (no corpus stats), so the
+        // query side featurizes ONLY its own docs instead of re-running
+        // the corpus pass the index build already paid
+        val q = SparseKnn
+          .spladeExpand(Tables.documents(s, d).where(col("doc_id") < 4), dim = 1024)
+          .select(col("doc_id").as("qid"), col("indices"), col("values"))
+        SparseKnn.topKFromIndex(s, s"q_splade_idx_$tag", q, k = 5)
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, unnest(string_split($canon, ' ')) AS tok FROM documents),
+             |tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf
+             |       FROM tok WHERE tok <> '' GROUP BY 1, 2),
+             |c AS (SELECT doc_id,
+             |        ('0x' || substr(md5('graft-splade-e' || e || tok), 1, 8))::BIGINT % 1024 AS b,
+             |        pow(0.5, e) * ln(tf + 1.0) AS w
+             |      FROM (SELECT doc_id, tok, tf, unnest([0, 1, 2]) AS e FROM tf)),
+             |w AS (SELECT doc_id, b, round(max(w), 6) AS v FROM c GROUP BY 1, 2),
+             |norm AS (SELECT doc_id, sqrt(sum(v*v)) AS nn FROM w GROUP BY doc_id),
+             |q AS (SELECT doc_id AS qid, b, v FROM w WHERE doc_id < 4),
+             |qn AS (SELECT qid, sqrt(sum(v*v)) AS nn FROM q GROUP BY qid),
+             |dots AS (SELECT q.qid, p.doc_id, sum(p.v * q.v) AS dot
+             |         FROM w p JOIN q ON p.b = q.b GROUP BY 1, 2),
+             |scored AS (SELECT d.qid, d.doc_id, round(d.dot / (n1.nn * n2.nn), 4) AS cos
+             |           FROM dots d JOIN norm n1 ON n1.doc_id = d.doc_id
+             |           JOIN qn n2 ON n2.qid = d.qid),
+             |ranked AS (SELECT qid, doc_id, cos,
+             |             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, doc_id) AS rn
+             |           FROM scored)
+             |SELECT qid, doc_id, cos, CAST(rn AS BIGINT) AS rn
+             |FROM ranked WHERE rn <= 5 ORDER BY qid, rn""".stripMargin)),
+
     // word-frequency table (the tokenizer-training inner loop). Two
     // shuffles over shrinking data: corpus tokens -> word freqs (map-side
     // combined), word pairs -> pair counts (vocabulary-sized).

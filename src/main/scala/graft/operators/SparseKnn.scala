@@ -80,6 +80,58 @@ object SparseKnn {
         transform(col("__sv"), s => s.getField("__w")).as("values"))
   }
 
+  /** SPLADE-style learned sparse embeddings — deterministic stand-in for
+    * the MLM term-expansion model (Formal et al. 2021, SPLADE v2;
+    * pgvector 0.7's sparsevec opclasses exist precisely to serve these).
+    * The real model scores every vocab term per token position and
+    * max-pools; offline, the engine keeps the exact SPLADE structure
+    * with a replayable expansion in place of the learned weights:
+    *
+    *  - log-saturated term weight `ln(1 + tf)` (SPLADE's saturation —
+    *    the paper's answer to raw-TF dominance);
+    *  - each distinct token ALSO fires `expansions` extra vocab buckets
+    *    (salted-md5 of the token under a per-level salt, the same
+    *    engine-independent hash as [[hashingTf]]) with geometrically
+    *    decayed weight `decay^e · ln(1+tf)` — the document now matches
+    *    queries sharing no surface term, which is the entire point of
+    *    learned sparse retrieval;
+    *  - MAX-pooling per bucket across all contributing (token, level)
+    *    pairs — SPLADE pools max over token positions, and max (unlike
+    *    sum) keeps hash-collision buckets bounded;
+    *  - weights rounded to `scale` so featurization replays hash-exact
+    *    in any engine (the [[hashingTfIdf]] contract).
+    *
+    * A swap to real learned weights is a drop-in: replace the expansion
+    * lambda with model scores, everything downstream ([[topK]],
+    * [[writeIndex]], [[topKFromIndex]]) is weight-agnostic. Output shape
+    * is the sparsevec pair `(idCol, indices ASC, values)`. */
+  def spladeExpand(docs: DataFrame, dim: Int = 1024, idCol: String = "doc_id",
+                   textCol: String = "text", salt: String = "graft-splade",
+                   expansions: Int = 2, decay: Double = 0.5,
+                   scale: Int = 6): DataFrame = {
+    require(expansions >= 0, s"spladeExpand: expansions must be >= 0, got $expansions")
+    require(decay > 0.0 && decay <= 1.0, s"spladeExpand: decay must be in (0,1], got $decay")
+    val tf = docs
+      .select(col(idCol),
+        explode(split(TextFunctions.canonicalText(col(textCol)), " ")).as("__tok"))
+      .where(col("__tok") =!= "")
+      .groupBy(col(idCol), col("__tok")).agg(count(lit(1)).cast("double").as("__tf"))
+    tf
+      .select(col(idCol), col("__tok"), col("__tf"),
+        explode(expr(s"sequence(0, $expansions)")).as("__e"))
+      .select(col(idCol),
+        pmod(conv(substring(md5(concat(lit(s"$salt-e"), col("__e").cast("string"),
+          col("__tok"))), 1, 8), 16, 10).cast("long"), lit(dim)).as("__b"),
+        (pow(lit(decay), col("__e")) * log(col("__tf") + 1.0)).as("__w"))
+      .groupBy(col(idCol), col("__b"))
+      .agg(round(max(col("__w")), scale).as("__v"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("__b"), col("__v")))).as("__sv"))
+      .select(col(idCol),
+        transform(col("__sv"), s => s.getField("__b")).as("indices"),
+        transform(col("__sv"), s => s.getField("__v")).as("values"))
+  }
+
   /** Row-local sparse dot product — the native codegen'd kernel
     * ([[graft.functions.SparseDotExpr]]): a two-pointer merge over the
     * SORTED index arrays, zero allocation, whole-stage-codegen'd (the

@@ -85,6 +85,60 @@ class SparseKnnSpec extends SparkSpec {
     got.foreach { case (id, m) => assert(m == expect(id), s"doc $id weights differ") }
   }
 
+  test("spladeExpand weights equal a driver-side expansion replay; structure holds") {
+    val dim = 256
+    val sv2 = SparseKnn.spladeExpand(docs, dim = dim, expansions = 2, decay = 0.5)
+    val toks = docs.select(col("doc_id"),
+        split(graft.functions.TextFunctions.canonicalText(col("text")), " ").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).filter(_.nonEmpty))
+    def bucket(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % dim
+    }
+    val expect = toks.map { case (id, ts) =>
+      val tf = ts.groupBy(identity).view.mapValues(_.size.toDouble)
+      val contrib = tf.toSeq.flatMap { case (tok, f) =>
+        (0 to 2).map(e =>
+          bucket(s"graft-splade-e$e$tok") -> math.pow(0.5, e) * math.log(f + 1.0))
+      }
+      id -> contrib.groupBy(_._1).view.mapValues(ws =>
+        BigDecimal(ws.map(_._2).max).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble).toMap
+    }.filter(_._2.nonEmpty).toMap
+    val got = sv2.collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).zip(r.getSeq[Double](2)).toMap)).toMap
+    assert(got.keySet == expect.keySet && got.nonEmpty)
+    got.foreach { case (id, m) => assert(m == expect(id), s"doc $id weights differ") }
+    // structure: sorted unique indices, nnz in [distinct tokens, 3× distinct]
+    sv2.collect().foreach { r =>
+      val idx = r.getSeq[Long](1)
+      assert(idx == idx.sorted && idx.distinct.size == idx.size)
+      val nTok = toks.toMap.apply(r.getLong(0)).distinct.size
+      assert(idx.size >= nTok && idx.size <= 3 * nTok,
+        s"doc ${r.get(0)}: nnz ${idx.size} outside [$nTok, ${3 * nTok}]")
+    }
+  }
+
+  test("splade vectors serve from the persisted postings index score-identically") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-splade-idx").toString
+    val sv2 = SparseKnn.spladeExpand(docs, dim = 256)
+    try {
+      SparseKnn.writeIndex(sv2, "t_splade_idx", s"$tmp/idx", numBuckets = 4)
+      val q = sv2.where(col("doc_id") < 3)
+        .select(col("doc_id").as("qid"), col("indices"), col("values"))
+      val fromIndex = SparseKnn.topKFromIndex(spark, "t_splade_idx", q, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+      val direct = SparseKnn.topK(sv2, q, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+      assert(fromIndex == direct && fromIndex.nonEmpty)
+      // self-similarity still ranks first at cos 1.0 under expansion
+      fromIndex.filter(_._4 == 1L).foreach { case (qid, id, c, _) =>
+        assert(id == qid && c == 1.0)
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS t_splade_idx")
+  }
+
   test("SQL surface: sparse_dot / sparse_cosine_sim / sparse_l2sq match the column API") {
     GraftFunctions.register(spark)
     sv.createOrReplaceTempView("sv_sql_v")
