@@ -127,5 +127,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     e.injectOptimizerRule(_ => graft.plans.LevenshteinPrefilterRule)
     e.injectOptimizerRule(_ => graft.plans.IvfScanRewriteRule)
+    e.injectOptimizerRule(_ => graft.plans.SparseScanRewriteRule)
   }
 }

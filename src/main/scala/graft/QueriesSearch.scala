@@ -422,6 +422,33 @@ object QueriesSearch {
              |SELECT qid, doc_id, cos, CAST(rn AS BIGINT) AS rn
              |FROM ranked WHERE rn <= 5 ORDER BY qid, rn""".stripMargin)),
 
+    // Sparse planner parity: the brute-force ranking SHAPE — ORDER BY
+    // sparse_dot(indices, values, <literal query>) DESC LIMIT k over the
+    // indexed store — with SparseScanRewriteRule turning it into the
+    // posting-intersection semi-join plan (plan-asserted in
+    // SparseRewriteSpec). The oracle replays the exact ranking over
+    // term-overlapping docs, which the rewrite preserves exactly.
+    "q_knn_sparse_rewrite" -> QueryDef(
+      (s, d) => {
+        import graft.operators.SparseKnn
+        val tag = math.abs(d.hashCode).toString
+        val storeDir = s"${System.getProperty("java.io.tmpdir")}/graft_q_sprw_$tag"
+        val sv = SparseKnn.hashingTf(Tables.documents(s, d), dim = 256)
+        SparseKnn.writeIndexedStore(s, sv, s"q_sprw_idx_$tag", storeDir)
+        s.read.parquet(storeDir)
+          .select(col("doc_id"),
+            SparseKnn.sparseDot(col("indices"), col("values"),
+              typedlit((0L until 64L).toSeq), typedlit(Seq.fill(64)(1.0))).as("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(10)
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, unnest(string_split($canon, ' ')) AS tok FROM documents),
+             |tf AS (SELECT doc_id, ('0x' || substr(md5('graft-tf' || tok), 1, 8))::BIGINT % 256 AS b,
+             |         count(*)::DOUBLE AS v
+             |       FROM tok WHERE tok <> '' GROUP BY 1, 2),
+             |sc AS (SELECT doc_id, sum(v) AS score FROM tf WHERE b < 64 GROUP BY doc_id)
+             |SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)),
+
     // TF-IDF-weighted sparse KNN: the same posting-list intersection as
     // q_knn_sparse over hashingTfIdf vectors (tf · smooth-idf, weights
     // rounded at build so both engines featurize identically). Rare

@@ -175,6 +175,29 @@ object SparseKnn {
       .saveAsTable(table)
   }
 
+  /** Persist an INDEXED sparse-vector store: the `(idCol, indices,
+    * values)` rows as plain parquet at `path`, the postings index under
+    * `path/_postings` (underscore-prefixed, so the store scan never
+    * lists it — the [[IvfIndex]] sidecar convention), and a
+    * `_sparse_index.json` sidecar naming the postings table — the hook
+    * [[graft.plans.SparseScanRewriteRule]] keys on to turn
+    * `ORDER BY sparse_dot(indices, values, <literal>) DESC LIMIT k`
+    * over this store into the posting-intersection plan automatically. */
+  def writeIndexedStore(spark: org.apache.spark.sql.SparkSession, sv: DataFrame,
+                        table: String, path: String, idCol: String = "doc_id",
+                        numBuckets: Int = 16): Unit = {
+    sv.write.mode("overwrite").parquet(path)
+    // postings from the persisted bytes, so index and store can't drift
+    writeIndex(spark.read.parquet(path), table, s"$path/_postings", idCol, numBuckets)
+    val p = new org.apache.hadoop.fs.Path(path, "_sparse_index.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(
+      s"""{"table":"$table","idCol":"$idCol","postings":"$path/_postings/postings"}"""
+        .getBytes("UTF-8"))
+    finally out.close()
+  }
+
   /** Sparse-cosine top-k against the PERSISTED postings — score-identical
     * to [[topK]] on the indexed corpus; per-query cost = the query
     * terms' buckets only (literal `isin` over the bucketBy column →

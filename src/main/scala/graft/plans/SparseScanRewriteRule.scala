@@ -1,0 +1,234 @@
+package graft.plans
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.LeftSemi
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions.{col, sum}
+import org.apache.spark.sql.types._
+
+import graft.functions.SparseDotExpr
+
+/** Optimizer rule: `ORDER BY sparse_dot(indices, values, <literal query
+  * vector>) DESC LIMIT k` over a persisted sparse-vector store becomes
+  * the posting-list-intersection plan automatically — the sparse twin of
+  * [[IvfScanRewriteRule]], completing planner parity for the pgvector
+  * sparsevec surface: a SQL user writes the brute-force ranking shape
+  * and gets the inverted-index read without calling
+  * [[graft.operators.SparseKnn.topKFromIndex]] by hand.
+  *
+  * Matched shape (after analysis): `Limit(k, Sort(sparse_dot(idx, vals,
+  * litIdx, litVals) DESC [, tiebreaks], relation-subtree))` where (idx,
+  * vals) are columns of exactly one parquet `LogicalRelation` whose root
+  * carries the `_sparse_index.json` sidecar written by
+  * [[graft.operators.SparseKnn.writeIndexedStore]], and the query pair
+  * is foldable (either argument order).
+  *
+  * Rewrite, in plan space (no jobs at optimization time): the store
+  * relation gains a LEFT SEMI join against a candidate subplan that
+  * reads ONLY the query terms' postings (bucket pruning on the
+  * `bucketBy(__t)` table when it is in the catalog, parquet filter
+  * pushdown otherwise), scores each candidate by the EXACT dot product
+  * (Σ posting-value × query-weight — every shared term is in the
+  * postings, so candidate ranking equals final ranking), and keeps the
+  * top `k · overfetch` ids. The user's own Sort/Limit above re-scores
+  * survivors with the full sparse_dot kernel, so output semantics stay
+  * the user's.
+  *
+  * Approximation contract — standard sparse retrieval semantics: a doc
+  * sharing NO term with the query (dot exactly 0 for the non-negative
+  * TF/TF-IDF/SPLADE featurizers) is never returned, where the exhaustive
+  * scan could pad trailing ranks with arbitrary zero-score rows; among
+  * overlapping docs the result is exact (overfetch only covers
+  * tie-boundary differences against user tiebreaks past the dot).
+  *
+  * Session confs: `spark.graft.sparse.rewrite` (default true, the kill
+  * switch), `spark.graft.sparse.overfetch` (4), `spark.graft.sparse.maxK`
+  * (10000), `spark.graft.sparse.maxTerms` (4096 — a wider literal query
+  * is analytics, not a serve lookup; left alone).
+  */
+object SparseScanRewriteRule extends Rule[LogicalPlan] {
+
+  private final case class IndexMeta(table: String, idCol: String, postings: String)
+
+  /** Sidecar per store path, keyed on a (len, mtime) fingerprint so a
+    * rebuilt index is re-read. */
+  private val cache = TrieMap.empty[String, IndexMeta]
+
+  private def conf(key: String, default: String): String =
+    org.apache.spark.sql.internal.SQLConf.get.getConfString(key, default)
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (conf("spark.graft.sparse.rewrite", "true") != "true") return plan
+    plan.transformDown {
+      case lim @ GlobalLimit(IntegerLiteral(k),
+          ll @ LocalLimit(_, srt @ Sort(SortOrder(key, Descending, _, _) +: _, true, child, _)))
+          if k <= conf("spark.graft.sparse.maxK", "10000").toInt =>
+        rewriteChild(key, child, k).map { newChild =>
+          lim.copy(child = ll.copy(child = srt.copy(child = newChild)))
+        }.getOrElse(lim)
+    }
+  }
+
+  private def rewriteChild(sortKey: Expression, child: LogicalPlan, k: Int): Option[LogicalPlan] = {
+    val distExpr = resolveThroughProjects(sortKey, child)
+    val args = distExpr match {
+      case SparseDotExpr(a, b, c, d) => sparseArgs(a, b, c, d)
+      case _ => None
+    }
+    for {
+      (idxAttr, valAttr, qIdx, qVal) <- args
+      if qIdx.length == qVal.length && qIdx.nonEmpty &&
+        qIdx.length <= conf("spark.graft.sparse.maxTerms", "4096").toInt
+      (relation, fsRelation) <- storeRelationOf(child, idxAttr, valAttr)
+      if !alreadyRewritten(child)
+      path = fsRelation.location.rootPaths.head.toString
+      meta <- loadMeta(path)
+      idAttr <- relation.output.find(_.name == meta.idCol)
+    } yield {
+      val overfetch = conf("spark.graft.sparse.overfetch", "4").toInt
+      val right = candidatePlan(meta, qIdx, qVal, k * overfetch)
+      // Column-prune the store leg ourselves (late-batch rule — no
+      // ColumnPruning pass runs after it; the IvfScanRewriteRule shape).
+      val usedAbove = AttributeSet(child.collect {
+        case n if !(n eq relation) => n.expressions
+      }.flatten.flatMap(_.references))
+      val keep = AttributeSet(child.output) ++ usedAbove ++ distExpr.references ++
+        AttributeSet(Seq(idAttr))
+      val pruned = Project(relation.output.filter(keep.contains), relation)
+      // candidate side is ≤ k·overfetch rows — hint it broadcast in the
+      // post-EliminateResolvedHint form (this rule runs too late for a
+      // ResolvedHint node to be folded into the join)
+      val joined = Join(pruned, right, LeftSemi,
+        Some(EqualTo(idAttr, right.output.head)),
+        JoinHint(None, Some(HintInfo(strategy = Some(BROADCAST)))))
+      child.transformUp { case r: LogicalRelation if r eq relation => joined }
+    }
+  }
+
+  /** Follow an attribute through Project aliases down to its defining
+    * expression (the `SELECT sparse_dot(...) AS score ... ORDER BY score`
+    * shape). */
+  private def resolveThroughProjects(e: Expression, plan: LogicalPlan): Expression = e match {
+    case ar: AttributeReference =>
+      val defn = plan.collect {
+        case p: Project => p.projectList.collectFirst {
+          case al: Alias if al.exprId == ar.exprId => al.child
+        }
+      }.flatten.headOption
+      defn.map(resolveThroughProjects(_, plan)).getOrElse(ar)
+    case other => other
+  }
+
+  /** Split sparse_dot's two (indices, values) pairs into (store index
+    * attr, store value attr, literal query indices, literal query
+    * values); either pair order. */
+  private def sparseArgs(a: Expression, b: Expression, c: Expression, d: Expression)
+      : Option[(AttributeReference, AttributeReference, Array[Long], Array[Double])] =
+    (a, b, c, d) match {
+      case (ia: AttributeReference, va: AttributeReference, qi, qv) =>
+        for (i <- literalLongs(qi); v <- literalDoubles(qv)) yield (ia, va, i, v)
+      case (qi, qv, ia: AttributeReference, va: AttributeReference) =>
+        for (i <- literalLongs(qi); v <- literalDoubles(qv)) yield (ia, va, i, v)
+      case _ => None
+    }
+
+  private def literalLongs(e: Expression): Option[Array[Long]] = e.dataType match {
+    case ArrayType(et, _) if (et == IntegerType || et == LongType) && e.foldable =>
+      Option(e.eval(null)).map { v =>
+        val ad = v.asInstanceOf[ArrayData]
+        Array.tabulate(ad.numElements()) { i =>
+          if (et == IntegerType) ad.getInt(i).toLong else ad.getLong(i)
+        }
+      }
+    case _ => None
+  }
+
+  private def literalDoubles(e: Expression): Option[Array[Double]] = e.dataType match {
+    case ArrayType(et, _) if (et == FloatType || et == DoubleType) && e.foldable =>
+      Option(e.eval(null)).map { v =>
+        val ad = v.asInstanceOf[ArrayData]
+        Array.tabulate(ad.numElements()) { i =>
+          if (et == FloatType) ad.getFloat(i).toDouble else ad.getDouble(i)
+        }
+      }
+    case _ => None
+  }
+
+  /** The unique parquet relation owning BOTH sparse-vector attributes. */
+  private def storeRelationOf(plan: LogicalPlan, idxAttr: AttributeReference,
+      valAttr: AttributeReference): Option[(LogicalRelation, HadoopFsRelation)] =
+    plan.collect {
+      case r @ LogicalRelation(fs: HadoopFsRelation, _, _, _, _)
+          if r.output.exists(_.exprId == idxAttr.exprId) &&
+            r.output.exists(_.exprId == valAttr.exprId) => (r, fs)
+    } match {
+      case Seq(one) => Some(one)
+      case _ => None
+    }
+
+  /** Idempotence: a semi-joined store was already index-planned (ours
+    * from a previous fixed-point iteration, or the user's own candidate
+    * pushdown — rewriting either would double-filter). */
+  private def alreadyRewritten(plan: LogicalPlan): Boolean = plan.exists {
+    case _: Join => true
+    case _ => false
+  }
+
+  private def loadMeta(path: String): Option[IndexMeta] = {
+    val spark = SparkSession.active
+    val p = new org.apache.hadoop.fs.Path(path, "_sparse_index.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val stamp = { val s = fs.getFileStatus(p); s"$path@${s.getLen}:${s.getModificationTime}" }
+    Some(cache.getOrElseUpdate(stamp, {
+      val in = fs.open(p)
+      val json = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      def field(name: String): String =
+        s""""$name"\\s*:\\s*"([^"]+)"""".r.findFirstMatchIn(json).map(_.group(1))
+          .getOrElse(throw new IllegalStateException(
+            s"_sparse_index.json at $path is missing field '$name': $json"))
+      IndexMeta(field("table"), field("idCol"), field("postings"))
+    }))
+  }
+
+  /** Candidate subplan: the query terms' postings scored by the exact
+    * dot (posting value × query weight summed per doc), top n ids kept.
+    * Reads via the catalog table when present — `bucketBy(__t)` bucket
+    * pruning on the literal IN — falling back to the postings parquet
+    * (filter pushdown on `__t` only). Query weights arrive as a
+    * broadcast-small local relation JOINED on `__t` (the
+    * [[graft.operators.SparseKnn.topKFromIndex]] shape) rather than a
+    * literal map lookup: with no operator keyed on the bucket column,
+    * `DisableUnnecessaryBucketedScan` would drop the bucketed read and
+    * its pruning. Built with the DataFrame API over a fresh read (fresh
+    * exprIds; it is the join's right side) and spliced in as its
+    * analyzed plan. */
+  private def candidatePlan(meta: IndexMeta, qIdx: Array[Long], qVal: Array[Double],
+      n: Int): LogicalPlan = {
+    val spark = SparkSession.active
+    import spark.implicits._
+    val postings =
+      if (spark.catalog.tableExists(meta.table)) spark.table(meta.table)
+      else spark.read.parquet(meta.postings)
+    // LocalRelation of ≤ maxTerms rows — auto-broadcast by size stats
+    val qdf = qIdx.zip(qVal).toSeq.toDF("__qt", "__qw")
+    val candidates = postings
+      .where(col("__t").isin(qIdx.toSeq: _*))
+      .join(qdf, col("__t") === col("__qt"))
+      .groupBy(col(meta.idCol)).agg(sum(col("__v") * col("__qw")).as("__dot"))
+      .orderBy(col("__dot").desc, col(meta.idCol))
+      .limit(n)
+      .select(col(meta.idCol))
+    // strip SubqueryAlias from the catalog-table read: this rule runs
+    // after EliminateSubqueryAliases' batch, and the planner asserts on
+    // aliases it never expects to see post-optimization
+    org.apache.spark.sql.catalyst.analysis.EliminateSubqueryAliases(
+      candidates.queryExecution.analyzed)
+  }
+}

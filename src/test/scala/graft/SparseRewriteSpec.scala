@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.SparseKnn
+
+/** [[graft.plans.SparseScanRewriteRule]]: the `ORDER BY sparse_dot(iv,
+  * vals, <literal>) DESC LIMIT k` shape over an indexed store becomes
+  * the posting-intersection plan — plan-asserted (semi join + pruned
+  * postings read), result-pinned against the unrewritten exact scan,
+  * kill-switch and idempotence covered. */
+class SparseRewriteSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def withRule[T](body: => T): T = {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.SparseScanRewriteRule
+    try body finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_ eq graft.plans.SparseScanRewriteRule)
+    }
+  }
+
+  private lazy val store: String = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sprw").toString
+    val sv = SparseKnn.hashingTf(Tables.documents(spark, sfDir), dim = 256)
+    SparseKnn.writeIndexedStore(spark, sv, "t_sprw_idx", s"$tmp/store", numBuckets = 4)
+    s"$tmp/store"
+  }
+
+  // a query literal wide enough that well over k docs share a term
+  private val qIdx = (0L until 64L).toSeq
+  private val qVal = Seq.fill(64)(1.0)
+
+  private def ranked(k: Int) = {
+    graft.GraftFunctions.register(spark)
+    spark.read.parquet(store)
+      .select(col("doc_id"),
+        SparseKnn.sparseDot(col("indices"), col("values"),
+          typedlit(qIdx), typedlit(qVal)).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  test("rewrite fires: semi join in the optimized plan, exact same result") { withRule {
+    val df = ranked(10)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("LeftSemi"), "expected the candidate semi join in:\n" + opt.take(3000))
+    val got = df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // unrewritten exact scan (kill switch), restricted to positive-dot
+    // docs — the rewrite's documented contract: zero-overlap docs are
+    // never returned
+    spark.conf.set("spark.graft.sparse.rewrite", "false")
+    try {
+      val exact = ranked(10)
+      assert(!exact.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+      val want = exact.where(col("score") > 0).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == want, s"got=$got\nwant=$want")
+      assert(got.size == 10, "fixture must have >= 10 overlapping docs")
+    } finally spark.conf.set("spark.graft.sparse.rewrite", "true")
+  } }
+
+  test("sort key through a projected alias also matches") { withRule {
+    graft.GraftFunctions.register(spark)
+    spark.read.parquet(store).createOrReplaceTempView("sprw_v")
+    val df = spark.sql(
+      s"""SELECT doc_id, sparse_dot(indices, values,
+         |  array(${qIdx.map(_ + "L").mkString(",")}),
+         |  array(${qVal.map(_ + "D").mkString(",")})) AS score
+         |FROM sprw_v ORDER BY score DESC, doc_id LIMIT 7""".stripMargin)
+    assert(df.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+    assert(df.count() == 7)
+  } }
+
+  test("idempotence: one semi join only; rewritten plan is stable") { withRule {
+    val opt = ranked(5).queryExecution.optimizedPlan
+    val joins = opt.collect { case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    // the planted semi join + the candidate leg's terms join — a second
+    // fixed-point pass must not plant more
+    assert(joins.size == 2,
+      s"expected exactly the two planted joins, got ${joins.size}:\n$opt")
+  } }
+
+  test("single-term query reads pruned postings buckets through the rewrite") { withRule {
+    graft.GraftFunctions.register(spark)
+    val df = spark.read.parquet(store)
+      .select(col("doc_id"),
+        SparseKnn.sparseDot(col("indices"), col("values"),
+          typedlit(Seq(5L)), typedlit(Seq(1.0))).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(5)
+    val plan = df.queryExecution.executedPlan.toString
+    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+    assert(m.exists(x => x.group(1).toInt < x.group(2).toInt),
+      "expected postings bucket pruning in:\n" + plan.take(3000))
+  } }
+
+  test("non-literal query side does not rewrite") { withRule {
+    val sv = spark.read.parquet(store)
+    val self = sv.select(col("doc_id"),
+        SparseKnn.sparseDot(col("indices"), col("values"),
+          col("indices"), col("values")).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(5)
+    assert(!self.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+  } }
+}
