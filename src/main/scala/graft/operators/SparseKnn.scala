@@ -198,6 +198,105 @@ object SparseKnn {
     finally out.close()
   }
 
+  /** Incrementally grow a persisted postings index: NEW docs' postings
+    * append to the bucketed catalog table under its OWN bucket spec
+    * (read from the catalog, so a mismatch is impossible), and every
+    * query keeps bucket pruning. Doc norms are row-local, so appended
+    * batches score identically to a one-shot rebuild — spec-pinned.
+    * Contract: ids not already indexed (re-appending an id duplicates
+    * its postings — dedup upstream, the [[IvfIndex.appendIndex]]
+    * convention). Each append lands ≥1 file per touched bucket; watch
+    * [[fileStats]]/[[needsCompaction]] and run [[compactIndex]] before
+    * the listing, not the bytes, hurts scheduling — the 100 TB
+    * maintenance axis [[IvfIndex.compactIndex]] covers for the dense
+    * stores. */
+  def appendIndex(spark: org.apache.spark.sql.SparkSession, sv: DataFrame,
+                  table: String, idCol: String = "doc_id"): Unit = {
+    val meta = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val nb = meta.bucketSpec.map(_.numBuckets).getOrElse(throw new IllegalArgumentException(
+      s"SparseKnn.appendIndex: table $table carries no bucket spec — not a postings index"))
+    sv.select(col(idCol), sparseNorm(col("indices"), col("values")).as("__n"),
+        explode(arrays_zip(col("indices"), col("values"))).as("__p"))
+      .select(col(idCol), col("__n"), col("__p.indices").as("__t"), col("__p.values").as("__v"))
+      .write.mode("append")
+      .bucketBy(nb, "__t").sortBy("__t")
+      .format("parquet").saveAsTable(table)
+  }
+
+  /** (data file count, total bytes) under the postings table's location —
+    * pure listing, no data read. The compaction trigger input. */
+  def fileStats(spark: org.apache.spark.sql.SparkSession, table: String): (Long, Long) = {
+    val meta = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val loc = new org.apache.hadoop.fs.Path(meta.location)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var files = 0L; var bytes = 0L
+    val it = fs.listFiles(loc, true)
+    while (it.hasNext) {
+      val s = it.next()
+      val n = s.getPath.getName
+      if (!n.startsWith("_") && !n.startsWith(".")) { files += 1; bytes += s.getLen }
+    }
+    (files, bytes)
+  }
+
+  /** File-count compaction trigger: more than `maxFiles` data files —
+    * at ~16 buckets a healthy index is O(numBuckets) files, so the
+    * default fires after ~15 appends. */
+  def needsCompaction(spark: org.apache.spark.sql.SparkSession, table: String,
+                      maxFiles: Long = 256): Boolean =
+    fileStats(spark, table)._1 > maxFiles
+
+  /** Rewrite an append-sprayed postings index down to ~1 file per
+    * bucket, search results identical (spec-pinned). Bucket-id file
+    * NAMING is part of the table contract, so the rewrite goes through
+    * a bucketed staging TABLE with the same spec (rows clustered by the
+    * bucket-id expression — `pmod(hash(__t), n)` IS the writer's bucket
+    * function, so each task holds whole buckets and emits one file per
+    * bucket), then the data dirs swap via the crash-safe two-rename of
+    * [[graft.sources.Compaction]]: a leftover `__compact_retired` dir
+    * with the live dir missing is restored on entry, and a failed
+    * promote rolls back. The staging catalog entry is external, so
+    * dropping it after the swap is catalog-only. Returns (files before,
+    * files after). */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, table: String): (Long, Long) = {
+    val meta = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val nb = meta.bucketSpec.map(_.numBuckets).getOrElse(throw new IllegalArgumentException(
+      s"SparseKnn.compactIndex: table $table carries no bucket spec — not a postings index"))
+    val loc = new org.apache.hadoop.fs.Path(meta.location)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(loc.toString + "__compact_staging")
+    val retired = new org.apache.hadoop.fs.Path(loc.toString + "__compact_retired")
+    if (fs.exists(retired)) {
+      if (!fs.exists(loc)) {
+        if (!fs.rename(retired, loc)) throw new java.io.IOException(
+          s"compactIndex: found stranded $retired with $loc missing, and could not restore it")
+      } else fs.delete(retired, true)
+    }
+    fs.delete(staging, true)
+    val before = fileStats(spark, table)._1
+    val stagingTable = table + "__compact_staging"
+    spark.sql(s"DROP TABLE IF EXISTS `$stagingTable`")
+    spark.table(table)
+      .repartition(nb, expr(s"pmod(hash(__t), $nb)"))
+      .write.mode("overwrite")
+      .bucketBy(nb, "__t").sortBy("__t")
+      .format("parquet").option("path", staging.toString)
+      .saveAsTable(stagingTable)
+    if (!fs.rename(loc, retired))
+      throw new java.io.IOException(s"compactIndex: could not retire $loc")
+    if (!fs.rename(staging, loc)) {
+      fs.rename(retired, loc) // roll back
+      throw new java.io.IOException(s"compactIndex: could not promote staging for $loc")
+    }
+    fs.delete(retired, true)
+    spark.sql(s"DROP TABLE `$stagingTable`")
+    spark.catalog.refreshTable(table)
+    (before, fileStats(spark, table)._1)
+  }
+
   /** Sparse-cosine top-k against the PERSISTED postings — score-identical
     * to [[topK]] on the indexed corpus; per-query cost = the query
     * terms' buckets only (literal `isin` over the bucketBy column →

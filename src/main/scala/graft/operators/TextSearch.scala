@@ -120,6 +120,10 @@ object TextSearch {
     def ranked(df: DataFrame, scoreCol: String, out: String): DataFrame =
       df.select(col(idCol), col(scoreCol))
         .orderBy(col(scoreCol).desc, col(idCol)).limit(topN)
+        // the global Window.orderBy below emits Spark's moving-all-data-
+        // to-one-partition warning on every run — EXPECTED and bounded:
+        // its input is the ≤ topN rows the limit above already reduced,
+        // not the corpus
         .withColumn(out, row_number().over(
           Window.orderBy(col(scoreCol).desc, col(idCol))).cast("double"))
         .select(col(idCol), col(out))

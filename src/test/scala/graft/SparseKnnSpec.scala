@@ -194,6 +194,56 @@ class SparseKnnSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS t_sp_idx")
   }
 
+  test("postings appendIndex == one-shot rebuild; compactIndex preserves results, cuts files") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sp-app").toString
+    try {
+      val base = SparseKnn.hashingTf(docs.where(col("doc_id") < 300), dim = 256)
+      val extra = SparseKnn.hashingTf(docs.where(col("doc_id") >= 300), dim = 256)
+      SparseKnn.writeIndex(base, "t_sp_app", s"$tmp/idx", numBuckets = 4)
+      val statsBase = SparseKnn.fileStats(spark, "t_sp_app")
+      // several appends to spray files (the streaming-batch shape)
+      extra.select(col("doc_id") % 3 as "g", col("doc_id"), col("indices"), col("values"))
+        .select(col("g")).distinct().collect().map(_.getLong(0)).sorted.foreach { g =>
+        SparseKnn.appendIndex(spark,
+          extra.where(col("doc_id") % 3 === g), "t_sp_app")
+      }
+      val statsAfter = SparseKnn.fileStats(spark, "t_sp_app")
+      assert(statsAfter._1 > statsBase._1, s"append did not add files: $statsBase -> $statsAfter")
+
+      val q = sv.where(col("doc_id") < 3)
+        .select(col("doc_id").as("qid"), col("indices"), col("values"))
+      val appended = SparseKnn.topKFromIndex(spark, "t_sp_app", q, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+
+      // one-shot rebuild over the full corpus must score identically
+      SparseKnn.writeIndex(SparseKnn.hashingTf(docs, dim = 256),
+        "t_sp_full", s"$tmp/full", numBuckets = 4)
+      val rebuilt = SparseKnn.topKFromIndex(spark, "t_sp_full", q, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+      assert(appended == rebuilt && appended.nonEmpty)
+
+      // compaction: trigger fires, results identical, files reduced,
+      // bucket pruning survives (the bucket spec is intact post-swap)
+      assert(SparseKnn.needsCompaction(spark, "t_sp_app", maxFiles = statsBase._1))
+      val (nBefore, nAfter) = SparseKnn.compactIndex(spark, "t_sp_app")
+      assert(nAfter < nBefore, s"compaction did not reduce files: $nBefore -> $nAfter")
+      val compacted = SparseKnn.topKFromIndex(spark, "t_sp_app", q, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+      assert(compacted == appended)
+      assert(!SparseKnn.needsCompaction(spark, "t_sp_app", maxFiles = statsBase._1))
+      import org.apache.spark.sql.functions.typedlit
+      val plan = SparseKnn.topKFromIndex(spark, "t_sp_app",
+          Seq((99L, Seq(5L), Seq(1.0))).toDF("qid", "indices", "values"), k = 5)
+        .queryExecution.executedPlan.toString
+      val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+      assert(m.exists(x => x.group(1).toInt < x.group(2).toInt),
+        "expected bucket pruning post-compaction in:\n" + plan.take(2000))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS t_sp_app")
+      spark.sql("DROP TABLE IF EXISTS t_sp_full")
+    }
+  }
+
   test("posting-list topK equals brute-force sparse cosine; no cartesian pairing in the plan") {
     val q = sv.where(col("doc_id") < 3)
       .select(col("doc_id").as("qid"), col("indices"), col("values"))
