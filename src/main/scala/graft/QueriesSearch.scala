@@ -449,6 +449,37 @@ object QueriesSearch {
              |sc AS (SELECT doc_id, sum(v) AS score FROM tf WHERE b < 64 GROUP BY doc_id)
              |SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)),
 
+    // Cosine branch of the sparse rewrite: ORDER BY sparse_cosine_sim(...,
+    // <literal>) DESC LIMIT k — the rule's candidate leg ranks by
+    // dot / stored-doc-norm (query norm is a positive constant, order
+    // preserved exactly). Dot and norm² are integer-valued over TF
+    // vectors, so the cosine replays bitwise; rounded to 4dp on both
+    // sides anyway.
+    "q_knn_sparse_rw_cos" -> QueryDef(
+      (s, d) => {
+        import graft.operators.SparseKnn
+        val tag = math.abs(d.hashCode).toString
+        val storeDir = s"${System.getProperty("java.io.tmpdir")}/graft_q_sprwc_$tag"
+        val sv = SparseKnn.hashingTf(Tables.documents(s, d), dim = 256)
+        SparseKnn.writeIndexedStore(s, sv, s"q_sprwc_idx_$tag", storeDir)
+        s.read.parquet(storeDir)
+          .select(col("doc_id"),
+            SparseKnn.sparseCosine(col("indices"), col("values"),
+              typedlit((0L until 64L).toSeq), typedlit(Seq.fill(64)(1.0))).as("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(10)
+          .select(col("doc_id"), round(col("score"), 4).as("score"))
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, unnest(string_split($canon, ' ')) AS tok FROM documents),
+             |tf AS (SELECT doc_id, ('0x' || substr(md5('graft-tf' || tok), 1, 8))::BIGINT % 256 AS b,
+             |         count(*)::DOUBLE AS v
+             |       FROM tok WHERE tok <> '' GROUP BY 1, 2),
+             |norm AS (SELECT doc_id, sqrt(sum(v*v)) AS dn FROM tf GROUP BY doc_id),
+             |sc AS (SELECT doc_id, sum(v) AS dot FROM tf WHERE b < 64 GROUP BY doc_id)
+             |SELECT s.doc_id, round(s.dot / (n.dn * sqrt(64.0)), 4) AS score
+             |FROM sc s JOIN norm n ON n.doc_id = s.doc_id
+             |ORDER BY s.dot / (n.dn * sqrt(64.0)) DESC, s.doc_id LIMIT 10""".stripMargin)),
+
     // TF-IDF-weighted sparse KNN: the same posting-list intersection as
     // q_knn_sparse over hashingTfIdf vectors (tf · smooth-idf, weights
     // rounded at build so both engines featurize identically). Rare

@@ -27,7 +27,10 @@ import graft.functions.SparseDotExpr
   * vals) are columns of exactly one parquet `LogicalRelation` whose root
   * carries the `_sparse_index.json` sidecar written by
   * [[graft.operators.SparseKnn.writeIndexedStore]], and the query pair
-  * is foldable (either argument order).
+  * is foldable (either argument order). `sparse_cosine_sim(...) DESC`
+  * matches too (both the SQL-registered and column-API lowerings): the
+  * candidate leg then ranks by dot / stored-doc-norm — the query norm is
+  * a positive constant, so candidate order equals cosine order exactly.
   *
   * Rewrite, in plan space (no jobs at optimization time): the store
   * relation gains a LEFT SEMI join against a candidate subplan that
@@ -77,12 +80,30 @@ object SparseScanRewriteRule extends Rule[LogicalPlan] {
 
   private def rewriteChild(sortKey: Expression, child: LogicalPlan, k: Int): Option[LogicalPlan] = {
     val distExpr = resolveThroughProjects(sortKey, child)
-    val args = distExpr match {
-      case SparseDotExpr(a, b, c, d) => sparseArgs(a, b, c, d)
+    // (dot args, denominator when the sort key is the cosine lowering) —
+    // cosine ranking divides the candidate dot by the STORED doc norm;
+    // the query-norm factor is a positive constant, so omitting it
+    // preserves the order exactly
+    val parsed = distExpr match {
+      case SparseDotExpr(a, b, c, d) => Some((a, b, c, d, None))
+      // SQL-registered sparse_cosine_sim: If(denom = 0, null, dot/denom)
+      case If(EqualTo(den1, DoubleZero()), Literal(null, _),
+          Divide(SparseDotExpr(a, b, c, d), den2, _))
+          if den1.semanticEquals(den2) => Some((a, b, c, d, Some(den1)))
+      // column-API dot / nullif(denom, 0) — NullIf is RuntimeReplaceable
+      // and its denom may land common-subexpression-aliased in a lower
+      // Project (resolved below)
+      case Divide(SparseDotExpr(a, b, c, d),
+          If(EqualTo(den1, DoubleZero()), Literal(null, _), den2), _)
+          if den1.semanticEquals(den2) => Some((a, b, c, d, Some(den1)))
       case _ => None
     }
     for {
-      (idxAttr, valAttr, qIdx, qVal) <- args
+      (a, b, c, d, denOpt) <- parsed
+      (idxAttr, valAttr, qIdx, qVal) <- sparseArgs(a, b, c, d)
+      byCosine = denOpt.isDefined
+      if denOpt.forall(den =>
+        isCosineDenom(resolveThroughProjects(den, child), idxAttr, valAttr))
       if qIdx.length == qVal.length && qIdx.nonEmpty &&
         qIdx.length <= conf("spark.graft.sparse.maxTerms", "4096").toInt
       (relation, fsRelation) <- storeRelationOf(child, idxAttr, valAttr)
@@ -92,7 +113,7 @@ object SparseScanRewriteRule extends Rule[LogicalPlan] {
       idAttr <- relation.output.find(_.name == meta.idCol)
     } yield {
       val overfetch = conf("spark.graft.sparse.overfetch", "4").toInt
-      val right = candidatePlan(meta, qIdx, qVal, k * overfetch)
+      val right = candidatePlan(meta, qIdx, qVal, k * overfetch, byCosine)
       // Column-prune the store leg ourselves (late-batch rule — no
       // ColumnPruning pass runs after it; the IvfScanRewriteRule shape).
       val usedAbove = AttributeSet(child.collect {
@@ -123,6 +144,38 @@ object SparseScanRewriteRule extends Rule[LogicalPlan] {
       }.flatten.headOption
       defn.map(resolveThroughProjects(_, plan)).getOrElse(ar)
     case other => other
+  }
+
+  /** The cosine denominator, validated AFTER the attr/literal split: one
+    * factor must be the store row's self-norm `sqrt(sparse_dot(iv, vv,
+    * iv, vv))` over the attribute pair, the other a positive foldable
+    * constant — which is what the query side's `sqrt(sparse_dot(lit,
+    * lit))` is (ConstantFolding may or may not have collapsed it yet;
+    * `eval` handles both). A fully-constant denominator (no doc norm)
+    * would make "cosine" order degrade to dot order and the
+    * doc-norm-divided candidate ranking WRONG, so it must not match. */
+  private def isCosineDenom(den: Expression, idxAttr: AttributeReference,
+      valAttr: AttributeReference): Boolean = den match {
+    case Multiply(f1, f2, _) =>
+      def docNorm(f: Expression) = f match {
+        case Sqrt(SparseDotExpr(i1, v1, i2, v2)) =>
+          Seq(i1, i2).forall(_.semanticEquals(idxAttr)) &&
+            Seq(v1, v2).forall(_.semanticEquals(valAttr))
+        case _ => false
+      }
+      def posConst(f: Expression) = f.foldable && (f.eval(null) match {
+        case x: java.lang.Double => x > 0.0 && !x.isInfinite && !x.isNaN
+        case _ => false
+      })
+      (docNorm(f1) && posConst(f2)) || (docNorm(f2) && posConst(f1))
+    case _ => false
+  }
+
+  private object DoubleZero {
+    def unapply(e: Expression): Boolean = e match {
+      case Literal(v: Double, DoubleType) => v == 0.0
+      case _ => false
+    }
   }
 
   /** Split sparse_dot's two (indices, values) pairs into (store index
@@ -210,7 +263,7 @@ object SparseScanRewriteRule extends Rule[LogicalPlan] {
     * exprIds; it is the join's right side) and spliced in as its
     * analyzed plan. */
   private def candidatePlan(meta: IndexMeta, qIdx: Array[Long], qVal: Array[Double],
-      n: Int): LogicalPlan = {
+      n: Int, byCosine: Boolean): LogicalPlan = {
     val spark = SparkSession.active
     import spark.implicits._
     val postings =
@@ -218,11 +271,19 @@ object SparseScanRewriteRule extends Rule[LogicalPlan] {
       else spark.read.parquet(meta.postings)
     // LocalRelation of ≤ maxTerms rows — auto-broadcast by size stats
     val qdf = qIdx.zip(qVal).toSeq.toDF("__qt", "__qw")
-    val candidates = postings
+    val scored = postings
       .where(col("__t").isin(qIdx.toSeq: _*))
       .join(qdf, col("__t") === col("__qt"))
-      .groupBy(col(meta.idCol)).agg(sum(col("__v") * col("__qw")).as("__dot"))
-      .orderBy(col("__dot").desc, col(meta.idCol))
+      .groupBy(col(meta.idCol))
+      .agg(sum(col("__v") * col("__qw")).as("__dot"),
+        org.apache.spark.sql.functions.first(col("__n")).as("__dn"))
+    // cosine candidates rank by dot / doc-norm (every posting row carries
+    // the doc norm > 0); the query-norm factor is constant and dropped
+    val ranked = if (byCosine) scored.select(col(meta.idCol),
+        (col("__dot") / col("__dn")).as("__r"))
+      else scored.select(col(meta.idCol), col("__dot").as("__r"))
+    val candidates = ranked
+      .orderBy(col("__r").desc, col(meta.idCol))
       .limit(n)
       .select(col(meta.idCol))
     // strip SubqueryAlias from the catalog-table read: this rule runs

@@ -97,6 +97,39 @@ class SparseRewriteSpec extends SparkSpec {
       "expected postings bucket pruning in:\n" + plan.take(3000))
   } }
 
+  test("cosine shape rewrites: column API and SQL lowering, exact vs unrewritten") { withRule {
+    graft.GraftFunctions.register(spark)
+    def rankedCos(k: Int) = spark.read.parquet(store)
+      .select(col("doc_id"),
+        SparseKnn.sparseCosine(col("indices"), col("values"),
+          typedlit(qIdx), typedlit(qVal)).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+    val df = rankedCos(10)
+    assert(df.queryExecution.optimizedPlan.toString.contains("LeftSemi"),
+      "column-API cosine shape did not rewrite:\n" +
+        df.queryExecution.optimizedPlan.toString.take(3000))
+    val got = df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    spark.conf.set("spark.graft.sparse.rewrite", "false")
+    try {
+      val exact = rankedCos(10)
+      assert(!exact.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+      val want = exact.where(col("score") > 0).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == want, s"got=$got\nwant=$want")
+    } finally spark.conf.set("spark.graft.sparse.rewrite", "true")
+    // the SQL-registered lowering (If(denom=0, null, dot/denom)) matches too
+    spark.read.parquet(store).createOrReplaceTempView("sprw_cos_v")
+    val sql = spark.sql(
+      s"""SELECT doc_id, sparse_cosine_sim(indices, values,
+         |  array(${qIdx.map(_ + "L").mkString(",")}),
+         |  array(${qVal.map(_ + "D").mkString(",")})) AS score
+         |FROM sprw_cos_v ORDER BY score DESC, doc_id LIMIT 7""".stripMargin)
+    assert(sql.queryExecution.optimizedPlan.toString.contains("LeftSemi"),
+      "SQL cosine shape did not rewrite")
+    assert(sql.count() == 7)
+  } }
+
   test("non-literal query side does not rewrite") { withRule {
     val sv = spark.read.parquet(store)
     val self = sv.select(col("doc_id"),
