@@ -636,6 +636,53 @@ object QueriesExtra {
              |  ORDER BY qdist, vec_id LIMIT 20)
              |SELECT e.vec_id, round(list_distance(e.embedding::DOUBLE[], q.qe::DOUBLE[]), 4) AS dist
              |FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q
+             |ORDER BY dist, vec_id LIMIT 5""".stripMargin)),
+
+    // Binary quantization + Hamming ranking — pgvector 0.7's bit-vector
+    // family (bit(n), <~> hamming): sign bit per dim packed 32/word,
+    // distance = popcount of XOR. Pure integer end to end, so the oracle
+    // (which counts sign mismatches on the raw floats — the packed and
+    // unpacked formulations are the same function) replays hash-exact.
+    "q_knn_hamming" -> QueryDef(
+      (s, d) => {
+        import graft.operators.Quantize
+        val e = Tables.embeddings(s, d)
+        val bin = e.select(col("vec_id"), Quantize.binarizeExpr(col("embedding")).as("bvec"))
+        val qb = broadcast(e.where(col("vec_id") === 7)
+          .select(Quantize.binarizeExpr(col("embedding")).as("qb")))
+        bin.crossJoin(qb)
+          .select(col("vec_id"),
+            Quantize.hammingExpr(col("bvec"), col("qb")).cast("long").as("hamming"))
+          .orderBy(col("hamming"), col("vec_id")).limit(10)
+      },
+      Some("""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 7),
+             |h AS (SELECT e.vec_id,
+             |        CAST(len(list_filter(range(1, len(e.embedding) + 1),
+             |          i -> (e.embedding[i] > 0) != (q.qe[i] > 0))) AS BIGINT) AS hamming
+             |      FROM embeddings e CROSS JOIN q)
+             |SELECT vec_id, hamming FROM h ORDER BY hamming, vec_id LIMIT 10""".stripMargin)),
+
+    // Binary-coarse KNN with exact rerank: the 32×-compression point of
+    // the quantization ladder, recall recovered by overfetch + rerank —
+    // the q_knn_quantized recipe with Hamming in place of code-L2. Both
+    // stages deterministic, oracle replays the full pipeline.
+    "q_knn_binary" -> QueryDef(
+      (s, d) => {
+        import graft.operators.Quantize
+        val e = Tables.embeddings(s, d)
+        val bin = e.select(col("vec_id"), Quantize.binarizeExpr(col("embedding")).as("bvec"))
+        Quantize.topKBinary(bin, e, e.where(col("vec_id") === 0), k = 5, overfetch = 4)
+      },
+      Some("""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+             |cand AS (
+             |  SELECT vec_id FROM (
+             |    SELECT e.vec_id,
+             |      len(list_filter(range(1, len(e.embedding) + 1),
+             |        i -> (e.embedding[i] > 0) != (q.qe[i] > 0))) AS hdist
+             |    FROM embeddings e CROSS JOIN q)
+             |  ORDER BY hdist, vec_id LIMIT 20)
+             |SELECT e.vec_id, round(list_distance(e.embedding::DOUBLE[], q.qe::DOUBLE[]), 4) AS dist
+             |FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q
              |ORDER BY dist, vec_id LIMIT 5""".stripMargin))
   )
 }

@@ -96,6 +96,58 @@ object Quantize {
       .limit(k)
   }
 
+  /** BINARY quantization — the pgvector 0.7 bit-vector family (`bit(n)`
+    * with hamming ops): sign bit per dimension, 32× smaller than
+    * float32, distance = popcount of XOR. The aggressive end of the
+    * quantization ladder (float → SQ8 → PQ → binary); recall comes back
+    * through the same overfetch-and-rerank recipe as SQ8.
+    *
+    * Packing: 32 sign bits per array element (held in longs), word =
+    * fold(acc·2 + bit) over the reversed 32-slice — every intermediate
+    * stays < 2³², so the fold is in-range under ANSI arithmetic (Spark
+    * 4's default; a 64-bit pack would overflow the top bit) and the
+    * whole codec is row-local codegen'd HOF arithmetic, zero shuffles,
+    * engine-replayable (bit packing is integer-exact). */
+  def binarizeExpr(vec: Column): Column =
+    transform(
+      sequence(lit(0), ((size(vec) - lit(1)) / lit(32)).cast("int")),
+      w => aggregate(
+        reverse(slice(vec, w * lit(32) + lit(1), lit(32))),
+        lit(0L),
+        (acc, x) => acc * lit(2L) + when(x.cast("double") > lit(0.0), lit(1L)).otherwise(lit(0L))))
+
+  /** Hamming distance between two packed bit vectors: Σ popcount(a⊕b) —
+    * pure integer, engine-independent, codegen'd builtins throughout. */
+  def hammingExpr(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Binary-coarse KNN with full-precision rerank — [[topKQuantized]]'s
+    * shape at the 32× compression point: the corpus-wide pass reads only
+    * the packed bit column and scores by Hamming (integer, deterministic,
+    * ties by id); the `k·overfetch` survivors rerank at exact L2. 1-row
+    * query contract as everywhere. */
+  def topKBinary(bits: DataFrame, corpus: DataFrame, query: DataFrame, k: Int,
+                 overfetch: Int = 4, idCol: String = "vec_id",
+                 bitCol: String = "bvec", embCol: String = "embedding",
+                 scale: Int = 4): DataFrame = {
+    requireSingleQuery(query, "topKBinary")
+    val qb = broadcast(query.select(binarizeExpr(col(embCol)).as("__q_bits")))
+    val cand = bits.crossJoin(qb)
+      .select(col(idCol), hammingExpr(col(bitCol), col("__q_bits")).as("hdist"))
+      .orderBy(col("hdist"), col(idCol))
+      .limit(k * overfetch)
+    val q = broadcast(query.select(col(embCol).as("__q_emb")))
+    corpus.join(broadcast(cand.select(idCol)), Seq(idCol), "left_semi")
+      .crossJoin(q)
+      .select(col(idCol),
+        round(graft.functions.VectorFunctions.l2Distance(col(embCol), col("__q_emb")), scale)
+          .as("dist"))
+      .orderBy(col("dist"), col(idCol))
+      .limit(k)
+  }
+
   /** Persist a quantized vector store: one parquet table holding both the
     * float vectors and their codes. Readers pick their column — the
     * coarse scan prunes to (`idCol`, qvec) and never deserializes the

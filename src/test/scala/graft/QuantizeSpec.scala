@@ -60,6 +60,56 @@ class QuantizeSpec extends SparkSpec {
     assert(mean >= 0.95, s"mean recall $mean: $recalls")
   }
 
+  test("binarize packs sign bits exactly; hamming equals the unpacked mismatch count") {
+    import spark.implicits._
+    // odd dim (not a multiple of 32) exercises the ragged last word
+    val dim = 50
+    val rows = Seq(
+      (1L, Seq.tabulate(dim)(i => if (i % 3 == 0) 1.0f else -1.0f)),
+      (2L, Seq.tabulate(dim)(i => if (i % 5 == 0) -0.5f else 0.25f)),
+      (3L, Seq.fill(dim)(1.0f)),
+      (4L, Seq.fill(dim)(-1.0f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val bin = df.select(col("vec_id"), Quantize.binarizeExpr(col("embedding")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // driver replay of the 32-bit pack
+    def pack(v: Seq[Float]): Seq[Long] =
+      v.grouped(32).map(_.zipWithIndex.map { case (x, i) =>
+        if (x > 0) 1L << i else 0L }.sum).toSeq
+    rows.foreach { case (id, v) => assert(bin(id) == pack(v), s"vec $id pack differs") }
+    assert(bin(1L).length == 2, "50 dims must pack into 2 words")
+    // hamming over packed == sign-mismatch count over raw
+    val pairs = df.select(col("vec_id").as("i"), col("embedding").as("a"),
+        Quantize.binarizeExpr(col("embedding")).as("ba"))
+      .crossJoin(df.select(col("vec_id").as("j"), col("embedding").as("b"),
+        Quantize.binarizeExpr(col("embedding")).as("bb")))
+      .select(col("i"), col("j"),
+        Quantize.hammingExpr(col("ba"), col("bb")).as("h"),
+        aggregate(zip_with(col("a"), col("b"),
+          (x, y) => when((x > 0.0f) =!= (y > 0.0f), 1L).otherwise(0L)),
+          lit(0L), (acc, x) => acc + x).as("naive"))
+      .collect()
+    pairs.foreach(r => assert(r.getLong(2) == r.getLong(3),
+      s"(${r.getLong(0)},${r.getLong(1)}): hamming ${r.getLong(2)} != naive ${r.getLong(3)}"))
+    // self-distance zero, full flip = dim
+    assert(pairs.filter(r => r.getLong(0) == r.getLong(1)).forall(_.getLong(2) == 0L))
+    val flip = pairs.find(r => r.getLong(0) == 3L && r.getLong(1) == 4L).get
+    assert(flip.getLong(2) == dim)
+  }
+
+  test("binary-coarse KNN with rerank keeps recall >= 0.8 vs exact") {
+    val query = vecs.where(col("vec_id") === 11)
+    val bin = vecs.select(col("vec_id"), Quantize.binarizeExpr(col("embedding")).as("bvec"))
+    val got = Quantize.topKBinary(bin, vecs, query, k = 10, overfetch = 8)
+      .collect().map(_.getLong(0)).toSet
+    val exact = Knn.topK(vecs, query, Knn.L2, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (got & exact).size.toDouble / exact.size
+    // one sign bit per dim is the lossiest codec on the ladder — the
+    // spec floor reflects that, overfetch is the recall knob
+    assert(recall >= 0.8, s"binary recall $recall")
+  }
+
   test("store coarse scan reads only the code column; rerank pushes id IN filter") {
     val (mn, mx) = Quantize.scalarRange(vecs)
     val dir = java.nio.file.Files.createTempDirectory("qstore").toString
