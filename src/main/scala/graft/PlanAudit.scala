@@ -7,12 +7,11 @@ import org.apache.spark.sql.SparkSession
 object PlanAudit {
   def main(args: Array[String]): Unit = {
     val d = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      .getOrCreate()
+    // the canonical graft session — extensions included, so the audit
+    // sees the plans users (and Verify/Bench) actually get: without
+    // them the index-scan rewrite rules never fire and a rewrite query
+    // audits as its unrewritten exact scan
+    val spark = GraftSession.create("local[8]", 8)
     spark.sparkContext.setLogLevel("ERROR")
     val interesting = args.drop(1) match {
       case Array() => Seq("q1_agg", "q3_top_orders", "q5_region_revenue", "q_knn_l2",

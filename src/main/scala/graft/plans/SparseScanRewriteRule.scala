@@ -68,12 +68,23 @@ object SparseScanRewriteRule extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (conf("spark.graft.sparse.rewrite", "true") != "true") return plan
+    val maxK = conf("spark.graft.sparse.maxK", "10000").toInt
     plan.transformDown {
       case lim @ GlobalLimit(IntegerLiteral(k),
           ll @ LocalLimit(_, srt @ Sort(SortOrder(key, Descending, _, _) +: _, true, child, _)))
-          if k <= conf("spark.graft.sparse.maxK", "10000").toInt =>
+          if k <= maxK =>
         rewriteChild(key, child, k).map { newChild =>
           lim.copy(child = ll.copy(child = srt.copy(child = newChild)))
+        }.getOrElse(lim)
+      // same shape with a post-ranking Project pushed between the limit
+      // and the Sort (`SELECT ..., round(score, 4) ... ORDER BY score
+      // LIMIT k` — the optimizer slides the projection under the limit)
+      case lim @ GlobalLimit(IntegerLiteral(k),
+          ll @ LocalLimit(_, pr @ Project(_,
+            srt @ Sort(SortOrder(key, Descending, _, _) +: _, true, child, _))))
+          if k <= maxK =>
+        rewriteChild(key, child, k).map { newChild =>
+          lim.copy(child = ll.copy(child = pr.copy(child = srt.copy(child = newChild))))
         }.getOrElse(lim)
     }
   }
@@ -96,6 +107,15 @@ object SparseScanRewriteRule extends Rule[LogicalPlan] {
       case Divide(SparseDotExpr(a, b, c, d),
           If(EqualTo(den1, DoubleZero()), Literal(null, _), den2), _)
           if den1.semanticEquals(den2) => Some((a, b, c, d, Some(den1)))
+      // same lowering BEFORE RewriteWithExpression has run — the form an
+      // extension-injected rule sees in the operator-optimization fixed
+      // point: the denominator is a With common-expression, its refs in
+      // the If and the definition in the With's defs
+      case Divide(SparseDotExpr(a, b, c, d),
+          With(If(EqualTo(r1: CommonExpressionRef, DoubleZero()), Literal(null, _),
+            r2: CommonExpressionRef), Seq(cdef)), _)
+          if r1.id == r2.id && r1.id == cdef.id =>
+        Some((a, b, c, d, Some(cdef.child)))
       case _ => None
     }
     for {

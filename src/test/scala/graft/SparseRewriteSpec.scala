@@ -130,6 +130,32 @@ class SparseRewriteSpec extends SparkSpec {
     assert(sql.count() == 7)
   } }
 
+  test("extension-context shapes: With-form denominator and post-ranking projection") { withRule {
+    graft.GraftFunctions.register(spark)
+    val ranked = spark.read.parquet(store)
+      .select(col("doc_id"),
+        SparseKnn.sparseCosine(col("indices"), col("values"),
+          typedlit(qIdx), typedlit(qVal)).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+    // an extension-injected rule runs BEFORE RewriteWithExpression: the
+    // nullif denominator is still a With common-expression there — apply
+    // the lowering + the rule by hand to pin that form
+    val withForm = org.apache.spark.sql.catalyst.optimizer.ReplaceExpressions(
+      ranked.queryExecution.analyzed)
+    val rewritten = graft.plans.SparseScanRewriteRule(withForm)
+    assert(rewritten.exists {
+      case _: org.apache.spark.sql.catalyst.plans.logical.Join => true
+      case _ => false
+    }, "With-form cosine denominator did not rewrite")
+    // a post-ranking projection (round) slides between limit and sort in
+    // the optimized plan — the second match arm catches it
+    val projected = ranked.select(col("doc_id"), round(col("score"), 4).as("score"))
+    assert(projected.queryExecution.optimizedPlan.toString.contains("LeftSemi"),
+      "projection-under-limit shape did not rewrite:\n" +
+        projected.queryExecution.optimizedPlan.toString.take(2000))
+  } }
+
   test("non-literal query side does not rewrite") { withRule {
     val sv = spark.read.parquet(store)
     val self = sv.select(col("doc_id"),
