@@ -74,12 +74,23 @@ object IvfScanRewriteRule extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (conf("spark.graft.ann.rewrite", "true") != "true") return plan
+    val maxK = conf("spark.graft.ann.maxK", "10000").toInt
     plan.transformDown {
       case lim @ GlobalLimit(IntegerLiteral(k),
           ll @ LocalLimit(_, srt @ Sort(SortOrder(key, Ascending, _, _) +: _, true, child, _)))
-          if k <= conf("spark.graft.ann.maxK", "10000").toInt =>
+          if k <= maxK =>
         rewriteChild(key, child, k).map { newChild =>
           lim.copy(child = ll.copy(child = srt.copy(child = newChild)))
+        }.getOrElse(lim)
+      // same shape with a post-ranking Project pushed between the limit
+      // and the Sort (`SELECT id, round(dist, 4) ... ORDER BY dist LIMIT
+      // k` — the optimizer slides the projection under the limit)
+      case lim @ GlobalLimit(IntegerLiteral(k),
+          ll @ LocalLimit(_, pr @ Project(_,
+            srt @ Sort(SortOrder(key, Ascending, _, _) +: _, true, child, _))))
+          if k <= maxK =>
+        rewriteChild(key, child, k).map { newChild =>
+          lim.copy(child = ll.copy(child = pr.copy(child = srt.copy(child = newChild))))
         }.getOrElse(lim)
     }
   }

@@ -236,6 +236,17 @@ class IvfRewriteSpec extends SparkSpec {
     }
   }
 
+  test("post-ranking projection between limit and sort still rewrites") {
+    withRule {
+      val projected = annQuery(plainStore, 5)
+        .select(col("vec_id"), round(col("dist"), 2).as("dist"))
+      val opt = projected.queryExecution.optimizedPlan.toString
+      assert("cell#\\d+ IN(SET)?".r.findFirstIn(opt).nonEmpty,
+        "projection-under-limit shape did not get cell pruning:\n" + opt.take(2000))
+      assert(projected.count() == 5)
+    }
+  }
+
   test("rewrite leaves non-store sorts and disabled sessions untouched") {
     withRule {
       // ordinary parquet table (no sidecar): untouched
