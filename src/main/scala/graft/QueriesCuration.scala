@@ -511,6 +511,18 @@ object QueriesCuration {
           .orderBy(col("doc_id"))
       }, None),
 
+    // Unigram-LM tokenizer (Kudo 2018 / SentencePiece, the OTHER subword
+    // family) — rows-only like BPE: the seed→EM→prune loop has no SQL
+    // replay; UnigramSpec pins Viterbi segmentations against brute-force
+    // enumeration over all segmentations and planted-piece recovery.
+    "q_unigram_tokenize" -> QueryDef(
+      (s, d) => {
+        import graft.operators.Unigram
+        val docs = Tables.documents(s, d)
+        val model = Unigram.train(docs, vocabSize = 800)
+        Unigram.tokenize(docs, model).orderBy(col("doc_id"))
+      }, None),
+
     // ── cross-document exact repeated-substring coverage (Lee et al.
     // 2022) ── planted full-document copies (doc_id % 11) guarantee
     // duplicated spans at every SF; the oracle replays the k-gram
