@@ -58,6 +58,7 @@ object GraftFunctions {
     arity("minhash_sig", 1)(es => MinHashSigExpr(es.head,
       if (es.length > 1) intLit(es(1), "numPerm") else 16)),
     arity("simhash64", 1)(es => SimHashExpr(es.head)),
+    arity("deflate_ratio", 1)(es => graft.functions.DeflateRatioExpr(es.head)),
     arity("chunk_text", 1)(es => graft.functions.ChunkTextExpr(es.head,
       if (es.length > 1) intLit(es(1), "maxLen") else 7500,
       if (es.length > 2) intLit(es(2), "lookback") else 300)),

@@ -511,6 +511,21 @@ object QueriesCuration {
           .orderBy(col("doc_id"))
       }, None),
 
+    // Deflate compression-ratio quality signal (Gopher/FineWeb-style):
+    // repetitive/templated text compresses well below natural prose;
+    // high-entropy noise sits near 1. Rows-only (no zlib in the oracle);
+    // CompressSpec pins the ratio against a direct Deflater replay and
+    // the ordering invariant (repetitive < prose < noise).
+    "q_compress_ratio" -> QueryDef(
+      (s, d) => {
+        import graft.functions.CompressExpressions
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            round(CompressExpressions.deflateRatio(col("text")), 4).as("ratio"))
+          .withColumn("keep", col("ratio").between(0.2, 1.1))
+          .orderBy(col("doc_id"))
+      }, None),
+
     // Unigram-LM tokenizer (Kudo 2018 / SentencePiece, the OTHER subword
     // family) — rows-only like BPE: the seed→EM→prune loop has no SQL
     // replay; UnigramSpec pins Viterbi segmentations against brute-force
