@@ -638,6 +638,38 @@ object QueriesExtra {
              |FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q
              |ORDER BY dist, vec_id LIMIT 5""".stripMargin)),
 
+    // Persisted IVF-BINARY index at partial probe — the 32× compression
+    // point inside the cell-pruned inverted-file layout. Rows-only here
+    // (partial-probe recall is spec-gated in IvfStoreSpec); the exact
+    // hash signal on this read path is q_ann_binary_exact below.
+    "q_ann_binary_idx" -> QueryDef(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val model = IvfIndex.train(e, k = 8, iters = 2)
+        val dir = java.nio.file.Files.createTempDirectory("ivf_bin_q").toString
+        IvfIndex.writeIndexBinary(e, model, dir)
+        val q = e.where(col("vec_id") < 4).select(col("vec_id").as("qid"), col("embedding"))
+        IvfIndex.searchIndexBinary(s, dir, q, k = 5, nprobe = 2)
+          .orderBy(col("qid"), col("rn"))
+      }, None),
+
+    // Persisted IVF-BINARY index: full probe + covering overfetch ==
+    // exact L2 top-k THROUGH the sign-bit coarse scan, the cell
+    // partition pruning, and the bounded rerank pushdown — the r7
+    // exact-degeneration gate family extended to the binary store.
+    "q_ann_binary_exact" -> QueryDef(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val n = e.count().toInt
+        val model = IvfIndex.train(e, k = 16, iters = 3)
+        val dir = java.nio.file.Files.createTempDirectory("ivf_bin_exact_q").toString
+        IvfIndex.writeIndexBinary(e, model, dir)
+        val q = e.where(col("vec_id") < 4).select(col("vec_id").as("qid"), col("embedding"))
+        IvfIndex.searchIndexBinary(s, dir, q, k = 5, nprobe = 16, overfetch = n)
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some(annExactL2Sql)),
+
     // Binary quantization + Hamming ranking — pgvector 0.7's bit-vector
     // family (bit(n), <~> hamming): sign bit per dim packed 32/word,
     // distance = popcount of XOR. Pure integer end to end, so the oracle

@@ -515,6 +515,79 @@ object IvfIndex {
       .select(col(queryIdCol), col(idCol), col("dist"), col("rn").cast("long").as("rn"))
   }
 
+  /** Persist an IVF-BINARY index: [[writeIndex]]'s cell-partitioned
+    * layout PLUS the packed sign-bit column ([[Quantize.binarizeExpr]])
+    * — the 32× compression point of the quantization ladder inside the
+    * inverted-file layout (pgvector's bit-vector family meeting its
+    * ivfflat layout). At search time three levers compose: `cell IN`
+    * partition pruning (nprobe/k of the files), a coarse pass reading
+    * only (id, bvec) — 1/32 the bytes of the float column — scored by
+    * integer Hamming, and exact-L2 rerank of the bounded candidates.
+    * A `_binary.json` sidecar marks the store. */
+  def writeIndexBinary(corpus: DataFrame, model: Model, path: String,
+                       idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
+    corpus.select(col(idCol), col(embCol),
+        Quantize.binarizeExpr(col(embCol)).as("bvec"),
+        cellOf(col(embCol), model).as("cell"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    val json = model.centroids.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    writeSidecar(corpus.sparkSession, path, "_centroids.json", json)
+    writeSidecar(corpus.sparkSession, path, "_binary.json", """{"bits":32}""")
+  }
+
+  /** Search a [[writeIndexBinary]] store — [[searchIndexQuantized]]'s
+    * exact shape with Hamming in place of code-L2: cell partition
+    * pruning, (id, bvec)-only coarse scan, bounded candidate-id rerank
+    * pushdown with the semi-join fallback. Full probe + covering
+    * overfetch degenerates to exact KNN (the binary coarse pass is a
+    * pre-filter; the rerank is exact L2) — oracle-gated. Default
+    * overfetch is higher than SQ8's: one sign bit per dim is the
+    * lossiest codec on the ladder. */
+  def searchIndexBinary(spark: org.apache.spark.sql.SparkSession, path: String,
+                        queries: DataFrame, k: Int, nprobe: Int, overfetch: Int = 8,
+                        idCol: String = "vec_id", embCol: String = "embedding",
+                        queryIdCol: String = "qid", scale: Int = 4,
+                        maxPushdownIds: Int = 100000): DataFrame = {
+    require(
+      try { readSidecar(spark, path, "_binary.json"); true } catch { case _: Exception => false },
+      s"searchIndexBinary: $path carries no _binary.json — not a binary index")
+    val model = readModel(spark, path)
+    val probedCells = queries
+      .select(explode(cellsOf(col(embCol), model, nprobe)).as("cell"))
+      .distinct().collect().map(_.getInt(0).asInstanceOf[Any])
+    val qSide = broadcast(queries.select(col(queryIdCol),
+      col(embCol).as("__qemb"),
+      Quantize.binarizeExpr(col(embCol)).as("__qbits")))
+    val coarse = spark.read.parquet(path)
+      .where(col("cell").isin(probedCells: _*))
+      .select(col(idCol), col("bvec"))
+      .crossJoin(qSide)
+      .select(col(queryIdCol), col(idCol),
+        Quantize.hammingExpr(col("bvec"), col("__qbits")).as("__qdist"))
+    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("__qdist"), col(idCol))
+    val candFrame = coarse.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k * overfetch)
+      .select(col(idCol)).distinct()
+      .localCheckpoint(true)
+    val probe = candFrame.limit(maxPushdownIds + 1).collect()
+    val rerankBase = spark.read.parquet(path)
+      .where(col("cell").isin(probedCells: _*))
+    val rerankDocs =
+      if (probe.length <= maxPushdownIds)
+        rerankBase.where(col(idCol).isin(probe.map(_.getLong(0)).toSeq: _*))
+      else rerankBase.join(candFrame, Seq(idCol), "left_semi")
+    val rerank = rerankDocs
+      .select(col(idCol), col(embCol))
+      .crossJoin(qSide)
+      .select(col(queryIdCol), col(idCol),
+        round(VectorFunctions.l2Distance(col(embCol), col("__qemb")), scale).as("dist"))
+    val w2 = Window.partitionBy(col(queryIdCol)).orderBy(col("dist"), col(idCol))
+    rerank.withColumn("rn", row_number().over(w2))
+      .where(col("rn") <= k)
+      .select(col(queryIdCol), col(idCol), col("dist"), col("rn").cast("long").as("rn"))
+  }
+
   /** Persist a COSINE-metric IVF index — pgvector's `vector_cosine_ops`
     * analogue: vectors are L2-NORMALIZED at write (cosine is
     * scale-invariant, so nothing is lost), cells are assigned under a

@@ -180,6 +180,61 @@ class IvfStoreSpec extends SparkSpec {
       s"coarse scan deserializes the float column: $schemas")
   }
 
+  test("IVF-BINARY index: recall holds, full probe exact, coarse reads bits only, non-binary store refused") {
+    import graft.operators.{Knn, Quantize}
+    val path = Files.createTempDirectory("ivf_bin").toString
+    val e = Tables.embeddings(spark, sfDir)
+    val model = IvfIndex.train(e, k = 16, iters = 3)
+    IvfIndex.writeIndexBinary(e, model, path)
+
+    // recall vs exact L2 with generous probing — the lossiest codec on
+    // the ladder, so generous overfetch is part of its contract
+    val k = 10
+    val recalls = (0L until 6L).map { qid =>
+      val exact = Knn.topK(e, e.where(col("vec_id") === qid), Knn.L2, k)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val q1 = e.where(col("vec_id") === qid)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      val approx = IvfIndex.searchIndexBinary(spark, path, q1, k, nprobe = 12,
+          overfetch = 16)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      (exact intersect approx).size.toDouble / k
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, s"mean recall $mean: $recalls")
+
+    // full probe + covering overfetch degenerates to exact KNN
+    val q0 = e.where(col("vec_id") === 0).select(col("vec_id").as("qid"), col("embedding"))
+    val full = IvfIndex.searchIndexBinary(spark, path, q0, k = 5, nprobe = 16,
+        overfetch = e.count().toInt)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toList
+    val exact5 = Knn.topK(e, e.where(col("vec_id") === 0), Knn.L2, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    assert(full == exact5)
+
+    // coarse-pass plan: cell partition filter + bvec-only read schema
+    val qside = broadcast(q0.select(col("qid"),
+      Quantize.binarizeExpr(col("embedding")).as("__qbits")))
+    val coarse = spark.read.parquet(path)
+      .where(col("cell").isin(0, 1, 2))
+      .select(col("vec_id"), col("bvec"))
+      .crossJoin(qside)
+      .select(col("qid"), col("vec_id"),
+        Quantize.hammingExpr(col("bvec"), col("__qbits")).as("qd"))
+    val plan = coarse.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).nonEmpty, plan.take(2000))
+    val schemas = "ReadSchema: [^\n]*".r.findAllIn(plan).toList.filter(_.contains("bvec"))
+    assert(schemas.nonEmpty && schemas.forall(!_.contains("embedding")),
+      s"coarse scan deserializes the float column: $schemas")
+
+    // a store without the _binary.json sidecar is refused
+    val plainPath = Files.createTempDirectory("ivf_bin_plain").toString
+    IvfIndex.writeIndex(e, model, plainPath)
+    intercept[IllegalArgumentException] {
+      IvfIndex.searchIndexBinary(spark, plainPath, q0, k = 5, nprobe = 4)
+    }
+  }
+
   test("searchIndexQuantized: semi-join fallback above maxPushdownIds gives identical results") {
     import graft.operators.Quantize
     val path = Files.createTempDirectory("ivf_sq_guard").toString
