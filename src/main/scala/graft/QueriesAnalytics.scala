@@ -809,6 +809,33 @@ object QueriesAnalytics {
              |  FROM staged3 GROUP BY user_id)
              |SELECT count(t_view) AS n_view, count(t_click) AS n_click,
              |  count(t_purchase) AS n_purchase
-             |FROM per_user""".stripMargin))
+             |FROM per_user""".stripMargin)),
+
+    // Cohort retention matrix: users grouped by first-activity day,
+    // counted per day-offset of later activity — the classic retention
+    // triangle. Integer day arithmetic (ts is epoch-nanos via
+    // Tables.events), so the gate is hash-exact. Two user-keyed
+    // aggregations share one shuffle key; the cohort frame joins back on
+    // user_id co-partitioned (at 100 TB the first-seen side is
+    // user-dimension-sized, not event-sized).
+    "q_cohort_retention" -> QueryDef(
+      (s, d) => {
+        val days = Tables.events(s, d)
+          .select(col("user_id"), expr("ts div 1000000000 div 86400").as("day"))
+        val activity = days.distinct()
+        val cohort = days.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+        activity.join(cohort, Seq("user_id"))
+          .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+          .agg(count(lit(1)).cast("long").as("n_users"))
+          .orderBy(col("cohort_day"), col("day_offset"))
+      },
+      Some("""WITH days AS (
+             |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day FROM events),
+             |activity AS (SELECT DISTINCT user_id, day FROM days),
+             |cohort AS (SELECT user_id, min(day) AS cohort_day FROM days GROUP BY user_id)
+             |SELECT c.cohort_day, a.day - c.cohort_day AS day_offset,
+             |  count(*)::BIGINT AS n_users
+             |FROM activity a JOIN cohort c ON a.user_id = c.user_id
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }
