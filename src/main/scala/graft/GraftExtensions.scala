@@ -59,6 +59,32 @@ object GraftFunctions {
       if (es.length > 1) intLit(es(1), "numPerm") else 16)),
     arity("simhash64", 1)(es => SimHashExpr(es.head)),
     arity("deflate_ratio", 1)(es => graft.functions.DeflateRatioExpr(es.head)),
+    // pgvector 0.7/0.8 function-surface parity: vector_dims / vector_norm
+    // / subvector / l2_normalize ports. All pure Catalyst trees; the
+    // self-dot duplicates its argument, hence the determinism guard.
+    arity("vec_dims", 1)(es =>
+      org.apache.spark.sql.catalyst.expressions.Size(es.head)),
+    arity("vec_norm", 1)(es => {
+      requireDeterministic("vec_norm", es)
+      Sqrt(VecDot(es.head, es.head))
+    }),
+    arity("vec_subvector", 3)(es =>
+      org.apache.spark.sql.catalyst.expressions.Slice(es(0), es(1), es(2))),
+    arity("vec_l2_normalize", 1)(es => {
+      import org.apache.spark.sql.catalyst.expressions._
+      requireDeterministic("vec_l2_normalize", es)
+      val v = es.head
+      val norm = Sqrt(VecDot(v, v))
+      def lam(body: Expression => Expression): Expression = {
+        val x = UnresolvedNamedLambdaVariable(Seq("x"))
+        LambdaFunction(body(Cast(x, org.apache.spark.sql.types.DoubleType)), Seq(x))
+      }
+      // zero vector maps to itself (pgvector l2_normalize semantics and
+      // the VectorFunctions.l2Normalize column-API contract)
+      If(LessThanOrEqual(norm, Literal(0.0)),
+        ArrayTransform(v, lam(x => Multiply(x, Literal(0.0)))),
+        ArrayTransform(v, lam(x => Divide(x, norm))))
+    }),
     arity("chunk_text", 1)(es => graft.functions.ChunkTextExpr(es.head,
       if (es.length > 1) intLit(es(1), "maxLen") else 7500,
       if (es.length > 2) intLit(es(2), "lookback") else 300)),

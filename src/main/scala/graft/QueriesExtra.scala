@@ -638,6 +638,36 @@ object QueriesExtra {
              |FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q
              |ORDER BY dist, vec_id LIMIT 5""".stripMargin)),
 
+    // pgvector function-surface parity through plain SQL: vector_dims /
+    // vector_norm / subvector / l2_normalize ports (vec_dims, vec_norm,
+    // vec_subvector, vec_l2_normalize). Arrays project to int-scaled md5
+    // digests (the q_winnow convention); norm math is
+    // identical-op-order double on both engines, rounded 4dp.
+    "q_vec_funcs" -> QueryDef(
+      (s, d) => {
+        val tag = math.abs(d.hashCode).toString
+        Tables.embeddings(s, d).createOrReplaceTempView(s"vf_emb_$tag")
+        s.sql(
+          s"""SELECT vec_id,
+             |  vec_dims(embedding) AS dims,
+             |  round(vec_norm(embedding), 4) AS nrm,
+             |  md5(array_join(transform(vec_subvector(embedding, 1, 8),
+             |    x -> cast(round(cast(x AS double) * 10000) AS bigint)), '|')) AS sub_hash,
+             |  md5(array_join(transform(vec_l2_normalize(embedding),
+             |    x -> cast(round(x * 10000) AS bigint)), '|')) AS unit_hash
+             |FROM vf_emb_$tag ORDER BY vec_id""".stripMargin)
+      },
+      Some("""WITH n AS (
+             |  SELECT vec_id, embedding::DOUBLE[] AS e,
+             |    sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))) AS nn
+             |  FROM embeddings)
+             |SELECT vec_id, len(e)::INT AS dims, round(nn, 4) AS nrm,
+             |  md5(array_to_string(list_transform(e[1:8],
+             |    x -> CAST(round(x * 10000) AS BIGINT)), '|')) AS sub_hash,
+             |  md5(array_to_string(list_transform(e,
+             |    x -> CAST(round(x / nn * 10000) AS BIGINT)), '|')) AS unit_hash
+             |FROM n ORDER BY vec_id""".stripMargin)),
+
     // Persisted IVF-BINARY index at partial probe — the 32× compression
     // point inside the cell-pruned inverted-file layout. Rows-only here
     // (partial-probe recall is spec-gated in IvfStoreSpec); the exact

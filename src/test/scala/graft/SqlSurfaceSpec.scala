@@ -43,6 +43,38 @@ class SqlSurfaceSpec extends SparkSpec {
     }
   }
 
+  test("pgvector function ports: dims / norm / subvector / l2_normalize") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT vec_dims(array(3.0D, 4.0D, 0.0D)) AS d,
+        |  vec_norm(array(3.0D, 4.0D)) AS n,
+        |  vec_subvector(array(1.0D, 2.0D, 3.0D, 4.0D), 2, 2) AS sub,
+        |  vec_l2_normalize(array(3.0D, 4.0D)) AS u,
+        |  vec_l2_normalize(array(0.0D, 0.0D)) AS z""".stripMargin).head()
+    assert(r.getInt(0) == 3)
+    assert(math.abs(r.getDouble(1) - 5.0) < 1e-12)
+    assert(r.getSeq[Double](2) == Seq(2.0, 3.0))
+    val u = r.getSeq[Double](3)
+    assert(math.abs(u(0) - 0.6) < 1e-12 && math.abs(u(1) - 0.8) < 1e-12)
+    assert(r.getSeq[Double](4) == Seq(0.0, 0.0), "zero vector maps to itself")
+    // SQL l2_normalize matches the column API on real embeddings
+    import graft.functions.VectorFunctions
+    val e = Tables.embeddings(spark, sfDir).limit(20)
+    e.createOrReplaceTempView("vf_sql_v")
+    val viaSql = spark.sql(
+      "SELECT vec_id, vec_l2_normalize(embedding) AS u FROM vf_sql_v ORDER BY vec_id")
+      .collect().map(r2 => r2.getLong(0) -> r2.getSeq[Double](1)).toMap
+    val viaApi = e.select(org.apache.spark.sql.functions.col("vec_id"),
+        VectorFunctions.l2Normalize(org.apache.spark.sql.functions.col("embedding")).as("u"))
+      .collect().map(r2 => r2.getLong(0) -> r2.getSeq[Double](1)).toMap
+    assert(viaSql.keySet == viaApi.keySet && viaSql.nonEmpty)
+    viaSql.foreach { case (id, s) =>
+      val a = viaApi(id)
+      assert(s.size == a.size && s.zip(a).forall { case (x, y) => math.abs(x - y) < 1e-12 },
+        s"vec $id differs")
+    }
+  }
+
   test("extensions class injects without error") {
     val e = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(e) // throws on malformed registration
