@@ -70,6 +70,63 @@ object GraftFunctions {
     }),
     arity("vec_subvector", 3)(es =>
       org.apache.spark.sql.catalyst.expressions.Slice(es(0), es(1), es(2))),
+    // pgvector bit-vector family: binary_quantize / hamming_distance /
+    // jaccard_distance ports over the 32-bits-per-word packed encoding
+    // ([[graft.operators.Quantize.binarizeExpr]]'s layout — in-range
+    // under ANSI arithmetic where a 64-bit pack would overflow).
+    arity("vec_binarize", 1)(es => {
+      import org.apache.spark.sql.catalyst.expressions._
+      import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+      val v = es.head
+      val w = UnresolvedNamedLambdaVariable(Seq("w"))
+      val acc = UnresolvedNamedLambdaVariable(Seq("acc"))
+      val x = UnresolvedNamedLambdaVariable(Seq("x"))
+      val nWords = Cast(Divide(Subtract(Size(v), Literal(1)), Literal(32)), IntegerType)
+      val slice32 = Slice(v, Add(Multiply(w, Literal(32)), Literal(1)), Literal(32))
+      val bit = If(GreaterThan(Cast(x, DoubleType), Literal(0.0)), Literal(1L), Literal(0L))
+      val fold = ArrayAggregate(
+        Reverse(slice32),
+        Literal(0L),
+        LambdaFunction(Add(Multiply(acc, Literal(2L)), bit), Seq(acc, x)),
+        LambdaFunction.identity)
+      ArrayTransform(Sequence(Literal(0), nWords, None),
+        LambdaFunction(fold, Seq(w)))
+    }),
+    arity("hamming_distance", 2)(es => {
+      import org.apache.spark.sql.catalyst.expressions._
+      import org.apache.spark.sql.types.LongType
+      val x = UnresolvedNamedLambdaVariable(Seq("x"))
+      val y = UnresolvedNamedLambdaVariable(Seq("y"))
+      val acc = UnresolvedNamedLambdaVariable(Seq("acc"))
+      val e = UnresolvedNamedLambdaVariable(Seq("e"))
+      val xored = ZipWith(es(0), es(1),
+        LambdaFunction(Cast(BitwiseCount(BitwiseXor(x, y)), LongType), Seq(x, y)))
+      ArrayAggregate(xored, Literal(0L),
+        LambdaFunction(Add(acc, e), Seq(acc, e)), LambdaFunction.identity)
+    }),
+    arity("jaccard_distance", 2)(es => {
+      import org.apache.spark.sql.catalyst.expressions._
+      import org.apache.spark.sql.types.{DoubleType, LongType}
+      requireDeterministic("jaccard_distance", es)
+      def popSum(op: (Expression, Expression) => Expression): Expression = {
+        val x = UnresolvedNamedLambdaVariable(Seq("x"))
+        val y = UnresolvedNamedLambdaVariable(Seq("y"))
+        val acc = UnresolvedNamedLambdaVariable(Seq("acc"))
+        val e = UnresolvedNamedLambdaVariable(Seq("e"))
+        ArrayAggregate(
+          ZipWith(es(0), es(1),
+            LambdaFunction(Cast(BitwiseCount(op(x, y)), LongType), Seq(x, y))),
+          Literal(0L),
+          LambdaFunction(Add(acc, e), Seq(acc, e)), LambdaFunction.identity)
+      }
+      val inter = popSum(BitwiseAnd(_, _))
+      val union = popSum(BitwiseOr(_, _))
+      // empty union (both all-zero) → null, the sparse-cosine contract
+      If(EqualTo(union, Literal(0L)),
+        Literal(null, DoubleType),
+        Subtract(Literal(1.0),
+          Divide(Cast(inter, DoubleType), Cast(union, DoubleType))))
+    }),
     arity("vec_l2_normalize", 1)(es => {
       import org.apache.spark.sql.catalyst.expressions._
       requireDeterministic("vec_l2_normalize", es)

@@ -668,6 +668,39 @@ object QueriesExtra {
              |    x -> CAST(round(x / nn * 10000) AS BIGINT)), '|')) AS unit_hash
              |FROM n ORDER BY vec_id""".stripMargin)),
 
+    // pgvector bit-vector family through plain SQL: binary_quantize /
+    // hamming_distance / jaccard_distance ports over the packed words.
+    // The oracle replays both distances from raw float SIGNS (packed and
+    // unpacked formulations are the same function) — integer popcounts,
+    // hash-exact; jaccard is an exact integer ratio rounded 4dp with
+    // identical op order.
+    "q_vec_bits" -> QueryDef(
+      (s, d) => {
+        val tag = math.abs(d.hashCode).toString
+        Tables.embeddings(s, d).createOrReplaceTempView(s"vb_emb_$tag")
+        s.sql(
+          s"""WITH b AS (SELECT vec_id, vec_binarize(embedding) AS bv FROM vb_emb_$tag),
+             |q AS (SELECT bv AS qv FROM b WHERE vec_id = 7)
+             |SELECT b.vec_id,
+             |  hamming_distance(b.bv, q.qv) AS hamming,
+             |  round(jaccard_distance(b.bv, q.qv), 4) AS jaccard
+             |FROM b CROSS JOIN q
+             |ORDER BY hamming, b.vec_id LIMIT 20""".stripMargin)
+      },
+      Some("""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 7),
+             |m AS (SELECT e.vec_id,
+             |        CAST(len(list_filter(range(1, len(e.embedding) + 1),
+             |          i -> (e.embedding[i] > 0) != (q.qe[i] > 0))) AS BIGINT) AS hamming,
+             |        len(list_filter(range(1, len(e.embedding) + 1),
+             |          i -> (e.embedding[i] > 0) AND (q.qe[i] > 0))) AS inter,
+             |        len(list_filter(range(1, len(e.embedding) + 1),
+             |          i -> (e.embedding[i] > 0) OR (q.qe[i] > 0))) AS un
+             |      FROM embeddings e CROSS JOIN q)
+             |SELECT vec_id, hamming,
+             |  round(CASE WHEN un = 0 THEN NULL
+             |        ELSE 1.0 - CAST(inter AS DOUBLE) / CAST(un AS DOUBLE) END, 4) AS jaccard
+             |FROM m ORDER BY hamming, vec_id LIMIT 20""".stripMargin)),
+
     // Persisted IVF-BINARY index at partial probe — the 32× compression
     // point inside the cell-pruned inverted-file layout. Rows-only here
     // (partial-probe recall is spec-gated in IvfStoreSpec); the exact

@@ -1,6 +1,10 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, expr}
+
 class SqlSurfaceSpec extends SparkSpec {
+
+  import spark.implicits._
 
   test("pgvector-style SQL runs after function registration") {
     GraftFunctions.register(spark)
@@ -73,6 +77,27 @@ class SqlSurfaceSpec extends SparkSpec {
       assert(s.size == a.size && s.zip(a).forall { case (x, y) => math.abs(x - y) < 1e-12 },
         s"vec $id differs")
     }
+  }
+
+  test("pgvector bit family: binarize matches the Scala packer; hamming/jaccard identities") {
+    GraftFunctions.register(spark)
+    // vec_binarize == Quantize.binarizeExpr on a ragged-dim vector
+    val df = Seq((1L, Seq.tabulate(50)(i => if (i % 3 == 0) 1.0f else -1.0f)))
+      .toDF("id", "v")
+    val both = df.select(
+      graft.operators.Quantize.binarizeExpr(col("v")).as("a"),
+      expr("vec_binarize(v)").as("b")).head()
+    assert(both.getSeq[Long](0) == both.getSeq[Long](1))
+    // hamming(x, x) = 0; jaccard(x, x) = 0; disjoint sets → jaccard 1
+    val r = spark.sql(
+      """SELECT hamming_distance(array(5L), array(6L)) AS h,
+        |  jaccard_distance(array(5L), array(5L)) AS jself,
+        |  jaccard_distance(array(1L), array(2L)) AS jdisj,
+        |  jaccard_distance(array(0L), array(0L)) AS jempty""".stripMargin).head()
+    assert(r.getLong(0) == 2) // 101 vs 110 differ in 2 bits
+    assert(r.getDouble(1) == 0.0)
+    assert(r.getDouble(2) == 1.0)
+    assert(r.isNullAt(3), "empty union must be null, not a division error")
   }
 
   test("extensions class injects without error") {
