@@ -395,6 +395,23 @@ object QueriesExtra {
              |WHERE ('0x' || substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 10
              |ORDER BY doc_id""".stripMargin)),
 
+    // Weighted sampling without replacement (Efraimidis–Spirakis A-Res):
+    // exact-size, probability ∝ weight, deterministic on any engine or
+    // partitioning — ln(u)/w keys from salted-md5 uniforms, identical FP
+    // op order on both engines, so even the ORDER is hash-exact. Output
+    // is id-only (the winning set + rank order), no float columns.
+    "q_weighted_sample" -> QueryDef(
+      (s, d) => graft.operators.Sampling
+        .weightedSample(Tables.documents(s, d), "doc_id", "n_chars", n = 50)
+        .select(col("doc_id")),
+      Some("""WITH u AS (
+             |  SELECT doc_id, n_chars,
+             |    (('0x' || substr(md5('graft-wsample' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+             |      + 0.5) / 4294967296.0 AS u
+             |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+             |SELECT doc_id FROM u
+             |ORDER BY ln(u) / CAST(n_chars AS DOUBLE) DESC, doc_id LIMIT 50""".stripMargin)),
+
     // IVF ANN (trained coarse quantizer) — approximate, rows-only; recall
     // is spec-gated (ApproxOpsSpec).
     "q_ann_ivf" -> QueryDef(
@@ -700,6 +717,33 @@ object QueriesExtra {
              |  round(CASE WHEN un = 0 THEN NULL
              |        ELSE 1.0 - CAST(inter AS DOUBLE) / CAST(un AS DOUBLE) END, 4) AS jaccard
              |FROM m ORDER BY hamming, vec_id LIMIT 20""".stripMargin)),
+
+    // Jaccard-ranked KNN over binarized embeddings — pgvector's <%> bit
+    // opclass as a ranking query: nulls (empty-union pairs) drop, ties
+    // break on id. Integer popcount ratio rounded 4dp, hash-exact.
+    "q_knn_jaccard" -> QueryDef(
+      (s, d) => {
+        val tag = math.abs(d.hashCode).toString
+        Tables.embeddings(s, d).createOrReplaceTempView(s"vj_emb_$tag")
+        s.sql(
+          s"""WITH b AS (SELECT vec_id, vec_binarize(embedding) AS bv FROM vj_emb_$tag),
+             |q AS (SELECT bv AS qv FROM b WHERE vec_id = 7)
+             |SELECT b.vec_id, round(jaccard_distance(b.bv, q.qv), 4) AS jdist
+             |FROM b CROSS JOIN q
+             |WHERE jaccard_distance(b.bv, q.qv) IS NOT NULL
+             |ORDER BY jaccard_distance(b.bv, q.qv), b.vec_id LIMIT 10""".stripMargin)
+      },
+      Some("""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 7),
+             |m AS (SELECT e.vec_id,
+             |        len(list_filter(range(1, len(e.embedding) + 1),
+             |          i -> (e.embedding[i] > 0) AND (q.qe[i] > 0))) AS inter,
+             |        len(list_filter(range(1, len(e.embedding) + 1),
+             |          i -> (e.embedding[i] > 0) OR (q.qe[i] > 0))) AS un
+             |      FROM embeddings e CROSS JOIN q),
+             |j AS (SELECT vec_id, 1.0 - CAST(inter AS DOUBLE) / CAST(un AS DOUBLE) AS jd
+             |      FROM m WHERE un > 0)
+             |SELECT vec_id, round(jd, 4) AS jdist
+             |FROM j ORDER BY jd, vec_id LIMIT 10""".stripMargin)),
 
     // Persisted IVF-BINARY index at partial probe — the 32× compression
     // point inside the cell-pruned inverted-file layout. Rows-only here

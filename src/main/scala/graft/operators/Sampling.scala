@@ -20,6 +20,29 @@ object Sampling {
     pmod(conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 8), 16, 10)
       .cast("long"), lit(buckets))
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006,
+    * A-Res): each row draws a deterministic uniform u ∈ (0,1) from the
+    * salted md5 of its key — (hash32 + 0.5) / 2³², never exactly 0 — and
+    * the `n` rows with the largest u^(1/w) win, computed in the
+    * log domain as ln(u)/w (same ordering, no underflow at large
+    * weights). Probabilities are proportional to weight, the sample is
+    * exact-size, and the whole draw is replayable on any engine or
+    * partitioning — `df.sample()` can do none of those at once. Plans as
+    * one narrow scan + `TakeOrderedAndProject` (per-partition heaps of
+    * size n — no corpus shuffle). Rows with weight ≤ 0 or null drop. */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String, n: Int,
+                     salt: String = "graft-wsample"): DataFrame = {
+    require(n >= 1, s"weightedSample: n must be >= 1, got $n")
+    val u = (conv(substring(md5(concat(lit(salt), col(keyCol).cast("string"))), 1, 8),
+      16, 10).cast("long").cast("double") + lit(0.5)) / lit(4294967296.0)
+    val key = log(u) / col(weightCol).cast("double")
+    df.where(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__wkey", key)
+      .orderBy(col("__wkey").desc, col(keyCol))
+      .limit(n)
+      .drop("__wkey")
+  }
+
   /** Keep ~`percent`% of rows, deterministically by key. */
   def deterministicSample(df: DataFrame, keyCol: String, percent: Int,
                           salt: String = "graft", buckets: Int = 100): DataFrame =

@@ -226,4 +226,30 @@ class ApproxOpsSpec extends SparkSpec {
     val recall = (approx & exact).size.toDouble / exact.size
     assert(recall >= 0.9, s"recall=$recall")
   }
+
+  test("weighted sampling: exact size, weight-proportional, deterministic, no shuffle") {
+    import graft.operators.Sampling
+    import spark.implicits._
+    // 1000 rows: ids 0-499 weight 1, ids 500-999 weight 20 — the heavy
+    // half must dominate the sample
+    val df = (0L until 1000L).map(i => (i, if (i < 500) 1L else 20L)).toDF("id", "w")
+    val s1 = Sampling.weightedSample(df, "id", "w", n = 100)
+      .collect().map(_.getLong(0)).toSet
+    assert(s1.size == 100)
+    val heavy = s1.count(_ >= 500)
+    assert(heavy >= 80, s"heavy-weight rows underrepresented: $heavy/100")
+    // deterministic under repartitioning
+    val s2 = Sampling.weightedSample(df.repartition(17), "id", "w", n = 100)
+      .collect().map(_.getLong(0)).toSet
+    assert(s1 == s2)
+    // zero/null weights drop rather than win with ln(u)/0
+    val withZero = (0L until 10L).map(i => (i, if (i == 0) 0L else 1L)).toDF("id", "w")
+    val s3 = Sampling.weightedSample(withZero, "id", "w", n = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(!s3.contains(0L) && s3.size == 9)
+    // plan: TakeOrderedAndProject (per-partition heaps), no global sort
+    val plan = Sampling.weightedSample(df, "id", "w", n = 100)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
+  }
 }
