@@ -395,6 +395,57 @@ object QueriesExtra {
              |WHERE ('0x' || substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 10
              |ORDER BY doc_id""".stripMargin)),
 
+    // MMR diversification rerank (Carbonell & Goldstein 1998): top-10
+    // retrieval pool → greedy λ·rel − (1−λ)·max-sim-to-picked, k=5. The
+    // greedy is sequential by nature, so it runs driver-local over the
+    // BOUNDED serve set (maxCandidates-guarded); the oracle replays it
+    // as five unrolled argmax stages. All scores rounded 4dp before
+    // comparison, ties by id — hash-exact.
+    "q_mmr_rerank" -> QueryDef(
+      (s, d) => {
+        import graft.functions.VectorFunctions
+        val e = Tables.embeddings(s, d)
+        val q = broadcast(e.where(col("vec_id") === 7).select(col("embedding").as("qe")))
+        val cand = e.crossJoin(q)
+          .select(col("vec_id"), col("embedding"),
+            round(VectorFunctions.cosineSimilarity(col("embedding"), col("qe")), 4).as("rel"))
+          .orderBy(col("rel").desc, col("vec_id")).limit(10)
+        graft.operators.Mmr.rerank(cand, lambda = 0.7, k = 5).orderBy(col("rn"))
+      },
+      Some("""WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 7),
+             |cand AS (
+             |  SELECT e.vec_id, e.embedding::DOUBLE[] AS emb,
+             |    round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 4) AS rel
+             |  FROM embeddings e CROSS JOIN q
+             |  ORDER BY rel DESC, e.vec_id LIMIT 10),
+             |p1 AS (SELECT vec_id, emb, rel AS mmr FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+             |s1 AS (SELECT vec_id, emb FROM p1),
+             |r2 AS (SELECT c.vec_id, c.emb,
+             |         round(0.7*c.rel - 0.3*(SELECT max(round(list_cosine_similarity(c.emb, s.emb), 4)) FROM s1 s), 4) AS mmr
+             |       FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM s1)),
+             |p2 AS (SELECT vec_id, emb, mmr FROM r2 ORDER BY mmr DESC, vec_id LIMIT 1),
+             |s2 AS (SELECT * FROM s1 UNION ALL SELECT vec_id, emb FROM p2),
+             |r3 AS (SELECT c.vec_id, c.emb,
+             |         round(0.7*c.rel - 0.3*(SELECT max(round(list_cosine_similarity(c.emb, s.emb), 4)) FROM s2 s), 4) AS mmr
+             |       FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM s2)),
+             |p3 AS (SELECT vec_id, emb, mmr FROM r3 ORDER BY mmr DESC, vec_id LIMIT 1),
+             |s3 AS (SELECT * FROM s2 UNION ALL SELECT vec_id, emb FROM p3),
+             |r4 AS (SELECT c.vec_id, c.emb,
+             |         round(0.7*c.rel - 0.3*(SELECT max(round(list_cosine_similarity(c.emb, s.emb), 4)) FROM s3 s), 4) AS mmr
+             |       FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM s3)),
+             |p4 AS (SELECT vec_id, emb, mmr FROM r4 ORDER BY mmr DESC, vec_id LIMIT 1),
+             |s4 AS (SELECT * FROM s3 UNION ALL SELECT vec_id, emb FROM p4),
+             |r5 AS (SELECT c.vec_id, c.emb,
+             |         round(0.7*c.rel - 0.3*(SELECT max(round(list_cosine_similarity(c.emb, s.emb), 4)) FROM s4 s), 4) AS mmr
+             |       FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM s4)),
+             |p5 AS (SELECT vec_id, emb, mmr FROM r5 ORDER BY mmr DESC, vec_id LIMIT 1)
+             |SELECT vec_id, mmr, CAST(1 AS BIGINT) AS rn FROM p1
+             |UNION ALL SELECT vec_id, mmr, 2 FROM p2
+             |UNION ALL SELECT vec_id, mmr, 3 FROM p3
+             |UNION ALL SELECT vec_id, mmr, 4 FROM p4
+             |UNION ALL SELECT vec_id, mmr, 5 FROM p5
+             |ORDER BY rn""".stripMargin)),
+
     // Weighted sampling without replacement (Efraimidis–Spirakis A-Res):
     // exact-size, probability ∝ weight, deterministic on any engine or
     // partitioning — ln(u)/w keys from salted-md5 uniforms, identical FP
