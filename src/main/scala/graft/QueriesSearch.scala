@@ -111,6 +111,55 @@ object QueriesSearch {
              |FROM ra FULL JOIN rb ON ra.doc_id = rb.doc_id
              |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin)),
 
+    // Three-retriever hybrid: RRF over BM25 + dense cosine + hashed
+    // sparse cosine — the modern lexical/dense/learned-sparse stack
+    // fused with rrfFuseN. Each leg's list and ranks replay exactly in
+    // the oracle; the fold is two full joins of ≤ topN-row frames.
+    "q_hybrid_rrf3" -> QueryDef(
+      (s, d) => {
+        import graft.operators.SparseKnn
+        def bucket(t: String): Long = {
+          val hex = java.security.MessageDigest.getInstance("MD5")
+            .digest(("graft-tf" + t).getBytes("UTF-8")).map("%02x".format(_)).mkString
+          java.lang.Long.parseLong(hex.substring(0, 8), 16) % 1024
+        }
+        val qb = Terms.map(bucket).distinct.sorted
+        val sparse = SparseKnn.hashingTf(Tables.documents(s, d), dim = 1024)
+          .select(col("doc_id"),
+            round(SparseKnn.sparseCosine(col("indices"), col("values"),
+              typedlit(qb), typedlit(qb.map(_ => 1.0))), 4).as("sp"))
+          .where(col("sp").isNotNull)
+        TextSearch.rrfFuseN(Seq(
+            (TextSearch.bm25(Tables.documents(s, d), Terms), "score"),
+            (cosineSide(s, d), "cos"),
+            (sparse, "sp")), "doc_id")
+          .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+      },
+      Some(bm25Cte + cosCte + s""",
+             |sp_tf AS (SELECT doc_id, ('0x'||substr(md5('graft-tf'||t2),1,8))::BIGINT % 1024 AS b,
+             |            count(*)::DOUBLE AS v
+             |          FROM (SELECT doc_id, unnest(string_split($canon,' ')) AS t2 FROM documents)
+             |          WHERE t2 <> '' GROUP BY 1,2),
+             |sp_q AS (SELECT DISTINCT ('0x'||substr(md5('graft-tf'||t3),1,8))::BIGINT % 1024 AS b
+             |         FROM (SELECT unnest(string_split('spark table scan',' ')) AS t3)),
+             |sp_qn AS (SELECT sqrt(count(*)::DOUBLE) AS qn FROM sp_q),
+             |sp_dn AS (SELECT doc_id, sqrt(sum(v*v)) AS n FROM sp_tf GROUP BY 1),
+             |sp_dot AS (SELECT tf.doc_id, sum(tf.v) AS dot FROM sp_tf tf JOIN sp_q USING (b) GROUP BY 1),
+             |sp AS (SELECT dn.doc_id, round(coalesce(d.dot, 0)/(dn.n*qn.qn), 4) AS sp
+             |       FROM sp_dn dn LEFT JOIN sp_dot d USING (doc_id) CROSS JOIN sp_qn qn
+             |       WHERE dn.n > 0),
+             |f_ra0 AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)::DOUBLE AS r FROM bm),
+             |f_rb0 AS (SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id)::DOUBLE AS r FROM cos),
+             |f_rc0 AS (SELECT doc_id, row_number() OVER (ORDER BY sp DESC, doc_id)::DOUBLE AS r FROM sp),
+             |f_ra AS (SELECT * FROM f_ra0 WHERE r <= 1000),
+             |f_rb AS (SELECT * FROM f_rb0 WHERE r <= 1000),
+             |f_rc AS (SELECT * FROM f_rc0 WHERE r <= 1000)
+             |SELECT coalesce(f_ra.doc_id, f_rb.doc_id, f_rc.doc_id) AS doc_id,
+             |  round(coalesce(1/(60+f_ra.r),0)+coalesce(1/(60+f_rb.r),0)+coalesce(1/(60+f_rc.r),0),6) AS rrf
+             |FROM f_ra FULL JOIN f_rb ON f_ra.doc_id = f_rb.doc_id
+             |FULL JOIN f_rc ON coalesce(f_ra.doc_id, f_rb.doc_id) = f_rc.doc_id
+             |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin)),
+
     // Benchmark contamination: a deterministic 5% "benchmark" split
     // scanned against the remaining corpus for shingle-overlap >= 0.5
     // (catches the near-dup pairs that straddle the split).

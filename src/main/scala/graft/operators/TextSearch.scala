@@ -134,4 +134,30 @@ object TextSearch {
         round(coalesce(lit(1.0) / (lit(k) + col("__ra")), lit(0.0)) +
               coalesce(lit(1.0) / (lit(k) + col("__rb")), lit(0.0)), scale).as("rrf"))
   }
+
+  /** N-list reciprocal-rank fusion — [[rrfFuse]] generalized to the
+    * modern three-retriever stack (BM25 + dense + learned-sparse) and
+    * beyond: rrf(d) = Σᵢ 1/(k + rankᵢ(d)) over every list containing d.
+    * Same per-list truncate-then-rank shape (each list's total order
+    * runs over ≤ topN rows, never the corpus), lists fold through
+    * full-outer joins on the id — N is retriever count, a small
+    * constant, so the join chain is N−1 broadcast-sized joins of
+    * ≤ topN-row frames. */
+  def rrfFuseN(lists: Seq[(DataFrame, String)], idCol: String,
+               k: Int = 60, topN: Int = 1000, scale: Int = 6): DataFrame = {
+    require(lists.size >= 2, s"rrfFuseN: need >= 2 lists, got ${lists.size}")
+    def ranked(df: DataFrame, scoreCol: String, out: String): DataFrame =
+      df.select(col(idCol), col(scoreCol))
+        .orderBy(col(scoreCol).desc, col(idCol)).limit(topN)
+        // bounded global window — see the rrfFuse note above
+        .withColumn(out, row_number().over(
+          Window.orderBy(col(scoreCol).desc, col(idCol))).cast("double"))
+        .select(col(idCol), col(out))
+    val rankCols = lists.indices.map(i => s"__r$i")
+    val joined = lists.zip(rankCols).map { case ((df, sc), out) => ranked(df, sc, out) }
+      .reduce((l, r) => l.join(r, Seq(idCol), "full_outer"))
+    joined.select(col(idCol),
+      round(rankCols.map(c => coalesce(lit(1.0) / (lit(k) + col(c)), lit(0.0)))
+        .reduce(_ + _), scale).as("rrf"))
+  }
 }

@@ -76,4 +76,25 @@ class TextSearchSpec extends SparkSpec {
     // dfCap = 0 drops every shingle → no hits, bounded output
     assert(Dedup.crossContamination(test, train, threshold = 0.1, dfCap = 0).count() == 0)
   }
+
+  test("rrfFuseN: two lists reproduce rrfFuse exactly; third list shifts the fusion") {
+    import spark.implicits._
+    val a = Seq((1L, 9.0), (2L, 7.0), (3L, 5.0)).toDF("doc_id", "sa")
+    val b = Seq((2L, 4.0), (3L, 6.0), (4L, 2.0)).toDF("doc_id", "sb")
+    val c = Seq((4L, 1.0), (1L, 0.5)).toDF("doc_id", "sc")
+    val two = TextSearch.rrfFuse(a, b, "doc_id", "sa", "sb")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val twoN = TextSearch.rrfFuseN(Seq((a, "sa"), (b, "sb")), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(two == twoN && two.nonEmpty)
+    val three = TextSearch.rrfFuseN(Seq((a, "sa"), (b, "sb"), (c, "sc")), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // doc 4: rank 3 in b, rank 1 in c -> 1/63 + 1/61
+    val expect4 = BigDecimal(1.0 / 63 + 1.0 / 61)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(three(4L) == expect4, s"doc 4: ${three(4L)} != $expect4")
+    // docs present in a third list strictly gain over the 2-way fusion
+    assert(three(1L) > two(1L) && three(4L) > two(4L))
+    assert(three(2L) == two(2L), "doc absent from the third list is unchanged")
+  }
 }
