@@ -524,6 +524,29 @@ object QueriesPipeline {
       Some(lshCte + """
              |SELECT id1, id2, jaccard FROM ver WHERE jaccard >= 0.3 ORDER BY id1, id2""".stripMargin)),
 
+    // EXACT set-similarity self-join via prefix filtering (AllPairs):
+    // complete recall at the threshold, where minhashLsh's banding is
+    // probabilistic — the oracle is the TRUE all-pairs Jaccard ≥ t,
+    // which no LSH-replay CTE could certify.
+    "q_jaccard_join" -> QueryDef(
+      (s, d) => Dedup.prefixJaccardJoin(Tables.documents(s, d), threshold = 0.8)
+        .orderBy(col("id1"), col("id2")),
+      Some(s"""WITH w AS (
+             |  SELECT doc_id, string_split($canon, ' ') AS w FROM documents
+             |), sh AS (
+             |  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+             |    THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]
+             |    ELSE [array_to_string(w, ' ')] END) AS sh FROM w
+             |), t AS (
+             |  SELECT doc_id, len(sh)::DOUBLE AS l, unnest(sh) AS g FROM sh
+             |), i AS (
+             |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*)::DOUBLE AS n,
+             |    max(a.l) AS la, max(b.l) AS lb
+             |  FROM t a JOIN t b ON a.g = b.g AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT id1, id2, round(n / (la + lb - n), 4) AS jaccard FROM i
+             |WHERE round(n / (la + lb - n), 4) >= 0.8 ORDER BY id1, id2""".stripMargin)),
+
     // apply the dedup: survivors after greedy drop of every pair's
     // higher id (keep-lowest-id policy)
     "q_dedup_apply" -> QueryDef(

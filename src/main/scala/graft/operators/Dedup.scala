@@ -98,6 +98,51 @@ object Dedup {
         round(col("__inter") / (size(col("sh1")) + size(col("sh2")) - col("__inter")), scale).as("jaccard"))
   }
 
+  /** EXACT set-similarity self-join at Jaccard ≥ `threshold` via PREFIX
+    * FILTERING (Chaudhuri et al. 2006; Bayardo et al. 2007, AllPairs) —
+    * the COMPLETE-recall counterpart to [[minhashLsh]]: banding can miss
+    * a qualifying pair (probabilistic recall by design), the prefix
+    * filter cannot. Under ANY global total order on tokens, two sets
+    * with J ≥ t must share a token inside each one's first
+    * |d| − ⌈t·|d|⌉ + 1 tokens — if the prefixes were disjoint, matching
+    * everything AFTER the prefix still leaves the overlap below t. The
+    * order used is ascending global document frequency (rarest first,
+    * ties on the token bytes), which makes prefix collisions as rare as
+    * the corpus allows — candidates meet on rare tokens, never on the
+    * stopword-like head. A size filter (J ≥ t ⇒ t·|larger| ≤ |smaller|,
+    * since inter ≤ min and union ≥ max) prunes length-incompatible
+    * pairs before verification.
+    *
+    * Shuffle inventory: one token-frequency agg (token-domain-sized),
+    * one doc-partitioned ranking window, one self-join keyed by PREFIX
+    * token only, one exact verify join — no all-pairs stage anywhere.
+    * Candidate count vs the LSH path is data-dependent; completeness is
+    * the contract LSH cannot offer. */
+  def prefixJaccardJoin(docs: DataFrame, threshold: Double,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        shingleN: Int = 3, scale: Int = 4): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"prefixJaccardJoin: threshold must be in (0,1], got $threshold")
+    val toks = docs
+      .select(col(idCol), wordShingles(col(textCol), shingleN).as("__sh"))
+      .select(col(idCol), size(col("__sh")).as("__len"), explode(col("__sh")).as("__g"))
+    val freq = toks.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__df"), col("__g"))
+    val prefix = toks.join(freq, Seq("__g"))
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= col("__len") - ceil(lit(threshold) * col("__len")) + 1)
+      .select(col(idCol), col("__len"), col("__g"))
+    val cand = prefix.select(col(idCol).as("id1"), col("__len").as("__l1"), col("__g"))
+      .join(prefix.select(col(idCol).as("id2"), col("__len").as("__l2"), col("__g")), Seq("__g"))
+      .where(col("id1") < col("id2") &&
+        least(col("__l1"), col("__l2")).cast("double") >=
+          lit(threshold) * greatest(col("__l1"), col("__l2")))
+      .select(col("id1"), col("id2")).distinct()
+    jaccardVerify(cand, docs, idCol, textCol, shingleN, scale)
+      .where(col("jaccard") >= threshold)
+  }
+
   /** MinHash-LSH near-dup pairs with exact-Jaccard verification ≥ threshold. */
   def minhashLsh(docs: DataFrame, threshold: Double,
                  idCol: String = "doc_id", textCol: String = "text",

@@ -28,6 +28,35 @@ class DedupSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("prefixJaccardJoin: complete vs brute-force all-pairs; prefix prunes candidates") {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    // plant one guaranteed near-dup pair on top of the corpus
+    val planted = docs.unionAll(docs.where(col("doc_id") === 0)
+      .select((col("doc_id") + 90000).as("doc_id"), col("text")))
+    val t = 0.3
+    val got = Dedup.prefixJaccardJoin(planted, t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got.contains((0L, 90000L, 1.0)), "planted exact copy must surface at J = 1")
+    // brute force over every pair — COMPLETE ground truth
+    val ids = planted.select(col("doc_id").as("id1"))
+      .crossJoin(planted.select(col("doc_id").as("id2")))
+      .where(col("id1") < col("id2"))
+    val brute = Dedup.jaccardVerify(ids, planted)
+      .where(col("jaccard") >= t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == brute, s"missing=${brute -- got} extra=${got -- brute}")
+    // the prefix candidate space is a strict subset of all pairs
+    val n = planted.count()
+    val allPairs = n * (n - 1) / 2
+    val toks = planted.select(col("doc_id"),
+      graft.functions.ShingleExpressions.wordShingles(col("text"), 3).as("sh"))
+    // re-derive the candidate count through the public API by verifying
+    // at threshold over an impossible jaccard floor: candidates == rows
+    // reaching verification — proxy: prefix pairs at t must be << all
+    val cand = Dedup.prefixJaccardJoin(planted, t, scale = 4)
+    assert(cand.count() < allPairs, s"no pruning: ${cand.count()} vs $allPairs")
+  }
+
   test("embedding near-dup is symmetric-free (id1 < id2) and thresholded") {
     val res = Dedup.embeddingNearDup(Tables.embeddings(spark, sfDir), 0.4).collect()
     assert(res.nonEmpty)
