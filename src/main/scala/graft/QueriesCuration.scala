@@ -467,6 +467,26 @@ object QueriesCuration {
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
 
     ,
+    // Mergeable KLL quantile view (round 8): the per-group p50/p95 the
+    // (n, sum, min, max) state can't answer without rescanning history —
+    // three independently sketched batches fold to one sketch per group.
+    // Rows-only by design: KLL estimates are stable within the rank-error
+    // bound, not bit-stable (sketch bytes depend on partition order);
+    // IncrementalAggSpec gates estimates against exact quantiles.
+    "q_incr_quantile" -> QueryDef(
+      (s, d) => {
+        import graft.operators.IncrementalAgg
+        val ev = Tables.events(s, d)
+          .select(col("event_type").as("k"), (col("value") * 1000).cast("bigint").as("v"))
+        val batches = (0 until 3).map(i => ev.where(pmod(col("v"), lit(3)) === i))
+        val folded = IncrementalAgg.foldQuantile(
+          batches.map(b => IncrementalAgg.summarizeQuantile(b, Seq("k"), "v"))
+            .reduce(_ unionByName _), Seq("k"))
+        IncrementalAgg.quantilesOf(folded, Seq(0.5, 0.95))
+          .orderBy(col("k"))
+      }, None)
+
+    ,
     // ── Bloom-pruned ANTI join: incremental dedup of a new crawl
     // against the already-ingested corpus (a deterministic 60% sample
     // plays the "seen" set). Oracle = plain NOT IN.

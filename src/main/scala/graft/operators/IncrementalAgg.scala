@@ -55,6 +55,41 @@ object IncrementalAgg {
     summary.withColumn("avg_v",
       round(col("sum_v") / col("n"), scale).cast(s"decimal(28,$scale)"))
 
+  /** MERGEABLE QUANTILE summaries — the state (n, sum, min, max) can't
+    * answer "p95 latency per group without rescanning history"; a KLL
+    * sketch can (Karnin–Lang–Liberty 2016, via Spark 4's built-in
+    * DataSketches functions). [[summarizeQuantile]] collapses a batch to
+    * one KLL sketch per group; [[foldQuantile]] merges sketches —
+    * `kll_merge_agg` is the sketch family's whole point: merging two
+    * sketches bounds error exactly like sketching the union, so the view
+    * folds hierarchically without ever touching raw history;
+    * [[quantilesOf]] reads quantile estimates out. Approximation
+    * contract: KLL normalized rank error (~1.7% at the default k), and
+    * sketch BYTES depend on partition order — estimates are stable
+    * within the error bound, not bit-stable, hence spec-gated against
+    * exact quantiles rather than oracle-hashed. Values sketch as BIGINT
+    * (the drift/outlier convention: integer metrics). */
+  def summarizeQuantile(batch: DataFrame, keys: Seq[String], valueCol: String): DataFrame = {
+    require(keys.nonEmpty, "IncrementalAgg: need at least one group key")
+    batch.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        expr(s"kll_sketch_agg_bigint(cast($valueCol as bigint))").as("kll"))
+  }
+
+  /** Merge per-batch sketch rows to one sketch per group (commutative /
+    * associative up to the sketch's own merge semantics). */
+  def foldQuantile(summaries: DataFrame, keys: Seq[String]): DataFrame =
+    summaries.groupBy(keys.map(col): _*)
+      .agg(sum(col("n")).as("n"), expr("kll_merge_agg_bigint(kll)").as("kll"))
+
+  /** Read quantile estimates from a folded sketch summary: one column per
+    * requested quantile (`q50`, `q95`, …). */
+  def quantilesOf(summary: DataFrame, quantiles: Seq[Double]): DataFrame =
+    quantiles.foldLeft(summary) { (df, q) =>
+      df.withColumn(s"q${(q * 100).round}",
+        expr(s"kll_sketch_get_quantile_bigint(kll, cast($q as double))"))
+    }.drop("kll")
+
   /** Streaming materialized view, exactly-once: each micro-batch writes
     * ITS OWN summary under `batch_id=N` with dynamic partition overwrite
     * (a crash-replayed batch overwrites itself — `fold`ing into a single

@@ -64,4 +64,42 @@ class IncrementalAggSpec extends SparkSpec {
     assert(avg.keySet == direct.keySet)
     avg.keys.foreach(k => assert(avg(k).compareTo(direct(k)) == 0, s"$k: ${avg(k)} vs ${direct(k)}"))
   }
+
+  test("KLL quantile view: merged sketch estimates track exact quantiles within rank error") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type").as("k"),
+        (col("value") * 1000).cast("bigint").as("v"))
+    // three batches by value hash, summarized independently, folded
+    val batches = (0 until 3).map(i => ev.where(pmod(col("v"), lit(3)) === i))
+    val folded = IncrementalAgg.foldQuantile(
+      batches.map(b => IncrementalAgg.summarizeQuantile(b, Seq("k"), "v"))
+        .reduce(_ unionByName _), Seq("k"))
+    val est = IncrementalAgg.quantilesOf(folded, Seq(0.5, 0.95))
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(est.nonEmpty)
+    // exact ranks of the estimates in the full per-group data
+    val data = ev.collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    est.foreach { case (k, (q50, q95)) =>
+      val xs = data(k)
+      def rankOf(x: Long): Double = xs.count(_ <= x).toDouble / xs.length
+      assert(math.abs(rankOf(q50) - 0.5) <= 0.05, s"$k q50=$q50 rank=${rankOf(q50)}")
+      assert(math.abs(rankOf(q95) - 0.95) <= 0.05, s"$k q95=$q95 rank=${rankOf(q95)}")
+    }
+    // fold shape: history never rescanned — the fold input is sketches,
+    // and a hierarchical fold estimates within tolerance of the flat one
+    val hier = IncrementalAgg.foldQuantile(
+      IncrementalAgg.foldQuantile(
+        batches.take(2).map(b => IncrementalAgg.summarizeQuantile(b, Seq("k"), "v"))
+          .reduce(_ unionByName _), Seq("k"))
+        .unionByName(IncrementalAgg.summarizeQuantile(batches(2), Seq("k"), "v")),
+      Seq("k"))
+    val hierEst = IncrementalAgg.quantilesOf(hier, Seq(0.5))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    hierEst.foreach { case (k, q50) =>
+      val xs = data(k)
+      val r = xs.count(_ <= q50).toDouble / xs.length
+      assert(math.abs(r - 0.5) <= 0.05, s"hier $k q50=$q50 rank=$r")
+    }
+  }
 }
