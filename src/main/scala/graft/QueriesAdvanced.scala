@@ -156,6 +156,50 @@ object QueriesAdvanced {
              |       AS BIGINT) AS is_current
              |FROM runs ORDER BY user_id, valid_from""".stripMargin)),
 
+    // SCD2 point-in-time lookup (round 8): the asOf snapshot at the
+    // changelog's midpoint — one version per user live at T, the
+    // valid_from <= T < valid_to comparison a static pushable filter.
+    "q_scd2_asof" -> QueryDef(
+      (s, d) => {
+        val ch = Tables.events(s, d)
+          .where(col("event_type") === "click")
+          .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts"),
+            floor(col("value") / 20).cast("long").as("state"))
+        val hist = graft.operators.Scd2.fromChangelog(ch, "user_id",
+          Seq("ts", "event_id"), Seq("state"))
+        val r = ch.agg(min(col("ts")), max(col("ts"))).head()
+        val mid = (r.getLong(0) + r.getLong(1)) / 2
+        graft.operators.Scd2.asOf(hist, lit(mid))
+          .select(col("user_id"), col("state"), col("valid_from"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH ch AS (
+             |  SELECT user_id, event_id, epoch_us(ts) AS ts,
+             |    CAST(floor(value / 20) AS BIGINT) AS state
+             |  FROM events WHERE event_type = 'click'),
+             |mid AS (SELECT (min(ts) + max(ts)) // 2 AS m FROM ch),
+             |dedup AS (
+             |  SELECT user_id, ts, state FROM (
+             |    SELECT user_id, ts, state,
+             |      lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+             |    FROM ch)
+             |  WHERE next_ts IS NULL OR next_ts <> ts),
+             |marked AS (
+             |  SELECT user_id, ts, state,
+             |    lag(state) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+             |  FROM dedup),
+             |runs AS (
+             |  SELECT user_id, state, ts AS valid_from FROM marked
+             |  WHERE prev IS NULL OR prev <> state),
+             |versions AS (
+             |  SELECT user_id, state, valid_from,
+             |    lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to
+             |  FROM runs)
+             |SELECT user_id, state, valid_from
+             |FROM versions CROSS JOIN mid
+             |WHERE valid_from <= m AND (valid_to IS NULL OR valid_to > m)
+             |ORDER BY user_id""".stripMargin)),
+
     // Incremental SCD2 MERGE: build history on the first half of the
     // changelog (global time split), fold the second half in with
     // applyChanges — the daily-batch maintenance path. Under a time-split
