@@ -210,6 +210,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft", null, name), builder))
     }
     e.injectOptimizerRule(_ => graft.plans.LevenshteinPrefilterRule)
+    e.injectOptimizerRule(_ => graft.plans.EpochPushdownRule)
     e.injectOptimizerRule(_ => graft.plans.IvfScanRewriteRule)
     e.injectOptimizerRule(_ => graft.plans.SparseScanRewriteRule)
   }
