@@ -92,7 +92,10 @@ object QueriesCuration {
         // metastore table
         val tag = math.abs(d.hashCode).toString
         val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_q_didx_$tag"
-        DedupIndex.writeIndex(docs, s"q_dedup_idx_$tag", idxDir)
+        Fixtures.memo(s"dedup_idx:$d") {
+          DedupIndex.writeIndex(docs, s"q_dedup_idx_$tag", idxDir)
+          idxDir
+        }
         DedupIndex.searchIndex(s, s"q_dedup_idx_$tag", copies.unionAll(novels), docs, 0.8)
           .orderBy(col("batch_id"), col("corpus_id"))
       },

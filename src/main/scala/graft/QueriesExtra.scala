@@ -96,10 +96,13 @@ object QueriesExtra {
       (s, d) => {
         import graft.functions.VectorFunctions
         val e = Tables.embeddings(s, d)
-        val en = e.withColumn("embedding", VectorFunctions.l2Normalize(col("embedding")))
-        val model = graft.operators.IvfIndex.train(en, k = 16, iters = 2)
-        val dir = java.nio.file.Files.createTempDirectory("ivf_cos_q").toString
-        graft.operators.IvfIndex.writeIndexCosine(e, model, dir)
+        val dir = Fixtures.memo(s"ivf_cos_idx:$d") {
+          val en = e.withColumn("embedding", VectorFunctions.l2Normalize(col("embedding")))
+          val model = graft.operators.IvfIndex.train(en, k = 16, iters = 2)
+          val dr = java.nio.file.Files.createTempDirectory("ivf_cos_q").toString
+          graft.operators.IvfIndex.writeIndexCosine(e, model, dr)
+          dr
+        }
         val q = e.where(col("vec_id") < 4).select(col("vec_id").as("qid"), col("embedding"))
         graft.operators.IvfIndex.searchIndexCosine(s, dir, q, k = 3, nprobe = 12)
           .orderBy(col("qid"), col("rn"))
@@ -113,9 +116,12 @@ object QueriesExtra {
     "q_ann_ivf_ip" -> QueryDef(
       (s, d) => {
         val e = Tables.embeddings(s, d)
-        val model = graft.operators.IvfIndex.train(e, k = 16, iters = 2)
-        val dir = java.nio.file.Files.createTempDirectory("ivf_ip_q").toString
-        graft.operators.IvfIndex.writeIndex(e, model, dir)
+        val dir = Fixtures.memo(s"ivf_ip_idx:$d") {
+          val model = graft.operators.IvfIndex.train(e, k = 16, iters = 2)
+          val dr = java.nio.file.Files.createTempDirectory("ivf_ip_q").toString
+          graft.operators.IvfIndex.writeIndex(e, model, dr)
+          dr
+        }
         val q = e.where(col("vec_id") < 4).select(col("vec_id").as("qid"), col("embedding"))
         graft.operators.IvfIndex.searchIndexIp(s, dir, q, k = 3, nprobe = 12)
           .orderBy(col("qid"), col("rn"))
@@ -129,7 +135,9 @@ object QueriesExtra {
     "q_ann_hnsw" -> QueryDef(
       (s, d) => {
         val e = Tables.embeddings(s, d)
-        val index = graft.operators.Hnsw.build(e, m = 16, efConstruction = 64)
+        val index = Fixtures.memo(s"hnsw_graph:$d") {
+          graft.operators.Hnsw.build(e, m = 16, efConstruction = 64)
+        }
         val q = e.where(col("vec_id") < 4).select(col("vec_id").as("qid"), col("embedding"))
         graft.operators.Hnsw.topKBatch(s, index, q, k = 3)
           .orderBy(col("qid"), col("rn"))
@@ -146,7 +154,7 @@ object QueriesExtra {
     "q_dbscan" -> QueryDef(
       (s, d) => {
         val e = Tables.embeddings(s, d)
-        val model = IvfIndex.train(e, k = 8, iters = 2)
+        val model = Fixtures.memo(s"ivf_model_k8_i2:$d") { IvfIndex.train(e, k = 8, iters = 2) }
         graft.operators.Clustering.dbscan(e, eps = 0.65, minPts = 3, model, nprobe = 8)
           .orderBy(col("vec_id"))
       },
@@ -191,7 +199,7 @@ object QueriesExtra {
       (s, d) => {
         import graft.operators.{Clustering, Curation}
         val e = Tables.embeddings(s, d)
-        val model = IvfIndex.train(e, k = 8, iters = 2)
+        val model = Fixtures.memo(s"ivf_model_k8_i2:$d") { IvfIndex.train(e, k = 8, iters = 2) }
         val labeled = Clustering.dbscan(e, eps = 0.65, minPts = 3, model, nprobe = 8)
           .where(col("role") =!= "noise")
           .withColumn("__sk", Curation.shuffleKey(col("vec_id"), "cluster-sample"))
@@ -239,8 +247,11 @@ object QueriesExtra {
     "q_ann_hnsw_sharded" -> QueryDef(
       (s, d) => {
         val e = Tables.embeddings(s, d)
-        val dir = java.nio.file.Files.createTempDirectory("hnsw_sh_q").toString
-        graft.operators.Hnsw.writeIndexSharded(e, numShards = 4, dir)
+        val dir = Fixtures.memo(s"hnsw_sharded_idx:$d") {
+          val dr = java.nio.file.Files.createTempDirectory("hnsw_sh_q").toString
+          graft.operators.Hnsw.writeIndexSharded(e, numShards = 4, dr)
+          dr
+        }
         val q = e.where(col("vec_id") < 4).select(col("vec_id").as("qid"), col("embedding"))
         graft.operators.Hnsw.searchIndexSharded(s, dir, q, k = 3)
           .orderBy(col("qid"), col("rn"))
@@ -256,7 +267,7 @@ object QueriesExtra {
     "q_dbscan_probed" -> QueryDef(
       (s, d) => {
         val e = Tables.embeddings(s, d)
-        val model = IvfIndex.train(e, k = 8, iters = 2)
+        val model = Fixtures.memo(s"ivf_model_k8_i2:$d") { IvfIndex.train(e, k = 8, iters = 2) }
         graft.operators.Clustering.dbscan(e, eps = 0.65, minPts = 3, model, nprobe = 2)
           .orderBy(col("vec_id"))
       },
@@ -275,7 +286,7 @@ object QueriesExtra {
     "q_ann_ivf_exact" -> QueryDef(
       (s, d) => {
         val e = Tables.embeddings(s, d)
-        val model = IvfIndex.train(e, k = 16, iters = 3)
+        val model = Fixtures.memo(s"ivf_model_k16_i3:$d") { IvfIndex.train(e, k = 16, iters = 3) }
         val q = e.where(col("vec_id") < 4).select(col("vec_id").as("qid"), col("embedding"))
         IvfIndex.topK(e, q, model, k = 5, nprobe = 16).orderBy(col("qid"), col("rn"))
       },
@@ -295,10 +306,13 @@ object QueriesExtra {
       (s, d) => {
         val e = Tables.embeddings(s, d)
         val n = e.count().toInt
-        val model = IvfIndex.train(e, k = 16, iters = 3)
-        val (mn, mx) = graft.operators.Quantize.scalarRange(e)
-        val dir = java.nio.file.Files.createTempDirectory("ivf_sq_exact_q").toString
-        IvfIndex.writeIndexQuantized(e, model, dir, mn, mx)
+        val dir = Fixtures.memo(s"ivf_sq_idx:$d") {
+          val model = Fixtures.memo(s"ivf_model_k16_i3:$d") { IvfIndex.train(e, k = 16, iters = 3) }
+          val (mn, mx) = graft.operators.Quantize.scalarRange(e)
+          val dr = java.nio.file.Files.createTempDirectory("ivf_sq_q").toString
+          IvfIndex.writeIndexQuantized(e, model, dr, mn, mx)
+          dr
+        }
         val q = e.where(col("vec_id") < 4).select(col("vec_id").as("qid"), col("embedding"))
         IvfIndex.searchIndexQuantized(s, dir, q, k = 5, nprobe = 16, overfetch = n)
           .orderBy(col("qid"), col("rn"))
@@ -312,10 +326,13 @@ object QueriesExtra {
         import graft.operators.{ProductQuantizer => PQ}
         val e = Tables.embeddings(s, d)
         val n = e.count().toInt
-        val ivf = IvfIndex.train(e, k = 8, iters = 2)
-        val pq = PQ.trainResidual(e, ivf, m = 16, ksub = 16, iters = 10)
-        val dir = java.nio.file.Files.createTempDirectory("ivfpq_exact_q").toString
-        IvfIndex.writeIndexPq(e, ivf, pq, dir)
+        val dir = Fixtures.memo(s"ivfpq_idx:$d") {
+          val ivf = Fixtures.memo(s"ivf_model_k8_i2:$d") { IvfIndex.train(e, k = 8, iters = 2) }
+          val pq = PQ.trainResidual(e, ivf, m = 16, ksub = 16, iters = 10)
+          val dr = java.nio.file.Files.createTempDirectory("ivfpq_idx_q").toString
+          IvfIndex.writeIndexPq(e, ivf, pq, dr)
+          dr
+        }
         val q = e.where(col("vec_id") < 4).select(col("vec_id").as("qid"), col("embedding"))
         IvfIndex.searchIndexPq(s, dir, q, k = 5, nprobe = 8, overfetch = n)
           .orderBy(col("qid"), col("rn"))
@@ -328,8 +345,11 @@ object QueriesExtra {
       (s, d) => {
         val e = Tables.embeddings(s, d)
         val n = e.count().toInt
-        val dir = java.nio.file.Files.createTempDirectory("hnsw_exact_q").toString
-        graft.operators.Hnsw.writeIndexSharded(e, numShards = 4, dir)
+        val dir = Fixtures.memo(s"hnsw_sharded_idx:$d") {
+          val dr = java.nio.file.Files.createTempDirectory("hnsw_sh_q").toString
+          graft.operators.Hnsw.writeIndexSharded(e, numShards = 4, dr)
+          dr
+        }
         val q = e.where(col("vec_id") < 4).select(col("vec_id").as("qid"), col("embedding"))
         graft.operators.Hnsw.searchIndexSharded(s, dir, q, k = 5, ef = n)
           .orderBy(col("qid"), col("rn"))
@@ -343,10 +363,13 @@ object QueriesExtra {
       (s, d) => {
         import graft.functions.VectorFunctions
         val e = Tables.embeddings(s, d)
-        val en = e.withColumn("embedding", VectorFunctions.l2Normalize(col("embedding")))
-        val model = IvfIndex.train(en, k = 16, iters = 2)
-        val dir = java.nio.file.Files.createTempDirectory("ivf_cos_exact_q").toString
-        IvfIndex.writeIndexCosine(e, model, dir)
+        val dir = Fixtures.memo(s"ivf_cos_idx:$d") {
+          val en = e.withColumn("embedding", VectorFunctions.l2Normalize(col("embedding")))
+          val model = IvfIndex.train(en, k = 16, iters = 2)
+          val dr = java.nio.file.Files.createTempDirectory("ivf_cos_q").toString
+          IvfIndex.writeIndexCosine(e, model, dr)
+          dr
+        }
         val q = e.where(col("vec_id") < 4).select(col("vec_id").as("qid"), col("embedding"))
         IvfIndex.searchIndexCosine(s, dir, q, k = 5, nprobe = 16)
           .orderBy(col("qid"), col("rn"))
@@ -367,9 +390,12 @@ object QueriesExtra {
     "q_ann_ivf_ip_exact" -> QueryDef(
       (s, d) => {
         val e = Tables.embeddings(s, d)
-        val model = IvfIndex.train(e, k = 16, iters = 2)
-        val dir = java.nio.file.Files.createTempDirectory("ivf_ip_exact_q").toString
-        IvfIndex.writeIndex(e, model, dir)
+        val dir = Fixtures.memo(s"ivf_ip_idx:$d") {
+          val model = IvfIndex.train(e, k = 16, iters = 2)
+          val dr = java.nio.file.Files.createTempDirectory("ivf_ip_q").toString
+          IvfIndex.writeIndex(e, model, dr)
+          dr
+        }
         val q = e.where(col("vec_id") < 4).select(col("vec_id").as("qid"), col("embedding"))
         IvfIndex.searchIndexIp(s, dir, q, k = 5, nprobe = 16)
           .orderBy(col("qid"), col("rn"))
@@ -468,7 +494,7 @@ object QueriesExtra {
     "q_ann_ivf" -> QueryDef(
       (s, d) => {
         val e = Tables.embeddings(s, d)
-        val model = IvfIndex.train(e, k = 16, iters = 3)
+        val model = Fixtures.memo(s"ivf_model_k16_i3:$d") { IvfIndex.train(e, k = 16, iters = 3) }
         val q = e.where(col("vec_id") < 4).select(col("vec_id").as("qid"), col("embedding"))
         IvfIndex.topK(e, q, model, k = 3, nprobe = 4).orderBy(col("qid"), col("rn"))
       },
@@ -480,10 +506,13 @@ object QueriesExtra {
     "q_ann_ivf_sq" -> QueryDef(
       (s, d) => {
         val e = Tables.embeddings(s, d)
-        val model = IvfIndex.train(e, k = 16, iters = 3)
-        val (mn, mx) = graft.operators.Quantize.scalarRange(e)
-        val dir = java.nio.file.Files.createTempDirectory("ivf_sq_q").toString
-        IvfIndex.writeIndexQuantized(e, model, dir, mn, mx)
+        val dir = Fixtures.memo(s"ivf_sq_idx:$d") {
+          val model = Fixtures.memo(s"ivf_model_k16_i3:$d") { IvfIndex.train(e, k = 16, iters = 3) }
+          val (mn, mx) = graft.operators.Quantize.scalarRange(e)
+          val dr = java.nio.file.Files.createTempDirectory("ivf_sq_q").toString
+          IvfIndex.writeIndexQuantized(e, model, dr, mn, mx)
+          dr
+        }
         val q = e.where(col("vec_id") < 4).select(col("vec_id").as("qid"), col("embedding"))
         IvfIndex.searchIndexQuantized(s, dir, q, k = 3, nprobe = 4)
           .orderBy(col("qid"), col("rn"))
@@ -496,7 +525,7 @@ object QueriesExtra {
     "q_knn_join" -> QueryDef(
       (s, d) => {
         val e = Tables.embeddings(s, d)
-        val model = IvfIndex.train(e, k = 16, iters = 3)
+        val model = Fixtures.memo(s"ivf_model_k16_i3:$d") { IvfIndex.train(e, k = 16, iters = 3) }
         val left = e.where(col("vec_id") < 8).select(col("vec_id").as("qid"), col("embedding"))
         val right = e.where(col("vec_id") >= 8)
         IvfIndex.knnJoin(left, right, model, k = 3, nprobe = 6)
@@ -511,8 +540,10 @@ object QueriesExtra {
       (s, d) => {
         import graft.operators.{ProductQuantizer => PQ}
         val e = Tables.embeddings(s, d)
-        val ivf = IvfIndex.train(e, k = 8, iters = 2)
-        val pq = PQ.trainResidual(e, ivf, m = 16, ksub = 16, iters = 10)
+        val (ivf, pq) = Fixtures.memo(s"ivfpq_models:$d") {
+          val iv = Fixtures.memo(s"ivf_model_k8_i2:$d") { IvfIndex.train(e, k = 8, iters = 2) }
+          (iv, PQ.trainResidual(e, iv, m = 16, ksub = 16, iters = 10))
+        }
         val cellCol = IvfIndex.cellOf(col("embedding"), ivf)
         val codes = e.select(col("vec_id"), cellCol.as("cell"),
           PQ.encodeExpr(PQ.residualExpr(col("embedding"), cellCol, ivf), pq).as("pq_codes"))
@@ -531,10 +562,15 @@ object QueriesExtra {
       (s, d) => {
         import graft.operators.{ProductQuantizer => PQ}
         val e = Tables.embeddings(s, d)
-        val ivf = IvfIndex.train(e, k = 8, iters = 2)
-        val pq = PQ.trainResidual(e, ivf, m = 16, ksub = 16, iters = 10)
-        val dir = java.nio.file.Files.createTempDirectory("ivfpq_idx_q").toString
-        IvfIndex.writeIndexPq(e, ivf, pq, dir)
+        val dir = Fixtures.memo(s"ivfpq_idx:$d") {
+          val (ivf, pq) = Fixtures.memo(s"ivfpq_models:$d") {
+            val iv = Fixtures.memo(s"ivf_model_k8_i2:$d") { IvfIndex.train(e, k = 8, iters = 2) }
+            (iv, PQ.trainResidual(e, iv, m = 16, ksub = 16, iters = 10))
+          }
+          val dr = java.nio.file.Files.createTempDirectory("ivfpq_idx_q").toString
+          IvfIndex.writeIndexPq(e, ivf, pq, dr)
+          dr
+        }
         val q = e.where(col("vec_id") < 4).select(col("vec_id").as("qid"), col("embedding"))
         IvfIndex.searchIndexPq(s, dir, q, k = 3, nprobe = 4, overfetch = 8)
           .orderBy(col("qid"), col("rn"))
@@ -546,7 +582,9 @@ object QueriesExtra {
     "q_ann_pq" -> QueryDef(
       (s, d) => {
         val e = Tables.embeddings(s, d)
-        val model = graft.operators.ProductQuantizer.train(e, m = 16, ksub = 16, iters = 10)
+        val model = Fixtures.memo(s"pq_model:$d") {
+          graft.operators.ProductQuantizer.train(e, m = 16, ksub = 16, iters = 10)
+        }
         val codes = e.select(col("vec_id"),
           graft.operators.ProductQuantizer.encodeExpr(col("embedding"), model).as("pq_codes"))
         val q = e.where(col("vec_id") < 4).select(col("vec_id").as("qid"), col("embedding"))
@@ -803,9 +841,12 @@ object QueriesExtra {
     "q_ann_binary_idx" -> QueryDef(
       (s, d) => {
         val e = Tables.embeddings(s, d)
-        val model = IvfIndex.train(e, k = 8, iters = 2)
-        val dir = java.nio.file.Files.createTempDirectory("ivf_bin_q").toString
-        IvfIndex.writeIndexBinary(e, model, dir)
+        val dir = Fixtures.memo(s"ivf_bin_idx_k8:$d") {
+          val model = Fixtures.memo(s"ivf_model_k8_i2:$d") { IvfIndex.train(e, k = 8, iters = 2) }
+          val dr = java.nio.file.Files.createTempDirectory("ivf_bin_q").toString
+          IvfIndex.writeIndexBinary(e, model, dr)
+          dr
+        }
         val q = e.where(col("vec_id") < 4).select(col("vec_id").as("qid"), col("embedding"))
         IvfIndex.searchIndexBinary(s, dir, q, k = 5, nprobe = 2)
           .orderBy(col("qid"), col("rn"))
@@ -819,14 +860,65 @@ object QueriesExtra {
       (s, d) => {
         val e = Tables.embeddings(s, d)
         val n = e.count().toInt
-        val model = IvfIndex.train(e, k = 16, iters = 3)
-        val dir = java.nio.file.Files.createTempDirectory("ivf_bin_exact_q").toString
-        IvfIndex.writeIndexBinary(e, model, dir)
+        val dir = Fixtures.memo(s"ivf_bin_idx_k16:$d") {
+          val model = Fixtures.memo(s"ivf_model_k16_i3:$d") { IvfIndex.train(e, k = 16, iters = 3) }
+          val dr = java.nio.file.Files.createTempDirectory("ivf_bin_exact_q").toString
+          IvfIndex.writeIndexBinary(e, model, dr)
+          dr
+        }
         val q = e.where(col("vec_id") < 4).select(col("vec_id").as("qid"), col("embedding"))
         IvfIndex.searchIndexBinary(s, dir, q, k = 5, nprobe = 16, overfetch = n)
           .orderBy(col("qid"), col("rn"))
       },
       Some(annExactL2Sql)),
+
+    // ── EXPLICIT INDEX-BUILD GATES (dense ANN) ───────────────────────
+    // The serve queries reuse their trained-model/persisted-index
+    // fixtures (built once per JVM); these force a FULL rebuild — train
+    // included — every run, so the build path keeps its own bench floor,
+    // and hash-gate row preservation through the partitioned write.
+
+    // IVF-PQ full build: coarse k-means + residual PQ codebooks + the
+    // cell-partitioned encoded store. The gate pins that every corpus
+    // row lands in the store exactly once.
+    "q_ivfpq_build" -> QueryDef(
+      (s, d) => {
+        import graft.operators.{ProductQuantizer => PQ}
+        val e = Tables.embeddings(s, d)
+        val dir = Fixtures.rebuild(s"ivfpq_idx:$d") {
+          val (ivf, pq) = Fixtures.rebuild(s"ivfpq_models:$d") {
+            val iv = Fixtures.rebuild(s"ivf_model_k8_i2:$d") { IvfIndex.train(e, k = 8, iters = 2) }
+            (iv, PQ.trainResidual(e, iv, m = 16, ksub = 16, iters = 10))
+          }
+          val dr = java.nio.file.Files.createTempDirectory("ivfpq_idx_q").toString
+          IvfIndex.writeIndexPq(e, ivf, pq, dr)
+          dr
+        }
+        s.read.parquet(dir).agg(
+          count(lit(1)).cast("long").as("n_rows"),
+          countDistinct(col("vec_id")).cast("long").as("n_ids"))
+      },
+      Some("""SELECT count(*)::BIGINT AS n_rows, count(DISTINCT vec_id)::BIGINT AS n_ids
+             |FROM embeddings""".stripMargin)),
+
+    // Sharded-HNSW full build: executor-built per-shard graphs; the gate
+    // pins node conservation (sum of shard sizes == corpus) and the
+    // floorMod shard fan-out.
+    "q_hnsw_build" -> QueryDef(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val dir = Fixtures.rebuild(s"hnsw_sharded_idx:$d") {
+          val dr = java.nio.file.Files.createTempDirectory("hnsw_sh_q").toString
+          graft.operators.Hnsw.writeIndexSharded(e, numShards = 4, dr)
+          dr
+        }
+        s.read.parquet(dir).agg(
+          sum(col("n")).cast("long").as("n_nodes"),
+          count(lit(1)).cast("long").as("n_shards"))
+      },
+      Some("""SELECT count(*)::BIGINT AS n_nodes,
+             |  count(DISTINCT vec_id % 4)::BIGINT AS n_shards
+             |FROM embeddings""".stripMargin)),
 
     // Binary quantization + Hamming ranking — pgvector 0.7's bit-vector
     // family (bit(n), <~> hamming): sign bit per dim packed 32/word,

@@ -85,7 +85,10 @@ object QueriesSearch {
       (s, d) => {
         val tag = math.abs(d.hashCode).toString
         val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_q_bm25idx_$tag"
-        TextSearch.writeBm25Index(Tables.documents(s, d), s"q_bm25_idx_$tag", idxDir)
+        Fixtures.memo(s"bm25_idx:$d") {
+          TextSearch.writeBm25Index(Tables.documents(s, d), s"q_bm25_idx_$tag", idxDir)
+          idxDir
+        }
         TextSearch.bm25FromIndex(s, s"q_bm25_idx_$tag", idxDir, Terms)
           .orderBy(col("score").desc, col("doc_id")).limit(20)
       },
@@ -447,7 +450,10 @@ object QueriesSearch {
         val tag = math.abs(d.hashCode).toString
         val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_q_spidx_$tag"
         val sv = SparseKnn.hashingTf(Tables.documents(s, d), dim = 1024)
-        SparseKnn.writeIndex(sv, s"q_sp_idx_$tag", idxDir)
+        Fixtures.memo(s"sparse_idx:$d") {
+          SparseKnn.writeIndex(sv, s"q_sp_idx_$tag", idxDir)
+          idxDir
+        }
         val q = sv.where(col("doc_id") < 4)
           .select(col("doc_id").as("qid"), col("indices"), col("values"))
         SparseKnn.topKFromIndex(s, s"q_sp_idx_$tag", q, k = 5)
@@ -482,8 +488,11 @@ object QueriesSearch {
         import graft.operators.SparseKnn
         val tag = math.abs(d.hashCode).toString
         val storeDir = s"${System.getProperty("java.io.tmpdir")}/graft_q_sprw_$tag"
-        val sv = SparseKnn.hashingTf(Tables.documents(s, d), dim = 256)
-        SparseKnn.writeIndexedStore(s, sv, s"q_sprw_idx_$tag", storeDir)
+        Fixtures.memo(s"sparse_rw_store:$d") {
+          val sv = SparseKnn.hashingTf(Tables.documents(s, d), dim = 256)
+          SparseKnn.writeIndexedStore(s, sv, s"q_sprw_idx_$tag", storeDir)
+          storeDir
+        }
         s.read.parquet(storeDir)
           .select(col("doc_id"),
             SparseKnn.sparseDot(col("indices"), col("values"),
@@ -509,8 +518,11 @@ object QueriesSearch {
         import graft.operators.SparseKnn
         val tag = math.abs(d.hashCode).toString
         val storeDir = s"${System.getProperty("java.io.tmpdir")}/graft_q_sprwc_$tag"
-        val sv = SparseKnn.hashingTf(Tables.documents(s, d), dim = 256)
-        SparseKnn.writeIndexedStore(s, sv, s"q_sprwc_idx_$tag", storeDir)
+        Fixtures.memo(s"sparse_rwc_store:$d") {
+          val sv = SparseKnn.hashingTf(Tables.documents(s, d), dim = 256)
+          SparseKnn.writeIndexedStore(s, sv, s"q_sprwc_idx_$tag", storeDir)
+          storeDir
+        }
         s.read.parquet(storeDir)
           .select(col("doc_id"),
             SparseKnn.sparseCosine(col("indices"), col("values"),
@@ -576,8 +588,11 @@ object QueriesSearch {
         import graft.operators.SparseKnn
         val tag = math.abs(d.hashCode).toString
         val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_q_splidx_$tag"
-        val sv = SparseKnn.spladeExpand(Tables.documents(s, d), dim = 1024)
-        SparseKnn.writeIndex(sv, s"q_splade_idx_$tag", idxDir)
+        Fixtures.memo(s"splade_idx:$d") {
+          val sv = SparseKnn.spladeExpand(Tables.documents(s, d), dim = 1024)
+          SparseKnn.writeIndex(sv, s"q_splade_idx_$tag", idxDir)
+          idxDir
+        }
         // splade featurization is row-local (no corpus stats), so the
         // query side featurizes ONLY its own docs instead of re-running
         // the corpus pass the index build already paid
@@ -608,6 +623,92 @@ object QueriesSearch {
              |           FROM scored)
              |SELECT qid, doc_id, cos, CAST(rn AS BIGINT) AS rn
              |FROM ranked WHERE rn <= 5 ORDER BY qid, rn""".stripMargin)),
+
+    // ── EXPLICIT INDEX-BUILD GATES ───────────────────────────────────
+    // Serve queries above reuse their index fixture (built once per JVM,
+    // the production build/serve split); these entries force a FULL
+    // rebuild every run so build cost stays visible under its own bench
+    // floor, and hash-gate the persisted postings against the oracle's
+    // replay of the featurization — a row lost or doubled in the
+    // explode/bucketBy write shows up here, not as a recall dip.
+
+    // Hashed-TF postings build: count/term/doc/mass invariants of the
+    // persisted index (TF values are integers, so sum_v is exact).
+    "q_sparse_idx_build" -> QueryDef(
+      (s, d) => {
+        import graft.operators.SparseKnn
+        val tag = math.abs(d.hashCode).toString
+        val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_q_spidx_$tag"
+        Fixtures.rebuild(s"sparse_idx:$d") {
+          val sv = SparseKnn.hashingTf(Tables.documents(s, d), dim = 1024)
+          SparseKnn.writeIndex(sv, s"q_sp_idx_$tag", idxDir)
+          idxDir
+        }
+        s.table(s"q_sp_idx_$tag").agg(
+          count(lit(1)).cast("long").as("n_postings"),
+          countDistinct(col("__t")).cast("long").as("n_terms"),
+          countDistinct(col("doc_id")).cast("long").as("n_docs"),
+          round(sum(col("__v")), 2).as("sum_v"))
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, unnest(string_split($canon, ' ')) AS tok FROM documents),
+             |tf AS (SELECT doc_id, ('0x' || substr(md5('graft-tf' || tok), 1, 8))::BIGINT % 1024 AS b,
+             |         count(*)::DOUBLE AS v
+             |       FROM tok WHERE tok <> '' GROUP BY 1, 2)
+             |SELECT count(*)::BIGINT AS n_postings, count(DISTINCT b)::BIGINT AS n_terms,
+             |  count(DISTINCT doc_id)::BIGINT AS n_docs, round(sum(v), 2) AS sum_v
+             |FROM tf""".stripMargin)),
+
+    // BM25 postings build: same invariants over the (doc, term, tf)
+    // postings the bm25FromIndex serve path reads.
+    "q_bm25_build" -> QueryDef(
+      (s, d) => {
+        val tag = math.abs(d.hashCode).toString
+        val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_q_bm25idx_$tag"
+        Fixtures.rebuild(s"bm25_idx:$d") {
+          TextSearch.writeBm25Index(Tables.documents(s, d), s"q_bm25_idx_$tag", idxDir)
+          idxDir
+        }
+        s.table(s"q_bm25_idx_$tag").agg(
+          count(lit(1)).cast("long").as("n_postings"),
+          countDistinct(col("__t")).cast("long").as("n_terms"),
+          countDistinct(col("doc_id")).cast("long").as("n_docs"),
+          round(sum(col("__tf")), 2).as("sum_tf"))
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, unnest(string_split($canon, ' ')) AS t FROM documents),
+             |tf AS (SELECT doc_id, t, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2)
+             |SELECT count(*)::BIGINT AS n_postings, count(DISTINCT t)::BIGINT AS n_terms,
+             |  count(DISTINCT doc_id)::BIGINT AS n_docs, round(sum(tf), 2) AS sum_tf
+             |FROM tf""".stripMargin)),
+
+    // SPLADE expanded-postings build: the 3x term-expansion inflates the
+    // postings; the gate pins the expanded index's shape and mass.
+    "q_splade_build" -> QueryDef(
+      (s, d) => {
+        import graft.operators.SparseKnn
+        val tag = math.abs(d.hashCode).toString
+        val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_q_splidx_$tag"
+        Fixtures.rebuild(s"splade_idx:$d") {
+          val sv = SparseKnn.spladeExpand(Tables.documents(s, d), dim = 1024)
+          SparseKnn.writeIndex(sv, s"q_splade_idx_$tag", idxDir)
+          idxDir
+        }
+        s.table(s"q_splade_idx_$tag").agg(
+          count(lit(1)).cast("long").as("n_postings"),
+          countDistinct(col("__t")).cast("long").as("n_terms"),
+          countDistinct(col("doc_id")).cast("long").as("n_docs"),
+          round(sum(col("__v")), 2).as("sum_v"))
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, unnest(string_split($canon, ' ')) AS tok FROM documents),
+             |tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf
+             |       FROM tok WHERE tok <> '' GROUP BY 1, 2),
+             |c AS (SELECT doc_id,
+             |        ('0x' || substr(md5('graft-splade-e' || e || tok), 1, 8))::BIGINT % 1024 AS b,
+             |        pow(0.5, e) * ln(tf + 1.0) AS w
+             |      FROM (SELECT doc_id, tok, tf, unnest([0, 1, 2]) AS e FROM tf)),
+             |w AS (SELECT doc_id, b, round(max(w), 6) AS v FROM c GROUP BY 1, 2)
+             |SELECT count(*)::BIGINT AS n_postings, count(DISTINCT b)::BIGINT AS n_terms,
+             |  count(DISTINCT doc_id)::BIGINT AS n_docs, round(sum(v), 2) AS sum_v
+             |FROM w""".stripMargin)),
 
     // word-frequency table (the tokenizer-training inner loop). Two
     // shuffles over shrinking data: corpus tokens -> word freqs (map-side
