@@ -129,15 +129,27 @@ object Dedup {
     val freq = toks.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("__df"), col("__g"))
+    // Integer-exact threshold arithmetic: double products like
+    // 0.55 * 100 can land strictly above the mathematical value
+    // (55.000000000000007), shortening the prefix / tightening the size
+    // filter and silently dropping pairs at J exactly = threshold. Both
+    // predicates therefore compare through the scaled integer
+    // T = ⌊t·10⁶⌋: T/10⁶ ≤ t always, so the prefix is never shorter and
+    // the size filter never tighter than the exact-rational versions —
+    // completeness errs permissive, and the final exact-Jaccard verify
+    // discards any extra candidates. (⌈t·len⌉ = (T·len + 10⁶−1) div 10⁶
+    // in pure long arithmetic; products stay far below Long.Max.)
+    val tScaled = math.floor(threshold * 1e6).toLong
     val prefix = toks.join(freq, Seq("__g"))
       .withColumn("__rk", row_number().over(w))
-      .where(col("__rk") <= col("__len") - ceil(lit(threshold) * col("__len")) + 1)
+      .where(col("__rk") <=
+        col("__len") - expr(s"(${tScaled}L * __len + 999999L) div 1000000L") + 1)
       .select(col(idCol), col("__len"), col("__g"))
     val cand = prefix.select(col(idCol).as("id1"), col("__len").as("__l1"), col("__g"))
       .join(prefix.select(col(idCol).as("id2"), col("__len").as("__l2"), col("__g")), Seq("__g"))
       .where(col("id1") < col("id2") &&
-        least(col("__l1"), col("__l2")).cast("double") >=
-          lit(threshold) * greatest(col("__l1"), col("__l2")))
+        least(col("__l1"), col("__l2")).cast("long") * lit(1000000L) >=
+          lit(tScaled) * greatest(col("__l1"), col("__l2")).cast("long"))
       .select(col("id1"), col("id2")).distinct()
     jaccardVerify(cand, docs, idCol, textCol, shingleN, scale)
       .where(col("jaccard") >= threshold)

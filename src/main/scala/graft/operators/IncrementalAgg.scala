@@ -83,12 +83,26 @@ object IncrementalAgg {
       .agg(sum(col("n")).as("n"), expr("kll_merge_agg_bigint(kll)").as("kll"))
 
   /** Read quantile estimates from a folded sketch summary: one column per
-    * requested quantile (`q50`, `q95`, …). */
-  def quantilesOf(summary: DataFrame, quantiles: Seq[Double]): DataFrame =
-    quantiles.foldLeft(summary) { (df, q) =>
-      df.withColumn(s"q${(q * 100).round}",
-        expr(s"kll_sketch_get_quantile_bigint(kll, cast($q as double))"))
+    * requested quantile — `q50`, `q95`, and `q95_5` for fractional
+    * percents (the name is derived from the full decimal, so 0.954 and
+    * 0.9551 cannot silently overwrite each other; a residual collision,
+    * e.g. a literally duplicated quantile, fails loud). */
+  def quantilesOf(summary: DataFrame, quantiles: Seq[Double]): DataFrame = {
+    def nameOf(q: Double): String = {
+      // 6dp then strip: double noise (0.95*100 = 95.00000000000001) must
+      // not leak into column names
+      val pct = BigDecimal(q * 100).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .underlying.stripTrailingZeros.toPlainString
+      "q" + pct.replace("-", "neg").replace(".", "_")
+    }
+    val names = quantiles.map(nameOf)
+    require(names.distinct.length == names.length,
+      s"IncrementalAgg.quantilesOf: quantiles map to colliding column names " +
+        s"${names.mkString(", ")} — deduplicate the requested quantiles")
+    quantiles.zip(names).foldLeft(summary) { case (df, (q, n)) =>
+      df.withColumn(n, expr(s"kll_sketch_get_quantile_bigint(kll, cast($q as double))"))
     }.drop("kll")
+  }
 
   /** Streaming materialized view, exactly-once: each micro-batch writes
     * ITS OWN summary under `batch_id=N` with dynamic partition overwrite

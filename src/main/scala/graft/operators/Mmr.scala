@@ -40,6 +40,18 @@ object Mmr {
     require(probe.length <= maxCandidates,
       s"Mmr.rerank: candidate set exceeds maxCandidates=$maxCandidates — MMR re-ranks a " +
         "bounded retrieval result, not a corpus; retrieve first, then diversify")
+    // validate the serve rows up front: a null/NaN relevance or a null
+    // embedding would otherwise poison the greedy argmax (all NaN
+    // comparisons are false, so bestIdx never advances past -1 and the
+    // failure surfaces as an unrelated BitSet error) — fail loud with
+    // the offending id instead
+    probe.foreach { r =>
+      require(!r.isNullAt(1) && !r.getDouble(1).isNaN,
+        s"Mmr.rerank: null/NaN $relCol for $idCol=${r.getLong(0)}")
+      require(!r.isNullAt(2) && !r.getSeq[Any](2).exists(v =>
+          v == null || v.asInstanceOf[Double].isNaN),
+        s"Mmr.rerank: null/NaN $embCol for $idCol=${r.getLong(0)}")
+    }
     val ids = probe.map(_.getLong(0))
     val rels = probe.map(r => roundAt(r.getDouble(1), scale))
     val embs = probe.map(_.getSeq[Double](2).toArray)

@@ -192,9 +192,14 @@ object SparseKnn {
     val p = new org.apache.hadoop.fs.Path(path, "_sparse_index.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
-    try out.write(
-      s"""{"table":"$table","idCol":"$idCol","postings":"$path/_postings/postings"}"""
-        .getBytes("UTF-8"))
+    // Jackson-serialized (not string interpolation): quotes/backslashes
+    // in a table name or path must escape, or the reader misparses
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.createObjectNode()
+    node.put("table", table)
+    node.put("idCol", idCol)
+    node.put("postings", s"$path/_postings/postings")
+    try out.write(om.writeValueAsBytes(node))
     finally out.close()
   }
 

@@ -262,10 +262,19 @@ object SparseScanRewriteRule extends Rule[LogicalPlan] {
     Some(cache.getOrElseUpdate(stamp, {
       val in = fs.open(p)
       val json = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-      def field(name: String): String =
-        s""""$name"\\s*:\\s*"([^"]+)"""".r.findFirstMatchIn(json).map(_.group(1))
-          .getOrElse(throw new IllegalStateException(
-            s"_sparse_index.json at $path is missing field '$name': $json"))
+      // real JSON parse (Jackson ships with Spark) — a table name or
+      // path containing a quote/backslash round-trips instead of being
+      // regex-misparsed into an obscure missing-field error
+      val node = try new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+        catch { case e: Exception => throw new IllegalStateException(
+          s"_sparse_index.json at $path is not valid JSON: $json", e) }
+      def field(name: String): String = {
+        val v = node.get(name)
+        if (v == null || !v.isTextual || v.asText.isEmpty)
+          throw new IllegalStateException(
+            s"_sparse_index.json at $path is missing string field '$name': $json")
+        v.asText
+      }
       IndexMeta(field("table"), field("idCol"), field("postings"))
     }))
   }
@@ -297,9 +306,12 @@ object SparseScanRewriteRule extends Rule[LogicalPlan] {
       .groupBy(col(meta.idCol))
       .agg(sum(col("__v") * col("__qw")).as("__dot"),
         org.apache.spark.sql.functions.first(col("__n")).as("__dn"))
-    // cosine candidates rank by dot / doc-norm (every posting row carries
-    // the doc norm > 0); the query-norm factor is constant and dropped
-    val ranked = if (byCosine) scored.select(col(meta.idCol),
+    // cosine candidates rank by dot / doc-norm; the query-norm factor is
+    // constant and dropped. A zero-norm store row (all-zero sparse
+    // values) would make the division throw under ANSI mode where the
+    // unrewritten sparse_cosine query just yields null — so filter it
+    // out (a zero-norm doc can never rank by cosine anyway)
+    val ranked = if (byCosine) scored.where(col("__dn") > 0).select(col(meta.idCol),
         (col("__dot") / col("__dn")).as("__r"))
       else scored.select(col(meta.idCol), col("__dot").as("__r"))
     val candidates = ranked

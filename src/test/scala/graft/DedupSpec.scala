@@ -278,4 +278,31 @@ class DedupSpec extends SparkSpec {
       s"pair=($a,$b) cos=($ca,$cb)")
     assert(near2.contains(expectNear) && !near2.contains(if (expectNear == a) b else a))
   }
+
+  test("prefixJaccardJoin threshold arithmetic is integer-exact at (t*len)-integer boundaries") {
+    // The scaled-integer prefix bound must never EXCEED the exact
+    // rational ceil(t*len) (a larger ceil = shorter prefix = possible
+    // missed pair at J exactly t), and must equal it whenever t is a
+    // 6-decimal rational (every practical threshold). The naive double
+    // formula fails this at e.g. t=0.55, len=100 (ceil -> 56, not 55).
+    def scaledCeil(t: Double, len: Long): Long = {
+      val tS = math.floor(t * 1e6).toLong
+      (tS * len + 999999L) / 1000000L
+    }
+    def exactCeil(t: Double, len: Long): Long = {
+      val bd = BigDecimal(t.toString) * BigDecimal(len)
+      bd.setScale(0, BigDecimal.RoundingMode.CEILING).toLong
+    }
+    var checkedBoundary = 0
+    for (tTenths <- 5 to 95; len <- 1L to 200L) {
+      val t = tTenths / 100.0
+      assert(scaledCeil(t, len) <= exactCeil(t, len), s"t=$t len=$len")
+      assert(scaledCeil(t, len) == exactCeil(t, len), s"t=$t len=$len")
+      if ((BigDecimal(t.toString) * BigDecimal(len)).isWhole) checkedBoundary += 1
+    }
+    assert(checkedBoundary > 100) // the integer-product boundary cases were exercised
+    // the documented failing combo specifically
+    assert(scaledCeil(0.55, 100) == 55 && math.ceil(0.55 * 100).toLong == 56)
+  }
+
 }

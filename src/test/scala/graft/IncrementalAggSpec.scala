@@ -102,4 +102,21 @@ class IncrementalAggSpec extends SparkSpec {
       assert(math.abs(r - 0.5) <= 0.05, s"hier $k q50=$q50 rank=$r")
     }
   }
+
+  test("quantilesOf derives collision-free names from the full decimal and rejects duplicates") {
+    val s = IncrementalAgg.summarizeQuantile(
+      (1L to 100L).map(i => ("a", i)).toDF("k", "v"), Seq("k"), "v")
+    val f = IncrementalAgg.foldQuantile(s, Seq("k"))
+    // 0.954 and 0.9551 used to both round to q95/q96-adjacent integer
+    // names; now they must coexist, and double noise (0.95*100) must
+    // still yield the clean q95
+    val cols = IncrementalAgg.quantilesOf(f, Seq(0.5, 0.95, 0.954, 0.9551)).columns.toSeq
+    assert(cols.contains("q50") && cols.contains("q95") &&
+      cols.contains("q95_4") && cols.contains("q95_51"), cols.toString)
+    val e = intercept[IllegalArgumentException] {
+      IncrementalAgg.quantilesOf(f, Seq(0.95, 0.95))
+    }
+    assert(e.getMessage.contains("colliding"))
+  }
+
 }

@@ -47,4 +47,15 @@ class MmrSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
     assert(a.sortBy(_._3) == b.sortBy(_._3))
   }
+
+  test("NaN/null relevance or embeddings fail loud with the offending id") {
+    val bad = Seq((1L, Double.NaN, Seq(1.0, 0.0)), (2L, 0.5, Seq(0.0, 1.0)))
+      .toDF("vec_id", "rel", "embedding")
+    val e1 = intercept[IllegalArgumentException] { Mmr.rerank(bad, 0.7, 1) }
+    assert(e1.getMessage.contains("vec_id=1"))
+    val badEmb = Seq((3L, 0.9, Seq(Double.NaN, 1.0))).toDF("vec_id", "rel", "embedding")
+    val e2 = intercept[IllegalArgumentException] { Mmr.rerank(badEmb, 0.7, 1) }
+    assert(e2.getMessage.contains("vec_id=3"))
+  }
+
 }
