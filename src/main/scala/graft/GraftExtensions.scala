@@ -49,6 +49,8 @@ object GraftFunctions {
       org.apache.spark.sql.catalyst.expressions.UnaryMinus(VecDot(es(0), es(1)))),
     arity("vec_l2sq", 2)(es => VecL2Sq(es(0), es(1))),
     arity("vec_l2", 2)(es => Sqrt(VecL2Sq(es(0), es(1)))),
+    // pgvector 0.7 <+> (vector_l1_ops)
+    arity("vec_l1", 2)(es => graft.functions.VecL1(es(0), es(1))),
     arity("vec_cosine_sim", 2)(es => VecCosine(es(0), es(1))),
     arity("vec_code_l2sq", 2)(es => VecCodeL2Sq(es(0), es(1))),
     arity("vec_cosine_dist", 2)(es => org.apache.spark.sql.catalyst.expressions.Subtract(
@@ -59,6 +61,9 @@ object GraftFunctions {
       if (es.length > 1) intLit(es(1), "numPerm") else 16)),
     arity("simhash64", 1)(es => SimHashExpr(es.head)),
     arity("deflate_ratio", 1)(es => graft.functions.DeflateRatioExpr(es.head)),
+    // pgvector 0.7 halfvec casts: vector → binary16 codes and back
+    arity("vec_half_encode", 1)(es => graft.functions.HalfEncodeExpr(es.head)),
+    arity("vec_half_decode", 1)(es => graft.functions.HalfDecodeExpr(es.head)),
     // pgvector 0.7/0.8 function-surface parity: vector_dims / vector_norm
     // / subvector / l2_normalize ports. All pure Catalyst trees; the
     // self-dot duplicates its argument, hence the determinism guard.

@@ -82,6 +82,20 @@ object Queries {
              |FROM embeddings e CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
              |ORDER BY dist, vec_id LIMIT 5""".stripMargin)),
 
+    // pgvector 0.7 <+> (vector_l1_ops): Manhattan-distance KNN — the
+    // last of pgvector's dense distance opclasses. Exact sum of absolute
+    // differences on both engines, rounded 4dp, ties by id.
+    "q_knn_l1" -> QueryDef(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        Knn.topK(e, e.where(col("vec_id") === 0), Knn.L1, 5)
+      },
+      Some("""SELECT e.vec_id,
+             |  round(list_sum([abs(e.embedding[i] - q.embedding[i])
+             |    for i in range(1, len(e.embedding) + 1)]), 4) AS dist
+             |FROM embeddings e CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+             |ORDER BY dist, vec_id LIMIT 5""".stripMargin)),
+
     // ── §2.1 text normalization ──────────────────────────────────────
     "q_text_normalize" -> QueryDef(
       (s, d) => Tables.documents(s, d)

@@ -410,6 +410,51 @@ object QueriesExtra {
              |  FROM scored)
              |SELECT qid, vec_id, dist, rn FROM ranked WHERE rn <= 5 ORDER BY qid, rn""".stripMargin)),
 
+    // L1 (pgvector 0.7 <+>) IVF search at partial probe — rows-only
+    // (probe recall is the knob); the exact hash signal is the
+    // degeneration gate below. Shares the plain-L2 store with the IP
+    // family (both rerank a different metric over L2-probed cells).
+    "q_ann_ivf_l1" -> QueryDef(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val dir = Fixtures.memo(s"ivf_ip_idx:$d") {
+          val model = IvfIndex.train(e, k = 16, iters = 2)
+          val dr = java.nio.file.Files.createTempDirectory("ivf_ip_q").toString
+          IvfIndex.writeIndex(e, model, dr)
+          dr
+        }
+        val q = e.where(col("vec_id") < 4).select(col("vec_id").as("qid"), col("embedding"))
+        IvfIndex.searchIndexL1(s, dir, q, k = 3, nprobe = 12)
+          .orderBy(col("qid"), col("rn"))
+      },
+      None),
+
+    // L1 search at full probe == exact Manhattan KNN through the cell
+    // pruning and rerank — the <+> degeneration gate.
+    "q_ann_ivf_l1_exact" -> QueryDef(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val dir = Fixtures.memo(s"ivf_ip_idx:$d") {
+          val model = IvfIndex.train(e, k = 16, iters = 2)
+          val dr = java.nio.file.Files.createTempDirectory("ivf_ip_q").toString
+          IvfIndex.writeIndex(e, model, dr)
+          dr
+        }
+        val q = e.where(col("vec_id") < 4).select(col("vec_id").as("qid"), col("embedding"))
+        IvfIndex.searchIndexL1(s, dir, q, k = 5, nprobe = 16)
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some("""WITH q AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < 4),
+             |scored AS (
+             |  SELECT q.qid, e.vec_id,
+             |    round(list_sum([abs(e.embedding[i] - q.embedding[i])
+             |      for i in range(1, len(e.embedding) + 1)]), 4) AS dist
+             |  FROM embeddings e CROSS JOIN q),
+             |ranked AS (SELECT qid, vec_id, dist,
+             |    row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn
+             |  FROM scored)
+             |SELECT qid, vec_id, dist, rn FROM ranked WHERE rn <= 5 ORDER BY qid, rn""".stripMargin)),
+
     // Deterministic hash-bucket sampling — reproducible subsets at any
     // partitioning; the exact md5-bucket construction replays in DuckDB.
     "q_sample_hash" -> QueryDef(
@@ -532,6 +577,31 @@ object QueriesExtra {
           .orderBy(col("qid"), col("rn"))
       },
       None),
+
+    // KNN-join degeneration gate: every-cell probing makes the blocked
+    // join EXACT (each left row meets every right row), so the whole
+    // cell-key shuffle path hash-checks against the brute-force cosine
+    // join — the q_ann_*_exact convention extended to the large-x-large
+    // shape.
+    "q_knn_join_exact" -> QueryDef(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val model = Fixtures.memo(s"ivf_model_k16_i3:$d") { IvfIndex.train(e, k = 16, iters = 3) }
+        val left = e.where(col("vec_id") < 8).select(col("vec_id").as("qid"), col("embedding"))
+        val right = e.where(col("vec_id") >= 8)
+        IvfIndex.knnJoin(left, right, model, k = 3, nprobe = 16)
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some("""WITH l AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < 8),
+             |r AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 8),
+             |scored AS (
+             |  SELECT l.qid, r.vec_id,
+             |    round(list_cosine_similarity(r.embedding::DOUBLE[], l.embedding::DOUBLE[]), 4) AS cos
+             |  FROM l CROSS JOIN r),
+             |ranked AS (SELECT qid, vec_id, cos,
+             |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+             |  FROM scored)
+             |SELECT qid, vec_id, cos, rn FROM ranked WHERE rn <= 3 ORDER BY qid, rn""".stripMargin)),
 
     // IVF-PQ: coarse cells + product codes over residuals, per-(query,
     // cell) ADC tables, full-precision rerank. Approximate, rows-only;
@@ -743,6 +813,25 @@ object QueriesExtra {
              |SELECT e.vec_id, round(list_distance(e.embedding::DOUBLE[], q.qe::DOUBLE[]), 4) AS dist
              |FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q
              |ORDER BY dist, vec_id LIMIT 5""".stripMargin)),
+
+    // halfvec (binary16) store + KNN — pgvector 0.7's 2-byte vector
+    // tier between float32 and SQ8. Rows-only: DuckDB has no binary16
+    // codec to replay; idempotence over all 65536 bit patterns,
+    // nearest-rounding, the 2^-11 reconstruction bound, store
+    // round-trip, and covering-overfetch exactness are spec-gated
+    // (QuantizeSpec).
+    "q_knn_half" -> QueryDef(
+      (s, d) => {
+        import graft.operators.Quantize
+        val e = Tables.embeddings(s, d)
+        val dir = Fixtures.memo(s"half_store:$d") {
+          val dr = java.nio.file.Files.createTempDirectory("half_store_q").toString
+          Quantize.writeStoreHalf(e, dr)
+          dr
+        }
+        Quantize.topKHalf(s, dir, e.where(col("vec_id") === 0), k = 5, overfetch = 4)
+      },
+      None),
 
     // pgvector function-surface parity through plain SQL: vector_dims /
     // vector_norm / subvector / l2_normalize ports (vec_dims, vec_norm,

@@ -624,6 +624,60 @@ object QueriesSearch {
              |SELECT qid, doc_id, cos, CAST(rn AS BIGINT) AS rn
              |FROM ranked WHERE rn <= 5 ORDER BY qid, rn""".stripMargin)),
 
+    // Query-side SPLADE expansion — the serve half of learned sparse
+    // retrieval: the query frame runs the SAME expansion featurizer as
+    // the indexed docs, so a query sharing ZERO surface terms with the
+    // corpus still retrieves (its expansion buckets intersect the
+    // docs' expansion postings). The zzq* query tokens appear in no
+    // document (spec-asserted); every match below exists purely through
+    // expansion, and the whole pipeline replays hash-exact in the
+    // oracle.
+    "q_knn_splade_qexp" -> QueryDef(
+      (s, d) => {
+        import graft.operators.SparseKnn
+        val tag = math.abs(d.hashCode).toString
+        val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_q_splidx_$tag"
+        Fixtures.memo(s"splade_idx:$d") {
+          val sv = SparseKnn.spladeExpand(Tables.documents(s, d), dim = 1024)
+          SparseKnn.writeIndex(sv, s"q_splade_idx_$tag", idxDir)
+          idxDir
+        }
+        import s.implicits._
+        val qdocs = Seq((0L, "zzqalpha zzqbravo zzqcharlie"),
+          (1L, "zzqdelta zzqecho zzqfoxtrot")).toDF("doc_id", "text")
+        val q = SparseKnn.spladeExpand(qdocs, dim = 1024)
+          .select(col("doc_id").as("qid"), col("indices"), col("values"))
+        SparseKnn.topKFromIndex(s, s"q_splade_idx_$tag", q, k = 5)
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, unnest(string_split($canon, ' ')) AS tok FROM documents),
+             |tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf
+             |       FROM tok WHERE tok <> '' GROUP BY 1, 2),
+             |c AS (SELECT doc_id,
+             |        ('0x' || substr(md5('graft-splade-e' || e || tok), 1, 8))::BIGINT % 1024 AS b,
+             |        pow(0.5, e) * ln(tf + 1.0) AS w
+             |      FROM (SELECT doc_id, tok, tf, unnest([0, 1, 2]) AS e FROM tf)),
+             |w AS (SELECT doc_id, b, round(max(w), 6) AS v FROM c GROUP BY 1, 2),
+             |norm AS (SELECT doc_id, sqrt(sum(v*v)) AS nn FROM w GROUP BY doc_id),
+             |qt AS (SELECT * FROM (VALUES (0, 'zzqalpha'), (0, 'zzqbravo'), (0, 'zzqcharlie'),
+             |                             (1, 'zzqdelta'), (1, 'zzqecho'), (1, 'zzqfoxtrot')) AS t(qid, tok)),
+             |qc AS (SELECT qid,
+             |         ('0x' || substr(md5('graft-splade-e' || e || tok), 1, 8))::BIGINT % 1024 AS b,
+             |         pow(0.5, e) * ln(2.0) AS w
+             |       FROM (SELECT qid, tok, unnest([0, 1, 2]) AS e FROM qt)),
+             |q AS (SELECT qid, b, round(max(w), 6) AS v FROM qc GROUP BY 1, 2),
+             |qn AS (SELECT qid, sqrt(sum(v*v)) AS nn FROM q GROUP BY qid),
+             |dots AS (SELECT q.qid, p.doc_id, sum(p.v * q.v) AS dot
+             |         FROM w p JOIN q ON p.b = q.b GROUP BY 1, 2),
+             |scored AS (SELECT d.qid, d.doc_id, round(d.dot / (n1.nn * n2.nn), 4) AS cos
+             |           FROM dots d JOIN norm n1 ON n1.doc_id = d.doc_id
+             |           JOIN qn n2 ON n2.qid = d.qid),
+             |ranked AS (SELECT qid, doc_id, cos,
+             |             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, doc_id) AS rn
+             |           FROM scored)
+             |SELECT CAST(qid AS BIGINT) AS qid, doc_id, cos, CAST(rn AS BIGINT) AS rn
+             |FROM ranked WHERE rn <= 5 ORDER BY qid, rn""".stripMargin)),
+
     // ── EXPLICIT INDEX-BUILD GATES ───────────────────────────────────
     // Serve queries above reuse their index fixture (built once per JVM,
     // the production build/serve split); these entries force a FULL

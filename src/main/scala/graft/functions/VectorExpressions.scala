@@ -121,6 +121,39 @@ case class VecL2Sq(left: Expression, right: Expression) extends VectorKernel {
     copy(left = l, right = r)
 }
 
+/** L1 (Manhattan / taxicab) distance — pgvector 0.7's `<+>` operator
+  * (`vector_l1_ops`): Σ|aᵢ − bᵢ|. Same single-pass shape as
+  * [[VecL2Sq]]; no final sqrt, L1 is already a metric. */
+case class VecL1(left: Expression, right: Expression) extends VectorKernel {
+  override def prettyName: String = "vec_l1"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val fx = elemType(left) == FloatType; val fy = elemType(right) == FloatType
+    val n = checkDims(x.numElements(), y.numElements())
+    var acc = 0.0; var i = 0
+    while (i < n) { acc += math.abs(get(x, fx, i) - get(y, fy, i)); i += 1 }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |${genCheckDims(a, b, n)}
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += Math.abs(${genGet(a, left, i)} - ${genGet(b, right, i)});
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Cosine similarity in ONE pass (dot + both norms fused — basis of
   * pgvector `<=>` via 1 - sim). */
 case class VecCosine(left: Expression, right: Expression) extends VectorKernel {
@@ -233,6 +266,8 @@ object VectorExpressions {
     ExpressionUtils.column(VecDot(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
   def vecL2Sq(a: Column, b: Column): Column =
     ExpressionUtils.column(VecL2Sq(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+  def vecL1(a: Column, b: Column): Column =
+    ExpressionUtils.column(VecL1(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
   def vecCosineSim(a: Column, b: Column): Column =
     ExpressionUtils.column(VecCosine(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
   def vecCodeL2Sq(a: Column, b: Column): Column =

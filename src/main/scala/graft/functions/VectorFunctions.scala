@@ -28,6 +28,9 @@ object VectorFunctions {
   /** pgvector `<->` (Euclidean distance). */
   def l2Distance(a: Column, b: Column): Column = sqrt(l2DistanceSq(a, b))
 
+  /** pgvector 0.7 `<+>` (L1 / Manhattan distance, `vector_l1_ops`). */
+  def l1Distance(a: Column, b: Column): Column = VectorExpressions.vecL1(a, b)
+
   def norm(a: Column): Column = sqrt(innerProduct(a, a))
 
   /** Cosine similarity — one fused pass computing dot + both norms. */

@@ -673,6 +673,38 @@ object IvfIndex {
       .select(col(queryIdCol), col(idCol), col("dist"), col("rn").cast("long").as("rn"))
   }
 
+  /** L1 (Manhattan) search over an L2-metric index — pgvector 0.7's
+    * `vector_l1_ops` / `<+>` analogue. Cells are probed by L2 geometry
+    * (L1 and L2 balls are mutually bounded within √dim, so an L1 query's
+    * true neighbors live in nearby-L2 cells with high probability — the
+    * same probe-metric/rerank-metric split as [[searchIndexIp]]); the
+    * rerank scores exact Σ|xᵢ−qᵢ|. `nprobe` is the recall knob; full
+    * probe degenerates to exact L1 KNN (oracle-gated). A cosine store is
+    * refused: its vectors were L2-normalized at write, so L1 over the
+    * stored bytes would rank the NORMALIZED geometry while the caller
+    * asked about the raw one — silent wrong answers, not approximation. */
+  def searchIndexL1(spark: org.apache.spark.sql.SparkSession, path: String,
+                    queries: DataFrame, k: Int, nprobe: Int,
+                    idCol: String = "vec_id", embCol: String = "embedding",
+                    queryIdCol: String = "qid", scale: Int = 4): DataFrame = {
+    require(readMetric(spark, path) == "l2",
+      s"searchIndexL1: $path is a cosine-metric (normalized) index — L1 over " +
+        "normalized bytes answers a different question; build an L2 store for <+>")
+    val model = readModel(spark, path)
+    val probedCells = queries
+      .select(explode(cellsOf(col(embCol), model, nprobe)).as("cell"))
+      .distinct().collect().map(_.getInt(0).asInstanceOf[Any])
+    val corpus = spark.read.parquet(path).where(col("cell").isin(probedCells: _*))
+    val qSide = broadcast(queries.select(col(queryIdCol), col(embCol).as("__qemb")))
+    val scored = corpus.crossJoin(qSide)
+      .select(col(queryIdCol), col(idCol),
+        round(VectorFunctions.l1Distance(col(embCol), col("__qemb")), scale).as("dist"))
+    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("dist"), col(idCol))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col(queryIdCol), col(idCol), col("dist"), col("rn").cast("long").as("rn"))
+  }
+
   /** Append new vectors to a quantized index: cells assigned under the
     * existing centroids AND codes under the existing range — both read
     * from the sidecars, so appended rows are scan-compatible with the

@@ -23,6 +23,7 @@ object Knn {
   case object L2 extends Metric { def dist(a: Column, b: Column): Column = l2Distance(a, b) }
   case object Cosine extends Metric { def dist(a: Column, b: Column): Column = cosineDistance(a, b) }
   case object InnerProduct extends Metric { def dist(a: Column, b: Column): Column = negInnerProduct(a, b) }
+  case object L1 extends Metric { def dist(a: Column, b: Column): Column = l1Distance(a, b) }
 
   /** Top-k rows of `corpus` nearest to the single query vector in
     * `query` (a 1-row frame holding `embCol`). The query side is

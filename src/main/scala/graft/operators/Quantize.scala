@@ -180,6 +180,52 @@ object Quantize {
     rerankRead(spark.read.parquet(path), query, candIds, k, idCol, embCol, scale)
   }
 
+  // ── halfvec (binary16) tier — pgvector 0.7's 2-byte vector type ────
+
+  /** binary16 codes for a float/double vector column (array<short>) —
+    * the storage point between float32 and SQ8: half the bytes of
+    * float32 at ≤ 2⁻¹¹ relative error, no training and no range sidecar
+    * (unlike SQ8 the codec is value-local), so a halfvec store never
+    * needs a re-quantization rebuild on distribution drift. */
+  def halfEncodeExpr(vec: Column): Column =
+    graft.functions.HalfExpressions.halfEncode(vec)
+
+  /** Exact float32 reconstruction of binary16 codes. */
+  def halfDecodeExpr(codes: Column): Column =
+    graft.functions.HalfExpressions.halfDecode(codes)
+
+  /** Persist a halfvec store: float vectors + their binary16 codes in
+    * one columnar table (the [[writeStore]] layout at the half tier) —
+    * coarse readers prune to (`idCol`, hvec), rerank fetches floats for
+    * candidates only. */
+  def writeStoreHalf(vecs: DataFrame, path: String, vecCol: String = "embedding"): Unit =
+    vecs.withColumn("hvec", halfEncodeExpr(col(vecCol)))
+      .write.mode("overwrite").parquet(path)
+
+  /** KNN against a [[writeStoreHalf]] store: L2 over the DECODED half
+    * vectors as the coarse score (half reconstruction is exact float32
+    * math, so coarse ordering is the true ordering of the rounded
+    * vectors — far tighter than SQ8's lattice), then the standard
+    * bounded full-precision rerank via static id pushdown
+    * ([[rerankRead]]). With overfetch covering the corpus this
+    * degenerates to exact KNN (spec-pinned). CONTRACT: 1-row query. */
+  def topKHalf(spark: SparkSession, path: String, query: DataFrame, k: Int,
+               overfetch: Int = 4, idCol: String = "vec_id",
+               embCol: String = "embedding", scale: Int = 4): DataFrame = {
+    requireSingleQuery(query, "topKHalf")
+    val qh = broadcast(query.select(
+      halfDecodeExpr(halfEncodeExpr(col(embCol))).as("__qh")))
+    val candIds = spark.read.parquet(path)
+      .select(col(idCol), halfDecodeExpr(col("hvec")).as("__h"))
+      .crossJoin(qh)
+      .select(col(idCol),
+        graft.functions.VectorExpressions.vecL2Sq(col("__h"), col("__qh")).as("hdist"))
+      .orderBy(col("hdist"), col(idCol))
+      .limit(k * overfetch)
+      .collect().map(_.getLong(0))
+    rerankRead(spark.read.parquet(path), query, candIds, k, idCol, embCol, scale)
+  }
+
   /** The 1-row query-frame contract shared by the single-query top-k
     * entry points: a multi-row frame would silently merge all queries
     * into one global top-k. The check is a `limit(2)` count — bounded

@@ -12,7 +12,7 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
 import org.apache.spark.sql.functions.{col, typedlit}
 import org.apache.spark.sql.types._
 
-import graft.functions.{VecCosine, VecDot, VecL2Sq, VectorExpressions}
+import graft.functions.{VecCosine, VecDot, VecL1, VecL2Sq, VectorExpressions}
 import graft.operators.{IvfIndex, ProductQuantizer}
 
 /** Optimizer rule: `ORDER BY vec_l2(embedding, <literal vector>) LIMIT k`
@@ -107,6 +107,8 @@ object IvfScanRewriteRule extends Rule[LogicalPlan] {
         Some((a, b, "cosine"))
       // vec_ip builds -vec_dot (pgvector <#>, ascending = best IP first)
       case UnaryMinus(VecDot(a, b), _) => Some((a, b, "ip"))
+      // vec_l1 (pgvector 0.7 <+>): cells probed by L2 geometry, like IP
+      case VecL1(a, b) => Some((a, b, "l1"))
       case _ => None
     }
     for {
@@ -122,7 +124,8 @@ object IvfScanRewriteRule extends Rule[LogicalPlan] {
       // and vice versa; an IP sort probes an L2 store's cells (the faiss
       // IVF-IP recipe — recall governed by nprobe, like pgvector
       // vector_ip_ops). Other mixes fall through to the exact scan.
-      if storeMetric == metric || (metric == "ip" && storeMetric == "l2")
+      if storeMetric == metric ||
+        ((metric == "ip" || metric == "l1") && storeMetric == "l2")
       // cosine probing runs on the normalized query (cells live on the
       // unit sphere; cosine itself is scale-invariant so the user's
       // rerank semantics are untouched)

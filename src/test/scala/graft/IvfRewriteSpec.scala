@@ -262,4 +262,27 @@ class IvfRewriteSpec extends SparkSpec {
       }
     }
   }
+
+  test("vec_l1 sort over an L2 store prunes cells (no coarse join); full probe exact") {
+    def l1Query(k: Int) = spark.read.parquet(quantStore)
+      .select(col("vec_id"),
+        VectorFunctions.l1Distance(col("embedding"), typedlit(queryVec)).as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(k)
+    val exact = l1Query(10).collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    withRule {
+      val q = l1Query(10)
+      val optimized = q.queryExecution.optimizedPlan.toString
+      // the code-L2 coarse semi-join would mis-rank L1 candidates
+      assert(!optimized.contains("LeftSemi"), optimized.take(1500))
+      val physical = q.queryExecution.executedPlan.toString
+      assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(physical).nonEmpty,
+        physical.take(3000))
+      conf("spark.graft.ann.nprobe" -> "16") {
+        val got = l1Query(10).collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+        assert(got == exact)
+      }
+    }
+  }
+
 }

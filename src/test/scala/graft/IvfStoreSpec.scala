@@ -387,4 +387,33 @@ class IvfStoreSpec extends SparkSpec {
       assert(texts == Seq("alpha beta", "epsilon zeta", "gamma delta"))
     } finally q.stop()
   }
+
+  test("L1 search (pgvector <+>): full probe equals exact L1 KNN; cosine store refuses") {
+    import graft.functions.VectorFunctions
+    import graft.operators.Knn
+    val path = Files.createTempDirectory("ivf_l1").toString
+    val e = Tables.embeddings(spark, sfDir)
+    val model = IvfIndex.train(e, k = 16, iters = 3)
+    IvfIndex.writeIndex(e, model, path)
+    val q = e.where(col("vec_id") === 7).select(col("vec_id").as("qid"), col("embedding"))
+    val full = IvfIndex.searchIndexL1(spark, path, q, k = 10, nprobe = 16)
+      .orderBy(col("rn")).collect().map(r => (r.getLong(1), r.getDouble(2))).toList
+    val exact = Knn.topK(e, e.where(col("vec_id") === 7), Knn.L1, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    assert(full == exact, s"full=$full exact=$exact")
+    // partial probe keeps decent recall on this corpus
+    val part = IvfIndex.searchIndexL1(spark, path, q, k = 10, nprobe = 4)
+      .collect().map(_.getLong(1)).toSet
+    assert(part.intersect(exact.map(_._1).toSet).size >= 7, part.toString)
+    // cosine (normalized) store refused: L1 over normalized bytes is a
+    // different question than the caller asked
+    val cosPath = Files.createTempDirectory("ivf_l1_cos").toString
+    val en = e.withColumn("embedding", VectorFunctions.l2Normalize(col("embedding")))
+    IvfIndex.writeIndexCosine(e, IvfIndex.train(en, k = 8, iters = 1), cosPath)
+    val err = intercept[IllegalArgumentException] {
+      IvfIndex.searchIndexL1(spark, cosPath, q, k = 3, nprobe = 4)
+    }
+    assert(err.getMessage.contains("L2 store"))
+  }
+
 }

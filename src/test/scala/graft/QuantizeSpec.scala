@@ -140,4 +140,78 @@ class QuantizeSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
     assert(viaStore == inline)
   }
+
+  test("halfvec codec: idempotent over all 65536 bit patterns; NaN collapses to the quiet NaN") {
+    import graft.functions.HalfFloat
+    var h = 0
+    while (h <= 0xffff) {
+      val s = h.toShort
+      val f = HalfFloat.fromHalf(s)
+      if (f.isNaN) assert((HalfFloat.toHalf(f) & 0x7fff) == 0x7e00)
+      else assert(HalfFloat.toHalf(f) == s, s"pattern 0x${h.toHexString}: ${f}")
+      h += 1
+    }
+  }
+
+  test("halfvec codec: round-to-nearest-even against both neighbors; 2^-11 relative bound") {
+    import graft.functions.HalfFloat
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 20000) {
+      // cover normals, subnormals, boundary magnitudes, both signs
+      val x = rnd.nextInt(4) match {
+        case 0 => (rnd.nextFloat() - 0.5f) * 100f
+        case 1 => (rnd.nextFloat() - 0.5f) * 130000f     // overflow edge
+        case 2 => (rnd.nextFloat() - 0.5f) * 1e-4f       // subnormal edge
+        case _ => java.lang.Float.intBitsToFloat(rnd.nextInt()) // raw patterns
+      }
+      if (!x.isNaN) {
+        val enc = HalfFloat.toHalf(x)
+        val y = HalfFloat.fromHalf(enc)
+        if (!y.isInfinite && !x.isInfinite) {
+          // nearest: no other representable half value is strictly closer
+          val err = math.abs(y.toDouble - x.toDouble)
+          for (delta <- Seq(-1, 1)) {
+            val n = (enc + delta).toShort
+            // stay within same-sign finite neighbors
+            if ((n & 0x7c00) != 0x7c00 && ((n ^ enc) & 0x8000) == 0) {
+              val yn = HalfFloat.fromHalf(n)
+              assert(math.abs(yn.toDouble - x.toDouble) >= err - 1e-30,
+                s"x=$x enc=0x${(enc & 0xffff).toHexString} got $y but neighbor $yn closer")
+            }
+          }
+          // relative error bound for the normal half range
+          if (math.abs(x) >= 6.104e-5f && math.abs(x) <= 65504f)
+            assert(err <= math.abs(x.toDouble) * (1.0 / 2048) + 1e-30, s"x=$x y=$y")
+        } else if (y.isInfinite) {
+          assert(x.isInfinite || math.abs(x) >= 65520f - 0.01f, s"x=$x -> inf")
+        }
+      }
+    }
+  }
+
+  test("halfvec store: round-trip through parquet; covering overfetch degenerates to exact KNN") {
+    import graft.operators.{Knn, Quantize}
+    val e = Tables.embeddings(spark, sfDir)
+    val n = e.count().toInt
+    val dir = java.nio.file.Files.createTempDirectory("half_store").toString
+    Quantize.writeStoreHalf(e, dir)
+    // codes survive parquet: decode(read(hvec)) == decode(encode(embedding))
+    val back = spark.read.parquet(dir)
+      .select(col("vec_id"), Quantize.halfDecodeExpr(col("hvec")).as("h1"),
+        Quantize.halfDecodeExpr(Quantize.halfEncodeExpr(col("embedding"))).as("h2"))
+      .where(expr("h1 <> h2"))
+    assert(back.count() == 0)
+    val q = e.where(col("vec_id") === 3)
+    val exact = Knn.topK(e, q, Knn.L2, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    val viaHalf = Quantize.topKHalf(spark, dir, q, k = 10, overfetch = n)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    assert(viaHalf == exact, s"half=$viaHalf exact=$exact")
+    // production overfetch keeps recall on this corpus (half error is
+    // tiny relative to inter-vector distances)
+    val prod = Quantize.topKHalf(spark, dir, q, k = 10, overfetch = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(prod.intersect(exact.map(_._1).toSet).size >= 9)
+  }
+
 }

@@ -266,4 +266,30 @@ class SparseKnnSpec extends SparkSpec {
     val self = topk.where(col("rn") === 1).collect()
     self.foreach(r => assert(r.getLong(1) == r.getLong(0) && r.getDouble(2) == 1.0))
   }
+
+  test("query-side SPLADE expansion retrieves docs sharing ZERO surface terms") {
+    import graft.operators.SparseKnn
+    val docs = Tables.documents(spark, sfDir)
+    val qdocs = Seq((0L, "zzqalpha zzqbravo zzqcharlie")).toDF("doc_id", "text")
+    // precondition: the query tokens appear in no document
+    val overlap = docs
+      .select(explode(split(graft.functions.TextFunctions.canonicalText(col("text")), " ")).as("t"))
+      .where(col("t").isin("zzqalpha", "zzqbravo", "zzqcharlie"))
+    assert(overlap.count() == 0)
+    // surface TF retrieval finds nothing...
+    val surface = SparseKnn.topK(
+      SparseKnn.hashingTf(docs, dim = 1024),
+      SparseKnn.hashingTf(qdocs, dim = 1024)
+        .select(col("doc_id").as("qid"), col("indices"), col("values")), k = 5)
+    // (hash buckets can collide even for unseen tokens at dim=1024, so
+    // assert on the EXPANSION advantage rather than strict emptiness:
+    // splade must match at least as many docs, and at least one)
+    val expanded = SparseKnn.topK(
+      SparseKnn.spladeExpand(docs, dim = 1024),
+      SparseKnn.spladeExpand(qdocs, dim = 1024)
+        .select(col("doc_id").as("qid"), col("indices"), col("values")), k = 5)
+    assert(expanded.count() >= 1)
+    assert(expanded.count() >= surface.count())
+  }
+
 }

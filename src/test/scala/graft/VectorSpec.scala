@@ -111,4 +111,25 @@ class VectorSpec extends SparkSpec {
     val firsts = res.filter(_.getLong(3) == 1L)
     assert(firsts.forall(r => r.getLong(0) == r.getLong(1)))
   }
+
+  test("l1 distance (pgvector <+>): hand math, kernel paths agree, SQL surface") {
+    import spark.implicits._
+    assert(math.abs(one(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0), l1Distance) - 2.0) < 1e-12)
+    assert(math.abs(one(Seq(1.0, -2.0, 3.0), Seq(4.0, 5.0, -6.0), l1Distance) - 19.0) < 1e-12)
+    assert(math.abs(one(Seq(1.0, 2.0), Seq(1.0, 2.0), l1Distance)) < 1e-12)
+    // mismatched dims throw like every kernel
+    val bad = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0))).toDF("a", "b")
+    val e = intercept[Exception] {
+      bad.select(l1Distance(col("a"), col("b"))).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("dimensions differ")), msgs(e).toString)
+    // SQL registration matches the column API
+    GraftFunctions.register(spark)
+    val viaSql = Seq((Seq(1.0, -2.0, 3.0), Seq(4.0, 5.0, -6.0))).toDF("a", "b")
+      .selectExpr("vec_l1(a, b)").head().getDouble(0)
+    assert(math.abs(viaSql - 19.0) < 1e-12)
+  }
+
 }
