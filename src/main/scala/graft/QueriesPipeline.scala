@@ -219,6 +219,34 @@ object QueriesPipeline {
              |FROM documents, unnest(range(0, CAST(ceil(length(text) / 200.0) AS INT))) AS t(i)
              |ORDER BY doc_id, page_no""".stripMargin)),
 
+    // Composite-font (CJK) round trip (round 9, VERDICT r8 #4): the
+    // document text gets deterministic CJK characters injected
+    // (translate — same function both engines), is rendered to a REAL
+    // Type0/Identity-H PDF whose content streams carry sequential
+    // subset CODES (not code points) with a /ToUnicode CMap, and is
+    // decoded back through font resolution + CMap mapping. A decoder
+    // that skipped the CMap would hash-mismatch every row — this is
+    // the gate on the path PDFBox covers for the reference's own
+    // Japanese corpus (Function.java:90-132).
+    "q_pdf_cjk" -> QueryDef(
+      (s, d) => {
+        val cjk = Tables.documents(s, d).select(col("doc_id"),
+          translate(col("text"), "aeioust", "亜江意尾宇寿田").as("text"))
+        val pdfs = PdfPipeline.synthesizeCidPdfs(cjk, pageSize = 200)
+        PdfPipeline.extractPagesPdf(pdfs)
+          .select(col("doc_id"), col("page_no"),
+            length(col("page_text")).cast("long").as("page_len"),
+            md5(col("page_text")).as("page_md5"))
+          .orderBy(col("doc_id"), col("page_no"))
+      },
+      Some("""SELECT doc_id, CAST(i + 1 AS BIGINT) AS page_no,
+             |  CAST(length(substr(t, i*200 + 1, 200)) AS BIGINT) AS page_len,
+             |  md5(substr(t, i*200 + 1, 200)) AS page_md5
+             |FROM (SELECT doc_id, translate(text, 'aeioust', '亜江意尾宇寿田') AS t
+             |      FROM documents),
+             |  unnest(range(0, CAST(ceil(length(t) / 200.0) AS INT))) AS u(i)
+             |ORDER BY doc_id, page_no""".stripMargin)),
+
     "q_chunk_split" -> QueryDef(
       (s, d) => docsChunks(s, d)
         .select(col("doc_id"), col("chunk_idx"),

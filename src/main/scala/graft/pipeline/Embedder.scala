@@ -8,8 +8,12 @@ import scala.util.hashing.MurmurHash3
   * per-chunk `client.getEmbeddings("text-embedding-ada-002", …)` call
   * (BlobUploadDetector/src/main/java/com/yoshio3/Function.java:181-210).
   *
-  * The model call is STUBBED with a deterministic hashing-trick embedding
-  * (token buckets + L2 normalize). The Spark plumbing is the real thing:
+  * The model call goes through the pluggable [[EmbeddingClient]] seam:
+  * the default [[DeterministicClient]] is a hashing-trick embedding
+  * (token buckets + L2 normalize) so every oracle gate replays offline;
+  * a deployment passes [[OpenAiCompatClient]] — the swap changes no
+  * plan (spec-asserted in ModelClientSpec). The Spark plumbing is the
+  * real thing either way:
   * batched `mapPartitions` (one "API request" per `batchSize` texts — the
   * pattern a live endpoint needs, vs. the reference's one-call-per-chunk
   * with a sleep), retry hook, no shuffle, output column typed
@@ -35,12 +39,22 @@ object Embedder {
     if (n > 0) v.map(x => (x / n).toFloat) else v
   }
 
-  /** Simulated model invocation for one batch — swap for a real HTTP call;
-    * retry-with-backoff shape mirrors Function.java:186-208. */
-  def invokeModel(batch: Seq[String], dim: Int, maxRetries: Int = 3): Seq[Array[Float]] = {
+  /** Model invocation for one batch through the pluggable client seam
+    * ([[EmbeddingClient]]) — the default [[DeterministicClient]] is the
+    * offline stub; a deployment passes [[OpenAiCompatClient]]. The
+    * retry loop lives HERE (engine-side), mirroring
+    * Function.java:186-208's catch-sleep-retry, so every client gets
+    * the same failure semantics. */
+  def invokeModel(batch: Seq[String], dim: Int, maxRetries: Int = 3,
+                  client: EmbeddingClient = DeterministicClient): Seq[Array[Float]] = {
     var attempt = 0
     while (attempt < maxRetries) {
-      try return batch.map(embedText(_, dim))
+      try {
+        val out = client.embedBatch(batch, dim)
+        require(out.length == batch.length,
+          s"EmbeddingClient returned ${out.length} vectors for ${batch.length} texts")
+        return out
+      }
       catch { case _: Exception => attempt += 1 }
     }
     batch.map(_ => new Array[Float](dim))
@@ -55,7 +69,8 @@ object Embedder {
     * bound), not billing-grade accounting. */
   def embed(df: DataFrame, textCol: String = "chunk", dim: Int = 64,
             batchSize: Int = 32, outCol: String = "embedding",
-            usageTokens: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+            usageTokens: Option[org.apache.spark.util.LongAccumulator] = None,
+            client: EmbeddingClient = DeterministicClient): DataFrame = {
     val spark = df.sparkSession
     val schema = org.apache.spark.sql.types.StructType(
       df.schema.fields :+ org.apache.spark.sql.types.StructField(outCol,
@@ -67,7 +82,7 @@ object Embedder {
         val texts = batch.map(r => Option(r.getString(textIdx)).getOrElse(""))
         usageTokens.foreach(acc =>
           acc.add(texts.map(t => t.split("\\s+").count(_.nonEmpty).toLong).sum))
-        val embs = invokeModel(texts, dim)
+        val embs = invokeModel(texts, dim, client = client)
         batch.iterator.zip(embs.iterator).map { case (r, e) =>
           org.apache.spark.sql.Row.fromSeq(r.toSeq :+ e.toSeq)
         }

@@ -1,0 +1,142 @@
+package graft.pipeline
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.time.Duration
+
+/** Pluggable model-client seam for the two external-model calls the
+  * reference makes — embedding generation and chat completion — so the
+  * pipeline code is provably client-agnostic: the deterministic stubs
+  * used by every oracle-gated query and a real HTTP client are two
+  * implementations of the same trait, and swapping them changes neither
+  * the Spark plan nor the plumbing (batching, retry, accumulators).
+  *
+  * Reference calls being abstracted:
+  *  - embedding: BlobUploadDetector Function.java:181-210
+  *    (`client.getEmbeddings("text-embedding-ada-002", …)` per chunk,
+  *    with sleep-retry on failure) and PDF-Summarizer
+  *    SSEOpenAIController.java:304 (query-side embedding);
+  *  - chat: SSEOpenAIController.java:142-198 (per-hit summary
+  *    completion, streamed).
+  *
+  * Clients are constructed on the DRIVER and serialized into tasks
+  * (`Serializable`); anything non-serializable (the JDK HttpClient) must
+  * be lazily created executor-side — see [[OpenAiCompatClient]].
+  * Endpoint/key/model are constructor args: the engine never reads
+  * environment variables or assumes a provider. */
+trait EmbeddingClient extends Serializable {
+  /** Embed one batch of texts; must return exactly one vector of length
+    * `dim` per input, in order. Called executor-side, once per
+    * `batchSize` rows per partition. Throw to trigger the caller's
+    * retry loop. */
+  def embedBatch(texts: Seq[String], dim: Int): Seq[Array[Float]]
+}
+
+/** Chat-completion client: one summary string per (docText, query) pair.
+  * The reference streams deltas; batch-level semantics here are the full
+  * concatenation per pair (delta re-chunking for SSE is downstream —
+  * [[Summarizer.serveEventsDelta]] — and client-independent). */
+trait ChatClient extends Serializable {
+  def completeBatch(pairs: Seq[(String, String)], ctx: Int, maxLen: Int): Seq[String]
+}
+
+/** The deterministic test/CI implementation: hashing-trick bag-of-tokens
+  * embedding (the formula every oracle replays — [[Embedder.embedText]])
+  * and KWIC extractive summary ([[Summarizer.summarizeText]]). Pure
+  * functions of the input, so plans and results are reproducible
+  * offline. */
+object DeterministicClient extends EmbeddingClient with ChatClient {
+  override def embedBatch(texts: Seq[String], dim: Int): Seq[Array[Float]] =
+    texts.map(Embedder.embedText(_, dim))
+  override def completeBatch(pairs: Seq[(String, String)], ctx: Int, maxLen: Int): Seq[String] =
+    pairs.map { case (t, q) => Summarizer.summarizeText(t, q, ctx, maxLen) }
+}
+
+/** Real HTTP implementation against any OpenAI-compatible endpoint (the
+  * public `/embeddings` and `/chat/completions` JSON contract the
+  * reference's Azure SDK speaks under the hood). OFFLINE-UNTESTED by
+  * design — this sandbox has no egress — but it compiles against the JDK
+  * HTTP client only (no added dependency) and documents the exact
+  * request shape so a deployment can drop it in where
+  * [[DeterministicClient]] sits today.
+  *
+  * Batching contract: `/embeddings` accepts the whole batch as
+  * `"input": [...]` (one request per engine-side batch — better than the
+  * reference's call-per-chunk-plus-sleep loop, Function.java:186-199);
+  * chat is one request per pair (the API has no batch form). Transport
+  * errors surface as exceptions → the engine's retry loop
+  * ([[Embedder.embed]]/[[Summarizer.summarizeDynamic]]) handles backoff,
+  * mirroring Function.java:195-199's catch-sleep-retry.
+  *
+  * The response parse is a minimal extraction of `"embedding": [...]` /
+  * `"content": "..."` fields; a deployment wanting full fidelity swaps
+  * in a JSON library — the seam (this trait) is the contract. */
+final class OpenAiCompatClient(endpoint: String, apiKey: String,
+                               embedModel: String = "text-embedding-ada-002",
+                               chatModel: String = "gpt-4",
+                               timeoutSec: Int = 60)
+    extends EmbeddingClient with ChatClient {
+
+  // JDK HttpClient is not Serializable: build lazily on each executor
+  @transient private lazy val http: HttpClient =
+    HttpClient.newBuilder().connectTimeout(Duration.ofSeconds(timeoutSec.toLong)).build()
+
+  private def post(path: String, body: String): String = {
+    val req = HttpRequest.newBuilder()
+      .uri(URI.create(endpoint.stripSuffix("/") + path))
+      .timeout(Duration.ofSeconds(timeoutSec.toLong))
+      .header("Content-Type", "application/json")
+      .header("Authorization", s"Bearer $apiKey")
+      .POST(HttpRequest.BodyPublishers.ofString(body, UTF_8))
+      .build()
+    val resp = http.send(req, HttpResponse.BodyHandlers.ofString(UTF_8))
+    if (resp.statusCode() / 100 != 2)
+      throw new RuntimeException(s"OpenAiCompatClient: HTTP ${resp.statusCode()} from $path")
+    resp.body()
+  }
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  override def embedBatch(texts: Seq[String], dim: Int): Seq[Array[Float]] = {
+    val body = s"""{"model":${jsonStr(embedModel)},"input":[${texts.map(jsonStr).mkString(",")}]}"""
+    val resp = post("/embeddings", body)
+    val arrays = """"embedding"\s*:\s*\[([^\]]*)\]""".r
+      .findAllMatchIn(resp).map(_.group(1)).toSeq
+    require(arrays.length == texts.length,
+      s"OpenAiCompatClient: expected ${texts.length} embeddings, got ${arrays.length}")
+    arrays.map { a =>
+      val v = a.split(",").filter(_.trim.nonEmpty).map(_.trim.toFloat)
+      require(v.length == dim,
+        s"OpenAiCompatClient: model returned dim ${v.length}, engine expected $dim")
+      v
+    }
+  }
+
+  override def completeBatch(pairs: Seq[(String, String)], ctx: Int, maxLen: Int): Seq[String] =
+    pairs.map { case (docText, query) =>
+      // reference prompt shape: system = document text, user = extract
+      // the passages about <query> (SSEOpenAIController.java:249-276)
+      val body =
+        s"""{"model":${jsonStr(chatModel)},"messages":[
+           |{"role":"system","content":${jsonStr(docText)}},
+           |{"role":"user","content":${jsonStr(
+                s"""Extract the passages about "$query" from the document.""")}}]}"""
+          .stripMargin.replace("\n", "")
+      val resp = post("/chat/completions", body)
+      """"content"\s*:\s*"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(resp)
+        .map(m => m.group(1)
+          .replace("\\n", "\n").replace("\\\"", "\"").replace("\\\\", "\\"))
+        .getOrElse(throw new RuntimeException(
+          "OpenAiCompatClient: no content field in chat response"))
+    }
+}

@@ -34,13 +34,32 @@ import scala.collection.mutable
   *   - literal strings with the full escape set (\n \r \t \b \f \( \)
   *     \\, 1-3 digit octal, backslash-EOL continuation, raw-EOL → \n)
   *     and nested unescaped parens; hex strings <…> incl. odd-length
-  *     padding; byte values map through Latin-1 (the WinAnsi core of
-  *     the simple-font case — no CMap/TrueType-subset decoding, which
-  *     is exactly where a real deployment swaps PDFBox back in).
+  *     padding; in a SIMPLE font byte values map through Latin-1 (the
+  *     WinAnsi core);
+  *   - COMPOSITE (/Subtype /Type0) fonts with /Identity-H|V encoding —
+  *     the CJK case the reference's own Japanese corpus needs (PDFBox
+  *     handles it inside Function.java:90-132): string bytes pair into
+  *     2-byte codes mapped to text through the font's /ToUnicode CMap
+  *     (spec §9.10.3 — bfchar, bfrange with incremented-dst and
+  *     array-dst forms, multi-code-unit/surrogate destinations). Fonts
+  *     resolve per page via /Resources → /Font (inherited through
+  *     /Parent per §7.7.3.4), and the decoder tracks the current font
+  *     across Tf operators, so simple and composite text can mix on
+  *     one page. A Type0 font with a non-Identity encoding or without
+  *     /ToUnicode fails loud — never garbage.
   *
-  * Out of scope (documented, fail-loud where detectable): object
-  * streams (/Type /ObjStm), encryption, inline images (BI…EI), CID
-  * fonts. The 100 TB-relevant part — binary column in, bounded per-row
+  *   - object streams (/Type /ObjStm, PDF 1.5 §7.5.7) — modern writers
+  *     pack the catalog/page-tree/font dicts into one compressed
+  *     stream; these are expanded transparently after the sequential
+  *     scan (and [[encodePdf15]] writes genuine PDF 1.5 files — object
+  *     stream + binary cross-reference stream — to round-trip-gate the
+  *     path).
+  *
+  * Out of scope (documented, fail-loud where detectable): encryption,
+  * inline images (BI…EI), glyph-program text (extracting from embedded
+  * TrueType/CFF outlines without a ToUnicode map — PDFBox can
+  * sometimes guess; we refuse).
+  * The 100 TB-relevant part — binary column in, bounded per-row
   * work, no driver involvement — lives in [[PdfPipeline.extractPagesPdf]];
   * this object is deliberately plain JVM code so it runs inside
   * `mapPartitions` with zero task-side dependencies. */
@@ -49,6 +68,13 @@ object PdfCodec {
   // ── decoder ────────────────────────────────────────────────────────
 
   private final case class PdfObj(num: Int, dict: String, stream: Option[Array[Byte]])
+
+  /** How shown-string bytes become text: simple fonts are byte = char
+    * (Latin-1); composite (Type0/Identity) fonts pair bytes into 2-byte
+    * codes looked up in the font's ToUnicode CMap. */
+  private[graft] sealed trait FontDec
+  private[graft] case object SimpleFont extends FontDec
+  private[graft] final case class CompositeFont(toUnicode: Map[Int, String]) extends FontDec
 
   /** Extract per-page text from PDF bytes, in page-tree order. */
   def extractText(bytes: Array[Byte]): Seq[String] = {
@@ -66,7 +92,164 @@ object PdfCodec {
       }
       // spec: multiple content streams form ONE logical stream, joined
       // with at least one whitespace byte between them
-      extractFromContent(content.mkString("\n"))
+      extractFromContent(content.mkString("\n"), pageFonts(page, byNum))
+    }
+  }
+
+  // ── font resolution ────────────────────────────────────────────────
+
+  /** Dict-valued entry `/key`: either an inline `<<…>>` or an indirect
+    * reference resolved through `byNum`. */
+  private def resolveDict(dict: String, key: String, byNum: Map[Int, PdfObj]): Option[String] =
+    ("/" + key + """(?![A-Za-z0-9])""").r.findFirstMatchIn(dict).flatMap { mm =>
+      var p = mm.end
+      while (p < dict.length && dict.charAt(p).isWhitespace) p += 1
+      if (dict.startsWith("<<", p)) Some(dict.substring(p, balancedDictEnd(dict, p)))
+      else """^(\d+)\s+\d+\s+R""".r.findFirstMatchIn(dict.substring(p))
+        .flatMap(r => byNum.get(r.group(1).toInt).map(_.dict))
+    }
+
+  /** Resource-name → decoder for every font the page can select with Tf.
+    * /Resources is inherited through the /Parent chain (spec §7.7.3.4). */
+  private def pageFonts(page: PdfObj, byNum: Map[Int, PdfObj]): Map[String, FontDec] = {
+    var node: Option[PdfObj] = Some(page)
+    var res: Option[String] = None
+    var depth = 0
+    while (res.isEmpty && node.isDefined && depth < 32) {
+      res = resolveDict(node.get.dict, "Resources", byNum)
+      node = dictRef(node.get.dict, "/Parent").flatMap(byNum.get)
+      depth += 1
+    }
+    val fontDict = res.flatMap(r => resolveDict(r, "Font", byNum)).getOrElse("")
+    """/([A-Za-z0-9.+_-]+)\s+(\d+)\s+\d+\s+R""".r.findAllMatchIn(fontDict).map { m =>
+      val ref = m.group(2).toInt
+      m.group(1) -> fontFor(byNum.getOrElse(ref, throw new IllegalArgumentException(
+        s"PdfCodec: font object $ref 0 R not found")), byNum)
+    }.toMap
+  }
+
+  private def fontFor(obj: PdfObj, byNum: Map[Int, PdfObj]): FontDec = {
+    val d = obj.dict
+    if ("""/Subtype\s*/Type0(?![A-Za-z0-9])""".r.findFirstIn(d).isEmpty) SimpleFont
+    else {
+      // only the Identity CMaps give fixed 2-byte codes; anything else
+      // (e.g. /90ms-RKSJ-H) is variable-width — refuse rather than garble
+      val enc = """/Encoding\s*/([A-Za-z0-9-]+)""".r.findFirstMatchIn(d).map(_.group(1))
+      require(enc.exists(e => e == "Identity-H" || e == "Identity-V"),
+        s"PdfCodec: composite font object ${obj.num}: only /Identity-H|V supported" +
+          enc.fold(" (no /Encoding name)")(e => s", got /$e"))
+      val tuRef = dictRef(d, "/ToUnicode").getOrElse(throw new IllegalArgumentException(
+        s"PdfCodec: composite font object ${obj.num} has no /ToUnicode CMap — " +
+          "codes cannot be mapped to text"))
+      val tuObj = byNum.getOrElse(tuRef, throw new IllegalArgumentException(
+        s"PdfCodec: /ToUnicode $tuRef 0 R not found"))
+      CompositeFont(parseToUnicode(decodeStream(tuObj)))
+    }
+  }
+
+  /** ToUnicode CMap (spec §9.10.3): code → UTF-16BE destination, from
+    * bfchar pairs and bfrange entries (incremented single-dst and
+    * array-dst forms). Destinations may be multiple code units
+    * (ligatures, surrogate pairs). */
+  private[graft] def parseToUnicode(cmap: String): Map[Int, String] = {
+    val out = mutable.Map.empty[Int, String]
+    val hexPair = """<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>""".r
+    for {
+      blk <- """(?s)beginbfchar(.*?)endbfchar""".r.findAllMatchIn(cmap)
+      m <- hexPair.findAllMatchIn(blk.group(1))
+    } out(Integer.parseInt(m.group(1), 16)) = utf16be(m.group(2))
+    for (blk <- """(?s)beginbfrange(.*?)endbfrange""".r.findAllMatchIn(cmap))
+      parseBfrangeBody(blk.group(1), out)
+    out.toMap
+  }
+
+  private def parseBfrangeBody(body: String, out: mutable.Map[Int, String]): Unit = {
+    val toks = """<([0-9A-Fa-f]+)>|\[|\]""".r.findAllMatchIn(body).toVector
+    var i = 0
+    while (i < toks.length) {
+      require(i + 2 < toks.length, "PdfCodec: truncated bfrange entry")
+      val lo = Integer.parseInt(toks(i).group(1), 16)
+      val hi = Integer.parseInt(toks(i + 1).group(1), 16)
+      require(hi >= lo, s"PdfCodec: bfrange hi < lo ($hi < $lo)")
+      if (toks(i + 2).matched == "[") {
+        var j = i + 3
+        var c = lo
+        while (j < toks.length && toks(j).matched != "]") {
+          out(c) = utf16be(toks(j).group(1)); c += 1; j += 1
+        }
+        require(j < toks.length, "PdfCodec: unterminated bfrange array")
+        require(c == hi + 1,
+          s"PdfCodec: bfrange array has ${c - lo} dsts for ${hi - lo + 1} codes")
+        i = j + 1
+      } else {
+        // single dst: increment applies to the LAST code unit (§9.10.3)
+        val base = utf16be(toks(i + 2).group(1))
+        var c = lo
+        while (c <= hi) {
+          out(c) = base.dropRight(1) + (base.last + (c - lo)).toChar
+          c += 1
+        }
+        i += 3
+      }
+    }
+  }
+
+  private def utf16be(hex: String): String = {
+    require(hex.length % 4 == 0,
+      s"PdfCodec: ToUnicode destination <$hex> is not UTF-16BE aligned")
+    hex.grouped(4).map(h => Integer.parseInt(h, 16).toChar).mkString
+  }
+
+  /** Shown-string raw bytes (as Latin-1 chars) → text under `font`. */
+  private def decodeShown(raw: String, font: FontDec): String = font match {
+    case SimpleFont => raw
+    case CompositeFont(map) =>
+      require(raw.length % 2 == 0,
+        s"PdfCodec: composite-font string has odd byte count ${raw.length}")
+      raw.grouped(2).map { p =>
+        val code = (p.charAt(0) << 8) | p.charAt(1)
+        map.getOrElse(code, throw new IllegalArgumentException(
+          f"PdfCodec: code 0x$code%04x not in the font's ToUnicode CMap"))
+      }.mkString
+  }
+
+  /** [[scanTopLevel]] plus expansion of object streams (/Type /ObjStm,
+    * PDF 1.5 §7.5.7): modern writers pack the document-structure dicts
+    * (catalog, page tree, fonts) into one Flate-compressed stream whose
+    * payload is `N` (objnum, offset) integer pairs followed by the
+    * objects themselves. Contained objects carry no streams (the spec
+    * forbids it), so each contributes its dict only. */
+  private def scanObjects(s: String, bytes: Array[Byte]): Seq[PdfObj] = {
+    val top = scanTopLevel(s, bytes)
+    top.flatMap { o =>
+      if ("""/Type\s*/ObjStm(?![a-zA-Z])""".r.findFirstIn(o.dict).isEmpty) Seq(o)
+      else Seq(o) ++ expandObjStm(o)
+    }
+  }
+
+  private def expandObjStm(o: PdfObj): Seq[PdfObj] = {
+    val text = decodeStream(o)
+    val n = """/N\s+(\d+)""".r.findFirstMatchIn(o.dict).map(_.group(1).toInt)
+      .getOrElse(throw new IllegalArgumentException(
+        s"PdfCodec: object stream ${o.num} has no /N"))
+    val first = """/First\s+(\d+)""".r.findFirstMatchIn(o.dict).map(_.group(1).toInt)
+      .getOrElse(throw new IllegalArgumentException(
+        s"PdfCodec: object stream ${o.num} has no /First"))
+    val header = text.substring(0, math.min(first, text.length))
+    val nums = """\d+""".r.findAllIn(header).map(_.toInt).toVector
+    require(nums.length >= 2 * n,
+      s"PdfCodec: object stream ${o.num} header has ${nums.length} ints for /N $n pairs")
+    (0 until n).map { i =>
+      val objNum = nums(2 * i)
+      val off = first + nums(2 * i + 1)
+      require(off <= text.length,
+        s"PdfCodec: object stream ${o.num}: offset $off past payload end")
+      var p = off
+      while (p < text.length && text.charAt(p).isWhitespace) p += 1
+      val dict =
+        if (text.startsWith("<<", p)) text.substring(p, balancedDictEnd(text, p))
+        else "" // non-dict object (number/array) — irrelevant to text extraction
+      PdfObj(objNum, dict, None)
     }
   }
 
@@ -74,7 +257,7 @@ object PdfCodec {
     * then (if present) skip the stream payload via /Length — or, when
     * /Length is an indirect reference, by searching `endstream` — so the
     * cursor never tokenizes inside binary stream data. */
-  private def scanObjects(s: String, bytes: Array[Byte]): Seq[PdfObj] = {
+  private def scanTopLevel(s: String, bytes: Array[Byte]): Seq[PdfObj] = {
     val matcher = """(\d+)\s+(\d+)\s+obj\b""".r.pattern.matcher(s)
     val out = mutable.Buffer.empty[PdfObj]
     var cur = 0
@@ -228,15 +411,22 @@ object PdfCodec {
   /** Walk one page's content stream and assemble its text: strings shown
     * by Tj/'/"/TJ inside BT…ET, newlines from the line operators (T*,
     * ', ") and from Td/TD when text already exists on the page — the
-    * reading-order heuristic for single-column text. */
-  private[graft] def extractFromContent(content: String): String = {
+    * reading-order heuristic for single-column text. Strings are kept as
+    * RAW bytes until a show operator fires, then decoded under the
+    * current font (selected by Tf against `fonts`; SimpleFont when no
+    * Tf was seen or the name is unknown — the legacy simple-PDF path). */
+  private[graft] def extractFromContent(content: String,
+                                        fonts: Map[String, FontDec] = Map.empty): String = {
     val buf = new StringBuilder
     var inText = false
-    // operand stack: only the strings (and TJ arrays) matter
+    var curFont: FontDec = SimpleFont
+    // operand stack: only strings, TJ arrays, and the Tf font name matter
     var lastString: String = null
     var lastArray: Seq[String] = null
+    var lastName: String = null
     def newline(): Unit =
       if (buf.nonEmpty) buf.append('\n')
+    def show(raw: String): Unit = buf.append(decodeShown(raw, curFont))
     var p = 0
     val n = content.length
     while (p < n) {
@@ -262,8 +452,16 @@ object PdfCodec {
         lastArray = arr
         p = end
       }
-      else if (c == '/' || c == '+' || c == '-' || c == '.' || c.isDigit) {
-        // name or number operand — irrelevant to text assembly
+      else if (c == '/') {
+        // name operand — remember it: `/F1 12 Tf` selects a font
+        val st = p + 1
+        p = st
+        while (p < n && !content.charAt(p).isWhitespace &&
+          !"()<>[]/%".contains(content.charAt(p))) p += 1
+        lastName = content.substring(st, p)
+      }
+      else if (c == '+' || c == '-' || c == '.' || c.isDigit) {
+        // number operand — irrelevant to text assembly
         p += 1
         while (p < n && !content.charAt(p).isWhitespace &&
           !"()<>[]/%".contains(content.charAt(p))) p += 1
@@ -276,10 +474,12 @@ object PdfCodec {
         content.substring(st, p) match {
           case "BT" => inText = true
           case "ET" => inText = false
-          case "Tj" if inText && lastString != null => buf.append(lastString)
-          case "'" if inText && lastString != null => newline(); buf.append(lastString)
-          case "\"" if inText && lastString != null => newline(); buf.append(lastString)
-          case "TJ" if inText && lastArray != null => lastArray.foreach(buf.append)
+          case "Tf" if lastName != null =>
+            curFont = fonts.getOrElse(lastName, SimpleFont)
+          case "Tj" if inText && lastString != null => show(lastString)
+          case "'" if inText && lastString != null => newline(); show(lastString)
+          case "\"" if inText && lastString != null => newline(); show(lastString)
+          case "TJ" if inText && lastArray != null => lastArray.foreach(show)
           case "Td" | "TD" if inText => newline()
           case "T*" if inText => newline()
           case _ => () // graphics/state operators — ignored
@@ -392,6 +592,113 @@ object PdfCodec {
     offsets.sortBy(_._1).foreach { case (_, off) => w(f"$off%010d 00000 n \n") }
     w(s"trailer\n<< /Size $total /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
     out.toByteArray
+  }
+
+  /** Write a CJK-capable PDF with a COMPOSITE (Type0 /Identity-H) font:
+    * each distinct character gets a sequential 2-byte code in
+    * first-appearance order — the shape a real subset font produces
+    * (glyph ids, NOT code points) — content streams show hex strings of
+    * those codes, and a /ToUnicode CMap (bfchar + bfrange blocks,
+    * including one array-dst range) carries code→Unicode, so decoding a
+    * document produced here genuinely exercises the full CMap path: a
+    * decoder that ignored the CMap would emit garbage, not
+    * accidentally-right text. Mirrors what PDFBox reads for the
+    * reference's Japanese corpus (Function.java:90-132). */
+  def encodeCidPdf(pages: Seq[String], compress: Boolean = true): Array[Byte] = {
+    val codeOf = mutable.LinkedHashMap.empty[Char, Int]
+    pages.foreach(_.foreach { ch =>
+      require(!ch.isSurrogate,
+        f"PdfCodec.encodeCidPdf: non-BMP char U+${ch.toInt}%04x outside 2-byte CID scope")
+      if (!codeOf.contains(ch)) codeOf(ch) = codeOf.size + 1
+    })
+    require(codeOf.size <= 0xFFFE,
+      s"PdfCodec.encodeCidPdf: ${codeOf.size} distinct chars exceed the 2-byte code space")
+    val nPages = pages.length
+    val fontNum = 3 + 2 * nPages
+    val descNum = fontNum + 1
+    val tuNum = fontNum + 2
+    val out = new ByteArrayOutputStream()
+    val offsets = mutable.Buffer.empty[(Int, Int)]
+    def w(str: String): Unit = out.write(str.getBytes(ISO_8859_1))
+    def beginObj(num: Int): Unit = { offsets += (num -> out.size()); w(s"$num 0 obj\n") }
+    def writeStreamObj(num: Int, payload: Array[Byte]): Unit = {
+      val data = if (compress) deflate(payload) else payload
+      beginObj(num)
+      val filter = if (compress) " /Filter /FlateDecode" else ""
+      w(s"<< /Length ${data.length}$filter >>\nstream\n")
+      out.write(data)
+      w("\nendstream\nendobj\n")
+    }
+    w("%PDF-1.4\n%âãÏÓ\n")
+    beginObj(1); w("<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    val kids = (0 until nPages).map(i => s"${3 + 2 * i} 0 R").mkString(" ")
+    beginObj(2); w(s"<< /Type /Pages /Kids [ $kids ] /Count $nPages >>\nendobj\n")
+    pages.zipWithIndex.foreach { case (text, i) =>
+      val pageNum = 3 + 2 * i
+      val contNum = 4 + 2 * i
+      beginObj(pageNum)
+      w(s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        s"/Resources << /Font << /F1 $fontNum 0 R >> >> /Contents $contNum 0 R >>\nendobj\n")
+      val hex = text.map(ch => f"${codeOf(ch)}%04X").mkString
+      writeStreamObj(contNum, s"BT /F1 12 Tf 72 720 Td <$hex> Tj ET".getBytes(ISO_8859_1))
+    }
+    beginObj(fontNum)
+    w(s"<< /Type /Font /Subtype /Type0 /BaseFont /GraftCID /Encoding /Identity-H " +
+      s"/DescendantFonts [ $descNum 0 R ] /ToUnicode $tuNum 0 R >>\nendobj\n")
+    beginObj(descNum)
+    w("<< /Type /Font /Subtype /CIDFontType2 /BaseFont /GraftCID " +
+      "/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) /Supplement 0 >> >>\nendobj\n")
+    writeStreamObj(tuNum, toUnicodeCmap(codeOf.toSeq).getBytes(ISO_8859_1))
+    val xrefAt = out.size()
+    val total = tuNum + 1
+    w(s"xref\n0 $total\n0000000000 65535 f \n")
+    offsets.sortBy(_._1).foreach { case (_, off) => w(f"$off%010d 00000 n \n") }
+    w(s"trailer\n<< /Size $total /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
+    out.toByteArray
+  }
+
+  /** ToUnicode CMap text for (char → code) entries in code order.
+    * Consecutive (code, char) runs that stay inside one high byte become
+    * bfrange entries (the first in array-dst form, the rest single-dst)
+    * so every round-trip exercises all three mapping forms; singleton
+    * and short runs go to bfchar blocks. Blocks are ≤100 entries
+    * (spec §9.10.3's operator limit). */
+  private[graft] def toUnicodeCmap(entries: Seq[(Char, Int)]): String = {
+    final case class Run(loCode: Int, loChar: Int, len: Int)
+    val runs = mutable.Buffer.empty[Run]
+    entries.foreach { case (ch, code) =>
+      runs.lastOption match {
+        case Some(r) if r.loCode + r.len == code && r.loChar + r.len == ch.toInt &&
+            (r.loCode >> 8) == (code >> 8) =>
+          runs(runs.length - 1) = r.copy(len = r.len + 1)
+        case _ => runs += Run(code, ch.toInt, 1)
+      }
+    }
+    val (ranges, chars) = runs.toSeq.partition(_.len >= 3)
+    val sb = new StringBuilder
+    sb.append("/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n")
+    sb.append("/CIDSystemInfo << /Registry (Graft) /Ordering (UCS) /Supplement 0 >> def\n")
+    sb.append("/CMapName /GraftToUnicode def\n/CMapType 2 def\n")
+    sb.append("1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n")
+    chars.flatMap(r => (0 until r.len).map(k => (r.loCode + k, r.loChar + k)))
+      .grouped(100).foreach { blk =>
+        sb.append(s"${blk.length} beginbfchar\n")
+        blk.foreach { case (code, ch) => sb.append(f"<$code%04X> <$ch%04X>\n") }
+        sb.append("endbfchar\n")
+      }
+    ranges.grouped(100).zipWithIndex.foreach { case (blk, bi) =>
+      sb.append(s"${blk.length} beginbfrange\n")
+      blk.zipWithIndex.foreach { case (r, ri) =>
+        if (bi == 0 && ri == 0) {
+          val dsts = (0 until r.len).map(k => f"<${r.loChar + k}%04X>").mkString(" ")
+          sb.append(f"<${r.loCode}%04X> <${r.loCode + r.len - 1}%04X> [ $dsts ]\n")
+        } else
+          sb.append(f"<${r.loCode}%04X> <${r.loCode + r.len - 1}%04X> <${r.loChar}%04X>\n")
+      }
+      sb.append("endbfrange\n")
+    }
+    sb.append("endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend\n")
+    sb.toString
   }
 
   private[graft] def escapeLiteral(text: String): String = {

@@ -91,6 +91,24 @@ object PdfPipeline {
       .toDF(idCol, "content")
   }
 
+  /** [[synthesizePdfs]] with a COMPOSITE (Type0/Identity-H) font and a
+    * ToUnicode CMap — real CJK-shaped PDF bytes (sequential subset codes,
+    * not code points), so decoding them exercises the CMap path the
+    * reference's Japanese corpus needs from PDFBox. Narrow, like the
+    * simple-font writer. */
+  def synthesizeCidPdfs(docs: DataFrame, pageSize: Int = 200, compress: Boolean = true,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val pages = if (text.isEmpty) Seq.empty[String] else text.grouped(pageSize).toSeq
+        (id, PdfCodec.encodeCidPdf(pages, compress))
+      }
+      .toDF(idCol, "content")
+  }
+
   /** Normalized text → (chunk_idx, chunk) rows via the reference chunker
     * (native expression — no ScalaUDF row serialization). */
   def chunkRows(docs: DataFrame, maxLen: Int = 7500, lookback: Int = 300,

@@ -9,7 +9,9 @@ import org.apache.spark.sql.functions._
   * (PDF-Summarizer/src/main/java/com/yoshio3/SSEOpenAIController.java:142-198,
   * `requestOpenAIToGetSummaryAndSendMessageToClient`).
   *
-  * The chat-model call is STUBBED deterministically — a KWIC
+  * The chat-model call goes through the pluggable [[ChatClient]] seam
+  * (default [[DeterministicClient]]; deployments pass
+  * [[OpenAiCompatClient]] — swap changes no plan). The default is a KWIC
   * (keyword-in-context) extractive summary: every occurrence of the query
   * token with up to `ctx` words of context on each side, joined with
   * " ... " and truncated to `maxLen` chars. That is exactly the semantics
@@ -54,15 +56,22 @@ object Summarizer {
     else joined.substring(0, joined.offsetByCodePoints(0, maxLen))
   }
 
-  /** Simulated chat-completion invocation for one batch of
-    * (docText, query) — swap for a real HTTP call; retry-with-backoff
-    * shape mirrors the reference's OpenAI error path
+  /** Chat-completion invocation for one batch of (docText, query)
+    * through the pluggable client seam ([[ChatClient]]) — default
+    * [[DeterministicClient]] is the offline KWIC stub; a deployment
+    * passes [[OpenAiCompatClient]]. Retry-with-backoff lives engine-side
+    * so every client gets the reference's OpenAI error-path semantics
     * (SSEOpenAIController.java:176-181). */
   def invokeChat(batch: Seq[(String, String)], ctx: Int = 4, maxLen: Int = 300,
-                 maxRetries: Int = 3): Seq[String] = {
+                 maxRetries: Int = 3, client: ChatClient = DeterministicClient): Seq[String] = {
     var attempt = 0
     while (attempt < maxRetries) {
-      try return batch.map { case (t, q) => summarizeText(t, q, ctx, maxLen) }
+      try {
+        val out = client.completeBatch(batch, ctx, maxLen)
+        require(out.length == batch.length,
+          s"ChatClient returned ${out.length} summaries for ${batch.length} pairs")
+        return out
+      }
       catch { case _: Exception => attempt += 1 }
     }
     batch.map(_ => "")
@@ -74,9 +83,10 @@ object Summarizer {
     * batching skeleton exists exactly once. */
   def summarize(df: DataFrame, textCol: String = "text", query: String = "",
                 batchSize: Int = 32, outCol: String = "summary",
-                ctx: Int = 4, maxLen: Int = 300): DataFrame =
+                ctx: Int = 4, maxLen: Int = 300,
+                client: ChatClient = DeterministicClient): DataFrame =
     summarizeDynamic(df.withColumn("__graft_q", lit(query)), textCol, "__graft_q",
-      batchSize, outCol, ctx, maxLen).drop("__graft_q")
+      batchSize, outCol, ctx, maxLen, client).drop("__graft_q")
 
   /** [[summarize]] with a PER-ROW query column (the serving case: each
     * stream row carries its own user query; a regexp column pattern
@@ -84,7 +94,8 @@ object Summarizer {
     * batched external-call shape. */
   def summarizeDynamic(df: DataFrame, textCol: String, queryCol: String,
                        batchSize: Int = 32, outCol: String = "summary",
-                       ctx: Int = 4, maxLen: Int = 300): DataFrame = {
+                       ctx: Int = 4, maxLen: Int = 300,
+                       client: ChatClient = DeterministicClient): DataFrame = {
     val schema = org.apache.spark.sql.types.StructType(
       df.schema.fields :+ org.apache.spark.sql.types.StructField(outCol,
         org.apache.spark.sql.types.StringType))
@@ -95,7 +106,7 @@ object Summarizer {
       it.grouped(batchSize).flatMap { batch =>
         val pairs = batch.map(r => (Option(r.getString(textIdx)).getOrElse(""),
           Option(r.getString(queryIdx)).getOrElse("")))
-        val sums = invokeChat(pairs, ctx, maxLen)
+        val sums = invokeChat(pairs, ctx, maxLen, client = client)
         batch.iterator.zip(sums.iterator).map { case (r, s) =>
           org.apache.spark.sql.Row.fromSeq(r.toSeq :+ s)
         }
