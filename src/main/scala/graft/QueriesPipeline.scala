@@ -219,6 +219,27 @@ object QueriesPipeline {
              |FROM documents, unnest(range(0, CAST(ceil(length(text) / 200.0) AS INT))) AS t(i)
              |ORDER BY doc_id, page_no""".stripMargin)),
 
+    // PDF 1.5 round trip (round 9): same page derivation as
+    // q_pdf_decode but the synthesized bytes use the MODERN layout —
+    // structure dicts packed in a /Type /ObjStm object stream, indexed
+    // by a binary cross-reference stream — so the ObjStm expansion path
+    // is hash-gated end to end. A decoder without it finds no catalog,
+    // no pages, and returns zero rows for every document.
+    "q_pdf_objstm" -> QueryDef(
+      (s, d) => {
+        val pdfs = PdfPipeline.synthesizeModernPdfs(Tables.documents(s, d), pageSize = 200)
+        PdfPipeline.extractPagesPdf(pdfs)
+          .select(col("doc_id"), col("page_no"),
+            length(col("page_text")).cast("long").as("page_len"),
+            md5(col("page_text")).as("page_md5"))
+          .orderBy(col("doc_id"), col("page_no"))
+      },
+      Some("""SELECT doc_id, CAST(i + 1 AS BIGINT) AS page_no,
+             |  CAST(length(substr(text, i*200 + 1, 200)) AS BIGINT) AS page_len,
+             |  md5(substr(text, i*200 + 1, 200)) AS page_md5
+             |FROM documents, unnest(range(0, CAST(ceil(length(text) / 200.0) AS INT))) AS t(i)
+             |ORDER BY doc_id, page_no""".stripMargin)),
+
     // Composite-font (CJK) round trip (round 9, VERDICT r8 #4): the
     // document text gets deterministic CJK characters injected
     // (translate — same function both engines), is rendered to a REAL

@@ -594,6 +594,83 @@ object PdfCodec {
     out.toByteArray
   }
 
+  /** Write a genuine PDF 1.5 file: the document-structure dicts
+    * (catalog, page tree, pages, font) packed into ONE Flate-compressed
+    * object stream (/Type /ObjStm — content streams stay top-level, the
+    * spec forbids nesting streams), indexed by a binary CROSS-REFERENCE
+    * STREAM (/Type /XRef, W [1 4 2], type-2 entries pointing into the
+    * object stream) instead of a classic xref table — the layout every
+    * modern writer emits. Round-trips through [[extractText]]'s ObjStm
+    * expansion; same page/text scope as [[encodePdf]]. */
+  def encodePdf15(pages: Seq[String], compress: Boolean = true): Array[Byte] = {
+    val nPages = pages.length
+    val fontNum = 3 + 2 * nPages
+    val objStmNum = fontNum + 1
+    val xrefNum = fontNum + 2
+    val out = new ByteArrayOutputStream()
+    def w(str: String): Unit = out.write(str.getBytes(ISO_8859_1))
+    def filt = if (compress) " /Filter /FlateDecode" else ""
+    w("%PDF-1.5\n%âãÏÓ\n")
+    val offsets = mutable.Map.empty[Int, Int]
+    pages.zipWithIndex.foreach { case (text, i) =>
+      val contNum = 4 + 2 * i
+      offsets(contNum) = out.size()
+      val content = s"BT /F1 12 Tf 72 720 Td (${escapeLiteral(text)}) Tj ET"
+      val data = if (compress) deflate(content.getBytes(ISO_8859_1))
+                 else content.getBytes(ISO_8859_1)
+      w(s"$contNum 0 obj\n<< /Length ${data.length}$filt >>\nstream\n")
+      out.write(data)
+      w("\nendstream\nendobj\n")
+    }
+    val kids = (0 until nPages).map(i => s"${3 + 2 * i} 0 R").mkString(" ")
+    val inStm: Seq[(Int, String)] =
+      Seq(1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+        2 -> s"<< /Type /Pages /Kids [ $kids ] /Count $nPages >>") ++
+      (0 until nPages).map { i =>
+        (3 + 2 * i) -> (s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+          s"/Resources << /Font << /F1 $fontNum 0 R >> >> /Contents ${4 + 2 * i} 0 R >>")
+      } :+ (fontNum -> "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    // ObjStm payload: "num offset" header pairs, then the dicts
+    // space-separated; offsets are relative to /First (= header length)
+    val bodies = inStm.map(_._2)
+    val offs = bodies.scanLeft(0)((acc, b) => acc + b.length + 1).init
+    val header = inStm.zip(offs).map { case ((num, _), off) => s"$num $off" }
+      .mkString(" ") + "\n"
+    val payload = (header + bodies.mkString(" ")).getBytes(ISO_8859_1)
+    val stmData = if (compress) deflate(payload) else payload
+    offsets(objStmNum) = out.size()
+    w(s"$objStmNum 0 obj\n<< /Type /ObjStm /N ${inStm.length} /First ${header.length} " +
+      s"/Length ${stmData.length}$filt >>\nstream\n")
+    out.write(stmData)
+    w("\nendstream\nendobj\n")
+    // cross-reference stream: type 0 = free, 1 = at byte offset,
+    // 2 = (objstm number, index within it); W [1 4 2]
+    val total = xrefNum + 1
+    val xrefAt = out.size()
+    val entries = new ByteArrayOutputStream()
+    def entry(t: Int, f2: Int, f3: Int): Unit = {
+      entries.write(t)
+      entries.write((f2 >> 24) & 0xff); entries.write((f2 >> 16) & 0xff)
+      entries.write((f2 >> 8) & 0xff); entries.write(f2 & 0xff)
+      entries.write((f3 >> 8) & 0xff); entries.write(f3 & 0xff)
+    }
+    (0 until total).foreach { num =>
+      if (num == 0) entry(0, 0, 0xffff)
+      else if (num == xrefNum) entry(1, xrefAt, 0)
+      else offsets.get(num) match {
+        case Some(off) => entry(1, off, 0)
+        case None => entry(2, objStmNum, inStm.indexWhere(_._1 == num))
+      }
+    }
+    val xdata = if (compress) deflate(entries.toByteArray) else entries.toByteArray
+    w(s"$xrefNum 0 obj\n<< /Type /XRef /Size $total /W [1 4 2] /Root 1 0 R " +
+      s"/Length ${xdata.length}$filt >>\nstream\n")
+    out.write(xdata)
+    w("\nendstream\nendobj\n")
+    w(s"startxref\n$xrefAt\n%%EOF\n")
+    out.toByteArray
+  }
+
   /** Write a CJK-capable PDF with a COMPOSITE (Type0 /Identity-H) font:
     * each distinct character gets a sequential 2-byte code in
     * first-appearance order — the shape a real subset font produces

@@ -91,6 +91,22 @@ object PdfPipeline {
       .toDF(idCol, "content")
   }
 
+  /** [[synthesizePdfs]] in PDF 1.5 layout (object stream + binary
+    * cross-reference stream — the modern-writer shape), so the decode
+    * path's ObjStm expansion is oracle-gated on real bytes. */
+  def synthesizeModernPdfs(docs: DataFrame, pageSize: Int = 200, compress: Boolean = true,
+                           idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val pages = if (text.isEmpty) Seq.empty[String] else text.grouped(pageSize).toSeq
+        (id, PdfCodec.encodePdf15(pages, compress))
+      }
+      .toDF(idCol, "content")
+  }
+
   /** [[synthesizePdfs]] with a COMPOSITE (Type0/Identity-H) font and a
     * ToUnicode CMap — real CJK-shaped PDF bytes (sequential subset codes,
     * not code points), so decoding them exercises the CMap path the

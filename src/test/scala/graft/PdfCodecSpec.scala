@@ -66,6 +66,37 @@ class PdfCodecSpec extends SparkSpec {
     assert(e.getMessage.contains("DCTDecode"))
   }
 
+  // ── PDF 1.5 object streams ─────────────────────────────────────────
+
+  test("PDF 1.5 round trip: structure dicts in an ObjStm, xref stream layout") {
+    val pages = Seq("first page body", "second page (with) \\ specials", "third")
+    for (compress <- Seq(true, false)) {
+      val pdf = PdfCodec.encodePdf15(pages, compress)
+      assert(new String(pdf.take(8), "ISO-8859-1") == "%PDF-1.5")
+      assert(PdfCodec.extractText(pdf) == pages, s"compress=$compress")
+    }
+  }
+
+  test("PDF 1.5 layout really packs the catalog: classic scan alone finds no pages") {
+    val pdf = new String(PdfCodec.encodePdf15(Seq("x"), compress = true), "ISO-8859-1")
+    // the only /Type /Catalog and /Type /Page occurrences live inside
+    // the compressed object stream — invisible to a byte scan
+    assert(!pdf.contains("/Catalog") && !"""(?s)/Type\s*/Page[^s]""".r.findFirstIn(pdf).isDefined)
+    assert(pdf.contains("/ObjStm") && pdf.contains("/XRef"))
+  }
+
+  test("truncated ObjStm header fails loud") {
+    val pdf = new String(PdfCodec.encodePdf15(Seq("x"), compress = false), "ISO-8859-1")
+    val broken = pdf.replace("/N 4", "/N 40") // claims 40 packed objects
+    val e = intercept[IllegalArgumentException](
+      PdfCodec.extractText(broken.getBytes("ISO-8859-1")))
+    assert(e.getMessage.contains("header has"))
+  }
+
+  test("empty document in 1.5 layout") {
+    assert(PdfCodec.extractText(PdfCodec.encodePdf15(Seq.empty)) == Seq.empty)
+  }
+
   // ── composite (Type0/CID) fonts — VERDICT r8 #4 ────────────────────
 
   test("CID round trip: CJK text through Type0 font + ToUnicode CMap") {
