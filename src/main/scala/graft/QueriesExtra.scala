@@ -455,6 +455,60 @@ object QueriesExtra {
              |  FROM scored)
              |SELECT qid, vec_id, dist, rn FROM ranked WHERE rn <= 5 ORDER BY qid, rn""".stripMargin)),
 
+    // Iterative FILTERED ANN (round 9 — pgvector 0.8's "iterative index
+    // scans"): a relational predicate rides along `ORDER BY emb <=> q
+    // LIMIT k`; short results double their probe set until k survivors
+    // or full probe. Production shape: moderate 1/3 selectivity, small
+    // initial probe — rows-gated (stop-at-k is probe-order dependent),
+    // invariants spec-pinned in IvfStoreSpec.
+    "q_knn_filtered" -> QueryDef(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val dir = Fixtures.memo(s"ivf_ip_idx:$d") {
+          val model = IvfIndex.train(e, k = 16, iters = 2)
+          val dr = java.nio.file.Files.createTempDirectory("ivf_ip_q").toString
+          IvfIndex.writeIndex(e, model, dr)
+          dr
+        }
+        val q = e.where(col("vec_id") < 4).select(col("vec_id").as("qid"), col("embedding"))
+        IvfIndex.searchIndexFiltered(s, dir, q, pmod(col("vec_id"), lit(3)) === 0,
+            k = 5, nprobe = 2)
+          .orderBy(col("qid"), col("rn"))
+      },
+      None),
+
+    // Filtered-search EXACT gate: the predicate keeps only 5 corpus
+    // rows (vec_id % 97 = 0 AND vec_id < 400) — fewer than k = 10 — so
+    // EVERY query must escalate to the full probe and return ALL
+    // matches exactly ranked; the hash gates the whole iterate→widen→
+    // degenerate path plus the in-scan predicate placement.
+    "q_knn_filtered_exact" -> QueryDef(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val dir = Fixtures.memo(s"ivf_ip_idx:$d") {
+          val model = IvfIndex.train(e, k = 16, iters = 2)
+          val dr = java.nio.file.Files.createTempDirectory("ivf_ip_q").toString
+          IvfIndex.writeIndex(e, model, dr)
+          dr
+        }
+        val q = e.where(col("vec_id") < 4).select(col("vec_id").as("qid"), col("embedding"))
+        IvfIndex.searchIndexFiltered(s, dir, q,
+            pmod(col("vec_id"), lit(97)) === 0 && col("vec_id") < 400,
+            k = 10, nprobe = 1)
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some("""WITH q AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < 4),
+             |f AS (SELECT * FROM embeddings WHERE vec_id % 97 = 0 AND vec_id < 400),
+             |scored AS (
+             |  SELECT q.qid, f.vec_id,
+             |    round(list_cosine_similarity(f.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS cos
+             |  FROM f CROSS JOIN q),
+             |ranked AS (SELECT qid, vec_id, cos,
+             |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+             |  FROM scored)
+             |SELECT qid, vec_id, cos, CAST(rn AS BIGINT) AS rn
+             |FROM ranked WHERE rn <= 10 ORDER BY qid, rn""".stripMargin)),
+
     // Deterministic hash-bucket sampling — reproducible subsets at any
     // partitioning; the exact md5-bucket construction replays in DuckDB.
     "q_sample_hash" -> QueryDef(

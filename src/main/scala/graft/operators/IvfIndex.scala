@@ -378,6 +378,57 @@ object IvfIndex {
     probeAndRerank(corpus, queries, model, k, nprobe, idCol, embCol, queryIdCol, scale)
   }
 
+  /** ITERATIVE FILTERED search — pgvector 0.8's headline "iterative
+    * index scans", re-expressed for the persisted store: a selective
+    * relational predicate (`WHERE category = … ORDER BY emb <-> q
+    * LIMIT k`) can leave fewer than k survivors among the first
+    * `nprobe` cells' candidates, and a fixed-probe search silently
+    * returns short results. Here queries that come back short DOUBLE
+    * their probe set and retry — geometric escalation, so total work is
+    * ≤ 2× the final round — until they hold k survivors or every cell
+    * was probed, at which point the result is EXACT over the filtered
+    * corpus (the degeneration the oracle gates). A query keeps the
+    * result of its FIRST satisfying round (pgvector's stop-at-k
+    * semantics — deterministic, since cell ranking is).
+    *
+    * The predicate is applied IN the scan (`.where(pred)` beside the
+    * static `cell IN` pruning), so at 100 TB each round reads only the
+    * probed partitions AND pushes the filter to parquet — never
+    * filter-after-fetch on the driver. Per-round satisfied/deficient
+    * bookkeeping collects one (qid, count) row per query — queries are
+    * broadcast-small by contract, same as the probe-cell collection. */
+  def searchIndexFiltered(spark: org.apache.spark.sql.SparkSession, path: String,
+                          queries: DataFrame, pred: Column, k: Int, nprobe: Int,
+                          idCol: String = "vec_id", embCol: String = "embedding",
+                          queryIdCol: String = "qid", scale: Int = 4): DataFrame = {
+    val model = readModel(spark, path)
+    val kc = model.k
+    var cur = math.max(1, math.min(nprobe, kc))
+    var pending = queries
+    var done = List.empty[DataFrame]
+    while (true) {
+      val probedCells = pending
+        .select(explode(cellsOf(col(embCol), model, cur)).as("cell"))
+        .distinct().collect().map(_.getInt(0).asInstanceOf[Any])
+      val corpus = spark.read.parquet(path)
+        .where(col("cell").isin(probedCells: _*))
+        .where(pred)
+      val res = probeAndRerank(corpus, pending, model, k, cur, idCol, embCol, queryIdCol, scale)
+      if (cur >= kc) // full probe: nothing more exists — exact by construction
+        return (res :: done).reduce(_ union _)
+      val counts = res.groupBy(col(queryIdCol)).agg(count(lit(1)).as("__n"))
+        .collect().map(r => r.get(0) -> r.getLong(1)).toMap
+      val allQids = pending.select(col(queryIdCol)).distinct().collect().map(_.get(0))
+      val (sat, unsat) = allQids.partition(q => counts.getOrElse(q, 0L) >= k)
+      if (sat.nonEmpty) done ::= res.where(col(queryIdCol).isin(sat: _*))
+      if (unsat.isEmpty) // includes the empty-queries frame: schema-shaped empty result
+        return (if (done.isEmpty) List(res.limit(0)) else done).reduce(_ union _)
+      pending = pending.where(col(queryIdCol).isin(unsat: _*))
+      cur = math.min(cur * 2, kc)
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Approximate top-k: probe `nprobe` cells per query, exact rerank. */
   def topK(corpus: DataFrame, queries: DataFrame, model: Model, k: Int, nprobe: Int,
            idCol: String = "vec_id", embCol: String = "embedding",

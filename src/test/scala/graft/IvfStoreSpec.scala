@@ -416,4 +416,51 @@ class IvfStoreSpec extends SparkSpec {
     assert(err.getMessage.contains("L2 store"))
   }
 
+  test("iterative filtered search: escalation fills k, degenerates exact, pushes the predicate") {
+    val path = Files.createTempDirectory("ivf_filt").toString
+    val e = Tables.embeddings(spark, sfDir)
+    val model = IvfIndex.train(e, k = 16, iters = 3)
+    IvfIndex.writeIndex(e, model, path)
+    val q = e.where(col("vec_id") < 5).select(col("vec_id").as("qid"), col("embedding"))
+
+    // (1) matches >= k everywhere: starting from ONE probed cell, every
+    // query must still return exactly k survivors of the filter
+    val filled = IvfIndex.searchIndexFiltered(spark, path, q,
+      pmod(col("vec_id"), lit(2)) === 0, k = 8, nprobe = 1)
+    val perQ = filled.groupBy("qid").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perQ.size == 5 && perQ.values.forall(_ == 8L), perQ.toString)
+    assert(filled.select("vec_id").collect().forall(_.getLong(0) % 2 == 0))
+
+    // (2) ultra-selective filter (total matches < k) forces full probe →
+    // result equals brute-force filtered KNN exactly, ids AND scores
+    val pred = col("vec_id") < 7 // 7 matches, k = 10
+    val got = IvfIndex.searchIndexFiltered(spark, path, q, pred, k = 10, nprobe = 1)
+      .orderBy("qid", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    val exact = {
+      import graft.functions.VectorFunctions
+      import org.apache.spark.sql.expressions.Window
+      val scored = e.where(pred).crossJoin(broadcast(
+          q.select(col("qid"), col("embedding").as("__qe"))))
+        .select(col("qid"), col("vec_id"),
+          round(VectorFunctions.cosineSimilarity(col("embedding"), col("__qe")), 4).as("cos"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      scored.withColumn("rn", row_number().over(w)).where(col("rn") <= 10)
+        .orderBy("qid", "rn").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    }
+    assert(got == exact, s"got=$got exact=$exact")
+
+    // (3) the relational predicate reaches the parquet scan (PushedFilters),
+    // it is not applied after the fetch
+    val plan = IvfIndex.searchIndexFiltered(spark, path, q, col("vec_id") < 7,
+        k = 10, nprobe = 16) // single round keeps one scan in the plan
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LessThan(vec_id,7"), plan.take(1500))
+
+    // (4) empty query frame: schema-shaped empty result, no crash
+    assert(IvfIndex.searchIndexFiltered(spark, path, q.where(lit(false)),
+      col("vec_id") < 7, k = 3, nprobe = 2).isEmpty)
+  }
+
 }
