@@ -144,6 +144,53 @@ object QueriesExtra {
       },
       None),
 
+    // HNSW iterative filtered search (round 9 — pgvector 0.8 iterative
+    // scans on the graph side, pairing q_knn_filtered's IVF variant):
+    // allowed ids broadcast as a set, ef escalates executor-locally.
+    // Production shape (1/3 selectivity, small initial ef) — rows-gated;
+    // stop-at-ef results are beam-order dependent. Invariants + the
+    // exact gate live in HnswSpec / q_ann_hnsw_filt_exact.
+    "q_ann_hnsw_filt" -> QueryDef(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val index = Fixtures.memo(s"hnsw_graph:$d") {
+          graft.operators.Hnsw.build(e, m = 16, efConstruction = 64)
+        }
+        val q = e.where(col("vec_id") < 4).select(col("vec_id").as("qid"), col("embedding"))
+        val allowed = e.where(pmod(col("vec_id"), lit(3)) === 0).select(col("vec_id"))
+        graft.operators.Hnsw.topKBatchFiltered(s, index, q, allowed, k = 5, ef = 8)
+          .orderBy(col("qid"), col("rn"))
+      },
+      None),
+
+    // Filtered-HNSW EXACT gate: the allowed set holds 7 ids — fewer
+    // than k = 10 — so every query's beam escalation exhausts the graph
+    // and the exact filtered-scan fallback returns ALL allowed rows
+    // ranked; hash covers the escalate→degenerate path and the
+    // broadcast-set filtering.
+    "q_ann_hnsw_filt_exact" -> QueryDef(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val index = Fixtures.memo(s"hnsw_graph:$d") {
+          graft.operators.Hnsw.build(e, m = 16, efConstruction = 64)
+        }
+        val q = e.where(col("vec_id") < 4).select(col("vec_id").as("qid"), col("embedding"))
+        val allowed = e.where(col("vec_id") < 7).select(col("vec_id"))
+        graft.operators.Hnsw.topKBatchFiltered(s, index, q, allowed, k = 10, ef = 4)
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some("""WITH q AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < 4),
+             |f AS (SELECT * FROM embeddings WHERE vec_id < 7),
+             |scored AS (
+             |  SELECT q.qid, f.vec_id,
+             |    round(list_distance(f.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS dist
+             |  FROM f CROSS JOIN q),
+             |ranked AS (SELECT qid, vec_id, dist,
+             |    row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn
+             |  FROM scored)
+             |SELECT qid, vec_id, dist, CAST(rn AS BIGINT) AS rn
+             |FROM ranked WHERE rn <= 10 ORDER BY qid, rn""".stripMargin)),
+
     // DBSCAN density clustering (round-7 candidate): cell-blocked
     // eps-pair generation at FULL probe (the exhaustive/oracle setting,
     // spec-pinned equal to all-pairs), degree-based core marking,

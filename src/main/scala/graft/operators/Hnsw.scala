@@ -271,6 +271,76 @@ object Hnsw {
     }(enc)
   }
 
+  /** ITERATIVE FILTERED batch search — pgvector 0.8's "iterative index
+    * scans" on the HNSW side, completing the pair with
+    * [[IvfIndex.searchIndexFiltered]]: a selective relational filter can
+    * leave fewer than k survivors in an ef-beam's results, and a
+    * fixed-ef search silently returns short. Here the allowed-id table
+    * is collected to a broadcast hash set (bounded by `maxFilterIds`,
+    * fail-fast — the filter rides a BOUNDED hot-tier index, and a
+    * corpus-scale filter belongs on the IVF path), and each query
+    * escalates EXECUTOR-LOCALLY: the graph is memory-local after the
+    * one broadcast, so widen-ef-and-retry costs no extra scan or
+    * shuffle — unlike the IVF variant's per-round driver loop. A query
+    * still short when the beam covers the graph falls back to an exact
+    * scan of the filtered in-memory vectors (also covering nodes a
+    * disconnected graph could hide from any beam), so the final result
+    * is EXACT over the filtered index — the degeneration the oracle
+    * gates. Stop-at-k semantics match pgvector: the first satisfying ef
+    * wins, deterministically. */
+  def topKBatchFiltered(spark: SparkSession, index: Index, queries: DataFrame,
+                        allowed: DataFrame, k: Int, ef: Int = 64,
+                        queryIdCol: String = "qid", embCol: String = "embedding",
+                        idCol: String = "vec_id", scale: Int = 4,
+                        maxFilterIds: Int = 10000000): DataFrame = {
+    val distinctIds = allowed.select(col(idCol).cast("long")).distinct()
+    val idRows = distinctIds.limit(maxFilterIds + 1).collect()
+    require(idRows.length <= maxFilterIds,
+      s"Hnsw.topKBatchFiltered: allowed-id set exceeds maxFilterIds=$maxFilterIds — " +
+        "use IvfIndex.searchIndexFiltered for corpus-scale filtered search")
+    val bcSet = spark.sparkContext.broadcast(idRows.map(_.getLong(0)).toSet)
+    val bc = spark.sparkContext.broadcast(index)
+    val qidIdx = queries.schema.fieldIndex(queryIdCol)
+    val prepared = queries.withColumn(embCol, col(embCol).cast("array<double>"))
+    val embIdx = prepared.schema.fieldIndex(embCol)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(queryIdCol, org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("dist", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("rn", org.apache.spark.sql.types.LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val k0 = k
+    prepared.mapPartitions { it =>
+      val idx = bc.value
+      val ok = bcSet.value
+      it.flatMap { r =>
+        val qid = r.getLong(qidIdx)
+        val q = r.getSeq[Double](embIdx).toArray
+        var curEf = math.max(ef, k0)
+        // beam curEf wide, keep ALL curEf results, then filter — the
+        // filter must see the whole beam, not a pre-truncated top-k
+        var hits = searchIndex(idx, q, curEf, curEf).filter(t => ok(t._1)).take(k0)
+        while (hits.length < k0 && curEf < idx.size) {
+          curEf = math.min(curEf * 2, idx.size)
+          hits = searchIndex(idx, q, curEf, curEf).filter(t => ok(t._1)).take(k0)
+        }
+        if (hits.length < k0) {
+          // beam covered the graph and the filter still starves k: exact
+          // scan of the filtered shard (disconnection-proof)
+          hits = idx.ids.indices.iterator
+            .filter(i => ok(idx.ids(i)))
+            .map(i => (idx.ids(i), math.sqrt(l2sq(idx.vecs(i), q))))
+            .toSeq.sortBy(t => (t._2, t._1)).take(k0)
+        }
+        hits.zipWithIndex.map { case ((id, d), rank) =>
+          org.apache.spark.sql.Row(qid, id,
+            BigDecimal(d).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble,
+            (rank + 1).toLong)
+        }
+      }
+    }(enc)
+  }
+
   private def serializeIndex(idx: Index): Array[Byte] = {
     val baos = new java.io.ByteArrayOutputStream()
     val oos = new java.io.ObjectOutputStream(baos)

@@ -167,6 +167,36 @@ class HnswSpec extends SparkSpec {
     assert(full == exact5)
   }
 
+  test("iterative filtered search: ef escalation fills k; starved filter degenerates exact") {
+    val q = e.where(col("vec_id") < 5).select(col("vec_id").as("qid"), col("embedding"))
+
+    // (1) matches >= k: from a tiny initial beam (ef=2) every query must
+    // still return exactly k allowed survivors
+    val allowedBroad = e.where(pmod(col("vec_id"), lit(2)) === 0).select(col("vec_id"))
+    val filled = Hnsw.topKBatchFiltered(spark, index, q, allowedBroad, k = 8, ef = 2)
+    val perQ = filled.groupBy("qid").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perQ.size == 5 && perQ.values.forall(_ == 8L), perQ.toString)
+    assert(filled.select("vec_id").collect().forall(_.getLong(0) % 2 == 0))
+
+    // (2) starved filter (|allowed| < k): exact-scan fallback returns all
+    // allowed rows with exact L2 distances — equals brute force
+    val allowedTiny = e.where(col("vec_id") < 7).select(col("vec_id"))
+    val got = Hnsw.topKBatchFiltered(spark, index, q, allowedTiny, k = 10, ef = 2)
+      .orderBy("qid", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    val exact = Knn.topKBatch(e.where(col("vec_id") < 7), q, Knn.L2, 10)
+      .orderBy("qid", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    assert(got == exact, s"got=${got.take(8)} exact=${exact.take(8)}")
+
+    // (3) oversized filter set fails fast toward the IVF path
+    val err = intercept[IllegalArgumentException] {
+      Hnsw.topKBatchFiltered(spark, index, q, e.select(col("vec_id")), k = 3,
+        ef = 4, maxFilterIds = 10)
+    }
+    assert(err.getMessage.contains("IvfIndex.searchIndexFiltered"))
+  }
+
   test("maxNodes cap fails fast with the IVF pointer") {
     val err = intercept[IllegalArgumentException] {
       Hnsw.build(e, maxNodes = 10)
