@@ -934,6 +934,28 @@ object QueriesExtra {
       },
       None),
 
+    // pgvector aggregate parity (round 9): sum(vector) / avg(vector) as
+    // a SINGLE-PASS native TypedImperativeAggregate — one dim+1-long
+    // buffer per group with map-side partials, vs poolToDocuments'
+    // posexplode shuffle blowup (dim rows per input row). Accumulation
+    // is exact scaled-integer (round-half-up at 6dp, Math.addExact), so
+    // sums are order/partitioning-independent and the DuckDB DECIMAL
+    // replay hash-matches bit-for-bit; avg is gated as sum/count via
+    // exact decimal division by the group size (spec pins avg == sum /
+    // count within the aggregate itself).
+    "q_vec_sum" -> QueryDef(
+      (s, d) => Tables.embeddings(s, d)
+        .groupBy(expr("vec_id div 10").as("doc_id"))
+        .agg(graft.functions.VectorAggregates.vecSum(col("embedding")).as("v"))
+        .select(col("doc_id"), posexplode(col("v")).as(Seq("dim", "val")))
+        .select(col("doc_id"), col("dim").cast("long").as("dim"), col("val"))
+        .orderBy("doc_id", "dim"),
+      Some("""SELECT vec_id // 10 AS doc_id, CAST(dim - 1 AS BIGINT) AS dim,
+             |  CAST(sum(CAST(round(CAST(v AS DOUBLE), 6) AS DECIMAL(18,6))) AS DOUBLE) AS val
+             |FROM (SELECT vec_id, unnest(embedding) AS v,
+             |        generate_subscripts(embedding, 1) AS dim FROM embeddings)
+             |GROUP BY 1, 2 ORDER BY doc_id, dim""".stripMargin)),
+
     // pgvector function-surface parity through plain SQL: vector_dims /
     // vector_norm / subvector / l2_normalize ports (vec_dims, vec_norm,
     // vec_subvector, vec_l2_normalize). Arrays project to int-scaled md5

@@ -112,6 +112,51 @@ class VectorSpec extends SparkSpec {
     assert(firsts.forall(r => r.getLong(0) == r.getLong(1)))
   }
 
+  test("vec_sum / vec_avg aggregates: hand math, partitioning invariance, edge cases") {
+    import spark.implicits._
+    import graft.functions.VectorAggregates._
+    val df = Seq(
+      (0L, Seq(1.0f, 2.0f, 3.0f)),
+      (0L, Seq(0.5f, -2.0f, 1.25f)),
+      (0L, Seq(0.0f, 1.0f, -0.25f)),
+      (1L, Seq(10.0f, 20.0f, 30.0f))
+    ).toDF("g", "v")
+    val sums = df.groupBy("g").agg(vecSum(col("v")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(sums(0L) == Seq(1.5, 1.0, 4.0))
+    assert(sums(1L) == Seq(10.0, 20.0, 30.0))
+    val avgs = df.groupBy("g").agg(vecAvg(col("v")).as("a"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(avgs(0L).zip(Seq(0.5, 1.0 / 3, 4.0 / 3))
+      .forall { case (a, b) => math.abs(a - b) < 1e-9 }, avgs(0L).toString)
+    assert(avgs(1L) == Seq(10.0, 20.0, 30.0))
+    // exact integer accumulation: result identical at any partitioning
+    val p1 = df.repartition(1).groupBy("g").agg(vecSum(col("v")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val p7 = df.repartition(7).groupBy("g").agg(vecSum(col("v")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(p1 == p7 && p1 == sums)
+    // nulls are skipped like every SQL aggregate
+    val withNull = df.union(Seq((0L, null.asInstanceOf[Seq[Float]])).toDF("g", "v"))
+    val s2 = withNull.groupBy("g").agg(vecSum(col("v")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(s2 == sums)
+    // avg == sum / count inside the aggregate (the identity the oracle
+    // relies on for the sum gate covering both)
+    val both = df.groupBy("g").agg(vecSum(col("v")).as("s"), vecAvg(col("v")).as("a"),
+        count(lit(1)).as("n")).collect()
+    both.foreach { r =>
+      val s = r.getSeq[Double](1); val a = r.getSeq[Double](2); val n = r.getLong(3)
+      s.zip(a).foreach { case (sv, av) => assert(math.abs(sv / n - av) < 1e-9) }
+    }
+    // mixed dimensions in one group fail loud, not silently truncate
+    val mixed = Seq((0L, Seq(1.0f, 2.0f)), (0L, Seq(1.0f, 2.0f, 3.0f))).toDF("g", "v")
+    val e = intercept[Exception] {
+      mixed.repartition(1).groupBy("g").agg(vecSum(col("v")).as("s")).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("l1 distance (pgvector <+>): hand math, kernel paths agree, SQL surface") {
     import spark.implicits._
     assert(math.abs(one(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0), l1Distance) - 2.0) < 1e-12)
