@@ -24,9 +24,12 @@ import scala.collection.mutable
   *     of /Type /Page objects as the no-catalog fallback);
   *   - /Contents as one stream or an array (concatenated in order, the
   *     spec's multi-stream page semantics);
-  *   - stream filters: none or /FlateDecode (zlib — `Inflater`);
-  *     anything else (DCT, CCITT, crypt) raises a clear error rather
-  *     than silently yielding garbage;
+  *   - stream filters: none, /FlateDecode (zlib — `Inflater`),
+  *     /ASCIIHexDecode, /ASCII85Decode, /LZWDecode (PDF early-change
+  *     variant), applied as the spec's left-to-right CHAIN when
+  *     /Filter is an array; anything else (DCT, CCITT, crypt,
+  *     predictors) raises a clear error rather than silently yielding
+  *     garbage;
   *   - text operators inside BT…ET: Tj, ' (next-line show), " (spacing
   *     variant), TJ (array show — kerning numbers dropped); Td/TD/T*
   *     append a newline between text runs (the PDFTextStripper-like
@@ -376,17 +379,126 @@ object PdfCodec {
       case None => dictRef(dict, "/Contents").toSeq
     }
 
+  /** Apply the stream's FULL filter chain (spec §7.4: /Filter is a name
+    * or an ARRAY applied left to right — taking only the first entry
+    * would silently mis-decode chained streams like
+    * `[/ASCII85Decode /FlateDecode]`). Supported: FlateDecode,
+    * ASCIIHexDecode, ASCII85Decode, LZWDecode (with the PDF early-change
+    * default). Predictors (/DecodeParms /Predictor > 1) and other
+    * filters fail loud. */
   private def decodeStream(obj: PdfObj): String = {
     val raw = obj.stream.getOrElse(
       throw new IllegalArgumentException(s"PdfCodec: object ${obj.num} has no stream data"))
-    val filter = """/Filter\s*(?:\[\s*)?/([A-Za-z0-9]+)""".r.findFirstMatchIn(obj.dict).map(_.group(1))
-    filter match {
-      case None => new String(raw, ISO_8859_1)
-      case Some("FlateDecode") => new String(inflate(raw), ISO_8859_1)
-      case Some(other) =>
-        throw new IllegalArgumentException(
-          s"PdfCodec: unsupported stream filter /$other (FlateDecode or none)")
+    val filters: Seq[String] =
+      """/Filter\s*\[([^\]]*)\]""".r.findFirstMatchIn(obj.dict) match {
+        case Some(m) => """/([A-Za-z0-9]+)""".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq
+        case None =>
+          """/Filter\s*/([A-Za-z0-9]+)""".r.findFirstMatchIn(obj.dict).map(_.group(1)).toSeq
+      }
+    if (filters.nonEmpty &&
+        """/Predictor\s+(\d+)""".r.findFirstMatchIn(obj.dict).exists(_.group(1).toInt > 1))
+      throw new IllegalArgumentException(
+        s"PdfCodec: object ${obj.num}: /Predictor decoding not supported")
+    val out = filters.foldLeft(raw) { (data, f) =>
+      f match {
+        case "FlateDecode" => inflate(data)
+        case "ASCIIHexDecode" => asciiHexDecode(data)
+        case "ASCII85Decode" => ascii85Decode(data)
+        case "LZWDecode" => lzwDecode(data)
+        case other => throw new IllegalArgumentException(
+          s"PdfCodec: unsupported stream filter /$other " +
+            "(FlateDecode, ASCIIHexDecode, ASCII85Decode, LZWDecode or none)")
+      }
     }
+    new String(out, ISO_8859_1)
+  }
+
+  /** §7.4.2: hex pairs, whitespace ignored, `>` EOD, odd length pads 0. */
+  private[graft] def asciiHexDecode(data: Array[Byte]): Array[Byte] = {
+    val s = new String(data, ISO_8859_1)
+    val end = s.indexOf('>')
+    val hex = (if (end >= 0) s.substring(0, end) else s).filterNot(_.isWhitespace)
+    val padded = if (hex.length % 2 == 1) hex + "0" else hex
+    padded.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray
+  }
+
+  /** §7.4.3: base-85 groups of 5 chars ('!'..'u') → 4 bytes, `z` = four
+    * zero bytes, `~>` EOD, partial final group keeps n−1 bytes. */
+  private[graft] def ascii85Decode(data: Array[Byte]): Array[Byte] = {
+    val s = new String(data, ISO_8859_1)
+    val body0 = s.indexOf("~>") match { case -1 => s; case i => s.substring(0, i) }
+    val body = body0.filterNot(_.isWhitespace).stripPrefix("<~")
+    val out = new ByteArrayOutputStream(body.length * 4 / 5 + 4)
+    var group = new Array[Int](5)
+    var gi = 0
+    def flush(n: Int): Unit = {
+      // pad with 'u' (84) per spec, emit n-1 bytes
+      var tuple = 0L
+      (0 until 5).foreach(i => tuple = tuple * 85 + (if (i < n) group(i) else 84))
+      require(tuple <= 0xffffffffL, "PdfCodec: ASCII85 group overflows 2^32")
+      val bytes = Array(((tuple >> 24) & 0xff).toByte, ((tuple >> 16) & 0xff).toByte,
+        ((tuple >> 8) & 0xff).toByte, (tuple & 0xff).toByte)
+      out.write(bytes, 0, n - 1)
+    }
+    body.foreach { c =>
+      if (c == 'z') {
+        require(gi == 0, "PdfCodec: ASCII85 'z' inside a group")
+        out.write(Array[Byte](0, 0, 0, 0), 0, 4)
+      } else {
+        require(c >= '!' && c <= 'u', s"PdfCodec: ASCII85 char '$c' out of range")
+        group(gi) = c - '!'
+        gi += 1
+        if (gi == 5) { flush(5); gi = 0 }
+      }
+    }
+    if (gi > 0) {
+      require(gi >= 2, "PdfCodec: ASCII85 final group of 1 char is invalid")
+      flush(gi)
+    }
+    out.toByteArray
+  }
+
+  /** §7.4.4: LZW with variable 9–12-bit codes, MSB-first bit packing,
+    * clear=256, EOD=257, and PDF's default EarlyChange=1 (code width
+    * bumps one entry early). */
+  private[graft] def lzwDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(data.length * 3)
+    var dict = mutable.ArrayBuffer.empty[Array[Byte]]
+    def resetDict(): Unit = {
+      dict = mutable.ArrayBuffer.tabulate(256)(i => Array(i.toByte))
+      dict += Array.emptyByteArray // 256 clear
+      dict += Array.emptyByteArray // 257 EOD
+    }
+    resetDict()
+    var width = 9
+    var prev: Array[Byte] = null
+    var bitBuf = 0L
+    var bitCnt = 0
+    var pos = 0
+    while (pos < data.length || bitCnt >= width) {
+      if (bitCnt < width) {
+        bitBuf = (bitBuf << 8) | (data(pos) & 0xffL); bitCnt += 8; pos += 1
+      } else {
+        val code = ((bitBuf >> (bitCnt - width)) & ((1L << width) - 1)).toInt
+        bitCnt -= width
+        code match {
+          case 256 => resetDict(); width = 9; prev = null
+          case 257 => return out.toByteArray
+          case _ =>
+            val entry =
+              if (code < dict.length && (code < 256 || dict(code).nonEmpty)) dict(code)
+              else if (code == dict.length && prev != null) prev :+ prev(0)
+              else throw new IllegalArgumentException(
+                s"PdfCodec: LZW code $code out of range (dict ${dict.length})")
+            out.write(entry, 0, entry.length)
+            if (prev != null) dict += (prev :+ entry(0))
+            prev = entry
+            // EarlyChange=1: widen one entry before the table fills
+            if (dict.length + 1 >= (1 << width) && width < 12) width += 1
+        }
+      }
+    }
+    out.toByteArray // EOD-less streams end at data exhaustion
   }
 
   private def inflate(data: Array[Byte]): Array[Byte] = {

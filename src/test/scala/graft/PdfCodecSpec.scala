@@ -66,6 +66,87 @@ class PdfCodecSpec extends SparkSpec {
     assert(e.getMessage.contains("DCTDecode"))
   }
 
+  // ── stream filter chains ───────────────────────────────────────────
+
+  /** Test-side ASCII85 encoder (spec §7.4.3) — 4 bytes → 5 chars, short
+    * final group, no 'z' shortcut; exercises the decoder. */
+  private def a85enc(data: Array[Byte]): String = {
+    val sb = new StringBuilder
+    data.grouped(4).foreach { g =>
+      var t = 0L
+      (0 until 4).foreach(i => t = (t << 8) | (if (i < g.length) g(i) & 0xffL else 0L))
+      val cs = new Array[Char](5)
+      var v = t
+      (4 to 0 by -1).foreach { i => cs(i) = ('!' + (v % 85).toInt).toChar; v /= 85 }
+      sb.appendAll(cs, 0, g.length + 1)
+    }
+    sb.append("~>").toString
+  }
+
+  /** Test-side LZW encoder: all-literal codes with the same
+    * early-change width schedule the decoder uses — legal, suboptimal. */
+  private def lzwEnc(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L; var bitCnt = 0; var width = 9; var dictSize = 258
+    def emit(code: Int): Unit = {
+      bitBuf = (bitBuf << width) | code; bitCnt += width
+      while (bitCnt >= 8) { out.write(((bitBuf >> (bitCnt - 8)) & 0xff).toInt); bitCnt -= 8 }
+    }
+    emit(256)
+    var first = true
+    data.foreach { b =>
+      emit(b & 0xff)
+      // the decoder adds one dict entry per code AFTER the first
+      if (first) first = false else dictSize += 1
+      if (dictSize + 1 >= (1 << width) && width < 12) width += 1
+    }
+    emit(257)
+    if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xff).toInt)
+    out.toByteArray
+  }
+
+  test("ASCIIHex / ASCII85 / LZW filters round-trip, incl. width bumps and short groups") {
+    val payloads = Seq(
+      "hello world".getBytes("ISO-8859-1"),
+      Array.tabulate(700)(i => (i % 251).toByte), // LZW width 9→10 bump
+      Array[Byte](0, 0, 0, 0, 1),                 // a85 short final group
+      Array.emptyByteArray)
+    payloads.foreach { p =>
+      assert(PdfCodec.asciiHexDecode(
+        (p.map(b => f"${b & 0xff}%02x").mkString + ">").getBytes("ISO-8859-1")).sameElements(p))
+      assert(PdfCodec.ascii85Decode(a85enc(p).getBytes("ISO-8859-1")).sameElements(p), p.length)
+      assert(PdfCodec.lzwDecode(lzwEnc(p)).sameElements(p), p.length)
+    }
+    // 'z' shorthand for four zero bytes
+    assert(PdfCodec.ascii85Decode("z~>".getBytes("ISO-8859-1")).sameElements(Array[Byte](0, 0, 0, 0)))
+  }
+
+  test("filter CHAIN [/ASCII85Decode /FlateDecode] decodes left to right") {
+    // take a clean 1-page PDF, re-wrap its compressed content stream in
+    // ASCII85, and declare the chain — a reader that honors only the
+    // first array entry mis-decodes this file
+    val text = "chained filters page"
+    val plain = new String(PdfCodec.encodePdf(Seq(text), compress = true), "ISO-8859-1")
+    val m = """<< /Length (\d+) /Filter /FlateDecode >>\nstream\n""".r.findFirstMatchIn(plain).get
+    val len = m.group(1).toInt
+    val start = m.end
+    val deflated = plain.substring(start, start + len).getBytes("ISO-8859-1")
+    val wrapped = a85enc(deflated)
+    val rebuilt = plain.substring(0, m.start) +
+      s"<< /Length ${wrapped.length} /Filter [ /ASCII85Decode /FlateDecode ] >>\nstream\n" +
+      wrapped + plain.substring(start + len)
+    assert(PdfCodec.extractText(rebuilt.getBytes("ISO-8859-1")) == Seq(text))
+  }
+
+  test("predictor DecodeParms fail loud") {
+    val pdf = new String(PdfCodec.encodePdf(Seq("x"), compress = true), "ISO-8859-1")
+    val broken = pdf.replace("/Filter /FlateDecode",
+      "/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 4 >>")
+    val e = intercept[IllegalArgumentException](
+      PdfCodec.extractText(broken.getBytes("ISO-8859-1")))
+    assert(e.getMessage.contains("Predictor"))
+  }
+
   // ── PDF 1.5 object streams ─────────────────────────────────────────
 
   test("PDF 1.5 round trip: structure dicts in an ObjStm, xref stream layout") {
