@@ -413,6 +413,94 @@ object Hnsw {
     try out.write(meta.getBytes("UTF-8")) finally out.close()
   }
 
+  private def readShardedMeta(spark: SparkSession, path: String): (Int, Int, Int) = {
+    val p = new org.apache.hadoop.fs.Path(path, "_hnsw_sharded.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val json = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    def field(k: String): Int = (s""""$k"\\s*:\\s*(\\d+)""").r.findFirstMatchIn(json)
+      .map(_.group(1).toInt).getOrElse(throw new IllegalArgumentException(
+        s"Hnsw: _hnsw_sharded.json missing $k"))
+    (field("numShards"), field("m"), field("efConstruction"))
+  }
+
+  /** Incremental APPEND on a sharded store — the maintenance axis
+    * [[IvfIndex.appendIndex]] gives the IVF family, on the graph side:
+    * new vectors route to their `floorMod(id, numShards)` shard, each
+    * AFFECTED shard's graph is re-opened executor-side (seeded from the
+    * serialized graph — no rebuild of existing nodes) and the new nodes
+    * inserted in ascending-id order (the [[append]] semantics, so a
+    * shard append is deterministic), UNAFFECTED shards' rows pass
+    * through byte-identical, and the table is swapped in by a crash-safe
+    * staging rename. Appended graphs differ from a from-scratch rebuild
+    * in insertion ORDER (old-then-new vs globally ascending) — same
+    * contract as [[append]], and search exactness at covering ef is
+    * unaffected (spec-pinned). `maxNodesPerShard` keeps the per-shard
+    * fail-fast cap. */
+  def appendIndexSharded(spark: SparkSession, path: String, vectors: DataFrame,
+                         idCol: String = "vec_id", embCol: String = "embedding",
+                         maxNodesPerShard: Int = 2000000): Unit = {
+    val (numShards, m, efC) = readShardedMeta(spark, path)
+    val part = new org.apache.spark.HashPartitioner(numShards)
+    val newByShard = vectors
+      .select(col(idCol).cast("long"), col(embCol).cast("array<double>"))
+      .rdd
+      .map { r =>
+        val id = r.getLong(0)
+        (java.lang.Math.floorMod(id, numShards.toLong).toInt, (id, r.getSeq[Double](1).toArray))
+      }
+    val oldByShard = spark.read.parquet(path)
+      .select(col("shard"), col("n"), col("graph"))
+      .rdd.map(r => (r.getInt(0), (r.getLong(1), r.getAs[Array[Byte]](2))))
+    val updated = oldByShard.cogroup(newByShard, part).flatMap { case (shard, (olds, news)) =>
+      val newItems = news.toArray.sortInPlaceBy(_._1)
+      olds.headOption match {
+        case Some((n, bytes)) if newItems.isEmpty =>
+          // untouched shard: row passes through byte-identical
+          Iterator(org.apache.spark.sql.Row(shard, n, bytes))
+        case Some((n, bytes)) =>
+          require(n + newItems.length <= maxNodesPerShard,
+            s"Hnsw.appendIndexSharded: shard $shard would hold ${n + newItems.length} > " +
+              s"maxNodesPerShard=$maxNodesPerShard — raise numShards or use IvfIndex")
+          val b = seededBuilder(deserializeIndex(bytes))
+          newItems.foreach { case (id, v) => b.addNode(id, v) }
+          Iterator(org.apache.spark.sql.Row(shard, n + newItems.length,
+            serializeIndex(b.freeze())))
+        case None if newItems.nonEmpty =>
+          // shard had no graph yet (writeIndexSharded skips empty shards)
+          require(newItems.length <= maxNodesPerShard,
+            s"Hnsw.appendIndexSharded: shard $shard would hold ${newItems.length} > " +
+              s"maxNodesPerShard=$maxNodesPerShard")
+          val b = new GraphBuilder(m, efC)
+          newItems.foreach { case (id, v) => b.addNode(id, v) }
+          Iterator(org.apache.spark.sql.Row(shard, newItems.length.toLong,
+            serializeIndex(b.freeze())))
+        case None => Iterator.empty
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("shard", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("graph", org.apache.spark.sql.types.BinaryType)))
+    val staged = path + "__append_staged"
+    spark.createDataFrame(updated, schema).write.mode("overwrite").parquet(staged)
+    // meta travels with the staged table so the swap is self-contained
+    val metaJson = s"""{"numShards":$numShards,"m":$m,"efConstruction":$efC}"""
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaP = new org.apache.hadoop.fs.Path(staged, "_hnsw_sharded.json")
+    val out = fs.create(metaP, true)
+    try out.write(metaJson.getBytes("UTF-8")) finally out.close()
+    // crash-safe two-rename: old table survives until the new one is in place
+    val oldP = new org.apache.hadoop.fs.Path(path + "__append_old")
+    fs.delete(oldP, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(path), oldP),
+      s"Hnsw.appendIndexSharded: could not stage out $path")
+    require(fs.rename(new org.apache.hadoop.fs.Path(staged), new org.apache.hadoop.fs.Path(path)),
+      s"Hnsw.appendIndexSharded: could not swap in $staged")
+    fs.delete(oldP, true)
+  }
+
   /** Scatter-gather search over a [[writeIndexSharded]] store: queries
     * (broadcast-small by the serve contract) are broadcast ONCE; each
     * shard row deserializes its graph in one task and beam-searches every

@@ -167,6 +167,51 @@ class HnswSpec extends SparkSpec {
     assert(full == exact5)
   }
 
+  test("sharded append: new vectors searchable, untouched shards byte-identical, exactness holds") {
+    val path = Files.createTempDirectory("hnsw_sh_app").toString
+    val held = e.where(col("vec_id") < 20 && pmod(col("vec_id"), lit(4)) === 0) // shard 0 only
+    Hnsw.writeIndexSharded(e.where(col("vec_id") >= 20 || pmod(col("vec_id"), lit(4)) =!= 0),
+      numShards = 4, path)
+    val before = spark.read.parquet(path).select("shard", "n", "graph").collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getAs[Array[Byte]](2))).toMap
+
+    val q = held.select(col("vec_id").as("qid"), col("embedding"))
+    val missing = Hnsw.searchIndexSharded(spark, path, q, k = 1, ef = 64)
+      .where(col("vec_id") === col("qid"))
+    assert(missing.isEmpty) // held-out ids invisible pre-append
+
+    Hnsw.appendIndexSharded(spark, path, held)
+    val after = spark.read.parquet(path).select("shard", "n", "graph").collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getAs[Array[Byte]](2))).toMap
+    // only shard 0 received ids ≡ 0 (mod 4); shards 1–3 byte-identical
+    (1 to 3).foreach { s =>
+      assert(after(s)._1 == before(s)._1 && after(s)._2.sameElements(before(s)._2), s"shard $s")
+    }
+    assert(after(0)._1 == before(0)._1 + held.count())
+
+    // appended vectors now found at rank 1 / dist 0 (self-search)
+    val found = Hnsw.searchIndexSharded(spark, path, q, k = 1, ef = 64)
+      .where(col("vec_id") === col("qid") && col("rn") === 1)
+    assert(found.count() == held.count())
+
+    // covering-ef exactness survives the append
+    val n = e.count().toInt
+    val q2 = q.where(col("qid") < 8) // ids 0, 4 — deterministic pair
+    val exact = Knn.topKBatch(e, q2, Knn.L2, 5).orderBy("qid", "rn")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    val sharded = Hnsw.searchIndexSharded(spark, path, q2, k = 5, ef = n)
+      .orderBy("qid", "rn")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    assert(sharded == exact, s"sharded=$sharded exact=$exact")
+
+    // per-shard cap fails fast
+    val err = intercept[Exception] {
+      Hnsw.appendIndexSharded(spark, path,
+        e.where(col("vec_id") >= 20).limit(50), maxNodesPerShard = 3)
+    }
+    assert(err.getMessage.contains("maxNodesPerShard"))
+  }
+
   test("iterative filtered search: ef escalation fills k; starved filter degenerates exact") {
     val q = e.where(col("vec_id") < 5).select(col("vec_id").as("qid"), col("embedding"))
 
