@@ -23,9 +23,25 @@ object Fixtures {
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
 
   /** Build-once-per-JVM: returns the cached fixture for `key` or runs
-    * `build` and caches its result. Builds are serialized per key. */
-  def memo[T <: AnyRef](key: String)(build: => T): T =
-    cache.computeIfAbsent(key, _ => build).asInstanceOf[T]
+    * `build` and caches its result.
+    *
+    * NOT computeIfAbsent: fixture builds NEST (an index fixture memoizes
+    * the model fixture it trains from — e.g. ivfpq_idx → ivfpq_models →
+    * ivf_model), and a computeIfAbsent mapping function that re-enters
+    * the same ConcurrentHashMap is a forbidden recursive update — JDK 9+
+    * throws IllegalStateException when the inner key lands in the locked
+    * bin, which key-string hashCodes make a deterministic-per-machine
+    * landmine. get-then-putIfAbsent runs `build` without holding any map
+    * lock; the trade is that two RACING threads could both build (last
+    * one discarded — wasted work, not corruption; builds are
+    * deterministic), and Verify/Bench drive queries single-threaded. */
+  def memo[T <: AnyRef](key: String)(build: => T): T = {
+    val cur = cache.get(key)
+    if (cur != null) return cur.asInstanceOf[T]
+    val v = build
+    val prev = cache.putIfAbsent(key, v)
+    (if (prev != null) prev else v).asInstanceOf[T]
+  }
 
   /** Force a fresh build (the `*_build` bench entries): always runs
     * `build`, and replaces the cached fixture so subsequent serve
@@ -34,13 +50,5 @@ object Fixtures {
     val v = build
     cache.put(key, v)
     v
-  }
-
-  /** A stable scratch directory for a fixture (same key → same path
-    * within a JVM; cleaned implicitly by tmpdir policy). */
-  def dir(key: String): String = {
-    val p = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), s"graft_fix_${math.abs(key.hashCode)}")
-    p.toString
   }
 }

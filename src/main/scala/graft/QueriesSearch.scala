@@ -746,11 +746,16 @@ object QueriesSearch {
           SparseKnn.writeIndex(sv, s"q_splade_idx_$tag", idxDir)
           idxDir
         }
+        // mass gate sums INTEGER-SCALED weights: __v values are 6dp
+        // doubles (NOT integers like the TF gate's), so a float sum is
+        // partition-order dependent in final ulps and a 2dp round of it
+        // can flap across engines near a .005 boundary; round(__v*1e6)
+        // is exact on both sides and sums order-independently
         s.table(s"q_splade_idx_$tag").agg(
           count(lit(1)).cast("long").as("n_postings"),
           countDistinct(col("__t")).cast("long").as("n_terms"),
           countDistinct(col("doc_id")).cast("long").as("n_docs"),
-          round(sum(col("__v")), 2).as("sum_v"))
+          sum(round(col("__v") * 1e6).cast("long")).as("sum_v6"))
       },
       Some(s"""WITH tok AS (SELECT doc_id, unnest(string_split($canon, ' ')) AS tok FROM documents),
              |tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf
@@ -761,7 +766,8 @@ object QueriesSearch {
              |      FROM (SELECT doc_id, tok, tf, unnest([0, 1, 2]) AS e FROM tf)),
              |w AS (SELECT doc_id, b, round(max(w), 6) AS v FROM c GROUP BY 1, 2)
              |SELECT count(*)::BIGINT AS n_postings, count(DISTINCT b)::BIGINT AS n_terms,
-             |  count(DISTINCT doc_id)::BIGINT AS n_docs, round(sum(v), 2) AS sum_v
+             |  count(DISTINCT doc_id)::BIGINT AS n_docs,
+             |  CAST(sum(CAST(round(v * 1e6) AS BIGINT)) AS BIGINT) AS sum_v6
              |FROM w""".stripMargin)),
 
     // word-frequency table (the tokenizer-training inner loop). Two

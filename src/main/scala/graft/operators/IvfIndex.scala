@@ -405,28 +405,55 @@ object IvfIndex {
     val kc = model.k
     var cur = math.max(1, math.min(nprobe, kc))
     var pending = queries
-    var done = List.empty[DataFrame]
-    while (true) {
-      val probedCells = pending
-        .select(explode(cellsOf(col(embCol), model, cur)).as("cell"))
-        .distinct().collect().map(_.getInt(0).asInstanceOf[Any])
-      val corpus = spark.read.parquet(path)
-        .where(col("cell").isin(probedCells: _*))
-        .where(pred)
-      val res = probeAndRerank(corpus, pending, model, k, cur, idCol, embCol, queryIdCol, scale)
-      if (cur >= kc) // full probe: nothing more exists — exact by construction
-        return (res :: done).reduce(_ union _)
-      val counts = res.groupBy(col(queryIdCol)).agg(count(lit(1)).as("__n"))
-        .collect().map(r => r.get(0) -> r.getLong(1)).toMap
+    // per-round results are ≤ |pending|·k rows (the window caps at k) and
+    // queries are broadcast-small by contract, so each round COLLECTS its
+    // result once — one Spark job per round; counting satisfied queries
+    // and assembling the final frame are driver-side, never a
+    // re-evaluation of the probe/rerank plan
+    val kept = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    var schema: org.apache.spark.sql.types.StructType = null
+    var rounds = 0
+    while (rounds >= 0) {
+      rounds += 1
+      val res = filteredProbePlan(spark, path, model, pending, pred, k, cur,
+        idCol, embCol, queryIdCol, scale)
+      if (schema == null) schema = res.schema
+      val rows = res.collect()
+      if (cur >= kc) { // full probe: nothing more exists — exact by construction
+        kept ++= rows
+        return spark.createDataFrame(
+          scala.jdk.CollectionConverters.SeqHasAsJava(kept.toSeq).asJava, schema)
+      }
+      val counts = rows.groupBy(_.get(0)).map { case (q, rs) => q -> rs.length }
       val allQids = pending.select(col(queryIdCol)).distinct().collect().map(_.get(0))
-      val (sat, unsat) = allQids.partition(q => counts.getOrElse(q, 0L) >= k)
-      if (sat.nonEmpty) done ::= res.where(col(queryIdCol).isin(sat: _*))
-      if (unsat.isEmpty) // includes the empty-queries frame: schema-shaped empty result
-        return (if (done.isEmpty) List(res.limit(0)) else done).reduce(_ union _)
+      val (sat, unsat) = allQids.partition(q => counts.getOrElse(q, 0) >= k)
+      val satSet = sat.toSet
+      kept ++= rows.filter(r => satSet.contains(r.get(0)))
+      if (unsat.isEmpty) // includes the empty-queries frame
+        return spark.createDataFrame(
+          scala.jdk.CollectionConverters.SeqHasAsJava(kept.toSeq).asJava, schema)
       pending = pending.where(col(queryIdCol).isin(unsat: _*))
       cur = math.min(cur * 2, kc)
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** ONE round of [[searchIndexFiltered]]: static cell pruning + the
+    * relational predicate IN the scan + rerank. Package-visible so the
+    * spec can assert the predicate reaches `PushedFilters` (the returned
+    * frame of the iterative driver is a collected LocalRelation with no
+    * scan left to inspect). */
+  private[graft] def filteredProbePlan(spark: org.apache.spark.sql.SparkSession, path: String,
+                                       model: Model, pending: DataFrame, pred: Column,
+                                       k: Int, cur: Int, idCol: String, embCol: String,
+                                       queryIdCol: String, scale: Int): DataFrame = {
+    val probedCells = pending
+      .select(explode(cellsOf(col(embCol), model, cur)).as("cell"))
+      .distinct().collect().map(_.getInt(0).asInstanceOf[Any])
+    val corpus = spark.read.parquet(path)
+      .where(col("cell").isin(probedCells: _*))
+      .where(pred)
+    probeAndRerank(corpus, pending, model, k, cur, idCol, embCol, queryIdCol, scale)
   }
 
   /** Approximate top-k: probe `nprobe` cells per query, exact rerank. */

@@ -134,9 +134,35 @@ final class OpenAiCompatClient(endpoint: String, apiKey: String,
           .stripMargin.replace("\n", "")
       val resp = post("/chat/completions", body)
       """"content"\s*:\s*"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(resp)
-        .map(m => m.group(1)
-          .replace("\\n", "\n").replace("\\\"", "\"").replace("\\\\", "\\"))
+        .map(m => jsonUnescape(m.group(1)))
         .getOrElse(throw new RuntimeException(
           "OpenAiCompatClient: no content field in chat response"))
     }
+
+  /** Single-pass JSON string unescape — sequential replace() corrupts
+    * content with literal backslashes (`C:\\new` would lose its `\\`
+    * and gain a newline), so escapes are consumed left to right. */
+  private def jsonUnescape(s: String): String = {
+    val out = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => out.append('\n'); i += 2
+          case 'r' => out.append('\r'); i += 2
+          case 't' => out.append('\t'); i += 2
+          case 'b' => out.append('\b'); i += 2
+          case 'f' => out.append('\f'); i += 2
+          case '"' => out.append('"'); i += 2
+          case '\\' => out.append('\\'); i += 2
+          case '/' => out.append('/'); i += 2
+          case 'u' if i + 6 <= s.length =>
+            out.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
+          case other => out.append(other); i += 2 // lenient: unknown escape drops the backslash
+        }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
 }

@@ -124,11 +124,35 @@ object PdfCodec {
       depth += 1
     }
     val fontDict = res.flatMap(r => resolveDict(r, "Font", byNum)).getOrElse("")
-    """/([A-Za-z0-9.+_-]+)\s+(\d+)\s+\d+\s+R""".r.findAllMatchIn(fontDict).map { m =>
-      val ref = m.group(2).toInt
-      m.group(1) -> fontFor(byNum.getOrElse(ref, throw new IllegalArgumentException(
-        s"PdfCodec: font object $ref 0 R not found")), byNum)
-    }.toMap
+    // entries are `/Name N 0 R` OR a legal INLINE dict `/Name << … >>` —
+    // matching only the ref form would silently decode an inline
+    // composite font as SimpleFont (garbage, violating the fail-loud
+    // contract), so walk the dict with a cursor
+    val out = mutable.Map.empty[String, FontDec]
+    val nameRe = """/([A-Za-z0-9.+_-]+)""".r
+    var cursor = if (fontDict.startsWith("<<")) 2 else 0
+    while (cursor < fontDict.length) {
+      nameRe.findFirstMatchIn(fontDict.substring(cursor)) match {
+        case None => cursor = fontDict.length
+        case Some(m) =>
+          val name = m.group(1)
+          var p = cursor + m.end
+          while (p < fontDict.length && fontDict.charAt(p).isWhitespace) p += 1
+          if (fontDict.startsWith("<<", p)) {
+            val end = balancedDictEnd(fontDict, p)
+            out(name) = fontFor(PdfObj(-1, fontDict.substring(p, end), None), byNum)
+            cursor = end
+          } else """^(\d+)\s+\d+\s+R""".r.findFirstMatchIn(fontDict.substring(p)) match {
+            case Some(r) =>
+              val ref = r.group(1).toInt
+              out(name) = fontFor(byNum.getOrElse(ref, throw new IllegalArgumentException(
+                s"PdfCodec: font object $ref 0 R not found")), byNum)
+              cursor = p + r.end
+            case None => cursor = p // not a font entry (stray name) — keep walking
+          }
+      }
+    }
+    out.toMap
   }
 
   private def fontFor(obj: PdfObj, byNum: Map[Int, PdfObj]): FontDec = {

@@ -46,6 +46,13 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   *    (pre-1970) stay correct, merely a step looser.
   *  - All bound arithmetic is overflow-checked (`Math.*Exact`); a step
   *    that would overflow simply drops that side of the interval.
+  *  - FORWARD-chain overflow: a wrap-range instant (year-9999 sentinel
+  *    through `* 1000`) wraps under non-ANSI semantics, where a wrapped
+  *    value can satisfy the original predicate while its mathematical
+  *    value does not — the rule therefore stands down when ANSI is off;
+  *    under ANSI (the Spark 4 + graft default) such a row ERRORS in the
+  *    unrewritten plan, and pruning it first is ordinary
+  *    error-avoidance, the same as filter pushdown.
   *  - The NTZ→LTZ cast inside the chain maps wall-clock to instant via
   *    the session zone; the rule only fires when that zone is UTC (the
   *    graft session default), where the mapping is the identity on the
@@ -181,6 +188,17 @@ object EpochPushdownRule extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     // NTZ→LTZ cast inversion is only literal under UTC (see scaladoc)
     if (conf.sessionLocalTimeZone != "UTC") return plan
+    // Soundness gate: the inversion assumes the FORWARD chain evaluates
+    // mathematically. Under non-ANSI semantics a `* c` step WRAPS for
+    // wrap-range instants (e.g. a year-9999 SCD2 sentinel through
+    // `unix_micros(ts) * 1000`), so a wrapped value can satisfy the
+    // original predicate while the mathematical value does not — and the
+    // planted guard would prune a row the original plan keeps. Under
+    // ANSI (Spark 4's and graft's default) overflow is an ERROR in the
+    // original plan, and an optimization that avoids an error by pruning
+    // first is standard Catalyst behavior (filter pushdown does the same)
+    // — so the rule runs only there.
+    if (!conf.ansiEnabled) return plan
     plan.transform {
       case f @ Filter(cond, child) =>
         val conjuncts = splitConjuncts(cond)

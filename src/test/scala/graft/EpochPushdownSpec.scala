@@ -84,6 +84,19 @@ class EpochPushdownSpec extends SparkSpec {
     assert(EpochPushdownRule(plan).toString != plan.toString)
   }
 
+  test("stands down under non-ANSI arithmetic (forward-chain wrap would be unsound)") {
+    // a year-9999 sentinel through `unix_micros * 1000` WRAPS when ANSI
+    // is off; a wrapped value can satisfy the original predicate while
+    // the mathematical value does not, so the planted guard would drop a
+    // row the unrewritten plan keeps — the rule must not fire there
+    val q = derived(spark.read.parquet(ntzPath)).where(expr("ts div 1000 >= 0"))
+    val plan = q.queryExecution.optimizedPlan
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try assert(EpochPushdownRule(plan).toString == plan.toString)
+    finally spark.conf.set("spark.sql.ansi.enabled", "true")
+    assert(EpochPushdownRule(plan).toString != plan.toString)
+  }
+
   test("fires on the live events table shape (q_drift slice)") {
     val ev = Tables.events(spark, sfDir)
       .select(expr("ts div 1000").as("tsu"), col("value"))

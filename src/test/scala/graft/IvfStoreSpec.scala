@@ -452,9 +452,10 @@ class IvfStoreSpec extends SparkSpec {
     assert(got == exact, s"got=$got exact=$exact")
 
     // (3) the relational predicate reaches the parquet scan (PushedFilters),
-    // it is not applied after the fetch
-    val plan = IvfIndex.searchIndexFiltered(spark, path, q, col("vec_id") < 7,
-        k = 10, nprobe = 16) // single round keeps one scan in the plan
+    // it is not applied after the fetch — asserted on the per-round plan
+    // (the iterative driver returns collected rows with no scan left)
+    val plan = IvfIndex.filteredProbePlan(spark, path, IvfIndex.readModel(spark, path),
+        q, col("vec_id") < 7, 10, 16, "vec_id", "embedding", "qid", 4)
       .queryExecution.executedPlan.toString
     assert(plan.contains("LessThan(vec_id,7"), plan.take(1500))
 

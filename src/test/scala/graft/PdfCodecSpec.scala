@@ -268,6 +268,36 @@ class PdfCodecSpec extends SparkSpec {
     assert(e.getMessage.contains("not in the font's ToUnicode CMap"))
   }
 
+  test("INLINE composite font dict (not a ref) is resolved — and fails loud without ToUnicode") {
+    // legal per spec: /Font maps the name to an inline dict; a reader
+    // matching only `/F1 N 0 R` silently falls back to SimpleFont and
+    // emits garbage for the CID codes
+    val content = "BT /F1 12 Tf <0001> Tj ET"
+    val pdf =
+      s"""%PDF-1.4
+         |1 0 obj
+         |<< /Type /Catalog /Pages 2 0 R >>
+         |endobj
+         |2 0 obj
+         |<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>
+         |endobj
+         |3 0 obj
+         |<< /Type /Page /Parent 2 0 R /Resources << /Font << /F1 << /Subtype /Type0 /Encoding /Identity-H /BaseFont /Inline >> >> >> /Contents 4 0 R >>
+         |endobj
+         |4 0 obj
+         |<< /Length ${content.length} >>
+         |stream
+         |$content
+         |endstream
+         |endobj
+         |trailer
+         |<< /Root 1 0 R >>
+         |""".stripMargin
+    val e = intercept[IllegalArgumentException](
+      PdfCodec.extractText(pdf.getBytes("ISO-8859-1")))
+    assert(e.getMessage.contains("ToUnicode"), e.getMessage)
+  }
+
   test("simple and composite fonts mix on one page via Tf tracking") {
     val decs: Map[String, PdfCodec.FontDec] = Map(
       "F1" -> PdfCodec.CompositeFont(
