@@ -83,6 +83,14 @@ object PdfCodec {
   def extractText(bytes: Array[Byte]): Seq[String] = {
     val s = new String(bytes, ISO_8859_1)
     require(s.startsWith("%PDF-"), "PdfCodec: not a PDF (missing %PDF- header)")
+    // encrypted files would otherwise surface as a baffling
+    // "truncated FlateDecode" — name the real problem. The /Encrypt
+    // entry lives in the trailer (or xref-stream dict) at the file TAIL;
+    // checking only there avoids false-rejecting a document whose page
+    // TEXT merely mentions the token
+    require(!"""/Encrypt(?![a-zA-Z])""".r.findFirstIn(
+        s.substring(math.max(0, s.length - 2048))).isDefined,
+      "PdfCodec: encrypted PDF (trailer /Encrypt) is not supported")
     val objs = scanObjects(s, bytes)
     val byNum = objs.map(o => o.num -> o).toMap
     val pageNums = pageOrder(objs, byNum)
@@ -608,6 +616,25 @@ object PdfCodec {
         while (p < n && !content.charAt(p).isWhitespace &&
           !"()<>[]/%".contains(content.charAt(p))) p += 1
         content.substring(st, p) match {
+          case "BI" =>
+            // inline image (§8.9.7): `BI <dict entries> ID <binary> EI`.
+            // The binary payload must not be tokenized (it can contain
+            // parens/backslashes that would corrupt the scan). Skip to
+            // the EI delimiter: per the spec's own guidance, the first
+            // `EI` preceded by whitespace and followed by whitespace/EOF
+            // ends the image — the PDFBox heuristic.
+            val id = content.indexOf("ID", p)
+            require(id >= 0, "PdfCodec: inline image BI without ID")
+            var q = id + 3 // ID + one whitespace byte before the data
+            var found = -1
+            while (found < 0 && q + 1 < n) {
+              if (content.charAt(q) == 'E' && content.charAt(q + 1) == 'I' &&
+                  content.charAt(q - 1).isWhitespace &&
+                  (q + 2 >= n || content.charAt(q + 2).isWhitespace)) found = q
+              else q += 1
+            }
+            require(found >= 0, "PdfCodec: inline image ID without terminating EI")
+            p = found + 2
           case "BT" => inText = true
           case "ET" => inText = false
           case "Tf" if lastName != null =>
