@@ -215,6 +215,32 @@ object Perf {
         spark.experimental.extraOptimizations
           .filterNot(_ eq graft.plans.IvfScanRewriteRule)
     }
+
+    // round-9 additions: iterative filtered search + single-pass vector
+    // aggregate, both at the 100k/200x scale point
+    {
+      val dir = java.nio.file.Files.createTempDirectory("perf_ivf_filt").toString
+      val model = IvfIndex.train(bigE200, k = 64, iters = 2, samplePercent = 2)
+      IvfIndex.writeIndex(bigE200, model, dir)
+      val q = emb.where(col("vec_id") < 8).select(col("vec_id").as("qid"), col("embedding"))
+      time("knnFiltered.200x (100k store, 1/10 selectivity, escalating probe)") {
+        IvfIndex.searchIndexFiltered(spark, dir, q,
+          pmod(col("vec_id"), lit(10)) === 0, k = 10, nprobe = 2).count()
+      }
+      time("knnFiltered.200x (starved filter -> full-probe exact)") {
+        IvfIndex.searchIndexFiltered(spark, dir, q,
+          col("vec_id") < 5, k = 10, nprobe = 2).count()
+      }
+    }
+    time("vecSum.200x (100k vectors, single-pass aggregate)") {
+      bigE200.groupBy(expr("vec_id % 97").as("g"))
+        .agg(graft.functions.VectorAggregates.vecSum(col("embedding")).as("s")).count()
+    }
+    time("vecSum.200x via posexplode (the shuffle-blowup alternative)") {
+      bigE200.select(col("vec_id") % 97 as "g", posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("g"), col("dim"))
+        .agg(sum(round(col("v").cast("double"), 6).cast("decimal(18,6)"))).count()
+    }
     spark.stop()
   }
 }
