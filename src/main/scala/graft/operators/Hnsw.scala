@@ -298,7 +298,15 @@ object Hnsw {
     require(idRows.length <= maxFilterIds,
       s"Hnsw.topKBatchFiltered: allowed-id set exceeds maxFilterIds=$maxFilterIds — " +
         "use IvfIndex.searchIndexFiltered for corpus-scale filtered search")
-    val bcSet = spark.sparkContext.broadcast(idRows.map(_.getLong(0)).toSet)
+    require(idRows.forall(!_.isNullAt(0)),
+      s"Hnsw.topKBatchFiltered: allowed-id table has a NULL $idCol — a null can never " +
+        "match an index node; clean the filter input")
+    // intersect with the index's ids before broadcasting: only ids that
+    // exist in the graph can ever match, so the broadcast is bounded by
+    // the index size regardless of how large the allowed table was
+    val inIndex = index.ids.toSet
+    val bcSet = spark.sparkContext.broadcast(
+      idRows.iterator.map(_.getLong(0)).filter(inIndex).toSet)
     val bc = spark.sparkContext.broadcast(index)
     val qidIdx = queries.schema.fieldIndex(queryIdCol)
     val prepared = queries.withColumn(embCol, col(embCol).cast("array<double>"))
@@ -316,26 +324,32 @@ object Hnsw {
       it.flatMap { r =>
         val qid = r.getLong(qidIdx)
         val q = r.getSeq[Double](embIdx).toArray
+        // round distances BEFORE ranking (ties then break on id) — the
+        // codebase-wide convention (Knn.topKBatch, probeAndRerank,
+        // searchIndexSharded's window) and what the DuckDB oracle
+        // replays; ranking raw and rounding after would flip rank order
+        // whenever two distances collide at `scale` decimals
+        def rounded(raw: Seq[(Long, Double)]): Seq[(Long, Double)] = raw
+          .map { case (id, d) =>
+            (id, BigDecimal(d).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+          .sortBy(t => (t._2, t._1)).take(k0)
         var curEf = math.max(ef, k0)
         // beam curEf wide, keep ALL curEf results, then filter — the
         // filter must see the whole beam, not a pre-truncated top-k
-        var hits = searchIndex(idx, q, curEf, curEf).filter(t => ok(t._1)).take(k0)
+        var hits = rounded(searchIndex(idx, q, curEf, curEf).filter(t => ok(t._1)))
         while (hits.length < k0 && curEf < idx.size) {
           curEf = math.min(curEf * 2, idx.size)
-          hits = searchIndex(idx, q, curEf, curEf).filter(t => ok(t._1)).take(k0)
+          hits = rounded(searchIndex(idx, q, curEf, curEf).filter(t => ok(t._1)))
         }
         if (hits.length < k0) {
           // beam covered the graph and the filter still starves k: exact
           // scan of the filtered shard (disconnection-proof)
-          hits = idx.ids.indices.iterator
+          hits = rounded(idx.ids.indices.iterator
             .filter(i => ok(idx.ids(i)))
-            .map(i => (idx.ids(i), math.sqrt(l2sq(idx.vecs(i), q))))
-            .toSeq.sortBy(t => (t._2, t._1)).take(k0)
+            .map(i => (idx.ids(i), math.sqrt(l2sq(idx.vecs(i), q)))).toSeq)
         }
         hits.zipWithIndex.map { case ((id, d), rank) =>
-          org.apache.spark.sql.Row(qid, id,
-            BigDecimal(d).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble,
-            (rank + 1).toLong)
+          org.apache.spark.sql.Row(qid, id, d, (rank + 1).toLong)
         }
       }
     }(enc)
@@ -404,8 +418,11 @@ object Hnsw {
       org.apache.spark.sql.types.StructField("shard", org.apache.spark.sql.types.IntegerType),
       org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("graph", org.apache.spark.sql.types.BinaryType)))
+    // PARTITIONED by shard: [[appendIndexSharded]] then rewrites only the
+    // shard directories that actually received vectors (dynamic
+    // partition overwrite), instead of staging the whole store
     spark.createDataFrame(shardRows, schema)
-      .write.mode("overwrite").parquet(path)
+      .write.partitionBy("shard").mode("overwrite").parquet(path)
     val meta = s"""{"numShards":$numShards,"m":$m,"efConstruction":$efConstruction}"""
     val p = new org.apache.hadoop.fs.Path(path, "_hnsw_sharded.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -430,13 +447,17 @@ object Hnsw {
     * AFFECTED shard's graph is re-opened executor-side (seeded from the
     * serialized graph — no rebuild of existing nodes) and the new nodes
     * inserted in ascending-id order (the [[append]] semantics, so a
-    * shard append is deterministic), UNAFFECTED shards' rows pass
-    * through byte-identical, and the table is swapped in by a crash-safe
-    * staging rename. Appended graphs differ from a from-scratch rebuild
-    * in insertion ORDER (old-then-new vs globally ascending) — same
-    * contract as [[append]], and search exactness at covering ef is
-    * unaffected (spec-pinned). `maxNodesPerShard` keeps the per-shard
-    * fail-fast cap. */
+    * shard append is deterministic). Only the affected shards are
+    * written: the store is `partitionBy("shard")` and the write runs
+    * under DYNAMIC partition overwrite, so append cost is O(affected
+    * shards), unaffected shard directories stay byte-identical on disk,
+    * and crash safety is Spark's per-partition commit — original data
+    * survives until each partition's commit, with no whole-store-missing
+    * window a manual table rename would have. Appended graphs differ
+    * from a from-scratch rebuild in insertion ORDER (old-then-new vs
+    * globally ascending) — same contract as [[append]]; search
+    * exactness at covering ef is unaffected (spec-pinned).
+    * `maxNodesPerShard` keeps the per-shard fail-fast cap. */
   def appendIndexSharded(spark: SparkSession, path: String, vectors: DataFrame,
                          idCol: String = "vec_id", embCol: String = "embedding",
                          maxNodesPerShard: Int = 2000000): Unit = {
@@ -452,12 +473,12 @@ object Hnsw {
     val oldByShard = spark.read.parquet(path)
       .select(col("shard"), col("n"), col("graph"))
       .rdd.map(r => (r.getInt(0), (r.getLong(1), r.getAs[Array[Byte]](2))))
+    // only shards with NEW vectors produce a row — untouched shards'
+    // files are never rewritten
     val updated = oldByShard.cogroup(newByShard, part).flatMap { case (shard, (olds, news)) =>
       val newItems = news.toArray.sortInPlaceBy(_._1)
-      olds.headOption match {
-        case Some((n, bytes)) if newItems.isEmpty =>
-          // untouched shard: row passes through byte-identical
-          Iterator(org.apache.spark.sql.Row(shard, n, bytes))
+      if (newItems.isEmpty) Iterator.empty
+      else olds.headOption match {
         case Some((n, bytes)) =>
           require(n + newItems.length <= maxNodesPerShard,
             s"Hnsw.appendIndexSharded: shard $shard would hold ${n + newItems.length} > " +
@@ -466,7 +487,7 @@ object Hnsw {
           newItems.foreach { case (id, v) => b.addNode(id, v) }
           Iterator(org.apache.spark.sql.Row(shard, n + newItems.length,
             serializeIndex(b.freeze())))
-        case None if newItems.nonEmpty =>
+        case None =>
           // shard had no graph yet (writeIndexSharded skips empty shards)
           require(newItems.length <= maxNodesPerShard,
             s"Hnsw.appendIndexSharded: shard $shard would hold ${newItems.length} > " +
@@ -475,30 +496,20 @@ object Hnsw {
           newItems.foreach { case (id, v) => b.addNode(id, v) }
           Iterator(org.apache.spark.sql.Row(shard, newItems.length.toLong,
             serializeIndex(b.freeze())))
-        case None => Iterator.empty
       }
     }
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("shard", org.apache.spark.sql.types.IntegerType),
       org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("graph", org.apache.spark.sql.types.BinaryType)))
-    val staged = path + "__append_staged"
-    spark.createDataFrame(updated, schema).write.mode("overwrite").parquet(staged)
-    // meta travels with the staged table so the swap is self-contained
-    val metaJson = s"""{"numShards":$numShards,"m":$m,"efConstruction":$efC}"""
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val metaP = new org.apache.hadoop.fs.Path(staged, "_hnsw_sharded.json")
-    val out = fs.create(metaP, true)
-    try out.write(metaJson.getBytes("UTF-8")) finally out.close()
-    // crash-safe two-rename: old table survives until the new one is in place
-    val oldP = new org.apache.hadoop.fs.Path(path + "__append_old")
-    fs.delete(oldP, true)
-    require(fs.rename(new org.apache.hadoop.fs.Path(path), oldP),
-      s"Hnsw.appendIndexSharded: could not stage out $path")
-    require(fs.rename(new org.apache.hadoop.fs.Path(staged), new org.apache.hadoop.fs.Path(path)),
-      s"Hnsw.appendIndexSharded: could not swap in $staged")
-    fs.delete(oldP, true)
+    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try spark.createDataFrame(updated, schema)
+      .write.partitionBy("shard").mode("overwrite").parquet(path)
+    finally prevMode match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
   }
 
   /** Scatter-gather search over a [[writeIndexSharded]] store: queries

@@ -412,6 +412,10 @@ object IvfIndex {
     // re-evaluation of the probe/rerank plan
     val kept = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
     var schema: org.apache.spark.sql.types.StructType = null
+    // the qid list is collected ONCE; every later round's pending set is
+    // the previous round's unsatisfied array, already on the driver
+    var pendingQids: Array[Any] =
+      queries.select(col(queryIdCol)).distinct().collect().map(_.get(0))
     var rounds = 0
     while (rounds >= 0) {
       rounds += 1
@@ -425,14 +429,14 @@ object IvfIndex {
           scala.jdk.CollectionConverters.SeqHasAsJava(kept.toSeq).asJava, schema)
       }
       val counts = rows.groupBy(_.get(0)).map { case (q, rs) => q -> rs.length }
-      val allQids = pending.select(col(queryIdCol)).distinct().collect().map(_.get(0))
-      val (sat, unsat) = allQids.partition(q => counts.getOrElse(q, 0) >= k)
+      val (sat, unsat) = pendingQids.partition(q => counts.getOrElse(q, 0) >= k)
       val satSet = sat.toSet
       kept ++= rows.filter(r => satSet.contains(r.get(0)))
       if (unsat.isEmpty) // includes the empty-queries frame
         return spark.createDataFrame(
           scala.jdk.CollectionConverters.SeqHasAsJava(kept.toSeq).asJava, schema)
       pending = pending.where(col(queryIdCol).isin(unsat: _*))
+      pendingQids = unsat
       cur = math.min(cur * 2, kc)
     }
     throw new IllegalStateException("unreachable")
@@ -693,6 +697,30 @@ object IvfIndex {
       if (json.contains("cosine")) "cosine" else "l2"
     } catch { case _: Exception => "l2" }
 
+  /** Shared body of the metric-variant searches ([[searchIndexCosine]]/
+    * [[searchIndexIp]]/[[searchIndexL1]]): probe cells by the coarse L2
+    * geometry, static `cell IN` pruning, cross-join against the
+    * broadcast-small query side, round-then-rank by `distFn`. One
+    * definition so a fix to the probe/rank shape cannot drift across
+    * the three opclasses. */
+  private def searchIndexByMetric(spark: org.apache.spark.sql.SparkSession, path: String,
+                                  model: Model, queries: DataFrame, k: Int, nprobe: Int,
+                                  idCol: String, embCol: String, queryIdCol: String,
+                                  scale: Int, distFn: (Column, Column) => Column): DataFrame = {
+    val probedCells = queries
+      .select(explode(cellsOf(col(embCol), model, nprobe)).as("cell"))
+      .distinct().collect().map(_.getInt(0).asInstanceOf[Any])
+    val corpus = spark.read.parquet(path).where(col("cell").isin(probedCells: _*))
+    val qSide = broadcast(queries.select(col(queryIdCol), col(embCol).as("__qemb")))
+    val scored = corpus.crossJoin(qSide)
+      .select(col(queryIdCol), col(idCol),
+        round(distFn(col(embCol), col("__qemb")), scale).as("dist"))
+    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("dist"), col(idCol))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col(queryIdCol), col(idCol), col("dist"), col("rn").cast("long").as("rn"))
+  }
+
   /** Search a [[writeIndexCosine]] store: queries are normalized, cells
     * probed by L2 (order-equivalent on the unit sphere), and the rerank
     * reports COSINE DISTANCE (pgvector `<=>`), ascending, ties by id —
@@ -705,18 +733,8 @@ object IvfIndex {
       s"searchIndexCosine: $path is not a cosine-metric index (write with writeIndexCosine)")
     val model = readModel(spark, path)
     val qn = queries.withColumn(embCol, VectorFunctions.l2Normalize(col(embCol)))
-    val probedCells = qn
-      .select(explode(cellsOf(col(embCol), model, nprobe)).as("cell"))
-      .distinct().collect().map(_.getInt(0).asInstanceOf[Any])
-    val corpus = spark.read.parquet(path).where(col("cell").isin(probedCells: _*))
-    val qSide = broadcast(qn.select(col(queryIdCol), col(embCol).as("__qemb")))
-    val scored = corpus.crossJoin(qSide)
-      .select(col(queryIdCol), col(idCol),
-        round(VectorFunctions.cosineDistance(col(embCol), col("__qemb")), scale).as("dist"))
-    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("dist"), col(idCol))
-    scored.withColumn("rn", row_number().over(w))
-      .where(col("rn") <= k)
-      .select(col(queryIdCol), col(idCol), col("dist"), col("rn").cast("long").as("rn"))
+    searchIndexByMetric(spark, path, model, qn, k, nprobe, idCol, embCol, queryIdCol,
+      scale, VectorFunctions.cosineDistance)
   }
 
   /** INNER-PRODUCT search over an L2-metric index — pgvector's
@@ -737,18 +755,8 @@ object IvfIndex {
       s"searchIndexIp: $path is a cosine-metric (normalized) index — IP ordering " +
         "equals cosine there; use searchIndexCosine")
     val model = readModel(spark, path)
-    val probedCells = queries
-      .select(explode(cellsOf(col(embCol), model, nprobe)).as("cell"))
-      .distinct().collect().map(_.getInt(0).asInstanceOf[Any])
-    val corpus = spark.read.parquet(path).where(col("cell").isin(probedCells: _*))
-    val qSide = broadcast(queries.select(col(queryIdCol), col(embCol).as("__qemb")))
-    val scored = corpus.crossJoin(qSide)
-      .select(col(queryIdCol), col(idCol),
-        round(VectorFunctions.negInnerProduct(col(embCol), col("__qemb")), scale).as("dist"))
-    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("dist"), col(idCol))
-    scored.withColumn("rn", row_number().over(w))
-      .where(col("rn") <= k)
-      .select(col(queryIdCol), col(idCol), col("dist"), col("rn").cast("long").as("rn"))
+    searchIndexByMetric(spark, path, model, queries, k, nprobe, idCol, embCol, queryIdCol,
+      scale, VectorFunctions.negInnerProduct)
   }
 
   /** L1 (Manhattan) search over an L2-metric index — pgvector 0.7's
@@ -769,18 +777,8 @@ object IvfIndex {
       s"searchIndexL1: $path is a cosine-metric (normalized) index — L1 over " +
         "normalized bytes answers a different question; build an L2 store for <+>")
     val model = readModel(spark, path)
-    val probedCells = queries
-      .select(explode(cellsOf(col(embCol), model, nprobe)).as("cell"))
-      .distinct().collect().map(_.getInt(0).asInstanceOf[Any])
-    val corpus = spark.read.parquet(path).where(col("cell").isin(probedCells: _*))
-    val qSide = broadcast(queries.select(col(queryIdCol), col(embCol).as("__qemb")))
-    val scored = corpus.crossJoin(qSide)
-      .select(col(queryIdCol), col(idCol),
-        round(VectorFunctions.l1Distance(col(embCol), col("__qemb")), scale).as("dist"))
-    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("dist"), col(idCol))
-    scored.withColumn("rn", row_number().over(w))
-      .where(col("rn") <= k)
-      .select(col(queryIdCol), col(idCol), col("dist"), col("rn").cast("long").as("rn"))
+    searchIndexByMetric(spark, path, model, queries, k, nprobe, idCol, embCol, queryIdCol,
+      scale, VectorFunctions.l1Distance)
   }
 
   /** Append new vectors to a quantized index: cells assigned under the

@@ -46,11 +46,11 @@ object Mmr {
     // failure surfaces as an unrelated BitSet error) — fail loud with
     // the offending id instead
     probe.foreach { r =>
-      require(!r.isNullAt(1) && !r.getDouble(1).isNaN,
-        s"Mmr.rerank: null/NaN $relCol for $idCol=${r.getLong(0)}")
+      require(!r.isNullAt(1) && java.lang.Double.isFinite(r.getDouble(1)),
+        s"Mmr.rerank: null/non-finite $relCol for $idCol=${r.getLong(0)}")
       require(!r.isNullAt(2) && !r.getSeq[Any](2).exists(v =>
-          v == null || v.asInstanceOf[Double].isNaN),
-        s"Mmr.rerank: null/NaN $embCol for $idCol=${r.getLong(0)}")
+          v == null || !java.lang.Double.isFinite(v.asInstanceOf[Double])),
+        s"Mmr.rerank: null/non-finite $embCol for $idCol=${r.getLong(0)}")
     }
     val ids = probe.map(_.getLong(0))
     val rels = probe.map(r => roundAt(r.getDouble(1), scale))
