@@ -82,6 +82,13 @@ case class HalfEncodeExpr(child: Expression) extends UnaryExpression with Codege
         s"half_encode expects array<float|double>, got $other")
     }
 
+  // containsNull inputs (parquet read-back marks elements nullable)
+  // must be validated: getFloat on a null slot returns garbage that
+  // would be encoded as a REAL half value — the stored tier silently
+  // diverging from full precision, the SparseDotExpr contract violated
+  private lazy val needsNullCheck: Boolean =
+    child.dataType.asInstanceOf[ArrayType].containsNull
+
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
@@ -89,6 +96,8 @@ case class HalfEncodeExpr(child: Expression) extends UnaryExpression with Codege
     val out = new Array[Short](n)
     var i = 0
     while (i < n) {
+      if (needsNullCheck && arr.isNullAt(i)) throw new IllegalArgumentException(
+        s"$prettyName: null element at position $i — a null dimension has no half encoding")
       val v = if (isFloat) arr.getFloat(i) else arr.getDouble(i).toFloat
       out(i) = HalfFloat.toHalf(v)
       i += 1

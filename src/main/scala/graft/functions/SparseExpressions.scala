@@ -87,6 +87,13 @@ case class SparseDotExpr(first: Expression, second: Expression,
       requireNoNullElements(bIdx, "second-indices"); requireNoNullElements(bVal, "second-values")
     }
     val (na, nb) = (aIdx.numElements(), bIdx.numElements())
+    // a ragged (indices, values) pair would read past the values array's
+    // element region — UnsafeArrayData has no bounds check, so the result
+    // would be silent garbage, not an error
+    if (na != aVal.numElements()) throw new IllegalArgumentException(
+      s"$prettyName: first vector is ragged — $na indices vs ${aVal.numElements()} values")
+    if (nb != bVal.numElements()) throw new IllegalArgumentException(
+      s"$prettyName: second vector is ragged — $nb indices vs ${bVal.numElements()} values")
     var dot = 0.0
     var i = 0; var j = 0
     while (i < na && j < nb) {
@@ -129,6 +136,12 @@ case class SparseDotExpr(first: Expression, second: Expression,
          |$nullChecks
          |int $na = $ai.numElements();
          |int $nb = $bi.numElements();
+         |if ($na != $av.numElements()) throw new IllegalArgumentException(
+         |  "sparse_dot: first vector is ragged — " + $na + " indices vs " +
+         |  $av.numElements() + " values");
+         |if ($nb != $bv.numElements()) throw new IllegalArgumentException(
+         |  "sparse_dot: second vector is ragged — " + $nb + " indices vs " +
+         |  $bv.numElements() + " values");
          |double $dot = 0.0;
          |int $i = 0; int $j = 0;
          |while ($i < $na && $j < $nb) {

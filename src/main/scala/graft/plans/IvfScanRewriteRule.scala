@@ -67,7 +67,10 @@ object IvfScanRewriteRule extends Rule[LogicalPlan] {
   /** Sidecars per store path — immutable per write; a rebuild writes new
     * sidecars and should be re-read, so the cache keys on (path,
     * centroids-file length+mtime fingerprint). */
-  private val cache = TrieMap.empty[String, Sidecars]
+  // keyed by PATH with the freshness stamp stored beside the value:
+  // a stamp-keyed map never evicts, so every index rebuild would leak
+  // the previous centroid/PQ models in driver memory for the session
+  private val cache = TrieMap.empty[String, (String, Sidecars)]
 
   private def conf(key: String, default: String): String =
     org.apache.spark.sql.internal.SQLConf.get.getConfString(key, default)
@@ -241,19 +244,23 @@ object IvfScanRewriteRule extends Rule[LogicalPlan] {
     val p = new org.apache.hadoop.fs.Path(path, "_centroids.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return None
-    val stamp = { val s = fs.getFileStatus(p); s"$path@${s.getLen}:${s.getModificationTime}" }
-    Some(cache.getOrElseUpdate(stamp, {
-      val model = IvfIndex.readModel(spark, path)
-      val range =
-        if (fs.exists(new org.apache.hadoop.fs.Path(path, "_quantize.json")))
-          Some(IvfIndex.readQuantRange(spark, path))
-        else None
-      val pq =
-        if (fs.exists(new org.apache.hadoop.fs.Path(path, "_pq.json")))
-          Some(ProductQuantizer.readModel(spark, path))
-        else None
-      Sidecars(model, range, pq, IvfIndex.readMetric(spark, path))
-    }))
+    val stamp = { val s = fs.getFileStatus(p); s"${s.getLen}:${s.getModificationTime}" }
+    cache.get(path) match {
+      case Some((st, v)) if st == stamp => Some(v)
+      case _ =>
+        val model = IvfIndex.readModel(spark, path)
+        val range =
+          if (fs.exists(new org.apache.hadoop.fs.Path(path, "_quantize.json")))
+            Some(IvfIndex.readQuantRange(spark, path))
+          else None
+        val pq =
+          if (fs.exists(new org.apache.hadoop.fs.Path(path, "_pq.json")))
+            Some(ProductQuantizer.readModel(spark, path))
+          else None
+        val v = Sidecars(model, range, pq, IvfIndex.readMetric(spark, path))
+        cache.put(path, (stamp, v))
+        Some(v)
+    }
   }
 
   private def normalize(v: Array[Double]): Array[Double] = {

@@ -30,11 +30,17 @@ object LevenshteinPrefilterRule extends Rule[LogicalPlan] {
   // duplicates a and b, so a non-deterministic operand would be
   // evaluated twice per row with possibly different values — the
   // standard precondition for expression-duplicating optimizer rules.
+  //
+  // Only the 2-ARG form: the thresholded `levenshtein(a, b, t)` returns
+  // the SENTINEL -1 when the distance exceeds t, and -1 satisfies any
+  // `<= d` — so the length bound does NOT hold for it (a row with a huge
+  // length gap can legitimately pass via the sentinel) and planting the
+  // guard would prune rows the original query keeps.
   private def boundOf(e: Expression): Option[(Expression, Expression, Expression)] = e match {
-    case LessThanOrEqual(l @ Levenshtein(a, b, _), d)
+    case LessThanOrEqual(Levenshtein(a, b, None), d)
         if d.foldable && a.deterministic && b.deterministic =>
       Some((a, b, d))
-    case LessThan(l @ Levenshtein(a, b, _), d)
+    case LessThan(Levenshtein(a, b, None), d)
         if d.foldable && a.deterministic && b.deterministic =>
       Some((a, b, d))
     case _ => None

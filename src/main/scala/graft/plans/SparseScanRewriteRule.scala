@@ -61,7 +61,9 @@ object SparseScanRewriteRule extends Rule[LogicalPlan] {
 
   /** Sidecar per store path, keyed on a (len, mtime) fingerprint so a
     * rebuilt index is re-read. */
-  private val cache = TrieMap.empty[String, IndexMeta]
+  // path-keyed with the stamp stored beside the value (see
+  // IvfScanRewriteRule — a stamp-keyed map leaks one entry per rebuild)
+  private val cache = TrieMap.empty[String, (String, IndexMeta)]
 
   private def conf(key: String, default: String): String =
     org.apache.spark.sql.internal.SQLConf.get.getConfString(key, default)
@@ -126,6 +128,12 @@ object SparseScanRewriteRule extends Rule[LogicalPlan] {
         isCosineDenom(resolveThroughProjects(den, child), idxAttr, valAttr))
       if qIdx.length == qVal.length && qIdx.nonEmpty &&
         qIdx.length <= conf("spark.graft.sparse.maxTerms", "4096").toInt
+      // the sparse_dot kernel is a two-pointer merge that UNDERCOUNTS on
+      // an unsorted/duplicated query literal (documented kernel
+      // behavior); the candidate leg's term-join computes the full dot
+      // regardless of order, so rewriting such a query would change its
+      // results — stand down and let the unrewritten semantics hold
+      if qIdx.iterator.sliding(2).withPartial(false).forall(p => p.head < p(1))
       (relation, fsRelation) <- storeRelationOf(child, idxAttr, valAttr)
       if !alreadyRewritten(child)
       path = fsRelation.location.rootPaths.head.toString
@@ -258,8 +266,12 @@ object SparseScanRewriteRule extends Rule[LogicalPlan] {
     val p = new org.apache.hadoop.fs.Path(path, "_sparse_index.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return None
-    val stamp = { val s = fs.getFileStatus(p); s"$path@${s.getLen}:${s.getModificationTime}" }
-    Some(cache.getOrElseUpdate(stamp, {
+    val stamp = { val s = fs.getFileStatus(p); s"${s.getLen}:${s.getModificationTime}" }
+    cache.get(path) match {
+      case Some((st, v)) if st == stamp => return Some(v)
+      case _ => ()
+    }
+    Some(cacheMeta(path, stamp, {
       val in = fs.open(p)
       val json = try new String(in.readAllBytes(), "UTF-8") finally in.close()
       // real JSON parse (Jackson ships with Spark) — a table name or
@@ -277,6 +289,10 @@ object SparseScanRewriteRule extends Rule[LogicalPlan] {
       }
       IndexMeta(field("table"), field("idCol"), field("postings"))
     }))
+  }
+
+  private def cacheMeta(path: String, stamp: String, v: IndexMeta): IndexMeta = {
+    cache.put(path, (stamp, v)); v
   }
 
   /** Candidate subplan: the query terms' postings scored by the exact

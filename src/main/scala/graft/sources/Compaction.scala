@@ -70,8 +70,12 @@ object Compaction {
     require(targetBytes >= 1, s"compact: targetBytes must be >= 1, got $targetBytes")
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val staging = new Path(dir + "__compact_staging")
-    val retired = new Path(dir + "__compact_retired")
+    // siblings of the NORMALIZED path: raw `dir + suffix` concatenation
+    // would, for a trailing-slash dir, create the staging INSIDE the
+    // directory being compacted — and the retire rename (a dir into its
+    // own subtree) then fails on every filesystem
+    val staging = new Path(p.getParent, p.getName + "__compact_staging")
+    val retired = new Path(p.getParent, p.getName + "__compact_retired")
     // recover from a previous crashed swap BEFORE touching anything:
     // retired + no dir = the data's only copy is the retired dir
     if (fs.exists(retired)) {

@@ -63,22 +63,28 @@ object EventStream {
   }
 
   /** Per-user sessionization with a gap timeout, as a custom stateful
-    * operator (`mapGroupsWithState`): events more than `gapSec` apart
-    * start a new session; each update emits the current session snapshot
-    * (Update output mode).
+    * operator (`flatMapGroupsWithState`): events more than `gapSec`
+    * apart start a new session; sessions CLOSED within a batch are
+    * emitted alongside the open session's snapshot (Update output mode).
     *
-    * State hygiene: a cross-batch late event (e.sec ≤ session end) is
-    * MERGED into the open session without moving its end backwards
-    * (`max(end, e.sec)` — a rewound end would corrupt every subsequent
-    * gap comparison), and per-user state is evicted via an EVENT-TIME
-    * timeout: once the watermark (bounded by `watermarkDelaySec`) passes
-    * session end + gap, the session can no longer be extended, so its
-    * final snapshot is emitted and the key's state is freed instead of
-    * living forever in the state store. (Event-time, not processing-time,
-    * timeouts: a processing-time timeout with the default 0-interval
-    * trigger forces a busy loop of empty micro-batches — the engine must
-    * keep re-running to poll the clock — while event-time timeouts fire
-    * only on watermark movement.) */
+    * State hygiene, mirroring the batch sessionizer's gap semantics:
+    *  - a late event WITHIN session reach (≥ start − gap) merges without
+    *    moving the end backwards (`max(end, e.sec)` — a rewound end
+    *    would corrupt every subsequent gap comparison);
+    *  - a late event EARLIER than start − gap must NOT merge (the batch
+    *    sessionizer would put a gap split between them — merging would
+    *    fuse two sessions across a super-gap hole); the sorted early
+    *    prefix is mini-sessionized and emitted as closed sessions — the
+    *    bounded-one-open-session-per-key approximation, since state
+    *    cannot hold reopened history;
+    *  - per-user state is evicted via an EVENT-TIME timeout: once the
+    *    watermark (bounded by `watermarkDelaySec`) passes session end +
+    *    gap, the session can no longer be extended, so its final
+    *    snapshot is emitted and the key's state freed. (Event-time, not
+    *    processing-time timeouts: a processing-time timeout with the
+    *    default 0-interval trigger forces a busy loop of empty
+    *    micro-batches, while event-time timeouts fire only on watermark
+    *    movement.) */
   def sessionize(events: Dataset[Event], gapSec: Long = 1800,
                  watermarkDelaySec: Long = 7200)(
       implicit enc: org.apache.spark.sql.Encoder[SessionSnapshot],
@@ -89,28 +95,49 @@ object EventStream {
       .withWatermark("__ts", s"$watermarkDelaySec seconds")
       .as[Event]
       .groupByKey(_.user_id)
-      .mapGroupsWithState[SessionState, SessionSnapshot](
+      .flatMapGroupsWithState[SessionState, SessionSnapshot](
+        org.apache.spark.sql.streaming.OutputMode.Update,
         org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val st = state.get
             state.remove()
-            SessionSnapshot(userId, st.start, st.end, st.n, st.sum)
+            Iterator(SessionSnapshot(userId, st.start, st.end, st.n, st.sum))
           } else {
             val sorted = batch.toSeq.sortBy(_.sec)
+            val out = scala.collection.mutable.Buffer.empty[SessionSnapshot]
             var st = state.getOption.getOrElse(SessionState(Long.MinValue, Long.MinValue, 0, 0.0))
-            sorted.foreach { e =>
-              st = if (st.n == 0 || e.sec - st.end > gapSec)
+            // sorted ⇒ events too early to touch the open session form a
+            // strict PREFIX; they sessionize among themselves and emit
+            // closed (they can never merge with the open session — their
+            // whole run ends before start − gap by construction)
+            val (early, rest) =
+              if (st.n == 0) (Seq.empty[Event], sorted)
+              else sorted.span(_.sec < st.start - gapSec)
+            var cur: SessionState = null
+            early.foreach { e =>
+              if (cur == null) cur = SessionState(e.sec, e.sec, 1, e.value)
+              else if (e.sec - cur.end > gapSec) {
+                out += SessionSnapshot(userId, cur.start, cur.end, cur.n, cur.sum)
+                cur = SessionState(e.sec, e.sec, 1, e.value)
+              } else cur = SessionState(cur.start, e.sec, cur.n + 1, cur.sum + e.value)
+            }
+            if (cur != null) out += SessionSnapshot(userId, cur.start, cur.end, cur.n, cur.sum)
+            rest.foreach { e =>
+              st = if (st.n == 0) SessionState(e.sec, e.sec, 1, e.value)
+              else if (e.sec - st.end > gapSec) {
+                // forward gap: the open session is final — emit it closed
+                out += SessionSnapshot(userId, st.start, st.end, st.n, st.sum)
                 SessionState(e.sec, e.sec, 1, e.value)
-              else
-                SessionState(math.min(st.start, e.sec), math.max(st.end, e.sec),
-                  st.n + 1, st.sum + e.value)
+              } else SessionState(math.min(st.start, e.sec), math.max(st.end, e.sec),
+                st.n + 1, st.sum + e.value)
             }
             state.update(st)
             // timeout timestamps must stay ahead of the current watermark
             state.setTimeoutTimestamp(
               math.max((st.end + gapSec) * 1000, state.getCurrentWatermarkMs + 1))
-            SessionSnapshot(userId, st.start, st.end, st.n, st.sum)
+            out += SessionSnapshot(userId, st.start, st.end, st.n, st.sum)
+            out.iterator
           }
       }
   }

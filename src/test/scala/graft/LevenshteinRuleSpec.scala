@@ -20,6 +20,23 @@ class LevenshteinRuleSpec extends SparkSpec {
     assert(LevenshteinPrefilterRule(plain).toString == plain.toString)
   }
 
+  test("thresholded 3-arg levenshtein is NOT rewritten (the -1 sentinel breaks the bound)") {
+    // levenshtein(a, b, t) returns -1 when distance > t, and -1 <= d is
+    // TRUE — a row with a huge length gap passes via the sentinel, so
+    // the length guard would wrongly prune it
+    val plan = df.where(levenshtein($"a", $"b", 1) <= 5).queryExecution.analyzed
+    assert(LevenshteinPrefilterRule(plan).toString == plan.toString)
+    // end-to-end: the sentinel row ("a" vs "abcdefgh", distance 7 > 1 →
+    // -1) must remain in the result under the installed rule
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ LevenshteinPrefilterRule
+    try {
+      val got = df.where(levenshtein($"a", $"b", 1) <= 5).count()
+      assert(got == df.count(), s"sentinel rows pruned: $got")
+    } finally spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ eq LevenshteinPrefilterRule)
+  }
+
   test("installed on a live session the rewrite fires and preserves results") {
     // parquet-backed source: a LocalRelation would be constant-folded
     // away before the plan shape can be observed

@@ -105,6 +105,37 @@ class StreamingAggSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize: a late event beyond start - gap closes as its own session, never fuses") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    // wide watermark so the late event is legal; narrow gap so it's disjoint
+    val q = EventStream.sessionize(input.toDS(), gapSec = 100, watermarkDelaySec = 100000)
+      .writeStream.format("memory").queryName("sessions_late_test")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(Event(1, 8000, 1.0), Event(1, 8050, 2.0))
+      q.processAllAvailable()
+      // legal late event 7900s BEFORE the open session — the batch
+      // sessionizer would emit it as its own [100,100] session; fusing
+      // would produce one session spanning a super-gap hole
+      input.addData(Event(1, 100, 9.0))
+      q.processAllAvailable()
+      val snaps = spark.table("sessions_late_test").as[SessionSnapshot].collect()
+      assert(snaps.exists(s => s.start_sec == 100 && s.end_sec == 100 && s.n_events == 1),
+        snaps.mkString(", "))
+      // the open session is untouched by the stray
+      val open = snaps.filter(s => s.end_sec == 8050)
+      assert(open.nonEmpty && open.forall(s => s.start_sec == 8000 && s.n_events == 2))
+      // and an in-batch forward gap emits BOTH the closed and new session
+      input.addData(Event(1, 8060, 1.0), Event(1, 20000, 7.0))
+      q.processAllAvailable()
+      val snaps2 = spark.table("sessions_late_test").as[SessionSnapshot].collect()
+      assert(snaps2.exists(s => s.end_sec == 8060 && s.n_events == 3)) // closed emission
+      assert(snaps2.exists(s => s.start_sec == 20000 && s.n_events == 1))
+    } finally q.stop()
+  }
+
   test("sessionize evicts idle state via event-time timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
