@@ -53,7 +53,7 @@ import graft.operators.{IvfIndex, ProductQuantizer}
   * `spark.graft.ann.idCol` (vec_id), `spark.graft.ann.maxK` (10000 —
   * a larger LIMIT is analytics, not a serve lookup; left alone).
   */
-object IvfScanRewriteRule extends Rule[LogicalPlan] {
+object IvfScanRewriteRule extends Rule[LogicalPlan] with RewriteSupport {
 
   /** Sidecar bundle of one store path. `quant` = SQ8 range, `pq` = product
     * codebooks — a store carries at most one of the two in practice, and
@@ -72,8 +72,6 @@ object IvfScanRewriteRule extends Rule[LogicalPlan] {
   // the previous centroid/PQ models in driver memory for the session
   private val cache = TrieMap.empty[String, (String, Sidecars)]
 
-  private def conf(key: String, default: String): String =
-    org.apache.spark.sql.internal.SQLConf.get.getConfString(key, default)
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (conf("spark.graft.ann.rewrite", "true") != "true") return plan
@@ -117,7 +115,7 @@ object IvfScanRewriteRule extends Rule[LogicalPlan] {
     for {
       (a, b, metric) <- args
       (embAttr, rawQvec) <- vectorArgs(a, b)
-      (relation, fsRelation) <- storeRelationOf(child, embAttr)
+      (relation, fsRelation) <- relationOwning(child, Seq(embAttr))
       cellAttr <- relation.output.find(at =>
         at.name == "cell" && at.dataType == IntegerType)
       if !alreadyRewritten(child)
@@ -184,16 +182,6 @@ object IvfScanRewriteRule extends Rule[LogicalPlan] {
   /** Follow an attribute through Project aliases down to the expression
     * that defines it (the `SELECT vec_l2(...) AS dist ... ORDER BY dist`
     * shape); non-attributes pass through. */
-  private def resolveThroughProjects(e: Expression, plan: LogicalPlan): Expression = e match {
-    case ar: AttributeReference =>
-      val defn = plan.collect {
-        case p: Project => p.projectList.collectFirst {
-          case al: Alias if al.exprId == ar.exprId => al.child
-        }
-      }.flatten.headOption
-      defn.map(resolveThroughProjects(_, plan)).getOrElse(ar)
-    case other => other
-  }
 
   /** Split vec_l2's arguments into (embedding attribute, literal query
     * vector as doubles); either argument order. */
@@ -215,16 +203,6 @@ object IvfScanRewriteRule extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** The unique parquet relation owning the embedding attribute. */
-  private def storeRelationOf(plan: LogicalPlan,
-      embAttr: AttributeReference): Option[(LogicalRelation, HadoopFsRelation)] =
-    plan.collect {
-      case r @ LogicalRelation(fs: HadoopFsRelation, _, _, _, _)
-          if r.output.exists(_.exprId == embAttr.exprId) => (r, fs)
-    } match {
-      case Seq(one) => Some(one)
-      case _ => None
-    }
 
   /** Idempotence: the subtree already carries a cell-membership filter
     * (ours from a previous fixed-point iteration — or the user's own, in

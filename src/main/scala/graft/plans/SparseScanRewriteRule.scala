@@ -55,7 +55,7 @@ import graft.functions.SparseDotExpr
   * (10000), `spark.graft.sparse.maxTerms` (4096 — a wider literal query
   * is analytics, not a serve lookup; left alone).
   */
-object SparseScanRewriteRule extends Rule[LogicalPlan] {
+object SparseScanRewriteRule extends Rule[LogicalPlan] with RewriteSupport {
 
   private final case class IndexMeta(table: String, idCol: String, postings: String)
 
@@ -65,8 +65,6 @@ object SparseScanRewriteRule extends Rule[LogicalPlan] {
   // IvfScanRewriteRule — a stamp-keyed map leaks one entry per rebuild)
   private val cache = TrieMap.empty[String, (String, IndexMeta)]
 
-  private def conf(key: String, default: String): String =
-    org.apache.spark.sql.internal.SQLConf.get.getConfString(key, default)
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (conf("spark.graft.sparse.rewrite", "true") != "true") return plan
@@ -134,7 +132,7 @@ object SparseScanRewriteRule extends Rule[LogicalPlan] {
       // regardless of order, so rewriting such a query would change its
       // results — stand down and let the unrewritten semantics hold
       if qIdx.iterator.sliding(2).withPartial(false).forall(p => p.head < p(1))
-      (relation, fsRelation) <- storeRelationOf(child, idxAttr, valAttr)
+      (relation, fsRelation) <- relationOwning(child, Seq(idxAttr, valAttr))
       if !alreadyRewritten(child)
       path = fsRelation.location.rootPaths.head.toString
       meta <- loadMeta(path)
@@ -163,16 +161,6 @@ object SparseScanRewriteRule extends Rule[LogicalPlan] {
   /** Follow an attribute through Project aliases down to its defining
     * expression (the `SELECT sparse_dot(...) AS score ... ORDER BY score`
     * shape). */
-  private def resolveThroughProjects(e: Expression, plan: LogicalPlan): Expression = e match {
-    case ar: AttributeReference =>
-      val defn = plan.collect {
-        case p: Project => p.projectList.collectFirst {
-          case al: Alias if al.exprId == ar.exprId => al.child
-        }
-      }.flatten.headOption
-      defn.map(resolveThroughProjects(_, plan)).getOrElse(ar)
-    case other => other
-  }
 
   /** The cosine denominator, validated AFTER the attr/literal split: one
     * factor must be the store row's self-norm `sqrt(sparse_dot(iv, vv,
@@ -242,16 +230,6 @@ object SparseScanRewriteRule extends Rule[LogicalPlan] {
   }
 
   /** The unique parquet relation owning BOTH sparse-vector attributes. */
-  private def storeRelationOf(plan: LogicalPlan, idxAttr: AttributeReference,
-      valAttr: AttributeReference): Option[(LogicalRelation, HadoopFsRelation)] =
-    plan.collect {
-      case r @ LogicalRelation(fs: HadoopFsRelation, _, _, _, _)
-          if r.output.exists(_.exprId == idxAttr.exprId) &&
-            r.output.exists(_.exprId == valAttr.exprId) => (r, fs)
-    } match {
-      case Seq(one) => Some(one)
-      case _ => None
-    }
 
   /** Idempotence: a semi-joined store was already index-planned (ours
     * from a previous fixed-point iteration, or the user's own candidate
