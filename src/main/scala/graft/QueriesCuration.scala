@@ -385,7 +385,7 @@ object QueriesCuration {
              |p AS (SELECT (min(tsu) + max(tsu)) // 2 AS cutoff FROM ev),
              |bk AS (SELECT CASE WHEN value < 0 THEN -1
              |              WHEN value >= 100 THEN 20
-             |              ELSE CAST(floor((CAST(value AS DOUBLE) - 0) / 5.0) AS BIGINT) END AS bucket,
+             |              ELSE least(CAST(floor((CAST(value AS DOUBLE) - 0) / 5.0) AS BIGINT), 19) END AS bucket,
              |         tsu < (SELECT cutoff FROM p) AS is_a
              |       FROM ev),
              |ha AS (SELECT bucket, count(*) AS n_a FROM bk WHERE is_a GROUP BY 1),

@@ -593,8 +593,12 @@ object QueriesPipeline {
              |    max(a.l) AS la, max(b.l) AS lb
              |  FROM t a JOIN t b ON a.g = b.g AND a.doc_id < b.doc_id
              |  GROUP BY 1, 2)
+             |-- EXACT threshold in scaled-integer space, mirroring the
+             |-- operator's i*10^6 >= T*u verify (a rounded gate would
+             |-- diverge for borderline pairs at the 4th decimal)
              |SELECT id1, id2, round(n / (la + lb - n), 4) AS jaccard FROM i
-             |WHERE round(n / (la + lb - n), 4) >= 0.8 ORDER BY id1, id2""".stripMargin)),
+             |WHERE CAST(n AS BIGINT) * 1000000 >= 800000 * CAST(la + lb - n AS BIGINT)
+             |ORDER BY id1, id2""".stripMargin)),
 
     // apply the dedup: survivors after greedy drop of every pair's
     // higher id (keep-lowest-id policy)

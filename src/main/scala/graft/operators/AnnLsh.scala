@@ -25,6 +25,12 @@ object AnnLsh {
 
   /** Deterministic hyperplanes: Gaussian via seeded PRNG. */
   private[operators] def planes(dim: Int, nbits: Int, tables: Int, seed: Long): Array[Array[Array[Double]]] = {
+    // sign bits pack into an Int: plane b contributes `1 << b`, and Java
+    // int shifts are mod 32 — nbits = 33 would silently alias plane 32
+    // onto plane 0's bit, corrupting every bucket while the exact rerank
+    // hides the recall collapse
+    require(nbits >= 1 && nbits <= 32,
+      s"AnnLsh: nbits must be in [1, 32] (sign bits pack into one Int), got $nbits")
     val rnd = new java.util.Random(seed)
     Array.fill(tables, nbits, dim)(rnd.nextGaussian())
   }

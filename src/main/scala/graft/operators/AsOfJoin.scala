@@ -70,7 +70,11 @@ object AsOfJoin {
     val timeType = timeTypeOf(left, right, leftTime, rightTime)
     val l2 = left.select(col(leftKey).as("__key"), col(leftTime).cast(timeType).as("__time"),
       lit(1).as("__tag"), struct(lCols.toSeq.map(col): _*).as("__l"))
-    val r2 = right.select(col(rightKey).as("__key"), col(rightTime).cast(timeType).as("__time"),
+    // a NULL right event time sorts FIRST under the ascending window and
+    // would become the as-of match for every left row ("time −∞") — a
+    // row with no event time can never be anyone's predecessor, drop it
+    val r2 = right.where(col(rightTime).isNotNull)
+      .select(col(rightKey).as("__key"), col(rightTime).cast(timeType).as("__time"),
       lit(0).as("__tag"), struct(rCols.toSeq.map(col): _*).as("__r"))
     val unioned = l2.withColumn("__r", lit(null).cast(r2.schema("__r").dataType))
       .unionByName(r2.withColumn("__l", lit(null).cast(l2.schema("__l").dataType)))
@@ -116,7 +120,11 @@ object AsOfJoin {
     val l2 = left.select(col(leftKey).as("__key"), col(leftTime).cast(timeType).as("__time"),
       lit(1).as("__tag"), struct(lCols.toSeq.map(col): _*).as("__l"))
       .withColumn("__bucket", bucketOf(col("__time")))
-    val r2 = right.select(col(rightKey).as("__key"), col(rightTime).cast(timeType).as("__time"),
+    // NULL right event times drop for the same reason as [[asOf]]: a
+    // NULL bucket sorts first in the carry window and would become the
+    // carry-in for every real bucket
+    val r2 = right.where(col(rightTime).isNotNull)
+      .select(col(rightKey).as("__key"), col(rightTime).cast(timeType).as("__time"),
       lit(0).as("__tag"), struct(rCols.toSeq.map(col): _*).as("__r"))
       .withColumn("__bucket", bucketOf(col("__time")))
 

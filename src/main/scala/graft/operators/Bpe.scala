@@ -1,7 +1,12 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import graft.functions.TextFunctions.canonicalText
 
 /** Byte-pair-encoding trainer + tokenizer (Sennrich et al. 2016,
@@ -32,19 +37,6 @@ object Bpe {
       .where(length(col("word")) > 0)
       .groupBy(col("word"))
       .agg(count(lit(1)).cast("long").as("freq"))
-
-  /** Initial symbol sequence of a word: characters + end-of-word marker. */
-  private def initSymbols(word: Column): Column =
-    concat(split(word, ""), array(lit(Eow)))
-
-  /** One greedy left-to-right merge pass of (a, b) → ab over a symbol
-    * array (a fold; matches the reference BPE semantics: an element just
-    * produced by a merge does not re-merge within the same pass). */
-  private def mergeOnce(syms: Column, a: String, b: String): Column =
-    aggregate(syms, array().cast("array<string>"), (acc, x) =>
-      when(size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
-        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
-        .otherwise(concat(acc, array(x))))
 
   /** Learn `k` merges from a (word, freq) vocabulary.
     *
@@ -113,11 +105,11 @@ object Bpe {
       }
     }
 
-  /** Code-point symbolization — MUST match `initSymbols`' Spark-side
-    * `split(word, "")`, which keeps a supplementary-plane character
-    * (emoji etc.) as ONE symbol. Plain `String#map(_.toString)` would
+  /** Code-point symbolization — a supplementary-plane character
+    * (emoji etc.) stays ONE symbol. Plain `String#map(_.toString)` would
     * split it into two lone UTF-16 surrogates, training merges that
-    * tokenization can never apply. */
+    * tokenization can never apply. Shared by training, the reference
+    * replay, and [[BpeTokenizeExpr]] — one symbolization everywhere. */
   private def codePointSymbols(w: String): Array[String] = {
     val out = Array.newBuilder[String]
     var i = 0
@@ -196,14 +188,47 @@ object Bpe {
     out.result()
   }
 
-  /** Tokenization of each distinct word under an ordered merge list —
-    * the fold over merges runs on the vocabulary only. */
-  def vocabTokens(vocab: DataFrame, merges: Seq[(String, String)]): DataFrame = {
-    val merged = merges.foldLeft(initSymbols(col("word"))) {
-      case (c, (a, b)) => mergeOnce(c, a, b)
+  /** Native tokenizer expression: the ordered merge list applied in ONE
+    * JVM pass per word. The previous formulation folded k nested
+    * `aggregate()` HOFs — a ~30k-merge tokenizer (the file's own stated
+    * target) built a 30k-deep Catalyst tree whose analysis recursion
+    * blew the driver stack before touching data. Merges whose pair is
+    * not currently adjacent are skipped via a present-pair set
+    * (mergePass on an absent pair is the identity), so per-word cost is
+    * O(symbols + k hash lookups + applied merges · symbols); semantics
+    * are exactly the training-side [[mergePass]] (greedy left-to-right,
+    * a just-produced symbol does not re-merge within its pass). */
+  case class BpeTokenizeExpr(child: Expression, merges: Seq[(String, String)])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "bpe_tokenize"
+
+    override protected def nullSafeEval(input: Any): Any = {
+      var syms: Array[String] = codePointSymbols(input.toString) :+ Eow
+      val present = scala.collection.mutable.HashSet.empty[(String, String)]
+      def rebuild(): Unit = {
+        present.clear()
+        var i = 0
+        while (i + 1 < syms.length) { present += ((syms(i), syms(i + 1))); i += 1 }
+      }
+      rebuild()
+      merges.foreach { case (a, b) =>
+        if (present((a, b))) { syms = mergePass(syms, a, b); rebuild() }
+      }
+      new GenericArrayData(syms.map(x =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(x).asInstanceOf[Any]))
     }
-    vocab.select(col("word"), merged.as("tokens"))
+
+    override protected def withNewChildInternal(c: Expression): BpeTokenizeExpr =
+      copy(child = c)
   }
+
+  /** Tokenization of each distinct word under an ordered merge list —
+    * runs on the vocabulary only, one native expression per word. */
+  def vocabTokens(vocab: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    vocab.select(col("word"), ColumnBridge.column(
+      BpeTokenizeExpr(ColumnBridge.expression(col("word")), merges)).as("tokens"))
 
   /** Tokenize a corpus: per-doc BPE tokens + counts via a BROADCAST join
     * of the merged vocabulary — the expensive merge fold never touches

@@ -151,8 +151,23 @@ object Dedup {
         least(col("__l1"), col("__l2")).cast("long") * lit(1000000L) >=
           lit(tScaled) * greatest(col("__l1"), col("__l2")).cast("long"))
       .select(col("id1"), col("id2")).distinct()
-    jaccardVerify(cand, docs, idCol, textCol, shingleN, scale)
-      .where(col("jaccard") >= threshold)
+    // EXACT verify in the same scaled-integer space as the filters:
+    // gating on round(J, 4) >= t would drop a qualifying pair at J
+    // exactly = t whenever t has more than 4 decimals (1/3 rounds to
+    // 0.3333 < 0.333333), violating the complete-recall contract the
+    // prefix/size filters went to integer math to keep. i·10⁶ ≥ T·u is
+    // exact for thresholds with ≤ 6 decimals (permissive by < 10⁻⁶
+    // beyond — same direction as the candidate filters). The rounded
+    // jaccard column remains output-only.
+    val sh = docs.select(col(idCol).as("__vid"), wordShingles(col(textCol), shingleN).as("__vsh"))
+    cand
+      .join(sh.select(col("__vid").as("id1"), col("__vsh").as("sh1")), Seq("id1"))
+      .join(sh.select(col("__vid").as("id2"), col("__vsh").as("sh2")), Seq("id2"))
+      .withColumn("__i", size(array_intersect(col("sh1"), col("sh2"))).cast("long"))
+      .withColumn("__u", (size(col("sh1")) + size(col("sh2"))).cast("long") - col("__i"))
+      .where(col("__i") * lit(1000000L) >= lit(tScaled) * col("__u"))
+      .select(col("id1"), col("id2"),
+        round(col("__i").cast("double") / col("__u"), scale).as("jaccard"))
   }
 
   /** MinHash-LSH near-dup pairs with exact-Jaccard verification ≥ threshold. */

@@ -30,9 +30,13 @@ object Drift {
   def bucketExpr(x: Column, lo: Double, hi: Double, buckets: Int): Column = {
     require(buckets >= 1 && hi > lo, s"Drift: bad histogram [$lo, $hi) × $buckets")
     val w = (hi - lo) / buckets
+    // least() clamp: when w rounds DOWN in binary (e.g. (0.7−0)/7),
+    // an in-range x just below hi can floor to `buckets` — genuine
+    // max-bucket mass must not leak into the overflow edge bucket
     when(x < lo, lit(-1L))
       .when(x >= hi, lit(buckets.toLong))
-      .otherwise(floor((x.cast("double") - lit(lo)) / lit(w)).cast("long"))
+      .otherwise(least(floor((x.cast("double") - lit(lo)) / lit(w)).cast("long"),
+        lit(buckets - 1L)))
   }
 
   /** Histogram counts `(bucket, n)` — one groupBy, k+2 rows out. */

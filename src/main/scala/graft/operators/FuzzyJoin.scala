@@ -104,11 +104,14 @@ object FuzzyJoin {
       .select(col("p.id1").as("a_id"), col("p.id2").as("b_id"),
         col("p.s1").as("a_str"), col("p.s2").as("b_str"))
       .where(col("a_id") =!= col("b_id"))
+    // compute the O(|a|·|b|) DP once per surviving pair: filtering on a
+    // separate levenshtein call would evaluate it twice (subexpression
+    // elimination does not span Filter and Project)
     pairs
       .distinct()
-      .where(abs(length(col("a_str")) - length(col("b_str"))) <= maxDist &&
-        levenshtein(col("a_str"), col("b_str")) <= maxDist)
+      .where(abs(length(col("a_str")) - length(col("b_str"))) <= maxDist)
       .withColumn("dist", levenshtein(col("a_str"), col("b_str")).cast("long"))
+      .where(col("dist") <= maxDist)
   }
 
   /** Record linkage across TWO tables: all (a, b) pairs with
@@ -154,9 +157,9 @@ object FuzzyJoin {
             x.getField("s").as("a_str"), y.getField("s").as("b_str")))))).as("p"))
       .select(col("p.a_id"), col("p.b_id"), col("p.a_str"), col("p.b_str"))
       .distinct()
-      .where(abs(length(col("a_str")) - length(col("b_str"))) <= maxDist &&
-        levenshtein(col("a_str"), col("b_str")) <= maxDist)
+      .where(abs(length(col("a_str")) - length(col("b_str"))) <= maxDist)
       .withColumn("dist", levenshtein(col("a_str"), col("b_str")).cast("long"))
+      .where(col("dist") <= maxDist) // one DP per pair (see selfJoin)
   }
 
   /** Distance-1 fuzzy self-join (typo-level entity resolution). */

@@ -34,6 +34,14 @@ object Knn {
   def topK(corpus: DataFrame, query: DataFrame, metric: Metric, k: Int,
            idCol: String = "vec_id", embCol: String = "embedding",
            scale: Int = 4): DataFrame = {
+    // the single-query contract, enforced (the Quantize entry points'
+    // guard, ported back to the oldest entry point): a multi-row query
+    // frame would silently return ONE merged top-k with no qid column —
+    // use topKBatch for query batches
+    val probe = query.select(col(embCol)).limit(2).count()
+    require(probe == 1,
+      s"Knn.topK: query frame has ${if (probe == 0) "no" else "more than one"} row — " +
+        "this is the single-query serve shape; use Knn.topKBatch for batches")
     val q = broadcast(query.select(col(embCol).as("__q_emb")))
     corpus
       .crossJoin(q)

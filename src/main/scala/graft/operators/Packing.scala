@@ -24,9 +24,15 @@ object Packing {
   def packSequences(docs: DataFrame, capacity: Int, rangeSize: Int = 1000,
                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(capacity > 0 && rangeSize > 0, "packSequences: capacity and rangeSize must be positive")
+    // FLOOR division in long arithmetic: the double-divide-then-truncate
+    // form merged ranges −(rs−1)..rs−1 into one (up to 2·rs−1 docs — its
+    // local pack index could collide with the next range's pack_id
+    // space) and rounded ids past 2^53; (id − pmod) div rs is exact for
+    // every long
     val toks = docs.select(col(idCol),
       TextFunctions.wsTokenCount(col(textCol)).cast("long").as("__tokens"),
-      (col(idCol).cast("long") / rangeSize).cast("long").as("__range"))
+      expr(s"(cast($idCol as bigint) - pmod(cast($idCol as bigint), ${rangeSize}L)) " +
+        s"div ${rangeSize}L").as("__range"))
     toks
       .groupBy(col("__range"))
       .agg(array_sort(collect_list(struct(col(idCol).as("id"), col("__tokens").as("t")))).as("__rows"))
