@@ -76,10 +76,15 @@ object Bench {
         "\"([^\"]+)\"\\s*:\\s*([0-9.eE+-]+)".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Exception => Map.empty }
-    val regressions = results.toSeq.collect {
-      case (n, t) if baseline.get(n).exists(b => t > b * 1.75 && t - b > 1.0) =>
+    // a FAILED query's recorded time is its time-to-exception (often
+    // milliseconds), which reads as a speedup — flag every failure as a
+    // regression with a sentinel ratio so a query that regresses into
+    // failure can never slip past the gate
+    val regressions = (results.toSeq.collect {
+      case (n, t) if !failed.contains(n) &&
+          baseline.get(n).exists(b => t > b * 1.75 && t - b > 1.0) =>
         n -> BigDecimal(t / baseline(n)).setScale(2, BigDecimal.RoundingMode.HALF_UP)
-    }.sortBy(-_._2)
+    } ++ failed.map(n => n -> BigDecimal(999))).sortBy(-_._2)
     regressions.foreach { case (n, x) =>
       System.err.println(f"[bench] REGRESSION $n: ${x}x over baseline ${baseline(n)}%.2fs")
     }

@@ -27,10 +27,23 @@ object GraftSession {
   /** Build + register the SQL function surface. (Registration is also
     * handled by the extensions, but getOrCreate may return an EXISTING
     * session built without them — e.g. the shared test JVM — and the
-    * explicit register keeps the function surface present either way.) */
+    * explicit register keeps the function surface present either way.
+    * The OPTIMIZER RULES get the same treatment: a pre-existing session
+    * silently lacking them would make Verify/Bench exercise exact scans
+    * instead of the index plans, so any missing rule is re-attached via
+    * `experimental.extraOptimizations` — the post-analysis batch, same
+    * placement the extensions give them.) */
   def create(master: String, shufflePartitions: Int): SparkSession = {
     val spark = builder(master, shufflePartitions).getOrCreate()
     GraftFunctions.register(spark)
+    val rules = Seq(graft.plans.LevenshteinPrefilterRule, graft.plans.EpochPushdownRule,
+      graft.plans.IvfScanRewriteRule, graft.plans.SparseScanRewriteRule)
+    val present = spark.sessionState.optimizer.extendedOperatorOptimizationRules ++
+      spark.experimental.extraOptimizations
+    val missing = rules.filterNot(r => present.exists(_ eq r))
+    if (missing.nonEmpty)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations ++ missing
     spark
   }
 }

@@ -383,15 +383,17 @@ object QueriesPipeline {
         .select(col("cid"), col("cos"), col("ev_seq"), col("payload"))
         .orderBy(col("cos").desc, col("cid"), col("ev_seq")),
       Some(serveCte("spark") + """
+             |-- string fields JSON-escaped (backslash then quote),
+             |-- mirroring Summarizer.jsonEsc
              |SELECT cid, cos, CAST(0 AS BIGINT) AS ev_seq,
-             |  '{"type":"create","id":"' || id || '"}' AS payload FROM served
+             |  '{"type":"create","id":"' || replace(replace(id, '\', '\\'), '"', '\"') || '"}' AS payload FROM served
              |UNION ALL
              |SELECT cid, cos, 1,
-             |  '{"type":"createLink","id":"' || id || '","link":"' || url ||
-             |  '","pageNumber":' || pagenumber || ',"fileName":"' || filename || '"}' FROM served
+             |  '{"type":"createLink","id":"' || replace(replace(id, '\', '\\'), '"', '\"') || '","link":"' || replace(replace(url, '\', '\\'), '"', '\"') ||
+             |  '","pageNumber":' || pagenumber || ',"fileName":"' || replace(replace(filename, '\', '\\'), '"', '\"') || '"}' FROM served
              |UNION ALL
              |SELECT cid, cos, 2,
-             |  '{"type":"addMessage","id":"' || id || '","content":"' || summary || '"}' FROM served
+             |  '{"type":"addMessage","id":"' || replace(replace(id, '\', '\\'), '"', '\"') || '","content":"' || replace(replace(summary, '\', '\\'), '"', '\"') || '"}' FROM served
              |ORDER BY cos DESC, cid, ev_seq""".stripMargin)),
 
     // Token-delta SSE replay: each hit's summary re-emitted as fixed
@@ -405,19 +407,19 @@ object QueriesPipeline {
         .orderBy(col("cos").desc, col("cid"), col("ev_seq")),
       Some(serveCte("spark") + """
              |SELECT cid, cos, CAST(0 AS BIGINT) AS ev_seq,
-             |  '{"type":"create","id":"' || id || '"}' AS payload FROM served
+             |  '{"type":"create","id":"' || replace(replace(id, '\', '\\'), '"', '\"') || '"}' AS payload FROM served
              |UNION ALL
              |SELECT cid, cos, 1,
-             |  '{"type":"createLink","id":"' || id || '","link":"' || url ||
-             |  '","pageNumber":' || pagenumber || ',"fileName":"' || filename || '"}' FROM served
+             |  '{"type":"createLink","id":"' || replace(replace(id, '\', '\\'), '"', '\"') || '","link":"' || replace(replace(url, '\', '\\'), '"', '\"') ||
+             |  '","pageNumber":' || pagenumber || ',"fileName":"' || replace(replace(filename, '\', '\\'), '"', '\"') || '"}' FROM served
              |UNION ALL
              |SELECT cid, cos, 2 + i,
-             |  '{"type":"addMessage","id":"' || id || '","content":"' ||
-             |  replace(substr(summary, CAST(i * 16 + 1 AS INT), 16), ' ', '<SPECIAL_WHITE_SPACE>') || '"}'
+             |  '{"type":"addMessage","id":"' || replace(replace(id, '\', '\\'), '"', '\"') || '","content":"' ||
+             |  replace(replace(replace(substr(summary, CAST(i * 16 + 1 AS INT), 16), ' ', '<SPECIAL_WHITE_SPACE>'), '\', '\\'), '"', '\"') || '"}'
              |FROM served, unnest(range(0, CAST(ceil(length(summary) / 16.0) AS BIGINT))) AS t(i)
              |UNION ALL
              |SELECT cid, cos, 2 + CAST(ceil(length(summary) / 16.0) AS BIGINT),
-             |  '{"type":"complete","id":"' || id || '","content":"' || summary || '"}' FROM served
+             |  '{"type":"complete","id":"' || replace(replace(id, '\', '\\'), '"', '\"') || '","content":"' || replace(replace(summary, '\', '\\'), '"', '\"') || '"}' FROM served
              |ORDER BY cos DESC, cid, ev_seq""".stripMargin)),
 
     // Embedding stub: model call not SQL-expressible → rows-only gate;

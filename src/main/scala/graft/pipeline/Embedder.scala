@@ -48,15 +48,29 @@ object Embedder {
   def invokeModel(batch: Seq[String], dim: Int, maxRetries: Int = 3,
                   client: EmbeddingClient = DeterministicClient): Seq[Array[Float]] = {
     var attempt = 0
+    var lastErr: Throwable = null
     while (attempt < maxRetries) {
       try {
         val out = client.embedBatch(batch, dim)
         require(out.length == batch.length,
           s"EmbeddingClient returned ${out.length} vectors for ${batch.length} texts")
         return out
+      } catch {
+        // task cancellation (kill / speculation) must propagate, not retry
+        case ie: InterruptedException => Thread.currentThread().interrupt(); throw ie
+        case e: Exception =>
+          lastErr = e
+          attempt += 1
+          // linear backoff — hammering a live endpoint back-to-back is
+          // what the reference's sleep avoided (Function.java:195-199)
+          if (attempt < maxRetries) Thread.sleep(50L * attempt)
       }
-      catch { case _: Exception => attempt += 1 }
     }
+    // zero-vector degradation is the documented contract (a poisoned
+    // batch must not kill a 100 TB job), but it must never be SILENT —
+    // an operator reading executor logs sees exactly what was lost
+    System.err.println(s"[graft.Embedder] batch of ${batch.length} texts degraded to " +
+      s"zero vectors after $maxRetries failed attempts: ${lastErr}")
     batch.map(_ => new Array[Float](dim))
   }
 

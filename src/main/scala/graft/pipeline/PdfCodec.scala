@@ -70,7 +70,7 @@ object PdfCodec {
 
   // ── decoder ────────────────────────────────────────────────────────
 
-  private final case class PdfObj(num: Int, dict: String, stream: Option[Array[Byte]])
+  private[graft] final case class PdfObj(num: Int, dict: String, stream: Option[Array[Byte]])
 
   /** How shown-string bytes become text: simple fonts are byte = char
     * (Latin-1); composite (Type0/Identity) fonts pair bytes into 2-byte
@@ -99,11 +99,13 @@ object PdfCodec {
       val content = contentRefs(page.dict).map { ref =>
         val obj = byNum.getOrElse(ref,
           throw new IllegalArgumentException(s"PdfCodec: /Contents $ref 0 R not found"))
-        decodeStream(obj)
+        decodeStream(obj, byNum)
       }
+      val res = resourcesOf(page, byNum)
       // spec: multiple content streams form ONE logical stream, joined
       // with at least one whitespace byte between them
-      extractFromContent(content.mkString("\n"), pageFonts(page, byNum))
+      extractFromContent(content.mkString("\n"),
+        PageCtx(fontsOf(res, byNum), xobjectsOf(res, byNum), byNum, depth = 0))
     }
   }
 
@@ -120,9 +122,16 @@ object PdfCodec {
         .flatMap(r => byNum.get(r.group(1).toInt).map(_.dict))
     }
 
-  /** Resource-name → decoder for every font the page can select with Tf.
-    * /Resources is inherited through the /Parent chain (spec §7.7.3.4). */
-  private def pageFonts(page: PdfObj, byNum: Map[Int, PdfObj]): Map[String, FontDec] = {
+  /** Recursion context for one page's content extraction: resolved
+    * fonts, resolved Form XObjects, the object table (for nested
+    * resource resolution inside forms), and the form-nesting depth. */
+  private[graft] final case class PageCtx(fonts: Map[String, FontDec],
+                                          xobjects: Map[String, PdfObj],
+                                          byNum: Map[Int, PdfObj], depth: Int)
+
+  /** The page's /Resources dict, inherited through the /Parent chain
+    * (spec §7.7.3.4). */
+  private def resourcesOf(page: PdfObj, byNum: Map[Int, PdfObj]): Option[String] = {
     var node: Option[PdfObj] = Some(page)
     var res: Option[String] = None
     var depth = 0
@@ -131,6 +140,20 @@ object PdfCodec {
       node = dictRef(node.get.dict, "/Parent").flatMap(byNum.get)
       depth += 1
     }
+    res
+  }
+
+  /** Name → stream object for every XObject the content can invoke with
+    * `Do` (XObjects are streams, so entries are always indirect refs). */
+  private def xobjectsOf(res: Option[String], byNum: Map[Int, PdfObj]): Map[String, PdfObj] = {
+    val xDict = res.flatMap(r => resolveDict(r, "XObject", byNum)).getOrElse("")
+    """/([A-Za-z0-9.+_-]+)\s+(\d+)\s+\d+\s+R""".r.findAllMatchIn(xDict).flatMap { m =>
+      byNum.get(m.group(2).toInt).map(m.group(1) -> _)
+    }.toMap
+  }
+
+  /** Resource-name → decoder for every font the content can select with Tf. */
+  private def fontsOf(res: Option[String], byNum: Map[Int, PdfObj]): Map[String, FontDec] = {
     val fontDict = res.flatMap(r => resolveDict(r, "Font", byNum)).getOrElse("")
     // entries are `/Name N 0 R` OR a legal INLINE dict `/Name << … >>` —
     // matching only the ref form would silently decode an inline
@@ -178,7 +201,7 @@ object PdfCodec {
           "codes cannot be mapped to text"))
       val tuObj = byNum.getOrElse(tuRef, throw new IllegalArgumentException(
         s"PdfCodec: /ToUnicode $tuRef 0 R not found"))
-      CompositeFont(parseToUnicode(decodeStream(tuObj)))
+      CompositeFont(parseToUnicode(decodeStream(tuObj, byNum)))
     }
   }
 
@@ -256,14 +279,15 @@ object PdfCodec {
     * forbids it), so each contributes its dict only. */
   private def scanObjects(s: String, bytes: Array[Byte]): Seq[PdfObj] = {
     val top = scanTopLevel(s, bytes)
+    val topByNum = top.map(o => o.num -> o).toMap
     top.flatMap { o =>
       if ("""/Type\s*/ObjStm(?![a-zA-Z])""".r.findFirstIn(o.dict).isEmpty) Seq(o)
-      else Seq(o) ++ expandObjStm(o)
+      else Seq(o) ++ expandObjStm(o, topByNum)
     }
   }
 
-  private def expandObjStm(o: PdfObj): Seq[PdfObj] = {
-    val text = decodeStream(o)
+  private def expandObjStm(o: PdfObj, byNum: Map[Int, PdfObj]): Seq[PdfObj] = {
+    val text = decodeStream(o, byNum)
     val n = """/N\s+(\d+)""".r.findFirstMatchIn(o.dict).map(_.group(1).toInt)
       .getOrElse(throw new IllegalArgumentException(
         s"PdfCodec: object stream ${o.num} has no /N"))
@@ -351,6 +375,14 @@ object PdfCodec {
       if (s.startsWith("<<", p)) { depth += 1; p += 2 }
       else if (s.startsWith(">>", p)) { depth -= 1; p += 2; if (depth == 0) return p }
       else if (s.charAt(p) == '(') { p = literalStringEnd(s, p) }
+      else if (s.charAt(p) == '<') {
+        // hex string: skip to its '>' — otherwise `<AB>>>` (hex string
+        // abutting the dict close) pairs the string terminator with the
+        // first dict '>' and ends the dict one char early
+        val e = s.indexOf('>', p + 1)
+        require(e >= 0, "PdfCodec: unterminated hex string in dictionary")
+        p = e + 1
+      }
       else if (s.charAt(p) == '%') { while (p < s.length && s.charAt(p) != '\n') p += 1 }
       else p += 1
     }
@@ -418,7 +450,7 @@ object PdfCodec {
     * ASCIIHexDecode, ASCII85Decode, LZWDecode (with the PDF early-change
     * default). Predictors (/DecodeParms /Predictor > 1) and other
     * filters fail loud. */
-  private def decodeStream(obj: PdfObj): String = {
+  private def decodeStream(obj: PdfObj, byNum: Map[Int, PdfObj]): String = {
     val raw = obj.stream.getOrElse(
       throw new IllegalArgumentException(s"PdfCodec: object ${obj.num} has no stream data"))
     val filters: Seq[String] =
@@ -427,8 +459,14 @@ object PdfCodec {
         case None =>
           """/Filter\s*/([A-Za-z0-9]+)""".r.findFirstMatchIn(obj.dict).map(_.group(1)).toSeq
       }
+    // /DecodeParms may be an INDIRECT reference (spec §7.3.8) — a
+    // predictor hidden behind one must still fail loud, or Flate output
+    // is returned un-de-predicted as silent garbage
+    val parms = resolveDict(obj.dict, "DecodeParms", byNum)
+      .orElse(resolveDict(obj.dict, "DP", byNum)).getOrElse("")
     if (filters.nonEmpty &&
-        """/Predictor\s+(\d+)""".r.findFirstMatchIn(obj.dict).exists(_.group(1).toInt > 1))
+        """/Predictor\s+(\d+)""".r.findFirstMatchIn(obj.dict + " " + parms)
+          .exists(_.group(1).toInt > 1))
       throw new IllegalArgumentException(
         s"PdfCodec: object ${obj.num}: /Predictor decoding not supported")
     val out = filters.foldLeft(raw) { (data, f) =>
@@ -541,6 +579,13 @@ object PdfCodec {
     try {
       while (!inf.finished()) {
         val n = inf.inflate(buf)
+        if (n == 0 && inf.needsDictionary()) {
+          // zlib FDICT: inflate() returns 0 with needsInput()==false
+          // forever — without this check the loop hangs a task instead
+          // of failing loud
+          throw new IllegalArgumentException(
+            "PdfCodec: FlateDecode stream requires a preset dictionary (zlib FDICT) — unsupported")
+        }
         if (n == 0 && inf.needsInput()) {
           throw new IllegalArgumentException("PdfCodec: truncated FlateDecode stream")
         }
@@ -560,7 +605,11 @@ object PdfCodec {
     * current font (selected by Tf against `fonts`; SimpleFont when no
     * Tf was seen or the name is unknown — the legacy simple-PDF path). */
   private[graft] def extractFromContent(content: String,
-                                        fonts: Map[String, FontDec] = Map.empty): String = {
+                                        fonts: Map[String, FontDec] = Map.empty): String =
+    extractFromContent(content, PageCtx(fonts, Map.empty, Map.empty, depth = 0))
+
+  private[graft] def extractFromContent(content: String, ctx: PageCtx): String = {
+    val fonts = ctx.fonts
     val buf = new StringBuilder
     var inText = false
     var curFont: FontDec = SimpleFont
@@ -615,7 +664,32 @@ object PdfCodec {
         val st = p
         while (p < n && !content.charAt(p).isWhitespace &&
           !"()<>[]/%".contains(content.charAt(p))) p += 1
+        // a stray delimiter (lone ')', '>' or ']') at operator position
+        // yields an EMPTY token and p has not advanced — failing loud
+        // here beats the alternative: an infinite scan loop hanging the
+        // task on one malformed blob
+        require(p > st, s"PdfCodec: unexpected delimiter '${content.charAt(p)}' " +
+          s"at content offset $p — malformed content stream")
         content.substring(st, p) match {
+          case "Do" if lastName != null =>
+            // XObject invocation: FORM XObjects carry page content —
+            // common real-world layouts (LaTeX, Quartz) wrap entire page
+            // bodies in them, so dropping Do would silently lose pages.
+            // The form's stream extracts recursively under its OWN
+            // resources (falling back to the caller's), depth-capped.
+            // Image XObjects carry no text — ignored.
+            ctx.xobjects.get(lastName) match {
+              case Some(x) if """/Subtype\s*/Form(?![a-zA-Z])""".r.findFirstIn(x.dict).isDefined =>
+                require(ctx.depth < 8,
+                  s"PdfCodec: Form XObject nesting exceeds depth 8 (cycle?) at /$lastName")
+                val res = resolveDict(x.dict, "Resources", ctx.byNum)
+                val sub = PageCtx(
+                  if (res.isDefined) fontsOf(res, ctx.byNum) else ctx.fonts,
+                  if (res.isDefined) xobjectsOf(res, ctx.byNum) else ctx.xobjects,
+                  ctx.byNum, ctx.depth + 1)
+                buf.append(extractFromContent(decodeStream(x, ctx.byNum), sub))
+              case _ => () // image / unresolvable — no text to extract
+            }
           case "BI" =>
             // inline image (§8.9.7): `BI <dict entries> ID <binary> EI`.
             // The binary payload must not be tokenized (it can contain

@@ -32,11 +32,19 @@ object Summarizer {
   /** Canonical text, Scala-side — must match
     * `TextFunctions.canonicalText` (lower ∘ trim ∘ normalize) exactly.
     * Spark's `trim` strips only ' ' (not all ctl chars like Java's
-    * String#trim), hence the explicit dropWhile. */
+    * String#trim), hence the explicit dropWhile. Lowercasing replicates
+    * `UTF8String.toLowerCase` EXACTLY: a bytewise a–z map on pure-ASCII
+    * strings (locale-free), `String#toLowerCase()` under the DEFAULT
+    * locale otherwise — a flat Locale.ROOT call would diverge from the
+    * column twin on a tr_TR executor JVM (dotless-ı) for any non-ASCII
+    * string. */
+  private def sparkLower(s: String): String =
+    if (s.forall(_ < 0x80)) s.map(c => if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
+    else s.toLowerCase()
+
   private def canonical(text: String): String = {
     val norm = text.replaceAll("\n", " ").replaceAll("[\\s\\x0B]{2,}", " ")
-    norm.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
-      .toLowerCase(java.util.Locale.ROOT)
+    sparkLower(norm.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse)
   }
 
   private def kwicPattern(query: String, ctx: Int): String =
@@ -65,15 +73,23 @@ object Summarizer {
   def invokeChat(batch: Seq[(String, String)], ctx: Int = 4, maxLen: Int = 300,
                  maxRetries: Int = 3, client: ChatClient = DeterministicClient): Seq[String] = {
     var attempt = 0
+    var lastErr: Throwable = null
     while (attempt < maxRetries) {
       try {
         val out = client.completeBatch(batch, ctx, maxLen)
         require(out.length == batch.length,
           s"ChatClient returned ${out.length} summaries for ${batch.length} pairs")
         return out
+      } catch {
+        case ie: InterruptedException => Thread.currentThread().interrupt(); throw ie
+        case e: Exception =>
+          lastErr = e
+          attempt += 1
+          if (attempt < maxRetries) Thread.sleep(50L * attempt)
       }
-      catch { case _: Exception => attempt += 1 }
     }
+    System.err.println(s"[graft.Summarizer] batch of ${batch.length} pairs degraded to " +
+      s"empty summaries after $maxRetries failed attempts: ${lastErr}")
     batch.map(_ => "")
   }
 
@@ -133,22 +149,32 @@ object Summarizer {
     * (entities/CreateAreaInHTML|CreateLinkInHTML|CreateMessageInHTML.java).
     * Input needs columns: id, url, pagenumber, filename, summary (names
     * via args). Emits (…, ev_seq, payload) — 3 rows per hit, ordered by
-    * (hit order, ev_seq), exactly the reference's emission order. */
+    * (hit order, ev_seq), exactly the reference's emission order.
+    * String payload fields are JSON-escaped via [[jsonEsc]]. */
+
+  /** JSON string-escape for payload string fields — backslash first,
+    * then quote (the reference's Gson escaped; raw concat emitted
+    * malformed JSON whenever a summary contained a double quote), via
+    * the LITERAL `replace` builtin so the DuckDB oracles replay it
+    * verbatim. */
+  private def jsonEsc(c: Column): Column =
+    replace(replace(c, lit("\\"), lit("\\\\")), lit("\""), lit("\\\""))
+
   def serveEvents(hits: DataFrame, idCol: String = "id", urlCol: String = "url",
                   pageCol: String = "pagenumber", fileCol: String = "filename",
                   summaryCol: String = "summary"): DataFrame = {
-    val id = col(idCol)
+    val id = jsonEsc(col(idCol))
     val events = array(
       struct(lit(0L).as("ev_seq"),
         concat(lit("{\"type\":\"create\",\"id\":\""), id, lit("\"}")).as("payload")),
       struct(lit(1L).as("ev_seq"),
         concat(lit("{\"type\":\"createLink\",\"id\":\""), id,
-          lit("\",\"link\":\""), col(urlCol),
+          lit("\",\"link\":\""), jsonEsc(col(urlCol)),
           lit("\",\"pageNumber\":"), col(pageCol),
-          lit(",\"fileName\":\""), col(fileCol), lit("\"}")).as("payload")),
+          lit(",\"fileName\":\""), jsonEsc(col(fileCol)), lit("\"}")).as("payload")),
       struct(lit(2L).as("ev_seq"),
         concat(lit("{\"type\":\"addMessage\",\"id\":\""), id,
-          lit("\",\"content\":\""), col(summaryCol), lit("\"}")).as("payload")))
+          lit("\",\"content\":\""), jsonEsc(col(summaryCol)), lit("\"}")).as("payload")))
     hits.select((hits.columns.map(col) :+ explode(events).as("ev")): _*)
       .select((hits.columns.map(col) :+ col("ev.ev_seq").as("ev_seq") :+
         col("ev.payload").as("payload")): _*)
@@ -177,30 +203,30 @@ object Summarizer {
                        pageCol: String = "pagenumber", fileCol: String = "filename",
                        summaryCol: String = "summary", chunkLen: Int = 16): DataFrame = {
     require(chunkLen >= 1, s"serveEventsDelta: chunkLen must be >= 1, got $chunkLen")
-    val id = col(idCol)
+    val id = jsonEsc(col(idCol))
     val nChunks = ceil(length(col(summaryCol)).cast("double") / lit(chunkLen)).cast("long")
     val head = array(
       struct(lit(0L).as("ev_seq"),
         concat(lit("{\"type\":\"create\",\"id\":\""), id, lit("\"}")).as("payload")),
       struct(lit(1L).as("ev_seq"),
         concat(lit("{\"type\":\"createLink\",\"id\":\""), id,
-          lit("\",\"link\":\""), col(urlCol),
+          lit("\",\"link\":\""), jsonEsc(col(urlCol)),
           lit("\",\"pageNumber\":"), col(pageCol),
-          lit(",\"fileName\":\""), col(fileCol), lit("\"}")).as("payload")))
+          lit(",\"fileName\":\""), jsonEsc(col(fileCol)), lit("\"}")).as("payload")))
     // sequence(0, n-1) is DESCENDING for n = 0 — guard the empty summary
     val deltas = when(nChunks > 0,
       transform(sequence(lit(0L), nChunks - 1), j =>
         struct((j + 2L).as("ev_seq"),
           concat(lit("{\"type\":\"addMessage\",\"id\":\""), id, lit("\",\"content\":\""),
-            regexp_replace(
+            jsonEsc(regexp_replace(
               col(summaryCol).substr((j * chunkLen + 1).cast("int"), lit(chunkLen)),
-              lit(" "), lit("<SPECIAL_WHITE_SPACE>")),
+              lit(" "), lit("<SPECIAL_WHITE_SPACE>"))),
             lit("\"}")).as("payload"))))
       .otherwise(array().cast("array<struct<ev_seq:bigint,payload:string>>"))
     val fin = array(
       struct((nChunks + 2L).as("ev_seq"),
         concat(lit("{\"type\":\"complete\",\"id\":\""), id,
-          lit("\",\"content\":\""), col(summaryCol), lit("\"}")).as("payload")))
+          lit("\",\"content\":\""), jsonEsc(col(summaryCol)), lit("\"}")).as("payload")))
     hits.select((hits.columns.map(col) :+
         explode(concat(head, deltas, fin)).as("ev")): _*)
       .select((hits.columns.map(col) :+ col("ev.ev_seq").as("ev_seq") :+
