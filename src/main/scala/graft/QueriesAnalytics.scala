@@ -101,7 +101,8 @@ object QueriesAnalytics {
         li.join(ord, col("l_orderkey") === col("o_orderkey"))
           .join(broadcast(Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))),
             col("l_suppkey") === col("s_suppkey"))
-          .join(broadcast(Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))),
+          .join(/* customer is SF-proportional: no forced broadcast, AQE decides */
+            Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey")),
             col("o_custkey") === col("c_custkey"))
           .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
           .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
@@ -140,7 +141,8 @@ object QueriesAnalytics {
         li.join(broadcast(Tables.part(s, d).where(col("p_type") === "ECONOMY")
             .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
           .join(ord, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))),
+          .join(/* customer is SF-proportional: no forced broadcast, AQE decides */
+            Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey")),
             col("o_custkey") === col("c_custkey"))
           .join(broadcast(Tables.nation(s, d).select(col("n_nationkey").as("c_nk"),
             col("n_regionkey"))), col("c_nationkey") === col("c_nk"))
@@ -214,8 +216,8 @@ object QueriesAnalytics {
           .select(col("l_orderkey"),
             (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume"))
         li.join(ord, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(Tables.customer(s, d)
-            .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_nationkey"))),
+          .join(/* SF-proportional: AQE decides */ Tables.customer(s, d)
+            .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_nationkey")),
             col("o_custkey") === col("c_custkey"))
           .join(broadcast(Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))),
             col("c_nationkey") === col("n_nationkey"))
@@ -595,11 +597,17 @@ object QueriesAnalytics {
     // rows — single shuffle on orderkey, then a broadcast-dim group-by.
     "q21_waiting_suppliers" -> QueryDef(
       (s, d) => {
+        // NO broadcast hint: orders is FACT-sized (a hint would override
+        // the size threshold and OOM at scale; AQE picks the hash join)
         val li = Tables.lineitem(s, d)
-          .join(broadcast(Tables.orders(s, d)
-            .select(col("o_orderkey"), col("o_orderdate"))), // dim-sized at test SF; hash join at scale
+          .join(Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_orderdate")),
             col("l_orderkey") === col("o_orderkey"))
-          .withColumn("__delayed", col("l_shipdate") > date_add(col("o_orderdate"), 90))
+          // INTERVAL, not date_add: date_add casts to DATE, flooring the
+          // threshold to midnight — a timestamped orderdate would flip
+          // delayed classification vs the oracle's + INTERVAL 90 DAY
+          .withColumn("__delayed",
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
         val perOrder = li.groupBy(col("l_orderkey").as("__ok"))
           .agg(countDistinct(col("l_suppkey")).as("nsupp"),
             countDistinct(when(col("__delayed"), col("l_suppkey"))).as("ndelayed"))
@@ -668,7 +676,8 @@ object QueriesAnalytics {
           .agg(sum(col("l_quantity")).cast("long").as("total_qty"))
           .where(col("total_qty") > 250)
         big.join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+          .join(/* SF-proportional: AQE decides */ Tables.customer(s, d),
+            col("o_custkey") === col("c_custkey"))
           .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
             col("o_orderdate").cast("string").as("o_orderdate"),
             round(col("o_totalprice"), 2).as("o_totalprice"), col("total_qty"))

@@ -288,7 +288,8 @@ object QueriesCuration {
           .mkString(" + ")
         s"""WITH z AS (SELECT doc_id,
            |  least(255, greatest(0, CAST(floor(n_chars * 256 / 1024.0) AS BIGINT))) AS zx,
-           |  doc_id % 256 AS zy FROM documents)
+           |  -- pmod semantics (Spark side): non-negative for negative ids too
+           |  ((doc_id % 256) + 256) % 256 AS zy FROM documents)
            |SELECT doc_id, zx, zy, CAST($terms AS BIGINT) AS zval
            |FROM z ORDER BY doc_id""".stripMargin
       }),

@@ -633,7 +633,7 @@ object QueriesExtra {
              |      + 0.5) / 4294967296.0 AS u
              |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
              |SELECT doc_id FROM u
-             |ORDER BY ln(u) / CAST(n_chars AS DOUBLE) DESC, doc_id LIMIT 50""".stripMargin)),
+             |ORDER BY round(ln(u) / CAST(n_chars AS DOUBLE), 10) DESC, doc_id LIMIT 50""".stripMargin)),
 
     // IVF ANN (trained coarse quantizer) — approximate, rows-only; recall
     // is spec-gated (ApproxOpsSpec).
