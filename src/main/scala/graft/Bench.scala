@@ -86,7 +86,11 @@ object Bench {
         n -> BigDecimal(t / baseline(n)).setScale(2, BigDecimal.RoundingMode.HALF_UP)
     } ++ failed.map(n => n -> BigDecimal(999))).sortBy(-_._2)
     regressions.foreach { case (n, x) =>
-      System.err.println(f"[bench] REGRESSION $n: ${x}x over baseline ${baseline(n)}%.2fs")
+      // baseline.get: a FAILED query may have no baseline entry (new query,
+      // or missing/unparseable baseline file) — the gate must still report
+      // it and emit the summary JSON rather than crash in its failure path
+      val b = baseline.get(n).map(b => f"$b%.2fs").getOrElse("n/a")
+      System.err.println(s"[bench] REGRESSION $n: ${x}x over baseline $b")
     }
     val regJson = regressions.map { case (n, x) => s"\"" + n + "\":" + x }
       .mkString("{", ",", "}")

@@ -38,7 +38,9 @@ object Knn {
     // guard, ported back to the oldest entry point): a multi-row query
     // frame would silently return ONE merged top-k with no qid column —
     // use topKBatch for query batches
-    val probe = query.select(col(embCol)).limit(2).count()
+    // take(2): one job that stops after 2 rows — limit(2).count() would
+    // plan/schedule a full extra job per call on the hottest serve path
+    val probe = query.select(col(embCol)).take(2).length
     require(probe == 1,
       s"Knn.topK: query frame has ${if (probe == 0) "no" else "more than one"} row — " +
         "this is the single-query serve shape; use Knn.topKBatch for batches")

@@ -110,16 +110,7 @@ final class OpenAiCompatClient(endpoint: String, apiKey: String,
   override def embedBatch(texts: Seq[String], dim: Int): Seq[Array[Float]] = {
     val body = s"""{"model":${jsonStr(embedModel)},"input":[${texts.map(jsonStr).mkString(",")}]}"""
     val resp = post("/embeddings", body)
-    val arrays = """"embedding"\s*:\s*\[([^\]]*)\]""".r
-      .findAllMatchIn(resp).map(_.group(1)).toSeq
-    require(arrays.length == texts.length,
-      s"OpenAiCompatClient: expected ${texts.length} embeddings, got ${arrays.length}")
-    arrays.map { a =>
-      val v = a.split(",").filter(_.trim.nonEmpty).map(_.trim.toFloat)
-      require(v.length == dim,
-        s"OpenAiCompatClient: model returned dim ${v.length}, engine expected $dim")
-      v
-    }
+    OpenAiCompatClient.parseEmbeddingsResponse(resp, texts.length, dim)
   }
 
   override def completeBatch(pairs: Seq[(String, String)], ctx: Int, maxLen: Int): Seq[String] =
@@ -164,5 +155,36 @@ final class OpenAiCompatClient(endpoint: String, apiKey: String,
       } else { out.append(c); i += 1 }
     }
     out.toString
+  }
+}
+
+object OpenAiCompatClient {
+  /** Parse an `/embeddings` response body into `n` vectors of length
+    * `dim`. The contract carries an `"index"` field on each data entry
+    * precisely because response ORDER is not promised — entries are
+    * reordered by it. Each data object holds exactly one `index` and one
+    * `embedding`, and objects are sequential in the `data` array, so the
+    * i-th index match and the i-th embedding match belong to the same
+    * object regardless of key order INSIDE the object. A provider that
+    * omits `index` (or returns a non-permutation) keeps document order.
+    * Factored out of the HTTP path so the parse is testable offline. */
+  private[graft] def parseEmbeddingsResponse(resp: String, n: Int,
+                                             dim: Int): Seq[Array[Float]] = {
+    val arrays = """"embedding"\s*:\s*\[([^\]]*)\]""".r
+      .findAllMatchIn(resp).map(_.group(1)).toSeq
+    require(arrays.length == n,
+      s"OpenAiCompatClient: expected $n embeddings, got ${arrays.length}")
+    val indices = """"index"\s*:\s*(\d+)""".r
+      .findAllMatchIn(resp).map(_.group(1).toInt).toSeq
+    val ordered =
+      if (indices.length == arrays.length && indices.sorted == (0 until n))
+        indices.zip(arrays).sortBy(_._1).map(_._2)
+      else arrays
+    ordered.map { a =>
+      val v = a.split(",").filter(_.trim.nonEmpty).map(_.trim.toFloat)
+      require(v.length == dim,
+        s"OpenAiCompatClient: model returned dim ${v.length}, engine expected $dim")
+      v
+    }
   }
 }

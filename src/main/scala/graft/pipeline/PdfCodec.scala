@@ -697,8 +697,37 @@ object PdfCodec {
             // the EI delimiter: per the spec's own guidance, the first
             // `EI` preceded by whitespace and followed by whitespace/EOF
             // ends the image — the PDFBox heuristic.
-            val id = content.indexOf("ID", p)
-            require(id >= 0, "PdfCodec: inline image BI without ID")
+            // Find ID by TOKENIZING the dict, not substring search: a
+            // bare indexOf("ID") can hit those two bytes inside a name
+            // or string value and shift the payload scan into the dict.
+            // Mirror the main loop's operand rules; ID counts only as a
+            // standalone keyword token.
+            var id = -1
+            var t = p
+            while (id < 0) {
+              require(t < n, "PdfCodec: inline image BI without ID")
+              val tc = content.charAt(t)
+              if (tc.isWhitespace) t += 1
+              else if (tc == '%') { while (t < n && content.charAt(t) != '\n') t += 1 }
+              else if (tc == '(') t = literalStringEnd(content, t)
+              else if (tc == '<' && t + 1 < n && content.charAt(t + 1) == '<')
+                t = balancedDictEnd(content, t)
+              else if (tc == '<') {
+                val e = content.indexOf('>', t)
+                require(e >= 0, "PdfCodec: unterminated hex string in BI dict")
+                t = e + 1
+              }
+              else if (tc == '[') t = parseArray(content, t)._2
+              else {
+                val ts = if (tc == '/') t + 1 else t
+                var te = ts
+                while (te < n && !content.charAt(te).isWhitespace &&
+                  !"()<>[]/%".contains(content.charAt(te))) te += 1
+                require(te > t, s"PdfCodec: unexpected delimiter '$tc' in BI dict at $t")
+                if (tc != '/' && content.substring(ts, te) == "ID") id = t
+                t = te
+              }
+            }
             var q = id + 3 // ID + one whitespace byte before the data
             var found = -1
             while (found < 0 && q + 1 < n) {

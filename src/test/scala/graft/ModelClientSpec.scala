@@ -119,4 +119,29 @@ class ModelClientSpec extends SparkSpec {
       new java.io.ByteArrayInputStream(bos.toByteArray))
     assert(in.readObject().isInstanceOf[OpenAiCompatClient])
   }
+
+  test("embeddings response parse honors the index field (out-of-order data)") {
+    // the JSON contract carries "index" because order is NOT promised —
+    // entries arriving out of order must reattach to the right rows
+    val resp =
+      """{"object":"list","data":[
+        |{"object":"embedding","index":1,"embedding":[1.0,1.5]},
+        |{"embedding":[0.0,0.5],"index":0},
+        |{"object":"embedding","index":2,"embedding":[2.0,2.5]}],
+        |"model":"m","usage":{"prompt_tokens":3}}""".stripMargin
+    val vs = OpenAiCompatClient.parseEmbeddingsResponse(resp, 3, 2)
+    assert(vs.map(_.toSeq) == Seq(Seq(0.0f, 0.5f), Seq(1.0f, 1.5f), Seq(2.0f, 2.5f)))
+    // no index fields → document order (lenient fallback)
+    val bare = """{"data":[{"embedding":[9.0]},{"embedding":[8.0]}]}"""
+    assert(OpenAiCompatClient.parseEmbeddingsResponse(bare, 2, 1)
+      .map(_.toSeq) == Seq(Seq(9.0f), Seq(8.0f)))
+    // wrong count still refused
+    val e = intercept[IllegalArgumentException](
+      OpenAiCompatClient.parseEmbeddingsResponse(bare, 3, 1))
+    assert(e.getMessage.contains("expected 3"))
+    // wrong dim still refused
+    val e2 = intercept[IllegalArgumentException](
+      OpenAiCompatClient.parseEmbeddingsResponse(bare, 2, 4))
+    assert(e2.getMessage.contains("dim"))
+  }
 }

@@ -218,6 +218,19 @@ class PdfCodecSpec extends SparkSpec {
     assert(PdfCodec.extractFromContent(content) == "before after")
   }
 
+  test("inline image: 'ID' inside a BI dict value is not the ID operator") {
+    // the two bytes I-D appear standalone inside a string value and as a
+    // suffix of a name — a substring search would start the payload scan
+    // inside the dict; only the standalone keyword token counts
+    val img = "BI /W 4 /XID (fake ID here) /DP << /Predictor 1 >> ID  xÿy EI"
+    val content = s"BT (before ) Tj ET $img BT (after) Tj ET"
+    assert(PdfCodec.extractFromContent(content) == "before after")
+    // and a BI with no real ID still fails loud, not hang
+    val bad = "BT (t) Tj ET BI /W 4 /XID (fake ID here)"
+    val e = intercept[IllegalArgumentException](PdfCodec.extractFromContent(bad))
+    assert(e.getMessage.contains("BI without ID"))
+  }
+
   test("encrypted PDF fails loud with the real reason") {
     val pdf = new String(PdfCodec.encodePdf(Seq("x")), "ISO-8859-1")
     val broken = pdf.replace("trailer\n<< /Size", "trailer\n<< /Encrypt 9 0 R /Size")
