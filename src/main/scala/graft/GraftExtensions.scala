@@ -218,5 +218,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => graft.plans.EpochPushdownRule)
     e.injectOptimizerRule(_ => graft.plans.IvfScanRewriteRule)
     e.injectOptimizerRule(_ => graft.plans.SparseScanRewriteRule)
+    // plans the iterative-filtered-ANN leaf the IVF rewrite plants for
+    // `WHERE pred ORDER BY vec_*(emb, lit) LIMIT k` over a persisted store
+    e.injectPlannerStrategy(_ => graft.plans.IvfIterativeScanStrategy)
   }
 }

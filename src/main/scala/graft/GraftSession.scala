@@ -44,6 +44,13 @@ object GraftSession {
     if (missing.nonEmpty)
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations ++ missing
+    // same re-attach treatment for the planner strategy behind the
+    // iterative filtered-ANN leaf: a pre-existing session without it
+    // would fail to plan the rewritten subtree
+    if (!spark.sessionState.planner.strategies.exists(
+        _ eq graft.plans.IvfIterativeScanStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.IvfIterativeScanStrategy
     spark
   }
 }

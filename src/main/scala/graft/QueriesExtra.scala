@@ -556,6 +556,45 @@ object QueriesExtra {
              |SELECT qid, vec_id, cos, CAST(rn AS BIGINT) AS rn
              |FROM ranked WHERE rn <= 10 ORDER BY qid, rn""".stripMargin)),
 
+    // SQL LOWERING of the iterative filtered scan (round 10 — the last
+    // pgvector-0.8 planner-parity gap): the SAME starved-filter shape as
+    // q_knn_filtered_exact, but expressed as the SQL a pgvector user
+    // would port (`WHERE pred ORDER BY emb <-> q LIMIT k` →
+    // `WHERE pred ORDER BY vec_l2(...) LIMIT k`). IvfScanRewriteRule
+    // plants the probe-escalation leaf (plans.IvfIterativeFilteredScan):
+    // 5 survivors < k = 10 forces escalate→full-probe→EXACT, so the hash
+    // gates the whole planner path; IvfIterativeScanSpec pins the plan
+    // shape and the stop-at-k round. Exact also without the rule
+    // attached (plain scan), so the gate never depends on session setup.
+    "q_knn_filtered_sql" -> QueryDef(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val dir = Fixtures.memo(s"ivf_ip_idx:$d") {
+          val model = IvfIndex.train(e, k = 16, iters = 2)
+          val dr = java.nio.file.Files.createTempDirectory("ivf_ip_q").toString
+          IvfIndex.writeIndex(e, model, dr)
+          dr
+        }
+        val qv = e.where(col("vec_id") === 7)
+          .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+        // D suffix: bare decimals parse as DECIMAL(19,19), not double
+        val vlit = s"array(${qv.map(x => s"${x}D").mkString(",")})"
+        GraftFunctions.register(s)
+        s.read.parquet(dir).createOrReplaceTempView("ivf_sql_v")
+        s.sql(
+          s"""SELECT vec_id, round(vec_l2(embedding, $vlit), 4) AS dist
+             |FROM ivf_sql_v WHERE vec_id % 97 = 0 AND vec_id < 400
+             |ORDER BY vec_l2(embedding, $vlit), vec_id LIMIT 10""".stripMargin)
+      },
+      Some("""WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 7),
+             |f AS (SELECT vec_id, embedding FROM embeddings
+             |      WHERE vec_id % 97 = 0 AND vec_id < 400)
+             |SELECT f.vec_id,
+             |  round(list_distance(f.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS dist
+             |FROM f CROSS JOIN q
+             |ORDER BY list_distance(f.embedding::DOUBLE[], q.embedding::DOUBLE[]), f.vec_id
+             |LIMIT 10""".stripMargin)),
+
     // Deterministic hash-bucket sampling — reproducible subsets at any
     // partitioning; the exact md5-bucket construction replays in DuckDB.
     "q_sample_hash" -> QueryDef(

@@ -400,7 +400,8 @@ object IvfIndex {
   def searchIndexFiltered(spark: org.apache.spark.sql.SparkSession, path: String,
                           queries: DataFrame, pred: Column, k: Int, nprobe: Int,
                           idCol: String = "vec_id", embCol: String = "embedding",
-                          queryIdCol: String = "qid", scale: Int = 4): DataFrame = {
+                          queryIdCol: String = "qid", scale: Int = 4,
+                          maxResultRows: Int = 100000): DataFrame = {
     val model = readModel(spark, path)
     val kc = model.k
     var cur = math.max(1, math.min(nprobe, kc))
@@ -416,6 +417,14 @@ object IvfIndex {
     // the previous round's unsatisfied array, already on the driver
     var pendingQids: Array[Any] =
       queries.select(col(queryIdCol)).distinct().collect().map(_.get(0))
+    // serve-contract guard (the Hnsw.maxFilterIds convention): the final
+    // frame is assembled driver-side, bounded by |queries|·k rows — an
+    // oversized query batch belongs on the distributed searchIndex path,
+    // not here, and fails fast instead of silently bottlenecking
+    require(pendingQids.length.toLong * k <= maxResultRows,
+      s"IvfIndex.searchIndexFiltered: |queries| (${pendingQids.length}) × k ($k) exceeds " +
+        s"maxResultRows ($maxResultRows) — the iterative filtered scan assembles its result " +
+        "driver-side by contract; split the query batch or raise maxResultRows explicitly")
     var rounds = 0
     while (rounds >= 0) {
       rounds += 1

@@ -133,9 +133,6 @@ object IvfScanRewriteRule extends Rule[LogicalPlan] with RewriteSupport {
       qvec = if (metric == "cosine") normalize(rawQvec) else rawQvec
       if model.centroids.nonEmpty && model.centroids.head.length == qvec.length
     } yield {
-      val nprobe = conf("spark.graft.ann.nprobe", "8").toInt
-      val overfetch = conf("spark.graft.ann.overfetch", "4").toInt
-      val cells = probedCells(model, qvec, nprobe)
       val idCol = conf("spark.graft.ann.idCol", "vec_id")
       val idAttrOpt = relation.output.find(_.name == idCol)
       // Column-prune the store leg ourselves: this rule may run in a
@@ -148,6 +145,52 @@ object IvfScanRewriteRule extends Rule[LogicalPlan] with RewriteSupport {
       val keep = AttributeSet(child.output) ++ usedAbove ++ distExpr.references ++
         AttributeSet(idAttrOpt.toSeq)
       val projList = relation.output.filter(keep.contains)
+      // ITERATIVE filtered scans (pgvector 0.8): a user predicate riding
+      // the indexed ORDER BY makes a FIXED probe set unsound at the
+      // contract level — fewer than k survivors silently return short.
+      // Lower `Filter(pred, store)` to the probe-ESCALATION leaf instead
+      // (the planner twin of IvfIndex.searchIndexFiltered); the user's
+      // Sort/Limit above stays as the exact rerank. Opt out with
+      // spark.graft.ann.iterative=false to keep the pre-0.8 fixed-probe
+      // plan (cells + coarse stages below).
+      val iterative = conf("spark.graft.ann.iterative", "true") == "true"
+      val userFilter =
+        if (!iterative) None
+        else child.collectFirst {
+          case f @ Filter(cond, r: LogicalRelation)
+              if (r eq relation) && cond.references.subsetOf(relation.outputSet) &&
+                !cond.references.exists(_.name == "cell") &&
+                cond.deterministic => f
+        }
+      userFilter match {
+        case Some(f) =>
+          val nprobe0 = conf("spark.graft.ann.nprobe", "8").toInt
+          val leafOut = relation.output.filter(at =>
+            keep.contains(at) || f.condition.references.contains(at))
+          val leaf = IvfIterativeFilteredScan(leafOut, path, qvec.toSeq,
+            f.condition, k, nprobe0)
+          child.transformUp { case n if n eq f => leaf }
+        case None => rewriteFixedProbe(child, relation, cellAttr, distExpr, metric,
+          qvec, k, path, model, quantRange, pqModel, projList)
+      }
+    }
+  }
+
+  // (cellAttr typed Attribute: the relation lookup returns the narrower
+  // AttributeReference, but only equality and In() construction use it)
+
+  /** The pre-0.8 fixed-probe index plan: static cell pruning + optional
+    * quantized coarse semi-join (exact within the probed cells). */
+  private def rewriteFixedProbe(child: LogicalPlan, relation: LogicalRelation,
+      cellAttr: Attribute, distExpr: Expression, metric: String, qvec: Array[Double],
+      k: Int, path: String, model: IvfIndex.Model,
+      quantRange: Option[(Double, Double)], pqModel: Option[ProductQuantizer.Model],
+      projList: Seq[Attribute]): LogicalPlan = {
+      val nprobe = conf("spark.graft.ann.nprobe", "8").toInt
+      val overfetch = conf("spark.graft.ann.overfetch", "4").toInt
+      val cells = probedCells(model, qvec, nprobe)
+      val idCol = conf("spark.graft.ann.idCol", "vec_id")
+      val idAttrOpt = relation.output.find(_.name == idCol)
       val pruned = Project(projList,
         Filter(In(cellAttr, cells.map(Literal(_))), relation))
       // coarse stages order candidates by (approximate) L2 only — they
@@ -176,7 +219,6 @@ object IvfScanRewriteRule extends Rule[LogicalPlan] with RewriteSupport {
       }
       val sub: LogicalPlan = pqCoarse.orElse(sqCoarse).getOrElse(pruned)
       child.transformUp { case r: LogicalRelation if r eq relation => sub }
-    }
   }
 
   /** Follow an attribute through Project aliases down to the expression

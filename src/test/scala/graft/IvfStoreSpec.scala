@@ -462,6 +462,15 @@ class IvfStoreSpec extends SparkSpec {
     // (4) empty query frame: schema-shaped empty result, no crash
     assert(IvfIndex.searchIndexFiltered(spark, path, q.where(lit(false)),
       col("vec_id") < 7, k = 3, nprobe = 2).isEmpty)
+
+    // (5) driver-assembly guard (VERDICT r9 #6): |queries|·k over the cap
+    // fails fast with the contract in the message, never a silent
+    // driver-side bottleneck
+    val e5 = intercept[IllegalArgumentException] {
+      IvfIndex.searchIndexFiltered(spark, path, q, col("vec_id") < 7,
+        k = 5, nprobe = 2, maxResultRows = 9)
+    }
+    assert(e5.getMessage.contains("maxResultRows"), e5.getMessage)
   }
 
 }
