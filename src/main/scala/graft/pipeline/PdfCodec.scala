@@ -460,16 +460,14 @@ object PdfCodec {
           """/Filter\s*/([A-Za-z0-9]+)""".r.findFirstMatchIn(obj.dict).map(_.group(1)).toSeq
       }
     // /DecodeParms may be an INDIRECT reference (spec §7.3.8) — a
-    // predictor hidden behind one must still fail loud, or Flate output
+    // predictor hidden behind one must still be honored, or Flate output
     // is returned un-de-predicted as silent garbage
     val parms = resolveDict(obj.dict, "DecodeParms", byNum)
       .orElse(resolveDict(obj.dict, "DP", byNum)).getOrElse("")
-    if (filters.nonEmpty &&
-        """/Predictor\s+(\d+)""".r.findFirstMatchIn(obj.dict + " " + parms)
-          .exists(_.group(1).toInt > 1))
-      throw new IllegalArgumentException(
-        s"PdfCodec: object ${obj.num}: /Predictor decoding not supported")
-    val out = filters.foldLeft(raw) { (data, f) =>
+    val pd = parms + " " + obj.dict
+    def parm(name: String, default: Int): Int =
+      (s"""/$name\\s+(\\d+)""").r.findFirstMatchIn(pd).map(_.group(1).toInt).getOrElse(default)
+    val decoded = filters.foldLeft(raw) { (data, f) =>
       f match {
         case "FlateDecode" => inflate(data)
         case "ASCIIHexDecode" => asciiHexDecode(data)
@@ -480,7 +478,156 @@ object PdfCodec {
             "(FlateDecode, ASCIIHexDecode, ASCII85Decode, LZWDecode or none)")
       }
     }
+    // Predictors (spec §7.4.4.4) belong to the Flate/LZW filter's
+    // parameters and apply to its DECODED output — every modern writer
+    // predictor-codes at least its xref stream (/Predictor 12), so
+    // failing loud here (the pre-round-10 scope) rejected most PDF 1.5
+    // files in the wild. Applied after the full chain: the real-world
+    // shape is a single Flate filter (or a chain whose LAST stage is
+    // Flate/LZW carrying the parms).
+    val out =
+      if (filters.exists(f => f == "FlateDecode" || f == "LZWDecode"))
+        unpredict(decoded, parm("Predictor", 1), parm("Colors", 1),
+          parm("BitsPerComponent", 8), parm("Columns", 1), obj.num)
+      else decoded
     new String(out, ISO_8859_1)
+  }
+
+  /** Undo a /Predictor (spec §7.4.4.4): 1 = none, 2 = TIFF horizontal
+    * differencing, 10–15 = the PNG filter set — where each row carries
+    * its OWN leading filter-type byte (0 None, 1 Sub, 2 Up, 3 Average,
+    * 4 Paeth; the declared 10–15 value only records what the encoder
+    * preferred, decoding is identical for all of them). 8-bit components
+    * only — the universal case for xref/ObjStm/content streams; sub-byte
+    * depths fail loud rather than silently mis-shift. */
+  private[graft] def unpredict(data: Array[Byte], predictor: Int, colors: Int,
+                               bpc: Int, columns: Int, objNum: Int = -1): Array[Byte] = {
+    if (predictor <= 1) return data
+    require(bpc == 8, s"PdfCodec: object $objNum: /BitsPerComponent $bpc with " +
+      s"/Predictor $predictor unsupported (8-bit components only)")
+    require(colors >= 1 && columns >= 1,
+      s"PdfCodec: object $objNum: invalid predictor shape /Colors $colors /Columns $columns")
+    val bpp = colors
+    val rowlen = colors * columns
+    if (predictor == 2) {
+      require(data.length % rowlen == 0,
+        s"PdfCodec: object $objNum: TIFF-predicted data (${data.length} bytes) " +
+          s"is not a whole number of $rowlen-byte rows")
+      val out = data.clone()
+      var r = 0
+      while (r < out.length) {
+        var i = bpp
+        while (i < rowlen) {
+          out(r + i) = ((out(r + i) + out(r + i - bpp)) & 0xff).toByte
+          i += 1
+        }
+        r += rowlen
+      }
+      out
+    } else if (predictor >= 10 && predictor <= 15) {
+      require(data.length % (rowlen + 1) == 0,
+        s"PdfCodec: object $objNum: PNG-predicted data (${data.length} bytes) " +
+          s"is not a whole number of ${rowlen + 1}-byte (filter byte + row) rows")
+      val nRows = data.length / (rowlen + 1)
+      val out = new Array[Byte](nRows * rowlen)
+      var row = 0
+      while (row < nRows) {
+        val ft = data(row * (rowlen + 1)) & 0xff
+        val src = row * (rowlen + 1) + 1
+        val dst = row * rowlen
+        var i = 0
+        while (i < rowlen) {
+          val raw = data(src + i) & 0xff
+          val left = if (i >= bpp) out(dst + i - bpp) & 0xff else 0
+          val up = if (row > 0) out(dst - rowlen + i) & 0xff else 0
+          val ul = if (row > 0 && i >= bpp) out(dst - rowlen + i - bpp) & 0xff else 0
+          val v = ft match {
+            case 0 => raw
+            case 1 => raw + left
+            case 2 => raw + up
+            case 3 => raw + (left + up) / 2
+            case 4 =>
+              val p = left + up - ul
+              val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+              raw + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+            case other => throw new IllegalArgumentException(
+              s"PdfCodec: object $objNum: invalid PNG row filter type $other")
+          }
+          out(dst + i) = (v & 0xff).toByte
+          i += 1
+        }
+        row += 1
+      }
+      out
+    } else throw new IllegalArgumentException(
+      s"PdfCodec: object $objNum: /Predictor $predictor unsupported (1, 2, 10-15)")
+  }
+
+  /** PNG-predictor ENCODE (the writer side of [[unpredict]]): rows of
+    * `colors·columns` bytes each gain a leading filter-type byte. Rows
+    * cycle Up → Sub → Paeth → Average → None deterministically, so a
+    * multi-row payload exercises every decoder branch — the round-trip
+    * gate's purpose; a production writer would pick per-row minimums
+    * instead. Input length must be a whole number of rows (callers pad). */
+  private[graft] def pngPredictEncode(data: Array[Byte], colors: Int,
+                                      columns: Int): Array[Byte] = {
+    val bpp = colors
+    val rowlen = colors * columns
+    require(rowlen > 0 && data.length % rowlen == 0,
+      s"PdfCodec.pngPredictEncode: ${data.length} bytes is not a whole number " +
+        s"of $rowlen-byte rows")
+    val nRows = data.length / rowlen
+    val out = new Array[Byte](nRows * (rowlen + 1))
+    val cycle = Array(2, 1, 4, 3, 0) // Up, Sub, Paeth, Average, None
+    var row = 0
+    while (row < nRows) {
+      val ft = cycle(row % cycle.length)
+      val src = row * rowlen
+      out(row * (rowlen + 1)) = ft.toByte
+      var i = 0
+      while (i < rowlen) {
+        val raw = data(src + i) & 0xff
+        val left = if (i >= bpp) data(src + i - bpp) & 0xff else 0
+        val up = if (row > 0) data(src - rowlen + i) & 0xff else 0
+        val ul = if (row > 0 && i >= bpp) data(src - rowlen + i - bpp) & 0xff else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 =>
+            val p = left + up - ul
+            val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+            if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+        }
+        out(row * (rowlen + 1) + 1 + i) = ((raw - pred) & 0xff).toByte
+        i += 1
+      }
+      row += 1
+    }
+    out
+  }
+
+  /** TIFF /Predictor 2 ENCODE: horizontal differencing at the component
+    * stride; same whole-rows contract as the PNG encoder. */
+  private[graft] def tiffPredictEncode(data: Array[Byte], colors: Int,
+                                       columns: Int): Array[Byte] = {
+    val bpp = colors
+    val rowlen = colors * columns
+    require(rowlen > 0 && data.length % rowlen == 0,
+      s"PdfCodec.tiffPredictEncode: ${data.length} bytes is not a whole number " +
+        s"of $rowlen-byte rows")
+    val out = data.clone()
+    var r = 0
+    while (r < out.length) {
+      var i = rowlen - 1
+      while (i >= bpp) {
+        out(r + i) = (((data(r + i) & 0xff) - (data(r + i - bpp) & 0xff)) & 0xff).toByte
+        i -= 1
+      }
+      r += rowlen
+    }
+    out
   }
 
   /** §7.4.2: hex pairs, whitespace ignored, `>` EOD, odd length pads 0. */
@@ -868,7 +1015,31 @@ object PdfCodec {
     * object stream) instead of a classic xref table — the layout every
     * modern writer emits. Round-trips through [[extractText]]'s ObjStm
     * expansion; same page/text scope as [[encodePdf]]. */
-  def encodePdf15(pages: Seq[String], compress: Boolean = true): Array[Byte] = {
+  def encodePdf15(pages: Seq[String], compress: Boolean = true,
+                  predictor: Int = 1): Array[Byte] = {
+    require(predictor == 1 || predictor == 2 || (predictor >= 10 && predictor <= 15),
+      s"PdfCodec.encodePdf15: /Predictor $predictor out of scope (1, 2, 10-15)")
+    require(predictor == 1 || compress,
+      "PdfCodec.encodePdf15: a predictor is a Flate filter parameter — compress=false " +
+        "with predictor > 1 would write DecodeParms no filter carries")
+    // predictor-coded payloads are whole rows of `predCols` bytes; text
+    // payloads are padded with trailing spaces (harmless to the content
+    // tokenizer and the ObjStm offset table alike)
+    val predCols = 32
+    def predict(payload: Array[Byte], cols: Int): Array[Byte] =
+      if (predictor >= 10) pngPredictEncode(payload, 1, cols)
+      else tiffPredictEncode(payload, 1, cols)
+    def padded(payload: Array[Byte]): Array[Byte] =
+      if (payload.length % predCols == 0) payload
+      else payload ++ Array.fill(predCols - payload.length % predCols)(' '.toByte)
+    def encode(payload: Array[Byte], cols: Int): Array[Byte] = {
+      val staged = if (predictor > 1) predict(payload, cols) else payload
+      if (compress) deflate(staged) else staged
+    }
+    def parmsFor(cols: Int): String =
+      if (predictor > 1)
+        s" /DecodeParms << /Predictor $predictor /Columns $cols >>"
+      else ""
     val nPages = pages.length
     val fontNum = 3 + 2 * nPages
     val objStmNum = fontNum + 1
@@ -882,9 +1053,10 @@ object PdfCodec {
       val contNum = 4 + 2 * i
       offsets(contNum) = out.size()
       val content = s"BT /F1 12 Tf 72 720 Td (${escapeLiteral(text)}) Tj ET"
-      val data = if (compress) deflate(content.getBytes(ISO_8859_1))
-                 else content.getBytes(ISO_8859_1)
-      w(s"$contNum 0 obj\n<< /Length ${data.length}$filt >>\nstream\n")
+      val raw = if (predictor > 1) padded(content.getBytes(ISO_8859_1))
+                else content.getBytes(ISO_8859_1)
+      val data = encode(raw, predCols)
+      w(s"$contNum 0 obj\n<< /Length ${data.length}$filt${parmsFor(predCols)} >>\nstream\n")
       out.write(data)
       w("\nendstream\nendobj\n")
     }
@@ -902,11 +1074,12 @@ object PdfCodec {
     val offs = bodies.scanLeft(0)((acc, b) => acc + b.length + 1).init
     val header = inStm.zip(offs).map { case ((num, _), off) => s"$num $off" }
       .mkString(" ") + "\n"
-    val payload = (header + bodies.mkString(" ")).getBytes(ISO_8859_1)
-    val stmData = if (compress) deflate(payload) else payload
+    val payload0 = (header + bodies.mkString(" ")).getBytes(ISO_8859_1)
+    val payload = if (predictor > 1) padded(payload0) else payload0
+    val stmData = encode(payload, predCols)
     offsets(objStmNum) = out.size()
     w(s"$objStmNum 0 obj\n<< /Type /ObjStm /N ${inStm.length} /First ${header.length} " +
-      s"/Length ${stmData.length}$filt >>\nstream\n")
+      s"/Length ${stmData.length}$filt${parmsFor(predCols)} >>\nstream\n")
     out.write(stmData)
     w("\nendstream\nendobj\n")
     // cross-reference stream: type 0 = free, 1 = at byte offset,
@@ -928,9 +1101,12 @@ object PdfCodec {
         case None => entry(2, objStmNum, inStm.indexWhere(_._1 == num))
       }
     }
-    val xdata = if (compress) deflate(entries.toByteArray) else entries.toByteArray
+    // the xref stream is the predictor's real-world home (/Predictor 12
+    // over W-sum-wide rows — the layout Word/pdfTeX/Chrome all emit);
+    // its 7-byte entries ARE the rows, no padding
+    val xdata = encode(entries.toByteArray, 7)
     w(s"$xrefNum 0 obj\n<< /Type /XRef /Size $total /W [1 4 2] /Root 1 0 R " +
-      s"/Length ${xdata.length}$filt >>\nstream\n")
+      s"/Length ${xdata.length}$filt${parmsFor(7)} >>\nstream\n")
     out.write(xdata)
     w("\nendstream\nendobj\n")
     w(s"startxref\n$xrefAt\n%%EOF\n")

@@ -95,14 +95,15 @@ object PdfPipeline {
     * cross-reference stream — the modern-writer shape), so the decode
     * path's ObjStm expansion is oracle-gated on real bytes. */
   def synthesizeModernPdfs(docs: DataFrame, pageSize: Int = 200, compress: Boolean = true,
-                           idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                           idCol: String = "doc_id", textCol: String = "text",
+                           predictor: Int = 1): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .map { case (id, text) =>
         val pages = if (text.isEmpty) Seq.empty[String] else text.grouped(pageSize).toSeq
-        (id, PdfCodec.encodePdf15(pages, compress))
+        (id, PdfCodec.encodePdf15(pages, compress, predictor))
       }
       .toDF(idCol, "content")
   }

@@ -242,13 +242,70 @@ class PdfCodecSpec extends SparkSpec {
     assert(PdfCodec.extractText(benign).head.contains("/Encrypt"))
   }
 
-  test("predictor DecodeParms fail loud") {
+  test("out-of-scope predictors still fail loud (value 5, sub-byte depth)") {
     val pdf = new String(PdfCodec.encodePdf(Seq("x"), compress = true), "ISO-8859-1")
-    val broken = pdf.replace("/Filter /FlateDecode",
-      "/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 4 >>")
+    // 3-9 are not assigned by the spec's table 10
     val e = intercept[IllegalArgumentException](
-      PdfCodec.extractText(broken.getBytes("ISO-8859-1")))
-    assert(e.getMessage.contains("Predictor"))
+      PdfCodec.extractText(pdf.replace("/Filter /FlateDecode",
+        "/Filter /FlateDecode /DecodeParms << /Predictor 5 /Columns 4 >>")
+        .getBytes("ISO-8859-1")))
+    assert(e.getMessage.contains("Predictor"), e.getMessage)
+    // sub-byte component depths are out of decoder scope — loud, not shifted garbage
+    val e2 = intercept[IllegalArgumentException](
+      PdfCodec.extractText(pdf.replace("/Filter /FlateDecode",
+        "/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 4 /BitsPerComponent 4 >>")
+        .getBytes("ISO-8859-1")))
+    assert(e2.getMessage.contains("BitsPerComponent"), e2.getMessage)
+    // data that is not a whole number of predictor rows: loud
+    val e3 = intercept[IllegalArgumentException](
+      PdfCodec.extractText(pdf.replace("/Filter /FlateDecode",
+        "/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 1000 >>")
+        .getBytes("ISO-8859-1")))
+    assert(e3.getMessage.contains("rows"), e3.getMessage)
+  }
+
+  test("PNG predictor unpredict: hand-computed Sub/Up/Average/Paeth rows") {
+    // 2 columns, 1 color, bpc 8. Raw image rows: (10, 20), (30, 45)
+    // Sub row 1: f=1 → (10, 20-10)=(10,10); Up row 2: f=2 → (30-10, 45-20)=(20,25)
+    val coded = Array[Byte](1, 10, 10, 2, 20, 25)
+    assert(PdfCodec.unpredict(coded, 12, 1, 8, 2).toSeq ==
+      Seq[Byte](10, 20, 30, 45))
+    // Average then Paeth, with modular wraparound: rows (200, 250), (100, 7)
+    // Avg row1: (200-0, 250-(200+0)/2=150)
+    // Paeth row2: i=0: left=0,up=200,ul=0 → p=200: pb=0 wins → up=200
+    //             i=1: left=100,up=250,ul=200 → p=150: pa=50=pc → left=100
+    val fixed = Array[Byte](3, 200.toByte, 150.toByte, 4, (100 - 200 & 0xff).toByte,
+      (7 - 100 & 0xff).toByte)
+    assert(PdfCodec.unpredict(fixed, 12, 1, 8, 2).toSeq ==
+      Seq(200.toByte, 250.toByte, 100.toByte, 7.toByte))
+    // TIFF predictor 2: cumulative along the row
+    assert(PdfCodec.unpredict(Array[Byte](5, 3, 250.toByte), 2, 1, 8, 3).toSeq ==
+      Seq[Byte](5, 8, 2))
+  }
+
+  test("predictor encoders round-trip through unpredict (all PNG filter types)") {
+    val rnd = new scala.util.Random(7)
+    val data = Array.fill(32 * 7)(rnd.nextInt(256).toByte) // 7 rows → cycles all 5 filters
+    assert(PdfCodec.unpredict(PdfCodec.pngPredictEncode(data, 1, 32), 12, 1, 8, 32)
+      .toSeq == data.toSeq)
+    assert(PdfCodec.unpredict(PdfCodec.tiffPredictEncode(data, 1, 32), 2, 1, 8, 32)
+      .toSeq == data.toSeq)
+  }
+
+  test("PDF 1.5 with predictor-coded streams round-trips (PNG 12 and TIFF 2)") {
+    // long pages → many 32-byte rows → Up/Sub/Paeth/Average all exercised
+    val pages = Seq("A" + ("lorem ipsum dolor sit amet " * 8), "short (page) \\ two")
+    for (p <- Seq(12, 2)) {
+      val pdf = PdfCodec.encodePdf15(pages, compress = true, predictor = p)
+      val s = new String(pdf, "ISO-8859-1")
+      assert(s.contains(s"/Predictor $p"), s"predictor=$p dict missing")
+      // padded payloads: extraction strips nothing — trailing spaces are
+      // content-stream whitespace, invisible to text assembly
+      assert(PdfCodec.extractText(pdf) == pages, s"predictor=$p")
+    }
+    val e = intercept[IllegalArgumentException](
+      PdfCodec.encodePdf15(Seq("x"), compress = false, predictor = 12))
+    assert(e.getMessage.contains("compress"), e.getMessage)
   }
 
   // ── PDF 1.5 object streams ─────────────────────────────────────────
