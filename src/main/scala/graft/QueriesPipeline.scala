@@ -219,6 +219,31 @@ object QueriesPipeline {
              |FROM documents, unnest(range(0, CAST(ceil(length(text) / 200.0) AS INT))) AS t(i)
              |ORDER BY doc_id, page_no""".stripMargin)),
 
+    // ENCRYPTED round trip (round 10, VERDICT r9 #3): the same page
+    // derivation, but every PDF is AES-128-encrypted under the standard
+    // security handler with an EMPTY user password (spec §7.6 — the
+    // permissions-only encryption many generators emit; PDFBox opens
+    // these transparently in Function.java:90-132). The decoder derives
+    // the file key (Algorithm 2), verifies /U (Algorithm 6), and
+    // decrypts every stream with its per-object key (Algorithm 1)
+    // before the Flate stage — skip any step and every page hashes
+    // wrong or fails to inflate.
+    "q_pdf_encrypted" -> QueryDef(
+      (s, d) => {
+        val pdfs = PdfPipeline.synthesizePdfs(Tables.documents(s, d),
+          pageSize = 200, encryptMode = Some("aes-128"))
+        PdfPipeline.extractPagesPdf(pdfs)
+          .select(col("doc_id"), col("page_no"),
+            length(col("page_text")).cast("long").as("page_len"),
+            md5(col("page_text")).as("page_md5"))
+          .orderBy(col("doc_id"), col("page_no"))
+      },
+      Some("""SELECT doc_id, CAST(i + 1 AS BIGINT) AS page_no,
+             |  CAST(length(substr(text, i*200 + 1, 200)) AS BIGINT) AS page_len,
+             |  md5(substr(text, i*200 + 1, 200)) AS page_md5
+             |FROM documents, unnest(range(0, CAST(ceil(length(text) / 200.0) AS INT))) AS t(i)
+             |ORDER BY doc_id, page_no""".stripMargin)),
+
     // PDF 1.5 round trip (round 9): same page derivation as
     // q_pdf_decode but the synthesized bytes use the MODERN layout —
     // structure dicts packed in a /Type /ObjStm object stream, indexed

@@ -70,7 +70,8 @@ object PdfCodec {
 
   // ── decoder ────────────────────────────────────────────────────────
 
-  private[graft] final case class PdfObj(num: Int, dict: String, stream: Option[Array[Byte]])
+  private[graft] final case class PdfObj(num: Int, dict: String, stream: Option[Array[Byte]],
+                                         gen: Int = 0)
 
   /** How shown-string bytes become text: simple fonts are byte = char
     * (Latin-1); composite (Type0/Identity) fonts pair bytes into 2-byte
@@ -83,14 +84,6 @@ object PdfCodec {
   def extractText(bytes: Array[Byte]): Seq[String] = {
     val s = new String(bytes, ISO_8859_1)
     require(s.startsWith("%PDF-"), "PdfCodec: not a PDF (missing %PDF- header)")
-    // encrypted files would otherwise surface as a baffling
-    // "truncated FlateDecode" — name the real problem. The /Encrypt
-    // entry lives in the trailer (or xref-stream dict) at the file TAIL;
-    // checking only there avoids false-rejecting a document whose page
-    // TEXT merely mentions the token
-    require(!"""/Encrypt(?![a-zA-Z])""".r.findFirstIn(
-        s.substring(math.max(0, s.length - 2048))).isDefined,
-      "PdfCodec: encrypted PDF (trailer /Encrypt) is not supported")
     val objs = scanObjects(s, bytes)
     val byNum = objs.map(o => o.num -> o).toMap
     val pageNums = pageOrder(objs, byNum)
@@ -278,13 +271,95 @@ object PdfCodec {
     * objects themselves. Contained objects carry no streams (the spec
     * forbids it), so each contributes its dict only. */
   private def scanObjects(s: String, bytes: Array[Byte]): Seq[PdfObj] = {
-    val top = scanTopLevel(s, bytes)
+    val top0 = scanTopLevel(s, bytes)
+    // DECRYPTION comes first (spec §7.6.2: encryption wraps everything
+    // below it): open the standard security handler with the EMPTY user
+    // password and decrypt every stream up front, so the rest of the
+    // pipeline (ObjStm expansion included — inner objects are covered by
+    // their container's encryption) reads plaintext. The /Encrypt dict
+    // object and the xref stream are exempt per spec. A file keyed to a
+    // real password fails loud inside decryptAll, never emits garbage.
+    val top = decryptAll(s, top0)
     val topByNum = top.map(o => o.num -> o).toMap
     top.flatMap { o =>
       if ("""/Type\s*/ObjStm(?![a-zA-Z])""".r.findFirstIn(o.dict).isEmpty) Seq(o)
       else Seq(o) ++ expandObjStm(o, topByNum)
     }
   }
+
+  /** Locate the trailer's /Encrypt reference (classic trailer or
+    * xref-stream dict), verify the EMPTY user password, and return the
+    * objects with every in-scope stream decrypted. No /Encrypt → the
+    * objects pass through untouched. */
+  private def decryptAll(s: String, top: Seq[PdfObj]): Seq[PdfObj] = {
+    // the trailer/xref dict lives at the file TAIL; search there so a
+    // page whose TEXT mentions "/Encrypt" is never false-matched
+    val tail = s.substring(math.max(0, s.length - 4096))
+    val encRef = """/Encrypt\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(tail)
+      .map(_.group(1).toInt)
+      .orElse(top.collectFirst {
+        // PDF 1.5: the trailer entries ride the xref STREAM's dict
+        case o if o.dict.contains("/XRef") =>
+          """/Encrypt\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(o.dict).map(_.group(1).toInt)
+      }.flatten)
+    encRef match {
+      case None => top
+      case Some(encNum) =>
+        val enc = top.find(_.num == encNum).getOrElse(throw new IllegalArgumentException(
+          s"PdfCodec: trailer /Encrypt $encNum 0 R not found")).dict
+        require("""/Filter\s*/Standard(?![a-zA-Z])""".r.findFirstIn(enc).isDefined,
+          "PdfCodec: encrypted PDF: only the /Standard security handler is supported")
+        def num(key: String, default: => Int): Int =
+          (s"""/$key\\s+(-?\\d+)""").r.findFirstMatchIn(enc).map(_.group(1).toInt)
+            .getOrElse(default)
+        val v = num("V", 0)
+        val r = num("R", 2)
+        val p = num("P", -1)
+        val lengthBits = num("Length", 40)
+        require(v == 1 || v == 2 || v == 4,
+          s"PdfCodec: encrypted PDF: /V $v unsupported (1, 2, 4 — RC4/AES-128)")
+        val aes = v == 4 && """/CFM\s*/AESV2(?![a-zA-Z])""".r.findFirstIn(enc).isDefined
+        require(v != 4 || aes || """/CFM\s*/V2(?![a-zA-Z])""".r.findFirstIn(enc).isDefined,
+          "PdfCodec: encrypted PDF: /V 4 requires /CFM /V2 or /AESV2 (AESV3/others unsupported)")
+        val keyBytes = if (v == 1) 5 else lengthBits / 8
+        val o = stringValue(enc, "O").getOrElse(throw new IllegalArgumentException(
+          "PdfCodec: encrypted PDF: /Encrypt dict has no /O"))
+        val u = stringValue(enc, "U").getOrElse(throw new IllegalArgumentException(
+          "PdfCodec: encrypted PDF: /Encrypt dict has no /U"))
+        require(o.length >= 32 && u.length >= 32,
+          s"PdfCodec: encrypted PDF: /O (${o.length}) or /U (${u.length}) shorter than 32 bytes")
+        val idFirst = """/ID\s*\[\s*<([0-9a-fA-F\s]*)>""".r.findFirstMatchIn(tail)
+          .map(m => decodeHex(m.group(1)).getBytes(ISO_8859_1))
+          .getOrElse(Array.emptyByteArray) // missing /ID: derive with an empty salt
+        val key = PdfCrypto.verifyUser("", o.take(32), u.take(32), p, idFirst, r, keyBytes)
+          .getOrElse(throw new IllegalArgumentException(
+            "PdfCodec: encrypted PDF: the empty user password does not open this file " +
+              "(password-protected documents are out of scope)"))
+        val dec = new PdfCrypto.Decryptor(key, aes)
+        top.map { obj =>
+          if (obj.num == encNum || obj.stream.isEmpty ||
+              """/Type\s*/XRef(?![a-zA-Z])""".r.findFirstIn(obj.dict).isDefined) obj
+          else obj.copy(stream = obj.stream.map(dec.decrypt(obj.num, obj.gen, _)))
+        }
+    }
+  }
+
+  /** String-valued dict entry `/key`, literal `(…)` or hex `<…>` form,
+    * returned as Latin-1 bytes. */
+  private def stringValue(dict: String, key: String): Option[Array[Byte]] =
+    (s"""/$key(?![A-Za-z0-9])""").r.findFirstMatchIn(dict).flatMap { mm =>
+      var p = mm.end
+      while (p < dict.length && dict.charAt(p).isWhitespace) p += 1
+      if (p >= dict.length) None
+      else if (dict.charAt(p) == '(') {
+        val end = literalStringEnd(dict, p)
+        Some(decodeLiteral(dict.substring(p + 1, end - 1)).getBytes(ISO_8859_1))
+      } else if (dict.charAt(p) == '<' && !dict.startsWith("<<", p)) {
+        val end = dict.indexOf('>', p)
+        if (end < 0) None
+        else Some(decodeHex(dict.substring(p + 1, end)).getBytes(ISO_8859_1))
+      } else None
+    }
 
   private def expandObjStm(o: PdfObj, byNum: Map[Int, PdfObj]): Seq[PdfObj] = {
     val text = decodeStream(o, byNum)
@@ -355,7 +430,7 @@ object PdfCodec {
       }
       val endobj = s.indexOf("endobj", p)
       cur = if (endobj >= 0) endobj + "endobj".length else p
-      out += PdfObj(num, dict, stream)
+      out += PdfObj(num, dict, stream, matcher.group(2).toInt)
     }
     out.toSeq
   }
@@ -970,9 +1045,12 @@ object PdfCodec {
     * `BT /F1 12 Tf 72 720 Td (…) Tj ET`, Flate-compressed by default,
     * classic xref + trailer. Text must be Latin-1-representable (the
     * decoder's simple-font scope). */
-  def encodePdf(pages: Seq[String], compress: Boolean = true): Array[Byte] = {
+  def encodePdf(pages: Seq[String], compress: Boolean = true,
+                encryption: Option[PdfCrypto.EncryptSpec] = None): Array[Byte] = {
     val nPages = pages.length
     val fontNum = 3 + 2 * nPages
+    val encNum = fontNum + 1
+    val cipher = encryption.map(_.decryptor)
     val out = new ByteArrayOutputStream()
     val offsets = mutable.Buffer.empty[(Int, Int)] // objNum -> offset
     def w(str: String): Unit = out.write(str.getBytes(ISO_8859_1))
@@ -988,9 +1066,12 @@ object PdfCodec {
       w(s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
         s"/Resources << /Font << /F1 $fontNum 0 R >> >> /Contents $contNum 0 R >>\nendobj\n")
       val content = s"BT /F1 12 Tf 72 720 Td (${escapeLiteral(text)}) Tj ET"
-      val data =
+      val plain =
         if (compress) deflate(content.getBytes(ISO_8859_1))
         else content.getBytes(ISO_8859_1)
+      // spec §7.6.2 ordering: encryption wraps the ENCODED (compressed)
+      // stream bytes — decrypt-then-decompress on the read side
+      val data = cipher.map(_.encrypt(contNum, 0, plain)).getOrElse(plain)
       beginObj(contNum)
       val filter = if (compress) " /Filter /FlateDecode" else ""
       w(s"<< /Length ${data.length}$filter >>\nstream\n")
@@ -999,11 +1080,16 @@ object PdfCodec {
     }
     beginObj(fontNum)
     w("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\nendobj\n")
+    encryption.foreach { e =>
+      beginObj(encNum)
+      w(s"${e.dict}\nendobj\n")
+    }
     val xrefAt = out.size()
-    val total = fontNum + 1
+    val total = (if (encryption.isDefined) encNum else fontNum) + 1
     w(s"xref\n0 $total\n0000000000 65535 f \n")
     offsets.sortBy(_._1).foreach { case (_, off) => w(f"$off%010d 00000 n \n") }
-    w(s"trailer\n<< /Size $total /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
+    val encTrailer = encryption.map(_.trailerExtra(encNum)).getOrElse("")
+    w(s"trailer\n<< /Size $total /Root 1 0 R $encTrailer>>\nstartxref\n$xrefAt\n%%EOF\n")
     out.toByteArray
   }
 

@@ -79,14 +79,16 @@ object PdfPipeline {
     * and oracle-gated, end-to-end on actual PDF bytes inside the offline
     * sandbox. Narrow, like the decode side. */
   def synthesizePdfs(docs: DataFrame, pageSize: Int = 200, compress: Boolean = true,
-                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                     idCol: String = "doc_id", textCol: String = "text",
+                     encryptMode: Option[String] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .map { case (id, text) =>
         val pages = if (text.isEmpty) Seq.empty[String] else text.grouped(pageSize).toSeq
-        (id, PdfCodec.encodePdf(pages, compress))
+        (id, PdfCodec.encodePdf(pages, compress,
+          encryptMode.map(m => PdfCrypto.EncryptSpec(m))))
       }
       .toDF(idCol, "content")
   }

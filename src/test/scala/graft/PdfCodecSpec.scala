@@ -1,6 +1,6 @@
 package graft
 
-import graft.pipeline.{PdfCodec, PdfPipeline}
+import graft.pipeline.{PdfCodec, PdfCrypto, PdfPipeline}
 import org.apache.spark.sql.functions._
 
 /** PDF text extraction (reference Function.java:90-132, PDFBox per-page
@@ -231,15 +231,59 @@ class PdfCodecSpec extends SparkSpec {
     assert(e.getMessage.contains("BI without ID"))
   }
 
-  test("encrypted PDF fails loud with the real reason") {
+  test("broken /Encrypt reference fails loud; benign text mention is fine") {
     val pdf = new String(PdfCodec.encodePdf(Seq("x")), "ISO-8859-1")
     val broken = pdf.replace("trailer\n<< /Size", "trailer\n<< /Encrypt 9 0 R /Size")
     val e = intercept[IllegalArgumentException](
       PdfCodec.extractText(broken.getBytes("ISO-8859-1")))
-    assert(e.getMessage.contains("encrypted"))
+    assert(e.getMessage.contains("Encrypt"), e.getMessage)
     // a document whose page TEXT mentions the token is NOT rejected
     val benign = PdfCodec.encodePdf(Seq("the /Encrypt entry is documented here"))
     assert(PdfCodec.extractText(benign).head.contains("/Encrypt"))
+  }
+
+  // ── standard security handler (spec §7.6) ─────────────────────────
+
+  test("encrypted PDFs with an empty user password decode transparently") {
+    val pages = Seq("secret page one", "page (two) \\ with specials",
+      "a third page to give the cipher some length " * 3)
+    for (mode <- Seq("rc4-40", "rc4-128", "aes-128")) {
+      val pdf = PdfCodec.encodePdf(pages, compress = true,
+        encryption = Some(PdfCrypto.EncryptSpec(mode)))
+      val s = new String(pdf, "ISO-8859-1")
+      assert(s.contains("/Encrypt") && s.contains("/O <") && s.contains("/U <"), mode)
+      assert(PdfCodec.extractText(pdf) == pages, mode)
+      // decryption is genuinely required: dropping the /Encrypt ref makes
+      // the ciphertext hit the Flate decoder raw and fail
+      val stripped = s.replaceFirst("""/Encrypt \d+ 0 R """, "")
+      intercept[Exception](PdfCodec.extractText(stripped.getBytes("ISO-8859-1")))
+    }
+    // uncompressed + encrypted also round-trips (cipher over raw bytes)
+    val pdfU = PdfCodec.encodePdf(pages, compress = false,
+      encryption = Some(PdfCrypto.EncryptSpec("aes-128")))
+    assert(PdfCodec.extractText(pdfU) == pages)
+  }
+
+  test("a real (non-empty) user password fails loud with the real reason") {
+    for (mode <- Seq("rc4-40", "rc4-128", "aes-128")) {
+      val pdf = PdfCodec.encodePdf(Seq("locked"), compress = true,
+        encryption = Some(PdfCrypto.EncryptSpec(mode, userPw = "hunter2")))
+      val e = intercept[IllegalArgumentException](PdfCodec.extractText(pdf))
+      assert(e.getMessage.contains("password"), s"$mode: ${e.getMessage}")
+    }
+  }
+
+  test("unsupported security handlers and versions fail loud") {
+    val pdf = new String(PdfCodec.encodePdf(Seq("x"), compress = true,
+      encryption = Some(PdfCrypto.EncryptSpec("rc4-128"))), "ISO-8859-1")
+    val pub = pdf.replace("/Filter /Standard", "/Filter /Adobe.PubSec")
+    val e = intercept[IllegalArgumentException](
+      PdfCodec.extractText(pub.getBytes("ISO-8859-1")))
+    assert(e.getMessage.contains("Standard"), e.getMessage)
+    val v5 = pdf.replace("/V 2 /R 3", "/V 5 /R 6")
+    val e2 = intercept[IllegalArgumentException](
+      PdfCodec.extractText(v5.getBytes("ISO-8859-1")))
+    assert(e2.getMessage.contains("/V 5"), e2.getMessage)
   }
 
   test("out-of-scope predictors still fail loud (value 5, sub-byte depth)") {
