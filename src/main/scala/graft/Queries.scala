@@ -23,7 +23,8 @@ object Queries {
 
   def defs: Map[String, QueryDef] =
     coreDefs ++ QueriesPipeline.defs ++ QueriesAnalytics.defs ++ QueriesExtra.defs ++
-      QueriesAdvanced.defs ++ QueriesSearch.defs ++ QueriesCuration.defs
+      QueriesAdvanced.defs ++ QueriesSearch.defs ++ QueriesCuration.defs ++
+      QueriesPartsupp.defs
 
   private val coreDefs: Map[String, QueryDef] = Map(
 

@@ -37,4 +37,34 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** SYNTHESIZED `partsupp` (documented deviation — the driver's testdata
+    * has no partsupp parquet, SURVEY §7.6): the TPC-H shape derived
+    * DETERMINISTICALLY from `part` × the supplier count, dbgen-style —
+    * 4 suppliers per part at a coprime-ish stride, availqty/supplycost
+    * from integer congruences — so the four classic partsupp queries
+    * (Q2/Q11/Q16/Q20) get REAL oracle gates: the DuckDB side re-derives
+    * the identical table as a CTE from the same formulas. The extra
+    * `ps_supplycost_cents` BIGINT column carries the cost exactly, so
+    * aggregates can run in integer space (sum-order-independent) and
+    * divide once at the end.
+    *
+    * Scale shape: one narrow projection of `part` exploded ×4 with a
+    * broadcast 1-row supplier count — no shuffle, no driver loop; at
+    * 100 TB this generates partsupp co-partitioned with whatever `part`
+    * scan feeds it. */
+  def partsupp(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{array, broadcast, col, count, explode, lit}
+    val p = part(s, d).select(col("p_partkey"))
+    val sCnt = broadcast(supplier(s, d).agg(count(lit(1)).as("s_cnt")))
+    p.crossJoin(sCnt)
+      .select(col("p_partkey"), col("s_cnt"),
+        explode(array((0 to 3).map(lit): _*)).as("i"))
+      .selectExpr(
+        "p_partkey AS ps_partkey",
+        "(p_partkey + i * (s_cnt div 4 + 1)) % s_cnt AS ps_suppkey",
+        "(p_partkey * 11 + i * 131) % 9999 + 1 AS ps_availqty",
+        "(p_partkey * 37 + i * 991) % 90000 + 10000 AS ps_supplycost_cents",
+        "((p_partkey * 37 + i * 991) % 90000 + 10000) / 100.0 AS ps_supplycost")
+  }
 }
