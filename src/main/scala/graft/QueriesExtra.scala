@@ -305,6 +305,45 @@ object QueriesExtra {
       },
       None),
 
+    // ROUTED sharded HNSW (round 10, VERDICT r9 #5): shards are k-means
+    // cells (semantic assignment), each query probes only its 2 nearest
+    // shard centroids — per-query cost O(p), with partition pruning
+    // skipping un-probed shard directories. Rows-only (routed recall is
+    // corpus-dependent); the recall floor and pruning are spec-pinned in
+    // HnswSpec, and the exact-degeneration gate is below.
+    "q_ann_hnsw_routed" -> QueryDef(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val dir = Fixtures.memo(s"hnsw_routed_idx:$d") {
+          val dr = java.nio.file.Files.createTempDirectory("hnsw_rt_q").toString
+          graft.operators.Hnsw.writeIndexRouted(e, numShards = 4, dr)
+          dr
+        }
+        val q = e.where(col("vec_id") < 4).select(col("vec_id").as("qid"), col("embedding"))
+        graft.operators.Hnsw.searchIndexRouted(s, dir, q, k = 3, probeShards = 2)
+          .orderBy(col("qid"), col("rn"))
+      },
+      None),
+
+    // Routed exact-degeneration gate: probeShards = numShards + covering
+    // ef ⇒ the routing tier degenerates to the full scatter-gather and
+    // the answer is exact KNN — the whole sidecar/routing/pruning/merge
+    // path is hash-verified like every other index read path.
+    "q_ann_hnsw_routed_exact" -> QueryDef(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val n = e.count().toInt
+        val dir = Fixtures.memo(s"hnsw_routed_idx:$d") {
+          val dr = java.nio.file.Files.createTempDirectory("hnsw_rt_q").toString
+          graft.operators.Hnsw.writeIndexRouted(e, numShards = 4, dr)
+          dr
+        }
+        val q = e.where(col("vec_id") < 4).select(col("vec_id").as("qid"), col("embedding"))
+        graft.operators.Hnsw.searchIndexRouted(s, dir, q, k = 5, ef = n, probeShards = 4)
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some(annExactL2Sql)),
+
     // PRODUCTION-path DBSCAN: partial probe (nprobe=2 of k=8 cells) —
     // the configuration a 100 TB run would use, benched under its own
     // committed floor so the production path's cost is tracked, not just

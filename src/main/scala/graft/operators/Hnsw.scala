@@ -553,6 +553,137 @@ object Hnsw {
       .select(col(queryIdCol), col("vec_id"), col("dist"), col("rn").cast("long").as("rn"))
   }
 
+  // ── shard-ROUTED tier (round 10, VERDICT r9 #5) ────────────────────
+
+  /** [[writeIndexSharded]] with SEMANTIC shard assignment: shards are the
+    * cells of a k-means coarse quantizer (numShards centroids trained by
+    * [[IvfIndex.train]] — deterministic), so vectors near each other land
+    * in the SAME shard and a query only needs its few nearest shards.
+    * This is what makes a routing tier possible at all: under the hash
+    * sharding of [[writeIndexSharded]] every shard is a random sample of
+    * the corpus and per-query shard pruning would be blind. The centroids
+    * ride along as a `_shard_centroids.json` sidecar (numShards × dim —
+    * driver-trivial, the IVF sidecar pattern). Same per-shard graph
+    * build, fail-fast cap, and partitioned layout as the hash writer. */
+  def writeIndexRouted(vectors: DataFrame, numShards: Int, path: String,
+                       m: Int = 16, efConstruction: Int = 64,
+                       idCol: String = "vec_id", embCol: String = "embedding",
+                       maxNodesPerShard: Int = 2000000, trainIters: Int = 2): Unit = {
+    require(numShards >= 1, s"Hnsw.writeIndexRouted: numShards must be >= 1, got $numShards")
+    val spark = vectors.sparkSession
+    val model = IvfIndex.train(vectors, numShards, iters = trainIters,
+      idCol = idCol, embCol = embCol)
+    val keyed = vectors
+      .select(col(idCol).cast("long"), col(embCol).cast("array<double>"),
+        IvfIndex.cellOf(col(embCol), model).as("shard"))
+      .rdd
+      .map(r => (r.getInt(2), (r.getLong(0), r.getSeq[Double](1).toArray)))
+      .partitionBy(new org.apache.spark.HashPartitioner(numShards))
+    val shardRows = keyed.mapPartitionsWithIndex { (shard, it) =>
+      val items = it.map(_._2).toArray.sortInPlaceBy(_._1)
+      if (items.isEmpty) Iterator.empty
+      else {
+        if (items.length > maxNodesPerShard) throw new IllegalArgumentException(
+          s"Hnsw.writeIndexRouted: shard $shard holds ${items.length} > " +
+            s"maxNodesPerShard=$maxNodesPerShard — raise numShards, or use IvfIndex " +
+            "for corpus-scale ANN")
+        val b = new GraphBuilder(m, efConstruction)
+        items.foreach { case (id, v) => b.addNode(id, v) }
+        Iterator(org.apache.spark.sql.Row(shard, items.length.toLong,
+          serializeIndex(b.freeze())))
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("shard", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("graph", org.apache.spark.sql.types.BinaryType)))
+    spark.createDataFrame(shardRows, schema)
+      .write.partitionBy("shard").mode("overwrite").parquet(path)
+    def writeSide(name: String, body: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(path, name)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(p, true)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+    }
+    writeSide("_hnsw_sharded.json",
+      s"""{"numShards":$numShards,"m":$m,"efConstruction":$efConstruction,"routed":1}""")
+    writeSide("_shard_centroids.json",
+      model.centroids.map(_.mkString("[", ",", "]")).mkString("[", ",", "]"))
+  }
+
+  /** ROUTED scatter-gather: probe only each query's `probeShards` nearest
+    * shard centroids instead of every shard — per-query cost O(p) in
+    * shards, not O(numShards), the standard distributed-ANN routing tier.
+    * Partition pruning does the heavy lifting: un-probed shard
+    * directories are never read (static `shard IN` over the partitioned
+    * store, the IVF access pattern). Recall is governed by `probeShards`
+    * and the store's cluster coherence; `probeShards >= numShards`
+    * degenerates to the full scatter-gather of [[searchIndexSharded]] —
+    * with covering ef, EXACT (oracle-gated like every other index path).
+    * Requires a [[writeIndexRouted]] store (the centroid sidecar). */
+  def searchIndexRouted(spark: SparkSession, path: String, queries: DataFrame,
+                        k: Int, ef: Int = 64, probeShards: Int = 2,
+                        queryIdCol: String = "qid", embCol: String = "embedding",
+                        scale: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cp = new org.apache.hadoop.fs.Path(path, "_shard_centroids.json")
+    val fs = cp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(cp),
+      s"Hnsw.searchIndexRouted: $path has no _shard_centroids.json — written by " +
+        "writeIndexSharded (hash shards, no routing tier)? Use searchIndexSharded, " +
+        "or rebuild with writeIndexRouted")
+    val in = fs.open(cp)
+    val json = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    val centroids = json.trim.stripPrefix("[").stripSuffix("]").split("\\],\\s*\\[")
+      .map(_.stripPrefix("[").stripSuffix("]"))
+      .map(_.split(",").map(_.trim.toDouble))
+    val p = math.min(math.max(1, probeShards), centroids.length)
+    val qArr = queries
+      .select(col(queryIdCol).cast("long"), col(embCol).cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    // per-shard query assignment, built driver-side (queries are
+    // broadcast-small by the serve contract; |assignment| ≤ |queries|·p)
+    val assign = scala.collection.mutable.Map.empty[Int, List[(Long, Array[Double])]]
+    qArr.foreach { case (qid, q) =>
+      centroids.zipWithIndex.map { case (c, i) => (l2sq(q, c), i) }
+        .sortBy(identity).take(p)
+        .foreach { case (_, shard) =>
+          assign(shard) = (qid, q) :: assign.getOrElse(shard, Nil)
+        }
+    }
+    val bcA = spark.sparkContext.broadcast(assign.map { case (s0, qs) =>
+      s0 -> qs.reverse.toArray }.toMap)
+    val probed = assign.keys.toSeq.map(_.asInstanceOf[Any])
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(queryIdCol, org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("dist", org.apache.spark.sql.types.DoubleType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val perShard = spark.read.parquet(path)
+      .where(col("shard").isin(probed: _*)) // partition pruning: only probed dirs read
+      .select(col("shard"), col("graph"))
+      .mapPartitions { it =>
+        it.flatMap { row =>
+          val qs = bcA.value.getOrElse(row.getInt(0), Array.empty[(Long, Array[Double])])
+          if (qs.isEmpty) Iterator.empty
+          else {
+            val idx = deserializeIndex(row.getAs[Array[Byte]](1))
+            qs.iterator.flatMap { case (qid, q) =>
+              searchIndex(idx, q, k, ef).map { case (id, d) =>
+                org.apache.spark.sql.Row(qid, id,
+                  BigDecimal(d).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble)
+              }
+            }
+          }
+        }
+      }(enc)
+    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("dist"), col("vec_id"))
+    perShard.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col(queryIdCol), col("vec_id"), col("dist"), col("rn").cast("long").as("rn"))
+  }
+
   /** Persist the graph as parquet (one row per node: id, vector, per-layer
     * neighbor ID lists) + a meta sidecar — readable by any engine, and
     * [[readIndex]] rebuilds the in-memory form for serving. */

