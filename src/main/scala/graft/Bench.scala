@@ -59,6 +59,27 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // STREAMING latency axis (per-trigger p50/p95 for the serve and
+    // ingest streams — StreamBench): skipped on SPARK_GRAFT_BENCH_ONLY
+    // floor-measurement runs; opt out with SPARK_GRAFT_BENCH_STREAM=0.
+    // Its stream_* metrics ride the same regression gate as batch
+    // queries against the stream_* floors in BENCH_BASELINE.json.
+    // tri-state: "0" off, any other value forces on (floor measurement
+    // with BENCH_ONLY), unset = on for full sweeps only
+    val runStream = sys.env.get("SPARK_GRAFT_BENCH_STREAM") match {
+      case Some("0") => false
+      case Some(_) => true
+      case None => only.isEmpty
+    }
+    val streamMetrics: Map[String, Double] =
+      if (runStream)
+        try StreamBench.run(spark, sfDir)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] stream axis FAILED: ${e.getMessage}")
+          failed ::= "stream_axis"
+          Map.empty
+        }
+      else Map.empty
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
 
     // Per-query regression tracking against the committed floor
@@ -80,7 +101,7 @@ object Bench {
     // milliseconds), which reads as a speedup — flag every failure as a
     // regression with a sentinel ratio so a query that regresses into
     // failure can never slip past the gate
-    val regressions = (results.toSeq.collect {
+    val regressions = ((results ++ streamMetrics).toSeq.collect {
       case (n, t) if !failed.contains(n) &&
           baseline.get(n).exists(b => t > b * 1.75 && t - b > 1.0) =>
         n -> BigDecimal(t / baseline(n)).setScale(2, BigDecimal.RoundingMode.HALF_UP)
@@ -95,7 +116,9 @@ object Bench {
     val regJson = regressions.map { case (n, x) => s"\"" + n + "\":" + x }
       .mkString("{", ",", "}")
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"regressions":$regJson,"sf":"$sfDir"}""")
+    val streamJson = streamMetrics.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stream":$streamJson,"failed":$failedJson,"regressions":$regJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -186,13 +186,14 @@ object DocStream {
     * processes the backlog then stops (used by specs); production runs
     * with a processing-time trigger. */
   def start(spark: SparkSession, inputDir: String, outputDir: String,
-            checkpointDir: String, availableNow: Boolean = false): StreamingQuery = {
+            checkpointDir: String, availableNow: Boolean = false,
+            trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery = {
     val writer = pipeline(spark, inputDir).writeStream
       .format("parquet")
       .option("path", outputDir)
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
     (if (availableNow) writer.trigger(Trigger.AvailableNow())
-     else writer.trigger(Trigger.ProcessingTime("10 seconds"))).start()
+     else writer.trigger(trigger)).start()
   }
 }
