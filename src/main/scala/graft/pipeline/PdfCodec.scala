@@ -79,6 +79,10 @@ object PdfCodec {
   private[graft] sealed trait FontDec
   private[graft] case object SimpleFont extends FontDec
   private[graft] final case class CompositeFont(toUnicode: Map[Int, String]) extends FontDec
+  /** Simple font with an /Encoding /Differences remap: listed byte codes
+    * decode through their glyph names; unlisted codes keep the Latin-1
+    * base (spec §9.6.6.3 — Differences PATCHES the base encoding). */
+  private[graft] final case class DifferencesFont(diff: Map[Int, String]) extends FontDec
 
   /** Extract per-page text from PDF bytes, in page-tree order. */
   def extractText(bytes: Array[Byte]): Seq[String] = {
@@ -181,7 +185,18 @@ object PdfCodec {
 
   private def fontFor(obj: PdfObj, byNum: Map[Int, PdfObj]): FontDec = {
     val d = obj.dict
-    if ("""/Subtype\s*/Type0(?![A-Za-z0-9])""".r.findFirstIn(d).isEmpty) SimpleFont
+    if ("""/Subtype\s*/Type0(?![A-Za-z0-9])""".r.findFirstIn(d).isEmpty) {
+      // simple font: honor an /Encoding dict's /Differences array
+      // (spec §9.6.6.3) — the glyph-name remap real subset fonts use
+      // when they carry no /ToUnicode; codes decode through the glyph
+      // list, unlisted codes keep the Latin-1 base. An /Encoding that is
+      // just a base-encoding NAME keeps today's SimpleFont scope.
+      resolveDict(d, "Encoding", byNum) match {
+        case Some(encDict) if encDict.contains("/Differences") =>
+          DifferencesFont(parseDifferences(encDict, obj.num))
+        case _ => SimpleFont
+      }
+    }
     else {
       // only the Identity CMaps give fixed 2-byte codes; anything else
       // (e.g. /90ms-RKSJ-H) is variable-width — refuse rather than garble
@@ -197,6 +212,105 @@ object PdfCodec {
       CompositeFont(parseToUnicode(decodeStream(tuObj, byNum)))
     }
   }
+
+  /** /Differences array (spec §9.6.6.3): `[ code name name … code name … ]`
+    * — each integer sets the next code, each name consumes one code.
+    * Names resolve through [[glyphToUnicode]]; an unknown name fails
+    * loud with the name (never silent garbage). */
+  private[graft] def parseDifferences(encDict: String, fontNum: Int): Map[Int, String] = {
+    val m = """/Differences\s*\[""".r.findFirstMatchIn(encDict).getOrElse(
+      throw new IllegalArgumentException(
+        s"PdfCodec: font object $fontNum: /Encoding dict has no /Differences array"))
+    val start = m.end
+    val end = encDict.indexOf(']', start)
+    require(end >= 0, s"PdfCodec: font object $fontNum: unterminated /Differences array")
+    val body = encDict.substring(start, end)
+    val out = mutable.Map.empty[Int, String]
+    var code = -1
+    """(\d+)|/([A-Za-z0-9._]+)""".r.findAllMatchIn(body).foreach { t =>
+      if (t.group(1) != null) code = t.group(1).toInt
+      else {
+        require(code >= 0 && code <= 255,
+          s"PdfCodec: font object $fontNum: /Differences name /${t.group(2)} " +
+            s"at invalid code $code")
+        out(code) = glyphToUnicode(t.group(2), fontNum)
+        code += 1
+      }
+    }
+    out.toMap
+  }
+
+  /** Glyph name → text: uniXXXX/uXXXX forms, single-letter and digit
+    * names, and the Adobe Glyph List subset covering the Standard/
+    * WinAnsi repertoires (the names real simple-font subsets emit).
+    * `.notdef` maps to empty; anything else fails loud. */
+  private[graft] def glyphToUnicode(name: String, fontNum: Int): String = name match {
+    case ".notdef" => ""
+    case n if n.length == 1 && (n.charAt(0).isLetter || n.charAt(0).isDigit) => n
+    case n if n.startsWith("uni") && n.length >= 7 && (n.length - 3) % 4 == 0 &&
+        n.drop(3).forall(c => Character.digit(c, 16) >= 0) =>
+      n.drop(3).grouped(4).map(h => Integer.parseInt(h, 16).toChar).mkString
+    case n if n.startsWith("u") && n.length >= 5 && n.length <= 7 &&
+        n.drop(1).forall(c => Character.digit(c, 16) >= 0) =>
+      new String(Character.toChars(Integer.parseInt(n.drop(1), 16)))
+    case n => AglSubset.getOrElse(n, throw new IllegalArgumentException(
+      s"PdfCodec: font object $fontNum: glyph name /$n not in the supported " +
+        "glyph list (AGL subset + uniXXXX) — cannot map to text"))
+  }
+
+  /** Adobe Glyph List subset: the Standard + WinAnsi repertoire (public
+    * AGL data, restated; digits/letters handled in [[glyphToUnicode]]). */
+  private val AglSubset: Map[String, String] = Map(
+    "space" -> " ", "exclam" -> "!", "quotedbl" -> "\"", "numbersign" -> "#",
+    "dollar" -> "$", "percent" -> "%", "ampersand" -> "&", "quotesingle" -> "'",
+    "parenleft" -> "(", "parenright" -> ")", "asterisk" -> "*", "plus" -> "+",
+    "comma" -> ",", "hyphen" -> "-", "period" -> ".", "slash" -> "/",
+    "zero" -> "0", "one" -> "1", "two" -> "2", "three" -> "3", "four" -> "4",
+    "five" -> "5", "six" -> "6", "seven" -> "7", "eight" -> "8", "nine" -> "9",
+    "colon" -> ":", "semicolon" -> ";", "less" -> "<", "equal" -> "=",
+    "greater" -> ">", "question" -> "?", "at" -> "@", "bracketleft" -> "[",
+    "backslash" -> "\\", "bracketright" -> "]", "asciicircum" -> "^",
+    "underscore" -> "_", "grave" -> "`", "braceleft" -> "{", "bar" -> "|",
+    "braceright" -> "}", "asciitilde" -> "~",
+    "exclamdown" -> "¡", "cent" -> "¢", "sterling" -> "£", "currency" -> "¤",
+    "yen" -> "¥", "brokenbar" -> "¦", "section" -> "§", "dieresis" -> "¨",
+    "copyright" -> "©", "ordfeminine" -> "ª", "guillemotleft" -> "«",
+    "logicalnot" -> "¬", "registered" -> "®", "macron" -> "¯", "degree" -> "°",
+    "plusminus" -> "±", "acute" -> "´", "mu" -> "µ", "paragraph" -> "¶",
+    "periodcentered" -> "·", "cedilla" -> "¸", "ordmasculine" -> "º",
+    "guillemotright" -> "»", "onequarter" -> "¼", "onehalf" -> "½",
+    "threequarters" -> "¾", "questiondown" -> "¿", "multiply" -> "×",
+    "divide" -> "÷",
+    "Agrave" -> "À", "Aacute" -> "Á", "Acircumflex" -> "Â", "Atilde" -> "Ã",
+    "Adieresis" -> "Ä", "Aring" -> "Å", "AE" -> "Æ", "Ccedilla" -> "Ç",
+    "Egrave" -> "È", "Eacute" -> "É", "Ecircumflex" -> "Ê", "Edieresis" -> "Ë",
+    "Igrave" -> "Ì", "Iacute" -> "Í", "Icircumflex" -> "Î", "Idieresis" -> "Ï",
+    "Eth" -> "Ð", "Ntilde" -> "Ñ", "Ograve" -> "Ò", "Oacute" -> "Ó",
+    "Ocircumflex" -> "Ô", "Otilde" -> "Õ", "Odieresis" -> "Ö", "Oslash" -> "Ø",
+    "Ugrave" -> "Ù", "Uacute" -> "Ú", "Ucircumflex" -> "Û", "Udieresis" -> "Ü",
+    "Yacute" -> "Ý", "Thorn" -> "Þ", "germandbls" -> "ß",
+    "agrave" -> "à", "aacute" -> "á", "acircumflex" -> "â", "atilde" -> "ã",
+    "adieresis" -> "ä", "aring" -> "å", "ae" -> "æ", "ccedilla" -> "ç",
+    "egrave" -> "è", "eacute" -> "é", "ecircumflex" -> "ê", "edieresis" -> "ë",
+    "igrave" -> "ì", "iacute" -> "í", "icircumflex" -> "î", "idieresis" -> "ï",
+    "eth" -> "ð", "ntilde" -> "ñ", "ograve" -> "ò", "oacute" -> "ó",
+    "ocircumflex" -> "ô", "otilde" -> "õ", "odieresis" -> "ö", "oslash" -> "ø",
+    "ugrave" -> "ù", "uacute" -> "ú", "ucircumflex" -> "û", "udieresis" -> "ü",
+    "yacute" -> "ý", "thorn" -> "þ", "ydieresis" -> "ÿ",
+    "quoteleft" -> "‘", "quoteright" -> "’",
+    "quotedblleft" -> "“", "quotedblright" -> "”",
+    "quotesinglbase" -> "‚", "quotedblbase" -> "„",
+    "endash" -> "–", "emdash" -> "—", "bullet" -> "•",
+    "dagger" -> "†", "daggerdbl" -> "‡", "ellipsis" -> "…",
+    "perthousand" -> "‰", "trademark" -> "™", "fi" -> "ﬁ",
+    "fl" -> "ﬂ", "Euro" -> "€", "florin" -> "ƒ",
+    "circumflex" -> "ˆ", "tilde" -> "˜", "scaron" -> "š",
+    "Scaron" -> "Š", "oe" -> "œ", "OE" -> "Œ",
+    "zcaron" -> "ž", "Zcaron" -> "Ž", "Ydieresis" -> "Ÿ",
+    "guilsinglleft" -> "‹", "guilsinglright" -> "›",
+    "minus" -> "−", "fraction" -> "⁄", "dotlessi" -> "ı",
+    "breve" -> "˘", "dotaccent" -> "˙", "ring" -> "˚",
+    "ogonek" -> "˛", "hungarumlaut" -> "˝", "caron" -> "ˇ")
 
   /** ToUnicode CMap (spec §9.10.3): code → UTF-16BE destination, from
     * bfchar pairs and bfrange entries (incremented single-dst and
@@ -254,6 +368,8 @@ object PdfCodec {
   /** Shown-string raw bytes (as Latin-1 chars) → text under `font`. */
   private def decodeShown(raw: String, font: FontDec): String = font match {
     case SimpleFont => raw
+    case DifferencesFont(diff) =>
+      raw.map(c => diff.getOrElse(c.toInt, c.toString)).mkString
     case CompositeFont(map) =>
       require(raw.length % 2 == 0,
         s"PdfCodec: composite-font string has odd byte count ${raw.length}")

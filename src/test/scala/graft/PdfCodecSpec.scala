@@ -242,6 +242,32 @@ class PdfCodecSpec extends SparkSpec {
     assert(PdfCodec.extractText(benign).head.contains("/Encrypt"))
   }
 
+  test("simple-font /Encoding /Differences: glyph-name remap, Latin-1 base survives") {
+    val pdf = new String(PdfCodec.encodePdf(Seq("ABa bc"), compress = true), "ISO-8859-1")
+    val enc = "/Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+      "/Encoding << /Differences [ 65 /Euro /bullet 97 /adieresis /uni0042 ] >>"
+    val patched = pdf.replace(
+      "/Type /Font /Subtype /Type1 /BaseFont /Helvetica", enc)
+    // 65 'A'→€, 66 'B'→• (name list advances the code), 97 'a'→ä,
+    // 98 'b'→B (uniXXXX form); unlisted codes keep the Latin-1 base
+    assert(PdfCodec.extractText(patched.getBytes("ISO-8859-1")) == Seq("€•ä Bc"))
+    // an /Encoding that is only a base-encoding NAME keeps the simple scope
+    val named = pdf.replace("/BaseFont /Helvetica",
+      "/BaseFont /Helvetica /Encoding /WinAnsiEncoding")
+    assert(PdfCodec.extractText(named.getBytes("ISO-8859-1")) == Seq("ABa bc"))
+    // unknown glyph names fail loud with the name, never silent garbage
+    val bad = pdf.replace("/Type /Font /Subtype /Type1 /BaseFont /Helvetica",
+      "/Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+        "/Encoding << /Differences [ 65 /notarealglyph ] >>")
+    val e = intercept[IllegalArgumentException](
+      PdfCodec.extractText(bad.getBytes("ISO-8859-1")))
+    assert(e.getMessage.contains("notarealglyph"), e.getMessage)
+    // .notdef maps to empty, single-letter and digit names to themselves
+    assert(PdfCodec.glyphToUnicode(".notdef", -1) == "")
+    assert(PdfCodec.glyphToUnicode("Q", -1) == "Q")
+    assert(PdfCodec.glyphToUnicode("u1F600", -1) == new String(Character.toChars(0x1F600)))
+  }
+
   // ── standard security handler (spec §7.6) ─────────────────────────
 
   test("encrypted PDFs with an empty user password decode transparently") {
