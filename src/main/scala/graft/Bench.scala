@@ -101,9 +101,14 @@ object Bench {
     // milliseconds), which reads as a speedup — flag every failure as a
     // regression with a sentinel ratio so a query that regresses into
     // failure can never slip past the gate
+    // absolute-delta guard: 1 s absorbs JIT/GC jitter on second-scale
+    // batch queries, but would let a 3× regression of a sub-second
+    // per-trigger stream latency ride invisibly — stream_* floors get a
+    // guard sized to their scale
+    def absGuard(n: String): Double = if (n.startsWith("stream_")) 0.15 else 1.0
     val regressions = ((results ++ streamMetrics).toSeq.collect {
       case (n, t) if !failed.contains(n) &&
-          baseline.get(n).exists(b => t > b * 1.75 && t - b > 1.0) =>
+          baseline.get(n).exists(b => t > b * 1.75 && t - b > absGuard(n)) =>
         n -> BigDecimal(t / baseline(n)).setScale(2, BigDecimal.RoundingMode.HALF_UP)
     } ++ failed.map(n => n -> BigDecimal(999))).sortBy(-_._2)
     regressions.foreach { case (n, x) =>

@@ -524,25 +524,46 @@ object Hnsw {
   def searchIndexSharded(spark: SparkSession, path: String, queries: DataFrame,
                          k: Int, ef: Int = 64, queryIdCol: String = "qid",
                          embCol: String = "embedding", scale: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val qArr = queries
       .select(col(queryIdCol).cast("long"), col(embCol).cast("array<double>"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    val bcQ = spark.sparkContext.broadcast(qArr)
+    scatterAndMerge(spark, spark.read.parquet(path), Left(qArr), k, ef, queryIdCol, scale)
+  }
+
+  /** Shared scatter tail of the hash and routed sharded searches — ONE
+    * copy of the output contract (qid/vec_id/dist/rn schema, HALF_UP
+    * rounding at `scale`, dist-then-id tie-break, per-query top-k
+    * window). `Left(all)` sends every query to every shard row (the
+    * full scatter); `Right(byShard)` looks each shard's query subset up
+    * (the routing tier — shards with no assigned queries deserialize
+    * nothing). */
+  private def scatterAndMerge(spark: SparkSession, store: DataFrame,
+      queriesByShard: Either[Array[(Long, Array[Double])],
+                             Map[Int, Array[(Long, Array[Double])]]],
+      k: Int, ef: Int, queryIdCol: String, scale: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bc = spark.sparkContext.broadcast(queriesByShard)
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField(queryIdCol, org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("dist", org.apache.spark.sql.types.DoubleType)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
-    val perShard = spark.read.parquet(path).select(col("graph"))
+    val perShard = store.select(col("shard"), col("graph"))
       .mapPartitions { it =>
         it.flatMap { row =>
-          val idx = deserializeIndex(row.getAs[Array[Byte]](0))
-          bcQ.value.iterator.flatMap { case (qid, q) =>
-            searchIndex(idx, q, k, ef).map { case (id, d) =>
-              org.apache.spark.sql.Row(qid, id,
-                BigDecimal(d).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          val qs = bc.value match {
+            case Left(all) => all
+            case Right(m) => m.getOrElse(row.getInt(0), Array.empty[(Long, Array[Double])])
+          }
+          if (qs.isEmpty) Iterator.empty
+          else {
+            val idx = deserializeIndex(row.getAs[Array[Byte]](1))
+            qs.iterator.flatMap { case (qid, q) =>
+              searchIndex(idx, q, k, ef).map { case (id, d) =>
+                org.apache.spark.sql.Row(qid, id,
+                  BigDecimal(d).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble)
+              }
             }
           }
         }
@@ -652,36 +673,11 @@ object Hnsw {
           assign(shard) = (qid, q) :: assign.getOrElse(shard, Nil)
         }
     }
-    val bcA = spark.sparkContext.broadcast(assign.map { case (s0, qs) =>
-      s0 -> qs.reverse.toArray }.toMap)
+    val byShard = assign.map { case (s0, qs) => s0 -> qs.reverse.toArray }.toMap
     val probed = assign.keys.toSeq.map(_.asInstanceOf[Any])
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField(queryIdCol, org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("dist", org.apache.spark.sql.types.DoubleType)))
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
-    val perShard = spark.read.parquet(path)
+    val store = spark.read.parquet(path)
       .where(col("shard").isin(probed: _*)) // partition pruning: only probed dirs read
-      .select(col("shard"), col("graph"))
-      .mapPartitions { it =>
-        it.flatMap { row =>
-          val qs = bcA.value.getOrElse(row.getInt(0), Array.empty[(Long, Array[Double])])
-          if (qs.isEmpty) Iterator.empty
-          else {
-            val idx = deserializeIndex(row.getAs[Array[Byte]](1))
-            qs.iterator.flatMap { case (qid, q) =>
-              searchIndex(idx, q, k, ef).map { case (id, d) =>
-                org.apache.spark.sql.Row(qid, id,
-                  BigDecimal(d).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble)
-              }
-            }
-          }
-        }
-      }(enc)
-    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("dist"), col("vec_id"))
-    perShard.withColumn("rn", row_number().over(w))
-      .where(col("rn") <= k)
-      .select(col(queryIdCol), col("vec_id"), col("dist"), col("rn").cast("long").as("rn"))
+    scatterAndMerge(spark, store, Right(byShard), k, ef, queryIdCol, scale)
   }
 
   /** Persist the graph as parquet (one row per node: id, vector, per-layer

@@ -80,9 +80,13 @@ object PdfCodec {
   private[graft] case object SimpleFont extends FontDec
   private[graft] final case class CompositeFont(toUnicode: Map[Int, String]) extends FontDec
   /** Simple font with an /Encoding /Differences remap: listed byte codes
-    * decode through their glyph names; unlisted codes keep the Latin-1
-    * base (spec §9.6.6.3 — Differences PATCHES the base encoding). */
-  private[graft] final case class DifferencesFont(diff: Map[Int, String]) extends FontDec
+    * decode through their GLYPH NAMES (stored unresolved — resolution to
+    * text happens per SHOWN code in [[decodeShown]], so a name outside
+    * the glyph list only fails text that actually uses it, not the whole
+    * document); unlisted codes keep the Latin-1 base (spec §9.6.6.3 —
+    * Differences PATCHES the base encoding). */
+  private[graft] final case class DifferencesFont(names: Map[Int, String],
+                                                  fontNum: Int) extends FontDec
 
   /** Extract per-page text from PDF bytes, in page-tree order. */
   def extractText(bytes: Array[Byte]): Seq[String] = {
@@ -193,7 +197,7 @@ object PdfCodec {
       // just a base-encoding NAME keeps today's SimpleFont scope.
       resolveDict(d, "Encoding", byNum) match {
         case Some(encDict) if encDict.contains("/Differences") =>
-          DifferencesFont(parseDifferences(encDict, obj.num))
+          DifferencesFont(parseDifferences(encDict, obj.num), obj.num)
         case _ => SimpleFont
       }
     }
@@ -215,8 +219,12 @@ object PdfCodec {
 
   /** /Differences array (spec §9.6.6.3): `[ code name name … code name … ]`
     * — each integer sets the next code, each name consumes one code.
-    * Names resolve through [[glyphToUnicode]]; an unknown name fails
-    * loud with the name (never silent garbage). */
+    * Tokenized with a CURSOR, not a character-class regex: a PDF name
+    * may contain `#xx` escapes or punctuation (spec §7.3.5), and a
+    * partial-regex match would split such a name into a bogus
+    * name-plus-code pair, silently shifting every later assignment.
+    * Names are stored UNRESOLVED (see [[DifferencesFont]]); unexpected
+    * tokens fail loud. */
   private[graft] def parseDifferences(encDict: String, fontNum: Int): Map[Int, String] = {
     val m = """/Differences\s*\[""".r.findFirstMatchIn(encDict).getOrElse(
       throw new IllegalArgumentException(
@@ -227,15 +235,41 @@ object PdfCodec {
     val body = encDict.substring(start, end)
     val out = mutable.Map.empty[Int, String]
     var code = -1
-    """(\d+)|/([A-Za-z0-9._]+)""".r.findAllMatchIn(body).foreach { t =>
-      if (t.group(1) != null) code = t.group(1).toInt
-      else {
+    var p = 0
+    while (p < body.length) {
+      val c = body.charAt(p)
+      if (c.isWhitespace) p += 1
+      else if (c == '/') {
+        // name token: runs to the next whitespace or delimiter; #xx hex
+        // escapes decode per §7.3.5
+        val st = p + 1
+        var q = st
+        while (q < body.length && !body.charAt(q).isWhitespace &&
+          !"()<>[]{}/%".contains(body.charAt(q))) q += 1
+        val rawName = body.substring(st, q)
+        val name = if (!rawName.contains('#')) rawName else {
+          val sb = new StringBuilder
+          var i = 0
+          while (i < rawName.length) {
+            if (rawName.charAt(i) == '#' && i + 3 <= rawName.length) {
+              sb.append(Integer.parseInt(rawName.substring(i + 1, i + 3), 16).toChar)
+              i += 3
+            } else { sb.append(rawName.charAt(i)); i += 1 }
+          }
+          sb.toString
+        }
         require(code >= 0 && code <= 255,
-          s"PdfCodec: font object $fontNum: /Differences name /${t.group(2)} " +
+          s"PdfCodec: font object $fontNum: /Differences name /$rawName " +
             s"at invalid code $code")
-        out(code) = glyphToUnicode(t.group(2), fontNum)
+        out(code) = name
         code += 1
-      }
+        p = q
+      } else if (c.isDigit) {
+        val st = p
+        while (p < body.length && body.charAt(p).isDigit) p += 1
+        code = body.substring(st, p).toInt
+      } else throw new IllegalArgumentException(
+        s"PdfCodec: font object $fontNum: unexpected '$c' in /Differences array")
     }
     out.toMap
   }
@@ -368,8 +402,11 @@ object PdfCodec {
   /** Shown-string raw bytes (as Latin-1 chars) → text under `font`. */
   private def decodeShown(raw: String, font: FontDec): String = font match {
     case SimpleFont => raw
-    case DifferencesFont(diff) =>
-      raw.map(c => diff.getOrElse(c.toInt, c.toString)).mkString
+    case DifferencesFont(names, fontNum) =>
+      raw.map(c => names.get(c.toInt) match {
+        case Some(n) => glyphToUnicode(n, fontNum)
+        case None => c.toString
+      }).mkString
     case CompositeFont(map) =>
       require(raw.length % 2 == 0,
         s"PdfCodec: composite-font string has odd byte count ${raw.length}")
@@ -425,29 +462,56 @@ object PdfCodec {
           s"PdfCodec: trailer /Encrypt $encNum 0 R not found")).dict
         require("""/Filter\s*/Standard(?![a-zA-Z])""".r.findFirstIn(enc).isDefined,
           "PdfCodec: encrypted PDF: only the /Standard security handler is supported")
+        // scalar fields must come from the TOP LEVEL of the dict: a flat
+        // first-match regex can hit the NESTED /CF << /StdCF << /Length
+        // 16 >> >> value (bytes, not bits) when a writer orders it first
+        val topLevel = {
+          val sb = new StringBuilder(enc)
+          var depth = 0; var i = 0
+          while (i < sb.length) {
+            if (sb.startsWith("<<", i)) { depth += 1; i += 2 }
+            else if (sb.startsWith(">>", i)) { depth -= 1; i += 2 }
+            else { if (depth > 1) sb.setCharAt(i, ' '); i += 1 }
+          }
+          sb.toString
+        }
         def num(key: String, default: => Int): Int =
-          (s"""/$key\\s+(-?\\d+)""").r.findFirstMatchIn(enc).map(_.group(1).toInt)
+          (s"""/$key\\s+(-?\\d+)""").r.findFirstMatchIn(topLevel).map(_.group(1).toInt)
             .getOrElse(default)
         val v = num("V", 0)
         val r = num("R", 2)
         val p = num("P", -1)
-        val lengthBits = num("Length", 40)
         require(v == 1 || v == 2 || v == 4,
           s"PdfCodec: encrypted PDF: /V $v unsupported (1, 2, 4 — RC4/AES-128)")
         val aes = v == 4 && """/CFM\s*/AESV2(?![a-zA-Z])""".r.findFirstIn(enc).isDefined
         require(v != 4 || aes || """/CFM\s*/V2(?![a-zA-Z])""".r.findFirstIn(enc).isDefined,
           "PdfCodec: encrypted PDF: /V 4 requires /CFM /V2 or /AESV2 (AESV3/others unsupported)")
-        val keyBytes = if (v == 1) 5 else lengthBits / 8
+        // key length: AESV2 is 128-bit by definition; a V4 /V2 crypt
+        // filter carries /Length in BYTES inside /CF (some writers use
+        // bits — >40 disambiguates, the PDFBox heuristic); V1 fixes 5;
+        // else the top-level /Length in bits
+        val keyBytes =
+          if (v == 1) 5
+          else if (v == 4 && aes) 16
+          else if (v == 4) {
+            val cfLen = """/CFM\s*/V2[^>]*?/Length\s+(\d+)""".r.findFirstMatchIn(enc)
+              .orElse("""/Length\s+(\d+)[^>]*?/CFM\s*/V2""".r.findFirstMatchIn(enc))
+              .map(_.group(1).toInt)
+            cfLen.map(n => if (n > 40) n / 8 else n).getOrElse(num("Length", 128) / 8)
+          }
+          else num("Length", 40) / 8
+        val encryptMetadata =
+          !"""/EncryptMetadata\s+false(?![a-zA-Z])""".r.findFirstIn(topLevel).isDefined
         val o = stringValue(enc, "O").getOrElse(throw new IllegalArgumentException(
           "PdfCodec: encrypted PDF: /Encrypt dict has no /O"))
         val u = stringValue(enc, "U").getOrElse(throw new IllegalArgumentException(
           "PdfCodec: encrypted PDF: /Encrypt dict has no /U"))
         require(o.length >= 32 && u.length >= 32,
           s"PdfCodec: encrypted PDF: /O (${o.length}) or /U (${u.length}) shorter than 32 bytes")
-        val idFirst = """/ID\s*\[\s*<([0-9a-fA-F\s]*)>""".r.findFirstMatchIn(tail)
-          .map(m => decodeHex(m.group(1)).getBytes(ISO_8859_1))
+        val idFirst = parseIdFirst(tail)
           .getOrElse(Array.emptyByteArray) // missing /ID: derive with an empty salt
-        val key = PdfCrypto.verifyUser("", o.take(32), u.take(32), p, idFirst, r, keyBytes)
+        val key = PdfCrypto.verifyUser("", o.take(32), u.take(32), p, idFirst, r,
+            keyBytes, encryptMetadata)
           .getOrElse(throw new IllegalArgumentException(
             "PdfCodec: encrypted PDF: the empty user password does not open this file " +
               "(password-protected documents are out of scope)"))
@@ -459,6 +523,24 @@ object PdfCodec {
         }
     }
   }
+
+  /** First element of the trailer's /ID array — a BYTE STRING in either
+    * hex `<…>` or literal `(…)` form (both legal; a hex-only regex would
+    * silently degrade literal-form IDs to an empty key salt and reject
+    * valid encrypted files). */
+  private def parseIdFirst(tail: String): Option[Array[Byte]] =
+    """/ID\s*\[""".r.findFirstMatchIn(tail).flatMap { m =>
+      var p = m.end
+      while (p < tail.length && tail.charAt(p).isWhitespace) p += 1
+      if (p >= tail.length) None
+      else if (tail.charAt(p) == '<') {
+        val e = tail.indexOf('>', p)
+        if (e < 0) None else Some(decodeHex(tail.substring(p + 1, e)).getBytes(ISO_8859_1))
+      } else if (tail.charAt(p) == '(') {
+        val e = literalStringEnd(tail, p)
+        Some(decodeLiteral(tail.substring(p + 1, e - 1)).getBytes(ISO_8859_1))
+      } else None
+    }
 
   /** String-valued dict entry `/key`, literal `(…)` or hex `<…>` form,
     * returned as Latin-1 bytes. */

@@ -100,8 +100,9 @@ private[graft] object PdfCrypto {
   /** Algorithm 6: does `pw` open this file as the USER password? */
   private[pipeline] def verifyUser(pw: String, o: Array[Byte], u: Array[Byte],
                                    p: Int, idFirst: Array[Byte], r: Int,
-                                   keyBytes: Int): Option[Array[Byte]] = {
-    val key = fileKey(pw, o, p, idFirst, r, keyBytes)
+                                   keyBytes: Int,
+                                   encryptMetadata: Boolean = true): Option[Array[Byte]] = {
+    val key = fileKey(pw, o, p, idFirst, r, keyBytes, encryptMetadata)
     val expect = userEntry(key, idFirst, r)
     val ok = if (r == 2) expect.sameElements(u)
              else expect.take(16).sameElements(u.take(16))
@@ -122,9 +123,12 @@ private[graft] object PdfCrypto {
       val ok = objectKey(num, gen)
       if (!aes) rc4(ok, data)
       else {
-        require(data.length >= 16 && data.length % 16 == 0,
+        // ≥ 32: IV plus at least the mandatory PKCS#5 padding block — a
+        // bare-IV 16-byte stream would otherwise reach plain.last on an
+        // EMPTY plaintext and throw an unlabeled NoSuchElementException
+        require(data.length >= 32 && data.length % 16 == 0,
           s"PdfCodec: object $num: AES stream length ${data.length} not a " +
-            "whole number of blocks with a leading IV")
+            "whole number of blocks with a leading IV and a padded payload")
         val c = Cipher.getInstance("AES/CBC/NoPadding")
         c.init(Cipher.DECRYPT_MODE, new SecretKeySpec(ok, "AES"),
           new IvParameterSpec(data.take(16)))
@@ -156,7 +160,8 @@ private[graft] object PdfCrypto {
   /** Writer-side spec: one of the three supported modes, with the user
     * password empty by default (the permissions-only encryption shape). */
   private[graft] final case class EncryptSpec(mode: String, userPw: String = "",
-                                              ownerPw: String = "graft-owner") {
+                                              ownerPw: String = "graft-owner",
+                                              encryptMetadata: Boolean = true) {
     val (v, r, keyBytes, aes) = mode match {
       case "rc4-40" => (1, 2, 5, false)
       case "rc4-128" => (2, 3, 16, false)
@@ -167,7 +172,7 @@ private[graft] object PdfCrypto {
     val p: Int = -4 // all permissions granted, reserved bits per Table 22
     val idFirst: Array[Byte] = md5("graft-pdf-id".getBytes(ISO_8859_1))
     val o: Array[Byte] = ownerEntry(ownerPw, userPw, r, keyBytes)
-    val key: Array[Byte] = fileKey(userPw, o, p, idFirst, r, keyBytes)
+    val key: Array[Byte] = fileKey(userPw, o, p, idFirst, r, keyBytes, encryptMetadata)
     val u: Array[Byte] = userEntry(key, idFirst, r)
     def decryptor: Decryptor = new Decryptor(key, aes)
 
@@ -179,7 +184,8 @@ private[graft] object PdfCrypto {
         " /CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16 >> >> " +
           "/StmF /StdCF /StrF /StdCF"
       else ""
-      s"<< /Filter /Standard /V $v /R $r /Length ${keyBytes * 8} /P $p " +
+      val em = if (encryptMetadata) "" else " /EncryptMetadata false"
+      s"<< /Filter /Standard /V $v /R $r /Length ${keyBytes * 8} /P $p$em " +
         s"/O <${hex(o)}> /U <${hex(u)}>$cf >>"
     }
 

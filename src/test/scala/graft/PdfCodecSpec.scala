@@ -299,6 +299,68 @@ class PdfCodecSpec extends SparkSpec {
     }
   }
 
+  test("Differences names with #-escapes/digits don't corrupt the code counter; unknown names fail lazily") {
+    val pdf = new String(PdfCodec.encodePdf(Seq("Bc"), compress = true), "ISO-8859-1")
+    // /g3 is a real-world subset glyph name: its digit must NOT reset the
+    // code counter (a char-class regex would split it), so /Euro still
+    // lands at code 66 'B'; /g3 itself sits at 65, which is never shown —
+    // lazy resolution keeps the document extractable
+    val patched = pdf.replace("/Type /Font /Subtype /Type1 /BaseFont /Helvetica",
+      "/Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+        "/Encoding << /Differences [ 65 /g3 /Euro ] >>")
+    assert(PdfCodec.extractText(patched.getBytes("ISO-8859-1")) == Seq("€c"))
+    // #xx name escapes decode per §7.3.5: /Eur#6f == /Euro
+    val esc = pdf.replace("/Type /Font /Subtype /Type1 /BaseFont /Helvetica",
+      "/Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+        "/Encoding << /Differences [ 66 /Eur#6f ] >>")
+    assert(PdfCodec.extractText(esc.getBytes("ISO-8859-1")) == Seq("€c"))
+    // the unknown name DOES fail loud when its code is actually shown
+    val shown = pdf.replace("/Type /Font /Subtype /Type1 /BaseFont /Helvetica",
+      "/Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+        "/Encoding << /Differences [ 66 /g3 ] >>")
+    val e = intercept[IllegalArgumentException](
+      PdfCodec.extractText(shown.getBytes("ISO-8859-1")))
+    assert(e.getMessage.contains("g3"), e.getMessage)
+  }
+
+  test("EncryptMetadata false derives the 0xFFFFFFFF-salted key (R4)") {
+    val pages = Seq("metadata-unencrypted variant")
+    val pdf = PdfCodec.encodePdf(pages, compress = true,
+      encryption = Some(PdfCrypto.EncryptSpec("aes-128", encryptMetadata = false)))
+    assert(new String(pdf, "ISO-8859-1").contains("/EncryptMetadata false"))
+    assert(PdfCodec.extractText(pdf) == pages)
+  }
+
+  test("V4 dict quirks: nested CF /Length ignored, omitted top-level /Length, literal-form /ID") {
+    val pages = Seq("robust encrypt-dict parsing")
+    val pdf = new String(PdfCodec.encodePdf(pages, compress = true,
+      encryption = Some(PdfCrypto.EncryptSpec("aes-128"))), "ISO-8859-1")
+    // a V4 dict may legally omit the top-level /Length (the CF governs);
+    // a flat regex would then pick the NESTED /Length 16 (bytes) — the
+    // top-level scan plus the AESV2-is-128-bit rule must survive this
+    val noLen = pdf.replace("/V 4 /R 4 /Length 128", "/V 4 /R 4")
+    assert(PdfCodec.extractText(noLen.getBytes("ISO-8859-1")) == pages)
+    // /ID in literal-string form (legal byte-string syntax) must feed the
+    // same key salt as the hex form
+    val idHex = """/ID \[ <([0-9A-Fa-f]+)>""".r.findFirstMatchIn(pdf).get.group(1)
+    val idBytes = idHex.grouped(2).map(h => Integer.parseInt(h, 16).toChar).mkString
+    val lit = "(" + idBytes.flatMap {
+      case c @ ('(' | ')' | '\\') => "\\" + c
+      case '\r' => "\\r"
+      case '\n' => "\\n"
+      case c => c.toString
+    } + ")"
+    val idLit = pdf.replace(s"/ID [ <$idHex> <$idHex> ]", s"/ID [ $lit $lit ]")
+    assert(idLit != pdf, "trailer /ID patch did not apply")
+    assert(PdfCodec.extractText(idLit.getBytes("ISO-8859-1")) == pages)
+  }
+
+  test("AES stream of only an IV (no padded payload) fails loud, not NoSuchElement") {
+    val dec = new graft.pipeline.PdfCrypto.Decryptor(Array.fill(16)(7.toByte), aes = true)
+    val e = intercept[IllegalArgumentException](dec.decrypt(5, 0, new Array[Byte](16)))
+    assert(e.getMessage.contains("AES stream length"), e.getMessage)
+  }
+
   test("unsupported security handlers and versions fail loud") {
     val pdf = new String(PdfCodec.encodePdf(Seq("x"), compress = true,
       encryption = Some(PdfCrypto.EncryptSpec("rc4-128"))), "ISO-8859-1")
