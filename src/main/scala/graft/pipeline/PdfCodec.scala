@@ -1300,7 +1300,8 @@ object PdfCodec {
     * modern writer emits. Round-trips through [[extractText]]'s ObjStm
     * expansion; same page/text scope as [[encodePdf]]. */
   def encodePdf15(pages: Seq[String], compress: Boolean = true,
-                  predictor: Int = 1): Array[Byte] = {
+                  predictor: Int = 1,
+                  encryption: Option[PdfCrypto.EncryptSpec] = None): Array[Byte] = {
     require(predictor == 1 || predictor == 2 || (predictor >= 10 && predictor <= 15),
       s"PdfCodec.encodePdf15: /Predictor $predictor out of scope (1, 2, 10-15)")
     require(predictor == 1 || compress,
@@ -1316,9 +1317,15 @@ object PdfCodec {
     def padded(payload: Array[Byte]): Array[Byte] =
       if (payload.length % predCols == 0) payload
       else payload ++ Array.fill(predCols - payload.length % predCols)(' '.toByte)
-    def encode(payload: Array[Byte], cols: Int): Array[Byte] = {
+    // spec §7.6.2 ordering: predictor → Flate → ENCRYPT on write, so the
+    // reader runs decrypt → inflate → unpredict; the xref stream itself
+    // is exempt from encryption (its caller passes num = -1)
+    val cipher = encryption.map(_.decryptor)
+    def encode(payload: Array[Byte], cols: Int, num: Int): Array[Byte] = {
       val staged = if (predictor > 1) predict(payload, cols) else payload
-      if (compress) deflate(staged) else staged
+      val packed = if (compress) deflate(staged) else staged
+      if (num >= 0) cipher.map(_.encrypt(num, 0, packed)).getOrElse(packed)
+      else packed
     }
     def parmsFor(cols: Int): String =
       if (predictor > 1)
@@ -1328,6 +1335,7 @@ object PdfCodec {
     val fontNum = 3 + 2 * nPages
     val objStmNum = fontNum + 1
     val xrefNum = fontNum + 2
+    val encNum = fontNum + 3 // only present when encryption is on
     val out = new ByteArrayOutputStream()
     def w(str: String): Unit = out.write(str.getBytes(ISO_8859_1))
     def filt = if (compress) " /Filter /FlateDecode" else ""
@@ -1339,7 +1347,7 @@ object PdfCodec {
       val content = s"BT /F1 12 Tf 72 720 Td (${escapeLiteral(text)}) Tj ET"
       val raw = if (predictor > 1) padded(content.getBytes(ISO_8859_1))
                 else content.getBytes(ISO_8859_1)
-      val data = encode(raw, predCols)
+      val data = encode(raw, predCols, contNum)
       w(s"$contNum 0 obj\n<< /Length ${data.length}$filt${parmsFor(predCols)} >>\nstream\n")
       out.write(data)
       w("\nendstream\nendobj\n")
@@ -1360,15 +1368,21 @@ object PdfCodec {
       .mkString(" ") + "\n"
     val payload0 = (header + bodies.mkString(" ")).getBytes(ISO_8859_1)
     val payload = if (predictor > 1) padded(payload0) else payload0
-    val stmData = encode(payload, predCols)
+    val stmData = encode(payload, predCols, objStmNum)
     offsets(objStmNum) = out.size()
     w(s"$objStmNum 0 obj\n<< /Type /ObjStm /N ${inStm.length} /First ${header.length} " +
       s"/Length ${stmData.length}$filt${parmsFor(predCols)} >>\nstream\n")
     out.write(stmData)
     w("\nendstream\nendobj\n")
+    // the /Encrypt dict rides as a TOP-LEVEL object (never inside the
+    // ObjStm: the security handler must be readable before decryption)
+    encryption.foreach { e =>
+      offsets(encNum) = out.size()
+      w(s"$encNum 0 obj\n${e.dict}\nendobj\n")
+    }
     // cross-reference stream: type 0 = free, 1 = at byte offset,
     // 2 = (objstm number, index within it); W [1 4 2]
-    val total = xrefNum + 1
+    val total = (if (encryption.isDefined) encNum else xrefNum) + 1
     val xrefAt = out.size()
     val entries = new ByteArrayOutputStream()
     def entry(t: Int, f2: Int, f3: Int): Unit = {
@@ -1388,8 +1402,11 @@ object PdfCodec {
     // the xref stream is the predictor's real-world home (/Predictor 12
     // over W-sum-wide rows — the layout Word/pdfTeX/Chrome all emit);
     // its 7-byte entries ARE the rows, no padding
-    val xdata = encode(entries.toByteArray, 7)
-    w(s"$xrefNum 0 obj\n<< /Type /XRef /Size $total /W [1 4 2] /Root 1 0 R " +
+    val xdata = encode(entries.toByteArray, 7, -1) // xref stream: never encrypted
+    // PDF 1.5 style: the trailer entries (/Encrypt, /ID) ride the xref
+    // STREAM's dict — there is no classic trailer in this layout
+    val encTrailer = encryption.map(_.trailerExtra(encNum)).getOrElse("")
+    w(s"$xrefNum 0 obj\n<< /Type /XRef /Size $total /W [1 4 2] /Root 1 0 R $encTrailer" +
       s"/Length ${xdata.length}$filt${parmsFor(7)} >>\nstream\n")
     out.write(xdata)
     w("\nendstream\nendobj\n")

@@ -355,6 +355,29 @@ class PdfCodecSpec extends SparkSpec {
     assert(PdfCodec.extractText(idLit.getBytes("ISO-8859-1")) == pages)
   }
 
+  test("encrypted PDF 1.5: encrypted ObjStm + /Encrypt in the xref-stream dict") {
+    val pages = Seq("modern encrypted page one", "page (two) with \\ specials")
+    for (mode <- Seq("rc4-40", "rc4-128", "aes-128")) {
+      val pdf = PdfCodec.encodePdf15(pages, compress = true,
+        encryption = Some(PdfCrypto.EncryptSpec(mode)))
+      val s = new String(pdf, "ISO-8859-1")
+      // 1.5 layout: no classic trailer — /Encrypt and /ID ride the xref
+      // stream's dict, and the catalog hides inside the ENCRYPTED ObjStm
+      assert(!s.contains("trailer"), mode)
+      assert(s.contains("/Encrypt") && s.contains("/ID"), mode)
+      assert(!s.contains("/Catalog"), mode)
+      assert(PdfCodec.extractText(pdf) == pages, mode)
+    }
+    // the full modern stack at once: predictor-coded AND encrypted
+    val both = PdfCodec.encodePdf15(pages, compress = true, predictor = 12,
+      encryption = Some(PdfCrypto.EncryptSpec("aes-128")))
+    assert(PdfCodec.extractText(both) == pages)
+    // decryption is load-bearing: strip the xref dict's /Encrypt ref and
+    // the ObjStm ciphertext hits the Flate decoder raw
+    val stripped = new String(both, "ISO-8859-1").replaceFirst("/Encrypt \\d+ 0 R ", "")
+    intercept[Exception](PdfCodec.extractText(stripped.getBytes("ISO-8859-1")))
+  }
+
   test("AES stream of only an IV (no padded payload) fails loud, not NoSuchElement") {
     val dec = new graft.pipeline.PdfCrypto.Decryptor(Array.fill(16)(7.toByte), aes = true)
     val e = intercept[IllegalArgumentException](dec.decrypt(5, 0, new Array[Byte](16)))
