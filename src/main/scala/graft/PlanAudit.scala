@@ -19,7 +19,10 @@ object PlanAudit {
         "q_e2e_search", "q_embed_md5", "q_bm25", "q_hybrid_rrf", "q_dedup_embedding",
         "q_upsert_store", "q_tfidf_keywords",
         "q_knn_sparse", "q_knn_sparse_idx", "q_dbscan", "q_ann_ivfpq_idx",
-        "q_ann_hnsw_sharded")
+        "q_ann_hnsw_sharded",
+        // round 10: planner-lowered filtered ANN, routed shards, partsupp
+        "q_knn_filtered_sql", "q_ann_hnsw_routed", "q2_min_cost_supp",
+        "q11_important_stock", "q20_potential_promo")
       case rest => rest.toSeq
     }
     for (name <- interesting) {

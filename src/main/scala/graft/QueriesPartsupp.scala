@@ -102,7 +102,10 @@ object QueriesPartsupp {
             (col("ps_supplycost_cents") * col("ps_availqty")).as("v_cents"))
         val perPart = scoped.groupBy(col("ps_partkey"))
           .agg(sum(col("v_cents")).as("part_cents"))
-        val total = scoped.agg(sum(col("v_cents")).as("total_cents"))
+        // total from the per-part frame (sum of integer sums is exact and
+        // identical), not a second scan of the scoped subtree — halves
+        // the partsupp derivation work, same value bit-for-bit
+        val total = perPart.agg(sum(col("part_cents")).as("total_cents"))
         perPart.crossJoin(broadcast(total))
           .where(col("part_cents") * 2000 > col("total_cents"))
           .select(col("ps_partkey"), (col("part_cents") / 100.0).as("value"))
