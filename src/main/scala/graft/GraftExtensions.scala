@@ -75,6 +75,9 @@ object GraftFunctions {
     }),
     arity("vec_subvector", 3)(es =>
       org.apache.spark.sql.catalyst.expressions.Slice(es(0), es(1), es(2))),
+    // pgvector's vector || vector concatenation (0.7 operator surface)
+    arity("vec_concat", 2)(es =>
+      org.apache.spark.sql.catalyst.expressions.Concat(es)),
     // pgvector bit-vector family: binary_quantize / hamming_distance /
     // jaccard_distance ports over the 32-bits-per-word packed encoding
     // ([[graft.operators.Quantize.binarizeExpr]]'s layout — in-range

@@ -1050,7 +1050,10 @@ object QueriesExtra {
              |  md5(array_join(transform(vec_subvector(embedding, 1, 8),
              |    x -> cast(round(cast(x AS double) * 10000) AS bigint)), '|')) AS sub_hash,
              |  md5(array_join(transform(vec_l2_normalize(embedding),
-             |    x -> cast(round(x * 10000) AS bigint)), '|')) AS unit_hash
+             |    x -> cast(round(x * 10000) AS bigint)), '|')) AS unit_hash,
+             |  md5(array_join(transform(
+             |    vec_concat(vec_subvector(embedding, 1, 4), vec_subvector(embedding, 5, 4)),
+             |    x -> cast(round(cast(x AS double) * 10000) AS bigint)), '|')) AS cat_hash
              |FROM vf_emb_$tag ORDER BY vec_id""".stripMargin)
       },
       Some("""WITH n AS (
@@ -1061,7 +1064,9 @@ object QueriesExtra {
              |  md5(array_to_string(list_transform(e[1:8],
              |    x -> CAST(round(x * 10000) AS BIGINT)), '|')) AS sub_hash,
              |  md5(array_to_string(list_transform(e,
-             |    x -> CAST(round(x / nn * 10000) AS BIGINT)), '|')) AS unit_hash
+             |    x -> CAST(round(x / nn * 10000) AS BIGINT)), '|')) AS unit_hash,
+             |  md5(array_to_string(list_transform(list_concat(e[1:4], e[5:8]),
+             |    x -> CAST(round(x * 10000) AS BIGINT)), '|')) AS cat_hash
              |FROM n ORDER BY vec_id""".stripMargin)),
 
     // pgvector bit-vector family through plain SQL: binary_quantize /

@@ -72,19 +72,8 @@ case class IvfIterativeFilteredScanExec(
     val spark = SparkSession.active
     val model = IvfIndex.readModel(spark, path)
     val kc = model.centroids.length
-    // re-resolve the predicate BY NAME against the fresh store read (the
-    // original exprIds belong to the replaced relation)
-    val predCol = ColumnBridge.column(pred.transform {
-      case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
-    })
-    val q = qvec.toArray
-    def probe(cur: Int): DataFrame = {
-      val cells = IvfIterativeScan.nearestCells(model.centroids, q, cur)
-        .map(_.asInstanceOf[Any])
-      spark.read.parquet(path)
-        .where(col("cell").isin(cells: _*))
-        .where(predCol)
-    }
+    def probe(cur: Int): DataFrame =
+      IvfIterativeScan.probePlan(spark, path, model.centroids, qvec.toArray, pred, cur)
     var cur = math.max(1, math.min(nprobe, kc))
     var satisfied = false
     while (!satisfied && cur < kc) {
@@ -99,6 +88,24 @@ case class IvfIterativeFilteredScanExec(
 }
 
 object IvfIterativeScan {
+  /** ONE round's probe frame: static `cell IN` pruning + the user
+    * predicate re-resolved BY NAME against a fresh store read (the
+    * original exprIds belong to the replaced relation). Package-visible
+    * so the spec can assert the predicate reaches `PushedFilters` — the
+    * [[graft.operators.IvfIndex.filteredProbePlan]] convention (the
+    * executed outer plan only shows the leaf, with no scan to inspect). */
+  private[graft] def probePlan(spark: SparkSession, path: String,
+                               centroids: Array[Array[Double]], q: Array[Double],
+                               pred: Expression, cur: Int): DataFrame = {
+    val predCol = ColumnBridge.column(pred.transform {
+      case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+    })
+    val cells = nearestCells(centroids, q, cur).map(_.asInstanceOf[Any])
+    spark.read.parquet(path)
+      .where(col("cell").isin(cells: _*))
+      .where(predCol)
+  }
+
   /** The `nprobe` nearest centroid cells to the query — driver-local math
     * on the sidecar matrix, ties to the lower cell id (the same ranking
     * [[IvfScanRewriteRule]] and the library search paths use, so the

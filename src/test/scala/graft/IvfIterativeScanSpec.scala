@@ -124,6 +124,49 @@ class IvfIterativeScanSpec extends SparkSpec {
     }
   }
 
+  test("inner probe plan: predicate in PushedFilters beside the cell partition pruning") {
+    withRule {
+      conf("spark.graft.ann.nprobe" -> "1") {
+        val q = sqlQuery("vec_id % 97 = 0 AND vec_id < 400", 10)
+        val leaf = q.queryExecution.optimizedPlan.collectFirst {
+          case s: graft.plans.IvfIterativeFilteredScan => s
+        }.getOrElse(fail("iterative leaf not planted"))
+        val model = IvfIndex.readModel(spark, store)
+        val plan = graft.plans.IvfIterativeScan
+          .probePlan(spark, leaf.path, model.centroids, leaf.qvec.toArray, leaf.pred, 2)
+          .queryExecution.executedPlan.toString
+        // the user predicate reaches the parquet scan, not filter-after-fetch
+        assert("PushedFilters: \\[[^\\]]*vec_id".r.findFirstIn(plan).nonEmpty, plan.take(2000))
+        // and the probe set is static partition pruning on cell
+        assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).nonEmpty, plan.take(2000))
+      }
+    }
+  }
+
+  test("inner-product sort over the L2 store: iterative leaf, starved filter exact") {
+    withRule {
+      conf("spark.graft.ann.nprobe" -> "1") {
+        GraftFunctions.register(spark)
+        spark.read.parquet(store).createOrReplaceTempView("ivf_iter_v")
+        val pred = "vec_id % 97 = 0 AND vec_id < 400"
+        val q = spark.sql(
+          s"""SELECT vec_id, round(vec_ip(embedding, $vecLit), 4) AS dist
+             |FROM ivf_iter_v WHERE $pred
+             |ORDER BY vec_ip(embedding, $vecLit), vec_id LIMIT 10""".stripMargin)
+        assert(q.queryExecution.optimizedPlan.toString.contains("IvfIterativeFilteredScan"))
+        val got = q.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        val exact = e.where(pred)
+          .select(col("vec_id"),
+            round(VectorFunctions.negInnerProduct(col("embedding"), typedlit(queryVec)), 4)
+              .as("dist"))
+          .orderBy(VectorFunctions.negInnerProduct(col("embedding"), typedlit(queryVec)),
+            col("vec_id"))
+          .limit(10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(got == exact, s"got=$got exact=$exact")
+      }
+    }
+  }
+
   test("nondeterministic predicate refuses the iterative leaf") {
     withRule {
       GraftFunctions.register(spark)

@@ -61,6 +61,10 @@ class SqlSurfaceSpec extends SparkSpec {
     val u = r.getSeq[Double](3)
     assert(math.abs(u(0) - 0.6) < 1e-12 && math.abs(u(1) - 0.8) < 1e-12)
     assert(r.getSeq[Double](4) == Seq(0.0, 0.0), "zero vector maps to itself")
+    // pgvector's vector || vector concatenation
+    val cat = spark.sql(
+      "SELECT vec_concat(array(1.0D, 2.0D), array(3.0D)) AS c").head().getSeq[Double](0)
+    assert(cat == Seq(1.0, 2.0, 3.0))
     // SQL l2_normalize matches the column API on real embeddings
     import graft.functions.VectorFunctions
     val e = Tables.embeddings(spark, sfDir).limit(20)
