@@ -244,6 +244,30 @@ object QueriesPipeline {
              |FROM documents, unnest(range(0, CAST(ceil(length(text) / 200.0) AS INT))) AS t(i)
              |ORDER BY doc_id, page_no""".stripMargin)),
 
+    // /Differences round trip (round 10): the synthesized fonts remap
+    // two byte codes through /Encoding /Differences glyph names (Euro,
+    // bullet) and the content streams carry the CODES — the shape a real
+    // subset font emits. The decoder must resolve the glyph list to
+    // produce the Unicode text; skipping it (Latin-1 passthrough) would
+    // hash-mismatch every page containing 'e' or 't'.
+    "q_pdf_differences" -> QueryDef(
+      (s, d) => {
+        val pdfs = PdfPipeline.synthesizePdfs(Tables.documents(s, d), pageSize = 200,
+          differences = Seq(('e', 200, "Euro"), ('t', 201, "bullet")))
+        PdfPipeline.extractPagesPdf(pdfs)
+          .select(col("doc_id"), col("page_no"),
+            length(col("page_text")).cast("long").as("page_len"),
+            md5(col("page_text")).as("page_md5"))
+          .orderBy(col("doc_id"), col("page_no"))
+      },
+      Some("""SELECT doc_id, CAST(i + 1 AS BIGINT) AS page_no,
+             |  CAST(length(replace(replace(substr(text, i*200 + 1, 200),
+             |    'e', '€'), 't', '•')) AS BIGINT) AS page_len,
+             |  md5(replace(replace(substr(text, i*200 + 1, 200),
+             |    'e', '€'), 't', '•')) AS page_md5
+             |FROM documents, unnest(range(0, CAST(ceil(length(text) / 200.0) AS INT))) AS t(i)
+             |ORDER BY doc_id, page_no""".stripMargin)),
+
     // PDF 1.5 round trip (round 9): same page derivation as
     // q_pdf_decode but the synthesized bytes use the MODERN layout —
     // structure dicts packed in a /Type /ObjStm object stream, indexed

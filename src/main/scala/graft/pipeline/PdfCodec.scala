@@ -1244,7 +1244,17 @@ object PdfCodec {
     * classic xref + trailer. Text must be Latin-1-representable (the
     * decoder's simple-font scope). */
   def encodePdf(pages: Seq[String], compress: Boolean = true,
-                encryption: Option[PdfCrypto.EncryptSpec] = None): Array[Byte] = {
+                encryption: Option[PdfCrypto.EncryptSpec] = None,
+                differences: Seq[(Char, Int, String)] = Nil): Array[Byte] = {
+    // `differences` = (source char, byte code, glyph name): shown strings
+    // carry CODE bytes where the char appeared and the font dict carries
+    // the matching /Encoding /Differences — a real subset-font shape, so
+    // the decoder's glyph-list path can be gated on writer-independent
+    // expectations (extracted text shows the glyph's UNICODE, not the
+    // source char)
+    differences.foreach { case (_, code, _) =>
+      require(code >= 0 && code <= 255, s"PdfCodec.encodePdf: /Differences code $code") }
+    val diffByChar = differences.map { case (c, code, _) => c -> code.toChar }.toMap
     val nPages = pages.length
     val fontNum = 3 + 2 * nPages
     val encNum = fontNum + 1
@@ -1263,7 +1273,9 @@ object PdfCodec {
       beginObj(pageNum)
       w(s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
         s"/Resources << /Font << /F1 $fontNum 0 R >> >> /Contents $contNum 0 R >>\nendobj\n")
-      val content = s"BT /F1 12 Tf 72 720 Td (${escapeLiteral(text)}) Tj ET"
+      val shown = if (diffByChar.isEmpty) text
+                  else text.map(c => diffByChar.getOrElse(c, c)).mkString
+      val content = s"BT /F1 12 Tf 72 720 Td (${escapeLiteral(shown)}) Tj ET"
       val plain =
         if (compress) deflate(content.getBytes(ISO_8859_1))
         else content.getBytes(ISO_8859_1)
@@ -1277,7 +1289,11 @@ object PdfCodec {
       w("\nendstream\nendobj\n")
     }
     beginObj(fontNum)
-    w("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\nendobj\n")
+    val diffEnc =
+      if (differences.isEmpty) ""
+      else differences.map { case (_, code, glyph) => s"$code /$glyph" }
+        .mkString(" /Encoding << /Differences [ ", " ", " ] >>")
+    w(s"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica$diffEnc >>\nendobj\n")
     encryption.foreach { e =>
       beginObj(encNum)
       w(s"${e.dict}\nendobj\n")

@@ -80,7 +80,8 @@ object PdfPipeline {
     * sandbox. Narrow, like the decode side. */
   def synthesizePdfs(docs: DataFrame, pageSize: Int = 200, compress: Boolean = true,
                      idCol: String = "doc_id", textCol: String = "text",
-                     encryptMode: Option[String] = None): DataFrame = {
+                     encryptMode: Option[String] = None,
+                     differences: Seq[(Char, Int, String)] = Nil): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col(idCol).cast("long"), col(textCol))
@@ -88,7 +89,7 @@ object PdfPipeline {
       .map { case (id, text) =>
         val pages = if (text.isEmpty) Seq.empty[String] else text.grouped(pageSize).toSeq
         (id, PdfCodec.encodePdf(pages, compress,
-          encryptMode.map(m => PdfCrypto.EncryptSpec(m))))
+          encryptMode.map(m => PdfCrypto.EncryptSpec(m)), differences))
       }
       .toDF(idCol, "content")
   }
