@@ -134,6 +134,16 @@ object SparseScanRewriteRule extends Rule[LogicalPlan] with RewriteSupport {
       if qIdx.iterator.sliding(2).withPartial(false).forall(p => p.head < p(1))
       (relation, fsRelation) <- relationOwning(child, Seq(idxAttr, valAttr))
       if !alreadyRewritten(child)
+      // a user predicate riding the indexed ORDER BY makes the bounded
+      // candidate set unsound at the contract level — selective filters
+      // can leave < k survivors with no escalation (the pre-0.8 pgvector
+      // hazard the IVF path closes with IvfIterativeFilteredScan). The
+      // sparse side has no iterative lowering yet, so the sound move is
+      // to STAND DOWN and keep the user's exact-scan semantics.
+      if !child.exists {
+        case Filter(_, r: LogicalRelation) => r eq relation
+        case _ => false
+      }
       path = fsRelation.location.rootPaths.head.toString
       meta <- loadMeta(path)
       idAttr <- relation.output.find(_.name == meta.idCol)

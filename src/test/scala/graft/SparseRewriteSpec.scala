@@ -164,4 +164,24 @@ class SparseRewriteSpec extends SparkSpec {
       .orderBy(col("score").desc, col("doc_id")).limit(5)
     assert(!self.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
   } }
+
+  test("user filter riding the ORDER BY stands down to the exact scan") { withRule {
+    // a selective predicate over the bounded candidate set could return
+    // < k survivors with no escalation (the pre-0.8 hazard the IVF path
+    // lowers iteratively); the sparse rule must NOT rewrite, keeping the
+    // user's exact semantics
+    val filtered = spark.read.parquet(store)
+      .where(col("doc_id") % 7 === 0)
+      .select(col("doc_id"),
+        SparseKnn.sparseDot(col("indices"), col("values"),
+          typedlit(qIdx), typedlit(qVal)).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+    assert(!filtered.queryExecution.optimizedPlan.toString.contains("LeftSemi"),
+      filtered.queryExecution.optimizedPlan.toString.take(2000))
+    // and the exact filtered answer comes back in full
+    val rows = filtered.collect()
+    assert(rows.length == 10)
+    assert(rows.forall(_.getLong(0) % 7 == 0))
+  } }
 }
