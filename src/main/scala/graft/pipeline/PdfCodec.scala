@@ -1254,6 +1254,20 @@ object PdfCodec {
     // source char)
     differences.foreach { case (_, code, _) =>
       require(code >= 0 && code <= 255, s"PdfCodec.encodePdf: /Differences code $code") }
+    require(differences.map(_._2).distinct.length == differences.length,
+      "PdfCodec.encodePdf: duplicate /Differences codes")
+    require(differences.map(_._1).distinct.length == differences.length,
+      "PdfCodec.encodePdf: duplicate /Differences source chars")
+    // fail-loud guard: if the TEXT already contains the byte a remap
+    // assigns (and that byte is not itself the mapping's source), the
+    // decoder would route the original char through the glyph too —
+    // silent garbage, so refuse the encode instead
+    differences.foreach { case (src, code, glyph) =>
+      if (code.toChar != src)
+        require(!pages.exists(_.contains(code.toChar)),
+          f"PdfCodec.encodePdf: text contains char 0x$code%02x which " +
+            s"/Differences maps to /$glyph — remap would corrupt it")
+    }
     val diffByChar = differences.map { case (c, code, _) => c -> code.toChar }.toMap
     val nPages = pages.length
     val fontNum = 3 + 2 * nPages

@@ -139,9 +139,12 @@ object SparseScanRewriteRule extends Rule[LogicalPlan] with RewriteSupport {
       // can leave < k survivors with no escalation (the pre-0.8 pgvector
       // hazard the IVF path closes with IvfIterativeFilteredScan). The
       // sparse side has no iterative lowering yet, so the sound move is
-      // to STAND DOWN and keep the user's exact-scan semantics.
+      // to STAND DOWN and keep the user's exact-scan semantics. ANY
+      // Filter in the Sort child counts: an unpushable (e.g.
+      // nondeterministic) predicate parks ABOVE a Project, not on the
+      // relation, and rides the ORDER BY just the same.
       if !child.exists {
-        case Filter(_, r: LogicalRelation) => r eq relation
+        case _: Filter => true
         case _ => false
       }
       path = fsRelation.location.rootPaths.head.toString

@@ -378,6 +378,21 @@ class PdfCodecSpec extends SparkSpec {
     intercept[Exception](PdfCodec.extractText(stripped.getBytes("ISO-8859-1")))
   }
 
+  test("differences writer refuses remaps that would corrupt existing text") {
+    // the text already contains É (0xC9 = 201) — remapping 'e' onto that
+    // byte would route the original É through /Euro on decode
+    val e = intercept[IllegalArgumentException](
+      PdfCodec.encodePdf(Seq("cafÉ menu"), differences = Seq(('e', 201, "Euro"))))
+    assert(e.getMessage.contains("corrupt"), e.getMessage)
+    // duplicate codes and duplicate source chars are refused
+    val e2 = intercept[IllegalArgumentException](
+      PdfCodec.encodePdf(Seq("x"), differences = Seq(('a', 200, "Euro"), ('b', 200, "bullet"))))
+    assert(e2.getMessage.contains("duplicate"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException](
+      PdfCodec.encodePdf(Seq("x"), differences = Seq(('a', 200, "Euro"), ('a', 201, "bullet"))))
+    assert(e3.getMessage.contains("duplicate"), e3.getMessage)
+  }
+
   test("AES stream of only an IV (no padded payload) fails loud, not NoSuchElement") {
     val dec = new graft.pipeline.PdfCrypto.Decryptor(Array.fill(16)(7.toByte), aes = true)
     val e = intercept[IllegalArgumentException](dec.decrypt(5, 0, new Array[Byte](16)))

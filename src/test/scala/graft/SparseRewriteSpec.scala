@@ -183,5 +183,17 @@ class SparseRewriteSpec extends SparkSpec {
     val rows = filtered.collect()
     assert(rows.length == 10)
     assert(rows.forall(_.getLong(0) % 7 == 0))
+    // an UNPUSHABLE (nondeterministic) filter parks above the Project,
+    // not on the relation — it rides the ORDER BY just the same and
+    // must also stand down
+    val nondet = spark.read.parquet(store)
+      .select(col("doc_id"),
+        SparseKnn.sparseDot(col("indices"), col("values"),
+          typedlit(qIdx), typedlit(qVal)).as("score"))
+      .where(rand(42) < 0.999999) // nondeterministic, not constant-foldable
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+    assert(!nondet.queryExecution.optimizedPlan.toString.contains("LeftSemi"),
+      nondet.queryExecution.optimizedPlan.toString.take(2000))
   } }
 }
