@@ -221,8 +221,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => graft.plans.EpochPushdownRule)
     e.injectOptimizerRule(_ => graft.plans.IvfScanRewriteRule)
     e.injectOptimizerRule(_ => graft.plans.SparseScanRewriteRule)
-    // plans the iterative-filtered-ANN leaf the IVF rewrite plants for
-    // `WHERE pred ORDER BY vec_*(emb, lit) LIMIT k` over a persisted store
+    // plans the iterative-filtered-ANN leaves the index rewrites plant
+    // for `WHERE pred ORDER BY <dist>(…, lit) LIMIT k` over persisted
+    // stores (dense IVF and sparse postings variants)
     e.injectPlannerStrategy(_ => graft.plans.IvfIterativeScanStrategy)
+    e.injectPlannerStrategy(_ => graft.plans.SparseIterativeScanStrategy)
   }
 }

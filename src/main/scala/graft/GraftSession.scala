@@ -44,13 +44,14 @@ object GraftSession {
     if (missing.nonEmpty)
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations ++ missing
-    // same re-attach treatment for the planner strategy behind the
-    // iterative filtered-ANN leaf: a pre-existing session without it
-    // would fail to plan the rewritten subtree
-    if (!spark.sessionState.planner.strategies.exists(
-        _ eq graft.plans.IvfIterativeScanStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ graft.plans.IvfIterativeScanStrategy
+    // same re-attach treatment for the planner strategies behind the
+    // iterative filtered-ANN leaves: a pre-existing session without
+    // them would fail to plan the rewritten subtrees
+    Seq(graft.plans.IvfIterativeScanStrategy, graft.plans.SparseIterativeScanStrategy)
+      .foreach { st =>
+        if (!spark.sessionState.planner.strategies.exists(_ eq st))
+          spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ st
+      }
     spark
   }
 }

@@ -483,6 +483,48 @@ object QueriesSearch {
     // posting-intersection semi-join plan (plan-asserted in
     // SparseRewriteSpec). The oracle replays the exact ranking over
     // term-overlapping docs, which the rewrite preserves exactly.
+    // ITERATIVE FILTERED sparse scan through the SQL surface (round 10 —
+    // the sparse twin of q_knn_filtered_sql): a starved predicate rides
+    // `ORDER BY sparse_dot(...) DESC LIMIT k`; SparseScanRewriteRule
+    // plants the candidate-escalation leaf
+    // (plans.SparseIterativeFilteredScan) which widens its bound until k
+    // filtered survivors or the overlapping corpus is exhausted — here 5
+    // candidates < k = 10 force full exhaustion, so the result is EXACT
+    // over the filtered overlapping docs and hash-gates the whole
+    // escalate→exhaust path. The `score > 0` conjunct spells out the
+    // sparse zero-overlap contract, so the query means the same thing
+    // with or without the rewrite attached.
+    "q_knn_sparse_filt" -> QueryDef(
+      (s, d) => {
+        import graft.operators.SparseKnn
+        val tag = math.abs(d.hashCode).toString
+        val storeDir = s"${System.getProperty("java.io.tmpdir")}/graft_q_sprw_$tag"
+        Fixtures.memo(s"sparse_rw_store:$d") {
+          val sv = SparseKnn.hashingTf(Tables.documents(s, d), dim = 256)
+          SparseKnn.writeIndexedStore(s, sv, s"q_sprw_idx_$tag", storeDir)
+          storeDir
+        }
+        GraftFunctions.register(s)
+        s.read.parquet(storeDir).createOrReplaceTempView(s"sp_filt_$tag")
+        val qi = s"array(${(0 until 64).map(i => s"${i}L").mkString(",")})"
+        val qv = s"array(${Seq.fill(64)("1.0D").mkString(",")})"
+        s.sql(
+          s"""SELECT doc_id, round(sparse_dot(indices, values, $qi, $qv), 4) AS score
+             |FROM sp_filt_$tag
+             |WHERE doc_id % 97 = 0 AND doc_id < 400
+             |  AND sparse_dot(indices, values, $qi, $qv) > 0
+             |ORDER BY sparse_dot(indices, values, $qi, $qv) DESC, doc_id
+             |LIMIT 10""".stripMargin)
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, unnest(string_split($canon, ' ')) AS tok FROM documents),
+             |tf AS (SELECT doc_id, ('0x' || substr(md5('graft-tf' || tok), 1, 8))::BIGINT % 256 AS b,
+             |         count(*)::DOUBLE AS v
+             |       FROM tok WHERE tok <> '' GROUP BY 1, 2),
+             |sc AS (SELECT doc_id, sum(v) AS score FROM tf WHERE b < 64 GROUP BY doc_id)
+             |SELECT doc_id, round(score, 4) AS score FROM sc
+             |WHERE doc_id % 97 = 0 AND doc_id < 400 AND score > 0
+             |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)),
+
     "q_knn_sparse_rewrite" -> QueryDef(
       (s, d) => {
         import graft.operators.SparseKnn

@@ -137,22 +137,25 @@ object SparseScanRewriteRule extends Rule[LogicalPlan] with RewriteSupport {
       // a user predicate riding the indexed ORDER BY makes the bounded
       // candidate set unsound at the contract level — selective filters
       // can leave < k survivors with no escalation (the pre-0.8 pgvector
-      // hazard the IVF path closes with IvfIterativeFilteredScan). The
-      // sparse side has no iterative lowering yet, so the sound move is
-      // to STAND DOWN and keep the user's exact-scan semantics. ANY
-      // Filter in the Sort child counts: an unpushable (e.g.
-      // nondeterministic) predicate parks ABOVE a Project, not on the
-      // relation, and rides the ORDER BY just the same.
-      if !child.exists {
-        case _: Filter => true
-        case _ => false
+      // hazard). One deterministic relation-adjacent Filter lowers to
+      // the candidate-ESCALATION leaf (SparseIterativeFilteredScan, the
+      // sparse twin of the IVF iterative plan); any other filtered shape
+      // — nondeterministic, parked above a Project (unpushable), or
+      // several filters — STANDS DOWN to the user's exact scan. ANY
+      // Filter in the Sort child rides the ORDER BY, so they all count.
+      filters = child.collect { case f: Filter => f }
+      userFilter = filters match {
+        case Seq(f @ Filter(cond, r: LogicalRelation))
+            if (r eq relation) && cond.references.subsetOf(relation.outputSet) &&
+              cond.deterministic &&
+              conf("spark.graft.sparse.iterative", "true") == "true" => Some(f)
+        case _ => None
       }
+      if filters.isEmpty || userFilter.isDefined
       path = fsRelation.location.rootPaths.head.toString
       meta <- loadMeta(path)
       idAttr <- relation.output.find(_.name == meta.idCol)
     } yield {
-      val overfetch = conf("spark.graft.sparse.overfetch", "4").toInt
-      val right = candidatePlan(meta, qIdx, qVal, k * overfetch, byCosine)
       // Column-prune the store leg ourselves (late-batch rule — no
       // ColumnPruning pass runs after it; the IvfScanRewriteRule shape).
       val usedAbove = AttributeSet(child.collect {
@@ -160,14 +163,26 @@ object SparseScanRewriteRule extends Rule[LogicalPlan] with RewriteSupport {
       }.flatten.flatMap(_.references))
       val keep = AttributeSet(child.output) ++ usedAbove ++ distExpr.references ++
         AttributeSet(Seq(idAttr))
-      val pruned = Project(relation.output.filter(keep.contains), relation)
-      // candidate side is ≤ k·overfetch rows — hint it broadcast in the
-      // post-EliminateResolvedHint form (this rule runs too late for a
-      // ResolvedHint node to be folded into the join)
-      val joined = Join(pruned, right, LeftSemi,
-        Some(EqualTo(idAttr, right.output.head)),
-        JoinHint(None, Some(HintInfo(strategy = Some(BROADCAST)))))
-      child.transformUp { case r: LogicalRelation if r eq relation => joined }
+      userFilter match {
+        case Some(f) =>
+          val leafOut = relation.output.filter(at =>
+            keep.contains(at) || f.condition.references.contains(at))
+          val leaf = SparseIterativeFilteredScan(leafOut, path, meta.table,
+            meta.postings, meta.idCol, qIdx.toSeq, qVal.toSeq, byCosine,
+            f.condition, k)
+          child.transformUp { case n if n eq f => leaf }
+        case None =>
+          val overfetch = conf("spark.graft.sparse.overfetch", "4").toInt
+          val right = candidatePlan(meta, qIdx, qVal, k * overfetch, byCosine)
+          val pruned = Project(relation.output.filter(keep.contains), relation)
+          // candidate side is ≤ k·overfetch rows — hint it broadcast in
+          // the post-EliminateResolvedHint form (this rule runs too late
+          // for a ResolvedHint node to be folded into the join)
+          val joined = Join(pruned, right, LeftSemi,
+            Some(EqualTo(idAttr, right.output.head)),
+            JoinHint(None, Some(HintInfo(strategy = Some(BROADCAST)))))
+          child.transformUp { case r: LogicalRelation if r eq relation => joined }
+      }
     }
   }
 

@@ -165,27 +165,62 @@ class SparseRewriteSpec extends SparkSpec {
     assert(!self.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
   } }
 
-  test("user filter riding the ORDER BY stands down to the exact scan") { withRule {
-    // a selective predicate over the bounded candidate set could return
-    // < k survivors with no escalation (the pre-0.8 hazard the IVF path
-    // lowers iteratively); the sparse rule must NOT rewrite, keeping the
-    // user's exact semantics
-    val filtered = spark.read.parquet(store)
-      .where(col("doc_id") % 7 === 0)
-      .select(col("doc_id"),
-        SparseKnn.sparseDot(col("indices"), col("values"),
-          typedlit(qIdx), typedlit(qVal)).as("score"))
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(10)
-    assert(!filtered.queryExecution.optimizedPlan.toString.contains("LeftSemi"),
-      filtered.queryExecution.optimizedPlan.toString.take(2000))
-    // and the exact filtered answer comes back in full
-    val rows = filtered.collect()
-    assert(rows.length == 10)
-    assert(rows.forall(_.getLong(0) % 7 == 0))
+  private def withStrategy[T](body: => T): T = {
+    spark.experimental.extraStrategies =
+      spark.experimental.extraStrategies :+ graft.plans.SparseIterativeScanStrategy
+    try body
+    finally spark.experimental.extraStrategies =
+      spark.experimental.extraStrategies
+        .filterNot(_ eq graft.plans.SparseIterativeScanStrategy)
+  }
+
+  test("user filter riding the ORDER BY lowers to the candidate-escalation leaf") {
+    withRule { withStrategy {
+      // the pre-0.8 hazard: a fixed candidate bound under a selective
+      // predicate can return < k survivors. The deterministic adjacent
+      // filter lowers to SparseIterativeFilteredScan, which escalates
+      // until k survivors or the overlapping corpus is exhausted.
+      def filteredQ(k: Int) = spark.read.parquet(store)
+        .where(col("doc_id") % 7 === 0)
+        .select(col("doc_id"),
+          SparseKnn.sparseDot(col("indices"), col("values"),
+            typedlit(qIdx), typedlit(qVal)).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(k)
+      val q = filteredQ(10)
+      val opt = q.queryExecution.optimizedPlan.toString
+      assert(opt.contains("SparseIterativeFilteredScan"), opt.take(2000))
+      val got = q.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      // exact over the filtered OVERLAPPING corpus (zero-dot docs are
+      // never candidates — the documented sparse retrieval contract)
+      val exact = ranked(Int.MaxValue)
+        .where(col("doc_id") % 7 === 0 && col("score") > 0)
+        .orderBy(col("score").desc, col("doc_id")).limit(10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == exact, s"got=$got exact=$exact")
+
+      // STARVED filter (< k survivors): exhaustion returns ALL of them
+      val starved = spark.read.parquet(store)
+        .where(col("doc_id") % 97 === 0 && col("doc_id") < 400)
+        .select(col("doc_id"),
+          SparseKnn.sparseDot(col("indices"), col("values"),
+            typedlit(qIdx), typedlit(qVal)).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(10)
+      assert(starved.queryExecution.optimizedPlan.toString
+        .contains("SparseIterativeFilteredScan"))
+      val sGot = starved.collect().map(_.getLong(0)).toSet
+      val sExact = ranked(Int.MaxValue)
+        .where(col("doc_id") % 97 === 0 && col("doc_id") < 400 && col("score") > 0)
+        .collect().map(_.getLong(0)).toSet
+      assert(sGot == sExact && sGot.size < 10, s"got=$sGot exact=$sExact")
+    } }
+  }
+
+  test("odd filtered shapes stand down to the exact scan") { withRule { withStrategy {
     // an UNPUSHABLE (nondeterministic) filter parks above the Project,
-    // not on the relation — it rides the ORDER BY just the same and
-    // must also stand down
+    // not on the relation — neither the semi-join rewrite nor the
+    // iterative leaf may fire
     val nondet = spark.read.parquet(store)
       .select(col("doc_id"),
         SparseKnn.sparseDot(col("indices"), col("values"),
@@ -193,7 +228,23 @@ class SparseRewriteSpec extends SparkSpec {
       .where(rand(42) < 0.999999) // nondeterministic, not constant-foldable
       .orderBy(col("score").desc, col("doc_id"))
       .limit(10)
-    assert(!nondet.queryExecution.optimizedPlan.toString.contains("LeftSemi"),
-      nondet.queryExecution.optimizedPlan.toString.take(2000))
-  } }
+    val opt = nondet.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("LeftSemi") && !opt.contains("SparseIterativeFilteredScan"),
+      opt.take(2000))
+    // kill switch: iterative off + filter present = plain exact scan
+    spark.conf.set("spark.graft.sparse.iterative", "false")
+    try {
+      val q = spark.read.parquet(store)
+        .where(col("doc_id") % 7 === 0)
+        .select(col("doc_id"),
+          SparseKnn.sparseDot(col("indices"), col("values"),
+            typedlit(qIdx), typedlit(qVal)).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(10)
+      val o2 = q.queryExecution.optimizedPlan.toString
+      assert(!o2.contains("LeftSemi") && !o2.contains("SparseIterativeFilteredScan"),
+        o2.take(2000))
+      assert(q.collect().length == 10)
+    } finally spark.conf.unset("spark.graft.sparse.iterative")
+  } } }
 }
