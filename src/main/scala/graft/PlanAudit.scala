@@ -21,8 +21,9 @@ object PlanAudit {
         "q_knn_sparse", "q_knn_sparse_idx", "q_dbscan", "q_ann_ivfpq_idx",
         "q_ann_hnsw_sharded",
         // round 10: planner-lowered filtered ANN, routed shards, partsupp
-        "q_knn_filtered_sql", "q_ann_hnsw_routed", "q2_min_cost_supp",
-        "q11_important_stock", "q16_parts_supp", "q20_potential_promo")
+        "q_knn_filtered_sql", "q_knn_sparse_filt", "q_ann_hnsw_routed",
+        "q2_min_cost_supp", "q11_important_stock", "q16_parts_supp",
+        "q20_potential_promo")
       case rest => rest.toSeq
     }
     for (name <- interesting) {
