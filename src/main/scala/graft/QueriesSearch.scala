@@ -67,6 +67,21 @@ object QueriesSearch {
         round(VectorExpressions.vecDot(col("__v"), col("__qv")) / (col("__n") * col("__nq")), 4).as("cos"))
   }
 
+  /** Shared indexed-store fixture for the sparse-rewrite query family —
+    * ONE builder, so the memoized store (`sparse_rw_store:<dir>`) cannot
+    * fork parameters between the queries that read it. */
+  private def sparseRwStore(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    import graft.operators.SparseKnn
+    val tag = math.abs(d.hashCode).toString
+    val storeDir = s"${System.getProperty("java.io.tmpdir")}/graft_q_sprw_$tag"
+    Fixtures.memo(s"sparse_rw_store:$d") {
+      val sv = SparseKnn.hashingTf(Tables.documents(s, d), dim = 256)
+      SparseKnn.writeIndexedStore(s, sv, s"q_sprw_idx_$tag", storeDir)
+      storeDir
+    }
+    storeDir
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // Lexical search: BM25 over the corpus for a fixed term set. Tokens
@@ -496,14 +511,8 @@ object QueriesSearch {
     // with or without the rewrite attached.
     "q_knn_sparse_filt" -> QueryDef(
       (s, d) => {
-        import graft.operators.SparseKnn
         val tag = math.abs(d.hashCode).toString
-        val storeDir = s"${System.getProperty("java.io.tmpdir")}/graft_q_sprw_$tag"
-        Fixtures.memo(s"sparse_rw_store:$d") {
-          val sv = SparseKnn.hashingTf(Tables.documents(s, d), dim = 256)
-          SparseKnn.writeIndexedStore(s, sv, s"q_sprw_idx_$tag", storeDir)
-          storeDir
-        }
+        val storeDir = sparseRwStore(s, d)
         GraftFunctions.register(s)
         s.read.parquet(storeDir).createOrReplaceTempView(s"sp_filt_$tag")
         val qi = s"array(${(0 until 64).map(i => s"${i}L").mkString(",")})"
@@ -528,13 +537,7 @@ object QueriesSearch {
     "q_knn_sparse_rewrite" -> QueryDef(
       (s, d) => {
         import graft.operators.SparseKnn
-        val tag = math.abs(d.hashCode).toString
-        val storeDir = s"${System.getProperty("java.io.tmpdir")}/graft_q_sprw_$tag"
-        Fixtures.memo(s"sparse_rw_store:$d") {
-          val sv = SparseKnn.hashingTf(Tables.documents(s, d), dim = 256)
-          SparseKnn.writeIndexedStore(s, sv, s"q_sprw_idx_$tag", storeDir)
-          storeDir
-        }
+        val storeDir = sparseRwStore(s, d)
         s.read.parquet(storeDir)
           .select(col("doc_id"),
             SparseKnn.sparseDot(col("indices"), col("values"),

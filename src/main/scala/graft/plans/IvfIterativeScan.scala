@@ -3,12 +3,10 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, Expression}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeSet, Expression}
 import org.apache.spark.sql.catalyst.plans.logical.{LeafNode, LogicalPlan, Statistics}
 import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.functions.{col, lit}
-import org.apache.spark.sql.graft.ColumnBridge
 
 import graft.operators.IvfIndex
 
@@ -97,13 +95,10 @@ object IvfIterativeScan {
   private[graft] def probePlan(spark: SparkSession, path: String,
                                centroids: Array[Array[Double]], q: Array[Double],
                                pred: Expression, cur: Int): DataFrame = {
-    val predCol = ColumnBridge.column(pred.transform {
-      case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
-    })
     val cells = nearestCells(centroids, q, cur).map(_.asInstanceOf[Any])
     spark.read.parquet(path)
       .where(col("cell").isin(cells: _*))
-      .where(predCol)
+      .where(PlanRebind.byName(pred))
   }
 
   /** The `nprobe` nearest centroid cells to the query — driver-local math

@@ -4,6 +4,19 @@ import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Exp
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
+/** Predicate re-binding shared by the iterative-scan EXECUTION paths
+  * ([[IvfIterativeScan]], [[SparseIterativeScan]]): the leaf's predicate
+  * was resolved against the replaced relation's exprIds, so plans built
+  * at execution time re-resolve it BY NAME against their fresh reads —
+  * one definition, so a quoting or resolution fix cannot miss a twin. */
+private[plans] object PlanRebind {
+  def byName(pred: Expression): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(pred.transform {
+      case a: AttributeReference =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(a.name)
+    })
+}
+
 /** Helpers shared by the index-scan rewrite rules
   * ([[IvfScanRewriteRule]], [[SparseScanRewriteRule]]) — one definition
   * so a fix to attribute resolution or store discovery cannot silently

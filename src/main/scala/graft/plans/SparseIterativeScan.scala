@@ -3,25 +3,29 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, Expression}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeSet, Expression}
 import org.apache.spark.sql.catalyst.plans.logical.{LeafNode, LogicalPlan, Statistics}
 import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
-import org.apache.spark.sql.functions.{broadcast, col, first, lit, sum}
+import org.apache.spark.sql.functions.{broadcast, col, first, sum, typedlit}
+
+import graft.operators.SparseKnn
 
 /** The SPARSE twin of [[IvfIterativeFilteredScan]]: iterative filtered
   * scans for `WHERE pred ORDER BY sparse_dot(iv, vv, lit, lit) [DESC]
   * LIMIT k` over a persisted postings store. A fixed candidate bound
   * (`k·overfetch`) under a selective predicate can return fewer than k
-  * survivors — the pre-0.8 contract; this leaf ESCALATES the candidate
-  * bound geometrically at execution time until k filtered survivors
-  * exist or the candidate set covers every OVERLAPPING document, at
-  * which point the result is exact over the filtered overlapping corpus
-  * (zero-dot documents are never candidates — the standard sparse
-  * retrieval contract the fixed rewrite documents; a query that must
-  * keep zero-dot rows spells the condition out, e.g. `AND sparse_dot(…)
-  * > 0` in the predicate makes both the exact scan and this plan agree
-  * exactly).
+  * survivors — the pre-0.8 contract; this leaf runs TWO PHASES at
+  * execution time and preserves the user's EXACT semantics in both:
+  *
+  *  1. bounded: the fixed rewrite's candidate set, accepted only when
+  *     ≥ k filtered survivors have STRICTLY POSITIVE dot — such
+  *     survivors dominate every non-candidate row (candidates are the
+  *     global overlapping top-n under the user's own (score, id)
+  *     ordering, and zero-overlap rows score exactly 0), so the user's
+  *     Sort/Limit above yields the exact filtered top-k;
+  *  2. otherwise exhaustion: the PLAIN filtered store scan — exact by
+  *     definition, zero-dot and negative-dot rows included, identical
+  *     to what the unrewritten query computes.
   *
   * Planted by [[SparseScanRewriteRule]] in place of `Filter(pred,
   * store-relation)` when exactly one deterministic relation-adjacent
@@ -33,6 +37,8 @@ case class SparseIterativeFilteredScan(
     postingsTable: String,
     postingsPath: String,
     idCol: String,
+    idxCol: String,
+    valCol: String,
     qIdx: Seq[Long],
     qVal: Seq[Double],
     byCosine: Boolean,
@@ -50,18 +56,19 @@ case class SparseIterativeFilteredScan(
   * partitions, so doubling is the right escalation), the sparse
   * candidate frame costs the same to rank at any bound — the postings
   * scan and top-n sort cover every overlapping document regardless of
-  * n. So one bounded round (`k·overfetch` candidates, the fixed
-  * rewrite's shape) runs the `take(k)` existence probe, and an
-  * unsatisfied filter goes STRAIGHT to exhaustion: the store
-  * semi-joined to ALL overlapping ids (no ranking needed — the user's
-  * Sort above is the ranking) under the predicate, which is exact over
-  * the filtered overlapping corpus. Total work ≤ 2 rounds. */
+  * n. The candidate id frame is ≤ k·overfetch rows and is
+  * `localCheckpoint`ed so the probe and the emitted plan pay the
+  * postings ranking ONCE; an unsatisfied probe goes straight to the
+  * plain filtered scan (exact, the stand-down plan). Total work ≤ the
+  * bounded round + at most one full filtered scan. */
 case class SparseIterativeFilteredScanExec(
     output: Seq[Attribute],
     storePath: String,
     postingsTable: String,
     postingsPath: String,
     idCol: String,
+    idxCol: String,
+    valCol: String,
     qIdx: Seq[Long],
     qVal: Seq[Double],
     byCosine: Boolean,
@@ -74,26 +81,31 @@ case class SparseIterativeFilteredScanExec(
     val spark = SparkSession.active
     val overfetch = org.apache.spark.sql.internal.SQLConf.get
       .getConfString("spark.graft.sparse.overfetch", "4").toInt
-    val (_, bounded) = SparseIterativeScan.probePlan(spark, storePath, postingsTable,
-      postingsPath, idCol, qIdx, qVal, byCosine, pred)(math.max(k, k * overfetch))
-    val have = bounded.select(lit(1)).take(k).length
+    val bounded = SparseIterativeScan.boundedPlan(spark, storePath, postingsTable,
+      postingsPath, idCol, qIdx, qVal, byCosine, pred, math.max(k, k * overfetch))
+    // acceptance probe: k survivors with dot > 0 (strictly — zero-dot
+    // NON-candidates tie at 0 and could otherwise win the id tiebreak)
+    val dot = SparseKnn.sparseDot(col(idxCol), col(valCol),
+      typedlit(qIdx), typedlit(qVal))
+    val have = bounded.where(dot > 0).select(col(idCol)).take(k).length
     val finalDf =
       if (have >= k) bounded
-      else SparseIterativeScan.exhaustivePlan(spark, storePath, postingsTable,
-        postingsPath, idCol, qIdx, pred)
+      else SparseIterativeScan.exactPlan(spark, storePath, pred)
     finalDf.select(output.map(a => col(a.name)): _*).queryExecution.toRdd
   }
 }
 
 object SparseIterativeScan {
-  /** One round: (candidate id frame bounded at `n`, the store filtered
-    * to those candidates AND the user predicate). Package-visible so
-    * specs can assert the plan shape (postings-only read on the
-    * candidate leg, predicate on the store leg). */
-  private[graft] def probePlan(spark: SparkSession, storePath: String,
+  /** The bounded phase: store rows semi-joined to the top-n overlapping
+    * candidates (exact posting-intersection scores, the fixed rewrite's
+    * candidate leg) under the user predicate. The candidate id frame is
+    * materialized once (`localCheckpoint`) so the caller's probe and
+    * output plans share it. Package-visible so specs can assert the plan
+    * shape (postings-only candidate leg, predicate on the store leg). */
+  private[graft] def boundedPlan(spark: SparkSession, storePath: String,
       postingsTable: String, postingsPath: String, idCol: String,
       qIdx: Seq[Long], qVal: Seq[Double], byCosine: Boolean,
-      pred: Expression)(n: Int): (DataFrame, DataFrame) = {
+      pred: Expression, n: Int): DataFrame = {
     import spark.implicits._
     val postings =
       if (postingsTable.nonEmpty && spark.catalog.tableExists(postingsTable))
@@ -109,37 +121,20 @@ object SparseIterativeScan {
       if (byCosine) scored.where(col("__dn") > 0)
         .select(col(idCol), (col("__dot") / col("__dn")).as("__r"))
       else scored.select(col(idCol), col("__dot").as("__r"))
-    val cand = ranked.orderBy(col("__r").desc, col(idCol)).limit(n).select(col(idCol))
-    val predCol = org.apache.spark.sql.graft.ColumnBridge.column(pred.transform {
-      case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
-    })
-    val filtered = spark.read.parquet(storePath)
+    val cand = ranked.orderBy(col("__r").desc, col(idCol)).limit(n)
+      .select(col(idCol))
+      .localCheckpoint(true) // ≤ n ids: rank ONCE, reuse in probe + output
+    spark.read.parquet(storePath)
       .join(broadcast(cand), Seq(idCol), "left_semi")
-      .where(predCol)
-    (cand, filtered)
+      .where(PlanRebind.byName(pred))
   }
 
-  /** The exhaustion phase: every OVERLAPPING document (≥ 1 shared term —
-    * a distinct-id projection of the query terms' postings, no ranking)
-    * semi-joined to the store under the predicate. The user's Sort/Limit
-    * above does the ranking; exact over the filtered overlapping corpus. */
-  private[graft] def exhaustivePlan(spark: SparkSession, storePath: String,
-      postingsTable: String, postingsPath: String, idCol: String,
-      qIdx: Seq[Long], pred: Expression): DataFrame = {
-    val postings =
-      if (postingsTable.nonEmpty && spark.catalog.tableExists(postingsTable))
-        spark.table(postingsTable)
-      else spark.read.parquet(postingsPath)
-    val overlapping = postings
-      .where(col("__t").isin(qIdx: _*))
-      .select(col(idCol)).distinct()
-    val predCol = org.apache.spark.sql.graft.ColumnBridge.column(pred.transform {
-      case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
-    })
-    spark.read.parquet(storePath)
-      .join(overlapping, Seq(idCol), "left_semi")
-      .where(predCol)
-  }
+  /** The exhaustion phase: the PLAIN filtered scan — the user's exact
+    * semantics (zero-dot and negative-dot rows included), identical to
+    * the stand-down plan. */
+  private[graft] def exactPlan(spark: SparkSession, storePath: String,
+      pred: Expression): DataFrame =
+    spark.read.parquet(storePath).where(PlanRebind.byName(pred))
 }
 
 /** Plans [[SparseIterativeFilteredScan]] — registered beside
@@ -148,7 +143,8 @@ object SparseIterativeScanStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case s: SparseIterativeFilteredScan =>
       SparseIterativeFilteredScanExec(s.output, s.storePath, s.postingsTable,
-        s.postingsPath, s.idCol, s.qIdx, s.qVal, s.byCosine, s.pred, s.k) :: Nil
+        s.postingsPath, s.idCol, s.idxCol, s.valCol, s.qIdx, s.qVal, s.byCosine,
+        s.pred, s.k) :: Nil
     case _ => Nil
   }
 }

@@ -168,8 +168,8 @@ object SparseScanRewriteRule extends Rule[LogicalPlan] with RewriteSupport {
           val leafOut = relation.output.filter(at =>
             keep.contains(at) || f.condition.references.contains(at))
           val leaf = SparseIterativeFilteredScan(leafOut, path, meta.table,
-            meta.postings, meta.idCol, qIdx.toSeq, qVal.toSeq, byCosine,
-            f.condition, k)
+            meta.postings, meta.idCol, idxAttr.name, valAttr.name,
+            qIdx.toSeq, qVal.toSeq, byCosine, f.condition, k)
           child.transformUp { case n if n eq f => leaf }
         case None =>
           val overfetch = conf("spark.graft.sparse.overfetch", "4").toInt

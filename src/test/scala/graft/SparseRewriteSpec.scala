@@ -191,15 +191,17 @@ class SparseRewriteSpec extends SparkSpec {
       val opt = q.queryExecution.optimizedPlan.toString
       assert(opt.contains("SparseIterativeFilteredScan"), opt.take(2000))
       val got = q.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
-      // exact over the filtered OVERLAPPING corpus (zero-dot docs are
-      // never candidates — the documented sparse retrieval contract)
+      // the satisfied bounded phase requires k STRICTLY POSITIVE-dot
+      // survivors, which dominate every non-candidate row — so the leaf's
+      // top-k equals the plain exact filtered scan's top-k, full stop
       val exact = ranked(Int.MaxValue)
-        .where(col("doc_id") % 7 === 0 && col("score") > 0)
+        .where(col("doc_id") % 7 === 0)
         .orderBy(col("score").desc, col("doc_id")).limit(10)
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
       assert(got == exact, s"got=$got exact=$exact")
 
-      // STARVED filter (< k survivors): exhaustion returns ALL of them
+      // STARVED filter (< k survivors): the exhaustion phase is the PLAIN
+      // filtered scan — ALL filtered rows come back, zero-dot included
       val starved = spark.read.parquet(store)
         .where(col("doc_id") % 97 === 0 && col("doc_id") < 400)
         .select(col("doc_id"),
@@ -211,9 +213,50 @@ class SparseRewriteSpec extends SparkSpec {
         .contains("SparseIterativeFilteredScan"))
       val sGot = starved.collect().map(_.getLong(0)).toSet
       val sExact = ranked(Int.MaxValue)
-        .where(col("doc_id") % 97 === 0 && col("doc_id") < 400 && col("score") > 0)
+        .where(col("doc_id") % 97 === 0 && col("doc_id") < 400)
         .collect().map(_.getLong(0)).toSet
       assert(sGot == sExact && sGot.size < 10, s"got=$sGot exact=$sExact")
+    } }
+  }
+
+  test("filtered COSINE shape lowers to the leaf and matches the exact scan") {
+    withRule { withStrategy {
+      def filteredCos(k: Int) = spark.read.parquet(store)
+        .where(col("doc_id") % 7 === 0)
+        .select(col("doc_id"),
+          SparseKnn.sparseCosine(col("indices"), col("values"),
+            typedlit(qIdx), typedlit(qVal)).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(10)
+      val q = filteredCos(10)
+      assert(q.queryExecution.optimizedPlan.toString.contains("SparseIterativeFilteredScan"),
+        q.queryExecution.optimizedPlan.toString.take(2000))
+      val got = q.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      spark.conf.set("spark.graft.sparse.rewrite", "false")
+      try {
+        val exact = filteredCos(10)
+        assert(!exact.queryExecution.optimizedPlan.toString
+          .contains("SparseIterativeFilteredScan"))
+        val want = exact.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        // satisfied bounded phase requires > 0 scores; with ≥ k positive
+        // survivors the leaf's top-k equals the exact scan's top-k
+        assert(got == want, s"got=$got\nwant=$want")
+      } finally spark.conf.set("spark.graft.sparse.rewrite", "true")
+      // STARVED cosine filter: the exhaustion phase is the PLAIN filtered
+      // scan — exact user semantics, zero-dot rows included
+      def starvedCos(k: Int) = spark.read.parquet(store)
+        .where(col("doc_id") % 97 === 0 && col("doc_id") < 400)
+        .select(col("doc_id"),
+          SparseKnn.sparseCosine(col("indices"), col("values"),
+            typedlit(qIdx), typedlit(qVal)).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(10)
+      val sGot = starvedCos(10).collect().map(_.getLong(0)).toSeq
+      spark.conf.set("spark.graft.sparse.rewrite", "false")
+      try {
+        val sWant = starvedCos(10).collect().map(_.getLong(0)).toSeq
+        assert(sGot == sWant, s"got=$sGot want=$sWant")
+      } finally spark.conf.set("spark.graft.sparse.rewrite", "true")
     } }
   }
 
