@@ -66,6 +66,33 @@ object StreamBench {
       }
     } finally { sq.stop(); corpus.unpersist() }
 
+    // ── index-backed serve axis ────────────────────────────────────
+    // the production scale path: per-trigger cost is the probed-cell
+    // fraction of a persisted IVF store, not a corpus scan
+    val corpus2 = ServeStream.corpusIndex(chunks).cache()
+    corpus2.count()
+    val idxDir = Files.createTempDirectory("bench_serve_idx").toString
+    ServeStream.buildServeIndex(corpus2, idxDir, cells = 16, iters = 2)
+    val input2 = MemoryStream[(Long, String)]
+    val sink2 = Files.createTempDirectory("bench_serve_idx_sink").toString
+    val ck3 = Files.createTempDirectory("bench_serve_idx_ck").toString
+    val sq2 = ServeStream.serveFromIndex(input2.toDF().toDF("qid", "text"), corpus2,
+      idxDir, k = 3, nprobe = 4, sink2, ck3, trigger = now)
+    val idxLat = scala.collection.mutable.ArrayBuffer.empty[Double]
+    try {
+      val words = Seq("spark table", "customer order", "region nation",
+        "lineitem price", "shipment date", "supplier account",
+        "query vector", "chunk text")
+      input2.addData((0L, "warmup query"))
+      sq2.processAllAvailable()
+      for (b <- 1 to 12) {
+        input2.addData((0 until 8).map(i => (b * 100L + i, s"${words(i % words.length)} $b")): _*)
+        val t0 = System.nanoTime()
+        sq2.processAllAvailable()
+        idxLat += (System.nanoTime() - t0) / 1e9
+      }
+    } finally { sq2.stop(); corpus2.unpersist() }
+
     // ── ingest axis ────────────────────────────────────────────────
     val in = Files.createTempDirectory("bench_docs_in").toString
     val outp = Files.createTempDirectory("bench_docs_out").toString
@@ -94,6 +121,8 @@ object StreamBench {
     Map(
       "stream_serve_p50" -> pct(serveLat.toSeq, 0.50),
       "stream_serve_p95" -> pct(serveLat.toSeq, 0.95),
+      "stream_serve_idx_p50" -> pct(idxLat.toSeq, 0.50),
+      "stream_serve_idx_p95" -> pct(idxLat.toSeq, 0.95),
       "stream_docs_p50" -> pct(docLat.toSeq, 0.50),
       "stream_docs_p95" -> pct(docLat.toSeq, 0.95))
   }

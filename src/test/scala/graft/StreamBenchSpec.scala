@@ -13,12 +13,14 @@ class StreamBenchSpec extends SparkSpec {
     intercept[IllegalArgumentException](StreamBench.pct(Nil, 0.5))
   }
 
-  test("fixed workload yields all four latency metrics, positive and ordered") {
+  test("fixed workload yields all six latency metrics, positive and ordered") {
     val m = StreamBench.run(spark, sfDir)
     assert(m.keySet == Set("stream_serve_p50", "stream_serve_p95",
+      "stream_serve_idx_p50", "stream_serve_idx_p95",
       "stream_docs_p50", "stream_docs_p95"))
     m.values.foreach(v => assert(v > 0.0 && v < 120.0, m))
     assert(m("stream_serve_p95") >= m("stream_serve_p50"), m)
+    assert(m("stream_serve_idx_p95") >= m("stream_serve_idx_p50"), m)
     assert(m("stream_docs_p95") >= m("stream_docs_p50"), m)
   }
 }
