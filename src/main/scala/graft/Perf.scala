@@ -232,6 +232,42 @@ object Perf {
           col("vec_id") < 5, k = 10, nprobe = 2).count()
       }
     }
+    // round-10 addition: the SPARSE iterative filtered lowering at 20×
+    // corpus scale — bounded phase (satisfied) vs exhaustion (starved)
+    {
+      import graft.operators.SparseKnn
+      val docs20 = Tables.documents(spark, d)
+      val big = (0 until 20).map(i =>
+          docs20.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"), col("text")))
+        .reduce(_ union _)
+      val sv = SparseKnn.hashingTf(big, dim = 1024)
+      val dir = java.nio.file.Files.createTempDirectory("perf_sp_filt").toString
+      SparseKnn.writeIndexedStore(spark, sv, "perf_sp_filt_idx", dir)
+      val qi = (0L until 64L).toSeq
+      val qv = Seq.fill(64)(1.0)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.SparseScanRewriteRule
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.SparseIterativeScanStrategy
+      try {
+        def filtered(pred: org.apache.spark.sql.Column) = spark.read.parquet(dir)
+          .where(pred)
+          .select(col("doc_id"), SparseKnn.sparseDot(col("indices"), col("values"),
+            typedlit(qi), typedlit(qv)).as("score"))
+          .orderBy(col("score").desc, col("doc_id")).limit(10)
+        time("sparseFiltered.20x (10k docs, 1/10 selectivity — bounded phase)") {
+          filtered(pmod(col("doc_id"), lit(10)) === 0).count()
+        }
+        time("sparseFiltered.20x (starved filter -> exhaustion = plain filtered scan)") {
+          filtered(col("doc_id") < 5).count()
+        }
+      } finally {
+        spark.experimental.extraOptimizations = spark.experimental.extraOptimizations
+          .filterNot(_ eq graft.plans.SparseScanRewriteRule)
+        spark.experimental.extraStrategies = spark.experimental.extraStrategies
+          .filterNot(_ eq graft.plans.SparseIterativeScanStrategy)
+      }
+    }
     time("vecSum.200x (100k vectors, single-pass aggregate)") {
       bigE200.groupBy(expr("vec_id % 97").as("g"))
         .agg(graft.functions.VectorAggregates.vecSum(col("embedding")).as("s")).count()
