@@ -65,6 +65,11 @@ object Tables {
         "(p_partkey + i * (s_cnt div 4 + 1)) % s_cnt AS ps_suppkey",
         "(p_partkey * 11 + i * 131) % 9999 + 1 AS ps_availqty",
         "(p_partkey * 37 + i * 991) % 90000 + 10000 AS ps_supplycost_cents",
-        "((p_partkey * 37 + i * 991) % 90000 + 10000) / 100.0 AS ps_supplycost")
+        // D suffix: a bare 100.0 parses DECIMAL(4,1) and BIGINT/DECIMAL
+        // lands DECIMAL(27,6) in the output parquet, which the driver's
+        // hasher serializes differently from the oracle's DOUBLE
+        // (round-10 q2 hash mismatch); 100.0D keeps IEEE double division,
+        // bit-identical to DuckDB's `/ 100.0` on the same integers.
+        "((p_partkey * 37 + i * 991) % 90000 + 10000) / 100.0D AS ps_supplycost")
   }
 }

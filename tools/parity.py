@@ -30,7 +30,17 @@ for name, sql in sorted(oracle.items()):
         odf = con.execute(sql).fetchdf()
     except Exception as e:
         print(f"[ORACLE-ERR] {name}: {str(e)[:200]}"); fails += 1; continue
-    sdf = con.execute(f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')").fetchdf()
+    # Read the Spark output with pyarrow, NOT duckdb fetchdf: duckdb
+    # flattens parquet DECIMAL columns to float64, which masked the
+    # round-10 q2 driver mismatch (Spark decimal128(27,6) vs oracle
+    # DOUBLE hash differently at the driver, but compared equal here).
+    # pyarrow keeps decimals as decimal.Decimal objects so canon() sees
+    # the same serialization split the driver does.
+    import pyarrow.parquet as _pq
+    import pandas as _pd
+    sdf = _pd.concat(
+        [_pq.read_table(f).to_pandas() for f in sorted(spark_files)],
+        ignore_index=True)
     sdf = sdf[sorted(sdf.columns)]; odf = odf[sorted(odf.columns)]
     if list(sdf.columns) != list(odf.columns):
         print(f"[SCHEMA] {name}: spark={list(sdf.columns)} oracle={list(odf.columns)}"); fails += 1; continue
