@@ -43,8 +43,9 @@ object Bench {
         }
       }
     }
-    val results = selected.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+    def timeQuery(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        n: Int): Double =
+      (1 to n).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case e: Throwable =>
           if (!failed.contains(name)) {
@@ -53,12 +54,8 @@ object Bench {
           }
         }
         (System.nanoTime() - t0) / 1e9
-      }
-      name -> times.min
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+      }.min
+    var results = selected.map { case (name, fn) => name -> timeQuery(name, fn, reps) }
     // STREAMING latency axis (per-trigger p50/p95 for the serve and
     // ingest streams — StreamBench): skipped on SPARK_GRAFT_BENCH_ONLY
     // floor-measurement runs; opt out with SPARK_GRAFT_BENCH_STREAM=0.
@@ -97,6 +94,29 @@ object Bench {
         "\"([^\"]+)\"\\s*:\\s*([0-9.eE+-]+)".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Exception => Map.empty }
+    // Re-measure pass: a single contended rep can 3–5× a second-scale
+    // timing (the driver's r10 sweep flagged five regressions, every one
+    // zero-regression when re-measured isolated), so before flagging,
+    // re-time each would-be batch regression with two more reps and take
+    // the overall min. Bounded extra cost: only flagged queries re-run,
+    // so a clean sweep pays nothing and a noisy one pays a handful of
+    // seconds to avoid crying wolf. Real regressions still flag — slow
+    // code is slow on every rep.
+    if (reps == 1) {
+      val suspect = results.collect {
+        case (n, t) if !failed.contains(n) &&
+            baseline.get(n).exists(b => t > b * 1.75 && t - b > 1.0) => n
+      }
+      suspect.foreach { n =>
+        val again = timeQuery(n, selected(n), 2)
+        System.err.println(
+          f"[bench] re-measured $n: first ${results(n)}%.2fs, min-of-3 ${math.min(results(n), again)}%.2fs")
+        results = results.updated(n, math.min(results(n), again))
+      }
+    }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.values.sum else 0.0
     // a FAILED query's recorded time is its time-to-exception (often
     // milliseconds), which reads as a speedup — flag every failure as a
     // regression with a sentinel ratio so a query that regresses into
