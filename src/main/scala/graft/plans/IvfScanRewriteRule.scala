@@ -154,14 +154,22 @@ object IvfScanRewriteRule extends Rule[LogicalPlan] with RewriteSupport {
       // spark.graft.ann.iterative=false to keep the pre-0.8 fixed-probe
       // plan (cells + coarse stages below).
       val iterative = conf("spark.graft.ann.iterative", "true") == "true"
-      val userFilter =
-        if (!iterative) None
-        else child.collectFirst {
-          case f @ Filter(cond, r: LogicalRelation)
-              if (r eq relation) && cond.references.subsetOf(relation.outputSet) &&
-                !cond.references.exists(_.name == "cell") &&
-                cond.deterministic => f
-        }
+      // Mirror the sparse rule's stand-down (ADVICE r10): ANY Filter in
+      // the Sort child rides the ORDER BY, so they all count. Exactly one
+      // deterministic relation-adjacent Filter lowers to the escalation
+      // leaf; any other filtered shape — a second stacked filter the
+      // optimizer couldn't merge, a nondeterministic predicate, a filter
+      // parked above a Project — would escalate only on the survivors of
+      // the predicate the leaf sees and could still return < k rows, so
+      // those shapes keep the user's exact scan instead.
+      val filters = if (iterative) child.collect { case f: Filter => f } else Nil
+      val userFilter = filters match {
+        case Seq(f @ Filter(cond, r: LogicalRelation))
+            if (r eq relation) && cond.references.subsetOf(relation.outputSet) &&
+              !cond.references.exists(_.name == "cell") &&
+              cond.deterministic => Some(f)
+        case _ => None
+      }
       userFilter match {
         case Some(f) =>
           val nprobe0 = conf("spark.graft.ann.nprobe", "8").toInt
@@ -169,12 +177,19 @@ object IvfScanRewriteRule extends Rule[LogicalPlan] with RewriteSupport {
             keep.contains(at) || f.condition.references.contains(at))
           val leaf = IvfIterativeFilteredScan(leafOut, path, qvec.toSeq,
             f.condition, k, nprobe0)
-          child.transformUp { case n if n eq f => leaf }
-        case None => rewriteFixedProbe(child, relation, cellAttr, distExpr, metric,
-          qvec, k, path, model, quantRange, pqModel, projList)
+          Some(child.transformUp { case n if n eq f => leaf })
+        case None if iterative && filters.nonEmpty =>
+          // filtered shape the escalation leaf can't cover soundly —
+          // stand down (no rewrite: a fixed probe here would silently
+          // reintroduce the pre-0.8 short-result hazard the iterative
+          // contract exists to close)
+          None
+        case None =>
+          Some(rewriteFixedProbe(child, relation, cellAttr, distExpr, metric,
+            qvec, k, path, model, quantRange, pqModel, projList))
       }
     }
-  }
+  }.flatten
 
   // (cellAttr typed Attribute: the relation lookup returns the narrower
   // AttributeReference, but only equality and In() construction use it)

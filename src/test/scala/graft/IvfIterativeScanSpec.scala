@@ -167,6 +167,46 @@ class IvfIterativeScanSpec extends SparkSpec {
     }
   }
 
+  test("stacked multi-filter shape stands down entirely (no leaf, no fixed probe)") {
+    // rand() < 0.999999 survives the optimizer (rand()'s known bounds
+    // eliminate < 2.0) and CANNOT merge with the deterministic predicate,
+    // so the Sort child carries TWO stacked Filters. Planting the
+    // iterative leaf on the inner one would escalate only on its
+    // survivors — the outer filter could still cut below k (ADVICE r10) —
+    // and a fixed probe would reintroduce the pre-0.8 short-result
+    // hazard, so the rule must leave the whole plan alone.
+    withRule {
+      conf("spark.graft.ann.nprobe" -> "1") {
+        GraftFunctions.register(spark)
+        spark.read.parquet(store).createOrReplaceTempView("ivf_iter_v")
+        // the nondeterministic gate lives in an OUTER query block: it
+        // can't push through the Project, so the optimized Sort child is
+        // Filter(rand) > Project > Filter(vec_id…) > Relation — the
+        // stacked shape a single WHERE never produces (the parser emits
+        // one merged Filter there, caught by the determinism check)
+        val q = spark.sql(
+          s"""SELECT vec_id, dist FROM (
+             |  SELECT vec_id, embedding, round(vec_l2(embedding, $vecLit), 4) AS dist
+             |  FROM ivf_iter_v WHERE vec_id % 97 = 0 AND vec_id < 400) t
+             |WHERE rand() < 0.999999
+             |ORDER BY vec_l2(embedding, $vecLit), vec_id LIMIT 10""".stripMargin)
+        val opt = q.queryExecution.optimizedPlan
+        val filters = opt.collect { case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f }
+        assert(filters.size >= 2, s"expected a stacked-filter shape, got:\n$opt")
+        assert(!opt.toString.contains("IvfIterativeFilteredScan"), opt.toString.take(2000))
+        // no fixed-probe either: no synthetic cell-membership predicate
+        // (the bare column name appears in every scan's output list, so
+        // match the IN/INSET filter shape specifically)
+        assert("cell#\\d+ IN(SET)?\\b".r.findFirstIn(opt.toString).isEmpty,
+          opt.toString.take(2000))
+        // the untouched exact scan still answers correctly (the random
+        // gate keeps every row with overwhelming probability)
+        val got = q.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(got == exact("vec_id % 97 = 0 AND vec_id < 400", 10), s"got=$got")
+      }
+    }
+  }
+
   test("nondeterministic predicate refuses the iterative leaf") {
     withRule {
       GraftFunctions.register(spark)
