@@ -448,13 +448,20 @@ object PdfCodec {
     // the trailer/xref dict lives at the file TAIL; search there so a
     // page whose TEXT mentions "/Encrypt" is never false-matched
     val tail = s.substring(math.max(0, s.length - 4096))
+    // PDF 1.5: the trailer entries ride the xref STREAM's dict, which can
+    // sit anywhere in the file (a large body pushes it outside the tail
+    // window). Scan ALL /XRef dicts — incremental updates append new ones
+    // and only the newest (last in file order) carries the live trailer —
+    // and remember which dict held /Encrypt so /ID can be parsed from the
+    // SAME dict below: the tail-only /ID search would otherwise derive
+    // the file key with an empty salt and loudly reject a valid file.
+    val xrefDicts = top.filter(_.dict.contains("/XRef")).map(_.dict)
+    val encInXref = xrefDicts.reverseIterator.map { d =>
+      """/Encrypt\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(d).map(m => (m.group(1).toInt, d))
+    }.collectFirst { case Some(hit) => hit }
     val encRef = """/Encrypt\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(tail)
       .map(_.group(1).toInt)
-      .orElse(top.collectFirst {
-        // PDF 1.5: the trailer entries ride the xref STREAM's dict
-        case o if o.dict.contains("/XRef") =>
-          """/Encrypt\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(o.dict).map(_.group(1).toInt)
-      }.flatten)
+      .orElse(encInXref.map(_._1))
     encRef match {
       case None => top
       case Some(encNum) =>
@@ -497,7 +504,11 @@ object PdfCodec {
             val cfLen = """/CFM\s*/V2[^>]*?/Length\s+(\d+)""".r.findFirstMatchIn(enc)
               .orElse("""/Length\s+(\d+)[^>]*?/CFM\s*/V2""".r.findFirstMatchIn(enc))
               .map(_.group(1).toInt)
-            cfLen.map(n => if (n > 40) n / 8 else n).getOrElse(num("Length", 128) / 8)
+            // >= 40: a spec-legal writer may store 40 (BITS, a 5-byte
+            // key) inside /CF; 40 BYTES would be an illegal 320-bit RC4
+            // key, so bits is the only valid reading — the PDFBox
+            // disambiguation (ADVICE r10)
+            cfLen.map(n => if (n >= 40) n / 8 else n).getOrElse(num("Length", 128) / 8)
           }
           else num("Length", 40) / 8
         val encryptMetadata =
@@ -508,7 +519,13 @@ object PdfCodec {
           "PdfCodec: encrypted PDF: /Encrypt dict has no /U"))
         require(o.length >= 32 && u.length >= 32,
           s"PdfCodec: encrypted PDF: /O (${o.length}) or /U (${u.length}) shorter than 32 bytes")
+        // /ID: tail trailer first, then the xref-stream dict that held
+        // /Encrypt, then any other /XRef dict (newest first) — only a
+        // file with no /ID anywhere falls back to the empty salt
         val idFirst = parseIdFirst(tail)
+          .orElse(encInXref.flatMap { case (_, d) => parseIdFirst(d) })
+          .orElse(xrefDicts.reverseIterator.map(parseIdFirst)
+            .collectFirst { case Some(id) => id })
           .getOrElse(Array.emptyByteArray) // missing /ID: derive with an empty salt
         val key = PdfCrypto.verifyUser("", o.take(32), u.take(32), p, idFirst, r,
             keyBytes, encryptMetadata)

@@ -166,8 +166,12 @@ private[graft] object PdfCrypto {
       case "rc4-40" => (1, 2, 5, false)
       case "rc4-128" => (2, 3, 16, false)
       case "aes-128" => (4, 4, 16, true)
+      // V4 crypt-filter clothing around a 40-bit RC4 key: /CF /Length is
+      // written in BITS (spec-legal; readers must disambiguate 40 —
+      // ADVICE r10's bits-vs-bytes case)
+      case "rc4-40-v4" => (4, 4, 5, false)
       case other => throw new IllegalArgumentException(
-        s"PdfCrypto: unsupported encryption mode '$other' (rc4-40, rc4-128, aes-128)")
+        s"PdfCrypto: unsupported encryption mode '$other' (rc4-40, rc4-128, aes-128, rc4-40-v4)")
     }
     val p: Int = -4 // all permissions granted, reserved bits per Table 22
     val idFirst: Array[Byte] = md5("graft-pdf-id".getBytes(ISO_8859_1))
@@ -182,6 +186,10 @@ private[graft] object PdfCrypto {
     def dict: String = {
       val cf = if (aes)
         " /CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16 >> >> " +
+          "/StmF /StdCF /StrF /StdCF"
+      else if (v == 4)
+        // bits, not bytes: the ambiguous-but-legal writer form
+        s" /CF << /StdCF << /CFM /V2 /AuthEvent /DocOpen /Length ${keyBytes * 8} >> >> " +
           "/StmF /StdCF /StrF /StdCF"
       else ""
       val em = if (encryptMetadata) "" else " /EncryptMetadata false"

@@ -378,6 +378,35 @@ class PdfCodecSpec extends SparkSpec {
     intercept[Exception](PdfCodec.extractText(stripped.getBytes("ISO-8859-1")))
   }
 
+  test("V4 /CFM /V2 with /CF /Length 40 reads as BITS (5-byte key), not bytes") {
+    // a spec-legal writer stores 40 (bits = a 5-byte RC4 key) inside
+    // /CF; reading it as bytes would derive a 16-byte key (MD5-capped)
+    // and reject the valid file — the PDFBox disambiguation: 40 bytes
+    // would be an illegal 320-bit RC4 key, so bits is the only reading
+    val pages = Seq("v4 rc4-40 crypt filter page")
+    val pdf = PdfCodec.encodePdf(pages, compress = true,
+      encryption = Some(PdfCrypto.EncryptSpec("rc4-40-v4")))
+    val s = new String(pdf, "ISO-8859-1")
+    assert(s.contains("/CFM /V2") && s.contains("/Length 40"), s.take(2000))
+    assert(PdfCodec.extractText(pdf) == pages)
+  }
+
+  test("encrypted 1.5 file with the xref dict beyond the 4096-byte tail still finds /ID") {
+    // a large trailing increment pushes the xref-stream dict (which
+    // holds BOTH /Encrypt and /ID — there is no classic trailer) outside
+    // the tail window; /ID must then come from that same dict, or the
+    // file key derives with an empty salt and a valid file is rejected
+    val pages = Seq("deep xref dict page")
+    for (mode <- Seq("rc4-128", "aes-128")) {
+      val pdf = PdfCodec.encodePdf15(pages, compress = true,
+        encryption = Some(PdfCrypto.EncryptSpec(mode)))
+      val junk = ("% trailing incremental-update padding line\n" * 150).getBytes("ISO-8859-1")
+      assert(junk.length > 4096)
+      val padded = pdf ++ junk
+      assert(PdfCodec.extractText(padded) == pages, mode)
+    }
+  }
+
   test("differences writer refuses remaps that would corrupt existing text") {
     // the text already contains É (0xC9 = 201) — remapping 'e' onto that
     // byte would route the original É through /Euro on decode
