@@ -170,16 +170,60 @@ object OpenAiCompatClient {
     * Factored out of the HTTP path so the parse is testable offline. */
   private[graft] def parseEmbeddingsResponse(resp: String, n: Int,
                                              dim: Int): Seq[Array[Float]] = {
-    val arrays = """"embedding"\s*:\s*\[([^\]]*)\]""".r
-      .findAllMatchIn(resp).map(_.group(1)).toSeq
-    require(arrays.length == n,
-      s"OpenAiCompatClient: expected $n embeddings, got ${arrays.length}")
-    val indices = """"index"\s*:\s*(\d+)""".r
-      .findAllMatchIn(resp).map(_.group(1).toInt).toSeq
+    // Pair each "index" with the "embedding" of the SAME data-array
+    // entry: two independent global regex passes desync on a stray
+    // "index" key elsewhere in the body (a usage block, a nested field)
+    // and would silently fall back to document order — reintroducing
+    // the mis-ordering hazard without any signal (ADVICE r10). The data
+    // array is split into its top-level {...} objects with a
+    // string-aware brace scan; no JSON library in the sandbox.
+    val embRe = """"embedding"\s*:\s*\[([^\]]*)\]""".r
+    val idxRe = """"index"\s*:\s*(\d+)""".r
+    val objects: Seq[String] = """"data"\s*:\s*\[""".r.findFirstMatchIn(resp) match {
+      case Some(m) =>
+        val out = Seq.newBuilder[String]
+        var i = m.end; var depth = 0; var objStart = -1
+        var inStr = false; var esc = false; var done = false
+        while (i < resp.length && !done) {
+          val c = resp.charAt(i)
+          if (inStr) {
+            if (esc) esc = false
+            else if (c == '\\') esc = true
+            else if (c == '"') inStr = false
+          } else c match {
+            case '"' => inStr = true
+            case '{' => if (depth == 0) objStart = i; depth += 1
+            case '}' =>
+              depth -= 1
+              if (depth == 0) out += resp.substring(objStart, i + 1)
+            case ']' if depth == 0 => done = true
+            case _ =>
+          }
+          i += 1
+        }
+        out.result()
+      case None => Nil
+    }
+    // (index, embedding) per entry when the data array parses cleanly;
+    // otherwise the legacy whole-body embedding scan in document order
+    val pairs: Seq[(Option[Int], String)] =
+      if (objects.nonEmpty && objects.forall(o => embRe.findFirstIn(o).isDefined))
+        objects.map(o => (idxRe.findFirstMatchIn(o).map(_.group(1).toInt),
+          embRe.findFirstMatchIn(o).get.group(1)))
+      else embRe.findAllMatchIn(resp).map(m => (None: Option[Int], m.group(1))).toSeq
+    require(pairs.length == n,
+      s"OpenAiCompatClient: expected $n embeddings, got ${pairs.length}")
+    val idxs = pairs.flatMap(_._1)
     val ordered =
-      if (indices.length == arrays.length && indices.sorted == (0 until n))
-        indices.zip(arrays).sortBy(_._1).map(_._2)
-      else arrays
+      if (idxs.isEmpty) pairs.map(_._2) // no per-entry index: document order
+      else {
+        // indices present but NOT a usable permutation → fail loud
+        // rather than guess an order the provider didn't promise
+        require(idxs.length == n && idxs.sorted == (0 until n),
+          s"OpenAiCompatClient: data entries carry unusable index fields " +
+            s"(${idxs.length} of $n present) — refusing to guess embedding order")
+        pairs.map(p => (p._1.get, p._2)).sortBy(_._1).map(_._2)
+      }
     ordered.map { a =>
       val v = a.split(",").filter(_.trim.nonEmpty).map(_.trim.toFloat)
       require(v.length == dim,

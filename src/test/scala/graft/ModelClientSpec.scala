@@ -144,4 +144,35 @@ class ModelClientSpec extends SparkSpec {
       OpenAiCompatClient.parseEmbeddingsResponse(bare, 2, 4))
     assert(e2.getMessage.contains("dim"))
   }
+
+  test("a stray index key outside the data entries cannot desync the reorder") {
+    // per-object pairing (ADVICE r10): an extra "index" in the usage
+    // block used to make the flat global passes count 4 indices for 3
+    // embeddings and silently fall back to document order — the
+    // mis-ordering hazard the index field exists to close
+    val resp =
+      """{"object":"list","data":[
+        |{"object":"embedding","index":1,"embedding":[1.0,1.5]},
+        |{"embedding":[0.0,0.5],"index":0},
+        |{"object":"embedding","index":2,"embedding":[2.0,2.5]}],
+        |"model":"m","usage":{"prompt_tokens":3,"index":7}}""".stripMargin
+    val vs = OpenAiCompatClient.parseEmbeddingsResponse(resp, 3, 2)
+    assert(vs.map(_.toSeq) == Seq(Seq(0.0f, 0.5f), Seq(1.0f, 1.5f), Seq(2.0f, 2.5f)))
+  }
+
+  test("indices present but unusable fail loud instead of guessing an order") {
+    // duplicate index inside the data array: not a permutation — the
+    // provider broke the contract, and document order would be a guess
+    val dup =
+      """{"data":[{"index":0,"embedding":[1.0]},{"index":0,"embedding":[2.0]}]}"""
+    val e = intercept[IllegalArgumentException](
+      OpenAiCompatClient.parseEmbeddingsResponse(dup, 2, 1))
+    assert(e.getMessage.contains("unusable index"), e.getMessage)
+    // partial indices (one entry missing its index) likewise
+    val partial =
+      """{"data":[{"index":1,"embedding":[1.0]},{"embedding":[2.0]}]}"""
+    val e2 = intercept[IllegalArgumentException](
+      OpenAiCompatClient.parseEmbeddingsResponse(partial, 2, 1))
+    assert(e2.getMessage.contains("unusable index"), e2.getMessage)
+  }
 }
