@@ -405,6 +405,49 @@ object QueriesExtra {
       },
       Some(annExactL2Sql)),
 
+    // MATRYOSHKA index (pgvector's subvector-index recipe, MRL
+    // embeddings): cells and the coarse pass live in the first-16-dims
+    // PREFIX space — the coarse scan deserializes (id, sub) only, a
+    // subDim/dim byte cut via parquet column pruning on top of the
+    // nprobe/k partition cut — and the full 64-dim float column is read
+    // only for the bounded rerank candidates. Rows-only (prefix recall
+    // is corpus-dependent); spec pins the column-pruned plan and the
+    // exact-degeneration gate is below.
+    "q_ann_matryoshka" -> QueryDef(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val dir = Fixtures.memo(s"ivf_sub_idx:$d") {
+          val model = IvfIndex.trainSub(e, subDim = 16, k = 16, iters = 3)
+          val dr = java.nio.file.Files.createTempDirectory("ivf_sub_q").toString
+          IvfIndex.writeIndexSub(e, model, dr, subDim = 16)
+          dr
+        }
+        val q = e.where(col("vec_id") < 4).select(col("vec_id").as("qid"), col("embedding"))
+        IvfIndex.searchIndexSub(s, dir, q, k = 3, nprobe = 4, overfetch = 4)
+          .orderBy(col("qid"), col("rn"))
+      },
+      None),
+
+    // Matryoshka exact-degeneration gate: full probe + covering
+    // overfetch ⇒ exact L2 top-k THROUGH the prefix coarse scan and the
+    // bounded rerank pushdown — hash-verified like the other five index
+    // read paths.
+    "q_ann_matryoshka_exact" -> QueryDef(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val n = e.count().toInt
+        val dir = Fixtures.memo(s"ivf_sub_idx:$d") {
+          val model = IvfIndex.trainSub(e, subDim = 16, k = 16, iters = 3)
+          val dr = java.nio.file.Files.createTempDirectory("ivf_sub_q").toString
+          IvfIndex.writeIndexSub(e, model, dr, subDim = 16)
+          dr
+        }
+        val q = e.where(col("vec_id") < 4).select(col("vec_id").as("qid"), col("embedding"))
+        IvfIndex.searchIndexSub(s, dir, q, k = 5, nprobe = 16, overfetch = n)
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some(annExactL2Sql)),
+
     // Persisted IVF-PQ index: full probe + covering overfetch == exact
     // L2 top-k THROUGH the residual ADC coarse scan and rerank pushdown.
     "q_ann_ivfpq_exact" -> QueryDef(

@@ -606,6 +606,104 @@ object IvfIndex {
       .select(col(queryIdCol), col(idCol), col("dist"), col("rn").cast("long").as("rn"))
   }
 
+  /** Persist a MATRYOSHKA index — the pgvector "subvector index" recipe
+    * (index `subvector(embedding, 1, d')::vector(d')`, rerank by the
+    * full column) re-expressed as a cell-partitioned store: rows carry
+    * the full embedding PLUS its `sub` prefix (first `subDim` dims), and
+    * cells come from centroids trained in the PREFIX space (pass a
+    * `model` of dimension `subDim` — [[trainSub]] builds one). MRL-style
+    * embeddings front-load information, so the d'-dim prefix preserves
+    * neighborhood structure at subDim/dim of the bytes; at 100 TB the
+    * coarse pass reads only (id, sub) via parquet column pruning — a
+    * subDim/dim IO cut on top of the nprobe/k partition cut — and the
+    * full float column is only deserialized for the bounded rerank
+    * candidates. `_matryoshka.json` records subDim. */
+  def writeIndexSub(corpus: DataFrame, model: Model, path: String, subDim: Int,
+                    idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
+    require(subDim >= 1, s"writeIndexSub: subDim must be >= 1, got $subDim")
+    require(model.centroids.headOption.forall(_.length == subDim),
+      s"writeIndexSub: model dimension ${model.centroids.headOption.map(_.length)} " +
+        s"!= subDim $subDim — train the coarse quantizer in the prefix space (trainSub)")
+    val sub = slice(col(embCol), 1, subDim)
+    corpus.select(col(idCol), col(embCol), sub.as("sub"),
+        cellOf(sub, model).as("cell"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    val json = model.centroids.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    writeSidecar(corpus.sparkSession, path, "_centroids.json", json)
+    writeSidecar(corpus.sparkSession, path, "_matryoshka.json", s"""{"subDim":$subDim}""")
+  }
+
+  /** Coarse quantizer for [[writeIndexSub]]: k-means in the prefix space. */
+  def trainSub(corpus: DataFrame, subDim: Int, k: Int, iters: Int = 5,
+               idCol: String = "vec_id", embCol: String = "embedding",
+               samplePercent: Int = 10): Model =
+    train(corpus.select(col(idCol), slice(col(embCol), 1, subDim).as(embCol)),
+      k, iters, idCol, embCol, samplePercent)
+
+  /** subDim from the `_matryoshka.json` sidecar. */
+  def readSubDim(spark: org.apache.spark.sql.SparkSession, path: String): Int = {
+    val json = readSidecar(spark, path, "_matryoshka.json")
+    """"subDim"\s*:\s*(\d+)""".r.findFirstMatchIn(json).map(_.group(1).toInt)
+      .getOrElse(throw new IllegalStateException(
+        s"IvfIndex: malformed _matryoshka.json at $path"))
+  }
+
+  /** Search a Matryoshka index: static `cell IN` partition pruning in
+    * the prefix space, a PREFIX-COLUMN-ONLY coarse pass (L2 over the
+    * first subDim dims, top `k·overfetch` per query), then an exact
+    * full-dimension L2 rerank reading float vectors for the bounded
+    * candidate-id set — [[searchIndexQuantized]]'s scan shape with the
+    * byte cut coming from column pruning instead of integer codes.
+    * Output `(qid, id, dist, rn)`, L2 ascending. Degeneration: nprobe ≥
+    * cells and overfetch covering the corpus ⇒ exact KNN (oracle-gated
+    * as q_ann_matryoshka_exact). */
+  def searchIndexSub(spark: org.apache.spark.sql.SparkSession, path: String,
+                     queries: DataFrame, k: Int, nprobe: Int, overfetch: Int = 4,
+                     idCol: String = "vec_id", embCol: String = "embedding",
+                     queryIdCol: String = "qid", scale: Int = 4,
+                     maxPushdownIds: Int = 100000): DataFrame = {
+    val model = readModel(spark, path)
+    val subDim = readSubDim(spark, path)
+    val qSub = slice(col(embCol), 1, subDim)
+    val probedCells = queries
+      .select(explode(cellsOf(qSub, model, nprobe)).as("cell"))
+      .distinct().collect().map(_.getInt(0).asInstanceOf[Any])
+    val qSide = broadcast(queries.select(col(queryIdCol),
+      col(embCol).as("__qemb"), qSub.as("__qsub")))
+    // coarse: probed cells × queries in the prefix space; the scan
+    // deserializes (id, sub) only — subDim/dim of the vector bytes
+    val coarse = spark.read.parquet(path)
+      .where(col("cell").isin(probedCells: _*))
+      .select(col(idCol), col("sub"))
+      .crossJoin(qSide)
+      .select(col(queryIdCol), col(idCol),
+        VectorFunctions.l2DistanceSq(col("sub"), col("__qsub")).as("__qdist"))
+    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("__qdist"), col(idCol))
+    val candFrame = coarse.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k * overfetch)
+      .select(col(idCol)).distinct()
+      .localCheckpoint(true)
+    // bounded driver probe, then id IN pushdown or semi-join fallback —
+    // the searchIndexQuantized guard verbatim
+    val probe = candFrame.limit(maxPushdownIds + 1).collect()
+    val rerankBase = spark.read.parquet(path)
+      .where(col("cell").isin(probedCells: _*))
+    val rerankDocs =
+      if (probe.length <= maxPushdownIds)
+        rerankBase.where(col(idCol).isin(probe.map(_.getLong(0)).toSeq: _*))
+      else rerankBase.join(candFrame, Seq(idCol), "left_semi")
+    val rerank = rerankDocs
+      .select(col(idCol), col(embCol))
+      .crossJoin(qSide)
+      .select(col(queryIdCol), col(idCol),
+        round(VectorFunctions.l2Distance(col(embCol), col("__qemb")), scale).as("dist"))
+    val w2 = Window.partitionBy(col(queryIdCol)).orderBy(col("dist"), col(idCol))
+    rerank.withColumn("rn", row_number().over(w2))
+      .where(col("rn") <= k)
+      .select(col(queryIdCol), col(idCol), col("dist"), col("rn").cast("long").as("rn"))
+  }
+
   /** Persist an IVF-BINARY index: [[writeIndex]]'s cell-partitioned
     * layout PLUS the packed sign-bit column ([[Quantize.binarizeExpr]])
     * — the 32× compression point of the quantization ladder inside the

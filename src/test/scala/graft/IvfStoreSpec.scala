@@ -235,6 +235,67 @@ class IvfStoreSpec extends SparkSpec {
     }
   }
 
+  test("Matryoshka index: prefix coarse reads sub only; full probe exact; dim guards") {
+    import graft.operators.Knn
+    val path = Files.createTempDirectory("ivf_sub").toString
+    val e = Tables.embeddings(spark, sfDir)
+    val model = IvfIndex.trainSub(e, subDim = 16, k = 16, iters = 3)
+    IvfIndex.writeIndexSub(e, model, path, subDim = 16)
+
+    // sidecar round-trips
+    assert(IvfIndex.readSubDim(spark, path) == 16)
+
+    // recall vs exact L2 KNN with generous probing: the 16-of-64 prefix
+    // carries enough neighborhood structure on this corpus to recover
+    // most of the true top-k before the full-precision rerank
+    val k = 10
+    val recalls = (0L until 6L).map { qid =>
+      val exact = Knn.topK(e, e.where(col("vec_id") === qid), Knn.L2, k)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val q1 = e.where(col("vec_id") === qid)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      val approx = IvfIndex.searchIndexSub(spark, path, q1, k, nprobe = 12, overfetch = 8)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      (exact intersect approx).size.toDouble / k
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"mean recall $mean: $recalls")
+
+    // full probe + corpus-covering overfetch degenerates to EXACT KNN
+    val q0 = e.where(col("vec_id") === 0).select(col("vec_id").as("qid"), col("embedding"))
+    val full = IvfIndex.searchIndexSub(spark, path, q0, k = 5, nprobe = 16,
+        overfetch = 100000)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toList
+    val exact5 = Knn.topK(e, e.where(col("vec_id") === 0), Knn.L2, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    assert(full == exact5)
+
+    // plan shape of the coarse pass: partition filter on cell AND a read
+    // schema holding the 16-dim sub column but NOT the full embedding —
+    // the subDim/dim byte cut is column pruning, so it must survive to
+    // the scan
+    val qside = broadcast(q0.select(col("qid"),
+      slice(col("embedding"), 1, 16).as("__qsub")))
+    val coarse = spark.read.parquet(path)
+      .where(col("cell").isin(0, 1, 2))
+      .select(col("vec_id"), col("sub"))
+      .crossJoin(qside)
+      .select(col("qid"), col("vec_id"),
+        graft.functions.VectorFunctions.l2DistanceSq(col("sub"), col("__qsub")).as("qd"))
+    val plan = coarse.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).nonEmpty, plan.take(2000))
+    val schemas = "ReadSchema: [^\n]*".r.findAllIn(plan).toList.filter(_.contains("sub"))
+    assert(schemas.nonEmpty && schemas.forall(!_.contains("embedding")),
+      s"coarse scan deserializes the float column: $schemas")
+
+    // a model trained in the WRONG space is refused at write time, not
+    // silently assigned on a prefix/dim mismatch
+    val fullModel = IvfIndex.train(e, k = 4, iters = 1)
+    val e2 = intercept[IllegalArgumentException](
+      IvfIndex.writeIndexSub(e, fullModel, path + "_bad", subDim = 16))
+    assert(e2.getMessage.contains("subDim"), e2.getMessage)
+  }
+
   test("searchIndexQuantized: semi-join fallback above maxPushdownIds gives identical results") {
     import graft.operators.Quantize
     val path = Files.createTempDirectory("ivf_sq_guard").toString
