@@ -318,8 +318,13 @@ object IvfIndex {
                    targetBytes: Long = 128L * 1024 * 1024): graft.sources.Compaction.Report = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val sidecars = Seq("_centroids.json", "_quantize.json", "_pq.json", "_metric.json")
-      .filter(n => fs.exists(new org.apache.hadoop.fs.Path(p, n)))
+    // enumerate the store's actual `_*.json` sidecars instead of a
+    // hard-coded name list: the fixed list had already gone stale once
+    // (it lacked _binary.json, so compacting a binary store silently
+    // dropped its marker and broke subsequent searches) and every new
+    // index family would have to remember to extend it
+    val sidecars = fs.listStatus(p).map(_.getPath.getName)
+      .filter(n => n.startsWith("_") && n.endsWith(".json")).toSeq.sorted
     graft.sources.Compaction.compact(spark, path, targetBytes,
       partitionBy = Seq("cell"), preserveFiles = sidecars)
   }
@@ -702,6 +707,23 @@ object IvfIndex {
     rerank.withColumn("rn", row_number().over(w2))
       .where(col("rn") <= k)
       .select(col(queryIdCol), col(idCol), col("dist"), col("rn").cast("long").as("rn"))
+  }
+
+  /** Append vectors to a persisted Matryoshka index: slice the prefix
+    * and assign cells under the EXISTING sidecar model, so appended rows
+    * stay scan-compatible with both the coarse (sub) and rerank
+    * (embedding) passes. Same append-only contract as [[appendIndex]];
+    * compact on the usual cadence. */
+  def appendIndexSub(spark: org.apache.spark.sql.SparkSession, path: String,
+                     vectors: DataFrame,
+                     idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
+    val model = readModel(spark, path)
+    val subDim = readSubDim(spark, path)
+    val sub = slice(col(embCol), 1, subDim)
+    vectors.select(col(idCol), col(embCol), sub.as("sub"),
+        cellOf(sub, model).as("cell"))
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(path)
   }
 
   /** Persist an IVF-BINARY index: [[writeIndex]]'s cell-partitioned

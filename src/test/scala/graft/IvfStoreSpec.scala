@@ -296,6 +296,50 @@ class IvfStoreSpec extends SparkSpec {
     assert(e2.getMessage.contains("subDim"), e2.getMessage)
   }
 
+  test("Matryoshka maintenance: append visible through both passes; compaction keeps every sidecar") {
+    val path = Files.createTempDirectory("ivf_sub_maint").toString
+    val e = Tables.embeddings(spark, sfDir)
+    val base = e.where(col("vec_id") >= 10)
+    val model = IvfIndex.trainSub(base, subDim = 16, k = 8, iters = 2)
+    IvfIndex.writeIndexSub(base, model, path, subDim = 16)
+    // append the held-out rows: sliced + assigned under the sidecar
+    // model, so searches see them immediately
+    IvfIndex.appendIndexSub(spark, path, e.where(col("vec_id") < 10))
+    val q0 = e.where(col("vec_id") === 0).select(col("vec_id").as("qid"), col("embedding"))
+    val full = IvfIndex.searchIndexSub(spark, path, q0, k = 5, nprobe = 8,
+      overfetch = 100000).collect().map(r => (r.getLong(1), r.getDouble(2))).toList
+    import graft.operators.Knn
+    val exact5 = Knn.topK(e, e.where(col("vec_id") === 0), Knn.L2, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    assert(full == exact5) // vec_id 0 itself only findable via the append
+    // compaction preserves the DYNAMIC sidecar set (_matryoshka.json is
+    // not in any hard-coded list) and search results are unchanged
+    IvfIndex.compactIndex(spark, path)
+    assert(IvfIndex.readSubDim(spark, path) == 16)
+    val after = IvfIndex.searchIndexSub(spark, path, q0, k = 5, nprobe = 8,
+      overfetch = 100000).collect().map(r => (r.getLong(1), r.getDouble(2))).toList
+    assert(after == full)
+  }
+
+  test("compacting a BINARY store keeps its _binary.json marker (stale-list regression)") {
+    val path = Files.createTempDirectory("ivf_bin_compact").toString
+    val e = Tables.embeddings(spark, sfDir)
+    val model = IvfIndex.train(e, k = 8, iters = 2)
+    IvfIndex.writeIndexBinary(e, model, path)
+    val q0 = e.where(col("vec_id") === 0).select(col("vec_id").as("qid"), col("embedding"))
+    val before = IvfIndex.searchIndexBinary(spark, path, q0, k = 5, nprobe = 8,
+      overfetch = 100000).collect().map(_.getLong(1)).toList
+    IvfIndex.compactIndex(spark, path)
+    // the hard-coded sidecar list lacked _binary.json: compaction used
+    // to drop the marker and break every subsequent binary search
+    val p = new org.apache.hadoop.fs.Path(path, "_binary.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(p), "_binary.json dropped by compaction")
+    val after = IvfIndex.searchIndexBinary(spark, path, q0, k = 5, nprobe = 8,
+      overfetch = 100000).collect().map(_.getLong(1)).toList
+    assert(after == before)
+  }
+
   test("searchIndexQuantized: semi-join fallback above maxPushdownIds gives identical results") {
     import graft.operators.Quantize
     val path = Files.createTempDirectory("ivf_sq_guard").toString
