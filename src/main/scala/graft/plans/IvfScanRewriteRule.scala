@@ -62,7 +62,8 @@ object IvfScanRewriteRule extends Rule[LogicalPlan] with RewriteSupport {
   private final case class Sidecars(model: IvfIndex.Model,
                                     quant: Option[(Double, Double)],
                                     pq: Option[ProductQuantizer.Model],
-                                    metric: String)
+                                    metric: String,
+                                    subDim: Option[Int])
 
   /** Sidecars per store path — immutable per write; a rebuild writes new
     * sidecars and should be re-read, so the cache keys on (path,
@@ -120,7 +121,7 @@ object IvfScanRewriteRule extends Rule[LogicalPlan] with RewriteSupport {
         at.name == "cell" && at.dataType == IntegerType)
       if !alreadyRewritten(child)
       path = fsRelation.location.rootPaths.head.toString
-      Sidecars(model, quantRange, pqModel, storeMetric) <- loadSidecars(relation, path)
+      Sidecars(model, quantRange, pqModel, storeMetric, subDim) <- loadSidecars(relation, path)
       // a cosine sort only prunes soundly on a cosine (normalized) store
       // and vice versa; an IP sort probes an L2 store's cells (the faiss
       // IVF-IP recipe — recall governed by nprobe, like pgvector
@@ -131,7 +132,14 @@ object IvfScanRewriteRule extends Rule[LogicalPlan] with RewriteSupport {
       // unit sphere; cosine itself is scale-invariant so the user's
       // rerank semantics are untouched)
       qvec = if (metric == "cosine") normalize(rawQvec) else rawQvec
-      if model.centroids.nonEmpty && model.centroids.head.length == qvec.length
+      // Matryoshka stores (_matryoshka.json) cluster in the PREFIX
+      // space: cells are probed with the query's first subDim dims and
+      // the coarse stage scores the stored `sub` column. Prefix
+      // geometry only orders L2 soundly, so other metrics fall through
+      // to the exact scan.
+      if subDim.forall(_ => metric == "l2")
+      probeVec = subDim.map(d => qvec.take(d)).getOrElse(qvec)
+      if model.centroids.nonEmpty && model.centroids.head.length == probeVec.length
     } yield {
       val idCol = conf("spark.graft.ann.idCol", "vec_id")
       val idAttrOpt = relation.output.find(_.name == idCol)
@@ -163,11 +171,14 @@ object IvfScanRewriteRule extends Rule[LogicalPlan] with RewriteSupport {
       // the predicate the leaf sees and could still return < k rows, so
       // those shapes keep the user's exact scan instead.
       val filters = if (iterative) child.collect { case f: Filter => f } else Nil
+      // the iterative escalation leaf probes with the FULL query vector
+      // against the sidecar centroids — it is not sub-aware, so filtered
+      // shapes over a Matryoshka store stand down to the exact scan
       val userFilter = filters match {
         case Seq(f @ Filter(cond, r: LogicalRelation))
             if (r eq relation) && cond.references.subsetOf(relation.outputSet) &&
               !cond.references.exists(_.name == "cell") &&
-              cond.deterministic => Some(f)
+              cond.deterministic && subDim.isEmpty => Some(f)
         case _ => None
       }
       userFilter match {
@@ -186,7 +197,7 @@ object IvfScanRewriteRule extends Rule[LogicalPlan] with RewriteSupport {
           None
         case None =>
           Some(rewriteFixedProbe(child, relation, cellAttr, distExpr, metric,
-            qvec, k, path, model, quantRange, pqModel, projList))
+            probeVec, k, path, model, quantRange, pqModel, subDim, projList))
       }
     }
   }.flatten
@@ -195,12 +206,16 @@ object IvfScanRewriteRule extends Rule[LogicalPlan] with RewriteSupport {
   // AttributeReference, but only equality and In() construction use it)
 
   /** The pre-0.8 fixed-probe index plan: static cell pruning + optional
-    * quantized coarse semi-join (exact within the probed cells). */
+    * quantized/prefix coarse semi-join (exact within the probed cells).
+    * `qvec` is the PROBE vector — the full query for ordinary stores,
+    * its first-subDim prefix for Matryoshka stores (whose SQ/PQ
+    * sidecars are absent by construction, so the full-dim coarse
+    * stages never see a truncated vector). */
   private def rewriteFixedProbe(child: LogicalPlan, relation: LogicalRelation,
       cellAttr: Attribute, distExpr: Expression, metric: String, qvec: Array[Double],
       k: Int, path: String, model: IvfIndex.Model,
       quantRange: Option[(Double, Double)], pqModel: Option[ProductQuantizer.Model],
-      projList: Seq[Attribute]): LogicalPlan = {
+      subDim: Option[Int], projList: Seq[Attribute]): LogicalPlan = {
       val nprobe = conf("spark.graft.ann.nprobe", "8").toInt
       val overfetch = conf("spark.graft.ann.overfetch", "4").toInt
       val cells = probedCells(model, qvec, nprobe)
@@ -232,8 +247,38 @@ object IvfScanRewriteRule extends Rule[LogicalPlan] with RewriteSupport {
         Join(pruned, right, LeftSemi,
           Some(EqualTo(idAttr, right.output.head)), JoinHint.NONE)
       }
-      val sub: LogicalPlan = pqCoarse.orElse(sqCoarse).getOrElse(pruned)
+      // Matryoshka coarse: prefix-space L2 over the stored `sub` column —
+      // the scan reads (id, sub) only (subDim/dim of the vector bytes);
+      // the user's Sort/Limit above reranks survivors at full precision
+      val subCoarse = for {
+        _ <- subDim
+        idAttr <- idAttrOpt
+        if metric == "l2" && relation.output.exists(_.name == "sub")
+      } yield {
+        val right = coarsePlanSub(path, qvec, cells, k * overfetch, idCol)
+        Join(pruned, right, LeftSemi,
+          Some(EqualTo(idAttr, right.output.head)), JoinHint.NONE)
+      }
+      val sub: LogicalPlan = pqCoarse.orElse(sqCoarse).orElse(subCoarse).getOrElse(pruned)
       child.transformUp { case r: LogicalRelation if r eq relation => sub }
+  }
+
+  /** Prefix-space coarse candidate subplan for Matryoshka stores:
+    * probed cells scored by L2 in the first-subDim dims reading only
+    * (id, sub) — [[coarsePlan]]'s shape with the byte cut from column
+    * pruning instead of integer codes. `qsub` is already truncated. */
+  private def coarsePlanSub(path: String, qsub: Array[Double], cells: Seq[Int],
+      n: Int, idCol: String): LogicalPlan = {
+    val spark = SparkSession.active
+    val store = spark.read.parquet(path)
+    val coarse = store
+      .where(col("cell").isin(cells: _*))
+      .select(col(idCol),
+        VectorExpressions.vecL2Sq(col("sub"), typedlit(qsub.toSeq)).as("__qdist"))
+      .orderBy(col("__qdist"), col(idCol))
+      .limit(n)
+      .select(col(idCol))
+    coarse.queryExecution.analyzed
   }
 
   /** Follow an attribute through Project aliases down to the expression
@@ -292,7 +337,11 @@ object IvfScanRewriteRule extends Rule[LogicalPlan] with RewriteSupport {
           if (fs.exists(new org.apache.hadoop.fs.Path(path, "_pq.json")))
             Some(ProductQuantizer.readModel(spark, path))
           else None
-        val v = Sidecars(model, range, pq, IvfIndex.readMetric(spark, path))
+        val subDim =
+          if (fs.exists(new org.apache.hadoop.fs.Path(path, "_matryoshka.json")))
+            Some(IvfIndex.readSubDim(spark, path))
+          else None
+        val v = Sidecars(model, range, pq, IvfIndex.readMetric(spark, path), subDim)
         cache.put(path, (stamp, v))
         Some(v)
     }

@@ -79,6 +79,63 @@ class IvfRewriteSpec extends SparkSpec {
     path
   }
 
+  private lazy val subStore: String = {
+    val path = Files.createTempDirectory("ivf_rw_sub").toString
+    val m = IvfIndex.trainSub(e, subDim = 16, k = 8, iters = 2)
+    IvfIndex.writeIndexSub(e, m, path, subDim = 16)
+    path
+  }
+
+  test("matryoshka store: prefix-probed cells + sub-column coarse semi join; full probe exact") {
+    withRule {
+      val q = annQuery(subStore, 5)
+      val optimized = q.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("LeftSemi"), optimized.take(2000))
+      val physical = q.queryExecution.executedPlan.toString
+      assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(physical).nonEmpty,
+        physical.take(3000))
+      // the coarse branch reads the 16-dim prefix, never the full column
+      val coarseScans = "ReadSchema: [^\n]*".r.findAllIn(physical).toList
+        .filter(_.contains("sub"))
+      assert(coarseScans.nonEmpty && coarseScans.forall(!_.contains("embedding")),
+        coarseScans.mkString("\n"))
+      val rows = q.collect()
+      assert(rows.length == 5 && rows.head.getLong(0) == 7L && rows.head.getDouble(1) == 0.0)
+      // full probe + covering overfetch == the exact answer through SQL
+      conf("spark.graft.ann.nprobe" -> "8", "spark.graft.ann.overfetch" -> "100000") {
+        val got = annQuery(subStore, 5).collect()
+          .map(r => (r.getLong(0), BigDecimal(r.getDouble(1)).setScale(4,
+            BigDecimal.RoundingMode.HALF_UP))).toList
+        val exact = Knn.topK(e, e.where(col("vec_id") === 7), Knn.L2, 5)
+          .collect().map(r => (r.getLong(0), BigDecimal(r.getDouble(1)).setScale(4,
+            BigDecimal.RoundingMode.HALF_UP))).toList
+        assert(got == exact, s"got=$got exact=$exact")
+      }
+    }
+  }
+
+  test("matryoshka store: a riding filter stands down (iterative leaf is not sub-aware)") {
+    withRule {
+      GraftFunctions.register(spark)
+      spark.read.parquet(subStore).createOrReplaceTempView("ivf_rw_sub_v")
+      val vecLit = s"array(${queryVec.map(d => s"${d}D").mkString(", ")})"
+      val q = spark.sql(
+        s"""SELECT vec_id, round(vec_l2(embedding, $vecLit), 4) AS dist
+           |FROM ivf_rw_sub_v WHERE vec_id % 7 = 0
+           |ORDER BY vec_l2(embedding, $vecLit), vec_id LIMIT 5""".stripMargin)
+      val opt = q.queryExecution.optimizedPlan.toString
+      assert(!opt.contains("IvfIterativeFilteredScan"), opt.take(2000))
+      assert("cell#\\d+ IN(SET)?\\b".r.findFirstIn(opt).isEmpty, opt.take(2000))
+      // the untouched exact scan answers correctly
+      val got = q.collect().map(_.getLong(0)).toList
+      val exact = e.where("vec_id % 7 = 0")
+        .select(col("vec_id"),
+          VectorFunctions.l2Distance(col("embedding"), typedlit(queryVec)).as("d"))
+        .orderBy(col("d"), col("vec_id")).limit(5).collect().map(_.getLong(0)).toList
+      assert(got == exact, s"got=$got exact=$exact")
+    }
+  }
+
   test("IVF-PQ store: coarse stage is ADC over pq_codes (round-7 per-query tables in plan space)") {
     withRule {
       val q = annQuery(pqStore, 5)
