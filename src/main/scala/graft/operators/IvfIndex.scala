@@ -709,6 +709,100 @@ object IvfIndex {
       .select(col(queryIdCol), col(idCol), col("dist"), col("rn").cast("long").as("rn"))
   }
 
+  final case class ReassignReport(rows: Long, moved: Long,
+                                  cellsRewritten: Int, cellsTotal: Int)
+
+  /** PARTIAL re-clustering of a persisted index under a retrained
+    * model — the 100 TB alternative to a full [[writeIndex]] rebuild: a
+    * full rebuild rewrites every byte of the store, but after modest
+    * drift most rows keep their cell, so only the partitions whose
+    * MEMBERSHIP changed (either side of any move) need rewriting. Rows
+    * are re-assigned under `newModel`; the moved-row batch is staged to
+    * a sibling directory partitioned by new cell, and then exactly the
+    * changed `cell=` partitions are swapped in (old partition retired →
+    * staged partition renamed in → retire dir dropped; on entry a
+    * stranded retire dir from a crashed previous swap is restored
+    * first, the [[graft.sources.Compaction]] recovery pattern). The
+    * centroid sidecar is rewritten last, so a crash before the swap
+    * completes never leaves searches probing cells the sidecar doesn't
+    * describe.
+    *
+    * Store families: plain, SQ (qvec is range-coded, cell-independent),
+    * binary (sign-coded), cosine (stored vectors are normalized — train
+    * `newModel` on normalized data), and Matryoshka (assignment runs on
+    * the stored `sub` prefix; `newModel` must be subDim-dimensional).
+    * PQ stores are REFUSED: their codes quantize the residual against
+    * the row's cell centroid, so a moved row's codes go stale — a PQ
+    * re-clustering is a rebuild ([[writeIndexPq]]) by construction. */
+  def reassignIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                    newModel: Model,
+                    idCol: String = "vec_id", embCol: String = "embedding"): ReassignReport = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(root, "_pq.json")),
+      "reassignIndex: PQ stores code residuals against their cell centroid — " +
+        "moved rows would carry stale codes; rebuild with writeIndexPq instead")
+    val isSub = fs.exists(new org.apache.hadoop.fs.Path(root, "_matryoshka.json"))
+    val assignCol = if (isSub) col("sub") else col(embCol)
+    if (isSub) {
+      val d = readSubDim(spark, path)
+      require(newModel.centroids.headOption.forall(_.length == d),
+        s"reassignIndex: Matryoshka store has subDim $d but the new model is " +
+          s"${newModel.centroids.headOption.map(_.length)}-dimensional (trainSub)")
+    }
+    val staging = new org.apache.hadoop.fs.Path(root.getParent,
+      root.getName + "__reassign_staging")
+    val retired = new org.apache.hadoop.fs.Path(root.getParent,
+      root.getName + "__reassign_retired")
+    // recover a crashed previous swap: any retired cell missing from the
+    // store is the data's only copy — restore it before anything else
+    if (fs.exists(retired)) {
+      fs.listStatus(retired).foreach { st =>
+        val dest = new org.apache.hadoop.fs.Path(root, st.getPath.getName)
+        if (!fs.exists(dest) && !fs.rename(st.getPath, dest))
+          throw new java.io.IOException(
+            s"reassignIndex: could not restore stranded ${st.getPath}")
+      }
+      fs.delete(retired, true)
+    }
+    fs.delete(staging, true)
+
+    val assigned = spark.read.parquet(path)
+      .withColumn("__new", cellOf(assignCol, newModel))
+    val stats = assigned.agg(count(lit(1)).as("rows"),
+      sum(when(col("cell") =!= col("__new"), 1L).otherwise(0L)).as("moved")).head()
+    val (rows, moved) = (stats.getLong(0), stats.getLong(1))
+    val movePairs = assigned.where(col("cell") =!= col("__new"))
+      .select(col("cell"), col("__new")).distinct().collect()
+    val changed: Set[Int] =
+      movePairs.flatMap(r => Seq(r.getInt(0), r.getInt(1))).toSet
+    if (changed.nonEmpty) {
+      // the new content of every changed partition, staged off to the side
+      // (reads the live store — it is not mutated until the swap below)
+      assigned.where(col("__new").isin(changed.toSeq.map(_.asInstanceOf[Any]): _*))
+        .drop("cell").withColumnRenamed("__new", "cell")
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(staging.toString)
+      fs.mkdirs(retired)
+      changed.toSeq.sorted.foreach { c =>
+        val dest = new org.apache.hadoop.fs.Path(root, s"cell=$c")
+        val stage = new org.apache.hadoop.fs.Path(staging, s"cell=$c")
+        if (fs.exists(dest) &&
+            !fs.rename(dest, new org.apache.hadoop.fs.Path(retired, s"cell=$c")))
+          throw new java.io.IOException(s"reassignIndex: could not retire $dest")
+        // a changed cell can drain to zero rows — then there is nothing
+        // staged and the retire above already removed it
+        if (fs.exists(stage) && !fs.rename(stage, dest))
+          throw new java.io.IOException(s"reassignIndex: could not install $stage")
+      }
+      fs.delete(retired, true)
+      fs.delete(staging, true)
+    }
+    val json = newModel.centroids.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    writeSidecar(spark, path, "_centroids.json", json)
+    ReassignReport(rows, moved, changed.size, newModel.k)
+  }
+
   /** Append vectors to a persisted Matryoshka index: slice the prefix
     * and assign cells under the EXISTING sidecar model, so appended rows
     * stay scan-compatible with both the coarse (sub) and rerank

@@ -340,6 +340,67 @@ class IvfStoreSpec extends SparkSpec {
     assert(after == before)
   }
 
+  test("reassignIndex: only changed cells rewritten; rows preserved; search stays exact") {
+    import graft.operators.Knn
+    val path = Files.createTempDirectory("ivf_reassign").toString
+    val e = Tables.embeddings(spark, sfDir)
+    val model = IvfIndex.train(e, k = 8, iters = 2)
+    IvfIndex.writeIndex(e, model, path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def listing(): Map[String, Long] = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(path), true)
+      val out = scala.collection.mutable.Map.empty[String, Long]
+      while (it.hasNext) { val f = it.next(); out(f.getPath.toString) = f.getModificationTime }
+      out.toMap
+    }
+
+    // identical model: a no-op — zero partitions rewritten, files untouched
+    val before = listing()
+    val rep0 = IvfIndex.reassignIndex(spark, path, model)
+    assert(rep0.moved == 0 && rep0.cellsRewritten == 0, rep0)
+    val dataBefore = before.view.filterKeys(!_.contains("_centroids")).toMap
+    val dataAfter0 = listing().view.filterKeys(!_.contains("_centroids")).toMap
+    assert(dataAfter0 == dataBefore, "no-op reassign rewrote data files")
+
+    // nudge ONE centroid toward its neighbor: membership can only change
+    // between the nudged cell and cells its boundary rows land in — the
+    // rest of the store must not be rewritten
+    val nudged = model.centroids.map(_.clone())
+    for (i <- nudged(0).indices)
+      nudged(0)(i) = 0.97 * model.centroids(0)(i) + 0.03 * model.centroids(1)(i)
+    val rep = IvfIndex.reassignIndex(spark, path, IvfIndex.Model(nudged))
+    assert(rep.rows == e.count(), rep)
+    assert(rep.moved > 0, "the nudge moved nothing — weak fixture")
+    assert(rep.cellsRewritten < 8, s"partial reassign rewrote every cell: $rep")
+    val after = listing().view.filterKeys(!_.contains("_centroids")).toMap
+    // at least one cell's files survive byte-identical (path + mtime)
+    val untouched = dataBefore.keySet.intersect(after.keySet)
+      .count(k => dataBefore(k) == after(k))
+    assert(untouched > 0, "no data file survived a partial reassign")
+    // rows preserved exactly (no loss, no duplication)
+    val ids = spark.read.parquet(path).groupBy(col("vec_id")).count()
+      .where(col("count") =!= 1).count()
+    assert(ids == 0, "reassign duplicated or dropped rows")
+    // sidecar now carries the nudged centroids and full-probe search is
+    // still the exact answer through the moved layout
+    assert(IvfIndex.readModel(spark, path).centroids(0).toSeq == nudged(0).toSeq)
+    val q0 = e.where(col("vec_id") === 0).select(col("vec_id").as("qid"), col("embedding"))
+    val got = IvfIndex.searchIndex(spark, path, q0, k = 5, nprobe = 8)
+      .collect().map(_.getLong(1)).toList
+    val exact = Knn.topK(e, e.where(col("vec_id") === 0), Knn.Cosine, 5)
+      .collect().map(_.getLong(0)).toList
+    assert(got == exact, s"got=$got exact=$exact")
+
+    // PQ stores are refused (stale residual codes)
+    val pqPath = Files.createTempDirectory("ivf_reassign_pq").toString
+    val pq = graft.operators.ProductQuantizer.trainResidual(e, model, m = 16, ksub = 16)
+    IvfIndex.writeIndexPq(e, model, pq, pqPath)
+    val err = intercept[IllegalArgumentException](
+      IvfIndex.reassignIndex(spark, pqPath, model))
+    assert(err.getMessage.contains("residual"), err.getMessage)
+  }
+
   test("searchIndexQuantized: semi-join fallback above maxPushdownIds gives identical results") {
     import graft.operators.Quantize
     val path = Files.createTempDirectory("ivf_sq_guard").toString
