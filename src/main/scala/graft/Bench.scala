@@ -77,7 +77,6 @@ object Bench {
           Map.empty
         }
       else Map.empty
-    val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
 
     // Per-query regression tracking against the committed floor
     // (BENCH_BASELINE.json, {query: seconds}): a query slower than 1.75×
@@ -109,11 +108,22 @@ object Bench {
       }
       suspect.foreach { n =>
         val again = timeQuery(n, selected(n), 2)
-        System.err.println(
-          f"[bench] re-measured $n: first ${results(n)}%.2fs, min-of-3 ${math.min(results(n), again)}%.2fs")
-        results = results.updated(n, math.min(results(n), again))
+        // a query that FAILS during re-measure keeps its original timing:
+        // `again` would be its time-to-exception (milliseconds), and the
+        // min would record a bogus speedup; the failure itself is flagged
+        // through `failed` (999 sentinel) below
+        if (failed.contains(n))
+          System.err.println(s"[bench] re-measure of $n FAILED; keeping first timing")
+        else {
+          System.err.println(
+            f"[bench] re-measured $n: first ${results(n)}%.2fs, min-of-3 ${math.min(results(n), again)}%.2fs")
+          results = results.updated(n, math.min(results(n), again))
+        }
       }
     }
+    // built AFTER the re-measure pass: a query that fails only there must
+    // still land in the failed array, not just the 999 regression entry
+    val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -720,12 +720,8 @@ object IvfIndex {
     * are re-assigned under `newModel`; the moved-row batch is staged to
     * a sibling directory partitioned by new cell, and then exactly the
     * changed `cell=` partitions are swapped in (old partition retired →
-    * staged partition renamed in → retire dir dropped; on entry a
-    * stranded retire dir from a crashed previous swap is restored
-    * first, the [[graft.sources.Compaction]] recovery pattern). The
-    * centroid sidecar is rewritten last, so a crash before the swap
-    * completes never leaves searches probing cells the sidecar doesn't
-    * describe.
+    * staged partition renamed in → staging then retire dir dropped).
+    * The centroid sidecar is rewritten last.
     *
     * Store families: plain, SQ (qvec is range-coded, cell-independent),
     * binary (sign-coded), cosine (stored vectors are normalized — train
@@ -733,16 +729,29 @@ object IvfIndex {
     * the stored `sub` prefix; `newModel` must be subDim-dimensional).
     * PQ stores are REFUSED: their codes quantize the residual against
     * the row's cell centroid, so a moved row's codes go stale — a PQ
-    * re-clustering is a rebuild ([[writeIndexPq]]) by construction. */
+    * re-clustering is a rebuild ([[writeIndexPq]]) by construction.
+    *
+    * Crash safety (single-writer contract, like the append family): the
+    * staged batch carries a `_plan.json` manifest naming every cell to
+    * rewrite or drain, written only after the parquet staging completed
+    * — it is the commit point. A crash at any later step leaves a state
+    * the next call ROLLS FORWARD deterministically from the manifest
+    * (install what's still staged, drop what drained) before starting
+    * its own work; a crash before the manifest leaves the store
+    * untouched and the partial staging is dropped. In-between states
+    * keep the OLD sidecar against a partially moved layout — searches
+    * stay exact within their probed cells (recall can dip until the
+    * roll-forward completes; no wrong rows). */
   def reassignIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                     newModel: Model,
                     idCol: String = "vec_id", embCol: String = "embedding"): ReassignReport = {
-    val root = new org.apache.hadoop.fs.Path(path)
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(!fs.exists(new org.apache.hadoop.fs.Path(root, "_pq.json")),
+    require(!fs.exists(new Path(root, "_pq.json")),
       "reassignIndex: PQ stores code residuals against their cell centroid — " +
         "moved rows would carry stale codes; rebuild with writeIndexPq instead")
-    val isSub = fs.exists(new org.apache.hadoop.fs.Path(root, "_matryoshka.json"))
+    val isSub = fs.exists(new Path(root, "_matryoshka.json"))
     val assignCol = if (isSub) col("sub") else col(embCol)
     if (isSub) {
       val d = readSubDim(spark, path)
@@ -750,32 +759,71 @@ object IvfIndex {
         s"reassignIndex: Matryoshka store has subDim $d but the new model is " +
           s"${newModel.centroids.headOption.map(_.length)}-dimensional (trainSub)")
     }
-    val staging = new org.apache.hadoop.fs.Path(root.getParent,
-      root.getName + "__reassign_staging")
-    val retired = new org.apache.hadoop.fs.Path(root.getParent,
-      root.getName + "__reassign_retired")
-    // recover a crashed previous swap: any retired cell missing from the
-    // store is the data's only copy — restore it before anything else
-    if (fs.exists(retired)) {
-      fs.listStatus(retired).foreach { st =>
-        val dest = new org.apache.hadoop.fs.Path(root, st.getPath.getName)
-        if (!fs.exists(dest) && !fs.rename(st.getPath, dest))
-          throw new java.io.IOException(
-            s"reassignIndex: could not restore stranded ${st.getPath}")
+    val staging = new Path(root.getParent, root.getName + "__reassign_staging")
+    val retired = new Path(root.getParent, root.getName + "__reassign_retired")
+    val planFile = new Path(staging, "_plan.json")
+
+    def swapFromPlan(rewrite: Seq[Int], drain: Seq[Int]): Unit = {
+      fs.mkdirs(retired)
+      // idempotent per cell, so a crashed swap re-runs from the manifest:
+      // a staged dir still present has not been installed; a live dest
+      // for a drain cell has not been removed
+      rewrite.foreach { c =>
+        val dest = new Path(root, s"cell=$c")
+        val stage = new Path(staging, s"cell=$c")
+        if (fs.exists(stage)) {
+          if (fs.exists(dest) && !fs.rename(dest, new Path(retired, s"cell=$c")))
+            throw new java.io.IOException(s"reassignIndex: could not retire $dest")
+          if (!fs.rename(stage, dest))
+            throw new java.io.IOException(s"reassignIndex: could not install $stage")
+        } // staged dir gone => this cell's install already completed
       }
+      drain.foreach { c =>
+        val dest = new Path(root, s"cell=$c")
+        if (fs.exists(dest) && !fs.rename(dest, new Path(retired, s"cell=$c")))
+          throw new java.io.IOException(s"reassignIndex: could not drain $dest")
+      }
+      // staging before retired: "retired without staging" then always
+      // means every install ran and the retire dir holds only superseded
+      // copies — safe to drop wholesale on recovery
+      fs.delete(staging, true)
       fs.delete(retired, true)
     }
-    fs.delete(staging, true)
+
+    // ── crash recovery: finish the previous attempt before this one ──
+    if (fs.exists(staging)) {
+      if (fs.exists(planFile)) {
+        // manifest present = the previous swap may have started: roll it
+        // FORWARD (the staged batch is the complete new content of every
+        // cell it names; installing the remainder is the only state that
+        // loses nothing regardless of where the crash hit)
+        val txt = {
+          val in = fs.open(planFile)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        }
+        def ints(key: String): Seq[Int] =
+          (s""""$key"\\s*:\\s*\\[([0-9,\\s]*)\\]""").r.findFirstMatchIn(txt)
+            .map(_.group(1).split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq)
+            .getOrElse(Seq.empty)
+        swapFromPlan(ints("rewrite"), ints("drain"))
+      } else {
+        // no manifest = the staging write itself crashed; the store was
+        // never touched
+        fs.delete(staging, true)
+      }
+    }
+    if (fs.exists(retired)) fs.delete(retired, true)
 
     val assigned = spark.read.parquet(path)
       .withColumn("__new", cellOf(assignCol, newModel))
-    val stats = assigned.agg(count(lit(1)).as("rows"),
-      sum(when(col("cell") =!= col("__new"), 1L).otherwise(0L)).as("moved")).head()
-    val (rows, moved) = (stats.getLong(0), stats.getLong(1))
-    val movePairs = assigned.where(col("cell") =!= col("__new"))
-      .select(col("cell"), col("__new")).distinct().collect()
+    // one corpus pass: (old, new) pair counts — ≤ oldK·newK rows — give
+    // the row total, the moved count, and the changed-cell set at once
+    val pairCounts = assigned.groupBy(col("cell"), col("__new")).count().collect()
+    val rows = pairCounts.map(_.getLong(2)).sum
+    val movedPairs = pairCounts.filter(r => r.getInt(0) != r.getInt(1))
+    val moved = movedPairs.map(_.getLong(2)).sum
     val changed: Set[Int] =
-      movePairs.flatMap(r => Seq(r.getInt(0), r.getInt(1))).toSet
+      movedPairs.flatMap(r => Seq(r.getInt(0), r.getInt(1))).toSet
     if (changed.nonEmpty) {
       // the new content of every changed partition, staged off to the side
       // (reads the live store — it is not mutated until the swap below)
@@ -783,20 +831,18 @@ object IvfIndex {
         .drop("cell").withColumnRenamed("__new", "cell")
         .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(staging.toString)
-      fs.mkdirs(retired)
-      changed.toSeq.sorted.foreach { c =>
-        val dest = new org.apache.hadoop.fs.Path(root, s"cell=$c")
-        val stage = new org.apache.hadoop.fs.Path(staging, s"cell=$c")
-        if (fs.exists(dest) &&
-            !fs.rename(dest, new org.apache.hadoop.fs.Path(retired, s"cell=$c")))
-          throw new java.io.IOException(s"reassignIndex: could not retire $dest")
-        // a changed cell can drain to zero rows — then there is nothing
-        // staged and the retire above already removed it
-        if (fs.exists(stage) && !fs.rename(stage, dest))
-          throw new java.io.IOException(s"reassignIndex: could not install $stage")
-      }
-      fs.delete(retired, true)
-      fs.delete(staging, true)
+      val stagedCells: Set[Int] = fs.listStatus(staging)
+        .map(_.getPath.getName).collect { case n if n.startsWith("cell=") =>
+          n.stripPrefix("cell=").toInt }.toSet
+      val rewrite = changed.intersect(stagedCells).toSeq.sorted
+      val drain = (changed -- stagedCells).toSeq.sorted
+      // the commit point: from here a crash rolls forward
+      val out = fs.create(planFile, true)
+      try out.write(
+        s"""{"rewrite":[${rewrite.mkString(",")}],"drain":[${drain.mkString(",")}]}"""
+          .getBytes("UTF-8"))
+      finally out.close()
+      swapFromPlan(rewrite, drain)
     }
     val json = newModel.centroids.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
     writeSidecar(spark, path, "_centroids.json", json)

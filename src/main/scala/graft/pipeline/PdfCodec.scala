@@ -494,9 +494,10 @@ object PdfCodec {
         require(v != 4 || aes || """/CFM\s*/V2(?![a-zA-Z])""".r.findFirstIn(enc).isDefined,
           "PdfCodec: encrypted PDF: /V 4 requires /CFM /V2 or /AESV2 (AESV3/others unsupported)")
         // key length: AESV2 is 128-bit by definition; a V4 /V2 crypt
-        // filter carries /Length in BYTES inside /CF (some writers use
-        // bits — >40 disambiguates, the PDFBox heuristic); V1 fixes 5;
-        // else the top-level /Length in bits
+        // filter carries /Length inside /CF in BYTES or BITS depending
+        // on the writer — values >= 40 can only be bits (40 bytes would
+        // be an illegal 320-bit RC4 key), the PDFBox disambiguation;
+        // V1 fixes 5; else the top-level /Length in bits
         val keyBytes =
           if (v == 1) 5
           else if (v == 4 && aes) 16

@@ -401,6 +401,55 @@ class IvfStoreSpec extends SparkSpec {
     assert(err.getMessage.contains("residual"), err.getMessage)
   }
 
+  test("reassignIndex crash recovery: a mid-swap crash rolls forward losing nothing") {
+    // fabricate the worst interrupted state: rows X (cell 1 → 0) and Y
+    // (cell 0 → 1) swap homes; the crash hits after cell 0's install but
+    // before cell 1's, so Y's ONLY copy lives in the staging dir and X
+    // transiently exists in both cells. The pre-manifest recovery deleted
+    // staging (Y lost forever) and kept X duplicated; the manifest
+    // roll-forward must restore the exact 500-row multiset.
+    val path = Files.createTempDirectory("ivf_crash").toString
+    val e = Tables.embeddings(spark, sfDir)
+    val model = IvfIndex.train(e, k = 8, iters = 2)
+    IvfIndex.writeIndex(e, model, path)
+    val store = spark.read.parquet(path)
+    val c0 = store.where(col("cell") === 0).drop("cell")
+    val c1 = store.where(col("cell") === 1).drop("cell")
+    val yId = c0.agg(min(col("vec_id"))).head().getLong(0)
+    val xId = c1.agg(min(col("vec_id"))).head().getLong(0)
+    val staging = path + "__reassign_staging"
+    // staged new content: cell 0 gains X and loses Y, cell 1 vice versa
+    c0.where(col("vec_id") =!= yId).union(c1.where(col("vec_id") === xId))
+      .coalesce(1).write.parquet(staging + "/cell=0")
+    c1.where(col("vec_id") =!= xId).union(c0.where(col("vec_id") === yId))
+      .coalesce(1).write.parquet(staging + "/cell=1")
+    java.nio.file.Files.write(java.nio.file.Paths.get(staging, "_plan.json"),
+      """{"rewrite":[0,1],"drain":[]}""".getBytes("UTF-8"))
+    // complete the swap for cell 0 only, then "crash"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val retired = new org.apache.hadoop.fs.Path(path + "__reassign_retired")
+    fs.mkdirs(retired)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(path, "cell=0"),
+      new org.apache.hadoop.fs.Path(retired, "cell=0")))
+    assert(fs.rename(new org.apache.hadoop.fs.Path(staging, "cell=0"),
+      new org.apache.hadoop.fs.Path(path, "cell=0")))
+    // interrupted state: Y is gone from the store, X is duplicated
+    val interim = spark.read.parquet(path)
+    assert(interim.where(col("vec_id") === yId).count() == 0)
+    assert(interim.where(col("vec_id") === xId).count() == 2)
+    // the next maintenance call must roll forward before its own work
+    val rep = IvfIndex.reassignIndex(spark, path, model)
+    val after = spark.read.parquet(path)
+    assert(after.count() == 500, s"row count ${after.count()}")
+    assert(after.select(col("vec_id")).distinct().count() == 500, "dup/lost ids")
+    assert(after.where(col("vec_id") === yId).count() == 1)
+    assert(after.where(col("vec_id") === xId).count() == 1)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(staging)) &&
+      !fs.exists(retired), "leftover staging/retired dirs")
+    assert(rep.rows == 500, rep)
+  }
+
   test("searchIndexQuantized: semi-join fallback above maxPushdownIds gives identical results") {
     import graft.operators.Quantize
     val path = Files.createTempDirectory("ivf_sq_guard").toString

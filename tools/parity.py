@@ -56,10 +56,24 @@ for name, sql in sorted(oracle.items()):
     # equality says they're equal.  Scale/serialization mismatches in
     # DECIMAL output columns MUST fail here, or local green doesn't
     # predict driver green (the round-5 false "tri-SF green").
-    import numpy as np, decimal, math
+    import numpy as np, decimal, math, datetime as _dt
+    import pandas as _pd2
     def canon(v):
         if isinstance(v, (np.ndarray, list, tuple)):
             return "[" + ",".join(canon(x) for x in v) + "]"
+        # pyarrow yields tz-AWARE Timestamps for Spark parquet timestamps
+        # (isAdjustedToUTC) while duckdb fetchdf yields naive datetime64 —
+        # normalize both to naive-UTC ISO strings so the asymmetric read
+        # paths can't false-fail a matching timestamp column
+        if isinstance(v, _pd2.Timestamp) or isinstance(v, _dt.datetime):
+            t = _pd2.Timestamp(v)
+            if t.tzinfo is not None:
+                t = t.tz_convert("UTC").tz_localize(None)
+            return "ts:" + t.isoformat()
+        if isinstance(v, np.datetime64):
+            return "ts:" + _pd2.Timestamp(v).isoformat()
+        if isinstance(v, _dt.date):
+            return "date:" + v.isoformat()
         if isinstance(v, decimal.Decimal):
             return "dec:" + str(v)
         if isinstance(v, (float, np.floating)):
