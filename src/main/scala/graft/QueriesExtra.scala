@@ -448,6 +448,40 @@ object QueriesExtra {
       },
       Some(annExactL2Sql)),
 
+    // pgvector 0.8's two headline recipes COMPOSED through SQL: an
+    // iterative filtered scan over the subvector (Matryoshka) index —
+    // the sub-aware leaf probes cells with the query PREFIX, and the
+    // starved predicate (5 survivors < k = 10) forces full-probe
+    // exhaustion, so the answer is EXACT over the filtered corpus and
+    // the whole prefix-probe/escalate/exhaust path is hash-gated.
+    "q_knn_matryoshka_sql" -> QueryDef(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val dir = Fixtures.memo(s"ivf_sub_idx:$d") {
+          val model = IvfIndex.trainSub(e, subDim = 16, k = 16, iters = 3)
+          val dr = java.nio.file.Files.createTempDirectory("ivf_sub_q").toString
+          IvfIndex.writeIndexSub(e, model, dr, subDim = 16)
+          dr
+        }
+        val qv = e.where(col("vec_id") === 7)
+          .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+        val vlit = s"array(${qv.map(x => s"${x}D").mkString(",")})"
+        GraftFunctions.register(s)
+        s.read.parquet(dir).createOrReplaceTempView("ivf_sub_sql_v")
+        s.sql(
+          s"""SELECT vec_id, round(vec_l2(embedding, $vlit), 4) AS dist
+             |FROM ivf_sub_sql_v WHERE vec_id % 97 = 0 AND vec_id < 400
+             |ORDER BY vec_l2(embedding, $vlit), vec_id LIMIT 10""".stripMargin)
+      },
+      Some("""WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 7),
+             |f AS (SELECT vec_id, embedding FROM embeddings
+             |      WHERE vec_id % 97 = 0 AND vec_id < 400)
+             |SELECT f.vec_id,
+             |  round(list_distance(f.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS dist
+             |FROM f CROSS JOIN q
+             |ORDER BY list_distance(f.embedding::DOUBLE[], q.embedding::DOUBLE[]), f.vec_id
+             |LIMIT 10""".stripMargin)),
+
     // Persisted IVF-PQ index: full probe + covering overfetch == exact
     // L2 top-k THROUGH the residual ADC coarse scan and rerank pushdown.
     "q_ann_ivfpq_exact" -> QueryDef(

@@ -40,7 +40,8 @@ case class IvfIterativeFilteredScan(
     qvec: Seq[Double],
     pred: Expression,
     k: Int,
-    nprobe: Int) extends LeafNode {
+    nprobe: Int,
+    subDim: Option[Int] = None) extends LeafNode {
   override def producedAttributes: AttributeSet = outputSet ++ pred.references
   // post-escalation size is unknowable at plan time; this leaf only ever
   // sits under the matched Sort/Limit, so a conservative guess is safe
@@ -62,7 +63,8 @@ case class IvfIterativeFilteredScanExec(
     qvec: Seq[Double],
     pred: Expression,
     k: Int,
-    nprobe: Int) extends LeafExecNode {
+    nprobe: Int,
+    subDim: Option[Int]) extends LeafExecNode {
 
   override def producedAttributes: AttributeSet = outputSet ++ pred.references
 
@@ -70,8 +72,17 @@ case class IvfIterativeFilteredScanExec(
     val spark = SparkSession.active
     val model = IvfIndex.readModel(spark, path)
     val kc = model.centroids.length
+    // Matryoshka stores cluster in the PREFIX space: probe with the
+    // query's first-subDim dims (the rule passes the sidecar value).
+    // The escalation/exactness contract is untouched — prefix cells
+    // only steer WHICH partitions each round reads, and exhaustion is
+    // the plain filtered scan either way.
+    val probeVec = subDim.map(d => qvec.toArray.take(d)).getOrElse(qvec.toArray)
+    require(model.centroids.headOption.forall(_.length == probeVec.length),
+      s"IvfIterativeFilteredScanExec: probe dim ${probeVec.length} != centroid dim " +
+        s"${model.centroids.headOption.map(_.length)} at $path")
     def probe(cur: Int): DataFrame =
-      IvfIterativeScan.probePlan(spark, path, model.centroids, qvec.toArray, pred, cur)
+      IvfIterativeScan.probePlan(spark, path, model.centroids, probeVec, pred, cur)
     var cur = math.max(1, math.min(nprobe, kc))
     var satisfied = false
     while (!satisfied && cur < kc) {
@@ -121,7 +132,8 @@ object IvfIterativeScan {
 object IvfIterativeScanStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case s: IvfIterativeFilteredScan =>
-      IvfIterativeFilteredScanExec(s.output, s.path, s.qvec, s.pred, s.k, s.nprobe) :: Nil
+      IvfIterativeFilteredScanExec(s.output, s.path, s.qvec, s.pred, s.k, s.nprobe,
+        s.subDim) :: Nil
     case _ => Nil
   }
 }

@@ -171,14 +171,11 @@ object IvfScanRewriteRule extends Rule[LogicalPlan] with RewriteSupport {
       // the predicate the leaf sees and could still return < k rows, so
       // those shapes keep the user's exact scan instead.
       val filters = if (iterative) child.collect { case f: Filter => f } else Nil
-      // the iterative escalation leaf probes with the FULL query vector
-      // against the sidecar centroids — it is not sub-aware, so filtered
-      // shapes over a Matryoshka store stand down to the exact scan
       val userFilter = filters match {
         case Seq(f @ Filter(cond, r: LogicalRelation))
             if (r eq relation) && cond.references.subsetOf(relation.outputSet) &&
               !cond.references.exists(_.name == "cell") &&
-              cond.deterministic && subDim.isEmpty => Some(f)
+              cond.deterministic => Some(f)
         case _ => None
       }
       userFilter match {
@@ -186,8 +183,11 @@ object IvfScanRewriteRule extends Rule[LogicalPlan] with RewriteSupport {
           val nprobe0 = conf("spark.graft.ann.nprobe", "8").toInt
           val leafOut = relation.output.filter(at =>
             keep.contains(at) || f.condition.references.contains(at))
+          // the FULL query vector rides the leaf (the user's rerank Sort
+          // needs nothing from us); subDim tells its exec to probe cells
+          // in the prefix space on Matryoshka stores
           val leaf = IvfIterativeFilteredScan(leafOut, path, qvec.toSeq,
-            f.condition, k, nprobe0)
+            f.condition, k, nprobe0, subDim)
           Some(child.transformUp { case n if n eq f => leaf })
         case None if iterative && filters.nonEmpty =>
           // filtered shape the escalation leaf can't cover soundly —

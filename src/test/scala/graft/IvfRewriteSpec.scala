@@ -114,25 +114,41 @@ class IvfRewriteSpec extends SparkSpec {
     }
   }
 
-  test("matryoshka store: a riding filter stands down (iterative leaf is not sub-aware)") {
-    withRule {
-      GraftFunctions.register(spark)
-      spark.read.parquet(subStore).createOrReplaceTempView("ivf_rw_sub_v")
-      val vecLit = s"array(${queryVec.map(d => s"${d}D").mkString(", ")})"
-      val q = spark.sql(
-        s"""SELECT vec_id, round(vec_l2(embedding, $vecLit), 4) AS dist
-           |FROM ivf_rw_sub_v WHERE vec_id % 7 = 0
-           |ORDER BY vec_l2(embedding, $vecLit), vec_id LIMIT 5""".stripMargin)
-      val opt = q.queryExecution.optimizedPlan.toString
-      assert(!opt.contains("IvfIterativeFilteredScan"), opt.take(2000))
-      assert("cell#\\d+ IN(SET)?\\b".r.findFirstIn(opt).isEmpty, opt.take(2000))
-      // the untouched exact scan answers correctly
-      val got = q.collect().map(_.getLong(0)).toList
-      val exact = e.where("vec_id % 7 = 0")
-        .select(col("vec_id"),
-          VectorFunctions.l2Distance(col("embedding"), typedlit(queryVec)).as("d"))
-        .orderBy(col("d"), col("vec_id")).limit(5).collect().map(_.getLong(0)).toList
-      assert(got == exact, s"got=$got exact=$exact")
+  test("matryoshka store: a riding filter lowers to the SUB-AWARE iterative leaf") {
+    // pgvector 0.8's two headline recipes composed: iterative filtered
+    // scans over a subvector index — the leaf probes cells with the
+    // query PREFIX and a starved predicate escalates to the exact
+    // filtered answer
+    spark.experimental.extraStrategies =
+      spark.experimental.extraStrategies :+ graft.plans.IvfIterativeScanStrategy
+    try withRule {
+      conf("spark.graft.ann.nprobe" -> "1") {
+        GraftFunctions.register(spark)
+        spark.read.parquet(subStore).createOrReplaceTempView("ivf_rw_sub_v")
+        val vecLit = s"array(${queryVec.map(d => s"${d}D").mkString(", ")})"
+        val q = spark.sql(
+          s"""SELECT vec_id, round(vec_l2(embedding, $vecLit), 4) AS dist
+             |FROM ivf_rw_sub_v WHERE vec_id % 97 = 0 AND vec_id < 400
+             |ORDER BY vec_l2(embedding, $vecLit), vec_id LIMIT 10""".stripMargin)
+        val leaf = q.queryExecution.optimizedPlan.collectFirst {
+          case s: graft.plans.IvfIterativeFilteredScan => s
+        }.getOrElse(fail("sub-aware iterative leaf not planted"))
+        assert(leaf.subDim.contains(16), leaf.toString.take(500))
+        // 5 survivors < k = 10 forces full-probe exhaustion: exact over
+        // the filtered corpus, through the prefix-space probing
+        val got = q.collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+        val exact = e.where("vec_id % 97 = 0 AND vec_id < 400")
+          .select(col("vec_id"),
+            round(VectorFunctions.l2Distance(col("embedding"), typedlit(queryVec)), 4).as("d"))
+          .orderBy(col("d"), col("vec_id")).limit(10)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+        assert(got == exact, s"got=$got exact=$exact")
+        assert(got.size == 5)
+      }
+    } finally {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies
+          .filterNot(_ eq graft.plans.IvfIterativeScanStrategy)
     }
   }
 
