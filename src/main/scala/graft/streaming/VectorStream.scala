@@ -79,6 +79,62 @@ object VectorStream {
      else writer.trigger(Trigger.ProcessingTime("10 seconds"))).start()
   }
 
+  /** Create a streaming MATRYOSHKA store: the [[initQuantizedStore]]
+    * layout (batch_id=-1 corpus + sidecars) with the prefix `sub`
+    * column instead of integer codes — searches go through
+    * [[graft.operators.IvfIndex.searchIndexSub]] unchanged (cell is the
+    * second-level partition, so `cell IN` pruning survives the
+    * batch_id layer). `model` must be subDim-dimensional (trainSub). */
+  def initSubStore(corpus: DataFrame, model: IvfIndex.Model, path: String,
+                   subDim: Int): Unit = {
+    require(model.centroids.headOption.forall(_.length == subDim),
+      s"initSubStore: model dim ${model.centroids.headOption.map(_.length)} != subDim $subDim")
+    writeBatchSub(corpus, model, path, subDim, batchId = -1L, overwriteAll = true)
+    val json = model.centroids.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    writeSidecarVia(corpus.sparkSession, path, "_centroids.json", json)
+    writeSidecarVia(corpus.sparkSession, path, "_matryoshka.json", s"""{"subDim":$subDim}""")
+  }
+
+  private def writeBatchSub(vecs: DataFrame, model: IvfIndex.Model, path: String,
+                            subDim: Int, batchId: Long,
+                            overwriteAll: Boolean = false): Unit = {
+    val sub = slice(col("embedding"), 1, subDim)
+    val w = vecs.select(col("vec_id"), col("embedding"), sub.as("sub"),
+        IvfIndex.cellOf(sub, model).as("cell"))
+      .withColumn("batch_id", lit(batchId))
+      .repartition(col("cell"))
+      .write.mode("overwrite")
+      .partitionBy("batch_id", "cell")
+    (if (overwriteAll) w else w.option("partitionOverwriteMode", "dynamic"))
+      .parquet(path)
+  }
+
+  /** foreachBatch body for Matryoshka ingest — replay-idempotent via the
+    * dynamic batch_id partition overwrite, like [[quantizedIngestBatch]]. */
+  def subIngestBatch(indexPath: String)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val model = IvfIndex.readModel(spark, indexPath)
+    val subDim = IvfIndex.readSubDim(spark, indexPath)
+    writeBatchSub(batch, model, indexPath, subDim, batchId)
+  }
+
+  /** Start the Matryoshka ingest stream: new embedding files in
+    * `inputDir` append into the sub store at `indexPath` (created by
+    * [[initSubStore]]). */
+  def startSubIngest(spark: SparkSession, inputDir: String, indexPath: String,
+                     checkpointDir: String,
+                     availableNow: Boolean = false): StreamingQuery = {
+    val raw = spark.readStream
+      .schema(inputSchema)
+      .option("maxFilesPerTrigger", "16")
+      .parquet(inputDir)
+    val writer = raw.writeStream
+      .foreachBatch(subIngestBatch(indexPath) _)
+      .option("checkpointLocation", checkpointDir)
+    (if (availableNow) writer.trigger(Trigger.AvailableNow())
+     else writer.trigger(Trigger.ProcessingTime("10 seconds"))).start()
+  }
+
   /** foreachBatch body for STREAMING SEMANTIC DEDUP — SemDeDup in the
     * ingest stream: a micro-batch is first deduped against ITSELF
     * (cell-blocked cosine pairs under the store's own sidecar quantizer,

@@ -44,6 +44,41 @@ class VectorStreamSpec extends SparkSpec {
     assert(afterTwice == afterOnce, "replayed batch must overwrite, not append")
   }
 
+  test("streamed batches land in the Matryoshka store; prefix search sees them; replay converges") {
+    val e = Tables.embeddings(spark, sfDir)
+    val model = IvfIndex.trainSub(e, subDim = 16, k = 8, iters = 2)
+    val store = Files.createTempDirectory("vsub_store").toString
+    val in = Files.createTempDirectory("vsub_in").toString
+    val ckpt = Files.createTempDirectory("vsub_ckpt").toString
+
+    VectorStream.initSubStore(e.where(col("vec_id") >= 100), model, store, subDim = 16)
+    e.where(col("vec_id") < 100).write.mode("append").parquet(in)
+    val q = VectorStream.startSubIngest(spark, in, store, ckpt, availableNow = true)
+    try q.awaitTermination() finally q.stop()
+
+    // streamed vectors searchable at dist 0 through the standard sub
+    // reader (cell pruning rides the second partition level)
+    val probe = e.where(col("vec_id") < 100)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val hits = IvfIndex.searchIndexSub(spark, store, probe, k = 1, nprobe = 8)
+      .where(col("vec_id") === col("qid")).collect()
+    assert(hits.length == 100 && hits.forall(_.getDouble(2) == 0.0))
+    // stored prefixes equal a fresh slice
+    val bad = spark.read.parquet(store)
+      .where(col("sub") =!= slice(col("embedding"), 1, 16))
+    assert(bad.isEmpty)
+
+    // crash replay overwrites its own batch partition
+    val before = spark.read.parquet(store).count()
+    val replay = e.where(col("vec_id") < 50).select(col("vec_id"), col("embedding"))
+    VectorStream.subIngestBatch(store)(replay, 99L)
+    val afterOnce = spark.read.parquet(store).count()
+    VectorStream.subIngestBatch(store)(replay, 99L)
+    assert(afterOnce == before + 50)
+    assert(spark.read.parquet(store).count() == afterOnce,
+      "replayed batch must overwrite, not append")
+  }
+
   test("streaming semantic dedup: copies dropped, novelties kept, batch N+1 dedups against N, replay converges") {
     val e = Tables.embeddings(spark, sfDir)
     val model = IvfIndex.train(e, k = 8, iters = 2)
