@@ -23,7 +23,9 @@ object PlanAudit {
         // round 10: planner-lowered filtered ANN, routed shards, partsupp
         "q_knn_filtered_sql", "q_knn_sparse_filt", "q_ann_hnsw_routed",
         "q2_min_cost_supp", "q11_important_stock", "q16_parts_supp",
-        "q20_potential_promo")
+        "q20_potential_promo",
+        // round 11: Matryoshka family (prefix coarse, SQL lowering)
+        "q_ann_matryoshka", "q_knn_matryoshka_sql")
       case rest => rest.toSeq
     }
     for (name <- interesting) {
