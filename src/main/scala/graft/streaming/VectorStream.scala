@@ -39,12 +39,15 @@ object VectorStream {
     writeSidecarVia(corpus.sparkSession, path, "_quantize.json", s"""{"mn":$mn,"mx":$mx}""")
   }
 
-  private def writeBatch(vecs: DataFrame, model: IvfIndex.Model, path: String,
-                         mn: Double, mx: Double, batchId: Long,
-                         overwriteAll: Boolean = false): Unit = {
-    val w = vecs.select(col("vec_id"), col("embedding"),
-        Quantize.quantizeExpr(col("embedding"), mn, mx).as("qvec"),
-        IvfIndex.cellOf(col("embedding"), model).as("cell"))
+  /** Shared (vec_id, embedding, derived…, cell) batch write — the
+    * batch_id/cell layout and the replay-idempotent dynamic partition
+    * overwrite live here once, for the same reason as
+    * [[startIngestStream]]. */
+  private def writeDerivedBatch(vecs: DataFrame,
+                                derived: Seq[org.apache.spark.sql.Column],
+                                path: String, batchId: Long,
+                                overwriteAll: Boolean): Unit = {
+    val w = vecs.select(Seq(col("vec_id"), col("embedding")) ++ derived: _*)
       .withColumn("batch_id", lit(batchId))
       .repartition(col("cell"))
       .write.mode("overwrite")
@@ -52,6 +55,13 @@ object VectorStream {
     (if (overwriteAll) w else w.option("partitionOverwriteMode", "dynamic"))
       .parquet(path)
   }
+
+  private def writeBatch(vecs: DataFrame, model: IvfIndex.Model, path: String,
+                         mn: Double, mx: Double, batchId: Long,
+                         overwriteAll: Boolean = false): Unit =
+    writeDerivedBatch(vecs, Seq(
+      Quantize.quantizeExpr(col("embedding"), mn, mx).as("qvec"),
+      IvfIndex.cellOf(col("embedding"), model).as("cell")), path, batchId, overwriteAll)
 
   /** foreachBatch body — public so specs can drive replay directly. */
   def quantizedIngestBatch(indexPath: String)(batch: DataFrame, batchId: Long): Unit = {
@@ -61,23 +71,34 @@ object VectorStream {
     writeBatch(batch, model, indexPath, mn, mx, batchId)
   }
 
+  /** Shared file-source → foreachBatch → checkpointed-trigger scaffold
+    * of every ingest stream here — one definition so a fix to the
+    * trigger cadence, file batching, or checkpointing cannot miss a
+    * twin. */
+  private def startIngestStream(spark: SparkSession, inputDir: String,
+                                body: (DataFrame, Long) => Unit,
+                                checkpointDir: String,
+                                availableNow: Boolean): StreamingQuery = {
+    val raw = spark.readStream
+      .schema(inputSchema)
+      .option("maxFilesPerTrigger", "16")
+      .parquet(inputDir)
+    val writer = raw.writeStream
+      .foreachBatch(body)
+      .option("checkpointLocation", checkpointDir)
+    (if (availableNow) writer.trigger(Trigger.AvailableNow())
+     else writer.trigger(Trigger.ProcessingTime("10 seconds"))).start()
+  }
+
   /** Start the ingest stream: new embedding files in `inputDir` append
     * into the quantized store at `indexPath` (created by
     * [[initQuantizedStore]]). Searches see each batch as soon as its
     * write commits. */
   def startQuantizedIngest(spark: SparkSession, inputDir: String, indexPath: String,
                            checkpointDir: String,
-                           availableNow: Boolean = false): StreamingQuery = {
-    val raw = spark.readStream
-      .schema(inputSchema)
-      .option("maxFilesPerTrigger", "16")
-      .parquet(inputDir)
-    val writer = raw.writeStream
-      .foreachBatch(quantizedIngestBatch(indexPath) _)
-      .option("checkpointLocation", checkpointDir)
-    (if (availableNow) writer.trigger(Trigger.AvailableNow())
-     else writer.trigger(Trigger.ProcessingTime("10 seconds"))).start()
-  }
+                           availableNow: Boolean = false): StreamingQuery =
+    startIngestStream(spark, inputDir, quantizedIngestBatch(indexPath) _,
+      checkpointDir, availableNow)
 
   /** Create a streaming MATRYOSHKA store: the [[initQuantizedStore]]
     * layout (batch_id=-1 corpus + sidecars) with the prefix `sub`
@@ -99,14 +120,8 @@ object VectorStream {
                             subDim: Int, batchId: Long,
                             overwriteAll: Boolean = false): Unit = {
     val sub = slice(col("embedding"), 1, subDim)
-    val w = vecs.select(col("vec_id"), col("embedding"), sub.as("sub"),
-        IvfIndex.cellOf(sub, model).as("cell"))
-      .withColumn("batch_id", lit(batchId))
-      .repartition(col("cell"))
-      .write.mode("overwrite")
-      .partitionBy("batch_id", "cell")
-    (if (overwriteAll) w else w.option("partitionOverwriteMode", "dynamic"))
-      .parquet(path)
+    writeDerivedBatch(vecs, Seq(sub.as("sub"),
+      IvfIndex.cellOf(sub, model).as("cell")), path, batchId, overwriteAll)
   }
 
   /** foreachBatch body for Matryoshka ingest — replay-idempotent via the
@@ -123,17 +138,9 @@ object VectorStream {
     * [[initSubStore]]). */
   def startSubIngest(spark: SparkSession, inputDir: String, indexPath: String,
                      checkpointDir: String,
-                     availableNow: Boolean = false): StreamingQuery = {
-    val raw = spark.readStream
-      .schema(inputSchema)
-      .option("maxFilesPerTrigger", "16")
-      .parquet(inputDir)
-    val writer = raw.writeStream
-      .foreachBatch(subIngestBatch(indexPath) _)
-      .option("checkpointLocation", checkpointDir)
-    (if (availableNow) writer.trigger(Trigger.AvailableNow())
-     else writer.trigger(Trigger.ProcessingTime("10 seconds"))).start()
-  }
+                     availableNow: Boolean = false): StreamingQuery =
+    startIngestStream(spark, inputDir, subIngestBatch(indexPath) _,
+      checkpointDir, availableNow)
 
   /** foreachBatch body for STREAMING SEMANTIC DEDUP — SemDeDup in the
     * ingest stream: a micro-batch is first deduped against ITSELF
@@ -186,17 +193,9 @@ object VectorStream {
     * for every later batch). */
   def startSemanticDedup(spark: SparkSession, inputDir: String, indexPath: String,
                          checkpointDir: String, threshold: Double,
-                         nprobe: Int = 4, availableNow: Boolean = false): StreamingQuery = {
-    val raw = spark.readStream
-      .schema(inputSchema)
-      .option("maxFilesPerTrigger", "16")
-      .parquet(inputDir)
-    val writer = raw.writeStream
-      .foreachBatch(semanticDedupBatch(indexPath, threshold, nprobe) _)
-      .option("checkpointLocation", checkpointDir)
-    (if (availableNow) writer.trigger(Trigger.AvailableNow())
-     else writer.trigger(Trigger.ProcessingTime("10 seconds"))).start()
-  }
+                         nprobe: Int = 4, availableNow: Boolean = false): StreamingQuery =
+    startIngestStream(spark, inputDir,
+      semanticDedupBatch(indexPath, threshold, nprobe) _, checkpointDir, availableNow)
 
   private def writeSidecarVia(spark: SparkSession, path: String, name: String,
                               content: String): Unit = {
