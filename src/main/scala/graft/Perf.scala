@@ -268,6 +268,39 @@ object Perf {
           .filterNot(_ eq graft.plans.SparseIterativeScanStrategy)
       }
     }
+    // round-11 additions: Matryoshka prefix store (coarse reads only
+    // (id, sub) — subDim/dim of the vector bytes — on top of the
+    // nprobe/k partition cut) and partial re-clustering vs full rebuild
+    {
+      val dir = java.nio.file.Files.createTempDirectory("perf_ivf_sub").toString
+      val model = IvfIndex.trainSub(bigE200, subDim = 16, k = 64, iters = 2,
+        samplePercent = 2)
+      time("matryoshka.build (100k vectors, subDim 16/64, 64 cells)") {
+        IvfIndex.writeIndexSub(bigE200, model, dir, subDim = 16)
+      }
+      val q = emb.where(col("vec_id") < 8).select(col("vec_id").as("qid"), col("embedding"))
+      time("matryoshka.search (nprobe 8/64 — prefix coarse + bounded rerank)") {
+        IvfIndex.searchIndexSub(spark, dir, q, k = 10, nprobe = 8).count()
+      }
+      time("matryoshka.fullprobe (degeneration: all cells, covering overfetch)") {
+        IvfIndex.searchIndexSub(spark, dir, q, k = 10, nprobe = 64,
+          overfetch = 200000).count()
+      }
+      // partial re-clustering: one nudged centroid moves a few boundary
+      // rows — reassignIndex rewrites only the touched cells, the full
+      // rebuild rewrites all 100k rows
+      val nudged = model.centroids.map(_.clone())
+      for (i <- nudged(0).indices)
+        nudged(0)(i) = 0.5 * (model.centroids(0)(i) + model.centroids(1)(i))
+      time("reassign.partial (nudged centroid, changed cells only)") {
+        val rep = IvfIndex.reassignIndex(spark, dir, IvfIndex.Model(nudged))
+        println(s"[perf]   -> $rep")
+      }
+      val dir2 = java.nio.file.Files.createTempDirectory("perf_ivf_sub2").toString
+      time("reassign.fullRebuild (writeIndexSub from scratch, the alternative)") {
+        IvfIndex.writeIndexSub(bigE200, IvfIndex.Model(nudged), dir2, subDim = 16)
+      }
+    }
     time("vecSum.200x (100k vectors, single-pass aggregate)") {
       bigE200.groupBy(expr("vec_id % 97").as("g"))
         .agg(graft.functions.VectorAggregates.vecSum(col("embedding")).as("s")).count()

@@ -826,8 +826,16 @@ object IvfIndex {
       movedPairs.flatMap(r => Seq(r.getInt(0), r.getInt(1))).toSet
     if (changed.nonEmpty) {
       // the new content of every changed partition, staged off to the side
-      // (reads the live store — it is not mutated until the swap below)
-      assigned.where(col("__new").isin(changed.toSeq.map(_.asInstanceOf[Any]): _*))
+      // (reads the live store — it is not mutated until the swap below).
+      // {__new ∈ changed} ⟺ {cell ∈ changed}: a mover puts BOTH its old
+      // and new cell into the changed set, and a non-mover has
+      // __new == cell — so the equivalent filter on the PARTITION column
+      // rides along and prunes the staging read to the changed
+      // partitions (the computed-column filter alone would rescan the
+      // whole store, turning phase A from O(changed) into O(corpus))
+      val changedLits = changed.toSeq.map(_.asInstanceOf[Any])
+      assigned.where(col("cell").isin(changedLits: _*) &&
+          col("__new").isin(changedLits: _*))
         .drop("cell").withColumnRenamed("__new", "cell")
         .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(staging.toString)
