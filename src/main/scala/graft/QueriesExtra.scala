@@ -41,6 +41,27 @@ object QueriesExtra {
       },
       None),
 
+    // LSH exact-degeneration gate (round 11): nbits = 0 puts every row
+    // in one bucket per table, so the candidate set is the whole corpus
+    // and the rerank IS exact cosine top-k — hash-gating the bucketing /
+    // dedup / rerank plumbing of the random-hyperplane path, the same
+    // move as the IVF-family _exact twins.
+    "q_ann_lsh_exact" -> QueryDef(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val q = e.where(col("vec_id") < 4).select(col("vec_id").as("qid"), col("embedding"))
+        AnnLsh.topK(e, q, k = 5, nbits = 0).orderBy(col("qid"), col("rn"))
+      },
+      Some("""WITH q AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < 4),
+             |scored AS (
+             |  SELECT q.qid, e.vec_id,
+             |    round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS cos
+             |  FROM embeddings e CROSS JOIN q),
+             |ranked AS (SELECT qid, vec_id, cos,
+             |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+             |  FROM scored)
+             |SELECT qid, vec_id, cos, rn FROM ranked WHERE rn <= 5 ORDER BY qid, rn""".stripMargin)),
+
     // Data-quality gate over the TPC-H slice: row-local checks in ONE
     // aggregation pass + key-uniqueness + referential integrity, each
     // one report row — the dbt-test/Deequ shape. The range check is
@@ -918,6 +939,25 @@ object QueriesExtra {
           .orderBy(col("qid"), col("rn"))
       },
       None),
+
+    // Plain-PQ exact-degeneration gate (round 11): a corpus-covering
+    // overfetch makes the ADC coarse pass rank everything and the
+    // full-precision rerank exact — the ADC-table / coarse-scan /
+    // rerank plumbing gets the DuckDB hash signal like its IVF-PQ twin.
+    "q_ann_pq_exact" -> QueryDef(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val n = e.count().toInt
+        val model = Fixtures.memo(s"pq_model:$d") {
+          graft.operators.ProductQuantizer.train(e, m = 16, ksub = 16, iters = 10)
+        }
+        val codes = e.select(col("vec_id"),
+          graft.operators.ProductQuantizer.encodeExpr(col("embedding"), model).as("pq_codes"))
+        val q = e.where(col("vec_id") < 4).select(col("vec_id").as("qid"), col("embedding"))
+        graft.operators.ProductQuantizer.topK(codes, e, q, model, k = 5, overfetch = n)
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some(annExactL2Sql)),
 
     // Winnowing (MOSS) fingerprints — native digest expression; oracle
     // replays the identical pipeline with DuckDB list comprehensions.

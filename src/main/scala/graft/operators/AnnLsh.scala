@@ -29,8 +29,12 @@ object AnnLsh {
     // int shifts are mod 32 — nbits = 33 would silently alias plane 32
     // onto plane 0's bit, corrupting every bucket while the exact rerank
     // hides the recall collapse
-    require(nbits >= 1 && nbits <= 32,
-      s"AnnLsh: nbits must be in [1, 32] (sign bits pack into one Int), got $nbits")
+    // nbits = 0 is the EXACT-DEGENERATION mode: zero planes put every
+    // row in bucket 0, the candidate set is the whole corpus, and the
+    // rerank returns exact cosine top-k (the oracle-gate configuration,
+    // like full-probe IVF)
+    require(nbits >= 0 && nbits <= 32,
+      s"AnnLsh: nbits must be in [0, 32] (sign bits pack into one Int), got $nbits")
     val rnd = new java.util.Random(seed)
     Array.fill(tables, nbits, dim)(rnd.nextGaussian())
   }
@@ -55,7 +59,8 @@ object AnnLsh {
     override protected def nullSafeEval(input: Any): Any = {
       val v = input.asInstanceOf[ArrayData]
       val n = v.numElements()
-      if (n != dim) throw new IllegalArgumentException(
+      // zero planes = the single-bucket degeneration: no dim to check
+      if (planes.nonEmpty && n != dim) throw new IllegalArgumentException(
         s"$prettyName: vector dimension $n != hyperplane dimension $dim")
       var bucket = 0
       var b = 0
@@ -80,12 +85,16 @@ object AnnLsh {
         val dot = ctx.freshName("dot"); val bucket = ctx.freshName("bucket")
         val pl = ctx.freshName("pl")
         val getElem = if (isFloat) s"(double) $v.getFloat($i)" else s"$v.getDouble($i)"
-        s"""
-           |int $n = $v.numElements();
+        val dimCheck =
+          if (planes.isEmpty) "" // single-bucket degeneration: no dim
+          else s"""
            |if ($n != $dim) {
            |  throw new IllegalArgumentException(
            |    "$prettyName: vector dimension " + $n + " != hyperplane dimension " + $dim);
-           |}
+           |}""".stripMargin
+        s"""
+           |int $n = $v.numElements();
+           |$dimCheck
            |int $bucket = 0;
            |for (int $b = 0; $b < $p.length; $b++) {
            |  double[] $pl = $p[$b];
