@@ -50,7 +50,9 @@ object QueriesExtra {
       (s, d) => {
         val e = Tables.embeddings(s, d)
         val q = e.where(col("vec_id") < 4).select(col("vec_id").as("qid"), col("embedding"))
-        AnnLsh.topK(e, q, k = 5, nbits = 0).orderBy(col("qid"), col("rn"))
+        // tables = 1: with zero planes every table is the same single
+        // bucket — more tables only multiply redundant candidate pairs
+        AnnLsh.topK(e, q, k = 5, nbits = 0, tables = 1).orderBy(col("qid"), col("rn"))
       },
       Some("""WITH q AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < 4),
              |scored AS (

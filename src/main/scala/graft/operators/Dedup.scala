@@ -285,6 +285,13 @@ object Dedup {
                           dim: Int = 64, nbits: Int = 8, tables: Int = 8,
                           seed: Long = 42L, maxBucket: Int = 10000,
                           scale: Int = 4): DataFrame = {
+    // nbits = 0 is AnnLsh.topK's exact-degeneration mode; HERE it would
+    // put the whole corpus in one bucket, which the maxBucket cap then
+    // silently DROPS — a total recall collapse, not a degeneration —
+    // so the blocking path keeps the old fail-fast bound
+    require(nbits >= 1,
+      s"embeddingNearDupLsh: nbits must be >= 1 (0 is the topK exact-degeneration " +
+        "mode; as a blocking key it collapses every row into one capped bucket)")
     val keys = AnnLsh.bucketKeys(emb, idCol, embCol, dim, nbits, tables, seed)
       .select(col("table_id"), col("bucket"), col(idCol), col(embCol))
     val buckets = keys.groupBy(col("table_id"), col("bucket"))
