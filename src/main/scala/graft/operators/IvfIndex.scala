@@ -709,6 +709,92 @@ object IvfIndex {
       .select(col(queryIdCol), col(idCol), col("dist"), col("rn").cast("long").as("rn"))
   }
 
+  /** Shared staged-swap machinery of the partition-surgical maintenance
+    * ops ([[reassignIndex]], [[deleteFromIndex]]): a sibling staging dir
+    * written first, a `_plan.json` manifest (rewrite/drain cell lists)
+    * as the commit point, idempotent retire-then-install renames, and a
+    * deterministic roll-forward recovery either op runs on entry — so a
+    * crashed reassign is finished by the next delete and vice versa
+    * (both use the same `__maint_*` sibling names). Single-writer
+    * contract, like the append family. */
+  private final class StagedSwap(fs: org.apache.hadoop.fs.FileSystem,
+                                 root: org.apache.hadoop.fs.Path, op: String) {
+    import org.apache.hadoop.fs.Path
+    val staging = new Path(root.getParent, root.getName + "__maint_staging")
+    val retired = new Path(root.getParent, root.getName + "__maint_retired")
+    val planFile = new Path(staging, "_plan.json")
+
+    def swapFromPlan(rewrite: Seq[Int], drain: Seq[Int]): Unit = {
+      fs.mkdirs(retired)
+      // idempotent per cell, so a crashed swap re-runs from the manifest:
+      // a staged dir still present has not been installed; a live dest
+      // for a drain cell has not been removed
+      rewrite.foreach { c =>
+        val dest = new Path(root, s"cell=$c")
+        val stage = new Path(staging, s"cell=$c")
+        if (fs.exists(stage)) {
+          if (fs.exists(dest) && !fs.rename(dest, new Path(retired, s"cell=$c")))
+            throw new java.io.IOException(s"$op: could not retire $dest")
+          if (!fs.rename(stage, dest))
+            throw new java.io.IOException(s"$op: could not install $stage")
+        } // staged dir gone => this cell's install already completed
+      }
+      drain.foreach { c =>
+        val dest = new Path(root, s"cell=$c")
+        if (fs.exists(dest) && !fs.rename(dest, new Path(retired, s"cell=$c")))
+          throw new java.io.IOException(s"$op: could not drain $dest")
+      }
+      // staging before retired: "retired without staging" then always
+      // means every install ran and the retire dir holds only superseded
+      // copies — safe to drop wholesale on recovery
+      fs.delete(staging, true)
+      fs.delete(retired, true)
+    }
+
+    /** Crash recovery — finish the previous attempt before a new one. */
+    def recover(): Unit = {
+      if (fs.exists(staging)) {
+        if (fs.exists(planFile)) {
+          // manifest present = the previous swap may have started: roll
+          // it FORWARD (the staged batch is the complete new content of
+          // every cell it names; installing the remainder is the only
+          // state that loses nothing regardless of where the crash hit)
+          val txt = {
+            val in = fs.open(planFile)
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+          }
+          def ints(key: String): Seq[Int] =
+            (s""""$key"\\s*:\\s*\\[([0-9,\\s]*)\\]""").r.findFirstMatchIn(txt)
+              .map(_.group(1).split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq)
+              .getOrElse(Seq.empty)
+          swapFromPlan(ints("rewrite"), ints("drain"))
+        } else {
+          // no manifest = the staging write itself crashed; the store
+          // was never touched
+          fs.delete(staging, true)
+        }
+      }
+      if (fs.exists(retired)) fs.delete(retired, true)
+    }
+
+    /** List staged cells, write the manifest (the commit point), swap.
+      * Returns (rewrite, drain). */
+    def commit(changed: Set[Int]): (Seq[Int], Seq[Int]) = {
+      val stagedCells: Set[Int] = fs.listStatus(staging)
+        .map(_.getPath.getName).collect { case n if n.startsWith("cell=") =>
+          n.stripPrefix("cell=").toInt }.toSet
+      val rewrite = changed.intersect(stagedCells).toSeq.sorted
+      val drain = (changed -- stagedCells).toSeq.sorted
+      val out = fs.create(planFile, true)
+      try out.write(
+        s"""{"rewrite":[${rewrite.mkString(",")}],"drain":[${drain.mkString(",")}]}"""
+          .getBytes("UTF-8"))
+      finally out.close()
+      swapFromPlan(rewrite, drain)
+      (rewrite, drain)
+    }
+  }
+
   final case class ReassignReport(rows: Long, moved: Long,
                                   cellsRewritten: Int, cellsTotal: Int)
 
@@ -759,60 +845,8 @@ object IvfIndex {
         s"reassignIndex: Matryoshka store has subDim $d but the new model is " +
           s"${newModel.centroids.headOption.map(_.length)}-dimensional (trainSub)")
     }
-    val staging = new Path(root.getParent, root.getName + "__reassign_staging")
-    val retired = new Path(root.getParent, root.getName + "__reassign_retired")
-    val planFile = new Path(staging, "_plan.json")
-
-    def swapFromPlan(rewrite: Seq[Int], drain: Seq[Int]): Unit = {
-      fs.mkdirs(retired)
-      // idempotent per cell, so a crashed swap re-runs from the manifest:
-      // a staged dir still present has not been installed; a live dest
-      // for a drain cell has not been removed
-      rewrite.foreach { c =>
-        val dest = new Path(root, s"cell=$c")
-        val stage = new Path(staging, s"cell=$c")
-        if (fs.exists(stage)) {
-          if (fs.exists(dest) && !fs.rename(dest, new Path(retired, s"cell=$c")))
-            throw new java.io.IOException(s"reassignIndex: could not retire $dest")
-          if (!fs.rename(stage, dest))
-            throw new java.io.IOException(s"reassignIndex: could not install $stage")
-        } // staged dir gone => this cell's install already completed
-      }
-      drain.foreach { c =>
-        val dest = new Path(root, s"cell=$c")
-        if (fs.exists(dest) && !fs.rename(dest, new Path(retired, s"cell=$c")))
-          throw new java.io.IOException(s"reassignIndex: could not drain $dest")
-      }
-      // staging before retired: "retired without staging" then always
-      // means every install ran and the retire dir holds only superseded
-      // copies — safe to drop wholesale on recovery
-      fs.delete(staging, true)
-      fs.delete(retired, true)
-    }
-
-    // ── crash recovery: finish the previous attempt before this one ──
-    if (fs.exists(staging)) {
-      if (fs.exists(planFile)) {
-        // manifest present = the previous swap may have started: roll it
-        // FORWARD (the staged batch is the complete new content of every
-        // cell it names; installing the remainder is the only state that
-        // loses nothing regardless of where the crash hit)
-        val txt = {
-          val in = fs.open(planFile)
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-        }
-        def ints(key: String): Seq[Int] =
-          (s""""$key"\\s*:\\s*\\[([0-9,\\s]*)\\]""").r.findFirstMatchIn(txt)
-            .map(_.group(1).split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq)
-            .getOrElse(Seq.empty)
-        swapFromPlan(ints("rewrite"), ints("drain"))
-      } else {
-        // no manifest = the staging write itself crashed; the store was
-        // never touched
-        fs.delete(staging, true)
-      }
-    }
-    if (fs.exists(retired)) fs.delete(retired, true)
+    val swap = new StagedSwap(fs, root, "reassignIndex")
+    swap.recover()
 
     val assigned = spark.read.parquet(path)
       .withColumn("__new", cellOf(assignCol, newModel))
@@ -838,23 +872,61 @@ object IvfIndex {
           col("__new").isin(changedLits: _*))
         .drop("cell").withColumnRenamed("__new", "cell")
         .repartition(col("cell"))
-        .write.mode("overwrite").partitionBy("cell").parquet(staging.toString)
-      val stagedCells: Set[Int] = fs.listStatus(staging)
-        .map(_.getPath.getName).collect { case n if n.startsWith("cell=") =>
-          n.stripPrefix("cell=").toInt }.toSet
-      val rewrite = changed.intersect(stagedCells).toSeq.sorted
-      val drain = (changed -- stagedCells).toSeq.sorted
-      // the commit point: from here a crash rolls forward
-      val out = fs.create(planFile, true)
-      try out.write(
-        s"""{"rewrite":[${rewrite.mkString(",")}],"drain":[${drain.mkString(",")}]}"""
-          .getBytes("UTF-8"))
-      finally out.close()
-      swapFromPlan(rewrite, drain)
+        .write.mode("overwrite").partitionBy("cell").parquet(swap.staging.toString)
+      swap.commit(changed)
     }
     val json = newModel.centroids.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
     writeSidecar(spark, path, "_centroids.json", json)
     ReassignReport(rows, moved, changed.size, newModel.k)
+  }
+
+  final case class DeleteReport(deleted: Long, cellsRewritten: Int, cellsDrained: Int)
+
+  /** Partition-surgical DELETE from a persisted index — the pgvector
+    * `DELETE FROM items WHERE id IN (...)` maintenance move for the
+    * cell-partitioned stores: one (id, cell)-column pass finds the
+    * affected cells and the per-cell hit counts, only those partitions
+    * are rewritten without the deleted rows (anti join, staged +
+    * manifest-committed + swapped through the same [[StagedSwap]]
+    * machinery as [[reassignIndex]], so a crash at any point rolls
+    * forward), and a cell whose rows are all deleted is drained. Works
+    * for every root-level cell-partitioned family — flat, SQ8, PQ
+    * (per-row codes stay valid under deletion), binary, cosine,
+    * Matryoshka. Streaming `batch_id/cell` stores are refused: their
+    * cell dirs are nested under batch partitions, so a root-level swap
+    * would leave the old rows live — compact to a cell-partitioned
+    * store first. `ids` may be any size (the anti join shuffles; AQE
+    * broadcasts it when small) — but if it DERIVES from this same
+    * store, materialize it first (`localCheckpoint`): the swap
+    * invalidates the file listing its lineage captured, so re-using it
+    * after the call would fail on the retired files. */
+  def deleteFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                      ids: DataFrame, idCol: String = "vec_id"): DeleteReport = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val swap = new StagedSwap(fs, root, "deleteFromIndex")
+    swap.recover()
+    val store = spark.read.parquet(path)
+    require(!store.columns.contains("batch_id"),
+      "deleteFromIndex: streaming batch_id/cell stores nest their cell dirs under " +
+        "batch partitions — a root-level swap would leave old rows live; " +
+        "compact to a cell-partitioned store first")
+    val idFrame = ids.select(col(idCol)).distinct()
+    // one pass over the (id, cell) columns: affected cells + hit counts
+    val hits = store.select(col(idCol), col("cell"))
+      .join(idFrame, Seq(idCol), "left_semi")
+      .groupBy(col("cell")).count().collect()
+    val deleted = hits.map(_.getLong(1)).sum
+    val affected: Set[Int] = hits.map(_.getInt(0)).toSet
+    if (affected.isEmpty) return DeleteReport(0L, 0, 0)
+    // survivors of the affected partitions only (cell IN prunes the read)
+    store.where(col("cell").isin(affected.toSeq.map(_.asInstanceOf[Any]): _*))
+      .join(idFrame, Seq(idCol), "left_anti")
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(swap.staging.toString)
+    val (rewrite, drain) = swap.commit(affected)
+    DeleteReport(deleted, rewrite.size, drain.size)
   }
 
   /** Append vectors to a persisted Matryoshka index: slice the prefix

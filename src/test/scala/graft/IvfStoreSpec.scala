@@ -417,7 +417,7 @@ class IvfStoreSpec extends SparkSpec {
     val c1 = store.where(col("cell") === 1).drop("cell")
     val yId = c0.agg(min(col("vec_id"))).head().getLong(0)
     val xId = c1.agg(min(col("vec_id"))).head().getLong(0)
-    val staging = path + "__reassign_staging"
+    val staging = path + "__maint_staging"
     // staged new content: cell 0 gains X and loses Y, cell 1 vice versa
     c0.where(col("vec_id") =!= yId).union(c1.where(col("vec_id") === xId))
       .coalesce(1).write.parquet(staging + "/cell=0")
@@ -428,7 +428,7 @@ class IvfStoreSpec extends SparkSpec {
     // complete the swap for cell 0 only, then "crash"
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val retired = new org.apache.hadoop.fs.Path(path + "__reassign_retired")
+    val retired = new org.apache.hadoop.fs.Path(path + "__maint_retired")
     fs.mkdirs(retired)
     assert(fs.rename(new org.apache.hadoop.fs.Path(path, "cell=0"),
       new org.apache.hadoop.fs.Path(retired, "cell=0")))
@@ -448,6 +448,68 @@ class IvfStoreSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(staging)) &&
       !fs.exists(retired), "leftover staging/retired dirs")
     assert(rep.rows == 500, rep)
+  }
+
+  test("deleteFromIndex: only affected cells rewritten; drained cell removed; search exact") {
+    import graft.operators.Knn
+    val path = Files.createTempDirectory("ivf_delete").toString
+    val e = Tables.embeddings(spark, sfDir)
+    val model = IvfIndex.train(e, k = 8, iters = 2)
+    IvfIndex.writeIndex(e, model, path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def listing(): Map[String, Long] = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(path), true)
+      val out = scala.collection.mutable.Map.empty[String, Long]
+      while (it.hasNext) { val f = it.next(); out(f.getPath.toString) = f.getModificationTime }
+      out.toMap
+    }
+    val before = listing()
+    // delete every row of ONE cell (drain) plus a handful from another
+    val store = spark.read.parquet(path)
+    val drainCell = store.groupBy(col("cell")).count()
+      .orderBy(col("count"), col("cell")).head().getInt(0)
+    val drainIds = store.where(col("cell") === drainCell).select(col("vec_id"))
+    val extraCell = store.where(col("cell") =!= drainCell)
+      .groupBy(col("cell")).count().orderBy(col("count").desc, col("cell")).head().getInt(0)
+    val extraIds = store.where(col("cell") === extraCell)
+      .orderBy(col("vec_id")).limit(3).select(col("vec_id"))
+    // materialize: these frames derive from the store's CURRENT file
+    // listing, which the surgical delete is about to invalidate
+    val toDelete = drainIds.union(extraIds).localCheckpoint(true)
+    val nDelete = toDelete.count()
+    val rep = IvfIndex.deleteFromIndex(spark, path, toDelete)
+    assert(rep.deleted == nDelete, rep)
+    assert(rep.cellsDrained == 1 && rep.cellsRewritten == 1, rep)
+    // drained partition dir is gone; untouched cells are byte-identical
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path, s"cell=$drainCell")))
+    val after = listing()
+    val untouched = before.keySet.intersect(after.keySet)
+      .count(k => !k.contains("_centroids") && before(k) == after(k))
+    assert(untouched > 0, "no data file survived a surgical delete")
+    // remaining corpus is exactly the complement and search stays exact
+    val remaining = spark.read.parquet(path)
+    assert(remaining.count() == e.count() - nDelete)
+    assert(remaining.join(toDelete, Seq("vec_id"), "left_semi").isEmpty)
+    val alive = e.join(toDelete, Seq("vec_id"), "left_anti")
+    val qid = alive.agg(min(col("vec_id"))).head().getLong(0)
+    val q = alive.where(col("vec_id") === qid)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val got = IvfIndex.searchIndex(spark, path, q, k = 5, nprobe = 8)
+      .collect().map(_.getLong(1)).toList
+    val exact = Knn.topK(alive, alive.where(col("vec_id") === qid), Knn.Cosine, 5)
+      .collect().map(_.getLong(0)).toList
+    assert(got == exact, s"got=$got exact=$exact")
+    // idempotent: deleting the same ids again is a no-op
+    val rep2 = IvfIndex.deleteFromIndex(spark, path, toDelete)
+    assert(rep2 == IvfIndex.DeleteReport(0L, 0, 0), rep2)
+    // streaming batch_id stores are refused
+    val spath = Files.createTempDirectory("ivf_delete_stream").toString
+    graft.streaming.VectorStream.initSubStore(
+      e, IvfIndex.trainSub(e, subDim = 16, k = 4, iters = 1), spath, subDim = 16)
+    val err = intercept[IllegalArgumentException](
+      IvfIndex.deleteFromIndex(spark, spath, extraIds))
+    assert(err.getMessage.contains("batch_id"), err.getMessage)
   }
 
   test("searchIndexQuantized: semi-join fallback above maxPushdownIds gives identical results") {
