@@ -41,6 +41,27 @@ object QueriesExtra {
       },
       None),
 
+    // Partition-surgical DELETE gate (round 11): a dedicated store
+    // fixture is built once, every residue-class id is deleted through
+    // deleteFromIndex (idempotent — re-invocations are no-ops against
+    // the memoized store), and the surviving id set must hash-match the
+    // complement — the whole affected-cell discovery / anti-join /
+    // staged-swap path under the DuckDB signal.
+    "q_ivf_delete" -> QueryDef(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val dir = Fixtures.memo(s"ivf_delete_idx:$d") {
+          val model = Fixtures.memo(s"ivf_model_k8_i2:$d") { IvfIndex.train(e, k = 8, iters = 2) }
+          val dr = java.nio.file.Files.createTempDirectory("ivf_del_q").toString
+          IvfIndex.writeIndex(e, model, dr)
+          dr
+        }
+        IvfIndex.deleteFromIndex(s, dir,
+          e.where(col("vec_id") % 7 === 0).select(col("vec_id")))
+        s.read.parquet(dir).select(col("vec_id")).orderBy(col("vec_id"))
+      },
+      Some("SELECT vec_id FROM embeddings WHERE vec_id % 7 <> 0 ORDER BY vec_id")),
+
     // LSH exact-degeneration gate (round 11): nbits = 0 puts every row
     // in one bucket per table, so the candidate set is the whole corpus
     // and the rerank IS exact cosine top-k — hash-gating the bucketing /
