@@ -492,6 +492,48 @@ object QueriesSearch {
              |SELECT qid, doc_id, cos, CAST(rn AS BIGINT) AS rn
              |FROM ranked WHERE rn <= 5 ORDER BY qid, rn""".stripMargin)),
 
+    // TOMBSTONE deletion on the postings index (round 11): every
+    // doc_id % 5 == 0 is deleted through SparseKnn.deleteFromIndex
+    // (idempotent — re-invocations append redundant tombstones, deduped
+    // at read) and the top-k over the survivors must hash-match the
+    // DuckDB ranking over the complement corpus — the tombstone
+    // anti-join sits under the driver's signal.
+    "q_sparse_delete" -> QueryDef(
+      (s, d) => {
+        import graft.operators.SparseKnn
+        val tag = math.abs(d.hashCode).toString
+        val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_q_spdel_$tag"
+        val sv = SparseKnn.hashingTf(Tables.documents(s, d), dim = 1024)
+        Fixtures.memo(s"sparse_del_idx:$d") {
+          SparseKnn.writeIndex(sv, s"q_sp_del_$tag", idxDir)
+          idxDir
+        }
+        SparseKnn.deleteFromIndex(s, s"q_sp_del_$tag",
+          sv.where(col("doc_id") % 5 === 0).select(col("doc_id")))
+        val q = sv.where(col("doc_id").between(1, 3))
+          .select(col("doc_id").as("qid"), col("indices"), col("values"))
+        SparseKnn.topKFromIndex(s, s"q_sp_del_$tag", q, k = 5)
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, unnest(string_split($canon, ' ')) AS tok FROM documents),
+             |tf AS (SELECT doc_id, ('0x' || substr(md5('graft-tf' || tok), 1, 8))::BIGINT % 1024 AS b,
+             |         count(*)::DOUBLE AS v
+             |       FROM tok WHERE tok <> '' GROUP BY 1, 2),
+             |live AS (SELECT * FROM tf WHERE doc_id % 5 <> 0),
+             |norm AS (SELECT doc_id, sqrt(sum(v*v)) AS n FROM live GROUP BY doc_id),
+             |q AS (SELECT doc_id AS qid, b, v FROM tf WHERE doc_id BETWEEN 1 AND 3),
+             |qn AS (SELECT qid, sqrt(sum(v*v)) AS n FROM q GROUP BY qid),
+             |dots AS (SELECT q.qid, p.doc_id, sum(p.v * q.v) AS dot
+             |         FROM live p JOIN q ON p.b = q.b GROUP BY 1, 2),
+             |scored AS (SELECT d.qid, d.doc_id, round(d.dot / (n1.n * n2.n), 4) AS cos
+             |           FROM dots d JOIN norm n1 ON n1.doc_id = d.doc_id
+             |           JOIN qn n2 ON n2.qid = d.qid),
+             |ranked AS (SELECT qid, doc_id, cos,
+             |             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, doc_id) AS rn
+             |           FROM scored)
+             |SELECT qid, doc_id, cos, CAST(rn AS BIGINT) AS rn
+             |FROM ranked WHERE rn <= 5 ORDER BY qid, rn""".stripMargin)),
+
     // Sparse planner parity: the brute-force ranking SHAPE — ORDER BY
     // sparse_dot(indices, values, <literal query>) DESC LIMIT k over the
     // indexed store — with SparseScanRewriteRule turning it into the

@@ -229,6 +229,43 @@ object SparseKnn {
       .format("parquet").saveAsTable(table)
   }
 
+  /** TOMBSTONE deletion for a persisted postings index — a doc's
+    * postings spread across MANY term buckets, so the partition-surgical
+    * rewrite ([[IvfIndex.deleteFromIndex]]'s move) doesn't apply; the
+    * classic inverted-index design is a tombstone set applied at read
+    * and PURGED physically at the next compaction. Tombstoned ids land
+    * as parquet under the table location's `_tombstones/` dir
+    * (underscore-prefixed, so the table scan never lists it);
+    * [[topKFromIndex]] anti-joins them and [[compactIndex]] rewrites the
+    * postings without them — the whole-dir swap drops the tombstone dir
+    * with the old files, completing the purge atomically with it.
+    * Idempotent (re-deleting appends a redundant tombstone, deduped at
+    * read); ids never indexed are harmless. */
+  def deleteFromIndex(spark: org.apache.spark.sql.SparkSession, table: String,
+                      ids: DataFrame, idCol: String = "doc_id"): Unit = {
+    val (p, _) = tombstonePath(spark, table)
+    ids.select(col(idCol)).distinct().write.mode("append").parquet(p.toString)
+  }
+
+  private def tombstonePath(spark: org.apache.spark.sql.SparkSession,
+                            table: String): (org.apache.hadoop.fs.Path,
+                                             org.apache.hadoop.fs.FileSystem) = {
+    val meta = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val p = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(meta.location), "_tombstones")
+    (p, p.getFileSystem(spark.sparkContext.hadoopConfiguration))
+  }
+
+  /** `df` minus tombstoned ids (no-op when the index has none). */
+  private def notTombstoned(spark: org.apache.spark.sql.SparkSession, table: String,
+                            df: DataFrame, idCol: String): DataFrame = {
+    val (p, fs) = tombstonePath(spark, table)
+    if (!fs.exists(p)) df
+    else df.join(spark.read.parquet(p.toString).select(col(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+  }
+
   /** (data file count, total bytes) under the postings table's location —
     * pure listing, no data read. The compaction trigger input. */
   def fileStats(spark: org.apache.spark.sql.SparkSession, table: String): (Long, Long) = {
@@ -284,7 +321,11 @@ object SparseKnn {
     val before = fileStats(spark, table)._1
     val stagingTable = table + "__compact_staging"
     spark.sql(s"DROP TABLE IF EXISTS `$stagingTable`")
-    spark.table(table)
+    // PURGE pass: the staging table is built without any tombstoned
+    // doc's postings (the id column is the one non-__ column), and the
+    // whole-dir promote drops the _tombstones dir with the old files
+    val idColName = spark.table(table).columns.filterNot(_.startsWith("__")).head
+    notTombstoned(spark, table, spark.table(table), idColName)
       .repartition(nb, expr(s"pmod(hash(__t), $nb)"))
       .write.mode("overwrite")
       .bucketBy(nb, "__t").sortBy("__t")
@@ -323,8 +364,11 @@ object SparseKnn {
       .groupBy(col(queryIdCol), col(idCol))
       .agg(round(sum(col("__v") * col("__qv")) / (first(col("__n")) * first(col("__qn"))),
         scale).as("cos"))
+    // tombstoned docs drop AFTER scoring (the smaller frame) and BEFORE
+    // ranking, so deletions never occupy a rank slot
+    val live = notTombstoned(spark, table, scored, idCol)
     val w = Window.partitionBy(col(queryIdCol)).orderBy(col("cos").desc, col(idCol))
-    scored.withColumn("rn", row_number().over(w))
+    live.withColumn("rn", row_number().over(w))
       .where(col("rn") <= k)
       .select(col(queryIdCol), col(idCol), col("cos"), col("rn").cast("long").as("rn"))
   }

@@ -194,6 +194,51 @@ class SparseKnnSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS t_sp_idx")
   }
 
+  test("tombstone delete: results exclude deleted docs; compaction purges postings + tombstones") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sp-del").toString
+    try {
+      val all = SparseKnn.hashingTf(docs, dim = 256)
+      SparseKnn.writeIndex(all, "t_sp_del", s"$tmp/idx", numBuckets = 4)
+      val q = sv.where(col("doc_id").between(1, 3))
+        .select(col("doc_id").as("qid"), col("indices"), col("values"))
+      val before = SparseKnn.topKFromIndex(spark, "t_sp_del", q, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // delete every doc that currently ranks FIRST for some query —
+      // forces visible result movement, not just absent strangers
+      val victims = before.filter(_ => true).map(_._2).take(3).toSeq
+      import spark.implicits._
+      SparseKnn.deleteFromIndex(spark, "t_sp_del", victims.toDF("doc_id"))
+      val after = SparseKnn.topKFromIndex(spark, "t_sp_del", q, k = 5).collect()
+      assert(after.forall(r => !victims.contains(r.getLong(1))), "tombstoned doc returned")
+      assert(after.map(_.getLong(0)).distinct.length == 3)
+      // deleted docs never occupy a rank slot: each query still gets 5
+      assert(after.groupBy(_.getLong(0)).forall(_._2.length == 5))
+      // results equal a fresh index over the complement corpus
+      SparseKnn.writeIndex(all.where(!col("doc_id").isin(victims: _*)),
+        "t_sp_del_ref", s"$tmp/ref", numBuckets = 4)
+      val ref = SparseKnn.topKFromIndex(spark, "t_sp_del_ref", q, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(after.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet == ref)
+      // compaction purges: postings rows gone, _tombstones dir gone,
+      // results unchanged
+      SparseKnn.compactIndex(spark, "t_sp_del")
+      assert(spark.table("t_sp_del").where(col("doc_id").isin(victims: _*)).isEmpty,
+        "purge left tombstoned postings behind")
+      val meta = spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier("t_sp_del"))
+      val ts = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(meta.location), "_tombstones")
+      val fs = ts.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(!fs.exists(ts), "compaction left the tombstone dir")
+      val purged = SparseKnn.topKFromIndex(spark, "t_sp_del", q, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(purged == ref)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS t_sp_del")
+      spark.sql("DROP TABLE IF EXISTS t_sp_del_ref")
+    }
+  }
+
   test("postings appendIndex == one-shot rebuild; compactIndex preserves results, cuts files") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-sp-app").toString
     try {
