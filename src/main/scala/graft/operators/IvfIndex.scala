@@ -724,16 +724,20 @@ object IvfIndex {
     val retired = new Path(root.getParent, root.getName + "__maint_retired")
     val planFile = new Path(staging, "_plan.json")
 
-    def swapFromPlan(rewrite: Seq[Int], drain: Seq[Int]): Unit = {
-      fs.mkdirs(retired)
+    def swapFromPlan(rewrite: Seq[Int], drain: Seq[Int]): Unit =
+      swapDirs(staging, retired, rewrite, drain)
+
+    private def swapDirs(stg: Path, ret: Path,
+                         rewrite: Seq[Int], drain: Seq[Int]): Unit = {
+      fs.mkdirs(ret)
       // idempotent per cell, so a crashed swap re-runs from the manifest:
       // a staged dir still present has not been installed; a live dest
       // for a drain cell has not been removed
       rewrite.foreach { c =>
         val dest = new Path(root, s"cell=$c")
-        val stage = new Path(staging, s"cell=$c")
+        val stage = new Path(stg, s"cell=$c")
         if (fs.exists(stage)) {
-          if (fs.exists(dest) && !fs.rename(dest, new Path(retired, s"cell=$c")))
+          if (fs.exists(dest) && !fs.rename(dest, new Path(ret, s"cell=$c")))
             throw new java.io.IOException(s"$op: could not retire $dest")
           if (!fs.rename(stage, dest))
             throw new java.io.IOException(s"$op: could not install $stage")
@@ -741,55 +745,84 @@ object IvfIndex {
       }
       drain.foreach { c =>
         val dest = new Path(root, s"cell=$c")
-        if (fs.exists(dest) && !fs.rename(dest, new Path(retired, s"cell=$c")))
+        if (fs.exists(dest) && !fs.rename(dest, new Path(ret, s"cell=$c")))
           throw new java.io.IOException(s"$op: could not drain $dest")
       }
       // staging before retired: "retired without staging" then always
       // means every install ran and the retire dir holds only superseded
       // copies — safe to drop wholesale on recovery
-      fs.delete(staging, true)
-      fs.delete(retired, true)
+      fs.delete(stg, true)
+      fs.delete(ret, true)
     }
 
-    /** Crash recovery — finish the previous attempt before a new one. */
+    /** Crash recovery — finish the previous attempt before a new one.
+      * Also scans the earlier `__reassign_*` sibling names, so a store
+      * that crashed mid-swap under the old naming is still rolled
+      * forward instead of silently losing its un-installed cells. */
     def recover(): Unit = {
-      if (fs.exists(staging)) {
-        if (fs.exists(planFile)) {
-          // manifest present = the previous swap may have started: roll
-          // it FORWARD (the staged batch is the complete new content of
-          // every cell it names; installing the remainder is the only
-          // state that loses nothing regardless of where the crash hit)
-          val txt = {
-            val in = fs.open(planFile)
-            try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      val namePairs = Seq(
+        (staging, retired),
+        (new Path(root.getParent, root.getName + "__reassign_staging"),
+         new Path(root.getParent, root.getName + "__reassign_retired")))
+      namePairs.foreach { case (stg, ret) =>
+        val plan = new Path(stg, "_plan.json")
+        if (fs.exists(stg)) {
+          if (fs.exists(plan)) {
+            // manifest present = the previous swap may have started:
+            // roll it FORWARD (the staged batch is the complete new
+            // content of every cell it names; installing the remainder
+            // is the only state that loses nothing regardless of where
+            // the crash hit). A reassign manifest carries the NEW
+            // centroids — restore the sidecar FIRST (idempotent), so no
+            // crash point leaves the data moved under stale centroids.
+            val txt = {
+              val in = fs.open(plan)
+              try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+            }
+            def ints(key: String): Seq[Int] =
+              (s""""$key"\\s*:\\s*\\[([0-9,\\s]*)\\]""").r.findFirstMatchIn(txt)
+                .map(_.group(1).split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq)
+                .getOrElse(Seq.empty)
+            ("\"sidecar\"\\s*:\\s*\"([^\"]*)\"").r.findFirstMatchIn(txt)
+              .foreach(m => writeRootFile("_centroids.json", m.group(1)))
+            swapDirs(stg, ret, ints("rewrite"), ints("drain"))
+          } else {
+            // no manifest = the staging write itself crashed; the store
+            // was never touched
+            fs.delete(stg, true)
           }
-          def ints(key: String): Seq[Int] =
-            (s""""$key"\\s*:\\s*\\[([0-9,\\s]*)\\]""").r.findFirstMatchIn(txt)
-              .map(_.group(1).split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq)
-              .getOrElse(Seq.empty)
-          swapFromPlan(ints("rewrite"), ints("drain"))
-        } else {
-          // no manifest = the staging write itself crashed; the store
-          // was never touched
-          fs.delete(staging, true)
         }
+        if (fs.exists(ret)) fs.delete(ret, true)
       }
-      if (fs.exists(retired)) fs.delete(retired, true)
     }
 
-    /** List staged cells, write the manifest (the commit point), swap.
-      * Returns (rewrite, drain). */
-    def commit(changed: Set[Int]): (Seq[Int], Seq[Int]) = {
+    private def writeRootFile(name: String, content: String): Unit = {
+      val out = fs.create(new Path(root, name), true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+    }
+
+    /** List staged cells, write the manifest (the commit point), then
+      * the new sidecar when the op changes it (a reassign's centroid
+      * matrix rides INSIDE the manifest so recovery can restore it —
+      * the JSON matrix has no quotes or backslashes, so raw embedding
+      * is safe), then swap. Ordering matters: once the manifest exists,
+      * every later crash point is repaired by [[recover]], including a
+      * crash between the sidecar write and the renames. Returns
+      * (rewrite, drain). */
+    def commit(changed: Set[Int],
+               sidecarJson: Option[String] = None): (Seq[Int], Seq[Int]) = {
       val stagedCells: Set[Int] = fs.listStatus(staging)
         .map(_.getPath.getName).collect { case n if n.startsWith("cell=") =>
           n.stripPrefix("cell=").toInt }.toSet
       val rewrite = changed.intersect(stagedCells).toSeq.sorted
       val drain = (changed -- stagedCells).toSeq.sorted
+      val sidecarField = sidecarJson.fold("")(j => s""","sidecar":"$j"""")
       val out = fs.create(planFile, true)
       try out.write(
-        s"""{"rewrite":[${rewrite.mkString(",")}],"drain":[${drain.mkString(",")}]}"""
+        s"""{"rewrite":[${rewrite.mkString(",")}],"drain":[${drain.mkString(",")}]$sidecarField}"""
           .getBytes("UTF-8"))
       finally out.close()
+      sidecarJson.foreach(writeRootFile("_centroids.json", _))
       swapFromPlan(rewrite, drain)
       (rewrite, drain)
     }
@@ -873,12 +906,18 @@ object IvfIndex {
         .drop("cell").withColumnRenamed("__new", "cell")
         .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(swap.staging.toString)
-      swap.commit(changed)
+      // the new centroids ride the manifest: recovery of ANY later crash
+      // point restores them, so the data can never stay moved under the
+      // old sidecar (the sidecar write below only covers the
+      // nothing-changed case, where no swap happens at all)
+      swap.commit(changed, Some(json(newModel)))
     }
-    val json = newModel.centroids.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
-    writeSidecar(spark, path, "_centroids.json", json)
+    writeSidecar(spark, path, "_centroids.json", json(newModel))
     ReassignReport(rows, moved, changed.size, newModel.k)
   }
+
+  private def json(m: Model): String =
+    m.centroids.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
 
   final case class DeleteReport(deleted: Long, cellsRewritten: Int, cellsDrained: Int)
 
@@ -912,7 +951,10 @@ object IvfIndex {
       "deleteFromIndex: streaming batch_id/cell stores nest their cell dirs under " +
         "batch partitions — a root-level swap would leave old rows live; " +
         "compact to a cell-partitioned store first")
-    val idFrame = ids.select(col(idCol)).distinct()
+    // materialized once: the frame feeds BOTH the hit-count pass and the
+    // anti-join staging write — an expensive derived ids plan would
+    // otherwise recompute in full for the second job
+    val idFrame = ids.select(col(idCol)).distinct().localCheckpoint(true)
     // one pass over the (id, cell) columns: affected cells + hit counts
     val hits = store.select(col(idCol), col("cell"))
       .join(idFrame, Seq(idCol), "left_semi")

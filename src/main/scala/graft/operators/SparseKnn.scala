@@ -227,6 +227,17 @@ object SparseKnn {
       .write.mode("append")
       .bucketBy(nb, "__t").sortBy("__t")
       .format("parquet").saveAsTable(table)
+    // delete-then-reinsert must resurrect the doc: clear any tombstone
+    // matching an appended id, or the new postings stay invisible at
+    // read and the next compaction purges them silently
+    val (p, fs) = tombstonePath(spark, table)
+    if (fs.exists(p)) {
+      val remaining = spark.read.parquet(p.toString).select(col(idCol))
+        .join(sv.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
+        .localCheckpoint(true)
+      if (remaining.isEmpty) fs.delete(p, true)
+      else remaining.coalesce(1).write.mode("overwrite").parquet(p.toString)
+    }
   }
 
   /** TOMBSTONE deletion for a persisted postings index — a doc's
@@ -243,8 +254,26 @@ object SparseKnn {
     * read); ids never indexed are harmless. */
   def deleteFromIndex(spark: org.apache.spark.sql.SparkSession, table: String,
                       ids: DataFrame, idCol: String = "doc_id"): Unit = {
-    val (p, _) = tombstonePath(spark, table)
-    ids.select(col(idCol)).distinct().write.mode("append").parquet(p.toString)
+    val (p, fs) = tombstonePath(spark, table)
+    // an INDEXED STORE's postings (writeIndexedStore, under _postings/)
+    // have the store parquet as their source of truth: index-level
+    // tombstones would make topKFromIndex diverge from the store scan
+    // and the SQL rewrite plans, which read the postings and the store
+    // directly — refuse rather than serve two different answers
+    require(!p.toString.contains("/_postings/"),
+      "SparseKnn.deleteFromIndex: this postings table belongs to an indexed store " +
+        "(writeIndexedStore) — delete from the store and rebuild, or query via " +
+        "topKFromIndex over a standalone postings index")
+    // MERGED overwrite, not append: re-invocations must not accrete
+    // tombstone files (the fixture convention), and one compact file set
+    // keeps the read-side anti-join cheap
+    val batch = ids.select(col(idCol)).distinct()
+    if (fs.exists(p)) {
+      val merged = spark.read.parquet(p.toString).select(col(idCol))
+        .union(batch).distinct()
+        .localCheckpoint(true) // materialize before overwriting its own input
+      merged.coalesce(1).write.mode("overwrite").parquet(p.toString)
+    } else batch.coalesce(1).write.mode("overwrite").parquet(p.toString)
   }
 
   private def tombstonePath(spark: org.apache.spark.sql.SparkSession,
@@ -278,7 +307,10 @@ object SparseKnn {
     while (it.hasNext) {
       val s = it.next()
       val n = s.getPath.getName
-      if (!n.startsWith("_") && !n.startsWith(".")) { files += 1; bytes += s.getLen }
+      // a file's own name AND its parent dir: tombstone parquet lives
+      // under _tombstones/ with ordinary part-file names
+      if (!n.startsWith("_") && !n.startsWith(".") &&
+          !s.getPath.getParent.getName.startsWith("_")) { files += 1; bytes += s.getLen }
     }
     (files, bytes)
   }

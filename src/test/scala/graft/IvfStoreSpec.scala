@@ -450,6 +450,32 @@ class IvfStoreSpec extends SparkSpec {
     assert(rep.rows == 500, rep)
   }
 
+  test("crashed reassign recovered by a different op restores the manifest's sidecar") {
+    // reassign crashed between the renames and its sidecar write: the
+    // manifest carries the NEW centroids, and the next maintenance op —
+    // here a deleteFromIndex — must restore them during recovery, or
+    // the store stays permanently probing with stale centroids
+    val path = Files.createTempDirectory("ivf_crash_sc").toString
+    val e = Tables.embeddings(spark, sfDir)
+    val model = IvfIndex.train(e, k = 4, iters = 1)
+    IvfIndex.writeIndex(e, model, path)
+    val newJson = IvfIndex.Model(model.centroids.map(_.map(_ + 0.001)))
+      .centroids.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    val staging = path + "__maint_staging"
+    new java.io.File(staging).mkdirs()
+    java.nio.file.Files.write(java.nio.file.Paths.get(staging, "_plan.json"),
+      s"""{"rewrite":[],"drain":[],"sidecar":"$newJson"}""".getBytes("UTF-8"))
+    import spark.implicits._
+    val rep = IvfIndex.deleteFromIndex(spark, path, Seq.empty[Long].toDF("vec_id"))
+    assert(rep.deleted == 0, rep)
+    val restored = IvfIndex.readModel(spark, path)
+    assert(restored.centroids(0)(0) == model.centroids(0)(0) + 0.001,
+      s"sidecar not restored: ${restored.centroids(0)(0)}")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(staging)), "staging not cleaned")
+  }
+
   test("deleteFromIndex: only affected cells rewritten; drained cell removed; search exact") {
     import graft.operators.Knn
     val path = Files.createTempDirectory("ivf_delete").toString

@@ -197,15 +197,14 @@ class SparseKnnSpec extends SparkSpec {
   test("tombstone delete: results exclude deleted docs; compaction purges postings + tombstones") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-sp-del").toString
     try {
-      val all = SparseKnn.hashingTf(docs, dim = 256)
-      SparseKnn.writeIndex(all, "t_sp_del", s"$tmp/idx", numBuckets = 4)
+      SparseKnn.writeIndex(sv, "t_sp_del", s"$tmp/idx", numBuckets = 4)
       val q = sv.where(col("doc_id").between(1, 3))
         .select(col("doc_id").as("qid"), col("indices"), col("values"))
-      val before = SparseKnn.topKFromIndex(spark, "t_sp_del", q, k = 5)
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val before = SparseKnn.topKFromIndex(spark, "t_sp_del", q, k = 5).collect()
       // delete every doc that currently ranks FIRST for some query —
       // forces visible result movement, not just absent strangers
-      val victims = before.filter(_ => true).map(_._2).take(3).toSeq
+      val victims = before.filter(_.getLong(3) == 1L).map(_.getLong(1)).distinct.toSeq
+      assert(victims.nonEmpty, "no rank-1 docs — weak fixture")
       import spark.implicits._
       SparseKnn.deleteFromIndex(spark, "t_sp_del", victims.toDF("doc_id"))
       val after = SparseKnn.topKFromIndex(spark, "t_sp_del", q, k = 5).collect()
@@ -214,7 +213,7 @@ class SparseKnnSpec extends SparkSpec {
       // deleted docs never occupy a rank slot: each query still gets 5
       assert(after.groupBy(_.getLong(0)).forall(_._2.length == 5))
       // results equal a fresh index over the complement corpus
-      SparseKnn.writeIndex(all.where(!col("doc_id").isin(victims: _*)),
+      SparseKnn.writeIndex(sv.where(!col("doc_id").isin(victims: _*)),
         "t_sp_del_ref", s"$tmp/ref", numBuckets = 4)
       val ref = SparseKnn.topKFromIndex(spark, "t_sp_del_ref", q, k = 5)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
