@@ -68,7 +68,7 @@ object Bench {
       case Some(_) => true
       case None => only.isEmpty
     }
-    val streamMetrics: Map[String, Double] =
+    var streamMetrics: Map[String, Double] =
       if (runStream)
         try StreamBench.run(spark, sfDir)
         catch { case e: Throwable =>
@@ -101,7 +101,26 @@ object Bench {
     // so a clean sweep pays nothing and a noisy one pays a handful of
     // seconds to avoid crying wolf. Real regressions still flag — slow
     // code is slow on every rep.
+    // absolute-delta guard: 1 s absorbs JIT/GC jitter on second-scale
+    // batch queries; stream_* floors get one sized to their scale
+    def absGuard(n: String): Double = if (n.startsWith("stream_")) 0.15 else 1.0
     if (reps == 1) {
+      // the stream axis gets the same treatment: its per-trigger p95s
+      // are at least as contention-prone as batch timings, and one
+      // extra StreamBench run is bounded — only paid when a stream
+      // floor would flag
+      val streamSuspect = streamMetrics.exists { case (n, t) =>
+        baseline.get(n).exists(b => t > b * 1.75 && t - b > absGuard(n)) }
+      if (streamSuspect) {
+        System.err.println("[bench] re-measuring the stream axis (would-be regression)")
+        try {
+          val again = StreamBench.run(spark, sfDir)
+          streamMetrics = streamMetrics.map { case (k, v) =>
+            k -> math.min(v, again.getOrElse(k, v)) }
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] stream re-measure FAILED: ${e.getMessage}")
+        }
+      }
       val suspect = results.collect {
         case (n, t) if !failed.contains(n) &&
             baseline.get(n).exists(b => t > b * 1.75 && t - b > 1.0) => n
@@ -131,11 +150,6 @@ object Bench {
     // milliseconds), which reads as a speedup — flag every failure as a
     // regression with a sentinel ratio so a query that regresses into
     // failure can never slip past the gate
-    // absolute-delta guard: 1 s absorbs JIT/GC jitter on second-scale
-    // batch queries, but would let a 3× regression of a sub-second
-    // per-trigger stream latency ride invisibly — stream_* floors get a
-    // guard sized to their scale
-    def absGuard(n: String): Double = if (n.startsWith("stream_")) 0.15 else 1.0
     val regressions = ((results ++ streamMetrics).toSeq.collect {
       case (n, t) if !failed.contains(n) &&
           baseline.get(n).exists(b => t > b * 1.75 && t - b > absGuard(n)) =>
