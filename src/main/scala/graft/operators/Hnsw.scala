@@ -430,6 +430,52 @@ object Hnsw {
     try out.write(meta.getBytes("UTF-8")) finally out.close()
   }
 
+  /** TOMBSTONE deletion on a persisted sharded/routed graph store —
+    * the standard HNSW deletion model (faiss / pgvector keep deleted
+    * elements in the graph until a reindex): tombstoned ids land as
+    * parquet under `path/_tombstones/` (underscore-prefixed, invisible
+    * to the shard-row scan), every search filters them while each
+    * shard widens its request by exactly its own tombstone count (so
+    * results still fill k and exactness at covering ef is preserved
+    * over the survivors), and any full rebuild
+    * ([[writeIndexSharded]]/[[writeIndexRouted]] overwrite the store
+    * dir) purges them physically. `maxTombstones` caps the read-side
+    * set — past it, the right move IS the rebuild, and the delete
+    * fails loud saying so. Re-inserting a tombstoned id is refused by
+    * [[appendIndexSharded]]: the stale node is still in the graph, and
+    * clearing the tombstone would resurrect it beside the new one. */
+  def deleteFromIndexSharded(spark: SparkSession, path: String, ids: DataFrame,
+                             idCol: String = "vec_id",
+                             maxTombstones: Int = 10000): Unit = {
+    val meta = new org.apache.hadoop.fs.Path(path, "_hnsw_sharded.json")
+    val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(meta),
+      s"Hnsw.deleteFromIndexSharded: $path is not a sharded/routed HNSW store")
+    val p = new org.apache.hadoop.fs.Path(path, "_tombstones")
+    val batch = ids.select(col(idCol).cast("long").as("vec_id")).distinct()
+    val merged =
+      if (fs.exists(p))
+        spark.read.parquet(p.toString).select(col("vec_id"))
+          .union(batch).distinct().localCheckpoint(true)
+      else batch.localCheckpoint(true)
+    val n = merged.count()
+    require(n <= maxTombstones,
+      s"Hnsw.deleteFromIndexSharded: $n tombstones would exceed maxTombstones=" +
+        s"$maxTombstones — rebuild the store (writeIndexSharded/writeIndexRouted) " +
+        "to purge deletions instead")
+    merged.coalesce(1).write.mode("overwrite").parquet(p.toString)
+  }
+
+  /** The store's tombstone set, driver-collected (bounded by the
+    * [[deleteFromIndexSharded]] cap). */
+  private def readTombstones(spark: SparkSession, path: String): Set[Long] = {
+    val p = new org.apache.hadoop.fs.Path(path, "_tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Set.empty
+    else spark.read.parquet(p.toString).select(col("vec_id"))
+      .collect().map(_.getLong(0)).toSet
+  }
+
   private def readShardedMeta(spark: SparkSession, path: String): (Int, Int, Int) = {
     val p = new org.apache.hadoop.fs.Path(path, "_hnsw_sharded.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -462,6 +508,18 @@ object Hnsw {
                          idCol: String = "vec_id", embCol: String = "embedding",
                          maxNodesPerShard: Int = 2000000): Unit = {
     val (numShards, m, efC) = readShardedMeta(spark, path)
+    // re-inserting a tombstoned id must be refused: the stale node is
+    // still in the graph, so clearing the tombstone would resurrect it
+    // beside the new one and searches would serve BOTH — rebuild to
+    // purge deletions first
+    val tomb = readTombstones(spark, path)
+    if (tomb.nonEmpty) {
+      val clash = vectors.select(col(idCol).cast("long")).distinct()
+        .collect().map(_.getLong(0)).filter(tomb.contains)
+      require(clash.isEmpty,
+        s"Hnsw.appendIndexSharded: ids ${clash.take(5).mkString(",")}… are tombstoned — " +
+          "rebuild the store to purge deletions before re-inserting them")
+    }
     val part = new org.apache.spark.HashPartitioner(numShards)
     val newByShard = vectors
       .select(col(idCol).cast("long"), col(embCol).cast("array<double>"))
@@ -528,7 +586,8 @@ object Hnsw {
       .select(col(queryIdCol).cast("long"), col(embCol).cast("array<double>"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    scatterAndMerge(spark, spark.read.parquet(path), Left(qArr), k, ef, queryIdCol, scale)
+    scatterAndMerge(spark, spark.read.parquet(path), Left(qArr), k, ef, queryIdCol, scale,
+      readTombstones(spark, path))
   }
 
   /** Shared scatter tail of the hash and routed sharded searches — ONE
@@ -541,9 +600,11 @@ object Hnsw {
   private def scatterAndMerge(spark: SparkSession, store: DataFrame,
       queriesByShard: Either[Array[(Long, Array[Double])],
                              Map[Int, Array[(Long, Array[Double])]]],
-      k: Int, ef: Int, queryIdCol: String, scale: Int): DataFrame = {
+      k: Int, ef: Int, queryIdCol: String, scale: Int,
+      excluded: Set[Long] = Set.empty): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bc = spark.sparkContext.broadcast(queriesByShard)
+    val bcExc = spark.sparkContext.broadcast(excluded)
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField(queryIdCol, org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
@@ -559,11 +620,23 @@ object Hnsw {
           if (qs.isEmpty) Iterator.empty
           else {
             val idx = deserializeIndex(row.getAs[Array[Byte]](1))
+            // tombstoned nodes stay in the graph until rebuild (the
+            // standard HNSW deletion model); each shard widens its
+            // request by EXACTLY its own tombstone count, so filtered
+            // results still fill k per shard and the global merge
+            // stays exact at covering ef
+            val exc = bcExc.value
+            val inShard = if (exc.isEmpty) 0 else idx.ids.count(exc.contains)
+            val kEff = k + inShard
+            val efEff = math.max(ef, kEff)
             qs.iterator.flatMap { case (qid, q) =>
-              searchIndex(idx, q, k, ef).map { case (id, d) =>
-                org.apache.spark.sql.Row(qid, id,
-                  BigDecimal(d).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble)
-              }
+              searchIndex(idx, q, kEff, efEff).iterator
+                .filter { case (id, _) => !exc.contains(id) }
+                .take(k)
+                .map { case (id, d) =>
+                  org.apache.spark.sql.Row(qid, id,
+                    BigDecimal(d).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble)
+                }
             }
           }
         }
@@ -677,7 +750,8 @@ object Hnsw {
     val probed = assign.keys.toSeq.map(_.asInstanceOf[Any])
     val store = spark.read.parquet(path)
       .where(col("shard").isin(probed: _*)) // partition pruning: only probed dirs read
-    scatterAndMerge(spark, store, Right(byShard), k, ef, queryIdCol, scale)
+    scatterAndMerge(spark, store, Right(byShard), k, ef, queryIdCol, scale,
+      readTombstones(spark, path))
   }
 
   /** Persist the graph as parquet (one row per node: id, vector, per-layer

@@ -212,6 +212,55 @@ class HnswSpec extends SparkSpec {
     assert(err.getMessage.contains("maxNodesPerShard"))
   }
 
+  test("tombstone delete: searches exclude, still fill k, exact over survivors; append refused; rebuild purges") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("hnsw_del").toString
+    Hnsw.writeIndexSharded(e, numShards = 4, path, m = 16, efConstruction = 64)
+    val n = e.count().toInt
+    val q3 = e.where(col("vec_id") === 3).select(col("vec_id").as("qid"), col("embedding"))
+    // delete the query's current top-2 neighbors (excluding itself)
+    val top = Hnsw.searchIndexSharded(spark, path, q3, k = 3, ef = n)
+      .collect().map(_.getLong(1)).filter(_ != 3L).take(2).toSeq
+    Hnsw.deleteFromIndexSharded(spark, path, top.toDF("vec_id"))
+    val got = Hnsw.searchIndexSharded(spark, path, q3, k = 5, ef = n)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toList
+    assert(got.size == 5, s"deletion starved the result: $got")
+    assert(got.forall(r => !top.contains(r._1)), s"tombstoned id returned: $got")
+    // exact over the survivors at covering ef
+    val alive = e.where(!col("vec_id").isin(top: _*))
+    val exact = Knn.topK(alive, e.where(col("vec_id") === 3), Knn.L2, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    assert(got == exact, s"got=$got exact=$exact")
+    // the ROUTED reader applies the same tombstones
+    val rpath = Files.createTempDirectory("hnsw_del_rt").toString
+    Hnsw.writeIndexRouted(e, numShards = 4, rpath)
+    Hnsw.deleteFromIndexSharded(spark, rpath, top.toDF("vec_id"))
+    val routed = Hnsw.searchIndexRouted(spark, rpath, q3, k = 5, ef = n, probeShards = 4)
+      .collect().map(_.getLong(1)).toList
+    assert(routed.forall(id => !top.contains(id)), s"routed returned tombstoned: $routed")
+    // re-inserting a tombstoned id is refused (the stale node would
+    // resurrect beside the new one)
+    val err = intercept[IllegalArgumentException](
+      Hnsw.appendIndexSharded(spark, path,
+        Seq((top.head, Seq.fill(e.select(size(col("embedding"))).head().getInt(0))(0.1f)))
+          .toDF("vec_id", "embedding")))
+    assert(err.getMessage.contains("tombstoned"), err.getMessage)
+    // cap fails loud with the rebuild pointer
+    val err2 = intercept[IllegalArgumentException](
+      Hnsw.deleteFromIndexSharded(spark, path,
+        e.select(col("vec_id")), maxTombstones = 10))
+    assert(err2.getMessage.contains("rebuild"), err2.getMessage)
+    // a full rebuild purges the tombstones physically
+    Hnsw.writeIndexSharded(e, numShards = 4, path, m = 16, efConstruction = 64)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path, "_tombstones")),
+      "rebuild left the tombstone dir")
+    val back = Hnsw.searchIndexSharded(spark, path, q3, k = 3, ef = n)
+      .collect().map(_.getLong(1)).toSet
+    assert(top.forall(back.contains), "rebuild did not restore the purged ids")
+  }
+
   test("iterative filtered search: ef escalation fills k; starved filter degenerates exact") {
     val q = e.where(col("vec_id") < 5).select(col("vec_id").as("qid"), col("embedding"))
 
