@@ -453,6 +453,11 @@ object Hnsw {
       s"Hnsw.deleteFromIndexSharded: $path is not a sharded/routed HNSW store")
     val p = new org.apache.hadoop.fs.Path(path, "_tombstones")
     val batch = ids.select(col(idCol).cast("long").as("vec_id")).distinct()
+    // a null or uncastable id would persist as a null row and poison
+    // every later readTombstones with an NPE — fail loud instead
+    require(batch.where(col("vec_id").isNull).isEmpty,
+      s"Hnsw.deleteFromIndexSharded: ids contain null or non-numeric values")
+    graft.sources.AtomicDir.recover(fs, p)
     val merged =
       if (fs.exists(p))
         spark.read.parquet(p.toString).select(col("vec_id"))
@@ -463,17 +468,42 @@ object Hnsw {
       s"Hnsw.deleteFromIndexSharded: $n tombstones would exceed maxTombstones=" +
         s"$maxTombstones — rebuild the store (writeIndexSharded/writeIndexRouted) " +
         "to purge deletions instead")
-    merged.coalesce(1).write.mode("overwrite").parquet(p.toString)
+    // atomic swap: a plain overwrite deletes the live set before the
+    // new file commits — a mid-write crash or concurrent reader would
+    // silently resurrect every previously deleted vector
+    graft.sources.AtomicDir.replace(fs, p) { tmpDir =>
+      merged.coalesce(1).write.mode("overwrite").parquet(tmpDir.toString)
+    }
+    tombCache.remove(path)
   }
 
   /** The store's tombstone set, driver-collected (bounded by the
-    * [[deleteFromIndexSharded]] cap). */
+    * [[deleteFromIndexSharded]] cap) and cached per store path keyed on
+    * the dir's freshness stamp, so the serve hot path pays the parquet
+    * read once per deletion batch, not once per query batch. Falls back
+    * to the retired copy a crashed swap left behind — a reader can
+    * never observe an empty set while one exists. */
+  private val tombCache =
+    scala.collection.concurrent.TrieMap.empty[String, (String, Set[Long])]
+
   private def readTombstones(spark: SparkSession, path: String): Set[Long] = {
     val p = new org.apache.hadoop.fs.Path(path, "_tombstones")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Set.empty
-    else spark.read.parquet(p.toString).select(col("vec_id"))
-      .collect().map(_.getLong(0)).toSet
+    graft.sources.AtomicDir.readable(fs, p) match {
+      case None => Set.empty
+      case Some(dir) =>
+        val stamp = fs.listStatus(dir)
+          .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+          .sorted.mkString("|")
+        tombCache.get(path) match {
+          case Some((st, v)) if st == stamp => v
+          case _ =>
+            val v = spark.read.parquet(dir.toString).select(col("vec_id"))
+              .collect().map(_.getLong(0)).toSet
+            tombCache.put(path, (stamp, v))
+            v
+        }
+    }
   }
 
   private def readShardedMeta(spark: SparkSession, path: String): (Int, Int, Int) = {
@@ -514,10 +544,14 @@ object Hnsw {
     // purge deletions first
     val tomb = readTombstones(spark, path)
     if (tomb.nonEmpty) {
-      val clash = vectors.select(col(idCol).cast("long")).distinct()
-        .collect().map(_.getLong(0)).filter(tomb.contains)
+      // executor-side membership test (InSet over the ≤ maxTombstones
+      // set) — collecting the batch's ids to the driver would OOM on a
+      // large append and re-run its whole lineage
+      val clash = vectors.select(col(idCol).cast("long").as("__id"))
+        .where(col("__id").isInCollection(tomb)).limit(5)
+        .collect().map(_.getLong(0))
       require(clash.isEmpty,
-        s"Hnsw.appendIndexSharded: ids ${clash.take(5).mkString(",")}… are tombstoned — " +
+        s"Hnsw.appendIndexSharded: ids ${clash.mkString(",")}… are tombstoned — " +
           "rebuild the store to purge deletions before re-inserting them")
     }
     val part = new org.apache.spark.HashPartitioner(numShards)

@@ -231,12 +231,14 @@ object SparseKnn {
     // matching an appended id, or the new postings stay invisible at
     // read and the next compaction purges them silently
     val (p, fs) = tombstonePath(spark, table)
-    if (fs.exists(p)) {
-      val remaining = spark.read.parquet(p.toString).select(col(idCol))
+    graft.sources.AtomicDir.readable(fs, p).foreach { dir =>
+      val remaining = spark.read.parquet(dir.toString).select(col(idCol))
         .join(sv.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
         .localCheckpoint(true)
-      if (remaining.isEmpty) fs.delete(p, true)
-      else remaining.coalesce(1).write.mode("overwrite").parquet(p.toString)
+      if (remaining.isEmpty) { graft.sources.AtomicDir.recover(fs, p); fs.delete(p, true) }
+      else graft.sources.AtomicDir.replace(fs, p) { tmpDir =>
+        remaining.coalesce(1).write.mode("overwrite").parquet(tmpDir.toString)
+      }
     }
   }
 
@@ -268,12 +270,20 @@ object SparseKnn {
     // tombstone files (the fixture convention), and one compact file set
     // keeps the read-side anti-join cheap
     val batch = ids.select(col(idCol)).distinct()
-    if (fs.exists(p)) {
-      val merged = spark.read.parquet(p.toString).select(col(idCol))
-        .union(batch).distinct()
-        .localCheckpoint(true) // materialize before overwriting its own input
-      merged.coalesce(1).write.mode("overwrite").parquet(p.toString)
-    } else batch.coalesce(1).write.mode("overwrite").parquet(p.toString)
+    require(batch.where(col(idCol).isNull).isEmpty,
+      "SparseKnn.deleteFromIndex: ids contain nulls")
+    graft.sources.AtomicDir.recover(fs, p)
+    val merged =
+      if (fs.exists(p))
+        spark.read.parquet(p.toString).select(col(idCol))
+          .union(batch).distinct().localCheckpoint(true)
+      else batch.localCheckpoint(true)
+    // atomic swap (AtomicDir): a plain overwrite would delete the live
+    // set before the new file commits — a crash or concurrent reader in
+    // the window silently resurrects previously deleted docs
+    graft.sources.AtomicDir.replace(fs, p) { tmpDir =>
+      merged.coalesce(1).write.mode("overwrite").parquet(tmpDir.toString)
+    }
   }
 
   private def tombstonePath(spark: org.apache.spark.sql.SparkSession,
@@ -290,9 +300,12 @@ object SparseKnn {
   private def notTombstoned(spark: org.apache.spark.sql.SparkSession, table: String,
                             df: DataFrame, idCol: String): DataFrame = {
     val (p, fs) = tombstonePath(spark, table)
-    if (!fs.exists(p)) df
-    else df.join(spark.read.parquet(p.toString).select(col(idCol)).distinct(),
-      Seq(idCol), "left_anti")
+    graft.sources.AtomicDir.readable(fs, p) match {
+      case None => df
+      case Some(dir) =>
+        df.join(spark.read.parquet(dir.toString).select(col(idCol)).distinct(),
+          Seq(idCol), "left_anti")
+    }
   }
 
   /** (data file count, total bytes) under the postings table's location —
