@@ -423,6 +423,9 @@ object Hnsw {
     // partition overwrite), instead of staging the whole store
     spark.createDataFrame(shardRows, schema)
       .write.partitionBy("shard").mode("overwrite").parquet(path)
+    // explicit purge — the overwrite only removes _tombstones under the
+    // STATIC partition-overwrite mode, see purgeTombstones
+    purgeTombstones(spark, path)
     val meta = s"""{"numShards":$numShards,"m":$m,"efConstruction":$efConstruction}"""
     val p = new org.apache.hadoop.fs.Path(path, "_hnsw_sharded.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -453,17 +456,21 @@ object Hnsw {
       s"Hnsw.deleteFromIndexSharded: $path is not a sharded/routed HNSW store")
     val p = new org.apache.hadoop.fs.Path(path, "_tombstones")
     val batch = ids.select(col(idCol).cast("long").as("vec_id")).distinct()
-    // a null or uncastable id would persist as a null row and poison
-    // every later readTombstones with an NPE — fail loud instead
-    require(batch.where(col("vec_id").isNull).isEmpty,
-      s"Hnsw.deleteFromIndexSharded: ids contain null or non-numeric values")
     graft.sources.AtomicDir.recover(fs, p)
     val merged =
       if (fs.exists(p))
         spark.read.parquet(p.toString).select(col("vec_id"))
           .union(batch).distinct().localCheckpoint(true)
       else batch.localCheckpoint(true)
+    // validated on the MATERIALIZED frame (one lineage evaluation, and
+    // the checked rows ARE the written rows): a null or uncastable id
+    // would persist as a null row and poison every later readTombstones
+    require(merged.where(col("vec_id").isNull).isEmpty,
+      s"Hnsw.deleteFromIndexSharded: ids contain null or non-numeric values")
     val n = merged.count()
+    // an empty delete batch on a tombstone-free store must not install
+    // an empty dir that every later search pays to read
+    if (n == 0) return
     require(n <= maxTombstones,
       s"Hnsw.deleteFromIndexSharded: $n tombstones would exceed maxTombstones=" +
         s"$maxTombstones — rebuild the store (writeIndexSharded/writeIndexRouted) " +
@@ -489,21 +496,33 @@ object Hnsw {
   private def readTombstones(spark: SparkSession, path: String): Set[Long] = {
     val p = new org.apache.hadoop.fs.Path(path, "_tombstones")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    graft.sources.AtomicDir.readable(fs, p) match {
-      case None => Set.empty
-      case Some(dir) =>
-        val stamp = fs.listStatus(dir)
-          .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
-          .sorted.mkString("|")
-        tombCache.get(path) match {
-          case Some((st, v)) if st == stamp => v
-          case _ =>
-            val v = spark.read.parquet(dir.toString).select(col("vec_id"))
-              .collect().map(_.getLong(0)).toSet
-            tombCache.put(path, (stamp, v))
-            v
-        }
-    }
+    graft.sources.AtomicDir.readRetrying(fs, p) { dir =>
+      val stamp = fs.listStatus(dir)
+        .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+        .sorted.mkString("|")
+      tombCache.get(path) match {
+        case Some((st, v)) if st == stamp => v
+        case _ =>
+          val v = spark.read.parquet(dir.toString).select(col("vec_id"))
+            .collect().map(_.getLong(0)).toSet
+          tombCache.put(path, (stamp, v))
+          v
+      }
+    }.getOrElse(Set.empty)
+  }
+
+  /** Tombstones must be purged EXPLICITLY by the store writers: the
+    * whole-path overwrite only removes them as a side effect under the
+    * STATIC partition-overwrite mode — with the session set to dynamic
+    * (which [[appendIndexSharded]] itself relies on), the `shard=` dirs
+    * are replaced but `_tombstones/` survives, and a rebuilt store
+    * would keep filtering vectors it physically contains. */
+  private def purgeTombstones(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, "_tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.sources.AtomicDir.recover(fs, p)
+    fs.delete(p, true)
+    tombCache.remove(path)
   }
 
   private def readShardedMeta(spark: SparkSession, path: String): (Int, Int, Int) = {
@@ -727,6 +746,7 @@ object Hnsw {
       org.apache.spark.sql.types.StructField("graph", org.apache.spark.sql.types.BinaryType)))
     spark.createDataFrame(shardRows, schema)
       .write.partitionBy("shard").mode("overwrite").parquet(path)
+    purgeTombstones(spark, path) // see writeIndexSharded
     def writeSide(name: String, body: String): Unit = {
       val p = new org.apache.hadoop.fs.Path(path, name)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

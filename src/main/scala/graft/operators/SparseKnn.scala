@@ -231,10 +231,11 @@ object SparseKnn {
     // matching an appended id, or the new postings stay invisible at
     // read and the next compaction purges them silently
     val (p, fs) = tombstonePath(spark, table)
-    graft.sources.AtomicDir.readable(fs, p).foreach { dir =>
-      val remaining = spark.read.parquet(dir.toString).select(col(idCol))
+    graft.sources.AtomicDir.readRetrying(fs, p) { dir =>
+      spark.read.parquet(dir.toString).select(col(idCol))
         .join(sv.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
         .localCheckpoint(true)
+    }.foreach { remaining =>
       if (remaining.isEmpty) { graft.sources.AtomicDir.recover(fs, p); fs.delete(p, true) }
       else graft.sources.AtomicDir.replace(fs, p) { tmpDir =>
         remaining.coalesce(1).write.mode("overwrite").parquet(tmpDir.toString)
@@ -270,14 +271,19 @@ object SparseKnn {
     // tombstone files (the fixture convention), and one compact file set
     // keeps the read-side anti-join cheap
     val batch = ids.select(col(idCol)).distinct()
-    require(batch.where(col(idCol).isNull).isEmpty,
-      "SparseKnn.deleteFromIndex: ids contain nulls")
     graft.sources.AtomicDir.recover(fs, p)
     val merged =
       if (fs.exists(p))
         spark.read.parquet(p.toString).select(col(idCol))
           .union(batch).distinct().localCheckpoint(true)
       else batch.localCheckpoint(true)
+    // validated on the MATERIALIZED frame: one lineage evaluation, and
+    // the checked rows ARE the written rows
+    require(merged.where(col(idCol).isNull).isEmpty,
+      "SparseKnn.deleteFromIndex: ids contain nulls")
+    // an empty batch on a tombstone-free index must not install an
+    // empty dir that every later query pays an anti-join against
+    if (merged.isEmpty) return
     // atomic swap (AtomicDir): a plain overwrite would delete the live
     // set before the new file commits — a crash or concurrent reader in
     // the window silently resurrects previously deleted docs
@@ -300,11 +306,15 @@ object SparseKnn {
   private def notTombstoned(spark: org.apache.spark.sql.SparkSession, table: String,
                             df: DataFrame, idCol: String): DataFrame = {
     val (p, fs) = tombstonePath(spark, table)
-    graft.sources.AtomicDir.readable(fs, p) match {
+    // the set is read EAGERLY (localCheckpoint) inside the retry: a lazy
+    // plan over the resolved dir would execute later, when a concurrent
+    // swap may have renamed it away (the readRetrying contract)
+    graft.sources.AtomicDir.readRetrying(fs, p) { dir =>
+      spark.read.parquet(dir.toString).select(col(idCol)).distinct()
+        .localCheckpoint(true)
+    } match {
       case None => df
-      case Some(dir) =>
-        df.join(spark.read.parquet(dir.toString).select(col(idCol)).distinct(),
-          Seq(idCol), "left_anti")
+      case Some(ts) => df.join(ts, Seq(idCol), "left_anti")
     }
   }
 

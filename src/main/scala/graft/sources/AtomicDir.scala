@@ -51,4 +51,30 @@ private[graft] object AtomicDir {
     if (fs.exists(target)) Some(target)
     else if (fs.exists(old(target))) Some(old(target))
     else None
+
+  /** Resolve-and-read with a bounded retry: a concurrent [[replace]]
+    * can rename the resolved dir away between the existence check and
+    * the read (the TOCTOU window renames cannot close) — re-resolving
+    * and retrying turns that race into a few-millisecond hiccup instead
+    * of a failed serving query. `read` must consume the dir EAGERLY
+    * (materialize, don't return a lazy plan over it). */
+  def readRetrying[T](fs: FileSystem, target: Path)(read: Path => T): Option[T] = {
+    var attempt = 0
+    while (attempt < 3) {
+      readable(fs, target) match {
+        case None => return None
+        case Some(dir) =>
+          try return Some(read(dir))
+          catch {
+            case e: Throwable
+                if attempt < 2 && {
+                  def fnf(t: Throwable): Boolean = t != null &&
+                    (t.isInstanceOf[java.io.FileNotFoundException] || fnf(t.getCause))
+                  fnf(e)
+                } => attempt += 1 // swapped under us — re-resolve
+          }
+      }
+    }
+    None // unreachable: the last attempt either returns or rethrows
+  }
 }
