@@ -221,26 +221,31 @@ object SparseKnn {
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
     val nb = meta.bucketSpec.map(_.numBuckets).getOrElse(throw new IllegalArgumentException(
       s"SparseKnn.appendIndex: table $table carries no bucket spec — not a postings index"))
+    // REFUSE re-appending a tombstoned id (the [[Hnsw.appendIndexSharded]]
+    // convention): merely clearing the tombstone would resurrect the id's
+    // OLD postings too — they stay physically in the index until
+    // [[compactIndex]] — so a scored query would sum old+new term values
+    // and pick a nondeterministic norm. Checked BEFORE the postings write
+    // so a refusal leaves the index untouched. [[upsertIndex]] is the
+    // composed delete→purge→append path for re-embedded docs.
+    val (p, fs) = tombstonePath(spark, table)
+    graft.sources.AtomicDir.readRetrying(fs, p) { dir =>
+      spark.read.parquet(dir.toString).select(col(idCol))
+        .join(sv.select(col(idCol)).distinct(), Seq(idCol), "left_semi")
+        .limit(5).collect().map(_.get(0))
+    }.filter(_.nonEmpty).foreach { clash =>
+      throw new IllegalArgumentException(
+        s"SparseKnn.appendIndex: ids ${clash.mkString(",")}… are tombstoned — " +
+          "their old postings are still physical until compactIndex purges them, " +
+          "so re-appending would double-count terms. Run compactIndex first, or " +
+          "use upsertIndex for the delete-then-reinsert workflow.")
+    }
     sv.select(col(idCol), sparseNorm(col("indices"), col("values")).as("__n"),
         explode(arrays_zip(col("indices"), col("values"))).as("__p"))
       .select(col(idCol), col("__n"), col("__p.indices").as("__t"), col("__p.values").as("__v"))
       .write.mode("append")
       .bucketBy(nb, "__t").sortBy("__t")
       .format("parquet").saveAsTable(table)
-    // delete-then-reinsert must resurrect the doc: clear any tombstone
-    // matching an appended id, or the new postings stay invisible at
-    // read and the next compaction purges them silently
-    val (p, fs) = tombstonePath(spark, table)
-    graft.sources.AtomicDir.readRetrying(fs, p) { dir =>
-      spark.read.parquet(dir.toString).select(col(idCol))
-        .join(sv.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
-        .localCheckpoint(true)
-    }.foreach { remaining =>
-      if (remaining.isEmpty) { graft.sources.AtomicDir.recover(fs, p); fs.delete(p, true) }
-      else graft.sources.AtomicDir.replace(fs, p) { tmpDir =>
-        remaining.coalesce(1).write.mode("overwrite").parquet(tmpDir.toString)
-      }
-    }
   }
 
   /** TOMBSTONE deletion for a persisted postings index — a doc's

@@ -456,12 +456,39 @@ object PdfCodec {
     // SAME dict below: the tail-only /ID search would otherwise derive
     // the file key with an empty salt and loudly reject a valid file.
     val xrefDicts = top.filter(_.dict.contains("/XRef")).map(_.dict)
-    val encInXref = xrefDicts.reverseIterator.map { d =>
-      """/Encrypt\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(d).map(m => (m.group(1).toInt, d))
-    }.collectFirst { case Some(hit) => hit }
-    val encRef = """/Encrypt\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(tail)
-      .map(_.group(1).toInt)
-      .orElse(encInXref.map(_._1))
+    // /Encrypt must be read from the NEWEST trailer-bearing /XRef dict
+    // (the live trailer — last in file order, /Root is the required
+    // trailer key), NOT from the newest dict that happens to contain
+    // /Encrypt: an incremental update that REMOVES encryption appends a
+    // trailer without /Encrypt, and resolving a superseded dict's stale
+    // /Encrypt would treat a now-plaintext file as encrypted (ADVICE
+    // r11). Only when no trailer-bearing dict exists do older dicts get
+    // scanned at all.
+    val encInXref = xrefDicts.reverseIterator.find(_.contains("/Root")) match {
+      case Some(live) =>
+        """/Encrypt\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(live)
+          .map(m => (m.group(1).toInt, live))
+      case None => xrefDicts.reverseIterator.map { d =>
+        """/Encrypt\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(d).map(m => (m.group(1).toInt, d))
+      }.collectFirst { case Some(hit) => hit }
+    }
+    // same staleness guard for classic trailers: two revisions' trailers
+    // can both sit inside the 4096-byte tail window, and first-match
+    // would resolve the OLDER one's /Encrypt after an update removed it —
+    // scan only from the LAST `trailer` keyword. A file with NO classic
+    // trailer keeps its trailer entries in the xref dicts (already
+    // staleness-guarded above); raw-tail matching there would false-hit a
+    // superseded xref dict that fits inside the window. The raw-tail scan
+    // survives only for classic files (no /XRef dicts at all) whose
+    // trailer keyword fell outside the window — dict visible, keyword not.
+    val classicTrailerAt = tail.lastIndexOf("trailer")
+    val encRef =
+      if (classicTrailerAt >= 0)
+        """/Encrypt\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(tail.substring(classicTrailerAt))
+          .map(_.group(1).toInt)
+          .orElse(encInXref.map(_._1))
+      else if (xrefDicts.nonEmpty) encInXref.map(_._1)
+      else """/Encrypt\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(tail).map(_.group(1).toInt)
     encRef match {
       case None => top
       case Some(encNum) =>

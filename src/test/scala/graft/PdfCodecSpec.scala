@@ -407,6 +407,37 @@ class PdfCodecSpec extends SparkSpec {
     }
   }
 
+  test("incremental update that REMOVES encryption: stale /Encrypt in superseded dicts ignored") {
+    // scenario (ADVICE r11): an old revision's xref dict carries
+    // /Encrypt, a later update decrypted the file and appended a trailer
+    // WITHOUT it. The live trailer is the newest — resolving the stale
+    // /Encrypt would treat a now-plaintext file as encrypted and either
+    // throw or feed ciphertext keys to plaintext streams.
+    val pages = Seq("plaintext after decryption update")
+    // 1.5 layout: the live xref dict (with /Root, no /Encrypt) is LAST in
+    // file order; plant a superseded xref dict with a stale /Encrypt ref
+    // ahead of it (object number far above any real one — never parsed
+    // as the trailer once staleness is handled right)
+    val pdf15 = new String(PdfCodec.encodePdf15(pages, compress = true), "ISO-8859-1")
+    assert(!pdf15.contains("/Encrypt"))
+    val staleObj = "90 0 obj\n<< /Type /XRef /Size 91 /Root 1 0 R /Encrypt 91 0 R " +
+      "/W [1 2 1] /Length 0 >>\nstream\n\nendstream\nendobj\n"
+    val hdrEnd = pdf15.indexOf("\n", pdf15.indexOf("%PDF")) + 1
+    // place after the binary-marker comment line so the header stays intact
+    val insertAt = pdf15.indexOf("\n", hdrEnd) + 1
+    val doctored15 = pdf15.substring(0, insertAt) + staleObj + pdf15.substring(insertAt)
+    assert(PdfCodec.extractText(doctored15.getBytes("ISO-8859-1")) == pages,
+      "stale /Encrypt from a superseded xref dict was resolved")
+    // classic layout: two trailers inside the tail window, the OLDER one
+    // carrying the stale /Encrypt — only the newest trailer is live
+    val classic = new String(PdfCodec.encodePdf(pages, compress = true), "ISO-8859-1")
+    val t = classic.lastIndexOf("trailer")
+    val staleTrailer = "trailer\n<< /Size 90 /Root 1 0 R /Encrypt 91 0 R >>\nstartxref\n0\n%%EOF\n"
+    val doctored = classic.substring(0, t) + staleTrailer + classic.substring(t)
+    assert(PdfCodec.extractText(doctored.getBytes("ISO-8859-1")) == pages,
+      "stale /Encrypt from a superseded classic trailer was resolved")
+  }
+
   test("differences writer refuses remaps that would corrupt existing text") {
     // the text already contains É (0xC9 = 201) — remapping 'e' onto that
     // byte would route the original É through /Euro on decode

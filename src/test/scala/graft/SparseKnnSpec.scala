@@ -238,6 +238,34 @@ class SparseKnnSpec extends SparkSpec {
     }
   }
 
+  test("appendIndex refuses tombstoned ids (old postings still physical — would double-count)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sp-reapp").toString
+    try {
+      import spark.implicits._
+      SparseKnn.writeIndex(sv, "t_sp_reapp", s"$tmp/idx", numBuckets = 4)
+      SparseKnn.deleteFromIndex(spark, "t_sp_reapp", Seq(2L).toDF("doc_id"))
+      val reAppend = sv.where(col("doc_id") === 2L)
+      val ex = intercept[IllegalArgumentException] {
+        SparseKnn.appendIndex(spark, reAppend, "t_sp_reapp")
+      }
+      assert(ex.getMessage.contains("tombstoned"), ex.getMessage)
+      // the refusal left the index untouched: doc 2 still invisible,
+      // postings row count unchanged (no partial append landed)
+      val q = sv.where(col("doc_id") === 1L)
+        .select(col("doc_id").as("qid"), col("indices"), col("values"))
+      val res = SparseKnn.topKFromIndex(spark, "t_sp_reapp", q, k = 5).collect()
+      assert(res.forall(_.getLong(1) != 2L), "tombstoned doc leaked back")
+      // the sanctioned path: compactIndex purges the old postings, after
+      // which the SAME append is legal and scores like a fresh insert
+      SparseKnn.compactIndex(spark, "t_sp_reapp")
+      SparseKnn.appendIndex(spark, reAppend, "t_sp_reapp")
+      val back = SparseKnn.topKFromIndex(spark, "t_sp_reapp",
+        reAppend.select(col("doc_id").as("qid"), col("indices"), col("values")), k = 1).collect()
+      assert(back.length == 1 && back.head.getLong(1) == 2L,
+        "re-inserted doc should rank first for its own vector")
+    } finally spark.sql("DROP TABLE IF EXISTS t_sp_reapp")
+  }
+
   test("postings appendIndex == one-shot rebuild; compactIndex preserves results, cuts files") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-sp-app").toString
     try {
