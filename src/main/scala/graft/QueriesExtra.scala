@@ -1056,6 +1056,35 @@ object QueriesExtra {
              |FROM a, unnest(range(0, greatest(1, CAST(ceil(length(t) / 100.0) AS INT)))) AS t2(i)
              |ORDER BY doc_id, seg_idx""".stripMargin)),
 
+    // REAL image decode (PngCodec): deterministic PNGs are synthesized
+    // in-engine from doc_id alone (gray/RGB/RGBA, cycling row filters,
+    // CRC'd chunks), then decoded for real — inflate, per-row unfilter,
+    // geometry validation — and reduced to per-channel pixel sums. The
+    // oracle replays geometry + pixel math from the SAME doc_id formulas
+    // without ever seeing the bytes, so any codec bug (filter math, CRC,
+    // palette, channel order) breaks the hash gate.
+    "q_image_decode" -> QueryDef(
+      (s, d) => BinaryPipeline.decodeImages(
+          BinaryPipeline.synthesizeImages(Tables.documents(s, d)))
+        .select(col("doc_id"), col("width"), col("height"), col("bit_depth"),
+          col("color_type"), col("channels"), col("r_sum"), col("g_sum"),
+          col("b_sum"), col("a_sum"))
+        .orderBy(col("doc_id")),
+      Some("""WITH p AS (SELECT doc_id,
+             |    CASE doc_id % 3 WHEN 0 THEN 0 WHEN 1 THEN 2 ELSE 6 END AS color_type,
+             |    CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS ch,
+             |    4 + doc_id % 13 AS w, 3 + doc_id % 11 AS h FROM documents),
+             |px AS (SELECT doc_id, color_type, ch, w, h, i, (doc_id*31 + i*7) % 256 AS v
+             |  FROM p, unnest(range(0, w*h*ch)) AS t(i))
+             |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             |  CAST(8 AS BIGINT) AS bit_depth, CAST(color_type AS BIGINT) AS color_type,
+             |  CAST(ch AS BIGINT) AS channels,
+             |  CAST(coalesce(SUM(CASE WHEN i % ch = 0 THEN v END), 0) AS BIGINT) AS r_sum,
+             |  CAST(coalesce(SUM(CASE WHEN ch >= 3 AND i % ch = 1 THEN v END), 0) AS BIGINT) AS g_sum,
+             |  CAST(coalesce(SUM(CASE WHEN ch >= 3 AND i % ch = 2 THEN v END), 0) AS BIGINT) AS b_sum,
+             |  CAST(coalesce(SUM(CASE WHEN ch = 4 AND i % ch = 3 THEN v END), 0) AS BIGINT) AS a_sum
+             |FROM px GROUP BY doc_id, color_type, ch, w, h ORDER BY doc_id""".stripMargin)),
+
     "q_multimodal_meta" -> QueryDef(
       (s, d) => BinaryPipeline.extractFeatures(BinaryPipeline.asMedia(Tables.documents(s, d)))
         .select(col("doc_id"), col("byte_len"), col("content_md5"), col("width"), col("media_type"))

@@ -9,10 +9,14 @@ import org.apache.spark.sql.types._
   * extraction runs as batched `mapPartitions` (the shape a GPU/codec
   * worker wants: fixed-size batches, no shuffle, schema known up front).
   *
-  * The decoders themselves are STUBBED (this container has no image/audio
-  * libs): `decodeStub` derives deterministic pseudo-features from the
-  * bytes. Swapping in a real decoder changes only `decodeStub`'s body —
-  * schema, batching, partitioning are the real, tested plumbing.
+  * IMAGE decode is REAL: [[PngCodec]] parses PNG (CRC-checked chunks,
+  * zlib inflate, the full Sub/Up/Average/Paeth filter set, palette
+  * expansion) and [[decodeImages]] / [[extractFeatures]] emit true
+  * dimensions and pixel statistics for PNG content. Audio/video codecs
+  * stay out of scope (no codec libs in this container): for non-PNG
+  * media `decodeStub` derives deterministic pseudo-features from the
+  * bytes — swapping in a real codec changes only that body; schema,
+  * batching, partitioning are the same tested plumbing the PNG path uses.
   */
 object BinaryPipeline {
 
@@ -121,7 +125,110 @@ object BinaryPipeline {
     }(enc)
   }
 
+  /** True iff `content` starts with the 8-byte PNG signature. */
+  private def isPng(content: Array[Byte]): Boolean =
+    content.length >= 8 &&
+      (content(0) & 0xff) == 0x89 && content(1) == 'P' && content(2) == 'N' &&
+      content(3) == 'G' && content(4) == 0x0d && content(5) == 0x0a &&
+      (content(6) & 0xff) == 0x1a && content(7) == 0x0a
+
+  /** Deterministic in-engine PNG synthesis over document rows — the
+    * fixture generator for the image-decode gate (the
+    * [[graft.pipeline.PdfCodec.encodePdf]] convention: the engine
+    * fabricates REAL files so decode parity exercises the whole codec).
+    * Geometry, color type and every pixel derive from `doc_id` alone, so
+    * a SQL oracle can replay the expected decode output without ever
+    * seeing the bytes:
+    *   colorType = (0, 2, 6)(doc_id % 3)  — gray / RGB / RGBA
+    *   width = 4 + doc_id % 13, height = 3 + doc_id % 11
+    *   pixel(i) = (doc_id·31 + i·7) mod 256, channel-interleaved.
+    * Output: (idCol, content binary, meta struct) — the [[asMedia]] shape. */
+  def synthesizeImages(docs: DataFrame, idCol: String = "doc_id",
+                       batchSize: Int = 16): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false),
+      StructField("meta", StructType(Seq(
+        StructField("media_type", StringType, nullable = false),
+        StructField("declared_bytes", LongType, nullable = false))), nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val idIdx = docs.schema.fieldIndex(idCol)
+    docs.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val id = r.getLong(idIdx)
+          val colorType = (id % 3) match { case 0 => 0; case 1 => 2; case _ => 6 }
+          val ch = colorType match { case 0 => 1; case 2 => 3; case _ => 4 }
+          val w = (4 + id % 13).toInt
+          val h = (3 + id % 11).toInt
+          val px = new Array[Byte](w * h * ch)
+          var i = 0
+          while (i < px.length) { px(i) = ((id * 31 + i * 7L) % 256).toByte; i += 1 }
+          val bytes = PngCodec.encode(w, h, colorType, px)
+          Row(id, bytes, Row("image/png", bytes.length.toLong))
+        }
+      }
+    }(enc)
+  }
+
+  /** REAL image decode over (id, content) rows: every content blob must
+    * be a PNG ([[PngCodec]] fails loud otherwise — no silent
+    * pseudo-features on a path that promises real decode). Emits true
+    * geometry plus deterministic pixel statistics: per-channel sums
+    * (channel slots assigned by color semantics — gray lands in `r_sum`,
+    * alpha in `a_sum`, absent channels report 0) and the md5 of the
+    * unfiltered pixel buffer. Batched narrow `mapPartitions`: no shuffle,
+    * schema up front — the decode cost parallelizes embarrassingly. */
+  def decodeImages(media: DataFrame, idCol: String = "doc_id",
+                   batchSize: Int = 16): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("width", LongType, nullable = false),
+      StructField("height", LongType, nullable = false),
+      StructField("bit_depth", LongType, nullable = false),
+      StructField("color_type", LongType, nullable = false),
+      StructField("channels", LongType, nullable = false),
+      StructField("r_sum", LongType, nullable = false),
+      StructField("g_sum", LongType, nullable = false),
+      StructField("b_sum", LongType, nullable = false),
+      StructField("a_sum", LongType, nullable = false),
+      StructField("pixel_md5", StringType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val idIdx = media.schema.fieldIndex(idCol)
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val id = r.getLong(idIdx)
+          val img = PngCodec.decode(r.getAs[Array[Byte]](contentIdx))
+          // channel slot by decoded-buffer semantics: 1 = gray(r);
+          // 2 = gray(r) + alpha(a); 3 = rgb; 4 = rgba
+          val sums = new Array[Long](4)
+          val slots: Array[Int] = img.channels match {
+            case 1 => Array(0)
+            case 2 => Array(0, 3)
+            case 3 => Array(0, 1, 2)
+            case _ => Array(0, 1, 2, 3)
+          }
+          var i = 0
+          while (i < img.pixels.length) {
+            sums(slots(i % img.channels)) += img.pixels(i) & 0xff
+            i += 1
+          }
+          md.reset()
+          val digest = md.digest(img.pixels).map("%02x".format(_)).mkString
+          Row(id, img.width.toLong, img.height.toLong, img.bitDepth.toLong,
+            img.colorType.toLong, img.channels.toLong,
+            sums(0), sums(1), sums(2), sums(3), digest)
+        }
+      }
+    }(enc)
+  }
+
   /** Batched feature extraction over (id, content, meta) rows.
+    * PNG content gets REAL dimensions from [[PngCodec]]; other media
+    * stays on the documented deterministic pseudo-features.
     * Output: id, byte_len, content_md5, width, height, media_type. */
   def extractFeatures(media: DataFrame, idCol: String = "doc_id",
                       batchSize: Int = 16): DataFrame = {
@@ -143,7 +250,14 @@ object BinaryPipeline {
           val id = r.getLong(idIdx)
           val content = r.getAs[Array[Byte]](contentIdx)
           val meta = r.getStruct(metaIdx)
-          val (len, digest, w, h) = decodeStub(content)
+          val (len, digest, w, h) =
+            if (isPng(content)) {
+              val img = PngCodec.decode(content)
+              val md = java.security.MessageDigest.getInstance("MD5")
+              (content.length.toLong,
+                md.digest(content).map("%02x".format(_)).mkString,
+                img.width.toLong, img.height.toLong)
+            } else decodeStub(content)
           Row(id, len, digest, w, h, meta.getString(0))
         }
       }

@@ -1,0 +1,190 @@
+package graft.multimodal
+
+import java.io.ByteArrayOutputStream
+import java.util.zip.CRC32
+
+import graft.pipeline.PdfCodec
+
+/** A real PNG codec (ISO/IEC 15948 / the W3C PNG spec) — the image leg of
+  * the multimodal pipeline. Round 7 replaced the PDF decode stub with a
+  * real parser; this closes the image stub the same way, composed from
+  * machinery the engine already ships: [[PdfCodec.inflate]] (zlib) and
+  * [[PdfCodec.unpredict]] with /Predictor 15 — PDF's PNG predictor IS the
+  * PNG filter set (Sub/Up/Average/Paeth with a per-row filter-type byte,
+  * spec §9), at `colors = channels`, `columns = width`, 8-bit components.
+  *
+  * Scope (fail-loud beyond it, never silent garbage):
+  *  - bit depth 8; color types 0 (gray), 2 (RGB), 3 (palette, expanded to
+  *    RGB on return), 4 (gray+alpha), 6 (RGBA)
+  *  - no interlacing (Adam7 rejects loud)
+  *  - every chunk's CRC-32 is verified; unknown CRITICAL chunks reject,
+  *    unknown ancillary chunks skip (spec §5.4 behavior)
+  *  - the inflated payload must be EXACTLY height·(1 + width·channels)
+  *    bytes — truncation and trailing excess both reject
+  *
+  * Reference analogue: the reference decodes its media format for real
+  * (PDFBox page extraction, BlobUploadDetector/.../Function.java:90-132);
+  * graft's image columns now get the same treatment.
+  */
+object PngCodec {
+
+  private val Signature = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** Decoded image: `pixels` is the unfiltered scanline data in row-major
+    * channel-interleaved order. For palette images (`colorType == 3`) the
+    * indices are EXPANDED through PLTE, so `channels` is always the
+    * channel count of `pixels` (1, 2, 3 or 4), not the on-wire count. */
+  final case class PngImage(width: Int, height: Int, bitDepth: Int,
+                            colorType: Int, channels: Int, pixels: Array[Byte])
+
+  /** Channels per color type ON THE WIRE (pre palette expansion). */
+  private def wireChannels(colorType: Int): Int = colorType match {
+    case 0 => 1 // grayscale
+    case 2 => 3 // RGB
+    case 3 => 1 // palette indices
+    case 4 => 2 // gray + alpha
+    case 6 => 4 // RGBA
+    case other => throw new IllegalArgumentException(
+      s"PngCodec: color type $other unsupported (0, 2, 3, 4, 6)")
+  }
+
+  def decode(bytes: Array[Byte]): PngImage = {
+    require(bytes.length >= 8 && java.util.Arrays.equals(
+      java.util.Arrays.copyOfRange(bytes, 0, 8), Signature),
+      "PngCodec: not a PNG (bad 8-byte signature)")
+    def be32(off: Int): Long =
+      ((bytes(off) & 0xffL) << 24) | ((bytes(off + 1) & 0xffL) << 16) |
+        ((bytes(off + 2) & 0xffL) << 8) | (bytes(off + 3) & 0xffL)
+
+    var pos = 8
+    var width = 0; var height = 0; var bitDepth = 0; var colorType = 0
+    var seenIhdr = false; var seenIend = false
+    var palette: Array[Byte] = null
+    val idat = new ByteArrayOutputStream()
+    val crc = new CRC32()
+
+    while (!seenIend) {
+      require(pos + 8 <= bytes.length, "PngCodec: truncated file (chunk header past EOF)")
+      val len = be32(pos)
+      require(len <= Int.MaxValue - 12 && pos + 12 + len <= bytes.length,
+        s"PngCodec: chunk at $pos declares $len bytes past EOF")
+      val ctype = new String(bytes, pos + 4, 4, "US-ASCII")
+      val dataOff = pos + 8
+      crc.reset()
+      crc.update(bytes, pos + 4, 4 + len.toInt)
+      val stored = be32(dataOff + len.toInt)
+      require(crc.getValue == stored,
+        f"PngCodec: $ctype chunk CRC mismatch (stored 0x$stored%08x, computed 0x${crc.getValue}%08x)")
+      if (!seenIhdr) require(ctype == "IHDR", s"PngCodec: first chunk is $ctype, not IHDR")
+      ctype match {
+        case "IHDR" =>
+          require(!seenIhdr, "PngCodec: duplicate IHDR")
+          require(len == 13, s"PngCodec: IHDR length $len (want 13)")
+          seenIhdr = true
+          val w = be32(dataOff); val h = be32(dataOff + 4)
+          require(w > 0 && h > 0 && w <= Int.MaxValue && h <= Int.MaxValue,
+            s"PngCodec: invalid dimensions ${w}x$h")
+          width = w.toInt; height = h.toInt
+          bitDepth = bytes(dataOff + 8) & 0xff
+          colorType = bytes(dataOff + 9) & 0xff
+          wireChannels(colorType) // validates the color type
+          require(bitDepth == 8,
+            s"PngCodec: bit depth $bitDepth unsupported (8-bit components only)")
+          require((bytes(dataOff + 10) & 0xff) == 0, "PngCodec: unknown compression method")
+          require((bytes(dataOff + 11) & 0xff) == 0, "PngCodec: unknown filter method")
+          val interlace = bytes(dataOff + 12) & 0xff
+          require(interlace == 0,
+            s"PngCodec: interlace method $interlace unsupported (Adam7 out of scope)")
+        case "PLTE" =>
+          require(len > 0 && len % 3 == 0 && len <= 768,
+            s"PngCodec: PLTE length $len (want a positive multiple of 3, ≤ 768)")
+          require(palette == null, "PngCodec: duplicate PLTE")
+          palette = java.util.Arrays.copyOfRange(bytes, dataOff, dataOff + len.toInt)
+        case "IDAT" =>
+          idat.write(bytes, dataOff, len.toInt)
+        case "IEND" =>
+          require(len == 0, s"PngCodec: IEND carries $len bytes")
+          seenIend = true
+        case other =>
+          // ancillary bit: lowercase first letter = safe to skip (tEXt,
+          // gAMA, pHYs…); an unknown CRITICAL chunk means we cannot
+          // render the image correctly — reject, don't guess
+          require(other.charAt(0).isLower,
+            s"PngCodec: unknown critical chunk $other")
+      }
+      pos = dataOff + len.toInt + 4
+    }
+    require(colorType != 3 || palette != null, "PngCodec: palette image without PLTE")
+
+    val ch = wireChannels(colorType)
+    val raw = PdfCodec.inflate(idat.toByteArray)
+    val expect = height.toLong * (1L + width.toLong * ch)
+    require(raw.length == expect,
+      s"PngCodec: inflated IDAT is ${raw.length} bytes, geometry wants $expect " +
+        s"(${width}x$height, $ch channels)")
+    // the PNG filter set == PDF /Predictor 15 at colors = channels: each
+    // row's leading byte names its filter, decode is shared verbatim
+    val unfiltered = PdfCodec.unpredict(raw, predictor = 15, colors = ch,
+      bpc = 8, columns = width)
+
+    if (colorType == 3) {
+      val nEntries = palette.length / 3
+      val out = new Array[Byte](unfiltered.length * 3)
+      var i = 0
+      while (i < unfiltered.length) {
+        val idx = unfiltered(i) & 0xff
+        require(idx < nEntries,
+          s"PngCodec: palette index $idx out of range (PLTE has $nEntries entries)")
+        out(3 * i) = palette(3 * idx)
+        out(3 * i + 1) = palette(3 * idx + 1)
+        out(3 * i + 2) = palette(3 * idx + 2)
+        i += 1
+      }
+      PngImage(width, height, bitDepth, colorType, 3, out)
+    } else PngImage(width, height, bitDepth, colorType, ch, unfiltered)
+  }
+
+  /** PNG ENCODE for fixtures and in-engine synthesis (the [[graft.pipeline.PdfCodec.encodePdf]]
+    * convention: the engine fabricates real files so the decoder is
+    * exercised end-to-end — filtering via [[PdfCodec.pngPredictEncode]]
+    * cycles Up/Sub/Paeth/Average/None so every decode branch runs).
+    * `pixels` is channel-interleaved row-major at 8 bits; for color type 3
+    * pass palette INDICES plus the `palette` RGB triples. */
+  def encode(width: Int, height: Int, colorType: Int, pixels: Array[Byte],
+             palette: Option[Array[Byte]] = None): Array[Byte] = {
+    val ch = wireChannels(colorType)
+    require(width > 0 && height > 0, s"PngCodec.encode: invalid dimensions ${width}x$height")
+    require(pixels.length == width.toLong * height * ch,
+      s"PngCodec.encode: ${pixels.length} pixel bytes, geometry wants ${width * height * ch}")
+    require((colorType == 3) == palette.isDefined,
+      "PngCodec.encode: palette iff color type 3")
+    palette.foreach(p => require(p.length > 0 && p.length % 3 == 0 && p.length <= 768,
+      s"PngCodec.encode: palette of ${p.length} bytes (want a positive multiple of 3, ≤ 768)"))
+
+    val out = new ByteArrayOutputStream(pixels.length / 2 + 128)
+    out.write(Signature, 0, 8)
+    def chunk(ctype: String, data: Array[Byte]): Unit = {
+      val len = data.length
+      out.write(Array((len >>> 24).toByte, (len >>> 16).toByte, (len >>> 8).toByte, len.toByte), 0, 4)
+      val tb = ctype.getBytes("US-ASCII")
+      out.write(tb, 0, 4)
+      out.write(data, 0, len)
+      val crc = new CRC32()
+      crc.update(tb); crc.update(data)
+      val c = crc.getValue
+      out.write(Array((c >>> 24).toByte, (c >>> 16).toByte, (c >>> 8).toByte, c.toByte), 0, 4)
+    }
+    val ihdr = new Array[Byte](13)
+    def put32(arr: Array[Byte], off: Int, v: Int): Unit = {
+      arr(off) = (v >>> 24).toByte; arr(off + 1) = (v >>> 16).toByte
+      arr(off + 2) = (v >>> 8).toByte; arr(off + 3) = v.toByte
+    }
+    put32(ihdr, 0, width); put32(ihdr, 4, height)
+    ihdr(8) = 8; ihdr(9) = colorType.toByte; ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 0
+    chunk("IHDR", ihdr)
+    palette.foreach(p => chunk("PLTE", p))
+    chunk("IDAT", PdfCodec.deflate(PdfCodec.pngPredictEncode(pixels, ch, width)))
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+}

@@ -1036,7 +1036,7 @@ object PdfCodec {
     out.toByteArray // EOD-less streams end at data exhaustion
   }
 
-  private def inflate(data: Array[Byte]): Array[Byte] = {
+  private[graft] def inflate(data: Array[Byte]): Array[Byte] = {
     val inf = new Inflater()
     inf.setInput(data)
     val out = new ByteArrayOutputStream(data.length * 4)
@@ -1612,7 +1612,7 @@ object PdfCodec {
     }
   }
 
-  private def deflate(data: Array[Byte]): Array[Byte] = {
+  private[graft] def deflate(data: Array[Byte]): Array[Byte] = {
     val d = new Deflater(Deflater.BEST_SPEED)
     d.setInput(data); d.finish()
     val out = new ByteArrayOutputStream(data.length / 2 + 64)

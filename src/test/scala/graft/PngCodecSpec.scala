@@ -1,0 +1,161 @@
+package graft
+
+import graft.multimodal.{BinaryPipeline, PngCodec}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** PngCodec: real decode against HAND-AUTHORED committed fixtures (built
+  * by an independent implementation, so encoder/decoder symmetric bugs
+  * can't hide), encode→decode round trips across every supported color
+  * type, and the fail-loud contract for everything out of scope. */
+class PngCodecSpec extends AnyFunSuite with SparkSpec {
+
+  private def fixture(name: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(s"/graft/$name")
+    assert(in != null, s"missing committed fixture $name")
+    try in.readAllBytes() finally in.close()
+  }
+
+  private def md5hex(b: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(b).map("%02x".format(_)).mkString
+
+  test("committed RGB fixture: exact pixels (Sub + Average rows, independent authoring)") {
+    val img = PngCodec.decode(fixture("fixture_rgb_3x2.png"))
+    assert(img.width == 3 && img.height == 2)
+    assert(img.bitDepth == 8 && img.colorType == 2 && img.channels == 3)
+    val expected = Array(10, 20, 30, 15, 25, 35, 215, 125, 85,
+      12, 18, 24, 113, 221, 43, 167, 174, 68).map(_.toByte)
+    assert(img.pixels.toSeq == expected.toSeq)
+    assert(md5hex(img.pixels) == "780c710d4628ec61d6d702f7a3123831")
+  }
+
+  test("committed palette fixture: PLTE expansion, Up filter, ancillary tEXt skipped") {
+    val img = PngCodec.decode(fixture("fixture_pal_2x2.png"))
+    assert(img.width == 2 && img.height == 2)
+    assert(img.colorType == 3 && img.channels == 3, "palette expands to RGB")
+    val expected = Array(255, 0, 0, 0, 0, 128, 0, 255, 0, 0, 255, 0).map(_.toByte)
+    assert(img.pixels.toSeq == expected.toSeq)
+    assert(md5hex(img.pixels) == "a7662d1d8f60511ecc0b42ba0f637231")
+  }
+
+  test("committed 16-bit fixture fails loud (depth out of scope)") {
+    val e = intercept[IllegalArgumentException](
+      PngCodec.decode(fixture("fixture_gray16_1x1.png")))
+    assert(e.getMessage.contains("bit depth 16"), e.getMessage)
+  }
+
+  test("encode→decode round trip across gray / gray+alpha / RGB / RGBA / palette") {
+    val rnd = new scala.util.Random(42)
+    for ((colorType, ch) <- Seq((0, 1), (4, 2), (2, 3), (6, 4))) {
+      // ≥ 6 rows so pngPredictEncode's Up→Sub→Paeth→Average→None cycle
+      // exercises every filter branch at least once
+      val w = 7; val h = 6
+      val px = Array.fill(w * h * ch)(rnd.nextInt(256).toByte)
+      val img = PngCodec.decode(PngCodec.encode(w, h, colorType, px))
+      assert(img.width == w && img.height == h && img.bitDepth == 8, s"type $colorType")
+      assert(img.colorType == colorType && img.channels == ch, s"type $colorType")
+      assert(img.pixels.toSeq == px.toSeq, s"type $colorType pixel mismatch")
+    }
+    // palette: indices round-trip through PLTE expansion
+    val pal = Array(10, 20, 30, 40, 50, 60, 70, 80, 90).map(_.toByte)
+    val idx = Array[Byte](0, 1, 2, 2, 1, 0)
+    val img = PngCodec.decode(PngCodec.encode(3, 2, 3, idx, Some(pal)))
+    assert(img.channels == 3)
+    assert(img.pixels.toSeq == idx.flatMap(i => pal.slice(3 * i, 3 * i + 3)).toSeq)
+  }
+
+  test("fail-loud contract: signature, CRC, interlace, critical chunk, geometry, OOB palette") {
+    val good = PngCodec.encode(3, 2, 2,
+      Array.tabulate(18)(i => (i * 11).toByte))
+    // bad signature
+    val sig = good.clone(); sig(1) = 'Q'.toByte
+    assert(intercept[IllegalArgumentException](PngCodec.decode(sig))
+      .getMessage.contains("signature"))
+    // flipped pixel byte inside IDAT → CRC mismatch, never silent garbage
+    val idatOff = { var i = 8; while (!(good(i + 4) == 'I' && good(i + 5) == 'D')) i += 1; i }
+    val corrupt = good.clone(); corrupt(idatOff + 10) = (corrupt(idatOff + 10) ^ 0xff).toByte
+    assert(intercept[IllegalArgumentException](PngCodec.decode(corrupt))
+      .getMessage.contains("CRC"))
+    // interlace byte (IHDR data starts at 16; interlace is its 13th byte)
+    // — recompute the CRC so the interlace check itself is what fires
+    val inter = good.clone(); inter(16 + 12) = 1
+    val crc = new java.util.zip.CRC32(); crc.update(inter, 12, 4 + 13)
+    val c = crc.getValue
+    inter(16 + 13) = (c >>> 24).toByte; inter(16 + 14) = (c >>> 16).toByte
+    inter(16 + 15) = (c >>> 8).toByte; inter(16 + 16) = c.toByte
+    assert(intercept[IllegalArgumentException](PngCodec.decode(inter))
+      .getMessage.contains("interlace"))
+    // unknown CRITICAL chunk rejects; same chunk lowercased would skip
+    def chunk(t: String, data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val len = data.length
+      out.write(Array((len >>> 24).toByte, (len >>> 16).toByte, (len >>> 8).toByte, len.toByte))
+      out.write(t.getBytes("US-ASCII")); out.write(data)
+      val cc = new java.util.zip.CRC32(); cc.update(t.getBytes("US-ASCII")); cc.update(data)
+      val v = cc.getValue
+      out.write(Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte))
+      out.toByteArray
+    }
+    val iendAt = good.length - 12
+    val withCritical = good.take(iendAt) ++ chunk("XRIT", Array[Byte](1)) ++ good.drop(iendAt)
+    assert(intercept[IllegalArgumentException](PngCodec.decode(withCritical))
+      .getMessage.contains("critical"))
+    val withAncillary = good.take(iendAt) ++ chunk("xRIT", Array[Byte](1)) ++ good.drop(iendAt)
+    assert(PngCodec.decode(withAncillary).pixels.toSeq ==
+      PngCodec.decode(good).pixels.toSeq)
+    // geometry mismatch: IDAT inflates to the wrong byte count
+    val shortIdat = {
+      val pre = good.take(iendAt).take(8 + 12 + 13) // sig + IHDR chunk
+      pre ++ chunk("IDAT", graft.pipeline.PdfCodec.deflate(Array[Byte](0, 1, 2))) ++
+        good.drop(iendAt)
+    }
+    assert(intercept[IllegalArgumentException](PngCodec.decode(shortIdat))
+      .getMessage.contains("geometry"))
+    // palette index out of range
+    val bad = PngCodec.encode(2, 1, 3, Array[Byte](0, 2),
+      Some(Array[Byte](1, 2, 3, 4, 5, 6))) // only 2 entries, index 2 OOB
+    assert(intercept[IllegalArgumentException](PngCodec.decode(bad))
+      .getMessage.contains("palette index"))
+    // unsupported color types on encode and decode
+    assert(intercept[IllegalArgumentException](PngCodec.encode(1, 1, 1, Array[Byte](0)))
+      .getMessage.contains("color type"))
+  }
+
+  test("extractFeatures sniffs PNG content and reports REAL dimensions") {
+    import spark.implicits._
+    val px = Array.tabulate(5 * 4 * 3)(i => (i % 251).toByte)
+    val png = PngCodec.encode(5, 4, 2, px)
+    val media = Seq((1L, png), (2L, "plain text bytes".getBytes("UTF-8")))
+      .toDF("doc_id", "content")
+      .select(col("doc_id"), col("content"),
+        struct(lit("image/png").as("media_type"),
+          length(col("content")).cast("long").as("declared_bytes")).as("meta"))
+    val rows = BinaryPipeline.extractFeatures(media).orderBy("doc_id").collect()
+    assert(rows(0).getLong(3) == 5 && rows(0).getLong(4) == 4, "real PNG dims")
+    // non-PNG media keeps the documented pseudo-features (stub path)
+    assert(rows(1).getLong(3) == 64 + "plain text bytes".length)
+  }
+
+  test("decodeImages over synthesized corpus: sums match an independent recompute") {
+    import spark.implicits._
+    val docs = (0L until 12L).toDF("doc_id")
+    val out = BinaryPipeline.decodeImages(BinaryPipeline.synthesizeImages(docs))
+      .orderBy("doc_id").collect()
+    assert(out.length == 12)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val ch = (id % 3) match { case 0 => 1; case 1 => 3; case _ => 4 }
+      val w = 4 + id % 13; val h = 3 + id % 11
+      assert(r.getLong(1) == w && r.getLong(2) == h && r.getLong(5) == ch, s"doc $id")
+      val n = (w * h * ch).toInt
+      val vals = Array.tabulate(n)(i => (id * 31 + i * 7L) % 256)
+      def slotSum(slot: Int): Long = ch match {
+        case 1 => if (slot == 0) vals.sum else 0L
+        case 3 => if (slot < 3) vals.zipWithIndex.filter(_._2 % 3 == slot).map(_._1).sum else 0L
+        case _ => vals.zipWithIndex.filter(_._2 % 4 == slot).map(_._1).sum
+      }
+      assert(r.getLong(6) == slotSum(0) && r.getLong(7) == slotSum(1) &&
+        r.getLong(8) == slotSum(2) && r.getLong(9) == slotSum(3), s"doc $id sums")
+    }
+  }
+}
