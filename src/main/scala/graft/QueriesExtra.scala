@@ -62,6 +62,48 @@ object QueriesExtra {
       },
       Some("SELECT vec_id FROM embeddings WHERE vec_id % 7 <> 0 ORDER BY vec_id")),
 
+    // Atomic index UPSERT gate (round 12): the reference's re-uploaded
+    // blob (Function.java:71-88) at the index tier — a batch of CHANGED
+    // vectors (%7, transformed) plus NEW ids (%13, negated, shifted ids)
+    // goes through one StagedSwap-manifested delete+insert, and the full
+    // post-upsert store must hash-match the oracle's recomputed corpus
+    // element-by-element. Idempotent (re-running the same batch
+    // converges), so bench reps replay cleanly.
+    "q_ivf_upsert" -> QueryDef(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+        val dir = Fixtures.memo(s"ivf_upsert_idx:$d") {
+          val model = IvfIndex.train(e, k = 8, iters = 2)
+          val dr = java.nio.file.Files.createTempDirectory("ivf_ups_q").toString
+          IvfIndex.writeIndex(e, model, dr)
+          dr
+        }
+        val updated = e.where(col("vec_id") % 7 === 0)
+          .select(col("vec_id"),
+            transform(col("embedding"), x => x * lit(0.5) + lit(0.25)).as("embedding"))
+        val fresh = e.where(col("vec_id") % 13 === 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            transform(col("embedding"), x => -x).as("embedding"))
+        IvfIndex.upsertIndex(s, dir, updated.unionByName(fresh))
+        s.read.parquet(dir)
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+          .select(col("vec_id"), col("dim").cast("long").as("dim"),
+            round(col("v"), 6).as("val"))
+          .orderBy(col("vec_id"), col("dim"))
+      },
+      Some("""WITH post AS (
+             |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings WHERE vec_id % 7 <> 0
+             |  UNION ALL
+             |  SELECT vec_id, list_transform(embedding::DOUBLE[], x -> x*0.5 + 0.25)
+             |  FROM embeddings WHERE vec_id % 7 = 0
+             |  UNION ALL
+             |  SELECT vec_id + 1000000, list_transform(embedding::DOUBLE[], x -> -x)
+             |  FROM embeddings WHERE vec_id % 13 = 0)
+             |SELECT vec_id, CAST(dim - 1 AS BIGINT) AS dim, round(CAST(v AS DOUBLE), 6) AS val
+             |FROM (SELECT vec_id, unnest(emb) AS v, generate_subscripts(emb, 1) AS dim FROM post)
+             |ORDER BY vec_id, dim""".stripMargin)),
+
     // LSH exact-degeneration gate (round 11): nbits = 0 puts every row
     // in one bucket per table, so the candidate set is the whole corpus
     // and the rerank IS exact cosine top-k — hash-gating the bucketing /

@@ -534,6 +534,64 @@ object QueriesSearch {
              |SELECT qid, doc_id, cos, CAST(rn AS BIGINT) AS rn
              |FROM ranked WHERE rn <= 5 ORDER BY qid, rn""".stripMargin)),
 
+    // Atomic postings UPSERT gate (round 12): changed docs (%9, text
+    // re-written) plus brand-new docs (%17, shifted ids) go through ONE
+    // whole-dir-swap upsert — no window where a doc's old+new postings
+    // coexist (the double-count state appendIndex refuses). Queries use
+    // the ORIGINAL doc text, so an updated doc's rank visibly moves; the
+    // oracle recomputes the ranking over the post-upsert corpus.
+    // Idempotent — re-running the same batch converges.
+    "q_sparse_upsert" -> QueryDef(
+      (s, d) => {
+        import graft.operators.SparseKnn
+        val tag = math.abs(d.hashCode).toString
+        val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_q_spups_$tag"
+        val docs = Tables.documents(s, d)
+        val sv = SparseKnn.hashingTf(docs, dim = 1024)
+        Fixtures.memo(s"sparse_ups_idx:$d") {
+          SparseKnn.writeIndex(sv, s"q_sp_ups_$tag", idxDir)
+          idxDir
+        }
+        val modified = docs.where(col("doc_id") % 9 === 0)
+          .select(col("doc_id"), concat(col("text"), lit(" graft upsert replay")).as("text"))
+        val fresh = docs.where(col("doc_id") % 17 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"),
+            concat(lit("fresh copy "), col("text")).as("text"))
+        SparseKnn.upsertIndex(s,
+          SparseKnn.hashingTf(modified.unionByName(fresh), dim = 1024), s"q_sp_ups_$tag")
+        val q = sv.where(col("doc_id") < 4)
+          .select(col("doc_id").as("qid"), col("indices"), col("values"))
+        SparseKnn.topKFromIndex(s, s"q_sp_ups_$tag", q, k = 5)
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some(s"""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id % 9 <> 0
+             |  UNION ALL
+             |  SELECT doc_id, text || ' graft upsert replay' FROM documents WHERE doc_id % 9 = 0
+             |  UNION ALL
+             |  SELECT doc_id + 100000, 'fresh copy ' || text FROM documents WHERE doc_id % 17 = 0),
+             |tok AS (SELECT doc_id, unnest(string_split($canon, ' ')) AS tok FROM corpus),
+             |tf AS (SELECT doc_id, ('0x' || substr(md5('graft-tf' || tok), 1, 8))::BIGINT % 1024 AS b,
+             |         count(*)::DOUBLE AS v
+             |       FROM tok WHERE tok <> '' GROUP BY 1, 2),
+             |norm AS (SELECT doc_id, sqrt(sum(v*v)) AS n FROM tf GROUP BY doc_id),
+             |qtok AS (SELECT doc_id, unnest(string_split($canon, ' ')) AS tok
+             |         FROM documents WHERE doc_id < 4),
+             |q AS (SELECT doc_id AS qid, ('0x' || substr(md5('graft-tf' || tok), 1, 8))::BIGINT % 1024 AS b,
+             |        count(*)::DOUBLE AS v
+             |      FROM qtok WHERE tok <> '' GROUP BY 1, 2),
+             |qn AS (SELECT qid, sqrt(sum(v*v)) AS n FROM q GROUP BY qid),
+             |dots AS (SELECT q.qid, p.doc_id, sum(p.v * q.v) AS dot
+             |         FROM tf p JOIN q ON p.b = q.b GROUP BY 1, 2),
+             |scored AS (SELECT d.qid, d.doc_id, round(d.dot / (n1.n * n2.n), 4) AS cos
+             |           FROM dots d JOIN norm n1 ON n1.doc_id = d.doc_id
+             |           JOIN qn n2 ON n2.qid = d.qid),
+             |ranked AS (SELECT qid, doc_id, cos,
+             |             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, doc_id) AS rn
+             |           FROM scored)
+             |SELECT qid, doc_id, cos, CAST(rn AS BIGINT) AS rn
+             |FROM ranked WHERE rn <= 5 ORDER BY qid, rn""".stripMargin)),
+
     // Sparse planner parity: the brute-force ranking SHAPE — ORDER BY
     // sparse_dot(indices, values, <literal query>) DESC LIMIT k over the
     // indexed store — with SparseScanRewriteRule turning it into the

@@ -536,6 +536,50 @@ object Hnsw {
     (field("numShards"), field("m"), field("efConstruction"))
   }
 
+  /** True when the store was written by [[writeIndexRouted]] (shard =
+    * nearest centroid, not floorMod(id) — placement of NEW vectors must
+    * follow the routing or [[searchIndexRouted]]'s shard pruning misses
+    * them silently). */
+  private def isRouted(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path, "_hnsw_sharded.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val json = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    """"routed"\s*:\s*1""".r.findFirstIn(json).isDefined
+  }
+
+  /** The routing centroids of a [[writeIndexRouted]] store. */
+  private def readShardCentroids(spark: SparkSession, path: String): Array[Array[Double]] = {
+    val cp = new org.apache.hadoop.fs.Path(path, "_shard_centroids.json")
+    val fs = cp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(cp),
+      s"Hnsw: routed store $path has no _shard_centroids.json")
+    val in = fs.open(cp)
+    val json = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    json.trim.stripPrefix("[").stripSuffix("]").split("\\],\\s*\\[")
+      .map(_.stripPrefix("[").stripSuffix("]"))
+      .map(_.split(",").map(_.trim.toDouble))
+  }
+
+  /** New vectors keyed by their DESTINATION shard under the store's own
+    * placement rule: nearest routing centroid for [[writeIndexRouted]]
+    * stores, floorMod(id, numShards) for hash-sharded ones. */
+  private def keyByStoreShard(spark: SparkSession, path: String, vectors: DataFrame,
+                              numShards: Int, idCol: String, embCol: String)
+      : org.apache.spark.rdd.RDD[(Int, (Long, Array[Double]))] =
+    if (isRouted(spark, path)) {
+      val model = IvfIndex.Model(readShardCentroids(spark, path))
+      vectors.select(col(idCol).cast("long"), col(embCol).cast("array<double>"),
+          IvfIndex.cellOf(col(embCol), model).as("__shard"))
+        .rdd.map(r => (r.getInt(2), (r.getLong(0), r.getSeq[Double](1).toArray)))
+    } else vectors
+      .select(col(idCol).cast("long"), col(embCol).cast("array<double>"))
+      .rdd
+      .map { r =>
+        val id = r.getLong(0)
+        (java.lang.Math.floorMod(id, numShards.toLong).toInt, (id, r.getSeq[Double](1).toArray))
+      }
+
   /** Incremental APPEND on a sharded store — the maintenance axis
     * [[IvfIndex.appendIndex]] gives the IVF family, on the graph side:
     * new vectors route to their `floorMod(id, numShards)` shard, each
@@ -574,13 +618,10 @@ object Hnsw {
           "rebuild the store to purge deletions before re-inserting them")
     }
     val part = new org.apache.spark.HashPartitioner(numShards)
-    val newByShard = vectors
-      .select(col(idCol).cast("long"), col(embCol).cast("array<double>"))
-      .rdd
-      .map { r =>
-        val id = r.getLong(0)
-        (java.lang.Math.floorMod(id, numShards.toLong).toInt, (id, r.getSeq[Double](1).toArray))
-      }
+    // placement follows the STORE's rule — routed stores key by nearest
+    // centroid (a floorMod append would land vectors in shards the
+    // routing tier never probes for them: silent recall loss)
+    val newByShard = keyByStoreShard(spark, path, vectors, numShards, idCol, embCol)
     val oldByShard = spark.read.parquet(path)
       .select(col("shard"), col("n"), col("graph"))
       .rdd.map(r => (r.getInt(0), (r.getLong(1), r.getAs[Array[Byte]](2))))
@@ -621,6 +662,135 @@ object Hnsw {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
+  }
+
+  /** UPSERT on a sharded/routed graph store — the atomic delete+insert
+    * the reference's re-uploaded-blob trigger needs (Function.java:71-88)
+    * at the graph tier. HNSW can't remove a node in place, so each
+    * AFFECTED shard's graph is REBUILT from its survivors (the old
+    * graph's nodes minus the batch's ids) plus the batch's new vectors,
+    * all inserted in ascending-id order — byte-deterministic and equal
+    * to a from-scratch [[writeIndexSharded]] of the post-upsert shard.
+    * Unaffected shards are never rewritten (dynamic partition
+    * overwrite, the [[appendIndexSharded]] contract).
+    *
+    * Atomicity: on a hash store an id's old and new node live in the
+    * SAME shard (shard = floorMod(id, numShards)), so per-shard commit
+    * IS per-id atomicity — no crash point leaves an id doubled or
+    * half-replaced. On a ROUTED store a changed embedding may move the
+    * id between shards (old shard rebuilt without it, destination
+    * rebuilt with it, in one write job); a crash inside the job's
+    * partition-commit window can leave the id temporarily missing or
+    * doubled across the two shards — re-running the same upsert
+    * converges, the [[appendIndexSharded]] crash contract. Tombstoned
+    * ids may be upserted: the rebuild purges their stale node
+    * physically, then their tombstone is cleared (a crash between the
+    * two leaves the id invisible, never stale — the same upsert re-run
+    * converges). Cost: O(affected shard rebuilds) — the honest HNSW
+    * maintenance price (faiss/pgvector reindex); batch re-embeds, and
+    * use [[appendIndexSharded]] for insert-only batches. */
+  def upsertIndexSharded(spark: SparkSession, path: String, vectors: DataFrame,
+                         idCol: String = "vec_id", embCol: String = "embedding",
+                         maxNodesPerShard: Int = 2000000): Unit = {
+    val (numShards, m, efC) = readShardedMeta(spark, path)
+    val dup = vectors.groupBy(col(idCol)).count().where(col("count") > 1)
+      .limit(5).collect().map(_.get(0))
+    require(dup.isEmpty,
+      s"Hnsw.upsertIndexSharded: ids ${dup.mkString(",")}… appear more than once in " +
+        "the batch — an upsert must carry exactly one row per id")
+    val routed = isRouted(spark, path)
+    val part = new org.apache.spark.HashPartitioner(numShards)
+    val newByShard = keyByStoreShard(spark, path, vectors, numShards, idCol, embCol)
+    // ROUTED stores: an upserted id's OLD node sits in the shard its OLD
+    // embedding routed to — any shard may hold one, so every graph is
+    // checked for batch ids (broadcast set; deserialization only, no
+    // rewrite unless affected). Hash stores skip this: old and new are
+    // floorMod-co-located by construction.
+    val batchIds: Option[org.apache.spark.broadcast.Broadcast[Set[Long]]] =
+      if (routed) Some(spark.sparkContext.broadcast(
+        vectors.select(col(idCol).cast("long")).collect().map(_.getLong(0)).toSet))
+      else None
+    val oldByShard = spark.read.parquet(path)
+      .select(col("shard"), col("n"), col("graph"))
+      .rdd.map(r => (r.getInt(0), (r.getLong(1), r.getAs[Array[Byte]](2))))
+    val updated = oldByShard.cogroup(newByShard, part).flatMap { case (shard, (olds, news)) =>
+      val newItems = news.toArray
+      val old = olds.headOption.map { case (_, bytes) => deserializeIndex(bytes) }
+      val affected = newItems.nonEmpty ||
+        (batchIds.isDefined && old.exists(_.ids.exists(batchIds.get.value.contains)))
+      if (!affected) Iterator.empty
+      else {
+        val newIds: Set[Long] =
+          batchIds.map(_.value).getOrElse(newItems.map(_._1).toSet)
+        val survivors: Array[(Long, Array[Double])] = old match {
+          case Some(idx) =>
+            idx.ids.indices.iterator
+              .filterNot(i => newIds.contains(idx.ids(i)))
+              .map(i => (idx.ids(i), idx.vecs(i))).toArray
+          case None => Array.empty
+        }
+        val all = (survivors ++ newItems).sortInPlaceBy(_._1)
+        // a DRAINED shard (routed store: every node moved away) emits a
+        // marker row — dynamic overwrite only replaces partitions present
+        // in the output, so the stale dir must be deleted explicitly below
+        if (all.isEmpty) Iterator(org.apache.spark.sql.Row(shard, 0L, null))
+        else {
+          require(all.length <= maxNodesPerShard,
+            s"Hnsw.upsertIndexSharded: shard $shard would hold ${all.length} > " +
+              s"maxNodesPerShard=$maxNodesPerShard — raise numShards or use IvfIndex")
+          val b = new GraphBuilder(m, efC)
+          all.foreach { case (id, v) => b.addNode(id, v) }
+          Iterator(org.apache.spark.sql.Row(shard, all.length.toLong,
+            serializeIndex(b.freeze())))
+        }
+      }
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val drained = updated.filter(_.getLong(1) == 0L).map(_.getInt(0)).collect()
+    val live = updated.filter(_.getLong(1) > 0L)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("shard", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("graph", org.apache.spark.sql.types.BinaryType)))
+    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try spark.createDataFrame(live, schema)
+      .write.partitionBy("shard").mode("overwrite").parquet(path)
+    finally {
+      prevMode match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      updated.unpersist()
+    }
+    // drained shard dirs (routed store: every node moved away) are not
+    // in the write's output, so dynamic overwrite left them live with
+    // stale nodes — delete them now. A crash before this point leaves
+    // moved ids doubled (documented; the same upsert re-run converges —
+    // it re-detects the batch ids in the stale dir and drains it again).
+    if (drained.nonEmpty) {
+      val rootFs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      drained.foreach { s =>
+        rootFs.delete(new org.apache.hadoop.fs.Path(path, s"shard=$s"), true)
+      }
+    }
+    // the upserted ids' stale nodes are physically gone — clear their
+    // tombstones so the fresh vectors serve (ordered AFTER the shard
+    // write: a crash in between leaves them invisible, never stale)
+    val tp = new org.apache.hadoop.fs.Path(path, "_tombstones")
+    val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.sources.AtomicDir.readRetrying(fs, tp) { dir =>
+      spark.read.parquet(dir.toString).select(col("vec_id"))
+        .join(vectors.select(col(idCol).cast("long").as("vec_id")).distinct(),
+          Seq("vec_id"), "left_anti")
+        .localCheckpoint(true)
+    }.foreach { remaining =>
+      if (remaining.isEmpty) { graft.sources.AtomicDir.recover(fs, tp); fs.delete(tp, true) }
+      else graft.sources.AtomicDir.replace(fs, tp) { tmpDir =>
+        remaining.coalesce(1).write.mode("overwrite").parquet(tmpDir.toString)
+      }
+    }
+    tombCache.remove(path)
   }
 
   /** Scatter-gather search over a [[writeIndexSharded]] store: queries

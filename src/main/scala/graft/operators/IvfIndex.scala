@@ -971,6 +971,116 @@ object IvfIndex {
     DeleteReport(deleted, rewrite.size, drain.size)
   }
 
+  final case class UpsertReport(updatedIds: Long, insertedIds: Long,
+                                cellsRewritten: Int, cellsDrained: Int)
+
+  /** UPSERT into a persisted index — the reference's core trigger is a
+    * RE-uploaded blob (BlobUploadDetector/.../Function.java:71-88: same
+    * name, new content ⇒ re-embed and replace), and at the index tier
+    * that is delete + insert which MUST be atomic: two separate
+    * maintenance ops leave a window where the doc is either absent or
+    * doubled. This composes both under ONE [[StagedSwap]] manifest —
+    * exactly [[deleteFromIndex]]'s and [[reassignIndex]]'s protocol, so
+    * a crash at any point rolls FORWARD on the next maintenance call and
+    * no intermediate state is ever live.
+    *
+    * Family-aware: the batch rows are written in the store's own schema,
+    * detected from its sidecars — flat, cosine (vectors normalized on
+    * the way in), SQ8 (codes under the stored range), binary (packed
+    * sign bits), PQ (residual codes under the stored codebooks),
+    * Matryoshka (prefix slice + prefix-space cells). An id may move
+    * cells when its new embedding lands elsewhere — the old cell is
+    * rewritten without it, the new cell with it, both under the one
+    * manifest; a cell left empty drains.
+    *
+    * Cost: O(affected cells), like [[deleteFromIndex]]. `vectors` must
+    * carry one row per id (ambiguous multi-row upserts fail loud); if it
+    * derives from this same store, it is materialized here before the
+    * swap invalidates the captured file listing. Idempotent: re-running
+    * the same batch converges to the same store. */
+  def upsertIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                  vectors: DataFrame,
+                  idCol: String = "vec_id", embCol: String = "embedding"): UpsertReport = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val swap = new StagedSwap(fs, root, "upsertIndex")
+    swap.recover()
+    val store = spark.read.parquet(path)
+    require(!store.columns.contains("batch_id"),
+      "upsertIndex: streaming batch_id/cell stores nest their cell dirs under " +
+        "batch partitions — a root-level swap would leave old rows live; " +
+        "compact to a cell-partitioned store first")
+    val model = readModel(spark, path)
+    // family detection by sidecar — the batch must be written in the
+    // store's own schema or every later search breaks on the new rows
+    val isSub = fs.exists(new Path(root, "_matryoshka.json"))
+    val isPq = fs.exists(new Path(root, "_pq.json"))
+    val isBin = fs.exists(new Path(root, "_binary.json"))
+    val isSq = fs.exists(new Path(root, "_quantize.json"))
+    val isCos = readMetric(spark, path) == "cosine"
+    val batchRows: DataFrame =
+      if (isSub) {
+        val subDim = readSubDim(spark, path)
+        val sub = slice(col(embCol), 1, subDim)
+        vectors.select(col(idCol), col(embCol), sub.as("sub"), cellOf(sub, model).as("cell"))
+      } else if (isPq) {
+        val pq = ProductQuantizer.readModel(spark, path)
+        vectors.select(col(idCol), col(embCol), cellOf(col(embCol), model).as("cell"))
+          .select(col(idCol), col(embCol), col("cell"),
+            ProductQuantizer.encodeExpr(
+              ProductQuantizer.residualExpr(col(embCol), col("cell"), model), pq).as("pq_codes"))
+      } else if (isBin) {
+        vectors.select(col(idCol), col(embCol),
+          Quantize.binarizeExpr(col(embCol)).as("bvec"), cellOf(col(embCol), model).as("cell"))
+      } else if (isSq) {
+        val (mn, mx) = readQuantRange(spark, path)
+        vectors.select(col(idCol), col(embCol),
+          Quantize.quantizeExpr(col(embCol), mn, mx).as("qvec"),
+          cellOf(col(embCol), model).as("cell"))
+      } else if (isCos) {
+        val n = graft.functions.VectorFunctions.l2Normalize(col(embCol))
+        vectors.select(col(idCol), n.as(embCol), cellOf(n, model).as("cell"))
+      } else {
+        vectors.select(col(idCol), col(embCol), cellOf(col(embCol), model).as("cell"))
+      }
+    // materialized once: feeds the ambiguity check, the hit pass, the
+    // changed-cell set and the staging write — and decouples the batch
+    // from any lineage over the store about to be swapped. Columns are
+    // cast to the STORE's schema first (a float-vector store upserted
+    // with double-typed arithmetic would otherwise write mixed-type
+    // partitions the merged read chokes on).
+    val batch = batchRows.select(store.schema.fields.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)): _*)
+      .localCheckpoint(true)
+    val dup = batch.groupBy(col(idCol)).count().where(col("count") > 1)
+      .limit(5).collect().map(_.get(0))
+    require(dup.isEmpty,
+      s"upsertIndex: ids ${dup.mkString(",")}… appear more than once in the batch — " +
+        "an upsert must carry exactly one row per id")
+    val idFrame = batch.select(col(idCol))
+    // one (id, cell)-column pass over the store: cells losing rows +
+    // the distinct-id count that tells updates from inserts
+    val hits = store.select(col(idCol), col("cell"))
+      .join(idFrame, Seq(idCol), "left_semi")
+      .groupBy(col("cell")).agg(countDistinct(col(idCol)).as("ids")).collect()
+    val updatedIds = hits.map(_.getLong(1)).sum
+    val oldCells: Set[Int] = hits.map(_.getInt(0)).toSet
+    val newCells: Set[Int] = batch.select(col("cell")).distinct().collect().map(_.getInt(0)).toSet
+    val changed = oldCells ++ newCells
+    val changedLits = changed.toSeq.map(_.asInstanceOf[Any])
+    // staged content of every changed cell: that cell's survivors plus
+    // the batch rows landing there — the `cell IN` filter prunes the
+    // store read to the affected partitions only
+    val survivors = store.where(col("cell").isin(changedLits: _*))
+      .join(idFrame, Seq(idCol), "left_anti")
+    survivors.unionByName(batch)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(swap.staging.toString)
+    val (rewrite, drain) = swap.commit(changed)
+    UpsertReport(updatedIds, batch.count() - updatedIds, rewrite.size, drain.size)
+  }
+
   /** Append vectors to a persisted Matryoshka index: slice the prefix
     * and assign cells under the EXISTING sidecar model, so appended rows
     * stay scan-compatible with both the coarse (sub) and rerank

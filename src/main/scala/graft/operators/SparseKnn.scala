@@ -363,10 +363,78 @@ object SparseKnn {
     * dropping it after the swap is catalog-only. Returns (files before,
     * files after). */
   def compactIndex(spark: org.apache.spark.sql.SparkSession, table: String): (Long, Long) = {
+    // recovery runs BEFORE the file census: a crash that left the live
+    // dir retired would otherwise fail the listing instead of healing
+    recoverSwapState(spark, table, "compactIndex")
+    val before = fileStats(spark, table)._1
+    // PURGE pass: the staging table is built without any tombstoned
+    // doc's postings (the id column is the one non-__ column), and the
+    // whole-dir promote drops the _tombstones dir with the old files
+    val idColName = spark.table(table).columns.filterNot(_.startsWith("__")).head
+    swapTableContent(spark, table, "compactIndex",
+      notTombstoned(spark, table, spark.table(table), idColName))
+    (before, fileStats(spark, table)._1)
+  }
+
+  /** UPSERT into a persisted postings index — the atomic composition of
+    * delete + insert the reference's re-uploaded-blob trigger needs
+    * (Function.java:71-88: same doc, new content ⇒ re-index). A doc's
+    * postings spread across many term buckets, so there is no
+    * partition-surgical path ([[IvfIndex.upsertIndex]]'s move): the
+    * correct single-commit protocol here is the [[compactIndex]]
+    * whole-dir swap, with the staged table = current live postings MINUS
+    * the upserted ids' rows PLUS the batch's new postings. One rename is
+    * the commit point — a crash before it leaves the old table fully
+    * live, after it the new one; no reader ever sees old+new rows for an
+    * id (the double-count state [[appendIndex]] refuses to create).
+    * Tombstoned ids may be upserted: their old postings drop in the same
+    * pass and the swap retires the tombstone dir itself (the
+    * resurrection done right). Cost: O(table) like compaction — batch
+    * your re-embeds; for insert-only batches use [[appendIndex]].
+    * Idempotent: re-running the same batch converges. */
+  def upsertIndex(spark: org.apache.spark.sql.SparkSession, sv: DataFrame,
+                  table: String, idCol: String = "doc_id"): Unit = {
+    recoverSwapState(spark, table, "upsertIndex")
+    // an INDEXED STORE's postings derive from the store parquet — the
+    // same two-sources-of-truth refusal as deleteFromIndex
+    val (p0, _) = tombstonePath(spark, table)
+    require(!p0.toString.contains("/_postings/"),
+      "SparseKnn.upsertIndex: this postings table belongs to an indexed store " +
+        "(writeIndexedStore) — upsert the store and rebuild, or maintain a " +
+        "standalone postings index")
+    val dup = sv.groupBy(col(idCol)).count().where(col("count") > 1)
+      .limit(5).collect().map(_.get(0))
+    require(dup.isEmpty,
+      s"SparseKnn.upsertIndex: ids ${dup.mkString(",")}… appear more than once in " +
+        "the batch — an upsert must carry exactly one row per id")
+    // the batch's postings in the table's schema (the appendIndex shape)
+    val newRows = sv.select(col(idCol),
+        sparseNorm(col("indices"), col("values")).as("__n"),
+        explode(arrays_zip(col("indices"), col("values"))).as("__p"))
+      .select(col(idCol), col("__n"), col("__p.indices").as("__t"), col("__p.values").as("__v"))
+    val idColName = spark.table(table).columns.filterNot(_.startsWith("__")).head
+    require(idColName == idCol,
+      s"SparseKnn.upsertIndex: table $table keys on $idColName, batch keys on $idCol")
+    val survivors = notTombstoned(spark, table, spark.table(table), idCol)
+      .join(sv.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
+    swapTableContent(spark, table, "upsertIndex", survivors.unionByName(newRows))
+  }
+
+  /** Shared whole-dir swap for the postings-table rewriters
+    * ([[compactIndex]], [[upsertIndex]]): recovery prologue (a stranded
+    * retired dir with the live dir missing is restored; leftover staging
+    * dropped), staged bucketed write of `content`, then
+    * retire → promote → cleanup with rollback on a failed promote. The
+    * staged table is built under the table's OWN bucket spec, and the
+    * promote drops `_tombstones/` with the old files. */
+  /** Recovery prologue shared by the swap rewriters: a stranded retired
+    * dir with the live dir missing (crash between retire and promote) is
+    * restored; a complete retired copy beside a live dir is superseded
+    * and dropped; leftover staging is dropped. Idempotent. */
+  private def recoverSwapState(spark: org.apache.spark.sql.SparkSession,
+                               table: String, op: String): Unit = {
     val meta = spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
-    val nb = meta.bucketSpec.map(_.numBuckets).getOrElse(throw new IllegalArgumentException(
-      s"SparseKnn.compactIndex: table $table carries no bucket spec — not a postings index"))
     val loc = new org.apache.hadoop.fs.Path(meta.location)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = new org.apache.hadoop.fs.Path(loc.toString + "__compact_staging")
@@ -374,33 +442,40 @@ object SparseKnn {
     if (fs.exists(retired)) {
       if (!fs.exists(loc)) {
         if (!fs.rename(retired, loc)) throw new java.io.IOException(
-          s"compactIndex: found stranded $retired with $loc missing, and could not restore it")
+          s"$op: found stranded $retired with $loc missing, and could not restore it")
       } else fs.delete(retired, true)
     }
     fs.delete(staging, true)
-    val before = fileStats(spark, table)._1
+  }
+
+  private def swapTableContent(spark: org.apache.spark.sql.SparkSession, table: String,
+                               op: String, content: DataFrame): Unit = {
+    val meta = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val nb = meta.bucketSpec.map(_.numBuckets).getOrElse(throw new IllegalArgumentException(
+      s"SparseKnn.$op: table $table carries no bucket spec — not a postings index"))
+    val loc = new org.apache.hadoop.fs.Path(meta.location)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(loc.toString + "__compact_staging")
+    val retired = new org.apache.hadoop.fs.Path(loc.toString + "__compact_retired")
+    recoverSwapState(spark, table, op)
     val stagingTable = table + "__compact_staging"
     spark.sql(s"DROP TABLE IF EXISTS `$stagingTable`")
-    // PURGE pass: the staging table is built without any tombstoned
-    // doc's postings (the id column is the one non-__ column), and the
-    // whole-dir promote drops the _tombstones dir with the old files
-    val idColName = spark.table(table).columns.filterNot(_.startsWith("__")).head
-    notTombstoned(spark, table, spark.table(table), idColName)
+    content
       .repartition(nb, expr(s"pmod(hash(__t), $nb)"))
       .write.mode("overwrite")
       .bucketBy(nb, "__t").sortBy("__t")
       .format("parquet").option("path", staging.toString)
       .saveAsTable(stagingTable)
     if (!fs.rename(loc, retired))
-      throw new java.io.IOException(s"compactIndex: could not retire $loc")
+      throw new java.io.IOException(s"$op: could not retire $loc")
     if (!fs.rename(staging, loc)) {
       fs.rename(retired, loc) // roll back
-      throw new java.io.IOException(s"compactIndex: could not promote staging for $loc")
+      throw new java.io.IOException(s"$op: could not promote staging for $loc")
     }
     fs.delete(retired, true)
     spark.sql(s"DROP TABLE `$stagingTable`")
     spark.catalog.refreshTable(table)
-    (before, fileStats(spark, table)._1)
   }
 
   /** Sparse-cosine top-k against the PERSISTED postings — score-identical
