@@ -28,10 +28,58 @@ object QueriesExtra {
 
   val defs: Map[String, QueryDef] = Map(
 
+    // SimHash near-dup pairs, ORACLE-GATED (round 12): FNV-1a and the
+    // bit-vote signature are replayed in DuckDB integer SQL (HUGEINT
+    // mod-2^64 arithmetic for the unsigned multiply, signed xor for the
+    // byte fold), the banding guard is complete for hamming ≤ 3, and the
+    // oracle ranks TRUE all-pairs — so the 4×16-bit pigeonhole's recall
+    // is certified, not assumed. ASCII projection (bytes == code points)
+    // keeps the char-based oracle sound, the q_frame_sample convention.
     "q_dedup_simhash" -> QueryDef(
-      (s, d) => SimHash.nearDupPairs(Tables.documents(s, d), maxHamming = 3)
-        .orderBy(col("id1"), col("id2")),
-      None),
+      (s, d) => {
+        val a = Tables.documents(s, d)
+          .select(col("doc_id"), regexp_replace(col("text"), "[^\\x00-\\x7F]", "?").as("text"))
+        SimHash.nearDupPairs(a, maxHamming = 3).orderBy(col("id1"), col("id2"))
+      },
+      Some("""WITH a AS (SELECT doc_id, regexp_replace(text, '[^\x00-\x7F]', '?', 'g') AS text FROM documents),
+             |w AS (SELECT doc_id, string_split(lower(trim(regexp_replace(replace(text, chr(10), ' '), '[\s\x0b]{2,}', ' ', 'g'))), ' ') AS w FROM a),
+             |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+             |  THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]
+             |  ELSE [array_to_string(w, ' ')] END) AS sh FROM w),
+             |tok AS (SELECT doc_id, unnest(sh) AS t FROM sh),
+             |fnv AS (SELECT doc_id, list_reduce(
+             |  list_prepend(CAST(-3750763034362895579 AS BIGINT),
+             |    list_transform(range(1, length(t)+1), i -> CAST(ord(substr(t, i, 1)) AS BIGINT))),
+             |  (acc, b) -> CAST(
+             |    CASE WHEN ((CASE WHEN xor(acc, b) < 0
+             |                THEN CAST(xor(acc, b) AS HUGEINT) + 18446744073709551616::HUGEINT
+             |                ELSE CAST(xor(acc, b) AS HUGEINT) END) * 1099511628211::HUGEINT)
+             |              % 18446744073709551616::HUGEINT >= 9223372036854775808::HUGEINT
+             |    THEN ((CASE WHEN xor(acc, b) < 0
+             |                THEN CAST(xor(acc, b) AS HUGEINT) + 18446744073709551616::HUGEINT
+             |                ELSE CAST(xor(acc, b) AS HUGEINT) END) * 1099511628211::HUGEINT)
+             |              % 18446744073709551616::HUGEINT - 18446744073709551616::HUGEINT
+             |    ELSE ((CASE WHEN xor(acc, b) < 0
+             |                THEN CAST(xor(acc, b) AS HUGEINT) + 18446744073709551616::HUGEINT
+             |                ELSE CAST(xor(acc, b) AS HUGEINT) END) * 1099511628211::HUGEINT)
+             |              % 18446744073709551616::HUGEINT
+             |    END AS BIGINT)) AS h FROM tok),
+             |uh AS (SELECT doc_id, CASE WHEN h < 0
+             |    THEN CAST(h AS HUGEINT) + 18446744073709551616::HUGEINT
+             |    ELSE CAST(h AS HUGEINT) END AS u FROM fnv),
+             |votes AS (SELECT doc_id, b,
+             |    SUM(CASE WHEN (u // (1::HUGEINT << CAST(b AS INT))) % 2 = 1 THEN 1 ELSE -1 END) AS v
+             |  FROM uh, range(0, 64) AS r(b) GROUP BY doc_id, b),
+             |sig AS (SELECT doc_id,
+             |    CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+             |      THEN s - 18446744073709551616::HUGEINT ELSE s END AS BIGINT) AS simhash
+             |  FROM (SELECT doc_id, COALESCE(SUM(CASE WHEN v > 0
+             |      THEN (1::HUGEINT << CAST(b AS INT)) ELSE 0::HUGEINT END), 0::HUGEINT) AS s
+             |    FROM votes GROUP BY doc_id)),
+             |pairs AS (SELECT s1.doc_id AS id1, s2.doc_id AS id2,
+             |    CAST(bit_count(xor(s1.simhash, s2.simhash)) AS BIGINT) AS hamming
+             |  FROM sig s1 JOIN sig s2 ON s1.doc_id < s2.doc_id)
+             |SELECT id1, id2, hamming FROM pairs WHERE hamming <= 3 ORDER BY id1, id2""".stripMargin)),
 
     "q_ann_lsh" -> QueryDef(
       (s, d) => {
