@@ -539,6 +539,45 @@ object QueriesExtra {
       },
       Some(annExactL2Sql)),
 
+    // HALFVEC index (pgvector 0.7 halfvec_l2_ops, round 12): the
+    // memory-halving tier — binary16 code column beside the float
+    // column, (id, hvec)-only coarse pass in the half domain, bounded
+    // float rerank. Rows-only production probe; recall floor and the
+    // half round-trip are spec-gated (IvfHalfSpec).
+    "q_ann_half" -> QueryDef(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val dir = Fixtures.memo(s"ivf_half_idx:$d") {
+          val model = Fixtures.memo(s"ivf_model_k16_i3:$d") { IvfIndex.train(e, k = 16, iters = 3) }
+          val dr = java.nio.file.Files.createTempDirectory("ivf_half_q").toString
+          IvfIndex.writeIndexHalf(e, model, dr)
+          dr
+        }
+        val q = e.where(col("vec_id") < 4).select(col("vec_id").as("qid"), col("embedding"))
+        IvfIndex.searchIndexHalf(s, dir, q, k = 3, nprobe = 4, overfetch = 4)
+          .orderBy(col("qid"), col("rn"))
+      },
+      None),
+
+    // HALFVEC exact-degeneration gate: full probe + covering overfetch
+    // == exact float L2 top-k THROUGH the binary16 coarse scan and the
+    // rerank pushdown — the same oracle every other index family gets.
+    "q_ann_half_exact" -> QueryDef(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val n = e.count().toInt
+        val dir = Fixtures.memo(s"ivf_half_idx:$d") {
+          val model = Fixtures.memo(s"ivf_model_k16_i3:$d") { IvfIndex.train(e, k = 16, iters = 3) }
+          val dr = java.nio.file.Files.createTempDirectory("ivf_half_q").toString
+          IvfIndex.writeIndexHalf(e, model, dr)
+          dr
+        }
+        val q = e.where(col("vec_id") < 4).select(col("vec_id").as("qid"), col("embedding"))
+        IvfIndex.searchIndexHalf(s, dir, q, k = 5, nprobe = 16, overfetch = n)
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some(annExactL2Sql)),
+
     // MATRYOSHKA index (pgvector's subvector-index recipe, MRL
     // embeddings): cells and the coarse pass live in the first-16-dims
     // PREFIX space — the coarse scan deserializes (id, sub) only, a

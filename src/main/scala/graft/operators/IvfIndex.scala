@@ -611,6 +611,98 @@ object IvfIndex {
       .select(col(queryIdCol), col(idCol), col("dist"), col("rn").cast("long").as("rn"))
   }
 
+  /** Persist a HALFVEC index — pgvector 0.7's `halfvec_l2_ops` recipe
+    * (index over `embedding::halfvec(d)`, the memory-halving move real
+    * deployments use) on the cell-partitioned layout: rows carry the
+    * full float column PLUS an IEEE-754 binary16 code column (`hvec`,
+    * round-to-nearest-even — [[graft.functions.HalfExpressions]]), and
+    * a `_half.json` sidecar marks the tier. At search time the coarse
+    * pass reads (id, hvec) only — half the bytes of the float column —
+    * and the float column is deserialized just for the bounded rerank
+    * candidates: [[writeIndexSub]]'s IO pattern with the cut coming
+    * from precision instead of prefix length. */
+  def writeIndexHalf(corpus: DataFrame, model: Model, path: String,
+                     idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
+    import graft.functions.HalfExpressions
+    corpus.select(col(idCol), col(embCol),
+        HalfExpressions.halfEncode(col(embCol)).as("hvec"),
+        cellOf(col(embCol), model).as("cell"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    val json = model.centroids.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    writeSidecar(corpus.sparkSession, path, "_centroids.json", json)
+    writeSidecar(corpus.sparkSession, path, "_half.json", """{"bits":16}""")
+  }
+
+  /** Append to a [[writeIndexHalf]] store — the [[appendIndex]] contract
+    * with the half codes recomputed for the new rows. */
+  def appendIndexHalf(spark: org.apache.spark.sql.SparkSession, path: String,
+                      vectors: DataFrame,
+                      idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
+    import graft.functions.HalfExpressions
+    val model = readModel(spark, path)
+    vectors.select(col(idCol), col(embCol),
+        HalfExpressions.halfEncode(col(embCol)).as("hvec"),
+        cellOf(col(embCol), model).as("cell"))
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(path)
+  }
+
+  /** Search a [[writeIndexHalf]] store — [[searchIndexQuantized]]'s
+    * exact scan shape with binary16 in place of uint8 codes: static
+    * `cell IN` pruning, an (id, hvec)-only coarse pass scored by L2 in
+    * the HALF domain (both sides rounded to binary16, the pgvector
+    * halfvec semantics), then an exact float-L2 rerank of the bounded
+    * candidate set with the id-pushdown/semi-join fallback. Full probe
+    * + covering overfetch degenerates to exact KNN (oracle-gated as
+    * q_ann_half_exact); recall at production overfetch is spec-gated. */
+  def searchIndexHalf(spark: org.apache.spark.sql.SparkSession, path: String,
+                      queries: DataFrame, k: Int, nprobe: Int, overfetch: Int = 4,
+                      idCol: String = "vec_id", embCol: String = "embedding",
+                      queryIdCol: String = "qid", scale: Int = 4,
+                      maxPushdownIds: Int = 100000): DataFrame = {
+    import graft.functions.HalfExpressions
+    val model = readModel(spark, path)
+    require(
+      try { readSidecar(spark, path, "_half.json"); true } catch { case _: Exception => false },
+      s"searchIndexHalf: $path carries no _half.json — not a halfvec index")
+    val probedCells = queries
+      .select(explode(cellsOf(col(embCol), model, nprobe)).as("cell"))
+      .distinct().collect().map(_.getInt(0).asInstanceOf[Any])
+    val qSide = broadcast(queries.select(col(queryIdCol),
+      col(embCol).as("__qemb"),
+      HalfExpressions.halfDecode(
+        HalfExpressions.halfEncode(col(embCol))).as("__qhalf")))
+    val coarse = spark.read.parquet(path)
+      .where(col("cell").isin(probedCells: _*))
+      .select(col(idCol), col("hvec"))
+      .crossJoin(qSide)
+      .select(col(queryIdCol), col(idCol),
+        VectorFunctions.l2Distance(
+          HalfExpressions.halfDecode(col("hvec")), col("__qhalf")).as("__hdist"))
+    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("__hdist"), col(idCol))
+    val candFrame = coarse.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k * overfetch)
+      .select(col(idCol)).distinct()
+      .localCheckpoint(true)
+    val probe = candFrame.limit(maxPushdownIds + 1).collect()
+    val rerankBase = spark.read.parquet(path)
+      .where(col("cell").isin(probedCells: _*))
+    val rerankDocs =
+      if (probe.length <= maxPushdownIds)
+        rerankBase.where(col(idCol).isin(probe.map(_.getLong(0)).toSeq: _*))
+      else rerankBase.join(candFrame, Seq(idCol), "left_semi")
+    val rerank = rerankDocs
+      .select(col(idCol), col(embCol))
+      .crossJoin(qSide)
+      .select(col(queryIdCol), col(idCol),
+        round(VectorFunctions.l2Distance(col(embCol), col("__qemb")), scale).as("dist"))
+    val w2 = Window.partitionBy(col(queryIdCol)).orderBy(col("dist"), col(idCol))
+    rerank.withColumn("rn", row_number().over(w2))
+      .where(col("rn") <= k)
+      .select(col(queryIdCol), col(idCol), col("dist"), col("rn").cast("long").as("rn"))
+  }
+
   /** Persist a MATRYOSHKA index — the pgvector "subvector index" recipe
     * (index `subvector(embedding, 1, d')::vector(d')`, rerank by the
     * full column) re-expressed as a cell-partitioned store: rows carry
@@ -1018,9 +1110,15 @@ object IvfIndex {
     val isPq = fs.exists(new Path(root, "_pq.json"))
     val isBin = fs.exists(new Path(root, "_binary.json"))
     val isSq = fs.exists(new Path(root, "_quantize.json"))
+    val isHalf = fs.exists(new Path(root, "_half.json"))
     val isCos = readMetric(spark, path) == "cosine"
     val batchRows: DataFrame =
-      if (isSub) {
+      if (isHalf) {
+        import graft.functions.HalfExpressions
+        vectors.select(col(idCol), col(embCol),
+          HalfExpressions.halfEncode(col(embCol)).as("hvec"),
+          cellOf(col(embCol), model).as("cell"))
+      } else if (isSub) {
         val subDim = readSubDim(spark, path)
         val sub = slice(col(embCol), 1, subDim)
         vectors.select(col(idCol), col(embCol), sub.as("sub"), cellOf(sub, model).as("cell"))
