@@ -226,5 +226,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // stores (dense IVF and sparse postings variants)
     e.injectPlannerStrategy(_ => graft.plans.IvfIterativeScanStrategy)
     e.injectPlannerStrategy(_ => graft.plans.SparseIterativeScanStrategy)
+    // SQL surface for the index LIFECYCLE: CREATE/APPEND/UPSERT/DELETE/
+    // COMPACT GRAFT [SPARSE] INDEX … statements lower onto the library
+    // maintenance calls; everything else delegates to the stock parser
+    e.injectParser((_, delegate) => graft.plans.GraftSqlParser(delegate))
   }
 }

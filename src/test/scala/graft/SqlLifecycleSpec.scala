@@ -1,0 +1,138 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** SQL-only index lifecycle (VERDICT r11 task 8): a session built from
+  * GraftExtensions can CREATE / APPEND / UPSERT / DELETE / COMPACT both
+  * store kinds and query them without touching a Scala API — the
+  * statements lower onto the same library calls the Scala surface uses.
+  * Also pins the delegation contract: non-graft SQL parses untouched,
+  * malformed graft statements fail loud (never silently delegated). */
+class SqlLifecycleSpec extends SparkSpec {
+
+  /** A fresh session over the shared context WITH the extensions (the
+    * suite-shared session predates them); default/active are restored so
+    * sibling suites keep their session. */
+  private lazy val s: SparkSession = {
+    val prev = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val fresh = GraftSession.builder(prev.sparkContext.master, 4).getOrCreate()
+    SparkSession.setDefaultSession(prev)
+    SparkSession.setActiveSession(prev)
+    assert(fresh ne prev, "expected a fresh session carrying the extensions")
+    fresh
+  }
+
+  test("vector store lifecycle end-to-end in SQL: create, query, delete, append, upsert, compact") {
+    val path = Files.createTempDirectory("sql_ivf").toString + "/idx"
+    Tables.embeddings(s, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      .createOrReplaceTempView("emb_v")
+
+    val created = s.sql(
+      s"CREATE GRAFT INDEX IVF AT '$path' FROM emb_v OPTIONS (k = 4, iters = 2)")
+      .collect().map(_.getString(0))
+    assert(created.exists(_.contains("created IVF")), created.toSeq)
+    assert(s.read.parquet(path).count() == s.table("emb_v").count())
+
+    // SQL-side query through the injected rewrite rule: exact top-3 by
+    // L2 must match a brute-force SQL ranking over the source view
+    val qv = s.table("emb_v").where(col("vec_id") === 7)
+      .select(col("embedding")).head().getSeq[Double](0)
+    val vecLit = s"array(${qv.map(d => s"${d}D").mkString(", ")})"
+    s.read.parquet(path).createOrReplaceTempView("idx_v")
+    def top3(view: String): Seq[(Long, Double)] = s.sql(
+      s"""SELECT vec_id, round(vec_l2(embedding, $vecLit), 4) AS dist
+         |FROM $view ORDER BY vec_l2(embedding, $vecLit), vec_id LIMIT 3""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(top3("idx_v") == top3("emb_v"), "index query != brute force")
+
+    // DELETE: every vec_id % 5 == 0 via an id view
+    s.table("emb_v").where(col("vec_id") % 5 === 0).select(col("vec_id"))
+      .createOrReplaceTempView("del_v")
+    val delMsg = s.sql(s"DELETE GRAFT INDEX AT '$path' FROM del_v").head().getString(0)
+    assert(delMsg.contains("deleted"), delMsg)
+    assert(s.read.parquet(path).where(col("vec_id") % 5 === 0).isEmpty)
+
+    // APPEND new ids
+    s.table("emb_v").where(col("vec_id") < 3)
+      .select((col("vec_id") + 9000L).as("vec_id"), col("embedding"))
+      .createOrReplaceTempView("app_v")
+    s.sql(s"APPEND GRAFT INDEX AT '$path' FROM app_v").collect()
+    assert(s.read.parquet(path).where(col("vec_id") >= 9000L).count() == 3)
+
+    // UPSERT donors over existing ids
+    s.table("emb_v").where(col("vec_id").between(101L, 103L))
+      .select((col("vec_id") - 100L).as("vec_id"), col("embedding"))
+      .createOrReplaceTempView("ups_v")
+    val upsMsg = s.sql(s"UPSERT GRAFT INDEX AT '$path' FROM ups_v").head().getString(0)
+    assert(upsMsg.contains("updated=3"), upsMsg)
+
+    // COMPACT keeps content
+    val before = s.read.parquet(path).count()
+    val cMsg = s.sql(s"COMPACT GRAFT INDEX AT '$path'").head().getString(0)
+    assert(cMsg.contains("compacted"), cMsg)
+    assert(s.read.parquet(path).count() == before)
+  }
+
+  test("sparse postings lifecycle end-to-end in SQL") {
+    val tmp = Files.createTempDirectory("sql_sparse").toString
+    Tables.documents(s, sfDir).select(col("doc_id"), col("text"))
+      .createOrReplaceTempView("docs_v")
+    s.sql("DROP TABLE IF EXISTS sql_sp_idx")
+
+    val created = s.sql(
+      s"CREATE GRAFT SPARSE INDEX sql_sp_idx AT '$tmp/idx' FROM docs_v " +
+        "OPTIONS (dim = 256, buckets = 4)").head().getString(0)
+    assert(created.contains("created sparse"), created)
+    val postings = s.table("sql_sp_idx").count()
+    assert(postings > 0)
+
+    // DELETE a doc via an id view; its postings stop serving
+    s.table("docs_v").where(col("doc_id") === 2).select(col("doc_id"))
+      .createOrReplaceTempView("sp_del_v")
+    s.sql("DELETE GRAFT SPARSE INDEX sql_sp_idx FROM sp_del_v").collect()
+    val q = graft.operators.SparseKnn.hashingTf(
+        s.table("docs_v").where(col("doc_id") === 2), dim = 256)
+      .select(col("doc_id").as("qid"), col("indices"), col("values"))
+    val hits = graft.operators.SparseKnn.topKFromIndex(s, "sql_sp_idx", q, k = 3)
+      .collect().map(_.getLong(1))
+    assert(!hits.contains(2L), s"deleted doc served: ${hits.toSeq}")
+
+    // UPSERT it back with changed text — the atomic resurrect path
+    s.table("docs_v").where(col("doc_id") === 2)
+      .select(col("doc_id"), concat(col("text"), lit(" sql upsert")).as("text"))
+      .createOrReplaceTempView("sp_ups_v")
+    s.sql("UPSERT GRAFT SPARSE INDEX sql_sp_idx FROM sp_ups_v OPTIONS (dim = 256)").collect()
+    val back = graft.operators.SparseKnn.topKFromIndex(s, "sql_sp_idx", q, k = 3)
+      .collect().map(_.getLong(1))
+    assert(back.contains(2L), s"upserted doc not serving: ${back.toSeq}")
+
+    // APPEND a brand-new doc
+    s.table("docs_v").where(col("doc_id") === 0)
+      .select((col("doc_id") + 7000L).as("doc_id"), col("text"))
+      .createOrReplaceTempView("sp_app_v")
+    s.sql("APPEND GRAFT SPARSE INDEX sql_sp_idx FROM sp_app_v OPTIONS (dim = 256)").collect()
+    assert(s.table("sql_sp_idx").where(col("doc_id") === 7000L).count() > 0)
+
+    // COMPACT
+    val msg = s.sql("COMPACT GRAFT SPARSE INDEX sql_sp_idx").head().getString(0)
+    assert(msg.contains("compacted"), msg)
+    s.sql("DROP TABLE IF EXISTS sql_sp_idx")
+  }
+
+  test("delegation and fail-loud: plain SQL untouched, malformed graft statements reject") {
+    assert(s.sql("SELECT 1 + 1 AS two").head().getInt(0) == 2)
+    // a typo'd graft statement must NOT silently become a table query
+    val e1 = intercept[Exception](s.sql("CREATE GRAFT INDEX bogus AT '/x' FROM t"))
+    assert(e1.getMessage.contains("unknown index kind"), e1.getMessage)
+    val e2 = intercept[Exception](s.sql("COMPACT GRAFT INDEX '/x'"))
+    assert(e2.getMessage.contains("Grammar"), e2.getMessage)
+    val e3 = intercept[Exception](
+      s.sql("CREATE GRAFT INDEX IVF AT '/x' FROM v OPTIONS (k 16)"))
+    assert(e3.getMessage.contains("OPTIONS"), e3.getMessage)
+  }
+}
