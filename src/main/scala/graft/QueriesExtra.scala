@@ -39,7 +39,14 @@ object QueriesExtra {
       (s, d) => {
         val a = Tables.documents(s, d)
           .select(col("doc_id"), regexp_replace(col("text"), "[^\\x00-\\x7F]", "?").as("text"))
-        SimHash.nearDupPairs(a, maxHamming = 3).orderBy(col("id1"), col("id2"))
+        // maxBucket lifted to the corpus size: the oracle ranks TRUE
+        // all-pairs, so the gate config must be the complete-banding
+        // degeneration — a hot 16-bit chunk bucket past the production
+        // cap would otherwise fail the hash gate by DESIGN (dropped
+        // pairs). The capped production twin is the operator default;
+        // droppedBuckets() is its monitoring hook.
+        SimHash.nearDupPairs(a, maxHamming = 3, maxBucket = Int.MaxValue)
+          .orderBy(col("id1"), col("id2"))
       },
       Some("""WITH a AS (SELECT doc_id, regexp_replace(text, '[^\x00-\x7F]', '?', 'g') AS text FROM documents),
              |w AS (SELECT doc_id, string_split(lower(trim(regexp_replace(replace(text, chr(10), ' '), '[\s\x0b]{2,}', ' ', 'g'))), ' ') AS w FROM a),

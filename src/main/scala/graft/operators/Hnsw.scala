@@ -693,35 +693,52 @@ object Hnsw {
                          idCol: String = "vec_id", embCol: String = "embedding",
                          maxNodesPerShard: Int = 2000000): Unit = {
     val (numShards, m, efC) = readShardedMeta(spark, path)
-    val dup = vectors.groupBy(col(idCol)).count().where(col("count") > 1)
+    // materialized ONCE ([[IvfIndex.upsertIndex]]'s move, and for the
+    // same two reasons): the frame feeds the dup check, the shard
+    // keying, the membership join and the tombstone-clear anti-join —
+    // and the LAST of those runs after the store has been overwritten,
+    // so a batch whose lineage reads this very store would otherwise
+    // re-execute against a stale file listing mid-upsert
+    val batch = vectors
+      .select(col(idCol).cast("long").as("vec_id"),
+        col(embCol).cast("array<double>").as("embedding"))
+      .localCheckpoint(true)
+    val dup = batch.groupBy(col("vec_id")).count().where(col("count") > 1)
       .limit(5).collect().map(_.get(0))
     require(dup.isEmpty,
       s"Hnsw.upsertIndexSharded: ids ${dup.mkString(",")}… appear more than once in " +
         "the batch — an upsert must carry exactly one row per id")
     val routed = isRouted(spark, path)
     val part = new org.apache.spark.HashPartitioner(numShards)
-    val newByShard = keyByStoreShard(spark, path, vectors, numShards, idCol, embCol)
-    // ROUTED stores: an upserted id's OLD node sits in the shard its OLD
-    // embedding routed to — any shard may hold one, so every graph is
-    // checked for batch ids (broadcast set; deserialization only, no
-    // rewrite unless affected). Hash stores skip this: old and new are
-    // floorMod-co-located by construction.
-    val batchIds: Option[org.apache.spark.broadcast.Broadcast[Set[Long]]] =
-      if (routed) Some(spark.sparkContext.broadcast(
-        vectors.select(col(idCol).cast("long")).collect().map(_.getLong(0)).toSet))
-      else None
+    val newByShard = keyByStoreShard(spark, path, batch, numShards, "vec_id", "embedding")
     val oldByShard = spark.read.parquet(path)
       .select(col("shard"), col("n"), col("graph"))
       .rdd.map(r => (r.getInt(0), (r.getLong(1), r.getAs[Array[Byte]](2))))
-    val updated = oldByShard.cogroup(newByShard, part).flatMap { case (shard, (olds, news)) =>
+    // ROUTED stores: an upserted id's OLD node sits in the shard its OLD
+    // embedding routed to — any shard may hold one. Membership is
+    // resolved DISTRIBUTED (explode each graph's ids, join the batch) —
+    // collecting the batch's ids to a driver-broadcast set would OOM on
+    // a large re-embed, the exact cost [[appendIndexSharded]]'s
+    // executor-side clash check exists to avoid. Hash stores skip this:
+    // old and new are floorMod-co-located by construction.
+    val hitsByShard: org.apache.spark.rdd.RDD[(Int, Long)] =
+      if (!routed) spark.sparkContext.emptyRDD[(Int, Long)]
+      else oldByShard
+        .flatMap { case (shard, (_, bytes)) =>
+          deserializeIndex(bytes).ids.iterator.map(id => (id, shard)) }
+        .join(batch.select(col("vec_id")).rdd.map(r => (r.getLong(0), ())))
+        .map { case (id, (shard, _)) => (shard, id) }
+    val updated = oldByShard.cogroup(newByShard, hitsByShard, part)
+        .flatMap { case (shard, (olds, news, hits)) =>
       val newItems = news.toArray
       val old = olds.headOption.map { case (_, bytes) => deserializeIndex(bytes) }
-      val affected = newItems.nonEmpty ||
-        (batchIds.isDefined && old.exists(_.ids.exists(batchIds.get.value.contains)))
+      val affected = newItems.nonEmpty || hits.nonEmpty
       if (!affected) Iterator.empty
       else {
-        val newIds: Set[Long] =
-          batchIds.map(_.value).getOrElse(newItems.map(_._1).toSet)
+        // drop from the survivors every batch id this shard holds a
+        // stale copy of (hits — routed moves in from elsewhere) plus the
+        // ids being re-inserted here (hash stores: the co-located case)
+        val newIds: Set[Long] = newItems.map(_._1).toSet ++ hits
         val survivors: Array[(Long, Array[Double])] = old match {
           case Some(idx) =>
             idx.ids.indices.iterator
@@ -781,8 +798,7 @@ object Hnsw {
     val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     graft.sources.AtomicDir.readRetrying(fs, tp) { dir =>
       spark.read.parquet(dir.toString).select(col("vec_id"))
-        .join(vectors.select(col(idCol).cast("long").as("vec_id")).distinct(),
-          Seq("vec_id"), "left_anti")
+        .join(batch.select(col("vec_id")), Seq("vec_id"), "left_anti")
         .localCheckpoint(true)
     }.foreach { remaining =>
       if (remaining.isEmpty) { graft.sources.AtomicDir.recover(fs, tp); fs.delete(tp, true) }

@@ -662,10 +662,15 @@ object IvfIndex {
                       queryIdCol: String = "qid", scale: Int = 4,
                       maxPushdownIds: Int = 100000): DataFrame = {
     import graft.functions.HalfExpressions
-    val model = readModel(spark, path)
-    require(
-      try { readSidecar(spark, path, "_half.json"); true } catch { case _: Exception => false },
+    // existence check, not a swallowed read: a transient IO fault on the
+    // sidecar must surface as itself, never as "not a halfvec index" —
+    // and the family check runs BEFORE readModel so a non-index path
+    // fails on the family, not on a missing centroid sidecar
+    val halfMarker = new org.apache.hadoop.fs.Path(path, "_half.json")
+    require(halfMarker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(halfMarker),
       s"searchIndexHalf: $path carries no _half.json — not a halfvec index")
+    val model = readModel(spark, path)
     val probedCells = queries
       .select(explode(cellsOf(col(embCol), model, nprobe)).as("cell"))
       .distinct().collect().map(_.getInt(0).asInstanceOf[Any])

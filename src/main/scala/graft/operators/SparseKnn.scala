@@ -420,17 +420,12 @@ object SparseKnn {
     swapTableContent(spark, table, "upsertIndex", survivors.unionByName(newRows))
   }
 
-  /** Shared whole-dir swap for the postings-table rewriters
-    * ([[compactIndex]], [[upsertIndex]]): recovery prologue (a stranded
-    * retired dir with the live dir missing is restored; leftover staging
-    * dropped), staged bucketed write of `content`, then
-    * retire → promote → cleanup with rollback on a failed promote. The
-    * staged table is built under the table's OWN bucket spec, and the
-    * promote drops `_tombstones/` with the old files. */
   /** Recovery prologue shared by the swap rewriters: a stranded retired
     * dir with the live dir missing (crash between retire and promote) is
     * restored; a complete retired copy beside a live dir is superseded
-    * and dropped; leftover staging is dropped. Idempotent. */
+    * and dropped; leftover staging is dropped. Idempotent. Callers run
+    * it FIRST (before their own reads of the table); [[swapTableContent]]
+    * assumes a recovered state. */
   private def recoverSwapState(spark: org.apache.spark.sql.SparkSession,
                                table: String, op: String): Unit = {
     val meta = spark.sessionState.catalog
@@ -448,6 +443,14 @@ object SparseKnn {
     fs.delete(staging, true)
   }
 
+  /** Shared whole-dir swap for the postings-table rewriters
+    * ([[compactIndex]], [[upsertIndex]]): staged bucketed write of
+    * `content` under the table's OWN bucket spec, then
+    * retire → promote → cleanup with rollback on a failed promote. The
+    * promote drops `_tombstones/` with the old files; underscore
+    * `_graft_*.json` metadata sidecars (the SQL surface's build-dim
+    * record) are carried into the staging dir first so the swap
+    * preserves them. Callers must have run [[recoverSwapState]]. */
   private def swapTableContent(spark: org.apache.spark.sql.SparkSession, table: String,
                                op: String, content: DataFrame): Unit = {
     val meta = spark.sessionState.catalog
@@ -458,7 +461,6 @@ object SparseKnn {
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = new org.apache.hadoop.fs.Path(loc.toString + "__compact_staging")
     val retired = new org.apache.hadoop.fs.Path(loc.toString + "__compact_retired")
-    recoverSwapState(spark, table, op)
     val stagingTable = table + "__compact_staging"
     spark.sql(s"DROP TABLE IF EXISTS `$stagingTable`")
     content
@@ -467,6 +469,12 @@ object SparseKnn {
       .bucketBy(nb, "__t").sortBy("__t")
       .format("parquet").option("path", staging.toString)
       .saveAsTable(stagingTable)
+    fs.listStatus(loc).map(_.getPath).foreach { p =>
+      val n = p.getName
+      if (n.startsWith("_graft_") && n.endsWith(".json"))
+        org.apache.hadoop.fs.FileUtil.copy(fs, p, fs, new org.apache.hadoop.fs.Path(staging, n),
+          false, spark.sparkContext.hadoopConfiguration)
+    }
     if (!fs.rename(loc, retired))
       throw new java.io.IOException(s"$op: could not retire $loc")
     if (!fs.rename(staging, loc)) {

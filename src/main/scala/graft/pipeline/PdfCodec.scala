@@ -475,18 +475,24 @@ object PdfCodec {
     // same staleness guard for classic trailers: two revisions' trailers
     // can both sit inside the 4096-byte tail window, and first-match
     // would resolve the OLDER one's /Encrypt after an update removed it —
-    // scan only from the LAST `trailer` keyword. A file with NO classic
-    // trailer keeps its trailer entries in the xref dicts (already
-    // staleness-guarded above); raw-tail matching there would false-hit a
-    // superseded xref dict that fits inside the window. The raw-tail scan
-    // survives only for classic files (no /XRef dicts at all) whose
-    // trailer keyword fell outside the window — dict visible, keyword not.
+    // scan only from the LAST `trailer` keyword. When BOTH a classic
+    // trailer and xref dicts exist (a classic→1.5 conversion update, or
+    // a hybrid revision), the live trailer is whichever sits LATER in
+    // FILE ORDER — a classic trailer that legitimately removed /Encrypt
+    // must not fall back to a superseded xref dict's stale value, and a
+    // newer xref dict must not lose to an old classic trailer still in
+    // the window. The raw-tail scan survives only for classic files (no
+    // /XRef dicts at all) whose trailer keyword fell outside the window.
     val classicTrailerAt = tail.lastIndexOf("trailer")
+    val classicAbs =
+      if (classicTrailerAt >= 0) (s.length - tail.length) + classicTrailerAt else -1
+    val liveXrefAbs = xrefDicts.reverseIterator.find(_.contains("/Root"))
+      .orElse(xrefDicts.lastOption)
+      .map(d => s.lastIndexOf(d)).getOrElse(-1)
     val encRef =
-      if (classicTrailerAt >= 0)
+      if (classicAbs >= 0 && classicAbs >= liveXrefAbs)
         """/Encrypt\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(tail.substring(classicTrailerAt))
           .map(_.group(1).toInt)
-          .orElse(encInXref.map(_._1))
       else if (xrefDicts.nonEmpty) encInXref.map(_._1)
       else """/Encrypt\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(tail).map(_.group(1).toInt)
     encRef match {

@@ -61,16 +61,63 @@ case class GraftIndexCommand(verb: String, sparse: Boolean, kind: String,
 
   /** Sparse feature frame from the source: pre-featurized
     * (doc_id, indices, values) passes through; (doc_id, text) hashes at
-    * OPTIONS dim (default 1024). */
+    * the dim the index was BUILT with (the `_graft_sparse.json` sidecar
+    * CREATE writes) — re-hashing an append at a different dim would land
+    * postings in buckets no query of the original dim ever intersects,
+    * a silent no-rank corruption, so a mismatching OPTIONS dim fails
+    * loud and an absent one inherits the sidecar. */
   private def sparseVectors(spark: SparkSession) = {
     val src = spark.table(source.get)
     if (src.columns.contains("indices") && src.columns.contains("values")) src
-    else SparseKnn.hashingTf(src, dim = intOpt("dim", 1024))
+    else {
+      val built = table.flatMap(readSparseDim(spark, _))
+      val dim = (options.get("dim").map(_.toInt), built) match {
+        case (Some(d), Some(b)) =>
+          require(d == b, s"OPTIONS dim $d != the index's build dim $b " +
+            s"(${table.get} was created with dim = $b; appends must hash identically)")
+          d
+        case (None, Some(b)) => b
+        case (Some(d), None) => d
+        case (None, None) => 1024
+      }
+      SparseKnn.hashingTf(src, dim = dim)
+    }
+  }
+
+  private def sparseSidecar(spark: SparkSession, table: String): org.apache.hadoop.fs.Path = {
+    val meta = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+    new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(meta.location), "_graft_sparse.json")
+  }
+
+  private def readSparseDim(spark: SparkSession, table: String): Option[Int] = {
+    // CREATE consults this before the table exists — no sidecar yet
+    if (!spark.catalog.tableExists(table)) return None
+    val p = sparseSidecar(spark, table)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val json = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      """"dim"\s*:\s*(\d+)""".r.findFirstMatchIn(json).map(_.group(1).toInt)
+    }
   }
 
   private def createSparse(spark: SparkSession): String = {
+    val src = spark.table(source.get)
+    val hashed = !(src.columns.contains("indices") && src.columns.contains("values"))
     SparseKnn.writeIndex(sparseVectors(spark), table.get, path.get,
       numBuckets = intOpt("buckets", 8))
+    // record the build dim so later APPEND/UPSERT statements hash
+    // identically (pre-featurized sources manage their own dim)
+    if (hashed) {
+      val p = sparseSidecar(spark, table.get)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(p, true)
+      try out.write(s"""{"dim":${intOpt("dim", 1024)}}""".getBytes("UTF-8"))
+      finally out.close()
+    }
     s"created sparse index ${table.get} at ${path.get}"
   }
 

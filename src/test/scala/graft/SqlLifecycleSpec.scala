@@ -111,16 +111,42 @@ class SqlLifecycleSpec extends SparkSpec {
       .collect().map(_.getLong(1))
     assert(back.contains(2L), s"upserted doc not serving: ${back.toSeq}")
 
-    // APPEND a brand-new doc
+    // APPEND a brand-new doc WITHOUT repeating OPTIONS: the build dim
+    // rides the _graft_sparse.json sidecar, so the append hashes at the
+    // dim the index was created with — and the appended doc actually
+    // SERVES for a 256-dim query (a silently mis-dimmed append would
+    // land in buckets no query intersects)
     s.table("docs_v").where(col("doc_id") === 0)
       .select((col("doc_id") + 7000L).as("doc_id"), col("text"))
       .createOrReplaceTempView("sp_app_v")
-    s.sql("APPEND GRAFT SPARSE INDEX sql_sp_idx FROM sp_app_v OPTIONS (dim = 256)").collect()
+    s.sql("APPEND GRAFT SPARSE INDEX sql_sp_idx FROM sp_app_v").collect()
     assert(s.table("sql_sp_idx").where(col("doc_id") === 7000L).count() > 0)
+    val q70 = graft.operators.SparseKnn.hashingTf(
+        s.table("sp_app_v"), dim = 256)
+      .select(col("doc_id").as("qid"), col("indices"), col("values"))
+    val served = graft.operators.SparseKnn.topKFromIndex(s, "sql_sp_idx", q70, k = 2)
+      .collect().map(_.getLong(1))
+    assert(served.contains(7000L), s"sidecar-dim append not serving: ${served.toSeq}")
+    // a CONTRADICTING dim is refused loud, never silently corrupting
+    val eDim = intercept[Exception](
+      s.sql("APPEND GRAFT SPARSE INDEX sql_sp_idx FROM sp_app_v OPTIONS (dim = 512)"))
+    assert(eDim.getMessage.contains("build dim"), eDim.getMessage)
+    // the sidecar survives the whole-dir COMPACT swap (checked below by
+    // compacting and appending once more without OPTIONS)
 
-    // COMPACT
+    // COMPACT — and the dim sidecar survives the whole-dir swap: a
+    // fresh OPTIONS-less append afterwards still hashes at 256
     val msg = s.sql("COMPACT GRAFT SPARSE INDEX sql_sp_idx").head().getString(0)
     assert(msg.contains("compacted"), msg)
+    s.table("docs_v").where(col("doc_id") === 1)
+      .select((col("doc_id") + 7100L).as("doc_id"), col("text"))
+      .createOrReplaceTempView("sp_app2_v")
+    s.sql("APPEND GRAFT SPARSE INDEX sql_sp_idx FROM sp_app2_v").collect()
+    val q71 = graft.operators.SparseKnn.hashingTf(s.table("sp_app2_v"), dim = 256)
+      .select(col("doc_id").as("qid"), col("indices"), col("values"))
+    val served2 = graft.operators.SparseKnn.topKFromIndex(s, "sql_sp_idx", q71, k = 2)
+      .collect().map(_.getLong(1))
+    assert(served2.contains(7101L), s"post-compact sidecar lost: ${served2.toSeq}")
     s.sql("DROP TABLE IF EXISTS sql_sp_idx")
   }
 
