@@ -1221,6 +1221,57 @@ object QueriesExtra {
              |  CAST(coalesce(SUM(CASE WHEN ch = 4 AND i % ch = 3 THEN v END), 0) AS BIGINT) AS a_sum
              |FROM px GROUP BY doc_id, color_type, ch, w, h ORDER BY doc_id""".stripMargin)),
 
+    // REAL image resize: synth → decode → nearest-neighbor resample →
+    // re-ENCODE → decode AGAIN → per-channel sums. Exercises the full
+    // decode/encode round trip twice; the oracle replays the resample's
+    // integer source-index math (src = floor(dst·srcDim/dstDim)) from
+    // the synthesis formulas without touching a byte.
+    "q_image_resize" -> QueryDef(
+      (s, d) => BinaryPipeline.decodeImages(
+          BinaryPipeline.resizeImages(
+            BinaryPipeline.synthesizeImages(Tables.documents(s, d)), outW = 5, outH = 4))
+        .select(col("doc_id"), col("width"), col("height"), col("color_type"),
+          col("channels"), col("r_sum"), col("g_sum"), col("b_sum"), col("a_sum"))
+        .orderBy(col("doc_id")),
+      Some("""WITH p AS (SELECT doc_id,
+             |    CASE doc_id % 3 WHEN 0 THEN 0 WHEN 1 THEN 2 ELSE 6 END AS color_type,
+             |    CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS ch,
+             |    4 + doc_id % 13 AS w, 3 + doc_id % 11 AS h FROM documents),
+             |px AS (SELECT doc_id, color_type, ch,
+             |    (doc_id*31 + ((((y*h)//4) * w + ((x*w)//5)) * ch + c) * 7) % 256 AS v, c
+             |  FROM p, unnest(range(0, 5)) AS gx(x), unnest(range(0, 4)) AS gy(y),
+             |       unnest(range(0, ch)) AS gc(c))
+             |SELECT doc_id, CAST(5 AS BIGINT) AS width, CAST(4 AS BIGINT) AS height,
+             |  CAST(color_type AS BIGINT) AS color_type, CAST(ch AS BIGINT) AS channels,
+             |  CAST(coalesce(SUM(CASE WHEN c = 0 THEN v END), 0) AS BIGINT) AS r_sum,
+             |  CAST(coalesce(SUM(CASE WHEN ch >= 3 AND c = 1 THEN v END), 0) AS BIGINT) AS g_sum,
+             |  CAST(coalesce(SUM(CASE WHEN ch >= 3 AND c = 2 THEN v END), 0) AS BIGINT) AS b_sum,
+             |  CAST(coalesce(SUM(CASE WHEN ch = 4 AND c = 3 THEN v END), 0) AS BIGINT) AS a_sum
+             |FROM px GROUP BY doc_id, color_type, ch ORDER BY doc_id""".stripMargin)),
+
+    // Grid-pooled tile features — the deterministic "image embedding"
+    // (per-tile per-channel means, row-major, channels innermost) that
+    // drops into the KNN/ANN operators unchanged. Means divide exact
+    // integer sums by tile pixel counts, so the oracle's avg() replays
+    // them bit-for-bit before the shared 6-dp rounding.
+    "q_image_tiles" -> QueryDef(
+      (s, d) => BinaryPipeline.imageTileFeatures(
+          BinaryPipeline.synthesizeImages(Tables.documents(s, d)), gx = 2, gy = 2)
+        .select(col("doc_id"), posexplode(col("features")).as(Seq("dim", "v")))
+        .select(col("doc_id"), col("dim").cast("long").as("dim"),
+          round(col("v"), 6).as("val"))
+        .orderBy(col("doc_id"), col("dim")),
+      Some("""WITH p AS (SELECT doc_id,
+             |    CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS ch,
+             |    4 + doc_id % 13 AS w, 3 + doc_id % 11 AS h FROM documents),
+             |px AS (SELECT doc_id, ch,
+             |    (((y*2)//h) * 2 + ((x*2)//w)) * ch + c AS dim,
+             |    (doc_id*31 + ((y*w + x)*ch + c) * 7) % 256 AS v
+             |  FROM p, unnest(range(0, w)) AS gx(x), unnest(range(0, h)) AS gy(y),
+             |       unnest(range(0, ch)) AS gc(c))
+             |SELECT doc_id, CAST(dim AS BIGINT) AS dim, round(avg(v), 6) AS val
+             |FROM px GROUP BY doc_id, dim ORDER BY doc_id, dim""".stripMargin)),
+
     "q_multimodal_meta" -> QueryDef(
       (s, d) => BinaryPipeline.extractFeatures(BinaryPipeline.asMedia(Tables.documents(s, d)))
         .select(col("doc_id"), col("byte_len"), col("content_md5"), col("width"), col("media_type"))

@@ -152,11 +152,14 @@ object BinaryPipeline {
         StructField("media_type", StringType, nullable = false),
         StructField("declared_bytes", LongType, nullable = false))), nullable = false)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
-    val idIdx = docs.schema.fieldIndex(idCol)
-    docs.mapPartitions { it =>
+    // project BEFORE the imperative pass: mapPartitions consumes whole
+    // rows, so without this the parquet scan deserializes every document
+    // column for a synthesis that needs only the id
+    val ids = docs.select(col(idCol))
+    ids.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { r =>
-          val id = r.getLong(idIdx)
+          val id = r.getLong(0)
           val colorType = (id % 3) match { case 0 => 0; case 1 => 2; case _ => 6 }
           val ch = colorType match { case 0 => 1; case 2 => 3; case _ => 4 }
           val w = (4 + id % 13).toInt
@@ -221,6 +224,63 @@ object BinaryPipeline {
           Row(id, img.width.toLong, img.height.toLong, img.bitDepth.toLong,
             img.colorType.toLong, img.channels.toLong,
             sums(0), sums(1), sums(2), sums(3), digest)
+        }
+      }
+    }(enc)
+  }
+
+  /** REAL image resize over (id, content) PNG rows: decode → nearest-
+    * neighbor resample ([[PngCodec.resizeNearest]]) → re-ENCODE, so the
+    * output column is again a valid PNG (thumbnail normalization, the
+    * standard pre-training image pass). Batched narrow `mapPartitions` —
+    * the decode+encode cost parallelizes embarrassingly, no shuffle.
+    * Output: (idCol, content, width, height). */
+  def resizeImages(media: DataFrame, outW: Int, outH: Int,
+                   idCol: String = "doc_id", batchSize: Int = 16): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false),
+      StructField("width", LongType, nullable = false),
+      StructField("height", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val idIdx = media.schema.fieldIndex(idCol)
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val id = r.getLong(idIdx)
+          val img = PngCodec.resizeNearest(
+            PngCodec.decode(r.getAs[Array[Byte]](contentIdx)), outW, outH)
+          Row(id, PngCodec.encode(img.width, img.height, img.colorType, img.pixels),
+            img.width.toLong, img.height.toLong)
+        }
+      }
+    }(enc)
+  }
+
+  /** GRID-POOLED image features over (id, content) PNG rows: decode →
+    * [[PngCodec.tileFeatures]] — a gx·gy·channels double vector per
+    * image, the cheap deterministic "image embedding" that drops into
+    * the engine's KNN/ANN operators (brute, IVF, HNSW) unchanged.
+    * Output: (idCol, features array<double>, width, height, channels). */
+  def imageTileFeatures(media: DataFrame, gx: Int = 4, gy: Int = 4,
+                        idCol: String = "doc_id", batchSize: Int = 16): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("features", ArrayType(DoubleType, containsNull = false), nullable = false),
+      StructField("width", LongType, nullable = false),
+      StructField("height", LongType, nullable = false),
+      StructField("channels", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val idIdx = media.schema.fieldIndex(idCol)
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val id = r.getLong(idIdx)
+          val img = PngCodec.decode(r.getAs[Array[Byte]](contentIdx))
+          Row(id, PngCodec.tileFeatures(img, gx, gy).toSeq,
+            img.width.toLong, img.height.toLong, img.channels.toLong)
         }
       }
     }(enc)

@@ -144,6 +144,69 @@ object PngCodec {
     } else PngImage(width, height, bitDepth, colorType, ch, unfiltered)
   }
 
+  /** NEAREST-NEIGHBOR resample of a decoded image — the deterministic
+    * resize every training pipeline needs for thumbnail/patch
+    * normalization, chosen over interpolating kernels because its
+    * output is EXACT integer math (`src = floor(dst·srcDim/dstDim)` per
+    * axis), which keeps the whole decode→resize→re-encode path
+    * hash-gateable against a SQL oracle. Operates on the decoded buffer,
+    * so palette inputs resize in their expanded RGB space. */
+  def resizeNearest(img: PngImage, outW: Int, outH: Int): PngImage = {
+    require(outW > 0 && outH > 0, s"PngCodec.resizeNearest: invalid target ${outW}x$outH")
+    val ch = img.channels
+    val out = new Array[Byte](outW * outH * ch)
+    var y = 0
+    while (y < outH) {
+      val sy = (y.toLong * img.height / outH).toInt
+      var x = 0
+      while (x < outW) {
+        val sx = (x.toLong * img.width / outW).toInt
+        val src = (sy * img.width + sx) * ch
+        val dst = (y * outW + x) * ch
+        var c = 0
+        while (c < ch) { out(dst + c) = img.pixels(src + c); c += 1 }
+        x += 1
+      }
+      y += 1
+    }
+    // palette inputs re-emerge as plain RGB (type 2): the expansion is
+    // not invertible without re-quantizing a palette
+    val outType = ch match { case 1 => 0; case 2 => 4; case 3 => 2; case _ => 6 }
+    PngImage(outW, outH, img.bitDepth, outType, ch, out)
+  }
+
+  /** GRID-POOLED tile features: the image is cut into a gx×gy grid
+    * (tile of pixel x = `floor(x·gx/width)`, same per axis) and each
+    * tile contributes its per-channel MEAN — a gx·gy·channels float
+    * vector, the classic cheap "image embedding" that drops straight
+    * into the engine's KNN/ANN operators. Row-local integer sums, so
+    * the vector is exactly replayable by the SQL oracle. Tiles are laid
+    * out row-major, channels innermost. */
+  def tileFeatures(img: PngImage, gx: Int, gy: Int): Array[Double] = {
+    require(gx > 0 && gy > 0, s"PngCodec.tileFeatures: invalid grid ${gx}x$gy")
+    require(gx <= img.width && gy <= img.height,
+      s"PngCodec.tileFeatures: grid ${gx}x$gy exceeds image ${img.width}x${img.height}")
+    val ch = img.channels
+    val sums = new Array[Long](gx * gy * ch)
+    val counts = new Array[Long](gx * gy)
+    var y = 0
+    while (y < img.height) {
+      val ty = (y.toLong * gy / img.height).toInt
+      var x = 0
+      while (x < img.width) {
+        val tx = (x.toLong * gx / img.width).toInt
+        val tile = ty * gx + tx
+        counts(tile) += 1
+        val src = (y * img.width + x) * ch
+        var c = 0
+        while (c < ch) { sums(tile * ch + c) += img.pixels(src + c) & 0xff; c += 1 }
+        x += 1
+      }
+      y += 1
+    }
+    Array.tabulate(gx * gy * ch)(i => sums(i).toDouble / counts(i / ch))
+  }
+
   /** PNG ENCODE for fixtures and in-engine synthesis (the [[graft.pipeline.PdfCodec.encodePdf]]
     * convention: the engine fabricates real files so the decoder is
     * exercised end-to-end — filtering via [[PdfCodec.pngPredictEncode]]

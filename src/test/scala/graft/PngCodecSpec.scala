@@ -121,6 +121,40 @@ class PngCodecSpec extends AnyFunSuite with SparkSpec {
       .getMessage.contains("color type"))
   }
 
+  test("resizeNearest: hand-computed mapping, identity, upscale, palette expansion") {
+    // 4x2 gray, pixels 0..7; downscale to 2x1: src x = floor(dst*4/2)
+    // = {0, 2}, src y = floor(0*2/1) = 0 -> pixels (0,0) and (2,0)
+    val img = PngCodec.PngImage(4, 2, 8, 0, 1, Array[Byte](0, 1, 2, 3, 4, 5, 6, 7))
+    val down = PngCodec.resizeNearest(img, 2, 1)
+    assert(down.pixels.toSeq == Seq[Byte](0, 2))
+    // identity resize is a no-op on the buffer
+    assert(PngCodec.resizeNearest(img, 4, 2).pixels.toSeq == img.pixels.toSeq)
+    // upscale 2x replicates: each src pixel appears 2x2 times
+    val up = PngCodec.resizeNearest(img, 8, 4)
+    assert(up.width == 8 && up.height == 4)
+    assert(up.pixels.count(_ == 0) == 4 && up.pixels.count(_ == 7) == 4)
+    // resized output re-encodes to a VALID png that decodes back equal
+    val re = PngCodec.decode(PngCodec.encode(down.width, down.height, down.colorType, down.pixels))
+    assert(re.pixels.toSeq == down.pixels.toSeq)
+    // palette input resizes in expanded RGB space and re-types to 2
+    val pal = Array[Byte](10, 20, 30, 40, 50, 60)
+    val palImg = PngCodec.decode(PngCodec.encode(2, 1, 3, Array[Byte](0, 1), Some(pal)))
+    val palResized = PngCodec.resizeNearest(palImg, 1, 1)
+    assert(palResized.colorType == 2 && palResized.channels == 3)
+    assert(palResized.pixels.toSeq == Seq[Byte](10, 20, 30))
+  }
+
+  test("tileFeatures: hand-computed 2x2 grid means; oversize grid fails loud") {
+    // 4x2 RGB-free single channel: values 10,20,30,40 / 50,60,70,80
+    val img = PngCodec.PngImage(4, 2, 8, 0, 1,
+      Array(10, 20, 30, 40, 50, 60, 70, 80).map(_.toByte))
+    val f = PngCodec.tileFeatures(img, 2, 2)
+    // tiles: x<2/y<1 -> {10,20}; x>=2/y<1 -> {30,40}; y>=1 -> {50,60},{70,80}
+    assert(f.toSeq == Seq(15.0, 35.0, 55.0, 75.0))
+    val e = intercept[IllegalArgumentException](PngCodec.tileFeatures(img, 8, 1))
+    assert(e.getMessage.contains("grid"), e.getMessage)
+  }
+
   test("extractFeatures sniffs PNG content and reports REAL dimensions") {
     import spark.implicits._
     val px = Array.tabulate(5 * 4 * 3)(i => (i % 251).toByte)
