@@ -1272,6 +1272,38 @@ object QueriesExtra {
              |SELECT doc_id, CAST(dim AS BIGINT) AS dim, round(avg(v), 6) AS val
              |FROM px GROUP BY doc_id, dim ORDER BY doc_id, dim""".stripMargin)),
 
+    // MULTIMODAL similarity search capstone: tile-feature vectors from
+    // REAL decoded images feed the engine's standard cosine KNN — the
+    // image leg of the similarity-search story end-to-end (decode →
+    // featurize → rank), with the oracle recomputing features AND the
+    // ranking from the synthesis formulas alone.
+    "q_knn_image" -> QueryDef(
+      (s, d) => {
+        val feats = BinaryPipeline.imageTileFeatures(
+            BinaryPipeline.synthesizeImages(Tables.documents(s, d)), gx = 2, gy = 2)
+          // the feature DIM varies with each image's channel count — KNN
+          // compares within a modality, so rank within the RGB group
+          .where(col("channels") === 3)
+          .select(col("doc_id").as("vec_id"), col("features").as("embedding"))
+        val q = feats.where(col("vec_id") === 1)
+        graft.operators.Knn.topK(feats, q, graft.operators.Knn.Cosine, 5)
+      },
+      Some("""WITH p AS (SELECT doc_id,
+             |    CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS ch,
+             |    4 + doc_id % 13 AS w, 3 + doc_id % 11 AS h FROM documents WHERE doc_id % 3 = 1),
+             |px AS (SELECT doc_id, ch,
+             |    (((y*2)//h) * 2 + ((x*2)//w)) * ch + c AS dim,
+             |    (doc_id*31 + ((y*w + x)*ch + c) * 7) % 256 AS v
+             |  FROM p, unnest(range(0, w)) AS gx(x), unnest(range(0, h)) AS gy(y),
+             |       unnest(range(0, ch)) AS gc(c)),
+             |f AS (SELECT doc_id, list(m ORDER BY dim) AS emb FROM (
+             |    SELECT doc_id, dim, avg(v) AS m FROM px GROUP BY doc_id, dim)
+             |  GROUP BY doc_id)
+             |SELECT e.doc_id AS vec_id,
+             |  round(1 - list_cosine_similarity(e.emb, q.emb), 4) AS dist
+             |FROM f e CROSS JOIN (SELECT emb FROM f WHERE doc_id = 1) q
+             |ORDER BY dist, vec_id LIMIT 5""".stripMargin)),
+
     "q_multimodal_meta" -> QueryDef(
       (s, d) => BinaryPipeline.extractFeatures(BinaryPipeline.asMedia(Tables.documents(s, d)))
         .select(col("doc_id"), col("byte_len"), col("content_md5"), col("width"), col("media_type"))
