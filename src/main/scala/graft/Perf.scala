@@ -301,6 +301,69 @@ object Perf {
         IvfIndex.writeIndexSub(bigE200, IvfIndex.Model(nudged), dir2, subDim = 16)
       }
     }
+    // round-12 additions: halfvec coarse-column byte ratio, upsert
+    // partition surgery vs full rebuild, and PNG codec throughput
+    {
+      def dirBytes(p: String): Long = {
+        val path = new org.apache.hadoop.fs.Path(p)
+        val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val it = fs.listFiles(path, true)
+        var b = 0L
+        while (it.hasNext) { val f = it.next()
+          if (!f.getPath.getName.startsWith("_")) b += f.getLen }
+        b
+      }
+      val dir = java.nio.file.Files.createTempDirectory("perf_ivf_half").toString
+      val model = IvfIndex.train(bigE200, k = 64, iters = 2, samplePercent = 2)
+      time("halfvec.build (100k vectors, 64 cells)") {
+        IvfIndex.writeIndexHalf(bigE200, model, dir)
+      }
+      // the on-disk byte ratio the (id, hvec) coarse pass reads vs the
+      // float column — the IO term that matters on object storage
+      val coarseDir = java.nio.file.Files.createTempDirectory("perf_half_c").toString
+      val floatDir = java.nio.file.Files.createTempDirectory("perf_half_f").toString
+      spark.read.parquet(dir).select(col("vec_id"), col("hvec"))
+        .write.mode("overwrite").parquet(coarseDir)
+      spark.read.parquet(dir).select(col("vec_id"), col("embedding"))
+        .write.mode("overwrite").parquet(floatDir)
+      println(f"[perf] halfvec coarse bytes ${dirBytes(coarseDir) / 1e6}%.1f MB vs " +
+        f"float ${dirBytes(floatDir) / 1e6}%.1f MB " +
+        f"(ratio ${dirBytes(coarseDir).toDouble / dirBytes(floatDir)}%.2f)")
+      val q = emb.where(col("vec_id") < 8).select(col("vec_id").as("qid"), col("embedding"))
+      time("halfvec.search (nprobe 8/64, binary16 coarse + float rerank)") {
+        IvfIndex.searchIndexHalf(spark, dir, q, k = 10, nprobe = 8).count()
+      }
+      // upsert surgery: a CELL-LOCAL re-embed batch (ids drawn from two
+      // cells — the locality a per-document re-upload actually has)
+      // against the 100k store: only those partitions rewrite, vs the
+      // full-rebuild alternative touching every byte
+      val twoCells = spark.read.parquet(dir).where(col("cell").isin(0, 1))
+        .select(col("vec_id"), col("embedding")).limit(1000).localCheckpoint(true)
+      val preBytes = dirBytes(dir)
+      time("upsert.partial (1k cell-local batch, affected cells only)") {
+        val rep = IvfIndex.upsertIndex(spark, dir, twoCells)
+        println(f"[perf]   -> $rep of ${model.k} cells " +
+          f"(store ${preBytes / 1e6}%.1f MB pre-upsert)")
+      }
+      val dir2 = java.nio.file.Files.createTempDirectory("perf_ivf_half2").toString
+      time("upsert.fullRebuild (writeIndexHalf from scratch, the alternative)") {
+        IvfIndex.writeIndexHalf(bigE200, model, dir2)
+      }
+    }
+    {
+      import graft.multimodal.BinaryPipeline
+      val media = BinaryPipeline.synthesizeImages(docs).localCheckpoint(true)
+      val totalBytes = media.agg(sum(expr("octet_length(content)"))).head().getLong(0)
+      time(f"png.decode+stats (${totalBytes / 1e6}%.1f MB of real PNGs)") {
+        BinaryPipeline.decodeImages(media).count()
+      }
+      time("png.resize 5x4 (decode + resample + re-encode)") {
+        BinaryPipeline.resizeImages(media, 5, 4).count()
+      }
+      time("png.tileFeatures 2x2 (decode + grid pooling)") {
+        BinaryPipeline.imageTileFeatures(media).count()
+      }
+    }
     time("vecSum.200x (100k vectors, single-pass aggregate)") {
       bigE200.groupBy(expr("vec_id % 97").as("g"))
         .agg(graft.functions.VectorAggregates.vecSum(col("embedding")).as("s")).count()

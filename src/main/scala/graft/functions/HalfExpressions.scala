@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.graft.{ColumnBridge => ExpressionUtils}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, ShortType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, BinaryType, DataType, DoubleType, FloatType, ShortType}
 
 /** IEEE 754 binary16 (half-float) scalar codec — the arithmetic core of
   * the `halfvec` storage tier (pgvector 0.7's 2-byte vector type,
@@ -132,9 +132,87 @@ case class HalfDecodeExpr(child: Expression) extends UnaryExpression with Codege
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** PACK a float/double vector straight to binary16 BYTES (2 per
+  * element, little-endian binary column) — the on-DISK half tier.
+  * `array<short>` does NOT halve parquet bytes (shorts are physical
+  * INT32 in the format, measured ~0.97× of the float column in Perf);
+  * only a packed binary column delivers the 2-byte-per-dim storage the
+  * pgvector `halfvec` recipe promises. Fuses encode+pack in one pass. */
+case class HalfPackExpr(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "half_pack"
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"half_pack expects array<float|double>, got $other")
+    }
+
+  private lazy val needsNullCheck: Boolean =
+    child.dataType.asInstanceOf[ArrayType].containsNull
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    val n = arr.numElements()
+    val out = new Array[Byte](2 * n)
+    var i = 0
+    while (i < n) {
+      if (needsNullCheck && arr.isNullAt(i)) throw new IllegalArgumentException(
+        s"$prettyName: null element at position $i — a null dimension has no half encoding")
+      val v = if (isFloat) arr.getFloat(i) else arr.getDouble(i).toFloat
+      val h = HalfFloat.toHalf(v)
+      out(2 * i) = (h & 0xff).toByte
+      out(2 * i + 1) = ((h >> 8) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** UNPACK a [[HalfPackExpr]] binary column straight to float32 values
+  * (exact decode; fuses unpack+decode — the coarse scan's one-pass
+  * read). Odd-length payloads fail loud: a torn buffer must never
+  * silently decode a truncated vector. */
+case class HalfUnpackExpr(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "half_unpack"
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"half_unpack expects binary, got $other")
+    }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    require(bytes.length % 2 == 0,
+      s"$prettyName: ${bytes.length} bytes is not a whole number of binary16 codes")
+    val n = bytes.length / 2
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) {
+      val h = ((bytes(2 * i) & 0xff) | ((bytes(2 * i + 1) & 0xff) << 8)).toShort
+      out(i) = HalfFloat.fromHalf(h)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object HalfExpressions {
   def halfEncode(v: Column): Column =
     ExpressionUtils.column(HalfEncodeExpr(ExpressionUtils.expression(v)))
   def halfDecode(codes: Column): Column =
     ExpressionUtils.column(HalfDecodeExpr(ExpressionUtils.expression(codes)))
+  def halfPack(v: Column): Column =
+    ExpressionUtils.column(HalfPackExpr(ExpressionUtils.expression(v)))
+  def halfUnpack(bytes: Column): Column =
+    ExpressionUtils.column(HalfUnpackExpr(ExpressionUtils.expression(bytes)))
 }

@@ -625,7 +625,7 @@ object IvfIndex {
                      idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
     import graft.functions.HalfExpressions
     corpus.select(col(idCol), col(embCol),
-        HalfExpressions.halfEncode(col(embCol)).as("hvec"),
+        HalfExpressions.halfPack(col(embCol)).as("hvec"),
         cellOf(col(embCol), model).as("cell"))
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
@@ -642,7 +642,7 @@ object IvfIndex {
     import graft.functions.HalfExpressions
     val model = readModel(spark, path)
     vectors.select(col(idCol), col(embCol),
-        HalfExpressions.halfEncode(col(embCol)).as("hvec"),
+        HalfExpressions.halfPack(col(embCol)).as("hvec"),
         cellOf(col(embCol), model).as("cell"))
       .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(path)
@@ -684,7 +684,7 @@ object IvfIndex {
       .crossJoin(qSide)
       .select(col(queryIdCol), col(idCol),
         VectorFunctions.l2Distance(
-          HalfExpressions.halfDecode(col("hvec")), col("__qhalf")).as("__hdist"))
+          HalfExpressions.halfUnpack(col("hvec")), col("__qhalf")).as("__hdist"))
     val w = Window.partitionBy(col(queryIdCol)).orderBy(col("__hdist"), col(idCol))
     val candFrame = coarse.withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= k * overfetch)
@@ -1121,7 +1121,7 @@ object IvfIndex {
       if (isHalf) {
         import graft.functions.HalfExpressions
         vectors.select(col(idCol), col(embCol),
-          HalfExpressions.halfEncode(col(embCol)).as("hvec"),
+          HalfExpressions.halfPack(col(embCol)).as("hvec"),
           cellOf(col(embCol), model).as("cell"))
       } else if (isSub) {
         val subDim = readSubDim(spark, path)

@@ -19,7 +19,19 @@ class IvfHalfSpec extends SparkSpec {
     IvfIndex.writeIndexHalf(e, model, path)
     val store = spark.read.parquet(path)
     assert(store.columns.toSet == Set("vec_id", "embedding", "hvec", "cell"))
-    // binary16 halves the vector bytes: 2-byte codes beside 8-byte floats
+    // hvec is PACKED binary at exactly 2 bytes/dim (an array<short>
+    // would be physical INT32 in parquet and save nothing), and the
+    // fused unpack equals encode-then-decode element for element
+    val probe = store.select(size(col("embedding")).as("d"),
+        length(col("hvec")).as("b"),
+        zip_with(graft.functions.HalfExpressions.halfUnpack(col("hvec")),
+          graft.functions.HalfExpressions.halfDecode(
+            graft.functions.HalfExpressions.halfEncode(col("embedding"))),
+          (a, b) => (a =!= b).cast("int")).as("diff"))
+      .select(col("d"), col("b"), aggregate(col("diff"), lit(0), (s, x) => s + x).as("ndiff"))
+      .agg(max(col("b") - col("d") * 2), max(col("ndiff"))).head()
+    assert(probe.getInt(0) == 0, s"hvec not 2 bytes/dim")
+    assert(probe.getInt(1) == 0, "packed unpack != encode/decode")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(fs.exists(new org.apache.hadoop.fs.Path(path, "_half.json")))
@@ -38,7 +50,7 @@ class IvfHalfSpec extends SparkSpec {
       .crossJoin(qside)
       .select(col("qid"), col("vec_id"),
         graft.functions.VectorFunctions.l2Distance(
-          graft.functions.HalfExpressions.halfDecode(col("hvec")), col("__qhalf")).as("hd"))
+          graft.functions.HalfExpressions.halfUnpack(col("hvec")), col("__qhalf")).as("hd"))
     val plan = coarse.queryExecution.executedPlan.toString
     assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).nonEmpty, plan.take(2000))
     val schemas = "ReadSchema: [^\n]*".r.findAllIn(plan).toList.filter(_.contains("hvec"))
@@ -63,7 +75,7 @@ class IvfHalfSpec extends SparkSpec {
     // NORMAL range (|x| >= 2^-14); below it the format is subnormal with
     // FIXED spacing 2^-24, so tiny components get an absolute bound
     val minNormal = math.pow(2, -14)
-    val decoded = graft.functions.HalfExpressions.halfDecode(col("hvec"))
+    val decoded = graft.functions.HalfExpressions.halfUnpack(col("hvec"))
     val relErr = aggregate(
       zip_with(col("embedding"), decoded, (a, b) =>
         when(abs(a) < minNormal, lit(0.0))
@@ -119,7 +131,7 @@ class IvfHalfSpec extends SparkSpec {
     // hvec really recomputed: decode matches the new float column
     val absErr = aggregate(
       zip_with(col("embedding"),
-        graft.functions.HalfExpressions.halfDecode(col("hvec")),
+        graft.functions.HalfExpressions.halfUnpack(col("hvec")),
         (a, b) => abs(a - b.cast("double"))),
       lit(0.0), (acc, x) => greatest(acc, x))
     val drift = spark.read.parquet(path).where(col("vec_id") < 3)
