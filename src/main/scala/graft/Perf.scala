@@ -361,7 +361,7 @@ object Perf {
         BinaryPipeline.resizeImages(media, 5, 4).count()
       }
       time("png.tileFeatures 2x2 (decode + grid pooling)") {
-        BinaryPipeline.imageTileFeatures(media).count()
+        BinaryPipeline.imageTileFeatures(media, gx = 2, gy = 2).count()
       }
     }
     time("vecSum.200x (100k vectors, single-pass aggregate)") {

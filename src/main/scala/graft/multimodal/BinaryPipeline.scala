@@ -243,14 +243,15 @@ object BinaryPipeline {
       StructField("width", LongType, nullable = false),
       StructField("height", LongType, nullable = false)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
-    val idIdx = media.schema.fieldIndex(idCol)
-    val contentIdx = media.schema.fieldIndex("content")
-    media.mapPartitions { it =>
+    // project first (the synthesizeImages convention): mapPartitions
+    // deserializes whole rows, and this pass reads only (id, content)
+    val slim = media.select(col(idCol), col("content"))
+    slim.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { r =>
-          val id = r.getLong(idIdx)
+          val id = r.getLong(0)
           val img = PngCodec.resizeNearest(
-            PngCodec.decode(r.getAs[Array[Byte]](contentIdx)), outW, outH)
+            PngCodec.decode(r.getAs[Array[Byte]](1)), outW, outH)
           Row(id, PngCodec.encode(img.width, img.height, img.colorType, img.pixels),
             img.width.toLong, img.height.toLong)
         }
@@ -272,13 +273,13 @@ object BinaryPipeline {
       StructField("height", LongType, nullable = false),
       StructField("channels", LongType, nullable = false)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
-    val idIdx = media.schema.fieldIndex(idCol)
-    val contentIdx = media.schema.fieldIndex("content")
-    media.mapPartitions { it =>
+    // project first (the synthesizeImages convention)
+    val slim = media.select(col(idCol), col("content"))
+    slim.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { r =>
-          val id = r.getLong(idIdx)
-          val img = PngCodec.decode(r.getAs[Array[Byte]](contentIdx))
+          val id = r.getLong(0)
+          val img = PngCodec.decode(r.getAs[Array[Byte]](1))
           Row(id, PngCodec.tileFeatures(img, gx, gy).toSeq,
             img.width.toLong, img.height.toLong, img.channels.toLong)
         }

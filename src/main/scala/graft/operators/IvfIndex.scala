@@ -621,6 +621,21 @@ object IvfIndex {
     * and the float column is deserialized just for the bounded rerank
     * candidates: [[writeIndexSub]]'s IO pattern with the cut coming
     * from precision instead of prefix length. */
+  /** The half tier's hvec layout is versioned: "packed2" = 2-byte/dim
+    * binary (the only layout the current scan and append paths speak).
+    * A `_half.json` without the field is a pre-packing store whose hvec
+    * is `array<short>` — appending binary rows to it would write
+    * mixed-physical-type parquet that fails at schema merge AFTER the
+    * store is already poisoned, so every maintenance/read path refuses
+    * it loud up front and points at the rebuild. */
+  private def requirePackedHalf(spark: org.apache.spark.sql.SparkSession,
+                                path: String, op: String): Unit = {
+    val json = readSidecar(spark, path, "_half.json")
+    require(""""format"\s*:\s*"packed2"""".r.findFirstIn(json).isDefined,
+      s"$op: $path is a pre-packed-layout halfvec store (hvec as array<short>) — " +
+        "rebuild with writeIndexHalf to migrate to the 2-byte packed binary layout")
+  }
+
   def writeIndexHalf(corpus: DataFrame, model: Model, path: String,
                      idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
     import graft.functions.HalfExpressions
@@ -631,7 +646,8 @@ object IvfIndex {
       .write.mode("overwrite").partitionBy("cell").parquet(path)
     val json = model.centroids.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
     writeSidecar(corpus.sparkSession, path, "_centroids.json", json)
-    writeSidecar(corpus.sparkSession, path, "_half.json", """{"bits":16}""")
+    writeSidecar(corpus.sparkSession, path, "_half.json",
+      """{"bits":16,"format":"packed2"}""")
   }
 
   /** Append to a [[writeIndexHalf]] store — the [[appendIndex]] contract
@@ -640,6 +656,7 @@ object IvfIndex {
                       vectors: DataFrame,
                       idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
     import graft.functions.HalfExpressions
+    requirePackedHalf(spark, path, "appendIndexHalf")
     val model = readModel(spark, path)
     vectors.select(col(idCol), col(embCol),
         HalfExpressions.halfPack(col(embCol)).as("hvec"),
@@ -670,6 +687,7 @@ object IvfIndex {
     require(halfMarker.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .exists(halfMarker),
       s"searchIndexHalf: $path carries no _half.json — not a halfvec index")
+    requirePackedHalf(spark, path, "searchIndexHalf")
     val model = readModel(spark, path)
     val probedCells = queries
       .select(explode(cellsOf(col(embCol), model, nprobe)).as("cell"))
@@ -1120,6 +1138,7 @@ object IvfIndex {
     val batchRows: DataFrame =
       if (isHalf) {
         import graft.functions.HalfExpressions
+        requirePackedHalf(spark, path, "upsertIndex")
         vectors.select(col(idCol), col(embCol),
           HalfExpressions.halfPack(col(embCol)).as("hvec"),
           cellOf(col(embCol), model).as("cell"))

@@ -489,10 +489,19 @@ object PdfCodec {
     val liveXrefAbs = xrefDicts.reverseIterator.find(_.contains("/Root"))
       .orElse(xrefDicts.lastOption)
       .map(d => s.lastIndexOf(d)).getOrElse(-1)
+    val liveClassic =
+      if (classicAbs >= 0) Some(tail.substring(classicTrailerAt)) else None
     val encRef =
       if (classicAbs >= 0 && classicAbs >= liveXrefAbs)
-        """/Encrypt\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(tail.substring(classicTrailerAt))
+        """/Encrypt\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(liveClassic.get)
           .map(_.group(1).toInt)
+          // a HYBRID-reference trailer (/XRefStm) shares its revision
+          // with an xref stream dict; a writer that parked /Encrypt only
+          // there (non-conforming but seen in the wild) must still
+          // decrypt — without the marker, a missing /Encrypt means the
+          // live trailer really removed encryption and NO fallback runs
+          .orElse(
+            if (liveClassic.get.contains("/XRefStm")) encInXref.map(_._1) else None)
       else if (xrefDicts.nonEmpty) encInXref.map(_._1)
       else """/Encrypt\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(tail).map(_.group(1).toInt)
     encRef match {

@@ -70,7 +70,13 @@ case class GraftIndexCommand(verb: String, sparse: Boolean, kind: String,
     val src = spark.table(source.get)
     if (src.columns.contains("indices") && src.columns.contains("values")) src
     else {
-      val built = table.flatMap(readSparseDim(spark, _))
+      // CREATE replaces the whole table (writeIndex overwrites), so a
+      // pre-existing sidecar is history, not a constraint: consulting it
+      // would hash the rebuild at the OLD dim while the sidecar below
+      // records the new one — exactly the silent mismatch this exists
+      // to prevent. Only the incremental verbs inherit/validate.
+      val built =
+        if (verb == "CREATE") None else table.flatMap(readSparseDim(spark, _))
       val dim = (options.get("dim").map(_.toInt), built) match {
         case (Some(d), Some(b)) =>
           require(d == b, s"OPTIONS dim $d != the index's build dim $b " +

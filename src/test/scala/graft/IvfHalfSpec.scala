@@ -103,6 +103,29 @@ class IvfHalfSpec extends SparkSpec {
     assert(recall >= 0.9, s"halfvec recall@5 = $recall")
   }
 
+  test("pre-packed-layout stores (unversioned _half.json) refuse maintenance and search loud") {
+    val path = Files.createTempDirectory("ivf_half_legacy").toString
+    val e = emb()
+    val model = IvfIndex.train(e, k = 4, iters = 1)
+    IvfIndex.writeIndexHalf(e, model, path)
+    // fabricate the pre-packing sidecar (no format field): appending
+    // binary hvec rows to an array<short> store would poison the parquet
+    // schema AFTER the write — the guard must fire before any bytes move
+    val p = new org.apache.hadoop.fs.Path(path, "_half.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true); out.write("""{"bits":16}""".getBytes("UTF-8")); out.close()
+    val q = e.where(col("vec_id") < 2).select(col("vec_id").as("qid"), col("embedding"))
+    val e1 = intercept[IllegalArgumentException](
+      IvfIndex.appendIndexHalf(spark, path, e.limit(1)))
+    assert(e1.getMessage.contains("rebuild"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      IvfIndex.searchIndexHalf(spark, path, q, k = 1, nprobe = 1))
+    assert(e2.getMessage.contains("rebuild"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException](
+      IvfIndex.upsertIndex(spark, path, e.limit(1)))
+    assert(e3.getMessage.contains("rebuild"), e3.getMessage)
+  }
+
   test("exact degeneration, append, and upsert on the half store") {
     val path = Files.createTempDirectory("ivf_half_maint").toString
     val e = emb()

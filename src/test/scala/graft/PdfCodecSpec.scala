@@ -438,6 +438,26 @@ class PdfCodecSpec extends SparkSpec {
       "stale /Encrypt from a superseded classic trailer was resolved")
   }
 
+  test("hybrid trailer (/XRefStm) without /Encrypt still decrypts via its revision's xref dict") {
+    // non-conforming-but-seen hybrid: the classic trailer carries
+    // /XRefStm and /Root but parks /Encrypt only in the xref stream
+    // dict of the SAME revision — the /XRefStm marker licenses the
+    // fallback; without it a missing /Encrypt means encryption was
+    // genuinely removed and no stale dict may be consulted
+    val pages = Seq("hybrid encrypted page")
+    val pdf = new String(PdfCodec.encodePdf15(pages, compress = true,
+      encryption = Some(PdfCrypto.EncryptSpec("aes-128"))), "ISO-8859-1")
+    val hybridTrailer =
+      "trailer\n<< /Size 99 /Root 1 0 R /XRefStm 17 >>\nstartxref\n0\n%%EOF\n"
+    assert(PdfCodec.extractText((pdf + hybridTrailer).getBytes("ISO-8859-1")) == pages,
+      "hybrid trailer should fall back to its revision's xref-dict /Encrypt")
+    // the SAME layout without /XRefStm reads as encryption-removed: the
+    // ciphertext then fails loud downstream, never decrypts via a stale dict
+    val plainTrailer = "trailer\n<< /Size 99 /Root 1 0 R >>\nstartxref\n0\n%%EOF\n"
+    intercept[Exception](
+      PdfCodec.extractText((pdf + plainTrailer).getBytes("ISO-8859-1")))
+  }
+
   test("differences writer refuses remaps that would corrupt existing text") {
     // the text already contains É (0xC9 = 201) — remapping 'e' onto that
     // byte would route the original É through /Euro on decode

@@ -134,6 +134,25 @@ class SqlLifecycleSpec extends SparkSpec {
     // the sidecar survives the whole-dir COMPACT swap (checked below by
     // compacting and appending once more without OPTIONS)
 
+    // CREATE over the existing index is a full REBUILD: the old sidecar
+    // is history, not a constraint — a different dim succeeds and the
+    // sidecar records the dim actually used
+    s.sql(s"CREATE GRAFT SPARSE INDEX sql_sp_idx AT '$tmp/idx2' FROM docs_v " +
+      "OPTIONS (dim = 128, buckets = 4)").collect()
+    s.table("docs_v").where(col("doc_id") === 3)
+      .select((col("doc_id") + 7200L).as("doc_id"), col("text"))
+      .createOrReplaceTempView("sp_app3_v")
+    s.sql("APPEND GRAFT SPARSE INDEX sql_sp_idx FROM sp_app3_v").collect()
+    val q72 = graft.operators.SparseKnn.hashingTf(s.table("sp_app3_v"), dim = 128)
+      .select(col("doc_id").as("qid"), col("indices"), col("values"))
+    val served128 = graft.operators.SparseKnn.topKFromIndex(s, "sql_sp_idx", q72, k = 2)
+      .collect().map(_.getLong(1))
+    assert(served128.contains(7203L),
+      s"rebuild at dim 128 should govern later appends: ${served128.toSeq}")
+    // rebuild back at 256 for the compact-persistence check below
+    s.sql(s"CREATE GRAFT SPARSE INDEX sql_sp_idx AT '$tmp/idx3' FROM docs_v " +
+      "OPTIONS (dim = 256, buckets = 4)").collect()
+
     // COMPACT — and the dim sidecar survives the whole-dir swap: a
     // fresh OPTIONS-less append afterwards still hashes at 256
     val msg = s.sql("COMPACT GRAFT SPARSE INDEX sql_sp_idx").head().getString(0)
