@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.multimodal.BinaryPipeline
+
+/** Streaming IMAGE ingest — the multimodal twin of [[VectorStream]]:
+  * new image files landing in a directory are decoded FOR REAL
+  * ([[graft.multimodal.PngCodec]]) per micro-batch and their grid-pooled
+  * tile features + true geometry appended to a feature store, ready for
+  * the KNN/ANN serve tier. Mirrors the reference's blob trigger
+  * (Function.java:71-88) with image payloads in place of PDFs.
+  *
+  * Replay idempotence (the [[VectorStream]] convention): each batch
+  * writes under its own `batch_id=` partition with dynamic partition
+  * overwrite, so a replayed batch — restart after a crash between write
+  * and checkpoint commit — overwrites its own partition instead of
+  * doubling rows. A non-PNG payload fails its batch LOUD before the
+  * write ([[graft.multimodal.PngCodec.decode]]'s contract), leaving the
+  * store untouched and the checkpoint unadvanced — poison inputs never
+  * half-commit. */
+object ImageStream {
+
+  /** Source schema: one row per arriving image. */
+  val inputSchema = "doc_id long, content binary"
+
+  /** foreachBatch body — public so specs can drive replay directly. */
+  def featuresBatch(storePath: String, gx: Int = 2, gy: Int = 2)
+                   (batch: DataFrame, batchId: Long): Unit = {
+    BinaryPipeline.imageTileFeatures(batch, gx, gy)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(storePath)
+  }
+
+  /** Start the ingest stream: image files in `inputDir` → decoded tile
+    * features appended to `storePath`. `AvailableNow` drains the
+    * backlog and stops (the batch-test / catch-up mode); the default
+    * trigger polls like the reference's blob listener. */
+  def start(spark: SparkSession, inputDir: String, storePath: String,
+            checkpointDir: String, availableNow: Boolean = false,
+            gx: Int = 2, gy: Int = 2): StreamingQuery = {
+    val raw = spark.readStream
+      .schema(inputSchema)
+      .option("maxFilesPerTrigger", "16")
+      .parquet(inputDir)
+    val writer = raw.writeStream
+      .foreachBatch(featuresBatch(storePath, gx, gy) _)
+      .option("checkpointLocation", checkpointDir)
+    (if (availableNow) writer.trigger(Trigger.AvailableNow())
+     else writer.trigger(Trigger.ProcessingTime("10 seconds"))).start()
+  }
+}
