@@ -63,7 +63,8 @@ object IvfScanRewriteRule extends Rule[LogicalPlan] with RewriteSupport {
                                     quant: Option[(Double, Double)],
                                     pq: Option[ProductQuantizer.Model],
                                     metric: String,
-                                    subDim: Option[Int])
+                                    subDim: Option[Int],
+                                    halfPacked: Boolean)
 
   /** Sidecars per store path — immutable per write; a rebuild writes new
     * sidecars and should be re-read, so the cache keys on (path,
@@ -121,7 +122,8 @@ object IvfScanRewriteRule extends Rule[LogicalPlan] with RewriteSupport {
         at.name == "cell" && at.dataType == IntegerType)
       if !alreadyRewritten(child)
       path = fsRelation.location.rootPaths.head.toString
-      Sidecars(model, quantRange, pqModel, storeMetric, subDim) <- loadSidecars(relation, path)
+      Sidecars(model, quantRange, pqModel, storeMetric, subDim, halfPacked) <-
+        loadSidecars(relation, path)
       // a cosine sort only prunes soundly on a cosine (normalized) store
       // and vice versa; an IP sort probes an L2 store's cells (the faiss
       // IVF-IP recipe — recall governed by nprobe, like pgvector
@@ -197,7 +199,7 @@ object IvfScanRewriteRule extends Rule[LogicalPlan] with RewriteSupport {
           None
         case None =>
           Some(rewriteFixedProbe(child, relation, cellAttr, distExpr, metric,
-            probeVec, k, path, model, quantRange, pqModel, subDim, projList))
+            probeVec, k, path, model, quantRange, pqModel, subDim, halfPacked, projList))
       }
     }
   }.flatten
@@ -215,7 +217,7 @@ object IvfScanRewriteRule extends Rule[LogicalPlan] with RewriteSupport {
       cellAttr: Attribute, distExpr: Expression, metric: String, qvec: Array[Double],
       k: Int, path: String, model: IvfIndex.Model,
       quantRange: Option[(Double, Double)], pqModel: Option[ProductQuantizer.Model],
-      subDim: Option[Int], projList: Seq[Attribute]): LogicalPlan = {
+      subDim: Option[Int], halfPacked: Boolean, projList: Seq[Attribute]): LogicalPlan = {
       val nprobe = conf("spark.graft.ann.nprobe", "8").toInt
       val overfetch = conf("spark.graft.ann.overfetch", "4").toInt
       val cells = probedCells(model, qvec, nprobe)
@@ -259,8 +261,42 @@ object IvfScanRewriteRule extends Rule[LogicalPlan] with RewriteSupport {
         Join(pruned, right, LeftSemi,
           Some(EqualTo(idAttr, right.output.head)), JoinHint.NONE)
       }
-      val sub: LogicalPlan = pqCoarse.orElse(sqCoarse).orElse(subCoarse).getOrElse(pruned)
+      // halfvec coarse: binary16-domain L2 over the packed hvec column —
+      // the scan reads (id, hvec) only, half the float column's bytes
+      val halfCoarse = for {
+        idAttr <- idAttrOpt
+        if halfPacked && metric == "l2" && relation.output.exists(_.name == "hvec")
+      } yield {
+        val right = coarsePlanHalf(path, qvec, cells, k * overfetch, idCol)
+        Join(pruned, right, LeftSemi,
+          Some(EqualTo(idAttr, right.output.head)), JoinHint.NONE)
+      }
+      val sub: LogicalPlan =
+        pqCoarse.orElse(sqCoarse).orElse(halfCoarse).orElse(subCoarse).getOrElse(pruned)
       child.transformUp { case r: LogicalRelation if r eq relation => sub }
+  }
+
+  /** Binary16-domain coarse candidate subplan for halfvec stores:
+    * probed cells scored by L2 between the unpacked hvec codes and the
+    * query ROUNDED to binary16 (the searchIndexHalf semantics — both
+    * sides half, so coarse order is the true order of the rounded
+    * vectors), reading (id, hvec) only. */
+  private def coarsePlanHalf(path: String, qvec: Array[Double], cells: Seq[Int],
+      n: Int, idCol: String): LogicalPlan = {
+    val spark = SparkSession.active
+    val qhalf = qvec.map(v =>
+      graft.functions.HalfFloat.fromHalf(
+        graft.functions.HalfFloat.toHalf(v.toFloat)).toDouble)
+    val coarse = spark.read.parquet(path)
+      .where(col("cell").isin(cells: _*))
+      .select(col(idCol),
+        VectorExpressions.vecL2Sq(
+          graft.functions.HalfExpressions.halfUnpack(col("hvec")).cast("array<double>"),
+          typedlit(qhalf.toSeq)).as("__qdist"))
+      .orderBy(col("__qdist"), col(idCol))
+      .limit(n)
+      .select(col(idCol))
+    coarse.queryExecution.analyzed
   }
 
   /** Prefix-space coarse candidate subplan for Matryoshka stores:
@@ -341,7 +377,18 @@ object IvfScanRewriteRule extends Rule[LogicalPlan] with RewriteSupport {
           if (fs.exists(new org.apache.hadoop.fs.Path(path, "_matryoshka.json")))
             Some(IvfIndex.readSubDim(spark, path))
           else None
-        val v = Sidecars(model, range, pq, IvfIndex.readMetric(spark, path), subDim)
+        // only the packed2 layout is plannable; an unversioned half
+        // store falls through to the flat path (correct, float-column)
+        val halfPacked = {
+          val hp = new org.apache.hadoop.fs.Path(path, "_half.json")
+          fs.exists(hp) && {
+            val in = fs.open(hp)
+            val json = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+            json.contains("packed2")
+          }
+        }
+        val v = Sidecars(model, range, pq, IvfIndex.readMetric(spark, path), subDim,
+          halfPacked)
         cache.put(path, (stamp, v))
         Some(v)
     }

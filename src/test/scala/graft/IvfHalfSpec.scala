@@ -103,6 +103,48 @@ class IvfHalfSpec extends SparkSpec {
     assert(recall >= 0.9, s"halfvec recall@5 = $recall")
   }
 
+  test("SQL lowering: ORDER BY vec_l2 LIMIT k over a half store gets the hvec coarse semi-join") {
+    import graft.functions.{VectorFunctions => VF}
+    val path = Files.createTempDirectory("ivf_half_rw").toString
+    val e = emb()
+    val model = IvfIndex.train(e, k = 8, iters = 2)
+    IvfIndex.writeIndexHalf(e, model, path)
+    val qv = e.where(col("vec_id") === 7)
+      .select(col("embedding")).head().getSeq[Double](0)
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.IvfScanRewriteRule
+    try {
+      // covering config: probe all cells, overfetch beyond the corpus —
+      // the rewritten plan must stay EXACT
+      spark.conf.set("spark.graft.ann.nprobe", "8")
+      spark.conf.set("spark.graft.ann.overfetch", "1000")
+      val q = spark.read.parquet(path)
+        .select(col("vec_id"),
+          VF.l2Distance(col("embedding"), typedlit(qv)).as("dist"))
+        .orderBy(col("dist"), col("vec_id"))
+        .limit(5)
+      val optimized = q.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("LeftSemi"), optimized.take(2000))
+      assert(optimized.contains("half_unpack"), optimized.take(2000))
+      val physical = q.queryExecution.executedPlan.toString
+      val coarseScans = "ReadSchema: [^\n]*".r.findAllIn(physical).toList
+        .filter(_.contains("hvec"))
+      assert(coarseScans.nonEmpty && coarseScans.forall(!_.contains("embedding")),
+        s"coarse scan should read hvec without the float column: $coarseScans")
+      val got = q.collect().map(_.getLong(0)).toSeq
+      val want = Knn.topKBatch(e,
+          e.where(col("vec_id") === 7).select(col("vec_id").as("qid"), col("embedding")),
+          Knn.L2, 5)
+        .collect().map(_.getLong(1)).toSeq
+      assert(got == want, s"rewritten half plan diverged: $got vs $want")
+    } finally {
+      spark.conf.unset("spark.graft.ann.nprobe")
+      spark.conf.unset("spark.graft.ann.overfetch")
+      spark.experimental.extraOptimizations = spark.experimental.extraOptimizations
+        .filterNot(_ eq graft.plans.IvfScanRewriteRule)
+    }
+  }
+
   test("pre-packed-layout stores (unversioned _half.json) refuse maintenance and search loud") {
     val path = Files.createTempDirectory("ivf_half_legacy").toString
     val e = emb()
