@@ -104,6 +104,35 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(r.isNullAt(3), "empty union must be null, not a division error")
   }
 
+  test("vec_half_pack / vec_half_unpack: packed tier round-trips in SQL, byte-parity with the writer") {
+    GraftFunctions.register(spark)
+    // round trip through the PACKED 2-byte layout equals the array path
+    val r = spark.sql(
+      """SELECT vec_half_unpack(vec_half_pack(array(1.5D, -0.25D, 65504.0D, 0.0D))) u,
+        |  vec_half_decode(vec_half_encode(array(1.5D, -0.25D, 65504.0D, 0.0D))) d,
+        |  octet_length(vec_half_pack(array(1.5D, -0.25D, 65504.0D, 0.0D))) n""".stripMargin)
+      .head()
+    assert(r.getSeq[Float](0) == r.getSeq[Float](1))
+    assert(r.getInt(2) == 8, "pack must be exactly 2 bytes per dim")
+    // byte parity with writeIndexHalf's column: what SQL packs is what
+    // the index stores
+    val spark2 = spark
+    import spark2.implicits._
+    val one = Seq((1L, Seq(0.5, -2.0, 3.25))).toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val viaSql = one.selectExpr("vec_half_pack(embedding) p").head().getAs[Array[Byte]](0)
+    val viaLib = one.select(graft.functions.HalfExpressions.halfPack(col("embedding")).as("p"))
+      .head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(viaSql, viaLib))
+    // torn buffers fail loud (walk the wrapped-exception chain: Spark
+    // may nest the require failure several causes deep)
+    val e = intercept[Exception](
+      spark.sql("SELECT vec_half_unpack(X'010203') u").collect())
+    val msgs = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("binary16"), msgs)
+  }
+
   test("extensions class injects without error") {
     val e = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(e) // throws on malformed registration
