@@ -628,13 +628,19 @@ object IvfIndex {
     * mixed-physical-type parquet that fails at schema merge AFTER the
     * store is already poisoned, so every maintenance/read path refuses
     * it loud up front and points at the rebuild. */
+  /** True iff the `_half.json` sidecar declares the packed2 layout —
+    * THE version check: the rewrite rule and every maintenance/read
+    * path must agree on it, so it lives here once. */
+  private[graft] def isPackedHalf(spark: org.apache.spark.sql.SparkSession,
+                                  path: String): Boolean =
+    """"format"\s*:\s*"packed2"""".r
+      .findFirstIn(readSidecar(spark, path, "_half.json")).isDefined
+
   private def requirePackedHalf(spark: org.apache.spark.sql.SparkSession,
-                                path: String, op: String): Unit = {
-    val json = readSidecar(spark, path, "_half.json")
-    require(""""format"\s*:\s*"packed2"""".r.findFirstIn(json).isDefined,
+                                path: String, op: String): Unit =
+    require(isPackedHalf(spark, path),
       s"$op: $path is a pre-packed-layout halfvec store (hvec as array<short>) — " +
         "rebuild with writeIndexHalf to migrate to the 2-byte packed binary layout")
-  }
 
   def writeIndexHalf(corpus: DataFrame, model: Model, path: String,
                      idCol: String = "vec_id", embCol: String = "embedding"): Unit = {

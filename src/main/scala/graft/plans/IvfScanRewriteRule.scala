@@ -378,15 +378,13 @@ object IvfScanRewriteRule extends Rule[LogicalPlan] with RewriteSupport {
             Some(IvfIndex.readSubDim(spark, path))
           else None
         // only the packed2 layout is plannable; an unversioned half
-        // store falls through to the flat path (correct, float-column)
-        val halfPacked = {
-          val hp = new org.apache.hadoop.fs.Path(path, "_half.json")
-          fs.exists(hp) && {
-            val in = fs.open(hp)
-            val json = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-            json.contains("packed2")
-          }
-        }
+        // store falls through to the flat path (correct, float-column).
+        // ONE version check, shared with the maintenance paths — a
+        // looser duplicate here could plan coarse scans over layouts
+        // the rest of the engine refuses
+        val halfPacked =
+          fs.exists(new org.apache.hadoop.fs.Path(path, "_half.json")) &&
+            IvfIndex.isPackedHalf(spark, path)
         val v = Sidecars(model, range, pq, IvfIndex.readMetric(spark, path), subDim,
           halfPacked)
         cache.put(path, (stamp, v))

@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.multimodal.BinaryPipeline
 
@@ -20,14 +21,19 @@ import graft.multimodal.BinaryPipeline
   * doubling rows. A non-PNG payload fails its batch LOUD before the
   * write ([[graft.multimodal.PngCodec.decode]]'s contract), leaving the
   * store untouched and the checkpoint unadvanced — poison inputs never
-  * half-commit. */
+  * half-commit.
+  *
+  * Grid defaults FOLLOW [[BinaryPipeline.imageTileFeatures]]' — a
+  * streamed batch must produce vectors the same shape as a batch build
+  * of the same store, or cosine KNN over the mixed store breaks on
+  * dimension mismatch with no error at ingest time. */
 object ImageStream {
 
   /** Source schema: one row per arriving image. */
   val inputSchema = "doc_id long, content binary"
 
   /** foreachBatch body — public so specs can drive replay directly. */
-  def featuresBatch(storePath: String, gx: Int = 2, gy: Int = 2)
+  def featuresBatch(storePath: String, gx: Int = 4, gy: Int = 4)
                    (batch: DataFrame, batchId: Long): Unit = {
     BinaryPipeline.imageTileFeatures(batch, gx, gy)
       .withColumn("batch_id", lit(batchId))
@@ -43,15 +49,8 @@ object ImageStream {
     * trigger polls like the reference's blob listener. */
   def start(spark: SparkSession, inputDir: String, storePath: String,
             checkpointDir: String, availableNow: Boolean = false,
-            gx: Int = 2, gy: Int = 2): StreamingQuery = {
-    val raw = spark.readStream
-      .schema(inputSchema)
-      .option("maxFilesPerTrigger", "16")
-      .parquet(inputDir)
-    val writer = raw.writeStream
-      .foreachBatch(featuresBatch(storePath, gx, gy) _)
-      .option("checkpointLocation", checkpointDir)
-    (if (availableNow) writer.trigger(Trigger.AvailableNow())
-     else writer.trigger(Trigger.ProcessingTime("10 seconds"))).start()
-  }
+            gx: Int = 4, gy: Int = 4): StreamingQuery =
+    IngestScaffold.start(spark, inputDir,
+      org.apache.spark.sql.types.StructType.fromDDL(inputSchema),
+      featuresBatch(storePath, gx, gy) _, checkpointDir, availableNow)
 }

@@ -78,17 +78,8 @@ object VectorStream {
   private def startIngestStream(spark: SparkSession, inputDir: String,
                                 body: (DataFrame, Long) => Unit,
                                 checkpointDir: String,
-                                availableNow: Boolean): StreamingQuery = {
-    val raw = spark.readStream
-      .schema(inputSchema)
-      .option("maxFilesPerTrigger", "16")
-      .parquet(inputDir)
-    val writer = raw.writeStream
-      .foreachBatch(body)
-      .option("checkpointLocation", checkpointDir)
-    (if (availableNow) writer.trigger(Trigger.AvailableNow())
-     else writer.trigger(Trigger.ProcessingTime("10 seconds"))).start()
-  }
+                                availableNow: Boolean): StreamingQuery =
+    IngestScaffold.start(spark, inputDir, inputSchema, body, checkpointDir, availableNow)
 
   /** Start the ingest stream: new embedding files in `inputDir` append
     * into the quantized store at `indexPath` (created by

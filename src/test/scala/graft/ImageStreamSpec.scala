@@ -17,9 +17,12 @@ class ImageStreamSpec extends SparkSpec {
     val in = Files.createTempDirectory("istream_in").toString
     val store = Files.createTempDirectory("istream_store").toString + "/feat"
     val ckpt = Files.createTempDirectory("istream_ckpt").toString
-    media.write.mode("append").parquet(in)
+    // one input file => exactly one micro-batch (maxFilesPerTrigger is
+    // 16), so 'replay batch 0 with its own content' below is sound
+    media.coalesce(1).write.mode("append").parquet(in)
 
-    val q = ImageStream.start(spark, in, store, ckpt, availableNow = true)
+    val q = ImageStream.start(spark, in, store, ckpt, availableNow = true,
+      gx = 2, gy = 2)
     try q.awaitTermination() finally q.stop()
 
     // feature parity with the batch path, exact
@@ -35,7 +38,7 @@ class ImageStreamSpec extends SparkSpec {
     // crash replay: re-running batch 0 with ITS OWN content overwrites
     // its partition in place — row count and features unchanged
     val before = spark.read.parquet(store).count()
-    ImageStream.featuresBatch(store)(media, 0L)
+    ImageStream.featuresBatch(store, gx = 2, gy = 2)(media, 0L)
     assert(spark.read.parquet(store).count() == before, "replayed batch doubled rows")
     val afterReplay = spark.read.parquet(store)
       .select(col("doc_id"), col("features"))
@@ -55,9 +58,13 @@ class ImageStreamSpec extends SparkSpec {
     // the store untouched (checkpoint-unadvanced exactly-once contract)
     import spark.implicits._
     val poison = Seq((999L, "not a png".getBytes("UTF-8"))).toDF("doc_id", "content")
-    val err = intercept[Exception](ImageStream.featuresBatch(store)(poison, 7L))
-    assert(err.getMessage.contains("PNG") ||
-      Option(err.getCause).exists(_.getMessage.contains("PNG")), err.getMessage)
+    val err = intercept[Exception](
+      ImageStream.featuresBatch(store, gx = 2, gy = 2)(poison, 7L))
+    // walk the whole wrapped-exception chain (the SqlSurfaceSpec
+    // convention): Spark may nest the decode failure several causes deep
+    val msgs = Iterator.iterate[Throwable](err)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("PNG"), msgs)
     assert(spark.read.parquet(store).count() == before, "poison batch half-committed")
   }
 }
