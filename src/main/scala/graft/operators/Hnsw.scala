@@ -601,6 +601,15 @@ object Hnsw {
                          idCol: String = "vec_id", embCol: String = "embedding",
                          maxNodesPerShard: Int = 2000000): Unit = {
     val (numShards, m, efC) = readShardedMeta(spark, path)
+    // finish a crashed upsertIndexSharded swap before appending (the
+    // IVF maintenance-family contract: any maintenance op rolls the
+    // previous one forward on entry)
+    locally {
+      val root = new org.apache.hadoop.fs.Path(path)
+      new graft.sources.StagedSwap(
+        root.getFileSystem(spark.sparkContext.hadoopConfiguration), root,
+        "appendIndexSharded", partPrefix = "shard=").recover()
+    }
     // re-inserting a tombstoned id must be refused: the stale node is
     // still in the graph, so clearing the tombstone would resurrect it
     // beside the new one and searches would serve BOTH — rebuild to
@@ -674,18 +683,19 @@ object Hnsw {
     * Unaffected shards are never rewritten (dynamic partition
     * overwrite, the [[appendIndexSharded]] contract).
     *
-    * Atomicity: on a hash store an id's old and new node live in the
-    * SAME shard (shard = floorMod(id, numShards)), so per-shard commit
-    * IS per-id atomicity — no crash point leaves an id doubled or
-    * half-replaced. On a ROUTED store a changed embedding may move the
-    * id between shards (old shard rebuilt without it, destination
-    * rebuilt with it, in one write job); a crash inside the job's
-    * partition-commit window can leave the id temporarily missing or
-    * doubled across the two shards — re-running the same upsert
-    * converges, the [[appendIndexSharded]] crash contract. Tombstoned
-    * ids may be upserted: the rebuild purges their stale node
-    * physically, then their tombstone is cleared (a crash between the
-    * two leaves the id invisible, never stale — the same upsert re-run
+    * Atomicity: the rebuilt (and drained — routed stores: every node
+    * moved away) shard dirs go through the same
+    * [[graft.sources.StagedSwap]] manifest protocol as the IVF
+    * maintenance family — staged to a sibling dir, committed by a
+    * `_plan.json` listing the rewrite/drain shards, installed by
+    * idempotent retire-then-install renames, and rolled FORWARD by the
+    * recovery the next maintenance call runs on entry. So no crash
+    * point leaves an id doubled or half-replaced on EITHER store kind:
+    * a routed id moving between shards has its old shard's rewrite and
+    * its destination's rewrite under the one manifest. Tombstoned ids
+    * may be upserted: the rebuild purges their stale node physically,
+    * then their tombstone is cleared (a crash between the two leaves
+    * the id invisible, never stale — the same upsert re-run
     * converges). Cost: O(affected shard rebuilds) — the honest HNSW
     * maintenance price (faiss/pgvector reindex); batch re-embeds, and
     * use [[appendIndexSharded]] for insert-only batches. */
@@ -693,6 +703,11 @@ object Hnsw {
                          idCol: String = "vec_id", embCol: String = "embedding",
                          maxNodesPerShard: Int = 2000000): Unit = {
     val (numShards, m, efC) = readShardedMeta(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val rootFs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val swap = new graft.sources.StagedSwap(rootFs, root, "upsertIndexSharded",
+      partPrefix = "shard=")
+    swap.recover()
     // materialized ONCE ([[IvfIndex.upsertIndex]]'s move, and for the
     // same two reasons): the frame feeds the dup check, the shard
     // keying, the membership join and the tombstone-clear anti-join —
@@ -762,35 +777,25 @@ object Hnsw {
         }
       }
     }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val drained = updated.filter(_.getLong(1) == 0L).map(_.getInt(0)).collect()
+    // every affected shard — rebuilt OR drained (routed store: every
+    // node moved away, emitted above as an n=0 marker row) — goes under
+    // the ONE manifest: commit() classifies staged dirs as rewrites and
+    // the rest as drains, and installs both by idempotent renames, so
+    // no crash point leaves a moved id doubled across its old and new
+    // shard (the window the previous dynamic-overwrite + delete-after
+    // sequencing left open)
+    val affected = updated.map(_.getInt(0)).collect().toSet
     val live = updated.filter(_.getLong(1) > 0L)
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("shard", org.apache.spark.sql.types.IntegerType),
       org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("graph", org.apache.spark.sql.types.BinaryType)))
-    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try spark.createDataFrame(live, schema)
-      .write.partitionBy("shard").mode("overwrite").parquet(path)
-    finally {
-      prevMode match {
-        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
-      updated.unpersist()
-    }
-    // drained shard dirs (routed store: every node moved away) are not
-    // in the write's output, so dynamic overwrite left them live with
-    // stale nodes — delete them now. A crash before this point leaves
-    // moved ids doubled (documented; the same upsert re-run converges —
-    // it re-detects the batch ids in the stale dir and drains it again).
-    if (drained.nonEmpty) {
-      val rootFs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      drained.foreach { s =>
-        rootFs.delete(new org.apache.hadoop.fs.Path(path, s"shard=$s"), true)
-      }
-    }
+    if (affected.nonEmpty) {
+      try spark.createDataFrame(live, schema)
+        .write.mode("overwrite").partitionBy("shard").parquet(swap.staging.toString)
+      finally updated.unpersist()
+      swap.commit(affected)
+    } else updated.unpersist()
     // the upserted ids' stale nodes are physically gone — clear their
     // tombstones so the fresh vectors serve (ordered AFTER the shard
     // write: a crash in between leaves them invisible, never stale)

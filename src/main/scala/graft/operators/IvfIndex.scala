@@ -662,6 +662,13 @@ object IvfIndex {
                       vectors: DataFrame,
                       idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
     import graft.functions.HalfExpressions
+    // same family gate as searchIndexHalf: check the marker EXISTS before
+    // requirePackedHalf reads it, so appending to a non-half path yields
+    // the clean family message, not a raw FileNotFoundException
+    val halfMarker = new org.apache.hadoop.fs.Path(path, "_half.json")
+    require(halfMarker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(halfMarker),
+      s"appendIndexHalf: $path carries no _half.json — not a halfvec index")
     requirePackedHalf(spark, path, "appendIndexHalf")
     val model = readModel(spark, path)
     vectors.select(col(idCol), col(embCol),
@@ -830,124 +837,14 @@ object IvfIndex {
       .select(col(queryIdCol), col(idCol), col("dist"), col("rn").cast("long").as("rn"))
   }
 
-  /** Shared staged-swap machinery of the partition-surgical maintenance
-    * ops ([[reassignIndex]], [[deleteFromIndex]]): a sibling staging dir
-    * written first, a `_plan.json` manifest (rewrite/drain cell lists)
-    * as the commit point, idempotent retire-then-install renames, and a
-    * deterministic roll-forward recovery either op runs on entry — so a
-    * crashed reassign is finished by the next delete and vice versa
-    * (both use the same `__maint_*` sibling names). Single-writer
-    * contract, like the append family. */
-  private final class StagedSwap(fs: org.apache.hadoop.fs.FileSystem,
-                                 root: org.apache.hadoop.fs.Path, op: String) {
-    import org.apache.hadoop.fs.Path
-    val staging = new Path(root.getParent, root.getName + "__maint_staging")
-    val retired = new Path(root.getParent, root.getName + "__maint_retired")
-    val planFile = new Path(staging, "_plan.json")
-
-    def swapFromPlan(rewrite: Seq[Int], drain: Seq[Int]): Unit =
-      swapDirs(staging, retired, rewrite, drain)
-
-    private def swapDirs(stg: Path, ret: Path,
-                         rewrite: Seq[Int], drain: Seq[Int]): Unit = {
-      fs.mkdirs(ret)
-      // idempotent per cell, so a crashed swap re-runs from the manifest:
-      // a staged dir still present has not been installed; a live dest
-      // for a drain cell has not been removed
-      rewrite.foreach { c =>
-        val dest = new Path(root, s"cell=$c")
-        val stage = new Path(stg, s"cell=$c")
-        if (fs.exists(stage)) {
-          if (fs.exists(dest) && !fs.rename(dest, new Path(ret, s"cell=$c")))
-            throw new java.io.IOException(s"$op: could not retire $dest")
-          if (!fs.rename(stage, dest))
-            throw new java.io.IOException(s"$op: could not install $stage")
-        } // staged dir gone => this cell's install already completed
-      }
-      drain.foreach { c =>
-        val dest = new Path(root, s"cell=$c")
-        if (fs.exists(dest) && !fs.rename(dest, new Path(ret, s"cell=$c")))
-          throw new java.io.IOException(s"$op: could not drain $dest")
-      }
-      // staging before retired: "retired without staging" then always
-      // means every install ran and the retire dir holds only superseded
-      // copies — safe to drop wholesale on recovery
-      fs.delete(stg, true)
-      fs.delete(ret, true)
-    }
-
-    /** Crash recovery — finish the previous attempt before a new one.
-      * Also scans the earlier `__reassign_*` sibling names, so a store
-      * that crashed mid-swap under the old naming is still rolled
-      * forward instead of silently losing its un-installed cells. */
-    def recover(): Unit = {
-      val namePairs = Seq(
-        (staging, retired),
-        (new Path(root.getParent, root.getName + "__reassign_staging"),
-         new Path(root.getParent, root.getName + "__reassign_retired")))
-      namePairs.foreach { case (stg, ret) =>
-        val plan = new Path(stg, "_plan.json")
-        if (fs.exists(stg)) {
-          if (fs.exists(plan)) {
-            // manifest present = the previous swap may have started:
-            // roll it FORWARD (the staged batch is the complete new
-            // content of every cell it names; installing the remainder
-            // is the only state that loses nothing regardless of where
-            // the crash hit). A reassign manifest carries the NEW
-            // centroids — restore the sidecar FIRST (idempotent), so no
-            // crash point leaves the data moved under stale centroids.
-            val txt = {
-              val in = fs.open(plan)
-              try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-            }
-            def ints(key: String): Seq[Int] =
-              (s""""$key"\\s*:\\s*\\[([0-9,\\s]*)\\]""").r.findFirstMatchIn(txt)
-                .map(_.group(1).split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq)
-                .getOrElse(Seq.empty)
-            ("\"sidecar\"\\s*:\\s*\"([^\"]*)\"").r.findFirstMatchIn(txt)
-              .foreach(m => writeRootFile("_centroids.json", m.group(1)))
-            swapDirs(stg, ret, ints("rewrite"), ints("drain"))
-          } else {
-            // no manifest = the staging write itself crashed; the store
-            // was never touched
-            fs.delete(stg, true)
-          }
-        }
-        if (fs.exists(ret)) fs.delete(ret, true)
-      }
-    }
-
-    private def writeRootFile(name: String, content: String): Unit = {
-      val out = fs.create(new Path(root, name), true)
-      try out.write(content.getBytes("UTF-8")) finally out.close()
-    }
-
-    /** List staged cells, write the manifest (the commit point), then
-      * the new sidecar when the op changes it (a reassign's centroid
-      * matrix rides INSIDE the manifest so recovery can restore it —
-      * the JSON matrix has no quotes or backslashes, so raw embedding
-      * is safe), then swap. Ordering matters: once the manifest exists,
-      * every later crash point is repaired by [[recover]], including a
-      * crash between the sidecar write and the renames. Returns
-      * (rewrite, drain). */
-    def commit(changed: Set[Int],
-               sidecarJson: Option[String] = None): (Seq[Int], Seq[Int]) = {
-      val stagedCells: Set[Int] = fs.listStatus(staging)
-        .map(_.getPath.getName).collect { case n if n.startsWith("cell=") =>
-          n.stripPrefix("cell=").toInt }.toSet
-      val rewrite = changed.intersect(stagedCells).toSeq.sorted
-      val drain = (changed -- stagedCells).toSeq.sorted
-      val sidecarField = sidecarJson.fold("")(j => s""","sidecar":"$j"""")
-      val out = fs.create(planFile, true)
-      try out.write(
-        s"""{"rewrite":[${rewrite.mkString(",")}],"drain":[${drain.mkString(",")}]$sidecarField}"""
-          .getBytes("UTF-8"))
-      finally out.close()
-      sidecarJson.foreach(writeRootFile("_centroids.json", _))
-      swapFromPlan(rewrite, drain)
-      (rewrite, drain)
-    }
-  }
+  /** The staged-swap machinery ([[graft.sources.StagedSwap]]) bound to
+    * this family's layout: `cell=` partition dirs, the `_centroids.json`
+    * sidecar riding reassign manifests, and the legacy `__reassign_*`
+    * sibling names still rolled forward on recovery. */
+  private def stagedSwap(fs: org.apache.hadoop.fs.FileSystem,
+                         root: org.apache.hadoop.fs.Path, op: String) =
+    new graft.sources.StagedSwap(fs, root, op, partPrefix = "cell=",
+      sidecarName = "_centroids.json", legacySuffixes = Seq("__reassign"))
 
   final case class ReassignReport(rows: Long, moved: Long,
                                   cellsRewritten: Int, cellsTotal: Int)
@@ -999,7 +896,7 @@ object IvfIndex {
         s"reassignIndex: Matryoshka store has subDim $d but the new model is " +
           s"${newModel.centroids.headOption.map(_.length)}-dimensional (trainSub)")
     }
-    val swap = new StagedSwap(fs, root, "reassignIndex")
+    val swap = stagedSwap(fs, root, "reassignIndex")
     swap.recover()
 
     val assigned = spark.read.parquet(path)
@@ -1047,7 +944,7 @@ object IvfIndex {
     * cell-partitioned stores: one (id, cell)-column pass finds the
     * affected cells and the per-cell hit counts, only those partitions
     * are rewritten without the deleted rows (anti join, staged +
-    * manifest-committed + swapped through the same [[StagedSwap]]
+    * manifest-committed + swapped through the same [[graft.sources.StagedSwap]]
     * machinery as [[reassignIndex]], so a crash at any point rolls
     * forward), and a cell whose rows are all deleted is drained. Works
     * for every root-level cell-partitioned family — flat, SQ8, PQ
@@ -1065,7 +962,7 @@ object IvfIndex {
     import org.apache.hadoop.fs.Path
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val swap = new StagedSwap(fs, root, "deleteFromIndex")
+    val swap = stagedSwap(fs, root, "deleteFromIndex")
     swap.recover()
     val store = spark.read.parquet(path)
     require(!store.columns.contains("batch_id"),
@@ -1100,7 +997,7 @@ object IvfIndex {
     * name, new content ⇒ re-embed and replace), and at the index tier
     * that is delete + insert which MUST be atomic: two separate
     * maintenance ops leave a window where the doc is either absent or
-    * doubled. This composes both under ONE [[StagedSwap]] manifest —
+    * doubled. This composes both under ONE [[graft.sources.StagedSwap]] manifest —
     * exactly [[deleteFromIndex]]'s and [[reassignIndex]]'s protocol, so
     * a crash at any point rolls FORWARD on the next maintenance call and
     * no intermediate state is ever live.
@@ -1125,7 +1022,7 @@ object IvfIndex {
     import org.apache.hadoop.fs.Path
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val swap = new StagedSwap(fs, root, "upsertIndex")
+    val swap = stagedSwap(fs, root, "upsertIndex")
     swap.recover()
     val store = spark.read.parquet(path)
     require(!store.columns.contains("batch_id"),

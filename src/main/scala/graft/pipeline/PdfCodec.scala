@@ -70,8 +70,14 @@ object PdfCodec {
 
   // ── decoder ────────────────────────────────────────────────────────
 
+  /** `offset` is the byte position of the object's `N G obj` header in
+    * the file (-1 for synthetic / ObjStm-inner objects, which have no
+    * top-level position). The trailer arbitration needs it: "which
+    * revision is newer" is a FILE-ORDER question, and re-finding a dict
+    * by its text (`lastIndexOf`) mis-positions it when two revisions'
+    * dicts serialize identically. */
   private[graft] final case class PdfObj(num: Int, dict: String, stream: Option[Array[Byte]],
-                                         gen: Int = 0)
+                                         gen: Int = 0, offset: Int = -1)
 
   /** How shown-string bytes become text: simple fonts are byte = char
     * (Latin-1); composite (Type0/Identity) fonts pair bytes into 2-byte
@@ -455,7 +461,8 @@ object PdfCodec {
     // and remember which dict held /Encrypt so /ID can be parsed from the
     // SAME dict below: the tail-only /ID search would otherwise derive
     // the file key with an empty salt and loudly reject a valid file.
-    val xrefDicts = top.filter(_.dict.contains("/XRef")).map(_.dict)
+    val xrefObjs = top.filter(_.dict.contains("/XRef"))
+    val xrefDicts = xrefObjs.map(_.dict)
     // /Encrypt must be read from the NEWEST trailer-bearing /XRef dict
     // (the live trailer — last in file order, /Root is the required
     // trailer key), NOT from the newest dict that happens to contain
@@ -486,11 +493,27 @@ object PdfCodec {
     val classicTrailerAt = tail.lastIndexOf("trailer")
     val classicAbs =
       if (classicTrailerAt >= 0) (s.length - tail.length) + classicTrailerAt else -1
-    val liveXrefAbs = xrefDicts.reverseIterator.find(_.contains("/Root"))
-      .orElse(xrefDicts.lastOption)
-      .map(d => s.lastIndexOf(d)).getOrElse(-1)
-    val liveClassic =
-      if (classicAbs >= 0) Some(tail.substring(classicTrailerAt)) else None
+    // file-order position comes from the PARSER's byte offset, not a
+    // lastIndexOf re-find of the dict text: two revisions whose xref
+    // dicts serialize identically (or a dict whose text also appears
+    // inside a string) would mis-position the newest one and let a
+    // stale classic trailer win the arbitration below
+    val liveXrefAbs = xrefObjs.reverseIterator.find(_.dict.contains("/Root"))
+      .orElse(xrefObjs.lastOption)
+      .map(_.offset).getOrElse(-1)
+    // the live classic trailer is the BALANCED dict after the keyword,
+    // not everything to EOF: trailing bytes (another revision's echoed
+    // dict, writer comments) after the dict must not contribute an
+    // /Encrypt the trailer itself doesn't carry
+    val liveClassic: Option[String] =
+      if (classicAbs < 0) None
+      else {
+        var p = classicAbs + "trailer".length
+        while (p < s.length && s.charAt(p).isWhitespace) p += 1
+        if (p + 1 < s.length && s.charAt(p) == '<' && s.charAt(p + 1) == '<')
+          Some(s.substring(p, balancedDictEnd(s, p)))
+        else Some(s.substring(classicAbs)) // malformed: keyword with no dict
+      }
     val encRef =
       if (classicAbs >= 0 && classicAbs >= liveXrefAbs)
         """/Encrypt\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(liveClassic.get)
@@ -688,7 +711,7 @@ object PdfCodec {
       }
       val endobj = s.indexOf("endobj", p)
       cur = if (endobj >= 0) endobj + "endobj".length else p
-      out += PdfObj(num, dict, stream, matcher.group(2).toInt)
+      out += PdfObj(num, dict, stream, matcher.group(2).toInt, matcher.start)
     }
     out.toSeq
   }

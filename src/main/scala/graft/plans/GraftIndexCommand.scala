@@ -84,7 +84,17 @@ case class GraftIndexCommand(verb: String, sparse: Boolean, kind: String,
           d
         case (None, Some(b)) => b
         case (Some(d), None) => d
-        case (None, None) => 1024
+        case (None, None) if verb == "CREATE" => 1024
+        case (None, None) =>
+          // no sidecar (index predates CREATE-via-SQL or was hand-built)
+          // and no OPTIONS dim: guessing would hash at a dim that may not
+          // match the build dim — the silent no-rank corruption described
+          // above — so refuse instead of defaulting
+          throw new IllegalArgumentException(
+            s"$verb GRAFT SPARSE INDEX: ${table.get} has no _graft_sparse.json " +
+              "sidecar recording its build dim and no OPTIONS ('dim'='…') was " +
+              "given; hashing at a guessed dim would land postings in buckets " +
+              "no query intersects. Pass OPTIONS ('dim'='<build dim>') explicitly.")
       }
       SparseKnn.hashingTf(src, dim = dim)
     }

@@ -27,6 +27,8 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   DELETE  GRAFT INDEX AT '<path>' FROM <table>          |  DELETE  GRAFT SPARSE INDEX <table> FROM <source>
   *   COMPACT GRAFT INDEX AT '<path>'                       |  COMPACT GRAFT SPARSE INDEX <table>
   * }}}
+  * OPTIONS values may be bare (`k=16`) or single-quoted (`dim='1024'`)
+  * with the SQL `''` escape; `)` `,` `=` inside a quoted value are data.
   * `FROM <table>` is any table or temp view: (vec_id, embedding) for
   * the vector family; (doc_id, text) — hashed at `dim` — or a
   * pre-featurized (doc_id, indices, values) for sparse; id-only frames
@@ -57,7 +59,74 @@ object GraftSqlParser {
     "HALFVEC", "MATRYOSHKA")
 
   private val Ident = """[A-Za-z_][A-Za-z0-9_.]*"""
-  private val OptsRe = """(?i)\s+OPTIONS\s*\(([^)]*)\)\s*$""".r
+
+  /** Quote-aware OPTIONS splitter (a flat regex broke on `)` `,` `=`
+    * inside quoted values): values may be single-quoted with the SQL
+    * `''` escape, so any character is data inside quotes; unquoted
+    * values run to the next `,` or `)`. Returns the statement body
+    * before the OPTIONS clause and the parsed map; a statement with no
+    * top-level `OPTIONS (` passes through whole. */
+  private def splitOptions(t: String, fail: String => Nothing): (String, Map[String, String]) = {
+    // locate the last OPTIONS ( that sits OUTSIDE any quoted literal —
+    // a path like AT 'dir OPTIONS (x)' must not be mistaken for the clause
+    var i = 0; var inQ = false; var kw = -1; var open = -1
+    while (i < t.length) {
+      val c = t.charAt(i)
+      if (inQ) {
+        if (c == '\'') {
+          if (i + 1 < t.length && t.charAt(i + 1) == '\'') i += 1 else inQ = false
+        }
+      } else if (c == '\'') inQ = true
+      else if (i > 0 && t.charAt(i - 1).isWhitespace &&
+          t.regionMatches(true, i, "OPTIONS", 0, 7)) {
+        var j = i + 7
+        while (j < t.length && t.charAt(j).isWhitespace) j += 1
+        if (j < t.length && t.charAt(j) == '(') { kw = i; open = j }
+      }
+      i += 1
+    }
+    if (kw < 0) return (t, Map.empty)
+    val opts = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    var p = open + 1
+    def skipWs(): Unit = while (p < t.length && t.charAt(p).isWhitespace) p += 1
+    def atClose: Boolean = { skipWs(); p < t.length && t.charAt(p) == ')' }
+    while (!atClose) {
+      val k0 = p
+      while (p < t.length && t.charAt(p) != '=' && t.charAt(p) != ',' && t.charAt(p) != ')') p += 1
+      if (p >= t.length || t.charAt(p) != '=')
+        fail(s"malformed OPTIONS entry '${t.substring(k0, math.min(p, t.length)).trim}' " +
+          "(want key = value)")
+      val key = t.substring(k0, p).trim.toLowerCase(Locale.ROOT)
+      if (key.isEmpty) fail("malformed OPTIONS entry: empty key before '='")
+      p += 1; skipWs()
+      val value =
+        if (p < t.length && t.charAt(p) == '\'') {
+          val sb = new StringBuilder; p += 1; var closed = false
+          while (p < t.length && !closed) {
+            val c = t.charAt(p)
+            if (c == '\'') {
+              if (p + 1 < t.length && t.charAt(p + 1) == '\'') { sb += '\''; p += 2 }
+              else { closed = true; p += 1 }
+            } else { sb += c; p += 1 }
+          }
+          if (!closed) fail(s"unterminated quoted value for OPTIONS key '$key'")
+          sb.toString
+        } else {
+          val v0 = p
+          while (p < t.length && t.charAt(p) != ',' && t.charAt(p) != ')') p += 1
+          t.substring(v0, p).trim
+        }
+      opts(key) = value
+      skipWs()
+      if (p < t.length && t.charAt(p) == ',') p += 1
+      else if (p >= t.length || t.charAt(p) != ')')
+        fail(s"expected ',' or ')' after the OPTIONS value for key '$key'")
+    }
+    val after = t.substring(p + 1).trim
+    if (after.nonEmpty) fail(s"unexpected text after OPTIONS (…): '$after' " +
+      "(OPTIONS must be the final clause)")
+    (t.substring(0, kw).trim, opts.toMap)
+  }
 
   /** Some(command) when the text is a graft statement; None delegates. */
   private[plans] def parseGraft(sqlText: String): Option[LogicalPlan] = {
@@ -70,17 +139,7 @@ object GraftSqlParser {
     def fail(why: String): Nothing =
       throw new IllegalArgumentException(s"graft statement: $why\nstatement: $t")
 
-    val (body, options) = OptsRe.findFirstMatchIn(t) match {
-      case Some(m) =>
-        val opts = m.group(1).split(",").iterator.map(_.trim).filter(_.nonEmpty).map { kv =>
-          kv.split("=") match {
-            case Array(k, v) => k.trim.toLowerCase(Locale.ROOT) -> v.trim.stripPrefix("'").stripSuffix("'")
-            case _ => fail(s"malformed OPTIONS entry '$kv' (want key = value)")
-          }
-        }.toMap
-        (t.substring(0, m.start).trim, opts)
-      case None => (t, Map.empty[String, String])
-    }
+    val (body, options) = splitOptions(t, fail)
 
     val createVec =
       (s"""(?i)^CREATE\\s+GRAFT\\s+INDEX\\s+(\\w+)\\s+AT\\s+'([^']+)'\\s+FROM\\s+($Ident)$$""").r

@@ -268,4 +268,82 @@ class CrashMatrixSpec extends SparkSpec {
       assert(surviving(path) == want, s"$kill: healed store diverged")
     }
   }
+
+  test("HNSW routed upsert kill-point matrix: 4 StagedSwap protocol states") {
+    import spark.implicits._
+    val e = emb()
+    val pristine = Files.createTempDirectory("cm_hnswups_base").toString
+    Hnsw.writeIndexRouted(e, numShards = 3, pristine, m = 8, efConstruction = 32)
+    // in-distribution donor vectors (ids 0-5 take 300-305's embeddings):
+    // different nearest centroids, so ids MOVE shards — the routed case
+    // whose old dynamic-overwrite sequencing had the doubled-id window
+    def batch = e.where(col("vec_id").between(300L, 305L))
+      .select((col("vec_id") - 300L).as("vec_id"), col("embedding"))
+    def run(p: String): Unit = Hnsw.upsertIndexSharded(spark, p, batch)
+    /** Graph-store content as a comparable value: shard -> (n, md5). The
+      * rebuild is byte-deterministic (ascending-id insertion), so the
+      * healed store must equal the uninterrupted op's output exactly. */
+    def gcontent(p: String): Map[Int, (Long, String)] = spark.read.parquet(p)
+      .select(col("shard"), col("n"), md5(col("graph")).as("h"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getString(2))).toMap
+
+    val scratch = Files.createTempDirectory("cm_hnswups_post").toString
+    copyDir(pristine, scratch)
+    run(scratch)
+    val orig = gcontent(pristine)
+    val want = gcontent(scratch)
+    val changed = (orig.keySet ++ want.keySet).filter(sh => orig.get(sh) != want.get(sh))
+    assert(changed.nonEmpty, "weak fixture: upsert changed no shard")
+    val rewrite = changed.intersect(want.keySet).toSeq.sorted
+    val drain = (changed -- want.keySet).toSeq.sorted
+
+    for (kill <- Seq("post-staging", "post-manifest", "mid-install", "pre-cleanup")) {
+      val path = Files.createTempDirectory(s"cm_hnswups_$kill").toString
+      copyDir(pristine, path)
+      val staging = new Path(path + "__maint_staging")
+      val retired = new Path(path + "__maint_retired")
+      val postDf = spark.read.parquet(scratch)
+      rewrite.foreach { sh =>
+        postDf.where(col("shard") === sh).drop("shard")
+          .coalesce(1).write.parquet(s"$staging/shard=$sh")
+      }
+      def writePlan(): Unit = {
+        val out = fs.create(new Path(staging, "_plan.json"), true)
+        out.write(
+          s"""{"rewrite":[${rewrite.mkString(",")}],"drain":[${drain.mkString(",")}]}"""
+            .getBytes("UTF-8"))
+        out.close()
+      }
+      def install(sh: Int): Unit = {
+        fs.mkdirs(retired)
+        val dest = new Path(path, s"shard=$sh")
+        if (fs.exists(dest)) assert(fs.rename(dest, new Path(retired, s"shard=$sh")))
+        assert(fs.rename(new Path(staging, s"shard=$sh"), dest))
+      }
+      kill match {
+        case "post-staging" => // no manifest: commit point never reached
+        case "post-manifest" => writePlan()
+        case "mid-install" => writePlan(); install(rewrite.head)
+        case "pre-cleanup" =>
+          writePlan()
+          rewrite.foreach(install)
+          drain.foreach { sh =>
+            fs.mkdirs(retired)
+            val dest = new Path(path, s"shard=$sh")
+            if (fs.exists(dest)) assert(fs.rename(dest, new Path(retired, s"shard=$sh")))
+          }
+      }
+      // recovery rides the next maintenance call (a no-op empty upsert)
+      Hnsw.upsertIndexSharded(spark, path,
+        Seq.empty[(Long, Array[Double])].toDF("vec_id", "embedding"))
+      assert(!fs.exists(staging) && !fs.exists(retired), s"$kill: leftover swap dirs")
+      val healed = gcontent(path)
+      if (kill == "post-staging")
+        assert(healed == orig, s"$kill: pre-commit crash must leave the store untouched")
+      else assert(healed == want, s"$kill: post-commit crash must roll FORWARD")
+      // the op re-run converges to fully-applied regardless of kill point
+      run(path)
+      assert(gcontent(path) == want, s"$kill: re-run did not converge")
+    }
+  }
 }

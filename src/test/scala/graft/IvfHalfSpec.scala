@@ -168,6 +168,19 @@ class IvfHalfSpec extends SparkSpec {
     assert(e3.getMessage.contains("rebuild"), e3.getMessage)
   }
 
+  test("appending to a NON-half store yields the clean family message, not a raw IO error") {
+    val path = Files.createTempDirectory("ivf_half_family").toString
+    val e = emb()
+    IvfIndex.writeIndex(e, IvfIndex.train(e, k = 4, iters = 1), path)
+    // a flat store has no _half.json: appendIndexHalf must refuse with
+    // the same family message searchIndexHalf produces (the existence
+    // check runs BEFORE the layout-version read that would otherwise
+    // surface a FileNotFoundException)
+    val err = intercept[IllegalArgumentException](
+      IvfIndex.appendIndexHalf(spark, path, e.limit(1)))
+    assert(err.getMessage.contains("not a halfvec index"), err.getMessage)
+  }
+
   test("exact degeneration, append, and upsert on the half store") {
     val path = Files.createTempDirectory("ivf_half_maint").toString
     val e = emb()

@@ -438,6 +438,34 @@ class PdfCodecSpec extends SparkSpec {
       "stale /Encrypt from a superseded classic trailer was resolved")
   }
 
+  test("trailer arbitration is by PARSER offset: dict text echoed later can't flip the winner") {
+    // scenario (ADVICE r12): the classic-vs-xref arbitration asks which
+    // revision sits LATER in the file. Re-finding the xref dict by its
+    // TEXT (lastIndexOf) mis-positions it when the same text also occurs
+    // after the classic trailer — e.g. echoed in a comment or string by
+    // a sloppy writer — and the stale xref /Encrypt then beats a newer
+    // classic trailer that legitimately removed encryption. The byte
+    // offset carried from the parser is immune.
+    val pages = Seq("decrypted by the final classic update")
+    val pdf15 = new String(PdfCodec.encodePdf15(pages, compress = true), "ISO-8859-1")
+    // revision 2: a superseded xref dict carrying a stale /Encrypt (the
+    // newest TRAILER-BEARING /XRef dict — it must win any xref-only scan)
+    val staleDict = "<< /Type /XRef /Size 91 /Root 1 0 R /Encrypt 91 0 R " +
+      "/W [1 2 1] /Length 0 >>"
+    val staleObj = s"90 0 obj\n$staleDict\nstream\n\nendstream\nendobj\n"
+    // revision 3 (live): a classic trailer WITHOUT /Encrypt — encryption
+    // removed; then the stale dict's text echoed once more after it
+    val classicUpdate = "trailer\n<< /Size 92 /Root 1 0 R >>\nstartxref\n0\n%%EOF\n"
+    val echo = s"% writer log: replaced $staleDict\n"
+    val doctored = pdf15 + staleObj + classicUpdate + echo
+    // offset arbitration: stale obj (rev 2) < classic trailer (rev 3) →
+    // the classic trailer is live, no /Encrypt resolves, text extracts.
+    // The lastIndexOf arbitration would position rev 2 at the echo —
+    // AFTER the classic trailer — and die resolving /Encrypt 91 0 R.
+    assert(PdfCodec.extractText(doctored.getBytes("ISO-8859-1")) == pages,
+      "echoed xref-dict text flipped the trailer arbitration")
+  }
+
   test("hybrid trailer (/XRefStm) without /Encrypt still decrypts via its revision's xref dict") {
     // non-conforming-but-seen hybrid: the classic trailer carries
     // /XRefStm and /Root but parks /Encrypt only in the xref stream

@@ -179,5 +179,72 @@ class SqlLifecycleSpec extends SparkSpec {
     val e3 = intercept[Exception](
       s.sql("CREATE GRAFT INDEX IVF AT '/x' FROM v OPTIONS (k 16)"))
     assert(e3.getMessage.contains("OPTIONS"), e3.getMessage)
+    // the quote-aware tokenizer rejects an unterminated quoted value
+    val e4 = intercept[Exception](
+      s.sql("CREATE GRAFT INDEX IVF AT '/x' FROM v OPTIONS (k = 16, tag = 'oops)"))
+    assert(e4.getMessage.contains("unterminated"), e4.getMessage)
+    // and trailing text after the closing paren fails loud
+    val e5 = intercept[Exception](
+      s.sql("CREATE GRAFT INDEX IVF AT '/x' FROM v OPTIONS (k = 16) extra"))
+    assert(e5.getMessage.contains("final clause"), e5.getMessage)
+  }
+
+  test("OPTIONS values may be quoted; ')' ',' '=' inside quotes are data") {
+    val tmp = Files.createTempDirectory("sql_opts").toString
+    Tables.documents(s, sfDir).select(col("doc_id"), col("text")).limit(20)
+      .createOrReplaceTempView("docs_opt_v")
+    s.sql("DROP TABLE IF EXISTS sql_opt_idx")
+    // quoted dim/buckets parse to the same ints as bare ones, and an
+    // extra quoted option packed with the old tokenizer's breakers
+    // (')' ',' '=' and an escaped '') parses as one opaque value
+    val msg = s.sql(
+      s"CREATE GRAFT SPARSE INDEX sql_opt_idx AT '$tmp/idx' FROM docs_opt_v " +
+        "OPTIONS (dim = '64', buckets = '2', note = 'a=b,(c)''d')").head().getString(0)
+    assert(msg.contains("created sparse"), msg)
+    assert(s.table("sql_opt_idx").count() > 0)
+    // the recorded build dim is 64: an OPTIONS-less append hashes at it
+    // and serves (would land in dead buckets at any other dim)
+    s.table("docs_opt_v").where(col("doc_id") === 0)
+      .select((col("doc_id") + 9100L).as("doc_id"), col("text"))
+      .createOrReplaceTempView("opt_app_v")
+    s.sql("APPEND GRAFT SPARSE INDEX sql_opt_idx FROM opt_app_v").collect()
+    val q = graft.operators.SparseKnn.hashingTf(s.table("opt_app_v"), dim = 64)
+      .select(col("doc_id").as("qid"), col("indices"), col("values"))
+    val served = graft.operators.SparseKnn.topKFromIndex(s, "sql_opt_idx", q, k = 2)
+      .collect().map(_.getLong(1))
+    assert(served.contains(9100L), s"quoted-dim create not serving appends: ${served.toSeq}")
+    s.sql("DROP TABLE IF EXISTS sql_opt_idx")
+  }
+
+  test("sparse APPEND/UPSERT with no sidecar and no OPTIONS dim refuses (never guesses)") {
+    val tmp = Files.createTempDirectory("sql_nodim").toString
+    val docs = Tables.documents(s, sfDir).select(col("doc_id"), col("text")).limit(20)
+    docs.createOrReplaceTempView("nodim_docs_v")
+    s.sql("DROP TABLE IF EXISTS sql_nodim_idx")
+    // a LIBRARY-built index has no _graft_sparse.json sidecar — the SQL
+    // maintenance verbs can't learn its build dim on their own
+    val sv = graft.operators.SparseKnn.hashingTf(docs, dim = 64)
+    graft.operators.SparseKnn.writeIndex(sv, "sql_nodim_idx", s"$tmp/idx", numBuckets = 2)
+    docs.where(col("doc_id") === 0)
+      .select((col("doc_id") + 9200L).as("doc_id"), col("text"))
+      .createOrReplaceTempView("nodim_app_v")
+    // no sidecar + no OPTIONS dim: refuse loud — a guessed default
+    // would hash into buckets no 64-dim query ever intersects (the
+    // silent no-rank corruption the sidecar protocol exists to prevent)
+    val eA = intercept[Exception](
+      s.sql("APPEND GRAFT SPARSE INDEX sql_nodim_idx FROM nodim_app_v"))
+    assert(eA.getMessage.contains("_graft_sparse.json"), eA.getMessage)
+    val eU = intercept[Exception](
+      s.sql("UPSERT GRAFT SPARSE INDEX sql_nodim_idx FROM nodim_app_v"))
+    assert(eU.getMessage.contains("_graft_sparse.json"), eU.getMessage)
+    // an EXPLICIT dim is the documented escape hatch — and it serves
+    s.sql("APPEND GRAFT SPARSE INDEX sql_nodim_idx FROM nodim_app_v " +
+      "OPTIONS (dim = 64)").collect()
+    val q = graft.operators.SparseKnn.hashingTf(s.table("nodim_app_v"), dim = 64)
+      .select(col("doc_id").as("qid"), col("indices"), col("values"))
+    val served = graft.operators.SparseKnn.topKFromIndex(s, "sql_nodim_idx", q, k = 2)
+      .collect().map(_.getLong(1))
+    assert(served.contains(9200L), s"explicit-dim append not serving: ${served.toSeq}")
+    s.sql("DROP TABLE IF EXISTS sql_nodim_idx")
   }
 }
