@@ -11,12 +11,14 @@ import org.apache.spark.sql.types._
   *
   * IMAGE decode is REAL: [[PngCodec]] parses PNG (CRC-checked chunks,
   * zlib inflate, the full Sub/Up/Average/Paeth filter set, palette
-  * expansion) and [[decodeImages]] / [[extractFeatures]] emit true
-  * dimensions and pixel statistics for PNG content. Audio/video codecs
-  * stay out of scope (no codec libs in this container): for non-PNG
-  * media `decodeStub` derives deterministic pseudo-features from the
-  * bytes — swapping in a real codec changes only that body; schema,
-  * batching, partitioning are the same tested plumbing the PNG path uses.
+  * expansion) and [[JpegCodec]] parses baseline JPEG (Huffman → dequant
+  * → IDCT → chroma upsample → YCbCr→RGB); [[decodeImages]] /
+  * [[decodeJpegs]] / [[extractFeatures]] emit true dimensions and pixel
+  * statistics for both. Audio/video codecs stay out of scope (no codec
+  * libs in this container): for other media `decodeStub` derives
+  * deterministic pseudo-features from the bytes — swapping in a real
+  * codec changes only that body; schema, batching, partitioning are the
+  * same tested plumbing the PNG/JPEG paths use.
   */
 object BinaryPipeline {
 
@@ -229,6 +231,102 @@ object BinaryPipeline {
     }(enc)
   }
 
+  /** Deterministic in-engine JPEG synthesis over document rows — the
+    * [[synthesizeImages]] recipe for the lossy leg ([[JpegCodec]]
+    * encodes REAL baseline JFIF files). The fixtures are built from the
+    * codec's determinism contract so the SQL oracle can replay the
+    * DECODE output exactly despite the lossy format:
+    *   - every 8×8 luma block is FLAT at a value ≡ 128 (mod 3) — at
+    *     quality 90 the luma DC quantizer is 3, so flat blocks survive
+    *     quantization exactly;
+    *   - color images are gray (R=G=B), so chroma is neutral 128 and
+    *     the YCbCr round trip is exact.
+    * Formulas (all from doc_id alone):
+    *   width = 24 + doc_id % 13, height = 16 + doc_id % 11
+    *   components = 1 if doc_id % 2 == 0 else 3 (RGB)
+    *   4:2:0 subsampling when components == 3 and doc_id % 4 == 3
+    *   restart interval 2 when doc_id % 5 == 0
+    *   blockValue(bx, by) = 128 + 3·(((doc_id·31 + bx·7 + by·13) mod 53) − 26)
+    * Output: (idCol, content binary, meta struct) — the [[asMedia]] shape. */
+  def synthesizeJpegs(docs: DataFrame, idCol: String = "doc_id",
+                      batchSize: Int = 16): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false),
+      StructField("meta", StructType(Seq(
+        StructField("media_type", StringType, nullable = false),
+        StructField("declared_bytes", LongType, nullable = false))), nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val ids = docs.select(col(idCol))
+    ids.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val id = r.getLong(0)
+          val w = (24 + id % 13).toInt
+          val h = (16 + id % 11).toInt
+          val comps = if (id % 2 == 0) 1 else 3
+          val px = new Array[Byte](w * h * comps)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = (128 + 3 * ((id * 31 + (x / 8) * 7 + (y / 8) * 13) % 53 - 26)).toByte
+              var c = 0
+              while (c < comps) { px((y * w + x) * comps + c) = v; c += 1 }
+              x += 1
+            }
+            y += 1
+          }
+          val bytes = JpegCodec.encode(w, h, comps, px, quality = 90,
+            subsample = comps == 3 && id % 4 == 3,
+            restartInterval = if (id % 5 == 0) 2 else 0)
+          Row(id, bytes, Row("image/jpeg", bytes.length.toLong))
+        }
+      }
+    }(enc)
+  }
+
+  /** REAL JPEG decode over (id, content) rows: every content blob must
+    * be a JPEG ([[JpegCodec]] fails loud otherwise). Emits true geometry
+    * plus deterministic pixel statistics — per-channel sums (gray lands
+    * in `r_sum`; absent channels report 0) and the md5 of the decoded
+    * pixel buffer. Batched narrow `mapPartitions`: no shuffle, the
+    * decode cost parallelizes embarrassingly. */
+  def decodeJpegs(media: DataFrame, idCol: String = "doc_id",
+                  batchSize: Int = 16): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("width", LongType, nullable = false),
+      StructField("height", LongType, nullable = false),
+      StructField("components", LongType, nullable = false),
+      StructField("r_sum", LongType, nullable = false),
+      StructField("g_sum", LongType, nullable = false),
+      StructField("b_sum", LongType, nullable = false),
+      StructField("pixel_md5", StringType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val idIdx = media.schema.fieldIndex(idCol)
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val id = r.getLong(idIdx)
+          val img = JpegCodec.decode(r.getAs[Array[Byte]](contentIdx))
+          val sums = new Array[Long](3)
+          var i = 0
+          while (i < img.pixels.length) {
+            sums(i % img.components) += img.pixels(i) & 0xff
+            i += 1
+          }
+          md.reset()
+          val digest = md.digest(img.pixels).map("%02x".format(_)).mkString
+          Row(id, img.width.toLong, img.height.toLong, img.components.toLong,
+            sums(0), sums(1), sums(2), digest)
+        }
+      }
+    }(enc)
+  }
+
   /** REAL image resize over (id, content) PNG rows: decode → nearest-
     * neighbor resample ([[PngCodec.resizeNearest]]) → re-ENCODE, so the
     * output column is again a valid PNG (thumbnail normalization, the
@@ -318,6 +416,13 @@ object BinaryPipeline {
               (content.length.toLong,
                 md.digest(content).map("%02x".format(_)).mkString,
                 img.width.toLong, img.height.toLong)
+            } else if (JpegCodec.isJpeg(content)) {
+              // header-only geometry — SOF0 parse, no scan decode
+              val (jw, jh, _) = JpegCodec.dimensions(content)
+              val md = java.security.MessageDigest.getInstance("MD5")
+              (content.length.toLong,
+                md.digest(content).map("%02x".format(_)).mkString,
+                jw.toLong, jh.toLong)
             } else decodeStub(content)
           Row(id, len, digest, w, h, meta.getString(0))
         }

@@ -286,7 +286,9 @@ object JpegCodec {
         case other => throw new IllegalArgumentException(
           f"JpegCodec: unsupported marker 0xFF$other%02X")
       }
-      if (stopAtSos && sofSeen && !done) done = h.sosAt >= 0
+      // header-only callers stop right after SOF0 — geometry is known,
+      // the scan never gets decoded
+      if (stopAtSos && sofSeen) done = true
     }
     require(h.sosAt >= 0 || stopAtSos, "JpegCodec: no SOS")
     h
@@ -367,32 +369,35 @@ object JpegCodec {
   }
 
   /** Separable double IDCT of one dequantized block into the component
-    * plane at block position (bxAbs, byAbs); the final pixel rounding is
-    * the codec-wide floor(x+0.5), clamped to [0,255]. */
+    * plane at block position (bxAbs, byAbs). Natural coefficient layout
+    * is the spec's row-major (row = VERTICAL frequency v, column =
+    * horizontal frequency u): coef(v·8+u) = F(u,v). The final pixel
+    * rounding is the codec-wide floor(x+0.5), clamped to [0,255]. */
   private def idctInto(coef: Array[Int], tmp: Array[Double],
                        c: Component, bxAbs: Int, byAbs: Int): Unit = {
-    // pass 1: rows of the coefficient block — tmp(x, v) = Σ_u ct(x)(u) F(u, v)
+    // pass 1 (horizontal): tmp(v·8+x) = Σ_u ct(x)(u) · F(u,v)
     var v = 0
     while (v < 8) {
       var x = 0
       while (x < 8) {
         var s = 0.0
         var u = 0
-        while (u < 8) { s += Ct(x)(u) * coef(u * 8 + v); u += 1 }
-        tmp(x * 8 + v) = s
+        while (u < 8) { s += Ct(x)(u) * coef(v * 8 + u); u += 1 }
+        tmp(v * 8 + x) = s
         x += 1
       }
       v += 1
     }
     val x0 = bxAbs * 8
     val y0 = byAbs * 8
+    // pass 2 (vertical): f(x,y) = Σ_v ct(y)(v) · tmp(v·8+x)
     var y = 0
     while (y < 8) {
       var x = 0
       while (x < 8) {
         var s = 0.0
         var vv = 0
-        while (vv < 8) { s += Ct(y)(vv) * tmp(x * 8 + vv); vv += 1 }
+        while (vv < 8) { s += Ct(y)(vv) * tmp(vv * 8 + x); vv += 1 }
         c.plane((y0 + y) * c.planeW + (x0 + x)) = clamp255(rnd(s + 128.0))
         x += 1
       }
@@ -461,7 +466,7 @@ object JpegCodec {
     99, 99, 99, 99, 99, 99, 99, 99)
 
   /** The public quality→scale mapping (IJG): 1..100. */
-  private[multimodal] def scaledQuant(base: Array[Int], quality: Int): Array[Int] = {
+  private[graft] def scaledQuant(base: Array[Int], quality: Int): Array[Int] = {
     require(quality >= 1 && quality <= 100, s"JpegCodec: quality $quality out of [1,100]")
     val scale = if (quality < 50) 5000 / quality else 200 - 2 * quality
     base.map { q =>
@@ -737,31 +742,34 @@ object JpegCodec {
         }
         y += 1
       }
-      // FDCT: F(u,v) = Σ ct(x)(u) ct(y)(v) f(x,y), separable
+      // FDCT: F(u,v) = Σ ct(x)(u)·ct(y)(v)·f(x,y), separable; coef uses
+      // the spec's natural layout coef(v·8+u) — the IDCT's mirror
       val t = new Array[Double](64)
+      // pass 1 (vertical): t(v·8+x) = Σ_y ct(y)(v) · f(x,y)
       var v = 0
       while (v < 8) {
         var x = 0
         while (x < 8) {
           var s = 0.0
           var y2 = 0
-          while (y2 < 8) { s += Ct(y2)(v) * block(x * 8 + y2); y2 += 1 }
-          t(x * 8 + v) = s
+          while (y2 < 8) { s += Ct(y2)(v) * block(y2 * 8 + x); y2 += 1 }
+          t(v * 8 + x) = s
           x += 1
         }
         v += 1
       }
-      var u = 0
-      while (u < 8) {
-        var v2 = 0
-        while (v2 < 8) {
+      // pass 2 (horizontal) + quantize
+      var v2 = 0
+      while (v2 < 8) {
+        var u = 0
+        while (u < 8) {
           var s = 0.0
           var x2 = 0
-          while (x2 < 8) { s += Ct(x2)(u) * t(x2 * 8 + v2); x2 += 1 }
-          coef(u * 8 + v2) = rnd(s / e.quant(u * 8 + v2))
-          v2 += 1
+          while (x2 < 8) { s += Ct(x2)(u) * t(v2 * 8 + x2); x2 += 1 }
+          coef(v2 * 8 + u) = rnd(s / e.quant(v2 * 8 + u))
+          u += 1
         }
-        u += 1
+        v2 += 1
       }
       val (dcT, acT) = if (e.chroma) (dcChroma, acChroma) else (dcLuma, acLuma)
       // DC
