@@ -244,6 +244,29 @@ object QueriesPipeline {
              |FROM documents, unnest(range(0, CAST(ceil(length(text) / 200.0) AS INT))) AS t(i)
              |ORDER BY doc_id, page_no""".stripMargin)),
 
+    // AES-256 / PDF 2.0 (round 14): V5/R6 empty-password decryption over
+    // the MODERN 1.5 layout — the hardened hash-2.B key derivation, /U
+    // validation, /UE key unwrap and /Perms integrity check all run per
+    // file, the encrypted ObjStm is decrypted with the 32-byte file key
+    // (Algorithm 1.A, no per-object salt), and only then does structure
+    // expansion see plaintext. PDFBox opens these files transparently
+    // (Function.java:90-132); the oracle replays the page text.
+    "q_pdf_encrypted_v5" -> QueryDef(
+      (s, d) => {
+        val pdfs = PdfPipeline.synthesizeModernPdfs(Tables.documents(s, d),
+          pageSize = 200, encryptMode = Some("aes-256"))
+        PdfPipeline.extractPagesPdf(pdfs)
+          .select(col("doc_id"), col("page_no"),
+            length(col("page_text")).cast("long").as("page_len"),
+            md5(col("page_text")).as("page_md5"))
+          .orderBy(col("doc_id"), col("page_no"))
+      },
+      Some("""SELECT doc_id, CAST(i + 1 AS BIGINT) AS page_no,
+             |  CAST(length(substr(text, i*200 + 1, 200)) AS BIGINT) AS page_len,
+             |  md5(substr(text, i*200 + 1, 200)) AS page_md5
+             |FROM documents, unnest(range(0, CAST(ceil(length(text) / 200.0) AS INT))) AS t(i)
+             |ORDER BY doc_id, page_no""".stripMargin)),
+
     // /Differences round trip (round 10): the synthesized fonts remap
     // two byte codes through /Encoding /Differences glyph names (Euro,
     // bullet) and the content streams carry the CODES — the shape a real

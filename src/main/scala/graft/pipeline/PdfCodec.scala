@@ -553,9 +553,20 @@ object PdfCodec {
         val v = num("V", 0)
         val r = num("R", 2)
         val p = num("P", -1)
-        require(v == 1 || v == 2 || v == 4,
-          s"PdfCodec: encrypted PDF: /V $v unsupported (1, 2, 4 — RC4/AES-128)")
-        val aes = v == 4 && """/CFM\s*/AESV2(?![a-zA-Z])""".r.findFirstIn(enc).isDefined
+        require(v == 1 || v == 2 || v == 4 || v == 5,
+          s"PdfCodec: encrypted PDF: /V $v unsupported (1, 2, 4 — RC4/AES-128; 5 — AES-256)")
+        if (v == 5) {
+          // PDF 2.0 AES-256: only the final R 6 revision; Adobe's interim
+          // R 5 (unhardened SHA-256) is deprecated by ISO 32000-2 and
+          // rejects loud rather than silently accepting weaker keying
+          require(r == 6,
+            s"PdfCodec: encrypted PDF: /V 5 /R $r unsupported (R 6 only; the interim " +
+              "R 5 revision is deprecated by ISO 32000-2)")
+          require("""/CFM\s*/AESV3(?![a-zA-Z])""".r.findFirstIn(enc).isDefined,
+            "PdfCodec: encrypted PDF: /V 5 requires /CFM /AESV3")
+        }
+        val aes = v == 5 ||
+          (v == 4 && """/CFM\s*/AESV2(?![a-zA-Z])""".r.findFirstIn(enc).isDefined)
         require(v != 4 || aes || """/CFM\s*/V2(?![a-zA-Z])""".r.findFirstIn(enc).isDefined,
           "PdfCodec: encrypted PDF: /V 4 requires /CFM /V2 or /AESV2 (AESV3/others unsupported)")
         // key length: AESV2 is 128-bit by definition; a V4 /V2 crypt
@@ -565,6 +576,7 @@ object PdfCodec {
         // V1 fixes 5; else the top-level /Length in bits
         val keyBytes =
           if (v == 1) 5
+          else if (v == 5) 32
           else if (v == 4 && aes) 16
           else if (v == 4) {
             val cfLen = """/CFM\s*/V2[^>]*?/Length\s+(\d+)""".r.findFirstMatchIn(enc)
@@ -583,22 +595,47 @@ object PdfCodec {
           "PdfCodec: encrypted PDF: /Encrypt dict has no /O"))
         val u = stringValue(enc, "U").getOrElse(throw new IllegalArgumentException(
           "PdfCodec: encrypted PDF: /Encrypt dict has no /U"))
-        require(o.length >= 32 && u.length >= 32,
-          s"PdfCodec: encrypted PDF: /O (${o.length}) or /U (${u.length}) shorter than 32 bytes")
-        // /ID: tail trailer first, then the xref-stream dict that held
-        // /Encrypt, then any other /XRef dict (newest first) — only a
-        // file with no /ID anywhere falls back to the empty salt
-        val idFirst = parseIdFirst(tail)
-          .orElse(encInXref.flatMap { case (_, d) => parseIdFirst(d) })
-          .orElse(xrefDicts.reverseIterator.map(parseIdFirst)
-            .collectFirst { case Some(id) => id })
-          .getOrElse(Array.emptyByteArray) // missing /ID: derive with an empty salt
-        val key = PdfCrypto.verifyUser("", o.take(32), u.take(32), p, idFirst, r,
-            keyBytes, encryptMetadata)
-          .getOrElse(throw new IllegalArgumentException(
-            "PdfCodec: encrypted PDF: the empty user password does not open this file " +
-              "(password-protected documents are out of scope)"))
-        val dec = new PdfCrypto.Decryptor(key, aes)
+        val minOU = if (v == 5) 48 else 32
+        require(o.length >= minOU && u.length >= minOU,
+          s"PdfCodec: encrypted PDF: /O (${o.length}) or /U (${u.length}) shorter " +
+            s"than $minOU bytes")
+        val key =
+          if (v == 5) {
+            // AES-256: the key rides /UE (or /OE), not the /ID salt
+            val oe = stringValue(enc, "OE").getOrElse(throw new IllegalArgumentException(
+              "PdfCodec: encrypted PDF: /V 5 dict has no /OE"))
+            val ue = stringValue(enc, "UE").getOrElse(throw new IllegalArgumentException(
+              "PdfCodec: encrypted PDF: /V 5 dict has no /UE"))
+            require(oe.length >= 32 && ue.length >= 32,
+              "PdfCodec: encrypted PDF: /OE or /UE shorter than 32 bytes")
+            val k = PdfCrypto.verifyV5("", o.take(48), u.take(48), oe.take(32), ue.take(32))
+              .getOrElse(throw new IllegalArgumentException(
+                "PdfCodec: encrypted PDF: the empty user password does not open this " +
+                  "file (password-protected documents are out of scope)"))
+            // /Perms is REQUIRED at V 5 (ISO 32000-2 table 20) and its
+            // integrity check catches a wrong key before any stream
+            // decrypt could emit garbage
+            val perms = stringValue(enc, "Perms").getOrElse(
+              throw new IllegalArgumentException(
+                "PdfCodec: encrypted PDF: /V 5 dict has no /Perms"))
+            PdfCrypto.validatePerms(perms, k, p, encryptMetadata)
+            k
+          } else {
+            // /ID: tail trailer first, then the xref-stream dict that held
+            // /Encrypt, then any other /XRef dict (newest first) — only a
+            // file with no /ID anywhere falls back to the empty salt
+            val idFirst = parseIdFirst(tail)
+              .orElse(encInXref.flatMap { case (_, d) => parseIdFirst(d) })
+              .orElse(xrefDicts.reverseIterator.map(parseIdFirst)
+                .collectFirst { case Some(id) => id })
+              .getOrElse(Array.emptyByteArray) // missing /ID: derive with an empty salt
+            PdfCrypto.verifyUser("", o.take(32), u.take(32), p, idFirst, r,
+                keyBytes, encryptMetadata)
+              .getOrElse(throw new IllegalArgumentException(
+                "PdfCodec: encrypted PDF: the empty user password does not open this " +
+                  "file (password-protected documents are out of scope)"))
+          }
+        val dec = new PdfCrypto.Decryptor(key, aes, v5 = v == 5)
         top.map { obj =>
           if (obj.num == encNum || obj.stream.isEmpty ||
               """/Type\s*/XRef(?![a-zA-Z])""".r.findFirstIn(obj.dict).isDefined) obj

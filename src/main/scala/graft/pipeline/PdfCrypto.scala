@@ -13,6 +13,9 @@ import javax.crypto.spec.{IvParameterSpec, SecretKeySpec}
   *
   *  - RC4-40 (V 1 / R 2), RC4-128 (V 2 / R 3), AES-128-CBC
   *    (V 4 / R 4, /CFM /AESV2) — the §7.6 algorithms 1–6 verbatim;
+  *  - AES-256-CBC (V 5 / R 6, /CFM /AESV3, ISO 32000-2 §7.6.4): the
+  *    hardened hash 2.B key derivation, /U //O //UE //OE validation and
+  *    the /Perms integrity check; the deprecated interim R 5 rejects;
   *  - the USER password must verify as EMPTY (algorithm 6); a file
   *    keyed to a real password fails loud with the real reason, never
   *    garbage output;
@@ -109,9 +112,146 @@ private[graft] object PdfCrypto {
     if (ok) Some(key) else None
   }
 
-  /** Per-object decryptor for one opened file (Algorithm 1). */
-  private[graft] final class Decryptor(key: Array[Byte], aes: Boolean) {
+  // ─────────────────────────── V 5 / R 6 (AES-256, ISO 32000-2 §7.6.4)
+
+  private def sha(algo: String, parts: Array[Byte]*): Array[Byte] = {
+    val d = MessageDigest.getInstance(algo)
+    parts.foreach(d.update)
+    d.digest()
+  }
+
+  private[pipeline] def aesCbcNoPad(mode: Int, key: Array[Byte], iv: Array[Byte],
+                                    data: Array[Byte]): Array[Byte] = {
+    val c = Cipher.getInstance("AES/CBC/NoPadding")
+    c.init(mode, new SecretKeySpec(key, "AES"), new IvParameterSpec(iv))
+    c.doFinal(data)
+  }
+
+  private def aesEcbNoPad(mode: Int, key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val c = Cipher.getInstance("AES/ECB/NoPadding")
+    c.init(mode, new SecretKeySpec(key, "AES"))
+    c.doFinal(data)
+  }
+
+  /** Algorithm 2.B (ISO 32000-2, R 6): the hardened password hash. The
+    * SHA-256 of (password ‖ salt ‖ udata) is kneaded through at least 64
+    * rounds of AES-128-CBC over 64 repetitions of (password ‖ K ‖
+    * udata), each round re-hashed with SHA-256/384/512 selected by the
+    * first 16 encrypted bytes mod 3, until round ≥ 64 and the last
+    * encrypted byte ≤ round − 32. `udata` is the 48-byte /U value for
+    * owner-password hashes, empty for user-password hashes. */
+  private[pipeline] def hash2B(password: Array[Byte], salt: Array[Byte],
+                               udata: Array[Byte]): Array[Byte] = {
+    var k = sha("SHA-256", password, salt, udata)
+    var round = 0
+    var done = false
+    var lastE = 0
+    while (!done) {
+      val one = password ++ k ++ udata
+      val k1 = new Array[Byte](one.length * 64)
+      var i = 0
+      while (i < 64) { System.arraycopy(one, 0, k1, i * one.length, one.length); i += 1 }
+      val e = aesCbcNoPad(Cipher.ENCRYPT_MODE,
+        java.util.Arrays.copyOfRange(k, 0, 16),
+        java.util.Arrays.copyOfRange(k, 16, 32), k1)
+      var mod = 0
+      var j = 0
+      while (j < 16) { mod += e(j) & 0xff; j += 1 }
+      k = (mod % 3) match {
+        case 0 => sha("SHA-256", e)
+        case 1 => sha("SHA-384", e)
+        case _ => sha("SHA-512", e)
+      }
+      lastE = e(e.length - 1) & 0xff
+      round += 1
+      done = round >= 64 && lastE <= round - 32
+    }
+    k.take(32)
+  }
+
+  /** Memo for [[verifyV5]], keyed by the FULL crypto inputs (password +
+    * /O /U /OE /UE bytes) — the hardened KDF is deliberately ~1 ms, and
+    * a corpus re-encrypted under one policy re-derives the same key per
+    * file; keying by every input byte means a hit can never return a
+    * wrong key. Bounded (executor-lifetime, 256 entries). */
+  private val v5KeyMemo =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, Option[Array[Byte]]](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Option[Array[Byte]]]): Boolean = size() > 256
+      })
+
+  /** Algorithm 2.A: retrieve the 32-byte file key for a V5/R6 file with
+    * password `pw` — user path first, then owner. `o`/`u` are the
+    * 48-byte /O and /U values (32-byte hash ‖ 8-byte validation salt ‖
+    * 8-byte key salt); `oe`/`ue` the 32-byte /OE and /UE. None = the
+    * password opens neither door. */
+  private[graft] def verifyV5(pw: String, o: Array[Byte], u: Array[Byte],
+                              oe: Array[Byte], ue: Array[Byte]): Option[Array[Byte]] = {
+    val memoKey = {
+      val d = MessageDigest.getInstance("SHA-256")
+      d.update(pw.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      Seq(o, u, oe, ue).foreach { b => d.update(b.length.toByte); d.update(b) }
+      d.digest().map(x => f"${x & 0xff}%02x").mkString
+    }
+    val hit = v5KeyMemo.get(memoKey)
+    if (hit != null) return hit.map(_.clone())
+    val computed = verifyV5Uncached(pw, o, u, oe, ue)
+    v5KeyMemo.put(memoKey, computed.map(_.clone()))
+    computed
+  }
+
+  private def verifyV5Uncached(pw: String, o: Array[Byte], u: Array[Byte],
+                               oe: Array[Byte], ue: Array[Byte]): Option[Array[Byte]] = {
+    // SASLprep is a no-op for the empty/ASCII passwords in scope
+    val pwb = pw.getBytes(java.nio.charset.StandardCharsets.UTF_8).take(127)
+    val zeroIv = new Array[Byte](16)
+    val uHash = java.util.Arrays.copyOfRange(u, 0, 32)
+    val uVSalt = java.util.Arrays.copyOfRange(u, 32, 40)
+    val uKSalt = java.util.Arrays.copyOfRange(u, 40, 48)
+    if (hash2B(pwb, uVSalt, Array.emptyByteArray).sameElements(uHash))
+      Some(aesCbcNoPad(Cipher.DECRYPT_MODE,
+        hash2B(pwb, uKSalt, Array.emptyByteArray), zeroIv, ue))
+    else {
+      val u48 = u.take(48)
+      val oHash = java.util.Arrays.copyOfRange(o, 0, 32)
+      val oVSalt = java.util.Arrays.copyOfRange(o, 32, 40)
+      val oKSalt = java.util.Arrays.copyOfRange(o, 40, 48)
+      if (hash2B(pwb, oVSalt, u48).sameElements(oHash))
+        Some(aesCbcNoPad(Cipher.DECRYPT_MODE, hash2B(pwb, oKSalt, u48), zeroIv, oe))
+      else None
+    }
+  }
+
+  /** Validate the /Perms entry against the recovered file key (ISO
+    * 32000-2 §7.6.4.4.12): AES-256-ECB decrypt must reveal 'adb' at
+    * bytes 9–11, the P value at bytes 0–3 (little-endian) and the
+    * EncryptMetadata flag at byte 8 — a mismatch means the wrong key or
+    * a tampered dictionary, and decrypting with it would emit garbage. */
+  private[pipeline] def validatePerms(perms: Array[Byte], key: Array[Byte],
+                                      p: Int, encryptMetadata: Boolean): Unit = {
+    require(perms.length >= 16,
+      s"PdfCodec: encrypted PDF: /Perms is ${perms.length} bytes, want 16")
+    val plain = aesEcbNoPad(Cipher.DECRYPT_MODE, key, perms.take(16))
+    require(plain(9) == 'a' && plain(10) == 'd' && plain(11) == 'b',
+      "PdfCodec: encrypted PDF: /Perms does not validate under the recovered key " +
+        "(tampered encryption dictionary?)")
+    val pGot = (plain(0) & 0xff) | ((plain(1) & 0xff) << 8) |
+      ((plain(2) & 0xff) << 16) | ((plain(3) & 0xff) << 24)
+    require(pGot == p,
+      s"PdfCodec: encrypted PDF: /Perms P $pGot contradicts the /Encrypt dict P $p")
+    val emGot = plain(8) == 'T'
+    require(emGot == encryptMetadata,
+      "PdfCodec: encrypted PDF: /Perms EncryptMetadata flag contradicts the dict")
+  }
+
+  /** Per-object decryptor for one opened file (Algorithm 1; for V5 the
+    * 32-byte file key is used directly — Algorithm 1.A has no per-object
+    * key derivation). */
+  private[graft] final class Decryptor(key: Array[Byte], aes: Boolean,
+                                       v5: Boolean = false) {
     private def objectKey(num: Int, gen: Int): Array[Byte] = {
+      if (v5) return key // Algorithm 1.A: the file key itself, every object
       val salt = if (aes) Array[Byte](0x73, 0x41, 0x6C, 0x54) else Array.emptyByteArray
       md5(key,
         Array((num & 0xff).toByte, ((num >> 8) & 0xff).toByte, ((num >> 16) & 0xff).toByte),
@@ -170,20 +310,67 @@ private[graft] object PdfCrypto {
       // written in BITS (spec-legal; readers must disambiguate 40 —
       // ADVICE r10's bits-vs-bytes case)
       case "rc4-40-v4" => (4, 4, 5, false)
+      // PDF 2.0 (ISO 32000-2) AES-256, hardened R6 key derivation
+      case "aes-256" => (5, 6, 32, true)
       case other => throw new IllegalArgumentException(
-        s"PdfCrypto: unsupported encryption mode '$other' (rc4-40, rc4-128, aes-128, rc4-40-v4)")
+        s"PdfCrypto: unsupported encryption mode '$other' " +
+          "(rc4-40, rc4-128, aes-128, rc4-40-v4, aes-256)")
     }
     val p: Int = -4 // all permissions granted, reserved bits per Table 22
     val idFirst: Array[Byte] = md5("graft-pdf-id".getBytes(ISO_8859_1))
-    val o: Array[Byte] = ownerEntry(ownerPw, userPw, r, keyBytes)
-    val key: Array[Byte] = fileKey(userPw, o, p, idFirst, r, keyBytes, encryptMetadata)
-    val u: Array[Byte] = userEntry(key, idFirst, r)
-    def decryptor: Decryptor = new Decryptor(key, aes)
+    /** (o, u, key, oe, ue, perms) — the last three empty below V 5.
+      * Deterministic salts (the writer exists to gate the reader; secrecy
+      * is not its job, reproducible fixtures are). */
+    private val fields: (Array[Byte], Array[Byte], Array[Byte],
+                         Array[Byte], Array[Byte], Array[Byte]) =
+      if (v == 5) {
+        import java.nio.charset.StandardCharsets.UTF_8
+        val fk = MessageDigest.getInstance("SHA-256")
+          .digest("graft-aes256-filekey".getBytes(ISO_8859_1))
+        val pwb = userPw.getBytes(UTF_8).take(127)
+        val opwb = ownerPw.getBytes(UTF_8).take(127)
+        val uVS = md5("graft-user-vsalt".getBytes(ISO_8859_1)).take(8)
+        val uKS = md5("graft-user-ksalt".getBytes(ISO_8859_1)).take(8)
+        val oVS = md5("graft-owner-vsalt".getBytes(ISO_8859_1)).take(8)
+        val oKS = md5("graft-owner-ksalt".getBytes(ISO_8859_1)).take(8)
+        val zeroIv = new Array[Byte](16)
+        val u48 = hash2B(pwb, uVS, Array.emptyByteArray) ++ uVS ++ uKS
+        val ue = aesCbcNoPad(Cipher.ENCRYPT_MODE,
+          hash2B(pwb, uKS, Array.emptyByteArray), zeroIv, fk)
+        val o48 = hash2B(opwb, oVS, u48) ++ oVS ++ oKS
+        val oe = aesCbcNoPad(Cipher.ENCRYPT_MODE, hash2B(opwb, oKS, u48), zeroIv, fk)
+        val permsPlain = le4(p) ++ Array.fill(4)(0xff.toByte) ++
+          Array[Byte](if (encryptMetadata) 'T' else 'F', 'a', 'd', 'b') ++
+          md5("graft-perms-fill".getBytes(ISO_8859_1)).take(4)
+        val perms = {
+          val c = Cipher.getInstance("AES/ECB/NoPadding")
+          c.init(Cipher.ENCRYPT_MODE, new SecretKeySpec(fk, "AES"))
+          c.doFinal(permsPlain)
+        }
+        (o48, u48, fk, oe, ue, perms)
+      } else {
+        val o0 = ownerEntry(ownerPw, userPw, r, keyBytes)
+        val k0 = fileKey(userPw, o0, p, idFirst, r, keyBytes, encryptMetadata)
+        (o0, userEntry(k0, idFirst, r), k0,
+          Array.emptyByteArray, Array.emptyByteArray, Array.emptyByteArray)
+      }
+    val o: Array[Byte] = fields._1
+    val u: Array[Byte] = fields._2
+    val key: Array[Byte] = fields._3
+    def decryptor: Decryptor = new Decryptor(key, aes, v5 = v == 5)
 
     private def hex(b: Array[Byte]): String = b.map(x => f"${x & 0xff}%02X").mkString
 
     /** The /Encrypt dictionary body (written as one top-level object). */
     def dict: String = {
+      if (v == 5) {
+        val em = if (encryptMetadata) "" else " /EncryptMetadata false"
+        return s"<< /Filter /Standard /V 5 /R 6 /Length 256 /P $p$em " +
+          s"/O <${hex(o)}> /U <${hex(u)}> /OE <${hex(fields._4)}> /UE <${hex(fields._5)}> " +
+          s"/Perms <${hex(fields._6)}> " +
+          "/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen /Length 32 >> >> " +
+          "/StmF /StdCF /StrF /StdCF >>"
+      }
       val cf = if (aes)
         " /CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16 >> >> " +
           "/StmF /StdCF /StrF /StdCF"

@@ -84,12 +84,15 @@ object PdfPipeline {
                      differences: Seq[(Char, Int, String)] = Nil): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // built ONCE and captured: EncryptSpec's key schedule is pure
+    // function of (mode, passwords) — per-row construction would re-run
+    // the V5 hardened KDF (≥64 AES rounds × 6 hashes) for every file
+    val spec = encryptMode.map(m => PdfCrypto.EncryptSpec(m))
     docs.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .map { case (id, text) =>
         val pages = if (text.isEmpty) Seq.empty[String] else text.grouped(pageSize).toSeq
-        (id, PdfCodec.encodePdf(pages, compress,
-          encryptMode.map(m => PdfCrypto.EncryptSpec(m)), differences))
+        (id, PdfCodec.encodePdf(pages, compress, spec, differences))
       }
       .toDF(idCol, "content")
   }
@@ -99,14 +102,17 @@ object PdfPipeline {
     * path's ObjStm expansion is oracle-gated on real bytes. */
   def synthesizeModernPdfs(docs: DataFrame, pageSize: Int = 200, compress: Boolean = true,
                            idCol: String = "doc_id", textCol: String = "text",
-                           predictor: Int = 1): DataFrame = {
+                           predictor: Int = 1,
+                           encryptMode: Option[String] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // once, not per row — the V5 KDF is deliberately expensive
+    val spec = encryptMode.map(m => PdfCrypto.EncryptSpec(m))
     docs.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .map { case (id, text) =>
         val pages = if (text.isEmpty) Seq.empty[String] else text.grouped(pageSize).toSeq
-        (id, PdfCodec.encodePdf15(pages, compress, predictor))
+        (id, PdfCodec.encodePdf15(pages, compress, predictor, spec))
       }
       .toDF(idCol, "content")
   }

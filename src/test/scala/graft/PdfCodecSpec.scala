@@ -273,7 +273,7 @@ class PdfCodecSpec extends SparkSpec {
   test("encrypted PDFs with an empty user password decode transparently") {
     val pages = Seq("secret page one", "page (two) \\ with specials",
       "a third page to give the cipher some length " * 3)
-    for (mode <- Seq("rc4-40", "rc4-128", "aes-128")) {
+    for (mode <- Seq("rc4-40", "rc4-128", "aes-128", "aes-256")) {
       val pdf = PdfCodec.encodePdf(pages, compress = true,
         encryption = Some(PdfCrypto.EncryptSpec(mode)))
       val s = new String(pdf, "ISO-8859-1")
@@ -291,12 +291,68 @@ class PdfCodecSpec extends SparkSpec {
   }
 
   test("a real (non-empty) user password fails loud with the real reason") {
-    for (mode <- Seq("rc4-40", "rc4-128", "aes-128")) {
+    for (mode <- Seq("rc4-40", "rc4-128", "aes-128", "aes-256")) {
       val pdf = PdfCodec.encodePdf(Seq("locked"), compress = true,
         encryption = Some(PdfCrypto.EncryptSpec(mode, userPw = "hunter2")))
       val e = intercept[IllegalArgumentException](PdfCodec.extractText(pdf))
       assert(e.getMessage.contains("password"), s"$mode: ${e.getMessage}")
     }
+  }
+
+  test("AES-256 (V5/R6): PDF 1.5 layout, R5 rejects, missing /UE//Perms and tampering fail loud") {
+    val pages = Seq("pdf two point oh", "hardened 2.B keying " * 4)
+    // the 1.5 layout (encrypted ObjStm + xref-stream trailer) under V5
+    val pdf15 = PdfCodec.encodePdf15(pages, compress = true,
+      encryption = Some(PdfCrypto.EncryptSpec("aes-256")))
+    assert(PdfCodec.extractText(pdf15) == pages)
+    val s = new String(PdfCodec.encodePdf(pages, compress = true,
+      encryption = Some(PdfCrypto.EncryptSpec("aes-256"))), "ISO-8859-1")
+    assert(s.contains("/V 5 /R 6") && s.contains("/AESV3") &&
+      s.contains("/OE <") && s.contains("/UE <") && s.contains("/Perms <"))
+    // interim R5 (unhardened SHA-256, deprecated by ISO 32000-2) rejects
+    val r5 = s.replace("/V 5 /R 6", "/V 5 /R 5")
+    val eR5 = intercept[IllegalArgumentException](
+      PdfCodec.extractText(r5.getBytes("ISO-8859-1")))
+    assert(eR5.getMessage.contains("R 6"), eR5.getMessage)
+    // /UE is where the file key lives — its absence is loud, not garbage
+    val noUe = s.replaceFirst("""/UE <[0-9A-F]+>""", "")
+    val eUe = intercept[IllegalArgumentException](
+      PdfCodec.extractText(noUe.getBytes("ISO-8859-1")))
+    assert(eUe.getMessage.contains("/UE"), eUe.getMessage)
+    // /Perms is required at V5 and must validate under the recovered key
+    val noPerms = s.replaceFirst("""/Perms <[0-9A-F]+>""", "")
+    val ePerms = intercept[IllegalArgumentException](
+      PdfCodec.extractText(noPerms.getBytes("ISO-8859-1")))
+    assert(ePerms.getMessage.contains("/Perms"), ePerms.getMessage)
+    val permsHex = """/Perms <([0-9A-F]+)>""".r.findFirstMatchIn(s).get.group(1)
+    val flipped = f"${Integer.parseInt(permsHex.take(2), 16) ^ 0xff}%02X" +
+      permsHex.drop(2)
+    val tampered = s.replace(s"/Perms <$permsHex>", s"/Perms <$flipped>")
+    val eTamper = intercept[IllegalArgumentException](
+      PdfCodec.extractText(tampered.getBytes("ISO-8859-1")))
+    assert(eTamper.getMessage.contains("Perms"), eTamper.getMessage)
+    // a dict P contradicting the sealed /Perms P is tampering too
+    val badP = s.replace("/P -4 ", "/P -44 ")
+    val eP = intercept[IllegalArgumentException](
+      PdfCodec.extractText(badP.getBytes("ISO-8859-1")))
+    assert(eP.getMessage.contains("contradicts"), eP.getMessage)
+  }
+
+  test("hash2B matches its spec shape: ≥64 rounds, owner hash binds the /U vector") {
+    // the OWNER validation hash includes the 48-byte /U value — swapping
+    // it must change the verdict (catches a user/owner path mix-up)
+    val spec = PdfCrypto.EncryptSpec("aes-256", ownerPw = "owner-secret")
+    val pdf = PdfCodec.encodePdf(Seq("owner door"), compress = true,
+      encryption = Some(spec))
+    // empty USER password opens (the file's user pw is empty)...
+    assert(PdfCodec.extractText(pdf) == Seq("owner door"))
+    // ...and the spec's own verify finds the same 32-byte key both ways
+    val viaUser = PdfCrypto.verifyV5("", spec.o, spec.u,
+      spec.dict.split("/OE <")(1).takeWhile(_ != '>').grouped(2)
+        .map(Integer.parseInt(_, 16).toByte).toArray,
+      spec.dict.split("/UE <")(1).takeWhile(_ != '>').grouped(2)
+        .map(Integer.parseInt(_, 16).toByte).toArray)
+    assert(viaUser.exists(_.sameElements(spec.key)), "user path lost the file key")
   }
 
   test("Differences names with #-escapes/digits don't corrupt the code counter; unknown names fail lazily") {
