@@ -699,6 +699,48 @@ object QueriesExtra {
       },
       Some(annExactL2Sql)),
 
+    // Sharded HNSW under the TIGHT exactness claim (round 14): ef covers
+    // each SHARD (max per-shard node count), not the whole corpus — the
+    // per-shard beam finds its local top-k, and the scatter-gather merge
+    // alone must reassemble the exact global answer. q_ann_hnsw_exact
+    // above pins the looser ef=corpus configuration; this one certifies
+    // that a shard-sized beam is already sufficient, which is what the
+    // production cost model assumes (per-shard work scales with shard
+    // size, never corpus size).
+    "q_ann_hnsw_sharded_exact" -> QueryDef(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val dir = Fixtures.memo(s"hnsw_sharded_idx:$d") {
+          val dr = java.nio.file.Files.createTempDirectory("hnsw_sh_q").toString
+          graft.operators.Hnsw.writeIndexSharded(e, numShards = 4, dr)
+          dr
+        }
+        // the shard-covering ef comes off the store itself (4 rows)
+        val maxShard = s.read.parquet(dir).agg(max(col("n"))).head().getLong(0).toInt
+        val q = e.where(col("vec_id") < 4).select(col("vec_id").as("qid"), col("embedding"))
+        graft.operators.Hnsw.searchIndexSharded(s, dir, q, k = 5, ef = maxShard)
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some(annExactL2Sql)),
+
+    // HOT-TIER HNSW exactness (round 14): the driver-built broadcast
+    // graph (Hnsw.build + topKBatch) was the last ANN read path without
+    // a DuckDB hash twin — corpus-covering ef degenerates the beam to
+    // exact L2 top-k through the graph traversal, the broadcast and the
+    // per-partition search loop.
+    "q_ann_hnsw_hot_exact" -> QueryDef(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val n = e.count().toInt
+        val index = Fixtures.memo(s"hnsw_graph:$d") {
+          graft.operators.Hnsw.build(e, m = 16, efConstruction = 64)
+        }
+        val q = e.where(col("vec_id") < 4).select(col("vec_id").as("qid"), col("embedding"))
+        graft.operators.Hnsw.topKBatch(s, index, q, k = 5, ef = n)
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some(annExactL2Sql)),
+
     // Cosine-metric store (vectors L2-normalized at write): full probe ==
     // exact cosine-distance top-k; cosine is scale-invariant, so the
     // oracle scores the RAW vectors.
