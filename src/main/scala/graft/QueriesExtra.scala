@@ -1263,6 +1263,36 @@ object QueriesExtra {
              |  CAST(coalesce(SUM(CASE WHEN ch = 4 AND i % ch = 3 THEN v END), 0) AS BIGINT) AS a_sum
              |FROM px GROUP BY doc_id, color_type, ch, w, h ORDER BY doc_id""".stripMargin)),
 
+    // Adam7-interlaced + 16-bit PNG decode (round 14): the SAME pixel
+    // formulas as q_image_decode, but the files are written in the
+    // seven-pass interlaced layout with 16-bit samples (v·257 widening)
+    // on odd ids. Interlacing is pure layout and the high-byte reduction
+    // inverts the widening exactly, so the oracle below is q_image_decode's
+    // with only the bit_depth column changed — any de-interlace scatter
+    // or byte-order bug breaks the hash.
+    "q_image_interlaced" -> QueryDef(
+      (s, d) => BinaryPipeline.decodeImages(
+          BinaryPipeline.synthesizeImages(Tables.documents(s, d), variantLayout = true))
+        .select(col("doc_id"), col("width"), col("height"), col("bit_depth"),
+          col("color_type"), col("channels"), col("r_sum"), col("g_sum"),
+          col("b_sum"), col("a_sum"))
+        .orderBy(col("doc_id")),
+      Some("""WITH p AS (SELECT doc_id,
+             |    CASE doc_id % 3 WHEN 0 THEN 0 WHEN 1 THEN 2 ELSE 6 END AS color_type,
+             |    CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS ch,
+             |    4 + doc_id % 13 AS w, 3 + doc_id % 11 AS h,
+             |    CASE WHEN doc_id % 2 = 1 THEN 16 ELSE 8 END AS depth FROM documents),
+             |px AS (SELECT doc_id, color_type, ch, w, h, depth, i, (doc_id*31 + i*7) % 256 AS v
+             |  FROM p, unnest(range(0, w*h*ch)) AS t(i))
+             |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             |  CAST(depth AS BIGINT) AS bit_depth, CAST(color_type AS BIGINT) AS color_type,
+             |  CAST(ch AS BIGINT) AS channels,
+             |  CAST(coalesce(SUM(CASE WHEN i % ch = 0 THEN v END), 0) AS BIGINT) AS r_sum,
+             |  CAST(coalesce(SUM(CASE WHEN ch >= 3 AND i % ch = 1 THEN v END), 0) AS BIGINT) AS g_sum,
+             |  CAST(coalesce(SUM(CASE WHEN ch >= 3 AND i % ch = 2 THEN v END), 0) AS BIGINT) AS b_sum,
+             |  CAST(coalesce(SUM(CASE WHEN ch = 4 AND i % ch = 3 THEN v END), 0) AS BIGINT) AS a_sum
+             |FROM px GROUP BY doc_id, color_type, ch, w, h, depth ORDER BY doc_id""".stripMargin)),
+
     // REAL image resize: synth → decode → nearest-neighbor resample →
     // re-ENCODE → decode AGAIN → per-channel sums. Exercises the full
     // decode/encode round trip twice; the oracle replays the resample's

@@ -146,7 +146,7 @@ object BinaryPipeline {
     *   pixel(i) = (doc_id·31 + i·7) mod 256, channel-interleaved.
     * Output: (idCol, content binary, meta struct) — the [[asMedia]] shape. */
   def synthesizeImages(docs: DataFrame, idCol: String = "doc_id",
-                       batchSize: Int = 16): DataFrame = {
+                       batchSize: Int = 16, variantLayout: Boolean = false): DataFrame = {
     val schema = StructType(Seq(
       StructField(idCol, LongType, nullable = false),
       StructField("content", BinaryType, nullable = false),
@@ -169,7 +169,15 @@ object BinaryPipeline {
           val px = new Array[Byte](w * h * ch)
           var i = 0
           while (i < px.length) { px(i) = ((id * 31 + i * 7L) % 256).toByte; i += 1 }
-          val bytes = PngCodec.encode(w, h, colorType, px)
+          // variantLayout: same pixels in the Adam7 interlaced layout,
+          // 16-bit on odd ids (v·257 widening) — the DECODED buffer is
+          // byte-identical to the plain layout, so an oracle written
+          // against the pixel formulas gates layout-invariance for free
+          val bytes =
+            if (variantLayout)
+              PngCodec.encode(w, h, colorType, px, interlace = true,
+                bitDepth = if (id % 2 == 1) 16 else 8)
+            else PngCodec.encode(w, h, colorType, px)
           Row(id, bytes, Row("image/png", bytes.length.toLong))
         }
       }

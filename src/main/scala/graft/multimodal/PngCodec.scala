@@ -14,13 +14,18 @@ import graft.pipeline.PdfCodec
   * spec §9), at `colors = channels`, `columns = width`, 8-bit components.
   *
   * Scope (fail-loud beyond it, never silent garbage):
-  *  - bit depth 8; color types 0 (gray), 2 (RGB), 3 (palette, expanded to
-  *    RGB on return), 4 (gray+alpha), 6 (RGBA)
-  *  - no interlacing (Adam7 rejects loud)
+  *  - bit depths 8 and 16 (16-bit samples decode to the 8-bit buffer by
+  *    the high byte — the exact inverse of the spec's v·257 widening;
+  *    sub-byte depths 1/2/4 reject); color types 0 (gray), 2 (RGB),
+  *    3 (palette, expanded to RGB on return, 8-bit only per spec),
+  *    4 (gray+alpha), 6 (RGBA)
+  *  - interlace methods 0 (none) and 1 (Adam7, round 14: the seven
+  *    sub-images unfilter independently and scatter into the grid;
+  *    empty passes contribute no bytes)
   *  - every chunk's CRC-32 is verified; unknown CRITICAL chunks reject,
   *    unknown ancillary chunks skip (spec §5.4 behavior)
-  *  - the inflated payload must be EXACTLY height·(1 + width·channels)
-  *    bytes — truncation and trailing excess both reject
+  *  - the inflated payload must be EXACTLY the geometry's byte count
+  *    (per pass when interlaced) — truncation and trailing excess reject
   *
   * Reference analogue: the reference decodes its media format for real
   * (PDFBox page extraction, BlobUploadDetector/.../Function.java:90-132);
@@ -29,6 +34,11 @@ import graft.pipeline.PdfCodec
 object PngCodec {
 
   private val Signature = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** Adam7 pass grid (spec §8.2): (xStart, yStart, xStep, yStep). */
+  private val Adam7: Array[(Int, Int, Int, Int)] = Array(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
 
   /** Decoded image: `pixels` is the unfiltered scanline data in row-major
     * channel-interleaved order. For palette images (`colorType == 3`) the
@@ -58,6 +68,7 @@ object PngCodec {
 
     var pos = 8
     var width = 0; var height = 0; var bitDepth = 0; var colorType = 0
+    var interlace = 0
     var seenIhdr = false; var seenIend = false
     var palette: Array[Byte] = null
     val idat = new ByteArrayOutputStream()
@@ -88,13 +99,15 @@ object PngCodec {
           bitDepth = bytes(dataOff + 8) & 0xff
           colorType = bytes(dataOff + 9) & 0xff
           wireChannels(colorType) // validates the color type
-          require(bitDepth == 8,
-            s"PngCodec: bit depth $bitDepth unsupported (8-bit components only)")
+          require(bitDepth == 8 || bitDepth == 16,
+            s"PngCodec: bit depth $bitDepth unsupported (8- and 16-bit components only)")
+          require(bitDepth == 8 || colorType != 3,
+            "PngCodec: 16-bit palette images are illegal (spec table 11.1)")
           require((bytes(dataOff + 10) & 0xff) == 0, "PngCodec: unknown compression method")
           require((bytes(dataOff + 11) & 0xff) == 0, "PngCodec: unknown filter method")
-          val interlace = bytes(dataOff + 12) & 0xff
-          require(interlace == 0,
-            s"PngCodec: interlace method $interlace unsupported (Adam7 out of scope)")
+          interlace = bytes(dataOff + 12) & 0xff
+          require(interlace == 0 || interlace == 1,
+            s"PngCodec: interlace method $interlace unknown (0 = none, 1 = Adam7)")
         case "PLTE" =>
           require(len > 0 && len % 3 == 0 && len <= 768,
             s"PngCodec: PLTE length $len (want a positive multiple of 3, ≤ 768)")
@@ -117,15 +130,72 @@ object PngCodec {
     require(colorType != 3 || palette != null, "PngCodec: palette image without PLTE")
 
     val ch = wireChannels(colorType)
+    val bps = bitDepth / 8 // bytes per sample: 1 or 2
+    // the PNG filter set == PDF /Predictor 15: each row's leading byte
+    // names its filter, decode is shared verbatim. Filters operate on
+    // BYTES at bpp = channels·bytesPerSample (spec §9: 16-bit samples
+    // are byte pairs), so 16-bit rides the same unfilter at colors=ch·2.
+    val effColors = ch * bps
     val raw = PdfCodec.inflate(idat.toByteArray)
-    val expect = height.toLong * (1L + width.toLong * ch)
-    require(raw.length == expect,
-      s"PngCodec: inflated IDAT is ${raw.length} bytes, geometry wants $expect " +
-        s"(${width}x$height, $ch channels)")
-    // the PNG filter set == PDF /Predictor 15 at colors = channels: each
-    // row's leading byte names its filter, decode is shared verbatim
-    val unfiltered = PdfCodec.unpredict(raw, predictor = 15, colors = ch,
-      bpc = 8, columns = width)
+    val wide: Array[Byte] =
+      if (interlace == 0) {
+        val expect = height.toLong * (1L + width.toLong * effColors)
+        require(raw.length == expect,
+          s"PngCodec: inflated IDAT is ${raw.length} bytes, geometry wants $expect " +
+            s"(${width}x$height, $ch channels, $bitDepth-bit)")
+        PdfCodec.unpredict(raw, predictor = 15, colors = effColors,
+          bpc = 8, columns = width)
+      } else {
+        // Adam7 (spec §8.2): seven sub-images, each with its OWN filtered
+        // scanlines (filters reset per pass, rows are passW pixels wide);
+        // empty passes (a dimension reduced to zero) contribute no bytes.
+        // Unfilter each pass as its own mini-image, scatter into the grid.
+        val out = new Array[Byte](width * height * effColors)
+        var off = 0
+        var p = 0
+        while (p < 7) {
+          val x0 = Adam7(p)._1; val y0 = Adam7(p)._2
+          val dx = Adam7(p)._3; val dy = Adam7(p)._4
+          val pw = if (width > x0) (width - x0 + dx - 1) / dx else 0
+          val ph = if (height > y0) (height - y0 + dy - 1) / dy else 0
+          if (pw > 0 && ph > 0) {
+            val passLen = ph * (1 + pw * effColors)
+            require(off + passLen <= raw.length,
+              s"PngCodec: interlaced payload truncated in Adam7 pass ${p + 1} " +
+                s"(have ${raw.length - off} of $passLen bytes)")
+            val un = PdfCodec.unpredict(
+              java.util.Arrays.copyOfRange(raw, off, off + passLen),
+              predictor = 15, colors = effColors, bpc = 8, columns = pw)
+            off += passLen
+            var r = 0
+            while (r < ph) {
+              var c = 0
+              while (c < pw) {
+                System.arraycopy(un, (r * pw + c) * effColors, out,
+                  ((y0 + r * dy) * width + (x0 + c * dx)) * effColors, effColors)
+                c += 1
+              }
+              r += 1
+            }
+          }
+          p += 1
+        }
+        require(off == raw.length,
+          s"PngCodec: ${raw.length - off} trailing bytes after the last Adam7 pass")
+        out
+      }
+    // 16-bit samples reduce to the decoded 8-bit buffer by the HIGH
+    // (big-endian first) byte — floor(v/257), the exact inverse of the
+    // spec's 8→16 scaling v·257, so a widened image round-trips bit-
+    // exactly and the oracle replay stays integer math
+    val unfiltered =
+      if (bps == 1) wide
+      else {
+        val o = new Array[Byte](wide.length / 2)
+        var i = 0
+        while (i < o.length) { o(i) = wide(2 * i); i += 1 }
+        o
+      }
 
     if (colorType == 3) {
       val nEntries = palette.length / 3
@@ -212,15 +282,23 @@ object PngCodec {
     * exercised end-to-end — filtering via [[PdfCodec.pngPredictEncode]]
     * cycles Up/Sub/Paeth/Average/None so every decode branch runs).
     * `pixels` is channel-interleaved row-major at 8 bits; for color type 3
-    * pass palette INDICES plus the `palette` RGB triples. */
+    * pass palette INDICES plus the `palette` RGB triples. `bitDepth = 16`
+    * widens each 8-bit sample to v·257 (the spec's exact scaling), so a
+    * 16-bit file decodes back to the identical 8-bit buffer; `interlace`
+    * writes the Adam7 seven-pass layout. */
   def encode(width: Int, height: Int, colorType: Int, pixels: Array[Byte],
-             palette: Option[Array[Byte]] = None): Array[Byte] = {
+             palette: Option[Array[Byte]] = None,
+             interlace: Boolean = false, bitDepth: Int = 8): Array[Byte] = {
     val ch = wireChannels(colorType)
     require(width > 0 && height > 0, s"PngCodec.encode: invalid dimensions ${width}x$height")
     require(pixels.length == width.toLong * height * ch,
       s"PngCodec.encode: ${pixels.length} pixel bytes, geometry wants ${width * height * ch}")
     require((colorType == 3) == palette.isDefined,
       "PngCodec.encode: palette iff color type 3")
+    require(bitDepth == 8 || bitDepth == 16,
+      s"PngCodec.encode: bit depth $bitDepth (8 or 16)")
+    require(bitDepth == 8 || colorType != 3,
+      "PngCodec.encode: 16-bit palette images are illegal (spec table 11.1)")
     palette.foreach(p => require(p.length > 0 && p.length % 3 == 0 && p.length <= 768,
       s"PngCodec.encode: palette of ${p.length} bytes (want a positive multiple of 3, ≤ 768)"))
 
@@ -243,10 +321,52 @@ object PngCodec {
       arr(off + 2) = (v >>> 8).toByte; arr(off + 3) = v.toByte
     }
     put32(ihdr, 0, width); put32(ihdr, 4, height)
-    ihdr(8) = 8; ihdr(9) = colorType.toByte; ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 0
+    ihdr(8) = bitDepth.toByte; ihdr(9) = colorType.toByte
+    ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = if (interlace) 1 else 0
     chunk("IHDR", ihdr)
     palette.foreach(p => chunk("PLTE", p))
-    chunk("IDAT", PdfCodec.deflate(PdfCodec.pngPredictEncode(pixels, ch, width)))
+    val bps = bitDepth / 8
+    val effColors = ch * bps
+    val wide: Array[Byte] =
+      if (bps == 1) pixels
+      else {
+        // v·257 = (v << 8) | v — big-endian sample pairs
+        val o = new Array[Byte](pixels.length * 2)
+        var i = 0
+        while (i < pixels.length) { o(2 * i) = pixels(i); o(2 * i + 1) = pixels(i); i += 1 }
+        o
+      }
+    val filtered: Array[Byte] =
+      if (!interlace) PdfCodec.pngPredictEncode(wide, effColors, width)
+      else {
+        // Adam7: extract each pass's sub-image and filter it independently
+        val bos = new ByteArrayOutputStream()
+        var p = 0
+        while (p < 7) {
+          val x0 = Adam7(p)._1; val y0 = Adam7(p)._2
+          val dx = Adam7(p)._3; val dy = Adam7(p)._4
+          val pw = if (width > x0) (width - x0 + dx - 1) / dx else 0
+          val ph = if (height > y0) (height - y0 + dy - 1) / dy else 0
+          if (pw > 0 && ph > 0) {
+            val pass = new Array[Byte](pw * ph * effColors)
+            var r = 0
+            while (r < ph) {
+              var c = 0
+              while (c < pw) {
+                System.arraycopy(wide, ((y0 + r * dy) * width + (x0 + c * dx)) * effColors,
+                  pass, (r * pw + c) * effColors, effColors)
+                c += 1
+              }
+              r += 1
+            }
+            val f = PdfCodec.pngPredictEncode(pass, effColors, pw)
+            bos.write(f, 0, f.length)
+          }
+          p += 1
+        }
+        bos.toByteArray
+      }
+    chunk("IDAT", PdfCodec.deflate(filtered))
     chunk("IEND", Array.emptyByteArray)
     out.toByteArray
   }

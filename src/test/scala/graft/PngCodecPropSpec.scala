@@ -33,6 +33,32 @@ class PngCodecPropSpec extends AnyFunSuite {
     })
   }
 
+  test("interlaced (Adam7) encode→decode equals the non-interlaced decode on every geometry") {
+    // interlacing is pure LAYOUT: the decoded buffer must be identical
+    // to the plain encoding of the same pixels — ragged pass geometry,
+    // empty passes and per-pass filter resets all included
+    check(Prop.forAll(geometry, colorType, Gen.long) { case ((w, h), (ct, ch), seed) =>
+      val rnd = new scala.util.Random(seed)
+      val px = Array.fill(w * h * ch)(rnd.nextInt(256).toByte)
+      val plain = PngCodec.decode(PngCodec.encode(w, h, ct, px))
+      val inter = PngCodec.decode(PngCodec.encode(w, h, ct, px, interlace = true))
+      inter.width == w && inter.height == h &&
+        java.util.Arrays.equals(inter.pixels, plain.pixels) &&
+        java.util.Arrays.equals(inter.pixels, px)
+    })
+  }
+
+  test("16-bit encode→decode round-trips bit-exactly, interlaced or not") {
+    check(Prop.forAll(geometry, colorType, Gen.long, Gen.oneOf(false, true)) {
+      case ((w, h), (ct, ch), seed, inter) =>
+        val rnd = new scala.util.Random(seed)
+        val px = Array.fill(w * h * ch)(rnd.nextInt(256).toByte)
+        val img = PngCodec.decode(
+          PngCodec.encode(w, h, ct, px, interlace = inter, bitDepth = 16))
+        img.bitDepth == 16 && java.util.Arrays.equals(img.pixels, px)
+    })
+  }
+
   test("palette encode→decode expands through PLTE exactly") {
     val palGen = for {
       n <- Gen.chooseNum(1, 256)

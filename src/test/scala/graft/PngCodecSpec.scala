@@ -38,10 +38,43 @@ class PngCodecSpec extends AnyFunSuite with SparkSpec {
     assert(md5hex(img.pixels) == "a7662d1d8f60511ecc0b42ba0f637231")
   }
 
-  test("committed 16-bit fixture fails loud (depth out of scope)") {
-    val e = intercept[IllegalArgumentException](
-      PngCodec.decode(fixture("fixture_gray16_1x1.png")))
-    assert(e.getMessage.contains("bit depth 16"), e.getMessage)
+  test("committed 16-bit fixture decodes: high-byte reduction of the 0x0102 sample") {
+    // 1x1 grayscale, depth 16, one big-endian sample 0x0102 — the
+    // independent authoring pins the byte order (a low-byte reduction
+    // would read 2, a byte-swapped one 2 as well; only BE-high gives 1)
+    val img = PngCodec.decode(fixture("fixture_gray16_1x1.png"))
+    assert(img.width == 1 && img.height == 1)
+    assert(img.bitDepth == 16 && img.colorType == 0 && img.channels == 1)
+    assert(img.pixels.toSeq == Seq(1.toByte))
+  }
+
+  test("16-bit and Adam7 encode→decode round-trip bit-exactly (v*257 widening inverse)") {
+    val rnd = new scala.util.Random(7)
+    for ((colorType, ch) <- Seq((0, 1), (2, 3), (6, 4));
+         interlace <- Seq(false, true);
+         depth <- Seq(8, 16)) {
+      // odd dims so Adam7 passes have ragged, partly-empty geometry
+      val w = 9; val h = 7
+      val px = Array.fill(w * h * ch)(rnd.nextInt(256).toByte)
+      val img = PngCodec.decode(
+        PngCodec.encode(w, h, colorType, px, interlace = interlace, bitDepth = depth))
+      assert(img.width == w && img.height == h && img.bitDepth == depth,
+        s"type=$colorType interlace=$interlace depth=$depth")
+      assert(img.pixels.toSeq == px.toSeq,
+        s"type=$colorType interlace=$interlace depth=$depth pixel mismatch")
+    }
+    // tiny images where most Adam7 passes are EMPTY (1x1: only pass 1;
+    // 2x2: passes 1/6/7) — the per-pass byte accounting must stay exact
+    for ((w, h) <- Seq((1, 1), (2, 2), (3, 1), (1, 3), (8, 8))) {
+      val px = Array.tabulate(w * h)(i => (i * 37 + 5).toByte)
+      val img = PngCodec.decode(PngCodec.encode(w, h, 0, px, interlace = true))
+      assert(img.pixels.toSeq == px.toSeq, s"${w}x$h interlaced")
+    }
+    // 16-bit palette is illegal, encoder and decoder agree
+    val ePal = intercept[IllegalArgumentException](
+      PngCodec.encode(2, 1, 3, Array[Byte](0, 1),
+        Some(Array[Byte](1, 2, 3, 4, 5, 6)), bitDepth = 16))
+    assert(ePal.getMessage.contains("palette"), ePal.getMessage)
   }
 
   test("encode→decode round trip across gray / gray+alpha / RGB / RGBA / palette") {
@@ -76,14 +109,23 @@ class PngCodecSpec extends AnyFunSuite with SparkSpec {
     val corrupt = good.clone(); corrupt(idatOff + 10) = (corrupt(idatOff + 10) ^ 0xff).toByte
     assert(intercept[IllegalArgumentException](PngCodec.decode(corrupt))
       .getMessage.contains("CRC"))
-    // interlace byte (IHDR data starts at 16; interlace is its 13th byte)
-    // — recompute the CRC so the interlace check itself is what fires
+    // interlace byte flipped to Adam7 over a NON-interlaced payload
+    // (IHDR data starts at 16; interlace is its 13th byte) — recompute
+    // the CRC so the payload/layout mismatch itself is what fires: the
+    // pass-by-pass byte accounting rejects, never silent garbage.
+    // Unknown interlace methods (2+) reject on the header check.
     val inter = good.clone(); inter(16 + 12) = 1
     val crc = new java.util.zip.CRC32(); crc.update(inter, 12, 4 + 13)
     val c = crc.getValue
     inter(16 + 13) = (c >>> 24).toByte; inter(16 + 14) = (c >>> 16).toByte
     inter(16 + 15) = (c >>> 8).toByte; inter(16 + 16) = c.toByte
-    assert(intercept[IllegalArgumentException](PngCodec.decode(inter))
+    intercept[IllegalArgumentException](PngCodec.decode(inter))
+    val inter2 = good.clone(); inter2(16 + 12) = 2
+    val crc2 = new java.util.zip.CRC32(); crc2.update(inter2, 12, 4 + 13)
+    val c2 = crc2.getValue
+    inter2(16 + 13) = (c2 >>> 24).toByte; inter2(16 + 14) = (c2 >>> 16).toByte
+    inter2(16 + 15) = (c2 >>> 8).toByte; inter2(16 + 16) = c2.toByte
+    assert(intercept[IllegalArgumentException](PngCodec.decode(inter2))
       .getMessage.contains("interlace"))
     // unknown CRITICAL chunk rejects; same chunk lowercased would skip
     def chunk(t: String, data: Array[Byte]): Array[Byte] = {
