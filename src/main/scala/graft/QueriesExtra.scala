@@ -1405,6 +1405,49 @@ object QueriesExtra {
              |  CAST(CASE WHEN comps = 3 THEN SUM(v) ELSE 0 END AS BIGINT) AS b_sum
              |FROM px GROUP BY doc_id, comps, w, h ORDER BY doc_id""".stripMargin)),
 
+    // IMAGE DEDUP CAPSTONE (round 14): real decoded images feed the
+    // SEMANTIC dedup stack end-to-end — synthesize PNGs, decode, grid-
+    // pool tile features, then Dedup.semanticNearDup (IVF-cell-blocked
+    // SemDeDup) over the feature vectors. Exact duplicate images are
+    // planted by re-id'ing the same CONTENT (+100000), so their decoded
+    // features are bit-identical and the pair list is deterministic; the
+    // 6-dp/0.999999 threshold admits only such exact-feature duplicates
+    // (12-dim quasi-random tile vectors never come that close by
+    // accident), and the oracle ranks TRUE all-pairs — cell blocking
+    // must be invisible in the result.
+    "q_dedup_image" -> QueryDef(
+      (s, d) => {
+        import graft.operators.{Dedup, IvfIndex}
+        val media = BinaryPipeline.synthesizeImages(Tables.documents(s, d))
+        val dupMedia = media.unionAll(media.select(
+          (col("doc_id") + 100000).as("doc_id"), col("content"), col("meta")))
+        val feats = BinaryPipeline.imageTileFeatures(dupMedia, gx = 2, gy = 2)
+          // feature DIM varies with channel count — dedup within the RGB
+          // modality group (the q_knn_image convention)
+          .where(col("channels") === 3)
+          .select(col("doc_id").as("vec_id"), col("features").as("embedding"))
+        val model = IvfIndex.train(feats, k = 8, iters = 2)
+        Dedup.semanticNearDup(feats, model, threshold = 0.999999, scale = 6)
+          .orderBy(col("id1"), col("id2"))
+      },
+      Some("""WITH p AS (SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 11 AS h
+             |  FROM documents WHERE doc_id % 3 = 1),
+             |px AS (SELECT doc_id,
+             |    (((y*2)//h) * 2 + ((x*2)//w)) * 3 + c AS dim,
+             |    (doc_id*31 + ((y*w + x)*3 + c) * 7) % 256 AS v
+             |  FROM p, unnest(range(0, w)) AS gx(x), unnest(range(0, h)) AS gy(y),
+             |       unnest(range(0, 3)) AS gc(c)),
+             |f0 AS (SELECT doc_id, list(m ORDER BY dim) AS emb FROM (
+             |    SELECT doc_id, dim, avg(v) AS m FROM px GROUP BY doc_id, dim)
+             |  GROUP BY doc_id),
+             |f AS (SELECT doc_id, emb FROM f0
+             |  UNION ALL SELECT doc_id + 100000, emb FROM f0)
+             |SELECT a.doc_id AS id1, b.doc_id AS id2,
+             |  round(list_cosine_similarity(a.emb, b.emb), 6) AS cos
+             |FROM f a JOIN f b ON a.doc_id < b.doc_id
+             |WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.999999
+             |ORDER BY id1, id2""".stripMargin)),
+
     "q_multimodal_meta" -> QueryDef(
       (s, d) => BinaryPipeline.extractFeatures(BinaryPipeline.asMedia(Tables.documents(s, d)))
         .select(col("doc_id"), col("byte_len"), col("content_md5"), col("width"), col("media_type"))
