@@ -132,6 +132,70 @@ object SparseKnn {
         transform(col("__sv"), s => s.getField("__v")).as("values"))
   }
 
+  /** [[spladeExpand]] through the pluggable featurizer seam
+    * ([[graft.pipeline.SparseEmbeddingClient]], VERDICT r13 #7): a
+    * batched narrow `mapPartitions` pass calling `client.expandBatch` —
+    * the plumbing shape of [[graft.pipeline.Embedder.embed]], with the
+    * engine-side retry loop so every client gets the same failure
+    * semantics. The default [[graft.pipeline.DeterministicSparseClient]]
+    * reproduces [[spladeExpand]]'s md5 expansion ROW-FOR-ROW (spec-
+    * pinned), so swapping in a REAL learned-sparse model
+    * ([[graft.pipeline.HttpSparseClient]], TEI `/embed_sparse`) changes
+    * neither the plan shape nor the `(id, indices ASC, values)` index
+    * format — everything downstream ([[topK]], [[writeIndex]],
+    * [[topKFromIndex]], the SQL lifecycle) is weight-agnostic. Docs
+    * whose expansion is EMPTY (no tokens) are dropped, matching the
+    * declarative path's groupBy semantics. */
+  def spladeExpandWith(docs: DataFrame, client: graft.pipeline.SparseEmbeddingClient,
+                       dim: Int = 1024, idCol: String = "doc_id",
+                       textCol: String = "text", batchSize: Int = 32,
+                       maxRetries: Int = 3): DataFrame = {
+    import org.apache.spark.sql.types._
+    require(dim > 0, s"spladeExpandWith: dim must be positive, got $dim")
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("indices", ArrayType(LongType, containsNull = false), nullable = false),
+      StructField("values", ArrayType(DoubleType, containsNull = false), nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    // project first (the synthesizeImages convention)
+    val slim = docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
+    slim.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        val texts = batch.map(_.getString(1))
+        var attempt = 0
+        var out: Seq[(Array[Long], Array[Double])] = null
+        var lastErr: Throwable = null
+        while (out == null && attempt < maxRetries) {
+          try {
+            val got = client.expandBatch(texts, dim)
+            require(got.length == texts.length,
+              s"SparseEmbeddingClient returned ${got.length} vectors for ${texts.length} texts")
+            out = got
+          } catch {
+            case ie: InterruptedException => Thread.currentThread().interrupt(); throw ie
+            case e: Throwable => lastErr = e; attempt += 1
+          }
+        }
+        if (out == null) throw new RuntimeException(
+          s"spladeExpandWith: client failed $maxRetries times", lastErr)
+        batch.iterator.zip(out.iterator).flatMap { case (r, (idx, vs)) =>
+          require(idx.length == vs.length,
+            s"SparseEmbeddingClient: ${idx.length} indices vs ${vs.length} values")
+          var i = 1
+          while (i < idx.length) {
+            require(idx(i) > idx(i - 1),
+              "SparseEmbeddingClient: indices must be strictly ascending")
+            i += 1
+          }
+          require(idx.isEmpty || (idx(0) >= 0 && idx(idx.length - 1) < dim),
+            s"SparseEmbeddingClient: index out of [0, $dim)")
+          if (idx.isEmpty) Iterator.empty
+          else Iterator(org.apache.spark.sql.Row(r.getLong(0), idx.toSeq, vs.toSeq))
+        }
+      }
+    }(enc)
+  }
+
   /** Row-local sparse dot product — the native codegen'd kernel
     * ([[graft.functions.SparseDotExpr]]): a two-pointer merge over the
     * SORTED index arrays, zero allocation, whole-stage-codegen'd (the

@@ -232,3 +232,150 @@ object OpenAiCompatClient {
     }
   }
 }
+
+/** Learned-sparse (SPLADE-style) featurizer seam — the third external-
+  * model call a retrieval deployment makes (VERDICT r13 #7). A learned
+  * sparse model (SPLADE, uniCOIL, TEI's `/embed_sparse`) maps text to a
+  * sparse vocab-space vector; the engine's postings machinery
+  * ([[graft.operators.SparseKnn]] writeIndex/topK/topKFromIndex) is
+  * weight-agnostic, so the client IS the only model-specific piece.
+  * `expandBatch` returns one SORTED sparse vector per input text —
+  * indices strictly ascending in [0, dim), parallel values — called
+  * executor-side once per batch. Throw to trigger the caller's retry. */
+trait SparseEmbeddingClient extends Serializable {
+  def expandBatch(texts: Seq[String], dim: Int): Seq[(Array[Long], Array[Double])]
+}
+
+/** The deterministic offline implementation: a ROW-LOCAL twin of
+  * [[graft.operators.SparseKnn.spladeExpand]]'s declarative formula
+  * (identical canonicalization, md5 bucket hash, geometric expansion
+  * decay, max-pooling and rounding), so `spladeExpandWith(this)` ==
+  * `spladeExpand` row-for-row — the spec-pinned proof that swapping in
+  * a REAL featurizer changes neither the plan shape nor the index
+  * format, and the md5 stand-in remains the oracle path. */
+final class DeterministicSparseClient(salt: String = "graft-splade",
+                                      expansions: Int = 2, decay: Double = 0.5,
+                                      scale: Int = 6) extends SparseEmbeddingClient {
+  require(expansions >= 0, s"DeterministicSparseClient: expansions $expansions")
+  require(decay > 0.0 && decay <= 1.0, s"DeterministicSparseClient: decay $decay")
+
+  override def expandBatch(texts: Seq[String], dim: Int): Seq[(Array[Long], Array[Double])] =
+    texts.map(expandOne(_, dim))
+
+  private def expandOne(text: String, dim: Int): (Array[Long], Array[Double]) = {
+    // TextFunctions.canonicalText, row-locally: newline → space, collapse
+    // whitespace runs of 2+, trim, ROOT-locale lowercase
+    val canon = text.replace("\n", " ")
+      .replaceAll("[\\s\\x0B]{2,}", " ").trim.toLowerCase(java.util.Locale.ROOT)
+    val tf = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    canon.split(" ", -1).foreach(t => if (t.nonEmpty) tf(t) = tf.getOrElse(t, 0L) + 1L)
+    val best = scala.collection.mutable.HashMap.empty[Long, Double]
+    val md = java.security.MessageDigest.getInstance("MD5")
+    tf.foreach { case (tok, n) =>
+      var e = 0
+      while (e <= expansions) {
+        md.reset()
+        // md5(concat(salt-e, e, tok)), first 8 hex chars as a 32-bit
+        // value mod dim — byte-identical to the Spark-side expression
+        val d = md.digest((salt + "-e" + e + tok).getBytes(UTF_8))
+        val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        val b = h % dim
+        val w = math.pow(decay, e.toDouble) * math.log(n + 1.0)
+        if (w > best.getOrElse(b, Double.NegativeInfinity)) best(b) = w
+        e += 1
+      }
+    }
+    val sorted = best.toArray.sortBy(_._1)
+    (sorted.map(_._1),
+      sorted.map(kv => java.math.BigDecimal.valueOf(kv._2)
+        .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()))
+  }
+}
+
+/** Real HTTP implementation against the PUBLIC text-embeddings-inference
+  * `/embed_sparse` contract (Hugging Face TEI: POST `{"inputs":[…]}` →
+  * `[[{"index":i,"value":v},…],…]`, one inner array per input, in input
+  * order). OFFLINE-UNTESTED by design, like its [[OpenAiCompatClient]]
+  * sibling — no egress here — but it compiles against the JDK HTTP
+  * client only and the response parser is spec-gated on canned bodies.
+  * Drop it in where [[DeterministicSparseClient]] sits; the engine-side
+  * retry loop in `spladeExpandWith` handles transport failures. */
+final class HttpSparseClient(endpoint: String, apiKey: String,
+                             timeoutSec: Int = 60) extends SparseEmbeddingClient {
+  @transient private lazy val http: HttpClient =
+    HttpClient.newBuilder().connectTimeout(Duration.ofSeconds(timeoutSec.toLong)).build()
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  override def expandBatch(texts: Seq[String], dim: Int): Seq[(Array[Long], Array[Double])] = {
+    val body = s"""{"inputs":[${texts.map(jsonStr).mkString(",")}]}"""
+    val req = HttpRequest.newBuilder()
+      .uri(URI.create(endpoint.stripSuffix("/") + "/embed_sparse"))
+      .timeout(Duration.ofSeconds(timeoutSec.toLong))
+      .header("Content-Type", "application/json")
+      .header("Authorization", s"Bearer $apiKey")
+      .POST(HttpRequest.BodyPublishers.ofString(body, UTF_8))
+      .build()
+    val resp = http.send(req, HttpResponse.BodyHandlers.ofString(UTF_8))
+    if (resp.statusCode() / 100 != 2)
+      throw new RuntimeException(s"HttpSparseClient: HTTP ${resp.statusCode()} from /embed_sparse")
+    HttpSparseClient.parseSparseResponse(resp.body(), texts.length, dim)
+  }
+}
+
+object HttpSparseClient {
+  /** Parse a TEI `/embed_sparse` body: top-level array of per-input
+    * arrays of `{"index": i, "value": v}` objects. Inner arrays are
+    * split by bracket-depth scan (no JSON library — the
+    * [[OpenAiCompatClient.parseEmbeddingsResponse]] convention);
+    * entries sort by index, duplicates/out-of-range/count mismatches
+    * fail loud rather than mis-rank silently. */
+  private[graft] def parseSparseResponse(resp: String, n: Int,
+                                         dim: Int): Seq[(Array[Long], Array[Double])] = {
+    val outer = resp.indexOf('[')
+    require(outer >= 0, "HttpSparseClient: response carries no array")
+    val groups = Vector.newBuilder[String]
+    var depth = 0
+    var start = -1
+    var i = outer + 1
+    var done = false
+    while (i < resp.length && !done) {
+      resp.charAt(i) match {
+        case '[' => if (depth == 0) start = i; depth += 1
+        case ']' if depth > 0 =>
+          depth -= 1
+          if (depth == 0) groups += resp.substring(start, i + 1)
+        case ']' => done = true // closes the outer array
+        case _ =>
+      }
+      i += 1
+    }
+    val gs = groups.result()
+    require(gs.length == n,
+      s"HttpSparseClient: expected $n sparse vectors, got ${gs.length}")
+    val idxRe = """"index"\s*:\s*(\d+)""".r
+    val valRe = """"value"\s*:\s*(-?[0-9.eE+]+)""".r
+    gs.map { g =>
+      val idxs = idxRe.findAllMatchIn(g).map(_.group(1).toLong).toArray
+      val vals = valRe.findAllMatchIn(g).map(_.group(1).toDouble).toArray
+      require(idxs.length == vals.length,
+        s"HttpSparseClient: ${idxs.length} index fields vs ${vals.length} value fields")
+      require(idxs.forall(ix => ix >= 0 && ix < dim),
+        s"HttpSparseClient: index out of [0, $dim)")
+      require(idxs.distinct.length == idxs.length,
+        "HttpSparseClient: duplicate index in one sparse vector")
+      val order = idxs.indices.sortBy(idxs(_)).toArray
+      (order.map(idxs(_)), order.map(vals(_)))
+    }
+  }
+}

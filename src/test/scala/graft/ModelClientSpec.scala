@@ -175,4 +175,89 @@ class ModelClientSpec extends SparkSpec {
       OpenAiCompatClient.parseEmbeddingsResponse(partial, 2, 1))
     assert(e2.getMessage.contains("unusable index"), e2.getMessage)
   }
+
+  // ───────────────────────────── learned-sparse featurizer seam (r14)
+
+  test("sparse seam: spladeExpandWith(DeterministicSparseClient) == spladeExpand row-for-row") {
+    import graft.operators.SparseKnn
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text")).limit(60)
+    def canon(df: org.apache.spark.sql.DataFrame): Set[(Long, Seq[Long], Seq[Double])] =
+      df.select(col("doc_id").cast("long"), col("indices"), col("values"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1), r.getSeq[Double](2))).toSet
+    val declarative = canon(SparseKnn.spladeExpand(docs, dim = 256))
+    val seam = canon(SparseKnn.spladeExpandWith(docs, new DeterministicSparseClient(),
+      dim = 256))
+    assert(seam == declarative,
+      "seam featurization diverged from the declarative oracle path")
+    // ...and the index machinery downstream is weight-agnostic: the
+    // seam's output builds the same postings table writeIndex expects
+    val tmp = java.nio.file.Files.createTempDirectory("splade_seam").toString
+    spark.sql("DROP TABLE IF EXISTS t_splade_seam")
+    SparseKnn.writeIndex(SparseKnn.spladeExpandWith(docs, new DeterministicSparseClient(),
+      dim = 256), "t_splade_seam", s"$tmp/idx", numBuckets = 4)
+    val q = SparseKnn.spladeExpand(docs.limit(3), dim = 256)
+      .select(col("doc_id").as("qid"), col("indices"), col("values"))
+    val hits = SparseKnn.topKFromIndex(spark, "t_splade_seam", q, k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // every doc's own expansion is its best match (self-similarity 1)
+    assert(hits.forall { case (qid, hit) => qid == hit }, hits.toSeq.toString)
+    spark.sql("DROP TABLE IF EXISTS t_splade_seam")
+  }
+
+  test("sparse seam: engine-side retry converges; misbehaving clients are refused") {
+    import graft.operators.SparseKnn
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text")).limit(8)
+    val flaky = new SparseEmbeddingClient {
+      private var calls = 0
+      override def expandBatch(texts: Seq[String], dim: Int) = {
+        calls += 1
+        if (calls <= 2) throw new RuntimeException("simulated transport failure")
+        new DeterministicSparseClient().expandBatch(texts, dim)
+      }
+    }
+    val viaFlaky = SparseKnn.spladeExpandWith(docs, flaky, dim = 128, batchSize = 64)
+    assert(viaFlaky.count() ==
+      SparseKnn.spladeExpandWith(docs, new DeterministicSparseClient(), dim = 128).count())
+    // unsorted indices violate the sparsevec invariant — refused loud
+    val unsorted = new SparseEmbeddingClient {
+      override def expandBatch(texts: Seq[String], dim: Int) =
+        texts.map(_ => (Array(5L, 3L), Array(1.0, 2.0)))
+    }
+    val e = intercept[Exception](
+      SparseKnn.spladeExpandWith(docs, unsorted, dim = 128, maxRetries = 1).count())
+    assert(e.getMessage != null)
+  }
+
+  test("TEI /embed_sparse response parse: index-sorted, validated, fail-loud") {
+    // entries deliberately unsorted within each vector; whitespace varies
+    val resp =
+      """[[{"index": 7, "value": 0.5}, {"index": 2, "value": 1.25}],
+        |[{"index":0,"value":3.0}]]""".stripMargin
+    val out = HttpSparseClient.parseSparseResponse(resp, 2, 16)
+    assert(out(0)._1.toSeq == Seq(2L, 7L) && out(0)._2.toSeq == Seq(1.25, 0.5))
+    assert(out(1)._1.toSeq == Seq(0L) && out(1)._2.toSeq == Seq(3.0))
+    // count mismatch
+    val eN = intercept[IllegalArgumentException](
+      HttpSparseClient.parseSparseResponse(resp, 3, 16))
+    assert(eN.getMessage.contains("expected 3"), eN.getMessage)
+    // duplicate index inside one vector
+    val eDup = intercept[IllegalArgumentException](HttpSparseClient.parseSparseResponse(
+      """[[{"index":1,"value":1.0},{"index":1,"value":2.0}]]""", 1, 16))
+    assert(eDup.getMessage.contains("duplicate"), eDup.getMessage)
+    // out-of-range index for the engine's dim
+    val eRange = intercept[IllegalArgumentException](HttpSparseClient.parseSparseResponse(
+      """[[{"index":99,"value":1.0}]]""", 1, 16))
+    assert(eRange.getMessage.contains("out of"), eRange.getMessage)
+    // empty vector for an input is legal (a stopword-only text)
+    val empty = HttpSparseClient.parseSparseResponse("""[[],[{"index":3,"value":2.0}]]""", 2, 16)
+    assert(empty(0)._1.isEmpty && empty(1)._1.toSeq == Seq(3L))
+  }
+
+  test("HttpSparseClient is constructible and serializable (offline: no I/O)") {
+    val c = new HttpSparseClient("http://localhost:9", "key")
+    val bos = new java.io.ByteArrayOutputStream()
+    new java.io.ObjectOutputStream(bos).writeObject(c)
+    assert(bos.size() > 0)
+  }
 }
