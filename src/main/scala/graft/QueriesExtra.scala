@@ -933,6 +933,41 @@ object QueriesExtra {
              |ORDER BY list_distance(f.embedding::DOUBLE[], q.embedding::DOUBLE[]), f.vec_id
              |LIMIT 10""".stripMargin)),
 
+    // Iterative filtered scan over the HALFVEC store (round 14): the
+    // same starved-predicate SQL shape as q_knn_filtered_sql, riding a
+    // packed-binary16 store — the rewrite must plant the escalation leaf
+    // on this family too (spec-pinned in IvfIterativeScanSpec along with
+    // the binary store), and because the user's Sort reranks on the
+    // FLOAT column, escalate→exhaustion is EXACT over the filtered
+    // corpus: the half tier's precision never leaks into the result.
+    "q_knn_half_filtered_sql" -> QueryDef(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val dir = Fixtures.memo(s"ivf_half_filt_idx:$d") {
+          val model = IvfIndex.train(e, k = 16, iters = 2)
+          val dr = java.nio.file.Files.createTempDirectory("ivf_half_filt").toString
+          IvfIndex.writeIndexHalf(e, model, dr)
+          dr
+        }
+        val qv = e.where(col("vec_id") === 7)
+          .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+        val vlit = s"array(${qv.map(x => s"${x}D").mkString(",")})"
+        GraftFunctions.register(s)
+        s.read.parquet(dir).createOrReplaceTempView("ivf_half_sql_v")
+        s.sql(
+          s"""SELECT vec_id, round(vec_l2(embedding, $vlit), 4) AS dist
+             |FROM ivf_half_sql_v WHERE vec_id % 97 = 0 AND vec_id < 400
+             |ORDER BY vec_l2(embedding, $vlit), vec_id LIMIT 10""".stripMargin)
+      },
+      Some("""WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 7),
+             |f AS (SELECT vec_id, embedding FROM embeddings
+             |      WHERE vec_id % 97 = 0 AND vec_id < 400)
+             |SELECT f.vec_id,
+             |  round(list_distance(f.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS dist
+             |FROM f CROSS JOIN q
+             |ORDER BY list_distance(f.embedding::DOUBLE[], q.embedding::DOUBLE[]), f.vec_id
+             |LIMIT 10""".stripMargin)),
+
     // Deterministic hash-bucket sampling — reproducible subsets at any
     // partitioning; the exact md5-bucket construction replays in DuckDB.
     "q_sample_hash" -> QueryDef(

@@ -218,4 +218,62 @@ class IvfIterativeScanSpec extends SparkSpec {
       assert(!q.queryExecution.optimizedPlan.toString.contains("IvfIterativeFilteredScan"))
     }
   }
+
+  // ── half / binary store kinds through the escalation leaf (r14) ────
+
+  /** The sqlQuery shape over an arbitrary store path. */
+  private def sqlQueryOver(path: String, pred: String, k: Int): DataFrame = {
+    GraftFunctions.register(spark)
+    spark.read.parquet(path).createOrReplaceTempView("ivf_iter_fam_v")
+    spark.sql(
+      s"""SELECT vec_id, round(vec_l2(embedding, $vecLit), 4) AS dist
+         |FROM ivf_iter_fam_v WHERE $pred
+         |ORDER BY vec_l2(embedding, $vecLit), vec_id LIMIT $k""".stripMargin)
+  }
+
+  test("HALF store: riding filter lowers to the escalation leaf, starved filter exact") {
+    val path = Files.createTempDirectory("ivf_iter_half").toString
+    IvfIndex.writeIndexHalf(e, model, path)
+    withRule {
+      conf("spark.graft.ann.nprobe" -> "1") {
+        val pred = "vec_id % 97 = 0 AND vec_id < 400" // 5 survivors < k = 10
+        val q = sqlQueryOver(path, pred, 10)
+        val opt = q.queryExecution.optimizedPlan.toString
+        assert(opt.contains("IvfIterativeFilteredScan"), opt.take(2000))
+        // the user's Sort reranks on the FLOAT column, so the half tier's
+        // rounding never touches filtered-scan semantics: escalate→exact
+        val got = q.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(got == exact(pred, 10), s"got=$got")
+        assert(got.size == 5)
+      }
+    }
+  }
+
+  test("BINARY store: riding filter lowers to the escalation leaf, starved filter exact") {
+    val path = Files.createTempDirectory("ivf_iter_bin").toString
+    IvfIndex.writeIndexBinary(e, model, path)
+    withRule {
+      conf("spark.graft.ann.nprobe" -> "1") {
+        val pred = "vec_id % 97 = 0 AND vec_id < 400"
+        val q = sqlQueryOver(path, pred, 10)
+        val opt = q.queryExecution.optimizedPlan.toString
+        assert(opt.contains("IvfIterativeFilteredScan"), opt.take(2000))
+        val got = q.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(got == exact(pred, 10), s"got=$got")
+        assert(got.size == 5)
+      }
+    }
+  }
+
+  test("HALF store, satisfied filter: leaf plants and returns k at the initial probe") {
+    val path = Files.createTempDirectory("ivf_iter_half2").toString
+    IvfIndex.writeIndexHalf(e, model, path)
+    withRule {
+      conf("spark.graft.ann.nprobe" -> "2") {
+        val q = sqlQueryOver(path, "vec_id >= 0", 5)
+        assert(q.queryExecution.optimizedPlan.toString.contains("IvfIterativeFilteredScan"))
+        assert(q.collect().length == 5)
+      }
+    }
+  }
 }
