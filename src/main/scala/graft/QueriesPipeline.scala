@@ -363,6 +363,32 @@ object QueriesPipeline {
              |  unnest(range(0, CAST(ceil(length(t) / 200.0) AS INT))) AS u(i)
              |ORDER BY doc_id, page_no""".stripMargin)),
 
+    // EMBEDDED /Encoding CMap decode (round 14): mixed 1/2-byte codes —
+    // ASCII shows as single bytes, the CJK substitutions as 2-byte codes
+    // from 0x8140 (the RKSJ shape) — through the variable-width
+    // tokenizer, the width-keyed ToUnicode and the codespace validation.
+    // A decoder that pairs bytes blindly (the Identity assumption)
+    // garbles every ASCII run, so the page-md5 hash certifies the whole
+    // embedded-CMap read path on real bytes.
+    "q_pdf_cmap" -> QueryDef(
+      (s, d) => {
+        val mixed = Tables.documents(s, d).select(col("doc_id"),
+          translate(col("text"), "aeiou", "亜江意尾宇").as("text"))
+        val pdfs = PdfPipeline.synthesizeCmapPdfs(mixed, pageSize = 200)
+        PdfPipeline.extractPagesPdf(pdfs)
+          .select(col("doc_id"), col("page_no"),
+            length(col("page_text")).cast("long").as("page_len"),
+            md5(col("page_text")).as("page_md5"))
+          .orderBy(col("doc_id"), col("page_no"))
+      },
+      Some("""SELECT doc_id, CAST(i + 1 AS BIGINT) AS page_no,
+             |  CAST(length(substr(t, i*200 + 1, 200)) AS BIGINT) AS page_len,
+             |  md5(substr(t, i*200 + 1, 200)) AS page_md5
+             |FROM (SELECT doc_id, translate(text, 'aeiou', '亜江意尾宇') AS t
+             |      FROM documents),
+             |  unnest(range(0, CAST(ceil(length(t) / 200.0) AS INT))) AS u(i)
+             |ORDER BY doc_id, page_no""".stripMargin)),
+
     "q_chunk_split" -> QueryDef(
       (s, d) => docsChunks(s, d)
         .select(col("doc_id"), col("chunk_idx"),

@@ -85,6 +85,17 @@ object PdfCodec {
   private[graft] sealed trait FontDec
   private[graft] case object SimpleFont extends FontDec
   private[graft] final case class CompositeFont(toUnicode: Map[Int, String]) extends FontDec
+  /** Composite font with an EMBEDDED /Encoding CMap stream (spec
+    * §9.7.5.3) — the variable-width-code case (RKSJ-shaped mixed 1/2-byte
+    * encodings): `codespaces` are the CMap's (byteLen, lo, hi) ranges and
+    * govern how shown-string bytes tokenize into codes; `toUni` is the
+    * font's ToUnicode map keyed by (byteLen, code) — codes of different
+    * widths are DISTINCT per spec, so the width rides the key. The
+    * embedded CMap's cid mappings steer glyph selection, which text
+    * extraction never needs — only its codespace matters here. */
+  private[graft] final case class CmapFont(codespaces: Seq[(Int, Long, Long)],
+                                           toUni: Map[(Int, Long), String],
+                                           fontNum: Int) extends FontDec
   /** Simple font with an /Encoding /Differences remap: listed byte codes
     * decode through their GLYPH NAMES (stored unresolved — resolution to
     * text happens per SHOWN code in [[decodeShown]], so a name outside
@@ -208,19 +219,62 @@ object PdfCodec {
       }
     }
     else {
-      // only the Identity CMaps give fixed 2-byte codes; anything else
-      // (e.g. /90ms-RKSJ-H) is variable-width — refuse rather than garble
-      val enc = """/Encoding\s*/([A-Za-z0-9-]+)""".r.findFirstMatchIn(d).map(_.group(1))
-      require(enc.exists(e => e == "Identity-H" || e == "Identity-V"),
-        s"PdfCodec: composite font object ${obj.num}: only /Identity-H|V supported" +
-          enc.fold(" (no /Encoding name)")(e => s", got /$e"))
-      val tuRef = dictRef(d, "/ToUnicode").getOrElse(throw new IllegalArgumentException(
-        s"PdfCodec: composite font object ${obj.num} has no /ToUnicode CMap — " +
-          "codes cannot be mapped to text"))
-      val tuObj = byNum.getOrElse(tuRef, throw new IllegalArgumentException(
-        s"PdfCodec: /ToUnicode $tuRef 0 R not found"))
-      CompositeFont(parseToUnicode(decodeStream(tuObj, byNum)))
+      def toUnicodeStream: String = {
+        val tuRef = dictRef(d, "/ToUnicode").getOrElse(throw new IllegalArgumentException(
+          s"PdfCodec: composite font object ${obj.num} has no /ToUnicode CMap — " +
+            "codes cannot be mapped to text"))
+        val tuObj = byNum.getOrElse(tuRef, throw new IllegalArgumentException(
+          s"PdfCodec: /ToUnicode $tuRef 0 R not found"))
+        decodeStream(tuObj, byNum)
+      }
+      val encName = """/Encoding\s*/([A-Za-z0-9-]+)""".r.findFirstMatchIn(d).map(_.group(1))
+      val encRef = dictRef(d, "/Encoding")
+      if (encName.exists(e => e == "Identity-H" || e == "Identity-V"))
+        CompositeFont(parseToUnicode(toUnicodeStream))
+      else encRef.flatMap(byNum.get) match {
+        case Some(encObj) if encObj.stream.isDefined =>
+          // EMBEDDED CMap (spec §9.7.5.3): variable-width codes per its
+          // codespace ranges. `usecmap` pulls in a predefined base whose
+          // tables we don't carry — refuse rather than garble.
+          val cmap = decodeStream(encObj, byNum)
+          require(!cmap.contains("usecmap"),
+            s"PdfCodec: composite font object ${obj.num}: embedded /Encoding CMap " +
+              "uses `usecmap` (predefined base CMap) — out of scope")
+          val spaces = parseCodespaces(cmap, obj.num)
+          require(spaces.nonEmpty,
+            s"PdfCodec: composite font object ${obj.num}: embedded /Encoding CMap " +
+              "declares no codespace ranges")
+          CmapFont(spaces, parseToUnicodeWide(toUnicodeStream), obj.num)
+        case Some(other) => throw new IllegalArgumentException(
+          s"PdfCodec: composite font object ${obj.num}: /Encoding ${other.num} 0 R " +
+            "is not a CMap stream")
+        case None => throw new IllegalArgumentException(
+          s"PdfCodec: composite font object ${obj.num}: only /Identity-H|V or an " +
+            "EMBEDDED /Encoding CMap stream supported" +
+            encName.fold(" (no /Encoding)")(e =>
+              s"; predefined CMap /$e would need tables this engine doesn't carry"))
+      }
     }
+  }
+
+  /** `begincodespacerange … endcodespacerange` blocks of an embedded
+    * CMap: (byteLen, lo, hi) triples; lo/hi hex must agree on byte
+    * length (that length IS the code width per spec §9.7.6.2). */
+  private[graft] def parseCodespaces(cmap: String, fontNum: Int): Seq[(Int, Long, Long)] = {
+    val hexPair = """<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>""".r
+    (for {
+      blk <- """(?s)begincodespacerange(.*?)endcodespacerange""".r.findAllMatchIn(cmap)
+      m <- hexPair.findAllMatchIn(blk.group(1))
+    } yield {
+      val (loHex, hiHex) = (m.group(1), m.group(2))
+      require(loHex.length == hiHex.length && loHex.length % 2 == 0 && loHex.length <= 8,
+        s"PdfCodec: font $fontNum: malformed codespace range <$loHex> <$hiHex>")
+      val len = loHex.length / 2
+      val lo = java.lang.Long.parseLong(loHex, 16)
+      val hi = java.lang.Long.parseLong(hiHex, 16)
+      require(hi >= lo, s"PdfCodec: font $fontNum: codespace hi < lo")
+      (len, lo, hi)
+    }).toSeq
   }
 
   /** /Differences array (spec §9.6.6.3): `[ code name name … code name … ]`
@@ -368,6 +422,62 @@ object PdfCodec {
     out.toMap
   }
 
+  /** [[parseToUnicode]] with WIDTH-KEYED codes — an embedded-CMap font
+    * mixes 1- and 2-byte codes, and codes of different widths are
+    * distinct (spec: a 1-byte <41> and a 2-byte <0041> are different
+    * codes), so the source hex's byte length rides the key. */
+  private[graft] def parseToUnicodeWide(cmap: String): Map[(Int, Long), String] = {
+    val out = mutable.Map.empty[(Int, Long), String]
+    val hexPair = """<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>""".r
+    for {
+      blk <- """(?s)beginbfchar(.*?)endbfchar""".r.findAllMatchIn(cmap)
+      m <- hexPair.findAllMatchIn(blk.group(1))
+    } {
+      val src = m.group(1)
+      require(src.length % 2 == 0 && src.length <= 8,
+        s"PdfCodec: bfchar source <$src> is not 1-4 whole bytes")
+      out((src.length / 2, java.lang.Long.parseLong(src, 16))) = utf16be(m.group(2))
+    }
+    for (blk <- """(?s)beginbfrange(.*?)endbfrange""".r.findAllMatchIn(cmap))
+      parseBfrangeBodyWide(blk.group(1), out)
+    out.toMap
+  }
+
+  private def parseBfrangeBodyWide(body: String,
+                                   out: mutable.Map[(Int, Long), String]): Unit = {
+    val toks = """<([0-9A-Fa-f]+)>|\[|\]""".r.findAllMatchIn(body).toVector
+    var i = 0
+    while (i < toks.length) {
+      require(i + 2 < toks.length, "PdfCodec: truncated bfrange entry")
+      val loHex = toks(i).group(1)
+      require(loHex.length % 2 == 0 && loHex.length <= 8,
+        s"PdfCodec: bfrange source <$loHex> is not 1-4 whole bytes")
+      val w = loHex.length / 2
+      val lo = java.lang.Long.parseLong(loHex, 16)
+      val hi = java.lang.Long.parseLong(toks(i + 1).group(1), 16)
+      require(hi >= lo, s"PdfCodec: bfrange hi < lo ($hi < $lo)")
+      if (toks(i + 2).matched == "[") {
+        var j = i + 3
+        var c = lo
+        while (j < toks.length && toks(j).matched != "]") {
+          out((w, c)) = utf16be(toks(j).group(1)); c += 1; j += 1
+        }
+        require(j < toks.length, "PdfCodec: unterminated bfrange array")
+        require(c == hi + 1,
+          s"PdfCodec: bfrange array has ${c - lo} dsts for ${hi - lo + 1} codes")
+        i = j + 1
+      } else {
+        val base = utf16be(toks(i + 2).group(1))
+        var c = lo
+        while (c <= hi) {
+          out((w, c)) = base.dropRight(1) + (base.last + (c - lo)).toChar
+          c += 1
+        }
+        i += 3
+      }
+    }
+  }
+
   private def parseBfrangeBody(body: String, out: mutable.Map[Int, String]): Unit = {
     val toks = """<([0-9A-Fa-f]+)>|\[|\]""".r.findAllMatchIn(body).toVector
     var i = 0
@@ -421,6 +531,38 @@ object PdfCodec {
         map.getOrElse(code, throw new IllegalArgumentException(
           f"PdfCodec: code 0x$code%04x not in the font's ToUnicode CMap"))
       }.mkString
+    case CmapFont(spaces, map, fontNum) =>
+      // variable-width tokenization: shortest matching codespace wins.
+      // Equivalent to the spec's byte-incremental prefix match for the
+      // prefix-disjoint ranges well-formed CMaps declare (a 2-byte
+      // range's FIRST byte never falls inside a 1-byte range); bytes
+      // matching no range fail loud, never resync-and-garble.
+      val sb = new StringBuilder
+      var i = 0
+      while (i < raw.length) {
+        var len = 1
+        var hit = -1
+        var value = 0L
+        while (hit < 0 && len <= 4) {
+          if (i + len <= raw.length && spaces.exists(_._1 == len)) {
+            var v = 0L
+            var j = 0
+            while (j < len) { v = (v << 8) | (raw.charAt(i + j) & 0xff).toLong; j += 1 }
+            if (spaces.exists(s => s._1 == len && v >= s._2 && v <= s._3)) {
+              hit = len; value = v
+            }
+          }
+          len += 1
+        }
+        require(hit > 0,
+          f"PdfCodec: font $fontNum: byte 0x${raw.charAt(i) & 0xff}%02x at string " +
+            s"offset $i starts no codespace range")
+        sb.append(map.getOrElse((hit, value), throw new IllegalArgumentException(
+          f"PdfCodec: font $fontNum: code 0x$value%x ($hit-byte) not in the " +
+            "font's ToUnicode CMap")))
+        i += hit
+      }
+      sb.toString
   }
 
   /** [[scanTopLevel]] plus expansion of object streams (/Type /ObjStm,
@@ -1621,6 +1763,112 @@ object PdfCodec {
     writeStreamObj(tuNum, toUnicodeCmap(codeOf.toSeq).getBytes(ISO_8859_1))
     val xrefAt = out.size()
     val total = tuNum + 1
+    w(s"xref\n0 $total\n0000000000 65535 f \n")
+    offsets.sortBy(_._1).foreach { case (_, off) => w(f"$off%010d 00000 n \n") }
+    w(s"trailer\n<< /Size $total /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
+    out.toByteArray
+  }
+
+  /** Write a PDF whose composite font carries an EMBEDDED /Encoding
+    * CMap with MIXED code widths — the RKSJ shape real Japanese corpora
+    * carry: printable ASCII shows as 1-byte codes (codespace <20><7E>,
+    * code = the byte itself), every other BMP char takes a sequential
+    * 2-byte code from 0x8140 (codespace <8140><FFFE> — first bytes
+    * ≥ 0x81 never collide with the 1-byte range). The encoding CMap
+    * maps codes to sequential CIDs (glyph selection — irrelevant to
+    * extraction); the ToUnicode CMap carries width-matched sources.
+    * A decoder that pairs bytes blindly (the Identity assumption)
+    * garbles every ASCII run, so round-tripping this file genuinely
+    * gates the variable-width tokenizer. */
+  def encodeCmapPdf(pages: Seq[String], compress: Boolean = true): Array[Byte] = {
+    val codeOf = mutable.LinkedHashMap.empty[Char, (Int, Int)] // char -> (width, code)
+    var next2 = 0x8140
+    pages.foreach(_.foreach { ch =>
+      require(!ch.isSurrogate,
+        f"PdfCodec.encodeCmapPdf: non-BMP char U+${ch.toInt}%04x outside 2-byte scope")
+      if (!codeOf.contains(ch)) {
+        if (ch >= 0x20 && ch <= 0x7e) codeOf(ch) = (1, ch.toInt)
+        else {
+          require(next2 <= 0xFFFE,
+            s"PdfCodec.encodeCmapPdf: 2-byte code space exhausted")
+          codeOf(ch) = (2, next2); next2 += 1
+        }
+      }
+    })
+    val nPages = pages.length
+    val fontNum = 3 + 2 * nPages
+    val descNum = fontNum + 1
+    val tuNum = fontNum + 2
+    val encNum = fontNum + 3
+    val out = new ByteArrayOutputStream()
+    val offsets = mutable.Buffer.empty[(Int, Int)]
+    def w(str: String): Unit = out.write(str.getBytes(ISO_8859_1))
+    def beginObj(num: Int): Unit = { offsets += (num -> out.size()); w(s"$num 0 obj\n") }
+    def writeStreamObj(num: Int, payload: Array[Byte], extra: String = ""): Unit = {
+      val data = if (compress) deflate(payload) else payload
+      beginObj(num)
+      val filter = if (compress) " /Filter /FlateDecode" else ""
+      w(s"<< /Length ${data.length}$filter$extra >>\nstream\n")
+      out.write(data)
+      w("\nendstream\nendobj\n")
+    }
+    w("%PDF-1.4\n%âãÏÓ\n")
+    beginObj(1); w("<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    val kids = (0 until nPages).map(i => s"${3 + 2 * i} 0 R").mkString(" ")
+    beginObj(2); w(s"<< /Type /Pages /Kids [ $kids ] /Count $nPages >>\nendobj\n")
+    pages.zipWithIndex.foreach { case (text, i) =>
+      val pageNum = 3 + 2 * i
+      val contNum = 4 + 2 * i
+      beginObj(pageNum)
+      w(s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        s"/Resources << /Font << /F1 $fontNum 0 R >> >> /Contents $contNum 0 R >>\nendobj\n")
+      val hex = text.map { ch =>
+        val (wd, code) = codeOf(ch)
+        if (wd == 1) f"$code%02X" else f"$code%04X"
+      }.mkString
+      writeStreamObj(contNum, s"BT /F1 12 Tf 72 720 Td <$hex> Tj ET".getBytes(ISO_8859_1))
+    }
+    beginObj(fontNum)
+    w(s"<< /Type /Font /Subtype /Type0 /BaseFont /GraftCMap /Encoding $encNum 0 R " +
+      s"/DescendantFonts [ $descNum 0 R ] /ToUnicode $tuNum 0 R >>\nendobj\n")
+    beginObj(descNum)
+    w("<< /Type /Font /Subtype /CIDFontType2 /BaseFont /GraftCMap " +
+      "/CIDSystemInfo << /Registry (Graft) /Ordering (Mixed) /Supplement 0 >> >>\nendobj\n")
+    // ToUnicode: width-matched sources, bfchar blocks of <=100
+    val tu = new StringBuilder
+    tu.append("/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n")
+    tu.append("/CIDSystemInfo << /Registry (Graft) /Ordering (UCS) /Supplement 0 >> def\n")
+    tu.append("/CMapName /GraftMixedToUnicode def\n/CMapType 2 def\n")
+    tu.append("2 begincodespacerange\n<20> <7E>\n<8140> <FFFE>\nendcodespacerange\n")
+    codeOf.toSeq.grouped(100).foreach { blk =>
+      tu.append(s"${blk.length} beginbfchar\n")
+      blk.foreach { case (ch, (wd, code)) =>
+        val src = if (wd == 1) f"<$code%02X>" else f"<$code%04X>"
+        tu.append(f"$src <${ch.toInt}%04X>\n")
+      }
+      tu.append("endbfchar\n")
+    }
+    tu.append("endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend\n")
+    writeStreamObj(tuNum, tu.toString.getBytes(ISO_8859_1))
+    // the embedded /Encoding CMap: codespaces + code->CID (sequential)
+    val enc = new StringBuilder
+    enc.append("/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n")
+    enc.append("/CIDSystemInfo << /Registry (Graft) /Ordering (Mixed) /Supplement 0 >> def\n")
+    enc.append("/CMapName /GraftMixed-H def\n/CMapType 1 def\n/WMode 0 def\n")
+    enc.append("2 begincodespacerange\n<20> <7E>\n<8140> <FFFE>\nendcodespacerange\n")
+    codeOf.toSeq.zipWithIndex.grouped(100).foreach { blk =>
+      enc.append(s"${blk.length} begincidchar\n")
+      blk.foreach { case ((_, (wd, code)), cid) =>
+        val src = if (wd == 1) f"<$code%02X>" else f"<$code%04X>"
+        enc.append(s"$src ${cid + 1}\n")
+      }
+      enc.append("endcidchar\n")
+    }
+    enc.append("endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend\n")
+    writeStreamObj(encNum, enc.toString.getBytes(ISO_8859_1),
+      extra = " /Type /CMap /CMapName /GraftMixed-H /WMode 0")
+    val xrefAt = out.size()
+    val total = encNum + 1
     w(s"xref\n0 $total\n0000000000 65535 f \n")
     offsets.sortBy(_._1).foreach { case (_, off) => w(f"$off%010d 00000 n \n") }
     w(s"trailer\n<< /Size $total /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")

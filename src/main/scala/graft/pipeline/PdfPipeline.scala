@@ -135,6 +135,22 @@ object PdfPipeline {
       .toDF(idCol, "content")
   }
 
+  /** [[synthesizeCidPdfs]] with an EMBEDDED mixed-width /Encoding CMap
+    * ([[PdfCodec.encodeCmapPdf]] — ASCII as 1-byte codes, everything
+    * else 2-byte): the RKSJ-shaped file real Japanese corpora carry. */
+  def synthesizeCmapPdfs(docs: DataFrame, pageSize: Int = 200, compress: Boolean = true,
+                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val pages = if (text.isEmpty) Seq.empty[String] else text.grouped(pageSize).toSeq
+        (id, PdfCodec.encodeCmapPdf(pages, compress))
+      }
+      .toDF(idCol, "content")
+  }
+
   /** Normalized text → (chunk_idx, chunk) rows via the reference chunker
     * (native expression — no ScalaUDF row serialization). */
   def chunkRows(docs: DataFrame, maxLen: Int = 7500, lookback: Int = 300,

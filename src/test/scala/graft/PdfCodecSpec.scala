@@ -744,12 +744,66 @@ class PdfCodecSpec extends SparkSpec {
     assert(e.getMessage.contains("ToUnicode"))
   }
 
-  test("non-Identity composite encoding fails loud (variable-width codes)") {
+  test("PREDEFINED composite encoding names still fail loud (no tables carried)") {
     val pdf = new String(PdfCodec.encodeCidPdf(Seq("字")), "ISO-8859-1")
     val broken = pdf.replace("/Identity-H", "/90ms-RKSJ-H")
     val e = intercept[IllegalArgumentException](
       PdfCodec.extractText(broken.getBytes("ISO-8859-1")))
-    assert(e.getMessage.contains("Identity"))
+    assert(e.getMessage.contains("predefined CMap"), e.getMessage)
+  }
+
+  test("EMBEDDED /Encoding CMap: mixed 1/2-byte codes round-trip (the RKSJ shape)") {
+    // ASCII runs show as 1-byte codes, CJK as 2-byte — a decoder that
+    // pairs bytes blindly (the Identity assumption) garbles every page
+    val pages = Seq(
+      "Hello 世界! mixed ascii and 日本語 text",
+      "second page: こんにちは world",
+      "pure ascii page",
+      "字字字 repeated plus spaces   and (parens)")
+    for (compress <- Seq(true, false)) {
+      val pdf = PdfCodec.encodeCmapPdf(pages, compress)
+      assert(PdfCodec.extractText(pdf) == pages, s"compress=$compress")
+    }
+  }
+
+  test("embedded CMap fail-loud: usecmap, out-of-codespace bytes, missing ToUnicode code") {
+    val pdf = new String(PdfCodec.encodeCmapPdf(Seq("Hi 字"), compress = false), "ISO-8859-1")
+    // usecmap (predefined base) refuses — pad to preserve stream /Length
+    assert(pdf.contains("/CMapType 1 def"))
+    val used = pdf.replace("/CMapType 1 def\n", "usecmap %pad1234\n")
+    val eUse = intercept[IllegalArgumentException](
+      PdfCodec.extractText(used.getBytes("ISO-8859-1")))
+    assert(eUse.getMessage.contains("usecmap"), eUse.getMessage)
+    // a byte below <20> (outside both codespaces) in the shown string —
+    // patch the CONTENT hex run "<4869…" ("Hi"), not the bare "<48",
+    // which would ALSO rewrite the ToUnicode bfchar source and remap
+    // instead of unmapping (length-preserving either way)
+    assert(pdf.contains("<4869"), "content hex changed — update the patch anchors")
+    val stray = pdf.replace("<4869", "<0169")
+    val eSpace = intercept[IllegalArgumentException](
+      PdfCodec.extractText(stray.getBytes("ISO-8859-1")))
+    assert(eSpace.getMessage.contains("codespace"), eSpace.getMessage)
+    // in-codespace 1-byte code with no ToUnicode entry ('z' = 0x7A unused)
+    val unmapped = pdf.replace("<4869", "<7A69")
+    val eMap = intercept[IllegalArgumentException](
+      PdfCodec.extractText(unmapped.getBytes("ISO-8859-1")))
+    assert(eMap.getMessage.contains("ToUnicode"), eMap.getMessage)
+  }
+
+  test("width-keyed ToUnicode: a 1-byte <41> and a 2-byte <0041> are distinct codes") {
+    val cmap =
+      """2 begincodespacerange
+        |<00> <7F>
+        |<0000> <FFFF>
+        |endcodespacerange
+        |2 beginbfchar
+        |<41> <0058>
+        |<0041> <0059>
+        |endbfchar""".stripMargin
+    val m = PdfCodec.parseToUnicodeWide(cmap)
+    assert(m((1, 0x41L)) == "X" && m((2, 0x41L)) == "Y")
+    val spaces = PdfCodec.parseCodespaces(cmap, -1)
+    assert(spaces == Seq((1, 0x00L, 0x7fL), (2, 0x0000L, 0xffffL)))
   }
 
   test("code missing from the CMap fails loud, not silent drop") {
