@@ -87,8 +87,6 @@ object JpegCodec {
   private final class BitReader(bytes: Array[Byte], var pos: Int) {
     private var acc = 0
     private var nbits = 0
-    /** Marker hit while filling (RSTn/EOI) — exposed for the scan loop. */
-    var markerAt: Int = -1
 
     def bit(): Int = {
       if (nbits == 0) {
@@ -204,6 +202,8 @@ object JpegCodec {
             val c = Component(u8(o), hv >> 4, hv & 0xf, u8(o + 2))
             require(c.h >= 1 && c.h <= 2 && c.v >= 1 && c.v <= 2,
               s"JpegCodec: sampling ${c.h}x${c.v} unsupported (factors 1 or 2)")
+            require(c.tq <= 3,
+              s"JpegCodec: SOF0 component ${c.id} names quant table ${c.tq} (0-3)")
             c
           }
           if (nc == 1) require(h.comps(0).h == 1 && h.comps(0).v == 1,
@@ -267,6 +267,9 @@ object JpegCodec {
             val tables = u8(pos + 4 + 2 * i)
             val c = h.comps.find(_.id == cid).getOrElse(
               throw new IllegalArgumentException(s"JpegCodec: SOS names unknown component $cid"))
+            require((tables >> 4) <= 3 && (tables & 0xf) <= 3,
+              s"JpegCodec: SOS component $cid names Huffman table ${tables >> 4}/" +
+                s"${tables & 0xf} (0-3)")
             c.dcTable = h.dcTables(tables >> 4)
             c.acTable = h.acTables(tables & 0xf)
             require(c.dcTable != null && c.acTable != null,
@@ -584,9 +587,13 @@ object JpegCodec {
              restartInterval: Int = 0): Array[Byte] = {
     require(components == 1 || components == 3,
       s"JpegCodec: encode components must be 1 or 3, got $components")
-    require(pixels.length == width * height * components,
-      s"JpegCodec: pixel buffer ${pixels.length} != $width*$height*$components")
     require(width > 0 && height > 0, "JpegCodec: empty image")
+    // SOF0 carries 16-bit dimensions: anything larger would silently
+    // truncate through w16 and write a corrupt-but-valid-looking file
+    require(width <= 0xffff && height <= 0xffff,
+      s"JpegCodec: ${width}x$height exceeds JPEG's 65535 dimension limit")
+    require(pixels.length.toLong == width.toLong * height * components,
+      s"JpegCodec: pixel buffer ${pixels.length} != $width*$height*$components")
     val qLuma = scaledQuant(QLumaBase, quality)
     val qChroma = scaledQuant(QChromaBase, quality)
 

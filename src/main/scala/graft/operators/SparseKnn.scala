@@ -166,18 +166,20 @@ object SparseKnn {
         var out: Seq[(Array[Long], Array[Double])] = null
         var lastErr: Throwable = null
         while (out == null && attempt < maxRetries) {
-          try {
-            val got = client.expandBatch(texts, dim)
-            require(got.length == texts.length,
-              s"SparseEmbeddingClient returned ${got.length} vectors for ${texts.length} texts")
-            out = got
-          } catch {
+          // retry TRANSPORT failures only: NonFatal keeps OOM/linkage
+          // errors fatal, and the contract checks below run OUTSIDE the
+          // loop — a deterministic client bug fails once, loudly, not
+          // maxRetries times disguised as a flaky network
+          try out = client.expandBatch(texts, dim)
+          catch {
             case ie: InterruptedException => Thread.currentThread().interrupt(); throw ie
-            case e: Throwable => lastErr = e; attempt += 1
+            case scala.util.control.NonFatal(e) => lastErr = e; attempt += 1
           }
         }
         if (out == null) throw new RuntimeException(
           s"spladeExpandWith: client failed $maxRetries times", lastErr)
+        require(out.length == texts.length,
+          s"SparseEmbeddingClient returned ${out.length} vectors for ${texts.length} texts")
         batch.iterator.zip(out.iterator).flatMap { case (r, (idx, vs)) =>
           require(idx.length == vs.length,
             s"SparseEmbeddingClient: ${idx.length} indices vs ${vs.length} values")

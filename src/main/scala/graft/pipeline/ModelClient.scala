@@ -53,6 +53,22 @@ object DeterministicClient extends EmbeddingClient with ChatClient {
     pairs.map { case (t, q) => Summarizer.summarizeText(t, q, ctx, maxLen) }
 }
 
+/** JSON string escaping shared by the HTTP clients — one
+  * implementation so an escaping fix can never diverge between them. */
+private[pipeline] object ModelJson {
+  def str(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+}
+
+
 /** Real HTTP implementation against any OpenAI-compatible endpoint (the
   * public `/embeddings` and `/chat/completions` JSON contract the
   * reference's Azure SDK speaks under the hood). OFFLINE-UNTESTED by
@@ -96,16 +112,7 @@ final class OpenAiCompatClient(endpoint: String, apiKey: String,
     resp.body()
   }
 
-  private def jsonStr(s: String): String =
-    "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+  private def jsonStr(s: String): String = ModelJson.str(s)
 
   override def embedBatch(texts: Seq[String], dim: Int): Seq[Array[Float]] = {
     val body = s"""{"model":${jsonStr(embedModel)},"input":[${texts.map(jsonStr).mkString(",")}]}"""
@@ -306,16 +313,7 @@ final class HttpSparseClient(endpoint: String, apiKey: String,
   @transient private lazy val http: HttpClient =
     HttpClient.newBuilder().connectTimeout(Duration.ofSeconds(timeoutSec.toLong)).build()
 
-  private def jsonStr(s: String): String =
-    "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+  private def jsonStr(s: String): String = ModelJson.str(s)
 
   override def expandBatch(texts: Seq[String], dim: Int): Seq[(Array[Long], Array[Double])] = {
     val body = s"""{"inputs":[${texts.map(jsonStr).mkString(",")}]}"""
@@ -364,7 +362,10 @@ object HttpSparseClient {
     require(gs.length == n,
       s"HttpSparseClient: expected $n sparse vectors, got ${gs.length}")
     val idxRe = """"index"\s*:\s*(\d+)""".r
-    val valRe = """"value"\s*:\s*(-?[0-9.eE+]+)""".r
+    // full JSON number grammar: serde-style writers emit 1.2e-5 for
+    // small SPLADE weights — a char class without '-' after the e
+    // captures "1.2e" and toDouble throws on a well-formed body
+    val valRe = """"value"\s*:\s*(-?[0-9]+(?:\.[0-9]+)?(?:[eE][-+]?[0-9]+)?)""".r
     gs.map { g =>
       val idxs = idxRe.findAllMatchIn(g).map(_.group(1).toLong).toArray
       val vals = valRe.findAllMatchIn(g).map(_.group(1).toDouble).toArray

@@ -450,12 +450,20 @@ object PdfCodec {
     while (i < toks.length) {
       require(i + 2 < toks.length, "PdfCodec: truncated bfrange entry")
       val loHex = toks(i).group(1)
+      val hiHex = toks(i + 1).group(1)
       require(loHex.length % 2 == 0 && loHex.length <= 8,
         s"PdfCodec: bfrange source <$loHex> is not 1-4 whole bytes")
+      // hi must carry the SAME code width as lo — a wider hi would
+      // silently enumerate a huge wrong-width range (hang/OOM on
+      // malformed input the fail-loud contract must reject)
+      require(hiHex.length == loHex.length,
+        s"PdfCodec: bfrange <$loHex> <$hiHex> mix code widths")
       val w = loHex.length / 2
       val lo = java.lang.Long.parseLong(loHex, 16)
-      val hi = java.lang.Long.parseLong(toks(i + 1).group(1), 16)
+      val hi = java.lang.Long.parseLong(hiHex, 16)
       require(hi >= lo, s"PdfCodec: bfrange hi < lo ($hi < $lo)")
+      require(hi - lo <= 0xFFFF,
+        s"PdfCodec: bfrange spans ${hi - lo + 1} codes (cap 65536)")
       if (toks(i + 2).matched == "[") {
         var j = i + 3
         var c = lo
@@ -483,9 +491,19 @@ object PdfCodec {
     var i = 0
     while (i < toks.length) {
       require(i + 2 < toks.length, "PdfCodec: truncated bfrange entry")
-      val lo = Integer.parseInt(toks(i).group(1), 16)
-      val hi = Integer.parseInt(toks(i + 1).group(1), 16)
+      val loHex = toks(i).group(1)
+      val hiHex = toks(i + 1).group(1)
+      // same-width + span guards as the wide parser: a malformed range
+      // must fail loud, not enumerate 2^31 codes
+      require(loHex.length % 2 == 0 && loHex.length <= 8,
+        s"PdfCodec: bfrange source <$loHex> is not 1-4 whole bytes")
+      require(hiHex.length == loHex.length,
+        s"PdfCodec: bfrange <$loHex> <$hiHex> mix code widths")
+      val lo = java.lang.Long.parseLong(loHex, 16).toInt
+      val hi = java.lang.Long.parseLong(hiHex, 16).toInt
       require(hi >= lo, s"PdfCodec: bfrange hi < lo ($hi < $lo)")
+      require(hi.toLong - lo <= 0xFFFF,
+        s"PdfCodec: bfrange spans ${hi.toLong - lo + 1} codes (cap 65536)")
       if (toks(i + 2).matched == "[") {
         var j = i + 3
         var c = lo
@@ -533,10 +551,21 @@ object PdfCodec {
       }.mkString
     case CmapFont(spaces, map, fontNum) =>
       // variable-width tokenization: shortest matching codespace wins.
-      // Equivalent to the spec's byte-incremental prefix match for the
-      // prefix-disjoint ranges well-formed CMaps declare (a 2-byte
-      // range's FIRST byte never falls inside a 1-byte range); bytes
-      // matching no range fail loud, never resync-and-garble.
+      // Range containment is PER BYTE (spec §9.7.6.2 / PostScript CMap
+      // semantics: <8140> <FEFE> admits codes whose FIRST byte is in
+      // [81,FE] AND second in [40,FE] — NOT the integer interval, which
+      // would wrongly admit 0x8200-0x823F-style codes a conformant
+      // reader rejects). Shortest-first is equivalent to the spec's
+      // byte-incremental prefix match for the prefix-disjoint ranges
+      // well-formed CMaps declare; bytes matching no range fail loud,
+      // never resync-and-garble.
+      def inSpace(len: Int, v: Long): Boolean = spaces.exists { case (l, lo, hi) =>
+        l == len && (0 until len).forall { j =>
+          val sh = 8 * (len - 1 - j)
+          val b = (v >> sh) & 0xff
+          b >= ((lo >> sh) & 0xff) && b <= ((hi >> sh) & 0xff)
+        }
+      }
       val sb = new StringBuilder
       var i = 0
       while (i < raw.length) {
@@ -548,9 +577,7 @@ object PdfCodec {
             var v = 0L
             var j = 0
             while (j < len) { v = (v << 8) | (raw.charAt(i + j) & 0xff).toLong; j += 1 }
-            if (spaces.exists(s => s._1 == len && v >= s._2 && v <= s._3)) {
-              hit = len; value = v
-            }
+            if (inSpace(len, v)) { hit = len; value = v }
           }
           len += 1
         }
@@ -1773,7 +1800,7 @@ object PdfCodec {
     * CMap with MIXED code widths — the RKSJ shape real Japanese corpora
     * carry: printable ASCII shows as 1-byte codes (codespace <20><7E>,
     * code = the byte itself), every other BMP char takes a sequential
-    * 2-byte code from 0x8140 (codespace <8140><FFFE> — first bytes
+    * 2-byte code from 0x8140 (codespace <8140><FEFE>, per-byte ranges — first bytes
     * ≥ 0x81 never collide with the 1-byte range). The encoding CMap
     * maps codes to sequential CIDs (glyph selection — irrelevant to
     * extraction); the ToUnicode CMap carries width-matched sources.
@@ -1782,16 +1809,23 @@ object PdfCodec {
     * gates the variable-width tokenizer. */
   def encodeCmapPdf(pages: Seq[String], compress: Boolean = true): Array[Byte] = {
     val codeOf = mutable.LinkedHashMap.empty[Char, (Int, Int)] // char -> (width, code)
-    var next2 = 0x8140
+    // codespace containment is PER BYTE (spec §9.7.6.2): inside
+    // <8140> <FEFE> each byte must stay in its own range, so allocation
+    // walks (hiByte, loByte) with loByte wrapping at 0xFE — a linear
+    // integer increment would emit codes like 0x81FF/0x8200 that match
+    // no codespace in a conformant reader. Capacity 126×191 = 24 066.
+    var hi2 = 0x81; var lo2 = 0x40
     pages.foreach(_.foreach { ch =>
       require(!ch.isSurrogate,
         f"PdfCodec.encodeCmapPdf: non-BMP char U+${ch.toInt}%04x outside 2-byte scope")
       if (!codeOf.contains(ch)) {
         if (ch >= 0x20 && ch <= 0x7e) codeOf(ch) = (1, ch.toInt)
         else {
-          require(next2 <= 0xFFFE,
-            s"PdfCodec.encodeCmapPdf: 2-byte code space exhausted")
-          codeOf(ch) = (2, next2); next2 += 1
+          require(hi2 <= 0xFE,
+            s"PdfCodec.encodeCmapPdf: 2-byte code space exhausted (24066 codes)")
+          codeOf(ch) = (2, (hi2 << 8) | lo2)
+          lo2 += 1
+          if (lo2 > 0xFE) { lo2 = 0x40; hi2 += 1 }
         }
       }
     })
@@ -1839,7 +1873,7 @@ object PdfCodec {
     tu.append("/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n")
     tu.append("/CIDSystemInfo << /Registry (Graft) /Ordering (UCS) /Supplement 0 >> def\n")
     tu.append("/CMapName /GraftMixedToUnicode def\n/CMapType 2 def\n")
-    tu.append("2 begincodespacerange\n<20> <7E>\n<8140> <FFFE>\nendcodespacerange\n")
+    tu.append("2 begincodespacerange\n<20> <7E>\n<8140> <FEFE>\nendcodespacerange\n")
     codeOf.toSeq.grouped(100).foreach { blk =>
       tu.append(s"${blk.length} beginbfchar\n")
       blk.foreach { case (ch, (wd, code)) =>
@@ -1855,7 +1889,7 @@ object PdfCodec {
     enc.append("/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n")
     enc.append("/CIDSystemInfo << /Registry (Graft) /Ordering (Mixed) /Supplement 0 >> def\n")
     enc.append("/CMapName /GraftMixed-H def\n/CMapType 1 def\n/WMode 0 def\n")
-    enc.append("2 begincodespacerange\n<20> <7E>\n<8140> <FFFE>\nendcodespacerange\n")
+    enc.append("2 begincodespacerange\n<20> <7E>\n<8140> <FEFE>\nendcodespacerange\n")
     codeOf.toSeq.zipWithIndex.grouped(100).foreach { blk =>
       enc.append(s"${blk.length} begincidchar\n")
       blk.foreach { case ((_, (wd, code)), cid) =>

@@ -790,6 +790,35 @@ class PdfCodecSpec extends SparkSpec {
     assert(eMap.getMessage.contains("ToUnicode"), eMap.getMessage)
   }
 
+  test("2-byte code allocation walks PER-BYTE ranges: >191 distinct chars wrap the low byte") {
+    // spec §9.7.6.2: codespace containment is per byte, so <8140><FEFE>
+    // does NOT include 0x81FF or 0x8200-0x823F — after 191 codes the
+    // allocator must wrap to 0x8240, and the round trip must survive the
+    // wrap (a linear integer increment would emit codes a conformant
+    // reader rejects; the decoder's own byte-wise matcher would fail
+    // loud on them too, keeping the two sides honest together)
+    val chars = (0x4E00 until 0x4E00 + 300).map(_.toChar).mkString // 300 CJK chars
+    val pages = Seq(chars.take(150) + " mid ascii " + chars.drop(150))
+    val pdf = PdfCodec.encodeCmapPdf(pages, compress = false)
+    assert(PdfCodec.extractText(pdf) == pages)
+    // the wrapped code really appears: char #192 carries first byte 0x82
+    val s = new String(pdf, "ISO-8859-1")
+    assert(s.contains("<8240>"), "allocation did not wrap at the per-byte boundary")
+    assert(!s.contains("<81FF>") && !s.contains("<8200>"),
+      "allocator emitted codes outside the per-byte codespace")
+  }
+
+  test("byte-wise codespace matching: integer-in-range but byte-out-of-range code refuses") {
+    // 0x8230: integer-inside <8140><FEFE> under interval semantics, but
+    // its SECOND byte 0x30 < 0x40 — per-byte semantics must reject it
+    val pdf = new String(PdfCodec.encodeCmapPdf(Seq("字A"), compress = false), "ISO-8859-1")
+    assert(pdf.contains("<8140 41>") || pdf.contains("<814041>"), "content shape changed")
+    val patched = pdf.replace("<814041>", "<823041>")
+    val e = intercept[IllegalArgumentException](
+      PdfCodec.extractText(patched.getBytes("ISO-8859-1")))
+    assert(e.getMessage.contains("codespace"), e.getMessage)
+  }
+
   test("width-keyed ToUnicode: a 1-byte <41> and a 2-byte <0041> are distinct codes") {
     val cmap =
       """2 begincodespacerange
