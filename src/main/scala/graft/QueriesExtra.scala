@@ -1483,6 +1483,33 @@ object QueriesExtra {
              |WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.999999
              |ORDER BY id1, id2""".stripMargin)),
 
+    // PROGRESSIVE JPEG decode (round 14): the SAME fixtures as
+    // q_image_jpeg but written as SOF2 files with the full successive-
+    // approximation scan script (DC first at Al=1, DC refinement,
+    // per-component AC band first pass at Al=1, AC refinement with EOB
+    // runs and correction bits). Successive approximation transmits
+    // IDENTICAL quantized coefficients, so the oracle is q_image_jpeg's
+    // verbatim — any desync in the band scans, point transforms, EOB-run
+    // accounting or correction-bit ordering breaks the hash.
+    "q_image_jpeg_prog" -> QueryDef(
+      (s, d) => BinaryPipeline.decodeJpegs(
+          BinaryPipeline.synthesizeJpegs(Tables.documents(s, d), progressive = true))
+        .select(col("doc_id"), col("width"), col("height"), col("components"),
+          col("r_sum"), col("g_sum"), col("b_sum"))
+        .orderBy(col("doc_id")),
+      Some("""WITH p AS (SELECT doc_id,
+             |    24 + doc_id % 13 AS w, 16 + doc_id % 11 AS h,
+             |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS comps FROM documents),
+             |px AS (SELECT doc_id, comps, w, h,
+             |    128 + 3*(((doc_id*31 + (x//8)*7 + (y//8)*13) % 53) - 26) AS v
+             |  FROM p, unnest(range(0, w)) AS gx(x), unnest(range(0, h)) AS gy(y))
+             |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             |  CAST(comps AS BIGINT) AS components,
+             |  CAST(SUM(v) AS BIGINT) AS r_sum,
+             |  CAST(CASE WHEN comps = 3 THEN SUM(v) ELSE 0 END AS BIGINT) AS g_sum,
+             |  CAST(CASE WHEN comps = 3 THEN SUM(v) ELSE 0 END AS BIGINT) AS b_sum
+             |FROM px GROUP BY doc_id, comps, w, h ORDER BY doc_id""".stripMargin)),
+
     "q_multimodal_meta" -> QueryDef(
       (s, d) => BinaryPipeline.extractFeatures(BinaryPipeline.asMedia(Tables.documents(s, d)))
         .select(col("doc_id"), col("byte_len"), col("content_md5"), col("width"), col("media_type"))

@@ -257,7 +257,7 @@ object BinaryPipeline {
     *   blockValue(bx, by) = 128 + 3·(((doc_id·31 + bx·7 + by·13) mod 53) − 26)
     * Output: (idCol, content binary, meta struct) — the [[asMedia]] shape. */
   def synthesizeJpegs(docs: DataFrame, idCol: String = "doc_id",
-                      batchSize: Int = 16): DataFrame = {
+                      batchSize: Int = 16, progressive: Boolean = false): DataFrame = {
     val schema = StructType(Seq(
       StructField(idCol, LongType, nullable = false),
       StructField("content", BinaryType, nullable = false),
@@ -285,9 +285,12 @@ object BinaryPipeline {
             }
             y += 1
           }
+          // progressive files carry the full successive-approximation
+          // scan script; restart markers stay a baseline-only feature
           val bytes = JpegCodec.encode(w, h, comps, px, quality = 90,
             subsample = comps == 3 && id % 4 == 3,
-            restartInterval = if (id % 5 == 0) 2 else 0)
+            restartInterval = if (!progressive && id % 5 == 0) 2 else 0,
+            progressive = progressive)
           Row(id, bytes, Row("image/jpeg", bytes.length.toLong))
         }
       }

@@ -2,8 +2,8 @@ package graft.multimodal
 
 import java.io.ByteArrayOutputStream
 
-/** A real baseline JPEG codec (ITU-T T.81 / ISO 10918-1, baseline
-  * sequential DCT, Huffman entropy coding) — the second real image leg
+/** A real JPEG codec (ITU-T T.81 / ISO 10918-1, baseline sequential
+  * AND progressive DCT, Huffman entropy coding) — the second real image leg
   * of the multimodal pipeline. PNG covered the lossless corpora; real
   * image corpora are overwhelmingly JPEG, and the reference decodes its
   * media format for real (PDFBox, BlobUploadDetector/.../
@@ -12,17 +12,19 @@ import java.io.ByteArrayOutputStream
   * IDCT → chroma upsample → YCbCr→RGB.
   *
   * Scope (fail-loud beyond it, never silent garbage):
-  *  - SOF0 baseline sequential only: progressive (SOF2), extended
-  *    sequential (SOF1), lossless, hierarchical and ARITHMETIC coding
-  *    all reject with the marker named
+  *  - SOF0 baseline sequential AND SOF2 progressive (round 14: full
+  *    spectral selection + successive approximation — DC/AC band scans,
+  *    point transforms, EOB runs, correction bits — decoded into
+  *    per-component coefficient buffers refined across scans, one
+  *    dequantize+IDCT pass at EOI); extended sequential (SOF1),
+  *    lossless, hierarchical and ARITHMETIC coding reject with the
+  *    marker named
   *  - 8-bit precision; 1 (grayscale) or 3 (YCbCr) components — CMYK/
   *    Adobe 4-component rejects
   *  - sampling factors 1 or 2 per axis (4:4:4, 4:2:2, 4:4:0, 4:2:0);
   *    chroma upsamples by sample replication
-  *  - restart markers (DRI/RSTn) honored, including the DC-predictor
-  *    reset and expected-index check
-  *  - a single interleaved scan covering all components (the baseline
-  *    layout every mainstream encoder writes)
+  *  - restart markers (DRI/RSTn) honored in every scan kind, including
+  *    the DC-predictor/EOB-run reset and expected-index check
   *
   * Determinism contract (what the SQL oracle leans on): every rounding
   * in BOTH codecs is `floor(x + 0.5)` — quantizer, IDCT output, color
@@ -145,28 +147,38 @@ object JpegCodec {
     var planeW: Int = 0
     var planeH: Int = 0
     var pred: Int = 0
+    // QUANTIZED coefficients for the whole component, natural order per
+    // block, MCU-aligned block grid (progressive scans refine these
+    // across multiple passes; IDCT runs once at EOI)
+    var coefs: Array[Int] = _
+    var blocksW: Int = 0     // MCU-aligned blocks per row (mcusX·h)
+    var blocksH: Int = 0
+    var compBlocksW: Int = 0 // ceil(compW/8) — non-interleaved scan grid
+    var compBlocksH: Int = 0
   }
 
-  /** Header-only geometry: (width, height, components) from SOF0 without
-    * decoding the scan — the cheap feature-extraction path. */
+  /** Header-only geometry: (width, height, components) from the SOF
+    * without decoding any scan — the cheap feature-extraction path. */
   def dimensions(bytes: Array[Byte]): (Int, Int, Int) = {
-    val hdr = parseUpTo(bytes, stopAtSos = true)
+    val hdr = parse(bytes, headerOnly = true)
     (hdr.width, hdr.height, hdr.comps.length)
   }
 
   private final class Header {
     var width = 0
     var height = 0
+    var progressive = false
     var comps: Array[Component] = Array.empty
     val quant = new Array[Array[Int]](4)
     val dcTables = new Array[HuffTable](4)
     val acTables = new Array[HuffTable](4)
     var restartInterval = 0
-    var sosAt = -1 // position of the first entropy byte
-    var scanOrder: Array[Component] = Array.empty
+    var scansDecoded = 0
+    var mcusX = 0
+    var mcusY = 0
   }
 
-  private def parseUpTo(bytes: Array[Byte], stopAtSos: Boolean): Header = {
+  private def parse(bytes: Array[Byte], headerOnly: Boolean): Header = {
     require(isJpeg(bytes), "JpegCodec: not a JPEG (bad SOI signature)")
     val h = new Header
     var pos = 2
@@ -185,14 +197,17 @@ object JpegCodec {
         case 0xd8 => // stray SOI
           throw new IllegalArgumentException("JpegCodec: unexpected second SOI")
         case 0xd9 =>
-          throw new IllegalArgumentException("JpegCodec: EOI before any scan data")
-        case 0xc0 => // SOF0 baseline
+          require(h.scansDecoded > 0,
+            "JpegCodec: EOI before any scan data")
+          done = true
+        case 0xc0 | 0xc2 => // SOF0 baseline / SOF2 progressive
+          h.progressive = marker == 0xc2
           val len = u16(pos)
           val prec = u8(pos + 2)
-          require(prec == 8, s"JpegCodec: precision $prec unsupported (8-bit baseline only)")
+          require(prec == 8, s"JpegCodec: precision $prec unsupported (8-bit only)")
           h.height = u16(pos + 3)
           h.width = u16(pos + 5)
-          require(h.width > 0 && h.height > 0, "JpegCodec: zero dimension in SOF0")
+          require(h.width > 0 && h.height > 0, "JpegCodec: zero dimension in SOF")
           val nc = u8(pos + 7)
           require(nc == 1 || nc == 3,
             s"JpegCodec: $nc components unsupported (1 = gray, 3 = YCbCr; CMYK out of scope)")
@@ -203,21 +218,35 @@ object JpegCodec {
             require(c.h >= 1 && c.h <= 2 && c.v >= 1 && c.v <= 2,
               s"JpegCodec: sampling ${c.h}x${c.v} unsupported (factors 1 or 2)")
             require(c.tq <= 3,
-              s"JpegCodec: SOF0 component ${c.id} names quant table ${c.tq} (0-3)")
+              s"JpegCodec: SOF component ${c.id} names quant table ${c.tq} (0-3)")
             c
           }
           if (nc == 1) require(h.comps(0).h == 1 && h.comps(0).v == 1,
             "JpegCodec: grayscale with sampling > 1 unsupported")
-          require(len == 8 + 3 * nc, "JpegCodec: malformed SOF0 length")
+          require(len == 8 + 3 * nc, "JpegCodec: malformed SOF length")
           sofSeen = true
+          if (!headerOnly) {
+            val hMax = h.comps.map(_.h).max
+            val vMax = h.comps.map(_.v).max
+            h.mcusX = (h.width + 8 * hMax - 1) / (8 * hMax)
+            h.mcusY = (h.height + 8 * vMax - 1) / (8 * vMax)
+            h.comps.foreach { c =>
+              c.blocksW = h.mcusX * c.h
+              c.blocksH = h.mcusY * c.v
+              c.coefs = new Array[Int](c.blocksW * c.blocksH * 64)
+              val compW = (h.width * c.h + hMax - 1) / hMax
+              val compH = (h.height * c.v + vMax - 1) / vMax
+              c.compBlocksW = (compW + 7) / 8
+              c.compBlocksH = (compH + 7) / 8
+            }
+          }
           pos += len
-        case 0xc2 => throw new IllegalArgumentException(
-          "JpegCodec: progressive JPEG (SOF2) unsupported — baseline sequential only")
         case 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xcd | 0xce | 0xcf =>
           throw new IllegalArgumentException(
-            f"JpegCodec: SOF marker 0xFF${marker}%02X unsupported — baseline sequential (SOF0) only")
+            f"JpegCodec: SOF marker 0xFF${marker}%02X unsupported — baseline (SOF0) " +
+              "and progressive (SOF2) only")
         case 0xc9 | 0xca | 0xcb => throw new IllegalArgumentException(
-          "JpegCodec: arithmetic-coded JPEG unsupported — Huffman baseline only")
+          "JpegCodec: arithmetic-coded JPEG unsupported — Huffman only")
         case 0xc4 => // DHT (may hold several tables)
           val len = u16(pos)
           var o = pos + 2
@@ -256,13 +285,14 @@ object JpegCodec {
           h.restartInterval = u16(pos + 2)
           pos += 4
         case 0xda => // SOS
-          require(sofSeen, "JpegCodec: SOS before SOF0")
+          require(sofSeen, "JpegCodec: SOS before SOF")
           val len = u16(pos)
           val ns = u8(pos + 2)
-          require(ns == h.comps.length,
-            s"JpegCodec: scan covers $ns of ${h.comps.length} components — " +
-              "multi-scan (non-interleaved) files unsupported")
-          h.scanOrder = Array.tabulate(ns) { i =>
+          if (!h.progressive) require(ns == h.comps.length,
+            s"JpegCodec: baseline scan covers $ns of ${h.comps.length} components — " +
+              "multi-scan baseline files unsupported")
+          require(ns >= 1 && ns <= h.comps.length, s"JpegCodec: SOS names $ns components")
+          val scanComps = Array.tabulate(ns) { i =>
             val cid = u8(pos + 3 + 2 * i)
             val tables = u8(pos + 4 + 2 * i)
             val c = h.comps.find(_.id == cid).getOrElse(
@@ -272,101 +302,275 @@ object JpegCodec {
                 s"${tables & 0xf} (0-3)")
             c.dcTable = h.dcTables(tables >> 4)
             c.acTable = h.acTables(tables & 0xf)
-            require(c.dcTable != null && c.acTable != null,
-              s"JpegCodec: scan references undefined Huffman table (component $cid)")
             require(h.quant(c.tq) != null,
               s"JpegCodec: component $cid references undefined quant table ${c.tq}")
             c
           }
-          // Ss/Se/Ah/Al must be the baseline 0/63/0/0
-          require(u8(pos + 3 + 2 * ns) == 0 && u8(pos + 4 + 2 * ns) == 63 &&
-            u8(pos + 5 + 2 * ns) == 0,
-            "JpegCodec: non-baseline spectral selection in SOS")
-          h.sosAt = pos + len
-          done = true
+          val ss = u8(pos + 3 + 2 * ns)
+          val se = u8(pos + 4 + 2 * ns)
+          val ahAl = u8(pos + 5 + 2 * ns)
+          val ah = ahAl >> 4
+          val al = ahAl & 0xf
+          if (!h.progressive)
+            require(ss == 0 && se == 63 && ahAl == 0,
+              "JpegCodec: non-baseline spectral selection in a baseline (SOF0) scan")
+          else {
+            // progressive scan-header validation (T.81 G.1.1.1.1)
+            if (ss == 0) require(se == 0,
+              "JpegCodec: progressive scan with Ss=0 must have Se=0 (DC band only)")
+            else {
+              require(ns == 1,
+                "JpegCodec: progressive AC scans must be non-interleaved (one component)")
+              require(se >= ss && se <= 63,
+                s"JpegCodec: progressive band Ss=$ss Se=$se out of order")
+            }
+            require(ah == 0 || ah == al + 1,
+              s"JpegCodec: successive approximation Ah=$ah Al=$al (want Ah=0 or Al+1)")
+            require(al <= 13, s"JpegCodec: point transform Al=$al out of range")
+          }
+          // table presence: DC scans (and baseline full-band) need the DC
+          // table; AC bands need the AC table
+          scanComps.foreach { c =>
+            if (ss == 0) require(c.dcTable != null || (h.progressive && ah > 0),
+              s"JpegCodec: scan references undefined DC Huffman table (component ${c.id})")
+            if (se > 0) require(c.acTable != null,
+              s"JpegCodec: scan references undefined AC Huffman table (component ${c.id})")
+          }
+          if (headerOnly) done = true
+          else {
+            pos = decodeScan(bytes, h, scanComps, ss, se, ah, al, pos + len)
+            h.scansDecoded += 1
+          }
         case m if m >= 0xe0 && m <= 0xef => pos += u16(pos) // APPn
         case 0xfe => pos += u16(pos) // COM
         case other => throw new IllegalArgumentException(
           f"JpegCodec: unsupported marker 0xFF$other%02X")
       }
-      // header-only callers stop right after SOF0 — geometry is known,
-      // the scan never gets decoded
-      if (stopAtSos && sofSeen) done = true
+      // header-only callers stop right after SOF — geometry is known,
+      // no scan gets decoded
+      if (headerOnly && sofSeen) done = true
     }
-    require(h.sosAt >= 0 || stopAtSos, "JpegCodec: no SOS")
+    require(headerOnly || h.scansDecoded > 0, "JpegCodec: no SOS")
     h
   }
 
+  /** Decode ONE scan's entropy data into the components' coefficient
+    * buffers; returns the byte position of the next marker. Baseline
+    * full-band scans and every progressive band/refinement pass go
+    * through the same four block routines below. */
+  private def decodeScan(bytes: Array[Byte], h: Header, scanComps: Array[Component],
+                         ss: Int, se: Int, ah: Int, al: Int, startPos: Int): Int = {
+    val br = new BitReader(bytes, startPos)
+    var eobrun = 0
+    var rstIdx = 0
+    var sinceRestart = 0
+    scanComps.foreach(_.pred = 0)
+    def maybeRestart(): Unit =
+      if (h.restartInterval > 0 && sinceRestart == h.restartInterval) {
+        br.restart(rstIdx)
+        rstIdx = (rstIdx + 1) % 8
+        sinceRestart = 0
+        eobrun = 0
+        scanComps.foreach(_.pred = 0)
+      }
+    if (scanComps.length > 1) {
+      // interleaved scan: MCU order; baseline = full band, progressive =
+      // DC band only (validated above)
+      var my = 0
+      while (my < h.mcusY) {
+        var mx = 0
+        while (mx < h.mcusX) {
+          maybeRestart()
+          var ci = 0
+          while (ci < scanComps.length) {
+            val c = scanComps(ci)
+            var by = 0
+            while (by < c.v) {
+              var bx = 0
+              while (bx < c.h) {
+                val off = ((my * c.v + by) * c.blocksW + (mx * c.h + bx)) * 64
+                decodeBlock(br, h, c, off, ss, se, ah, al,
+                  () => eobrun, e => eobrun = e)
+                bx += 1
+              }
+              by += 1
+            }
+            ci += 1
+          }
+          sinceRestart += 1
+          mx += 1
+        }
+        my += 1
+      }
+    } else {
+      // non-interleaved: the component's own ceil-block grid, raster
+      // order, no MCU padding blocks (T.81 A.2.2); restart counts blocks
+      val c = scanComps(0)
+      var by = 0
+      while (by < c.compBlocksH) {
+        var bx = 0
+        while (bx < c.compBlocksW) {
+          maybeRestart()
+          val off = (by * c.blocksW + bx) * 64
+          decodeBlock(br, h, c, off, ss, se, ah, al, () => eobrun, e => eobrun = e)
+          sinceRestart += 1
+          bx += 1
+        }
+        by += 1
+      }
+    }
+    // the scan's entropy data ends here: advance to the next marker
+    // (skipping any byte-stuffing leftovers)
+    var p = br.pos
+    while (p + 1 < bytes.length &&
+      !((bytes(p) & 0xff) == 0xff && (bytes(p + 1) & 0xff) != 0x00)) p += 1
+    require(p + 1 < bytes.length, "JpegCodec: entropy data runs past EOF (no EOI)")
+    p
+  }
+
+  /** One block's contribution to the current scan. */
+  private def decodeBlock(br: BitReader, h: Header, c: Component, off: Int,
+                          ss: Int, se: Int, ah: Int, al: Int,
+                          getEob: () => Int, setEob: Int => Unit): Unit = {
+    if (ss == 0) {
+      if (ah == 0) {
+        // DC first (baseline or progressive): category + diff, shifted
+        // by the point transform
+        val s = br.decodeHuff(c.dcTable)
+        require(s <= 11, "JpegCodec: DC category > 11 (corrupt data)")
+        c.pred += extend(br.receive(s), s)
+        c.coefs(off) = c.pred << al
+      } else {
+        // DC refinement: one bit restores the next-lower magnitude bit
+        c.coefs(off) |= br.bit() << al
+      }
+    }
+    if (se > 0) {
+      val s0 = if (ss == 0) 1 else ss // baseline full band: AC starts at 1
+      if (ah == 0) setEob(acFirst(br, c.acTable, c.coefs, off, s0, se, al, getEob()))
+      else setEob(acRefine(br, c.acTable, c.coefs, off, s0, se, al, getEob()))
+    }
+  }
+
+  /** AC band, first pass (Ah = 0) — also the baseline AC path (al = 0,
+    * where EOB decodes as a zero-length EOB run). Returns the EOB run
+    * remaining AFTER this block. */
+  private def acFirst(br: BitReader, ac: HuffTable, coefs: Array[Int], off: Int,
+                      ss: Int, se: Int, al: Int, eobrun0: Int): Int = {
+    if (eobrun0 > 0) return eobrun0 - 1
+    var eobrun = 0
+    var k = ss
+    var ended = false
+    while (k <= se && !ended) {
+      val rs = br.decodeHuff(ac)
+      val r = rs >> 4
+      val sz = rs & 0xf
+      if (sz == 0) {
+        if (r == 15) k += 16 // ZRL
+        else {
+          eobrun = (1 << r) - 1 + (if (r > 0) br.receive(r) else 0)
+          ended = true
+        }
+      } else {
+        k += r
+        require(k <= se, "JpegCodec: AC run past band end (corrupt data)")
+        coefs(off + Zigzag(k)) = extend(br.receive(sz), sz) << al
+        k += 1
+      }
+    }
+    eobrun
+  }
+
+  /** AC band, refinement pass (Ah = Al + 1): newly-nonzero coefficients
+    * arrive as ±1·2^Al with runs counted over zero-HISTORY positions;
+    * every already-nonzero position passed (and, under an EOB run, every
+    * remaining one) consumes a correction bit (T.81 G.1.2.3 / figure
+    * G.7). Returns the EOB run remaining AFTER this block. */
+  private def acRefine(br: BitReader, ac: HuffTable, coefs: Array[Int], off: Int,
+                       ss: Int, se: Int, al: Int, eobrun0: Int): Int = {
+    val p1 = 1 << al
+    val m1 = -p1
+    var eobrun = eobrun0
+    var k = ss
+    def correct(idx: Int): Unit =
+      if (br.bit() == 1 && (coefs(idx) & p1) == 0)
+        coefs(idx) += (if (coefs(idx) >= 0) p1 else m1)
+    if (eobrun == 0) {
+      var ended = false
+      while (k <= se && !ended) {
+        val rs = br.decodeHuff(ac)
+        var r = rs >> 4
+        val sz = rs & 0xf
+        var newVal = 0
+        if (sz == 0) {
+          if (r != 15) {
+            // unlike the first-scan path, the CURRENT block still owes
+            // its tail correction bits, so the run is NOT pre-decremented
+            // here — the tail sweep below consumes this block's share
+            eobrun = (1 << r) + (if (r > 0) br.receive(r) else 0)
+            ended = true
+          } // r == 15: ZRL — skip 16 zero-history positions below
+        } else {
+          require(sz == 1,
+            "JpegCodec: AC refinement carries size > 1 (corrupt progressive data)")
+          newVal = if (br.bit() == 1) p1 else m1
+        }
+        if (!ended) {
+          var advancing = true
+          while (k <= se && advancing) {
+            val idx = off + Zigzag(k)
+            if (coefs(idx) != 0) { correct(idx); k += 1 }
+            else {
+              r -= 1
+              if (r < 0) advancing = false else k += 1
+            }
+          }
+          if (newVal != 0) {
+            require(k <= se,
+              "JpegCodec: refinement places a coefficient past the band end")
+            coefs(off + Zigzag(k)) = newVal
+          }
+          k += 1
+        }
+      }
+    }
+    if (eobrun > 0) {
+      // EOB region: the rest of the band still carries correction bits
+      // for every already-nonzero coefficient
+      while (k <= se) {
+        val idx = off + Zigzag(k)
+        if (coefs(idx) != 0) correct(idx)
+        k += 1
+      }
+      eobrun - 1
+    } else eobrun
+  }
+
   def decode(bytes: Array[Byte]): JpegImage = {
-    val h = parseUpTo(bytes, stopAtSos = false)
+    val h = parse(bytes, headerOnly = false)
     val comps = h.comps
     val hMax = comps.map(_.h).max
     val vMax = comps.map(_.v).max
-    val mcusX = (h.width + 8 * hMax - 1) / (8 * hMax)
-    val mcusY = (h.height + 8 * vMax - 1) / (8 * vMax)
-    comps.foreach { c =>
-      c.planeW = mcusX * 8 * c.h
-      c.planeH = mcusY * 8 * c.v
-      c.plane = new Array[Int](c.planeW * c.planeH)
-      c.pred = 0
-    }
-    val br = new BitReader(bytes, h.sosAt)
+    // all scans decoded (baseline = exactly one): dequantize + IDCT once
     val coef = new Array[Int](64)
     val tmp = new Array[Double](64)
-    var rstIdx = 0
-    var mcusSinceRestart = 0
-    var my = 0
-    while (my < mcusY) {
-      var mx = 0
-      while (mx < mcusX) {
-        if (h.restartInterval > 0 && mcusSinceRestart == h.restartInterval) {
-          br.restart(rstIdx)
-          rstIdx = (rstIdx + 1) % 8
-          mcusSinceRestart = 0
-          comps.foreach(_.pred = 0)
+    comps.foreach { c =>
+      c.planeW = h.mcusX * 8 * c.h
+      c.planeH = h.mcusY * 8 * c.v
+      c.plane = new Array[Int](c.planeW * c.planeH)
+      val q = h.quant(c.tq)
+      var by = 0
+      while (by < c.blocksH) {
+        var bx = 0
+        while (bx < c.blocksW) {
+          val off = (by * c.blocksW + bx) * 64
+          var i = 0
+          while (i < 64) { coef(i) = c.coefs(off + i) * q(i); i += 1 }
+          idctInto(coef, tmp, c, bx, by)
+          bx += 1
         }
-        var ci = 0
-        while (ci < h.scanOrder.length) {
-          val c = h.scanOrder(ci)
-          val q = h.quant(c.tq)
-          var by = 0
-          while (by < c.v) {
-            var bx = 0
-            while (bx < c.h) {
-              java.util.Arrays.fill(coef, 0)
-              // DC
-              val s = br.decodeHuff(c.dcTable)
-              require(s <= 11, "JpegCodec: DC category > 11 (corrupt data)")
-              c.pred += extend(br.receive(s), s)
-              coef(0) = c.pred * q(0)
-              // AC
-              var k = 1
-              var eob = false
-              while (k < 64 && !eob) {
-                val rs = br.decodeHuff(c.acTable)
-                val r = rs >> 4; val sz = rs & 0xf
-                if (sz == 0) {
-                  if (r == 15) k += 16 // ZRL
-                  else eob = true
-                } else {
-                  k += r
-                  require(k < 64, "JpegCodec: AC run past block end (corrupt data)")
-                  val nat = Zigzag(k)
-                  coef(nat) = extend(br.receive(sz), sz) * q(nat)
-                  k += 1
-                }
-              }
-              idctInto(coef, tmp, c, mx * c.h + bx, my * c.v + by)
-              bx += 1
-            }
-            by += 1
-          }
-          ci += 1
-        }
-        mcusSinceRestart += 1
-        mx += 1
+        by += 1
       }
-      my += 1
     }
     assemble(h, comps, hMax, vMax)
   }
@@ -577,16 +781,35 @@ object JpegCodec {
     s
   }
 
-  /** Encode a real baseline JPEG. `components` = 1 (gray bytes) or 3
-    * (RGB interleaved — converted to YCbCr here). `subsample` = 4:2:0
-    * chroma (2×2 box mean), else 4:4:4. `restartInterval` > 0 writes
-    * DRI + RSTn markers every that many MCUs. The output is a
-    * conforming JFIF file any standard decoder opens. */
+  /** The AC table for PROGRESSIVE scans: the Annex K symbol set PLUS the
+    * EOBn run symbols 0x10–0x70 (n = 1..7, EOB runs to 255) the standard
+    * tables lack — flat canonical lengths (86×8-bit + 83×9-bit, Kraft sum
+    * < 1), since fixture compression ratio is irrelevant but a REAL
+    * EOB-run exercises the decoder's eobrun machinery end-to-end. */
+  private val AcProgBits = Array(0, 0, 0, 0, 0, 0, 0, 86, 83, 0, 0, 0, 0, 0, 0, 0)
+  private val AcProgVals: Array[Int] =
+    AcLumaVals ++ Array(0x10, 0x20, 0x30, 0x40, 0x50, 0x60, 0x70)
+
+  /** Encode a real JPEG. `components` = 1 (gray bytes) or 3 (RGB
+    * interleaved — converted to YCbCr here). `subsample` = 4:2:0 chroma
+    * (2×2 box mean), else 4:4:4. `restartInterval` > 0 writes DRI + RSTn
+    * markers every that many MCUs (baseline only). `progressive` writes
+    * a SOF2 file with the full successive-approximation scan script —
+    * DC first at Al=1, DC refinement, then per component an AC
+    * spectral-selection first pass at Al=1 and an AC refinement pass —
+    * so every progressive decode path (band scans, point transforms,
+    * EOB runs, correction bits) is exercised by real bytes. The
+    * transmitted coefficients are IDENTICAL to the baseline encoding's
+    * (successive approximation is exact reconstruction), so
+    * decode(progressive) == decode(baseline) pixel-for-pixel. The
+    * output is a conforming JFIF file any standard decoder opens. */
   def encode(width: Int, height: Int, components: Int, pixels: Array[Byte],
              quality: Int = 90, subsample: Boolean = false,
-             restartInterval: Int = 0): Array[Byte] = {
+             restartInterval: Int = 0, progressive: Boolean = false): Array[Byte] = {
     require(components == 1 || components == 3,
       s"JpegCodec: encode components must be 1 or 3, got $components")
+    require(!(progressive && restartInterval > 0),
+      "JpegCodec: restart markers in progressive output are out of writer scope")
     require(width > 0 && height > 0, "JpegCodec: empty image")
     // SOF0 carries 16-bit dimensions: anything larger would silently
     // truncate through w16 and write a corrupt-but-valid-looking file
@@ -657,27 +880,40 @@ object JpegCodec {
       (out, hw, hh)
     }
 
-    // (plane padded to its block grid, h, v, planeW, quant)
+    // (plane padded to its block grid, h, v, planeW, quant; fullW/fullH
+    // are the UNPADDED component dims — progressive non-interleaved
+    // scans transmit only ceil(full/8) blocks, no MCU padding)
     final case class Enc(plane: Array[Int], h: Int, v: Int, planeW: Int,
-                         quant: Array[Int], chroma: Boolean) {
+                         quant: Array[Int], chroma: Boolean,
+                         fullW: Int, fullH: Int) {
       var pred = 0
+      val blocksW: Int = planeW / 8
+      var blocksH: Int = 0 // set after construction (planeH / 8)
+      var coefs: Array[Int] = _
+      def compBlocksW: Int = (fullW + 7) / 8
+      def compBlocksH: Int = (fullH + 7) / 8
     }
     val encs: Array[Enc] =
       if (components == 1)
         Array(Enc(pad(yPlane, width, height, mcusX * 8, mcusY * 8),
-          1, 1, mcusX * 8, qLuma, chroma = false))
+          1, 1, mcusX * 8, qLuma, chroma = false, width, height))
       else if (!sub) Array(
-        Enc(pad(yPlane, width, height, mcusX * 8, mcusY * 8), 1, 1, mcusX * 8, qLuma, false),
-        Enc(pad(bPlane, width, height, mcusX * 8, mcusY * 8), 1, 1, mcusX * 8, qChroma, true),
-        Enc(pad(rPlane, width, height, mcusX * 8, mcusY * 8), 1, 1, mcusX * 8, qChroma, true))
+        Enc(pad(yPlane, width, height, mcusX * 8, mcusY * 8), 1, 1, mcusX * 8,
+          qLuma, false, width, height),
+        Enc(pad(bPlane, width, height, mcusX * 8, mcusY * 8), 1, 1, mcusX * 8,
+          qChroma, true, width, height),
+        Enc(pad(rPlane, width, height, mcusX * 8, mcusY * 8), 1, 1, mcusX * 8,
+          qChroma, true, width, height))
       else {
         val (bH, bw, bh) = half(bPlane, width, height)
         val (rH, _, _) = half(rPlane, width, height)
         Array(
-          Enc(pad(yPlane, width, height, mcusX * 16, mcusY * 16), 2, 2, mcusX * 16, qLuma, false),
-          Enc(pad(bH, bw, bh, mcusX * 8, mcusY * 8), 1, 1, mcusX * 8, qChroma, true),
-          Enc(pad(rH, bw, bh, mcusX * 8, mcusY * 8), 1, 1, mcusX * 8, qChroma, true))
+          Enc(pad(yPlane, width, height, mcusX * 16, mcusY * 16), 2, 2, mcusX * 16,
+            qLuma, false, width, height),
+          Enc(pad(bH, bw, bh, mcusX * 8, mcusY * 8), 1, 1, mcusX * 8, qChroma, true, bw, bh),
+          Enc(pad(rH, bw, bh, mcusX * 8, mcusY * 8), 1, 1, mcusX * 8, qChroma, true, bw, bh))
       }
+    encs.foreach { e => e.blocksH = e.plane.length / e.planeW / 8 }
 
     val out = new ByteArrayOutputStream()
     def w8(v: Int): Unit = out.write(v & 0xff)
@@ -699,8 +935,8 @@ object JpegCodec {
     }
     dqt(0, qLuma)
     if (components == 3) dqt(1, qChroma)
-    // SOF0
-    marker(0xc0); w16(8 + 3 * components); w8(8)
+    // SOF0 / SOF2
+    marker(if (progressive) 0xc2 else 0xc0); w16(8 + 3 * components); w8(8)
     w16(height); w16(width); w8(components)
     var ci = 0
     while (ci < components) {
@@ -709,135 +945,327 @@ object JpegCodec {
       w8(if (encs(ci).chroma) 1 else 0)
       ci += 1
     }
-    // DHT
+    // DHT — progressive scans use the EOBn-capable AC table
     def dht(tc: Int, th: Int, bits: Array[Int], vals: Array[Int]): Unit = {
       marker(0xc4); w16(19 + vals.length); w8((tc << 4) | th)
       bits.foreach(w8); vals.foreach(w8)
     }
     dht(0, 0, DcLumaBits, DcLumaVals)
-    dht(1, 0, AcLumaBits, AcLumaVals)
+    dht(1, 0, if (progressive) AcProgBits else AcLumaBits,
+      if (progressive) AcProgVals else AcLumaVals)
     if (components == 3) {
       dht(0, 1, DcChromaBits, DcChromaVals)
-      dht(1, 1, AcChromaBits, AcChromaVals)
+      dht(1, 1, if (progressive) AcProgBits else AcChromaBits,
+        if (progressive) AcProgVals else AcChromaVals)
     }
     if (restartInterval > 0) { marker(0xdd); w16(4); w16(restartInterval) }
-    // SOS
-    marker(0xda); w16(6 + 2 * components); w8(components)
-    ci = 0
-    while (ci < components) {
-      w8(ci + 1); w8(if (encs(ci).chroma) 0x11 else 0x00)
-      ci += 1
-    }
-    w8(0); w8(63); w8(0)
 
-    val dcLuma = encTable(DcLumaBits, DcLumaVals)
-    val acLuma = encTable(AcLumaBits, AcLumaVals)
-    val dcChroma = encTable(DcChromaBits, DcChromaVals)
-    val acChroma = encTable(AcChromaBits, AcChromaVals)
-    val bw = new BitWriter(out)
+    // ── phase 1: quantized coefficients for every block of every comp ──
     val block = new Array[Double](64)
-    val coef = new Array[Int](64)
-
-    def encodeBlock(e: Enc, bxAbs: Int, byAbs: Int): Unit = {
-      val x0 = bxAbs * 8; val y0 = byAbs * 8
-      var y = 0
-      while (y < 8) {
-        var x = 0
-        while (x < 8) {
-          block(y * 8 + x) = e.plane((y0 + y) * e.planeW + (x0 + x)) - 128.0
-          x += 1
+    val t = new Array[Double](64)
+    encs.foreach { e =>
+      e.coefs = new Array[Int](e.blocksW * e.blocksH * 64)
+      var byA = 0
+      while (byA < e.blocksH) {
+        var bxA = 0
+        while (bxA < e.blocksW) {
+          val x0 = bxA * 8; val y0 = byA * 8
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              block(y * 8 + x) = e.plane((y0 + y) * e.planeW + (x0 + x)) - 128.0
+              x += 1
+            }
+            y += 1
+          }
+          // FDCT: F(u,v) = Σ ct(x)(u)·ct(y)(v)·f(x,y), separable; natural
+          // layout coef(v·8+u) — the IDCT's mirror
+          var v = 0
+          while (v < 8) {
+            var x = 0
+            while (x < 8) {
+              var s = 0.0
+              var y2 = 0
+              while (y2 < 8) { s += Ct(y2)(v) * block(y2 * 8 + x); y2 += 1 }
+              t(v * 8 + x) = s
+              x += 1
+            }
+            v += 1
+          }
+          val off = (byA * e.blocksW + bxA) * 64
+          var v2 = 0
+          while (v2 < 8) {
+            var u = 0
+            while (u < 8) {
+              var s = 0.0
+              var x2 = 0
+              while (x2 < 8) { s += Ct(x2)(u) * t(v2 * 8 + x2); x2 += 1 }
+              e.coefs(off + v2 * 8 + u) = rnd(s / e.quant(v2 * 8 + u))
+              u += 1
+            }
+            v2 += 1
+          }
+          bxA += 1
         }
-        y += 1
+        byA += 1
       }
-      // FDCT: F(u,v) = Σ ct(x)(u)·ct(y)(v)·f(x,y), separable; coef uses
-      // the spec's natural layout coef(v·8+u) — the IDCT's mirror
-      val t = new Array[Double](64)
-      // pass 1 (vertical): t(v·8+x) = Σ_y ct(y)(v) · f(x,y)
-      var v = 0
-      while (v < 8) {
-        var x = 0
-        while (x < 8) {
-          var s = 0.0
-          var y2 = 0
-          while (y2 < 8) { s += Ct(y2)(v) * block(y2 * 8 + x); y2 += 1 }
-          t(v * 8 + x) = s
-          x += 1
-        }
-        v += 1
-      }
-      // pass 2 (horizontal) + quantize
-      var v2 = 0
-      while (v2 < 8) {
-        var u = 0
-        while (u < 8) {
-          var s = 0.0
-          var x2 = 0
-          while (x2 < 8) { s += Ct(x2)(u) * t(v2 * 8 + x2); x2 += 1 }
-          coef(v2 * 8 + u) = rnd(s / e.quant(v2 * 8 + u))
-          u += 1
-        }
-        v2 += 1
-      }
-      val (dcT, acT) = if (e.chroma) (dcChroma, acChroma) else (dcLuma, acLuma)
-      // DC
-      val diff = coef(0) - e.pred
-      e.pred = coef(0)
-      val s0 = category(diff)
-      val (c0, l0) = dcT(s0)
-      bw.put(c0, l0)
-      if (s0 > 0) bw.put(if (diff < 0) diff + (1 << s0) - 1 else diff, s0)
-      // AC
-      var run = 0
-      var k = 1
-      while (k < 64) {
-        val av = coef(Zigzag(k))
-        if (av == 0) run += 1
-        else {
-          while (run >= 16) { val (cz, lz) = acT(0xf0); bw.put(cz, lz); run -= 16 }
-          val sz = category(av)
-          val (ca, la) = acT((run << 4) | sz)
-          bw.put(ca, la)
-          bw.put(if (av < 0) av + (1 << sz) - 1 else av, sz)
-          run = 0
-        }
-        k += 1
-      }
-      if (run > 0) { val (ce, le) = acT(0x00); bw.put(ce, le) }
     }
 
-    var rstIdx = 0
-    var sinceRestart = 0
-    var my = 0
-    while (my < mcusY) {
-      var mx = 0
-      while (mx < mcusX) {
-        if (restartInterval > 0 && sinceRestart == restartInterval) {
-          bw.flush()
-          marker(0xd0 + rstIdx)
-          rstIdx = (rstIdx + 1) % 8
-          sinceRestart = 0
-          encs.foreach(_.pred = 0)
+    // ── phase 2: entropy emission ──────────────────────────────────────
+    val dcLuma = encTable(DcLumaBits, DcLumaVals)
+    val dcChroma = encTable(DcChromaBits, DcChromaVals)
+    val acLuma = encTable(if (progressive) AcProgBits else AcLumaBits,
+      if (progressive) AcProgVals else AcLumaVals)
+    val acChroma =
+      if (components == 3)
+        encTable(if (progressive) AcProgBits else AcChromaBits,
+          if (progressive) AcProgVals else AcChromaVals)
+      else acLuma
+    def dcT(e: Enc) = if (e.chroma) dcChroma else dcLuma
+    def acT(e: Enc) = if (e.chroma) acChroma else acLuma
+
+    def writeSos(scanEncs: Seq[Int], ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      marker(0xda); w16(6 + 2 * scanEncs.length); w8(scanEncs.length)
+      scanEncs.foreach { i =>
+        w8(i + 1); w8(if (encs(i).chroma) 0x11 else 0x00)
+      }
+      w8(ss); w8(se); w8((ah << 4) | al)
+    }
+
+    if (!progressive) {
+      writeSos(encs.indices, 0, 63, 0, 0)
+      val bw = new BitWriter(out)
+      def emitBaselineBlock(e: Enc, off: Int): Unit = {
+        val dc = dcT(e); val ac = acT(e)
+        val diff = e.coefs(off) - e.pred
+        e.pred = e.coefs(off)
+        val s0 = category(diff)
+        val (c0, l0) = dc(s0)
+        bw.put(c0, l0)
+        if (s0 > 0) bw.put(if (diff < 0) diff + (1 << s0) - 1 else diff, s0)
+        var run = 0
+        var k = 1
+        while (k < 64) {
+          val av = e.coefs(off + Zigzag(k))
+          if (av == 0) run += 1
+          else {
+            while (run >= 16) { val (cz, lz) = ac(0xf0); bw.put(cz, lz); run -= 16 }
+            val sz = category(av)
+            val (ca, la) = ac((run << 4) | sz)
+            bw.put(ca, la)
+            bw.put(if (av < 0) av + (1 << sz) - 1 else av, sz)
+            run = 0
+          }
+          k += 1
         }
-        var c = 0
-        while (c < encs.length) {
-          val e = encs(c)
+        if (run > 0) { val (ce, le) = ac(0x00); bw.put(ce, le) }
+      }
+      var rstIdx = 0
+      var sinceRestart = 0
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          if (restartInterval > 0 && sinceRestart == restartInterval) {
+            bw.flush()
+            marker(0xd0 + rstIdx)
+            rstIdx = (rstIdx + 1) % 8
+            sinceRestart = 0
+            encs.foreach(_.pred = 0)
+          }
+          encs.foreach { e =>
+            var by = 0
+            while (by < e.v) {
+              var bx = 0
+              while (bx < e.h) {
+                emitBaselineBlock(e, (((my * e.v + by) * e.blocksW) + mx * e.h + bx) * 64)
+                bx += 1
+              }
+              by += 1
+            }
+          }
+          sinceRestart += 1
+          mx += 1
+        }
+        my += 1
+      }
+      bw.flush()
+    } else {
+      // scan script: DC first (Al=1) → DC refine → per comp AC first
+      // (1..63, Al=1) → per comp AC refine (Ah=1, Al=0)
+      def mcuLoop(body: (Enc, Int) => Unit): Unit = {
+        var my = 0
+        while (my < mcusY) {
+          var mx = 0
+          while (mx < mcusX) {
+            encs.foreach { e =>
+              var by = 0
+              while (by < e.v) {
+                var bx = 0
+                while (bx < e.h) {
+                  body(e, (((my * e.v + by) * e.blocksW) + mx * e.h + bx) * 64)
+                  bx += 1
+                }
+                by += 1
+              }
+            }
+            mx += 1
+          }
+          my += 1
+        }
+      }
+      // scan 1: DC first, point transform Al=1 (arithmetic shift)
+      writeSos(encs.indices, 0, 0, 0, 1)
+      locally {
+        val bw = new BitWriter(out)
+        encs.foreach(_.pred = 0)
+        mcuLoop { (e, off) =>
+          val tv = e.coefs(off) >> 1
+          val diff = tv - e.pred
+          e.pred = tv
+          val s0 = category(diff)
+          val (c0, l0) = dcT(e)(s0)
+          bw.put(c0, l0)
+          if (s0 > 0) bw.put(if (diff < 0) diff + (1 << s0) - 1 else diff, s0)
+        }
+        bw.flush()
+      }
+      // scan 2: DC refinement — the Al=0 bit of every DC, MCU order
+      writeSos(encs.indices, 0, 0, 1, 0)
+      locally {
+        val bw = new BitWriter(out)
+        mcuLoop { (e, off) => bw.put(e.coefs(off) & 1, 1) }
+        bw.flush()
+      }
+      // scans 3..: per component AC band, first then refinement — both
+      // over the component's own ceil-block grid (no MCU padding)
+      encs.indices.foreach { i =>
+        val e = encs(i)
+        val ac = acT(e)
+        // AC first pass, Al = 1: magnitude-truncated coefficients with
+        // zero runs, ZRL and accumulated EOB runs
+        writeSos(Seq(i), 1, 63, 0, 1)
+        locally {
+          val bw = new BitWriter(out)
+          var eobrun = 0
+          def emitEobrun(): Unit = if (eobrun > 0) {
+            val n = 31 - Integer.numberOfLeadingZeros(eobrun)
+            val (ce, le) = ac(n << 4)
+            bw.put(ce, le)
+            if (n > 0) bw.put(eobrun - (1 << n), n)
+            eobrun = 0
+          }
           var by = 0
-          while (by < e.v) {
+          while (by < e.compBlocksH) {
             var bx = 0
-            while (bx < e.h) {
-              encodeBlock(e, mx * e.h + bx, my * e.v + by)
+            while (bx < e.compBlocksW) {
+              val off = (by * e.blocksW + bx) * 64
+              var r = 0
+              var k = 1
+              while (k < 64) {
+                val v0 = e.coefs(off + Zigzag(k))
+                val tv = if (v0 >= 0) v0 >> 1 else -((-v0) >> 1)
+                if (tv == 0) r += 1
+                else {
+                  emitEobrun()
+                  while (r > 15) { val (cz, lz) = ac(0xf0); bw.put(cz, lz); r -= 16 }
+                  val sz = category(tv)
+                  val (ca, la) = ac((r << 4) | sz)
+                  bw.put(ca, la)
+                  bw.put(if (tv < 0) tv + (1 << sz) - 1 else tv, sz)
+                  r = 0
+                }
+                k += 1
+              }
+              if (r > 0) { eobrun += 1; if (eobrun == 255) emitEobrun() }
               bx += 1
             }
             by += 1
           }
-          c += 1
+          emitEobrun()
+          bw.flush()
         }
-        sinceRestart += 1
-        mx += 1
+        // AC refinement pass, Ah = 1 → Al = 0: newly-nonzero coefficients
+        // as runs over zero-HISTORY positions; correction bits for
+        // already-nonzero positions buffer until the next symbol (or the
+        // EOB run that carries them) — T.81 G.1.2.3's encoder side
+        writeSos(Seq(i), 1, 63, 1, 0)
+        locally {
+          val bw = new BitWriter(out)
+          var eobrun = 0
+          // TWO correction-bit buffers (the jcphuff BE/BR split, from the
+          // decoder's consumption order): bits owed to already-EOB'd
+          // blocks ride the EOBn symbol (their tail sweeps consume them
+          // right after it); the CURRENT block's bits since the last
+          // symbol ride that next symbol (its advance consumes them)
+          val pendingEob = scala.collection.mutable.ArrayBuffer.empty[Int]
+          val pendingCur = scala.collection.mutable.ArrayBuffer.empty[Int]
+          def flushCur(): Unit = { pendingCur.foreach(b => bw.put(b, 1)); pendingCur.clear() }
+          def emitEobrun(): Unit = if (eobrun > 0) {
+            val n = 31 - Integer.numberOfLeadingZeros(eobrun)
+            val (ce, le) = ac(n << 4)
+            bw.put(ce, le)
+            if (n > 0) bw.put(eobrun - (1 << n), n)
+            eobrun = 0
+            pendingEob.foreach(b => bw.put(b, 1)); pendingEob.clear()
+          }
+          var by = 0
+          while (by < e.compBlocksH) {
+            var bx = 0
+            while (bx < e.compBlocksW) {
+              val off = (by * e.blocksW + bx) * 64
+              // last newly-nonzero position: zeros beyond it fold into EOB
+              var lastNew = 0
+              var k = 1
+              while (k < 64) {
+                val a = math.abs(e.coefs(off + Zigzag(k)))
+                if (a == 1) lastNew = k
+                k += 1
+              }
+              var r = 0
+              k = 1
+              while (k < 64) {
+                val v0 = e.coefs(off + Zigzag(k))
+                val a = math.abs(v0)
+                if (a == 0) r += 1
+                else {
+                  // ZRLs flush at ANY nonzero once r > 15 — but never for
+                  // zeros beyond the last newly-nonzero (those are EOB's)
+                  while (r > 15 && k <= lastNew) {
+                    emitEobrun()
+                    val (cz, lz) = ac(0xf0)
+                    bw.put(cz, lz)
+                    flushCur()
+                    r -= 16
+                  }
+                  if (a > 1) pendingCur += (a & 1)
+                  else {
+                    emitEobrun()
+                    val (ca, la) = ac((r << 4) | 1)
+                    bw.put(ca, la)
+                    bw.put(if (v0 > 0) 1 else 0, 1)
+                    flushCur()
+                    r = 0
+                  }
+                }
+                k += 1
+              }
+              if (r > 0 || pendingCur.nonEmpty) {
+                eobrun += 1
+                pendingEob ++= pendingCur
+                pendingCur.clear()
+                if (eobrun == 255) emitEobrun()
+              }
+              bx += 1
+            }
+            by += 1
+          }
+          emitEobrun()
+          bw.flush()
+        }
       }
-      my += 1
     }
-    bw.flush()
     marker(0xd9) // EOI
     out.toByteArray
   }

@@ -157,6 +157,77 @@ class JpegCodecSpec extends AnyFunSuite {
       "vertical variation where none was encoded")
   }
 
+  test("PROGRESSIVE == BASELINE decode, pixel-for-pixel (cross-script identity)") {
+    // successive approximation transmits the SAME quantized coefficients
+    // in a different order, so the two decodes must agree exactly — a
+    // symmetric encoder/decoder bug in the refinement paths cannot
+    // survive this identity because the baseline path never runs them
+    val (w, h) = (37, 29) // odd dims: ragged MCU grid + non-interleaved ceil grids
+    val rich = new Array[Byte](w * h)
+    var i = 0
+    while (i < rich.length) { rich(i) = ((i * 7919 + (i * i) % 251) % 256).toByte; i += 1 }
+    for (q <- Seq(50, 90, 100)) {
+      val base = JpegCodec.decode(JpegCodec.encode(w, h, 1, rich, quality = q))
+      val prog = JpegCodec.decode(JpegCodec.encode(w, h, 1, rich, quality = q,
+        progressive = true))
+      assert(prog.pixels.toSeq == base.pixels.toSeq, s"gray q=$q diverged")
+    }
+    // color, 4:4:4 and 4:2:0 (multi-component scan script, subsampled
+    // non-interleaved AC grids)
+    val rgb = new Array[Byte](w * h * 3)
+    i = 0
+    while (i < rgb.length) { rgb(i) = ((i * 131 + 17) % 256).toByte; i += 1 }
+    for (sub <- Seq(false, true)) {
+      val base = JpegCodec.decode(JpegCodec.encode(w, h, 3, rgb, quality = 85,
+        subsample = sub))
+      val prog = JpegCodec.decode(JpegCodec.encode(w, h, 3, rgb, quality = 85,
+        subsample = sub, progressive = true))
+      assert(prog.pixels.toSeq == base.pixels.toSeq, s"color sub=$sub diverged")
+    }
+  }
+
+  test("progressive flat-block fixtures round-trip EXACTLY (the oracle contract holds)") {
+    // long all-zero-AC runs make the encoder accumulate real EOB runs
+    // (EOBn symbols from the custom table), exercising the decoder's
+    // eobrun machinery across blocks — and the decode must still equal
+    // the source exactly per the quality-90 flat-block contract
+    val (w, h) = (48, 40) // 30 luma blocks: EOBRUN spans many blocks
+    val src = blockFlat(w, h, seed = 11)
+    val prog = JpegCodec.encode(w, h, 1, src, quality = 90, progressive = true)
+    val img = JpegCodec.decode(prog)
+    assert(img.pixels.toSeq == src.toSeq, "progressive flat-block decode not exact")
+    // the stream is genuinely SOF2
+    assert((0 until prog.length - 1).exists(i =>
+      (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc2))
+    // neutral-chroma color through the full scan script
+    val rgb = new Array[Byte](w * h * 3)
+    var i = 0
+    while (i < w * h) {
+      rgb(3 * i) = src(i); rgb(3 * i + 1) = src(i); rgb(3 * i + 2) = src(i); i += 1
+    }
+    val imgC = JpegCodec.decode(JpegCodec.encode(w, h, 3, rgb, quality = 90,
+      subsample = true, progressive = true))
+    assert(imgC.pixels.toSeq == rgb.toSeq, "progressive neutral-chroma decode not exact")
+  }
+
+  test("progressive scan-header validation fails loud on malformed shapes") {
+    val prog = JpegCodec.encode(16, 16, 3, new Array[Byte](16 * 16 * 3), progressive = true)
+    // find the FIRST SOS (the interleaved DC scan: 3 comps) and patch its
+    // Se byte to 63 — an interleaved AC band is illegal in progressive
+    val sosAt = (0 until prog.length - 1).find(i =>
+      (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xda).get
+    val ns = prog(sosAt + 4) & 0xff
+    assert(ns == 3)
+    val bad = prog.clone()
+    bad(sosAt + 5 + 2 * ns + 1) = 63 // Se
+    val e = intercept[IllegalArgumentException](JpegCodec.decode(bad))
+    assert(e.getMessage.contains("progressive"), e.getMessage)
+    // writer scope: progressive + restart markers refuses
+    val eR = intercept[IllegalArgumentException](JpegCodec.encode(8, 8, 1,
+      new Array[Byte](64), progressive = true, restartInterval = 2))
+    assert(eR.getMessage.contains("restart"), eR.getMessage)
+  }
+
   test("dimensions(): header-only geometry without decoding the scan") {
     val b = JpegCodec.encode(33, 17, 3, new Array[Byte](33 * 17 * 3), quality = 80,
       subsample = true)
