@@ -201,6 +201,10 @@ object JpegCodec {
             "JpegCodec: EOI before any scan data")
           done = true
         case 0xc0 | 0xc2 => // SOF0 baseline / SOF2 progressive
+          // a second SOF would silently re-allocate the coefficient
+          // buffers and discard every decoded scan — flat-gray garbage,
+          // the exact silent failure the fail-loud scope forbids
+          require(!sofSeen, "JpegCodec: duplicate SOF marker")
           h.progressive = marker == 0xc2
           val len = u16(pos)
           val prec = u8(pos + 2)

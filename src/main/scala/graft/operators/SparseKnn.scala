@@ -161,7 +161,10 @@ object SparseKnn {
     val slim = docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
     slim.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        val texts = batch.map(_.getString(1))
+        // NULL text must behave like the declarative twin (which drops
+        // such rows via the tokenizer), not NPE inside the client — the
+        // Embedder.embed null-guard convention
+        val texts = batch.map(r => Option(r.getString(1)).getOrElse(""))
         var attempt = 0
         var out: Seq[(Array[Long], Array[Double])] = null
         var lastErr: Throwable = null

@@ -271,9 +271,19 @@ final class DeterministicSparseClient(salt: String = "graft-splade",
 
   private def expandOne(text: String, dim: Int): (Array[Long], Array[Double]) = {
     // TextFunctions.canonicalText, row-locally: newline → space, collapse
-    // whitespace runs of 2+, trim, ROOT-locale lowercase
-    val canon = text.replace("\n", " ")
-      .replaceAll("[\\s\\x0B]{2,}", " ").trim.toLowerCase(java.util.Locale.ROOT)
+    // whitespace runs of 2+, trim, lowercase. Spark's trim strips SPACES
+    // only (String.trim would also eat an isolated trailing tab the
+    // {2,}-collapse never touched — a bucket-divergence the row-parity
+    // spec exists to catch); lowercase parity is exact for ASCII, the
+    // corpora the deterministic oracle path covers.
+    val canon = {
+      val s = text.replace("\n", " ").replaceAll("[\\s\\x0B]{2,}", " ")
+      var a = 0
+      var b = s.length
+      while (a < b && s.charAt(a) == ' ') a += 1
+      while (b > a && s.charAt(b - 1) == ' ') b -= 1
+      s.substring(a, b).toLowerCase(java.util.Locale.ROOT)
+    }
     val tf = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     canon.split(" ", -1).foreach(t => if (t.nonEmpty) tf(t) = tf.getOrElse(t, 0L) + 1L)
     val best = scala.collection.mutable.HashMap.empty[Long, Double]

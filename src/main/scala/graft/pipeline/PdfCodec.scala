@@ -487,44 +487,12 @@ object PdfCodec {
   }
 
   private def parseBfrangeBody(body: String, out: mutable.Map[Int, String]): Unit = {
-    val toks = """<([0-9A-Fa-f]+)>|\[|\]""".r.findAllMatchIn(body).toVector
-    var i = 0
-    while (i < toks.length) {
-      require(i + 2 < toks.length, "PdfCodec: truncated bfrange entry")
-      val loHex = toks(i).group(1)
-      val hiHex = toks(i + 1).group(1)
-      // same-width + span guards as the wide parser: a malformed range
-      // must fail loud, not enumerate 2^31 codes
-      require(loHex.length % 2 == 0 && loHex.length <= 8,
-        s"PdfCodec: bfrange source <$loHex> is not 1-4 whole bytes")
-      require(hiHex.length == loHex.length,
-        s"PdfCodec: bfrange <$loHex> <$hiHex> mix code widths")
-      val lo = java.lang.Long.parseLong(loHex, 16).toInt
-      val hi = java.lang.Long.parseLong(hiHex, 16).toInt
-      require(hi >= lo, s"PdfCodec: bfrange hi < lo ($hi < $lo)")
-      require(hi.toLong - lo <= 0xFFFF,
-        s"PdfCodec: bfrange spans ${hi.toLong - lo + 1} codes (cap 65536)")
-      if (toks(i + 2).matched == "[") {
-        var j = i + 3
-        var c = lo
-        while (j < toks.length && toks(j).matched != "]") {
-          out(c) = utf16be(toks(j).group(1)); c += 1; j += 1
-        }
-        require(j < toks.length, "PdfCodec: unterminated bfrange array")
-        require(c == hi + 1,
-          s"PdfCodec: bfrange array has ${c - lo} dsts for ${hi - lo + 1} codes")
-        i = j + 1
-      } else {
-        // single dst: increment applies to the LAST code unit (§9.10.3)
-        val base = utf16be(toks(i + 2).group(1))
-        var c = lo
-        while (c <= hi) {
-          out(c) = base.dropRight(1) + (base.last + (c - lo)).toChar
-          c += 1
-        }
-        i += 3
-      }
-    }
+    // ONE grammar implementation: delegate to the width-keyed parser and
+    // re-key by code value alone (the Identity path's fixed 2-byte codes
+    // never mix widths; insertion order preserves last-entry-wins)
+    val wide = mutable.LinkedHashMap.empty[(Int, Long), String]
+    parseBfrangeBodyWide(body, wide)
+    wide.foreach { case ((_, code), dst) => out(code.toInt) = dst }
   }
 
   private def utf16be(hex: String): String = {
