@@ -1483,6 +1483,30 @@ object QueriesExtra {
              |WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.999999
              |ORDER BY id1, id2""".stripMargin)),
 
+    // FORMAT-AGNOSTIC tile features (round 14): the SAME grid-pooled
+    // feature op that serves the PNG gates runs over JPEG bytes — the
+    // decode is sniffed per row, so mixed-format corpora feed one
+    // KNN/dedup stack. The flat-block fixtures make the lossy decode
+    // exact, so the oracle replays the per-tile means (integer sums ÷
+    // tile pixel counts via avg(), the q_image_tiles convention) from
+    // the synthesis formulas alone.
+    "q_image_tiles_jpeg" -> QueryDef(
+      (s, d) => BinaryPipeline.imageTileFeatures(
+          BinaryPipeline.synthesizeJpegs(Tables.documents(s, d)), gx = 2, gy = 2)
+        .select(col("doc_id"), posexplode(col("features")).as(Seq("dim", "v")))
+        .select(col("doc_id"), col("dim").cast("long").as("dim"),
+          round(col("v"), 6).as("v"))
+        .orderBy(col("doc_id"), col("dim")),
+      Some("""WITH p AS (SELECT doc_id, 24 + doc_id % 13 AS w, 16 + doc_id % 11 AS h,
+             |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS ch FROM documents),
+             |px AS (SELECT doc_id,
+             |    (((y*2)//h) * 2 + ((x*2)//w)) * ch + c AS dim,
+             |    128 + 3*(((doc_id*31 + (x//8)*7 + (y//8)*13) % 53) - 26) AS v
+             |  FROM p, unnest(range(0, w)) AS gx(x), unnest(range(0, h)) AS gy(y),
+             |       unnest(range(0, ch)) AS gc(c))
+             |SELECT doc_id, CAST(dim AS BIGINT) AS dim, round(avg(v), 6) AS v
+             |FROM px GROUP BY doc_id, dim ORDER BY doc_id, dim""".stripMargin)),
+
     // PROGRESSIVE JPEG decode (round 14): the SAME fixtures as
     // q_image_jpeg but written as SOF2 files with the full successive-
     // approximation scan script (DC first at Al=1, DC refinement,

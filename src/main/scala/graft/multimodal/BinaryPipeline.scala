@@ -338,10 +338,12 @@ object BinaryPipeline {
     }(enc)
   }
 
-  /** REAL image resize over (id, content) PNG rows: decode → nearest-
-    * neighbor resample ([[PngCodec.resizeNearest]]) → re-ENCODE, so the
-    * output column is again a valid PNG (thumbnail normalization, the
-    * standard pre-training image pass). Batched narrow `mapPartitions` —
+  /** REAL image resize over (id, content) rows — PNG or JPEG in,
+    * sniffed per row: decode → nearest-neighbor resample
+    * ([[PngCodec.resizeNearest]]) → re-ENCODE as PNG, so the output
+    * column is one normalized lossless format regardless of the input
+    * wire format (thumbnail normalization, the standard pre-training
+    * image pass). Batched narrow `mapPartitions` —
     * the decode+encode cost parallelizes embarrassingly, no shuffle.
     * Output: (idCol, content, width, height). */
   def resizeImages(media: DataFrame, outW: Int, outH: Int,
@@ -360,7 +362,7 @@ object BinaryPipeline {
         batch.iterator.map { r =>
           val id = r.getLong(0)
           val img = PngCodec.resizeNearest(
-            PngCodec.decode(r.getAs[Array[Byte]](1)), outW, outH)
+            decodeAnyImage(r.getAs[Array[Byte]](1)), outW, outH)
           Row(id, PngCodec.encode(img.width, img.height, img.colorType, img.pixels),
             img.width.toLong, img.height.toLong)
         }
@@ -368,10 +370,25 @@ object BinaryPipeline {
     }(enc)
   }
 
-  /** GRID-POOLED image features over (id, content) PNG rows: decode →
-    * [[PngCodec.tileFeatures]] — a gx·gy·channels double vector per
-    * image, the cheap deterministic "image embedding" that drops into
-    * the engine's KNN/ANN operators (brute, IVF, HNSW) unchanged.
+  /** Decode PNG or JPEG content by magic sniff into the shared decoded-
+    * image shape (JPEG adapts: bit depth 8, gray→colorType 0, RGB→2);
+    * anything else fails loud — the image OPS below are format-agnostic,
+    * the codecs stay format-specific. */
+  private def decodeAnyImage(content: Array[Byte]): PngCodec.PngImage =
+    if (isPng(content)) PngCodec.decode(content)
+    else if (JpegCodec.isJpeg(content)) {
+      val j = JpegCodec.decode(content)
+      PngCodec.PngImage(j.width, j.height, 8,
+        if (j.components == 1) 0 else 2, j.components, j.pixels)
+    } else throw new IllegalArgumentException(
+      "BinaryPipeline: content is neither PNG nor JPEG (image op on non-image bytes)")
+
+  /** GRID-POOLED image features over (id, content) rows — PNG or JPEG,
+    * sniffed per row: decode → [[PngCodec.tileFeatures]] — a
+    * gx·gy·channels double vector per image, the cheap deterministic
+    * "image embedding" that drops into the engine's KNN/ANN/dedup
+    * operators (brute, IVF, HNSW, SemDeDup) unchanged regardless of the
+    * wire format.
     * Output: (idCol, features array<double>, width, height, channels). */
   def imageTileFeatures(media: DataFrame, gx: Int = 4, gy: Int = 4,
                         idCol: String = "doc_id", batchSize: Int = 16): DataFrame = {
@@ -388,7 +405,7 @@ object BinaryPipeline {
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { r =>
           val id = r.getLong(0)
-          val img = PngCodec.decode(r.getAs[Array[Byte]](1))
+          val img = decodeAnyImage(r.getAs[Array[Byte]](1))
           Row(id, PngCodec.tileFeatures(img, gx, gy).toSeq,
             img.width.toLong, img.height.toLong, img.channels.toLong)
         }
