@@ -364,6 +364,26 @@ object Perf {
         BinaryPipeline.imageTileFeatures(media, gx = 2, gy = 2).count()
       }
     }
+    {
+      // round-14 JPEG codec probes: baseline vs progressive decode over
+      // the same pixel content — progressive pays the multi-scan walk,
+      // the question is how much
+      import graft.multimodal.BinaryPipeline
+      val jb = BinaryPipeline.synthesizeJpegs(docs).localCheckpoint(true)
+      val jp = BinaryPipeline.synthesizeJpegs(docs, progressive = true).localCheckpoint(true)
+      val n = jb.count()
+      val bBytes = jb.agg(sum(expr("octet_length(content)"))).head().getLong(0)
+      val pBytes = jp.agg(sum(expr("octet_length(content)"))).head().getLong(0)
+      time(f"jpeg.decode baseline ($n imgs, ${bBytes / 1e6}%.1f MB)") {
+        BinaryPipeline.decodeJpegs(jb).count()
+      }
+      time(f"jpeg.decode progressive ($n imgs, ${pBytes / 1e6}%.1f MB)") {
+        BinaryPipeline.decodeJpegs(jp).count()
+      }
+      time("jpeg.tileFeatures 2x2 (format-sniffed shared op)") {
+        BinaryPipeline.imageTileFeatures(jb, gx = 2, gy = 2).count()
+      }
+    }
     time("vecSum.200x (100k vectors, single-pass aggregate)") {
       bigE200.groupBy(expr("vec_id % 97").as("g"))
         .agg(graft.functions.VectorAggregates.vecSum(col("embedding")).as("s")).count()
