@@ -1534,6 +1534,48 @@ object QueriesExtra {
              |  CAST(CASE WHEN comps = 3 THEN SUM(v) ELSE 0 END AS BIGINT) AS b_sum
              |FROM px GROUP BY doc_id, comps, w, h ORDER BY doc_id""".stripMargin)),
 
+    // MIXED-FORMAT multimodal KNN (round 14): one feature space over a
+    // corpus that is part PNG, part JPEG — the format-agnostic tile op
+    // featurizes both (sniffed per row), and the standard cosine KNN
+    // ranks across formats in one index. PNG features replay from the
+    // pixel formulas, JPEG features from the flat-block formulas; the
+    // oracle unions both and ranks true top-k, so a bias in either
+    // decode path (or the dispatch) breaks the hash.
+    "q_knn_image_mixed" -> QueryDef(
+      (s, d) => {
+        val png = BinaryPipeline.synthesizeImages(Tables.documents(s, d))
+        val jpg = BinaryPipeline.synthesizeJpegs(Tables.documents(s, d))
+          .select((col("doc_id") + 200000).as("doc_id"), col("content"), col("meta"))
+        val feats = BinaryPipeline.imageTileFeatures(png.unionAll(jpg), gx = 2, gy = 2)
+          .where(col("channels") === 3) // the RGB modality group, both formats
+          .select(col("doc_id").as("vec_id"), col("features").as("embedding"))
+        val q = feats.where(col("vec_id") === 1)
+        graft.operators.Knn.topK(feats, q, graft.operators.Knn.Cosine, 5)
+      },
+      Some("""WITH png_px AS (SELECT doc_id,
+             |    (((y*2)//h) * 2 + ((x*2)//w)) * 3 + c AS dim,
+             |    (doc_id*31 + ((y*w + x)*3 + c) * 7) % 256 AS v
+             |  FROM (SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 11 AS h
+             |        FROM documents WHERE doc_id % 3 = 1) p,
+             |       unnest(range(0, w)) AS gx(x), unnest(range(0, h)) AS gy(y),
+             |       unnest(range(0, 3)) AS gc(c)),
+             |jpg_px AS (SELECT doc_id + 200000 AS doc_id,
+             |    (((y*2)//h) * 2 + ((x*2)//w)) * 3 + c AS dim,
+             |    128 + 3*(((doc_id*31 + (x//8)*7 + (y//8)*13) % 53) - 26) AS v
+             |  FROM (SELECT doc_id, 24 + doc_id % 13 AS w, 16 + doc_id % 11 AS h
+             |        FROM documents WHERE doc_id % 2 = 1) p,
+             |       unnest(range(0, w)) AS gx(x), unnest(range(0, h)) AS gy(y),
+             |       unnest(range(0, 3)) AS gc(c)),
+             |f AS (SELECT doc_id, list(m ORDER BY dim) AS emb FROM (
+             |    SELECT doc_id, dim, avg(v) AS m
+             |    FROM (SELECT * FROM png_px UNION ALL SELECT * FROM jpg_px)
+             |    GROUP BY doc_id, dim)
+             |  GROUP BY doc_id)
+             |SELECT e.doc_id AS vec_id,
+             |  round(1 - list_cosine_similarity(e.emb, q.emb), 4) AS dist
+             |FROM f e CROSS JOIN (SELECT emb FROM f WHERE doc_id = 1) q
+             |ORDER BY dist, vec_id LIMIT 5""".stripMargin)),
+
     "q_multimodal_meta" -> QueryDef(
       (s, d) => BinaryPipeline.extractFeatures(BinaryPipeline.asMedia(Tables.documents(s, d)))
         .select(col("doc_id"), col("byte_len"), col("content_md5"), col("width"), col("media_type"))
