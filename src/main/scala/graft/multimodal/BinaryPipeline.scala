@@ -286,10 +286,11 @@ object BinaryPipeline {
             y += 1
           }
           // progressive files carry the full successive-approximation
-          // scan script; restart markers stay a baseline-only feature
+          // scan script; every fifth file also carries restart markers
+          // (per MCU in the DC scans, per block in the AC scans)
           val bytes = JpegCodec.encode(w, h, comps, px, quality = 90,
             subsample = comps == 3 && id % 4 == 3,
-            restartInterval = if (!progressive && id % 5 == 0) 2 else 0,
+            restartInterval = if (id % 5 == 0) 2 else 0,
             progressive = progressive)
           Row(id, bytes, Row("image/jpeg", bytes.length.toLong))
         }

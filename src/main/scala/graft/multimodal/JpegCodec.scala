@@ -797,7 +797,9 @@ object JpegCodec {
   /** Encode a real JPEG. `components` = 1 (gray bytes) or 3 (RGB
     * interleaved — converted to YCbCr here). `subsample` = 4:2:0 chroma
     * (2×2 box mean), else 4:4:4. `restartInterval` > 0 writes DRI + RSTn
-    * markers every that many MCUs (baseline only). `progressive` writes
+    * markers — every that many MCUs in interleaved scans, every that
+    * many BLOCKS in progressive non-interleaved AC scans (pending EOB
+    * runs flush before each marker). `progressive` writes
     * a SOF2 file with the full successive-approximation scan script —
     * DC first at Al=1, DC refinement, then per component an AC
     * spectral-selection first pass at Al=1 and an AC refinement pass —
@@ -812,8 +814,6 @@ object JpegCodec {
              restartInterval: Int = 0, progressive: Boolean = false): Array[Byte] = {
     require(components == 1 || components == 3,
       s"JpegCodec: encode components must be 1 or 3, got $components")
-    require(!(progressive && restartInterval > 0),
-      "JpegCodec: restart markers in progressive output are out of writer scope")
     require(width > 0 && height > 0, "JpegCodec: empty image")
     // SOF0 carries 16-bit dimensions: anything larger would silently
     // truncate through w16 and write a corrupt-but-valid-looking file
@@ -1097,12 +1097,33 @@ object JpegCodec {
       bw.flush()
     } else {
       // scan script: DC first (Al=1) → DC refine → per comp AC first
-      // (1..63, Al=1) → per comp AC refine (Ah=1, Al=0)
-      def mcuLoop(body: (Enc, Int) => Unit): Unit = {
+      // (1..63, Al=1) → per comp AC refine (Ah=1, Al=0). DRI applies to
+      // EVERY scan: interleaved DC scans restart per MCU, non-interleaved
+      // AC scans per block (T.81 — the decoder's maybeRestart mirror).
+      /** Per-scan restart emitter: run `pre` (flush any pending EOB run
+        * so the marker never splits one), byte-align, write RSTn, run
+        * `reset`. */
+      final class Restarter(bw: BitWriter, pre: () => Unit, reset: () => Unit) {
+        private var rstIdx = 0
+        private var since = 0
+        def atUnitStart(): Unit = {
+          if (restartInterval > 0 && since == restartInterval) {
+            pre()
+            bw.flush()
+            marker(0xd0 + rstIdx)
+            rstIdx = (rstIdx + 1) % 8
+            since = 0
+            reset()
+          }
+          since += 1
+        }
+      }
+      def mcuLoop(onMcuStart: () => Unit)(body: (Enc, Int) => Unit): Unit = {
         var my = 0
         while (my < mcusY) {
           var mx = 0
           while (mx < mcusX) {
+            onMcuStart()
             encs.foreach { e =>
               var by = 0
               while (by < e.v) {
@@ -1124,7 +1145,8 @@ object JpegCodec {
       locally {
         val bw = new BitWriter(out)
         encs.foreach(_.pred = 0)
-        mcuLoop { (e, off) =>
+        val rst = new Restarter(bw, () => (), () => encs.foreach(_.pred = 0))
+        mcuLoop(() => rst.atUnitStart()) { (e, off) =>
           val tv = e.coefs(off) >> 1
           val diff = tv - e.pred
           e.pred = tv
@@ -1139,7 +1161,8 @@ object JpegCodec {
       writeSos(encs.indices, 0, 0, 1, 0)
       locally {
         val bw = new BitWriter(out)
-        mcuLoop { (e, off) => bw.put(e.coefs(off) & 1, 1) }
+        val rst = new Restarter(bw, () => (), () => ())
+        mcuLoop(() => rst.atUnitStart()) { (e, off) => bw.put(e.coefs(off) & 1, 1) }
         bw.flush()
       }
       // scans 3..: per component AC band, first then refinement — both
@@ -1160,10 +1183,12 @@ object JpegCodec {
             if (n > 0) bw.put(eobrun - (1 << n), n)
             eobrun = 0
           }
+          val rst = new Restarter(bw, () => emitEobrun(), () => ())
           var by = 0
           while (by < e.compBlocksH) {
             var bx = 0
             while (bx < e.compBlocksW) {
+              rst.atUnitStart() // non-interleaved scans restart per block
               val off = (by * e.blocksW + bx) * 64
               var r = 0
               var k = 1
@@ -1214,10 +1239,12 @@ object JpegCodec {
             eobrun = 0
             pendingEob.foreach(b => bw.put(b, 1)); pendingEob.clear()
           }
+          val rst = new Restarter(bw, () => emitEobrun(), () => ())
           var by = 0
           while (by < e.compBlocksH) {
             var bx = 0
             while (bx < e.compBlocksW) {
+              rst.atUnitStart() // per block; emitEobrun flushes run + bits first
               val off = (by * e.blocksW + bx) * 64
               // last newly-nonzero position: zeros beyond it fold into EOB
               var lastNew = 0

@@ -222,10 +222,32 @@ class JpegCodecSpec extends AnyFunSuite {
     bad(sosAt + 5 + 2 * ns + 1) = 63 // Se
     val e = intercept[IllegalArgumentException](JpegCodec.decode(bad))
     assert(e.getMessage.contains("progressive"), e.getMessage)
-    // writer scope: progressive + restart markers refuses
-    val eR = intercept[IllegalArgumentException](JpegCodec.encode(8, 8, 1,
-      new Array[Byte](64), progressive = true, restartInterval = 2))
-    assert(eR.getMessage.contains("restart"), eR.getMessage)
+  }
+
+  test("progressive + restart markers: every scan kind restarts, decode == marker-free") {
+    val (w, h) = (40, 24)
+    val src = blockFlat(w, h, seed = 5)
+    val plain = JpegCodec.decode(JpegCodec.encode(w, h, 1, src, quality = 90,
+      progressive = true))
+    for (ri <- Seq(1, 2, 7)) {
+      val withRst = JpegCodec.encode(w, h, 1, src, quality = 90,
+        progressive = true, restartInterval = ri)
+      assert((0 until withRst.length - 1).exists(i =>
+        (withRst(i) & 0xff) == 0xff && (withRst(i + 1) & 0xff) >= 0xd0 &&
+          (withRst(i + 1) & 0xff) <= 0xd7), s"ri=$ri: no RST markers")
+      assert(JpegCodec.decode(withRst).pixels.toSeq == plain.pixels.toSeq,
+        s"ri=$ri: progressive restart decode diverged")
+    }
+    // rich color 4:2:0 with restarts: the cross-script identity must
+    // hold too (restart never changes transmitted coefficients)
+    val rgb = new Array[Byte](w * h * 3)
+    var i = 0
+    while (i < rgb.length) { rgb(i) = ((i * 131 + 17) % 256).toByte; i += 1 }
+    val base = JpegCodec.decode(JpegCodec.encode(w, h, 3, rgb, quality = 85,
+      subsample = true))
+    val prog = JpegCodec.decode(JpegCodec.encode(w, h, 3, rgb, quality = 85,
+      subsample = true, progressive = true, restartInterval = 2))
+    assert(prog.pixels.toSeq == base.pixels.toSeq)
   }
 
   test("dimensions(): header-only geometry without decoding the scan") {
