@@ -192,7 +192,23 @@ object JpegCodec {
       require(u8(pos) == 0xff, f"JpegCodec: expected marker, found 0x${u8(pos)}%02X")
       var marker = u8(pos + 1)
       pos += 2
-      while (marker == 0xff) { marker = u8(pos); pos += 1 } // fill bytes
+      while (marker == 0xff) { // fill bytes
+        if (pos >= bytes.length)
+          throw new IllegalArgumentException("JpegCodec: truncated inside marker fill bytes")
+        marker = u8(pos); pos += 1
+      }
+      // every length-carrying segment below must fit inside the file —
+      // a truncated DHT/DQT/SOF/SOS would otherwise surface as a raw
+      // ArrayIndexOutOfBoundsException, not the labeled fail-loud error
+      def segLen(): Int = {
+        if (pos + 1 >= bytes.length)
+          throw new IllegalArgumentException("JpegCodec: truncated marker segment header")
+        val len = u16(pos)
+        if (pos + len > bytes.length)
+          throw new IllegalArgumentException(
+            f"JpegCodec: marker 0xFF$marker%02X segment of $len bytes runs past EOF")
+        len
+      }
       marker match {
         case 0xd8 => // stray SOI
           throw new IllegalArgumentException("JpegCodec: unexpected second SOI")
@@ -206,7 +222,7 @@ object JpegCodec {
           // the exact silent failure the fail-loud scope forbids
           require(!sofSeen, "JpegCodec: duplicate SOF marker")
           h.progressive = marker == 0xc2
-          val len = u16(pos)
+          val len = segLen()
           val prec = u8(pos + 2)
           require(prec == 8, s"JpegCodec: precision $prec unsupported (8-bit only)")
           h.height = u16(pos + 3)
@@ -252,7 +268,7 @@ object JpegCodec {
         case 0xc9 | 0xca | 0xcb => throw new IllegalArgumentException(
           "JpegCodec: arithmetic-coded JPEG unsupported — Huffman only")
         case 0xc4 => // DHT (may hold several tables)
-          val len = u16(pos)
+          val len = segLen()
           var o = pos + 2
           while (o < pos + len) {
             val tcth = u8(o)
@@ -268,7 +284,7 @@ object JpegCodec {
           }
           pos += len
         case 0xdb => // DQT (may hold several tables)
-          val len = u16(pos)
+          val len = segLen()
           var o = pos + 2
           while (o < pos + len) {
             val pqtq = u8(o)
@@ -285,12 +301,12 @@ object JpegCodec {
           }
           pos += len
         case 0xdd => // DRI
-          require(u16(pos) == 4, "JpegCodec: malformed DRI")
+          require(segLen() == 4, "JpegCodec: malformed DRI")
           h.restartInterval = u16(pos + 2)
           pos += 4
         case 0xda => // SOS
           require(sofSeen, "JpegCodec: SOS before SOF")
-          val len = u16(pos)
+          val len = segLen()
           val ns = u8(pos + 2)
           if (!h.progressive) require(ns == h.comps.length,
             s"JpegCodec: baseline scan covers $ns of ${h.comps.length} components — " +
@@ -345,8 +361,8 @@ object JpegCodec {
             pos = decodeScan(bytes, h, scanComps, ss, se, ah, al, pos + len)
             h.scansDecoded += 1
           }
-        case m if m >= 0xe0 && m <= 0xef => pos += u16(pos) // APPn
-        case 0xfe => pos += u16(pos) // COM
+        case m if m >= 0xe0 && m <= 0xef => pos += segLen() // APPn
+        case 0xfe => pos += segLen() // COM
         case other => throw new IllegalArgumentException(
           f"JpegCodec: unsupported marker 0xFF$other%02X")
       }

@@ -637,10 +637,18 @@ object IvfIndex {
       .findFirstIn(readSidecar(spark, path, "_half.json")).isDefined
 
   private def requirePackedHalf(spark: org.apache.spark.sql.SparkSession,
-                                path: String, op: String): Unit =
+                                path: String, op: String): Unit = {
+    // existence first, not a swallowed read: appending/searching a
+    // non-half path must yield the clean family message (a transient IO
+    // fault on the sidecar READ still surfaces as itself below) — ONE
+    // copy of the family gate for every half read/maintenance path
+    val marker = new org.apache.hadoop.fs.Path(path, "_half.json")
+    require(marker.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(marker),
+      s"$op: $path carries no _half.json — not a halfvec index")
     require(isPackedHalf(spark, path),
       s"$op: $path is a pre-packed-layout halfvec store (hvec as array<short>) — " +
         "rebuild with writeIndexHalf to migrate to the 2-byte packed binary layout")
+  }
 
   def writeIndexHalf(corpus: DataFrame, model: Model, path: String,
                      idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
@@ -662,13 +670,6 @@ object IvfIndex {
                       vectors: DataFrame,
                       idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
     import graft.functions.HalfExpressions
-    // same family gate as searchIndexHalf: check the marker EXISTS before
-    // requirePackedHalf reads it, so appending to a non-half path yields
-    // the clean family message, not a raw FileNotFoundException
-    val halfMarker = new org.apache.hadoop.fs.Path(path, "_half.json")
-    require(halfMarker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .exists(halfMarker),
-      s"appendIndexHalf: $path carries no _half.json — not a halfvec index")
     requirePackedHalf(spark, path, "appendIndexHalf")
     val model = readModel(spark, path)
     vectors.select(col(idCol), col(embCol),
@@ -692,14 +693,8 @@ object IvfIndex {
                       queryIdCol: String = "qid", scale: Int = 4,
                       maxPushdownIds: Int = 100000): DataFrame = {
     import graft.functions.HalfExpressions
-    // existence check, not a swallowed read: a transient IO fault on the
-    // sidecar must surface as itself, never as "not a halfvec index" —
-    // and the family check runs BEFORE readModel so a non-index path
-    // fails on the family, not on a missing centroid sidecar
-    val halfMarker = new org.apache.hadoop.fs.Path(path, "_half.json")
-    require(halfMarker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .exists(halfMarker),
-      s"searchIndexHalf: $path carries no _half.json — not a halfvec index")
+    // the family gate runs BEFORE readModel so a non-index path fails
+    // on the family, not on a missing centroid sidecar
     requirePackedHalf(spark, path, "searchIndexHalf")
     val model = readModel(spark, path)
     val probedCells = queries

@@ -114,7 +114,13 @@ object GraftSqlParser {
         } else {
           val v0 = p
           while (p < t.length && t.charAt(p) != ',' && t.charAt(p) != ')') p += 1
-          t.substring(v0, p).trim
+          val v = t.substring(v0, p).trim
+          // a bare empty value would surface later as an unlabeled
+          // NumberFormatException inside the command — fail here, with
+          // the statement in the message (quoted '' stays legal)
+          if (v.isEmpty)
+            fail(s"malformed OPTIONS entry '$key=' (want key = value)")
+          v
         }
       opts(key) = value
       skipWs()
