@@ -22,8 +22,11 @@ import graft.pipeline.PdfCodec
   *  - interlace methods 0 (none) and 1 (Adam7, round 14: the seven
   *    sub-images unfilter independently and scatter into the grid;
   *    empty passes contribute no bytes)
+  *  - tRNS transparency honored (round 14): palette indices expand to
+  *    RGBA, gray/RGB transparent-sample keys expand to gray+alpha/RGBA
+  *    (8-bit; a 16-bit key would compare pre-reduction — fails loud)
   *  - every chunk's CRC-32 is verified; unknown CRITICAL chunks reject,
-  *    unknown ancillary chunks skip (spec §5.4 behavior)
+  *    other ancillary chunks skip (spec §5.4 behavior)
   *  - the inflated payload must be EXACTLY the geometry's byte count
   *    (per pass when interlaced) — truncation and trailing excess reject
   *
@@ -71,6 +74,7 @@ object PngCodec {
     var interlace = 0
     var seenIhdr = false; var seenIend = false
     var palette: Array[Byte] = null
+    var trns: Array[Byte] = null
     val idat = new ByteArrayOutputStream()
     val crc = new CRC32()
 
@@ -113,6 +117,25 @@ object PngCodec {
             s"PngCodec: PLTE length $len (want a positive multiple of 3, ≤ 768)")
           require(palette == null, "PngCodec: duplicate PLTE")
           palette = java.util.Arrays.copyOfRange(bytes, dataOff, dataOff + len.toInt)
+        case "tRNS" =>
+          // transparency (spec 11.3.2): ancillary, but DROPPING it loses
+          // the alpha channel a conforming viewer shows — honor it.
+          // Legal only for color types 0/2/3 (4/6 already carry alpha).
+          require(colorType == 0 || colorType == 2 || colorType == 3,
+            s"PngCodec: tRNS with color type $colorType is illegal (spec 11.3.2)")
+          require(trns == null, "PngCodec: duplicate tRNS")
+          trns = java.util.Arrays.copyOfRange(bytes, dataOff, dataOff + len.toInt)
+          colorType match {
+            case 0 => require(len == 2, s"PngCodec: gray tRNS length $len (want 2)")
+            case 2 => require(len == 6, s"PngCodec: RGB tRNS length $len (want 6)")
+            case _ => require(palette != null && len <= palette.length / 3,
+              s"PngCodec: palette tRNS length $len exceeds PLTE entries")
+          }
+          // the transparent-sample KEY compares at full sample precision;
+          // the 16-bit decode path reduces samples before this expansion
+          // would run, so that combination stays out of scope, loud
+          require(bitDepth == 8 || colorType == 3,
+            "PngCodec: tRNS on a 16-bit image unsupported (key compares pre-reduction)")
         case "IDAT" =>
           idat.write(bytes, dataOff, len.toInt)
         case "IEND" =>
@@ -199,18 +222,48 @@ object PngCodec {
 
     if (colorType == 3) {
       val nEntries = palette.length / 3
-      val out = new Array[Byte](unfiltered.length * 3)
+      // with tRNS, indices expand to RGBA (entries beyond the tRNS
+      // length are fully opaque, per spec); without it, to RGB
+      val outCh = if (trns != null) 4 else 3
+      val out = new Array[Byte](unfiltered.length * outCh)
       var i = 0
       while (i < unfiltered.length) {
         val idx = unfiltered(i) & 0xff
         require(idx < nEntries,
           s"PngCodec: palette index $idx out of range (PLTE has $nEntries entries)")
-        out(3 * i) = palette(3 * idx)
-        out(3 * i + 1) = palette(3 * idx + 1)
-        out(3 * i + 2) = palette(3 * idx + 2)
+        out(outCh * i) = palette(3 * idx)
+        out(outCh * i + 1) = palette(3 * idx + 1)
+        out(outCh * i + 2) = palette(3 * idx + 2)
+        if (outCh == 4)
+          out(4 * i + 3) = if (idx < trns.length) trns(idx) else 0xff.toByte
         i += 1
       }
-      PngImage(width, height, bitDepth, colorType, 3, out)
+      PngImage(width, height, bitDepth, colorType, outCh, out)
+    } else if (trns != null && colorType == 0) {
+      // gray + transparent-sample key -> gray+alpha (depth 8: the key's
+      // low byte is the sample value, spec 11.3.2)
+      val key = trns(1)
+      val out = new Array[Byte](unfiltered.length * 2)
+      var i = 0
+      while (i < unfiltered.length) {
+        out(2 * i) = unfiltered(i)
+        out(2 * i + 1) = if (unfiltered(i) == key) 0 else 0xff.toByte
+        i += 1
+      }
+      PngImage(width, height, bitDepth, colorType, 2, out)
+    } else if (trns != null && colorType == 2) {
+      // RGB + transparent triple -> RGBA
+      val (kr, kg, kb) = (trns(1), trns(3), trns(5))
+      val n = unfiltered.length / 3
+      val out = new Array[Byte](n * 4)
+      var i = 0
+      while (i < n) {
+        val (r, g, b) = (unfiltered(3 * i), unfiltered(3 * i + 1), unfiltered(3 * i + 2))
+        out(4 * i) = r; out(4 * i + 1) = g; out(4 * i + 2) = b
+        out(4 * i + 3) = if (r == kr && g == kg && b == kb) 0 else 0xff.toByte
+        i += 1
+      }
+      PngImage(width, height, bitDepth, colorType, 4, out)
     } else PngImage(width, height, bitDepth, colorType, ch, unfiltered)
   }
 

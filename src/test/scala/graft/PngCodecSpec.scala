@@ -48,6 +48,59 @@ class PngCodecSpec extends AnyFunSuite with SparkSpec {
     assert(img.pixels.toSeq == Seq(1.toByte))
   }
 
+  test("tRNS transparency expands to alpha: palette→RGBA, gray/RGB keys, fail-loud corners") {
+    def chunk(t: String, data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val len = data.length
+      out.write(Array((len >>> 24).toByte, (len >>> 16).toByte, (len >>> 8).toByte, len.toByte))
+      out.write(t.getBytes("US-ASCII")); out.write(data)
+      val cc = new java.util.zip.CRC32(); cc.update(t.getBytes("US-ASCII")); cc.update(data)
+      val v = cc.getValue
+      out.write(Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte))
+      out.toByteArray
+    }
+    def insertBeforeIdat(png: Array[Byte], extra: Array[Byte]): Array[Byte] = {
+      var i = 8
+      while (!(png(i + 4) == 'I' && png(i + 5) == 'D' && png(i + 6) == 'A')) i += 1
+      png.take(i) ++ extra ++ png.drop(i)
+    }
+    // palette: index alphas; entries beyond the tRNS length default opaque
+    val pal = Array(10, 20, 30, 40, 50, 60, 70, 80, 90).map(_.toByte)
+    val idx = Array[Byte](0, 1, 2, 2)
+    val palPng = insertBeforeIdat(PngCodec.encode(2, 2, 3, idx, Some(pal)),
+      chunk("tRNS", Array(0x00, 0x80).map(_.toByte))) // idx0 -> 0, idx1 -> 0x80
+    val palImg = PngCodec.decode(palPng)
+    assert(palImg.channels == 4)
+    assert(palImg.pixels.grouped(4).map(_(3) & 0xff).toSeq == Seq(0x00, 0x80, 0xff, 0xff))
+    assert(palImg.pixels.grouped(4).map(_.take(3).toSeq).toSeq ==
+      idx.map(i => pal.slice(3 * i, 3 * i + 3).toSeq).toSeq)
+    // gray: sample == key -> alpha 0 (key's LOW byte at depth 8)
+    val gray = Array[Byte](0x4b, 0x10, 0x4b, 0x20)
+    val grayPng = insertBeforeIdat(PngCodec.encode(2, 2, 0, gray),
+      chunk("tRNS", Array(0x00, 0x4b).map(_.toByte)))
+    val grayImg = PngCodec.decode(grayPng)
+    assert(grayImg.channels == 2)
+    assert(grayImg.pixels.grouped(2).map(p => (p(0), p(1) & 0xff)).toSeq ==
+      Seq((0x4b.toByte, 0), (0x10.toByte, 0xff), (0x4b.toByte, 0), (0x20.toByte, 0xff)))
+    // RGB: triple key -> RGBA
+    val rgb = Array[Byte](1, 2, 3, 9, 9, 9)
+    val rgbPng = insertBeforeIdat(PngCodec.encode(2, 1, 2, rgb),
+      chunk("tRNS", Array(0, 1, 0, 2, 0, 3).map(_.toByte)))
+    val rgbImg = PngCodec.decode(rgbPng)
+    assert(rgbImg.channels == 4)
+    assert(rgbImg.pixels.toSeq == Seq[Byte](1, 2, 3, 0, 9, 9, 9, -1))
+    // fail-loud: tRNS on an alpha-bearing type is illegal
+    val rgbaPng = insertBeforeIdat(PngCodec.encode(1, 1, 6, Array[Byte](1, 2, 3, 4)),
+      chunk("tRNS", Array[Byte](0, 1)))
+    val e = intercept[IllegalArgumentException](PngCodec.decode(rgbaPng))
+    assert(e.getMessage.contains("illegal"), e.getMessage)
+    // fail-loud: 16-bit gray + tRNS (key would compare pre-reduction)
+    val g16 = insertBeforeIdat(PngCodec.encode(1, 1, 0, Array[Byte](7), bitDepth = 16),
+      chunk("tRNS", Array[Byte](0, 7)))
+    val e16 = intercept[IllegalArgumentException](PngCodec.decode(g16))
+    assert(e16.getMessage.contains("16-bit"), e16.getMessage)
+  }
+
   test("16-bit and Adam7 encode→decode round-trip bit-exactly (v*257 widening inverse)") {
     val rnd = new scala.util.Random(7)
     for ((colorType, ch) <- Seq((0, 1), (2, 3), (6, 4));
