@@ -151,6 +151,10 @@ object JpegCodec {
     // block, MCU-aligned block grid (progressive scans refine these
     // across multiple passes; IDCT runs once at EOI)
     var coefs: Array[Int] = _
+    // per-coefficient successive-approximation state for progressive
+    // scan-ORDERING validation (T.81 G.1.1.1.1): -1 = no first pass yet,
+    // otherwise the point transform (Al) of the last scan covering it
+    val approx: Array[Int] = Array.fill(64)(-1)
     var blocksW: Int = 0     // MCU-aligned blocks per row (mcusX·h)
     var blocksH: Int = 0
     var compBlocksW: Int = 0 // ceil(compW/8) — non-interleaved scan grid
@@ -347,6 +351,31 @@ object JpegCodec {
             require(ah == 0 || ah == al + 1,
               s"JpegCodec: successive approximation Ah=$ah Al=$al (want Ah=0 or Al+1)")
             require(al <= 13, s"JpegCodec: point transform Al=$al out of range")
+            // scan-ORDERING validation (T.81 G.1.1.1.1): a component's DC
+            // first pass must precede its AC band scans, each band gets
+            // exactly one first pass, and a refinement's Ah must match the
+            // band's current point transform. Without this an AC-first
+            // malformed file would decode SILENTLY with zero DC (dark or
+            // offset garbage) — the exact silent failure the fail-loud
+            // scope forbids.
+            scanComps.foreach { c =>
+              if (ss > 0) require(c.approx(0) >= 0,
+                s"JpegCodec: AC band scan for component ${c.id} before its DC " +
+                  "scan (T.81 G.1.1.1.1 ordering)")
+              var kk = ss
+              while (kk <= se) {
+                if (ah == 0) require(c.approx(kk) == -1,
+                  s"JpegCodec: duplicate first pass for component ${c.id} " +
+                    s"coefficient $kk")
+                else require(c.approx(kk) == ah,
+                  s"JpegCodec: refinement scan Ah=$ah for component ${c.id} " +
+                    s"coefficient $kk, whose point transform is " +
+                    (if (c.approx(kk) == -1) "undefined (no first pass yet)"
+                     else s"${c.approx(kk)}"))
+                c.approx(kk) = al
+                kk += 1
+              }
+            }
           }
           // table presence: DC scans (and baseline full-band) need the DC
           // table; AC bands need the AC table

@@ -24,7 +24,9 @@ import graft.pipeline.PdfCodec
   *    empty passes contribute no bytes)
   *  - tRNS transparency honored (round 14): palette indices expand to
   *    RGBA, gray/RGB transparent-sample keys expand to gray+alpha/RGBA
-  *    (8-bit; a 16-bit key would compare pre-reduction — fails loud)
+  *    (8-bit; a 16-bit key would compare pre-reduction — fails loud);
+  *    the returned colorType follows the DECODED buffer (0→4, 2→6,
+  *    3→2/6), so (colorType, channels) always agree
   *  - every chunk's CRC-32 is verified; unknown CRITICAL chunks reject,
   *    other ancillary chunks skip (spec §5.4 behavior)
   *  - the inflated payload must be EXACTLY the geometry's byte count
@@ -44,9 +46,12 @@ object PngCodec {
     (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
 
   /** Decoded image: `pixels` is the unfiltered scanline data in row-major
-    * channel-interleaved order. For palette images (`colorType == 3`) the
-    * indices are EXPANDED through PLTE, so `channels` is always the
-    * channel count of `pixels` (1, 2, 3 or 4), not the on-wire count. */
+    * channel-interleaved order. `colorType` and `channels` both describe
+    * the DECODED buffer, never the wire form: palette indices are
+    * EXPANDED through PLTE (type 3 → 2, or 6 with tRNS alpha) and
+    * tRNS transparent-sample keys expand to an alpha channel (0 → 4,
+    * 2 → 6) — so (colorType, channels) always agree per spec table 11.1
+    * and downstream consumers can key off either. */
   final case class PngImage(width: Int, height: Int, bitDepth: Int,
                             colorType: Int, channels: Int, pixels: Array[Byte])
 
@@ -238,7 +243,7 @@ object PngCodec {
           out(4 * i + 3) = if (idx < trns.length) trns(idx) else 0xff.toByte
         i += 1
       }
-      PngImage(width, height, bitDepth, colorType, outCh, out)
+      PngImage(width, height, bitDepth, if (outCh == 4) 6 else 2, outCh, out)
     } else if (trns != null && colorType == 0) {
       // gray + transparent-sample key -> gray+alpha (depth 8: the key's
       // low byte is the sample value, spec 11.3.2)
@@ -250,7 +255,7 @@ object PngCodec {
         out(2 * i + 1) = if (unfiltered(i) == key) 0 else 0xff.toByte
         i += 1
       }
-      PngImage(width, height, bitDepth, colorType, 2, out)
+      PngImage(width, height, bitDepth, 4, 2, out)
     } else if (trns != null && colorType == 2) {
       // RGB + transparent triple -> RGBA
       val (kr, kg, kb) = (trns(1), trns(3), trns(5))
@@ -263,7 +268,7 @@ object PngCodec {
         out(4 * i + 3) = if (r == kr && g == kg && b == kb) 0 else 0xff.toByte
         i += 1
       }
-      PngImage(width, height, bitDepth, colorType, 4, out)
+      PngImage(width, height, bitDepth, 6, 4, out)
     } else PngImage(width, height, bitDepth, colorType, ch, unfiltered)
   }
 

@@ -525,6 +525,25 @@ object Hnsw {
     tombCache.remove(path)
   }
 
+  /** READ-ONLY crash-staleness gate: a `_plan.json` manifest under the
+    * sibling `__maint_staging` dir means a maintenance swap COMMITTED but
+    * did not finish installing — the on-disk shard mix may double or drop
+    * ids until the swap rolls forward. Readers refuse loud instead of
+    * serving it (any maintenance op — append/upsert — runs the recovery
+    * on entry and clears the manifest). A staging dir WITHOUT a manifest
+    * means the staging write itself crashed: the store was never touched
+    * and stays readable. */
+  private def requireNoPendingSwap(spark: SparkSession, path: String, op: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val plan = new org.apache.hadoop.fs.Path(
+      root.getParent, root.getName + "__maint_staging/_plan.json")
+    require(!fs.exists(plan),
+      s"Hnsw.$op: $path has a committed-but-unfinished maintenance swap " +
+        s"($plan) — run any maintenance op (appendIndexSharded/upsertIndexSharded) " +
+        "to roll it forward before reading")
+  }
+
   private def readShardedMeta(spark: SparkSession, path: String): (Int, Int, Int) = {
     val p = new org.apache.hadoop.fs.Path(path, "_hnsw_sharded.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -826,6 +845,7 @@ object Hnsw {
   def searchIndexSharded(spark: SparkSession, path: String, queries: DataFrame,
                          k: Int, ef: Int = 64, queryIdCol: String = "qid",
                          embCol: String = "embedding", scale: Int = 4): DataFrame = {
+    requireNoPendingSwap(spark, path, "searchIndexSharded")
     val qArr = queries
       .select(col(queryIdCol).cast("long"), col(embCol).cast("array<double>"))
       .collect()
@@ -965,6 +985,7 @@ object Hnsw {
                         queryIdCol: String = "qid", embCol: String = "embedding",
                         scale: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    requireNoPendingSwap(spark, path, "searchIndexRouted")
     val cp = new org.apache.hadoop.fs.Path(path, "_shard_centroids.json")
     val fs = cp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(cp),

@@ -259,10 +259,15 @@ object PdfCodec {
 
   /** `begincodespacerange … endcodespacerange` blocks of an embedded
     * CMap: (byteLen, lo, hi) triples; lo/hi hex must agree on byte
-    * length (that length IS the code width per spec §9.7.6.2). */
+    * length (that length IS the code width per spec §9.7.6.2).
+    * Ranges of DIFFERENT widths must be first-byte disjoint: the
+    * tokenizer's shortest-match rule is equivalent to the spec's
+    * byte-incremental prefix match only under that assumption, and a
+    * file outside it would silently mis-tokenize (the shorter match
+    * always wins) — reject it loud instead. */
   private[graft] def parseCodespaces(cmap: String, fontNum: Int): Seq[(Int, Long, Long)] = {
     val hexPair = """<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>""".r
-    (for {
+    val out = (for {
       blk <- """(?s)begincodespacerange(.*?)endcodespacerange""".r.findAllMatchIn(cmap)
       m <- hexPair.findAllMatchIn(blk.group(1))
     } yield {
@@ -275,6 +280,17 @@ object PdfCodec {
       require(hi >= lo, s"PdfCodec: font $fontNum: codespace hi < lo")
       (len, lo, hi)
     }).toSeq
+    def firstByte(len: Int, v: Long): Long = (v >> (8 * (len - 1))) & 0xff
+    for ((a @ (l1, lo1, hi1)) <- out; (b @ (l2, lo2, hi2)) <- out if l1 < l2) {
+      val (a0, a1) = (firstByte(l1, lo1), firstByte(l1, hi1))
+      val (b0, b1) = (firstByte(l2, lo2), firstByte(l2, hi2))
+      require(a1 < b0 || b1 < a0,
+        f"PdfCodec: font $fontNum: codespace ranges of widths $l1 and $l2 have " +
+          f"overlapping first-byte prefixes [0x$a0%02x,0x$a1%02x] and " +
+          f"[0x$b0%02x,0x$b1%02x] — prefix-overlapping codespaces tokenize " +
+          "ambiguously under shortest-match (out of scope)")
+    }
+    out
   }
 
   /** /Differences array (spec §9.6.6.3): `[ code name name … code name … ]`
@@ -524,9 +540,10 @@ object PdfCodec {
       // [81,FE] AND second in [40,FE] — NOT the integer interval, which
       // would wrongly admit 0x8200-0x823F-style codes a conformant
       // reader rejects). Shortest-first is equivalent to the spec's
-      // byte-incremental prefix match for the prefix-disjoint ranges
-      // well-formed CMaps declare; bytes matching no range fail loud,
-      // never resync-and-garble.
+      // byte-incremental prefix match for first-byte-disjoint range
+      // widths — an invariant parseCodespaces ENFORCES at parse time,
+      // so no file reaches this loop outside it; bytes matching no
+      // range fail loud, never resync-and-garble.
       def inSpace(len: Int, v: Long): Boolean = spaces.exists { case (l, lo, hi) =>
         l == len && (0 until len).forall { j =>
           val sh = 8 * (len - 1 - j)

@@ -240,6 +240,17 @@ private[graft] object PdfCrypto {
       ((plain(2) & 0xff) << 16) | ((plain(3) & 0xff) << 24)
     require(pGot == p,
       s"PdfCodec: encrypted PDF: /Perms P $pGot contradicts the /Encrypt dict P $p")
+    // bytes 4-7 are required 0xFFFFFFFF and byte 8 exactly 'T' or 'F'
+    // (ISO 32000-2 §7.6.4.4.12) — anything else is a tampered or
+    // wrongly-keyed blob, not a legal EncryptMetadata=false
+    var fi = 4
+    while (fi < 8) {
+      require(plain(fi) == 0xff.toByte,
+        s"PdfCodec: encrypted PDF: /Perms byte $fi is not 0xFF (tampered blob?)")
+      fi += 1
+    }
+    require(plain(8) == 'T' || plain(8) == 'F',
+      "PdfCodec: encrypted PDF: /Perms byte 8 is neither 'T' nor 'F' (tampered blob?)")
     val emGot = plain(8) == 'T'
     require(emGot == encryptMetadata,
       "PdfCodec: encrypted PDF: /Perms EncryptMetadata flag contradicts the dict")

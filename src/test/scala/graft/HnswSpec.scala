@@ -137,6 +137,26 @@ class HnswSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
     assert(again == first)
 
+    // READ-ONLY staleness gate: a committed-but-unfinished maintenance
+    // swap (staging dir WITH a _plan.json) makes reads refuse loud — the
+    // on-disk shard mix may double or drop ids until it rolls forward.
+    // A staging dir WITHOUT a manifest (staging write crashed) is safe.
+    val stg = new java.io.File(path2 + "__maint_staging")
+    assert(stg.mkdirs())
+    assert(Hnsw.searchIndexSharded(spark, path2, queries, k, ef = 64).count() > 0,
+      "plan-less staging dir must not block reads")
+    java.nio.file.Files.writeString(
+      new java.io.File(stg, "_plan.json").toPath, """{"rewrite":[0],"drain":[]}""")
+    val ePending = intercept[IllegalArgumentException](
+      Hnsw.searchIndexSharded(spark, path2, queries, k, ef = 64))
+    assert(ePending.getMessage.contains("unfinished maintenance swap"),
+      ePending.getMessage)
+    // the next maintenance op rolls the (no-op) swap forward and reads resume
+    new java.io.File(stg, "_plan.json").delete(); stg.delete()
+    assert(Hnsw.searchIndexSharded(spark, path2, queries, k, ef = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet == first)
+
     // per-shard cap fails fast with the scale pointer
     val err = intercept[org.apache.spark.SparkException] {
       Hnsw.writeIndexSharded(e, numShards = 2,

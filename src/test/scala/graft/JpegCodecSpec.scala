@@ -224,6 +224,40 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(e.getMessage.contains("progressive"), e.getMessage)
   }
 
+  test("progressive scan ORDERING is validated: AC before DC / refine before first pass reject") {
+    // grayscale progressive scan script: DC first → DC refine → AC first
+    // → AC refine. Entropy data never contains a bare FF DA (FF is always
+    // stuffed 00 or RSTn), so SOS offsets cut the file into scans exactly.
+    val prog = JpegCodec.encode(16, 16, 1, blockFlat(16, 16, seed = 3),
+      progressive = true)
+    val sosAts = (0 until prog.length - 1).filter(i =>
+      (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xda)
+    assert(sosAts.length == 4, s"expected 4 scans, found ${sosAts.length}")
+    val eoiAt = prog.length - 2
+    assert((prog(eoiAt) & 0xff) == 0xff && (prog(eoiAt + 1) & 0xff) == 0xd9)
+    val head = prog.slice(0, sosAts(0))
+    val scans = sosAts.indices.map { i =>
+      prog.slice(sosAts(i), if (i + 1 < sosAts.length) sosAts(i + 1) else eoiAt)
+    }
+    val eoi = prog.slice(eoiAt, prog.length)
+    def reorder(order: Int*): Array[Byte] =
+      head ++ order.toArray.flatMap(i => scans(i)) ++ eoi
+    // sanity: the original order decodes
+    JpegCodec.decode(reorder(0, 1, 2, 3))
+    // AC band scan before the component's DC scan
+    val eAc = intercept[IllegalArgumentException](
+      JpegCodec.decode(reorder(2, 0, 1, 3)))
+    assert(eAc.getMessage.contains("before its DC scan"), eAc.getMessage)
+    // refinement scan with no matching first pass
+    val eRef = intercept[IllegalArgumentException](
+      JpegCodec.decode(reorder(1, 0, 2, 3)))
+    assert(eRef.getMessage.contains("no first pass"), eRef.getMessage)
+    // duplicate first pass for the same band
+    val eDup = intercept[IllegalArgumentException](
+      JpegCodec.decode(reorder(0, 0, 1, 2)))
+    assert(eDup.getMessage.contains("duplicate first pass"), eDup.getMessage)
+  }
+
   test("progressive + restart markers: every scan kind restarts, decode == marker-free") {
     val (w, h) = (40, 24)
     val src = blockFlat(w, h, seed = 5)

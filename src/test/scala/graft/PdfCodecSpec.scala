@@ -336,6 +336,33 @@ class PdfCodecSpec extends SparkSpec {
     val eP = intercept[IllegalArgumentException](
       PdfCodec.extractText(badP.getBytes("ISO-8859-1")))
     assert(eP.getMessage.contains("contradicts"), eP.getMessage)
+    // bytes 4-7 must be 0xFF and byte 8 exactly 'T'/'F' (ISO 32000-2
+    // §7.6.4.4.12): rebuild the blob under the KNOWN fixture key with a
+    // targeted corruption that keeps 'adb' and P intact, so only the
+    // tighter seal can catch it
+    val fk = java.security.MessageDigest.getInstance("SHA-256")
+      .digest("graft-aes256-filekey".getBytes("ISO-8859-1"))
+    def sealPerms(mut: Array[Byte] => Unit): String = {
+      val c = javax.crypto.Cipher.getInstance("AES/ECB/NoPadding")
+      c.init(javax.crypto.Cipher.DECRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(fk, "AES"))
+      val plain = c.doFinal(permsHex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)
+      mut(plain)
+      val e = javax.crypto.Cipher.getInstance("AES/ECB/NoPadding")
+      e.init(javax.crypto.Cipher.ENCRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(fk, "AES"))
+      e.doFinal(plain).map(b => f"${b & 0xff}%02X").mkString
+    }
+    val zeroByte8 = s.replace(s"/Perms <$permsHex>",
+      s"/Perms <${sealPerms(_(8) = 0)}>")
+    val e8 = intercept[IllegalArgumentException](
+      PdfCodec.extractText(zeroByte8.getBytes("ISO-8859-1")))
+    assert(e8.getMessage.contains("neither 'T' nor 'F'"), e8.getMessage)
+    val zeroByte5 = s.replace(s"/Perms <$permsHex>",
+      s"/Perms <${sealPerms(_(5) = 0)}>")
+    val e5 = intercept[IllegalArgumentException](
+      PdfCodec.extractText(zeroByte5.getBytes("ISO-8859-1")))
+    assert(e5.getMessage.contains("not 0xFF"), e5.getMessage)
   }
 
   test("hash2B matches its spec shape: ≥64 rounds, owner hash binds the /U vector") {
@@ -831,8 +858,17 @@ class PdfCodecSpec extends SparkSpec {
         |endbfchar""".stripMargin
     val m = PdfCodec.parseToUnicodeWide(cmap)
     assert(m((1, 0x41L)) == "X" && m((2, 0x41L)) == "Y")
-    val spaces = PdfCodec.parseCodespaces(cmap, -1)
-    assert(spaces == Seq((1, 0x00L, 0x7fL), (2, 0x0000L, 0xffffL)))
+    // ...but THAT cmap's codespaces overlap in first byte across widths
+    // (<00><7F> vs <0000><FFFF>): shortest-match tokenization would
+    // silently diverge from the spec's byte-incremental prefix match on
+    // such a file, so parseCodespaces rejects it loud
+    val eOverlap = intercept[IllegalArgumentException](
+      PdfCodec.parseCodespaces(cmap, -1))
+    assert(eOverlap.getMessage.contains("overlapping first-byte"), eOverlap.getMessage)
+    // first-byte-DISJOINT widths (the RKSJ shape) parse fine
+    val spaces = PdfCodec.parseCodespaces(
+      "2 begincodespacerange\n<00> <7F>\n<8000> <FFFF>\nendcodespacerange", -1)
+    assert(spaces == Seq((1, 0x00L, 0x7fL), (2, 0x8000L, 0xffffL)))
   }
 
   test("code missing from the CMap fails loud, not silent drop") {

@@ -32,7 +32,8 @@ class PngCodecSpec extends AnyFunSuite with SparkSpec {
   test("committed palette fixture: PLTE expansion, Up filter, ancillary tEXt skipped") {
     val img = PngCodec.decode(fixture("fixture_pal_2x2.png"))
     assert(img.width == 2 && img.height == 2)
-    assert(img.colorType == 3 && img.channels == 3, "palette expands to RGB")
+    assert(img.colorType == 2 && img.channels == 3,
+      "palette expands to RGB; colorType reports the decoded buffer")
     val expected = Array(255, 0, 0, 0, 0, 128, 0, 255, 0, 0, 255, 0).map(_.toByte)
     assert(img.pixels.toSeq == expected.toSeq)
     assert(md5hex(img.pixels) == "a7662d1d8f60511ecc0b42ba0f637231")
@@ -71,6 +72,7 @@ class PngCodecSpec extends AnyFunSuite with SparkSpec {
       chunk("tRNS", Array(0x00, 0x80).map(_.toByte))) // idx0 -> 0, idx1 -> 0x80
     val palImg = PngCodec.decode(palPng)
     assert(palImg.channels == 4)
+    assert(palImg.colorType == 6, "colorType reports the decoded RGBA buffer")
     assert(palImg.pixels.grouped(4).map(_(3) & 0xff).toSeq == Seq(0x00, 0x80, 0xff, 0xff))
     assert(palImg.pixels.grouped(4).map(_.take(3).toSeq).toSeq ==
       idx.map(i => pal.slice(3 * i, 3 * i + 3).toSeq).toSeq)
@@ -80,6 +82,7 @@ class PngCodecSpec extends AnyFunSuite with SparkSpec {
       chunk("tRNS", Array(0x00, 0x4b).map(_.toByte)))
     val grayImg = PngCodec.decode(grayPng)
     assert(grayImg.channels == 2)
+    assert(grayImg.colorType == 4, "gray+key decodes as gray+alpha")
     assert(grayImg.pixels.grouped(2).map(p => (p(0), p(1) & 0xff)).toSeq ==
       Seq((0x4b.toByte, 0), (0x10.toByte, 0xff), (0x4b.toByte, 0), (0x20.toByte, 0xff)))
     // RGB: triple key -> RGBA
@@ -88,6 +91,7 @@ class PngCodecSpec extends AnyFunSuite with SparkSpec {
       chunk("tRNS", Array(0, 1, 0, 2, 0, 3).map(_.toByte)))
     val rgbImg = PngCodec.decode(rgbPng)
     assert(rgbImg.channels == 4)
+    assert(rgbImg.colorType == 6, "RGB+key decodes as RGBA")
     assert(rgbImg.pixels.toSeq == Seq[Byte](1, 2, 3, 0, 9, 9, 9, -1))
     // fail-loud: tRNS on an alpha-bearing type is illegal
     val rgbaPng = insertBeforeIdat(PngCodec.encode(1, 1, 6, Array[Byte](1, 2, 3, 4)),
