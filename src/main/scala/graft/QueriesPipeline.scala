@@ -389,6 +389,34 @@ object QueriesPipeline {
              |  unnest(range(0, CAST(ceil(length(t) / 200.0) AS INT))) AS u(i)
              |ORDER BY doc_id, page_no""".stripMargin)),
 
+    // PREDEFINED-CMap decode (round 15): the same mixed-text corpus, but
+    // the synthesized Type0 font NAMES /90ms-RKSJ-H — no embedded
+    // /Encoding stream, no /ToUnicode — so the content strings carry
+    // real Shift-JIS bytes and the only way back to text is the engine's
+    // built-in predefined-CMap table (the file shape that dominates real
+    // Japanese corpora; PDFBox opens them via its bundled
+    // cmap-resources, reference Function.java:90-132). The oracle is
+    // byte-blind: it replays the TEXT formulas only, so a decoder that
+    // mis-tokenizes Shift-JIS or mis-maps any code hash-mismatches.
+    "q_pdf_cmap_predef" -> QueryDef(
+      (s, d) => {
+        val mixed = Tables.documents(s, d).select(col("doc_id"),
+          translate(col("text"), "aeiou", "亜江意尾宇").as("text"))
+        val pdfs = PdfPipeline.synthesizeCmapPredefPdfs(mixed, pageSize = 200)
+        PdfPipeline.extractPagesPdf(pdfs)
+          .select(col("doc_id"), col("page_no"),
+            length(col("page_text")).cast("long").as("page_len"),
+            md5(col("page_text")).as("page_md5"))
+          .orderBy(col("doc_id"), col("page_no"))
+      },
+      Some("""SELECT doc_id, CAST(i + 1 AS BIGINT) AS page_no,
+             |  CAST(length(substr(t, i*200 + 1, 200)) AS BIGINT) AS page_len,
+             |  md5(substr(t, i*200 + 1, 200)) AS page_md5
+             |FROM (SELECT doc_id, translate(text, 'aeiou', '亜江意尾宇') AS t
+             |      FROM documents),
+             |  unnest(range(0, CAST(ceil(length(t) / 200.0) AS INT))) AS u(i)
+             |ORDER BY doc_id, page_no""".stripMargin)),
+
     "q_chunk_split" -> QueryDef(
       (s, d) => docsChunks(s, d)
         .select(col("doc_id"), col("chunk_idx"),

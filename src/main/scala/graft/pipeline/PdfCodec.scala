@@ -231,6 +231,18 @@ object PdfCodec {
       val encRef = dictRef(d, "/Encoding")
       if (encName.exists(e => e == "Identity-H" || e == "Identity-V"))
         CompositeFont(parseToUnicode(toUnicodeStream))
+      else if (encName.flatMap(PredefCmaps.forName).isDefined) {
+        // PREDEFINED CMap (spec §9.7.5.2): the built-in table supplies
+        // the codespace ranges (tokenization) and, when the font carries
+        // no /ToUnicode of its own, the code→Unicode mapping too. A
+        // font-supplied /ToUnicode takes precedence (spec §9.10.3) —
+        // it is the author's explicit extraction map.
+        val pc = encName.flatMap(PredefCmaps.forName).get
+        val toUni =
+          if (dictRef(d, "/ToUnicode").isDefined) parseToUnicodeWide(toUnicodeStream)
+          else pc.toUni
+        CmapFont(pc.codespaces, toUni, obj.num)
+      }
       else encRef.flatMap(byNum.get) match {
         case Some(encObj) if encObj.stream.isDefined =>
           // EMBEDDED CMap (spec §9.7.5.3): variable-width codes per its
@@ -249,7 +261,8 @@ object PdfCodec {
           s"PdfCodec: composite font object ${obj.num}: /Encoding ${other.num} 0 R " +
             "is not a CMap stream")
         case None => throw new IllegalArgumentException(
-          s"PdfCodec: composite font object ${obj.num}: only /Identity-H|V or an " +
+          s"PdfCodec: composite font object ${obj.num}: only /Identity-H|V, the " +
+            "built-in predefined CMaps (/90ms-RKSJ-H, /UniJIS-UCS2-H) or an " +
             "EMBEDDED /Encoding CMap stream supported" +
             encName.fold(" (no /Encoding)")(e =>
               s"; predefined CMap /$e would need tables this engine doesn't carry"))
@@ -1888,6 +1901,64 @@ object PdfCodec {
       extra = " /Type /CMap /CMapName /GraftMixed-H /WMode 0")
     val xrefAt = out.size()
     val total = encNum + 1
+    w(s"xref\n0 $total\n0000000000 65535 f \n")
+    offsets.sortBy(_._1).foreach { case (_, off) => w(f"$off%010d 00000 n \n") }
+    w(s"trailer\n<< /Size $total /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
+    out.toByteArray
+  }
+
+  /** [[encodeCmapPdf]]'s sibling for the PREDEFINED-CMap leg: the Type0
+    * font names a registered CMap (`/Encoding /90ms-RKSJ-H` or
+    * `/UniJIS-UCS2-H`) instead of embedding a stream, carries NO
+    * /ToUnicode, and the content strings hold the real encoded bytes
+    * (Shift-JIS / UCS-2BE) — exactly the file shape real Japanese
+    * corpora emit (the reference opens them through PDFBox's bundled
+    * cmap-resources, Function.java:90-132). Because nothing else in the
+    * file can map the codes, round-tripping this file genuinely gates
+    * the built-in [[PredefCmaps]] tables. */
+  def encodeCmapPredefPdf(pages: Seq[String], cmapName: String = "90ms-RKSJ-H",
+                          compress: Boolean = true): Array[Byte] = {
+    require(PredefCmaps.forName(cmapName).isDefined,
+      s"PdfCodec.encodeCmapPredefPdf: no built-in table for /$cmapName")
+    val nPages = pages.length
+    val fontNum = 3 + 2 * nPages
+    val descNum = fontNum + 1
+    val out = new ByteArrayOutputStream()
+    val offsets = mutable.Buffer.empty[(Int, Int)]
+    def w(str: String): Unit = out.write(str.getBytes(ISO_8859_1))
+    def beginObj(num: Int): Unit = { offsets += (num -> out.size()); w(s"$num 0 obj\n") }
+    w("%PDF-1.4\n%âãÏÓ\n")
+    beginObj(1); w("<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    val kids = (0 until nPages).map(i => s"${3 + 2 * i} 0 R").mkString(" ")
+    beginObj(2); w(s"<< /Type /Pages /Kids [ $kids ] /Count $nPages >>\nendobj\n")
+    pages.zipWithIndex.foreach { case (text, i) =>
+      val pageNum = 3 + 2 * i
+      val contNum = 4 + 2 * i
+      beginObj(pageNum)
+      w(s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        s"/Resources << /Font << /F1 $fontNum 0 R >> >> /Contents $contNum 0 R >>\nendobj\n")
+      val hex = text.map { ch =>
+        require(!ch.isSurrogate,
+          f"PdfCodec.encodeCmapPredefPdf: non-BMP char U+${ch.toInt}%04x out of scope")
+        val (wd, code) = PredefCmaps.encodeChar(cmapName, ch)
+        if (wd == 1) f"$code%02X" else f"$code%04X"
+      }.mkString
+      val payload = s"BT /F1 12 Tf 72 720 Td <$hex> Tj ET".getBytes(ISO_8859_1)
+      val data = if (compress) deflate(payload) else payload
+      beginObj(contNum)
+      val filter = if (compress) " /Filter /FlateDecode" else ""
+      w(s"<< /Length ${data.length}$filter >>\nstream\n")
+      out.write(data)
+      w("\nendstream\nendobj\n")
+    }
+    beginObj(fontNum)
+    w(s"<< /Type /Font /Subtype /Type0 /BaseFont /GraftPredef /Encoding /$cmapName " +
+      s"/DescendantFonts [ $descNum 0 R ] >>\nendobj\n")
+    beginObj(descNum)
+    w("<< /Type /Font /Subtype /CIDFontType2 /BaseFont /GraftPredef " +
+      "/CIDSystemInfo << /Registry (Adobe) /Ordering (Japan1) /Supplement 2 >> >>\nendobj\n")
+    val xrefAt = out.size()
+    val total = descNum + 1
     w(s"xref\n0 $total\n0000000000 65535 f \n")
     offsets.sortBy(_._1).foreach { case (_, off) => w(f"$off%010d 00000 n \n") }
     w(s"trailer\n<< /Size $total /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")

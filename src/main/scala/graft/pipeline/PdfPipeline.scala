@@ -151,6 +151,27 @@ object PdfPipeline {
       .toDF(idCol, "content")
   }
 
+  /** [[synthesizeCmapPdfs]]'s PREDEFINED-CMap sibling
+    * ([[PdfCodec.encodeCmapPredefPdf]]): the Type0 font NAMES a
+    * registered CMap (default `/90ms-RKSJ-H`) and carries no ToUnicode,
+    * so decoding gates the built-in [[PredefCmaps]] tables on real
+    * Shift-JIS bytes — the file shape that dominates real Japanese
+    * corpora (the reference's own input domain). */
+  def synthesizeCmapPredefPdfs(docs: DataFrame, pageSize: Int = 200,
+                               compress: Boolean = true,
+                               cmapName: String = "90ms-RKSJ-H",
+                               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val pages = if (text.isEmpty) Seq.empty[String] else text.grouped(pageSize).toSeq
+        (id, PdfCodec.encodeCmapPredefPdf(pages, cmapName, compress))
+      }
+      .toDF(idCol, "content")
+  }
+
   /** Normalized text → (chunk_idx, chunk) rows via the reference chunker
     * (native expression — no ScalaUDF row serialization). */
   def chunkRows(docs: DataFrame, maxLen: Int = 7500, lookback: Int = 300,

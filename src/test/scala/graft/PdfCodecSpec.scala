@@ -771,12 +771,51 @@ class PdfCodecSpec extends SparkSpec {
     assert(e.getMessage.contains("ToUnicode"))
   }
 
-  test("PREDEFINED composite encoding names still fail loud (no tables carried)") {
+  test("UNCARRIED predefined encoding names still fail loud (only the two built-ins decode)") {
     val pdf = new String(PdfCodec.encodeCidPdf(Seq("字")), "ISO-8859-1")
-    val broken = pdf.replace("/Identity-H", "/90ms-RKSJ-H")
+    // UniJIS-UTF16-H is a real registered CMap this engine does NOT carry
+    val broken = pdf.replace("/Identity-H", "/UniJIS-UTF16-H")
     val e = intercept[IllegalArgumentException](
       PdfCodec.extractText(broken.getBytes("ISO-8859-1")))
     assert(e.getMessage.contains("predefined CMap"), e.getMessage)
+  }
+
+  test("PREDEFINED CMaps decode: 90ms-RKSJ-H (Shift-JIS bytes) and UniJIS-UCS2-H (UCS-2)") {
+    val pages = Seq(
+      "Hello 世界! mixed ascii and 日本語 text",
+      "カタカナ and ｶﾀｶﾅ halfwidth",   // halfwidth katakana = RKSJ 1-byte A1-DF
+      "pure ascii page",
+      "亜江意尾宇 jis level one")
+    for (cmap <- Seq("90ms-RKSJ-H", "UniJIS-UCS2-H"); compress <- Seq(true, false)) {
+      val pdf = PdfCodec.encodeCmapPredefPdf(pages, cmap, compress)
+      assert(PdfCodec.extractText(pdf) == pages, s"$cmap compress=$compress")
+    }
+    // a font-supplied /ToUnicode would take precedence; absent one, a code
+    // CP932 leaves undefined fails loud (splice a hole code 0x8200 —
+    // second byte 0x00 is outside <8140><9FFC>'s per-byte range, so the
+    // TOKENIZER rejects it; 0x81AD is inside the codespace but unmapped
+    // in CP932, so the TABLE rejects it)
+    val pdf = new String(
+      PdfCodec.encodeCmapPredefPdf(Seq("字A"), "90ms-RKSJ-H", compress = false),
+      "ISO-8859-1")
+    assert(pdf.contains("<8E9A41>"), "content shape changed") // 字 = 0x8E9A SJIS, A 1-byte
+    val holeCodespace = pdf.replace("<8E9A41>", "<820041>")
+    val e1 = intercept[IllegalArgumentException](
+      PdfCodec.extractText(holeCodespace.getBytes("ISO-8859-1")))
+    assert(e1.getMessage.contains("codespace"), e1.getMessage)
+    val holeTable = pdf.replace("<8E9A41>", "<81AD41>")
+    val e2 = intercept[IllegalArgumentException](
+      PdfCodec.extractText(holeTable.getBytes("ISO-8859-1")))
+    assert(e2.getMessage.contains("not in the font's ToUnicode CMap"), e2.getMessage)
+    // writer refuses chars outside the repertoire rather than emitting
+    // undecodable bytes (U+20AC € has no CP932 encoding; note JIS X 0208
+    // DOES carry Cyrillic/Greek, so a Ж would encode fine)
+    val e3 = intercept[IllegalArgumentException](
+      PdfCodec.encodeCmapPredefPdf(Seq("€"), "90ms-RKSJ-H"))
+    assert(e3.getMessage.contains("CP932"), e3.getMessage)
+    val e4 = intercept[IllegalArgumentException](
+      PdfCodec.encodeCmapPredefPdf(Seq("€"), "UniJIS-UCS2-H"))
+    assert(e4.getMessage.contains("subset"), e4.getMessage)
   }
 
   test("EMBEDDED /Encoding CMap: mixed 1/2-byte codes round-trip (the RKSJ shape)") {
