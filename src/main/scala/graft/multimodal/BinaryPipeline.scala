@@ -482,18 +482,116 @@ object BinaryPipeline {
     }(enc)
   }
 
-  /** Decode PNG or JPEG content by magic sniff into the shared decoded-
-    * image shape (JPEG adapts: bit depth 8, gray→colorType 0, RGB→2);
-    * anything else fails loud — the image OPS below are format-agnostic,
-    * the codecs stay format-specific. */
+  /** Decode PNG, JPEG or GIF content by magic sniff into the shared
+    * decoded-image shape (JPEG adapts: bit depth 8, gray→colorType 0,
+    * RGB→2; GIF decodes straight to the shape); anything else fails
+    * loud — the image OPS below are format-agnostic, the codecs stay
+    * format-specific. */
   private def decodeAnyImage(content: Array[Byte]): PngCodec.PngImage =
     if (isPng(content)) PngCodec.decode(content)
     else if (JpegCodec.isJpeg(content)) {
       val j = JpegCodec.decode(content)
       PngCodec.PngImage(j.width, j.height, 8,
         if (j.components == 1) 0 else 2, j.components, j.pixels)
-    } else throw new IllegalArgumentException(
-      "BinaryPipeline: content is neither PNG nor JPEG (image op on non-image bytes)")
+    } else if (GifCodec.isGif(content)) GifCodec.decode(content)
+    else throw new IllegalArgumentException(
+      "BinaryPipeline: content is not PNG/JPEG/GIF (image op on non-image bytes)")
+
+  /** Deterministic in-engine GIF synthesis over document rows — the
+    * [[synthesizeImages]] recipe for the palette/LZW leg ([[GifCodec]]
+    * writes REAL GIF89a files). Formulas (all from doc_id alone):
+    *   width = 10 + doc_id % 13, height = 8 + doc_id % 11
+    *   nColors-entry palette: entry j = ((id·17 + j·29) % 256,
+    *     (id·19 + j·31) % 256, (id·23 + j·37) % 256)
+    *   index(i) = (id·31 + i·7) % nColors, row-major pixel i
+    *   interlaced when id % 4 == 1; GCE transparent index 0 when
+    *   id % 5 == 2 (decodes to RGBA)
+    * `nColors` trades palette realism against feature entropy: 8 (the
+    * default) is the classic small-palette web GIF, but its mod-8 index
+    * cycle makes tile MEANS collapse to the palette mean (every 8
+    * consecutive pixels hit all entries once), so features are near-
+    * parallel across ids — fine for decode gates, fatal for a cosine
+    * dedup gate. 250 gives PNG-like quasi-random tile features.
+    * Output: (idCol, content binary, meta struct) — the [[asMedia]] shape. */
+  def synthesizeGifs(docs: DataFrame, idCol: String = "doc_id",
+                     batchSize: Int = 16, nColors: Int = 8): DataFrame = {
+    require(nColors >= 2 && nColors <= 256, s"synthesizeGifs: nColors $nColors (2-256)")
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false),
+      StructField("meta", StructType(Seq(
+        StructField("media_type", StringType, nullable = false),
+        StructField("declared_bytes", LongType, nullable = false))), nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val ids = docs.select(col(idCol))
+    ids.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val id = r.getLong(0)
+          val w = (10 + id % 13).toInt
+          val h = (8 + id % 11).toInt
+          val pal = new Array[Byte](3 * nColors)
+          var j = 0
+          while (j < nColors) {
+            pal(3 * j) = ((id * 17 + j * 29) % 256).toByte
+            pal(3 * j + 1) = ((id * 19 + j * 31) % 256).toByte
+            pal(3 * j + 2) = ((id * 23 + j * 37) % 256).toByte
+            j += 1
+          }
+          val idx = new Array[Byte](w * h)
+          var i = 0
+          while (i < idx.length) { idx(i) = ((id * 31 + i * 7L) % nColors).toByte; i += 1 }
+          val bytes = GifCodec.encode(w, h, pal, idx,
+            interlace = id % 4 == 1,
+            transparentIdx = if (id % 5 == 2) Some(0) else None)
+          Row(id, bytes, Row("image/gif", bytes.length.toLong))
+        }
+      }
+    }(enc)
+  }
+
+  /** REAL GIF decode over (id, content) rows ([[GifCodec]] fails loud on
+    * non-GIF bytes). Emits true geometry, per-channel sums, and a
+    * POSITION-WEIGHTED checksum Σ (p+1)·buffer[p] over the decoded
+    * row-major buffer — order-sensitive, so an interlace or LZW
+    * reordering bug breaks the gate even though plain sums wouldn't.
+    * All integers: hash-exact against a SQL replay. */
+  def decodeGifs(media: DataFrame, idCol: String = "doc_id",
+                 batchSize: Int = 16): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("width", LongType, nullable = false),
+      StructField("height", LongType, nullable = false),
+      StructField("channels", LongType, nullable = false),
+      StructField("r_sum", LongType, nullable = false),
+      StructField("g_sum", LongType, nullable = false),
+      StructField("b_sum", LongType, nullable = false),
+      StructField("a_sum", LongType, nullable = false),
+      StructField("weighted_sum", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val idIdx = media.schema.fieldIndex(idCol)
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val id = r.getLong(idIdx)
+          val img = GifCodec.decode(r.getAs[Array[Byte]](contentIdx))
+          val ch = img.channels
+          val sums = new Array[Long](4)
+          var weighted = 0L
+          var p = 0
+          while (p < img.pixels.length) {
+            val v = img.pixels(p) & 0xff
+            sums(p % ch) += v
+            weighted += (p + 1).toLong * v
+            p += 1
+          }
+          Row(id, img.width.toLong, img.height.toLong, ch.toLong,
+            sums(0), sums(1), sums(2), sums(3), weighted)
+        }
+      }
+    }(enc)
+  }
 
   /** GRID-POOLED image features over (id, content) rows — PNG or JPEG,
     * sniffed per row: decode → [[PngCodec.tileFeatures]] — a

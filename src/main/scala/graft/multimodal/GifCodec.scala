@@ -1,0 +1,359 @@
+package graft.multimodal
+
+import java.io.ByteArrayOutputStream
+
+import scala.collection.mutable
+
+/** A real GIF codec (the public GIF89a specification) — the third raster
+  * leg of the multimodal pipeline after PNG and JPEG; GIFs are ubiquitous
+  * in web crawls, so a 100 TB image corpus contains them whether or not
+  * anyone wants animation. Decodes into the shared [[PngCodec.PngImage]]
+  * shape (bit depth 8, palette expanded to RGB — or RGBA when a Graphic
+  * Control Extension declares a transparent index) so the format-agnostic
+  * image ops (tiles, resize, KNN, dedup) take GIF rows unchanged.
+  *
+  * Scope (fail-loud beyond it, never silent garbage):
+  *  - GIF87a and GIF89a, global or local color table (one required)
+  *  - FIRST frame only, and it must cover the full logical screen — a
+  *    second image descriptor (animation) or a sub-rectangle frame
+  *    rejects loud with the reason
+  *  - interlaced (4-pass) and sequential row order
+  *  - LZW decompression with the spec's variable code width (LSB-first
+  *    bit packing, clear/end codes, deferred-clear full dictionary),
+  *    strict pixel-count accounting — truncated or oversized streams
+  *    reject
+  *  - extensions (GCE/comment/application) skip via their sub-block
+  *    chains; only the GCE's transparent index is honored
+  *
+  * Reference analogue: the reference decodes its media format for real
+  * (PDFBox, Function.java:90-132); graft's image columns get the same
+  * treatment per format.
+  */
+object GifCodec {
+
+  /** True iff `content` starts with a GIF87a/GIF89a signature. */
+  def isGif(b: Array[Byte]): Boolean =
+    b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a'
+
+  def decode(bytes: Array[Byte]): PngCodec.PngImage = {
+    require(isGif(bytes), "GifCodec: not a GIF (bad GIF87a/GIF89a signature)")
+    def u8(i: Int): Int = {
+      require(i < bytes.length, "GifCodec: truncated file")
+      bytes(i) & 0xff
+    }
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    val width = le16(6)
+    val height = le16(8)
+    require(width > 0 && height > 0, s"GifCodec: invalid dimensions ${width}x$height")
+    val packed = u8(10)
+    var pos = 13
+    val gct: Array[Byte] =
+      if ((packed & 0x80) != 0) {
+        val n = 2 << (packed & 7)
+        val t = java.util.Arrays.copyOfRange(bytes, pos, pos + 3 * n)
+        require(pos + 3 * n <= bytes.length, "GifCodec: truncated global color table")
+        pos += 3 * n
+        t
+      } else null
+
+    var transparentIdx = -1
+    var image: PngCodec.PngImage = null
+    var done = false
+    /** Skip a sub-block chain, returning the position after its 0 terminator. */
+    def skipSubBlocks(p0: Int): Int = {
+      var p = p0
+      while (u8(p) != 0) p += 1 + u8(p)
+      p + 1
+    }
+    while (!done) {
+      u8(pos) match {
+        case 0x3b => // trailer
+          done = true
+        case 0x21 => // extension
+          val label = u8(pos + 1)
+          if (label == 0xf9) { // Graphic Control Extension
+            require(u8(pos + 2) == 4, "GifCodec: malformed GCE block size")
+            if ((u8(pos + 3) & 1) != 0) transparentIdx = u8(pos + 6)
+          }
+          pos = skipSubBlocks(pos + 2)
+        case 0x2c => // image descriptor
+          require(image == null,
+            "GifCodec: second image descriptor — animated GIF beyond frame 1 out of scope")
+          val left = le16(pos + 1); val top = le16(pos + 3)
+          val iw = le16(pos + 5); val ih = le16(pos + 7)
+          require(left == 0 && top == 0 && iw == width && ih == height,
+            s"GifCodec: frame ${iw}x$ih at ($left,$top) does not cover the " +
+              s"${width}x$height logical screen — composited sub-frames out of scope")
+          val ipacked = u8(pos + 9)
+          val interlaced = (ipacked & 0x40) != 0
+          pos += 10
+          val palette: Array[Byte] =
+            if ((ipacked & 0x80) != 0) {
+              val n = 2 << (ipacked & 7)
+              require(pos + 3 * n <= bytes.length, "GifCodec: truncated local color table")
+              val t = java.util.Arrays.copyOfRange(bytes, pos, pos + 3 * n)
+              pos += 3 * n
+              t
+            } else gct
+          require(palette != null,
+            "GifCodec: image has neither a local nor a global color table")
+          val minCode = u8(pos)
+          require(minCode >= 2 && minCode <= 8,
+            s"GifCodec: LZW minimum code size $minCode out of range (2-8)")
+          pos += 1
+          // concatenate the sub-block chain into one LZW byte stream
+          val data = new ByteArrayOutputStream()
+          while (u8(pos) != 0) {
+            val n = u8(pos)
+            require(pos + 1 + n <= bytes.length, "GifCodec: truncated image data sub-block")
+            data.write(bytes, pos + 1, n)
+            pos += 1 + n
+          }
+          pos += 1
+          val indices = lzwDecode(data.toByteArray, minCode, iw * ih)
+          val rowMajor =
+            if (!interlaced) indices
+            else {
+              // 4-pass interlace: rows 0+8k, 4+8k, 2+4k, 1+2k
+              val out = new Array[Byte](indices.length)
+              var src = 0
+              for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2))) {
+                var y = start
+                while (y < ih) {
+                  System.arraycopy(indices, src * iw, out, y * iw, iw)
+                  src += 1
+                  y += step
+                }
+              }
+              out
+            }
+          val nEntries = palette.length / 3
+          val outCh = if (transparentIdx >= 0) 4 else 3
+          val px = new Array[Byte](rowMajor.length * outCh)
+          var i = 0
+          while (i < rowMajor.length) {
+            val idx = rowMajor(i) & 0xff
+            require(idx < nEntries,
+              s"GifCodec: pixel index $idx out of range (color table has $nEntries entries)")
+            px(outCh * i) = palette(3 * idx)
+            px(outCh * i + 1) = palette(3 * idx + 1)
+            px(outCh * i + 2) = palette(3 * idx + 2)
+            if (outCh == 4)
+              px(4 * i + 3) = if (idx == transparentIdx) 0 else 0xff.toByte
+            i += 1
+          }
+          image = PngCodec.PngImage(width, height, 8,
+            if (outCh == 4) 6 else 2, outCh, px)
+        case other => throw new IllegalArgumentException(
+          f"GifCodec: unknown block introducer 0x$other%02X at offset $pos")
+      }
+    }
+    require(image != null, "GifCodec: trailer before any image data")
+    image
+  }
+
+  /** GIF-variant LZW decode: LSB-first bit packing, variable code width
+    * growing at avail == 1<<width (capped 12), clear/end codes, the
+    * KwKwK case, no dictionary adds once full (until a clear). Produces
+    * EXACTLY `expected` pixels or fails loud. */
+  private def lzwDecode(data: Array[Byte], minCode: Int, expected: Int): Array[Byte] = {
+    val clear = 1 << minCode
+    val end = clear + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val out = new Array[Byte](expected)
+    var outLen = 0
+    var avail = end + 1
+    var codeSize = minCode + 1
+    var prev = -1
+    var bitPos = 0
+    val totalBits = data.length * 8
+    def readCode(): Int = {
+      require(bitPos + codeSize <= totalBits,
+        "GifCodec: LZW stream truncated mid-code")
+      var v = 0
+      var i = 0
+      while (i < codeSize) {
+        val p = bitPos + i
+        if ((data(p >> 3) & (1 << (p & 7))) != 0) v |= 1 << i
+        i += 1
+      }
+      bitPos += codeSize
+      v
+    }
+    /** Expand `code` into out (reversed walk through the prefix chain). */
+    def emit(code: Int, extra: Int): Unit = {
+      // count the chain length first, then fill backwards
+      var n = 1 + (if (extra >= 0) 1 else 0)
+      var c = code
+      while (c >= clear + 2) { n += 1; c = prefix(c) }
+      require(outLen + n <= expected,
+        s"GifCodec: LZW emits more than the ${expected}-pixel frame")
+      var w = outLen + n - 1
+      if (extra >= 0) { out(w) = extra.toByte; w -= 1 }
+      c = code
+      while (c >= clear + 2) { out(w) = suffix(c); w -= 1; c = prefix(c) }
+      require(c < clear, s"GifCodec: corrupt LZW chain (root $c)")
+      out(w) = c.toByte
+      outLen += n
+    }
+    def firstChar(code: Int): Int = {
+      var c = code
+      while (c >= clear + 2) c = prefix(c)
+      c
+    }
+    var finished = false
+    while (!finished) {
+      val code = readCode()
+      if (code == clear) {
+        avail = end + 1; codeSize = minCode + 1; prev = -1
+      } else if (code == end) {
+        finished = true
+      } else if (prev < 0) {
+        require(code < clear, s"GifCodec: first LZW code $code is not a literal")
+        emit(code, -1)
+        prev = code
+      } else {
+        require(code <= avail,
+          s"GifCodec: LZW code $code beyond dictionary ($avail)")
+        // first char of string(code); for the KwKwK case (code == avail,
+        // whose entry doesn't exist yet) string(code) = string(prev) +
+        // first(string(prev)), so its first char is prev's
+        val fc = firstChar(if (code == avail) prev else code)
+        if (code == avail) {
+          require(avail < 4096, "GifCodec: LZW KwKwK with a full dictionary")
+          emit(prev, fc)
+        } else emit(code, -1)
+        if (avail < 4096) {
+          prefix(avail) = prev
+          suffix(avail) = fc.toByte
+          avail += 1
+          if (avail == (1 << codeSize) && codeSize < 12) codeSize += 1
+        }
+        prev = code
+      }
+      if (!finished && outLen == expected) {
+        // spec: an explicit end code follows the last pixel
+        val c = readCode()
+        require(c == end || c == clear,
+          s"GifCodec: expected LZW end code after $expected pixels, got $c")
+        finished = true
+      }
+    }
+    require(outLen == expected,
+      s"GifCodec: LZW stream ended with $outLen of $expected pixels")
+    out
+  }
+
+  /** GIF ENCODE for fixtures and in-engine synthesis (the PNG/JPEG
+    * convention): GIF89a, global color table, one full-screen image.
+    * `palette` is RGB triples (2-256 entries), `indices` row-major
+    * palette indices; `interlace` writes the 4-pass layout;
+    * `transparentIdx` adds a GCE so the decoder returns RGBA. */
+  def encode(width: Int, height: Int, palette: Array[Byte], indices: Array[Byte],
+             interlace: Boolean = false, transparentIdx: Option[Int] = None): Array[Byte] = {
+    require(width > 0 && height > 0, s"GifCodec.encode: invalid dimensions ${width}x$height")
+    require(indices.length == width * height,
+      s"GifCodec.encode: ${indices.length} indices, geometry wants ${width * height}")
+    require(palette.length % 3 == 0 && palette.length >= 6 && palette.length <= 768,
+      s"GifCodec.encode: palette of ${palette.length} bytes (want 2-256 RGB triples)")
+    val nEntries = palette.length / 3
+    indices.foreach(ix => require((ix & 0xff) < nEntries,
+      s"GifCodec.encode: index ${ix & 0xff} out of the $nEntries-entry palette"))
+    transparentIdx.foreach(t => require(t >= 0 && t < nEntries,
+      s"GifCodec.encode: transparent index $t out of the $nEntries-entry palette"))
+    // GCT size field: 2^(f+1) >= nEntries
+    var f = 0
+    while ((2 << f) < nEntries) f += 1
+    val gctEntries = 2 << f
+    val out = new ByteArrayOutputStream(indices.length / 2 + 64)
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def le16(v: Int): Unit = { w8(v); w8(v >> 8) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    le16(width); le16(height)
+    w8(0x80 | f) // GCT present, size f (color resolution bits 0 — unused by readers)
+    w8(0); w8(0) // background, aspect
+    out.write(palette, 0, palette.length)
+    for (i <- palette.length / 3 until gctEntries) { w8(0); w8(0); w8(0) }
+    transparentIdx.foreach { t =>
+      w8(0x21); w8(0xf9); w8(4); w8(1); le16(0); w8(t); w8(0)
+    }
+    w8(0x2c); le16(0); le16(0); le16(width); le16(height)
+    w8(if (interlace) 0x40 else 0) // no LCT
+    val ordered =
+      if (!interlace) indices
+      else {
+        val o = new ByteArrayOutputStream(indices.length)
+        for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2))) {
+          var y = start
+          while (y < height) { o.write(indices, y * width, width); y += step }
+        }
+        o.toByteArray
+      }
+    val minCode = math.max(2, f + 1)
+    w8(minCode)
+    val lzw = lzwEncode(ordered, minCode)
+    var off = 0
+    while (off < lzw.length) {
+      val n = math.min(255, lzw.length - off)
+      w8(n); out.write(lzw, off, n)
+      off += n
+    }
+    w8(0)   // block terminator
+    w8(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** GIF-variant LZW encode, the exact mirror of [[lzwDecode]]'s code-
+    * width growth (encoder grows at avail == (1<<width)+1 because its
+    * dictionary runs one entry ahead of the decoder's at read time). */
+  private def lzwEncode(pixels: Array[Byte], minCode: Int): Array[Byte] = {
+    val clear = 1 << minCode
+    val end = clear + 1
+    val out = new ByteArrayOutputStream(pixels.length)
+    var bitBuf = 0
+    var bitCnt = 0
+    var codeSize = minCode + 1
+    def write(code: Int): Unit = {
+      bitBuf |= code << bitCnt
+      bitCnt += codeSize
+      while (bitCnt >= 8) { out.write(bitBuf & 0xff); bitBuf >>>= 8; bitCnt -= 8 }
+    }
+    var dict = mutable.HashMap.empty[(Int, Int), Int]
+    var avail = end + 1
+    write(clear)
+    var cur = pixels(0) & 0xff
+    var i = 1
+    while (i < pixels.length) {
+      val px = pixels(i) & 0xff
+      dict.get((cur, px)) match {
+        case Some(c) => cur = c
+        case None =>
+          write(cur)
+          if (avail < 4096) {
+            dict((cur, px)) = avail
+            avail += 1
+            if (avail == (1 << codeSize) + 1 && codeSize < 12) codeSize += 1
+          } else {
+            // dictionary full: clear and restart (the decoder resets too)
+            write(clear)
+            dict = mutable.HashMap.empty
+            avail = end + 1
+            codeSize = minCode + 1
+          }
+          cur = px
+      }
+      i += 1
+    }
+    write(cur)
+    // the decoder adds one more dictionary entry after reading that final
+    // data code — catching up to the encoder's count, which runs one
+    // ahead mid-stream — so if its avail lands exactly on a width
+    // boundary it reads END at the grown width; mirror that here
+    if (avail == (1 << codeSize) && codeSize < 12) codeSize += 1
+    write(end)
+    if (bitCnt > 0) out.write(bitBuf & 0xff)
+    out.toByteArray
+  }
+}
