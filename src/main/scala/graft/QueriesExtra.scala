@@ -1601,6 +1601,34 @@ object QueriesExtra {
              |SELECT doc_id, CAST(dim AS BIGINT) AS dim, round(avg(v), 6) AS v
              |FROM px GROUP BY doc_id, dim ORDER BY doc_id, dim""".stripMargin)),
 
+    // CMYK / Adobe YCCK JPEG decode (round 15, VERDICT r14 #4): the
+    // print-corpus variant — 4-component baseline files under an Adobe
+    // APP14 marker, values stored INVERTED, transform 0 (direct CMYK
+    // planes) on even ids and 2 (YCCK — YCbCr over the inverted CMY) on
+    // odd ids. Flat blocks with base 127 keep the STORED values ≡ 128
+    // (mod 3), so the quality-90 decode is exact per channel and the
+    // oracle replays TRUE CMYK sums from the formulas byte-blind. A
+    // decoder that skips the inversion, misreads APP14 or misapplies
+    // the YCCK inverse breaks the hash.
+    "q_image_jpeg_cmyk" -> QueryDef(
+      (s, d) => BinaryPipeline.decodeCmykJpegs(
+          BinaryPipeline.synthesizeCmykJpegs(Tables.documents(s, d)))
+        .orderBy(col("doc_id")),
+      Some("""WITH p AS (SELECT doc_id, 24 + doc_id % 13 AS w, 16 + doc_id % 11 AS h,
+             |    CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 2 END AS tr FROM documents),
+             |px AS (SELECT doc_id, w, h, c,
+             |    127 + 3*(((doc_id*31 + (x//8)*7 + (y//8)*13 +
+             |      (CASE WHEN tr = 0 THEN c WHEN c = 3 THEN 3 ELSE 0 END)*17) % 53) - 26) AS v
+             |  FROM p, unnest(range(0, w)) AS gx(x), unnest(range(0, h)) AS gy(y),
+             |       unnest(range(0, 4)) AS gc(c))
+             |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             |  CAST(4 AS BIGINT) AS components,
+             |  CAST(SUM(CASE WHEN c = 0 THEN v END) AS BIGINT) AS c_sum,
+             |  CAST(SUM(CASE WHEN c = 1 THEN v END) AS BIGINT) AS m_sum,
+             |  CAST(SUM(CASE WHEN c = 2 THEN v END) AS BIGINT) AS y_sum,
+             |  CAST(SUM(CASE WHEN c = 3 THEN v END) AS BIGINT) AS k_sum
+             |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin)),
+
     // PROGRESSIVE JPEG decode (round 14): the SAME fixtures as
     // q_image_jpeg but written as SOF2 files with the full successive-
     // approximation scan script (DC first at Al=1, DC refinement,

@@ -409,6 +409,99 @@ object BinaryPipeline {
     }(enc)
   }
 
+  /** Deterministic in-engine CMYK/YCCK JPEG synthesis — the
+    * [[synthesizeJpegs]] recipe for the Adobe print-corpus leg. The
+    * flat-block determinism contract applies PER CHANNEL (all four
+    * planes ride the luma quant table at quality 90, and YCCK files use
+    * equal C=M=Y so the chroma legs are neutral-128 exact):
+    *   width = 24 + doc_id % 13, height = 16 + doc_id % 11
+    *   transform = 0 (CMYK) when doc_id % 2 == 0 else 2 (YCCK)
+    *   channel c value(bx, by) =
+    *     127 + 3·(((doc_id·31 + bx·7 + by·13 + t·17) mod 53) − 26)
+    *   where t = c for transform 0 and t = (0,0,0,3)(c) for YCCK
+    *   (C=M=Y share the t=0 value; K uses t=3).
+    * The base is 127 (not 128): the Adobe convention STORES 255−v, and
+    * quality-90 exactness needs the STORED flat value ≡ 128 (mod 3) —
+    * so the TRUE value must be ≡ 127 (mod 3).
+    * Output: (idCol, content binary, meta struct) — the [[asMedia]] shape. */
+  def synthesizeCmykJpegs(docs: DataFrame, idCol: String = "doc_id",
+                          batchSize: Int = 16): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false),
+      StructField("meta", StructType(Seq(
+        StructField("media_type", StringType, nullable = false),
+        StructField("declared_bytes", LongType, nullable = false))), nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val ids = docs.select(col(idCol))
+    ids.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val id = r.getLong(0)
+          val w = (24 + id % 13).toInt
+          val h = (16 + id % 11).toInt
+          val transform = if (id % 2 == 0) 0 else 2
+          val px = new Array[Byte](w * h * 4)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              var c = 0
+              while (c < 4) {
+                val t = if (transform == 0) c else if (c == 3) 3 else 0
+                px((y * w + x) * 4 + c) =
+                  (127 + 3 * ((id * 31 + (x / 8) * 7 + (y / 8) * 13 + t * 17) % 53 - 26)).toByte
+                c += 1
+              }
+              x += 1
+            }
+            y += 1
+          }
+          val bytes = JpegCodec.encode(w, h, 4, px, quality = 90,
+            adobeTransform = transform)
+          Row(id, bytes, Row("image/jpeg", bytes.length.toLong))
+        }
+      }
+    }(enc)
+  }
+
+  /** REAL CMYK JPEG decode over (id, content) rows: emits true geometry,
+    * the APP14 transform actually decoded, and per-channel TRUE-CMYK
+    * sums. Batched narrow `mapPartitions`, the [[decodeJpegs]] shape. */
+  def decodeCmykJpegs(media: DataFrame, idCol: String = "doc_id",
+                      batchSize: Int = 16): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("width", LongType, nullable = false),
+      StructField("height", LongType, nullable = false),
+      StructField("components", LongType, nullable = false),
+      StructField("c_sum", LongType, nullable = false),
+      StructField("m_sum", LongType, nullable = false),
+      StructField("y_sum", LongType, nullable = false),
+      StructField("k_sum", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val idIdx = media.schema.fieldIndex(idCol)
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val id = r.getLong(idIdx)
+          val img = JpegCodec.decode(r.getAs[Array[Byte]](contentIdx))
+          require(img.components == 4,
+            s"decodeCmykJpegs: doc $id decoded ${img.components} components (want 4)")
+          val sums = new Array[Long](4)
+          var i = 0
+          while (i < img.pixels.length) {
+            sums(i % 4) += img.pixels(i) & 0xff
+            i += 1
+          }
+          Row(id, img.width.toLong, img.height.toLong, 4L,
+            sums(0), sums(1), sums(2), sums(3))
+        }
+      }
+    }(enc)
+  }
+
   /** REAL JPEG decode over (id, content) rows: every content blob must
     * be a JPEG ([[JpegCodec]] fails loud otherwise). Emits true geometry
     * plus deterministic pixel statistics — per-channel sums (gray lands

@@ -19,8 +19,11 @@ import java.io.ByteArrayOutputStream
   *    dequantize+IDCT pass at EOI); extended sequential (SOF1),
   *    lossless, hierarchical and ARITHMETIC coding reject with the
   *    marker named
-  *  - 8-bit precision; 1 (grayscale) or 3 (YCbCr) components — CMYK/
-  *    Adobe 4-component rejects
+  *  - 8-bit precision; 1 (grayscale), 3 (YCbCr) or 4 (Adobe CMYK/YCCK,
+  *    round 15: APP14 transform 0 or 2, 1x1 sampling, inverted-value
+  *    convention, TRUE CMYK out) components — a 4-component file
+  *    without an Adobe APP14 (or with another transform, or subsampled)
+  *    rejects
   *  - sampling factors 1 or 2 per axis (4:4:4, 4:2:2, 4:4:0, 4:2:0);
   *    chroma upsamples by sample replication
   *  - restart markers (DRI/RSTn) honored in every scan kind, including
@@ -36,7 +39,8 @@ import java.io.ByteArrayOutputStream
 object JpegCodec {
 
   /** Decoded image: row-major, channel-interleaved; `components` is 1
-    * (gray) or 3 (RGB — the YCbCr→RGB transform already applied). */
+    * (gray), 3 (RGB — the YCbCr→RGB transform already applied) or 4
+    * (TRUE CMYK — Adobe inversion and any YCCK transform undone). */
   final case class JpegImage(width: Int, height: Int, components: Int,
                              pixels: Array[Byte])
 
@@ -180,6 +184,9 @@ object JpegCodec {
     var scansDecoded = 0
     var mcusX = 0
     var mcusY = 0
+    // Adobe APP14 color-transform code: -1 = no APP14 seen; 0 = none
+    // (4-comp: inverted CMYK direct), 1 = YCbCr, 2 = YCCK
+    var adobeTransform = -1
   }
 
   private def parse(bytes: Array[Byte], headerOnly: Boolean): Header = {
@@ -233,8 +240,22 @@ object JpegCodec {
           h.width = u16(pos + 5)
           require(h.width > 0 && h.height > 0, "JpegCodec: zero dimension in SOF")
           val nc = u8(pos + 7)
-          require(nc == 1 || nc == 3,
-            s"JpegCodec: $nc components unsupported (1 = gray, 3 = YCbCr; CMYK out of scope)")
+          require(nc == 1 || nc == 3 || nc == 4,
+            s"JpegCodec: $nc components unsupported (1 = gray, 3 = YCbCr, 4 = Adobe CMYK/YCCK)")
+          if (nc == 4) {
+            // 4-component files are only meaningful with the Adobe APP14
+            // transform code (which also flags the inverted-value
+            // convention); Photoshop writes APP14 before SOF, so by here
+            // it has been seen — a 4-comp file without it would decode
+            // to channel soup, reject instead. Checked BEFORE the
+            // component parse so a mislabeled Nf fails with this reason.
+            require(h.adobeTransform == 0 || h.adobeTransform == 2,
+              s"JpegCodec: 4-component JPEG needs an Adobe APP14 transform of " +
+                s"0 (CMYK) or 2 (YCCK); " +
+                (if (h.adobeTransform < 0) "no APP14 marker seen"
+                 else s"APP14 declares ${h.adobeTransform}"))
+          }
+          require(segLen() >= 8 + 3 * nc, "JpegCodec: malformed SOF length")
           h.comps = Array.tabulate(nc) { i =>
             val o = pos + 8 + 3 * i
             val hv = u8(o + 1)
@@ -247,6 +268,8 @@ object JpegCodec {
           }
           if (nc == 1) require(h.comps(0).h == 1 && h.comps(0).v == 1,
             "JpegCodec: grayscale with sampling > 1 unsupported")
+          if (nc == 4) require(h.comps.forall(c => c.h == 1 && c.v == 1),
+            "JpegCodec: subsampled CMYK/YCCK unsupported (1x1 factors only)")
           require(len == 8 + 3 * nc, "JpegCodec: malformed SOF length")
           sofSeen = true
           if (!headerOnly) {
@@ -390,6 +413,12 @@ object JpegCodec {
             pos = decodeScan(bytes, h, scanComps, ss, se, ah, al, pos + len)
             h.scansDecoded += 1
           }
+        case 0xee => // APP14: the Adobe color-transform code
+          val len = segLen()
+          if (len >= 14 && bytes(pos + 2) == 'A' && bytes(pos + 3) == 'd' &&
+              bytes(pos + 4) == 'o' && bytes(pos + 5) == 'b' && bytes(pos + 6) == 'e')
+            h.adobeTransform = u8(pos + 13)
+          pos += len
         case m if m >= 0xe0 && m <= 0xef => pos += segLen() // APPn
         case 0xfe => pos += segLen() // COM
         case other => throw new IllegalArgumentException(
@@ -676,7 +705,7 @@ object JpegCodec {
         }
         y += 1
       }
-    } else {
+    } else if (n == 3) {
       val cy = comps(0); val cb = comps(1); val cr = comps(2)
       var y = 0
       while (y < h.height) {
@@ -689,6 +718,37 @@ object JpegCodec {
           out(o) = clamp255(rnd(yy + 1.402 * pr)).toByte
           out(o + 1) = clamp255(rnd(yy - 0.344136 * pb - 0.714136 * pr)).toByte
           out(o + 2) = clamp255(rnd(yy + 1.772 * pb)).toByte
+          x += 1
+        }
+        y += 1
+      }
+    } else {
+      // Adobe 4-component (sampling validated 1x1 at SOF): the stored
+      // samples are INVERTED per the Adobe convention, so both paths end
+      // with 255 - v; YCCK additionally runs the YCbCr inverse over the
+      // first three channels first. Output is TRUE CMYK.
+      val ycck = h.adobeTransform == 2
+      val c0 = comps(0); val c1 = comps(1); val c2 = comps(2); val c3 = comps(3)
+      var y = 0
+      while (y < h.height) {
+        var x = 0
+        while (x < h.width) {
+          val o = (y * h.width + x) * 4
+          val p = y * c0.planeW + x
+          val k = c3.plane(y * c3.planeW + x)
+          if (ycck) {
+            val yy = c0.plane(p)
+            val pb = c1.plane(y * c1.planeW + x) - 128
+            val pr = c2.plane(y * c2.planeW + x) - 128
+            out(o) = (255 - clamp255(rnd(yy + 1.402 * pr))).toByte
+            out(o + 1) = (255 - clamp255(rnd(yy - 0.344136 * pb - 0.714136 * pr))).toByte
+            out(o + 2) = (255 - clamp255(rnd(yy + 1.772 * pb))).toByte
+          } else {
+            out(o) = (255 - c0.plane(p)).toByte
+            out(o + 1) = (255 - c1.plane(y * c1.planeW + x)).toByte
+            out(o + 2) = (255 - c2.plane(y * c2.planeW + x)).toByte
+          }
+          out(o + 3) = (255 - k).toByte
           x += 1
         }
         y += 1
@@ -853,12 +913,26 @@ object JpegCodec {
     * transmitted coefficients are IDENTICAL to the baseline encoding's
     * (successive approximation is exact reconstruction), so
     * decode(progressive) == decode(baseline) pixel-for-pixel. The
-    * output is a conforming JFIF file any standard decoder opens. */
+    * output is a conforming JFIF file any standard decoder opens.
+    * `components = 4` writes an Adobe print-style file: `pixels` is TRUE
+    * CMYK interleaved, stored INVERTED per the Adobe convention under an
+    * APP14 marker whose transform is `adobeTransform` — 0 (direct CMYK
+    * planes) or 2 (YCCK: YCbCr forward over the inverted CMY); baseline,
+    * 1x1 sampling, all planes on the luma quant table (so the flat-block
+    * determinism contract holds per channel). */
   def encode(width: Int, height: Int, components: Int, pixels: Array[Byte],
              quality: Int = 90, subsample: Boolean = false,
-             restartInterval: Int = 0, progressive: Boolean = false): Array[Byte] = {
-    require(components == 1 || components == 3,
-      s"JpegCodec: encode components must be 1 or 3, got $components")
+             restartInterval: Int = 0, progressive: Boolean = false,
+             adobeTransform: Int = -1): Array[Byte] = {
+    require(components == 1 || components == 3 || components == 4,
+      s"JpegCodec: encode components must be 1, 3 or 4, got $components")
+    if (components == 4) {
+      require(adobeTransform == 0 || adobeTransform == 2,
+        s"JpegCodec: 4-component encode needs adobeTransform 0 (CMYK) or 2 (YCCK)")
+      require(!subsample && !progressive,
+        "JpegCodec: CMYK/YCCK encode is baseline 1x1 only")
+    } else require(adobeTransform == -1,
+      "JpegCodec: adobeTransform only applies to 4-component encode")
     require(width > 0 && height > 0, "JpegCodec: empty image")
     // SOF0 carries 16-bit dimensions: anything larger would silently
     // truncate through w16 and write a corrupt-but-valid-looking file
@@ -873,19 +947,43 @@ object JpegCodec {
     val yPlane = new Array[Int](width * height)
     val bPlane = if (components == 3) new Array[Int](width * height) else null
     val rPlane = if (components == 3) new Array[Int](width * height) else null
-    var i = 0
-    var p = 0
-    while (i < width * height) {
-      if (components == 1) yPlane(i) = pixels(i) & 0xff
-      else {
-        val r = pixels(p) & 0xff; val g = pixels(p + 1) & 0xff; val b = pixels(p + 2) & 0xff
-        yPlane(i) = clamp255(rnd(0.299 * r + 0.587 * g + 0.114 * b))
-        bPlane(i) = clamp255(rnd(128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b))
-        rPlane(i) = clamp255(rnd(128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b))
-        p += 3
+    if (components != 4) {
+      var i = 0
+      var p = 0
+      while (i < width * height) {
+        if (components == 1) yPlane(i) = pixels(i) & 0xff
+        else {
+          val r = pixels(p) & 0xff; val g = pixels(p + 1) & 0xff; val b = pixels(p + 2) & 0xff
+          yPlane(i) = clamp255(rnd(0.299 * r + 0.587 * g + 0.114 * b))
+          bPlane(i) = clamp255(rnd(128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b))
+          rPlane(i) = clamp255(rnd(128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b))
+          p += 3
+        }
+        i += 1
       }
-      i += 1
     }
+    // Adobe 4-component planes: values stored INVERTED (255 - v); YCCK
+    // runs the YCbCr forward transform over the inverted CMY triple
+    val planes4: Array[Array[Int]] =
+      if (components != 4) null
+      else {
+        val ps = Array.fill(4)(new Array[Int](width * height))
+        var i = 0
+        while (i < width * height) {
+          val c = 255 - (pixels(4 * i) & 0xff)
+          val m = 255 - (pixels(4 * i + 1) & 0xff)
+          val yl = 255 - (pixels(4 * i + 2) & 0xff)
+          if (adobeTransform == 0) { ps(0)(i) = c; ps(1)(i) = m; ps(2)(i) = yl }
+          else {
+            ps(0)(i) = clamp255(rnd(0.299 * c + 0.587 * m + 0.114 * yl))
+            ps(1)(i) = clamp255(rnd(128.0 - 0.168735892 * c - 0.331264108 * m + 0.5 * yl))
+            ps(2)(i) = clamp255(rnd(128.0 + 0.5 * c - 0.418687589 * m - 0.081312411 * yl))
+          }
+          ps(3)(i) = 255 - (pixels(4 * i + 3) & 0xff)
+          i += 1
+        }
+        ps
+      }
 
     val sub = components == 3 && subsample
     val hMax = if (sub) 2 else 1
@@ -946,6 +1044,9 @@ object JpegCodec {
       if (components == 1)
         Array(Enc(pad(yPlane, width, height, mcusX * 8, mcusY * 8),
           1, 1, mcusX * 8, qLuma, chroma = false, width, height))
+      else if (components == 4)
+        planes4.map(pl => Enc(pad(pl, width, height, mcusX * 8, mcusY * 8),
+          1, 1, mcusX * 8, qLuma, chroma = false, width, height))
       else if (!sub) Array(
         Enc(pad(yPlane, width, height, mcusX * 8, mcusY * 8), 1, 1, mcusX * 8,
           qLuma, false, width, height),
@@ -976,6 +1077,12 @@ object JpegCodec {
     w8(1); w8(1) // version 1.1
     w8(0); w16(1); w16(1) // no density
     w8(0); w8(0) // no thumbnail
+    // APP14: the Adobe transform code the 4-component decode keys off
+    if (components == 4) {
+      marker(0xee); w16(14)
+      out.write("Adobe".getBytes("US-ASCII"))
+      w16(0x0065); w16(0); w16(0); w8(adobeTransform)
+    }
     // DQT
     def dqt(id: Int, q: Array[Int]): Unit = {
       marker(0xdb); w16(67); w8(id)

@@ -284,6 +284,61 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(prog.pixels.toSeq == base.pixels.toSeq)
   }
 
+  test("CMYK/YCCK (Adobe APP14): flat-block exact round trip, inversion honored, fail-loud") {
+    val (w, h) = (24, 16)
+    // TRUE CMYK values ≡ 127 (mod 3), so STORED (inverted) ≡ 128 (mod 3)
+    // — the quality-90 flat-block exactness contract per channel; YCCK
+    // keeps C=M=Y so its chroma legs are neutral-128 exact
+    def flat4(seed: Long, ycck: Boolean): Array[Byte] = {
+      val px = new Array[Byte](w * h * 4)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 4) {
+        val t = if (!ycck) c else if (c == 3) 3 else 0
+        px((y * w + x) * 4 + c) =
+          (127 + 3 * ((seed * 31 + (x / 8) * 7 + (y / 8) * 13 + t * 17) % 53 - 26)).toByte
+      }
+      px
+    }
+    for ((tr, ycck) <- Seq((0, false), (2, true))) {
+      val src = flat4(seed = 9, ycck)
+      val img = JpegCodec.decode(JpegCodec.encode(w, h, 4, src, quality = 90,
+        adobeTransform = tr))
+      assert(img.components == 4 && img.width == w && img.height == h)
+      assert(img.pixels.toSeq == src.toSeq, s"transform $tr round trip")
+    }
+    // the stored bytes really are inverted: strip APP14 and the raw
+    // 4-comp file rejects (no transform code)
+    val withApp14 = JpegCodec.encode(w, h, 4, flat4(3, ycck = false), adobeTransform = 0)
+    val app14At = (0 until withApp14.length - 1).find(i =>
+      (withApp14(i) & 0xff) == 0xff && (withApp14(i + 1) & 0xff) == 0xee).get
+    val segLen = ((withApp14(app14At + 2) & 0xff) << 8) | (withApp14(app14At + 3) & 0xff)
+    val stripped = withApp14.take(app14At) ++ withApp14.drop(app14At + 2 + segLen)
+    val eNo = intercept[IllegalArgumentException](JpegCodec.decode(stripped))
+    assert(eNo.getMessage.contains("APP14"), eNo.getMessage)
+    // an APP14 declaring transform 1 (YCbCr) on a 4-comp file rejects
+    val badTr = withApp14.clone()
+    badTr(app14At + 2 + segLen - 1) = 1
+    val eTr = intercept[IllegalArgumentException](JpegCodec.decode(badTr))
+    assert(eTr.getMessage.contains("declares 1"), eTr.getMessage)
+    // encoder guards
+    assert(intercept[IllegalArgumentException](
+      JpegCodec.encode(w, h, 4, flat4(3, ycck = false))).getMessage.contains("adobeTransform"))
+    assert(intercept[IllegalArgumentException](
+      JpegCodec.encode(w, h, 4, flat4(3, ycck = false), adobeTransform = 0,
+        progressive = true)).getMessage.contains("baseline"))
+    assert(intercept[IllegalArgumentException](
+      JpegCodec.encode(8, 8, 1, new Array[Byte](64), adobeTransform = 0))
+      .getMessage.contains("4-component"))
+    // rich (non-flat) CMYK content: lossy but bounded, both transforms
+    val rich = Array.tabulate(w * h * 4)(i => ((i * 131 + 17) % 256).toByte)
+    for (tr <- Seq(0, 2)) {
+      val img = JpegCodec.decode(JpegCodec.encode(w, h, 4, rich, quality = 90,
+        adobeTransform = tr))
+      val maxErr = img.pixels.zip(rich).map { case (a, b) =>
+        math.abs((a & 0xff) - (b & 0xff)) }.max
+      assert(maxErr < 64, s"transform $tr max error $maxErr")
+    }
+  }
+
   test("dimensions(): header-only geometry without decoding the scan") {
     val b = JpegCodec.encode(33, 17, 3, new Array[Byte](33 * 17 * 3), quality = 80,
       subsample = true)
