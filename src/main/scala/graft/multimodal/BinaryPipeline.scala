@@ -409,6 +409,102 @@ object BinaryPipeline {
     }(enc)
   }
 
+  /** Deterministic in-engine MOTION-JPEG synthesis: the video leg —
+    * each document becomes a concatenated-JPEG stream (the classic
+    * MJPEG container: complete SOI..EOI frames back to back), every
+    * frame a REAL flat-block JPEG from the [[synthesizeJpegs]] recipe
+    * with a per-frame term so frames differ deterministically:
+    *   frames = 3 + doc_id % 4
+    *   per frame f: width = 24 + doc_id % 13, height = 16 + doc_id % 11,
+    *   comps = 1 if doc_id % 2 == 0 else 3,
+    *   blockValue(bx, by, f) =
+    *     128 + 3·(((doc_id·31 + bx·7 + by·13 + f·11) mod 53) − 26)
+    * Output: (idCol, content binary, meta struct) — the [[asMedia]] shape. */
+  def synthesizeMjpegs(docs: DataFrame, idCol: String = "doc_id",
+                       batchSize: Int = 16): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false),
+      StructField("meta", StructType(Seq(
+        StructField("media_type", StringType, nullable = false),
+        StructField("declared_bytes", LongType, nullable = false))), nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val ids = docs.select(col(idCol))
+    ids.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val id = r.getLong(0)
+          val w = (24 + id % 13).toInt
+          val h = (16 + id % 11).toInt
+          val comps = if (id % 2 == 0) 1 else 3
+          val nFrames = (3 + id % 4).toInt
+          val bos = new java.io.ByteArrayOutputStream()
+          var f = 0
+          while (f < nFrames) {
+            val px = new Array[Byte](w * h * comps)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val v = (128 + 3 * ((id * 31 + (x / 8) * 7 + (y / 8) * 13 + f * 11) % 53 - 26)).toByte
+                var c = 0
+                while (c < comps) { px((y * w + x) * comps + c) = v; c += 1 }
+                x += 1
+              }
+              y += 1
+            }
+            val frame = JpegCodec.encode(w, h, comps, px, quality = 90)
+            bos.write(frame, 0, frame.length)
+            f += 1
+          }
+          val bytes = bos.toByteArray
+          Row(id, bytes, Row("video/x-motion-jpeg", bytes.length.toLong))
+        }
+      }
+    }(enc)
+  }
+
+  /** REAL frame sampling + decode over MJPEG (id, content) rows: frame
+    * boundaries come from [[JpegCodec.frameOffsets]]'s marker walk,
+    * every `stride`-th frame decodes through the real codec, and each
+    * decoded frame runs the EXISTING grid-pooled tile featurizer — so
+    * the video path emits the same feature space the image KNN/dedup
+    * operators consume. One row per (doc, sampled frame): frame_idx,
+    * true geometry, and the gx·gy·channels tile feature vector. Batched
+    * narrow `mapPartitions`, no shuffle — the [[frameSample]] byte-
+    * window op stays for opaque containers; this is its decoding twin. */
+  def decodeFrameTiles(media: DataFrame, stride: Int = 2, gx: Int = 2, gy: Int = 2,
+                       idCol: String = "doc_id", batchSize: Int = 16): DataFrame = {
+    require(stride >= 1, s"decodeFrameTiles: stride must be >= 1, got $stride")
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("frame_idx", LongType, nullable = false),
+      StructField("width", LongType, nullable = false),
+      StructField("height", LongType, nullable = false),
+      StructField("components", LongType, nullable = false),
+      StructField("features", ArrayType(DoubleType, containsNull = false), nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val slim = media.select(col(idCol), col("content"))
+    slim.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          val id = r.getLong(0)
+          val content = r.getAs[Array[Byte]](1)
+          JpegCodec.frameOffsets(content).zipWithIndex.iterator
+            .filter(_._2 % stride == 0)
+            .map { case ((start, stop), f) =>
+              val j = JpegCodec.decode(
+                java.util.Arrays.copyOfRange(content, start, stop))
+              val img = PngCodec.PngImage(j.width, j.height, 8,
+                if (j.components == 1) 0 else 2, j.components, j.pixels)
+              Row(id, f.toLong, j.width.toLong, j.height.toLong,
+                j.components.toLong, PngCodec.tileFeatures(img, gx, gy).toSeq)
+            }
+        }
+      }
+    }(enc)
+  }
+
   /** Deterministic in-engine CMYK/YCCK JPEG synthesis — the
     * [[synthesizeJpegs]] recipe for the Adobe print-corpus leg. The
     * flat-block determinism contract applies PER CHANNEL (all four

@@ -757,6 +757,63 @@ object JpegCodec {
     JpegImage(h.width, h.height, n, out)
   }
 
+  /** Frame boundaries of a CONCATENATED-JPEG (MJPEG-style) stream: each
+    * frame is a complete SOI..EOI file, back to back — the classic
+    * motion-JPEG container shape. Returns (start, endExclusive) per
+    * frame by a real marker walk (segments skipped by their declared
+    * lengths, entropy data scanned for the next true marker — 0xFF
+    * followed by anything but 0x00 stuffing or RSTn), so an FF D8 byte
+    * pair INSIDE a segment payload or entropy run never false-splits.
+    * Truncated or non-JPEG content between frames fails loud. */
+  def frameOffsets(bytes: Array[Byte]): Seq[(Int, Int)] = {
+    val out = scala.collection.mutable.Buffer.empty[(Int, Int)]
+    def u8(i: Int): Int = {
+      require(i < bytes.length, "JpegCodec.frameOffsets: truncated stream")
+      bytes(i) & 0xff
+    }
+    var pos = 0
+    while (pos < bytes.length) {
+      val start = pos
+      require(u8(pos) == 0xff && u8(pos + 1) == 0xd8,
+        f"JpegCodec.frameOffsets: expected SOI at offset $pos, found " +
+          f"0x${u8(pos)}%02X${u8(pos + 1)}%02X")
+      pos += 2
+      var eoi = false
+      while (!eoi) {
+        require(u8(pos) == 0xff,
+          f"JpegCodec.frameOffsets: expected marker at $pos, found 0x${u8(pos)}%02X")
+        var m = u8(pos + 1)
+        pos += 2
+        while (m == 0xff) { m = u8(pos); pos += 1 } // fill bytes
+        m match {
+          case 0xd9 => eoi = true
+          case 0xd8 => throw new IllegalArgumentException(
+            s"JpegCodec.frameOffsets: nested SOI at ${pos - 2}")
+          case 0x01 => () // TEM: standalone, no segment
+          case r if r >= 0xd0 && r <= 0xd7 => () // RSTn: standalone
+          case 0xda =>
+            // SOS: skip its header, then scan entropy for the next true
+            // marker (FF + not-00/RSTn); continue the loop AT that marker
+            pos += ((u8(pos) << 8) | u8(pos + 1))
+            var inEntropy = true
+            while (inEntropy) {
+              if (u8(pos) == 0xff) {
+                val nxt = u8(pos + 1)
+                if (nxt == 0x00) pos += 2
+                else if (nxt >= 0xd0 && nxt <= 0xd7) pos += 2
+                else inEntropy = false
+              } else pos += 1
+            }
+          case _ =>
+            pos += ((u8(pos) << 8) | u8(pos + 1))
+        }
+      }
+      out += ((start, pos))
+    }
+    require(out.nonEmpty, "JpegCodec.frameOffsets: empty stream")
+    out.toSeq
+  }
+
   // ════════════════════════════════════════════════════════ encoder ══
 
   /** Annex K table K.1 — luminance quantization (natural order). */

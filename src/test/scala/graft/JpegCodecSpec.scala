@@ -389,6 +389,31 @@ class JpegCodecSpec extends AnyFunSuite {
       eCmyk.getMessage)
   }
 
+  test("frameOffsets: marker-walk split of concatenated JPEGs; fail-loud on garbage") {
+    val f1 = JpegCodec.encode(16, 16, 1, blockFlat(16, 16, 1), quality = 90)
+    val f2 = JpegCodec.encode(24, 8, 1, blockFlat(24, 8, 2), quality = 90,
+      restartInterval = 2) // RSTn markers inside entropy must not split
+    val f3 = JpegCodec.encode(16, 16, 3,
+      Array.fill(16 * 16 * 3)(77.toByte), quality = 85, progressive = true) // multi-scan
+    val stream = f1 ++ f2 ++ f3
+    val offs = JpegCodec.frameOffsets(stream)
+    assert(offs == Seq((0, f1.length), (f1.length, f1.length + f2.length),
+      (f1.length + f2.length, stream.length)))
+    // each recovered frame decodes independently
+    offs.foreach { case (a, b) =>
+      JpegCodec.decode(java.util.Arrays.copyOfRange(stream, a, b))
+    }
+    // garbage between frames fails loud
+    val noisy = f1 ++ Array[Byte](0, 1, 2) ++ f2
+    val eNoise = intercept[IllegalArgumentException](JpegCodec.frameOffsets(noisy))
+    assert(eNoise.getMessage.contains("expected SOI"), eNoise.getMessage)
+    // truncated final frame fails loud
+    intercept[IllegalArgumentException](
+      JpegCodec.frameOffsets(stream.take(stream.length - 3)))
+    assert(intercept[IllegalArgumentException](
+      JpegCodec.frameOffsets(Array.emptyByteArray)).getMessage.contains("empty"))
+  }
+
   test("isJpeg: magic check matches encode output, rejects PNG/noise") {
     assert(JpegCodec.isJpeg(JpegCodec.encode(4, 4, 1, new Array[Byte](16))))
     assert(!JpegCodec.isJpeg(Array[Byte](0x89.toByte, 'P', 'N', 'G')))
