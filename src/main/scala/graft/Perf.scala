@@ -384,6 +384,30 @@ object Perf {
         BinaryPipeline.imageTileFeatures(jb, gx = 2, gy = 2).count()
       }
     }
+    {
+      // round-15 DBSCAN probe-scaling evidence (VERDICT r14 #6): the
+      // committed q_dbscan (full-probe, oracle corpus) and
+      // q_dbscan_probed (partial-probe, planted-cluster corpus) floors
+      // are apples-to-oranges — this probe runs ONE corpus at
+      // nprobe ∈ {2, 4, 8 = k}, recording eps-pair count and wall, so
+      // the nprobe/k cost claim is measured rather than inferred.
+      import graft.operators.{Clustering, IvfIndex}
+      val corpus = (0 until 20).map(i =>
+          emb.select((col("vec_id") + i * 100000).as("vec_id"), col("embedding")))
+        .reduce(_ unionAll _).localCheckpoint(true)
+      val n = corpus.count()
+      val model = IvfIndex.train(corpus, k = 8, iters = 2)
+      for (nprobe <- Seq(2, 4, 8)) {
+        var pairs = -1L
+        time(f"dbscan.probe nprobe=$nprobe/8 ($n vecs)") {
+          pairs = Clustering.epsNeighbors(corpus, eps = 0.4, model, nprobe).count()
+        }
+        println(f"[perf] dbscan.probe nprobe=$nprobe/8 pairs        $pairs%8d")
+        time(f"dbscan.label nprobe=$nprobe/8 (pairs -> clusters)") {
+          Clustering.dbscan(corpus, eps = 0.4, minPts = 4, model, nprobe).count()
+        }
+      }
+    }
     time("vecSum.200x (100k vectors, single-pass aggregate)") {
       bigE200.groupBy(expr("vec_id % 97").as("g"))
         .agg(graft.functions.VectorAggregates.vecSum(col("embedding")).as("s")).count()
