@@ -495,6 +495,9 @@ object BinaryPipeline {
             .map { case ((start, stop), f) =>
               val j = JpegCodec.decode(
                 java.util.Arrays.copyOfRange(content, start, stop))
+              require(j.components <= 3,
+                s"decodeFrameTiles: doc $id frame $f is ${j.components}-component " +
+                  "(CMYK) — out of the gray/RGB frame scope")
               val img = PngCodec.PngImage(j.width, j.height, 8,
                 if (j.components == 1) 0 else 2, j.components, j.pixels)
               Row(id, f.toLong, j.width.toLong, j.height.toLong,
@@ -624,6 +627,11 @@ object BinaryPipeline {
         batch.iterator.map { r =>
           val id = r.getLong(idIdx)
           val img = JpegCodec.decode(r.getAs[Array[Byte]](contentIdx))
+          // this op's schema is gray/RGB; a CMYK file (decodable since
+          // round 15) must go through decodeCmykJpegs, not crash here
+          require(img.components <= 3,
+            s"decodeJpegs: doc $id is ${img.components}-component (CMYK) — " +
+              "use decodeCmykJpegs")
           val sums = new Array[Long](3)
           var i = 0
           while (i < img.pixels.length) {
@@ -680,6 +688,12 @@ object BinaryPipeline {
     if (isPng(content)) PngCodec.decode(content)
     else if (JpegCodec.isJpeg(content)) {
       val j = JpegCodec.decode(content)
+      // the shared decoded-image shape has no CMYK color type — a
+      // 4-component file here would masquerade as RGB with 4 channels,
+      // breaking the (colorType, channels)-agree invariant downstream
+      require(j.components <= 3,
+        "BinaryPipeline: CMYK JPEG in a format-agnostic image op — " +
+          "decode it via decodeCmykJpegs")
       PngCodec.PngImage(j.width, j.height, 8,
         if (j.components == 1) 0 else 2, j.components, j.pixels)
     } else if (GifCodec.isGif(content)) GifCodec.decode(content)

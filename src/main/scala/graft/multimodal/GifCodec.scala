@@ -51,8 +51,8 @@ object GifCodec {
     val gct: Array[Byte] =
       if ((packed & 0x80) != 0) {
         val n = 2 << (packed & 7)
-        val t = java.util.Arrays.copyOfRange(bytes, pos, pos + 3 * n)
         require(pos + 3 * n <= bytes.length, "GifCodec: truncated global color table")
+        val t = java.util.Arrays.copyOfRange(bytes, pos, pos + 3 * n)
         pos += 3 * n
         t
       } else null

@@ -255,7 +255,9 @@ object JpegCodec {
                 (if (h.adobeTransform < 0) "no APP14 marker seen"
                  else s"APP14 declares ${h.adobeTransform}"))
           }
-          require(segLen() >= 8 + 3 * nc, "JpegCodec: malformed SOF length")
+          // length check BEFORE the component parse: a short SOF would
+          // otherwise read the next segment's bytes as component specs
+          require(len == 8 + 3 * nc, "JpegCodec: malformed SOF length")
           h.comps = Array.tabulate(nc) { i =>
             val o = pos + 8 + 3 * i
             val hv = u8(o + 1)
@@ -270,7 +272,6 @@ object JpegCodec {
             "JpegCodec: grayscale with sampling > 1 unsupported")
           if (nc == 4) require(h.comps.forall(c => c.h == 1 && c.v == 1),
             "JpegCodec: subsampled CMYK/YCCK unsupported (1x1 factors only)")
-          require(len == 8 + 3 * nc, "JpegCodec: malformed SOF length")
           sofSeen = true
           if (!headerOnly) {
             val hMax = h.comps.map(_.h).max
@@ -706,18 +707,31 @@ object JpegCodec {
         y += 1
       }
     } else if (n == 3) {
+      // the Adobe APP14 transform governs 3-component color too: 0 means
+      // the planes are ALREADY RGB (Photoshop's save-as-RGB shape) — a
+      // YCbCr inverse over them would be silent garbage; 1 or no APP14
+      // (JFIF) means YCbCr; 2 (YCCK) is illegal at 3 components
+      require(h.adobeTransform != 2,
+        "JpegCodec: APP14 declares YCCK (2) on a 3-component file")
+      val rgbDirect = h.adobeTransform == 0
       val cy = comps(0); val cb = comps(1); val cr = comps(2)
       var y = 0
       while (y < h.height) {
         var x = 0
         while (x < h.width) {
           val yy = cy.plane((y * cy.v / vMax) * cy.planeW + (x * cy.h / hMax))
-          val pb = cb.plane((y * cb.v / vMax) * cb.planeW + (x * cb.h / hMax)) - 128
-          val pr = cr.plane((y * cr.v / vMax) * cr.planeW + (x * cr.h / hMax)) - 128
+          val p1 = cb.plane((y * cb.v / vMax) * cb.planeW + (x * cb.h / hMax))
+          val p2 = cr.plane((y * cr.v / vMax) * cr.planeW + (x * cr.h / hMax))
           val o = (y * h.width + x) * 3
-          out(o) = clamp255(rnd(yy + 1.402 * pr)).toByte
-          out(o + 1) = clamp255(rnd(yy - 0.344136 * pb - 0.714136 * pr)).toByte
-          out(o + 2) = clamp255(rnd(yy + 1.772 * pb)).toByte
+          if (rgbDirect) {
+            out(o) = yy.toByte; out(o + 1) = p1.toByte; out(o + 2) = p2.toByte
+          } else {
+            val pb = p1 - 128
+            val pr = p2 - 128
+            out(o) = clamp255(rnd(yy + 1.402 * pr)).toByte
+            out(o + 1) = clamp255(rnd(yy - 0.344136 * pb - 0.714136 * pr)).toByte
+            out(o + 2) = clamp255(rnd(yy + 1.772 * pb)).toByte
+          }
           x += 1
         }
         y += 1
@@ -1001,7 +1015,7 @@ object JpegCodec {
     val qChroma = scaledQuant(QChromaBase, quality)
 
     // color transform into per-component planes (full resolution)
-    val yPlane = new Array[Int](width * height)
+    val yPlane = if (components == 4) null else new Array[Int](width * height)
     val bPlane = if (components == 3) new Array[Int](width * height) else null
     val rPlane = if (components == 3) new Array[Int](width * height) else null
     if (components != 4) {

@@ -231,19 +231,18 @@ object PdfCodec {
       val encRef = dictRef(d, "/Encoding")
       if (encName.exists(e => e == "Identity-H" || e == "Identity-V"))
         CompositeFont(parseToUnicode(toUnicodeStream))
-      else if (encName.flatMap(PredefCmaps.forName).isDefined) {
-        // PREDEFINED CMap (spec §9.7.5.2): the built-in table supplies
-        // the codespace ranges (tokenization) and, when the font carries
-        // no /ToUnicode of its own, the code→Unicode mapping too. A
-        // font-supplied /ToUnicode takes precedence (spec §9.10.3) —
-        // it is the author's explicit extraction map.
-        val pc = encName.flatMap(PredefCmaps.forName).get
-        val toUni =
-          if (dictRef(d, "/ToUnicode").isDefined) parseToUnicodeWide(toUnicodeStream)
-          else pc.toUni
-        CmapFont(pc.codespaces, toUni, obj.num)
-      }
-      else encRef.flatMap(byNum.get) match {
+      else encName.flatMap(PredefCmaps.forName) match {
+        case Some(pc) =>
+          // PREDEFINED CMap (spec §9.7.5.2): the built-in table supplies
+          // the codespace ranges (tokenization) and, when the font
+          // carries no /ToUnicode of its own, the code→Unicode mapping
+          // too. A font-supplied /ToUnicode takes precedence (spec
+          // §9.10.3) — it is the author's explicit extraction map.
+          val toUni =
+            if (dictRef(d, "/ToUnicode").isDefined) parseToUnicodeWide(toUnicodeStream)
+            else pc.toUni
+          CmapFont(pc.codespaces, toUni, obj.num)
+        case None => encRef.flatMap(byNum.get) match {
         case Some(encObj) if encObj.stream.isDefined =>
           // EMBEDDED CMap (spec §9.7.5.3): variable-width codes per its
           // codespace ranges. `usecmap` pulls in a predefined base whose
@@ -266,6 +265,7 @@ object PdfCodec {
             "EMBEDDED /Encoding CMap stream supported" +
             encName.fold(" (no /Encoding)")(e =>
               s"; predefined CMap /$e would need tables this engine doesn't carry"))
+        }
       }
     }
   }

@@ -328,6 +328,27 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException](
       JpegCodec.encode(8, 8, 1, new Array[Byte](64), adobeTransform = 0))
       .getMessage.contains("4-component"))
+    // APP14 on THREE components: transform 0 means the planes are
+    // ALREADY RGB (no YCbCr inverse), 1 means YCbCr, 2 is illegal.
+    // Flat gray (v,v,v) encodes to planes (v,128,128); decoding those
+    // planes as RGB-direct must return literally (v,128,128) per pixel,
+    // while transform 1 (and no APP14) returns (v,v,v).
+    def app14(tr: Int): Array[Byte] =
+      Array[Byte](0xff.toByte, 0xee.toByte, 0, 14) ++
+        "Adobe".getBytes("US-ASCII") ++
+        Array[Byte](0, 0x65, 0, 0, 0, 0, tr.toByte)
+    val gray3 = Array.fill(8 * 8 * 3)(158.toByte) // 158 ≡ 128 mod 3: flat-exact
+    val plainYcc = JpegCodec.encode(8, 8, 3, gray3, quality = 90)
+    def withApp(tr: Int): Array[Byte] =
+      plainYcc.take(2) ++ app14(tr) ++ plainYcc.drop(2)
+    assert(JpegCodec.decode(withApp(1)).pixels.toSeq == gray3.toSeq,
+      "transform 1 = YCbCr, same as no APP14")
+    val direct = JpegCodec.decode(withApp(0))
+    assert(direct.pixels.grouped(3).forall(p =>
+      (p(0) & 0xff) == 158 && (p(1) & 0xff) == 128 && (p(2) & 0xff) == 128),
+      "transform 0 = planes pass through as RGB, no color inverse")
+    val e3tr2 = intercept[IllegalArgumentException](JpegCodec.decode(withApp(2)))
+    assert(e3tr2.getMessage.contains("YCCK (2) on a 3-component"), e3tr2.getMessage)
     // rich (non-flat) CMYK content: lossy but bounded, both transforms
     val rich = Array.tabulate(w * h * 4)(i => ((i * 131 + 17) % 256).toByte)
     for (tr <- Seq(0, 2)) {
