@@ -1523,16 +1523,21 @@ object QueriesExtra {
     "q_dedup_image" -> QueryDef(
       (s, d) => {
         import graft.operators.{Dedup, IvfIndex}
-        val png = BinaryPipeline.synthesizeImages(Tables.documents(s, d))
-        // GIF leg (round 15): the corpus gains GIF89a rows at +400000, so
-        // the dedup stack spans a second real decode path (the JPEG path
-        // is gated by q_knn_image_mixed on the same features). 250-color
+        // GIF leg (round 15): half the corpus (odd ids) arrives as
+        // GIF89a at +400000, so the dedup stack spans a second real
+        // decode path on the SAME total corpus size (the JPEG path is
+        // gated by q_knn_image_mixed on the same features) — replacing,
+        // not doubling: at sf0.1 a doubled corpus at k=8 cells made the
+        // cell-blocked Σ|cell|² pair work ~11× (22.5 s). 250-color
         // palettes: the default 8-color mod-8 index cycle collapses tile
-        // means to the palette mean, making features near-parallel across
-        // ids — accidental 6-dp-cosine pairs would explode and cross IVF
-        // cells (observed at sf0.1); 250 colors give PNG-like entropy so
-        // the exact-dup-only threshold contract holds.
-        val gif = BinaryPipeline.synthesizeGifs(Tables.documents(s, d), nColors = 250)
+        // means to the palette mean, making features near-parallel
+        // across ids — accidental 6-dp-cosine pairs would explode and
+        // cross IVF cells; 250 colors give PNG-like entropy so the
+        // exact-dup-only threshold contract holds.
+        val docs = Tables.documents(s, d)
+        val png = BinaryPipeline.synthesizeImages(docs.where(col("doc_id") % 2 === 0))
+        val gif = BinaryPipeline.synthesizeGifs(docs.where(col("doc_id") % 2 === 1),
+            nColors = 250)
           .select((col("doc_id") + 400000).as("doc_id"), col("content"), col("meta"))
         val media = png.unionAll(gif)
         val dupMedia = media.unionAll(media.select(
@@ -1542,12 +1547,12 @@ object QueriesExtra {
           // modality group (the q_knn_image convention)
           .where(col("channels") === 3)
           .select(col("doc_id").as("vec_id"), col("features").as("embedding"))
-        val model = IvfIndex.train(feats, k = 8, iters = 2)
+        val model = IvfIndex.train(feats, k = 24, iters = 2)
         Dedup.semanticNearDup(feats, model, threshold = 0.999999, scale = 6)
           .orderBy(col("id1"), col("id2"))
       },
       Some("""WITH p AS (SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 11 AS h
-             |  FROM documents WHERE doc_id % 3 = 1),
+             |  FROM documents WHERE doc_id % 3 = 1 AND doc_id % 2 = 0),
              |px AS (SELECT doc_id,
              |    (((y*2)//h) * 2 + ((x*2)//w)) * 3 + c AS dim,
              |    (doc_id*31 + ((y*w + x)*3 + c) * 7) % 256 AS v
@@ -1556,7 +1561,7 @@ object QueriesExtra {
              |gif_ix AS (SELECT doc_id, w, h, x, y,
              |    (doc_id*31 + (y*w + x)*7) % 250 AS ix
              |  FROM (SELECT doc_id, 10 + doc_id % 13 AS w, 8 + doc_id % 11 AS h
-             |        FROM documents WHERE doc_id % 5 != 2) g,
+             |        FROM documents WHERE doc_id % 5 != 2 AND doc_id % 2 = 1) g,
              |       unnest(range(0, w)) AS gx(x), unnest(range(0, h)) AS gy(y)),
              |gif_px AS (SELECT doc_id + 400000 AS doc_id,
              |    (((y*2)//h) * 2 + ((x*2)//w)) * 3 + c AS dim,
