@@ -1307,6 +1307,41 @@ object QueriesExtra {
              |FROM s GROUP BY doc_id, wi, sr, ch, bits
              |ORDER BY doc_id, seg_idx""".stripMargin)),
 
+    // G.711 µ-law audio decode (round 15): the telephony-corpus WAV
+    // variant — format-7 files with raw 8-bit codes, expanded to 14-bit
+    // linear by the pure-integer G.711 formula and windowed through the
+    // SAME feature op as PCM. The oracle replays the expansion formula
+    // (u = 255−code; mag = (8·(u%16)+132)·2^((u//16)%8) − 132, negative
+    // when u ≥ 128) byte-blind, so a table or sign-convention bug breaks
+    // the hash.
+    "q_audio_mulaw" -> QueryDef(
+      (s, d) => BinaryPipeline.decodeWavSegments(
+          BinaryPipeline.synthesizeMulawWavs(Tables.documents(s, d)),
+          winFrames = 160, hopFrames = 80)
+        .orderBy(col("doc_id"), col("seg_idx")),
+      Some("""WITH p AS (SELECT doc_id, 300 + doc_id % 257 AS nf FROM documents),
+             |w AS (SELECT p.*, wi FROM p,
+             |  unnest(range(0, greatest(1, CAST(ceil(nf / 80.0) AS INT)))) t(wi)),
+             |f AS (SELECT w.*, i FROM w,
+             |  unnest(range(wi*80, least(nf, wi*80 + 160))) t(i)),
+             |s AS (SELECT doc_id, nf, wi, i,
+             |    CASE WHEN (255 - (doc_id*31 + i*7) % 256) >= 128 THEN -1 ELSE 1 END *
+             |    ((8 * ((255 - (doc_id*31 + i*7) % 256) % 16) + 132)
+             |      * (1 << (((255 - (doc_id*31 + i*7) % 256) // 16) % 8)) - 132) AS v,
+             |    CASE WHEN (255 - (doc_id*31 + (i-1)*7) % 256) >= 128 THEN -1 ELSE 1 END *
+             |    ((8 * ((255 - (doc_id*31 + (i-1)*7) % 256) % 16) + 132)
+             |      * (1 << (((255 - (doc_id*31 + (i-1)*7) % 256) // 16) % 8)) - 132) AS pv
+             |  FROM f)
+             |SELECT doc_id, CAST(wi AS BIGINT) AS seg_idx,
+             |  CAST(8000 AS BIGINT) AS sample_rate, CAST(1 AS BIGINT) AS channels,
+             |  CAST(8 AS BIGINT) AS bits,
+             |  CAST(count(*) AS BIGINT) AS n_frames,
+             |  CAST(SUM(v*v) AS BIGINT) AS sq_sum,
+             |  CAST(coalesce(SUM(CASE WHEN i > wi*80
+             |    AND (pv >= 0) != (v >= 0) THEN 1 END), 0) AS BIGINT) AS zero_crossings
+             |FROM s GROUP BY doc_id, wi
+             |ORDER BY doc_id, seg_idx""".stripMargin)),
+
     // REAL image decode (PngCodec): deterministic PNGs are synthesized
     // in-engine from doc_id alone (gray/RGB/RGBA, cycling row filters,
     // CRC'd chunks), then decoded for real — inflate, per-row unfilter,
@@ -1508,6 +1543,32 @@ object QueriesExtra {
              |  CAST(SUM(CASE WHEN c = 2 THEN v END) AS BIGINT) AS b_sum,
              |  CAST(coalesce(SUM(CASE WHEN c = 3 THEN v END), 0) AS BIGINT) AS a_sum,
              |  CAST(SUM((i*ch + c + 1) * v) AS BIGINT) AS weighted_sum
+             |FROM b GROUP BY doc_id, w, h, ch ORDER BY doc_id""".stripMargin)),
+
+    // REAL TIFF decode (round 15, closing the VERDICT r14 "other raster
+    // formats" gap): deterministic baseline TIFFs — both byte orders,
+    // PackBits on half the corpus, multi-strip splits (RowsPerStrip
+    // 1-5), WhiteIsZero storage on a gray slice — synthesized in-engine
+    // from doc_id alone. Byte order, compression, strip split and
+    // photometric inversion are all LAYOUT: the decoded buffer is
+    // identical across them, so ONE formula oracle gates layout
+    // invariance for free (the interlaced-PNG convention). The
+    // position-weighted checksum catches strip-assembly/PackBits
+    // reordering that plain sums can't.
+    "q_image_tiff" -> QueryDef(
+      (s, d) => BinaryPipeline.decodeTiffs(
+          BinaryPipeline.synthesizeTiffs(Tables.documents(s, d)))
+        .orderBy(col("doc_id")),
+      Some("""WITH p AS (SELECT doc_id, 9 + doc_id % 13 AS w, 7 + doc_id % 11 AS h,
+             |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS ch FROM documents),
+             |b AS (SELECT doc_id, w, h, ch, i, (doc_id*37 + i*11) % 256 AS v
+             |  FROM p, unnest(range(0, w*h*ch)) t(i))
+             |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             |  CAST(ch AS BIGINT) AS channels,
+             |  CAST(SUM(CASE WHEN i % ch = 0 THEN v END) AS BIGINT) AS r_sum,
+             |  CAST(coalesce(SUM(CASE WHEN ch = 3 AND i % ch = 1 THEN v END), 0) AS BIGINT) AS g_sum,
+             |  CAST(coalesce(SUM(CASE WHEN ch = 3 AND i % ch = 2 THEN v END), 0) AS BIGINT) AS b_sum,
+             |  CAST(SUM((i + 1) * v) AS BIGINT) AS weighted_sum
              |FROM b GROUP BY doc_id, w, h, ch ORDER BY doc_id""".stripMargin)),
 
     // IMAGE DEDUP CAPSTONE (round 14): real decoded images feed the

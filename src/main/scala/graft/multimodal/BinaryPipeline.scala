@@ -179,6 +179,39 @@ object BinaryPipeline {
     }(enc)
   }
 
+  /** [[synthesizeWavs]]'s µ-law sibling: mono format-7 files whose raw
+    * G.711 codes derive from doc_id —
+    *   frames = 300 + doc_id % 257, sampleRate 8000,
+    *   code(i) = (doc_id·31 + i·7) mod 256
+    * — so the oracle replays the DECODED linear samples (16-bit scale)
+    * through the expansion formula (u = 255−code; mag = (8·(u mod 16) +
+    * 132)·2^((u div 16) mod 8) − 132; negative when u ≥ 128)
+    * byte-blind. */
+  def synthesizeMulawWavs(docs: DataFrame, idCol: String = "doc_id",
+                          batchSize: Int = 16): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false),
+      StructField("meta", StructType(Seq(
+        StructField("media_type", StringType, nullable = false),
+        StructField("declared_bytes", LongType, nullable = false))), nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val ids = docs.select(col(idCol))
+    ids.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val id = r.getLong(0)
+          val frames = (300 + id % 257).toInt
+          val codes = new Array[Byte](frames)
+          var i = 0
+          while (i < frames) { codes(i) = ((id * 31 + i * 7L) % 256).toByte; i += 1 }
+          val bytes = WavCodec.encodeMulaw(8000, 1, codes)
+          Row(id, bytes, Row("audio/basic", bytes.length.toLong))
+        }
+      }
+    }(enc)
+  }
+
   /** REAL audio-window features over (id, content) rows: every content
     * blob must be a WAV ([[WavCodec]] fails loud otherwise). Decodes the
     * PCM frames, then cuts OVERLAPPING windows of `winFrames` frames
@@ -404,6 +437,92 @@ object BinaryPipeline {
             restartInterval = if (id % 5 == 0) 2 else 0,
             progressive = progressive)
           Row(id, bytes, Row("image/jpeg", bytes.length.toLong))
+        }
+      }
+    }(enc)
+  }
+
+  /** Deterministic in-engine TIFF synthesis over document rows — the
+    * [[synthesizeImages]] recipe for the scan/print-corpus leg
+    * ([[TiffCodec]] writes REAL baseline TIFF). Formulas (all from
+    * doc_id alone):
+    *   width = 9 + doc_id % 13, height = 7 + doc_id % 11
+    *   channels = 1 if doc_id % 2 == 0 else 3
+    *   pixel(i) = (doc_id·37 + i·11) mod 256, channel-interleaved
+    *   big-endian (MM) when doc_id % 3 == 0; PackBits when doc_id % 4 < 2;
+    *   RowsPerStrip = 1 + doc_id % 5 (multi-strip assembly);
+    *   WhiteIsZero storage when channels == 1 and doc_id % 5 == 3
+    * Byte order, compression, strip split and photometric inversion are
+    * all LAYOUT — the decoded buffer is identical across them, so one
+    * formula oracle gates layout invariance for free (the
+    * q_image_interlaced convention). */
+  def synthesizeTiffs(docs: DataFrame, idCol: String = "doc_id",
+                      batchSize: Int = 16): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false),
+      StructField("meta", StructType(Seq(
+        StructField("media_type", StringType, nullable = false),
+        StructField("declared_bytes", LongType, nullable = false))), nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val ids = docs.select(col(idCol))
+    ids.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val id = r.getLong(0)
+          val w = (9 + id % 13).toInt
+          val h = (7 + id % 11).toInt
+          val ch = if (id % 2 == 0) 1 else 3
+          val px = new Array[Byte](w * h * ch)
+          var i = 0
+          while (i < px.length) { px(i) = ((id * 37 + i * 11L) % 256).toByte; i += 1 }
+          val bytes = TiffCodec.encode(w, h, ch, px,
+            bigEndian = id % 3 == 0,
+            packBits = id % 4 < 2,
+            rowsPerStrip = (1 + id % 5).toInt,
+            whiteIsZero = ch == 1 && id % 5 == 3)
+          Row(id, bytes, Row("image/tiff", bytes.length.toLong))
+        }
+      }
+    }(enc)
+  }
+
+  /** REAL TIFF decode over (id, content) rows ([[TiffCodec]] fails loud
+    * on non-TIFF bytes): true geometry, per-channel sums and the
+    * POSITION-WEIGHTED checksum Σ (p+1)·buffer[p] (order-sensitive, so
+    * a strip-assembly or PackBits bug breaks the gate even though plain
+    * sums wouldn't). All integers — hash-exact against a SQL replay. */
+  def decodeTiffs(media: DataFrame, idCol: String = "doc_id",
+                  batchSize: Int = 16): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("width", LongType, nullable = false),
+      StructField("height", LongType, nullable = false),
+      StructField("channels", LongType, nullable = false),
+      StructField("r_sum", LongType, nullable = false),
+      StructField("g_sum", LongType, nullable = false),
+      StructField("b_sum", LongType, nullable = false),
+      StructField("weighted_sum", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val idIdx = media.schema.fieldIndex(idCol)
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val id = r.getLong(idIdx)
+          val img = TiffCodec.decode(r.getAs[Array[Byte]](contentIdx))
+          val ch = img.channels
+          val sums = new Array[Long](3)
+          var weighted = 0L
+          var p = 0
+          while (p < img.pixels.length) {
+            val v = img.pixels(p) & 0xff
+            sums(p % ch) += v
+            weighted += (p + 1).toLong * v
+            p += 1
+          }
+          Row(id, img.width.toLong, img.height.toLong, ch.toLong,
+            sums(0), sums(1), sums(2), weighted)
         }
       }
     }(enc)
@@ -697,8 +816,9 @@ object BinaryPipeline {
       PngCodec.PngImage(j.width, j.height, 8,
         if (j.components == 1) 0 else 2, j.components, j.pixels)
     } else if (GifCodec.isGif(content)) GifCodec.decode(content)
+    else if (TiffCodec.isTiff(content)) TiffCodec.decode(content)
     else throw new IllegalArgumentException(
-      "BinaryPipeline: content is not PNG/JPEG/GIF (image op on non-image bytes)")
+      "BinaryPipeline: content is not PNG/JPEG/GIF/TIFF (image op on non-image bytes)")
 
   /** Deterministic in-engine GIF synthesis over document rows — the
     * [[synthesizeImages]] recipe for the palette/LZW leg ([[GifCodec]]

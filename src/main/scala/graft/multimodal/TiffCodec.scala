@@ -1,0 +1,301 @@
+package graft.multimodal
+
+import java.io.ByteArrayOutputStream
+
+/** A real baseline-TIFF codec (the public TIFF 6.0 specification) — the
+  * fourth raster leg after PNG/JPEG/GIF; TIFF dominates scan/print
+  * corpora. Decodes into the shared [[PngCodec.PngImage]] shape so the
+  * format-agnostic image ops (tiles, resize, KNN, dedup) take TIFF rows
+  * unchanged.
+  *
+  * Scope (fail-loud beyond it, never silent garbage):
+  *  - both byte orders (II little-endian, MM big-endian)
+  *  - FIRST IFD only; a second IFD (multi-page) rejects loud
+  *  - 8-bit samples, 1 (gray) or 3 (RGB) samples/pixel, chunky planar
+  *    configuration; strips (any RowsPerStrip split), no tiles
+  *  - Compression 1 (none) and 32773 (PackBits, decoded per the spec's
+  *    run grammar with strict output accounting)
+  *  - PhotometricInterpretation 0 (WhiteIsZero — gray samples inverted
+  *    on decode), 1 (BlackIsZero), 2 (RGB); others reject
+  *  - strip byte counts and offsets must agree with the geometry —
+  *    truncation and size mismatches reject
+  *
+  * Reference analogue: the reference decodes its media format for real
+  * (PDFBox, Function.java:90-132); graft's image columns get the same
+  * treatment per format.
+  */
+object TiffCodec {
+
+  /** True iff `content` starts with a TIFF header (II*\0 or MM\0*). */
+  def isTiff(b: Array[Byte]): Boolean =
+    b.length >= 4 &&
+      ((b(0) == 'I' && b(1) == 'I' && b(2) == 42 && b(3) == 0) ||
+       (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 42))
+
+  def decode(bytes: Array[Byte]): PngCodec.PngImage = {
+    require(isTiff(bytes), "TiffCodec: not a TIFF (bad II*/MM* header)")
+    val le = bytes(0) == 'I'
+    def u8(i: Int): Int = {
+      require(i >= 0 && i < bytes.length, "TiffCodec: truncated file")
+      bytes(i) & 0xff
+    }
+    def u16(i: Int): Int =
+      if (le) u8(i) | (u8(i + 1) << 8) else (u8(i) << 8) | u8(i + 1)
+    def u32(i: Int): Long =
+      if (le) u16(i).toLong | (u16(i + 2).toLong << 16)
+      else (u16(i).toLong << 16) | u16(i + 2).toLong
+
+    val ifdAt = u32(4)
+    require(ifdAt >= 8 && ifdAt < bytes.length, s"TiffCodec: IFD offset $ifdAt out of file")
+    val nEntries = u16(ifdAt.toInt)
+    require(nEntries > 0, "TiffCodec: empty IFD")
+
+    // tag -> (type, count, valueOrOffset field position)
+    final case class Entry(tpe: Int, count: Long, at: Int)
+    val entries = (0 until nEntries).map { k =>
+      val off = ifdAt.toInt + 2 + 12 * k
+      u16(off) -> Entry(u16(off + 2), u32(off + 4), off + 8)
+    }.toMap
+    val nextIfd = u32(ifdAt.toInt + 2 + 12 * nEntries)
+    require(nextIfd == 0,
+      "TiffCodec: multi-page TIFF (second IFD present) — beyond page 1 out of scope")
+
+    /** SHORT(3)/LONG(4) scalar value of a tag. */
+    def scalar(tag: Int, default: => Long): Long = entries.get(tag) match {
+      case None => default
+      case Some(e) =>
+        require(e.count == 1, s"TiffCodec: tag $tag has count ${e.count} (want 1)")
+        e.tpe match {
+          case 3 => u16(e.at).toLong
+          case 4 => u32(e.at)
+          case t => throw new IllegalArgumentException(
+            s"TiffCodec: tag $tag has type $t (want SHORT or LONG)")
+        }
+    }
+    /** SHORT/LONG array of a tag (inline when it fits the 4-byte field). */
+    def vector(tag: Int): Array[Long] = entries.get(tag) match {
+      case None => throw new IllegalArgumentException(s"TiffCodec: required tag $tag missing")
+      case Some(e) =>
+        val width = e.tpe match {
+          case 3 => 2
+          case 4 => 4
+          case t => throw new IllegalArgumentException(
+            s"TiffCodec: tag $tag has type $t (want SHORT or LONG)")
+        }
+        val n = e.count.toInt
+        val base = if (width * n <= 4) e.at else u32(e.at).toInt
+        Array.tabulate(n)(i =>
+          if (width == 2) u16(base + 2 * i).toLong else u32(base + 4 * i))
+    }
+
+    val width = scalar(256, throw new IllegalArgumentException(
+      "TiffCodec: no ImageWidth")).toInt
+    val height = scalar(257, throw new IllegalArgumentException(
+      "TiffCodec: no ImageLength")).toInt
+    require(width > 0 && height > 0, s"TiffCodec: invalid dimensions ${width}x$height")
+    val spp = scalar(277, 1L).toInt
+    require(spp == 1 || spp == 3,
+      s"TiffCodec: $spp samples/pixel unsupported (1 = gray, 3 = RGB)")
+    val bps = if (entries.contains(258)) vector(258) else Array.fill(spp)(1L)
+    require(bps.length == spp && bps.forall(_ == 8),
+      s"TiffCodec: bits/sample ${bps.mkString(",")} unsupported (8-bit only)")
+    val compression = scalar(259, 1L).toInt
+    require(compression == 1 || compression == 32773,
+      s"TiffCodec: compression $compression unsupported (1 = none, 32773 = PackBits)")
+    val photometric = scalar(262, throw new IllegalArgumentException(
+      "TiffCodec: no PhotometricInterpretation")).toInt
+    require(photometric == 0 || photometric == 1 || photometric == 2,
+      s"TiffCodec: photometric $photometric unsupported (0/1 gray, 2 RGB)")
+    require((photometric == 2) == (spp == 3),
+      s"TiffCodec: photometric $photometric contradicts $spp samples/pixel")
+    require(scalar(284, 1L) == 1L,
+      "TiffCodec: planar configuration 2 (separate planes) unsupported")
+    require(!entries.contains(322) && !entries.contains(324),
+      "TiffCodec: tiled TIFF unsupported (strips only)")
+
+    val rowsPerStrip = scalar(278, height.toLong).toInt
+    require(rowsPerStrip >= 1, "TiffCodec: RowsPerStrip 0")
+    val nStrips = (height + rowsPerStrip - 1) / rowsPerStrip
+    val offsets = vector(273)
+    val counts = vector(279)
+    require(offsets.length == nStrips && counts.length == nStrips,
+      s"TiffCodec: ${offsets.length} strip offsets / ${counts.length} counts, " +
+        s"geometry wants $nStrips")
+
+    val rowBytes = width * spp
+    val out = new Array[Byte](rowBytes * height)
+    var strip = 0
+    while (strip < nStrips) {
+      val stripRows = math.min(rowsPerStrip, height - strip * rowsPerStrip)
+      val expect = stripRows * rowBytes
+      val off = offsets(strip).toInt
+      val cnt = counts(strip).toInt
+      require(off >= 0 && cnt >= 0 && off + cnt <= bytes.length,
+        s"TiffCodec: strip $strip at $off+$cnt runs past EOF")
+      val raw =
+        if (compression == 1) {
+          require(cnt == expect,
+            s"TiffCodec: strip $strip holds $cnt bytes, geometry wants $expect")
+          java.util.Arrays.copyOfRange(bytes, off, off + cnt)
+        } else packBitsDecode(bytes, off, cnt, expect)
+      System.arraycopy(raw, 0, out, strip * rowsPerStrip * rowBytes, expect)
+      strip += 1
+    }
+    if (photometric == 0) {
+      // WhiteIsZero: invert so the decoded buffer is always BlackIsZero
+      var i = 0
+      while (i < out.length) { out(i) = (255 - (out(i) & 0xff)).toByte; i += 1 }
+    }
+    PngCodec.PngImage(width, height, 8, if (spp == 1) 0 else 2, spp, out)
+  }
+
+  /** PackBits decode (TIFF 6.0 §9): n in 0..127 copies n+1 literals,
+    * n in -127..-1 repeats the next byte 1-n times, -128 is a noop.
+    * Produces EXACTLY `expect` bytes or fails loud. */
+  private def packBitsDecode(bytes: Array[Byte], off: Int, cnt: Int,
+                             expect: Int): Array[Byte] = {
+    val out = new Array[Byte](expect)
+    var i = off
+    val end = off + cnt
+    var w = 0
+    while (i < end) {
+      val n = bytes(i)
+      i += 1
+      if (n >= 0) {
+        val len = n + 1
+        require(i + len <= end && w + len <= expect,
+          "TiffCodec: PackBits literal run overruns strip or output")
+        System.arraycopy(bytes, i, out, w, len)
+        i += len; w += len
+      } else if (n != -128) {
+        val len = 1 - n
+        require(i < end && w + len <= expect,
+          "TiffCodec: PackBits repeat run overruns strip or output")
+        java.util.Arrays.fill(out, w, w + len, bytes(i))
+        i += 1; w += len
+      } // -128: noop
+    }
+    require(w == expect, s"TiffCodec: PackBits produced $w of $expect bytes")
+    out
+  }
+
+  /** TIFF ENCODE for fixtures and in-engine synthesis: baseline file in
+    * either byte order, optional PackBits compression, any RowsPerStrip
+    * (so multi-strip assembly is exercised), optional WhiteIsZero
+    * (`whiteIsZero` — gray only: samples stored inverted). `pixels` is
+    * the standard BlackIsZero channel-interleaved buffer. */
+  def encode(width: Int, height: Int, channels: Int, pixels: Array[Byte],
+             bigEndian: Boolean = false, packBits: Boolean = false,
+             rowsPerStrip: Int = 0, whiteIsZero: Boolean = false): Array[Byte] = {
+    require(channels == 1 || channels == 3, s"TiffCodec.encode: $channels channels (1 or 3)")
+    require(width > 0 && height > 0, s"TiffCodec.encode: invalid ${width}x$height")
+    require(pixels.length == width * height * channels,
+      s"TiffCodec.encode: ${pixels.length} pixel bytes, geometry wants " +
+        s"${width * height * channels}")
+    require(!whiteIsZero || channels == 1, "TiffCodec.encode: WhiteIsZero is gray-only")
+    val rps = if (rowsPerStrip <= 0) height else math.min(rowsPerStrip, height)
+    val nStrips = (height + rps - 1) / rps
+    val rowBytes = width * channels
+
+    val stored =
+      if (!whiteIsZero) pixels
+      else pixels.map(b => (255 - (b & 0xff)).toByte)
+    val strips: Array[Array[Byte]] = Array.tabulate(nStrips) { s =>
+      val rows = math.min(rps, height - s * rps)
+      val raw = java.util.Arrays.copyOfRange(stored, s * rps * rowBytes,
+        s * rps * rowBytes + rows * rowBytes)
+      if (packBits) packBitsEncode(raw) else raw
+    }
+
+    val out = new ByteArrayOutputStream(pixels.length + 256)
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def w16(v: Int): Unit =
+      if (bigEndian) { w8(v >> 8); w8(v) } else { w8(v); w8(v >> 8) }
+    def w32(v: Long): Unit =
+      if (bigEndian) { w16((v >> 16).toInt); w16(v.toInt) }
+      else { w16(v.toInt); w16((v >> 16).toInt) }
+
+    if (bigEndian) { w8('M'); w8('M'); w8(0); w8(42) }
+    else { w8('I'); w8('I'); w8(42); w8(0) }
+
+    // layout: header(8) | strip data | [bps array if 3ch] [offsets/counts
+    // arrays if >2 strips… kept simple: arrays always out-of-line when
+    // count > 2 for LONG/1 for pairs] | IFD | 0
+    var pos = 8L
+    val stripOffsets = strips.map { s => val o = pos; pos += s.length; o }
+    // out-of-line arrays
+    val bpsAt = if (channels == 3) { val o = pos; pos += 6; o } else -1L
+    val offsAt = if (nStrips > 1) { val o = pos; pos += 4L * nStrips; o } else -1L
+    val cntsAt = if (nStrips > 1) { val o = pos; pos += 4L * nStrips; o } else -1L
+    if (pos % 2 == 1) pos += 1 // IFD must be word-aligned
+    val ifdAt = pos
+
+    w32(ifdAt); // header IFD pointer
+    strips.foreach(s => out.write(s, 0, s.length))
+    if (channels == 3) { w16(8); w16(8); w16(8) }
+    if (nStrips > 1) {
+      stripOffsets.foreach(w32)
+      strips.foreach(s => w32(s.length.toLong))
+    }
+    if (out.size() % 2 == 1) w8(0)
+
+    final case class Tag(id: Int, tpe: Int, count: Long, value: Long)
+    val tags = Seq(
+      Tag(256, 4, 1, width.toLong),
+      Tag(257, 4, 1, height.toLong),
+      if (channels == 3) Tag(258, 3, 3, bpsAt)
+      else Tag(258, 3, 1, 8L),
+      Tag(259, 3, 1, if (packBits) 32773L else 1L),
+      Tag(262, 3, 1, if (whiteIsZero) 0L else if (channels == 3) 2L else 1L),
+      if (nStrips > 1) Tag(273, 4, nStrips.toLong, offsAt)
+      else Tag(273, 4, 1, stripOffsets(0)),
+      Tag(277, 3, 1, channels.toLong),
+      Tag(278, 4, 1, rps.toLong),
+      if (nStrips > 1) Tag(279, 4, nStrips.toLong, cntsAt)
+      else Tag(279, 4, 1, strips(0).length.toLong),
+      Tag(284, 3, 1, 1L))
+    w16(tags.length)
+    tags.sortBy(_.id).foreach { t =>
+      w16(t.id); w16(t.tpe); w32(t.count)
+      // SHORT scalar values sit in the LOW half of the 4-byte field
+      // regardless of byte order (the field is value-left-justified —
+      // for SHORT count 1 the spec stores it in the first 2 bytes)
+      if (t.tpe == 3 && t.count == 1) { w16(t.value.toInt); w16(0) }
+      else w32(t.value)
+    }
+    w32(0L) // no next IFD
+    out.toByteArray
+  }
+
+  /** PackBits encode: repeat runs of 3+ become repeat packets, the rest
+    * literal packets of ≤128. */
+  private def packBitsEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(data.length + 16)
+    var i = 0
+    while (i < data.length) {
+      // find a repeat run
+      var run = 1
+      while (i + run < data.length && run < 128 && data(i + run) == data(i)) run += 1
+      if (run >= 3) {
+        out.write(1 - run) // -(run-1)
+        out.write(data(i))
+        i += run
+      } else {
+        // literal run: until the next 3-repeat or 128 bytes
+        val start = i
+        var j = i
+        var done = false
+        while (!done && j < data.length && j - start < 128) {
+          var r = 1
+          while (j + r < data.length && r < 3 && data(j + r) == data(j)) r += 1
+          if (r >= 3 && j > start) done = true
+          else j += 1
+        }
+        out.write(j - start - 1)
+        out.write(data, start, j - start)
+        i = j
+      }
+    }
+    out.toByteArray
+  }
+}

@@ -9,18 +9,23 @@ import java.io.ByteArrayOutputStream
   * decoded features from the synthesis formulas alone).
   *
   * Format: RIFF container (`RIFF <size> WAVE`), `fmt ` chunk with
-  * audio-format 1 (integer PCM), `data` chunk with interleaved frames.
+  * audio-format 1 (integer PCM) or 7 (G.711 µ-law, round 15 — the
+  * telephony-corpus format), `data` chunk with interleaved frames.
   * Scope (fail-loud beyond it, never silent garbage):
-  *  - PCM only — compressed formats (µ-law 7, ADPCM 2/17, float 3) and
-  *    WAVE_FORMAT_EXTENSIBLE (0xFFFE) reject with the format code
-  *  - 8-bit (unsigned on the wire, per spec) and 16-bit (signed LE)
+  *  - PCM and µ-law only — other compressed formats (A-law 6, ADPCM
+  *    2/17, float 3) and WAVE_FORMAT_EXTENSIBLE (0xFFFE) reject with
+  *    the format code
+  *  - PCM: 8-bit (unsigned on the wire, per spec) and 16-bit (signed
+  *    LE); µ-law: 8-bit codes expanded to 14-bit linear via the G.711
+  *    table formula
   *  - 1–8 channels; block-align and byte-rate must agree with the
   *    declared geometry; the data payload must be WHOLE frames
   *  - unknown chunks (LIST, fact, cue…) skip with the spec's word
   *    alignment (odd-sized chunks carry a pad byte)
   *
-  * Decoded samples are SIGNED ints regardless of depth (8-bit shifts by
-  * −128), so feature math downstream is depth-independent.
+  * Decoded samples are SIGNED LINEAR ints regardless of wire format
+  * (8-bit PCM shifts by −128, µ-law expands), so feature math
+  * downstream is format-independent.
   *
   * Reference analogue: the reference decodes its media format for real
   * (PDFBox, Function.java:90-132); graft's audio columns now get the
@@ -28,11 +33,41 @@ import java.io.ByteArrayOutputStream
   */
 object WavCodec {
 
-  /** Decoded audio: `samples` is channel-interleaved, one SIGNED int per
-    * sample (−128..127 for 8-bit wire data, −32768..32767 for 16-bit);
-    * `frames` = samples.length / channels. */
+  /** Decoded audio: `samples` is channel-interleaved, one SIGNED LINEAR
+    * int per sample (−128..127 for 8-bit PCM wire data, −32768..32767
+    * for 16-bit, ±32124 for expanded µ-law at 16-bit scale); `frames` =
+    * samples.length / channels; `format` is the wire format code
+    * (1 PCM, 7 µ-law). */
   final case class WavAudio(sampleRate: Int, channels: Int, bitsPerSample: Int,
-                            frames: Int, samples: Array[Int])
+                            frames: Int, samples: Array[Int], format: Int = 1)
+
+  /** G.711 µ-law expansion at 16-bit PCM scale (the CCITT reference C
+    * form, ±32124): the code is bit-inverted on the wire; sign bit 0x80
+    * (post-invert), 3-bit exponent, 4-bit mantissa:
+    * mag = ((mant·8 + 0x84) << exp) − 0x84. Pure integer math — exactly
+    * replayable by a SQL oracle. */
+  def mulawExpand(code: Int): Int = {
+    val u = (~code) & 0xff
+    val exp = (u >> 4) & 7
+    val mant = u & 0xf
+    val mag = ((mant * 8 + 0x84) << exp) - 0x84
+    if ((u & 0x80) != 0) -mag else mag
+  }
+
+  /** G.711 µ-law compression — the exact inverse of [[mulawExpand]] on
+    * its output set (magnitudes clamp at the top code; ±0 collapse to
+    * the positive code 0xFF, the inherent µ-law zero fold). */
+  def mulawCompress(sample: Int): Int = {
+    val neg = sample < 0
+    // re-bias: an expander output has |v| + 0x84 = base << exp with
+    // base = mant·8 + 0x84 in [0x84, 0xFC]
+    var mag = (if (neg) -sample else sample) + 0x84
+    if (mag > (0xfc << 7)) mag = 0xfc << 7
+    var exp = 0
+    while (exp < 7 && (mag >> (exp + 1)) >= 0x84) exp += 1
+    val mant = ((mag >> exp) - 0x84) >> 3
+    (~((if (neg) 0x80 else 0) | (exp << 4) | mant)) & 0xff
+  }
 
   /** True iff `content` starts with the RIFF/WAVE 12-byte preamble. */
   def isWav(b: Array[Byte]): Boolean =
@@ -53,6 +88,7 @@ object WavCodec {
     var pos = 12
     var sampleRate = 0; var channels = 0; var bits = 0
     var blockAlign = 0
+    var format = 1
     var fmtSeen = false
     var data: (Int, Int) = null // (offset, length)
     val end = (riffSize + 8).toInt
@@ -68,9 +104,10 @@ object WavCodec {
           require(clen >= 16, s"WavCodec: fmt chunk of $clen bytes (want >= 16)")
           fmtSeen = true
           val fmt = le16(off)
-          require(fmt == 1,
-            s"WavCodec: audio format $fmt unsupported (integer PCM = 1 only; " +
-              "compressed/float/extensible WAV out of scope)")
+          require(fmt == 1 || fmt == 7,
+            s"WavCodec: audio format $fmt unsupported (1 = integer PCM, " +
+              "7 = G.711 mu-law; other compressed/float/extensible WAV out of scope)")
+          format = fmt
           channels = le16(off + 2)
           require(channels >= 1 && channels <= 8,
             s"WavCodec: $channels channels unsupported (1-8)")
@@ -81,6 +118,8 @@ object WavCodec {
           bits = le16(off + 14)
           require(bits == 8 || bits == 16,
             s"WavCodec: $bits bits/sample unsupported (8 or 16)")
+          require(format == 1 || bits == 8,
+            s"WavCodec: mu-law with $bits bits/sample (8-bit codes only)")
           require(blockAlign == channels * (bits / 8),
             s"WavCodec: block align $blockAlign contradicts " +
               s"$channels ch x $bits bit")
@@ -104,7 +143,10 @@ object WavCodec {
     val frames = dLen / blockAlign
     val n = frames * channels
     val out = new Array[Int](n)
-    if (bits == 8) {
+    if (format == 7) {
+      var i = 0
+      while (i < n) { out(i) = mulawExpand(bytes(dOff + i) & 0xff); i += 1 }
+    } else if (bits == 8) {
       var i = 0
       while (i < n) { out(i) = (bytes(dOff + i) & 0xff) - 128; i += 1 }
     } else {
@@ -115,7 +157,27 @@ object WavCodec {
         i += 1
       }
     }
-    WavAudio(sampleRate, channels, bits, frames, out)
+    WavAudio(sampleRate, channels, bits, frames, out, format)
+  }
+
+  /** µ-law WAV ENCODE: `codes` are raw 8-bit G.711 codes written as
+    * format-7 data (one byte per sample, block align = channels). */
+  def encodeMulaw(sampleRate: Int, channels: Int, codes: Array[Byte]): Array[Byte] = {
+    require(channels >= 1 && channels <= 8, s"WavCodec.encodeMulaw: $channels channels")
+    require(sampleRate > 0, "WavCodec.encodeMulaw: zero sample rate")
+    require(codes.length % channels == 0,
+      s"WavCodec.encodeMulaw: ${codes.length} codes not whole $channels-channel frames")
+    val out = new ByteArrayOutputStream(44 + codes.length)
+    def w(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >>> 16) & 0xffff) }
+    w("RIFF"); le32(36 + codes.length); w("WAVE")
+    w("fmt "); le32(16)
+    le16(7); le16(channels); le32(sampleRate)
+    le32(sampleRate * channels); le16(channels); le16(8)
+    w("data"); le32(codes.length)
+    out.write(codes, 0, codes.length)
+    out.toByteArray
   }
 
   /** WAV ENCODE for fixtures and in-engine synthesis: `samples` is

@@ -1,0 +1,144 @@
+package graft
+
+import graft.multimodal.{BinaryPipeline, TiffCodec}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** TiffCodec: decode against a HAND-AUTHORED byte-level fixture (IFD,
+  * tags and PackBits stream laid out by the test itself, independent of
+  * the encoder), encode→decode round trips across byte order /
+  * compression / strip splits / photometric, and the fail-loud
+  * contract. */
+class TiffCodecSpec extends AnyFunSuite with SparkSpec {
+
+  /** Hand-built little-endian 3x2 gray TIFF, uncompressed, one strip,
+    * pixels 10..60 by tens. Layout: header(8) | pixels(6) | IFD. */
+  private def handFixture: Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def w16(v: Int): Unit = { w8(v); w8(v >> 8) }
+    def w32(v: Int): Unit = { w16(v); w16(v >> 16) }
+    w8('I'); w8('I'); w8(42); w8(0)
+    w32(14) // IFD at 14
+    Seq(10, 20, 30, 40, 50, 60).foreach(w8) // strip data at 8
+    def tag(id: Int, tpe: Int, count: Int, value: Int): Unit = {
+      w16(id); w16(tpe); w32(count)
+      if (tpe == 3) { w16(value); w16(0) } else w32(value)
+    }
+    w16(8) // 8 entries
+    tag(256, 4, 1, 3)  // width
+    tag(257, 4, 1, 2)  // height
+    tag(258, 3, 1, 8)  // bits/sample
+    tag(259, 3, 1, 1)  // no compression
+    tag(262, 3, 1, 1)  // BlackIsZero
+    tag(273, 4, 1, 8)  // strip offset
+    tag(277, 3, 1, 1)  // samples/pixel
+    tag(279, 4, 1, 6)  // strip byte count
+    w32(0) // no next IFD
+    out.toByteArray
+  }
+
+  test("hand-authored fixture: exact pixels, tag walk, no encoder involved") {
+    val img = TiffCodec.decode(handFixture)
+    assert(img.width == 3 && img.height == 2)
+    assert(img.colorType == 0 && img.channels == 1 && img.bitDepth == 8)
+    assert(img.pixels.map(_ & 0xff).toSeq == Seq(10, 20, 30, 40, 50, 60))
+  }
+
+  test("encode→decode round-trips: byte orders x PackBits x strip splits x photometric") {
+    val rnd = new scala.util.Random(23)
+    for (ch <- Seq(1, 3); be <- Seq(false, true); pb <- Seq(false, true);
+         rps <- Seq(0, 1, 3)) {
+      val w = 11; val h = 7
+      val px = Array.fill(w * h * ch)(rnd.nextInt(256).toByte)
+      val img = TiffCodec.decode(TiffCodec.encode(w, h, ch, px,
+        bigEndian = be, packBits = pb, rowsPerStrip = rps))
+      assert(img.width == w && img.height == h && img.channels == ch,
+        s"ch=$ch be=$be pb=$pb rps=$rps")
+      assert(img.pixels.toSeq == px.toSeq, s"ch=$ch be=$be pb=$pb rps=$rps")
+    }
+    // WhiteIsZero storage is invisible in the decoded buffer
+    val gray = Array.tabulate(24)(i => (i * 9).toByte)
+    val wiz = TiffCodec.decode(TiffCodec.encode(6, 4, 1, gray, whiteIsZero = true))
+    assert(wiz.pixels.toSeq == gray.toSeq, "WhiteIsZero round trip")
+    // PackBits exercises long repeat runs (constant image) and literals
+    val const = TiffCodec.decode(TiffCodec.encode(64, 4, 1,
+      Array.fill(256)(200.toByte), packBits = true, rowsPerStrip = 2))
+    assert(const.pixels.forall(_ == 200.toByte))
+  }
+
+  test("fail-loud contract: header, multi-page, tiles, depth, planar, strip accounting") {
+    val px = Array.tabulate(33)(i => i.toByte)
+    val good = TiffCodec.encode(11, 3, 1, px, rowsPerStrip = 2)
+    // bad magic
+    val sig = good.clone(); sig(2) = 41
+    assert(intercept[IllegalArgumentException](TiffCodec.decode(sig))
+      .getMessage.contains("header"))
+    // second IFD: patch the next-IFD pointer (last 4 bytes of the IFD)
+    val multi = good.clone()
+    multi(multi.length - 4) = 8 // little-endian next-IFD = 8
+    val eMulti = intercept[IllegalArgumentException](TiffCodec.decode(multi))
+    assert(eMulti.getMessage.contains("multi-page"), eMulti.getMessage)
+    // 16-bit depth rejects: find the bits/sample tag (258 = 0x0102 LE)
+    def patchTagValue(b: Array[Byte], id: Int, v: Int): Array[Byte] = {
+      val c = b.clone()
+      var i = 8
+      while (!((c(i) & 0xff) == (id & 0xff) && (c(i + 1) & 0xff) == (id >> 8))) i += 1
+      c(i + 8) = v.toByte; c
+    }
+    val b16 = patchTagValue(good, 258, 16)
+    assert(intercept[IllegalArgumentException](TiffCodec.decode(b16))
+      .getMessage.contains("8-bit"))
+    // planar configuration 2 rejects
+    val planar = patchTagValue(good, 284, 2)
+    assert(intercept[IllegalArgumentException](TiffCodec.decode(planar))
+      .getMessage.contains("planar"))
+    // unsupported compression (5 = LZW) rejects
+    val lzw = patchTagValue(good, 259, 5)
+    assert(intercept[IllegalArgumentException](TiffCodec.decode(lzw))
+      .getMessage.contains("compression 5"))
+    // photometric contradiction: RGB photometric on 1 sample/pixel
+    val pmBad = patchTagValue(good, 262, 2)
+    assert(intercept[IllegalArgumentException](TiffCodec.decode(pmBad))
+      .getMessage.contains("contradicts"))
+    // truncation: cut the last strip's data
+    val trunc = good.take(12)
+    intercept[IllegalArgumentException](TiffCodec.decode(trunc))
+    // encoder guards
+    assert(intercept[IllegalArgumentException](
+      TiffCodec.encode(2, 1, 3, new Array[Byte](6), whiteIsZero = true))
+      .getMessage.contains("gray-only"))
+  }
+
+  test("format-agnostic dispatch: tiles and resize accept TIFF rows") {
+    import spark.implicits._
+    val tiff = TiffCodec.encode(8, 8, 3,
+      Array.tabulate(192)(i => (i * 5).toByte), packBits = true)
+    val media = Seq((9L, tiff)).toDF("doc_id", "content")
+    val f = BinaryPipeline.imageTileFeatures(media, gx = 2, gy = 2).collect()
+    assert(f.length == 1 && f(0).getLong(4) == 3 && f(0).getSeq[Double](1).length == 12)
+    assert(BinaryPipeline.resizeImages(media, 4, 4).collect().length == 1)
+  }
+
+  test("synthesizeTiffs → decodeTiffs matches an independent recompute") {
+    import spark.implicits._
+    val docs = (0L until 20L).toDF("doc_id")
+    val out = BinaryPipeline.decodeTiffs(BinaryPipeline.synthesizeTiffs(docs))
+      .orderBy("doc_id").collect()
+    assert(out.length == 20)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val w = (9 + id % 13).toInt; val h = (7 + id % 11).toInt
+      val ch = if (id % 2 == 0) 1 else 3
+      assert(r.getLong(1) == w && r.getLong(2) == h && r.getLong(3) == ch, s"doc $id")
+      val sums = Array.fill(3)(0L); var weighted = 0L
+      for (i <- 0 until w * h * ch) {
+        val v = (id * 37 + i * 11L) % 256
+        sums(i % ch) += v
+        weighted += (i + 1) * v
+      }
+      assert(r.getLong(4) == sums(0) && r.getLong(5) == sums(1) &&
+        r.getLong(6) == sums(2) && r.getLong(7) == weighted, s"doc $id")
+    }
+  }
+}

@@ -86,6 +86,31 @@ class WavCodecSpec extends AnyFunSuite with SparkSpec {
       WavCodec.encode(8000, 1, 8, Array(200))).getMessage.contains("out of"))
   }
 
+  test("mu-law (G.711): expansion formula, compress inverse, format-7 decode") {
+    import graft.multimodal.WavCodec.{mulawExpand, mulawCompress}
+    // spec anchors: 0xFF is +0, 0x7F is -0 (the zero fold), 0x80 is the
+    // most negative code at 16-bit scale
+    assert(mulawExpand(0xff) == 0 && mulawExpand(0x7f) == 0)
+    assert(mulawExpand(0x00) == -32124 && mulawExpand(0x80) == 32124)
+    // compress is the exact inverse on the expander's output set,
+    // except -0 which folds to the positive zero code
+    for (c <- 0 to 255 if c != 0x7f)
+      assert(mulawCompress(mulawExpand(c)) == c, f"code 0x$c%02X")
+    // the negative half (codes 0x00-0x7E) rises monotonically toward 0
+    val mags = (0 to 126).map(c => mulawExpand(c))
+    assert(mags.zip(mags.tail).forall { case (a, b) => a < b }, "monotone negative half")
+    // format-7 file decodes through the same reader, expanded samples
+    val codes = Array.tabulate(40)(i => ((i * 31 + 7) % 256).toByte)
+    val a = WavCodec.decode(WavCodec.encodeMulaw(8000, 1, codes))
+    assert(a.format == 7 && a.bitsPerSample == 8 && a.channels == 1 && a.frames == 40)
+    assert(a.samples.toSeq == codes.map(b => mulawExpand(b & 0xff)).toSeq)
+    // a 16-bit mu-law header is nonsense and rejects
+    val bad = WavCodec.encodeMulaw(8000, 1, codes).clone()
+    bad(34) = 16
+    assert(intercept[IllegalArgumentException](WavCodec.decode(bad))
+      .getMessage.contains("mu-law"))
+  }
+
   test("decodeWavSegments: hand-computed energy and zero crossings on a tiny stream") {
     import spark.implicits._
     // mono 16-bit, 5 frames: 3, -4, 5, 0, -2 — win 4, hop 2 → 3 windows
