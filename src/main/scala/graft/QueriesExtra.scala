@@ -1771,8 +1771,10 @@ object QueriesExtra {
           .select((col("doc_id") + 200000).as("doc_id"), col("content"), col("meta"))
         val gif = BinaryPipeline.synthesizeGifs(Tables.documents(s, d))
           .select((col("doc_id") + 400000).as("doc_id"), col("content"), col("meta"))
+        val tif = BinaryPipeline.synthesizeTiffs(Tables.documents(s, d))
+          .select((col("doc_id") + 600000).as("doc_id"), col("content"), col("meta"))
         val feats = BinaryPipeline.imageTileFeatures(
-            png.unionAll(jpg).unionAll(gif), gx = 2, gy = 2)
+            png.unionAll(jpg).unionAll(gif).unionAll(tif), gx = 2, gy = 2)
           .where(col("channels") === 3) // the RGB modality group, all formats
           .select(col("doc_id").as("vec_id"), col("features").as("embedding"))
         val q = feats.where(col("vec_id") === 1)
@@ -1803,10 +1805,18 @@ object QueriesExtra {
              |           WHEN 1 THEN (doc_id*19 + ix*31) % 256
              |           ELSE (doc_id*23 + ix*37) % 256 END AS v
              |  FROM gif_ix, unnest(range(0, 3)) AS gc(c)),
+             |tif_px AS (SELECT doc_id + 600000 AS doc_id,
+             |    (((y*2)//h) * 2 + ((x*2)//w)) * 3 + c AS dim,
+             |    (doc_id*37 + ((y*w + x)*3 + c) * 11) % 256 AS v
+             |  FROM (SELECT doc_id, 9 + doc_id % 13 AS w, 7 + doc_id % 11 AS h
+             |        FROM documents WHERE doc_id % 2 = 1) p,
+             |       unnest(range(0, w)) AS gx(x), unnest(range(0, h)) AS gy(y),
+             |       unnest(range(0, 3)) AS gc(c)),
              |f AS (SELECT doc_id, list(m ORDER BY dim) AS emb FROM (
              |    SELECT doc_id, dim, avg(v) AS m
              |    FROM (SELECT * FROM png_px UNION ALL SELECT * FROM jpg_px
-             |          UNION ALL SELECT * FROM gif_px)
+             |          UNION ALL SELECT * FROM gif_px
+             |          UNION ALL SELECT * FROM tif_px)
              |    GROUP BY doc_id, dim)
              |  GROUP BY doc_id)
              |SELECT e.doc_id AS vec_id,
