@@ -1771,7 +1771,11 @@ object QueriesExtra {
           .select((col("doc_id") + 200000).as("doc_id"), col("content"), col("meta"))
         val gif = BinaryPipeline.synthesizeGifs(Tables.documents(s, d))
           .select((col("doc_id") + 400000).as("doc_id"), col("content"), col("meta"))
-        val tif = BinaryPipeline.synthesizeTiffs(Tables.documents(s, d))
+        // only odd ids are RGB by the TIFF synthesis formula — skip the
+        // gray half up front instead of decoding it into the channel
+        // filter (the q_dedup_image idiom; the oracle already filters)
+        val tif = BinaryPipeline.synthesizeTiffs(
+            Tables.documents(s, d).where(col("doc_id") % 2 === 1))
           .select((col("doc_id") + 600000).as("doc_id"), col("content"), col("meta"))
         val feats = BinaryPipeline.imageTileFeatures(
             png.unionAll(jpg).unionAll(gif).unionAll(tif), gx = 2, gy = 2)

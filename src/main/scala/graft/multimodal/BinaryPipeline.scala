@@ -206,7 +206,7 @@ object BinaryPipeline {
           var i = 0
           while (i < frames) { codes(i) = ((id * 31 + i * 7L) % 256).toByte; i += 1 }
           val bytes = WavCodec.encodeMulaw(8000, 1, codes)
-          Row(id, bytes, Row("audio/basic", bytes.length.toLong))
+          Row(id, bytes, Row("audio/wav", bytes.length.toLong))
         }
       }
     }(enc)

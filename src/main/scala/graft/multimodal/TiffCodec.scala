@@ -112,9 +112,19 @@ object TiffCodec {
       "TiffCodec: planar configuration 2 (separate planes) unsupported")
     require(!entries.contains(322) && !entries.contains(324),
       "TiffCodec: tiled TIFF unsupported (strips only)")
+    // behavior-ALTERING tags must not pass silently: FillOrder 2
+    // (bit-reversed bytes, fax-derived scans) and non-default
+    // Orientation would both yield wrong pixels, not a parse error
+    require(scalar(266, 1L) == 1L,
+      "TiffCodec: FillOrder 2 (bit-reversed) unsupported")
+    require(scalar(274, 1L) == 1L,
+      "TiffCodec: non-default Orientation unsupported")
 
-    val rowsPerStrip = scalar(278, height.toLong).toInt
-    require(rowsPerStrip >= 1, "TiffCodec: RowsPerStrip 0")
+    // Long math + clamp: the spec blesses RowsPerStrip = 2^32-1 as the
+    // one-strip idiom, and a bare .toInt would wrap it negative
+    val rpsRaw = scalar(278, height.toLong)
+    require(rpsRaw >= 1, "TiffCodec: RowsPerStrip 0")
+    val rowsPerStrip = math.min(rpsRaw, height.toLong).toInt
     val nStrips = (height + rowsPerStrip - 1) / rowsPerStrip
     val offsets = vector(273)
     val counts = vector(279)
@@ -223,21 +233,24 @@ object TiffCodec {
     // count > 2 for LONG/1 for pairs] | IFD | 0
     var pos = 8L
     val stripOffsets = strips.map { s => val o = pos; pos += s.length; o }
-    // out-of-line arrays
+    // out-of-line arrays start WORD-ALIGNED (TIFF 6.0: every Value
+    // Offset must be even — strict validators reject odd ones even
+    // though many readers tolerate them)
+    val padAfterStrips = pos % 2 == 1
+    if (padAfterStrips) pos += 1
     val bpsAt = if (channels == 3) { val o = pos; pos += 6; o } else -1L
     val offsAt = if (nStrips > 1) { val o = pos; pos += 4L * nStrips; o } else -1L
     val cntsAt = if (nStrips > 1) { val o = pos; pos += 4L * nStrips; o } else -1L
-    if (pos % 2 == 1) pos += 1 // IFD must be word-aligned
-    val ifdAt = pos
+    val ifdAt = pos // arrays above are even-sized, so the IFD stays aligned
 
     w32(ifdAt); // header IFD pointer
     strips.foreach(s => out.write(s, 0, s.length))
+    if (padAfterStrips) w8(0)
     if (channels == 3) { w16(8); w16(8); w16(8) }
     if (nStrips > 1) {
       stripOffsets.foreach(w32)
       strips.foreach(s => w32(s.length.toLong))
     }
-    if (out.size() % 2 == 1) w8(0)
 
     final case class Tag(id: Int, tpe: Int, count: Long, value: Long)
     val tags = Seq(

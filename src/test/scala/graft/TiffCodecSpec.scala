@@ -12,8 +12,9 @@ import org.scalatest.funsuite.AnyFunSuite
 class TiffCodecSpec extends AnyFunSuite with SparkSpec {
 
   /** Hand-built little-endian 3x2 gray TIFF, uncompressed, one strip,
-    * pixels 10..60 by tens. Layout: header(8) | pixels(6) | IFD. */
-  private def handFixture: Array[Byte] = {
+    * pixels 10..60 by tens, plus optional extra SHORT tags (id → value).
+    * Layout: header(8) | pixels(6) | IFD. */
+  private def handFixture(extraShortTags: (Int, Int)*): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def w8(v: Int): Unit = out.write(v & 0xff)
     def w16(v: Int): Unit = { w8(v); w8(v >> 8) }
@@ -25,18 +26,16 @@ class TiffCodecSpec extends AnyFunSuite with SparkSpec {
       w16(id); w16(tpe); w32(count)
       if (tpe == 3) { w16(value); w16(0) } else w32(value)
     }
-    w16(8) // 8 entries
-    tag(256, 4, 1, 3)  // width
-    tag(257, 4, 1, 2)  // height
-    tag(258, 3, 1, 8)  // bits/sample
-    tag(259, 3, 1, 1)  // no compression
-    tag(262, 3, 1, 1)  // BlackIsZero
-    tag(273, 4, 1, 8)  // strip offset
-    tag(277, 3, 1, 1)  // samples/pixel
-    tag(279, 4, 1, 6)  // strip byte count
+    val tags = Seq(
+      (256, 4, 3), (257, 4, 2), (258, 3, 8), (259, 3, 1), (262, 3, 1),
+      (273, 4, 8), (277, 3, 1), (279, 4, 6)) ++
+      extraShortTags.map { case (id, v) => (id, 3, v) }
+    w16(tags.length)
+    tags.sortBy(_._1).foreach { case (id, tpe, v) => tag(id, tpe, 1, v) }
     w32(0) // no next IFD
     out.toByteArray
   }
+  private def handFixture: Array[Byte] = handFixture()
 
   test("hand-authored fixture: exact pixels, tag walk, no encoder involved") {
     val img = TiffCodec.decode(handFixture)
@@ -104,6 +103,18 @@ class TiffCodecSpec extends AnyFunSuite with SparkSpec {
     // truncation: cut the last strip's data
     val trunc = good.take(12)
     intercept[IllegalArgumentException](TiffCodec.decode(trunc))
+    // RowsPerStrip = 2^32-1, the spec's one-strip idiom: clamps to
+    // height instead of wrapping negative through toInt
+    val idiom = handFixture((278, 0xffff)) // SHORT max stands in: > height
+    assert(TiffCodec.decode(idiom).pixels.map(_ & 0xff).toSeq ==
+      Seq(10, 20, 30, 40, 50, 60))
+    // behavior-altering tags reject rather than silently corrupt
+    val eFill = intercept[IllegalArgumentException](
+      TiffCodec.decode(handFixture((266, 2))))
+    assert(eFill.getMessage.contains("FillOrder"), eFill.getMessage)
+    val eOrient = intercept[IllegalArgumentException](
+      TiffCodec.decode(handFixture((274, 6))))
+    assert(eOrient.getMessage.contains("Orientation"), eOrient.getMessage)
     // encoder guards
     assert(intercept[IllegalArgumentException](
       TiffCodec.encode(2, 1, 3, new Array[Byte](6), whiteIsZero = true))
