@@ -385,6 +385,37 @@ object Perf {
       }
     }
     {
+      // round-15 codec probes: GIF (LZW), TIFF (PackBits/strips), WAV
+      // (PCM windows), µ-law, CMYK JPEG — same narrow-mapPartitions
+      // contract as the PNG/JPEG probes, throughput scales with
+      // executors × files
+      import graft.multimodal.BinaryPipeline
+      val g = BinaryPipeline.synthesizeGifs(docs).localCheckpoint(true)
+      time("gif.decode (500 files, LZW + palette)") {
+        BinaryPipeline.decodeGifs(g).count()
+      }
+      val t = BinaryPipeline.synthesizeTiffs(docs).localCheckpoint(true)
+      time("tiff.decode (500 files, PackBits + strips + byte orders)") {
+        BinaryPipeline.decodeTiffs(t).count()
+      }
+      val wv = BinaryPipeline.synthesizeWavs(docs).localCheckpoint(true)
+      time("wav.decode+windows (500 files, PCM 8/16-bit)") {
+        BinaryPipeline.decodeWavSegments(wv).count()
+      }
+      val mu = BinaryPipeline.synthesizeMulawWavs(docs).localCheckpoint(true)
+      time("mulaw.decode+windows (500 files, G.711 expansion)") {
+        BinaryPipeline.decodeWavSegments(mu).count()
+      }
+      val ck = BinaryPipeline.synthesizeCmykJpegs(docs).localCheckpoint(true)
+      time("jpeg.decode CMYK/YCCK (500 files, APP14 transforms)") {
+        BinaryPipeline.decodeCmykJpegs(ck).count()
+      }
+      val mj = BinaryPipeline.synthesizeMjpegs(docs).localCheckpoint(true)
+      time("mjpeg.frameTiles (500 streams, marker-walk + stride-2 decode)") {
+        BinaryPipeline.decodeFrameTiles(mj, stride = 2).count()
+      }
+    }
+    {
       // round-15 DBSCAN probe-scaling evidence (VERDICT r14 #6): the
       // committed q_dbscan (full-probe, oracle corpus) and
       // q_dbscan_probed (partial-probe, planted-cluster corpus) floors

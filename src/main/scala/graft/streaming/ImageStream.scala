@@ -8,20 +8,21 @@ import org.apache.spark.sql.streaming.StreamingQuery
 import graft.multimodal.BinaryPipeline
 
 /** Streaming IMAGE ingest — the multimodal twin of [[VectorStream]]:
-  * new image files landing in a directory are decoded FOR REAL
-  * ([[graft.multimodal.PngCodec]]) per micro-batch and their grid-pooled
-  * tile features + true geometry appended to a feature store, ready for
-  * the KNN/ANN serve tier. Mirrors the reference's blob trigger
-  * (Function.java:71-88) with image payloads in place of PDFs.
+  * new image files landing in a directory are decoded FOR REAL per
+  * micro-batch — the format-SNIFFED dispatch, so one stream ingests a
+  * mixed PNG/JPEG/GIF/TIFF corpus into one feature space (round 15) —
+  * and their grid-pooled tile features + true geometry appended to a
+  * feature store, ready for the KNN/ANN serve tier. Mirrors the
+  * reference's blob trigger (Function.java:71-88) with image payloads
+  * in place of PDFs.
   *
   * Replay idempotence (the [[VectorStream]] convention): each batch
   * writes under its own `batch_id=` partition with dynamic partition
   * overwrite, so a replayed batch — restart after a crash between write
   * and checkpoint commit — overwrites its own partition instead of
-  * doubling rows. A non-PNG payload fails its batch LOUD before the
-  * write ([[graft.multimodal.PngCodec.decode]]'s contract), leaving the
-  * store untouched and the checkpoint unadvanced — poison inputs never
-  * half-commit.
+  * doubling rows. A non-image payload fails its batch LOUD before the
+  * write (the sniffed dispatch's contract), leaving the store untouched
+  * and the checkpoint unadvanced — poison inputs never half-commit.
   *
   * Grid defaults FOLLOW [[BinaryPipeline.imageTileFeatures]]' — a
   * streamed batch must produce vectors the same shape as a batch build

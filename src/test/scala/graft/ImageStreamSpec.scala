@@ -67,4 +67,23 @@ class ImageStreamSpec extends SparkSpec {
     assert(msgs.contains("PNG"), msgs)
     assert(spark.read.parquet(store).count() == before, "poison batch half-committed")
   }
+
+  test("MIXED-FORMAT micro-batch: PNG, JPEG, GIF and TIFF rows ingest into one store") {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id")).where(col("doc_id") < 10)
+    def slim(df: org.apache.spark.sql.DataFrame, offset: Long) =
+      df.select((col("doc_id") + offset).as("doc_id"), col("content"))
+    val mixed = slim(BinaryPipeline.synthesizeImages(docs), 0)
+      .unionAll(slim(BinaryPipeline.synthesizeJpegs(docs), 1000))
+      .unionAll(slim(BinaryPipeline.synthesizeGifs(docs), 2000))
+      .unionAll(slim(BinaryPipeline.synthesizeTiffs(docs), 3000))
+      .localCheckpoint(true)
+    val store = Files.createTempDirectory("istream_mix").toString + "/feat"
+    ImageStream.featuresBatch(store, gx = 2, gy = 2)(mixed, 0L)
+    val got = spark.read.parquet(store)
+      .select(col("doc_id"), col("features")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toList)).toMap
+    val want = BinaryPipeline.imageTileFeatures(mixed, gx = 2, gy = 2)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toList)).toMap
+    assert(got == want && got.size == 40, "streamed mixed-format features diverge")
+  }
 }
