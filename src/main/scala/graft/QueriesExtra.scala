@@ -1766,16 +1766,17 @@ object QueriesExtra {
     // the dispatch) breaks the hash.
     "q_knn_image_mixed" -> QueryDef(
       (s, d) => {
-        val png = BinaryPipeline.synthesizeImages(Tables.documents(s, d))
-        val jpg = BinaryPipeline.synthesizeJpegs(Tables.documents(s, d))
+        // every leg pre-filters to the ids its synthesis formula makes
+        // RGB (the oracle's own filters), instead of decoding gray/RGBA
+        // rows into the channel gate: PNG id%3==1, JPEG/TIFF odd ids,
+        // GIF everything but the id%5==2 transparent (RGBA) slice
+        val docs = Tables.documents(s, d)
+        val png = BinaryPipeline.synthesizeImages(docs.where(col("doc_id") % 3 === 1))
+        val jpg = BinaryPipeline.synthesizeJpegs(docs.where(col("doc_id") % 2 === 1))
           .select((col("doc_id") + 200000).as("doc_id"), col("content"), col("meta"))
-        val gif = BinaryPipeline.synthesizeGifs(Tables.documents(s, d))
+        val gif = BinaryPipeline.synthesizeGifs(docs.where(col("doc_id") % 5 =!= 2))
           .select((col("doc_id") + 400000).as("doc_id"), col("content"), col("meta"))
-        // only odd ids are RGB by the TIFF synthesis formula — skip the
-        // gray half up front instead of decoding it into the channel
-        // filter (the q_dedup_image idiom; the oracle already filters)
-        val tif = BinaryPipeline.synthesizeTiffs(
-            Tables.documents(s, d).where(col("doc_id") % 2 === 1))
+        val tif = BinaryPipeline.synthesizeTiffs(docs.where(col("doc_id") % 2 === 1))
           .select((col("doc_id") + 600000).as("doc_id"), col("content"), col("meta"))
         val feats = BinaryPipeline.imageTileFeatures(
             png.unionAll(jpg).unionAll(gif).unionAll(tif), gx = 2, gy = 2)

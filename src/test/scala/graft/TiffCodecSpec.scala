@@ -12,26 +12,25 @@ import org.scalatest.funsuite.AnyFunSuite
 class TiffCodecSpec extends AnyFunSuite with SparkSpec {
 
   /** Hand-built little-endian 3x2 gray TIFF, uncompressed, one strip,
-    * pixels 10..60 by tens, plus optional extra SHORT tags (id → value).
-    * Layout: header(8) | pixels(6) | IFD. */
-  private def handFixture(extraShortTags: (Int, Int)*): Array[Byte] = {
+    * pixels 10..60 by tens, plus optional extra tags (id, type, value) —
+    * type 3 SHORT or 4 LONG. Layout: header(8) | pixels(6) | IFD. */
+  private def handFixture(extraTags: (Int, Int, Long)*): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def w8(v: Int): Unit = out.write(v & 0xff)
     def w16(v: Int): Unit = { w8(v); w8(v >> 8) }
-    def w32(v: Int): Unit = { w16(v); w16(v >> 16) }
+    def w32(v: Long): Unit = { w16(v.toInt & 0xffff); w16((v >> 16).toInt & 0xffff) }
     w8('I'); w8('I'); w8(42); w8(0)
     w32(14) // IFD at 14
     Seq(10, 20, 30, 40, 50, 60).foreach(w8) // strip data at 8
-    def tag(id: Int, tpe: Int, count: Int, value: Int): Unit = {
-      w16(id); w16(tpe); w32(count)
-      if (tpe == 3) { w16(value); w16(0) } else w32(value)
+    def tag(id: Int, tpe: Int, value: Long): Unit = {
+      w16(id); w16(tpe); w32(1)
+      if (tpe == 3) { w16(value.toInt); w16(0) } else w32(value)
     }
     val tags = Seq(
-      (256, 4, 3), (257, 4, 2), (258, 3, 8), (259, 3, 1), (262, 3, 1),
-      (273, 4, 8), (277, 3, 1), (279, 4, 6)) ++
-      extraShortTags.map { case (id, v) => (id, 3, v) }
+      (256, 4, 3L), (257, 4, 2L), (258, 3, 8L), (259, 3, 1L), (262, 3, 1L),
+      (273, 4, 8L), (277, 3, 1L), (279, 4, 6L)) ++ extraTags
     w16(tags.length)
-    tags.sortBy(_._1).foreach { case (id, tpe, v) => tag(id, tpe, 1, v) }
+    tags.sortBy(_._1).foreach { case (id, tpe, v) => tag(id, tpe, v) }
     w32(0) // no next IFD
     out.toByteArray
   }
@@ -103,17 +102,17 @@ class TiffCodecSpec extends AnyFunSuite with SparkSpec {
     // truncation: cut the last strip's data
     val trunc = good.take(12)
     intercept[IllegalArgumentException](TiffCodec.decode(trunc))
-    // RowsPerStrip = 2^32-1, the spec's one-strip idiom: clamps to
-    // height instead of wrapping negative through toInt
-    val idiom = handFixture((278, 0xffff)) // SHORT max stands in: > height
+    // RowsPerStrip = 2^32-1, the spec's one-strip idiom, as a TRUE LONG
+    // tag: the pre-fix .toInt wrapped it to -1 and rejected a valid file
+    val idiom = handFixture((278, 4, 0xffffffffL))
     assert(TiffCodec.decode(idiom).pixels.map(_ & 0xff).toSeq ==
       Seq(10, 20, 30, 40, 50, 60))
     // behavior-altering tags reject rather than silently corrupt
     val eFill = intercept[IllegalArgumentException](
-      TiffCodec.decode(handFixture((266, 2))))
+      TiffCodec.decode(handFixture((266, 3, 2L))))
     assert(eFill.getMessage.contains("FillOrder"), eFill.getMessage)
     val eOrient = intercept[IllegalArgumentException](
-      TiffCodec.decode(handFixture((274, 6))))
+      TiffCodec.decode(handFixture((274, 3, 6L))))
     assert(eOrient.getMessage.contains("Orientation"), eOrient.getMessage)
     // encoder guards
     assert(intercept[IllegalArgumentException](
