@@ -1342,6 +1342,46 @@ object QueriesExtra {
              |FROM s GROUP BY doc_id, wi
              |ORDER BY doc_id, seg_idx""".stripMargin)),
 
+    // G.711 A-law audio decode (round 15, µ-law's twin — European
+    // telephony corpora): format-6 files, codes XOR 0x55 on the wire,
+    // segment-0-linear expansion, sign convention MIRRORED vs µ-law
+    // (a ≥ 128 is positive). The oracle replays the expansion formula
+    // byte-blind; a sign, XOR or segment bug breaks the hash.
+    "q_audio_alaw" -> QueryDef(
+      (s, d) => BinaryPipeline.decodeWavSegments(
+          BinaryPipeline.synthesizeAlawWavs(Tables.documents(s, d)),
+          winFrames = 160, hopFrames = 80)
+        .orderBy(col("doc_id"), col("seg_idx")),
+      Some("""WITH p AS (SELECT doc_id, 300 + doc_id % 257 AS nf FROM documents),
+             |w AS (SELECT p.*, wi FROM p,
+             |  unnest(range(0, greatest(1, CAST(ceil(nf / 80.0) AS INT)))) t(wi)),
+             |f AS (SELECT w.*, i FROM w,
+             |  unnest(range(wi*80, least(nf, wi*80 + 160))) t(i)),
+             |c AS (SELECT doc_id, nf, wi, i,
+             |    xor((doc_id*29 + i*13) % 256, 85) AS a,
+             |    -- +256 normalization: at i = 0 the i-1 term can go
+             |    -- negative (doc 0) and DuckDB's % keeps the sign; the
+             |    -- pv value is unused there but must still be computable
+             |    xor(((doc_id*29 + (i-1)*13) % 256 + 256) % 256, 85) AS pa
+             |  FROM f),
+             |s AS (SELECT doc_id, nf, wi, i,
+             |    (CASE WHEN a >= 128 THEN 1 ELSE -1 END) *
+             |    (CASE WHEN (a // 16) % 8 = 0 THEN (a % 16) * 16 + 8
+             |          ELSE ((a % 16) * 16 + 264) * (1 << ((a // 16) % 8 - 1)) END) AS v,
+             |    (CASE WHEN pa >= 128 THEN 1 ELSE -1 END) *
+             |    (CASE WHEN (pa // 16) % 8 = 0 THEN (pa % 16) * 16 + 8
+             |          ELSE ((pa % 16) * 16 + 264) * (1 << ((pa // 16) % 8 - 1)) END) AS pv
+             |  FROM c)
+             |SELECT doc_id, CAST(wi AS BIGINT) AS seg_idx,
+             |  CAST(8000 AS BIGINT) AS sample_rate, CAST(1 AS BIGINT) AS channels,
+             |  CAST(8 AS BIGINT) AS bits,
+             |  CAST(count(*) AS BIGINT) AS n_frames,
+             |  CAST(SUM(v*v) AS BIGINT) AS sq_sum,
+             |  CAST(coalesce(SUM(CASE WHEN i > wi*80
+             |    AND (pv >= 0) != (v >= 0) THEN 1 END), 0) AS BIGINT) AS zero_crossings
+             |FROM s GROUP BY doc_id, wi
+             |ORDER BY doc_id, seg_idx""".stripMargin)),
+
     // REAL image decode (PngCodec): deterministic PNGs are synthesized
     // in-engine from doc_id alone (gray/RGB/RGBA, cycling row filters,
     // CRC'd chunks), then decoded for real — inflate, per-row unfilter,

@@ -212,6 +212,36 @@ object BinaryPipeline {
     }(enc)
   }
 
+  /** [[synthesizeMulawWavs]]'s A-law twin: mono format-6 files, codes
+    * code(i) = (doc_id·29 + i·13) mod 256, frames = 300 + doc_id % 257.
+    * The oracle replays the A-law expansion (a = code XOR 0x55; seg 0
+    * linear mag = 16·mant + 8, else (16·mant + 264)·2^(seg−1); POSITIVE
+    * when a ≥ 128 — A-law's sign convention is µ-law's mirror). */
+  def synthesizeAlawWavs(docs: DataFrame, idCol: String = "doc_id",
+                         batchSize: Int = 16): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false),
+      StructField("meta", StructType(Seq(
+        StructField("media_type", StringType, nullable = false),
+        StructField("declared_bytes", LongType, nullable = false))), nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val ids = docs.select(col(idCol))
+    ids.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val id = r.getLong(0)
+          val frames = (300 + id % 257).toInt
+          val codes = new Array[Byte](frames)
+          var i = 0
+          while (i < frames) { codes(i) = ((id * 29 + i * 13L) % 256).toByte; i += 1 }
+          val bytes = WavCodec.encodeMulaw(8000, 1, codes, format = 6)
+          Row(id, bytes, Row("audio/wav", bytes.length.toLong))
+        }
+      }
+    }(enc)
+  }
+
   /** REAL audio-window features over (id, content) rows: every content
     * blob must be a WAV ([[WavCodec]] fails loud otherwise). Decodes the
     * PCM frames, then cuts OVERLAPPING windows of `winFrames` frames

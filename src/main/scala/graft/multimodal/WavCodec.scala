@@ -9,15 +9,15 @@ import java.io.ByteArrayOutputStream
   * decoded features from the synthesis formulas alone).
   *
   * Format: RIFF container (`RIFF <size> WAVE`), `fmt ` chunk with
-  * audio-format 1 (integer PCM) or 7 (G.711 µ-law, round 15 — the
-  * telephony-corpus format), `data` chunk with interleaved frames.
-  * Scope (fail-loud beyond it, never silent garbage):
-  *  - PCM and µ-law only — other compressed formats (A-law 6, ADPCM
-  *    2/17, float 3) and WAVE_FORMAT_EXTENSIBLE (0xFFFE) reject with
-  *    the format code
+  * audio-format 1 (integer PCM), 6 (G.711 A-law) or 7 (G.711 µ-law) —
+  * round 15's telephony-corpus formats — `data` chunk with interleaved
+  * frames. Scope (fail-loud beyond it, never silent garbage):
+  *  - PCM and G.711 only — other compressed formats (ADPCM 2/17,
+  *    float 3) and WAVE_FORMAT_EXTENSIBLE (0xFFFE) reject with the
+  *    format code
   *  - PCM: 8-bit (unsigned on the wire, per spec) and 16-bit (signed
-  *    LE); µ-law: 8-bit codes expanded to 14-bit linear via the G.711
-  *    table formula
+  *    LE); µ-law/A-law: 8-bit codes expanded to 16-bit-scale linear
+  *    via the CCITT formulas
   *  - 1–8 channels; block-align and byte-rate must agree with the
   *    declared geometry; the data payload must be WHOLE frames
   *  - unknown chunks (LIST, fact, cue…) skip with the spec's word
@@ -52,6 +52,38 @@ object WavCodec {
     val mant = u & 0xf
     val mag = ((mant * 8 + 0x84) << exp) - 0x84
     if ((u & 0x80) != 0) -mag else mag
+  }
+
+  /** G.711 A-law expansion at 16-bit PCM scale (the CCITT reference C
+    * form, ±32256): the wire code is XOR 0x55 ("even-bit inversion");
+    * sign bit 0x80, 3-bit segment, 4-bit mantissa — segment 0 is linear
+    * (mag = mant·16 + 8), segments 1-7 are mag = (mant·16 + 264) <<
+    * (seg − 1). Pure integer math, SQL-replayable like its µ-law twin. */
+  def alawExpand(code: Int): Int = {
+    val a = (code ^ 0x55) & 0xff
+    val seg = (a >> 4) & 7
+    val mant = a & 0xf
+    val mag =
+      if (seg == 0) mant * 16 + 8
+      else (mant * 16 + 264) << (seg - 1)
+    if ((a & 0x80) != 0) mag else -mag
+  }
+
+  /** G.711 A-law compression — the exact inverse of [[alawExpand]] on
+    * its output set (A-law has NO zero fold: −8 and +8 are the two
+    * codes nearest zero; true 0 compresses to the +8 code). */
+  def alawCompress(sample: Int): Int = {
+    val pos = sample >= 0
+    var mag = if (pos) sample else -sample
+    if (mag > 32256) mag = 32256
+    val (seg, mant) =
+      if (mag < 256) (0, mag >> 4) // linear segment: mag = mant·16 + 8
+      else {
+        var s = 1
+        while (s < 7 && (mag >> (s - 1)) >= 512) s += 1
+        (s, ((mag >> (s - 1)) - 264) >> 4)
+      }
+    (((if (pos) 0x80 else 0) | (seg << 4) | mant) ^ 0x55) & 0xff
   }
 
   /** G.711 µ-law compression — the exact inverse of [[mulawExpand]] on
@@ -104,9 +136,10 @@ object WavCodec {
           require(clen >= 16, s"WavCodec: fmt chunk of $clen bytes (want >= 16)")
           fmtSeen = true
           val fmt = le16(off)
-          require(fmt == 1 || fmt == 7,
+          require(fmt == 1 || fmt == 6 || fmt == 7,
             s"WavCodec: audio format $fmt unsupported (1 = integer PCM, " +
-              "7 = G.711 mu-law; other compressed/float/extensible WAV out of scope)")
+              "6 = G.711 A-law, 7 = G.711 mu-law; other compressed/float/" +
+              "extensible WAV out of scope)")
           format = fmt
           channels = le16(off + 2)
           require(channels >= 1 && channels <= 8,
@@ -119,7 +152,7 @@ object WavCodec {
           require(bits == 8 || bits == 16,
             s"WavCodec: $bits bits/sample unsupported (8 or 16)")
           require(format == 1 || bits == 8,
-            s"WavCodec: mu-law with $bits bits/sample (8-bit codes only)")
+            s"WavCodec: G.711 with $bits bits/sample (8-bit codes only)")
           require(blockAlign == channels * (bits / 8),
             s"WavCodec: block align $blockAlign contradicts " +
               s"$channels ch x $bits bit")
@@ -146,6 +179,9 @@ object WavCodec {
     if (format == 7) {
       var i = 0
       while (i < n) { out(i) = mulawExpand(bytes(dOff + i) & 0xff); i += 1 }
+    } else if (format == 6) {
+      var i = 0
+      while (i < n) { out(i) = alawExpand(bytes(dOff + i) & 0xff); i += 1 }
     } else if (bits == 8) {
       var i = 0
       while (i < n) { out(i) = (bytes(dOff + i) & 0xff) - 128; i += 1 }
@@ -160,9 +196,13 @@ object WavCodec {
     WavAudio(sampleRate, channels, bits, frames, out, format)
   }
 
-  /** µ-law WAV ENCODE: `codes` are raw 8-bit G.711 codes written as
-    * format-7 data (one byte per sample, block align = channels). */
-  def encodeMulaw(sampleRate: Int, channels: Int, codes: Array[Byte]): Array[Byte] = {
+  /** G.711 WAV ENCODE: `codes` are raw 8-bit codes written as
+    * format-`format` data (7 = µ-law, 6 = A-law; one byte per sample,
+    * block align = channels). */
+  def encodeMulaw(sampleRate: Int, channels: Int, codes: Array[Byte],
+                  format: Int = 7): Array[Byte] = {
+    require(format == 6 || format == 7,
+      s"WavCodec.encodeMulaw: format $format (6 = A-law, 7 = mu-law)")
     require(channels >= 1 && channels <= 8, s"WavCodec.encodeMulaw: $channels channels")
     require(sampleRate > 0, "WavCodec.encodeMulaw: zero sample rate")
     require(codes.length % channels == 0,
@@ -173,7 +213,7 @@ object WavCodec {
     def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >>> 16) & 0xffff) }
     w("RIFF"); le32(36 + codes.length); w("WAVE")
     w("fmt "); le32(16)
-    le16(7); le16(channels); le32(sampleRate)
+    le16(format); le16(channels); le32(sampleRate)
     le32(sampleRate * channels); le16(channels); le16(8)
     w("data"); le32(codes.length)
     out.write(codes, 0, codes.length)

@@ -108,7 +108,25 @@ class WavCodecSpec extends AnyFunSuite with SparkSpec {
     val bad = WavCodec.encodeMulaw(8000, 1, codes).clone()
     bad(34) = 16
     assert(intercept[IllegalArgumentException](WavCodec.decode(bad))
-      .getMessage.contains("mu-law"))
+      .getMessage.contains("G.711"))
+  }
+
+  test("A-law (G.711): expansion formula, compress inverse, format-6 decode") {
+    import graft.multimodal.WavCodec.{alawExpand, alawCompress}
+    // spec anchors: the two codes nearest zero (no zero fold) and the
+    // extremes at 16-bit scale; sign convention is mu-law's MIRROR
+    assert(alawExpand(0xd5) == 8 && alawExpand(0x55) == -8)
+    assert(alawExpand(0xaa) == 32256 && alawExpand(0x2a) == -32256)
+    // compress is the exact inverse on the full code set (no fold)
+    for (c <- 0 to 255)
+      assert(alawCompress(alawExpand(c)) == c, f"code 0x$c%02X")
+    // format-6 file decodes through the same reader, expanded samples
+    val codes = Array.tabulate(40)(i => ((i * 29 + 3) % 256).toByte)
+    val a = WavCodec.decode(WavCodec.encodeMulaw(8000, 1, codes, format = 6))
+    assert(a.format == 6 && a.channels == 1 && a.frames == 40)
+    assert(a.samples.toSeq == codes.map(b => alawExpand(b & 0xff)).toSeq)
+    // A-law samples are never zero (the format has no zero code)
+    assert(a.samples.forall(_ != 0))
   }
 
   test("decodeWavSegments: hand-computed energy and zero crossings on a tiny stream") {
