@@ -1741,6 +1741,38 @@ object QueriesExtra {
              |FROM px GROUP BY doc_id, f, w, h, ch, dim
              |ORDER BY doc_id, frame_idx, dim""".stripMargin)),
 
+    // AVI container invariance (round 15): the SAME frames as
+    // q_frame_decode, wrapped in a conforming RIFF/AVI (avih + MJPG
+    // strl, movi 00dc chunks, idx1) and recovered through the sniffed
+    // container walk instead of the bare marker walk. The oracle is
+    // q_frame_decode's VERBATIM — the container is pure layout, so any
+    // chunk-walk bug (alignment, rec-list recursion, stream filter)
+    // breaks the hash while a correct walk is invisible.
+    "q_frame_avi" -> QueryDef(
+      (s, d) => BinaryPipeline.decodeFrameTiles(
+          BinaryPipeline.synthesizeAvis(Tables.documents(s, d)), stride = 2)
+        .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
+          col("components"), posexplode(col("features")).as(Seq("dim", "v")))
+        .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
+          col("components"), col("dim").cast("long").as("dim"),
+          round(col("v"), 6).as("v"))
+        .orderBy(col("doc_id"), col("frame_idx"), col("dim")),
+      Some("""WITH p AS (SELECT doc_id, 24 + doc_id % 13 AS w, 16 + doc_id % 11 AS h,
+             |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS ch,
+             |    3 + doc_id % 4 AS nf FROM documents),
+             |fr AS (SELECT p.*, f FROM p, unnest(range(0, nf)) t(f) WHERE f % 2 = 0),
+             |px AS (SELECT doc_id, w, h, ch, f,
+             |    (((y*2)//h) * 2 + ((x*2)//w)) * ch + c AS dim,
+             |    128 + 3*(((doc_id*31 + (x//8)*7 + (y//8)*13 + f*11) % 53) - 26) AS v
+             |  FROM fr, unnest(range(0, w)) AS gx(x), unnest(range(0, h)) AS gy(y),
+             |       unnest(range(0, ch)) AS gc(c))
+             |SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+             |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             |  CAST(ch AS BIGINT) AS components,
+             |  CAST(dim AS BIGINT) AS dim, round(avg(v), 6) AS v
+             |FROM px GROUP BY doc_id, f, w, h, ch, dim
+             |ORDER BY doc_id, frame_idx, dim""".stripMargin)),
+
     // CMYK / Adobe YCCK JPEG decode (round 15, VERDICT r14 #4): the
     // print-corpus variant — 4-component baseline files under an Adobe
     // APP14 marker, values stored INVERTED, transform 0 (direct CMYK

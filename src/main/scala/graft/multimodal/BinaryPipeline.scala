@@ -613,15 +613,62 @@ object BinaryPipeline {
     }(enc)
   }
 
-  /** REAL frame sampling + decode over MJPEG (id, content) rows: frame
-    * boundaries come from [[JpegCodec.frameOffsets]]'s marker walk,
-    * every `stride`-th frame decodes through the real codec, and each
-    * decoded frame runs the EXISTING grid-pooled tile featurizer — so
-    * the video path emits the same feature space the image KNN/dedup
-    * operators consume. One row per (doc, sampled frame): frame_idx,
-    * true geometry, and the gx·gy·channels tile feature vector. Batched
-    * narrow `mapPartitions`, no shuffle — the [[frameSample]] byte-
-    * window op stays for opaque containers; this is its decoding twin. */
+  /** [[synthesizeMjpegs]]' AVI-wrapped twin ([[AviCodec]] writes a
+    * conforming RIFF/AVI — avih + MJPG strl headers, movi 00dc chunks,
+    * idx1): the SAME frame formulas, so the container is pure LAYOUT
+    * and q_frame_decode's oracle gates AVI container-invariance the way
+    * the interlaced-PNG oracle gates layout. */
+  def synthesizeAvis(docs: DataFrame, idCol: String = "doc_id",
+                     batchSize: Int = 16): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false),
+      StructField("meta", StructType(Seq(
+        StructField("media_type", StringType, nullable = false),
+        StructField("declared_bytes", LongType, nullable = false))), nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val ids = docs.select(col(idCol))
+    ids.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val id = r.getLong(0)
+          val w = (24 + id % 13).toInt
+          val h = (16 + id % 11).toInt
+          val comps = if (id % 2 == 0) 1 else 3
+          val nFrames = (3 + id % 4).toInt
+          val frames = (0 until nFrames).map { f =>
+            val px = new Array[Byte](w * h * comps)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val v = (128 + 3 * ((id * 31 + (x / 8) * 7 + (y / 8) * 13 + f * 11) % 53 - 26)).toByte
+                var c = 0
+                while (c < comps) { px((y * w + x) * comps + c) = v; c += 1 }
+                x += 1
+              }
+              y += 1
+            }
+            JpegCodec.encode(w, h, comps, px, quality = 90)
+          }
+          val bytes = AviCodec.encode(frames, w, h)
+          Row(id, bytes, Row("video/x-msvideo", bytes.length.toLong))
+        }
+      }
+    }(enc)
+  }
+
+  /** REAL frame sampling + decode over video (id, content) rows: the
+    * container is SNIFFED per row — RIFF/AVI streams split via
+    * [[AviCodec.videoFrames]], bare concatenated-JPEG (MJPEG) via
+    * [[JpegCodec.frameOffsets]]'s marker walk — then every `stride`-th
+    * frame decodes through the real codec and runs the EXISTING
+    * grid-pooled tile featurizer, so the video path emits the same
+    * feature space the image KNN/dedup operators consume. One row per
+    * (doc, sampled frame): frame_idx, true geometry, and the
+    * gx·gy·channels tile feature vector. Batched narrow
+    * `mapPartitions`, no shuffle — the [[frameSample]] byte-window op
+    * stays for opaque containers; this is its decoding twin. */
   def decodeFrameTiles(media: DataFrame, stride: Int = 2, gx: Int = 2, gy: Int = 2,
                        idCol: String = "doc_id", batchSize: Int = 16): DataFrame = {
     require(stride >= 1, s"decodeFrameTiles: stride must be >= 1, got $stride")
@@ -639,11 +686,17 @@ object BinaryPipeline {
         batch.iterator.flatMap { r =>
           val id = r.getLong(0)
           val content = r.getAs[Array[Byte]](1)
-          JpegCodec.frameOffsets(content).zipWithIndex.iterator
+          val frames: Iterator[(Array[Byte], Int)] =
+            if (AviCodec.isAvi(content))
+              AviCodec.videoFrames(content).iterator.zipWithIndex
+            else JpegCodec.frameOffsets(content).iterator.zipWithIndex.map {
+              case ((start, stop), f) =>
+                (java.util.Arrays.copyOfRange(content, start, stop), f)
+            }
+          frames
             .filter(_._2 % stride == 0)
-            .map { case ((start, stop), f) =>
-              val j = JpegCodec.decode(
-                java.util.Arrays.copyOfRange(content, start, stop))
+            .map { case (payload, f) =>
+              val j = JpegCodec.decode(payload)
               require(j.components <= 3,
                 s"decodeFrameTiles: doc $id frame $f is ${j.components}-component " +
                   "(CMYK) — out of the gray/RGB frame scope")
