@@ -45,8 +45,12 @@ object AviCodec {
     }
     val out = scala.collection.mutable.Buffer.empty[Array[Byte]]
     /** Walk chunks in [from, to): collect video frames, recurse into
-      * movi/rec lists, skip everything else. */
-    def walk(from: Int, to: Int, inMovi: Boolean): Unit = {
+      * movi/rec lists (depth-capped — a crafted 12-bytes-per-level
+      * nesting tower would otherwise blow the task stack with an Error
+      * instead of the contract's loud IllegalArgumentException), skip
+      * everything else. */
+    def walk(from: Int, to: Int, inMovi: Boolean, depth: Int): Unit = {
+      require(depth <= 8, "AviCodec: LIST nesting exceeds depth 8 (malformed file)")
       var pos = from
       while (pos + 8 <= to) {
         val cid = fourcc(pos)
@@ -55,9 +59,11 @@ object AviCodec {
           s"AviCodec: chunk '$cid' at $pos declares $clen bytes past its parent")
         val dataOff = pos + 8
         if (cid == "LIST") {
+          require(clen >= 4,
+            s"AviCodec: LIST chunk at $pos declares $clen bytes (no room for its type)")
           val ltype = fourcc(dataOff)
           if (ltype == "movi" || (inMovi && ltype == "rec "))
-            walk(dataOff + 4, dataOff + clen.toInt, inMovi = true)
+            walk(dataOff + 4, dataOff + clen.toInt, inMovi = true, depth + 1)
           // other LISTs (hdrl, INFO…): headers, skipped whole
         } else if (inMovi && (cid == "00dc" || cid == "00db")) {
           out += java.util.Arrays.copyOfRange(bytes, dataOff, dataOff + clen.toInt)
@@ -66,7 +72,7 @@ object AviCodec {
         pos = dataOff + clen.toInt + (clen.toInt & 1)
       }
     }
-    walk(12, riffEnd, inMovi = false)
+    walk(12, riffEnd, inMovi = false, depth = 0)
     require(out.nonEmpty, "AviCodec: no stream-0 video chunks in any movi list")
     out.toSeq
   }
@@ -84,10 +90,6 @@ object AviCodec {
     def w(s: String): Unit = out.write(s.getBytes("US-ASCII"))
     def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
     def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >>> 16) & 0xffff) }
-    def chunk(id: String, body: Array[Byte]): Unit = {
-      w(id); le32(body.length); out.write(body, 0, body.length)
-      if (body.length % 2 == 1) out.write(0)
-    }
     def bytesOf(f: ByteArrayOutputStream => Unit): Array[Byte] = {
       val b = new ByteArrayOutputStream(); f(b); b.toByteArray
     }

@@ -686,15 +686,18 @@ object BinaryPipeline {
         batch.iterator.flatMap { r =>
           val id = r.getLong(0)
           val content = r.getAs[Array[Byte]](1)
+          // stride filter runs on OFFSETS/indices, before any payload
+          // copy — skipped frames cost nothing beyond the marker walk
           val frames: Iterator[(Array[Byte], Int)] =
             if (AviCodec.isAvi(content))
               AviCodec.videoFrames(content).iterator.zipWithIndex
-            else JpegCodec.frameOffsets(content).iterator.zipWithIndex.map {
-              case ((start, stop), f) =>
+                .filter(_._2 % stride == 0)
+            else JpegCodec.frameOffsets(content).iterator.zipWithIndex
+              .filter(_._2 % stride == 0)
+              .map { case ((start, stop), f) =>
                 (java.util.Arrays.copyOfRange(content, start, stop), f)
-            }
+              }
           frames
-            .filter(_._2 % stride == 0)
             .map { case (payload, f) =>
               val j = JpegCodec.decode(payload)
               require(j.components <= 3,

@@ -69,19 +69,23 @@ object WavCodec {
     if ((a & 0x80) != 0) mag else -mag
   }
 
-  /** G.711 A-law compression — the exact inverse of [[alawExpand]] on
-    * its output set (A-law has NO zero fold: −8 and +8 are the two
-    * codes nearest zero; true 0 compresses to the +8 code). */
+  /** G.711 A-law compression, TOTAL over 16-bit samples: segment s
+    * covers magnitudes [256·2^(s−1), 256·2^s) (s ≥ 1; segment 0 is
+    * linear below 256), mantissa by quantization within the segment —
+    * the exact inverse of [[alawExpand]] on its output set, and the
+    * nearest-code quantizer on everything else. A-law has NO zero
+    * fold: −8 and +8 are the two codes nearest zero; true 0 compresses
+    * to the +8 code. */
   def alawCompress(sample: Int): Int = {
     val pos = sample >= 0
     var mag = if (pos) sample else -sample
-    if (mag > 32256) mag = 32256
+    if (mag > 32767) mag = 32767
     val (seg, mant) =
       if (mag < 256) (0, mag >> 4) // linear segment: mag = mant·16 + 8
       else {
         var s = 1
-        while (s < 7 && (mag >> (s - 1)) >= 512) s += 1
-        (s, ((mag >> (s - 1)) - 264) >> 4)
+        while (s < 7 && mag >= (256 << s)) s += 1
+        (s, math.min(15, ((mag >> (s - 1)) >> 4) - 16))
       }
     (((if (pos) 0x80 else 0) | (seg << 4) | mant) ^ 0x55) & 0xff
   }

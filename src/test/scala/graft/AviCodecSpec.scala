@@ -25,10 +25,6 @@ class AviCodecSpec extends AnyFunSuite with SparkSpec {
       out.write(v & 0xff); out.write((v >> 8) & 0xff)
       out.write((v >> 16) & 0xff); out.write((v >>> 24) & 0xff)
     }
-    def chunk(id: String, body: Array[Byte]): Unit = {
-      w(id); le32(body.length); out.write(body, 0, body.length)
-      if (body.length % 2 == 1) out.write(0)
-    }
     def bytesOf(f: java.io.ByteArrayOutputStream => Unit): Array[Byte] = {
       val b = new java.io.ByteArrayOutputStream(); f(b); b.toByteArray
     }

@@ -120,6 +120,19 @@ class WavCodecSpec extends AnyFunSuite with SparkSpec {
     // compress is the exact inverse on the full code set (no fold)
     for (c <- 0 to 255)
       assert(alawCompress(alawExpand(c)) == c, f"code 0x$c%02X")
+    // TOTAL over arbitrary 16-bit samples: compress quantizes to the
+    // nearest code's segment — expand∘compress error bounded by the
+    // segment step, sign always preserved
+    val rnd = new scala.util.Random(31)
+    for (_ <- 0 until 2000) {
+      val v = rnd.nextInt(65536) - 32768
+      val back = alawExpand(alawCompress(v))
+      assert(v == 0 || (v > 0) == (back > 0), s"sign flipped for $v -> $back")
+      val step = 16 << math.max(0,
+        (31 - Integer.numberOfLeadingZeros(math.max(1, math.abs(v)))) - 7)
+      assert(math.abs(back - math.max(-32767, v)) <= step,
+        s"quantization error for $v -> $back exceeds step $step")
+    }
     // format-6 file decodes through the same reader, expanded samples
     val codes = Array.tabulate(40)(i => ((i * 29 + 3) % 256).toByte)
     val a = WavCodec.decode(WavCodec.encodeMulaw(8000, 1, codes, format = 6))
