@@ -417,6 +417,31 @@ object QueriesPipeline {
              |  unnest(range(0, CAST(ceil(length(t) / 200.0) AS INT))) AS u(i)
              |ORDER BY doc_id, page_no""".stripMargin)),
 
+    // The CHINESE-locale predefined CMap (round 15): /GBK-EUC-H — GBK
+    // byte codes under Adobe-GB1's codespaces, decoded through the
+    // built-in JDK-GBK table. Same byte-blind oracle shape; a decoder
+    // that mixed up the locale tables (or their codespaces) would
+    // garble every substituted character.
+    "q_pdf_cmap_gbk" -> QueryDef(
+      (s, d) => {
+        val mixed = Tables.documents(s, d).select(col("doc_id"),
+          translate(col("text"), "aeiou", "中文数据检").as("text"))
+        val pdfs = PdfPipeline.synthesizeCmapPredefPdfs(mixed, pageSize = 200,
+          cmapName = "GBK-EUC-H")
+        PdfPipeline.extractPagesPdf(pdfs)
+          .select(col("doc_id"), col("page_no"),
+            length(col("page_text")).cast("long").as("page_len"),
+            md5(col("page_text")).as("page_md5"))
+          .orderBy(col("doc_id"), col("page_no"))
+      },
+      Some("""SELECT doc_id, CAST(i + 1 AS BIGINT) AS page_no,
+             |  CAST(length(substr(t, i*200 + 1, 200)) AS BIGINT) AS page_len,
+             |  md5(substr(t, i*200 + 1, 200)) AS page_md5
+             |FROM (SELECT doc_id, translate(text, 'aeiou', '中文数据检') AS t
+             |      FROM documents),
+             |  unnest(range(0, CAST(ceil(length(t) / 200.0) AS INT))) AS u(i)
+             |ORDER BY doc_id, page_no""".stripMargin)),
+
     "q_chunk_split" -> QueryDef(
       (s, d) => docsChunks(s, d)
         .select(col("doc_id"), col("chunk_idx"),

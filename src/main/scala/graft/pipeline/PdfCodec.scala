@@ -261,8 +261,8 @@ object PdfCodec {
             "is not a CMap stream")
         case None => throw new IllegalArgumentException(
           s"PdfCodec: composite font object ${obj.num}: only /Identity-H|V, the " +
-            "built-in predefined CMaps (/90ms-RKSJ-H, /UniJIS-UCS2-H) or an " +
-            "EMBEDDED /Encoding CMap stream supported" +
+            "built-in predefined CMaps (90ms-RKSJ-H, GBK-EUC-H, KSCms-UHC-H and " +
+            "the Uni*-UCS2-H trio) or an EMBEDDED /Encoding CMap stream supported" +
             encName.fold(" (no /Encoding)")(e =>
               s"; predefined CMap /$e would need tables this engine doesn't carry"))
         }

@@ -8,7 +8,9 @@ import java.nio.{ByteBuffer, CharBuffer}
   * an /Encoding stream — and real Japanese PDFs (the reference's own
   * corpus; it reads them through PDFBox + Adobe's cmap-resources,
   * BlobUploadDetector/.../Function.java:90-132) overwhelmingly do.
-  * This carries a compact, deterministic subset of the two workhorses:
+  * This carries compact, deterministic subsets of the horizontal
+  * workhorses of ALL THREE CJK locales (round 15 added Chinese and
+  * Korean — the same JDK-charset construction as Japanese):
   *
   *  - `/90ms-RKSJ-H` — Shift-JIS (Microsoft code page 932) byte codes.
   *    Codespaces restated from Adobe's PUBLIC cmap-resources header:
@@ -18,16 +20,20 @@ import java.nio.{ByteBuffer, CharBuffer}
   *    `windows-31j` charset — the same public CP932 mapping data
   *    Adobe's table encodes; codes CP932 leaves undefined are absent
   *    from the table and fail loud downstream.
-  *  - `/UniJIS-UCS2-H` — the code IS the UCS-2 code point by the CMap's
-  *    definition, so code → Unicode is identity — restricted to the
-  *    CP932-ENCODABLE repertoire (JIS X 0208 + NEC/IBM extensions +
-  *    ASCII + halfwidth katakana), the deterministic stand-in for
-  *    "has an Adobe-Japan1 CID". Codespace <0000><FFFF>.
+  *  - `/GBK-EUC-H` (Adobe-GB1, simplified Chinese) — GBK/cp936 byte
+  *    codes, <00><80> + <8140><FEFE>, via the JDK `GBK` charset.
+  *  - `/KSCms-UHC-H` (Adobe-Korea1/KR) — Unified Hangul Code/cp949,
+  *    <00><80> + <8141><FEFE>, via the JDK `x-windows-949` charset.
+  *  - `/UniJIS-UCS2-H`, `/UniGB-UCS2-H`, `/UniKS-UCS2-H` — the code IS
+  *    the UCS-2 code point by the CMap's definition, so code → Unicode
+  *    is identity — restricted to the locale charset's ENCODABLE
+  *    repertoire, the deterministic stand-in for "has a CID in the
+  *    locale's Adobe ordering". Codespace <0000><FFFF>.
   *
-  * Names outside these two keep the engine's fail-loud refusal (the
-  * error names the carried tables). Vertical (-V) variants are refused
-  * too: text extraction would need the WMode-aware layout pass this
-  * engine doesn't do.
+  * Names outside these keep the engine's fail-loud refusal (the error
+  * names the carried tables). Vertical (-V) variants are refused too:
+  * text extraction would need the WMode-aware layout pass this engine
+  * doesn't do.
   *
   * Tables build LAZILY once per JVM (≈10–20k entries each, built by
   * enumerating the code ranges through the JDK charset — no committed
@@ -41,43 +47,42 @@ private[graft] object PredefCmaps {
 
   private def cp932 = Charset.forName("windows-31j")
 
-  /** Decode one code's bytes through CP932, None when CP932 leaves the
-    * code undefined (REPORT, never replacement garbage). */
-  private def decode932(bytes: Array[Byte]): Option[String] = {
-    val dec = cp932.newDecoder()
-      .onMalformedInput(CodingErrorAction.REPORT)
-      .onUnmappableCharacter(CodingErrorAction.REPORT)
-    try {
-      val out = dec.decode(ByteBuffer.wrap(bytes))
-      val s = out.toString
-      if (s.isEmpty) None else Some(s)
-    } catch { case _: java.nio.charset.CharacterCodingException => None }
-  }
-
-  lazy val rksj: PredefCmap = {
+  /** Build a byte-coded table from a JDK charset: codes inside the
+    * given codespaces decode through the charset; holes the charset
+    * leaves undefined stay absent (and fail loud downstream). */
+  private def byteTable(name: String, cs: () => Charset,
+                        spaces: Seq[(Int, Long, Long)]): PredefCmap = {
+    def dec(bytes: Array[Byte]): Option[String] = {
+      val d = cs().newDecoder()
+        .onMalformedInput(CodingErrorAction.REPORT)
+        .onUnmappableCharacter(CodingErrorAction.REPORT)
+      try {
+        val s = d.decode(ByteBuffer.wrap(bytes)).toString
+        if (s.isEmpty) None else Some(s)
+      } catch { case _: java.nio.charset.CharacterCodingException => None }
+    }
     val m = Map.newBuilder[(Int, Long), String]
-    // 1-byte ranges: <00><80> (JIS-Roman/ASCII) and <A0><DF> (halfwidth
-    // katakana — CP932 maps A1-DF to U+FF61..U+FF9F; A0 is undefined)
-    for (b <- 0x00 to 0x80; s <- decode932(Array(b.toByte)))
-      m += ((1, b.toLong) -> s)
-    for (b <- 0xa0 to 0xdf; s <- decode932(Array(b.toByte)))
-      m += ((1, b.toLong) -> s)
-    // 2-byte ranges: hi 81-9F / E0-FC, lo 40-FC per the codespaces
-    // (CP932 additionally excludes lo=7F and various holes — those
-    // codes simply never enter the table)
-    for {
-      hi <- (0x81 to 0x9f) ++ (0xe0 to 0xfc)
-      lo <- 0x40 to 0xfc
-      s <- decode932(Array(hi.toByte, lo.toByte))
-    } m += ((2, ((hi << 8) | lo).toLong) -> s)
-    PredefCmap("90ms-RKSJ-H",
-      Seq((1, 0x00L, 0x80L), (2, 0x8140L, 0x9ffcL),
-          (1, 0xa0L, 0xdfL), (2, 0xe040L, 0xfcfcL)),
-      m.result())
+    spaces.foreach {
+      case (1, lo, hi) =>
+        for (b <- lo.toInt to hi.toInt; s <- dec(Array(b.toByte)))
+          m += ((1, b.toLong) -> s)
+      case (2, lo, hi) =>
+        // per-byte containment (spec §9.7.6.2): iterate first × second
+        // byte ranges, not the integer interval
+        for {
+          b1 <- (lo >> 8).toInt to (hi >> 8).toInt
+          b2 <- (lo & 0xff).toInt to (hi & 0xff).toInt
+          s <- dec(Array(b1.toByte, b2.toByte))
+        } m += ((2, ((b1 << 8) | b2).toLong) -> s)
+      case other => throw new IllegalStateException(s"byteTable: $other")
+    }
+    PredefCmap(name, spaces, m.result())
   }
 
-  lazy val uniJisUcs2: PredefCmap = {
-    val enc = cp932.newEncoder()
+  /** A UCS2 CMap: code IS the code point, restricted to the charset-
+    * ENCODABLE repertoire (the locale's Adobe-ordering stand-in). */
+  private def identityTable(name: String, cs: () => Charset): PredefCmap = {
+    val enc = cs().newEncoder()
     val m = Map.newBuilder[(Int, Long), String]
     var c = 0x0000
     while (c <= 0xffff) {
@@ -86,32 +91,69 @@ private[graft] object PredefCmaps {
         m += ((2, c.toLong) -> ch.toString)
       c += 1
     }
-    PredefCmap("UniJIS-UCS2-H", Seq((2, 0x0000L, 0xffffL)), m.result())
+    PredefCmap(name, Seq((2, 0x0000L, 0xffffL)), m.result())
   }
 
-  /** The carried tables by PDF name; None keeps the caller's fail-loud
-    * path for everything else. */
+  private def gbk = Charset.forName("GBK")          // code page 936
+  private def uhc = Charset.forName("x-windows-949") // Korean UHC, cp949
+
+  lazy val rksj: PredefCmap = byteTable("90ms-RKSJ-H", () => cp932,
+    // 1-byte <00><80> (JIS-Roman/ASCII) + <A0><DF> (halfwidth katakana);
+    // 2-byte hi 81-9F / E0-FC, lo 40-FC — Adobe's published ranges
+    Seq((1, 0x00L, 0x80L), (2, 0x8140L, 0x9ffcL),
+        (1, 0xa0L, 0xdfL), (2, 0xe040L, 0xfcfcL)))
+
+  /** GBK-EUC-H (Adobe-GB1): simplified-Chinese GBK byte codes. */
+  lazy val gbkEuc: PredefCmap = byteTable("GBK-EUC-H", () => gbk,
+    Seq((1, 0x00L, 0x80L), (2, 0x8140L, 0xfefeL)))
+
+  /** KSCms-UHC-H (Adobe-Korea1/KR): Korean Unified Hangul Code. */
+  lazy val kscUhc: PredefCmap = byteTable("KSCms-UHC-H", () => uhc,
+    Seq((1, 0x00L, 0x80L), (2, 0x8141L, 0xfefeL)))
+
+  lazy val uniJisUcs2: PredefCmap = identityTable("UniJIS-UCS2-H", () => cp932)
+  lazy val uniGbUcs2: PredefCmap = identityTable("UniGB-UCS2-H", () => gbk)
+  lazy val uniKsUcs2: PredefCmap = identityTable("UniKS-UCS2-H", () => uhc)
+
+  /** The carried tables by PDF name — the horizontal workhorses of all
+    * three CJK locales; None keeps the caller's fail-loud path for
+    * everything else (verticals included: text extraction would need a
+    * WMode-aware layout pass). */
   def forName(name: String): Option[PredefCmap] = name match {
     case "90ms-RKSJ-H" => Some(rksj)
     case "UniJIS-UCS2-H" => Some(uniJisUcs2)
+    case "GBK-EUC-H" => Some(gbkEuc)
+    case "UniGB-UCS2-H" => Some(uniGbUcs2)
+    case "KSCms-UHC-H" => Some(kscUhc)
+    case "UniKS-UCS2-H" => Some(uniKsUcs2)
     case _ => None
   }
 
   /** ENCODE one char to its code under the named CMap (the writer's
     * side of the gate) — (width, code); fails loud outside the table's
     * repertoire rather than emitting undecodable bytes. */
-  def encodeChar(cmapName: String, ch: Char): (Int, Int) = cmapName match {
-    case "UniJIS-UCS2-H" =>
-      require(!Character.isSurrogate(ch) && cp932.newEncoder().canEncode(ch),
-        f"PredefCmaps: U+${ch.toInt}%04X outside the UniJIS-UCS2-H subset " +
-          "(CP932-encodable repertoire)")
+  def encodeChar(cmapName: String, ch: Char): (Int, Int) = {
+    def charsetOf(n: String): Charset = n match {
+      case "90ms-RKSJ-H" | "UniJIS-UCS2-H" => cp932
+      case "GBK-EUC-H" | "UniGB-UCS2-H" => gbk
+      case "KSCms-UHC-H" | "UniKS-UCS2-H" => uhc
+      case other => throw new IllegalArgumentException(
+        s"PredefCmaps: no built-in table for /$other " +
+          "(carried: 90ms-RKSJ-H, UniJIS-UCS2-H, GBK-EUC-H, UniGB-UCS2-H, " +
+          "KSCms-UHC-H, UniKS-UCS2-H)")
+    }
+    val cs = charsetOf(cmapName)
+    if (cmapName.startsWith("Uni")) {
+      require(!Character.isSurrogate(ch) && cs.newEncoder().canEncode(ch),
+        f"PredefCmaps: U+${ch.toInt}%04X outside the $cmapName subset " +
+          s"(${cs.name()}-encodable repertoire)")
       (2, ch.toInt)
-    case "90ms-RKSJ-H" =>
-      val enc = cp932.newEncoder()
+    } else {
+      val enc = cs.newEncoder()
         .onMalformedInput(CodingErrorAction.REPORT)
         .onUnmappableCharacter(CodingErrorAction.REPORT)
       require(enc.canEncode(ch),
-        f"PredefCmaps: U+${ch.toInt}%04X not encodable in 90ms-RKSJ (CP932)")
+        f"PredefCmaps: U+${ch.toInt}%04X not encodable in $cmapName (${cs.name()})")
       val bytes = {
         val bb = enc.encode(CharBuffer.wrap(ch.toString))
         val a = new Array[Byte](bb.remaining()); bb.get(a); a
@@ -120,9 +162,8 @@ private[graft] object PredefCmaps {
         case 1 => (1, bytes(0) & 0xff)
         case 2 => (2, ((bytes(0) & 0xff) << 8) | (bytes(1) & 0xff))
         case n => throw new IllegalArgumentException(
-          f"PredefCmaps: U+${ch.toInt}%04X encodes to $n CP932 bytes (want 1 or 2)")
+          f"PredefCmaps: U+${ch.toInt}%04X encodes to $n ${cs.name()} bytes (want 1 or 2)")
       }
-    case other => throw new IllegalArgumentException(
-      s"PredefCmaps: no built-in table for /$other (carried: 90ms-RKSJ-H, UniJIS-UCS2-H)")
+    }
   }
 }

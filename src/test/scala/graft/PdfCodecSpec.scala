@@ -790,6 +790,22 @@ class PdfCodecSpec extends SparkSpec {
       val pdf = PdfCodec.encodeCmapPredefPdf(pages, cmap, compress)
       assert(PdfCodec.extractText(pdf) == pages, s"$cmap compress=$compress")
     }
+    // the Chinese and Korean locale tables (round 15): GBK bytes and
+    // Unified Hangul Code bytes round-trip through their own codespaces
+    val zh = Seq("中文数据检索 mixed with ascii", "简体字 page two")
+    for (cmap <- Seq("GBK-EUC-H", "UniGB-UCS2-H")) {
+      val pdf = PdfCodec.encodeCmapPredefPdf(zh, cmap, compress = true)
+      assert(PdfCodec.extractText(pdf) == zh, cmap)
+    }
+    val ko = Seq("한국어 텍스트 and ascii", "벡터 검색 page two")
+    for (cmap <- Seq("KSCms-UHC-H", "UniKS-UCS2-H")) {
+      val pdf = PdfCodec.encodeCmapPredefPdf(ko, cmap, compress = true)
+      assert(PdfCodec.extractText(pdf) == ko, cmap)
+    }
+    // cross-locale repertoire refusal: hangul has no GBK encoding
+    val eXLoc = intercept[IllegalArgumentException](
+      PdfCodec.encodeCmapPredefPdf(Seq("한"), "GBK-EUC-H"))
+    assert(eXLoc.getMessage.contains("GBK"), eXLoc.getMessage)
     // a font-supplied /ToUnicode would take precedence; absent one, a code
     // CP932 leaves undefined fails loud (splice a hole code 0x8200 —
     // second byte 0x00 is outside <8140><9FFC>'s per-byte range, so the
@@ -812,7 +828,7 @@ class PdfCodecSpec extends SparkSpec {
     // DOES carry Cyrillic/Greek, so a Ж would encode fine)
     val e3 = intercept[IllegalArgumentException](
       PdfCodec.encodeCmapPredefPdf(Seq("€"), "90ms-RKSJ-H"))
-    assert(e3.getMessage.contains("CP932"), e3.getMessage)
+    assert(e3.getMessage.contains("windows-31j"), e3.getMessage)
     val e4 = intercept[IllegalArgumentException](
       PdfCodec.encodeCmapPredefPdf(Seq("€"), "UniJIS-UCS2-H"))
     assert(e4.getMessage.contains("subset"), e4.getMessage)
