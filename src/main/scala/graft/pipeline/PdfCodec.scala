@@ -1955,8 +1955,13 @@ object PdfCodec {
     w(s"<< /Type /Font /Subtype /Type0 /BaseFont /GraftPredef /Encoding /$cmapName " +
       s"/DescendantFonts [ $descNum 0 R ] >>\nendobj\n")
     beginObj(descNum)
+    // the CIDFont's character collection must MATCH the CMap's (ISO
+    // 32000-1 §9.7.5.2) — a GBK CMap over a Japan1 CIDFont is the kind
+    // of spec violation a conformant reader rejects or mis-glyphs
+    val (ordering, supplement) = PredefCmaps.orderingOf(cmapName)
     w("<< /Type /Font /Subtype /CIDFontType2 /BaseFont /GraftPredef " +
-      "/CIDSystemInfo << /Registry (Adobe) /Ordering (Japan1) /Supplement 2 >> >>\nendobj\n")
+      s"/CIDSystemInfo << /Registry (Adobe) /Ordering ($ordering) " +
+      s"/Supplement $supplement >> >>\nendobj\n")
     val xrefAt = out.size()
     val total = descNum + 1
     w(s"xref\n0 $total\n0000000000 65535 f \n")

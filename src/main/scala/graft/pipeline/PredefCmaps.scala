@@ -43,7 +43,34 @@ private[graft] object PredefCmaps {
 
   final case class PredefCmap(name: String,
                               codespaces: Seq[(Int, Long, Long)],
-                              toUni: Map[(Int, Long), String])
+                              toUni: Map[(Int, Long), String]) {
+    // the shortest-match tokenizer (PdfCodec.decodeShown) is only
+    // spec-equivalent for first-byte-disjoint range widths — the same
+    // invariant parseCodespaces enforces for EMBEDDED CMaps; built-in
+    // tables must not be able to bypass it (a future EUC-style table
+    // with overlapping lead bytes would silently mis-tokenize)
+    for {
+      (l1, lo1, hi1) <- codespaces
+      (l2, lo2, hi2) <- codespaces
+      if l1 < l2
+    } {
+      def fb(len: Int, v: Long): Long = (v >> (8 * (len - 1))) & 0xff
+      require(fb(l1, hi1) < fb(l2, lo2) || fb(l2, hi2) < fb(l1, lo1),
+        s"PredefCmaps: $name declares codespaces of widths $l1 and $l2 with " +
+          "overlapping first-byte prefixes — would mis-tokenize under shortest-match")
+    }
+  }
+
+  /** The Adobe character-collection ordering each carried CMap belongs
+    * to — the /CIDSystemInfo a conforming CIDFont must pair with it
+    * (ISO 32000-1 §9.7.5.2): (Ordering, Supplement). */
+  def orderingOf(name: String): (String, Int) = name match {
+    case "90ms-RKSJ-H" | "UniJIS-UCS2-H" => ("Japan1", 2)
+    case "GBK-EUC-H" | "UniGB-UCS2-H" => ("GB1", 2)
+    case "KSCms-UHC-H" | "UniKS-UCS2-H" => ("Korea1", 1)
+    case other => throw new IllegalArgumentException(
+      s"PredefCmaps: no ordering for /$other")
+  }
 
   private def cp932 = Charset.forName("windows-31j")
 
