@@ -442,6 +442,38 @@ object QueriesPipeline {
              |  unnest(range(0, CAST(ceil(length(t) / 200.0) AS INT))) AS u(i)
              |ORDER BY doc_id, page_no""".stripMargin)),
 
+    // GLYPH-PROGRAM decode (round 16): the corpus rendered through a
+    // SYMBOLIC simple TrueType subset font — NO /ToUnicode, NO
+    // /Encoding, byte codes assigned by first appearance (private to
+    // the font) — so the only route back to text is the embedded
+    // /FontFile2 program's cmap: the (3,0) symbol subtable's
+    // code→glyph leg inverted against the (3,1) Unicode subtable
+    // (TrueTypeFont.symbolCodeToUnicode; PDFBox resolves this class
+    // inside the reference's Function.java:90-132 — the last
+    // fail-loud extraction class a real corpus hits at rate). The
+    // oracle is byte-blind: a decoder that assumes Latin-1, skips the
+    // program, or mis-inverts any glyph hash-mismatches every page.
+    // Greek substitutions keep the text outside Latin-1 so a
+    // pass-through decode can't even type-check as the same string.
+    "q_pdf_fontprog" -> QueryDef(
+      (s, d) => {
+        val greeked = Tables.documents(s, d).select(col("doc_id"),
+          translate(col("text"), "aeiou", "αβγδε").as("text"))
+        val pdfs = PdfPipeline.synthesizeFontProgPdfs(greeked, pageSize = 200)
+        PdfPipeline.extractPagesPdf(pdfs)
+          .select(col("doc_id"), col("page_no"),
+            length(col("page_text")).cast("long").as("page_len"),
+            md5(col("page_text")).as("page_md5"))
+          .orderBy(col("doc_id"), col("page_no"))
+      },
+      Some("""SELECT doc_id, CAST(i + 1 AS BIGINT) AS page_no,
+             |  CAST(length(substr(t, i*200 + 1, 200)) AS BIGINT) AS page_len,
+             |  md5(substr(t, i*200 + 1, 200)) AS page_md5
+             |FROM (SELECT doc_id, translate(text, 'aeiou', 'αβγδε') AS t
+             |      FROM documents),
+             |  unnest(range(0, CAST(ceil(length(t) / 200.0) AS INT))) AS u(i)
+             |ORDER BY doc_id, page_no""".stripMargin)),
+
     "q_chunk_split" -> QueryDef(
       (s, d) => docsChunks(s, d)
         .select(col("doc_id"), col("chunk_idx"),

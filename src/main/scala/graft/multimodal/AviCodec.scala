@@ -71,6 +71,15 @@ object AviCodec {
         // chunks are word-aligned: odd sizes carry one pad byte
         pos = dataOff + clen.toInt + (clen.toInt & 1)
       }
+      // 2-7 residue bytes here are a truncated final chunk header — the
+      // loop exits silently on pos + 8 > to, so reject the leftovers
+      // loud. Two legal misalignments are tolerated: pos may overshoot
+      // `to` by one byte (an odd final chunk whose pad the parent size
+      // excludes), and one residue byte may remain (a parent size
+      // word-aligned up past its last chunk).
+      require(pos >= to || to - pos == 1,
+        s"AviCodec: ${to - pos} residue byte(s) at $pos inside parent ending $to " +
+          "(truncated chunk header)")
     }
     walk(12, riffEnd, inMovi = false, depth = 0)
     require(out.nonEmpty, "AviCodec: no stream-0 video chunks in any movi list")

@@ -242,19 +242,12 @@ object JpegCodec {
           val nc = u8(pos + 7)
           require(nc == 1 || nc == 3 || nc == 4,
             s"JpegCodec: $nc components unsupported (1 = gray, 3 = YCbCr, 4 = Adobe CMYK/YCCK)")
-          if (nc == 4) {
-            // 4-component files are only meaningful with the Adobe APP14
-            // transform code (which also flags the inverted-value
-            // convention); Photoshop writes APP14 before SOF, so by here
-            // it has been seen — a 4-comp file without it would decode
-            // to channel soup, reject instead. Checked BEFORE the
-            // component parse so a mislabeled Nf fails with this reason.
-            require(h.adobeTransform == 0 || h.adobeTransform == 2,
-              s"JpegCodec: 4-component JPEG needs an Adobe APP14 transform of " +
-                s"0 (CMYK) or 2 (YCCK); " +
-                (if (h.adobeTransform < 0) "no APP14 marker seen"
-                 else s"APP14 declares ${h.adobeTransform}"))
-          }
+          // 4-component files are only meaningful with the Adobe APP14
+          // transform code, but APPn markers may legally appear between
+          // ANY segments (T.81 B.2.4.6) — libjpeg honors an APP14 found
+          // after SOF too, so the transform requirement is validated at
+          // pixel-assembly time (like the 3-component rgbDirect check),
+          // not here.
           // length check BEFORE the component parse: a short SOF would
           // otherwise read the next segment's bytes as component specs
           require(len == 8 + 3 * nc, "JpegCodec: malformed SOF length")
@@ -737,10 +730,19 @@ object JpegCodec {
         y += 1
       }
     } else {
-      // Adobe 4-component (sampling validated 1x1 at SOF): the stored
+      // Adobe 4-component (sampling validated 1x1 at SOF): a file with
+      // no APP14 at all — or one declaring transform 1 (plain YCbCr,
+      // meaningless at 4 components) — would decode to channel soup, so
+      // the transform gate runs here, after the full marker walk, where
+      // an APP14 placed anywhere before SOS has been seen. The stored
       // samples are INVERTED per the Adobe convention, so both paths end
       // with 255 - v; YCCK additionally runs the YCbCr inverse over the
       // first three channels first. Output is TRUE CMYK.
+      require(h.adobeTransform == 0 || h.adobeTransform == 2,
+        s"JpegCodec: 4-component JPEG needs an Adobe APP14 transform of " +
+          s"0 (CMYK) or 2 (YCCK); " +
+          (if (h.adobeTransform < 0) "no APP14 marker seen"
+           else s"APP14 declares ${h.adobeTransform}"))
       val ycck = h.adobeTransform == 2
       val c0 = comps(0); val c1 = comps(1); val c2 = comps(2); val c3 = comps(3)
       var y = 0

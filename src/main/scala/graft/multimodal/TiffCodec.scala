@@ -50,12 +50,21 @@ object TiffCodec {
     val nEntries = u16(ifdAt.toInt)
     require(nEntries > 0, "TiffCodec: empty IFD")
 
-    // tag -> (type, count, valueOrOffset field position)
+    // tag -> (type, count, valueOrOffset field position). TIFF 6.0 §2
+    // requires IFD entries sorted (hence unique) by tag; a duplicate tag
+    // would otherwise silently decode last-wins, so reject it loud.
     final case class Entry(tpe: Int, count: Long, at: Int)
-    val entries = (0 until nEntries).map { k =>
+    val entryList = (0 until nEntries).map { k =>
       val off = ifdAt.toInt + 2 + 12 * k
       u16(off) -> Entry(u16(off + 2), u32(off + 4), off + 8)
-    }.toMap
+    }
+    val entries = entryList.toMap
+    require(entries.size == entryList.size, {
+      val dup = entryList.map(_._1).groupBy(identity).collect {
+        case (t, hits) if hits.size > 1 => t
+      }.toSeq.sorted
+      s"TiffCodec: duplicate IFD tag(s) ${dup.mkString(", ")}"
+    })
     val nextIfd = u32(ifdAt.toInt + 2 + 12 * nEntries)
     require(nextIfd == 0,
       "TiffCodec: multi-page TIFF (second IFD present) — beyond page 1 out of scope")

@@ -58,10 +58,21 @@ import scala.collection.mutable
   *     stream + binary cross-reference stream — to round-trip-gate the
   *     path).
   *
-  * Out of scope (documented, fail-loud where detectable): encryption,
-  * inline images (BI…EI), glyph-program text (extracting from embedded
-  * TrueType/CFF outlines without a ToUnicode map — PDFBox can
-  * sometimes guess; we refuse).
+  *   - encryption (empty-user-password, the reference's blob corpus
+  *     shape): RC4 + AES-128 (/V 1/2/4, §7.6.3) and AES-256 / PDF 2.0
+  *     (/V 5 /R 6, hardened KDF) via [[PdfCrypto]]; inline images
+  *     (BI…EI) are skipped as non-text content; and SYMBOLIC simple
+  *     TrueType fonts with no /ToUnicode and no /Encoding decode
+  *     through their EMBEDDED font program's `cmap`
+  *     ([[TrueTypeFont.symbolCodeToUnicode]] — the (3,0) symbol
+  *     subtable's code→glyph leg inverted against a Unicode-platform
+  *     subtable).
+  *
+  * Out of scope (documented, fail-loud where detectable): CFF/Type1
+  * glyph programs (/FontFile, /FontFile3 — charstring charsets, not
+  * sfnt cmaps), and symbol-only TrueType programs whose cmap carries
+  * no Unicode-platform subtable (their text is genuinely
+  * unrecoverable; PDFBox sometimes guesses — we refuse).
   * The 100 TB-relevant part — binary column in, bounded per-row
   * work, no driver involvement — lives in [[PdfPipeline.extractPagesPdf]];
   * this object is deliberately plain JVM code so it runs inside
@@ -104,6 +115,15 @@ object PdfCodec {
     * Differences PATCHES the base encoding). */
   private[graft] final case class DifferencesFont(names: Map[Int, String],
                                                   fontNum: Int) extends FontDec
+  /** SYMBOLIC simple TrueType font decoding through its EMBEDDED font
+    * program ([[TrueTypeFont.symbolCodeToUnicode]]): byte codes map
+    * code→glyph via the program's (3,0) symbol cmap subtable and
+    * glyph→Unicode by inverting its Unicode-platform subtable. Codes
+    * the program leaves unmapped fail loud per SHOWN code (the
+    * [[DifferencesFont]] convention — only text that uses them fails,
+    * not the whole document). */
+  private[graft] final case class GlyphProgFont(codeToUni: Map[Int, String],
+                                                fontNum: Int) extends FontDec
 
   /** Extract per-page text from PDF bytes, in page-tree order. */
   def extractText(bytes: Array[Byte]): Seq[String] = {
@@ -215,7 +235,43 @@ object PdfCodec {
       resolveDict(d, "Encoding", byNum) match {
         case Some(encDict) if encDict.contains("/Differences") =>
           DifferencesFont(parseDifferences(encDict, obj.num), obj.num)
-        case _ => SimpleFont
+        case _ =>
+          // SYMBOLIC TrueType with no /Encoding at all (the subset-font
+          // shape whose byte codes are private to the font): Latin-1
+          // would be silent garbage. With an embedded program, decode
+          // through its cmap (TrueTypeFont); without one the text is
+          // unrecoverable — fail loud. A nonsymbolic font, or one that
+          // names a base encoding, keeps the SimpleFont scope.
+          val isTrueType =
+            """/Subtype\s*/TrueType(?![A-Za-z0-9])""".r.findFirstIn(d).isDefined
+          val hasEncodingEntry =
+            """/Encoding(?![A-Za-z0-9])""".r.findFirstIn(d).isDefined
+          val desc = resolveDict(d, "FontDescriptor", byNum)
+          val symbolic = desc.exists(dd =>
+            """/Flags\s+(\d+)""".r.findFirstMatchIn(dd)
+              .exists(m => (m.group(1).toInt & 4) != 0))
+          if (isTrueType && symbolic && !hasEncodingEntry) {
+            dictRef(d, "/ToUnicode") match {
+              case Some(tuRef) =>
+                // an author-supplied /ToUnicode takes precedence over the
+                // glyph-program derivation (spec §9.10.3) — its byte
+                // codes key the same map shape
+                val tuObj = byNum.getOrElse(tuRef, throw new IllegalArgumentException(
+                  s"PdfCodec: /ToUnicode $tuRef 0 R not found"))
+                GlyphProgFont(parseToUnicode(decodeStream(tuObj, byNum)), obj.num)
+              case None =>
+                val ff2 = desc.flatMap(dd => dictRef(dd, "/FontFile2")).getOrElse(
+                  throw new IllegalArgumentException(
+                    s"PdfCodec: font object ${obj.num}: symbolic TrueType with no " +
+                      "/Encoding, no /ToUnicode and no embedded /FontFile2 program — " +
+                      "codes cannot be mapped to text"))
+                val ffObj = byNum.getOrElse(ff2, throw new IllegalArgumentException(
+                  s"PdfCodec: /FontFile2 $ff2 0 R not found"))
+                val program = decodeStream(ffObj, byNum).getBytes(ISO_8859_1)
+                GlyphProgFont(TrueTypeFont.symbolCodeToUnicode(program, obj.num),
+                  obj.num)
+            }
+          } else SimpleFont
       }
     }
     else {
@@ -533,6 +589,10 @@ object PdfCodec {
   /** Shown-string raw bytes (as Latin-1 chars) → text under `font`. */
   private def decodeShown(raw: String, font: FontDec): String = font match {
     case SimpleFont => raw
+    case GlyphProgFont(map, fontNum) =>
+      raw.map(c => map.getOrElse(c.toInt, throw new IllegalArgumentException(
+        f"PdfCodec: font $fontNum: code 0x${c.toInt}%02x has no Unicode mapping " +
+          "in the embedded TrueType program's cmap"))).mkString
     case DifferencesFont(names, fontNum) =>
       raw.map(c => names.get(c.toInt) match {
         case Some(n) => glyphToUnicode(n, fontNum)
@@ -1964,6 +2024,99 @@ object PdfCodec {
       s"/Supplement $supplement >> >>\nendobj\n")
     val xrefAt = out.size()
     val total = descNum + 1
+    w(s"xref\n0 $total\n0000000000 65535 f \n")
+    offsets.sortBy(_._1).foreach { case (_, off) => w(f"$off%010d 00000 n \n") }
+    w(s"trailer\n<< /Size $total /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
+    out.toByteArray
+  }
+
+  /** Write a PDF whose pages show text through a SYMBOLIC simple
+    * TrueType subset font: byte codes are assigned by FIRST APPEARANCE
+    * (0x20 up — deliberately NOT the character's Latin-1 value, so a
+    * decoder that skips the font program garbles every page), the font
+    * dict carries NO /Encoding and NO /ToUnicode, and the only route
+    * back to text is the embedded /FontFile2 program's cmap
+    * ([[TrueTypeFont.encodeProgram]]: (3,0) symbol leg + Unicode leg,
+    * format 4 or — with `format12` — format 12). This is the
+    * subset-font file shape PDFBox resolves through the embedded
+    * program inside the reference's Function.java:90-132. */
+  def encodeFontProgPdf(pages: Seq[String], compress: Boolean = true,
+                        format12: Boolean = false): Array[Byte] = {
+    // repertoire in first-appearance order over the page stream
+    val repertoire = mutable.LinkedHashSet.empty[Int]
+    pages.foreach { p =>
+      var i = 0
+      while (i < p.length) {
+        val cp = p.codePointAt(i)
+        repertoire += cp
+        i += Character.charCount(cp)
+      }
+    }
+    // a pageless/blank document still embeds a valid 1-glyph program
+    val chars = if (repertoire.isEmpty) Seq(' '.toInt) else repertoire.toSeq
+    require(chars.length <= 0xe0,
+      s"PdfCodec.encodeFontProgPdf: ${chars.length} distinct chars exceed the " +
+        "224 byte codes a simple font carries (0x20-0xFF)")
+    val codeOf = chars.zipWithIndex.map { case (cp, i) => cp -> (0x20 + i) }.toMap
+    val program = TrueTypeFont.encodeProgram(
+      chars.zipWithIndex.map { case (cp, i) => (0x20 + i, cp) }, format12)
+
+    val nPages = pages.length
+    val fontNum = 3 + 2 * nPages
+    val descNum = fontNum + 1
+    val ffNum = fontNum + 2
+    val out = new ByteArrayOutputStream()
+    val offsets = mutable.Buffer.empty[(Int, Int)]
+    def w(str: String): Unit = out.write(str.getBytes(ISO_8859_1))
+    def beginObj(num: Int): Unit = { offsets += (num -> out.size()); w(s"$num 0 obj\n") }
+    w("%PDF-1.4\n%âãÏÓ\n")
+    beginObj(1); w("<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    val kids = (0 until nPages).map(i => s"${3 + 2 * i} 0 R").mkString(" ")
+    beginObj(2); w(s"<< /Type /Pages /Kids [ $kids ] /Count $nPages >>\nendobj\n")
+    pages.zipWithIndex.foreach { case (text, i) =>
+      val pageNum = 3 + 2 * i
+      val contNum = 4 + 2 * i
+      beginObj(pageNum)
+      w(s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        s"/Resources << /Font << /F1 $fontNum 0 R >> >> /Contents $contNum 0 R >>\nendobj\n")
+      val shown = {
+        val sb = new StringBuilder
+        var k = 0
+        while (k < text.length) {
+          val cp = text.codePointAt(k)
+          sb.append(codeOf(cp).toChar)
+          k += Character.charCount(cp)
+        }
+        sb.toString
+      }
+      val content = s"BT /F1 12 Tf 72 720 Td (${escapeLiteral(shown)}) Tj ET"
+      val data = if (compress) deflate(content.getBytes(ISO_8859_1))
+                 else content.getBytes(ISO_8859_1)
+      beginObj(contNum)
+      val filter = if (compress) " /Filter /FlateDecode" else ""
+      w(s"<< /Length ${data.length}$filter >>\nstream\n")
+      out.write(data)
+      w("\nendstream\nendobj\n")
+    }
+    beginObj(fontNum)
+    w(s"<< /Type /Font /Subtype /TrueType /BaseFont /GRAFTA+Subset " +
+      s"/FirstChar 32 /LastChar ${0x20 + chars.length - 1} " +
+      s"/Widths [ ${Seq.fill(chars.length)("500").mkString(" ")} ] " +
+      s"/FontDescriptor $descNum 0 R >>\nendobj\n")
+    beginObj(descNum)
+    // /Flags 4 = Symbolic (spec Table 123) — the bit that routes the
+    // decoder to the font program instead of a standard encoding
+    w(s"<< /Type /FontDescriptor /FontName /GRAFTA+Subset /Flags 4 " +
+      s"/FontBBox [0 0 1000 1000] /ItalicAngle 0 /Ascent 800 /Descent -200 " +
+      s"/CapHeight 700 /StemV 80 /FontFile2 $ffNum 0 R >>\nendobj\n")
+    beginObj(ffNum)
+    val ffData = if (compress) deflate(program) else program
+    val ffFilter = if (compress) " /Filter /FlateDecode" else ""
+    w(s"<< /Length ${ffData.length} /Length1 ${program.length}$ffFilter >>\nstream\n")
+    out.write(ffData)
+    w("\nendstream\nendobj\n")
+    val xrefAt = out.size()
+    val total = ffNum + 1
     w(s"xref\n0 $total\n0000000000 65535 f \n")
     offsets.sortBy(_._1).foreach { case (_, off) => w(f"$off%010d 00000 n \n") }
     w(s"trailer\n<< /Size $total /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")

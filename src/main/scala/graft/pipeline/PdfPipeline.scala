@@ -172,6 +172,27 @@ object PdfPipeline {
       .toDF(idCol, "content")
   }
 
+  /** [[synthesizePdfs]] through a SYMBOLIC simple TrueType subset font
+    * ([[PdfCodec.encodeFontProgPdf]]): no /ToUnicode, no /Encoding,
+    * byte codes private to the font — the embedded /FontFile2
+    * program's cmap is the only route back to text, so decoding gates
+    * [[TrueTypeFont]] on real sfnt bytes (the last fail-loud PDF
+    * extraction class a real corpus hits; PDFBox reads the embedded
+    * program inside Function.java:90-132). */
+  def synthesizeFontProgPdfs(docs: DataFrame, pageSize: Int = 200,
+                             compress: Boolean = true, format12: Boolean = false,
+                             idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val pages = if (text.isEmpty) Seq.empty[String] else text.grouped(pageSize).toSeq
+        (id, PdfCodec.encodeFontProgPdf(pages, compress, format12))
+      }
+      .toDF(idCol, "content")
+  }
+
   /** Normalized text → (chunk_idx, chunk) rows via the reference chunker
     * (native expression — no ScalaUDF row serialization). */
   def chunkRows(docs: DataFrame, maxLen: Int = 7500, lookback: Int = 300,

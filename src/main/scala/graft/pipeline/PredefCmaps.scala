@@ -65,8 +65,13 @@ private[graft] object PredefCmaps {
     * to — the /CIDSystemInfo a conforming CIDFont must pair with it
     * (ISO 32000-1 §9.7.5.2): (Ordering, Supplement). */
   def orderingOf(name: String): (String, Int) = name match {
-    case "90ms-RKSJ-H" | "UniJIS-UCS2-H" => ("Japan1", 2)
-    case "GBK-EUC-H" | "UniGB-UCS2-H" => ("GB1", 2)
+    // supplements per Adobe's registrations (ISO 32000-1 Table 118):
+    // the UniJIS/UniGB UCS2 forms belong to Japan1-4 / GB1-4, the
+    // locale-encoding forms to Japan1-2 / GB1-2 / Korea1-1
+    case "90ms-RKSJ-H" => ("Japan1", 2)
+    case "UniJIS-UCS2-H" => ("Japan1", 4)
+    case "GBK-EUC-H" => ("GB1", 2)
+    case "UniGB-UCS2-H" => ("GB1", 4)
     case "KSCms-UHC-H" | "UniKS-UCS2-H" => ("Korea1", 1)
     case other => throw new IllegalArgumentException(
       s"PredefCmaps: no ordering for /$other")

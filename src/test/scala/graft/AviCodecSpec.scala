@@ -91,6 +91,30 @@ class AviCodecSpec extends AnyFunSuite with SparkSpec {
       .getBytes("ISO-8859-1")
     assert(intercept[IllegalArgumentException](AviCodec.videoFrames(gutted))
       .getMessage.contains("no stream-0 video"))
+    // trailing residue inside a parent range: 2-7 leftover bytes are a
+    // truncated final chunk header and reject loud; a single leftover
+    // byte is word-alignment slack and stays legal
+    def withMoviTail(tail: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def w(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+      def le32(v: Int): Unit = {
+        out.write(v & 0xff); out.write((v >> 8) & 0xff)
+        out.write((v >> 16) & 0xff); out.write((v >>> 24) & 0xff)
+      }
+      val f = frame(4)
+      val pad = f.length % 2
+      val moviLen = 4 + 8 + f.length + pad + tail
+      w("RIFF"); le32(4 + 8 + moviLen)
+      w("AVI "); w("LIST"); le32(moviLen); w("movi")
+      w("00dc"); le32(f.length); out.write(f, 0, f.length)
+      (0 until pad + tail).foreach(_ => out.write(0))
+      out.toByteArray
+    }
+    assert(AviCodec.videoFrames(withMoviTail(0)).length == 1)
+    assert(AviCodec.videoFrames(withMoviTail(1)).length == 1)
+    val eRes = intercept[IllegalArgumentException](
+      AviCodec.videoFrames(withMoviTail(4)))
+    assert(eRes.getMessage.contains("residue"), eRes.getMessage)
   }
 
   test("synthesizeAvis → decodeFrameTiles equals the bare-MJPEG pipeline (container invariance)") {

@@ -319,6 +319,17 @@ class JpegCodecSpec extends AnyFunSuite {
     badTr(app14At + 2 + segLen - 1) = 1
     val eTr = intercept[IllegalArgumentException](JpegCodec.decode(badTr))
     assert(eTr.getMessage.contains("declares 1"), eTr.getMessage)
+    // APPn may appear between ANY segments (T.81 B.2.4.6) — libjpeg
+    // honors an APP14 found after SOF too, so relocating the segment to
+    // just after SOF must decode identically, not reject
+    val app14Seg = withApp14.slice(app14At, app14At + 2 + segLen)
+    val sofAt = (0 until stripped.length - 1).find(i =>
+      (stripped(i) & 0xff) == 0xff && (stripped(i + 1) & 0xff) == 0xc0).get
+    val sofLen = ((stripped(sofAt + 2) & 0xff) << 8) | (stripped(sofAt + 3) & 0xff)
+    val late = stripped.take(sofAt + 2 + sofLen) ++ app14Seg ++
+      stripped.drop(sofAt + 2 + sofLen)
+    assert(JpegCodec.decode(late).pixels.toSeq ==
+      JpegCodec.decode(withApp14).pixels.toSeq, "late APP14 (after SOF) honored")
     // encoder guards
     assert(intercept[IllegalArgumentException](
       JpegCodec.encode(w, h, 4, flat4(3, ycck = false))).getMessage.contains("adobeTransform"))
@@ -402,12 +413,15 @@ class JpegCodecSpec extends AnyFunSuite {
     val eSig = intercept[IllegalArgumentException](
       JpegCodec.decode("not a jpeg".getBytes("US-ASCII")))
     assert(eSig.getMessage.contains("SOI"), eSig.getMessage)
-    // CMYK (4 components): patch Nf in SOF0 — reject before any scan work
+    // mislabeled Nf (1-comp SOF patched to claim 4): rejects on the SOF
+    // length consistency check — the APP14 transform gate itself runs at
+    // pixel-assembly time now (APPn may appear after SOF per T.81
+    // B.2.4.6; the real no-APP14 4-comp shape is covered in the Adobe
+    // CMYK test)
     val cmyk = ok.clone()
     cmyk(sofAt + 9) = 4
     val eCmyk = intercept[IllegalArgumentException](JpegCodec.decode(cmyk))
-    assert(eCmyk.getMessage.contains("CMYK") || eCmyk.getMessage.contains("components"),
-      eCmyk.getMessage)
+    assert(eCmyk.getMessage.contains("SOF"), eCmyk.getMessage)
   }
 
   test("frameOffsets: marker-walk split of concatenated JPEGs; fail-loud on garbage") {

@@ -832,6 +832,16 @@ class PdfCodecSpec extends SparkSpec {
     val e4 = intercept[IllegalArgumentException](
       PdfCodec.encodeCmapPredefPdf(Seq("€"), "UniJIS-UCS2-H"))
     assert(e4.getMessage.contains("subset"), e4.getMessage)
+    // CIDSystemInfo pairings per Adobe's registrations (ISO 32000-1
+    // Table 118): the UniJIS/UniGB UCS2 forms are Japan1-4 / GB1-4,
+    // the locale-encoding forms Japan1-2 / GB1-2 / Korea1-1
+    import graft.pipeline.PredefCmaps
+    assert(PredefCmaps.orderingOf("90ms-RKSJ-H") == ("Japan1", 2))
+    assert(PredefCmaps.orderingOf("UniJIS-UCS2-H") == ("Japan1", 4))
+    assert(PredefCmaps.orderingOf("GBK-EUC-H") == ("GB1", 2))
+    assert(PredefCmaps.orderingOf("UniGB-UCS2-H") == ("GB1", 4))
+    assert(PredefCmaps.orderingOf("KSCms-UHC-H") == ("Korea1", 1))
+    assert(PredefCmaps.orderingOf("UniKS-UCS2-H") == ("Korea1", 1))
   }
 
   test("EMBEDDED /Encoding CMap: mixed 1/2-byte codes round-trip (the RKSJ shape)") {

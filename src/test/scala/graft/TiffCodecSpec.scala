@@ -114,6 +114,11 @@ class TiffCodecSpec extends AnyFunSuite with SparkSpec {
     val eOrient = intercept[IllegalArgumentException](
       TiffCodec.decode(handFixture((274, 3, 6L))))
     assert(eOrient.getMessage.contains("Orientation"), eOrient.getMessage)
+    // duplicate IFD tag (TIFF 6.0 §2 requires sorted-unique entries):
+    // a .toMap last-wins decode would be silent corruption — reject
+    val eDup = intercept[IllegalArgumentException](
+      TiffCodec.decode(handFixture((262, 3, 0L))))
+    assert(eDup.getMessage.contains("duplicate IFD tag(s) 262"), eDup.getMessage)
     // encoder guards
     assert(intercept[IllegalArgumentException](
       TiffCodec.encode(2, 1, 3, new Array[Byte](6), whiteIsZero = true))

@@ -1,0 +1,139 @@
+package graft
+
+import graft.pipeline.{PdfCodec, TrueTypeFont}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Glyph-program text extraction (reference Function.java:90-132 —
+  * PDFBox resolves subset fonts with no /ToUnicode through the embedded
+  * TrueType program): [[TrueTypeFont]] encode→decode round trips over
+  * both cmap-format legs, the verified-checksum contract, the fail-loud
+  * boundary (symbol-only cmaps, missing tables, corrupt bytes), and the
+  * PDF-level path through [[PdfCodec.encodeFontProgPdf]] /
+  * `extractText`. */
+class TrueTypeFontSpec extends AnyFunSuite {
+
+  private val entries = Seq(
+    (0x20, 'h'.toInt), (0x21, 'e'.toInt), (0x22, 'l'.toInt), (0x23, 'o'.toInt),
+    (0x24, 'α'.toInt), (0x25, '→'.toInt), (0x26, ' '.toInt))
+
+  test("encodeProgram → symbolCodeToUnicode round trip (format 4 Unicode leg)") {
+    val font = TrueTypeFont.encodeProgram(entries)
+    val map = TrueTypeFont.symbolCodeToUnicode(font, fontNum = 7)
+    assert(map == entries.map { case (c, cp) => c -> new String(Character.toChars(cp)) }.toMap)
+  }
+
+  test("format 12 Unicode leg: forced, and auto-selected by a supplementary char") {
+    val forced = TrueTypeFont.encodeProgram(entries, format12 = true)
+    assert(TrueTypeFont.symbolCodeToUnicode(forced, 7) ==
+      entries.map { case (c, cp) => c -> new String(Character.toChars(cp)) }.toMap)
+    // U+1F600 needs format 12 (and a surrogate-pair destination string)
+    val supp = entries :+ (0x27, 0x1f600)
+    val font = TrueTypeFont.encodeProgram(supp)
+    val map = TrueTypeFont.symbolCodeToUnicode(font, 7)
+    assert(map(0x27) == new String(Character.toChars(0x1f600)))
+    assert(map(0x24) == "α")
+  }
+
+  /** Recompute a table's directory checksum after a test patch (head's
+    * adjustment-zeroing rule does not apply to the tables patched here). */
+  private def refreshChecksum(font: Array[Byte], tag: String): Unit = {
+    def u16(i: Int) = ((font(i) & 0xff) << 8) | (font(i + 1) & 0xff)
+    def u32(i: Int) = (u16(i).toLong << 16) | u16(i + 2).toLong
+    val n = u16(4)
+    val k = (0 until n).find(k => new String(font, 12 + 16 * k, 4, "US-ASCII") == tag).get
+    val off = u32(12 + 16 * k + 8).toInt
+    val len = u32(12 + 16 * k + 12).toInt
+    var acc = 0L
+    var i = 0
+    while (i < len) {
+      val word = (0 until 4).foldLeft(0L)((w, j) =>
+        (w << 8) | (if (i + j < len) font(off + i + j) & 0xffL else 0L))
+      acc = (acc + word) & 0xffffffffL
+      i += 4
+    }
+    val at = 12 + 16 * k + 4
+    font(at) = ((acc >> 24) & 0xff).toByte; font(at + 1) = ((acc >> 16) & 0xff).toByte
+    font(at + 2) = ((acc >> 8) & 0xff).toByte; font(at + 3) = (acc & 0xff).toByte
+  }
+
+  test("fail-loud: checksum, missing cmap, symbol-only cmap, bad format, not-sfnt") {
+    val font = TrueTypeFont.encodeProgram(entries)
+    // flip one byte inside the cmap payload → checksum verification fires
+    val flipped = font.clone()
+    flipped(flipped.length - 1) = (flipped(flipped.length - 1) ^ 0x01).toByte
+    val eSum = intercept[IllegalArgumentException](
+      TrueTypeFont.symbolCodeToUnicode(flipped, 7))
+    assert(eSum.getMessage.contains("checksum"), eSum.getMessage)
+    // rename the cmap tag (content untouched → checksums still valid)
+    val noCmap = font.clone()
+    val tagAt = (0 until 3).map(12 + 16 * _)
+      .find(o => new String(noCmap, o, 4, "US-ASCII") == "cmap").get
+    noCmap(tagAt + 3) = 'x'.toByte
+    val eCmap = intercept[IllegalArgumentException](
+      TrueTypeFont.symbolCodeToUnicode(noCmap, 7))
+    assert(eCmap.getMessage.contains("no 'cmap'"), eCmap.getMessage)
+    // demote the (3,1) Unicode record to Macintosh (1,0): symbol-only
+    val symOnly = font.clone()
+    val cmapOff = {
+      def u16(i: Int) = ((symOnly(i) & 0xff) << 8) | (symOnly(i + 1) & 0xff)
+      def u32(i: Int) = (u16(i).toLong << 16) | u16(i + 2).toLong
+      val k = (0 until 3).find(k =>
+        new String(symOnly, 12 + 16 * k, 4, "US-ASCII") == "cmap").get
+      u32(12 + 16 * k + 8).toInt
+    }
+    // second encoding record starts at cmap+4+8: platformID u16, encodingID u16
+    symOnly(cmapOff + 4 + 8) = 0; symOnly(cmapOff + 4 + 8 + 1) = 1 // platform 1
+    symOnly(cmapOff + 4 + 8 + 3) = 0 // encoding 0
+    refreshChecksum(symOnly, "cmap")
+    val eSym = intercept[IllegalArgumentException](
+      TrueTypeFont.symbolCodeToUnicode(symOnly, 7))
+    assert(eSym.getMessage.contains("symbol-only"), eSym.getMessage)
+    // unsupported subtable format: overwrite the symbol subtable's
+    // format word (it sits at cmap+4+16, after the two records)
+    val badFmt = font.clone()
+    badFmt(cmapOff + 4 + 16) = 0; badFmt(cmapOff + 4 + 16 + 1) = 2 // format 2
+    refreshChecksum(badFmt, "cmap")
+    val eFmt = intercept[IllegalArgumentException](
+      TrueTypeFont.symbolCodeToUnicode(badFmt, 7))
+    assert(eFmt.getMessage.contains("format 2"), eFmt.getMessage)
+    // not an sfnt at all
+    val eVer = intercept[IllegalArgumentException](
+      TrueTypeFont.symbolCodeToUnicode("OTTO1234".getBytes("US-ASCII"), 7))
+    assert(eVer.getMessage.contains("sfnt"), eVer.getMessage)
+  }
+
+  test("PDF round trip: symbolic subset font with no ToUnicode, codes private to the font") {
+    val pages = Seq(
+      "hello glyph program world",
+      "Greek αβγ and arrows →← mixed with ascii",
+      "third page repeats hello")
+    for (compress <- Seq(true, false); f12 <- Seq(false, true)) {
+      val pdf = PdfCodec.encodeFontProgPdf(pages, compress, f12)
+      assert(PdfCodec.extractText(pdf) == pages, s"compress=$compress format12=$f12")
+    }
+    // the shown bytes really are remapped: an uncompressed file must NOT
+    // contain the plaintext (a Latin-1 pass-through decoder garbles)
+    val plain = new String(PdfCodec.encodeFontProgPdf(pages, compress = false), "ISO-8859-1")
+    assert(!plain.contains("hello"), "content bytes leak the plaintext — codes not remapped")
+  }
+
+  test("symbolic TrueType without a font program fails loud; ToUnicode takes precedence") {
+    val pages = Seq("abc abc")
+    val pdf = new String(PdfCodec.encodeFontProgPdf(pages, compress = false), "ISO-8859-1")
+    // strip /FontFile2 from the descriptor: text becomes unrecoverable
+    val noProg = pdf.replaceFirst("""/FontFile2 \d+ 0 R """, "")
+    val eNo = intercept[IllegalArgumentException](
+      PdfCodec.extractText(noProg.getBytes("ISO-8859-1")))
+    assert(eNo.getMessage.contains("no embedded /FontFile2"), eNo.getMessage)
+    // splice a /ToUnicode that maps the codes to UPPERCASE: the author's
+    // explicit map must win over the glyph-program derivation (§9.10.3)
+    // ('a'→0x20, 'b'→0x21, 'c'→0x22, ' '→0x23 by first appearance)
+    val tu = "2 beginbfchar\n<20> <0041>\n<21> <0042>\nendbfchar\n" +
+      "2 beginbfchar\n<22> <0043>\n<23> <0020>\nendbfchar\n"
+    val tuObj = s"99 0 obj\n<< /Length ${tu.length} >>\nstream\n$tu\nendstream\nendobj\n"
+    val withTu = pdf
+      .replaceFirst("/FontDescriptor", "/ToUnicode 99 0 R /FontDescriptor")
+      .replaceFirst("xref\n", tuObj + "xref\n")
+    assert(PdfCodec.extractText(withTu.getBytes("ISO-8859-1")) == Seq("ABC ABC"))
+  }
+}
