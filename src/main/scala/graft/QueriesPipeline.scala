@@ -442,6 +442,36 @@ object QueriesPipeline {
              |  unnest(range(0, CAST(ceil(length(t) / 200.0) AS INT))) AS u(i)
              |ORDER BY doc_id, page_no""".stripMargin)),
 
+    // UTF16 predefined CMap decode (round 16): the same mixed corpus
+    // plus a SUPPLEMENTARY-PLANE suffix (CJK Ext B 𠮷 U+20BB7 and 𠀋
+    // U+2000B — 4-byte surrogate-pair codes no UCS2 form can carry),
+    // named /UniJIS-UTF16-H — the shape modern Japanese office exports
+    // write. Pages split by CODE POINTS on both sides, so the oracle's
+    // substr() paging replays exactly; a decoder that tokenized
+    // surrogate halves as two 2-byte codes (or split a pair across
+    // pages) would hash-mismatch every affected page.
+    "q_pdf_cmap_utf16" -> QueryDef(
+      (s, d) => {
+        val mixed = Tables.documents(s, d).select(col("doc_id"),
+          concat(translate(col("text"), "aeiou", "亜江意尾宇"),
+            lit(" 𠮷𠀋")).as("text"))
+        val pdfs = PdfPipeline.synthesizeCmapPredefPdfs(mixed, pageSize = 200,
+          cmapName = "UniJIS-UTF16-H")
+        PdfPipeline.extractPagesPdf(pdfs)
+          .select(col("doc_id"), col("page_no"),
+            length(col("page_text")).cast("long").as("page_len"),
+            md5(col("page_text")).as("page_md5"))
+          .orderBy(col("doc_id"), col("page_no"))
+      },
+      Some("""SELECT doc_id, CAST(i + 1 AS BIGINT) AS page_no,
+             |  CAST(length(substr(t, i*200 + 1, 200)) AS BIGINT) AS page_len,
+             |  md5(substr(t, i*200 + 1, 200)) AS page_md5
+             |FROM (SELECT doc_id,
+             |        translate(text, 'aeiou', '亜江意尾宇') || ' 𠮷𠀋' AS t
+             |      FROM documents),
+             |  unnest(range(0, CAST(ceil(length(t) / 200.0) AS INT))) AS u(i)
+             |ORDER BY doc_id, page_no""".stripMargin)),
+
     // GLYPH-PROGRAM decode (round 16): the corpus rendered through a
     // SYMBOLIC simple TrueType subset font — NO /ToUnicode, NO
     // /Encoding, byte codes assigned by first appearance (private to

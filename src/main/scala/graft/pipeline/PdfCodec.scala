@@ -317,8 +317,9 @@ object PdfCodec {
             "is not a CMap stream")
         case None => throw new IllegalArgumentException(
           s"PdfCodec: composite font object ${obj.num}: only /Identity-H|V, the " +
-            "built-in predefined CMaps (90ms-RKSJ-H, GBK-EUC-H, KSCms-UHC-H and " +
-            "the Uni*-UCS2-H trio) or an EMBEDDED /Encoding CMap stream supported" +
+            "built-in predefined CMaps (90ms-RKSJ, GBK-EUC, KSCms-UHC, the " +
+            "Uni*-UCS2 and Uni*-UTF16 trios — -H and -V forms) or an EMBEDDED " +
+            "/Encoding CMap stream supported" +
             encName.fold(" (no /Encoding)")(e =>
               s"; predefined CMap /$e would need tables this engine doesn't carry"))
         }
@@ -1997,12 +1998,21 @@ object PdfCodec {
       beginObj(pageNum)
       w(s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
         s"/Resources << /Font << /F1 $fontNum 0 R >> >> /Contents $contNum 0 R >>\nendobj\n")
-      val hex = text.map { ch =>
-        require(!ch.isSurrogate,
-          f"PdfCodec.encodeCmapPredefPdf: non-BMP char U+${ch.toInt}%04x out of scope")
-        val (wd, code) = PredefCmaps.encodeChar(cmapName, ch)
-        if (wd == 1) f"$code%02X" else f"$code%04X"
-      }.mkString
+      val hex = {
+        val sb = new StringBuilder
+        var k = 0
+        while (k < text.length) {
+          val cp = text.codePointAt(k)
+          val (wd, code) = PredefCmaps.encodeCodePoint(cmapName, cp)
+          sb.append(wd match {
+            case 1 => f"$code%02X"
+            case 2 => f"$code%04X"
+            case _ => f"$code%08X"
+          })
+          k += Character.charCount(cp)
+        }
+        sb.toString
+      }
       val payload = s"BT /F1 12 Tf 72 720 Td <$hex> Tj ET".getBytes(ISO_8859_1)
       val data = if (compress) deflate(payload) else payload
       beginObj(contNum)

@@ -166,10 +166,33 @@ object PdfPipeline {
     docs.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .map { case (id, text) =>
-        val pages = if (text.isEmpty) Seq.empty[String] else text.grouped(pageSize).toSeq
-        (id, PdfCodec.encodeCmapPredefPdf(pages, cmapName, compress))
+        (id, PdfCodec.encodeCmapPredefPdf(codePointPages(text, pageSize), cmapName, compress))
       }
       .toDF(idCol, "content")
+  }
+
+  /** Page split counting CODE POINTS, not UTF-16 units — the oracle's
+    * substr() counts characters, and a UTF16-CMap corpus carries
+    * supplementary chars whose surrogate pairs a unit-wise
+    * `grouped(pageSize)` would split across pages (for BMP-only text
+    * the two splits are identical, so the pre-round-16 gates are
+    * unchanged). */
+  private def codePointPages(text: String, pageSize: Int): Seq[String] = {
+    if (text.isEmpty) Seq.empty
+    else {
+      val out = scala.collection.mutable.Buffer.empty[String]
+      var i = 0
+      while (i < text.length) {
+        val start = i
+        var n = 0
+        while (i < text.length && n < pageSize) {
+          i += Character.charCount(text.codePointAt(i))
+          n += 1
+        }
+        out += text.substring(start, i)
+      }
+      out.toSeq
+    }
   }
 
   /** [[synthesizePdfs]] through a SYMBOLIC simple TrueType subset font

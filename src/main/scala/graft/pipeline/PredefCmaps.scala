@@ -30,12 +30,31 @@ import java.nio.{ByteBuffer, CharBuffer}
   *    repertoire, the deterministic stand-in for "has a CID in the
   *    locale's Adobe ordering". Codespace <0000><FFFF>.
   *
-  * Names outside these keep the engine's fail-loud refusal (the error
-  * names the carried tables). Vertical (-V) variants are refused too:
-  * text extraction would need the WMode-aware layout pass this engine
-  * doesn't do.
+  *  - `/UniJIS-UTF16-H`, `/UniGB-UTF16-H`, `/UniKS-UTF16-H` (round
+  *    16) — the code IS the UTF-16BE encoding: BMP points are the same
+  *    2-byte codes as the UCS2 forms (surrogate gap EXCLUDED from the
+  *    codespaces), supplementary points are 4-byte surrogate-pair
+  *    codes. Codespaces restated from Adobe's published headers:
+  *    2-byte <0000><D7FF> + <E000><FFFF>, 4-byte <D800DC00><DBFFDFFF>
+  *    (first-byte disjoint: D8–DB starts only the 4-byte range, so the
+  *    shortest-match tokenizer stays exact). The BMP repertoire is the
+  *    locale charset's, like the UCS2 twins; the supplementary
+  *    repertoire is the CJK Unified Ideographs Extension B block
+  *    (U+20000–U+2A6DF) — the bulk of Adobe's supplementary
+  *    registrations (Japan1-6 / GB1-5 era) — mapped by identity.
   *
-  * Tables build LAZILY once per JVM (≈10–20k entries each, built by
+  * VERTICAL (-V) variants of every carried name are TABLE-SHARING
+  * ALIASES: per Adobe's registrations a -V CMap differs from its -H
+  * twin only in /WMode and in routing a handful of punctuation codes
+  * to ROTATED-GLYPH CIDs — the code→Unicode mapping text extraction
+  * needs is identical. The writing mode is surfaced as
+  * [[PredefCmap.vertical]] (extraction itself is order-preserving
+  * per show-run either way; glyph layout is out of scope).
+  *
+  * Names outside these keep the engine's fail-loud refusal (the error
+  * names the carried tables).
+  *
+  * Tables build LAZILY once per JVM (≈10–45k entries each, built by
   * enumerating the code ranges through the JDK charset — no committed
   * binary blob to drift from its generator).
   */
@@ -43,7 +62,8 @@ private[graft] object PredefCmaps {
 
   final case class PredefCmap(name: String,
                               codespaces: Seq[(Int, Long, Long)],
-                              toUni: Map[(Int, Long), String]) {
+                              toUni: Map[(Int, Long), String],
+                              vertical: Boolean = false) {
     // the shortest-match tokenizer (PdfCodec.decodeShown) is only
     // spec-equivalent for first-byte-disjoint range widths — the same
     // invariant parseCodespaces enforces for EMBEDDED CMaps; built-in
@@ -64,18 +84,28 @@ private[graft] object PredefCmaps {
   /** The Adobe character-collection ordering each carried CMap belongs
     * to — the /CIDSystemInfo a conforming CIDFont must pair with it
     * (ISO 32000-1 §9.7.5.2): (Ordering, Supplement). */
-  def orderingOf(name: String): (String, Int) = name match {
-    // supplements per Adobe's registrations (ISO 32000-1 Table 118):
-    // the UniJIS/UniGB UCS2 forms belong to Japan1-4 / GB1-4, the
-    // locale-encoding forms to Japan1-2 / GB1-2 / Korea1-1
-    case "90ms-RKSJ-H" => ("Japan1", 2)
-    case "UniJIS-UCS2-H" => ("Japan1", 4)
-    case "GBK-EUC-H" => ("GB1", 2)
-    case "UniGB-UCS2-H" => ("GB1", 4)
-    case "KSCms-UHC-H" | "UniKS-UCS2-H" => ("Korea1", 1)
+  def orderingOf(name: String): (String, Int) = baseName(name) match {
+    // supplements per Adobe's registrations (ISO 32000-1 Table 118 and
+    // the cmap-resources headers): UniJIS/UniGB UCS2 are Japan1-4 /
+    // GB1-4, the UTF16 forms Japan1-6 / GB1-5 / Korea1-2, the
+    // locale-encoding forms Japan1-2 / GB1-2 / Korea1-1; a -V variant
+    // shares its -H twin's registration
+    case "90ms-RKSJ" => ("Japan1", 2)
+    case "UniJIS-UCS2" => ("Japan1", 4)
+    case "UniJIS-UTF16" => ("Japan1", 6)
+    case "GBK-EUC" => ("GB1", 2)
+    case "UniGB-UCS2" => ("GB1", 4)
+    case "UniGB-UTF16" => ("GB1", 5)
+    case "KSCms-UHC" | "UniKS-UCS2" => ("Korea1", 1)
+    case "UniKS-UTF16" => ("Korea1", 2)
     case other => throw new IllegalArgumentException(
-      s"PredefCmaps: no ordering for /$other")
+      s"PredefCmaps: no ordering for /$name")
   }
+
+  /** "90ms-RKSJ-V" → "90ms-RKSJ"; names without an -H/-V suffix keep
+    * themselves (and miss every match above). */
+  private def baseName(name: String): String =
+    if (name.endsWith("-H") || name.endsWith("-V")) name.dropRight(2) else name
 
   private def cp932 = Charset.forName("windows-31j")
 
@@ -147,32 +177,95 @@ private[graft] object PredefCmaps {
   lazy val uniGbUcs2: PredefCmap = identityTable("UniGB-UCS2-H", () => gbk)
   lazy val uniKsUcs2: PredefCmap = identityTable("UniKS-UCS2-H", () => uhc)
 
-  /** The carried tables by PDF name — the horizontal workhorses of all
-    * three CJK locales; None keeps the caller's fail-loud path for
-    * everything else (verticals included: text extraction would need a
-    * WMode-aware layout pass). */
-  def forName(name: String): Option[PredefCmap] = name match {
-    case "90ms-RKSJ-H" => Some(rksj)
-    case "UniJIS-UCS2-H" => Some(uniJisUcs2)
-    case "GBK-EUC-H" => Some(gbkEuc)
-    case "UniGB-UCS2-H" => Some(uniGbUcs2)
-    case "KSCms-UHC-H" => Some(kscUhc)
-    case "UniKS-UCS2-H" => Some(uniKsUcs2)
-    case _ => None
+  /** Extension B block — the supplementary repertoire of the UTF16
+    * forms (see the object Scaladoc). */
+  private final val ExtBLo = 0x20000
+  private final val ExtBHi = 0x2a6df
+
+  /** A UTF16 CMap: BMP like [[identityTable]] but 2-byte codespaces
+    * that EXCLUDE the surrogate gap, plus 4-byte surrogate-pair codes
+    * for the Extension B block mapped by identity. */
+  private def utf16Table(name: String, cs: () => Charset): PredefCmap = {
+    val enc = cs().newEncoder()
+    val m = Map.newBuilder[(Int, Long), String]
+    var c = 0x0000
+    while (c <= 0xffff) {
+      val ch = c.toChar
+      if (!Character.isSurrogate(ch) && enc.canEncode(ch))
+        m += ((2, c.toLong) -> ch.toString)
+      c += 1
+    }
+    var cp = ExtBLo
+    while (cp <= ExtBHi) {
+      val pair = Character.toChars(cp)
+      val code = ((pair(0).toLong & 0xffffL) << 16) | (pair(1).toLong & 0xffffL)
+      m += ((4, code) -> new String(pair))
+      cp += 1
+    }
+    PredefCmap(name,
+      Seq((2, 0x0000L, 0xd7ffL), (2, 0xe000L, 0xffffL),
+          (4, 0xd800dc00L, 0xdbffdfffL)),
+      m.result())
   }
 
-  /** ENCODE one char to its code under the named CMap (the writer's
-    * side of the gate) — (width, code); fails loud outside the table's
-    * repertoire rather than emitting undecodable bytes. */
+  lazy val uniJisUtf16: PredefCmap = utf16Table("UniJIS-UTF16-H", () => cp932)
+  lazy val uniGbUtf16: PredefCmap = utf16Table("UniGB-UTF16-H", () => gbk)
+  lazy val uniKsUtf16: PredefCmap = utf16Table("UniKS-UTF16-H", () => uhc)
+
+  /** The carried tables by PDF name — the horizontal workhorses of all
+    * three CJK locales, their UTF16 forms, and every -V vertical as a
+    * table-sharing alias (writing mode surfaced, tables identical —
+    * see the object Scaladoc); None keeps the caller's fail-loud path
+    * for everything else. */
+  def forName(name: String): Option[PredefCmap] = {
+    val horizontal = baseName(name) match {
+      case "90ms-RKSJ" => Some(rksj)
+      case "UniJIS-UCS2" => Some(uniJisUcs2)
+      case "UniJIS-UTF16" => Some(uniJisUtf16)
+      case "GBK-EUC" => Some(gbkEuc)
+      case "UniGB-UCS2" => Some(uniGbUcs2)
+      case "UniGB-UTF16" => Some(uniGbUtf16)
+      case "KSCms-UHC" => Some(kscUhc)
+      case "UniKS-UCS2" => Some(uniKsUcs2)
+      case "UniKS-UTF16" => Some(uniKsUtf16)
+      case _ => None
+    }
+    if (name.endsWith("-V"))
+      horizontal.map(h => h.copy(name = name, vertical = true))
+    else if (name.endsWith("-H")) horizontal
+    else None
+  }
+
+  /** ENCODE one code point to its code under the named CMap (the
+    * writer's side of the gate) — (width, code); fails loud outside the
+    * table's repertoire rather than emitting undecodable bytes.
+    * Supplementary planes only encode under the UTF16 forms (4-byte
+    * surrogate-pair codes over the Extension B repertoire). */
+  def encodeCodePoint(cmapName: String, cp: Int): (Int, Long) =
+    if (cp > 0xffff) {
+      require(baseName(cmapName).endsWith("UTF16"),
+        f"PredefCmaps: supplementary U+$cp%05X needs a UTF16-form CMap, " +
+          s"not $cmapName")
+      require(cp >= ExtBLo && cp <= ExtBHi,
+        f"PredefCmaps: U+$cp%05X outside the $cmapName supplementary subset " +
+          "(CJK Extension B)")
+      val pair = Character.toChars(cp)
+      (4, ((pair(0).toLong & 0xffffL) << 16) | (pair(1).toLong & 0xffffL))
+    } else {
+      val (w, code) = encodeChar(cmapName, cp.toChar)
+      (w, code.toLong)
+    }
+
+  /** [[encodeCodePoint]] for a BMP char. */
   def encodeChar(cmapName: String, ch: Char): (Int, Int) = {
-    def charsetOf(n: String): Charset = n match {
-      case "90ms-RKSJ-H" | "UniJIS-UCS2-H" => cp932
-      case "GBK-EUC-H" | "UniGB-UCS2-H" => gbk
-      case "KSCms-UHC-H" | "UniKS-UCS2-H" => uhc
+    def charsetOf(n: String): Charset = baseName(n) match {
+      case "90ms-RKSJ" | "UniJIS-UCS2" | "UniJIS-UTF16" => cp932
+      case "GBK-EUC" | "UniGB-UCS2" | "UniGB-UTF16" => gbk
+      case "KSCms-UHC" | "UniKS-UCS2" | "UniKS-UTF16" => uhc
       case other => throw new IllegalArgumentException(
-        s"PredefCmaps: no built-in table for /$other " +
-          "(carried: 90ms-RKSJ-H, UniJIS-UCS2-H, GBK-EUC-H, UniGB-UCS2-H, " +
-          "KSCms-UHC-H, UniKS-UCS2-H)")
+        s"PredefCmaps: no built-in table for /$n " +
+          "(carried: 90ms-RKSJ, GBK-EUC, KSCms-UHC and the Uni*-UCS2 / " +
+          "Uni*-UTF16 trios, -H and -V forms)")
     }
     val cs = charsetOf(cmapName)
     if (cmapName.startsWith("Uni")) {

@@ -771,10 +771,11 @@ class PdfCodecSpec extends SparkSpec {
     assert(e.getMessage.contains("ToUnicode"))
   }
 
-  test("UNCARRIED predefined encoding names still fail loud (only the two built-ins decode)") {
+  test("UNCARRIED predefined encoding names still fail loud") {
     val pdf = new String(PdfCodec.encodeCidPdf(Seq("字")), "ISO-8859-1")
-    // UniJIS-UTF16-H is a real registered CMap this engine does NOT carry
-    val broken = pdf.replace("/Identity-H", "/UniJIS-UTF16-H")
+    // 78-RKSJ-H is a real registered CMap this engine does NOT carry
+    // (UniJIS-UTF16-H moved to the carried set in round 16)
+    val broken = pdf.replace("/Identity-H", "/78-RKSJ-H")
     val e = intercept[IllegalArgumentException](
       PdfCodec.extractText(broken.getBytes("ISO-8859-1")))
     assert(e.getMessage.contains("predefined CMap"), e.getMessage)
@@ -842,6 +843,50 @@ class PdfCodecSpec extends SparkSpec {
     assert(PredefCmaps.orderingOf("UniGB-UCS2-H") == ("GB1", 4))
     assert(PredefCmaps.orderingOf("KSCms-UHC-H") == ("Korea1", 1))
     assert(PredefCmaps.orderingOf("UniKS-UCS2-H") == ("Korea1", 1))
+  }
+
+  test("UTF16 predefined CMaps: surrogate-aware codes incl. Extension B; -V verticals alias") {
+    import graft.pipeline.PredefCmaps
+    // supplementary chars (CJK Ext B): 𠮷 U+20BB7, 𠀋 U+2000B, 𠀃 U+20003
+    val pages = Seq("Hello 世界 mixed 𠮷野家 with ExtB 𠀋", "second page カタカナ")
+    for (cmap <- Seq("UniJIS-UTF16-H", "UniJIS-UTF16-V")) {
+      val pdf = PdfCodec.encodeCmapPredefPdf(pages, cmap, compress = true)
+      assert(PdfCodec.extractText(pdf) == pages, cmap)
+    }
+    val zh = Seq("中文 𠀃 ext b")
+    assert(PdfCodec.extractText(PdfCodec.encodeCmapPredefPdf(zh, "UniGB-UTF16-H")) == zh)
+    val ko = Seq("한국어 𠀃")
+    assert(PdfCodec.extractText(PdfCodec.encodeCmapPredefPdf(ko, "UniKS-UTF16-H")) == ko)
+    // -V verticals are TABLE-SHARING aliases with the mode surfaced
+    val v = PredefCmaps.forName("90ms-RKSJ-V").get
+    assert(v.vertical && v.name == "90ms-RKSJ-V")
+    assert(v.toUni eq PredefCmaps.forName("90ms-RKSJ-H").get.toUni)
+    assert(!PredefCmaps.forName("UniJIS-UTF16-H").get.vertical)
+    assert(PdfCodec.extractText(
+      PdfCodec.encodeCmapPredefPdf(Seq("縦書き page"), "90ms-RKSJ-V")) == Seq("縦書き page"))
+    // writer refusals: supplementary outside Ext B (emoji), and any
+    // supplementary under a UCS2 form
+    val eSupp = intercept[IllegalArgumentException](PdfCodec.encodeCmapPredefPdf(
+      Seq(new String(Character.toChars(0x1f600))), "UniJIS-UTF16-H"))
+    assert(eSupp.getMessage.contains("Extension B"), eSupp.getMessage)
+    val eUcs2 = intercept[IllegalArgumentException](
+      PdfCodec.encodeCmapPredefPdf(Seq("𠮷"), "UniJIS-UCS2-H"))
+    assert(eUcs2.getMessage.contains("UTF16"), eUcs2.getMessage)
+    // decoder: the 2-byte codespaces EXCLUDE the surrogate gap, so a
+    // spliced lone-high-surrogate code fails the tokenizer loud
+    val pdf = new String(
+      PdfCodec.encodeCmapPredefPdf(Seq("字A"), "UniJIS-UTF16-H", compress = false),
+      "ISO-8859-1")
+    assert(pdf.contains("<5B570041>"), "content shape changed")
+    val broken = pdf.replace("<5B570041>", "<D8400041>")
+    val eTok = intercept[IllegalArgumentException](
+      PdfCodec.extractText(broken.getBytes("ISO-8859-1")))
+    assert(eTok.getMessage.contains("codespace"), eTok.getMessage)
+    // registrations (Adobe cmap-resources): UTF16 forms are Japan1-6 /
+    // GB1-5 / Korea1-2; -V shares its -H twin's registration
+    assert(PredefCmaps.orderingOf("UniJIS-UTF16-H") == ("Japan1", 6))
+    assert(PredefCmaps.orderingOf("UniGB-UTF16-V") == ("GB1", 5))
+    assert(PredefCmaps.orderingOf("UniKS-UTF16-H") == ("Korea1", 2))
   }
 
   test("EMBEDDED /Encoding CMap: mixed 1/2-byte codes round-trip (the RKSJ shape)") {
