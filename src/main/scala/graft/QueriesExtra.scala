@@ -1773,6 +1773,41 @@ object QueriesExtra {
              |FROM px GROUP BY doc_id, f, w, h, ch, dim
              |ORDER BY doc_id, frame_idx, dim""".stripMargin)),
 
+    // MP4/ISO-BMFF container extraction (round 16, VERDICT r15 #4):
+    // the SAME frame corpus as q_frame_decode, but wrapped in a
+    // conforming MP4 — ftyp/mdat/moov, a vide-handler track, a `jpeg`
+    // VisualSampleEntry and the full stts/stsc/stsz/stco sample
+    // tables — so the oracle (carried VERBATIM from q_frame_decode,
+    // the q_frame_avi convention) gates container invariance: box
+    // walk, track selection and the stsc×stco×stsz sample-placement
+    // walk must recover byte-identical frame payloads or every tile
+    // feature hash-mismatches. MP4 is the wrapper real video corpora
+    // overwhelmingly arrive in; fragmented files (moof/mvex) fail loud.
+    "q_frame_mp4" -> QueryDef(
+      (s, d) => BinaryPipeline.decodeFrameTiles(
+          BinaryPipeline.synthesizeMp4s(Tables.documents(s, d)), stride = 2)
+        .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
+          col("components"), posexplode(col("features")).as(Seq("dim", "v")))
+        .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
+          col("components"), col("dim").cast("long").as("dim"),
+          round(col("v"), 6).as("v"))
+        .orderBy(col("doc_id"), col("frame_idx"), col("dim")),
+      Some("""WITH p AS (SELECT doc_id, 24 + doc_id % 13 AS w, 16 + doc_id % 11 AS h,
+             |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS ch,
+             |    3 + doc_id % 4 AS nf FROM documents),
+             |fr AS (SELECT p.*, f FROM p, unnest(range(0, nf)) t(f) WHERE f % 2 = 0),
+             |px AS (SELECT doc_id, w, h, ch, f,
+             |    (((y*2)//h) * 2 + ((x*2)//w)) * ch + c AS dim,
+             |    128 + 3*(((doc_id*31 + (x//8)*7 + (y//8)*13 + f*11) % 53) - 26) AS v
+             |  FROM fr, unnest(range(0, w)) AS gx(x), unnest(range(0, h)) AS gy(y),
+             |       unnest(range(0, ch)) AS gc(c))
+             |SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+             |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             |  CAST(ch AS BIGINT) AS components,
+             |  CAST(dim AS BIGINT) AS dim, round(avg(v), 6) AS v
+             |FROM px GROUP BY doc_id, f, w, h, ch, dim
+             |ORDER BY doc_id, frame_idx, dim""".stripMargin)),
+
     // CMYK / Adobe YCCK JPEG decode (round 15, VERDICT r14 #4): the
     // print-corpus variant — 4-component baseline files under an Adobe
     // APP14 marker, values stored INVERTED, transform 0 (direct CMYK

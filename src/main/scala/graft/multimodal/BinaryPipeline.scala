@@ -658,9 +658,56 @@ object BinaryPipeline {
     }(enc)
   }
 
+  /** [[synthesizeMjpegs]]' MP4-wrapped twin ([[Mp4Codec]] writes a
+    * conforming ISO-BMFF file — ftyp/mdat/moov, a vide track with a
+    * `jpeg` VisualSampleEntry and full stts/stsc/stsz/stco tables):
+    * the SAME frame formulas, so q_frame_mp4 carries q_frame_decode's
+    * oracle VERBATIM — container invariance, the q_frame_avi
+    * convention. */
+  def synthesizeMp4s(docs: DataFrame, idCol: String = "doc_id",
+                     batchSize: Int = 16): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false),
+      StructField("meta", StructType(Seq(
+        StructField("media_type", StringType, nullable = false),
+        StructField("declared_bytes", LongType, nullable = false))), nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val ids = docs.select(col(idCol))
+    ids.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val id = r.getLong(0)
+          val w = (24 + id % 13).toInt
+          val h = (16 + id % 11).toInt
+          val comps = if (id % 2 == 0) 1 else 3
+          val nFrames = (3 + id % 4).toInt
+          val frames = (0 until nFrames).map { f =>
+            val px = new Array[Byte](w * h * comps)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val v = (128 + 3 * ((id * 31 + (x / 8) * 7 + (y / 8) * 13 + f * 11) % 53 - 26)).toByte
+                var c = 0
+                while (c < comps) { px((y * w + x) * comps + c) = v; c += 1 }
+                x += 1
+              }
+              y += 1
+            }
+            JpegCodec.encode(w, h, comps, px, quality = 90)
+          }
+          val bytes = Mp4Codec.encode(frames, w, h)
+          Row(id, bytes, Row("video/mp4", bytes.length.toLong))
+        }
+      }
+    }(enc)
+  }
+
   /** REAL frame sampling + decode over video (id, content) rows: the
     * container is SNIFFED per row — RIFF/AVI streams split via
-    * [[AviCodec.videoFrames]], bare concatenated-JPEG (MJPEG) via
+    * [[AviCodec.videoFrames]], ISO-BMFF/MP4 via [[Mp4Codec.videoFrames]]
+    * (jpeg/mjpa sample entries), bare concatenated-JPEG (MJPEG) via
     * [[JpegCodec.frameOffsets]]'s marker walk — then every `stride`-th
     * frame decodes through the real codec and runs the EXISTING
     * grid-pooled tile featurizer, so the video path emits the same
@@ -691,6 +738,9 @@ object BinaryPipeline {
           val frames: Iterator[(Array[Byte], Int)] =
             if (AviCodec.isAvi(content))
               AviCodec.videoFrames(content).iterator.zipWithIndex
+                .filter(_._2 % stride == 0)
+            else if (Mp4Codec.isMp4(content))
+              Mp4Codec.videoFrames(content).iterator.zipWithIndex
                 .filter(_._2 % stride == 0)
             else JpegCodec.frameOffsets(content).iterator.zipWithIndex
               .filter(_._2 % stride == 0)
