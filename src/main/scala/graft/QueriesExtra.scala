@@ -1382,6 +1382,68 @@ object QueriesExtra {
              |FROM s GROUP BY doc_id, wi
              |ORDER BY doc_id, seg_idx""".stripMargin)),
 
+    // IMA ADPCM audio decode (round 16, VERDICT r15 #5): the remaining
+    // common compressed WAV wire format in telephony/game corpora —
+    // format-0x11 files whose 4-bit nibbles predict samples through the
+    // public IMA step table, with per-block predictor reset from the
+    // block header. The WIRE content (headers + nibble stream) is
+    // formula-synthesized, and the oracle replays the decoder's FULL
+    // predictor recursion as a DuckDB recursive CTE over the same
+    // public table (restated literally) — so a wrong step entry, a
+    // clamp bug, a nibble-order swap or a missed block reset breaks
+    // the hash on real decoded samples, not summaries of them.
+    "q_audio_adpcm" -> QueryDef(
+      (s, d) => BinaryPipeline.decodeWavSegments(
+          BinaryPipeline.synthesizeAdpcmWavs(Tables.documents(s, d)),
+          winFrames = 160, hopFrames = 80)
+        .orderBy(col("doc_id"), col("seg_idx")),
+      Some("""WITH RECURSIVE
+             |stept(idx, st) AS (SELECT * FROM (VALUES
+             |    (0,7),(1,8),(2,9),(3,10),(4,11),(5,12),(6,13),(7,14),(8,16),(9,17),(10,19),(11,21),(12,23),(13,25),(14,28),(15,31),(16,34),(17,37),(18,41),(19,45),(20,50),(21,55),(22,60),(23,66),(24,73),(25,80),(26,88),(27,97),(28,107),(29,118),(30,130),(31,143),(32,157),(33,173),(34,190),(35,209),(36,230),(37,253),(38,279),(39,307),(40,337),(41,371),(42,408),(43,449),(44,494),(45,544),(46,598),(47,658),(48,724),(49,796),(50,876),(51,963),(52,1060),(53,1166),(54,1282),(55,1411),(56,1552),(57,1707),(58,1878),(59,2066),(60,2272),(61,2499),(62,2749),(63,3024),(64,3327),(65,3660),(66,4026),(67,4428),(68,4871),(69,5358),(70,5894),(71,6484),(72,7132),(73,7845),(74,8630),(75,9493),(76,10442),(77,11487),(78,12635),(79,13899),(80,15289),(81,16818),(82,18500),(83,20350),(84,22385),(85,24623),(86,27086),(87,29794),(88,32767)
+             |  ) v(a, b)),
+             |p AS (SELECT doc_id, 4 + doc_id % 5 AS nb FROM documents),
+             |blk AS (SELECT doc_id, b FROM p, unnest(range(0, nb)) t(b)),
+             |step AS (
+             |  SELECT doc_id, b, 0 AS k,
+             |    CAST((doc_id*37 + b*101) % 4001 - 2000 AS BIGINT) AS pred,
+             |    CAST((doc_id + b*7) % 89 AS BIGINT) AS idx
+             |  FROM blk
+             |  UNION ALL
+             |  SELECT s.doc_id, s.b, s.k + 1,
+             |    greatest(-32768, least(32767, s.pred +
+             |      (CASE WHEN (s.doc_id*31 + s.b*17 + s.k*7) % 16 >= 8
+             |            THEN -1 ELSE 1 END) *
+             |      ((t.st // 8)
+             |       + CASE WHEN (s.doc_id*31 + s.b*17 + s.k*7) % 2 = 1
+             |              THEN t.st // 4 ELSE 0 END
+             |       + CASE WHEN ((s.doc_id*31 + s.b*17 + s.k*7) % 16) // 2 % 2 = 1
+             |              THEN t.st // 2 ELSE 0 END
+             |       + CASE WHEN ((s.doc_id*31 + s.b*17 + s.k*7) % 16) // 4 % 2 = 1
+             |              THEN t.st ELSE 0 END))),
+             |    greatest(0, least(88, s.idx +
+             |      CASE (s.doc_id*31 + s.b*17 + s.k*7) % 8
+             |        WHEN 4 THEN 2 WHEN 5 THEN 4 WHEN 6 THEN 6 WHEN 7 THEN 8
+             |        ELSE -1 END))
+             |  FROM step s JOIN stept t ON t.idx = s.idx
+             |  WHERE s.k < 64),
+             |smp AS (SELECT doc_id, b*65 + k AS i, pred AS v FROM step),
+             |w AS (SELECT p.doc_id, p.nb*65 AS nf, wi FROM p,
+             |  unnest(range(0, greatest(1, CAST(ceil((p.nb*65) / 80.0) AS INT)))) t(wi)),
+             |f AS (SELECT w.doc_id, w.nf, w.wi, i FROM w,
+             |  unnest(range(wi*80, least(nf, wi*80 + 160))) t(i)),
+             |s2 AS (SELECT f.doc_id, f.wi, f.i, a.v, pb.v AS pv
+             |  FROM f JOIN smp a ON a.doc_id = f.doc_id AND a.i = f.i
+             |  LEFT JOIN smp pb ON pb.doc_id = f.doc_id AND pb.i = f.i - 1)
+             |SELECT doc_id, CAST(wi AS BIGINT) AS seg_idx,
+             |  CAST(8000 AS BIGINT) AS sample_rate, CAST(1 AS BIGINT) AS channels,
+             |  CAST(4 AS BIGINT) AS bits,
+             |  CAST(count(DISTINCT i) AS BIGINT) AS n_frames,
+             |  CAST(SUM(v*v) AS BIGINT) AS sq_sum,
+             |  CAST(coalesce(SUM(CASE WHEN i > wi*80
+             |    AND (pv >= 0) != (v >= 0) THEN 1 END), 0) AS BIGINT) AS zero_crossings
+             |FROM s2 GROUP BY doc_id, wi
+             |ORDER BY doc_id, seg_idx""".stripMargin)),
+
     // REAL image decode (PngCodec): deterministic PNGs are synthesized
     // in-engine from doc_id alone (gray/RGB/RGBA, cycling row filters,
     // CRC'd chunks), then decoded for real — inflate, per-row unfilter,

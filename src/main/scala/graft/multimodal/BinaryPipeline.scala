@@ -242,6 +242,50 @@ object BinaryPipeline {
     }(enc)
   }
 
+  /** [[synthesizeMulawWavs]]'s IMA-ADPCM sibling: mono format-0x11
+    * files whose WIRE content (block headers + nibble stream) derives
+    * from doc_id, so the oracle can replay the decoder's predictor
+    * recursion exactly (a recursive CTE over the public step table):
+    *   blockAlign 36 → 65 samples/block, nBlocks = 4 + doc_id % 5
+    *   block b: header predictor = (doc_id·37 + b·101) mod 4001 − 2000
+    *            header step index = (doc_id + b·7) mod 89
+    *   nibble k (0-63, low nibble of byte k/2 first) =
+    *            (doc_id·31 + b·17 + k·7) mod 16 */
+  def synthesizeAdpcmWavs(docs: DataFrame, idCol: String = "doc_id",
+                          batchSize: Int = 16): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false),
+      StructField("meta", StructType(Seq(
+        StructField("media_type", StringType, nullable = false),
+        StructField("declared_bytes", LongType, nullable = false))), nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val ids = docs.select(col(idCol))
+    ids.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val id = r.getLong(0)
+          val nBlocks = (4 + id % 5).toInt
+          val blocks = (0 until nBlocks).map { b =>
+            val pred = ((id * 37 + b * 101L) % 4001).toInt - 2000
+            val idx = ((id + b * 7L) % 89).toInt
+            val payload = new Array[Byte](32)
+            var j = 0
+            while (j < 32) {
+              val lo = ((id * 31 + b * 17 + (2 * j) * 7L) % 16).toInt
+              val hi = ((id * 31 + b * 17 + (2 * j + 1) * 7L) % 16).toInt
+              payload(j) = ((hi << 4) | lo).toByte
+              j += 1
+            }
+            (Array(pred), Array(idx), payload)
+          }
+          val bytes = WavCodec.encodeAdpcm(8000, 1, 36, blocks)
+          Row(id, bytes, Row("audio/wav", bytes.length.toLong))
+        }
+      }
+    }(enc)
+  }
+
   /** REAL audio-window features over (id, content) rows: every content
     * blob must be a WAV ([[WavCodec]] fails loud otherwise). Decodes the
     * PCM frames, then cuts OVERLAPPING windows of `winFrames` frames

@@ -9,17 +9,24 @@ import java.io.ByteArrayOutputStream
   * decoded features from the synthesis formulas alone).
   *
   * Format: RIFF container (`RIFF <size> WAVE`), `fmt ` chunk with
-  * audio-format 1 (integer PCM), 6 (G.711 A-law) or 7 (G.711 µ-law) —
-  * round 15's telephony-corpus formats — `data` chunk with interleaved
-  * frames. Scope (fail-loud beyond it, never silent garbage):
-  *  - PCM and G.711 only — other compressed formats (ADPCM 2/17,
-  *    float 3) and WAVE_FORMAT_EXTENSIBLE (0xFFFE) reject with the
-  *    format code
+  * audio-format 1 (integer PCM), 6 (G.711 A-law), 7 (G.711 µ-law) —
+  * round 15's telephony-corpus formats — or 0x11 (IMA ADPCM, round
+  * 16: the remaining common compressed wire format in telephony/game
+  * corpora) — `data` chunk with interleaved frames (or, for ADPCM,
+  * self-contained nibble blocks). Scope (fail-loud beyond it, never
+  * silent garbage):
+  *  - other compressed formats (MS ADPCM 2, float 3) and
+  *    WAVE_FORMAT_EXTENSIBLE (0xFFFE) reject with the format code
   *  - PCM: 8-bit (unsigned on the wire, per spec) and 16-bit (signed
   *    LE); µ-law/A-law: 8-bit codes expanded to 16-bit-scale linear
-  *    via the CCITT formulas
+  *    via the CCITT formulas; IMA ADPCM: 4-bit nibble prediction with
+  *    the public step table, per-block predictor reset from the block
+  *    header (header = sample 0), low-nibble-first, 4-byte groups
+  *    round-robin across channels
   *  - 1–8 channels; block-align and byte-rate must agree with the
-  *    declared geometry; the data payload must be WHOLE frames
+  *    declared geometry; the data payload must be WHOLE frames (whole
+  *    blocks for ADPCM, with the declared samples-per-block matching
+  *    the block geometry)
   *  - unknown chunks (LIST, fact, cue…) skip with the spec's word
   *    alignment (odd-sized chunks carry a pad byte)
   *
@@ -105,6 +112,42 @@ object WavCodec {
     (~((if (neg) 0x80 else 0) | (exp << 4) | mant)) & 0xff
   }
 
+  // ── IMA ADPCM (wave format 0x11) ───────────────────────────────────
+
+  /** The public IMA/DVI step-size table (89 entries). */
+  private[graft] val ImaStepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+
+  /** Per-nibble index adjustment (magnitudes 0-7; sign bit is separate). */
+  private[graft] val ImaIndexTable: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** One IMA nibble step: (newPredictor, newIndex). The delta is the
+    * bit-serial form of the reference algorithm (diff = step/8 +
+    * step/4·b0 + step/2·b1 + step·b2, truncating division baked into
+    * the shifts), predictor clamped to 16-bit, index to [0, 88]. */
+  private[graft] def imaStep(pred: Int, idx: Int, nibble: Int): (Int, Int) = {
+    val step = ImaStepTable(idx)
+    var delta = step >> 3
+    if ((nibble & 1) != 0) delta += step >> 2
+    if ((nibble & 2) != 0) delta += step >> 1
+    if ((nibble & 4) != 0) delta += step
+    val p = if ((nibble & 8) != 0) pred - delta else pred + delta
+    val clamped = math.max(-32768, math.min(32767, p))
+    val ni = math.max(0, math.min(88, idx + ImaIndexTable(nibble & 7)))
+    (clamped, ni)
+  }
+
+  /** Samples per IMA block: the header sample plus two nibbles per data
+    * byte, per channel. */
+  private def adpcmSamplesPerBlock(blockAlign: Int, channels: Int): Int =
+    (blockAlign - 4 * channels) * 2 / channels + 1
+
   /** True iff `content` starts with the RIFF/WAVE 12-byte preamble. */
   def isWav(b: Array[Byte]): Boolean =
     b.length >= 12 &&
@@ -140,10 +183,10 @@ object WavCodec {
           require(clen >= 16, s"WavCodec: fmt chunk of $clen bytes (want >= 16)")
           fmtSeen = true
           val fmt = le16(off)
-          require(fmt == 1 || fmt == 6 || fmt == 7,
+          require(fmt == 1 || fmt == 6 || fmt == 7 || fmt == 0x11,
             s"WavCodec: audio format $fmt unsupported (1 = integer PCM, " +
-              "6 = G.711 A-law, 7 = G.711 mu-law; other compressed/float/" +
-              "extensible WAV out of scope)")
+              "6 = G.711 A-law, 7 = G.711 mu-law, 17 = IMA ADPCM; other " +
+              "compressed/float/extensible WAV out of scope)")
           format = fmt
           channels = le16(off + 2)
           require(channels >= 1 && channels <= 8,
@@ -153,16 +196,40 @@ object WavCodec {
           val byteRate = le32(off + 8)
           blockAlign = le16(off + 12)
           bits = le16(off + 14)
-          require(bits == 8 || bits == 16,
-            s"WavCodec: $bits bits/sample unsupported (8 or 16)")
-          require(format == 1 || bits == 8,
-            s"WavCodec: G.711 with $bits bits/sample (8-bit codes only)")
-          require(blockAlign == channels * (bits / 8),
-            s"WavCodec: block align $blockAlign contradicts " +
-              s"$channels ch x $bits bit")
-          require(byteRate == sampleRate.toLong * blockAlign,
-            s"WavCodec: byte rate $byteRate contradicts " +
-              s"$sampleRate Hz x $blockAlign bytes/frame")
+          if (format == 0x11) {
+            // IMA ADPCM: 4-bit nibbles in self-contained blocks of
+            // blockAlign bytes; the extended fmt fields must declare
+            // the samples-per-block the geometry implies
+            require(bits == 4,
+              s"WavCodec: IMA ADPCM with $bits bits/sample (4-bit nibbles only)")
+            require(blockAlign > 4 * channels &&
+                (blockAlign - 4 * channels) % (4 * channels) == 0,
+              s"WavCodec: IMA ADPCM block align $blockAlign not 4·$channels " +
+                "header bytes + whole 4-byte nibble groups per channel")
+            require(clen >= 20, s"WavCodec: IMA ADPCM fmt chunk of $clen bytes " +
+              "(want >= 20: cbSize + samplesPerBlock)")
+            val cbSize = le16(off + 16)
+            require(cbSize >= 2, s"WavCodec: IMA ADPCM cbSize $cbSize (want >= 2)")
+            val declaredSpb = le16(off + 18)
+            val spb = adpcmSamplesPerBlock(blockAlign, channels)
+            require(declaredSpb == spb,
+              s"WavCodec: fmt declares $declaredSpb samples/block, block " +
+                s"geometry implies $spb")
+            require(byteRate == sampleRate.toLong * blockAlign / spb,
+              s"WavCodec: byte rate $byteRate contradicts " +
+                s"$sampleRate Hz x $blockAlign-byte blocks of $spb samples")
+          } else {
+            require(bits == 8 || bits == 16,
+              s"WavCodec: $bits bits/sample unsupported (8 or 16)")
+            require(format == 1 || bits == 8,
+              s"WavCodec: G.711 with $bits bits/sample (8-bit codes only)")
+            require(blockAlign == channels * (bits / 8),
+              s"WavCodec: block align $blockAlign contradicts " +
+                s"$channels ch x $bits bit")
+            require(byteRate == sampleRate.toLong * blockAlign,
+              s"WavCodec: byte rate $byteRate contradicts " +
+                s"$sampleRate Hz x $blockAlign bytes/frame")
+          }
         case "data" =>
           require(fmtSeen, "WavCodec: data chunk before fmt")
           data = (off, clen.toInt)
@@ -174,6 +241,57 @@ object WavCodec {
     require(fmtSeen, "WavCodec: no fmt chunk")
     require(data != null, "WavCodec: no data chunk")
     val (dOff, dLen) = data
+    if (format == 0x11) {
+      // block-structured: per channel a 4-byte header (initial
+      // predictor i16 LE = SAMPLE 0, step index u8, reserved u8), then
+      // 4-byte nibble groups round-robin across channels, low nibble
+      // first — the public IMA-in-WAV layout
+      require(dLen % blockAlign == 0,
+        s"WavCodec: ADPCM data payload of $dLen bytes is not whole " +
+          s"$blockAlign-byte blocks")
+      val spb = adpcmSamplesPerBlock(blockAlign, channels)
+      val nBlocks = dLen / blockAlign
+      val frames = nBlocks * spb
+      val out = new Array[Int](frames * channels)
+      var b = 0
+      while (b < nBlocks) {
+        val blockAt = dOff + b * blockAlign
+        val pred = new Array[Int](channels)
+        val idx = new Array[Int](channels)
+        var c = 0
+        while (c < channels) {
+          val h = blockAt + 4 * c
+          pred(c) = ((bytes(h) & 0xff) | (bytes(h + 1) << 8)).toShort.toInt
+          idx(c) = bytes(h + 2) & 0xff
+          require(idx(c) <= 88,
+            s"WavCodec: ADPCM block $b channel $c step index ${idx(c)} > 88")
+          require(bytes(h + 3) == 0,
+            s"WavCodec: ADPCM block $b channel $c reserved header byte nonzero")
+          out((b * spb) * channels + c) = pred(c)
+          c += 1
+        }
+        val groups = (blockAlign - 4 * channels) / 4 // per-channel groups × channels
+        var g = 0
+        while (g < groups) {
+          val ch = g % channels
+          val groupOfCh = g / channels
+          val gAt = blockAt + 4 * channels + 4 * g
+          var k = 0
+          while (k < 8) {
+            val byte = bytes(gAt + (k >> 1)) & 0xff
+            val nib = if ((k & 1) == 0) byte & 0xf else (byte >> 4) & 0xf
+            val (p, ni) = imaStep(pred(ch), idx(ch), nib)
+            pred(ch) = p; idx(ch) = ni
+            val frameInBlock = 1 + groupOfCh * 8 + k
+            out((b * spb + frameInBlock) * channels + ch) = p
+            k += 1
+          }
+          g += 1
+        }
+        b += 1
+      }
+      return WavAudio(sampleRate, channels, bits, frames, out, format)
+    }
     require(dLen % blockAlign == 0,
       s"WavCodec: data payload of $dLen bytes is not whole frames " +
         s"(block align $blockAlign)")
@@ -221,6 +339,54 @@ object WavCodec {
     le32(sampleRate * channels); le16(channels); le16(8)
     w("data"); le32(codes.length)
     out.write(codes, 0, codes.length)
+    out.toByteArray
+  }
+
+  /** IMA ADPCM WAV ENCODE from RAW block material (the synthesis-side
+    * primitive, like [[encodeMulaw]]'s raw codes): each block is
+    * (initial predictor per channel, initial step index per channel,
+    * nibble payload of blockAlign − 4·channels bytes). The header
+    * triplets and payload are written verbatim — the decoder's
+    * recursion is what a gate exercises, so the wire content is
+    * formula-controlled by the caller. */
+  def encodeAdpcm(sampleRate: Int, channels: Int, blockAlign: Int,
+                  blocks: Seq[(Array[Int], Array[Int], Array[Byte])]): Array[Byte] = {
+    require(channels >= 1 && channels <= 8, s"WavCodec.encodeAdpcm: $channels channels")
+    require(sampleRate > 0, "WavCodec.encodeAdpcm: zero sample rate")
+    require(blockAlign > 4 * channels &&
+        (blockAlign - 4 * channels) % (4 * channels) == 0,
+      s"WavCodec.encodeAdpcm: bad block align $blockAlign for $channels ch")
+    require(blocks.nonEmpty, "WavCodec.encodeAdpcm: no blocks")
+    val spb = adpcmSamplesPerBlock(blockAlign, channels)
+    val dataLen = blocks.length * blockAlign
+    val out = new ByteArrayOutputStream(60 + dataLen)
+    def w(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >>> 16) & 0xffff) }
+    w("RIFF"); le32(40 + dataLen); w("WAVE")
+    w("fmt "); le32(20)
+    le16(0x11); le16(channels); le32(sampleRate)
+    le32((sampleRate.toLong * blockAlign / spb).toInt)
+    le16(blockAlign); le16(4)
+    le16(2); le16(spb) // cbSize, samplesPerBlock
+    w("data"); le32(dataLen)
+    blocks.foreach { case (preds, idxs, payload) =>
+      require(preds.length == channels && idxs.length == channels,
+        "WavCodec.encodeAdpcm: per-channel header arity mismatch")
+      require(payload.length == blockAlign - 4 * channels,
+        s"WavCodec.encodeAdpcm: payload ${payload.length} != " +
+          s"${blockAlign - 4 * channels}")
+      var c = 0
+      while (c < channels) {
+        require(preds(c) >= Short.MinValue && preds(c) <= Short.MaxValue,
+          s"WavCodec.encodeAdpcm: predictor ${preds(c)} out of 16-bit range")
+        require(idxs(c) >= 0 && idxs(c) <= 88,
+          s"WavCodec.encodeAdpcm: step index ${idxs(c)} out of [0,88]")
+        le16(preds(c) & 0xffff); out.write(idxs(c)); out.write(0)
+        c += 1
+      }
+      out.write(payload, 0, payload.length)
+    }
     out.toByteArray
   }
 
