@@ -1870,6 +1870,46 @@ object QueriesExtra {
              |FROM px GROUP BY doc_id, f, w, h, ch, dim
              |ORDER BY doc_id, frame_idx, dim""".stripMargin)),
 
+    // ANIMATED-GIF frame sampling (round 16, VERDICT r15 #7): multi-
+    // frame GIFs routed through the SAME decodeFrameTiles pipeline as
+    // MJPEG/AVI/MP4, but each frame arrives COMPOSITED the way a viewer
+    // displays it — odd frames carry transparent holes whose composited
+    // value is the PREVIOUS frame's pixel (disposal 1) or the
+    // background color (disposal 2), both closed-form in the oracle.
+    // stride = 1 so the composite frames are actually sampled; a
+    // decoder that ignored transparency, skipped the disposal reset or
+    // dropped frames hash-mismatches the tile features.
+    "q_frame_gif" -> QueryDef(
+      (s, d) => BinaryPipeline.decodeFrameTiles(
+          BinaryPipeline.synthesizeAnimGifs(Tables.documents(s, d)), stride = 1)
+        .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
+          col("components"), posexplode(col("features")).as(Seq("dim", "v")))
+        .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
+          col("components"), col("dim").cast("long").as("dim"),
+          round(col("v"), 6).as("v"))
+        .orderBy(col("doc_id"), col("frame_idx"), col("dim")),
+      Some("""WITH p AS (SELECT doc_id, 16 + doc_id % 9 AS w, 16 + doc_id % 7 AS h,
+             |    3 + doc_id % 4 AS nf FROM documents),
+             |fr AS (SELECT p.*, f FROM p, unnest(range(0, nf)) t(f)),
+             |px AS (SELECT doc_id, w, h, f, x, y,
+             |    CASE WHEN f % 2 = 0 OR (x + y) % 2 = 1
+             |         THEN (doc_id*31 + f*11 + x*7 + y*13) % 250
+             |         WHEN doc_id % 2 = 0
+             |         THEN (doc_id*31 + (f-1)*11 + x*7 + y*13) % 250
+             |         ELSE 0 END AS i
+             |  FROM fr, unnest(range(0, w)) gx(x), unnest(range(0, h)) gy(y)),
+             |ch AS (SELECT doc_id, w, h, f,
+             |    (((y*2)//h) * 2 + ((x*2)//w)) * 3 + c AS dim,
+             |    CASE c WHEN 0 THEN (i*37) % 256 WHEN 1 THEN (i*59 + 17) % 256
+             |           ELSE (i*83 + 29) % 256 END AS v
+             |  FROM px, unnest(range(0, 3)) gc(c))
+             |SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+             |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             |  CAST(3 AS BIGINT) AS components,
+             |  CAST(dim AS BIGINT) AS dim, round(avg(v), 6) AS v
+             |FROM ch GROUP BY doc_id, f, w, h, dim
+             |ORDER BY doc_id, frame_idx, dim""".stripMargin)),
+
     // CMYK / Adobe YCCK JPEG decode (round 15, VERDICT r14 #4): the
     // print-corpus variant — 4-component baseline files under an Adobe
     // APP14 marker, values stored INVERTED, transform 0 (direct CMYK

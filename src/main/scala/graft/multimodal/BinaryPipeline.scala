@@ -748,6 +748,66 @@ object BinaryPipeline {
     }(enc)
   }
 
+  /** ANIMATED-GIF synthesis for the frame-sampling gate: one GIF89a per
+    * doc whose frames exercise REAL compositing —
+    *   w = 16 + id%9, h = 16 + id%7, frames = 3 + id%4
+    *   palette entry i: ((i·37)%256, (i·59+17)%256, (i·83+29)%256),
+    *   256 entries, background index 0, transparent index 250
+    *   EVEN frames: fully opaque, index (id·31+f·11+x·7+y·13) % 250,
+    *     disposal 1 when id is even else 2 (restore-to-background)
+    *   ODD frames: TRANSPARENT holes where (x+y)%2 == 0, disposal 1
+    * so an odd composited frame shows, in its holes, the PREVIOUS
+    * frame's pixel (id even) or the background color (id odd) — both
+    * closed-form replayable by the oracle. */
+  def synthesizeAnimGifs(docs: DataFrame, idCol: String = "doc_id",
+                         batchSize: Int = 16): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false),
+      StructField("meta", StructType(Seq(
+        StructField("media_type", StringType, nullable = false),
+        StructField("declared_bytes", LongType, nullable = false))), nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val ids = docs.select(col(idCol))
+    ids.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val id = r.getLong(0)
+          val w = (16 + id % 9).toInt
+          val h = (16 + id % 7).toInt
+          val nf = (3 + id % 4).toInt
+          val palette = new Array[Byte](256 * 3)
+          var i = 0
+          while (i < 256) {
+            palette(3 * i) = ((i * 37) % 256).toByte
+            palette(3 * i + 1) = ((i * 59 + 17) % 256).toByte
+            palette(3 * i + 2) = ((i * 83 + 29) % 256).toByte
+            i += 1
+          }
+          val frames = (0 until nf).map { f =>
+            val idx = new Array[Byte](w * h)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                idx(y * w + x) =
+                  if (f % 2 == 1 && (x + y) % 2 == 0) 250.toByte
+                  else ((id * 31 + f * 11 + x * 7 + y * 13) % 250).toByte
+                x += 1
+              }
+              y += 1
+            }
+            val transparent = if (f % 2 == 1) Some(250) else None
+            val disposal = if (f % 2 == 1) 1 else if (id % 2 == 0) 1 else 2
+            (idx, transparent, disposal)
+          }
+          val bytes = GifCodec.encodeAnim(w, h, palette, frames)
+          Row(id, bytes, Row("image/gif", bytes.length.toLong))
+        }
+      }
+    }(enc)
+  }
+
   /** REAL frame sampling + decode over video (id, content) rows: the
     * container is SNIFFED per row — RIFF/AVI streams split via
     * [[AviCodec.videoFrames]], ISO-BMFF/MP4 via [[Mp4Codec.videoFrames]]
@@ -779,28 +839,41 @@ object BinaryPipeline {
           val content = r.getAs[Array[Byte]](1)
           // stride filter runs on OFFSETS/indices, before any payload
           // copy — skipped frames cost nothing beyond the marker walk
-          val frames: Iterator[(Array[Byte], Int)] =
-            if (AviCodec.isAvi(content))
-              AviCodec.videoFrames(content).iterator.zipWithIndex
+          val images: Iterator[(PngCodec.PngImage, Int)] =
+            if (GifCodec.isGif(content))
+              // animated GIF (round 16): frames arrive COMPOSITED
+              // (disposal 1/2 over the background canvas) — the stride
+              // filter still runs on indices before feature work, but
+              // compositing is inherently sequential so skipped frames
+              // cost their canvas paint, not their feature pass
+              GifCodec.frames(content).iterator.zipWithIndex
                 .filter(_._2 % stride == 0)
-            else if (Mp4Codec.isMp4(content))
-              Mp4Codec.videoFrames(content).iterator.zipWithIndex
-                .filter(_._2 % stride == 0)
-            else JpegCodec.frameOffsets(content).iterator.zipWithIndex
-              .filter(_._2 % stride == 0)
-              .map { case ((start, stop), f) =>
-                (java.util.Arrays.copyOfRange(content, start, stop), f)
+            else {
+              val payloads: Iterator[(Array[Byte], Int)] =
+                if (AviCodec.isAvi(content))
+                  AviCodec.videoFrames(content).iterator.zipWithIndex
+                    .filter(_._2 % stride == 0)
+                else if (Mp4Codec.isMp4(content))
+                  Mp4Codec.videoFrames(content).iterator.zipWithIndex
+                    .filter(_._2 % stride == 0)
+                else JpegCodec.frameOffsets(content).iterator.zipWithIndex
+                  .filter(_._2 % stride == 0)
+                  .map { case ((start, stop), f) =>
+                    (java.util.Arrays.copyOfRange(content, start, stop), f)
+                  }
+              payloads.map { case (payload, f) =>
+                val j = JpegCodec.decode(payload)
+                require(j.components <= 3,
+                  s"decodeFrameTiles: doc $id frame $f is ${j.components}-component " +
+                    "(CMYK) — out of the gray/RGB frame scope")
+                (PngCodec.PngImage(j.width, j.height, 8,
+                  if (j.components == 1) 0 else 2, j.components, j.pixels), f)
               }
-          frames
-            .map { case (payload, f) =>
-              val j = JpegCodec.decode(payload)
-              require(j.components <= 3,
-                s"decodeFrameTiles: doc $id frame $f is ${j.components}-component " +
-                  "(CMYK) — out of the gray/RGB frame scope")
-              val img = PngCodec.PngImage(j.width, j.height, 8,
-                if (j.components == 1) 0 else 2, j.components, j.pixels)
-              Row(id, f.toLong, j.width.toLong, j.height.toLong,
-                j.components.toLong, PngCodec.tileFeatures(img, gx, gy).toSeq)
+            }
+          images
+            .map { case (img, f) =>
+              Row(id, f.toLong, img.width.toLong, img.height.toLong,
+                img.channels.toLong, PngCodec.tileFeatures(img, gx, gy).toSeq)
             }
         }
       }

@@ -14,9 +14,13 @@ import scala.collection.mutable
   *
   * Scope (fail-loud beyond it, never silent garbage):
   *  - GIF87a and GIF89a, global or local color table (one required)
-  *  - FIRST frame only, and it must cover the full logical screen — a
-  *    second image descriptor (animation) or a sub-rectangle frame
-  *    rejects loud with the reason
+  *  - [[decode]] (the still-image op): FIRST frame only — a second
+  *    image descriptor rejects loud with the reason. [[frames]]
+  *    (round 16, the frame-sampling op): ALL frames, composited with
+  *    disposal methods 0/1 (keep) and 2 (restore to background);
+  *    restore-to-previous (3) rejects loud. Every frame must cover
+  *    the full logical screen either way — sub-rectangle frames
+  *    reject with the geometry
   *  - interlaced (4-pass) and sequential row order
   *  - LZW decompression with the spec's variable code width (LSB-first
   *    bit packing, clear/end codes, deferred-clear full dictionary),
@@ -36,7 +40,18 @@ object GifCodec {
     b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
       b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a'
 
-  def decode(bytes: Array[Byte]): PngCodec.PngImage = {
+  /** One parsed (not yet composited) frame: row-major palette indices
+    * over the FULL logical screen, the palette in effect, the GCE's
+    * transparent index (−1 = none) and disposal method (0/1 keep,
+    * 2 restore-to-background; 3+ rejected at parse). */
+  private final case class RawFrame(indices: Array[Byte], palette: Array[Byte],
+                                    transparentIdx: Int, disposal: Int)
+
+  /** Shared block walk: logical screen, background index, and every
+    * frame's raw material. `allowMulti = false` keeps [[decode]]'s
+    * still-image contract (second descriptor fails loud). */
+  private def parseFrames(bytes: Array[Byte],
+                          allowMulti: Boolean): (Int, Int, Int, Array[Byte], Seq[RawFrame]) = {
     require(isGif(bytes), "GifCodec: not a GIF (bad GIF87a/GIF89a signature)")
     def u8(i: Int): Int = {
       require(i < bytes.length, "GifCodec: truncated file")
@@ -47,6 +62,7 @@ object GifCodec {
     val height = le16(8)
     require(width > 0 && height > 0, s"GifCodec: invalid dimensions ${width}x$height")
     val packed = u8(10)
+    val bgIndex = u8(11)
     var pos = 13
     val gct: Array[Byte] =
       if ((packed & 0x80) != 0) {
@@ -57,8 +73,10 @@ object GifCodec {
         t
       } else null
 
+    // GCE state applies to the NEXT image only (spec 89a §23)
     var transparentIdx = -1
-    var image: PngCodec.PngImage = null
+    var disposal = 0
+    val frames = mutable.Buffer.empty[RawFrame]
     var done = false
     /** Skip a sub-block chain, returning the position after its 0 terminator. */
     def skipSubBlocks(p0: Int): Int = {
@@ -74,11 +92,16 @@ object GifCodec {
           val label = u8(pos + 1)
           if (label == 0xf9) { // Graphic Control Extension
             require(u8(pos + 2) == 4, "GifCodec: malformed GCE block size")
-            if ((u8(pos + 3) & 1) != 0) transparentIdx = u8(pos + 6)
+            val gp = u8(pos + 3)
+            if ((gp & 1) != 0) transparentIdx = u8(pos + 6)
+            disposal = (gp >> 2) & 7
+            require(disposal <= 2,
+              s"GifCodec: disposal method $disposal out of scope " +
+                "(0/1 keep, 2 restore-to-background; 3 = restore-previous refused)")
           }
           pos = skipSubBlocks(pos + 2)
         case 0x2c => // image descriptor
-          require(image == null,
+          require(allowMulti || frames.isEmpty,
             "GifCodec: second image descriptor — animated GIF beyond frame 1 out of scope")
           val left = le16(pos + 1); val top = le16(pos + 3)
           val iw = le16(pos + 5); val ih = le16(pos + 7)
@@ -129,28 +152,84 @@ object GifCodec {
               out
             }
           val nEntries = palette.length / 3
-          val outCh = if (transparentIdx >= 0) 4 else 3
-          val px = new Array[Byte](rowMajor.length * outCh)
-          var i = 0
-          while (i < rowMajor.length) {
-            val idx = rowMajor(i) & 0xff
-            require(idx < nEntries,
-              s"GifCodec: pixel index $idx out of range (color table has $nEntries entries)")
-            px(outCh * i) = palette(3 * idx)
-            px(outCh * i + 1) = palette(3 * idx + 1)
-            px(outCh * i + 2) = palette(3 * idx + 2)
-            if (outCh == 4)
-              px(4 * i + 3) = if (idx == transparentIdx) 0 else 0xff.toByte
-            i += 1
+          rowMajor.foreach { b =>
+            require((b & 0xff) < nEntries,
+              s"GifCodec: pixel index ${b & 0xff} out of range (color table has " +
+                s"$nEntries entries)")
           }
-          image = PngCodec.PngImage(width, height, 8,
-            if (outCh == 4) 6 else 2, outCh, px)
+          frames += RawFrame(rowMajor, palette, transparentIdx, disposal)
+          transparentIdx = -1
+          disposal = 0
         case other => throw new IllegalArgumentException(
           f"GifCodec: unknown block introducer 0x$other%02X at offset $pos")
       }
     }
-    require(image != null, "GifCodec: trailer before any image data")
-    image
+    require(frames.nonEmpty, "GifCodec: trailer before any image data")
+    (width, height, bgIndex, gct, frames.toSeq)
+  }
+
+  def decode(bytes: Array[Byte]): PngCodec.PngImage = {
+    val (width, height, _, _, fs) = parseFrames(bytes, allowMulti = false)
+    val RawFrame(rowMajor, palette, transparentIdx, _) = fs.head
+    val outCh = if (transparentIdx >= 0) 4 else 3
+    val px = new Array[Byte](rowMajor.length * outCh)
+    var i = 0
+    while (i < rowMajor.length) {
+      val idx = rowMajor(i) & 0xff
+      px(outCh * i) = palette(3 * idx)
+      px(outCh * i + 1) = palette(3 * idx + 1)
+      px(outCh * i + 2) = palette(3 * idx + 2)
+      if (outCh == 4)
+        px(4 * i + 3) = if (idx == transparentIdx) 0 else 0xff.toByte
+      i += 1
+    }
+    PngCodec.PngImage(width, height, 8, if (outCh == 4) 6 else 2, outCh, px)
+  }
+
+  /** ANIMATED-GIF frame sampling (round 16): every frame COMPOSITED the
+    * way a viewer displays it — the canvas starts at the background
+    * color (the spec's initial state; black when no global table),
+    * each full-rect frame paints its opaque pixels over the canvas
+    * (transparent pixels let the prior state show through), and the
+    * frame's disposal method then either keeps the result (0/1) or
+    * restores the canvas to the background color (2) before the next
+    * frame. Restore-to-previous (3) and sub-rect frames stay fail-loud
+    * — [[parseFrames]] scope. Output is one RGB [[PngCodec.PngImage]]
+    * snapshot per frame, ready for the tile-feature pipeline. */
+  def frames(bytes: Array[Byte]): Seq[PngCodec.PngImage] = {
+    val (width, height, bgIndex, gct, fs) = parseFrames(bytes, allowMulti = true)
+    val n = width * height
+    val bg = new Array[Byte](3)
+    if (gct != null && bgIndex < gct.length / 3) {
+      bg(0) = gct(3 * bgIndex); bg(1) = gct(3 * bgIndex + 1); bg(2) = gct(3 * bgIndex + 2)
+    }
+    val canvas = new Array[Byte](n * 3)
+    var i = 0
+    while (i < n) {
+      canvas(3 * i) = bg(0); canvas(3 * i + 1) = bg(1); canvas(3 * i + 2) = bg(2)
+      i += 1
+    }
+    fs.map { case RawFrame(indices, palette, transparentIdx, disposal) =>
+      var p = 0
+      while (p < n) {
+        val idx = indices(p) & 0xff
+        if (idx != transparentIdx) {
+          canvas(3 * p) = palette(3 * idx)
+          canvas(3 * p + 1) = palette(3 * idx + 1)
+          canvas(3 * p + 2) = palette(3 * idx + 2)
+        }
+        p += 1
+      }
+      val snapshot = java.util.Arrays.copyOf(canvas, canvas.length)
+      if (disposal == 2) {
+        var q = 0
+        while (q < n) {
+          canvas(3 * q) = bg(0); canvas(3 * q + 1) = bg(1); canvas(3 * q + 2) = bg(2)
+          q += 1
+        }
+      }
+      PngCodec.PngImage(width, height, 8, 2, 3, snapshot)
+    }
   }
 
   /** GIF-variant LZW decode: LSB-first bit packing, variable code width
@@ -302,6 +381,57 @@ object GifCodec {
     }
     w8(0)   // block terminator
     w8(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** ANIMATED-GIF ENCODE: GIF89a with one global color table and a
+    * full-screen image per frame, each preceded by a Graphic Control
+    * Extension carrying its `(transparentIdx, disposal)` — the wire
+    * shape [[frames]] composites. Disposal 0/1/2 only (the decode
+    * scope). */
+  def encodeAnim(width: Int, height: Int, palette: Array[Byte],
+                 frameSpecs: Seq[(Array[Byte], Option[Int], Int)]): Array[Byte] = {
+    require(width > 0 && height > 0, s"GifCodec.encodeAnim: invalid ${width}x$height")
+    require(frameSpecs.nonEmpty, "GifCodec.encodeAnim: no frames")
+    require(palette.length % 3 == 0 && palette.length >= 6 && palette.length <= 768,
+      s"GifCodec.encodeAnim: palette of ${palette.length} bytes (want 2-256 RGB triples)")
+    val nEntries = palette.length / 3
+    var f = 0
+    while ((2 << f) < nEntries) f += 1
+    val gctEntries = 2 << f
+    val out = new ByteArrayOutputStream()
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def le16(v: Int): Unit = { w8(v); w8(v >> 8) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    le16(width); le16(height)
+    w8(0x80 | f); w8(0); w8(0) // GCT present, background index 0, aspect
+    out.write(palette, 0, palette.length)
+    for (i <- palette.length / 3 until gctEntries) { w8(0); w8(0); w8(0) }
+    frameSpecs.foreach { case (indices, transparentIdx, disposal) =>
+      require(indices.length == width * height,
+        s"GifCodec.encodeAnim: ${indices.length} indices, geometry wants ${width * height}")
+      indices.foreach(ix => require((ix & 0xff) < nEntries,
+        s"GifCodec.encodeAnim: index ${ix & 0xff} out of the $nEntries-entry palette"))
+      transparentIdx.foreach(t => require(t >= 0 && t < nEntries,
+        s"GifCodec.encodeAnim: transparent index $t out of the $nEntries-entry palette"))
+      require(disposal >= 0 && disposal <= 2,
+        s"GifCodec.encodeAnim: disposal $disposal out of the decode scope (0-2)")
+      w8(0x21); w8(0xf9); w8(4)
+      w8((disposal << 2) | (if (transparentIdx.isDefined) 1 else 0))
+      le16(0); w8(transparentIdx.getOrElse(0)); w8(0)
+      w8(0x2c); le16(0); le16(0); le16(width); le16(height); w8(0)
+      val minCode = math.max(2, f + 1)
+      w8(minCode)
+      val lzw = lzwEncode(indices, minCode)
+      var off = 0
+      while (off < lzw.length) {
+        val nn = math.min(255, lzw.length - off)
+        w8(nn); out.write(lzw, off, nn)
+        off += nn
+      }
+      w8(0)
+    }
+    w8(0x3b)
     out.toByteArray
   }
 

@@ -112,6 +112,48 @@ class GifCodecSpec extends AnyFunSuite with SparkSpec {
       GifCodec.encode(1, 1, pal, Array[Byte](5))).getMessage.contains("palette"))
   }
 
+  test("animated frames(): compositing over disposal 1/2, transparency, fail-loud on 3") {
+    // 2x2 screen, 4-color palette; background index 0 = (10,20,30)
+    val pal = Array[Byte](10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120)
+    def rgb(i: Int) = Seq(pal(3 * i), pal(3 * i + 1), pal(3 * i + 2))
+    // frame 0: opaque [1,1,2,2], disposal 1
+    // frame 1: index 3 everywhere except a transparent hole (index 0
+    //          declared transparent) at pixel 0 → hole shows frame 0's
+    //          pixel (disposal 1 kept the canvas)
+    // frame 2: opaque [2,2,1,1], disposal 2 (restore to background)
+    // frame 3: all-transparent → shows the BACKGROUND everywhere
+    val anim = GifCodec.encodeAnim(2, 2, pal, Seq(
+      (Array[Byte](1, 1, 2, 2), None, 1),
+      (Array[Byte](0, 3, 3, 3), Some(0), 1),
+      (Array[Byte](2, 2, 1, 1), None, 2),
+      (Array[Byte](0, 0, 0, 0), Some(0), 1)))
+    val fs = GifCodec.frames(anim)
+    assert(fs.length == 4)
+    assert(fs.forall(f => f.width == 2 && f.height == 2 && f.channels == 3))
+    assert(fs(0).pixels.toSeq == (rgb(1) ++ rgb(1) ++ rgb(2) ++ rgb(2)))
+    assert(fs(1).pixels.toSeq == (rgb(1) ++ rgb(3) ++ rgb(3) ++ rgb(3)),
+      "hole must show the prior canvas, not the transparent entry's color")
+    assert(fs(2).pixels.toSeq == (rgb(2) ++ rgb(2) ++ rgb(1) ++ rgb(1)))
+    assert(fs(3).pixels.toSeq == (rgb(0) ++ rgb(0) ++ rgb(0) ++ rgb(0)),
+      "disposal 2 must restore the background before the next frame")
+    // decode() keeps its still-image contract on the same bytes
+    assert(intercept[IllegalArgumentException](GifCodec.decode(anim))
+      .getMessage.contains("animated"))
+    // disposal 3 (restore-previous) fails loud in both paths
+    val d3 = anim.clone()
+    val gce1 = anim.indexWhere(_ == 0x21.toByte)
+    d3(gce1 + 3) = (d3(gce1 + 3) | (3 << 2)).toByte
+    assert(intercept[IllegalArgumentException](GifCodec.frames(d3))
+      .getMessage.contains("disposal"))
+    // a single-frame animated call still works (frames ⊇ decode's scope)
+    val one = GifCodec.encode(2, 2, pal, Array[Byte](1, 2, 3, 0))
+    assert(GifCodec.frames(one).head.pixels.toSeq ==
+      (rgb(1) ++ rgb(2) ++ rgb(3) ++ rgb(0)))
+    // encoder guards
+    assert(intercept[IllegalArgumentException](GifCodec.encodeAnim(2, 2, pal,
+      Seq((Array[Byte](1, 1, 2, 2), None, 3)))).getMessage.contains("disposal"))
+  }
+
   test("format-agnostic dispatch: imageTileFeatures and resize accept GIF rows") {
     import spark.implicits._
     val pal = Array.tabulate(24)(i => (i * 10).toByte)
