@@ -250,6 +250,13 @@ object IvfIndex {
   def appendIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                   vectors: DataFrame,
                   idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
+    // maintenance-op contract: roll forward any committed-but-unfinished
+    // swap before touching the store (clears the read gate's manifest)
+    locally {
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      stagedSwap(fs, root, "appendIndex").recover()
+    }
     val model = readModel(spark, path)
     vectors.select(col(idCol), col(embCol), cellOf(col(embCol), model).as("cell"))
       .repartition(col("cell"))
@@ -341,7 +348,33 @@ object IvfIndex {
     ns.nonEmpty && ns.max.toDouble > maxSkew * (ns.sum.toDouble / ns.length)
   }
 
+  /** READ-ONLY crash-staleness gate (round 16 — parity with
+    * [[Hnsw]]'s requireNoPendingSwap): a `_plan.json` manifest under
+    * the sibling `__maint_staging` dir means a maintenance swap
+    * (reassign/delete/compact/upsert) COMMITTED but did not finish
+    * installing — the on-disk cell mix may double or drop ids (and a
+    * reassign's new centroids may not be live) until the swap rolls
+    * forward. Readers refuse loud instead of serving it; every
+    * maintenance op — including the append family — runs the recovery
+    * on entry and clears the manifest. A staging dir WITHOUT a
+    * manifest means the staging write itself crashed: the store was
+    * never touched and stays readable. Gated here in [[readModel]],
+    * the choke point every searchIndex* family passes through. */
+  private def requireNoPendingSwap(spark: org.apache.spark.sql.SparkSession,
+                                   path: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val plan = new org.apache.hadoop.fs.Path(
+      root.getParent, root.getName + "__maint_staging/_plan.json")
+    require(!fs.exists(plan),
+      s"IvfIndex: $path has a committed-but-unfinished maintenance swap " +
+        s"($plan) — run any maintenance op (appendIndex/upsertIndex/" +
+        "deleteFromIndex/reassignIndex/compactIndex) to roll it forward " +
+        "before reading")
+  }
+
   def readModel(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
+    requireNoPendingSwap(spark, path)
     val json = readSidecar(spark, path, "_centroids.json")
     // minimal parser for [[d,d,...],...] written by writeIndex
     val rows = json.trim.stripPrefix("[").stripSuffix("]").split("\\],\\s*\\[")
@@ -671,6 +704,13 @@ object IvfIndex {
                       idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
     import graft.functions.HalfExpressions
     requirePackedHalf(spark, path, "appendIndexHalf")
+    // maintenance-op contract: roll forward any committed-but-unfinished
+    // swap before touching the store (clears the read gate's manifest)
+    locally {
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      stagedSwap(fs, root, "appendIndexHalf").recover()
+    }
     val model = readModel(spark, path)
     vectors.select(col(idCol), col(embCol),
         HalfExpressions.halfPack(col(embCol)).as("hvec"),
@@ -1109,6 +1149,13 @@ object IvfIndex {
   def appendIndexSub(spark: org.apache.spark.sql.SparkSession, path: String,
                      vectors: DataFrame,
                      idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
+    // maintenance-op contract: roll forward any committed-but-unfinished
+    // swap before touching the store (clears the read gate's manifest)
+    locally {
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      stagedSwap(fs, root, "appendIndexSub").recover()
+    }
     val model = readModel(spark, path)
     val subDim = readSubDim(spark, path)
     val sub = slice(col(embCol), 1, subDim)
@@ -1312,6 +1359,13 @@ object IvfIndex {
   def appendIndexQuantized(spark: org.apache.spark.sql.SparkSession, path: String,
                            vectors: DataFrame,
                            idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
+    // maintenance-op contract: roll forward any committed-but-unfinished
+    // swap before touching the store (clears the read gate's manifest)
+    locally {
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      stagedSwap(fs, root, "appendIndexQuantized").recover()
+    }
     val model = readModel(spark, path)
     val (mn, mx) = readQuantRange(spark, path)
     vectors.select(col(idCol), col(embCol),
@@ -1422,6 +1476,13 @@ object IvfIndex {
   def appendIndexPq(spark: org.apache.spark.sql.SparkSession, path: String,
                     vectors: DataFrame,
                     idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
+    // maintenance-op contract: roll forward any committed-but-unfinished
+    // swap before touching the store (clears the read gate's manifest)
+    locally {
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      stagedSwap(fs, root, "appendIndexPq").recover()
+    }
     val model = readModel(spark, path)
     val pq = ProductQuantizer.readModel(spark, path)
     vectors

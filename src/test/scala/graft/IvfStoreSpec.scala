@@ -776,4 +776,53 @@ class IvfStoreSpec extends SparkSpec {
     assert(e5.getMessage.contains("maxResultRows"), e5.getMessage)
   }
 
+  test("read-side staleness gate: a planted manifest fails every IVF read path loud") {
+    // parity with Hnsw's requireNoPendingSwap (round 16): a
+    // committed-but-unfinished swap manifest must refuse READS on every
+    // searchIndex* family — the same crash window exists for
+    // reassign/delete swaps here — and any maintenance op (including
+    // the append family, which recovers on entry now) clears it.
+    import graft.operators.IvfIndex
+    import java.nio.file.Files
+    val path = Files.createTempDirectory("ivf_gate").toString
+    val e = Tables.embeddings(spark, sfDir)
+    val model = IvfIndex.train(e, k = 4, iters = 1)
+    IvfIndex.writeIndex(e, model, path)
+    import spark.implicits._
+    val q = e.limit(2).select(col("vec_id").as("qid"), col("embedding"))
+    val baseline = IvfIndex.searchIndex(spark, path, q, k = 3, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // a staging dir WITHOUT a manifest (staging write crashed) is safe
+    val stg = new java.io.File(path + "__maint_staging")
+    assert(stg.mkdirs())
+    assert(IvfIndex.searchIndex(spark, path, q, k = 3, nprobe = 4).count() > 0,
+      "plan-less staging dir must not block reads")
+
+    // WITH a manifest: every read path refuses loud
+    java.nio.file.Files.writeString(
+      new java.io.File(stg, "_plan.json").toPath, """{"rewrite":[],"drain":[]}""")
+    def pending(body: => Any): Unit = {
+      val ex = intercept[IllegalArgumentException](body)
+      assert(ex.getMessage.contains("unfinished maintenance swap"), ex.getMessage)
+    }
+    // (the metric/family-marker guards of searchIndexCosine/Ip/Half/…
+    // fire before the model read on a plain L2 store — their documented
+    // precedence; every family funnels through readModel, gated below)
+    pending(IvfIndex.searchIndex(spark, path, q, k = 3, nprobe = 4))
+    pending(IvfIndex.searchIndexFiltered(spark, path, q, col("vec_id") >= 0,
+      k = 3, nprobe = 2))
+    pending(IvfIndex.readModel(spark, path))
+    // the APPEND family must NOT refuse: it is a maintenance op and
+    // rolls the (no-op) swap forward on entry, clearing the gate. The
+    // appended row is an existing vector under a fresh id so the store
+    // stays well-formed (no zero-norm cosine edge in the assertion).
+    val donor = e.limit(1).select(lit(100000L).as("vec_id"), col("embedding"))
+    IvfIndex.appendIndex(spark, path, donor)
+    assert(!new java.io.File(stg, "_plan.json").exists(),
+      "appendIndex did not roll the swap forward")
+    val after = IvfIndex.searchIndex(spark, path, q, k = 3, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after.size == baseline.size, "post-recovery search broken")
+  }
 }
