@@ -94,10 +94,10 @@ object GifCodec {
             require(u8(pos + 2) == 4, "GifCodec: malformed GCE block size")
             val gp = u8(pos + 3)
             if ((gp & 1) != 0) transparentIdx = u8(pos + 6)
+            // disposal is recorded raw: it only MEANS anything to the
+            // compositing path, so [[frames]] validates it — a still
+            // image with a stray disposal-3 GCE must keep decoding
             disposal = (gp >> 2) & 7
-            require(disposal <= 2,
-              s"GifCodec: disposal method $disposal out of scope " +
-                "(0/1 keep, 2 restore-to-background; 3 = restore-previous refused)")
           }
           pos = skipSubBlocks(pos + 2)
         case 0x2c => // image descriptor
@@ -210,6 +210,12 @@ object GifCodec {
       i += 1
     }
     fs.map { case RawFrame(indices, palette, transparentIdx, disposal) =>
+      // disposal only matters when COMPOSITING, so the scope check
+      // lives here, not in the shared parse ([[decode]] tolerates a
+      // stray disposal-3 GCE on a still image the way real viewers do)
+      require(disposal <= 2,
+        s"GifCodec: disposal method $disposal out of scope " +
+          "(0/1 keep, 2 restore-to-background; 3 = restore-previous refused)")
       var p = 0
       while (p < n) {
         val idx = indices(p) & 0xff

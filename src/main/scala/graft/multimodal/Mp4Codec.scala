@@ -145,8 +145,11 @@ object Mp4Codec {
       val o = stsc.payloadAt + 8 + 12 * k
       (u32(o), u32(o + 4)) // (first_chunk 1-based, samples_per_chunk)
     }
-    require(runs.head._1 == 1 && runs.map(_._1) == runs.map(_._1).sorted,
-      "Mp4Codec: stsc first_chunk runs must start at 1 and ascend")
+    // STRICTLY ascending (ISO 14496-12 §8.7.4) — plain `sorted` would
+    // admit duplicate first_chunk runs and decode them last-wins
+    require(runs.head._1 == 1 &&
+        runs.iterator.sliding(2).withPartial(false).forall(w => w(0)._1 < w(1)._1),
+      "Mp4Codec: stsc first_chunk runs must start at 1 and strictly ascend")
 
     // walk chunks in order, slicing each sample at its file offset
     val out = Seq.newBuilder[Array[Byte]]

@@ -251,6 +251,12 @@ object WavCodec {
           s"$blockAlign-byte blocks")
       val spb = adpcmSamplesPerBlock(blockAlign, channels)
       val nBlocks = dLen / blockAlign
+      // spb ≈ 2·blockAlign/channels, so total samples ≈ 2·dLen and a
+      // ~0.5 GB data chunk overflows Int — fail loud, not
+      // NegativeArraySizeException
+      require(nBlocks.toLong * spb * channels <= (1L << 30),
+        s"WavCodec: ADPCM stream of ${nBlocks.toLong * spb} frames x " +
+          s"$channels ch exceeds the 2^30-sample decode bound")
       val frames = nBlocks * spb
       val out = new Array[Int](frames * channels)
       var b = 0

@@ -536,12 +536,16 @@ object Hnsw {
   private def requireNoPendingSwap(spark: SparkSession, path: String, op: String): Unit = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val plan = new org.apache.hadoop.fs.Path(
-      root.getParent, root.getName + "__maint_staging/_plan.json")
-    require(!fs.exists(plan),
-      s"Hnsw.$op: $path has a committed-but-unfinished maintenance swap " +
-        s"($plan) — run any maintenance op (appendIndexSharded/upsertIndexSharded) " +
-        "to roll it forward before reading")
+    // asks the SAME StagedSwap the maintenance ops construct, so the
+    // gate and the recovery can never disagree on what counts as
+    // pending (the IvfIndex gate's convention)
+    new graft.sources.StagedSwap(fs, root, op, partPrefix = "shard=")
+      .pendingPlan.foreach { plan =>
+        throw new IllegalArgumentException(
+          s"Hnsw.$op: $path has a committed-but-unfinished maintenance swap " +
+            s"($plan) — run any maintenance op (appendIndexSharded/" +
+            "upsertIndexSharded) to roll it forward before reading")
+      }
   }
 
   private def readShardedMeta(spark: SparkSession, path: String): (Int, Int, Int) = {

@@ -250,13 +250,7 @@ object IvfIndex {
   def appendIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                   vectors: DataFrame,
                   idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
-    // maintenance-op contract: roll forward any committed-but-unfinished
-    // swap before touching the store (clears the read gate's manifest)
-    locally {
-      val root = new org.apache.hadoop.fs.Path(path)
-      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      stagedSwap(fs, root, "appendIndex").recover()
-    }
+    recoverPending(spark, path, "appendIndex")
     val model = readModel(spark, path)
     vectors.select(col(idCol), col(embCol), cellOf(col(embCol), model).as("cell"))
       .repartition(col("cell"))
@@ -323,6 +317,12 @@ object IvfIndex {
     * N streaming [[appendIndex]]-family batches. */
   def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                    targetBytes: Long = 128L * 1024 * 1024): graft.sources.Compaction.Report = {
+    // maintenance-op contract: compacting a mid-swap store would read
+    // cells whose staged content is not yet installed AND leave the
+    // manifest to later install pre-compaction partitions over the
+    // compacted layout — roll the swap forward first, like every
+    // other op the read gate's error message names
+    recoverPending(spark, path, "compactIndex")
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // enumerate the store's actual `_*.json` sidecars instead of a
@@ -362,16 +362,32 @@ object IvfIndex {
     * the choke point every searchIndex* family passes through. */
   private def requireNoPendingSwap(spark: org.apache.spark.sql.SparkSession,
                                    path: String): Unit = {
+    // asks the SAME StagedSwap the maintenance ops use (current AND
+    // legacy staging names), so gate and recovery can never disagree
+    maintSwap(spark, path, "read").pendingPlan.foreach { plan =>
+      throw new IllegalArgumentException(
+        s"IvfIndex: $path has a committed-but-unfinished maintenance swap " +
+          s"($plan) — run any maintenance op (appendIndex/upsertIndex/" +
+          "deleteFromIndex/reassignIndex/compactIndex) to roll it forward " +
+          "before reading")
+    }
+  }
+
+  /** This store family's [[graft.sources.StagedSwap]], from a path. */
+  private def maintSwap(spark: org.apache.spark.sql.SparkSession, path: String,
+                        op: String): graft.sources.StagedSwap = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val plan = new org.apache.hadoop.fs.Path(
-      root.getParent, root.getName + "__maint_staging/_plan.json")
-    require(!fs.exists(plan),
-      s"IvfIndex: $path has a committed-but-unfinished maintenance swap " +
-        s"($plan) — run any maintenance op (appendIndex/upsertIndex/" +
-        "deleteFromIndex/reassignIndex/compactIndex) to roll it forward " +
-        "before reading")
+    stagedSwap(fs, root, op)
   }
+
+  /** Maintenance-op entry contract: roll forward any committed-but-
+    * unfinished swap before touching the store (clears the read gate's
+    * manifest). Called by EVERY maintenance op — the append family and
+    * compactIndex as well as the swap-running ops. */
+  private def recoverPending(spark: org.apache.spark.sql.SparkSession,
+                             path: String, op: String): Unit =
+    maintSwap(spark, path, op).recover()
 
   def readModel(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
     requireNoPendingSwap(spark, path)
@@ -704,13 +720,7 @@ object IvfIndex {
                       idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
     import graft.functions.HalfExpressions
     requirePackedHalf(spark, path, "appendIndexHalf")
-    // maintenance-op contract: roll forward any committed-but-unfinished
-    // swap before touching the store (clears the read gate's manifest)
-    locally {
-      val root = new org.apache.hadoop.fs.Path(path)
-      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      stagedSwap(fs, root, "appendIndexHalf").recover()
-    }
+    recoverPending(spark, path, "appendIndexHalf")
     val model = readModel(spark, path)
     vectors.select(col(idCol), col(embCol),
         HalfExpressions.halfPack(col(embCol)).as("hvec"),
@@ -1149,13 +1159,7 @@ object IvfIndex {
   def appendIndexSub(spark: org.apache.spark.sql.SparkSession, path: String,
                      vectors: DataFrame,
                      idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
-    // maintenance-op contract: roll forward any committed-but-unfinished
-    // swap before touching the store (clears the read gate's manifest)
-    locally {
-      val root = new org.apache.hadoop.fs.Path(path)
-      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      stagedSwap(fs, root, "appendIndexSub").recover()
-    }
+    recoverPending(spark, path, "appendIndexSub")
     val model = readModel(spark, path)
     val subDim = readSubDim(spark, path)
     val sub = slice(col(embCol), 1, subDim)
@@ -1359,13 +1363,7 @@ object IvfIndex {
   def appendIndexQuantized(spark: org.apache.spark.sql.SparkSession, path: String,
                            vectors: DataFrame,
                            idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
-    // maintenance-op contract: roll forward any committed-but-unfinished
-    // swap before touching the store (clears the read gate's manifest)
-    locally {
-      val root = new org.apache.hadoop.fs.Path(path)
-      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      stagedSwap(fs, root, "appendIndexQuantized").recover()
-    }
+    recoverPending(spark, path, "appendIndexQuantized")
     val model = readModel(spark, path)
     val (mn, mx) = readQuantRange(spark, path)
     vectors.select(col(idCol), col(embCol),
@@ -1476,13 +1474,7 @@ object IvfIndex {
   def appendIndexPq(spark: org.apache.spark.sql.SparkSession, path: String,
                     vectors: DataFrame,
                     idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
-    // maintenance-op contract: roll forward any committed-but-unfinished
-    // swap before touching the store (clears the read gate's manifest)
-    locally {
-      val root = new org.apache.hadoop.fs.Path(path)
-      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      stagedSwap(fs, root, "appendIndexPq").recover()
-    }
+    recoverPending(spark, path, "appendIndexPq")
     val model = readModel(spark, path)
     val pq = ProductQuantizer.readModel(spark, path)
     vectors

@@ -247,9 +247,20 @@ object PdfCodec {
           val hasEncodingEntry =
             """/Encoding(?![A-Za-z0-9])""".r.findFirstIn(d).isDefined
           val desc = resolveDict(d, "FontDescriptor", byNum)
-          val symbolic = desc.exists(dd =>
-            """/Flags\s+(\d+)""".r.findFirstMatchIn(dd)
-              .exists(m => (m.group(1).toInt & 4) != 0))
+          val symbolic = desc.exists { dd =>
+            // /Flags may be stored INDIRECTLY ("/Flags 9 0 R" — legal
+            // for any numeric entry, §7.3.10): a bare \d+ match would
+            // read the OBJECT number as the flags value and misroute a
+            // nonsymbolic font through the glyph-program path
+            """/Flags\s+(\d+)(?:\s+(\d+)\s+R)?""".r.findFirstMatchIn(dd).exists { m =>
+              val value =
+                if (m.group(2) == null) Some(m.group(1).toInt)
+                else byNum.get(m.group(1).toInt)
+                  .flatMap(o => """\d+""".r.findFirstIn(o.dict.trim))
+                  .map(_.toInt)
+              value.exists(f => (f & 4) != 0)
+            }
+          }
           if (isTrueType && symbolic && !hasEncodingEntry) {
             dictRef(d, "/ToUnicode") match {
               case Some(tuRef) =>

@@ -210,8 +210,11 @@ object PdfPipeline {
     docs.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .map { case (id, text) =>
-        val pages = if (text.isEmpty) Seq.empty[String] else text.grouped(pageSize).toSeq
-        (id, PdfCodec.encodeFontProgPdf(pages, compress, format12))
+        // code-point paging, like the predef-CMap sibling: format12
+        // exists precisely for supplementary chars, whose surrogate
+        // pairs a unit-wise grouped() would split across pages
+        (id, PdfCodec.encodeFontProgPdf(codePointPages(text, pageSize),
+          compress, format12))
       }
       .toDF(idCol, "content")
   }

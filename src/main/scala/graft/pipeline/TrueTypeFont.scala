@@ -8,8 +8,10 @@ package graft.pipeline
   *
   * Scope (fail-loud beyond it):
   *   - sfnt version 0x00010000 or 'true'; table directory with in-file
-  *     bounds and VERIFIED table checksums ('head' summed with its
-  *     checkSumAdjustment zeroed, per spec);
+  *     bounds and the 'head' magic number (directory CHECKSUMS are not
+  *     verified — wild subset fonts routinely carry stale ones and
+  *     PDFBox/FreeType ignore them; the cmap parse is independently
+  *     bounds-checked);
   *   - `cmap` subtable formats 0, 4, 6 and 12 — the formats real subset
   *     fonts carry; other formats fail loud with their number;
   *   - [[symbolCodeToUnicode]]: the (3,0) Microsoft Symbol subtable
@@ -59,26 +61,12 @@ private[graft] object TrueTypeFont {
         s"PdfCodec: font $fontNum: TrueType table '$tag' at $off+$n runs past EOF")
       (tag, sum, off.toInt, n.toInt)
     }
-    entries.foreach { case (tag, sum, off, n) =>
-      // table checksum: big-endian u32 sum over the zero-padded table;
-      // 'head' is summed with checkSumAdjustment (its bytes 8-11) zeroed
-      var acc = 0L
-      var i = 0
-      while (i < n) {
-        val word = (0 until 4).foldLeft(0L) { (w, j) =>
-          val at = i + j
-          val b = if (at >= n) 0
-                  else if (tag == "head" && at >= 8 && at < 12) 0
-                  else r.u8(off + at)
-          (w << 8) | b
-        }
-        acc = (acc + word) & 0xffffffffL
-        i += 4
-      }
-      require(acc == sum,
-        f"PdfCodec: font $fontNum: TrueType table '$tag' checksum 0x$acc%08x != " +
-          f"directory 0x$sum%08x (corrupt font program)")
-    }
+    // Directory checksums are deliberately NOT verified: real-world
+    // subset fonts routinely carry zeroed or stale checksums, and the
+    // readers this path mirrors (PDFBox/FreeType) ignore them — a
+    // mandatory check would reject decodable corpora wholesale. The
+    // cmap parse below is independently bounds-checked; structural
+    // sanity comes from the directory bounds and the 'head' magic.
     val dir = entries.map { case (tag, _, off, n) => tag -> (off, n) }.toMap
     require(dir.size == entries.size,
       s"PdfCodec: font $fontNum: TrueType directory repeats a table tag")

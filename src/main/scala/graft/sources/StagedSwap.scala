@@ -58,6 +58,16 @@ private[graft] final class StagedSwap(fs: FileSystem, root: Path, op: String,
     fs.delete(ret, true)
   }
 
+  /** The manifest of a committed-but-unfinished swap, if one is
+    * pending under the CURRENT or any LEGACY staging name — the
+    * read-side staleness signal (readers refuse loud; [[recover]]
+    * clears it). Owned here so gate and recovery can never disagree
+    * on which paths count as pending. */
+  def pendingPlan: Option[Path] =
+    (planFile +: legacySuffixes.map(s =>
+      new Path(root.getParent, root.getName + s + "_staging/_plan.json")))
+      .find(fs.exists)
+
   /** Crash recovery — finish the previous attempt before a new one.
     * Also scans any `legacySuffixes` sibling names, so a store that
     * crashed mid-swap under an old naming is still rolled forward

@@ -145,6 +145,14 @@ class GifCodecSpec extends AnyFunSuite with SparkSpec {
     d3(gce1 + 3) = (d3(gce1 + 3) | (3 << 2)).toByte
     assert(intercept[IllegalArgumentException](GifCodec.frames(d3))
       .getMessage.contains("disposal"))
+    // …but a STILL image with a stray disposal-3 GCE keeps decoding:
+    // disposal only means anything to the compositing path
+    val still = GifCodec.encode(2, 2, pal, Array[Byte](1, 2, 3, 0),
+      transparentIdx = Some(0))
+    val still3 = still.clone()
+    val gceS = still.indexWhere(_ == 0x21.toByte)
+    still3(gceS + 3) = (still3(gceS + 3) | (3 << 2)).toByte
+    assert(GifCodec.decode(still3).pixels.toSeq == GifCodec.decode(still).pixels.toSeq)
     // a single-frame animated call still works (frames ⊇ decode's scope)
     val one = GifCodec.encode(2, 2, pal, Array[Byte](1, 2, 3, 0))
     assert(GifCodec.frames(one).head.pixels.toSeq ==

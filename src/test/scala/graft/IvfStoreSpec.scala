@@ -813,6 +813,20 @@ class IvfStoreSpec extends SparkSpec {
     pending(IvfIndex.searchIndexFiltered(spark, path, q, col("vec_id") >= 0,
       k = 3, nprobe = 2))
     pending(IvfIndex.readModel(spark, path))
+    // the LEGACY staging name (pre-rename __reassign_staging) must gate
+    // reads too — recover() still rolls it forward, so the gate asking
+    // a different path would serve exactly the staleness it refuses
+    new java.io.File(stg, "_plan.json").delete(); stg.delete()
+    val legacy = new java.io.File(path + "__reassign_staging")
+    assert(legacy.mkdirs())
+    java.nio.file.Files.writeString(
+      new java.io.File(legacy, "_plan.json").toPath, """{"rewrite":[],"drain":[]}""")
+    pending(IvfIndex.readModel(spark, path))
+    // restore the current-name pending plan for the append-clears-it leg
+    new java.io.File(legacy, "_plan.json").delete(); legacy.delete()
+    assert(stg.mkdirs())
+    java.nio.file.Files.writeString(
+      new java.io.File(stg, "_plan.json").toPath, """{"rewrite":[],"drain":[]}""")
     // the APPEND family must NOT refuse: it is a maintenance op and
     // rolls the (no-op) swap forward on entry, clearing the gate. The
     // appended row is an existing vector under a fresh id so the store
