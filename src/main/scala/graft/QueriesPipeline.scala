@@ -504,6 +504,35 @@ object QueriesPipeline {
              |  unnest(range(0, CAST(ceil(length(t) / 200.0) AS INT))) AS u(i)
              |ORDER BY doc_id, page_no""".stripMargin)),
 
+    // CFF / Type1C glyph-program decode (round 16 extra): the SAME
+    // subset-font shape as q_pdf_fontprog but the embedded program is a
+    // COMPACT FONT FORMAT /FontFile3 — the other half of real subset
+    // corpora (Type1-lineage fonts). The only route back to text is the
+    // four-hop code→gid (embedded Encoding) → SID (charset) → name
+    // (String INDEX) → Unicode derivation; the oracle is byte-blind and
+    // shared with the TrueType gate, so the two programs must agree on
+    // every page hash — a cross-FORMAT identity like progressive ==
+    // baseline JPEG.
+    "q_pdf_cff" -> QueryDef(
+      (s, d) => {
+        val greeked = Tables.documents(s, d).select(col("doc_id"),
+          translate(col("text"), "aeiou", "αβγδε").as("text"))
+        val pdfs = PdfPipeline.synthesizeFontProgPdfs(greeked, pageSize = 200,
+          cff = true)
+        PdfPipeline.extractPagesPdf(pdfs)
+          .select(col("doc_id"), col("page_no"),
+            length(col("page_text")).cast("long").as("page_len"),
+            md5(col("page_text")).as("page_md5"))
+          .orderBy(col("doc_id"), col("page_no"))
+      },
+      Some("""SELECT doc_id, CAST(i + 1 AS BIGINT) AS page_no,
+             |  CAST(length(substr(t, i*200 + 1, 200)) AS BIGINT) AS page_len,
+             |  md5(substr(t, i*200 + 1, 200)) AS page_md5
+             |FROM (SELECT doc_id, translate(text, 'aeiou', 'αβγδε') AS t
+             |      FROM documents),
+             |  unnest(range(0, CAST(ceil(length(t) / 200.0) AS INT))) AS u(i)
+             |ORDER BY doc_id, page_no""".stripMargin)),
+
     "q_chunk_split" -> QueryDef(
       (s, d) => docsChunks(s, d)
         .select(col("doc_id"), col("chunk_idx"),

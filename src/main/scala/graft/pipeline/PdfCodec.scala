@@ -62,17 +62,19 @@ import scala.collection.mutable
   *     shape): RC4 + AES-128 (/V 1/2/4, §7.6.3) and AES-256 / PDF 2.0
   *     (/V 5 /R 6, hardened KDF) via [[PdfCrypto]]; inline images
   *     (BI…EI) are skipped as non-text content; and SYMBOLIC simple
-  *     TrueType fonts with no /ToUnicode and no /Encoding decode
-  *     through their EMBEDDED font program's `cmap`
-  *     ([[TrueTypeFont.symbolCodeToUnicode]] — the (3,0) symbol
+  *     fonts with no /ToUnicode and no /Encoding decode through their
+  *     EMBEDDED font program — a /FontFile2 sfnt's `cmap`
+  *     ([[TrueTypeFont.symbolCodeToUnicode]]: the (3,0) symbol
   *     subtable's code→glyph leg inverted against a Unicode-platform
-  *     subtable).
+  *     subtable) or a /FontFile3 Type1C's encoding/charset/strings
+  *     ([[CffFont.codeToUnicode]]).
   *
-  * Out of scope (documented, fail-loud where detectable): CFF/Type1
-  * glyph programs (/FontFile, /FontFile3 — charstring charsets, not
-  * sfnt cmaps), and symbol-only TrueType programs whose cmap carries
-  * no Unicode-platform subtable (their text is genuinely
-  * unrecoverable; PDFBox sometimes guesses — we refuse).
+  * Out of scope (documented, fail-loud where detectable): Type1 PFB
+  * programs (/FontFile — eexec-encrypted charstrings), OpenType-wrapped
+  * /FontFile3, symbol-only TrueType programs whose cmap carries no
+  * Unicode-platform subtable, and CID-keyed CFFs under a simple font
+  * (their text is genuinely unrecoverable; PDFBox sometimes guesses —
+  * we refuse).
   * The 100 TB-relevant part — binary column in, bounded per-row
   * work, no driver involvement — lives in [[PdfPipeline.extractPagesPdf]];
   * this object is deliberately plain JVM code so it runs inside
@@ -244,6 +246,8 @@ object PdfCodec {
           // names a base encoding, keeps the SimpleFont scope.
           val isTrueType =
             """/Subtype\s*/TrueType(?![A-Za-z0-9])""".r.findFirstIn(d).isDefined
+          val isType1 =
+            """/Subtype\s*/Type1(?![A-Za-z0-9])""".r.findFirstIn(d).isDefined
           val hasEncodingEntry =
             """/Encoding(?![A-Za-z0-9])""".r.findFirstIn(d).isDefined
           val desc = resolveDict(d, "FontDescriptor", byNum)
@@ -261,7 +265,7 @@ object PdfCodec {
               value.exists(f => (f & 4) != 0)
             }
           }
-          if (isTrueType && symbolic && !hasEncodingEntry) {
+          if ((isTrueType || isType1) && symbolic && !hasEncodingEntry) {
             dictRef(d, "/ToUnicode") match {
               case Some(tuRef) =>
                 // an author-supplied /ToUnicode takes precedence over the
@@ -271,16 +275,34 @@ object PdfCodec {
                   s"PdfCodec: /ToUnicode $tuRef 0 R not found"))
                 GlyphProgFont(parseToUnicode(decodeStream(tuObj, byNum)), obj.num)
               case None =>
-                val ff2 = desc.flatMap(dd => dictRef(dd, "/FontFile2")).getOrElse(
-                  throw new IllegalArgumentException(
-                    s"PdfCodec: font object ${obj.num}: symbolic TrueType with no " +
-                      "/Encoding, no /ToUnicode and no embedded /FontFile2 program — " +
-                      "codes cannot be mapped to text"))
-                val ffObj = byNum.getOrElse(ff2, throw new IllegalArgumentException(
-                  s"PdfCodec: /FontFile2 $ff2 0 R not found"))
-                val program = decodeStream(ffObj, byNum).getBytes(ISO_8859_1)
-                GlyphProgFont(TrueTypeFont.symbolCodeToUnicode(program, obj.num),
-                  obj.num)
+                val ff2 = desc.flatMap(dd => dictRef(dd, "/FontFile2"))
+                val ff3 = desc.flatMap(dd => dictRef(dd, "/FontFile3"))
+                (ff2, ff3) match {
+                  case (Some(ref), _) =>
+                    val ffObj = byNum.getOrElse(ref, throw new IllegalArgumentException(
+                      s"PdfCodec: /FontFile2 $ref 0 R not found"))
+                    val program = decodeStream(ffObj, byNum).getBytes(ISO_8859_1)
+                    GlyphProgFont(TrueTypeFont.symbolCodeToUnicode(program, obj.num),
+                      obj.num)
+                  case (None, Some(ref)) =>
+                    // /FontFile3: a bare CFF program. /Subtype /Type1C
+                    // (and the compatible /CIDFontType0C is refused
+                    // inside CffFont via its /ROS gate); /OpenType
+                    // wraps an sfnt and is out of this branch's scope
+                    val ffObj = byNum.getOrElse(ref, throw new IllegalArgumentException(
+                      s"PdfCodec: /FontFile3 $ref 0 R not found"))
+                    require("""/Subtype\s*/Type1C(?![A-Za-z0-9])""".r
+                        .findFirstIn(ffObj.dict).isDefined,
+                      s"PdfCodec: font object ${obj.num}: /FontFile3 without " +
+                        "/Subtype /Type1C (OpenType-wrapped programs out of scope)")
+                    val program = decodeStream(ffObj, byNum).getBytes(ISO_8859_1)
+                    GlyphProgFont(CffFont.codeToUnicode(program, obj.num), obj.num)
+                  case (None, None) => throw new IllegalArgumentException(
+                    s"PdfCodec: font object ${obj.num}: symbolic simple font with " +
+                      "no /Encoding, no /ToUnicode and no embedded /FontFile2 " +
+                      "(TrueType) or /FontFile3 (Type1C) program — codes cannot " +
+                      "be mapped to text")
+                }
             }
           } else SimpleFont
       }
@@ -2056,13 +2078,16 @@ object PdfCodec {
     * (0x20 up — deliberately NOT the character's Latin-1 value, so a
     * decoder that skips the font program garbles every page), the font
     * dict carries NO /Encoding and NO /ToUnicode, and the only route
-    * back to text is the embedded /FontFile2 program's cmap
+    * back to text is the embedded font program — /FontFile2 sfnt cmap
     * ([[TrueTypeFont.encodeProgram]]: (3,0) symbol leg + Unicode leg,
-    * format 4 or — with `format12` — format 12). This is the
+    * format 4 or — with `format12` — format 12), or with `cff` a
+    * /FontFile3 /Type1C program ([[CffFont.encodeProgram]]: embedded
+    * Encoding → charset → custom uniXXXX strings). This is the
     * subset-font file shape PDFBox resolves through the embedded
     * program inside the reference's Function.java:90-132. */
   def encodeFontProgPdf(pages: Seq[String], compress: Boolean = true,
-                        format12: Boolean = false): Array[Byte] = {
+                        format12: Boolean = false,
+                        cff: Boolean = false): Array[Byte] = {
     // repertoire in first-appearance order over the page stream
     val repertoire = mutable.LinkedHashSet.empty[Int]
     pages.foreach { p =>
@@ -2079,8 +2104,10 @@ object PdfCodec {
       s"PdfCodec.encodeFontProgPdf: ${chars.length} distinct chars exceed the " +
         "224 byte codes a simple font carries (0x20-0xFF)")
     val codeOf = chars.zipWithIndex.map { case (cp, i) => cp -> (0x20 + i) }.toMap
-    val program = TrueTypeFont.encodeProgram(
-      chars.zipWithIndex.map { case (cp, i) => (0x20 + i, cp) }, format12)
+    val progEntries = chars.zipWithIndex.map { case (cp, i) => (0x20 + i, cp) }
+    val program =
+      if (cff) CffFont.encodeProgram(progEntries)
+      else TrueTypeFont.encodeProgram(progEntries, format12)
 
     val nPages = pages.length
     val fontNum = 3 + 2 * nPages
@@ -2120,20 +2147,23 @@ object PdfCodec {
       w("\nendstream\nendobj\n")
     }
     beginObj(fontNum)
-    w(s"<< /Type /Font /Subtype /TrueType /BaseFont /GRAFTA+Subset " +
+    val subtype = if (cff) "Type1" else "TrueType"
+    w(s"<< /Type /Font /Subtype /$subtype /BaseFont /GRAFTA+Subset " +
       s"/FirstChar 32 /LastChar ${0x20 + chars.length - 1} " +
       s"/Widths [ ${Seq.fill(chars.length)("500").mkString(" ")} ] " +
       s"/FontDescriptor $descNum 0 R >>\nendobj\n")
     beginObj(descNum)
     // /Flags 4 = Symbolic (spec Table 123) — the bit that routes the
     // decoder to the font program instead of a standard encoding
+    val ffKey = if (cff) "FontFile3" else "FontFile2"
     w(s"<< /Type /FontDescriptor /FontName /GRAFTA+Subset /Flags 4 " +
       s"/FontBBox [0 0 1000 1000] /ItalicAngle 0 /Ascent 800 /Descent -200 " +
-      s"/CapHeight 700 /StemV 80 /FontFile2 $ffNum 0 R >>\nendobj\n")
+      s"/CapHeight 700 /StemV 80 /$ffKey $ffNum 0 R >>\nendobj\n")
     beginObj(ffNum)
     val ffData = if (compress) deflate(program) else program
     val ffFilter = if (compress) " /Filter /FlateDecode" else ""
-    w(s"<< /Length ${ffData.length} /Length1 ${program.length}$ffFilter >>\nstream\n")
+    val ffSubtype = if (cff) " /Subtype /Type1C" else ""
+    w(s"<< /Length ${ffData.length} /Length1 ${program.length}$ffSubtype$ffFilter >>\nstream\n")
     out.write(ffData)
     w("\nendstream\nendobj\n")
     val xrefAt = out.size()
