@@ -1910,6 +1910,49 @@ object QueriesExtra {
              |FROM ch GROUP BY doc_id, f, w, h, dim
              |ORDER BY doc_id, frame_idx, dim""".stripMargin)),
 
+    // PATCH-FRAME animated GIF (round 16 extra): the wire shape real
+    // animated GIFs actually use — frame 0 full-screen, later frames
+    // small changed-region patches painted at (left, top) under
+    // disposal 1 — so a composited pixel shows the MOST RECENT frame
+    // whose rect covers it. The oracle computes that max-g cover set
+    // in closed form; a decoder that ignored patch offsets, painted
+    // patches at the origin, or skipped compositing entirely
+    // hash-mismatches the tile features.
+    "q_frame_gif_patch" -> QueryDef(
+      (s, d) => BinaryPipeline.decodeFrameTiles(
+          BinaryPipeline.synthesizePatchGifs(Tables.documents(s, d)), stride = 1)
+        .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
+          col("components"), posexplode(col("features")).as(Seq("dim", "v")))
+        .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
+          col("components"), col("dim").cast("long").as("dim"),
+          round(col("v"), 6).as("v"))
+        .orderBy(col("doc_id"), col("frame_idx"), col("dim")),
+      Some("""WITH p AS (SELECT doc_id, 16 + doc_id % 9 AS w, 16 + doc_id % 7 AS h
+             |  FROM documents),
+             |fr AS (SELECT p.*, f FROM p, unnest(range(0, 3)) t(f)),
+             |cov AS (SELECT fr.doc_id, fr.w, fr.h, fr.f, x, y, max(g) AS gsel
+             |  FROM fr, unnest(range(0, w)) gx(x), unnest(range(0, h)) gy(y),
+             |       unnest(range(0, f + 1)) gg(g)
+             |  WHERE g = 0 OR (
+             |    x >= (doc_id*7 + g*5) % (w - 8) AND
+             |    x <  (doc_id*7 + g*5) % (w - 8) + 8 AND
+             |    y >= (doc_id*3 + g*11) % (h - 8) AND
+             |    y <  (doc_id*3 + g*11) % (h - 8) + 8)
+             |  GROUP BY fr.doc_id, fr.w, fr.h, fr.f, x, y),
+             |px AS (SELECT doc_id, w, h, f, x, y,
+             |    (doc_id*31 + gsel*11 + x*7 + y*13) % 250 AS i FROM cov),
+             |ch AS (SELECT doc_id, w, h, f,
+             |    (((y*2)//h) * 2 + ((x*2)//w)) * 3 + c AS dim,
+             |    CASE c WHEN 0 THEN (i*37) % 256 WHEN 1 THEN (i*59 + 17) % 256
+             |           ELSE (i*83 + 29) % 256 END AS v
+             |  FROM px, unnest(range(0, 3)) gc(c))
+             |SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+             |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             |  CAST(3 AS BIGINT) AS components,
+             |  CAST(dim AS BIGINT) AS dim, round(avg(v), 6) AS v
+             |FROM ch GROUP BY doc_id, f, w, h, dim
+             |ORDER BY doc_id, frame_idx, dim""".stripMargin)),
+
     // CMYK / Adobe YCCK JPEG decode (round 15, VERDICT r14 #4): the
     // print-corpus variant — 4-component baseline files under an Adobe
     // APP14 marker, values stored INVERTED, transform 0 (direct CMYK

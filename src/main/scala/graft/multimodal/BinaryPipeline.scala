@@ -808,6 +808,73 @@ object BinaryPipeline {
     }(enc)
   }
 
+  /** [[synthesizeAnimGifs]]' PATCH-FRAME sibling (round 16): the wire
+    * shape real animated GIFs use — frame 0 full-screen, frames 1..2
+    * 8×8 patches at formula positions, all opaque, disposal 1 — so a
+    * composited frame f shows, at each pixel, the MOST RECENT frame
+    * whose rect covers it:
+    *   w = 16 + id%9, h = 16 + id%7, frames = 3 (0 full + 2 patches)
+    *   patch g ≥ 1: left = (id·7 + g·5) % (w−8), top = (id·3 + g·11) % (h−8)
+    *   index at GLOBAL (x,y) of frame g: (id·31 + g·11 + x·7 + y·13) % 250
+    *   palette entry i: ((i·37)%256, (i·59+17)%256, (i·83+29)%256) */
+  def synthesizePatchGifs(docs: DataFrame, idCol: String = "doc_id",
+                          batchSize: Int = 16): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false),
+      StructField("meta", StructType(Seq(
+        StructField("media_type", StringType, nullable = false),
+        StructField("declared_bytes", LongType, nullable = false))), nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val ids = docs.select(col(idCol))
+    ids.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val id = r.getLong(0)
+          val w = (16 + id % 9).toInt
+          val h = (16 + id % 7).toInt
+          val palette = new Array[Byte](256 * 3)
+          var i = 0
+          while (i < 256) {
+            palette(3 * i) = ((i * 37) % 256).toByte
+            palette(3 * i + 1) = ((i * 59 + 17) % 256).toByte
+            palette(3 * i + 2) = ((i * 83 + 29) % 256).toByte
+            i += 1
+          }
+          def cell(g: Int, x: Int, y: Int): Byte =
+            ((id * 31 + g * 11 + x * 7 + y * 13) % 250).toByte
+          val full = {
+            val idx = new Array[Byte](w * h)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { idx(y * w + x) = cell(0, x, y); x += 1 }
+              y += 1
+            }
+            GifCodec.AnimFrame(0, 0, w, h, idx, None, 1)
+          }
+          val patches = (1 to 2).map { g =>
+            val left = ((id * 7 + g * 5) % (w - 8)).toInt
+            val top = ((id * 3 + g * 11) % (h - 8)).toInt
+            val idx = new Array[Byte](8 * 8)
+            var fy = 0
+            while (fy < 8) {
+              var fx = 0
+              while (fx < 8) {
+                idx(fy * 8 + fx) = cell(g, left + fx, top + fy)
+                fx += 1
+              }
+              fy += 1
+            }
+            GifCodec.AnimFrame(left, top, 8, 8, idx, None, 1)
+          }
+          val bytes = GifCodec.encodeAnimFrames(w, h, palette, full +: patches)
+          Row(id, bytes, Row("image/gif", bytes.length.toLong))
+        }
+      }
+    }(enc)
+  }
+
   /** REAL frame sampling + decode over video (id, content) rows: the
     * container is SNIFFED per row — RIFF/AVI streams split via
     * [[AviCodec.videoFrames]], ISO-BMFF/MP4 via [[Mp4Codec.videoFrames]]

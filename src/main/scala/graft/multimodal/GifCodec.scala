@@ -14,13 +14,14 @@ import scala.collection.mutable
   *
   * Scope (fail-loud beyond it, never silent garbage):
   *  - GIF87a and GIF89a, global or local color table (one required)
-  *  - [[decode]] (the still-image op): FIRST frame only — a second
-  *    image descriptor rejects loud with the reason. [[frames]]
-  *    (round 16, the frame-sampling op): ALL frames, composited with
-  *    disposal methods 0/1 (keep) and 2 (restore to background);
-  *    restore-to-previous (3) rejects loud. Every frame must cover
-  *    the full logical screen either way — sub-rectangle frames
-  *    reject with the geometry
+  *  - [[decode]] (the still-image op): FIRST frame only, full-screen
+  *    coverage required (no compositing pass to place a patch on) — a
+  *    second image descriptor or a sub-rect still rejects loud.
+  *    [[frames]] (round 16, the frame-sampling op): ALL frames,
+  *    composited with disposal methods 0/1 (keep) and 2 (restore the
+  *    frame's RECT to background); PATCH frames — any in-bounds
+  *    rectangle, the shape real animated GIFs use — paint at their
+  *    (left, top); restore-to-previous (3) rejects loud
   *  - interlaced (4-pass) and sequential row order
   *  - LZW decompression with the spec's variable code width (LSB-first
   *    bit packing, clear/end codes, deferred-clear full dictionary),
@@ -41,10 +42,13 @@ object GifCodec {
       b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a'
 
   /** One parsed (not yet composited) frame: row-major palette indices
-    * over the FULL logical screen, the palette in effect, the GCE's
-    * transparent index (−1 = none) and disposal method (0/1 keep,
-    * 2 restore-to-background; 3+ rejected at parse). */
-  private final case class RawFrame(indices: Array[Byte], palette: Array[Byte],
+    * over the frame's OWN rect (left/top/iw/ih — the full logical
+    * screen for stills, any in-bounds rectangle for animation frames),
+    * the palette in effect, the GCE's transparent index (−1 = none)
+    * and disposal method (0/1 keep, 2 restore-rect-to-background;
+    * 3+ rejected in [[frames]]). */
+  private final case class RawFrame(left: Int, top: Int, iw: Int, ih: Int,
+                                    indices: Array[Byte], palette: Array[Byte],
                                     transparentIdx: Int, disposal: Int)
 
   /** Shared block walk: logical screen, background index, and every
@@ -105,9 +109,16 @@ object GifCodec {
             "GifCodec: second image descriptor — animated GIF beyond frame 1 out of scope")
           val left = le16(pos + 1); val top = le16(pos + 3)
           val iw = le16(pos + 5); val ih = le16(pos + 7)
-          require(left == 0 && top == 0 && iw == width && ih == height,
+          // a STILL decode demands full-screen coverage (no compositing
+          // pass to place a patch on); the animation path accepts any
+          // in-bounds rect (round 16 — the shape real animated GIFs use)
+          require(allowMulti || (left == 0 && top == 0 && iw == width && ih == height),
             s"GifCodec: frame ${iw}x$ih at ($left,$top) does not cover the " +
-              s"${width}x$height logical screen — composited sub-frames out of scope")
+              s"${width}x$height logical screen — still-image decode has no " +
+              "compositing pass (use the animation path for patch frames)")
+          require(iw > 0 && ih > 0 && left + iw <= width && top + ih <= height,
+            s"GifCodec: frame ${iw}x$ih at ($left,$top) exceeds the " +
+              s"${width}x$height logical screen")
           val ipacked = u8(pos + 9)
           val interlaced = (ipacked & 0x40) != 0
           pos += 10
@@ -157,7 +168,8 @@ object GifCodec {
               s"GifCodec: pixel index ${b & 0xff} out of range (color table has " +
                 s"$nEntries entries)")
           }
-          frames += RawFrame(rowMajor, palette, transparentIdx, disposal)
+          frames += RawFrame(left, top, iw, ih, rowMajor, palette,
+            transparentIdx, disposal)
           transparentIdx = -1
           disposal = 0
         case other => throw new IllegalArgumentException(
@@ -170,7 +182,7 @@ object GifCodec {
 
   def decode(bytes: Array[Byte]): PngCodec.PngImage = {
     val (width, height, _, _, fs) = parseFrames(bytes, allowMulti = false)
-    val RawFrame(rowMajor, palette, transparentIdx, _) = fs.head
+    val RawFrame(_, _, _, _, rowMajor, palette, transparentIdx, _) = fs.head
     val outCh = if (transparentIdx >= 0) 4 else 3
     val px = new Array[Byte](rowMajor.length * outCh)
     var i = 0
@@ -209,29 +221,43 @@ object GifCodec {
       canvas(3 * i) = bg(0); canvas(3 * i + 1) = bg(1); canvas(3 * i + 2) = bg(2)
       i += 1
     }
-    fs.map { case RawFrame(indices, palette, transparentIdx, disposal) =>
+    fs.map { case RawFrame(left, top, iw, ih, indices, palette, transparentIdx,
+                           disposal) =>
       // disposal only matters when COMPOSITING, so the scope check
       // lives here, not in the shared parse ([[decode]] tolerates a
       // stray disposal-3 GCE on a still image the way real viewers do)
       require(disposal <= 2,
         s"GifCodec: disposal method $disposal out of scope " +
           "(0/1 keep, 2 restore-to-background; 3 = restore-previous refused)")
-      var p = 0
-      while (p < n) {
-        val idx = indices(p) & 0xff
-        if (idx != transparentIdx) {
-          canvas(3 * p) = palette(3 * idx)
-          canvas(3 * p + 1) = palette(3 * idx + 1)
-          canvas(3 * p + 2) = palette(3 * idx + 2)
+      var fy = 0
+      while (fy < ih) {
+        var fx = 0
+        while (fx < iw) {
+          val idx = indices(fy * iw + fx) & 0xff
+          if (idx != transparentIdx) {
+            val p = (top + fy) * width + (left + fx)
+            canvas(3 * p) = palette(3 * idx)
+            canvas(3 * p + 1) = palette(3 * idx + 1)
+            canvas(3 * p + 2) = palette(3 * idx + 2)
+          }
+          fx += 1
         }
-        p += 1
+        fy += 1
       }
       val snapshot = java.util.Arrays.copyOf(canvas, canvas.length)
       if (disposal == 2) {
-        var q = 0
-        while (q < n) {
-          canvas(3 * q) = bg(0); canvas(3 * q + 1) = bg(1); canvas(3 * q + 2) = bg(2)
-          q += 1
+        // spec 89a: restore THE AREA USED BY THE GRAPHIC to the
+        // background color — rect-scoped, not whole-canvas (identical
+        // for the full-rect frames the round-15 scope carried)
+        var ry = 0
+        while (ry < ih) {
+          var rx = 0
+          while (rx < iw) {
+            val p = (top + ry) * width + (left + rx)
+            canvas(3 * p) = bg(0); canvas(3 * p + 1) = bg(1); canvas(3 * p + 2) = bg(2)
+            rx += 1
+          }
+          ry += 1
         }
       }
       PngCodec.PngImage(width, height, 8, 2, 3, snapshot)
@@ -390,13 +416,29 @@ object GifCodec {
     out.toByteArray
   }
 
+  /** One frame of [[encodeAnimFrames]]: a patch rect (the full screen
+    * or any in-bounds rectangle), its row-major indices, and the GCE
+    * material [[frames]] composites by. */
+  final case class AnimFrame(left: Int, top: Int, iw: Int, ih: Int,
+                             indices: Array[Byte], transparentIdx: Option[Int],
+                             disposal: Int)
+
   /** ANIMATED-GIF ENCODE: GIF89a with one global color table and a
     * full-screen image per frame, each preceded by a Graphic Control
     * Extension carrying its `(transparentIdx, disposal)` — the wire
     * shape [[frames]] composites. Disposal 0/1/2 only (the decode
     * scope). */
   def encodeAnim(width: Int, height: Int, palette: Array[Byte],
-                 frameSpecs: Seq[(Array[Byte], Option[Int], Int)]): Array[Byte] = {
+                 frameSpecs: Seq[(Array[Byte], Option[Int], Int)]): Array[Byte] =
+    encodeAnimFrames(width, height, palette, frameSpecs.map {
+      case (indices, t, d) => AnimFrame(0, 0, width, height, indices, t, d)
+    })
+
+  /** [[encodeAnim]] with PER-FRAME PATCH RECTS — the wire shape real
+    * animated GIFs use (frame 0 full-screen, later frames small
+    * changed-region patches). */
+  def encodeAnimFrames(width: Int, height: Int, palette: Array[Byte],
+                       frameSpecs: Seq[AnimFrame]): Array[Byte] = {
     require(width > 0 && height > 0, s"GifCodec.encodeAnim: invalid ${width}x$height")
     require(frameSpecs.nonEmpty, "GifCodec.encodeAnim: no frames")
     require(palette.length % 3 == 0 && palette.length >= 6 && palette.length <= 768,
@@ -413,9 +455,14 @@ object GifCodec {
     w8(0x80 | f); w8(0); w8(0) // GCT present, background index 0, aspect
     out.write(palette, 0, palette.length)
     for (i <- palette.length / 3 until gctEntries) { w8(0); w8(0); w8(0) }
-    frameSpecs.foreach { case (indices, transparentIdx, disposal) =>
-      require(indices.length == width * height,
-        s"GifCodec.encodeAnim: ${indices.length} indices, geometry wants ${width * height}")
+    frameSpecs.foreach { case AnimFrame(left, top, iw, ih, indices,
+                                        transparentIdx, disposal) =>
+      require(iw > 0 && ih > 0 && left >= 0 && top >= 0 &&
+          left + iw <= width && top + ih <= height,
+        s"GifCodec.encodeAnim: rect ${iw}x$ih at ($left,$top) exceeds " +
+          s"the ${width}x$height screen")
+      require(indices.length == iw * ih,
+        s"GifCodec.encodeAnim: ${indices.length} indices, rect wants ${iw * ih}")
       indices.foreach(ix => require((ix & 0xff) < nEntries,
         s"GifCodec.encodeAnim: index ${ix & 0xff} out of the $nEntries-entry palette"))
       transparentIdx.foreach(t => require(t >= 0 && t < nEntries,
@@ -425,7 +472,7 @@ object GifCodec {
       w8(0x21); w8(0xf9); w8(4)
       w8((disposal << 2) | (if (transparentIdx.isDefined) 1 else 0))
       le16(0); w8(transparentIdx.getOrElse(0)); w8(0)
-      w8(0x2c); le16(0); le16(0); le16(width); le16(height); w8(0)
+      w8(0x2c); le16(left); le16(top); le16(iw); le16(ih); w8(0)
       val minCode = math.max(2, f + 1)
       w8(minCode)
       val lzw = lzwEncode(indices, minCode)

@@ -162,6 +162,48 @@ class GifCodecSpec extends AnyFunSuite with SparkSpec {
       Seq((Array[Byte](1, 1, 2, 2), None, 3)))).getMessage.contains("disposal"))
   }
 
+  test("PATCH frames: sub-rect compositing, rect-scoped disposal 2, still-decode stays strict") {
+    // 4x4 screen; frame 0 full (all index 1), frame 1 a 2x2 patch of
+    // index 2 at (1,1), frame 2 a 1x2 patch of index 3 at (2,0) with
+    // disposal 2, frame 3 an EMPTY-change patch (all-transparent 1x1)
+    // showing that frame 2's rect was restored to background
+    val pal = Array[Byte](10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120)
+    def rgb(i: Int) = Seq(pal(3 * i), pal(3 * i + 1), pal(3 * i + 2))
+    import graft.multimodal.GifCodec.AnimFrame
+    val anim = GifCodec.encodeAnimFrames(4, 4, pal, Seq(
+      AnimFrame(0, 0, 4, 4, Array.fill[Byte](16)(1), None, 1),
+      AnimFrame(1, 1, 2, 2, Array[Byte](2, 2, 2, 2), None, 1),
+      AnimFrame(2, 0, 1, 2, Array[Byte](3, 3), None, 2),
+      AnimFrame(0, 0, 1, 1, Array[Byte](0), Some(0), 1)))
+    val fs = GifCodec.frames(anim)
+    assert(fs.length == 4 && fs.forall(f => f.width == 4 && f.height == 4))
+    def px(img: graft.multimodal.PngCodec.PngImage, x: Int, y: Int) =
+      Seq(img.pixels(3 * (y * 4 + x)), img.pixels(3 * (y * 4 + x) + 1),
+        img.pixels(3 * (y * 4 + x) + 2))
+    // frame 1: patch at (1,1)-(2,2) over the index-1 canvas
+    assert(px(fs(1), 0, 0) == rgb(1) && px(fs(1), 1, 1) == rgb(2) &&
+      px(fs(1), 2, 2) == rgb(2) && px(fs(1), 3, 3) == rgb(1))
+    // frame 2: column patch at (2,0)-(2,1); frame 1's patch persists
+    assert(px(fs(2), 2, 0) == rgb(3) && px(fs(2), 2, 1) == rgb(3) &&
+      px(fs(2), 1, 1) == rgb(2))
+    // frame 3: disposal 2 restored ONLY frame 2's rect to background
+    // (index 0); everything else persists
+    assert(px(fs(3), 2, 0) == rgb(0) && px(fs(3), 2, 1) == rgb(0),
+      "frame 2's rect must be background-restored")
+    assert(px(fs(3), 1, 1) == rgb(2) && px(fs(3), 0, 0) == rgb(1),
+      "pixels outside the disposed rect must persist")
+    // the still-image decode contract is unchanged: a sub-rect FIRST
+    // frame still rejects (no compositing pass to place it on)
+    val subStill = GifCodec.encodeAnimFrames(4, 4, pal,
+      Seq(AnimFrame(1, 1, 2, 2, Array[Byte](2, 2, 2, 2), None, 1)))
+    assert(intercept[IllegalArgumentException](GifCodec.decode(subStill))
+      .getMessage.contains("logical screen"))
+    // out-of-bounds patch rect fails loud in the encoder and decoder
+    assert(intercept[IllegalArgumentException](GifCodec.encodeAnimFrames(4, 4, pal,
+      Seq(AnimFrame(3, 3, 2, 2, Array[Byte](1, 1, 1, 1), None, 1))))
+      .getMessage.contains("exceeds"))
+  }
+
   test("format-agnostic dispatch: imageTileFeatures and resize accept GIF rows") {
     import spark.implicits._
     val pal = Array.tabulate(24)(i => (i * 10).toByte)
