@@ -1444,6 +1444,84 @@ object QueriesExtra {
              |FROM s2 GROUP BY doc_id, wi
              |ORDER BY doc_id, seg_idx""".stripMargin)),
 
+    // MS ADPCM audio decode (round 16 extra — the OTHER common
+    // compressed WAV format, wave format 0x02): two-tap coefficient
+    // prediction (sample = (s1·c1 + s2·c2)/256 + signed_nibble·delta,
+    // truncating division) under the public adaptation table, with the
+    // block header's iSamp2/iSamp1 AS the first two samples and
+    // high-nibble-first packing — every one of those conventions
+    // breaks the hash if flipped. The oracle replays the FULL two-tap
+    // recursion as a recursive CTE (coefficient pairs and adaptation
+    // table restated literally; truncation-toward-zero spelled out,
+    // since a floor-division replay would drift on negative
+    // predictors).
+    "q_audio_msadpcm" -> QueryDef(
+      (s, d) => BinaryPipeline.decodeWavSegments(
+          BinaryPipeline.synthesizeMsAdpcmWavs(Tables.documents(s, d)),
+          winFrames = 160, hopFrames = 80)
+        .orderBy(col("doc_id"), col("seg_idx")),
+      Some("""WITH RECURSIVE
+             |nibt(r, sgn, ad) AS (SELECT * FROM (VALUES
+             |    (0,0,230),(1,1,230),(2,2,230),(3,3,230),(4,-3,230),(5,-2,230),
+             |    (6,-1,230),(7,0,230),(8,4,307),(9,1,230),(10,-4,307),(11,2,230),
+             |    (12,6,512),(13,3,230),(14,-6,512),(15,-1,230)) v(a, b, c)),
+             |p AS (SELECT doc_id, 3 + doc_id % 4 AS nb FROM documents),
+             |blk AS (SELECT doc_id, b,
+             |    CAST((doc_id + b) % 7 AS BIGINT) AS pred,
+             |    CAST(16 + (doc_id*13 + b*7) % 1000 AS BIGINT) AS d0,
+             |    CAST((doc_id*37 + b*101) % 4001 - 2000 AS BIGINT) AS is1,
+             |    CAST((doc_id*41 + b*59) % 4001 - 2000 AS BIGINT) AS is2
+             |  FROM p, unnest(range(0, nb)) t(b)),
+             |cf AS (SELECT blk.*,
+             |    CASE pred WHEN 0 THEN 256 WHEN 1 THEN 512 WHEN 2 THEN 0
+             |      WHEN 3 THEN 192 WHEN 4 THEN 240 WHEN 5 THEN 460
+             |      ELSE 392 END AS c1,
+             |    CASE pred WHEN 0 THEN 0 WHEN 1 THEN -256 WHEN 2 THEN 0
+             |      WHEN 3 THEN 64 WHEN 4 THEN 0 WHEN 5 THEN -208
+             |      ELSE -232 END AS c2
+             |  FROM blk),
+             |step AS (
+             |  SELECT doc_id, b, c1, c2, -1 AS k, is1 AS s1, is2 AS s2,
+             |    d0 AS delta, CAST(NULL AS BIGINT) AS v
+             |  FROM cf
+             |  UNION ALL
+             |  SELECT s.doc_id, s.b, s.c1, s.c2, s.k + 1,
+             |    greatest(-32768, least(32767,
+             |      (CASE WHEN s.s1*s.c1 + s.s2*s.c2 >= 0
+             |            THEN (s.s1*s.c1 + s.s2*s.c2) // 256
+             |            ELSE -((-(s.s1*s.c1 + s.s2*s.c2)) // 256) END) +
+             |      t.sgn * s.delta)),
+             |    s.s1,
+             |    greatest(16, t.ad * s.delta // 256),
+             |    greatest(-32768, least(32767,
+             |      (CASE WHEN s.s1*s.c1 + s.s2*s.c2 >= 0
+             |            THEN (s.s1*s.c1 + s.s2*s.c2) // 256
+             |            ELSE -((-(s.s1*s.c1 + s.s2*s.c2)) // 256) END) +
+             |      t.sgn * s.delta))
+             |  FROM step s JOIN nibt t
+             |    ON t.r = (s.doc_id*31 + s.b*17 + (s.k+1)*7) % 16
+             |  WHERE s.k < 63),
+             |smp AS (
+             |  SELECT doc_id, b*66 + 0 AS i, is2 AS v FROM cf
+             |  UNION ALL SELECT doc_id, b*66 + 1, is1 FROM cf
+             |  UNION ALL SELECT doc_id, b*66 + 2 + k, v FROM step WHERE k >= 0),
+             |w AS (SELECT p.doc_id, p.nb*66 AS nf, wi FROM p,
+             |  unnest(range(0, greatest(1, CAST(ceil((p.nb*66) / 80.0) AS INT)))) t(wi)),
+             |f AS (SELECT w.doc_id, w.nf, w.wi, i FROM w,
+             |  unnest(range(wi*80, least(nf, wi*80 + 160))) t(i)),
+             |s2t AS (SELECT f.doc_id, f.wi, f.i, a.v, pb.v AS pv
+             |  FROM f JOIN smp a ON a.doc_id = f.doc_id AND a.i = f.i
+             |  LEFT JOIN smp pb ON pb.doc_id = f.doc_id AND pb.i = f.i - 1)
+             |SELECT doc_id, CAST(wi AS BIGINT) AS seg_idx,
+             |  CAST(8000 AS BIGINT) AS sample_rate, CAST(1 AS BIGINT) AS channels,
+             |  CAST(4 AS BIGINT) AS bits,
+             |  CAST(count(DISTINCT i) AS BIGINT) AS n_frames,
+             |  CAST(SUM(v*v) AS BIGINT) AS sq_sum,
+             |  CAST(coalesce(SUM(CASE WHEN i > wi*80
+             |    AND (pv >= 0) != (v >= 0) THEN 1 END), 0) AS BIGINT) AS zero_crossings
+             |FROM s2t GROUP BY doc_id, wi
+             |ORDER BY doc_id, seg_idx""".stripMargin)),
+
     // REAL image decode (PngCodec): deterministic PNGs are synthesized
     // in-engine from doc_id alone (gray/RGB/RGBA, cycling row filters,
     // CRC'd chunks), then decoded for real — inflate, per-row unfilter,

@@ -808,6 +808,61 @@ object BinaryPipeline {
     }(enc)
   }
 
+  /** [[synthesizeAdpcmWavs]]' MS-ADPCM sibling (round 16): mono
+    * format-0x02 files under the standard coefficient table, wire
+    * content formula-derived so the oracle replays the two-tap
+    * prediction recursion exactly:
+    *   blockAlign 39 → 66 samples/block, nBlocks = 3 + doc_id % 4
+    *   block b: predictor = (doc_id + b) mod 7
+    *            delta0 = 16 + (doc_id·13 + b·7) mod 1000
+    *            iSamp1 = (doc_id·37 + b·101) mod 4001 − 2000
+    *            iSamp2 = (doc_id·41 + b·59) mod 4001 − 2000
+    *   nibble k (0-63, HIGH nibble of byte k/2 first) =
+    *            REMAP[(doc_id·31 + b·17 + k·7) mod 16]
+    * where REMAP = [0,1,2,3,13,14,15,0,4,1,12,2,6,3,10,15] biases the
+    * nibble multiset toward small adaptation factors (twelve 230s, two
+    * 307s, two 512s → ×1.59 per 16 nibbles): a uniform multiset grows
+    * delta ~107× per cycle — a stream shape no real encoder emits and
+    * one that overflows any fixed-width decoder state (the decoder
+    * fail-louds past 2^30 for exactly that reason). */
+  def synthesizeMsAdpcmWavs(docs: DataFrame, idCol: String = "doc_id",
+                            batchSize: Int = 16): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false),
+      StructField("meta", StructType(Seq(
+        StructField("media_type", StringType, nullable = false),
+        StructField("declared_bytes", LongType, nullable = false))), nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val ids = docs.select(col(idCol))
+    ids.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val id = r.getLong(0)
+          val nBlocks = (3 + id % 4).toInt
+          val blocks = (0 until nBlocks).map { b =>
+            val pred = ((id + b) % 7).toInt
+            val delta = (16 + (id * 13 + b * 7L) % 1000).toInt
+            val s1 = ((id * 37 + b * 101L) % 4001).toInt - 2000
+            val s2 = ((id * 41 + b * 59L) % 4001).toInt - 2000
+            val remap = Array(0, 1, 2, 3, 13, 14, 15, 0, 4, 1, 12, 2, 6, 3, 10, 15)
+            val payload = new Array[Byte](32)
+            var j = 0
+            while (j < 32) {
+              val hi = remap(((id * 31 + b * 17 + (2 * j) * 7L) % 16).toInt)
+              val lo = remap(((id * 31 + b * 17 + (2 * j + 1) * 7L) % 16).toInt)
+              payload(j) = ((hi << 4) | lo).toByte
+              j += 1
+            }
+            (Array(pred), Array(delta), Array(s1), Array(s2), payload)
+          }
+          val bytes = WavCodec.encodeMsAdpcm(8000, 1, 39, blocks)
+          Row(id, bytes, Row("audio/wav", bytes.length.toLong))
+        }
+      }
+    }(enc)
+  }
+
   /** [[synthesizeAnimGifs]]' PATCH-FRAME sibling (round 16): the wire
     * shape real animated GIFs use — frame 0 full-screen, frames 1..2
     * 8×8 patches at formula positions, all opaque, disposal 1 — so a

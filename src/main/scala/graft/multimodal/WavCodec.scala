@@ -10,19 +10,21 @@ import java.io.ByteArrayOutputStream
   *
   * Format: RIFF container (`RIFF <size> WAVE`), `fmt ` chunk with
   * audio-format 1 (integer PCM), 6 (G.711 A-law), 7 (G.711 µ-law) —
-  * round 15's telephony-corpus formats — or 0x11 (IMA ADPCM, round
-  * 16: the remaining common compressed wire format in telephony/game
-  * corpora) — `data` chunk with interleaved frames (or, for ADPCM,
-  * self-contained nibble blocks). Scope (fail-loud beyond it, never
-  * silent garbage):
-  *  - other compressed formats (MS ADPCM 2, float 3) and
-  *    WAVE_FORMAT_EXTENSIBLE (0xFFFE) reject with the format code
+  * round 15's telephony-corpus formats — 0x11 (IMA ADPCM) or 0x02
+  * (MS ADPCM) — round 16's compressed wire formats — `data` chunk
+  * with interleaved frames (or, for the ADPCMs, self-contained nibble
+  * blocks). Scope (fail-loud beyond it, never silent garbage):
+  *  - float (3) and WAVE_FORMAT_EXTENSIBLE (0xFFFE) reject with the
+  *    format code
   *  - PCM: 8-bit (unsigned on the wire, per spec) and 16-bit (signed
   *    LE); µ-law/A-law: 8-bit codes expanded to 16-bit-scale linear
   *    via the CCITT formulas; IMA ADPCM: 4-bit nibble prediction with
   *    the public step table, per-block predictor reset from the block
   *    header (header = sample 0), low-nibble-first, 4-byte groups
-  *    round-robin across channels
+  *    round-robin across channels; MS ADPCM: two-tap coefficient
+  *    prediction (the file's own coef table) with the public
+  *    adaptation table, field-grouped per-channel block headers whose
+  *    iSamp2/iSamp1 ARE the first two samples, high-nibble-first
   *  - 1–8 channels; block-align and byte-rate must agree with the
   *    declared geometry; the data payload must be WHOLE frames (whole
   *    blocks for ADPCM, with the declared samples-per-block matching
@@ -148,6 +150,38 @@ object WavCodec {
   private def adpcmSamplesPerBlock(blockAlign: Int, channels: Int): Int =
     (blockAlign - 4 * channels) * 2 / channels + 1
 
+  // ── MS ADPCM (wave format 0x02) ────────────────────────────────────
+
+  /** The public MS ADPCM adaptation table (16 entries, one per nibble). */
+  private[graft] val MsAdaptTable: Array[Int] = Array(
+    230, 230, 230, 230, 307, 409, 512, 614, 768, 614, 512, 409, 307, 230, 230, 230)
+
+  /** The standard 7 MS ADPCM coefficient pairs real encoders write. */
+  private[graft] val MsStdCoefs: Array[(Int, Int)] = Array(
+    (256, 0), (512, -256), (0, 0), (192, 64), (240, 0), (460, -208), (392, -232))
+
+  /** One MS ADPCM nibble step from state (samp1, samp2, delta) under
+    * coefficient pair (c1, c2): (newSample, newDelta). The divisions
+    * truncate toward zero (the reference C semantics); `nibble` is the
+    * raw unsigned 4-bit code (sign applied internally). `delta` rides
+    * 64-bit: the adaptation is multiplicative (×3 max per nibble) and a
+    * crafted nibble stream would overflow 32-bit state — the decode
+    * loop bounds it loud instead (real encoders keep delta near the
+    * 16-bit header range). */
+  private[graft] def msStep(samp1: Int, samp2: Int, delta: Long,
+                            c1: Int, c2: Int, nibble: Int): (Int, Long) = {
+    val signed = if (nibble >= 8) nibble - 16 else nibble
+    val predictor = (samp1.toLong * c1 + samp2.toLong * c2) / 256
+    val sample = math.max(-32768L, math.min(32767L, predictor + signed * delta)).toInt
+    val nd = math.max(16L, MsAdaptTable(nibble) * delta / 256)
+    (sample, nd)
+  }
+
+  /** Samples per MS ADPCM block: the two header samples plus two
+    * nibbles per data byte, per channel. */
+  private def msSamplesPerBlock(blockAlign: Int, channels: Int): Int =
+    2 + (blockAlign - 7 * channels) * 2 / channels
+
   /** True iff `content` starts with the RIFF/WAVE 12-byte preamble. */
   def isWav(b: Array[Byte]): Boolean =
     b.length >= 12 &&
@@ -168,6 +202,7 @@ object WavCodec {
     var sampleRate = 0; var channels = 0; var bits = 0
     var blockAlign = 0
     var format = 1
+    var msCoefs: Array[(Int, Int)] = null
     var fmtSeen = false
     var data: (Int, Int) = null // (offset, length)
     val end = (riffSize + 8).toInt
@@ -183,10 +218,10 @@ object WavCodec {
           require(clen >= 16, s"WavCodec: fmt chunk of $clen bytes (want >= 16)")
           fmtSeen = true
           val fmt = le16(off)
-          require(fmt == 1 || fmt == 6 || fmt == 7 || fmt == 0x11,
+          require(fmt == 1 || fmt == 2 || fmt == 6 || fmt == 7 || fmt == 0x11,
             s"WavCodec: audio format $fmt unsupported (1 = integer PCM, " +
-              "6 = G.711 A-law, 7 = G.711 mu-law, 17 = IMA ADPCM; other " +
-              "compressed/float/extensible WAV out of scope)")
+              "2 = MS ADPCM, 6 = G.711 A-law, 7 = G.711 mu-law, " +
+              "17 = IMA ADPCM; float/extensible WAV out of scope)")
           format = fmt
           channels = le16(off + 2)
           require(channels >= 1 && channels <= 8,
@@ -196,7 +231,35 @@ object WavCodec {
           val byteRate = le32(off + 8)
           blockAlign = le16(off + 12)
           bits = le16(off + 14)
-          if (format == 0x11) {
+          if (format == 2) {
+            // MS ADPCM: 4-bit nibbles in self-contained blocks; the
+            // extended fmt carries samplesPerBlock and the coefficient
+            // table (the file's own — custom pairs are legal)
+            require(bits == 4,
+              s"WavCodec: MS ADPCM with $bits bits/sample (4-bit nibbles only)")
+            require(blockAlign > 7 * channels &&
+                ((blockAlign - 7 * channels) * 2) % channels == 0,
+              s"WavCodec: MS ADPCM block align $blockAlign not 7·$channels " +
+                "header bytes + whole per-channel nibble payload")
+            require(clen >= 22, s"WavCodec: MS ADPCM fmt chunk of $clen bytes " +
+              "(want >= 22: cbSize + samplesPerBlock + numCoef + coefs)")
+            val declaredSpb = le16(off + 18)
+            val spb = msSamplesPerBlock(blockAlign, channels)
+            require(declaredSpb == spb,
+              s"WavCodec: fmt declares $declaredSpb samples/block, block " +
+                s"geometry implies $spb")
+            val numCoef = le16(off + 20)
+            require(numCoef >= 1 && 22 + 4 * numCoef <= clen,
+              s"WavCodec: MS ADPCM declares $numCoef coef pairs in a " +
+                s"$clen-byte fmt chunk")
+            msCoefs = Array.tabulate(numCoef) { k =>
+              (le16(off + 22 + 4 * k).toShort.toInt,
+               le16(off + 24 + 4 * k).toShort.toInt)
+            }
+            require(byteRate == sampleRate.toLong * blockAlign / spb,
+              s"WavCodec: byte rate $byteRate contradicts " +
+                s"$sampleRate Hz x $blockAlign-byte blocks of $spb samples")
+          } else if (format == 0x11) {
             // IMA ADPCM: 4-bit nibbles in self-contained blocks of
             // blockAlign bytes; the extended fmt fields must declare
             // the samples-per-block the geometry implies
@@ -241,6 +304,63 @@ object WavCodec {
     require(fmtSeen, "WavCodec: no fmt chunk")
     require(data != null, "WavCodec: no data chunk")
     val (dOff, dLen) = data
+    if (format == 2) {
+      // MS ADPCM block: per-channel headers FIELD-GROUPED (all
+      // bPredictor u8, all iDelta i16, all iSamp1 i16, all iSamp2 i16),
+      // then nibbles HIGH-first round-robin across channels. iSamp2 is
+      // the OLDER sample and plays FIRST (the public layout).
+      require(dLen % blockAlign == 0,
+        s"WavCodec: ADPCM data payload of $dLen bytes is not whole " +
+          s"$blockAlign-byte blocks")
+      val spb = msSamplesPerBlock(blockAlign, channels)
+      val nBlocks = dLen / blockAlign
+      require(nBlocks.toLong * spb * channels <= (1L << 30),
+        s"WavCodec: ADPCM stream of ${nBlocks.toLong * spb} frames x " +
+          s"$channels ch exceeds the 2^30-sample decode bound")
+      val frames = nBlocks * spb
+      val out = new Array[Int](frames * channels)
+      def i16(at: Int): Int = ((bytes(at) & 0xff) | (bytes(at + 1) << 8)).toShort.toInt
+      var b = 0
+      while (b < nBlocks) {
+        val blockAt = dOff + b * blockAlign
+        val c1 = new Array[Int](channels); val c2 = new Array[Int](channels)
+        val delta = new Array[Long](channels)
+        val samp1 = new Array[Int](channels); val samp2 = new Array[Int](channels)
+        var c = 0
+        while (c < channels) {
+          val pred = bytes(blockAt + c) & 0xff
+          require(pred < msCoefs.length,
+            s"WavCodec: MS ADPCM block $b channel $c predictor $pred names no " +
+              s"coefficient pair (table has ${msCoefs.length})")
+          c1(c) = msCoefs(pred)._1; c2(c) = msCoefs(pred)._2
+          delta(c) = i16(blockAt + channels + 2 * c).toLong
+          require(delta(c) > 0,
+            s"WavCodec: MS ADPCM block $b channel $c initial delta ${delta(c)} <= 0")
+          samp1(c) = i16(blockAt + 3 * channels + 2 * c)
+          samp2(c) = i16(blockAt + 5 * channels + 2 * c)
+          out((b * spb) * channels + c) = samp2(c)
+          out((b * spb + 1) * channels + c) = samp1(c)
+          c += 1
+        }
+        val dataAt = blockAt + 7 * channels
+        val nNib = (blockAlign - 7 * channels) * 2
+        var k = 0
+        while (k < nNib) {
+          val byte = bytes(dataAt + (k >> 1)) & 0xff
+          val nib = if ((k & 1) == 0) (byte >> 4) & 0xf else byte & 0xf
+          val ch = k % channels
+          val (s2, nd) = msStep(samp1(ch), samp2(ch), delta(ch), c1(ch), c2(ch), nib)
+          samp2(ch) = samp1(ch); samp1(ch) = s2; delta(ch) = nd
+          require(nd <= (1L << 30),
+            s"WavCodec: MS ADPCM block $b adaptation delta $nd overflows the " +
+              "2^30 bound (×3-per-nibble growth — not a real encoder's stream)")
+          out((b * spb + 2 + k / channels) * channels + ch) = s2
+          k += 1
+        }
+        b += 1
+      }
+      return WavAudio(sampleRate, channels, bits, frames, out, format)
+    }
     if (format == 0x11) {
       // block-structured: per channel a 4-byte header (initial
       // predictor i16 LE = SAMPLE 0, step index u8, reserved u8), then
@@ -391,6 +511,59 @@ object WavCodec {
         le16(preds(c) & 0xffff); out.write(idxs(c)); out.write(0)
         c += 1
       }
+      out.write(payload, 0, payload.length)
+    }
+    out.toByteArray
+  }
+
+  /** MS ADPCM WAV ENCODE from RAW block material (the [[encodeAdpcm]]
+    * convention): each block is (per-channel predictor indexes, initial
+    * deltas, iSamp1s, iSamp2s, nibble payload of blockAlign −
+    * 7·channels bytes), written verbatim with the coefficient table in
+    * the extended fmt chunk. */
+  def encodeMsAdpcm(sampleRate: Int, channels: Int, blockAlign: Int,
+                    blocks: Seq[(Array[Int], Array[Int], Array[Int], Array[Int], Array[Byte])],
+                    coefs: Array[(Int, Int)] = MsStdCoefs): Array[Byte] = {
+    require(channels >= 1 && channels <= 8, s"WavCodec.encodeMsAdpcm: $channels channels")
+    require(sampleRate > 0, "WavCodec.encodeMsAdpcm: zero sample rate")
+    require(blockAlign > 7 * channels &&
+        ((blockAlign - 7 * channels) * 2) % channels == 0,
+      s"WavCodec.encodeMsAdpcm: bad block align $blockAlign for $channels ch")
+    require(blocks.nonEmpty, "WavCodec.encodeMsAdpcm: no blocks")
+    require(coefs.nonEmpty && coefs.length <= 255, "WavCodec.encodeMsAdpcm: coef table")
+    val spb = msSamplesPerBlock(blockAlign, channels)
+    val cbSize = 4 + 4 * coefs.length
+    val dataLen = blocks.length * blockAlign
+    val out = new ByteArrayOutputStream(60 + cbSize + dataLen)
+    def w(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >>> 16) & 0xffff) }
+    w("RIFF"); le32(20 + 18 + cbSize + dataLen); w("WAVE")
+    w("fmt "); le32(18 + cbSize)
+    le16(2); le16(channels); le32(sampleRate)
+    le32((sampleRate.toLong * blockAlign / spb).toInt)
+    le16(blockAlign); le16(4)
+    le16(cbSize); le16(spb); le16(coefs.length)
+    coefs.foreach { case (a, b) => le16(a & 0xffff); le16(b & 0xffff) }
+    w("data"); le32(dataLen)
+    blocks.foreach { case (preds, deltas, samp1s, samp2s, payload) =>
+      require(preds.length == channels && deltas.length == channels &&
+          samp1s.length == channels && samp2s.length == channels,
+        "WavCodec.encodeMsAdpcm: per-channel header arity mismatch")
+      require(payload.length == blockAlign - 7 * channels,
+        s"WavCodec.encodeMsAdpcm: payload ${payload.length} != " +
+          s"${blockAlign - 7 * channels}")
+      preds.foreach(p => require(p >= 0 && p < coefs.length,
+        s"WavCodec.encodeMsAdpcm: predictor $p outside the coef table"))
+      deltas.foreach(d => require(d > 0 && d <= Short.MaxValue,
+        s"WavCodec.encodeMsAdpcm: initial delta $d out of (0, 32767]"))
+      (samp1s ++ samp2s).foreach(v =>
+        require(v >= Short.MinValue && v <= Short.MaxValue,
+          s"WavCodec.encodeMsAdpcm: header sample $v out of 16-bit range"))
+      preds.foreach(out.write)
+      deltas.foreach(d => le16(d & 0xffff))
+      samp1s.foreach(v => le16(v & 0xffff))
+      samp2s.foreach(v => le16(v & 0xffff))
       out.write(payload, 0, payload.length)
     }
     out.toByteArray

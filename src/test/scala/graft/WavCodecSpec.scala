@@ -180,9 +180,11 @@ class WavCodecSpec extends AnyFunSuite with SparkSpec {
     // fail-loud: foreign ADPCM format, spb mismatch, header index/reserved,
     // partial blocks (fmt fields at 20+, data chunk at 40, header at 48)
     val good = WavCodec.encodeAdpcm(8000, 1, 12, Seq((Array(0), Array(0), payload)))
+    // format 2 became REAL MS ADPCM support in round 16, so an IMA file
+    // relabeled as format 2 now fails on MS's own fmt-chunk geometry
     val ms = good.clone(); ms(20) = 2
     assert(intercept[IllegalArgumentException](WavCodec.decode(ms))
-      .getMessage.contains("format 2"))
+      .getMessage.contains("MS ADPCM fmt chunk"))
     val spb = good.clone(); spb(38) = (spb(38) + 1).toByte
     assert(intercept[IllegalArgumentException](WavCodec.decode(spb))
       .getMessage.contains("samples/block"))
@@ -236,6 +238,78 @@ class WavCodecSpec extends AnyFunSuite with SparkSpec {
       }
     }
     assert(got.toSeq == want)
+  }
+
+  test("MS ADPCM (format 0x02): hand-stepped two-tap recursion, headers-as-samples, fail-loud") {
+    // hand-stepped from the published algorithm: predictor pair 0
+    // (c1 256, c2 0 → predictor = s1), delta 16, s1 = 100, s2 = -50.
+    //   sample0 = -50 (iSamp2 first), sample1 = 100
+    //   nibble 1 (HIGH of 0x17): 100 + 1·16 = 116; delta → max(16, 230·16/256)=16? no: 230*16/256 = 14 → 16
+    //   nibble 7 (LOW):          116 + 7·16 = 228; delta → 614·16/256 = 38
+    val one = WavCodec.decode(WavCodec.encodeMsAdpcm(8000, 1, 8,
+      Seq((Array(0), Array(16), Array(100), Array(-50), Array[Byte](0x17)))))
+    assert(one.format == 2 && one.bitsPerSample == 4 && one.frames == 4)
+    assert(one.samples.toSeq == Seq(-50, 100, 116, 228), one.samples.toSeq)
+    // negative-predictor truncation: pair 1 (512, -256), s1 = -3, s2 = 2:
+    // predictor = (-1536 - 512)/256 = -2048/256 = -8 exactly; then with
+    // s1 = -1, s2 = -3: (-512 + 768)/256 = 1; nibble 8 (= -8): 1 - 8·16 = -127
+    val neg = WavCodec.decode(WavCodec.encodeMsAdpcm(8000, 1, 8,
+      Seq((Array(1), Array(16), Array(-3), Array(2), Array[Byte](0x78.toByte)))))
+    // nibble 7: -8 + 7·16 = 104; delta → 614·16/256 = 38
+    // nibble 8: predictor = (104·512 − (−3)·256)/256 = (53248 + 768)/256 = 211
+    //           sample = 211 − 8·38 = −93
+    assert(neg.samples.toSeq == Seq(2, -3, 104, -93), neg.samples.toSeq)
+    // independent recompute over the synthesis corpus (the gate's
+    // recursion, re-expressed locally)
+    import spark.implicits._
+    val ids = Seq(0L, 5L, 9L).toDF("doc_id")
+    val got = BinaryPipeline.decodeWavSegments(
+        BinaryPipeline.synthesizeMsAdpcmWavs(ids), winFrames = 160, hopFrames = 80)
+      .orderBy("doc_id", "seg_idx")
+      .select("doc_id", "seg_idx", "n_frames", "sq_sum", "zero_crossings")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val coefs = WavCodec.MsStdCoefs
+    val remap = Array(0, 1, 2, 3, 13, 14, 15, 0, 4, 1, 12, 2, 6, 3, 10, 15)
+    val want = Seq(0L, 5L, 9L).flatMap { id =>
+      val nBlocks = (3 + id % 4).toInt
+      val samples = (0 until nBlocks).flatMap { b =>
+        val (c1, c2) = coefs(((id + b) % 7).toInt)
+        var delta = (16 + (id * 13 + b * 7L) % 1000)
+        var s1 = ((id * 37 + b * 101L) % 4001).toInt - 2000
+        var s2 = ((id * 41 + b * 59L) % 4001).toInt - 2000
+        Seq(s2, s1) ++ (0 until 64).map { k =>
+          val nib = remap(((id * 31 + b * 17 + k * 7L) % 16).toInt)
+          val signed = if (nib >= 8) nib - 16 else nib
+          val p = (s1.toLong * c1 + s2.toLong * c2) / 256
+          val sm = math.max(-32768L, math.min(32767L, p + signed * delta)).toInt
+          delta = math.max(16L, WavCodec.MsAdaptTable(nib) * delta / 256)
+          s2 = s1; s1 = sm
+          sm
+        }
+      }
+      val nf = samples.length
+      val nWin = math.max(1, math.ceil(nf / 80.0).toInt)
+      (0 until nWin).map { wi =>
+        val win = samples.slice(wi * 80, math.min(nf, wi * 80 + 160))
+        val zc = (wi * 80 + 1 until math.min(nf, wi * 80 + 160)).count(i =>
+          (samples(i - 1) >= 0) != (samples(i) >= 0))
+        (id, wi.toLong, win.length.toLong,
+          win.map(v => v.toLong * v).sum, zc.toLong)
+      }
+    }
+    assert(got.toSeq == want, s"first got=${got.take(2).toSeq} want=${want.take(2)}")
+    // fail-loud: predictor beyond the coef table; zero initial delta
+    val good = WavCodec.encodeMsAdpcm(8000, 1, 8,
+      Seq((Array(0), Array(16), Array(0), Array(0), Array[Byte](0))))
+    val badPred = good.clone()
+    val dataAt = new String(good, "ISO-8859-1").indexOf("data") + 8
+    badPred(dataAt) = 9
+    assert(intercept[IllegalArgumentException](WavCodec.decode(badPred))
+      .getMessage.contains("predictor 9"))
+    val zeroDelta = good.clone()
+    zeroDelta(dataAt + 1) = 0; zeroDelta(dataAt + 2) = 0
+    assert(intercept[IllegalArgumentException](WavCodec.decode(zeroDelta))
+      .getMessage.contains("delta"))
   }
 
   test("decodeWavSegments: hand-computed energy and zero crossings on a tiny stream") {
