@@ -1988,6 +1988,33 @@ object QueriesExtra {
              |FROM ch GROUP BY doc_id, f, w, h, dim
              |ORDER BY doc_id, frame_idx, dim""".stripMargin)),
 
+    // MULTI-PAGE TIFF (round 16 extra): scanned documents are
+    // routinely multi-page, and the round-15 scope failed loud on the
+    // second IFD. Each doc's chain carries 2-4 pages of DIFFERENT
+    // geometry; the oracle replays per-page pixel formulas byte-blind —
+    // a chain walker that dropped pages, reused page-1 geometry, or
+    // mis-followed a next-IFD pointer breaks rows or hashes.
+    "q_tiff_pages" -> QueryDef(
+      (s, d) => BinaryPipeline.decodeTiffPages(
+          BinaryPipeline.synthesizeMultiTiffs(Tables.documents(s, d)))
+        .orderBy(col("doc_id"), col("page_no")),
+      Some("""WITH p AS (SELECT doc_id, pg,
+             |    9 + (doc_id + pg) % 13 AS w, 7 + (doc_id + pg) % 11 AS h,
+             |    CASE WHEN (doc_id + pg) % 2 = 0 THEN 1 ELSE 3 END AS ch
+             |  FROM documents, unnest(range(0, 2 + doc_id % 3)) t(pg)),
+             |b AS (SELECT doc_id, pg, w, h, ch, i,
+             |    (doc_id*37 + pg*53 + i*11) % 256 AS v
+             |  FROM p, unnest(range(0, w*h*ch)) t(i))
+             |SELECT doc_id, CAST(pg AS BIGINT) AS page_no,
+             |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             |  CAST(ch AS BIGINT) AS channels,
+             |  CAST(SUM(CASE WHEN i % ch = 0 THEN v END) AS BIGINT) AS r_sum,
+             |  CAST(coalesce(SUM(CASE WHEN ch = 3 AND i % ch = 1 THEN v END), 0) AS BIGINT) AS g_sum,
+             |  CAST(coalesce(SUM(CASE WHEN ch = 3 AND i % ch = 2 THEN v END), 0) AS BIGINT) AS b_sum,
+             |  CAST(SUM((i + 1) * v) AS BIGINT) AS weighted_sum
+             |FROM b GROUP BY doc_id, pg, w, h, ch
+             |ORDER BY doc_id, page_no""".stripMargin)),
+
     // PATCH-FRAME animated GIF (round 16 extra): the wire shape real
     // animated GIFs actually use — frame 0 full-screen, later frames
     // small changed-region patches painted at (left, top) under

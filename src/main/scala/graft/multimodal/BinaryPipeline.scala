@@ -602,6 +602,92 @@ object BinaryPipeline {
     }(enc)
   }
 
+  /** [[synthesizeTiffs]]' MULTI-PAGE sibling (round 16 — scanned
+    * documents are routinely multi-page): one TIFF per doc whose IFD
+    * chain carries 2 + id%3 pages of DIFFERENT geometry:
+    *   page p: w = 9 + (id+p)%13, h = 7 + (id+p)%11,
+    *           ch = 1 if (id+p)%2 == 0 else 3
+    *   pixel i of page p: (id·37 + p·53 + i·11) mod 256
+    * byte order / PackBits / strips cycle by id like the single-page
+    * corpus. */
+  def synthesizeMultiTiffs(docs: DataFrame, idCol: String = "doc_id",
+                           batchSize: Int = 16): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false),
+      StructField("meta", StructType(Seq(
+        StructField("media_type", StringType, nullable = false),
+        StructField("declared_bytes", LongType, nullable = false))), nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val ids = docs.select(col(idCol))
+    ids.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val id = r.getLong(0)
+          val nPages = (2 + id % 3).toInt
+          val pages = (0 until nPages).map { p =>
+            val w = (9 + (id + p) % 13).toInt
+            val h = (7 + (id + p) % 11).toInt
+            val ch = if ((id + p) % 2 == 0) 1 else 3
+            val px = new Array[Byte](w * h * ch)
+            var i = 0
+            while (i < px.length) {
+              px(i) = ((id * 37 + p * 53 + i * 11L) % 256).toByte
+              i += 1
+            }
+            (w, h, ch, px)
+          }
+          val bytes = TiffCodec.encodeMulti(pages,
+            bigEndian = id % 3 == 0,
+            packBits = id % 4 < 2,
+            rowsPerStrip = (1 + id % 5).toInt)
+          Row(id, bytes, Row("image/tiff", bytes.length.toLong))
+        }
+      }
+    }(enc)
+  }
+
+  /** [[decodeTiffs]] per PAGE ([[TiffCodec.pages]] walks the IFD
+    * chain): one row per (doc, page) with the same integer features. */
+  def decodeTiffPages(media: DataFrame, idCol: String = "doc_id",
+                      batchSize: Int = 16): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("page_no", LongType, nullable = false),
+      StructField("width", LongType, nullable = false),
+      StructField("height", LongType, nullable = false),
+      StructField("channels", LongType, nullable = false),
+      StructField("r_sum", LongType, nullable = false),
+      StructField("g_sum", LongType, nullable = false),
+      StructField("b_sum", LongType, nullable = false),
+      StructField("weighted_sum", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val idIdx = media.schema.fieldIndex(idCol)
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          val id = r.getLong(idIdx)
+          TiffCodec.pages(r.getAs[Array[Byte]](contentIdx)).zipWithIndex
+            .map { case (img, pageNo) =>
+              val ch = img.channels
+              val sums = new Array[Long](3)
+              var weighted = 0L
+              var p = 0
+              while (p < img.pixels.length) {
+                val v = img.pixels(p) & 0xff
+                sums(p % ch) += v
+                weighted += (p + 1).toLong * v
+                p += 1
+              }
+              Row(id, pageNo.toLong, img.width.toLong, img.height.toLong,
+                ch.toLong, sums(0), sums(1), sums(2), weighted)
+            }
+        }
+      }
+    }(enc)
+  }
+
   /** Deterministic in-engine MOTION-JPEG synthesis: the video leg —
     * each document becomes a concatenated-JPEG stream (the classic
     * MJPEG container: complete SOI..EOI frames back to back), every

@@ -10,7 +10,10 @@ import java.io.ByteArrayOutputStream
   *
   * Scope (fail-loud beyond it, never silent garbage):
   *  - both byte orders (II little-endian, MM big-endian)
-  *  - FIRST IFD only; a second IFD (multi-page) rejects loud
+  *  - [[decode]] (the still-image op): FIRST IFD only — a second IFD
+  *    rejects loud. [[pages]] (round 16): the FULL IFD chain, one
+  *    image per page (scan/print corpora are routinely multi-page),
+  *    cycle-checked and capped
   *  - 8-bit samples, 1 (gray) or 3 (RGB) samples/pixel, chunky planar
   *    configuration; strips (any RowsPerStrip split), no tiles
   *  - Compression 1 (none) and 32773 (PackBits, decoded per the spec's
@@ -33,7 +36,47 @@ object TiffCodec {
        (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 42))
 
   def decode(bytes: Array[Byte]): PngCodec.PngImage = {
+    val (img, next) = decodePage(bytes, firstIfd(bytes))
+    require(next == 0,
+      "TiffCodec: multi-page TIFF (second IFD present) — decode() is the " +
+        "single-page op; pages() walks the chain")
+    img
+  }
+
+  /** ALL pages of a (possibly multi-page) TIFF in IFD-chain order —
+    * scan/print corpora are routinely multi-page (round 16). The chain
+    * is cycle-checked and capped; each page decodes under the full
+    * single-page scope (strips, PackBits, both photometrics, …). */
+  def pages(bytes: Array[Byte]): Seq[PngCodec.PngImage] = {
+    val out = Seq.newBuilder[PngCodec.PngImage]
+    val seen = scala.collection.mutable.Set.empty[Long]
+    var at = firstIfd(bytes)
+    while (at != 0) {
+      require(seen.add(at),
+        s"TiffCodec: IFD chain loops back to offset $at (malformed file)")
+      require(seen.size <= 4096, "TiffCodec: IFD chain exceeds 4096 pages")
+      val (img, next) = decodePage(bytes, at)
+      out += img
+      at = next
+    }
+    out.result()
+  }
+
+  /** Header validation + the first IFD's offset. */
+  private def firstIfd(bytes: Array[Byte]): Long = {
     require(isTiff(bytes), "TiffCodec: not a TIFF (bad II*/MM* header)")
+    val le = bytes(0) == 'I'
+    require(bytes.length >= 8, "TiffCodec: truncated file")
+    def u8(i: Int): Int = bytes(i) & 0xff
+    val ifdAt =
+      if (le) u8(4).toLong | (u8(5).toLong << 8) | (u8(6).toLong << 16) | (u8(7).toLong << 24)
+      else (u8(4).toLong << 24) | (u8(5).toLong << 16) | (u8(6).toLong << 8) | u8(7).toLong
+    require(ifdAt >= 8 && ifdAt < bytes.length, s"TiffCodec: IFD offset $ifdAt out of file")
+    ifdAt
+  }
+
+  /** One page's image plus the next-IFD pointer. */
+  private def decodePage(bytes: Array[Byte], ifdAt: Long): (PngCodec.PngImage, Long) = {
     val le = bytes(0) == 'I'
     def u8(i: Int): Int = {
       require(i >= 0 && i < bytes.length, "TiffCodec: truncated file")
@@ -45,7 +88,6 @@ object TiffCodec {
       if (le) u16(i).toLong | (u16(i + 2).toLong << 16)
       else (u16(i).toLong << 16) | u16(i + 2).toLong
 
-    val ifdAt = u32(4)
     require(ifdAt >= 8 && ifdAt < bytes.length, s"TiffCodec: IFD offset $ifdAt out of file")
     val nEntries = u16(ifdAt.toInt)
     require(nEntries > 0, "TiffCodec: empty IFD")
@@ -66,8 +108,8 @@ object TiffCodec {
       s"TiffCodec: duplicate IFD tag(s) ${dup.mkString(", ")}"
     })
     val nextIfd = u32(ifdAt.toInt + 2 + 12 * nEntries)
-    require(nextIfd == 0,
-      "TiffCodec: multi-page TIFF (second IFD present) — beyond page 1 out of scope")
+    require(nextIfd == 0 || (nextIfd >= 8 && nextIfd < bytes.length),
+      s"TiffCodec: next-IFD pointer $nextIfd out of file")
 
     /** SHORT(3)/LONG(4) scalar value of a tag. */
     def scalar(tag: Int, default: => Long): Long = entries.get(tag) match {
@@ -165,7 +207,7 @@ object TiffCodec {
       var i = 0
       while (i < out.length) { out(i) = (255 - (out(i) & 0xff)).toByte; i += 1 }
     }
-    PngCodec.PngImage(width, height, 8, if (spp == 1) 0 else 2, spp, out)
+    (PngCodec.PngImage(width, height, 8, if (spp == 1) 0 else 2, spp, out), nextIfd)
   }
 
   /** PackBits decode (TIFF 6.0 §9): n in 0..127 copies n+1 literals,
@@ -205,28 +247,46 @@ object TiffCodec {
     * the standard BlackIsZero channel-interleaved buffer. */
   def encode(width: Int, height: Int, channels: Int, pixels: Array[Byte],
              bigEndian: Boolean = false, packBits: Boolean = false,
-             rowsPerStrip: Int = 0, whiteIsZero: Boolean = false): Array[Byte] = {
-    require(channels == 1 || channels == 3, s"TiffCodec.encode: $channels channels (1 or 3)")
-    require(width > 0 && height > 0, s"TiffCodec.encode: invalid ${width}x$height")
-    require(pixels.length == width * height * channels,
-      s"TiffCodec.encode: ${pixels.length} pixel bytes, geometry wants " +
-        s"${width * height * channels}")
-    require(!whiteIsZero || channels == 1, "TiffCodec.encode: WhiteIsZero is gray-only")
-    val rps = if (rowsPerStrip <= 0) height else math.min(rowsPerStrip, height)
-    val nStrips = (height + rps - 1) / rps
-    val rowBytes = width * channels
+             rowsPerStrip: Int = 0, whiteIsZero: Boolean = false): Array[Byte] =
+    encodeMulti(Seq((width, height, channels, pixels)), bigEndian, packBits,
+      rowsPerStrip, whiteIsZero)
 
-    val stored =
-      if (!whiteIsZero) pixels
-      else pixels.map(b => (255 - (b & 0xff)).toByte)
-    val strips: Array[Array[Byte]] = Array.tabulate(nStrips) { s =>
-      val rows = math.min(rps, height - s * rps)
-      val raw = java.util.Arrays.copyOfRange(stored, s * rps * rowBytes,
-        s * rps * rowBytes + rows * rowBytes)
-      if (packBits) packBitsEncode(raw) else raw
+  /** MULTI-PAGE TIFF ENCODE (round 16): `pages` are (width, height,
+    * channels, pixels) tuples laid out sequentially — per page its
+    * strip data, out-of-line arrays and IFD, with each IFD's next
+    * pointer chaining to the following page (0 on the last). The
+    * single-page [[encode]] is the 1-element case, byte-identical to
+    * its pre-multi-page layout. */
+  def encodeMulti(pageSpecs: Seq[(Int, Int, Int, Array[Byte])],
+                  bigEndian: Boolean = false, packBits: Boolean = false,
+                  rowsPerStrip: Int = 0, whiteIsZero: Boolean = false): Array[Byte] = {
+    require(pageSpecs.nonEmpty, "TiffCodec.encode: no pages")
+    final case class PageBits(width: Int, height: Int, channels: Int,
+                              rps: Int, strips: Array[Array[Byte]])
+    val built = pageSpecs.map { case (width, height, channels, pixels) =>
+      require(channels == 1 || channels == 3,
+        s"TiffCodec.encode: $channels channels (1 or 3)")
+      require(width > 0 && height > 0, s"TiffCodec.encode: invalid ${width}x$height")
+      require(pixels.length == width * height * channels,
+        s"TiffCodec.encode: ${pixels.length} pixel bytes, geometry wants " +
+          s"${width * height * channels}")
+      require(!whiteIsZero || channels == 1, "TiffCodec.encode: WhiteIsZero is gray-only")
+      val rps = if (rowsPerStrip <= 0) height else math.min(rowsPerStrip, height)
+      val nStrips = (height + rps - 1) / rps
+      val rowBytes = width * channels
+      val stored =
+        if (!whiteIsZero) pixels
+        else pixels.map(b => (255 - (b & 0xff)).toByte)
+      val strips: Array[Array[Byte]] = Array.tabulate(nStrips) { s =>
+        val rows = math.min(rps, height - s * rps)
+        val raw = java.util.Arrays.copyOfRange(stored, s * rps * rowBytes,
+          s * rps * rowBytes + rows * rowBytes)
+        if (packBits) packBitsEncode(raw) else raw
+      }
+      PageBits(width, height, channels, rps, strips)
     }
 
-    val out = new ByteArrayOutputStream(pixels.length + 256)
+    val out = new ByteArrayOutputStream(built.map(_.strips.map(_.length).sum).sum + 512)
     def w8(v: Int): Unit = out.write(v & 0xff)
     def w16(v: Int): Unit =
       if (bigEndian) { w8(v >> 8); w8(v) } else { w8(v); w8(v >> 8) }
@@ -234,58 +294,66 @@ object TiffCodec {
       if (bigEndian) { w16((v >> 16).toInt); w16(v.toInt) }
       else { w16(v.toInt); w16((v >> 16).toInt) }
 
+    // pass 1 — absolute layout per page: header(8) | page1 data/arrays/
+    // IFD | page2 … (every page's pieces contiguous; out-of-line arrays
+    // WORD-ALIGNED per TIFF 6.0's even-Value-Offset rule, and each IFD
+    // even-aligned for the same reason)
+    final case class Layout(stripOffsets: Array[Long], padAfterStrips: Boolean,
+                            bpsAt: Long, offsAt: Long, cntsAt: Long, ifdAt: Long)
+    var pos = 8L
+    val layouts = built.map { p =>
+      val nStrips = p.strips.length
+      val stripOffsets = p.strips.map { s => val o = pos; pos += s.length; o }
+      val padAfterStrips = pos % 2 == 1
+      if (padAfterStrips) pos += 1
+      val bpsAt = if (p.channels == 3) { val o = pos; pos += 6; o } else -1L
+      val offsAt = if (nStrips > 1) { val o = pos; pos += 4L * nStrips; o } else -1L
+      val cntsAt = if (nStrips > 1) { val o = pos; pos += 4L * nStrips; o } else -1L
+      val ifdAt = pos
+      pos += 2 + 12 * 10 + 4 // 10 tags + next-IFD pointer, fixed per page
+      Layout(stripOffsets, padAfterStrips, bpsAt, offsAt, cntsAt, ifdAt)
+    }
+
+    // pass 2 — write
     if (bigEndian) { w8('M'); w8('M'); w8(0); w8(42) }
     else { w8('I'); w8('I'); w8(42); w8(0) }
-
-    // layout: header(8) | strip data | [bps array if 3ch] [offsets/counts
-    // arrays if >2 strips… kept simple: arrays always out-of-line when
-    // count > 2 for LONG/1 for pairs] | IFD | 0
-    var pos = 8L
-    val stripOffsets = strips.map { s => val o = pos; pos += s.length; o }
-    // out-of-line arrays start WORD-ALIGNED (TIFF 6.0: every Value
-    // Offset must be even — strict validators reject odd ones even
-    // though many readers tolerate them)
-    val padAfterStrips = pos % 2 == 1
-    if (padAfterStrips) pos += 1
-    val bpsAt = if (channels == 3) { val o = pos; pos += 6; o } else -1L
-    val offsAt = if (nStrips > 1) { val o = pos; pos += 4L * nStrips; o } else -1L
-    val cntsAt = if (nStrips > 1) { val o = pos; pos += 4L * nStrips; o } else -1L
-    val ifdAt = pos // arrays above are even-sized, so the IFD stays aligned
-
-    w32(ifdAt); // header IFD pointer
-    strips.foreach(s => out.write(s, 0, s.length))
-    if (padAfterStrips) w8(0)
-    if (channels == 3) { w16(8); w16(8); w16(8) }
-    if (nStrips > 1) {
-      stripOffsets.foreach(w32)
-      strips.foreach(s => w32(s.length.toLong))
+    w32(layouts.head.ifdAt) // header IFD pointer
+    built.zip(layouts).zipWithIndex.foreach { case ((p, l), pageNo) =>
+      val nStrips = p.strips.length
+      p.strips.foreach(s => out.write(s, 0, s.length))
+      if (l.padAfterStrips) w8(0)
+      if (p.channels == 3) { w16(8); w16(8); w16(8) }
+      if (nStrips > 1) {
+        l.stripOffsets.foreach(w32)
+        p.strips.foreach(s => w32(s.length.toLong))
+      }
+      final case class Tag(id: Int, tpe: Int, count: Long, value: Long)
+      val tags = Seq(
+        Tag(256, 4, 1, p.width.toLong),
+        Tag(257, 4, 1, p.height.toLong),
+        if (p.channels == 3) Tag(258, 3, 3, l.bpsAt)
+        else Tag(258, 3, 1, 8L),
+        Tag(259, 3, 1, if (packBits) 32773L else 1L),
+        Tag(262, 3, 1, if (whiteIsZero) 0L else if (p.channels == 3) 2L else 1L),
+        if (nStrips > 1) Tag(273, 4, nStrips.toLong, l.offsAt)
+        else Tag(273, 4, 1, l.stripOffsets(0)),
+        Tag(277, 3, 1, p.channels.toLong),
+        Tag(278, 4, 1, p.rps.toLong),
+        if (nStrips > 1) Tag(279, 4, nStrips.toLong, l.cntsAt)
+        else Tag(279, 4, 1, p.strips(0).length.toLong),
+        Tag(284, 3, 1, 1L))
+      w16(tags.length)
+      tags.sortBy(_.id).foreach { t =>
+        w16(t.id); w16(t.tpe); w32(t.count)
+        // SHORT scalar values sit in the LOW half of the 4-byte field
+        // regardless of byte order (the field is value-left-justified —
+        // for SHORT count 1 the spec stores it in the first 2 bytes)
+        if (t.tpe == 3 && t.count == 1) { w16(t.value.toInt); w16(0) }
+        else w32(t.value)
+      }
+      // next-IFD pointer: chain to the following page, 0 on the last
+      w32(if (pageNo + 1 < layouts.length) layouts(pageNo + 1).ifdAt else 0L)
     }
-
-    final case class Tag(id: Int, tpe: Int, count: Long, value: Long)
-    val tags = Seq(
-      Tag(256, 4, 1, width.toLong),
-      Tag(257, 4, 1, height.toLong),
-      if (channels == 3) Tag(258, 3, 3, bpsAt)
-      else Tag(258, 3, 1, 8L),
-      Tag(259, 3, 1, if (packBits) 32773L else 1L),
-      Tag(262, 3, 1, if (whiteIsZero) 0L else if (channels == 3) 2L else 1L),
-      if (nStrips > 1) Tag(273, 4, nStrips.toLong, offsAt)
-      else Tag(273, 4, 1, stripOffsets(0)),
-      Tag(277, 3, 1, channels.toLong),
-      Tag(278, 4, 1, rps.toLong),
-      if (nStrips > 1) Tag(279, 4, nStrips.toLong, cntsAt)
-      else Tag(279, 4, 1, strips(0).length.toLong),
-      Tag(284, 3, 1, 1L))
-    w16(tags.length)
-    tags.sortBy(_.id).foreach { t =>
-      w16(t.id); w16(t.tpe); w32(t.count)
-      // SHORT scalar values sit in the LOW half of the 4-byte field
-      // regardless of byte order (the field is value-left-justified —
-      // for SHORT count 1 the spec stores it in the first 2 bytes)
-      if (t.tpe == 3 && t.count == 1) { w16(t.value.toInt); w16(0) }
-      else w32(t.value)
-    }
-    w32(0L) // no next IFD
     out.toByteArray
   }
 

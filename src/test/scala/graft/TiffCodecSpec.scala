@@ -125,6 +125,44 @@ class TiffCodecSpec extends AnyFunSuite with SparkSpec {
       .getMessage.contains("gray-only"))
   }
 
+  test("MULTI-PAGE: encodeMulti→pages round-trips mixed geometry; decode stays strict") {
+    // three pages of different geometry/channels, PackBits + strips
+    val p1 = (3, 2, 1, Array.tabulate(6)(i => (10 * (i + 1)).toByte))
+    val p2 = (2, 2, 3, Array.tabulate(12)(i => (5 * i + 1).toByte))
+    val p3 = (4, 1, 1, Array.tabulate(4)(i => (77 + i).toByte))
+    for (be <- Seq(false, true); pb <- Seq(false, true)) {
+      val multi = TiffCodec.encodeMulti(Seq(p1, p2, p3), bigEndian = be,
+        packBits = pb, rowsPerStrip = 1)
+      val pages = TiffCodec.pages(multi)
+      assert(pages.length == 3, s"be=$be pb=$pb")
+      assert(pages(0).width == 3 && pages(0).channels == 1 &&
+        pages(0).pixels.toSeq == p1._4.toSeq)
+      assert(pages(1).width == 2 && pages(1).channels == 3 &&
+        pages(1).pixels.toSeq == p2._4.toSeq)
+      assert(pages(2).width == 4 && pages(2).height == 1 &&
+        pages(2).pixels.toSeq == p3._4.toSeq)
+      // decode() keeps its single-page strictness on the same bytes
+      assert(intercept[IllegalArgumentException](TiffCodec.decode(multi))
+        .getMessage.contains("multi-page"))
+    }
+    // a single-page file round-trips identically through both ops
+    val single = TiffCodec.encode(3, 2, 1, p1._4)
+    assert(TiffCodec.pages(single).map(_.pixels.toSeq) ==
+      Seq(TiffCodec.decode(single).pixels.toSeq))
+    // IFD chain loop fails loud: point the last next-IFD at the first
+    val multi = TiffCodec.encodeMulti(Seq(p1, p2))
+    def u32le(b: Array[Byte], i: Int): Long =
+      (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+        ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+    val firstIfdAt = u32le(multi, 4)
+    val looped = multi.clone()
+    // last 4 bytes are page 2's next-IFD pointer (0) — aim it back
+    looped(looped.length - 4) = (firstIfdAt & 0xff).toByte
+    looped(looped.length - 3) = ((firstIfdAt >> 8) & 0xff).toByte
+    val eLoop = intercept[IllegalArgumentException](TiffCodec.pages(looped))
+    assert(eLoop.getMessage.contains("loops back"), eLoop.getMessage)
+  }
+
   test("format-agnostic dispatch: tiles and resize accept TIFF rows") {
     import spark.implicits._
     val tiff = TiffCodec.encode(8, 8, 3,
