@@ -450,12 +450,17 @@ object Perf {
               s"CASE WHEN j = 0 THEN x + ${i * 0.05} ELSE x END)").as("embedding")))
         .reduce(_ unionAll _).localCheckpoint(true)
       val model2 = IvfIndex.train(drifted, k = 8, iters = 2)
-      val fullPairs = Clustering.epsNeighbors(drifted, eps = 0.4, model2, 8).count()
-      for (nprobe <- Seq(1, 2, 4, 8)) {
+      // recall denominator = the timed nprobe=8 (full-probe) count
+      // itself — running it twice would double the block's dominant job
+      val unfav = Seq(1, 2, 4, 8).map { nprobe =>
         var pairs = -1L
         time(f"dbscan.unfav nprobe=$nprobe/8 (${n}%d drifted vecs)") {
           pairs = Clustering.epsNeighbors(drifted, eps = 0.4, model2, nprobe).count()
         }
+        (nprobe, pairs)
+      }
+      val fullPairs = unfav.last._2
+      unfav.foreach { case (nprobe, pairs) =>
         println(f"[perf] dbscan.unfav nprobe=$nprobe/8 pairs $pairs%8d " +
           f"recall ${pairs.toDouble / fullPairs}%.4f")
       }

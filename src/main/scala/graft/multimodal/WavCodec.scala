@@ -538,7 +538,11 @@ object WavCodec {
     def w(s: String): Unit = out.write(s.getBytes("US-ASCII"))
     def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
     def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >>> 16) & 0xffff) }
-    w("RIFF"); le32(20 + 18 + cbSize + dataLen); w("WAVE")
+    // RIFF word alignment: an odd data chunk carries one pad byte,
+    // counted in the PARENT size but not the chunk's own (the spec —
+    // blockAlign 39 makes odd-block-count files odd-sized)
+    val pad = dataLen & 1
+    w("RIFF"); le32(20 + 18 + cbSize + dataLen + pad); w("WAVE")
     w("fmt "); le32(18 + cbSize)
     le16(2); le16(channels); le32(sampleRate)
     le32((sampleRate.toLong * blockAlign / spb).toInt)
@@ -566,6 +570,7 @@ object WavCodec {
       samp2s.foreach(v => le16(v & 0xffff))
       out.write(payload, 0, payload.length)
     }
+    if (pad == 1) out.write(0)
     out.toByteArray
   }
 

@@ -258,11 +258,20 @@ object PdfCodec {
             // nonsymbolic font through the glyph-program path
             """/Flags\s+(\d+)(?:\s+(\d+)\s+R)?""".r.findFirstMatchIn(dd).exists { m =>
               val value =
-                if (m.group(2) == null) Some(m.group(1).toInt)
-                else byNum.get(m.group(1).toInt)
-                  .flatMap(o => """\d+""".r.findFirstIn(o.dict.trim))
-                  .map(_.toInt)
-              value.exists(f => (f & 4) != 0)
+                if (m.group(2) == null) m.group(1).toInt
+                else {
+                  // an unresolvable flags object must fail LOUD — a
+                  // silent nonsymbolic default would Latin-1 the
+                  // private byte codes (the exact garbage this path
+                  // exists to prevent)
+                  val ref = m.group(1).toInt
+                  val o = byNum.getOrElse(ref, throw new IllegalArgumentException(
+                    s"PdfCodec: /Flags $ref 0 R not found"))
+                  """\d+""".r.findFirstIn(o.dict.trim).map(_.toInt).getOrElse(
+                    throw new IllegalArgumentException(
+                      s"PdfCodec: /Flags object $ref holds no integer"))
+                }
+              (value & 4) != 0
             }
           }
           if ((isTrueType || isType1) && symbolic && !hasEncodingEntry) {

@@ -42,7 +42,8 @@ private[graft] object TrueTypeFont {
   }
 
   /** (tag → (offset, length)) of the sfnt table directory, with bounds
-    * and checksum verification. */
+    * validation and the 'head' magic check — directory checksums are
+    * deliberately NOT verified (see the comment in the body). */
   private def directory(r: Reader, fontNum: Int): Map[String, (Int, Int)] = {
     val ver = r.u32(0)
     require(ver == 0x00010000L || ver == 0x74727565L, // 'true' (Apple)
