@@ -414,6 +414,46 @@ object Perf {
       time("mjpeg.frameTiles (500 streams, marker-walk + stride-2 decode)") {
         BinaryPipeline.decodeFrameTiles(mj, stride = 2).count()
       }
+      // round-16 codec probes: the six new decode legs
+      val mp4 = BinaryPipeline.synthesizeMp4s(docs).localCheckpoint(true)
+      time("mp4.frameTiles (500 files, box walk + sample tables + stride-2)") {
+        BinaryPipeline.decodeFrameTiles(mp4, stride = 2).count()
+      }
+      val agif = BinaryPipeline.synthesizeAnimGifs(docs).localCheckpoint(true)
+      time("gif.animFrames (500 files, disposal compositing, stride 1)") {
+        BinaryPipeline.decodeFrameTiles(agif, stride = 1).count()
+      }
+      val pgif = BinaryPipeline.synthesizePatchGifs(docs).localCheckpoint(true)
+      time("gif.patchFrames (500 files, sub-rect compositing)") {
+        BinaryPipeline.decodeFrameTiles(pgif, stride = 1).count()
+      }
+      val ima = BinaryPipeline.synthesizeAdpcmWavs(docs).localCheckpoint(true)
+      time("adpcm.ima decode+windows (500 files, nibble recursion)") {
+        BinaryPipeline.decodeWavSegments(ima).count()
+      }
+      val msa = BinaryPipeline.synthesizeMsAdpcmWavs(docs).localCheckpoint(true)
+      time("adpcm.ms decode+windows (500 files, two-tap recursion)") {
+        BinaryPipeline.decodeWavSegments(msa).count()
+      }
+      val mtif = BinaryPipeline.synthesizeMultiTiffs(docs).localCheckpoint(true)
+      time("tiff.pages (500 files, 2-4 page IFD chains)") {
+        BinaryPipeline.decodeTiffPages(mtif).count()
+      }
+    }
+    {
+      // round-16 PDF glyph-program probes: whole-corpus extraction
+      // through embedded font programs (TrueType cmap and CFF Type1C)
+      import graft.pipeline.PdfPipeline
+      val docs500 = Tables.documents(spark, d).limit(500)
+      val ttf = PdfPipeline.synthesizeFontProgPdfs(docs500).localCheckpoint(true)
+      time("pdf.fontprog TrueType (500 docs, sfnt cmap inversion)") {
+        PdfPipeline.extractPagesPdf(ttf).count()
+      }
+      val cff = PdfPipeline.synthesizeFontProgPdfs(docs500, cff = true)
+        .localCheckpoint(true)
+      time("pdf.fontprog CFF/Type1C (500 docs, four-hop derivation)") {
+        PdfPipeline.extractPagesPdf(cff).count()
+      }
     }
     {
       // round-15 DBSCAN probe-scaling evidence (VERDICT r14 #6): the
