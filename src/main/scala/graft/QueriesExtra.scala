@@ -1988,6 +1988,38 @@ object QueriesExtra {
              |FROM ch GROUP BY doc_id, f, w, h, dim
              |ORDER BY doc_id, frame_idx, dim""".stripMargin)),
 
+    // IEEE-FLOAT WAV decode (round 16 extra — format 3, the remaining
+    // uncompressed wire format): float samples at ±1.0 full scale map
+    // to signed linear via rint(f·32768); the corpus writes
+    // exactly-representable k/32768 floats so the decode is
+    // integer-exact and the oracle replays k byte-blind — a decoder
+    // that used the ±32767 scale, skipped rounding, or misread the
+    // float bits breaks the hash.
+    "q_audio_float" -> QueryDef(
+      (s, d) => BinaryPipeline.decodeWavSegments(
+          BinaryPipeline.synthesizeFloatWavs(Tables.documents(s, d)),
+          winFrames = 160, hopFrames = 80)
+        .orderBy(col("doc_id"), col("seg_idx")),
+      Some("""WITH p AS (SELECT doc_id, 1 + doc_id % 2 AS ch,
+             |    350 + doc_id % 257 AS nf FROM documents),
+             |w AS (SELECT p.*, wi FROM p,
+             |  unnest(range(0, greatest(1, CAST(ceil(nf / 80.0) AS INT)))) t(wi)),
+             |f AS (SELECT w.*, i FROM w,
+             |  unnest(range(wi*80, least(nf, wi*80 + 160))) t(i)),
+             |s AS (SELECT doc_id, ch, nf, wi, i, c,
+             |    (doc_id*31 + i*7 + c*13) % 4001 - 2000 AS v,
+             |    (doc_id*31 + (i-1)*7) % 4001 - 2000 AS pv
+             |  FROM f, unnest(range(0, ch)) t(c))
+             |SELECT doc_id, CAST(wi AS BIGINT) AS seg_idx,
+             |  CAST(16000 AS BIGINT) AS sample_rate, CAST(ch AS BIGINT) AS channels,
+             |  CAST(32 AS BIGINT) AS bits,
+             |  CAST(count(DISTINCT i) AS BIGINT) AS n_frames,
+             |  CAST(SUM(v*v) AS BIGINT) AS sq_sum,
+             |  CAST(coalesce(SUM(CASE WHEN c = 0 AND i > wi*80
+             |    AND (pv >= 0) != (v >= 0) THEN 1 END), 0) AS BIGINT) AS zero_crossings
+             |FROM s GROUP BY doc_id, wi, ch, nf
+             |ORDER BY doc_id, seg_idx""".stripMargin)),
+
     // MULTI-PAGE TIFF (round 16 extra): scanned documents are
     // routinely multi-page, and the round-15 scope failed loud on the
     // second IFD. Each doc's chain carries 2-4 pages of DIFFERENT

@@ -894,6 +894,46 @@ object BinaryPipeline {
     }(enc)
   }
 
+  /** [[synthesizeWavs]]' IEEE-FLOAT sibling (round 16): format-3 files
+    * whose float samples are exactly-representable k/32768 values with
+    *   k(i, c) = (doc_id·31 + i·7 + c·13) mod 4001 − 2000,
+    *   channels = 1 + doc_id % 2, frames = 350 + doc_id % 257, 16 kHz
+    * so the decode contract (rint(f·32768), clamp) recovers k exactly
+    * and the oracle replays the integer formulas byte-blind. */
+  def synthesizeFloatWavs(docs: DataFrame, idCol: String = "doc_id",
+                          batchSize: Int = 16): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false),
+      StructField("meta", StructType(Seq(
+        StructField("media_type", StringType, nullable = false),
+        StructField("declared_bytes", LongType, nullable = false))), nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val ids = docs.select(col(idCol))
+    ids.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val id = r.getLong(0)
+          val channels = (1 + id % 2).toInt
+          val frames = (350 + id % 257).toInt
+          val samples = new Array[Int](frames * channels)
+          var i = 0
+          while (i < frames) {
+            var c = 0
+            while (c < channels) {
+              samples(i * channels + c) =
+                ((id * 31 + i * 7L + c * 13L) % 4001).toInt - 2000
+              c += 1
+            }
+            i += 1
+          }
+          val bytes = WavCodec.encodeFloat(16000, channels, samples)
+          Row(id, bytes, Row("audio/wav", bytes.length.toLong))
+        }
+      }
+    }(enc)
+  }
+
   /** [[synthesizeAdpcmWavs]]' MS-ADPCM sibling (round 16): mono
     * format-0x02 files under the standard coefficient table, wire
     * content formula-derived so the oracle replays the two-tap

@@ -218,10 +218,11 @@ object WavCodec {
           require(clen >= 16, s"WavCodec: fmt chunk of $clen bytes (want >= 16)")
           fmtSeen = true
           val fmt = le16(off)
-          require(fmt == 1 || fmt == 2 || fmt == 6 || fmt == 7 || fmt == 0x11,
+          require(fmt == 1 || fmt == 2 || fmt == 3 || fmt == 6 || fmt == 7 ||
+              fmt == 0x11,
             s"WavCodec: audio format $fmt unsupported (1 = integer PCM, " +
-              "2 = MS ADPCM, 6 = G.711 A-law, 7 = G.711 mu-law, " +
-              "17 = IMA ADPCM; float/extensible WAV out of scope)")
+              "2 = MS ADPCM, 3 = IEEE float, 6 = G.711 A-law, " +
+              "7 = G.711 mu-law, 17 = IMA ADPCM; extensible WAV out of scope)")
           format = fmt
           channels = le16(off + 2)
           require(channels >= 1 && channels <= 8,
@@ -281,6 +282,17 @@ object WavCodec {
             require(byteRate == sampleRate.toLong * blockAlign / spb,
               s"WavCodec: byte rate $byteRate contradicts " +
                 s"$sampleRate Hz x $blockAlign-byte blocks of $spb samples")
+          } else if (format == 3) {
+            // IEEE float: 32-bit only (float64 WAVs are vanishingly
+            // rare and would double every buffer for no gate value)
+            require(bits == 32,
+              s"WavCodec: IEEE-float WAV with $bits bits/sample (32 only)")
+            require(blockAlign == channels * 4,
+              s"WavCodec: block align $blockAlign contradicts " +
+                s"$channels ch x 32 bit float")
+            require(byteRate == sampleRate.toLong * blockAlign,
+              s"WavCodec: byte rate $byteRate contradicts " +
+                s"$sampleRate Hz x $blockAlign bytes/frame")
           } else {
             require(bits == 8 || bits == 16,
               s"WavCodec: $bits bits/sample unsupported (8 or 16)")
@@ -424,7 +436,25 @@ object WavCodec {
     val frames = dLen / blockAlign
     val n = frames * channels
     val out = new Array[Int](n)
-    if (format == 7) {
+    if (format == 3) {
+      // IEEE float, full scale ±1.0 → SIGNED LINEAR at 16-bit scale:
+      // sample = rint(f · 32768), clamped. A fixture float k/32768 is
+      // EXACTLY representable (power-of-two denominator), so the round
+      // trip is integer-exact and a SQL oracle replays k directly.
+      var i = 0
+      while (i < n) {
+        val bits32 = (bytes(dOff + 4 * i) & 0xff) |
+          ((bytes(dOff + 4 * i + 1) & 0xff) << 8) |
+          ((bytes(dOff + 4 * i + 2) & 0xff) << 16) |
+          ((bytes(dOff + 4 * i + 3) & 0xff) << 24)
+        val f = java.lang.Float.intBitsToFloat(bits32)
+        require(!f.isNaN && !f.isInfinite && math.abs(f) <= 1.0f,
+          s"WavCodec: float sample $i is $f (want finite in [-1, 1])")
+        out(i) = math.max(-32768L, math.min(32767L,
+          math.rint(f.toDouble * 32768).toLong)).toInt
+        i += 1
+      }
+    } else if (format == 7) {
       var i = 0
       while (i < n) { out(i) = mulawExpand(bytes(dOff + i) & 0xff); i += 1 }
     } else if (format == 6) {
@@ -571,6 +601,36 @@ object WavCodec {
       out.write(payload, 0, payload.length)
     }
     if (pad == 1) out.write(0)
+    out.toByteArray
+  }
+
+  /** IEEE-FLOAT WAV ENCODE (format 3): `samples` are SIGNED LINEAR
+    * 16-bit-scale ints written as exactly-representable floats
+    * k/32768, with the spec's non-PCM shape (18-byte fmt with cbSize 0
+    * + a fact chunk carrying the frame count). */
+  def encodeFloat(sampleRate: Int, channels: Int, samples: Array[Int]): Array[Byte] = {
+    require(channels >= 1 && channels <= 8, s"WavCodec.encodeFloat: $channels channels")
+    require(sampleRate > 0, "WavCodec.encodeFloat: zero sample rate")
+    require(samples.length % channels == 0,
+      s"WavCodec.encodeFloat: ${samples.length} samples not whole " +
+        s"$channels-channel frames")
+    samples.foreach(v => require(v >= Short.MinValue && v <= Short.MaxValue,
+      s"WavCodec.encodeFloat: sample $v out of 16-bit scale"))
+    val dataLen = samples.length * 4
+    val out = new ByteArrayOutputStream(60 + dataLen)
+    def w(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >>> 16) & 0xffff) }
+    w("RIFF"); le32(4 + 26 + 12 + 8 + dataLen); w("WAVE")
+    w("fmt "); le32(18)
+    le16(3); le16(channels); le32(sampleRate)
+    le32(sampleRate * channels * 4); le16(channels * 4); le16(32)
+    le16(0) // cbSize
+    w("fact"); le32(4); le32(samples.length / channels)
+    w("data"); le32(dataLen)
+    samples.foreach { v =>
+      le32(java.lang.Float.floatToIntBits(v / 32768.0f))
+    }
     out.toByteArray
   }
 

@@ -56,10 +56,15 @@ class WavCodecSpec extends AnyFunSuite with SparkSpec {
     val sig = good.clone(); sig(9) = 'X'.toByte
     assert(intercept[IllegalArgumentException](WavCodec.decode(sig))
       .getMessage.contains("RIFF/WAVE"))
-    // non-PCM format code (3 = IEEE float)
+    // format 3 became REAL IEEE-float support in round 16: a 16-bit PCM
+    // file relabeled as float now fails on float's own depth guard
     val fl = good.clone(); fl(20) = 3
     assert(intercept[IllegalArgumentException](WavCodec.decode(fl))
-      .getMessage.contains("format 3"))
+      .getMessage.contains("32 only"))
+    // a genuinely unknown format code still names itself
+    val unk = good.clone(); unk(20) = 0x55
+    assert(intercept[IllegalArgumentException](WavCodec.decode(unk))
+      .getMessage.contains("format 85"))
     // extensible
     val ext = good.clone(); ext(20) = 0xfe.toByte; ext(21) = 0xff.toByte
     assert(intercept[IllegalArgumentException](WavCodec.decode(ext))
@@ -310,6 +315,43 @@ class WavCodecSpec extends AnyFunSuite with SparkSpec {
     zeroDelta(dataAt + 1) = 0; zeroDelta(dataAt + 2) = 0
     assert(intercept[IllegalArgumentException](WavCodec.decode(zeroDelta))
       .getMessage.contains("delta"))
+  }
+
+  test("IEEE-float WAV (format 3): exact k/32768 round trip, scale pins, fail-loud") {
+    // exactly-representable floats recover their integers bit-for-bit
+    val vals = Array(0, 1, -1, 100, -2000, 32767, -32768)
+    val dec = WavCodec.decode(WavCodec.encodeFloat(16000, 1, vals))
+    assert(dec.format == 3 && dec.bitsPerSample == 32 && dec.channels == 1)
+    assert(dec.samples.toSeq == vals.toSeq)
+    // the ±1.0 convention: hand-planted 0.5f must decode as 16384
+    // (the ×32768 scale — a ×32767 decoder would give 16384 too? no:
+    // rint(0.5·32767) = 16384 as well, so pin with 0.25f → 8192 vs
+    // 8192 (both) and -1.0f → -32768 vs -32767, which DOES separate)
+    val stereo = WavCodec.encodeFloat(8000, 2, Array(0, 0, 0, 0))
+    val dataAt = new String(stereo, "ISO-8859-1").indexOf("data") + 8
+    val planted = stereo.clone()
+    val bits = java.lang.Float.floatToIntBits(-1.0f)
+    planted(dataAt) = (bits & 0xff).toByte
+    planted(dataAt + 1) = ((bits >> 8) & 0xff).toByte
+    planted(dataAt + 2) = ((bits >> 16) & 0xff).toByte
+    planted(dataAt + 3) = ((bits >> 24) & 0xff).toByte
+    assert(WavCodec.decode(planted).samples(0) == -32768,
+      "full-scale -1.0 must clamp at the x32768 convention")
+    // NaN / out-of-range floats fail loud
+    val nan = stereo.clone()
+    val nb = java.lang.Float.floatToIntBits(Float.NaN)
+    nan(dataAt) = (nb & 0xff).toByte; nan(dataAt + 1) = ((nb >> 8) & 0xff).toByte
+    nan(dataAt + 2) = ((nb >> 16) & 0xff).toByte
+    nan(dataAt + 3) = ((nb >> 24) & 0xff).toByte
+    assert(intercept[IllegalArgumentException](WavCodec.decode(nan))
+      .getMessage.contains("finite"))
+    // 64-bit float declaration rejects
+    val f64 = stereo.clone()
+    f64(34) = 64 // bits/sample field
+    assert(intercept[IllegalArgumentException](WavCodec.decode(f64))
+      .getMessage.contains("32 only"))
+    // the written file carries the spec's non-PCM shape (cbSize + fact)
+    assert(new String(stereo, "ISO-8859-1").contains("fact"))
   }
 
   test("decodeWavSegments: hand-computed energy and zero crossings on a tiny stream") {
