@@ -533,6 +533,32 @@ object QueriesPipeline {
              |  unnest(range(0, CAST(ceil(length(t) / 200.0) AS INT))) AS u(i)
              |ORDER BY doc_id, page_no""".stripMargin)),
 
+    // OpenType-wrapped glyph-program decode (round 16 extra): the same
+    // subset-font shape, but /FontFile3 /Subtype /OpenType — an 'OTTO'
+    // sfnt wrapping CFF outlines, whose cmap the TrueType path reads
+    // (outlines are irrelevant to extraction). The THIRD program format
+    // under the SAME byte-blind oracle: TrueType, bare CFF and
+    // OpenType-wrapped must all hash-agree on every page.
+    "q_pdf_otf" -> QueryDef(
+      (s, d) => {
+        val greeked = Tables.documents(s, d).select(col("doc_id"),
+          translate(col("text"), "aeiou", "αβγδε").as("text"))
+        val pdfs = PdfPipeline.synthesizeFontProgPdfs(greeked, pageSize = 200,
+          otto = true)
+        PdfPipeline.extractPagesPdf(pdfs)
+          .select(col("doc_id"), col("page_no"),
+            length(col("page_text")).cast("long").as("page_len"),
+            md5(col("page_text")).as("page_md5"))
+          .orderBy(col("doc_id"), col("page_no"))
+      },
+      Some("""SELECT doc_id, CAST(i + 1 AS BIGINT) AS page_no,
+             |  CAST(length(substr(t, i*200 + 1, 200)) AS BIGINT) AS page_len,
+             |  md5(substr(t, i*200 + 1, 200)) AS page_md5
+             |FROM (SELECT doc_id, translate(text, 'aeiou', 'αβγδε') AS t
+             |      FROM documents),
+             |  unnest(range(0, CAST(ceil(length(t) / 200.0) AS INT))) AS u(i)
+             |ORDER BY doc_id, page_no""".stripMargin)),
+
     "q_chunk_split" -> QueryDef(
       (s, d) => docsChunks(s, d)
         .select(col("doc_id"), col("chunk_idx"),

@@ -294,18 +294,26 @@ object PdfCodec {
                     GlyphProgFont(TrueTypeFont.symbolCodeToUnicode(program, obj.num),
                       obj.num)
                   case (None, Some(ref)) =>
-                    // /FontFile3: a bare CFF program. /Subtype /Type1C
-                    // (and the compatible /CIDFontType0C is refused
-                    // inside CffFont via its /ROS gate); /OpenType
-                    // wraps an sfnt and is out of this branch's scope
+                    // /FontFile3 carries either a bare CFF program
+                    // (/Subtype /Type1C — the four-hop CffFont path) or
+                    // an OpenType WRAPPER (/Subtype /OpenType — an sfnt
+                    // whose cmap the TrueType path reads; the CFF
+                    // outlines inside are irrelevant to extraction)
                     val ffObj = byNum.getOrElse(ref, throw new IllegalArgumentException(
                       s"PdfCodec: /FontFile3 $ref 0 R not found"))
-                    require("""/Subtype\s*/Type1C(?![A-Za-z0-9])""".r
-                        .findFirstIn(ffObj.dict).isDefined,
+                    val isType1C = """/Subtype\s*/Type1C(?![A-Za-z0-9])""".r
+                      .findFirstIn(ffObj.dict).isDefined
+                    val isOpenType = """/Subtype\s*/OpenType(?![A-Za-z0-9])""".r
+                      .findFirstIn(ffObj.dict).isDefined
+                    require(isType1C || isOpenType,
                       s"PdfCodec: font object ${obj.num}: /FontFile3 without " +
-                        "/Subtype /Type1C (OpenType-wrapped programs out of scope)")
+                        "/Subtype /Type1C or /OpenType")
                     val program = decodeStream(ffObj, byNum).getBytes(ISO_8859_1)
-                    GlyphProgFont(CffFont.codeToUnicode(program, obj.num), obj.num)
+                    if (isType1C)
+                      GlyphProgFont(CffFont.codeToUnicode(program, obj.num), obj.num)
+                    else
+                      GlyphProgFont(
+                        TrueTypeFont.symbolCodeToUnicode(program, obj.num), obj.num)
                   case (None, None) => throw new IllegalArgumentException(
                     s"PdfCodec: font object ${obj.num}: symbolic simple font with " +
                       "no /Encoding, no /ToUnicode and no embedded /FontFile2 " +
@@ -2096,7 +2104,10 @@ object PdfCodec {
     * program inside the reference's Function.java:90-132. */
   def encodeFontProgPdf(pages: Seq[String], compress: Boolean = true,
                         format12: Boolean = false,
-                        cff: Boolean = false): Array[Byte] = {
+                        cff: Boolean = false,
+                        otto: Boolean = false): Array[Byte] = {
+    require(!(cff && otto),
+      "PdfCodec.encodeFontProgPdf: cff and otto are mutually exclusive")
     // repertoire in first-appearance order over the page stream
     val repertoire = mutable.LinkedHashSet.empty[Int]
     pages.foreach { p =>
@@ -2116,7 +2127,7 @@ object PdfCodec {
     val progEntries = chars.zipWithIndex.map { case (cp, i) => (0x20 + i, cp) }
     val program =
       if (cff) CffFont.encodeProgram(progEntries)
-      else TrueTypeFont.encodeProgram(progEntries, format12)
+      else TrueTypeFont.encodeProgram(progEntries, format12, otto)
 
     val nPages = pages.length
     val fontNum = 3 + 2 * nPages
@@ -2156,7 +2167,7 @@ object PdfCodec {
       w("\nendstream\nendobj\n")
     }
     beginObj(fontNum)
-    val subtype = if (cff) "Type1" else "TrueType"
+    val subtype = if (cff || otto) "Type1" else "TrueType"
     w(s"<< /Type /Font /Subtype /$subtype /BaseFont /GRAFTA+Subset " +
       s"/FirstChar 32 /LastChar ${0x20 + chars.length - 1} " +
       s"/Widths [ ${Seq.fill(chars.length)("500").mkString(" ")} ] " +
@@ -2164,14 +2175,17 @@ object PdfCodec {
     beginObj(descNum)
     // /Flags 4 = Symbolic (spec Table 123) — the bit that routes the
     // decoder to the font program instead of a standard encoding
-    val ffKey = if (cff) "FontFile3" else "FontFile2"
+    val ffKey = if (cff || otto) "FontFile3" else "FontFile2"
     w(s"<< /Type /FontDescriptor /FontName /GRAFTA+Subset /Flags 4 " +
       s"/FontBBox [0 0 1000 1000] /ItalicAngle 0 /Ascent 800 /Descent -200 " +
       s"/CapHeight 700 /StemV 80 /$ffKey $ffNum 0 R >>\nendobj\n")
     beginObj(ffNum)
     val ffData = if (compress) deflate(program) else program
     val ffFilter = if (compress) " /Filter /FlateDecode" else ""
-    val ffSubtype = if (cff) " /Subtype /Type1C" else ""
+    val ffSubtype =
+      if (cff) " /Subtype /Type1C"
+      else if (otto) " /Subtype /OpenType"
+      else ""
     w(s"<< /Length ${ffData.length} /Length1 ${program.length}$ffSubtype$ffFilter >>\nstream\n")
     out.write(ffData)
     w("\nendstream\nendobj\n")

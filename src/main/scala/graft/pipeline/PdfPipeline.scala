@@ -204,7 +204,7 @@ object PdfPipeline {
     * program inside Function.java:90-132). */
   def synthesizeFontProgPdfs(docs: DataFrame, pageSize: Int = 200,
                              compress: Boolean = true, format12: Boolean = false,
-                             cff: Boolean = false,
+                             cff: Boolean = false, otto: Boolean = false,
                              idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -215,7 +215,7 @@ object PdfPipeline {
         // exists precisely for supplementary chars, whose surrogate
         // pairs a unit-wise grouped() would split across pages
         (id, PdfCodec.encodeFontProgPdf(codePointPages(text, pageSize),
-          compress, format12, cff))
+          compress, format12, cff, otto))
       }
       .toDF(idCol, "content")
   }

@@ -46,8 +46,12 @@ private[graft] object TrueTypeFont {
     * deliberately NOT verified (see the comment in the body). */
   private def directory(r: Reader, fontNum: Int): Map[String, (Int, Int)] = {
     val ver = r.u32(0)
-    require(ver == 0x00010000L || ver == 0x74727565L, // 'true' (Apple)
-      f"PdfCodec: font $fontNum: sfnt version 0x$ver%08x is not a TrueType font")
+    // 0x00010000 / 'true' = TrueType outlines; 'OTTO' = an OpenType
+    // wrapper around CFF outlines — the cmap (all this module reads)
+    // lives in the sfnt directory either way
+    require(ver == 0x00010000L || ver == 0x74727565L || ver == 0x4f54544fL,
+      f"PdfCodec: font $fontNum: sfnt version 0x$ver%08x is not a " +
+        "TrueType/OpenType font")
     val numTables = r.u16(4)
     require(numTables > 0 && 12 + 16 * numTables <= r.len,
       s"PdfCodec: font $fontNum: TrueType directory ($numTables tables) truncated")
@@ -222,7 +226,8 @@ private[graft] object TrueTypeFont {
     * never reads them); the directory, checksums and cmap structures
     * are the real wire format. */
   private[graft] def encodeProgram(entries: Seq[(Int, Int)],
-                                   format12: Boolean = false): Array[Byte] = {
+                                   format12: Boolean = false,
+                                   otto: Boolean = false): Array[Byte] = {
     require(entries.nonEmpty, "TrueTypeFont.encodeProgram: empty repertoire")
     require(entries.map(_._1).distinct.length == entries.length,
       "TrueTypeFont.encodeProgram: duplicate byte codes")
@@ -330,7 +335,7 @@ private[graft] object TrueTypeFont {
 
     val tables = Seq("cmap" -> cmap, "head" -> head, "maxp" -> maxp) // tag-sorted
     val out = new java.io.ByteArrayOutputStream()
-    be32(out, 0x00010000L)
+    be32(out, if (otto) 0x4f54544fL else 0x00010000L) // 'OTTO' wraps CFF outlines
     be16(out, tables.length)
     val floorLog = 31 - Integer.numberOfLeadingZeros(tables.length)
     be16(out, 16 * (1 << floorLog))

@@ -137,10 +137,15 @@ class CffFontSpec extends AnyFunSuite {
     val plain = new String(
       PdfCodec.encodeFontProgPdf(pages, compress = false, cff = true), "ISO-8859-1")
     assert(!plain.contains("cff glyph"), "content bytes leak the plaintext")
-    // an OpenType-wrapped /FontFile3 refuses with the subtype reason
+    // a /FontFile3 relabeled /OpenType routes to the sfnt reader, which
+    // rejects the CFF payload loud (not an sfnt)
     val otf = plain.replace("/Subtype /Type1C", "/Subtype /OpenType")
     val eOtf = intercept[IllegalArgumentException](
       PdfCodec.extractText(otf.getBytes("ISO-8859-1")))
-    assert(eOtf.getMessage.contains("Type1C"), eOtf.getMessage)
+    assert(eOtf.getMessage.contains("sfnt"), eOtf.getMessage)
+    // a REAL OpenType-wrapped program (OTTO sfnt) round-trips through
+    // the same pages — the third program format under one oracle
+    assert(PdfCodec.extractText(
+      PdfCodec.encodeFontProgPdf(pages, compress = false, otto = true)) == pages)
   }
 }

@@ -22,6 +22,13 @@ class TrueTypeFontSpec extends AnyFunSuite {
     assert(map == entries.map { case (c, cp) => c -> new String(Character.toChars(cp)) }.toMap)
   }
 
+  test("OTTO (OpenType/CFF-outline) sfnt: same cmap read path") {
+    val font = TrueTypeFont.encodeProgram(entries, otto = true)
+    assert(new String(font, 0, 4, "ISO-8859-1") == "OTTO")
+    assert(TrueTypeFont.symbolCodeToUnicode(font, 7) ==
+      TrueTypeFont.symbolCodeToUnicode(TrueTypeFont.encodeProgram(entries), 7))
+  }
+
   test("format 12 Unicode leg: forced, and auto-selected by a supplementary char") {
     val forced = TrueTypeFont.encodeProgram(entries, format12 = true)
     assert(TrueTypeFont.symbolCodeToUnicode(forced, 7) ==
@@ -73,9 +80,10 @@ class TrueTypeFontSpec extends AnyFunSuite {
     val eFmt = intercept[IllegalArgumentException](
       TrueTypeFont.symbolCodeToUnicode(badFmt, 7))
     assert(eFmt.getMessage.contains("format 2"), eFmt.getMessage)
-    // not an sfnt at all
+    // not an sfnt at all ('OTTO' became a VALID wrapper in round 16,
+    // so the probe needs a genuinely unknown version tag)
     val eVer = intercept[IllegalArgumentException](
-      TrueTypeFont.symbolCodeToUnicode("OTTO1234".getBytes("US-ASCII"), 7))
+      TrueTypeFont.symbolCodeToUnicode("wOF21234".getBytes("US-ASCII"), 7))
     assert(eVer.getMessage.contains("sfnt"), eVer.getMessage)
   }
 
