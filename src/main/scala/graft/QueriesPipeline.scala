@@ -472,6 +472,32 @@ object QueriesPipeline {
              |  unnest(range(0, CAST(ceil(length(t) / 200.0) AS INT))) AS u(i)
              |ORDER BY doc_id, page_no""".stripMargin)),
 
+    // VERTICAL predefined CMap (round 16): the same corpus through
+    // /90ms-RKSJ-V — the writing-mode alias of the round-15 horizontal
+    // gate. Code→Unicode is writing-mode independent (a -V CMap differs
+    // only in /WMode and rotated-glyph CID routing), so this carries
+    // q_pdf_cmap_predef's oracle VERBATIM: the alias must be
+    // results-invisible, the container-invariance convention.
+    "q_pdf_cmap_vertical" -> QueryDef(
+      (s, d) => {
+        val mixed = Tables.documents(s, d).select(col("doc_id"),
+          translate(col("text"), "aeiou", "亜江意尾宇").as("text"))
+        val pdfs = PdfPipeline.synthesizeCmapPredefPdfs(mixed, pageSize = 200,
+          cmapName = "90ms-RKSJ-V")
+        PdfPipeline.extractPagesPdf(pdfs)
+          .select(col("doc_id"), col("page_no"),
+            length(col("page_text")).cast("long").as("page_len"),
+            md5(col("page_text")).as("page_md5"))
+          .orderBy(col("doc_id"), col("page_no"))
+      },
+      Some("""SELECT doc_id, CAST(i + 1 AS BIGINT) AS page_no,
+             |  CAST(length(substr(t, i*200 + 1, 200)) AS BIGINT) AS page_len,
+             |  md5(substr(t, i*200 + 1, 200)) AS page_md5
+             |FROM (SELECT doc_id, translate(text, 'aeiou', '亜江意尾宇') AS t
+             |      FROM documents),
+             |  unnest(range(0, CAST(ceil(length(t) / 200.0) AS INT))) AS u(i)
+             |ORDER BY doc_id, page_no""".stripMargin)),
+
     // GLYPH-PROGRAM decode (round 16): the corpus rendered through a
     // SYMBOLIC simple TrueType subset font — NO /ToUnicode, NO
     // /Encoding, byte codes assigned by first appearance (private to

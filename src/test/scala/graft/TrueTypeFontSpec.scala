@@ -87,6 +87,80 @@ class TrueTypeFontSpec extends AnyFunSuite {
     assert(eVer.getMessage.contains("sfnt"), eVer.getMessage)
   }
 
+  test("cmap formats 0 and 6: hand-patched subtables decode like their format-4 twins") {
+    // build a format-4 program, then hand-replace the (3,0) SYMBOL
+    // subtable with a format-0 byte table / format-6 trimmed table
+    // mapping the same codes to the same gids — the derived map must
+    // be identical (the decoder treats subtable formats uniformly)
+    val font = TrueTypeFont.encodeProgram(entries)
+    val want = TrueTypeFont.symbolCodeToUnicode(font, 7)
+    def u16(b: Array[Byte], i: Int) = ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+    def u32(b: Array[Byte], i: Int) = (u16(b, i).toLong << 16) | u16(b, i + 2)
+    val cmapAt = {
+      val k = (0 until 3).find(k =>
+        new String(font, 12 + 16 * k, 4, "US-ASCII") == "cmap").get
+      u32(font, 12 + 16 * k + 8).toInt
+    }
+    val symOff = u32(font, cmapAt + 4 + 4).toInt // record 0's offset
+    val uniOff = u32(font, cmapAt + 4 + 8 + 4).toInt
+    val symAbs = cmapAt + symOff
+    val uniAbs = cmapAt + uniOff
+    val symLen = uniOff - symOff
+    // format 0: 256 glyph bytes; the symbol table keys are 0xF000|code,
+    // but format 0 only indexes 0-255 — so key the RAW codes (legal per
+    // the decoder's dual-convention unmasking)
+    val fmt0 = new java.io.ByteArrayOutputStream()
+    def be16(b: java.io.ByteArrayOutputStream, v: Int): Unit = {
+      b.write((v >> 8) & 0xff); b.write(v & 0xff)
+    }
+    be16(fmt0, 0); be16(fmt0, 262); be16(fmt0, 0)
+    val glyphBytes = new Array[Byte](256)
+    entries.zipWithIndex.foreach { case ((code, _), i) => glyphBytes(code) = (i + 1).toByte }
+    fmt0.write(glyphBytes, 0, 256)
+    def spliceSym(replacement: Array[Byte]): Array[Byte] = {
+      val delta = replacement.length - symLen
+      val out = font.take(symAbs) ++ replacement ++ font.drop(symAbs + symLen)
+      // the Unicode record's offset moves by delta (it FOLLOWS the
+      // symbol table in the encoder's layout); cmap is the last... no —
+      // head/maxp follow, but their DIRECTORY offsets are absolute and
+      // cmap grew/shrank: patch the directory offsets of head/maxp and
+      // the cmap length, plus record 1's subtable offset
+      val b = out.clone()
+      // record 1 offset
+      val no = uniOff + delta
+      b(cmapAt + 4 + 8 + 4) = ((no >> 24) & 0xff).toByte
+      b(cmapAt + 4 + 8 + 5) = ((no >> 16) & 0xff).toByte
+      b(cmapAt + 4 + 8 + 6) = ((no >> 8) & 0xff).toByte
+      b(cmapAt + 4 + 8 + 7) = (no & 0xff).toByte
+      for (k <- 0 until 3) {
+        val tag = new String(b, 12 + 16 * k, 4, "US-ASCII")
+        if (tag == "head" || tag == "maxp") {
+          val at = 12 + 16 * k + 8
+          val old = u32(b, at)
+          val nv = old + delta
+          b(at) = ((nv >> 24) & 0xff).toByte; b(at + 1) = ((nv >> 16) & 0xff).toByte
+          b(at + 2) = ((nv >> 8) & 0xff).toByte; b(at + 3) = (nv & 0xff).toByte
+        } else if (tag == "cmap") {
+          val at = 12 + 16 * k + 12
+          val old = u32(b, at)
+          val nv = old + delta
+          b(at) = ((nv >> 24) & 0xff).toByte; b(at + 1) = ((nv >> 16) & 0xff).toByte
+          b(at + 2) = ((nv >> 8) & 0xff).toByte; b(at + 3) = (nv & 0xff).toByte
+        }
+      }
+      b
+    }
+    assert(TrueTypeFont.symbolCodeToUnicode(spliceSym(fmt0.toByteArray), 7) == want,
+      "format 0 twin")
+    // format 6: trimmed table over the contiguous code range 0x20..0x26
+    val fmt6 = new java.io.ByteArrayOutputStream()
+    be16(fmt6, 6); be16(fmt6, 10 + 2 * 7); be16(fmt6, 0)
+    be16(fmt6, 0xf020); be16(fmt6, 7)
+    (1 to 7).foreach(g => be16(fmt6, g))
+    assert(TrueTypeFont.symbolCodeToUnicode(spliceSym(fmt6.toByteArray), 7) == want,
+      "format 6 twin")
+  }
+
   test("PDF round trip: symbolic subset font with no ToUnicode, codes private to the font") {
     val pages = Seq(
       "hello glyph program world",
