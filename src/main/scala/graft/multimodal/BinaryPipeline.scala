@@ -142,8 +142,11 @@ object BinaryPipeline {
     *     8-bit:  (doc_id·31 + i·7 + c·13) mod 256 − 128
     *     16-bit: (doc_id·31 + i·7 + c·13) mod 4001 − 2000
     * Output: (idCol, content binary, meta struct) — the [[asMedia]] shape. */
-  def synthesizeWavs(docs: DataFrame, idCol: String = "doc_id",
-                     batchSize: Int = 16): DataFrame = {
+  /** Shared shell of every synthesize*Wavs generator: one WAV per doc
+    * id through `build`, wrapped in the (id, content, meta) media
+    * schema — the per-format generators carry only their formulas. */
+  private def synthesizeAudio(docs: DataFrame, idCol: String, batchSize: Int)
+                             (build: Long => Array[Byte]): DataFrame = {
     val schema = StructType(Seq(
       StructField(idCol, LongType, nullable = false),
       StructField("content", BinaryType, nullable = false),
@@ -151,33 +154,38 @@ object BinaryPipeline {
         StructField("media_type", StringType, nullable = false),
         StructField("declared_bytes", LongType, nullable = false))), nullable = false)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
-    val ids = docs.select(col(idCol))
-    ids.mapPartitions { it =>
+    docs.select(col(idCol)).mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { r =>
           val id = r.getLong(0)
-          val channels = (1 + id % 2).toInt
-          val bits = if (id % 3 == 0) 8 else 16
-          val sampleRate = (8000 + (id % 4) * 4000).toInt
-          val frames = (400 + id % 257).toInt
-          val samples = new Array[Int](frames * channels)
-          var i = 0
-          while (i < frames) {
-            var c = 0
-            while (c < channels) {
-              val raw = id * 31 + i * 7L + c * 13L
-              samples(i * channels + c) =
-                if (bits == 8) (raw % 256).toInt - 128 else (raw % 4001).toInt - 2000
-              c += 1
-            }
-            i += 1
-          }
-          val bytes = WavCodec.encode(sampleRate, channels, bits, samples)
+          val bytes = build(id)
           Row(id, bytes, Row("audio/wav", bytes.length.toLong))
         }
       }
     }(enc)
   }
+
+  def synthesizeWavs(docs: DataFrame, idCol: String = "doc_id",
+                     batchSize: Int = 16): DataFrame =
+    synthesizeAudio(docs, idCol, batchSize) { id =>
+      val channels = (1 + id % 2).toInt
+      val bits = if (id % 3 == 0) 8 else 16
+      val sampleRate = (8000 + (id % 4) * 4000).toInt
+      val frames = (400 + id % 257).toInt
+      val samples = new Array[Int](frames * channels)
+      var i = 0
+      while (i < frames) {
+        var c = 0
+        while (c < channels) {
+          val raw = id * 31 + i * 7L + c * 13L
+          samples(i * channels + c) =
+            if (bits == 8) (raw % 256).toInt - 128 else (raw % 4001).toInt - 2000
+          c += 1
+        }
+        i += 1
+      }
+      WavCodec.encode(sampleRate, channels, bits, samples)
+    }
 
   /** [[synthesizeWavs]]'s µ-law sibling: mono format-7 files whose raw
     * G.711 codes derive from doc_id —
@@ -188,29 +196,14 @@ object BinaryPipeline {
     * 132)·2^((u div 16) mod 8) − 132; negative when u ≥ 128)
     * byte-blind. */
   def synthesizeMulawWavs(docs: DataFrame, idCol: String = "doc_id",
-                          batchSize: Int = 16): DataFrame = {
-    val schema = StructType(Seq(
-      StructField(idCol, LongType, nullable = false),
-      StructField("content", BinaryType, nullable = false),
-      StructField("meta", StructType(Seq(
-        StructField("media_type", StringType, nullable = false),
-        StructField("declared_bytes", LongType, nullable = false))), nullable = false)))
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
-    val ids = docs.select(col(idCol))
-    ids.mapPartitions { it =>
-      it.grouped(batchSize).flatMap { batch =>
-        batch.iterator.map { r =>
-          val id = r.getLong(0)
-          val frames = (300 + id % 257).toInt
-          val codes = new Array[Byte](frames)
-          var i = 0
-          while (i < frames) { codes(i) = ((id * 31 + i * 7L) % 256).toByte; i += 1 }
-          val bytes = WavCodec.encodeMulaw(8000, 1, codes)
-          Row(id, bytes, Row("audio/wav", bytes.length.toLong))
-        }
-      }
-    }(enc)
-  }
+                          batchSize: Int = 16): DataFrame =
+    synthesizeAudio(docs, idCol, batchSize) { id =>
+      val frames = (300 + id % 257).toInt
+      val codes = new Array[Byte](frames)
+      var i = 0
+      while (i < frames) { codes(i) = ((id * 31 + i * 7L) % 256).toByte; i += 1 }
+      WavCodec.encodeMulaw(8000, 1, codes)
+    }
 
   /** [[synthesizeMulawWavs]]'s A-law twin: mono format-6 files, codes
     * code(i) = (doc_id·29 + i·13) mod 256, frames = 300 + doc_id % 257.
@@ -218,29 +211,14 @@ object BinaryPipeline {
     * linear mag = 16·mant + 8, else (16·mant + 264)·2^(seg−1); POSITIVE
     * when a ≥ 128 — A-law's sign convention is µ-law's mirror). */
   def synthesizeAlawWavs(docs: DataFrame, idCol: String = "doc_id",
-                         batchSize: Int = 16): DataFrame = {
-    val schema = StructType(Seq(
-      StructField(idCol, LongType, nullable = false),
-      StructField("content", BinaryType, nullable = false),
-      StructField("meta", StructType(Seq(
-        StructField("media_type", StringType, nullable = false),
-        StructField("declared_bytes", LongType, nullable = false))), nullable = false)))
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
-    val ids = docs.select(col(idCol))
-    ids.mapPartitions { it =>
-      it.grouped(batchSize).flatMap { batch =>
-        batch.iterator.map { r =>
-          val id = r.getLong(0)
-          val frames = (300 + id % 257).toInt
-          val codes = new Array[Byte](frames)
-          var i = 0
-          while (i < frames) { codes(i) = ((id * 29 + i * 13L) % 256).toByte; i += 1 }
-          val bytes = WavCodec.encodeMulaw(8000, 1, codes, format = 6)
-          Row(id, bytes, Row("audio/wav", bytes.length.toLong))
-        }
-      }
-    }(enc)
-  }
+                         batchSize: Int = 16): DataFrame =
+    synthesizeAudio(docs, idCol, batchSize) { id =>
+      val frames = (300 + id % 257).toInt
+      val codes = new Array[Byte](frames)
+      var i = 0
+      while (i < frames) { codes(i) = ((id * 29 + i * 13L) % 256).toByte; i += 1 }
+      WavCodec.encodeMulaw(8000, 1, codes, format = 6)
+    }
 
   /** [[synthesizeMulawWavs]]'s IMA-ADPCM sibling: mono format-0x11
     * files whose WIRE content (block headers + nibble stream) derives
@@ -252,39 +230,24 @@ object BinaryPipeline {
     *   nibble k (0-63, low nibble of byte k/2 first) =
     *            (doc_id·31 + b·17 + k·7) mod 16 */
   def synthesizeAdpcmWavs(docs: DataFrame, idCol: String = "doc_id",
-                          batchSize: Int = 16): DataFrame = {
-    val schema = StructType(Seq(
-      StructField(idCol, LongType, nullable = false),
-      StructField("content", BinaryType, nullable = false),
-      StructField("meta", StructType(Seq(
-        StructField("media_type", StringType, nullable = false),
-        StructField("declared_bytes", LongType, nullable = false))), nullable = false)))
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
-    val ids = docs.select(col(idCol))
-    ids.mapPartitions { it =>
-      it.grouped(batchSize).flatMap { batch =>
-        batch.iterator.map { r =>
-          val id = r.getLong(0)
-          val nBlocks = (4 + id % 5).toInt
-          val blocks = (0 until nBlocks).map { b =>
-            val pred = ((id * 37 + b * 101L) % 4001).toInt - 2000
-            val idx = ((id + b * 7L) % 89).toInt
-            val payload = new Array[Byte](32)
-            var j = 0
-            while (j < 32) {
-              val lo = ((id * 31 + b * 17 + (2 * j) * 7L) % 16).toInt
-              val hi = ((id * 31 + b * 17 + (2 * j + 1) * 7L) % 16).toInt
-              payload(j) = ((hi << 4) | lo).toByte
-              j += 1
-            }
-            (Array(pred), Array(idx), payload)
-          }
-          val bytes = WavCodec.encodeAdpcm(8000, 1, 36, blocks)
-          Row(id, bytes, Row("audio/wav", bytes.length.toLong))
+                          batchSize: Int = 16): DataFrame =
+    synthesizeAudio(docs, idCol, batchSize) { id =>
+      val nBlocks = (4 + id % 5).toInt
+      val blocks = (0 until nBlocks).map { b =>
+        val pred = ((id * 37 + b * 101L) % 4001).toInt - 2000
+        val idx = ((id + b * 7L) % 89).toInt
+        val payload = new Array[Byte](32)
+        var j = 0
+        while (j < 32) {
+          val lo = ((id * 31 + b * 17 + (2 * j) * 7L) % 16).toInt
+          val hi = ((id * 31 + b * 17 + (2 * j + 1) * 7L) % 16).toInt
+          payload(j) = ((hi << 4) | lo).toByte
+          j += 1
         }
+        (Array(pred), Array(idx), payload)
       }
-    }(enc)
-  }
+      WavCodec.encodeAdpcm(8000, 1, 36, blocks)
+    }
 
   /** REAL audio-window features over (id, content) rows: every content
     * blob must be a WAV ([[WavCodec]] fails loud otherwise). Decodes the
@@ -901,38 +864,23 @@ object BinaryPipeline {
     * so the decode contract (rint(f·32768), clamp) recovers k exactly
     * and the oracle replays the integer formulas byte-blind. */
   def synthesizeFloatWavs(docs: DataFrame, idCol: String = "doc_id",
-                          batchSize: Int = 16): DataFrame = {
-    val schema = StructType(Seq(
-      StructField(idCol, LongType, nullable = false),
-      StructField("content", BinaryType, nullable = false),
-      StructField("meta", StructType(Seq(
-        StructField("media_type", StringType, nullable = false),
-        StructField("declared_bytes", LongType, nullable = false))), nullable = false)))
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
-    val ids = docs.select(col(idCol))
-    ids.mapPartitions { it =>
-      it.grouped(batchSize).flatMap { batch =>
-        batch.iterator.map { r =>
-          val id = r.getLong(0)
-          val channels = (1 + id % 2).toInt
-          val frames = (350 + id % 257).toInt
-          val samples = new Array[Int](frames * channels)
-          var i = 0
-          while (i < frames) {
-            var c = 0
-            while (c < channels) {
-              samples(i * channels + c) =
-                ((id * 31 + i * 7L + c * 13L) % 4001).toInt - 2000
-              c += 1
-            }
-            i += 1
-          }
-          val bytes = WavCodec.encodeFloat(16000, channels, samples)
-          Row(id, bytes, Row("audio/wav", bytes.length.toLong))
+                          batchSize: Int = 16): DataFrame =
+    synthesizeAudio(docs, idCol, batchSize) { id =>
+      val channels = (1 + id % 2).toInt
+      val frames = (350 + id % 257).toInt
+      val samples = new Array[Int](frames * channels)
+      var i = 0
+      while (i < frames) {
+        var c = 0
+        while (c < channels) {
+          samples(i * channels + c) =
+            ((id * 31 + i * 7L + c * 13L) % 4001).toInt - 2000
+          c += 1
         }
+        i += 1
       }
-    }(enc)
-  }
+      WavCodec.encodeFloat(16000, channels, samples)
+    }
 
   /** [[synthesizeAdpcmWavs]]' MS-ADPCM sibling (round 16): mono
     * format-0x02 files under the standard coefficient table, wire
@@ -952,42 +900,27 @@ object BinaryPipeline {
     * one that overflows any fixed-width decoder state (the decoder
     * fail-louds past 2^30 for exactly that reason). */
   def synthesizeMsAdpcmWavs(docs: DataFrame, idCol: String = "doc_id",
-                            batchSize: Int = 16): DataFrame = {
-    val schema = StructType(Seq(
-      StructField(idCol, LongType, nullable = false),
-      StructField("content", BinaryType, nullable = false),
-      StructField("meta", StructType(Seq(
-        StructField("media_type", StringType, nullable = false),
-        StructField("declared_bytes", LongType, nullable = false))), nullable = false)))
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
-    val ids = docs.select(col(idCol))
-    ids.mapPartitions { it =>
-      it.grouped(batchSize).flatMap { batch =>
-        batch.iterator.map { r =>
-          val id = r.getLong(0)
-          val nBlocks = (3 + id % 4).toInt
-          val blocks = (0 until nBlocks).map { b =>
-            val pred = ((id + b) % 7).toInt
-            val delta = (16 + (id * 13 + b * 7L) % 1000).toInt
-            val s1 = ((id * 37 + b * 101L) % 4001).toInt - 2000
-            val s2 = ((id * 41 + b * 59L) % 4001).toInt - 2000
-            val remap = Array(0, 1, 2, 3, 13, 14, 15, 0, 4, 1, 12, 2, 6, 3, 10, 15)
-            val payload = new Array[Byte](32)
-            var j = 0
-            while (j < 32) {
-              val hi = remap(((id * 31 + b * 17 + (2 * j) * 7L) % 16).toInt)
-              val lo = remap(((id * 31 + b * 17 + (2 * j + 1) * 7L) % 16).toInt)
-              payload(j) = ((hi << 4) | lo).toByte
-              j += 1
-            }
-            (Array(pred), Array(delta), Array(s1), Array(s2), payload)
-          }
-          val bytes = WavCodec.encodeMsAdpcm(8000, 1, 39, blocks)
-          Row(id, bytes, Row("audio/wav", bytes.length.toLong))
+                            batchSize: Int = 16): DataFrame =
+    synthesizeAudio(docs, idCol, batchSize) { id =>
+      val nBlocks = (3 + id % 4).toInt
+      val blocks = (0 until nBlocks).map { b =>
+        val pred = ((id + b) % 7).toInt
+        val delta = (16 + (id * 13 + b * 7L) % 1000).toInt
+        val s1 = ((id * 37 + b * 101L) % 4001).toInt - 2000
+        val s2 = ((id * 41 + b * 59L) % 4001).toInt - 2000
+        val remap = Array(0, 1, 2, 3, 13, 14, 15, 0, 4, 1, 12, 2, 6, 3, 10, 15)
+        val payload = new Array[Byte](32)
+        var j = 0
+        while (j < 32) {
+          val hi = remap(((id * 31 + b * 17 + (2 * j) * 7L) % 16).toInt)
+          val lo = remap(((id * 31 + b * 17 + (2 * j + 1) * 7L) % 16).toInt)
+          payload(j) = ((hi << 4) | lo).toByte
+          j += 1
         }
+        (Array(pred), Array(delta), Array(s1), Array(s2), payload)
       }
-    }(enc)
-  }
+      WavCodec.encodeMsAdpcm(8000, 1, 39, blocks)
+    }
 
   /** [[synthesizeAnimGifs]]' PATCH-FRAME sibling (round 16): the wire
     * shape real animated GIFs use — frame 0 full-screen, frames 1..2

@@ -291,6 +291,16 @@ object PdfCodec {
                     val ffObj = byNum.getOrElse(ref, throw new IllegalArgumentException(
                       s"PdfCodec: /FontFile2 $ref 0 R not found"))
                     val program = decodeStream(ffObj, byNum).getBytes(ISO_8859_1)
+                    // spec Table 126: /FontFile2 holds a TRUETYPE-outline
+                    // program; an OTTO wrapper belongs under /FontFile3
+                    // /OpenType — since TrueTypeFont now accepts OTTO,
+                    // gate the mislabeled shape here rather than decode
+                    // it silently
+                    require(!(program.length >= 4 && program(0) == 'O' &&
+                        program(1) == 'T' && program(2) == 'T' && program(3) == 'O'),
+                      s"PdfCodec: font object ${obj.num}: /FontFile2 holds an OTTO " +
+                        "(OpenType/CFF) program — the spec shape is /FontFile3 " +
+                        "/Subtype /OpenType")
                     GlyphProgFont(TrueTypeFont.symbolCodeToUnicode(program, obj.num),
                       obj.num)
                   case (None, Some(ref)) =>

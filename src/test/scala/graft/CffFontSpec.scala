@@ -147,5 +147,15 @@ class CffFontSpec extends AnyFunSuite {
     // the same pages — the third program format under one oracle
     assert(PdfCodec.extractText(
       PdfCodec.encodeFontProgPdf(pages, compress = false, otto = true)) == pages)
+    // …but an OTTO program MISLABELED as /FontFile2 (spec Table 126
+    // wants TrueType outlines there) fails loud, not silent decode
+    val ottoPdf = new String(
+      PdfCodec.encodeFontProgPdf(pages, compress = false, otto = true), "ISO-8859-1")
+    val mislabel = ottoPdf
+      .replace("/FontFile3", "/FontFile2")
+      .replace(" /Subtype /OpenType", "")
+    val eMis = intercept[IllegalArgumentException](
+      PdfCodec.extractText(mislabel.getBytes("ISO-8859-1")))
+    assert(eMis.getMessage.contains("OTTO"), eMis.getMessage)
   }
 }
