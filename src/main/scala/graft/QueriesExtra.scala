@@ -1988,6 +1988,33 @@ object QueriesExtra {
              |FROM ch GROUP BY doc_id, f, w, h, dim
              |ORDER BY doc_id, frame_idx, dim""".stripMargin)),
 
+    // REAL BMP decode (round 16 extra — the fifth raster leg; BMPs are
+    // ubiquitous in older crawls): 8-bit paletted, 24-bit bottom-up and
+    // 24-bit TOP-DOWN files in one corpus. The decoded buffer is always
+    // packed RGB and the position-weighted checksum is order-sensitive,
+    // so a missed bottom-up row flip, a BGR/RGB swap or a palette
+    // misread each break the hash.
+    "q_image_bmp" -> QueryDef(
+      (s, d) => BinaryPipeline.decodeBmps(
+          BinaryPipeline.synthesizeBmps(Tables.documents(s, d)))
+        .orderBy(col("doc_id")),
+      Some("""WITH p AS (SELECT doc_id, 11 + doc_id % 13 AS w, 9 + doc_id % 11 AS h,
+             |    doc_id % 3 AS mode FROM documents),
+             |b AS (SELECT doc_id, w, h, i,
+             |    CASE WHEN mode = 0 THEN
+             |      CASE i % 3
+             |        WHEN 0 THEN (((doc_id*37 + (i//3)*13) % 250) * 37) % 256
+             |        WHEN 1 THEN (((doc_id*37 + (i//3)*13) % 250) * 59 + 17) % 256
+             |        ELSE (((doc_id*37 + (i//3)*13) % 250) * 83 + 29) % 256 END
+             |    ELSE (doc_id*37 + i*11) % 256 END AS v
+             |  FROM p, unnest(range(0, w*h*3)) t(i))
+             |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             |  CAST(SUM(CASE WHEN i % 3 = 0 THEN v END) AS BIGINT) AS r_sum,
+             |  CAST(SUM(CASE WHEN i % 3 = 1 THEN v END) AS BIGINT) AS g_sum,
+             |  CAST(SUM(CASE WHEN i % 3 = 2 THEN v END) AS BIGINT) AS b_sum,
+             |  CAST(SUM((i + 1) * v) AS BIGINT) AS weighted_sum
+             |FROM b GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin)),
+
     // IEEE-FLOAT WAV decode (round 16 extra — format 3, the remaining
     // uncompressed wire format): float samples at ±1.0 full scale map
     // to signed linear via rint(f·32768); the corpus writes
@@ -2167,8 +2194,12 @@ object QueriesExtra {
           .select((col("doc_id") + 400000).as("doc_id"), col("content"), col("meta"))
         val tif = BinaryPipeline.synthesizeTiffs(docs.where(col("doc_id") % 2 === 1))
           .select((col("doc_id") + 600000).as("doc_id"), col("content"), col("meta"))
+        // BMP decodes to RGB regardless of mode (round 16): no filter
+        val bmp = BinaryPipeline.synthesizeBmps(docs)
+          .select((col("doc_id") + 800000).as("doc_id"), col("content"), col("meta"))
         val feats = BinaryPipeline.imageTileFeatures(
-            png.unionAll(jpg).unionAll(gif).unionAll(tif), gx = 2, gy = 2)
+            png.unionAll(jpg).unionAll(gif).unionAll(tif).unionAll(bmp),
+            gx = 2, gy = 2)
           .where(col("channels") === 3) // the RGB modality group, all formats
           .select(col("doc_id").as("vec_id"), col("features").as("embedding"))
         val q = feats.where(col("vec_id") === 1)
@@ -2206,11 +2237,23 @@ object QueriesExtra {
              |        FROM documents WHERE doc_id % 2 = 1) p,
              |       unnest(range(0, w)) AS gx(x), unnest(range(0, h)) AS gy(y),
              |       unnest(range(0, 3)) AS gc(c)),
+             |bmp_px AS (SELECT did + 800000 AS doc_id,
+             |    (((y*2)//h) * 2 + ((x*2)//w)) * 3 + c AS dim,
+             |    CASE WHEN did % 3 = 0 THEN
+             |      CASE c WHEN 0 THEN (((did*37 + (y*w+x)*13) % 250) * 37) % 256
+             |             WHEN 1 THEN (((did*37 + (y*w+x)*13) % 250) * 59 + 17) % 256
+             |             ELSE (((did*37 + (y*w+x)*13) % 250) * 83 + 29) % 256 END
+             |    ELSE (did*37 + ((y*w + x)*3 + c) * 11) % 256 END AS v
+             |  FROM (SELECT doc_id AS did, 11 + doc_id % 13 AS w, 9 + doc_id % 11 AS h
+             |        FROM documents) p,
+             |       unnest(range(0, w)) AS gx(x), unnest(range(0, h)) AS gy(y),
+             |       unnest(range(0, 3)) AS gc(c)),
              |f AS (SELECT doc_id, list(m ORDER BY dim) AS emb FROM (
              |    SELECT doc_id, dim, avg(v) AS m
              |    FROM (SELECT * FROM png_px UNION ALL SELECT * FROM jpg_px
              |          UNION ALL SELECT * FROM gif_px
-             |          UNION ALL SELECT * FROM tif_px)
+             |          UNION ALL SELECT * FROM tif_px
+             |          UNION ALL SELECT * FROM bmp_px)
              |    GROUP BY doc_id, dim)
              |  GROUP BY doc_id)
              |SELECT e.doc_id AS vec_id,

@@ -493,6 +493,102 @@ object BinaryPipeline {
     * all LAYOUT — the decoded buffer is identical across them, so one
     * formula oracle gates layout invariance for free (the
     * q_image_interlaced convention). */
+  /** Deterministic in-engine BMP synthesis (round 16, the fifth raster
+    * leg): per doc, mode = doc_id % 3 —
+    *   0: 8-bit PALETTED, index i = (id·37 + i·13) % 250 over w·h,
+    *      250-entry palette j = ((j·37)%256, (j·59+17)%256, (j·83+29)%256)
+    *   1: 24-bit bottom-up, RGB byte i = (id·37 + i·11) % 256
+    *   2: 24-bit TOP-DOWN (negative height), same bytes
+    *   w = 11 + id%13, h = 9 + id%11
+    * The decoded buffer is always packed RGB, so the oracle replays the
+    * formulas directly — and the position-weighted checksum makes a
+    * missed bottom-up row flip fatal. */
+  def synthesizeBmps(docs: DataFrame, idCol: String = "doc_id",
+                     batchSize: Int = 16): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false),
+      StructField("meta", StructType(Seq(
+        StructField("media_type", StringType, nullable = false),
+        StructField("declared_bytes", LongType, nullable = false))), nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val ids = docs.select(col(idCol))
+    ids.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val id = r.getLong(0)
+          val w = (11 + id % 13).toInt
+          val h = (9 + id % 11).toInt
+          val mode = (id % 3).toInt
+          val bytes =
+            if (mode == 0) {
+              val palette = new Array[Byte](250 * 3)
+              var j = 0
+              while (j < 250) {
+                palette(3 * j) = ((j * 37) % 256).toByte
+                palette(3 * j + 1) = ((j * 59 + 17) % 256).toByte
+                palette(3 * j + 2) = ((j * 83 + 29) % 256).toByte
+                j += 1
+              }
+              val idx = new Array[Byte](w * h)
+              var i = 0
+              while (i < idx.length) {
+                idx(i) = ((id * 37 + i * 13L) % 250).toByte
+                i += 1
+              }
+              BmpCodec.encode(w, h, idx, palette)
+            } else {
+              val px = new Array[Byte](w * h * 3)
+              var i = 0
+              while (i < px.length) {
+                px(i) = ((id * 37 + i * 11L) % 256).toByte
+                i += 1
+              }
+              BmpCodec.encode(w, h, px, topDown = mode == 2)
+            }
+          Row(id, bytes, Row("image/bmp", bytes.length.toLong))
+        }
+      }
+    }(enc)
+  }
+
+  /** [[decodeTiffs]]' BMP sibling: decode through [[BmpCodec]] and emit
+    * the same integer features (per-channel sums + the position-weighted
+    * checksum over the RGB buffer). */
+  def decodeBmps(media: DataFrame, idCol: String = "doc_id",
+                 batchSize: Int = 16): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("width", LongType, nullable = false),
+      StructField("height", LongType, nullable = false),
+      StructField("r_sum", LongType, nullable = false),
+      StructField("g_sum", LongType, nullable = false),
+      StructField("b_sum", LongType, nullable = false),
+      StructField("weighted_sum", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val idIdx = media.schema.fieldIndex(idCol)
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val id = r.getLong(idIdx)
+          val img = BmpCodec.decode(r.getAs[Array[Byte]](contentIdx))
+          val sums = new Array[Long](3)
+          var weighted = 0L
+          var p = 0
+          while (p < img.pixels.length) {
+            val v = img.pixels(p) & 0xff
+            sums(p % 3) += v
+            weighted += (p + 1).toLong * v
+            p += 1
+          }
+          Row(id, img.width.toLong, img.height.toLong,
+            sums(0), sums(1), sums(2), weighted)
+        }
+      }
+    }(enc)
+  }
+
   def synthesizeTiffs(docs: DataFrame, idCol: String = "doc_id",
                       batchSize: Int = 16): DataFrame = {
     val schema = StructType(Seq(
@@ -1232,7 +1328,7 @@ object BinaryPipeline {
     }(enc)
   }
 
-  /** Decode PNG, JPEG or GIF content by magic sniff into the shared
+  /** Decode PNG, JPEG, GIF, TIFF or BMP content by magic sniff into the shared
     * decoded-image shape (JPEG adapts: bit depth 8, gray→colorType 0,
     * RGB→2; GIF decodes straight to the shape); anything else fails
     * loud — the image OPS below are format-agnostic, the codecs stay
@@ -1251,8 +1347,9 @@ object BinaryPipeline {
         if (j.components == 1) 0 else 2, j.components, j.pixels)
     } else if (GifCodec.isGif(content)) GifCodec.decode(content)
     else if (TiffCodec.isTiff(content)) TiffCodec.decode(content)
+    else if (BmpCodec.isBmp(content)) BmpCodec.decode(content)
     else throw new IllegalArgumentException(
-      "BinaryPipeline: content is not PNG/JPEG/GIF/TIFF (image op on non-image bytes)")
+      "BinaryPipeline: content is not PNG/JPEG/GIF/TIFF/BMP (image op on non-image bytes)")
 
   /** Deterministic in-engine GIF synthesis over document rows — the
     * [[synthesizeImages]] recipe for the palette/LZW leg ([[GifCodec]]

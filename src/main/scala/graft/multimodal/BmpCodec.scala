@@ -1,0 +1,171 @@
+package graft.multimodal
+
+import java.io.ByteArrayOutputStream
+
+/** A real Windows BMP codec (the public BITMAPFILEHEADER /
+  * BITMAPINFOHEADER wire format) — the fifth raster leg; BMPs are
+  * ubiquitous in older web crawls and clipboard-derived corpora.
+  * Decodes into the shared [[PngCodec.PngImage]] shape so the
+  * format-agnostic image ops (tiles, resize, KNN, dedup) take BMP rows
+  * unchanged.
+  *
+  * Scope (fail-loud beyond it, never silent garbage):
+  *  - 'BM' magic, 40-byte BITMAPINFOHEADER (the universal core;
+  *    V4/V5 headers, OS/2 BITMAPCOREHEADER reject with the size)
+  *  - bit depths 8 (paletted, expanded to RGB) and 24 (BGR → RGB)
+  *  - BI_RGB only — RLE4/RLE8/bitfield compressions reject
+  *  - bottom-up (positive height, the common shape) AND top-down
+  *    (negative height) row orders; rows padded to 4-byte multiples
+  *  - the declared data offset, palette size and row accounting must
+  *    agree with the geometry — truncation rejects
+  *
+  * Reference analogue: the reference decodes its media format for real
+  * (PDFBox, Function.java:90-132); graft's image columns get the same
+  * treatment per format. */
+object BmpCodec {
+
+  /** True iff `content` starts with the 'BM' magic. */
+  def isBmp(b: Array[Byte]): Boolean =
+    b.length >= 2 && b(0) == 'B' && b(1) == 'M'
+
+  def decode(bytes: Array[Byte]): PngCodec.PngImage = {
+    require(isBmp(bytes), "BmpCodec: not a BMP (missing BM magic)")
+    def u8(i: Int): Int = {
+      require(i >= 0 && i < bytes.length, "BmpCodec: truncated file")
+      bytes(i) & 0xff
+    }
+    def u16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def u32(i: Int): Long = u16(i).toLong | (u16(i + 2).toLong << 16)
+    def i32(i: Int): Int = u32(i).toInt
+
+    val dataOffset = u32(10)
+    val dibSize = u32(14)
+    require(dibSize == 40,
+      s"BmpCodec: DIB header of $dibSize bytes unsupported " +
+        "(40-byte BITMAPINFOHEADER only; V4/V5/OS2 headers out of scope)")
+    val width = i32(18)
+    val rawHeight = i32(22)
+    // negative height = top-down row order (the less common but legal shape)
+    val topDown = rawHeight < 0
+    val height = math.abs(rawHeight)
+    require(width > 0 && height > 0 && width <= (1 << 20) && height <= (1 << 20),
+      s"BmpCodec: invalid dimensions ${width}x$rawHeight")
+    require(u16(26) == 1, s"BmpCodec: planes ${u16(26)} (want 1)")
+    val bpp = u16(28)
+    require(bpp == 8 || bpp == 24,
+      s"BmpCodec: $bpp bits/pixel unsupported (8 paletted or 24 BGR)")
+    val compression = u32(30)
+    require(compression == 0,
+      s"BmpCodec: compression $compression unsupported (BI_RGB only — " +
+        "RLE/bitfields out of scope)")
+    val colorsUsed = u32(46).toInt
+
+    val palette: Array[Byte] =
+      if (bpp == 8) {
+        val n = if (colorsUsed == 0) 256 else colorsUsed
+        require(n >= 1 && n <= 256, s"BmpCodec: palette of $n entries (1-256)")
+        require(54 + 4 * n <= bytes.length, "BmpCodec: truncated palette")
+        // BGRA quads on the wire → packed RGB
+        val t = new Array[Byte](3 * n)
+        var k = 0
+        while (k < n) {
+          t(3 * k) = bytes(54 + 4 * k + 2)     // R
+          t(3 * k + 1) = bytes(54 + 4 * k + 1) // G
+          t(3 * k + 2) = bytes(54 + 4 * k)     // B
+          k += 1
+        }
+        t
+      } else null
+    val nPal = if (palette == null) 0 else palette.length / 3
+
+    val rowBytes = (width * (bpp / 8) + 3) / 4 * 4 // padded to 4
+    require(dataOffset >= 54 && dataOffset + rowBytes.toLong * height <= bytes.length,
+      s"BmpCodec: pixel data at $dataOffset (${rowBytes.toLong * height} bytes) " +
+        s"runs past EOF (${bytes.length})")
+    val out = new Array[Byte](width * height * 3)
+    var y = 0
+    while (y < height) {
+      val srcRow = if (topDown) y else height - 1 - y
+      val rowAt = dataOffset.toInt + srcRow * rowBytes
+      var x = 0
+      while (x < width) {
+        val o = (y * width + x) * 3
+        if (bpp == 24) {
+          // BGR on the wire
+          out(o) = bytes(rowAt + 3 * x + 2)
+          out(o + 1) = bytes(rowAt + 3 * x + 1)
+          out(o + 2) = bytes(rowAt + 3 * x)
+        } else {
+          val idx = bytes(rowAt + x) & 0xff
+          require(idx < nPal,
+            s"BmpCodec: pixel index $idx out of the $nPal-entry palette")
+          out(o) = palette(3 * idx)
+          out(o + 1) = palette(3 * idx + 1)
+          out(o + 2) = palette(3 * idx + 2)
+        }
+        x += 1
+      }
+      y += 1
+    }
+    PngCodec.PngImage(width, height, 8, 2, 3, out)
+  }
+
+  /** BMP ENCODE for fixtures and in-engine synthesis: 24-bit BGR (the
+    * common shape) or 8-bit paletted; `topDown` writes a negative
+    * height. `pixels` is packed RGB (24-bit) or palette indices
+    * (8-bit with `palette` RGB triples). */
+  def encode(width: Int, height: Int, pixels: Array[Byte],
+             palette: Array[Byte] = null, topDown: Boolean = false): Array[Byte] = {
+    require(width > 0 && height > 0, s"BmpCodec.encode: invalid ${width}x$height")
+    val bpp = if (palette == null) 24 else 8
+    if (bpp == 24)
+      require(pixels.length == width * height * 3,
+        s"BmpCodec.encode: ${pixels.length} RGB bytes, geometry wants " +
+          s"${width * height * 3}")
+    else {
+      require(pixels.length == width * height,
+        s"BmpCodec.encode: ${pixels.length} indices, geometry wants ${width * height}")
+      require(palette.length % 3 == 0 && palette.length >= 3 && palette.length <= 768,
+        s"BmpCodec.encode: palette of ${palette.length} bytes (1-256 RGB triples)")
+      val n = palette.length / 3
+      pixels.foreach(ix => require((ix & 0xff) < n,
+        s"BmpCodec.encode: index ${ix & 0xff} out of the $n-entry palette"))
+    }
+    val nPal = if (bpp == 8) palette.length / 3 else 0
+    val rowBytes = (width * (bpp / 8) + 3) / 4 * 4
+    val dataOffset = 54 + 4 * nPal
+    val fileSize = dataOffset + rowBytes * height
+    val out = new ByteArrayOutputStream(fileSize)
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def w16(v: Int): Unit = { w8(v); w8(v >> 8) }
+    def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >>> 16) & 0xffff) }
+    w8('B'); w8('M'); w32(fileSize); w32(0); w32(dataOffset)
+    w32(40); w32(width); w32(if (topDown) -height else height)
+    w16(1); w16(bpp); w32(0); w32(rowBytes * height)
+    w32(2835); w32(2835); w32(nPal); w32(0) // 72 dpi, colorsUsed, important
+    if (bpp == 8) {
+      var k = 0
+      while (k < nPal) {
+        w8(palette(3 * k + 2) & 0xff); w8(palette(3 * k + 1) & 0xff)
+        w8(palette(3 * k) & 0xff); w8(0) // BGRA quad
+        k += 1
+      }
+    }
+    val pad = rowBytes - width * (bpp / 8)
+    var y = 0
+    while (y < height) {
+      val srcRow = if (topDown) y else height - 1 - y
+      var x = 0
+      while (x < width) {
+        if (bpp == 24) {
+          val o = (srcRow * width + x) * 3
+          w8(pixels(o + 2) & 0xff); w8(pixels(o + 1) & 0xff); w8(pixels(o) & 0xff)
+        } else w8(pixels(srcRow * width + x) & 0xff)
+        x += 1
+      }
+      (0 until pad).foreach(_ => w8(0))
+      y += 1
+    }
+    out.toByteArray
+  }
+}
