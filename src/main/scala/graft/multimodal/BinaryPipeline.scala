@@ -512,6 +512,18 @@ object BinaryPipeline {
         StructField("media_type", StringType, nullable = false),
         StructField("declared_bytes", LongType, nullable = false))), nullable = false)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    // the palette is a pure constant — build it once, not per document
+    val bmpPalette: Array[Byte] = {
+      val palette = new Array[Byte](250 * 3)
+      var j = 0
+      while (j < 250) {
+        palette(3 * j) = ((j * 37) % 256).toByte
+        palette(3 * j + 1) = ((j * 59 + 17) % 256).toByte
+        palette(3 * j + 2) = ((j * 83 + 29) % 256).toByte
+        j += 1
+      }
+      palette
+    }
     val ids = docs.select(col(idCol))
     ids.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
@@ -522,21 +534,13 @@ object BinaryPipeline {
           val mode = (id % 3).toInt
           val bytes =
             if (mode == 0) {
-              val palette = new Array[Byte](250 * 3)
-              var j = 0
-              while (j < 250) {
-                palette(3 * j) = ((j * 37) % 256).toByte
-                palette(3 * j + 1) = ((j * 59 + 17) % 256).toByte
-                palette(3 * j + 2) = ((j * 83 + 29) % 256).toByte
-                j += 1
-              }
               val idx = new Array[Byte](w * h)
               var i = 0
               while (i < idx.length) {
                 idx(i) = ((id * 37 + i * 13L) % 250).toByte
                 i += 1
               }
-              BmpCodec.encode(w, h, idx, palette)
+              BmpCodec.encode(w, h, idx, bmpPalette)
             } else {
               val px = new Array[Byte](w * h * 3)
               var i = 0

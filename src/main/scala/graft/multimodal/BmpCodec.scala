@@ -79,9 +79,17 @@ object BmpCodec {
     val nPal = if (palette == null) 0 else palette.length / 3
 
     val rowBytes = (width * (bpp / 8) + 3) / 4 * 4 // padded to 4
-    require(dataOffset >= 54 && dataOffset + rowBytes.toLong * height <= bytes.length,
+    // the data offset must CLEAR the header AND the palette — a
+    // malformed file whose pixel data overlaps the palette would
+    // otherwise decode the palette bytes as indices, silent garbage
+    require(dataOffset >= 54 + 4L * nPal &&
+        dataOffset + rowBytes.toLong * height <= bytes.length,
       s"BmpCodec: pixel data at $dataOffset (${rowBytes.toLong * height} bytes) " +
-        s"runs past EOF (${bytes.length})")
+        s"overlaps the header/palette (${54 + 4 * nPal} bytes) or runs past " +
+        s"EOF (${bytes.length})")
+    // Long math: both dims can pass the 2^20 cap while w·h·3 wraps Int
+    require(width.toLong * height * 3 <= (1L << 30),
+      s"BmpCodec: ${width}x$height decodes past the 2^30-byte bound")
     val out = new Array[Byte](width * height * 3)
     var y = 0
     while (y < height) {

@@ -68,7 +68,7 @@ class ImageStreamSpec extends SparkSpec {
     assert(spark.read.parquet(store).count() == before, "poison batch half-committed")
   }
 
-  test("MIXED-FORMAT micro-batch: PNG, JPEG, GIF and TIFF rows ingest into one store") {
+  test("MIXED-FORMAT micro-batch: PNG, JPEG, GIF, TIFF and BMP rows ingest into one store") {
     val docs = Tables.documents(spark, sfDir).select(col("doc_id")).where(col("doc_id") < 10)
     def slim(df: org.apache.spark.sql.DataFrame, offset: Long) =
       df.select((col("doc_id") + offset).as("doc_id"), col("content"))
@@ -76,6 +76,7 @@ class ImageStreamSpec extends SparkSpec {
       .unionAll(slim(BinaryPipeline.synthesizeJpegs(docs), 1000))
       .unionAll(slim(BinaryPipeline.synthesizeGifs(docs), 2000))
       .unionAll(slim(BinaryPipeline.synthesizeTiffs(docs), 3000))
+      .unionAll(slim(BinaryPipeline.synthesizeBmps(docs), 4000))
       .localCheckpoint(true)
     val store = Files.createTempDirectory("istream_mix").toString + "/feat"
     ImageStream.featuresBatch(store, gx = 2, gy = 2)(mixed, 0L)
@@ -84,6 +85,6 @@ class ImageStreamSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getSeq[Double](1).toList)).toMap
     val want = BinaryPipeline.imageTileFeatures(mixed, gx = 2, gy = 2)
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toList)).toMap
-    assert(got == want && got.size == 40, "streamed mixed-format features diverge")
+    assert(got == want && got.size == 50, "streamed mixed-format features diverge")
   }
 }
