@@ -1988,6 +1988,31 @@ object QueriesExtra {
              |FROM ch GROUP BY doc_id, f, w, h, dim
              |ORDER BY doc_id, frame_idx, dim""".stripMargin)),
 
+    // LZW-compressed TIFF (round 16 extra — compression 5 DOMINATES
+    // real scanned corpora, and round 15's scope failed loud on it):
+    // the SAME pixel corpus as q_image_tiff wired through TIFF-variant
+    // LZW (MSB-first, 9-bit start, EARLY code-width change) with
+    // horizontal-differencing predictor 2 on odd ids. The oracle is
+    // q_image_tiff's VERBATIM — compression must be results-invisible
+    // (the container-invariance convention), so an early-change
+    // off-by-one, a predictor slip, or a table-reset bug breaks the
+    // position-weighted checksum.
+    "q_image_tiff_lzw" -> QueryDef(
+      (s, d) => BinaryPipeline.decodeTiffs(
+          BinaryPipeline.synthesizeLzwTiffs(Tables.documents(s, d)))
+        .orderBy(col("doc_id")),
+      Some("""WITH p AS (SELECT doc_id, 9 + doc_id % 13 AS w, 7 + doc_id % 11 AS h,
+             |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS ch FROM documents),
+             |b AS (SELECT doc_id, w, h, ch, i, (doc_id*37 + i*11) % 256 AS v
+             |  FROM p, unnest(range(0, w*h*ch)) t(i))
+             |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             |  CAST(ch AS BIGINT) AS channels,
+             |  CAST(SUM(CASE WHEN i % ch = 0 THEN v END) AS BIGINT) AS r_sum,
+             |  CAST(coalesce(SUM(CASE WHEN ch = 3 AND i % ch = 1 THEN v END), 0) AS BIGINT) AS g_sum,
+             |  CAST(coalesce(SUM(CASE WHEN ch = 3 AND i % ch = 2 THEN v END), 0) AS BIGINT) AS b_sum,
+             |  CAST(SUM((i + 1) * v) AS BIGINT) AS weighted_sum
+             |FROM b GROUP BY doc_id, w, h, ch ORDER BY doc_id""".stripMargin)),
+
     // REAL BMP decode (round 16 extra — the fifth raster leg; BMPs are
     // ubiquitous in older crawls): 8-bit paletted, 24-bit bottom-up and
     // 24-bit TOP-DOWN files in one corpus. The decoded buffer is always

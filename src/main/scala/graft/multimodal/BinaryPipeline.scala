@@ -556,6 +556,41 @@ object BinaryPipeline {
     }(enc)
   }
 
+  /** [[synthesizeTiffs]] with LZW compression (round 16): the SAME
+    * pixel formulas wired through compression 5, predictor 2 on odd
+    * ids — so q_image_tiff_lzw carries the uncompressed gate's oracle
+    * VERBATIM (compression is pure layout, the container-invariance
+    * convention). */
+  def synthesizeLzwTiffs(docs: DataFrame, idCol: String = "doc_id",
+                         batchSize: Int = 16): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false),
+      StructField("meta", StructType(Seq(
+        StructField("media_type", StringType, nullable = false),
+        StructField("declared_bytes", LongType, nullable = false))), nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val ids = docs.select(col(idCol))
+    ids.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val id = r.getLong(0)
+          val w = (9 + id % 13).toInt
+          val h = (7 + id % 11).toInt
+          val ch = if (id % 2 == 0) 1 else 3
+          val px = new Array[Byte](w * h * ch)
+          var i = 0
+          while (i < px.length) { px(i) = ((id * 37 + i * 11L) % 256).toByte; i += 1 }
+          val bytes = TiffCodec.encode(w, h, ch, px,
+            bigEndian = id % 3 == 0,
+            rowsPerStrip = (1 + id % 5).toInt,
+            lzw = true, predictor2 = id % 2 == 1)
+          Row(id, bytes, Row("image/tiff", bytes.length.toLong))
+        }
+      }
+    }(enc)
+  }
+
   /** [[decodeTiffs]]' BMP sibling: decode through [[BmpCodec]] and emit
     * the same integer features (per-channel sums + the position-weighted
     * checksum over the RGB buffer). */

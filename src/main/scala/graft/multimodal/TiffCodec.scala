@@ -16,8 +16,10 @@ import java.io.ByteArrayOutputStream
   *    cycle-checked and capped
   *  - 8-bit samples, 1 (gray) or 3 (RGB) samples/pixel, chunky planar
   *    configuration; strips (any RowsPerStrip split), no tiles
-  *  - Compression 1 (none) and 32773 (PackBits, decoded per the spec's
-  *    run grammar with strict output accounting)
+  *  - Compression 1 (none), 5 (LZW — TIFF-variant MSB-first with the
+  *    spec's early code-width change, optional Predictor 2 horizontal
+  *    differencing; round 16) and 32773 (PackBits), all decoded with
+  *    strict per-strip output accounting
   *  - PhotometricInterpretation 0 (WhiteIsZero — gray samples inverted
   *    on decode), 1 (BlackIsZero), 2 (RGB); others reject
   *  - strip byte counts and offsets must agree with the geometry —
@@ -151,8 +153,16 @@ object TiffCodec {
     require(bps.length == spp && bps.forall(_ == 8),
       s"TiffCodec: bits/sample ${bps.mkString(",")} unsupported (8-bit only)")
     val compression = scalar(259, 1L).toInt
-    require(compression == 1 || compression == 32773,
-      s"TiffCodec: compression $compression unsupported (1 = none, 32773 = PackBits)")
+    require(compression == 1 || compression == 5 || compression == 32773,
+      s"TiffCodec: compression $compression unsupported " +
+        "(1 = none, 5 = LZW, 32773 = PackBits)")
+    // Predictor (tag 317) is an LZW-filter parameter: 2 = horizontal
+    // differencing per row, undone AFTER decompression (TIFF 6.0 §14);
+    // it dominates real scanned/LZW corpora
+    val predictor = scalar(317, 1L).toInt
+    require(predictor == 1 || (predictor == 2 && compression == 5),
+      s"TiffCodec: predictor $predictor unsupported " +
+        "(1 = none, 2 = horizontal differencing under LZW)")
     val photometric = scalar(262, throw new IllegalArgumentException(
       "TiffCodec: no PhotometricInterpretation")).toInt
     require(photometric == 0 || photometric == 1 || photometric == 2,
@@ -198,6 +208,22 @@ object TiffCodec {
           require(cnt == expect,
             s"TiffCodec: strip $strip holds $cnt bytes, geometry wants $expect")
           java.util.Arrays.copyOfRange(bytes, off, off + cnt)
+        } else if (compression == 5) {
+          val d = lzwDecode(bytes, off, cnt, expect)
+          if (predictor == 2) {
+            // horizontal differencing per ROW, per SAMPLE (channel)
+            var r = 0
+            while (r < stripRows) {
+              var i = spp
+              while (i < rowBytes) {
+                d(r * rowBytes + i) =
+                  (d(r * rowBytes + i) + d(r * rowBytes + i - spp)).toByte
+                i += 1
+              }
+              r += 1
+            }
+          }
+          d
         } else packBitsDecode(bytes, off, cnt, expect)
       System.arraycopy(raw, 0, out, strip * rowsPerStrip * rowBytes, expect)
       strip += 1
@@ -208,6 +234,162 @@ object TiffCodec {
       while (i < out.length) { out(i) = (255 - (out(i) & 0xff)).toByte; i += 1 }
     }
     (PngCodec.PngImage(width, height, 8, if (spp == 1) 0 else 2, spp, out), nextIfd)
+  }
+
+  /** TIFF-variant LZW decode (TIFF 6.0 §13 — round 16): MSB-first bit
+    * packing (the GIF variant's mirror), 9-bit initial width,
+    * ClearCode 256 / EOI 257, table entries from 258, and the spec's
+    * EARLY code-width change (writers widen one code before the table
+    * limit: at 510/1022/2046, not 511/1023/2047). Produces EXACTLY
+    * `expect` bytes or fails loud. */
+  private def lzwDecode(bytes: Array[Byte], off: Int, cnt: Int,
+                        expect: Int): Array[Byte] = {
+    val Clear = 256
+    val Eoi = 257
+    val out = new Array[Byte](expect)
+    var w = 0
+    // dictionary as (prefix code, appended byte); -1 prefix = root
+    val prefix = new Array[Int](4096)
+    val append = new Array[Byte](4096)
+    val length = new Array[Int](4096)
+    var next = 258
+    var width = 9
+    var bitBuf = 0L
+    var bitCnt = 0
+    var pos = off
+    val end = off + cnt
+    def readCode(): Int = {
+      while (bitCnt < width) {
+        require(pos < end, "TiffCodec: LZW stream truncated mid-code")
+        bitBuf = (bitBuf << 8) | (bytes(pos) & 0xffL)
+        bitCnt += 8
+        pos += 1
+      }
+      bitCnt -= width
+      ((bitBuf >> bitCnt) & ((1L << width) - 1)).toInt
+    }
+    def firstByte(code: Int): Byte = {
+      var c = code
+      while (c >= 258) c = prefix(c)
+      c.toByte
+    }
+    def emit(code: Int): Unit = {
+      val n = if (code < 256) 1 else length(code)
+      require(w + n <= expect,
+        s"TiffCodec: LZW emits more than the $expect-byte strip")
+      var c = code
+      var i = w + n - 1
+      while (c >= 258) { out(i) = append(c); i -= 1; c = prefix(c) }
+      out(i) = c.toByte
+      w += n
+    }
+    var prev = -1
+    var done = false
+    while (!done) {
+      val code = readCode()
+      if (code == Eoi) done = true
+      else if (code == Clear) {
+        next = 258; width = 9; prev = -1
+      } else {
+        require(code < next || (code == next && prev >= 0),
+          s"TiffCodec: LZW code $code beyond the $next-entry table")
+        if (prev < 0) {
+          require(code < 256, s"TiffCodec: LZW first code $code after clear not a root")
+          emit(code)
+        } else {
+          if (code == next) { // KwKwK
+            require(next < 4096, "TiffCodec: LZW table overflow")
+            prefix(next) = prev
+            append(next) = firstByte(prev)
+            length(next) = (if (prev < 256) 1 else length(prev)) + 1
+            next += 1
+            emit(code)
+          } else {
+            emit(code)
+            require(next < 4096, "TiffCodec: LZW table overflow")
+            prefix(next) = prev
+            append(next) = firstByte(code)
+            length(next) = (if (prev < 256) 1 else length(prev)) + 1
+            next += 1
+          }
+        }
+        prev = code
+        // EARLY change: widen when the NEXT entry to be created is the
+        // last one expressible, i.e. at 510/1022/2046
+        if (next == 510 && width == 9) width = 10
+        else if (next == 1022 && width == 10) width = 11
+        else if (next == 2046 && width == 11) width = 12
+      }
+      if (w == expect && !done) {
+        // a conforming stream follows the last pixel with EOI
+        val tail = readCode()
+        require(tail == Eoi, s"TiffCodec: LZW continues past the strip (code $tail)")
+        done = true
+      }
+    }
+    require(w == expect, s"TiffCodec: LZW produced $w of $expect bytes")
+    out
+  }
+
+  /** TIFF-variant LZW encode — [[lzwDecode]]'s exact mirror (MSB-first,
+    * early change at 511/1023/2047 on the ENCODER side: one before the
+    * decoder's trigger because its dictionary runs one ahead). */
+  private def lzwEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(data.length / 2 + 16)
+    var bitBuf = 0L
+    var bitCnt = 0
+    var width = 9
+    def write(code: Int): Unit = {
+      bitBuf = (bitBuf << width) | code
+      bitCnt += width
+      while (bitCnt >= 8) {
+        bitCnt -= 8
+        out.write(((bitBuf >> bitCnt) & 0xff).toInt)
+      }
+    }
+    val dict = new java.util.HashMap[(Int, Byte), Integer]()
+    var next = 258
+    write(256) // leading Clear, the conventional stream start
+    var prev = -1
+    var i = 0
+    while (i < data.length) {
+      val b = data(i)
+      if (prev < 0) prev = b & 0xff
+      else {
+        val hit = dict.get((prev, b))
+        if (hit != null) prev = hit
+        else {
+          write(prev)
+          if (next < 4096) {
+            dict.put((prev, b), next)
+            next += 1
+            if (next == 511 && width == 9) width = 10
+            else if (next == 1023 && width == 10) width = 11
+            else if (next == 2047 && width == 11) width = 12
+          }
+          if (next == 4096) {
+            write(256) // Clear before the table fills
+            dict.clear()
+            next = 258
+            width = 9
+          }
+          prev = b & 0xff
+        }
+      }
+      i += 1
+    }
+    if (prev >= 0) write(prev)
+    // END-CODE catch-up (the GIF encoder's lesson, mirrored): the final
+    // data code adds NO encoder entry but the decoder still creates one
+    // for it, so its table catches up to the encoder's — if that entry
+    // lands exactly on a width trigger the decoder reads EOI one bit
+    // wider; widen here to match
+    if (next == 510 && width == 9) width = 10
+    else if (next == 1022 && width == 10) width = 11
+    else if (next == 2046 && width == 11) width = 12
+    write(257) // EOI
+    if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xff).toInt)
+    out.toByteArray
   }
 
   /** PackBits decode (TIFF 6.0 §9): n in 0..127 copies n+1 literals,
@@ -247,9 +429,10 @@ object TiffCodec {
     * the standard BlackIsZero channel-interleaved buffer. */
   def encode(width: Int, height: Int, channels: Int, pixels: Array[Byte],
              bigEndian: Boolean = false, packBits: Boolean = false,
-             rowsPerStrip: Int = 0, whiteIsZero: Boolean = false): Array[Byte] =
+             rowsPerStrip: Int = 0, whiteIsZero: Boolean = false,
+             lzw: Boolean = false, predictor2: Boolean = false): Array[Byte] =
     encodeMulti(Seq((width, height, channels, pixels)), bigEndian, packBits,
-      rowsPerStrip, whiteIsZero)
+      rowsPerStrip, whiteIsZero, lzw, predictor2)
 
   /** MULTI-PAGE TIFF ENCODE (round 16): `pages` are (width, height,
     * channels, pixels) tuples laid out sequentially — per page its
@@ -259,8 +442,12 @@ object TiffCodec {
     * its pre-multi-page layout. */
   def encodeMulti(pageSpecs: Seq[(Int, Int, Int, Array[Byte])],
                   bigEndian: Boolean = false, packBits: Boolean = false,
-                  rowsPerStrip: Int = 0, whiteIsZero: Boolean = false): Array[Byte] = {
+                  rowsPerStrip: Int = 0, whiteIsZero: Boolean = false,
+                  lzw: Boolean = false, predictor2: Boolean = false): Array[Byte] = {
     require(pageSpecs.nonEmpty, "TiffCodec.encode: no pages")
+    require(!(packBits && lzw), "TiffCodec.encode: packBits and lzw are exclusive")
+    require(!predictor2 || lzw,
+      "TiffCodec.encode: predictor 2 is an LZW filter parameter")
     final case class PageBits(width: Int, height: Int, channels: Int,
                               rps: Int, strips: Array[Array[Byte]])
     val built = pageSpecs.map { case (width, height, channels, pixels) =>
@@ -281,7 +468,23 @@ object TiffCodec {
         val rows = math.min(rps, height - s * rps)
         val raw = java.util.Arrays.copyOfRange(stored, s * rps * rowBytes,
           s * rps * rowBytes + rows * rowBytes)
-        if (packBits) packBitsEncode(raw) else raw
+        if (lzw) {
+          if (predictor2) {
+            // horizontal differencing per row, per sample — the inverse
+            // of the decode-side reconstruction
+            var r = 0
+            while (r < rows) {
+              var i = rowBytes - 1
+              while (i >= channels) {
+                raw(r * rowBytes + i) =
+                  (raw(r * rowBytes + i) - raw(r * rowBytes + i - channels)).toByte
+                i -= 1
+              }
+              r += 1
+            }
+          }
+          lzwEncode(raw)
+        } else if (packBits) packBitsEncode(raw) else raw
       }
       PageBits(width, height, channels, rps, strips)
     }
@@ -310,7 +513,8 @@ object TiffCodec {
       val offsAt = if (nStrips > 1) { val o = pos; pos += 4L * nStrips; o } else -1L
       val cntsAt = if (nStrips > 1) { val o = pos; pos += 4L * nStrips; o } else -1L
       val ifdAt = pos
-      pos += 2 + 12 * 10 + 4 // 10 tags + next-IFD pointer, fixed per page
+      val nTags = 10 + (if (predictor2) 1 else 0)
+      pos += 2 + 12 * nTags + 4 // tags + next-IFD pointer
       Layout(stripOffsets, padAfterStrips, bpsAt, offsAt, cntsAt, ifdAt)
     }
 
@@ -333,7 +537,7 @@ object TiffCodec {
         Tag(257, 4, 1, p.height.toLong),
         if (p.channels == 3) Tag(258, 3, 3, l.bpsAt)
         else Tag(258, 3, 1, 8L),
-        Tag(259, 3, 1, if (packBits) 32773L else 1L),
+        Tag(259, 3, 1, if (lzw) 5L else if (packBits) 32773L else 1L),
         Tag(262, 3, 1, if (whiteIsZero) 0L else if (p.channels == 3) 2L else 1L),
         if (nStrips > 1) Tag(273, 4, nStrips.toLong, l.offsAt)
         else Tag(273, 4, 1, l.stripOffsets(0)),
@@ -341,7 +545,8 @@ object TiffCodec {
         Tag(278, 4, 1, p.rps.toLong),
         if (nStrips > 1) Tag(279, 4, nStrips.toLong, l.cntsAt)
         else Tag(279, 4, 1, p.strips(0).length.toLong),
-        Tag(284, 3, 1, 1L))
+        Tag(284, 3, 1, 1L)) ++
+        (if (predictor2) Seq(Tag(317, 3, 1, 2L)) else Seq.empty)
       w16(tags.length)
       tags.sortBy(_.id).foreach { t =>
         w16(t.id); w16(t.tpe); w32(t.count)

@@ -91,10 +91,11 @@ class TiffCodecSpec extends AnyFunSuite with SparkSpec {
     val planar = patchTagValue(good, 284, 2)
     assert(intercept[IllegalArgumentException](TiffCodec.decode(planar))
       .getMessage.contains("planar"))
-    // unsupported compression (5 = LZW) rejects
-    val lzw = patchTagValue(good, 259, 5)
-    assert(intercept[IllegalArgumentException](TiffCodec.decode(lzw))
-      .getMessage.contains("compression 5"))
+    // unsupported compression rejects (7 = new-style JPEG-in-TIFF;
+    // 5 = LZW became REAL support in round 16)
+    val jpgc = patchTagValue(good, 259, 7)
+    assert(intercept[IllegalArgumentException](TiffCodec.decode(jpgc))
+      .getMessage.contains("compression 7"))
     // photometric contradiction: RGB photometric on 1 sample/pixel
     val pmBad = patchTagValue(good, 262, 2)
     assert(intercept[IllegalArgumentException](TiffCodec.decode(pmBad))
@@ -161,6 +162,70 @@ class TiffCodecSpec extends AnyFunSuite with SparkSpec {
     looped(looped.length - 3) = ((firstIfdAt >> 8) & 0xff).toByte
     val eLoop = intercept[IllegalArgumentException](TiffCodec.pages(looped))
     assert(eLoop.getMessage.contains("loops back"), eLoop.getMessage)
+  }
+
+  test("LZW (compression 5): round trips incl. early-change crossings, predictor 2, fail-loud") {
+    // long pseudo-random buffers cross the 9→10→11-bit width triggers
+    // and (at 64k) force a mid-stream table reset — any early-change
+    // off-by-one or reset bug breaks these exactly
+    for ((w, h, ch) <- Seq((50, 20, 1), (120, 80, 3), (256, 96, 3))) {
+      val px = Array.tabulate(w * h * ch)(i => ((i * 31 + (i / 7) * 17) % 256).toByte)
+      for (be <- Seq(false, true); pred <- Seq(false, true)) {
+        val enc = TiffCodec.encode(w, h, ch, px, bigEndian = be,
+          rowsPerStrip = 13, lzw = true, predictor2 = pred)
+        val img = TiffCodec.decode(enc)
+        assert(img.pixels.toSeq == px.toSeq, s"$w x $h x $ch be=$be pred=$pred")
+      }
+    }
+    // hand-packed vector: Clear(256), 'A'(65), 'B'(66), entry 258=AB,
+    // code 258, EOI(257) → "ABAB". 9-bit MSB-first packing by hand:
+    // 100000000 001000001 001000010 100000010 100000001 + pad
+    val hand = Array(0x80, 0x10, 0x48, 0x50, 0x28, 0x08).map(_.toByte)
+    // wrap it as a 4x1 gray TIFF via the public surface: encode an
+    // uncompressed twin, then splice the hand stream in? simpler —
+    // decode through a minimal hand-built file
+    val out = new java.io.ByteArrayOutputStream()
+    def w8v(v: Int): Unit = out.write(v & 0xff)
+    def w16v(v: Int): Unit = { w8v(v); w8v(v >> 8) }
+    def w32v(v: Long): Unit = { w16v(v.toInt & 0xffff); w16v((v >> 16).toInt & 0xffff) }
+    w8v('I'); w8v('I'); w8v(42); w8v(0)
+    w32v(8 + hand.length + (hand.length & 1)) // IFD after the (padded) strip
+    out.write(hand, 0, hand.length)
+    if (hand.length % 2 == 1) w8v(0)
+    def tag(id: Int, tpe: Int, value: Long): Unit = {
+      w16v(id); w16v(tpe); w32v(1)
+      if (tpe == 3) { w16v(value.toInt); w16v(0) } else w32v(value)
+    }
+    val tags = Seq((256, 4, 4L), (257, 4, 1L), (258, 3, 8L), (259, 3, 5L),
+      (262, 3, 1L), (273, 4, 8L), (277, 3, 1L), (278, 4, 1L),
+      (279, 4, hand.length.toLong))
+    w16v(tags.length)
+    tags.sortBy(_._1).foreach { case (id, tpe, v) => tag(id, tpe, v) }
+    w32v(0)
+    val img = TiffCodec.decode(out.toByteArray)
+    assert(img.pixels.map(_ & 0xff).toSeq == Seq(65, 66, 65, 66),
+      "hand-packed LZW vector")
+    // fail-loud: predictor 2 without LZW rejects; truncated stream rejects
+    val good = TiffCodec.encode(6, 4, 1, Array.tabulate(24)(_.toByte), lzw = true)
+    def patchTag(b: Array[Byte], id: Int, v: Int): Array[Byte] = {
+      val c = b.clone()
+      var i = 8
+      while (!((c(i) & 0xff) == (id & 0xff) && (c(i + 1) & 0xff) == (id >> 8))) i += 1
+      c(i + 8) = v.toByte; c
+    }
+    // predictor without LZW: flip compression back to 1 on a
+    // predictor-2 LZW file — the tag combination must reject
+    val lzwOff = TiffCodec.encode(6, 4, 1, Array.tabulate(24)(_.toByte),
+      lzw = true, predictor2 = true)
+    val pNoL = patchTag(lzwOff, 259, 1)
+    assert(intercept[IllegalArgumentException](TiffCodec.decode(pNoL))
+      .getMessage.contains("predictor 2"), "predictor without LZW must reject")
+    val trunc = good.clone()
+    // shrink the strip byte count so the stream ends mid-code
+    var i = 8
+    while (!((trunc(i) & 0xff) == 0x17 && (trunc(i + 1) & 0xff) == 0x01)) i += 1 // tag 279
+    trunc(i + 8) = 2
+    intercept[IllegalArgumentException](TiffCodec.decode(trunc))
   }
 
   test("format-agnostic dispatch: tiles and resize accept TIFF rows") {
