@@ -504,6 +504,24 @@ object Perf {
         println(f"[perf] dbscan.unfav nprobe=$nprobe/8 pairs $pairs%8d " +
           f"recall ${pairs.toDouble / fullPairs}%.4f")
       }
+
+      // round-17 k=24 frontier (VERDICT r16 #10): the same drifted
+      // corpus under a 3x finer coarse quantizer — the nprobe/k cut
+      // must survive more cells (same nprobe FRACTION, smaller cells,
+      // so the cut gets cheaper per probe while recall holds its shape)
+      val model3 = IvfIndex.train(drifted, k = 24, iters = 2)
+      val unfav24 = Seq(3, 6, 12, 24).map { nprobe =>
+        var pairs = -1L
+        time(f"dbscan.unfav24 nprobe=$nprobe/24 (${n}%d drifted vecs)") {
+          pairs = Clustering.epsNeighbors(drifted, eps = 0.4, model3, nprobe).count()
+        }
+        (nprobe, pairs)
+      }
+      val fullPairs24 = unfav24.last._2
+      unfav24.foreach { case (nprobe, pairs) =>
+        println(f"[perf] dbscan.unfav24 nprobe=$nprobe/24 pairs $pairs%8d " +
+          f"recall ${pairs.toDouble / fullPairs24}%.4f")
+      }
     }
     time("vecSum.200x (100k vectors, single-pass aggregate)") {
       bigE200.groupBy(expr("vec_id % 97").as("g"))

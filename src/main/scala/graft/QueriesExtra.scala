@@ -1948,6 +1948,39 @@ object QueriesExtra {
              |FROM px GROUP BY doc_id, f, w, h, ch, dim
              |ORDER BY doc_id, frame_idx, dim""".stripMargin)),
 
+    // FRAGMENTED MP4 (round 17 — the CMAF/DASH streaming-era shape):
+    // the SAME frame corpus as q_frame_mp4 but the moov's stbl is
+    // EMPTY and every sample rides moof+mdat fragments (1-3 frames per
+    // fragment by doc), resolved through tfhd default-base-is-moof +
+    // per-sample-size truns. The oracle is q_frame_mp4's VERBATIM —
+    // fragmentation must be results-invisible, like AVI and
+    // progressive MP4 before it.
+    "q_frame_mp4_frag" -> QueryDef(
+      (s, d) => BinaryPipeline.decodeFrameTiles(
+          BinaryPipeline.synthesizeMp4s(Tables.documents(s, d), fragmented = true),
+          stride = 2)
+        .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
+          col("components"), posexplode(col("features")).as(Seq("dim", "v")))
+        .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
+          col("components"), col("dim").cast("long").as("dim"),
+          round(col("v"), 6).as("v"))
+        .orderBy(col("doc_id"), col("frame_idx"), col("dim")),
+      Some("""WITH p AS (SELECT doc_id, 24 + doc_id % 13 AS w, 16 + doc_id % 11 AS h,
+             |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS ch,
+             |    3 + doc_id % 4 AS nf FROM documents),
+             |fr AS (SELECT p.*, f FROM p, unnest(range(0, nf)) t(f) WHERE f % 2 = 0),
+             |px AS (SELECT doc_id, w, h, ch, f,
+             |    (((y*2)//h) * 2 + ((x*2)//w)) * ch + c AS dim,
+             |    128 + 3*(((doc_id*31 + (x//8)*7 + (y//8)*13 + f*11) % 53) - 26) AS v
+             |  FROM fr, unnest(range(0, w)) AS gx(x), unnest(range(0, h)) AS gy(y),
+             |       unnest(range(0, ch)) AS gc(c))
+             |SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+             |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             |  CAST(ch AS BIGINT) AS components,
+             |  CAST(dim AS BIGINT) AS dim, round(avg(v), 6) AS v
+             |FROM px GROUP BY doc_id, f, w, h, ch, dim
+             |ORDER BY doc_id, frame_idx, dim""".stripMargin)),
+
     // ANIMATED-GIF frame sampling (round 16, VERDICT r15 #7): multi-
     // frame GIFs routed through the SAME decodeFrameTiles pipeline as
     // MJPEG/AVI/MP4, but each frame arrives COMPOSITED the way a viewer
@@ -2000,6 +2033,29 @@ object QueriesExtra {
     "q_image_tiff_lzw" -> QueryDef(
       (s, d) => BinaryPipeline.decodeTiffs(
           BinaryPipeline.synthesizeLzwTiffs(Tables.documents(s, d)))
+        .orderBy(col("doc_id")),
+      Some("""WITH p AS (SELECT doc_id, 9 + doc_id % 13 AS w, 7 + doc_id % 11 AS h,
+             |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS ch FROM documents),
+             |b AS (SELECT doc_id, w, h, ch, i, (doc_id*37 + i*11) % 256 AS v
+             |  FROM p, unnest(range(0, w*h*ch)) t(i))
+             |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             |  CAST(ch AS BIGINT) AS channels,
+             |  CAST(SUM(CASE WHEN i % ch = 0 THEN v END) AS BIGINT) AS r_sum,
+             |  CAST(coalesce(SUM(CASE WHEN ch = 3 AND i % ch = 1 THEN v END), 0) AS BIGINT) AS g_sum,
+             |  CAST(coalesce(SUM(CASE WHEN ch = 3 AND i % ch = 2 THEN v END), 0) AS BIGINT) AS b_sum,
+             |  CAST(SUM((i + 1) * v) AS BIGINT) AS weighted_sum
+             |FROM b GROUP BY doc_id, w, h, ch ORDER BY doc_id""".stripMargin)),
+
+    // Deflate-compressed TIFF (round 17 — compression 8, the modern
+    // scanner default, plus its older 32946 private-tag alias, half the
+    // corpus under Predictor 2): the SAME pixel corpus as q_image_tiff /
+    // q_image_tiff_lzw, and the oracle is the LZW gate's VERBATIM —
+    // compression must be results-invisible, so a predictor slip, a
+    // truncated zlib stream, or tag-alias mishandling breaks the hash
+    // against the same byte-blind formula.
+    "q_image_tiff_deflate" -> QueryDef(
+      (s, d) => BinaryPipeline.decodeTiffs(
+          BinaryPipeline.synthesizeDeflateTiffs(Tables.documents(s, d)))
         .orderBy(col("doc_id")),
       Some("""WITH p AS (SELECT doc_id, 9 + doc_id % 13 AS w, 7 + doc_id % 11 AS h,
              |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS ch FROM documents),
@@ -2072,6 +2128,43 @@ object QueriesExtra {
              |FROM s GROUP BY doc_id, wi, ch, nf
              |ORDER BY doc_id, seg_idx""".stripMargin)),
 
+    // WAVE_FORMAT_EXTENSIBLE + 24-bit PCM (round 17): every file wears
+    // the 0xFFFE wrapper — the container modern recorders default to
+    // for >16-bit or multi-channel audio — with the real format in the
+    // SubFormat GUID; two thirds of the corpus is 24-bit (native-scale
+    // samples in the millions, so a decoder that rescales, drops the
+    // third byte, or misreads the GUID breaks sq_sum immediately) and
+    // one third 16-bit under the same wrapper (wrapper invisibility).
+    "q_audio_24bit" -> QueryDef(
+      (s, d) => BinaryPipeline.decodeWavSegments(
+          BinaryPipeline.synthesize24BitWavs(Tables.documents(s, d)),
+          winFrames = 160, hopFrames = 80)
+        .orderBy(col("doc_id"), col("seg_idx")),
+      Some("""WITH p AS (SELECT doc_id, 1 + doc_id % 2 AS ch,
+             |    CASE WHEN doc_id % 3 = 0 THEN 16 ELSE 24 END AS bits,
+             |    350 + doc_id % 257 AS nf FROM documents),
+             |w AS (SELECT p.*, wi FROM p,
+             |  unnest(range(0, greatest(1, CAST(ceil(nf / 80.0) AS INT)))) t(wi)),
+             |f AS (SELECT w.*, i FROM w,
+             |  unnest(range(wi*80, least(nf, wi*80 + 160))) t(i)),
+             |s AS (SELECT doc_id, ch, bits, nf, wi, i, c,
+             |    CASE WHEN bits = 24
+             |      THEN (doc_id*131 + i*29 + c*71) % 10000001 - 5000000
+             |      ELSE (doc_id*31 + i*7 + c*13) % 4001 - 2000 END AS v,
+             |    CASE WHEN bits = 24
+             |      THEN (doc_id*131 + (i-1)*29) % 10000001 - 5000000
+             |      ELSE (doc_id*31 + (i-1)*7) % 4001 - 2000 END AS pv
+             |  FROM f, unnest(range(0, ch)) t(c))
+             |SELECT doc_id, CAST(wi AS BIGINT) AS seg_idx,
+             |  CAST(16000 AS BIGINT) AS sample_rate, CAST(ch AS BIGINT) AS channels,
+             |  CAST(bits AS BIGINT) AS bits,
+             |  CAST(count(DISTINCT i) AS BIGINT) AS n_frames,
+             |  CAST(SUM(v*v) AS BIGINT) AS sq_sum,
+             |  CAST(coalesce(SUM(CASE WHEN c = 0 AND i > wi*80
+             |    AND (pv >= 0) != (v >= 0) THEN 1 END), 0) AS BIGINT) AS zero_crossings
+             |FROM s GROUP BY doc_id, wi, ch, bits, nf
+             |ORDER BY doc_id, seg_idx""".stripMargin)),
+
     // MULTI-PAGE TIFF (round 16 extra): scanned documents are
     // routinely multi-page, and the round-15 scope failed loud on the
     // second IFD. Each doc's chain carries 2-4 pages of DIFFERENT
@@ -2099,13 +2192,16 @@ object QueriesExtra {
              |FROM b GROUP BY doc_id, pg, w, h, ch
              |ORDER BY doc_id, page_no""".stripMargin)),
 
-    // PATCH-FRAME animated GIF (round 16 extra): the wire shape real
-    // animated GIFs actually use — frame 0 full-screen, later frames
-    // small changed-region patches painted at (left, top) under
-    // disposal 1 — so a composited pixel shows the MOST RECENT frame
-    // whose rect covers it. The oracle computes that max-g cover set
-    // in closed form; a decoder that ignored patch offsets, painted
-    // patches at the origin, or skipped compositing entirely
+    // PATCH-FRAME animated GIF (round 16 extra; round 17 adds the
+    // restore-to-previous leg): the wire shape real animated GIFs
+    // actually use — frame 0 full-screen, later frames small
+    // changed-region patches painted at (left, top) under disposal 1 —
+    // so a composited pixel shows the MOST RECENT frame whose rect
+    // covers it. Frame 3 carries DISPOSAL 3 (restore-to-previous): its
+    // pixels appear in its own snapshot but must vanish from frame 4's,
+    // so the oracle's max-g cover set excludes g = 3 except at f = 3. A
+    // decoder that ignored patch offsets, painted patches at the
+    // origin, skipped compositing, or mishandled the pre-frame restore
     // hash-mismatches the tile features.
     "q_frame_gif_patch" -> QueryDef(
       (s, d) => BinaryPipeline.decodeFrameTiles(
@@ -2118,15 +2214,16 @@ object QueriesExtra {
         .orderBy(col("doc_id"), col("frame_idx"), col("dim")),
       Some("""WITH p AS (SELECT doc_id, 16 + doc_id % 9 AS w, 16 + doc_id % 7 AS h
              |  FROM documents),
-             |fr AS (SELECT p.*, f FROM p, unnest(range(0, 3)) t(f)),
+             |fr AS (SELECT p.*, f FROM p, unnest(range(0, 5)) t(f)),
              |cov AS (SELECT fr.doc_id, fr.w, fr.h, fr.f, x, y, max(g) AS gsel
              |  FROM fr, unnest(range(0, w)) gx(x), unnest(range(0, h)) gy(y),
              |       unnest(range(0, f + 1)) gg(g)
-             |  WHERE g = 0 OR (
+             |  WHERE (g = 0 OR (
              |    x >= (doc_id*7 + g*5) % (w - 8) AND
              |    x <  (doc_id*7 + g*5) % (w - 8) + 8 AND
              |    y >= (doc_id*3 + g*11) % (h - 8) AND
-             |    y <  (doc_id*3 + g*11) % (h - 8) + 8)
+             |    y <  (doc_id*3 + g*11) % (h - 8) + 8))
+             |    AND (g != 3 OR g = f)
              |  GROUP BY fr.doc_id, fr.w, fr.h, fr.f, x, y),
              |px AS (SELECT doc_id, w, h, f, x, y,
              |    (doc_id*31 + gsel*11 + x*7 + y*13) % 250 AS i FROM cov),

@@ -398,11 +398,15 @@ object QueriesPipeline {
     // cmap-resources, reference Function.java:90-132). The oracle is
     // byte-blind: it replays the TEXT formulas only, so a decoder that
     // mis-tokenizes Shift-JIS or mis-maps any code hash-mismatches.
+    // Round 17: odd docs name /Ext-RKSJ-H — the other common Japanese
+    // registration — whose decode must coincide with 90ms-RKSJ-H's, so
+    // both carried names ride the same byte-blind oracle.
     "q_pdf_cmap_predef" -> QueryDef(
       (s, d) => {
         val mixed = Tables.documents(s, d).select(col("doc_id"),
           translate(col("text"), "aeiou", "亜江意尾宇").as("text"))
-        val pdfs = PdfPipeline.synthesizeCmapPredefPdfs(mixed, pageSize = 200)
+        val pdfs = PdfPipeline.synthesizeCmapPredefPdfs(mixed, pageSize = 200,
+          altCmapName = Some("Ext-RKSJ-H"))
         PdfPipeline.extractPagesPdf(pdfs)
           .select(col("doc_id"), col("page_no"),
             length(col("page_text")).cast("long").as("page_len"),
@@ -571,6 +575,35 @@ object QueriesPipeline {
           translate(col("text"), "aeiou", "αβγδε").as("text"))
         val pdfs = PdfPipeline.synthesizeFontProgPdfs(greeked, pageSize = 200,
           otto = true)
+        PdfPipeline.extractPagesPdf(pdfs)
+          .select(col("doc_id"), col("page_no"),
+            length(col("page_text")).cast("long").as("page_len"),
+            md5(col("page_text")).as("page_md5"))
+          .orderBy(col("doc_id"), col("page_no"))
+      },
+      Some("""SELECT doc_id, CAST(i + 1 AS BIGINT) AS page_no,
+             |  CAST(length(substr(t, i*200 + 1, 200)) AS BIGINT) AS page_len,
+             |  md5(substr(t, i*200 + 1, 200)) AS page_md5
+             |FROM (SELECT doc_id, translate(text, 'aeiou', 'αβγδε') AS t
+             |      FROM documents),
+             |  unnest(range(0, CAST(ceil(length(t) / 200.0) AS INT))) AS u(i)
+             |ORDER BY doc_id, page_no""".stripMargin)),
+
+    // Type 1 (/FontFile) glyph-program decode (round 17): the FOURTH
+    // program format under the SAME byte-blind oracle — the eexec-
+    // encrypted PostScript dialect PDFBox decodes transparently inside
+    // the reference's extraction loop (pre-2005 corpora are full of
+    // them). The only route back to text is the clear-text builtin
+    // /Encoding array plus the eexec-decrypted /CharStrings glyph
+    // inventory (Type1Font): TrueType, bare CFF, OpenType-wrapped and
+    // Type 1 must all hash-agree on every page, so a bug in any one
+    // format breaks its gate against the shared oracle.
+    "q_pdf_type1" -> QueryDef(
+      (s, d) => {
+        val greeked = Tables.documents(s, d).select(col("doc_id"),
+          translate(col("text"), "aeiou", "αβγδε").as("text"))
+        val pdfs = PdfPipeline.synthesizeFontProgPdfs(greeked, pageSize = 200,
+          type1 = true)
         PdfPipeline.extractPagesPdf(pdfs)
           .select(col("doc_id"), col("page_no"),
             length(col("page_text")).cast("long").as("page_len"),

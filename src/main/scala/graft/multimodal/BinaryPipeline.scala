@@ -540,7 +540,11 @@ object BinaryPipeline {
                 idx(i) = ((id * 37 + i * 13L) % 250).toByte
                 i += 1
               }
-              BmpCodec.encode(w, h, idx, bmpPalette)
+              // half the paletted rows ship BI_RLE8 (round 17): the
+              // pixel formula is IDENTICAL, so the oracle is untouched —
+              // compression must be results-invisible (the TIFF
+              // LZW/Deflate convention)
+              BmpCodec.encode(w, h, idx, bmpPalette, rle8 = id % 2 == 1)
             } else {
               val px = new Array[Byte](w * h * 3)
               var i = 0
@@ -585,6 +589,42 @@ object BinaryPipeline {
             bigEndian = id % 3 == 0,
             rowsPerStrip = (1 + id % 5).toInt,
             lzw = true, predictor2 = id % 2 == 1)
+          Row(id, bytes, Row("image/tiff", bytes.length.toLong))
+        }
+      }
+    }(enc)
+  }
+
+  /** [[synthesizeLzwTiffs]]' Deflate sibling (round 17): the SAME pixel
+    * corpus compressed with Deflate — both the modern tag 8 and the
+    * older 32946 alias appear (by id), half the rows under Predictor 2,
+    * mixed byte orders and strip splits. Decoded results must be
+    * byte-identical to the LZW and uncompressed corpora. */
+  def synthesizeDeflateTiffs(docs: DataFrame, idCol: String = "doc_id",
+                             batchSize: Int = 16): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false),
+      StructField("meta", StructType(Seq(
+        StructField("media_type", StringType, nullable = false),
+        StructField("declared_bytes", LongType, nullable = false))), nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val ids = docs.select(col(idCol))
+    ids.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val id = r.getLong(0)
+          val w = (9 + id % 13).toInt
+          val h = (7 + id % 11).toInt
+          val ch = if (id % 2 == 0) 1 else 3
+          val px = new Array[Byte](w * h * ch)
+          var i = 0
+          while (i < px.length) { px(i) = ((id * 37 + i * 11L) % 256).toByte; i += 1 }
+          val bytes = TiffCodec.encode(w, h, ch, px,
+            bigEndian = id % 3 == 0,
+            rowsPerStrip = (1 + id % 5).toInt,
+            deflate = true, predictor2 = id % 2 == 1,
+            oldDeflateTag = id % 4 == 1)
           Row(id, bytes, Row("image/tiff", bytes.length.toLong))
         }
       }
@@ -893,7 +933,7 @@ object BinaryPipeline {
     * oracle VERBATIM — container invariance, the q_frame_avi
     * convention. */
   def synthesizeMp4s(docs: DataFrame, idCol: String = "doc_id",
-                     batchSize: Int = 16): DataFrame = {
+                     batchSize: Int = 16, fragmented: Boolean = false): DataFrame = {
     val schema = StructType(Seq(
       StructField(idCol, LongType, nullable = false),
       StructField("content", BinaryType, nullable = false),
@@ -925,7 +965,10 @@ object BinaryPipeline {
             }
             JpegCodec.encode(w, h, comps, px, quality = 90)
           }
-          val bytes = Mp4Codec.encode(frames, w, h)
+          // fragmented: 1-3 frames per moof so multi-fragment AND
+          // multi-sample-per-trun shapes both appear in the corpus
+          val bytes = Mp4Codec.encode(frames, w, h,
+            framesPerFragment = if (fragmented) (1 + id % 3).toInt else 0)
           Row(id, bytes, Row("video/mp4", bytes.length.toLong))
         }
       }
@@ -1017,6 +1060,37 @@ object BinaryPipeline {
       WavCodec.encodeFloat(16000, channels, samples)
     }
 
+  /** WAVE_FORMAT_EXTENSIBLE corpus (round 17): every file wears the
+    * 0xFFFE wrapper with the KSDATAFORMAT_SUBTYPE_PCM GUID, two thirds
+    * at 24-bit depth (native-scale samples in the millions) and one
+    * third 16-bit — the wrapper and the depth must both be
+    * results-invisible to the window features the oracle replays:
+    *   channels = 1 + doc_id % 2, frames = 350 + doc_id % 257
+    *   bits = 16 if doc_id % 3 = 0 else 24
+    *   sample(i,c) = (doc_id·131 + i·29 + c·71) mod 10000001 − 5000000   (24-bit)
+    *               = (doc_id·31 + i·7 + c·13) mod 4001 − 2000            (16-bit) */
+  def synthesize24BitWavs(docs: DataFrame, idCol: String = "doc_id",
+                          batchSize: Int = 16): DataFrame =
+    synthesizeAudio(docs, idCol, batchSize) { id =>
+      val channels = (1 + id % 2).toInt
+      val bits = if (id % 3 == 0) 16 else 24
+      val frames = (350 + id % 257).toInt
+      val samples = new Array[Int](frames * channels)
+      var i = 0
+      while (i < frames) {
+        var c = 0
+        while (c < channels) {
+          samples(i * channels + c) =
+            if (bits == 24)
+              ((id * 131 + i * 29L + c * 71L) % 10000001).toInt - 5000000
+            else ((id * 31 + i * 7L + c * 13L) % 4001).toInt - 2000
+          c += 1
+        }
+        i += 1
+      }
+      WavCodec.encode(16000, channels, bits, samples, extensible = true)
+    }
+
   /** [[synthesizeAdpcmWavs]]' MS-ADPCM sibling (round 16): mono
     * format-0x02 files under the standard coefficient table, wire
     * content formula-derived so the oracle replays the two-tap
@@ -1102,7 +1176,11 @@ object BinaryPipeline {
             }
             GifCodec.AnimFrame(0, 0, w, h, idx, None, 1)
           }
-          val patches = (1 to 2).map { g =>
+          // frames 1/2/4 keep (disposal 1); frame 3 is RESTORE-TO-PREVIOUS
+          // (disposal 3, round 17): its pixels appear in its own snapshot
+          // but must vanish from frame 4's — the oracle's cover set
+          // excludes g = 3 except at f = 3
+          val patches = (1 to 4).map { g =>
             val left = ((id * 7 + g * 5) % (w - 8)).toInt
             val top = ((id * 3 + g * 11) % (h - 8)).toInt
             val idx = new Array[Byte](8 * 8)
@@ -1115,7 +1193,7 @@ object BinaryPipeline {
               }
               fy += 1
             }
-            GifCodec.AnimFrame(left, top, 8, 8, idx, None, 1)
+            GifCodec.AnimFrame(left, top, 8, 8, idx, None, if (g == 3) 3 else 1)
           }
           val bytes = GifCodec.encodeAnimFrames(w, h, palette, full +: patches)
           Row(id, bytes, Row("image/gif", bytes.length.toLong))

@@ -13,7 +13,9 @@ import java.io.ByteArrayOutputStream
   *  - 'BM' magic, 40-byte BITMAPINFOHEADER (the universal core;
   *    V4/V5 headers, OS/2 BITMAPCOREHEADER reject with the size)
   *  - bit depths 8 (paletted, expanded to RGB) and 24 (BGR → RGB)
-  *  - BI_RGB only — RLE4/RLE8/bitfield compressions reject
+  *  - BI_RGB and BI_RLE8 (round 17 — encoded/absolute runs, EOL/EOB/
+  *    delta escapes; skipped cells take index 0); RLE4 and bitfield
+  *    compressions reject
   *  - bottom-up (positive height, the common shape) AND top-down
   *    (negative height) row orders; rows padded to 4-byte multiples
   *  - the declared data offset, palette size and row accounting must
@@ -55,9 +57,16 @@ object BmpCodec {
     require(bpp == 8 || bpp == 24,
       s"BmpCodec: $bpp bits/pixel unsupported (8 paletted or 24 BGR)")
     val compression = u32(30)
-    require(compression == 0,
-      s"BmpCodec: compression $compression unsupported (BI_RGB only — " +
-        "RLE/bitfields out of scope)")
+    // 1 = BI_RLE8 (round 17 — legacy clip-art corpora); RLE4 and
+    // bitfields still reject
+    require(compression == 0 || compression == 1,
+      s"BmpCodec: compression $compression unsupported (BI_RGB or BI_RLE8 — " +
+        "RLE4/bitfields out of scope)")
+    require(compression == 0 || bpp == 8,
+      s"BmpCodec: BI_RLE8 with $bpp bits/pixel (8 only)")
+    require(compression == 0 || !topDown,
+      "BmpCodec: BI_RLE8 with top-down row order is invalid (spec: RLE " +
+        "bitmaps are bottom-up)")
     val colorsUsed = u32(46).toInt
 
     val palette: Array[Byte] =
@@ -83,10 +92,16 @@ object BmpCodec {
     // malformed file whose pixel data overlaps the palette would
     // otherwise decode the palette bytes as indices, silent garbage
     require(dataOffset >= 54 + 4L * nPal &&
-        dataOffset + rowBytes.toLong * height <= bytes.length,
+        (if (compression == 1) dataOffset < bytes.length
+         else dataOffset + rowBytes.toLong * height <= bytes.length),
       s"BmpCodec: pixel data at $dataOffset (${rowBytes.toLong * height} bytes) " +
         s"overlaps the header/palette (${54 + 4 * nPal} bytes) or runs past " +
         s"EOF (${bytes.length})")
+    // BI_RLE8: expand the run stream to storage-order indices first
+    // (row 0 = bottom row, matching the uncompressed layout)
+    val rleIndices: Array[Byte] =
+      if (compression == 1) decodeRle8(bytes, dataOffset.toInt, width, height)
+      else null
     // Long math: both dims can pass the 2^20 cap while w·h·3 wraps Int
     require(width.toLong * height * 3 <= (1L << 30),
       s"BmpCodec: ${width}x$height decodes past the 2^30-byte bound")
@@ -104,7 +119,9 @@ object BmpCodec {
           out(o + 1) = bytes(rowAt + 3 * x + 1)
           out(o + 2) = bytes(rowAt + 3 * x)
         } else {
-          val idx = bytes(rowAt + x) & 0xff
+          val idx =
+            (if (rleIndices != null) rleIndices(srcRow * width + x)
+             else bytes(rowAt + x)) & 0xff
           require(idx < nPal,
             s"BmpCodec: pixel index $idx out of the $nPal-entry palette")
           out(o) = palette(3 * idx)
@@ -118,13 +135,72 @@ object BmpCodec {
     PngCodec.PngImage(width, height, 8, 2, 3, out)
   }
 
+  /** BI_RLE8 decode (round 17): encoded runs (count, index), escapes
+    * (0,0) end-of-line, (0,1) end-of-bitmap, (0,2) delta (dx, dy cursor
+    * jump) and (0,n≥3) absolute runs (word-padded). Pixels a delta or
+    * an early EOL/EOB skips take palette index 0 — the documented
+    * decoder convention for the spec's "undefined" cells. Runs may not
+    * cross scan lines; truncation and cursor overruns reject loud. */
+  private def decodeRle8(bytes: Array[Byte], at: Int, width: Int,
+                         height: Int): Array[Byte] = {
+    val out = new Array[Byte](width * height) // index 0 = the skip default
+    var p = at
+    def u8(): Int = {
+      require(p < bytes.length, "BmpCodec: RLE8 stream truncated")
+      val v = bytes(p) & 0xff; p += 1; v
+    }
+    var x = 0
+    var y = 0 // storage row (0 = bottom)
+    var done = false
+    while (!done) {
+      val n = u8()
+      val b = u8()
+      if (n > 0) {
+        // encoded run: n pixels of index b, confined to the scan line
+        require(y < height && x + n <= width,
+          s"BmpCodec: RLE8 run of $n at ($x,$y) crosses the scan line " +
+            s"(${width}x$height)")
+        java.util.Arrays.fill(out, y * width + x, y * width + x + n, b.toByte)
+        x += n
+      } else b match {
+        case 0 => // end of line
+          require(y < height, "BmpCodec: RLE8 end-of-line past the last row")
+          x = 0; y += 1
+        case 1 => done = true // end of bitmap
+        case 2 => // delta: cursor jump; skipped pixels stay index 0
+          val dx = u8(); val dy = u8()
+          require(y + dy < height && x + dx <= width,
+            s"BmpCodec: RLE8 delta ($dx,$dy) from ($x,$y) leaves the bitmap")
+          x += dx; y += dy
+        case abs => // absolute run: abs literal indices, word-padded
+          require(y < height && x + abs <= width,
+            s"BmpCodec: RLE8 absolute run of $abs at ($x,$y) crosses the " +
+              s"scan line (${width}x$height)")
+          var k = 0
+          while (k < abs) { out(y * width + x + k) = u8().toByte; k += 1 }
+          if ((abs & 1) != 0) {
+            require(u8() == 0, "BmpCodec: RLE8 absolute-run pad byte nonzero")
+          }
+          x += abs
+      }
+    }
+    require(p == bytes.length,
+      s"BmpCodec: ${bytes.length - p} byte(s) after the RLE8 end-of-bitmap")
+    out
+  }
+
   /** BMP ENCODE for fixtures and in-engine synthesis: 24-bit BGR (the
     * common shape) or 8-bit paletted; `topDown` writes a negative
-    * height. `pixels` is packed RGB (24-bit) or palette indices
-    * (8-bit with `palette` RGB triples). */
+    * height; `rle8` (round 17) writes BI_RLE8 runs (8-bit bottom-up
+    * only, one end-of-line per row, end-of-bitmap last). `pixels` is
+    * packed RGB (24-bit) or palette indices (8-bit with `palette` RGB
+    * triples). */
   def encode(width: Int, height: Int, pixels: Array[Byte],
-             palette: Array[Byte] = null, topDown: Boolean = false): Array[Byte] = {
+             palette: Array[Byte] = null, topDown: Boolean = false,
+             rle8: Boolean = false): Array[Byte] = {
     require(width > 0 && height > 0, s"BmpCodec.encode: invalid ${width}x$height")
+    require(!rle8 || (palette != null && !topDown),
+      "BmpCodec.encode: rle8 needs 8-bit paletted bottom-up")
     val bpp = if (palette == null) 24 else 8
     if (bpp == 24)
       require(pixels.length == width * height * 3,
@@ -142,14 +218,55 @@ object BmpCodec {
     val nPal = if (bpp == 8) palette.length / 3 else 0
     val rowBytes = (width * (bpp / 8) + 3) / 4 * 4
     val dataOffset = 54 + 4 * nPal
-    val fileSize = dataOffset + rowBytes * height
+
+    // pixel payload first (RLE size is data-dependent)
+    val pix = new ByteArrayOutputStream(rowBytes * height)
+    if (rle8) {
+      // storage order = bottom-up: encoded runs of ≤255, one
+      // end-of-line per row, end-of-bitmap after the last
+      var y = 0 // storage row (0 = bottom), like the uncompressed layout
+      while (y < height) {
+        val srcRow = height - 1 - y
+        var x = 0
+        while (x < width) {
+          val v = pixels(srcRow * width + x) & 0xff
+          var n = 1
+          while (x + n < width && n < 255 &&
+            (pixels(srcRow * width + x + n) & 0xff) == v) n += 1
+          pix.write(n); pix.write(v)
+          x += n
+        }
+        pix.write(0); pix.write(if (y == height - 1) 1 else 0) // EOL / EOB
+        y += 1
+      }
+    } else {
+      val pad = rowBytes - width * (bpp / 8)
+      var y = 0
+      while (y < height) {
+        val srcRow = if (topDown) y else height - 1 - y
+        var x = 0
+        while (x < width) {
+          if (bpp == 24) {
+            val o = (srcRow * width + x) * 3
+            pix.write(pixels(o + 2) & 0xff); pix.write(pixels(o + 1) & 0xff)
+            pix.write(pixels(o) & 0xff)
+          } else pix.write(pixels(srcRow * width + x) & 0xff)
+          x += 1
+        }
+        (0 until pad).foreach(_ => pix.write(0))
+        y += 1
+      }
+    }
+    val payload = pix.toByteArray
+
+    val fileSize = dataOffset + payload.length
     val out = new ByteArrayOutputStream(fileSize)
     def w8(v: Int): Unit = out.write(v & 0xff)
     def w16(v: Int): Unit = { w8(v); w8(v >> 8) }
     def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >>> 16) & 0xffff) }
     w8('B'); w8('M'); w32(fileSize); w32(0); w32(dataOffset)
     w32(40); w32(width); w32(if (topDown) -height else height)
-    w16(1); w16(bpp); w32(0); w32(rowBytes * height)
+    w16(1); w16(bpp); w32(if (rle8) 1 else 0); w32(payload.length)
     w32(2835); w32(2835); w32(nPal); w32(0) // 72 dpi, colorsUsed, important
     if (bpp == 8) {
       var k = 0
@@ -159,21 +276,7 @@ object BmpCodec {
         k += 1
       }
     }
-    val pad = rowBytes - width * (bpp / 8)
-    var y = 0
-    while (y < height) {
-      val srcRow = if (topDown) y else height - 1 - y
-      var x = 0
-      while (x < width) {
-        if (bpp == 24) {
-          val o = (srcRow * width + x) * 3
-          w8(pixels(o + 2) & 0xff); w8(pixels(o + 1) & 0xff); w8(pixels(o) & 0xff)
-        } else w8(pixels(srcRow * width + x) & 0xff)
-        x += 1
-      }
-      (0 until pad).foreach(_ => w8(0))
-      y += 1
-    }
+    out.write(payload, 0, payload.length)
     out.toByteArray
   }
 }

@@ -18,10 +18,11 @@ import scala.collection.mutable
   *    coverage required (no compositing pass to place a patch on) — a
   *    second image descriptor or a sub-rect still rejects loud.
   *    [[frames]] (round 16, the frame-sampling op): ALL frames,
-  *    composited with disposal methods 0/1 (keep) and 2 (restore the
-  *    frame's RECT to background); PATCH frames — any in-bounds
+  *    composited with disposal methods 0/1 (keep), 2 (restore the
+  *    frame's RECT to background) and 3 (restore the rect to its
+  *    PRE-FRAME state — round 17); PATCH frames — any in-bounds
   *    rectangle, the shape real animated GIFs use — paint at their
-  *    (left, top); restore-to-previous (3) rejects loud
+  *    (left, top); reserved disposal values 4-7 reject loud
   *  - interlaced (4-pass) and sequential row order
   *  - LZW decompression with the spec's variable code width (LSB-first
   *    bit packing, clear/end codes, deferred-clear full dictionary),
@@ -45,8 +46,8 @@ object GifCodec {
     * over the frame's OWN rect (left/top/iw/ih — the full logical
     * screen for stills, any in-bounds rectangle for animation frames),
     * the palette in effect, the GCE's transparent index (−1 = none)
-    * and disposal method (0/1 keep, 2 restore-rect-to-background;
-    * 3+ rejected in [[frames]]). */
+    * and disposal method (0/1 keep, 2 restore-rect-to-background,
+    * 3 restore-rect-to-previous; 4-7 rejected in [[frames]]). */
   private final case class RawFrame(left: Int, top: Int, iw: Int, ih: Int,
                                     indices: Array[Byte], palette: Array[Byte],
                                     transparentIdx: Int, disposal: Int)
@@ -203,11 +204,11 @@ object GifCodec {
     * color (the spec's initial state; black when no global table),
     * each full-rect frame paints its opaque pixels over the canvas
     * (transparent pixels let the prior state show through), and the
-    * frame's disposal method then either keeps the result (0/1) or
-    * restores the canvas to the background color (2) before the next
-    * frame. Restore-to-previous (3) and sub-rect frames stay fail-loud
-    * — [[parseFrames]] scope. Output is one RGB [[PngCodec.PngImage]]
-    * snapshot per frame, ready for the tile-feature pipeline. */
+    * frame's disposal method then either keeps the result (0/1),
+    * restores the frame rect to the background color (2), or restores
+    * it to its pre-frame state (3, round 17) before the next frame.
+    * Output is one RGB [[PngCodec.PngImage]] snapshot per frame, ready
+    * for the tile-feature pipeline. */
   def frames(bytes: Array[Byte]): Seq[PngCodec.PngImage] = {
     val (width, height, bgIndex, gct, fs) = parseFrames(bytes, allowMulti = true)
     val n = width * height
@@ -226,9 +227,23 @@ object GifCodec {
       // disposal only matters when COMPOSITING, so the scope check
       // lives here, not in the shared parse ([[decode]] tolerates a
       // stray disposal-3 GCE on a still image the way real viewers do)
-      require(disposal <= 2,
-        s"GifCodec: disposal method $disposal out of scope " +
-          "(0/1 keep, 2 restore-to-background; 3 = restore-previous refused)")
+      require(disposal <= 3,
+        s"GifCodec: disposal method $disposal reserved " +
+          "(0/1 keep, 2 restore-to-background, 3 restore-to-previous)")
+      // disposal 3 (round 17): the canvas must return to its PRE-FRAME
+      // state after the snapshot — only the frame's rect can change
+      // during painting, so saving that rect suffices
+      val saved =
+        if (disposal == 3) {
+          val s = new Array[Byte](ih * iw * 3)
+          var ry = 0
+          while (ry < ih) {
+            System.arraycopy(canvas, ((top + ry) * width + left) * 3,
+              s, ry * iw * 3, iw * 3)
+            ry += 1
+          }
+          s
+        } else null
       var fy = 0
       while (fy < ih) {
         var fx = 0
@@ -257,6 +272,14 @@ object GifCodec {
             canvas(3 * p) = bg(0); canvas(3 * p + 1) = bg(1); canvas(3 * p + 2) = bg(2)
             rx += 1
           }
+          ry += 1
+        }
+      } else if (disposal == 3) {
+        // spec 89a: restore to previous — put the pre-frame rect back
+        var ry = 0
+        while (ry < ih) {
+          System.arraycopy(saved, ry * iw * 3,
+            canvas, ((top + ry) * width + left) * 3, iw * 3)
           ry += 1
         }
       }
@@ -426,8 +449,7 @@ object GifCodec {
   /** ANIMATED-GIF ENCODE: GIF89a with one global color table and a
     * full-screen image per frame, each preceded by a Graphic Control
     * Extension carrying its `(transparentIdx, disposal)` — the wire
-    * shape [[frames]] composites. Disposal 0/1/2 only (the decode
-    * scope). */
+    * shape [[frames]] composites. Disposal 0-3 (the decode scope). */
   def encodeAnim(width: Int, height: Int, palette: Array[Byte],
                  frameSpecs: Seq[(Array[Byte], Option[Int], Int)]): Array[Byte] =
     encodeAnimFrames(width, height, palette, frameSpecs.map {
@@ -467,8 +489,8 @@ object GifCodec {
         s"GifCodec.encodeAnim: index ${ix & 0xff} out of the $nEntries-entry palette"))
       transparentIdx.foreach(t => require(t >= 0 && t < nEntries,
         s"GifCodec.encodeAnim: transparent index $t out of the $nEntries-entry palette"))
-      require(disposal >= 0 && disposal <= 2,
-        s"GifCodec.encodeAnim: disposal $disposal out of the decode scope (0-2)")
+      require(disposal >= 0 && disposal <= 3,
+        s"GifCodec.encodeAnim: disposal $disposal out of the decode scope (0-3)")
       w8(0x21); w8(0xf9); w8(4)
       w8((disposal << 2) | (if (transparentIdx.isDefined) 1 else 0))
       le16(0); w8(transparentIdx.getOrElse(0)); w8(0)

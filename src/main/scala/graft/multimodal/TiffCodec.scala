@@ -17,9 +17,11 @@ import java.io.ByteArrayOutputStream
   *  - 8-bit samples, 1 (gray) or 3 (RGB) samples/pixel, chunky planar
   *    configuration; strips (any RowsPerStrip split), no tiles
   *  - Compression 1 (none), 5 (LZW — TIFF-variant MSB-first with the
-  *    spec's early code-width change, optional Predictor 2 horizontal
-  *    differencing; round 16) and 32773 (PackBits), all decoded with
-  *    strict per-strip output accounting
+  *    spec's early code-width change; round 16), 8 and 32946 (Deflate —
+  *    the modern scanner default and its older private-tag alias, one
+  *    zlib stream per strip; round 17) and 32773 (PackBits), all
+  *    decoded with strict per-strip output accounting; Predictor 2
+  *    horizontal differencing under LZW or Deflate
   *  - PhotometricInterpretation 0 (WhiteIsZero — gray samples inverted
   *    on decode), 1 (BlackIsZero), 2 (RGB); others reject
   *  - strip byte counts and offsets must agree with the geometry —
@@ -153,16 +155,21 @@ object TiffCodec {
     require(bps.length == spp && bps.forall(_ == 8),
       s"TiffCodec: bits/sample ${bps.mkString(",")} unsupported (8-bit only)")
     val compression = scalar(259, 1L).toInt
-    require(compression == 1 || compression == 5 || compression == 32773,
+    // 8 = Deflate (Adobe extension, the modern scanner default) and
+    // 32946 = its older private-tag alias — SAME zlib stream, decoded by
+    // one path (round 17)
+    val isDeflate = compression == 8 || compression == 32946
+    require(compression == 1 || compression == 5 || compression == 32773 ||
+        isDeflate,
       s"TiffCodec: compression $compression unsupported " +
-        "(1 = none, 5 = LZW, 32773 = PackBits)")
-    // Predictor (tag 317) is an LZW-filter parameter: 2 = horizontal
-    // differencing per row, undone AFTER decompression (TIFF 6.0 §14);
-    // it dominates real scanned/LZW corpora
+        "(1 = none, 5 = LZW, 8/32946 = Deflate, 32773 = PackBits)")
+    // Predictor (tag 317) is a filter parameter of the LZW and Deflate
+    // schemes: 2 = horizontal differencing per row, undone AFTER
+    // decompression (TIFF 6.0 §14); it dominates real scanned corpora
     val predictor = scalar(317, 1L).toInt
-    require(predictor == 1 || (predictor == 2 && compression == 5),
+    require(predictor == 1 || (predictor == 2 && (compression == 5 || isDeflate)),
       s"TiffCodec: predictor $predictor unsupported " +
-        "(1 = none, 2 = horizontal differencing under LZW)")
+        "(1 = none, 2 = horizontal differencing under LZW/Deflate)")
     val photometric = scalar(262, throw new IllegalArgumentException(
       "TiffCodec: no PhotometricInterpretation")).toInt
     require(photometric == 0 || photometric == 1 || photometric == 2,
@@ -203,28 +210,32 @@ object TiffCodec {
       val cnt = counts(strip).toInt
       require(off >= 0 && cnt >= 0 && off + cnt <= bytes.length,
         s"TiffCodec: strip $strip at $off+$cnt runs past EOF")
+      // horizontal differencing is undone per ROW, per SAMPLE (channel),
+      // after EITHER decompressor (TIFF 6.0 §14 applies the predictor
+      // uniformly under LZW and Deflate)
+      def undoPredictor(d: Array[Byte]): Array[Byte] = {
+        if (predictor == 2) {
+          var r = 0
+          while (r < stripRows) {
+            var i = spp
+            while (i < rowBytes) {
+              d(r * rowBytes + i) =
+                (d(r * rowBytes + i) + d(r * rowBytes + i - spp)).toByte
+              i += 1
+            }
+            r += 1
+          }
+        }
+        d
+      }
       val raw =
         if (compression == 1) {
           require(cnt == expect,
             s"TiffCodec: strip $strip holds $cnt bytes, geometry wants $expect")
           java.util.Arrays.copyOfRange(bytes, off, off + cnt)
-        } else if (compression == 5) {
-          val d = lzwDecode(bytes, off, cnt, expect)
-          if (predictor == 2) {
-            // horizontal differencing per ROW, per SAMPLE (channel)
-            var r = 0
-            while (r < stripRows) {
-              var i = spp
-              while (i < rowBytes) {
-                d(r * rowBytes + i) =
-                  (d(r * rowBytes + i) + d(r * rowBytes + i - spp)).toByte
-                i += 1
-              }
-              r += 1
-            }
-          }
-          d
-        } else packBitsDecode(bytes, off, cnt, expect)
+        } else if (compression == 5) undoPredictor(lzwDecode(bytes, off, cnt, expect))
+        else if (isDeflate) undoPredictor(inflateStrip(bytes, off, cnt, expect))
+        else packBitsDecode(bytes, off, cnt, expect)
       System.arraycopy(raw, 0, out, strip * rowsPerStrip * rowBytes, expect)
       strip += 1
     }
@@ -392,6 +403,40 @@ object TiffCodec {
     out.toByteArray
   }
 
+  /** Deflate strip decode (compression 8 / 32946 — a zlib stream per
+    * strip, round 17): produces EXACTLY `expect` bytes with the whole
+    * strip consumed, or fails loud — truncated input, over-long output
+    * and trailing garbage all reject. */
+  private def inflateStrip(bytes: Array[Byte], off: Int, cnt: Int,
+                           expect: Int): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(bytes, off, cnt)
+      val out = new Array[Byte](expect)
+      var w = 0
+      while (w < expect && !inf.finished()) {
+        val n =
+          try inf.inflate(out, w, expect - w)
+          catch { case e: java.util.zip.DataFormatException =>
+            throw new IllegalArgumentException(
+              s"TiffCodec: corrupt Deflate strip: ${e.getMessage}")
+          }
+        require(n > 0 || inf.finished(),
+          "TiffCodec: Deflate strip truncated (inflater stalled)")
+        w += n
+      }
+      require(w == expect, s"TiffCodec: Deflate produced $w of $expect bytes")
+      // the stream must END here: extra compressed pixels would be
+      // silently dropped otherwise
+      val probe = new Array[Byte](1)
+      require(inf.finished() ||
+          (try inf.inflate(probe) == 0 && inf.finished()
+           catch { case _: java.util.zip.DataFormatException => false }),
+        s"TiffCodec: Deflate strip holds more than the $expect-byte geometry")
+      out
+    } finally inf.end()
+  }
+
   /** PackBits decode (TIFF 6.0 §9): n in 0..127 copies n+1 literals,
     * n in -127..-1 repeats the next byte 1-n times, -128 is a noop.
     * Produces EXACTLY `expect` bytes or fails loud. */
@@ -430,9 +475,10 @@ object TiffCodec {
   def encode(width: Int, height: Int, channels: Int, pixels: Array[Byte],
              bigEndian: Boolean = false, packBits: Boolean = false,
              rowsPerStrip: Int = 0, whiteIsZero: Boolean = false,
-             lzw: Boolean = false, predictor2: Boolean = false): Array[Byte] =
+             lzw: Boolean = false, predictor2: Boolean = false,
+             deflate: Boolean = false, oldDeflateTag: Boolean = false): Array[Byte] =
     encodeMulti(Seq((width, height, channels, pixels)), bigEndian, packBits,
-      rowsPerStrip, whiteIsZero, lzw, predictor2)
+      rowsPerStrip, whiteIsZero, lzw, predictor2, deflate, oldDeflateTag)
 
   /** MULTI-PAGE TIFF ENCODE (round 16): `pages` are (width, height,
     * channels, pixels) tuples laid out sequentially — per page its
@@ -443,11 +489,16 @@ object TiffCodec {
   def encodeMulti(pageSpecs: Seq[(Int, Int, Int, Array[Byte])],
                   bigEndian: Boolean = false, packBits: Boolean = false,
                   rowsPerStrip: Int = 0, whiteIsZero: Boolean = false,
-                  lzw: Boolean = false, predictor2: Boolean = false): Array[Byte] = {
+                  lzw: Boolean = false, predictor2: Boolean = false,
+                  deflate: Boolean = false,
+                  oldDeflateTag: Boolean = false): Array[Byte] = {
     require(pageSpecs.nonEmpty, "TiffCodec.encode: no pages")
-    require(!(packBits && lzw), "TiffCodec.encode: packBits and lzw are exclusive")
-    require(!predictor2 || lzw,
-      "TiffCodec.encode: predictor 2 is an LZW filter parameter")
+    require(Seq(packBits, lzw, deflate).count(identity) <= 1,
+      "TiffCodec.encode: packBits, lzw and deflate are exclusive")
+    require(!predictor2 || lzw || deflate,
+      "TiffCodec.encode: predictor 2 is an LZW/Deflate filter parameter")
+    require(!oldDeflateTag || deflate,
+      "TiffCodec.encode: oldDeflateTag (32946) needs deflate")
     final case class PageBits(width: Int, height: Int, channels: Int,
                               rps: Int, strips: Array[Array[Byte]])
     val built = pageSpecs.map { case (width, height, channels, pixels) =>
@@ -468,7 +519,7 @@ object TiffCodec {
         val rows = math.min(rps, height - s * rps)
         val raw = java.util.Arrays.copyOfRange(stored, s * rps * rowBytes,
           s * rps * rowBytes + rows * rowBytes)
-        if (lzw) {
+        if (lzw || deflate) {
           if (predictor2) {
             // horizontal differencing per row, per sample — the inverse
             // of the decode-side reconstruction
@@ -483,7 +534,7 @@ object TiffCodec {
               r += 1
             }
           }
-          lzwEncode(raw)
+          if (lzw) lzwEncode(raw) else deflateStrip(raw)
         } else if (packBits) packBitsEncode(raw) else raw
       }
       PageBits(width, height, channels, rps, strips)
@@ -537,7 +588,8 @@ object TiffCodec {
         Tag(257, 4, 1, p.height.toLong),
         if (p.channels == 3) Tag(258, 3, 3, l.bpsAt)
         else Tag(258, 3, 1, 8L),
-        Tag(259, 3, 1, if (lzw) 5L else if (packBits) 32773L else 1L),
+        Tag(259, 3, 1, if (lzw) 5L else if (packBits) 32773L
+          else if (deflate) (if (oldDeflateTag) 32946L else 8L) else 1L),
         Tag(262, 3, 1, if (whiteIsZero) 0L else if (p.channels == 3) 2L else 1L),
         if (nStrips > 1) Tag(273, 4, nStrips.toLong, l.offsAt)
         else Tag(273, 4, 1, l.stripOffsets(0)),
@@ -560,6 +612,19 @@ object TiffCodec {
       w32(if (pageNo + 1 < layouts.length) layouts(pageNo + 1).ifdAt else 0L)
     }
     out.toByteArray
+  }
+
+  /** Deflate strip encode — one zlib stream per strip ([[inflateStrip]]'s
+    * mirror). */
+  private def deflateStrip(data: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
+    try {
+      d.setInput(data); d.finish()
+      val out = new ByteArrayOutputStream(data.length / 2 + 64)
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      out.toByteArray
+    } finally d.end()
   }
 
   /** PackBits encode: repeat runs of 3+ become repeat packets, the rest

@@ -14,10 +14,14 @@ import java.io.ByteArrayOutputStream
   * (MS ADPCM) — round 16's compressed wire formats — `data` chunk
   * with interleaved frames (or, for the ADPCMs, self-contained nibble
   * blocks). Scope (fail-loud beyond it, never silent garbage):
-  *  - float (3) and WAVE_FORMAT_EXTENSIBLE (0xFFFE) reject with the
-  *    format code
-  *  - PCM: 8-bit (unsigned on the wire, per spec) and 16-bit (signed
-  *    LE); µ-law/A-law: 8-bit codes expanded to 16-bit-scale linear
+  *  - WAVE_FORMAT_EXTENSIBLE (0xFFFE — round 17): the real format code
+  *    rides the SubFormat GUID (PCM and IEEE-float subtypes accepted;
+  *    the 14-byte KSDATAFORMAT suffix is verified and
+  *    wValidBitsPerSample must equal the container width — padded
+  *    containers reject loud)
+  *  - PCM: 8-bit (unsigned on the wire, per spec), 16-bit and 24-bit
+  *    (signed LE, native scale); µ-law/A-law: 8-bit codes expanded to
+  *    16-bit-scale linear
   *    via the CCITT formulas; IMA ADPCM: 4-bit nibble prediction with
   *    the public step table, per-block predictor reset from the block
   *    header (header = sample 0), low-nibble-first, 4-byte groups
@@ -217,12 +221,48 @@ object WavCodec {
           require(!fmtSeen, "WavCodec: duplicate fmt chunk")
           require(clen >= 16, s"WavCodec: fmt chunk of $clen bytes (want >= 16)")
           fmtSeen = true
-          val fmt = le16(off)
+          val fmtTag = le16(off)
+          val fmt =
+            if (fmtTag == 0xfffe) {
+              // WAVE_FORMAT_EXTENSIBLE (round 17) — the default container
+              // modern recorders write for >16-bit or multi-channel
+              // audio: the REAL format code rides the SubFormat GUID's
+              // first two bytes; the remaining 14 must be the fixed
+              // KSDATAFORMAT suffix, and wValidBitsPerSample must equal
+              // the container width (padded containers are out of scope
+              // — fail loud, never scale silently)
+              require(clen >= 40,
+                s"WavCodec: extensible fmt chunk of $clen bytes (want >= 40)")
+              val cbSize = le16(off + 16)
+              require(cbSize >= 22,
+                s"WavCodec: extensible cbSize $cbSize (want >= 22)")
+              val validBits = le16(off + 18)
+              val containerBits = le16(off + 14)
+              require(validBits == containerBits,
+                s"WavCodec: extensible wValidBitsPerSample $validBits != " +
+                  s"container $containerBits bits (padded containers out of scope)")
+              val guidFmt = le16(off + 24)
+              val tail = Array(0x00, 0x00, 0x00, 0x00, 0x10, 0x00, 0x80, 0x00,
+                0x00, 0xaa, 0x00, 0x38, 0x9b, 0x71)
+              var k = 0
+              while (k < 14) {
+                require((bytes(off + 26 + k) & 0xff) == tail(k),
+                  f"WavCodec: SubFormat GUID byte ${k + 2} is " +
+                    f"0x${bytes(off + 26 + k) & 0xff}%02x (want 0x${tail(k)}%02x) " +
+                    "— not a KSDATAFORMAT subtype")
+                k += 1
+              }
+              require(guidFmt == 1 || guidFmt == 3,
+                s"WavCodec: extensible SubFormat $guidFmt unsupported " +
+                  "(1 = integer PCM, 3 = IEEE float)")
+              guidFmt
+            } else fmtTag
           require(fmt == 1 || fmt == 2 || fmt == 3 || fmt == 6 || fmt == 7 ||
               fmt == 0x11,
             s"WavCodec: audio format $fmt unsupported (1 = integer PCM, " +
               "2 = MS ADPCM, 3 = IEEE float, 6 = G.711 A-law, " +
-              "7 = G.711 mu-law, 17 = IMA ADPCM; extensible WAV out of scope)")
+              "7 = G.711 mu-law, 17 = IMA ADPCM, 0xFFFE = extensible " +
+              "wrapping PCM/float)")
           format = fmt
           channels = le16(off + 2)
           require(channels >= 1 && channels <= 8,
@@ -257,7 +297,11 @@ object WavCodec {
               (le16(off + 22 + 4 * k).toShort.toInt,
                le16(off + 24 + 4 * k).toShort.toInt)
             }
-            require(byteRate == sampleRate.toLong * blockAlign / spb,
+            // ±1 byte/s tolerance: real-world ADPCM encoders compute
+            // nAvgBytesPerSec with different rounding (up vs truncate);
+            // block geometry is fully validated above, so a conforming
+            // wild file must not reject on a rounding convention
+            require(math.abs(byteRate - sampleRate.toLong * blockAlign / spb) <= 1,
               s"WavCodec: byte rate $byteRate contradicts " +
                 s"$sampleRate Hz x $blockAlign-byte blocks of $spb samples")
           } else if (format == 0x11) {
@@ -279,7 +323,8 @@ object WavCodec {
             require(declaredSpb == spb,
               s"WavCodec: fmt declares $declaredSpb samples/block, block " +
                 s"geometry implies $spb")
-            require(byteRate == sampleRate.toLong * blockAlign / spb,
+            // same ±1 byte/s rounding tolerance as the MS ADPCM leg
+            require(math.abs(byteRate - sampleRate.toLong * blockAlign / spb) <= 1,
               s"WavCodec: byte rate $byteRate contradicts " +
                 s"$sampleRate Hz x $blockAlign-byte blocks of $spb samples")
           } else if (format == 3) {
@@ -294,8 +339,11 @@ object WavCodec {
               s"WavCodec: byte rate $byteRate contradicts " +
                 s"$sampleRate Hz x $blockAlign bytes/frame")
           } else {
-            require(bits == 8 || bits == 16,
-              s"WavCodec: $bits bits/sample unsupported (8 or 16)")
+            // 24-bit (3-byte LE signed) joins 8/16 for integer PCM only
+            // (round 17 — the >16-bit depth extensible recorders write)
+            require(bits == 8 || bits == 16 || (bits == 24 && format == 1),
+              s"WavCodec: $bits bits/sample unsupported " +
+                "(8 or 16; 24 for integer PCM)")
             require(format == 1 || bits == 8,
               s"WavCodec: G.711 with $bits bits/sample (8-bit codes only)")
             require(blockAlign == channels * (bits / 8),
@@ -463,11 +511,22 @@ object WavCodec {
     } else if (bits == 8) {
       var i = 0
       while (i < n) { out(i) = (bytes(dOff + i) & 0xff) - 128; i += 1 }
-    } else {
+    } else if (bits == 16) {
       var i = 0
       while (i < n) {
         out(i) = ((bytes(dOff + 2 * i) & 0xff) |
           (bytes(dOff + 2 * i + 1) << 8)).toShort.toInt
+        i += 1
+      }
+    } else {
+      // 24-bit LE signed: native scale (−2^23..2^23−1), NOT rescaled —
+      // the [[WavAudio]] contract is signed linear at wire depth, and a
+      // silent >>8 would destroy the exactness the oracles replay
+      var i = 0
+      while (i < n) {
+        out(i) = ((bytes(dOff + 3 * i) & 0xff) |
+          ((bytes(dOff + 3 * i + 1) & 0xff) << 8) |
+          (bytes(dOff + 3 * i + 2) << 16))
         i += 1
       }
     }
@@ -636,29 +695,42 @@ object WavCodec {
 
   /** WAV ENCODE for fixtures and in-engine synthesis: `samples` is
     * channel-interleaved SIGNED values (the [[decode]] convention — 8-bit
-    * writes value+128 unsigned per spec, 16-bit signed LE). */
+    * writes value+128 unsigned per spec, 16/24-bit signed LE). With
+    * `extensible` the fmt chunk is the 40-byte WAVE_FORMAT_EXTENSIBLE
+    * form (tag 0xFFFE, wValidBitsPerSample = container bits, default
+    * channel mask, KSDATAFORMAT_SUBTYPE_PCM GUID) — the wrapper modern
+    * recorders write (round 17). */
   def encode(sampleRate: Int, channels: Int, bitsPerSample: Int,
-             samples: Array[Int]): Array[Byte] = {
+             samples: Array[Int], extensible: Boolean = false): Array[Byte] = {
     require(channels >= 1 && channels <= 8, s"WavCodec.encode: $channels channels")
-    require(bitsPerSample == 8 || bitsPerSample == 16,
-      s"WavCodec.encode: $bitsPerSample bits/sample (8 or 16)")
+    require(bitsPerSample == 8 || bitsPerSample == 16 || bitsPerSample == 24,
+      s"WavCodec.encode: $bitsPerSample bits/sample (8, 16 or 24)")
     require(sampleRate > 0, "WavCodec.encode: zero sample rate")
     require(samples.length % channels == 0,
       s"WavCodec.encode: ${samples.length} samples not whole $channels-channel frames")
     val bps = bitsPerSample / 8
     val blockAlign = channels * bps
     val dataLen = samples.length * bps
-    val out = new ByteArrayOutputStream(44 + dataLen)
+    val fmtLen = if (extensible) 40 else 16
+    val out = new ByteArrayOutputStream(28 + fmtLen + dataLen)
     def w(s: String): Unit = out.write(s.getBytes("US-ASCII"))
     def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
     def le32(v: Int): Unit = {
       out.write(v & 0xff); out.write((v >> 8) & 0xff)
       out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
     }
-    w("RIFF"); le32(36 + dataLen); w("WAVE")
-    w("fmt "); le32(16)
-    le16(1); le16(channels); le32(sampleRate)
+    w("RIFF"); le32(20 + fmtLen + dataLen); w("WAVE")
+    w("fmt "); le32(fmtLen)
+    le16(if (extensible) 0xfffe else 1); le16(channels); le32(sampleRate)
     le32(sampleRate * blockAlign); le16(blockAlign); le16(bitsPerSample)
+    if (extensible) {
+      le16(22) // cbSize
+      le16(bitsPerSample) // wValidBitsPerSample = container width
+      le32(if (channels == 1) 0x4 else if (channels == 2) 0x3 else 0)
+      // KSDATAFORMAT_SUBTYPE_PCM {00000001-0000-0010-8000-00aa00389b71}
+      le32(1); le16(0); le16(0x10)
+      Seq(0x80, 0x00, 0x00, 0xaa, 0x00, 0x38, 0x9b, 0x71).foreach(out.write)
+    }
     w("data"); le32(dataLen)
     if (bitsPerSample == 8) {
       var i = 0
@@ -669,13 +741,22 @@ object WavCodec {
         out.write(v)
         i += 1
       }
-    } else {
+    } else if (bitsPerSample == 16) {
       var i = 0
       while (i < samples.length) {
         val v = samples(i)
         require(v >= Short.MinValue && v <= Short.MaxValue,
           s"WavCodec.encode: 16-bit sample $v out of range")
         out.write(v & 0xff); out.write((v >> 8) & 0xff)
+        i += 1
+      }
+    } else {
+      var i = 0
+      while (i < samples.length) {
+        val v = samples(i)
+        require(v >= -(1 << 23) && v < (1 << 23),
+          s"WavCodec.encode: 24-bit sample $v out of range")
+        out.write(v & 0xff); out.write((v >> 8) & 0xff); out.write((v >> 16) & 0xff)
         i += 1
       }
     }

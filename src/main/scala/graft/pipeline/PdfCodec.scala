@@ -69,12 +69,13 @@ import scala.collection.mutable
   *     subtable) or a /FontFile3 Type1C's encoding/charset/strings
   *     ([[CffFont.codeToUnicode]]).
   *
-  * Out of scope (documented, fail-loud where detectable): Type1 PFB
-  * programs (/FontFile — eexec-encrypted charstrings), OpenType-wrapped
-  * /FontFile3, symbol-only TrueType programs whose cmap carries no
-  * Unicode-platform subtable, and CID-keyed CFFs under a simple font
-  * (their text is genuinely unrecoverable; PDFBox sometimes guesses —
-  * we refuse).
+  * Out of scope (documented, fail-loud where detectable): symbol-only
+  * TrueType programs whose cmap carries no Unicode-platform subtable,
+  * and CID-keyed CFFs under a simple font (their text is genuinely
+  * unrecoverable; PDFBox sometimes guesses — we refuse). All four
+  * embedded-program formats decode: /FontFile Type 1 ([[Type1Font]]),
+  * /FontFile2 TrueType ([[TrueTypeFont]]), /FontFile3 Type1C
+  * ([[CffFont]]) and /FontFile3 /OpenType.
   * The 100 TB-relevant part — binary column in, bounded per-row
   * work, no driver involvement — lives in [[PdfPipeline.extractPagesPdf]];
   * this object is deliberately plain JVM code so it runs inside
@@ -117,15 +118,16 @@ object PdfCodec {
     * Differences PATCHES the base encoding). */
   private[graft] final case class DifferencesFont(names: Map[Int, String],
                                                   fontNum: Int) extends FontDec
-  /** SYMBOLIC simple TrueType font decoding through its EMBEDDED font
-    * program ([[TrueTypeFont.symbolCodeToUnicode]]): byte codes map
-    * code→glyph via the program's (3,0) symbol cmap subtable and
-    * glyph→Unicode by inverting its Unicode-platform subtable. Codes
-    * the program leaves unmapped fail loud per SHOWN code (the
-    * [[DifferencesFont]] convention — only text that uses them fails,
-    * not the whole document). */
+  /** SYMBOLIC simple font decoding through its EMBEDDED font program
+    * (TrueType cmap inversion, CFF four-hop, Type 1 eexec — or an
+    * author-supplied /ToUnicode). Codes the program leaves unmapped fail
+    * loud per SHOWN code (the [[DifferencesFont]] convention — only text
+    * that uses them fails, not the whole document); `via` names the
+    * mapping's provenance so the per-code error points at the right
+    * structure instead of always blaming a TrueType cmap. */
   private[graft] final case class GlyphProgFont(codeToUni: Map[Int, String],
-                                                fontNum: Int) extends FontDec
+                                                fontNum: Int,
+                                                via: String) extends FontDec
 
   /** Extract per-page text from PDF bytes, in page-tree order. */
   def extractText(bytes: Array[Byte]): Seq[String] = {
@@ -282,12 +284,33 @@ object PdfCodec {
                 // codes key the same map shape
                 val tuObj = byNum.getOrElse(tuRef, throw new IllegalArgumentException(
                   s"PdfCodec: /ToUnicode $tuRef 0 R not found"))
-                GlyphProgFont(parseToUnicode(decodeStream(tuObj, byNum)), obj.num)
+                GlyphProgFont(parseToUnicode(decodeStream(tuObj, byNum)), obj.num,
+                  "author-supplied /ToUnicode CMap")
               case None =>
+                val ff1 = desc.flatMap(dd => dictRef(dd, "/FontFile(?![A-Za-z0-9])"))
                 val ff2 = desc.flatMap(dd => dictRef(dd, "/FontFile2"))
                 val ff3 = desc.flatMap(dd => dictRef(dd, "/FontFile3"))
-                (ff2, ff3) match {
-                  case (Some(ref), _) =>
+                (ff1, ff2, ff3) match {
+                  case (Some(ref), None, None) =>
+                    // /FontFile holds a Type 1 program (spec Table 126):
+                    // eexec-decrypted, builtin /Encoding + /CharStrings
+                    // names → Unicode (Type1Font). /Length1 and /Length2
+                    // locate the clear and encrypted sections; they may
+                    // be stored indirectly (§7.3.10).
+                    val ffObj = byNum.getOrElse(ref, throw new IllegalArgumentException(
+                      s"PdfCodec: /FontFile $ref 0 R not found"))
+                    val program = decodeStream(ffObj, byNum).getBytes(ISO_8859_1)
+                    val isPfb = program.length >= 2 && (program(0) & 0xff) == 0x80
+                    def ffLen(name: String): Int =
+                      if (isPfb) 0 // segment headers carry their own lengths
+                      else dictInt(ffObj.dict, name, byNum).getOrElse(
+                        throw new IllegalArgumentException(
+                          s"PdfCodec: font object ${obj.num}: /FontFile without " +
+                            s"/$name — cannot locate the eexec section"))
+                    GlyphProgFont(Type1Font.codeToUnicode(program,
+                      ffLen("Length1"), ffLen("Length2"), obj.num), obj.num,
+                      "Type 1 program's builtin /Encoding (eexec)")
+                  case (None, Some(ref), None) =>
                     val ffObj = byNum.getOrElse(ref, throw new IllegalArgumentException(
                       s"PdfCodec: /FontFile2 $ref 0 R not found"))
                     val program = decodeStream(ffObj, byNum).getBytes(ISO_8859_1)
@@ -302,8 +325,8 @@ object PdfCodec {
                         "(OpenType/CFF) program — the spec shape is /FontFile3 " +
                         "/Subtype /OpenType")
                     GlyphProgFont(TrueTypeFont.symbolCodeToUnicode(program, obj.num),
-                      obj.num)
-                  case (None, Some(ref)) =>
+                      obj.num, "embedded TrueType program's cmap")
+                  case (None, None, Some(ref)) =>
                     // /FontFile3 carries either a bare CFF program
                     // (/Subtype /Type1C — the four-hop CffFont path) or
                     // an OpenType WRAPPER (/Subtype /OpenType — an sfnt
@@ -320,15 +343,21 @@ object PdfCodec {
                         "/Subtype /Type1C or /OpenType")
                     val program = decodeStream(ffObj, byNum).getBytes(ISO_8859_1)
                     if (isType1C)
-                      GlyphProgFont(CffFont.codeToUnicode(program, obj.num), obj.num)
+                      GlyphProgFont(CffFont.codeToUnicode(program, obj.num), obj.num,
+                        "CFF program's encoding/charset (four-hop)")
                     else
                       GlyphProgFont(
-                        TrueTypeFont.symbolCodeToUnicode(program, obj.num), obj.num)
-                  case (None, None) => throw new IllegalArgumentException(
+                        TrueTypeFont.symbolCodeToUnicode(program, obj.num), obj.num,
+                        "OpenType-wrapped program's cmap")
+                  case (None, None, None) => throw new IllegalArgumentException(
                     s"PdfCodec: font object ${obj.num}: symbolic simple font with " +
-                      "no /Encoding, no /ToUnicode and no embedded /FontFile2 " +
-                      "(TrueType) or /FontFile3 (Type1C) program — codes cannot " +
-                      "be mapped to text")
+                      "no /Encoding, no /ToUnicode and no embedded /FontFile " +
+                      "(Type 1), /FontFile2 (TrueType) or /FontFile3 (Type1C/" +
+                      "OpenType) program — codes cannot be mapped to text")
+                  case _ => throw new IllegalArgumentException(
+                    s"PdfCodec: font object ${obj.num}: FontDescriptor carries " +
+                      "more than one /FontFile* program — ambiguous (spec " +
+                      "Table 124 allows at most one)")
                 }
             }
           } else SimpleFont
@@ -650,10 +679,10 @@ object PdfCodec {
   /** Shown-string raw bytes (as Latin-1 chars) → text under `font`. */
   private def decodeShown(raw: String, font: FontDec): String = font match {
     case SimpleFont => raw
-    case GlyphProgFont(map, fontNum) =>
+    case GlyphProgFont(map, fontNum, via) =>
       raw.map(c => map.getOrElse(c.toInt, throw new IllegalArgumentException(
         f"PdfCodec: font $fontNum: code 0x${c.toInt}%02x has no Unicode mapping " +
-          "in the embedded TrueType program's cmap"))).mkString
+          s"in the $via"))).mkString
     case DifferencesFont(names, fontNum) =>
       raw.map(c => names.get(c.toInt) match {
         case Some(n) => glyphToUnicode(n, fontNum)
@@ -1089,6 +1118,24 @@ object PdfCodec {
 
   private def dictRef(dict: String, key: String): Option[Int] =
     (key + """\s+(\d+)\s+\d+\s+R""").r.findFirstMatchIn(dict).map(_.group(1).toInt)
+
+  /** Integer dict entry, direct or indirect ("/Length1 9 0 R" — legal
+    * for any numeric entry, §7.3.10). An unresolvable indirect value
+    * fails LOUD: callers use these to locate binary sections, where a
+    * silent default means garbage. */
+  private def dictInt(dict: String, name: String,
+                      byNum: Map[Int, PdfObj]): Option[Int] =
+    (s"""/$name\\s+(\\d+)(?:\\s+(\\d+)\\s+R)?""").r.findFirstMatchIn(dict).map { m =>
+      if (m.group(2) == null) m.group(1).toInt
+      else {
+        val ref = m.group(1).toInt
+        val o = byNum.getOrElse(ref, throw new IllegalArgumentException(
+          s"PdfCodec: /$name $ref 0 R not found"))
+        """\d+""".r.findFirstIn(o.dict.trim).map(_.toInt).getOrElse(
+          throw new IllegalArgumentException(
+            s"PdfCodec: /$name object $ref holds no integer"))
+      }
+    }
 
   /** Page object numbers in tree order: /Type /Catalog → /Pages → /Kids
     * (recursive); fallback = document order of /Type /Page objects. */
@@ -2109,15 +2156,18 @@ object PdfCodec {
     * ([[TrueTypeFont.encodeProgram]]: (3,0) symbol leg + Unicode leg,
     * format 4 or — with `format12` — format 12), or with `cff` a
     * /FontFile3 /Type1C program ([[CffFont.encodeProgram]]: embedded
-    * Encoding → charset → custom uniXXXX strings). This is the
-    * subset-font file shape PDFBox resolves through the embedded
-    * program inside the reference's Function.java:90-132. */
+    * Encoding → charset → custom uniXXXX strings), or with `type1` a
+    * /FontFile Type 1 program ([[Type1Font.encodeProgram]]: clear-text
+    * /Encoding + eexec-encrypted CharStrings, /Length1/2/3 stream
+    * dict). This is the subset-font file shape PDFBox resolves through
+    * the embedded program inside the reference's Function.java:90-132. */
   def encodeFontProgPdf(pages: Seq[String], compress: Boolean = true,
                         format12: Boolean = false,
                         cff: Boolean = false,
-                        otto: Boolean = false): Array[Byte] = {
-    require(!(cff && otto),
-      "PdfCodec.encodeFontProgPdf: cff and otto are mutually exclusive")
+                        otto: Boolean = false,
+                        type1: Boolean = false): Array[Byte] = {
+    require(Seq(cff, otto, type1).count(identity) <= 1,
+      "PdfCodec.encodeFontProgPdf: cff, otto and type1 are mutually exclusive")
     // repertoire in first-appearance order over the page stream
     val repertoire = mutable.LinkedHashSet.empty[Int]
     pages.foreach { p =>
@@ -2135,9 +2185,13 @@ object PdfCodec {
         "224 byte codes a simple font carries (0x20-0xFF)")
     val codeOf = chars.zipWithIndex.map { case (cp, i) => cp -> (0x20 + i) }.toMap
     val progEntries = chars.zipWithIndex.map { case (cp, i) => (0x20 + i, cp) }
-    val program =
-      if (cff) CffFont.encodeProgram(progEntries)
-      else TrueTypeFont.encodeProgram(progEntries, format12, otto)
+    // (program bytes, Type 1's /Length1/2/3 — zeros for the other formats)
+    val (program, t1Lens) =
+      if (type1) {
+        val (p, l1, l2, l3) = Type1Font.encodeProgram(progEntries)
+        (p, Some((l1, l2, l3)))
+      } else if (cff) (CffFont.encodeProgram(progEntries), None)
+      else (TrueTypeFont.encodeProgram(progEntries, format12, otto), None)
 
     val nPages = pages.length
     val fontNum = 3 + 2 * nPages
@@ -2177,7 +2231,7 @@ object PdfCodec {
       w("\nendstream\nendobj\n")
     }
     beginObj(fontNum)
-    val subtype = if (cff || otto) "Type1" else "TrueType"
+    val subtype = if (cff || otto || type1) "Type1" else "TrueType"
     w(s"<< /Type /Font /Subtype /$subtype /BaseFont /GRAFTA+Subset " +
       s"/FirstChar 32 /LastChar ${0x20 + chars.length - 1} " +
       s"/Widths [ ${Seq.fill(chars.length)("500").mkString(" ")} ] " +
@@ -2185,7 +2239,8 @@ object PdfCodec {
     beginObj(descNum)
     // /Flags 4 = Symbolic (spec Table 123) — the bit that routes the
     // decoder to the font program instead of a standard encoding
-    val ffKey = if (cff || otto) "FontFile3" else "FontFile2"
+    val ffKey = if (cff || otto) "FontFile3"
+      else if (type1) "FontFile" else "FontFile2"
     w(s"<< /Type /FontDescriptor /FontName /GRAFTA+Subset /Flags 4 " +
       s"/FontBBox [0 0 1000 1000] /ItalicAngle 0 /Ascent 800 /Descent -200 " +
       s"/CapHeight 700 /StemV 80 /$ffKey $ffNum 0 R >>\nendobj\n")
@@ -2196,7 +2251,13 @@ object PdfCodec {
       if (cff) " /Subtype /Type1C"
       else if (otto) " /Subtype /OpenType"
       else ""
-    w(s"<< /Length ${ffData.length} /Length1 ${program.length}$ffSubtype$ffFilter >>\nstream\n")
+    // Type 1 programs carry the spec's three-section lengths (Table 127);
+    // the sfnt/CFF formats carry the single /Length1
+    val ffLens = t1Lens match {
+      case Some((l1, l2, l3)) => s" /Length1 $l1 /Length2 $l2 /Length3 $l3"
+      case None => s" /Length1 ${program.length}"
+    }
+    w(s"<< /Length ${ffData.length}$ffLens$ffSubtype$ffFilter >>\nstream\n")
     out.write(ffData)
     w("\nendstream\nendobj\n")
     val xrefAt = out.size()

@@ -160,13 +160,18 @@ object PdfPipeline {
   def synthesizeCmapPredefPdfs(docs: DataFrame, pageSize: Int = 200,
                                compress: Boolean = true,
                                cmapName: String = "90ms-RKSJ-H",
+                               altCmapName: Option[String] = None,
                                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .map { case (id, text) =>
-        (id, PdfCodec.encodeCmapPredefPdf(codePointPages(text, pageSize), cmapName, compress))
+        // altCmapName: odd docs name the ALTERNATE registration (round
+        // 17 — e.g. Ext-RKSJ-H beside 90ms-RKSJ-H); decoded text must be
+        // identical, so the corpus gates both names under one oracle
+        val name = altCmapName.filter(_ => id % 2 == 1).getOrElse(cmapName)
+        (id, PdfCodec.encodeCmapPredefPdf(codePointPages(text, pageSize), name, compress))
       }
       .toDF(idCol, "content")
   }
@@ -205,6 +210,7 @@ object PdfPipeline {
   def synthesizeFontProgPdfs(docs: DataFrame, pageSize: Int = 200,
                              compress: Boolean = true, format12: Boolean = false,
                              cff: Boolean = false, otto: Boolean = false,
+                             type1: Boolean = false,
                              idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -215,7 +221,7 @@ object PdfPipeline {
         // exists precisely for supplementary chars, whose surrogate
         // pairs a unit-wise grouped() would split across pages
         (id, PdfCodec.encodeFontProgPdf(codePointPages(text, pageSize),
-          compress, format12, cff, otto))
+          compress, format12, cff, otto, type1))
       }
       .toDF(idCol, "content")
   }

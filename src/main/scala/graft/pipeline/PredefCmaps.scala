@@ -20,6 +20,10 @@ import java.nio.{ByteBuffer, CharBuffer}
   *    `windows-31j` charset — the same public CP932 mapping data
   *    Adobe's table encodes; codes CP932 leaves undefined are absent
   *    from the table and fail loud downstream.
+  *  - `/Ext-RKSJ-H` (round 17) — the other common Japanese
+  *    registration (JIS78 + NEC extensions, Adobe-Japan1-2): identical
+  *    published codespaces, table-shared with 90ms-RKSJ under the JDK
+  *    construction (see [[extRksj]]).
   *  - `/GBK-EUC-H` (Adobe-GB1, simplified Chinese) — GBK/cp936 byte
   *    codes, <00><80> + <8140><FEFE>, via the JDK `GBK` charset.
   *  - `/KSCms-UHC-H` (Adobe-Korea1/KR) — Unified Hangul Code/cp949,
@@ -90,7 +94,7 @@ private[graft] object PredefCmaps {
     // GB1-4, the UTF16 forms Japan1-6 / GB1-5 / Korea1-2, the
     // locale-encoding forms Japan1-2 / GB1-2 / Korea1-1; a -V variant
     // shares its -H twin's registration
-    case "90ms-RKSJ" => ("Japan1", 2)
+    case "90ms-RKSJ" | "Ext-RKSJ" => ("Japan1", 2)
     case "UniJIS-UCS2" => ("Japan1", 4)
     case "UniJIS-UTF16" => ("Japan1", 6)
     case "GBK-EUC" => ("GB1", 2)
@@ -165,6 +169,14 @@ private[graft] object PredefCmaps {
     Seq((1, 0x00L, 0x80L), (2, 0x8140L, 0x9ffcL),
         (1, 0xa0L, 0xdfL), (2, 0xe040L, 0xfcfcL)))
 
+  /** Ext-RKSJ-H (round 17) — the other common Japanese registration
+    * (JIS78 base + NEC row extensions, Adobe-Japan1-2). Its published
+    * codespaces are IDENTICAL to 90ms-RKSJ's, and under this module's
+    * JDK-CP932 construction the code→text table coincides too, so it is
+    * a table-sharing alias of [[rksj]] (the -V convention); what differs
+    * at Adobe is CID selection, which text extraction never reads. */
+  lazy val extRksj: PredefCmap = rksj.copy(name = "Ext-RKSJ-H")
+
   /** GBK-EUC-H (Adobe-GB1): simplified-Chinese GBK byte codes. */
   lazy val gbkEuc: PredefCmap = byteTable("GBK-EUC-H", () => gbk,
     Seq((1, 0x00L, 0x80L), (2, 0x8140L, 0xfefeL)))
@@ -220,6 +232,7 @@ private[graft] object PredefCmaps {
   def forName(name: String): Option[PredefCmap] = {
     val horizontal = baseName(name) match {
       case "90ms-RKSJ" => Some(rksj)
+      case "Ext-RKSJ" => Some(extRksj)
       case "UniJIS-UCS2" => Some(uniJisUcs2)
       case "UniJIS-UTF16" => Some(uniJisUtf16)
       case "GBK-EUC" => Some(gbkEuc)
@@ -259,13 +272,13 @@ private[graft] object PredefCmaps {
   /** [[encodeCodePoint]] for a BMP char. */
   def encodeChar(cmapName: String, ch: Char): (Int, Int) = {
     def charsetOf(n: String): Charset = baseName(n) match {
-      case "90ms-RKSJ" | "UniJIS-UCS2" | "UniJIS-UTF16" => cp932
+      case "90ms-RKSJ" | "Ext-RKSJ" | "UniJIS-UCS2" | "UniJIS-UTF16" => cp932
       case "GBK-EUC" | "UniGB-UCS2" | "UniGB-UTF16" => gbk
       case "KSCms-UHC" | "UniKS-UCS2" | "UniKS-UTF16" => uhc
       case other => throw new IllegalArgumentException(
         s"PredefCmaps: no built-in table for /$n " +
-          "(carried: 90ms-RKSJ, GBK-EUC, KSCms-UHC and the Uni*-UCS2 / " +
-          "Uni*-UTF16 trios, -H and -V forms)")
+          "(carried: 90ms-RKSJ, Ext-RKSJ, GBK-EUC, KSCms-UHC and the " +
+          "Uni*-UCS2 / Uni*-UTF16 trios, -H and -V forms)")
     }
     val cs = charsetOf(cmapName)
     if (cmapName.startsWith("Uni")) {

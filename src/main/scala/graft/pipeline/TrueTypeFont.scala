@@ -83,8 +83,22 @@ private[graft] object TrueTypeFont {
   }
 
   /** Parse one cmap subtable at `at` into charCode → glyphId (glyph 0 =
-    * .notdef entries dropped). */
-  private def subtable(r: Reader, at: Int, fontNum: Int): Map[Int, Int] = {
+    * .notdef entries dropped). Every read is bounds-checked against the
+    * cmap TABLE's end (`tableEnd`, ADVICE r16) — file-level bounds alone
+    * would let a malformed subset font silently decode adjacent tables'
+    * bytes as mappings. */
+  private def subtable(r: Reader, at: Int, tableEnd: Int,
+                       fontNum: Int): Map[Int, Int] = {
+    def chk(i: Int, w: Int): Int = {
+      require(i >= at && i + w <= tableEnd,
+        s"PdfCodec: font $fontNum: cmap subtable read at $i+$w outside the " +
+          s"cmap table (ends $tableEnd) — malformed subtable geometry")
+      i
+    }
+    def u8(i: Int): Int = r.u8(chk(i, 1))
+    def u16(i: Int): Int = r.u16(chk(i, 2))
+    def s16(i: Int): Int = r.s16(chk(i, 2))
+    def u32(i: Int): Long = r.u32(chk(i, 4))
     val out = Map.newBuilder[Int, Int]
     var n = 0
     def put(code: Int, gid: Int): Unit = if (gid != 0) {
@@ -93,21 +107,21 @@ private[graft] object TrueTypeFont {
         s"PdfCodec: font $fontNum: cmap subtable exceeds $MaxMapEntries mappings")
       out += code -> gid
     }
-    r.u16(at) match {
+    u16(at) match {
       case 0 => // byte encoding table: 256 glyph bytes
-        for (c <- 0 until 256) put(c, r.u8(at + 6 + c))
+        for (c <- 0 until 256) put(c, u8(at + 6 + c))
       case 4 => // segment mapping to delta values (BMP)
-        val segCount = r.u16(at + 6) / 2
+        val segCount = u16(at + 6) / 2
         require(segCount > 0, s"PdfCodec: font $fontNum: cmap format 4 with 0 segments")
         val endAt = at + 14
         val startAt = endAt + 2 * segCount + 2 // +2: reservedPad
         val deltaAt = startAt + 2 * segCount
         val rangeAt = deltaAt + 2 * segCount
         for (s <- 0 until segCount) {
-          val end = r.u16(endAt + 2 * s)
-          val start = r.u16(startAt + 2 * s)
-          val delta = r.s16(deltaAt + 2 * s)
-          val rangeOff = r.u16(rangeAt + 2 * s)
+          val end = u16(endAt + 2 * s)
+          val start = u16(startAt + 2 * s)
+          val delta = s16(deltaAt + 2 * s)
+          val rangeOff = u16(rangeAt + 2 * s)
           require(start <= end,
             s"PdfCodec: font $fontNum: cmap format 4 segment $s start $start > end $end")
           var c = start
@@ -116,7 +130,7 @@ private[graft] object TrueTypeFont {
               val gid =
                 if (rangeOff == 0) (c + delta) & 0xffff
                 else {
-                  val g = r.u16(rangeAt + 2 * s + rangeOff + 2 * (c - start))
+                  val g = u16(rangeAt + 2 * s + rangeOff + 2 * (c - start))
                   if (g == 0) 0 else (g + delta) & 0xffff
                 }
               put(c, gid)
@@ -125,18 +139,18 @@ private[graft] object TrueTypeFont {
           }
         }
       case 6 => // trimmed table mapping
-        val first = r.u16(at + 6)
-        val count = r.u16(at + 8)
-        for (i <- 0 until count) put(first + i, r.u16(at + 10 + 2 * i))
+        val first = u16(at + 6)
+        val count = u16(at + 8)
+        for (i <- 0 until count) put(first + i, u16(at + 10 + 2 * i))
       case 12 => // segmented coverage (full Unicode repertoire)
-        val nGroups = r.u32(at + 12)
+        val nGroups = u32(at + 12)
         require(nGroups <= MaxMapEntries,
           s"PdfCodec: font $fontNum: cmap format 12 declares $nGroups groups")
         for (g <- 0 until nGroups.toInt) {
           val o = at + 16 + 12 * g
-          val start = r.u32(o)
-          val end = r.u32(o + 4)
-          val gid0 = r.u32(o + 8)
+          val start = u32(o)
+          val end = u32(o + 4)
+          val gid0 = u32(o + 8)
           require(start <= end && end <= 0x10ffffL,
             s"PdfCodec: font $fontNum: cmap format 12 group $g range " +
               s"[$start,$end] invalid")
@@ -178,6 +192,7 @@ private[graft] object TrueTypeFont {
     val r = new Reader(font, fontNum)
     val dir = directory(r, fontNum)
     val recs = cmapRecords(r, dir, fontNum)
+    val cmapEnd = dir("cmap") match { case (off, len) => off + len }
     val symAt = recs.collectFirst { case (3, 0, at) => at }.getOrElse(
       throw new IllegalArgumentException(
         s"PdfCodec: font $fontNum: no (3,0) Microsoft Symbol cmap subtable — " +
@@ -188,8 +203,8 @@ private[graft] object TrueTypeFont {
       .getOrElse(throw new IllegalArgumentException(
         s"PdfCodec: font $fontNum: symbol-only cmap — no Unicode-platform " +
           "subtable ((3,1), (3,10) or (0,*)) to recover text through"))
-    val sym = subtable(r, symAt, fontNum)
-    val uni = subtable(r, uniAt, fontNum)
+    val sym = subtable(r, symAt, cmapEnd, fontNum)
+    val uni = subtable(r, uniAt, cmapEnd, fontNum)
     // invert glyph→Unicode: smallest code point wins (deterministic)
     val inv = uni.toSeq.groupBy(_._2).map { case (gid, hits) =>
       gid -> hits.map(_._1).min

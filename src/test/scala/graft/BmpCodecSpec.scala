@@ -61,10 +61,11 @@ class BmpCodecSpec extends AnyFunSuite with SparkSpec {
     val b16 = good.clone(); b16(28) = 16
     assert(intercept[IllegalArgumentException](BmpCodec.decode(b16))
       .getMessage.contains("16 bits"))
-    // RLE8 rejects
+    // RLE8 became REAL support in round 17 (8-bit only): a 24-bit file
+    // relabeled BI_RLE8 fails on the depth pairing guard
     val rle = good.clone(); rle(30) = 1
     assert(intercept[IllegalArgumentException](BmpCodec.decode(rle))
-      .getMessage.contains("compression 1"))
+      .getMessage.contains("BI_RLE8 with 24"))
     // truncated pixel data
     assert(intercept[IllegalArgumentException](
       BmpCodec.decode(good.take(good.length - 4)))
@@ -79,6 +80,72 @@ class BmpCodecSpec extends AnyFunSuite with SparkSpec {
     // encoder guards
     assert(intercept[IllegalArgumentException](
       BmpCodec.encode(2, 1, Array[Byte](0, 7), pal)).getMessage.contains("palette"))
+  }
+
+  test("BI_RLE8: encoded runs round trip; absolute/delta/EOL semantics hand-checked") {
+    val pal = Array.tabulate(256 * 3)(i => (i * 7 + 3).toByte)
+    // runs, repeats and singletons across several row widths
+    for ((w, h) <- Seq((7, 5), (16, 4), (33, 9))) {
+      val idx = Array.tabulate(w * h)(i => ((i / 3) * 11 % 250).toByte)
+      val enc = BmpCodec.encode(w, h, idx, pal, rle8 = true)
+      val img = BmpCodec.decode(enc)
+      val plain = BmpCodec.decode(BmpCodec.encode(w, h, idx, pal))
+      assert(img.pixels.toSeq == plain.pixels.toSeq, s"$w x $h")
+    }
+    // hand-built stream over a WIDTH x 2 bitmap (bottom-up; storage row
+    // 0 = logical bottom); absolute mode needs count >= 3 (1-2 are the
+    // EOB/delta escapes)
+    def handRle(width: Int, stream: Seq[Int]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def w8(v: Int): Unit = out.write(v & 0xff)
+      def w16(v: Int): Unit = { w8(v); w8(v >> 8) }
+      def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >>> 16) & 0xffff) }
+      val dataOffset = 54 + 4 * 256
+      w8('B'); w8('M'); w32(dataOffset + stream.length); w32(0); w32(dataOffset)
+      w32(40); w32(width); w32(2); w16(1); w16(8); w32(1); w32(stream.length)
+      w32(2835); w32(2835); w32(256); w32(0)
+      (0 until 256).foreach { k =>
+        w8(pal(3 * k + 2) & 0xff); w8(pal(3 * k + 1) & 0xff)
+        w8(pal(3 * k) & 0xff); w8(0)
+      }
+      stream.foreach(w8)
+      out.toByteArray
+    }
+    // 6x2: storage row 0 = run(2,5), absolute(3: 6,7,8) + zero pad,
+    // run(1,4), EOL; storage row 1 = run(1,8), delta(2,0) skipping two
+    // cells, run(2,9), run(1,10), EOB
+    val img = BmpCodec.decode(handRle(6, Seq(
+      2, 5, 0, 3, 6, 7, 8, 0, 1, 4, 0, 0,
+      1, 8, 0, 2, 2, 0, 2, 9, 1, 10, 0, 1)))
+    def at(x: Int, yLogical: Int) = img.pixels(3 * (yLogical * 6 + x)) & 0xff
+    def palR(i: Int) = pal(3 * i) & 0xff
+    // logical TOP row = storage row 1
+    assert(at(0, 0) == palR(8) && at(1, 0) == palR(0) && at(2, 0) == palR(0),
+      "delta-skipped cells take index 0")
+    assert(at(3, 0) == palR(9) && at(4, 0) == palR(9) && at(5, 0) == palR(10))
+    // logical BOTTOM row = storage row 0 (run + absolute + run)
+    assert(at(0, 1) == palR(5) && at(1, 1) == palR(5) && at(2, 1) == palR(6) &&
+      at(3, 1) == palR(7) && at(4, 1) == palR(8) && at(5, 1) == palR(4))
+    // fail-loud: run crossing the scan line, truncation, trailing bytes,
+    // nonzero pad, RLE4 still rejects
+    assert(intercept[IllegalArgumentException](BmpCodec.decode(handRle(4,
+      Seq(5, 1, 0, 1)))).getMessage.contains("crosses"))
+    assert(intercept[IllegalArgumentException](BmpCodec.decode(handRle(4,
+      Seq(2, 5, 0)))).getMessage.contains("truncated"))
+    assert(intercept[IllegalArgumentException](BmpCodec.decode(handRle(4,
+      Seq(4, 5, 0, 0, 4, 6, 0, 1, 0, 0)))).getMessage.contains("after the RLE8"))
+    assert(intercept[IllegalArgumentException](BmpCodec.decode(handRle(4,
+      Seq(0, 3, 5, 6, 7, 9, 0, 1)))).getMessage.contains("pad byte"))
+    val rle4 = handRle(4, Seq(4, 5, 0, 0, 4, 6, 0, 1))
+    rle4(30) = 2 // compression 1 → 2 (BI_RLE4)
+    assert(intercept[IllegalArgumentException](BmpCodec.decode(rle4))
+      .getMessage.contains("compression 2"))
+    // RLE8 + top-down is invalid per spec
+    val td = handRle(4, Seq(4, 5, 0, 0, 4, 6, 0, 1))
+    // height 2 → -2 (two's complement LE at offset 22)
+    td(22) = 0xfe.toByte; td(23) = 0xff.toByte; td(24) = 0xff.toByte; td(25) = 0xff.toByte
+    assert(intercept[IllegalArgumentException](BmpCodec.decode(td))
+      .getMessage.contains("top-down"))
   }
 
   test("format-agnostic dispatch: tiles and resize accept BMP rows") {

@@ -112,7 +112,7 @@ class GifCodecSpec extends AnyFunSuite with SparkSpec {
       GifCodec.encode(1, 1, pal, Array[Byte](5))).getMessage.contains("palette"))
   }
 
-  test("animated frames(): compositing over disposal 1/2, transparency, fail-loud on 3") {
+  test("animated frames(): compositing over disposal 1/2, transparency, reserved disposal loud") {
     // 2x2 screen, 4-color palette; background index 0 = (10,20,30)
     val pal = Array[Byte](10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120)
     def rgb(i: Int) = Seq(pal(3 * i), pal(3 * i + 1), pal(3 * i + 2))
@@ -139,12 +139,23 @@ class GifCodecSpec extends AnyFunSuite with SparkSpec {
     // decode() keeps its still-image contract on the same bytes
     assert(intercept[IllegalArgumentException](GifCodec.decode(anim))
       .getMessage.contains("animated"))
-    // disposal 3 (restore-previous) fails loud in both paths
+    // disposal 3 (restore-previous, round 17): flip frame 0's disposal
+    // to 3 — its own snapshot is unchanged, but the canvas returns to
+    // the PRE-FRAME state (background), so frame 1's transparent hole
+    // now shows the background instead of frame 0's pixel
     val d3 = anim.clone()
     val gce1 = anim.indexWhere(_ == 0x21.toByte)
-    d3(gce1 + 3) = (d3(gce1 + 3) | (3 << 2)).toByte
-    assert(intercept[IllegalArgumentException](GifCodec.frames(d3))
-      .getMessage.contains("disposal"))
+    d3(gce1 + 3) = ((d3(gce1 + 3) & ~0x1c) | (3 << 2)).toByte
+    val fs3 = GifCodec.frames(d3)
+    assert(fs3(0).pixels.toSeq == fs(0).pixels.toSeq,
+      "disposal 3 must not change the frame's own snapshot")
+    assert(fs3(1).pixels.toSeq == (rgb(0) ++ rgb(3) ++ rgb(3) ++ rgb(3)),
+      "after restore-to-previous the hole must show the background")
+    // reserved disposal values (4-7) fail loud
+    val d4 = anim.clone()
+    d4(gce1 + 3) = ((d4(gce1 + 3) & ~0x1c) | (4 << 2)).toByte
+    assert(intercept[IllegalArgumentException](GifCodec.frames(d4))
+      .getMessage.contains("reserved"))
     // …but a STILL image with a stray disposal-3 GCE keeps decoding:
     // disposal only means anything to the compositing path
     val still = GifCodec.encode(2, 2, pal, Array[Byte](1, 2, 3, 0),
@@ -157,9 +168,40 @@ class GifCodecSpec extends AnyFunSuite with SparkSpec {
     val one = GifCodec.encode(2, 2, pal, Array[Byte](1, 2, 3, 0))
     assert(GifCodec.frames(one).head.pixels.toSeq ==
       (rgb(1) ++ rgb(2) ++ rgb(3) ++ rgb(0)))
-    // encoder guards
+    // encoder guards: reserved disposal values reject
     assert(intercept[IllegalArgumentException](GifCodec.encodeAnim(2, 2, pal,
-      Seq((Array[Byte](1, 1, 2, 2), None, 3)))).getMessage.contains("disposal"))
+      Seq((Array[Byte](1, 1, 2, 2), None, 4)))).getMessage.contains("disposal"))
+  }
+
+  test("disposal-3 matrix: restore-to-previous over patches, nesting with 1 and 2") {
+    // 4x4 screen. Frame 0 full index-1 (keep). Frame 1: 2x2 patch of 2
+    // at (1,1), DISPOSAL 3 — visible in its own snapshot only. Frame 2:
+    // 1x1 patch of 3 at (0,0), keep — frame 1's patch must be GONE
+    // under it. Frame 3: 2x2 patch of 3 at (1,1) with disposal 2 —
+    // after it the rect goes to BACKGROUND, not to the pre-frame state.
+    // Frame 4: empty-change patch showing the post-disposal-2 canvas.
+    val pal = Array[Byte](10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120)
+    def rgb(i: Int) = Seq(pal(3 * i), pal(3 * i + 1), pal(3 * i + 2))
+    import graft.multimodal.GifCodec.AnimFrame
+    val anim = GifCodec.encodeAnimFrames(4, 4, pal, Seq(
+      AnimFrame(0, 0, 4, 4, Array.fill[Byte](16)(1), None, 1),
+      AnimFrame(1, 1, 2, 2, Array[Byte](2, 2, 2, 2), None, 3),
+      AnimFrame(0, 0, 1, 1, Array[Byte](3), None, 1),
+      AnimFrame(1, 1, 2, 2, Array[Byte](3, 3, 3, 3), None, 2),
+      AnimFrame(0, 0, 1, 1, Array[Byte](0), Some(0), 1)))
+    val fs = GifCodec.frames(anim)
+    def px(img: graft.multimodal.PngCodec.PngImage, x: Int, y: Int) =
+      Seq(img.pixels(3 * (y * 4 + x)), img.pixels(3 * (y * 4 + x) + 1),
+        img.pixels(3 * (y * 4 + x) + 2))
+    assert(px(fs(1), 1, 1) == rgb(2) && px(fs(1), 2, 2) == rgb(2),
+      "the disposal-3 frame shows its own pixels")
+    assert(px(fs(2), 1, 1) == rgb(1) && px(fs(2), 2, 2) == rgb(1),
+      "restore-to-previous must erase the patch for the NEXT frame")
+    assert(px(fs(2), 0, 0) == rgb(3))
+    assert(px(fs(3), 1, 1) == rgb(3), "frame 3 paints over the restored canvas")
+    assert(px(fs(4), 1, 1) == rgb(0) && px(fs(4), 2, 2) == rgb(0),
+      "disposal 2 after a disposal-3 frame restores to BACKGROUND")
+    assert(px(fs(4), 0, 0) == rgb(3), "pixels outside the rects persist")
   }
 
   test("PATCH frames: sub-rect compositing, rect-scoped disposal 2, still-decode stays strict") {

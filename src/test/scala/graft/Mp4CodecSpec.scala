@@ -108,10 +108,26 @@ class Mp4CodecSpec extends AnyFunSuite with SparkSpec {
     assert(intercept[IllegalArgumentException](
       Mp4Codec.videoFrames("RIFFxxxxAVI ".getBytes("US-ASCII")))
       .getMessage.contains("ftyp"))
-    // fragmented: a top-level moof box
-    val fragged = mp4 ++ box("moof", Array.empty[Byte])
-    assert(intercept[IllegalArgumentException](Mp4Codec.videoFrames(fragged))
-      .getMessage.contains("fragmented"))
+    // mvex in moov with NO moof fragments: no addressable samples → loud
+    val s0 = new String(mp4, "ISO-8859-1")
+    val moovAt0 = s0.indexOf("moov") - 4
+    val mvex = box("mvex", box("trex", bytesOf { b =>
+      be32(b, 0); be32(b, 1); be32(b, 1); be32(b, 0); be32(b, 0); be32(b, 0)
+    }))
+    val withMvex = {
+      val moovLen = ((mp4(moovAt0) & 0xff) << 24) | ((mp4(moovAt0 + 1) & 0xff) << 16) |
+        ((mp4(moovAt0 + 2) & 0xff) << 8) | (mp4(moovAt0 + 3) & 0xff)
+      val grown = mp4.take(moovAt0) ++ mp4.slice(moovAt0, moovAt0 + moovLen) ++
+        mvex ++ mp4.drop(moovAt0 + moovLen)
+      val nl = moovLen + mvex.length
+      grown(moovAt0) = ((nl >> 24) & 0xff).toByte
+      grown(moovAt0 + 1) = ((nl >> 16) & 0xff).toByte
+      grown(moovAt0 + 2) = ((nl >> 8) & 0xff).toByte
+      grown(moovAt0 + 3) = (nl & 0xff).toByte
+      grown
+    }
+    assert(intercept[IllegalArgumentException](Mp4Codec.videoFrames(withMvex))
+      .getMessage.contains("no moof"))
     // foreign codec: patch the sample-entry fourcc to avc1
     val s = new String(mp4, "ISO-8859-1")
     val avc = s.replaceFirst("jpeg", "avc1").getBytes("ISO-8859-1")
@@ -140,6 +156,50 @@ class Mp4CodecSpec extends AnyFunSuite with SparkSpec {
     val noVid = s.replaceFirst("vide", "soun").getBytes("ISO-8859-1")
     assert(intercept[IllegalArgumentException](Mp4Codec.videoFrames(noVid))
       .getMessage.contains("vide"))
+  }
+
+  test("FRAGMENTED MP4: moof/tfhd/trun walk round trips; addressing + truncation fail loud") {
+    val fs = (1 to 5).map(frame)
+    // 1, 2 and 5 frames per fragment (multi-fragment and multi-sample-
+    // per-trun shapes) must all recover the same payload bytes
+    for (fpf <- Seq(1, 2, 5)) {
+      val frag = Mp4Codec.encode(fs, 16, 8, framesPerFragment = fpf)
+      val got = Mp4Codec.videoFrames(frag)
+      assert(got.length == 5, s"fpf=$fpf")
+      got.zip(fs).foreach { case (g, e) => assert(g.toSeq == e.toSeq, s"fpf=$fpf") }
+    }
+    // container invariance: fragmented and progressive twins agree
+    val prog = Mp4Codec.videoFrames(Mp4Codec.encode(fs, 16, 8))
+    val frag = Mp4Codec.videoFrames(Mp4Codec.encode(fs, 16, 8, framesPerFragment = 2))
+    prog.zip(frag).foreach { case (p, f) => assert(p.toSeq == f.toSeq) }
+
+    val bytes = Mp4Codec.encode(fs, 16, 8, framesPerFragment = 2)
+    val s = new String(bytes, "ISO-8859-1")
+    // tfhd with NEITHER base-data-offset NOR default-base-is-moof:
+    // clear the flags word of the first tfhd
+    val tfhdAt = s.indexOf("tfhd") + 4
+    val noBase = bytes.clone()
+    noBase(tfhdAt + 3) = 0 // flags 0x020000 → 0
+    assert(intercept[IllegalArgumentException] {
+      // patching the flag removes 0x020000; payload shrinks by nothing
+      noBase(tfhdAt + 1) = 0
+      Mp4Codec.videoFrames(noBase)
+    }.getMessage.contains("default-base-is-moof"))
+    // trun sample-size table truncated: claim one more sample
+    val trunAt = s.indexOf("trun") + 4
+    val more = bytes.clone()
+    more(trunAt + 7) = 3 // sample_count 2 → 3
+    assert(intercept[IllegalArgumentException](Mp4Codec.videoFrames(more))
+      .getMessage.contains("table bytes"))
+    // a trun slice running past EOF: point the data offset past the end
+    val bad = bytes.clone()
+    bad(trunAt + 8) = 0x7f.toByte // huge positive data_offset
+    assert(intercept[IllegalArgumentException](Mp4Codec.videoFrames(bad))
+      .getMessage.contains("EOF"))
+    // a PROGRESSIVE file with a stray EMPTY moof still decodes its stbl
+    // samples (hybrids are legal; an empty fragment adds nothing)
+    val hybrid = Mp4Codec.encode(fs, 16, 8) ++ box("moof", Array.empty[Byte])
+    assert(Mp4Codec.videoFrames(hybrid).length == 5)
   }
 
   test("synthesizeMp4s → decodeFrameTiles equals the bare-MJPEG pipeline (container invariance)") {

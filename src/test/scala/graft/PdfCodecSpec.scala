@@ -787,10 +787,18 @@ class PdfCodecSpec extends SparkSpec {
       "カタカナ and ｶﾀｶﾅ halfwidth",   // halfwidth katakana = RKSJ 1-byte A1-DF
       "pure ascii page",
       "亜江意尾宇 jis level one")
-    for (cmap <- Seq("90ms-RKSJ-H", "UniJIS-UCS2-H"); compress <- Seq(true, false)) {
+    // Ext-RKSJ-H (round 17): the other common Japanese registration —
+    // identical codespaces, table-shared with 90ms under the JDK
+    // construction, so the same corpus must round-trip under both names
+    for (cmap <- Seq("90ms-RKSJ-H", "Ext-RKSJ-H", "UniJIS-UCS2-H");
+         compress <- Seq(true, false)) {
       val pdf = PdfCodec.encodeCmapPredefPdf(pages, cmap, compress)
       assert(PdfCodec.extractText(pdf) == pages, s"$cmap compress=$compress")
     }
+    import graft.pipeline.PredefCmaps
+    assert(PredefCmaps.orderingOf("Ext-RKSJ-H") == ("Japan1", 2))
+    assert(PredefCmaps.forName("Ext-RKSJ-V").exists(_.vertical),
+      "the -V vertical alias rides the same table")
     // the Chinese and Korean locale tables (round 15): GBK bytes and
     // Unified Hangul Code bytes round-trip through their own codespaces
     val zh = Seq("中文数据检索 mixed with ascii", "简体字 page two")

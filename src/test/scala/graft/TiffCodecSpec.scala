@@ -228,6 +228,59 @@ class TiffCodecSpec extends AnyFunSuite with SparkSpec {
     intercept[IllegalArgumentException](TiffCodec.decode(trunc))
   }
 
+  test("Deflate (compression 8 / 32946): round trips, predictor 2, strict accounting") {
+    // both tags, both byte orders, predictor on/off, multi-strip — every
+    // combination must decode to the identical pixel buffer
+    for ((w, h, ch) <- Seq((50, 20, 1), (120, 40, 3))) {
+      val px = Array.tabulate(w * h * ch)(i => ((i * 31 + (i / 7) * 17) % 256).toByte)
+      for (be <- Seq(false, true); pred <- Seq(false, true); old <- Seq(false, true)) {
+        val enc = TiffCodec.encode(w, h, ch, px, bigEndian = be,
+          rowsPerStrip = 13, deflate = true, predictor2 = pred,
+          oldDeflateTag = old)
+        val img = TiffCodec.decode(enc)
+        assert(img.pixels.toSeq == px.toSeq,
+          s"$w x $h x $ch be=$be pred=$pred oldTag=$old")
+      }
+    }
+    // deflate output must be byte-identical to the uncompressed and LZW
+    // twins (compression invariance at the decode surface)
+    val px = Array.tabulate(96)(i => (i * 7).toByte)
+    val plain = TiffCodec.decode(TiffCodec.encode(12, 8, 1, px))
+    val defl = TiffCodec.decode(TiffCodec.encode(12, 8, 1, px, deflate = true))
+    assert(plain.pixels.toSeq == defl.pixels.toSeq)
+
+    // IFD-aware tag patch: a raw byte scan could false-match tag-id
+    // byte pairs INSIDE the zlib stream (e.g. the 78 01 01 header of a
+    // BEST_SPEED stored block spells tag 257)
+    def patchTag(b: Array[Byte], id: Int, v: Int): Array[Byte] = {
+      val c = b.clone()
+      val ifdAt = (c(4) & 0xff) | ((c(5) & 0xff) << 8) |
+        ((c(6) & 0xff) << 16) | ((c(7) & 0xff) << 24)
+      val n = (c(ifdAt) & 0xff) | ((c(ifdAt + 1) & 0xff) << 8)
+      val entry = (0 until n).map(k => ifdAt + 2 + 12 * k).find { o =>
+        ((c(o) & 0xff) | ((c(o + 1) & 0xff) << 8)) == id
+      }.getOrElse(fail(s"tag $id not in IFD"))
+      c(entry + 8) = v.toByte; c
+    }
+    // truncated zlib stream: shrink the strip byte count
+    val good = TiffCodec.encode(6, 4, 1, Array.tabulate(24)(_.toByte), deflate = true)
+    val trunc = patchTag(good, 279, 3)
+    assert(intercept[IllegalArgumentException](TiffCodec.decode(trunc))
+      .getMessage.toLowerCase.contains("deflate"), "truncated stream must reject")
+    // a stream holding MORE pixels than the geometry: encode 2 rows'
+    // worth but declare height 1 via the tag — silent drop forbidden
+    val two = TiffCodec.encode(6, 2, 1, Array.tabulate(12)(_.toByte), deflate = true)
+    val lied = patchTag(patchTag(two, 257, 1), 278, 1)
+    assert(intercept[IllegalArgumentException](TiffCodec.decode(lied))
+      .getMessage.contains("more than"), "over-long stream must reject")
+    // predictor 2 under Deflate is legal; under compression 1 it rejects
+    val predDefl = TiffCodec.encode(6, 4, 1, Array.tabulate(24)(_.toByte),
+      deflate = true, predictor2 = true)
+    val pNoC = patchTag(predDefl, 259, 1)
+    assert(intercept[IllegalArgumentException](TiffCodec.decode(pNoC))
+      .getMessage.contains("predictor 2"))
+  }
+
   test("format-agnostic dispatch: tiles and resize accept TIFF rows") {
     import spark.implicits._
     val tiff = TiffCodec.encode(8, 8, 3,

@@ -183,7 +183,7 @@ class TrueTypeFontSpec extends AnyFunSuite {
     val noProg = pdf.replaceFirst("""/FontFile2 \d+ 0 R """, "")
     val eNo = intercept[IllegalArgumentException](
       PdfCodec.extractText(noProg.getBytes("ISO-8859-1")))
-    assert(eNo.getMessage.contains("no embedded /FontFile2"), eNo.getMessage)
+    assert(eNo.getMessage.contains("no embedded /FontFile"), eNo.getMessage)
     // splice a /ToUnicode that maps the codes to UPPERCASE: the author's
     // explicit map must win over the glyph-program derivation (§9.10.3)
     // ('a'→0x20, 'b'→0x21, 'c'→0x22, ' '→0x23 by first appearance)

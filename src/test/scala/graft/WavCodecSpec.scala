@@ -65,18 +65,19 @@ class WavCodecSpec extends AnyFunSuite with SparkSpec {
     val unk = good.clone(); unk(20) = 0x55
     assert(intercept[IllegalArgumentException](WavCodec.decode(unk))
       .getMessage.contains("format 85"))
-    // extensible
+    // extensible became REAL support in round 17: a 16-byte fmt chunk
+    // relabeled 0xFFFE fails on the extension's own size guard
     val ext = good.clone(); ext(20) = 0xfe.toByte; ext(21) = 0xff.toByte
     assert(intercept[IllegalArgumentException](WavCodec.decode(ext))
-      .getMessage.contains("unsupported"))
+      .getMessage.contains("want >= 40"))
     // block align contradicting channels x depth
     val ba = good.clone(); ba(32) = 3
     assert(intercept[IllegalArgumentException](WavCodec.decode(ba))
       .getMessage.contains("block align"))
-    // 24-bit depth rejects
-    val b24 = good.clone(); b24(34) = 24; b24(32) = 6; // keep align consistent
-    val e24 = intercept[IllegalArgumentException](WavCodec.decode(b24))
-    assert(e24.getMessage.contains("24 bits"), e24.getMessage)
+    // 24-bit became REAL support in round 17 — an odd depth still rejects
+    val b20 = good.clone(); b20(34) = 20
+    val e20 = intercept[IllegalArgumentException](WavCodec.decode(b20))
+    assert(e20.getMessage.contains("20 bits"), e20.getMessage)
     // data not whole frames: shrink data chunk len by 1 (and riff size)
     val part = good.clone()
     part(40) = (part(40) - 1).toByte // data len LSB (44-byte header: len at 40)
@@ -352,6 +353,71 @@ class WavCodecSpec extends AnyFunSuite with SparkSpec {
       .getMessage.contains("32 only"))
     // the written file carries the spec's non-PCM shape (cbSize + fact)
     assert(new String(stereo, "ISO-8859-1").contains("fact"))
+  }
+
+  test("WAVE_FORMAT_EXTENSIBLE + 24-bit PCM: wrapper + depth round trips, fail-loud") {
+    val rnd = new scala.util.Random(17)
+    // 24-bit samples at native scale, extensible and plain containers
+    for (ch <- Seq(1, 2); ext <- Seq(false, true)) {
+      val samples = Array.fill(23 * ch)(rnd.nextInt(1 << 24) - (1 << 23))
+      val a = WavCodec.decode(WavCodec.encode(48000, ch, 24, samples,
+        extensible = ext))
+      assert(a.bitsPerSample == 24 && a.channels == ch && a.format == 1,
+        s"ch=$ch ext=$ext")
+      assert(a.samples.toSeq == samples.toSeq, s"ch=$ch ext=$ext")
+    }
+    // the wrapper is results-invisible at 16-bit too
+    val s16 = Array(100, -200, 32767, -32768)
+    assert(WavCodec.decode(WavCodec.encode(8000, 2, 16, s16, extensible = true))
+      .samples.toSeq == s16.toSeq)
+    val ext = WavCodec.encode(8000, 1, 24, Array(1, -1, 8388607, -8388608),
+      extensible = true)
+    // GUID tail corruption fails loud (not a KSDATAFORMAT subtype)
+    val badGuid = ext.clone()
+    badGuid(20 + 26 + 5) = 0x77.toByte // a tail byte inside the GUID
+    assert(intercept[IllegalArgumentException](WavCodec.decode(badGuid))
+      .getMessage.contains("KSDATAFORMAT"))
+    // unsupported SubFormat (e.g. 6 = A-law under extensible) fails loud
+    val badSub = ext.clone()
+    badSub(20 + 24) = 6
+    assert(intercept[IllegalArgumentException](WavCodec.decode(badSub))
+      .getMessage.contains("SubFormat"))
+    // padded container (wValidBitsPerSample < container bits) fails loud
+    val padded = ext.clone()
+    padded(20 + 18) = 20 // valid bits 24 → 20
+    assert(intercept[IllegalArgumentException](WavCodec.decode(padded))
+      .getMessage.contains("wValidBitsPerSample"))
+    // 24-bit under a non-PCM format fails loud: relabel a plain 24-bit
+    // file's format tag as mu-law — the depth guard names the limit
+    val plain24 = WavCodec.encode(8000, 1, 24, Array(5, -5))
+    val mulaw24 = plain24.clone()
+    mulaw24(20) = 7
+    assert(intercept[IllegalArgumentException](WavCodec.decode(mulaw24))
+      .getMessage.contains("24 bits/sample unsupported"))
+    // encoder range pin
+    intercept[IllegalArgumentException](
+      WavCodec.encode(8000, 1, 24, Array(1 << 23)))
+  }
+
+  test("ADPCM byte-rate tolerance: ±1 byte/s rounding accepted, larger drift rejects") {
+    // a conforming encoder that rounded nAvgBytesPerSec UP must decode;
+    // patch the byteRate field of a valid IMA ADPCM file by +1 / +2
+    val block = (Array(100), Array(3), Array.tabulate(4)(i => (i * 17).toByte))
+    val wav = WavCodec.encodeAdpcm(8000, 1, 8, Seq(block))
+    def withByteRate(delta: Int): Array[Byte] = {
+      val c = wav.clone()
+      val at = 28 // fmt payload starts at 20; byteRate at +8
+      val cur = (c(at) & 0xff) | ((c(at + 1) & 0xff) << 8) |
+        ((c(at + 2) & 0xff) << 16) | ((c(at + 3) & 0xff) << 24)
+      val v = cur + delta
+      c(at) = v.toByte; c(at + 1) = (v >> 8).toByte
+      c(at + 2) = (v >> 16).toByte; c(at + 3) = (v >> 24).toByte
+      c
+    }
+    WavCodec.decode(withByteRate(1)) // rounding-up encoder: accepted
+    WavCodec.decode(withByteRate(-1))
+    assert(intercept[IllegalArgumentException](WavCodec.decode(withByteRate(2)))
+      .getMessage.contains("byte rate"), "drift beyond rounding must reject")
   }
 
   test("decodeWavSegments: hand-computed energy and zero crossings on a tiny stream") {
