@@ -2069,6 +2069,55 @@ object QueriesExtra {
              |  CAST(SUM((i + 1) * v) AS BIGINT) AS weighted_sum
              |FROM b GROUP BY doc_id, w, h, ch ORDER BY doc_id""".stripMargin)),
 
+    // TILED TIFF (round 17 — the §15 layout modern scanners and GIS
+    // exporters default to): the SAME pixel corpus as q_image_tiff in
+    // 16x16 tiles — the small geometries force zero-padded edge tiles
+    // on both axes — under mixed none/LZW/Deflate compression and
+    // predictor 2; the oracle is q_image_tiff's VERBATIM, so the tile
+    // grid walk, edge cropping, and per-tile predictor must all be
+    // results-invisible (the layout-invariance convention).
+    "q_image_tiff_tiled" -> QueryDef(
+      (s, d) => BinaryPipeline.decodeTiffs(
+          BinaryPipeline.synthesizeTiledTiffs(Tables.documents(s, d)))
+        .orderBy(col("doc_id")),
+      Some("""WITH p AS (SELECT doc_id, 9 + doc_id % 13 AS w, 7 + doc_id % 11 AS h,
+             |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS ch FROM documents),
+             |b AS (SELECT doc_id, w, h, ch, i, (doc_id*37 + i*11) % 256 AS v
+             |  FROM p, unnest(range(0, w*h*ch)) t(i))
+             |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             |  CAST(ch AS BIGINT) AS channels,
+             |  CAST(SUM(CASE WHEN i % ch = 0 THEN v END) AS BIGINT) AS r_sum,
+             |  CAST(coalesce(SUM(CASE WHEN ch = 3 AND i % ch = 1 THEN v END), 0) AS BIGINT) AS g_sum,
+             |  CAST(coalesce(SUM(CASE WHEN ch = 3 AND i % ch = 2 THEN v END), 0) AS BIGINT) AS b_sum,
+             |  CAST(SUM((i + 1) * v) AS BIGINT) AS weighted_sum
+             |FROM b GROUP BY doc_id, w, h, ch ORDER BY doc_id""".stripMargin)),
+
+    // BILEVEL (1-bit) TIFF (round 17 — the fax/document-scan sample
+    // format; tag 258's DEFAULT is 1, so wild bilevel files often omit
+    // it): MSB-first bits with byte-padded rows, expanded to the 8-bit
+    // BlackIsZero buffer; the corpus mixes striped and 16x16-TILED
+    // layouts, WhiteIsZero (the fax default) and BlackIsZero
+    // photometrics, and none/PackBits/Deflate compression — the oracle
+    // replays the bit formula byte-blind, so a bit-order slip, a
+    // photometric inversion miss, or a padding-bit leak breaks the
+    // position-weighted hash.
+    "q_image_tiff_bilevel" -> QueryDef(
+      (s, d) => BinaryPipeline.decodeTiffs(
+          BinaryPipeline.synthesizeBilevelTiffs(Tables.documents(s, d)))
+        .orderBy(col("doc_id")),
+      Some("""WITH p AS (SELECT doc_id, 17 + doc_id % 16 AS w, 13 + doc_id % 12 AS h
+             |  FROM documents),
+             |b AS (SELECT doc_id, w, h, i,
+             |    CASE WHEN (doc_id*37 + (i % w)*7 + (i // w)*13) % 5 < 2
+             |      THEN 255 ELSE 0 END AS v
+             |  FROM p, unnest(range(0, w*h)) t(i))
+             |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             |  CAST(1 AS BIGINT) AS channels,
+             |  CAST(SUM(v) AS BIGINT) AS r_sum,
+             |  CAST(0 AS BIGINT) AS g_sum, CAST(0 AS BIGINT) AS b_sum,
+             |  CAST(SUM((i + 1) * v) AS BIGINT) AS weighted_sum
+             |FROM b GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin)),
+
     // REAL BMP decode (round 16 extra — the fifth raster leg; BMPs are
     // ubiquitous in older crawls): 8-bit paletted, 24-bit bottom-up and
     // 24-bit TOP-DOWN files in one corpus. The decoded buffer is always

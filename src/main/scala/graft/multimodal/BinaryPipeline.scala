@@ -595,6 +595,89 @@ object BinaryPipeline {
     }(enc)
   }
 
+  /** TILED-layout corpus (round 17): the SAME pixel corpus as
+    * [[synthesizeTiffs]] in the §15 tile layout (16x16 tiles — the
+    * small geometries force edge tiles on both axes and 2x2 grids on
+    * the larger ids), under mixed compressions (none/LZW/Deflate),
+    * predictor 2 on compressed odd ids, both byte orders. Decoded
+    * results must be byte-identical to the striped corpus. */
+  def synthesizeTiledTiffs(docs: DataFrame, idCol: String = "doc_id",
+                           batchSize: Int = 16): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false),
+      StructField("meta", StructType(Seq(
+        StructField("media_type", StringType, nullable = false),
+        StructField("declared_bytes", LongType, nullable = false))), nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    docs.select(col(idCol)).mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val id = r.getLong(0)
+          val w = (9 + id % 13).toInt
+          val h = (7 + id % 11).toInt
+          val ch = if (id % 2 == 0) 1 else 3
+          val px = new Array[Byte](w * h * ch)
+          var i = 0
+          while (i < px.length) { px(i) = ((id * 37 + i * 11L) % 256).toByte; i += 1 }
+          val comp = (id % 3).toInt // 0 none, 1 LZW, 2 Deflate
+          val bytes = TiffCodec.encode(w, h, ch, px,
+            bigEndian = id % 4 == 0,
+            lzw = comp == 1, deflate = comp == 2,
+            predictor2 = comp != 0 && id % 2 == 1,
+            tileSize = 16)
+          Row(id, bytes, Row("image/tiff", bytes.length.toLong))
+        }
+      }
+    }(enc)
+  }
+
+  /** BILEVEL (1-bit) corpus (round 17 — the fax/document-scan sample
+    * format): per doc a w x h bit raster, STRIPED on even ids and
+    * 16x16-TILED on odd, photometric WhiteIsZero on id%5<2 (the fax
+    * default), compression rotating none/PackBits/Deflate:
+    *   w = 17 + id%16, h = 13 + id%12
+    *   gray(x, y) = 255 if (id·37 + x·7 + y·13) mod 5 < 2 else 0 */
+  def synthesizeBilevelTiffs(docs: DataFrame, idCol: String = "doc_id",
+                             batchSize: Int = 16): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false),
+      StructField("meta", StructType(Seq(
+        StructField("media_type", StringType, nullable = false),
+        StructField("declared_bytes", LongType, nullable = false))), nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    docs.select(col(idCol)).mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val id = r.getLong(0)
+          val w = (17 + id % 16).toInt
+          val h = (13 + id % 12).toInt
+          val px = new Array[Byte](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              px(y * w + x) =
+                (if ((id * 37 + x * 7L + y * 13L) % 5 < 2) 255 else 0).toByte
+              x += 1
+            }
+            y += 1
+          }
+          val comp = (id % 3).toInt // 0 none, 1 PackBits, 2 Deflate
+          val bytes = TiffCodec.encode(w, h, 1, px,
+            bigEndian = id % 4 == 0,
+            packBits = comp == 1, deflate = comp == 2,
+            rowsPerStrip = if (id % 2 == 0) (2 + id % 7).toInt else 0,
+            whiteIsZero = id % 5 < 2,
+            tileSize = if (id % 2 == 1) 16 else 0,
+            bilevel = true)
+          Row(id, bytes, Row("image/tiff", bytes.length.toLong))
+        }
+      }
+    }(enc)
+  }
+
   /** [[synthesizeLzwTiffs]]' Deflate sibling (round 17): the SAME pixel
     * corpus compressed with Deflate — both the modern tag 8 and the
     * older 32946 alias appear (by id), half the rows under Predictor 2,

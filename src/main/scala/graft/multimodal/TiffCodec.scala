@@ -14,8 +14,13 @@ import java.io.ByteArrayOutputStream
   *    rejects loud. [[pages]] (round 16): the FULL IFD chain, one
   *    image per page (scan/print corpora are routinely multi-page),
   *    cycle-checked and capped
-  *  - 8-bit samples, 1 (gray) or 3 (RGB) samples/pixel, chunky planar
-  *    configuration; strips (any RowsPerStrip split), no tiles
+  *  - 8-bit samples, 1 (gray) or 3 (RGB) samples/pixel, plus BILEVEL
+  *    1-bit gray (round 17 — the fax/scan sample format; tag 258's
+  *    default IS 1): MSB-first bits, byte-padded rows, expanded to the
+  *    8-bit BlackIsZero buffer; chunky planar configuration
+  *  - STRIPED (any RowsPerStrip split) and TILED (§15, round 17 — the
+  *    modern scanner/GIS layout: %16 tile grid, zero-padded edge tiles
+  *    cropped on copy; a file carrying both layouts' tags rejects)
   *  - Compression 1 (none), 5 (LZW — TIFF-variant MSB-first with the
   *    spec's early code-width change; round 16), 8 and 32946 (Deflate —
   *    the modern scanner default and its older private-tag alias, one
@@ -152,8 +157,12 @@ object TiffCodec {
     require(spp == 1 || spp == 3,
       s"TiffCodec: $spp samples/pixel unsupported (1 = gray, 3 = RGB)")
     val bps = if (entries.contains(258)) vector(258) else Array.fill(spp)(1L)
-    require(bps.length == spp && bps.forall(_ == 8),
-      s"TiffCodec: bits/sample ${bps.mkString(",")} unsupported (8-bit only)")
+    // bilevel (1-bit gray, round 17) joins 8-bit — the fax/document-scan
+    // sample format; the TIFF default when tag 258 is absent IS 1
+    val bilevel = spp == 1 && bps.forall(_ == 1L)
+    require(bps.length == spp && (bps.forall(_ == 8) || bilevel),
+      s"TiffCodec: bits/sample ${bps.mkString(",")} unsupported " +
+        "(8-bit, or 1-bit gray)")
     val compression = scalar(259, 1L).toInt
     // 8 = Deflate (Adobe extension, the modern scanner default) and
     // 32946 = its older private-tag alias — SAME zlib stream, decoded by
@@ -167,9 +176,10 @@ object TiffCodec {
     // schemes: 2 = horizontal differencing per row, undone AFTER
     // decompression (TIFF 6.0 §14); it dominates real scanned corpora
     val predictor = scalar(317, 1L).toInt
-    require(predictor == 1 || (predictor == 2 && (compression == 5 || isDeflate)),
+    require(predictor == 1 ||
+        (predictor == 2 && (compression == 5 || isDeflate) && !bilevel),
       s"TiffCodec: predictor $predictor unsupported " +
-        "(1 = none, 2 = horizontal differencing under LZW/Deflate)")
+        "(1 = none, 2 = horizontal differencing under LZW/Deflate, 8-bit only)")
     val photometric = scalar(262, throw new IllegalArgumentException(
       "TiffCodec: no PhotometricInterpretation")).toInt
     require(photometric == 0 || photometric == 1 || photometric == 2,
@@ -178,8 +188,11 @@ object TiffCodec {
       s"TiffCodec: photometric $photometric contradicts $spp samples/pixel")
     require(scalar(284, 1L) == 1L,
       "TiffCodec: planar configuration 2 (separate planes) unsupported")
-    require(!entries.contains(322) && !entries.contains(324),
-      "TiffCodec: tiled TIFF unsupported (strips only)")
+    // tiled layout (TIFF 6.0 §15, round 17) — the modern scanner/GIS
+    // default; a file must be striped OR tiled, never both
+    val tiled = entries.contains(322) || entries.contains(324)
+    require(!tiled || (!entries.contains(273) && !entries.contains(279)),
+      "TiffCodec: file carries BOTH strip and tile tags — ambiguous layout")
     // behavior-ALTERING tags must not pass silently: FillOrder 2
     // (bit-reversed bytes, fax-derived scans) and non-default
     // Orientation would both yield wrong pixels, not a parse error
@@ -188,39 +201,22 @@ object TiffCodec {
     require(scalar(274, 1L) == 1L,
       "TiffCodec: non-default Orientation unsupported")
 
-    // Long math + clamp: the spec blesses RowsPerStrip = 2^32-1 as the
-    // one-strip idiom, and a bare .toInt would wrap it negative
-    val rpsRaw = scalar(278, height.toLong)
-    require(rpsRaw >= 1, "TiffCodec: RowsPerStrip 0")
-    val rowsPerStrip = math.min(rpsRaw, height.toLong).toInt
-    val nStrips = (height + rowsPerStrip - 1) / rowsPerStrip
-    val offsets = vector(273)
-    val counts = vector(279)
-    require(offsets.length == nStrips && counts.length == nStrips,
-      s"TiffCodec: ${offsets.length} strip offsets / ${counts.length} counts, " +
-        s"geometry wants $nStrips")
-
-    val rowBytes = width * spp
-    val out = new Array[Byte](rowBytes * height)
-    var strip = 0
-    while (strip < nStrips) {
-      val stripRows = math.min(rowsPerStrip, height - strip * rowsPerStrip)
-      val expect = stripRows * rowBytes
-      val off = offsets(strip).toInt
-      val cnt = counts(strip).toInt
+    // decompress one chunk (strip or tile) with exact accounting, then
+    // undo the predictor per ROW of the chunk's own geometry (TIFF 6.0
+    // §14 applies it uniformly under LZW and Deflate)
+    def decodeChunk(what: String, off: Int, cnt: Int, rows: Int,
+                    chunkRowBytes: Int): Array[Byte] = {
+      val expect = rows * chunkRowBytes
       require(off >= 0 && cnt >= 0 && off + cnt <= bytes.length,
-        s"TiffCodec: strip $strip at $off+$cnt runs past EOF")
-      // horizontal differencing is undone per ROW, per SAMPLE (channel),
-      // after EITHER decompressor (TIFF 6.0 §14 applies the predictor
-      // uniformly under LZW and Deflate)
+        s"TiffCodec: $what at $off+$cnt runs past EOF")
       def undoPredictor(d: Array[Byte]): Array[Byte] = {
         if (predictor == 2) {
           var r = 0
-          while (r < stripRows) {
+          while (r < rows) {
             var i = spp
-            while (i < rowBytes) {
-              d(r * rowBytes + i) =
-                (d(r * rowBytes + i) + d(r * rowBytes + i - spp)).toByte
+            while (i < chunkRowBytes) {
+              d(r * chunkRowBytes + i) =
+                (d(r * chunkRowBytes + i) + d(r * chunkRowBytes + i - spp)).toByte
               i += 1
             }
             r += 1
@@ -228,22 +224,109 @@ object TiffCodec {
         }
         d
       }
-      val raw =
-        if (compression == 1) {
-          require(cnt == expect,
-            s"TiffCodec: strip $strip holds $cnt bytes, geometry wants $expect")
-          java.util.Arrays.copyOfRange(bytes, off, off + cnt)
-        } else if (compression == 5) undoPredictor(lzwDecode(bytes, off, cnt, expect))
-        else if (isDeflate) undoPredictor(inflateStrip(bytes, off, cnt, expect))
-        else packBitsDecode(bytes, off, cnt, expect)
-      System.arraycopy(raw, 0, out, strip * rowsPerStrip * rowBytes, expect)
-      strip += 1
+      if (compression == 1) {
+        require(cnt == expect,
+          s"TiffCodec: $what holds $cnt bytes, geometry wants $expect")
+        java.util.Arrays.copyOfRange(bytes, off, off + cnt)
+      } else if (compression == 5) undoPredictor(lzwDecode(bytes, off, cnt, expect))
+      else if (isDeflate) undoPredictor(inflateStrip(bytes, off, cnt, expect))
+      else packBitsDecode(bytes, off, cnt, expect)
     }
-    if (photometric == 0) {
-      // WhiteIsZero: invert so the decoded buffer is always BlackIsZero
-      var i = 0
-      while (i < out.length) { out(i) = (255 - (out(i) & 0xff)).toByte; i += 1 }
+
+    // assembly happens in the PACKED sample domain: 8-bit rows are
+    // width·spp bytes, bilevel rows are ceil(width/8) bytes (MSB-first
+    // bits, rows padded to byte boundaries per §4's default FillOrder)
+    val packedRowBytes = if (bilevel) (width + 7) / 8 else width * spp
+    val packed = new Array[Byte](packedRowBytes * height)
+
+    if (!tiled) {
+      // Long math + clamp: the spec blesses RowsPerStrip = 2^32-1 as the
+      // one-strip idiom, and a bare .toInt would wrap it negative
+      val rpsRaw = scalar(278, height.toLong)
+      require(rpsRaw >= 1, "TiffCodec: RowsPerStrip 0")
+      val rowsPerStrip = math.min(rpsRaw, height.toLong).toInt
+      val nStrips = (height + rowsPerStrip - 1) / rowsPerStrip
+      val offsets = vector(273)
+      val counts = vector(279)
+      require(offsets.length == nStrips && counts.length == nStrips,
+        s"TiffCodec: ${offsets.length} strip offsets / ${counts.length} counts, " +
+          s"geometry wants $nStrips")
+      var strip = 0
+      while (strip < nStrips) {
+        val stripRows = math.min(rowsPerStrip, height - strip * rowsPerStrip)
+        val raw = decodeChunk(s"strip $strip", offsets(strip).toInt,
+          counts(strip).toInt, stripRows, packedRowBytes)
+        System.arraycopy(raw, 0, packed,
+          strip * rowsPerStrip * packedRowBytes, raw.length)
+        strip += 1
+      }
+    } else {
+      // §15: the tile grid covers the image with FULL padded tiles —
+      // every tile decompresses to tileLength rows of tileWidth columns
+      // and edge tiles are cropped on copy. Tile dims must be multiples
+      // of 16 (the spec's rule), which also keeps bilevel tile columns
+      // byte-aligned in the packed domain.
+      val tw = scalar(322, throw new IllegalArgumentException(
+        "TiffCodec: tiled file without TileWidth")).toInt
+      val tl = scalar(323, throw new IllegalArgumentException(
+        "TiffCodec: tiled file without TileLength")).toInt
+      require(tw > 0 && tl > 0 && tw % 16 == 0 && tl % 16 == 0,
+        s"TiffCodec: tile geometry ${tw}x$tl not positive multiples of 16")
+      val across = (width + tw - 1) / tw
+      val down = (height + tl - 1) / tl
+      val offsets = vector(324)
+      val counts = vector(325)
+      require(offsets.length == across * down && counts.length == across * down,
+        s"TiffCodec: ${offsets.length} tile offsets / ${counts.length} counts, " +
+          s"grid wants ${across * down}")
+      val tileRowBytes = if (bilevel) tw / 8 else tw * spp
+      var t = 0
+      while (t < across * down) {
+        val raw = decodeChunk(s"tile $t", offsets(t).toInt, counts(t).toInt,
+          tl, tileRowBytes)
+        val tx = t % across
+        val ty = t / across
+        val validCols = math.min(tw, width - tx * tw)
+        val validRows = math.min(tl, height - ty * tl)
+        val copyBytes = if (bilevel) (validCols + 7) / 8 else validCols * spp
+        val colAt = if (bilevel) tx * tw / 8 else tx * tw * spp
+        var r = 0
+        while (r < validRows) {
+          System.arraycopy(raw, r * tileRowBytes,
+            packed, (ty * tl + r) * packedRowBytes + colAt, copyBytes)
+          r += 1
+        }
+        t += 1
+      }
     }
+
+    val out =
+      if (bilevel) {
+        // expand MSB-first bits to the 8-bit BlackIsZero buffer:
+        // photometric 0 (WhiteIsZero, the fax default) maps bit 0 →
+        // white 255; photometric 1 maps bit 1 → white 255
+        val o = new Array[Byte](width * height)
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            val bit = (packed(y * packedRowBytes + (x >> 3)) >> (7 - (x & 7))) & 1
+            o(y * width + x) =
+              (if (photometric == 0) (if (bit == 0) 255 else 0)
+               else bit * 255).toByte
+            x += 1
+          }
+          y += 1
+        }
+        o
+      } else if (photometric == 0) {
+        // WhiteIsZero: invert so the decoded buffer is always BlackIsZero
+        var i = 0
+        while (i < packed.length) {
+          packed(i) = (255 - (packed(i) & 0xff)).toByte; i += 1
+        }
+        packed
+      } else packed
     (PngCodec.PngImage(width, height, 8, if (spp == 1) 0 else 2, spp, out), nextIfd)
   }
 
@@ -468,17 +551,22 @@ object TiffCodec {
   }
 
   /** TIFF ENCODE for fixtures and in-engine synthesis: baseline file in
-    * either byte order, optional PackBits compression, any RowsPerStrip
-    * (so multi-strip assembly is exercised), optional WhiteIsZero
-    * (`whiteIsZero` — gray only: samples stored inverted). `pixels` is
-    * the standard BlackIsZero channel-interleaved buffer. */
+    * either byte order, optional PackBits/LZW/Deflate compression, any
+    * RowsPerStrip (so multi-strip assembly is exercised), optional
+    * WhiteIsZero (`whiteIsZero` — gray only: samples stored inverted),
+    * optional TILED layout (`tileSize` — square %16 tiles, §15, round
+    * 17) and optional BILEVEL samples (`bilevel` — 1-bit gray, pixels
+    * given as 0/255, round 17). `pixels` is the standard BlackIsZero
+    * channel-interleaved buffer. */
   def encode(width: Int, height: Int, channels: Int, pixels: Array[Byte],
              bigEndian: Boolean = false, packBits: Boolean = false,
              rowsPerStrip: Int = 0, whiteIsZero: Boolean = false,
              lzw: Boolean = false, predictor2: Boolean = false,
-             deflate: Boolean = false, oldDeflateTag: Boolean = false): Array[Byte] =
+             deflate: Boolean = false, oldDeflateTag: Boolean = false,
+             tileSize: Int = 0, bilevel: Boolean = false): Array[Byte] =
     encodeMulti(Seq((width, height, channels, pixels)), bigEndian, packBits,
-      rowsPerStrip, whiteIsZero, lzw, predictor2, deflate, oldDeflateTag)
+      rowsPerStrip, whiteIsZero, lzw, predictor2, deflate, oldDeflateTag,
+      tileSize, bilevel)
 
   /** MULTI-PAGE TIFF ENCODE (round 16): `pages` are (width, height,
     * channels, pixels) tuples laid out sequentially — per page its
@@ -491,7 +579,8 @@ object TiffCodec {
                   rowsPerStrip: Int = 0, whiteIsZero: Boolean = false,
                   lzw: Boolean = false, predictor2: Boolean = false,
                   deflate: Boolean = false,
-                  oldDeflateTag: Boolean = false): Array[Byte] = {
+                  oldDeflateTag: Boolean = false,
+                  tileSize: Int = 0, bilevel: Boolean = false): Array[Byte] = {
     require(pageSpecs.nonEmpty, "TiffCodec.encode: no pages")
     require(Seq(packBits, lzw, deflate).count(identity) <= 1,
       "TiffCodec.encode: packBits, lzw and deflate are exclusive")
@@ -499,36 +588,53 @@ object TiffCodec {
       "TiffCodec.encode: predictor 2 is an LZW/Deflate filter parameter")
     require(!oldDeflateTag || deflate,
       "TiffCodec.encode: oldDeflateTag (32946) needs deflate")
+    val tiled = tileSize > 0
+    require(!tiled || tileSize % 16 == 0,
+      s"TiffCodec.encode: tile size $tileSize not a multiple of 16")
+    require(!bilevel || !predictor2,
+      "TiffCodec.encode: predictor 2 is 8-bit only")
+    // chunks = strips or tiles; `across` > 0 marks the tiled layout
     final case class PageBits(width: Int, height: Int, channels: Int,
-                              rps: Int, strips: Array[Array[Byte]])
+                              rps: Int, across: Int, chunks: Array[Array[Byte]])
     val built = pageSpecs.map { case (width, height, channels, pixels) =>
       require(channels == 1 || channels == 3,
         s"TiffCodec.encode: $channels channels (1 or 3)")
+      require(!bilevel || channels == 1, "TiffCodec.encode: bilevel is gray-only")
       require(width > 0 && height > 0, s"TiffCodec.encode: invalid ${width}x$height")
       require(pixels.length == width * height * channels,
         s"TiffCodec.encode: ${pixels.length} pixel bytes, geometry wants " +
           s"${width * height * channels}")
       require(!whiteIsZero || channels == 1, "TiffCodec.encode: WhiteIsZero is gray-only")
-      val rps = if (rowsPerStrip <= 0) height else math.min(rowsPerStrip, height)
-      val nStrips = (height + rps - 1) / rps
+      if (bilevel) pixels.foreach(b => require(b == 0 || (b & 0xff) == 255,
+        s"TiffCodec.encode: bilevel sample ${b & 0xff} (0 or 255 only)"))
       val rowBytes = width * channels
-      val stored =
-        if (!whiteIsZero) pixels
-        else pixels.map(b => (255 - (b & 0xff)).toByte)
-      val strips: Array[Array[Byte]] = Array.tabulate(nStrips) { s =>
-        val rows = math.min(rps, height - s * rps)
-        val raw = java.util.Arrays.copyOfRange(stored, s * rps * rowBytes,
-          s * rps * rowBytes + rows * rowBytes)
+      // bit semantics per photometric: BlackIsZero stores bit 1 = white,
+      // WhiteIsZero stores bit 0 = white (the fax default)
+      def bitOf(gray: Byte): Int =
+        if (whiteIsZero) (if (gray == 0) 1 else 0) else (if (gray == 0) 0 else 1)
+      /** Pack `cols` pixels of source row `y` starting at `x0` into a
+        * `padTo`-byte bilevel row (right bits zero-padded). */
+      def packRow(y: Int, x0: Int, cols: Int, padTo: Int): Array[Byte] = {
+        val row = new Array[Byte](padTo)
+        var x = 0
+        while (x < cols) {
+          if (bitOf(pixels(y * width + x0 + x)) == 1)
+            row(x >> 3) = (row(x >> 3) | (1 << (7 - (x & 7)))).toByte
+          x += 1
+        }
+        row
+      }
+      def diffAndCompress(raw: Array[Byte], rows: Int, chunkRowBytes: Int): Array[Byte] = {
         if (lzw || deflate) {
           if (predictor2) {
             // horizontal differencing per row, per sample — the inverse
             // of the decode-side reconstruction
             var r = 0
             while (r < rows) {
-              var i = rowBytes - 1
+              var i = chunkRowBytes - 1
               while (i >= channels) {
-                raw(r * rowBytes + i) =
-                  (raw(r * rowBytes + i) - raw(r * rowBytes + i - channels)).toByte
+                raw(r * chunkRowBytes + i) =
+                  (raw(r * chunkRowBytes + i) - raw(r * chunkRowBytes + i - channels)).toByte
                 i -= 1
               }
               r += 1
@@ -537,10 +643,60 @@ object TiffCodec {
           if (lzw) lzwEncode(raw) else deflateStrip(raw)
         } else if (packBits) packBitsEncode(raw) else raw
       }
-      PageBits(width, height, channels, rps, strips)
+      val stored =
+        if (!whiteIsZero || bilevel) pixels // bilevel inverts in bitOf
+        else pixels.map(b => (255 - (b & 0xff)).toByte)
+      if (!tiled) {
+        val rps = if (rowsPerStrip <= 0) height else math.min(rowsPerStrip, height)
+        val nStrips = (height + rps - 1) / rps
+        val packedRowBytes = if (bilevel) (width + 7) / 8 else rowBytes
+        val strips: Array[Array[Byte]] = Array.tabulate(nStrips) { s =>
+          val rows = math.min(rps, height - s * rps)
+          val raw =
+            if (bilevel) {
+              val b = new Array[Byte](rows * packedRowBytes)
+              var r = 0
+              while (r < rows) {
+                System.arraycopy(packRow(s * rps + r, 0, width, packedRowBytes), 0,
+                  b, r * packedRowBytes, packedRowBytes)
+                r += 1
+              }
+              b
+            } else java.util.Arrays.copyOfRange(stored, s * rps * rowBytes,
+              s * rps * rowBytes + rows * rowBytes)
+          diffAndCompress(raw, rows, packedRowBytes)
+        }
+        PageBits(width, height, channels, rps, 0, strips)
+      } else {
+        // §15 tile grid: every tile is a FULL tileSize x tileSize block,
+        // edge tiles zero-padded right/bottom
+        val across = (width + tileSize - 1) / tileSize
+        val down = (height + tileSize - 1) / tileSize
+        val tileRowBytes = if (bilevel) tileSize / 8 else tileSize * channels
+        val tiles: Array[Array[Byte]] = Array.tabulate(across * down) { t =>
+          val tx = t % across
+          val ty = t / across
+          val validCols = math.min(tileSize, width - tx * tileSize)
+          val validRows = math.min(tileSize, height - ty * tileSize)
+          val raw = new Array[Byte](tileRowBytes * tileSize)
+          var r = 0
+          while (r < validRows) {
+            val y = ty * tileSize + r
+            if (bilevel)
+              System.arraycopy(packRow(y, tx * tileSize, validCols, tileRowBytes), 0,
+                raw, r * tileRowBytes, tileRowBytes)
+            else
+              System.arraycopy(stored, (y * width + tx * tileSize) * channels,
+                raw, r * tileRowBytes, validCols * channels)
+            r += 1
+          }
+          diffAndCompress(raw, tileSize, tileRowBytes)
+        }
+        PageBits(width, height, channels, 0, across, tiles)
+      }
     }
 
-    val out = new ByteArrayOutputStream(built.map(_.strips.map(_.length).sum).sum + 512)
+    val out = new ByteArrayOutputStream(built.map(_.chunks.map(_.length).sum).sum + 512)
     def w8(v: Int): Unit = out.write(v & 0xff)
     def w16(v: Int): Unit =
       if (bigEndian) { w8(v >> 8); w8(v) } else { w8(v); w8(v >> 8) }
@@ -552,21 +708,22 @@ object TiffCodec {
     // IFD | page2 … (every page's pieces contiguous; out-of-line arrays
     // WORD-ALIGNED per TIFF 6.0's even-Value-Offset rule, and each IFD
     // even-aligned for the same reason)
-    final case class Layout(stripOffsets: Array[Long], padAfterStrips: Boolean,
+    final case class Layout(chunkOffsets: Array[Long], padAfterChunks: Boolean,
                             bpsAt: Long, offsAt: Long, cntsAt: Long, ifdAt: Long)
     var pos = 8L
     val layouts = built.map { p =>
-      val nStrips = p.strips.length
-      val stripOffsets = p.strips.map { s => val o = pos; pos += s.length; o }
-      val padAfterStrips = pos % 2 == 1
-      if (padAfterStrips) pos += 1
+      val nChunks = p.chunks.length
+      val chunkOffsets = p.chunks.map { s => val o = pos; pos += s.length; o }
+      val padAfterChunks = pos % 2 == 1
+      if (padAfterChunks) pos += 1
       val bpsAt = if (p.channels == 3) { val o = pos; pos += 6; o } else -1L
-      val offsAt = if (nStrips > 1) { val o = pos; pos += 4L * nStrips; o } else -1L
-      val cntsAt = if (nStrips > 1) { val o = pos; pos += 4L * nStrips; o } else -1L
+      val offsAt = if (nChunks > 1) { val o = pos; pos += 4L * nChunks; o } else -1L
+      val cntsAt = if (nChunks > 1) { val o = pos; pos += 4L * nChunks; o } else -1L
       val ifdAt = pos
-      val nTags = 10 + (if (predictor2) 1 else 0)
+      // strips: 273/278/279 (3 tags); tiles: 322/323/324/325 (4 tags)
+      val nTags = (if (tiled) 11 else 10) + (if (predictor2) 1 else 0)
       pos += 2 + 12 * nTags + 4 // tags + next-IFD pointer
-      Layout(stripOffsets, padAfterStrips, bpsAt, offsAt, cntsAt, ifdAt)
+      Layout(chunkOffsets, padAfterChunks, bpsAt, offsAt, cntsAt, ifdAt)
     }
 
     // pass 2 — write
@@ -574,30 +731,39 @@ object TiffCodec {
     else { w8('I'); w8('I'); w8(42); w8(0) }
     w32(layouts.head.ifdAt) // header IFD pointer
     built.zip(layouts).zipWithIndex.foreach { case ((p, l), pageNo) =>
-      val nStrips = p.strips.length
-      p.strips.foreach(s => out.write(s, 0, s.length))
-      if (l.padAfterStrips) w8(0)
+      val nChunks = p.chunks.length
+      p.chunks.foreach(s => out.write(s, 0, s.length))
+      if (l.padAfterChunks) w8(0)
       if (p.channels == 3) { w16(8); w16(8); w16(8) }
-      if (nStrips > 1) {
-        l.stripOffsets.foreach(w32)
-        p.strips.foreach(s => w32(s.length.toLong))
+      if (nChunks > 1) {
+        l.chunkOffsets.foreach(w32)
+        p.chunks.foreach(s => w32(s.length.toLong))
       }
       final case class Tag(id: Int, tpe: Int, count: Long, value: Long)
+      val layoutTags =
+        if (tiled) Seq(
+          Tag(322, 4, 1, tileSize.toLong),
+          Tag(323, 4, 1, tileSize.toLong),
+          if (nChunks > 1) Tag(324, 4, nChunks.toLong, l.offsAt)
+          else Tag(324, 4, 1, l.chunkOffsets(0)),
+          if (nChunks > 1) Tag(325, 4, nChunks.toLong, l.cntsAt)
+          else Tag(325, 4, 1, p.chunks(0).length.toLong))
+        else Seq(
+          if (nChunks > 1) Tag(273, 4, nChunks.toLong, l.offsAt)
+          else Tag(273, 4, 1, l.chunkOffsets(0)),
+          Tag(278, 4, 1, p.rps.toLong),
+          if (nChunks > 1) Tag(279, 4, nChunks.toLong, l.cntsAt)
+          else Tag(279, 4, 1, p.chunks(0).length.toLong))
       val tags = Seq(
         Tag(256, 4, 1, p.width.toLong),
         Tag(257, 4, 1, p.height.toLong),
         if (p.channels == 3) Tag(258, 3, 3, l.bpsAt)
-        else Tag(258, 3, 1, 8L),
+        else Tag(258, 3, 1, if (bilevel) 1L else 8L),
         Tag(259, 3, 1, if (lzw) 5L else if (packBits) 32773L
           else if (deflate) (if (oldDeflateTag) 32946L else 8L) else 1L),
         Tag(262, 3, 1, if (whiteIsZero) 0L else if (p.channels == 3) 2L else 1L),
-        if (nStrips > 1) Tag(273, 4, nStrips.toLong, l.offsAt)
-        else Tag(273, 4, 1, l.stripOffsets(0)),
         Tag(277, 3, 1, p.channels.toLong),
-        Tag(278, 4, 1, p.rps.toLong),
-        if (nStrips > 1) Tag(279, 4, nStrips.toLong, l.cntsAt)
-        else Tag(279, 4, 1, p.strips(0).length.toLong),
-        Tag(284, 3, 1, 1L)) ++
+        Tag(284, 3, 1, 1L)) ++ layoutTags ++
         (if (predictor2) Seq(Tag(317, 3, 1, 2L)) else Seq.empty)
       w16(tags.length)
       tags.sortBy(_.id).foreach { t =>

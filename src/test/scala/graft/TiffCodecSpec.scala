@@ -281,6 +281,86 @@ class TiffCodecSpec extends AnyFunSuite with SparkSpec {
       .getMessage.contains("predictor 2"))
   }
 
+  test("TILED layout (§15): grid walk + edge crop round trips; geometry fail-loud") {
+    // widths/heights straddling the 16-tile boundary force 1x1, 2x1,
+    // 1x2 and 2x2 grids with zero-padded edge tiles
+    for ((w, h, ch) <- Seq((9, 7, 1), (16, 16, 3), (21, 17, 3), (40, 33, 1))) {
+      val px = Array.tabulate(w * h * ch)(i => ((i * 31 + (i / 7) * 17) % 256).toByte)
+      for (be <- Seq(false, true); comp <- Seq(0, 1, 2)) {
+        val enc = TiffCodec.encode(w, h, ch, px, bigEndian = be,
+          lzw = comp == 1, deflate = comp == 2,
+          predictor2 = comp != 0, tileSize = 16)
+        val img = TiffCodec.decode(enc)
+        assert(img.pixels.toSeq == px.toSeq, s"$w x $h x $ch be=$be comp=$comp")
+      }
+      // layout invariance: tiled == striped, byte for byte
+      val striped = TiffCodec.decode(TiffCodec.encode(w, h, ch, px, rowsPerStrip = 5))
+      val tiled = TiffCodec.decode(TiffCodec.encode(w, h, ch, px, tileSize = 16))
+      assert(striped.pixels.toSeq == tiled.pixels.toSeq)
+    }
+    // encoder guards: tile size must be a positive multiple of 16
+    intercept[IllegalArgumentException](
+      TiffCodec.encode(8, 8, 1, new Array[Byte](64), tileSize = 12))
+    // decoder: a tiled file whose TileWidth is patched off the %16 grid
+    val good = TiffCodec.encode(21, 17, 1, Array.tabulate(357)(_.toByte), tileSize = 16)
+    def patchTag(b: Array[Byte], id: Int, v: Int): Array[Byte] = {
+      val c = b.clone()
+      val ifdAt = (c(4) & 0xff) | ((c(5) & 0xff) << 8) |
+        ((c(6) & 0xff) << 16) | ((c(7) & 0xff) << 24)
+      val n = (c(ifdAt) & 0xff) | ((c(ifdAt + 1) & 0xff) << 8)
+      val entry = (0 until n).map(k => ifdAt + 2 + 12 * k).find { o =>
+        ((c(o) & 0xff) | ((c(o + 1) & 0xff) << 8)) == id
+      }.getOrElse(fail(s"tag $id not in IFD"))
+      c(entry + 8) = v.toByte; c
+    }
+    assert(intercept[IllegalArgumentException](
+      TiffCodec.decode(patchTag(good, 322, 20)))
+      .getMessage.contains("multiples of 16"))
+    // a file carrying BOTH strip and tile tags is ambiguous — the
+    // striped twin with a planted TileWidth tag must reject... the
+    // cheap equivalent: patch the tiled file's 323 to declare a taller
+    // tile, shrinking the offset table vs the implied grid
+    assert(intercept[IllegalArgumentException](
+      TiffCodec.decode(patchTag(good, 323, 32)))
+      .getMessage.contains("grid wants"))
+  }
+
+  test("BILEVEL (1-bit): bit packing, photometrics, strips + tiles, default depth") {
+    def bits(w: Int, h: Int, seed: Int): Array[Byte] =
+      Array.tabulate(w * h)(i =>
+        (if ((seed * 37 + (i % w) * 7 + (i / w) * 13) % 5 < 2) 255 else 0).toByte)
+    for ((w, h) <- Seq((7, 5), (17, 13), (32, 16), (33, 20));
+         wiz <- Seq(false, true); comp <- Seq(0, 1, 2); tiled <- Seq(false, true)) {
+      val px = bits(w, h, w + h)
+      val enc = TiffCodec.encode(w, h, 1, px,
+        packBits = comp == 1, deflate = comp == 2,
+        rowsPerStrip = if (tiled) 0 else 3, whiteIsZero = wiz,
+        tileSize = if (tiled) 16 else 0, bilevel = true)
+      val img = TiffCodec.decode(enc)
+      assert(img.channels == 1 && img.pixels.toSeq == px.toSeq,
+        s"$w x $h wiz=$wiz comp=$comp tiled=$tiled")
+    }
+    // tag 258's DEFAULT is 1: strip the BitsPerSample tag entirely from
+    // a hand-copied file and the decode must still read it as bilevel
+    val enc = TiffCodec.encode(9, 4, 1, bits(9, 4, 3), bilevel = true)
+    val ifdAt = (enc(4) & 0xff) | ((enc(5) & 0xff) << 8) |
+      ((enc(6) & 0xff) << 16) | ((enc(7) & 0xff) << 24)
+    val n = (enc(ifdAt) & 0xff) | ((enc(ifdAt + 1) & 0xff) << 8)
+    val entries = (0 until n).map(k => enc.slice(ifdAt + 2 + 12 * k, ifdAt + 14 + 12 * k))
+    val kept = entries.filterNot(e => ((e(0) & 0xff) | ((e(1) & 0xff) << 8)) == 258)
+    val rebuilt = enc.take(ifdAt) ++
+      Array((kept.length & 0xff).toByte, ((kept.length >> 8) & 0xff).toByte) ++
+      kept.flatten ++ Array.fill[Byte](4)(0)
+    assert(TiffCodec.decode(rebuilt).pixels.toSeq == bits(9, 4, 3).toSeq,
+      "absent BitsPerSample must default to 1 per the spec")
+    // encoder pins: non-0/255 samples, predictor under bilevel
+    intercept[IllegalArgumentException](
+      TiffCodec.encode(4, 2, 1, Array[Byte](1, 0, 0, 0, 0, 0, 0, 0), bilevel = true))
+    intercept[IllegalArgumentException](
+      TiffCodec.encode(4, 2, 1, new Array[Byte](8), bilevel = true,
+        lzw = true, predictor2 = true))
+  }
+
   test("format-agnostic dispatch: tiles and resize accept TIFF rows") {
     import spark.implicits._
     val tiff = TiffCodec.encode(8, 8, 3,
