@@ -1581,6 +1581,44 @@ object QueriesExtra {
              |  CAST(coalesce(SUM(CASE WHEN ch = 4 AND i % ch = 3 THEN v END), 0) AS BIGINT) AS a_sum
              |FROM px GROUP BY doc_id, color_type, ch, w, h, depth ORDER BY doc_id""".stripMargin)),
 
+    // SUB-BYTE-depth PNG decode (round 17 — 1/2/4-bit gray and palette,
+    // the icon/screenshot/scan shapes the 8/16-bit scope refused):
+    // filters at bpp=1 over packed rows, MSB-first unpack, gray
+    // rescaled by the spec's 255/(2^d−1) replication, palette expanded
+    // to RGB; every fifth file Adam7-interlaced so the per-pass packed
+    // row widths are exercised too. The oracle replays the sample and
+    // palette formulas byte-blind — a bit-order slip, a wrong rescale
+    // or a padding-bit leak breaks the sums.
+    "q_image_png_lowdepth" -> QueryDef(
+      (s, d) => BinaryPipeline.decodeImages(
+          BinaryPipeline.synthesizeLowDepthPngs(Tables.documents(s, d)))
+        .select(col("doc_id"), col("width"), col("height"), col("bit_depth"),
+          col("color_type"), col("channels"), col("r_sum"), col("g_sum"),
+          col("b_sum"), col("a_sum"))
+        .orderBy(col("doc_id")),
+      Some("""WITH p AS (SELECT doc_id,
+             |    CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END AS d,
+             |    doc_id % 2 = 1 AS pal,
+             |    6 + doc_id % 13 AS w, 5 + doc_id % 11 AS h FROM documents),
+             |s AS (SELECT doc_id, d, pal, w, h, i,
+             |    (doc_id*31 + i*7) % (1 << d) AS q
+             |  FROM p, unnest(range(0, w*h)) t(i)),
+             |px AS (SELECT doc_id, d, pal, w, h, c,
+             |    CASE WHEN NOT pal THEN q * (255 // ((1 << d) - 1))
+             |         WHEN c = 0 THEN (q*37) % 256
+             |         WHEN c = 1 THEN (q*59 + 17) % 256
+             |         ELSE (q*83 + 29) % 256 END AS v
+             |  FROM s, unnest(range(0, CASE WHEN pal THEN 3 ELSE 1 END)) t(c))
+             |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             |  CAST(d AS BIGINT) AS bit_depth,
+             |  CAST(CASE WHEN pal THEN 2 ELSE 0 END AS BIGINT) AS color_type,
+             |  CAST(CASE WHEN pal THEN 3 ELSE 1 END AS BIGINT) AS channels,
+             |  CAST(SUM(CASE WHEN c = 0 THEN v END) AS BIGINT) AS r_sum,
+             |  CAST(coalesce(SUM(CASE WHEN c = 1 THEN v END), 0) AS BIGINT) AS g_sum,
+             |  CAST(coalesce(SUM(CASE WHEN c = 2 THEN v END), 0) AS BIGINT) AS b_sum,
+             |  CAST(0 AS BIGINT) AS a_sum
+             |FROM px GROUP BY doc_id, d, pal, w, h ORDER BY doc_id""".stripMargin)),
+
     // REAL image resize: synth → decode → nearest-neighbor resample →
     // re-ENCODE → decode AGAIN → per-channel sums. Exercises the full
     // decode/encode round trip twice; the oracle replays the resample's

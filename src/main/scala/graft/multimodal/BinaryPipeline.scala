@@ -365,6 +365,55 @@ object BinaryPipeline {
     }(enc)
   }
 
+  /** SUB-BYTE-depth PNG corpus (round 17 — the icon/screenshot/scan
+    * shapes): depth rotates 1/2/4 by id, gray on even ids (samples the
+    * spec's exact 255/(2^d−1) multiples) and PALETTE on odd (2^d
+    * entries from the j·37/j·59+17/j·83+29 formulas), every fifth file
+    * Adam7-interlaced:
+    *   w = 6 + id%13, h = 5 + id%11, q(i) = (id·31 + i·7) mod 2^d */
+  def synthesizeLowDepthPngs(docs: DataFrame, idCol: String = "doc_id",
+                             batchSize: Int = 16): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false),
+      StructField("meta", StructType(Seq(
+        StructField("media_type", StringType, nullable = false),
+        StructField("declared_bytes", LongType, nullable = false))), nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    docs.select(col(idCol)).mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val id = r.getLong(0)
+          val d = (id % 3) match { case 0 => 1; case 1 => 2; case _ => 4 }
+          val pal = id % 2 == 1
+          val w = (6 + id % 13).toInt
+          val h = (5 + id % 11).toInt
+          val lim = (1 << d) - 1
+          val px = new Array[Byte](w * h)
+          var i = 0
+          while (i < px.length) {
+            val q = ((id * 31 + i * 7L) % (1 << d)).toInt
+            px(i) = (if (pal) q else q * (255 / lim)).toByte
+            i += 1
+          }
+          val palette =
+            if (!pal) None
+            else Some(Array.tabulate[Byte]((lim + 1) * 3) { k =>
+              val j = k / 3
+              (k % 3 match {
+                case 0 => (j * 37) % 256
+                case 1 => (j * 59 + 17) % 256
+                case _ => (j * 83 + 29) % 256
+              }).toByte
+            })
+          val bytes = PngCodec.encode(w, h, if (pal) 3 else 0, px,
+            palette = palette, interlace = id % 5 == 0, bitDepth = d)
+          Row(id, bytes, Row("image/png", bytes.length.toLong))
+        }
+      }
+    }(enc)
+  }
+
   /** REAL image decode over (id, content) rows: every content blob must
     * be a PNG ([[PngCodec]] fails loud otherwise — no silent
     * pseudo-features on a path that promises real decode). Emits true

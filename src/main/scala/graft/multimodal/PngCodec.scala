@@ -15,10 +15,12 @@ import graft.pipeline.PdfCodec
   *
   * Scope (fail-loud beyond it, never silent garbage):
   *  - bit depths 8 and 16 (16-bit samples decode to the 8-bit buffer by
-  *    the high byte — the exact inverse of the spec's v·257 widening;
-  *    sub-byte depths 1/2/4 reject); color types 0 (gray), 2 (RGB),
-  *    3 (palette, expanded to RGB on return, 8-bit only per spec),
-  *    4 (gray+alpha), 6 (RGBA)
+  *    the high byte — the exact inverse of the spec's v·257 widening)
+  *    plus SUB-BYTE 1/2/4 for gray and palette (round 17 — the
+  *    icon/screenshot/scan shapes: filters at bpp = 1 over packed rows,
+  *    MSB-first unpack, gray rescaled by the spec's 255/(2^d−1) bit
+  *    replication); color types 0 (gray), 2 (RGB), 3 (palette,
+  *    expanded to RGB on return), 4 (gray+alpha), 6 (RGBA)
   *  - interlace methods 0 (none) and 1 (Adam7, round 14: the seven
   *    sub-images unfilter independently and scatter into the grid;
   *    empty passes contribute no bytes)
@@ -108,9 +110,14 @@ object PngCodec {
           bitDepth = bytes(dataOff + 8) & 0xff
           colorType = bytes(dataOff + 9) & 0xff
           wireChannels(colorType) // validates the color type
-          require(bitDepth == 8 || bitDepth == 16,
-            s"PngCodec: bit depth $bitDepth unsupported (8- and 16-bit components only)")
-          require(bitDepth == 8 || colorType != 3,
+          // spec table 11.1: sub-byte depths (1/2/4, round 17) are legal
+          // for gray (0) and palette (3) only
+          require(bitDepth == 8 || bitDepth == 16 ||
+              ((bitDepth == 1 || bitDepth == 2 || bitDepth == 4) &&
+                (colorType == 0 || colorType == 3)),
+            s"PngCodec: bit depth $bitDepth with color type $colorType " +
+              "unsupported (8/16-bit, or 1/2/4-bit gray and palette)")
+          require(bitDepth == 8 || colorType != 3 || bitDepth < 8,
             "PngCodec: 16-bit palette images are illegal (spec table 11.1)")
           require((bytes(dataOff + 10) & 0xff) == 0, "PngCodec: unknown compression method")
           require((bytes(dataOff + 11) & 0xff) == 0, "PngCodec: unknown filter method")
@@ -137,10 +144,12 @@ object PngCodec {
               s"PngCodec: palette tRNS length $len exceeds PLTE entries")
           }
           // the transparent-sample KEY compares at full sample precision;
-          // the 16-bit decode path reduces samples before this expansion
-          // would run, so that combination stays out of scope, loud
+          // the 16-bit and sub-byte decode paths rescale samples before
+          // this expansion would run, so those combinations stay out of
+          // scope, loud
           require(bitDepth == 8 || colorType == 3,
-            "PngCodec: tRNS on a 16-bit image unsupported (key compares pre-reduction)")
+            s"PngCodec: tRNS on a $bitDepth-bit non-palette image unsupported " +
+              "(key compares pre-rescale)")
         case "IDAT" =>
           idat.write(bytes, dataOff, len.toInt)
         case "IEND" =>
@@ -158,65 +167,133 @@ object PngCodec {
     require(colorType != 3 || palette != null, "PngCodec: palette image without PLTE")
 
     val ch = wireChannels(colorType)
-    val bps = bitDepth / 8 // bytes per sample: 1 or 2
-    // the PNG filter set == PDF /Predictor 15: each row's leading byte
-    // names its filter, decode is shared verbatim. Filters operate on
-    // BYTES at bpp = channels·bytesPerSample (spec §9: 16-bit samples
-    // are byte pairs), so 16-bit rides the same unfilter at colors=ch·2.
-    val effColors = ch * bps
     val raw = PdfCodec.inflate(idat.toByteArray)
-    val wide: Array[Byte] =
-      if (interlace == 0) {
-        val expect = height.toLong * (1L + width.toLong * effColors)
-        require(raw.length == expect,
-          s"PngCodec: inflated IDAT is ${raw.length} bytes, geometry wants $expect " +
-            s"(${width}x$height, $ch channels, $bitDepth-bit)")
-        PdfCodec.unpredict(raw, predictor = 15, colors = effColors,
-          bpc = 8, columns = width)
-      } else {
-        // Adam7 (spec §8.2): seven sub-images, each with its OWN filtered
-        // scanlines (filters reset per pass, rows are passW pixels wide);
-        // empty passes (a dimension reduced to zero) contribute no bytes.
-        // Unfilter each pass as its own mini-image, scatter into the grid.
-        val out = new Array[Byte](width * height * effColors)
-        var off = 0
-        var p = 0
-        while (p < 7) {
-          val x0 = Adam7(p)._1; val y0 = Adam7(p)._2
-          val dx = Adam7(p)._3; val dy = Adam7(p)._4
-          val pw = if (width > x0) (width - x0 + dx - 1) / dx else 0
-          val ph = if (height > y0) (height - y0 + dy - 1) / dy else 0
-          if (pw > 0 && ph > 0) {
-            val passLen = ph * (1 + pw * effColors)
-            require(off + passLen <= raw.length,
-              s"PngCodec: interlaced payload truncated in Adam7 pass ${p + 1} " +
-                s"(have ${raw.length - off} of $passLen bytes)")
-            val un = PdfCodec.unpredict(
-              java.util.Arrays.copyOfRange(raw, off, off + passLen),
-              predictor = 15, colors = effColors, bpc = 8, columns = pw)
-            off += passLen
-            var r = 0
-            while (r < ph) {
-              var c = 0
-              while (c < pw) {
-                System.arraycopy(un, (r * pw + c) * effColors, out,
-                  ((y0 + r * dy) * width + (x0 + c * dx)) * effColors, effColors)
-                c += 1
-              }
-              r += 1
+    val unfiltered: Array[Byte] =
+      if (bitDepth < 8) {
+        // SUB-BYTE depths 1/2/4 (round 17 — gray or palette, the
+        // icon/screenshot/scan shapes): filters run at bpp = 1 byte
+        // over PACKED rows of ceil(w·d/8) bytes (spec §9's filter
+        // offset floor); samples unpack MSB-first, gray scales by the
+        // spec's bit replication 255/(2^d−1) (palette indices pass raw)
+        val scale = if (colorType == 0) 255 / ((1 << bitDepth) - 1) else 1
+        def unpackRows(packed: Array[Byte], pw: Int, ph: Int): Array[Byte] = {
+          val prb = (pw * bitDepth + 7) / 8
+          val o = new Array[Byte](pw * ph)
+          var r = 0
+          while (r < ph) {
+            var x = 0
+            while (x < pw) {
+              val bitAt = x * bitDepth
+              val v = (packed(r * prb + (bitAt >> 3)) >> (8 - bitDepth - (bitAt & 7))) &
+                ((1 << bitDepth) - 1)
+              o(r * pw + x) = (v * scale).toByte
+              x += 1
             }
+            r += 1
           }
-          p += 1
+          o
         }
-        require(off == raw.length,
-          s"PngCodec: ${raw.length - off} trailing bytes after the last Adam7 pass")
-        out
-      }
-    // 16-bit samples reduce to the decoded 8-bit buffer by the HIGH
-    // (big-endian first) byte — floor(v/257), the exact inverse of the
-    // spec's 8→16 scaling v·257, so a widened image round-trips bit-
-    // exactly and the oracle replay stays integer math
-    val unfiltered =
+        if (interlace == 0) {
+          val rowBytes = (width * bitDepth + 7) / 8
+          val expect = height.toLong * (1L + rowBytes)
+          require(raw.length == expect,
+            s"PngCodec: inflated IDAT is ${raw.length} bytes, geometry wants $expect " +
+              s"(${width}x$height, $bitDepth-bit packed)")
+          unpackRows(PdfCodec.unpredict(raw, predictor = 15, colors = 1,
+            bpc = 8, columns = rowBytes), width, height)
+        } else {
+          val out = new Array[Byte](width * height)
+          var off = 0
+          var p = 0
+          while (p < 7) {
+            val x0 = Adam7(p)._1; val y0 = Adam7(p)._2
+            val dx = Adam7(p)._3; val dy = Adam7(p)._4
+            val pw = if (width > x0) (width - x0 + dx - 1) / dx else 0
+            val ph = if (height > y0) (height - y0 + dy - 1) / dy else 0
+            if (pw > 0 && ph > 0) {
+              val prb = (pw * bitDepth + 7) / 8
+              val passLen = ph * (1 + prb)
+              require(off + passLen <= raw.length,
+                s"PngCodec: interlaced payload truncated in Adam7 pass ${p + 1} " +
+                  s"(have ${raw.length - off} of $passLen bytes)")
+              val un = unpackRows(PdfCodec.unpredict(
+                java.util.Arrays.copyOfRange(raw, off, off + passLen),
+                predictor = 15, colors = 1, bpc = 8, columns = prb), pw, ph)
+              off += passLen
+              var r = 0
+              while (r < ph) {
+                var c = 0
+                while (c < pw) {
+                  out((y0 + r * dy) * width + (x0 + c * dx)) = un(r * pw + c)
+                  c += 1
+                }
+                r += 1
+              }
+            }
+            p += 1
+          }
+          require(off == raw.length,
+            s"PngCodec: ${raw.length - off} trailing bytes after the last Adam7 pass")
+          out
+        }
+      } else {
+      val bps = bitDepth / 8 // bytes per sample: 1 or 2
+      // the PNG filter set == PDF /Predictor 15: each row's leading byte
+      // names its filter, decode is shared verbatim. Filters operate on
+      // BYTES at bpp = channels·bytesPerSample (spec §9: 16-bit samples
+      // are byte pairs), so 16-bit rides the same unfilter at colors=ch·2.
+      val effColors = ch * bps
+      val wide: Array[Byte] =
+        if (interlace == 0) {
+          val expect = height.toLong * (1L + width.toLong * effColors)
+          require(raw.length == expect,
+            s"PngCodec: inflated IDAT is ${raw.length} bytes, geometry wants $expect " +
+              s"(${width}x$height, $ch channels, $bitDepth-bit)")
+          PdfCodec.unpredict(raw, predictor = 15, colors = effColors,
+            bpc = 8, columns = width)
+        } else {
+          // Adam7 (spec §8.2): seven sub-images, each with its OWN filtered
+          // scanlines (filters reset per pass, rows are passW pixels wide);
+          // empty passes (a dimension reduced to zero) contribute no bytes.
+          // Unfilter each pass as its own mini-image, scatter into the grid.
+          val out = new Array[Byte](width * height * effColors)
+          var off = 0
+          var p = 0
+          while (p < 7) {
+            val x0 = Adam7(p)._1; val y0 = Adam7(p)._2
+            val dx = Adam7(p)._3; val dy = Adam7(p)._4
+            val pw = if (width > x0) (width - x0 + dx - 1) / dx else 0
+            val ph = if (height > y0) (height - y0 + dy - 1) / dy else 0
+            if (pw > 0 && ph > 0) {
+              val passLen = ph * (1 + pw * effColors)
+              require(off + passLen <= raw.length,
+                s"PngCodec: interlaced payload truncated in Adam7 pass ${p + 1} " +
+                  s"(have ${raw.length - off} of $passLen bytes)")
+              val un = PdfCodec.unpredict(
+                java.util.Arrays.copyOfRange(raw, off, off + passLen),
+                predictor = 15, colors = effColors, bpc = 8, columns = pw)
+              off += passLen
+              var r = 0
+              while (r < ph) {
+                var c = 0
+                while (c < pw) {
+                  System.arraycopy(un, (r * pw + c) * effColors, out,
+                    ((y0 + r * dy) * width + (x0 + c * dx)) * effColors, effColors)
+                  c += 1
+                }
+                r += 1
+              }
+            }
+            p += 1
+          }
+          require(off == raw.length,
+            s"PngCodec: ${raw.length - off} trailing bytes after the last Adam7 pass")
+          out
+        }
+      // 16-bit samples reduce to the decoded 8-bit buffer by the HIGH
+      // (big-endian first) byte — floor(v/257), the exact inverse of the
+      // spec's 8→16 scaling v·257, so a widened image round-trips bit-
+      // exactly and the oracle replay stays integer math
       if (bps == 1) wide
       else {
         val o = new Array[Byte](wide.length / 2)
@@ -224,6 +301,7 @@ object PngCodec {
         while (i < o.length) { o(i) = wide(2 * i); i += 1 }
         o
       }
+    }
 
     if (colorType == 3) {
       val nEntries = palette.length / 3
@@ -353,10 +431,23 @@ object PngCodec {
       s"PngCodec.encode: ${pixels.length} pixel bytes, geometry wants ${width * height * ch}")
     require((colorType == 3) == palette.isDefined,
       "PngCodec.encode: palette iff color type 3")
-    require(bitDepth == 8 || bitDepth == 16,
-      s"PngCodec.encode: bit depth $bitDepth (8 or 16)")
-    require(bitDepth == 8 || colorType != 3,
+    require(bitDepth == 8 || bitDepth == 16 ||
+        ((bitDepth == 1 || bitDepth == 2 || bitDepth == 4) &&
+          (colorType == 0 || colorType == 3)),
+      s"PngCodec.encode: bit depth $bitDepth with color type $colorType " +
+        "(8/16, or 1/2/4 for gray and palette)")
+    require(bitDepth != 16 || colorType != 3,
       "PngCodec.encode: 16-bit palette images are illegal (spec table 11.1)")
+    if (bitDepth < 8) {
+      // sub-byte samples must be exactly representable so the decode
+      // round-trips bit-exactly: gray values multiples of 255/(2^d−1),
+      // palette indices under 2^d
+      val lim = (1 << bitDepth) - 1
+      if (colorType == 0) pixels.foreach(b => require((b & 0xff) % (255 / lim) == 0,
+        s"PngCodec.encode: gray sample ${b & 0xff} not representable at $bitDepth bits"))
+      else pixels.foreach(b => require((b & 0xff) <= lim,
+        s"PngCodec.encode: palette index ${b & 0xff} exceeds $bitDepth-bit depth"))
+    }
     palette.foreach(p => require(p.length > 0 && p.length % 3 == 0 && p.length <= 768,
       s"PngCodec.encode: palette of ${p.length} bytes (want a positive multiple of 3, ≤ 768)"))
 
@@ -383,10 +474,33 @@ object PngCodec {
     ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = if (interlace) 1 else 0
     chunk("IHDR", ihdr)
     palette.foreach(p => chunk("PLTE", p))
-    val bps = bitDepth / 8
+    // sub-byte: pack samples (gray downscaled by 255/(2^d−1), palette
+    // indices raw) MSB-first into ceil(w·d/8)-byte rows; the filter runs
+    // at bpp = 1 over the packed rows (spec §9)
+    def packSub(src: Array[Byte], pw: Int, ph: Int): Array[Byte] = {
+      val lim = (1 << bitDepth) - 1
+      val prb = (pw * bitDepth + 7) / 8
+      val o = new Array[Byte](prb * ph)
+      var r = 0
+      while (r < ph) {
+        var x = 0
+        while (x < pw) {
+          val v =
+            if (colorType == 0) (src(r * pw + x) & 0xff) / (255 / lim)
+            else src(r * pw + x) & 0xff
+          val bitAt = x * bitDepth
+          o(r * prb + (bitAt >> 3)) =
+            (o(r * prb + (bitAt >> 3)) | (v << (8 - bitDepth - (bitAt & 7)))).toByte
+          x += 1
+        }
+        r += 1
+      }
+      o
+    }
+    val bps = if (bitDepth < 8) 1 else bitDepth / 8
     val effColors = ch * bps
     val wide: Array[Byte] =
-      if (bps == 1) pixels
+      if (bitDepth < 8 || bps == 1) pixels
       else {
         // v·257 = (v << 8) | v — big-endian sample pairs
         val o = new Array[Byte](pixels.length * 2)
@@ -395,8 +509,12 @@ object PngCodec {
         o
       }
     val filtered: Array[Byte] =
-      if (!interlace) PdfCodec.pngPredictEncode(wide, effColors, width)
-      else {
+      if (!interlace) {
+        if (bitDepth < 8) {
+          val packed = packSub(wide, width, height)
+          PdfCodec.pngPredictEncode(packed, 1, packed.length / height)
+        } else PdfCodec.pngPredictEncode(wide, effColors, width)
+      } else {
         // Adam7: extract each pass's sub-image and filter it independently
         val bos = new ByteArrayOutputStream()
         var p = 0
@@ -417,7 +535,11 @@ object PngCodec {
               }
               r += 1
             }
-            val f = PdfCodec.pngPredictEncode(pass, effColors, pw)
+            val f =
+              if (bitDepth < 8) {
+                val packed = packSub(pass, pw, ph)
+                PdfCodec.pngPredictEncode(packed, 1, packed.length / ph)
+              } else PdfCodec.pngPredictEncode(pass, effColors, pw)
             bos.write(f, 0, f.length)
           }
           p += 1

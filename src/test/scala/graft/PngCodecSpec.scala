@@ -154,6 +154,80 @@ class PngCodecSpec extends AnyFunSuite with SparkSpec {
     assert(img.pixels.toSeq == idx.flatMap(i => pal.slice(3 * i, 3 * i + 3)).toSeq)
   }
 
+  test("SUB-BYTE depths (1/2/4): gray + palette round trips, bit order, fail-loud") {
+    // round trips across depth x kind x interlace x odd widths (packed
+    // rows with padding bits in the last byte)
+    for (d <- Seq(1, 2, 4); pal <- Seq(false, true); il <- Seq(false, true);
+         (w, h) <- Seq((7, 3), (16, 5), (17, 9))) {
+      val lim = (1 << d) - 1
+      val px = Array.tabulate(w * h)(i =>
+        (if (pal) i % (lim + 1) else (i % (lim + 1)) * (255 / lim)).toByte)
+      val palette =
+        if (!pal) None
+        else Some(Array.tabulate[Byte]((lim + 1) * 3)(k => (k * 29 + 3).toByte))
+      val bytes = PngCodec.encode(w, h, if (pal) 3 else 0, px,
+        palette = palette, interlace = il, bitDepth = d)
+      val img = PngCodec.decode(bytes)
+      assert(img.bitDepth == d, s"d=$d pal=$pal il=$il")
+      if (pal) {
+        assert(img.channels == 3 && img.colorType == 2)
+        val p = palette.get
+        val want = px.flatMap(ix => Seq(p(3 * (ix & 0xff)),
+          p(3 * (ix & 0xff) + 1), p(3 * (ix & 0xff) + 2)))
+        assert(img.pixels.toSeq == want.toSeq, s"d=$d il=$il $w x $h")
+      } else
+        assert(img.pixels.toSeq == px.toSeq, s"d=$d il=$il $w x $h")
+    }
+    // hand-packed 1-bit fixture: bits 1010 110. in a 7-pixel row must
+    // come out MSB-first (a bit-order slip reverses every byte)
+    val hand = PngCodec.encode(7, 1, 0,
+      Array[Byte](255.toByte, 0, 255.toByte, 0, 255.toByte, 255.toByte, 0),
+      bitDepth = 1)
+    assert(PngCodec.decode(hand).pixels.map(b => if (b == 0) 0 else 1).toSeq ==
+      Seq(1, 0, 1, 0, 1, 1, 0))
+    // encoder pins: sub-byte RGB illegal, non-representable gray, index
+    // over the depth
+    intercept[IllegalArgumentException](
+      PngCodec.encode(4, 2, 2, new Array[Byte](24), bitDepth = 4))
+    intercept[IllegalArgumentException](
+      PngCodec.encode(4, 2, 0, Array.fill[Byte](8)(100), bitDepth = 1))
+    intercept[IllegalArgumentException](
+      PngCodec.encode(4, 2, 3, Array.fill[Byte](8)(5),
+        palette = Some(Array.fill[Byte](18)(1)), bitDepth = 2))
+    // decode: a 2-bit palette index pointing past a 3-entry PLTE fails
+    val short = PngCodec.encode(4, 2, 3, Array[Byte](0, 1, 2, 3, 0, 1, 2, 3),
+      palette = Some(Array.fill[Byte](12)(9)), bitDepth = 2)
+    val threeEntry = {
+      // shrink PLTE from 4 to 3 entries by re-encoding with index 3 used
+      // but only 3 palette entries — the ENCODER's own guard allows
+      // indices < 2^d, so the decoder's PLTE bound must catch it
+      PngCodec.encode(4, 2, 3, Array[Byte](0, 1, 2, 3, 0, 1, 2, 3),
+        palette = Some(Array.fill[Byte](9)(9)), bitDepth = 2)
+    }
+    assert(intercept[IllegalArgumentException](PngCodec.decode(threeEntry))
+      .getMessage.contains("palette index"))
+    PngCodec.decode(short) // 4 entries: fine
+    // tRNS on sub-byte GRAY stays out of scope, loud (key pre-rescale)
+    val g1 = PngCodec.encode(8, 2, 0, Array.fill[Byte](16)(0), bitDepth = 1)
+    val sGray = new String(g1, "ISO-8859-1")
+    // splice a tRNS chunk before IDAT
+    val idatAt = sGray.indexOf("IDAT") - 4
+    val trns = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(Array[Byte](0, 0, 0, 2), 0, 4)
+      b.write("tRNS".getBytes("US-ASCII"), 0, 4)
+      b.write(Array[Byte](0, 0), 0, 2)
+      val crc = new java.util.zip.CRC32()
+      crc.update("tRNS".getBytes("US-ASCII")); crc.update(Array[Byte](0, 0))
+      val c = crc.getValue
+      b.write(Array((c >>> 24).toByte, (c >>> 16).toByte, (c >>> 8).toByte, c.toByte), 0, 4)
+      b.toByteArray
+    }
+    val withTrns = g1.take(idatAt) ++ trns ++ g1.drop(idatAt)
+    assert(intercept[IllegalArgumentException](PngCodec.decode(withTrns))
+      .getMessage.contains("pre-rescale"))
+  }
+
   test("fail-loud contract: signature, CRC, interlace, critical chunk, geometry, OOB palette") {
     val good = PngCodec.encode(3, 2, 2,
       Array.tabulate(18)(i => (i * 11).toByte))
