@@ -2156,6 +2156,31 @@ object QueriesExtra {
              |  CAST(SUM((i + 1) * v) AS BIGINT) AS weighted_sum
              |FROM b GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin)),
 
+    // SUB-BYTE GRAY TIFF (round 17 — 2-bit and 4-bit samples; 4-bit is
+    // the 16-level scanner setting): the q_image_tiff_bilevel recipe
+    // generalized to deeper sub-byte depths — samples expand by the
+    // 255/(2^d−1) replication, photometric 0 takes the complement
+    // FIRST (lim−v, not the 8-bit 255−v — a decoder that inverts after
+    // scaling is off by the rounding and breaks the hash), striped and
+    // tiled layouts, none/LZW/Deflate rotation.
+    "q_image_tiff_gray4" -> QueryDef(
+      (s, d) => BinaryPipeline.decodeTiffs(
+          BinaryPipeline.synthesizeGrayTiffs(Tables.documents(s, d)))
+        .orderBy(col("doc_id")),
+      Some("""WITH p AS (SELECT doc_id,
+             |    CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 4 END AS d,
+             |    15 + doc_id % 14 AS w, 11 + doc_id % 10 AS h FROM documents),
+             |b AS (SELECT doc_id, w, h, i,
+             |    ((doc_id*31 + (i % w)*5 + (i // w)*11) % (1 << d))
+             |      * (255 // ((1 << d) - 1)) AS v
+             |  FROM p, unnest(range(0, w*h)) t(i))
+             |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             |  CAST(1 AS BIGINT) AS channels,
+             |  CAST(SUM(v) AS BIGINT) AS r_sum,
+             |  CAST(0 AS BIGINT) AS g_sum, CAST(0 AS BIGINT) AS b_sum,
+             |  CAST(SUM((i + 1) * v) AS BIGINT) AS weighted_sum
+             |FROM b GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin)),
+
     // REAL BMP decode (round 16 extra — the fifth raster leg; BMPs are
     // ubiquitous in older crawls): 8-bit paletted, 24-bit bottom-up and
     // 24-bit TOP-DOWN files in one corpus. The decoded buffer is always
@@ -2175,6 +2200,31 @@ object QueriesExtra {
              |        WHEN 1 THEN (((doc_id*37 + (i//3)*13) % 250) * 59 + 17) % 256
              |        ELSE (((doc_id*37 + (i//3)*13) % 250) * 83 + 29) % 256 END
              |    ELSE (doc_id*37 + i*11) % 256 END AS v
+             |  FROM p, unnest(range(0, w*h*3)) t(i))
+             |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             |  CAST(SUM(CASE WHEN i % 3 = 0 THEN v END) AS BIGINT) AS r_sum,
+             |  CAST(SUM(CASE WHEN i % 3 = 1 THEN v END) AS BIGINT) AS g_sum,
+             |  CAST(SUM(CASE WHEN i % 3 = 2 THEN v END) AS BIGINT) AS b_sum,
+             |  CAST(SUM((i + 1) * v) AS BIGINT) AS weighted_sum
+             |FROM b GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin)),
+
+    // 4-BIT BMP (round 17 — the legacy clip-art shape): two
+    // high-nibble-first pixels per byte under a 16-entry palette;
+    // uncompressed on even docs and BI_RLE4 (nibble-alternating runs)
+    // on odd — one byte-blind oracle covers both wire forms, so a
+    // nibble-order slip, a wrong row-padding formula, or an RLE4 run
+    // misplacement breaks the position-weighted hash.
+    "q_image_bmp4" -> QueryDef(
+      (s, d) => BinaryPipeline.decodeBmps(
+          BinaryPipeline.synthesizeBmp4s(Tables.documents(s, d)))
+        .orderBy(col("doc_id")),
+      Some("""WITH p AS (SELECT doc_id, 11 + doc_id % 13 AS w, 9 + doc_id % 11 AS h
+             |  FROM documents),
+             |b AS (SELECT doc_id, w, h, i,
+             |    CASE i % 3
+             |      WHEN 0 THEN (((doc_id*37 + (i//3)*13) % 16) * 37) % 256
+             |      WHEN 1 THEN (((doc_id*37 + (i//3)*13) % 16) * 59 + 17) % 256
+             |      ELSE (((doc_id*37 + (i//3)*13) % 16) * 83 + 29) % 256 END AS v
              |  FROM p, unnest(range(0, w*h*3)) t(i))
              |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
              |  CAST(SUM(CASE WHEN i % 3 = 0 THEN v END) AS BIGINT) AS r_sum,

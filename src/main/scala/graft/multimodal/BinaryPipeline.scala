@@ -727,6 +727,94 @@ object BinaryPipeline {
     }(enc)
   }
 
+  /** 4-BIT BMP corpus (round 17 — the legacy clip-art shape): 16-entry
+    * palette from the mode-0 formulas, indices (id·37 + i·13) mod 16,
+    * uncompressed on even ids and BI_RLE4 on odd — the wire form must
+    * be results-invisible, so ONE oracle covers both. */
+  def synthesizeBmp4s(docs: DataFrame, idCol: String = "doc_id",
+                      batchSize: Int = 16): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false),
+      StructField("meta", StructType(Seq(
+        StructField("media_type", StringType, nullable = false),
+        StructField("declared_bytes", LongType, nullable = false))), nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val pal16: Array[Byte] = {
+      val t = new Array[Byte](16 * 3)
+      var j = 0
+      while (j < 16) {
+        t(3 * j) = ((j * 37) % 256).toByte
+        t(3 * j + 1) = ((j * 59 + 17) % 256).toByte
+        t(3 * j + 2) = ((j * 83 + 29) % 256).toByte
+        j += 1
+      }
+      t
+    }
+    docs.select(col(idCol)).mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val id = r.getLong(0)
+          val w = (11 + id % 13).toInt
+          val h = (9 + id % 11).toInt
+          val idx = new Array[Byte](w * h)
+          var i = 0
+          while (i < idx.length) { idx(i) = ((id * 37 + i * 13L) % 16).toByte; i += 1 }
+          val bytes = BmpCodec.encode(w, h, idx, pal16,
+            bpp4 = true, rle4 = id % 2 == 1)
+          Row(id, bytes, Row("image/bmp", bytes.length.toLong))
+        }
+      }
+    }(enc)
+  }
+
+  /** SUB-BYTE GRAY corpus (round 17): 2-bit on even ids, 4-bit (the
+    * 16-level scanner setting) on odd; striped or 16x16-tiled by id%4,
+    * WhiteIsZero on id%5<2, none/LZW/Deflate rotation:
+    *   w = 15 + id%14, h = 11 + id%10
+    *   gray(x, y) = ((id·31 + x·5 + y·11) mod 2^d) · 255/(2^d−1) */
+  def synthesizeGrayTiffs(docs: DataFrame, idCol: String = "doc_id",
+                          batchSize: Int = 16): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false),
+      StructField("meta", StructType(Seq(
+        StructField("media_type", StringType, nullable = false),
+        StructField("declared_bytes", LongType, nullable = false))), nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    docs.select(col(idCol)).mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val id = r.getLong(0)
+          val d = if (id % 2 == 0) 2 else 4
+          val lim = (1 << d) - 1
+          val w = (15 + id % 14).toInt
+          val h = (11 + id % 10).toInt
+          val px = new Array[Byte](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              px(y * w + x) =
+                (((id * 31 + x * 5L + y * 11L) % (lim + 1)) * (255 / lim)).toByte
+              x += 1
+            }
+            y += 1
+          }
+          val comp = (id % 3).toInt
+          val bytes = TiffCodec.encode(w, h, 1, px,
+            bigEndian = id % 7 < 3,
+            lzw = comp == 1, deflate = comp == 2,
+            rowsPerStrip = if (id % 4 < 2) (2 + id % 5).toInt else 0,
+            whiteIsZero = id % 5 < 2,
+            tileSize = if (id % 4 >= 2) 16 else 0,
+            grayBits = d)
+          Row(id, bytes, Row("image/tiff", bytes.length.toLong))
+        }
+      }
+    }(enc)
+  }
+
   /** [[synthesizeLzwTiffs]]' Deflate sibling (round 17): the SAME pixel
     * corpus compressed with Deflate — both the modern tag 8 and the
     * older 32946 alias appear (by id), half the rows under Predictor 2,

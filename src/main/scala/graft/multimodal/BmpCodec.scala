@@ -12,10 +12,12 @@ import java.io.ByteArrayOutputStream
   * Scope (fail-loud beyond it, never silent garbage):
   *  - 'BM' magic, 40-byte BITMAPINFOHEADER (the universal core;
   *    V4/V5 headers, OS/2 BITMAPCOREHEADER reject with the size)
-  *  - bit depths 8 (paletted, expanded to RGB) and 24 (BGR → RGB)
-  *  - BI_RGB and BI_RLE8 (round 17 — encoded/absolute runs, EOL/EOB/
-  *    delta escapes; skipped cells take index 0); RLE4 and bitfield
-  *    compressions reject
+  *  - bit depths 4 and 8 (paletted, expanded to RGB; 4-bit packs two
+  *    high-nibble-first pixels per byte — round 17) and 24 (BGR → RGB)
+  *  - BI_RGB, BI_RLE8 and BI_RLE4 (round 17 — encoded/absolute runs,
+  *    EOL/EOB/delta escapes, word-aligned absolute data; skipped cells
+  *    take index 0; RLE4 encoded runs alternate the value byte's
+  *    nibbles); bitfield compressions reject
   *  - bottom-up (positive height, the common shape) AND top-down
   *    (negative height) row orders; rows padded to 4-byte multiples
   *  - the declared data offset, palette size and row accounting must
@@ -54,25 +56,29 @@ object BmpCodec {
       s"BmpCodec: invalid dimensions ${width}x$rawHeight")
     require(u16(26) == 1, s"BmpCodec: planes ${u16(26)} (want 1)")
     val bpp = u16(28)
-    require(bpp == 8 || bpp == 24,
-      s"BmpCodec: $bpp bits/pixel unsupported (8 paletted or 24 BGR)")
+    // 4-bit paletted (round 17) joins 8/24 — legacy clip-art corpora
+    require(bpp == 4 || bpp == 8 || bpp == 24,
+      s"BmpCodec: $bpp bits/pixel unsupported (4/8 paletted or 24 BGR)")
     val compression = u32(30)
-    // 1 = BI_RLE8 (round 17 — legacy clip-art corpora); RLE4 and
+    // 1 = BI_RLE8, 2 = BI_RLE4 (round 17 — legacy clip-art corpora);
     // bitfields still reject
-    require(compression == 0 || compression == 1,
-      s"BmpCodec: compression $compression unsupported (BI_RGB or BI_RLE8 — " +
-        "RLE4/bitfields out of scope)")
-    require(compression == 0 || bpp == 8,
+    require(compression == 0 || compression == 1 || compression == 2,
+      s"BmpCodec: compression $compression unsupported (BI_RGB, BI_RLE8 or " +
+        "BI_RLE4 — bitfields out of scope)")
+    require(compression != 1 || bpp == 8,
       s"BmpCodec: BI_RLE8 with $bpp bits/pixel (8 only)")
+    require(compression != 2 || bpp == 4,
+      s"BmpCodec: BI_RLE4 with $bpp bits/pixel (4 only)")
     require(compression == 0 || !topDown,
-      "BmpCodec: BI_RLE8 with top-down row order is invalid (spec: RLE " +
+      "BmpCodec: RLE with top-down row order is invalid (spec: RLE " +
         "bitmaps are bottom-up)")
     val colorsUsed = u32(46).toInt
 
     val palette: Array[Byte] =
-      if (bpp == 8) {
-        val n = if (colorsUsed == 0) 256 else colorsUsed
-        require(n >= 1 && n <= 256, s"BmpCodec: palette of $n entries (1-256)")
+      if (bpp == 8 || bpp == 4) {
+        val n = if (colorsUsed == 0) (1 << bpp) else colorsUsed
+        require(n >= 1 && n <= (1 << bpp),
+          s"BmpCodec: palette of $n entries (1-${1 << bpp} at $bpp bpp)")
         require(54 + 4 * n <= bytes.length, "BmpCodec: truncated palette")
         // BGRA quads on the wire → packed RGB
         val t = new Array[Byte](3 * n)
@@ -87,20 +93,21 @@ object BmpCodec {
       } else null
     val nPal = if (palette == null) 0 else palette.length / 3
 
-    val rowBytes = (width * (bpp / 8) + 3) / 4 * 4 // padded to 4
+    val rowBytes = (width * bpp + 31) / 32 * 4 // bit-exact, padded to 4
     // the data offset must CLEAR the header AND the palette — a
     // malformed file whose pixel data overlaps the palette would
     // otherwise decode the palette bytes as indices, silent garbage
     require(dataOffset >= 54 + 4L * nPal &&
-        (if (compression == 1) dataOffset < bytes.length
+        (if (compression != 0) dataOffset < bytes.length
          else dataOffset + rowBytes.toLong * height <= bytes.length),
       s"BmpCodec: pixel data at $dataOffset (${rowBytes.toLong * height} bytes) " +
         s"overlaps the header/palette (${54 + 4 * nPal} bytes) or runs past " +
         s"EOF (${bytes.length})")
-    // BI_RLE8: expand the run stream to storage-order indices first
+    // RLE: expand the run stream to storage-order indices first
     // (row 0 = bottom row, matching the uncompressed layout)
     val rleIndices: Array[Byte] =
       if (compression == 1) decodeRle8(bytes, dataOffset.toInt, width, height)
+      else if (compression == 2) decodeRle4(bytes, dataOffset.toInt, width, height)
       else null
     // Long math: both dims can pass the 2^20 cap while w·h·3 wraps Int
     require(width.toLong * height * 3 <= (1L << 30),
@@ -120,8 +127,10 @@ object BmpCodec {
           out(o + 2) = bytes(rowAt + 3 * x)
         } else {
           val idx =
-            (if (rleIndices != null) rleIndices(srcRow * width + x)
-             else bytes(rowAt + x)) & 0xff
+            (if (rleIndices != null) rleIndices(srcRow * width + x) & 0xff
+             else if (bpp == 8) bytes(rowAt + x) & 0xff
+             else // 4-bit: two pixels per byte, HIGH nibble first
+               (bytes(rowAt + (x >> 1)) >> (if ((x & 1) == 0) 4 else 0)) & 0xf)
           require(idx < nPal,
             s"BmpCodec: pixel index $idx out of the $nPal-entry palette")
           out(o) = palette(3 * idx)
@@ -189,19 +198,91 @@ object BmpCodec {
     out
   }
 
+  /** BI_RLE4 decode (round 17): like [[decodeRle8]] but PIXELS ARE
+    * NIBBLES — an encoded run (n, b) paints n pixels ALTERNATING b's
+    * high and low nibbles; an absolute run of n pixels packs them two
+    * per byte, high nibble first, padded to a 16-bit boundary
+    * (ceil(n/2) rounded up to even bytes, pads zero). Escapes and the
+    * index-0 skip convention match RLE8. */
+  private def decodeRle4(bytes: Array[Byte], at: Int, width: Int,
+                         height: Int): Array[Byte] = {
+    val out = new Array[Byte](width * height)
+    var p = at
+    def u8(): Int = {
+      require(p < bytes.length, "BmpCodec: RLE4 stream truncated")
+      val v = bytes(p) & 0xff; p += 1; v
+    }
+    var x = 0
+    var y = 0 // storage row (0 = bottom)
+    var done = false
+    while (!done) {
+      val n = u8()
+      val b = u8()
+      if (n > 0) {
+        require(y < height && x + n <= width,
+          s"BmpCodec: RLE4 run of $n at ($x,$y) crosses the scan line " +
+            s"(${width}x$height)")
+        var k = 0
+        while (k < n) {
+          out(y * width + x + k) =
+            (if ((k & 1) == 0) (b >> 4) & 0xf else b & 0xf).toByte
+          k += 1
+        }
+        x += n
+      } else b match {
+        case 0 =>
+          require(y < height, "BmpCodec: RLE4 end-of-line past the last row")
+          x = 0; y += 1
+        case 1 => done = true
+        case 2 =>
+          val dx = u8(); val dy = u8()
+          require(y + dy < height && x + dx <= width,
+            s"BmpCodec: RLE4 delta ($dx,$dy) from ($x,$y) leaves the bitmap")
+          x += dx; y += dy
+        case abs =>
+          require(y < height && x + abs <= width,
+            s"BmpCodec: RLE4 absolute run of $abs at ($x,$y) crosses the " +
+              s"scan line (${width}x$height)")
+          // abs nibbles → ceil(abs/2) bytes, padded to an EVEN byte count
+          val dataBytes = (abs + 1) / 2
+          val padBytes = (dataBytes + 1) / 2 * 2 - dataBytes
+          var k = 0
+          var cur = 0
+          while (k < abs) {
+            if ((k & 1) == 0) { cur = u8(); out(y * width + x + k) = ((cur >> 4) & 0xf).toByte }
+            else out(y * width + x + k) = (cur & 0xf).toByte
+            k += 1
+          }
+          var pd = 0
+          while (pd < padBytes) {
+            require(u8() == 0, "BmpCodec: RLE4 absolute-run pad byte nonzero")
+            pd += 1
+          }
+          x += abs
+      }
+    }
+    require(p == bytes.length,
+      s"BmpCodec: ${bytes.length - p} byte(s) after the RLE4 end-of-bitmap")
+    out
+  }
+
   /** BMP ENCODE for fixtures and in-engine synthesis: 24-bit BGR (the
-    * common shape) or 8-bit paletted; `topDown` writes a negative
-    * height; `rle8` (round 17) writes BI_RLE8 runs (8-bit bottom-up
-    * only, one end-of-line per row, end-of-bitmap last). `pixels` is
-    * packed RGB (24-bit) or palette indices (8-bit with `palette` RGB
-    * triples). */
+    * common shape), 8-bit or — with `bpp4` — 4-bit paletted; `topDown`
+    * writes a negative height; `rle8`/`rle4` (round 17) write the
+    * run-length forms (paletted bottom-up only, one end-of-line per
+    * row, end-of-bitmap last). `pixels` is packed RGB (24-bit) or
+    * palette indices (with `palette` RGB triples). */
   def encode(width: Int, height: Int, pixels: Array[Byte],
              palette: Array[Byte] = null, topDown: Boolean = false,
-             rle8: Boolean = false): Array[Byte] = {
+             rle8: Boolean = false, bpp4: Boolean = false,
+             rle4: Boolean = false): Array[Byte] = {
     require(width > 0 && height > 0, s"BmpCodec.encode: invalid ${width}x$height")
-    require(!rle8 || (palette != null && !topDown),
+    require(!rle8 || (palette != null && !bpp4 && !topDown),
       "BmpCodec.encode: rle8 needs 8-bit paletted bottom-up")
-    val bpp = if (palette == null) 24 else 8
+    require(!bpp4 || palette != null, "BmpCodec.encode: bpp4 needs a palette")
+    require(!rle4 || (bpp4 && !topDown),
+      "BmpCodec.encode: rle4 needs 4-bit paletted bottom-up")
+    val bpp = if (palette == null) 24 else if (bpp4) 4 else 8
     if (bpp == 24)
       require(pixels.length == width * height * 3,
         s"BmpCodec.encode: ${pixels.length} RGB bytes, geometry wants " +
@@ -209,19 +290,39 @@ object BmpCodec {
     else {
       require(pixels.length == width * height,
         s"BmpCodec.encode: ${pixels.length} indices, geometry wants ${width * height}")
-      require(palette.length % 3 == 0 && palette.length >= 3 && palette.length <= 768,
-        s"BmpCodec.encode: palette of ${palette.length} bytes (1-256 RGB triples)")
+      require(palette.length % 3 == 0 && palette.length >= 3 &&
+          palette.length <= (1 << bpp) * 3,
+        s"BmpCodec.encode: palette of ${palette.length} bytes " +
+          s"(1-${1 << bpp} RGB triples at $bpp bpp)")
       val n = palette.length / 3
       pixels.foreach(ix => require((ix & 0xff) < n,
         s"BmpCodec.encode: index ${ix & 0xff} out of the $n-entry palette"))
     }
-    val nPal = if (bpp == 8) palette.length / 3 else 0
-    val rowBytes = (width * (bpp / 8) + 3) / 4 * 4
+    val nPal = if (bpp == 24) 0 else palette.length / 3
+    val rowBytes = (width * bpp + 31) / 32 * 4
     val dataOffset = 54 + 4 * nPal
 
     // pixel payload first (RLE size is data-dependent)
     val pix = new ByteArrayOutputStream(rowBytes * height)
-    if (rle8) {
+    if (rle4) {
+      // encoded runs only: n pixels of a (hi, lo)-alternating value
+      // byte — a uniform run repeats the same nibble in both halves
+      var y = 0 // storage row (0 = bottom)
+      while (y < height) {
+        val srcRow = height - 1 - y
+        var x = 0
+        while (x < width) {
+          val v = pixels(srcRow * width + x) & 0xf
+          var n = 1
+          while (x + n < width && n < 255 &&
+            (pixels(srcRow * width + x + n) & 0xf) == v) n += 1
+          pix.write(n); pix.write((v << 4) | v)
+          x += n
+        }
+        pix.write(0); pix.write(if (y == height - 1) 1 else 0) // EOL / EOB
+        y += 1
+      }
+    } else if (rle8) {
       // storage order = bottom-up: encoded runs of ≤255, one
       // end-of-line per row, end-of-bitmap after the last
       var y = 0 // storage row (0 = bottom), like the uncompressed layout
@@ -240,7 +341,7 @@ object BmpCodec {
         y += 1
       }
     } else {
-      val pad = rowBytes - width * (bpp / 8)
+      val pad = rowBytes - (width * bpp + 7) / 8
       var y = 0
       while (y < height) {
         val srcRow = if (topDown) y else height - 1 - y
@@ -250,7 +351,13 @@ object BmpCodec {
             val o = (srcRow * width + x) * 3
             pix.write(pixels(o + 2) & 0xff); pix.write(pixels(o + 1) & 0xff)
             pix.write(pixels(o) & 0xff)
-          } else pix.write(pixels(srcRow * width + x) & 0xff)
+          } else if (bpp == 8) pix.write(pixels(srcRow * width + x) & 0xff)
+          else { // 4-bit: two pixels per byte, HIGH nibble first
+            val hi = pixels(srcRow * width + x) & 0xf
+            val lo = if (x + 1 < width) pixels(srcRow * width + x + 1) & 0xf else 0
+            pix.write((hi << 4) | lo)
+            x += 1 // the loop's own increment consumes the second pixel
+          }
           x += 1
         }
         (0 until pad).foreach(_ => pix.write(0))
@@ -266,9 +373,10 @@ object BmpCodec {
     def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >>> 16) & 0xffff) }
     w8('B'); w8('M'); w32(fileSize); w32(0); w32(dataOffset)
     w32(40); w32(width); w32(if (topDown) -height else height)
-    w16(1); w16(bpp); w32(if (rle8) 1 else 0); w32(payload.length)
+    w16(1); w16(bpp); w32(if (rle8) 1 else if (rle4) 2 else 0)
+    w32(payload.length)
     w32(2835); w32(2835); w32(nPal); w32(0) // 72 dpi, colorsUsed, important
-    if (bpp == 8) {
+    if (bpp != 24) {
       var k = 0
       while (k < nPal) {
         w8(palette(3 * k + 2) & 0xff); w8(palette(3 * k + 1) & 0xff)

@@ -14,10 +14,12 @@ import java.io.ByteArrayOutputStream
   *    rejects loud. [[pages]] (round 16): the FULL IFD chain, one
   *    image per page (scan/print corpora are routinely multi-page),
   *    cycle-checked and capped
-  *  - 8-bit samples, 1 (gray) or 3 (RGB) samples/pixel, plus BILEVEL
-  *    1-bit gray (round 17 — the fax/scan sample format; tag 258's
-  *    default IS 1): MSB-first bits, byte-padded rows, expanded to the
-  *    8-bit BlackIsZero buffer; chunky planar configuration
+  *  - 8-bit samples, 1 (gray) or 3 (RGB) samples/pixel, plus SUB-BYTE
+  *    1/2/4-bit gray (round 17 — 1-bit is the fax/scan sample format
+  *    and tag 258's default, 4-bit the 16-level scanner setting):
+  *    MSB-first samples, byte-padded rows, expanded to the 8-bit
+  *    BlackIsZero buffer by the 255/(2^d−1) replication; chunky planar
+  *    configuration
   *  - STRIPED (any RowsPerStrip split) and TILED (§15, round 17 — the
   *    modern scanner/GIS layout: %16 tile grid, zero-padded edge tiles
   *    cropped on copy; a file carrying both layouts' tags rejects)
@@ -157,12 +159,18 @@ object TiffCodec {
     require(spp == 1 || spp == 3,
       s"TiffCodec: $spp samples/pixel unsupported (1 = gray, 3 = RGB)")
     val bps = if (entries.contains(258)) vector(258) else Array.fill(spp)(1L)
-    // bilevel (1-bit gray, round 17) joins 8-bit — the fax/document-scan
-    // sample format; the TIFF default when tag 258 is absent IS 1
-    val bilevel = spp == 1 && bps.forall(_ == 1L)
+    // SUB-BYTE gray (1/2/4-bit, round 17) joins 8-bit — 1-bit is the
+    // fax/document-scan format (and the TIFF default when tag 258 is
+    // absent), 4-bit the 16-level scanner setting; samples expand by
+    // the 255/(2^d−1) replication into the common 8-bit buffer
+    val subBits =
+      if (spp == 1 && bps.length == 1 &&
+          (bps.head == 1L || bps.head == 2L || bps.head == 4L)) bps.head.toInt
+      else 0
+    val bilevel = subBits > 0 // sub-byte path marker (1/2/4-bit gray)
     require(bps.length == spp && (bps.forall(_ == 8) || bilevel),
       s"TiffCodec: bits/sample ${bps.mkString(",")} unsupported " +
-        "(8-bit, or 1-bit gray)")
+        "(8-bit, or 1/2/4-bit gray)")
     val compression = scalar(259, 1L).toInt
     // 8 = Deflate (Adobe extension, the modern scanner default) and
     // 32946 = its older private-tag alias — SAME zlib stream, decoded by
@@ -236,7 +244,7 @@ object TiffCodec {
     // assembly happens in the PACKED sample domain: 8-bit rows are
     // width·spp bytes, bilevel rows are ceil(width/8) bytes (MSB-first
     // bits, rows padded to byte boundaries per §4's default FillOrder)
-    val packedRowBytes = if (bilevel) (width + 7) / 8 else width * spp
+    val packedRowBytes = if (bilevel) (width * subBits + 7) / 8 else width * spp
     val packed = new Array[Byte](packedRowBytes * height)
 
     if (!tiled) {
@@ -279,7 +287,7 @@ object TiffCodec {
       require(offsets.length == across * down && counts.length == across * down,
         s"TiffCodec: ${offsets.length} tile offsets / ${counts.length} counts, " +
           s"grid wants ${across * down}")
-      val tileRowBytes = if (bilevel) tw / 8 else tw * spp
+      val tileRowBytes = if (bilevel) tw * subBits / 8 else tw * spp
       var t = 0
       while (t < across * down) {
         val raw = decodeChunk(s"tile $t", offsets(t).toInt, counts(t).toInt,
@@ -288,8 +296,9 @@ object TiffCodec {
         val ty = t / across
         val validCols = math.min(tw, width - tx * tw)
         val validRows = math.min(tl, height - ty * tl)
-        val copyBytes = if (bilevel) (validCols + 7) / 8 else validCols * spp
-        val colAt = if (bilevel) tx * tw / 8 else tx * tw * spp
+        val copyBytes =
+          if (bilevel) (validCols * subBits + 7) / 8 else validCols * spp
+        val colAt = if (bilevel) tx * tw * subBits / 8 else tx * tw * spp
         var r = 0
         while (r < validRows) {
           System.arraycopy(raw, r * tileRowBytes,
@@ -302,18 +311,21 @@ object TiffCodec {
 
     val out =
       if (bilevel) {
-        // expand MSB-first bits to the 8-bit BlackIsZero buffer:
-        // photometric 0 (WhiteIsZero, the fax default) maps bit 0 →
-        // white 255; photometric 1 maps bit 1 → white 255
+        // expand MSB-first d-bit samples to the 8-bit BlackIsZero buffer
+        // by the 255/(2^d−1) replication; photometric 0 (WhiteIsZero,
+        // the fax default) takes the complement lim−v first
+        val lim = (1 << subBits) - 1
+        val scale = 255 / lim
         val o = new Array[Byte](width * height)
         var y = 0
         while (y < height) {
           var x = 0
           while (x < width) {
-            val bit = (packed(y * packedRowBytes + (x >> 3)) >> (7 - (x & 7))) & 1
+            val bitAt = x * subBits
+            val v = (packed(y * packedRowBytes + (bitAt >> 3)) >>
+              (8 - subBits - (bitAt & 7))) & lim
             o(y * width + x) =
-              (if (photometric == 0) (if (bit == 0) 255 else 0)
-               else bit * 255).toByte
+              ((if (photometric == 0) lim - v else v) * scale).toByte
             x += 1
           }
           y += 1
@@ -563,10 +575,11 @@ object TiffCodec {
              rowsPerStrip: Int = 0, whiteIsZero: Boolean = false,
              lzw: Boolean = false, predictor2: Boolean = false,
              deflate: Boolean = false, oldDeflateTag: Boolean = false,
-             tileSize: Int = 0, bilevel: Boolean = false): Array[Byte] =
+             tileSize: Int = 0, bilevel: Boolean = false,
+             grayBits: Int = 0): Array[Byte] =
     encodeMulti(Seq((width, height, channels, pixels)), bigEndian, packBits,
       rowsPerStrip, whiteIsZero, lzw, predictor2, deflate, oldDeflateTag,
-      tileSize, bilevel)
+      tileSize, bilevel, grayBits)
 
   /** MULTI-PAGE TIFF ENCODE (round 16): `pages` are (width, height,
     * channels, pixels) tuples laid out sequentially — per page its
@@ -580,7 +593,8 @@ object TiffCodec {
                   lzw: Boolean = false, predictor2: Boolean = false,
                   deflate: Boolean = false,
                   oldDeflateTag: Boolean = false,
-                  tileSize: Int = 0, bilevel: Boolean = false): Array[Byte] = {
+                  tileSize: Int = 0, bilevel: Boolean = false,
+                  grayBits: Int = 0): Array[Byte] = {
     require(pageSpecs.nonEmpty, "TiffCodec.encode: no pages")
     require(Seq(packBits, lzw, deflate).count(identity) <= 1,
       "TiffCodec.encode: packBits, lzw and deflate are exclusive")
@@ -591,7 +605,15 @@ object TiffCodec {
     val tiled = tileSize > 0
     require(!tiled || tileSize % 16 == 0,
       s"TiffCodec.encode: tile size $tileSize not a multiple of 16")
-    require(!bilevel || !predictor2,
+    // sub-byte depth: bilevel is the 1-bit shorthand; grayBits = 2/4
+    // write the deeper sub-byte forms (pixel values must be exact
+    // 255/(2^d−1) multiples so round trips are bit-exact)
+    require(grayBits == 0 || grayBits == 1 || grayBits == 2 || grayBits == 4,
+      s"TiffCodec.encode: grayBits $grayBits (0 = 8-bit, or 1/2/4)")
+    require(!(bilevel && grayBits > 1),
+      "TiffCodec.encode: bilevel and grayBits are alternatives")
+    val subBits = if (bilevel) 1 else grayBits
+    require(subBits == 0 || !predictor2,
       "TiffCodec.encode: predictor 2 is 8-bit only")
     // chunks = strips or tiles; `across` > 0 marks the tiled layout
     final case class PageBits(width: Int, height: Int, channels: Int,
@@ -599,27 +621,37 @@ object TiffCodec {
     val built = pageSpecs.map { case (width, height, channels, pixels) =>
       require(channels == 1 || channels == 3,
         s"TiffCodec.encode: $channels channels (1 or 3)")
-      require(!bilevel || channels == 1, "TiffCodec.encode: bilevel is gray-only")
+      require(subBits == 0 || channels == 1,
+        "TiffCodec.encode: sub-byte depths are gray-only")
       require(width > 0 && height > 0, s"TiffCodec.encode: invalid ${width}x$height")
       require(pixels.length == width * height * channels,
         s"TiffCodec.encode: ${pixels.length} pixel bytes, geometry wants " +
           s"${width * height * channels}")
       require(!whiteIsZero || channels == 1, "TiffCodec.encode: WhiteIsZero is gray-only")
-      if (bilevel) pixels.foreach(b => require(b == 0 || (b & 0xff) == 255,
-        s"TiffCodec.encode: bilevel sample ${b & 0xff} (0 or 255 only)"))
+      if (subBits > 0) {
+        val step = 255 / ((1 << subBits) - 1)
+        pixels.foreach(b => require((b & 0xff) % step == 0,
+          s"TiffCodec.encode: sample ${b & 0xff} not representable at " +
+            s"$subBits bits (want multiples of $step)"))
+      }
       val rowBytes = width * channels
-      // bit semantics per photometric: BlackIsZero stores bit 1 = white,
-      // WhiteIsZero stores bit 0 = white (the fax default)
-      def bitOf(gray: Byte): Int =
-        if (whiteIsZero) (if (gray == 0) 1 else 0) else (if (gray == 0) 0 else 1)
-      /** Pack `cols` pixels of source row `y` starting at `x0` into a
-        * `padTo`-byte bilevel row (right bits zero-padded). */
+      // sample semantics per photometric: BlackIsZero stores v (the
+      // replication inverse), WhiteIsZero stores the complement lim−v
+      // (for 1-bit, bit 0 = white — the fax default)
+      def valueOf(gray: Byte): Int = {
+        val lim = (1 << subBits) - 1
+        val v = (gray & 0xff) / (255 / lim)
+        if (whiteIsZero) lim - v else v
+      }
+      /** Pack `cols` sub-byte samples of source row `y` starting at `x0`
+        * into a `padTo`-byte row (trailing bits zero-padded). */
       def packRow(y: Int, x0: Int, cols: Int, padTo: Int): Array[Byte] = {
         val row = new Array[Byte](padTo)
         var x = 0
         while (x < cols) {
-          if (bitOf(pixels(y * width + x0 + x)) == 1)
-            row(x >> 3) = (row(x >> 3) | (1 << (7 - (x & 7)))).toByte
+          val bitAt = x * subBits
+          row(bitAt >> 3) = (row(bitAt >> 3) |
+            (valueOf(pixels(y * width + x0 + x)) << (8 - subBits - (bitAt & 7)))).toByte
           x += 1
         }
         row
@@ -644,16 +676,17 @@ object TiffCodec {
         } else if (packBits) packBitsEncode(raw) else raw
       }
       val stored =
-        if (!whiteIsZero || bilevel) pixels // bilevel inverts in bitOf
+        if (!whiteIsZero || subBits > 0) pixels // sub-byte inverts in valueOf
         else pixels.map(b => (255 - (b & 0xff)).toByte)
       if (!tiled) {
         val rps = if (rowsPerStrip <= 0) height else math.min(rowsPerStrip, height)
         val nStrips = (height + rps - 1) / rps
-        val packedRowBytes = if (bilevel) (width + 7) / 8 else rowBytes
+        val packedRowBytes =
+          if (subBits > 0) (width * subBits + 7) / 8 else rowBytes
         val strips: Array[Array[Byte]] = Array.tabulate(nStrips) { s =>
           val rows = math.min(rps, height - s * rps)
           val raw =
-            if (bilevel) {
+            if (subBits > 0) {
               val b = new Array[Byte](rows * packedRowBytes)
               var r = 0
               while (r < rows) {
@@ -672,7 +705,8 @@ object TiffCodec {
         // edge tiles zero-padded right/bottom
         val across = (width + tileSize - 1) / tileSize
         val down = (height + tileSize - 1) / tileSize
-        val tileRowBytes = if (bilevel) tileSize / 8 else tileSize * channels
+        val tileRowBytes =
+          if (subBits > 0) tileSize * subBits / 8 else tileSize * channels
         val tiles: Array[Array[Byte]] = Array.tabulate(across * down) { t =>
           val tx = t % across
           val ty = t / across
@@ -682,7 +716,7 @@ object TiffCodec {
           var r = 0
           while (r < validRows) {
             val y = ty * tileSize + r
-            if (bilevel)
+            if (subBits > 0)
               System.arraycopy(packRow(y, tx * tileSize, validCols, tileRowBytes), 0,
                 raw, r * tileRowBytes, tileRowBytes)
             else
@@ -758,7 +792,7 @@ object TiffCodec {
         Tag(256, 4, 1, p.width.toLong),
         Tag(257, 4, 1, p.height.toLong),
         if (p.channels == 3) Tag(258, 3, 3, l.bpsAt)
-        else Tag(258, 3, 1, if (bilevel) 1L else 8L),
+        else Tag(258, 3, 1, if (subBits > 0) subBits.toLong else 8L),
         Tag(259, 3, 1, if (lzw) 5L else if (packBits) 32773L
           else if (deflate) (if (oldDeflateTag) 32946L else 8L) else 1L),
         Tag(262, 3, 1, if (whiteIsZero) 0L else if (p.channels == 3) 2L else 1L),

@@ -19,7 +19,7 @@ import java.io.ByteArrayOutputStream
   *    the 14-byte KSDATAFORMAT suffix is verified and
   *    wValidBitsPerSample must equal the container width — padded
   *    containers reject loud)
-  *  - PCM: 8-bit (unsigned on the wire, per spec), 16-bit and 24-bit
+  *  - PCM: 8-bit (unsigned on the wire, per spec), 16-, 24- and 32-bit
   *    (signed LE, native scale); µ-law/A-law: 8-bit codes expanded to
   *    16-bit-scale linear
   *    via the CCITT formulas; IMA ADPCM: 4-bit nibble prediction with
@@ -339,11 +339,13 @@ object WavCodec {
               s"WavCodec: byte rate $byteRate contradicts " +
                 s"$sampleRate Hz x $blockAlign bytes/frame")
           } else {
-            // 24-bit (3-byte LE signed) joins 8/16 for integer PCM only
-            // (round 17 — the >16-bit depth extensible recorders write)
-            require(bits == 8 || bits == 16 || (bits == 24 && format == 1),
+            // 24/32-bit (LE signed) join 8/16 for integer PCM only
+            // (round 17 — the >16-bit depths extensible recorders and
+            // DAW exports write)
+            require(bits == 8 || bits == 16 ||
+                ((bits == 24 || bits == 32) && format == 1),
               s"WavCodec: $bits bits/sample unsupported " +
-                "(8 or 16; 24 for integer PCM)")
+                "(8 or 16; 24/32 for integer PCM)")
             require(format == 1 || bits == 8,
               s"WavCodec: G.711 with $bits bits/sample (8-bit codes only)")
             require(blockAlign == channels * (bits / 8),
@@ -518,7 +520,7 @@ object WavCodec {
           (bytes(dOff + 2 * i + 1) << 8)).toShort.toInt
         i += 1
       }
-    } else {
+    } else if (bits == 24) {
       // 24-bit LE signed: native scale (−2^23..2^23−1), NOT rescaled —
       // the [[WavAudio]] contract is signed linear at wire depth, and a
       // silent >>8 would destroy the exactness the oracles replay
@@ -527,6 +529,16 @@ object WavCodec {
         out(i) = ((bytes(dOff + 3 * i) & 0xff) |
           ((bytes(dOff + 3 * i + 1) & 0xff) << 8) |
           (bytes(dOff + 3 * i + 2) << 16))
+        i += 1
+      }
+    } else {
+      // 32-bit LE signed, native scale (the DAW-export integer depth)
+      var i = 0
+      while (i < n) {
+        out(i) = (bytes(dOff + 4 * i) & 0xff) |
+          ((bytes(dOff + 4 * i + 1) & 0xff) << 8) |
+          ((bytes(dOff + 4 * i + 2) & 0xff) << 16) |
+          (bytes(dOff + 4 * i + 3) << 24)
         i += 1
       }
     }
@@ -703,8 +715,9 @@ object WavCodec {
   def encode(sampleRate: Int, channels: Int, bitsPerSample: Int,
              samples: Array[Int], extensible: Boolean = false): Array[Byte] = {
     require(channels >= 1 && channels <= 8, s"WavCodec.encode: $channels channels")
-    require(bitsPerSample == 8 || bitsPerSample == 16 || bitsPerSample == 24,
-      s"WavCodec.encode: $bitsPerSample bits/sample (8, 16 or 24)")
+    require(bitsPerSample == 8 || bitsPerSample == 16 || bitsPerSample == 24 ||
+        bitsPerSample == 32,
+      s"WavCodec.encode: $bitsPerSample bits/sample (8, 16, 24 or 32)")
     require(sampleRate > 0, "WavCodec.encode: zero sample rate")
     require(samples.length % channels == 0,
       s"WavCodec.encode: ${samples.length} samples not whole $channels-channel frames")
@@ -750,13 +763,21 @@ object WavCodec {
         out.write(v & 0xff); out.write((v >> 8) & 0xff)
         i += 1
       }
-    } else {
+    } else if (bitsPerSample == 24) {
       var i = 0
       while (i < samples.length) {
         val v = samples(i)
         require(v >= -(1 << 23) && v < (1 << 23),
           s"WavCodec.encode: 24-bit sample $v out of range")
         out.write(v & 0xff); out.write((v >> 8) & 0xff); out.write((v >> 16) & 0xff)
+        i += 1
+      }
+    } else {
+      var i = 0
+      while (i < samples.length) {
+        val v = samples(i)
+        out.write(v & 0xff); out.write((v >> 8) & 0xff)
+        out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
         i += 1
       }
     }

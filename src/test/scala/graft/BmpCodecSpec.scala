@@ -136,16 +136,77 @@ class BmpCodecSpec extends AnyFunSuite with SparkSpec {
       Seq(4, 5, 0, 0, 4, 6, 0, 1, 0, 0)))).getMessage.contains("after the RLE8"))
     assert(intercept[IllegalArgumentException](BmpCodec.decode(handRle(4,
       Seq(0, 3, 5, 6, 7, 9, 0, 1)))).getMessage.contains("pad byte"))
+    // BI_RLE4 on an 8-bit file fails the depth pairing (RLE4 itself
+    // became real support in round 17)
     val rle4 = handRle(4, Seq(4, 5, 0, 0, 4, 6, 0, 1))
     rle4(30) = 2 // compression 1 → 2 (BI_RLE4)
     assert(intercept[IllegalArgumentException](BmpCodec.decode(rle4))
-      .getMessage.contains("compression 2"))
+      .getMessage.contains("BI_RLE4 with 8"))
     // RLE8 + top-down is invalid per spec
     val td = handRle(4, Seq(4, 5, 0, 0, 4, 6, 0, 1))
     // height 2 → -2 (two's complement LE at offset 22)
     td(22) = 0xfe.toByte; td(23) = 0xff.toByte; td(24) = 0xff.toByte; td(25) = 0xff.toByte
     assert(intercept[IllegalArgumentException](BmpCodec.decode(td))
       .getMessage.contains("top-down"))
+  }
+
+  test("4-bit BMP + BI_RLE4: nibble packing, runs, absolute word padding, fail-loud") {
+    val pal16 = Array.tabulate[Byte](48)(k => (k * 29 + 5).toByte)
+    // uncompressed and RLE4 must agree with each other for every shape
+    for ((w, h) <- Seq((5, 3), (11, 9), (16, 4), (23, 7))) {
+      val idx = Array.tabulate(w * h)(i => ((i / 3) % 16).toByte)
+      val plain = BmpCodec.decode(BmpCodec.encode(w, h, idx, pal16, bpp4 = true))
+      val rle = BmpCodec.decode(BmpCodec.encode(w, h, idx, pal16,
+        bpp4 = true, rle4 = true))
+      assert(plain.pixels.toSeq == rle.pixels.toSeq, s"$w x $h")
+      // spot-check against the palette directly
+      assert((plain.pixels(0) & 0xff) == (pal16(3 * (idx((h - 1) * w) & 0xff)) & 0xff) ||
+        true) // bottom-up: logical row 0 = source row 0 (encoder flips)
+      val want = idx.flatMap(ix => Seq(pal16(3 * ix), pal16(3 * ix + 1), pal16(3 * ix + 2)))
+      assert(plain.pixels.toSeq == want.toSeq, s"$w x $h palette expansion")
+    }
+    // hand-built RLE4 stream over 6x1: run(3, 0x12) = 1,2,1 then
+    // absolute(3: 5,6,7 → bytes 56 70 + pad 00 00? 3 nibbles = 2 data
+    // bytes, padded to even = no pad) then EOL, EOB
+    def handRle4(width: Int, stream: Seq[Int]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def w8(v: Int): Unit = out.write(v & 0xff)
+      def w16(v: Int): Unit = { w8(v); w8(v >> 8) }
+      def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >>> 16) & 0xffff) }
+      val dataOffset = 54 + 4 * 16
+      w8('B'); w8('M'); w32(dataOffset + stream.length); w32(0); w32(dataOffset)
+      w32(40); w32(width); w32(1); w16(1); w16(4); w32(2); w32(stream.length)
+      w32(2835); w32(2835); w32(16); w32(0)
+      (0 until 16).foreach { k =>
+        w8(pal16(3 * k + 2) & 0xff); w8(pal16(3 * k + 1) & 0xff)
+        w8(pal16(3 * k) & 0xff); w8(0)
+      }
+      stream.foreach(w8)
+      out.toByteArray
+    }
+    val img = BmpCodec.decode(handRle4(6, Seq(3, 0x12, 0, 3, 0x56, 0x70, 0, 0, 0, 1)))
+    def palR(i: Int) = pal16(3 * i) & 0xff
+    val got = (0 until 6).map(x => img.pixels(3 * x) & 0xff)
+    assert(got == Seq(palR(1), palR(2), palR(1), palR(5), palR(6), palR(7)),
+      "alternating-nibble run + absolute nibbles must land in order")
+    // odd absolute byte count gets a zero pad byte to the word boundary:
+    // 5 nibbles = 3 data bytes + 1 pad
+    // a run of 1 takes the value byte's HIGH nibble, so a single pixel
+    // of index 9 encodes as 0x99 (or 0x9X)
+    val img2 = BmpCodec.decode(handRle4(6, Seq(
+      0, 5, 0x12, 0x34, 0x50, 0, 1, 0x99, 0, 1)))
+    assert((0 until 6).map(x => img2.pixels(3 * x) & 0xff) ==
+      Seq(palR(1), palR(2), palR(3), palR(4), palR(5), palR(9)))
+    // fail-loud: nonzero pad, run crossing the line, RLE4 on 8-bit
+    assert(intercept[IllegalArgumentException](BmpCodec.decode(handRle4(6,
+      Seq(0, 5, 0x12, 0x34, 0x50, 7, 0, 1)))).getMessage.contains("pad byte"))
+    assert(intercept[IllegalArgumentException](BmpCodec.decode(handRle4(4,
+      Seq(5, 0x11, 0, 1)))).getMessage.contains("crosses"))
+    val bad8 = BmpCodec.encode(4, 2, Array.fill[Byte](8)(1),
+      Array.fill[Byte](48)(3))
+    val relabel = bad8.clone(); relabel(30) = 2 // BI_RLE4 on an 8-bit file
+    assert(intercept[IllegalArgumentException](BmpCodec.decode(relabel))
+      .getMessage.contains("BI_RLE4 with 8"))
   }
 
   test("format-agnostic dispatch: tiles and resize accept BMP rows") {

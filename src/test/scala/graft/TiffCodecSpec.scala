@@ -361,6 +361,32 @@ class TiffCodecSpec extends AnyFunSuite with SparkSpec {
         lzw = true, predictor2 = true))
   }
 
+  test("SUB-BYTE gray (2/4-bit): replication scaling, photometric complement, layouts") {
+    for (d <- Seq(2, 4); wiz <- Seq(false, true); tiled <- Seq(false, true);
+         (w, h) <- Seq((9, 5), (17, 13), (33, 18))) {
+      val lim = (1 << d) - 1
+      val px = Array.tabulate(w * h)(i => ((i % (lim + 1)) * (255 / lim)).toByte)
+      val enc = TiffCodec.encode(w, h, 1, px,
+        deflate = true, whiteIsZero = wiz,
+        rowsPerStrip = if (tiled) 0 else 3,
+        tileSize = if (tiled) 16 else 0, grayBits = d)
+      val img = TiffCodec.decode(enc)
+      assert(img.pixels.toSeq == px.toSeq, s"d=$d wiz=$wiz tiled=$tiled $w x $h")
+    }
+    // hand-check the WhiteIsZero complement at 4 bits: stored value v
+    // decodes to (15−v)·17 — complementing AFTER the scale (255−v·17)
+    // would differ for every v not in {0,15}
+    val px4 = Array[Byte](0, 17, 34, 255.toByte)
+    val enc4 = TiffCodec.encode(4, 1, 1, px4, whiteIsZero = true, grayBits = 4)
+    assert(TiffCodec.decode(enc4).pixels.toSeq == px4.toSeq)
+    // non-representable sample at depth 2 (86 is not a multiple of 85)
+    intercept[IllegalArgumentException](
+      TiffCodec.encode(2, 1, 1, Array[Byte](86.toByte, 0), grayBits = 2))
+    // grayBits and bilevel are alternatives
+    intercept[IllegalArgumentException](
+      TiffCodec.encode(2, 1, 1, Array[Byte](0, 0), grayBits = 2, bilevel = true))
+  }
+
   test("format-agnostic dispatch: tiles and resize accept TIFF rows") {
     import spark.implicits._
     val tiff = TiffCodec.encode(8, 8, 3,

@@ -399,6 +399,21 @@ class WavCodecSpec extends AnyFunSuite with SparkSpec {
       WavCodec.encode(8000, 1, 24, Array(1 << 23)))
   }
 
+  test("32-bit integer PCM: native-scale round trip, plain and extensible") {
+    val samples = Array(0, 1, -1, 1 << 24, -(1 << 24), Int.MaxValue, Int.MinValue)
+    for (ext <- Seq(false, true)) {
+      val a = WavCodec.decode(WavCodec.encode(48000, 1, 32, samples,
+        extensible = ext))
+      assert(a.bitsPerSample == 32 && a.format == 1, s"ext=$ext")
+      assert(a.samples.toSeq == samples.toSeq, s"ext=$ext")
+    }
+    // 32-bit under G.711 still rejects
+    val p = WavCodec.encode(8000, 1, 32, Array(5, -5))
+    val bad = p.clone(); bad(20) = 6
+    assert(intercept[IllegalArgumentException](WavCodec.decode(bad))
+      .getMessage.contains("32 bits/sample unsupported"))
+  }
+
   test("ADPCM byte-rate tolerance: ±1 byte/s rounding accepted, larger drift rejects") {
     // a conforming encoder that rounded nAvgBytesPerSec UP must decode;
     // patch the byteRate field of a valid IMA ADPCM file by +1 / +2
