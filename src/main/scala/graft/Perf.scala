@@ -439,6 +439,38 @@ object Perf {
       time("tiff.pages (500 files, 2-4 page IFD chains)") {
         BinaryPipeline.decodeTiffPages(mtif).count()
       }
+
+      // round-17 codec probes: the new decode legs must hold the same
+      // zero-shuffle narrow-pass throughput class
+      val dtif = BinaryPipeline.synthesizeDeflateTiffs(docs).localCheckpoint(true)
+      time("tiff.deflate (500 files, zlib strips + predictor)") {
+        BinaryPipeline.decodeTiffs(dtif).count()
+      }
+      val ttif = BinaryPipeline.synthesizeTiledTiffs(docs).localCheckpoint(true)
+      time("tiff.tiled (500 files, 16x16 grid + edge crop)") {
+        BinaryPipeline.decodeTiffs(ttif).count()
+      }
+      val btif = BinaryPipeline.synthesizeBilevelTiffs(docs).localCheckpoint(true)
+      time("tiff.bilevel (500 files, 1-bit strips/tiles)") {
+        BinaryPipeline.decodeTiffs(btif).count()
+      }
+      val fmp4 = BinaryPipeline.synthesizeMp4s(docs, fragmented = true)
+        .localCheckpoint(true)
+      time("mp4.fragmented (500 files, moof/trun walk + stride-2 decode)") {
+        BinaryPipeline.decodeFrameTiles(fmp4).count()
+      }
+      val bmp4 = BinaryPipeline.synthesizeBmp4s(docs).localCheckpoint(true)
+      time("bmp.rle4 (500 files, nibble runs)") {
+        BinaryPipeline.decodeBmps(bmp4).count()
+      }
+      val ldp = BinaryPipeline.synthesizeLowDepthPngs(docs).localCheckpoint(true)
+      time("png.lowDepth (500 files, 1/2/4-bit packed rows)") {
+        BinaryPipeline.decodeImages(ldp).count()
+      }
+      val w24 = BinaryPipeline.synthesize24BitWavs(docs).localCheckpoint(true)
+      time("wav.extensible24 (500 files, GUID parse + 3-byte samples)") {
+        BinaryPipeline.decodeWavSegments(w24).count()
+      }
     }
     {
       // round-16 PDF glyph-program probes: whole-corpus extraction
@@ -453,6 +485,12 @@ object Perf {
         .localCheckpoint(true)
       time("pdf.fontprog CFF/Type1C (500 docs, four-hop derivation)") {
         PdfPipeline.extractPagesPdf(cff).count()
+      }
+      // round 17: the Type 1 leg (eexec decrypt + CharStrings tokenizer)
+      val t1 = PdfPipeline.synthesizeFontProgPdfs(docs500, type1 = true)
+        .localCheckpoint(true)
+      time("pdf.fontprog Type1 (500 docs, eexec + builtin Encoding)") {
+        PdfPipeline.extractPagesPdf(t1).count()
       }
     }
     {

@@ -601,7 +601,14 @@ object BinaryPipeline {
                 px(i) = ((id * 37 + i * 11L) % 256).toByte
                 i += 1
               }
-              BmpCodec.encode(w, h, px, topDown = mode == 2)
+              // header-variant rotation (round 17): the 24-bit rows ship
+              // V5 (124) / OS/2-core (12) / V4 (108) / plain-40 headers
+              // by id — pixels identical, oracle untouched (headers must
+              // be results-invisible; core is bottom-up only)
+              val dib =
+                if (mode == 1) (if (id % 2 == 0) 124 else 12)
+                else if (id % 2 == 0) 108 else 40
+              BmpCodec.encode(w, h, px, topDown = mode == 2, dib = dib)
             }
           Row(id, bytes, Row("image/bmp", bytes.length.toLong))
         }

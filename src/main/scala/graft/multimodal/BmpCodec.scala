@@ -10,8 +10,12 @@ import java.io.ByteArrayOutputStream
   * unchanged.
   *
   * Scope (fail-loud beyond it, never silent garbage):
-  *  - 'BM' magic, 40-byte BITMAPINFOHEADER (the universal core;
-  *    V4/V5 headers, OS/2 BITMAPCOREHEADER reject with the size)
+  *  - 'BM' magic; DIB headers: the 40-byte BITMAPINFOHEADER, its
+  *    V2-V5 supersets (52/56/108/124 bytes — V5 is the modern Windows
+  *    clipboard export; the added mask/colorimetry fields are unused
+  *    under the carried compressions) and the 12-byte OS/2
+  *    BITMAPCOREHEADER (BGR-triple palette, u16 dims, BI_RGB
+  *    bottom-up) — round 17
   *  - bit depths 4 and 8 (paletted, expanded to RGB; 4-bit packs two
   *    high-nibble-first pixels per byte — round 17) and 24 (BGR → RGB)
   *  - BI_RGB, BI_RLE8 and BI_RLE4 (round 17 — encoded/absolute runs,
@@ -44,22 +48,31 @@ object BmpCodec {
 
     val dataOffset = u32(10)
     val dibSize = u32(14)
-    require(dibSize == 40,
+    // 40 = BITMAPINFOHEADER (the universal core); 52/56/108/124 =
+    // V2/V3/V4/V5 SUPERSETS (round 17 — V5 is what modern Windows
+    // clipboard exports write; the added fields are masks/colorimetry
+    // this decoder never needs under the compressions it accepts);
+    // 12 = the OS/2 BITMAPCOREHEADER (round 17 — 3-byte palette
+    // triples, u16 dims, always BI_RGB bottom-up)
+    val core = dibSize == 12
+    require(dibSize == 40 || dibSize == 52 || dibSize == 56 ||
+        dibSize == 108 || dibSize == 124 || core,
       s"BmpCodec: DIB header of $dibSize bytes unsupported " +
-        "(40-byte BITMAPINFOHEADER only; V4/V5/OS2 headers out of scope)")
-    val width = i32(18)
-    val rawHeight = i32(22)
+        "(12-byte OS/2 core, 40-byte BITMAPINFOHEADER or its V2-V5 supersets)")
+    val width = if (core) u16(18) else i32(18)
+    val rawHeight = if (core) u16(20) else i32(22)
     // negative height = top-down row order (the less common but legal shape)
     val topDown = rawHeight < 0
     val height = math.abs(rawHeight)
     require(width > 0 && height > 0 && width <= (1 << 20) && height <= (1 << 20),
       s"BmpCodec: invalid dimensions ${width}x$rawHeight")
-    require(u16(26) == 1, s"BmpCodec: planes ${u16(26)} (want 1)")
-    val bpp = u16(28)
+    require(u16(if (core) 22 else 26) == 1,
+      s"BmpCodec: planes ${u16(if (core) 22 else 26)} (want 1)")
+    val bpp = u16(if (core) 24 else 28)
     // 4-bit paletted (round 17) joins 8/24 — legacy clip-art corpora
     require(bpp == 4 || bpp == 8 || bpp == 24,
       s"BmpCodec: $bpp bits/pixel unsupported (4/8 paletted or 24 BGR)")
-    val compression = u32(30)
+    val compression = if (core) 0L else u32(30)
     // 1 = BI_RLE8, 2 = BI_RLE4 (round 17 — legacy clip-art corpora);
     // bitfields still reject
     require(compression == 0 || compression == 1 || compression == 2,
@@ -72,21 +85,31 @@ object BmpCodec {
     require(compression == 0 || !topDown,
       "BmpCodec: RLE with top-down row order is invalid (spec: RLE " +
         "bitmaps are bottom-up)")
-    val colorsUsed = u32(46).toInt
+    val colorsUsed = if (core) 0 else u32(46).toInt
+    // the palette follows the DIB header directly: BGRA quads for the
+    // 40-byte family, bare BGR TRIPLES for the OS/2 core header
+    val palStart = 14 + dibSize.toInt
+    val palEntry = if (core) 3 else 4
 
     val palette: Array[Byte] =
       if (bpp == 8 || bpp == 4) {
-        val n = if (colorsUsed == 0) (1 << bpp) else colorsUsed
+        // the core header has no colorsUsed field: infer the palette
+        // size from the gap between header and pixel data (the
+        // real-world OS/2 convention)
+        val n =
+          if (colorsUsed != 0) colorsUsed
+          else if (core) ((dataOffset - palStart) / palEntry).toInt
+          else 1 << bpp
         require(n >= 1 && n <= (1 << bpp),
           s"BmpCodec: palette of $n entries (1-${1 << bpp} at $bpp bpp)")
-        require(54 + 4 * n <= bytes.length, "BmpCodec: truncated palette")
-        // BGRA quads on the wire → packed RGB
+        require(palStart + palEntry * n <= bytes.length,
+          "BmpCodec: truncated palette")
         val t = new Array[Byte](3 * n)
         var k = 0
         while (k < n) {
-          t(3 * k) = bytes(54 + 4 * k + 2)     // R
-          t(3 * k + 1) = bytes(54 + 4 * k + 1) // G
-          t(3 * k + 2) = bytes(54 + 4 * k)     // B
+          t(3 * k) = bytes(palStart + palEntry * k + 2)     // R
+          t(3 * k + 1) = bytes(palStart + palEntry * k + 1) // G
+          t(3 * k + 2) = bytes(palStart + palEntry * k)     // B
           k += 1
         }
         t
@@ -97,12 +120,12 @@ object BmpCodec {
     // the data offset must CLEAR the header AND the palette — a
     // malformed file whose pixel data overlaps the palette would
     // otherwise decode the palette bytes as indices, silent garbage
-    require(dataOffset >= 54 + 4L * nPal &&
+    require(dataOffset >= palStart + palEntry.toLong * nPal &&
         (if (compression != 0) dataOffset < bytes.length
          else dataOffset + rowBytes.toLong * height <= bytes.length),
       s"BmpCodec: pixel data at $dataOffset (${rowBytes.toLong * height} bytes) " +
-        s"overlaps the header/palette (${54 + 4 * nPal} bytes) or runs past " +
-        s"EOF (${bytes.length})")
+        s"overlaps the header/palette (${palStart + palEntry * nPal} bytes) or " +
+        s"runs past EOF (${bytes.length})")
     // RLE: expand the run stream to storage-order indices first
     // (row 0 = bottom row, matching the uncompressed layout)
     val rleIndices: Array[Byte] =
@@ -275,8 +298,17 @@ object BmpCodec {
   def encode(width: Int, height: Int, pixels: Array[Byte],
              palette: Array[Byte] = null, topDown: Boolean = false,
              rle8: Boolean = false, bpp4: Boolean = false,
-             rle4: Boolean = false): Array[Byte] = {
+             rle4: Boolean = false, dib: Int = 40): Array[Byte] = {
     require(width > 0 && height > 0, s"BmpCodec.encode: invalid ${width}x$height")
+    // 12 = OS/2 core (BGR-triple palette, u16 dims, BI_RGB bottom-up
+    // only); 108/124 = V4/V5 supersets (zero-filled extension fields)
+    require(dib == 12 || dib == 40 || dib == 108 || dib == 124,
+      s"BmpCodec.encode: DIB size $dib (12, 40, 108 or 124)")
+    val core = dib == 12
+    require(!core || (!topDown && !rle8 && !rle4),
+      "BmpCodec.encode: the OS/2 core header is BI_RGB bottom-up only")
+    require(!core || width <= 0xffff && height <= 0xffff,
+      "BmpCodec.encode: core-header dims are 16-bit")
     require(!rle8 || (palette != null && !bpp4 && !topDown),
       "BmpCodec.encode: rle8 needs 8-bit paletted bottom-up")
     require(!bpp4 || palette != null, "BmpCodec.encode: bpp4 needs a palette")
@@ -300,7 +332,8 @@ object BmpCodec {
     }
     val nPal = if (bpp == 24) 0 else palette.length / 3
     val rowBytes = (width * bpp + 31) / 32 * 4
-    val dataOffset = 54 + 4 * nPal
+    val palEntry = if (core) 3 else 4
+    val dataOffset = 14 + dib + palEntry * nPal
 
     // pixel payload first (RLE size is data-dependent)
     val pix = new ByteArrayOutputStream(rowBytes * height)
@@ -372,15 +405,21 @@ object BmpCodec {
     def w16(v: Int): Unit = { w8(v); w8(v >> 8) }
     def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >>> 16) & 0xffff) }
     w8('B'); w8('M'); w32(fileSize); w32(0); w32(dataOffset)
-    w32(40); w32(width); w32(if (topDown) -height else height)
-    w16(1); w16(bpp); w32(if (rle8) 1 else if (rle4) 2 else 0)
-    w32(payload.length)
-    w32(2835); w32(2835); w32(nPal); w32(0) // 72 dpi, colorsUsed, important
+    if (core) {
+      w32(12); w16(width); w16(height); w16(1); w16(bpp)
+    } else {
+      w32(dib); w32(width); w32(if (topDown) -height else height)
+      w16(1); w16(bpp); w32(if (rle8) 1 else if (rle4) 2 else 0)
+      w32(payload.length)
+      w32(2835); w32(2835); w32(nPal); w32(0) // 72 dpi, colorsUsed, important
+      (40 until dib by 4).foreach(_ => w32(0)) // V4/V5 extension, zeroed
+    }
     if (bpp != 24) {
       var k = 0
       while (k < nPal) {
         w8(palette(3 * k + 2) & 0xff); w8(palette(3 * k + 1) & 0xff)
-        w8(palette(3 * k) & 0xff); w8(0) // BGRA quad
+        w8(palette(3 * k) & 0xff)
+        if (!core) w8(0) // quad pad byte (40-byte family)
         k += 1
       }
     }

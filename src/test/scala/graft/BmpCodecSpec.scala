@@ -53,10 +53,15 @@ class BmpCodecSpec extends AnyFunSuite with SparkSpec {
     val sig = good.clone(); sig(0) = 'X'.toByte
     assert(intercept[IllegalArgumentException](BmpCodec.decode(sig))
       .getMessage.contains("magic"))
-    // V5 header (124 bytes) rejects with the size
+    // V5 (124 bytes) became real support in round 17 — a 40-byte file
+    // RELABELED 124 now fails the data-offset/header overlap check; a
+    // genuinely unknown size (64 = OS/2 v2) still names itself
     val v5 = good.clone(); v5(14) = 124
     assert(intercept[IllegalArgumentException](BmpCodec.decode(v5))
-      .getMessage.contains("124"))
+      .getMessage.contains("overlaps"))
+    val os2 = good.clone(); os2(14) = 64
+    assert(intercept[IllegalArgumentException](BmpCodec.decode(os2))
+      .getMessage.contains("64 bytes unsupported"))
     // 16 bpp rejects
     val b16 = good.clone(); b16(28) = 16
     assert(intercept[IllegalArgumentException](BmpCodec.decode(b16))
@@ -207,6 +212,32 @@ class BmpCodecSpec extends AnyFunSuite with SparkSpec {
     val relabel = bad8.clone(); relabel(30) = 2 // BI_RLE4 on an 8-bit file
     assert(intercept[IllegalArgumentException](BmpCodec.decode(relabel))
       .getMessage.contains("BI_RLE4 with 8"))
+  }
+
+  test("DIB header family: V4/V5 supersets and the OS/2 core header decode identically") {
+    val rgb = Array.tabulate(7 * 4 * 3)(i => (i * 11 + 3).toByte)
+    val base = BmpCodec.decode(BmpCodec.encode(7, 4, rgb))
+    for (dib <- Seq(12, 108, 124)) {
+      val img = BmpCodec.decode(BmpCodec.encode(7, 4, rgb, dib = dib))
+      assert(img.pixels.toSeq == base.pixels.toSeq, s"dib=$dib")
+    }
+    // core header with a paletted image: BGR TRIPLES, not quads
+    val pal = Array.tabulate[Byte](24)(k => (k * 31 + 7).toByte)
+    val idx = Array.tabulate(6 * 3)(i => (i % 8).toByte)
+    val corePal = BmpCodec.decode(BmpCodec.encode(6, 3, idx, pal, dib = 12))
+    val plainPal = BmpCodec.decode(BmpCodec.encode(6, 3, idx, pal))
+    assert(corePal.pixels.toSeq == plainPal.pixels.toSeq,
+      "triple vs quad palette layouts must decode identically")
+    // encoder pins: core is bottom-up BI_RGB only; unknown DIB sizes
+    // (e.g. the 64-byte OS/2 v2) still reject on decode
+    intercept[IllegalArgumentException](
+      BmpCodec.encode(4, 2, rgb.take(24), topDown = true, dib = 12))
+    intercept[IllegalArgumentException](
+      BmpCodec.encode(4, 2, idx.take(8), pal, rle8 = true, dib = 12))
+    val v5 = BmpCodec.encode(7, 4, rgb, dib = 124)
+    val os2v2 = v5.clone(); os2v2(14) = 64
+    assert(intercept[IllegalArgumentException](BmpCodec.decode(os2v2))
+      .getMessage.contains("64 bytes unsupported"))
   }
 
   test("format-agnostic dispatch: tiles and resize accept BMP rows") {
