@@ -26,6 +26,20 @@ object BinaryPipeline {
 
   final case class MediaMeta(media_type: String, declared_bytes: Long)
 
+  /** The (id, content, meta) schema every synthesizer emits — one
+    * definition so schema evolution is a single edit (round-17 review:
+    * the per-synthesizer copies had grown into dozens). */
+  private def mediaSchema(idCol: String): StructType = StructType(Seq(
+    StructField(idCol, LongType, nullable = false),
+    StructField("content", BinaryType, nullable = false),
+    StructField("meta", StructType(Seq(
+      StructField("media_type", StringType, nullable = false),
+      StructField("declared_bytes", LongType, nullable = false))), nullable = false)))
+
+  /** One row in the [[mediaSchema]] shape. */
+  private def mediaRow(id: Long, bytes: Array[Byte], mediaType: String): Row =
+    Row(id, bytes, Row(mediaType, bytes.length.toLong))
+
   /** Attach a metadata struct + content column to raw document rows
     * (binary = UTF-8 bytes here; a real corpus reads binaryFile /
     * parquet-binary). */
@@ -147,19 +161,14 @@ object BinaryPipeline {
     * schema — the per-format generators carry only their formulas. */
   private def synthesizeAudio(docs: DataFrame, idCol: String, batchSize: Int)
                              (build: Long => Array[Byte]): DataFrame = {
-    val schema = StructType(Seq(
-      StructField(idCol, LongType, nullable = false),
-      StructField("content", BinaryType, nullable = false),
-      StructField("meta", StructType(Seq(
-        StructField("media_type", StringType, nullable = false),
-        StructField("declared_bytes", LongType, nullable = false))), nullable = false)))
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(mediaSchema(idCol))
     docs.select(col(idCol)).mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { r =>
           val id = r.getLong(0)
           val bytes = build(id)
-          Row(id, bytes, Row("audio/wav", bytes.length.toLong))
+          mediaRow(id, bytes, "audio/wav")
         }
       }
     }(enc)
@@ -328,13 +337,8 @@ object BinaryPipeline {
     * Output: (idCol, content binary, meta struct) — the [[asMedia]] shape. */
   def synthesizeImages(docs: DataFrame, idCol: String = "doc_id",
                        batchSize: Int = 16, variantLayout: Boolean = false): DataFrame = {
-    val schema = StructType(Seq(
-      StructField(idCol, LongType, nullable = false),
-      StructField("content", BinaryType, nullable = false),
-      StructField("meta", StructType(Seq(
-        StructField("media_type", StringType, nullable = false),
-        StructField("declared_bytes", LongType, nullable = false))), nullable = false)))
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(mediaSchema(idCol))
     // project BEFORE the imperative pass: mapPartitions consumes whole
     // rows, so without this the parquet scan deserializes every document
     // column for a synthesis that needs only the id
@@ -359,7 +363,7 @@ object BinaryPipeline {
               PngCodec.encode(w, h, colorType, px, interlace = true,
                 bitDepth = if (id % 2 == 1) 16 else 8)
             else PngCodec.encode(w, h, colorType, px)
-          Row(id, bytes, Row("image/png", bytes.length.toLong))
+          mediaRow(id, bytes, "image/png")
         }
       }
     }(enc)
@@ -373,13 +377,8 @@ object BinaryPipeline {
     *   w = 6 + id%13, h = 5 + id%11, q(i) = (id·31 + i·7) mod 2^d */
   def synthesizeLowDepthPngs(docs: DataFrame, idCol: String = "doc_id",
                              batchSize: Int = 16): DataFrame = {
-    val schema = StructType(Seq(
-      StructField(idCol, LongType, nullable = false),
-      StructField("content", BinaryType, nullable = false),
-      StructField("meta", StructType(Seq(
-        StructField("media_type", StringType, nullable = false),
-        StructField("declared_bytes", LongType, nullable = false))), nullable = false)))
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(mediaSchema(idCol))
     docs.select(col(idCol)).mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { r =>
@@ -408,7 +407,7 @@ object BinaryPipeline {
             })
           val bytes = PngCodec.encode(w, h, if (pal) 3 else 0, px,
             palette = palette, interlace = id % 5 == 0, bitDepth = d)
-          Row(id, bytes, Row("image/png", bytes.length.toLong))
+          mediaRow(id, bytes, "image/png")
         }
       }
     }(enc)
@@ -488,13 +487,8 @@ object BinaryPipeline {
     * Output: (idCol, content binary, meta struct) — the [[asMedia]] shape. */
   def synthesizeJpegs(docs: DataFrame, idCol: String = "doc_id",
                       batchSize: Int = 16, progressive: Boolean = false): DataFrame = {
-    val schema = StructType(Seq(
-      StructField(idCol, LongType, nullable = false),
-      StructField("content", BinaryType, nullable = false),
-      StructField("meta", StructType(Seq(
-        StructField("media_type", StringType, nullable = false),
-        StructField("declared_bytes", LongType, nullable = false))), nullable = false)))
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(mediaSchema(idCol))
     val ids = docs.select(col(idCol))
     ids.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
@@ -554,13 +548,8 @@ object BinaryPipeline {
     * missed bottom-up row flip fatal. */
   def synthesizeBmps(docs: DataFrame, idCol: String = "doc_id",
                      batchSize: Int = 16): DataFrame = {
-    val schema = StructType(Seq(
-      StructField(idCol, LongType, nullable = false),
-      StructField("content", BinaryType, nullable = false),
-      StructField("meta", StructType(Seq(
-        StructField("media_type", StringType, nullable = false),
-        StructField("declared_bytes", LongType, nullable = false))), nullable = false)))
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(mediaSchema(idCol))
     // the palette is a pure constant — build it once, not per document
     val bmpPalette: Array[Byte] = {
       val palette = new Array[Byte](250 * 3)
@@ -610,7 +599,7 @@ object BinaryPipeline {
                 else if (id % 2 == 0) 108 else 40
               BmpCodec.encode(w, h, px, topDown = mode == 2, dib = dib)
             }
-          Row(id, bytes, Row("image/bmp", bytes.length.toLong))
+          mediaRow(id, bytes, "image/bmp")
         }
       }
     }(enc)
@@ -623,13 +612,8 @@ object BinaryPipeline {
     * convention). */
   def synthesizeLzwTiffs(docs: DataFrame, idCol: String = "doc_id",
                          batchSize: Int = 16): DataFrame = {
-    val schema = StructType(Seq(
-      StructField(idCol, LongType, nullable = false),
-      StructField("content", BinaryType, nullable = false),
-      StructField("meta", StructType(Seq(
-        StructField("media_type", StringType, nullable = false),
-        StructField("declared_bytes", LongType, nullable = false))), nullable = false)))
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(mediaSchema(idCol))
     val ids = docs.select(col(idCol))
     ids.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
@@ -645,7 +629,7 @@ object BinaryPipeline {
             bigEndian = id % 3 == 0,
             rowsPerStrip = (1 + id % 5).toInt,
             lzw = true, predictor2 = id % 2 == 1)
-          Row(id, bytes, Row("image/tiff", bytes.length.toLong))
+          mediaRow(id, bytes, "image/tiff")
         }
       }
     }(enc)
@@ -659,13 +643,8 @@ object BinaryPipeline {
     * results must be byte-identical to the striped corpus. */
   def synthesizeTiledTiffs(docs: DataFrame, idCol: String = "doc_id",
                            batchSize: Int = 16): DataFrame = {
-    val schema = StructType(Seq(
-      StructField(idCol, LongType, nullable = false),
-      StructField("content", BinaryType, nullable = false),
-      StructField("meta", StructType(Seq(
-        StructField("media_type", StringType, nullable = false),
-        StructField("declared_bytes", LongType, nullable = false))), nullable = false)))
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(mediaSchema(idCol))
     docs.select(col(idCol)).mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { r =>
@@ -682,7 +661,7 @@ object BinaryPipeline {
             lzw = comp == 1, deflate = comp == 2,
             predictor2 = comp != 0 && id % 2 == 1,
             tileSize = 16)
-          Row(id, bytes, Row("image/tiff", bytes.length.toLong))
+          mediaRow(id, bytes, "image/tiff")
         }
       }
     }(enc)
@@ -696,13 +675,8 @@ object BinaryPipeline {
     *   gray(x, y) = 255 if (id·37 + x·7 + y·13) mod 5 < 2 else 0 */
   def synthesizeBilevelTiffs(docs: DataFrame, idCol: String = "doc_id",
                              batchSize: Int = 16): DataFrame = {
-    val schema = StructType(Seq(
-      StructField(idCol, LongType, nullable = false),
-      StructField("content", BinaryType, nullable = false),
-      StructField("meta", StructType(Seq(
-        StructField("media_type", StringType, nullable = false),
-        StructField("declared_bytes", LongType, nullable = false))), nullable = false)))
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(mediaSchema(idCol))
     docs.select(col(idCol)).mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { r =>
@@ -728,7 +702,7 @@ object BinaryPipeline {
             whiteIsZero = id % 5 < 2,
             tileSize = if (id % 2 == 1) 16 else 0,
             bilevel = true)
-          Row(id, bytes, Row("image/tiff", bytes.length.toLong))
+          mediaRow(id, bytes, "image/tiff")
         }
       }
     }(enc)
@@ -740,13 +714,8 @@ object BinaryPipeline {
     * be results-invisible, so ONE oracle covers both. */
   def synthesizeBmp4s(docs: DataFrame, idCol: String = "doc_id",
                       batchSize: Int = 16): DataFrame = {
-    val schema = StructType(Seq(
-      StructField(idCol, LongType, nullable = false),
-      StructField("content", BinaryType, nullable = false),
-      StructField("meta", StructType(Seq(
-        StructField("media_type", StringType, nullable = false),
-        StructField("declared_bytes", LongType, nullable = false))), nullable = false)))
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(mediaSchema(idCol))
     val pal16: Array[Byte] = {
       val t = new Array[Byte](16 * 3)
       var j = 0
@@ -769,7 +738,7 @@ object BinaryPipeline {
           while (i < idx.length) { idx(i) = ((id * 37 + i * 13L) % 16).toByte; i += 1 }
           val bytes = BmpCodec.encode(w, h, idx, pal16,
             bpp4 = true, rle4 = id % 2 == 1)
-          Row(id, bytes, Row("image/bmp", bytes.length.toLong))
+          mediaRow(id, bytes, "image/bmp")
         }
       }
     }(enc)
@@ -782,13 +751,8 @@ object BinaryPipeline {
     *   gray(x, y) = ((id·31 + x·5 + y·11) mod 2^d) · 255/(2^d−1) */
   def synthesizeGrayTiffs(docs: DataFrame, idCol: String = "doc_id",
                           batchSize: Int = 16): DataFrame = {
-    val schema = StructType(Seq(
-      StructField(idCol, LongType, nullable = false),
-      StructField("content", BinaryType, nullable = false),
-      StructField("meta", StructType(Seq(
-        StructField("media_type", StringType, nullable = false),
-        StructField("declared_bytes", LongType, nullable = false))), nullable = false)))
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(mediaSchema(idCol))
     docs.select(col(idCol)).mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { r =>
@@ -816,7 +780,7 @@ object BinaryPipeline {
             whiteIsZero = id % 5 < 2,
             tileSize = if (id % 4 >= 2) 16 else 0,
             grayBits = d)
-          Row(id, bytes, Row("image/tiff", bytes.length.toLong))
+          mediaRow(id, bytes, "image/tiff")
         }
       }
     }(enc)
@@ -829,13 +793,8 @@ object BinaryPipeline {
     * byte-identical to the LZW and uncompressed corpora. */
   def synthesizeDeflateTiffs(docs: DataFrame, idCol: String = "doc_id",
                              batchSize: Int = 16): DataFrame = {
-    val schema = StructType(Seq(
-      StructField(idCol, LongType, nullable = false),
-      StructField("content", BinaryType, nullable = false),
-      StructField("meta", StructType(Seq(
-        StructField("media_type", StringType, nullable = false),
-        StructField("declared_bytes", LongType, nullable = false))), nullable = false)))
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(mediaSchema(idCol))
     val ids = docs.select(col(idCol))
     ids.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
@@ -852,7 +811,7 @@ object BinaryPipeline {
             rowsPerStrip = (1 + id % 5).toInt,
             deflate = true, predictor2 = id % 2 == 1,
             oldDeflateTag = id % 4 == 1)
-          Row(id, bytes, Row("image/tiff", bytes.length.toLong))
+          mediaRow(id, bytes, "image/tiff")
         }
       }
     }(enc)
@@ -897,13 +856,8 @@ object BinaryPipeline {
 
   def synthesizeTiffs(docs: DataFrame, idCol: String = "doc_id",
                       batchSize: Int = 16): DataFrame = {
-    val schema = StructType(Seq(
-      StructField(idCol, LongType, nullable = false),
-      StructField("content", BinaryType, nullable = false),
-      StructField("meta", StructType(Seq(
-        StructField("media_type", StringType, nullable = false),
-        StructField("declared_bytes", LongType, nullable = false))), nullable = false)))
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(mediaSchema(idCol))
     val ids = docs.select(col(idCol))
     ids.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
@@ -920,7 +874,7 @@ object BinaryPipeline {
             packBits = id % 4 < 2,
             rowsPerStrip = (1 + id % 5).toInt,
             whiteIsZero = ch == 1 && id % 5 == 3)
-          Row(id, bytes, Row("image/tiff", bytes.length.toLong))
+          mediaRow(id, bytes, "image/tiff")
         }
       }
     }(enc)
@@ -977,13 +931,8 @@ object BinaryPipeline {
     * corpus. */
   def synthesizeMultiTiffs(docs: DataFrame, idCol: String = "doc_id",
                            batchSize: Int = 16): DataFrame = {
-    val schema = StructType(Seq(
-      StructField(idCol, LongType, nullable = false),
-      StructField("content", BinaryType, nullable = false),
-      StructField("meta", StructType(Seq(
-        StructField("media_type", StringType, nullable = false),
-        StructField("declared_bytes", LongType, nullable = false))), nullable = false)))
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(mediaSchema(idCol))
     val ids = docs.select(col(idCol))
     ids.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
@@ -1006,7 +955,7 @@ object BinaryPipeline {
             bigEndian = id % 3 == 0,
             packBits = id % 4 < 2,
             rowsPerStrip = (1 + id % 5).toInt)
-          Row(id, bytes, Row("image/tiff", bytes.length.toLong))
+          mediaRow(id, bytes, "image/tiff")
         }
       }
     }(enc)
@@ -1066,13 +1015,8 @@ object BinaryPipeline {
     * Output: (idCol, content binary, meta struct) — the [[asMedia]] shape. */
   def synthesizeMjpegs(docs: DataFrame, idCol: String = "doc_id",
                        batchSize: Int = 16): DataFrame = {
-    val schema = StructType(Seq(
-      StructField(idCol, LongType, nullable = false),
-      StructField("content", BinaryType, nullable = false),
-      StructField("meta", StructType(Seq(
-        StructField("media_type", StringType, nullable = false),
-        StructField("declared_bytes", LongType, nullable = false))), nullable = false)))
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(mediaSchema(idCol))
     val ids = docs.select(col(idCol))
     ids.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
@@ -1115,13 +1059,8 @@ object BinaryPipeline {
     * the interlaced-PNG oracle gates layout. */
   def synthesizeAvis(docs: DataFrame, idCol: String = "doc_id",
                      batchSize: Int = 16): DataFrame = {
-    val schema = StructType(Seq(
-      StructField(idCol, LongType, nullable = false),
-      StructField("content", BinaryType, nullable = false),
-      StructField("meta", StructType(Seq(
-        StructField("media_type", StringType, nullable = false),
-        StructField("declared_bytes", LongType, nullable = false))), nullable = false)))
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(mediaSchema(idCol))
     val ids = docs.select(col(idCol))
     ids.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
@@ -1161,13 +1100,8 @@ object BinaryPipeline {
     * convention. */
   def synthesizeMp4s(docs: DataFrame, idCol: String = "doc_id",
                      batchSize: Int = 16, fragmented: Boolean = false): DataFrame = {
-    val schema = StructType(Seq(
-      StructField(idCol, LongType, nullable = false),
-      StructField("content", BinaryType, nullable = false),
-      StructField("meta", StructType(Seq(
-        StructField("media_type", StringType, nullable = false),
-        StructField("declared_bytes", LongType, nullable = false))), nullable = false)))
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(mediaSchema(idCol))
     val ids = docs.select(col(idCol))
     ids.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
@@ -1196,7 +1130,7 @@ object BinaryPipeline {
           // multi-sample-per-trun shapes both appear in the corpus
           val bytes = Mp4Codec.encode(frames, w, h,
             framesPerFragment = if (fragmented) (1 + id % 3).toInt else 0)
-          Row(id, bytes, Row("video/mp4", bytes.length.toLong))
+          mediaRow(id, bytes, "video/mp4")
         }
       }
     }(enc)
@@ -1215,13 +1149,8 @@ object BinaryPipeline {
     * closed-form replayable by the oracle. */
   def synthesizeAnimGifs(docs: DataFrame, idCol: String = "doc_id",
                          batchSize: Int = 16): DataFrame = {
-    val schema = StructType(Seq(
-      StructField(idCol, LongType, nullable = false),
-      StructField("content", BinaryType, nullable = false),
-      StructField("meta", StructType(Seq(
-        StructField("media_type", StringType, nullable = false),
-        StructField("declared_bytes", LongType, nullable = false))), nullable = false)))
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(mediaSchema(idCol))
     val ids = docs.select(col(idCol))
     ids.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
@@ -1256,7 +1185,7 @@ object BinaryPipeline {
             (idx, transparent, disposal)
           }
           val bytes = GifCodec.encodeAnim(w, h, palette, frames)
-          Row(id, bytes, Row("image/gif", bytes.length.toLong))
+          mediaRow(id, bytes, "image/gif")
         }
       }
     }(enc)
@@ -1369,13 +1298,8 @@ object BinaryPipeline {
     *   palette entry i: ((i·37)%256, (i·59+17)%256, (i·83+29)%256) */
   def synthesizePatchGifs(docs: DataFrame, idCol: String = "doc_id",
                           batchSize: Int = 16): DataFrame = {
-    val schema = StructType(Seq(
-      StructField(idCol, LongType, nullable = false),
-      StructField("content", BinaryType, nullable = false),
-      StructField("meta", StructType(Seq(
-        StructField("media_type", StringType, nullable = false),
-        StructField("declared_bytes", LongType, nullable = false))), nullable = false)))
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(mediaSchema(idCol))
     val ids = docs.select(col(idCol))
     ids.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
@@ -1423,7 +1347,7 @@ object BinaryPipeline {
             GifCodec.AnimFrame(left, top, 8, 8, idx, None, if (g == 3) 3 else 1)
           }
           val bytes = GifCodec.encodeAnimFrames(w, h, palette, full +: patches)
-          Row(id, bytes, Row("image/gif", bytes.length.toLong))
+          mediaRow(id, bytes, "image/gif")
         }
       }
     }(enc)
@@ -1518,13 +1442,8 @@ object BinaryPipeline {
     * Output: (idCol, content binary, meta struct) — the [[asMedia]] shape. */
   def synthesizeCmykJpegs(docs: DataFrame, idCol: String = "doc_id",
                           batchSize: Int = 16): DataFrame = {
-    val schema = StructType(Seq(
-      StructField(idCol, LongType, nullable = false),
-      StructField("content", BinaryType, nullable = false),
-      StructField("meta", StructType(Seq(
-        StructField("media_type", StringType, nullable = false),
-        StructField("declared_bytes", LongType, nullable = false))), nullable = false)))
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(mediaSchema(idCol))
     val ids = docs.select(col(idCol))
     ids.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
@@ -1714,13 +1633,8 @@ object BinaryPipeline {
   def synthesizeGifs(docs: DataFrame, idCol: String = "doc_id",
                      batchSize: Int = 16, nColors: Int = 8): DataFrame = {
     require(nColors >= 2 && nColors <= 256, s"synthesizeGifs: nColors $nColors (2-256)")
-    val schema = StructType(Seq(
-      StructField(idCol, LongType, nullable = false),
-      StructField("content", BinaryType, nullable = false),
-      StructField("meta", StructType(Seq(
-        StructField("media_type", StringType, nullable = false),
-        StructField("declared_bytes", LongType, nullable = false))), nullable = false)))
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(mediaSchema(idCol))
     val ids = docs.select(col(idCol))
     ids.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
@@ -1742,7 +1656,7 @@ object BinaryPipeline {
           val bytes = GifCodec.encode(w, h, pal, idx,
             interlace = id % 4 == 1,
             transparentIdx = if (id % 5 == 2) Some(0) else None)
-          Row(id, bytes, Row("image/gif", bytes.length.toLong))
+          mediaRow(id, bytes, "image/gif")
         }
       }
     }(enc)

@@ -126,15 +126,29 @@ object BmpCodec {
       s"BmpCodec: pixel data at $dataOffset (${rowBytes.toLong * height} bytes) " +
         s"overlaps the header/palette (${palStart + palEntry * nPal} bytes) or " +
         s"runs past EOF (${bytes.length})")
-    // RLE: expand the run stream to storage-order indices first
-    // (row 0 = bottom row, matching the uncompressed layout)
-    val rleIndices: Array[Byte] =
-      if (compression == 1) decodeRle8(bytes, dataOffset.toInt, width, height)
-      else if (compression == 2) decodeRle4(bytes, dataOffset.toInt, width, height)
-      else null
-    // Long math: both dims can pass the 2^20 cap while w·h·3 wraps Int
+    // Long math: both dims can pass the 2^20 cap while w·h·3 wraps Int.
+    // This bound must run BEFORE the RLE expansion below — the expanded
+    // index buffer is width·height bytes, and a tiny hostile header
+    // must not allocate it (decompression-bomb guard)
     require(width.toLong * height * 3 <= (1L << 30),
       s"BmpCodec: ${width}x$height decodes past the 2^30-byte bound")
+    // RLE: expand the run stream to storage-order indices first (row 0
+    // = bottom row, matching the uncompressed layout). The stream is
+    // bounded by biSizeImage — REQUIRED nonzero for RLE per the spec —
+    // so conforming V4/V5 files may carry profile data after it
+    val rleEnd: Int =
+      if (compression == 0) 0
+      else {
+        val sizeImage = u32(34)
+        require(sizeImage > 0 && dataOffset + sizeImage <= bytes.length,
+          s"BmpCodec: RLE biSizeImage $sizeImage does not bound a stream " +
+            s"inside the ${bytes.length}-byte file (offset $dataOffset)")
+        (dataOffset + sizeImage).toInt
+      }
+    val rleIndices: Array[Byte] =
+      if (compression == 1) decodeRle8(bytes, dataOffset.toInt, rleEnd, width, height)
+      else if (compression == 2) decodeRle4(bytes, dataOffset.toInt, rleEnd, width, height)
+      else null
     val out = new Array[Byte](width * height * 3)
     var y = 0
     while (y < height) {
@@ -173,12 +187,12 @@ object BmpCodec {
     * an early EOL/EOB skips take palette index 0 — the documented
     * decoder convention for the spec's "undefined" cells. Runs may not
     * cross scan lines; truncation and cursor overruns reject loud. */
-  private def decodeRle8(bytes: Array[Byte], at: Int, width: Int,
+  private def decodeRle8(bytes: Array[Byte], at: Int, end: Int, width: Int,
                          height: Int): Array[Byte] = {
     val out = new Array[Byte](width * height) // index 0 = the skip default
     var p = at
     def u8(): Int = {
-      require(p < bytes.length, "BmpCodec: RLE8 stream truncated")
+      require(p < end, "BmpCodec: RLE8 stream truncated")
       val v = bytes(p) & 0xff; p += 1; v
     }
     var x = 0
@@ -216,8 +230,9 @@ object BmpCodec {
           x += abs
       }
     }
-    require(p == bytes.length,
-      s"BmpCodec: ${bytes.length - p} byte(s) after the RLE8 end-of-bitmap")
+    require(p == end,
+      s"BmpCodec: ${end - p} byte(s) between the RLE8 end-of-bitmap and " +
+        "the declared biSizeImage")
     out
   }
 
@@ -227,12 +242,12 @@ object BmpCodec {
     * per byte, high nibble first, padded to a 16-bit boundary
     * (ceil(n/2) rounded up to even bytes, pads zero). Escapes and the
     * index-0 skip convention match RLE8. */
-  private def decodeRle4(bytes: Array[Byte], at: Int, width: Int,
+  private def decodeRle4(bytes: Array[Byte], at: Int, end: Int, width: Int,
                          height: Int): Array[Byte] = {
     val out = new Array[Byte](width * height)
     var p = at
     def u8(): Int = {
-      require(p < bytes.length, "BmpCodec: RLE4 stream truncated")
+      require(p < end, "BmpCodec: RLE4 stream truncated")
       val v = bytes(p) & 0xff; p += 1; v
     }
     var x = 0
@@ -284,8 +299,9 @@ object BmpCodec {
           x += abs
       }
     }
-    require(p == bytes.length,
-      s"BmpCodec: ${bytes.length - p} byte(s) after the RLE4 end-of-bitmap")
+    require(p == end,
+      s"BmpCodec: ${end - p} byte(s) between the RLE4 end-of-bitmap and " +
+        "the declared biSizeImage")
     out
   }
 

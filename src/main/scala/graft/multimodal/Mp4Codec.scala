@@ -37,7 +37,8 @@ object Mp4Codec {
   def isMp4(b: Array[Byte]): Boolean =
     b.length >= 12 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p'
 
-  private final case class Box(tpe: String, payloadAt: Int, payloadEnd: Int)
+  private final case class Box(tpe: String, at: Int, payloadAt: Int,
+                               payloadEnd: Int)
 
   /** Video-frame payloads of the first `vide` track, in sample order. */
   def videoFrames(bytes: Array[Byte]): Seq[Array[Byte]] = {
@@ -68,7 +69,7 @@ object Mp4Codec {
           else (pos + 8, size32)
         require(size >= (payloadAt - pos).toLong && pos + size <= to,
           s"Mp4Codec: box '$tpe' at $pos declares $size bytes past its parent end $to")
-        out += Box(tpe, payloadAt, (pos + size).toInt)
+        out += Box(tpe, pos, payloadAt, (pos + size).toInt)
         pos = (pos + size).toInt
       }
       out.result()
@@ -204,6 +205,10 @@ object Mp4Codec {
     }
 
     // ── moof fragments (round 17 — the streaming-era layout) ─────────
+    // the TRACK-TOTAL sample cap must cover fragments too: without it,
+    // unbounded trun chains amplify a tiny file into millions of slices
+    // (the progressive path's 2^20 cap, made symmetric)
+    var totalSamples = sampleCount
     if (fragmented) {
       // the video track's ID (tkhd) selects its traf in each fragment
       val tkhd = requireChild(trak, "tkhd")
@@ -237,8 +242,9 @@ object Mp4Codec {
                 val v = u64(p); p += 8; v
               } else if ((tfFlags & 0x20000) != 0) {
                 // default-base-is-moof: offsets are relative to the
-                // moof box's FIRST byte
-                (moof.payloadAt - 8).toLong
+                // moof box's FIRST byte (its header may be the 8-byte
+                // or 16-byte largesize form — use the recorded start)
+                moof.at.toLong
               } else throw new IllegalArgumentException(
                 "Mp4Codec: tfhd has neither base-data-offset nor " +
                   "default-base-is-moof — previous-traf-relative " +
@@ -260,7 +266,10 @@ object Mp4Codec {
                 requireHeader(trun, 8)
                 val trFlags = u32(trun.payloadAt) & 0xffffff
                 val n = u32(trun.payloadAt + 4)
-                require(n <= (1 << 20), s"Mp4Codec: trun declares $n samples")
+                totalSamples += n
+                require(totalSamples <= (1 << 20),
+                  s"Mp4Codec: fragments push the track past 2^20 samples " +
+                    s"($totalSamples)")
                 var q = trun.payloadAt + 8
                 if ((trFlags & 0x01) != 0) {
                   require(q + 4 <= trun.payloadEnd,

@@ -1039,6 +1039,14 @@ object PdfCodec {
         val end = balancedDictEnd(s, p)
         dict = s.substring(p, end)
         p = end
+      } else {
+        // SCALAR body ("9 0 obj 1200 endobj" — legal for any value,
+        // §7.3.10): capture the text so indirect-value resolution
+        // (dictInt, the /Flags path) can read it; without this, a
+        // conforming indirect /Length1 or /Flags always failed "holds
+        // no integer" (round-17 review). Bounded to the next endobj.
+        val e = s.indexOf("endobj", p)
+        if (e >= 0 && e - p <= 256) dict = s.substring(p, e).trim
       }
       while (p < s.length && s.charAt(p).isWhitespace) p += 1
       var stream: Option[Array[Byte]] = None

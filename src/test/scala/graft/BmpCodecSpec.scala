@@ -138,7 +138,7 @@ class BmpCodecSpec extends AnyFunSuite with SparkSpec {
     assert(intercept[IllegalArgumentException](BmpCodec.decode(handRle(4,
       Seq(2, 5, 0)))).getMessage.contains("truncated"))
     assert(intercept[IllegalArgumentException](BmpCodec.decode(handRle(4,
-      Seq(4, 5, 0, 0, 4, 6, 0, 1, 0, 0)))).getMessage.contains("after the RLE8"))
+      Seq(4, 5, 0, 0, 4, 6, 0, 1, 0, 0)))).getMessage.contains("end-of-bitmap"))
     assert(intercept[IllegalArgumentException](BmpCodec.decode(handRle(4,
       Seq(0, 3, 5, 6, 7, 9, 0, 1)))).getMessage.contains("pad byte"))
     // BI_RLE4 on an 8-bit file fails the depth pairing (RLE4 itself
