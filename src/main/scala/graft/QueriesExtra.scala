@@ -2156,6 +2156,28 @@ object QueriesExtra {
              |  CAST(SUM((i + 1) * v) AS BIGINT) AS weighted_sum
              |FROM b GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin)),
 
+    // 16-BIT TIFF (round 17 — the scientific/medical scan depth): the
+    // SAME pixel corpus as q_image_tiff widened to v·257 sample pairs
+    // in the file's byte order, reduced back by the HIGH byte (the PNG
+    // convention), striped and tiled, none/LZW/Deflate rotation — the
+    // oracle is q_image_tiff's VERBATIM, so sample depth must be
+    // results-invisible like compression and layout before it.
+    "q_image_tiff_16bit" -> QueryDef(
+      (s, d) => BinaryPipeline.decodeTiffs(
+          BinaryPipeline.synthesize16BitTiffs(Tables.documents(s, d)))
+        .orderBy(col("doc_id")),
+      Some("""WITH p AS (SELECT doc_id, 9 + doc_id % 13 AS w, 7 + doc_id % 11 AS h,
+             |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS ch FROM documents),
+             |b AS (SELECT doc_id, w, h, ch, i, (doc_id*37 + i*11) % 256 AS v
+             |  FROM p, unnest(range(0, w*h*ch)) t(i))
+             |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             |  CAST(ch AS BIGINT) AS channels,
+             |  CAST(SUM(CASE WHEN i % ch = 0 THEN v END) AS BIGINT) AS r_sum,
+             |  CAST(coalesce(SUM(CASE WHEN ch = 3 AND i % ch = 1 THEN v END), 0) AS BIGINT) AS g_sum,
+             |  CAST(coalesce(SUM(CASE WHEN ch = 3 AND i % ch = 2 THEN v END), 0) AS BIGINT) AS b_sum,
+             |  CAST(SUM((i + 1) * v) AS BIGINT) AS weighted_sum
+             |FROM b GROUP BY doc_id, w, h, ch ORDER BY doc_id""".stripMargin)),
+
     // SUB-BYTE GRAY TIFF (round 17 — 2-bit and 4-bit samples; 4-bit is
     // the 16-level scanner setting): the q_image_tiff_bilevel recipe
     // generalized to deeper sub-byte depths — samples expand by the

@@ -744,6 +744,39 @@ object BinaryPipeline {
     }(enc)
   }
 
+  /** 16-BIT-sample corpus (round 17 — the scientific/medical scan
+    * depth): the SAME pixel corpus as [[synthesizeTiffs]], each 8-bit
+    * sample widened to v·257 (the spec scaling) in the file's byte
+    * order, striped or 16x16-tiled by id, none/LZW/Deflate rotation.
+    * Decoded results (high-byte reduction) must equal the 8-bit
+    * corpus's exactly. */
+  def synthesize16BitTiffs(docs: DataFrame, idCol: String = "doc_id",
+                           batchSize: Int = 16): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(mediaSchema(idCol))
+    docs.select(col(idCol)).mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val id = r.getLong(0)
+          val w = (9 + id % 13).toInt
+          val h = (7 + id % 11).toInt
+          val ch = if (id % 2 == 0) 1 else 3
+          val px = new Array[Byte](w * h * ch)
+          var i = 0
+          while (i < px.length) { px(i) = ((id * 37 + i * 11L) % 256).toByte; i += 1 }
+          val comp = (id % 3).toInt
+          val bytes = TiffCodec.encode(w, h, ch, px,
+            bigEndian = id % 4 == 0,
+            lzw = comp == 1, deflate = comp == 2,
+            rowsPerStrip = if (id % 5 < 3) (1 + id % 4).toInt else 0,
+            tileSize = if (id % 5 >= 3) 16 else 0,
+            bits16 = true)
+          mediaRow(id, bytes, "image/tiff")
+        }
+      }
+    }(enc)
+  }
+
   /** SUB-BYTE GRAY corpus (round 17): 2-bit on even ids, 4-bit (the
     * 16-level scanner setting) on odd; striped or 16x16-tiled by id%4,
     * WhiteIsZero on id%5<2, none/LZW/Deflate rotation:

@@ -168,9 +168,14 @@ object TiffCodec {
           (bps.head == 1L || bps.head == 2L || bps.head == 4L)) bps.head.toInt
       else 0
     val bilevel = subBits > 0 // sub-byte path marker (1/2/4-bit gray)
-    require(bps.length == spp && (bps.forall(_ == 8) || bilevel),
+    // 16-bit samples (round 17 — scientific/medical scans): reduced to
+    // the 8-bit buffer by the HIGH byte, the PNG convention (exact
+    // inverse of the v·257 widening); sample byte order follows the
+    // FILE's (II lo-hi, MM hi-lo)
+    val wide16 = bps.forall(_ == 16L)
+    require(bps.length == spp && (bps.forall(_ == 8) || bilevel || wide16),
       s"TiffCodec: bits/sample ${bps.mkString(",")} unsupported " +
-        "(8-bit, or 1/2/4-bit gray)")
+        "(8-bit, 16-bit, or 1/2/4-bit gray)")
     val compression = scalar(259, 1L).toInt
     // 8 = Deflate (Adobe extension, the modern scanner default) and
     // 32946 = its older private-tag alias — SAME zlib stream, decoded by
@@ -185,7 +190,8 @@ object TiffCodec {
     // decompression (TIFF 6.0 §14); it dominates real scanned corpora
     val predictor = scalar(317, 1L).toInt
     require(predictor == 1 ||
-        (predictor == 2 && (compression == 5 || isDeflate) && !bilevel),
+        (predictor == 2 && (compression == 5 || isDeflate) &&
+          !bilevel && !wide16),
       s"TiffCodec: predictor $predictor unsupported " +
         "(1 = none, 2 = horizontal differencing under LZW/Deflate, 8-bit only)")
     val photometric = scalar(262, throw new IllegalArgumentException(
@@ -244,7 +250,9 @@ object TiffCodec {
     // assembly happens in the PACKED sample domain: 8-bit rows are
     // width·spp bytes, bilevel rows are ceil(width/8) bytes (MSB-first
     // bits, rows padded to byte boundaries per §4's default FillOrder)
-    val packedRowBytes = if (bilevel) (width * subBits + 7) / 8 else width * spp
+    val packedRowBytes =
+      if (bilevel) (width * subBits + 7) / 8
+      else width * spp * (if (wide16) 2 else 1)
     val packed = new Array[Byte](packedRowBytes * height)
 
     if (!tiled) {
@@ -287,7 +295,8 @@ object TiffCodec {
       require(offsets.length == across * down && counts.length == across * down,
         s"TiffCodec: ${offsets.length} tile offsets / ${counts.length} counts, " +
           s"grid wants ${across * down}")
-      val tileRowBytes = if (bilevel) tw * subBits / 8 else tw * spp
+      val tileRowBytes =
+        if (bilevel) tw * subBits / 8 else tw * spp * (if (wide16) 2 else 1)
       var t = 0
       while (t < across * down) {
         val raw = decodeChunk(s"tile $t", offsets(t).toInt, counts(t).toInt,
@@ -297,8 +306,11 @@ object TiffCodec {
         val validCols = math.min(tw, width - tx * tw)
         val validRows = math.min(tl, height - ty * tl)
         val copyBytes =
-          if (bilevel) (validCols * subBits + 7) / 8 else validCols * spp
-        val colAt = if (bilevel) tx * tw * subBits / 8 else tx * tw * spp
+          if (bilevel) (validCols * subBits + 7) / 8
+          else validCols * spp * (if (wide16) 2 else 1)
+        val colAt =
+          if (bilevel) tx * tw * subBits / 8
+          else tx * tw * spp * (if (wide16) 2 else 1)
         var r = 0
         while (r < validRows) {
           System.arraycopy(raw, r * tileRowBytes,
@@ -331,14 +343,28 @@ object TiffCodec {
           y += 1
         }
         o
-      } else if (photometric == 0) {
-        // WhiteIsZero: invert so the decoded buffer is always BlackIsZero
-        var i = 0
-        while (i < packed.length) {
-          packed(i) = (255 - (packed(i) & 0xff)).toByte; i += 1
+      } else {
+        // 16-bit: keep the HIGH byte of each sample (file byte order)
+        val narrowed =
+          if (!wide16) packed
+          else {
+            val o = new Array[Byte](packed.length / 2)
+            var i = 0
+            while (i < o.length) {
+              o(i) = packed(2 * i + (if (le) 1 else 0))
+              i += 1
+            }
+            o
+          }
+        if (photometric == 0) {
+          // WhiteIsZero: invert so the decoded buffer is always BlackIsZero
+          var i = 0
+          while (i < narrowed.length) {
+            narrowed(i) = (255 - (narrowed(i) & 0xff)).toByte; i += 1
+          }
         }
-        packed
-      } else packed
+        narrowed
+      }
     (PngCodec.PngImage(width, height, 8, if (spp == 1) 0 else 2, spp, out), nextIfd)
   }
 
@@ -576,10 +602,10 @@ object TiffCodec {
              lzw: Boolean = false, predictor2: Boolean = false,
              deflate: Boolean = false, oldDeflateTag: Boolean = false,
              tileSize: Int = 0, bilevel: Boolean = false,
-             grayBits: Int = 0): Array[Byte] =
+             grayBits: Int = 0, bits16: Boolean = false): Array[Byte] =
     encodeMulti(Seq((width, height, channels, pixels)), bigEndian, packBits,
       rowsPerStrip, whiteIsZero, lzw, predictor2, deflate, oldDeflateTag,
-      tileSize, bilevel, grayBits)
+      tileSize, bilevel, grayBits, bits16)
 
   /** MULTI-PAGE TIFF ENCODE (round 16): `pages` are (width, height,
     * channels, pixels) tuples laid out sequentially — per page its
@@ -594,7 +620,7 @@ object TiffCodec {
                   deflate: Boolean = false,
                   oldDeflateTag: Boolean = false,
                   tileSize: Int = 0, bilevel: Boolean = false,
-                  grayBits: Int = 0): Array[Byte] = {
+                  grayBits: Int = 0, bits16: Boolean = false): Array[Byte] = {
     require(pageSpecs.nonEmpty, "TiffCodec.encode: no pages")
     require(Seq(packBits, lzw, deflate).count(identity) <= 1,
       "TiffCodec.encode: packBits, lzw and deflate are exclusive")
@@ -615,6 +641,11 @@ object TiffCodec {
     val subBits = if (bilevel) 1 else grayBits
     require(subBits == 0 || !predictor2,
       "TiffCodec.encode: predictor 2 is 8-bit only")
+    // 16-bit samples: each 8-bit input widens to v·257 in the FILE's
+    // byte order (round 17); exclusive with sub-byte and predictor
+    require(!bits16 || (subBits == 0 && !predictor2),
+      "TiffCodec.encode: bits16 excludes sub-byte depths and predictor 2")
+    val sampleBytes = if (bits16) 2 else 1
     // chunks = strips or tiles; `across` > 0 marks the tiled layout
     final case class PageBits(width: Int, height: Int, channels: Int,
                               rps: Int, across: Int, chunks: Array[Array[Byte]])
@@ -675,14 +706,27 @@ object TiffCodec {
           if (lzw) lzwEncode(raw) else deflateStrip(raw)
         } else if (packBits) packBitsEncode(raw) else raw
       }
-      val stored =
+      val stored8 =
         if (!whiteIsZero || subBits > 0) pixels // sub-byte inverts in valueOf
         else pixels.map(b => (255 - (b & 0xff)).toByte)
+      // 16-bit widening v·257 = the byte pair (v, v), so the wire is the
+      // exact spec scaling; since both bytes are equal, the HIGH-byte
+      // pick is pinned separately by a hand-patched spec fixture
+      val stored =
+        if (!bits16) stored8
+        else {
+          val o = new Array[Byte](stored8.length * 2)
+          var i = 0
+          while (i < stored8.length) {
+            o(2 * i) = stored8(i); o(2 * i + 1) = stored8(i); i += 1
+          }
+          o
+        }
       if (!tiled) {
         val rps = if (rowsPerStrip <= 0) height else math.min(rowsPerStrip, height)
         val nStrips = (height + rps - 1) / rps
         val packedRowBytes =
-          if (subBits > 0) (width * subBits + 7) / 8 else rowBytes
+          if (subBits > 0) (width * subBits + 7) / 8 else rowBytes * sampleBytes
         val strips: Array[Array[Byte]] = Array.tabulate(nStrips) { s =>
           val rows = math.min(rps, height - s * rps)
           val raw =
@@ -695,8 +739,9 @@ object TiffCodec {
                 r += 1
               }
               b
-            } else java.util.Arrays.copyOfRange(stored, s * rps * rowBytes,
-              s * rps * rowBytes + rows * rowBytes)
+            } else java.util.Arrays.copyOfRange(stored,
+              s * rps * rowBytes * sampleBytes,
+              (s * rps + rows) * rowBytes * sampleBytes)
           diffAndCompress(raw, rows, packedRowBytes)
         }
         PageBits(width, height, channels, rps, 0, strips)
@@ -706,7 +751,8 @@ object TiffCodec {
         val across = (width + tileSize - 1) / tileSize
         val down = (height + tileSize - 1) / tileSize
         val tileRowBytes =
-          if (subBits > 0) tileSize * subBits / 8 else tileSize * channels
+          if (subBits > 0) tileSize * subBits / 8
+          else tileSize * channels * sampleBytes
         val tiles: Array[Array[Byte]] = Array.tabulate(across * down) { t =>
           val tx = t % across
           val ty = t / across
@@ -720,8 +766,9 @@ object TiffCodec {
               System.arraycopy(packRow(y, tx * tileSize, validCols, tileRowBytes), 0,
                 raw, r * tileRowBytes, tileRowBytes)
             else
-              System.arraycopy(stored, (y * width + tx * tileSize) * channels,
-                raw, r * tileRowBytes, validCols * channels)
+              System.arraycopy(stored,
+                (y * width + tx * tileSize) * channels * sampleBytes,
+                raw, r * tileRowBytes, validCols * channels * sampleBytes)
             r += 1
           }
           diffAndCompress(raw, tileSize, tileRowBytes)
@@ -768,7 +815,10 @@ object TiffCodec {
       val nChunks = p.chunks.length
       p.chunks.foreach(s => out.write(s, 0, s.length))
       if (l.padAfterChunks) w8(0)
-      if (p.channels == 3) { w16(8); w16(8); w16(8) }
+      if (p.channels == 3) {
+        val b = if (bits16) 16 else 8
+        w16(b); w16(b); w16(b)
+      }
       if (nChunks > 1) {
         l.chunkOffsets.foreach(w32)
         p.chunks.foreach(s => w32(s.length.toLong))
@@ -792,7 +842,8 @@ object TiffCodec {
         Tag(256, 4, 1, p.width.toLong),
         Tag(257, 4, 1, p.height.toLong),
         if (p.channels == 3) Tag(258, 3, 3, l.bpsAt)
-        else Tag(258, 3, 1, if (subBits > 0) subBits.toLong else 8L),
+        else Tag(258, 3, 1, if (subBits > 0) subBits.toLong
+          else if (bits16) 16L else 8L),
         Tag(259, 3, 1, if (lzw) 5L else if (packBits) 32773L
           else if (deflate) (if (oldDeflateTag) 32946L else 8L) else 1L),
         Tag(262, 3, 1, if (whiteIsZero) 0L else if (p.channels == 3) 2L else 1L),

@@ -84,9 +84,15 @@ class TiffCodecSpec extends AnyFunSuite with SparkSpec {
       while (!((c(i) & 0xff) == (id & 0xff) && (c(i + 1) & 0xff) == (id >> 8))) i += 1
       c(i + 8) = v.toByte; c
     }
+    // 16-bit became real support in round 17: a RELABELED 8-bit file
+    // now fails the strip-size accounting (half the bytes it claims);
+    // a genuinely unsupported depth still names the carried set
     val b16 = patchTagValue(good, 258, 16)
     assert(intercept[IllegalArgumentException](TiffCodec.decode(b16))
-      .getMessage.contains("8-bit"))
+      .getMessage.contains("geometry wants"))
+    val b12 = patchTagValue(good, 258, 12)
+    assert(intercept[IllegalArgumentException](TiffCodec.decode(b12))
+      .getMessage.contains("unsupported"))
     // planar configuration 2 rejects
     val planar = patchTagValue(good, 284, 2)
     assert(intercept[IllegalArgumentException](TiffCodec.decode(planar))
@@ -385,6 +391,47 @@ class TiffCodecSpec extends AnyFunSuite with SparkSpec {
     // grayBits and bilevel are alternatives
     intercept[IllegalArgumentException](
       TiffCodec.encode(2, 1, 1, Array[Byte](0, 0), grayBits = 2, bilevel = true))
+  }
+
+  test("16-BIT samples: v*257 widening round trips; HIGH-byte pick pinned by hand") {
+    for ((w, h, ch) <- Seq((9, 7, 1), (17, 13, 3));
+         be <- Seq(false, true); comp <- Seq(0, 1, 2); tiled <- Seq(false, true)) {
+      val px = Array.tabulate(w * h * ch)(i => ((i * 31 + 7) % 256).toByte)
+      val enc = TiffCodec.encode(w, h, ch, px, bigEndian = be,
+        lzw = comp == 1, deflate = comp == 2,
+        rowsPerStrip = if (tiled) 0 else 3,
+        tileSize = if (tiled) 16 else 0, bits16 = true)
+      val img = TiffCodec.decode(enc)
+      assert(img.pixels.toSeq == px.toSeq, s"$w x $h x $ch be=$be comp=$comp tiled=$tiled")
+    }
+    // the high-byte PICK: v·257 makes both bytes equal, so patch the
+    // wire bytes by hand — flipping the LOW byte must not change the
+    // decode, flipping the HIGH byte must. Uncompressed LE 2x1 gray:
+    // strip data = [lo0, hi0, lo1, hi1] at the data offset.
+    val enc = TiffCodec.encode(2, 1, 1, Array[Byte](100, 50), bits16 = true)
+    val s = enc.map(_ & 0xff)
+    // locate the 4-byte strip [100,100,50,50] (header is 8 bytes; data first)
+    val at = (8 until enc.length - 4).find(i =>
+      s(i) == 100 && s(i + 1) == 100 && s(i + 2) == 50 && s(i + 3) == 50).get
+    val loFlip = enc.clone(); loFlip(at) = 9 // LE: low byte first
+    assert(TiffCodec.decode(loFlip).pixels.toSeq == Seq[Byte](100, 50),
+      "the LOW byte must not drive the reduction")
+    val hiFlip = enc.clone(); hiFlip(at + 1) = 9
+    assert(TiffCodec.decode(hiFlip).pixels.toSeq == Seq[Byte](9, 50),
+      "the HIGH byte drives the reduction")
+    // big-endian: high byte FIRST
+    val encBe = TiffCodec.encode(2, 1, 1, Array[Byte](100, 50),
+      bigEndian = true, bits16 = true)
+    val sBe = encBe.map(_ & 0xff)
+    val atBe = (8 until encBe.length - 4).find(i =>
+      sBe(i) == 100 && sBe(i + 1) == 100 && sBe(i + 2) == 50 && sBe(i + 3) == 50).get
+    val beHi = encBe.clone(); beHi(atBe) = 9
+    assert(TiffCodec.decode(beHi).pixels.toSeq == Seq[Byte](9, 50),
+      "MM order: the FIRST byte is the high byte")
+    // predictor under 16-bit stays loud; mixed bits in the bps vector too
+    intercept[IllegalArgumentException](
+      TiffCodec.encode(4, 2, 1, new Array[Byte](8), bits16 = true,
+        lzw = true, predictor2 = true))
   }
 
   test("format-agnostic dispatch: tiles and resize accept TIFF rows") {
