@@ -176,6 +176,14 @@ object TiffCodec {
     require(bps.length == spp && (bps.forall(_ == 8) || bilevel || wide16),
       s"TiffCodec: bits/sample ${bps.mkString(",")} unsupported " +
         "(8-bit, 16-bit, or 1/2/4-bit gray)")
+    val sampleBytes = if (wide16) 2 else 1
+    // decompression-bomb guard (the BmpCodec convention): the packed
+    // buffer below is allocated from HEADER-declared dimensions, so a
+    // tiny hostile file must not drive a multi-GB allocation — and the
+    // Int product must not wrap into NegativeArraySizeException
+    require(width.toLong * height * spp * sampleBytes <= (1L << 30),
+      s"TiffCodec: ${width}x$height x$spp at ${bps.head} bits decodes past " +
+        "the 2^30-byte bound")
     val compression = scalar(259, 1L).toInt
     // 8 = Deflate (Adobe extension, the modern scanner default) and
     // 32946 = its older private-tag alias — SAME zlib stream, decoded by
@@ -252,7 +260,7 @@ object TiffCodec {
     // bits, rows padded to byte boundaries per §4's default FillOrder)
     val packedRowBytes =
       if (bilevel) (width * subBits + 7) / 8
-      else width * spp * (if (wide16) 2 else 1)
+      else width * spp * sampleBytes
     val packed = new Array[Byte](packedRowBytes * height)
 
     if (!tiled) {
@@ -296,7 +304,7 @@ object TiffCodec {
         s"TiffCodec: ${offsets.length} tile offsets / ${counts.length} counts, " +
           s"grid wants ${across * down}")
       val tileRowBytes =
-        if (bilevel) tw * subBits / 8 else tw * spp * (if (wide16) 2 else 1)
+        if (bilevel) tw * subBits / 8 else tw * spp * sampleBytes
       var t = 0
       while (t < across * down) {
         val raw = decodeChunk(s"tile $t", offsets(t).toInt, counts(t).toInt,
@@ -307,10 +315,10 @@ object TiffCodec {
         val validRows = math.min(tl, height - ty * tl)
         val copyBytes =
           if (bilevel) (validCols * subBits + 7) / 8
-          else validCols * spp * (if (wide16) 2 else 1)
+          else validCols * spp * sampleBytes
         val colAt =
           if (bilevel) tx * tw * subBits / 8
-          else tx * tw * spp * (if (wide16) 2 else 1)
+          else tx * tw * spp * sampleBytes
         var r = 0
         while (r < validRows) {
           System.arraycopy(raw, r * tileRowBytes,

@@ -269,7 +269,7 @@ object PdfCodec {
                   val ref = m.group(1).toInt
                   val o = byNum.getOrElse(ref, throw new IllegalArgumentException(
                     s"PdfCodec: /Flags $ref 0 R not found"))
-                  """\d+""".r.findFirstIn(o.dict.trim).map(_.toInt).getOrElse(
+                  """^\d+$""".r.findFirstIn(o.dict.trim).map(_.toInt).getOrElse(
                     throw new IllegalArgumentException(
                       s"PdfCodec: /Flags object $ref holds no integer"))
                 }
@@ -1017,7 +1017,17 @@ object PdfCodec {
       while (p < text.length && text.charAt(p).isWhitespace) p += 1
       val dict =
         if (text.startsWith("<<", p)) text.substring(p, balancedDictEnd(text, p))
-        else "" // non-dict object (number/array) — irrelevant to text extraction
+        else {
+          // SCALAR body inside the object stream — small non-stream
+          // objects routinely live here in PDF 1.5+ layouts, and
+          // indirect-value resolution (dictInt, /Flags) must be able
+          // to read them (round-17 review: only the top-level scan
+          // captured scalars). Bounded to the next object's offset.
+          val end =
+            if (i + 1 < n) math.min(text.length, first + nums(2 * i + 3))
+            else text.length
+          if (end - p <= 256) text.substring(p, end).trim else ""
+        }
       PdfObj(objNum, dict, None)
     }
   }
@@ -1139,7 +1149,7 @@ object PdfCodec {
         val ref = m.group(1).toInt
         val o = byNum.getOrElse(ref, throw new IllegalArgumentException(
           s"PdfCodec: /$name $ref 0 R not found"))
-        """\d+""".r.findFirstIn(o.dict.trim).map(_.toInt).getOrElse(
+        """^\d+$""".r.findFirstIn(o.dict.trim).map(_.toInt).getOrElse(
           throw new IllegalArgumentException(
             s"PdfCodec: /$name object $ref holds no integer"))
       }

@@ -182,6 +182,13 @@ class Type1FontSpec extends AnyFunSuite {
     val withObjs = patched.replace("xref\n",
       s"90 0 obj ${m.group(1)} endobj\n91 0 obj ${m.group(2)} endobj\nxref\n")
     assert(PdfCodec.extractText(withObjs.getBytes(ISO_8859_1)) == pages)
+    // a REAL-valued target must refuse loud — yielding its first digit
+    // run as the length would truncate the font program silently
+    val real = patched.replace("xref\n",
+      s"90 0 obj 3.7 endobj\n91 0 obj ${m.group(2)} endobj\nxref\n")
+    assert(intercept[IllegalArgumentException](
+      PdfCodec.extractText(real.getBytes(ISO_8859_1)))
+      .getMessage.contains("holds no integer"))
   }
 
   test("four program formats agree page-for-page on the same text") {
