@@ -2156,6 +2156,33 @@ object QueriesExtra {
              |  CAST(SUM((i + 1) * v) AS BIGINT) AS weighted_sum
              |FROM b GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin)),
 
+    // CCITT FAX TIFF (round 18 — G4/T.6 MMR is THE scanned-document
+    // compression; a 100 TB document crawl is full of it): the SAME bit
+    // raster as q_image_tiff_bilevel re-encoded through the fax coders
+    // — G4 2-D MMR (pass/horizontal/vertical modes against the
+    // reference line), MH byte-aligned rows, and G3 1-D with EOL codes,
+    // striped AND 16x16-tiled, both photometrics. The oracle is
+    // q_image_tiff_bilevel's VERBATIM (compression invariance, the
+    // LZW/Deflate convention) — a run-table slip, a mode mis-read, a
+    // reference-line drift or a photometric miss breaks the
+    // position-weighted hash.
+    "q_image_tiff_g4" -> QueryDef(
+      (s, d) => BinaryPipeline.decodeTiffs(
+          BinaryPipeline.synthesizeCcittTiffs(Tables.documents(s, d)))
+        .orderBy(col("doc_id")),
+      Some("""WITH p AS (SELECT doc_id, 17 + doc_id % 16 AS w, 13 + doc_id % 12 AS h
+             |  FROM documents),
+             |b AS (SELECT doc_id, w, h, i,
+             |    CASE WHEN (doc_id*37 + (i % w)*7 + (i // w)*13) % 5 < 2
+             |      THEN 255 ELSE 0 END AS v
+             |  FROM p, unnest(range(0, w*h)) t(i))
+             |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             |  CAST(1 AS BIGINT) AS channels,
+             |  CAST(SUM(v) AS BIGINT) AS r_sum,
+             |  CAST(0 AS BIGINT) AS g_sum, CAST(0 AS BIGINT) AS b_sum,
+             |  CAST(SUM((i + 1) * v) AS BIGINT) AS weighted_sum
+             |FROM b GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin)),
+
     // 16-BIT TIFF (round 17 — the scientific/medical scan depth): the
     // SAME pixel corpus as q_image_tiff widened to v·257 sample pairs
     // in the file's byte order, reduced back by the HIGH byte (the PNG

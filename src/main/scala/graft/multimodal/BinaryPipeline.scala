@@ -16,11 +16,12 @@ import org.apache.spark.sql.types._
   * [[decodeJpegs]] / [[extractFeatures]] emit true dimensions and pixel
   * statistics for both. AUDIO decode is REAL too (round 15):
   * [[WavCodec]] parses RIFF/PCM WAV and [[decodeWavSegments]] emits
-  * per-window energy/zero-crossing features from actual samples. For
-  * remaining media (video containers) `decodeStub` derives deterministic
-  * pseudo-features from the bytes — swapping in a real codec changes
-  * only that body; schema, batching, partitioning are the same tested
-  * plumbing the PNG/JPEG/WAV paths use.
+  * per-window energy/zero-crossing features from actual samples. VIDEO
+  * containers decode for real as well (rounds 15-17): [[AviCodec]] /
+  * [[Mp4Codec]] / [[GifCodec]] walk the container structure and the
+  * MJPEG/GIF frame payloads run through the real image codecs.
+  * `decodeStub` survives only as the opaque-bytes fallback in
+  * [[extractFeatures]] for media with no recognized container.
   */
 object BinaryPipeline {
 
@@ -702,6 +703,55 @@ object BinaryPipeline {
             whiteIsZero = id % 5 < 2,
             tileSize = if (id % 2 == 1) 16 else 0,
             bilevel = true)
+          mediaRow(id, bytes, "image/tiff")
+        }
+      }
+    }(enc)
+  }
+
+  /** CCITT fax corpus (round 18 — THE scanned-document compressions):
+    * the SAME bit raster as [[synthesizeBilevelTiffs]] (w = 17 + id%16,
+    * h = 13 + id%12, gray(x, y) = 255 if (id·37 + x·7 + y·13) mod 5 < 2
+    * else 0), so `q_image_tiff_g4` carries `q_image_tiff_bilevel`'s
+    * oracle VERBATIM — compression invariance, the LZW/Deflate
+    * convention. Rotation: G4 MMR on id%4 ∈ {0,1} (the dominant wild
+    * form), MH ("CCITT RLE", compression 2) on id%4 == 2, G3 1-D with
+    * EOLs (compression 3) on id%4 == 3; STRIPED on even ids and
+    * 16x16-TILED on odd (per-chunk reference-line reset both ways);
+    * WhiteIsZero (the fax default) on id%5<2. */
+  def synthesizeCcittTiffs(docs: DataFrame, idCol: String = "doc_id",
+                           batchSize: Int = 16): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(mediaSchema(idCol))
+    docs.select(col(idCol)).mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val id = r.getLong(0)
+          val w = (17 + id % 16).toInt
+          val h = (13 + id % 12).toInt
+          val px = new Array[Byte](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              px(y * w + x) =
+                (if ((id * 37 + x * 7L + y * 13L) % 5 < 2) 255 else 0).toByte
+              x += 1
+            }
+            y += 1
+          }
+          val mode = (id % 4) match {
+            case 0 | 1 => 4 // G4 MMR
+            case 2 => 2 // MH byte-aligned rows
+            case _ => 3 // G3 1-D with EOLs
+          }
+          val bytes = TiffCodec.encode(w, h, 1, px,
+            bigEndian = id % 4 == 0,
+            rowsPerStrip = if (id % 2 == 0) (2 + id % 7).toInt else 0,
+            whiteIsZero = id % 5 < 2,
+            tileSize = if (id % 2 == 1) 16 else 0,
+            bilevel = true,
+            ccitt = mode)
           mediaRow(id, bytes, "image/tiff")
         }
       }

@@ -224,9 +224,9 @@ object BmpCodec {
               s"scan line (${width}x$height)")
           var k = 0
           while (k < abs) { out(y * width + x + k) = u8().toByte; k += 1 }
-          if ((abs & 1) != 0) {
-            require(u8() == 0, "BmpCodec: RLE8 absolute-run pad byte nonzero")
-          }
+          // word alignment is the spec rule; the pad byte's CONTENT is
+          // unspecified, so consume without asserting its value
+          if ((abs & 1) != 0) u8()
           x += abs
       }
     }
@@ -291,11 +291,9 @@ object BmpCodec {
             else out(y * width + x + k) = (cur & 0xf).toByte
             k += 1
           }
+          // word alignment is the spec rule; pad content is unspecified
           var pd = 0
-          while (pd < padBytes) {
-            require(u8() == 0, "BmpCodec: RLE4 absolute-run pad byte nonzero")
-            pd += 1
-          }
+          while (pd < padBytes) { u8(); pd += 1 }
           x += abs
       }
     }

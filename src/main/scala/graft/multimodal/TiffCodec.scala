@@ -26,9 +26,12 @@ import java.io.ByteArrayOutputStream
   *  - Compression 1 (none), 5 (LZW — TIFF-variant MSB-first with the
   *    spec's early code-width change; round 16), 8 and 32946 (Deflate —
   *    the modern scanner default and its older private-tag alias, one
-  *    zlib stream per strip; round 17) and 32773 (PackBits), all
-  *    decoded with strict per-strip output accounting; Predictor 2
-  *    horizontal differencing under LZW or Deflate
+  *    zlib stream per strip; round 17), 32773 (PackBits), and 2/3/4
+  *    (CCITT fax — MH rows / T.4 G3 1-D / T.6 G4 MMR via
+  *    [[CcittCodec]], round 18: THE scanned-document compressions,
+  *    bilevel only, T4Options/T6Options 0), all decoded with strict
+  *    per-strip accounting; Predictor 2 horizontal differencing under
+  *    LZW or Deflate
   *  - PhotometricInterpretation 0 (WhiteIsZero — gray samples inverted
   *    on decode), 1 (BlackIsZero), 2 (RGB); others reject
   *  - strip byte counts and offsets must agree with the geometry —
@@ -189,10 +192,25 @@ object TiffCodec {
     // 32946 = its older private-tag alias — SAME zlib stream, decoded by
     // one path (round 17)
     val isDeflate = compression == 8 || compression == 32946
+    // 2/3/4 = CCITT fax (round 18): Modified Huffman rows / T.4 Group 3
+    // 1-D / T.6 Group 4 MMR — THE scanned-document compressions,
+    // bilevel by definition, decoded by [[CcittCodec]]
+    val isCcitt = compression == 2 || compression == 3 || compression == 4
     require(compression == 1 || compression == 5 || compression == 32773 ||
-        isDeflate,
+        isDeflate || isCcitt,
       s"TiffCodec: compression $compression unsupported " +
-        "(1 = none, 5 = LZW, 8/32946 = Deflate, 32773 = PackBits)")
+        "(1 = none, 2/3/4 = CCITT fax, 5 = LZW, 8/32946 = Deflate, " +
+        "32773 = PackBits)")
+    require(!isCcitt || (spp == 1 && bps.length == 1 && bps.head == 1L),
+      s"TiffCodec: CCITT compression $compression needs 1 bit/sample " +
+        s"bilevel data (got ${bps.mkString(",")} x$spp)")
+    // T4Options/T6Options: only the zero (1-D, no fill, no uncompressed
+    // mode / no extensions) forms are in scope — a nonzero flag would
+    // change the wire coding, so it must not pass silently
+    if (compression == 3) require(scalar(292, 0L) == 0L,
+      "TiffCodec: T4Options != 0 (2-D G3 / fill / uncompressed) unsupported")
+    if (compression == 4) require(scalar(293, 0L) == 0L,
+      "TiffCodec: T6Options != 0 (uncompressed mode) unsupported")
     // Predictor (tag 317) is a filter parameter of the LZW and Deflate
     // schemes: 2 = horizontal differencing per row, undone AFTER
     // decompression (TIFF 6.0 §14); it dominates real scanned corpora
@@ -225,9 +243,11 @@ object TiffCodec {
 
     // decompress one chunk (strip or tile) with exact accounting, then
     // undo the predictor per ROW of the chunk's own geometry (TIFF 6.0
-    // §14 applies it uniformly under LZW and Deflate)
+    // §14 applies it uniformly under LZW and Deflate). `cols` is the
+    // chunk's PIXEL width (image width for strips, TileWidth for
+    // tiles) — CCITT coding is run-length over pixels, not bytes
     def decodeChunk(what: String, off: Int, cnt: Int, rows: Int,
-                    chunkRowBytes: Int): Array[Byte] = {
+                    chunkRowBytes: Int, cols: Int): Array[Byte] = {
       val expect = rows * chunkRowBytes
       require(off >= 0 && cnt >= 0 && off + cnt <= bytes.length,
         s"TiffCodec: $what at $off+$cnt runs past EOF")
@@ -252,7 +272,20 @@ object TiffCodec {
         java.util.Arrays.copyOfRange(bytes, off, off + cnt)
       } else if (compression == 5) undoPredictor(lzwDecode(bytes, off, cnt, expect))
       else if (isDeflate) undoPredictor(inflateStrip(bytes, off, cnt, expect))
-      else packBitsDecode(bytes, off, cnt, expect)
+      else if (isCcitt) {
+        // CcittCodec emits bit 1 = BLACK; the packed sample domain wants
+        // the photometric's sample values (WhiteIsZero: black = 1, so
+        // as-is; BlackIsZero: white = 1, so inverted — pad bits beyond
+        // `cols` are never read by the expansion)
+        val black1 = CcittCodec.decode(bytes, off, cnt, cols, rows, compression)
+        require(black1.length == expect,
+          s"TiffCodec: CCITT produced ${black1.length} of $expect bytes")
+        if (photometric == 1) {
+          var i = 0
+          while (i < black1.length) { black1(i) = (~black1(i)).toByte; i += 1 }
+        }
+        black1
+      } else packBitsDecode(bytes, off, cnt, expect)
     }
 
     // assembly happens in the PACKED sample domain: 8-bit rows are
@@ -279,7 +312,7 @@ object TiffCodec {
       while (strip < nStrips) {
         val stripRows = math.min(rowsPerStrip, height - strip * rowsPerStrip)
         val raw = decodeChunk(s"strip $strip", offsets(strip).toInt,
-          counts(strip).toInt, stripRows, packedRowBytes)
+          counts(strip).toInt, stripRows, packedRowBytes, width)
         System.arraycopy(raw, 0, packed,
           strip * rowsPerStrip * packedRowBytes, raw.length)
         strip += 1
@@ -296,6 +329,13 @@ object TiffCodec {
         "TiffCodec: tiled file without TileLength")).toInt
       require(tw > 0 && tl > 0 && tw % 16 == 0 && tl % 16 == 0,
         s"TiffCodec: tile geometry ${tw}x$tl not positive multiples of 16")
+      // per-TILE bomb guard (Long math): the image-dimension guard above
+      // bounds `packed`, but each tile allocates its own tl·tileRowBytes
+      // buffer from header-declared tile dims — hostile geometry (e.g.
+      // 32768x32768 RGB tiles over a 16x16 image) must reject before the
+      // allocation, and the Int product must not wrap negative
+      require(tw.toLong * tl * spp * sampleBytes <= (1L << 30),
+        s"TiffCodec: tile buffer ${tw}x$tl x$spp exceeds the 2^30-byte bound")
       val across = (width + tw - 1) / tw
       val down = (height + tl - 1) / tl
       val offsets = vector(324)
@@ -308,7 +348,7 @@ object TiffCodec {
       var t = 0
       while (t < across * down) {
         val raw = decodeChunk(s"tile $t", offsets(t).toInt, counts(t).toInt,
-          tl, tileRowBytes)
+          tl, tileRowBytes, tw)
         val tx = t % across
         val ty = t / across
         val validCols = math.min(tw, width - tx * tw)
@@ -562,6 +602,12 @@ object TiffCodec {
           (try inf.inflate(probe) == 0 && inf.finished()
            catch { case _: java.util.zip.DataFormatException => false }),
         s"TiffCodec: Deflate strip holds more than the $expect-byte geometry")
+      // and the strip's declared byte count must be exactly the zlib
+      // stream: unconsumed COMPRESSED bytes after finished() are trailing
+      // garbage the output-side probe above cannot see
+      require(inf.getRemaining == 0,
+        s"TiffCodec: Deflate strip carries ${inf.getRemaining} byte(s) " +
+          "past the end of the zlib stream")
       out
     } finally inf.end()
   }
@@ -610,10 +656,11 @@ object TiffCodec {
              lzw: Boolean = false, predictor2: Boolean = false,
              deflate: Boolean = false, oldDeflateTag: Boolean = false,
              tileSize: Int = 0, bilevel: Boolean = false,
-             grayBits: Int = 0, bits16: Boolean = false): Array[Byte] =
+             grayBits: Int = 0, bits16: Boolean = false,
+             ccitt: Int = 0): Array[Byte] =
     encodeMulti(Seq((width, height, channels, pixels)), bigEndian, packBits,
       rowsPerStrip, whiteIsZero, lzw, predictor2, deflate, oldDeflateTag,
-      tileSize, bilevel, grayBits, bits16)
+      tileSize, bilevel, grayBits, bits16, ccitt)
 
   /** MULTI-PAGE TIFF ENCODE (round 16): `pages` are (width, height,
     * channels, pixels) tuples laid out sequentially — per page its
@@ -628,10 +675,17 @@ object TiffCodec {
                   deflate: Boolean = false,
                   oldDeflateTag: Boolean = false,
                   tileSize: Int = 0, bilevel: Boolean = false,
-                  grayBits: Int = 0, bits16: Boolean = false): Array[Byte] = {
+                  grayBits: Int = 0, bits16: Boolean = false,
+                  ccitt: Int = 0): Array[Byte] = {
     require(pageSpecs.nonEmpty, "TiffCodec.encode: no pages")
-    require(Seq(packBits, lzw, deflate).count(identity) <= 1,
-      "TiffCodec.encode: packBits, lzw and deflate are exclusive")
+    require(Seq(packBits, lzw, deflate, ccitt > 0).count(identity) <= 1,
+      "TiffCodec.encode: packBits, lzw, deflate and ccitt are exclusive")
+    // CCITT fax (round 18): 2 = MH rows, 3 = G3 1-D with EOLs, 4 = G4
+    // MMR — bilevel-only by definition
+    require(ccitt == 0 || ccitt == 2 || ccitt == 3 || ccitt == 4,
+      s"TiffCodec.encode: ccitt $ccitt (0, or TIFF compression 2/3/4)")
+    require(ccitt == 0 || bilevel,
+      "TiffCodec.encode: CCITT compressions are 1-bit bilevel only")
     require(!predictor2 || lzw || deflate,
       "TiffCodec.encode: predictor 2 is an LZW/Deflate filter parameter")
     require(!oldDeflateTag || deflate,
@@ -695,8 +749,16 @@ object TiffCodec {
         }
         row
       }
-      def diffAndCompress(raw: Array[Byte], rows: Int, chunkRowBytes: Int): Array[Byte] = {
-        if (lzw || deflate) {
+      def diffAndCompress(raw: Array[Byte], rows: Int, chunkRowBytes: Int,
+                          cols: Int): Array[Byte] = {
+        if (ccitt > 0) {
+          // packed sample bits → black=1 bits for the fax coder: under
+          // WhiteIsZero sample 1 IS black; under BlackIsZero invert
+          val black1 =
+            if (whiteIsZero) raw
+            else raw.map(b => (~b).toByte)
+          CcittCodec.encode(black1, chunkRowBytes, cols, rows, ccitt)
+        } else if (lzw || deflate) {
           if (predictor2) {
             // horizontal differencing per row, per sample — the inverse
             // of the decode-side reconstruction
@@ -750,7 +812,7 @@ object TiffCodec {
             } else java.util.Arrays.copyOfRange(stored,
               s * rps * rowBytes * sampleBytes,
               (s * rps + rows) * rowBytes * sampleBytes)
-          diffAndCompress(raw, rows, packedRowBytes)
+          diffAndCompress(raw, rows, packedRowBytes, width)
         }
         PageBits(width, height, channels, rps, 0, strips)
       } else {
@@ -779,7 +841,7 @@ object TiffCodec {
                 raw, r * tileRowBytes, validCols * channels * sampleBytes)
             r += 1
           }
-          diffAndCompress(raw, tileSize, tileRowBytes)
+          diffAndCompress(raw, tileSize, tileRowBytes, tileSize)
         }
         PageBits(width, height, channels, 0, across, tiles)
       }
@@ -809,8 +871,10 @@ object TiffCodec {
       val offsAt = if (nChunks > 1) { val o = pos; pos += 4L * nChunks; o } else -1L
       val cntsAt = if (nChunks > 1) { val o = pos; pos += 4L * nChunks; o } else -1L
       val ifdAt = pos
-      // strips: 273/278/279 (3 tags); tiles: 322/323/324/325 (4 tags)
-      val nTags = (if (tiled) 11 else 10) + (if (predictor2) 1 else 0)
+      // strips: 273/278/279 (3 tags); tiles: 322/323/324/325 (4 tags);
+      // CCITT G3/G4 add their T4Options/T6Options tag
+      val nTags = (if (tiled) 11 else 10) + (if (predictor2) 1 else 0) +
+        (if (ccitt == 3 || ccitt == 4) 1 else 0)
       pos += 2 + 12 * nTags + 4 // tags + next-IFD pointer
       Layout(chunkOffsets, padAfterChunks, bpsAt, offsAt, cntsAt, ifdAt)
     }
@@ -853,11 +917,14 @@ object TiffCodec {
         else Tag(258, 3, 1, if (subBits > 0) subBits.toLong
           else if (bits16) 16L else 8L),
         Tag(259, 3, 1, if (lzw) 5L else if (packBits) 32773L
-          else if (deflate) (if (oldDeflateTag) 32946L else 8L) else 1L),
+          else if (deflate) (if (oldDeflateTag) 32946L else 8L)
+          else if (ccitt > 0) ccitt.toLong else 1L),
         Tag(262, 3, 1, if (whiteIsZero) 0L else if (p.channels == 3) 2L else 1L),
         Tag(277, 3, 1, p.channels.toLong),
         Tag(284, 3, 1, 1L)) ++ layoutTags ++
-        (if (predictor2) Seq(Tag(317, 3, 1, 2L)) else Seq.empty)
+        (if (predictor2) Seq(Tag(317, 3, 1, 2L)) else Seq.empty) ++
+        (if (ccitt == 3) Seq(Tag(292, 4, 1, 0L))
+         else if (ccitt == 4) Seq(Tag(293, 4, 1, 0L)) else Seq.empty)
       w16(tags.length)
       tags.sortBy(_.id).foreach { t =>
         w16(t.id); w16(t.tpe); w32(t.count)

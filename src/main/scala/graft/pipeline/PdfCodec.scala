@@ -26,10 +26,10 @@ import scala.collection.mutable
   *     spec's multi-stream page semantics);
   *   - stream filters: none, /FlateDecode (zlib — `Inflater`),
   *     /ASCIIHexDecode, /ASCII85Decode, /LZWDecode (PDF early-change
-  *     variant), applied as the spec's left-to-right CHAIN when
-  *     /Filter is an array; anything else (DCT, CCITT, crypt,
-  *     predictors) raises a clear error rather than silently yielding
-  *     garbage;
+  *     variant), /RunLengthDecode (§7.4.5, round 18), applied as the
+  *     spec's left-to-right CHAIN when /Filter is an array; anything
+  *     else (DCT, CCITT, crypt) raises a clear error rather than
+  *     silently yielding garbage;
   *   - text operators inside BT…ET: Tj, ' (next-line show), " (spacing
   *     variant), TJ (array show — kerning numbers dropped); Td/TD/T*
   *     append a newline between text runs (the PDFTextStripper-like
@@ -1194,8 +1194,7 @@ object PdfCodec {
     * would silently mis-decode chained streams like
     * `[/ASCII85Decode /FlateDecode]`). Supported: FlateDecode,
     * ASCIIHexDecode, ASCII85Decode, LZWDecode (with the PDF early-change
-    * default). Predictors (/DecodeParms /Predictor > 1) and other
-    * filters fail loud. */
+    * default), RunLengthDecode (§7.4.5). Other filters fail loud. */
   private def decodeStream(obj: PdfObj, byNum: Map[Int, PdfObj]): String = {
     val raw = obj.stream.getOrElse(
       throw new IllegalArgumentException(s"PdfCodec: object ${obj.num} has no stream data"))
@@ -1219,9 +1218,11 @@ object PdfCodec {
         case "ASCIIHexDecode" => asciiHexDecode(data)
         case "ASCII85Decode" => ascii85Decode(data)
         case "LZWDecode" => lzwDecode(data)
+        case "RunLengthDecode" => runLengthDecode(data)
         case other => throw new IllegalArgumentException(
           s"PdfCodec: unsupported stream filter /$other " +
-            "(FlateDecode, ASCIIHexDecode, ASCII85Decode, LZWDecode or none)")
+            "(FlateDecode, ASCIIHexDecode, ASCII85Decode, LZWDecode, " +
+            "RunLengthDecode or none)")
       }
     }
     // Predictors (spec §7.4.4.4) belong to the Flate/LZW filter's
@@ -1377,6 +1378,66 @@ object PdfCodec {
   }
 
   /** §7.4.2: hex pairs, whitespace ignored, `>` EOD, odd length pads 0. */
+  /** §7.4.5 /RunLengthDecode: length byte L — 0..127 copies the next
+    * L+1 bytes literally, 129..255 repeats the next byte 257−L times,
+    * 128 is EOD. The stream must terminate with EOD exactly at its end
+    * (a missing EOD or bytes past it would be silent truncation). */
+  private[graft] def runLengthDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(data.length * 2 + 16)
+    var i = 0
+    var done = false
+    while (!done) {
+      require(i < data.length, "PdfCodec: RunLength stream missing EOD (128)")
+      val l = data(i) & 0xff
+      i += 1
+      if (l == 128) done = true
+      else if (l < 128) {
+        require(i + l + 1 <= data.length,
+          s"PdfCodec: RunLength literal run of ${l + 1} overruns the stream")
+        out.write(data, i, l + 1)
+        i += l + 1
+      } else {
+        require(i < data.length, "PdfCodec: RunLength repeat run truncated")
+        val n = 257 - l
+        var k = 0
+        while (k < n) { out.write(data(i)); k += 1 }
+        i += 1
+      }
+    }
+    require(i == data.length,
+      s"PdfCodec: ${data.length - i} byte(s) after the RunLength EOD")
+    out.toByteArray
+  }
+
+  /** [[runLengthDecode]]'s mirror for the in-engine writer: repeat runs
+    * of 3+ become (257−n, byte) packets (n ≤ 128), the rest literal
+    * packets of ≤ 128 bytes, terminated by EOD. */
+  private[graft] def runLengthEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(data.length + data.length / 128 + 2)
+    var i = 0
+    while (i < data.length) {
+      var run = 1
+      while (i + run < data.length && run < 128 && data(i + run) == data(i)) run += 1
+      if (run >= 3) {
+        out.write(257 - run); out.write(data(i)); i += run
+      } else {
+        val start = i
+        var j = i
+        var stop = false
+        while (!stop && j < data.length && j - start < 128) {
+          var r = 1
+          while (j + r < data.length && r < 3 && data(j + r) == data(j)) r += 1
+          if (r >= 3 && j > start) stop = true else j += 1
+        }
+        out.write(j - start - 1)
+        out.write(data, start, j - start)
+        i = j
+      }
+    }
+    out.write(128) // EOD
+    out.toByteArray
+  }
+
   private[graft] def asciiHexDecode(data: Array[Byte]): Array[Byte] = {
     val s = new String(data, ISO_8859_1)
     val end = s.indexOf('>')
@@ -1718,7 +1779,12 @@ object PdfCodec {
     * decoder's simple-font scope). */
   def encodePdf(pages: Seq[String], compress: Boolean = true,
                 encryption: Option[PdfCrypto.EncryptSpec] = None,
-                differences: Seq[(Char, Int, String)] = Nil): Array[Byte] = {
+                differences: Seq[(Char, Int, String)] = Nil,
+                runLength: Boolean = false): Array[Byte] = {
+    // `runLength` wraps each content stream in /RunLengthDecode (§7.4.5)
+    // — over Flate it writes the CHAIN [ /RunLengthDecode /FlateDecode ]
+    // (decode order left to right), the remaining non-image
+    // content-stream filter of §7.4.5 after the round-12 AHx/A85/LZW legs
     // `differences` = (source char, byte code, glyph name): shown strings
     // carry CODE bytes where the char appeared and the font dict carries
     // the matching /Encoding /Differences — a real subset-font shape, so
@@ -1763,14 +1829,19 @@ object PdfCodec {
       val shown = if (diffByChar.isEmpty) text
                   else text.map(c => diffByChar.getOrElse(c, c)).mkString
       val content = s"BT /F1 12 Tf 72 720 Td (${escapeLiteral(shown)}) Tj ET"
-      val plain =
+      val encoded0 =
         if (compress) deflate(content.getBytes(ISO_8859_1))
         else content.getBytes(ISO_8859_1)
+      val plain = if (runLength) runLengthEncode(encoded0) else encoded0
       // spec §7.6.2 ordering: encryption wraps the ENCODED (compressed)
       // stream bytes — decrypt-then-decompress on the read side
       val data = cipher.map(_.encrypt(contNum, 0, plain)).getOrElse(plain)
       beginObj(contNum)
-      val filter = if (compress) " /Filter /FlateDecode" else ""
+      val filter =
+        if (compress && runLength) " /Filter [ /RunLengthDecode /FlateDecode ]"
+        else if (compress) " /Filter /FlateDecode"
+        else if (runLength) " /Filter /RunLengthDecode"
+        else ""
       w(s"<< /Length ${data.length}$filter >>\nstream\n")
       out.write(data)
       w("\nendstream\nendobj\n")

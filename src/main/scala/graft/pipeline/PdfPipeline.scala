@@ -92,7 +92,12 @@ object PdfPipeline {
       .as[(Long, String)]
       .map { case (id, text) =>
         val pages = if (text.isEmpty) Seq.empty[String] else text.grouped(pageSize).toSeq
-        (id, PdfCodec.encodePdf(pages, compress, spec, differences))
+        // /RunLengthDecode rotation (round 18, §7.4.5): every fifth doc
+        // wraps its content streams — over Flate that writes the filter
+        // CHAIN [ /RunLengthDecode /FlateDecode ], so the byte-blind
+        // oracle gates the chained decode path on this corpus too
+        (id, PdfCodec.encodePdf(pages, compress, spec, differences,
+          runLength = id % 5 == 2))
       }
       .toDF(idCol, "content")
   }

@@ -132,15 +132,21 @@ class BmpCodecSpec extends AnyFunSuite with SparkSpec {
     assert(at(0, 1) == palR(5) && at(1, 1) == palR(5) && at(2, 1) == palR(6) &&
       at(3, 1) == palR(7) && at(4, 1) == palR(8) && at(5, 1) == palR(4))
     // fail-loud: run crossing the scan line, truncation, trailing bytes,
-    // nonzero pad, RLE4 still rejects
+    // RLE4 still rejects
     assert(intercept[IllegalArgumentException](BmpCodec.decode(handRle(4,
       Seq(5, 1, 0, 1)))).getMessage.contains("crosses"))
     assert(intercept[IllegalArgumentException](BmpCodec.decode(handRle(4,
       Seq(2, 5, 0)))).getMessage.contains("truncated"))
     assert(intercept[IllegalArgumentException](BmpCodec.decode(handRle(4,
       Seq(4, 5, 0, 0, 4, 6, 0, 1, 0, 0)))).getMessage.contains("end-of-bitmap"))
-    assert(intercept[IllegalArgumentException](BmpCodec.decode(handRle(4,
-      Seq(0, 3, 5, 6, 7, 9, 0, 1)))).getMessage.contains("pad byte"))
+    // NONZERO pad byte after an odd absolute run is ACCEPTED (round 18):
+    // word alignment is the spec rule, the pad CONTENT is unspecified —
+    // conforming wild encoders may leave arbitrary bytes there
+    val padded = BmpCodec.decode(handRle(4, Seq(0, 3, 5, 6, 7, 9, 0, 1)))
+    // absolute run paints storage row 0 = logical BOTTOM row (row 1)
+    assert((0 until 3).map(x => padded.pixels(3 * (4 + x)) & 0xff) ==
+      Seq(palR(5), palR(6), palR(7)),
+      "arbitrary pad content must not change decoded pixels")
     // BI_RLE4 on an 8-bit file fails the depth pairing (RLE4 itself
     // became real support in round 17)
     val rle4 = handRle(4, Seq(4, 5, 0, 0, 4, 6, 0, 1))
@@ -202,9 +208,13 @@ class BmpCodecSpec extends AnyFunSuite with SparkSpec {
       0, 5, 0x12, 0x34, 0x50, 0, 1, 0x99, 0, 1)))
     assert((0 until 6).map(x => img2.pixels(3 * x) & 0xff) ==
       Seq(palR(1), palR(2), palR(3), palR(4), palR(5), palR(9)))
-    // fail-loud: nonzero pad, run crossing the line, RLE4 on 8-bit
-    assert(intercept[IllegalArgumentException](BmpCodec.decode(handRle4(6,
-      Seq(0, 5, 0x12, 0x34, 0x50, 7, 0, 1)))).getMessage.contains("pad byte"))
+    // NONZERO pad byte accepted (round 18 — alignment is the rule, pad
+    // content is unspecified); run crossing the line, RLE4 on 8-bit
+    val padded4 = BmpCodec.decode(handRle4(6,
+      Seq(0, 5, 0x12, 0x34, 0x50, 7, 0, 1)))
+    assert((0 until 5).map(x => padded4.pixels(3 * x) & 0xff) ==
+      Seq(palR(1), palR(2), palR(3), palR(4), palR(5)),
+      "arbitrary RLE4 pad content must not change decoded pixels")
     assert(intercept[IllegalArgumentException](BmpCodec.decode(handRle4(4,
       Seq(5, 0x11, 0, 1)))).getMessage.contains("crosses"))
     val bad8 = BmpCodec.encode(4, 2, Array.fill[Byte](8)(1),

@@ -121,6 +121,40 @@ class PdfCodecSpec extends SparkSpec {
     assert(PdfCodec.ascii85Decode("z~>".getBytes("ISO-8859-1")).sameElements(Array[Byte](0, 0, 0, 0)))
   }
 
+  test("RunLengthDecode: hand fixture, round trip, fail-loud corners, writer chain") {
+    // §7.4.5 hand fixture: literal(3: a b c), repeat(4 x 'z'), literal(1: Q), EOD
+    val hand = Array[Byte](2, 'a'.toByte, 'b'.toByte, 'c'.toByte,
+      (257 - 4).toByte, 'z'.toByte, 0, 'Q'.toByte, 128.toByte)
+    assert(new String(PdfCodec.runLengthDecode(hand), "ISO-8859-1") == "abczzzzQ")
+    // round trips across shapes incl. long runs and 128+ literals
+    val payloads = Seq(
+      "hello world".getBytes("ISO-8859-1"),
+      Array.fill[Byte](300)(7),                    // repeat runs > 128
+      Array.tabulate(400)(i => (i % 251).toByte),  // literal runs > 128
+      Array.emptyByteArray)
+    payloads.foreach { p =>
+      assert(PdfCodec.runLengthDecode(PdfCodec.runLengthEncode(p)).sameElements(p), p.length)
+    }
+    // fail-loud: missing EOD, literal overrun, bytes after EOD
+    assert(intercept[IllegalArgumentException](PdfCodec.runLengthDecode(
+      Array[Byte](2, 'a'.toByte, 'b'.toByte, 'c'.toByte))).getMessage.contains("EOD"))
+    assert(intercept[IllegalArgumentException](PdfCodec.runLengthDecode(
+      Array[Byte](5, 'a'.toByte, 'b'.toByte, 128.toByte))).getMessage.contains("overruns"))
+    assert(intercept[IllegalArgumentException](PdfCodec.runLengthDecode(
+      Array[Byte](0, 'a'.toByte, 128.toByte, 'x'.toByte)))
+      .getMessage.contains("after the RunLength EOD"))
+    // writer chain: runLength over Flate declares [ /RunLengthDecode
+    // /FlateDecode ] and extracts losslessly; uncompressed runLength too
+    val text = "run length chained page"
+    val viaChain = PdfCodec.encodePdf(Seq(text), compress = true, runLength = true)
+    assert(new String(viaChain, "ISO-8859-1")
+      .contains("/Filter [ /RunLengthDecode /FlateDecode ]"))
+    assert(PdfCodec.extractText(viaChain) == Seq(text))
+    val viaPlain = PdfCodec.encodePdf(Seq(text), compress = false, runLength = true)
+    assert(new String(viaPlain, "ISO-8859-1").contains("/Filter /RunLengthDecode"))
+    assert(PdfCodec.extractText(viaPlain) == Seq(text))
+  }
+
   test("filter CHAIN [/ASCII85Decode /FlateDecode] decodes left to right") {
     // take a clean 1-page PDF, re-wrap its compressed content stream in
     // ASCII85, and declare the chain — a reader that honors only the
