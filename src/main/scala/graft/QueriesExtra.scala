@@ -1307,6 +1307,44 @@ object QueriesExtra {
              |FROM s GROUP BY doc_id, wi, sr, ch, bits
              |ORDER BY doc_id, seg_idx""".stripMargin)),
 
+    // FLAC audio decode (round 18, VERDICT r17 #3): the SAME sample
+    // corpus as q_audio_wav losslessly FLAC-encoded in-engine — rice
+    // residuals over fixed predictors, CONSTANT/VERBATIM subframes,
+    // left/side / right/side / mid/side decorrelation, per-frame
+    // CRC-8/CRC-16 and the STREAMINFO MD5 all verified on decode (the
+    // format's own IN-BAND oracle). The DuckDB oracle is q_audio_wav's
+    // VERBATIM — lossless invariance: decoded windows must be
+    // bit-identical to the PCM ones or the hash breaks.
+    "q_audio_flac" -> QueryDef(
+      (s, d) => BinaryPipeline.decodeWavSegments(
+          BinaryPipeline.synthesizeFlacs(Tables.documents(s, d)),
+          winFrames = 160, hopFrames = 80)
+        .orderBy(col("doc_id"), col("seg_idx")),
+      Some("""WITH p AS (SELECT doc_id,
+             |    1 + doc_id % 2 AS ch,
+             |    CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS bits,
+             |    8000 + (doc_id % 4) * 4000 AS sr,
+             |    400 + doc_id % 257 AS nf FROM documents),
+             |w AS (SELECT p.*, wi FROM p,
+             |  unnest(range(0, greatest(1, CAST(ceil(nf / 80.0) AS INT)))) t(wi)),
+             |f AS (SELECT w.*, i FROM w,
+             |  unnest(range(wi*80, least(nf, wi*80 + 160))) t(i)),
+             |s AS (SELECT doc_id, ch, bits, sr, nf, wi, i, c,
+             |    CASE WHEN bits = 8 THEN (doc_id*31 + i*7 + c*13) % 256 - 128
+             |         ELSE (doc_id*31 + i*7 + c*13) % 4001 - 2000 END AS v,
+             |    CASE WHEN bits = 8 THEN (doc_id*31 + (i-1)*7) % 256 - 128
+             |         ELSE (doc_id*31 + (i-1)*7) % 4001 - 2000 END AS pv
+             |  FROM f, unnest(range(0, ch)) t(c))
+             |SELECT doc_id, CAST(wi AS BIGINT) AS seg_idx,
+             |  CAST(sr AS BIGINT) AS sample_rate, CAST(ch AS BIGINT) AS channels,
+             |  CAST(bits AS BIGINT) AS bits,
+             |  CAST(count(DISTINCT i) AS BIGINT) AS n_frames,
+             |  CAST(SUM(v*v) AS BIGINT) AS sq_sum,
+             |  CAST(coalesce(SUM(CASE WHEN c = 0 AND i > wi*80
+             |    AND (pv >= 0) != (v >= 0) THEN 1 END), 0) AS BIGINT) AS zero_crossings
+             |FROM s GROUP BY doc_id, wi, sr, ch, bits
+             |ORDER BY doc_id, seg_idx""".stripMargin)),
+
     // G.711 µ-law audio decode (round 15): the telephony-corpus WAV
     // variant — format-7 files with raw 8-bit codes, expanded to 14-bit
     // linear by the pure-integer G.711 formula and windowed through the

@@ -160,7 +160,8 @@ object BinaryPipeline {
   /** Shared shell of every synthesize*Wavs generator: one WAV per doc
     * id through `build`, wrapped in the (id, content, meta) media
     * schema — the per-format generators carry only their formulas. */
-  private def synthesizeAudio(docs: DataFrame, idCol: String, batchSize: Int)
+  private def synthesizeAudio(docs: DataFrame, idCol: String, batchSize: Int,
+                              mediaType: String = "audio/wav")
                              (build: Long => Array[Byte]): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(mediaSchema(idCol))
@@ -169,7 +170,7 @@ object BinaryPipeline {
         batch.iterator.map { r =>
           val id = r.getLong(0)
           val bytes = build(id)
-          mediaRow(id, bytes, "audio/wav")
+          mediaRow(id, bytes, mediaType)
         }
       }
     }(enc)
@@ -195,6 +196,37 @@ object BinaryPipeline {
         i += 1
       }
       WavCodec.encode(sampleRate, channels, bits, samples)
+    }
+
+  /** [[synthesizeWavs]]'s FLAC sibling (round 18): the SAME sample
+    * formula per doc_id — channels 1+id%2, bits 8 on id%3==0 else 16,
+    * rate 8000+(id%4)·4000, frames 400+id%257, sample(i, c) as in
+    * synthesizeWavs — losslessly FLAC-encoded, so `q_audio_flac`
+    * carries `q_audio_wav`'s oracle VERBATIM (lossless invariance).
+    * Block size and subframe/stereo strategy rotate by id so the corpus
+    * exercises CONSTANT/VERBATIM/FIXED subframes, rice partitions, and
+    * the left/side, right/side and mid/side decorrelations. */
+  def synthesizeFlacs(docs: DataFrame, idCol: String = "doc_id",
+                      batchSize: Int = 16): DataFrame =
+    synthesizeAudio(docs, idCol, batchSize, mediaType = "audio/flac") { id =>
+      val channels = (1 + id % 2).toInt
+      val bits = if (id % 3 == 0) 8 else 16
+      val sampleRate = (8000 + (id % 4) * 4000).toInt
+      val frames = (400 + id % 257).toInt
+      val samples = new Array[Int](frames * channels)
+      var i = 0
+      while (i < frames) {
+        var c = 0
+        while (c < channels) {
+          val raw = id * 31 + i * 7L + c * 13L
+          samples(i * channels + c) =
+            if (bits == 8) (raw % 256).toInt - 128 else (raw % 4001).toInt - 2000
+          c += 1
+        }
+        i += 1
+      }
+      FlacCodec.encode(sampleRate, channels, bits, samples,
+        blockSize = if (id % 2 == 0) 192 else 256, strategy = id)
     }
 
   /** [[synthesizeWavs]]'s µ-law sibling: mono format-7 files whose raw
@@ -260,8 +292,10 @@ object BinaryPipeline {
     }
 
   /** REAL audio-window features over (id, content) rows: every content
-    * blob must be a WAV ([[WavCodec]] fails loud otherwise). Decodes the
-    * PCM frames, then cuts OVERLAPPING windows of `winFrames` frames
+    * blob must be a WAV or a FLAC (format-dispatched on the stream
+    * marker, round 18 — the same op takes both, like the format-agnostic
+    * image ops; [[WavCodec]]/[[FlacCodec]] fail loud otherwise). Decodes
+    * the PCM frames, then cuts OVERLAPPING windows of `winFrames` frames
     * every `hopFrames` (hop < win = the STFT shape [[segmentAudio]]
     * models on bytes) and emits per-window INTEGER features — the sum of
     * squared samples over all channels (the energy the stub's byte sum
@@ -288,7 +322,10 @@ object BinaryPipeline {
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.flatMap { r =>
           val id = r.getLong(0)
-          val a = WavCodec.decode(r.getAs[Array[Byte]](1))
+          val content = r.getAs[Array[Byte]](1)
+          val a =
+            if (FlacCodec.isFlac(content)) FlacCodec.decode(content)
+            else WavCodec.decode(content)
           val nWins = math.max(1, math.ceil(a.frames.toDouble / hopFrames).toInt)
           (0 until nWins).iterator.map { w =>
             val start = w * hopFrames
