@@ -2607,6 +2607,32 @@ object QueriesExtra {
              |FROM f e CROSS JOIN (SELECT emb FROM f WHERE doc_id = 1) q
              |ORDER BY dist, vec_id LIMIT 5""".stripMargin)),
 
+    // EXIF ORIENTATION + CORE TAGS (round 18, VERDICT r17 #5): every
+    // corpus JPEG carries a real APP1/Exif segment (TIFF structure in
+    // both byte orders, out-of-line ASCII values, Exif sub-IFD pixel
+    // dims); the op decodes the raster for TRUE dimensions, parses the
+    // APP1, and emits the ORIENTATION-NORMALIZED effective dims —
+    // orientations 5-8 (half the corpus) swap width/height, so a reader
+    // that ignores the tag transposes the geometry and breaks the hash.
+    // The oracle replays every field from the id formulas byte-blind.
+    "q_image_exif" -> QueryDef(
+      (s, d) => BinaryPipeline.decodeExif(
+          BinaryPipeline.synthesizeExifJpegs(Tables.documents(s, d)))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  CAST(24 + doc_id % 13 AS BIGINT) AS width,
+             |  CAST(16 + doc_id % 11 AS BIGINT) AS height,
+             |  CAST(1 + doc_id % 8 AS BIGINT) AS orientation,
+             |  CAST(CASE WHEN 1 + doc_id % 8 >= 5 THEN 16 + doc_id % 11
+             |            ELSE 24 + doc_id % 13 END AS BIGINT) AS oriented_width,
+             |  CAST(CASE WHEN 1 + doc_id % 8 >= 5 THEN 24 + doc_id % 13
+             |            ELSE 16 + doc_id % 11 END AS BIGINT) AS oriented_height,
+             |  'Maker' || CAST(doc_id % 5 AS VARCHAR) AS make,
+             |  'Model' || CAST(doc_id % 7 AS VARCHAR) AS model,
+             |  '2024:01:01 00:00:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0')
+             |    AS date_time
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     "q_multimodal_meta" -> QueryDef(
       (s, d) => BinaryPipeline.extractFeatures(BinaryPipeline.asMedia(Tables.documents(s, d)))
         .select(col("doc_id"), col("byte_len"), col("content_md5"), col("width"), col("media_type"))
