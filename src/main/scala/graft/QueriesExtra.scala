@@ -2543,8 +2543,12 @@ object QueriesExtra {
         // BMP decodes to RGB regardless of mode (round 16): no filter
         val bmp = BinaryPipeline.synthesizeBmps(docs)
           .select((col("doc_id") + 800000).as("doc_id"), col("content"), col("meta"))
+        // WebP is always RGB here (round 18 — the SIXTH format leg)
+        val webp = BinaryPipeline.synthesizeWebps(docs)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("content"), col("meta"))
         val feats = BinaryPipeline.imageTileFeatures(
-            png.unionAll(jpg).unionAll(gif).unionAll(tif).unionAll(bmp),
+            png.unionAll(jpg).unionAll(gif).unionAll(tif).unionAll(bmp)
+              .unionAll(webp),
             gx = 2, gy = 2)
           .where(col("channels") === 3) // the RGB modality group, all formats
           .select(col("doc_id").as("vec_id"), col("features").as("embedding"))
@@ -2594,18 +2598,60 @@ object QueriesExtra {
              |        FROM documents) p,
              |       unnest(range(0, w)) AS gx(x), unnest(range(0, h)) AS gy(y),
              |       unnest(range(0, 3)) AS gc(c)),
+             |webp_px AS (SELECT doc_id + 1000000 AS doc_id,
+             |    (((y*2)//h) * 2 + ((x*2)//w)) * 3 + c AS dim,
+             |    CASE WHEN doc_id % 6 = 2 THEN
+             |      CASE c WHEN 0 THEN (((doc_id*37 + (y*w + x)*13) % 16) * 37) % 256
+             |             WHEN 1 THEN (((doc_id*37 + (y*w + x)*13) % 16) * 59 + 17) % 256
+             |             ELSE (((doc_id*37 + (y*w + x)*13) % 16) * 83 + 29) % 256 END
+             |    ELSE (doc_id*37 + ((y*w + x)*3 + c) * 11) % 256 END AS v
+             |  FROM (SELECT doc_id, 10 + doc_id % 11 AS w, 8 + doc_id % 9 AS h
+             |        FROM documents) p,
+             |       unnest(range(0, w)) AS gx(x), unnest(range(0, h)) AS gy(y),
+             |       unnest(range(0, 3)) AS gc(c)),
              |f AS (SELECT doc_id, list(m ORDER BY dim) AS emb FROM (
              |    SELECT doc_id, dim, avg(v) AS m
              |    FROM (SELECT * FROM png_px UNION ALL SELECT * FROM jpg_px
              |          UNION ALL SELECT * FROM gif_px
              |          UNION ALL SELECT * FROM tif_px
-             |          UNION ALL SELECT * FROM bmp_px)
+             |          UNION ALL SELECT * FROM bmp_px
+             |          UNION ALL SELECT * FROM webp_px)
              |    GROUP BY doc_id, dim)
              |  GROUP BY doc_id)
              |SELECT e.doc_id AS vec_id,
              |  round(1 - list_cosine_similarity(e.emb, q.emb), 4) AS dist
              |FROM f e CROSS JOIN (SELECT emb FROM f WHERE doc_id = 1) q
              |ORDER BY dist, vec_id LIMIT 5""".stripMargin)),
+
+    // WebP VP8L LOSSLESS DECODE (round 18, VERDICT r17 #4 — a top-3
+    // web-crawl image format): the corpus rotates ALL SIX wire shapes
+    // (plain literals, subtract-green, 16-color bundled palette,
+    // LZ77+color-cache, predictor transform over the full mode range,
+    // color transform) over the SAME pixel formulas, so the oracle gates
+    // lossless invariance — a prefix-code slip, a transform-inverse
+    // bug, a distance-map error or a cache-hash mismatch breaks the
+    // position-weighted hash.
+    "q_image_webp" -> QueryDef(
+      (s, d) => BinaryPipeline.decodeWebps(
+          BinaryPipeline.synthesizeWebps(Tables.documents(s, d)))
+        .orderBy(col("doc_id")),
+      Some("""WITH p AS (SELECT doc_id, 10 + doc_id % 11 AS w, 8 + doc_id % 9 AS h
+             |  FROM documents),
+             |b AS (SELECT doc_id, w, h, i,
+             |    CASE WHEN doc_id % 6 = 2 THEN
+             |      CASE i % 3
+             |        WHEN 0 THEN (((doc_id*37 + (i//3)*13) % 16) * 37) % 256
+             |        WHEN 1 THEN (((doc_id*37 + (i//3)*13) % 16) * 59 + 17) % 256
+             |        ELSE (((doc_id*37 + (i//3)*13) % 16) * 83 + 29) % 256 END
+             |    ELSE (doc_id*37 + i*11) % 256 END AS v
+             |  FROM p, unnest(range(0, w*h*3)) t(i))
+             |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             |  CAST(3 AS BIGINT) AS channels,
+             |  CAST(SUM(CASE WHEN i % 3 = 0 THEN v END) AS BIGINT) AS r_sum,
+             |  CAST(SUM(CASE WHEN i % 3 = 1 THEN v END) AS BIGINT) AS g_sum,
+             |  CAST(SUM(CASE WHEN i % 3 = 2 THEN v END) AS BIGINT) AS b_sum,
+             |  CAST(SUM((i + 1) * v) AS BIGINT) AS weighted_sum
+             |FROM b GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin)),
 
     // EXIF ORIENTATION + CORE TAGS (round 18, VERDICT r17 #5): every
     // corpus JPEG carries a real APP1/Exif segment (TIFF structure in

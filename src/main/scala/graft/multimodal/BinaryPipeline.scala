@@ -30,6 +30,21 @@ object BinaryPipeline {
   /** The (id, content, meta) schema every synthesizer emits — one
     * definition so schema evolution is a single edit (round-17 review:
     * the per-synthesizer copies had grown into dozens). */
+
+  /** Spread a corpus-synthesis input over the session's shuffle
+    * parallelism before the heavy per-row codec work: the id column is
+    * bytes-trivial to shuffle, while encode/decode is the dominant
+    * cost — on a single-file local parquet scan (one partition) the
+    * codec work would otherwise run single-threaded, and at corpus
+    * scale the hash repartition also levels file-skewed inputs. */
+  private def spreadIds(docs: DataFrame, idCol: String): DataFrame = {
+    // EXPLICIT partition count: an advisory repartition(col) would be
+    // AQE-coalesced back to one partition (the id shuffle is a few KB)
+    // and the codec work would serialize again
+    val n = docs.sparkSession.sparkContext.defaultParallelism
+    docs.select(col(idCol)).repartition(n, col(idCol))
+  }
+
   private def mediaSchema(idCol: String): StructType = StructType(Seq(
     StructField(idCol, LongType, nullable = false),
     StructField("content", BinaryType, nullable = false),
@@ -165,7 +180,7 @@ object BinaryPipeline {
                              (build: Long => Array[Byte]): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(mediaSchema(idCol))
-    docs.select(col(idCol)).mapPartitions { it =>
+    spreadIds(docs, idCol).mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { r =>
           val id = r.getLong(0)
@@ -380,7 +395,7 @@ object BinaryPipeline {
     // project BEFORE the imperative pass: mapPartitions consumes whole
     // rows, so without this the parquet scan deserializes every document
     // column for a synthesis that needs only the id
-    val ids = docs.select(col(idCol))
+    val ids = spreadIds(docs, idCol)
     ids.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { r =>
@@ -417,7 +432,7 @@ object BinaryPipeline {
                              batchSize: Int = 16): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(mediaSchema(idCol))
-    docs.select(col(idCol)).mapPartitions { it =>
+    spreadIds(docs, idCol).mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { r =>
           val id = r.getLong(0)
@@ -527,7 +542,7 @@ object BinaryPipeline {
                       batchSize: Int = 16, progressive: Boolean = false): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(mediaSchema(idCol))
-    val ids = docs.select(col(idCol))
+    val ids = spreadIds(docs, idCol)
     ids.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { r =>
@@ -571,7 +586,7 @@ object BinaryPipeline {
                           batchSize: Int = 16): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(mediaSchema(idCol))
-    docs.select(col(idCol)).mapPartitions { it =>
+    spreadIds(docs, idCol).mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { r =>
           val id = r.getLong(0)
@@ -685,7 +700,7 @@ object BinaryPipeline {
       }
       palette
     }
-    val ids = docs.select(col(idCol))
+    val ids = spreadIds(docs, idCol)
     ids.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { r =>
@@ -737,7 +752,7 @@ object BinaryPipeline {
                          batchSize: Int = 16): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(mediaSchema(idCol))
-    val ids = docs.select(col(idCol))
+    val ids = spreadIds(docs, idCol)
     ids.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { r =>
@@ -768,7 +783,7 @@ object BinaryPipeline {
                            batchSize: Int = 16): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(mediaSchema(idCol))
-    docs.select(col(idCol)).mapPartitions { it =>
+    spreadIds(docs, idCol).mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { r =>
           val id = r.getLong(0)
@@ -800,7 +815,7 @@ object BinaryPipeline {
                              batchSize: Int = 16): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(mediaSchema(idCol))
-    docs.select(col(idCol)).mapPartitions { it =>
+    spreadIds(docs, idCol).mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { r =>
           val id = r.getLong(0)
@@ -845,7 +860,7 @@ object BinaryPipeline {
                            batchSize: Int = 16): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(mediaSchema(idCol))
-    docs.select(col(idCol)).mapPartitions { it =>
+    spreadIds(docs, idCol).mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { r =>
           val id = r.getLong(0)
@@ -899,7 +914,7 @@ object BinaryPipeline {
       }
       t
     }
-    docs.select(col(idCol)).mapPartitions { it =>
+    spreadIds(docs, idCol).mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { r =>
           val id = r.getLong(0)
@@ -926,7 +941,7 @@ object BinaryPipeline {
                            batchSize: Int = 16): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(mediaSchema(idCol))
-    docs.select(col(idCol)).mapPartitions { it =>
+    spreadIds(docs, idCol).mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { r =>
           val id = r.getLong(0)
@@ -958,7 +973,7 @@ object BinaryPipeline {
                           batchSize: Int = 16): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(mediaSchema(idCol))
-    docs.select(col(idCol)).mapPartitions { it =>
+    spreadIds(docs, idCol).mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { r =>
           val id = r.getLong(0)
@@ -1000,7 +1015,7 @@ object BinaryPipeline {
                              batchSize: Int = 16): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(mediaSchema(idCol))
-    val ids = docs.select(col(idCol))
+    val ids = spreadIds(docs, idCol)
     ids.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { r =>
@@ -1063,7 +1078,7 @@ object BinaryPipeline {
                       batchSize: Int = 16): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(mediaSchema(idCol))
-    val ids = docs.select(col(idCol))
+    val ids = spreadIds(docs, idCol)
     ids.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { r =>
@@ -1126,6 +1141,90 @@ object BinaryPipeline {
     }(enc)
   }
 
+  /** WebP VP8L corpus (round 18 — a top-3 web-crawl image format):
+    * w = 10 + id%11, h = 8 + id%9, RGB. Wire mode rotates id%6 through
+    * plain literals / subtract-green / 16-color PALETTE (bundled
+    * sub-byte indices) / LZ77+color-cache / PREDICTOR (mode id%14) /
+    * COLOR transform. Pixel formulas (oracle-replayable):
+    *   palette ids (id%6 == 2): idx(p) = (id·37 + p·13) mod 16,
+    *     rgb(j) = (j·37 mod 256, (j·59+17) mod 256, (j·83+29) mod 256)
+    *   all other modes: byte i of interleaved RGB = (id·37 + i·11) mod 256
+    * — the wire mode must be results-INVISIBLE (lossless invariance),
+    * so ONE oracle covers all six shapes. */
+  def synthesizeWebps(docs: DataFrame, idCol: String = "doc_id",
+                      batchSize: Int = 16): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(mediaSchema(idCol))
+    spreadIds(docs, idCol).mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val id = r.getLong(0)
+          val w = (10 + id % 11).toInt
+          val h = (8 + id % 9).toInt
+          val mode = (id % 6).toInt
+          val px = new Array[Byte](w * h * 3)
+          if (mode == 2) {
+            var p = 0
+            while (p < w * h) {
+              val j = ((id * 37 + p * 13L) % 16).toInt
+              px(3 * p) = ((j * 37) % 256).toByte
+              px(3 * p + 1) = ((j * 59 + 17) % 256).toByte
+              px(3 * p + 2) = ((j * 83 + 29) % 256).toByte
+              p += 1
+            }
+          } else {
+            var i = 0
+            while (i < px.length) {
+              px(i) = ((id * 37 + i * 11L) % 256).toByte
+              i += 1
+            }
+          }
+          val bytes = WebpCodec.encode(w, h, 3, px, mode = mode,
+            predMode = (id % 14).toInt)
+          mediaRow(id, bytes, "image/webp")
+        }
+      }
+    }(enc)
+  }
+
+  /** WebP feature decode — the [[decodeTiffs]] shape (dims + per-channel
+    * sums + the position-weighted sum) over [[WebpCodec]] rows. */
+  def decodeWebps(media: DataFrame, idCol: String = "doc_id",
+                  batchSize: Int = 16): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("width", LongType, nullable = false),
+      StructField("height", LongType, nullable = false),
+      StructField("channels", LongType, nullable = false),
+      StructField("r_sum", LongType, nullable = false),
+      StructField("g_sum", LongType, nullable = false),
+      StructField("b_sum", LongType, nullable = false),
+      StructField("weighted_sum", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val idIdx = media.schema.fieldIndex(idCol)
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val id = r.getLong(idIdx)
+          val img = WebpCodec.decode(r.getAs[Array[Byte]](contentIdx))
+          val ch = img.channels
+          val sums = new Array[Long](4)
+          var weighted = 0L
+          var p = 0
+          while (p < img.pixels.length) {
+            val v = img.pixels(p) & 0xff
+            sums(p % ch) += v
+            weighted += (p + 1).toLong * v
+            p += 1
+          }
+          Row(id, img.width.toLong, img.height.toLong, ch.toLong,
+            sums(0), sums(1), sums(2), weighted)
+        }
+      }
+    }(enc)
+  }
+
   /** [[synthesizeTiffs]]' MULTI-PAGE sibling (round 16 — scanned
     * documents are routinely multi-page): one TIFF per doc whose IFD
     * chain carries 2 + id%3 pages of DIFFERENT geometry:
@@ -1138,7 +1237,7 @@ object BinaryPipeline {
                            batchSize: Int = 16): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(mediaSchema(idCol))
-    val ids = docs.select(col(idCol))
+    val ids = spreadIds(docs, idCol)
     ids.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { r =>
@@ -1222,7 +1321,7 @@ object BinaryPipeline {
                        batchSize: Int = 16): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(mediaSchema(idCol))
-    val ids = docs.select(col(idCol))
+    val ids = spreadIds(docs, idCol)
     ids.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { r =>
@@ -1266,7 +1365,7 @@ object BinaryPipeline {
                      batchSize: Int = 16): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(mediaSchema(idCol))
-    val ids = docs.select(col(idCol))
+    val ids = spreadIds(docs, idCol)
     ids.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { r =>
@@ -1307,7 +1406,7 @@ object BinaryPipeline {
                      batchSize: Int = 16, fragmented: Boolean = false): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(mediaSchema(idCol))
-    val ids = docs.select(col(idCol))
+    val ids = spreadIds(docs, idCol)
     ids.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { r =>
@@ -1356,7 +1455,7 @@ object BinaryPipeline {
                          batchSize: Int = 16): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(mediaSchema(idCol))
-    val ids = docs.select(col(idCol))
+    val ids = spreadIds(docs, idCol)
     ids.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { r =>
@@ -1505,7 +1604,7 @@ object BinaryPipeline {
                           batchSize: Int = 16): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(mediaSchema(idCol))
-    val ids = docs.select(col(idCol))
+    val ids = spreadIds(docs, idCol)
     ids.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { r =>
@@ -1649,7 +1748,7 @@ object BinaryPipeline {
                           batchSize: Int = 16): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(mediaSchema(idCol))
-    val ids = docs.select(col(idCol))
+    val ids = spreadIds(docs, idCol)
     ids.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { r =>
@@ -1816,8 +1915,9 @@ object BinaryPipeline {
     } else if (GifCodec.isGif(content)) GifCodec.decode(content)
     else if (TiffCodec.isTiff(content)) TiffCodec.decode(content)
     else if (BmpCodec.isBmp(content)) BmpCodec.decode(content)
+    else if (WebpCodec.isWebp(content)) WebpCodec.decode(content)
     else throw new IllegalArgumentException(
-      "BinaryPipeline: content is not PNG/JPEG/GIF/TIFF/BMP (image op on non-image bytes)")
+      "BinaryPipeline: content is not PNG/JPEG/GIF/TIFF/BMP/WebP (image op on non-image bytes)")
 
   /** Deterministic in-engine GIF synthesis over document rows — the
     * [[synthesizeImages]] recipe for the palette/LZW leg ([[GifCodec]]
@@ -1840,7 +1940,7 @@ object BinaryPipeline {
     require(nColors >= 2 && nColors <= 256, s"synthesizeGifs: nColors $nColors (2-256)")
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(mediaSchema(idCol))
-    val ids = docs.select(col(idCol))
+    val ids = spreadIds(docs, idCol)
     ids.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { r =>

@@ -1,0 +1,980 @@
+package graft.multimodal
+
+import java.io.ByteArrayOutputStream
+
+/** WebP VP8L (lossless) decode/encode from the public WebP Lossless
+  * Bitstream Specification / RFC 9649 — round 18, VERDICT r17 #4: WebP
+  * is a top-3 web-crawl image format and VP8L is its self-contained
+  * lossless coding (canonical prefix codes + LZ77 + transforms, no
+  * DCT). Decodes into the shared [[PngCodec.PngImage]] shape so every
+  * format-agnostic image op (tiles, resize, KNN, dedup) takes WebP rows
+  * unchanged through `decodeAnyImage`.
+  *
+  * Scope (fail-loud beyond it, never silent garbage):
+  *  - RIFF/WEBP container with a VP8L chunk (lossy VP8/VP8X reject by
+  *    name); 14-bit dimensions, version 0
+  *  - all four transforms: PREDICTOR (the 14 spec modes with the
+  *    contiguous-buffer top-right edge rule), COLOR (signed 3.5-bit
+  *    cross-channel multipliers), SUBTRACT-GREEN, COLOR-INDEXING with
+  *    sub-byte PIXEL BUNDLING for palettes ≤ 16 (8/4/2/1 indices per
+  *    coded pixel)
+  *  - entropy image: color cache (1-11 bits, the 0x1e35a7bd multiplier
+  *    hash), LZ77 backrefs with the prefix length/distance coding and
+  *    the 120-entry 2-D neighborhood distance map, literal ARGB
+  *  - prefix codes: simple (1-2 symbol) and normal (code-length-coded
+  *    with 16/17/18 repeats, optional max_symbol, canonical DEFLATE
+  *    assignment read MSB-of-code-first from the LSB-first stream);
+  *    single-symbol normal codes consume 0 bits per the spec
+  *  - meta prefix codes (multiple huffman groups) are out of scope and
+  *    reject LOUD by name, as do cropped/rotated VP8X containers
+  *
+  * The encoder writes real VP8L streams (histogram-built length-limited
+  * canonical codes, optional subtract-green / palette / LZ77 / color
+  * cache) so decode parity gates the whole wire format in-engine. */
+object WebpCodec {
+
+  /** True iff `content` is a RIFF/WEBP container. */
+  def isWebp(b: Array[Byte]): Boolean =
+    b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P'
+
+  // ---- LSB-first bit reader (the DEFLATE convention VP8L follows) ----
+
+  private final class BitReader(data: Array[Byte], off: Int, end: Int) {
+    private var at = off.toLong * 8
+    private val endBit = end.toLong * 8
+    def bitsLeft: Long = endBit - at
+    def bit(): Int = {
+      require(at < endBit, "WebpCodec: bit stream truncated")
+      val b = (data((at >> 3).toInt) >> (at & 7).toInt) & 1
+      at += 1
+      b
+    }
+    def bits(n: Int): Int = {
+      var v = 0
+      var k = 0
+      while (k < n) { v |= bit() << k; k += 1 }
+      v
+    }
+  }
+
+  private final class BitWriter {
+    private val out = new ByteArrayOutputStream()
+    private var buf = 0L
+    private var n = 0
+    def writeBits(v: Long, len: Int): Unit = {
+      buf |= (v & ((1L << len) - 1)) << n
+      n += len
+      while (n >= 8) {
+        out.write((buf & 0xff).toInt)
+        buf >>>= 8
+        n -= 8
+      }
+    }
+    /** A canonical prefix CODE is written MSB-of-code-first. */
+    def writeCode(code: Int, len: Int): Unit = {
+      var k = len - 1
+      while (k >= 0) { writeBits((code >> k) & 1, 1); k -= 1 }
+    }
+    def bytes: Array[Byte] = {
+      if (n > 0) { out.write((buf & 0xff).toInt); buf = 0; n = 0 }
+      out.toByteArray
+    }
+  }
+
+  // ---- canonical prefix codes ----
+
+  /** Decoder-side canonical code: the classic count/offset walk (one
+    * compare per bit, no allocation), plus the 0-bit single-symbol
+    * degenerate form the spec blesses. */
+  private final class PrefixCode(lengths: Array[Int], what: String) {
+    private var single = -1
+    val maxLen: Int = if (lengths.isEmpty) 0 else lengths.max
+    private val blCount = new Array[Int](maxLen + 1)
+    private var syms: Array[Int] = null // symbols sorted by (len, symbol)
+    locally {
+      val used = lengths.zipWithIndex.filter(_._1 > 0)
+      require(used.nonEmpty, s"WebpCodec: $what code has no symbols")
+      if (used.length == 1) single = used.head._2
+      else {
+        used.foreach { case (l, _) => blCount(l) += 1 }
+        var kraft = 0L
+        var l = 1
+        while (l <= maxLen) { kraft += blCount(l).toLong << (maxLen - l); l += 1 }
+        require(kraft == (1L << maxLen),
+          s"WebpCodec: $what code lengths are not a complete prefix code")
+        // canonical assignment = symbols ascending within each length
+        syms = used.sortBy { case (l, s) => (l, s) }.map(_._2)
+      }
+    }
+    def decode(br: BitReader): Int = {
+      if (single >= 0) return single // 0-bit code per spec
+      var code = 0
+      var first = 0
+      var index = 0
+      var len = 1
+      while (len <= maxLen) {
+        code |= br.bit()
+        val count = blCount(len)
+        if (code - first < count) return syms(index + code - first)
+        index += count
+        first = (first + count) << 1
+        code <<= 1
+        len += 1
+      }
+      throw new IllegalArgumentException(
+        s"WebpCodec: no $what code matches after $maxLen bits")
+    }
+  }
+
+  /** Length-limited prefix-code lengths from frequencies: heap Huffman,
+    * clamp to `limit`, then Kraft-repair by deepening the shallowest
+    * repairable symbols. Zero-frequency symbols get length 0. */
+  private def codeLengths(freq: Array[Long], limit: Int): Array[Int] = {
+    val n = freq.length
+    val used = (0 until n).filter(freq(_) > 0)
+    val out = new Array[Int](n)
+    if (used.isEmpty) return out
+    if (used.length == 1) { out(used.head) = 1; return out }
+    // heap Huffman over (freq, node); parent chain for depth counting
+    final case class Node(var f: Long, sym: Int, var depth: Int,
+                          left: Node = null, right: Node = null)
+    val pq = new java.util.PriorityQueue[Node](
+      (a: Node, b: Node) => java.lang.Long.compare(a.f, b.f))
+    used.foreach(s => pq.add(Node(freq(s), s, 0)))
+    while (pq.size > 1) {
+      val a = pq.poll(); val b = pq.poll()
+      pq.add(Node(a.f + b.f, -1, 0, a, b))
+    }
+    def walk(nd: Node, d: Int): Unit =
+      if (nd.sym >= 0) out(nd.sym) = math.max(1, d)
+      else { walk(nd.left, d + 1); walk(nd.right, d + 1) }
+    walk(pq.poll(), 0)
+    // clamp + Kraft repair: the decoder enforces a COMPLETE code, so
+    // after clamping overdeep symbols the lengths must sum to exactly
+    // 1 in Kraft units — deepen shallow symbols while overfull, then
+    // shorten deep symbols while underfull (the parity argument
+    // guarantees a unit-gain symbol exists whenever the deficit is odd)
+    used.foreach(s => if (out(s) > limit) out(s) = limit)
+    val full = 1L << limit
+    def kraft: Long = used.map(s => full >> out(s)).sum
+    while (kraft > full) {
+      val cand = used.filter(out(_) < limit).minBy(s => (out(s), freq(s)))
+      out(cand) += 1
+    }
+    var k = kraft
+    while (k < full) {
+      val fit = used.filter(s => out(s) > 1 && k + (full >> out(s)) <= full)
+      require(fit.nonEmpty, "WebpCodec: Kraft repair stuck (internal)")
+      val cand = fit.maxBy(s => full >> out(s)) // largest gain that fits
+      out(cand) -= 1
+      k += full >> (out(cand) + 1) // gain of moving l+1 -> l is 2^-(l+1)
+    }
+    out
+  }
+
+  // code-length-code symbol order (the spec's kCodeLengthCodeOrder)
+  private val ClcOrder = Array(17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9,
+    10, 11, 12, 13, 14, 15)
+
+  /** LZ77 length/distance prefix coding: value -> (code, extraBits,
+    * extraVal); decode side returns value from code + extra bits. */
+  private def prefixDecode(code: Int, br: BitReader): Int = {
+    require(code >= 0 && code < 24, s"WebpCodec: prefix code $code out of range")
+    if (code < 4) code + 1
+    else {
+      val extra = (code - 2) >> 1
+      val offset = (2 + (code & 1)) << extra
+      offset + br.bits(extra) + 1
+    }
+  }
+
+  private def prefixEncode(v: Int): (Int, Int, Int) = {
+    require(v >= 1, s"WebpCodec: prefix value $v")
+    if (v <= 4) (v - 1, 0, 0)
+    else {
+      // code c >= 4 covers [off+1, off+2^e] with e=(c-2)>>1, off=(2+(c&1))<<e
+      var c = 4
+      while (c < 24) {
+        val e = (c - 2) >> 1
+        val off = (2 + (c & 1)) << e
+        if (v >= off + 1 && v <= off + (1 << e)) return (c, e, v - off - 1)
+        c += 1
+      }
+      throw new IllegalArgumentException(s"WebpCodec: value $v beyond prefix range")
+    }
+  }
+
+  /** The 120-entry 2-D neighborhood distance map (spec order: (dx, dy)
+    * with dy in 0..7, |dx| <= 8, sorted by dy then |dx|...) — table
+    * taken verbatim from the specification. */
+  private val DistMap: Array[(Int, Int)] = Array(
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+    (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7))
+
+  /** Spec formula: dist = dx + dy·xsize, clamped to ≥ 1 (positive dx
+    * points LEFT of the current pixel — (0,1) is directly above, (1,1)
+    * above-left, (−1,1) above-right). */
+  private def mapDistance(distCode: Int, xsize: Int): Int =
+    if (distCode > 120) distCode - 120
+    else {
+      val (dx, dy) = DistMap(distCode - 1)
+      math.max(1, dy * xsize + dx)
+    }
+
+  private def unmapDistance(dist: Int, xsize: Int): Int = {
+    // the encoder prefers a plane code when one maps to this distance
+    var i = 0
+    while (i < 120) {
+      val (dx, dy) = DistMap(i)
+      if (math.max(1, dy * xsize + dx) == dist) return i + 1
+      i += 1
+    }
+    dist + 120
+  }
+
+  private def cacheHash(argb: Int, bits: Int): Int =
+    ((0x1e35a7bd * argb) >>> (32 - bits))
+
+  // ---- decode ----
+
+  def decode(bytes: Array[Byte]): PngCodec.PngImage = {
+    require(isWebp(bytes), "WebpCodec: not a RIFF/WEBP container")
+    val riffLen = le32(bytes, 4)
+    require(riffLen + 8 <= bytes.length,
+      s"WebpCodec: RIFF size $riffLen runs past EOF")
+    // chunk walk from offset 12
+    var at = 12
+    var payloadAt = -1
+    var payloadEnd = -1
+    while (payloadAt < 0 && at + 8 <= bytes.length) {
+      val tag = new String(bytes, at, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val sz = le32(bytes, at + 4)
+      require(at + 8 + sz <= bytes.length, s"WebpCodec: chunk $tag runs past EOF")
+      tag match {
+        case "VP8L" => payloadAt = at + 8; payloadEnd = at + 8 + sz
+        case "VP8 " => throw new IllegalArgumentException(
+          "WebpCodec: lossy VP8 (DCT) chunk unsupported — VP8L only")
+        case "VP8X" => throw new IllegalArgumentException(
+          "WebpCodec: extended VP8X container unsupported — plain VP8L only")
+        case _ => ()
+      }
+      at += 8 + sz + (sz & 1) // chunks word-align
+    }
+    require(payloadAt > 0, "WebpCodec: no VP8L chunk in container")
+    require((bytes(payloadAt) & 0xff) == 0x2f, "WebpCodec: bad VP8L signature byte")
+    val br = new BitReader(bytes, payloadAt + 1, payloadEnd)
+    val width = br.bits(14) + 1
+    val height = br.bits(14) + 1
+    br.bit() // alpha hint (informative)
+    require(br.bits(3) == 0, "WebpCodec: VP8L version != 0")
+    require(width.toLong * height * 4 <= (1L << 30),
+      s"WebpCodec: ${width}x$height decodes past the 2^30-byte bound")
+
+    // transforms, in read order; applied inverse in reverse below
+    var xsize = width
+    final case class Transform(kind: Int, sizeBits: Int, data: Array[Int],
+                               palSize: Int)
+    val transforms = scala.collection.mutable.Buffer.empty[Transform]
+    var seen = Set.empty[Int]
+    while (br.bit() == 1) {
+      val kind = br.bits(2)
+      require(!seen(kind), s"WebpCodec: transform $kind appears twice")
+      seen += kind
+      kind match {
+        case 0 | 1 => // predictor / color: block-mode sub-image
+          val sb = br.bits(3) + 2
+          val bw = (xsize + (1 << sb) - 1) >> sb
+          val bh = (height + (1 << sb) - 1) >> sb
+          val sub = decodeImageData(br, bw, bh)
+          transforms += Transform(kind, sb, sub, 0)
+        case 2 =>
+          transforms += Transform(2, 0, null, 0)
+        case 3 =>
+          val palSize = br.bits(8) + 1
+          val pal = decodeImageData(br, palSize, 1)
+          // palette entries are component-wise delta-coded
+          var i = 1
+          while (i < palSize) {
+            pal(i) = addPixels(pal(i), pal(i - 1))
+            i += 1
+          }
+          transforms += Transform(3, 0, pal, palSize)
+          val wb = widthBits(palSize)
+          xsize = (xsize + (1 << wb) - 1) >> wb
+      }
+    }
+
+    // predictor/color sub-image geometry is computed against the coded
+    // width at READ time; combining color-indexing (which shrinks the
+    // coded width) with other transforms would need the packed-domain
+    // geometry threading — out of scope, reject rather than mis-decode
+    require(!seen(3) || seen.size == 1,
+      "WebpCodec: color-indexing combined with other transforms unsupported")
+    var argb = decodeImageData(br, xsize, height)
+
+    // inverse transforms in reverse read order
+    transforms.reverseIterator.foreach { t =>
+      t.kind match {
+        case 3 =>
+          val wb = widthBits(t.palSize)
+          val bitsPer = 8 >> wb
+          val outPix = new Array[Int](width * height)
+          val mask = (1 << bitsPer) - 1
+          var y = 0
+          while (y < height) {
+            var x = 0
+            while (x < width) {
+              val packed = argb(y * xsize + (x >> wb))
+              val green = (packed >> 8) & 0xff
+              val idx = (green >> ((x & ((1 << wb) - 1)) * bitsPer)) & mask
+              require(idx < t.palSize,
+                s"WebpCodec: palette index $idx beyond ${t.palSize}-entry palette")
+              outPix(y * width + x) = t.data(idx)
+              x += 1
+            }
+            y += 1
+          }
+          argb = outPix
+          xsize = width
+        case 2 =>
+          var i = 0
+          while (i < argb.length) {
+            val p = argb(i)
+            val g = (p >> 8) & 0xff
+            val r = (((p >> 16) & 0xff) + g) & 0xff
+            val b = ((p & 0xff) + g) & 0xff
+            argb(i) = (p & 0xff00ff00) | (r << 16) | b
+            i += 1
+          }
+        case 1 =>
+          val sb = t.sizeBits
+          val bw = (xsize + (1 << sb) - 1) >> sb
+          var y = 0
+          while (y < height) {
+            var x = 0
+            while (x < xsize) {
+              val cte = t.data((y >> sb) * bw + (x >> sb))
+              val g2r = (cte >> 0) & 0xff  // blue byte
+              val g2b = (cte >> 8) & 0xff  // green byte
+              val r2b = (cte >> 16) & 0xff // red byte
+              val p = argb(y * xsize + x)
+              val g = (p >> 8) & 0xff
+              var r = (p >> 16) & 0xff
+              var b = p & 0xff
+              r = (r + delta(g2r, g)) & 0xff
+              b = (b + delta(g2b, g)) & 0xff
+              b = (b + delta(r2b, r)) & 0xff
+              argb(y * xsize + x) = (p & 0xff00ff00.toInt) | (r << 16) | b
+              x += 1
+            }
+            y += 1
+          }
+        case 0 =>
+          inversePredictor(argb, xsize, height, t.data, t.sizeBits)
+      }
+    }
+
+    require(argb.length == width * height, "WebpCodec: internal size drift")
+    // emit RGB or RGBA depending on whether any alpha < 255 (the GIF
+    // convention: fully-opaque images surface as 3-channel)
+    val hasAlpha = argb.exists(p => (p >>> 24) != 0xff)
+    val ch = if (hasAlpha) 4 else 3
+    val px = new Array[Byte](width * height * ch)
+    var i = 0
+    while (i < argb.length) {
+      val p = argb(i)
+      px(i * ch) = ((p >> 16) & 0xff).toByte
+      px(i * ch + 1) = ((p >> 8) & 0xff).toByte
+      px(i * ch + 2) = (p & 0xff).toByte
+      if (ch == 4) px(i * ch + 3) = ((p >>> 24) & 0xff).toByte
+      i += 1
+    }
+    PngCodec.PngImage(width, height, 8, if (ch == 3) 2 else 6, ch, px)
+  }
+
+  private def le32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16) |
+      ((b(i + 3) & 0xff) << 24)
+
+  private def widthBits(palSize: Int): Int =
+    if (palSize <= 2) 3 else if (palSize <= 4) 2 else if (palSize <= 16) 1 else 0
+
+  private def addPixels(a: Int, b: Int): Int = {
+    val aa = (((a >>> 24) + (b >>> 24)) & 0xff) << 24
+    val rr = ((((a >> 16) & 0xff) + ((b >> 16) & 0xff)) & 0xff) << 16
+    val gg = ((((a >> 8) & 0xff) + ((b >> 8) & 0xff)) & 0xff) << 8
+    val bb = ((a & 0xff) + (b & 0xff)) & 0xff
+    aa | rr | gg | bb
+  }
+
+  /** signed 3.5 fixed-point color-transform delta: (int8(t)*int8(c))>>5 */
+  private def delta(t: Int, c: Int): Int = ((t.toByte.toInt * c.toByte.toInt) >> 5)
+
+  /** One entropy-coded ARGB image (no transforms at this level): the
+    * optional color cache, the five prefix codes, and the literal /
+    * backref / cache-hit pixel loop. */
+  private def decodeImageData(br: BitReader, xsize: Int, ysize: Int): Array[Int] = {
+    val cacheBits = if (br.bit() == 1) br.bits(4) else 0
+    require(cacheBits <= 11, s"WebpCodec: color-cache bits $cacheBits > 11")
+    val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
+    require(br.bit() == 0,
+      "WebpCodec: meta prefix codes (multiple huffman groups) unsupported")
+    val green = readPrefixCode(br, 256 + 24 + cacheSize, "green")
+    val red = readPrefixCode(br, 256, "red")
+    val blue = readPrefixCode(br, 256, "blue")
+    val alpha = readPrefixCode(br, 256, "alpha")
+    val dist = readPrefixCode(br, 40, "distance")
+    val out = new Array[Int](xsize * ysize)
+    val cache = if (cacheSize > 0) new Array[Int](cacheSize) else null
+    var pos = 0
+    while (pos < out.length) {
+      val s = green.decode(br)
+      if (s < 256) {
+        val r = red.decode(br)
+        val b = blue.decode(br)
+        val a = alpha.decode(br)
+        val p = (a << 24) | (r << 16) | (s << 8) | b
+        out(pos) = p
+        if (cache != null) cache(cacheHash(p, cacheBits)) = p
+        pos += 1
+      } else if (s < 280) {
+        val len = prefixDecode(s - 256, br)
+        val dCode = prefixDecode(dist.decode(br), br)
+        val d = mapDistance(dCode, xsize)
+        require(d <= pos, s"WebpCodec: backref distance $d at pixel $pos")
+        require(pos + len <= out.length,
+          s"WebpCodec: backref of $len overruns the image")
+        var k = 0
+        while (k < len) {
+          val p = out(pos - d)
+          out(pos) = p
+          if (cache != null) cache(cacheHash(p, cacheBits)) = p
+          pos += 1
+          k += 1
+        }
+      } else {
+        val idx = s - 280
+        require(cache != null && idx < cacheSize,
+          s"WebpCodec: cache index $idx without a ${cacheSize}-entry cache")
+        out(pos) = cache(idx)
+        pos += 1
+      }
+    }
+    out
+  }
+
+  /** One prefix code: the simple (1-2 symbol) or normal
+    * (code-length-coded) form. */
+  private def readPrefixCode(br: BitReader, alphabet: Int, what: String): PrefixCode = {
+    if (br.bit() == 1) { // simple
+      val numSym = br.bit() + 1
+      val first8 = br.bit()
+      val s0 = if (first8 == 1) br.bits(8) else br.bits(1)
+      val lengths = new Array[Int](alphabet)
+      require(s0 < alphabet, s"WebpCodec: $what simple symbol $s0 out of alphabet")
+      if (numSym == 1) lengths(s0) = 1 // degenerate: decode() treats as 0-bit
+      else {
+        val s1 = br.bits(8)
+        require(s1 < alphabet && s1 != s0,
+          s"WebpCodec: $what simple symbols $s0/$s1 invalid")
+        lengths(s0) = 1; lengths(s1) = 1
+      }
+      new PrefixCode(lengths, what)
+    } else {
+      val numCodeLengths = 4 + br.bits(4)
+      val clcLen = new Array[Int](19)
+      var i = 0
+      while (i < numCodeLengths) { clcLen(ClcOrder(i)) = br.bits(3); i += 1 }
+      val clc = new PrefixCode(clcLen, s"$what code-length")
+      var maxSymbol =
+        if (br.bit() == 1) {
+          val nbits = 2 + 2 * br.bits(3)
+          2 + br.bits(nbits)
+        } else alphabet
+      val lengths = new Array[Int](alphabet)
+      var sym = 0
+      var prev = 8
+      while (sym < alphabet && maxSymbol > 0) {
+        maxSymbol -= 1
+        val s = clc.decode(br)
+        if (s < 16) {
+          lengths(sym) = s
+          sym += 1
+          if (s != 0) prev = s
+        } else if (s == 16) {
+          val rep = 3 + br.bits(2)
+          require(sym + rep <= alphabet, s"WebpCodec: $what repeat past alphabet")
+          var k = 0
+          while (k < rep) { lengths(sym) = prev; sym += 1; k += 1 }
+        } else {
+          val rep = if (s == 17) 3 + br.bits(3) else 11 + br.bits(7)
+          require(sym + rep <= alphabet, s"WebpCodec: $what zero-run past alphabet")
+          sym += rep
+        }
+      }
+      new PrefixCode(lengths, what)
+    }
+  }
+
+  private def avg2(a: Int, b: Int): Int = {
+    val aa = (((a >>> 24) + (b >>> 24)) >> 1) << 24
+    val rr = ((((a >> 16) & 0xff) + ((b >> 16) & 0xff)) >> 1) << 16
+    val gg = ((((a >> 8) & 0xff) + ((b >> 8) & 0xff)) >> 1) << 8
+    val bb = (((a & 0xff) + (b & 0xff)) >> 1)
+    aa | rr | gg | bb
+  }
+
+  /** The prediction for pixel (x, y) of `argb` (already holding final
+    * values left/above of it) under spec `mode` — the 14 modes plus the
+    * forced edge rules (black at the origin, L on the top row, T on the
+    * left column) and the contiguous-buffer TR rule (the top-right of
+    * the last column is the CURRENT row's first pixel). Shared by the
+    * decoder's inverse pass and the encoder's forward pass, so the two
+    * cannot drift. */
+  private def predict(argb: Array[Int], w: Int, x: Int, y: Int, idx: Int,
+                      mode: Int): Int = {
+    def clamp(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+    if (x == 0 && y == 0) 0xff000000
+    else if (y == 0) argb(idx - 1) // top row: L
+    else if (x == 0) argb(idx - w) // left column: T
+    else {
+      val l = argb(idx - 1)
+      val t = argb(idx - w)
+      val tl = argb(idx - w - 1)
+      val tr = argb(idx - w + 1) // x = w-1 wraps to the current row's start
+      mode match {
+        case 0 => 0xff000000
+        case 1 => l
+        case 2 => t
+        case 3 => tr
+        case 4 => tl
+        case 5 => avg2(avg2(l, tr), t)
+        case 6 => avg2(l, tl)
+        case 7 => avg2(l, t)
+        case 8 => avg2(tl, t)
+        case 9 => avg2(t, tr)
+        case 10 => avg2(avg2(l, tl), avg2(t, tr))
+        case 11 =>
+          var pL = 0; var pT = 0
+          var sh = 0
+          while (sh < 32) {
+            val pc = ((l >>> sh) & 0xff) + ((t >>> sh) & 0xff) - ((tl >>> sh) & 0xff)
+            pL += math.abs(pc - ((l >>> sh) & 0xff))
+            pT += math.abs(pc - ((t >>> sh) & 0xff))
+            sh += 8
+          }
+          if (pL < pT) l else t
+        case 12 =>
+          var p = 0
+          var sh = 0
+          while (sh < 32) {
+            val v = clamp(((l >>> sh) & 0xff) + ((t >>> sh) & 0xff) - ((tl >>> sh) & 0xff))
+            p |= v << sh
+            sh += 8
+          }
+          p
+        case 13 =>
+          val a = avg2(l, t)
+          var p = 0
+          var sh = 0
+          while (sh < 32) {
+            val ac = (a >>> sh) & 0xff
+            val v = clamp(ac + (ac - ((tl >>> sh) & 0xff)) / 2)
+            p |= v << sh
+            sh += 8
+          }
+          p
+        case m => throw new IllegalArgumentException(
+          s"WebpCodec: predictor mode $m outside 0-13")
+      }
+    }
+  }
+
+  /** Inverse predictor transform: residual + prediction per pixel in
+    * scan order (predictions read already-reconstructed neighbors). */
+  private def inversePredictor(argb: Array[Int], w: Int, h: Int,
+                               modes: Array[Int], sizeBits: Int): Unit = {
+    val bw = (w + (1 << sizeBits) - 1) >> sizeBits
+    var y = 0
+    var idx = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        // the mode rides the sub-image pixel's GREEN channel
+        val mode = (modes((y >> sizeBits) * bw + (x >> sizeBits)) >> 8) & 0xff
+        argb(idx) = addPixels(argb(idx), predict(argb, w, x, y, idx, mode))
+        x += 1
+        idx += 1
+      }
+      y += 1
+    }
+  }
+
+  // ---- encode ----
+
+  /** Encode RGB(A) pixels as a real VP8L WebP. `mode` rotates the wire
+    * shape: 0 = plain literals, 1 = subtract-green, 2 = color-indexing
+    * (requires ≤ 256 distinct colors; bundles when ≤ 16), 3 = LZ77 +
+    * color cache over literals, 4 = PREDICTOR transform (`predMode`
+    * picks the spec mode 0-13), 5 = COLOR transform (fixed non-trivial
+    * multipliers). Channels 3 (RGB, opaque) or 4 (RGBA). */
+  def encode(width: Int, height: Int, channels: Int, pixels: Array[Byte],
+             mode: Int = 0, predMode: Int = 7): Array[Byte] = {
+    require(channels == 3 || channels == 4,
+      s"WebpCodec.encode: $channels channels (3 or 4)")
+    require(width >= 1 && width <= 16384 && height >= 1 && height <= 16384,
+      s"WebpCodec.encode: ${width}x$height outside the 14-bit range")
+    require(pixels.length == width * height * channels,
+      s"WebpCodec.encode: ${pixels.length} bytes for ${width}x$height x$channels")
+    require(mode >= 0 && mode <= 5, s"WebpCodec.encode: mode $mode")
+    require(predMode >= 0 && predMode <= 13,
+      s"WebpCodec.encode: predictor mode $predMode outside 0-13")
+    val n = width * height
+    val argb = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val a = if (channels == 4) pixels(i * channels + 3) & 0xff else 0xff
+      argb(i) = (a << 24) | ((pixels(i * channels) & 0xff) << 16) |
+        ((pixels(i * channels + 1) & 0xff) << 8) | (pixels(i * channels + 2) & 0xff)
+      i += 1
+    }
+
+    val bw = new BitWriter
+    bw.writeBits(width - 1, 14)
+    bw.writeBits(height - 1, 14)
+    bw.writeBits(if (channels == 4) 1 else 0, 1)
+    bw.writeBits(0, 3) // version
+
+    var coded = argb
+    var xsize = width
+    if (mode == 1) {
+      bw.writeBits(1, 1); bw.writeBits(2, 2) // subtract-green
+      coded = argb.map { p =>
+        val g = (p >> 8) & 0xff
+        val r = (((p >> 16) & 0xff) - g) & 0xff
+        val b = ((p & 0xff) - g) & 0xff
+        (p & 0xff00ff00) | (r << 16) | b
+      }
+    } else if (mode == 2) {
+      val palette = argb.distinct.sorted
+      require(palette.length <= 256,
+        s"WebpCodec.encode: ${palette.length} colors exceed the 256-entry palette")
+      val index = palette.zipWithIndex.toMap
+      bw.writeBits(1, 1); bw.writeBits(3, 2) // color-indexing
+      bw.writeBits(palette.length - 1, 8)
+      // palette as a delta-coded palSize x 1 image
+      val deltas = palette.zipWithIndex.map { case (p, k) =>
+        if (k == 0) p else subPixels(p, palette(k - 1))
+      }
+      writeImageData(bw, deltas, palette.length, useLz77 = false, cacheBits = 0)
+      val wb = widthBits(palette.length)
+      val bitsPer = 8 >> wb
+      xsize = (width + (1 << wb) - 1) >> wb
+      val packed = new Array[Int](xsize * height)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val idx = index(argb(y * width + x))
+          val at = y * xsize + (x >> wb)
+          val sub = x & ((1 << wb) - 1)
+          val green = ((packed(at) >> 8) & 0xff) | (idx << (sub * bitsPer))
+          packed(at) = 0xff000000 | (green << 8)
+          x += 1
+        }
+        y += 1
+      }
+      coded = packed
+    } else if (mode == 4) {
+      // predictor transform: one uniform `predMode` over a 16-px block
+      // grid; residual = pixel − predict(ORIGINALS) — lossless, so the
+      // decoder's progressive reconstruction sees the same neighbors
+      val sb = 4
+      bw.writeBits(1, 1); bw.writeBits(0, 2)
+      bw.writeBits(sb - 2, 3)
+      val gw = (width + (1 << sb) - 1) >> sb
+      val gh = (height + (1 << sb) - 1) >> sb
+      writeImageData(bw, Array.fill(gw * gh)(0xff000000 | (predMode << 8)),
+        gw, useLz77 = false, cacheBits = 0)
+      coded = new Array[Int](n)
+      var idx = 0
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          coded(idx) = subPixels(argb(idx), predict(argb, width, x, y, idx, predMode))
+          x += 1; idx += 1
+        }
+        y += 1
+      }
+    } else if (mode == 5) {
+      // color transform: one uniform ColorTransformElement block grid;
+      // forward: r −= Δ(g2r, g); b −= Δ(g2b, g) + Δ(r2b, ORIGINAL r)
+      val sb = 4
+      val g2r = 0x40; val g2b = 0xE0; val r2b = 0x15
+      bw.writeBits(1, 1); bw.writeBits(1, 2)
+      bw.writeBits(sb - 2, 3)
+      val gw = (width + (1 << sb) - 1) >> sb
+      val gh = (height + (1 << sb) - 1) >> sb
+      val cte = 0xff000000 | (r2b << 16) | (g2b << 8) | g2r
+      writeImageData(bw, Array.fill(gw * gh)(cte), gw,
+        useLz77 = false, cacheBits = 0)
+      coded = argb.map { p =>
+        val g = (p >> 8) & 0xff
+        val r0 = (p >> 16) & 0xff
+        val b0 = p & 0xff
+        val r = (r0 - delta(g2r, g)) & 0xff
+        // the inverse adds Δ(r2b, RECONSTRUCTED red) = Δ(r2b, r0)
+        val b = (b0 - delta(g2b, g) - delta(r2b, r0)) & 0xff
+        (p & 0xff00ff00) | (r << 16) | b
+      }
+    }
+    bw.writeBits(0, 1) // no more transforms
+    writeImageData(bw, coded, xsize,
+      useLz77 = mode == 3, cacheBits = if (mode == 3) 6 else 0)
+
+    val payload = bw.bytes
+    val out = new ByteArrayOutputStream(payload.length + 32)
+    def w32(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+    }
+    val chunkLen = 1 + payload.length
+    val padded = chunkLen + (chunkLen & 1)
+    out.write('R'); out.write('I'); out.write('F'); out.write('F')
+    w32(4 + 8 + padded)
+    out.write('W'); out.write('E'); out.write('B'); out.write('P')
+    out.write('V'); out.write('P'); out.write('8'); out.write('L')
+    w32(chunkLen)
+    out.write(0x2f)
+    out.write(payload, 0, payload.length)
+    if ((chunkLen & 1) == 1) out.write(0)
+    out.toByteArray
+  }
+
+  private def subPixels(a: Int, b: Int): Int = {
+    val aa = (((a >>> 24) - (b >>> 24)) & 0xff) << 24
+    val rr = ((((a >> 16) & 0xff) - ((b >> 16) & 0xff)) & 0xff) << 16
+    val gg = ((((a >> 8) & 0xff) - ((b >> 8) & 0xff)) & 0xff) << 8
+    val bb = ((a & 0xff) - (b & 0xff)) & 0xff
+    aa | rr | gg | bb
+  }
+
+  /** Symbol stream element: literal pixel, backref, or cache hit. */
+  private sealed trait Tok
+  private final case class Lit(p: Int) extends Tok
+  private final case class Ref(len: Int, dist: Int) extends Tok
+  private final case class Hit(idx: Int) extends Tok
+
+  /** Entropy-code one ARGB image: tokenize (optional greedy LZ77 +
+    * color cache), histogram, build length-limited canonical codes,
+    * write the five code definitions and the token stream. */
+  private def writeImageData(bw: BitWriter, argb: Array[Int], xsize: Int,
+                             useLz77: Boolean, cacheBits: Int): Unit = {
+    if (cacheBits > 0) { bw.writeBits(1, 1); bw.writeBits(cacheBits, 4) }
+    else bw.writeBits(0, 1)
+    bw.writeBits(0, 1) // no meta prefix codes
+    val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
+    val cache = if (cacheSize > 0) new Array[Int](cacheSize) else null
+    if (cache != null) java.util.Arrays.fill(cache, 0xff123456) // unlikely pixel
+
+    val toks = scala.collection.mutable.Buffer.empty[Tok]
+    // greedy single-distance LZ77 candidates: distance 1 and xsize (the
+    // two plane-mapped neighbors every image has) — hoisted, no per-pixel
+    // allocation
+    val dists = if (xsize == 1) Array(1) else Array(1, xsize)
+    var pos = 0
+    while (pos < argb.length) {
+      var took = false
+      if (useLz77 && pos >= 1) {
+        var best = 0
+        var bestD = 0
+        var di = 0
+        while (di < dists.length) {
+          val d = dists(di)
+          if (d <= pos) {
+            var l = 0
+            while (pos + l < argb.length && l < 4096 &&
+              argb(pos + l - d) == argb(pos + l)) l += 1
+            if (l > best) { best = l; bestD = d }
+          }
+          di += 1
+        }
+        if (best >= 3) {
+          toks += Ref(best, bestD)
+          var k = 0
+          while (k < best) {
+            if (cache != null) cache(cacheHash(argb(pos), cacheBits)) = argb(pos)
+            pos += 1; k += 1
+          }
+          took = true
+        }
+      }
+      if (!took) {
+        val p = argb(pos)
+        if (cache != null && cache(cacheHash(p, cacheBits)) == p)
+          toks += Hit(cacheHash(p, cacheBits))
+        else toks += Lit(p)
+        if (cache != null) cache(cacheHash(p, cacheBits)) = p
+        pos += 1
+      }
+    }
+
+    // histograms
+    val gFreq = new Array[Long](256 + 24 + cacheSize)
+    val rFreq = new Array[Long](256)
+    val bFreq = new Array[Long](256)
+    val aFreq = new Array[Long](256)
+    val dFreq = new Array[Long](40)
+    toks.foreach {
+      case Lit(p) =>
+        gFreq((p >> 8) & 0xff) += 1
+        rFreq((p >> 16) & 0xff) += 1
+        bFreq(p & 0xff) += 1
+        aFreq((p >>> 24) & 0xff) += 1
+      case Ref(len, dist) =>
+        gFreq(256 + prefixEncode(len)._1) += 1
+        dFreq(prefixEncode(unmapDistance(dist, xsize))._1) += 1
+      case Hit(idx) => gFreq(280 + idx) += 1
+    }
+    if (dFreq.forall(_ == 0)) dFreq(0) = 1 // the spec requires all 5 codes
+    val gl = codeLengths(gFreq, 15)
+    val rl = codeLengths(rFreq, 15)
+    val bl = codeLengths(bFreq, 15)
+    val al = codeLengths(aFreq, 15)
+    val dl = codeLengths(dFreq, 15)
+    Seq(gl, rl, bl, al, dl).foreach(writeCodeDef(bw, _))
+    val gC = canonicalCodes(gl); val rC = canonicalCodes(rl)
+    val bC = canonicalCodes(bl); val aC = canonicalCodes(al)
+    val dC = canonicalCodes(dl)
+    def emit(codes: Array[(Int, Int)], lens: Array[Int], sym: Int): Unit = {
+      val singles = lens.count(_ > 0)
+      if (singles == 1) () // 0-bit degenerate code
+      else bw.writeCode(codes(sym)._1, codes(sym)._2)
+    }
+    toks.foreach {
+      case Lit(p) =>
+        emit(gC, gl, (p >> 8) & 0xff)
+        emit(rC, rl, (p >> 16) & 0xff)
+        emit(bC, bl, p & 0xff)
+        emit(aC, al, (p >>> 24) & 0xff)
+      case Ref(len, dist) =>
+        val (lc, le, lv) = prefixEncode(len)
+        emit(gC, gl, 256 + lc)
+        if (le > 0) bw.writeBits(lv, le)
+        val (dc, de, dv) = prefixEncode(unmapDistance(dist, xsize))
+        emit(dC, dl, dc)
+        if (de > 0) bw.writeBits(dv, de)
+      case Hit(idx) => emit(gC, gl, 280 + idx)
+    }
+  }
+
+  private def canonicalCodes(lengths: Array[Int]): Array[(Int, Int)] = {
+    val maxLen = if (lengths.isEmpty) 0 else lengths.max
+    val out = new Array[(Int, Int)](lengths.length)
+    if (maxLen == 0) return out
+    val blCount = new Array[Int](maxLen + 1)
+    lengths.foreach(l => if (l > 0) blCount(l) += 1)
+    val nextCode = new Array[Int](maxLen + 2)
+    var code = 0
+    var l = 1
+    while (l <= maxLen) {
+      code = (code + blCount(l - 1)) << 1
+      nextCode(l) = code
+      l += 1
+    }
+    var i = 0
+    while (i < lengths.length) {
+      if (lengths(i) > 0) {
+        out(i) = (nextCode(lengths(i)), lengths(i))
+        nextCode(lengths(i)) += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** Write one code definition: the simple form for 1-2 symbols, else
+    * the code-length-coded normal form (zero runs via 17/18). */
+  private def writeCodeDef(bw: BitWriter, lengths: Array[Int]): Unit = {
+    val used = lengths.zipWithIndex.filter(_._1 > 0)
+    if (used.length == 1 && used.head._2 < 256) {
+      val s = used.head._2
+      bw.writeBits(1, 1) // simple
+      bw.writeBits(0, 1) // one symbol
+      if (s < 2) { bw.writeBits(0, 1); bw.writeBits(s, 1) }
+      else { bw.writeBits(1, 1); bw.writeBits(s, 8) }
+      return
+    }
+    if (used.length == 2 && used.head._2 < 256 && used(1)._2 < 256 &&
+        lengths(used.head._2) == 1 && lengths(used(1)._2) == 1) {
+      bw.writeBits(1, 1); bw.writeBits(1, 1) // simple, two symbols
+      val s0 = used.head._2
+      if (s0 < 2) { bw.writeBits(0, 1); bw.writeBits(s0, 1) }
+      else { bw.writeBits(1, 1); bw.writeBits(s0, 8) }
+      bw.writeBits(used(1)._2, 8)
+      return
+    }
+    bw.writeBits(0, 1) // normal
+    // code-length tokens: literal lengths 0-15 with zero runs as 17/18
+    val toks = scala.collection.mutable.Buffer.empty[(Int, Int, Int)] // (sym, extra, extraBits)
+    // NOTE: without a max_symbol field the decoder reads length tokens
+    // until the FULL alphabet is covered — trailing zeros are NOT
+    // implicit and must be run-coded like any others
+    var i = 0
+    while (i < lengths.length) {
+      if (lengths(i) == 0) {
+        var run = 0
+        while (i + run < lengths.length && lengths(i + run) == 0) run += 1
+        var left = run
+        while (left > 0) {
+          if (left >= 11) {
+            val take = math.min(left, 138)
+            toks += ((18, take - 11, 7)); left -= take
+          } else if (left >= 3) {
+            toks += ((17, left - 3, 3)); left = 0
+          } else {
+            var k = 0
+            while (k < left) { toks += ((0, 0, 0)); k += 1 }
+            left = 0
+          }
+        }
+        i += run
+      } else {
+        toks += ((lengths(i), 0, 0))
+        i += 1
+      }
+    }
+    // code-length-code over the 19 token symbols
+    val clcFreq = new Array[Long](19)
+    toks.foreach { case (s, _, _) => clcFreq(s) += 1 }
+    if (clcFreq.count(_ > 0) < 2) clcFreq(if (clcFreq(0) == 0) 0 else 15) += 1
+    val clcLen = codeLengths(clcFreq, 7)
+    // emit lengths in ClcOrder, trimming trailing zeros (min 4)
+    var numCl = 19
+    while (numCl > 4 && clcLen(ClcOrder(numCl - 1)) == 0) numCl -= 1
+    bw.writeBits(numCl - 4, 4)
+    var k = 0
+    while (k < numCl) { bw.writeBits(clcLen(ClcOrder(k)), 3); k += 1 }
+    bw.writeBits(0, 1) // no max_symbol
+    val clcCodes = canonicalCodes(clcLen)
+    toks.foreach { case (s, extra, eb) =>
+      bw.writeCode(clcCodes(s)._1, clcCodes(s)._2)
+      if (eb > 0) bw.writeBits(extra, eb)
+    }
+  }
+}

@@ -89,6 +89,12 @@ object PdfPipeline {
     // the V5 hardened KDF (≥64 AES rounds × 6 hashes) for every file
     val spec = encryptMode.map(m => PdfCrypto.EncryptSpec(m))
     docs.select(col(idCol).cast("long"), col(textCol))
+      // explicit-count repartition: the (id, text) shuffle is cheap vs
+      // the per-row PDF synthesis + full-parser decode, and on a
+      // single-partition local scan the codec work would otherwise run
+      // single-threaded (an advisory repartition would be AQE-coalesced)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col(idCol))
       .as[(Long, String)]
       .map { case (id, text) =>
         val pages = if (text.isEmpty) Seq.empty[String] else text.grouped(pageSize).toSeq
@@ -114,6 +120,12 @@ object PdfPipeline {
     // once, not per row — the V5 KDF is deliberately expensive
     val spec = encryptMode.map(m => PdfCrypto.EncryptSpec(m))
     docs.select(col(idCol).cast("long"), col(textCol))
+      // explicit-count repartition: the (id, text) shuffle is cheap vs
+      // the per-row PDF synthesis + full-parser decode, and on a
+      // single-partition local scan the codec work would otherwise run
+      // single-threaded (an advisory repartition would be AQE-coalesced)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col(idCol))
       .as[(Long, String)]
       .map { case (id, text) =>
         val pages = if (text.isEmpty) Seq.empty[String] else text.grouped(pageSize).toSeq
@@ -132,6 +144,12 @@ object PdfPipeline {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col(idCol).cast("long"), col(textCol))
+      // explicit-count repartition: the (id, text) shuffle is cheap vs
+      // the per-row PDF synthesis + full-parser decode, and on a
+      // single-partition local scan the codec work would otherwise run
+      // single-threaded (an advisory repartition would be AQE-coalesced)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col(idCol))
       .as[(Long, String)]
       .map { case (id, text) =>
         val pages = if (text.isEmpty) Seq.empty[String] else text.grouped(pageSize).toSeq
@@ -148,6 +166,12 @@ object PdfPipeline {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col(idCol).cast("long"), col(textCol))
+      // explicit-count repartition: the (id, text) shuffle is cheap vs
+      // the per-row PDF synthesis + full-parser decode, and on a
+      // single-partition local scan the codec work would otherwise run
+      // single-threaded (an advisory repartition would be AQE-coalesced)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col(idCol))
       .as[(Long, String)]
       .map { case (id, text) =>
         val pages = if (text.isEmpty) Seq.empty[String] else text.grouped(pageSize).toSeq
@@ -170,6 +194,12 @@ object PdfPipeline {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col(idCol).cast("long"), col(textCol))
+      // explicit-count repartition: the (id, text) shuffle is cheap vs
+      // the per-row PDF synthesis + full-parser decode, and on a
+      // single-partition local scan the codec work would otherwise run
+      // single-threaded (an advisory repartition would be AQE-coalesced)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col(idCol))
       .as[(Long, String)]
       .map { case (id, text) =>
         // altCmapName: odd docs name the ALTERNATE registration (round
@@ -220,6 +250,12 @@ object PdfPipeline {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col(idCol).cast("long"), col(textCol))
+      // explicit-count repartition: the (id, text) shuffle is cheap vs
+      // the per-row PDF synthesis + full-parser decode, and on a
+      // single-partition local scan the codec work would otherwise run
+      // single-threaded (an advisory repartition would be AQE-coalesced)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col(idCol))
       .as[(Long, String)]
       .map { case (id, text) =>
         // code-point paging, like the predef-CMap sibling: format12

@@ -269,8 +269,19 @@ private[graft] object PredefCmaps {
       (w, code.toLong)
     }
 
-  /** [[encodeCodePoint]] for a BMP char. */
-  def encodeChar(cmapName: String, ch: Char): (Int, Int) = {
+  /** [[encodeCodePoint]] for a BMP char — memoized per (cmap, char):
+    * the uncached path allocates a CharsetEncoder + buffers PER
+    * CHARACTER, which dominated the cmap-corpus synthesis cost (round
+    * 18); failures propagate uncached so the fail-loud contract is
+    * unchanged. */
+  def encodeChar(cmapName: String, ch: Char): (Int, Int) =
+    encodeMemo.computeIfAbsent((cmapName, ch),
+      k => encodeCharUncached(k._1, k._2))
+
+  private val encodeMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Char), (Int, Int)]()
+
+  private def encodeCharUncached(cmapName: String, ch: Char): (Int, Int) = {
     def charsetOf(n: String): Charset = baseName(n) match {
       case "90ms-RKSJ" | "Ext-RKSJ" | "UniJIS-UCS2" | "UniJIS-UTF16" => cp932
       case "GBK-EUC" | "UniGB-UCS2" | "UniGB-UTF16" => gbk
