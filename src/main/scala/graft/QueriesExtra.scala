@@ -1307,6 +1307,40 @@ object QueriesExtra {
              |FROM s GROUP BY doc_id, wi, sr, ch, bits
              |ORDER BY doc_id, seg_idx""".stripMargin)),
 
+    // MP3 METADATA extraction (round 18, VERDICT r17 #8's metadata-first
+    // leg): ID3v2.3/2.4 text frames (latin-1 + UTF-8, syncsafe sizes),
+    // trailing ID3v1 blocks, and the MPEG-1 Layer III frame walk —
+    // per-frame VBR bitrate indices, padding, the V1L3 bitrate table —
+    // all replayed byte-blind from the id formulas. A frame-length slip,
+    // a syncsafe misread or a tag-precedence bug breaks the hash; full
+    // Layer III audio decode stays out of scope and rejects by name.
+    "q_audio_mp3_meta" -> QueryDef(
+      (s, d) => BinaryPipeline.decodeMp3Meta(
+          BinaryPipeline.synthesizeMp3s(Tables.documents(s, d)))
+        .orderBy(col("doc_id")),
+      Some("""WITH p AS (SELECT doc_id,
+             |    CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+             |      ELSE 32000 END AS sr,
+             |    CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 2 END AS ch,
+             |    20 + doc_id % 17 AS nf FROM documents),
+             |fr AS (SELECT p.*, f,
+             |    CASE 1 + (doc_id + f) % 14
+             |      WHEN 1 THEN 32 WHEN 2 THEN 40 WHEN 3 THEN 48 WHEN 4 THEN 56
+             |      WHEN 5 THEN 64 WHEN 6 THEN 80 WHEN 7 THEN 96 WHEN 8 THEN 112
+             |      WHEN 9 THEN 128 WHEN 10 THEN 160 WHEN 11 THEN 192
+             |      WHEN 12 THEN 224 WHEN 13 THEN 256 ELSE 320 END AS br,
+             |    CASE WHEN doc_id % 3 = 0 AND f % 2 = 1 THEN 1 ELSE 0 END AS pad
+             |  FROM p, unnest(range(0, nf)) t(f))
+             |SELECT doc_id,
+             |  CAST(sr AS BIGINT) AS sample_rate, CAST(ch AS BIGINT) AS channels,
+             |  CAST(nf AS BIGINT) AS frame_count,
+             |  CAST(SUM(144000 * br // sr + pad) AS BIGINT) AS audio_bytes,
+             |  CAST(nf * 1152 * 1000 // sr AS BIGINT) AS duration_ms,
+             |  'Title' || CAST(doc_id % 7 AS VARCHAR) AS title,
+             |  'Artist' || CAST(doc_id % 5 AS VARCHAR) AS artist,
+             |  'Album' || CAST(doc_id % 3 AS VARCHAR) AS album
+             |FROM fr GROUP BY doc_id, sr, ch, nf ORDER BY doc_id""".stripMargin)),
+
     // FLAC audio decode (round 18, VERDICT r17 #3): the SAME sample
     // corpus as q_audio_wav losslessly FLAC-encoded in-engine — rice
     // residuals over fixed predictors, CONSTANT/VERBATIM subframes,

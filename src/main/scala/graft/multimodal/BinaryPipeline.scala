@@ -244,6 +244,55 @@ object BinaryPipeline {
         blockSize = if (id % 2 == 0) 192 else 256, strategy = id)
     }
 
+  /** MP3 corpus (round 18 — metadata-first leg): structurally-real
+    * files with an ID3v2.3/2.4 tag (v2.4+syncsafe frame sizes on odd
+    * ids, UTF-8 text on id%4==2), MPEG-1 Layer III VBR frame headers
+    * (bitrate index 1 + (id+f)%14 per frame, padding on odd frames at
+    * 44.1 kHz), and a trailing ID3v1 block on id%5==0:
+    *   title "Title"+(id%7), artist "Artist"+(id%5), album "Album"+(id%3)
+    *   sampleRateIdx id%3 → 44100/48000/32000, mono on odd ids,
+    *   frames 20 + id%17. */
+  def synthesizeMp3s(docs: DataFrame, idCol: String = "doc_id",
+                     batchSize: Int = 16): DataFrame =
+    synthesizeAudio(docs, idCol, batchSize, mediaType = "audio/mpeg") { id =>
+      Mp3Codec.encode(
+        title = s"Title${id % 7}", artist = s"Artist${id % 5}",
+        album = s"Album${id % 3}",
+        sampleRateIdx = (id % 3).toInt, mono = id % 2 == 1,
+        bitrateIdxOf = f => (1 + ((id + f) % 14)).toInt,
+        nFrames = (20 + id % 17).toInt,
+        v24 = id % 2 == 1, utf8 = id % 4 == 2,
+        id3v1 = id % 5 == 0, payloadSeed = id)
+    }
+
+  /** MP3 tag + frame-geometry extraction over (id, content) rows —
+    * [[Mp3Codec.decodeMeta]] per row, batched narrow mapPartitions. */
+  def decodeMp3Meta(media: DataFrame, idCol: String = "doc_id",
+                    batchSize: Int = 16): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("sample_rate", LongType, nullable = false),
+      StructField("channels", LongType, nullable = false),
+      StructField("frame_count", LongType, nullable = false),
+      StructField("audio_bytes", LongType, nullable = false),
+      StructField("duration_ms", LongType, nullable = false),
+      StructField("title", StringType, nullable = false),
+      StructField("artist", StringType, nullable = false),
+      StructField("album", StringType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    media.select(col(idCol), col("content")).mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val id = r.getLong(0)
+          val m = Mp3Codec.decodeMeta(r.getAs[Array[Byte]](1))
+          Row(id, m.sampleRate.toLong, m.channels.toLong, m.frameCount,
+            m.audioBytes, m.durationMs, m.title.getOrElse(""),
+            m.artist.getOrElse(""), m.album.getOrElse(""))
+        }
+      }
+    }(enc)
+  }
+
   /** [[synthesizeWavs]]'s µ-law sibling: mono format-7 files whose raw
     * G.711 codes derive from doc_id —
     *   frames = 300 + doc_id % 257, sampleRate 8000,
