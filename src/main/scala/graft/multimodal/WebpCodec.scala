@@ -790,7 +790,10 @@ object WebpCodec {
     bw.writeBits(0, 1) // no meta prefix codes
     val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
     val cache = if (cacheSize > 0) new Array[Int](cacheSize) else null
-    if (cache != null) java.util.Arrays.fill(cache, 0xff123456) // unlikely pixel
+    // seen-flags, NOT a sentinel pixel: a real pixel equal to any
+    // sentinel would emit a cache hit the decoder's never-written slot
+    // cannot satisfy (silent wrong pixel)
+    val cacheSeen = if (cacheSize > 0) new Array[Boolean](cacheSize) else null
 
     val toks = scala.collection.mutable.Buffer.empty[Tok]
     // greedy single-distance LZ77 candidates: distance 1 and xsize (the
@@ -818,7 +821,10 @@ object WebpCodec {
           toks += Ref(best, bestD)
           var k = 0
           while (k < best) {
-            if (cache != null) cache(cacheHash(argb(pos), cacheBits)) = argb(pos)
+            if (cache != null) {
+              val hh = cacheHash(argb(pos), cacheBits)
+              cache(hh) = argb(pos); cacheSeen(hh) = true
+            }
             pos += 1; k += 1
           }
           took = true
@@ -826,10 +832,10 @@ object WebpCodec {
       }
       if (!took) {
         val p = argb(pos)
-        if (cache != null && cache(cacheHash(p, cacheBits)) == p)
-          toks += Hit(cacheHash(p, cacheBits))
+        val hh = if (cache != null) cacheHash(p, cacheBits) else 0
+        if (cache != null && cacheSeen(hh) && cache(hh) == p) toks += Hit(hh)
         else toks += Lit(p)
-        if (cache != null) cache(cacheHash(p, cacheBits)) = p
+        if (cache != null) { cache(hh) = p; cacheSeen(hh) = true }
         pos += 1
       }
     }
