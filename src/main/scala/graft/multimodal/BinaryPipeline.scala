@@ -901,10 +901,12 @@ object BinaryPipeline {
     * else 0), so `q_image_tiff_g4` carries `q_image_tiff_bilevel`'s
     * oracle VERBATIM — compression invariance, the LZW/Deflate
     * convention. Rotation: G4 MMR on id%4 ∈ {0,1} (the dominant wild
-    * form), MH ("CCITT RLE", compression 2) on id%4 == 2, G3 1-D with
-    * EOLs (compression 3) on id%4 == 3; STRIPED on even ids and
-    * 16x16-TILED on odd (per-chunk reference-line reset both ways);
-    * WhiteIsZero (the fax default) on id%5<2. */
+    * form), MH ("CCITT RLE", compression 2) on id%4 == 2, G3 with EOLs
+    * (compression 3) on id%4 == 3 — the 2-D stream form (T4Options 1,
+    * EOL + tag-bit rows, K = 2) on id%8 == 3 and plain 1-D on
+    * id%8 == 7; STRIPED on even ids and 16x16-TILED on odd (per-chunk
+    * reference-line reset both ways); WhiteIsZero (the fax default) on
+    * id%5<2. */
   def synthesizeCcittTiffs(docs: DataFrame, idCol: String = "doc_id",
                            batchSize: Int = 16): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
@@ -929,7 +931,7 @@ object BinaryPipeline {
           val mode = (id % 4) match {
             case 0 | 1 => 4 // G4 MMR
             case 2 => 2 // MH byte-aligned rows
-            case _ => 3 // G3 1-D with EOLs
+            case _ => 3 // G3 with EOLs (1-D, or the 2-D tagged form)
           }
           val bytes = TiffCodec.encode(w, h, 1, px,
             bigEndian = id % 4 == 0,
@@ -937,7 +939,8 @@ object BinaryPipeline {
             whiteIsZero = id % 5 < 2,
             tileSize = if (id % 2 == 1) 16 else 0,
             bilevel = true,
-            ccitt = mode)
+            ccitt = mode,
+            ccittT4TwoD = id % 8 == 3)
           mediaRow(id, bytes, "image/tiff")
         }
       }

@@ -432,13 +432,17 @@ object CcittCodec {
   // ---- public entry points ----
 
   /** Decode a CCITT-coded chunk (strip or tile) of `rows` rows x `cols`
-    * columns. `mode` = the TIFF compression value (2, 3 or 4). Returns
-    * packed rows of (cols+7)/8 bytes, bit 1 = BLACK, with strict
-    * byte-count accounting over [off, off+cnt). */
+    * columns. `mode` = the TIFF compression value (2, 3 or 4); `twoD`
+    * selects T.4 2-D coding for mode 3 (T4Options bit 0: every row is
+    * EOL + a 1-bit tag — 1 = the row is 1-D MH coded, 0 = 2-D coded
+    * against the previous row with the T.6 mode set). Returns packed
+    * rows of (cols+7)/8 bytes, bit 1 = BLACK, with strict byte-count
+    * accounting over [off, off+cnt). */
   def decode(data: Array[Byte], off: Int, cnt: Int, cols: Int, rows: Int,
-             mode: Int): Array[Byte] = {
+             mode: Int, twoD: Boolean = false): Array[Byte] = {
     require(mode == 2 || mode == 3 || mode == 4,
       s"CcittCodec: mode $mode (want TIFF compression 2, 3 or 4)")
+    require(!twoD || mode == 3, "CcittCodec: twoD is a T.4 (mode 3) option")
     require(cols > 0 && rows > 0, s"CcittCodec: geometry ${cols}x$rows")
     require(off >= 0 && cnt >= 0 && off + cnt <= data.length,
       s"CcittCodec: chunk at $off+$cnt runs past EOF")
@@ -447,7 +451,7 @@ object CcittCodec {
     val br = new BitReader(data, off, cnt)
     val cur = new Array[Int](cols + 2)
     if (mode == 4) {
-      var ref = new Array[Int](cols + 2)
+      val ref = new Array[Int](cols + 2)
       var refN = 0
       var y = 0
       while (y < rows) {
@@ -464,12 +468,25 @@ object CcittCodec {
       while (br.bitsLeft > 0)
         require(br.bit() == 0, "CcittCodec: nonzero pad bits after the last row")
     } else {
+      val ref = new Array[Int](cols + 2)
+      var refN = 0
       var y = 0
       while (y < rows) {
-        if (mode == 2) br.alignByte() // MH rows start on byte boundaries
-        else expectEol(br) // T.4: EOL before EVERY row, the first included
-        val n = decode1DRow(br, cols, cur)
+        val n =
+          if (mode == 2) {
+            br.alignByte() // MH rows start on byte boundaries
+            decode1DRow(br, cols, cur)
+          } else {
+            expectEol(br) // T.4: EOL before EVERY row, the first included
+            if (twoD && br.bit() == 0) decode2DRow(br, ref, refN, cols, cur)
+            else decode1DRow(br, cols, cur)
+            // (the tag bit is consumed ONLY in the twoD stream form; a
+            // 1-D stream carries no tags — and in twoD form, tag 1 =
+            // 1-D row, tag 0 = 2-D row, both updating the reference)
+          }
         packRow(packed, rowBytes, y, cur, n)
+        System.arraycopy(cur, 0, ref, 0, n)
+        refN = n
         y += 1
       }
       if (mode == 2) {
@@ -487,12 +504,17 @@ object CcittCodec {
   }
 
   /** Encode packed rows (bit 1 = BLACK, rows of `rowBytes` bytes) as a
-    * CCITT chunk in `mode` (TIFF compression 2, 3 or 4). The mirror of
+    * CCITT chunk in `mode` (TIFF compression 2, 3 or 4). `twoD` writes
+    * the T.4 2-D stream form (mode 3 only): EOL + tag bit per row, rows
+    * at y % k == 0 coded 1-D (the T.4 K-factor discipline — a 1-D
+    * anchor row bounds error propagation), the rest 2-D. The mirror of
     * [[decode]]; no EOFB/RTC terminators (the TIFF convention). */
   def encode(packed: Array[Byte], rowBytes: Int, cols: Int, rows: Int,
-             mode: Int): Array[Byte] = {
+             mode: Int, twoD: Boolean = false, k: Int = 2): Array[Byte] = {
     require(mode == 2 || mode == 3 || mode == 4,
       s"CcittCodec: mode $mode (want TIFF compression 2, 3 or 4)")
+    require(!twoD || mode == 3, "CcittCodec.encode: twoD is a T.4 (mode 3) option")
+    require(k >= 1, s"CcittCodec.encode: K-factor $k")
     require(rowBytes >= (cols + 7) / 8 && packed.length >= rowBytes * rows,
       s"CcittCodec.encode: ${packed.length} bytes for ${cols}x$rows at $rowBytes/row")
     val bw = new BitWriter
@@ -508,7 +530,17 @@ object CcittCodec {
           bw.alignByte()
         case 3 =>
           bw.write(1, 12) // EOL 000000000001
-          encode1DRow(bw, cur, n, cols)
+          if (twoD) {
+            if (y % k == 0) {
+              bw.write(1, 1) // tag: 1-D row
+              encode1DRow(bw, cur, n, cols)
+            } else {
+              bw.write(0, 1) // tag: 2-D row
+              encode2DRow(bw, ref, refN, cur, n, cols)
+            }
+            System.arraycopy(cur, 0, ref, 0, n)
+            refN = n
+          } else encode1DRow(bw, cur, n, cols)
         case 4 =>
           encode2DRow(bw, ref, refN, cur, n, cols)
           System.arraycopy(cur, 0, ref, 0, n)

@@ -204,11 +204,16 @@ object TiffCodec {
     require(!isCcitt || (spp == 1 && bps.length == 1 && bps.head == 1L),
       s"TiffCodec: CCITT compression $compression needs 1 bit/sample " +
         s"bilevel data (got ${bps.mkString(",")} x$spp)")
-    // T4Options/T6Options: only the zero (1-D, no fill, no uncompressed
-    // mode / no extensions) forms are in scope — a nonzero flag would
-    // change the wire coding, so it must not pass silently
-    if (compression == 3) require(scalar(292, 0L) == 0L,
-      "TiffCodec: T4Options != 0 (2-D G3 / fill / uncompressed) unsupported")
+    // T4Options: bit 0 = T.4 2-D coding (EOL + tag-bit rows — round 18);
+    // fill bits (bit 2) and uncompressed mode (bit 1) stay out of scope
+    // and must not pass silently. T6Options: only 0 (no extensions).
+    val ccittTwoD = compression == 3 && {
+      val t4 = scalar(292, 0L)
+      require(t4 == 0L || t4 == 1L,
+        s"TiffCodec: T4Options $t4 unsupported (0 = 1-D, 1 = 2-D; " +
+          "fill bits / uncompressed mode are out of scope)")
+      t4 == 1L
+    }
     if (compression == 4) require(scalar(293, 0L) == 0L,
       "TiffCodec: T6Options != 0 (uncompressed mode) unsupported")
     // Predictor (tag 317) is a filter parameter of the LZW and Deflate
@@ -277,7 +282,8 @@ object TiffCodec {
         // the photometric's sample values (WhiteIsZero: black = 1, so
         // as-is; BlackIsZero: white = 1, so inverted — pad bits beyond
         // `cols` are never read by the expansion)
-        val black1 = CcittCodec.decode(bytes, off, cnt, cols, rows, compression)
+        val black1 = CcittCodec.decode(bytes, off, cnt, cols, rows, compression,
+          twoD = ccittTwoD)
         require(black1.length == expect,
           s"TiffCodec: CCITT produced ${black1.length} of $expect bytes")
         if (photometric == 1) {
@@ -657,10 +663,10 @@ object TiffCodec {
              deflate: Boolean = false, oldDeflateTag: Boolean = false,
              tileSize: Int = 0, bilevel: Boolean = false,
              grayBits: Int = 0, bits16: Boolean = false,
-             ccitt: Int = 0): Array[Byte] =
+             ccitt: Int = 0, ccittT4TwoD: Boolean = false): Array[Byte] =
     encodeMulti(Seq((width, height, channels, pixels)), bigEndian, packBits,
       rowsPerStrip, whiteIsZero, lzw, predictor2, deflate, oldDeflateTag,
-      tileSize, bilevel, grayBits, bits16, ccitt)
+      tileSize, bilevel, grayBits, bits16, ccitt, ccittT4TwoD)
 
   /** MULTI-PAGE TIFF ENCODE (round 16): `pages` are (width, height,
     * channels, pixels) tuples laid out sequentially — per page its
@@ -676,7 +682,7 @@ object TiffCodec {
                   oldDeflateTag: Boolean = false,
                   tileSize: Int = 0, bilevel: Boolean = false,
                   grayBits: Int = 0, bits16: Boolean = false,
-                  ccitt: Int = 0): Array[Byte] = {
+                  ccitt: Int = 0, ccittT4TwoD: Boolean = false): Array[Byte] = {
     require(pageSpecs.nonEmpty, "TiffCodec.encode: no pages")
     require(Seq(packBits, lzw, deflate, ccitt > 0).count(identity) <= 1,
       "TiffCodec.encode: packBits, lzw, deflate and ccitt are exclusive")
@@ -686,6 +692,8 @@ object TiffCodec {
       s"TiffCodec.encode: ccitt $ccitt (0, or TIFF compression 2/3/4)")
     require(ccitt == 0 || bilevel,
       "TiffCodec.encode: CCITT compressions are 1-bit bilevel only")
+    require(!ccittT4TwoD || ccitt == 3,
+      "TiffCodec.encode: ccittT4TwoD is a T.4 (compression 3) option")
     require(!predictor2 || lzw || deflate,
       "TiffCodec.encode: predictor 2 is an LZW/Deflate filter parameter")
     require(!oldDeflateTag || deflate,
@@ -757,7 +765,8 @@ object TiffCodec {
           val black1 =
             if (whiteIsZero) raw
             else raw.map(b => (~b).toByte)
-          CcittCodec.encode(black1, chunkRowBytes, cols, rows, ccitt)
+          CcittCodec.encode(black1, chunkRowBytes, cols, rows, ccitt,
+            twoD = ccittT4TwoD)
         } else if (lzw || deflate) {
           if (predictor2) {
             // horizontal differencing per row, per sample — the inverse
@@ -923,7 +932,7 @@ object TiffCodec {
         Tag(277, 3, 1, p.channels.toLong),
         Tag(284, 3, 1, 1L)) ++ layoutTags ++
         (if (predictor2) Seq(Tag(317, 3, 1, 2L)) else Seq.empty) ++
-        (if (ccitt == 3) Seq(Tag(292, 4, 1, 0L))
+        (if (ccitt == 3) Seq(Tag(292, 4, 1, if (ccittT4TwoD) 1L else 0L))
          else if (ccitt == 4) Seq(Tag(293, 4, 1, 0L)) else Seq.empty)
       w16(tags.length)
       tags.sortBy(_.id).foreach { t =>

@@ -42,6 +42,50 @@ class CcittCodecSpec extends AnyFunSuite with SparkSpec {
     assert(CcittCodec.encode(packed, 1, cols = 4, rows = 1, mode = 2).toSeq == hand.toSeq)
   }
 
+  test("T.4 2-D stream form: tag-bit rows round-trip across K-factors and TIFF") {
+    // codec-level: every K splits the rows differently between 1-D
+    // anchors and 2-D coded rows
+    for (k <- 1 to 4; (cols, rows) <- Seq((17, 13), (33, 9))) {
+      val rowBytes = (cols + 7) / 8
+      val packed = new Array[Byte](rowBytes * rows)
+      for (y <- 0 until rows; x <- 0 until cols
+           if (x * 7 + y * 13) % 5 < 2)
+        packed(y * rowBytes + (x >> 3)) =
+          (packed(y * rowBytes + (x >> 3)) | (1 << (7 - (x & 7)))).toByte
+      val wire = CcittCodec.encode(packed, rowBytes, cols, rows, mode = 3,
+        twoD = true, k = k)
+      val back = CcittCodec.decode(wire, 0, wire.length, cols, rows, mode = 3,
+        twoD = true)
+      assert(back.toSeq == packed.toSeq, s"K=$k ${cols}x$rows")
+    }
+    // TIFF layer: T4Options = 1 accepted and results-invisible
+    val px = mkPixels(19, 11, seed = 5)
+    val oneD = TiffCodec.decode(TiffCodec.encode(19, 11, 1, px,
+      bilevel = true, ccitt = 3))
+    val twoD = TiffCodec.decode(TiffCodec.encode(19, 11, 1, px,
+      bilevel = true, ccitt = 3, ccittT4TwoD = true))
+    assert(oneD.pixels.toSeq == px.toSeq && twoD.pixels.toSeq == px.toSeq)
+    // fill-bit / uncompressed T4Options values still reject: patch the
+    // tag value to 4 (fill bits)
+    val bytes = TiffCodec.encode(19, 11, 1, px, bilevel = true, ccitt = 3,
+      ccittT4TwoD = true)
+    def u16(b: Array[Byte], i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    var at = -1
+    var i = 0
+    while (at < 0 && i + 1 < bytes.length) {
+      if (u16(bytes, i) == 292) at = i
+      i += 2
+    }
+    val patched = bytes.clone(); patched(at + 8) = 4
+    assert(intercept[IllegalArgumentException](TiffCodec.decode(patched))
+      .getMessage.contains("T4Options"))
+    // a 2-D stream decoded WITHOUT the twoD flag mis-frames and rejects
+    val wire2d = CcittCodec.encode(
+      Array.fill[Byte](3 * 5)(0x55), 3, 17, 5, mode = 3, twoD = true)
+    assert(intercept[IllegalArgumentException](
+      CcittCodec.decode(wire2d, 0, wire2d.length, 17, 5, mode = 3)) != null)
+  }
+
   test("codec-level round trips: run shapes incl. makeups and chained 2560s") {
     // (cols, rows, pixel fn black?) — sparse blacks force makeup-sized
     // white runs; all-black forces black makeups; 2700 chains 2560+
@@ -146,8 +190,10 @@ class CcittCodecSpec extends AnyFunSuite with SparkSpec {
       i += 2
     }
     assert(at3 > 0)
+    // T4Options 1 (2-D) became SUPPORTED in round 18 — the out-of-scope
+    // values are fill bits (4) and uncompressed mode (2)
     val patched3 = bytes3.clone()
-    patched3(at3 + 8) = 1
+    patched3(at3 + 8) = 2
     assert(intercept[IllegalArgumentException](TiffCodec.decode(patched3))
       .getMessage.contains("T4Options"))
     // CCITT compression on an 8-bit file: patch a plain gray fixture's
