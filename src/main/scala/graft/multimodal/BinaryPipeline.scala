@@ -261,7 +261,7 @@ object BinaryPipeline {
         sampleRateIdx = (id % 3).toInt, mono = id % 2 == 1,
         bitrateIdxOf = f => (1 + ((id + f) % 14)).toInt,
         nFrames = (20 + id % 17).toInt,
-        v24 = id % 2 == 1, utf8 = id % 4 == 2,
+        v24 = id % 2 == 1, utf8 = id % 4 == 2, utf16 = id % 4 == 1,
         id3v1 = id % 5 == 0, payloadSeed = id)
     }
 

@@ -13,7 +13,8 @@ import java.io.ByteArrayOutputStream
   * Scope:
   *  - ID3v2.3 and v2.4 leading tags: syncsafe tag size, optional
   *    extended header skipped by its declared size, text frames
-  *    (TIT2/TPE1/TALB) in ISO-8859-1 (enc 0) and UTF-8 (enc 3);
+  *    (TIT2/TPE1/TALB) in ISO-8859-1 (enc 0), UTF-16 with BOM (enc 1),
+  *    UTF-16BE (enc 2) and UTF-8 (enc 3);
   *    unsynchronisation and compressed/encrypted frames reject loud
   *  - ID3v1 trailing "TAG" block (128 bytes): title/artist surfaced
   *    when no v2 tag carries them; the frame walk stops before it
@@ -81,9 +82,17 @@ object Mp3Codec {
           val body = java.util.Arrays.copyOfRange(bytes, p + 11, p + 10 + size)
           val text = enc match {
             case 0 => new String(body, java.nio.charset.StandardCharsets.ISO_8859_1)
+            case 1 => // UTF-16 with BOM (the common wild form)
+              require(body.length >= 2 && body.length % 2 == 0 &&
+                ((body(0) == 0xff.toByte && body(1) == 0xfe.toByte) ||
+                 (body(0) == 0xfe.toByte && body(1) == 0xff.toByte)),
+                s"Mp3Codec: $id UTF-16 text without a BOM / odd byte count")
+              new String(body, java.nio.charset.StandardCharsets.UTF_16)
+            case 2 => new String(body, java.nio.charset.StandardCharsets.UTF_16BE)
             case 3 => new String(body, java.nio.charset.StandardCharsets.UTF_8)
             case e => throw new IllegalArgumentException(
-              s"Mp3Codec: text encoding $e in $id unsupported (0 latin-1, 3 utf-8)")
+              s"Mp3Codec: text encoding $e in $id unsupported " +
+                "(0 latin-1, 1 utf-16+BOM, 2 utf-16be, 3 utf-8)")
           }
           val clean = text.takeWhile(_ != '\u0000')
           id match {
@@ -191,7 +200,9 @@ object Mp3Codec {
              sampleRateIdx: Int, mono: Boolean,
              bitrateIdxOf: Int => Int, nFrames: Int,
              v24: Boolean = false, utf8: Boolean = false,
+             utf16: Boolean = false,
              id3v1: Boolean = false, payloadSeed: Long = 0): Array[Byte] = {
+    require(!(utf8 && utf16), "Mp3Codec.encode: utf8 and utf16 are exclusive")
     require(sampleRateIdx >= 0 && sampleRateIdx <= 2,
       s"Mp3Codec.encode: sample-rate index $sampleRateIdx")
     require(nFrames >= 1, "Mp3Codec.encode: no frames")
@@ -200,8 +211,11 @@ object Mp3Codec {
     val frames = Seq("TIT2" -> title, "TPE1" -> artist, "TALB" -> album)
     val body = new ByteArrayOutputStream()
     frames.foreach { case (id, text) =>
-      val enc = if (utf8) 3 else 0
-      val data = text.getBytes(if (utf8) "UTF-8" else "ISO-8859-1")
+      val enc = if (utf8) 3 else if (utf16) 1 else 0
+      val data =
+        if (utf16) Array[Byte](0xff.toByte, 0xfe.toByte) ++
+          text.getBytes("UTF-16LE")
+        else text.getBytes(if (utf8) "UTF-8" else "ISO-8859-1")
       id.foreach(c => body.write(c))
       val size = 1 + data.length
       if (v24) {

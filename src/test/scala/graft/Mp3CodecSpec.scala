@@ -39,13 +39,13 @@ class Mp3CodecSpec extends AnyFunSuite with SparkSpec {
       srIdx <- 0 to 2
       mono <- Seq(false, true)
       v24 <- Seq(false, true)
-      utf8 <- Seq(false, true)
+      (utf8, utf16) <- Seq((false, false), (true, false), (false, true))
       id3v1 <- Seq(false, true)
     } {
       val n = 23
       val wire = Mp3Codec.encode("T", "A", "Al", srIdx, mono,
-        f => 1 + (f % 14), n, v24 = v24, utf8 = utf8, id3v1 = id3v1,
-        payloadSeed = 7)
+        f => 1 + (f % 14), n, v24 = v24, utf8 = utf8, utf16 = utf16,
+        id3v1 = id3v1, payloadSeed = 7)
       val m = Mp3Codec.decodeMeta(wire)
       assert(m.sampleRate == Seq(44100, 48000, 32000)(srIdx))
       assert(m.channels == (if (mono) 1 else 2) && m.frameCount == n)
@@ -94,10 +94,14 @@ class Mp3CodecSpec extends AnyFunSuite with SparkSpec {
     val unsync = good.clone(); unsync(5) = 0x80.toByte
     assert(intercept[IllegalArgumentException](Mp3Codec.decodeMeta(unsync))
       .getMessage.contains("unsynchronisation"))
-    // unsupported text encoding (UTF-16 BOM form = 1)
+    // reserved text encoding byte (enc 1 = UTF-16 became supported)
+    val enc9 = good.clone(); enc9(20) = 9
+    assert(intercept[IllegalArgumentException](Mp3Codec.decodeMeta(enc9))
+      .getMessage.contains("encoding"))
+    // enc 1 without a BOM rejects
     val enc1 = good.clone(); enc1(20) = 1
     assert(intercept[IllegalArgumentException](Mp3Codec.decodeMeta(enc1))
-      .getMessage.contains("encoding"))
+      .getMessage.contains("BOM"))
     // truncated final frame
     assert(intercept[IllegalArgumentException](Mp3Codec.decodeMeta(
       java.util.Arrays.copyOf(good, good.length - 3)))
