@@ -324,6 +324,11 @@ object CcittCodec {
         val s = if (a0 < 0) 0 else a0
         val r1 = readRun(br, color)
         val r2 = readRun(br, color ^ 1)
+        // a zero-length FIRST run is only the row-starts-black idiom
+        // (a0 imaginary); mid-row it would record duplicate transitions
+        // that mis-paint later spans silently
+        require(r1 > 0 || a0 < 0,
+          "CcittCodec: zero-length horizontal run mid-row (malformed)")
         val a1 = s + r1
         val a2 = a1 + r2
         require(a1 >= s && a2 <= cols && a2 > a0,
@@ -340,6 +345,13 @@ object CcittCodec {
       }
     }
     require(a0 == cols, s"CcittCodec: row decoded past $cols columns ($a0)")
+    // an ODD transition count whose last transition sits BEFORE cols is
+    // an unclosed black span (e.g. a pass landing on cols mid-black) —
+    // packRow would silently drop it, so reject loud. Odd counts ending
+    // exactly AT cols are the valid zero-width-trailing-run shape (an
+    // all-white row coded V0 records the single transition at cols).
+    require(n % 2 == 0 || cur(n - 1) == cols,
+      s"CcittCodec: row ends with an unclosed run at ${cur(n - 1)}")
     n
   }
 

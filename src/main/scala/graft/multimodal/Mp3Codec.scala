@@ -66,12 +66,18 @@ object Mp3Codec {
         val ext =
           if (major == 4) syncsafe(bytes, p)
           else be32(bytes, p) + 4 // v2.3 size EXCLUDES its own 4 size bytes
-        require(p + ext <= tagEnd, "Mp3Codec: extended header past tag end")
+        // be32 is SIGNED: a hostile negative size would walk backwards
+        require(ext >= 4 && p + ext <= tagEnd,
+          "Mp3Codec: extended header size out of the tag")
         p += ext
       }
       while (p + 10 <= tagEnd && bytes(p) != 0) {
         val id = new String(bytes, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
         val size = if (major == 4) syncsafe(bytes, p + 4) else be32(bytes, p + 4)
+        // be32 is SIGNED: without this, a 0xFFFFFFF6 v2.3 frame size makes
+        // p += 10 + size stand still (or walk backwards) — an infinite
+        // loop instead of the codec family's loud reject
+        require(size >= 0, s"Mp3Codec: frame $id declares negative size $size")
         val fflags = ((bytes(p + 8) & 0xff) << 8) | (bytes(p + 9) & 0xff)
         require(p + 10 + size <= tagEnd, s"Mp3Codec: frame $id past tag end")
         require((fflags & 0x00ff) == 0,

@@ -178,9 +178,12 @@ object WebpCodec {
     10, 11, 12, 13, 14, 15)
 
   /** LZ77 length/distance prefix coding: value -> (code, extraBits,
-    * extraVal); decode side returns value from code + extra bits. */
-  private def prefixDecode(code: Int, br: BitReader): Int = {
-    require(code >= 0 && code < 24, s"WebpCodec: prefix code $code out of range")
+    * extraVal); decode side returns value from code + extra bits.
+    * `maxCode` is the alphabet's prefix-code count — 24 for lengths
+    * (green symbols 256-279), 40 for distances. */
+  private def prefixDecode(code: Int, br: BitReader, maxCode: Int): Int = {
+    require(code >= 0 && code < maxCode,
+      s"WebpCodec: prefix code $code out of the $maxCode-code range")
     if (code < 4) code + 1
     else {
       val extra = (code - 2) >> 1
@@ -194,8 +197,9 @@ object WebpCodec {
     if (v <= 4) (v - 1, 0, 0)
     else {
       // code c >= 4 covers [off+1, off+2^e] with e=(c-2)>>1, off=(2+(c&1))<<e
+      // (40 codes — the distance alphabet's full range)
       var c = 4
-      while (c < 24) {
+      while (c < 40) {
         val e = (c - 2) >> 1
         val off = (2 + (c & 1)) << e
         if (v >= off + 1 && v <= off + (1 << e)) return (c, e, v - off - 1)
@@ -452,8 +456,8 @@ object WebpCodec {
         if (cache != null) cache(cacheHash(p, cacheBits)) = p
         pos += 1
       } else if (s < 280) {
-        val len = prefixDecode(s - 256, br)
-        val dCode = prefixDecode(dist.decode(br), br)
+        val len = prefixDecode(s - 256, br, maxCode = 24)
+        val dCode = prefixDecode(dist.decode(br), br, maxCode = 40)
         val d = mapDistance(dCode, xsize)
         require(d <= pos, s"WebpCodec: backref distance $d at pixel $pos")
         require(pos + len <= out.length,

@@ -73,6 +73,19 @@ object PdfPipeline {
       .toDF()
   }
 
+
+  /** Spread a (id, text) synthesis input over the session's default
+    * parallelism with an EXPLICIT partition count: the shuffle is cheap
+    * vs the per-row PDF synthesis + full-parser decode, and on a
+    * single-partition local scan the codec work would otherwise run
+    * single-threaded (an advisory repartition is AQE-coalesced right
+    * back — the id/text shuffle is tiny). */
+  private def spreadIdText(docs: DataFrame, idCol: String,
+                           textCol: String): DataFrame =
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col(idCol))
+
   /** Synthesize a REAL per-document PDF (classic xref, Flate-compressed
     * content streams, one page per `pageSize` chars) from a text column —
     * the in-engine blob generator that lets the decode path be exercised,
@@ -88,13 +101,7 @@ object PdfPipeline {
     // function of (mode, passwords) — per-row construction would re-run
     // the V5 hardened KDF (≥64 AES rounds × 6 hashes) for every file
     val spec = encryptMode.map(m => PdfCrypto.EncryptSpec(m))
-    docs.select(col(idCol).cast("long"), col(textCol))
-      // explicit-count repartition: the (id, text) shuffle is cheap vs
-      // the per-row PDF synthesis + full-parser decode, and on a
-      // single-partition local scan the codec work would otherwise run
-      // single-threaded (an advisory repartition would be AQE-coalesced)
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
-        col(idCol))
+    spreadIdText(docs, idCol, textCol)
       .as[(Long, String)]
       .map { case (id, text) =>
         val pages = if (text.isEmpty) Seq.empty[String] else text.grouped(pageSize).toSeq
@@ -119,13 +126,7 @@ object PdfPipeline {
     import spark.implicits._
     // once, not per row — the V5 KDF is deliberately expensive
     val spec = encryptMode.map(m => PdfCrypto.EncryptSpec(m))
-    docs.select(col(idCol).cast("long"), col(textCol))
-      // explicit-count repartition: the (id, text) shuffle is cheap vs
-      // the per-row PDF synthesis + full-parser decode, and on a
-      // single-partition local scan the codec work would otherwise run
-      // single-threaded (an advisory repartition would be AQE-coalesced)
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
-        col(idCol))
+    spreadIdText(docs, idCol, textCol)
       .as[(Long, String)]
       .map { case (id, text) =>
         val pages = if (text.isEmpty) Seq.empty[String] else text.grouped(pageSize).toSeq
@@ -143,13 +144,7 @@ object PdfPipeline {
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast("long"), col(textCol))
-      // explicit-count repartition: the (id, text) shuffle is cheap vs
-      // the per-row PDF synthesis + full-parser decode, and on a
-      // single-partition local scan the codec work would otherwise run
-      // single-threaded (an advisory repartition would be AQE-coalesced)
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
-        col(idCol))
+    spreadIdText(docs, idCol, textCol)
       .as[(Long, String)]
       .map { case (id, text) =>
         val pages = if (text.isEmpty) Seq.empty[String] else text.grouped(pageSize).toSeq
@@ -165,13 +160,7 @@ object PdfPipeline {
                          idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast("long"), col(textCol))
-      // explicit-count repartition: the (id, text) shuffle is cheap vs
-      // the per-row PDF synthesis + full-parser decode, and on a
-      // single-partition local scan the codec work would otherwise run
-      // single-threaded (an advisory repartition would be AQE-coalesced)
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
-        col(idCol))
+    spreadIdText(docs, idCol, textCol)
       .as[(Long, String)]
       .map { case (id, text) =>
         val pages = if (text.isEmpty) Seq.empty[String] else text.grouped(pageSize).toSeq
@@ -193,13 +182,7 @@ object PdfPipeline {
                                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast("long"), col(textCol))
-      // explicit-count repartition: the (id, text) shuffle is cheap vs
-      // the per-row PDF synthesis + full-parser decode, and on a
-      // single-partition local scan the codec work would otherwise run
-      // single-threaded (an advisory repartition would be AQE-coalesced)
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
-        col(idCol))
+    spreadIdText(docs, idCol, textCol)
       .as[(Long, String)]
       .map { case (id, text) =>
         // altCmapName: odd docs name the ALTERNATE registration (round
@@ -249,13 +232,7 @@ object PdfPipeline {
                              idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast("long"), col(textCol))
-      // explicit-count repartition: the (id, text) shuffle is cheap vs
-      // the per-row PDF synthesis + full-parser decode, and on a
-      // single-partition local scan the codec work would otherwise run
-      // single-threaded (an advisory repartition would be AQE-coalesced)
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
-        col(idCol))
+    spreadIdText(docs, idCol, textCol)
       .as[(Long, String)]
       .map { case (id, text) =>
         // code-point paging, like the predef-CMap sibling: format12
