@@ -2634,7 +2634,7 @@ object QueriesExtra {
              |       unnest(range(0, 3)) AS gc(c)),
              |webp_px AS (SELECT doc_id + 1000000 AS doc_id,
              |    (((y*2)//h) * 2 + ((x*2)//w)) * 3 + c AS dim,
-             |    CASE WHEN doc_id % 6 = 2 THEN
+             |    CASE WHEN doc_id % 7 = 2 THEN
              |      CASE c WHEN 0 THEN (((doc_id*37 + (y*w + x)*13) % 16) * 37) % 256
              |             WHEN 1 THEN (((doc_id*37 + (y*w + x)*13) % 16) * 59 + 17) % 256
              |             ELSE (((doc_id*37 + (y*w + x)*13) % 16) * 83 + 29) % 256 END
@@ -2672,7 +2672,7 @@ object QueriesExtra {
       Some("""WITH p AS (SELECT doc_id, 10 + doc_id % 11 AS w, 8 + doc_id % 9 AS h
              |  FROM documents),
              |b AS (SELECT doc_id, w, h, i,
-             |    CASE WHEN doc_id % 6 = 2 THEN
+             |    CASE WHEN doc_id % 7 = 2 THEN
              |      CASE i % 3
              |        WHEN 0 THEN (((doc_id*37 + (i//3)*13) % 16) * 37) % 256
              |        WHEN 1 THEN (((doc_id*37 + (i//3)*13) % 16) * 59 + 17) % 256

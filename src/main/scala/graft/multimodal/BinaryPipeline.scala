@@ -1194,11 +1194,12 @@ object BinaryPipeline {
   }
 
   /** WebP VP8L corpus (round 18 — a top-3 web-crawl image format):
-    * w = 10 + id%11, h = 8 + id%9, RGB. Wire mode rotates id%6 through
+    * w = 10 + id%11, h = 8 + id%9, RGB. Wire mode rotates id%7 through
     * plain literals / subtract-green / 16-color PALETTE (bundled
     * sub-byte indices) / LZ77+color-cache / PREDICTOR (mode id%14) /
-    * COLOR transform. Pixel formulas (oracle-replayable):
-    *   palette ids (id%6 == 2): idx(p) = (id·37 + p·13) mod 16,
+    * COLOR transform / META PREFIX CODES (two huffman groups).
+    * Pixel formulas (oracle-replayable):
+    *   palette ids (id%7 == 2): idx(p) = (id·37 + p·13) mod 16,
     *     rgb(j) = (j·37 mod 256, (j·59+17) mod 256, (j·83+29) mod 256)
     *   all other modes: byte i of interleaved RGB = (id·37 + i·11) mod 256
     * — the wire mode must be results-INVISIBLE (lossless invariance),
@@ -1213,7 +1214,7 @@ object BinaryPipeline {
           val id = r.getLong(0)
           val w = (10 + id % 11).toInt
           val h = (8 + id % 9).toInt
-          val mode = (id % 6).toInt
+          val mode = (id % 7).toInt
           val px = new Array[Byte](w * h * 3)
           if (mode == 2) {
             var p = 0

@@ -559,8 +559,8 @@ object FlacCodec {
             })
           else (plane(c), bits)
         // subframe strategy rotation: constant when possible, else
-        // verbatim / fixed1 / fixed2 by seed
-        writeSubframe(body, data, n, cbits, ((strategy + frameIdx + c) % 3).toInt)
+        // verbatim / fixed1 / fixed2 / lpc2 by seed
+        writeSubframe(body, data, n, cbits, ((strategy + frameIdx + c) % 4).toInt)
         c += 1
       }
       val bodyBytes = body.bytes // zero-padded to byte alignment
@@ -577,8 +577,11 @@ object FlacCodec {
   }
 
   /** One subframe: CONSTANT when all samples agree, else the seeded
-    * choice of VERBATIM / FIXED order 1 / FIXED order 2 with a
-    * mean-sized rice parameter (escape-to-raw when residuals explode). */
+    * choice of VERBATIM / FIXED order 1 / FIXED order 2 / LPC order 2
+    * (fixed 3.1 coefficients — any coefficient set is wire-valid and
+    * lossless; this leg keeps the decoder's LPC path round-trip-tested)
+    * with a mean-sized rice parameter (escape-to-raw when residuals
+    * explode). */
   private def writeSubframe(bw: BitWriter, data: Array[Long], n: Int,
                             bps: Int, choice: Int): Unit = {
     bw.write(0, 1) // pad
@@ -588,9 +591,33 @@ object FlacCodec {
       bw.write(data(0), bps)
       return
     }
+    if (choice == 3 && n > 2) {
+      // LPC order 2: coefs (3, -1) at shift 1 — the linear-extrapolation
+      // predictor s(i) ≈ (3·s(i−1) − s(i−2)) / 2
+      val order = 2
+      val coef = Array(3L, -1L)
+      val precision = 3 // signed 3-bit coefficients
+      val shift = 1
+      bw.write(0x20L | (order - 1), 6) // LPC: 1xxxxx, xxxxx = order-1
+      bw.write(0, 1) // no wasted bits
+      var i = 0
+      while (i < order) { bw.write(data(i), bps); i += 1 }
+      bw.write((precision - 1).toLong, 4)
+      bw.write(shift.toLong, 5)
+      coef.foreach(c => bw.write(c, precision))
+      val res = new Array[Long](n - order)
+      i = order
+      while (i < n) {
+        val pred = (coef(0) * data(i - 1) + coef(1) * data(i - 2)) >> shift
+        res(i - order) = data(i) - pred
+        i += 1
+      }
+      writeResidual(bw, res)
+      return
+    }
     val order = choice match {
       case 1 => math.min(1, n - 1)
-      case 2 => math.min(2, n - 1)
+      case 2 | 3 => math.min(2, n - 1)
       case _ => -1 // verbatim
     }
     if (order < 0) {
@@ -615,6 +642,12 @@ object FlacCodec {
       }
       i += 1
     }
+    writeResidual(bw, res)
+  }
+
+  /** Rice method-0 residual block (partition order 0) with the
+    * escape-to-raw fallback. */
+  private def writeResidual(bw: BitWriter, res: Array[Long]): Unit = {
     bw.write(0, 2) // rice method 0 (4-bit params)
     bw.write(0, 4) // partition order 0
     // pick the rice parameter from the mean magnitude; escape if huge

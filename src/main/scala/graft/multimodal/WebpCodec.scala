@@ -25,8 +25,10 @@ import java.io.ByteArrayOutputStream
   *    with 16/17/18 repeats, optional max_symbol, canonical DEFLATE
   *    assignment read MSB-of-code-first from the LSB-first stream);
   *    single-symbol normal codes consume 0 bits per the spec
-  *  - meta prefix codes (multiple huffman groups) are out of scope and
-  *    reject LOUD by name, as do cropped/rotated VP8X containers
+  *  - META PREFIX CODES (round 18): the level-0 image may carry an
+  *    entropy sub-image assigning a huffman GROUP per huffman-bits
+  *    tile, index (red << 8) | green — sub-images carry NO meta bit
+  *    per the spec; cropped/rotated VP8X containers reject by name
   *
   * The encoder writes real VP8L streams (histogram-built length-limited
   * canonical codes, optional subtract-green / palette / LZ77 / color
@@ -303,13 +305,13 @@ object WebpCodec {
           val sb = br.bits(3) + 2
           val bw = (xsize + (1 << sb) - 1) >> sb
           val bh = (height + (1 << sb) - 1) >> sb
-          val sub = decodeImageData(br, bw, bh)
+          val sub = decodeImageData(br, bw, bh, isLevel0 = false)
           transforms += Transform(kind, sb, sub, 0)
         case 2 =>
           transforms += Transform(2, 0, null, 0)
         case 3 =>
           val palSize = br.bits(8) + 1
-          val pal = decodeImageData(br, palSize, 1)
+          val pal = decodeImageData(br, palSize, 1, isLevel0 = false)
           // palette entries are component-wise delta-coded
           var i = 1
           while (i < palSize) {
@@ -328,7 +330,7 @@ object WebpCodec {
     // geometry threading — out of scope, reject rather than mis-decode
     require(!seen(3) || seen.size == 1,
       "WebpCodec: color-indexing combined with other transforms unsupported")
-    var argb = decodeImageData(br, xsize, height)
+    var argb = decodeImageData(br, xsize, height, isLevel0 = true)
 
     // inverse transforms in reverse read order
     transforms.reverseIterator.foreach { t =>
@@ -431,51 +433,86 @@ object WebpCodec {
   /** One entropy-coded ARGB image (no transforms at this level): the
     * optional color cache, the five prefix codes, and the literal /
     * backref / cache-hit pixel loop. */
-  private def decodeImageData(br: BitReader, xsize: Int, ysize: Int): Array[Int] = {
-    val cacheBits = if (br.bit() == 1) br.bits(4) else 0
-    require(cacheBits <= 11, s"WebpCodec: color-cache bits $cacheBits > 11")
-    val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
-    require(br.bit() == 0,
-      "WebpCodec: meta prefix codes (multiple huffman groups) unsupported")
+  private final class CodeGroup(br: BitReader, cacheSize: Int) {
     val green = readPrefixCode(br, 256 + 24 + cacheSize, "green")
     val red = readPrefixCode(br, 256, "red")
     val blue = readPrefixCode(br, 256, "blue")
     val alpha = readPrefixCode(br, 256, "alpha")
     val dist = readPrefixCode(br, 40, "distance")
+  }
+
+  /** One entropy-coded image. `isLevel0` marks the top-level spatially
+    * coded image — it alone carries the META-PREFIX bit (spec: the
+    * entropy-coded sub-images for transforms and palettes have color
+    * cache + prefix codes only); with meta prefix codes, an entropy
+    * sub-image assigns one of several code GROUPS to each huffman-bits
+    * tile, index (red << 8) | green. */
+  private def decodeImageData(br: BitReader, xsize: Int, ysize: Int,
+                              isLevel0: Boolean): Array[Int] = {
+    val cacheBits = if (br.bit() == 1) br.bits(4) else 0
+    require(cacheBits <= 11, s"WebpCodec: color-cache bits $cacheBits > 11")
+    val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
+    // meta prefix codes: level-0 only (round 18 — sub-images carry NO
+    // meta bit per the spec)
+    var metaBits = 0
+    var metaW = 0
+    var groupIdx: Array[Int] = null
+    val groups: Array[CodeGroup] =
+      if (isLevel0 && br.bit() == 1) {
+        metaBits = br.bits(3) + 2
+        metaW = (xsize + (1 << metaBits) - 1) >> metaBits
+        val metaH = (ysize + (1 << metaBits) - 1) >> metaBits
+        val entropy = decodeImageData(br, metaW, metaH, isLevel0 = false)
+        groupIdx = entropy.map(p => (((p >> 16) & 0xff) << 8) | ((p >> 8) & 0xff))
+        val n = groupIdx.max + 1
+        require(n <= 1024,
+          s"WebpCodec: $n huffman groups exceed the sanity bound")
+        Array.fill(n)(new CodeGroup(br, cacheSize))
+      } else Array(new CodeGroup(br, cacheSize))
     val out = new Array[Int](xsize * ysize)
     val cache = if (cacheSize > 0) new Array[Int](cacheSize) else null
     var pos = 0
+    var x = 0
+    var y = 0
+    def advance(n: Int): Unit = {
+      pos += n
+      x += n
+      while (x >= xsize) { x -= xsize; y += 1 }
+    }
     while (pos < out.length) {
-      val s = green.decode(br)
+      val g =
+        if (groupIdx == null) groups(0)
+        else groups(groupIdx((y >> metaBits) * metaW + (x >> metaBits)))
+      val s = g.green.decode(br)
       if (s < 256) {
-        val r = red.decode(br)
-        val b = blue.decode(br)
-        val a = alpha.decode(br)
+        val r = g.red.decode(br)
+        val b = g.blue.decode(br)
+        val a = g.alpha.decode(br)
         val p = (a << 24) | (r << 16) | (s << 8) | b
         out(pos) = p
         if (cache != null) cache(cacheHash(p, cacheBits)) = p
-        pos += 1
+        advance(1)
       } else if (s < 280) {
         val len = prefixDecode(s - 256, br, maxCode = 24)
-        val dCode = prefixDecode(dist.decode(br), br, maxCode = 40)
+        val dCode = prefixDecode(g.dist.decode(br), br, maxCode = 40)
         val d = mapDistance(dCode, xsize)
         require(d <= pos, s"WebpCodec: backref distance $d at pixel $pos")
         require(pos + len <= out.length,
           s"WebpCodec: backref of $len overruns the image")
         var k = 0
         while (k < len) {
-          val p = out(pos - d)
-          out(pos) = p
+          val p = out(pos + k - d)
+          out(pos + k) = p
           if (cache != null) cache(cacheHash(p, cacheBits)) = p
-          pos += 1
           k += 1
         }
+        advance(len)
       } else {
         val idx = s - 280
         require(cache != null && idx < cacheSize,
           s"WebpCodec: cache index $idx without a ${cacheSize}-entry cache")
         out(pos) = cache(idx)
-        pos += 1
+        advance(1)
       }
     }
     out
@@ -635,7 +672,8 @@ object WebpCodec {
     * (requires ≤ 256 distinct colors; bundles when ≤ 16), 3 = LZ77 +
     * color cache over literals, 4 = PREDICTOR transform (`predMode`
     * picks the spec mode 0-13), 5 = COLOR transform (fixed non-trivial
-    * multipliers). Channels 3 (RGB, opaque) or 4 (RGBA). */
+    * multipliers), 6 = META PREFIX CODES (two tile-checkerboard huffman
+    * groups). Channels 3 (RGB, opaque) or 4 (RGBA). */
   def encode(width: Int, height: Int, channels: Int, pixels: Array[Byte],
              mode: Int = 0, predMode: Int = 7): Array[Byte] = {
     require(channels == 3 || channels == 4,
@@ -644,7 +682,7 @@ object WebpCodec {
       s"WebpCodec.encode: ${width}x$height outside the 14-bit range")
     require(pixels.length == width * height * channels,
       s"WebpCodec.encode: ${pixels.length} bytes for ${width}x$height x$channels")
-    require(mode >= 0 && mode <= 5, s"WebpCodec.encode: mode $mode")
+    require(mode >= 0 && mode <= 6, s"WebpCodec.encode: mode $mode")
     require(predMode >= 0 && predMode <= 13,
       s"WebpCodec.encode: predictor mode $predMode outside 0-13")
     val n = width * height
@@ -684,7 +722,8 @@ object WebpCodec {
       val deltas = palette.zipWithIndex.map { case (p, k) =>
         if (k == 0) p else subPixels(p, palette(k - 1))
       }
-      writeImageData(bw, deltas, palette.length, useLz77 = false, cacheBits = 0)
+      writeImageData(bw, deltas, palette.length, useLz77 = false,
+        cacheBits = 0, isLevel0 = false)
       val wb = widthBits(palette.length)
       val bitsPer = 8 >> wb
       xsize = (width + (1 << wb) - 1) >> wb
@@ -713,7 +752,7 @@ object WebpCodec {
       val gw = (width + (1 << sb) - 1) >> sb
       val gh = (height + (1 << sb) - 1) >> sb
       writeImageData(bw, Array.fill(gw * gh)(0xff000000 | (predMode << 8)),
-        gw, useLz77 = false, cacheBits = 0)
+        gw, useLz77 = false, cacheBits = 0, isLevel0 = false)
       coded = new Array[Int](n)
       var idx = 0
       var y = 0
@@ -736,7 +775,7 @@ object WebpCodec {
       val gh = (height + (1 << sb) - 1) >> sb
       val cte = 0xff000000 | (r2b << 16) | (g2b << 8) | g2r
       writeImageData(bw, Array.fill(gw * gh)(cte), gw,
-        useLz77 = false, cacheBits = 0)
+        useLz77 = false, cacheBits = 0, isLevel0 = false)
       coded = argb.map { p =>
         val g = (p >> 8) & 0xff
         val r0 = (p >> 16) & 0xff
@@ -748,8 +787,10 @@ object WebpCodec {
       }
     }
     bw.writeBits(0, 1) // no more transforms
-    writeImageData(bw, coded, xsize,
-      useLz77 = mode == 3, cacheBits = if (mode == 3) 6 else 0)
+    if (mode == 6) writeImageDataMeta(bw, coded, xsize)
+    else writeImageData(bw, coded, xsize,
+      useLz77 = mode == 3, cacheBits = if (mode == 3) 6 else 0,
+      isLevel0 = true)
 
     val payload = bw.bytes
     val out = new ByteArrayOutputStream(payload.length + 32)
@@ -778,6 +819,73 @@ object WebpCodec {
     aa | rr | gg | bb
   }
 
+  /** Level-0 image with META PREFIX CODES (round 18): 16-px tiles
+    * assigned to TWO huffman groups in a tile-index checkerboard, each
+    * group's codes built from its own pixels' histograms — the
+    * multi-group shape large photographic VP8L files use. Literals
+    * only (no LZ77/cache), keeping group attribution pixel-local. */
+  private def writeImageDataMeta(bw: BitWriter, argb: Array[Int],
+                                 xsize: Int): Unit = {
+    val ysize = argb.length / xsize
+    bw.writeBits(0, 1) // no color cache
+    bw.writeBits(1, 1) // meta prefix codes present
+    val metaBits = 4
+    bw.writeBits(metaBits - 2, 3)
+    val mw = (xsize + (1 << metaBits) - 1) >> metaBits
+    val mh = (ysize + (1 << metaBits) - 1) >> metaBits
+    val gIdx = Array.tabulate(mw * mh)(t => t % 2)
+    val nGroups = gIdx.max + 1
+    // entropy sub-image: group index rides (red << 8) | green
+    writeImageData(bw, gIdx.map(g => 0xff000000 | ((g & 0xff) << 8)), mw,
+      useLz77 = false, cacheBits = 0, isLevel0 = false)
+    def groupOf(pos: Int): Int = {
+      val x = pos % xsize
+      val y = pos / xsize
+      gIdx((y >> metaBits) * mw + (x >> metaBits))
+    }
+    // per-group histograms over literal pixels
+    val gF = Array.fill(nGroups)(new Array[Long](256 + 24))
+    val rF = Array.fill(nGroups)(new Array[Long](256))
+    val bF = Array.fill(nGroups)(new Array[Long](256))
+    val aF = Array.fill(nGroups)(new Array[Long](256))
+    var pos = 0
+    while (pos < argb.length) {
+      val g = groupOf(pos)
+      val p = argb(pos)
+      gF(g)((p >> 8) & 0xff) += 1
+      rF(g)((p >> 16) & 0xff) += 1
+      bF(g)(p & 0xff) += 1
+      aF(g)((p >>> 24) & 0xff) += 1
+      pos += 1
+    }
+    val dF = new Array[Long](40)
+    dF(0) = 1 // the spec requires all five codes per group
+    val lens = (0 until nGroups).map { g =>
+      (codeLengths(gF(g), 15), codeLengths(rF(g), 15), codeLengths(bF(g), 15),
+        codeLengths(aF(g), 15), codeLengths(dF, 15))
+    }
+    lens.foreach { case (gl, rl, bl, al, dl) =>
+      Seq(gl, rl, bl, al, dl).foreach(writeCodeDef(bw, _))
+    }
+    val codes = lens.map { case (gl, rl, bl, al, _) =>
+      (canonicalCodes(gl), gl, canonicalCodes(rl), rl,
+        canonicalCodes(bl), bl, canonicalCodes(al), al)
+    }
+    def emit(cs: Array[(Int, Int)], ls: Array[Int], sym: Int): Unit =
+      if (ls.count(_ > 0) != 1) bw.writeCode(cs(sym)._1, cs(sym)._2)
+    pos = 0
+    while (pos < argb.length) {
+      val g = groupOf(pos)
+      val (gC, gl, rC, rl, bC, bl, aC, al) = codes(g)
+      val p = argb(pos)
+      emit(gC, gl, (p >> 8) & 0xff)
+      emit(rC, rl, (p >> 16) & 0xff)
+      emit(bC, bl, p & 0xff)
+      emit(aC, al, (p >>> 24) & 0xff)
+      pos += 1
+    }
+  }
+
   /** Symbol stream element: literal pixel, backref, or cache hit. */
   private sealed trait Tok
   private final case class Lit(p: Int) extends Tok
@@ -788,10 +896,13 @@ object WebpCodec {
     * color cache), histogram, build length-limited canonical codes,
     * write the five code definitions and the token stream. */
   private def writeImageData(bw: BitWriter, argb: Array[Int], xsize: Int,
-                             useLz77: Boolean, cacheBits: Int): Unit = {
+                             useLz77: Boolean, cacheBits: Int,
+                             isLevel0: Boolean): Unit = {
     if (cacheBits > 0) { bw.writeBits(1, 1); bw.writeBits(cacheBits, 4) }
     else bw.writeBits(0, 1)
-    bw.writeBits(0, 1) // no meta prefix codes
+    // the meta-prefix bit exists ONLY on the level-0 image (sub-images
+    // carry color cache + prefix codes, nothing else)
+    if (isLevel0) bw.writeBits(0, 1) // single huffman group
     val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
     val cache = if (cacheSize > 0) new Array[Int](cacheSize) else null
     // seen-flags, NOT a sentinel pixel: a real pixel equal to any

@@ -154,6 +154,17 @@ class WebpCodecSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("round trips: META PREFIX CODES (two-group tile checkerboard)") {
+    // wide enough for several 16-px tiles so both groups carry pixels;
+    // heights crossing tile boundaries; tiny images degrade to 1 tile
+    for ((w, h) <- Seq((40, 20), (33, 17), (16, 16), (5, 3))) {
+      val px = mkPixels(w, h, 3, seed = w + h)
+      val wire = WebpCodec.encode(w, h, 3, px, mode = 6)
+      val img = WebpCodec.decode(wire)
+      assert(img.pixels.toSeq == px.toSeq, s"meta ${w}x$h")
+    }
+  }
+
   test("RGBA with real alpha survives, opaque RGBA narrows to RGB") {
     val w = 9; val h = 6
     val px = Array.tabulate(w * h * 4)(i =>
@@ -177,14 +188,13 @@ class WebpCodecSpec extends AnyFunSuite with SparkSpec {
     // truncation mid-stream
     assert(intercept[IllegalArgumentException](
       WebpCodec.decode(java.util.Arrays.copyOf(wire, wire.length - 2))) != null)
-    // meta prefix codes reject by name
+    // a meta-bit set with no entropy-image data behind it fails loud
     val w = new W
     w.b(0, 14).b(0, 14).b(0, 1).b(0, 3)
     w.b(0, 1) // no transforms
     w.b(0, 1) // no cache
-    w.b(1, 1) // meta prefix codes present
-    assert(intercept[IllegalArgumentException](WebpCodec.decode(w.wrap()))
-      .getMessage.contains("meta prefix"))
+    w.b(1, 1) // meta prefix codes present, then nothing
+    assert(intercept[IllegalArgumentException](WebpCodec.decode(w.wrap())) != null)
     // bad signature byte
     val sig = wire.clone(); sig(20) = 0x2e
     assert(intercept[IllegalArgumentException](WebpCodec.decode(sig))
@@ -204,7 +214,7 @@ class WebpCodecSpec extends AnyFunSuite with SparkSpec {
       var i = 0
       while (i < w * h * 3) {
         val v =
-          if (id % 6 == 2) {
+          if (id % 7 == 2) {
             val j = ((id * 37 + (i / 3) * 13L) % 16).toInt
             (i % 3) match {
               case 0 => (j * 37) % 256
@@ -217,7 +227,7 @@ class WebpCodecSpec extends AnyFunSuite with SparkSpec {
         i += 1
       }
       assert(r.getLong(4) == rs && r.getLong(5) == gs && r.getLong(6) == bs &&
-        r.getLong(7) == ws, s"doc $id (mode ${id % 6})")
+        r.getLong(7) == ws, s"doc $id (mode ${id % 7})")
     }
   }
 }
