@@ -871,8 +871,11 @@ object WebpCodec {
       (canonicalCodes(gl), gl, canonicalCodes(rl), rl,
         canonicalCodes(bl), bl, canonicalCodes(al), al)
     }
+    val singleSet: Set[AnyRef] = lens.flatMap { case (gl, rl, bl, al, _) =>
+      Seq(gl, rl, bl, al).filter(_.count(_ > 0) == 1).map(_.asInstanceOf[AnyRef])
+    }.toSet
     def emit(cs: Array[(Int, Int)], ls: Array[Int], sym: Int): Unit =
-      if (ls.count(_ > 0) != 1) bw.writeCode(cs(sym)._1, cs(sym)._2)
+      if (!singleSet(ls)) bw.writeCode(cs(sym)._1, cs(sym)._2)
     pos = 0
     while (pos < argb.length) {
       val g = groupOf(pos)
@@ -982,10 +985,14 @@ object WebpCodec {
     val gC = canonicalCodes(gl); val rC = canonicalCodes(rl)
     val bC = canonicalCodes(bl); val aC = canonicalCodes(al)
     val dC = canonicalCodes(dl)
+    // degenerate single-symbol codes emit 0 bits — precomputed, not
+    // recounted per pixel
+    val singleOf = Map(
+      (gl: AnyRef) -> (gl.count(_ > 0) == 1), (rl: AnyRef) -> (rl.count(_ > 0) == 1),
+      (bl: AnyRef) -> (bl.count(_ > 0) == 1), (al: AnyRef) -> (al.count(_ > 0) == 1),
+      (dl: AnyRef) -> (dl.count(_ > 0) == 1))
     def emit(codes: Array[(Int, Int)], lens: Array[Int], sym: Int): Unit = {
-      val singles = lens.count(_ > 0)
-      if (singles == 1) () // 0-bit degenerate code
-      else bw.writeCode(codes(sym)._1, codes(sym)._2)
+      if (!singleOf(lens)) bw.writeCode(codes(sym)._1, codes(sym)._2)
     }
     toks.foreach {
       case Lit(p) =>
