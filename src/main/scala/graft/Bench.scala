@@ -44,7 +44,13 @@ object Bench {
       }
     }
     def timeQuery(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-        n: Int): Double =
+        n: Int): Double = {
+      // quiesce between queries: the media/PDF corpus queries allocate
+      // GBs of short-lived codec buffers, and a major GC landing inside
+      // a following 0.3 s query doubles its reading — the recurring
+      // "sub-second contention" noise class of rounds 14-18. Paying the
+      // collection here keeps it out of every timed window.
+      System.gc()
       (1 to n).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case e: Throwable =>
@@ -55,6 +61,7 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }.min
+    }
     var results = selected.map { case (name, fn) => name -> timeQuery(name, fn, reps) }
     // STREAMING latency axis (per-trigger p50/p95 for the serve and
     // ingest streams — StreamBench): skipped on SPARK_GRAFT_BENCH_ONLY
