@@ -261,7 +261,11 @@ object BinaryPipeline {
         sampleRateIdx = (id % 3).toInt, mono = id % 2 == 1,
         bitrateIdxOf = f => (1 + ((id + f) % 14)).toInt,
         nFrames = (20 + id % 17).toInt,
-        v24 = id % 2 == 1, utf8 = id % 4 == 2, utf16 = id % 4 == 1,
+        // tag-version rotation: id%3 → v2.3 / v2.4 (footer on id%6==1) /
+        // v2.2 — all three wire forms decode to the same formula fields,
+        // so the oracle carries verbatim; v2.2 has no UTF-8 encoding
+        v24 = id % 3 == 1, v22 = id % 3 == 2, footer = id % 6 == 1,
+        utf8 = id % 4 == 2 && id % 3 != 2, utf16 = id % 4 == 1,
         id3v1 = id % 5 == 0, payloadSeed = id)
     }
 
@@ -906,7 +910,9 @@ object BinaryPipeline {
     * EOL + tag-bit rows, K = 2) on id%8 == 3 and plain 1-D on
     * id%8 == 7; STRIPED on even ids and 16x16-TILED on odd (per-chunk
     * reference-line reset both ways); WhiteIsZero (the fax default) on
-    * id%5<2. */
+    * id%5<2; FillOrder 2 (LSB-first codestream bytes — where real fax
+    * files live, round 19) on id%7 == 3, results-invisible under the
+    * same oracle. */
   def synthesizeCcittTiffs(docs: DataFrame, idCol: String = "doc_id",
                            batchSize: Int = 16): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
@@ -940,7 +946,8 @@ object BinaryPipeline {
             tileSize = if (id % 2 == 1) 16 else 0,
             bilevel = true,
             ccitt = mode,
-            ccittT4TwoD = id % 8 == 3)
+            ccittT4TwoD = id % 8 == 3,
+            fillOrder2 = id % 7 == 3)
           mediaRow(id, bytes, "image/tiff")
         }
       }

@@ -46,20 +46,30 @@ object ExifParser {
     require(bytes.length >= 2 && (bytes(0) & 0xff) == 0xff &&
       (bytes(1) & 0xff) == 0xd8, "ExifParser: not a JPEG (no SOI)")
     var i = 2
-    while (i + 4 <= bytes.length) {
+    while (i + 2 <= bytes.length) {
       require((bytes(i) & 0xff) == 0xff, f"ExifParser: lost marker sync at $i")
+      // spec-legal 0xFF fill bytes may pad between segments: the marker
+      // id is the first non-0xFF byte after the sync run
+      while (i + 1 < bytes.length && (bytes(i + 1) & 0xff) == 0xff) i += 1
+      require(i + 2 <= bytes.length, "ExifParser: trailing fill bytes at EOF")
       val marker = bytes(i + 1) & 0xff
       if (marker == 0xd9 || marker == 0xda) return None // EOI / SOS: no APP1
-      val len = ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
-      require(len >= 2 && i + 2 + len <= bytes.length,
-        s"ExifParser: segment $marker runs past EOF")
-      if (marker == 0xe1 && len >= 8 &&
-          bytes(i + 4) == 'E' && bytes(i + 5) == 'x' && bytes(i + 6) == 'i' &&
-          bytes(i + 7) == 'f' && bytes(i + 8) == 0 && bytes(i + 9) == 0) {
-        val tiff = java.util.Arrays.copyOfRange(bytes, i + 10, i + 2 + len)
-        return Some(parseTiff(tiff))
+      if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) {
+        // TEM / RSTn are standalone (length-less) 2-byte markers
+        i += 2
+      } else {
+        require(i + 4 <= bytes.length, s"ExifParser: segment $marker truncated")
+        val len = ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
+        require(len >= 2 && i + 2 + len <= bytes.length,
+          s"ExifParser: segment $marker runs past EOF")
+        if (marker == 0xe1 && len >= 8 &&
+            bytes(i + 4) == 'E' && bytes(i + 5) == 'x' && bytes(i + 6) == 'i' &&
+            bytes(i + 7) == 'f' && bytes(i + 8) == 0 && bytes(i + 9) == 0) {
+          val tiff = java.util.Arrays.copyOfRange(bytes, i + 10, i + 2 + len)
+          return Some(parseTiff(tiff))
+        }
+        i += 2 + len
       }
-      i += 2 + len
     }
     None
   }

@@ -11,10 +11,12 @@ import java.io.ByteArrayOutputStream
   * never silent garbage.
   *
   * Scope:
-  *  - ID3v2.3 and v2.4 leading tags: syncsafe tag size, optional
-  *    extended header skipped by its declared size, text frames
-  *    (TIT2/TPE1/TALB) in ISO-8859-1 (enc 0), UTF-16 with BOM (enc 1),
-  *    UTF-16BE (enc 2) and UTF-8 (enc 3);
+  *  - ID3v2.2, v2.3 and v2.4 leading tags: syncsafe tag size, optional
+  *    extended header skipped by its declared size, v2.4 trailing
+  *    footer (flag 0x10, 10-byte '3DI' block) skipped, text frames
+  *    (TIT2/TPE1/TALB; v2.2's three-char TT2/TP1/TAL with 3-byte
+  *    sizes) in ISO-8859-1 (enc 0), UTF-16 with BOM (enc 1),
+  *    UTF-16BE (enc 2) and UTF-8 (enc 3; v2.3+ only);
   *    unsynchronisation and compressed/encrypted frames reject loud
   *  - ID3v1 trailing "TAG" block (128 bytes): title/artist surfaced
   *    when no v2 tag carries them; the frame walk stops before it
@@ -53,8 +55,8 @@ object Mp3Codec {
     // ---- leading ID3v2 tag ----
     if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3') {
       val major = bytes(3) & 0xff
-      require(major == 3 || major == 4,
-        s"Mp3Codec: ID3v2.$major unsupported (v2.3 / v2.4)")
+      require(major == 2 || major == 3 || major == 4,
+        s"Mp3Codec: ID3v2.$major unsupported (v2.2 / v2.3 / v2.4)")
       val flags = bytes(5) & 0xff
       require((flags & 0x80) == 0,
         "Mp3Codec: ID3v2 unsynchronisation unsupported")
@@ -62,6 +64,36 @@ object Mp3Codec {
       val tagEnd = 10 + tagSize
       require(tagEnd <= bytes.length, "Mp3Codec: ID3v2 tag runs past EOF")
       var p = 10
+      if (major == 2) {
+        // v2.2: flag 0x40 means whole-tag COMPRESSION (undefined scheme)
+        require((flags & 0x40) == 0,
+          "Mp3Codec: ID3v2.2 compression flag unsupported")
+        // three-char frame ids with 3-byte big-endian sizes, no frame flags
+        while (p + 6 <= tagEnd && bytes(p) != 0) {
+          val id = new String(bytes, p, 3, java.nio.charset.StandardCharsets.US_ASCII)
+          val size = ((bytes(p + 3) & 0xff) << 16) | ((bytes(p + 4) & 0xff) << 8) |
+            (bytes(p + 5) & 0xff)
+          require(p + 6 + size <= tagEnd, s"Mp3Codec: frame $id past tag end")
+          if (id.startsWith("T") && size >= 1) {
+            val enc = bytes(p + 6) & 0xff
+            require(enc <= 1,
+              s"Mp3Codec: text encoding $enc in $id unsupported for v2.2 " +
+                "(0 latin-1, 1 utf-16+BOM)")
+            val body = java.util.Arrays.copyOfRange(bytes, p + 7, p + 6 + size)
+            val clean = decodeText(id, enc, body).takeWhile(_ != '\u0000')
+            id match {
+              case "TT2" => title = Some(clean)
+              case "TP1" => artist = Some(clean)
+              case "TAL" => album = Some(clean)
+              case _ => ()
+            }
+          }
+          p += 6 + size
+        }
+        require((flags & 0x10) == 0,
+          "Mp3Codec: ID3v2.2 flag 0x10 undefined")
+        at = tagEnd
+      } else {
       if ((flags & 0x40) != 0) { // extended header: skip by declared size
         val ext =
           if (major == 4) syncsafe(bytes, p)
@@ -86,21 +118,7 @@ object Mp3Codec {
         if (id.startsWith("T") && size >= 1) {
           val enc = bytes(p + 10) & 0xff
           val body = java.util.Arrays.copyOfRange(bytes, p + 11, p + 10 + size)
-          val text = enc match {
-            case 0 => new String(body, java.nio.charset.StandardCharsets.ISO_8859_1)
-            case 1 => // UTF-16 with BOM (the common wild form)
-              require(body.length >= 2 && body.length % 2 == 0 &&
-                ((body(0) == 0xff.toByte && body(1) == 0xfe.toByte) ||
-                 (body(0) == 0xfe.toByte && body(1) == 0xff.toByte)),
-                s"Mp3Codec: $id UTF-16 text without a BOM / odd byte count")
-              new String(body, java.nio.charset.StandardCharsets.UTF_16)
-            case 2 => new String(body, java.nio.charset.StandardCharsets.UTF_16BE)
-            case 3 => new String(body, java.nio.charset.StandardCharsets.UTF_8)
-            case e => throw new IllegalArgumentException(
-              s"Mp3Codec: text encoding $e in $id unsupported " +
-                "(0 latin-1, 1 utf-16+BOM, 2 utf-16be, 3 utf-8)")
-          }
-          val clean = text.takeWhile(_ != '\u0000')
+          val clean = decodeText(id, enc, body).takeWhile(_ != '\u0000')
           id match {
             case "TIT2" => title = Some(clean)
             case "TPE1" => artist = Some(clean)
@@ -111,6 +129,17 @@ object Mp3Codec {
         p += 10 + size
       }
       at = tagEnd
+      // v2.4 footer flag (0x10): a 10-byte '3DI' footer follows the tag
+      // body (its size is NOT in the syncsafe tag size) — skip it, or
+      // the frame walk hits it and misreports 'lost frame sync'
+      if (major == 4 && (flags & 0x10) != 0) {
+        require(at + 10 <= bytes.length &&
+          bytes(at) == '3' && bytes(at + 1) == 'D' && bytes(at + 2) == 'I',
+          "Mp3Codec: ID3v2.4 footer flag set but no 3DI footer at tag end")
+        at += 10
+      } else require((flags & 0x10) == 0,
+        s"Mp3Codec: ID3v2.$major footer flag unsupported")
+      }
     }
 
     // ---- trailing ID3v1 block, if any: frames end before it ----
@@ -183,6 +212,25 @@ object Mp3Codec {
       "Mp3Codec: Layer III audio decode (hybrid filterbank) unsupported — " +
         "decodeMeta extracts the tag and frame-geometry surface")
 
+  /** ID3v2 text-frame payload decode, shared by the v2.2 (enc 0/1) and
+    * v2.3/2.4 (enc 0-3) walks; the BOM requirement on enc 1 keeps a
+    * BOM-less file a loud reject rather than mojibake. */
+  private def decodeText(id: String, enc: Int, body: Array[Byte]): String =
+    enc match {
+      case 0 => new String(body, java.nio.charset.StandardCharsets.ISO_8859_1)
+      case 1 => // UTF-16 with BOM (the common wild form)
+        require(body.length >= 2 && body.length % 2 == 0 &&
+          ((body(0) == 0xff.toByte && body(1) == 0xfe.toByte) ||
+           (body(0) == 0xfe.toByte && body(1) == 0xff.toByte)),
+          s"Mp3Codec: $id UTF-16 text without a BOM / odd byte count")
+        new String(body, java.nio.charset.StandardCharsets.UTF_16)
+      case 2 => new String(body, java.nio.charset.StandardCharsets.UTF_16BE)
+      case 3 => new String(body, java.nio.charset.StandardCharsets.UTF_8)
+      case e => throw new IllegalArgumentException(
+        s"Mp3Codec: text encoding $e in $id unsupported " +
+          "(0 latin-1, 1 utf-16+BOM, 2 utf-16be, 3 utf-8)")
+    }
+
   private def syncsafe(b: Array[Byte], i: Int): Int = {
     require(i + 4 <= b.length, "Mp3Codec: truncated syncsafe int")
     (0 until 4).foreach(k => require((b(i + k) & 0x80) == 0,
@@ -197,24 +245,31 @@ object Mp3Codec {
       ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
   }
 
-  /** Fixture writer: a structurally-real MP3 — ID3v2.3/2.4 tag with
-    * TIT2/TPE1/TALB, MPEG-1 Layer III frame headers with per-frame
-    * bitrate indices (VBR), deterministic payload bytes, optional
-    * trailing ID3v1 block. The PAYLOAD is not Layer III audio (decode
-    * is out of scope); the container geometry is exact. */
+  /** Fixture writer: a structurally-real MP3 — ID3v2.2/2.3/2.4 tag with
+    * TIT2/TPE1/TALB (TT2/TP1/TAL for v2.2), MPEG-1 Layer III frame
+    * headers with per-frame bitrate indices (VBR), deterministic payload
+    * bytes, optional v2.4 footer and trailing ID3v1 block. The PAYLOAD
+    * is not Layer III audio (decode is out of scope); the container
+    * geometry is exact. */
   def encode(title: String, artist: String, album: String,
              sampleRateIdx: Int, mono: Boolean,
              bitrateIdxOf: Int => Int, nFrames: Int,
-             v24: Boolean = false, utf8: Boolean = false,
+             v24: Boolean = false, v22: Boolean = false,
+             footer: Boolean = false, utf8: Boolean = false,
              utf16: Boolean = false,
              id3v1: Boolean = false, payloadSeed: Long = 0): Array[Byte] = {
     require(!(utf8 && utf16), "Mp3Codec.encode: utf8 and utf16 are exclusive")
+    require(!(v22 && v24), "Mp3Codec.encode: v22 and v24 are exclusive")
+    require(!(v22 && utf8), "Mp3Codec.encode: ID3v2.2 has no UTF-8 encoding")
+    require(!footer || v24, "Mp3Codec.encode: footer is a v2.4 feature")
     require(sampleRateIdx >= 0 && sampleRateIdx <= 2,
       s"Mp3Codec.encode: sample-rate index $sampleRateIdx")
     require(nFrames >= 1, "Mp3Codec.encode: no frames")
     val out = new ByteArrayOutputStream()
     // ID3v2 tag
-    val frames = Seq("TIT2" -> title, "TPE1" -> artist, "TALB" -> album)
+    val frames =
+      if (v22) Seq("TT2" -> title, "TP1" -> artist, "TAL" -> album)
+      else Seq("TIT2" -> title, "TPE1" -> artist, "TALB" -> album)
     val body = new ByteArrayOutputStream()
     frames.foreach { case (id, text) =>
       val enc = if (utf8) 3 else if (utf16) 1 else 0
@@ -224,23 +279,34 @@ object Mp3Codec {
         else text.getBytes(if (utf8) "UTF-8" else "ISO-8859-1")
       id.foreach(c => body.write(c))
       val size = 1 + data.length
-      if (v24) {
+      if (v22) { // 3-byte big-endian size, no frame flags
+        body.write((size >> 16) & 0xff); body.write((size >> 8) & 0xff)
+        body.write(size & 0xff)
+      } else if (v24) {
         body.write((size >> 21) & 0x7f); body.write((size >> 14) & 0x7f)
         body.write((size >> 7) & 0x7f); body.write(size & 0x7f)
       } else {
         body.write(size >> 24); body.write((size >> 16) & 0xff)
         body.write((size >> 8) & 0xff); body.write(size & 0xff)
       }
-      body.write(0); body.write(0) // frame flags
+      if (!v22) { body.write(0); body.write(0) } // frame flags
       body.write(enc)
       body.write(data, 0, data.length)
     }
     val tag = body.toByteArray
+    val hdrFlags = if (footer) 0x10 else 0
     out.write('I'); out.write('D'); out.write('3')
-    out.write(if (v24) 4 else 3); out.write(0); out.write(0)
+    out.write(if (v22) 2 else if (v24) 4 else 3); out.write(0)
+    out.write(hdrFlags)
     out.write((tag.length >> 21) & 0x7f); out.write((tag.length >> 14) & 0x7f)
     out.write((tag.length >> 7) & 0x7f); out.write(tag.length & 0x7f)
     out.write(tag, 0, tag.length)
+    if (footer) { // 10-byte v2.4 footer: '3DI', version, flags, size
+      out.write('3'); out.write('D'); out.write('I')
+      out.write(4); out.write(0); out.write(hdrFlags)
+      out.write((tag.length >> 21) & 0x7f); out.write((tag.length >> 14) & 0x7f)
+      out.write((tag.length >> 7) & 0x7f); out.write(tag.length & 0x7f)
+    }
     // MPEG-1 Layer III frames
     val sr = SampleRates(sampleRateIdx)
     var f = 0

@@ -239,10 +239,15 @@ object TiffCodec {
     require(!tiled || (!entries.contains(273) && !entries.contains(279)),
       "TiffCodec: file carries BOTH strip and tile tags — ambiguous layout")
     // behavior-ALTERING tags must not pass silently: FillOrder 2
-    // (bit-reversed bytes, fax-derived scans) and non-default
-    // Orientation would both yield wrong pixels, not a parse error
-    require(scalar(266, 1L) == 1L,
-      "TiffCodec: FillOrder 2 (bit-reversed) unsupported")
+    // (LSB-first bits within bytes) is REAL on fax-derived scans and is
+    // supported for the CCITT compressions (one bit-reverse pass at
+    // chunk read — round 19); elsewhere it would silently flip pixels,
+    // so it stays a loud reject. Non-default Orientation likewise.
+    val fillOrder2 = scalar(266, 1L) == 2L
+    require(scalar(266, 1L) == 1L || fillOrder2,
+      s"TiffCodec: FillOrder ${scalar(266, 1L)} invalid (1 or 2)")
+    require(!fillOrder2 || isCcitt,
+      "TiffCodec: FillOrder 2 (bit-reversed) supported for CCITT fax data only")
     require(scalar(274, 1L) == 1L,
       "TiffCodec: non-default Orientation unsupported")
 
@@ -278,11 +283,22 @@ object TiffCodec {
       } else if (compression == 5) undoPredictor(lzwDecode(bytes, off, cnt, expect))
       else if (isDeflate) undoPredictor(inflateStrip(bytes, off, cnt, expect))
       else if (isCcitt) {
+        // FillOrder 2 stores the fax codestream LSB-first within each
+        // byte: reverse every byte once here so CcittCodec stays a pure
+        // MSB-first (FillOrder 1) reader
+        val (src, srcOff) =
+          if (!fillOrder2) (bytes, off)
+          else {
+            val rev = new Array[Byte](cnt)
+            var i = 0
+            while (i < cnt) { rev(i) = BitRev(bytes(off + i) & 0xff); i += 1 }
+            (rev, 0)
+          }
         // CcittCodec emits bit 1 = BLACK; the packed sample domain wants
         // the photometric's sample values (WhiteIsZero: black = 1, so
         // as-is; BlackIsZero: white = 1, so inverted — pad bits beyond
         // `cols` are never read by the expansion)
-        val black1 = CcittCodec.decode(bytes, off, cnt, cols, rows, compression,
+        val black1 = CcittCodec.decode(src, srcOff, cnt, cols, rows, compression,
           twoD = ccittTwoD)
         require(black1.length == expect,
           s"TiffCodec: CCITT produced ${black1.length} of $expect bytes")
@@ -663,10 +679,11 @@ object TiffCodec {
              deflate: Boolean = false, oldDeflateTag: Boolean = false,
              tileSize: Int = 0, bilevel: Boolean = false,
              grayBits: Int = 0, bits16: Boolean = false,
-             ccitt: Int = 0, ccittT4TwoD: Boolean = false): Array[Byte] =
+             ccitt: Int = 0, ccittT4TwoD: Boolean = false,
+             fillOrder2: Boolean = false): Array[Byte] =
     encodeMulti(Seq((width, height, channels, pixels)), bigEndian, packBits,
       rowsPerStrip, whiteIsZero, lzw, predictor2, deflate, oldDeflateTag,
-      tileSize, bilevel, grayBits, bits16, ccitt, ccittT4TwoD)
+      tileSize, bilevel, grayBits, bits16, ccitt, ccittT4TwoD, fillOrder2)
 
   /** MULTI-PAGE TIFF ENCODE (round 16): `pages` are (width, height,
     * channels, pixels) tuples laid out sequentially — per page its
@@ -682,8 +699,11 @@ object TiffCodec {
                   oldDeflateTag: Boolean = false,
                   tileSize: Int = 0, bilevel: Boolean = false,
                   grayBits: Int = 0, bits16: Boolean = false,
-                  ccitt: Int = 0, ccittT4TwoD: Boolean = false): Array[Byte] = {
+                  ccitt: Int = 0, ccittT4TwoD: Boolean = false,
+                  fillOrder2: Boolean = false): Array[Byte] = {
     require(pageSpecs.nonEmpty, "TiffCodec.encode: no pages")
+    require(!fillOrder2 || ccitt > 0,
+      "TiffCodec.encode: FillOrder 2 is written for CCITT fax data only")
     require(Seq(packBits, lzw, deflate, ccitt > 0).count(identity) <= 1,
       "TiffCodec.encode: packBits, lzw, deflate and ccitt are exclusive")
     // CCITT fax (round 18): 2 = MH rows, 3 = G3 1-D with EOLs, 4 = G4
@@ -765,8 +785,9 @@ object TiffCodec {
           val black1 =
             if (whiteIsZero) raw
             else raw.map(b => (~b).toByte)
-          CcittCodec.encode(black1, chunkRowBytes, cols, rows, ccitt,
+          val coded = CcittCodec.encode(black1, chunkRowBytes, cols, rows, ccitt,
             twoD = ccittT4TwoD)
+          if (fillOrder2) coded.map(b => BitRev(b & 0xff)) else coded
         } else if (lzw || deflate) {
           if (predictor2) {
             // horizontal differencing per row, per sample — the inverse
@@ -883,7 +904,7 @@ object TiffCodec {
       // strips: 273/278/279 (3 tags); tiles: 322/323/324/325 (4 tags);
       // CCITT G3/G4 add their T4Options/T6Options tag
       val nTags = (if (tiled) 11 else 10) + (if (predictor2) 1 else 0) +
-        (if (ccitt == 3 || ccitt == 4) 1 else 0)
+        (if (ccitt == 3 || ccitt == 4) 1 else 0) + (if (fillOrder2) 1 else 0)
       pos += 2 + 12 * nTags + 4 // tags + next-IFD pointer
       Layout(chunkOffsets, padAfterChunks, bpsAt, offsAt, cntsAt, ifdAt)
     }
@@ -930,7 +951,8 @@ object TiffCodec {
           else if (ccitt > 0) ccitt.toLong else 1L),
         Tag(262, 3, 1, if (whiteIsZero) 0L else if (p.channels == 3) 2L else 1L),
         Tag(277, 3, 1, p.channels.toLong),
-        Tag(284, 3, 1, 1L)) ++ layoutTags ++
+        Tag(284, 3, 1, 1L)) ++
+        (if (fillOrder2) Seq(Tag(266, 3, 1, 2L)) else Seq.empty) ++ layoutTags ++
         (if (predictor2) Seq(Tag(317, 3, 1, 2L)) else Seq.empty) ++
         (if (ccitt == 3) Seq(Tag(292, 4, 1, if (ccittT4TwoD) 1L else 0L))
          else if (ccitt == 4) Seq(Tag(293, 4, 1, 0L)) else Seq.empty)
@@ -948,6 +970,12 @@ object TiffCodec {
     }
     out.toByteArray
   }
+
+  /** Per-byte bit reversal for FillOrder 2 (LSB-first) fax codestreams:
+    * applied once at chunk read/write so the CCITT coder itself stays
+    * MSB-first. */
+  private val BitRev: Array[Byte] =
+    Array.tabulate(256)(i => (Integer.reverse(i) >>> 24).toByte)
 
   /** Deflate strip encode — one zlib stream per strip ([[inflateStrip]]'s
     * mirror). */

@@ -465,8 +465,11 @@ object WebpCodec {
         val entropy = decodeImageData(br, metaW, metaH, isLevel0 = false)
         groupIdx = entropy.map(p => (((p >> 16) & 0xff) << 8) | ((p >> 8) & 0xff))
         val n = groupIdx.max + 1
-        require(n <= 1024,
-          s"WebpCodec: $n huffman groups exceed the sanity bound")
+        // (red << 8) | green makes up to 65536 groups spec-legal, and
+        // large photographic VP8L files from real crawls do exceed 1024;
+        // total allocation stays bounded by the 2^30 pixel guard upstream
+        require(n <= 65536,
+          s"WebpCodec: $n huffman groups exceed the spec maximum 65536")
         Array.fill(n)(new CodeGroup(br, cacheSize))
       } else Array(new CodeGroup(br, cacheSize))
     val out = new Array[Int](xsize * ysize)

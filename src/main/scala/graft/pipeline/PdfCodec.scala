@@ -1380,8 +1380,11 @@ object PdfCodec {
   /** §7.4.2: hex pairs, whitespace ignored, `>` EOD, odd length pads 0. */
   /** §7.4.5 /RunLengthDecode: length byte L — 0..127 copies the next
     * L+1 bytes literally, 129..255 repeats the next byte 257−L times,
-    * 128 is EOD. The stream must terminate with EOD exactly at its end
-    * (a missing EOD or bytes past it would be silent truncation). */
+    * 128 is EOD. A MISSING EOD rejects loud (that is silent
+    * truncation), but the spec only requires decoding to STOP at EOD —
+    * wild PDFs pad after it (whitespace kept inside /Length), and the
+    * filter's own terminator makes trailing bytes unambiguous, so they
+    * are tolerated. */
   private[graft] def runLengthDecode(data: Array[Byte]): Array[Byte] = {
     val out = new ByteArrayOutputStream(data.length * 2 + 16)
     var i = 0
@@ -1404,8 +1407,6 @@ object PdfCodec {
         i += 1
       }
     }
-    require(i == data.length,
-      s"PdfCodec: ${data.length - i} byte(s) after the RunLength EOD")
     out.toByteArray
   }
 

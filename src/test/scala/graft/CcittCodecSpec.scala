@@ -127,6 +127,42 @@ class CcittCodecSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("FillOrder 2: hand LSB-first fixture + TIFF round trips across modes") {
+    // HAND fixture: the known G4 4x2 stream 26 A9 5A 80, stored
+    // LSB-first — each byte bit-reversed by hand:
+    //   0x26 = 00100110 → 01100100 = 0x64
+    //   0xA9 = 10101001 → 10010101 = 0x95
+    //   0x5A = 01011010 → 01011010 = 0x5A (palindrome)
+    //   0x80 = 10000000 → 00000001 = 0x01
+    val lsb = Array[Byte](0x64, 0x95.toByte, 0x5A, 0x01)
+    // via a TIFF wrapper carrying FillOrder 2 (the codec itself is
+    // FillOrder-blind; the TIFF layer owns the bit reversal)
+    val px = Array[Byte](0, 255.toByte, 255.toByte, 0,
+      255.toByte, 0, 0, 255.toByte) // B W W B / W B B W as BlackIsZero gray
+    val wire = TiffCodec.encode(4, 2, 1, px, bilevel = true, ccitt = 4,
+      fillOrder2 = true)
+    // the file's strip bytes must BE the hand LSB-first stream
+    val asStr = wire.map(_ & 0xff).toSeq
+    val at = asStr.indexOfSlice(lsb.map(_ & 0xff).toSeq)
+    assert(at >= 0, "FillOrder-2 TIFF must carry the bit-reversed G4 stream")
+    val img = TiffCodec.decode(wire)
+    assert(img.pixels.toSeq == px.toSeq)
+    // round trips across all three modes, striped and tiled
+    for (mode <- Seq(2, 3, 4); tiled <- Seq(false, true)) {
+      val (w, h) = (19, 11)
+      val p2 = mkPixels(w, h, seed = mode)
+      val b = TiffCodec.encode(w, h, 1, p2, bilevel = true, ccitt = mode,
+        whiteIsZero = mode == 3, fillOrder2 = true,
+        rowsPerStrip = if (tiled) 0 else 3, tileSize = if (tiled) 16 else 0)
+      assert(TiffCodec.decode(b).pixels.toSeq == p2.toSeq,
+        s"FillOrder 2 mode $mode tiled=$tiled")
+    }
+    // FillOrder 2 on a NON-fax file still rejects loud (encoder and decoder)
+    assert(intercept[IllegalArgumentException](
+      TiffCodec.encode(4, 2, 1, px, bilevel = true, fillOrder2 = true))
+      .getMessage.contains("CCITT"))
+  }
+
   test("EOFB terminator is accepted after the last G4 row") {
     val packed = Array[Byte](0x90.toByte, 0x60.toByte) // the hand 4x2
     val wire = CcittCodec.encode(packed, 1, 4, 2, mode = 4)

@@ -76,6 +76,23 @@ class ExifParserSpec extends AnyFunSuite with SparkSpec {
       a.pixels.toSeq == b.pixels.toSeq)
   }
 
+  test("marker walk: 0xFF fill bytes and standalone TEM/RST markers are spec-legal") {
+    val w = 24; val h = 16
+    val px = Array.tabulate[Byte](w * h)(i => (128 + (i % 32)).toByte)
+    val plain = JpegCodec.encode(w, h, 1, px, quality = 90)
+    val blob = ExifParser.encodeTiff(3, "M", "N", "2024:01:01 00:00:00", w, h)
+    val tagged = ExifParser.spliceApp1(plain, blob)
+    // splice fill bytes + a standalone TEM marker between SOI and the
+    // first segment: FF FF FF (fill run ending in a sync FF) FF 01 (TEM)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(tagged, 0, 2) // SOI
+    out.write(0xFF); out.write(0xFF); out.write(0xFF); out.write(0x01)
+    out.write(tagged, 2, tagged.length - 2)
+    val e = ExifParser.fromJpeg(out.toByteArray)
+    assert(e.exists(_.orientation == 3),
+      "fill bytes + TEM before APP1 must not break the walk")
+  }
+
   test("fail-loud: byte order, magic, truncated IFD, bad ASCII, orientation range") {
     val good = ExifParser.encodeTiff(3, "Mk", "Md", "2024:01:01 00:00:00", 10, 10)
     // bad byte-order mark

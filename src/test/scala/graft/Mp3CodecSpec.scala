@@ -38,13 +38,17 @@ class Mp3CodecSpec extends AnyFunSuite with SparkSpec {
     for {
       srIdx <- 0 to 2
       mono <- Seq(false, true)
-      v24 <- Seq(false, true)
+      // (v24, v22, footer): v2.3, v2.4, v2.4+footer, v2.2
+      (v24, v22, footer) <- Seq((false, false, false), (true, false, false),
+        (true, false, true), (false, true, false))
       (utf8, utf16) <- Seq((false, false), (true, false), (false, true))
       id3v1 <- Seq(false, true)
+      if !(v22 && utf8) // ID3v2.2 has no UTF-8 encoding
     } {
       val n = 23
       val wire = Mp3Codec.encode("T", "A", "Al", srIdx, mono,
-        f => 1 + (f % 14), n, v24 = v24, utf8 = utf8, utf16 = utf16,
+        f => 1 + (f % 14), n, v24 = v24, v22 = v22, footer = footer,
+        utf8 = utf8, utf16 = utf16,
         id3v1 = id3v1, payloadSeed = 7)
       val m = Mp3Codec.decodeMeta(wire)
       assert(m.sampleRate == Seq(44100, 48000, 32000)(srIdx))
@@ -52,6 +56,49 @@ class Mp3CodecSpec extends AnyFunSuite with SparkSpec {
       assert(m.title.contains("T") && m.artist.contains("A") && m.album.contains("Al"))
       assert(m.durationMs == n.toLong * 1152 * 1000 / m.sampleRate)
     }
+  }
+
+  test("hand-built v2.2 fixture: 3-char frame ids, 3-byte sizes, no frame flags") {
+    val out = new java.io.ByteArrayOutputStream()
+    // ID3v2.2 header, tag body = TT2 "Hi" + TP1 "Me" (latin-1)
+    val tagLen = 2 * (6 + 3) // two frames: 6-byte header + enc byte + 2 chars
+    out.write('I'); out.write('D'); out.write('3'); out.write(2); out.write(0)
+    out.write(0) // flags
+    out.write(0); out.write(0); out.write(tagLen >> 7); out.write(tagLen & 0x7f)
+    out.write('T'); out.write('T'); out.write('2')
+    out.write(0); out.write(0); out.write(3) // size 3: enc + "Hi"
+    out.write(0); out.write('H'); out.write('i')
+    out.write('T'); out.write('P'); out.write('1')
+    out.write(0); out.write(0); out.write(3)
+    out.write(0); out.write('M'); out.write('e')
+    // one MPEG-1 Layer III frame: 128 kbit @ 44100, stereo → 417 bytes
+    out.write(0xFF); out.write(0xFB); out.write(0x90); out.write(0x00)
+    (4 until 417).foreach(k => out.write(k & 0xff))
+    val m = Mp3Codec.decodeMeta(out.toByteArray)
+    assert(m.sampleRate == 44100 && m.frameCount == 1)
+    assert(m.title.contains("Hi") && m.artist.contains("Me") && m.album.isEmpty)
+  }
+
+  test("v2.4 footer: skipped when declared; flag without 3DI rejects; v2.3 flag rejects") {
+    val wire = Mp3Codec.encode("T", "A", "B", 0, mono = true, _ => 5, 6,
+      v24 = true, footer = true)
+    assert(Mp3Codec.decodeMeta(wire).title.contains("T"))
+    // corrupt the footer magic: flag set but no '3DI' at tag end
+    val tagSize = 10 + (((wire(8) & 0x7f) << 7) | (wire(9) & 0x7f))
+    val bad = wire.clone(); bad(tagSize) = 'X'
+    assert(intercept[IllegalArgumentException](Mp3Codec.decodeMeta(bad))
+      .getMessage.contains("footer"))
+    // a v2.3 header with the 0x10 bit rejects by name (undefined there)
+    val v23 = Mp3Codec.encode("T", "A", "B", 0, mono = true, _ => 5, 6)
+    val flag23 = v23.clone(); flag23(5) = 0x10.toByte
+    assert(intercept[IllegalArgumentException](Mp3Codec.decodeMeta(flag23))
+      .getMessage.contains("footer flag unsupported"))
+    // v2.2 compression flag (0x40) rejects by name
+    val v22 = Mp3Codec.encode("T", "A", "B", 0, mono = true, _ => 5, 6,
+      v22 = true)
+    val comp = v22.clone(); comp(5) = 0x40.toByte
+    assert(intercept[IllegalArgumentException](Mp3Codec.decodeMeta(comp))
+      .getMessage.contains("compression"))
   }
 
   test("ID3v1 fallback: used when v2 lacks the field, v2 wins otherwise") {
