@@ -1341,6 +1341,34 @@ object QueriesExtra {
              |  'Album' || CAST(doc_id % 3 AS VARCHAR) AS album
              |FROM fr GROUP BY doc_id, sr, ch, nf ORDER BY doc_id""".stripMargin)),
 
+    // OGG container metadata (round 19, VERDICT r18 #6 — the other big
+    // crawled-audio family next to MP3): RFC 3533 page walk with every
+    // page's CRC-32 verified (the format's own integrity oracle),
+    // lacing/packet assembly, and the three common stream mappings'
+    // header packets — Vorbis id+comment, OpusHead/OpusTags (granules
+    // at 48 kHz minus pre-skip by spec), FLAC-in-Ogg STREAMINFO +
+    // VORBIS_COMMENT. The oracle replays the id formulas byte-blind;
+    // audio decode stays out of scope and rejects by name.
+    "q_audio_ogg_meta" -> QueryDef(
+      (s, d) => BinaryPipeline.decodeOggMeta(
+          BinaryPipeline.synthesizeOggs(Tables.documents(s, d)))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  CASE doc_id % 3 WHEN 0 THEN 'vorbis' WHEN 1 THEN 'opus'
+             |    ELSE 'flac' END AS codec,
+             |  CAST(CASE doc_id % 4 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+             |    WHEN 2 THEN 32000 ELSE 22050 END AS BIGINT) AS sample_rate,
+             |  CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+             |  CAST((9600 + (doc_id % 7) * 480) * 1000 //
+             |    (CASE WHEN doc_id % 3 = 1 THEN 48000
+             |          ELSE CASE doc_id % 4 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+             |            WHEN 2 THEN 32000 ELSE 22050 END END) AS BIGINT) AS duration_ms,
+             |  CAST(4 + doc_id % 5 AS BIGINT) AS page_count,
+             |  'OggTitle' || CAST(doc_id % 7 AS VARCHAR) AS title,
+             |  'OggArtist' || CAST(doc_id % 5 AS VARCHAR) AS artist,
+             |  'OggAlbum' || CAST(doc_id % 3 AS VARCHAR) AS album
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // FLAC audio decode (round 18, VERDICT r17 #3): the SAME sample
     // corpus as q_audio_wav losslessly FLAC-encoded in-engine — rice
     // residuals over fixed predictors, CONSTANT/VERBATIM subframes,

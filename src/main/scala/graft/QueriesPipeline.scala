@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.Queries.QueryDef
 import graft.functions.{LangFunctions, PromptFunctions, TextFunctions, VectorFunctions}
 import graft.operators.{Dedup, Knn}
+import graft.multimodal.BinaryPipeline
 import graft.pipeline.{Embedder, PdfPipeline, Summarizer}
 
 /** SURVEY.md §2.1 pipeline + §2.2 dedup/text-analysis query gates.
@@ -196,6 +197,65 @@ object QueriesPipeline {
              |  md5(substr(text, i*200 + 1, 200)) AS page_md5
              |FROM documents, unnest(range(0, CAST(ceil(length(text) / 200.0) AS INT))) AS t(i)
              |ORDER BY doc_id, page_no""".stripMargin)),
+
+    // IMAGE-XOBJECT extraction (round 19, VERDICT r18 #3 — the
+    // scanned-document modality): image-ONLY PDFs (whose text
+    // extraction is legitimately empty) are synthesized in-engine —
+    // 1-3 pages per doc, each carrying one image XObject rotating
+    // /FlateDecode raw samples, /DCTDecode (the provably-exact
+    // flat-8x8-block JPEG recipe) and /CCITTFaxDecode (G4 and
+    // byte-aligned MH legs) — then every image is decoded through the
+    // full sample path (filters, predictors, JpegCodec, CcittCodec)
+    // and reduced to geometry + per-channel sums. The oracle replays
+    // the (doc_id, page) pixel formulas byte-blind, so a wrong filter
+    // parse, a CCITT BlackIs1 slip or a JPEG coefficient bug breaks
+    // the hash.
+    "q_pdf_images" -> QueryDef(
+      (s, d) => BinaryPipeline.decodePdfImages(
+          BinaryPipeline.synthesizeImagePdfs(Tables.documents(s, d)))
+        .orderBy(col("doc_id"), col("page")),
+      Some("""WITH pg AS (
+             |  SELECT doc_id, CAST(t.p AS BIGINT) AS p, doc_id + t.p AS k
+             |  FROM documents, unnest(range(0, 1 + doc_id % 3)) t(p)
+             |),
+             |g AS (
+             |  SELECT doc_id, p, k, k % 3 AS leg,
+             |    CASE k % 3 WHEN 0 THEN 4 + k % 13 WHEN 1 THEN 24 + k % 13 ELSE 17 + k % 16 END AS w,
+             |    CASE k % 3 WHEN 0 THEN 3 + k % 11 WHEN 1 THEN 16 + k % 11 ELSE 13 + k % 12 END AS h,
+             |    CASE WHEN k % 3 = 2 THEN 1 WHEN k % 2 = 0 THEN 1 ELSE 3 END AS ch
+             |  FROM pg
+             |),
+             |fl AS (
+             |  SELECT doc_id, p, w, h, ch,
+             |    SUM(CASE WHEN i % ch = 0 THEN (doc_id*31 + p*11 + i*7) % 256 ELSE 0 END) AS r_sum,
+             |    SUM(CASE WHEN ch = 3 AND i % ch = 1 THEN (doc_id*31 + p*11 + i*7) % 256 ELSE 0 END) AS g_sum,
+             |    SUM(CASE WHEN ch = 3 AND i % ch = 2 THEN (doc_id*31 + p*11 + i*7) % 256 ELSE 0 END) AS b_sum
+             |  FROM g, unnest(range(0, w*h*ch)) t(i) WHERE leg = 0
+             |  GROUP BY doc_id, p, w, h, ch
+             |),
+             |dc AS (
+             |  SELECT doc_id, p, w, h, ch, SUM(v) AS r_sum,
+             |    SUM(CASE WHEN ch = 3 THEN v ELSE 0 END) AS g_sum,
+             |    SUM(CASE WHEN ch = 3 THEN v ELSE 0 END) AS b_sum
+             |  FROM (
+             |    SELECT doc_id, p, w, h, ch,
+             |      128 + 3*(((k*31 + ((i % w) // 8)*7 + ((i // w) // 8)*13) % 53) - 26) AS v
+             |    FROM g, unnest(range(0, w*h)) t(i) WHERE leg = 1)
+             |  GROUP BY doc_id, p, w, h, ch
+             |),
+             |cc AS (
+             |  SELECT doc_id, p, w, h, ch,
+             |    SUM(CASE WHEN (k*37 + (i % w)*7 + (i // w)*13) % 5 >= 2 THEN 255 ELSE 0 END) AS r_sum,
+             |    0 AS g_sum, 0 AS b_sum
+             |  FROM g, unnest(range(0, w*h)) t(i) WHERE leg = 2
+             |  GROUP BY doc_id, p, w, h, ch
+             |)
+             |SELECT doc_id, p AS page, CAST(w AS BIGINT) AS width,
+             |  CAST(h AS BIGINT) AS height, CAST(ch AS BIGINT) AS channels,
+             |  CAST(r_sum AS BIGINT) AS r_sum, CAST(g_sum AS BIGINT) AS g_sum,
+             |  CAST(b_sum AS BIGINT) AS b_sum
+             |FROM (SELECT * FROM fl UNION ALL SELECT * FROM dc UNION ALL SELECT * FROM cc)
+             |ORDER BY doc_id, page""".stripMargin)),
 
     // Real-PDF round trip (round 7): each document is rendered to an
     // ACTUAL PDF in-engine (classic xref, Flate-compressed content

@@ -151,6 +151,338 @@ object PdfCodec {
     }
   }
 
+  // ── image XObject extraction (round 19) ────────────────────────────
+
+  /** One decoded image XObject: 0-based page index, resource name,
+    * geometry and 8-bit channel-interleaved samples (gray or RGB). */
+  final case class PdfImage(page: Int, name: String, width: Int, height: Int,
+                            channels: Int, pixels: Array[Byte])
+
+  /** Extract every image XObject the pages' content invokes with `Do`,
+    * in page order then paint order — the scanned-document carrier
+    * ([[extractText]] on an image-only PDF is legitimately EMPTY; the
+    * page's payload is here). Reference behavior: the PDFBox stack
+    * behind Function.java:90-132 renders these images when stripping;
+    * this decodes the SAMPLES from the public spec (ISO 32000-1 §8.9):
+    * /DCTDecode via JpegCodec, /CCITTFaxDecode via CcittCodec (K < 0
+    * G4; K = 0 with /EncodedByteAlign byte-aligned MH or with
+    * /EndOfLine G3 1-D), raw samples behind Flate/LZW(+predictors)/
+    * AHx/A85/RunLength. Form XObjects recurse depth-capped; inline
+    * images (BI), /ImageMask, custom /Decode arrays, K > 0 and
+    * non-Device colorspaces reject BY NAME — never silent garbage. */
+  def extractImages(bytes: Array[Byte]): Seq[PdfImage] = {
+    val s = new String(bytes, ISO_8859_1)
+    require(s.startsWith("%PDF-"), "PdfCodec: not a PDF (missing %PDF- header)")
+    val objs = scanObjects(s, bytes)
+    val byNum = objs.map(o => o.num -> o).toMap
+    val out = mutable.Buffer.empty[PdfImage]
+    pageOrder(objs, byNum).zipWithIndex.foreach { case (pn, pageIdx) =>
+      val page = byNum(pn)
+      val content = contentRefs(page.dict).map { ref =>
+        val obj = byNum.getOrElse(ref,
+          throw new IllegalArgumentException(s"PdfCodec: /Contents $ref 0 R not found"))
+        decodeStream(obj, byNum)
+      }
+      val res = resourcesOf(page, byNum)
+      collectImages(content.mkString("\n"), xobjectsOf(res, byNum), byNum,
+        pageIdx, depth = 0, out)
+    }
+    out.toSeq
+  }
+
+  private def isSubtype(dict: String, sub: String): Boolean =
+    (s"""/Subtype\\s*/$sub(?![a-zA-Z])""").r.findFirstIn(dict).isDefined
+
+  /** The `Do`/`BI` walk of one content stream: the token rules mirror
+    * [[extractFromContent]]'s operand scan (strings, dicts, arrays,
+    * comments, names, numbers), but only XObject invocations matter. */
+  private def collectImages(content: String, xobjects: Map[String, PdfObj],
+                            byNum: Map[Int, PdfObj], pageIdx: Int, depth: Int,
+                            out: mutable.Buffer[PdfImage]): Unit = {
+    var lastName: String = null
+    var p = 0
+    val n = content.length
+    while (p < n) {
+      val c = content.charAt(p)
+      if (c.isWhitespace) p += 1
+      else if (c == '%') { while (p < n && content.charAt(p) != '\n') p += 1 }
+      else if (c == '(') p = literalStringEnd(content, p)
+      else if (c == '<' && p + 1 < n && content.charAt(p + 1) == '<')
+        p = balancedDictEnd(content, p)
+      else if (c == '<') {
+        val end = content.indexOf('>', p)
+        require(end >= 0, "PdfCodec: unterminated hex string")
+        p = end + 1
+      }
+      else if (c == '[') p = parseArray(content, p)._2
+      else if (c == '/') {
+        val st = p + 1
+        p = st
+        while (p < n && !content.charAt(p).isWhitespace &&
+          !"()<>[]/%".contains(content.charAt(p))) p += 1
+        lastName = content.substring(st, p)
+      }
+      else if (c == '+' || c == '-' || c == '.' || c.isDigit) {
+        p += 1
+        while (p < n && !content.charAt(p).isWhitespace &&
+          !"()<>[]/%".contains(content.charAt(p))) p += 1
+      }
+      else {
+        val st = p
+        while (p < n && !content.charAt(p).isWhitespace &&
+          !"()<>[]/%".contains(content.charAt(p))) p += 1
+        require(p > st, s"PdfCodec: unexpected delimiter '${content.charAt(p)}' " +
+          s"at content offset $p — malformed content stream")
+        content.substring(st, p) match {
+          case "Do" if lastName != null =>
+            xobjects.get(lastName) match {
+              case Some(x) if isSubtype(x.dict, "Image") =>
+                val (w, h, ch, px) = decodeImageXObject(x, byNum)
+                out += PdfImage(pageIdx, lastName, w, h, ch, px)
+              case Some(x) if isSubtype(x.dict, "Form") =>
+                require(depth < 8,
+                  s"PdfCodec: Form XObject nesting exceeds depth 8 (cycle?) at /$lastName")
+                val res = resolveDict(x.dict, "Resources", byNum)
+                collectImages(decodeStream(x, byNum),
+                  if (res.isDefined) xobjectsOf(res, byNum) else xobjects,
+                  byNum, pageIdx, depth + 1, out)
+              case Some(x) => throw new IllegalArgumentException(
+                s"PdfCodec: XObject /$lastName (object ${x.num}) has an " +
+                  "unsupported /Subtype (Image or Form)")
+              case None => throw new IllegalArgumentException(
+                s"PdfCodec: /$lastName Do names no XObject in /Resources")
+            }
+          case "BI" => throw new IllegalArgumentException(
+            "PdfCodec: inline image (BI…ID…EI) sample extraction " +
+              "unsupported — image XObjects only")
+          case _ => ()
+        }
+      }
+    }
+  }
+
+  /** Decode one image XObject to 8-bit channel-interleaved samples:
+    * (width, height, channels, pixels). */
+  private def decodeImageXObject(obj: PdfObj,
+                                 byNum: Map[Int, PdfObj]): (Int, Int, Int, Array[Byte]) = {
+    val dict = obj.dict
+    val num = obj.num
+    def need(name: String): Int = dictInt(dict, name, byNum).getOrElse(
+      throw new IllegalArgumentException(s"PdfCodec: image object $num has no /$name"))
+    val w = need("Width")
+    val h = need("Height")
+    require(w > 0 && h > 0, s"PdfCodec: image object $num geometry ${w}x$h")
+    require(w.toLong * h <= (1L << 30),
+      s"PdfCodec: image object $num ${w}x$h exceeds the 2^30 pixel guard")
+    require("""/ImageMask\s+true""".r.findFirstIn(dict).isEmpty,
+      s"PdfCodec: image object $num is an /ImageMask stencil — unsupported")
+    require("""/Decode\s*\[""".r.findFirstIn(dict).isEmpty,
+      s"PdfCodec: image object $num carries a custom /Decode array — unsupported")
+    require("""/DecodeParms\s*\[""".r.findFirstIn(dict).isEmpty,
+      s"PdfCodec: image object $num: array-form /DecodeParms unsupported")
+    val bpc = need("BitsPerComponent")
+    val csName = """/ColorSpace\s*/([A-Za-z0-9]+)""".r.findFirstMatchIn(dict)
+      .map(_.group(1)).getOrElse(throw new IllegalArgumentException(
+        s"PdfCodec: image object $num has no direct name /ColorSpace " +
+          "(DeviceGray / DeviceRGB)"))
+    val ch = csName match {
+      case "DeviceGray" => 1
+      case "DeviceRGB" => 3
+      case other => throw new IllegalArgumentException(
+        s"PdfCodec: image object $num colorspace /$other unsupported " +
+          "(DeviceGray / DeviceRGB)")
+    }
+    val raw = obj.stream.getOrElse(throw new IllegalArgumentException(
+      s"PdfCodec: image object $num has no stream data"))
+    val filters: Seq[String] =
+      """/Filter\s*\[([^\]]*)\]""".r.findFirstMatchIn(dict) match {
+        case Some(m) => """/([A-Za-z0-9]+)""".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq
+        case None =>
+          """/Filter\s*/([A-Za-z0-9]+)""".r.findFirstMatchIn(dict).map(_.group(1)).toSeq
+      }
+    val parms = resolveDict(dict, "DecodeParms", byNum)
+      .orElse(resolveDict(dict, "DP", byNum)).getOrElse("")
+    val pd = parms + " " + dict
+    def parm(name: String, default: Int): Int =
+      (s"""/$name\\s+(-?\\d+)""").r.findFirstMatchIn(pd)
+        .map(_.group(1).toInt).getOrElse(default)
+    def parmBool(name: String, default: Boolean): Boolean =
+      (s"""/$name\\s+(true|false)""").r.findFirstMatchIn(pd)
+        .map(_.group(1) == "true").getOrElse(default)
+    // prefix filters run first; at most ONE terminal image filter ends
+    // the chain (a filter AFTER DCT/CCITT would re-encode pixels)
+    val (pre, terminal) =
+      filters.span(f => f != "DCTDecode" && f != "CCITTFaxDecode")
+    require(terminal.length <= 1, s"PdfCodec: image object $num declares " +
+      s"filters after the ${terminal.headOption.getOrElse("")} image filter")
+    val preDecoded = pre.foldLeft(raw) { (data, f) =>
+      f match {
+        case "FlateDecode" => inflate(data)
+        case "ASCIIHexDecode" => asciiHexDecode(data)
+        case "ASCII85Decode" => ascii85Decode(data)
+        case "LZWDecode" => lzwDecode(data)
+        case "RunLengthDecode" => runLengthDecode(data)
+        case other => throw new IllegalArgumentException(
+          s"PdfCodec: image object $num filter /$other unsupported")
+      }
+    }
+    terminal.headOption match {
+      case None =>
+        // raw samples (possibly predictor-coded under Flate/LZW)
+        require(bpc == 8, s"PdfCodec: image object $num: raw samples at " +
+          s"/BitsPerComponent $bpc unsupported (8 only)")
+        val data =
+          if (pre.exists(f => f == "FlateDecode" || f == "LZWDecode"))
+            unpredict(preDecoded, parm("Predictor", 1), parm("Colors", 1),
+              parm("BitsPerComponent", 8), parm("Columns", 1), num)
+          else preDecoded
+        require(data.length == w * h * ch,
+          s"PdfCodec: image object $num: ${data.length} sample bytes, " +
+            s"geometry wants ${w * h * ch}")
+        (w, h, ch, data)
+      case Some("DCTDecode") =>
+        require(bpc == 8, s"PdfCodec: image object $num: /DCTDecode at " +
+          s"/BitsPerComponent $bpc (8 only)")
+        val img = graft.multimodal.JpegCodec.decode(preDecoded)
+        require(img.width == w && img.height == h,
+          s"PdfCodec: image object $num: JPEG is ${img.width}x${img.height}, " +
+            s"dict declares ${w}x$h")
+        require(img.components == ch,
+          s"PdfCodec: image object $num: JPEG has ${img.components} components, " +
+            s"/ColorSpace /$csName wants $ch")
+        (w, h, ch, img.pixels)
+      case Some("CCITTFaxDecode") =>
+        require(bpc == 1 && ch == 1,
+          s"PdfCodec: image object $num: /CCITTFaxDecode wants " +
+            "/BitsPerComponent 1 /DeviceGray")
+        val k = parm("K", 0)
+        val cols = parm("Columns", 1728)
+        require(cols == w, s"PdfCodec: image object $num: /Columns $cols " +
+          s"contradicts /Width $w")
+        val rows = parm("Rows", h)
+        require(rows == h, s"PdfCodec: image object $num: /Rows $rows " +
+          s"contradicts /Height $h")
+        val blackIs1 = parmBool("BlackIs1", default = false)
+        val mode =
+          if (k < 0) 4 // G4 / T.6 MMR (the wild scanned-document norm)
+          else if (k == 0 && parmBool("EncodedByteAlign", default = false)) 2
+          else if (k == 0 && parmBool("EndOfLine", default = false)) 3
+          else throw new IllegalArgumentException(
+            s"PdfCodec: image object $num: CCITT /K $k unsupported " +
+              "(K < 0 G4; K = 0 with /EncodedByteAlign or /EndOfLine; " +
+              "K > 0 mixed 2-D out of scope)")
+        val packed = graft.multimodal.CcittCodec.decode(
+          preDecoded, 0, preDecoded.length, cols, rows, mode)
+        // filter sample = BlackIs1 ? blackBit : !blackBit; DeviceGray at
+        // 1 bpc maps sample s to gray s·255 — with the default
+        // BlackIs1 false, black pixels come out gray 0 as rendered
+        val rowBytes = (cols + 7) / 8
+        val px = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val blackBit = (packed(y * rowBytes + (x >> 3)) >> (7 - (x & 7))) & 1
+            val sample = if (blackIs1) blackBit else 1 - blackBit
+            px(y * w + x) = (sample * 255).toByte
+            x += 1
+          }
+          y += 1
+        }
+        (w, h, 1, px)
+      case Some(other) => throw new IllegalArgumentException(
+        s"PdfCodec: image object $num filter /$other unsupported")
+    }
+  }
+
+  /** One synthesized image page for [[encodeImagePdf]]: 8-bit gray (1)
+    * or RGB (3) `pixels` carried as the page's sole image XObject under
+    * `filter` — "Flate" (raw samples), "DCT" (JpegCodec quality 90) or
+    * "CCITT" (G4 when `ccittG4`, else byte-aligned MH with
+    * /EncodedByteAlign). CCITT pages must be bilevel 0/255 gray. */
+  final case class ImagePageSpec(width: Int, height: Int, channels: Int,
+                                 pixels: Array[Byte], filter: String,
+                                 ccittG4: Boolean = true)
+
+  /** Write a scanned-document-shaped PDF: one image XObject per page,
+    * painted by a `cm`-scaled `Do` — the fixture writer that lets
+    * [[extractImages]] be oracle-gated end-to-end on real bytes. */
+  def encodeImagePdf(pages: Seq[ImagePageSpec]): Array[Byte] = {
+    require(pages.nonEmpty, "PdfCodec.encodeImagePdf: no pages")
+    val out = new ByteArrayOutputStream()
+    val offsets = mutable.Buffer.empty[(Int, Int)]
+    def w(str: String): Unit = out.write(str.getBytes(ISO_8859_1))
+    w("%PDF-1.4\n%\u00e2\u00e3\u00cf\u00d3\n")
+    def beginObj(num: Int): Unit = { offsets += (num -> out.size()); w(s"$num 0 obj\n") }
+    beginObj(1); w("<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    val nPages = pages.length
+    val kids = (0 until nPages).map(i => s"${3 + 3 * i} 0 R").mkString(" ")
+    beginObj(2); w(s"<< /Type /Pages /Kids [ $kids ] /Count $nPages >>\nendobj\n")
+    pages.zipWithIndex.foreach { case (spec, i) =>
+      val pw = spec.width; val ph = spec.height; val ch = spec.channels
+      require(ch == 1 || ch == 3,
+        s"PdfCodec.encodeImagePdf: $ch channels (1 or 3)")
+      require(spec.pixels.length == pw * ph * ch,
+        s"PdfCodec.encodeImagePdf: ${spec.pixels.length} pixel bytes for " +
+          s"${pw}x$ph x$ch")
+      val pageNum = 3 + 3 * i
+      val contNum = pageNum + 1
+      val imgNum = pageNum + 2
+      beginObj(pageNum)
+      w(s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 $pw $ph] " +
+        s"/Resources << /XObject << /Im0 $imgNum 0 R >> >> " +
+        s"/Contents $contNum 0 R >>\nendobj\n")
+      val content = s"q $pw 0 0 $ph 0 0 cm /Im0 Do Q"
+      beginObj(contNum)
+      w(s"<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n")
+      val cs = if (ch == 3) "/DeviceRGB" else "/DeviceGray"
+      val (data, filterDecl, bpc) = spec.filter match {
+        case "Flate" => (deflate(spec.pixels), " /Filter /FlateDecode", 8)
+        case "DCT" =>
+          (graft.multimodal.JpegCodec.encode(pw, ph, ch, spec.pixels, quality = 90),
+            " /Filter /DCTDecode", 8)
+        case "CCITT" =>
+          require(ch == 1, "PdfCodec.encodeImagePdf: CCITT pages are gray")
+          spec.pixels.foreach(b => require(b == 0 || b == -1,
+            "PdfCodec.encodeImagePdf: CCITT pages must be bilevel 0/255"))
+          val rowBytes = (pw + 7) / 8
+          val packed = new Array[Byte](rowBytes * ph)
+          var y = 0
+          while (y < ph) {
+            var x = 0
+            while (x < pw) {
+              if (spec.pixels(y * pw + x) == 0) // gray 0 = black = bit 1
+                packed(y * rowBytes + (x >> 3)) =
+                  (packed(y * rowBytes + (x >> 3)) | (1 << (7 - (x & 7)))).toByte
+              x += 1
+            }
+            y += 1
+          }
+          val mode = if (spec.ccittG4) 4 else 2
+          val coded = graft.multimodal.CcittCodec.encode(
+            packed, rowBytes, pw, ph, mode)
+          val dp =
+            if (spec.ccittG4) s"<< /K -1 /Columns $pw /Rows $ph >>"
+            else s"<< /K 0 /EncodedByteAlign true /Columns $pw /Rows $ph >>"
+          (coded, s" /Filter /CCITTFaxDecode /DecodeParms $dp", 1)
+        case other => throw new IllegalArgumentException(
+          s"PdfCodec.encodeImagePdf: filter $other (Flate / DCT / CCITT)")
+      }
+      beginObj(imgNum)
+      w(s"<< /Type /XObject /Subtype /Image /Width $pw /Height $ph " +
+        s"/ColorSpace $cs /BitsPerComponent $bpc$filterDecl " +
+        s"/Length ${data.length} >>\nstream\n")
+      out.write(data)
+      w("\nendstream\nendobj\n")
+    }
+    val xrefAt = out.size()
+    val total = 3 + 3 * nPages
+    w(s"xref\n0 $total\n0000000000 65535 f \n")
+    offsets.sortBy(_._1).foreach { case (_, off) => w(f"$off%010d 00000 n \n") }
+    w(s"trailer\n<< /Size $total /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
+    out.toByteArray
+  }
+
   // ── font resolution ────────────────────────────────────────────────
 
   /** Dict-valued entry `/key`: either an inline `<<…>>` or an indirect
