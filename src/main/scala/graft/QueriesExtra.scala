@@ -2525,6 +2525,50 @@ object QueriesExtra {
              |FROM ch GROUP BY doc_id, f, w, h, dim
              |ORDER BY doc_id, frame_idx, dim""".stripMargin)),
 
+    // ANIMATED WEBP frame sampling (round 19, VERDICT r18 #1's
+    // container half): VP8X/ANIM/ANMF walk with 2-px-unit patch
+    // offsets, blend/dispose bits, per-frame VP8L streams rotating all
+    // seven encoder wire modes — frames arrive COMPOSITED viewer-style
+    // through the same decodeFrameTiles pipeline as GIF/MJPEG/AVI/MP4.
+    // The oracle is the patch-GIF closed form: a composited pixel shows
+    // the MOST RECENT frame whose rect covers it. A decoder that
+    // ignored the 2-px offset units, skipped compositing, misread the
+    // blend bit or mis-walked ANMF subchunks hash-mismatches.
+    "q_frame_webp" -> QueryDef(
+      (s, d) => BinaryPipeline.decodeFrameTiles(
+          BinaryPipeline.synthesizeAnimWebps(Tables.documents(s, d)), stride = 1)
+        .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
+          col("components"), posexplode(col("features")).as(Seq("dim", "v")))
+        .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
+          col("components"), col("dim").cast("long").as("dim"),
+          round(col("v"), 6).as("v"))
+        .orderBy(col("doc_id"), col("frame_idx"), col("dim")),
+      Some("""WITH p AS (SELECT doc_id, 16 + doc_id % 9 AS w, 16 + doc_id % 7 AS h
+             |  FROM documents),
+             |fr AS (SELECT p.*, f FROM p, unnest(range(0, 5)) t(f)),
+             |cov AS (SELECT fr.doc_id, fr.w, fr.h, fr.f, x, y, max(g) AS gsel
+             |  FROM fr, unnest(range(0, w)) gx(x), unnest(range(0, h)) gy(y),
+             |       unnest(range(0, f + 1)) gg(g)
+             |  WHERE g = 0 OR (
+             |    x >= 2 * ((doc_id*7 + g*5) % ((w - 8)//2 + 1)) AND
+             |    x <  2 * ((doc_id*7 + g*5) % ((w - 8)//2 + 1)) + 8 AND
+             |    y >= 2 * ((doc_id*3 + g*11) % ((h - 8)//2 + 1)) AND
+             |    y <  2 * ((doc_id*3 + g*11) % ((h - 8)//2 + 1)) + 8)
+             |  GROUP BY fr.doc_id, fr.w, fr.h, fr.f, x, y),
+             |px AS (SELECT doc_id, w, h, f, x, y,
+             |    (doc_id*31 + gsel*11 + x*7 + y*13) % 250 AS i FROM cov),
+             |ch AS (SELECT doc_id, w, h, f,
+             |    (((y*2)//h) * 2 + ((x*2)//w)) * 3 + c AS dim,
+             |    CASE c WHEN 0 THEN (i*37) % 256 WHEN 1 THEN (i*59 + 17) % 256
+             |           ELSE (i*83 + 29) % 256 END AS v
+             |  FROM px, unnest(range(0, 3)) gc(c))
+             |SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+             |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             |  CAST(3 AS BIGINT) AS components,
+             |  CAST(dim AS BIGINT) AS dim, round(avg(v), 6) AS v
+             |FROM ch GROUP BY doc_id, f, w, h, dim
+             |ORDER BY doc_id, frame_idx, dim""".stripMargin)),
+
     // CMYK / Adobe YCCK JPEG decode (round 15, VERDICT r14 #4): the
     // print-corpus variant — 4-component baseline files under an Adobe
     // APP14 marker, values stored INVERTED, transform 0 (direct CMYK

@@ -1402,8 +1402,11 @@ object BinaryPipeline {
               i += 1
             }
           }
+          // VP8X still-container rotation (round 19): every third file
+          // wraps the same VP8L stream in an extended container —
+          // results-invisible, so the oracle carries verbatim
           val bytes = WebpCodec.encode(w, h, 3, px, mode = mode,
-            predMode = (id % 14).toInt)
+            predMode = (id % 14).toInt, vp8x = id % 3 == 1)
           mediaRow(id, bytes, "image/webp")
         }
       }
@@ -1814,6 +1817,63 @@ object BinaryPipeline {
       WavCodec.encodeMsAdpcm(8000, 1, 39, blocks)
     }
 
+  /** ANIMATED-WEBP corpus (round 19 — the VP8X/ANIM/ANMF wire shape):
+    * frame 0 full-canvas, frames 1-4 8x8 patches at EVEN formula
+    * offsets (the wire stores offsets in 2-px units), all opaque RGB,
+    * D = 0 (keep) — so a composited frame f shows, at each pixel, the
+    * MOST RECENT frame whose rect covers it (the patch-GIF closed
+    * form). Blend bit rotates B = 1 / B = 0 per frame (identical
+    * results over opaque pixels — results-invisible), and each frame's
+    * VP8L stream rotates the wire mode (id+g)%7, so all seven encoder
+    * shapes ride the animation path too:
+    *   w = 16 + id%9, h = 16 + id%7, frames = 5
+    *   patch g ≥ 1: left = 2·((id·7 + g·5) mod ((w−8)/2 + 1)),
+    *                top  = 2·((id·3 + g·11) mod ((h−8)/2 + 1))
+    *   index at GLOBAL (x,y) of frame g: i = (id·31 + g·11 + x·7 + y·13) % 250
+    *   channel values: ((i·37)%256, (i·59+17)%256, (i·83+29)%256) */
+  def synthesizeAnimWebps(docs: DataFrame, idCol: String = "doc_id",
+                          batchSize: Int = 16): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(mediaSchema(idCol))
+    spreadIds(docs, idCol).mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val id = r.getLong(0)
+          val w = (16 + id % 9).toInt
+          val h = (16 + id % 7).toInt
+          def px(g: Int, fw: Int, fh: Int, ox: Int, oy: Int): Array[Byte] = {
+            val out = new Array[Byte](fw * fh * 3)
+            var y = 0
+            while (y < fh) {
+              var x = 0
+              while (x < fw) {
+                val i = ((id * 31 + g * 11 + (ox + x) * 7L + (oy + y) * 13L) % 250).toInt
+                out((y * fw + x) * 3) = ((i * 37) % 256).toByte
+                out((y * fw + x) * 3 + 1) = ((i * 59 + 17) % 256).toByte
+                out((y * fw + x) * 3 + 2) = ((i * 83 + 29) % 256).toByte
+                x += 1
+              }
+              y += 1
+            }
+            out
+          }
+          val frames = (0 until 5).map { g =>
+            val (ox, oy, fw, fh) =
+              if (g == 0) (0, 0, w, h)
+              else (2 * (((id * 7 + g * 5) % ((w - 8) / 2 + 1)).toInt),
+                    2 * (((id * 3 + g * 11) % ((h - 8) / 2 + 1)).toInt), 8, 8)
+            WebpCodec.AnimFrameSpec(ox, oy, fw, fh, 3,
+              px(g, fw, fh, ox, oy), durationMs = 40 + g,
+              noBlend = g % 2 == 0, disposeBg = false,
+              mode = ((id + g) % 7).toInt)
+          }
+          val bytes = WebpCodec.encodeAnim(w, h, frames, loop = (id % 4).toInt)
+          mediaRow(id, bytes, "image/webp")
+        }
+      }
+    }(enc)
+  }
+
   /** [[synthesizeAnimGifs]]' PATCH-FRAME sibling (round 16): the wire
     * shape real animated GIFs use — frame 0 full-screen, frames 1..2
     * 8×8 patches at formula positions, all opaque, disposal 1 — so a
@@ -1912,7 +1972,12 @@ object BinaryPipeline {
           // stride filter runs on OFFSETS/indices, before any payload
           // copy — skipped frames cost nothing beyond the marker walk
           val images: Iterator[(PngCodec.PngImage, Int)] =
-            if (GifCodec.isGif(content))
+            if (WebpCodec.isWebp(content))
+              // animated WebP (round 19): composited ANMF frames, the
+              // GifCodec.frames contract
+              WebpCodec.frames(content).iterator.zipWithIndex
+                .filter(_._2 % stride == 0)
+            else if (GifCodec.isGif(content))
               // animated GIF (round 16): frames arrive COMPOSITED
               // (disposal 1/2 over the background canvas) — the stride
               // filter still runs on indices before feature work, but

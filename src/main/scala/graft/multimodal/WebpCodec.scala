@@ -11,8 +11,15 @@ import java.io.ByteArrayOutputStream
   * unchanged through `decodeAnyImage`.
   *
   * Scope (fail-loud beyond it, never silent garbage):
-  *  - RIFF/WEBP container with a VP8L chunk (lossy VP8/VP8X reject by
-  *    name); 14-bit dimensions, version 0
+  *  - RIFF/WEBP container with a VP8L chunk, plain or inside a VP8X
+  *    extended container (round 19) — still VP8X canvases must equal
+  *    the stream dims (crop/rotate out of scope); lossy VP8 and the
+  *    ALPH sidecar (a lossy-frame feature) reject by name; 14-bit
+  *    dimensions, version 0
+  *  - ANIMATED WebP (round 19): ANIM/ANMF walk with 2-px-unit frame
+  *    offsets, blend (B) and dispose-to-background (D) bits, frames
+  *    composited viewer-style over the transparent canvas
+  *    ([[frames]]); fractional alpha blending rejects by name
   *  - all four transforms: PREDICTOR (the 14 spec modes with the
   *    contiguous-buffer top-right edge rule), COLOR (signed 3.5-bit
   *    cross-channel multipliers), SUBTRACT-GREEN, COLOR-INDEXING with
@@ -28,7 +35,7 @@ import java.io.ByteArrayOutputStream
   *  - META PREFIX CODES (round 18): the level-0 image may carry an
   *    entropy sub-image assigning a huffman GROUP per huffman-bits
   *    tile, index (red << 8) | green — sub-images carry NO meta bit
-  *    per the spec; cropped/rotated VP8X containers reject by name
+  *    per the spec
   *
   * The encoder writes real VP8L streams (histogram-built length-limited
   * canonical codes, optional subtract-green / palette / LZ77 / color
@@ -257,6 +264,23 @@ object WebpCodec {
 
   // ---- decode ----
 
+  /** One parsed VP8X header: feature flags + canvas geometry. */
+  private final case class Vp8x(flags: Int, canvasW: Int, canvasH: Int)
+
+  private def le24(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16)
+
+  /** Parse a VP8X chunk payload (must be the container's first chunk). */
+  private def parseVp8x(bytes: Array[Byte], at: Int, sz: Int): Vp8x = {
+    require(at == 20, "WebpCodec: VP8X is not the container's first chunk")
+    require(sz == 10, s"WebpCodec: VP8X payload of $sz bytes (want 10)")
+    val flags = bytes(at) & 0xff
+    // bit layout: 2 reserved | ICC 0x20 | ALPHA 0x10 | EXIF 0x08 |
+    // XMP 0x04 | ANIMATION 0x02 | 1 reserved
+    require((flags & 0xc1) == 0, f"WebpCodec: VP8X reserved flag bits set (0x$flags%02x)")
+    Vp8x(flags, le24(bytes, at + 4) + 1, le24(bytes, at + 7) + 1)
+  }
+
   def decode(bytes: Array[Byte]): PngCodec.PngImage = {
     require(isWebp(bytes), "WebpCodec: not a RIFF/WEBP container")
     val riffLen = le32(bytes, 4)
@@ -266,6 +290,7 @@ object WebpCodec {
     var at = 12
     var payloadAt = -1
     var payloadEnd = -1
+    var vp8x: Option[Vp8x] = None
     while (payloadAt < 0 && at + 8 <= bytes.length) {
       val tag = new String(bytes, at, 4, java.nio.charset.StandardCharsets.US_ASCII)
       val sz = le32(bytes, at + 4)
@@ -274,8 +299,18 @@ object WebpCodec {
         case "VP8L" => payloadAt = at + 8; payloadEnd = at + 8 + sz
         case "VP8 " => throw new IllegalArgumentException(
           "WebpCodec: lossy VP8 (DCT) chunk unsupported — VP8L only")
-        case "VP8X" => throw new IllegalArgumentException(
-          "WebpCodec: extended VP8X container unsupported — plain VP8L only")
+        case "VP8X" =>
+          // extended container (round 19): STILL images decode here;
+          // animations go through [[frames]]
+          val x = parseVp8x(bytes, at + 8, sz)
+          require((x.flags & 0x02) == 0,
+            "WebpCodec: animated VP8X — decode composited frames via frames()")
+          vp8x = Some(x)
+        case "ALPH" => throw new IllegalArgumentException(
+          "WebpCodec: ALPH chunk rides lossy VP8 frames — VP8L carries " +
+            "alpha in-stream")
+        // EXIF / XMP / ICCP are informative side metadata (WebP
+        // rendering does not auto-apply EXIF orientation); skipped
         case _ => ()
       }
       at += 8 + sz + (sz & 1) // chunks word-align
@@ -285,6 +320,13 @@ object WebpCodec {
     val br = new BitReader(bytes, payloadAt + 1, payloadEnd)
     val width = br.bits(14) + 1
     val height = br.bits(14) + 1
+    vp8x.foreach { x =>
+      // crop/resize canvas semantics are out of scope: the canvas must
+      // BE the stream (a mismatch would silently mis-frame the image)
+      require(x.canvasW == width && x.canvasH == height,
+        s"WebpCodec: VP8X canvas ${x.canvasW}x${x.canvasH} differs from " +
+          s"the VP8L stream ${width}x$height — cropped canvases unsupported")
+    }
     br.bit() // alpha hint (informative)
     require(br.bits(3) == 0, "WebpCodec: VP8L version != 0")
     require(width.toLong * height * 4 <= (1L << 30),
@@ -668,6 +710,199 @@ object WebpCodec {
     }
   }
 
+  /** Composited animated-WebP frames (round 19): the VP8X+ANIM+ANMF
+    * walk, each ANMF carrying one VP8L-coded frame painted at its
+    * (x, y) offset under its blend (B) and disposal (D) bits — frames
+    * arrive composited the way a viewer displays them, the
+    * GifCodec.frames contract, so `decodeFrameTiles` takes animated
+    * WebP rows unchanged. The canvas initializes to transparent black
+    * per the spec; D = 1 disposes the frame's rect back to transparent.
+    * Fractional alpha blending under B = 0 is out of scope (opaque and
+    * fully-transparent sources composite exactly; anything else rejects
+    * by name — integer rounding of the spec's blend formula is
+    * writer-defined and would be silent drift). */
+  def frames(bytes: Array[Byte]): Seq[PngCodec.PngImage] = {
+    require(isWebp(bytes), "WebpCodec: not a RIFF/WEBP container")
+    val riffLen = le32(bytes, 4)
+    require(riffLen + 8 <= bytes.length,
+      s"WebpCodec: RIFF size $riffLen runs past EOF")
+    var at = 12
+    var vp8x: Option[Vp8x] = None
+    var sawAnim = false
+    var canvas: Array[Int] = null
+    var cw = 0
+    var ch = 0
+    val out = scala.collection.mutable.Buffer.empty[PngCodec.PngImage]
+    while (at + 8 <= bytes.length) {
+      val tag = new String(bytes, at, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val sz = le32(bytes, at + 4)
+      require(at + 8 + sz <= bytes.length, s"WebpCodec: chunk $tag runs past EOF")
+      tag match {
+        case "VP8X" =>
+          val x = parseVp8x(bytes, at + 8, sz)
+          require((x.flags & 0x02) != 0,
+            "WebpCodec: frames() wants an ANIMATED container — still " +
+              "images decode via decode()")
+          cw = x.canvasW; ch = x.canvasH
+          require(cw.toLong * ch * 4 <= (1L << 30),
+            s"WebpCodec: ${cw}x$ch canvas exceeds the 2^30-byte bound")
+          canvas = new Array[Int](cw * ch) // transparent black per spec
+          vp8x = Some(x)
+        case "ANIM" =>
+          require(vp8x.isDefined, "WebpCodec: ANIM before VP8X")
+          require(sz == 6, s"WebpCodec: ANIM payload of $sz bytes (want 6)")
+          // background color + loop count are playback hints; the
+          // composite canvas is transparent-initialized per spec
+          sawAnim = true
+        case "ANMF" =>
+          require(sawAnim, "WebpCodec: ANMF before ANIM")
+          require(sz >= 16, s"WebpCodec: ANMF payload of $sz bytes")
+          val p = at + 8
+          val fx = le24(bytes, p) * 2
+          val fy = le24(bytes, p + 3) * 2
+          val fw = le24(bytes, p + 6) + 1
+          val fh = le24(bytes, p + 9) + 1
+          val flagByte = bytes(p + 15) & 0xff
+          val noBlend = (flagByte & 0x02) != 0
+          val disposeBg = (flagByte & 0x01) != 0
+          require(fx + fw <= cw && fy + fh <= ch,
+            s"WebpCodec: ANMF rect ${fw}x$fh at ($fx,$fy) outside the " +
+              s"${cw}x$ch canvas")
+          // frame data: exactly one VP8L subchunk (lossy VP8/ALPH reject)
+          var q = p + 16
+          var img: PngCodec.PngImage = null
+          while (img == null) {
+            require(q + 8 <= p + sz, "WebpCodec: ANMF carries no VP8L subchunk")
+            val t2 = new String(bytes, q, 4, java.nio.charset.StandardCharsets.US_ASCII)
+            val s2 = le32(bytes, q + 4)
+            require(q + 8 + s2 <= p + sz, s"WebpCodec: ANMF subchunk $t2 overruns")
+            t2 match {
+              case "VP8L" =>
+                img = decode(wrapRiff(Seq("VP8L" ->
+                  java.util.Arrays.copyOfRange(bytes, q + 8, q + 8 + s2))))
+              case "VP8 " => throw new IllegalArgumentException(
+                "WebpCodec: lossy VP8 animation frames unsupported — VP8L only")
+              case "ALPH" => throw new IllegalArgumentException(
+                "WebpCodec: ALPH chunk rides lossy VP8 frames — VP8L carries " +
+                  "alpha in-stream")
+              case other => throw new IllegalArgumentException(
+                s"WebpCodec: unexpected $other subchunk inside ANMF")
+            }
+            q += 8 + s2 + (s2 & 1)
+          }
+          require(img.width == fw && img.height == fh,
+            s"WebpCodec: ANMF declares ${fw}x$fh but the frame is " +
+              s"${img.width}x${img.height}")
+          val sch = img.channels
+          var y = 0
+          while (y < fh) {
+            var x = 0
+            while (x < fw) {
+              val si = (y * fw + x) * sch
+              val a = if (sch == 4) img.pixels(si + 3) & 0xff else 255
+              val src = (a << 24) | ((img.pixels(si) & 0xff) << 16) |
+                ((img.pixels(si + 1) & 0xff) << 8) | (img.pixels(si + 2) & 0xff)
+              val di = (fy + y) * cw + (fx + x)
+              if (noBlend || a == 255) canvas(di) = src
+              else if (a == 0) () // fully transparent: dst shows through
+              else throw new IllegalArgumentException(
+                s"WebpCodec: fractional alpha $a under blend method 0 — " +
+                  "integer blend rounding is writer-defined; use no-blend " +
+                  "frames or binary alpha")
+              x += 1
+            }
+            y += 1
+          }
+          // snapshot the composited canvas
+          val anyTransparent = canvas.exists(p0 => (p0 >>> 24) != 255)
+          val outCh = if (anyTransparent) 4 else 3
+          val px = new Array[Byte](cw * ch * outCh)
+          var i = 0
+          while (i < cw * ch) {
+            val v = canvas(i)
+            px(i * outCh) = ((v >> 16) & 0xff).toByte
+            px(i * outCh + 1) = ((v >> 8) & 0xff).toByte
+            px(i * outCh + 2) = (v & 0xff).toByte
+            if (outCh == 4) px(i * outCh + 3) = ((v >>> 24) & 0xff).toByte
+            i += 1
+          }
+          out += PngCodec.PngImage(cw, ch, 8, if (outCh == 4) 6 else 2,
+            outCh, px)
+          if (disposeBg) {
+            var yy = 0
+            while (yy < fh) {
+              var xx = 0
+              while (xx < fw) { canvas((fy + yy) * cw + (fx + xx)) = 0; xx += 1 }
+              yy += 1
+            }
+          }
+        case "VP8 " => throw new IllegalArgumentException(
+          "WebpCodec: lossy VP8 (DCT) chunk unsupported — VP8L only")
+        case _ => () // EXIF / XMP / ICCP side metadata
+      }
+      at += 8 + sz + (sz & 1)
+    }
+    require(vp8x.isDefined, "WebpCodec: no VP8X chunk — not an animated WebP")
+    require(out.nonEmpty, "WebpCodec: animated container carries no ANMF frames")
+    out.toSeq
+  }
+
+  /** One ANMF frame for [[encodeAnim]]: VP8L-coded `pixels` painted at
+    * (`x`, `y`) — offsets must be EVEN (the wire stores them in 2-pixel
+    * units). `noBlend` = the B bit (replace the rect), `disposeBg` = the
+    * D bit (clear the rect to transparent after display). */
+  final case class AnimFrameSpec(x: Int, y: Int, width: Int, height: Int,
+                                 channels: Int, pixels: Array[Byte],
+                                 durationMs: Int, noBlend: Boolean = true,
+                                 disposeBg: Boolean = false, mode: Int = 0)
+
+  /** Write an animated WebP: VP8X (animation flag) + ANIM + one ANMF
+    * per frame, each carrying a real VP8L stream. */
+  def encodeAnim(canvasW: Int, canvasH: Int, frames: Seq[AnimFrameSpec],
+                 loop: Int = 0, bgColor: Int = 0): Array[Byte] = {
+    require(frames.nonEmpty, "WebpCodec.encodeAnim: no frames")
+    require(canvasW >= 1 && canvasW <= 16384 && canvasH >= 1 && canvasH <= 16384,
+      s"WebpCodec.encodeAnim: canvas ${canvasW}x$canvasH")
+    val hdr = new Array[Byte](10)
+    val anyAlpha = frames.exists(_.channels == 4)
+    hdr(0) = ((if (anyAlpha) 0x10 else 0) | 0x02).toByte
+    def w24(b: Array[Byte], at: Int, v: Int): Unit = {
+      b(at) = (v & 0xff).toByte; b(at + 1) = ((v >> 8) & 0xff).toByte
+      b(at + 2) = ((v >> 16) & 0xff).toByte
+    }
+    w24(hdr, 4, canvasW - 1); w24(hdr, 7, canvasH - 1)
+    val anim = new Array[Byte](6)
+    anim(0) = ((bgColor >> 16) & 0xff).toByte // B (spec stores B,G,R,A)
+    anim(1) = ((bgColor >> 8) & 0xff).toByte
+    anim(2) = (bgColor & 0xff).toByte
+    anim(3) = ((bgColor >>> 24) & 0xff).toByte
+    anim(4) = (loop & 0xff).toByte; anim(5) = ((loop >> 8) & 0xff).toByte
+    val anmfs = frames.map { f =>
+      require(f.x % 2 == 0 && f.y % 2 == 0,
+        s"WebpCodec.encodeAnim: frame offsets (${f.x},${f.y}) must be even")
+      require(f.x + f.width <= canvasW && f.y + f.height <= canvasH,
+        s"WebpCodec.encodeAnim: frame ${f.width}x${f.height} at " +
+          s"(${f.x},${f.y}) outside the ${canvasW}x$canvasH canvas")
+      val chunk = vp8lChunkData(f.width, f.height, f.channels, f.pixels,
+        f.mode, predMode = 7)
+      val body = new ByteArrayOutputStream(chunk.length + 32)
+      val h16 = new Array[Byte](16)
+      w24(h16, 0, f.x / 2); w24(h16, 3, f.y / 2)
+      w24(h16, 6, f.width - 1); w24(h16, 9, f.height - 1)
+      w24(h16, 12, f.durationMs)
+      h16(15) = (((if (f.noBlend) 0x02 else 0)) |
+        (if (f.disposeBg) 0x01 else 0)).toByte
+      body.write(h16, 0, 16)
+      body.write('V'); body.write('P'); body.write('8'); body.write('L')
+      body.write(chunk.length & 0xff); body.write((chunk.length >> 8) & 0xff)
+      body.write((chunk.length >> 16) & 0xff); body.write((chunk.length >> 24) & 0xff)
+      body.write(chunk, 0, chunk.length)
+      if ((chunk.length & 1) == 1) body.write(0)
+      "ANMF" -> body.toByteArray
+    }
+    wrapRiff(Seq("VP8X" -> hdr, "ANIM" -> anim) ++ anmfs)
+  }
+
   // ---- encode ----
 
   /** Encode RGB(A) pixels as a real VP8L WebP. `mode` rotates the wire
@@ -678,7 +913,30 @@ object WebpCodec {
     * multipliers), 6 = META PREFIX CODES (two tile-checkerboard huffman
     * groups). Channels 3 (RGB, opaque) or 4 (RGBA). */
   def encode(width: Int, height: Int, channels: Int, pixels: Array[Byte],
-             mode: Int = 0, predMode: Int = 7): Array[Byte] = {
+             mode: Int = 0, predMode: Int = 7,
+             vp8x: Boolean = false): Array[Byte] = {
+    val chunk = vp8lChunkData(width, height, channels, pixels, mode, predMode)
+    if (!vp8x) wrapRiff(Seq("VP8L" -> chunk))
+    else {
+      // still VP8X container: canvas dims duplicate the stream dims
+      // (crop/rotate semantics are out of scope); alpha flag mirrors
+      // the stream's channel count
+      val hdr = new Array[Byte](10)
+      hdr(0) = (if (channels == 4) 0x10 else 0x00).toByte
+      def w24(at: Int, v: Int): Unit = {
+        hdr(at) = (v & 0xff).toByte; hdr(at + 1) = ((v >> 8) & 0xff).toByte
+        hdr(at + 2) = ((v >> 16) & 0xff).toByte
+      }
+      w24(4, width - 1); w24(7, height - 1)
+      wrapRiff(Seq("VP8X" -> hdr, "VP8L" -> chunk))
+    }
+  }
+
+  /** The VP8L chunk body (signature byte + coded stream) for one image
+    * — shared by the plain/VP8X still wrappers and ANMF frames. */
+  private def vp8lChunkData(width: Int, height: Int, channels: Int,
+                            pixels: Array[Byte], mode: Int,
+                            predMode: Int): Array[Byte] = {
     require(channels == 3 || channels == 4,
       s"WebpCodec.encode: $channels channels (3 or 4)")
     require(width >= 1 && width <= 16384 && height >= 1 && height <= 16384,
@@ -796,21 +1054,31 @@ object WebpCodec {
       isLevel0 = true)
 
     val payload = bw.bytes
-    val out = new ByteArrayOutputStream(payload.length + 32)
+    val out = new ByteArrayOutputStream(payload.length + 1)
+    out.write(0x2f)
+    out.write(payload, 0, payload.length)
+    out.toByteArray
+  }
+
+  /** RIFF/WEBP wrapper: chunks in order, each word-aligned with a pad
+    * byte after odd sizes (the pad is OUTSIDE the declared size). */
+  private def wrapRiff(chunks: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(chunks.map(_._2.length + 9).sum + 12)
     def w32(v: Int): Unit = {
       out.write(v & 0xff); out.write((v >> 8) & 0xff)
       out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
     }
-    val chunkLen = 1 + payload.length
-    val padded = chunkLen + (chunkLen & 1)
+    val total = 4 + chunks.map { case (_, d) => 8 + d.length + (d.length & 1) }.sum
     out.write('R'); out.write('I'); out.write('F'); out.write('F')
-    w32(4 + 8 + padded)
+    w32(total)
     out.write('W'); out.write('E'); out.write('B'); out.write('P')
-    out.write('V'); out.write('P'); out.write('8'); out.write('L')
-    w32(chunkLen)
-    out.write(0x2f)
-    out.write(payload, 0, payload.length)
-    if ((chunkLen & 1) == 1) out.write(0)
+    chunks.foreach { case (tag, data) =>
+      require(tag.length == 4, s"WebpCodec: chunk tag '$tag'")
+      tag.foreach(c => out.write(c))
+      w32(data.length)
+      out.write(data, 0, data.length)
+      if ((data.length & 1) == 1) out.write(0)
+    }
     out.toByteArray
   }
 

@@ -201,6 +201,112 @@ class WebpCodecSpec extends AnyFunSuite with SparkSpec {
       .getMessage.contains("signature"))
   }
 
+  test("VP8X still container: round trip, canvas mismatch rejects") {
+    for (ch <- Seq(3, 4); (w, h) <- Seq((5, 4), (17, 9))) {
+      val px = mkPixels(w, h, ch, seed = w + ch)
+      val wire = WebpCodec.encode(w, h, ch, px, mode = 1, vp8x = true)
+      assert(new String(wire, "ISO-8859-1").contains("VP8X"))
+      val img = WebpCodec.decode(wire)
+      assert(img.width == w && img.height == h)
+      if (img.channels == ch) assert(img.pixels.toSeq == px.toSeq)
+    }
+    // canvas/stream mismatch: bump canvas width-minus-one (payload
+    // offset 20 = VP8X data start, bytes 24-26 hold width-1 LE)
+    val wire = WebpCodec.encode(5, 4, 3, mkPixels(5, 4, 3, 2), vp8x = true)
+    val bad = wire.clone(); bad(24) = 9
+    assert(intercept[IllegalArgumentException](WebpCodec.decode(bad))
+      .getMessage.contains("canvas"))
+    // frames() on a still VP8X rejects toward decode()
+    assert(intercept[IllegalArgumentException](WebpCodec.frames(wire))
+      .getMessage.contains("ANIMATED"))
+  }
+
+  test("animated WebP: composited frames match a test-side recompute") {
+    val (cw, chh) = (20, 18)
+    def cell(g: Int, x: Int, y: Int): Int = (7 * g * 31 + x * 7 + y * 13) % 250
+    def rgb(i: Int): Seq[Byte] = Seq(((i * 37) % 256).toByte,
+      ((i * 59 + 17) % 256).toByte, ((i * 83 + 29) % 256).toByte)
+    def framePx(g: Int, ox: Int, oy: Int, fw: Int, fh: Int): Array[Byte] =
+      (0 until fw * fh).flatMap(k =>
+        rgb(cell(g, ox + k % fw, oy + k / fw))).toArray
+    val rects = Seq((0, 0, cw, chh), (2, 4, 8, 8), (10, 6, 8, 8), (4, 2, 8, 8))
+    val frames = rects.zipWithIndex.map { case ((ox, oy, fw, fh), g) =>
+      WebpCodec.AnimFrameSpec(ox, oy, fw, fh, 3, framePx(g, ox, oy, fw, fh),
+        durationMs = 33, noBlend = g % 2 == 0, disposeBg = false,
+        mode = g % 7)
+    }
+    val wire = WebpCodec.encodeAnim(cw, chh, frames, loop = 2)
+    assert(new String(wire, "ISO-8859-1").contains("ANIM"))
+    val got = WebpCodec.frames(wire)
+    assert(got.length == 4)
+    got.zipWithIndex.foreach { case (img, f) =>
+      assert(img.width == cw && img.height == chh && img.channels == 3)
+      // composited pixel = most recent frame whose rect covers it
+      for (y <- 0 until chh; x <- 0 until cw) {
+        val g = (0 to f).reverse.find { gg =>
+          val (ox, oy, fw, fh) = rects(gg)
+          x >= ox && x < ox + fw && y >= oy && y < oy + fh
+        }.get
+        val want = rgb(cell(g, x, y))
+        val at = (y * cw + x) * 3
+        assert(img.pixels.slice(at, at + 3).toSeq == want,
+          s"frame $f pixel ($x,$y) from frame $g")
+      }
+    }
+    // decode() on an animated container points at frames()
+    assert(intercept[IllegalArgumentException](WebpCodec.decode(wire))
+      .getMessage.contains("frames()"))
+  }
+
+  test("animated WebP: dispose-to-background clears the rect to transparent") {
+    val full = WebpCodec.AnimFrameSpec(0, 0, 8, 8, 3,
+      Array.fill[Byte](8 * 8 * 3)(100), 33, disposeBg = false)
+    val patch = WebpCodec.AnimFrameSpec(2, 2, 4, 4, 3,
+      Array.fill[Byte](4 * 4 * 3)(7), 33, disposeBg = true)
+    val tail = WebpCodec.AnimFrameSpec(0, 6, 8, 2, 3,
+      Array.fill[Byte](8 * 2 * 3)(50), 33)
+    val got = WebpCodec.frames(WebpCodec.encodeAnim(8, 8, Seq(full, patch, tail)))
+    assert(got.length == 3)
+    // frame 1 shows the patch; frame 2 must show TRANSPARENT (not the
+    // frame-0 pixels) where the disposed patch sat
+    assert(got(1).channels == 3 && got(1).pixels((2 * 8 + 2) * 3) == 7)
+    assert(got(2).channels == 4, "disposal hole makes the snapshot RGBA")
+    val at = (2 * 8 + 2) * 4
+    assert(got(2).pixels(at + 3) == 0, "disposed rect is transparent")
+    assert(got(2).pixels((7 * 8 + 1) * 4 + 3) == -1 &&
+      got(2).pixels((7 * 8 + 1) * 4) == 50, "tail row painted opaque")
+  }
+
+  test("animated fail-loud: odd offsets, ANMF order, fractional alpha, ALPH") {
+    val f0 = WebpCodec.AnimFrameSpec(0, 0, 6, 6, 3,
+      Array.fill[Byte](6 * 6 * 3)(1), 33)
+    assert(intercept[IllegalArgumentException](WebpCodec.encodeAnim(6, 6,
+      Seq(f0.copy(x = 1, width = 4, height = 4,
+        pixels = Array.fill[Byte](48)(0))))).getMessage.contains("even"))
+    // fractional alpha under blend method 0 rejects by name
+    val semiPx = Array.tabulate[Byte](4 * 4 * 4)(i =>
+      if (i % 4 == 3) 128.toByte else 9)
+    val anim = WebpCodec.encodeAnim(6, 6, Seq(
+      f0, WebpCodec.AnimFrameSpec(0, 0, 4, 4, 4, semiPx, 33, noBlend = false)))
+    assert(intercept[IllegalArgumentException](WebpCodec.frames(anim))
+      .getMessage.contains("alpha"))
+    // ALPH chunk rejects by name through decode()
+    val still = WebpCodec.encode(4, 4, 3, mkPixels(4, 4, 3, 5))
+    val alph = new java.io.ByteArrayOutputStream()
+    alph.write(still, 0, 12)
+    alph.write("ALPH".getBytes("ISO-8859-1")); alph.write(2)
+    alph.write(0); alph.write(0); alph.write(0)
+    alph.write(0); alph.write(0)
+    alph.write(still, 12, still.length - 12)
+    // fix the RIFF size
+    val ab = alph.toByteArray
+    val riff = ab.length - 8
+    ab(4) = (riff & 0xff).toByte; ab(5) = ((riff >> 8) & 0xff).toByte
+    ab(6) = ((riff >> 16) & 0xff).toByte; ab(7) = ((riff >> 24) & 0xff).toByte
+    assert(intercept[IllegalArgumentException](WebpCodec.decode(ab))
+      .getMessage.contains("ALPH"))
+  }
+
   test("synthesizeWebps → decodeWebps matches an independent recompute") {
     val docs = spark.range(0, 24).toDF("doc_id")
     val got = BinaryPipeline.decodeWebps(BinaryPipeline.synthesizeWebps(docs))
