@@ -2086,6 +2086,39 @@ object QueriesExtra {
              |FROM px GROUP BY doc_id, f, w, h, ch, dim
              |ORDER BY doc_id, frame_idx, dim""".stripMargin)),
 
+    // MATROSKA container extraction (round 19, VERDICT r18 #5 — the
+    // second-most-common crawled video wrapper): the SAME frame corpus
+    // as q_frame_avi/q_frame_mp4 wrapped in a real EBML/Matroska file —
+    // vint id/size walk, DocType gate, V_MJPEG track selection (an
+    // audio track is present to skip on every third doc), keyframe
+    // SimpleBlocks across multi-frame clusters. The oracle is carried
+    // VERBATIM (container invariance): a vint misread, a wrong track
+    // pick or a block-header slip breaks every tile-feature hash.
+    "q_frame_mkv" -> QueryDef(
+      (s, d) => BinaryPipeline.decodeFrameTiles(
+          BinaryPipeline.synthesizeMkvs(Tables.documents(s, d)), stride = 2)
+        .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
+          col("components"), posexplode(col("features")).as(Seq("dim", "v")))
+        .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
+          col("components"), col("dim").cast("long").as("dim"),
+          round(col("v"), 6).as("v"))
+        .orderBy(col("doc_id"), col("frame_idx"), col("dim")),
+      Some("""WITH p AS (SELECT doc_id, 24 + doc_id % 13 AS w, 16 + doc_id % 11 AS h,
+             |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS ch,
+             |    3 + doc_id % 4 AS nf FROM documents),
+             |fr AS (SELECT p.*, f FROM p, unnest(range(0, nf)) t(f) WHERE f % 2 = 0),
+             |px AS (SELECT doc_id, w, h, ch, f,
+             |    (((y*2)//h) * 2 + ((x*2)//w)) * ch + c AS dim,
+             |    128 + 3*(((doc_id*31 + (x//8)*7 + (y//8)*13 + f*11) % 53) - 26) AS v
+             |  FROM fr, unnest(range(0, w)) AS gx(x), unnest(range(0, h)) AS gy(y),
+             |       unnest(range(0, ch)) AS gc(c))
+             |SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+             |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             |  CAST(ch AS BIGINT) AS components,
+             |  CAST(dim AS BIGINT) AS dim, round(avg(v), 6) AS v
+             |FROM px GROUP BY doc_id, f, w, h, ch, dim
+             |ORDER BY doc_id, frame_idx, dim""".stripMargin)),
+
     // FRAGMENTED MP4 (round 17 — the CMAF/DASH streaming-era shape):
     // the SAME frame corpus as q_frame_mp4 but the moov's stbl is
     // EMPTY and every sample rides moof+mdat fragments (1-3 frames per

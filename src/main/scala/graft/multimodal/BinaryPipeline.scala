@@ -1587,6 +1587,48 @@ object BinaryPipeline {
     * idx1): the SAME frame formulas, so the container is pure LAYOUT
     * and q_frame_decode's oracle gates AVI container-invariance the way
     * the interlaced-PNG oracle gates layout. */
+  /** Matroska corpus (round 19, VERDICT r18 #5): the SAME flat-block
+    * MJPEG frame recipe as [[synthesizeAvis]], wrapped in a real
+    * EBML/Matroska file — V_MJPEG video track, keyframe SimpleBlocks
+    * split across clusters of 1-3 frames, an audio track the walk must
+    * skip on every third doc — so the q_frame_decode oracle carries
+    * VERBATIM (container invariance, the AVI/MP4 convention). */
+  def synthesizeMkvs(docs: DataFrame, idCol: String = "doc_id",
+                     batchSize: Int = 16): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(mediaSchema(idCol))
+    spreadIds(docs, idCol).mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val id = r.getLong(0)
+          val w = (24 + id % 13).toInt
+          val h = (16 + id % 11).toInt
+          val comps = if (id % 2 == 0) 1 else 3
+          val nFrames = (3 + id % 4).toInt
+          val frames = (0 until nFrames).map { f =>
+            val px = new Array[Byte](w * h * comps)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val v = (128 + 3 * ((id * 31 + (x / 8) * 7 + (y / 8) * 13 + f * 11) % 53 - 26)).toByte
+                var c = 0
+                while (c < comps) { px((y * w + x) * comps + c) = v; c += 1 }
+                x += 1
+              }
+              y += 1
+            }
+            JpegCodec.encode(w, h, comps, px, quality = 90)
+          }
+          val bytes = MkvCodec.encode(frames, w, h,
+            perCluster = (1 + id % 3).toInt,
+            withAudioTrack = id % 3 == 0)
+          mediaRow(id, bytes, "video/x-matroska")
+        }
+      }
+    }(enc)
+  }
+
   def synthesizeAvis(docs: DataFrame, idCol: String = "doc_id",
                      batchSize: Int = 16): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
@@ -1989,6 +2031,9 @@ object BinaryPipeline {
               val payloads: Iterator[(Array[Byte], Int)] =
                 if (AviCodec.isAvi(content))
                   AviCodec.videoFrames(content).iterator.zipWithIndex
+                    .filter(_._2 % stride == 0)
+                else if (MkvCodec.isMkv(content))
+                  MkvCodec.videoFrames(content).iterator.zipWithIndex
                     .filter(_._2 % stride == 0)
                 else if (Mp4Codec.isMp4(content))
                   Mp4Codec.videoFrames(content).iterator.zipWithIndex
