@@ -6,7 +6,7 @@ import graft.Queries.QueryDef
 import graft.functions.{LangFunctions, PromptFunctions, TextFunctions, VectorFunctions}
 import graft.operators.{Dedup, Knn}
 import graft.multimodal.BinaryPipeline
-import graft.pipeline.{Embedder, PdfPipeline, Summarizer}
+import graft.pipeline.{Embedder, PdfPipeline, Summarizer, WarcPipeline}
 
 /** SURVEY.md §2.1 pipeline + §2.2 dedup/text-analysis query gates.
   * Chunking parameters are scaled (maxLen=200, lookback=60 vs the
@@ -197,6 +197,34 @@ object QueriesPipeline {
              |  md5(substr(text, i*200 + 1, 200)) AS page_md5
              |FROM documents, unnest(range(0, CAST(ceil(length(text) / 200.0) AS INT))) AS t(i)
              |ORDER BY doc_id, page_no""".stripMargin)),
+
+    // WARC CRAWL INGEST + HTML TEXT EXTRACTION (round 19 — the wire
+    // format web-scale training corpora arrive in: Common Crawl ships
+    // member-per-record .warc.gz; that per-member independence is what
+    // makes a 100 TB crawl SPLITTABLE). Structurally-real WARC files
+    // are synthesized per document (warcinfo + request + response,
+    // HTTP message embedded, SHA-1 payload digests stamped; gzip and
+    // bare transports, WARC/1.0 and 1.1 rotated results-invisibly),
+    // then extracted through the full path — record walk with strict
+    // Content-Length accounting, gzip members, HTTP split, PAYLOAD
+    // DIGEST VERIFICATION (the format's own in-band oracle), and
+    // HtmlText tag-strip/entity-decode/whitespace-collapse. The oracle
+    // replays the whitespace-collapsed text straight from the text
+    // column: extraction must invert the HTML wrap exactly.
+    "q_warc_extract" -> QueryDef(
+      (s, d) => WarcPipeline.extractWarcs(
+          WarcPipeline.synthesizeWarcs(Tables.documents(s, d)))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, CAST(3 AS BIGINT) AS n_records,
+             |  CAST(200 AS BIGINT) AS status,
+             |  'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS url,
+             |  TRUE AS digest_ok,
+             |  'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+             |  CAST(length(t) AS BIGINT) AS text_len, md5(t) AS text_md5
+             |FROM (SELECT doc_id,
+             |        trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g')) AS t
+             |      FROM documents)
+             |ORDER BY doc_id""".stripMargin)),
 
     // IMAGE-XOBJECT extraction (round 19, VERDICT r18 #3 — the
     // scanned-document modality): image-ONLY PDFs (whose text

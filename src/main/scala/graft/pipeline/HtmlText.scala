@@ -1,0 +1,164 @@
+package graft.pipeline
+
+/** HTML → text extraction (round 19 — the crawl-ingest stage every
+  * training-data pipeline runs in front of dedup/quality/tokenize;
+  * the reference's domain is PDF ingest, and web corpora arrive as
+  * HTML inside WARC).
+  *
+  * Deliberately LENIENT, unlike the binary codecs: wild HTML is never
+  * well-formed, so the contract here is a deterministic total function
+  * — every input produces text, and the RULES are the spec:
+  *  - `<script>`/`<style>`/`<noscript>`/`<template>` elements drop with
+  *    their content (case-insensitive, attribute-tolerant; an unclosed
+  *    one drops to EOF — the browser rule)
+  *  - `<!-- -->` comments, `<![CDATA[ ]]>` sections, `<!DOCTYPE>` and
+  *    `<? ?>` processing instructions drop
+  *  - every remaining tag drops; BLOCK-level tags (p/div/br/li/tr/h1-6
+  *    /table/ul/ol/section/article/header/footer/blockquote/pre/hr)
+  *    contribute a whitespace separator so words never fuse across
+  *    block boundaries; a `<` that opens no tag is literal text
+  *  - character references decode: the core named five (amp/lt/gt/
+  *    quot/apos) + nbsp (→ space), decimal `&#NN;` and hex `&#xHH;`
+  *    code points; unknown/malformed references stay literal
+  *  - whitespace (space, TAB, LF, CR, FF, VT) collapses to single
+  *    spaces, trimmed
+  * `title` extracts the first `<title>` element's text the same way. */
+object HtmlText {
+
+  private val DropElems = Set("script", "style", "noscript", "template")
+  private val BlockElems = Set("p", "div", "br", "li", "tr", "td", "th",
+    "h1", "h2", "h3", "h4", "h5", "h6", "table", "ul", "ol", "section",
+    "article", "header", "footer", "blockquote", "pre", "hr")
+
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == '\u000b'
+
+  /** Decode one character reference starting at `at` (the '&').
+    * Returns (decoded, nextPos) or null when it is not a reference. */
+  private def charRef(s: String, at: Int): (String, Int) = {
+    val semi = s.indexOf(';', at + 1)
+    if (semi < 0 || semi - at > 12) return null
+    val body = s.substring(at + 1, semi)
+    val out: String =
+      if (body.startsWith("#x") || body.startsWith("#X")) {
+        val hex = body.substring(2)
+        if (hex.nonEmpty && hex.forall(c => Character.digit(c, 16) >= 0))
+          try new String(Character.toChars(Integer.parseInt(hex, 16)))
+          catch { case _: Exception => null }
+        else null
+      } else if (body.startsWith("#")) {
+        val dec = body.substring(1)
+        if (dec.nonEmpty && dec.forall(_.isDigit))
+          try new String(Character.toChars(dec.toInt))
+          catch { case _: Exception => null }
+        else null
+      } else body match {
+        case "amp" => "&"
+        case "lt" => "<"
+        case "gt" => ">"
+        case "quot" => "\""
+        case "apos" => "'"
+        case "nbsp" => " "
+        case _ => null
+      }
+    if (out == null) null else (out, semi + 1)
+  }
+
+  /** Tag name at `at` (just past '<' and any '/'), lowercased;
+    * empty when the position opens no name. */
+  private def tagName(s: String, at: Int): String = {
+    var p = at
+    val st = p
+    while (p < s.length && (s.charAt(p).isLetterOrDigit)) p += 1
+    s.substring(st, p).toLowerCase
+  }
+
+  /** Extract (text, title). */
+  def extractWithTitle(html: String): (String, String) = {
+    val text = new StringBuilder
+    val title = new StringBuilder
+    var inTitle = false
+    var p = 0
+    val n = html.length
+    lazy val lowerHtml = html.toLowerCase
+    def emit(str: String): Unit = {
+      if (inTitle) title.append(str) else text.append(str)
+    }
+    while (p < n) {
+      val c = html.charAt(p)
+      if (c == '<') {
+        if (html.startsWith("<!--", p)) {
+          val e = html.indexOf("-->", p + 4)
+          p = if (e < 0) n else e + 3
+        } else if (html.regionMatches(true, p, "<![CDATA[", 0, 9)) {
+          val e = html.indexOf("]]>", p + 9)
+          p = if (e < 0) n else e + 3
+        } else if (html.startsWith("<!", p) || html.startsWith("<?", p)) {
+          val e = html.indexOf('>', p + 2)
+          p = if (e < 0) n else e + 1
+        } else {
+          val closing = p + 1 < n && html.charAt(p + 1) == '/'
+          val nameAt = if (closing) p + 2 else p + 1
+          val name = tagName(html, nameAt)
+          if (name.isEmpty) { emit("<"); p += 1 } // literal '<'
+          else {
+            val e = html.indexOf('>', nameAt)
+            val tagEnd = if (e < 0) n else e + 1
+            if (!closing && DropElems.contains(name)) {
+              // drop with content to the matching close (or EOF)
+              val close = s"</$name"
+              var q = tagEnd
+              var done = false
+              while (!done) {
+                val hit = lowerHtml.indexOf(close, q)
+                if (hit < 0) { p = n; done = true }
+                else {
+                  val ge = html.indexOf('>', hit)
+                  p = if (ge < 0) n else ge + 1
+                  done = true
+                }
+              }
+            } else {
+              if (name == "title") inTitle = !closing
+              if (BlockElems.contains(name)) emit(" ")
+              p = tagEnd
+            }
+          }
+        }
+      } else if (c == '&') {
+        val r = charRef(html, p)
+        if (r == null) { emit("&"); p += 1 }
+        else { emit(r._1); p = r._2 }
+      } else if (isWs(c)) {
+        emit(" ")
+        p += 1
+      } else {
+        emit(c.toString)
+        p += 1
+      }
+    }
+    def collapse(sb: StringBuilder): String = {
+      val out = new StringBuilder(sb.length)
+      var lastWs = true
+      sb.foreach { ch =>
+        if (ch == ' ') { if (!lastWs) { out.append(' '); lastWs = true } }
+        else { out.append(ch); lastWs = false }
+      }
+      if (out.nonEmpty && out.last == ' ') out.setLength(out.length - 1)
+      out.toString
+    }
+    (collapse(text), collapse(title))
+  }
+
+  def extract(html: String): String = extractWithTitle(html)._1
+
+  /** Escape text for embedding in an HTML body (the writer-side inverse
+    * of the reference decode). */
+  def escape(text: String): String =
+    text.flatMap {
+      case '&' => "&amp;"
+      case '<' => "&lt;"
+      case '>' => "&gt;"
+      case c => c.toString
+    }
+}
