@@ -6,7 +6,7 @@ import graft.Queries.QueryDef
 import graft.functions.{LangFunctions, PromptFunctions, TextFunctions, VectorFunctions}
 import graft.operators.{Dedup, Knn}
 import graft.multimodal.BinaryPipeline
-import graft.pipeline.{Embedder, PdfPipeline, Summarizer, WarcPipeline}
+import graft.pipeline.{ArchivePipeline, Embedder, PdfPipeline, Summarizer, WarcPipeline}
 
 /** SURVEY.md §2.1 pipeline + §2.2 dedup/text-analysis query gates.
   * Chunking parameters are scaled (maxLen=200, lookback=60 vs the
@@ -197,6 +197,29 @@ object QueriesPipeline {
              |  md5(substr(text, i*200 + 1, 200)) AS page_md5
              |FROM documents, unnest(range(0, CAST(ceil(length(text) / 200.0) AS INT))) AS t(i)
              |ORDER BY doc_id, page_no""".stripMargin)),
+
+    // ARCHIVE INGEST — ZIP + USTAR TAR (round 19 — the delivery
+    // formats document corpora and dataset dumps ship in; both walks
+    // verify the format's own in-band integrity fields on EVERY entry:
+    // ZIP central-directory CRC-32 vs the inflated data, TAR header
+    // checksums). Per-doc archives carry 1-3 member files holding
+    // 100-code-point text slices; ZIP (stored+deflate mix, EOCD
+    // comment leg) on even ids, TAR on odd — the oracle replays names,
+    // UTF-8 byte sizes and content md5 straight from substr(text),
+    // so wire rotation is results-invisible and a CRC slip, an
+    // inflate bug or a header misread breaks the hash.
+    "q_archive_extract" -> QueryDef(
+      (s, d) => ArchivePipeline.extractArchives(
+          ArchivePipeline.synthesizeArchives(Tables.documents(s, d)))
+        .orderBy(col("doc_id"), col("entry_idx")),
+      Some("""SELECT doc_id, CAST(t.k AS BIGINT) AS entry_idx,
+             |  'doc' || CAST(doc_id AS VARCHAR) || '/part' ||
+             |    CAST(t.k AS VARCHAR) || '.txt' AS name,
+             |  CAST(strlen(substr(text, CAST(t.k*100+1 AS INT), 100))
+             |    AS BIGINT) AS size,
+             |  md5(substr(text, CAST(t.k*100+1 AS INT), 100)) AS content_md5
+             |FROM documents, unnest(range(0, 1 + doc_id % 3)) t(k)
+             |ORDER BY doc_id, entry_idx""".stripMargin)),
 
     // WARC CRAWL INGEST + HTML TEXT EXTRACTION (round 19 — the wire
     // format web-scale training corpora arrive in: Common Crawl ships
