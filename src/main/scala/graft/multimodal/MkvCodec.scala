@@ -49,25 +49,30 @@ object MkvCodec {
     (v, at + len)
   }
 
-  /** Element SIZE: length from the marker bit, value CLEARS the marker.
-    * Returns (size, nextPos); the all-ones "unknown size" form rejects
-    * by name. */
-  private def readSize(b: Array[Byte], at: Int): (Long, Int) = {
-    require(at < b.length, "MkvCodec: truncated element size")
+  /** Plain vint with the marker cleared — block-header TRACK NUMBERS
+    * use this form, where the all-ones value is ordinary data (track
+    * 127 encodes as 0xFF). */
+  private def readVint(b: Array[Byte], at: Int): (Long, Int) = {
+    require(at < b.length, "MkvCodec: truncated vint")
     val first = b(at) & 0xff
-    require(first != 0, "MkvCodec: invalid size vint (> 8 bytes)")
+    require(first != 0, "MkvCodec: invalid vint (> 8 bytes)")
     val len = Integer.numberOfLeadingZeros(first) - 24 + 1
-    require(at + len <= b.length, "MkvCodec: truncated element size")
+    require(at + len <= b.length, "MkvCodec: truncated vint")
     var v = (first & (0xff >>> len)).toLong
-    var allOnes = (first & (0xff >>> len)) == (0xff >>> len)
     var i = 1
-    while (i < len) {
-      v = (v << 8) | (b(at + i) & 0xff)
-      if ((b(at + i) & 0xff) != 0xff) allOnes = false
-      i += 1
-    }
-    require(!allOnes, "MkvCodec: unknown-size element (streamed file) unsupported")
+    while (i < len) { v = (v << 8) | (b(at + i) & 0xff); i += 1 }
     (v, at + len)
+  }
+
+  /** Element SIZE: [[readVint]] plus the all-ones "unknown size"
+    * rejection — that reservation applies to ELEMENT sizes only. */
+  private def readSize(b: Array[Byte], at: Int): (Long, Int) = {
+    val (v, next) = readVint(b, at)
+    val len = next - at
+    // all data bits set = the reserved unknown-size form
+    require(v != (1L << (7 * len)) - 1,
+      "MkvCodec: unknown-size element (streamed file) unsupported")
+    (v, next)
   }
 
   private def uint(b: Array[Byte], at: Int, len: Int): Long = {
@@ -108,6 +113,7 @@ object MkvCodec {
     val (hdrId, h1) = readId(bytes, 0)
     require(hdrId == 0x1a45dfa3L, "MkvCodec: first element is not the EBML header")
     val (hdrSz, h2) = readSize(bytes, h1)
+    require(h2 + hdrSz <= bytes.length, "MkvCodec: EBML header runs past EOF")
     var docType = "matroska"
     children(bytes, h2, h2 + hdrSz.toInt) { (id, at, len) =>
       id match {
@@ -189,9 +195,10 @@ object MkvCodec {
           require(videoTrack > 0, "MkvCodec: Cluster before any video TrackEntry")
           children(bytes, at, at + len) { (cid, cat, clen) =>
             def block(bat: Int, blen: Int): Unit = {
-              // block header: track vint (size semantics), int16 relative
-              // timestamp, flags; lacing bits must be 00 (unlaced)
-              val (tnum, p1) = readSize(bytes, bat)
+              // block header: track vint (plain — 0xFF is track 127,
+              // not unknown-size), int16 relative timestamp, flags;
+              // lacing bits must be 00 (unlaced)
+              val (tnum, p1) = readVint(bytes, bat)
               val flagsAt = p1 + 2
               require(flagsAt < bat + blen, "MkvCodec: truncated block header")
               if (tnum == videoTrack) {

@@ -148,7 +148,8 @@ object OggCodec {
       val v = le32(b, off); off += 4; v
     }
     val vendorLen = u32()
-    require(vendorLen >= 0 && off + vendorLen <= b.length,
+    // Long math: a hostile 0x7fffffff length would wrap `off + len`
+    require(vendorLen >= 0 && off.toLong + vendorLen <= b.length,
       s"OggCodec: $what vendor string runs past the packet")
     off += vendorLen
     val n = u32()
@@ -157,7 +158,7 @@ object OggCodec {
     var i = 0
     while (i < n) {
       val len = u32()
-      require(len >= 0 && off + len <= b.length,
+      require(len >= 0 && off.toLong + len <= b.length,
         s"OggCodec: $what comment $i runs past the packet")
       val c = new String(b, off, len, UTF_8)
       off += len

@@ -294,7 +294,10 @@ object WebpCodec {
     while (payloadAt < 0 && at + 8 <= bytes.length) {
       val tag = new String(bytes, at, 4, java.nio.charset.StandardCharsets.US_ASCII)
       val sz = le32(bytes, at + 4)
-      require(at + 8 + sz <= bytes.length, s"WebpCodec: chunk $tag runs past EOF")
+      // le32 is SIGNED: a crafted negative size would stall or reverse
+      // the walk (at += 8 + sz) — reject before the bounds check
+      require(sz >= 0 && at + 8 + sz <= bytes.length,
+        s"WebpCodec: chunk $tag of $sz bytes runs past EOF")
       tag match {
         case "VP8L" => payloadAt = at + 8; payloadEnd = at + 8 + sz
         case "VP8 " => throw new IllegalArgumentException(
@@ -736,7 +739,8 @@ object WebpCodec {
     while (at + 8 <= bytes.length) {
       val tag = new String(bytes, at, 4, java.nio.charset.StandardCharsets.US_ASCII)
       val sz = le32(bytes, at + 4)
-      require(at + 8 + sz <= bytes.length, s"WebpCodec: chunk $tag runs past EOF")
+      require(sz >= 0 && at + 8 + sz <= bytes.length,
+        s"WebpCodec: chunk $tag of $sz bytes runs past EOF")
       tag match {
         case "VP8X" =>
           val x = parseVp8x(bytes, at + 8, sz)
@@ -775,7 +779,8 @@ object WebpCodec {
             require(q + 8 <= p + sz, "WebpCodec: ANMF carries no VP8L subchunk")
             val t2 = new String(bytes, q, 4, java.nio.charset.StandardCharsets.US_ASCII)
             val s2 = le32(bytes, q + 4)
-            require(q + 8 + s2 <= p + sz, s"WebpCodec: ANMF subchunk $t2 overruns")
+            require(s2 >= 0 && q + 8 + s2 <= p + sz,
+              s"WebpCodec: ANMF subchunk $t2 of $s2 bytes overruns")
             t2 match {
               case "VP8L" =>
                 img = decode(wrapRiff(Seq("VP8L" ->

@@ -55,9 +55,13 @@ object ArchiveCodec {
       "ArchiveCodec: multi-disk ZIP unsupported")
     require(nEntries != 0xffff && cdOff != 0xffffffffL,
       "ArchiveCodec: ZIP64 unsupported")
+    // cdOff is an unsigned 32-bit field: bound it in LONG math before
+    // the .toInt (a 2^31+ value would index negative)
+    require(cdOff + 46 <= bytes.length,
+      s"ArchiveCodec: central directory at $cdOff runs past EOF")
     var at = cdOff.toInt
     (0 until nEntries).map { k =>
-      require(at + 46 <= bytes.length &&
+      require(at >= 0 && at + 46 <= bytes.length &&
         bytes(at) == 'P' && bytes(at + 1) == 'K' && bytes(at + 2) == 1 &&
         bytes(at + 3) == 2,
         s"ArchiveCodec: central-directory entry $k signature missing")
@@ -71,10 +75,14 @@ object ArchiveCodec {
       val nameLen = le16(bytes, at + 28)
       val extraLen = le16(bytes, at + 30)
       val commentLen = le16(bytes, at + 32)
-      val lho = le32(bytes, at + 42).toInt
+      val lhoL = le32(bytes, at + 42)
       val name = new String(bytes, at + 46, nameLen, UTF_8)
       at += 46 + nameLen + extraLen + commentLen
       // the local header re-read: name must agree, data follows it
+      // (unsigned-field bound in LONG math before the .toInt)
+      require(lhoL + 30 <= bytes.length,
+        s"ArchiveCodec: entry '$name' local header at $lhoL past EOF")
+      val lho = lhoL.toInt
       require(lho + 30 <= bytes.length &&
         bytes(lho) == 'P' && bytes(lho + 1) == 'K' && bytes(lho + 2) == 3 &&
         bytes(lho + 3) == 4,

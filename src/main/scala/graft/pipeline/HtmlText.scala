@@ -64,13 +64,15 @@ object HtmlText {
     if (out == null) null else (out, semi + 1)
   }
 
-  /** Tag name at `at` (just past '<' and any '/'), lowercased;
-    * empty when the position opens no name. */
+  /** Tag name at `at` (just past '<' and any '/'), lowercased; empty
+    * when the position opens no name. HTML tag names are LETTER-
+    * initial ("I <3 scala" keeps its '<3' as text — the browser rule);
+    * Locale.ROOT so tr-TR's dotless-i can never unmatch `<SCRIPT>`. */
   private def tagName(s: String, at: Int): String = {
-    var p = at
-    val st = p
-    while (p < s.length && (s.charAt(p).isLetterOrDigit)) p += 1
-    s.substring(st, p).toLowerCase
+    if (at >= s.length || !s.charAt(at).isLetter) return ""
+    var p = at + 1
+    while (p < s.length && s.charAt(p).isLetterOrDigit) p += 1
+    s.substring(at, p).toLowerCase(java.util.Locale.ROOT)
   }
 
   /** Extract (text, title). */
@@ -80,9 +82,13 @@ object HtmlText {
     var inTitle = false
     var p = 0
     val n = html.length
-    lazy val lowerHtml = html.toLowerCase
+    lazy val lowerHtml = html.toLowerCase(java.util.Locale.ROOT)
     def emit(str: String): Unit = {
       if (inTitle) title.append(str) else text.append(str)
+    }
+    // Char overload: the ordinary-character hot path must not allocate
+    def emitC(ch: Char): Unit = {
+      if (inTitle) title.append(ch) else text.append(ch)
     }
     while (p < n) {
       val c = html.charAt(p)
@@ -100,7 +106,7 @@ object HtmlText {
           val closing = p + 1 < n && html.charAt(p + 1) == '/'
           val nameAt = if (closing) p + 2 else p + 1
           val name = tagName(html, nameAt)
-          if (name.isEmpty) { emit("<"); p += 1 } // literal '<'
+          if (name.isEmpty) { emitC('<'); p += 1 } // literal '<'
           else {
             val e = html.indexOf('>', nameAt)
             val tagEnd = if (e < 0) n else e + 1
@@ -120,20 +126,20 @@ object HtmlText {
               }
             } else {
               if (name == "title") inTitle = !closing
-              if (BlockElems.contains(name)) emit(" ")
+              if (BlockElems.contains(name)) emitC(' ')
               p = tagEnd
             }
           }
         }
       } else if (c == '&') {
         val r = charRef(html, p)
-        if (r == null) { emit("&"); p += 1 }
+        if (r == null) { emitC('&'); p += 1 }
         else { emit(r._1); p = r._2 }
       } else if (isWs(c)) {
-        emit(" ")
+        emitC(' ')
         p += 1
       } else {
-        emit(c.toString)
+        emitC(c)
         p += 1
       }
     }

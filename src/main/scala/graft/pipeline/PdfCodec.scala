@@ -294,12 +294,7 @@ object PdfCodec {
     }
     val raw = obj.stream.getOrElse(throw new IllegalArgumentException(
       s"PdfCodec: image object $num has no stream data"))
-    val filters: Seq[String] =
-      """/Filter\s*\[([^\]]*)\]""".r.findFirstMatchIn(dict) match {
-        case Some(m) => """/([A-Za-z0-9]+)""".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq
-        case None =>
-          """/Filter\s*/([A-Za-z0-9]+)""".r.findFirstMatchIn(dict).map(_.group(1)).toSeq
-      }
+    val filters: Seq[String] = parseFilters(dict)
     val parms = resolveDict(dict, "DecodeParms", byNum)
       .orElse(resolveDict(dict, "DP", byNum)).getOrElse("")
     val pd = parms + " " + dict
@@ -315,17 +310,8 @@ object PdfCodec {
       filters.span(f => f != "DCTDecode" && f != "CCITTFaxDecode")
     require(terminal.length <= 1, s"PdfCodec: image object $num declares " +
       s"filters after the ${terminal.headOption.getOrElse("")} image filter")
-    val preDecoded = pre.foldLeft(raw) { (data, f) =>
-      f match {
-        case "FlateDecode" => inflate(data)
-        case "ASCIIHexDecode" => asciiHexDecode(data)
-        case "ASCII85Decode" => ascii85Decode(data)
-        case "LZWDecode" => lzwDecode(data)
-        case "RunLengthDecode" => runLengthDecode(data)
-        case other => throw new IllegalArgumentException(
-          s"PdfCodec: image object $num filter /$other unsupported")
-      }
-    }
+    val preDecoded = pre.foldLeft(raw)((data, f) =>
+      applyBaseFilter(f, data, num))
     terminal.headOption match {
       case None =>
         // raw samples (possibly predictor-coded under Flate/LZW)
@@ -1527,15 +1513,34 @@ object PdfCodec {
     * `[/ASCII85Decode /FlateDecode]`). Supported: FlateDecode,
     * ASCIIHexDecode, ASCII85Decode, LZWDecode (with the PDF early-change
     * default), RunLengthDecode (§7.4.5). Other filters fail loud. */
+  /** /Filter entry as an ordered name list: a single name or the
+    * array form (shared by content/ObjStm/xref streams and image
+    * XObjects — ONE copy of the grammar). */
+  private def parseFilters(dict: String): Seq[String] =
+    """/Filter\s*\[([^\]]*)\]""".r.findFirstMatchIn(dict) match {
+      case Some(m) => """/([A-Za-z0-9]+)""".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq
+      case None =>
+        """/Filter\s*/([A-Za-z0-9]+)""".r.findFirstMatchIn(dict).map(_.group(1)).toSeq
+    }
+
+  /** One NON-IMAGE filter stage (the §7.4 general-purpose set). */
+  private def applyBaseFilter(f: String, data: Array[Byte],
+                              objNum: Int): Array[Byte] = f match {
+    case "FlateDecode" => inflate(data)
+    case "ASCIIHexDecode" => asciiHexDecode(data)
+    case "ASCII85Decode" => ascii85Decode(data)
+    case "LZWDecode" => lzwDecode(data)
+    case "RunLengthDecode" => runLengthDecode(data)
+    case other => throw new IllegalArgumentException(
+      s"PdfCodec: object $objNum: unsupported stream filter /$other " +
+        "(FlateDecode, ASCIIHexDecode, ASCII85Decode, LZWDecode, " +
+        "RunLengthDecode or none)")
+  }
+
   private def decodeStream(obj: PdfObj, byNum: Map[Int, PdfObj]): String = {
     val raw = obj.stream.getOrElse(
       throw new IllegalArgumentException(s"PdfCodec: object ${obj.num} has no stream data"))
-    val filters: Seq[String] =
-      """/Filter\s*\[([^\]]*)\]""".r.findFirstMatchIn(obj.dict) match {
-        case Some(m) => """/([A-Za-z0-9]+)""".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq
-        case None =>
-          """/Filter\s*/([A-Za-z0-9]+)""".r.findFirstMatchIn(obj.dict).map(_.group(1)).toSeq
-      }
+    val filters: Seq[String] = parseFilters(obj.dict)
     // /DecodeParms may be an INDIRECT reference (spec §7.3.8) — a
     // predictor hidden behind one must still be honored, or Flate output
     // is returned un-de-predicted as silent garbage
@@ -1544,19 +1549,8 @@ object PdfCodec {
     val pd = parms + " " + obj.dict
     def parm(name: String, default: Int): Int =
       (s"""/$name\\s+(\\d+)""").r.findFirstMatchIn(pd).map(_.group(1).toInt).getOrElse(default)
-    val decoded = filters.foldLeft(raw) { (data, f) =>
-      f match {
-        case "FlateDecode" => inflate(data)
-        case "ASCIIHexDecode" => asciiHexDecode(data)
-        case "ASCII85Decode" => ascii85Decode(data)
-        case "LZWDecode" => lzwDecode(data)
-        case "RunLengthDecode" => runLengthDecode(data)
-        case other => throw new IllegalArgumentException(
-          s"PdfCodec: unsupported stream filter /$other " +
-            "(FlateDecode, ASCIIHexDecode, ASCII85Decode, LZWDecode, " +
-            "RunLengthDecode or none)")
-      }
-    }
+    val decoded = filters.foldLeft(raw)((data, f) =>
+      applyBaseFilter(f, data, obj.num))
     // Predictors (spec §7.4.4.4) belong to the Flate/LZW filter's
     // parameters and apply to its DECODED output — every modern writer
     // predictor-codes at least its xref stream (/Predictor 12), so

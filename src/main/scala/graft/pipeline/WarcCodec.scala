@@ -45,8 +45,9 @@ object WarcCodec {
       new String(b, 0, 5, ISO_8859_1) == "WARC/")
 
   /** All records of a WARC file (gzip inflated first when present —
-    * GZIPInputStream walks concatenated members, so both the
-    * member-per-record and single-member transports read). */
+    * strict member-by-member, so both the member-per-record and
+    * single-member transports read and a corrupt member REJECTS rather
+    * than silently truncating). */
   def records(bytes: Array[Byte]): Seq[WarcRecord] = {
     require(isWarc(bytes), "WarcCodec: neither a WARC/ header nor gzip")
     val raw = if (isGzip(bytes)) gunzipAll(bytes) else bytes
@@ -159,13 +160,66 @@ object WarcCodec {
     sb.toString
   }
 
+  /** STRICT member-by-member gunzip: GZIPInputStream's concatenated
+    * mode silently treats a corrupt next-member header as EOF, which
+    * would drop trailing records without error. Each member's header
+    * is parsed here (RFC 1952: magic, method 8, FEXTRA/FNAME/FCOMMENT/
+    * FHCRC skipped by their own framing), the body raw-inflated, the
+    * trailer's CRC-32 and ISIZE verified, and EVERY input byte must
+    * belong to some member. */
   private def gunzipAll(bytes: Array[Byte]): Array[Byte] = {
-    val in = new java.util.zip.GZIPInputStream(
-      new java.io.ByteArrayInputStream(bytes), 65536)
     val out = new ByteArrayOutputStream(bytes.length * 4)
-    val buf = new Array[Byte](65536)
-    var n = in.read(buf)
-    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    var at = 0
+    while (at < bytes.length) {
+      require(at + 10 <= bytes.length && (bytes(at) & 0xff) == 0x1f &&
+        (bytes(at + 1) & 0xff) == 0x8b,
+        s"WarcCodec: gzip member header missing at offset $at")
+      require((bytes(at + 2) & 0xff) == 8,
+        s"WarcCodec: gzip compression method ${bytes(at + 2) & 0xff} (want 8)")
+      val flg = bytes(at + 3) & 0xff
+      require((flg & 0xe0) == 0, f"WarcCodec: reserved gzip FLG bits 0x$flg%02x")
+      var p = at + 10
+      if ((flg & 0x04) != 0) { // FEXTRA
+        require(p + 2 <= bytes.length, "WarcCodec: truncated gzip FEXTRA")
+        val xlen = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
+        p += 2 + xlen
+      }
+      def skipZString(): Unit = {
+        while (p < bytes.length && bytes(p) != 0) p += 1
+        require(p < bytes.length, "WarcCodec: unterminated gzip name/comment")
+        p += 1
+      }
+      if ((flg & 0x08) != 0) skipZString() // FNAME
+      if ((flg & 0x10) != 0) skipZString() // FCOMMENT
+      if ((flg & 0x02) != 0) p += 2 // FHCRC
+      require(p <= bytes.length, "WarcCodec: truncated gzip member header")
+      val inf = new java.util.zip.Inflater(true)
+      val crc = new java.util.zip.CRC32
+      val memberStart = out.size()
+      try {
+        inf.setInput(bytes, p, bytes.length - p)
+        val buf = new Array[Byte](65536)
+        while (!inf.finished()) {
+          val n = inf.inflate(buf)
+          require(n > 0 || !inf.needsInput,
+            s"WarcCodec: gzip member at $at truncated mid-stream")
+          crc.update(buf, 0, n)
+          out.write(buf, 0, n)
+        }
+        val trailerAt = p + inf.getBytesRead.toInt
+        require(trailerAt + 8 <= bytes.length,
+          s"WarcCodec: gzip member at $at has no CRC/ISIZE trailer")
+        def le32t(i: Int): Long =
+          (bytes(i) & 0xffL) | ((bytes(i + 1) & 0xffL) << 8) |
+            ((bytes(i + 2) & 0xffL) << 16) | ((bytes(i + 3) & 0xffL) << 24)
+        require(le32t(trailerAt) == crc.getValue,
+          f"WarcCodec: gzip member at $at CRC mismatch")
+        require(le32t(trailerAt + 4) ==
+          ((out.size() - memberStart).toLong & 0xffffffffL),
+          s"WarcCodec: gzip member at $at ISIZE mismatch")
+        at = trailerAt + 8
+      } finally inf.end()
+    }
     out.toByteArray
   }
 
