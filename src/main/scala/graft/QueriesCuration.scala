@@ -51,6 +51,42 @@ object QueriesCuration {
         |FROM documents d JOIN r ON d.doc_id = r.doc_id
         |WHERE round(r.ratio, 4) <= 0.4 ORDER BY d.doc_id""".stripMargin)),
 
+    // ── URL canonicalization (round 19 — the crawl-dedup stage in
+    // front of URL-level exact dedup and per-domain capping): RFC 3986
+    // §6 syntax normalization as a NATIVE Catalyst expression (also on
+    // the SQL surface as url_canonical). Five URL shapes are built by
+    // formula — case-mangled scheme/host, default and explicit ports,
+    // dot segments, unreserved %7E/%41 decodes, reserved %2F kept with
+    // uppercased hex, fragments, userinfo, empty paths, doubled
+    // slashes — and the oracle replays the EXPECTED canonical string
+    // from the same formulas without ever running the canonicalizer:
+    // a case slip, a mis-popped dot segment or a decoded reserved
+    // octet breaks the hash.
+    "q_url_canonical" -> QueryDef(
+      (s, d) => {
+        val raw = expr("""CASE CAST(doc_id % 5 AS INT)
+          WHEN 0 THEN concat('HTTP://ExAmPle', doc_id % 7, '.COM:80/a/./b', doc_id, '/../c%7e', doc_id)
+          WHEN 1 THEN concat('https://Example', doc_id % 7, '.com:443/p/q', doc_id, '?x=%3a', doc_id, '&y=2#frag', doc_id)
+          WHEN 2 THEN concat('http://host', doc_id % 7, '.org')
+          WHEN 3 THEN concat('https://u', doc_id, '@Host', doc_id % 7, '.NET:8443/%41b%2Fc', doc_id)
+          ELSE concat('http://www.site', doc_id % 7, '.com/a//b', doc_id, '/.')
+          END""")
+        Tables.documents(s, d)
+          .select(col("doc_id"), raw.as("raw_url"))
+          .select(col("doc_id"),
+            graft.functions.UrlCanonicalExpr.column(col("raw_url")).as("canonical"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  CASE CAST(doc_id % 5 AS INT)
+             |    WHEN 0 THEN concat('http://example', doc_id % 7, '.com/a/c~', doc_id)
+             |    WHEN 1 THEN concat('https://example', doc_id % 7, '.com/p/q', doc_id, '?x=%3A', doc_id, '&y=2')
+             |    WHEN 2 THEN concat('http://host', doc_id % 7, '.org/')
+             |    WHEN 3 THEN concat('https://u', doc_id, '@host', doc_id % 7, '.net:8443/Ab%2Fc', doc_id)
+             |    ELSE concat('http://www.site', doc_id % 7, '.com/a//b', doc_id, '/')
+             |  END AS canonical
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // ── per-domain quota cap (crawl-mixture curation) ────────────────
     "q_domain_cap" -> QueryDef(
       (s, d) => Curation.capPerGroup(Tables.documents(s, d),
