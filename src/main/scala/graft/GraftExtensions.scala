@@ -48,6 +48,8 @@ object GraftFunctions {
     arity("vec_ip", 2)(es =>
       org.apache.spark.sql.catalyst.expressions.UnaryMinus(VecDot(es(0), es(1)))),
     arity("url_canonical", 1)(es => graft.functions.UrlCanonicalExpr(es(0))),
+    arity("robots_allowed", 3)(es =>
+      graft.functions.RobotsAllowedExpr(es(0), es(1), es(2))),
     arity("vec_l2sq", 2)(es => VecL2Sq(es(0), es(1))),
     arity("vec_l2", 2)(es => Sqrt(VecL2Sq(es(0), es(1)))),
     // pgvector 0.7 <+> (vector_l1_ops)

@@ -87,6 +87,52 @@ object QueriesCuration {
              |  END AS canonical
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ── robots.txt compliance gate (round 19): RFC 9309 evaluation as
+    // a native expression (robots_allowed on SQL too). The RULE SET is
+    // constant — a blanket-disallow graftbot group plus a '*' group
+    // exercising longest-match, allow-precedence, '*' wildcards and
+    // the '$' anchor — while the tested (agent, path) pair and the
+    // file's COSMETICS (comments, blank lines, field case, unknown
+    // fields) rotate by id, so the oracle is a pure CASE on id classes
+    // and parse robustness is results-invisible. A wrong longest-match
+    // tiebreak, a broken wildcard or a group-selection slip flips
+    // decisions and breaks the hash.
+    "q_robots" -> QueryDef(
+      (s, d) => {
+        val robots = expr("""CASE WHEN doc_id % 2 = 0 THEN
+            concat('# graft crawl policy\n', 'User-agent: graftbot\n',
+              'Disallow: /\n', '\n', 'User-agent: *\n',
+              'Crawl-delay: 3\n', 'Disallow: /private\n',
+              'Allow: /private/pub\n', 'Disallow: /cgi*bin\n',
+              'Disallow: /end$\n')
+          ELSE
+            concat('USER-AGENT: graftbot\n', 'disallow: /\n',
+              'User-Agent: *\n', 'Disallow: /private # hands off\n',
+              'ALLOW: /private/pub\n', 'Disallow: /cgi*bin\n',
+              'Sitemap: https://x.test/s.xml\n', 'Disallow: /end$\n')
+          END""")
+        val agent = expr(
+          "CASE WHEN doc_id % 2 = 0 THEN 'GraftBot/1.0' ELSE 'crawler9000' END")
+        val path = expr("""CASE CAST(doc_id % 6 AS INT)
+          WHEN 0 THEN '/private/x' WHEN 1 THEN '/private/pub/y'
+          WHEN 2 THEN '/cgi-data/bin' WHEN 3 THEN '/end'
+          WHEN 4 THEN concat('/end', doc_id) ELSE '/other' END""")
+        Tables.documents(s, d)
+          .select(col("doc_id"), agent.as("agent"), path.as("path"),
+            graft.functions.RobotsAllowedExpr.column(robots, agent, path)
+              .as("allowed"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  CASE WHEN doc_id % 2 = 0 THEN 'GraftBot/1.0'
+             |       ELSE 'crawler9000' END AS agent,
+             |  CASE CAST(doc_id % 6 AS INT)
+             |    WHEN 0 THEN '/private/x' WHEN 1 THEN '/private/pub/y'
+             |    WHEN 2 THEN '/cgi-data/bin' WHEN 3 THEN '/end'
+             |    WHEN 4 THEN concat('/end', doc_id) ELSE '/other' END AS path,
+             |  (doc_id % 2 = 1 AND doc_id % 6 IN (1, 4, 5)) AS allowed
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // ── per-domain quota cap (crawl-mixture curation) ────────────────
     "q_domain_cap" -> QueryDef(
       (s, d) => Curation.capPerGroup(Tables.documents(s, d),
