@@ -34,11 +34,23 @@ case class RobotsAllowedExpr(first: Expression, second: Expression,
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "robots_allowed"
 
-  override protected def nullSafeEval(robots: Any, agent: Any, path: Any): Any =
-    RobotsAllowedExpr.allowed(
-      robots.asInstanceOf[UTF8String].toString,
+  // one-entry parse cache: crawl partitions are grouped by domain, so
+  // consecutive rows overwhelmingly share one (multi-KB) robots file —
+  // re-splitting it per row would be O(rows x file size). Expressions
+  // evaluate single-threaded per task, so plain vars are safe.
+  @transient private var lastRobots: String = null
+  @transient private var lastGroups: Seq[RobotsAllowedExpr.Group] = null
+
+  override protected def nullSafeEval(robots: Any, agent: Any, path: Any): Any = {
+    val r = robots.asInstanceOf[UTF8String].toString
+    if (lastGroups == null || !(r == lastRobots)) {
+      lastRobots = r
+      lastGroups = RobotsAllowedExpr.parse(r)
+    }
+    RobotsAllowedExpr.decide(lastGroups,
       agent.asInstanceOf[UTF8String].toString,
       path.asInstanceOf[UTF8String].toString)
+  }
 
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression,
@@ -103,57 +115,70 @@ object RobotsAllowedExpr {
   }
 
   /** RFC 9309 §2.2.3 pattern match: prefix semantics, `*` spans any
-    * sequence, `$` (only meaningful at pattern end) anchors. */
+    * sequence, `$` (only meaningful at pattern end) anchors. An
+    * UNANCHORED pattern matching a prefix of `path` is exactly a full
+    * wildcard match of `pattern + "*"`, so both forms reduce to the
+    * classic single-backtrack two-pointer walk — O(|pattern|·|path|)
+    * worst case, NOT exponential (a hostile many-wildcard pattern in a
+    * crawled robots.txt must not peg an executor). */
   private[graft] def matches(pattern: String, path: String): Boolean = {
     val anchored = pattern.endsWith("$")
-    val p = if (anchored) pattern.substring(0, pattern.length - 1) else pattern
-    // greedy backtracking over '*' segments
-    def seg(pi: Int, si: Int): Boolean = {
-      var i = pi
-      var j = si
-      while (i < p.length) {
-        if (p.charAt(i) == '*') {
-          var k = path.length
-          while (k >= j) {
-            if (seg(i + 1, k)) return true
-            k -= 1
-          }
-          return false
-        }
-        if (j >= path.length || path.charAt(j) != p.charAt(i)) return false
+    val core =
+      if (anchored) pattern.substring(0, pattern.length - 1)
+      else pattern + "*"
+    var i = 0
+    var j = 0
+    var star = -1
+    var mark = 0
+    while (j < path.length) {
+      if (i < core.length && core.charAt(i) == '*') {
+        star = i; mark = j; i += 1
+      } else if (i < core.length && core.charAt(i) == path.charAt(j)) {
         i += 1; j += 1
-      }
-      !anchored || j == path.length
+      } else if (star >= 0) {
+        i = star + 1; mark += 1; j = mark
+      } else return false
     }
-    seg(0, 0)
+    while (i < core.length && core.charAt(i) == '*') i += 1
+    i == core.length
   }
 
   /** Match LENGTH for the longest-match rule: the pattern's literal
     * length (RFC: "most specific = longest octet length"). */
   private def specificity(pattern: String): Int = pattern.length
 
-  def allowed(robots: String, agent: String, path: String): Boolean = {
-    val groups = parse(robots)
+  def allowed(robots: String, agent: String, path: String): Boolean =
+    decide(parse(robots), agent, path)
+
+  private[graft] def decide(groups: Seq[Group], agent: String,
+                            path: String): Boolean = {
     val product = agent.toLowerCase(java.util.Locale.ROOT)
-    // group selection: longest agent token substring-matching the
-    // product token; '*' is the fallback
+    // group selection: the longest agent token substring-matching the
+    // product token wins; ALL groups matching at that specificity
+    // combine their rules (RFC 9309 §2.2.1 — wild files routinely
+    // repeat a User-agent, and dropping the later group's Disallow
+    // would let a blocked page into training data); '*' groups (also
+    // combined) are the fallback.
     val named = groups.flatMap(g =>
       g.agents.filter(a => a != "*" && product.contains(a))
         .map(a => (a.length, g)))
-    val selected =
-      if (named.nonEmpty) Some(named.maxBy(_._1)._2)
-      else groups.find(_.agents.contains("*"))
-    selected match {
-      case None => true // no applicable group
-      case Some(g) =>
-        val hits = g.rules.filter { case (_, pat) => matches(pat, path) }
-        if (hits.isEmpty) true
-        else {
-          val best = hits.map { case (allow, pat) => (specificity(pat), allow) }
-          val maxLen = best.map(_._1).max
-          // tie at the longest match: ALLOW wins
-          best.exists { case (len, allow) => len == maxLen && allow }
-        }
+    val rules: Seq[(Boolean, String)] =
+      if (named.nonEmpty) {
+        val bestLen = named.map(_._1).max
+        named.collect { case (len, g) if len == bestLen => g }
+          .distinct.flatMap(_.rules)
+      } else {
+        val stars = groups.filter(_.agents.contains("*"))
+        if (stars.isEmpty) return true // no applicable group
+        stars.flatMap(_.rules)
+      }
+    val hits = rules.filter { case (_, pat) => matches(pat, path) }
+    if (hits.isEmpty) true
+    else {
+      val best = hits.map { case (allow, pat) => (specificity(pat), allow) }
+      val maxLen = best.map(_._1).max
+      // tie at the longest match: ALLOW wins
+      best.exists { case (len, allow) => len == maxLen && allow }
     }
   }
 }

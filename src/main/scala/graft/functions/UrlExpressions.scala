@@ -126,7 +126,9 @@ object UrlCanonicalExpr {
       case at => (hostPort.substring(0, at), hostPort.substring(at + 1))
     }
     require(host0.nonEmpty, s"url_canonical: empty host in '$url'")
-    port.foreach(c => require(c.isDigit,
+    // ASCII digits only: Unicode isDigit would pass Arabic-Indic
+    // numerals through as a silently-invalid port
+    port.foreach(c => require(c >= '0' && c <= '9',
       s"url_canonical: non-numeric port '$port' in '$url'"))
     val host = host0.toLowerCase(java.util.Locale.ROOT)
     val defaultPort = (scheme == "http" && port == "80") ||

@@ -296,7 +296,7 @@ object WebpCodec {
       val sz = le32(bytes, at + 4)
       // le32 is SIGNED: a crafted negative size would stall or reverse
       // the walk (at += 8 + sz) — reject before the bounds check
-      require(sz >= 0 && at + 8 + sz <= bytes.length,
+      require(sz >= 0 && at + 8L + sz <= bytes.length,
         s"WebpCodec: chunk $tag of $sz bytes runs past EOF")
       tag match {
         case "VP8L" => payloadAt = at + 8; payloadEnd = at + 8 + sz
@@ -739,7 +739,7 @@ object WebpCodec {
     while (at + 8 <= bytes.length) {
       val tag = new String(bytes, at, 4, java.nio.charset.StandardCharsets.US_ASCII)
       val sz = le32(bytes, at + 4)
-      require(sz >= 0 && at + 8 + sz <= bytes.length,
+      require(sz >= 0 && at + 8L + sz <= bytes.length,
         s"WebpCodec: chunk $tag of $sz bytes runs past EOF")
       tag match {
         case "VP8X" =>
@@ -779,7 +779,7 @@ object WebpCodec {
             require(q + 8 <= p + sz, "WebpCodec: ANMF carries no VP8L subchunk")
             val t2 = new String(bytes, q, 4, java.nio.charset.StandardCharsets.US_ASCII)
             val s2 = le32(bytes, q + 4)
-            require(s2 >= 0 && q + 8 + s2 <= p + sz,
+            require(s2 >= 0 && q + 8L + s2 <= p + sz,
               s"WebpCodec: ANMF subchunk $t2 of $s2 bytes overruns")
             t2 match {
               case "VP8L" =>

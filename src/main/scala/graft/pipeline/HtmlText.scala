@@ -64,14 +64,20 @@ object HtmlText {
     if (out == null) null else (out, semi + 1)
   }
 
+  private def asciiLetter(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+  private def asciiAlnum(c: Char): Boolean =
+    asciiLetter(c) || (c >= '0' && c <= '9')
+
   /** Tag name at `at` (just past '<' and any '/'), lowercased; empty
-    * when the position opens no name. HTML tag names are LETTER-
-    * initial ("I <3 scala" keeps its '<3' as text — the browser rule);
+    * when the position opens no name. The HTML5 tokenizer opens tags
+    * on ASCII alpha ONLY ("I <3 scala" and "a<δ<b" keep their text —
+    * Unicode isLetter would silently eat the non-ASCII forms);
     * Locale.ROOT so tr-TR's dotless-i can never unmatch `<SCRIPT>`. */
   private def tagName(s: String, at: Int): String = {
-    if (at >= s.length || !s.charAt(at).isLetter) return ""
+    if (at >= s.length || !asciiLetter(s.charAt(at))) return ""
     var p = at + 1
-    while (p < s.length && s.charAt(p).isLetterOrDigit) p += 1
+    while (p < s.length && asciiAlnum(s.charAt(p))) p += 1
     s.substring(at, p).toLowerCase(java.util.Locale.ROOT)
   }
 
@@ -106,7 +112,13 @@ object HtmlText {
           val closing = p + 1 < n && html.charAt(p + 1) == '/'
           val nameAt = if (closing) p + 2 else p + 1
           val name = tagName(html, nameAt)
-          if (name.isEmpty) { emitC('<'); p += 1 } // literal '<'
+          if (name.isEmpty && closing) {
+            // '</' + non-letter = a BOGUS COMMENT per HTML5: consumed
+            // to the next '>' (browsers render nothing for '</3>')
+            val e = html.indexOf('>', p + 2)
+            p = if (e < 0) n else e + 1
+          }
+          else if (name.isEmpty) { emitC('<'); p += 1 } // literal '<'
           else {
             val e = html.indexOf('>', nameAt)
             val tagEnd = if (e < 0) n else e + 1

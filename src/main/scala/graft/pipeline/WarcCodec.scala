@@ -168,7 +168,10 @@ object WarcCodec {
     * trailer's CRC-32 and ISIZE verified, and EVERY input byte must
     * belong to some member. */
   private def gunzipAll(bytes: Array[Byte]): Array[Byte] = {
-    val out = new ByteArrayOutputStream(bytes.length * 4)
+    // LONG-clamped initial size: bytes.length * 4 wraps negative past
+    // 512 MB, and Common Crawl segment files run ~1 GB
+    val out = new ByteArrayOutputStream(
+      math.min(bytes.length.toLong * 4, (Int.MaxValue - 8).toLong).toInt)
     var at = 0
     while (at < bytes.length) {
       require(at + 10 <= bytes.length && (bytes(at) & 0xff) == 0x1f &&

@@ -49,6 +49,24 @@ class RobotsSpec extends AnyFunSuite with SparkSpec {
     assert(matches("/*x*y", "/1x2y3")) // prefix semantics after wildcards
   }
 
+  test("duplicate groups COMBINE (RFC 9309 §2.2.1); wildcard stays linear") {
+    // two '*' groups: rules from BOTH must apply
+    val dup = "User-agent: *\nDisallow: /a\n\nUser-agent: *\nDisallow: /b\n"
+    assert(!allowed(dup, "anybot", "/a/x") && !allowed(dup, "anybot", "/b/x"))
+    assert(allowed(dup, "anybot", "/c"))
+    // two groups naming the same agent combine too
+    val dup2 = "User-agent: graftbot\nDisallow: /a\n" +
+      "User-agent: graftbot\nDisallow: /b\n"
+    assert(!allowed(dup2, "graftbot", "/b/x"))
+    // a hostile many-wildcard pattern must answer fast (linear matcher,
+    // not exponential backtracking): sub-second or the build hangs here
+    val hostile = "User-agent: *\nDisallow: /" + ("*a" * 12) + "b\n"
+    val longPath = "/" + ("a" * 300)
+    val t0 = System.nanoTime()
+    assert(allowed(hostile, "c", longPath)) // no 'b' terminator → no match
+    assert((System.nanoTime() - t0) / 1e9 < 2.0, "wildcard matcher not linear")
+  }
+
   test("parse leniency: comments, case, unknown fields, empty disallow") {
     val messy = "# top\nUSER-AGENT: *\ndisallow: /a # trailing\n" +
       "Sitemap: https://x/s.xml\nnonsense line\nDISALLOW:\nAllow: /a/b\n"

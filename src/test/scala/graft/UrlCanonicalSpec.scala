@@ -60,5 +60,8 @@ class UrlCanonicalSpec extends AnyFunSuite with SparkSpec {
       .getMessage.contains("empty host"))
     assert(intercept[Exception](c("http://a.com:8a/x"))
       .getMessage.contains("port"))
+    // non-ASCII digits are not a port (Unicode isDigit would pass them)
+    assert(intercept[Exception](c("http://a.com:٢٢/x"))
+      .getMessage.contains("port"))
   }
 }

@@ -27,6 +27,14 @@ class WarcSpec extends AnyFunSuite with SparkSpec {
     assert(HtmlText.extract("a<br>b<i>c</i>d") == "a bcd")
     // whitespace collapse incl. tabs/CR/LF/VT
     assert(HtmlText.extract(" a\t\tb\r\ncd  ") == "a b c d")
+    // HTML5 tokenizer edges: tags open on ASCII alpha only (non-ASCII
+    // '<X' stays text); '</' + non-letter is a bogus comment eaten to '>'
+    assert(HtmlText.extract("a<Über>y") == "a<Über>y")
+    assert(HtmlText.extract("x a<δ<3 y") == "x a<δ<3 y")
+    // ...while '<b y' (ASCII letter, never closed) IS an unterminated
+    // tag, dropped to EOF exactly as a browser drops it
+    assert(HtmlText.extract("x a<δ<b y") == "x a<δ")
+    assert(HtmlText.extract("I </3 broken> hearts") == "I hearts")
     // escape is the exact inverse over &<> text
     val s = "x & y < z > w"
     assert(HtmlText.extract("<p>" + HtmlText.escape(s) + "</p>") == s)
