@@ -26,8 +26,9 @@ object ArchivePipeline {
     * each holding the text's k-th 100-code-point slice (UTF-8). Format
     * rotates ZIP on even ids (entries stored/deflated by (id+k)%2, a
     * trailing comment on id%5 == 0 so the EOCD backward scan is
-    * exercised) and USTAR TAR on odd ids — results-invisible under the
-    * oracle. */
+    * exercised) and USTAR TAR on odd ids — gzip-wrapped (.tar.gz, the
+    * dominant corpus-dump form, via the strict CRC-verified gunzip) on
+    * id%4 == 3 — all results-invisible under the oracle. */
   def synthesizeArchives(docs: DataFrame, idCol: String = "doc_id",
                          textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
@@ -47,7 +48,17 @@ object ArchivePipeline {
             ArchiveCodec.zipEncode(members,
               deflate = k => (id + k) % 2 == 1,
               comment = if (id % 5 == 0) s"corpus dump $id" else "")
-          else ArchiveCodec.tarEncode(members)
+          else {
+            // .tar vs .tar.gz (the dominant corpus-dump form) on id%4:
+            // the gzip wrapper must be results-invisible
+            val tar = ArchiveCodec.tarEncode(members)
+            if (id % 4 == 3) {
+              val bo = new java.io.ByteArrayOutputStream(tar.length / 2 + 64)
+              val g = new java.util.zip.GZIPOutputStream(bo)
+              g.write(tar); g.close()
+              bo.toByteArray
+            } else tar
+          }
         (id, bytes)
       }
       .toDF(idCol, "content")
@@ -69,8 +80,12 @@ object ArchivePipeline {
         batch.iterator.flatMap { r =>
           val id = r.getLong(0)
           val content = r.getAs[Array[Byte]](1)
+          // sniff: zip / tar / gzip-wrapped tar (.tar.gz) — the gunzip
+          // is WarcCodec's strict member walk (CRC/ISIZE verified)
           val entries =
             if (ArchiveCodec.isZip(content)) ArchiveCodec.zipEntries(content)
+            else if (WarcCodec.isGzip(content))
+              ArchiveCodec.tarEntries(WarcCodec.gunzipAll(content))
             else ArchiveCodec.tarEntries(content)
           entries.zipWithIndex.map { case (e, k) =>
             Row(id, k.toLong, e.name, e.size,

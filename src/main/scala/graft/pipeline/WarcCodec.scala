@@ -167,7 +167,7 @@ object WarcCodec {
     * FHCRC skipped by their own framing), the body raw-inflated, the
     * trailer's CRC-32 and ISIZE verified, and EVERY input byte must
     * belong to some member. */
-  private def gunzipAll(bytes: Array[Byte]): Array[Byte] = {
+  private[pipeline] def gunzipAll(bytes: Array[Byte]): Array[Byte] = {
     // LONG-clamped initial size: bytes.length * 4 wraps negative past
     // 512 MB, and Common Crawl segment files run ~1 GB
     val out = new ByteArrayOutputStream(

@@ -87,6 +87,30 @@ class ArchiveSpec extends AnyFunSuite with SparkSpec {
       .getMessage.contains("checksum mismatch"))
   }
 
+  test(".tar.gz: gzip-wrapped tar round trips through the strict gunzip") {
+    val entries = Seq("a/x.txt" -> "tar gz content".getBytes("UTF-8"),
+      "a/y.txt" -> Array.tabulate[Byte](700)(i => (i % 251).toByte))
+    val tar = ArchiveCodec.tarEncode(entries)
+    val bo = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bo)
+    g.write(tar); g.close()
+    val docs = spark.createDataFrame(Seq((7L, "ignored")))
+      .toDF("doc_id", "text")
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(7L, bo.toByteArray))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("content",
+          org.apache.spark.sql.types.BinaryType))))
+    val got = ArchivePipeline.extractArchives(df)
+      .orderBy(org.apache.spark.sql.functions.col("entry_idx")).collect()
+    assert(got.length == 2 && got(0).getString(2) == "a/x.txt")
+    assert(got(1).getLong(3) == 700)
+    assert(docs.count() == 1)
+  }
+
   test("synthesizeArchives → extractArchives matches substr slices") {
     val docs = spark.createDataFrame(Seq(
       (0L, "z" * 250), (1L, "abc"), (2L, ""), (3L, "q" * 150)))
