@@ -284,7 +284,9 @@ object WebpCodec {
   def decode(bytes: Array[Byte]): PngCodec.PngImage = {
     require(isWebp(bytes), "WebpCodec: not a RIFF/WEBP container")
     val riffLen = le32(bytes, 4)
-    require(riffLen + 8 <= bytes.length,
+    // signed le32: a crafted size >= 2^31 reads negative and would slip
+    // the EOF check — mirror the chunk-size signedness guard
+    require(riffLen >= 0 && riffLen + 8 <= bytes.length,
       s"WebpCodec: RIFF size $riffLen runs past EOF")
     // chunk walk from offset 12
     var at = 12
@@ -727,7 +729,9 @@ object WebpCodec {
   def frames(bytes: Array[Byte]): Seq[PngCodec.PngImage] = {
     require(isWebp(bytes), "WebpCodec: not a RIFF/WEBP container")
     val riffLen = le32(bytes, 4)
-    require(riffLen + 8 <= bytes.length,
+    // signed le32: a crafted size >= 2^31 reads negative and would slip
+    // the EOF check — mirror the chunk-size signedness guard
+    require(riffLen >= 0 && riffLen + 8 <= bytes.length,
       s"WebpCodec: RIFF size $riffLen runs past EOF")
     var at = 12
     var vp8x: Option[Vp8x] = None

@@ -26,7 +26,9 @@ object ArchivePipeline {
     * each holding the text's k-th 100-code-point slice (UTF-8). Format
     * rotates ZIP on even ids (entries stored/deflated by (id+k)%2, a
     * trailing comment on id%5 == 0 so the EOCD backward scan is
-    * exercised) and USTAR TAR on odd ids — gzip-wrapped (.tar.gz, the
+    * exercised; ZIP64-styled on id%8 == 2 — sentinel sizes/offsets,
+    * 0x0001 extra fields, EOCD64 record + locator, the >4 GiB boundary
+    * shape) and USTAR TAR on odd ids — gzip-wrapped (.tar.gz, the
     * dominant corpus-dump form, via the strict CRC-verified gunzip) on
     * id%4 == 3 — all results-invisible under the oracle. */
   def synthesizeArchives(docs: DataFrame, idCol: String = "doc_id",
@@ -44,7 +46,9 @@ object ArchivePipeline {
               .getBytes(java.nio.charset.StandardCharsets.UTF_8)
         }
         val bytes =
-          if (id % 2 == 0)
+          if (id % 8 == 2)
+            ArchiveCodec.zipEncode64(members, deflate = k => (id + k) % 2 == 1)
+          else if (id % 2 == 0)
             ArchiveCodec.zipEncode(members,
               deflate = k => (id + k) % 2 == 1,
               comment = if (id % 5 == 0) s"corpus dump $id" else "")

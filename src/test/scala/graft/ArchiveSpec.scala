@@ -48,6 +48,48 @@ class ArchiveSpec extends AnyFunSuite with SparkSpec {
       .getMessage.contains("end-of-central-directory"))
   }
 
+  test("ZIP64: sentinel EOCD + 0x0001 extras round trip; boundary rejects") {
+    val entries = (0 until 3).map(i => s"big/part$i.bin" ->
+      Array.tabulate[Byte](200 + i * 53)(k => ((i * 17 + k * 11) % 256).toByte))
+    val wire = ArchiveCodec.zipEncode64(entries)
+    val s = new String(wire, "ISO-8859-1")
+    assert(s.contains(("PK" + 6.toChar + 6.toChar)) && s.contains(("PK" + 6.toChar + 7.toChar)),
+      "EOCD64 record + locator must be on the wire")
+    val got = ArchiveCodec.zipEntries(wire)
+    assert(got.map(_.name) == entries.map(_._1))
+    got.zip(entries).foreach { case (g, (_, d)) =>
+      assert(g.size == d.length && g.data.toSeq == d.toSeq) }
+    // EOCD sentinel count WITHOUT an EOCD64 locator rejects loud
+    val plain = ArchiveCodec.zipEncode(Seq("a.txt" -> "x".getBytes))
+    val eocdAt = new String(plain, "ISO-8859-1").lastIndexOf(("PK" + 5.toChar + 6.toChar))
+    val noLoc = plain.clone()
+    noLoc(eocdAt + 10) = 0xff.toByte; noLoc(eocdAt + 11) = 0xff.toByte
+    assert(intercept[IllegalArgumentException](ArchiveCodec.zipEntries(noLoc))
+      .getMessage.contains("locator"))
+    // sentinel sizes whose 0x0001 extra field is missing reject loud
+    val noExtra = wire.clone()
+    val cdAt = new String(noExtra, "ISO-8859-1").indexOf(("PK" + 1.toChar + 2.toChar))
+    val nameLen = (noExtra(cdAt + 28) & 0xff) | ((noExtra(cdAt + 29) & 0xff) << 8)
+    noExtra(cdAt + 46 + nameLen) = 0x42 // extra header id 0x0001 → 0x0042
+    assert(intercept[IllegalArgumentException](ArchiveCodec.zipEntries(noExtra))
+      .getMessage.contains("0x0001"))
+    // a ~3 GiB DECLARED size rejects by name BEFORE any allocation
+    // (an Int-wrapping ~4 GiB would otherwise crash, and 2 GiB would
+    // eagerly allocate — the untrusted-corpus DoS vector)
+    val capWire = ArchiveCodec.zipEncode(Seq("big.bin" -> "data".getBytes))
+    val c2 = new String(capWire, "ISO-8859-1").indexOf(("PK" + 1.toChar + 2.toChar))
+    val capped = capWire.clone()
+    capped(c2 + 24) = 0; capped(c2 + 25) = 0
+    capped(c2 + 26) = 0; capped(c2 + 27) = 0xc0.toByte
+    assert(intercept[IllegalArgumentException](ArchiveCodec.zipEntries(capped))
+      .getMessage.contains("entry cap"))
+    // a zero-entry EOCD rejects loud (no silent empty result)
+    val zero = plain.clone()
+    zero(eocdAt + 10) = 0; zero(eocdAt + 11) = 0
+    assert(intercept[IllegalArgumentException](ArchiveCodec.zipEntries(zero))
+      .getMessage.contains("no entries"))
+  }
+
   test("TAR: hand-built header with test-side checksum; round trips; tamper") {
     // hand header: name "f.txt", size 5, mode/uid/gid/mtime zeroed
     val hdr = new Array[Byte](512)

@@ -6,7 +6,9 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** WarcCodec + HtmlText: hand-built record bytes (laid out by the
   * test), digest tamper detection, gzip member-per-record vs bare
-  * transport identity, HTTP splitting, the HTML extraction rule set,
+  * transport identity, HTTP splitting, chunked transfer decoding,
+  * content-encoding gzip, charset resolution (header → meta sniff →
+  * strict UTF-8), content-type gating, the HTML extraction rule set,
   * and the fail-loud contract. */
 class WarcSpec extends AnyFunSuite with SparkSpec {
 
@@ -26,7 +28,7 @@ class WarcSpec extends AnyFunSuite with SparkSpec {
     // block tags separate words; inline tags do not
     assert(HtmlText.extract("a<br>b<i>c</i>d") == "a bcd")
     // whitespace collapse incl. tabs/CR/LF/VT
-    assert(HtmlText.extract(" a\t\tb\r\ncd  ") == "a b c d")
+    assert(HtmlText.extract(" a\t\tb\r\nc\u000bd  ") == "a b c d")
     // HTML5 tokenizer edges: tags open on ASCII alpha only (non-ASCII
     // '<X' stays text); '</' + non-letter is a bogus comment eaten to '>'
     assert(HtmlText.extract("a<Über>y") == "a<Über>y")
@@ -77,6 +79,132 @@ class WarcSpec extends AnyFunSuite with SparkSpec {
     assert(intercept[IllegalArgumentException](WarcCodec.records(
       rec.replace("WARC/1.0", "WARC/0.9").getBytes("UTF-8")))
       .getMessage.contains("0.9"))
+    // non-numeric Content-Length / HTTP status reject through the
+    // codec's documented IllegalArgumentException surface (not NFE)
+    val badLen = rec.replace(s"Content-Length: ${http.length}",
+      "Content-Length: lots")
+    assert(intercept[IllegalArgumentException](WarcCodec.records(
+      badLen.getBytes("UTF-8"))).getMessage.contains("not a number"))
+    val badStatus = rec.replace("HTTP/1.1 200 OK", "HTTP/1.1 2OO OK")
+    assert(intercept[IllegalArgumentException](WarcCodec.records(
+      badStatus.getBytes("UTF-8"))).getMessage.contains("not a number"))
+  }
+
+  private def respBytes(headers: Seq[(String, String)],
+                        body: Array[Byte]): Array[Byte] =
+    WarcCodec.encodeHttp(Seq(
+      WarcCodec.HttpResp("https://x.test/", 200, headers, body)), gzip = false)
+
+  private def onlyResp(warc: Array[Byte]): WarcCodec.WarcRecord =
+    WarcCodec.records(warc).filter(_.warcType == "response") match {
+      case Seq(r) => r
+      case rs => fail(s"want 1 response, got ${rs.length}")
+    }
+
+  test("chunked transfer decoding: framing, extensions, trailers, rejects") {
+    val body = ("alpha " * 60).getBytes("UTF-8") // multiple 100-byte chunks
+    val wire = WarcCodec.chunkEncode(body, 100)
+    val rec = onlyResp(respBytes(Seq(
+      "Content-Type" -> "text/plain; charset=utf-8",
+      "Transfer-Encoding" -> "chunked"), wire))
+    assert(java.util.Arrays.equals(rec.payload, body),
+      "dechunked payload must equal the original body")
+    // chunk extension after ';' tolerated; trailer field after 0-chunk too
+    val ext = ("6;name=v\r\nabcdef\r\n0\r\nX-Trail: 1\r\n\r\n").getBytes("UTF-8")
+    val r2 = onlyResp(respBytes(Seq(
+      "Content-Type" -> "text/plain; charset=utf-8",
+      "Transfer-Encoding" -> "chunked"), ext))
+    assert(new String(r2.payload, "UTF-8") == "abcdef")
+    // framing violations reject loud
+    def bad(b: String): String = intercept[IllegalArgumentException](
+      onlyResp(respBytes(Seq("Content-Type" -> "text/plain",
+        "Transfer-Encoding" -> "chunked"), b.getBytes("UTF-8")))).getMessage
+    assert(bad("zz\r\nabc\r\n0\r\n\r\n").contains("chunk-size"))
+    assert(bad("3\r\nabcd\r\n0\r\n\r\n").contains("CRLF")) // data overruns size
+    assert(bad("6\r\nabcdef\r\n0\r\n\r\nextra").contains("past the final chunk"))
+    assert(bad("ff\r\nabc\r\n0\r\n\r\n").contains("past the body"))
+    // digest covers the body AS STORED: tampering a chunked byte is caught
+    val digestedWire = WarcCodec.chunkEncode("hello hello".getBytes("UTF-8"), 4)
+    val full = respBytes(Seq("Content-Type" -> "text/plain",
+      "Transfer-Encoding" -> "chunked"), digestedWire)
+    val at = new String(full, "ISO-8859-1").lastIndexOf("hell")
+    full(at) = 'J'
+    assert(intercept[IllegalArgumentException](WarcCodec.records(full))
+      .getMessage.contains("digest mismatch"))
+    // any other transfer coding rejects BY NAME
+    assert(intercept[IllegalArgumentException](onlyResp(respBytes(
+      Seq("Transfer-Encoding" -> "gzip, chunked"), "x".getBytes("UTF-8"))))
+      .getMessage.contains("gzip, chunked"))
+  }
+
+  test("content-encoding: gzip inflates strictly, others reject by name") {
+    val body = ("<p>compressed body</p>" * 10).getBytes("UTF-8")
+    val rec = onlyResp(respBytes(Seq(
+      "Content-Type" -> "text/html; charset=utf-8",
+      "Content-Encoding" -> "gzip"), WarcCodec.gzipEncode(body)))
+    assert(java.util.Arrays.equals(rec.payload, body))
+    // gzip + chunked stack in RFC order (CE first, TE over it)
+    val stacked = WarcCodec.chunkEncode(WarcCodec.gzipEncode(body), 50)
+    val r2 = onlyResp(respBytes(Seq(
+      "Content-Type" -> "text/html; charset=utf-8",
+      "Content-Encoding" -> "gzip",
+      "Transfer-Encoding" -> "chunked"), stacked))
+    assert(java.util.Arrays.equals(r2.payload, body))
+    // declared gzip without gzip magic rejects
+    assert(intercept[IllegalArgumentException](onlyResp(respBytes(
+      Seq("Content-Encoding" -> "gzip"), "plainbytes".getBytes("UTF-8"))))
+      .getMessage.contains("gzip"))
+    // brotli & friends reject by name
+    assert(intercept[IllegalArgumentException](onlyResp(respBytes(
+      Seq("Content-Encoding" -> "br"), "x".getBytes("UTF-8"))))
+      .getMessage.contains("'br'"))
+    // deflate-bomb guard: the inflation cap fails loud by name
+    val big = new Array[Byte](4096) // zeros compress ~1000:1
+    var blob = WarcCodec.gzipEncode(big)
+    (0 until 3).foreach(_ => blob = blob ++ WarcCodec.gzipEncode(big))
+    assert(intercept[IllegalArgumentException](
+      WarcCodec.gunzipAll(blob, maxInflated = 8192))
+      .getMessage.contains("cap"))
+  }
+
+  test("charset resolution: header, meta sniff, strict UTF-8, rejects") {
+    import WarcCodec.HttpCharset
+    // HTTP header param wins
+    val sjis = "日本語テスト".getBytes("Shift_JIS")
+    val (t1, c1) = HttpCharset.decodeText(sjis,
+      Some("text/html; charset=Shift_JIS"))
+    assert(t1 == "日本語テスト" && c1 == "shift_jis")
+    // meta sniff when the header has no charset
+    val metaDoc = ("<html><head><meta charset='windows-1252'></head>" +
+      "<body>café</body></html>").getBytes("windows-1252")
+    val (t2, c2) = HttpCharset.decodeText(metaDoc, Some("text/html"))
+    assert(t2.contains("café") && c2 == "windows-1252")
+    // http-equiv form sniffs too
+    val equivDoc = ("<html><head><meta http-equiv=\"Content-Type\" " +
+      "content=\"text/html; charset=shift_jis\"></head><body>" +
+      new String("テスト".getBytes("Shift_JIS"), "ISO-8859-1") +
+      "</body></html>").getBytes("ISO-8859-1")
+    val (t3, c3) = HttpCharset.decodeText(equivDoc, None)
+    assert(t3.contains("テスト") && c3 == "shift_jis")
+    // undeclared valid UTF-8 passes strict validation
+    val (t4, c4) = HttpCharset.decodeText("Σπάρκ".getBytes("UTF-8"), None)
+    assert(t4 == "Σπάρκ" && c4 == "utf-8")
+    // undeclared INVALID UTF-8 rejects loud (no silent U+FFFD mojibake)
+    assert(intercept[IllegalArgumentException](HttpCharset.decodeText(
+      Array[Byte](0x48, 0xff.toByte, 0xfe.toByte), None))
+      .getMessage.contains("not valid"))
+    // declared charset with malformed bytes rejects loud
+    assert(intercept[IllegalArgumentException](HttpCharset.decodeText(
+      Array[Byte](0x82.toByte), Some("text/html; charset=shift_jis")))
+      .getMessage.contains("shift_jis"))
+    // charsets outside the vetted alias table reject by name
+    assert(intercept[IllegalArgumentException](HttpCharset.decodeText(
+      "x".getBytes("UTF-8"), Some("text/html; charset=utf-7")))
+      .getMessage.contains("utf-7"))
+    // WHATWG mapping: iso-8859-1 labels decode as windows-1252
+    val (_, c5) = HttpCharset.decodeText("plain".getBytes("UTF-8"),
+      Some("text/html; charset=ISO-8859-1"))
+    assert(c5 == "windows-1252")
   }
 
   test("encode→records round trips; gzip members and bare agree") {
@@ -97,25 +225,49 @@ class WarcSpec extends AnyFunSuite with SparkSpec {
     assert(a.count(_.warcType == "request") == 3)
   }
 
-  test("synthesizeWarcs → extractWarcs inverts the HTML wrap exactly") {
+  test("synthesizeWarcs → extractWarcs: charset legs, gating, chunked") {
     val docs = spark.createDataFrame(Seq(
-      (0L, "hello  world"),
-      (1L, "a & b < c\t\ttabbed"),
-      (2L, ""),
-      (3L, "line one\nline two\r\nline three"))).toDF("doc_id", "text")
-    val got = WarcPipeline.extractWarcs(WarcPipeline.synthesizeWarcs(docs))
-      .orderBy(col("doc_id")).collect()
-    val want = Seq("hello world", "a & b < c tabbed", "",
-      "line one line two line three")
-    got.zipWithIndex.foreach { case (r, i) =>
-      assert(r.getLong(1) == 3 && r.getLong(2) == 200)
-      assert(r.getString(3) == s"https://example.org/doc/$i")
-      assert(r.getBoolean(4), "payload digest must verify")
-      assert(r.getString(5) == s"Doc $i")
-      assert(r.getLong(6) == want(i).length, s"doc $i text_len")
-      assert(r.getString(7) ==
-        org.apache.commons.codec.digest.DigestUtils.md5Hex(
-          want(i).getBytes("UTF-8")), s"doc $i md5")
+      (0L, "hello  world"),                     // utf-8 hdr, CE gzip, binary extra
+      (1L, "a & b < c\t\ttabbed"),              // shift_jis hdr, chunked, plain extra
+      (2L, ""),                                 // cp1252 meta-sniffed
+      (3L, "line one\nline two\r\nline three")  // utf-8 undeclared, chunked, binary extra
+    )).toDF("doc_id", "text")
+    val rows = WarcPipeline.extractWarcs(WarcPipeline.synthesizeWarcs(docs))
+      .orderBy(col("doc_id"), col("rec_idx")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rec_idx")) ->
+        r).toMap
+    def md5(s: String): String =
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(s.getBytes("UTF-8"))
+    def check(id: Long, idx: Long, kind: String, charset: String,
+              title: String, text: String): Unit = {
+      val r = rows((id, idx))
+      assert(r.getAs[String]("kind") == kind, s"($id,$idx) kind")
+      assert(r.getAs[String]("charset") == charset, s"($id,$idx) charset")
+      assert(r.getAs[String]("title") == title, s"($id,$idx) title")
+      assert(r.getAs[Long]("text_len") ==
+        text.codePointCount(0, text.length), s"($id,$idx) len")
+      assert(r.getAs[String]("text_md5") == md5(text), s"($id,$idx) md5")
+      assert(r.getAs[Boolean]("digest_ok"), s"($id,$idx) digest")
     }
+    check(0, 0, "html", "utf-8", "Doc 0", "hello world")
+    check(1, 0, "html", "shift_jis", "Doc 1",
+      "a & b < c tabbed 日本語テスト")
+    check(2, 0, "html", "windows-1252", "Doc 2", "café déjà-vu")
+    check(3, 0, "html", "utf-8", "Doc 3",
+      "line one line two line three Σπάρκ §")
+    check(1, 1, "plain", "utf-8", "", "a & b < c tabbed")
+    // binary rows: gated out of text extraction, byte metrics reported
+    Seq(0L, 3L).foreach { id =>
+      val r = rows((id, 1L))
+      assert(r.getAs[String]("kind") == "binary" &&
+        r.getAs[String]("text_md5") == "" && r.getAs[Long]("text_len") == 0)
+      assert(r.getAs[Long]("byte_len") == 73)
+      val want = "%PDF-1.4\n".getBytes("UTF-8").map(_ & 0xff).sum +
+        (0 until 64).map(i => (id * 7 + i * 13) % 256).sum
+      assert(r.getAs[Long]("byte_sum") == want, s"doc $id byte_sum")
+    }
+    assert(rows((2L, 0L)).getAs[Long]("n_records") == 3)
+    assert(rows((0L, 0L)).getAs[Long]("n_records") == 5)
+    assert(rows.size == 7)
   }
 }

@@ -22,30 +22,35 @@ class WarcStreamSpec extends SparkSpec {
     val q = WarcStream.start(spark, in, store, ckpt, availableNow = true)
     try q.awaitTermination() finally q.stop()
 
-    // parity with the batch path, exact
-    val got = spark.read.parquet(store)
-      .select(col("doc_id"), col("url"), col("title"), col("text_md5"))
-      .collect().map(r => (r.getLong(0),
-        (r.getString(1), r.getString(2), r.getString(3)))).toMap
-    val want = WarcPipeline.extractWarcs(media)
-      .collect().map(r => (r.getLong(0),
-        (r.getString(3), r.getString(5), r.getString(7)))).toMap
-    assert(got == want && got.size == 40)
+    // parity with the batch path, exact (one row per response record:
+    // 40 html + the binary/plain extras on id%3 in (0,1))
+    def keyed(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), col("rec_idx"), col("url"), col("kind"),
+        col("title"), col("text_md5"), col("byte_sum"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), r.getString(3), r.getString(4), r.getString(5),
+          r.getLong(6))).toMap
+    val got = keyed(spark.read.parquet(store))
+    val want = keyed(WarcPipeline.extractWarcs(media))
+    assert(got == want && got.size == 67)
 
     // crash replay: batch 0 re-run overwrites its own partition
     val before = spark.read.parquet(store).count()
     WarcStream.extractBatch(store)(media, 0L)
     assert(spark.read.parquet(store).count() == before, "replayed batch doubled rows")
 
-    // poison: a tampered payload (digest mismatch) fails LOUD, store untouched
+    // poison: a tampered payload digest (stored value corrupted — the
+    // header region, so chunk framing can't shift it) fails LOUD,
+    // store untouched
     import spark.implicits._
     val onewarc = media.head().getAs[Array[Byte]](1)
-    // bare (odd-id) files are uncompressed WARC text: flip one body byte
+    // bare (odd-id) files are uncompressed WARC text
     val bare = media.where(col("doc_id") % 2 === 1).head()
     val buf = bare.getAs[Array[Byte]](1).clone()
-    val bodyAt = new String(buf, "ISO-8859-1").indexOf("</p></div></body>")
-    assert(bodyAt > 0)
-    buf(bodyAt - 1) = (buf(bodyAt - 1) ^ 1).toByte
+    val digAt = new String(buf, "ISO-8859-1").indexOf("sha1:")
+    assert(digAt > 0)
+    val tamperAt = digAt + 7
+    buf(tamperAt) = (if (buf(tamperAt) == 'A') 'B' else 'A').toByte
     val poison = Seq((999L, buf)).toDF("doc_id", "content")
     val err = intercept[Exception](WarcStream.extractBatch(store)(poison, 7L))
     val msgs = Iterator.iterate[Throwable](err)(_.getCause).takeWhile(_ != null)
