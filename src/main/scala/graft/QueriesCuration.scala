@@ -111,9 +111,14 @@ object QueriesCuration {
               'ALLOW: /private/pub\n', 'Disallow: /cgi*bin\n',
               'Sitemap: https://x.test/s.xml\n', 'Disallow: /end$\n')
           END""")
+        // agent by id%2, path by (id/2)%6 — INDEPENDENT axes (round 20,
+        // ADVICE r19: path-by-id%6 under agent-by-id%2 left the
+        // '/cgi*bin' wildcard and '/end$' anchor unreachable at the
+        // decision level — every odd-id path class now evaluates under
+        // the '*' group, so a broken wildcard or anchor flips rows)
         val agent = expr(
           "CASE WHEN doc_id % 2 = 0 THEN 'GraftBot/1.0' ELSE 'crawler9000' END")
-        val path = expr("""CASE CAST(doc_id % 6 AS INT)
+        val path = expr("""CASE CAST((doc_id DIV 2) % 6 AS INT)
           WHEN 0 THEN '/private/x' WHEN 1 THEN '/private/pub/y'
           WHEN 2 THEN '/cgi-data/bin' WHEN 3 THEN '/end'
           WHEN 4 THEN concat('/end', doc_id) ELSE '/other' END""")
@@ -126,11 +131,11 @@ object QueriesCuration {
       Some("""SELECT doc_id,
              |  CASE WHEN doc_id % 2 = 0 THEN 'GraftBot/1.0'
              |       ELSE 'crawler9000' END AS agent,
-             |  CASE CAST(doc_id % 6 AS INT)
+             |  CASE CAST((doc_id // 2) % 6 AS INT)
              |    WHEN 0 THEN '/private/x' WHEN 1 THEN '/private/pub/y'
              |    WHEN 2 THEN '/cgi-data/bin' WHEN 3 THEN '/end'
              |    WHEN 4 THEN concat('/end', doc_id) ELSE '/other' END AS path,
-             |  (doc_id % 2 = 1 AND doc_id % 6 IN (1, 4, 5)) AS allowed
+             |  (doc_id % 2 = 1 AND (doc_id // 2) % 6 IN (1, 4, 5)) AS allowed
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // ── per-domain quota cap (crawl-mixture curation) ────────────────
