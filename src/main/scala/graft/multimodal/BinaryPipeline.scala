@@ -1046,7 +1046,16 @@ object BinaryPipeline {
                 val ch = if (k % 2 == 0) 1 else 3
                 val px = Array.tabulate[Byte](w * h * ch)(i =>
                   ((id * 31 + p * 11 + i * 7L) % 256).toByte)
-                graft.pipeline.PdfCodec.ImagePageSpec(w, h, ch, px, "Flate")
+                // RGB Flate pages re-express as /Indexed palettes
+                // (round 20, VERDICT r19 #6): hex-string lookup on
+                // k%12==3, stream lookup on k%12==9 — identical decoded
+                // pixels, so the oracle is untouched and a palette slip
+                // breaks the hash (the v(i) stride-3 triples are keyed
+                // by 3j mod 256, so ≤256 distinct colors by design)
+                val indexed =
+                  if (ch == 3) (if (k % 12 == 3) "hex" else "stream") else ""
+                graft.pipeline.PdfCodec.ImagePageSpec(w, h, ch, px, "Flate",
+                  indexed = indexed)
               case 1 =>
                 val w = (24 + k % 13).toInt
                 val h = (16 + k % 11).toInt

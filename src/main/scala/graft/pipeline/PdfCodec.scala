@@ -281,16 +281,58 @@ object PdfCodec {
     require("""/DecodeParms\s*\[""".r.findFirstIn(dict).isEmpty,
       s"PdfCodec: image object $num: array-form /DecodeParms unsupported")
     val bpc = need("BitsPerComponent")
-    val csName = """/ColorSpace\s*/([A-Za-z0-9]+)""".r.findFirstMatchIn(dict)
-      .map(_.group(1)).getOrElse(throw new IllegalArgumentException(
-        s"PdfCodec: image object $num has no direct name /ColorSpace " +
-          "(DeviceGray / DeviceRGB)"))
-    val ch = csName match {
-      case "DeviceGray" => 1
-      case "DeviceRGB" => 3
-      case other => throw new IllegalArgumentException(
-        s"PdfCodec: image object $num colorspace /$other unsupported " +
-          "(DeviceGray / DeviceRGB)")
+    // /Indexed palette colorspace (round 20, VERDICT r19 #6 — the
+    // common scanned-color shape): `[/Indexed base hival lookup]` with
+    // base /DeviceRGB, the lookup a hex string or an indirect stream;
+    // other bases and literal-string lookups reject by name
+    val indexedM = """/ColorSpace\s*\[\s*/Indexed\s*/(\w+)\s+(\d+)\s+"""
+      .r.findFirstMatchIn(dict)
+    val (csName, ch, palette) = indexedM match {
+      case Some(m) =>
+        require(m.group(1) == "DeviceRGB",
+          s"PdfCodec: image object $num /Indexed base /${m.group(1)} " +
+            "unsupported (DeviceRGB)")
+        val hival = m.group(2).toInt
+        require(hival >= 0 && hival <= 255,
+          s"PdfCodec: image object $num /Indexed hival $hival out of range")
+        val rest = dict.substring(m.end)
+        val pal: Array[Byte] =
+          if (rest.startsWith("<")) {
+            val end = rest.indexOf('>')
+            require(end > 0,
+              s"PdfCodec: image object $num: unterminated /Indexed hex lookup")
+            val hex = rest.substring(1, end).filterNot(_.isWhitespace)
+            require(hex.length % 2 == 0 &&
+              hex.forall(c => Character.digit(c, 16) >= 0),
+              s"PdfCodec: image object $num: malformed /Indexed hex lookup")
+            hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+          } else """^(\d+)\s+\d+\s+R""".r.findFirstMatchIn(rest) match {
+            case Some(ref) =>
+              val palObj = byNum.getOrElse(ref.group(1).toInt,
+                throw new IllegalArgumentException(
+                  s"PdfCodec: image object $num: /Indexed lookup object " +
+                    s"${ref.group(1)} missing"))
+              decodeStream(palObj, byNum).getBytes(ISO_8859_1)
+            case None => throw new IllegalArgumentException(
+              s"PdfCodec: image object $num: /Indexed lookup form " +
+                "unsupported (hex string or stream reference)")
+          }
+        require(pal.length == 3 * (hival + 1),
+          s"PdfCodec: image object $num: /Indexed lookup holds " +
+            s"${pal.length} bytes, hival $hival wants ${3 * (hival + 1)}")
+        ("Indexed", 3, Some((pal, hival)))
+      case None =>
+        val name = """/ColorSpace\s*/([A-Za-z0-9]+)""".r.findFirstMatchIn(dict)
+          .map(_.group(1)).getOrElse(throw new IllegalArgumentException(
+            s"PdfCodec: image object $num has no direct name /ColorSpace " +
+              "(DeviceGray / DeviceRGB / [Indexed DeviceRGB])"))
+        name match {
+          case "DeviceGray" => (name, 1, None)
+          case "DeviceRGB" => (name, 3, None)
+          case other => throw new IllegalArgumentException(
+            s"PdfCodec: image object $num colorspace /$other unsupported " +
+              "(DeviceGray / DeviceRGB / [Indexed DeviceRGB])")
+        }
     }
     val raw = obj.stream.getOrElse(throw new IllegalArgumentException(
       s"PdfCodec: image object $num has no stream data"))
@@ -322,11 +364,32 @@ object PdfCodec {
             unpredict(preDecoded, parm("Predictor", 1), parm("Colors", 1),
               parm("BitsPerComponent", 8), parm("Columns", 1), num)
           else preDecoded
-        require(data.length == w * h * ch,
-          s"PdfCodec: image object $num: ${data.length} sample bytes, " +
-            s"geometry wants ${w * h * ch}")
-        (w, h, ch, data)
+        palette match {
+          case Some((pal, hival)) =>
+            // samples are palette INDICES, one component each
+            require(data.length == w * h,
+              s"PdfCodec: image object $num: ${data.length} index bytes, " +
+                s"geometry wants ${w * h}")
+            val rgb = new Array[Byte](w * h * 3)
+            var j = 0
+            while (j < data.length) {
+              // §8.6.6.3: out-of-range indices CLAMP (normative)
+              val idx = math.min(data(j) & 0xff, hival)
+              rgb(3 * j) = pal(3 * idx)
+              rgb(3 * j + 1) = pal(3 * idx + 1)
+              rgb(3 * j + 2) = pal(3 * idx + 2)
+              j += 1
+            }
+            (w, h, 3, rgb)
+          case None =>
+            require(data.length == w * h * ch,
+              s"PdfCodec: image object $num: ${data.length} sample bytes, " +
+                s"geometry wants ${w * h * ch}")
+            (w, h, ch, data)
+        }
       case Some("DCTDecode") =>
+        require(palette.isEmpty, s"PdfCodec: image object $num: /Indexed " +
+          "palette with /DCTDecode unsupported")
         require(bpc == 8, s"PdfCodec: image object $num: /DCTDecode at " +
           s"/BitsPerComponent $bpc (8 only)")
         val img = graft.multimodal.JpegCodec.decode(preDecoded)
@@ -338,6 +401,8 @@ object PdfCodec {
             s"/ColorSpace /$csName wants $ch")
         (w, h, ch, img.pixels)
       case Some("CCITTFaxDecode") =>
+        require(palette.isEmpty, s"PdfCodec: image object $num: /Indexed " +
+          "palette with /CCITTFaxDecode unsupported")
         require(bpc == 1 && ch == 1,
           s"PdfCodec: image object $num: /CCITTFaxDecode wants " +
             "/BitsPerComponent 1 /DeviceGray")
@@ -385,10 +450,15 @@ object PdfCodec {
     * or RGB (3) `pixels` carried as the page's sole image XObject under
     * `filter` — "Flate" (raw samples), "DCT" (JpegCodec quality 90) or
     * "CCITT" (G4 when `ccittG4`, else byte-aligned MH with
-    * /EncodedByteAlign). CCITT pages must be bilevel 0/255 gray. */
+    * /EncodedByteAlign). CCITT pages must be bilevel 0/255 gray.
+    * `indexed` ("hex" | "stream") re-expresses an RGB Flate page as an
+    * `[/Indexed /DeviceRGB hival lookup]` palette image — same decoded
+    * pixels, palette wire form (≤256 distinct colors required); the
+    * lookup rides inline as a hex string or as an indirect stream. */
   final case class ImagePageSpec(width: Int, height: Int, channels: Int,
                                  pixels: Array[Byte], filter: String,
-                                 ccittG4: Boolean = true)
+                                 ccittG4: Boolean = true,
+                                 indexed: String = "")
 
   /** Write a scanned-document-shaped PDF: one image XObject per page,
     * painted by a `cm`-scaled `Do` — the fixture writer that lets
@@ -404,6 +474,9 @@ object PdfCodec {
     val nPages = pages.length
     val kids = (0 until nPages).map(i => s"${3 + 3 * i} 0 R").mkString(" ")
     beginObj(2); w(s"<< /Type /Pages /Kids [ $kids ] /Count $nPages >>\nendobj\n")
+    // stream-form /Indexed palettes get object numbers past the pages
+    var nextExtra = 3 + 3 * nPages
+    val extraPalettes = mutable.Buffer.empty[(Int, Array[Byte])]
     pages.zipWithIndex.foreach { case (spec, i) =>
       val pw = spec.width; val ph = spec.height; val ch = spec.channels
       require(ch == 1 || ch == 3,
@@ -421,9 +494,51 @@ object PdfCodec {
       val content = s"q $pw 0 0 $ph 0 0 cm /Im0 Do Q"
       beginObj(contNum)
       w(s"<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n")
-      val cs = if (ch == 3) "/DeviceRGB" else "/DeviceGray"
+      // /Indexed wire form: palette + indices in place of RGB samples
+      val indexedWire: Option[(Array[Byte], Array[Byte])] =
+        if (spec.indexed.isEmpty) None
+        else {
+          require(ch == 3 && spec.filter == "Flate",
+            "PdfCodec.encodeImagePdf: indexed pages are RGB Flate")
+          require(spec.indexed == "hex" || spec.indexed == "stream",
+            s"PdfCodec.encodeImagePdf: indexed form '${spec.indexed}'")
+          val colorIdx = mutable.LinkedHashMap.empty[Int, Int]
+          val indices = new Array[Byte](pw * ph)
+          var j = 0
+          while (j < pw * ph) {
+            val key = ((spec.pixels(3 * j) & 0xff) << 16) |
+              ((spec.pixels(3 * j + 1) & 0xff) << 8) |
+              (spec.pixels(3 * j + 2) & 0xff)
+            val idx = colorIdx.getOrElseUpdate(key, colorIdx.size)
+            require(idx < 256,
+              "PdfCodec.encodeImagePdf: indexed page exceeds 256 colors")
+            indices(j) = idx.toByte
+            j += 1
+          }
+          val pal = new Array[Byte](3 * colorIdx.size)
+          colorIdx.foreach { case (key, idx) =>
+            pal(3 * idx) = ((key >> 16) & 0xff).toByte
+            pal(3 * idx + 1) = ((key >> 8) & 0xff).toByte
+            pal(3 * idx + 2) = (key & 0xff).toByte
+          }
+          Some((pal, indices))
+        }
+      val cs = indexedWire match {
+        case Some((pal, _)) =>
+          val hival = pal.length / 3 - 1
+          if (spec.indexed == "hex")
+            s"[/Indexed /DeviceRGB $hival <${pal.map(b => f"${b & 0xff}%02X").mkString}>]"
+          else {
+            val palNum = nextExtra
+            nextExtra += 1
+            extraPalettes += palNum -> pal
+            s"[/Indexed /DeviceRGB $hival $palNum 0 R]"
+          }
+        case None => if (ch == 3) "/DeviceRGB" else "/DeviceGray"
+      }
       val (data, filterDecl, bpc) = spec.filter match {
-        case "Flate" => (deflate(spec.pixels), " /Filter /FlateDecode", 8)
+        case "Flate" => (deflate(indexedWire.map(_._2).getOrElse(spec.pixels)),
+          " /Filter /FlateDecode", 8)
         case "DCT" =>
           (graft.multimodal.JpegCodec.encode(pw, ph, ch, spec.pixels, quality = 90),
             " /Filter /DCTDecode", 8)
@@ -461,8 +576,16 @@ object PdfCodec {
       out.write(data)
       w("\nendstream\nendobj\n")
     }
+    // palette streams (deflated — the reader's decodeStream path)
+    extraPalettes.foreach { case (palNum, pal) =>
+      val palData = deflate(pal)
+      beginObj(palNum)
+      w(s"<< /Filter /FlateDecode /Length ${palData.length} >>\nstream\n")
+      out.write(palData)
+      w("\nendstream\nendobj\n")
+    }
     val xrefAt = out.size()
-    val total = 3 + 3 * nPages
+    val total = nextExtra
     w(s"xref\n0 $total\n0000000000 65535 f \n")
     offsets.sortBy(_._1).foreach { case (_, off) => w(f"$off%010d 00000 n \n") }
     w(s"trailer\n<< /Size $total /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")

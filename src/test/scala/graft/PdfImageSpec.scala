@@ -108,6 +108,70 @@ class PdfImageSpec extends AnyFunSuite with SparkSpec {
     assert(imgs.head.pixels.toSeq == px.toSeq)
   }
 
+  test("/Indexed palette: hex + stream lookups round trip; clamp; rejects") {
+    // ≤256-distinct-color RGB pages re-expressed as palettes must decode
+    // to the SAME pixels as their direct-RGB twins
+    val px = rgbRamp(6, 5, 4)
+    val direct = PdfCodec.extractImages(PdfCodec.encodeImagePdf(
+      Seq(PdfCodec.ImagePageSpec(6, 5, 3, px, "Flate"))))
+    for (form <- Seq("hex", "stream")) {
+      val wire = PdfCodec.encodeImagePdf(
+        Seq(PdfCodec.ImagePageSpec(6, 5, 3, px, "Flate", indexed = form)))
+      val asStr = new String(wire, "ISO-8859-1")
+      assert(asStr.contains("/Indexed /DeviceRGB"), s"$form wire form")
+      assert((form == "stream") == asStr.contains("0 R]"), s"$form lookup kind")
+      val got = PdfCodec.extractImages(wire)
+      assert(got.length == 1 && got.head.channels == 3)
+      assert(got.head.pixels.toSeq == direct.head.pixels.toSeq,
+        s"$form palette decode must equal the direct-RGB decode")
+    }
+    // hand-assembled: an out-of-range index CLAMPS to hival (§8.6.6.3)
+    val idxData = graft.pipeline.PdfCodec.deflate(Array[Byte](0, 1, 2, 3))
+    val out = new java.io.ByteArrayOutputStream()
+    val offs = scala.collection.mutable.Buffer.empty[Int]
+    def w(str: String): Unit = out.write(str.getBytes("ISO-8859-1"))
+    def obj(body: String): Unit = { offs += out.size(); w(body) }
+    w("%PDF-1.4\n")
+    obj("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    obj("2 0 obj\n<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>\nendobj\n")
+    obj("3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 2 2] " +
+      "/Resources << /XObject << /Im0 5 0 R >> >> /Contents 4 0 R >>\nendobj\n")
+    val pc = "q 2 0 0 2 0 0 cm /Im0 Do Q"
+    obj(s"4 0 obj\n<< /Length ${pc.length} >>\nstream\n$pc\nendstream\nendobj\n")
+    offs += out.size()
+    w(s"5 0 obj\n<< /Type /XObject /Subtype /Image /Width 2 /Height 2 " +
+      s"/ColorSpace [/Indexed /DeviceRGB 2 <0A141E28323C46505A>] " +
+      s"/BitsPerComponent 8 /Filter /FlateDecode " +
+      s"/Length ${idxData.length} >>\nstream\n")
+    out.write(idxData)
+    w("\nendstream\nendobj\n")
+    val xrefAt = out.size()
+    w("xref\n0 6\n0000000000 65535 f \n")
+    offs.foreach(o => w(f"$o%010d 00000 n \n"))
+    w(s"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
+    val clamped = PdfCodec.extractImages(out.toByteArray)
+    assert(clamped.head.pixels.toSeq == Seq[Byte](
+      10, 20, 30, 40, 50, 60, 70, 80, 90, 70, 80, 90),
+      "index 3 with hival 2 must clamp to the last palette entry")
+    // fail-loud: non-RGB base by name; hival/palette length mismatch
+    val hexWire = PdfCodec.encodeImagePdf(
+      Seq(PdfCodec.ImagePageSpec(6, 5, 3, px, "Flate", indexed = "hex")))
+    val hs = new String(hexWire, "ISO-8859-1")
+    def patched(from: String, to: String): Array[Byte] = {
+      assert(hs.contains(from) && from.length == to.length)
+      hs.replace(from, to).getBytes("ISO-8859-1")
+    }
+    assert(intercept[IllegalArgumentException](PdfCodec.extractImages(
+      patched("/Indexed /DeviceRGB", "/Indexed /DeviceXYB")))
+      .getMessage.contains("DeviceXYB"))
+    // hival patched down (same char count) → palette length mismatch
+    val hival = px.grouped(3).map(_.toSeq).toSet.size - 1
+    assert(hival >= 10, "fixture needs a 2-digit hival")
+    assert(intercept[IllegalArgumentException](PdfCodec.extractImages(
+      patched(s"/DeviceRGB $hival <", s"/DeviceRGB ${hival - 1} <".padTo(s"/DeviceRGB $hival <".length, ' '))))
+      .getMessage.contains("lookup holds"))
+  }
+
   test("fail-loud: BI, ImageMask, Decode array, colorspace, trailing filter") {
     val px = grayRamp(5, 4, 2)
     val good = PdfCodec.encodeImagePdf(
