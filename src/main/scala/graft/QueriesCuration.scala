@@ -138,6 +138,72 @@ object QueriesCuration {
              |  (doc_id % 2 = 1 AND (doc_id // 2) % 6 IN (1, 4, 5)) AS allowed
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ── CRAWL-CURATION CAPSTONE (round 20, VERDICT r19 #7): the real
+    // ingest-edge path END-TO-END in one oracle-gated pipeline — WARC
+    // records (a crawl plus its RE-CRAWLED copy at id+100000) through
+    // record framing / digest verification / transfer + content
+    // decoding / charset resolution / content-type gating, the target
+    // URIs re-messied (HTTPS://Example.ORG:443) and RFC 3986
+    // canonicalized, an RFC 9309 robots gate whose '*' group blocks
+    // the binary (.pdf$ wildcard-anchor) and plain-text
+    // (/doc/*/plain.txt wildcard) responses and allows /doc/, then
+    // EXACT DEDUP across the two crawls (min-doc_id canonical,
+    // min_by single-shuffle). The oracle replays text + markers from
+    // the documents table, the canonical URLs from the id formula, and
+    // the dedup groups generically — a slip in ANY stage (a leaked
+    // chunk header, a mojibake, a wrong port drop, a robots tiebreak,
+    // a dedup key) breaks the hash.
+    "q_e2e_crawl" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val crawl = docs.unionAll(docs.select(
+          (col("doc_id") + 100000).as("doc_id"), col("text")))
+        val rows = graft.pipeline.WarcPipeline.extractWarcs(
+          graft.pipeline.WarcPipeline.synthesizeWarcs(crawl))
+        val robotsTxt = "User-agent: graftbot\nDisallow: /\n\n" +
+          "User-agent: *\nDisallow: /*.pdf$\n" +
+          "Disallow: /doc/*/plain.txt\nAllow: /doc/\n"
+        rows
+          .withColumn("raw_url",
+            concat(lit("HTTPS://Example.ORG:443"), expr("substring(url, 20)")))
+          .withColumn("url",
+            graft.functions.UrlCanonicalExpr.column(col("raw_url")))
+          .withColumn("allowed", graft.functions.RobotsAllowedExpr.column(
+            lit(robotsTxt), lit("trainer9000"),
+            expr("substring(url, 20)")))
+          .where(col("allowed"))
+          .groupBy(col("text_md5"))
+          .agg(min(col("doc_id")).as("doc_id"),
+            expr("min_by(url, doc_id)").as("url"),
+            count(lit(1)).as("n_copies"),
+            expr("min_by(text_len, doc_id)").as("text_len"))
+          .select(col("doc_id"), col("url"), col("n_copies"),
+            col("text_len"), col("text_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g')) AS t
+             |  FROM documents
+             |), x AS (
+             |  SELECT d.doc_id,
+             |    CASE d.doc_id % 4
+             |      WHEN 1 THEN trim(t.t || ' 日本語テスト')
+             |      WHEN 2 THEN trim(t.t || ' café déjà-vu')
+             |      WHEN 3 THEN trim(t.t || ' Σπάρκ §')
+             |      ELSE t.t END AS txt
+             |  FROM documents d JOIN t USING (doc_id)
+             |), u AS (
+             |  SELECT doc_id, txt FROM x
+             |  UNION ALL SELECT doc_id + 100000, txt FROM x
+             |)
+             |SELECT min(doc_id) AS doc_id,
+             |  'https://example.org/doc/' || CAST(min(doc_id) AS VARCHAR) AS url,
+             |  count(*) AS n_copies,
+             |  CAST(length(txt) AS BIGINT) AS text_len,
+             |  md5(txt) AS text_md5
+             |FROM u GROUP BY txt
+             |ORDER BY doc_id""".stripMargin)),
+
     // ── per-domain quota cap (crawl-mixture curation) ────────────────
     "q_domain_cap" -> QueryDef(
       (s, d) => Curation.capPerGroup(Tables.documents(s, d),
