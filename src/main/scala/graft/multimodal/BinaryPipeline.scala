@@ -1016,10 +1016,13 @@ object BinaryPipeline {
   /** Image-XObject PDF corpus (round 19, VERDICT r18 #3 — the scanned-
     * document carrier: image-only PDFs whose text extraction is
     * legitimately empty): nPages = 1 + id%3 pages per doc; page p
-    * (k = id + p) rotates the carrier k%3 → /FlateDecode raw samples,
+    * (k = id + p) rotates the carrier k%3 → /FlateDecode raw samples
+    * (RGB pages further rotating the /Indexed palette wire on k%12),
     * /DCTDecode (the flat-8x8-block JPEG recipe whose quality-90
     * reconstruction is provably exact — the q_image_jpeg gate), and
-    * /CCITTFaxDecode (G4 on even k, byte-aligned MH otherwise).
+    * the bilevel family by k%12 — /CCITTFaxDecode G4 (2) and
+    * byte-aligned MH (5), /JBIG2Decode generic region MQ (8) and
+    * MMR (11).
     * Geometry and pixels are pure formulas of (id, p), so the oracle
     * replays them byte-blind:
     *  - Flate: w = 4+k%13, h = 3+k%11, ch = 1|3 by k%2,
@@ -1080,7 +1083,19 @@ object BinaryPipeline {
                   val x = i % w; val y = i / w
                   (if ((k * 37 + x * 7L + y * 13L) % 5 < 2) 0 else 255).toByte
                 }
-                graft.pipeline.PdfCodec.ImagePageSpec(w, h, 1, px, "CCITT",
+                // bilevel carrier rotates by k%12 (round 20, VERDICT
+                // r19 #4): the same pixels ride CCITT G4 (k%12==2),
+                // JBIG2 generic region via the MQ coder (k%12==8),
+                // CCITT byte-aligned MH (k%12==5) and JBIG2 MMR
+                // (k%12==11) — wire rotation results-invisible, so the
+                // oracle is untouched and an MQ/template slip breaks
+                // the hash
+                val filter = (k % 12) match {
+                  case 8 => "JBIG2"
+                  case 11 => "JBIG2MMR"
+                  case _ => "CCITT"
+                }
+                graft.pipeline.PdfCodec.ImagePageSpec(w, h, 1, px, filter,
                   ccittG4 = k % 2 == 0)
             }
           }

@@ -1,0 +1,425 @@
+package graft.multimodal
+
+/** JBIG2 (ITU-T T.88) — the dominant post-2005 scanned-PDF compression
+  * (what PDFBox decodes behind the reference's extraction loop,
+  * Function.java:90-132). Round 20, VERDICT r19 #4.
+  *
+  * Scope (fail-loud BY NAME beyond it):
+  *  - the PDF-EMBEDDED segment organization (spec §7.2): segment
+  *    headers walked, page-information (48) + IMMEDIATE generic-region
+  *    (38/39) + end-of-page/file (49/51) segments; exactly one region
+  *    per stream; unknown-length segments, intermediate regions and
+  *    every other segment family (symbol/text/halftone/refinement/
+  *    pattern/tables) reject naming the type
+  *  - GENERIC REGION decoding (§6.2) with GBTEMPLATE 0 at the NOMINAL
+  *    AT pixel positions, TPGDON off — the MQ arithmetic path — plus
+  *    the MMR=1 path, which is ITU-T T.6 two-dimensional coding and
+  *    reuses [[CcittCodec]]'s independently-gated G4 decoder
+  *  - the MQ ARITHMETIC CODER (T.88 Annex E): the 47-row Qe state
+  *    table below is the normative Table E.1 — small enough to
+  *    hand-verify row by row (the CCITT/FLAC precedent; contrast the
+  *    VP8/MP3 scope adjudication). Decoder follows INITDEC/DECODE/
+  *    BYTEIN with the chigh/clow software convention; encoder follows
+  *    INITENC/CODEMPS/CODELPS/BYTEOUT/FLUSH so fixtures round-trip
+  *    through real wire bytes.
+  *
+  * Bit convention: JBIG2 bitmaps carry 1 = black (foreground). The PDF
+  * filter consumer maps that to DeviceGray samples (0 = black) — the
+  * inversion lives in PdfCodec, mirroring its CCITT handling. */
+object Jbig2Codec {
+
+  // ── MQ coder state table (T.88 Table E.1) ──────────────────────────
+  // Each row: (Qe, NMPS, NLPS, SWITCH). Hand-check anchors: row 0 is
+  // the start state (Qe 0x5601, switch 1); rows 0/6/14 are the only
+  // SWITCH rows; row 45 is the terminal low-Qe state (NMPS 45, Qe 1);
+  // row 46 is the non-adaptive state used by fixed contexts.
+  private val QeVal = Array[Int](
+    0x5601, 0x3401, 0x1801, 0x0AC1, 0x0521, 0x0221, 0x5601, 0x5401,
+    0x4801, 0x3801, 0x3001, 0x2401, 0x1C01, 0x1601, 0x5601, 0x5401,
+    0x5101, 0x4801, 0x3801, 0x3401, 0x3001, 0x2801, 0x2401, 0x2201,
+    0x1C01, 0x1801, 0x1601, 0x1401, 0x1201, 0x1101, 0x0AC1, 0x09C1,
+    0x08A1, 0x0521, 0x0441, 0x02A1, 0x0221, 0x0141, 0x0111, 0x0085,
+    0x0049, 0x0025, 0x0015, 0x0009, 0x0005, 0x0001, 0x5601)
+  private val Nmps = Array[Int](
+    1, 2, 3, 4, 5, 38, 7, 8, 9, 10, 11, 12, 13, 29, 15, 16,
+    17, 18, 19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31, 32,
+    33, 34, 35, 36, 37, 38, 39, 40, 41, 42, 43, 44, 45, 45, 46)
+  private val Nlps = Array[Int](
+    1, 6, 9, 12, 29, 33, 6, 14, 14, 14, 17, 18, 20, 21, 14, 14,
+    15, 16, 17, 18, 19, 19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29,
+    30, 31, 32, 33, 34, 35, 36, 37, 38, 39, 40, 41, 42, 43, 46)
+  private val SwitchFlag = Array[Int](
+    1, 0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 1, 0,
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+
+  /** MQ decoder (T.88 E.3.2-E.3.4, chigh/clow software convention).
+    * Past-end reads 1-fill (0xFF00), the spec's marker behavior.
+    *
+    * Hand-trace (INITDEC on data = [0x56, 0x01]): chigh = 0x56;
+    * BYTEIN (0x56 ≠ 0xFF) → clow = 0x0100, ct = 8; then C <<= 7:
+    * chigh = (0x56<<7 | 0x0100>>9) & 0xFFFF = 0x2B00, clow = 0x8000,
+    * ct = 1, A = 0x8000. First DECODE on a fresh context (icx 0, mps
+    * 0, Qe 0x5601): A = 0x8000−0x5601 = 0x29FF; chigh 0x2B00 ≥ Qe is
+    * false (0x2B00 < 0x5601) → LPS branch; A (0x29FF) < Qe → MPS
+    * conditional exchange: D = 0, icx → NMPS = 1, A = 0x5601, then
+    * renormalize once (A 0xAC02). Computed by hand from the table —
+    * Jbig2Spec asserts exactly this trace. */
+  final class MqDecoder(data: Array[Byte], start: Int, end: Int) {
+    private var bp = start
+    private def at(i: Int): Int = if (i < end) data(i) & 0xff else 0xff
+    private var chigh = at(start)
+    private var clow = 0
+    private var ct = 0
+    byteIn()
+    chigh = ((chigh << 7) & 0xffff) | ((clow >> 9) & 0x7f)
+    clow = (clow << 7) & 0xffff
+    ct -= 7
+    private var a = 0x8000
+
+    private def byteIn(): Unit = {
+      if (at(bp) == 0xff) {
+        if (at(bp + 1) > 0x8f) { clow += 0xff00; ct = 8 } // marker: 1-fill
+        else { bp += 1; clow += at(bp) << 9; ct = 7 }     // stuffed byte
+      } else {
+        bp += 1
+        clow += (if (bp < end) (data(bp) & 0xff) << 8 else 0xff00)
+        ct = 8
+      }
+      if (clow > 0xffff) { chigh += clow >> 16; clow &= 0xffff }
+    }
+
+    /** Decode one decision in context slot `i` of `cx` (packed
+      * (index<<1)|mps). */
+    def decode(cx: Array[Short], i: Int): Int = {
+      var icx = (cx(i) >> 1) & 0x7f
+      var mps = cx(i) & 1
+      val qe = QeVal(icx)
+      a -= qe
+      var d = 0
+      if (chigh < qe) {
+        // LPS subinterval [0, Qe) — conditional exchange gives it to
+        // the MPS when the MPS interval renormalized smaller
+        if (a < qe) { a = qe; d = mps; icx = Nmps(icx) }
+        else {
+          a = qe
+          d = 1 - mps
+          if (SwitchFlag(icx) == 1) mps = d
+          icx = Nlps(icx)
+        }
+      } else {
+        chigh -= qe
+        if ((a & 0x8000) != 0) {
+          cx(i) = ((icx << 1) | mps).toShort
+          return mps
+        }
+        if (a < qe) {
+          d = 1 - mps
+          if (SwitchFlag(icx) == 1) mps = d
+          icx = Nlps(icx)
+        } else { d = mps; icx = Nmps(icx) }
+      }
+      while ({
+        if (ct == 0) byteIn()
+        a <<= 1
+        chigh = ((chigh << 1) & 0xffff) | ((clow >> 15) & 1)
+        clow = (clow << 1) & 0xffff
+        ct -= 1
+        (a & 0x8000) == 0
+      }) ()
+      cx(i) = ((icx << 1) | mps).toShort
+      d
+    }
+  }
+
+  /** MQ encoder (T.88 E.3.5-E.3.8) — the fixture writer's half, so the
+    * corpus gate runs over real wire bytes. Emits the optional
+    * 0xFF 0xAC terminator (decoders read it as the 1-fill marker). */
+  final class MqEncoder {
+    private var a = 0x8000
+    private var c = 0
+    private var ct = 12
+    // sentinel models T.88's BP = BPST−1; a carry into it would be a
+    // coder-state violation — assert loud rather than emit silently
+    private val bytes = scala.collection.mutable.ArrayBuffer[Int](0)
+
+    def encode(cx: Array[Short], i: Int, d: Int): Unit = {
+      var icx = (cx(i) >> 1) & 0x7f
+      var mps = cx(i) & 1
+      val qe = QeVal(icx)
+      if (d == mps) { // CODEMPS
+        a -= qe
+        if ((a & 0x8000) == 0) {
+          if (a < qe) a = qe // conditional exchange: MPS takes [0, Qe)
+          else c += qe
+          icx = Nmps(icx)
+          renorm()
+        } else c += qe
+      } else { // CODELPS
+        a -= qe
+        if (a < qe) c += qe // exchange: LPS takes the upper interval
+        else a = qe
+        if (SwitchFlag(icx) == 1) mps = 1 - mps
+        icx = Nlps(icx)
+        renorm()
+      }
+      cx(i) = ((icx << 1) | mps).toShort
+    }
+
+    private def renorm(): Unit = {
+      while ({
+        a <<= 1
+        c <<= 1
+        ct -= 1
+        if (ct == 0) byteOut()
+        (a & 0x8000) == 0
+      }) ()
+    }
+
+    private def byteOut(): Unit = {
+      if (bytes.last == 0xff) stuff()
+      else {
+        if (c > 0x7ffffff) { // carry into the last emitted byte
+          bytes(bytes.length - 1) += 1
+          if (bytes.last == 0xff) {
+            c &= 0x7ffffff
+            stuff()
+            return
+          }
+        }
+        bytes += (c >> 19) & 0xff
+        c &= 0x7ffff
+        ct = 8
+      }
+    }
+
+    private def stuff(): Unit = {
+      bytes += (c >> 20) & 0xff
+      c &= 0xfffff
+      ct = 7
+    }
+
+    def flush(): Array[Byte] = {
+      // SETBITS: force the low C bits to ONES (the decoder 1-fills past
+      // the data end, so the flushed value's tail must be all-1s),
+      // backing off 0x8000 if that escapes the interval [C, C+A)
+      val tempc = c + a
+      c |= 0xffff
+      if (c >= tempc) c -= 0x8000
+      c <<= ct; byteOut()
+      c <<= ct; byteOut()
+      require(bytes.head == 0, "Jbig2Codec: MQ carry into the sentinel byte")
+      val out = bytes.drop(1)
+      if (out.isEmpty || out.last != 0xff) out += 0xff
+      out += 0xac
+      out.map(_.toByte).toArray
+    }
+  }
+
+  // ── generic region, GBTEMPLATE 0, nominal AT, TPGDON off ──────────
+  // Context layout (spec §6.2.5.7 figure, AT pixels at their nominal
+  // positions A1=(+3,−1) A2=(−3,−1) A3=(+2,−2) A4=(−2,−2)):
+  //   bits 15..11 ← row y−2, columns x−2 … x+2
+  //   bits 10..4  ← row y−1, columns x−3 … x+3
+  //   bits  3..0  ← row y,   columns x−4 … x−1
+  // Out-of-bounds pixels read 0.
+
+  private def bitOf(out: Array[Byte], rowBytes: Int, w: Int,
+                    x: Int, y: Int): Int =
+    if (x < 0 || x >= w || y < 0) 0
+    else (out(y * rowBytes + (x >> 3)) >> (7 - (x & 7))) & 1
+
+  private def contextAt(out: Array[Byte], rowBytes: Int, w: Int,
+                        x: Int, y: Int): Int = {
+    var ctx = 0
+    var dx = -2
+    while (dx <= 2) { ctx = (ctx << 1) | bitOf(out, rowBytes, w, x + dx, y - 2); dx += 1 }
+    dx = -3
+    while (dx <= 3) { ctx = (ctx << 1) | bitOf(out, rowBytes, w, x + dx, y - 1); dx += 1 }
+    dx = -4
+    while (dx <= -1) { ctx = (ctx << 1) | bitOf(out, rowBytes, w, x + dx, y); dx += 1 }
+    ctx
+  }
+
+  /** Decode an MQ-coded generic region to packed rows (1 = black). */
+  private[multimodal] def decodeGeneric(data: Array[Byte], off: Int, len: Int,
+                                        w: Int, h: Int): Array[Byte] = {
+    val rowBytes = (w + 7) / 8
+    val out = new Array[Byte](rowBytes * h)
+    val cx = new Array[Short](1 << 16)
+    val dec = new MqDecoder(data, off, off + len)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        if (dec.decode(cx, contextAt(out, rowBytes, w, x, y)) == 1)
+          out(y * rowBytes + (x >> 3)) =
+            (out(y * rowBytes + (x >> 3)) | (1 << (7 - (x & 7)))).toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Encode packed rows (1 = black) as an MQ-coded generic region. */
+  private[multimodal] def encodeGeneric(packed: Array[Byte],
+                                        w: Int, h: Int): Array[Byte] = {
+    val rowBytes = (w + 7) / 8
+    val cx = new Array[Short](1 << 16)
+    val enc = new MqEncoder
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        enc.encode(cx, contextAt(packed, rowBytes, w, x, y),
+          bitOf(packed, rowBytes, w, x, y))
+        x += 1
+      }
+      y += 1
+    }
+    enc.flush()
+  }
+
+  // ── PDF-embedded segment organization (§7.2) ───────────────────────
+
+  private def be32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+
+  private val SegmentNames = Map(
+    0 -> "symbol dictionary", 4 -> "intermediate text region",
+    6 -> "immediate text region", 7 -> "immediate lossless text region",
+    16 -> "pattern dictionary", 20 -> "intermediate halftone region",
+    22 -> "immediate halftone region",
+    23 -> "immediate lossless halftone region",
+    36 -> "intermediate generic region",
+    40 -> "intermediate refinement region",
+    42 -> "immediate refinement region",
+    43 -> "immediate lossless refinement region",
+    50 -> "end of stripe", 52 -> "profiles", 53 -> "tables",
+    62 -> "extension")
+
+  /** Decode a PDF-embedded JBIG2 stream: (width, height, packed rows,
+    * 1 = black). Exactly one immediate generic region expected. */
+  def decode(data: Array[Byte]): (Int, Int, Array[Byte]) = {
+    var at = 0
+    var region: Option[(Int, Int, Array[Byte])] = None
+    while (at < data.length) {
+      require(at + 11 <= data.length,
+        "Jbig2Codec: truncated segment header")
+      val flags = data(at + 4) & 0xff
+      val segType = flags & 0x3f
+      require((flags & 0x80) == 0,
+        "Jbig2Codec: deferred-non-retain segments unsupported")
+      val pageAssoc4 = (flags & 0x40) != 0
+      var p = at + 5
+      // referred-to segment count + retain bits
+      val rts0 = data(p) & 0xff
+      val refCount =
+        if ((rts0 >> 5) == 7) {
+          val long = (be32(data, p) & 0x1fffffffL).toInt
+          p += 4 + (long + 8) / 8 // count word + retain-bit bytes
+          long
+        } else { p += 1; rts0 >> 5 }
+      val segNum = be32(data, at)
+      val refSize = if (segNum <= 256) 1 else if (segNum <= 65536) 2 else 4
+      p += refCount * refSize
+      p += (if (pageAssoc4) 4 else 1)
+      require(p + 4 <= data.length, "Jbig2Codec: truncated segment header")
+      val dataLen = be32(data, p)
+      require(dataLen != 0xffffffffL,
+        "Jbig2Codec: unknown-length segment unsupported")
+      p += 4
+      require(p + dataLen <= data.length,
+        s"Jbig2Codec: segment $segNum data runs past EOF")
+      val dOff = p
+      segType match {
+        case 48 => // page information — geometry ignored (region carries its own)
+          require(dataLen >= 19,
+            "Jbig2Codec: page-information segment shorter than 19 bytes")
+        case 38 | 39 => // immediate (lossless) generic region
+          require(region.isEmpty,
+            "Jbig2Codec: multiple region segments unsupported (one region)")
+          require(dataLen >= 18, "Jbig2Codec: generic region data truncated")
+          val w = be32(data, dOff).toInt
+          val h = be32(data, dOff + 4).toInt
+          require(w > 0 && h > 0 && w.toLong * h <= (1L << 30),
+            s"Jbig2Codec: region geometry ${w}x$h out of range")
+          require(be32(data, dOff + 8) == 0 && be32(data, dOff + 12) == 0,
+            "Jbig2Codec: region offset (x,y) != (0,0) unsupported")
+          val gFlags = data(dOff + 17) & 0xff
+          val mmr = (gFlags & 1) != 0
+          val template = (gFlags >> 1) & 3
+          require((gFlags & 8) == 0,
+            "Jbig2Codec: TPGDON typical prediction unsupported")
+          if (mmr) {
+            val packed = CcittCodec.decode(data, dOff + 18,
+              (dataLen - 18).toInt, w, h, 4)
+            region = Some((w, h, packed))
+          } else {
+            require(template == 0,
+              s"Jbig2Codec: GBTEMPLATE $template unsupported (0)")
+            require(dataLen >= 26, "Jbig2Codec: AT pixels truncated")
+            val atPx = (0 until 4).map(k =>
+              (data(dOff + 18 + 2 * k).toInt, data(dOff + 19 + 2 * k).toInt))
+            require(atPx == Seq((3, -1), (-3, -1), (2, -2), (-2, -2)),
+              s"Jbig2Codec: non-nominal AT pixels $atPx unsupported")
+            region = Some((w, h,
+              decodeGeneric(data, dOff + 26, (dataLen - 26).toInt, w, h)))
+          }
+        case 49 | 51 => () // end of page / file
+        case t => throw new IllegalArgumentException(
+          s"Jbig2Codec: segment type $t " +
+            s"(${SegmentNames.getOrElse(t, "unknown")}) unsupported " +
+            "(page info, immediate generic region, end of page/file)")
+      }
+      at = (p + dataLen).toInt
+    }
+    region.getOrElse(throw new IllegalArgumentException(
+      "Jbig2Codec: stream holds no generic region segment"))
+  }
+
+  /** Fixture/corpus writer: a PDF-embedded JBIG2 stream — page info +
+    * one immediate lossless generic region (MQ template 0 at nominal
+    * AT, or MMR via the T.6 coder) + end of page. */
+  def encode(w: Int, h: Int, packed: Array[Byte],
+             mmr: Boolean = false): Array[Byte] = {
+    val rowBytes = (w + 7) / 8
+    require(packed.length == rowBytes * h,
+      s"Jbig2Codec.encode: ${packed.length} packed bytes for ${w}x$h")
+    val out = new java.io.ByteArrayOutputStream()
+    def b8(v: Int): Unit = out.write(v & 0xff)
+    def b16(v: Int): Unit = { b8(v >> 8); b8(v) }
+    def b32(v: Long): Unit = {
+      b8((v >> 24).toInt); b8((v >> 16).toInt); b8((v >> 8).toInt); b8(v.toInt)
+    }
+    def header(num: Int, tpe: Int, dataLen: Int): Unit = {
+      b32(num); b8(tpe) // flags: 1-byte page association, not deferred
+      b8(0)             // zero referred-to segments
+      b8(1)             // page 1
+      b32(dataLen)
+    }
+    // page information (type 48)
+    header(1, 48, 19)
+    b32(w); b32(h); b32(0); b32(0) // width, height, xres, yres (unknown)
+    b8(0); b16(0)                  // page flags, striping
+    // immediate lossless generic region (type 39)
+    val coded =
+      if (mmr) CcittCodec.encode(packed, rowBytes, w, h, 4)
+      else encodeGeneric(packed, w, h)
+    val regionLen = 17 + 1 + (if (mmr) 0 else 8) + coded.length
+    header(2, 39, regionLen)
+    b32(w); b32(h); b32(0); b32(0) // region info: geometry at (0,0)
+    b8(0)                          // external combination op OR
+    b8(if (mmr) 1 else 0)          // generic flags: MMR bit, template 0
+    if (!mmr) {
+      b8(3); b8(-1 & 0xff); b8(-3 & 0xff); b8(-1 & 0xff) // A1, A2
+      b8(2); b8(-2 & 0xff); b8(-2 & 0xff); b8(-2 & 0xff) // A3, A4
+    }
+    out.write(coded)
+    // end of page (type 49)
+    header(3, 49, 0)
+    out.toByteArray
+  }
+}

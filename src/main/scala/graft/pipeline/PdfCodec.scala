@@ -347,9 +347,10 @@ object PdfCodec {
       (s"""/$name\\s+(true|false)""").r.findFirstMatchIn(pd)
         .map(_.group(1) == "true").getOrElse(default)
     // prefix filters run first; at most ONE terminal image filter ends
-    // the chain (a filter AFTER DCT/CCITT would re-encode pixels)
+    // the chain (a filter AFTER DCT/CCITT/JBIG2 would re-encode pixels)
     val (pre, terminal) =
-      filters.span(f => f != "DCTDecode" && f != "CCITTFaxDecode")
+      filters.span(f => f != "DCTDecode" && f != "CCITTFaxDecode" &&
+        f != "JBIG2Decode")
     require(terminal.length <= 1, s"PdfCodec: image object $num declares " +
       s"filters after the ${terminal.headOption.getOrElse("")} image filter")
     val preDecoded = pre.foldLeft(raw)((data, f) =>
@@ -400,6 +401,34 @@ object PdfCodec {
           s"PdfCodec: image object $num: JPEG has ${img.components} components, " +
             s"/ColorSpace /$csName wants $ch")
         (w, h, ch, img.pixels)
+      case Some("JBIG2Decode") =>
+        require(palette.isEmpty, s"PdfCodec: image object $num: /Indexed " +
+          "palette with /JBIG2Decode unsupported")
+        require(bpc == 1 && ch == 1,
+          s"PdfCodec: image object $num: /JBIG2Decode wants " +
+            "/BitsPerComponent 1 /DeviceGray")
+        require(!pd.contains("/JBIG2Globals"),
+          s"PdfCodec: image object $num: /JBIG2Globals streams unsupported " +
+            "(embedded segments only)")
+        val (jw, jh, packed) = graft.multimodal.Jbig2Codec.decode(preDecoded)
+        require(jw == w && jh == h,
+          s"PdfCodec: image object $num: JBIG2 region is ${jw}x$jh, " +
+            s"dict declares ${w}x$h")
+        // JBIG2 bit 1 = black; DeviceGray sample 0 = black (the same
+        // inversion every PDF JBIG2 consumer applies)
+        val rowBytes = (w + 7) / 8
+        val px = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val bit = (packed(y * rowBytes + (x >> 3)) >> (7 - (x & 7))) & 1
+            px(y * w + x) = ((1 - bit) * 255).toByte
+            x += 1
+          }
+          y += 1
+        }
+        (w, h, 1, px)
       case Some("CCITTFaxDecode") =>
         require(palette.isEmpty, s"PdfCodec: image object $num: /Indexed " +
           "palette with /CCITTFaxDecode unsupported")
@@ -566,8 +595,28 @@ object PdfCodec {
             if (spec.ccittG4) s"<< /K -1 /Columns $pw /Rows $ph >>"
             else s"<< /K 0 /EncodedByteAlign true /Columns $pw /Rows $ph >>"
           (coded, s" /Filter /CCITTFaxDecode /DecodeParms $dp", 1)
+        case "JBIG2" | "JBIG2MMR" =>
+          require(ch == 1, "PdfCodec.encodeImagePdf: JBIG2 pages are gray")
+          spec.pixels.foreach(b => require(b == 0 || b == -1,
+            "PdfCodec.encodeImagePdf: JBIG2 pages must be bilevel 0/255"))
+          val rowBytes = (pw + 7) / 8
+          val packed = new Array[Byte](rowBytes * ph)
+          var y = 0
+          while (y < ph) {
+            var x = 0
+            while (x < pw) {
+              if (spec.pixels(y * pw + x) == 0) // gray 0 = black = bit 1
+                packed(y * rowBytes + (x >> 3)) =
+                  (packed(y * rowBytes + (x >> 3)) | (1 << (7 - (x & 7)))).toByte
+              x += 1
+            }
+            y += 1
+          }
+          (graft.multimodal.Jbig2Codec.encode(pw, ph, packed,
+            mmr = spec.filter == "JBIG2MMR"),
+            " /Filter /JBIG2Decode", 1)
         case other => throw new IllegalArgumentException(
-          s"PdfCodec.encodeImagePdf: filter $other (Flate / DCT / CCITT)")
+          s"PdfCodec.encodeImagePdf: filter $other (Flate / DCT / CCITT / JBIG2)")
       }
       beginObj(imgNum)
       w(s"<< /Type /XObject /Subtype /Image /Width $pw /Height $ph " +
