@@ -1054,10 +1054,17 @@ object BinaryPipeline {
                 // k%12==3, stream lookup on k%12==9 — identical decoded
                 // pixels, so the oracle is untouched and a palette slip
                 // breaks the hash (the v(i) stride-3 triples are keyed
-                // by 3j mod 256, so ≤256 distinct colors by design)
+                // by 3j mod 256, so ≤256 distinct colors by design).
+                // GRAY pages rotate the BI…ID…EI INLINE-IMAGE wire on
+                // k%12==6 (raw on k%24==6, /AHx on k%24==18) — the
+                // fax-era in-content-stream shape, same pixels again
                 val indexed =
                   if (ch == 3) (if (k % 12 == 3) "hex" else "stream") else ""
-                graft.pipeline.PdfCodec.ImagePageSpec(w, h, ch, px, "Flate",
+                val filter =
+                  if (ch == 1 && k % 12 == 6)
+                    (if (k % 24 == 6) "INLINE" else "INLINEAHX")
+                  else "Flate"
+                graft.pipeline.PdfCodec.ImagePageSpec(w, h, ch, px, filter,
                   indexed = indexed)
               case 1 =>
                 val w = (24 + k % 13).toInt

@@ -252,13 +252,121 @@ object PdfCodec {
               case None => throw new IllegalArgumentException(
                 s"PdfCodec: /$lastName Do names no XObject in /Resources")
             }
-          case "BI" => throw new IllegalArgumentException(
-            "PdfCodec: inline image (BI…ID…EI) sample extraction " +
-              "unsupported — image XObjects only")
+          case "BI" =>
+            p = parseInlineImage(content, p, pageIdx, out)
           case _ => ()
         }
       }
     }
+  }
+
+  /** BI…ID…EI inline image (§8.9.7 — round 20, the last by-name PDF
+    * image gap: fax-era writers emit them). Scope: 8-bit DeviceGray/
+    * DeviceRGB (abbreviated /G /RGB or full names) samples, RAW
+    * (unfiltered — the data length is then EXACT, rowBytes·h, no EI
+    * scanning heuristics) or /AHx ASCIIHex (self-terminating '>').
+    * Filtered binary data (/Fl /DCT /CCF…), /IM stencils, /D decode
+    * arrays, array values and other colorspaces reject BY NAME —
+    * guessing where EI falls inside arbitrary compressed data is the
+    * classic silent-corruption trap, so out-of-scope forms fail loud.
+    * Returns the position just past the EI token. */
+  private def parseInlineImage(content: String, at0: Int, pageIdx: Int,
+                               out: mutable.Buffer[PdfImage]): Int = {
+    val n = content.length
+    var p = at0
+    val kv = mutable.Map.empty[String, String]
+    def skipWs(): Unit = { while (p < n && content.charAt(p).isWhitespace) p += 1 }
+    def token(): String = {
+      val st = p
+      if (p < n && content.charAt(p) == '/') p += 1
+      while (p < n && !content.charAt(p).isWhitespace &&
+        !"()<>[]/%".contains(content.charAt(p))) p += 1
+      require(p > st, s"PdfCodec: page $pageIdx inline image: empty token")
+      content.substring(st, p)
+    }
+    var done = false
+    while (!done) {
+      skipWs()
+      require(p < n, s"PdfCodec: page $pageIdx inline image: no ID token")
+      if (content.startsWith("ID", p) &&
+          (p + 2 >= n || !content.charAt(p + 2).isLetterOrDigit)) {
+        p += 2
+        done = true
+      } else {
+        require(content.charAt(p) == '/',
+          s"PdfCodec: page $pageIdx inline image: expected a /key at " +
+            s"'${content.charAt(p)}'")
+        val key = token().stripPrefix("/")
+        skipWs()
+        require(p < n && content.charAt(p) != '[',
+          s"PdfCodec: page $pageIdx inline image: array value for $key unsupported")
+        kv(key) = token()
+      }
+    }
+    // exactly one whitespace byte separates ID from the data
+    require(p < n && content.charAt(p).isWhitespace,
+      s"PdfCodec: page $pageIdx inline image: ID not followed by whitespace")
+    p += 1
+    def dim(short: String, long: String): Int = {
+      val v = kv.get(short).orElse(kv.get(long)).getOrElse(
+        throw new IllegalArgumentException(
+          s"PdfCodec: page $pageIdx inline image has no /$short"))
+      require(v.forall(_.isDigit),
+        s"PdfCodec: page $pageIdx inline image /$short '$v' is not a number")
+      v.toInt
+    }
+    val w = dim("W", "Width")
+    val h = dim("H", "Height")
+    require(w > 0 && h > 0 && w.toLong * h <= (1L << 30),
+      s"PdfCodec: page $pageIdx inline image geometry ${w}x$h")
+    val bpc = kv.get("BPC").orElse(kv.get("BitsPerComponent")).getOrElse("8")
+    require(bpc == "8",
+      s"PdfCodec: page $pageIdx inline image /BPC $bpc unsupported (8)")
+    require(!kv.get("IM").orElse(kv.get("ImageMask")).contains("true"),
+      s"PdfCodec: page $pageIdx inline image is an /IM stencil — unsupported")
+    require(!kv.contains("D") && !kv.contains("Decode"),
+      s"PdfCodec: page $pageIdx inline image /Decode array unsupported")
+    val ch = kv.get("CS").orElse(kv.get("ColorSpace")) match {
+      case Some("/G") | Some("/DeviceGray") => 1
+      case Some("/RGB") | Some("/DeviceRGB") => 3
+      case Some(other) => throw new IllegalArgumentException(
+        s"PdfCodec: page $pageIdx inline image colorspace $other unsupported " +
+          "(/G, /RGB)")
+      case None => throw new IllegalArgumentException(
+        s"PdfCodec: page $pageIdx inline image has no /CS")
+    }
+    val filter = kv.get("F").orElse(kv.get("Filter"))
+    val pixels: Array[Byte] = filter match {
+      case None =>
+        val nBytes = w * h * ch
+        require(p + nBytes <= n,
+          s"PdfCodec: page $pageIdx inline image: $nBytes raw bytes run past EOF")
+        val px = new Array[Byte](nBytes)
+        var i = 0
+        while (i < nBytes) { px(i) = content.charAt(p + i).toByte; i += 1 }
+        p += nBytes
+        px
+      case Some("/AHx") | Some("/ASCIIHexDecode") =>
+        val end = content.indexOf('>', p)
+        require(end >= 0,
+          s"PdfCodec: page $pageIdx inline image: unterminated AHx data")
+        val hex = content.substring(p, end + 1)
+        p = end + 1
+        val px = asciiHexDecode(hex.getBytes(ISO_8859_1))
+        require(px.length == w * h * ch,
+          s"PdfCodec: page $pageIdx inline image: ${px.length} AHx bytes, " +
+            s"geometry wants ${w * h * ch}")
+        px
+      case Some(other) => throw new IllegalArgumentException(
+        s"PdfCodec: page $pageIdx inline image filter $other unsupported " +
+          "(raw samples or /AHx — EI inside compressed data is unscannable)")
+    }
+    skipWs()
+    require(content.startsWith("EI", p) &&
+      (p + 2 >= n || !content.charAt(p + 2).isLetterOrDigit),
+      s"PdfCodec: page $pageIdx inline image: data not terminated by EI")
+    out += PdfImage(pageIdx, "BI", w, h, ch, pixels)
+    p + 2
   }
 
   /** Decode one image XObject to 8-bit channel-interleaved samples:
@@ -516,16 +624,35 @@ object PdfCodec {
       val pageNum = 3 + 3 * i
       val contNum = pageNum + 1
       val imgNum = pageNum + 2
+      // INLINE pages carry the image as a BI…ID…EI sequence in the
+      // content stream itself (no XObject); the image object slot
+      // becomes a null placeholder so numbering stays contiguous
+      val inline = spec.filter == "INLINE" || spec.filter == "INLINEAHX"
       beginObj(pageNum)
+      val res = if (inline) "<< >>"
+        else s"<< /XObject << /Im0 $imgNum 0 R >> >>"
       w(s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 $pw $ph] " +
-        s"/Resources << /XObject << /Im0 $imgNum 0 R >> >> " +
-        s"/Contents $contNum 0 R >>\nendobj\n")
-      val content = s"q $pw 0 0 $ph 0 0 cm /Im0 Do Q"
+        s"/Resources $res /Contents $contNum 0 R >>\nendobj\n")
+      val content =
+        if (!inline) s"q $pw 0 0 $ph 0 0 cm /Im0 Do Q"
+        else {
+          val cs = if (ch == 3) "/RGB" else "/G"
+          val (fDecl, payload) =
+            if (spec.filter == "INLINEAHX")
+              (" /F /AHx", spec.pixels.map(b => f"${b & 0xff}%02X").mkString + ">")
+            else ("", new String(spec.pixels, ISO_8859_1))
+          s"q $pw 0 0 $ph 0 0 cm BI /W $pw /H $ph /CS $cs /BPC 8$fDecl ID " +
+            payload + " EI Q"
+        }
       beginObj(contNum)
       w(s"<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n")
+      if (inline) {
+        beginObj(imgNum)
+        w("null\nendobj\n")
+      }
       // /Indexed wire form: palette + indices in place of RGB samples
       val indexedWire: Option[(Array[Byte], Array[Byte])] =
-        if (spec.indexed.isEmpty) None
+        if (inline || spec.indexed.isEmpty) None
         else {
           require(ch == 3 && spec.filter == "Flate",
             "PdfCodec.encodeImagePdf: indexed pages are RGB Flate")
@@ -552,6 +679,7 @@ object PdfCodec {
           }
           Some((pal, indices))
         }
+      if (!inline) {
       val cs = indexedWire match {
         case Some((pal, _)) =>
           val hival = pal.length / 3 - 1
@@ -624,6 +752,7 @@ object PdfCodec {
         s"/Length ${data.length} >>\nstream\n")
       out.write(data)
       w("\nendstream\nendobj\n")
+      }
     }
     // palette streams (deflated — the reader's decodeStream path)
     extraPalettes.foreach { case (palNum, pal) =>

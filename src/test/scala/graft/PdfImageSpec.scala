@@ -172,6 +172,40 @@ class PdfImageSpec extends AnyFunSuite with SparkSpec {
       .getMessage.contains("lookup holds"))
   }
 
+  test("BI inline images: raw + AHx round trip; out-of-scope forms reject") {
+    val gray = grayRamp(9, 7, 5)
+    val rgb = rgbRamp(5, 4, 6)
+    val wire = PdfCodec.encodeImagePdf(Seq(
+      PdfCodec.ImagePageSpec(9, 7, 1, gray, "INLINE"),
+      PdfCodec.ImagePageSpec(5, 4, 3, rgb, "INLINEAHX"),
+      PdfCodec.ImagePageSpec(6, 5, 1, grayRamp(6, 5, 7), "Flate")))
+    val s = new String(wire, "ISO-8859-1")
+    assert(s.contains(" BI /W 9") && s.contains("/F /AHx ID"))
+    val imgs = PdfCodec.extractImages(wire)
+    assert(imgs.length == 3)
+    assert(imgs(0).name == "BI" && imgs(0).channels == 1 &&
+      imgs(0).pixels.toSeq == gray.toSeq, "raw inline gray")
+    assert(imgs(1).name == "BI" && imgs(1).channels == 3 &&
+      imgs(1).pixels.toSeq == rgb.toSeq, "AHx inline RGB")
+    assert(imgs(2).name == "Im0", "XObject pages still walk after inline ones")
+    // inline pages carry no text and don't disturb the text walk
+    assert(PdfCodec.extractText(wire) == Seq("", "", ""))
+    // out-of-scope inline forms reject BY NAME (length-preserving patches)
+    def patched(from: String, to: String): Array[Byte] = {
+      assert(s.contains(from) && from.length == to.length, s"patch '$from'")
+      s.replace(from, to).getBytes("ISO-8859-1")
+    }
+    assert(intercept[IllegalArgumentException](PdfCodec.extractImages(
+      patched("/CS /G /BPC 8 ID", "/CS /G /BPC 4 ID")))
+      .getMessage.contains("/BPC 4"))
+    assert(intercept[IllegalArgumentException](PdfCodec.extractImages(
+      patched("/F /AHx ID", "/F /Fl  ID")))
+      .getMessage.contains("/Fl"))
+    assert(intercept[IllegalArgumentException](PdfCodec.extractImages(
+      patched("/CS /RGB ", "/CS /XYZ ")))
+      .getMessage.contains("/XYZ"))
+  }
+
   test("fail-loud: BI, ImageMask, Decode array, colorspace, trailing filter") {
     val px = grayRamp(5, 4, 2)
     val good = PdfCodec.encodeImagePdf(
