@@ -1021,8 +1021,8 @@ object BinaryPipeline {
     * /DCTDecode (the flat-8x8-block JPEG recipe whose quality-90
     * reconstruction is provably exact — the q_image_jpeg gate), and
     * the bilevel family by k%12 — /CCITTFaxDecode G4 (2) and
-    * byte-aligned MH (5), /JBIG2Decode generic region MQ (8) and
-    * MMR (11).
+    * byte-aligned MH (5), /JBIG2Decode generic region MQ (8;
+    * TPGDON typical prediction on k%24==20) and MMR (11).
     * Geometry and pixels are pure formulas of (id, p), so the oracle
     * replays them byte-blind:
     *  - Flate: w = 4+k%13, h = 3+k%11, ch = 1|3 by k%2,
@@ -1098,7 +1098,7 @@ object BinaryPipeline {
                 // oracle is untouched and an MQ/template slip breaks
                 // the hash
                 val filter = (k % 12) match {
-                  case 8 => "JBIG2"
+                  case 8 => if (k % 24 == 20) "JBIG2TP" else "JBIG2"
                   case 11 => "JBIG2MMR"
                   case _ => "CCITT"
                 }

@@ -241,21 +241,37 @@ object Jbig2Codec {
     ctx
   }
 
-  /** Decode an MQ-coded generic region to packed rows (1 = black). */
+  /** TPGDON pseudo-context for GBTEMPLATE 0 (spec §6.2.5.7): the SLTP
+    * typical-prediction decision is coded in this fixed context. */
+  private val Tpgd0Context = 0x9b25
+
+  /** Decode an MQ-coded generic region to packed rows (1 = black).
+    * With `tpgdon`, each row starts with an SLTP decision in the
+    * pseudo-context; the running LTP flag XORs with it, and an LTP row
+    * is a verbatim copy of the previous row (zeros for row 0) with no
+    * per-pixel decisions at all. */
   private[multimodal] def decodeGeneric(data: Array[Byte], off: Int, len: Int,
-                                        w: Int, h: Int): Array[Byte] = {
+                                        w: Int, h: Int,
+                                        tpgdon: Boolean = false): Array[Byte] = {
     val rowBytes = (w + 7) / 8
     val out = new Array[Byte](rowBytes * h)
     val cx = new Array[Short](1 << 16)
     val dec = new MqDecoder(data, off, off + len)
+    var ltp = 0
     var y = 0
     while (y < h) {
-      var x = 0
-      while (x < w) {
-        if (dec.decode(cx, contextAt(out, rowBytes, w, x, y)) == 1)
-          out(y * rowBytes + (x >> 3)) =
-            (out(y * rowBytes + (x >> 3)) | (1 << (7 - (x & 7)))).toByte
-        x += 1
+      if (tpgdon) ltp ^= dec.decode(cx, Tpgd0Context)
+      if (tpgdon && ltp == 1) {
+        if (y > 0) System.arraycopy(out, (y - 1) * rowBytes,
+          out, y * rowBytes, rowBytes)
+      } else {
+        var x = 0
+        while (x < w) {
+          if (dec.decode(cx, contextAt(out, rowBytes, w, x, y)) == 1)
+            out(y * rowBytes + (x >> 3)) =
+              (out(y * rowBytes + (x >> 3)) | (1 << (7 - (x & 7)))).toByte
+          x += 1
+        }
       }
       y += 1
     }
@@ -264,17 +280,31 @@ object Jbig2Codec {
 
   /** Encode packed rows (1 = black) as an MQ-coded generic region. */
   private[multimodal] def encodeGeneric(packed: Array[Byte],
-                                        w: Int, h: Int): Array[Byte] = {
+                                        w: Int, h: Int,
+                                        tpgdon: Boolean = false): Array[Byte] = {
     val rowBytes = (w + 7) / 8
     val cx = new Array[Short](1 << 16)
     val enc = new MqEncoder
+    var ltp = 0
     var y = 0
     while (y < h) {
-      var x = 0
-      while (x < w) {
-        enc.encode(cx, contextAt(packed, rowBytes, w, x, y),
-          bitOf(packed, rowBytes, w, x, y))
-        x += 1
+      val typical = tpgdon && {
+        if (y == 0) (0 until rowBytes).forall(packed(_) == 0)
+        else (0 until rowBytes).forall(k =>
+          packed(y * rowBytes + k) == packed((y - 1) * rowBytes + k))
+      }
+      if (tpgdon) {
+        val want = if (typical) 1 else 0
+        enc.encode(cx, Tpgd0Context, want ^ ltp)
+        ltp = want
+      }
+      if (!typical) {
+        var x = 0
+        while (x < w) {
+          enc.encode(cx, contextAt(packed, rowBytes, w, x, y),
+            bitOf(packed, rowBytes, w, x, y))
+          x += 1
+        }
       }
       y += 1
     }
@@ -351,9 +381,10 @@ object Jbig2Codec {
           val gFlags = data(dOff + 17) & 0xff
           val mmr = (gFlags & 1) != 0
           val template = (gFlags >> 1) & 3
-          require((gFlags & 8) == 0,
-            "Jbig2Codec: TPGDON typical prediction unsupported")
+          val tpgdon = (gFlags & 8) != 0
           if (mmr) {
+            require(!tpgdon,
+              "Jbig2Codec: TPGDON with MMR is not a valid combination")
             val packed = CcittCodec.decode(data, dOff + 18,
               (dataLen - 18).toInt, w, h, 4)
             region = Some((w, h, packed))
@@ -366,7 +397,8 @@ object Jbig2Codec {
             require(atPx == Seq((3, -1), (-3, -1), (2, -2), (-2, -2)),
               s"Jbig2Codec: non-nominal AT pixels $atPx unsupported")
             region = Some((w, h,
-              decodeGeneric(data, dOff + 26, (dataLen - 26).toInt, w, h)))
+              decodeGeneric(data, dOff + 26, (dataLen - 26).toInt, w, h,
+                tpgdon = tpgdon)))
           }
         case 49 | 51 => () // end of page / file
         case t => throw new IllegalArgumentException(
@@ -384,7 +416,8 @@ object Jbig2Codec {
     * one immediate lossless generic region (MQ template 0 at nominal
     * AT, or MMR via the T.6 coder) + end of page. */
   def encode(w: Int, h: Int, packed: Array[Byte],
-             mmr: Boolean = false): Array[Byte] = {
+             mmr: Boolean = false, tpgdon: Boolean = false): Array[Byte] = {
+    require(!(mmr && tpgdon), "Jbig2Codec.encode: TPGDON is MQ-only")
     val rowBytes = (w + 7) / 8
     require(packed.length == rowBytes * h,
       s"Jbig2Codec.encode: ${packed.length} packed bytes for ${w}x$h")
@@ -407,12 +440,13 @@ object Jbig2Codec {
     // immediate lossless generic region (type 39)
     val coded =
       if (mmr) CcittCodec.encode(packed, rowBytes, w, h, 4)
-      else encodeGeneric(packed, w, h)
+      else encodeGeneric(packed, w, h, tpgdon = tpgdon)
     val regionLen = 17 + 1 + (if (mmr) 0 else 8) + coded.length
     header(2, 39, regionLen)
     b32(w); b32(h); b32(0); b32(0) // region info: geometry at (0,0)
     b8(0)                          // external combination op OR
-    b8(if (mmr) 1 else 0)          // generic flags: MMR bit, template 0
+    // generic flags: MMR bit 0, template 0 in bits 1-2, TPGDON bit 3
+    b8((if (mmr) 1 else 0) | (if (tpgdon) 8 else 0))
     if (!mmr) {
       b8(3); b8(-1 & 0xff); b8(-3 & 0xff); b8(-1 & 0xff) // A1, A2
       b8(2); b8(-2 & 0xff); b8(-2 & 0xff); b8(-2 & 0xff) // A3, A4

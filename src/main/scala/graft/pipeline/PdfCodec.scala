@@ -723,7 +723,7 @@ object PdfCodec {
             if (spec.ccittG4) s"<< /K -1 /Columns $pw /Rows $ph >>"
             else s"<< /K 0 /EncodedByteAlign true /Columns $pw /Rows $ph >>"
           (coded, s" /Filter /CCITTFaxDecode /DecodeParms $dp", 1)
-        case "JBIG2" | "JBIG2MMR" =>
+        case "JBIG2" | "JBIG2MMR" | "JBIG2TP" =>
           require(ch == 1, "PdfCodec.encodeImagePdf: JBIG2 pages are gray")
           spec.pixels.foreach(b => require(b == 0 || b == -1,
             "PdfCodec.encodeImagePdf: JBIG2 pages must be bilevel 0/255"))
@@ -741,7 +741,8 @@ object PdfCodec {
             y += 1
           }
           (graft.multimodal.Jbig2Codec.encode(pw, ph, packed,
-            mmr = spec.filter == "JBIG2MMR"),
+            mmr = spec.filter == "JBIG2MMR",
+            tpgdon = spec.filter == "JBIG2TP"),
             " /Filter /JBIG2Decode", 1)
         case other => throw new IllegalArgumentException(
           s"PdfCodec.encodeImagePdf: filter $other (Flate / DCT / CCITT / JBIG2)")

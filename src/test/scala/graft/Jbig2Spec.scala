@@ -91,6 +91,35 @@ class Jbig2Spec extends AnyFunSuite with SparkSpec {
       "MMR block must be plain T.6 readable by CcittCodec")
   }
 
+  test("TPGDON typical prediction: repeated-row and mixed patterns round trip") {
+    // banded pattern: runs of identical rows exercise the LTP copy
+    // path; band switches exercise the SLTP toggle
+    val w = 19; val h = 14
+    val rowBytes = (w + 7) / 8
+    val packed = new Array[Byte](rowBytes * h)
+    for (y <- 0 until h; x <- 0 until w)
+      if (((y / 3) + x) % 4 < 2) // rows within a 3-band are identical
+        packed(y * rowBytes + (x >> 3)) =
+          (packed(y * rowBytes + (x >> 3)) | (1 << (7 - (x & 7)))).toByte
+    val wire = Jbig2Codec.encode(w, h, packed, tpgdon = true)
+    // the TPGDON bit must be on the wire (generic flags byte)
+    assert((wire(11 + 19 + 11 + 17) & 8) == 8)
+    val (gw, gh, got) = Jbig2Codec.decode(wire)
+    assert(gw == w && gh == h && got.toSeq == packed.toSeq)
+    // TPGDON must beat the plain coding on this row-repetitive shape
+    val plain = Jbig2Codec.encode(w, h, packed)
+    assert(wire.length < plain.length,
+      s"TPGDON wire ${wire.length}B should undercut plain ${plain.length}B")
+    // all-zero bitmap: every row typical from row 0
+    val zeros = new Array[Byte](rowBytes * 6)
+    val (_, _, z) = Jbig2Codec.decode(Jbig2Codec.encode(w, 6, zeros, tpgdon = true))
+    assert(z.toSeq == zeros.toSeq)
+    // non-repetitive pattern still round trips under TPGDON
+    val mixed = pattern(17, 9, 11)
+    val (_, _, m) = Jbig2Codec.decode(Jbig2Codec.encode(17, 9, mixed, tpgdon = true))
+    assert(m.toSeq == mixed.toSeq)
+  }
+
   test("fail-loud: unsupported segments by name, AT/template/TPGDON, framing") {
     val good = Jbig2Codec.encode(10, 7, pattern(10, 7, 2))
     def patched(f: Array[Byte] => Unit): Array[Byte] = {
@@ -100,10 +129,10 @@ class Jbig2Spec extends AnyFunSuite with SparkSpec {
     // (page-info segment flags byte sits at offset 4)
     assert(intercept[IllegalArgumentException](Jbig2Codec.decode(
       patched(_(4) = 6))).getMessage.contains("text region"))
-    // generic flags byte of the region segment: TPGDON bit / template
+    // generic flags byte of the region segment: MMR+TPGDON / template
     val regionFlagsAt = 11 + 19 + 11 + 17
     assert(intercept[IllegalArgumentException](Jbig2Codec.decode(
-      patched(_(regionFlagsAt) = 8))).getMessage.contains("TPGDON"))
+      patched(_(regionFlagsAt) = 9))).getMessage.contains("not a valid"))
     assert(intercept[IllegalArgumentException](Jbig2Codec.decode(
       patched(_(regionFlagsAt) = 2))).getMessage.contains("GBTEMPLATE 1"))
     // non-nominal AT pixel
