@@ -195,8 +195,11 @@ object WarcCodec {
     }
 
   /** Apply the declared Content-Encoding: gzip inflates through the
-    * strict member gunzip (CRC/ISIZE verified); deflate/br/zstd reject
-    * by name rather than guessing at wrapper formats. */
+    * strict member gunzip (CRC/ISIZE verified); deflate is the RFC
+    * 9110 meaning — a ZLIB (RFC 1950) wrapper, header-validated and
+    * ADLER-32-checked — and a raw-deflate body mislabeled as such
+    * rejects loud rather than being guessed at; br/zstd reject by name
+    * (their dictionary tables are not hand-verifiable offline). */
   private def decodeContent(body: Array[Byte], cenc: Option[String]): Array[Byte] =
     cenc.map(_.trim.toLowerCase) match {
       case None | Some("identity") => body
@@ -204,9 +207,60 @@ object WarcCodec {
         require(isGzip(body),
           "WarcCodec: Content-Encoding gzip but body has no gzip magic")
         gunzipAll(body)
+      case Some("deflate") => inflateZlib(body)
       case Some(other) => throw new IllegalArgumentException(
-        s"WarcCodec: Content-Encoding '$other' unsupported (identity, gzip)")
+        s"WarcCodec: Content-Encoding '$other' unsupported (identity, gzip, deflate)")
     }
+
+  /** Strict zlib inflate: CMF/FLG validated (CM 8, FCHECK, FDICT
+    * rejects by name), ADLER-32 verified by the inflater, output
+    * capped like [[gunzipAll]]. */
+  private[pipeline] def inflateZlib(body: Array[Byte],
+                                    maxInflated: Long = MaxInflatedBytes): Array[Byte] = {
+    require(body.length >= 6,
+      "WarcCodec: deflate body too short for a zlib wrapper")
+    val cmf = body(0) & 0xff
+    val flg = body(1) & 0xff
+    require((cmf & 0x0f) == 8,
+      s"WarcCodec: zlib compression method ${cmf & 0x0f} (want 8) — " +
+        "a raw-deflate body mislabeled as Content-Encoding deflate rejects")
+    require(((cmf << 8) | flg) % 31 == 0, "WarcCodec: zlib FCHECK invalid")
+    require((flg & 0x20) == 0,
+      "WarcCodec: zlib FDICT preset dictionary unsupported")
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(body)
+      val out = new ByteArrayOutputStream(math.min(
+        body.length.toLong * 4, (Int.MaxValue - 8).toLong).toInt)
+      val buf = new Array[Byte](65536)
+      while (!inf.finished()) {
+        val n =
+          try inf.inflate(buf)
+          catch { case e: java.util.zip.DataFormatException =>
+            throw new IllegalArgumentException(
+              s"WarcCodec: zlib deflate body corrupt (${e.getMessage})")
+          }
+        require(n > 0 || !inf.needsInput,
+          "WarcCodec: zlib deflate body truncated")
+        require(out.size().toLong + n <= maxInflated,
+          s"WarcCodec: inflated output exceeds the $maxInflated-byte cap")
+        out.write(buf, 0, n)
+      }
+      out.toByteArray
+    } finally inf.end()
+  }
+
+  /** zlib-wrapped deflate for fixture Content-Encoding legs. */
+  def zlibEncode(body: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    try {
+      d.setInput(body); d.finish()
+      val bo = new ByteArrayOutputStream(body.length / 2 + 64)
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) bo.write(buf, 0, d.deflate(buf))
+      bo.toByteArray
+    } finally d.end()
+  }
 
   /** RFC 9112 §7.1 chunked decoding, strict: hex size line (chunk
     * extensions after ';' tolerated and dropped), CRLF-framed data,

@@ -74,13 +74,20 @@ object WarcPipeline {
           case _ => (html.getBytes(UTF_8), "text/html; charset=utf-8")
         }
         val chunked = id % 2 == 1
-        val gzipCe = id % 5 == 0
+        val ce: Option[String] =
+          if (id % 5 == 0) Some("gzip")
+          else if (id % 10 == 1) Some("deflate") // zlib-wrapped (RFC 9110)
+          else None
         // RFC order: Content-Encoding first, Transfer-Encoding over it
-        val afterCe = if (gzipCe) WarcCodec.gzipEncode(encoded) else encoded
+        val afterCe = ce match {
+          case Some("gzip") => WarcCodec.gzipEncode(encoded)
+          case Some("deflate") => WarcCodec.zlibEncode(encoded)
+          case _ => encoded
+        }
         val wire = if (chunked) WarcCodec.chunkEncode(afterCe, 100) else afterCe
         val mainHeaders =
           Seq("Content-Type" -> ctHeader) ++
-            (if (gzipCe) Seq("Content-Encoding" -> "gzip") else Nil) ++
+            ce.map("Content-Encoding" -> _).toSeq ++
             (if (chunked) Seq("Transfer-Encoding" -> "chunked") else Nil)
         val uri = s"https://example.org/doc/$id"
         val main = WarcCodec.HttpResp(uri, 200, mainHeaders, wire)

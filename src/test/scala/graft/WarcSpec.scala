@@ -154,6 +154,30 @@ class WarcSpec extends AnyFunSuite with SparkSpec {
     assert(intercept[IllegalArgumentException](onlyResp(respBytes(
       Seq("Content-Encoding" -> "gzip"), "plainbytes".getBytes("UTF-8"))))
       .getMessage.contains("gzip"))
+    // deflate is the RFC 9110 zlib meaning: round trips strictly
+    val zl = onlyResp(respBytes(Seq(
+      "Content-Type" -> "text/html; charset=utf-8",
+      "Content-Encoding" -> "deflate"), WarcCodec.zlibEncode(body)))
+    assert(java.util.Arrays.equals(zl.payload, body))
+    // a RAW deflate body mislabeled as deflate rejects loud
+    val raw = {
+      val d = new java.util.zip.Deflater(
+        java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+      d.setInput(body); d.finish()
+      val bo = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) bo.write(buf, 0, d.deflate(buf))
+      d.end(); bo.toByteArray
+    }
+    assert(intercept[IllegalArgumentException](onlyResp(respBytes(
+      Seq("Content-Encoding" -> "deflate"), raw)))
+      .getMessage.contains("raw-deflate"))
+    // ADLER-32 tamper is caught by the strict inflater
+    val zbad = WarcCodec.zlibEncode(body)
+    zbad(zbad.length - 1) = (zbad(zbad.length - 1) ^ 1).toByte
+    assert(intercept[IllegalArgumentException](onlyResp(respBytes(
+      Seq("Content-Encoding" -> "deflate"), zbad)))
+      .getMessage.contains("corrupt"))
     // brotli & friends reject by name
     assert(intercept[IllegalArgumentException](onlyResp(respBytes(
       Seq("Content-Encoding" -> "br"), "x".getBytes("UTF-8"))))
