@@ -301,8 +301,10 @@ object QueriesPipeline {
              |  FROM documents
              |), m AS (
              |  SELECT d.doc_id, CAST(0 AS BIGINT) AS rec_idx, 'html' AS kind,
-             |    CASE d.doc_id % 4 WHEN 1 THEN 'shift_jis'
-             |      WHEN 2 THEN 'windows-1252' ELSE 'utf-8' END AS charset,
+             |    CASE WHEN d.doc_id % 8 = 7 THEN 'utf-16le'
+             |      WHEN d.doc_id % 4 = 1 THEN 'shift_jis'
+             |      WHEN d.doc_id % 4 = 2 THEN 'windows-1252'
+             |      ELSE 'utf-8' END AS charset,
              |    'Doc ' || CAST(d.doc_id AS VARCHAR) AS title,
              |    CASE d.doc_id % 4
              |      WHEN 1 THEN trim(t.t || ' 日本語テスト')

@@ -469,10 +469,25 @@ object WarcCodec {
       }
     }
 
-    /** Decode a text payload → (text, canonical charset label). */
+    /** Decode a text payload → (text, canonical charset label). A BOM
+      * outranks every declaration (the WHATWG rule — a UTF-8 BOM left
+      * undetected would otherwise leak a silent U+FEFF into extracted
+      * text, and UTF-16 pages would reject or mojibake); the BOM bytes
+      * are consumed, never part of the text. */
     def decodeText(bytes: Array[Byte], httpCt: Option[String]): (String, String) = {
-      val declared = httpCt.flatMap(fromContentType).orElse(sniffMeta(bytes))
-      declared match {
+      def bom(n: Int, jdk: String, label: String): (String, String) =
+        (strictDecode(java.util.Arrays.copyOfRange(bytes, n, bytes.length),
+          jdk, label), label)
+      if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xef &&
+          (bytes(1) & 0xff) == 0xbb && (bytes(2) & 0xff) == 0xbf)
+        bom(3, "UTF-8", "utf-8")
+      else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff &&
+          (bytes(1) & 0xff) == 0xfe)
+        bom(2, "UTF-16LE", "utf-16le")
+      else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xfe &&
+          (bytes(1) & 0xff) == 0xff)
+        bom(2, "UTF-16BE", "utf-16be")
+      else httpCt.flatMap(fromContentType).orElse(sniffMeta(bytes)) match {
         case Some(label) =>
           val (canon, jdk) = Aliases.getOrElse(label,
             throw new IllegalArgumentException(

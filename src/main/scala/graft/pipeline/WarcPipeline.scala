@@ -70,8 +70,21 @@ object WarcPipeline {
           case 1 => (strictEncode(html, "Shift_JIS"),
             "text/html; charset=Shift_JIS")
           case 2 => (strictEncode(html, "windows-1252"), "text/html")
-          case 3 => (html.getBytes(UTF_8), "text/html")
-          case _ => (html.getBytes(UTF_8), "text/html; charset=utf-8")
+          case 3 =>
+            // id%8==7: UTF-16LE with a BOM and a BARE header — only the
+            // BOM identifies it (the WHATWG precedence rule end-to-end)
+            if (id % 8 == 7)
+              (Array[Byte](0xff.toByte, 0xfe.toByte) ++
+                html.getBytes(java.nio.charset.StandardCharsets.UTF_16LE),
+                "text/html")
+            else (html.getBytes(UTF_8), "text/html")
+          case _ =>
+            // id%8==4: UTF-8 BOM on top of the declared header — the
+            // BOM must be consumed, never leak U+FEFF into the text
+            if (id % 8 == 4)
+              (Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++
+                html.getBytes(UTF_8), "text/html; charset=utf-8")
+            else (html.getBytes(UTF_8), "text/html; charset=utf-8")
         }
         val chunked = id % 2 == 1
         val ce: Option[String] =

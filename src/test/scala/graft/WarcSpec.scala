@@ -229,6 +229,21 @@ class WarcSpec extends AnyFunSuite with SparkSpec {
     val (_, c5) = HttpCharset.decodeText("plain".getBytes("UTF-8"),
       Some("text/html; charset=ISO-8859-1"))
     assert(c5 == "windows-1252")
+    // BOM outranks every declaration and is CONSUMED, never text
+    val (t6, c6) = HttpCharset.decodeText(
+      Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++ "abc".getBytes("UTF-8"),
+      Some("text/html; charset=shift_jis"))
+    assert(t6 == "abc" && c6 == "utf-8", "UTF-8 BOM beats the header, no U+FEFF")
+    val (t7, c7) = HttpCharset.decodeText(
+      Array[Byte](0xff.toByte, 0xfe.toByte) ++ "Σπ".getBytes("UTF-16LE"), None)
+    assert(t7 == "Σπ" && c7 == "utf-16le")
+    val (t8, c8) = HttpCharset.decodeText(
+      Array[Byte](0xfe.toByte, 0xff.toByte) ++ "xy".getBytes("UTF-16BE"), None)
+    assert(t8 == "xy" && c8 == "utf-16be")
+    // a truncated UTF-16 payload under a BOM rejects loud
+    assert(intercept[IllegalArgumentException](HttpCharset.decodeText(
+      Array[Byte](0xff.toByte, 0xfe.toByte, 0x41), None))
+      .getMessage.contains("not valid"))
   }
 
   test("encode→records round trips; gzip members and bare agree") {
