@@ -25,7 +25,10 @@ object PlanAudit {
         "q2_min_cost_supp", "q11_important_stock", "q16_parts_supp",
         "q20_potential_promo",
         // round 11: Matryoshka family (prefix coarse, SQL lowering)
-        "q_ann_matryoshka", "q_knn_matryoshka_sql")
+        "q_ann_matryoshka", "q_knn_matryoshka_sql",
+        // round 20: the crawl-ingest edge (narrow codec stages + the
+        // capstone's single dedup shuffle)
+        "q_warc_extract", "q_archive_extract", "q_e2e_crawl")
       case rest => rest.toSeq
     }
     for (name <- interesting) {
