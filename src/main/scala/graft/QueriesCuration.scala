@@ -171,7 +171,7 @@ object QueriesCuration {
           .withColumn("allowed", graft.functions.RobotsAllowedExpr.column(
             lit(robotsTxt), lit("trainer9000"),
             expr("substring(url, 20)")))
-          .where(col("allowed"))
+          .where(col("allowed") && col("status") === 200)
           .groupBy(col("text_md5"))
           .agg(min(col("doc_id")).as("doc_id"),
             expr("min_by(url, doc_id)").as("url"),
@@ -193,8 +193,10 @@ object QueriesCuration {
              |      ELSE t.t END AS txt
              |  FROM documents d JOIN t USING (doc_id)
              |), u AS (
-             |  SELECT doc_id, txt FROM x
+             |  -- the 404 legs (id%7==6 in BOTH crawls) never reach curation
+             |  SELECT doc_id, txt FROM x WHERE doc_id % 7 <> 6
              |  UNION ALL SELECT doc_id + 100000, txt FROM x
+             |    WHERE (doc_id + 100000) % 7 <> 6
              |)
              |SELECT min(doc_id) AS doc_id,
              |  'https://example.org/doc/' || CAST(min(doc_id) AS VARCHAR) AS url,

@@ -337,7 +337,8 @@ object QueriesPipeline {
              |)
              |SELECT doc_id, rec_idx,
              |  CAST(CASE WHEN doc_id % 3 = 2 THEN 3 ELSE 5 END AS BIGINT) AS n_records,
-             |  CAST(200 AS BIGINT) AS status, url, TRUE AS digest_ok,
+             |  CAST(CASE WHEN rec_idx = 0 AND doc_id % 7 = 6
+             |    THEN 404 ELSE 200 END AS BIGINT) AS status, url, TRUE AS digest_ok,
              |  kind, charset, title,
              |  CAST(CASE WHEN kind = 'binary' THEN 0 ELSE length(txt) END AS BIGINT) AS text_len,
              |  CASE WHEN kind = 'binary' THEN '' ELSE md5(txt) END AS text_md5,

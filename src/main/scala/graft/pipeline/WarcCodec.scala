@@ -573,7 +573,13 @@ object WarcCodec {
             k.equalsIgnoreCase("Transfer-Encoding") ||
             k.equalsIgnoreCase("Content-Length") }) rp.headers
         else rp.headers :+ ("Content-Length" -> rp.body.length.toString)
-      val headerBlock = (s"HTTP/1.1 ${rp.status} OK" +:
+      val reason = rp.status match {
+        case 200 => "OK"
+        case 301 => "Moved Permanently"
+        case 404 => "Not Found"
+        case _ => "Status"
+      }
+      val headerBlock = (s"HTTP/1.1 ${rp.status} $reason" +:
         hs.map { case (k, v) => s"$k: $v" }).mkString("", "\r\n", "\r\n")
       http.write((headerBlock + "\r\n").getBytes(UTF_8))
       http.write(rp.body)

@@ -38,7 +38,9 @@ object WarcPipeline {
     * (deterministic non-UTF-8 bytes — proof the content-type gate
     * keeps binaries out of HtmlText); `doc_id % 3 == 1` adds a
     * `text/plain` response (charset-decoded, whitespace-collapsed, NO
-    * tag stripping). Transport rotates member-per-record GZIP on even
+    * tag stripping); mains on `doc_id % 7 == 6` carry HTTP 404 — error
+    * pages still extract (curation drops them, not the codec).
+    * Transport rotates member-per-record GZIP on even
     * ids, bare on odd; WARC/1.1 on id%3 == 0 — all results-invisible
     * under the oracle. */
   def synthesizeWarcs(docs: DataFrame, idCol: String = "doc_id",
@@ -103,7 +105,11 @@ object WarcPipeline {
             ce.map("Content-Encoding" -> _).toSeq ++
             (if (chunked) Seq("Transfer-Encoding" -> "chunked") else Nil)
         val uri = s"https://example.org/doc/$id"
-        val main = WarcCodec.HttpResp(uri, 200, mainHeaders, wire)
+        // id%7==6: a 404 page — wild crawls are full of error pages
+        // whose HTML still extracts; CURATION (q_e2e_crawl) is where
+        // non-200s get dropped, not the codec
+        val status = if (id % 7 == 6) 404 else 200
+        val main = WarcCodec.HttpResp(uri, status, mainHeaders, wire)
         val extra: Seq[WarcCodec.HttpResp] =
           if (id % 3 == 0) {
             val bin = "%PDF-1.4\n".getBytes(UTF_8) ++
