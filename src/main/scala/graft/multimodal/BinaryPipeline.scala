@@ -1102,8 +1102,12 @@ object BinaryPipeline {
                   case 11 => "JBIG2MMR"
                   case _ => "CCITT"
                 }
+                // k%24==23: the MMR leg ships STRIPED (two full-width
+                // region segments at row offsets, OR-composited — the
+                // real large-scan shape); decoded pixels identical
                 graft.pipeline.PdfCodec.ImagePageSpec(w, h, 1, px, filter,
-                  ccittG4 = k % 2 == 0)
+                  ccittG4 = k % 2 == 0,
+                  jbig2Stripes = if (k % 24 == 23) 2 else 1)
             }
           }
           val bytes = graft.pipeline.PdfCodec.encodeImagePdf(specs)

@@ -331,10 +331,17 @@ object Jbig2Codec {
     62 -> "extension")
 
   /** Decode a PDF-embedded JBIG2 stream: (width, height, packed rows,
-    * 1 = black). Exactly one immediate generic region expected. */
+    * 1 = black). The page-information segment allocates the page
+    * bitmap; one or more immediate generic regions — FULL-WIDTH
+    * STRIPES at row offsets, the shape real encoders emit for large
+    * scans — OR-composite into it. Partial-width or x-offset regions,
+    * non-OR combination ops and unknown page heights reject by name. */
   def decode(data: Array[Byte]): (Int, Int, Array[Byte]) = {
     var at = 0
-    var region: Option[(Int, Int, Array[Byte])] = None
+    var pageW = -1
+    var pageH = -1
+    var page: Array[Byte] = null
+    var nRegions = 0
     while (at < data.length) {
       require(at + 11 <= data.length,
         "Jbig2Codec: truncated segment header")
@@ -365,41 +372,72 @@ object Jbig2Codec {
         s"Jbig2Codec: segment $segNum data runs past EOF")
       val dOff = p
       segType match {
-        case 48 => // page information — geometry ignored (region carries its own)
+        case 48 => // page information: allocates the page bitmap
           require(dataLen >= 19,
             "Jbig2Codec: page-information segment shorter than 19 bytes")
+          require(page == null,
+            "Jbig2Codec: multiple page-information segments unsupported")
+          val w = be32(data, dOff)
+          val h = be32(data, dOff + 4)
+          require(h != 0xffffffffL,
+            "Jbig2Codec: unknown page height (striped auto-height) unsupported")
+          require(w > 0 && h > 0 && w * h <= (1L << 30),
+            s"Jbig2Codec: page geometry ${w}x$h out of range")
+          pageW = w.toInt
+          pageH = h.toInt
+          page = new Array[Byte](((pageW + 7) / 8) * pageH)
         case 38 | 39 => // immediate (lossless) generic region
-          require(region.isEmpty,
-            "Jbig2Codec: multiple region segments unsupported (one region)")
+          require(page != null,
+            "Jbig2Codec: region segment before page information")
           require(dataLen >= 18, "Jbig2Codec: generic region data truncated")
           val w = be32(data, dOff).toInt
           val h = be32(data, dOff + 4).toInt
+          val x = be32(data, dOff + 8)
+          val y = be32(data, dOff + 12)
           require(w > 0 && h > 0 && w.toLong * h <= (1L << 30),
             s"Jbig2Codec: region geometry ${w}x$h out of range")
-          require(be32(data, dOff + 8) == 0 && be32(data, dOff + 12) == 0,
-            "Jbig2Codec: region offset (x,y) != (0,0) unsupported")
+          require(x == 0 && w == pageW,
+            s"Jbig2Codec: partial-width region (x=$x, w=$w of $pageW) " +
+              "unsupported (full-width stripes)")
+          require(y >= 0 && y + h <= pageH,
+            s"Jbig2Codec: region rows [$y, ${y + h}) run past the " +
+              s"$pageH-row page")
+          require((data(dOff + 16) & 0x07) == 0,
+            s"Jbig2Codec: external combination op ${data(dOff + 16) & 0x07} " +
+              "unsupported (OR)")
           val gFlags = data(dOff + 17) & 0xff
           val mmr = (gFlags & 1) != 0
           val template = (gFlags >> 1) & 3
           val tpgdon = (gFlags & 8) != 0
-          if (mmr) {
-            require(!tpgdon,
-              "Jbig2Codec: TPGDON with MMR is not a valid combination")
-            val packed = CcittCodec.decode(data, dOff + 18,
-              (dataLen - 18).toInt, w, h, 4)
-            region = Some((w, h, packed))
-          } else {
-            require(template == 0,
-              s"Jbig2Codec: GBTEMPLATE $template unsupported (0)")
-            require(dataLen >= 26, "Jbig2Codec: AT pixels truncated")
-            val atPx = (0 until 4).map(k =>
-              (data(dOff + 18 + 2 * k).toInt, data(dOff + 19 + 2 * k).toInt))
-            require(atPx == Seq((3, -1), (-3, -1), (2, -2), (-2, -2)),
-              s"Jbig2Codec: non-nominal AT pixels $atPx unsupported")
-            region = Some((w, h,
+          val stripe =
+            if (mmr) {
+              require(!tpgdon,
+                "Jbig2Codec: TPGDON with MMR is not a valid combination")
+              CcittCodec.decode(data, dOff + 18, (dataLen - 18).toInt, w, h, 4)
+            } else {
+              require(template == 0,
+                s"Jbig2Codec: GBTEMPLATE $template unsupported (0)")
+              require(dataLen >= 26, "Jbig2Codec: AT pixels truncated")
+              val atPx = (0 until 4).map(k =>
+                (data(dOff + 18 + 2 * k).toInt, data(dOff + 19 + 2 * k).toInt))
+              require(atPx == Seq((3, -1), (-3, -1), (2, -2), (-2, -2)),
+                s"Jbig2Codec: non-nominal AT pixels $atPx unsupported")
               decodeGeneric(data, dOff + 26, (dataLen - 26).toInt, w, h,
-                tpgdon = tpgdon)))
+                tpgdon = tpgdon)
+            }
+          // full-width stripe at x=0: rows are byte-aligned — OR in
+          val rowBytes = (pageW + 7) / 8
+          var r = 0
+          while (r < h) {
+            var c = 0
+            while (c < rowBytes) {
+              page((y.toInt + r) * rowBytes + c) =
+                (page((y.toInt + r) * rowBytes + c) | stripe(r * rowBytes + c)).toByte
+              c += 1
+            }
+            r += 1
           }
+          nRegions += 1
         case 49 | 51 => () // end of page / file
         case t => throw new IllegalArgumentException(
           s"Jbig2Codec: segment type $t " +
@@ -408,16 +446,22 @@ object Jbig2Codec {
       }
       at = (p + dataLen).toInt
     }
-    region.getOrElse(throw new IllegalArgumentException(
-      "Jbig2Codec: stream holds no generic region segment"))
+    require(page != null && nRegions > 0,
+      "Jbig2Codec: stream holds no generic region segment")
+    (pageW, pageH, page)
   }
 
   /** Fixture/corpus writer: a PDF-embedded JBIG2 stream — page info +
-    * one immediate lossless generic region (MQ template 0 at nominal
-    * AT, or MMR via the T.6 coder) + end of page. */
+    * `stripes` immediate lossless generic regions (full-width
+    * row-bands at their y offsets, each MQ template 0 at nominal AT or
+    * MMR via the T.6 coder, each coded independently per the spec) +
+    * end of page. */
   def encode(w: Int, h: Int, packed: Array[Byte],
-             mmr: Boolean = false, tpgdon: Boolean = false): Array[Byte] = {
+             mmr: Boolean = false, tpgdon: Boolean = false,
+             stripes: Int = 1): Array[Byte] = {
     require(!(mmr && tpgdon), "Jbig2Codec.encode: TPGDON is MQ-only")
+    require(stripes >= 1 && stripes <= h,
+      s"Jbig2Codec.encode: $stripes stripes for $h rows")
     val rowBytes = (w + 7) / 8
     require(packed.length == rowBytes * h,
       s"Jbig2Codec.encode: ${packed.length} packed bytes for ${w}x$h")
@@ -437,23 +481,33 @@ object Jbig2Codec {
     header(1, 48, 19)
     b32(w); b32(h); b32(0); b32(0) // width, height, xres, yres (unknown)
     b8(0); b16(0)                  // page flags, striping
-    // immediate lossless generic region (type 39)
-    val coded =
-      if (mmr) CcittCodec.encode(packed, rowBytes, w, h, 4)
-      else encodeGeneric(packed, w, h, tpgdon = tpgdon)
-    val regionLen = 17 + 1 + (if (mmr) 0 else 8) + coded.length
-    header(2, 39, regionLen)
-    b32(w); b32(h); b32(0); b32(0) // region info: geometry at (0,0)
-    b8(0)                          // external combination op OR
-    // generic flags: MMR bit 0, template 0 in bits 1-2, TPGDON bit 3
-    b8((if (mmr) 1 else 0) | (if (tpgdon) 8 else 0))
-    if (!mmr) {
-      b8(3); b8(-1 & 0xff); b8(-3 & 0xff); b8(-1 & 0xff) // A1, A2
-      b8(2); b8(-2 & 0xff); b8(-2 & 0xff); b8(-2 & 0xff) // A3, A4
+    // immediate lossless generic regions (type 39), one per stripe
+    val bandH = (h + stripes - 1) / stripes
+    var y0 = 0
+    var seg = 2
+    while (y0 < h) {
+      val bh = math.min(bandH, h - y0)
+      val band = java.util.Arrays.copyOfRange(packed,
+        y0 * rowBytes, (y0 + bh) * rowBytes)
+      val coded =
+        if (mmr) CcittCodec.encode(band, rowBytes, w, bh, 4)
+        else encodeGeneric(band, w, bh, tpgdon = tpgdon)
+      val regionLen = 17 + 1 + (if (mmr) 0 else 8) + coded.length
+      header(seg, 39, regionLen)
+      b32(w); b32(bh); b32(0); b32(y0) // region info: stripe at (0, y0)
+      b8(0)                            // external combination op OR
+      // generic flags: MMR bit 0, template 0 in bits 1-2, TPGDON bit 3
+      b8((if (mmr) 1 else 0) | (if (tpgdon) 8 else 0))
+      if (!mmr) {
+        b8(3); b8(-1 & 0xff); b8(-3 & 0xff); b8(-1 & 0xff) // A1, A2
+        b8(2); b8(-2 & 0xff); b8(-2 & 0xff); b8(-2 & 0xff) // A3, A4
+      }
+      out.write(coded)
+      y0 += bh
+      seg += 1
     }
-    out.write(coded)
     // end of page (type 49)
-    header(3, 49, 0)
+    header(seg, 49, 0)
     out.toByteArray
   }
 }

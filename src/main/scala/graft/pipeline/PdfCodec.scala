@@ -595,7 +595,8 @@ object PdfCodec {
   final case class ImagePageSpec(width: Int, height: Int, channels: Int,
                                  pixels: Array[Byte], filter: String,
                                  ccittG4: Boolean = true,
-                                 indexed: String = "")
+                                 indexed: String = "",
+                                 jbig2Stripes: Int = 1)
 
   /** Write a scanned-document-shaped PDF: one image XObject per page,
     * painted by a `cm`-scaled `Do` — the fixture writer that lets
@@ -742,7 +743,8 @@ object PdfCodec {
           }
           (graft.multimodal.Jbig2Codec.encode(pw, ph, packed,
             mmr = spec.filter == "JBIG2MMR",
-            tpgdon = spec.filter == "JBIG2TP"),
+            tpgdon = spec.filter == "JBIG2TP",
+            stripes = spec.jbig2Stripes),
             " /Filter /JBIG2Decode", 1)
         case other => throw new IllegalArgumentException(
           s"PdfCodec.encodeImagePdf: filter $other (Flate / DCT / CCITT / JBIG2)")

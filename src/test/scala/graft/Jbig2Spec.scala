@@ -78,6 +78,16 @@ class Jbig2Spec extends AnyFunSuite with SparkSpec {
       val (_, _, got) = Jbig2Codec.decode(Jbig2Codec.encode(16, 5, packed))
       assert(got.toSeq == packed.toSeq, f"fill 0x$fill%02x")
     }
+    // STRIPED pages: multiple full-width region segments at row
+    // offsets OR-composite into the page bitmap (the real large-scan
+    // shape) — result identical to the single-region coding
+    for (mmr <- Seq(false, true); stripes <- Seq(2, 3)) {
+      val packed = pattern(23, 11, 7)
+      val wire = Jbig2Codec.encode(23, 11, packed, mmr = mmr, stripes = stripes)
+      val (gw, gh, got) = Jbig2Codec.decode(wire)
+      assert(gw == 23 && gh == 11 && got.toSeq == packed.toSeq,
+        s"striped mmr=$mmr stripes=$stripes")
+    }
     // the MMR leg is T.6: the coded block must decode identically
     // through CcittCodec directly (independent cross-check)
     val packed = pattern(21, 11, 9)
@@ -144,6 +154,17 @@ class Jbig2Spec extends AnyFunSuite with SparkSpec {
     // no region at all (just the page-info segment)
     assert(intercept[IllegalArgumentException](Jbig2Codec.decode(
       java.util.Arrays.copyOf(good, 30))).getMessage.contains("no generic region"))
+    // a region whose rows run past the page rejects (y patched to 1
+    // with h == pageH; region info y sits at segment offset 41+12)
+    assert(intercept[IllegalArgumentException](Jbig2Codec.decode(
+      patched(_(30 + 11 + 15) = 1))).getMessage.contains("past the"))
+    // partial-width region rejects by name (w patched down by one)
+    assert(intercept[IllegalArgumentException](Jbig2Codec.decode(
+      patched(_(30 + 11 + 3) = 9))).getMessage.contains("partial-width"))
+    // a region before any page-information segment rejects
+    assert(intercept[IllegalArgumentException](Jbig2Codec.decode(
+      java.util.Arrays.copyOfRange(good, 30, good.length)))
+      .getMessage.contains("before page information"))
   }
 
   test("PDF filter: JBIG2 image XObjects decode with the black inversion") {
