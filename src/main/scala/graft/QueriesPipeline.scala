@@ -293,8 +293,13 @@ object QueriesPipeline {
     // text + markers straight from the text column: extraction must
     // invert the wrap, the wire codings and the charset exactly.
     "q_warc_extract" -> QueryDef(
+      // payload_digest (sha1-base32, the revisit-resolution join key)
+      // drops here: DuckDB has no sha1 to replay it; the digest path
+      // is gated by the codec's own verification + q_e2e_crawl's
+      // resolution join instead
       (s, d) => WarcPipeline.extractWarcs(
           WarcPipeline.synthesizeWarcs(Tables.documents(s, d)))
+        .drop("payload_digest")
         .orderBy(col("doc_id"), col("rec_idx")),
       Some("""WITH t AS (
              |  SELECT doc_id, trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g')) AS t

@@ -44,7 +44,9 @@ object WarcCodec {
                               httpStatus: Option[Int],
                               httpContentType: Option[String],
                               payload: Array[Byte],
-                              digestVerified: Boolean)
+                              digestVerified: Boolean,
+                              payloadDigest: Option[String] = None,
+                              refersTo: Option[String] = None)
 
   /** Deflate-bomb guard for [[gunzipAll]]: a crafted member declaring
     * terabytes of output must fail loud naming the cap instead of
@@ -127,31 +129,53 @@ object WarcCodec {
       "WarcCodec: record not terminated by CRLF CRLF")
     at += 4
     val contentType = headers.get("content-type")
-    // response records carrying HTTP split the message; the PAYLOAD is
-    // the HTTP body. The digest covers the body AS STORED (before
-    // transfer/content decoding); decoding runs after it verifies.
+    val isHttp =
+      contentType.exists(_.toLowerCase.startsWith("application/http"))
+    // response AND revisit records carrying HTTP split the message; the
+    // PAYLOAD is the HTTP body. The digest covers the body AS STORED
+    // (before transfer/content decoding); decoding runs after it
+    // verifies.
     val (status, httpCt, te, cenc, rawBody) =
-      if (warcType == "response" &&
-          contentType.exists(_.toLowerCase.startsWith("application/http"))) {
+      if ((warcType == "response" || warcType == "revisit") && isHttp) {
         val (st, ct, t, ce, body) = splitHttp(content)
         (Some(st), ct, t, ce, body)
       } else (None, None, None, None, content)
-    val verified = headers.get("warc-payload-digest") match {
-      case None => false
-      case Some(d) =>
-        require(d.toLowerCase.startsWith("sha1:"),
-          s"WarcCodec: payload digest algorithm '${d.takeWhile(_ != ':')}' " +
-            "unsupported (sha1)")
-        val want = d.substring(5).toUpperCase
+    val storedDigest = headers.get("warc-payload-digest").map { d =>
+      require(d.toLowerCase.startsWith("sha1:"),
+        s"WarcCodec: payload digest algorithm '${d.takeWhile(_ != ':')}' " +
+          "unsupported (sha1)")
+      d.substring(5).toUpperCase
+    }
+    // REVISIT records (the crawl-dedup wire form: identical content
+    // re-fetched → headers-only record whose digest names the ORIGINAL
+    // payload): the digest must NOT be checked against the stored
+    // bytes — it refers to another record's payload; verifying it here
+    // (the pre-round-20 behavior) would reject every real revisit.
+    val isRevisit = warcType == "revisit"
+    if (isRevisit) {
+      val profile = headers.getOrElse("warc-profile",
+        throw new IllegalArgumentException(
+          "WarcCodec: revisit record without WARC-Profile"))
+      require(profile.contains("identical-payload-digest"),
+        s"WarcCodec: revisit profile '$profile' unsupported " +
+          "(identical-payload-digest)")
+      require(storedDigest.isDefined,
+        "WarcCodec: identical-payload-digest revisit without a payload digest")
+    }
+    val verified = storedDigest match {
+      case Some(want) if !isRevisit =>
         val got = base32(java.security.MessageDigest.getInstance("SHA-1")
           .digest(rawBody))
         require(got == want,
           s"WarcCodec: payload digest mismatch (stored $want, computed $got)")
         true
+      case _ => false
     }
     val payload = decodeContent(decodeTransfer(rawBody, te), cenc)
     (WarcRecord(warcType, recordId, date, headers.get("warc-target-uri"),
-      contentType, status, httpCt, payload, verified), at)
+      contentType, status, httpCt, payload, verified,
+      payloadDigest = storedDigest,
+      refersTo = headers.get("warc-refers-to")), at)
   }
 
   private def splitHttp(content: Array[Byte])
@@ -508,9 +532,14 @@ object WarcCodec {
   /** One fully-specified HTTP response for [[encodeHttp]]: the body is
     * the ON-WIRE byte block (already charset-encoded / chunked /
     * content-coded by the caller); `headers` are the HTTP header lines
-    * to stamp. The payload digest is computed over `body` as stored. */
+    * to stamp. The payload digest is computed over `body` as stored.
+    * With `revisit = Some(base32Sha1)`, the record is written as a
+    * WARC revisit (identical-payload-digest profile): HTTP HEADERS
+    * ONLY on the wire, the given digest naming the ORIGINAL payload —
+    * the crawl-dedup shape; `body` is then ignored. */
   final case class HttpResp(uri: String, status: Int,
-                            headers: Seq[(String, String)], body: Array[Byte])
+                            headers: Seq[(String, String)], body: Array[Byte],
+                            revisit: Option[String] = None)
 
   /** Write a structurally-real WARC file: a warcinfo record, then per
     * page a request + response pair — HTTP message embedded, payload
@@ -563,16 +592,17 @@ object WarcCodec {
           "WARC-Target-URI" -> rp.uri,
           "Content-Type" -> "application/http;msgtype=request"), req)))
       }
-      val digest = base32(
-        java.security.MessageDigest.getInstance("SHA-1").digest(rp.body))
-      val http = new ByteArrayOutputStream(rp.body.length + 128)
+      val body = if (rp.revisit.isDefined) Array.emptyByteArray else rp.body
+      val digest = rp.revisit.getOrElse(base32(
+        java.security.MessageDigest.getInstance("SHA-1").digest(body)))
+      val http = new ByteArrayOutputStream(body.length + 128)
       // chunked responses carry no Content-Length (RFC 9112 §6.2);
       // everything else gets one stamped unless the caller set it
       val hs =
         if (rp.headers.exists { case (k, _) =>
             k.equalsIgnoreCase("Transfer-Encoding") ||
             k.equalsIgnoreCase("Content-Length") }) rp.headers
-        else rp.headers :+ ("Content-Length" -> rp.body.length.toString)
+        else rp.headers :+ ("Content-Length" -> body.length.toString)
       val reason = rp.status match {
         case 200 => "OK"
         case 301 => "Moved Permanently"
@@ -582,12 +612,19 @@ object WarcCodec {
       val headerBlock = (s"HTTP/1.1 ${rp.status} $reason" +:
         hs.map { case (k, v) => s"$k: $v" }).mkString("", "\r\n", "\r\n")
       http.write((headerBlock + "\r\n").getBytes(UTF_8))
-      http.write(rp.body)
-      out.write(gz(record("response", i, Seq(
+      http.write(body)
+      val warcHeaders = Seq(
         "WARC-Target-URI" -> rp.uri,
-        "WARC-Payload-Digest" -> s"sha1:$digest",
-        "Content-Type" -> "application/http;msgtype=response"),
-        http.toByteArray)))
+        "WARC-Payload-Digest" -> s"sha1:$digest") ++
+        (if (rp.revisit.isDefined) Seq(
+          "WARC-Profile" ->
+            "http://netpreserve.org/warc/1.1/revisit/identical-payload-digest",
+          "WARC-Refers-To" -> f"<urn:uuid:0000-response-$i%06d>")
+        else Nil) ++
+        Seq("Content-Type" -> "application/http;msgtype=response")
+      out.write(gz(record(
+        if (rp.revisit.isDefined) "revisit" else "response", i,
+        warcHeaders, http.toByteArray)))
     }
     out.toByteArray
   }

@@ -24,6 +24,63 @@ object WarcPipeline {
     java.util.Arrays.copyOfRange(bb.array(), bb.position(), bb.limit())
   }
 
+  /** Build one doc's main-response wire form: (encoded-body-on-wire,
+    * Content-Type header, extra CE/TE headers). Deterministic in
+    * (id, text) — the revisit path recomputes the ORIGINAL's wire from
+    * (id − revisitDelta, text) to stamp the referred digest. */
+  private def mainWire(id: Long, text: String)
+      : (Array[Byte], Seq[(String, String)]) = {
+    val leg = (id % 4).toInt
+    val marker = leg match {
+      case 1 => "日本語テスト"
+      case 2 => "café déjà-vu"
+      case 3 => "Σπάρκ §"
+      case _ => ""
+    }
+    val metaTag =
+      if (leg == 2) "<meta charset=\"windows-1252\">" else ""
+    val html =
+      s"<!DOCTYPE html><html><head>$metaTag<title>Doc $id</title>" +
+        "<style>p { color: #333; }</style>" +
+        "<script>if (1 < 2) { var x = \"<p>\"; }</script></head>" +
+        s"<body><!-- synthesized --><div><p>${HtmlText.escape(text)}" +
+        "</p>" +
+        (if (marker.nonEmpty) s"<p>$marker</p>" else "") +
+        "</div></body></html>"
+    val (encoded, ctHeader) = leg match {
+      case 1 => (strictEncode(html, "Shift_JIS"),
+        "text/html; charset=Shift_JIS")
+      case 2 => (strictEncode(html, "windows-1252"), "text/html")
+      case 3 =>
+        if (id % 8 == 7)
+          (Array[Byte](0xff.toByte, 0xfe.toByte) ++
+            html.getBytes(java.nio.charset.StandardCharsets.UTF_16LE),
+            "text/html")
+        else (html.getBytes(UTF_8), "text/html")
+      case _ =>
+        if (id % 8 == 4)
+          (Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++
+            html.getBytes(UTF_8), "text/html; charset=utf-8")
+        else (html.getBytes(UTF_8), "text/html; charset=utf-8")
+    }
+    val chunked = id % 2 == 1
+    val ce: Option[String] =
+      if (id % 5 == 0) Some("gzip")
+      else if (id % 10 == 1) Some("deflate")
+      else None
+    val afterCe = ce match {
+      case Some("gzip") => WarcCodec.gzipEncode(encoded)
+      case Some("deflate") => WarcCodec.zlibEncode(encoded)
+      case _ => encoded
+    }
+    val wire = if (chunked) WarcCodec.chunkEncode(afterCe, 100) else afterCe
+    val headers =
+      Seq("Content-Type" -> ctHeader) ++
+        ce.map("Content-Encoding" -> _).toSeq ++
+        (if (chunked) Seq("Transfer-Encoding" -> "chunked") else Nil)
+    (wire, headers)
+  }
+
   /** Per-document WARC file exercising the decode matrix end-to-end.
     * Main HTML response (every doc) rotates the CHARSET axis on
     * `doc_id % 4` — 0: UTF-8 declared in the HTTP header; 1: Shift_JIS
@@ -42,74 +99,43 @@ object WarcPipeline {
     * pages still extract (curation drops them, not the codec).
     * Transport rotates member-per-record GZIP on even
     * ids, bare on odd; WARC/1.1 on id%3 == 0 — all results-invisible
-    * under the oracle. */
+    * under the oracle. With `revisitDelta` > 0, ids at/above the delta
+    * write their main as a WARC REVISIT record (headers-only,
+    * identical-payload-digest profile) naming the ORIGINAL crawl's
+    * stored-payload digest — the Common Crawl re-crawl shape. */
   def synthesizeWarcs(docs: DataFrame, idCol: String = "doc_id",
-                      textCol: String = "text"): DataFrame = {
+                      textCol: String = "text",
+                      revisitDelta: Long = 0L): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col(idCol).cast("long"), col(textCol))
       .repartition(spark.sparkContext.defaultParallelism, col(idCol))
       .as[(Long, String)]
       .map { case (id, text) =>
-        val leg = (id % 4).toInt
-        val marker = leg match {
-          case 1 => "日本語テスト" // 日本語テスト
-          case 2 => "café déjà-vu"          // café déjà-vu
-          case 3 => "Σπάρκ §" // Σπάρκ §
-          case _ => ""
-        }
-        val metaTag =
-          if (leg == 2) "<meta charset=\"windows-1252\">" else ""
-        val html =
-          s"<!DOCTYPE html><html><head>$metaTag<title>Doc $id</title>" +
-            "<style>p { color: #333; }</style>" +
-            "<script>if (1 < 2) { var x = \"<p>\"; }</script></head>" +
-            s"<body><!-- synthesized --><div><p>${HtmlText.escape(text)}" +
-            "</p>" +
-            (if (marker.nonEmpty) s"<p>$marker</p>" else "") +
-            "</div></body></html>"
-        val (encoded, ctHeader) = leg match {
-          case 1 => (strictEncode(html, "Shift_JIS"),
-            "text/html; charset=Shift_JIS")
-          case 2 => (strictEncode(html, "windows-1252"), "text/html")
-          case 3 =>
-            // id%8==7: UTF-16LE with a BOM and a BARE header — only the
-            // BOM identifies it (the WHATWG precedence rule end-to-end)
-            if (id % 8 == 7)
-              (Array[Byte](0xff.toByte, 0xfe.toByte) ++
-                html.getBytes(java.nio.charset.StandardCharsets.UTF_16LE),
-                "text/html")
-            else (html.getBytes(UTF_8), "text/html")
-          case _ =>
-            // id%8==4: UTF-8 BOM on top of the declared header — the
-            // BOM must be consumed, never leak U+FEFF into the text
-            if (id % 8 == 4)
-              (Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++
-                html.getBytes(UTF_8), "text/html; charset=utf-8")
-            else (html.getBytes(UTF_8), "text/html; charset=utf-8")
-        }
         val chunked = id % 2 == 1
-        val ce: Option[String] =
-          if (id % 5 == 0) Some("gzip")
-          else if (id % 10 == 1) Some("deflate") // zlib-wrapped (RFC 9110)
-          else None
-        // RFC order: Content-Encoding first, Transfer-Encoding over it
-        val afterCe = ce match {
-          case Some("gzip") => WarcCodec.gzipEncode(encoded)
-          case Some("deflate") => WarcCodec.zlibEncode(encoded)
-          case _ => encoded
-        }
-        val wire = if (chunked) WarcCodec.chunkEncode(afterCe, 100) else afterCe
-        val mainHeaders =
-          Seq("Content-Type" -> ctHeader) ++
-            ce.map("Content-Encoding" -> _).toSeq ++
-            (if (chunked) Seq("Transfer-Encoding" -> "chunked") else Nil)
+        val (wire, mainHeaders) = mainWire(id, text)
         val uri = s"https://example.org/doc/$id"
         // id%7==6: a 404 page — wild crawls are full of error pages
         // whose HTML still extracts; CURATION (q_e2e_crawl) is where
         // non-200s get dropped, not the codec
         val status = if (id % 7 == 6) 404 else 200
-        val main = WarcCodec.HttpResp(uri, status, mainHeaders, wire)
+        // revisit mode (the re-crawl shape Common Crawl actually
+        // writes): ids at/above the delta emit a HEADERS-ONLY revisit
+        // record whose digest names the ORIGINAL crawl's stored
+        // payload — recomputed here from the original's deterministic
+        // wire form, never copied from anywhere
+        val main =
+          if (revisitDelta > 0 && id >= revisitDelta) {
+            val (origWire, origHeaders) = mainWire(id - revisitDelta, text)
+            val digest = WarcCodec.base32(
+              java.security.MessageDigest.getInstance("SHA-1")
+                .digest(origWire))
+            val ct = origHeaders.collectFirst {
+              case ("Content-Type", v) => v }.getOrElse("text/html")
+            WarcCodec.HttpResp(uri, status,
+              Seq("Content-Type" -> ct), Array.emptyByteArray,
+              revisit = Some(digest))
+          } else WarcCodec.HttpResp(uri, status, mainHeaders, wire)
         val extra: Seq[WarcCodec.HttpResp] =
           if (id % 3 == 0) {
             val bin = "%PDF-1.4\n".getBytes(UTF_8) ++
@@ -176,21 +202,31 @@ object WarcPipeline {
       StructField("text_len", LongType, nullable = false),
       StructField("text_md5", StringType, nullable = false),
       StructField("byte_len", LongType, nullable = false),
-      StructField("byte_sum", LongType, nullable = false)))
+      StructField("byte_sum", LongType, nullable = false),
+      StructField("payload_digest", StringType, nullable = false)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
     warcs.select(col(idCol), col("content")).mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.flatMap { r =>
           val id = r.getLong(0)
           val recs = WarcCodec.records(r.getAs[Array[Byte]](1))
-          recs.filter(_.warcType == "response").zipWithIndex.map {
+          recs.filter(r => r.warcType == "response" ||
+              r.warcType == "revisit").zipWithIndex.map {
             case (rec, idx) =>
               val mime = rec.httpContentType
                 .map(_.takeWhile(_ != ';').trim
                   .toLowerCase(java.util.Locale.ROOT))
               val url = rec.targetUri.getOrElse("")
               val status = rec.httpStatus.getOrElse(-1).toLong
-              mime match {
+              val digest = rec.payloadDigest.getOrElse("")
+              if (rec.warcType == "revisit")
+                // crawl-dedup wire form: no body — the digest NAMES the
+                // original payload; resolution happens downstream
+                // (q_e2e_crawl joins it back to the referred response)
+                Row(id, idx.toLong, recs.length.toLong, status, url,
+                  rec.digestVerified, "revisit", "", "", 0L, "", 0L, 0L,
+                  digest)
+              else mime match {
                 case Some("text/html") | Some("application/xhtml+xml") =>
                   val (decoded, charset) = WarcCodec.HttpCharset
                     .decodeText(rec.payload, rec.httpContentType)
@@ -200,7 +236,7 @@ object WarcPipeline {
                     // CODE-POINT length (SQL length() semantics)
                     text.codePointCount(0, text.length).toLong,
                     org.apache.commons.codec.digest.DigestUtils.md5Hex(
-                      text.getBytes(UTF_8)), 0L, 0L)
+                      text.getBytes(UTF_8)), 0L, 0L, digest)
                 case Some("text/plain") =>
                   val (decoded, charset) = WarcCodec.HttpCharset
                     .decodeText(rec.payload, rec.httpContentType)
@@ -209,13 +245,13 @@ object WarcPipeline {
                     rec.digestVerified, "plain", charset, "",
                     text.codePointCount(0, text.length).toLong,
                     org.apache.commons.codec.digest.DigestUtils.md5Hex(
-                      text.getBytes(UTF_8)), 0L, 0L)
+                      text.getBytes(UTF_8)), 0L, 0L, digest)
                 case _ =>
                   var sum = 0L
                   rec.payload.foreach(b => sum += (b & 0xff))
                   Row(id, idx.toLong, recs.length.toLong, status, url,
                     rec.digestVerified, "binary", "", "", 0L, "",
-                    rec.payload.length.toLong, sum)
+                    rec.payload.length.toLong, sum, digest)
               }
           }
         }

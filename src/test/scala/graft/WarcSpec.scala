@@ -246,6 +246,44 @@ class WarcSpec extends AnyFunSuite with SparkSpec {
       .getMessage.contains("not valid"))
   }
 
+  test("revisit records: headers-only, referred digest NOT checked vs stored") {
+    val body = "<p>original body</p>".getBytes("UTF-8")
+    val origDigest = WarcCodec.base32(
+      java.security.MessageDigest.getInstance("SHA-1").digest(body))
+    val wire = WarcCodec.encodeHttp(Seq(
+      WarcCodec.HttpResp("https://x.test/a", 200,
+        Seq("Content-Type" -> "text/html; charset=utf-8"), body),
+      WarcCodec.HttpResp("https://x.test/a", 200,
+        Seq("Content-Type" -> "text/html; charset=utf-8"),
+        Array.emptyByteArray, revisit = Some(origDigest))), gzip = false)
+    val recs = WarcCodec.records(wire)
+    assert(recs.count(_.warcType == "response") == 1)
+    val rv = recs.find(_.warcType == "revisit").get
+    // the digest names the ORIGINAL payload; the stored body is EMPTY —
+    // verifying one against the other (the pre-round-20 behavior)
+    // would reject every real revisit record
+    assert(rv.payloadDigest.contains(origDigest))
+    assert(rv.payload.isEmpty && !rv.digestVerified)
+    assert(rv.refersTo.isDefined && rv.httpStatus.contains(200))
+    val resp = recs.find(_.warcType == "response").get
+    assert(resp.payloadDigest.contains(origDigest),
+      "resolution key: revisit digest == original's digest")
+    // an unsupported revisit profile rejects by name
+    val s = new String(wire, "ISO-8859-1")
+    val from = "/warc/1.1/revisit/identical-payload-digest"
+    val to = "/warc/1.1/revisit/server-not-modified-xxxx"
+    assert(from.length == to.length)
+    assert(intercept[IllegalArgumentException](WarcCodec.records(
+      s.replace(from, to).getBytes("ISO-8859-1")))
+      .getMessage.contains("server-not-modified"))
+    // a revisit without any digest rejects loud
+    val noDigest = s.replace("WARC-Payload-Digest: sha1:" + origDigest,
+      "WARC-Payload-DigXst: sha1:" + origDigest) // both records' headers
+    assert(intercept[IllegalArgumentException](WarcCodec.records(
+      noDigest.getBytes("ISO-8859-1")))
+      .getMessage.contains("without a payload digest"))
+  }
+
   test("encode→records round trips; gzip members and bare agree") {
     val pages = (0 until 3).map(i =>
       WarcCodec.Page(s"https://x.test/$i", 200,
