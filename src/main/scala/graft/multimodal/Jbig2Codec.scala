@@ -356,11 +356,18 @@ object Jbig2Codec {
       val refCount =
         if ((rts0 >> 5) == 7) {
           val long = (be32(data, p) & 0x1fffffffL).toInt
+          // attacker-controlled count: bound BEFORE advancing, or the
+          // retain-bytes/ref-numbers arithmetic wraps Int and a
+          // negative p slips the <= length checks below
+          require(long <= data.length,
+            s"Jbig2Codec: referred-to count $long exceeds the stream")
           p += 4 + (long + 8) / 8 // count word + retain-bit bytes
           long
         } else { p += 1; rts0 >> 5 }
       val segNum = be32(data, at)
       val refSize = if (segNum <= 256) 1 else if (segNum <= 65536) 2 else 4
+      require(p.toLong + refCount.toLong * refSize <= data.length,
+        s"Jbig2Codec: $refCount referred-to segment numbers run past EOF")
       p += refCount * refSize
       p += (if (pageAssoc4) 4 else 1)
       require(p + 4 <= data.length, "Jbig2Codec: truncated segment header")

@@ -336,11 +336,14 @@ object PdfCodec {
         s"PdfCodec: page $pageIdx inline image has no /CS")
     }
     val filter = kv.get("F").orElse(kv.get("Filter"))
+    // LONG math: w·h ≤ 2^30 but ×3 channels can wrap an Int, and a
+    // wrapped-negative count would slip the bounds check below
+    val wantBytes = w.toLong * h * ch
     val pixels: Array[Byte] = filter match {
       case None =>
-        val nBytes = w * h * ch
-        require(p + nBytes <= n,
-          s"PdfCodec: page $pageIdx inline image: $nBytes raw bytes run past EOF")
+        require(p + wantBytes <= n,
+          s"PdfCodec: page $pageIdx inline image: $wantBytes raw bytes run past EOF")
+        val nBytes = wantBytes.toInt
         val px = new Array[Byte](nBytes)
         var i = 0
         while (i < nBytes) { px(i) = content.charAt(p + i).toByte; i += 1 }
@@ -353,9 +356,9 @@ object PdfCodec {
         val hex = content.substring(p, end + 1)
         p = end + 1
         val px = asciiHexDecode(hex.getBytes(ISO_8859_1))
-        require(px.length == w * h * ch,
+        require(px.length.toLong == wantBytes,
           s"PdfCodec: page $pageIdx inline image: ${px.length} AHx bytes, " +
-            s"geometry wants ${w * h * ch}")
+            s"geometry wants $wantBytes")
         px
       case Some(other) => throw new IllegalArgumentException(
         s"PdfCodec: page $pageIdx inline image filter $other unsupported " +

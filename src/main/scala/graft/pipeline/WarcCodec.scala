@@ -270,6 +270,8 @@ object WarcCodec {
           s"WarcCodec: inflated output exceeds the $maxInflated-byte cap")
         out.write(buf, 0, n)
       }
+      require(inf.getRemaining == 0,
+        s"WarcCodec: ${inf.getRemaining} trailing bytes after the zlib stream")
       out.toByteArray
     } finally inf.end()
   }
