@@ -166,7 +166,13 @@ object QueriesCuration {
         val robotsTxt = "User-agent: graftbot\nDisallow: /\n\n" +
           "User-agent: *\nDisallow: /*.pdf$\n" +
           "Disallow: /doc/*/plain.txt\nAllow: /doc/\n"
-        val gated = rows
+        // REVISIT RESOLUTION first (the library operator): content is
+        // addressed by payload digest from the full extraction —
+        // curation applies to each crawl row itself, never to the
+        // content store. At 100 TB this is the digest-keyed shuffle
+        // join every crawl dedup pipeline runs — no cartesian, no
+        // collect.
+        graft.pipeline.WarcPipeline.resolveRevisits(rows)
           .withColumn("raw_url",
             concat(lit("HTTPS://Example.ORG:443"), expr("substring(url, 20)")))
           .withColumn("url",
@@ -175,23 +181,6 @@ object QueriesCuration {
             lit(robotsTxt), lit("trainer9000"),
             expr("substring(url, 20)")))
           .where(col("allowed") && col("status") === 200)
-        // REVISIT RESOLUTION: content is addressed by payload digest
-        // from the full extraction (curation applies to each crawl row
-        // itself, not to the content store) — at 100 TB this is the
-        // digest-keyed shuffle join every crawl dedup pipeline runs,
-        // never a collect, never a cartesian
-        val content = rows.where(col("kind") === "html")
-          .select(col("payload_digest"),
-            col("text_len").as("r_len"), col("text_md5").as("r_md5"))
-          .dropDuplicates("payload_digest")
-        val resolved = gated.where(col("kind") === "revisit")
-          .select(col("doc_id"), col("url"), col("payload_digest"))
-          .join(content, "payload_digest")
-          .select(col("doc_id"), col("url"),
-            col("r_len").as("text_len"), col("r_md5").as("text_md5"))
-        gated.where(col("kind") === "html")
-          .select(col("doc_id"), col("url"), col("text_len"), col("text_md5"))
-          .unionByName(resolved)
           .groupBy(col("text_md5"))
           .agg(min(col("doc_id")).as("doc_id"),
             expr("min_by(url, doc_id)").as("url"),

@@ -258,4 +258,36 @@ object WarcPipeline {
       }
     }(enc)
   }
+
+  /** REVISIT RESOLUTION — the digest-keyed join every crawl-dedup
+    * pipeline runs at scale: revisit rows (headers-only re-fetches
+    * whose `payload_digest` NAMES an earlier capture's payload)
+    * inherit the text metrics of the response row carrying that
+    * digest. Content is addressed from the FULL extraction — callers
+    * apply curation (robots/status) to each crawl row before or after,
+    * never to the content store. Non-revisit rows pass through
+    * unchanged; unresolvable revisits (no capture with that digest)
+    * DROP — there is no content to train on. Shuffle join keyed on the
+    * digest, both sides corpus-sized: never a cartesian, never a
+    * collect. */
+  def resolveRevisits(extracted: DataFrame): DataFrame = {
+    val content = extracted.where(col("kind") =!= "revisit")
+      .select(col("payload_digest"),
+        col("kind").as("r_kind"), col("charset").as("r_charset"),
+        col("title").as("r_title"), col("text_len").as("r_len"),
+        col("text_md5").as("r_md5"))
+      .where(col("payload_digest") =!= "")
+      .dropDuplicates("payload_digest")
+    val resolved = extracted.where(col("kind") === "revisit")
+      .drop("kind", "charset", "title", "text_len", "text_md5")
+      .join(content, "payload_digest")
+      .withColumnRenamed("r_kind", "kind")
+      .withColumnRenamed("r_charset", "charset")
+      .withColumnRenamed("r_title", "title")
+      .withColumnRenamed("r_len", "text_len")
+      .withColumnRenamed("r_md5", "text_md5")
+    val cols = extracted.columns.map(col).toSeq
+    extracted.where(col("kind") =!= "revisit")
+      .unionByName(resolved.select(cols: _*))
+  }
 }
