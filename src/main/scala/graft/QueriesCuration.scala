@@ -159,10 +159,16 @@ object QueriesCuration {
         val crawl = docs.unionAll(docs.select(
           (col("doc_id") + 100000).as("doc_id"), col("text")))
         // the RE-CRAWL writes REVISIT records (headers-only, digest
-        // naming the original stored payload — the Common Crawl shape)
+        // naming the original stored payload — the Common Crawl shape).
+        // MATERIALIZED once (localCheckpoint): the resolution operator
+        // reads the extraction from three sides — without the cut, the
+        // whole codec walk re-runs per consumer (6 scans in the plan),
+        // the classic multi-consumer re-computation trap; at 100 TB
+        // extraction lands in a store before resolution for the same
+        // reason
         val rows = graft.pipeline.WarcPipeline.extractWarcs(
           graft.pipeline.WarcPipeline.synthesizeWarcs(crawl,
-            revisitDelta = 100000L))
+            revisitDelta = 100000L)).localCheckpoint(true)
         val robotsTxt = "User-agent: graftbot\nDisallow: /\n\n" +
           "User-agent: *\nDisallow: /*.pdf$\n" +
           "Disallow: /doc/*/plain.txt\nAllow: /doc/\n"
