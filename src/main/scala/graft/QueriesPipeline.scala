@@ -351,6 +351,24 @@ object QueriesPipeline {
              |FROM u
              |ORDER BY doc_id, rec_idx""".stripMargin)),
 
+    // CRAWL → PDF COMPOSITION (round 20): the reference's blob-PDF
+    // domain ARRIVING OVER THE CRAWL EDGE — application/pdf WARC
+    // responses carry REAL one-page PDFs (Flate on even ids, bare on
+    // odd; chunked transfer on odd ids) whose payloads run the
+    // engine's own PdfCodec text extraction end-to-end. The oracle
+    // replays each page straight from substr(text): a record-framing,
+    // dechunk, content-type or PDF-decode slip breaks the hash.
+    "q_warc_pdf" -> QueryDef(
+      (s, d) => WarcPipeline.extractPdfPayloads(
+          WarcPipeline.synthesizeWarcs(Tables.documents(s, d),
+            binaryPdf = true))
+        .orderBy(col("doc_id"), col("page_no")),
+      Some("""SELECT doc_id, CAST(1 AS BIGINT) AS page_no,
+             |  CAST(length(substr(text, 1, 200)) AS BIGINT) AS page_len,
+             |  md5(substr(text, 1, 200)) AS page_md5
+             |FROM documents WHERE doc_id % 3 = 0
+             |ORDER BY doc_id""".stripMargin)),
+
     // IMAGE-XOBJECT extraction (round 19, VERDICT r18 #3 — the
     // scanned-document modality): image-ONLY PDFs (whose text
     // extraction is legitimately empty) are synthesized in-engine —

@@ -105,7 +105,8 @@ object WarcPipeline {
     * stored-payload digest — the Common Crawl re-crawl shape. */
   def synthesizeWarcs(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text",
-                      revisitDelta: Long = 0L): DataFrame = {
+                      revisitDelta: Long = 0L,
+                      binaryPdf: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col(idCol).cast("long"), col(textCol))
@@ -138,8 +139,17 @@ object WarcPipeline {
           } else WarcCodec.HttpResp(uri, status, mainHeaders, wire)
         val extra: Seq[WarcCodec.HttpResp] =
           if (id % 3 == 0) {
-            val bin = "%PDF-1.4\n".getBytes(UTF_8) ++
-              Array.tabulate(64)(i => ((id * 7 + i * 13) % 256).toByte)
+            // binaryPdf: a REAL one-page PDF holding the text's first
+            // 200 code points — the reference's blob-PDF domain arriving
+            // over the crawl edge (q_warc_pdf decodes it end-to-end)
+            val bin =
+              if (binaryPdf) {
+                val n = text.codePointCount(0, text.length)
+                val page = text.substring(0,
+                  text.offsetByCodePoints(0, math.min(n, 200)))
+                PdfCodec.encodePdf(Seq(page), compress = id % 2 == 0)
+              } else "%PDF-1.4\n".getBytes(UTF_8) ++
+                Array.tabulate(64)(i => ((id * 7 + i * 13) % 256).toByte)
             val binWire = if (chunked) WarcCodec.chunkEncode(bin, 37) else bin
             Seq(WarcCodec.HttpResp(s"$uri/raw.pdf", 200,
               Seq("Content-Type" -> "application/pdf") ++
@@ -254,6 +264,43 @@ object WarcPipeline {
                     rec.payload.length.toLong, sum, digest)
               }
           }
+        }
+      }
+    }(enc)
+  }
+
+  /** PDF payloads out of the crawl (round 20): every
+    * `application/pdf` response's decoded payload runs the ENGINE'S
+    * OWN PdfCodec text extraction — the reference ingests PDFs from
+    * blob storage (Function.java:90-132); a crawl-scale corpus ingests
+    * the same documents out of WARC responses. One row per PDF page:
+    * (doc_id, page_no, page_len code points, page_md5). Batched narrow
+    * mapPartitions, the codec contract. */
+  def extractPdfPayloads(warcs: DataFrame, idCol: String = "doc_id",
+                         batchSize: Int = 16): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("page_no", LongType, nullable = false),
+      StructField("page_len", LongType, nullable = false),
+      StructField("page_md5", StringType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    warcs.select(col(idCol), col("content")).mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          val id = r.getLong(0)
+          WarcCodec.records(r.getAs[Array[Byte]](1))
+            .filter(rec => rec.warcType == "response" &&
+              rec.httpContentType.exists(_.toLowerCase(java.util.Locale.ROOT)
+                .startsWith("application/pdf")))
+            .flatMap { rec =>
+              PdfCodec.extractText(rec.payload).zipWithIndex.map {
+                case (page, k) =>
+                  Row(id, (k + 1).toLong,
+                    page.codePointCount(0, page.length).toLong,
+                    org.apache.commons.codec.digest.DigestUtils.md5Hex(
+                      page.getBytes(UTF_8)))
+              }
+            }
         }
       }
     }(enc)
