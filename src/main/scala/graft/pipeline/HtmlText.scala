@@ -52,17 +52,45 @@ object HtmlText {
           try new String(Character.toChars(dec.toInt))
           catch { case _: Exception => null }
         else null
-      } else body match {
-        case "amp" => "&"
-        case "lt" => "<"
-        case "gt" => ">"
-        case "quot" => "\""
-        case "apos" => "'"
-        case "nbsp" => " "
-        case _ => null
-      }
+      } else NamedRefs.getOrElse(body, null)
     if (out == null) null else (out, semi + 1)
   }
+
+  /** The core five + the HIGH-FREQUENCY named references wild pages
+    * actually carry (round 20 — typographic punctuation, spaces,
+    * currency, common symbols). A curated hand-verifiable subset, NOT
+    * the full HTML5 table: unknown references stay literal by the
+    * leniency rule, which is deterministic and honest; this set only
+    * moves the most common real-page glyphs out of the literal
+    * fallback. Each mapping is one code point, checkable against any
+    * Unicode chart by name. */
+  private val NamedRefs: Map[String, String] = Map(
+    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"",
+    "apos" -> "'", "nbsp" -> " ",
+    // dashes, ellipsis, quotes
+    "ndash" -> "–", "mdash" -> "—", "hellip" -> "…",
+    "lsquo" -> "‘", "rsquo" -> "’",
+    "ldquo" -> "“", "rdquo" -> "”",
+    "sbquo" -> "‚", "bdquo" -> "„",
+    "laquo" -> "«", "raquo" -> "»",
+    "prime" -> "′", "Prime" -> "″",
+    // spaces and structure
+    "ensp" -> " ", "emsp" -> " ", "thinsp" -> " ",
+    "shy" -> "­",
+    // bullets, daggers, marks
+    "bull" -> "•", "middot" -> "·",
+    "dagger" -> "†", "Dagger" -> "‡",
+    "sect" -> "§", "para" -> "¶",
+    "copy" -> "©", "reg" -> "®", "trade" -> "™",
+    // currency and math
+    "cent" -> "¢", "pound" -> "£", "yen" -> "¥",
+    "euro" -> "€",
+    "deg" -> "°", "plusmn" -> "±", "times" -> "×",
+    "divide" -> "÷", "frac12" -> "½", "frac14" -> "¼",
+    "frac34" -> "¾", "micro" -> "µ", "sup2" -> "²",
+    "sup3" -> "³", "minus" -> "−", "ne" -> "≠",
+    "le" -> "≤", "ge" -> "≥", "infin" -> "∞",
+    "rarr" -> "→", "larr" -> "←", "harr" -> "↔")
 
   private def asciiLetter(c: Char): Boolean =
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')

@@ -40,6 +40,12 @@ class WarcSpec extends AnyFunSuite with SparkSpec {
     // escape is the exact inverse over &<> text
     val s = "x & y < z > w"
     assert(HtmlText.extract("<p>" + HtmlText.escape(s) + "</p>") == s)
+    // the curated high-frequency named references decode (round 20);
+    // anything outside the set stays literal by the leniency rule
+    assert(HtmlText.extract("A&mdash;B&hellip; &ldquo;q&rdquo; &euro;5 &copy;X") ==
+      "A—B… “q” €5 ©X")
+    assert(HtmlText.extract("3&times;4&ne;13 &rarr; ok") == "3×4≠13 → ok")
+    assert(HtmlText.extract("&notinset; &zzz;") == "&notinset; &zzz;")
   }
 
   test("hand-built WARC record: headers, strict accounting, payload digest") {
