@@ -32,6 +32,40 @@ class Jbig2Spec extends AnyFunSuite with SparkSpec {
     assert(cx2(0) == ((1 << 1) | 1).toShort, "SWITCH flips MPS; index → NLPS(0) = 1")
   }
 
+  test("MQ state table: structural invariants of T.88 Table E.1") {
+    // transcription-slip detectors that roundtrips CANNOT catch (the
+    // encoder and decoder share the table, so any self-consistent
+    // table roundtrips): these properties hold of the published table
+    // and pin its shape independently.
+    val f = Jbig2Codec.getClass.getDeclaredFields
+      .filter(x => Set("QeVal", "Nmps", "Nlps", "SwitchFlag")
+        .exists(n => x.getName.endsWith(n)))
+    f.foreach(_.setAccessible(true))
+    def arr(n: String): Array[Int] = f.find(_.getName.endsWith(n)).get
+      .get(Jbig2Codec).asInstanceOf[Array[Int]]
+    val (qe, nmps, nlps, sw) = (arr("QeVal"), arr("Nmps"), arr("Nlps"),
+      arr("SwitchFlag"))
+    assert(Seq(qe, nmps, nlps, sw).forall(_.length == 47), "47 rows")
+    // every Qe is a valid probability estimate; transitions in range
+    assert(qe.forall(q => q > 0 && q < 0x8000))
+    assert(nmps.forall(i => i >= 0 && i <= 46) && nlps.forall(i => i >= 0 && i <= 46))
+    // SWITCH rows are exactly the three MPS-flip states 0, 6, 14
+    assert(sw.zipWithIndex.collect { case (1, i) => i }.toSeq == Seq(0, 6, 14))
+    // the startup chain 0..5 and the main adaptation chain 14..45 have
+    // non-increasing Qe (confidence only grows along NMPS), and NMPS
+    // advances by exactly one inside each chain (except the jumps the
+    // table publishes at rows 5 and 13)
+    (0 until 5).foreach(i => assert(qe(i + 1) <= qe(i), s"startup row $i"))
+    (14 until 45).foreach(i => assert(qe(i + 1) <= qe(i), s"main row $i"))
+    (14 until 45).foreach(i => assert(nmps(i) == i + 1, s"main NMPS $i"))
+    // terminal + non-adaptive rows self-loop on NMPS
+    assert(nmps(45) == 45 && nmps(46) == 46 && nlps(46) == 46)
+    // LPS transitions never increase confidence past the current state
+    // by more than the published re-entry points: every NLPS target's
+    // Qe is >= the state's own Qe (an LPS means the estimate was off)
+    (14 to 45).foreach(i => assert(qe(nlps(i)) >= qe(i), s"NLPS row $i"))
+  }
+
   test("MQ coder: encode→decode round trips arbitrary decision sequences") {
     // deterministic pseudo-random decisions over a handful of contexts
     for (seed <- 1 to 5) {
