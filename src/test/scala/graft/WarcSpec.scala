@@ -235,6 +235,18 @@ class WarcSpec extends AnyFunSuite with SparkSpec {
     val (_, c5) = HttpCharset.decodeText("plain".getBytes("UTF-8"),
       Some("text/html; charset=ISO-8859-1"))
     assert(c5 == "windows-1252")
+    // every remaining vetted alias family round-trips strictly
+    for ((label, jdk, sample) <- Seq(
+        ("euc-jp", "EUC-JP", "日本語"),
+        ("gb2312", "GBK", "中文测试"),
+        ("big5", "Big5", "中文測試"),
+        ("euc-kr", "EUC-KR", "한국어"))) {
+      val (t, c) = HttpCharset.decodeText(sample.getBytes(jdk),
+        Some(s"text/html; charset=$label"))
+      assert(t == sample, s"$label text")
+      // canonical labels: gb2312 folds into the gbk family
+      assert(c == (if (label == "gb2312") "gbk" else label), s"$label canon")
+    }
     // BOM outranks every declaration and is CONSUMED, never text
     val (t6, c6) = HttpCharset.decodeText(
       Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++ "abc".getBytes("UTF-8"),
