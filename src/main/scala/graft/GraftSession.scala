@@ -23,6 +23,17 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Generated-class cache sized for a MANY-QUERY application: the
+      // default 100-entry LRU thrashes once an app runs more than a few
+      // dozen distinct plans, and every miss re-runs Janino ON A TASK
+      // THREAD — observed here as whole queries burning 10-50× CPU in
+      // UnitCompiler/ClassNotFoundException storms, moving randomly
+      // between queries run-to-run (the recurring "sub-second noise
+      // class" of earlier rounds). ~50 KB per compiled unit ⇒ worst
+      // case ~250 MB at this cap, safe inside the default driver heap;
+      // a production pipeline with hundreds of distinct stages needs
+      // the same headroom.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
 
   /** Build + register the SQL function surface. (Registration is also
     * handled by the extensions, but getOrCreate may return an EXISTING

@@ -597,9 +597,21 @@ object QueriesAnalytics {
     // rows — single shuffle on orderkey, then a broadcast-dim group-by.
     "q21_waiting_suppliers" -> QueryDef(
       (s, d) => {
+        // Aggregate lineitem to (orderkey, suppkey, max shipdate) BEFORE
+        // the orders join (guide §2.3): max(l_shipdate) > threshold ⟺
+        // any line is delayed, countDistinct(suppkey) = group count —
+        // the fact table crosses the join exactly once (the old shape
+        // computed the lineitem⋈orders join twice: per-order aggregate +
+        // delayed-row listing) and map-side partial aggregation shrinks
+        // it first. The per-order counts come from a window over the
+        // join output, which is already partitioned by orderkey — no
+        // extra exchange.
         // NO broadcast hint: orders is FACT-sized (a hint would override
         // the size threshold and OOM at scale; AQE picks the hash join)
-        val li = Tables.lineitem(s, d)
+        val perPair = Tables.lineitem(s, d)
+          .groupBy(col("l_orderkey"), col("l_suppkey"))
+          .agg(max(col("l_shipdate")).as("__max_ship"))
+        val paired = perPair
           .join(Tables.orders(s, d)
             .select(col("o_orderkey"), col("o_orderdate")),
             col("l_orderkey") === col("o_orderkey"))
@@ -607,14 +619,13 @@ object QueriesAnalytics {
           // threshold to midnight — a timestamped orderdate would flip
           // delayed classification vs the oracle's + INTERVAL 90 DAY
           .withColumn("__delayed",
-            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
-        val perOrder = li.groupBy(col("l_orderkey").as("__ok"))
-          .agg(countDistinct(col("l_suppkey")).as("nsupp"),
-            countDistinct(when(col("__delayed"), col("l_suppkey"))).as("ndelayed"))
-        val waiting = li.where(col("__delayed"))
-          .join(perOrder, col("l_orderkey") === col("__ok"))
-          .where(col("nsupp") > 1 && col("ndelayed") === 1)
-          .select(col("l_suppkey"), col("l_orderkey")).distinct()
+            col("__max_ship") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_orderkey"))
+        val waiting = paired
+          .withColumn("nsupp", count(lit(1)).over(w))
+          .withColumn("ndelayed", count(when(col("__delayed"), lit(1))).over(w))
+          .where(col("__delayed") && col("nsupp") > 1 && col("ndelayed") === 1)
+          .select(col("l_suppkey"), col("l_orderkey"))
         waiting
           .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
           .groupBy(col("s_name"))

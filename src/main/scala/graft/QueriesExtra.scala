@@ -1783,6 +1783,10 @@ object QueriesExtra {
           // compares within a modality, so rank within the RGB group
           .where(col("channels") === 3)
           .select(col("doc_id").as("vec_id"), col("features").as("embedding"))
+          // decode ONCE: the query side's filter cannot push through the
+          // opaque codec mapPartitions stage, so without the checkpoint
+          // the broadcast build re-runs the whole encode+decode pipeline
+          .localCheckpoint(true)
         val q = feats.where(col("vec_id") === 1)
         graft.operators.Knn.topK(feats, q, graft.operators.Knn.Cosine, 5)
       },
@@ -1926,6 +1930,12 @@ object QueriesExtra {
           // modality group (the q_knn_image convention)
           .where(col("channels") === 3)
           .select(col("doc_id").as("vec_id"), col("features").as("embedding"))
+          // materialize the features ONCE: IVF training alone reads this
+          // frame 3× (sample init + 2 k-means sweeps) and the near-dup
+          // scan a 4th time — without the checkpoint every pass re-runs
+          // the PNG/GIF encode+decode+tile pipeline, the dominant cost
+          // (the narrow id+12-float projection is cheap to hold)
+          .localCheckpoint(true)
         val model = IvfIndex.train(feats, k = 24, iters = 2)
         Dedup.semanticNearDup(feats, model, threshold = 0.999999, scale = 6)
           .orderBy(col("id1"), col("id2"))
@@ -2691,6 +2701,8 @@ object QueriesExtra {
             gx = 2, gy = 2)
           .where(col("channels") === 3) // the RGB modality group, all formats
           .select(col("doc_id").as("vec_id"), col("features").as("embedding"))
+          // decode all six format legs ONCE (see q_knn_image)
+          .localCheckpoint(true)
         val q = feats.where(col("vec_id") === 1)
         graft.operators.Knn.topK(feats, q, graft.operators.Knn.Cosine, 5)
       },

@@ -238,6 +238,9 @@ object QueriesPipeline {
                  (col("doc_id") + col("page")) % 6 === 1)
           .select((col("doc_id") * 4 + col("page")).as("vec_id"),
             col("features").as("embedding"))
+          // decode the PDF image corpus ONCE (see q_knn_image): the
+          // query-side filter cannot cross the codec mapPartitions stage
+          .localCheckpoint(true)
         val q = feats.where(col("vec_id") === 9) // doc 2 page 1: Flate RGB
         graft.operators.Knn.topK(feats, q, graft.operators.Knn.Cosine, 5)
       },

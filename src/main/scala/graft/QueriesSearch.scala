@@ -265,8 +265,15 @@ object QueriesSearch {
     "q_quality_filter" -> QueryDef(
       (s, d) => {
         import graft.operators.Curation
+        // materialize the (doc_id, quality) projection once: the
+        // regex-heavy score would otherwise be recomputed by the
+        // quantile's histogram pass, its domain probe, AND the final
+        // filter — three full text passes for one narrow derived column
+        // (guide §5: cache only when recompute > memory pressure; two
+        // longs per doc qualifies)
         val q = Tables.documents(s, d).select(col("doc_id"),
           graft.functions.LangFunctions.qualityScore(col("text")).as("quality"))
+          .localCheckpoint(true)
         val thr = Curation.exactQuantileBounded(q, "quality", 0.5)
         q.where(col("quality") >= lit(thr))
           .select(col("doc_id"), col("quality"))

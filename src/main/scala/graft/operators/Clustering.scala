@@ -55,13 +55,18 @@ object Clustering {
     val oriented =
       if (nprobe >= model.k) met.where(col("__pid") < col("__aid"))
       else met.where(col("__pid") =!= col("__aid"))
-    oriented
+    val scored = oriented
       .select(least(col("__pid"), col("__aid")).as("id1"),
         greatest(col("__pid"), col("__aid")).as("id2"),
         round(lit(1.0) - VectorFunctions.cosineSimilarity(col("__pe"), col("__ae")), scale)
           .as("d"))
       .where(col("d") <= eps)
-      .distinct()
+    // at FULL probe each unordered pair meets exactly once (the probe
+    // side fans out to every cell, the assigned side sits in exactly
+    // one, and the pid < aid orientation keeps one row) — the dedup
+    // shuffle would be a no-op, so skip it; partial probe can meet a
+    // pair from both orientations and keeps the distinct
+    if (nprobe >= model.k) scored else scored.distinct()
   }
 
   /** DBSCAN labels from a precomputed eps-pair list (canonical

@@ -125,15 +125,17 @@ object Curation {
     // fail fast on a genuinely continuous column: the bounded-domain
     // contract used to live only in this doc comment, so a caller who
     // missed it silently collected a data-sized histogram onto the
-    // driver. The limit probe bounds the check itself — the driver never
-    // holds more than maxDomain+1 rows even when the contract is broken.
-    require(grouped.limit(maxDomain + 1).count() <= maxDomain,
+    // driver. The limit bounds the collect itself — the driver never
+    // holds more than maxDomain+1 rows even when the contract is broken,
+    // and the check shares the histogram's single job instead of paying
+    // a separate counting pass over the aggregation.
+    val hist = grouped
+      .orderBy(col("__v")).limit(maxDomain + 1)
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+    require(hist.length <= maxDomain,
       s"exactQuantileBounded: '$valueCol' has more than $maxDomain distinct values — " +
         "this helper's exactness contract requires a bounded domain (bucketize the " +
         "column upstream, raise maxDomain, or use approx_percentile)")
-    val hist = grouped
-      .orderBy(col("__v"))
-      .collect().map(r => (r.getDouble(0), r.getLong(1)))
     val n = hist.map(_._2).sum
     require(n > 0, "exactQuantileBounded: empty input")
     val h = (n - 1) * p

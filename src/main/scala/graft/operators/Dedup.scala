@@ -77,10 +77,11 @@ object Dedup {
       .where(size(col("__ids")).between(2, maxBucket))
       .select(array_sort(col("__ids")).as("__ids"))
     buckets
-      .select(explode(flatten(transform(col("__ids"), (x, i) =>
-        transform(slice(col("__ids"), i + lit(2), size(col("__ids"))), y =>
-          struct(x.as("id1"), y.as("id2")))))).as("p"))
-      .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
+      // native streaming i<j generator — the HOF chain this replaces
+      // paid interpreted per-element dispatch and O(|bucket|) slice
+      // copies per outer index (see PairExpressions); ids are sorted,
+      // so emission order i<j IS id1 < id2
+      .select(graft.functions.PairExpressions.pairSelf(col("__ids")).as(Seq("id1", "id2")))
       .distinct()
   }
 
@@ -196,32 +197,67 @@ object Dedup {
     * a silently unconverged labeling would split clusters. */
   def components(pairs: DataFrame, maxIters: Int = 50,
                  id1Col: String = "id1", id2Col: String = "id2"): DataFrame = {
-    val edges = pairs.select(col(id1Col).as("src"), col(id2Col).as("dst"))
+    // Symmetric edges PLUS a self-loop per node, hash-partitioned by dst
+    // ONCE and materialized (localCheckpoint preserves the partitioning
+    // in its LogicalRDD): every round joins this static heavy side on
+    // dst, so it never re-shuffles — only the (≤ node-sized) label
+    // vector moves per round. The self-loops fold the old
+    // "least(own label, neighborhood min)" left join into the single
+    // min() aggregate (a node always sees its own label among its
+    // neighbors), and carry the previous label through the round for
+    // the convergence check — per round: ONE label exchange + ONE
+    // groupBy shuffle, down from join+left-join (4 exchanges).
+    // distinct() after repartition(dst) adds no exchange: hash(dst)
+    // already co-locates equal (src, dst) rows.
+    val sym = pairs.select(col(id1Col).as("src"), col(id2Col).as("dst"))
       .unionAll(pairs.select(col(id2Col).as("src"), col(id1Col).as("dst")))
-      .distinct().cache()
+    val loops = pairs.select(col(id1Col).as("src"))
+      .unionAll(pairs.select(col(id2Col).as("src")))
+      .select(col("src"), col("src").as("dst"))
     // each round is MATERIALIZED with its lineage truncated
-    // (localCheckpoint): labels feeds itself twice per iteration, so
-    // without truncation the logical plan doubles every round —
-    // exponential planning cost long before any data moves. Production
-    // note: localCheckpoint trades fault-tolerance for speed; set a
-    // reliable checkpoint dir and swap to .checkpoint() on clusters where
-    // executor loss mid-algorithm matters.
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label")).localCheckpoint(true)
+    // (localCheckpoint): labels feeds itself, so without truncation the
+    // logical plan doubles every round — exponential planning cost long
+    // before any data moves. Production note: localCheckpoint trades
+    // fault-tolerance for speed; set a reliable checkpoint dir and swap
+    // to .checkpoint() on clusters where executor loss mid-algorithm
+    // matters.
+    val edges = sym.unionAll(loops)
+      .repartition(col("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    // initial labels = own id, read straight off the self-loops — a
+    // filtered scan of the materialized edges, no extra job
+    var labels = edges.where(col("src") === col("dst"))
+      .select(col("src").as("id"), col("src").as("label"))
     var it = 0
     var converged = false
     while (it < maxIters && !converged) {
-      val nbrMin = edges.join(labels.select(col("id").as("dst"), col("label")), "dst")
-        .groupBy(col("src")).agg(min(col("label")).as("__nbr"))
-      val nextFull = labels.join(nbrMin.select(col("src").as("id"), col("__nbr")), Seq("id"), "left")
-        .select(col("id"), col("label"),
-          least(col("label"), coalesce(col("__nbr"), col("label"))).as("__next"))
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("label")), "dst")
+        .groupBy(col("src"))
+        .agg(min(col("label")).as("label"),
+          // the self-loop row carries this node's PREVIOUS label —
+          // convergence falls out of the same aggregate, no extra join
+          max(when(col("dst") === col("src"), col("label"))).as("__self"))
+      // POINTER JUMPING from round 3 on: adopt the label OF the adopted
+      // label (every label value is itself a node id, and label(x) ≤ x,
+      // so the lookup always lands and is monotone) — the remaining
+      // hop-distance to the component minimum roughly doubles away per
+      // round, turning O(diameter) rounds into O(log diameter) on
+      // chain-shaped graphs (DBSCAN core chains). The first two rounds
+      // stay plain: dense near-dup clusters converge by then and the
+      // jump's extra |V|-sized join would be pure overhead. The
+      // fixpoint (and therefore the result) is identical either way.
+      val next = (if (it < 2) nbrMin
+        else nbrMin
+          .withColumnRenamed("label", "__m")
+          .join(labels.select(col("id").as("__m"), col("label")), "__m")
+          .select(col("src"), col("label"), col("__self")))
         .localCheckpoint(true)
-      converged = nextFull.where(col("__next") =!= col("label")).isEmpty
-      labels = nextFull.select(col("id"), col("__next").as("label"))
+      converged = next.where(col("label") =!= col("__self")).isEmpty
+      labels = next.select(col("src").as("id"), col("label"))
       it += 1
     }
-    edges.unpersist()
     if (!converged) throw new IllegalStateException(
       s"components: not converged after $maxIters iterations — raise maxIters")
     labels.withColumnRenamed("label", "component")
@@ -307,13 +343,12 @@ object Dedup {
   /** Row-local pair expansion of a grouped frame with a `__rows`
     * array<struct<id, e>> column → (id1 < id2, e1, e2) candidate pairs. */
   private def expandPairs(buckets: DataFrame): DataFrame = buckets
-    .select(explode(flatten(transform(col("__rows"), (x, i) =>
-      transform(slice(col("__rows"), i + lit(2), size(col("__rows"))), y =>
-        struct(x.getField("id").as("id1"), y.getField("id").as("id2"),
-          x.getField("e").as("e1"), y.getField("e").as("e2")))))).as("p"))
-    .select(least(col("p.id1"), col("p.id2")).as("id1"),
-      greatest(col("p.id1"), col("p.id2")).as("id2"),
-      col("p.e1"), col("p.e2"))
+    // native streaming i<j generator (PairExpressions) — no quadratic
+    // intermediate array, no interpreted slice copies per outer index
+    .select(graft.functions.PairExpressions.pairSelf(col("__rows")).as(Seq("__a", "__b")))
+    .select(least(col("__a.id"), col("__b.id")).as("id1"),
+      greatest(col("__a.id"), col("__b.id")).as("id2"),
+      col("__a.e").as("e1"), col("__b.e").as("e2"))
     .where(col("id1") =!= col("id2"))
 
   /** Embedding-space test-set contamination — the SEMANTIC complement to
@@ -467,12 +502,15 @@ object Dedup {
     // storage trade; pick per cluster). Results are identical either way
     // (hash-asserted in DedupSpec) — the flag changes execution, not
     // semantics.
+    // native fused k-gram digest (GramExpressions) — the HOF chain it
+    // replaces paid interpreted slice copies + a joined-string alloc
+    // per corpus token before each md5
     val gramsPlan = docs
       .select(col(idCol), split(canonicalText(col(textCol)), " ").as("__w"))
       .where(size(col("__w")) >= k)
       .select(col(idCol), size(col("__w")).cast("long").as("__nw"),
-        posexplode(transform(sequence(lit(0), size(col("__w")) - k),
-          i => md5(concat_ws(" ", slice(col("__w"), i + 1, lit(k)))))).as(Seq("pos", "gh")))
+        posexplode(graft.functions.GramExpressions.gramMd5(col("__w"), k))
+          .as(Seq("pos", "gh")))
     val grams = if (materialize) gramsPlan.localCheckpoint(true) else gramsPlan
     val hot = grams.groupBy(col("gh"))
       .agg(countDistinct(col(idCol)).as("__df"))
@@ -515,8 +553,9 @@ object Dedup {
       .select(col(idCol), split(canonicalText(col(textCol)), " ").as("__w"))
       .where(size(col("__w")) >= k)
       .select(col(idCol),
-        posexplode(transform(sequence(lit(0), size(col("__w")) - k),
-          i => md5(concat_ws(" ", slice(col("__w"), i + 1, lit(k)))))).as(Seq("pos", "gh")))
+        // native fused k-gram digest — see duplicatedSpanCoverage
+        posexplode(graft.functions.GramExpressions.gramMd5(col("__w"), k))
+          .as(Seq("pos", "gh")))
     // feeds df count + probe side; same storage-vs-recompute trade as
     // duplicatedSpanCoverage's materialize flag
     val grams = if (materialize) gramsPlan.localCheckpoint(true) else gramsPlan

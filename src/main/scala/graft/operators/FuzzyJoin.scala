@@ -92,26 +92,34 @@ object FuzzyJoin {
             lit(s"FuzzyJoin: variant bucket exceeds maxBucket=$maxBucket" +
               " — raise maxBucket or restrict the key column")))
           .as("__rows"))
-    // row-local i<j expansion within the bucket (bounded by maxBucket²)
+    // row-local i<j expansion within the bucket (bounded by maxBucket²),
+    // via the native streaming generator (PairExpressions) — the HOF
+    // chain it replaces paid interpreted dispatch + O(|bucket|) slice
+    // copies per outer index
     val pairs = buckets
-      .select(explode(flatten(transform(col("__rows"), (x, i) =>
-        transform(slice(col("__rows"), i + lit(2), size(col("__rows"))), y =>
-          struct(x.getField("id").as("id1"), y.getField("id").as("id2"),
-            x.getField("s").as("s1"), y.getField("s").as("s2")))))).as("p"))
-      .select(when(col("p.id1") < col("p.id2"), col("p"))
-        .otherwise(struct(col("p.id2").as("id1"), col("p.id1").as("id2"),
-          col("p.s2").as("s1"), col("p.s1").as("s2"))).as("p"))
+      .select(graft.functions.PairExpressions.pairSelf(col("__rows")).as(Seq("__x", "__y")))
+      .select(when(col("__x.id") < col("__y.id"),
+          struct(col("__x.id").as("id1"), col("__y.id").as("id2"),
+            col("__x.s").as("s1"), col("__y.s").as("s2")))
+        .otherwise(struct(col("__y.id").as("id1"), col("__x.id").as("id2"),
+          col("__y.s").as("s1"), col("__x.s").as("s2"))).as("p"))
       .select(col("p.id1").as("a_id"), col("p.id2").as("b_id"),
         col("p.s1").as("a_str"), col("p.s2").as("b_str"))
       .where(col("a_id") =!= col("b_id"))
-    // compute the O(|a|·|b|) DP once per surviving pair: filtering on a
-    // separate levenshtein call would evaluate it twice (subexpression
-    // elimination does not span Filter and Project)
+    // length filter BEFORE the distinct: it's row-local and cheap, so
+    // incompatible candidates never enter the dedup shuffle. The DP runs
+    // once per surviving pair (filtering on a separate levenshtein call
+    // would evaluate it twice — subexpression elimination does not span
+    // Filter and Project) and is THRESHOLDED: the 3-arg levenshtein
+    // computes a banded O(maxDist·L) DP with early exit, returning the
+    // exact distance when ≤ maxDist and -1 past it — identical output
+    // for every kept row, a fraction of the full O(L²) table per
+    // candidate.
     pairs
-      .distinct()
       .where(abs(length(col("a_str")) - length(col("b_str"))) <= maxDist)
-      .withColumn("dist", levenshtein(col("a_str"), col("b_str")).cast("long"))
-      .where(col("dist") <= maxDist)
+      .distinct()
+      .withColumn("dist", levenshtein(col("a_str"), col("b_str"), maxDist).cast("long"))
+      .where(col("dist").between(0, maxDist))
   }
 
   /** Record linkage across TWO tables: all (a, b) pairs with
@@ -151,15 +159,17 @@ object FuzzyJoin {
               " — raise maxBucket or restrict the key columns")))
           .as("__ab"))
     buckets
-      .select(explode(flatten(transform(col("__ab.__as"), x =>
-        transform(col("__ab.__bs"), y =>
-          struct(x.getField("id").as("a_id"), y.getField("id").as("b_id"),
-            x.getField("s").as("a_str"), y.getField("s").as("b_str")))))).as("p"))
-      .select(col("p.a_id"), col("p.b_id"), col("p.a_str"), col("p.b_str"))
-      .distinct()
+      // native A×B cross generator (PairExpressions) — same emission
+      // order as the nested-transform chain it replaces
+      .select(graft.functions.PairExpressions.pairCross(
+        col("__ab.__as"), col("__ab.__bs")).as(Seq("__x", "__y")))
+      .select(col("__x.id").as("a_id"), col("__y.id").as("b_id"),
+        col("__x.s").as("a_str"), col("__y.s").as("b_str"))
       .where(abs(length(col("a_str")) - length(col("b_str"))) <= maxDist)
-      .withColumn("dist", levenshtein(col("a_str"), col("b_str")).cast("long"))
-      .where(col("dist") <= maxDist) // one DP per pair (see selfJoin)
+      .distinct()
+      // one banded thresholded DP per pair (see selfJoin)
+      .withColumn("dist", levenshtein(col("a_str"), col("b_str"), maxDist).cast("long"))
+      .where(col("dist").between(0, maxDist))
   }
 
   /** Distance-1 fuzzy self-join (typo-level entity resolution). */

@@ -44,27 +44,37 @@ object PageRank {
     require(iters >= 1, s"PageRank: iters must be >= 1, got $iters")
     // edge/node/degree frames feed every iteration — materialize once
     // (localCheckpoint, the same convention as the components loop in
-    // Dedup); left lazy, iteration i would re-derive them i times
+    // Dedup); left lazy, iteration i would re-derive them i times.
+    // Edges are hash-partitioned by src BEFORE the checkpoint (the
+    // LogicalRDD preserves the partitioning), so the per-round
+    // contribution join never re-shuffles the edge list — only the
+    // |V|-sized rank vector moves. distinct() after repartition(src)
+    // adds no exchange (hash(src) co-locates equal (src, dst) rows),
+    // and the out-degree aggregate reuses the same partitioning.
     val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).distinct().localCheckpoint(true)
-    // node set tagged ONCE with has_out; the rank vector carries the flag
-    // through iterations, so the dangling mass is a plain filtered
-    // aggregate per iteration — no per-iteration anti join
+      col(dstCol).cast("long").as("dst"))
+      .repartition(col("src"))
+      .distinct().localCheckpoint(true)
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // node set tagged ONCE with has_out AND the out-degree; the rank
+    // vector carries both through iterations, so the dangling mass is a
+    // plain filtered aggregate and the contribution join needs no
+    // per-iteration outdeg join. The node build's left join emits
+    // hash(node) partitioning, which the checkpoint preserves — each
+    // round's rank vector then arrives at the contribution join already
+    // co-partitioned on its key.
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
-      .join(e.select(col("src").as("node")).distinct()
-        .withColumn("__has_out", lit(true)), Seq("node"), "left")
-      .select(col("node"), coalesce(col("__has_out"), lit(false)).as("has_out"))
+      .join(outdeg.select(col("src").as("node"), col("deg")), Seq("node"), "left")
+      .select(col("node"), col("deg"), col("deg").isNotNull.as("has_out"))
       .localCheckpoint(true)
     val n = nodes.count()
     require(n > 0, "PageRank: empty graph")
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val base = (15L * unit) / (100L * n)
-    var r = nodes.select(col("node"), col("has_out"), lit(unit / n).as("r"))
+    var r = nodes.select(col("node"), col("has_out"), col("deg"), lit(unit / n).as("r"))
     var it = 0
     while (it < iters) {
       val contrib = e.join(r, e("src") === r("node"))
-        .join(outdeg, "src")
         .select(col("dst").as("node"), expr("r div deg").as("c"))
       val inflow = contrib.groupBy(col("node")).agg(sum(col("c")).as("s"))
       val dangling = broadcast(
@@ -74,7 +84,7 @@ object PageRank {
       // of re-executing the whole prefix 2^i times
       r = nodes.join(inflow, Seq("node"), "left")
         .crossJoin(dangling)
-        .select(col("node"), col("has_out"),
+        .select(col("node"), col("has_out"), col("deg"),
           (lit(base) + expr(s"(85 * (coalesce(s, 0) + (d div $n))) div 100")).as("r"))
         .localCheckpoint(true)
       it += 1

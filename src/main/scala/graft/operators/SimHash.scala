@@ -118,12 +118,12 @@ object SimHash {
       .where(size(col("__rows")).between(2, maxBucket))
       .select(array_sort(col("__rows")).as("__rows"))
     buckets
-      .select(explode(flatten(transform(col("__rows"), (x, i) =>
-        transform(slice(col("__rows"), i + lit(2), size(col("__rows"))), y =>
-          struct(x.getField("id").as("id1"), y.getField("id").as("id2"),
-            x.getField("h").as("h1"), y.getField("h").as("h2")))))).as("p"))
-      .select(col("p.id1").as("id1"), col("p.id2").as("id2"),
-        bit_count(col("p.h1").bitwiseXOR(col("p.h2"))).cast("long").as("hamming"))
+      // native streaming i<j generator (PairExpressions) — rows are
+      // array_sort'ed, so i<j emission keeps id1 < id2 like the HOF
+      // chain it replaces
+      .select(graft.functions.PairExpressions.pairSelf(col("__rows")).as(Seq("__a", "__b")))
+      .select(col("__a.id").as("id1"), col("__b.id").as("id2"),
+        bit_count(col("__a.h").bitwiseXOR(col("__b.h"))).cast("long").as("hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()
   }
