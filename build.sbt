@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run JVM's stdout/stderr through UNPREFIXED: the default
+// LoggedOutput strategy wraps every stdout line in "[info] ", which broke
+// the driver's parse of Bench's one-line summary JSON two rounds running
+// (PERF_r20/r21 `parsed: null` despite the line being present in the
+// captured tail). StdoutOutput restores the contract: the LAST bare
+// stdout line of `sbt "runMain graft.Bench"` is machine-parseable JSON.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
